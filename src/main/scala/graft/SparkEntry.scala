@@ -1,13 +1,167 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SystemColumns
+import graft.spec.FilterSpec
+import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
+import graft.types.Naming
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that we claim as implemented has an
+  * entry in `queries` (runs on the sf parquet tables) and, where
+  * SQL-expressible, a DuckDB oracle in `oracleSql`. Column names are
+  * aligned between both sides because the driver sorts columns by name
+  * before hashing.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    queries("q1_agg")(spark, dir)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.5 planner-shaped aggregation (MIN/MAX/COUNT/GROUP BY) ----
+    // Money amounts summed as integer cents so the hash compare is exact
+    // across Spark and DuckDB (double-sum order would differ).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("sum_disc_c"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- P1 column selection (pushed into the scan, unlike reference) ----
+    "q_project" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")),
+
+    // ---- P2 filter language: structured 2-condition AND form ----
+    "q_filter_and" -> ((s, dir) => {
+      val f = Filter("and", Seq(
+        Condition("l_quantity", "<", SNum(25.0)),
+        Condition("l_shipdate", ">=", STimestamp("1994-06-01T00:00:00"))))
+      t(s, dir, "lineitem").where(f.toColumn)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    }),
+
+    // ---- P2 filter language: legacy string syntax, OR form ----
+    "q_filter_or" -> ((s, dir) => {
+      val f = FilterSpec.parse("o_totalprice > 400000.0 or o_orderstatus = \"F\"")
+      t(s, dir, "orders").where(f.toColumn)
+    }),
+
+    // ---- §1.3 system columns, composite PK → md5 of sorted PK values ----
+    "q_system_cols" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      SystemColumns.attach(li, Seq("l_orderkey", "l_linenumber"),
+          SystemColumns.OpRead,
+          ingestTimestamp = Some(to_timestamp(lit("2024-01-01 00:00:00"))))
+        .select("l_orderkey", "l_linenumber", "_olake_id", "_op_type",
+          "_olake_timestamp")
+    }),
+
+    // ---- §1.3 system columns, single PK → PK value as string ----
+    "q_system_cols_single" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      SystemColumns.attach(n, Seq("n_nationkey"), SystemColumns.OpRead,
+          ingestTimestamp = Some(to_timestamp(lit("2024-01-01 00:00:00"))))
+        .select("n_nationkey", "n_name", "_olake_id", "_op_type")
+    }),
+
+    // ---- P6 raw mode: whole record → one JSON `data` column ----
+    "q_raw_mode" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      SystemColumns.rawMode(n, Seq("n_nationkey"), SystemColumns.OpRead)
+    }),
+
+    // ---- I1 max-cursor snapshot (dual cursor) ----
+    "q_cursor_snapshot" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        max(col("o_orderdate")).as("max_primary"),
+        max(col("o_orderkey")).as("max_secondary"))),
+
+    // ---- I3 incremental delta scan with dual-cursor OR semantics ----
+    "q_incremental_delta" -> ((s, dir) =>
+      t(s, dir, "orders").where(
+        col("o_orderdate") > to_timestamp(lit("1997-06-01 00:00:00")) ||
+        (col("o_orderdate").isNull && col("o_orderkey") > lit(1000L)))),
+
+    // ---- I2 threshold filter freezing the backfill snapshot ----
+    "q_threshold" -> ((s, dir) =>
+      t(s, dir, "orders").where(
+        col("o_orderdate").isNull ||
+        col("o_orderdate") <= to_timestamp(lit("1996-01-01 00:00:00")))),
+
+    // ---- §1.3 column-name normalization ----
+    "q_normalize" -> ((s, dir) => {
+      val df = t(s, dir, "nation")
+        .select(col("n_nationkey").as("Nation Key"), col("n_name").as("NAME%1"))
+      Naming.normalizeColumns(df)
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(cast(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+        |  sum(cast(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+        |  sum(cast(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS sum_disc_c,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_project" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
+
+    "q_filter_and" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_quantity < 25.0 AND l_shipdate >= TIMESTAMP '1994-06-01 00:00:00'""".stripMargin,
+
+    "q_filter_or" ->
+      "SELECT * FROM orders WHERE o_totalprice > 400000.0 OR o_orderstatus = 'F'",
+
+    "q_system_cols" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  md5(concat_ws('|', cast(l_linenumber AS VARCHAR), cast(l_orderkey AS VARCHAR))) AS _olake_id,
+        |  'r' AS _op_type,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS _olake_timestamp
+        |FROM lineitem""".stripMargin,
+
+    "q_system_cols_single" ->
+      """SELECT n_nationkey, n_name,
+        |  cast(n_nationkey AS VARCHAR) AS _olake_id, 'r' AS _op_type
+        |FROM nation""".stripMargin,
+
+    "q_raw_mode" ->
+      """SELECT concat('{"n_nationkey":', n_nationkey, ',"n_name":"', n_name, '"}') AS data,
+        |  cast(n_nationkey AS VARCHAR) AS _olake_id, 'r' AS _op_type
+        |FROM nation""".stripMargin,
+
+    "q_cursor_snapshot" ->
+      "SELECT max(o_orderdate) AS max_primary, max(o_orderkey) AS max_secondary FROM orders",
+
+    "q_incremental_delta" ->
+      """SELECT * FROM orders WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+        |   OR (o_orderdate IS NULL AND o_orderkey > 1000)""".stripMargin,
+
+    "q_threshold" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate IS NULL OR o_orderdate <= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "q_normalize" ->
+      "SELECT n_nationkey AS nation_key, n_name AS name_1 FROM nation"
+  )
 }

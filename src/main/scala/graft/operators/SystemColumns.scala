@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The destination system columns every synced row carries.
+  *
+  * Reference: `drivers/abstract/abstract.go:30-35` (column set),
+  * `utils/utils.go:265-287` (`_olake_id` derivation),
+  * `drivers/abstract/cdc.go:167-179` (op types).
+  *
+  * `_olake_id`:
+  *   - single primary key  → the PK value rendered as a string
+  *   - composite key       → md5 of the values of the PK columns, sorted
+  *                           by column name, joined
+  *   - no key              → md5 of the whole record (JSON)
+  */
+object SystemColumns {
+  val OlakeId        = "_olake_id"
+  val OpType         = "_op_type"
+  val OlakeTimestamp = "_olake_timestamp"
+  val CdcTimestamp   = "_cdc_timestamp"
+
+  /** Op codes: r=backfill read, c=steady-state insert, i=insert during the
+    * backfill-overlap dedup window (forces an equality delete first),
+    * u=update, d=delete.
+    */
+  val OpRead   = "r"
+  val OpCreate = "c"
+  val OpInsertDedup = "i"
+  val OpUpdate = "u"
+  val OpDelete = "d"
+
+  /** Build the `_olake_id` column for a frame with the given PK columns. */
+  def olakeId(df: DataFrame, primaryKeys: Seq[String]): Column =
+    primaryKeys.sorted match {
+      case Seq(single) => col(single).cast("string")
+      case Nil =>
+        // No PK: hash the whole record deterministically.
+        md5(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*)))
+      case many =>
+        md5(concat_ws("|", many.map(c => col(c).cast("string")): _*))
+    }
+
+  /** Append the system columns for a batch with a single op type.
+    * `cdcTimestamp` is only attached in CDC mode (None ⇒ column omitted,
+    * matching the reference where `_cdc_timestamp` exists only for CDC
+    * streams).
+    */
+  def attach(df: DataFrame,
+             primaryKeys: Seq[String],
+             opType: String,
+             cdcTimestamp: Option[Column] = None,
+             ingestTimestamp: Option[Column] = None): DataFrame = {
+    val base = df
+      .withColumn(OlakeId, olakeId(df, primaryKeys))
+      .withColumn(OpType, lit(opType))
+      .withColumn(OlakeTimestamp,
+        ingestTimestamp.getOrElse(current_timestamp()))
+    cdcTimestamp.fold(base)(c => base.withColumn(CdcTimestamp, c))
+  }
+
+  /** Raw (non-normalized) mode: the whole source record collapses to one
+    * JSON `data` column plus system columns
+    * (reference `destination/iceberg/iceberg.go:389-417`).
+    */
+  def rawMode(df: DataFrame,
+              primaryKeys: Seq[String],
+              opType: String,
+              partitionCols: Seq[String] = Nil): DataFrame = {
+    val id = olakeId(df, primaryKeys)
+    val dataCols = df.columns.filterNot(partitionCols.contains)
+    df.select(
+      (Seq(
+        to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("data"),
+        id.as(OlakeId),
+        lit(opType).as(OpType)
+      ) ++ partitionCols.map(col)): _*)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.spec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The stream filter language.
+  *
+  * Reference: `types/stream_configured.go:17-26,209-266` — structured form
+  * `{logical_operator: And|Or, conditions: [{column, operator, value}]}`
+  * with operators `= != < > <= >=` and string/number/bool/null/ISO-timestamp
+  * values; a legacy one-line string syntax is regex-parsed
+  * (`stream_configured.go:239`). The reference caps conditions at 2
+  * (`protocol/sync.go:205-232`); we generalize to N while keeping the
+  * 2-condition validation available for parity.
+  *
+  * The AST renders to a Catalyst `Column`, so under Spark the filter is
+  * pushed into the scan (parquet row-group pruning / JDBC WHERE) for free —
+  * unlike the reference, which evaluates it in-memory for non-SQL sources.
+  */
+object FilterSpec {
+  sealed trait Value
+  case class SNum(v: Double)     extends Value
+  case class SInt(v: Long)       extends Value
+  case class SStr(v: String)     extends Value
+  case class SBool(v: Boolean)   extends Value
+  case object SNull              extends Value
+  /** ISO-8601; compared as a timestamp. */
+  case class STimestamp(iso: String) extends Value
+
+  case class Condition(column: String, op: String, value: Value)
+  case class Filter(logical: String, conditions: Seq[Condition]) {
+    def toColumn: Column = FilterSpec.toColumn(this)
+    def and(other: Condition): Filter = copy(conditions = conditions :+ other)
+  }
+
+  val Operators = Set("=", "!=", "<", ">", "<=", ">=")
+
+  def lit2(v: Value): Column = v match {
+    case SNum(d)        => lit(d)
+    case SInt(l)        => lit(l)
+    case SStr(s)        => lit(s)
+    case SBool(b)       => lit(b)
+    case SNull          => lit(null)
+    case STimestamp(ts) => to_timestamp(lit(ts))
+  }
+
+  def conditionToColumn(c: Condition): Column = {
+    val l = col(c.column)
+    c.value match {
+      case SNull =>
+        // null semantics: `= null` ⇒ IS NULL, `!= null` ⇒ IS NOT NULL
+        c.op match {
+          case "="  => l.isNull
+          case "!=" => l.isNotNull
+          case other => throw new IllegalArgumentException(
+            s"operator $other not valid against null")
+        }
+      case v =>
+        val r = lit2(v)
+        c.op match {
+          case "="  => l === r
+          case "!=" => l =!= r
+          case "<"  => l < r
+          case ">"  => l > r
+          case "<=" => l <= r
+          case ">=" => l >= r
+          case other => throw new IllegalArgumentException(s"bad op $other")
+        }
+    }
+  }
+
+  def toColumn(f: Filter): Column = {
+    require(f.conditions.nonEmpty, "empty filter")
+    val cols = f.conditions.map(conditionToColumn)
+    f.logical.toLowerCase match {
+      case "and" | "" => cols.reduce(_ && _)
+      case "or"       => cols.reduce(_ || _)
+      case other      => throw new IllegalArgumentException(s"bad logical op $other")
+    }
+  }
+
+  /** Reference-parity validation: ≤ 2 conditions, known operators. */
+  def validateStrict(f: Filter): Either[String, Filter] =
+    if (f.conditions.size > 2) Left("filter supports at most 2 conditions")
+    else if (!f.conditions.forall(c => Operators(c.op))) Left("unknown operator")
+    else Right(f)
+
+  private val CondRe =
+    """\s*([\w.]+)\s*(>=|<=|!=|=|<|>)\s*("[^"]*"|'[^']*'|[^\s]+)\s*""".r
+
+  /** Parse the legacy one-line string syntax, e.g.
+    * `col1 >= 10 and col2 != "x"` (reference regex at
+    * `types/stream_configured.go:239`).
+    */
+  def parse(s: String): Filter = {
+    val (logical, parts) =
+      if (s.toLowerCase.contains(" and ")) ("and", s.split("(?i) and "))
+      else if (s.toLowerCase.contains(" or ")) ("or", s.split("(?i) or "))
+      else ("and", Array(s))
+    val conds = parts.toIndexedSeq.map {
+      case CondRe(c, op, raw) => Condition(c, op, parseValue(raw))
+      case bad => throw new IllegalArgumentException(s"cannot parse condition: $bad")
+    }
+    Filter(logical, conds)
+  }
+
+  private val IsoTs =
+    """\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?""".r
+
+  def parseValue(raw: String): Value = {
+    val t = raw.trim
+    if ((t.startsWith("\"") && t.endsWith("\"")) ||
+        (t.startsWith("'") && t.endsWith("'"))) {
+      val inner = t.substring(1, t.length - 1)
+      if (IsoTs.pattern.matcher(inner).matches()) STimestamp(inner) else SStr(inner)
+    }
+    else if (t.equalsIgnoreCase("null")) SNull
+    else if (t.equalsIgnoreCase("true")) SBool(true)
+    else if (t.equalsIgnoreCase("false")) SBool(false)
+    else if (IsoTs.pattern.matcher(t).matches()) STimestamp(t)
+    else if (t.matches("[+-]?\\d+")) SInt(t.toLong)
+    else if (t.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) SNum(t.toDouble)
+    else SStr(t)
+  }
+}

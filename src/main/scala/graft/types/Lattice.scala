@@ -1,0 +1,143 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Canonical ingest type system with a promotion lattice.
+  *
+  * Mirrors the reference semantics (datazip-inc/olake
+  * `types/data_types.go:11-52`, LCA fold `types/type_schema.go:215-322`):
+  * a chain `Bool < Int32 < Int64 < Float64 < String` with `Float32`
+  * hanging off `Float64`, and a timestamp chain
+  * `TsSeconds < TsMillis < TsMicros < TsNanos < String`. Conflicting
+  * observed types for a column fold to their lowest common ancestor.
+  *
+  * Nested values (`Obj`/`Arr`) are carried as stringified JSON in the
+  * destination (reference `utils/typeutils/flatten.go:57-84`), so they sit
+  * directly under `Str` in the lattice.
+  */
+sealed abstract class CanonicalType(val name: String) {
+  override def toString: String = name
+}
+
+object CanonicalType {
+  case object Null      extends CanonicalType("null")
+  case object Bool      extends CanonicalType("boolean")
+  case object Int32     extends CanonicalType("integer_small")
+  case object Int64     extends CanonicalType("integer")
+  case object Float32   extends CanonicalType("number_small")
+  case object Float64   extends CanonicalType("number")
+  case object Str       extends CanonicalType("string")
+  case object Obj       extends CanonicalType("object")
+  case object Arr       extends CanonicalType("array")
+  case object TsSeconds extends CanonicalType("timestamp")
+  case object TsMillis  extends CanonicalType("timestamp_milli")
+  case object TsMicros  extends CanonicalType("timestamp_micro")
+  case object TsNanos   extends CanonicalType("timestamp_nano")
+  case object Unknown   extends CanonicalType("unknown")
+
+  val all: Seq[CanonicalType] = Seq(Null, Bool, Int32, Int64, Float32,
+    Float64, Str, Obj, Arr, TsSeconds, TsMillis, TsMicros, TsNanos, Unknown)
+
+  def fromName(n: String): CanonicalType =
+    all.find(_.name == n).getOrElse(Unknown)
+}
+
+object Lattice {
+  import CanonicalType._
+
+  /** Parent edges of the promotion tree; `Str` is the root. */
+  private val parent: Map[CanonicalType, CanonicalType] = Map(
+    Bool      -> Int32,
+    Int32     -> Int64,
+    Int64     -> Float64,
+    Float32   -> Float64,
+    Float64   -> Str,
+    TsSeconds -> TsMillis,
+    TsMillis  -> TsMicros,
+    TsMicros  -> TsNanos,
+    TsNanos   -> Str,
+    Obj       -> Str,
+    Arr       -> Str,
+    Unknown   -> Str
+  )
+
+  private def pathToRoot(t: CanonicalType): List[CanonicalType] = {
+    @annotation.tailrec
+    def loop(cur: CanonicalType, acc: List[CanonicalType]): List[CanonicalType] =
+      parent.get(cur) match {
+        case Some(p) => loop(p, cur :: acc)
+        case None    => cur :: acc // root (Str)
+      }
+    loop(t, Nil).reverse // t ... root
+  }
+
+  /** Lowest common ancestor of two canonical types.
+    * `Null` is the bottom: promotes to the other operand.
+    */
+  def promote(a: CanonicalType, b: CanonicalType): CanonicalType = {
+    if (a == b) a
+    else if (a == Null) b
+    else if (b == Null) a
+    else {
+      val pa = pathToRoot(a)
+      val pb = pathToRoot(b).toSet
+      pa.find(pb.contains).getOrElse(Str)
+    }
+  }
+
+  /** Fold a set of observed types to their common supertype. */
+  def promoteAll(ts: Iterable[CanonicalType]): CanonicalType =
+    ts.foldLeft(Null: CanonicalType)(promote)
+
+  /** True when data of type `from` can be stored in a column of type
+    * `to` without a rewrite (i.e. `to` is `from` or an ancestor).
+    */
+  def canWiden(from: CanonicalType, to: CanonicalType): Boolean =
+    promote(from, to) == to
+
+  /** Canonical → Spark SQL type. Timestamps collapse to Spark's
+    * microsecond `TimestampType` (the reference likewise writes every
+    * timestamp as microsecond UTC `timestamptz`,
+    * `types/data_types.go:116-133`); nested types travel as JSON strings.
+    */
+  def toSpark(t: CanonicalType): DataType = t match {
+    case Null                                        => NullType
+    case Bool                                        => BooleanType
+    case Int32                                       => IntegerType
+    case Int64                                       => LongType
+    case Float32                                     => FloatType
+    case Float64                                     => DoubleType
+    case TsSeconds | TsMillis | TsMicros | TsNanos   => TimestampType
+    case Str | Obj | Arr | Unknown                   => StringType
+  }
+
+  /** Spark SQL type → canonical, for schema diffing/evolution.
+    * Lossy mappings match the reference's destination behaviour:
+    * decimals → Float64 path, nested → stringified JSON.
+    */
+  def fromSpark(dt: DataType): CanonicalType = dt match {
+    case NullType                          => Null
+    case BooleanType                       => Bool
+    case ByteType | ShortType | IntegerType => Int32
+    case LongType                          => Int64
+    case FloatType                         => Float32
+    case DoubleType                        => Float64
+    case _: DecimalType                    => Float64
+    case TimestampType | TimestampNTZType  => TsMicros
+    case DateType                          => TsMicros
+    case StringType                        => Str
+    case _: StructType | _: MapType        => Obj
+    case _: ArrayType                      => Arr
+    case BinaryType                        => Str
+    case _                                 => Unknown
+  }
+
+  /** Promote two Spark types through the canonical lattice — the
+    * schema-evolution widening step (`EvolveSchema`,
+    * reference `destination/iceberg/iceberg.go:42-57` allows
+    * int→long / float→double / new-column; the parquet destination widens
+    * via the same LCA, `destination/parquet/parquet.go:440`).
+    */
+  def widen(a: DataType, b: DataType): DataType =
+    if (a == b) a else toSpark(promote(fromSpark(a), fromSpark(b)))
+}

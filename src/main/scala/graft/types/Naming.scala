@@ -1,0 +1,39 @@
+package graft.types
+
+/** Destination column/table naming rules.
+  *
+  * Reference: `utils/utils.go:396-407` — lowercase, any non-alphanumeric
+  * rune becomes `_`, and a leading digit gets an underscore prefix.
+  * Per-stream opt-out via `use_source_column_names`
+  * (`types/stream_configured.go:122-127`).
+  */
+object Naming {
+  def normalize(name: String): String = {
+    val sb = new StringBuilder(name.length + 1)
+    name.foreach { ch =>
+      if (ch.isLetterOrDigit && ch < 128) sb.append(ch.toLower)
+      else sb.append('_')
+    }
+    val s = sb.toString
+    if (s.nonEmpty && s.head.isDigit) "_" + s else s
+  }
+
+  /** Normalize all top-level column names of a DataFrame, unless the
+    * stream opted out. Collisions keep first occurrence and suffix the
+    * rest with `_2`, `_3`, ...
+    */
+  def normalizeColumns(df: org.apache.spark.sql.DataFrame,
+                       useSourceNames: Boolean = false): org.apache.spark.sql.DataFrame = {
+    if (useSourceNames) df
+    else {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val newNames = df.columns.map { c =>
+        val base = normalize(c)
+        val n = seen.getOrElse(base, 0)
+        seen(base) = n + 1
+        if (n == 0) base else s"${base}_${n + 1}"
+      }
+      df.toDF(newNames.toIndexedSeq: _*)
+    }
+  }
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <outDir>/<query> parquet (Spark result), runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB against the sfDir
+tables, and compares: columns sorted by name, rows sorted, exact value
+equality. This is development tooling only (not part of the library).
+"""
+import sys, json, glob, math
+
+import duckdb
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def fetch_sorted(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for tbl in ["region","nation","customer","supplier","part","orders",
+                "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"SKIP {name}: no spark result parquet")
+            n_skip += 1
+            continue
+        try:
+            scols, srows = fetch_sorted(
+                con, f"SELECT * FROM read_parquet({files!r})")
+            ocols, orows = fetch_sorted(con, oracle[name])
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+            print(f"FAIL {name}: columns {scols} vs {ocols}")
+            n_fail += 1
+        elif len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            n_fail += 1
+        elif srows != orows:
+            bad = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first: ")
+            i = bad[0]
+            print(f"  spark : {srows[i]}")
+            print(f"  oracle: {orows[i]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
+    sys.exit(1 if n_fail or n_skip else 0)
+
+if __name__ == "__main__":
+    main()
