@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.SystemColumns
+import graft.operators.{ChunkPlanner, Incremental, SystemColumns}
+import graft.sources.{BoundedRead, FileSources}
 import graft.spec.FilterSpec
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
 import graft.types.Naming
@@ -87,22 +88,78 @@ object SparkEntry {
     }),
 
     // ---- I1 max-cursor snapshot (dual cursor) ----
-    "q_cursor_snapshot" -> ((s, dir) =>
+    "q_cursor_snapshot" -> ((s, dir) => {
+      val cur = Incremental.Cursor.parse("o_orderdate:o_orderkey")
       t(s, dir, "orders").agg(
-        max(col("o_orderdate")).as("max_primary"),
-        max(col("o_orderkey")).as("max_secondary"))),
+        max(col(cur.primary)).as("max_primary"),
+        max(col(cur.secondary.get)).as("max_secondary"))
+    }),
 
     // ---- I3 incremental delta scan with dual-cursor OR semantics ----
     "q_incremental_delta" -> ((s, dir) =>
-      t(s, dir, "orders").where(
-        col("o_orderdate") > to_timestamp(lit("1997-06-01 00:00:00")) ||
-        (col("o_orderdate").isNull && col("o_orderkey") > lit(1000L)))),
+      Incremental.deltaScan(t(s, dir, "orders"),
+        Incremental.Cursor.parse("o_orderdate:o_orderkey"),
+        to_timestamp(lit("1997-06-01 00:00:00")), Some(lit(1000L)))),
 
     // ---- I2 threshold filter freezing the backfill snapshot ----
     "q_threshold" -> ((s, dir) =>
-      t(s, dir, "orders").where(
-        col("o_orderdate").isNull ||
-        col("o_orderdate") <= to_timestamp(lit("1996-01-01 00:00:00")))),
+      t(s, dir, "orders").where(Incremental.thresholdFilter(
+        Incremental.Cursor("o_orderdate"),
+        to_timestamp(lit("1996-01-01 00:00:00"))))),
+
+    // ---- S1-S10 chunk planner: fixed-stride plan over the chunk column ----
+    "q_chunk_plan" -> ((s, dir) => {
+      val chunks = ChunkPlanner.planByStride(t(s, dir, "lineitem"),
+        "l_orderkey", 1000L)
+      import s.implicits._
+      chunks.map(c => (c.min.get, c.max)).toDF("chunk_min", "chunk_max")
+    }),
+
+    // ---- S1/S4 chunked backfill scan: union of chunk scans == table ----
+    "q_backfill_chunked" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val chunks = ChunkPlanner.planByStride(li, "l_orderkey", 2000L)
+      ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
+    }),
+
+    // ---- S11 equi-depth chunking (Mongo $bucketAuto analog); rows-only ----
+    "q_chunk_equidepth" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val chunks = ChunkPlanner.equiDepthChunks(li, "l_orderkey", 8)
+      import s.implicits._
+      chunks.map(c => (c.min, c.max)).toDF("chunk_min", "chunk_max")
+    }),
+
+    // ---- S15 Kafka-style bounded offset read ----
+    "q_bounded_read" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("partition", pmod(col("event_id"), lit(4)).cast("int"))
+      val ranges = (0 until 4).map(p =>
+        BoundedRead.OffsetRange(p, 100L + p, 800L + p))
+      BoundedRead.boundedScan(ev, "partition", "event_id", ranges)
+        .select("event_id", "partition", "ts", "event_type", "value")
+    }),
+
+    // ---- S13/S14 CSV parse with schema inference (roundtrip) ----
+    "q_file_csv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      t(s, dir, "nation").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      FileSources.readCsv(s, Seq(tmp))
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+    }),
+
+    // ---- S13/S14 JSONL parse with schema inference (roundtrip) ----
+    "q_file_jsonl" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString
+      t(s, dir, "nation").write.mode("overwrite").json(tmp)
+      FileSources.readJsonl(s, Seq(tmp))
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+    }),
 
     // ---- §1.3 column-name normalization ----
     "q_normalize" -> ((s, dir) => {
@@ -160,6 +217,29 @@ object SparkEntry {
     "q_threshold" ->
       """SELECT * FROM orders
         |WHERE o_orderdate IS NULL OR o_orderdate <= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "q_chunk_plan" ->
+      """WITH e AS (SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM lineitem)
+        |SELECT mn + 1000*g AS chunk_min,
+        |  CASE WHEN mn + 1000*(g+1) > mx THEN NULL ELSE mn + 1000*(g+1) END AS chunk_max
+        |FROM e, generate_series(0, CAST((mx - mn)/1000 AS BIGINT)) t(g)""".stripMargin,
+
+    "q_backfill_chunked" ->
+      "SELECT * FROM lineitem",
+
+    "q_bounded_read" ->
+      """SELECT event_id, cast(event_id % 4 AS INTEGER) AS partition, ts, event_type, value
+        |FROM events
+        |WHERE (event_id % 4 = 0 AND event_id > 100 AND event_id <= 800)
+        |   OR (event_id % 4 = 1 AND event_id > 101 AND event_id <= 801)
+        |   OR (event_id % 4 = 2 AND event_id > 102 AND event_id <= 802)
+        |   OR (event_id % 4 = 3 AND event_id > 103 AND event_id <= 803)""".stripMargin,
+
+    "q_file_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_file_jsonl" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_normalize" ->
       "SELECT n_nationkey AS nation_key, n_name AS name_1 FROM nation"

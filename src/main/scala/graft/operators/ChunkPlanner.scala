@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Backfill chunk planning — the unit of scan parallelism.
+  *
+  * The reference plans half-open ranges over a chunk column and scans each
+  * range on its own connection (`drivers/abstract/backfill.go:18-99`;
+  * strategies: fixed numeric stride `drivers/postgres/internal/
+  * backfill.go:136-205`, boundary walk via next-chunk queries
+  * `drivers/mysql/internal/backfill.go:65-198`, equi-depth sampling
+  * `drivers/mongodb/internal/backfill.go:159-216`, limit/offset fallback
+  * `pkg/jdbc/jdbc.go:355-372`).
+  *
+  * In Spark the chunks become either (a) the `predicates: Array[String]`
+  * argument of `DataFrameReader.jdbc` — one partition per chunk, pushed to
+  * the source — or (b) `Column` predicates for testing/file scans. File
+  * sources don't need chunking at all (FileSourceScanExec splits by
+  * `maxPartitionBytes`), which is why `scanChunked` exists mainly to prove
+  * the semantics and for the JDBC path.
+  *
+  * Scale note: planning is O(#chunks) driver-side arithmetic on min/max
+  * (or approxQuantile boundaries); the scan itself is fully parallel, one
+  * task per chunk, no shuffle.
+  */
+object ChunkPlanner {
+
+  /** Half-open range [min, max); None = unbounded (first/last chunk). */
+  case class Chunk(min: Option[Long], max: Option[Long]) {
+    def toColumn(c: String): Column = (min, max) match {
+      case (Some(a), Some(b)) => col(c) >= a && col(c) < b
+      case (Some(a), None)    => col(c) >= a
+      case (None, Some(b))    => col(c) < b || col(c).isNull
+      case (None, None)       => lit(true)
+    }
+    /** Render for `spark.read.jdbc(..., predicates)`. */
+    def toSqlPredicate(c: String): String = (min, max) match {
+      case (Some(a), Some(b)) => s"$c >= $a AND $c < $b"
+      case (Some(a), None)    => s"$c >= $a"
+      case (None, Some(b))    => s"$c < $b OR $c IS NULL"
+      case (None, None)       => "1 = 1"
+    }
+  }
+
+  /** Fixed-stride split over a numeric chunk column
+    * (reference `splitViaBatchSize`, stride default 10 000).
+    * Produces ceil((max-min+1)/stride) chunks covering [min, max].
+    */
+  def strideChunks(min: Long, max: Long, stride: Long): Seq[Chunk] = {
+    require(stride > 0, "stride must be positive")
+    val starts = min to max by stride
+    starts.map { s =>
+      Chunk(Some(s), if (s + stride > max) None else Some(s + stride))
+    }
+  }
+
+  /** Evenly-distributed split: N chunks of equal width over [min, max]
+    * (reference MySQL fast path for evenly distributed numeric PKs).
+    */
+  def evenChunks(min: Long, max: Long, n: Int): Seq[Chunk] = {
+    require(n > 0)
+    val width = math.max(1L, (max - min + n) / n)
+    strideChunks(min, max, width)
+  }
+
+  /** Equi-depth boundaries from data, the Spark analog of Mongo's
+    * `$bucketAuto` / MSSQL `TABLESAMPLE` boundary sampling: one
+    * approxQuantile pass on the chunk column. relativeError=0.0 gives
+    * exact quantiles (fine at planner time; use >0 for huge tables).
+    */
+  def equiDepthChunks(df: DataFrame, column: String, n: Int,
+                      relativeError: Double = 0.0): Seq[Chunk] = {
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(column, probs, relativeError)
+      .map(_.toLong).distinct.sorted
+    val mins = None +: bounds.map(Some(_)).toSeq
+    val maxs = bounds.map(Some(_)).toSeq :+ None
+    mins.zip(maxs).map { case (a, b) => Chunk(a, b) }
+  }
+
+  /** Plan chunks for a DataFrame by reading min/max of the chunk column
+    * (the reference's `SELECT MIN(col), MAX(col)` planner queries).
+    */
+  def planByStride(df: DataFrame, column: String, stride: Long): Seq[Chunk] = {
+    val row = df.agg(min(col(column)).cast("long"),
+                     max(col(column)).cast("long")).head()
+    if (row.isNullAt(0)) Seq(Chunk(None, None))
+    else strideChunks(row.getLong(0), row.getLong(1), stride)
+  }
+
+  /** Scan as the union of per-chunk scans (plus a null-catching chunk),
+    * proving chunk coverage == full table. On parquet this exists for
+    * parity tests; the JDBC path passes `toSqlPredicate` strings instead.
+    */
+  def scanChunked(df: DataFrame, column: String, chunks: Seq[Chunk]): DataFrame =
+    chunks.map(ch => df.where(ch.toColumn(column)))
+      .reduce(_ unionAll _)
+}

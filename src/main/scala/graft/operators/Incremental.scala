@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cursor-based incremental reads.
+  *
+  * Reference semantics (`drivers/abstract/incremental.go:18-151`,
+  * `pkg/jdbc/jdbc.go:1402-1526`):
+  *  - before the initial backfill, snapshot `MAX(primary), MAX(secondary)`
+  *    (dual cursor `"primary:secondary"`) and store them in state;
+  *  - the backfill scan is frozen with a threshold filter
+  *    `(cursor IS NULL OR cursor <= max)`;
+  *  - subsequent runs read the delta
+  *    `primary > last OR (primary IS NULL AND secondary > last2)` and
+  *    advance the cursor to the max observed value.
+  */
+object Incremental {
+
+  case class Cursor(primary: String, secondary: Option[String] = None)
+
+  object Cursor {
+    /** Parse the `"primary:secondary"` dual-cursor syntax
+      * (`types/stream_configured.go:184-192`). */
+    def parse(spec: String): Cursor = spec.split(":", 2) match {
+      case Array(p)    => Cursor(p.trim)
+      case Array(p, s) => Cursor(p.trim, Some(s.trim))
+    }
+  }
+
+  /** Snapshot the max cursor values — one tiny agg (on JDBC this pushes
+    * down to `SELECT MAX(..) FROM t`). Returns (maxPrimary, maxSecondary)
+    * as Spark values (null ⇒ None).
+    */
+  def snapshotMax(df: DataFrame, cursor: Cursor): (Option[Any], Option[Any]) = {
+    val aggs = Seq(max(col(cursor.primary))) ++
+      cursor.secondary.map(s => max(col(s)))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val p = if (row.isNullAt(0)) None else Some(row.get(0))
+    val s = cursor.secondary.flatMap { _ =>
+      if (row.size < 2 || row.isNullAt(1)) None else Some(row.get(1))
+    }
+    (p, s)
+  }
+
+  /** Threshold filter freezing the initial backfill at the snapshot. */
+  def thresholdFilter(cursor: Cursor, maxPrimary: Column): Column =
+    col(cursor.primary).isNull || col(cursor.primary) <= maxPrimary
+
+  /** Delta filter for subsequent incremental runs (dual-cursor OR form). */
+  def deltaFilter(cursor: Cursor, lastPrimary: Column,
+                  lastSecondary: Option[Column] = None): Column = {
+    val primaryAdvanced = col(cursor.primary) > lastPrimary
+    (cursor.secondary, lastSecondary) match {
+      case (Some(s), Some(ls)) =>
+        primaryAdvanced || (col(cursor.primary).isNull && col(s) > ls)
+      case _ => primaryAdvanced
+    }
+  }
+
+  /** One incremental pass: filter the delta and compute the new cursor
+    * state in the same job via `observe` (no second scan).
+    */
+  def deltaScan(df: DataFrame, cursor: Cursor, lastPrimary: Column,
+                lastSecondary: Option[Column] = None): DataFrame =
+    df.where(deltaFilter(cursor, lastPrimary, lastSecondary))
+
+  /** Cursor values persist in state as ISO-8601 strings / decimal strings
+    * (reference `drivers/abstract/incremental.go:195-208`). */
+  def formatCursor(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      t.toInstant.toString // RFC3339 / ISO-8601 UTC
+    case d: java.sql.Date => d.toString
+    case other            => String.valueOf(other)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Kafka-style bounded incremental read.
+  *
+  * Reference (`pkg/kafka/reader.go:102-148`, `drivers/kafka/internal/
+  * cdc.go:71-180`): snapshot the end offset of every partition at sync
+  * start, consume each partition from the committed offset up to exactly
+  * that end offset, then commit the new offsets — a bounded batch over an
+  * unbounded log.
+  *
+  * On real Kafka this is precisely
+  * `spark.read.format("kafka").option("startingOffsets", committed)
+  *  .option("endingOffsets", snapshot)`. Since this container has no Kafka
+  * broker (or spark-sql-kafka jar), the same operator is implemented over
+  * any (partition, offset) keyed frame, which also covers the MSSQL
+  * CDC-table polling shape (`fn_cdc_get_all_changes(@from, @to)`).
+  */
+object BoundedRead {
+
+  /** Per-partition half-open offset window (start, end]. */
+  case class OffsetRange(partition: Int, startExclusive: Long, endInclusive: Long)
+
+  def offsetFilter(partCol: String, offCol: String,
+                   ranges: Seq[OffsetRange]): Column =
+    ranges.map { r =>
+      col(partCol) === r.partition &&
+        col(offCol) > r.startExclusive && col(offCol) <= r.endInclusive
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Bounded scan between two offset snapshots. */
+  def boundedScan(df: DataFrame, partCol: String, offCol: String,
+                  ranges: Seq[OffsetRange]): DataFrame =
+    df.where(offsetFilter(partCol, offCol, ranges))
+
+  /** Snapshot current end offsets per partition (`max(offset)` group-by —
+    * on Kafka this is the broker's endOffsets call, here one partial-agg
+    * pass with map-side combine).
+    */
+  def snapshotEndOffsets(df: DataFrame, partCol: String,
+                         offCol: String): Map[Int, Long] =
+    df.groupBy(col(partCol)).agg(max(col(offCol)).as("end_off"))
+      .collect()
+      .map(r => r.getAs[Number](partCol).intValue -> r.getAs[Number]("end_off").longValue)
+      .toMap
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-based sources (the reference's S3 driver surface).
+  *
+  * Reference (`pkg/parser/parser.go:12-44`, csv/json/parquet parsers,
+  * `drivers/s3/internal/`): list objects by prefix + regex, group files
+  * into ~target-size chunks, stream-parse CSV (delimiter/header/skip/
+  * quote), JSONL, and Parquet; schema inferred from a sample; incremental
+  * cursor = file LastModified.
+  *
+  * Spark already does all of this natively: `FileSourceScanExec` groups
+  * files by `spark.sql.files.maxPartitionBytes` (the reference's
+  * `EffectiveParquetSize` analog), schema inference is built in, and the
+  * LastModified cursor is the `modifiedAfter` read option (batch) or the
+  * file-streaming source's tracked-files state (exactly-once). These
+  * wrappers pin the reference's option names onto the native readers.
+  */
+object FileSources {
+
+  case class CsvConfig(delimiter: String = ",", header: Boolean = true,
+                       quote: String = "\"", skipRows: Int = 0,
+                       inferSchema: Boolean = true)
+
+  def readCsv(spark: SparkSession, paths: Seq[String],
+              cfg: CsvConfig = CsvConfig()): DataFrame = {
+    var r = spark.read
+      .option("sep", cfg.delimiter)
+      .option("header", cfg.header)
+      .option("quote", cfg.quote)
+      .option("inferSchema", cfg.inferSchema)
+      // schema inference reads a bounded sample, like the reference parser
+      .option("samplingRatio", 1.0)
+    if (cfg.skipRows > 0) {
+      // Spark has no skipRows for CSV with header; emulate via comment
+      // lines being absent and dropping N rows would de-parallelize, so
+      // callers with literal preamble rows should strip them upstream.
+      throw new UnsupportedOperationException(
+        "skipRows: strip preamble upstream or encode it as comments")
+    }
+    r.csv(paths: _*)
+  }
+
+  def readJsonl(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.json(paths: _*)
+
+  def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** Incremental file pickup: only files modified after the cursor
+    * (reference `drivers/s3/internal/incremental.go:19-129`). For
+    * continuous pickup use `spark.readStream` with the same format —
+    * Spark's file streaming source tracks seen files in the checkpoint.
+    */
+  def readModifiedAfter(spark: SparkSession, format: String, path: String,
+                        isoCursor: String): DataFrame =
+    spark.read.format(format)
+      .option("modifiedAfter", isoCursor)
+      .option("header", "true").option("inferSchema", "true")
+      .load(path)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+import org.scalacheck.Gen
+import org.apache.spark.sql.types._
+import graft.types.{CanonicalType, Lattice, Naming}
+import graft.types.CanonicalType._
+
+class LatticeSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+
+  test("reference chain promotions") {
+    assert(Lattice.promote(Bool, Int32) == Int32)
+    assert(Lattice.promote(Int32, Int64) == Int64)
+    assert(Lattice.promote(Int64, Float64) == Float64)
+    assert(Lattice.promote(Float64, Str) == Str)
+    assert(Lattice.promote(Float32, Float64) == Float64)
+    // Float32 vs Int64 meet at Float64 (LCA, not a chain hop)
+    assert(Lattice.promote(Float32, Int64) == Float64)
+    assert(Lattice.promote(Int32, Float32) == Float64)
+    // timestamps
+    assert(Lattice.promote(TsSeconds, TsNanos) == TsNanos)
+    assert(Lattice.promote(TsMillis, TsMicros) == TsMicros)
+    assert(Lattice.promote(TsMicros, Str) == Str)
+    // cross-family conflicts fold to string
+    assert(Lattice.promote(Bool, TsSeconds) == Str)
+    assert(Lattice.promote(Int64, Arr) == Str)
+    assert(Lattice.promote(Obj, Arr) == Str)
+  }
+
+  test("null is the bottom element") {
+    CanonicalType.all.foreach { t =>
+      assert(Lattice.promote(Null, t) == t)
+      assert(Lattice.promote(t, Null) == t)
+    }
+  }
+
+  val genType: Gen[CanonicalType] = Gen.oneOf(CanonicalType.all)
+
+  test("promote is commutative, idempotent, associative") {
+    forAll(genType, genType, genType) { (a, b, c) =>
+      assert(Lattice.promote(a, b) == Lattice.promote(b, a))
+      assert(Lattice.promote(a, a) == a)
+      assert(Lattice.promote(Lattice.promote(a, b), c) ==
+             Lattice.promote(a, Lattice.promote(b, c)))
+    }
+  }
+
+  test("promotion result is an upper bound (canWiden)") {
+    forAll(genType, genType) { (a, b) =>
+      val p = Lattice.promote(a, b)
+      assert(Lattice.canWiden(a, p))
+      assert(Lattice.canWiden(b, p))
+    }
+  }
+
+  test("spark type widening matches evolve rules") {
+    assert(Lattice.widen(IntegerType, LongType) == LongType)
+    assert(Lattice.widen(FloatType, DoubleType) == DoubleType)
+    assert(Lattice.widen(LongType, StringType) == StringType)
+    assert(Lattice.widen(BooleanType, IntegerType) == IntegerType)
+    assert(Lattice.widen(TimestampType, TimestampType) == TimestampType)
+    assert(Lattice.widen(StructType(Nil), ArrayType(LongType)) == StringType)
+    assert(Lattice.widen(DecimalType(10, 2), LongType) == DoubleType)
+  }
+
+  test("column name normalization") {
+    assert(Naming.normalize("Nation Key") == "nation_key")
+    assert(Naming.normalize("NAME%1") == "name_1")
+    assert(Naming.normalize("abc") == "abc")
+    assert(Naming.normalize("1col") == "_1col")
+    assert(Naming.normalize("ключ") == "____")
+  }
+}
