@@ -1,24 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: one JSON line with per-query seconds + status.
+  *
+  * Hygiene rules (round-1 lessons):
+  *  - a WARM-UP pass first, so the first timed query doesn't eat session
+  *    + codegen warmup;
+  *  - failures are recorded per query and EXCLUDED from the total — a
+  *    crash must never masquerade as a fast run;
+  *  - correctness-proof queries that union N filtered scans of the same
+  *    file (q_backfill_chunked, q_chunk_equidepth, q_chunk_lexi) and the
+  *    tempdir write-roundtrips (q_file_csv/q_file_jsonl/
+  *    q_parquet_roundtrip) are parity/coverage proofs, not representative
+  *    plans — they stay out of the headline set.
+  */
 object Bench {
+
+  /** Headline queries: one per operator family, all single-pass plans. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_project", "q_filter_and", "q_filter_or",
+    "q_system_cols", "q_raw_mode", "q_normalize",
+    "q_cursor_snapshot", "q_incremental_delta", "q_threshold",
+    "q_bounded_read", "q_chunk_plan", "q_limit_offset",
+    "q_dedup_keep_latest", "q_upsert_apply", "q_cdc_window",
+    "q_infer_schema", "q_evolve", "q_pushdown_sql",
+    "q_partition_transform", "q_discover",
+    "q_dedup_exact", "q_jaccard_neardup", "q_minhash_neardup",
+    "q_simhash_neardup", "q_text_stats", "q_quality_score", "q_lang_id",
+    "q_token_count", "q_fingerprint",
+    "q_ann_topk", "q_ann_lsh", "q_multimodal_meta", "q_media_frames")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = SparkEntry.queries
+    // Warm-up: spin the session, codegen, and the parquet footer caches.
+    try { queries("q_project")(spark, sfDir).count()
+          queries("q1_agg")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val times  = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.foreach { name =>
+      queries.get(name) match {
+        case None => status(name) = "missing"
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            times(name) = (System.nanoTime() - t0) / 1e9
+            status(name) = "ok"
+          } catch { case e: Throwable =>
+            status(name) = "fail: " + Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(120).replace("\"", "'")
+          }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = times.values.sum
+    def jt = times.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def js = status.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val nFail = status.values.count(_ != "ok")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$jt,"status":$js,"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,9 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{ChunkPlanner, Incremental, SystemColumns}
-import graft.sources.{BoundedRead, FileSources}
-import graft.spec.FilterSpec
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Incremental, Merge, SystemColumns}
+import graft.sinks.{ParquetSink, PartitionTransforms}
+import graft.sinks.PartitionTransforms.PartitionField
+import graft.sources.{BoundedRead, Discover, FileSources, KafkaDecode}
+import graft.spec.{DialectSql, FilterSpec}
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
 import graft.types.Naming
 
@@ -122,12 +125,14 @@ object SparkEntry {
       ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
     }),
 
-    // ---- S11 equi-depth chunking (Mongo $bucketAuto analog); rows-only ----
+    // ---- S11 equi-depth chunking (Mongo $bucketAuto analog) ----
+    // approxQuantile boundaries are convention-dependent, so the oracle
+    // checks the COVERAGE property instead: the union of equi-depth chunk
+    // scans is exactly the table (no dup, no loss).
     "q_chunk_equidepth" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val chunks = ChunkPlanner.equiDepthChunks(li, "l_orderkey", 8)
-      import s.implicits._
-      chunks.map(c => (c.min, c.max)).toDF("chunk_min", "chunk_max")
+      ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
     }),
 
     // ---- S15 Kafka-style bounded offset read ----
@@ -166,17 +171,209 @@ object SparkEntry {
       val df = t(s, dir, "nation")
         .select(col("n_nationkey").as("Nation Key"), col("n_name").as("NAME%1"))
       Naming.normalizeColumns(df)
-    })
+    }),
+
+    // ---- K3 intra-batch dedup: keep-latest per key with op precedence ----
+    "q_dedup_keep_latest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val kind = when(col("event_type") === "error", "delete")
+        .when(col("event_type") === "purchase", "update").otherwise("insert")
+      val changes = ev.select(
+        col("user_id").cast("string").as(SystemColumns.OlakeId),
+        CdcWindow.opType(kind, dedupInserts = false).as(SystemColumns.OpType),
+        col("ts").as(SystemColumns.CdcTimestamp),
+        col("event_id"), col("value"))
+      Merge.dedupKeepLatest(changes, extraOrder = Seq(col("event_id").desc))
+    }),
+
+    // ---- K3 apply-changes (MERGE semantics: delete d, upsert u, insert c) ----
+    "q_upsert_apply" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val base = n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), col("n_name"))
+      val upd = n.where(col("n_nationkey") < 10).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), upper(col("n_name")).as("n_name"),
+        lit("u").as(SystemColumns.OpType))
+      val del = n.where(col("n_nationkey") >= 20).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), col("n_name"), lit("d").as(SystemColumns.OpType))
+      val ins = n.where(col("n_nationkey") < 5).select(
+        (col("n_nationkey") + 100).cast("string").as(SystemColumns.OlakeId),
+        (col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+        lit("c").as(SystemColumns.OpType))
+      val changes = upd.unionByName(del).unionByName(ins)
+        .withColumn(SystemColumns.CdcTimestamp,
+          to_timestamp(lit("2024-01-01 00:00:00")))
+      Merge.applyChanges(base, changes)
+    }),
+
+    // ---- C8 insert-dedup window: first pass 'i', steady state 'c' ----
+    "q_cdc_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 1000)
+      val kind = when(col("event_type") === "error", "delete")
+        .when(col("event_type") === "purchase", "update").otherwise("insert")
+      val pass1 = ev.select(col("event_id"), lit(1).as("pass"),
+        CdcWindow.opType(kind, dedupInserts = true).as(SystemColumns.OpType))
+      val pass2 = ev.select(col("event_id"), lit(2).as("pass"),
+        CdcWindow.opType(kind, dedupInserts = false).as(SystemColumns.OpType))
+      pass1.unionByName(pass2)
+    }),
+
+    // ---- §1.2 schema inference over a JSON column (S16 decode path) ----
+    "q_infer_schema" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val schema = KafkaDecode.inferJsonSchema(s, ev, "props", sample = 200)
+      KafkaDecode.decodeJson(ev, "props", schema)
+        .select(col("event_id"), col("_decoded.k").as("k"))
+    }),
+
+    // ---- schema evolution: int→long widening + new-column-add ----
+    "q_evolve" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val b1 = n.select(col("n_nationkey").cast("int").as("id"), col("n_name"))
+      val b2 = n.select((col("n_nationkey") + 100).cast("long").as("id"),
+        col("n_regionkey").cast("double").as("extra"))
+      Evolve.evolveAll(Seq(b1, b2))
+    }),
+
+    // ---- P3 dialect SQL rendering: the ORACLE is the rendered string ----
+    "q_pushdown_sql" -> ((s, dir) => {
+      val f = pushdownFilter
+      t(s, dir, "orders").where(f.toColumn)
+    }),
+
+    // ---- K5 partition transforms (year/month/day/hour/truncate) ----
+    "q_partition_transform" -> ((s, dir) => {
+      val fields = Seq(
+        PartitionField("o_orderdate", "year"),
+        PartitionField("o_orderdate", "month"),
+        PartitionField("o_orderdate", "day"),
+        PartitionField("o_orderdate", "hour"),
+        PartitionField("o_orderkey", "truncate[1000]"))
+      PartitionTransforms.withPartitionColumns(t(s, dir, "orders"), fields)
+        .select("o_orderkey", "o_orderdate_year", "o_orderdate_month",
+          "o_orderdate_day", "o_orderdate_hour", "o_orderkey_trunc")
+    }),
+
+    // ---- K7/K4 parquet sink roundtrip, partitioned by a transform ----
+    "q_parquet_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      ParquetSink.clear(s, tmp)
+      ParquetSink.write(o, tmp, Seq(PartitionField("o_orderdate", "year")),
+        append = false)
+      s.read.parquet(tmp)
+        .select(col("o_orderkey"), col("o_orderdate_year").cast("int"))
+    }),
+
+    // ---- §3.2 discover: canonical schema of a stream ----
+    "q_discover" -> ((s, dir) => Discover.discoverAsFrame(s, dir, "lineitem")),
+
+    // ---- S5 composite-PK lexicographic chunk scan (coverage proof) ----
+    "q_chunk_lexi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pks = Seq("l_orderkey", "l_linenumber")
+      val chunks = ChunkPlanner.planLexicographic(li, pks, 7000L)
+      ChunkPlanner.scanLexicographic(li, pks, chunks)
+    }),
+
+    // ---- S7 limit/offset fallback scan ----
+    "q_limit_offset" -> ((s, dir) =>
+      ChunkPlanner.limitOffsetScan(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"), offset = 1000L, limit = 500L)),
+
+    // ---- LLM: exact dedup by content digest ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")),
+
+    // ---- LLM: exact token-set Jaccard near-dup pairs (small-scale oracle) ----
+    "q_jaccard_neardup" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 200),
+        "text", "doc_id", threshold = 0.9)),
+
+    // ---- LLM: MinHash-LSH near-dup candidates (the scale path; no SQL
+    //      oracle — xxhash64 is engine-specific; recall vs exact Jaccard
+    //      is asserted in DedupSpec) ----
+    "q_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents").where(col("doc_id") < 200),
+        "text", "doc_id", estThreshold = 0.5)),
+
+    // ---- LLM: SimHash near-dup pairs (rows-only; hash engine-specific) ----
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents").where(col("doc_id") < 200),
+        "text", "doc_id", maxHamming = 3)),
+
+    // ---- LLM: per-document text stats ----
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+          "space_ratio")),
+
+    // ---- LLM: quality scoring ----
+    "q_quality_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text"),
+          TextAnalysis.Markers.head._2).as("quality"))
+    }),
+
+    // ---- LLM: n-gram-heuristic language ID ----
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // ---- LLM: token counting (whitespace / BPE-ish / estimate) ----
+    "q_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "bpe_tokens", "est_tokens")),
+
+    // ---- LLM: document fingerprints (md5 + rolling hash) ----
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
+        .select("doc_id", "fp_md5", "fp_roll")),
+
+    // ---- LLM: exact brute-force cosine top-k (ANN baseline) ----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // ---- LLM: LSH-bucketed ANN (scale path; recall in SimilaritySpec) ----
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // ---- LLM: multimodal binary columns — metadata projection ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))),
+
+    // ---- LLM: frame sampling over binary payloads ----
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sampled")))
   )
+
+  /** Shared by q_pushdown_sql's query and oracle: the oracle string IS the
+    * dialect renderer's output, proving AST→SQL ≡ AST→Column. */
+  private val pushdownFilter = Filter("and", Seq(
+    Condition("o_totalprice", "<", SNum(150000.0)),
+    Condition("o_orderdate", ">=", STimestamp("1996-01-01T00:00:00"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // Outer BIGINT casts: DuckDB sum(BIGINT) returns HUGEINT (int128) while
+    // Spark returns BIGINT, and the driver's hash compare is type-sensitive.
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-        |  sum(cast(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-        |  sum(cast(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS sum_disc_c,
+        |  CAST(sum(cast(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(cast(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -190,9 +387,11 @@ object SparkEntry {
     "q_filter_or" ->
       "SELECT * FROM orders WHERE o_totalprice > 400000.0 OR o_orderstatus = 'F'",
 
+    // Trailing '|' after EVERY key value — byte parity with reference
+    // GetKeysHash (utils/utils.go:278-284: md5 of "v1|v2|").
     "q_system_cols" ->
       """SELECT l_orderkey, l_linenumber,
-        |  md5(concat_ws('|', cast(l_linenumber AS VARCHAR), cast(l_orderkey AS VARCHAR))) AS _olake_id,
+        |  md5(concat(cast(l_linenumber AS VARCHAR), '|', cast(l_orderkey AS VARCHAR), '|')) AS _olake_id,
         |  'r' AS _op_type,
         |  TIMESTAMP '2024-01-01 00:00:00' AS _olake_timestamp
         |FROM lineitem""".stripMargin,
@@ -218,17 +417,26 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE o_orderdate IS NULL OR o_orderdate <= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
 
+    // Constant-bound generate_series + WHERE filter — DuckDB's
+    // generate_series cannot take a lateral column bound.
     "q_chunk_plan" ->
       """WITH e AS (SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM lineitem)
-        |SELECT mn + 1000*g AS chunk_min,
-        |  CASE WHEN mn + 1000*(g+1) > mx THEN NULL ELSE mn + 1000*(g+1) END AS chunk_max
-        |FROM e, generate_series(0, CAST((mx - mn)/1000 AS BIGINT)) t(g)""".stripMargin,
+        |SELECT CAST(mn + 1000*g AS BIGINT) AS chunk_min,
+        |  CAST(CASE WHEN mn + 1000*(g+1) > mx THEN NULL ELSE mn + 1000*(g+1) END AS BIGINT) AS chunk_max
+        |FROM e CROSS JOIN generate_series(0, 1000000) t(g)
+        |WHERE mn + 1000*g <= mx""".stripMargin,
+
+    "q_chunk_equidepth" ->
+      "SELECT * FROM lineitem",
 
     "q_backfill_chunked" ->
       "SELECT * FROM lineitem",
 
+    // events.ts is TIMESTAMP_NS in the parquet; both sides truncate to
+    // microseconds (Spark: ts DIV 1000 in Tables.load; DuckDB: CAST).
     "q_bounded_read" ->
-      """SELECT event_id, cast(event_id % 4 AS INTEGER) AS partition, ts, event_type, value
+      """SELECT event_id, cast(event_id % 4 AS INTEGER) AS partition,
+        |  CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events
         |WHERE (event_id % 4 = 0 AND event_id > 100 AND event_id <= 800)
         |   OR (event_id % 4 = 1 AND event_id > 101 AND event_id <= 801)
@@ -242,6 +450,170 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_normalize" ->
-      "SELECT n_nationkey AS nation_key, n_name AS name_1 FROM nation"
+      "SELECT n_nationkey AS nation_key, n_name AS name_1 FROM nation",
+
+    "q_dedup_keep_latest" ->
+      """WITH ch AS (SELECT cast(user_id AS VARCHAR) AS _olake_id,
+        |  CASE WHEN event_type='error' THEN 'd' WHEN event_type='purchase' THEN 'u' ELSE 'c' END AS _op_type,
+        |  CAST(ts AS TIMESTAMP) AS _cdc_timestamp, event_id, value FROM events)
+        |SELECT _olake_id, _op_type, _cdc_timestamp, event_id, value FROM ch
+        |QUALIFY row_number() OVER (PARTITION BY _olake_id
+        |  ORDER BY _cdc_timestamp DESC,
+        |    CASE _op_type WHEN 'd' THEN 4 WHEN 'u' THEN 3 WHEN 'r' THEN 2 ELSE 1 END DESC,
+        |    event_id DESC) = 1""".stripMargin,
+
+    "q_upsert_apply" ->
+      """WITH base AS (SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, n_name FROM nation),
+        |changes AS (
+        |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, upper(n_name) AS n_name, 'u' AS op FROM nation WHERE n_nationkey < 10
+        |  UNION ALL SELECT cast(n_nationkey AS VARCHAR), n_nationkey, n_name, 'd' FROM nation WHERE n_nationkey >= 20
+        |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
+        |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
+        |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    "q_cdc_window" ->
+      """SELECT event_id, 1 AS pass,
+        |  CASE WHEN event_type='error' THEN 'd' WHEN event_type='purchase' THEN 'u' ELSE 'i' END AS _op_type
+        |FROM events WHERE event_id < 1000
+        |UNION ALL
+        |SELECT event_id, 2 AS pass,
+        |  CASE WHEN event_type='error' THEN 'd' WHEN event_type='purchase' THEN 'u' ELSE 'c' END AS _op_type
+        |FROM events WHERE event_id < 1000""".stripMargin,
+
+    "q_infer_schema" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_evolve" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name, CAST(NULL AS DOUBLE) AS extra FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey+100 AS BIGINT), NULL, CAST(n_regionkey AS DOUBLE) FROM nation""".stripMargin,
+
+    // The oracle IS the dialect renderer's output — AST→SQL ≡ AST→Column.
+    "q_pushdown_sql" ->
+      ("SELECT * FROM orders WHERE " +
+        DialectSql.renderFilter(pushdownFilter, DialectSql.Ansi)),
+
+    "q_partition_transform" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) - 1970 AS INTEGER) AS o_orderdate_year,
+        |  CAST((year(o_orderdate)-1970)*12 + month(o_orderdate) - 1 AS INTEGER) AS o_orderdate_month,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS o_orderdate_day,
+        |  CAST(floor(epoch(o_orderdate)/3600) AS INTEGER) AS o_orderdate_hour,
+        |  CAST(o_orderkey - o_orderkey % 1000 AS BIGINT) AS o_orderkey_trunc
+        |FROM orders""".stripMargin,
+
+    "q_parquet_roundtrip" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) - 1970 AS INTEGER) AS o_orderdate_year
+        |FROM orders""".stripMargin,
+
+    "q_discover" ->
+      """SELECT column_name, CASE column_type
+        |  WHEN 'BIGINT' THEN 'integer' WHEN 'INTEGER' THEN 'integer_small'
+        |  WHEN 'DOUBLE' THEN 'number' WHEN 'FLOAT' THEN 'number_small'
+        |  WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+        |  WHEN 'TIMESTAMP_MS' THEN 'timestamp_micro'
+        |  WHEN 'TIMESTAMP_NS' THEN 'timestamp_micro'
+        |  WHEN 'TIMESTAMP' THEN 'timestamp_micro'
+        |  ELSE 'unknown' END AS canonical_type
+        |FROM (DESCRIBE SELECT * FROM lineitem)""".stripMargin,
+
+    "q_chunk_lexi" ->
+      "SELECT * FROM lineitem",
+
+    "q_limit_offset" ->
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber
+        |LIMIT 500 OFFSET 1000""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_jaccard_neardup" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t FROM d0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
+        |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
+        |  round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+        |    / len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 6) AS avg_token_len,
+        |  round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1.0 / length(text), 6) AS space_ratio
+        |FROM documents""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH x AS (SELECT doc_id, text,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text) AS punct
+        |  FROM documents),
+        |y AS (SELECT doc_id,
+        |  least(length(text)/500.0, 1.0) AS len_score,
+        |  CASE WHEN punct <= 0.1 THEN 1.0 ELSE greatest(0.0, 1.0 - (punct - 0.1)*5) END AS punct_score,
+        |  least(round(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to','in','that'], t))) * 1.0 / len(toks), 6) * 5, 1.0) AS stop_score
+        |  FROM x)
+        |SELECT doc_id, round((len_score + punct_score + stop_score)/3, 6) AS quality FROM y""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH x AS (SELECT doc_id, text,
+        |  list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  len(list_intersect(toks, ['the','a','of','and','is','to','in','that'])) AS s_en,
+        |  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+        |  len(list_intersect(toks, ['le','la','les','et','est','un','une','dans'])) AS s_fr,
+        |  len(list_intersect(toks, ['el','los','las','es','un','una','que','para'])) AS s_es
+        |  FROM x)
+        |SELECT doc_id, CASE
+        |  WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+        |  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+        |  ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      t -> CAST(ascii(t) + length(t) AS BIGINT))),
+        |    (a, b) -> (a*131 + b) % 1000000007) AS fp_roll
+        |FROM documents""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.qvec, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_size,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT doc_id,
+        |  CAST(((greatest(1, octet_length(encode(text))//64) - 1)//4) + 1 AS BIGINT) AS n_sampled
+        |FROM documents""".stripMargin
   )
 }

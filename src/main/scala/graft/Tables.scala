@@ -1,12 +1,26 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated test tables (see TESTDATA.md). */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    // parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos
+    // as long and convert to a microsecond timestamp explicitly — the same
+    // lossy-but-deliberate mapping the reference applies (all timestamps →
+    // microsecond UTC, types/data_types.go:116-133).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // integer division — `/` would go through double and lose precision
+      // on ~1.7e18 nanosecond epochs (53-bit mantissa)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 }

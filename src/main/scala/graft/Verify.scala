@@ -15,11 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Every declared query gets an explicit outcome: a parquet dir on
+    // success, an entry in errors.json on failure — a missing row must
+    // never read as "untested" (round-1 lesson: q_bounded_read crashed
+    // and silently vanished from the correctness gate).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.linesIterator.take(3).mkString(" | ")
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +44,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // exit 0 regardless: per-query outcomes live in errors.json; a nonzero
+    // exit would discard the queries that DID succeed.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: " +
+        errors.keys.mkString(", "))
   }
 }

@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines.
+  *
+  * Four tiers, cheapest-first — all expressed as Catalyst columns (no
+  * UDFs, whole-stage codegen throughout):
+  *  - exact: hash-groupBy on a content digest. One shuffle of (digest,
+  *    id), never the text itself.
+  *  - n-gram Jaccard: exact all-pairs similarity via token inverted
+  *    index. Quadratic in cluster size — the small-scale ORACLE for the
+  *    approximate tiers, not the 100 TB path.
+  *  - MinHash + LSH: per-row signature (k hashes over shingles — array
+  *    ops, zero shuffle), banded into b buckets, candidates pair only
+  *    within buckets. The scale path: cost ~ O(n·b) + bucket-local
+  *    joins; no all-pairs anywhere.
+  *  - SimHash: 64-bit per-row fingerprint; near-dups differ in ≤ 3 bits.
+  *    Hamming-ball blocking via 4 band keys (Pigeonhole: any 3-bit
+  *    difference leaves one 16-bit band intact).
+  */
+object Dedup {
+
+  /** Normalized token array: lowercase, split on whitespace. */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  /** Exact dedup: keep the lowest id per content digest. One shuffle. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word n-gram shingles as an array column (per-row, no shuffle). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Exact pairwise Jaccard over distinct tokens via an inverted index:
+    * explode → self-join on token → |A∩B| counts → sizes → J.
+    * Shuffles on token; token frequency skew makes this the SMALL-scale
+    * oracle — LSH below is the scale path.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = toks.as("a"); val b = toks.as("b")
+    val common = a.join(b, col("a.tok") === col("b.tok") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("sz_a") + col("sz_b") - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: k permutations approximated by xxhash64 with k
+    * seeds; sig[j] = min over shingles of h_j(s). Pure per-row array
+    * math — distributes with zero shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(j), s)))): _*)
+
+  /** LSH band keys: signature split into `bands` bands of `k/bands` rows
+    * each; a band's key is a hash of its slice. Docs sharing ANY band key
+    * become candidates.
+    */
+  def bandKeys(sigCol: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), to_json(slice(sigCol, b * rows + 1, rows)))): _*)
+  }
+
+  /** MinHash/LSH near-dup candidate pairs with their estimated Jaccard
+    * (fraction of matching signature positions). Join is keyed on band
+    * values — never a cartesian.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                   estThreshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+      .withColumn("band", explode(bandKeys(col("sig"), k, bands)))
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          b => b)) / lit(k.toDouble)).as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= estThreshold)
+  }
+
+  /** SimHash-64: per token-hash, vote +1/-1 on each bit; the fingerprint
+    * sets bit i when votes are positive. Expressed as 64 per-row
+    * aggregates over the token array — no shuffle, codegen'd.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(array_distinct(tokens(text)), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit bands (any pair within
+    * Hamming distance ≤ 3 shares at least one intact band), verify exact
+    * Hamming distance via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .withColumn("band", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("v"))): _*)))
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata.
+  *
+  * The Spark-side architecture is real and tested — schema, encoders,
+  * partition-friendly batch shape (`mapPartitions` over case classes, the
+  * Scala analog of `mapInPandas` batches), write layout — while the media
+  * decode itself is a clearly-marked deterministic STUB: this container
+  * has no image/audio codecs, and at 100 TB the decode step is an
+  * executor-side library call whose cost dominates, so the contract
+  * (binary in → fixed-width features out, one pass, no shuffle) is what
+  * matters here.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media_type: String,
+                         payload: Array[Byte], width: Int, height: Int)
+
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           checksum: String, feature: Array[Float])
+
+  /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes) —
+    * fixture plumbing for the pipeline below.
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String,
+              mediaType: String = "image"): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      lit(mediaType).as("media_type"),
+      col(textCol).cast("binary").as("payload"),
+      (length(col(textCol)) % 640).cast("int").as("width"),
+      (length(col(textCol)) % 480).cast("int").as("height"))
+
+  /** ======= STUB ======= deterministic fake "decode": a real deployment
+    * replaces the body with an image/audio library call (e.g. decode +
+    * resize + embed). Signature, batching, and schema are the real
+    * contract: binary in, fixed-width float feature out, executed
+    * per-partition with zero shuffle.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+                     featureDim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val sum = digest.digest(r.payload)
+        val hex = sum.map("%02x".format(_)).mkString
+        // STUB features: bytes of the digest scaled to [0,1) — stands in
+        // for a model embedding; deterministic for tests.
+        val feat = (0 until featureDim)
+          .map(i => ((sum(i % sum.length) & 0xff) / 256.0f)).toArray
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, hex, feat)
+      }
+    }
+  }
+
+  /** Frame sampling for video-typed payloads: every `stride`-th chunk of
+    * `frameBytes` becomes one synthetic frame row. The explode is the
+    * real operator (row-count amplification handled by Spark); chunking
+    * a real container format is the STUB part.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+                   stride: Int = 4): DataFrame =
+    media
+      .withColumn("n_frames",
+        greatest(lit(1), (length(col("payload")) / frameBytes).cast("int")))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .withColumn("frame",
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .select("doc_id", "media_type", "frame_idx", "frame")
+
+  /** Metadata projection (no decode): size + checksum per payload. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      length(col("payload")).cast("long").as("media_size"),
+      md5(col("payload")).as("checksum"))
+}

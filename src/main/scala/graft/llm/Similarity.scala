@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k — the exact baseline and the small-scale
+  *    oracle. The query set is broadcast (it is tiny by construction);
+  *    each executor scans its partition of the corpus once, computes the
+  *    dot products with codegen'd `zip_with`/`aggregate`, and a top-k
+  *    window per query finishes it. Cost O(|corpus|·|queries|·d) — exact
+  *    but linear in the corpus, which is the best any exact method does.
+  *  - LSH-bucketed (random hyperplanes): each vector gets a small sign
+  *    bit-code; candidates are corpus vectors sharing a query's code
+  *    (plus optional 1-bit-flip probes). At 100 TB the corpus is hashed
+  *    once (one map pass), bucketed by code (one shuffle), and each
+  *    query probes only its buckets — no full scan per query.
+  */
+object Similarity {
+
+  /** dot(a,b) with double accumulation, left-to-right (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (self excluded).
+    * Output: (query_id, neighbor_id, rank). The similarity itself is
+    * intentionally not emitted: rank order is stable across engines,
+    * last-ulp float digits are not.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 scaled to [-1, 1). Seeded arithmetic → reproducible across
+    * runs and engines.
+    */
+  private def planeComponent(plane: Int, dim: Int): Column =
+    (xxhash64(lit(plane * 100003 + dim)).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign bit-code of a vector under `planes` random hyperplanes. */
+  def lshCode(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dims).map(d =>
+        element_at(vec, d + 1).cast("double") * planeComponent(p, d))
+        .reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * plus all buckets within Hamming distance 1 of its code (multi-probe
+    * — the standard recall fix that costs probes, not an extra pass over
+    * the corpus). The corpus is coded ONCE; each query probes
+    * `planes + 1` buckets. Exact cosine ranks within the candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 4, dims: Int = 64,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val code = (v: Column) => lshCode(v, planes, dims)
+    val probes = (c: Column) =>
+      array((c +: (0 until planes).map(b => c.bitwiseXOR(1 << b))): _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), code(col(vecCol)).as("qcode"))
+      .withColumn("probe", explode(probes(col("qcode")))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      code(col(vecCol)).as("ccode"))
+    val scored = c.join(q, col("probe") === col("ccode") &&
+        col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qvec", "cvec")
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality analysis for training-data pipelines: stats, quality
+  * scoring, language ID, token counting, fingerprinting.
+  *
+  * Everything is per-row Catalyst column math — whole-stage codegen, no
+  * UDFs, no shuffle — so all of it runs at scan speed over 100 TB and
+  * composes with filters (quality thresholds prune before any downstream
+  * shuffle).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  /** Per-document stats: characters, tokens, mean token length,
+    * punctuation ratio, whitespace ratio. */
+  def stats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars2", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        // sum of token lengths == non-whitespace chars (tokens partition
+        // the text) — avoids a fold, ports to any SQL engine
+        round(length(regexp_replace(t, "\\s", "")) /
+          size(toks).cast("double"), 6))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(t, "[A-Za-z0-9\\s]", "")) /
+          length(t).cast("double"), 6))
+      .withColumn("space_ratio",
+        round((length(t) - length(regexp_replace(t, "\\s", ""))) /
+          length(t).cast("double"), 6))
+  }
+
+  /** Stopword ratio against a fixed list (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, x => x.isInCollection(stopwords))) /
+      size(toks).cast("double"), 6)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, prose
+    * punctuation levels, and a healthy stopword ratio — the usual
+    * C4/Gopher-style cheap filters.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) /
+      length(text).cast("double")
+    val punctScore = when(punct <= 0.1, lit(1.0)).otherwise(
+      greatest(lit(0.0), lit(1.0) - (punct - 0.1) * 5))
+    val stopScore = least(stopwordRatio(text, stopwords) * 5, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3, 6)
+  }
+
+  /** Language-marker token lists. Deterministic scoring: distinct-token
+    * overlap with each marker list; CJK characters short-circuit to zh.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "para"))
+
+  /** n-gram-heuristic language ID. Ties resolve in Markers order
+    * (en > de > fr > es); no marker hit → 'und' (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores = Markers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lang).otherwise(acc)
+    }
+    when(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0, "zh")
+      .otherwise(pick)
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish subword pieces (letter
+    * runs / digit runs / single punctuation), and the chars/4 estimate.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(tokens(t)))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+      .withColumn("est_tokens", ceil(length(t) / 4.0).cast("long"))
+  }
+
+  /** Content fingerprints: md5 of whitespace-normalized text, and a
+    * polynomial rolling hash over tokens
+    * (acc = (acc*131 + ascii(first char) + len) mod 1e9+7). The modulus
+    * keeps every intermediate < 2^37 so the arithmetic is portable —
+    * BIGINT-safe in engines that error on int64 overflow.
+    */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val normalized = trim(regexp_replace(t, "\\s+", " "))
+    val p = lit(1000000007L)
+    df.withColumn("fp_md5", md5(normalized))
+      .withColumn("fp_roll",
+        aggregate(tokens(t), lit(0L),
+          (acc, x) => pmod(acc * 131 + ascii(x) + length(x), p)))
+  }
+}

@@ -66,11 +66,13 @@ object ChunkPlanner {
 
   /** Equi-depth boundaries from data, the Spark analog of Mongo's
     * `$bucketAuto` / MSSQL `TABLESAMPLE` boundary sampling: one
-    * approxQuantile pass on the chunk column. relativeError=0.0 gives
-    * exact quantiles (fine at planner time; use >0 for huge tables).
+    * approxQuantile pass on the chunk column. The default relativeError
+    * is approximate by design — the reference's `$bucketAuto`/TABLESAMPLE
+    * analogs sample too, and an exact multi-quantile over 100 TB is a
+    * massive planner-time job. Pass 0.0 only in tests.
     */
   def equiDepthChunks(df: DataFrame, column: String, n: Int,
-                      relativeError: Double = 0.0): Seq[Chunk] = {
+                      relativeError: Double = 0.001): Seq[Chunk] = {
     val probs = (1 until n).map(_.toDouble / n).toArray
     val bounds = df.stat.approxQuantile(column, probs, relativeError)
       .map(_.toLong).distinct.sorted
@@ -91,9 +93,84 @@ object ChunkPlanner {
 
   /** Scan as the union of per-chunk scans (plus a null-catching chunk),
     * proving chunk coverage == full table. On parquet this exists for
-    * parity tests; the JDBC path passes `toSqlPredicate` strings instead.
+    * parity tests; the JDBC path passes `toSqlPredicate` strings instead
+    * (one scan per partition — NEVER a union of full scans at scale).
     */
   def scanChunked(df: DataFrame, column: String, chunks: Seq[Chunk]): DataFrame =
     chunks.map(ch => df.where(ch.toColumn(column)))
       .reduce(_ unionAll _)
+
+  // ---- S5: MySQL composite-PK lexicographic walk ----
+
+  /** Lexicographic boundary: the tuple of PK values at a chunk edge. */
+  case class LexBoundary(values: Seq[Long])
+
+  /** Half-open lexicographic range (lo, hi]; None = unbounded edge.
+    * Mirrors the reference's `(c1,c2) > (v1,v2)` OR-group form
+    * (`pkg/jdbc/jdbc.go:257-345`).
+    */
+  case class LexChunk(lo: Option[LexBoundary], hi: Option[LexBoundary]) {
+    private def gt(cols: Seq[String], b: LexBoundary): Column =
+      cols.indices.map { i =>
+        val eqPrefix = (0 until i).map(j => col(cols(j)) === b.values(j))
+        (eqPrefix :+ (col(cols(i)) > b.values(i))).reduce(_ && _)
+      }.reduce(_ || _)
+    private def lte(cols: Seq[String], b: LexBoundary): Column =
+      cols.indices.map { i =>
+        val eqPrefix = (0 until i).map(j => col(cols(j)) === b.values(j))
+        val last = if (i == cols.length - 1) col(cols(i)) <= b.values(i)
+                   else col(cols(i)) < b.values(i)
+        (eqPrefix :+ last).reduce(_ && _)
+      }.reduce(_ || _)
+    def toColumn(cols: Seq[String]): Column = (lo, hi) match {
+      case (Some(a), Some(b)) => gt(cols, a) && lte(cols, b)
+      case (Some(a), None)    => gt(cols, a)
+      case (None, Some(b))    => lte(cols, b)
+      case (None, None)       => lit(true)
+    }
+  }
+
+  /** Plan lexicographic chunks by walking PK-ordered boundaries every
+    * `chunkSize` rows — the Spark analog of the reference's
+    * `NextChunkEndQuery` (`LIMIT 1 OFFSET chunkSize` walk,
+    * `drivers/mysql/internal/backfill.go:65-198`). On JDBC the walk runs
+    * server-side; on files one window pass plans it. Boundary count is
+    * rows/chunkSize — driver-side metadata only.
+    */
+  def planLexicographic(df: DataFrame, pkCols: Seq[String],
+                        chunkSize: Long): Seq[LexChunk] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(pkCols.map(col): _*)
+    val bounds = df.select(pkCols.map(c => col(c).cast("long").as(c)): _*)
+      .withColumn("_rn", row_number().over(w))
+      .where(pmod(col("_rn"), lit(chunkSize)) === 0)
+      .orderBy(pkCols.map(col): _*)
+      .collect()
+      .map(r => LexBoundary(pkCols.indices.map(i => r.getLong(i))))
+      .toSeq
+    val los = None +: bounds.map(Some(_))
+    val his = bounds.map(Some(_)) :+ None
+    los.zip(his).map { case (lo, hi) => LexChunk(lo, hi) }
+  }
+
+  /** Union-of-chunk-scans coverage proof for lexicographic chunks. */
+  def scanLexicographic(df: DataFrame, pkCols: Seq[String],
+                        chunks: Seq[LexChunk]): DataFrame =
+    chunks.map(ch => df.where(ch.toColumn(pkCols))).reduce(_ unionAll _)
+
+  // ---- S7: limit/offset fallback (no usable PK) ----
+
+  /** The reference's last-resort chunking for PK-less tables: `LIMIT n
+    * OFFSET m` over a deterministic order (`pkg/jdbc/jdbc.go:355-372`).
+    * Spark analog: row_number over a total order, sliced. A global sort
+    * at plan time — acceptable only as the fallback it is.
+    */
+  def limitOffsetScan(df: DataFrame, orderCols: Seq[String],
+                      offset: Long, limit: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > offset && col("_rn") <= offset + limit)
+      .drop("_rn")
+  }
 }

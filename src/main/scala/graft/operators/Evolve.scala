@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.types.Lattice
+
+/** The detect-diff-evolve loop applied per write batch.
+  *
+  * Reference (`destination/iceberg/iceberg.go:295-518`): each batch's
+  * inferred schema is diffed against the destination schema; new columns
+  * are added, and conflicting types promote through the lattice — Iceberg
+  * allows `int→long`, `float→double` in place (`iceberg.go:42-57`), the
+  * parquet destination widens by LCA rewrite
+  * (`destination/parquet/parquet.go:440`); anything else folds to string.
+  *
+  * Spark mapping: schema diffing is driver-side `StructType` arithmetic
+  * (zero data movement); conforming a batch is a projection of codegen'd
+  * casts; the combined view is `unionByName(allowMissingColumns)`. On an
+  * Iceberg sink the same target schema drives `ALTER TABLE ... ALTER
+  * COLUMN TYPE` / `ADD COLUMN` before the append — data files are never
+  * rewritten for a widening, so the loop is O(metadata) at any scale.
+  */
+object Evolve {
+
+  /** Widen two schemas field-by-field (union of columns; conflicting
+    * types promote through the canonical lattice). Field order: `a`'s
+    * fields first, then `b`'s new fields, matching Iceberg ADD COLUMN
+    * appending at the end.
+    */
+  def widenSchemas(a: StructType, b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case Some(fb) => StructField(fa.name, Lattice.widen(fa.dataType, fb.dataType),
+          fa.nullable || fb.nullable)
+        case None => fa.copy(nullable = true) // absent in b ⇒ nullable
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    val added = b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true))
+    StructType(merged ++ added)
+  }
+
+  /** Project a batch onto a target schema: cast existing columns, fill
+    * missing ones with typed nulls. Pure projection — codegen'd, no
+    * shuffle.
+    */
+  def conform(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Fold a sequence of drifting batches into one widened table —
+    * the whole evolution loop for a bounded run.
+    */
+  def evolveAll(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "no batches")
+    val target = batches.map(_.schema).reduce(widenSchemas)
+    batches.map(conform(_, target)).reduce(_ unionByName _)
+  }
+}

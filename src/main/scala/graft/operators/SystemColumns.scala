@@ -31,15 +31,28 @@ object SystemColumns {
   val OpUpdate = "u"
   val OpDelete = "d"
 
+  /** md5 of every value rendered to string and followed by `'|'` —
+    * including after the last value — over columns sorted by name. This is
+    * byte-compatible with reference `GetKeysHash` (`utils/utils.go:265-287`:
+    * `str.WriteString(fmt.Sprint(m[k])); str.WriteRune('|')` per key).
+    * Nulls render as `"<nil>"` because Go's `fmt.Sprint(nil)` does.
+    * Deviation note: non-primitive values (timestamps, floats) render via
+    * Spark's string cast, which differs from Go's `fmt.Sprint` for
+    * `time.Time`; integer/string keys — the overwhelmingly common PK case —
+    * are byte-identical (pinned in SystemColumnsSpec).
+    */
+  def keysHash(columns: Seq[String]): Column =
+    md5(concat(columns.sorted.flatMap(c =>
+      Seq(coalesce(col(c).cast("string"), lit("<nil>")), lit("|"))).toIndexedSeq: _*))
+
   /** Build the `_olake_id` column for a frame with the given PK columns. */
   def olakeId(df: DataFrame, primaryKeys: Seq[String]): Column =
-    primaryKeys.sorted match {
+    primaryKeys match {
       case Seq(single) => col(single).cast("string")
       case Nil =>
-        // No PK: hash the whole record deterministically.
-        md5(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*)))
-      case many =>
-        md5(concat_ws("|", many.map(c => col(c).cast("string")): _*))
+        // No PK: reference GetHash = GetKeysHash over ALL columns.
+        keysHash(df.columns.toIndexedSeq)
+      case many => keysHash(many)
     }
 
   /** Append the system columns for a batch with a single op type.

@@ -1,0 +1,55 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import graft.sinks.PartitionTransforms.PartitionField
+
+/** The parquet destination (K7/K4/K8/K9).
+  *
+  * Reference `destination/parquet/parquet.go:125-707`: partitioned output
+  * paths from the partition regex, per-partition rolling files (~256 MB
+  * target, `constants/constants.go:32-33`), append vs overwrite, clear
+  * destination, and writer stats counters.
+  *
+  * Spark mapping: `df.write.partitionBy(...).parquet(path)` — the
+  * FileFormatWriter already rolls files by `maxRecordsPerFile` /
+  * partition and parallelizes per task, so the reference's hand-rolled
+  * writer pipeline (buffer → flatten → evolve → flush,
+  * `destination/writers.go:202-297`) collapses into the task commit
+  * protocol. Stats (K9) use `observe()` — one pass, no extra job.
+  */
+object ParquetSink {
+
+  /** Rows-to-sync / synced counters via `observe` — the K9 analog of the
+    * reference's atomic writer counters (`destination/writers.go:34-39`).
+    * Read the metric from the QueryExecutionListener or, for batch jobs,
+    * from `df.observe`'s registered observation.
+    */
+  def withStats(df: DataFrame, name: String = "graft_stats"): DataFrame =
+    df.observe(name, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("records_written"))
+
+  /** Write a batch as partitioned parquet. `fields` come from
+    * `PartitionTransforms.parseRegex`; transform columns are appended and
+    * used as the physical layout — identity transforms partition on the
+    * source column directly, like the reference's `{col,identity}`.
+    */
+  def write(df: DataFrame, path: String, fields: Seq[PartitionField] = Nil,
+            append: Boolean = true,
+            targetFileRows: Option[Long] = None): Unit = {
+    val withCols = PartitionTransforms.withPartitionColumns(df, fields)
+    var w = withStats(withCols).write
+      .mode(if (append) "append" else "overwrite")
+    targetFileRows.foreach(n => w = w.option("maxRecordsPerFile", n))
+    if (fields.nonEmpty) w = w.partitionBy(fields.map(_.outputName): _*)
+    w.parquet(path)
+  }
+
+  /** Clear destination (K8): drop the output path for full-refresh
+    * streams (reference `destination/writers.go:299-316`).
+    */
+  def clear(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) || fs.delete(p, true)
+  }
+}

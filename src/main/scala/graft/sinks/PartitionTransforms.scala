@@ -1,0 +1,159 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-spec partition transforms.
+  *
+  * Reference `destination/iceberg/arrow-writer/transforms.go:119-286`:
+  * identity, void, year/month/day/hour (units since epoch),
+  * bucket[N] (murmur3_x86_32 of the value's Iceberg byte form, masked to
+  * 31 bits, mod N), truncate[W] (int: `v - (((v%W)+W)%W)`; string: first W
+  * chars), parsed from a `partition_regex` of `/{col,transform}` segments
+  * (`destination/iceberg/iceberg.go:521-545`); `now()` maps to
+  * `_olake_timestamp`.
+  *
+  * All transforms except bucket are native Catalyst column expressions
+  * (codegen'd, pushdown-friendly). Bucket needs Iceberg's exact
+  * murmur3_x86_32 — Spark's builtin `hash()` is murmur3 with a different
+  * seed/layout — so it's a tiny UDF over the already-typed value; it only
+  * ever runs once per row at write time.
+  */
+object PartitionTransforms {
+
+  /** murmur3_x86_32, bit-exact with the Iceberg spec (Appendix B).
+    * Pinned in PartitionTransformsSpec: hash(int/long 34)=2017239379,
+    * hash("iceberg")=1210000089.
+    */
+  def murmur3(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = seed
+    val len = data.length
+    val nblocks = len >>> 2
+    var i = 0
+    while (i < nblocks) {
+      val base = i << 2
+      var k1 = (data(base) & 0xff) | ((data(base + 1) & 0xff) << 8) |
+        ((data(base + 2) & 0xff) << 16) | ((data(base + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    val tail = nblocks << 2
+    var k1 = 0
+    val rem = len & 3
+    if (rem >= 3) k1 ^= (data(tail + 2) & 0xff) << 16
+    if (rem >= 2) k1 ^= (data(tail + 1) & 0xff) << 8
+    if (rem >= 1) {
+      k1 ^= data(tail) & 0xff
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= len
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13; h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** Iceberg hashes ints/longs/timestamp-micros as 8-byte little-endian. */
+  def hashLong(v: Long): Int = {
+    val b = new Array[Byte](8)
+    var i = 0
+    var x = v
+    while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    murmur3(b)
+  }
+
+  def hashString(s: String): Int =
+    murmur3(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def bucketLong(v: Long, n: Int): Int = (hashLong(v) & 0x7fffffff) % n
+  def bucketString(s: String, n: Int): Int = (hashString(s) & 0x7fffffff) % n
+
+  private val bucketLongUdf = udf((v: java.lang.Long, n: Int) =>
+    if (v == null) null else Int.box(bucketLong(v, n)))
+  private val bucketStringUdf = udf((s: String, n: Int) =>
+    if (s == null) null else Int.box(bucketString(s, n)))
+
+  /** One parsed `/{col,transform}` segment. */
+  case class PartitionField(column: String, transform: String) {
+    /** Output column name, matching the reference's path construction
+      * (`ConstructColPath`, transforms.go:249-259). */
+    def outputName: String = transform.toLowerCase match {
+      case "identity"                  => column
+      case t if t.startsWith("bucket") => s"${column}_bucket"
+      case t if t.startsWith("truncate") => s"${column}_trunc"
+      case t                           => s"${column}_$t"
+    }
+  }
+
+  private val SegmentRe = """\{\s*([^,}]+?)\s*,\s*([^}]+?)\s*\}""".r
+
+  /** Parse a partition regex like `/{col_bigserial,identity}` or
+    * `/{now(),day}/{region,bucket[8]}`. `now()` → `_olake_timestamp`.
+    */
+  def parseRegex(partitionRegex: String): Seq[PartitionField] =
+    SegmentRe.findAllMatchIn(partitionRegex).map { m =>
+      val colName = m.group(1).trim match {
+        case "now()" => graft.operators.SystemColumns.OlakeTimestamp
+        case c       => c
+      }
+      PartitionField(colName, m.group(2).trim.toLowerCase)
+    }.toSeq
+
+  private val ArgRe = """(bucket|truncate)\[(\d+)\]""".r
+
+  /** The transform as a Column over the source column. Time transforms
+    * produce units-since-1970 (transforms.go:134-150); truncate uses
+    * Iceberg's negative-safe formula.
+    */
+  def transformColumn(f: PartitionField): Column = {
+    val c = col(f.column)
+    f.transform match {
+      case "identity" => c
+      case "void"     => lit(null)
+      case "year"     => (year(c) - 1970).cast("int")
+      case "month"    => ((year(c) - 1970) * 12 + month(c) - 1).cast("int")
+      case "day"      => datediff(to_date(c), lit("1970-01-01")).cast("int")
+      case "hour"     => floor(unix_timestamp(c) / 3600).cast("int")
+      case ArgRe("bucket", n) =>
+        // integral path; timestamps must be pre-converted to micros
+        // (withPartitionColumns does the schema dispatch)
+        bucketLongUdf(c.cast("long"), lit(n.toInt))
+      case ArgRe("truncate", w) =>
+        val wL = w.toLong
+        // int/long: v - (((v % W) + W) % W); defined via pmod
+        c.cast("long") - pmod(c.cast("long"), lit(wL))
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform '$other'")
+    }
+  }
+
+  /** Bucket over a string column (callers pick by schema). */
+  def bucketStringColumn(f: PartitionField, n: Int): Column =
+    bucketStringUdf(col(f.column), lit(n))
+
+  /** Truncate over a string column: first W characters. */
+  def truncateStringColumn(f: PartitionField, w: Int): Column =
+    substring(col(f.column), 1, w)
+
+  /** Attach all partition columns for a spec; dispatches string vs
+    * numeric by the frame's schema like the reference's colType switch.
+    */
+  def withPartitionColumns(df: DataFrame, fields: Seq[PartitionField]): DataFrame =
+    fields.foldLeft(df) { (acc, f) =>
+      import org.apache.spark.sql.types.{StringType, TimestampType}
+      val dt = acc.schema.fields.find(_.name == f.column).map(_.dataType)
+      val expr = (f.transform, dt) match {
+        case (ArgRe("bucket", n), Some(StringType))   => bucketStringColumn(f, n.toInt)
+        case (ArgRe("truncate", w), Some(StringType)) => truncateStringColumn(f, w.toInt)
+        case (ArgRe("bucket", n), Some(TimestampType)) =>
+          // Iceberg hashes timestamps as their microsecond epoch value
+          bucketLongUdf(unix_micros(col(f.column)), lit(n.toInt))
+        case _ => transformColumn(f)
+      }
+      acc.withColumn(f.outputName, expr)
+    }
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.types.{CanonicalType, Lattice, Naming}
+
+/** Stream discovery → catalog (the `olake discover` verb).
+  *
+  * Reference (`protocol/discover.go:41-74`, `drivers/abstract/
+  * abstract.go:62-133`): enumerate streams, infer each stream's
+  * `TypeSchema` (INFORMATION_SCHEMA for JDBC, document sampling for
+  * Mongo, file sampling for S3), attach the system columns, pick the
+  * default sync mode (cdc > incremental > full_refresh), and merge with
+  * the previous catalog preserving user selections.
+  *
+  * Spark mapping: schema discovery is `spark.read.<fmt>(...).schema` —
+  * the file listing + footer/sample read happens once at plan time;
+  * canonicalization goes through the same lattice the write path uses, so
+  * discover and sink agree on types by construction.
+  */
+object Discover {
+
+  case class DiscoveredStream(name: String, namespace: String,
+                              columns: Seq[(String, CanonicalType)],
+                              primaryKeys: Seq[String],
+                              supportedSyncModes: Seq[String],
+                              defaultSyncMode: String)
+
+  /** Canonical column view of a Spark schema (names normalized like the
+    * destination will see them). */
+  def canonicalColumns(schema: StructType): Seq[(String, CanonicalType)] =
+    schema.fields.toIndexedSeq.map(f =>
+      Naming.normalize(f.name) -> Lattice.fromSpark(f.dataType))
+
+  /** Discover one parquet-backed stream. PK heuristic mirrors discovery
+    * defaults: a column named `<prefix>key` / `id` / `<name>_id`. */
+  def discoverStream(spark: SparkSession, dir: String, name: String): DiscoveredStream = {
+    val schema = spark.read.parquet(s"$dir/$name.parquet").schema
+    val cols = canonicalColumns(schema)
+    val pk = cols.map(_._1).filter(c =>
+      c == "id" || c == s"${name}_id" || c.endsWith("key") && c.length <= name.length + 5)
+      .take(1)
+    DiscoveredStream(name, namespace = dir,
+      columns = cols, primaryKeys = pk,
+      supportedSyncModes = Seq("full_refresh", "incremental"),
+      defaultSyncMode = "full_refresh")
+  }
+
+  /** The catalog as JSON (streams.json analog, `types/catalog.go:64-67`). */
+  def catalogJson(streams: Seq[DiscoveredStream]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    streams.map { s =>
+      val cols = s.columns.map { case (n, t) => s"${q(n)}: ${q(t.name)}" }
+        .mkString("{", ", ", "}")
+      s"""{"name": ${q(s.name)}, "namespace": ${q(s.namespace)}, """ +
+        s""""type_schema": $cols, """ +
+        s""""source_defined_primary_key": [${s.primaryKeys.map(q).mkString(", ")}], """ +
+        s""""supported_sync_modes": [${s.supportedSyncModes.map(q).mkString(", ")}], """ +
+        s""""sync_mode": ${q(s.defaultSyncMode)}}"""
+    }.mkString("{\"selected_streams\": [", ", ", "]}")
+  }
+
+  /** Discovery as a DataFrame for the correctness gate: one row per
+    * column with its canonical type name. */
+  def discoverAsFrame(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val s = discoverStream(spark, dir, name)
+    s.columns.map { case (c, t) => (c, t.name) }
+      .toDF("column_name", "canonical_type")
+  }
+}

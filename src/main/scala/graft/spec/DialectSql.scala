@@ -1,0 +1,142 @@
+package graft.spec
+
+import java.time.format.DateTimeFormatter
+import java.time.{OffsetDateTime, ZoneOffset}
+import graft.spec.FilterSpec._
+import graft.operators.ChunkPlanner.Chunk
+
+/** Filter AST / chunk / threshold → dialect WHERE-clause rendering.
+  *
+  * Mirrors reference `pkg/jdbc/jdbc.go`:
+  *  - `QuoteIdentifier` (`jdbc.go:21-32`): MySQL backticks,
+  *    Postgres/DB2/Oracle double quotes, MSSQL brackets;
+  *  - `SQLFilter` (`jdbc.go:1245-1391`): `'`-escaped strings, bool
+  *    TRUE/FALSE (MSSQL: 1/0), `= null` → `IS NULL`, ISO-8601 strings →
+  *    `TO_TIMESTAMP(...,'YYYY-MM-DD HH24:MI:SS.FF')` on Oracle /
+  *    `TIMESTAMP('...')` on DB2, conditions joined by the logical op,
+  *    threshold ANDed as `(threshold) AND (filter)`;
+  *  - `ThresholdFilter` (`jdbc.go:1492-1526`):
+  *    `("c" IS NULL OR "c" <= v)` per cursor.
+  *
+  * In Spark this feeds `DataFrameReader.jdbc(..., predicates)` — each
+  * chunk's rendered string becomes one JDBC partition predicate, so the
+  * source database does the pruning and Spark never sees filtered rows.
+  * Pure string planning: zero data movement.
+  */
+object DialectSql {
+
+  sealed abstract class Dialect(val name: String)
+  case object Postgres extends Dialect("postgres")
+  case object MySql    extends Dialect("mysql")
+  case object Oracle   extends Dialect("oracle")
+  case object MsSql    extends Dialect("mssql")
+  case object Db2      extends Dialect("db2")
+  /** For oracle-equivalence tests (DuckDB speaks ANSI; quotes like PG). */
+  case object Ansi     extends Dialect("ansi")
+
+  def quoteIdent(c: String, d: Dialect): String = d match {
+    case MySql => s"`$c`"
+    case Postgres | Db2 | Oracle | Ansi => "\"" + c + "\""
+    case MsSql => s"[$c]"
+  }
+
+  private def escape(s: String): String = s.replace("'", "''")
+
+  private val oracleFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+  private val db2Fmt    = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Render a filter value. ISO-8601 timestamp strings get
+    * dialect-specific timestamp constructors (jdbc.go:1345-1357).
+    */
+  def renderValue(v: Value, d: Dialect): String = v match {
+    case SInt(l)  => l.toString
+    case SNum(n)  =>
+      // Go strconv.FormatFloat(f, 'f', -1, 64): shortest round-trip,
+      // no exponent
+      if (n == n.floor && math.abs(n) < 1e15) {
+        val asLong = n.toLong
+        if (asLong.toDouble == n) s"$asLong" else n.toString
+      } else n.toString
+    case SBool(b) => d match {
+      case MsSql => if (b) "1" else "0"
+      case _     => if (b) "TRUE" else "FALSE"
+    }
+    case SNull    => "NULL"
+    case SStr(s)  => s"'${escape(s)}'"
+    case STimestamp(iso) =>
+      val parsed =
+        try Some(OffsetDateTime.parse(iso, DateTimeFormatter.ISO_OFFSET_DATE_TIME))
+        catch { case _: Exception =>
+          try Some(java.time.LocalDateTime.parse(iso.replace(' ', 'T'))
+            .atOffset(ZoneOffset.UTC))
+          catch { case _: Exception => None }
+        }
+      (d, parsed) match {
+        case (Oracle, Some(t)) =>
+          s"TO_TIMESTAMP('${t.withOffsetSameInstant(ZoneOffset.UTC).format(oracleFmt)}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+        case (Db2, Some(t)) =>
+          s"TIMESTAMP('${t.withOffsetSameInstant(ZoneOffset.UTC).format(db2Fmt)}')"
+        case (Ansi, _) => s"TIMESTAMP '${iso.replace("T", " ").stripSuffix("Z")}'"
+        case _ => s"'${escape(iso)}'"
+      }
+  }
+
+  /** One condition. `= NULL` / `!= NULL` become IS [NOT] NULL. */
+  def renderCondition(c: Condition, d: Dialect): String = {
+    val q = quoteIdent(c.column, d)
+    c.value match {
+      case SNull => c.op match {
+        case "="  => s"$q IS NULL"
+        case "!=" => s"$q IS NOT NULL"
+        case op   => throw new IllegalArgumentException(
+          s"operator $op not supported with NULL")
+      }
+      case v => s"$q ${c.op} ${renderValue(v, d)}"
+    }
+  }
+
+  /** The full stream filter (jdbc.go:1374-1391). */
+  def renderFilter(f: Filter, d: Dialect): String = {
+    val joiner = f.logical.toLowerCase match {
+      case "or" => " OR "
+      case _    => " AND "
+    }
+    f.conditions.map(renderCondition(_, d)).mkString(joiner)
+  }
+
+  /** Threshold condition freezing an incremental backfill
+    * (jdbc.go:1500-1526): `("c" IS NULL OR "c" <= v)`, dual cursor ANDed.
+    */
+  def renderThreshold(cursor: String, value: Value, d: Dialect,
+                      secondary: Option[(String, Value)] = None): String = {
+    def one(c: String, v: Value) = {
+      val q = quoteIdent(c, d)
+      s"($q IS NULL OR $q <= ${renderValue(v, d)})"
+    }
+    one(cursor, value) +
+      secondary.map { case (c, v) => " AND " + one(c, v) }.getOrElse("")
+  }
+
+  /** Chunk range predicate with dialect quoting (the generic form of the
+    * reference's per-dialect chunk scans). */
+  def renderChunk(chunk: Chunk, column: String, d: Dialect): String = {
+    val q = quoteIdent(column, d)
+    (chunk.min, chunk.max) match {
+      case (Some(a), Some(b)) => s"$q >= $a AND $q < $b"
+      case (Some(a), None)    => s"$q >= $a"
+      case (None, Some(b))    => s"$q < $b OR $q IS NULL"
+      case (None, None)       => "1 = 1"
+    }
+  }
+
+  /** Compose chunk + threshold + filter the way the reference does:
+    * chunk AND (threshold) AND (filter). Empty parts drop out.
+    */
+  def renderScanPredicate(chunk: Option[String], threshold: Option[String],
+                          filter: Option[String]): String = {
+    val parts = Seq(chunk, threshold, filter).flatten.filter(_.nonEmpty)
+    if (parts.isEmpty) "1 = 1"
+    else if (parts.size == 1) parts.head
+    else parts.map(p => s"($p)").mkString(" AND ")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.state
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Resumable sync state (the `state.json` of the reference).
+  *
+  * Reference `types/state.go`: per-stream cursors (ISO-8601 strings),
+  * the remaining chunk set for resumable backfills (chunks are removed
+  * as they commit, `drivers/abstract/backfill.go:61-64`), per-partition
+  * offsets for bounded Kafka reads, the CDC position, and the
+  * `dedup_inserts` window flags mirrored from the sink's 2PC metadata
+  * (`types/metadata_state.go:9-16`).
+  *
+  * Driver-side only — O(#streams + #chunks) metadata, never data. In a
+  * real deployment this maps to the Structured Streaming checkpoint dir
+  * plus Iceberg snapshot properties; here it is an atomically-replaced
+  * JSON file (write temp + move), which is exactly how the reference
+  * persists `state.json`.
+  */
+object StateStore {
+
+  case class ChunkState(min: Option[Long], max: Option[Long])
+
+  case class StreamState(cursor: Map[String, String] = Map.empty,
+                         remainingChunks: Seq[ChunkState] = Nil,
+                         offsets: Map[String, Long] = Map.empty,
+                         dedupInserts: Boolean = true)
+
+  case class State(streams: Map[String, StreamState] = Map.empty,
+                   cdcPosition: Option[String] = None)
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def save(path: String, state: State): Unit = {
+    val tmp = Paths.get(path + ".tmp")
+    Files.createDirectories(tmp.toAbsolutePath.getParent)
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(state))
+    Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(path: String): Option[State] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(Files.readString(p), classOf[State]))
+  }
+
+  /** Cursor values persist as ISO-8601 / decimal strings
+    * (reference `drivers/abstract/incremental.go:195-208`). */
+  def formatCursor(v: Any): String = graft.operators.Incremental.formatCursor(v)
+
+  /** Remove a committed chunk (backfill.go:61-64): the planner re-reads
+    * the remaining set on restart and only scans what never committed. */
+  def commitChunk(s: StreamState, chunk: ChunkState): StreamState =
+    s.copy(remainingChunks = s.remainingChunks.filterNot(_ == chunk))
+
+  /** Close the insert-dedup window after a committed CDC pass. */
+  def closeDedupWindow(s: StreamState): StreamState = s.copy(dedupInserts = false)
+}

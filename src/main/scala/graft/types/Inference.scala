@@ -1,0 +1,188 @@
+package graft.types
+
+import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+
+/** Value → canonical-type inference and value coercion.
+  *
+  * Mirrors reference `utils/typeutils/datatype.go:16-93` (`TypeFromValue`),
+  * `reformat.go:24-39` (the ~14-format timestamp sniffing list) and
+  * `reformat.go:59-104` (`ReformatValue`), plus precision detection from
+  * nanoseconds (`datatype.go:193-206`).
+  *
+  * This runs at PLAN time (schema discovery over a sample) or inside
+  * coercion casts — never as a per-row UDF in the hot path: once a column's
+  * canonical type is known, the actual conversion is a codegen'd Catalyst
+  * `cast`/`to_timestamp`.
+  */
+object Inference {
+  import CanonicalType._
+
+  /** The reference's DateTimeFormats (reformat.go:24-39), translated from
+    * Go layouts to java.time patterns. Order matters: first match wins.
+    * (The reference list also contains one malformed Go layout,
+    * `"2020-08-17T05:50:22.895Z"` — a literal, not a layout; its intent is
+    * millisecond-UTC ISO, covered by the optional-fraction ISO entries.)
+    */
+  private def fmt(pattern: String): DateTimeFormatter =
+    DateTimeFormatter.ofPattern(pattern)
+
+  /** ISO local date-time with optional fractional seconds (covers
+    * "2006-01-02T15:04:05", ".000000", ".999999999" variants). */
+  private val isoLocal: DateTimeFormatter = new DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .optionalStart().appendFraction(ChronoField.NANO_OF_SECOND, 1, 9, true).optionalEnd()
+    .toFormatter
+
+  private val sqlLocal: DateTimeFormatter = new DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart().appendFraction(ChronoField.NANO_OF_SECOND, 1, 9, true).optionalEnd()
+    .toFormatter
+
+  private val withOffset: Seq[DateTimeFormatter] = Seq(
+    // 2006-01-02T15:04:05.999999999Z07:00 (RFC3339 / ISO offset)
+    new DateTimeFormatterBuilder().append(isoLocal)
+      .appendPattern("XXX").toFormatter,
+    // 2006-01-02T15:04:05+0000
+    new DateTimeFormatterBuilder().append(isoLocal)
+      .appendPattern("XX").toFormatter,
+    // 2006-01-02 15:04:05 -07:00
+    new DateTimeFormatterBuilder().append(sqlLocal)
+      .appendPattern(" XXX").toFormatter,
+    // 2006-01-02 15:04:05-07:00 / 15:04:05.999999-07 / +00
+    new DateTimeFormatterBuilder().append(sqlLocal)
+      .appendPattern("XXX").toFormatter,
+    new DateTimeFormatterBuilder().append(sqlLocal)
+      .appendPattern("X").toFormatter
+  )
+
+  private val localOnly: Seq[DateTimeFormatter] = Seq(
+    isoLocal, sqlLocal,
+    // DB2: 2006-01-02-15.04.05.000000
+    new DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd-HH.mm.ss")
+      .optionalStart().appendFraction(ChronoField.NANO_OF_SECOND, 1, 9, true).optionalEnd()
+      .toFormatter
+  )
+
+  private val dateOnly: DateTimeFormatter = fmt("yyyy-MM-dd")
+
+  /** Sniff a string as a timestamp (UTC for zone-less forms — the
+    * reference parses Go layouts without zone as UTC wall-clock).
+    * Returns None for non-temporal strings.
+    */
+  def sniffTimestamp(s: String): Option[Instant] = {
+    val t = s.trim
+    if (t.isEmpty || t.length < 8 || t.length > 40) return None
+    // cheap reject: must start with 4 digits + '-'
+    if (!(t.length > 4 && t.charAt(4) == '-' &&
+          t.substring(0, 4).forall(_.isDigit))) return None
+    // 'Z'-suffixed ISO: strip the Z and parse as local-UTC
+    val z = if (t.endsWith("Z")) t.dropRight(1) else t
+    withOffset.view.flatMap { f =>
+      try Some(OffsetDateTime.parse(t, f).toInstant) catch { case _: Exception => None }
+    }.headOption
+      .orElse(localOnly.view.flatMap { f =>
+        try Some(LocalDateTime.parse(z, f).toInstant(ZoneOffset.UTC))
+        catch { case _: Exception => None }
+      }.headOption)
+      .orElse {
+        try Some(LocalDate.parse(t, dateOnly).atStartOfDay(ZoneOffset.UTC).toInstant)
+        catch { case _: Exception => None }
+      }
+  }
+
+  /** Timestamp precision from sub-second nanos
+    * (reference datatype.go:193-206). */
+  def detectPrecision(i: Instant): CanonicalType = {
+    val nanos = i.getNano
+    if (nanos == 0) TsSeconds
+    else if (nanos % 1000000 == 0) TsMillis
+    else if (nanos % 1000 == 0) TsMicros
+    else TsNanos
+  }
+
+  /** `TypeFromValue` (datatype.go:16-93): JVM value → canonical type.
+    * Strings are sniffed against the timestamp format list first.
+    */
+  def typeOfValue(v: Any): CanonicalType = v match {
+    case null                 => Null
+    case _: Boolean           => Bool
+    case _: Byte | _: Short | _: Int => Int32
+    case _: Long              => Int64
+    case _: Float             => Float32
+    case _: Double            => Float64
+    case _: java.math.BigDecimal | _: BigDecimal => Float64
+    case s: String            => sniffTimestamp(s).map(detectPrecision).getOrElse(Str)
+    case _: Array[Byte]       => Str
+    case t: java.sql.Timestamp => detectPrecision(t.toInstant)
+    case i: Instant           => detectPrecision(i)
+    case _: java.sql.Date | _: LocalDate => TsSeconds
+    case _: Seq[_] | _: Array[_] | _: java.util.List[_] => Arr
+    case _: scala.collection.Map[_, _] | _: java.util.Map[_, _] => Obj
+    case _                    => Unknown
+  }
+
+  /** Fold observed value types of a column sample to its schema type. */
+  def inferColumn(values: Iterable[Any]): CanonicalType =
+    Lattice.promoteAll(values.map(typeOfValue))
+
+  /** `ReformatValue` (reformat.go:59-104): coerce a JVM value to the
+    * canonical type. Plan-time use only (state values, boundary values);
+    * data-path coercion is a Catalyst cast built from the same rules.
+    */
+  def coerce(t: CanonicalType, v: Any): Any = {
+    if (v == null) return null
+    t match {
+      case Null  => null
+      case Bool  => v match {
+        case b: Boolean => b
+        case n: Number  => n.doubleValue != 0.0
+        case s: String  => s.equalsIgnoreCase("true") || s == "1"
+        case other      => other
+      }
+      case Int32 => v match {
+        case n: Number => n.intValue
+        case s: String => s.trim.toDouble.toInt
+        case other     => other
+      }
+      case Int64 => v match {
+        case n: Number => n.longValue
+        case s: String => s.trim.toDouble.toLong
+        case t: java.sql.Timestamp => t.getTime
+        case other     => other
+      }
+      case Float32 => v match {
+        case n: Number => n.floatValue
+        case s: String => s.trim.toFloat
+        case other     => other
+      }
+      case Float64 => v match {
+        case n: Number => n.doubleValue
+        case s: String => s.trim.toDouble
+        case b: Boolean => if (b) 1.0 else 0.0
+        case other     => other
+      }
+      case TsSeconds | TsMillis | TsMicros | TsNanos => v match {
+        case t: java.sql.Timestamp => t.toInstant
+        case i: Instant => i
+        case s: String  => sniffTimestamp(s).getOrElse(s)
+        case n: Number  => Instant.ofEpochMilli(n.longValue)
+        case other      => other
+      }
+      case Str => v match {
+        case s: String      => s
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case b: Boolean     => b.toString
+        case other          => String.valueOf(other)
+      }
+      case Arr => v match {
+        case s: Seq[_] => s
+        case a: Array[_] => a.toSeq
+        case other => Seq(other) // reference wraps scalars into an array
+      }
+      case _ => v
+    }
+  }
+}

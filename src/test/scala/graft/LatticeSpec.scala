@@ -1,13 +1,15 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
-import org.scalacheck.Gen
 import org.apache.spark.sql.types._
 import graft.types.{CanonicalType, Lattice, Naming}
 import graft.types.CanonicalType._
 
-class LatticeSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+/** Lattice laws are checked exhaustively over all 14^3 = 2,744 type
+  * triples — the domain is tiny, so enumeration strictly dominates
+  * property sampling (and needs no extra test dependency).
+  */
+class LatticeSpec extends AnyFunSuite {
 
   test("reference chain promotions") {
     assert(Lattice.promote(Bool, Int32) == Int32)
@@ -35,22 +37,24 @@ class LatticeSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
     }
   }
 
-  val genType: Gen[CanonicalType] = Gen.oneOf(CanonicalType.all)
-
-  test("promote is commutative, idempotent, associative") {
-    forAll(genType, genType, genType) { (a, b, c) =>
-      assert(Lattice.promote(a, b) == Lattice.promote(b, a))
+  test("promote is commutative and idempotent (all pairs)") {
+    for (a <- CanonicalType.all; b <- CanonicalType.all) {
+      assert(Lattice.promote(a, b) == Lattice.promote(b, a), s"$a,$b")
       assert(Lattice.promote(a, a) == a)
-      assert(Lattice.promote(Lattice.promote(a, b), c) ==
-             Lattice.promote(a, Lattice.promote(b, c)))
     }
   }
 
-  test("promotion result is an upper bound (canWiden)") {
-    forAll(genType, genType) { (a, b) =>
+  test("promote is associative (all triples)") {
+    for (a <- CanonicalType.all; b <- CanonicalType.all; c <- CanonicalType.all)
+      assert(Lattice.promote(Lattice.promote(a, b), c) ==
+             Lattice.promote(a, Lattice.promote(b, c)), s"$a,$b,$c")
+  }
+
+  test("promotion result is an upper bound (all pairs)") {
+    for (a <- CanonicalType.all; b <- CanonicalType.all) {
       val p = Lattice.promote(a, b)
-      assert(Lattice.canWiden(a, p))
-      assert(Lattice.canWiden(b, p))
+      assert(Lattice.canWiden(a, p), s"$a cannot widen to $p")
+      assert(Lattice.canWiden(b, p), s"$b cannot widen to $p")
     }
   }
 

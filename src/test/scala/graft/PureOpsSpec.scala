@@ -1,0 +1,220 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CdcWindow, ChunkPlanner}
+import graft.operators.ChunkPlanner.Chunk
+import graft.sinks.PartitionTransforms
+import graft.spec.{DialectSql, FilterSpec}
+import graft.spec.FilterSpec._
+import graft.state.StateStore
+import graft.types.{CanonicalType, Inference}
+import graft.types.CanonicalType._
+
+/** Pure-JVM specs: no SparkSession, millisecond-fast. */
+class PureOpsSpec extends AnyFunSuite {
+
+  // ---- FilterSpec.parse (legacy string syntax) ----
+
+  test("filter parse: typed values") {
+    val f = FilterSpec.parse("""col1 >= 10 and col2 != "x"""")
+    assert(f.logical == "and")
+    assert(f.conditions == Seq(
+      Condition("col1", ">=", SInt(10)), Condition("col2", "!=", SStr("x"))))
+    val g = FilterSpec.parse("a = true or b = null")
+    assert(g.logical == "or")
+    assert(g.conditions(0).value == SBool(true))
+    assert(g.conditions(1).value == SNull)
+    val h = FilterSpec.parse("ts > 2024-01-02T03:04:05")
+    assert(h.conditions.head.value == STimestamp("2024-01-02T03:04:05"))
+    val i = FilterSpec.parse("x < 1.5")
+    assert(i.conditions.head.value == SNum(1.5))
+  }
+
+  test("filter validateStrict caps at 2 conditions (reference parity)") {
+    val f3 = Filter("and", Seq.fill(3)(Condition("a", "=", SInt(1))))
+    assert(FilterSpec.validateStrict(f3).isLeft)
+    val ok = Filter("and", Seq.fill(2)(Condition("a", "=", SInt(1))))
+    assert(FilterSpec.validateStrict(ok).isRight)
+  }
+
+  // ---- DialectSql rendering (pkg/jdbc/jdbc.go:1245-1391 forms) ----
+
+  test("dialect quoting") {
+    assert(DialectSql.quoteIdent("c", DialectSql.MySql) == "`c`")
+    assert(DialectSql.quoteIdent("c", DialectSql.Postgres) == "\"c\"")
+    assert(DialectSql.quoteIdent("c", DialectSql.MsSql) == "[c]")
+  }
+
+  test("dialect bool literals: TRUE/FALSE except MSSQL 1/0") {
+    val c = Condition("b", "=", SBool(true))
+    assert(DialectSql.renderCondition(c, DialectSql.Postgres) == "\"b\" = TRUE")
+    assert(DialectSql.renderCondition(c, DialectSql.MsSql) == "[b] = 1")
+  }
+
+  test("dialect null handling: = → IS NULL, != → IS NOT NULL") {
+    assert(DialectSql.renderCondition(Condition("c", "=", SNull),
+      DialectSql.Postgres) == "\"c\" IS NULL")
+    assert(DialectSql.renderCondition(Condition("c", "!=", SNull),
+      DialectSql.MySql) == "`c` IS NOT NULL")
+  }
+
+  test("dialect string escaping doubles quotes") {
+    assert(DialectSql.renderCondition(Condition("s", "=", SStr("o'brien")),
+      DialectSql.Postgres) == "\"s\" = 'o''brien'")
+  }
+
+  test("dialect timestamps: Oracle TO_TIMESTAMP / DB2 TIMESTAMP()") {
+    val c = Condition("t", ">=", STimestamp("2022-07-01T15:30:00Z"))
+    assert(DialectSql.renderCondition(c, DialectSql.Oracle) ==
+      "\"t\" >= TO_TIMESTAMP('2022-07-01 15:30:00.000', 'YYYY-MM-DD HH24:MI:SS.FF')")
+    assert(DialectSql.renderCondition(c, DialectSql.Db2) ==
+      "\"t\" >= TIMESTAMP('2022-07-01 15:30:00.000000')")
+    // non-timestamp dialects keep the raw string
+    assert(DialectSql.renderCondition(c, DialectSql.MySql) ==
+      "`t` >= '2022-07-01T15:30:00Z'")
+  }
+
+  test("scan predicate composition: chunk AND threshold AND filter") {
+    val chunk = DialectSql.renderChunk(Chunk(Some(0L), Some(100L)), "id",
+      DialectSql.Postgres)
+    val thr = DialectSql.renderThreshold("cur", SInt(50), DialectSql.Postgres)
+    val filt = DialectSql.renderFilter(
+      Filter("or", Seq(Condition("a", ">", SInt(1)), Condition("b", "=", SStr("x")))),
+      DialectSql.Postgres)
+    assert(DialectSql.renderScanPredicate(Some(chunk), Some(thr), Some(filt)) ==
+      "(\"id\" >= 0 AND \"id\" < 100) AND ((\"cur\" IS NULL OR \"cur\" <= 50))" +
+      " AND (\"a\" > 1 OR \"b\" = 'x')")
+  }
+
+  // ---- Inference (datatype.go:16-93, reformat.go:24-39) ----
+
+  test("typeOfValue primitives") {
+    assert(Inference.typeOfValue(null) == Null)
+    assert(Inference.typeOfValue(true) == Bool)
+    assert(Inference.typeOfValue(1) == Int32)
+    assert(Inference.typeOfValue(1L) == Int64)
+    assert(Inference.typeOfValue(1.0f) == Float32)
+    assert(Inference.typeOfValue(1.0) == Float64)
+    assert(Inference.typeOfValue("plain text") == Str)
+    assert(Inference.typeOfValue(Seq(1, 2)) == Arr)
+    assert(Inference.typeOfValue(Map("a" -> 1)) == Obj)
+  }
+
+  test("timestamp sniffing covers the reference format list") {
+    val hits = Seq(
+      "2024-01-02",
+      "2024-01-02 03:04:05",
+      "2024-01-02 03:04:05 -07:00",
+      "2024-01-02 03:04:05-07:00",
+      "2024-01-02-03.04.05.000000",      // DB2
+      "2024-01-02T03:04:05",
+      "2024-01-02T03:04:05.000000",
+      "2024-01-02T03:04:05.999999999Z",
+      "2024-01-02T03:04:05+0000",
+      "2020-08-17T05:50:22.895Z",
+      "2024-01-02 03:04:05.999999+00")
+    hits.foreach(s => assert(Inference.sniffTimestamp(s).isDefined, s))
+    val misses = Seq("hello", "12345", "2024-13-99", "a2024-01-02", "")
+    misses.foreach(s => assert(Inference.sniffTimestamp(s).isEmpty, s))
+  }
+
+  test("timestamp precision detection (datatype.go:193-206)") {
+    assert(Inference.typeOfValue("2024-01-02T03:04:05") == TsSeconds)
+    assert(Inference.typeOfValue("2024-01-02T03:04:05.123") == TsMillis)
+    assert(Inference.typeOfValue("2024-01-02T03:04:05.123456") == TsMicros)
+    assert(Inference.typeOfValue("2024-01-02T03:04:05.123456789") == TsNanos)
+  }
+
+  test("inferColumn folds through the lattice") {
+    assert(Inference.inferColumn(Seq(1, 2L)) == Int64)
+    assert(Inference.inferColumn(Seq(1, 1.5)) == Float64)
+    assert(Inference.inferColumn(Seq(1, "x")) == Str)
+    assert(Inference.inferColumn(Seq(null, true)) == Bool)
+  }
+
+  test("coerce (ReformatValue parity)") {
+    assert(Inference.coerce(Int64, "42") == 42L)
+    assert(Inference.coerce(Str, 42) == "42")
+    assert(Inference.coerce(Bool, "true") == true)
+    assert(Inference.coerce(Float64, "1.5") == 1.5)
+    assert(Inference.coerce(Arr, 1) == Seq(1)) // scalar wraps into array
+    assert(Inference.coerce(Str, null) == null)
+  }
+
+  // ---- PartitionTransforms: Iceberg spec Appendix B pins ----
+
+  test("iceberg bucket hash pins (spec Appendix B)") {
+    assert(PartitionTransforms.hashLong(34L) == 2017239379)
+    assert(PartitionTransforms.hashString("iceberg") == 1210000089)
+  }
+
+  test("bucket and parseRegex") {
+    assert(PartitionTransforms.bucketLong(34L, 16) == 2017239379 % 16)
+    val fields = PartitionTransforms.parseRegex("/{col_a,identity}/{now(),day}/{k,bucket[8]}")
+    assert(fields.map(_.column) == Seq("col_a", "_olake_timestamp", "k"))
+    assert(fields.map(_.transform) == Seq("identity", "day", "bucket[8]"))
+    assert(fields(2).outputName == "k_bucket")
+    assert(PartitionTransforms.PartitionField("t", "year").outputName == "t_year")
+  }
+
+  // ---- CdcWindow state machine (cdc.go:117-179) ----
+
+  test("op mapping honours the dedup window") {
+    assert(CdcWindow.mapKind("delete", true) == "d")
+    assert(CdcWindow.mapKind("update", true) == "u")
+    assert(CdcWindow.mapKind("insert", true) == "i")
+    assert(CdcWindow.mapKind("insert", false) == "c")
+  }
+
+  test("dedup window opens per stream and closes on commit") {
+    val s0 = CdcWindow.DedupState.initial
+    assert(s0.isOpen("s1") && s0.isOpen("s2"))
+    val s1 = s0.commitPass("s1")
+    assert(!s1.isOpen("s1") && s1.isOpen("s2"))
+    val restored = CdcWindow.DedupState.restore(Map("s1" -> false))
+    assert(!restored.isOpen("s1") && restored.isOpen("other"))
+  }
+
+  // ---- ChunkPlanner arithmetic ----
+
+  test("stride chunks cover [min,max] half-open with unbounded tail") {
+    val cs = ChunkPlanner.strideChunks(0, 25, 10)
+    assert(cs == Seq(Chunk(Some(0), Some(10)), Chunk(Some(10), Some(20)),
+      Chunk(Some(20), None)))
+    assert(Chunk(Some(0), Some(10)).toSqlPredicate("c") == "c >= 0 AND c < 10")
+    assert(Chunk(None, Some(10)).toSqlPredicate("c") == "c < 10 OR c IS NULL")
+  }
+
+  test("even chunks split into at most n ranges") {
+    val cs = ChunkPlanner.evenChunks(0, 99, 4)
+    assert(cs.size == 4 && cs.head.min.contains(0L) && cs.last.max.isEmpty)
+  }
+
+  // ---- StateStore roundtrip ----
+
+  test("state roundtrip with cursors, chunks, offsets, dedup flag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val st = StateStore.State(
+      streams = Map("orders" -> StateStore.StreamState(
+        cursor = Map("o_orderdate" -> "1998-08-02T00:00:00Z"),
+        remainingChunks = Seq(StateStore.ChunkState(Some(10L), Some(20L)),
+          StateStore.ChunkState(Some(20L), None)),
+        offsets = Map("0" -> 42L),
+        dedupInserts = true)),
+      cdcPosition = Some("0/16B3748"))
+    StateStore.save(s"$dir/state.json", st)
+    val back = StateStore.load(s"$dir/state.json").get
+    assert(back == st)
+    val committed = StateStore.commitChunk(back.streams("orders"),
+      StateStore.ChunkState(Some(10L), Some(20L)))
+    assert(committed.remainingChunks == Seq(StateStore.ChunkState(Some(20L), None)))
+    assert(!StateStore.closeDedupWindow(committed).dedupInserts)
+    assert(StateStore.load(s"$dir/nope.json").isEmpty)
+  }
+
+  test("cursor formatting is ISO-8601 (incremental.go:195-208)") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05Z"))
+    assert(StateStore.formatCursor(ts) == "2024-01-02T03:04:05Z")
+    assert(StateStore.formatCursor(42L) == "42")
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.operators.{Evolve, Merge, SystemColumns}
+import graft.sources.KafkaDecode
+
+/** Operator specs that need a SparkSession — one shared local session. */
+class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sf(name: String): DataFrame =
+    Tables.load(spark, "/root/testdata/sf0.001", name)
+
+  // ---- _olake_id byte parity with reference GetKeysHash ----
+
+  test("_olake_id composite key: md5 with trailing pipe (utils.go:278-284)") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("a", "b")
+    val id = SystemColumns.attach(df, Seq("a", "b"), SystemColumns.OpRead)
+      .select(SystemColumns.OlakeId).head.getString(0)
+    // pinned: md5("1|x|") — the reference appends '|' after EVERY value
+    assert(id == "6826d722d895aa416b12c49a98fc3fff")
+  }
+
+  test("_olake_id single PK is the raw value; no-PK hashes all columns") {
+    import spark.implicits._
+    val df = Seq((7, "x")).toDF("a", "b")
+    val single = SystemColumns.attach(df, Seq("a"), "r")
+      .select(SystemColumns.OlakeId).head.getString(0)
+    assert(single == "7")
+    val noPk = SystemColumns.attach(df, Nil, "r")
+      .select(SystemColumns.OlakeId).head.getString(0)
+    // reference GetHash = GetKeysHash over ALL columns: md5("7|x|"),
+    // cross-checked against an independent JVM digest
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("7|x|".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(noPk == expected)
+  }
+
+  // ---- Merge: dedup-keep-latest + apply-changes ----
+
+  test("dedupKeepLatest: latest timestamp wins, priority breaks ties") {
+    import spark.implicits._
+    val changes = Seq(
+      // key k1: u@t2 beats c@t1
+      ("k1", "c", "2024-01-01 00:00:01", 1),
+      ("k1", "u", "2024-01-01 00:00:02", 2),
+      // key k2: same ts — d (priority 4) beats u (priority 3)
+      ("k2", "u", "2024-01-01 00:00:05", 3),
+      ("k2", "d", "2024-01-01 00:00:05", 4)
+    ).toDF(SystemColumns.OlakeId, SystemColumns.OpType, "ts_s", "payload")
+      .withColumn(SystemColumns.CdcTimestamp, to_timestamp(col("ts_s")))
+    val out = Merge.dedupKeepLatest(changes)
+      .select(SystemColumns.OlakeId, SystemColumns.OpType)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "u", "k2" -> "d"))
+  }
+
+  test("applyChanges: delete removes, update replaces, insert adds") {
+    import spark.implicits._
+    val base = Seq(("1", "one"), ("2", "two"), ("3", "three"))
+      .toDF(SystemColumns.OlakeId, "v")
+    val changes = Seq(
+      ("2", "TWO", "u"), ("3", "x", "d"), ("4", "four", "c"))
+      .toDF(SystemColumns.OlakeId, "v", SystemColumns.OpType)
+      .withColumn(SystemColumns.CdcTimestamp,
+        to_timestamp(lit("2024-01-01 00:00:00")))
+    val out = Merge.applyChanges(base, changes)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("1" -> "one", "2" -> "TWO", "4" -> "four"))
+  }
+
+  // ---- Evolve ----
+
+  test("evolveAll widens int→long and adds new columns") {
+    import spark.implicits._
+    val b1 = Seq((1, "a")).toDF("id", "name")
+    val b2 = Seq((2L, 1.5)).toDF("id", "score")
+    val out = Evolve.evolveAll(Seq(b1, b2))
+    assert(out.schema("id").dataType.typeName == "long")
+    assert(out.columns.toSeq == Seq("id", "name", "score"))
+    assert(out.count() == 2)
+  }
+
+  // ---- MinHash LSH recall on planted exact duplicates ----
+
+  test("minhash LSH finds planted near-identical duplicates") {
+    val docs = sf("documents").where(col("doc_id") < 60)
+      .select("doc_id", "text")
+    val planted = docs.union(
+      docs.withColumn("doc_id", col("doc_id") + 10000))
+    val pairs = Dedup.minhashPairs(planted, "text", "doc_id",
+        estThreshold = 0.9)
+      .where(col("id_b") === col("id_a") + 10000)
+      .count()
+    // every doc has an exact copy planted at id+10000: identical shingle
+    // sets ⇒ identical signatures ⇒ identical band keys. 100% recall.
+    assert(pairs == 60L, s"found $pairs of 60 planted duplicates")
+  }
+
+  test("simhash of identical texts is identical; distance detects dupes") {
+    val docs = sf("documents").where(col("doc_id") < 40)
+      .select("doc_id", "text")
+    val planted = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000))
+    val found = Dedup.simhashPairs(planted, "text", "doc_id", maxHamming = 0)
+      .where(col("id_b") === col("id_a") + 10000).count()
+    assert(found == 40L)
+  }
+
+  // ---- ANN: LSH recall vs brute force ----
+
+  test("lshTopK recalls a usable fraction of brute-force neighbours") {
+    import spark.implicits._
+    val emb = sf("embeddings")
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 planes / 16 buckets over 500 vectors — same-bucket neighbours only.
+    // Random-projection LSH at this density should keep a meaningful
+    // fraction; exact threshold is data-dependent, we pin a floor.
+    assert(recall >= 0.2, s"recall $recall")
+    // approx results are always a subset of each query's bucket — sanity:
+    assert(approx.nonEmpty)
+  }
+
+  // ---- Kafka Avro decode (S16) with avro core ----
+
+  test("avro confluent-style decode roundtrip") {
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":["null","string"]}
+        |]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    def enc(id: Long, name: String): Array[Byte] = {
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", id)
+      rec.put("name", name)
+      val out = new java.io.ByteArrayOutputStream()
+      val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[Any](schema).write(rec, e)
+      e.flush(); out.toByteArray
+    }
+    val df = Seq(enc(1L, "a"), enc(2L, "b")).toDF("payload")
+    val decoded = KafkaDecode.decodeAvroAsJson(spark, df, "payload", schemaJson)
+      .collect().map(_.getString(0)).sorted
+    assert(decoded.length == 2)
+    assert(decoded(0).contains("\"id\": 1") && decoded(0).contains("a"))
+  }
+
+  // ---- Multimodal plumbing ----
+
+  test("multimodal decode stub: deterministic features, stable schema") {
+    val media = Multimodal.asMedia(sf("documents").limit(50), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(spark, media, featureDim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(r => r.checksum.length == 32 && r.n_bytes > 0))
+    // determinism: same input → same features
+    val again = Multimodal.decodeFeatures(spark, media, featureDim = 8)
+      .collect().map(r => r.doc_id -> r.feature.toSeq).toMap
+    assert(rows.forall(r => again(r.doc_id) == r.feature.toSeq))
+  }
+
+  test("frame sampling shape: stride-4 over 64-byte frames") {
+    val media = Multimodal.asMedia(sf("documents").limit(10), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media)
+    val counts = frames.groupBy("doc_id").count().collect()
+    assert(counts.forall(_.getLong(1) >= 1))
+  }
+}
