@@ -34,13 +34,21 @@ object Dedup {
       .where(col("_rn") === 1).drop("_rn")
   }
 
-  /** Word n-gram shingles as an array column (per-row, no shuffle). */
+  /** Word n-gram shingles as an array column (per-row, no shuffle).
+    *
+    * Built by zipping n shifted slices of the token array rather than
+    * indexing `toks` inside a per-position lambda: a higher-order
+    * function re-evaluates every non-lambda expression it references on
+    * EACH element, so `element_at(toks, i+j)` re-ran the whole
+    * lower/regex/split pipeline 3× per shingle position. Slices keep
+    * `toks` in evaluated-once-per-row argument positions.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val m = size(toks) - n + 1
+    val zipped = (2 to n).foldLeft(slice(toks, lit(1), m))((acc, j) =>
+      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(zipped)
   }
 
   /** Exact pairwise Jaccard over distinct tokens via an inverted index:
@@ -67,34 +75,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: k permutations approximated by xxhash64 with k
-    * seeds; sig[j] = min over shingles of h_j(s). Pure per-row array
-    * math — distributes with zero shuffle.
+  /** MinHash signature + LSH band keys in ONE per-row expression.
+    *
+    * sig[j] = min over shingles of h_j(s), with h_j(s) =
+    * xxhash64(j, xxhash64(s)): each shingle STRING is hashed once, the
+    * k permutations are cheap fixed-width re-hashes of that base hash.
+    * Band b's key is a hash of sig[b·r .. b·r+r).
+    *
+    * Structured so every expensive sub-expression sits in an
+    * evaluated-once position: the shingle array is the `aggregate`
+    * input (one eval/row), the k-way fold runs as one pass over the
+    * base hashes, and the band keys are derived in the aggregate's
+    * `finish` lambda where `sig` is an already-computed bound variable.
+    * The naive form (k × array_min(transform(shingles, ...))) re-ran
+    * the tokenize/shingle pipeline k times per row — 50× slower.
     */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(j), s)))): _*)
-
-  /** LSH band keys: signature split into `bands` bands of `k/bands` rows
-    * each; a band's key is a hash of its slice. Docs sharing ANY band key
-    * become candidates.
-    */
-  def bandKeys(sigCol: Column, k: Int, bands: Int): Column = {
+  def sigWithBands(shinglesCol: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
-    array((0 until bands).map(b =>
-      xxhash64(lit(b), to_json(slice(sigCol, b * rows + 1, rows)))): _*)
+    aggregate(
+      transform(shinglesCol, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), j => xxhash64(j, h)),
+        (x, y) => least(x, y)),
+      sig => struct(sig.as("sig"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, to_json(slice(sig, b * rows + 1, lit(rows)))))
+          .as("bands")))
   }
+
+  /** MinHash signature alone (see sigWithBands for the layout). */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    sigWithBands(shinglesCol, k, 1).getField("sig")
 
   /** MinHash/LSH near-dup candidate pairs with their estimated Jaccard
     * (fraction of matching signature positions). Join is keyed on band
-    * values — never a cartesian.
+    * values — never a cartesian. The banded signature frame is
+    * persisted so the self-join materializes it once instead of
+    * re-hashing every document on both sides; at cluster scale it is
+    * ~600 B/doc, far smaller than the corpus.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                    estThreshold: Double = 0.5): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
-      .withColumn("band", explode(bandKeys(col("sig"), k, bands)))
+    val sb = df.select(col(idCol).as("id"),
+      sigWithBands(shingles(col(textCol), shingleN), k, bands).as("sb"))
+    val sigs = sb
+      .select(col("id"), col("sb.sig").as("sig"),
+        explode(col("sb.bands")).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -110,12 +139,21 @@ object Dedup {
     */
   def simhash64(text: Column): Column = {
     val hashes = transform(array_distinct(tokens(text)), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // Single pass over the token hashes with a 64-counter array state
+    // (the naive 64 × aggregate(hashes, ...) re-tokenized the text 64×
+    // per row); the fingerprint is assembled in the `finish` lambda
+    // where `votes` is an already-computed bound variable.
+    aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), i =>
+          when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (a, b) => a + b),
+      votes => aggregate(
+        zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
+          when(v > 0, call_function("shiftleft", lit(1L), i))
+            .otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)))
   }
 
   /** SimHash near-dup pairs: block on 4 × 16-bit bands (any pair within

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.Dedup
+
+/** Dev-only scratch profiler (not part of the library surface). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val d = Tables.load(spark, dir, "documents").where(col("doc_id") < 200)
+    d.cache().count()
+    time("tokens+shingles") {
+      d.select(size(Dedup.shingles(col("text"), 3)).as("n")).agg(sum("n")).collect()
+    }
+    val sb = d.select(col("doc_id").as("id"),
+      Dedup.sigWithBands(Dedup.shingles(col("text"), 3), 64, 16).as("sb"))
+    time("signatures") { sb.agg(sum(size(col("sb.sig")))).collect() }
+    val banded = sb.select(col("id"), col("sb.sig").as("sig"),
+      explode(col("sb.bands")).as("band"))
+    time("banded") { banded.count() }
+    val a = banded.as("a"); val b = banded.as("b")
+    val joined = a.join(b,
+      col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    time("join-count") { joined.count() }
+    time("full minhashPairs") {
+      Dedup.minhashPairs(d, "text", "doc_id", estThreshold = 0.5).count()
+    }
+    spark.stop()
+  }
+}
