@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.cdc.{ChangeLogFixture, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Incremental, Merge, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
@@ -218,6 +219,53 @@ object SparkEntry {
       val pass2 = ev.select(col("event_id"), lit(2).as("pass"),
         CdcWindow.opType(kind, dedupInserts = false).as(SystemColumns.OpType))
       pass1.unionByName(pass2)
+    }),
+
+    // ---- C1 pgoutput binary decoder: encode events → wire → decode;
+    //      decode ∘ encode = identity, oracled on the original table ----
+    "q_cdc_pgoutput" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val decoded = PgOutput.decode(
+        ChangeLogFixture.pgoutputLog(ev), "lsn", "msg")
+      decoded.select(
+        col("kind"), col("lsn"),
+        timestamp_micros(col("commit_ts_micros")).as("commit_ts"),
+        element_at(col("values"), 1).cast("long").as("event_id"),
+        element_at(col("values"), 2).cast("long").as("user_id"),
+        element_at(col("values"), 3).as("event_type"),
+        element_at(col("values"), 4).cast("double").as("value"))
+    }),
+
+    // ---- C2 wal2json decoder (pure from_json plan) ----
+    "q_cdc_wal2json" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      Wal2Json.decode(ChangeLogFixture.wal2jsonLog(ev), "payload")
+        .select(col("kind"), col("next_lsn_long"), col("_cdc_timestamp"),
+          col("data").getItem("event_id").cast("long").as("event_id"),
+          col("data").getItem("user_id").cast("long").as("user_id"),
+          col("data").getItem("value").cast("double").as("value"))
+    }),
+
+    // ---- C6 MSSQL CDC-table polling (LSN range, skip update-before) ----
+    "q_cdc_mssql" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val from = "%020x".format(100L)   // exclusive
+      val to   = "%020x".format(1500L)  // inclusive
+      PollingCdc.msSqlChanges(ChangeLogFixture.msSqlCdcTable(ev)
+          .withColumn("__$start_lsn", lower(col("__$start_lsn"))),
+        from, to)
+        .select("kind", "cdc_start_lsn", "event_id", "user_id", "value")
+    }),
+
+    // ---- C5 Mongo change-stream decode + resume-token replay ----
+    "q_cdc_mongo" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      PollingCdc.mongoChanges(
+          ChangeLogFixture.mongoChangeLog(ev), "doc",
+          afterToken = Some("%016x".format(50L).toUpperCase))
+        .select(col("kind"), col("_cdc_timestamp"),
+          get_json_object(col("data"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("data"), "$.value").cast("double").as("value"))
     }),
 
     // ---- §1.2 schema inference over a JSON column (S16 decode path) ----
@@ -479,6 +527,37 @@ object SparkEntry {
         |SELECT event_id, 2 AS pass,
         |  CASE WHEN event_type='error' THEN 'd' WHEN event_type='purchase' THEN 'u' ELSE 'c' END AS _op_type
         |FROM events WHERE event_id < 1000""".stripMargin,
+
+    "q_cdc_pgoutput" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  event_id AS lsn, CAST(ts AS TIMESTAMP) AS commit_ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_cdc_wal2json" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  event_id AS next_lsn_long, CAST(ts AS TIMESTAMP) AS _cdc_timestamp,
+        |  event_id,
+        |  CASE WHEN event_type='error' THEN NULL ELSE user_id END AS user_id,
+        |  CASE WHEN event_type='error' THEN NULL ELSE value END AS value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_cdc_mssql" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  lpad(lower(to_hex(event_id)), 20, '0') AS cdc_start_lsn,
+        |  event_id, user_id, value
+        |FROM events WHERE event_id > 100 AND event_id <= 1500""".stripMargin,
+
+    "q_cdc_mongo" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS _cdc_timestamp,
+        |  event_id,
+        |  CASE WHEN event_type='error' THEN NULL ELSE value END AS value
+        |FROM events WHERE event_id < 2000 AND event_id > 50""".stripMargin,
 
     "q_infer_schema" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k

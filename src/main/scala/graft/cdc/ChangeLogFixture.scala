@@ -1,0 +1,113 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Builders that re-express the `events` fixture as each CDC wire
+  * format. The correctness story for wire decoders without live
+  * databases: encode a known table into the wire format, decode with
+  * the production decoder, and oracle the result against a plain
+  * DuckDB SELECT over the original table — decode ∘ encode = identity.
+  *
+  * Kind mapping used throughout (arbitrary but fixed):
+  * error → delete, purchase → update, anything else → insert.
+  */
+object ChangeLogFixture {
+
+  val logSchema: StructType = StructType(Seq(
+    StructField("lsn", LongType), StructField("msg", BinaryType)))
+
+  /** events → pgoutput binary log: per partition a Relation message
+    * first (decoder contract: partitions are contiguous stream slices),
+    * then Begin/(Insert|Update|Delete)/Commit per row, lsn = event_id. */
+  def pgoutputLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    val relCols = Seq(
+      PgOutput.RelColumn(1, "event_id", 20, -1),
+      PgOutput.RelColumn(0, "user_id", 20, -1),
+      PgOutput.RelColumn(0, "event_type", 25, -1),
+      PgOutput.RelColumn(0, "value", 701, -1))
+    val rel = PgOutput.Relation(1, "public", "events", 'f', relCols)
+    src.mapPartitions { it =>
+      val relMsg = Iterator.single(Row(0L, PgOutput.encodeRelation(rel)))
+      val body = it.flatMap { r =>
+        val lsn = r.getLong(0)
+        val vals = Seq(r.getLong(0).toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString)
+        val ts = r.getLong(4)
+        val data = r.getString(2) match {
+          case "error"    => PgOutput.encodeDelete(1, vals)
+          case "purchase" => PgOutput.encodeUpdate(1, Some(vals), vals)
+          case _          => PgOutput.encodeInsert(1, vals)
+        }
+        Iterator(Row(lsn, PgOutput.encodeBegin(ts, lsn.toInt)),
+          Row(lsn, data), Row(lsn, PgOutput.encodeCommit(ts)))
+      }
+      relMsg ++ body
+    }(Encoders.row(logSchema))
+  }
+
+  /** events → wal2json v1 documents (one transaction per row). Deletes
+    * carry only `oldkeys`, like the plugin emits. */
+  def wal2jsonLog(events: DataFrame): DataFrame = {
+    val names = """["event_id","user_id","event_type","value"]"""
+    val types = """["bigint","bigint","text","double precision"]"""
+    val vals = format_string("""[%d,%d,"%s",%s]""",
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val insertOrUpdate = format_string(
+      s"""{"kind":"%s","schema":"public","table":"events","columnnames":$names,"columntypes":$types,"columnvalues":%s}""",
+      when(col("event_type") === "purchase", "update").otherwise("insert"), vals)
+    val delete = format_string(
+      s"""{"kind":"delete","schema":"public","table":"events","oldkeys":{"keynames":["event_id"],"keytypes":["bigint"],"keyvalues":[%d]}}""",
+      col("event_id"))
+    val change = when(col("event_type") === "error", delete)
+      .otherwise(insertOrUpdate)
+    events.select(format_string(
+      """{"change":[%s],"nextlsn":"0/%s","timestamp":"%s"}""",
+      change, upper(conv(col("event_id"), 10, 16)),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("payload"))
+  }
+
+  /** events → a cdc.fn_cdc_get_all_changes-shaped frame: op codes
+    * 1=delete, 2=insert, 4=update-after, plus a 3=update-before row per
+    * update that the decoder must skip. LSNs are fixed-width hex so
+    * string order == numeric order, like SQL Server binary LSNs. */
+  def msSqlCdcTable(events: DataFrame): DataFrame = {
+    val lsnHex = lpad(conv(col("event_id"), 10, 16), 20, "0")
+    val base = events.select(
+      lsnHex.as("__$start_lsn"),
+      lit("00000001").as("__$seqval"),
+      when(col("event_type") === "error", 1)
+        .when(col("event_type") === "purchase", 4).otherwise(2)
+        .as("__$operation"),
+      lit("mask").as("__$update_mask"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val beforeImages = events.where(col("event_type") === "purchase").select(
+      lsnHex.as("__$start_lsn"), lit("00000000").as("__$seqval"),
+      lit(3).as("__$operation"), lit("mask").as("__$update_mask"),
+      col("event_id"), col("user_id"), col("event_type"),
+      (col("value") * -1).as("value"))
+    base.unionByName(beforeImages)
+  }
+
+  /** events → MongoDB change-stream documents (JSON text). Resume token
+    * = fixed-width hex of event_id; deletes omit fullDocument (decoder
+    * falls back to documentKey). */
+  def mongoChangeLog(events: DataFrame): DataFrame = {
+    val token = lpad(conv(col("event_id"), 10, 16), 16, "0")
+    val fullDoc = format_string(
+      """{"event_id":%d,"user_id":%d,"event_type":"%s","value":%s}""",
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val docKey = format_string("""{"event_id":%d}""", col("event_id"))
+    val op = when(col("event_type") === "error", "delete")
+      .when(col("event_type") === "purchase", "replace").otherwise("insert")
+    events.select(format_string(
+      """{"_id":{"_data":"%s"},"operationType":"%s",%s"documentKey":%s,"clusterTime":{"t":%d,"i":0},"wallTime":%d}""",
+      token, op,
+      when(col("event_type") === "error", "")
+        .otherwise(format_string(""""fullDocument":%s,""", fullDoc)),
+      docKey, unix_seconds(col("ts")), unix_millis(col("ts"))).as("doc"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Polling-style CDC decoders: MSSQL CDC tables and MongoDB change
+  * streams. Both are "the log is already a table/JSON feed" sources, so
+  * — unlike pgoutput — their decoders are pure declarative plans.
+  */
+object PollingCdc {
+
+  // ---- MSSQL cdc.fn_cdc_get_all_changes_<instance> semantics ----------
+  // Reference: /root/reference/drivers/mssql/internal/cdc.go:340-458 —
+  // poll rows between (fromLSN, toLSN], ordered by (__$start_lsn,
+  // __$seqval); op codes 1=delete, 2=insert, 3=update-before (skipped),
+  // 4=update-after; metadata columns dropped from the payload.
+
+  val MsSqlMetaCols: Seq[String] =
+    Seq("__$operation", "__$start_lsn", "__$seqval", "__$update_mask")
+
+  def msSqlKind(op: Column): Column =
+    when(op === 1, "delete").when(op === 2, "insert").otherwise("update")
+
+  /** Normalize a CDC-table frame into ordered change records.
+    * `fromLsnHex` is exclusive, `toLsnHex` inclusive — the reference
+    * advances the lower bound by one LSN before querying (cdc.go:343).
+    * Hex-string LSN comparison is order-preserving (fixed width).
+    */
+  def msSqlChanges(cdcTable: DataFrame, fromLsnHex: String, toLsnHex: String)
+      : DataFrame = {
+    val dataCols = cdcTable.columns.filterNot(MsSqlMetaCols.contains)
+    cdcTable
+      .where(col("__$start_lsn") > lit(fromLsnHex) &&
+             col("__$start_lsn") <= lit(toLsnHex) &&
+             col("__$operation") =!= 3)
+      .select(
+        (Seq(
+          msSqlKind(col("__$operation")).as("kind"),
+          col("__$start_lsn").as("cdc_start_lsn"),
+          col("__$seqval").as("cdc_seqval")) ++
+          dataCols.map(col)): _*)
+      .orderBy("cdc_start_lsn", "cdc_seqval")
+  }
+
+  // ---- MongoDB change streams ------------------------------------------
+  // Reference: /root/reference/drivers/mongodb/internal/cdc.go:166-215,
+  // 313-320 — watch docs {_id: {_data}, operationType, fullDocument,
+  // fullDocumentBeforeChange, documentKey, clusterTime, wallTime};
+  // "replace" is treated as update (same _id, new document); deletes
+  // fall back to fullDocumentBeforeChange, else documentKey; updates
+  // missing fullDocument fall back to the before-image. Timestamp:
+  // wallTime (ms) when present, else clusterTime seconds.
+
+  /** Change-stream document schema; document payloads stay as raw JSON
+    * strings (schemaless source — typing happens via types/Inference). */
+  val mongoSchema: StructType = StructType(Seq(
+    StructField("_id", StructType(Seq(StructField("_data", StringType)))),
+    StructField("operationType", StringType),
+    StructField("fullDocument", StringType),
+    StructField("fullDocumentBeforeChange", StringType),
+    StructField("documentKey", StringType),
+    StructField("clusterTime", StructType(Seq(
+      StructField("t", LongType), StructField("i", LongType)))),
+    StructField("wallTime", LongType)))
+
+  /** Decode raw change-stream JSON docs into normalized change records:
+    * (resume_token, kind, data JSON, _cdc_timestamp). Pass
+    * `afterToken` to resume — strictly-greater filter, matching the
+    * reference's resume-token checkpoint replay.
+    */
+  def mongoChanges(df: DataFrame, jsonCol: String,
+                   afterToken: Option[String] = None): DataFrame = {
+    val parsed = df.select(from_json(col(jsonCol), mongoSchema).as("c"))
+      .where(col("c.operationType")
+        .isin("insert", "update", "replace", "delete"))
+    val resumed = afterToken match {
+      case Some(t) => parsed.where(col("c._id._data") > lit(t))
+      case None    => parsed
+    }
+    resumed.select(
+      col("c._id._data").as("resume_token"),
+      when(col("c.operationType") === "replace", "update")
+        .otherwise(col("c.operationType")).as("kind"),
+      when(col("c.operationType") === "delete",
+          coalesce(col("c.fullDocumentBeforeChange"), col("c.documentKey")))
+        .when(col("c.operationType") === "update",
+          coalesce(col("c.fullDocument"), col("c.fullDocumentBeforeChange")))
+        .otherwise(col("c.fullDocument")).as("data"),
+      coalesce(
+        timestamp_millis(col("c.wallTime")),
+        timestamp_seconds(col("c.clusterTime.t"))).as("_cdc_timestamp"))
+  }
+
+  // ---- Replay safety (Postgres slot/recovery protocol, C3) -------------
+  // Reference: /root/reference/drivers/postgres/internal/cdc.go:62-248 —
+  // after a crash the slot replays from confirmed_flush_lsn; changes at
+  // or below the destination-committed LSN were already applied and
+  // must be dropped so the resume is idempotent.
+
+  /** Keep only changes strictly after the committed position. */
+  def replayAfter(changes: DataFrame, lsnCol: String, committedLsn: Long)
+      : DataFrame =
+    changes.where(col(lsnCol) > lit(committedLsn))
+}

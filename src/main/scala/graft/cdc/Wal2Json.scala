@@ -1,0 +1,71 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decoder for PostgreSQL's `wal2json` output plugin (format v1:
+  * one JSON document per transaction with a `change` array).
+  *
+  * Reference behavior: `/root/reference/pkg/waljs/waljs.go:25-120` +
+  * `filter.go:33-100` — parse the JSON, read `nextlsn` to advance the
+  * client LSN, then for each change entry zip `columnnames` /
+  * `columntypes` / `columnvalues` into a record, with `oldkeys`
+  * carrying the key tuple for deletes.
+  *
+  * Spark shape: wal2json is plain JSON, so unlike pgoutput no custom
+  * parser is needed — `from_json` + `inline` + `map_from_arrays` is the
+  * whole decoder, codegen'd end-to-end. Scalar JSON values of any type
+  * coerce to string fields (Jackson token text), matching the
+  * reference's stringly typed record before coercion.
+  */
+object Wal2Json {
+
+  /** wal2json v1 transaction document. All scalar values land as
+    * strings; typing is applied downstream (types/Inference). */
+  val schema: StructType = StructType(Seq(
+    StructField("change", ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("columnnames", ArrayType(StringType)),
+      StructField("columntypes", ArrayType(StringType)),
+      StructField("columnvalues", ArrayType(StringType)),
+      StructField("oldkeys", StructType(Seq(
+        StructField("keynames", ArrayType(StringType)),
+        StructField("keytypes", ArrayType(StringType)),
+        StructField("keyvalues", ArrayType(StringType))))))))),
+    StructField("nextlsn", StringType),
+    StructField("timestamp", StringType)))
+
+  /** Parse an LSN string "X/Y" (hex) to its 64-bit position. */
+  def lsnToLong(lsn: Column): Column =
+    conv(split_part(lsn, lit("/"), lit(1)), 16, 10).cast("long") * lit(4294967296L) +
+      conv(split_part(lsn, lit("/"), lit(2)), 16, 10).cast("long")
+
+  /** Decode a frame of wal2json documents: one output row per change,
+    * with (kind, schema, table, next_lsn, _cdc_timestamp, data map,
+    * old_keys map). Deletes carry their key tuple in both `data`
+    * (from oldkeys, as the reference emits) and `old_keys`.
+    */
+  def decode(df: DataFrame, jsonCol: String): DataFrame = {
+    val parsed = df.select(from_json(col(jsonCol), schema).as("w"))
+    parsed
+      .select(col("w.nextlsn").as("next_lsn"),
+        to_timestamp(col("w.timestamp")).as("_cdc_timestamp"),
+        explode(col("w.change")).as("c"))
+      .select(
+        col("c.kind").as("kind"),
+        col("c.schema").as("schema"),
+        col("c.table").as("table"),
+        col("next_lsn"),
+        lsnToLong(col("next_lsn")).as("next_lsn_long"),
+        col("_cdc_timestamp"),
+        when(col("c.kind") === "delete",
+            map_from_arrays(col("c.oldkeys.keynames"), col("c.oldkeys.keyvalues")))
+          .otherwise(map_from_arrays(col("c.columnnames"), col("c.columnvalues")))
+          .as("data"),
+        map_from_arrays(col("c.oldkeys.keynames"), col("c.oldkeys.keyvalues"))
+          .as("old_keys"))
+  }
+}

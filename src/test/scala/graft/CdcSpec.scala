@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{ChangeLogFixture, PgOutput, PollingCdc, Wal2Json}
+
+/** CDC decoder specs: byte-level pgoutput details the oracle queries
+  * can't reach (TOAST recovery, framing, relation caching) plus the
+  * declarative decoders' corner cases. */
+class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rel = PgOutput.Relation(7, "public", "t", 'f', Seq(
+    PgOutput.RelColumn(1, "id", 20, -1),
+    PgOutput.RelColumn(0, "payload", 25, -1)))
+
+  test("pgoutput: TOAST column recovered from old tuple on update (pgoutput.go:152-159)") {
+    val dec = new PgOutput.StreamDecoder
+    dec.decode(PgOutput.encodeRelation(rel), 0L)
+    dec.decode(PgOutput.encodeBegin(1700000000000000L, 1), 1L)
+    // new tuple sends payload as 'u' (unchanged TOAST); old tuple has it
+    val out = dec.decode(PgOutput.encodeUpdate(7,
+      Some(Seq("1", "big-toasted-value")), Seq("1", "ignored"),
+      toastNew = Set(1)), 2L).toSeq
+    assert(out.size == 1)
+    assert(out.head.kind == "update")
+    assert(out.head.values == Seq("1", "big-toasted-value"))
+    assert(out.head.commitTsMicros == 1700000000000000L)
+  }
+
+  test("pgoutput: TOAST without old tuple (no REPLICA IDENTITY FULL) → null") {
+    val dec = new PgOutput.StreamDecoder
+    dec.decode(PgOutput.encodeRelation(rel), 0L)
+    dec.decode(PgOutput.encodeBegin(0L, 1), 1L)
+    val out = dec.decode(PgOutput.encodeUpdate(7, None, Seq("1", "x"),
+      toastNew = Set(1)), 2L).toSeq
+    assert(out.head.values == Seq("1", null))
+  }
+
+  test("pgoutput: delete carries the key tuple; nulls survive roundtrip") {
+    val dec = new PgOutput.StreamDecoder
+    dec.decode(PgOutput.encodeRelation(rel), 0L)
+    dec.decode(PgOutput.encodeBegin(0L, 1), 1L)
+    val del = dec.decode(PgOutput.encodeDelete(7, Seq("9", null)), 3L).toSeq
+    assert(del.head.kind == "delete" && del.head.lsn == 3L)
+    assert(del.head.values == Seq("9", null))
+    assert(del.head.names == Seq("id", "payload"))
+    assert(del.head.typeOids == Seq(20, 25))
+  }
+
+  test("pgoutput: XLogData unframe extracts walStart; keepalive → None") {
+    val body = PgOutput.encodeBegin(0L, 1)
+    val frame = java.nio.ByteBuffer.allocate(25 + body.length)
+    frame.put('w'.toByte).putLong(0x1A2B3CL).putLong(0L).putLong(0L).put(body)
+    val Some((lsn, unwrapped)) = PgOutput.unframe(frame.array())
+    assert(lsn == 0x1A2B3CL && unwrapped.sameElements(body))
+    val ka = java.nio.ByteBuffer.allocate(18)
+    ka.put('k'.toByte).putLong(99L).putLong(0L).put(0.toByte)
+    assert(PgOutput.unframe(ka.array()).isEmpty)
+  }
+
+  test("wal2json: LSN string parses to 64-bit position") {
+    import spark.implicits._
+    val df = Seq("1/0", "0/10", "A/FF").toDF("lsn")
+      .select(Wal2Json.lsnToLong(col("lsn")).as("v"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(4294967296L, 16L, 10L * 4294967296L + 255L))
+  }
+
+  test("mssql: update-before rows skipped, LSN range honored, order by (lsn, seqval)") {
+    import spark.implicits._
+    val cdc = Seq(
+      ("0002", "01", 2, "m", 1L),   // insert, in range
+      ("0003", "00", 3, "m", 2L),   // update-before: skipped
+      ("0003", "01", 4, "m", 2L),   // update-after
+      ("0001", "01", 2, "m", 3L),   // below range (exclusive from)
+      ("0009", "01", 1, "m", 4L))   // above range
+      .toDF("__$start_lsn", "__$seqval", "__$operation", "__$update_mask", "id")
+    val out = PollingCdc.msSqlChanges(cdc, "0001", "0003").collect()
+    assert(out.map(r => (r.getAs[String]("kind"), r.getAs[Long]("id"))).toSeq ==
+      Seq(("insert", 1L), ("update", 2L)))
+  }
+
+  test("mongo: replace→update, delete falls back to documentKey, resume filter") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"_id":{"_data":"01"},"operationType":"insert","fullDocument":{"a":1},"documentKey":{"a":1},"clusterTime":{"t":100,"i":0},"wallTime":100500}""",
+      """{"_id":{"_data":"02"},"operationType":"replace","fullDocument":{"a":2},"documentKey":{"a":2},"clusterTime":{"t":100,"i":0}}""",
+      """{"_id":{"_data":"03"},"operationType":"delete","documentKey":{"a":3},"clusterTime":{"t":100,"i":0}}""",
+      """{"_id":{"_data":"04"},"operationType":"drop","clusterTime":{"t":100,"i":0}}"""
+    ).toDF("doc")
+    val all = PollingCdc.mongoChanges(docs, "doc").orderBy("resume_token").collect()
+    assert(all.map(_.getAs[String]("kind")).toSeq == Seq("insert", "update", "delete"))
+    assert(get(all(2), "data").contains(""""a":3"""))
+    val resumed = PollingCdc.mongoChanges(docs, "doc", afterToken = Some("02"))
+    assert(resumed.count() == 1)
+  }
+
+  private def get(r: org.apache.spark.sql.Row, c: String): String =
+    r.getAs[String](c)
+
+  test("pgoutput end-to-end on events fixture: kinds and row counts") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val decoded = PgOutput.decode(ChangeLogFixture.pgoutputLog(ev), "lsn", "msg")
+    val n = ev.count()
+    assert(decoded.count() == n)
+    val kinds = decoded.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = ev.groupBy(
+      when(col("event_type") === "error", "delete")
+        .when(col("event_type") === "purchase", "update")
+        .otherwise("insert").as("k")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == expected)
+  }
+}
