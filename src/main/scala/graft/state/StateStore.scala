@@ -44,8 +44,16 @@ object StateStore {
   def load(path: String): Option[State] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) None
-    else Some(mapper.readValue(Files.readString(p), classOf[State]))
+    else Some(normalize(mapper.readValue(Files.readString(p), classOf[State])))
   }
+
+  // Jackson + erased Map[String, Long] yields boxed Integers for small
+  // JSON numbers; re-widen so callers can trust the declared Long.
+  private def normalize(st: State): State =
+    st.copy(streams = st.streams.map { case (k, s) =>
+      k -> s.copy(offsets = s.offsets.asInstanceOf[Map[String, Any]]
+        .map { case (n, v) => n -> v.asInstanceOf[Number].longValue() })
+    })
 
   /** Cursor values persist as ISO-8601 / decimal strings
     * (reference `drivers/abstract/incremental.go:195-208`). */

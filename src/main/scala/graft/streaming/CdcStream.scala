@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{CdcWindow, Merge, SystemColumns}
+import graft.state.StateStore
+
+/** Structured-Streaming CDC pipeline: a replayable change log in, an
+  * upserted table + committed position out.
+  *
+  * Reference shape: `drivers/abstract/cdc.go:100-164` consumes an
+  * ordered change stream, stamps system columns (op type via the
+  * per-stream insert-dedup window), pushes to writers, and on commit
+  * persists the CDC position + the closed dedup window in the sink's
+  * 2PC metadata (`types/metadata_state.go:9-16`,
+  * `IcebergTableOperator.java:83`). Replays after a crash re-deliver
+  * changes at or below the committed LSN and must be dropped
+  * (`drivers/postgres/internal/cdc.go:160-202`).
+  *
+  * Spark-first mapping:
+  *  - the change log is a streaming source (file JSON here; Kafka in
+  *    production — same plan);
+  *  - per-key replay dedup is `flatMapGroupsWithState` keyed on
+  *    `_olake_id` with the last-applied LSN as state — Structured
+  *    Streaming's state store persists it in the checkpoint, which is
+  *    the reference's `state.json` made durable for free;
+  *  - apply/merge runs in `foreachBatch` (dedup-keep-latest + MERGE
+  *    semantics from operators.Merge), and the position commit rides
+  *    the same batch via an idempotent batchId check — the 2PC analog.
+  */
+object CdcStream {
+
+  /** Streaming read of a JSON change log directory. `maxFilesPerTrigger`
+    * bounds each micro-batch like the reference's 10k-record writer
+    * buffers (`protocol/root.go:144`). */
+  def readChangeLog(spark: SparkSession, dir: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Per-key replay dedup: drop any change whose LSN is not strictly
+    * greater than the last LSN applied for that key; state = last LSN
+    * per `_olake_id`, persisted in the streaming checkpoint. Within a
+    * batch, changes apply in LSN order. */
+  def dedupReplays(changes: DataFrame, idCol: String, lsnCol: String): DataFrame = {
+    val spark = changes.sparkSession
+    val schema = changes.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val lsnIdx = schema.fieldIndex(lsnCol)
+    import org.apache.spark.sql.Encoders
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val longEnc = Encoders.scalaLong
+    implicit val strEnc = Encoders.STRING
+    changes.groupByKey(r => r.getString(idIdx))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Row], state: GroupState[Long]) => {
+          val last = state.getOption.getOrElse(Long.MinValue)
+          val fresh = rows.filter(_.getLong(lsnIdx) > last).toSeq
+            .sortBy(_.getLong(lsnIdx))
+          if (fresh.nonEmpty) state.update(fresh.last.getLong(lsnIdx))
+          fresh.iterator
+        })
+  }
+
+  /** One micro-batch apply: stamp op types (honoring the insert-dedup
+    * window), dedup-keep-latest within the batch, MERGE into the base
+    * parquet snapshot, then commit position + close the window — all
+    * keyed on batchId so replayed batches are no-ops. */
+  def applyBatch(batch: DataFrame, batchId: Long, tablePath: String,
+                 statePath: String, stream: String): Unit = {
+    val spark = batch.sparkSession
+    val st = StateStore.load(statePath).getOrElse(StateStore.State())
+    val ss = st.streams.getOrElse(stream, StateStore.StreamState())
+    val lastBatch = ss.offsets.getOrElse("batchId", Long.MinValue)
+    if (batchId <= lastBatch) return // replayed batch: already applied
+
+    val stamped = batch
+      .withColumn(SystemColumns.OpType,
+        CdcWindow.opType(col("kind"), dedupInserts = ss.dedupInserts))
+      .drop("kind")
+    val deduped = Merge.dedupKeepLatest(stamped).cache()
+    val maxLsn = deduped.agg(max(col("lsn"))).head.get(0)
+
+    val base =
+      if (new java.io.File(tablePath).exists)
+        spark.read.parquet(tablePath)
+      else spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        deduped.drop(SystemColumns.OpType, SystemColumns.CdcTimestamp).schema)
+    // write-new-then-swap: the base snapshot being replaced is also this
+    // batch's input, so the next snapshot lands beside it first (the
+    // parquet-sink analog of Iceberg's atomic snapshot commit)
+    val tmp = tablePath + ".next"
+    Merge.applyChanges(base, deduped).write.mode("overwrite").parquet(tmp)
+    deduped.unpersist()
+    deleteRecursive(new java.io.File(tablePath))
+    new java.io.File(tmp).renameTo(new java.io.File(tablePath))
+
+    StateStore.save(statePath, st.copy(streams = st.streams.updated(stream,
+      StateStore.closeDedupWindow(ss.copy(
+        offsets = ss.offsets + ("batchId" -> batchId) ++
+          Option(maxLsn).map(l => "lsn" -> l.toString.toLong))))))
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete(); ()
+  }
+
+  /** Wire the full pipeline: change log dir → replay dedup → per-batch
+    * MERGE into `tablePath` with position commits in `statePath`. */
+  def run(spark: SparkSession, changeDir: String, schema: StructType,
+          tablePath: String, statePath: String, checkpoint: String,
+          stream: String = "events"): StreamingQuery = {
+    val changes = dedupReplays(
+      readChangeLog(spark, changeDir, schema), SystemColumns.OlakeId, "lsn")
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: Dataset[Row], id: Long) =>
+        applyBatch(df, id, tablePath, statePath, stream))
+      .start()
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.CdcStream
+import graft.state.StateStore
+
+/** Structured-Streaming CDC pipeline: change log in, merged table out,
+  * with replay-safe commits (reference cdc.go:117-179 + postgres
+  * cdc.go:160-202 recovery semantics). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("_olake_id", StringType),
+    StructField("lsn", LongType),
+    StructField("kind", StringType),
+    StructField("_cdc_timestamp", TimestampType),
+    StructField("v", LongType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_stream").toString
+
+  private def writeLog(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(java.nio.file.Paths.get(dir, name),
+      lines.mkString("\n").getBytes)
+
+  private def line(id: String, lsn: Long, kind: String, v: Long): String =
+    s"""{"_olake_id":"$id","lsn":$lsn,"kind":"$kind","_cdc_timestamp":"2024-01-01 00:00:0$lsn","v":$v}"""
+
+  test("cdc stream: insert/update/delete merge into table; dedup window closes") {
+    val (logDir, table, state, ckpt) = (tmp(), tmp() + "/t", tmp() + "/s.json", tmp())
+    writeLog(logDir, "b1.json", Seq(
+      line("a", 1, "insert", 10),
+      line("b", 2, "insert", 20),
+      line("a", 3, "update", 11)))
+    CdcStream.run(spark, logDir, schema, table, state, ckpt).awaitTermination()
+
+    val t1 = spark.read.parquet(table).orderBy("_olake_id").collect()
+    assert(t1.map(r => (r.getAs[String]("_olake_id"), r.getAs[Long]("v"))).toSeq ==
+      Seq(("a", 11L), ("b", 20L)))
+    val st1 = StateStore.load(state).get.streams("events")
+    assert(!st1.dedupInserts) // window closed after first committed pass
+    assert(st1.offsets("lsn") == 3L)
+
+    // second pass: delete b, insert c; replay of lsn<=3 must be dropped
+    writeLog(logDir, "b2.json", Seq(
+      line("a", 3, "update", 999), // exact replay (same lsn): dropped
+      line("b", 4, "delete", 0),
+      line("c", 5, "insert", 30)))
+    CdcStream.run(spark, logDir, schema, table, state, ckpt).awaitTermination()
+
+    val t2 = spark.read.parquet(table).orderBy("_olake_id").collect()
+    assert(t2.map(r => (r.getAs[String]("_olake_id"), r.getAs[Long]("v"))).toSeq ==
+      Seq(("a", 11L), ("c", 30L)))
+    assert(StateStore.load(state).get.streams("events").offsets("lsn") == 5L)
+  }
+
+  test("cdc stream: replayed batch is a no-op (idempotent commit)") {
+    val (logDir, table, state, ckpt) = (tmp(), tmp() + "/t", tmp() + "/s.json", tmp())
+    writeLog(logDir, "b1.json", Seq(line("x", 1, "insert", 1)))
+    CdcStream.run(spark, logDir, schema, table, state, ckpt).awaitTermination()
+
+    // simulate a crash after the state commit but before the streaming
+    // checkpoint advanced: re-deliver batch 0 by hand
+    val batch = spark.read.schema(schema).json(s"$logDir/b1.json")
+    CdcStream.applyBatch(batch, 0L, table, state, "events")
+    assert(spark.read.parquet(table).count() == 1)
+    assert(StateStore.load(state).get.streams("events")
+      .offsets("batchId") == 0L)
+  }
+
+  test("dedupReplays keeps per-key max-lsn state across micro-batches") {
+    val (logDir, ckpt) = (tmp(), tmp())
+    writeLog(logDir, "b1.json", Seq(
+      line("k", 5, "insert", 1), line("k", 4, "update", 2)))
+    val out = tmp()
+    val q1 = CdcStream.dedupReplays(
+        CdcStream.readChangeLog(spark, logDir, schema), "_olake_id", "lsn")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.read.schema(schema).parquet(out).count() == 2) // both fresh
+
+    writeLog(logDir, "b2.json", Seq(
+      line("k", 5, "insert", 3),   // stale: <= committed max 5
+      line("k", 6, "update", 4)))  // fresh
+    val q2 = CdcStream.dedupReplays(
+        CdcStream.readChangeLog(spark, logDir, schema), "_olake_id", "lsn")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val rows = spark.read.schema(schema).parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.agg(max("lsn")).head.getLong(0) == 6L)
+  }
+}
