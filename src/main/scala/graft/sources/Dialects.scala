@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.sql.Types
+
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types._
+
+/** Custom JdbcDialects (S17): the Spark-native home for the reference's
+  * row-materializer type normalization (`pkg/jdbc/reader.go:76-88`) and
+  * the canonical destination types (`types/data_types.go:116-133` — no
+  * decimal: integer-scale NUMBER routes to int32/int64 by precision,
+  * fractional NUMBER to double, timestamps to micros).
+  *
+  * Where the reference post-processes every scanned value on a Go
+  * worker thread, a JdbcDialect moves the mapping into the scan itself:
+  * `getCatalystType` decides the column type once at plan time and the
+  * JDBC source materializes rows straight into Tungsten format — no
+  * per-row conversion pass anywhere.
+  */
+object Dialects {
+
+  /** Oracle: NUMBER(p,0) → IntegerType (p ≤ 9) / LongType (p ≤ 18),
+    * NUMBER with scale → DoubleType (the reference's lossy-but-
+    * deliberate no-decimal mapping), TIMESTAMP → microsecond UTC. */
+  object OracleNumberDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase.startsWith("jdbc:oracle")
+
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+                                 md: MetadataBuilder): Option[DataType] = {
+      val scale = Option(md).map(_.build())
+        .filter(_.contains("scale")).map(_.getLong("scale").toInt).getOrElse(0)
+      (sqlType, typeName) match {
+        case (Types.NUMERIC | Types.DECIMAL, "NUMBER") if scale == 0 =>
+          Some(if (size > 0 && size <= 9) IntegerType else LongType)
+        case (Types.NUMERIC | Types.DECIMAL, "NUMBER") => Some(DoubleType)
+        case (Types.TIMESTAMP, _) => Some(TimestampType)
+        case _ => None
+      }
+    }
+
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case BooleanType => Some(JdbcType("NUMBER(1)", Types.NUMERIC))
+      case IntegerType => Some(JdbcType("NUMBER(9)", Types.NUMERIC))
+      case LongType    => Some(JdbcType("NUMBER(18)", Types.NUMERIC))
+      case DoubleType  => Some(JdbcType("NUMBER", Types.NUMERIC))
+      case StringType  => Some(JdbcType("CLOB", Types.CLOB))
+      case _ => None
+    }
+
+    override def quoteIdentifier(colName: String): String = s""""$colName""""
+  }
+
+  /** DB2: local-format TIME/TIMESTAMP land as strings in the reference
+    * (`utils/typeutils/reformat.go` DB2 time handling); XML → string. */
+  object Db2Dialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase.startsWith("jdbc:db2")
+
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+                                 md: MetadataBuilder): Option[DataType] =
+      (sqlType, typeName) match {
+        case (Types.TIME, _)    => Some(StringType)
+        case (Types.SQLXML, _)  => Some(StringType)
+        case (Types.NUMERIC | Types.DECIMAL, _) => Some(DoubleType)
+        case _ => None
+      }
+
+    override def quoteIdentifier(colName: String): String = s""""$colName""""
+  }
+
+  /** Register both with Spark's dialect registry; idempotent. */
+  def register(): Unit = {
+    JdbcDialects.registerDialect(OracleNumberDialect)
+    JdbcDialects.registerDialect(Db2Dialect)
+  }
+}

@@ -1,0 +1,302 @@
+package graft.spec
+
+import graft.operators.ChunkPlanner.Chunk
+import graft.spec.DialectSql._
+
+/** Per-dialect chunk-planner SQL: the planning and scan statements a
+  * JDBC source runs against the origin database. Everything here is
+  * pure string construction — in Spark these strings become either
+  * planner-time scalar queries (run over one JDBC connection before the
+  * scan) or the `predicates` array of `DataFrameReader.jdbc`, one
+  * element per chunk, so the origin database prunes by physical
+  * location and Spark reads chunks in parallel with no skew from key
+  * distribution.
+  *
+  * Reference forms (re-expressed, not transliterated):
+  *  - Postgres ctid/page chunking
+  *    `drivers/postgres/internal/backfill.go:63-134`, queries
+  *    `pkg/jdbc/jdbc.go:128-249`;
+  *  - generic lexicographic composite-PK bounds `pkg/jdbc/jdbc.go:257-345`;
+  *  - MySQL boundary walk + limit/offset fallback `jdbc.go:94-123,349-401`;
+  *  - MSSQL %%physloc%% / ROW_NUMBER / TABLESAMPLE `jdbc.go:643-705,900-1056`;
+  *  - Oracle ROWID + DBMS_PARALLEL_EXECUTE + SAMPLE BLOCK `jdbc.go:1077-1187`;
+  *  - DB2 RID + SYSCAT stats `jdbc.go:1563-1694`.
+  */
+object ChunkSql {
+
+  private def qt(ns: String, name: String, d: Dialect): String =
+    s"${quoteIdent(ns, d)}.${quoteIdent(name, d)}"
+
+  private def lit(v: String): String = s"'${v.replace("'", "''")}'"
+
+  // ---- generic: lexicographic composite-PK bounds (jdbc.go:257-345) ----
+
+  /** Expand `(c1,c2,c3) >= (v1,v2,v3)` (lower, `>=` on the last column)
+    * or `(c1,c2,c3) < (v1,v2,v3)` (upper) into the OR-of-AND prefix
+    * form every dialect understands. */
+  def lexicographicBound(cols: Seq[String], values: Seq[String],
+                         isLower: Boolean): String = {
+    val groups = cols.indices.take(values.size).map { i =>
+      val prefix = (0 until i).map(j => s"${cols(j)} = ${lit(values(j))}")
+      val op = if (!isLower) "<" else if (i == cols.size - 1) ">=" else ">"
+      (prefix :+ s"${cols(i)} $op ${lit(values(i))}").mkString("(", " AND ", ")")
+    }
+    groups.mkString("(", " OR ", ")")
+  }
+
+  /** Full lexicographic chunk condition: min/max bounds ANDed, optional
+    * extra filter ANDed on (jdbc.go:322-345). Boundary values are
+    * comma-joined key strings, as produced by the boundary walks. */
+  def lexicographicChunkConditionStr(cols: Seq[String], min: Option[String],
+                                     max: Option[String], filter: String = ""): String = {
+    def split(s: String): Seq[String] = s.split(",").toSeq.map(_.trim)
+    val lower = min.map(v => lexicographicBound(cols, split(v), isLower = true))
+    val upper = max.map(v => lexicographicBound(cols, split(v), isLower = false))
+    val cond = (lower, upper) match {
+      case (Some(a), Some(b)) => s"($a) AND ($b)"
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => ""
+    }
+    if (filter.nonEmpty && cond.nonEmpty) s"($cond) AND ($filter)" else cond
+  }
+
+  // ---- Postgres: ctid page chunking (S2) --------------------------------
+
+  /** Planner-time stats queries (backfill.go:65-87). */
+  def pgBlockSizeQuery: String = "SHOW block_size"
+  def pgRelPagesQuery(ns: String, name: String): String =
+    s"SELECT relpages FROM pg_class WHERE relname = '$name' AND " +
+      s"relnamespace = (SELECT oid FROM pg_namespace WHERE nspname = '$ns')"
+  def pgApproxRowCountQuery(ns: String, name: String): String =
+    "SELECT reltuples::bigint AS approx_row_count FROM pg_class c JOIN " +
+      s"pg_namespace n ON n.oid = c.relnamespace WHERE c.relname = '$name' " +
+      s"AND n.nspname = '$ns'"
+
+  /** Split `relPages` physical pages into ctid ranges sized so each
+    * chunk reads ~`targetBytes` (backfill.go:88-104: batch = target /
+    * block_size pages; the last range is open-ended to catch rows past
+    * the planned page count). Returns (minCtid, maxCtid or None). */
+  def pgCtidRanges(relPages: Long, blockSize: Long,
+                   targetBytes: Long = 256L << 20): Seq[(String, Option[String])] = {
+    val pages = math.max(relPages, 1L)
+    val batch = math.max(1L, math.ceil(targetBytes.toDouble / blockSize).toLong)
+    (0L until pages by batch).map { start =>
+      val end = start + batch
+      (s"'($start,0)'", if (end >= pages) None else Some(s"'($end,0)'"))
+    }
+  }
+
+  /** Chunk scan predicate over ctid; these go into the JDBC predicates
+    * array (one partition per page range). */
+  def pgCtidPredicate(minCtid: String, maxCtid: Option[String]): String =
+    maxCtid match {
+      case Some(mx) => s"ctid >= $minCtid AND ctid < $mx"
+      case None     => s"ctid >= $minCtid"
+    }
+
+  /** Boundary walk for a non-numeric chunk column (backfill.go:174-205,
+    * jdbc.go:225-232): max of the next 10k ordered values. */
+  def pgNextChunkEndQuery(ns: String, name: String, column: String,
+                          lastValue: String, batch: Long = 10000L): String = {
+    val q = quoteIdent(column, Postgres)
+    s"SELECT MAX($q) FROM (SELECT $q FROM ${qt(ns, name, Postgres)} WHERE " +
+      s"$q > $lastValue ORDER BY $q ASC LIMIT $batch) AS T"
+  }
+
+  def pgChunkScanQuery(ns: String, name: String, column: String, chunk: Chunk,
+                       filter: String = ""): String = {
+    val cond = DialectSql.renderChunk(chunk, column, Postgres)
+    val whole = if (filter.nonEmpty) s"($cond) AND ($filter)" else cond
+    s"SELECT * FROM ${qt(ns, name, Postgres)} WHERE $whole"
+  }
+
+  // ---- MySQL: composite-PK walk + fallbacks (S5/S6/S7) ------------------
+
+  /** Next lexicographic boundary: the key at offset `chunkSize` past the
+    * current position (jdbc.go:94-123). `?` placeholders bind the
+    * current boundary values, one per prefix/current column. */
+  def mysqlNextChunkEndQuery(ns: String, name: String, cols: Seq[String],
+                             chunkSize: Long): String = {
+    val q = cols.map(quoteIdent(_, MySql))
+    val where = cols.indices.map { i =>
+      val prefix = (0 until i).map(j => s"${q(j)} = ? AND ").mkString
+      s"($prefix${q(i)} > ?)"
+    }.mkString(" OR ")
+    s"SELECT CONCAT_WS(',', ${q.mkString(", ")}) AS key_str FROM " +
+      s"(SELECT ${q.mkString(", ")} FROM ${qt(ns, name, MySql)} WHERE $where " +
+      s"ORDER BY ${q.mkString(", ")} LIMIT 1 OFFSET $chunkSize) AS subquery"
+  }
+
+  /** Min/max composite key via two ordered probes (jdbc.go:382-401). */
+  def mysqlMinMaxQuery(ns: String, name: String, cols: Seq[String]): String = {
+    val q = cols.map(quoteIdent(_, MySql))
+    val concat = s"CONCAT_WS(',', ${q.mkString(", ")})"
+    val asc = q.mkString(", ")
+    val desc = q.map(_ + " DESC").mkString(", ")
+    val t = qt(ns, name, MySql)
+    s"SELECT (SELECT $concat FROM $t ORDER BY $asc LIMIT 1) AS min_value, " +
+      s"(SELECT $concat FROM $t ORDER BY $desc LIMIT 1) AS max_value"
+  }
+
+  def mysqlChunkScanQuery(ns: String, name: String, cols: Seq[String],
+                          min: Option[String], max: Option[String],
+                          filter: String = ""): String = {
+    val q = cols.map(quoteIdent(_, MySql))
+    val cond = lexicographicChunkConditionStr(q, min, max, filter)
+    s"SELECT * FROM ${qt(ns, name, MySql)} WHERE $cond"
+  }
+
+  /** No-PK fallback: LIMIT/OFFSET windows (jdbc.go:355-372). */
+  def mysqlLimitOffsetScanQuery(ns: String, name: String, offset: Long,
+                                limit: Long, filter: String = ""): String = {
+    val base = s"SELECT * FROM ${qt(ns, name, MySql)}" +
+      (if (filter.nonEmpty) s" WHERE $filter" else "")
+    s"$base LIMIT $limit OFFSET $offset"
+  }
+
+  // ---- MSSQL: %%physloc%% + ROW_NUMBER boundaries (S8) ------------------
+
+  def mssqlPhysLocExtremesQuery(ns: String, name: String): String =
+    s"SELECT MIN(%%physloc%%), MAX(%%physloc%%) FROM ${qt(ns, name, MsSql)}"
+
+  /** Next physical-RID boundary: row number `chunkSize` past `@p1`
+    * (jdbc.go:649-661). */
+  def mssqlPhysLocNextChunkEndQuery(ns: String, name: String,
+                                    chunkSize: Long): String =
+    s"WITH ordered AS (SELECT %%physloc%% AS physloc, ROW_NUMBER() OVER " +
+      s"(ORDER BY %%physloc%%) AS rn FROM ${qt(ns, name, MsSql)} WHERE " +
+      s"%%physloc%% > @p1) SELECT physloc FROM ordered WHERE rn = $chunkSize"
+
+  /** Chunk scan with dirty-page skip — WITH (READPAST), half-open on
+    * the low side like the reference (jdbc.go:968-1004). */
+  def mssqlPhysLocChunkScanQuery(ns: String, name: String, min: Option[String],
+                                 max: Option[String], filter: String = ""): String = {
+    val cond = (min, max) match {
+      case (Some(a), Some(b)) => s"%%physloc%% > $a AND %%physloc%% <= $b"
+      case (Some(a), None)    => s"%%physloc%% > $a"
+      case (None, Some(b))    => s"%%physloc%% <= $b"
+      case (None, None)       => "1 = 1"
+    }
+    val whole = if (filter.nonEmpty) s"($cond) AND ($filter)" else cond
+    s"SELECT * FROM ${qt(ns, name, MsSql)} WITH (READPAST) WHERE $whole"
+  }
+
+  /** PK boundary via key-walk CTE (jdbc.go:900-965). */
+  def mssqlNextChunkEndQuery(ns: String, name: String, cols: Seq[String],
+                             chunkSize: Long): String = {
+    val q = cols.map(quoteIdent(_, MsSql))
+    val concat =
+      if (q.size == 1) s"CAST(${q.head} AS NVARCHAR(MAX))"
+      else q.map(c => s"CAST($c AS NVARCHAR(MAX))").mkString(" + ',' + ")
+    var p = 0
+    val where = cols.indices.map { i =>
+      val parts = (0 to i).map { j =>
+        p += 1
+        if (j < i) s"${q(j)} = @p$p AND " else s"${q(j)} > @p$p"
+      }
+      s"(${parts.mkString})"
+    }.mkString(" OR ")
+    s"WITH ordered AS (SELECT $concat AS key_str, ROW_NUMBER() OVER " +
+      s"(ORDER BY ${q.mkString(", ")}) AS rn FROM ${qt(ns, name, MsSql)} " +
+      s"WHERE $where) SELECT key_str FROM ordered WHERE rn = $chunkSize"
+  }
+
+  /** Boundary sampling without a full sort (jdbc.go:1043-1056). */
+  def mssqlSampleBoundaryQuery(ns: String, name: String, cols: Seq[String],
+                               samplePercent: Double): String = {
+    val q = cols.map(quoteIdent(_, MsSql))
+    val concat =
+      if (q.size == 1) s"CAST(${q.head} AS NVARCHAR(MAX))"
+      else q.map(c => s"CAST($c AS NVARCHAR(MAX))").mkString(" + ',' + ")
+    s"SELECT $concat FROM ${qt(ns, name, MsSql)} TABLESAMPLE SYSTEM " +
+      f"($samplePercent%.6f PERCENT) WITH (NOLOCK) ORDER BY ${q.mkString(", ")}"
+  }
+
+  // ---- Oracle: ROWID chunking (S9) --------------------------------------
+
+  def oracleMinMaxRowIdQuery(ns: String, name: String): String =
+    s"""SELECT MIN(ROWID) AS minRowId, MAX(ROWID) AS maxRowId FROM "$ns"."$name""""
+
+  /** Next ROWID boundary + rows covered (jdbc.go:1129-1132). */
+  def oracleNextRowIdQuery(ns: String, name: String, fromRowId: String,
+                           chunkSize: Long): String =
+    s"SELECT MAX(ROWID),COUNT(*) AS row_count FROM(SELECT ROWID FROM " +
+      s""""$ns"."$name" WHERE ROWID >= '$fromRowId' ORDER BY ROWID """ +
+      s"FETCH FIRST $chunkSize ROWS ONLY)"
+
+  def oracleRowIdChunkScanQuery(ns: String, name: String, min: Option[String],
+                                max: Option[String], filter: String = ""): String = {
+    require(min.isDefined || max.isDefined, "both chunk bounds nil")
+    val cond = (min, max) match {
+      case (Some(a), Some(b)) => s"ROWID >= '$a' AND ROWID < '$b'"
+      case (Some(a), None)    => s"ROWID >= '$a'"
+      case (None, Some(b))    => s"ROWID < '$b'"
+      case _                  => ""
+    }
+    val tail = if (filter.nonEmpty) s" AND ($filter)" else ""
+    s"SELECT * FROM ${qt(ns, name, Oracle)} WHERE $cond$tail"
+  }
+
+  /** Server-side chunking via DBMS_PARALLEL_EXECUTE (jdbc.go:1160-1187):
+    * create task → create_chunks_by_rowid → read chunk table → drop. */
+  def oracleCreateTask(task: String): String =
+    s"BEGIN DBMS_PARALLEL_EXECUTE.create_task('$task'); END;"
+  def oracleCreateChunksByRowId(task: String, ns: String, name: String,
+                                blocksPerChunk: Long): String =
+    s"BEGIN DBMS_PARALLEL_EXECUTE.create_chunks_by_rowid(task_name => " +
+      s"'$task', table_owner => '$ns', table_name => '$name', by_row => " +
+      s"FALSE, chunk_size => $blocksPerChunk); END;"
+  def oracleRetrieveChunks(task: String): String =
+    "SELECT chunk_id, start_rowid, end_rowid FROM " +
+      s"user_parallel_execute_chunks WHERE task_name = '$task' ORDER BY chunk_id"
+  def oracleDropTask(task: String): String =
+    s"BEGIN DBMS_PARALLEL_EXECUTE.drop_task('$task'); END;"
+
+  /** Approximate boundary sampling (jdbc.go:1138-1144). */
+  def oracleSampleBlockBoundaryQuery(ns: String, name: String,
+                                     samplePercent: Double): String =
+    f"""SELECT ROWID FROM "$ns"."$name" SAMPLE BLOCK($samplePercent%.6f) ORDER BY ROWID"""
+
+  // ---- DB2: RID chunking (S10) ------------------------------------------
+
+  def db2MinMaxRidQuery(ns: String, name: String): String = {
+    val t = qt(ns, name, Db2)
+    s"SELECT MIN(RID_VAL), MAX(RID_VAL) FROM (SELECT RID($t) AS RID_VAL FROM $t) AS T"
+  }
+
+  def db2RidChunkScanQuery(ns: String, name: String, min: Option[Long],
+                           max: Option[Long], filter: String = ""): String = {
+    val t = qt(ns, name, Db2)
+    val rid = s"RID($t)"
+    val cond = (min, max) match {
+      case (Some(a), Some(b)) => s"$rid >= $a AND $rid < $b"
+      case (Some(a), None)    => s"$rid >= $a"
+      case (None, Some(b))    => s"$rid < $b"
+      case (None, None)       => "1 = 1"
+    }
+    if (filter.nonEmpty)
+      s"SELECT * FROM $t WHERE ($cond) AND ($filter)"
+    else s"SELECT * FROM $t WHERE $cond"
+  }
+
+  def db2PageStatsQuery(ns: String, name: String): String =
+    "SELECT TSP.PAGESIZE, T.NPAGES FROM SYSCAT.TABLES T JOIN " +
+      "SYSCAT.TABLESPACES TSP ON T.TBSPACE = TSP.TBSPACE WHERE " +
+      s"T.TABSCHEMA = '$ns' AND T.TABNAME = '$name'"
+
+  /** DB2 boundary walk: `||`-concat keys, OFFSET/FETCH pagination
+    * (jdbc.go:1656-1694). */
+  def db2NextChunkEndQuery(ns: String, name: String, cols: Seq[String],
+                           chunkSize: Long): String = {
+    val q = cols.map(quoteIdent(_, Db2))
+    val concat = q.mkString(" || ',' || ")
+    val where = cols.indices.map { i =>
+      val prefix = (0 until i).map(j => s"${q(j)} = ? AND ").mkString
+      s"($prefix${q(i)} > ?)"
+    }.mkString(" OR ")
+    s"SELECT $concat AS key_str FROM (SELECT ${q.mkString(", ")} FROM " +
+      s"${qt(ns, name, Db2)} WHERE $where ORDER BY ${q.mkString(", ")} " +
+      s"OFFSET $chunkSize ROWS FETCH NEXT 1 ROWS ONLY) AS subquery"
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Types
+import org.apache.spark.sql.types._
+import graft.operators.ChunkPlanner.Chunk
+import graft.sources.Dialects
+import graft.spec.ChunkSql
+
+/** Dialect planner/scan SQL: rendered strings vs reference-derived
+  * expected forms (pkg/jdbc/jdbc.go). Pure string checks, no database. */
+class ChunkSqlSpec extends AnyFunSuite {
+
+  test("lexicographic bound expansion matches jdbc.go:283-321 form") {
+    val cols = Seq("`c1`", "`c2`", "`c3`")
+    assert(ChunkSql.lexicographicBound(cols, Seq("1", "2", "3"), isLower = true) ==
+      "((`c1` > '1') OR (`c1` = '1' AND `c2` > '2') OR " +
+        "(`c1` = '1' AND `c2` = '2' AND `c3` >= '3'))")
+    assert(ChunkSql.lexicographicBound(cols, Seq("1", "2", "3"), isLower = false) ==
+      "((`c1` < '1') OR (`c1` = '1' AND `c2` < '2') OR " +
+        "(`c1` = '1' AND `c2` = '2' AND `c3` < '3'))")
+  }
+
+  test("lexicographic chunk condition: bounds AND filter (jdbc.go:322-345)") {
+    val cond = ChunkSql.lexicographicChunkConditionStr(
+      Seq("`a`"), Some("5"), Some("9"), "x = 1")
+    assert(cond == "(((`a` >= '5'))) AND (((`a` < '9'))) AND (x = 1)" ||
+      cond.contains("(`a` >= '5')") && cond.contains("(`a` < '9')") &&
+        cond.endsWith("AND (x = 1)"))
+  }
+
+  test("postgres ctid ranges cover all pages, sized by block size (backfill.go:88-104)") {
+    // 1000 pages, 8KiB blocks, 2MiB target → 256 pages per chunk
+    val ranges = ChunkSql.pgCtidRanges(1000, 8192, 2L << 20)
+    assert(ranges.size == 4)
+    assert(ranges.head == ("'(0,0)'", Some("'(256,0)'")))
+    assert(ranges(1) == ("'(256,0)'", Some("'(512,0)'")))
+    assert(ranges.last._2.isEmpty) // open-ended tail catches growth
+    assert(ChunkSql.pgCtidPredicate("'(0,0)'", Some("'(256,0)'")) ==
+      "ctid >= '(0,0)' AND ctid < '(256,0)'")
+    // empty table still yields one chunk
+    assert(ChunkSql.pgCtidRanges(0, 8192).size == 1)
+  }
+
+  test("postgres boundary walk and chunk scan (jdbc.go:225-249)") {
+    assert(ChunkSql.pgNextChunkEndQuery("public", "users", "id", "42") ==
+      """SELECT MAX("id") FROM (SELECT "id" FROM "public"."users" WHERE "id" > 42 ORDER BY "id" ASC LIMIT 10000) AS T""")
+    assert(ChunkSql.pgChunkScanQuery("public", "users", "id",
+      Chunk(Some(10), Some(20)), "active = TRUE") ==
+      """SELECT * FROM "public"."users" WHERE ("id" >= 10 AND "id" < 20) AND (active = TRUE)""")
+  }
+
+  test("mysql boundary walk: CONCAT_WS + prefix OR-groups + LIMIT 1 OFFSET n (jdbc.go:94-123)") {
+    assert(ChunkSql.mysqlNextChunkEndQuery("mydb", "users",
+      Seq("id", "created_at"), 1000) ==
+      "SELECT CONCAT_WS(',', `id`, `created_at`) AS key_str FROM " +
+        "(SELECT `id`, `created_at` FROM `mydb`.`users` WHERE (`id` > ?) OR " +
+        "(`id` = ? AND `created_at` > ?) ORDER BY `id`, `created_at` " +
+        "LIMIT 1 OFFSET 1000) AS subquery")
+  }
+
+  test("mysql min/max probes and limit/offset fallback (jdbc.go:355-401)") {
+    val mm = ChunkSql.mysqlMinMaxQuery("d", "t", Seq("a", "b"))
+    assert(mm.contains("ORDER BY `a`, `b` LIMIT 1) AS min_value"))
+    assert(mm.contains("ORDER BY `a` DESC, `b` DESC LIMIT 1) AS max_value"))
+    assert(ChunkSql.mysqlLimitOffsetScanQuery("d", "t", 500, 100) ==
+      "SELECT * FROM `d`.`t` LIMIT 100 OFFSET 500")
+  }
+
+  test("mssql physloc: extremes, ROW_NUMBER boundary, READPAST scan (jdbc.go:643-705,968-1004)") {
+    assert(ChunkSql.mssqlPhysLocExtremesQuery("dbo", "t") ==
+      "SELECT MIN(%%physloc%%), MAX(%%physloc%%) FROM [dbo].[t]")
+    val nb = ChunkSql.mssqlPhysLocNextChunkEndQuery("dbo", "t", 5000)
+    assert(nb.contains("ROW_NUMBER() OVER (ORDER BY %%physloc%%)"))
+    assert(nb.contains("WHERE %%physloc%% > @p1"))
+    assert(nb.endsWith("WHERE rn = 5000"))
+    assert(ChunkSql.mssqlPhysLocChunkScanQuery("dbo", "t",
+      Some("0x0A"), Some("0x0B")) ==
+      "SELECT * FROM [dbo].[t] WITH (READPAST) WHERE " +
+        "%%physloc%% > 0x0A AND %%physloc%% <= 0x0B")
+  }
+
+  test("mssql PK walk numbers parameters sequentially (jdbc.go:900-965)") {
+    val q = ChunkSql.mssqlNextChunkEndQuery("dbo", "t", Seq("a", "b"), 100)
+    assert(q.contains("([a] > @p1) OR ([a] = @p2 AND [b] > @p3)"))
+    assert(q.contains("ROW_NUMBER() OVER (ORDER BY [a], [b])"))
+    val s = ChunkSql.mssqlSampleBoundaryQuery("dbo", "t", Seq("a"), 0.5)
+    assert(s.contains("TABLESAMPLE SYSTEM (0.500000 PERCENT) WITH (NOLOCK)"))
+  }
+
+  test("oracle ROWID: min/max, next boundary, chunk scan, parallel-execute (jdbc.go:1077-1187)") {
+    assert(ChunkSql.oracleMinMaxRowIdQuery("HR", "EMP") ==
+      """SELECT MIN(ROWID) AS minRowId, MAX(ROWID) AS maxRowId FROM "HR"."EMP"""")
+    assert(ChunkSql.oracleNextRowIdQuery("HR", "EMP", "AAA", 10000) ==
+      "SELECT MAX(ROWID),COUNT(*) AS row_count FROM(SELECT ROWID FROM " +
+        """"HR"."EMP" WHERE ROWID >= 'AAA' ORDER BY ROWID FETCH FIRST 10000 ROWS ONLY)""")
+    assert(ChunkSql.oracleRowIdChunkScanQuery("HR", "EMP",
+      Some("AAA"), Some("BBB")) ==
+      """SELECT * FROM "HR"."EMP" WHERE ROWID >= 'AAA' AND ROWID < 'BBB'""")
+    intercept[IllegalArgumentException] {
+      ChunkSql.oracleRowIdChunkScanQuery("HR", "EMP", None, None)
+    }
+    assert(ChunkSql.oracleCreateChunksByRowId("T1", "HR", "EMP", 256)
+      .contains("create_chunks_by_rowid"))
+    assert(ChunkSql.oracleRetrieveChunks("T1").contains(
+      "user_parallel_execute_chunks WHERE task_name = 'T1'"))
+  }
+
+  test("db2 RID: min/max, chunk scan, page stats, boundary walk (jdbc.go:1563-1694)") {
+    assert(ChunkSql.db2MinMaxRidQuery("S", "T") ==
+      """SELECT MIN(RID_VAL), MAX(RID_VAL) FROM (SELECT RID("S"."T") AS RID_VAL FROM "S"."T") AS T""")
+    assert(ChunkSql.db2RidChunkScanQuery("S", "T", Some(1L), Some(9L), "x=1") ==
+      """SELECT * FROM "S"."T" WHERE (RID("S"."T") >= 1 AND RID("S"."T") < 9) AND (x=1)""")
+    assert(ChunkSql.db2PageStatsQuery("S", "T").contains("SYSCAT.TABLES"))
+    val walk = ChunkSql.db2NextChunkEndQuery("S", "T", Seq("a", "b"), 100)
+    assert(walk.contains(""""a" || ',' || "b" AS key_str"""))
+    assert(walk.contains("OFFSET 100 ROWS FETCH NEXT 1 ROWS ONLY"))
+  }
+
+  test("oracle dialect maps NUMBER by precision/scale (reader.go:77-88)") {
+    val d = Dialects.OracleNumberDialect
+    def md(scale: Int) = new MetadataBuilder().putLong("scale", scale)
+    assert(d.getCatalystType(Types.NUMERIC, "NUMBER", 9, md(0)).contains(IntegerType))
+    assert(d.getCatalystType(Types.NUMERIC, "NUMBER", 18, md(0)).contains(LongType))
+    assert(d.getCatalystType(Types.NUMERIC, "NUMBER", 10, md(2)).contains(DoubleType))
+    assert(d.getCatalystType(Types.TIMESTAMP, "TIMESTAMP", 0, md(0)).contains(TimestampType))
+    assert(d.canHandle("jdbc:oracle:thin:@host"))
+    assert(!d.canHandle("jdbc:postgresql://host"))
+  }
+
+  test("db2 dialect: TIME/XML → string, decimal → double (no-decimal mapping)") {
+    val d = Dialects.Db2Dialect
+    val md = new MetadataBuilder()
+    assert(d.getCatalystType(Types.TIME, "TIME", 0, md).contains(StringType))
+    assert(d.getCatalystType(Types.SQLXML, "XML", 0, md).contains(StringType))
+    assert(d.getCatalystType(Types.DECIMAL, "DECIMAL", 10, md).contains(DoubleType))
+    Dialects.register() // smoke: idempotent registration
+    Dialects.register()
+  }
+}
