@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{ChangeLogFixture, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Incremental, Merge, SystemColumns}
+import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
 import graft.sources.{BoundedRead, Discover, FileSources, KafkaDecode}
@@ -315,6 +315,32 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderdate_year").cast("int"))
     }),
 
+    // ---- P5 record flatten: nested → JSON text, binary → string ----
+    "q_flatten" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 1000)
+      val nested = ev.select(col("event_id"),
+        struct(col("user_id"), col("event_type")).as("Payload Info"),
+        array(col("user_id"), col("event_id")).as("ids"),
+        encode(col("event_type"), "UTF-8").as("raw"))
+      Flatten.flatten(nested)
+    }),
+
+    // ---- I4 S3 LastModified incremental (row-level _metadata filter) ----
+    "q_s3_incremental" -> ((s, dir) => {
+      FileSources.incrementalScan(s, "parquet",
+          Seq(s"$dir/events.parquet"), afterMillis = 0L)
+        .select("event_id", "event_type")
+    }),
+
+    // ---- K9 writer stats: observed counter rides the write job ----
+    "q_writer_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stats").toString
+      val stats = ParquetSink.writeWithStats(o, tmp, append = false)
+      import s.implicits._
+      Seq(stats("records_written").asInstanceOf[Long]).toDF("records_written")
+    }),
+
     // ---- §3.2 discover: canonical schema of a stream ----
     "q_discover" -> ((s, dir) => Discover.discoverAsFrame(s, dir, "lineitem")),
 
@@ -585,6 +611,19 @@ object SparkEntry {
     "q_parquet_roundtrip" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) - 1970 AS INTEGER) AS o_orderdate_year
         |FROM orders""".stripMargin,
+
+    "q_flatten" ->
+      """SELECT event_id,
+        |  concat('{"user_id":', user_id, ',"event_type":"', event_type, '"}') AS payload_info,
+        |  concat('[', user_id, ',', event_id, ']') AS ids,
+        |  event_type AS raw
+        |FROM events WHERE event_id < 1000""".stripMargin,
+
+    "q_s3_incremental" ->
+      "SELECT event_id, event_type FROM events",
+
+    "q_writer_stats" ->
+      "SELECT count(*) AS records_written FROM orders",
 
     "q_discover" ->
       """SELECT column_name, CASE column_type

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.Naming
+
+/** Record flattener (P5): the reference's per-batch value pass
+  * (`utils/typeutils/flatten.go:34-84`) — scalars pass through, byte
+  * arrays become strings, nested objects/arrays become their JSON text
+  * (the destination has NO struct/map/array columns,
+  * `types/data_types.go:105-107`), column names are normalized.
+  *
+  * Spark shape: one projection, derived from the schema at plan time —
+  * the per-row type switch the reference runs on every record becomes
+  * a fixed set of codegen'd column expressions chosen once.
+  */
+object Flatten {
+
+  /** The flattened projection of one column. */
+  def flattenColumn(field: StructField): Column = {
+    val c = col(s"`${field.name}`")
+    field.dataType match {
+      case BinaryType => c.cast(StringType)
+      case _: StructType | _: ArrayType | _: MapType => to_json(c)
+      case CalendarIntervalType => c.cast(StringType)
+      case _ => c // scalars (incl. timestamps) pass through
+    }
+  }
+
+  /** Flatten a frame: nested values → JSON strings, bytes → string,
+    * names normalized (lowercase, non-alnum → '_'). Spark columns exist
+    * per schema, so the reference's nil-dropping (a per-record concern
+    * in map-shaped rows) is moot here — SQL NULLs stay NULL. */
+  def flatten(df: DataFrame, normalizeNames: Boolean = true): DataFrame = {
+    val flat = df.select(df.schema.fields.toIndexedSeq.map(f =>
+      flattenColumn(f).as(f.name)): _*)
+    if (normalizeNames) Naming.normalizeColumns(flat) else flat
+  }
+}

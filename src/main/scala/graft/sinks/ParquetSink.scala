@@ -28,6 +28,26 @@ object ParquetSink {
     df.observe(name, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("records_written"))
 
+  /** Write with observed stats returned: the records-written counter
+    * rides the write job itself (`observe` aggregates task-side, no
+    * second pass over the data — the Spark analog of the reference's
+    * atomic counters incremented per pushed record). */
+  def writeWithStats(df: DataFrame, path: String,
+                     fields: Seq[PartitionField] = Nil,
+                     append: Boolean = true): Map[String, Any] = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation()
+    val withCols = PartitionTransforms.withPartitionColumns(df, fields)
+    var w = withCols.observe(obs, count(lit(1)).as("records_written"),
+        sum(when(col(withCols.columns.head).isNull, 1).otherwise(0))
+          .as("null_first_col")).write
+      .mode(if (append) "append" else "overwrite")
+    if (fields.nonEmpty) w = w.partitionBy(fields.map(_.outputName): _*)
+    w.parquet(path)
+    obs.get
+  }
+
   /** Write a batch as partitioned parquet. `fields` come from
     * `PartitionTransforms.parseRegex`; transform columns are appended and
     * used as the physical layout — identity transforms partition on the

@@ -59,4 +59,22 @@ object FileSources {
       .option("modifiedAfter", isoCursor)
       .option("header", "true").option("inferSchema", "true")
       .load(path)
+
+  /** Row-level variant via the `_metadata` hidden column: keeps rows
+    * whose source file was modified after the cursor, and exposes the
+    * file mtime so the caller can advance the cursor with one
+    * `agg(max)` — the reference's FetchMaxCursorValues
+    * (`drivers/s3/internal/incremental.go:19-40`) without a separate
+    * listing pass. The mtime predicate prunes whole files at planning
+    * (file-level metadata, no row reads for old files).
+    */
+  def incrementalScan(spark: SparkSession, format: String,
+                      paths: Seq[String], afterMillis: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format(format).load(paths: _*)
+      .select(col("*"),
+        col("_metadata.file_modification_time").as("_file_modified"),
+        col("_metadata.file_path").as("_file_path"))
+      .where(col("_file_modified") > timestamp_millis(lit(afterMillis)))
+  }
 }

@@ -258,6 +258,32 @@ object ChunkSql {
                                      samplePercent: Double): String =
     f"""SELECT ROWID FROM "$ns"."$name" SAMPLE BLOCK($samplePercent%.6f) ORDER BY ROWID"""
 
+  // ---- MongoDB: chunk-scan aggregation pipeline (S12) -------------------
+
+  /** The `$match` pipeline for one chunk scan
+    * (`drivers/mongodb/internal/backfill.go:335-375`): `_id ∈ [min,
+    * max)` plus a `$type: 7` guard when ObjectID-keyed, plus the user
+    * filter. In Spark this string goes to the Mongo connector's
+    * `aggregation.pipeline` read option, one value per input partition.
+    */
+  def mongoChunkPipeline(min: String, max: Option[String],
+                         filterJson: String = "",
+                         objectIdKeyed: Boolean = true): String = {
+    def id(v: String) = if (objectIdKeyed) s"""{"$$oid":"$v"}""" else v
+    val conds = Seq(
+      if (objectIdKeyed) Some("""{"_id":{"$type":7}}""") else None,
+      Some(s"""{"_id":{"$$gte":${id(min)}}}"""),
+      max.map(m => s"""{"_id":{"$$lt":${id(m)}}}"""),
+      Option(filterJson).filter(_.nonEmpty)).flatten
+    s"""[{"$$match":{"$$and":[${conds.mkString(",")}]}}]"""
+  }
+
+  /** Timestamp-strided synthetic ObjectID (the reference's third Mongo
+    * chunking strategy, backfill.go:239-260): 4-byte big-endian epoch
+    * seconds + zeroed machine/pid/counter bytes. */
+  def syntheticObjectId(epochSeconds: Long): String =
+    f"$epochSeconds%08x" + "0" * 16
+
   // ---- DB2: RID chunking (S10) ------------------------------------------
 
   def db2MinMaxRidQuery(ns: String, name: String): String = {

@@ -117,6 +117,17 @@ class ChunkSqlSpec extends AnyFunSuite {
     assert(walk.contains("OFFSET 100 ROWS FETCH NEXT 1 ROWS ONLY"))
   }
 
+  test("mongo chunk pipeline: $type guard, [min,max) bounds, user filter (backfill.go:335-375)") {
+    assert(ChunkSql.mongoChunkPipeline("aaa", Some("bbb")) ==
+      """[{"$match":{"$and":[{"_id":{"$type":7}},{"_id":{"$gte":{"$oid":"aaa"}}},{"_id":{"$lt":{"$oid":"bbb"}}}]}}]""")
+    assert(ChunkSql.mongoChunkPipeline("1", None, """{"x":1}""",
+      objectIdKeyed = false) ==
+      """[{"$match":{"$and":[{"_id":{"$gte":1}},{"x":1}]}}]""")
+    // timestamp-strided synthetic ObjectID: 4-byte epoch + 16 zero chars
+    assert(ChunkSql.syntheticObjectId(0x65000000L) == "65000000" + "0" * 16)
+    assert(ChunkSql.syntheticObjectId(1).length == 24)
+  }
+
   test("oracle dialect maps NUMBER by precision/scale (reader.go:77-88)") {
     val d = Dialects.OracleNumberDialect
     def md(scale: Int) = new MetadataBuilder().putLong("scale", scale)

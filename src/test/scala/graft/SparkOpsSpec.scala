@@ -23,6 +23,53 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sf(name: String): DataFrame =
     Tables.load(spark, "/root/testdata/sf0.001", name)
 
+  // ---- P5 flatten: nested → JSON text, binary → string ----
+
+  test("flatten: struct/array → JSON, binary → string, names normalized (flatten.go:57-84)") {
+    import spark.implicits._
+    import graft.operators.Flatten
+    val df = Seq((1L, "x")).toDF("id", "s")
+      .select(col("id"), struct(col("id"), col("s")).as("Nested Val!"),
+        array(lit(1), lit(2)).as("arr"),
+        encode(col("s"), "UTF-8").as("bin"))
+    val flat = Flatten.flatten(df)
+    assert(flat.columns.toSeq == Seq("id", "nested_val_", "arr", "bin"))
+    val r = flat.head
+    assert(r.getString(1) == """{"id":1,"s":"x"}""")
+    assert(r.getString(2) == "[1,2]")
+    assert(r.getString(3) == "x")
+  }
+
+  // ---- I4 S3 incremental: mtime discriminates files ----
+
+  test("incrementalScan picks up only files modified after the cursor") {
+    import graft.sources.FileSources
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val old = s"$dir/old"; val fresh = s"$dir/fresh"
+    sf("nation").limit(5).write.parquet(old)
+    sf("nation").limit(3).write.parquet(fresh)
+    val cut = System.currentTimeMillis() + 60000
+    // age the "old" files well before the cursor, the "fresh" ones after
+    def setMtime(d: String, t: Long): Unit =
+      new java.io.File(d).listFiles().foreach(_.setLastModified(t))
+    setMtime(old, cut - 120000); setMtime(fresh, cut + 120000)
+    val rows = FileSources.incrementalScan(spark, "parquet",
+      Seq(s"$old/*.parquet", s"$fresh/*.parquet"), afterMillis = cut)
+    assert(rows.count() == 3)
+    assert(rows.agg(max(col("_file_modified"))).head
+      .getTimestamp(0).getTime > cut)
+  }
+
+  // ---- K9 writer stats observed on the write job ----
+
+  test("writeWithStats returns the records-written counter") {
+    import graft.sinks.ParquetSink
+    val out = java.nio.file.Files.createTempDirectory("graft_wstats").toString
+    val stats = ParquetSink.writeWithStats(sf("nation"), out, append = false)
+    assert(stats("records_written") == 25L)
+    assert(spark.read.parquet(out).count() == 25)
+  }
+
   // ---- _olake_id byte parity with reference GetKeysHash ----
 
   test("_olake_id composite key: md5 with trailing pipe (utils.go:278-284)") {
