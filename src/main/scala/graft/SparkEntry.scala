@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{ChangeLogFixture, PgOutput, PollingCdc, Wal2Json}
+import graft.cdc.{Binlog, ChangeLogFixture, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
@@ -234,6 +234,21 @@ object SparkEntry {
         element_at(col("values"), 2).cast("long").as("user_id"),
         element_at(col("values"), 3).as("event_type"),
         element_at(col("values"), 4).cast("double").as("value"))
+    }),
+
+    // ---- C4 MySQL binlog v4 decoder (encode → wire → decode) ----
+    "q_cdc_binlog" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val decoded = Binlog.decode(ChangeLogFixture.binlogLog(ev), "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.select(
+        col("kind"), col("table"), col("pos"),
+        timestamp_seconds(col("ts_sec")).as("ts"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 2).cast("long").as("user_id"),
+        element_at(img, 3).as("event_type"),
+        element_at(img, 4).cast("double").as("value"))
     }),
 
     // ---- C2 wal2json decoder (pure from_json plan) ----
@@ -558,6 +573,14 @@ object SparkEntry {
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  event_id AS lsn, CAST(ts AS TIMESTAMP) AS commit_ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_cdc_binlog" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  'events' AS "table", event_id AS pos,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
         |  event_id, user_id, event_type, value
         |FROM events WHERE event_id < 2000""".stripMargin,
 

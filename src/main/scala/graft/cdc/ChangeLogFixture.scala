@@ -49,6 +49,36 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → binlog v4 event stream: TABLE_MAP first per partition
+    * (with FULL row metadata carrying column names), then one rows
+    * event per source row, pos = event_id. */
+  def binlogLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_seconds(col("ts")).as("ts_s"))
+    val colTypes = Array(8, 8, 15, 5) // LONGLONG, LONGLONG, VARCHAR, DOUBLE
+    val colMeta = Array(0, 0, 255, 8)
+    val names = Seq("event_id", "user_id", "event_type", "value")
+    src.mapPartitions { it =>
+      val tm = Iterator.single(Row(0L,
+        Binlog.encodeTableMap(42L, "mydb", "events", colTypes, colMeta, names)))
+      val body = it.map { r =>
+        val vals = Seq(r.getLong(0).toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString)
+        val ts = r.getLong(4)
+        val ev = r.getString(2) match {
+          case "error" =>
+            Binlog.encodeDelete(42L, colTypes, colMeta, ts, Seq(vals))
+          case "purchase" =>
+            Binlog.encodeUpdate(42L, colTypes, colMeta, ts, Seq((vals, vals)))
+          case _ =>
+            Binlog.encodeWrite(42L, colTypes, colMeta, ts, Seq(vals))
+        }
+        Row(r.getLong(0), ev)
+      }
+      tm ++ body
+    }(Encoders.row(logSchema))
+  }
+
   /** events → wal2json v1 documents (one transaction per row). Deletes
     * carry only `oldkeys`, like the plugin emits. */
   def wal2jsonLog(events: DataFrame): DataFrame = {

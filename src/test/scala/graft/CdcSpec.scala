@@ -109,6 +109,50 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def get(r: org.apache.spark.sql.Row, c: String): String =
     r.getAs[String](c)
 
+  test("binlog: multi-row write event, null bitmap, long varchar") {
+    import graft.cdc.Binlog
+    val types = Array(8, 15, 5)
+    val meta = Array(0, 300, 8) // varchar meta > 255 → 2-byte length
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(7L, "db", "t", types, meta,
+      Seq("id", "s", "v")), 0L)
+    val long = "x" * 300
+    val out = dec.decode(Binlog.encodeWrite(7L, types, meta, 1700000000L, Seq(
+      Seq("1", long, "0.5"),
+      Seq("2", null, null))), 5L).toSeq
+    assert(out.size == 2)
+    assert(out.head.after == Seq("1", long, "0.5"))
+    assert(out.head.names == Seq("id", "s", "v"))
+    assert(out.head.tsSec == 1700000000L && out.head.pos == 5L)
+    assert(out(1).after == Seq("2", null, null))
+  }
+
+  test("binlog: update carries before+after images; delete carries before") {
+    import graft.cdc.Binlog
+    val types = Array(3, 15)
+    val meta = Array(0, 64)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(9L, "db", "u", types, meta,
+      Seq("id", "name")), 0L)
+    val upd = dec.decode(Binlog.encodeUpdate(9L, types, meta, 0L,
+      Seq((Seq("1", "old"), Seq("1", "new")))), 1L).toSeq
+    assert(upd.head.kind == "update")
+    assert(upd.head.before == Seq("1", "old") && upd.head.after == Seq("1", "new"))
+    val del = dec.decode(Binlog.encodeDelete(9L, types, meta, 0L,
+      Seq(Seq("2", "bye"))), 2L).toSeq
+    assert(del.head.kind == "delete")
+    assert(del.head.before == Seq("2", "bye") && del.head.after.isEmpty)
+  }
+
+  test("binlog: rows event before TABLE_MAP is a hard error") {
+    import graft.cdc.Binlog
+    val dec = new Binlog.StreamDecoder
+    intercept[IllegalStateException] {
+      dec.decode(Binlog.encodeWrite(99L, Array(3), Array(0), 0L,
+        Seq(Seq("1"))), 1L).toSeq
+    }
+  }
+
   test("pgoutput end-to-end on events fixture: kinds and row counts") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val decoded = PgOutput.decode(ChangeLogFixture.pgoutputLog(ev), "lsn", "msg")
