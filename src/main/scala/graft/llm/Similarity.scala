@@ -38,11 +38,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // norms computed per SIDE before the join (O(N+Q) aggregate passes),
+    // not per pair — only the dot product is inherently per-pair
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm"))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -50,23 +54,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 scaled to [-1, 1). Seeded arithmetic → reproducible across
-    * runs and engines.
+  /** Sign bit-code of a vector under `planes` deterministic
+    * pseudo-random hyperplanes; component (p, d) = xxhash64(p·100003 + d)
+    * scaled to [-1, 1) — reproducible across runs and engines.
+    *
+    * One nested HOF (planes × dims multiplies in a tight loop), not a
+    * planes·dims unrolled sum — the unrolled form was a 256-term
+    * expression tree evaluated per row on both join sides.
     */
-  private def planeComponent(plane: Int, dim: Int): Column =
-    (xxhash64(lit(plane * 100003 + dim)).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Sign bit-code of a vector under `planes` random hyperplanes. */
-  def lshCode(vec: Column, planes: Int, dims: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = (0 until dims).map(d =>
-        element_at(vec, d + 1).cast("double") * planeComponent(p, d))
-        .reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshCode(vec: Column, planes: Int, dims: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+            x.cast("double") *
+              (xxhash64(p * lit(100003) + d).cast("double") /
+                lit(Long.MaxValue.toDouble))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, call_function("shiftleft", lit(1), p)).otherwise(lit(0))
+      }),
+      lit(0), (a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets within Hamming distance 1 of its code (multi-probe
@@ -82,14 +89,16 @@ object Similarity {
     val probes = (c: Column) =>
       array((c +: (0 until planes).map(b => c.bitwiseXOR(1 << b))): _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qvec"), code(col(vecCol)).as("qcode"))
+        col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm"),
+        code(col(vecCol)).as("qcode"))
       .withColumn("probe", explode(probes(col("qcode")))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      code(col(vecCol)).as("ccode"))
+      norm(col(vecCol)).as("cnorm"), code(col(vecCol)).as("ccode"))
     val scored = c.join(q, col("probe") === col("ccode") &&
         col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qvec", "cvec")
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .select("query_id", "neighbor_id", "qvec", "cvec", "qnorm", "cnorm")
+      .withColumn("sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
