@@ -24,10 +24,13 @@ object Bench {
     "q_cursor_snapshot", "q_incremental_delta", "q_threshold",
     "q_bounded_read", "q_chunk_plan", "q_limit_offset",
     "q_dedup_keep_latest", "q_upsert_apply", "q_cdc_window",
+    "q_cdc_pgoutput", "q_cdc_binlog", "q_cdc_wal2json", "q_cdc_mssql",
+    "q_cdc_mongo", "q_flatten", "q_s3_incremental",
     "q_infer_schema", "q_evolve", "q_pushdown_sql",
     "q_partition_transform", "q_discover",
     "q_dedup_exact", "q_jaccard_neardup", "q_minhash_neardup",
-    "q_simhash_neardup", "q_text_stats", "q_quality_score", "q_lang_id",
+    "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
+    "q_text_stats", "q_quality_score", "q_lang_id",
     "q_token_count", "q_fingerprint",
     "q_ann_topk", "q_ann_lsh", "q_multimodal_meta", "q_media_frames")
 

@@ -394,6 +394,17 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", maxHamming = 3)),
 
+    // ---- LLM: embedding-cosine near-dup, exact (small-scale oracle) ----
+    "q_cosine_neardup" -> ((s, dir) =>
+      Dedup.cosinePairs(t(s, dir, "embeddings").where(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.35)),
+
+    // ---- LLM: embedding-cosine near-dup, LSH-bucketed (scale path;
+    //      recall vs exact asserted in spec — rows-only here) ----
+    "q_cosine_neardup_lsh" -> ((s, dir) =>
+      Dedup.cosinePairsLsh(t(s, dir, "embeddings").where(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.35)),
+
     // ---- LLM: per-document text stats ----
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "text")
@@ -680,6 +691,12 @@ object SparkEntry {
         |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
         |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
+
+    "q_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -133,6 +133,48 @@ object Dedup {
       .where(col("est_jaccard") >= estThreshold)
   }
 
+  /** Embedding-cosine near-dup pairs, exact: all pairs (a < b) with
+    * cosine ≥ threshold. O(n²·d) — the small-scale ORACLE for the LSH
+    * tier below, mirroring jaccardPairs vs minhashPairs. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    import graft.llm.Similarity.{dot, norm}
+    val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val a = side.as("a"); val b = side.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup, LSH-bucketed (the scale path): vectors
+    * sharing a random-hyperplane sign code (or one bit off, via
+    * multi-probe on the smaller-id side) become candidates; exact
+    * cosine verifies. Join keyed on code — never a cartesian; recall
+    * vs cosinePairs asserted in the spec. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, planes: Int = 4,
+                     dims: Int = 64): DataFrame = {
+    import graft.llm.Similarity.{dot, lshCode, norm}
+    val coded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      lshCode(col(vecCol), planes, dims).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = array((col("code") +:
+      (0 until planes).map(b => col("code").bitwiseXOR(1 << b))): _*)
+    val a = coded.withColumn("probe", explode(probes)).as("a")
+    val b = coded.as("b")
+    a.join(b, col("a.probe") === col("b.code") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b").distinct()
+  }
+
   /** SimHash-64: per token-hash, vote +1/-1 on each bit; the fingerprint
     * sets bit i when votes are positive. Expressed as 64 per-row
     * aggregates over the token array — no shuffle, codegen'd.

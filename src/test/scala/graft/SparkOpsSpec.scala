@@ -70,6 +70,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 25)
   }
 
+  test("cosinePairsLsh recalls a usable fraction of exact cosine pairs") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .where(col("vec_id") < 300)
+    val exact = graft.llm.Dedup.cosinePairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.llm.Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact cosine verification → no false positives
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   // ---- _olake_id byte parity with reference GetKeysHash ----
 
   test("_olake_id composite key: md5 with trailing pipe (utils.go:278-284)") {
