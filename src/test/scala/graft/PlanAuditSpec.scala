@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that decide whether these
+  * operators survive a 100× scale-up — filters reach the parquet scan,
+  * projections prune the read schema, small sides broadcast, candidate
+  * joins are keyed (never cartesian), and aggregates combine map-side.
+  * Asserted on the optimized plans so regressions fail loudly. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("q_project prunes the parquet read schema to the selected columns") {
+    val p = plan(q("q_project"))
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("c_custkey") && read.contains("c_acctbal"))
+    assert(!read.contains("c_address") && !read.contains("c_comment"),
+      s"unselected columns in scan: $read")
+  }
+
+  test("q_filter_and pushes both predicates into the scan") {
+    val p = plan(q("q_filter_and"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    // plan strings truncate long filter lists; the prefix is enough
+    assert(pushed.contains("GreaterThanOrEqual(l_sh"), pushed)
+  }
+
+  test("incremental delta scan predicates reach the scan (no full read)") {
+    val p = plan(q("q_incremental_delta"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(l => l.contains("o_orderdate") || l.contains("Or(")),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("q1_agg combines map-side (partial + final HashAggregate)") {
+    val p = plan(q("q1_agg"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("brute-force ANN broadcasts the query side, never the corpus") {
+    val p = plan(q("q_ann_topk"))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash candidate join is keyed on band — no cartesian anywhere") {
+    val p = plan(q("q_minhash_neardup"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("LSH cosine near-dup joins on code — no cartesian") {
+    val p = plan(q("q_cosine_neardup_lsh"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("limit/offset scan is a distributed top-k, not a global window shuffle") {
+    val p = plan(q("q_limit_offset"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("upsert-apply join and dedup shuffle on the key exactly once each") {
+    val p = plan(q("q_upsert_apply"))
+    assert(!p.contains("CartesianProduct"), p)
+    // dedup window + anti-join both key on _olake_id
+    assert(p.contains("_olake_id"), p)
+  }
+}
