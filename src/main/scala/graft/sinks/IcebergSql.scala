@@ -1,0 +1,79 @@
+package graft.sinks
+
+import graft.operators.SystemColumns
+import graft.sinks.PartitionTransforms.PartitionField
+
+/** The Iceberg sink's SQL surface (K2/K3/K5/K8), rendered as Spark SQL
+  * statements. The reference reaches Iceberg through a gRPC→Java sidecar
+  * (`destination/iceberg/java_client.go:142-255` speaking
+  * GET_OR_CREATE_TABLE / RECORDS / EVOLVE_SCHEMA / COMMIT / DROP_TABLE);
+  * on Spark that entire layer is these statements against an Iceberg
+  * catalog (`spark.sql.catalog.*` config) — the container has no Iceberg
+  * runtime jar, so they are rendered and unit-tested here and executed
+  * verbatim on a cluster that does, while `operators.Merge` provides the
+  * same semantics over plain DataFrames for the local gate.
+  */
+object IcebergSql {
+
+  /** CREATE TABLE with partition transforms — 1:1 with the reference's
+    * partition_regex transforms (`arrow-writer/transforms.go:261-286`):
+    * identity, year/month/day/hour, bucket[N], truncate[N]; `void` is
+    * omitted from the partition spec. */
+  def createTableSql(table: String, columnsDdl: String,
+                     fields: Seq[PartitionField]): String = {
+    val parts = fields.flatMap { f =>
+      f.transform match {
+        case "identity" => Some(f.column)
+        case "void"     => None
+        case t if t.startsWith("bucket[") =>
+          Some(s"bucket(${t.stripPrefix("bucket[").stripSuffix("]")}, ${f.column})")
+        case t if t.startsWith("truncate[") =>
+          Some(s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")}, ${f.column})")
+        case "year" | "month" | "day" | "hour" => Some(s"${f.transform}s(${f.column})")
+        case other => throw new IllegalArgumentException(s"transform $other")
+      }
+    }
+    val partitionBy =
+      if (parts.isEmpty) "" else parts.mkString(" PARTITIONED BY (", ", ", ")")
+    s"CREATE TABLE IF NOT EXISTS $table ($columnsDdl) USING iceberg$partitionBy" +
+      " TBLPROPERTIES ('write.delete.mode'='merge-on-read'," +
+      " 'write.update.mode'='merge-on-read'," +
+      " 'write.merge.mode'='merge-on-read')"
+  }
+
+  /** The upsert MERGE (K3): delete `d`, update `u`/`i`, insert the rest
+    * — the reference's op precedence after dedup-keep-latest
+    * (`IcebergTableOperator.java:78-79`, `Operation.java:22-26`). The
+    * batch must already be deduped to one row per `_olake_id`
+    * (`Merge.dedupKeepLatest`); with merge-on-read table modes Iceberg
+    * produces the same equality/positional delete files as the
+    * reference's Arrow writer path (`arrow-writer/writer.go:155-271`). */
+  def mergeIntoSql(table: String, batchView: String,
+                   dataCols: Seq[String]): String = {
+    val id = SystemColumns.OlakeId
+    val setList = dataCols.map(c => s"t.$c = s.$c").mkString(", ")
+    val insertCols = (dataCols :+ id).mkString(", ")
+    val insertVals = (dataCols :+ id).map(c => s"s.$c").mkString(", ")
+    s"MERGE INTO $table t USING $batchView s ON t.$id = s.$id" +
+      s" WHEN MATCHED AND s.${SystemColumns.OpType} = 'd' THEN DELETE" +
+      s" WHEN MATCHED THEN UPDATE SET $setList" +
+      s" WHEN NOT MATCHED AND s.${SystemColumns.OpType} != 'd'" +
+      s" THEN INSERT ($insertCols) VALUES ($insertVals)"
+  }
+
+  /** Schema evolution DDL (the EVOLVE_SCHEMA verb,
+    * `destination/iceberg/iceberg.go:295-518`): new columns add, int→
+    * long and float→double widen — same promotions as `types.Lattice`. */
+  def addColumnSql(table: String, column: String, sqlType: String): String =
+    s"ALTER TABLE $table ADD COLUMN $column $sqlType"
+  def widenColumnSql(table: String, column: String, sqlType: String): String =
+    s"ALTER TABLE $table ALTER COLUMN $column TYPE $sqlType"
+
+  /** Clear destination (K8) and 2PC position mirror (K6): the reference
+    * stores CDC position + thread state in the `olake_2pc` table
+    * property inside the same commit (`IcebergTableOperator.java:83`). */
+  def dropTableSql(table: String): String = s"DROP TABLE IF EXISTS $table"
+  def setCommitStateSql(table: String, stateJson: String): String =
+    s"ALTER TABLE $table SET TBLPROPERTIES ('olake_2pc' = " +
+      s"'${stateJson.replace("'", "''")}')"
+}

@@ -147,6 +147,24 @@ object ChunkSql {
     s"SELECT * FROM ${qt(ns, name, MySql)} WHERE $cond"
   }
 
+  /** Collation-aligned string-PK boundary probe (jdbc.go:471-494):
+    * for each arithmetic candidate boundary, one `UNION ALL` probe
+    * fetches the first actual PK value at-or-after it, deduped and
+    * range-clamped under the column's collation so chunk boundaries
+    * follow database sort order, not byte order. `?` placeholders bind
+    * the candidate bounds, then the padded min/max clamp. */
+  def mysqlCollationAlignedBoundsQuery(ns: String, name: String, pkCol: String,
+                                       nBounds: Int, collation: String): String = {
+    val q = quoteIdent(pkCol, MySql)
+    val t = qt(ns, name, MySql)
+    val probe = s"SELECT (SELECT $q FROM $t WHERE $q >= ? ORDER BY $q ASC " +
+      "LIMIT 1) AS actual_pk"
+    val union = Seq.fill(nBounds)(probe).mkString(" UNION ALL ")
+    s"SELECT DISTINCT actual_pk COLLATE $collation AS val FROM ($union) AS " +
+      s"aligned WHERE actual_pk COLLATE $collation >= ? AND actual_pk " +
+      s"COLLATE $collation <= ? ORDER BY val"
+  }
+
   /** No-PK fallback: LIMIT/OFFSET windows (jdbc.go:355-372). */
   def mysqlLimitOffsetScanQuery(ns: String, name: String, offset: Long,
                                 limit: Long, filter: String = ""): String = {

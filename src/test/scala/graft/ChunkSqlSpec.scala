@@ -128,6 +128,37 @@ class ChunkSqlSpec extends AnyFunSuite {
     assert(ChunkSql.syntheticObjectId(1).length == 24)
   }
 
+  test("mysql collation-aligned boundary probe (jdbc.go:471-494)") {
+    val q = ChunkSql.mysqlCollationAlignedBoundsQuery("d", "t", "pk", 2,
+      "utf8mb4_general_ci")
+    assert("UNION ALL".r.findAllIn(q).size == 1) // 2 probes → 1 UNION ALL
+    assert(q.contains("SELECT DISTINCT actual_pk COLLATE utf8mb4_general_ci"))
+    assert(q.contains("ORDER BY `pk` ASC LIMIT 1"))
+    assert(q.endsWith("ORDER BY val"))
+  }
+
+  test("iceberg DDL: partition transforms map 1:1 (transforms.go:261-286)") {
+    import graft.sinks.IcebergSql
+    import graft.sinks.PartitionTransforms.PartitionField
+    val ddl = IcebergSql.createTableSql("cat.db.t", "id BIGINT, ts TIMESTAMP",
+      Seq(PartitionField("ts", "day"), PartitionField("id", "bucket[16]"),
+        PartitionField("id", "truncate[1000]"), PartitionField("x", "void")))
+    assert(ddl.contains("PARTITIONED BY (days(ts), bucket(16, id), truncate(1000, id))"))
+    assert(ddl.contains("'write.delete.mode'='merge-on-read'"))
+    assert(!ddl.contains("void"))
+  }
+
+  test("iceberg MERGE: delete d, update matched, insert non-d (Operation.java:22-26)") {
+    import graft.sinks.IcebergSql
+    val m = IcebergSql.mergeIntoSql("cat.db.t", "batch", Seq("a", "b"))
+    assert(m.contains("ON t._olake_id = s._olake_id"))
+    assert(m.contains("WHEN MATCHED AND s._op_type = 'd' THEN DELETE"))
+    assert(m.contains("WHEN MATCHED THEN UPDATE SET t.a = s.a, t.b = s.b"))
+    assert(m.contains("WHEN NOT MATCHED AND s._op_type != 'd' THEN INSERT"))
+    assert(IcebergSql.setCommitStateSql("t", """{"lsn":"0/1"}""")
+      .contains("'olake_2pc'"))
+  }
+
   test("oracle dialect maps NUMBER by precision/scale (reader.go:77-88)") {
     val d = Dialects.OracleNumberDialect
     def md(scale: Int) = new MetadataBuilder().putLong("scale", scale)
