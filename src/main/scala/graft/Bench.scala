@@ -32,7 +32,8 @@ object Bench {
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
     "q_text_stats", "q_quality_score", "q_lang_id",
     "q_token_count", "q_fingerprint",
-    "q_ann_topk", "q_ann_lsh", "q_multimodal_meta", "q_media_frames")
+    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_multimodal_meta",
+    "q_media_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

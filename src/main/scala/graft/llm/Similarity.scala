@@ -75,6 +75,70 @@ object Similarity {
       }),
       lit(0), (a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and ranks candidates by exact cosine.
+    *
+    * Scale shape: the quantizer fits on a SAMPLE (planner-time, bounded
+    * by `fitSampleFraction` — never a full pass at 100 TB), cell
+    * assignment is one map pass over the corpus, and the probe join is
+    * keyed on cell id. Centroids are nlist×d floats — driver/broadcast
+    * size, like the reference's chunk boundary sets.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2,
+              fitSampleFraction: Double = 1.0,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val fitInput = (if (fitSampleFraction < 1.0)
+      corpus.sample(fitSampleFraction, seed = 42) else corpus)
+      .select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
+      .fit(fitInput)
+    // centroid table: nlist rows of (cell, centroid array) — tiny
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }.toSeq.toDF("cell", "centroid")
+    // corpus cell assignment: nearest-1 via the model — ONE map pass,
+    // no join, no shuffle
+    val corpusCells = model.setPredictionCol("cell").transform(
+        corpus.select(col(idCol).as("neighbor_id"),
+          array_to_vector(col(vecCol)).as("features")))
+      .select(col("neighbor_id"), col("cell"))
+    // query probes: nprobe nearest cells via a broadcast centroid join —
+    // queries are tiny by construction
+    val queryCells = broadcast {
+      val d2 = aggregate(
+        zip_with(col(vecCol).cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy(col(idCol)).orderBy(d2.asc, col("cell"))
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= nprobe)
+        .select(col(idCol).as("query_id"), col("cell"))
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnorm"))
+      .join(corpusCells, "neighbor_id")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm"))
+      .join(queryCells, "query_id"))
+    val scored = c.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets within Hamming distance 1 of its code (multi-probe
     * — the standard recall fix that costs probes, not an extra pass over

@@ -35,7 +35,9 @@ object Discover {
   /** Discover one parquet-backed stream. PK heuristic mirrors discovery
     * defaults: a column named `<prefix>key` / `id` / `<name>_id`. */
   def discoverStream(spark: SparkSession, dir: String, name: String): DiscoveredStream = {
-    val schema = spark.read.parquet(s"$dir/$name.parquet").schema
+    // via Tables.load so nanosecond-timestamp columns discover as the
+    // canonical micros mapping instead of failing the footer read
+    val schema = graft.Tables.load(spark, dir, name).schema
     val cols = canonicalColumns(schema)
     val pk = cols.map(_._1).filter(c =>
       c == "id" || c == s"${name}_id" || c.endsWith("key") && c.length <= name.length + 5)

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.state.StateStore
+
+/** Lifecycle verbs end-to-end: check → discover → sync (backfill, then
+  * cursor delta) → clear, all resumable through StateStore. */
+class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val src = "/root/testdata/sf0.001"
+
+  test("check: ok for real streams, error lists missing ones") {
+    assert(Protocol.check(spark, src, Seq("nation", "orders")).isRight)
+    val bad = Protocol.check(spark, src, Seq("nation", "nope"))
+    assert(bad.left.exists(_.contains("nope")))
+  }
+
+  test("discover emits a parseable catalog with canonical types and PKs") {
+    val cat = Protocol.discover(spark, src, Seq("nation", "events"))
+    assert(cat.contains(""""name": "nation""""))
+    assert(cat.contains(""""n_nationkey": "integer_small""""))
+    assert(cat.contains(""""ts": "timestamp_micro""""))
+    assert(cat.contains(""""event_id""""))
+    assert(Protocol.spec().contains("full_refresh"))
+  }
+
+  test("sync: backfill then cursor delta, state advances, rows land") {
+    val dest = Files.createTempDirectory("graft_sync").toString
+    val state = s"$dest/state.json"
+    val cfg = Protocol.StreamConfig("orders",
+      syncMode = "incremental", cursor = Some("o_orderdate"),
+      primaryKeys = Seq("o_orderkey"),
+      partitionRegex = Some("/{o_orderdate, year}"))
+    val n1 = Protocol.syncStream(spark, src, dest, cfg, state)
+    assert(n1 == Tables.load(spark, src, "orders").count())
+    val st1 = StateStore.load(state).get.streams("orders")
+    assert(st1.cursor.contains("o_orderdate"))
+    // second run: nothing newer than the stored max cursor → 0 rows
+    val n2 = Protocol.syncStream(spark, src, dest, cfg, state)
+    assert(n2 == 0)
+    // partition transform applied to the layout
+    assert(new java.io.File(s"$dest/orders").listFiles()
+      .exists(_.getName.startsWith("o_orderdate_year=")))
+    // destination still holds exactly one backfill worth of rows
+    assert(spark.read.parquet(s"$dest/orders").count() == n1)
+    Protocol.clear(spark, dest, state, Seq("orders"))
+    assert(!new java.io.File(s"$dest/orders").exists)
+    assert(!StateStore.load(state).get.streams.contains("orders"))
+  }
+
+  test("sync honors the stream filter") {
+    val dest = Files.createTempDirectory("graft_syncf").toString
+    val cfg = Protocol.StreamConfig("nation",
+      filter = Some("n_regionkey = 1"), primaryKeys = Seq("n_nationkey"))
+    val n = Protocol.syncStream(spark, src, dest, cfg, s"$dest/state.json")
+    assert(n == Tables.load(spark, src, "nation")
+      .where(col("n_regionkey") === 1).count())
+  }
+}

@@ -70,6 +70,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 25)
   }
 
+  test("ivfTopK recalls a usable fraction of brute-force neighbours") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
+  }
+
   test("cosinePairsLsh recalls a usable fraction of exact cosine pairs") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
       .where(col("vec_id") < 300)
