@@ -283,6 +283,12 @@ object SparkEntry {
           get_json_object(col("data"), "$.value").cast("double").as("value"))
     }),
 
+    // ---- event-time tumbling-window rates (streaming operator, batch
+    //      semantics oracled; StreamingSpec drives the streaming path) ----
+    "q_windowed_rates" -> ((s, dir) =>
+      graft.streaming.WindowedStats.eventRates(
+        t(s, dir, "events"), "ts", "event_type", "1 hour")),
+
     // ---- §1.2 schema inference over a JSON column (S16 decode path) ----
     "q_infer_schema" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -625,6 +631,11 @@ object SparkEntry {
         |  event_id,
         |  CASE WHEN event_type='error' THEN NULL ELSE value END AS value
         |FROM events WHERE event_id < 2000 AND event_id > 50""".stripMargin,
+
+    "q_windowed_rates" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_infer_schema" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k

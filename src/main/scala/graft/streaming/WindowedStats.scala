@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermarks — beyond the
+  * reference's parity surface (it has no event-time processing at all,
+  * SURVEY §2.4 C9) but core to a Spark-native pipeline: per-window
+  * per-key change rates with late-data tolerance, and the streaming
+  * dedup the reference approximates with its insert-dedup window.
+  *
+  * All operators here work identically on batch and streaming frames —
+  * the watermark is a no-op in batch mode, so the DuckDB oracle can
+  * check the batch semantics while StreamingSpec drives the streaming
+  * path through checkpointed micro-batches.
+  */
+object WindowedStats {
+
+  /** Tumbling-window counts per key: (window_start, key, n). */
+  def eventRates(df: DataFrame, tsCol: String, keyCol: String,
+                 windowDuration: String,
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
+    val stream = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay)
+      else df
+    stream
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"))
+  }
+
+  /** Watermarked streaming dedup by key — Structured Streaming keeps
+    * the seen-key state only within the watermark horizon, which is the
+    * bounded-state version of the reference's insert-dedup window. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+}
