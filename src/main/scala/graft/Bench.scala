@@ -69,13 +69,53 @@ object Bench {
           }
       }
     }
+    // Throughput analogs of BASELINE.md's published RPS numbers:
+    //  - backfill = scan + system columns + parquet write (the full-load
+    //    path; reference: Postgres→Iceberg 580,113 RPS)
+    //  - cdc_apply = dedup-keep-latest + merge into a base table
+    //    (the CDC apply path; reference: Postgres→Iceberg CDC 55,555 RPS)
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Merge, SystemColumns}
+    val throughput = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val n = li.count()
+      val out = java.nio.file.Files.createTempDirectory("graft_tp").toString
+      // warm the write-path codegen so the timed run measures the
+      // steady-state pipeline, not one-time JIT
+      SystemColumns.attach(li.limit(1000), Seq("l_orderkey", "l_linenumber"),
+        SystemColumns.OpRead).write.mode("overwrite").parquet(out + "/warm")
+      val t0 = System.nanoTime()
+      SystemColumns.attach(li, Seq("l_orderkey", "l_linenumber"),
+        SystemColumns.OpRead).write.mode("overwrite").parquet(out)
+      throughput("backfill_rps") = n / ((System.nanoTime() - t0) / 1e9)
+
+      val ev = Tables.load(spark, sfDir, "events")
+      val m = ev.count()
+      val changes = ev.select(
+        col("user_id").cast("string").as(SystemColumns.OlakeId),
+        when(col("event_type") === "error", "d")
+          .when(col("event_type") === "purchase", "u").otherwise("c")
+          .as(SystemColumns.OpType),
+        col("ts").as(SystemColumns.CdcTimestamp),
+        col("event_id"), col("value"))
+      val base = changes.drop(SystemColumns.OpType, SystemColumns.CdcTimestamp)
+        .dropDuplicates(SystemColumns.OlakeId)
+      val t1 = System.nanoTime()
+      Merge.applyChanges(base, changes).write.mode("overwrite")
+        .parquet(out + "/cdc")
+      throughput("cdc_apply_rps") = m / ((System.nanoTime() - t1) / 1e9)
+    } catch { case _: Throwable => () }
+
     val total = times.values.sum
     def jt = times.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     def js = status.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
+    def jp = throughput.map { case (k, v) => s""""$k":${"%.0f".format(v)}""" }
+      .mkString("{", ",", "}")
     val nFail = status.values.count(_ != "ok")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$jt,"status":$js,"failed":$nFail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$jt,"status":$js,"throughput":$jp,"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
