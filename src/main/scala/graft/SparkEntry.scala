@@ -251,6 +251,18 @@ object SparkEntry {
         element_at(img, 4).cast("double").as("value"))
     }),
 
+    // ---- C1/C3 DSv2 change-log source: LSN-segmented batch read ----
+    "q_changelog_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val segDir = java.nio.file.Files
+        .createTempDirectory("graft_clq").toString
+      ChangeLogFixture.changeLogDir(ev, segDir)
+      s.read.format("graft-changelog").load(segDir)
+        .select(col("lsn"), col("kind"), col("ts"),
+          get_json_object(col("data"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("data"), "$.value").cast("double").as("value"))
+    }),
+
     // ---- C2 wal2json decoder (pure from_json plan) ----
     "q_cdc_wal2json" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -606,6 +618,13 @@ object SparkEntry {
         |  'events' AS "table", event_id AS pos,
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
         |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_changelog_source" ->
+      """SELECT event_id AS lsn,
+        |  CASE WHEN event_type='error' THEN 'delete'
+        |    WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  CAST(ts AS TIMESTAMP) AS ts, event_id, value
         |FROM events WHERE event_id < 2000""".stripMargin,
 
     "q_cdc_wal2json" ->

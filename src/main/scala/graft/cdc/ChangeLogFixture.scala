@@ -79,6 +79,34 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → LSN-segmented change-log directory for the
+    * `graft-changelog` DSv2 source: each input partition writes one
+    * `seg-<min>-<max>.json` (executor-side, no driver collect). */
+  def changeLogDir(events: DataFrame, dir: String): String = {
+    val lines = events
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .select(col("event_id").as("lsn"), format_string(
+        """{"lsn":%d,"kind":"%s","table":"events","ts":"%s","data":{"event_id":%d,"value":%s}}""",
+        col("event_id"),
+        when(col("event_type") === "error", "delete")
+          .when(col("event_type") === "purchase", "update").otherwise("insert"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        col("event_id"), col("value")).as("line"))
+    lines.foreachPartition { (it: Iterator[Row]) =>
+      val buf = it.toVector
+      if (buf.nonEmpty) {
+        val lo = buf.head.getLong(0); val hi = buf.last.getLong(0)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"seg-$lo-$hi.json"),
+          buf.map(_.getString(1)).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      ()
+    }
+    dir
+  }
+
   /** events → wal2json v1 documents (one transaction per row). Deletes
     * carry only `oldkeys`, like the plugin emits. */
   def wal2jsonLog(events: DataFrame): DataFrame = {

@@ -1,0 +1,176 @@
+package graft.sources.changelog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-changelog`: a DataSource V2 micro-batch source over a
+  * directory of LSN-segmented change files — the Spark-native shape of
+  * the reference's replication-slot protocol
+  * (`drivers/postgres/internal/cdc.go:62-248`): the stream's offset IS
+  * the log position; a restart resumes from the checkpointed LSN and
+  * replayed positions are never re-delivered; `commit(end)` is the
+  * ack (`AcknowledgeLSN`) — Structured Streaming's Source contract is
+  * exactly the slot contract, which is why SURVEY §2.4 maps C1/C3 here.
+  *
+  * Layout: `<dir>/seg-<minLsn>-<maxLsn>.json`, JSON-lines with at least
+  * `{"lsn": N, "kind": "...", "table": "...", "ts": "...", "data": {...}}`.
+  * Planning touches only file NAMES (no data read at plan time); each
+  * overlapping segment becomes one input partition, and readers re-check
+  * the (start, end] range so overlapping segment files stay correct.
+  *
+  * Usage: `spark.readStream.format("graft-changelog").load(dir)` (or
+  * `spark.read` for a bounded backfill of the whole log).
+  */
+class ChangeLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changelog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeLogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChangeLogTable(properties.get("path"))
+}
+
+object ChangeLogSource {
+  /** The normalized change-record shape every CDC decoder produces. */
+  val schema: StructType = StructType(Seq(
+    StructField("lsn", LongType),
+    StructField("kind", StringType),
+    StructField("table", StringType),
+    StructField("ts", TimestampType),
+    StructField("data", StringType)))
+
+  private val SegName = raw"seg-(\d+)-(\d+)\.json".r
+
+  /** (path, minLsn, maxLsn) per segment, from file names only. */
+  def segments(dir: String): Seq[(String, Long, Long)] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case SegName(lo, hi) => Some((p.toString, lo.toLong, hi.toLong))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._2)
+  }
+
+  def maxLsn(dir: String): Long =
+    segments(dir).map(_._3).foldLeft(-1L)(math.max)
+}
+
+/** Offset = highest delivered LSN; JSON for the checkpoint log. */
+case class LsnOffset(lsn: Long) extends Offset {
+  override def json(): String = s"""{"lsn":$lsn}"""
+}
+
+class ChangeLogTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-changelog(`$dir`)"
+  override def schema(): StructType = ChangeLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ChangeLogScan(dir)
+}
+
+class ChangeLogScan(dir: String) extends Scan {
+  override def readSchema(): StructType = ChangeLogSource.schema
+  override def toBatch: Batch = new ChangeLogBatch(dir, Long.MinValue, Long.MaxValue)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangeLogStream(dir)
+}
+
+/** One segment file = one input partition. */
+case class SegmentPartition(path: String, startExclusive: Long,
+                            endInclusive: Long) extends InputPartition
+
+class ChangeLogBatch(dir: String, startExclusive: Long, endInclusive: Long)
+    extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    ChangeLogSource.segments(dir)
+      .filter { case (_, lo, hi) => hi > startExclusive && lo <= endInclusive }
+      .map { case (p, _, _) => SegmentPartition(p, startExclusive, endInclusive) }
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeLogReaderFactory
+}
+
+class ChangeLogStream(dir: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = LsnOffset(-1L)
+  override def latestOffset(): Offset = LsnOffset(ChangeLogSource.maxLsn(dir))
+  override def deserializeOffset(json: String): Offset = {
+    val m = new ObjectMapper().readTree(json)
+    LsnOffset(m.get("lsn").asLong())
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LsnOffset].lsn
+    val e = end.asInstanceOf[LsnOffset].lsn
+    ChangeLogSource.segments(dir)
+      .filter { case (_, lo, hi) => hi > s && lo <= e }
+      .map { case (p, _, _) => SegmentPartition(p, s, e) }
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeLogReaderFactory
+  /** The ack: everything ≤ offset is durably committed downstream —
+    * a real slot would AcknowledgeLSN here; the checkpoint already
+    * guarantees we never re-plan below it. */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class ChangeLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SegmentReader(partition.asInstanceOf[SegmentPartition])
+}
+
+/** JSON-lines reader with the (start, end] re-check; `data` may be an
+  * embedded object (re-serialized) or a string. */
+class SegmentReader(p: SegmentPartition) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = Files.readAllLines(
+    Paths.get(p.path), StandardCharsets.UTF_8).iterator()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && lines.hasNext) {
+      val line = lines.next().trim
+      if (line.nonEmpty) {
+        val n = mapper.readTree(line)
+        val lsn = n.get("lsn").asLong()
+        if (lsn > p.startExclusive && lsn <= p.endInclusive) {
+          def str(f: String): UTF8String =
+            Option(n.get(f)).map { v =>
+              UTF8String.fromString(
+                if (v.isTextual) v.asText() else v.toString)
+            }.orNull
+          val tsMicros: Any = Option(n.get("ts")).map { v =>
+            val t = java.time.LocalDateTime.parse(
+              v.asText().replace(' ', 'T'))
+            t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+              t.getNano / 1000L
+          }.orNull
+          current = InternalRow(lsn, str("kind"), str("table"), tsMicros,
+            str("data"))
+        }
+      }
+    }
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
