@@ -1,0 +1,47 @@
+package graft
+
+/** Planner-level retry with exponential backoff and non-retryable
+  * classification (reference `utils/utils.go:462-537` +
+  * `constants/constants.go:9,12`: 3 attempts, 60 s base, errors wrapped
+  * `ErrNonRetryable` abort immediately).
+  *
+  * Spark task retries cover executor-side failures; this wraps the
+  * DRIVER-side planning calls that Spark does not retry — JDBC boundary
+  * walks, catalog stats queries, state commits.
+  */
+object Retry {
+
+  class NonRetryableException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+  /** Errors that retrying cannot fix (the reference's classification:
+    * auth, permission, SQL syntax, missing relations). */
+  def isNonRetryable(e: Throwable): Boolean = e match {
+    case _: NonRetryableException => true
+    case _: IllegalArgumentException => true
+    case e: Exception =>
+      val m = Option(e.getMessage).getOrElse("").toLowerCase
+      Seq("authentication", "permission denied", "access denied",
+        "syntax error", "does not exist", "not found")
+        .exists(m.contains)
+    case _ => false
+  }
+
+  /** Run `f`, retrying up to `attempts` times with delays base·2ⁿ.
+    * `sleep` is injectable for tests. */
+  def withBackoff[A](attempts: Int = 3, baseDelayMs: Long = 60000L,
+                     sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+    var n = 0
+    var last: Throwable = null
+    while (n < attempts) {
+      try return f
+      catch {
+        case e: Throwable if isNonRetryable(e) => throw e
+        case e: Throwable =>
+          last = e; n += 1
+          if (n < attempts) sleep(baseDelayMs * (1L << (n - 1)))
+      }
+    }
+    throw last
+  }
+}

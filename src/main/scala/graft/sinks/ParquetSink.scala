@@ -64,6 +64,42 @@ object ParquetSink {
     w.parquet(path)
   }
 
+  /** Append with schema evolution by rewrite (K7: the parquet
+    * destination has no metadata layer, so widening a column type means
+    * rewriting the files — reference `destination/parquet/parquet.go`
+    * evolve path; promotion rules are the same lattice the Iceberg path
+    * uses). New columns append without a rewrite (parquet schema
+    * merging covers missing columns); only an incompatible widening
+    * (int→long, float→double, →string) triggers the rewrite.
+    */
+  def appendEvolving(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) { df.write.parquet(path); return }
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
+    val widened = graft.operators.Evolve.evolveAll(Seq(existing, df))
+    val sameTypes = existing.schema.fields.map(f => f.name -> f.dataType).toMap
+    val needRewrite = widened.schema.fields.exists(f =>
+      sameTypes.get(f.name).exists(_ != f.dataType))
+    if (needRewrite) {
+      // rewrite-widen: land the union beside the old data, then swap
+      val tmp = path + ".evolve"
+      widened.write.mode("overwrite").parquet(tmp)
+      fs.delete(dest, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dest)
+    } else {
+      // align to the widened shape (adds missing columns as nulls)
+      val aligned = widened.schema.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+      aligned.select(widened.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*).write.mode("append").parquet(path)
+    }
+  }
+
   /** Clear destination (K8): drop the output path for full-refresh
     * streams (reference `destination/writers.go:299-316`).
     */

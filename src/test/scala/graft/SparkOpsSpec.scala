@@ -95,6 +95,56 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  // ---- retry with backoff + non-retryable classification ----
+
+  test("retry: backoff doubles, non-retryable aborts immediately (utils.go:462-537)") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    intercept[RuntimeException] {
+      Retry.withBackoff(attempts = 3, baseDelayMs = 100, sleep = delays += _) {
+        calls += 1; throw new RuntimeException("flaky")
+      }
+    }
+    assert(calls == 3 && delays.toSeq == Seq(100L, 200L))
+    var nrCalls = 0
+    intercept[Retry.NonRetryableException] {
+      Retry.withBackoff(attempts = 3, baseDelayMs = 1, sleep = _ => ()) {
+        nrCalls += 1; throw new Retry.NonRetryableException("auth")
+      }
+    }
+    assert(nrCalls == 1)
+    assert(Retry.isNonRetryable(new RuntimeException("permission denied for table x")))
+    assert(!Retry.isNonRetryable(new RuntimeException("connection reset")))
+    // succeeds on second attempt
+    var n = 0
+    val out = Retry.withBackoff(attempts = 3, baseDelayMs = 1, sleep = _ => ()) {
+      n += 1; if (n < 2) throw new RuntimeException("once") else 42
+    }
+    assert(out == 42)
+  }
+
+  // ---- K7 parquet evolve-by-rewrite ----
+
+  test("appendEvolving: widening rewrites, new columns append (parquet.go evolve)") {
+    import spark.implicits._
+    import graft.sinks.ParquetSink
+    val path = java.nio.file.Files.createTempDirectory("graft_ev").toString + "/t"
+    ParquetSink.appendEvolving(Seq((1, "a")).toDF("id", "s"), path)
+    // widen id int→long: must rewrite existing files
+    ParquetSink.appendEvolving(
+      Seq((2L, "b")).toDF("id", "s"), path)
+    val afterWiden = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(afterWiden.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(afterWiden.count() == 2)
+    // add a new column: append-only, no rewrite of the old rows
+    ParquetSink.appendEvolving(
+      Seq((3L, "c", 1.5)).toDF("id", "s", "score"), path)
+    val fin = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(fin.count() == 3)
+    assert(fin.where(col("score").isNotNull).count() == 1)
+  }
+
   // ---- _olake_id byte parity with reference GetKeysHash ----
 
   test("_olake_id composite key: md5 with trailing pipe (utils.go:278-284)") {
