@@ -58,6 +58,30 @@ object Merge {
       .where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Skew-resistant dedup-keep-latest: `max_by(row, order)` instead of
+    * a window. Same survivor per key when `orderCols` is a total order,
+    * but expressed as an AGGREGATE — Spark runs a partial aggregation
+    * before the shuffle, so a hot key ships one pre-combined row per
+    * map partition instead of funneling every duplicate through one
+    * reducer. This is the 100 TB form; the window variant above stays
+    * for order-spec parity with the oracle queries.
+    *
+    * `orderCols` must be non-null, max-wins (e.g. `_cdc_timestamp`,
+    * `opPriority(_op_type)`, arrival id).
+    */
+  def dedupKeepLatestAgg(changes: DataFrame,
+                         keyCol: String = SystemColumns.OlakeId,
+                         orderCols: Seq[Column] = Nil): DataFrame = {
+    val ord = if (orderCols.nonEmpty) orderCols
+      else Seq(col(SystemColumns.CdcTimestamp),
+        opPriority(col(SystemColumns.OpType)))
+    val cols = changes.columns
+    val packed = changes.groupBy(col(keyCol).as("_k"))
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*),
+        struct(ord: _*)).as("_row"))
+    packed.select(cols.map(c => org.apache.spark.sql.functions.col(s"_row.$c")).toIndexedSeq: _*)
+  }
+
   /** Apply a deduped change batch to a base table (the MERGE semantic):
     * delete `d`, upsert `u`/`i`, insert `c`/`r`. `base` must carry
     * `keyCol`; change rows must carry `keyCol` + `_op_type` + the base's

@@ -95,6 +95,33 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("dedupKeepLatestAgg matches the window variant on a total order") {
+    import graft.operators.{Merge, SystemColumns}
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val changes = ev.select(
+      col("user_id").cast("string").as(SystemColumns.OlakeId),
+      when(col("event_type") === "error", "d")
+        .when(col("event_type") === "purchase", "u").otherwise("c")
+        .as(SystemColumns.OpType),
+      col("ts").as(SystemColumns.CdcTimestamp),
+      col("event_id"), col("value"))
+    val win = Merge.dedupKeepLatest(changes,
+        extraOrder = Seq(col("event_id").desc))
+      .orderBy(SystemColumns.OlakeId).collect()
+    val agg = Merge.dedupKeepLatestAgg(changes,
+        orderCols = Seq(col(SystemColumns.CdcTimestamp),
+          Merge.opPriority(col(SystemColumns.OpType)), col("event_id")))
+      .orderBy(SystemColumns.OlakeId).collect()
+    assert(win.length == agg.length)
+    assert(win.map(_.getAs[Long]("event_id")).toSeq ==
+      agg.map(_.getAs[Long]("event_id")).toSeq)
+    // the aggregate plan partially combines before the shuffle
+    val p = Merge.dedupKeepLatestAgg(changes).queryExecution
+      .executedPlan.toString
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).size >= 2, p)
+  }
+
   // ---- retry with backoff + non-retryable classification ----
 
   test("retry: backoff doubles, non-retryable aborts immediately (utils.go:462-537)") {
