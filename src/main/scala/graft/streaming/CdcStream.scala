@@ -83,7 +83,10 @@ object CdcStream {
       .withColumn(SystemColumns.OpType,
         CdcWindow.opType(col("kind"), dedupInserts = ss.dedupInserts))
       .drop("kind")
-    val deduped = Merge.dedupKeepLatest(stamped).cache()
+    // aggregate form: partial-combines hot keys map-side (SCALING.md)
+    val deduped = Merge.dedupKeepLatestAgg(stamped,
+      orderCols = Seq(col(SystemColumns.CdcTimestamp),
+        Merge.opPriority(col(SystemColumns.OpType)), col("lsn"))).cache()
     val maxLsn = deduped.agg(max(col("lsn"))).head.get(0)
 
     val base =
