@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ChunkPlanner, Incremental, SystemColumns}
+import graft.operators.{ChunkPlanner, Flatten, Incremental, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
 import graft.sources.Discover
 import graft.spec.FilterSpec
@@ -69,8 +69,12 @@ object Protocol {
   def syncStream(spark: SparkSession, sourceDir: String, destDir: String,
                  cfg: StreamConfig, statePath: String): Long = {
     val src0 = Tables.load(spark, sourceDir, cfg.name)
-    val src = cfg.filter.map(f => src0.where(FilterSpec.parse(f).toColumn))
+    val filtered = cfg.filter.map(f => src0.where(FilterSpec.parse(f).toColumn))
       .getOrElse(src0)
+    // normalized mode flattens FIRST (nested→JSON text, names
+    // normalized) so cursor/PK references use destination names — the
+    // shape the reference's state stores; raw mode keeps source names.
+    val src = if (cfg.normalization) Flatten.flatten(filtered) else filtered
     val st = StateStore.load(statePath).getOrElse(StateStore.State())
     val ss = st.streams.getOrElse(cfg.name, StateStore.StreamState())
     val firstRun = ss.cursor.isEmpty
@@ -80,12 +84,17 @@ object Protocol {
       case (_, false, Some(cur)) =>
         val c = Incremental.Cursor.parse(cur)
         val last = ss.cursor(c.primary)
-        Incremental.deltaScan(src, c, to_timestamp(lit(last)), None)
+        val lastCol = src.schema(c.primary).dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.DateType => to_timestamp(lit(last))
+          case _ => lit(last.toLong)
+        }
+        Incremental.deltaScan(src, c, lastCol, None)
     }
-    val stamped = SystemColumns.attach(batch, cfg.primaryKeys,
-      SystemColumns.OpRead)
-    val out = if (cfg.normalization) stamped
-      else SystemColumns.rawMode(batch, cfg.primaryKeys, SystemColumns.OpRead)
+    val out = if (cfg.normalization)
+      SystemColumns.attach(batch, cfg.primaryKeys, SystemColumns.OpRead)
+    else SystemColumns.rawMode(batch, cfg.primaryKeys, SystemColumns.OpRead)
     val fields = cfg.partitionRegex.map(PartitionTransforms.parseRegex)
       .getOrElse(Nil)
     val stats = ParquetSink.writeWithStats(out, s"$destDir/${cfg.name}",

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's integration backbone, re-shaped (SURVEY §5): ingest a
+  * WIDE typed table through the full sync path, verify with Spark SQL —
+  * per-type values, flattened nested columns, the duplicate check
+  * (COUNT(*) vs COUNT(DISTINCT _olake_id), test_utils.go:1513), and
+  * crash-recovery resume with no dupes and no loss. */
+class IntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def wideTable(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (i.toLong, i, i % 2 == 0, s"name-$i", i * 1.5, i.toFloat,
+        Date.valueOf(f"2024-01-${i % 28 + 1}%02d"),
+        Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d"),
+        s"bin-$i".getBytes, Seq(i, i + 1), (s"k$i", i),
+        if (i % 5 == 0) null else s"opt-$i")
+    }.toDF("Big ID", "small_int", "flag", "name", "d_val", "f_val",
+      "a_date", "a_ts", "payload", "arr", "nested", "nullable")
+  }
+
+  test("wide typed table syncs end-to-end: types, flatten, no dupes, resume") {
+    val srcDir = Files.createTempDirectory("graft_int_src").toString
+    val dest = Files.createTempDirectory("graft_int_dst").toString
+    val state = s"$dest/state.json"
+    wideTable(100).write.parquet(s"$srcDir/wide.parquet")
+
+    val cfg = Protocol.StreamConfig("wide", primaryKeys = Seq("big_id"),
+      cursor = Some("big_id"))
+    val n = Protocol.syncStream(spark, srcDir, dest, cfg, state)
+    assert(n == 100)
+
+    val out = spark.read.parquet(s"$dest/wide")
+    out.createOrReplaceTempView("synced")
+    // duplicate check, reference-style
+    val dup = spark.sql(
+      "SELECT count(*) - count(DISTINCT _olake_id) FROM synced").head.getLong(0)
+    assert(dup == 0L)
+    // names normalized, nested flattened to JSON text, binary to string
+    assert(out.columns.contains("big_id"))
+    val r = out.where(col("big_id") === 2).head()
+    assert(r.getAs[String]("arr") == "[2,3]")
+    assert(r.getAs[String]("nested") == """{"_1":"k2","_2":2}""")
+    assert(r.getAs[String]("payload") == "bin-2")
+    assert(r.getAs[Boolean]("flag"))
+    assert(r.getAs[Double]("d_val") == 3.0)
+    // op type + system columns present
+    assert(spark.sql(
+      "SELECT count(*) FROM synced WHERE _op_type = 'r'").head.getLong(0) == 100)
+    // per-type round trip survives (timestamps to the second)
+    assert(spark.sql(
+      "SELECT count(*) FROM synced WHERE a_ts = TIMESTAMP '2024-01-01 00:00:02' AND big_id = 2")
+      .head.getLong(0) == 1)
+
+    // crash-recovery: resync with the saved state — cursor delta is empty,
+    // destination unchanged (no dupes, no loss; test_utils.go:842-1041)
+    val n2 = Protocol.syncStream(spark, srcDir, dest, cfg, state)
+    assert(n2 == 0)
+    assert(spark.read.parquet(s"$dest/wide").count() == 100)
+
+    // new rows after the cursor land incrementally, exactly once
+    wideTable(120).where(col("`Big ID`") > 100)
+      .write.mode("append").parquet(s"$srcDir/wide.parquet")
+    val n3 = Protocol.syncStream(spark, srcDir, dest, cfg, state)
+    assert(n3 == 20)
+    val fin = spark.read.parquet(s"$dest/wide")
+    assert(fin.count() == 120)
+    assert(fin.select(countDistinct("_olake_id")).head.getLong(0) == 120)
+  }
+}
