@@ -25,7 +25,7 @@ object FileSources {
 
   def readCsv(spark: SparkSession, paths: Seq[String],
               cfg: CsvConfig = CsvConfig()): DataFrame = {
-    var r = spark.read
+    val r = spark.read
       .option("sep", cfg.delimiter)
       .option("header", cfg.header)
       .option("quote", cfg.quote)
@@ -33,13 +33,17 @@ object FileSources {
       // schema inference reads a bounded sample, like the reference parser
       .option("samplingRatio", 1.0)
     if (cfg.skipRows > 0) {
-      // Spark has no skipRows for CSV with header; emulate via comment
-      // lines being absent and dropping N rows would de-parallelize, so
-      // callers with literal preamble rows should strip them upstream.
-      throw new UnsupportedOperationException(
-        "skipRows: strip preamble upstream or encode it as comments")
-    }
-    r.csv(paths: _*)
+      // per-FILE preamble skip (the reference's csv skip_rows): drop the
+      // first N physical lines of each file, then parse the remainder as
+      // CSV. zipWithIndex costs one extra pass per file — planner-grade
+      // for preamble'd files, which are small exports by nature.
+      import spark.implicits._
+      val stripped = paths.map { p =>
+        spark.read.textFile(p).rdd.zipWithIndex()
+          .filter(_._2 >= cfg.skipRows).map(_._1)
+      }.reduce(_ union _).toDS()
+      r.csv(stripped)
+    } else r.csv(paths: _*)
   }
 
   def readJsonl(spark: SparkSession, paths: Seq[String]): DataFrame =

@@ -40,6 +40,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(3) == "x")
   }
 
+  test("readCsv skipRows drops the per-file preamble (S14 config parity)") {
+    import graft.sources.FileSources
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_skip")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "junk preamble\nmore junk\nid,name\n1,x\n2,y".getBytes)
+    val df = FileSources.readCsv(spark, Seq(dir.toString + "/a.csv"),
+      FileSources.CsvConfig(skipRows = 2))
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+    assert(df.where(col("id") === 1).head.getString(1) == "x")
+  }
+
   // ---- I4 S3 incremental: mtime discriminates files ----
 
   test("incrementalScan picks up only files modified after the cursor") {
