@@ -273,6 +273,22 @@ object SparkEntry {
           col("data").getItem("value").cast("double").as("value"))
     }),
 
+    // ---- S16 Avro decode with Confluent wire framing ----
+    "q_avro_decode" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val framed = ChangeLogFixture.avroLog(ev)
+      val (schemaId, payload) = KafkaDecode.confluentFrame(col("value"))
+      val stripped = framed.select(schemaId.as("schema_id"),
+        payload.as("body"))
+      val asJson = KafkaDecode.decodeAvroAsJson(s,
+        stripped, "body", ChangeLogFixture.eventsAvroSchema)
+      asJson.select(
+        get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
+        get_json_object(col("json"), "$.user_id").cast("long").as("user_id"),
+        get_json_object(col("json"), "$.event_type").as("event_type"),
+        get_json_object(col("json"), "$.value").cast("double").as("value"))
+    }),
+
     // ---- C6 MSSQL CDC-table polling (LSN range, skip update-before) ----
     "q_cdc_mssql" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -635,6 +651,9 @@ object SparkEntry {
         |  CASE WHEN event_type='error' THEN NULL ELSE user_id END AS user_id,
         |  CASE WHEN event_type='error' THEN NULL ELSE value END AS value
         |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_avro_decode" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 2000",
 
     "q_cdc_mssql" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'

@@ -107,6 +107,38 @@ object ChangeLogFixture {
     dir
   }
 
+  /** Avro writer schema for the events fixture (S16). */
+  val eventsAvroSchema: String =
+    """{"type":"record","name":"Event","fields":[
+      |{"name":"event_id","type":"long"},{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},{"name":"value","type":"double"}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** events → Confluent-framed Avro messages (magic 0x00 + int32 schema
+    * id + binary Avro body), one writer per partition like one encoder
+    * per producer. */
+  def avroLog(events: DataFrame, schemaId: Int = 7): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    val schemaJson = eventsAvroSchema
+    src.mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val writer = new org.apache.avro.generic.GenericDatumWriter[Any](schema)
+      it.map { r =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("event_id", r.getLong(0)); rec.put("user_id", r.getLong(1))
+        rec.put("event_type", r.getString(2)); rec.put("value", r.getDouble(3))
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(0) // magic byte
+        bos.write(java.nio.ByteBuffer.allocate(4).putInt(schemaId).array())
+        val enc = org.apache.avro.io.EncoderFactory.get()
+          .binaryEncoder(bos, null)
+        writer.write(rec, enc); enc.flush()
+        Row(bos.toByteArray)
+      }
+    }(Encoders.row(StructType(Seq(StructField("value", BinaryType)))))
+  }
+
   /** events → wal2json v1 documents (one transaction per row). Deletes
     * carry only `oldkeys`, like the plugin emits. */
   def wal2jsonLog(events: DataFrame): DataFrame = {

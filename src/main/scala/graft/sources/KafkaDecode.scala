@@ -40,7 +40,7 @@ object KafkaDecode {
     * id), returning (schemaId, payload). */
   def confluentFrame(value: Column): (Column, Column) = {
     val schemaId = conv(hex(substring(value, 2, 4)), 16, 10).cast("int")
-    val payload = expr("substring(value, 6, length(value) - 5)")
+    val payload = value.substr(lit(6), length(value) - 5)
     (schemaId, payload)
   }
 
