@@ -34,13 +34,20 @@ object ChunkPlanner {
       case (None, Some(b))    => col(c) < b || col(c).isNull
       case (None, None)       => lit(true)
     }
-    /** Render for `spark.read.jdbc(..., predicates)`. */
+    /** Render for `spark.read.jdbc(..., predicates)` — unquoted ANSI
+      * form; `toDialectPredicate` adds dialect identifier quoting. */
     def toSqlPredicate(c: String): String = (min, max) match {
       case (Some(a), Some(b)) => s"$c >= $a AND $c < $b"
       case (Some(a), None)    => s"$c >= $a"
       case (None, Some(b))    => s"$c < $b OR $c IS NULL"
       case (None, None)       => "1 = 1"
     }
+
+    /** Dialect-quoted predicate, composable with threshold + filter via
+      * `DialectSql.renderScanPredicate` (P3 wiring). */
+    def toDialectPredicate(c: String,
+                           d: graft.spec.DialectSql.Dialect): String =
+      graft.spec.DialectSql.renderChunk(this, c, d)
   }
 
   /** Fixed-stride split over a numeric chunk column
