@@ -36,6 +36,19 @@ class IntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a_date", "a_ts", "payload", "arr", "nested", "nullable")
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("driver contract: every query has an entry in queries; oracles reference known queries") {
+    val qs = SparkEntry.queries.keySet
+    val orphanOracles = SparkEntry.oracleSql.keySet -- qs
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+    // every bench headline name resolves
+    val missing = Bench.headline.filterNot(qs.contains)
+    assert(missing.isEmpty, s"bench names without queries: $missing")
+  }
+
   test("wide typed table syncs end-to-end: types, flatten, no dupes, resume") {
     val srcDir = Files.createTempDirectory("graft_int_src").toString
     val dest = Files.createTempDirectory("graft_int_dst").toString
