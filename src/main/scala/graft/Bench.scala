@@ -79,6 +79,11 @@ object Bench {
     import graft.operators.{Merge, SystemColumns}
     val throughput = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
+      // chunk-sized input splits (the reference reads 2 GiB chunks per
+      // thread; scaled to the fixture): without this a single ~170 MB
+      // parquet file yields 2 tasks and the measurement serializes on
+      // 2 of 32 cores
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
       val li = Tables.load(spark, sfDir, "lineitem")
       val n = li.count()
       val out = java.nio.file.Files.createTempDirectory("graft_tp").toString
