@@ -423,6 +423,15 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", estThreshold = 0.5)),
 
+    // ---- LLM: native codegen'd SimHash expression ≡ the HOF form
+    //      (oracle: every document row matches → count == total) ----
+    "q_simhash_native" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.where(call_function("graft_simhash64", col("text")) ===
+          Dedup.simhash64(col("text")))
+        .agg(count(lit(1)).as("n_match"))
+    }),
+
     // ---- LLM: SimHash near-dup pairs (rows-only; hash engine-specific) ----
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents").where(col("doc_id") < 200),
@@ -753,6 +762,9 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    "q_simhash_native" ->
+      "SELECT count(*) AS n_match FROM documents",
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native SimHash-64 as a codegen'd Catalyst expression.
+  *
+  * Semantically identical to `llm.Dedup.simhash64` (the HOF
+  * composition — equality is asserted in spec AND by the oracled query
+  * `q_simhash_native`), but built as a custom `Expression` with
+  * `doGenCode`: higher-order functions evaluate interpreted, per
+  * element, outside whole-stage codegen; this runs as one generated
+  * static call per row inside the codegen stage — the brief's tier (b)
+  * for extending Spark where built-ins can't keep an op in codegen.
+  *
+  * Tokenization/hash contract (must stay in lockstep with the HOF
+  * form): lower → trim → split \s+ → distinct → xxhash64(seed 42) per
+  * token → per-bit ±1 votes → bit set when votes > 0.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** Static row kernel, called from both generated code and eval. */
+  def compute(s: UTF8String): Long = {
+    val toks = s.toLowerCase.toString.trim.split("\\s+")
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val u = UTF8String.fromString(t)
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+          u.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+}
+
+/** SQL-side registration: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions`) exposes
+  * `graft_simhash64(text)` to SQL and `call_function`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
+}

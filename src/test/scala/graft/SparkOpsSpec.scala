@@ -134,6 +134,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findAllIn(p).size >= 2, p)
   }
 
+  test("native SimHash64 expression: kernel parity, null, type check, codegen body") {
+    import graft.functions.SimHash64
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // kernel: case/whitespace-insensitive like the HOF tokenization
+    val fp = SimHash64.compute(UTF8String.fromString("the quick brown fox"))
+    assert(fp == SimHash64.compute(UTF8String.fromString("THE  quick brown fox ")))
+    // expression eval + null propagation
+    val e = SimHash64(Literal(UTF8String.fromString("the quick brown fox"), StringType))
+    assert(e.dataType == LongType && e.eval(null) == fp)
+    assert(SimHash64(Literal(null, StringType)).eval(null) == null)
+    // analysis-time type check
+    assert(SimHash64(Literal(1)).checkInputDataTypes() !=
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
+    // the generated code is one static call — stays inside codegen stages
+    // (full plan path exercised by the oracled q_simhash_native query,
+    // which also pins native == HOF on every document row)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    val ctx = new CodegenContext
+    val code = e.genCode(ctx).code.toString
+    assert(code.contains("graft.functions.SimHash64.compute"), code)
+  }
+
   // ---- retry with backoff + non-retryable classification ----
 
   test("retry: backoff doubles, non-retryable aborts immediately (utils.go:462-537)") {
