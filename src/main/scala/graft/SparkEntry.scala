@@ -421,7 +421,16 @@ object SparkEntry {
     //      is asserted in DedupSpec) ----
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents").where(col("doc_id") < 200),
-        "text", "doc_id", estThreshold = 0.5)),
+        "text", "doc_id", estThreshold = 0.5, native = true)),
+
+    // ---- LLM: native codegen'd MinHash sig+bands ≡ the HOF form ----
+    "q_minhash_native" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val native = call_function("graft_minhash", col("text"),
+        lit(3), lit(64), lit(16))
+      val hof = Dedup.sigWithBands(Dedup.shingles(col("text"), 3), 64, 16)
+      d.where(native === hof).agg(count(lit(1)).as("n_match"))
+    }),
 
     // ---- LLM: native codegen'd SimHash expression ≡ the HOF form
     //      (oracle: every document row matches → count == total) ----
@@ -762,6 +771,9 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    "q_minhash_native" ->
+      "SELECT count(*) AS n_match FROM documents",
 
     "q_simhash_native" ->
       "SELECT count(*) AS n_match FROM documents",

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature + LSH band keys as one codegen'd Catalyst
+  * expression: text → struct(sig: array<long>, bands: array<long>).
+  *
+  * Bit-for-bit equivalent to `llm.Dedup.sigWithBands(shingles(text, n),
+  * k, bands)` — pinned by the oracled query `q_minhash_native` — but
+  * the whole kernel (tokenize → shingle → base-hash → k permutations →
+  * band hashes) runs as one generated static call per row instead of
+  * nested interpreted higher-order functions. Hash identities mirror
+  * Spark's XxHash64 composition: seed 42; multi-arg hashing chains the
+  * previous result as the next seed.
+  */
+case class MinHashSigBands(child: Expression, shingleN: Int, k: Int,
+                           bands: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false)),
+    StructField("bands", ArrayType(LongType, containsNull = false))))
+
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigBands.compute(input.asInstanceOf[UTF8String], shingleN, k, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigBands.compute($c, $shingleN, $k, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigBands =
+    copy(child = newChild)
+}
+
+object MinHashSigBands {
+
+  private def hashStr(s: String, seed: Long): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  }
+
+  /** Static row kernel (also called from generated code). */
+  def compute(text: UTF8String, n: Int, k: Int, bands: Int): InternalRow = {
+    val toks = text.toLowerCase.toString.trim.split("\\s+")
+    // shingles: n-gram joins; short docs collapse to one whole-text shingle
+    val nShingles = if (toks.length < n) 1 else toks.length - n + 1
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < nShingles) {
+      val shingle =
+        if (toks.length < n) toks.mkString(" ")
+        else {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          sb.toString
+        }
+      val base = hashStr(shingle, 42L)
+      var j = 0
+      while (j < k) {
+        // xxhash64(j, base) = hashLong(base, hashInt(j, 42))
+        val h = XXH64.hashLong(base, XXH64.hashInt(j, 42L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val rows = k / bands
+    val bandKeys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      // xxhash64(b, to_json(slice(sig, b*rows+1, rows)))
+      val sb = new java.lang.StringBuilder("[")
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append(',')
+        sb.append(sig(b * rows + r))
+        r += 1
+      }
+      sb.append(']')
+      bandKeys(b) = hashStr(sb.toString, XXH64.hashInt(b, 42L))
+      b += 1
+    }
+    InternalRow(new GenericArrayData(sig), new GenericArrayData(bandKeys))
+  }
+}

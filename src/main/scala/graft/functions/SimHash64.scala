@@ -80,5 +80,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigBands].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int): Int =
+          children(i).eval(null).asInstanceOf[Number].intValue()
+        MinHashSigBands(children.head, intArg(1), intArg(2), intArg(3))
+      }))
   }
 }

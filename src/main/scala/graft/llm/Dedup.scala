@@ -117,9 +117,15 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                   estThreshold: Double = 0.5): DataFrame = {
-    val sb = df.select(col(idCol).as("id"),
-      sigWithBands(shingles(col(textCol), shingleN), k, bands).as("sb"))
+                   estThreshold: Double = 0.5,
+                   native: Boolean = false): DataFrame = {
+    // native = the codegen'd MinHashSigBands expression (bit-identical,
+    // pinned by q_minhash_native); requires GraftExtensions registered
+    val sigExpr =
+      if (native) call_function("graft_minhash", col(textCol),
+        lit(shingleN), lit(k), lit(bands))
+      else sigWithBands(shingles(col(textCol), shingleN), k, bands)
+    val sb = df.select(col(idCol).as("id"), sigExpr.as("sb"))
     val sigs = sb
       .select(col("id"), col("sb.sig").as("sig"),
         explode(col("sb.bands")).as("band"))
