@@ -444,7 +444,7 @@ object SparkEntry {
     // ---- LLM: SimHash near-dup pairs (rows-only; hash engine-specific) ----
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents").where(col("doc_id") < 200),
-        "text", "doc_id", maxHamming = 3)),
+        "text", "doc_id", maxHamming = 3, native = true)),
 
     // ---- LLM: embedding-cosine near-dup, exact (small-scale oracle) ----
     "q_cosine_neardup" -> ((s, dir) =>

@@ -209,8 +209,12 @@ object Dedup {
     * Hamming distance via bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+                   maxHamming: Int = 3, native: Boolean = false): DataFrame = {
+    // native = codegen'd SimHash64 expression (bit-identical, pinned by
+    // q_simhash_native); requires GraftExtensions registered
+    val sigExpr = if (native) call_function("graft_simhash64", col(textCol))
+      else simhash64(col(textCol))
+    val sigs = df.select(col(idCol).as("id"), sigExpr.as("sig"))
       .withColumn("band", explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
           shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("v"))): _*)))
