@@ -390,6 +390,22 @@ object SparkEntry {
       Seq(stats("records_written").asInstanceOf[Long]).toDF("records_written")
     }),
 
+    // ---- bucketed co-located join: clustered write → shuffle-free join ----
+    "q_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      graft.sinks.Bucketed.writeBucketed(o.withColumnRenamed("o_custkey", "custkey"),
+        "bkt_orders", s"$tmp/o", Seq("custkey"), 8)
+      graft.sinks.Bucketed.writeBucketed(c.withColumnRenamed("c_custkey", "custkey"),
+        "bkt_customer", s"$tmp/c", Seq("custkey"), 8)
+      graft.sinks.Bucketed.joinColocated(s, "bkt_orders", "bkt_customer",
+          Seq("custkey"))
+        .groupBy("custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
+    }),
+
     // ---- §3.2 discover: canonical schema of a stream ----
     "q_discover" -> ((s, dir) => Discover.discoverAsFrame(s, dir, "lineitem")),
 
@@ -732,6 +748,13 @@ object SparkEntry {
 
     "q_writer_stats" ->
       "SELECT count(*) AS records_written FROM orders",
+
+    "q_bucketed_join" ->
+      """SELECT o.o_custkey AS custkey, c.c_name,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_discover" ->
       """SELECT column_name, CASE column_type

@@ -1,0 +1,36 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed tables: pre-partition by join key at WRITE time so repeated
+  * joins/aggregations on that key run with no exchange at READ time.
+  *
+  * The reference has no equivalent (every sync is a straight load);
+  * this is the Spark-native answer to "the destination will be joined
+  * on `_olake_id`/PK forever after": pay one clustered write, then
+  * every downstream `JOIN ... ON key` or `GROUP BY key` over two tables
+  * bucketed the same way is shuffle-free — the single biggest lever for
+  * repeated 100 TB joins. Maps to Iceberg `bucket(N, col)` partition
+  * transforms (`IcebergSql.createTableSql`) plus storage-partitioned
+  * joins on a cluster with the Iceberg runtime.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed+sorted table (external path). Bucket
+    * count should be sized so one bucket ≈ one task's worth of data at
+    * the target scale — same arithmetic as chunk planning. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket columns — planner
+    * sees matching `HashPartitioning` on both sides and elides both
+    * exchanges (asserted in PlanAuditSpec). */
+  def joinColocated(spark: SparkSession, left: String, right: String,
+                    on: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), on)
+}

@@ -81,6 +81,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bucketed co-located join elides both join-side exchanges") {
+    import graft.sinks.Bucketed
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_t").toString
+    val o = SparkEntry.queries("q_project")(spark, dir) // any frame with a key
+      .withColumnRenamed("c_custkey", "custkey")
+    Bucketed.writeBucketed(o, "t_bkt_a", s"$tmp/a", Seq("custkey"), 4)
+    Bucketed.writeBucketed(o.select("custkey", "c_acctbal"), "t_bkt_b",
+      s"$tmp/b", Seq("custkey"), 4)
+    // at fixture scale the planner (rightly) prefers broadcast; disable
+    // it so the assertion exercises the big-big co-located path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.joinColocated(spark, "t_bkt_a", "t_bkt_b",
+        Seq("custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // the join itself must not introduce an exchange on either side
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(joined.count() == o.count())
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("upsert-apply join and dedup shuffle on the key exactly once each") {
     val p = plan(q("q_upsert_apply"))
     assert(!p.contains("CartesianProduct"), p)
