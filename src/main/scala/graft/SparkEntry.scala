@@ -390,6 +390,18 @@ object SparkEntry {
       Seq(stats("records_written").asInstanceOf[Long]).toDF("records_written")
     }),
 
+    // ---- salted join: hot keys spread across reducers, same result ----
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.operators.Salted.saltedJoin(li, sup, Seq("l_suppkey"),
+          saltSrc = col("l_orderkey"), buckets = 8)
+        .groupBy("l_suppkey", "s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+    }),
+
     // ---- bucketed co-located join: clustered write → shuffle-free join ----
     "q_bucketed_join" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
@@ -748,6 +760,12 @@ object SparkEntry {
 
     "q_writer_stats" ->
       "SELECT count(*) AS records_written FROM orders",
+
+    "q_salted_join" ->
+      """SELECT l.l_suppkey, s.s_name, count(*) AS n,
+        |  CAST(sum(CAST(round(l.l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT o.o_custkey AS custkey, c.c_name,

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed joins: when one join key carries a grossly
+  * disproportionate share of the left side (the classic hot-customer /
+  * null-key problem), a plain shuffle join funnels that key through one
+  * reducer. Salting splits the hot key across `buckets` reducers by
+  * extending the join key with a deterministic salt on the big side and
+  * replicating the small side once per salt value.
+  *
+  * Cost model: big side untouched (one extra cheap column), small side
+  * × buckets — use for big⋈medium where broadcast doesn't fit and AQE's
+  * skew-split (which handles sort-merge skew post-hoc) can't help, e.g.
+  * when the skew is in the partial-agg-less path. Result is exactly the
+  * plain join (oracled by q_salted_join).
+  */
+object Salted {
+
+  /** Deterministic salt in [0, buckets) derived from `src` — use a
+    * high-cardinality column of the BIG side so one hot join key spreads
+    * evenly; never `rand()` (breaks retries/replays). */
+  def salt(src: Column, buckets: Int): Column =
+    pmod(xxhash64(src), lit(buckets.toLong))
+
+  /** Equi-join `big ⋈ small` on `keys`, salted `buckets` ways. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltSrc: Column, buckets: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    val l = big.withColumn("_salt", salt(saltSrc, buckets))
+    val r = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    l.join(r, keys :+ "_salt", joinType).drop("_salt")
+  }
+}
