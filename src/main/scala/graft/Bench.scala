@@ -27,6 +27,7 @@ object Bench {
     "q_cdc_pgoutput", "q_cdc_binlog", "q_cdc_wal2json", "q_cdc_mssql",
     "q_cdc_mongo", "q_changelog_source", "q_windowed_rates",
     "q_flatten", "q_s3_incremental",
+    "q_salted_join",
     "q_infer_schema", "q_evolve", "q_pushdown_sql",
     "q_partition_transform", "q_discover",
     "q_dedup_exact", "q_jaccard_neardup", "q_minhash_neardup",
