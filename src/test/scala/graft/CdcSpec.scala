@@ -153,6 +153,56 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pgoutput roundtrip survives 200 random rows (unicode, nulls, negatives)") {
+    val rnd = new scala.util.Random(42)
+    def randVal(): String = rnd.nextInt(5) match {
+      case 0 => null
+      case 1 => rnd.nextLong().toString
+      case 2 => rnd.nextDouble().toString
+      case 3 => "uni-é中文-" + rnd.nextInt(100)
+      case _ => rnd.alphanumeric.take(rnd.nextInt(50)).mkString
+    }
+    val dec = new PgOutput.StreamDecoder
+    dec.decode(PgOutput.encodeRelation(rel), 0L)
+    (1 to 200).foreach { i =>
+      val vals = Seq(randVal(), randVal())
+      dec.decode(PgOutput.encodeBegin(i * 1000L, i), i.toLong)
+      val out = rnd.nextInt(3) match {
+        case 0 => dec.decode(PgOutput.encodeInsert(7, vals), i.toLong)
+        case 1 => dec.decode(PgOutput.encodeUpdate(7, Some(vals), vals), i.toLong)
+        case _ => dec.decode(PgOutput.encodeDelete(7, vals), i.toLong)
+      }
+      val c = out.toSeq.head
+      assert(c.values == vals, s"row $i: ${c.values} != $vals")
+      assert(c.lsn == i.toLong && c.commitTsMicros == i * 1000L)
+      dec.decode(PgOutput.encodeCommit(i * 1000L), i.toLong)
+    }
+  }
+
+  test("binlog roundtrip survives 200 random rows across all supported types") {
+    import graft.cdc.Binlog
+    val types = Array(1, 2, 3, 8, 4, 5, 15, 15)
+    val meta = Array(0, 0, 0, 0, 4, 8, 100, 300)
+    val rnd = new scala.util.Random(7)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(3L, "db", "f", types, meta,
+      (1 to 8).map("c" + _)), 0L)
+    (1 to 200).foreach { i =>
+      val vals = Seq(
+        if (rnd.nextBoolean()) (rnd.nextInt(256) - 128).toString else null,
+        (rnd.nextInt(65536) - 32768).toString,
+        rnd.nextInt().toString,
+        rnd.nextLong().toString,
+        rnd.nextFloat().toString,
+        rnd.nextDouble().toString,
+        "s-ü中-" + rnd.alphanumeric.take(rnd.nextInt(90)).mkString,
+        if (rnd.nextBoolean()) ("L" * (256 + rnd.nextInt(40))) else null)
+      val out = dec.decode(
+        Binlog.encodeWrite(3L, types, meta, i.toLong, Seq(vals)), i.toLong).toSeq
+      assert(out.head.after == vals, s"row $i")
+    }
+  }
+
   test("pgoutput end-to-end on events fixture: kinds and row counts") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val decoded = PgOutput.decode(ChangeLogFixture.pgoutputLog(ev), "lsn", "msg")
