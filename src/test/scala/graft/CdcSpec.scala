@@ -153,6 +153,24 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pgoutput framed stream: XLogData decoded, keepalives skipped, lsn from walStart") {
+    import spark.implicits._
+    val frames = Seq(
+      PgOutput.frame(1L, PgOutput.encodeRelation(rel)),
+      PgOutput.frame(2L, PgOutput.encodeBegin(1700000000000000L, 1)),
+      PgOutput.keepalive(2L, replyRequested = true),
+      PgOutput.frame(3L, PgOutput.encodeInsert(7, Seq("1", "x"))),
+      PgOutput.keepalive(3L),
+      PgOutput.frame(4L, PgOutput.encodeDelete(7, Seq("1", null))),
+      PgOutput.frame(5L, PgOutput.encodeCommit(1700000000000000L)))
+      .toDF("frame").coalesce(1)
+    val out = PgOutput.decodeFrames(frames, "frame").orderBy("lsn").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("kind")).toSeq == Seq("insert", "delete"))
+    assert(out.map(_.getAs[Long]("lsn")).toSeq == Seq(3L, 4L))
+    assert(out.head.getAs[Long]("commit_ts_micros") == 1700000000000000L)
+  }
+
   test("pgoutput roundtrip survives 200 random rows (unicode, nulls, negatives)") {
     val rnd = new scala.util.Random(42)
     def randVal(): String = rnd.nextInt(5) match {
