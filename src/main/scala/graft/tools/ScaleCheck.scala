@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.Dedup
+import graft.operators.{Merge, SystemColumns}
+
+/** Dev tool: scale-linearity check. Builds a 10× replica of the sf0.1
+  * fixtures in /tmp (ids offset per copy so keys stay distinct) and
+  * times the scale-path operators at 1× and 10×. A healthy operator
+  * shows ≈10× wall time (linear); anything super-linear is a plan bug.
+  * Results feed SCALING.md — not part of the library or the gate.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label: $s%.2f s"); s
+    }
+    val base = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_sf1"
+    def replicate(name: String, idCols: Seq[String], n: Int = 10): Unit = {
+      val out = s"$big/$name.parquet"
+      if (!new java.io.File(out).exists) {
+        val src = Tables.load(spark, base, name)
+        val copies = (0 until n).map { i =>
+          idCols.foldLeft(src)((d, c) =>
+            d.withColumn(c, col(c) + lit(i * 100000000L)))
+        }
+        copies.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
+      }
+    }
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("documents", Seq("doc_id"))
+    replicate("events", Seq("event_id", "user_id"))
+
+    def run(sf: String, label: String): Map[String, Double] = {
+      val li = Tables.load(spark, sf, "lineitem")
+      val docs = Tables.load(spark, sf, "documents")
+      val ev = Tables.load(spark, sf, "events")
+      val out = java.nio.file.Files.createTempDirectory("sc").toString
+      Map(
+        "backfill_write" -> time(s"$label backfill_write") {
+          SystemColumns.attach(li, Seq("l_orderkey", "l_linenumber"), "r")
+            .write.mode("overwrite").parquet(s"$out/b") },
+        "exact_dedup" -> time(s"$label exact_dedup") {
+          Dedup.exact(docs, "text", "doc_id").count() },
+        "minhash_pairs" -> time(s"$label minhash_pairs") {
+          Dedup.minhashPairs(docs, "text", "doc_id", native = true).count() },
+        "simhash_pairs" -> time(s"$label simhash_pairs") {
+          Dedup.simhashPairs(docs, "text", "doc_id", native = true).count() },
+        "cdc_merge" -> time(s"$label cdc_merge") {
+          val ch = ev.select(col("user_id").cast("string").as(SystemColumns.OlakeId),
+            when(col("event_type") === "error", "d").otherwise("u").as(SystemColumns.OpType),
+            col("ts").as(SystemColumns.CdcTimestamp), col("event_id"))
+          val baseT = ch.drop(SystemColumns.OpType, SystemColumns.CdcTimestamp)
+            .dropDuplicates(SystemColumns.OlakeId)
+          Merge.applyChanges(baseT, ch).count() },
+        "groupby_agg" -> time(s"$label groupby_agg") {
+          li.groupBy("l_returnflag", "l_linestatus")
+            .agg(sum("l_quantity"), count(lit(1))).count() })
+    }
+    // warm
+    Tables.load(spark, base, "lineitem").count()
+    val t1 = run(base, "1x")
+    val t10 = run(big, "10x")
+    println("== scaling factors (10x data / 1x data; ~10 = linear) ==")
+    t1.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-16s ${t10(k) / t1(k)}%.1f×")
+    }
+    spark.stop()
+  }
+}
