@@ -87,6 +87,46 @@ object ChunkSql {
     }
   }
 
+  /** Partitioned-table ctid planning (backfill.go:106-133): one ctid
+    * range set is shared by ALL leaf partitions (the scan hits the
+    * parent table), so each range's page width is re-derived as it is
+    * planned: targetPages ÷ (number of partitions still taller than the
+    * current position) — early ranges, where every partition
+    * contributes rows, stay narrow; past the short partitions' heights
+    * the ranges widen so per-chunk data volume stays ~constant. */
+  def pgPartitionedCtidRanges(partitionPages: Seq[Long], blockSize: Long,
+                              targetBytes: Long = 256L << 20): Seq[(String, Option[String])] = {
+    val maxPages = partitionPages.foldLeft(0L)(math.max)
+    val batchPages = math.max(1L, math.ceil(targetBytes.toDouble / blockSize).toLong)
+    def tallerThan(end: Long): Long =
+      math.max(1L, partitionPages.count(_ > end).toLong)
+    val out = Seq.newBuilder[(String, Option[String])]
+    var start = 0L
+    var width = math.max(1L, math.ceil(
+      batchPages.toDouble / tallerThan(0)).toLong)
+    while (start < maxPages) {
+      width = math.max(1L, math.ceil(
+        batchPages.toDouble / tallerThan(start + width)).toLong)
+      val end = start + width
+      out += ((s"'($start,0)'", if (end >= maxPages) None else Some(s"'($end,0)'")))
+      start = end
+    }
+    out.result()
+  }
+
+  /** Leaf-partition page counts (PG12 pg_partition_tree form,
+    * jdbc.go:143-157; the recursive-CTE fallback serves PG < 12). */
+  def pgPartitionPagesQuery(ns: String, name: String): String =
+    "SELECT pt.relid::text AS name, CEIL(1.05 * (pg_relation_size(" +
+      "pt.relid::oid) / current_setting('block_size')::int))::bigint AS " +
+      s"pages FROM pg_partition_tree('$ns.$name') pt WHERE pt.isleaf = " +
+      "true ORDER BY pages DESC"
+
+  def pgIsPartitionedQuery(ns: String, name: String): String =
+    "SELECT COUNT(i.inhrelid) FROM pg_inherits i JOIN pg_class c ON " +
+      "c.oid = i.inhparent JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      s"WHERE n.nspname = '$ns' AND c.relname = '$name'"
+
   /** Chunk scan predicate over ctid; these go into the JDBC predicates
     * array (one partition per page range). */
   def pgCtidPredicate(minCtid: String, maxCtid: Option[String]): String =

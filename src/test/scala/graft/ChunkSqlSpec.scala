@@ -42,6 +42,31 @@ class ChunkSqlSpec extends AnyFunSuite {
     assert(ChunkSql.pgCtidRanges(0, 8192).size == 1)
   }
 
+  test("postgres partitioned ctid ranges widen as short partitions end (backfill.go:106-133)") {
+    // 4 partitions: 100, 100, 1000, 1000 pages; target 200 pages/chunk
+    val ranges = ChunkSql.pgPartitionedCtidRanges(
+      Seq(100L, 100L, 1000L, 1000L), blockSize = 8192,
+      targetBytes = 200L * 8192)
+    // coverage: contiguous from page 0, open-ended tail at maxPages
+    assert(ranges.head._1 == "'(0,0)'")
+    assert(ranges.last._2.isEmpty)
+    def page(s: String) = s.drop(2).takeWhile(_ != ',').toLong
+    ranges.sliding(2).foreach {
+      case Seq((_, Some(hi)), (lo2, _)) => assert(page(hi) == page(lo2))
+      case _ => ()
+    }
+    // early widths ~200/4=50 pages (all partitions contribute); after
+    // page 100 only 2 partitions remain → widths ~100
+    val widths = ranges.collect { case (lo, Some(hi)) => page(hi) - page(lo) }
+    assert(widths.head <= 60, widths.toString)
+    assert(widths.last >= 90, widths.toString)
+    // degenerate: no partitions taller than anything → still one chunk
+    assert(ChunkSql.pgPartitionedCtidRanges(Seq(1L), 8192).size == 1)
+    assert(ChunkSql.pgPartitionPagesQuery("public", "t")
+      .contains("pg_partition_tree"))
+    assert(ChunkSql.pgIsPartitionedQuery("public", "t").contains("pg_inherits"))
+  }
+
   test("postgres boundary walk and chunk scan (jdbc.go:225-249)") {
     assert(ChunkSql.pgNextChunkEndQuery("public", "users", "id", "42") ==
       """SELECT MAX("id") FROM (SELECT "id" FROM "public"."users" WHERE "id" > 42 ORDER BY "id" ASC LIMIT 10000) AS T""")
