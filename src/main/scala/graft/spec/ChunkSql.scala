@@ -271,6 +271,21 @@ object ChunkSql {
       f"($samplePercent%.6f PERCENT) WITH (NOLOCK) ORDER BY ${q.mkString(", ")}"
   }
 
+  /** IAM-walk page listing (jdbc.go:667-706): physical (file, page)
+    * allocations in LIMITED mode — the physloc-free chunking path.
+    * Capability-gated: needs VIEW DATABASE STATE and a non-Azure
+    * engine; the probe queries below check both. @p1 = object_id. */
+  def mssqlIamWalkQuery: String =
+    "SELECT allocated_page_file_id AS file_id, allocated_page_page_id AS " +
+      "page_id FROM sys.dm_db_database_page_allocations(DB_ID(), @p1, " +
+      "NULL, NULL, 'LIMITED') WHERE is_allocated = 1 AND is_iam_page = 0 " +
+      "AND index_id IN (0, 1) AND allocation_unit_type = 1"
+  def mssqlObjectIdQuery: String =
+    "SELECT OBJECT_ID(QUOTENAME(@p1) + '.' + QUOTENAME(@p2))"
+  def mssqlIamWalkPermissionProbe: String =
+    "SELECT TOP 0 1 FROM sys.dm_db_database_page_allocations(DB_ID(), " +
+      "OBJECT_ID('sys.objects'), NULL, NULL, 'LIMITED')"
+
   // ---- Oracle: ROWID chunking (S9) --------------------------------------
 
   def oracleMinMaxRowIdQuery(ns: String, name: String): String =
@@ -361,6 +376,26 @@ object ChunkSql {
     }
     if (filter.nonEmpty)
       s"SELECT * FROM $t WHERE ($cond) AND ($filter)"
+    else s"SELECT * FROM $t WHERE $cond"
+  }
+
+  /** Composite-PK chunk scan via SQL tuple comparison — DB2 supports
+    * row-value predicates directly, so no OR-expansion needed
+    * (jdbc.go:1696-1730). Boundary values are comma-joined key strings. */
+  def db2PKChunkScanQuery(ns: String, name: String, cols: Seq[String],
+                          min: Option[String], max: Option[String],
+                          filter: String = ""): String = {
+    val q = cols.map(quoteIdent(_, Db2))
+    val tuple = if (q.size > 1) q.mkString("(", ", ", ")") else q.head
+    def vals(s: String) = s.split(",").map(v => s"'${v.trim}'").mkString(", ")
+    val cond = (min, max) match {
+      case (Some(a), Some(b)) => s"$tuple >= (${vals(a)}) AND $tuple < (${vals(b)})"
+      case (Some(a), None)    => s"$tuple >= (${vals(a)})"
+      case (None, Some(b))    => s"$tuple < (${vals(b)})"
+      case (None, None)       => "1 = 1"
+    }
+    val t = qt(ns, name, Db2)
+    if (filter.nonEmpty) s"SELECT * FROM $t WHERE ($cond) AND ($filter)"
     else s"SELECT * FROM $t WHERE $cond"
   }
 

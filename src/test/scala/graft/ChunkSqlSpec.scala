@@ -142,6 +142,22 @@ class ChunkSqlSpec extends AnyFunSuite {
     assert(walk.contains("OFFSET 100 ROWS FETCH NEXT 1 ROWS ONLY"))
   }
 
+  test("mssql IAM walk: allocation listing + probes (jdbc.go:667-706)") {
+    assert(ChunkSql.mssqlIamWalkQuery.contains(
+      "sys.dm_db_database_page_allocations(DB_ID(), @p1"))
+    assert(ChunkSql.mssqlIamWalkQuery.contains("'LIMITED'"))
+    assert(ChunkSql.mssqlObjectIdQuery.contains("QUOTENAME(@p1)"))
+    assert(ChunkSql.mssqlIamWalkPermissionProbe.startsWith("SELECT TOP 0 1"))
+  }
+
+  test("db2 composite-PK scan uses SQL tuple comparison (jdbc.go:1696-1730)") {
+    assert(ChunkSql.db2PKChunkScanQuery("S", "T", Seq("a", "b"),
+      Some("1, x"), Some("9, z"), "f=1") ==
+      """SELECT * FROM "S"."T" WHERE (("a", "b") >= ('1', 'x') AND ("a", "b") < ('9', 'z')) AND (f=1)""")
+    assert(ChunkSql.db2PKChunkScanQuery("S", "T", Seq("a"), Some("5"), None) ==
+      """SELECT * FROM "S"."T" WHERE "a" >= ('5')""")
+  }
+
   test("mongo chunk pipeline: $type guard, [min,max) bounds, user filter (backfill.go:335-375)") {
     assert(ChunkSql.mongoChunkPipeline("aaa", Some("bbb")) ==
       """[{"$match":{"$and":[{"_id":{"$type":7}},{"_id":{"$gte":{"$oid":"aaa"}}},{"_id":{"$lt":{"$oid":"bbb"}}}]}}]""")
