@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's verb surface
+  * (`olake spec|check|discover|sync|clear`, reference `protocol/` Go files):
+  *
+  * {{{
+  * tools/run.sh graft.Main spec
+  * tools/run.sh graft.Main check    <sourceDir> <streams,csv>
+  * tools/run.sh graft.Main discover <sourceDir> <streams,csv>
+  * tools/run.sh graft.Main sync     <sourceDir> <destDir> <stream> \
+  *     [cursor] [pk,csv] [filter]
+  * tools/run.sh graft.Main clear    <destDir> <streams,csv>
+  * }}}
+  *
+  * State lives at `<destDir>/state.json`; repeated `sync` runs are
+  * incremental when a cursor is configured, exactly like the reference
+  * CLI re-run with a saved `state.json`.
+  */
+object Main {
+
+  private def session(): SparkSession = SparkSession.builder()
+    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "spec" :: Nil =>
+      println(Protocol.spec())
+
+    case "check" :: src :: streams :: Nil =>
+      val spark = session()
+      val r = Protocol.check(spark, src, streams.split(",").toSeq)
+      spark.stop()
+      r match {
+        case Right(_) => println("""{"status":"ok"}""")
+        case Left(msg) =>
+          println(s"""{"status":"error","message":"$msg"}"""); sys.exit(1)
+      }
+
+    case "discover" :: src :: streams :: Nil =>
+      val spark = session()
+      println(Protocol.discover(spark, src, streams.split(",").toSeq))
+      spark.stop()
+
+    case "sync" :: src :: dest :: stream :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val cfg = Protocol.StreamConfig(stream,
+        syncMode = if (rest.headOption.exists(_.nonEmpty)) "incremental"
+          else "full_refresh",
+        cursor = rest.headOption.filter(_.nonEmpty),
+        primaryKeys = rest.lift(1).map(_.split(",").toSeq).getOrElse(Nil),
+        filter = rest.lift(2).filter(_.nonEmpty))
+      val n = Protocol.syncStream(spark, src, dest, cfg, s"$dest/state.json")
+      println(s"""{"stream":"$stream","records_synced":$n}""")
+      spark.stop()
+
+    case "clear" :: dest :: streams :: Nil =>
+      val spark = session()
+      Protocol.clear(spark, dest, s"$dest/state.json", streams.split(",").toSeq)
+      println("""{"status":"cleared"}""")
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"unknown verb ${other.headOption.getOrElse("")}; " +
+          "usage: spec | check | discover | sync | clear")
+      sys.exit(2)
+  }
+}

@@ -109,6 +109,19 @@ object Protocol {
     stats("records_written").asInstanceOf[Long]
   }
 
+  /** `sync` in CDC mode: drive the Structured-Streaming pipeline over a
+    * change-log directory (wal2json-shaped JSON or the graft-changelog
+    * segment layout) into a merged table, with replay-safe position
+    * commits — the reference's `sync` with a CDC stream
+    * (`protocol/sync.go` + `drivers/abstract/cdc.go`). Blocks until the
+    * available log is drained (AvailableNow). */
+  def syncCdc(spark: SparkSession, changeDir: String,
+              schema: org.apache.spark.sql.types.StructType,
+              destDir: String, cfg: StreamConfig, statePath: String): Unit =
+    graft.streaming.CdcStream.run(spark, changeDir, schema,
+      s"$destDir/${cfg.name}", statePath, s"$destDir/.ckpt_${cfg.name}",
+      cfg.name).awaitTermination()
+
   /** `clear`: drop destinations + per-stream state (clear.go analog). */
   def clear(spark: SparkSession, destDir: String, statePath: String,
             streams: Seq[String]): Unit = {

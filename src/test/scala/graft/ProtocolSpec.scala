@@ -63,6 +63,30 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!StateStore.load(state).get.streams.contains("orders"))
   }
 
+  test("syncCdc drives the streaming pipeline into a merged table") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_olake_id", StringType), StructField("lsn", LongType),
+      StructField("kind", StringType),
+      StructField("_cdc_timestamp", TimestampType),
+      StructField("v", LongType)))
+    val logDir = Files.createTempDirectory("graft_pcdc").toString
+    val dest = Files.createTempDirectory("graft_pcdc_d").toString
+    Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      Seq(
+        """{"_olake_id":"a","lsn":1,"kind":"insert","_cdc_timestamp":"2024-01-01 00:00:01","v":1}""",
+        """{"_olake_id":"a","lsn":2,"kind":"update","_cdc_timestamp":"2024-01-01 00:00:02","v":2}""",
+        """{"_olake_id":"b","lsn":3,"kind":"insert","_cdc_timestamp":"2024-01-01 00:00:03","v":3}"""
+      ).mkString("\n").getBytes)
+    Protocol.syncCdc(spark, logDir, schema, dest,
+      Protocol.StreamConfig("ev", syncMode = "cdc"), s"$dest/state.json")
+    val t = spark.read.parquet(s"$dest/ev").orderBy("_olake_id").collect()
+    assert(t.map(r => (r.getAs[String]("_olake_id"), r.getAs[Long]("v"))).toSeq ==
+      Seq(("a", 2L), ("b", 3L)))
+    assert(StateStore.load(s"$dest/state.json").get.streams("ev")
+      .offsets("lsn") == 3L)
+  }
+
   test("sync honors the stream filter") {
     val dest = Files.createTempDirectory("graft_syncf").toString
     val cfg = Protocol.StreamConfig("nation",
