@@ -96,7 +96,10 @@ object Similarity {
     val fitInput = (if (fitSampleFraction < 1.0)
       corpus.sample(fitSampleFraction, seed = 42) else corpus)
       .select(array_to_vector(col(vecCol)).as("features"))
+    // random init: a coarse quantizer needs balanced cells, not optimal
+    // clusters — k-means|| costs extra full passes for nothing here
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
+      .setInitMode("random")
       .fit(fitInput)
     // centroid table: nlist rows of (cell, centroid array) — tiny
     import spark.implicits._
