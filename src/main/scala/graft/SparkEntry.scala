@@ -444,6 +444,14 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", threshold = 0.9)),
 
+    // ---- LLM: exact Jaccard via prefix filtering — same results as
+    //      the all-pairs form on 5× its scope. (Emitting ALL pairs is
+    //      inherently quadratic inside duplicate clusters — the pair
+    //      count, not the candidate filter, bounds any exact tier.) ----
+    "q_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents").where(col("doc_id") < 1000),
+        "text", "doc_id", threshold = 0.9)),
+
     // ---- LLM: MinHash-LSH near-dup candidates (the scale path; no SQL
     //      oracle — xxhash64 is engine-specific; recall vs exact Jaccard
     //      is asserted in DedupSpec) ----
@@ -818,6 +826,17 @@ object SparkEntry {
 
     "q_simhash_native" ->
       "SELECT count(*) AS n_match FROM documents",
+
+    "q_jaccard_prefix" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |tok AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t FROM d0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
+        |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -94,6 +94,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
   }
 
+  test("prefix-filtered Jaccard equals the all-pairs form exactly") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allPairs = pairs(graft.llm.Dedup.jaccardPairs(docs, "text", "doc_id", 0.8))
+    val prefix = pairs(graft.llm.Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 0.8))
+    assert(allPairs == prefix)
+    assert(allPairs.nonEmpty)
+  }
+
   test("cosinePairsLsh recalls a usable fraction of exact cosine pairs") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
       .where(col("vec_id") < 300)
