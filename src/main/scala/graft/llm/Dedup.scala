@@ -6,20 +6,25 @@ import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines.
   *
-  * Four tiers, cheapest-first — all expressed as Catalyst columns (no
-  * UDFs, whole-stage codegen throughout):
+  * Six tiers, cheapest-first — no UDFs anywhere; per-row work is
+  * Catalyst columns or (for the two hottest kernels) custom codegen'd
+  * expressions from `graft.functions`:
   *  - exact: hash-groupBy on a content digest. One shuffle of (digest,
   *    id), never the text itself.
-  *  - n-gram Jaccard: exact all-pairs similarity via token inverted
-  *    index. Quadratic in cluster size — the small-scale ORACLE for the
-  *    approximate tiers, not the 100 TB path.
-  *  - MinHash + LSH: per-row signature (k hashes over shingles — array
-  *    ops, zero shuffle), banded into b buckets, candidates pair only
-  *    within buckets. The scale path: cost ~ O(n·b) + bucket-local
-  *    joins; no all-pairs anywhere.
+  *  - n-gram Jaccard, count-join form: exact all-pairs via token
+  *    inverted index. The small-scale ORACLE for the approximate tiers;
+  *    also the faster exact tier on dup-heavy corpora.
+  *  - n-gram Jaccard, prefix-filtered (AllPairs/PPJoin): exact, prunes
+  *    hot tokens from the index — the exact tier for corpora where
+  *    common tokens dominate.
+  *  - MinHash + LSH: per-row signature (strings hashed once, k cheap
+  *    permutations), banded into b buckets, candidates pair only within
+  *    buckets. The near-dup scale path; native kernel available.
   *  - SimHash: 64-bit per-row fingerprint; near-dups differ in ≤ 3 bits.
   *    Hamming-ball blocking via 4 band keys (Pigeonhole: any 3-bit
-  *    difference leaves one 16-bit band intact).
+  *    difference leaves one 16-bit band intact). Native kernel available.
+  *  - embedding cosine: exact all-pairs oracle + hyperplane-LSH bucket
+  *    join with exact verification (the scale path).
   */
 object Dedup {
 
