@@ -60,12 +60,16 @@ object ChangeLogSource {
   def segments(dir: String): Seq[(String, Long, Long)] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case SegName(lo, hi) => Some((p.toString, lo.toLong, hi.toLong))
-        case _ => None
-      }
-    }.toSeq.sortBy(_._2)
+    else {
+      val stream = Files.list(d)
+      try stream.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case SegName(lo, hi) => Some((p.toString, lo.toLong, hi.toLong))
+          case _ => None
+        }
+      }.toSeq.sortBy(_._2)
+      finally stream.close()
+    }
   }
 
   def maxLsn(dir: String): Long =
