@@ -81,6 +81,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("map-only operators introduce zero exchanges") {
+    // flatten, system columns, and the wire decoders are single-pass:
+    // any Exchange appearing here is a regression
+    Seq("q_flatten", "q_system_cols", "q_cdc_pgoutput", "q_cdc_binlog")
+      .foreach { name =>
+        val p = plan(q(name))
+        assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      }
+  }
+
+  test("windowed rates shuffle once, with partial aggregation before it") {
+    val p = plan(q("q_windowed_rates"))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("bucketed co-located join elides both join-side exchanges") {
     import graft.sinks.Bucketed
     val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_t").toString
