@@ -109,6 +109,57 @@ object Protocol {
     stats("records_written").asInstanceOf[Long]
   }
 
+  /** Chunk-level resumable backfill — the reference's actual full-load
+    * loop (`drivers/abstract/backfill.go:38-75` + `types/state.go`):
+    * plan the chunk set once, persist it, commit each chunk out of the
+    * remaining set as its scan lands, and on restart scan ONLY what
+    * never committed. `failAfterChunks` injects a crash for tests.
+    * Returns rows written this invocation.
+    */
+  def syncChunkedResumable(spark: SparkSession, sourceDir: String,
+                           destDir: String, cfg: StreamConfig,
+                           statePath: String, chunkStride: Long,
+                           failAfterChunks: Int = Int.MaxValue): Long = {
+    import graft.operators.ChunkPlanner
+    val chunkCol = cfg.chunkColumn.getOrElse(
+      throw new IllegalArgumentException("chunk_column required"))
+    val src = Tables.load(spark, sourceDir, cfg.name)
+    val st0 = StateStore.load(statePath).getOrElse(StateStore.State())
+    val ss0 = st0.streams.getOrElse(cfg.name, StateStore.StreamState())
+    // plan once; afterwards the persisted remaining set is authoritative
+    val remaining: Seq[StateStore.ChunkState] =
+      if (ss0.remainingChunks.nonEmpty || ss0.offsets.contains("planned"))
+        ss0.remainingChunks
+      else {
+        val planned = ChunkPlanner.planByStride(src, chunkCol, chunkStride)
+          .map(c => StateStore.ChunkState(c.min, c.max))
+        StateStore.save(statePath, st0.copy(streams = st0.streams.updated(
+          cfg.name, ss0.copy(remainingChunks = planned,
+            offsets = ss0.offsets + ("planned" -> 1L)))))
+        planned
+      }
+    var written = 0L
+    var done = 0
+    remaining.foreach { ch =>
+      if (done >= failAfterChunks)
+        throw new RuntimeException("injected crash after " + done + " chunks")
+      val chunk = ChunkPlanner.Chunk(ch.min, ch.max)
+      val rows = SystemColumns.attach(
+        src.where(chunk.toColumn(chunkCol)), cfg.primaryKeys,
+        SystemColumns.OpRead)
+      val stats = ParquetSink.writeWithStats(rows,
+        s"$destDir/${cfg.name}", Nil, append = true)
+      written += stats("records_written").asInstanceOf[Long]
+      // commit AFTER the write lands (backfill.go:61-64 ordering)
+      val st = StateStore.load(statePath).get
+      val ss = st.streams(cfg.name)
+      StateStore.save(statePath, st.copy(streams = st.streams.updated(
+        cfg.name, StateStore.commitChunk(ss, ch))))
+      done += 1
+    }
+    written
+  }
+
   /** `sync` in CDC mode: drive the Structured-Streaming pipeline over a
     * change-log directory (wal2json-shaped JSON or the graft-changelog
     * segment layout) into a merged table, with replay-safe position

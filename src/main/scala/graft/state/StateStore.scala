@@ -47,13 +47,20 @@ object StateStore {
     else Some(normalize(mapper.readValue(Files.readString(p), classOf[State])))
   }
 
-  // Jackson + erased Map[String, Long] yields boxed Integers for small
-  // JSON numbers; re-widen so callers can trust the declared Long.
-  private def normalize(st: State): State =
+  // Jackson + erased Long fields (Map values, Option contents) yield
+  // boxed Integers for small JSON numbers; re-widen so callers can
+  // trust the declared Long.
+  private def normalize(st: State): State = {
+    def widen(o: Option[Long]): Option[Long] =
+      o.asInstanceOf[Option[Any]].map(_.asInstanceOf[Number].longValue())
     st.copy(streams = st.streams.map { case (k, s) =>
-      k -> s.copy(offsets = s.offsets.asInstanceOf[Map[String, Any]]
-        .map { case (n, v) => n -> v.asInstanceOf[Number].longValue() })
+      k -> s.copy(
+        offsets = s.offsets.asInstanceOf[Map[String, Any]]
+          .map { case (n, v) => n -> v.asInstanceOf[Number].longValue() },
+        remainingChunks = s.remainingChunks.map(c =>
+          ChunkState(widen(c.min), widen(c.max))))
     })
+  }
 
   /** Cursor values persist as ISO-8601 / decimal strings
     * (reference `drivers/abstract/incremental.go:195-208`). */

@@ -63,6 +63,33 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!StateStore.load(state).get.streams.contains("orders"))
   }
 
+  test("chunked backfill resumes after a crash: committed chunks skip, no dupes, no loss") {
+    val dest = Files.createTempDirectory("graft_chunked").toString
+    val state = s"$dest/state.json"
+    val cfg = Protocol.StreamConfig("orders",
+      primaryKeys = Seq("o_orderkey"), chunkColumn = Some("o_orderkey"))
+    val total = Tables.load(spark, src, "orders").count()
+    // crash after 2 chunks
+    intercept[RuntimeException] {
+      Protocol.syncChunkedResumable(spark, src, dest, cfg, state,
+        chunkStride = 400L, failAfterChunks = 2)
+    }
+    val partial = spark.read.parquet(s"$dest/orders").count()
+    assert(partial > 0 && partial < total)
+    val st = StateStore.load(state).get.streams("orders")
+    assert(st.remainingChunks.nonEmpty)
+    // resume: only the uncommitted chunks scan; exactly-once overall
+    val resumed = Protocol.syncChunkedResumable(spark, src, dest, cfg,
+      state, chunkStride = 400L)
+    assert(partial + resumed == total)
+    val fin = spark.read.parquet(s"$dest/orders")
+    assert(fin.count() == total)
+    assert(fin.select(countDistinct("_olake_id")).head.getLong(0) == total)
+    assert(StateStore.load(state).get.streams("orders").remainingChunks.isEmpty)
+    // a third run is a no-op
+    assert(Protocol.syncChunkedResumable(spark, src, dest, cfg, state, 400L) == 0)
+  }
+
   test("syncCdc drives the streaming pipeline into a merged table") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
