@@ -94,6 +94,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
   }
 
+  test("parity API surface: snapshotMax, appendOnly, readModifiedAfter, minhashSignature") {
+    import graft.operators.{Incremental, Merge}
+    val orders = sf("orders")
+    val (p, s) = Incremental.snapshotMax(orders,
+      Incremental.Cursor("o_orderdate", Some("o_orderkey")))
+    assert(p.isDefined && s.isDefined)
+    assert(s.get == orders.agg(max("o_orderkey")).head.get(0))
+    assert(Merge.appendOnly(orders).count() == orders.count())
+    // modifiedAfter with an ancient cursor returns everything
+    val dir = java.nio.file.Files.createTempDirectory("graft_ma").toString
+    sf("nation").write.parquet(s"$dir/n")
+    assert(graft.sources.FileSources.readModifiedAfter(spark, "parquet",
+      s"$dir/n", "2000-01-01T00:00:00").count() == 25)
+    import org.apache.spark.sql.functions.col
+    val sig = sf("nation").select(graft.llm.Dedup.minhashSignature(
+      graft.llm.Dedup.shingles(col("n_name"), 3), 16).as("sig"))
+    assert(sig.head.getSeq[Long](0).size == 16)
+  }
+
   test("prefix-filtered Jaccard equals the all-pairs form exactly") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
