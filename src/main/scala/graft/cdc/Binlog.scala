@@ -24,8 +24,9 @@ import org.apache.spark.sql.types._
   * partition must be a contiguous slice of one binlog file's stream.
   *
   * Supported column types (the common row-image set): TINY(1), SHORT(2),
-  * LONG(3), FLOAT(4), DOUBLE(5), LONGLONG(8), VARCHAR(15) — others
-  * surface as hex strings rather than failing the stream.
+  * LONG(3), FLOAT(4), DOUBLE(5), LONGLONG(8), VARCHAR(15) — any other
+  * type throws: its byte length is unknown, so continuing would
+  * misalign the buffer and silently corrupt every later column.
   */
 object Binlog {
 
@@ -145,9 +146,11 @@ object Binlog {
           val len = if (meta > 255) b.getShort & 0xffff else b.get() & 0xff
           readStrN(b, len)
         case t =>
-          // unknown type: drain nothing (stream alignment depends on
-          // fixed set above); surface a marker rather than corrupting
-          s"__unsupported_type_$t"
+          // Unknown type: we cannot know the value's byte length, so the
+          // buffer would misalign and every later column/row would decode
+          // as garbage. Fail the event loudly instead.
+          throw new IllegalArgumentException(
+            s"unsupported binlog column type $t (supported: 1,2,3,4,5,8,15)")
       }
 
     private def readImage(b: ByteBuffer, td: TableDef): Seq[String] = {

@@ -66,12 +66,12 @@ object ChunkSql {
   /** Planner-time stats queries (backfill.go:65-87). */
   def pgBlockSizeQuery: String = "SHOW block_size"
   def pgRelPagesQuery(ns: String, name: String): String =
-    s"SELECT relpages FROM pg_class WHERE relname = '$name' AND " +
-      s"relnamespace = (SELECT oid FROM pg_namespace WHERE nspname = '$ns')"
+    s"SELECT relpages FROM pg_class WHERE relname = ${lit(name)} AND " +
+      s"relnamespace = (SELECT oid FROM pg_namespace WHERE nspname = ${lit(ns)})"
   def pgApproxRowCountQuery(ns: String, name: String): String =
     "SELECT reltuples::bigint AS approx_row_count FROM pg_class c JOIN " +
-      s"pg_namespace n ON n.oid = c.relnamespace WHERE c.relname = '$name' " +
-      s"AND n.nspname = '$ns'"
+      s"pg_namespace n ON n.oid = c.relnamespace WHERE c.relname = ${lit(name)} " +
+      s"AND n.nspname = ${lit(ns)}"
 
   /** Split `relPages` physical pages into ctid ranges sized so each
     * chunk reads ~`targetBytes` (backfill.go:88-104: batch = target /
@@ -119,13 +119,13 @@ object ChunkSql {
   def pgPartitionPagesQuery(ns: String, name: String): String =
     "SELECT pt.relid::text AS name, CEIL(1.05 * (pg_relation_size(" +
       "pt.relid::oid) / current_setting('block_size')::int))::bigint AS " +
-      s"pages FROM pg_partition_tree('$ns.$name') pt WHERE pt.isleaf = " +
+      s"pages FROM pg_partition_tree(${lit(s"$ns.$name")}) pt WHERE pt.isleaf = " +
       "true ORDER BY pages DESC"
 
   def pgIsPartitionedQuery(ns: String, name: String): String =
     "SELECT COUNT(i.inhrelid) FROM pg_inherits i JOIN pg_class c ON " +
       "c.oid = i.inhparent JOIN pg_namespace n ON n.oid = c.relnamespace " +
-      s"WHERE n.nspname = '$ns' AND c.relname = '$name'"
+      s"WHERE n.nspname = ${lit(ns)} AND c.relname = ${lit(name)}"
 
   /** Chunk scan predicate over ctid; these go into the JDBC predicates
     * array (one partition per page range). */

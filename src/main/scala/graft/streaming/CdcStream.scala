@@ -78,6 +78,7 @@ object CdcStream {
     val ss = st.streams.getOrElse(stream, StateStore.StreamState())
     val lastBatch = ss.offsets.getOrElse("batchId", Long.MinValue)
     if (batchId <= lastBatch) return // replayed batch: already applied
+    recoverSwap(tablePath)
 
     val stamped = batch
       .withColumn(SystemColumns.OpType,
@@ -96,17 +97,50 @@ object CdcStream {
         deduped.drop(SystemColumns.OpType, SystemColumns.CdcTimestamp).schema)
     // write-new-then-swap: the base snapshot being replaced is also this
     // batch's input, so the next snapshot lands beside it first (the
-    // parquet-sink analog of Iceberg's atomic snapshot commit)
-    val tmp = tablePath + ".next"
-    Merge.applyChanges(base, deduped).write.mode("overwrite").parquet(tmp)
+    // parquet-sink analog of Iceberg's atomic snapshot commit). The old
+    // snapshot is moved aside (never deleted first), so a crash at any
+    // point leaves either the old or the new base recoverable — see
+    // recoverSwap. Replaying the batch afterwards is safe because
+    // applyChanges is a keyed replace (idempotent).
+    val next = new java.io.File(tablePath + ".next")
+    val old = new java.io.File(tablePath + ".old")
+    val cur = new java.io.File(tablePath)
+    Merge.applyChanges(base, deduped).write.mode("overwrite")
+      .parquet(next.getPath)
     deduped.unpersist()
-    deleteRecursive(new java.io.File(tablePath))
-    new java.io.File(tmp).renameTo(new java.io.File(tablePath))
+    if (cur.exists && !cur.renameTo(old))
+      throw new java.io.IOException(s"could not move $cur aside to $old")
+    if (!next.renameTo(cur)) {
+      // restore the old snapshot before failing: the base must survive
+      if (old.exists) old.renameTo(cur)
+      throw new java.io.IOException(s"could not publish $next as $cur")
+    }
+    deleteRecursive(old)
 
     StateStore.save(statePath, st.copy(streams = st.streams.updated(stream,
       StateStore.closeDedupWindow(ss.copy(
         offsets = ss.offsets + ("batchId" -> batchId) ++
           Option(maxLsn).map(l => "lsn" -> l.toString.toLong))))))
+  }
+
+  /** Recover from a crash mid-swap before reading the base: if the base
+    * dir is missing, an interrupted swap left it as `.old` (moved aside)
+    * or only as `.next` (old already promoted away by a prior recovery)
+    * — restore whichever exists, preferring the old snapshot (the
+    * replayed batch then re-merges, which is idempotent). Stale `.next`/
+    * `.old` leftovers beside a live base are discarded. */
+  private[graft] def recoverSwap(tablePath: String): Unit = {
+    val cur = new java.io.File(tablePath)
+    val old = new java.io.File(tablePath + ".old")
+    val next = new java.io.File(tablePath + ".next")
+    if (!cur.exists) {
+      if (old.exists) { if (!old.renameTo(cur))
+        throw new java.io.IOException(s"could not restore $old as $cur") }
+      else if (next.exists) { if (!next.renameTo(cur))
+        throw new java.io.IOException(s"could not restore $next as $cur") }
+    }
+    if (old.exists) deleteRecursive(old)
+    if (next.exists) deleteRecursive(next)
   }
 
   private def deleteRecursive(f: java.io.File): Unit = {

@@ -84,6 +84,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .offsets("batchId") == 0L)
   }
 
+  test("cdc stream: crash mid-swap recovers the base snapshot") {
+    val (logDir, table, state, ckpt) = (tmp(), tmp() + "/t", tmp() + "/s.json", tmp())
+    writeLog(logDir, "b1.json", Seq(
+      line("a", 1, "insert", 10), line("b", 2, "insert", 20)))
+    CdcStream.run(spark, logDir, schema, table, state, ckpt).awaitTermination()
+    assert(spark.read.parquet(table).count() == 2)
+
+    // crash window 1: old moved aside, .next not yet published — the
+    // batch's state was never saved, so it replays against the restored
+    // old base
+    val cur = new java.io.File(table)
+    val old = new java.io.File(table + ".old")
+    assert(cur.renameTo(old))
+    CdcStream.recoverSwap(table)
+    assert(cur.exists && !old.exists)
+    assert(spark.read.parquet(table).count() == 2)
+
+    // crash window 2: swap fully interrupted — base missing, only .next
+    // (the new snapshot) on disk; roll forward
+    val next = new java.io.File(table + ".next")
+    assert(cur.renameTo(next))
+    CdcStream.recoverSwap(table)
+    assert(cur.exists && !next.exists)
+    assert(spark.read.parquet(table).count() == 2)
+
+    // stale leftovers beside a live base are discarded, base untouched
+    java.nio.file.Files.createDirectory(next.toPath)
+    CdcStream.recoverSwap(table)
+    assert(cur.exists && !next.exists)
+
+    // and the pipeline keeps working after recovery
+    writeLog(logDir, "b2.json", Seq(line("c", 3, "insert", 30)))
+    CdcStream.run(spark, logDir, schema, table, state, ckpt).awaitTermination()
+    assert(spark.read.parquet(table).count() == 3)
+  }
+
   test("windowed event rates aggregate per event-time window on a stream") {
     import graft.streaming.WindowedStats
     val (logDir, ckpt, out) = (tmp(), tmp(), tmp())
