@@ -189,6 +189,54 @@ object Dedup {
       .where(col("est_jaccard") >= estThreshold)
   }
 
+  /** MinHash-LSH candidates VERIFIED by exact shingle Jaccard: the
+    * production near-dup shape (banded candidates, then one exact check
+    * per candidate — never per pair), and the oracle-able one: output
+    * pairs satisfy `jaccard(shingles(a), shingles(b)) >= threshold`
+    * exactly, so DuckDB can replay the predicate. A true pair can only
+    * be missed if NO band matches, with probability (1 − J^r)^b —
+    * identical documents (J = 1) are caught with certainty.
+    */
+  def minhashPairsVerified(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.5,
+                           native: Boolean = false): DataFrame = {
+    val cand = minhashPairs(df, textCol, idCol, shingleN, k, bands,
+      estThreshold = 0.0, native = native).select("id_a", "id_b")
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("sa")) + size(col("sb")) - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash-blocked EXACT bag-of-words duplicates: candidates from the
+    * band join with Hamming distance 0, verified by distinct-token-set
+    * equality. Identical token sets hash to identical fingerprints, so
+    * recall is 1.0 by construction — which makes this tier exactly
+    * SQL-replayable (the oracle compares sorted distinct token lists).
+    * The hamming ≤ 3 near-dup tier (simhashPairs) keeps its unit-spec
+    * coverage; its extra pairs depend on hash bit-flips and are not
+    * SQL-expressible.
+    */
+  def simhashExactDups(df: DataFrame, textCol: String, idCol: String,
+                       native: Boolean = false): DataFrame = {
+    val cand = simhashPairs(df, textCol, idCol, maxHamming = 0,
+      native = native).select("id_a", "id_b")
+    val ts = df.select(col(idCol).as("id"),
+      sort_array(array_distinct(tokens(col(textCol)))).as("ts"))
+    cand
+      .join(ts.select(col("id").as("id_a"), col("ts").as("ta")), "id_a")
+      .join(ts.select(col("id").as("id_b"), col("ts").as("tb")), "id_b")
+      .where(col("ta") === col("tb"))
+      .select("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup pairs, exact: all pairs (a < b) with
     * cosine ≥ threshold. O(n²·d) — the small-scale ORACLE for the LSH
     * tier below, mirroring jaccardPairs vs minhashPairs. */
@@ -213,22 +261,29 @@ object Dedup {
     * vs cosinePairs asserted in the spec. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 4,
-                     dims: Int = 64): DataFrame = {
-    import graft.llm.Similarity.{dot, lshCode, norm}
-    val coded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
-      lshCode(col(vecCol), planes, dims).as("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = array((col("code") +:
-      (0 until planes).map(b => col("code").bitwiseXOR(1 << b))): _*)
-    val a = coded.withColumn("probe", explode(probes)).as("a")
-    val b = coded.as("b")
-    a.join(b, col("a.probe") === col("b.code") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos"))
-      .where(col("cos") >= threshold)
-      .select("id_a", "id_b").distinct()
+                     dims: Int = 64, tables: Int = 6,
+                     maxFlips: Int = 2): DataFrame = {
+    import graft.llm.Similarity.{dot, norm, probeKeys, tableCodes}
+    // candidate ids from any shared (table, probe-code) key; pairs are
+    // deduped before vectors are re-joined, so the exact-cosine verify
+    // runs once per candidate pair no matter how many tables caught it
+    val probed = df.select(col(idCol).as("id"),
+      explode(probeKeys(col(vecCol), planes, dims, tables, maxFlips))
+        .as("probe"))
+    val coded = df.select(col(idCol).as("id"),
+      explode(tableCodes(col(vecCol), planes, dims, tables)).as("tc"))
+    val cand = probed.as("a").join(coded.as("b"),
+        col("a.probe") === col("b.tc") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    cand
+      .join(side.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
   }
 
   /** SimHash-64: per token-hash, vote +1/-1 on each bit; the fingerprint

@@ -55,25 +55,52 @@ object Similarity {
   }
 
   /** Sign bit-code of a vector under `planes` deterministic
-    * pseudo-random hyperplanes; component (p, d) = xxhash64(p·100003 + d)
-    * scaled to [-1, 1) — reproducible across runs and engines.
+    * pseudo-random hyperplanes; component (p, d) =
+    * xxhash64(seed·1000003 + p·100003 + d) scaled to [-1, 1) —
+    * reproducible across runs and engines. `seed` selects an
+    * independent hash TABLE (multi-table LSH).
     *
     * One nested HOF (planes × dims multiplies in a tight loop), not a
     * planes·dims unrolled sum — the unrolled form was a 256-term
     * expression tree evaluated per row on both join sides.
     */
-  def lshCode(vec: Column, planes: Int, dims: Int): Column =
+  def lshCode(vec: Column, planes: Int, dims: Int, seed: Int = 0): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
         val proj = aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
             x.cast("double") *
-              (xxhash64(p * lit(100003) + d).cast("double") /
-                lit(Long.MaxValue.toDouble))),
+              (xxhash64(lit(seed * 1000003) + p * lit(100003) + d)
+                .cast("double") / lit(Long.MaxValue.toDouble))),
           lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, call_function("shiftleft", lit(1), p)).otherwise(lit(0))
       }),
       lit(0), (a, b) => a.bitwiseOR(b))
+
+  /** XOR masks for multi-probe: every code within Hamming distance
+    * `maxFlips` of the original (the standard multi-probe LSH recall
+    * fix — costs probe keys, never an extra pass over the corpus). */
+  private[llm] def probeMasks(planes: Int, maxFlips: Int): Seq[Int] =
+    (0 until (1 << planes)).filter(Integer.bitCount(_) <= maxFlips)
+
+  /** One (table, code) struct per hash table for a corpus vector. */
+  private[llm] def tableCodes(vec: Column, planes: Int, dims: Int,
+                              tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        lshCode(vec, planes, dims, seed = t).as("code"))): _*)
+
+  /** Probe keys for a query vector: for each table, the vector's code
+    * plus every `maxFlips`-bit perturbation of it. */
+  private[llm] def probeKeys(vec: Column, planes: Int, dims: Int,
+                             tables: Int, maxFlips: Int): Column = {
+    val masks = probeMasks(planes, maxFlips)
+    flatten(array((0 until tables).map { t =>
+      val code = lshCode(vec, planes, dims, seed = t)
+      array(masks.map(m =>
+        struct(lit(t).as("t"), code.bitwiseXOR(lit(m)).as("code"))): _*)
+    }: _*))
+  }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nlist` cells; each query probes its
@@ -86,16 +113,20 @@ object Similarity {
     * size, like the reference's chunk boundary sets.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 2,
+              nlist: Int = 16, nprobe: Int = 8,
               fitSampleFraction: Double = 1.0,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
+    // coalesce(1): k-means random init samples depend on partitioning;
+    // one partition makes the quantizer deterministic across executor
+    // counts. The fit input is a bounded SAMPLE by construction (set
+    // fitSampleFraction < 1 at scale), so this is planner-sized work.
     val fitInput = (if (fitSampleFraction < 1.0)
       corpus.sample(fitSampleFraction, seed = 42) else corpus)
-      .select(array_to_vector(col(vecCol)).as("features"))
+      .select(array_to_vector(col(vecCol)).as("features")).coalesce(1)
     // random init: a coarse quantizer needs balanced cells, not optimal
     // clusters — k-means|| costs extra full passes for nothing here
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
@@ -142,28 +173,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket
-    * plus all buckets within Hamming distance 1 of its code (multi-probe
-    * — the standard recall fix that costs probes, not an extra pass over
-    * the corpus). The corpus is coded ONCE; each query probes
-    * `planes + 1` buckets. Exact cosine ranks within the candidates.
+  /** Approximate top-k via multi-table, multi-probe hyperplane LSH:
+    * `tables` independent plane sets; candidates are corpus vectors
+    * sharing any probed (table, code) key with the query, where each
+    * query probes its own bucket plus every bucket within Hamming
+    * distance `maxFlips` of its code. Exact cosine ranks the candidate
+    * set. Recall rises as (1 − (1 − p_table)^tables); the defaults are
+    * tuned so gate-scale results equal bruteForceTopK exactly (asserted
+    * by the oracle), and every parameter trades recall for probe volume
+    * explicitly at scale.
+    *
+    * Scale shape: the corpus is coded once (one map pass — `tables`
+    * codes per vector), the join is keyed on (table, code) — never a
+    * cartesian — and candidate pairs are deduped BEFORE vectors are
+    * re-joined for scoring, so each candidate's dot product is computed
+    * once no matter how many tables caught it.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 4, dims: Int = 64,
+              tables: Int = 6, maxFlips: Int = 2,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val code = (v: Column) => lshCode(v, planes, dims)
-    val probes = (c: Column) =>
-      array((c +: (0 until planes).map(b => c.bitwiseXOR(1 << b))): _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm"),
-        code(col(vecCol)).as("qcode"))
-      .withColumn("probe", explode(probes(col("qcode")))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      norm(col(vecCol)).as("cnorm"), code(col(vecCol)).as("ccode"))
-    val scored = c.join(q, col("probe") === col("ccode") &&
+        explode(probeKeys(col(vecCol), planes, dims, tables, maxFlips))
+          .as("probe")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      explode(tableCodes(col(vecCol), planes, dims, tables)).as("tc"))
+    val cand = c.join(q, col("probe") === col("tc") &&
         col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qvec", "cvec", "qnorm", "cnorm")
+      .select("query_id", "neighbor_id").distinct()
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), norm(col(vecCol)).as("cnorm"))
+    val scored = cand.join(cv, "neighbor_id").join(qv, "query_id")
       .withColumn("sim",
         dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id")

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Similarity}
+
+/** Dev-only: measure ANN/LSH recall vs the exact baselines at gate
+  * scale (not part of the library surface). */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    val lsh = Similarity.lshTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    println(s"lshTopK:  exact=${exact.size} found=${lsh.size} " +
+      s"hit=${(exact & lsh).size} recall=${(exact & lsh).size.toDouble / exact.size}")
+
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    println(s"ivfTopK(16,12): exact=${exact.size} found=${ivf.size} " +
+      s"hit=${(exact & ivf).size} recall=${(exact & ivf).size.toDouble / exact.size}")
+
+    val sub = emb.where(col("vec_id") < 300)
+    val exactPairs = Dedup.cosinePairs(sub, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.cosinePairsLsh(sub, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    println(s"cosLsh:   exact=${exactPairs.size} found=${lshPairs.size} " +
+      s"hit=${(exactPairs & lshPairs).size} " +
+      s"recall=${(exactPairs & lshPairs).size.toDouble / exactPairs.size}")
+    spark.stop()
+  }
+}
