@@ -357,6 +357,29 @@ object ChunkSql {
   def syntheticObjectId(epochSeconds: Long): String =
     f"$epochSeconds%08x" + "0" * 16
 
+  /** The `splitVector` admin command (the reference's first Mongo
+    * chunking strategy, backfill.go:120-125): boundaries over the `_id`
+    * key pattern at ~`maxChunkSizeMB` per split. Only meaningful for
+    * ObjectID-keyed collections (the command relies on ObjectID's
+    * embedded timestamp for monotone splits). */
+  def mongoSplitVectorCommand(db: String, coll: String,
+                              maxChunkSizeMB: Int = 1024): String =
+    s"""{"splitVector":"$db.$coll","keyPattern":{"_id":1},""" +
+      s""""maxChunkSize":$maxChunkSizeMB}"""
+
+  /** Group splitVector boundaries (min sentinel, splitKeys…, max
+    * sentinel) into chunks of `group` splits each — the reference packs
+    * 8 × ~1 GB splits per chunk (backfill.go:144-158); the final chunk
+    * is open-ended so rows past the sampled max still land. */
+  def mongoGroupSplitBoundaries(boundaries: Seq[String],
+                                group: Int = 8): Seq[(String, Option[String])] = {
+    val n = boundaries.length
+    (0 until n - 1 by group).map { idx =>
+      (boundaries(idx),
+        if (idx < n - 1 - group) Some(boundaries(idx + group)) else None)
+    }
+  }
+
   // ---- DB2: RID chunking (S10) ------------------------------------------
 
   def db2MinMaxRidQuery(ns: String, name: String): String = {

@@ -169,6 +169,19 @@ class ChunkSqlSpec extends AnyFunSuite {
     assert(ChunkSql.syntheticObjectId(1).length == 24)
   }
 
+  test("mongo splitVector command + 8-way boundary grouping (backfill.go:91-158)") {
+    assert(ChunkSql.mongoSplitVectorCommand("db", "coll") ==
+      """{"splitVector":"db.coll","keyPattern":{"_id":1},"maxChunkSize":1024}""")
+    // 18 boundaries (min, 16 splits, max) → chunks of 8 splits; the
+    // last chunk is open-ended (reference keeps Max nil past n-1-group)
+    val bs = (0 until 18).map(i => f"$i%02d")
+    assert(ChunkSql.mongoGroupSplitBoundaries(bs) == Seq(
+      ("00", Some("08")), ("08", Some("16")), ("16", None)))
+    // fewer boundaries than one group → a single open-ended chunk
+    assert(ChunkSql.mongoGroupSplitBoundaries(Seq("a", "b", "c")) ==
+      Seq(("a", None)))
+  }
+
   test("mysql collation-aligned boundary probe (jdbc.go:471-494)") {
     val q = ChunkSql.mysqlCollationAlignedBoundsQuery("d", "t", "pk", 2,
       "utf8mb4_general_ci")
