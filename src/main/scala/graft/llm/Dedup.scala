@@ -261,7 +261,7 @@ object Dedup {
     * vs cosinePairs asserted in the spec. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 4,
-                     dims: Int = 64, tables: Int = 6,
+                     dims: Int = 64, tables: Int = 4,
                      maxFlips: Int = 2): DataFrame = {
     import graft.llm.Similarity.{dot, norm, probeKeys, tableCodes}
     // candidate ids from any shared (table, probe-code) key; pairs are

@@ -24,10 +24,12 @@ object AnnRecall {
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
 
-    val lsh = Similarity.lshTopK(emb, queries, k = 5)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    println(s"lshTopK:  exact=${exact.size} found=${lsh.size} " +
-      s"hit=${(exact & lsh).size} recall=${(exact & lsh).size.toDouble / exact.size}")
+    for (tb <- Seq(2, 3, 4, 6)) {
+      val lsh = Similarity.lshTopK(emb, queries, k = 5, tables = tb)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      println(s"lshTopK(t=$tb):  exact=${exact.size} found=${lsh.size} " +
+        s"hit=${(exact & lsh).size} recall=${(exact & lsh).size.toDouble / exact.size}")
+    }
 
     val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 12)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -37,11 +39,14 @@ object AnnRecall {
     val sub = emb.where(col("vec_id") < 300)
     val exactPairs = Dedup.cosinePairs(sub, "vec_id", "embedding", 0.35)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lshPairs = Dedup.cosinePairsLsh(sub, "vec_id", "embedding", 0.35)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    println(s"cosLsh:   exact=${exactPairs.size} found=${lshPairs.size} " +
-      s"hit=${(exactPairs & lshPairs).size} " +
-      s"recall=${(exactPairs & lshPairs).size.toDouble / exactPairs.size}")
+    for (tb <- Seq(2, 3, 4, 6)) {
+      val lshPairs = Dedup.cosinePairsLsh(sub, "vec_id", "embedding", 0.35,
+          tables = tb)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      println(s"cosLsh(t=$tb):   exact=${exactPairs.size} found=${lshPairs.size} " +
+        s"hit=${(exactPairs & lshPairs).size} " +
+        s"recall=${(exactPairs & lshPairs).size.toDouble / exactPairs.size}")
+    }
     spark.stop()
   }
 }

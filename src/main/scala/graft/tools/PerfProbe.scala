@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time individual gate queries in isolation (post-warmup). */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_cdc_wal2json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = graft.SparkEntry.queries
+    qs("q_project")(spark, dir).count() // session warmup
+
+    if (args.length > 1 && args(1) == "backfill") {
+      import org.apache.spark.sql.functions._
+      import graft.operators.SystemColumns
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val li = graft.Tables.load(spark, dir, "lineitem")
+      val n = li.count()
+      val out = java.nio.file.Files.createTempDirectory("graft_bf").toString
+      def time(label: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"$label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          f"(${n / ((System.nanoTime() - t0) / 1e9)}%.0f rps)")
+      }
+      for (mb <- Seq("16m", "8m", "5m", "3m")) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mb)
+        val fresh = graft.Tables.load(spark, dir, "lineitem")
+        time(s"syscols+write $mb") {
+          SystemColumns.attach(fresh, Seq("l_orderkey", "l_linenumber"),
+            SystemColumns.OpRead).write.mode("overwrite").parquet(out) }
+      }
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "5m")
+      for ((dict, codec) <- Seq(("true", "snappy"), ("false", "snappy"),
+          ("false", "lz4"))) {
+        val fresh = graft.Tables.load(spark, dir, "lineitem")
+        time(s"write dict=$dict codec=$codec") {
+          SystemColumns.attach(fresh, Seq("l_orderkey", "l_linenumber"),
+            SystemColumns.OpRead).write.mode("overwrite")
+            .option("compression", codec)
+            .option("parquet.enable.dictionary", dict).parquet(out) }
+      }
+      spark.stop(); return
+    }
+    names.foreach { n =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val c = qs(n)(spark, dir).count()
+        println(f"$n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+      }
+    }
+    spark.stop()
+  }
+}
