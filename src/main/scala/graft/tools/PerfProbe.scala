@@ -30,12 +30,18 @@ object PerfProbe {
         println(f"$label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
           f"(${n / ((System.nanoTime() - t0) / 1e9)}%.0f rps)")
       }
-      for (mb <- Seq("16m", "8m", "5m", "3m")) {
-        spark.conf.set("spark.sql.files.maxPartitionBytes", mb)
+      for (mult <- Seq(1, 2, 4)) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "5m")
         val fresh = graft.Tables.load(spark, dir, "lineitem")
-        time(s"syscols+write $mb") {
-          SystemColumns.attach(fresh, Seq("l_orderkey", "l_linenumber"),
-            SystemColumns.OpRead).write.mode("overwrite").parquet(out) }
+        val big = (1 until mult).foldLeft(fresh)((acc, _) => acc.union(fresh))
+        val bn = big.count()
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime();
+          SystemColumns.attach(big, Seq("l_orderkey", "l_linenumber"),
+            SystemColumns.OpRead).write.mode("overwrite").parquet(out)
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"mult=$mult run$i: $secs%.3f s (${bn / secs}%.0f rps, $bn rows)")
+        }
       }
       spark.conf.set("spark.sql.files.maxPartitionBytes", "5m")
       for ((dict, codec) <- Seq(("true", "snappy"), ("false", "snappy"),
