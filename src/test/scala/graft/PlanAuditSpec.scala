@@ -76,6 +76,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("multi-table ANN LSH: keyed candidate join, no cartesian") {
+    val p = plan(q("q_ann_lsh"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("simhash exact-dup tier: keyed band join, no cartesian") {
+    val p = plan(q("q_simhash_neardup"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("limit/offset scan is a distributed top-k, not a global window shuffle") {
     val p = plan(q("q_limit_offset"))
     assert(p.contains("TakeOrderedAndProject"), p)

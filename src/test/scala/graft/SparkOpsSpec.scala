@@ -333,6 +333,44 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found == 40L)
   }
 
+  test("minhashPairsVerified: planted dupes at jaccard 1.0, no false positives") {
+    val docs = sf("documents").where(col("doc_id") < 30)
+      .select("doc_id", "text")
+    val planted = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000))
+    val out = Dedup.minhashPairsVerified(planted, "text", "doc_id",
+      threshold = 0.9).collect()
+    val plantedPairs = out.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 10000)
+    assert(plantedPairs.length == 30)
+    assert(plantedPairs.forall(_.getAs[Double]("jaccard") == 1.0))
+    // exact verification: every emitted pair truly meets the threshold —
+    // recompute J from the shingle sets and compare
+    val sh = planted.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    val checked = Dedup.minhashPairsVerified(planted, "text", "doc_id",
+        threshold = 0.9)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("truej", size(array_intersect(col("sa"), col("sb"))) /
+        (size(col("sa")) + size(col("sb")) -
+          size(array_intersect(col("sa"), col("sb")))).cast("double"))
+      .where(col("truej") < 0.9).count()
+    assert(checked == 0L)
+  }
+
+  test("simhashExactDups: token-order-insensitive, content-sensitive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "fox brown quick the"),   // same token SET → dup of 1
+      (3L, "the quick brown wolf"),  // one token differs → not a dup
+      (4L, "the quick brown fox")    // identical → dup of 1 and 2
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashExactDups(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   // ---- ANN: LSH recall vs brute force ----
 
   test("lshTopK recalls a usable fraction of brute-force neighbours") {
