@@ -157,6 +157,24 @@ object SparkEntry {
           col("n_regionkey").cast("int"))
     }),
 
+    // ---- S13 prefix + regex object listing: two region exports land
+    //      beside a decoy; only keys matching the file_pattern regex
+    //      are read (reference s3.go:146-190) ----
+    "q_file_regex" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_regex").toString
+      val r = t(s, dir, "region")
+      r.write.mode("overwrite").option("header", "true")
+        .csv(tmp + "/exports/r1.csv")
+      r.write.mode("overwrite").option("header", "true")
+        .csv(tmp + "/exports/r2.csv")
+      r.write.mode("overwrite").option("header", "true")
+        .csv(tmp + "/exports/skip_this.txt")
+      FileSources.readMatching(s, "csv", tmp + "/exports",
+          filePattern = Some("""r[0-9]+\.csv"""))
+        .select(col("r_regionkey").cast("int"), col("r_name"))
+    }),
+
     // ---- S13/S14 JSONL parse with schema inference (roundtrip) ----
     "q_file_jsonl" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -666,6 +684,11 @@ object SparkEntry {
 
     "q_file_jsonl" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // two of the three exports match the regex → region doubled
+    "q_file_regex" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
 
     "q_normalize" ->
       "SELECT n_nationkey AS nation_key, n_name AS name_1 FROM nation",

@@ -52,6 +52,40 @@ object FileSources {
   def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
 
+  /** Planner-time object listing: every file under `prefix` whose full
+    * path matches `filePattern` (unanchored, like Go's MatchString —
+    * reference `drivers/s3/internal/s3.go:146-190`: paginated
+    * ListObjectsV2 by prefix, then regex filter per key). Metadata-only
+    * — the reference notes ~200 B per file, 1M files ≈ 200 MB — and the
+    * returned list feeds `spark.read.load`, where `maxPartitionBytes`
+    * does the ~target-size chunk grouping the reference hand-rolls.
+    */
+  def listMatching(spark: SparkSession, prefix: String,
+                   filePattern: Option[String] = None): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(prefix)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val re = filePattern.map(_.r)
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.isFile && re.forall(_.findFirstIn(p).isDefined)) out += p
+    }
+    out.result()
+  }
+
+  /** Prefix + regex scan (the reference's S3 stream discovery shape):
+    * list at plan time, read the matched files as one frame. */
+  def readMatching(spark: SparkSession, format: String, prefix: String,
+                   filePattern: Option[String] = None): DataFrame = {
+    val files = listMatching(spark, prefix, filePattern)
+    require(files.nonEmpty, s"no files under $prefix match $filePattern")
+    spark.read.format(format)
+      .option("header", "true").option("inferSchema", "true")
+      .load(files: _*)
+  }
+
   /** Incremental file pickup: only files modified after the cursor
     * (reference `drivers/s3/internal/incremental.go:19-129`). For
     * continuous pickup use `spark.readStream` with the same format —
