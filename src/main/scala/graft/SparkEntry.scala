@@ -563,11 +563,12 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
-    // ---- LLM: IVF-bucketed ANN. A coarse quantizer over UNclustered
-    //      embeddings has a recall ceiling below 1.0 at any probe count
-    //      short of all cells, so the gate asserts the recall PROPERTY
-    //      (≥ 0.75 vs brute force; measured 0.90 at sf0.01) instead of
-    //      pair-exact output. Top-k mechanics are pinned by q_ann_lsh. ----
+    // ---- LLM: IVF-bucketed ANN with 2-cell multi-assignment. The gate
+    //      asserts the recall PROPERTY (≥ 0.9 vs brute force; measured
+    //      1.0 at sf0.01 with nprobe=12) rather than pair-exact output:
+    //      the quantizer is a fitted model, and a property bound keeps
+    //      the gate robust to model drift. Top-k mechanics are pinned
+    //      exactly by q_ann_lsh. ----
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q10 = emb.where(col("vec_id") < 10)
@@ -579,7 +580,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_hit"))
       exact.agg(count(lit(1)).as("n_exact")).crossJoin(hit)
         .select(col("n_exact"),
-          (col("n_hit") >= col("n_exact") * 0.75).as("recall_ok"))
+          (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
     }),
 
     // ---- LLM: multimodal binary columns — metadata projection ----

@@ -113,7 +113,7 @@ object Similarity {
     * size, like the reference's chunk boundary sets.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 8,
+              nlist: Int = 16, nprobe: Int = 8, assign: Int = 2,
               fitSampleFraction: Double = 1.0,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
@@ -137,33 +137,40 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
     }.toSeq.toDF("cell", "centroid")
-    // corpus cell assignment: nearest-1 via the model — ONE map pass,
-    // no join, no shuffle
-    val corpusCells = model.setPredictionCol("cell").transform(
-        corpus.select(col(idCol).as("neighbor_id"),
-          array_to_vector(col(vecCol)).as("features")))
-      .select(col("neighbor_id"), col("cell"))
-    // query probes: nprobe nearest cells via a broadcast centroid join —
-    // queries are tiny by construction
-    val queryCells = broadcast {
-      val d2 = aggregate(
-        zip_with(col(vecCol).cast("array<double>"), col("centroid"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-      val w = Window.partitionBy(col(idCol)).orderBy(d2.asc, col("cell"))
-      queries.crossJoin(broadcast(centroids))
-        .withColumn("_rk", row_number().over(w))
-        .where(col("_rk") <= nprobe)
-        .select(col(idCol).as("query_id"), col("cell"))
+    // cell ranking as ONE per-row expression over the literal centroid
+    // array (nlist × d doubles — planner-sized): distances to every
+    // centroid, sort, keep n. Map-only — no explode-then-window, no
+    // shuffle of N·nlist rows; ties break on cell id deterministically.
+    val centroidLit = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    def nearestCells(vec: Column, n: Int): Column = {
+      val scored = transform(centroidLit, (c, i) => struct(
+        aggregate(zip_with(vec.cast("array<double>"), c,
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+          .as("d2"),
+        i.as("cell")))
+      transform(slice(array_sort(scored), 1, n), s => s.getField("cell"))
     }
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        norm(col(vecCol)).as("cnorm"))
-      .join(corpusCells, "neighbor_id")
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm"))
-      .join(queryCells, "query_id"))
-    val scored = c.join(q, Seq("cell"))
+    // corpus: each vector indexed into its `assign` nearest cells
+    // (multi-assignment — the standard IVF recall fix for weakly
+    // clustered spaces; the index grows ×assign, probe cost doesn't)
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
+      explode(nearestCells(col(vecCol), assign)).as("cell"))
+    // query probes: nprobe nearest cells — queries are tiny by
+    // construction, so the probe table broadcasts
+    val queryCells = broadcast(queries.select(col(idCol).as("query_id"),
+      explode(nearestCells(col(vecCol), nprobe)).as("cell")))
+    // candidate pairs dedup BEFORE scoring: with multi-assignment a
+    // pair can match through several cells; without the distinct the
+    // duplicates would both recompute the dot product and consume
+    // top-k ranks
+    val cand = corpusCells.join(queryCells, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), norm(col(vecCol)).as("cnorm"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm")))
+    val scored = cand.join(cv, "neighbor_id").join(qv, "query_id")
       .withColumn("sim",
         dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id")

@@ -31,10 +31,12 @@ object AnnRecall {
         s"hit=${(exact & lsh).size} recall=${(exact & lsh).size.toDouble / exact.size}")
     }
 
-    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 12)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    println(s"ivfTopK(16,12): exact=${exact.size} found=${ivf.size} " +
-      s"hit=${(exact & ivf).size} recall=${(exact & ivf).size.toDouble / exact.size}")
+    for (np <- Seq(4, 6, 8, 10, 12)) {
+      val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      println(s"ivfTopK(16,$np,a=2): exact=${exact.size} found=${ivf.size} " +
+        s"hit=${(exact & ivf).size} recall=${(exact & ivf).size.toDouble / exact.size}")
+    }
 
     val sub = emb.where(col("vec_id") < 300)
     val exactPairs = Dedup.cosinePairs(sub, "vec_id", "embedding", 0.35)
