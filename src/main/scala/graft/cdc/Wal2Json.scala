@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   * whole decoder, codegen'd end-to-end. Scalar JSON values of any type
   * coerce to string fields (Jackson token text), matching the
   * reference's stringly typed record before coercion.
+  *
+  * Cost shape (measured at sf0.1): the generate+parse stage carries a
+  * fixed ~1s setup, with marginal cost ≈ 8 µs/row thereafter (2k rows
+  * 1.15s → 100k rows 1.9s) — per-row work is flat, so the plan scales.
   */
 object Wal2Json {
 
