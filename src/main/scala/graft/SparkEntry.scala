@@ -592,7 +592,16 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_sampled")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))),
+
+    // ---- LLM: aspect-preserving resize — the integer fit math is
+    //      replayed exactly by the oracle; resampling is the stub ----
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resize(s,
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"),
+          maxW = 128, maxH = 96)
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("n_bytes")))
   )
 
   /** Shared by q_pushdown_sql's query and oracle: the oracle string IS the
@@ -1020,6 +1029,26 @@ object SparkEntry {
     "q_media_frames" ->
       """SELECT doc_id,
         |  CAST(((greatest(1, octet_length(encode(text))//64) - 1)//4) + 1 AS BIGINT) AS n_sampled
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Exact replay of the resize fit math: width-limited when
+    // w*96 >= h*128, floor-divide the other axis, clamp at 1.
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  greatest(length(text) % 640, 1) AS w,
+        |  greatest(length(text) % 480, 1) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CASE WHEN w <= 128 AND h <= 96 THEN w
+        |       WHEN w*96 >= h*128 THEN 128
+        |       ELSE greatest(w*96//h, 1) END AS width,
+        |  CASE WHEN w <= 128 AND h <= 96 THEN h
+        |       WHEN w*96 >= h*128 THEN greatest(h*128//w, 1)
+        |       ELSE 96 END AS height
+        |  FROM m)
+        |SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(width * height AS BIGINT) AS n_bytes
+        |FROM r""".stripMargin
   )
 }

@@ -57,6 +57,32 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving thumbnail resize. The FIT math is the real
+    * operator — pure integer arithmetic (compare w·maxH vs h·maxW to
+    * pick the limiting axis, floor-divide the other), so the oracle
+    * replays it exactly in SQL. ======= STUB =======: the byte
+    * resampling (a codec call in a real deployment) cycles payload
+    * bytes to the output pixel count; the contract is binary in →
+    * binary out, one pass per partition, zero shuffle.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val w = math.max(1, r.width); val h = math.max(1, r.height)
+        val (ow, oh) =
+          if (w <= maxW && h <= maxH) (w, h)
+          else if (w.toLong * maxH >= h.toLong * maxW)
+            (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+          else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+        val srcLen = math.max(1, r.payload.length)
+        val out = Array.tabulate(ow * oh)(i => r.payload(i % srcLen))
+        MediaRecord(r.doc_id, r.media_type, out, ow, oh)
+      }
+    }
+  }
+
   /** Frame sampling for video-typed payloads: every `stride`-th chunk of
     * `frameBytes` becomes one synthetic frame row. The explode is the
     * real operator (row-count amplification handled by Spark); chunking
