@@ -30,12 +30,15 @@ object Bench {
     "q_salted_join",
     "q_infer_schema", "q_evolve", "q_pushdown_sql",
     "q_partition_transform", "q_discover",
-    "q_dedup_exact", "q_jaccard_neardup", "q_minhash_neardup",
+    "q_dedup_exact", "q_jaccard_neardup", "q_jaccard_prefix",
+    "q_minhash_neardup",
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
     "q_text_stats", "q_quality_score", "q_lang_id",
     "q_token_count", "q_fingerprint",
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_multimodal_meta",
-    "q_media_frames")
+    "q_media_frames", "q_media_resize",
+    "q_avro_decode", "q_bucketed_join",
+    "q_minhash_native", "q_simhash_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
