@@ -7,7 +7,7 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
-import graft.sources.{BoundedRead, Discover, FileSources, KafkaDecode}
+import graft.sources.{BoundedRead, Discover, FileSources, JdbcSource, KafkaDecode}
 import graft.spec.{DialectSql, FilterSpec}
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
 import graft.types.Naming
@@ -173,6 +173,25 @@ object SparkEntry {
       FileSources.readMatching(s, "csv", tmp + "/exports",
           filePattern = Some("""r[0-9]+\.csv"""))
         .select(col("r_regionkey").cast("int"), col("r_name"))
+    }),
+
+    // ---- S1/S4 REAL JDBC execution path: load a slice into embedded
+    //      Derby, stride-plan on JDBC MIN/MAX, then read one partition
+    //      per chunk via the predicates array (the reference's per-chunk
+    //      scan loop, executed for real through a database) ----
+    "q_jdbc_chunked" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") <= 1500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      val db = java.nio.file.Files.createTempDirectory("graft_derby")
+        .toString + "/db"
+      val url = JdbcSource.derbyUrl(db)
+      JdbcSource.load(li, url, "LINEITEM")
+      // Spark's JDBC writer creates case-sensitive (quoted) lowercase
+      // columns, so the planner/predicate strings quote the identifier
+      JdbcSource.readChunked(s, url, "LINEITEM", "\"l_orderkey\"",
+          stride = 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
     // ---- S13/S14 JSONL parse with schema inference (roundtrip) ----
@@ -694,6 +713,10 @@ object SparkEntry {
 
     "q_file_jsonl" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_jdbc_chunked" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey <= 1500""".stripMargin,
 
     // two of the three exports match the regex → region doubled
     "q_file_regex" ->

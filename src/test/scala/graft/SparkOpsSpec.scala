@@ -333,6 +333,33 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found == 40L)
   }
 
+  test("JDBC chunked read: one partition per chunk; resume skips done chunks") {
+    import graft.operators.ChunkPlanner
+    import graft.sources.JdbcSource
+    val li = sf("lineitem").where(col("l_orderkey") <= 300)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_t")
+      .toString + "/db"
+    val url = JdbcSource.derbyUrl(db)
+    JdbcSource.load(li, url, "LI")
+    val (mn, mx) = JdbcSource.minMax(spark, url, "LI", "\"l_orderkey\"")
+    assert(mn >= 0 && mx <= 300 && mn < mx)
+    val chunks = ChunkPlanner.strideChunks(mn, mx, 50)
+    val full = JdbcSource.readWithChunks(spark, url, "LI", "\"l_orderkey\"", chunks)
+    assert(full.rdd.getNumPartitions == chunks.length) // one scan per chunk
+    assert(full.count() == li.count())
+    // resume: drop the first (completed) chunk — its rows disappear,
+    // everything else survives (backfill.go:61-64 chunk-state shape)
+    val resumed = JdbcSource.readWithChunks(spark, url, "LI",
+      "\"l_orderkey\"", chunks.drop(1))
+    val expect = li.where(!chunks.head.toColumn("l_orderkey")).count()
+    assert(resumed.count() == expect)
+    // pushdown composes: extra filter ANDs into every chunk predicate
+    val filtered = JdbcSource.readWithChunks(spark, url, "LI",
+      "\"l_orderkey\"", chunks, extraFilter = Some("\"l_linenumber\" = 1"))
+    assert(filtered.count() == li.where(col("l_linenumber") === 1).count())
+  }
+
   test("minhashPairsVerified: planted dupes at jaccard 1.0, no false positives") {
     val docs = sf("documents").where(col("doc_id") < 30)
       .select("doc_id", "text")
