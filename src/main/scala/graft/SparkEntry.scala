@@ -337,6 +337,26 @@ object SparkEntry {
         .select("kind", "cdc_start_lsn", "event_id", "user_id", "value")
     }),
 
+    // ---- C6 executed for REAL over JDBC: the CDC table lives in
+    //      embedded Derby and the LSN-range poll pushes down into the
+    //      database (the fn_cdc_get_all_changes shape — a WHERE over a
+    //      change table on the origin's connection) ----
+    "q_cdc_mssql_jdbc" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val fixture = ChangeLogFixture.msSqlCdcTable(ev)
+        .withColumn("__$start_lsn", lower(col("__$start_lsn")))
+      val db = java.nio.file.Files.createTempDirectory("graft_derby_cdc")
+        .toString + "/db"
+      val url = JdbcSource.derbyUrl(db)
+      JdbcSource.load(fixture, url, "CDC_EVENTS", columnTypes = Some(
+        "`__$start_lsn` VARCHAR(40), `__$seqval` VARCHAR(16), " +
+          "`__$update_mask` VARCHAR(16), `event_type` VARCHAR(32)"))
+      val polled = s.read.jdbc(url, "CDC_EVENTS", JdbcSource.connProps())
+      PollingCdc.msSqlChanges(polled,
+          "%020x".format(100L), "%020x".format(1500L))
+        .select("kind", "cdc_start_lsn", "event_id", "user_id", "value")
+    }),
+
     // ---- C5 Mongo change-stream decode + resume-token replay ----
     "q_cdc_mongo" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -789,6 +809,14 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 2000",
 
     "q_cdc_mssql" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  lpad(lower(to_hex(event_id)), 20, '0') AS cdc_start_lsn,
+        |  event_id, user_id, value
+        |FROM events WHERE event_id > 100 AND event_id <= 1500""".stripMargin,
+
+    // same semantics as q_cdc_mssql — the poll just runs through a DB
+    "q_cdc_mssql_jdbc" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  lpad(lower(to_hex(event_id)), 20, '0') AS cdc_start_lsn,

@@ -33,9 +33,16 @@ object JdbcSource {
     p
   }
 
-  /** Load a frame into a JDBC table (test/fixture side). */
-  def load(df: DataFrame, url: String, table: String): Unit =
-    df.write.mode("overwrite").jdbc(url, table, connProps())
+  /** Load a frame into a JDBC table (test/fixture side). Derby maps
+    * StringType to CLOB, which cannot appear in comparisons — pass
+    * `columnTypes` (createTableColumnTypes syntax) to pin string
+    * columns to VARCHAR when they carry keys/cursors. */
+  def load(df: DataFrame, url: String, table: String,
+           columnTypes: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    columnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, connProps())
+  }
 
   /** Scalar MIN/MAX of the chunk column via one single-row JDBC query —
     * the reference's extreme-fetch (`pkg/jdbc/jdbc.go:67-74`). */

@@ -88,6 +88,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("JDBC CDC poll pushes the LSN range into the database scan") {
+    val p = plan(q("q_cdc_mssql_jdbc"))
+    assert(p.contains("PushedFilters"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("__$start_lsn"), pushed) // range runs in the DB
+  }
+
   test("limit/offset scan is a distributed top-k, not a global window shuffle") {
     val p = plan(q("q_limit_offset"))
     assert(p.contains("TakeOrderedAndProject"), p)
