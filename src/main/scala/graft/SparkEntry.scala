@@ -194,6 +194,26 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    // ---- I1/I3 executed for REAL over JDBC: cursor snapshot via a
+    //      pushed MAX, then the delta scan's cursor predicate runs as
+    //      WHERE on the origin database's connection ----
+    "q_jdbc_incremental" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").where(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val db = java.nio.file.Files.createTempDirectory("graft_derby_inc")
+        .toString + "/db"
+      val url = JdbcSource.derbyUrl(db)
+      JdbcSource.load(orders, url, "ORDERS")
+      val jdbc = s.read.jdbc(url, "ORDERS", JdbcSource.connProps())
+      val cursor = Incremental.Cursor("o_orderkey")
+      // snapshot the cursor high-water mark through the database...
+      val (maxK, _) = Incremental.snapshotMax(jdbc, cursor)
+      require(maxK.exists(m => m.asInstanceOf[Long] > 1000L &&
+        m.asInstanceOf[Long] <= 3000L), s"JDBC cursor snapshot read $maxK")
+      // ...then the delta since last run, filter pushed to the origin
+      Incremental.deltaScan(jdbc, cursor, lit(1000L))
+    }),
+
     // ---- S13/S14 JSONL parse with schema inference (roundtrip) ----
     "q_file_jsonl" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -737,6 +757,10 @@ object SparkEntry {
     "q_jdbc_chunked" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey <= 1500""".stripMargin,
+
+    "q_jdbc_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 3000 AND o_orderkey > 1000""".stripMargin,
 
     // two of the three exports match the regex → region doubled
     "q_file_regex" ->
