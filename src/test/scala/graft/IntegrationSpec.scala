@@ -97,4 +97,72 @@ class IntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.count() == 120)
     assert(fin.select(countDistinct("_olake_id")).head.getLong(0) == 120)
   }
+
+  test("JDBC polling CDC sync loop: poll → merge → commit LSN → incremental poll") {
+    import graft.cdc.{ChangeLogFixture, PollingCdc}
+    import graft.operators.SystemColumns
+    import graft.sources.JdbcSource
+    import graft.state.StateStore
+    import graft.streaming.CdcStream
+    import spark.implicits._
+
+    def events(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("event_id", "user_id", "event_type", "value")
+    def cdcRows(rows: Seq[(Long, Long, String, Double)]) =
+      ChangeLogFixture.msSqlCdcTable(events(rows))
+        .withColumn("__$start_lsn", lower(col("__$start_lsn")))
+    val colTypes = "`__$start_lsn` VARCHAR(40), `__$seqval` VARCHAR(16), " +
+      "`__$update_mask` VARCHAR(16), `event_type` VARCHAR(32)"
+
+    val dir = Files.createTempDirectory("graft_cdc_loop").toString
+    val url = JdbcSource.derbyUrl(s"$dir/db")
+    val (table, state) = (s"$dir/t", s"$dir/state.json")
+
+    // event_id is the LSN source (monotone); user_id is the merge key
+    val batch1 = Seq((1L, 1L, "click", 10.0), (2L, 2L, "click", 20.0),
+      (3L, 3L, "click", 30.0), (4L, 4L, "click", 40.0),
+      (5L, 5L, "click", 50.0), (6L, 6L, "click", 60.0))
+    JdbcSource.load(cdcRows(batch1), url, "CDC_EVENTS", Some(colTypes))
+
+    def poll(fromHex: String): org.apache.spark.sql.DataFrame = {
+      val polled = spark.read.jdbc(url, "CDC_EVENTS", JdbcSource.connProps())
+      PollingCdc.msSqlChanges(polled, fromHex, "f" * 20)
+        .select(col("user_id").cast("string").as(SystemColumns.OlakeId),
+          col("kind"),
+          conv(col("cdc_start_lsn"), 16, 10).cast("long").as("lsn"),
+          timestamp_seconds(conv(col("cdc_start_lsn"), 16, 10).cast("long"))
+            .as(SystemColumns.CdcTimestamp),
+          col("event_id"), col("value"))
+    }
+    def savedLsn: Long =
+      StateStore.load(state).get.streams("mssql").offsets("lsn")
+
+    // cycle 1: full poll from LSN zero, merge, commit position
+    CdcStream.applyBatch(poll("0" * 20), 1L, table, state, "mssql")
+    val t1 = spark.read.parquet(table)
+    assert(t1.count() == 6)
+    assert(savedLsn == 6L)
+
+    // cycle 2: new insert, an update of key 3, a delete of key 5 land
+    // in the change table with higher LSNs
+    cdcRows(Seq((7L, 7L, "click", 70.0), (8L, 3L, "purchase", 999.0),
+        (9L, 5L, "error", 0.0)))
+      .write.mode("append").jdbc(url, "CDC_EVENTS", JdbcSource.connProps())
+    val delta = poll("%020x".format(savedLsn))
+    assert(delta.count() == 3) // replay-safe: cycle-1 rows excluded
+    CdcStream.applyBatch(delta, 2L, table, state, "mssql")
+
+    val t2 = spark.read.parquet(table)
+    val byKey = t2.select(col(SystemColumns.OlakeId).cast("long"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(byKey.keySet == Set(1L, 2L, 3L, 4L, 6L, 7L)) // 5 deleted, 7 added
+    assert(byKey(3L) == 999.0)                          // 3 updated
+    assert(t2.count() ==
+      t2.select(countDistinct(SystemColumns.OlakeId)).head.getLong(0))
+    assert(savedLsn == 9L)
+
+    // replayed batch is a no-op (idempotent position commit)
+    CdcStream.applyBatch(delta, 2L, table, state, "mssql")
+    assert(spark.read.parquet(table).count() == 6)
+  }
 }
