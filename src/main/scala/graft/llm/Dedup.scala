@@ -254,11 +254,13 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  /** Embedding-cosine near-dup, LSH-bucketed (the scale path): vectors
-    * sharing a random-hyperplane sign code (or one bit off, via
-    * multi-probe on the smaller-id side) become candidates; exact
-    * cosine verifies. Join keyed on code — never a cartesian; recall
-    * vs cosinePairs asserted in the spec. */
+  /** Embedding-cosine near-dup, LSH-bucketed (the scale path):
+    * `tables` independent hyperplane-code tables; vectors sharing any
+    * probed (table, code) key — the probe side flips up to `maxFlips`
+    * code bits — become candidates, deduped, then exact cosine
+    * verifies. Join keyed on (table, code) — never a cartesian; full
+    * recall vs cosinePairs at gate scale (measured down to 2 tables;
+    * 4 keeps margin), equality asserted by the oracle. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 4,
                      dims: Int = 64, tables: Int = 4,
