@@ -37,7 +37,7 @@ object Bench {
     "q_token_count", "q_fingerprint",
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_multimodal_meta",
     "q_media_frames", "q_media_resize",
-    "q_avro_decode", "q_bucketed_join",
+    "q_avro_decode",
     "q_minhash_native", "q_simhash_native")
 
   def main(args: Array[String]): Unit = {
