@@ -532,12 +532,16 @@ object SparkEntry {
     // ---- LLM: MinHash-LSH candidates verified by exact shingle
     //      Jaccard — the production shape (banded candidates + one
     //      exact check per candidate), and SQL-replayable: the oracle
-    //      recomputes the shingle-Jaccard predicate in DuckDB. Raw
-    //      candidate behavior (est_jaccard, bands) stays in DedupSpec. ----
+    //      recomputes the shingle-Jaccard predicate in DuckDB. The
+    //      threshold is 0.9 so oracle EQUALITY is probabilistically
+    //      sound, not fixture-dependent: with (k=64, b=16, r=4) a true
+    //      pair at J=t is missed with probability (1-t^4)^16 — ~35% at
+    //      t=0.5 but ~4e-8 at t=0.9. Raw candidate behavior
+    //      (est_jaccard, bands) stays in DedupSpec. ----
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashPairsVerified(
         t(s, dir, "documents").where(col("doc_id") < 200),
-        "text", "doc_id", threshold = 0.5, native = true)),
+        "text", "doc_id", threshold = 0.9, native = true)),
 
     // ---- LLM: native codegen'd MinHash sig+bands ≡ the HOF form ----
     "q_minhash_native" -> ((s, dir) => {
@@ -971,7 +975,7 @@ object SparkEntry {
         |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
-        |FROM p WHERE c * 1.0 / (na + nb - c) >= 0.5""".stripMargin,
+        |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
 
     // Exact replay of simhashExactDups: identical distinct-token sets.
     "q_simhash_neardup" ->

@@ -195,7 +195,13 @@ object Dedup {
     * pairs satisfy `jaccard(shingles(a), shingles(b)) >= threshold`
     * exactly, so DuckDB can replay the predicate. A true pair can only
     * be missed if NO band matches, with probability (1 − J^r)^b —
-    * identical documents (J = 1) are caught with certainty.
+    * identical documents (J = 1) are caught with certainty. Oracle
+    * EQUALITY (emitted == all exact pairs ≥ t) therefore only holds
+    * when (1 − t^r)^b is negligible: with the default (k=64, b=16,
+    * r=4) that means t ≥ ~0.9 (miss ≈ 4e-8); at t = 0.5 recall is only
+    * ~65% per true pair and equality would be fixture-dependent.
+    * Precision is always exact (the verify step filters candidates by
+    * the true Jaccard).
     */
   def minhashPairsVerified(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 3, k: Int = 64, bands: Int = 16,
@@ -265,15 +271,25 @@ object Dedup {
                      threshold: Double, planes: Int = 4,
                      dims: Int = 64, tables: Int = 4,
                      maxFlips: Int = 2): DataFrame = {
-    import graft.llm.Similarity.{dot, norm, probeKeys, tableCodes}
+    import graft.llm.Similarity.{dot, norm, probeMasks, tableCodes}
     // candidate ids from any shared (table, probe-code) key; pairs are
     // deduped before vectors are re-joined, so the exact-cosine verify
-    // runs once per candidate pair no matter how many tables caught it
-    val probed = df.select(col(idCol).as("id"),
-      explode(probeKeys(col(vecCol), planes, dims, tables, maxFlips))
+    // runs once per candidate pair no matter how many tables caught it.
+    // The hyperplane codes are computed ONCE per vector into a persisted
+    // frame (as minhashPairs does its signatures); both join legs —
+    // including the probe side, whose flipped keys are cheap XORs of the
+    // stored codes — read it instead of re-running the planes×dims
+    // projection per side.
+    val codes0 = df.select(col(idCol).as("id"),
+        tableCodes(col(vecCol), planes, dims, tables).as("tcs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coded = codes0.select(col("id"), explode(col("tcs")).as("tc"))
+    val masks = probeMasks(planes, maxFlips)
+    val probed = codes0.select(col("id"),
+      explode(flatten(transform(col("tcs"), tc =>
+        array(masks.map(m => struct(tc.getField("t").as("t"),
+          tc.getField("code").bitwiseXOR(lit(m)).as("code"))): _*))))
         .as("probe"))
-    val coded = df.select(col(idCol).as("id"),
-      explode(tableCodes(col(vecCol), planes, dims, tables)).as("tc"))
     val cand = probed.as("a").join(coded.as("b"),
         col("a.probe") === col("b.tc") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

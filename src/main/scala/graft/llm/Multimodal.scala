@@ -76,8 +76,9 @@ object Multimodal {
           else if (w.toLong * maxH >= h.toLong * maxW)
             (maxW, math.max(1, (h.toLong * maxW / w).toInt))
           else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
-        val srcLen = math.max(1, r.payload.length)
-        val out = Array.tabulate(ow * oh)(i => r.payload(i % srcLen))
+        val out =
+          if (r.payload.isEmpty) Array.fill[Byte](ow * oh)(0)
+          else Array.tabulate(ow * oh)(i => r.payload(i % r.payload.length))
         MediaRecord(r.doc_id, r.media_type, out, ow, oh)
       }
     }

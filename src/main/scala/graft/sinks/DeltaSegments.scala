@@ -1,0 +1,173 @@
+package graft.sinks
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, SystemColumns}
+
+/** Merge-on-read delta-segment table layout — the parquet-sink analog of
+  * the reference's Iceberg equality-delete path
+  * (`destination/iceberg/arrow-writer/writer.go:155-271` emits eq/pos
+  * delete files per batch; `IcebergTableOperator.java:83-227` commits
+  * them; the base data files are never rewritten by a CDC batch).
+  *
+  * Layout under `tablePath`:
+  * {{{
+  *   base/                 // compacted snapshot (plain parquet)
+  *   delta/seg-<batchId>/  // one deduped change segment per micro-batch
+  * }}}
+  *
+  * Each segment holds ONE row per key (the batch's dedup-keep-latest
+  * survivor) plus delete tombstones (`_op_type = 'd'`), stamped with a
+  * monotone `_delta_seq` (the micro-batch id). A CDC micro-batch
+  * therefore writes O(batch) bytes — never O(base).
+  *
+  * Read side (`read`): the newest row per key across segments is
+  * resolved with a skew-resistant `max_by` aggregate over the (small)
+  * delta set, then applied to base as a left-anti join + union. The
+  * delta side is tiny relative to base, so AQE broadcasts the key set —
+  * the base table is never shuffled to serve a read.
+  *
+  * Compaction (`compact`): when the delta set exceeds `maxSegments` or
+  * `maxDeltaRatio` × base bytes, the merged view is rewritten as the
+  * new base (write-new-then-swap, crash-safe via `recoverSwap`) and the
+  * folded segments are dropped. Write amplification is thus amortized:
+  * the base is rewritten once per `maxDeltaRatio` of its size in
+  * deltas, not once per batch. Re-folding a segment after a crash
+  * mid-compaction is idempotent (the segment's survivors already equal
+  * the base rows; tombstones re-delete absent keys).
+  */
+object DeltaSegments {
+
+  val SeqCol = "_delta_seq"
+
+  case class CompactionPolicy(maxSegments: Int = 8,
+                              maxDeltaRatio: Double = 0.25)
+
+  def baseDir(tablePath: String): File = new File(tablePath, "base")
+  private def deltaDir(tablePath: String): File = new File(tablePath, "delta")
+  def segDir(tablePath: String, batchId: Long): File =
+    new File(deltaDir(tablePath), f"seg-$batchId%012d")
+
+  def listSegments(tablePath: String): Seq[File] = {
+    val d = deltaDir(tablePath)
+    if (!d.exists) Seq.empty
+    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+      .sortBy(_.getName).toSeq
+  }
+
+  /** Write one deduped micro-batch as a delta segment. The path is
+    * deterministic in `batchId` and the write is mode=overwrite, so a
+    * replayed batch (crash before the position commit) rewrites the
+    * same segment instead of duplicating it. */
+  def writeSegment(deduped: DataFrame, tablePath: String, batchId: Long): Unit =
+    deduped.withColumn(SeqCol, lit(batchId))
+      .write.mode("overwrite").parquet(segDir(tablePath, batchId).getPath)
+
+  /** Newest change per key across all delta segments. Within a segment
+    * keys are already unique, so `_delta_seq` alone is a total order
+    * per key. */
+  private def latestDelta(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+    val segs = listSegments(tablePath)
+    if (segs.isEmpty) None
+    else {
+      val df = spark.read.parquet(segs.map(_.getPath): _*)
+      Some(Merge.dedupKeepLatestAgg(df, orderCols = Seq(col(SeqCol))))
+    }
+  }
+
+  /** The merged (merge-on-read) view of the table: base with all delta
+    * segments applied. Plan shape: base is scanned once, never
+    * shuffled; the delta side (small) is aggregated and broadcast into
+    * a left-anti join. */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val base = baseDir(tablePath)
+    val baseDf =
+      if (base.exists) Some(spark.read.parquet(base.getPath)) else None
+    latestDelta(spark, tablePath) match {
+      case None =>
+        baseDf.getOrElse(
+          throw new IllegalStateException(s"no base or delta under $tablePath"))
+      case Some(latest) =>
+        val dataCols = baseDf.map(_.columns).getOrElse(
+          latest.columns.filterNot(c => c == SystemColumns.OpType ||
+            c == SystemColumns.CdcTimestamp || c == SeqCol))
+        val survivors = latest
+          .where(col(SystemColumns.OpType) =!= SystemColumns.OpDelete)
+          .select(dataCols.map(col).toIndexedSeq: _*)
+        baseDf match {
+          case Some(b) =>
+            b.join(latest.select(col(SystemColumns.OlakeId)),
+              Seq(SystemColumns.OlakeId), "left_anti")
+              .unionByName(survivors)
+          case None => survivors
+        }
+    }
+  }
+
+  private def dirBytes(f: File): Long =
+    if (!f.exists) 0L
+    else if (f.isFile) f.length
+    else f.listFiles().map(dirBytes).sum
+
+  /** Fold every current delta segment into a new base snapshot
+    * (write-new-then-swap; old snapshot moved aside first — see
+    * `recoverSwap`), then drop the folded segments. */
+  def compact(spark: SparkSession, tablePath: String): Unit = {
+    val segs = listSegments(tablePath)
+    if (segs.isEmpty) return
+    val base = baseDir(tablePath)
+    val next = new File(base.getPath + ".next")
+    val old = new File(base.getPath + ".old")
+    read(spark, tablePath).write.mode("overwrite").parquet(next.getPath)
+    if (base.exists && !base.renameTo(old))
+      throw new java.io.IOException(s"could not move $base aside to $old")
+    if (!next.renameTo(base)) {
+      if (old.exists) old.renameTo(base)
+      throw new java.io.IOException(s"could not publish $next as $base")
+    }
+    deleteRecursive(old)
+    segs.foreach(deleteRecursive)
+  }
+
+  /** Compact iff the delta set is big enough for the fold to pay off:
+    * segment count ≥ `maxSegments`, delta bytes > `maxDeltaRatio` ×
+    * base bytes, or no base yet (bootstrap fold — costs O(delta)). */
+  def maybeCompact(spark: SparkSession, tablePath: String,
+                   policy: CompactionPolicy = CompactionPolicy()): Unit = {
+    val segs = listSegments(tablePath)
+    if (segs.isEmpty) return
+    val baseB = dirBytes(baseDir(tablePath))
+    val deltaB = segs.map(dirBytes).sum
+    if (baseB == 0L || segs.size >= policy.maxSegments ||
+        deltaB > (policy.maxDeltaRatio * baseB).toLong)
+      compact(spark, tablePath)
+  }
+
+  /** Recover from a crash mid-compaction before touching the table: if
+    * the base dir is missing, an interrupted swap left it as `.old`
+    * (moved aside) or only as `.next` — restore whichever exists,
+    * preferring the old snapshot (leftover segments then re-fold, which
+    * is idempotent). Stale `.next`/`.old` beside a live base are
+    * discarded. */
+  def recoverSwap(tablePath: String): Unit = {
+    val cur = baseDir(tablePath)
+    val old = new File(cur.getPath + ".old")
+    val next = new File(cur.getPath + ".next")
+    if (!cur.exists) {
+      if (old.exists) { if (!old.renameTo(cur))
+        throw new java.io.IOException(s"could not restore $old as $cur") }
+      else if (next.exists) { if (!next.renameTo(cur))
+        throw new java.io.IOException(s"could not restore $next as $cur") }
+    }
+    if (old.exists) deleteRecursive(old)
+    if (next.exists) deleteRecursive(next)
+  }
+
+  private def deleteRecursive(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete(); ()
+  }
+}

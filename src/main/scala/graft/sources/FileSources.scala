@@ -76,14 +76,27 @@ object FileSources {
   }
 
   /** Prefix + regex scan (the reference's S3 stream discovery shape):
-    * list at plan time, read the matched files as one frame. */
+    * list at plan time, read the matched files as one frame. A caller
+    * schema skips inference entirely; header/inferSchema only apply to
+    * delimited formats (parquet carries its own schema, and CSV
+    * inference is a full extra pass over every matched file — pass
+    * `schema` to keep the read truly metadata-only + single-pass).
+    */
   def readMatching(spark: SparkSession, format: String, prefix: String,
-                   filePattern: Option[String] = None): DataFrame = {
+                   filePattern: Option[String] = None,
+                   schema: Option[org.apache.spark.sql.types.StructType] = None,
+                   options: Map[String, String] = Map.empty): DataFrame = {
     val files = listMatching(spark, prefix, filePattern)
     require(files.nonEmpty, s"no files under $prefix match $filePattern")
-    spark.read.format(format)
-      .option("header", "true").option("inferSchema", "true")
-      .load(files: _*)
+    val delimited = format == "csv" || format == "json"
+    val base = spark.read.format(format).options(options)
+    val withSchema = schema.fold {
+      if (delimited)
+        base.option("header", options.getOrElse("header", "true"))
+          .option("inferSchema", "true")
+      else base
+    }(base.schema(_))
+    withSchema.load(files: _*)
   }
 
   /** Incremental file pickup: only files modified after the cursor

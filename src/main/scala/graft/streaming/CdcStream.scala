@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.{CdcWindow, Merge, SystemColumns}
+import graft.sinks.DeltaSegments
 import graft.state.StateStore
 
 /** Structured-Streaming CDC pipeline: a replayable change log in, an
@@ -45,10 +46,20 @@ object CdcStream {
 
   /** Per-key replay dedup: drop any change whose LSN is not strictly
     * greater than the last LSN applied for that key; state = last LSN
-    * per `_olake_id`, persisted in the streaming checkpoint. Within a
-    * batch, changes apply in LSN order. */
-  def dedupReplays(changes: DataFrame, idCol: String, lsnCol: String): DataFrame = {
-    val spark = changes.sparkSession
+    * per `_olake_id`, persisted in the streaming checkpoint.
+    *
+    * NOT in the default pipeline: the reference's replay contract is
+    * POSITION-based, not per-key (`drivers/postgres/internal/
+    * cdc.go:160-202` — replays re-deliver everything at or below the
+    * committed LSN), and `applyBatch` enforces exactly that with the
+    * committed-LSN lower bound, which needs zero streaming state. This
+    * operator exists for sources WITHOUT a total position order; for
+    * those, pass `ttl` so state is evicted after the source's replay
+    * horizon — per-key `NoTimeout` state grows to corpus-key
+    * cardinality (billions of entries at 100 TB) and is never safe to
+    * keep unbounded. Within a batch, changes apply in LSN order. */
+  def dedupReplays(changes: DataFrame, idCol: String, lsnCol: String,
+                   ttl: Option[java.time.Duration] = None): DataFrame = {
     val schema = changes.schema
     val idIdx = schema.fieldIndex(idCol)
     val lsnIdx = schema.fieldIndex(lsnCol)
@@ -56,31 +67,52 @@ object CdcStream {
     implicit val rowEnc = Encoders.row(schema)
     implicit val longEnc = Encoders.scalaLong
     implicit val strEnc = Encoders.STRING
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     changes.groupByKey(r => r.getString(idIdx))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (key: String, rows: Iterator[Row], state: GroupState[Long]) => {
-          val last = state.getOption.getOrElse(Long.MinValue)
-          val fresh = rows.filter(_.getLong(lsnIdx) > last).toSeq
-            .sortBy(_.getLong(lsnIdx))
-          if (fresh.nonEmpty) state.update(fresh.last.getLong(lsnIdx))
-          fresh.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val last = state.getOption.getOrElse(Long.MinValue)
+            val fresh = rows.filter(_.getLong(lsnIdx) > last).toSeq
+              .sortBy(_.getLong(lsnIdx))
+            if (fresh.nonEmpty) {
+              state.update(fresh.last.getLong(lsnIdx))
+              ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            }
+            fresh.iterator
+          }
         })
   }
 
-  /** One micro-batch apply: stamp op types (honoring the insert-dedup
-    * window), dedup-keep-latest within the batch, MERGE into the base
-    * parquet snapshot, then commit position + close the window — all
-    * keyed on batchId so replayed batches are no-ops. */
+  /** One micro-batch apply, O(batch) bytes written: stamp op types
+    * (honoring the insert-dedup window), drop position replays
+    * (committed-LSN lower bound — the reference's position-based replay
+    * contract, `drivers/postgres/internal/cdc.go:160-202`),
+    * dedup-keep-latest within the batch, then write the survivors as
+    * ONE delta segment (the eq-delete-file analog — see
+    * `DeltaSegments`). The base snapshot is only rewritten when
+    * compaction triggers, amortizing write amplification over
+    * `maxDeltaRatio` of the base size. Position commit is keyed on
+    * batchId so replayed batches are no-ops; a replay that crashed
+    * before the commit rewrites the same deterministic segment path. */
   def applyBatch(batch: DataFrame, batchId: Long, tablePath: String,
-                 statePath: String, stream: String): Unit = {
+                 statePath: String, stream: String,
+                 policy: DeltaSegments.CompactionPolicy =
+                   DeltaSegments.CompactionPolicy()): Unit = {
     val spark = batch.sparkSession
     val st = StateStore.load(statePath).getOrElse(StateStore.State())
     val ss = st.streams.getOrElse(stream, StateStore.StreamState())
     val lastBatch = ss.offsets.getOrElse("batchId", Long.MinValue)
     if (batchId <= lastBatch) return // replayed batch: already applied
-    recoverSwap(tablePath)
+    DeltaSegments.recoverSwap(tablePath)
 
-    val stamped = batch
+    // global replay filter: everything at or below the committed LSN
+    // was already applied — no per-key state needed for this guarantee
+    val fresh = ss.offsets.get("lsn")
+      .fold(batch)(l => batch.where(col("lsn") > l))
+    val stamped = fresh
       .withColumn(SystemColumns.OpType,
         CdcWindow.opType(col("kind"), dedupInserts = ss.dedupInserts))
       .drop("kind")
@@ -90,72 +122,38 @@ object CdcStream {
         Merge.opPriority(col(SystemColumns.OpType)), col("lsn"))).cache()
     val maxLsn = deduped.agg(max(col("lsn"))).head.get(0)
 
-    val base =
-      if (new java.io.File(tablePath).exists)
-        spark.read.parquet(tablePath)
-      else spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        deduped.drop(SystemColumns.OpType, SystemColumns.CdcTimestamp).schema)
-    // write-new-then-swap: the base snapshot being replaced is also this
-    // batch's input, so the next snapshot lands beside it first (the
-    // parquet-sink analog of Iceberg's atomic snapshot commit). The old
-    // snapshot is moved aside (never deleted first), so a crash at any
-    // point leaves either the old or the new base recoverable — see
-    // recoverSwap. Replaying the batch afterwards is safe because
-    // applyChanges is a keyed replace (idempotent).
-    val next = new java.io.File(tablePath + ".next")
-    val old = new java.io.File(tablePath + ".old")
-    val cur = new java.io.File(tablePath)
-    Merge.applyChanges(base, deduped).write.mode("overwrite")
-      .parquet(next.getPath)
+    if (maxLsn != null)
+      DeltaSegments.writeSegment(deduped, tablePath, batchId)
     deduped.unpersist()
-    if (cur.exists && !cur.renameTo(old))
-      throw new java.io.IOException(s"could not move $cur aside to $old")
-    if (!next.renameTo(cur)) {
-      // restore the old snapshot before failing: the base must survive
-      if (old.exists) old.renameTo(cur)
-      throw new java.io.IOException(s"could not publish $next as $cur")
-    }
-    deleteRecursive(old)
 
     StateStore.save(statePath, st.copy(streams = st.streams.updated(stream,
       StateStore.closeDedupWindow(ss.copy(
         offsets = ss.offsets + ("batchId" -> batchId) ++
           Option(maxLsn).map(l => "lsn" -> l.toString.toLong))))))
+    // compaction AFTER the commit: it is a pure layout optimization —
+    // a crash anywhere inside it loses no data (recoverSwap + the
+    // idempotence of re-folding segments)
+    DeltaSegments.maybeCompact(spark, tablePath, policy)
   }
 
-  /** Recover from a crash mid-swap before reading the base: if the base
-    * dir is missing, an interrupted swap left it as `.old` (moved aside)
-    * or only as `.next` (old already promoted away by a prior recovery)
-    * — restore whichever exists, preferring the old snapshot (the
-    * replayed batch then re-merges, which is idempotent). Stale `.next`/
-    * `.old` leftovers beside a live base are discarded. */
-  private[graft] def recoverSwap(tablePath: String): Unit = {
-    val cur = new java.io.File(tablePath)
-    val old = new java.io.File(tablePath + ".old")
-    val next = new java.io.File(tablePath + ".next")
-    if (!cur.exists) {
-      if (old.exists) { if (!old.renameTo(cur))
-        throw new java.io.IOException(s"could not restore $old as $cur") }
-      else if (next.exists) { if (!next.renameTo(cur))
-        throw new java.io.IOException(s"could not restore $next as $cur") }
-    }
-    if (old.exists) deleteRecursive(old)
-    if (next.exists) deleteRecursive(next)
-  }
+  /** The merged (merge-on-read) view of a CDC table. */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame =
+    DeltaSegments.read(spark, tablePath)
 
-  private def deleteRecursive(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
-    f.delete(); ()
-  }
+  /** See `DeltaSegments.recoverSwap` (kept as the streaming-facing
+    * entry point). */
+  private[graft] def recoverSwap(tablePath: String): Unit =
+    DeltaSegments.recoverSwap(tablePath)
 
-  /** Wire the full pipeline: change log dir → replay dedup → per-batch
-    * MERGE into `tablePath` with position commits in `statePath`. */
+  /** Wire the full pipeline: change log dir → per-batch segment write +
+    * position commit into `tablePath`/`statePath`. Replay safety is
+    * position-based inside `applyBatch` (committed-LSN bound +
+    * batchId-idempotent commit), so the stream itself is STATELESS —
+    * no per-key state store growing with corpus cardinality. */
   def run(spark: SparkSession, changeDir: String, schema: StructType,
           tablePath: String, statePath: String, checkpoint: String,
           stream: String = "events"): StreamingQuery = {
-    val changes = dedupReplays(
-      readChangeLog(spark, changeDir, schema), SystemColumns.OlakeId, "lsn")
-    changes.writeStream
+    readChangeLog(spark, changeDir, schema).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

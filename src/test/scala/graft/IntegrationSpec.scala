@@ -139,7 +139,7 @@ class IntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // cycle 1: full poll from LSN zero, merge, commit position
     CdcStream.applyBatch(poll("0" * 20), 1L, table, state, "mssql")
-    val t1 = spark.read.parquet(table)
+    val t1 = CdcStream.readTable(spark, table)
     assert(t1.count() == 6)
     assert(savedLsn == 6L)
 
@@ -152,7 +152,7 @@ class IntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta.count() == 3) // replay-safe: cycle-1 rows excluded
     CdcStream.applyBatch(delta, 2L, table, state, "mssql")
 
-    val t2 = spark.read.parquet(table)
+    val t2 = CdcStream.readTable(spark, table)
     val byKey = t2.select(col(SystemColumns.OlakeId).cast("long"), col("value"))
       .as[(Long, Double)].collect().toMap
     assert(byKey.keySet == Set(1L, 2L, 3L, 4L, 6L, 7L)) // 5 deleted, 7 added
@@ -163,6 +163,6 @@ class IntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // replayed batch is a no-op (idempotent position commit)
     CdcStream.applyBatch(delta, 2L, table, state, "mssql")
-    assert(spark.read.parquet(table).count() == 6)
+    assert(CdcStream.readTable(spark, table).count() == 6)
   }
 }

@@ -107,7 +107,7 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       ).mkString("\n").getBytes)
     Protocol.syncCdc(spark, logDir, schema, dest,
       Protocol.StreamConfig("ev", syncMode = "cdc"), s"$dest/state.json")
-    val t = spark.read.parquet(s"$dest/ev").orderBy("_olake_id").collect()
+    val t = graft.streaming.CdcStream.readTable(spark, s"$dest/ev").orderBy("_olake_id").collect()
     assert(t.map(r => (r.getAs[String]("_olake_id"), r.getAs[Long]("v"))).toSeq ==
       Seq(("a", 2L), ("b", 3L)))
     assert(StateStore.load(s"$dest/state.json").get.streams("ev")

@@ -463,4 +463,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val counts = frames.groupBy("doc_id").count().collect()
     assert(counts.forall(_.getLong(1) >= 1))
   }
+
+  test("resize survives an empty payload (emits zero-filled output)") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Array.emptyByteArray, 800, 600),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](1, 2, 3), 800, 600),
+      Multimodal.MediaRecord(3L, "image", Array[Byte](7), 0, 0)).toDF()
+    val out = Multimodal.resize(spark, media, maxW = 64, maxH = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).width == 64 && out(1L).height == 48)
+    assert(out(1L).payload.length == 64 * 48 && out(1L).payload.forall(_ == 0))
+    assert(out(2L).payload.length == 64 * 48 && out(2L).payload(0) == 1)
+    // degenerate 0×0 source clamps to 1×1
+    assert(out(3L).width == 1 && out(3L).height == 1)
+  }
 }
