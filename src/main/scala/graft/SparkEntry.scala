@@ -581,7 +581,18 @@ object SparkEntry {
     //      tier, which is also the oracle ----
     "q_cosine_neardup_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(t(s, dir, "embeddings").where(col("vec_id") < 300),
-        "vec_id", "embedding", threshold = 0.35)),
+        "vec_id", "embedding", threshold = 0.35, native = true)),
+
+    // ---- LLM: native codegen'd hyperplane-code kernel ≡ the HOF form
+    //      on every embedding row (oracle: count == total) ----
+    "q_hyperplane_native" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val native = call_function("graft_hyperplane_codes",
+        col("embedding"), lit(4), lit(6))
+      val hof = array((0 until 6).map(tb =>
+        Similarity.lshCode(col("embedding"), 4, 64, seed = tb)): _*)
+      e.where(native === hof).agg(count(lit(1)).as("n_match"))
+    }),
 
     // ---- LLM: per-document text stats ----
     "q_text_stats" -> ((s, dir) =>
@@ -623,7 +634,8 @@ object SparkEntry {
     //      gate scale, so the brute-force SQL is the oracle ----
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        native = true)
     }),
 
     // ---- LLM: IVF-bucketed ANN with 2-cell multi-assignment. The gate
@@ -996,6 +1008,9 @@ object SparkEntry {
 
     "q_simhash_native" ->
       "SELECT count(*) AS n_match FROM documents",
+
+    "q_hyperplane_native" ->
+      "SELECT count(*) AS n_match FROM embeddings",
 
     "q_jaccard_prefix" ->
       """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),

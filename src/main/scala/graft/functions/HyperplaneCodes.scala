@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native hyperplane LSH codes as one codegen'd Catalyst expression:
+  * embedding → array<int> of length `tables`, element t = the sign
+  * bit-code of the vector under `planes` pseudo-random hyperplanes of
+  * hash table t.
+  *
+  * Bit-for-bit equivalent to `llm.Similarity.lshCode(vec, planes, dims,
+  * seed = t)` for t in [0, tables) — pinned by `SparkOpsSpec` ("native
+  * hyperplane codes ≡ the HOF form") — but the planes × dims
+  * multiply-accumulate loop runs as one generated static call per row
+  * instead of nested interpreted higher-order functions (the HOF tree
+  * costs tables·planes·dims lambda evaluations per row, which dominated
+  * `q_ann_lsh` / `q_cosine_neardup_lsh` in the round-3 bench).
+  *
+  * Hash identity mirrors the HOF form exactly: plane weight (t, p, d) =
+  * xxhash64(t·1000003 + p·100003 + d) / Long.MaxValue with the hash
+  * input evaluated as a 32-bit int (Spark's `XxHash64` on IntegerType =
+  * `XXH64.hashInt(v, 42)`), and the projection accumulates
+  * left-to-right in double precision, matching `aggregate`'s fold
+  * order. A null element nulls the whole projection (HOF `acc + null`),
+  * which leaves every bit unset; an empty vector likewise yields code 0
+  * (the HOF's `sequence(0, size-1)` degenerates to `[0, -1]` and
+  * `zip_with` pads the empty side with nulls).
+  */
+case class HyperplaneCodes(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_hyperplane_codes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneCodes.compute(input.asInstanceOf[ArrayData], planes, tables, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneCodes.compute($c, $planes, $tables, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneCodes =
+    copy(child = newChild)
+}
+
+object HyperplaneCodes {
+
+  private val Scale = Long.MaxValue.toDouble
+
+  /** Static row kernel (also called from generated code). */
+  def compute(vec: ArrayData, planes: Int, tables: Int,
+              isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    var hasNull = false
+    var d = 0
+    while (d < n && !hasNull) { hasNull = vec.isNullAt(d); d += 1 }
+    val codes = new Array[Int](tables)
+    if (!hasNull && n > 0) {
+      var t = 0
+      while (t < tables) {
+        val tBase = t * 1000003
+        var code = 0
+        var p = 0
+        while (p < planes) {
+          val pBase = tBase + p * 100003
+          var proj = 0.0
+          var i = 0
+          while (i < n) {
+            val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+            proj += x * (XXH64.hashInt(pBase + i, 42L) / Scale)
+            i += 1
+          }
+          if (proj >= 0) code |= 1 << p
+          p += 1
+        }
+        codes(t) = code
+        t += 1
+      }
+    }
+    new GenericArrayData(codes)
+  }
+}

@@ -88,5 +88,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(i).eval(null).asInstanceOf[Number].intValue()
         MinHashSigBands(children.head, intArg(1), intArg(2), intArg(3))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_hyperplane_codes"),
+      new ExpressionInfo(classOf[HyperplaneCodes].getName,
+        "graft_hyperplane_codes"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int): Int =
+          children(i).eval(null).asInstanceOf[Number].intValue()
+        HyperplaneCodes(children.head, intArg(1), intArg(2))
+      }))
   }
 }

@@ -270,7 +270,7 @@ object Dedup {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 4,
                      dims: Int = 64, tables: Int = 4,
-                     maxFlips: Int = 2): DataFrame = {
+                     maxFlips: Int = 2, native: Boolean = false): DataFrame = {
     import graft.llm.Similarity.{dot, norm, probeMasks, tableCodes}
     // candidate ids from any shared (table, probe-code) key; pairs are
     // deduped before vectors are re-joined, so the exact-cosine verify
@@ -281,7 +281,7 @@ object Dedup {
     // stored codes — read it instead of re-running the planes×dims
     // projection per side.
     val codes0 = df.select(col(idCol).as("id"),
-        tableCodes(col(vecCol), planes, dims, tables).as("tcs"))
+        tableCodes(col(vecCol), planes, dims, tables, native).as("tcs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coded = codes0.select(col("id"), explode(col("tcs")).as("tc"))
     val masks = probeMasks(planes, maxFlips)

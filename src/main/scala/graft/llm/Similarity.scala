@@ -83,23 +83,34 @@ object Similarity {
   private[llm] def probeMasks(planes: Int, maxFlips: Int): Seq[Int] =
     (0 until (1 << planes)).filter(Integer.bitCount(_) <= maxFlips)
 
-  /** One (table, code) struct per hash table for a corpus vector. */
+  /** One (table, code) struct per hash table for a corpus vector.
+    * `native = true` computes all table codes in one codegen'd kernel
+    * (`graft.functions.HyperplaneCodes` — bit-identical to the HOF
+    * form, pinned by `q_hyperplane_native`; requires GraftExtensions);
+    * the HOF form costs tables·planes·dims interpreted lambda
+    * evaluations per row and dominated the round-3 ANN-LSH bench. */
   private[llm] def tableCodes(vec: Column, planes: Int, dims: Int,
-                              tables: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        lshCode(vec, planes, dims, seed = t).as("code"))): _*)
+                              tables: Int, native: Boolean = false): Column =
+    if (native)
+      transform(
+        call_function("graft_hyperplane_codes", vec, lit(planes), lit(tables)),
+        (c, t) => struct(t.as("t"), c.as("code")))
+    else
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshCode(vec, planes, dims, seed = t).as("code"))): _*)
 
   /** Probe keys for a query vector: for each table, the vector's code
-    * plus every `maxFlips`-bit perturbation of it. */
+    * plus every `maxFlips`-bit perturbation of it — derived from the
+    * table codes by XOR, so the planes×dims projection runs once per
+    * (vector, table), never once per probe. */
   private[llm] def probeKeys(vec: Column, planes: Int, dims: Int,
-                             tables: Int, maxFlips: Int): Column = {
+                             tables: Int, maxFlips: Int,
+                             native: Boolean = false): Column = {
     val masks = probeMasks(planes, maxFlips)
-    flatten(array((0 until tables).map { t =>
-      val code = lshCode(vec, planes, dims, seed = t)
-      array(masks.map(m =>
-        struct(lit(t).as("t"), code.bitwiseXOR(lit(m)).as("code"))): _*)
-    }: _*))
+    flatten(transform(tableCodes(vec, planes, dims, tables, native), tc =>
+      array(masks.map(m => struct(tc.getField("t").as("t"),
+        tc.getField("code").bitwiseXOR(lit(m)).as("code"))): _*)))
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
@@ -200,12 +211,13 @@ object Similarity {
               planes: Int = 4, dims: Int = 64,
               tables: Int = 6, maxFlips: Int = 2,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              native: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-        explode(probeKeys(col(vecCol), planes, dims, tables, maxFlips))
+        explode(probeKeys(col(vecCol), planes, dims, tables, maxFlips, native))
           .as("probe")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      explode(tableCodes(col(vecCol), planes, dims, tables)).as("tc"))
+      explode(tableCodes(col(vecCol), planes, dims, tables, native)).as("tc"))
     val cand = c.join(q, col("probe") === col("tc") &&
         col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()

@@ -13,6 +13,7 @@ object AnnRecall {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -25,7 +26,8 @@ object AnnRecall {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
 
     for (tb <- Seq(2, 3, 4, 6)) {
-      val lsh = Similarity.lshTopK(emb, queries, k = 5, tables = tb)
+      val lsh = Similarity.lshTopK(emb, queries, k = 5, tables = tb,
+          native = true)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       println(s"lshTopK(t=$tb):  exact=${exact.size} found=${lsh.size} " +
         s"hit=${(exact & lsh).size} recall=${(exact & lsh).size.toDouble / exact.size}")
@@ -43,7 +45,7 @@ object AnnRecall {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     for (tb <- Seq(2, 3, 4, 6)) {
       val lshPairs = Dedup.cosinePairsLsh(sub, "vec_id", "embedding", 0.35,
-          tables = tb)
+          tables = tb, native = true)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       println(s"cosLsh(t=$tb):   exact=${exactPairs.size} found=${lshPairs.size} " +
         s"hit=${(exactPairs & lshPairs).size} " +

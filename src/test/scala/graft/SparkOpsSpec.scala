@@ -15,6 +15,7 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -462,6 +463,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frames = Multimodal.sampleFrames(media)
     val counts = frames.groupBy("doc_id").count().collect()
     assert(counts.forall(_.getLong(1) >= 1))
+  }
+
+  test("native hyperplane codes ≡ the HOF form (incl. empty vector)") {
+    import spark.implicits._
+    val emb = sf("embeddings").where(col("vec_id") < 100)
+      .select(col("embedding"))
+      .union(Seq(Seq.empty[Float]).toDF("embedding"))
+    val native = call_function("graft_hyperplane_codes",
+      col("embedding"), lit(4), lit(6))
+    val hof = array((0 until 6).map(t =>
+      Similarity.lshCode(col("embedding"), 4, 64, seed = t)): _*)
+    assert(emb.where(not(native === hof)).count() == 0)
+    // double-typed input takes the other element accessor
+    val dbl = sf("embeddings").where(col("vec_id") < 20)
+      .select(col("embedding").cast("array<double>").as("embedding"))
+    val nd = call_function("graft_hyperplane_codes",
+      col("embedding"), lit(4), lit(3))
+    val hd = array((0 until 3).map(t =>
+      Similarity.lshCode(col("embedding"), 4, 64, seed = t)): _*)
+    assert(dbl.where(not(nd === hd)).count() == 0)
   }
 
   test("resize survives an empty payload (emits zero-filled output)") {
