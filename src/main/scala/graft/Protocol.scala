@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{ChunkPlanner, Flatten, Incremental, SystemColumns}
@@ -79,31 +79,47 @@ object Protocol {
     val ss = st.streams.getOrElse(cfg.name, StateStore.StreamState())
     val firstRun = ss.cursor.isEmpty
 
-    val batch = (cfg.syncMode, firstRun, cfg.cursor) match {
-      case (_, true, _) | (_, _, None) => src // full backfill
-      case (_, false, Some(cur)) =>
-        val c = Incremental.Cursor.parse(cur)
-        val last = ss.cursor(c.primary)
-        val lastCol = src.schema(c.primary).dataType match {
+    val cursorParsed = cfg.cursor.map(Incremental.Cursor.parse)
+    // previous committed cursor as a typed literal (shared between the
+    // delta predicate and the cursor-max observation)
+    def lastColOf(c: Incremental.Cursor): Option[Column] =
+      ss.cursor.get(c.primary).map { last =>
+        src.schema(c.primary).dataType match {
           case org.apache.spark.sql.types.TimestampType |
                org.apache.spark.sql.types.TimestampNTZType |
                org.apache.spark.sql.types.DateType => to_timestamp(lit(last))
           case _ => lit(last.toLong)
         }
-        Incremental.deltaScan(src, c, lastCol, None)
+      }
+
+    val batch = (cfg.syncMode, firstRun, cursorParsed) match {
+      case (_, true, _) | (_, _, None) => src // full backfill
+      case (_, false, Some(c)) =>
+        Incremental.deltaScan(src, c, lastColOf(c).get, None)
     }
     val out = if (cfg.normalization)
       SystemColumns.attach(batch, cfg.primaryKeys, SystemColumns.OpRead)
     else SystemColumns.rawMode(batch, cfg.primaryKeys, SystemColumns.OpRead)
     val fields = cfg.partitionRegex.map(PartitionTransforms.parseRegex)
       .getOrElse(Nil)
+    // the next cursor rides the write via observe (one source scan per
+    // sync — the reference tracks the max while streaming,
+    // incremental.go:182-192; a second max() query would re-scan the
+    // source, a full-table query on JDBC). Folding the previous cursor
+    // in per row keeps the max from regressing when a dual-cursor delta
+    // legitimately contains rows older than the committed primary.
+    val cursorMetric = cursorParsed.toSeq.map { c =>
+      max(lastColOf(c).fold(col(c.primary))(l => greatest(col(c.primary), l)))
+        .as("cursor_max")
+    }
     val stats = ParquetSink.writeWithStats(out, s"$destDir/${cfg.name}",
-      fields, append = !firstRun)
-    // advance the cursor AFTER the write lands (commit order, sync.go)
-    val newCursor = cfg.cursor.map(Incremental.Cursor.parse).map { c =>
-      val mx = src.agg(max(col(c.primary))).head.get(0)
-      Map(c.primary -> StateStore.formatCursor(mx))
-    }.getOrElse(Map.empty)
+      fields, append = !firstRun, extraMetrics = cursorMetric)
+    // advance the cursor AFTER the write lands (commit order, sync.go);
+    // an empty delta observes null — the committed cursor stays put
+    val newCursor = cursorParsed.flatMap(c =>
+      Option(stats.getOrElse("cursor_max", null))
+        .map(mx => Map(c.primary -> StateStore.formatCursor(mx))))
+      .getOrElse(Map.empty)
     StateStore.save(statePath, st.copy(streams = st.streams.updated(cfg.name,
       ss.copy(cursor = ss.cursor ++ newCursor))))
     stats("records_written").asInstanceOf[Long]

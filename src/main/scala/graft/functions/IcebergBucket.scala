@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg `bucket[N]` partition transform as a codegen'd Catalyst
+  * expression: `(murmur3_x86_32(icebergByteForm(v)) & 0x7fffffff) % N`.
+  *
+  * Iceberg's hash (spec Appendix B; reference
+  * `destination/iceberg/arrow-writer/transforms.go:119-286`) is
+  * murmur3_x86_32 with seed 0 over the value's single-type byte form —
+  * 8-byte little-endian for int/long/timestamp-micros, raw UTF-8 for
+  * strings — which differs from Spark's builtin `hash()` (seed 42,
+  * per-type mixing), so it needs a custom kernel; this expression keeps
+  * that kernel inside whole-stage codegen instead of the former Scala
+  * UDF (which forced a serialization boundary per row at write time).
+  * Hash pins (`PureOpsSpec`): hashLong(34) = 2017239379,
+  * hashString("iceberg") = 1210000089.
+  */
+case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType =>
+      if (n > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs n > 0, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires long, int, or string input, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_iceberg_bucket"
+
+  private def isString: Boolean = child.dataType == StringType
+
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => IcebergBucket.bucketUtf8(s, n)
+    case v: Long       => IcebergBucket.bucketLong(v, n)
+    case v: Int        => IcebergBucket.bucketLong(v.toLong, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (isString) s"graft.functions.IcebergBucket.bucketUtf8($c, $n)"
+      else s"graft.functions.IcebergBucket.bucketLong((long) $c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): IcebergBucket =
+    copy(child = newChild)
+}
+
+object IcebergBucket {
+
+  /** Column-side constructor (no function-registry dependence — sink
+    * code runs in sessions that may not load GraftExtensions). */
+  def bucket(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(IcebergBucket(ColumnBridge.expression(c), n))
+  }
+
+  def bucketLong(v: Long, n: Int): Int =
+    (graft.sinks.PartitionTransforms.hashLong(v) & 0x7fffffff) % n
+
+  def bucketUtf8(s: UTF8String, n: Int): Int =
+    (graft.sinks.PartitionTransforms.murmur3(s.getBytes) & 0x7fffffff) % n
+}

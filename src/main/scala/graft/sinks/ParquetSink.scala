@@ -34,14 +34,17 @@ object ParquetSink {
     * atomic counters incremented per pushed record). */
   def writeWithStats(df: DataFrame, path: String,
                      fields: Seq[PartitionField] = Nil,
-                     append: Boolean = true): Map[String, Any] = {
+                     append: Boolean = true,
+                     extraMetrics: Seq[org.apache.spark.sql.Column] = Nil)
+      : Map[String, Any] = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions._
     val obs = Observation()
     val withCols = PartitionTransforms.withPartitionColumns(df, fields)
-    var w = withCols.observe(obs, count(lit(1)).as("records_written"),
-        sum(when(col(withCols.columns.head).isNull, 1).otherwise(0))
-          .as("null_first_col")).write
+    val metrics = Seq(count(lit(1)).as("records_written"),
+      sum(when(col(withCols.columns.head).isNull, 1).otherwise(0))
+        .as("null_first_col")) ++ extraMetrics
+    var w = withCols.observe(obs, metrics.head, metrics.tail: _*).write
       .mode(if (append) "append" else "overwrite")
     if (fields.nonEmpty) w = w.partitionBy(fields.map(_.outputName): _*)
     w.parquet(path)

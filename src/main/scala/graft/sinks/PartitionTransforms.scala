@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * (`destination/iceberg/iceberg.go:521-545`); `now()` maps to
   * `_olake_timestamp`.
   *
-  * All transforms except bucket are native Catalyst column expressions
-  * (codegen'd, pushdown-friendly). Bucket needs Iceberg's exact
-  * murmur3_x86_32 — Spark's builtin `hash()` is murmur3 with a different
-  * seed/layout — so it's a tiny UDF over the already-typed value; it only
-  * ever runs once per row at write time.
+  * All transforms are native Catalyst column expressions (codegen'd,
+  * pushdown-friendly). Bucket needs Iceberg's exact murmur3_x86_32 —
+  * Spark's builtin `hash()` is murmur3 with a different seed/layout —
+  * so it runs as the custom codegen'd expression
+  * `graft.functions.IcebergBucket` (no UDF serialization boundary in
+  * the write path).
   */
 object PartitionTransforms {
 
@@ -72,10 +73,8 @@ object PartitionTransforms {
   def bucketLong(v: Long, n: Int): Int = (hashLong(v) & 0x7fffffff) % n
   def bucketString(s: String, n: Int): Int = (hashString(s) & 0x7fffffff) % n
 
-  private val bucketLongUdf = udf((v: java.lang.Long, n: Int) =>
-    if (v == null) null else Int.box(bucketLong(v, n)))
-  private val bucketStringUdf = udf((s: String, n: Int) =>
-    if (s == null) null else Int.box(bucketString(s, n)))
+  private def bucketCol(c: Column, n: Int): Column =
+    graft.functions.IcebergBucket.bucket(c, n)
 
   /** One parsed `/{col,transform}` segment. */
   case class PartitionField(column: String, transform: String) {
@@ -121,7 +120,7 @@ object PartitionTransforms {
       case ArgRe("bucket", n) =>
         // integral path; timestamps must be pre-converted to micros
         // (withPartitionColumns does the schema dispatch)
-        bucketLongUdf(c.cast("long"), lit(n.toInt))
+        bucketCol(c.cast("long"), n.toInt)
       case ArgRe("truncate", w) =>
         val wL = w.toLong
         // int/long: v - (((v % W) + W) % W); defined via pmod
@@ -133,7 +132,7 @@ object PartitionTransforms {
 
   /** Bucket over a string column (callers pick by schema). */
   def bucketStringColumn(f: PartitionField, n: Int): Column =
-    bucketStringUdf(col(f.column), lit(n))
+    bucketCol(col(f.column), n)
 
   /** Truncate over a string column: first W characters. */
   def truncateStringColumn(f: PartitionField, w: Int): Column =
@@ -144,14 +143,15 @@ object PartitionTransforms {
     */
   def withPartitionColumns(df: DataFrame, fields: Seq[PartitionField]): DataFrame =
     fields.foldLeft(df) { (acc, f) =>
-      import org.apache.spark.sql.types.{StringType, TimestampType}
+      import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
       val dt = acc.schema.fields.find(_.name == f.column).map(_.dataType)
       val expr = (f.transform, dt) match {
         case (ArgRe("bucket", n), Some(StringType))   => bucketStringColumn(f, n.toInt)
         case (ArgRe("truncate", w), Some(StringType)) => truncateStringColumn(f, w.toInt)
-        case (ArgRe("bucket", n), Some(TimestampType)) =>
+        case (ArgRe("bucket", n), Some(TimestampType | TimestampNTZType)) =>
           // Iceberg hashes timestamps as their microsecond epoch value
-          bucketLongUdf(unix_micros(col(f.column)), lit(n.toInt))
+          // (NTZ reads as UTC — the session timezone is pinned to UTC)
+          bucketCol(unix_micros(col(f.column).cast(TimestampType)), n.toInt)
         case _ => transformColumn(f)
       }
       acc.withColumn(f.outputName, expr)

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression ↔ Column bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 removed the public `new Column(Expression)` constructor; the
+  * supported in-JVM path is `classic.ExpressionUtils`, which is
+  * `private[sql]`. This forwarder lives inside `org.apache.spark.sql`
+  * to re-export it — the established pattern for Spark extension
+  * libraries that define custom expressions without forcing every
+  * session to pre-register a function catalog entry.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

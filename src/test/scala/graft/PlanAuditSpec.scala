@@ -82,6 +82,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("iceberg bucket[N] transform is codegen'd — no UDF in the write path") {
+    import graft.sinks.PartitionTransforms
+    import graft.sinks.PartitionTransforms.PartitionField
+    val df = Tables.load(spark, dir, "orders")
+    val out = PartitionTransforms.withPartitionColumns(df, Seq(
+      PartitionField("o_orderkey", "bucket[16]"),
+      PartitionField("o_orderpriority", "bucket[8]"),
+      PartitionField("o_orderdate", "bucket[4]")))
+    val p = plan(out)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("graft_iceberg_bucket"), p)
+    // spec Appendix B parity against the row kernels, all three types
+    val rows = out.select(col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("micros"),
+        col("o_orderkey_bucket"), col("o_orderpriority_bucket"),
+        col("o_orderdate_bucket"))
+      .limit(200).collect()
+    rows.foreach { r =>
+      assert(r.getInt(3) ==
+        PartitionTransforms.bucketLong(r.getLong(0), 16))
+      assert(r.getInt(4) ==
+        PartitionTransforms.bucketString(r.getString(1), 8))
+      assert(r.getInt(5) ==
+        PartitionTransforms.bucketLong(r.getLong(2), 4))
+    }
+  }
+
   test("simhash exact-dup tier: keyed band join, no cartesian") {
     val p = plan(q("q_simhash_neardup"))
     assert(!p.contains("CartesianProduct"), p)
