@@ -141,22 +141,44 @@ object ChunkPlanner {
     * `chunkSize` rows — the Spark analog of the reference's
     * `NextChunkEndQuery` (`LIMIT 1 OFFSET chunkSize` walk,
     * `drivers/mysql/internal/backfill.go:65-198`). On JDBC the walk runs
-    * server-side; on files one window pass plans it. Boundary count is
-    * rows/chunkSize — driver-side metadata only.
+    * server-side; on files the walk is DISTRIBUTED: the key set is
+    * range-partitioned on the PK order (Spark samples the range bounds —
+    * no global sort, no single-partition window), each partition walks
+    * its own sorted slice emitting every `chunkSize`-th tuple, and the
+    * driver merges the (already range-disjoint) boundary sets. Chunks
+    * are ≤ `chunkSize` rows except at partition seams, where a
+    * partition's sub-`chunkSize` tail merges into the next boundary
+    * (< 2 × `chunkSize` — the same slack the reference accepts from its
+    * sampled `$bucketAuto`/TABLESAMPLE planners). Boundary count stays
+    * ~rows/chunkSize — driver-side metadata only.
     */
   def planLexicographic(df: DataFrame, pkCols: Seq[String],
                         chunkSize: Long): Seq[LexChunk] = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(pkCols.map(col): _*)
-    val bounds = df.select(pkCols.map(c => col(c).cast("long").as(c)): _*)
-      .withColumn("_rn", row_number().over(w))
-      .where(pmod(col("_rn"), lit(chunkSize)) === 0)
-      .orderBy(pkCols.map(col): _*)
-      .collect()
-      .map(r => LexBoundary(pkCols.indices.map(i => r.getLong(i))))
-      .toSeq
-    val los = None +: bounds.map(Some(_))
-    val his = bounds.map(Some(_)) :+ None
+    val keys = df.select(pkCols.map(c => col(c).cast("long").as(c)): _*)
+    // planner-time count (the reference planners run COUNT/min/max
+    // queries too); sizes partitions so each walks ≥ ~4 chunks of rows,
+    // bounding the seam-remainder effect at small scale
+    val n = keys.count()
+    val spark = df.sparkSession
+    val maxPar = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(maxPar.toLong, n / (4 * chunkSize)))
+      .toInt
+    val bounds = keys
+      .repartitionByRange(parts, pkCols.map(col): _*)
+      .sortWithinPartitions(pkCols.map(col): _*)
+      .rdd.mapPartitions { it =>
+        var i = 0L
+        it.flatMap { r =>
+          i += 1
+          if (i % chunkSize == 0)
+            Iterator(pkCols.indices.map(r.getLong))
+          else Iterator.empty
+        }
+      }.collect()
+    import scala.math.Ordering.Implicits._
+    val merged = bounds.map(_.toSeq).sorted.map(LexBoundary).toSeq
+    val los = None +: merged.map(Some(_))
+    val his = merged.map(Some(_)) :+ None
     los.zip(his).map { case (lo, hi) => LexChunk(lo, hi) }
   }
 

@@ -465,6 +465,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.forall(_.getLong(1) >= 1))
   }
 
+  test("distributed lexicographic walk: full coverage, bounded chunks, no overlap") {
+    import graft.operators.ChunkPlanner
+    val li = sf("lineitem")
+    val pks = Seq("l_orderkey", "l_linenumber")
+    val total = li.count()
+    val chunkSize = 500L
+    val chunks = ChunkPlanner.planLexicographic(li, pks, chunkSize)
+    // coverage: the union of chunk scans is exactly the table
+    assert(ChunkPlanner.scanLexicographic(li, pks, chunks).count() == total)
+    // disjoint + bounded: per-chunk counts sum to the total (no overlap)
+    // and no chunk exceeds the documented 2× seam slack
+    val sizes = chunks.map(ch => li.where(ch.toColumn(pks)).count())
+    assert(sizes.sum == total)
+    assert(sizes.forall(_ < 2 * chunkSize),
+      s"chunk over 2x bound: ${sizes.max}")
+    assert(chunks.size >= (total / (2 * chunkSize)).toInt)
+    // boundaries strictly increase lexicographically
+    val bs = chunks.flatMap(_.hi).map(_.values)
+    import scala.math.Ordering.Implicits._
+    assert(bs == bs.sorted && bs.distinct.size == bs.size)
+  }
+
   test("native hyperplane codes ≡ the HOF form (incl. empty vector)") {
     import spark.implicits._
     val emb = sf("embeddings").where(col("vec_id") < 100)
