@@ -7,10 +7,10 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
-import graft.sources.{BoundedRead, Discover, FileSources, JdbcSource, KafkaDecode}
-import graft.spec.{DialectSql, FilterSpec}
+import graft.sources.{BoundedRead, Discover, FileSources, JdbcSource, KafkaDecode, MongoScan}
+import graft.spec.{DialectSql, FilterSpec, WideFixture}
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
-import graft.types.Naming
+import graft.types.{CanonicalType, Coerce, Naming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -134,6 +134,20 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val chunks = ChunkPlanner.equiDepthChunks(li, "l_orderkey", 8)
       ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
+    }),
+
+    // ---- S11/S12 executed: Mongo splitVector-analog boundaries
+    //      (quantile sketch, 8-grouped, final open-ended) rendered as
+    //      the connector's aggregation-pipeline JSON, then the rendered
+    //      $match pipeline is INTERPRETED and run over the collection-
+    //      shaped frame. Union of chunk scans = coverage proof (gap →
+    //      missing rows, overlap → duplicates). ----
+    "q_mongo_scan" -> ((s, dir) => {
+      val docs = MongoScan.syntheticCollection(
+        t(s, dir, "events").where(col("event_id") < 10000), "event_id", "ts")
+      val bounds = MongoScan.splitVectorBoundaries(docs, 32)
+      MongoScan.scanChunked(docs, bounds)
+        .select("_id", "event_id", "user_id", "value")
     }),
 
     // ---- S15 Kafka-style bounded offset read ----
@@ -409,6 +423,51 @@ object SparkEntry {
       val b2 = n.select((col("n_nationkey") + 100).cast("long").as("id"),
         col("n_regionkey").cast("double").as("extra"))
       Evolve.evolveAll(Seq(b1, b2))
+    }),
+
+    // ---- §1.2 wide-type coercion long tail: the reference's 29-column
+    //      Postgres integration table re-expressed as a deterministic
+    //      fixture (WideFixture), then coerced by the engine's data-path
+    //      rules — WKB→WKT with SRID-skip + hex fallback, ObjectID hex,
+    //      DB2 dotted-TIME normalization, format-sniffed timestamps,
+    //      string→numeric/bool parses. One codegen'd projection, zero
+    //      shuffles; the oracle rebuilds every expected value from
+    //      integer parts in DuckDB. ----
+    "q_wide_types" -> ((s, dir) => {
+      import CanonicalType._
+      val w = WideFixture.wideTable(
+        t(s, dir, "events").where(col("event_id") < 2000))
+      w.select(
+        col("event_id"),
+        Coerce.cast(Int64, col("bigint_v")).as("col_bigint"),
+        Coerce.cast(Bool, col("bool_s")).as("col_bool"),
+        Coerce.cast(Str, col("char_s")).as("col_char"),
+        Coerce.cast(Str, col("varchar_s")).as("col_varchar"),
+        Coerce.cast(TsSeconds, col("date_s")).as("col_date"),
+        Coerce.cast(Float64, col("dec_s")).as("col_decimal"),
+        Coerce.cast(Float64, col("double_v")).as("col_double"),
+        Coerce.cast(Float32, col("float_s")).as("col_float4"),
+        Coerce.cast(Int32, col("int_s")).as("col_int"),
+        Coerce.cast(Int32, col("int2_v")).as("col_int2"),
+        Coerce.cast(Str, col("interval_s")).as("col_interval"),
+        Coerce.cast(Str, col("json_s")).as("col_json"),
+        Coerce.cast(Str, col("uuid_s")).as("col_uuid"),
+        Coerce.cast(Str, col("xml_s")).as("col_xml"),
+        Coerce.cast(Str, col("varbit_s")).as("col_varbit"),
+        Coerce.geo(col("point_wkb")).as("col_point"),
+        Coerce.geo(col("line_wkb")).as("col_linestring"),
+        Coerce.geo(col("poly_wkb")).as("col_polygon"),
+        Coerce.geo(col("point_srid_wkb")).as("col_point_srid"),
+        Coerce.geo(col("geo_bad")).as("col_geo_fallback"),
+        Coerce.objectId(col("oid_bytes")).as("col_objectid"),
+        Coerce.time(col("time_s")).as("col_time"),
+        Coerce.time(col("db2_time_s")).as("col_db2_time"),
+        Coerce.cast(TsMicros, col("ts_sql_s")).as("col_ts"),
+        Coerce.cast(TsMicros, col("ts_iso_s")).as("col_ts_iso"),
+        Coerce.cast(Int64, col("num_s")).as("col_num"),
+        Coerce.cast(Str, col("bytea")).as("col_bytea"),
+        Coerce.cast(Str, col("name_s")).as("col_name"),
+        Coerce.cast(Str, col("circle_s")).as("col_circle"))
     }),
 
     // ---- P3 dialect SQL rendering: the ORACLE is the rendered string ----
@@ -750,6 +809,16 @@ object SparkEntry {
     "q_chunk_equidepth" ->
       "SELECT * FROM lineitem",
 
+    // Union-of-pipeline-scans must reproduce the collection exactly;
+    // the synthetic ObjectID (4-byte epoch + key bytes) is rebuilt in
+    // SQL. Boundary placement is sketch-approximate by design — the
+    // EXACT contract is the tiling, which row/hash equality proves.
+    "q_mongo_scan" ->
+      """SELECT lower(lpad(to_hex(CAST(floor(epoch(ts)) AS BIGINT)), 8, '0') ||
+        |       lpad(to_hex(event_id), 16, '0')) AS _id,
+        |  event_id, user_id, value
+        |FROM events WHERE event_id < 10000""".stripMargin,
+
     "q_backfill_chunked" ->
       "SELECT * FROM lineitem",
 
@@ -885,6 +954,48 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(n_nationkey+100 AS BIGINT), NULL, CAST(n_regionkey AS DOUBLE) FROM nation""".stripMargin,
 
+    // Every expected post-coercion value rebuilt from integer parts —
+    // no float formatting on either side (the only doubles are a
+    // passthrough and integer-built decimal strings).
+    "q_wide_types" ->
+      """SELECT event_id,
+        |  event_id AS col_bigint,
+        |  (event_id % 2 = 0) AS col_bool,
+        |  substr(event_type, 1, 1) AS col_char,
+        |  event_type AS col_varchar,
+        |  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS col_date,
+        |  CAST(printf('%d.%03d', event_id % 100, event_id % 1000) AS DOUBLE) AS col_decimal,
+        |  value AS col_double,
+        |  CAST(printf('%d.5', user_id % 100) AS REAL) AS col_float4,
+        |  CAST(user_id AS INTEGER) AS col_int,
+        |  CAST(event_id % 1000 AS INTEGER) AS col_int2,
+        |  printf('%d days', event_id % 30) AS col_interval,
+        |  printf('{"k":%d}', event_id) AS col_json,
+        |  substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+        |    substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+        |    substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+        |    substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+        |    substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS col_uuid,
+        |  printf('<v>%d</v>', event_id) AS col_xml,
+        |  bin(event_id % 256) AS col_varbit,
+        |  printf('POINT (%d %d)', event_id % 100, user_id % 100) AS col_point,
+        |  printf('LINESTRING (%d %d, %d %d)', event_id % 100, user_id % 100,
+        |         event_id % 100 + 1, user_id % 100 + 1) AS col_linestring,
+        |  printf('POLYGON ((0 0, %d 0, %d %d, 0 0))', event_id % 50 + 1,
+        |         event_id % 50 + 1, user_id % 50 + 1) AS col_polygon,
+        |  printf('POINT (%d %d)', user_id % 100, event_id % 100) AS col_point_srid,
+        |  lpad(lower(to_hex(event_id % 256)), 2, '0') AS col_geo_fallback,
+        |  substr(md5(CAST(event_id AS VARCHAR)), 1, 24) AS col_objectid,
+        |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS col_time,
+        |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS col_db2_time,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS col_ts,
+        |  CAST(ts AS TIMESTAMP) AS col_ts_iso,
+        |  event_id AS col_num,
+        |  event_type AS col_bytea,
+        |  printf('n_%d', event_id) AS col_name,
+        |  printf('<(%d,%d),5>', event_id % 10, user_id % 10) AS col_circle
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
     // The oracle IS the dialect renderer's output — AST→SQL ≡ AST→Column.
     "q_pushdown_sql" ->
       ("SELECT * FROM orders WHERE " +
@@ -972,8 +1083,10 @@ object SparkEntry {
       "SELECT count(*) AS n_match FROM documents",
 
     // Exact replay of minhashPairsVerified's predicate: 3-gram shingle
-    // Jaccard >= 0.5 over normalized tokens. Banding cannot lose a
-    // J = 1 pair, and the verify step filters everything else exactly.
+    // Jaccard >= 0.9 over normalized tokens (rounded to 6 places on
+    // BOTH sides). At t=0.9 the banding miss probability (1-t^4)^16 is
+    // ~4e-8, so oracle equality is probabilistically sound rather than
+    // fixture-dependent; the verify step keeps precision exact.
     "q_minhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk

@@ -97,5 +97,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(i).eval(null).asInstanceOf[Number].intValue()
         HyperplaneCodes(children.head, intArg(1), intArg(2))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_wkb_wkt"),
+      new ExpressionInfo(classOf[WkbToWkt].getName, "graft_wkb_wkt"),
+      (children: Seq[Expression]) => WkbToWkt(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_objectid_hex"),
+      new ExpressionInfo(classOf[ObjectIdHex].getName, "graft_objectid_hex"),
+      (children: Seq[Expression]) => ObjectIdHex(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_time_norm"),
+      new ExpressionInfo(classOf[TimeNorm].getName, "graft_time_norm"),
+      (children: Seq[Expression]) => TimeNorm(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_sniff_ts"),
+      new ExpressionInfo(classOf[SniffTimestamp].getName, "graft_sniff_ts"),
+      (children: Seq[Expression]) => SniffTimestamp(children.head)))
   }
 }

@@ -1,0 +1,268 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Wide-type value coercions as codegen'd Catalyst expressions — the
+  * data-path side of `types.Inference` for the long tail of source
+  * column types a replication engine meets on day one (the reference's
+  * 29-column Postgres integration table,
+  * `drivers/postgres/internal/postgres_test_util.go:51-82`).
+  *
+  * Reference semantics re-expressed:
+  *  - geospatial WKB → WKT with hex fallback
+  *    (`utils/typeutils/reformat.go:512-545`, `ReformatGeoType`: try the
+  *    unmarshal, on failure emit `%x` hex; MySQL prepends a 4-byte SRID);
+  *  - Mongo ObjectID/binary → lowercase hex
+  *    (`drivers/mongodb/internal/mon.go:300-324` — `value.Hex()` for
+  *    ObjectID, `%x` for primitive.Binary);
+  *  - TIME columns normalized to `HH:mm:ss`
+  *    (`utils/typeutils/reformat.go:547-557` `ReformatTimeValue`, used by
+  *    DB2 `readbatch.go:286` and MSSQL `mssql.go:336`; DB2 emits dotted
+  *    `HH.mm.ss` wall times);
+  *  - string → timestamp via the published ~14-format sniffing list
+  *    (`reformat.go:24-39`), shared with plan-time inference through
+  *    `Inference.sniffTimestamp` so plan and data path cannot drift.
+  *
+  * All four are `UnaryExpression`s with `doGenCode` delegating to a
+  * static kernel: one generated call per row, inside whole-stage
+  * codegen — no UDF, no serialization, Catalyst-visible nullability.
+  */
+object WideTypes {
+
+  // ---------------------------------------------------------------- WKB
+
+  /** Render a coordinate the way both our WKT writer and an integer-
+    * building oracle can replay: integral values print without a
+    * fractional part. */
+  private def coord(d: Double): String =
+    if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
+      d.toLong.toString
+    else d.toString
+
+  /** Minimal OGC WKB reader (public spec): byte-order flag, uint32
+    * geometry type, then coordinates. Supports Point, LineString,
+    * Polygon, MultiPoint, MultiLineString, MultiPolygon,
+    * GeometryCollection — the types the reference lists as geospatial
+    * (`reformat.go:40`). Returns None on any structural violation. */
+  private def parseWkb(b: Array[Byte], off0: Int): Option[(String, Int)] = {
+    if (b.length - off0 < 5) return None
+    val little = b(off0) match {
+      case 0 => false
+      case 1 => true
+      case _ => return None
+    }
+    def u32(off: Int): Long = {
+      if (off + 4 > b.length) return -1L
+      val (a0, a1, a2, a3) =
+        if (little) (b(off), b(off + 1), b(off + 2), b(off + 3))
+        else (b(off + 3), b(off + 2), b(off + 1), b(off))
+      ((a3 & 0xffL) << 24) | ((a2 & 0xffL) << 16) | ((a1 & 0xffL) << 8) | (a0 & 0xffL)
+    }
+    def f64(off: Int): Double = {
+      var bits = 0L
+      var i = 0
+      while (i < 8) {
+        val by = if (little) b(off + 7 - i) else b(off + i)
+        bits = (bits << 8) | (by & 0xffL)
+        i += 1
+      }
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def point(off: Int): Option[(String, Int)] =
+      if (off + 16 > b.length) None
+      else Some((s"${coord(f64(off))} ${coord(f64(off + 8))}", off + 16))
+    def ring(off: Int): Option[(String, Int)] = {
+      val n = u32(off)
+      if (n < 0 || n > (b.length - off - 4) / 16) return None
+      var cur = off + 4
+      val parts = new scala.collection.mutable.ArrayBuffer[String](n.toInt)
+      var i = 0L
+      while (i < n) {
+        point(cur) match {
+          case Some((s, nx)) => parts += s; cur = nx
+          case None          => return None
+        }
+        i += 1
+      }
+      Some((parts.mkString(", "), cur))
+    }
+    val gtype = u32(off0 + 1)
+    val body = off0 + 5
+    gtype match {
+      case 1 => point(body).map { case (s, nx) => (s"POINT ($s)", nx) }
+      case 2 => ring(body).map { case (s, nx) => (s"LINESTRING ($s)", nx) }
+      case 3 =>
+        val nRings = u32(body)
+        if (nRings < 0 || nRings > (1L << 20)) return None
+        var cur = body + 4
+        val rings = new scala.collection.mutable.ArrayBuffer[String](nRings.toInt)
+        var i = 0L
+        while (i < nRings) {
+          ring(cur) match {
+            case Some((s, nx)) => rings += s"($s)"; cur = nx
+            case None          => return None
+          }
+          i += 1
+        }
+        Some((s"POLYGON (${rings.mkString(", ")})", cur))
+      case 4 | 5 | 6 | 7 =>
+        val label = gtype match {
+          case 4 => "MULTIPOINT"; case 5 => "MULTILINESTRING"
+          case 6 => "MULTIPOLYGON"; case _ => "GEOMETRYCOLLECTION"
+        }
+        val n = u32(body)
+        if (n < 0 || n > (1L << 20)) return None
+        var cur = body + 4
+        val parts = new scala.collection.mutable.ArrayBuffer[String](n.toInt)
+        var i = 0L
+        while (i < n) {
+          parseWkb(b, cur) match {
+            case Some((s, nx)) =>
+              // nested members of MULTI* render without their type tag
+              val inner =
+                if (gtype == 7L) s
+                else s"(${s.substring(s.indexOf('(') + 1, s.length - 1)})"
+              parts += inner; cur = nx
+            case None => return None
+          }
+          i += 1
+        }
+        Some((s"$label (${parts.mkString(", ")})", cur))
+      case _ => None
+    }
+  }
+
+  private def hexLower(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** WKB → WKT: raw WKB first, then MySQL's 4-byte-SRID-prefixed form
+    * (`reformat.go:517` — "skipping 4-byte SRID prefix"), lowercase-hex
+    * of the full payload as the fallback (`reformat.go:528`). */
+  def wkbToWkt(b: Array[Byte]): UTF8String = {
+    val wkt = parseWkb(b, 0).map(_._1)
+      .orElse(if (b.length > 4) parseWkb(b, 4).map(_._1) else None)
+    UTF8String.fromString(wkt.getOrElse(hexLower(b)))
+  }
+
+  /** 12-byte Mongo ObjectID (or any binary) → lowercase hex string. */
+  def objectIdHex(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(hexLower(b))
+
+  /** TIME value → canonical `HH:mm:ss` string: DB2's dotted wall-time
+    * (`HH.mm.ss[.ffffff]`) becomes colon-separated; fractional seconds
+    * drop (the reference formats `time.Time` as `15:04:05`); anything
+    * else passes through. */
+  def timeNorm(s: UTF8String): UTF8String = {
+    val t = s.toString.trim
+    val dotted = t.length >= 8 && t.charAt(2) == '.' && t.charAt(5) == '.' &&
+      t.take(8).forall(c => c.isDigit || c == '.')
+    val base = if (dotted) t.substring(0, 8).replace('.', ':') else t
+    UTF8String.fromString(base)
+  }
+
+  /** String → epoch micros through the shared format-sniffing list;
+    * returns Long.MinValue to signal null (wrapped by the expression). */
+  def sniffTsMicros(s: UTF8String): Long =
+    graft.types.Inference.sniffTimestamp(s.toString) match {
+      case Some(i) => java.lang.Math.addExact(
+        java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+      case None => Long.MinValue
+    }
+}
+
+case class WkbToWkt(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_wkb_wkt"
+  override protected def nullSafeEval(input: Any): Any =
+    WideTypes.wkbToWkt(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WideTypes.wkbToWkt($c)")
+  override protected def withNewChildInternal(newChild: Expression): WkbToWkt =
+    copy(child = newChild)
+}
+
+case class ObjectIdHex(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_objectid_hex"
+  override protected def nullSafeEval(input: Any): Any =
+    WideTypes.objectIdHex(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WideTypes.objectIdHex($c)")
+  override protected def withNewChildInternal(newChild: Expression): ObjectIdHex =
+    copy(child = newChild)
+}
+
+case class TimeNorm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_time_norm"
+  override protected def nullSafeEval(input: Any): Any =
+    WideTypes.timeNorm(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WideTypes.timeNorm($c)")
+  override protected def withNewChildInternal(newChild: Expression): TimeNorm =
+    copy(child = newChild)
+}
+
+/** String → timestamp via the shared sniffing list; unparseable strings
+  * yield null (the reference's strict `ParseFilterValue` path errors —
+  * in a Spark plan the null is the analyzable analog, filterable
+  * downstream). */
+case class SniffTimestamp(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sniff_ts"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val us = WideTypes.sniffTsMicros(v.asInstanceOf[UTF8String])
+      if (us == Long.MinValue) null else us
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val us = ctx.freshName("sniffUs")
+    val resultCode =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${childGen.isNull}) {
+          long $us = graft.functions.WideTypes.sniffTsMicros(${childGen.value});
+          if ($us != Long.MIN_VALUE) { ${ev.isNull} = false; ${ev.value} = $us; }
+        }
+      """
+    ev.copy(code = resultCode)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SniffTimestamp =
+    copy(child = newChild)
+}

@@ -342,7 +342,13 @@ object ChunkSql {
   def mongoChunkPipeline(min: String, max: Option[String],
                          filterJson: String = "",
                          objectIdKeyed: Boolean = true): String = {
-    def id(v: String) = if (objectIdKeyed) s"""{"$$oid":"$v"}""" else v
+    // non-ObjectID keys can be numeric (emit bare) or strings (must be
+    // JSON-quoted — `reformatID`, backfill.go:501-510, passes through
+    // int/float/string mins)
+    def id(v: String) =
+      if (objectIdKeyed) s"""{"$$oid":"$v"}"""
+      else if (v.nonEmpty && v.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?")) v
+      else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val conds = Seq(
       if (objectIdKeyed) Some("""{"_id":{"$type":7}}""") else None,
       Some(s"""{"_id":{"$$gte":${id(min)}}}"""),

@@ -1,0 +1,147 @@
+package graft.spec
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wide-type source fixture: re-expresses the `events` table as the
+  * 29-column typed row a replication engine meets against a real
+  * transactional source — mirroring the reference's Postgres
+  * integration table (`drivers/postgres/internal/
+  * postgres_test_util.go:51-82`: bigint/bool/char/varchar/date/
+  * numeric/float4/int2/interval/json/uuid/xml/varbit/point/polygon/
+  * circle/…) plus the Mongo ObjectID and DB2 dotted-TIME cases.
+  *
+  * Every value is generated DETERMINISTICALLY from `event_id`/
+  * `user_id`/`ts`, so the DuckDB oracle replays the expected post-
+  * coercion value with integer string-building — no float formatting
+  * ambiguity anywhere (decimals are built from integer parts, the
+  * float4 fraction is the binary-exact `.5`).
+  *
+  * Geometry columns carry genuine OGC WKB bytes (little-endian), the
+  * SRID variant prepends MySQL's 4-byte SRID prefix
+  * (`utils/typeutils/reformat.go:517`), and `geo_bad` is a 1-byte
+  * non-WKB payload exercising the hex fallback (`reformat.go:528`).
+  */
+object WideFixture {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("bigint_v", LongType),
+    StructField("bool_s", StringType),
+    StructField("char_s", StringType),
+    StructField("varchar_s", StringType),
+    StructField("date_s", StringType),
+    StructField("dec_s", StringType),
+    StructField("double_v", DoubleType),
+    StructField("float_s", StringType),
+    StructField("int_s", StringType),
+    StructField("int2_v", IntegerType),
+    StructField("interval_s", StringType),
+    StructField("json_s", StringType),
+    StructField("uuid_s", StringType),
+    StructField("xml_s", StringType),
+    StructField("varbit_s", StringType),
+    StructField("point_wkb", BinaryType),
+    StructField("line_wkb", BinaryType),
+    StructField("poly_wkb", BinaryType),
+    StructField("point_srid_wkb", BinaryType),
+    StructField("geo_bad", BinaryType),
+    StructField("oid_bytes", BinaryType),
+    StructField("time_s", StringType),
+    StructField("db2_time_s", StringType),
+    StructField("ts_sql_s", StringType),
+    StructField("ts_iso_s", StringType),
+    StructField("num_s", StringType),
+    StructField("bytea", BinaryType),
+    StructField("name_s", StringType),
+    StructField("circle_s", StringType)))
+
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+  private val timeFmt = DateTimeFormatter.ofPattern("HH:mm:ss").withZone(ZoneOffset.UTC)
+  private val db2Fmt  = DateTimeFormatter.ofPattern("HH.mm.ss").withZone(ZoneOffset.UTC)
+  private val sqlFmt  = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+  private val isoFmt  = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").withZone(ZoneOffset.UTC)
+
+  private def wkbPoint(x: Double, y: Double): Array[Byte] = {
+    val b = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    b.array()
+  }
+
+  private def wkbLine(pts: Seq[(Double, Double)]): Array[Byte] = {
+    val b = ByteBuffer.allocate(9 + pts.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(2).putInt(pts.length)
+    pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+    b.array()
+  }
+
+  private def wkbPolygon(ring: Seq[(Double, Double)]): Array[Byte] = {
+    val b = ByteBuffer.allocate(13 + ring.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(3).putInt(1).putInt(ring.length)
+    ring.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+    b.array()
+  }
+
+  /** MySQL geometry value: 4-byte SRID prefix then WKB. */
+  private def sridPrefixed(srid: Int, wkb: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + wkb.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(srid).put(wkb)
+    b.array()
+  }
+
+  /** events → the wide-typed source frame. Input columns consumed:
+    * event_id, user_id, event_type, value, ts. */
+  def wideTable(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    src.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0); val uid = r.getLong(1)
+        val etype = r.getString(2); val v = r.getDouble(3)
+        val ts = Instant.EPOCH.plusNanos(r.getLong(4) * 1000L)
+        val h = md5.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val px = (id % 100).toDouble; val py = (uid % 100).toDouble
+        val w = (id % 50 + 1).toDouble; val hgt = (uid % 50 + 1).toDouble
+        Row(
+          id,
+          id,                                            // bigint_v
+          if (id % 2 == 0) "true" else "false",          // bool_s
+          etype.substring(0, 1),                         // char_s
+          etype,                                         // varchar_s
+          dateFmt.format(ts),                            // date_s
+          f"${id % 100}%d.${id % 1000}%03d",             // dec_s
+          v,                                             // double_v
+          s"${uid % 100}.5",                             // float_s
+          uid.toString,                                  // int_s
+          (id % 1000).toInt,                             // int2_v
+          s"${id % 30} days",                            // interval_s
+          s"""{"k":$id}""",                              // json_s
+          s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+            s"${h.substring(16, 20)}-${h.substring(20, 32)}", // uuid_s
+          s"<v>$id</v>",                                 // xml_s
+          java.lang.Long.toBinaryString(id % 256),       // varbit_s
+          wkbPoint(px, py),                              // point_wkb
+          wkbLine(Seq((px, py), (px + 1, py + 1))),      // line_wkb
+          wkbPolygon(Seq((0d, 0d), (w, 0d), (w, hgt), (0d, 0d))), // poly_wkb
+          sridPrefixed(4326, wkbPoint(py, px)),          // point_srid_wkb
+          Array((id % 256).toByte),                      // geo_bad (hex fallback)
+          md5.digest(id.toString.getBytes("UTF-8")).take(12), // oid_bytes
+          timeFmt.format(ts),                            // time_s
+          db2Fmt.format(ts),                             // db2_time_s
+          sqlFmt.format(ts),                             // ts_sql_s
+          isoFmt.format(ts),                             // ts_iso_s
+          id.toString,                                   // num_s
+          etype.getBytes("UTF-8"),                       // bytea
+          s"n_$id",                                      // name_s
+          s"<(${id % 10},${uid % 10}),5>")               // circle_s
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.types
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{ObjectIdHex, SniffTimestamp, TimeNorm, WkbToWkt}
+
+/** Data-path coercion: build the Catalyst expression that casts a source
+  * column to its canonical type, using the same rules as the plan-time
+  * `Inference.coerce` (reference `utils/typeutils/reformat.go:59-104`,
+  * `ReformatValue`) — so discovery and execution cannot drift.
+  *
+  * Everything here is a codegen'd expression tree (builtin casts + the
+  * `WideTypes` kernels); no UDFs, so whole-stage codegen spans the whole
+  * coercion projection even for a 29-column wide table.
+  */
+object Coerce {
+  import CanonicalType._
+
+  /** Column coercion to a canonical type. String sources follow the
+    * reference's parse rules: bool accepts "true"/"1"
+    * (`reformat.go:120-145`), integers go through a double parse
+    * (`ReformatInt64` accepts "12.0"), timestamps run the shared
+    * format-sniffing list. */
+  def cast(t: CanonicalType, c: Column): Column = t match {
+    case Null    => lit(null)
+    case Bool    => when(c.cast("string").isNull, lit(null).cast("boolean"))
+      .otherwise(lower(trim(c.cast("string"))).isin("true", "1", "t"))
+    case Int32   => c.cast("string").cast("double").cast("int")
+    case Int64   => c.cast("string").cast("double").cast("long")
+    case Float32 => c.cast("float")
+    case Float64 => c.cast("double")
+    case TsSeconds | TsMillis | TsMicros | TsNanos =>
+      ColumnBridge.column(SniffTimestamp(
+        ColumnBridge.expression(c.cast("string"))))
+    case Str     => c.cast("string") // binary decodes as UTF-8, numbers render
+    case Obj | Arr => to_json(c)    // nested values stringify (flatten.go:57-84)
+    case Unknown => c
+  }
+
+  /** Geospatial column (WKB or SRID-prefixed WKB bytes) → WKT string. */
+  def geo(c: Column): Column =
+    ColumnBridge.column(WkbToWkt(ColumnBridge.expression(c)))
+
+  /** Mongo ObjectID / binary column → lowercase hex string. */
+  def objectId(c: Column): Column =
+    ColumnBridge.column(ObjectIdHex(ColumnBridge.expression(c)))
+
+  /** TIME-typed column → canonical `HH:mm:ss` string. */
+  def time(c: Column): Column =
+    ColumnBridge.column(TimeNorm(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.MongoScan
+import graft.spec.ChunkSql
+
+/** Executable Mongo pipeline-scan semantics
+  * (`drivers/mongodb/internal/backfill.go:24-260`). */
+class MongoScanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  private def docs(ids: String*) = {
+    val rows = ids.zipWithIndex.map { case (id, i) =>
+      org.apache.spark.sql.Row(id, i.toLong)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  private val a = "0" * 23 + "1"
+  private val b = "0" * 23 + "5"
+  private val c = "0" * 23 + "9"
+
+  test("rendered $match pipeline executes: half-open range, final chunk open-ended") {
+    val d = docs(a, b, c)
+    val lo = MongoScan.pipelineScan(d,
+      ChunkSql.mongoChunkPipeline(a, Some(b), objectIdKeyed = false))
+    assert(lo.select("_id").collect().map(_.getString(0)).toSeq == Seq(a))
+    val open = MongoScan.pipelineScan(d,
+      ChunkSql.mongoChunkPipeline(b, None, objectIdKeyed = false))
+    assert(open.select("_id").collect().map(_.getString(0)).sorted.toSeq == Seq(b, c))
+  }
+
+  test("$type:7 guard skips non-ObjectID _id (backfill.go:167-170 data-loss contract)") {
+    val mixed = docs(a, "not-an-objectid", c)
+    val out = MongoScan.pipelineScan(mixed,
+      ChunkSql.mongoChunkPipeline(a, None, objectIdKeyed = true))
+    assert(out.select("_id").collect().map(_.getString(0)).sorted.toSeq == Seq(a, c))
+  }
+
+  test("boundary grouping + union of chunk scans covers exactly once") {
+    val ids = (1 to 40).map(i => f"$i%024x")
+    val d = docs(ids: _*)
+    val bounds = MongoScan.splitVectorBoundaries(d, 8)
+    assert(bounds.head == ids.head && bounds.last == ids.last)
+    assert(bounds == bounds.distinct.sorted)
+    val all = MongoScan.scanChunked(d, bounds, group = 2)
+      .select("_id").collect().map(_.getString(0)).toSeq
+    assert(all.sorted == ids.sorted && all.length == ids.length)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.WideTypes
+import graft.types.{CanonicalType, Coerce}
+
+/** Wide-type coercion kernels: the value-coercion long tail
+  * (reference `utils/typeutils/reformat.go:59-104,512-557`,
+  * `drivers/mongodb/internal/mon.go:300-324`). */
+class WideTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def wkt(b: Array[Byte]): String = WideTypes.wkbToWkt(b).toString
+
+  private def le(parts: Any*): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(1024)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    parts.foreach {
+      case b: Byte   => buf.put(b)
+      case i: Int    => buf.putInt(i)
+      case d: Double => buf.putDouble(d)
+    }
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  test("WKB point/linestring/polygon → WKT") {
+    assert(wkt(le(1.toByte, 1, 3.0, 7.0)) == "POINT (3 7)")
+    assert(wkt(le(1.toByte, 2, 2, 0.0, 0.0, 1.5, 2.0)) ==
+      "LINESTRING (0 0, 1.5 2)")
+    assert(wkt(le(1.toByte, 3, 1, 4, 0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 0.0)) ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 0))")
+  }
+
+  test("WKB big-endian + multi geometries") {
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte).putInt(1).putDouble(2.0).putDouble(9.0)
+    assert(wkt(be.array()) == "POINT (2 9)")
+    // MULTIPOINT of two nested little-endian points
+    val mp = le(1.toByte, 4, 2) ++ le(1.toByte, 1, 1.0, 2.0) ++
+      le(1.toByte, 1, 3.0, 4.0)
+    assert(wkt(mp) == "MULTIPOINT ((1 2), (3 4))")
+  }
+
+  test("SRID-prefixed (MySQL) WKB parses; junk falls back to lowercase hex (reformat.go:512-528)") {
+    val srid = le(4326) ++ le(1.toByte, 1, 5.0, 6.0)
+    assert(wkt(srid) == "POINT (5 6)")
+    assert(wkt(Array[Byte](0x0a, 0x7f)) == "0a7f")
+    assert(wkt(Array[Byte]()) == "")
+  }
+
+  test("ObjectID → 24-char lowercase hex (mon.go:319-320)") {
+    val oid = Array.tabulate[Byte](12)(i => (i * 17).toByte)
+    assert(WideTypes.objectIdHex(oid).toString ==
+      oid.map("%02x".format(_)).mkString)
+  }
+
+  test("TIME normalization: DB2 dotted + fraction drop, passthrough otherwise (reformat.go:547-557)") {
+    def tn(s: String) = WideTypes.timeNorm(UTF8String.fromString(s)).toString
+    assert(tn("15.04.05") == "15:04:05")
+    assert(tn("15.04.05.123456") == "15:04:05")
+    assert(tn("15:04:05") == "15:04:05")
+    assert(tn("not a time") == "not a time")
+  }
+
+  test("sniff-ts expression: shared format list, null on junk, codegen path") {
+    import spark.implicits._
+    val df = Seq("2021-03-04 05:06:07", "2021-03-04T05:06:07.123456Z",
+      "2021-03-04", "junk").toDF("s")
+    val out = df.select(Coerce.cast(CanonicalType.TsMicros, col("s")).as("ts"))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(out(0).contains("2021-03-04 05:06:07.0"))
+    assert(out(1).contains("2021-03-04 05:06:07.123456"))
+    assert(out(2).contains("2021-03-04 00:00:00.0"))
+    assert(out(3).isEmpty)
+  }
+
+  test("coerce casts follow ReformatValue: bool '1', int via double parse, binary → UTF-8") {
+    import spark.implicits._
+    val df = Seq(("1", "12.0", "ab")).toDF("b", "i", "s")
+      .select(Coerce.cast(CanonicalType.Bool, col("b")).as("b"),
+        Coerce.cast(CanonicalType.Int64, col("i")).as("i"),
+        Coerce.cast(CanonicalType.Str, encode(col("s"), "UTF-8")).as("s"))
+    val r = df.head
+    assert(r.getBoolean(0) && r.getLong(1) == 12L && r.getString(2) == "ab")
+  }
+}
