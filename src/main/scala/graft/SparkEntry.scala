@@ -360,6 +360,30 @@ object SparkEntry {
         get_json_object(col("json"), "$.value").cast("double").as("value"))
     }),
 
+    // ---- S16 Schema-Registry-shaped Avro: per-record writer-schema
+    //      resolution by frame id (two registered schemas: v1 static,
+    //      v2 with a nullable union + decimal logical type), decoders
+    //      cached per id per partition. The registry is a fixture-backed
+    //      resolver with the Confluent /schemas/ids/{id} response shape;
+    //      a deployment swaps in an HTTP client behind the same trait. ----
+    "q_avro_registry" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val framed = ChangeLogFixture.avroRegistryLog(ev)
+      val (schemaId, payload) = KafkaDecode.confluentFrame(col("value"))
+      val stripped = framed.select(schemaId.as("schema_id"), payload.as("body"))
+      val registry = KafkaDecode.MapResolver(Map(
+        // v1 entry omits schemaType — AVRO is the registry default
+        7 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchema),
+        9 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchemaV2, "AVRO")))
+      KafkaDecode.decodeWithRegistry(s, stripped, "schema_id", "body", registry)
+        .select(
+          col("schema_id"),
+          get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("json"), "$.user_id").cast("long").as("user_id"),
+          get_json_object(col("json"), "$.event_type").as("event_type"),
+          get_json_object(col("json"), "$.value").cast("double").as("value"))
+    }),
+
     // ---- C6 MSSQL CDC-table polling (LSN range, skip update-before) ----
     "q_cdc_mssql" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -916,6 +940,18 @@ object SparkEntry {
 
     "q_avro_decode" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 2000",
+
+    // v2 (odd event_id) rows: union-null user_id on errors, decimal
+    // value = event_id x 10^-2 (exactly event_id/100.0 as a double).
+    "q_avro_registry" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 7 ELSE 9 END AS schema_id,
+        |  event_id,
+        |  CASE WHEN event_id % 2 = 1 AND event_type = 'error' THEN NULL
+        |       ELSE user_id END AS user_id,
+        |  event_type,
+        |  CASE WHEN event_id % 2 = 0 THEN value
+        |       ELSE CAST(event_id AS DOUBLE) / 100 END AS value
+        |FROM events WHERE event_id < 2000""".stripMargin,
 
     "q_cdc_mssql" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'

@@ -139,6 +139,63 @@ object ChangeLogFixture {
     }(Encoders.row(StructType(Seq(StructField("value", BinaryType)))))
   }
 
+  /** Evolved writer schema (registry id 9): `user_id` becomes a
+    * nullable union, `value` becomes a decimal(18,2) logical type — the
+    * two shapes the reference's `ExtractAvroValue` unwraps/converts
+    * (`utils/typeutils/avro.go:25-36`). */
+  val eventsAvroSchemaV2: String =
+    """{"type":"record","name":"Event","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"user_id","type":["null","long"],"default":null},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}}
+      |]}""".stripMargin.replace("\n", "")
+
+  /** events → Confluent-framed Avro under TWO writer schemas, the id
+    * alternating per record by `event_id` parity (even → v1 id 7, odd →
+    * v2 id 9). v2 rows carry a null `user_id` for error events and the
+    * decimal value `event_id × 10⁻²` (integer-unscaled — exactly
+    * replayable as `event_id / 100.0`). */
+  def avroRegistryLog(events: DataFrame, v1Id: Int = 7, v2Id: Int = 9): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    val (s1Json, s2Json) = (eventsAvroSchema, eventsAvroSchemaV2)
+    src.mapPartitions { it =>
+      // one parser per schema: registry entries are standalone documents
+      // (a shared parser would reject the re-used record name)
+      val s1 = new org.apache.avro.Schema.Parser().parse(s1Json)
+      val s2 = new org.apache.avro.Schema.Parser().parse(s2Json)
+      val w1 = new org.apache.avro.generic.GenericDatumWriter[Any](s1)
+      val w2 = new org.apache.avro.generic.GenericDatumWriter[Any](s2)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(0) // magic byte
+        val useV2 = id % 2 != 0
+        bos.write(java.nio.ByteBuffer.allocate(4)
+          .putInt(if (useV2) v2Id else v1Id).array())
+        val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+        if (useV2) {
+          val rec = new org.apache.avro.generic.GenericData.Record(s2)
+          rec.put("event_id", id)
+          rec.put("user_id",
+            if (r.getString(2) == "error") null else java.lang.Long.valueOf(r.getLong(1)))
+          rec.put("event_type", r.getString(2))
+          rec.put("value", java.nio.ByteBuffer.wrap(
+            java.math.BigInteger.valueOf(id).toByteArray))
+          w2.write(rec, enc)
+        } else {
+          val rec = new org.apache.avro.generic.GenericData.Record(s1)
+          rec.put("event_id", id); rec.put("user_id", r.getLong(1))
+          rec.put("event_type", r.getString(2)); rec.put("value", r.getDouble(3))
+          w1.write(rec, enc)
+        }
+        enc.flush()
+        Row(bos.toByteArray)
+      }
+    }(Encoders.row(StructType(Seq(StructField("value", BinaryType)))))
+  }
+
   /** events → wal2json v1 documents (one transaction per row). Deletes
     * carry only `oldkeys`, like the plugin emits. */
   def wal2jsonLog(events: DataFrame): DataFrame = {

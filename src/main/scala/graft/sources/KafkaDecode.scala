@@ -63,4 +63,118 @@ object KafkaDecode {
     }
     decoded.toDF("json")
   }
+
+  // ---- Schema-Registry-shaped resolution (per-record schema id) ----
+
+  /** A registry entry, shaped like the Confluent
+    * `/schemas/ids/{id}` response the reference consumes
+    * (`pkg/kafka/schema_registry.go:45-75`): schema text + type, with
+    * AVRO the default when the response omits the type. */
+  case class RegisteredSchema(schemaJson: String, schemaType: String = "") {
+    def resolvedType: String = if (schemaType.isEmpty) "AVRO" else schemaType
+  }
+
+  /** Resolver contract: id → schema, cached by id like the reference's
+    * `schemaMap` (`schema_registry.go:46-49`). The fixture-backed map
+    * used in tests and the HTTP client a deployment plugs in share this
+    * interface — the decode path below only sees `resolve`. */
+  trait SchemaResolver extends Serializable {
+    def resolve(id: Int): RegisteredSchema
+  }
+
+  /** Static registry snapshot (fixture-backed resolver). */
+  case class MapResolver(schemas: Map[Int, RegisteredSchema]) extends SchemaResolver {
+    def resolve(id: Int): RegisteredSchema = schemas.getOrElse(id,
+      throw new IllegalArgumentException(s"schema id $id not in registry"))
+  }
+
+  /** Render a decoded Avro datum as JSON with the reference's value
+    * extraction semantics (`utils/typeutils/avro.go:10-47`,
+    * `ExtractAvroValue`): unions unwrap to their branch value, decimal
+    * logical types become double, Utf8 → string. */
+  private def avroJson(datum: Any, schema: org.apache.avro.Schema): String = {
+    import org.apache.avro.Schema.Type._
+    import scala.jdk.CollectionConverters._
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def isDecimal(s: org.apache.avro.Schema): Boolean =
+      s.getLogicalType != null && s.getLogicalType.getName == "decimal"
+    def decScale(s: org.apache.avro.Schema): Int =
+      s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+    (schema.getType, datum) match {
+      case (_, null) => "null"
+      case (UNION, d) =>
+        val idx = org.apache.avro.generic.GenericData.get()
+          .resolveUnion(schema, d)
+        avroJson(d, schema.getTypes.get(idx)) // unwrap: no {type: val} wrapper
+      case (RECORD, r: org.apache.avro.generic.GenericRecord) =>
+        schema.getFields.asScala.map { f =>
+          s""""${esc(f.name)}":${avroJson(r.get(f.pos), f.schema)}"""
+        }.mkString("{", ",", "}")
+      case (ARRAY, a: java.util.Collection[_]) =>
+        a.asScala.map(avroJson(_, schema.getElementType)).mkString("[", ",", "]")
+      case (MAP, m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) =>
+          s""""${esc(String.valueOf(k))}":${avroJson(v, schema.getValueType)}"""
+        }.mkString("{", ",", "}")
+      case (BYTES, b: java.nio.ByteBuffer) if isDecimal(schema) =>
+        val bytes = new Array[Byte](b.remaining()); b.duplicate().get(bytes)
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), decScale(schema))
+          .doubleValue.toString
+      case (FIXED, f: org.apache.avro.generic.GenericFixed) if isDecimal(schema) =>
+        new java.math.BigDecimal(new java.math.BigInteger(f.bytes), decScale(schema))
+          .doubleValue.toString
+      case (BYTES, b: java.nio.ByteBuffer) =>
+        val bytes = new Array[Byte](b.remaining()); b.duplicate().get(bytes)
+        "\"" + bytes.map("%02x".format(_)).mkString + "\""
+      case (STRING | ENUM, s) => "\"" + esc(String.valueOf(s)) + "\""
+      case (INT | LONG | FLOAT | DOUBLE | BOOLEAN, v) => String.valueOf(v)
+      case (t, v) =>
+        throw new IllegalArgumentException(s"unsupported avro value $t/$v")
+    }
+  }
+
+  /** Per-record writer-schema resolution: each message resolves its own
+    * schema by the frame's id (`drivers/kafka/internal/cdc.go:266-292`
+    * `parseKafkaData`), decoders cached per id per partition (the
+    * reference caches codecs in the registry client). JSON-typed
+    * schemas pass the payload through as JSON text. Output:
+    * (schema_id, json). */
+  def decodeWithRegistry(spark: SparkSession, df: DataFrame,
+                         idCol: String, payloadCol: String,
+                         resolver: SchemaResolver): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val outSchema = StructType(Seq(StructField("schema_id", IntegerType),
+      StructField("json", StringType)))
+    df.select(col(idCol).cast("int"), col(payloadCol))
+      .mapPartitions { it =>
+        val readers = scala.collection.mutable.HashMap
+          .empty[Int, (org.apache.avro.Schema,
+                       org.apache.avro.generic.GenericDatumReader[Any])]
+        it.map { r =>
+          val id = r.getInt(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val reg = resolver.resolve(id)
+          val json = reg.resolvedType match {
+            case "AVRO" =>
+              val (schema, reader) = readers.getOrElseUpdate(id, {
+                val s = new org.apache.avro.Schema.Parser().parse(reg.schemaJson)
+                (s, new org.apache.avro.generic.GenericDatumReader[Any](s))
+              })
+              val dec = org.apache.avro.io.DecoderFactory.get()
+                .binaryDecoder(bytes, null)
+              avroJson(reader.read(null.asInstanceOf[Any], dec), schema)
+            case "JSON" => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported schema type: $other")
+          }
+          Row(id, json)
+        }
+      }(Encoders.row(outSchema))
+  }
 }

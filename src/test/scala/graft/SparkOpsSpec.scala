@@ -443,6 +443,45 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decoded(0).contains("\"id\": 1") && decoded(0).contains("a"))
   }
 
+  test("registry decode: per-record schema id, union unwrap, decimal→double, JSON passthrough") {
+    import spark.implicits._
+    val avroSchema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"who","type":["null","string"],"default":null},
+        |{"name":"amt","type":{"type":"bytes","logicalType":"decimal","precision":9,"scale":2}}
+        |]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+    def enc(id: Long, who: String, cents: Long): Array[Byte] = {
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", id); rec.put("who", who)
+      rec.put("amt", java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(cents).toByteArray))
+      val out = new java.io.ByteArrayOutputStream()
+      val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[Any](schema).write(rec, e)
+      e.flush(); out.toByteArray
+    }
+    val resolver = KafkaDecode.MapResolver(Map(
+      1 -> KafkaDecode.RegisteredSchema(avroSchema), // no type → AVRO default
+      2 -> KafkaDecode.RegisteredSchema("{}", "JSON")))
+    val df = Seq(
+      (1, enc(5L, null, 123L)),
+      (1, enc(6L, "x", -45L)),
+      (2, """{"id":7}""".getBytes("UTF-8"))).toDF("sid", "body")
+    val out = KafkaDecode.decodeWithRegistry(spark, df, "sid", "body", resolver)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._2)
+    assert(out.contains((1, """{"id":5,"who":null,"amt":1.23}""")))
+    assert(out.contains((1, """{"id":6,"who":"x","amt":-0.45}""")))
+    assert(out.contains((2, """{"id":7}""")))
+    val unknown = intercept[org.apache.spark.SparkException] {
+      KafkaDecode.decodeWithRegistry(spark,
+        Seq((3, Array[Byte]())).toDF("sid", "body"), "sid", "body", resolver)
+        .collect()
+    }
+    assert(unknown.getMessage.contains("schema id 3"))
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal decode stub: deterministic features, stable schema") {
