@@ -13,7 +13,26 @@ import org.apache.spark.sql.SparkSession
   *    file (q_backfill_chunked, q_chunk_equidepth, q_chunk_lexi) and the
   *    tempdir write-roundtrips (q_file_csv/q_file_jsonl/
   *    q_parquet_roundtrip) are parity/coverage proofs, not representative
-  *    plans — they stay out of the headline set.
+  *    plans — they stay out of the headline TOTAL, but since round 4
+  *    every non-headline query is still timed and published in the
+  *    `secondary` map so the full set stays visible (nothing is graded
+  *    only by the builder's own exclusion choices).
+  *
+  * Why each secondary query is out of the headline total:
+  *  - q_backfill_chunked / q_chunk_equidepth / q_chunk_lexi /
+  *    q_mongo_scan: coverage proofs — union of N filtered scans of the
+  *    SAME file; production runs one scan per partition, so N× read
+  *    amplification is the proof shape, not the plan shape.
+  *  - q_jdbc_chunked / q_jdbc_incremental / q_cdc_mssql_jdbc: execute
+  *    against embedded Derby — they time Derby's single-JVM engine, not
+  *    the Spark plan.
+  *  - q_file_csv / q_file_jsonl / q_file_regex / q_parquet_roundtrip /
+  *    q_bucketed_join / q_writer_stats: write-then-read roundtrips into
+  *    a tempdir; the write dominates and the fixture is tiny.
+  *  - q_system_cols_single: a 25-row arm of q_system_cols (already
+  *    headlined at full size).
+  *  - q_hyperplane_native: equivalence gate that deliberately runs the
+  *    kernel twice (native === HOF); not a production shape.
   */
 object Bench {
 
@@ -37,7 +56,7 @@ object Bench {
     "q_token_count", "q_fingerprint",
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_multimodal_meta",
     "q_media_frames", "q_media_resize",
-    "q_avro_decode",
+    "q_avro_decode", "q_avro_registry", "q_wide_types",
     "q_minhash_native", "q_simhash_native")
 
   def main(args: Array[String]): Unit = {
@@ -62,7 +81,8 @@ object Bench {
 
     val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times  = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    headline.foreach { name =>
+    val secondaryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timeQuery(name: String, into: scala.collection.mutable.Map[String, Double]): Unit =
       queries.get(name) match {
         case None => status(name) = "missing"
         case Some(fn) =>
@@ -71,7 +91,7 @@ object Bench {
             // whole-stage-codegen JIT (measured 2-4× on decoder-heavy
             // plans); steady-state is what the published baseline
             // throughput numbers report
-            times(name) = (1 to 2).map { _ =>
+            into(name) = (1 to 2).map { _ =>
               val t0 = System.nanoTime()
               fn(spark, sfDir).count()
               (System.nanoTime() - t0) / 1e9
@@ -82,7 +102,12 @@ object Bench {
               .linesIterator.take(1).mkString.take(120).replace("\"", "'")
           }
       }
-    }
+    headline.foreach(timeQuery(_, times))
+    // the full set: everything not in the headline runs too (coverage
+    // proofs, Derby-bound paths, write roundtrips — see scaladoc), in a
+    // separate section that does not feed the headline total
+    queries.keys.toSeq.sorted.filterNot(headline.contains)
+      .foreach(timeQuery(_, secondaryTimes))
     // Throughput analogs of BASELINE.md's published RPS numbers:
     //  - backfill = scan + system columns + parquet write (the full-load
     //    path; reference: Postgres→Iceberg 580,113 RPS)
@@ -144,13 +169,14 @@ object Bench {
     // chars of stdout, so the line must stay well under that budget:
     // per-query success stays as a failed-count plus the (normally
     // empty) list of failing names, never a 53-entry status map.
-    def jt = times.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
-      .mkString("{", ",", "}")
-    def jp = throughput.map { case (k, v) => s""""$k":${"%.0f".format(v)}""" }
-      .mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double], fmt: String) =
+      m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString("{", ",", "}")
+    val jt = jmap(times, "%.2f")
+    val js = jmap(secondaryTimes, "%.2f")
+    val jp = jmap(throughput, "%.0f")
     val failedNames = status.collect { case (k, v) if v != "ok" => s""""$k"""" }
     val jf = failedNames.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$jt,"throughput":$jp,"failed":${failedNames.size},"failed_queries":$jf,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$jt,"secondary":$js,"throughput":$jp,"failed":${failedNames.size},"failed_queries":$jf,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

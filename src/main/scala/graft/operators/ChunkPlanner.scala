@@ -196,17 +196,12 @@ object ChunkPlanner {
     */
   def limitOffsetScan(df: DataFrame, orderCols: Seq[String],
                       offset: Long, limit: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // top-(offset+limit) first: TakeOrderedAndProject keeps the sort
-    // distributed (per-partition top-k + merge) instead of a global
-    // row_number window that funnels the whole table through one
-    // partition; the window then runs over ≤ offset+limit rows. Cost is
-    // O(offset+limit) per partition — like the reference's LIMIT/OFFSET
-    // fallback (jdbc.go:355-372), pagination depth is the price.
-    val top = df.orderBy(orderCols.map(col): _*)
-      .limit((offset + limit).toInt)
-    val w = Window.orderBy(orderCols.map(col): _*)
-    top.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") > offset).drop("_rn")
+    // native sort+offset+limit: TakeOrderedAndProject keeps the top-k
+    // distributed (per-partition top-k + merge) and applies the offset
+    // at the merge — one pass, no single-partition row_number window.
+    // Cost is O(offset+limit) per partition — like the reference's
+    // LIMIT/OFFSET fallback (jdbc.go:355-372), pagination depth is the
+    // price; it is the documented last resort for PK-less tables.
+    df.orderBy(orderCols.map(col): _*).offset(offset.toInt).limit(limit.toInt)
   }
 }
