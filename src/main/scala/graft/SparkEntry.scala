@@ -7,8 +7,8 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
-import graft.sources.{BoundedRead, Discover, FileSources, JdbcSource, KafkaDecode, MongoScan}
-import graft.spec.{DialectSql, FilterSpec, WideFixture}
+import graft.sources.{BoundedRead, CtidScan, Discover, FileSources, JdbcSource, KafkaDecode, MongoScan}
+import graft.spec.{ChunkSql, DialectSql, FilterSpec, WideFixture}
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
 import graft.types.{CanonicalType, Coerce, Naming}
 
@@ -134,6 +134,22 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val chunks = ChunkPlanner.equiDepthChunks(li, "l_orderkey", 8)
       ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
+    }),
+
+    // ---- S2/S4 executed: Postgres ctid page chunking — the planner's
+    //      page math (pgCtidRanges) renders the same `ctid >= '(p,0)'
+    //      AND ctid < '(q,0)'` predicate strings the JDBC predicates
+    //      array would carry, and each string is parsed back into a
+    //      Catalyst page/tuple filter and RUN over a heap-shaped frame.
+    //      Union of range scans = tiling proof. targetBytes sized so
+    //      the fixture yields multiple page batches. ----
+    "q_ctid_scan" -> ((s, dir) => {
+      val heap = CtidScan.syntheticHeap(
+        t(s, dir, "events").where(col("event_id") < 10000), "event_id")
+      val ranges = ChunkSql.pgCtidRanges(
+        CtidScan.relPages(heap), blockSize = 8192, targetBytes = 8192L * 8)
+      CtidScan.scanChunked(heap, ranges)
+        .select("ctid", "event_id", "user_id", "value")
     }),
 
     // ---- S11/S12 executed: Mongo splitVector-analog boundaries
@@ -832,6 +848,13 @@ object SparkEntry {
 
     "q_chunk_equidepth" ->
       "SELECT * FROM lineitem",
+
+    // Union of ctid-range scans must reproduce the heap exactly; the
+    // synthetic (page, 1-based tuple) address is rebuilt in SQL.
+    "q_ctid_scan" ->
+      """SELECT '(' || (event_id // 226) || ',' || (event_id % 226 + 1) || ')' AS ctid,
+        |  event_id, user_id, value
+        |FROM events WHERE event_id < 10000""".stripMargin,
 
     // Union-of-pipeline-scans must reproduce the collection exactly;
     // the synthetic ObjectID (4-byte epoch + key bytes) is rebuilt in

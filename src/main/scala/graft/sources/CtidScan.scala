@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.spec.ChunkSql
+
+/** Executable Postgres ctid/page-chunk semantics (S2/S4): the rendered
+  * ctid-range predicates are parsed and RUN over a heap-shaped frame,
+  * proving the planner strings by execution (the same treatment
+  * `MongoScan` gives the aggregation pipeline).
+  *
+  * Reference behavior re-expressed
+  * (`drivers/postgres/internal/backfill.go:63-134`,
+  * `pkg/jdbc/jdbc.go:128-217`):
+  *  - a heap row's physical address is `ctid = (page, tuple)`;
+  *  - the planner splits `relpages` into page batches of
+  *    `targetBytes / block_size` pages (`ChunkSql.pgCtidRanges`);
+  *  - each chunk scans `ctid >= '(p,0)' AND ctid < '(q,0)'`, final
+  *    range open-ended — ctid order is (page, tuple) lexicographic.
+  *
+  * Scale: planning is ONE max() agg (the `relpages` stat analog — the
+  * real path reads pg_class instead and touches no data); each chunk is
+  * a pushed-down range filter on the page derived from the id. The
+  * union-of-scans gate query is the tiling proof; production passes one
+  * predicate per JDBC partition (`JdbcSource` does exactly that).
+  */
+object CtidScan {
+
+  /** Re-express a keyed table as a heap-shaped frame: `ctid` text
+    * `(page,tuple)` with `page = id / tuplesPerPage` and 1-based tuple
+    * index — the physical layout a fixed-width row table produces. Pure
+    * codegen'd column math. */
+  def syntheticHeap(df: DataFrame, idCol: String,
+                    tuplesPerPage: Int = 226): DataFrame =
+    df.withColumn("_page", (col(idCol) / tuplesPerPage).cast("long"))
+      .withColumn("_tuple", (col(idCol) % tuplesPerPage + 1).cast("long"))
+      .withColumn("ctid",
+        concat(lit("("), col("_page"), lit(","), col("_tuple"), lit(")")))
+
+  /** The `relpages` stat: one agg over the heap (the real planner reads
+    * `pg_class.relpages`, `ChunkSql.pgRelPagesQuery`). */
+  def relPages(heap: DataFrame): Long = {
+    val r = heap.agg(max(col("_page"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+  }
+
+  private val CtidLit = raw"'\((\d+),(\d+)\)'".r
+  private val Cond = raw"ctid\s*(>=|<)\s*('\(\d+,\d+\)')".r
+
+  private def bound(op: String, lit: String): Column = {
+    val CtidLit(p, t) = lit: @unchecked
+    val (page, tuple) = (p.toLong, t.toLong)
+    op match {
+      // (page, tuple) lexicographic compare, unrolled to codegen'd math
+      case ">=" => col("_page") > page ||
+        (col("_page") === page && col("_tuple") >= tuple)
+      case "<"  => col("_page") < page ||
+        (col("_page") === page && col("_tuple") < tuple)
+    }
+  }
+
+  /** Parse one rendered ctid predicate (`ChunkSql.pgCtidPredicate`
+    * output — the exact string the JDBC predicates array carries) into
+    * a Catalyst filter and apply it. */
+  def predicateScan(heap: DataFrame, predicate: String): DataFrame = {
+    val conds = Cond.findAllMatchIn(predicate).map { m =>
+      bound(m.group(1), m.group(2))
+    }.toSeq
+    require(conds.nonEmpty, s"no ctid conditions in: $predicate")
+    heap.where(conds.reduce(_ && _))
+  }
+
+  /** Full backfill as the union of per-range predicate scans — the
+    * coverage proof (gap → missing rows, overlap → duplicates). */
+  def scanChunked(heap: DataFrame, ranges: Seq[(String, Option[String])]): DataFrame =
+    ranges.map { case (mn, mx) =>
+      predicateScan(heap, ChunkSql.pgCtidPredicate(mn, mx))
+    }.reduce(_ unionAll _)
+}
