@@ -129,13 +129,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("map-only operators introduce zero exchanges") {
-    // flatten, system columns, and the wire decoders are single-pass:
-    // any Exchange appearing here is a regression
-    Seq("q_flatten", "q_system_cols", "q_cdc_pgoutput", "q_cdc_binlog")
+    // flatten, system columns, the wire decoders, the wide-type
+    // coercion projection, the registry-resolved Avro decode, and the
+    // executable chunk scans (unions of per-range filters) are
+    // single-pass: any Exchange appearing here is a regression
+    Seq("q_flatten", "q_system_cols", "q_cdc_pgoutput", "q_cdc_binlog",
+        "q_wide_types", "q_avro_registry", "q_ctid_scan")
       .foreach { name =>
         val p = plan(q(name))
         assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
       }
+  }
+
+  test("wide-type coercion stays inside whole-stage codegen (no UDF, native kernels)") {
+    val p = plan(q("q_wide_types"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // the custom kernels appear as expressions in the codegen'd project
+    assert(p.contains("graft_wkb_wkt") && p.contains("graft_objectid_hex")
+      && p.contains("graft_sniff_ts"), p)
+    // the coercion Project carries a whole-stage-codegen marker (*(n))
+    val projectLine = p.linesIterator.find(_.contains("col_bigint")).get
+    assert(projectLine.trim.startsWith("*("), projectLine)
   }
 
   test("windowed rates shuffle once, with partial aggregation before it") {
