@@ -161,4 +161,34 @@ object CdcStream {
         applyBatch(df, id, tablePath, statePath, stream))
       .start()
   }
+
+  /** The LIVE pipeline: replication socket → pgoutput decode →
+    * per-batch delta-segment apply + position commit — the end-to-end
+    * shape of the reference's `StreamChanges` → writer → 2PC loop
+    * (`pkg/waljs/pgoutput.go:33-106` feeding
+    * `drivers/abstract/cdc.go:100-164`).
+    *
+    * `project` maps the decoder's normalized change columns
+    * (kind/lsn/commit_ts_micros/names/values) to the apply shape:
+    * `_olake_id`, `lsn`, `kind`, `_cdc_timestamp`, payload columns.
+    * The trigger is continuous (the socket is live); the source's
+    * `commit` sends the standby ack, and `applyBatch` keeps its own
+    * position commit so a crash between the two replays safely. */
+  def runSocket(spark: SparkSession, host: String, port: Int, startLsn: Long,
+                project: DataFrame => DataFrame,
+                tablePath: String, statePath: String, checkpoint: String,
+                stream: String = "events",
+                triggerMillis: Long = 100): StreamingQuery = {
+    val raw = spark.readStream.format("graft-pgoutput-socket")
+      .option("host", host).option("port", port.toString)
+      .option("startLsn", startLsn.toString).load()
+    val changes = project(graft.cdc.PgOutput.decode(raw, "lsn", "msg"))
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch((df: Dataset[Row], id: Long) =>
+        applyBatch(df, id, tablePath, statePath, stream))
+      .start()
+  }
 }

@@ -160,4 +160,48 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(srv.handshakeLsn == 0L)
     } finally srv.close()
   }
+
+  test("live pipeline: socket → decode → delta-segment merge → committed position") {
+    import org.apache.spark.sql.functions._
+    val cdcRel = PgOutput.Relation(7, "public", "kv", 'f', Seq(
+      PgOutput.RelColumn(1, "id", 25, -1), PgOutput.RelColumn(0, "v", 20, -1)))
+    def tx(lsn: Long, msg: Array[Byte]): Seq[(Long, Array[Byte])] = Seq(
+      (lsn, PgOutput.encodeBegin(1700000000000000L + lsn, lsn.toInt)),
+      (lsn + 1, msg),
+      (lsn + 2, PgOutput.encodeCommit(1700000000000000L + lsn)))
+    val tranche1 = (10L, PgOutput.encodeRelation(cdcRel)) +:
+      (tx(100, PgOutput.encodeInsert(7, Seq("a", "1"))) ++
+       tx(110, PgOutput.encodeInsert(7, Seq("b", "2"))) ++
+       tx(120, PgOutput.encodeUpdate(7, Some(Seq("a", "1")), Seq("a", "3"))))
+    val tranche2 =
+      tx(130, PgOutput.encodeDelete(7, Seq("b", "2"))) ++
+      tx(140, PgOutput.encodeInsert(7, Seq("c", "9")))
+    val srv = new LoopbackServer(Seq(tranche1, tranche2), trancheDelayMs = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_live").toString
+    try {
+      val q = graft.streaming.CdcStream.runSocket(spark, "127.0.0.1", srv.port,
+        startLsn = 0L,
+        project = d => d.select(
+          element_at(col("values"), 1).as("_olake_id"),
+          col("lsn"), col("kind"),
+          timestamp_micros(col("commit_ts_micros")).as("_cdc_timestamp"),
+          element_at(col("values"), 2).cast("long").as("v")),
+        tablePath = s"$dir/t", statePath = s"$dir/s.json",
+        checkpoint = s"$dir/ckpt", stream = "kv")
+      try {
+        val deadline = System.nanoTime() + 40L * 1000 * 1000 * 1000
+        def state = graft.state.StateStore.load(s"$dir/s.json")
+          .flatMap(_.streams.get("kv")).flatMap(_.offsets.get("lsn"))
+        while (!state.contains(141L) && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      } finally q.stop()
+      val table = graft.streaming.CdcStream.readTable(spark, s"$dir/t")
+        .select("_olake_id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      // a updated to 3, b deleted, c inserted
+      assert(table.toSeq == Seq(("a", 3L), ("c", 9L)))
+      assert(graft.state.StateStore.load(s"$dir/s.json")
+        .get.streams("kv").offsets("lsn") == 141L)
+    } finally srv.close()
+  }
 }
