@@ -109,9 +109,16 @@ object Dedup {
       .withColumn("_rn", row_number().over(w))
       .join(full.select(col("id"), col("n")), "id")
       .where(col("_rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "tok")
+      .select("id", "tok", "n")
+    // PPJoin length filter inside the candidate join: J(A,B) ≥ t forces
+    // t·|B| ≤ |A| ≤ |B|/t, so size-incompatible pairs never reach the
+    // distinct or the exact verify — this prunes exactly the pairs a
+    // shared rare token would otherwise emit between different-length
+    // non-duplicates
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("a.n") >= ceil(lit(threshold) * col("b.n")) &&
+        col("b.n") >= ceil(lit(threshold) * col("a.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     cand
       .join(full.select(col("id").as("id_a"), col("all_toks").as("ta"),
