@@ -136,6 +136,17 @@ object SparkEntry {
       ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
     }),
 
+    // ---- S6 executed: MySQL numeric fast path — min/max probe then
+    //      evenChunks (fixed count, equal width — jdbc.go:374-401's
+    //      non-sampled branch); union of range scans = tiling proof. ----
+    "q_chunk_even" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mm = li.agg(min(col("l_orderkey")).cast("long"),
+        max(col("l_orderkey")).cast("long")).head()
+      val chunks = ChunkPlanner.evenChunks(mm.getLong(0), mm.getLong(1), 8)
+      ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
+    }),
+
     // ---- S2/S4 executed: Postgres ctid page chunking — the planner's
     //      page math (pgCtidRanges) renders the same `ctid >= '(p,0)'
     //      AND ctid < '(q,0)'` predicate strings the JDBC predicates
@@ -847,6 +858,9 @@ object SparkEntry {
         |WHERE mn + 1000*g <= mx""".stripMargin,
 
     "q_chunk_equidepth" ->
+      "SELECT * FROM lineitem",
+
+    "q_chunk_even" ->
       "SELECT * FROM lineitem",
 
     // Union of ctid-range scans must reproduce the heap exactly; the
