@@ -196,6 +196,27 @@ object Dedup {
       .where(col("est_jaccard") >= estThreshold)
   }
 
+  /** Banded candidate PAIRS only (no signature similarity): the shape
+    * the verified tier consumes — a pair that collides in any band goes
+    * straight to the exact check, so estimating Jaccard from the
+    * signatures per collision (up to `bands`× per pair) would be pure
+    * waste. Join stays band-keyed; output is deduped ids. */
+  private def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                                shingleN: Int, k: Int, bands: Int,
+                                native: Boolean): DataFrame = {
+    val sigExpr =
+      if (native) call_function("graft_minhash", col(textCol),
+        lit(shingleN), lit(k), lit(bands))
+      else sigWithBands(shingles(col(textCol), shingleN), k, bands)
+    val bandRows = df
+      .select(col(idCol).as("id"), explode(sigExpr.getField("bands")).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** MinHash-LSH candidates VERIFIED by exact shingle Jaccard: the
     * production near-dup shape (banded candidates, then one exact check
     * per candidate — never per pair), and the oracle-able one: output
@@ -214,8 +235,8 @@ object Dedup {
                            shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                            threshold: Double = 0.5,
                            native: Boolean = false): DataFrame = {
-    val cand = minhashPairs(df, textCol, idCol, shingleN, k, bands,
-      estThreshold = 0.0, native = native).select("id_a", "id_b")
+    val cand = minhashCandidates(df, textCol, idCol, shingleN, k, bands,
+      native)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
     cand

@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.llm.Dedup
+
+/** Dev-only: isolate the 10× minhash_pairs timing (ScaleCheck follow-up). */
+object MhProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/tmp/graft_sf1/documents.parquet")
+    println(s"docs: ${docs.count()}")
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = Dedup.minhashPairs(docs, "text", "doc_id", native = true).count()
+      println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n pairs)")
+    }
+    spark.stop()
+  }
+}
