@@ -68,12 +68,17 @@ object DeltaSegments {
 
   /** Newest change per key across all delta segments. Within a segment
     * keys are already unique, so `_delta_seq` alone is a total order
-    * per key. */
+    * per key. `mergeSchema` lets segments carry EVOLVED schemas (a
+    * source ALTER TABLE mid-stream adds a column in later segments —
+    * the reference renders the matching sink ALTER,
+    * `IcebergSql`/`utils/typeutils` evolution): earlier segments read
+    * the new column as null. */
   private def latestDelta(spark: SparkSession, tablePath: String): Option[DataFrame] = {
     val segs = listSegments(tablePath)
     if (segs.isEmpty) None
     else {
-      val df = spark.read.parquet(segs.map(_.getPath): _*)
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(segs.map(_.getPath): _*)
       Some(Merge.dedupKeepLatestAgg(df, orderCols = Seq(col(SeqCol))))
     }
   }
@@ -91,16 +96,26 @@ object DeltaSegments {
         baseDf.getOrElse(
           throw new IllegalStateException(s"no base or delta under $tablePath"))
       case Some(latest) =>
-        val dataCols = baseDf.map(_.columns).getOrElse(
-          latest.columns.filterNot(c => c == SystemColumns.OpType ||
-            c == SystemColumns.CdcTimestamp || c == SeqCol))
-        val survivors = latest
-          .where(col(SystemColumns.OpType) =!= SystemColumns.OpDelete)
-          .select(dataCols.map(col).toIndexedSeq: _*)
+        // data columns = union of base's and the (possibly evolved)
+        // segments' — a column added mid-stream surfaces with nulls for
+        // rows that predate it (the reference's add-column evolution)
+        val deltaCols = latest.columns.filterNot(c =>
+          c == SystemColumns.OpType || c == SystemColumns.CdcTimestamp ||
+          c == SeqCol)
+        val dataCols = baseDf.map(b =>
+          b.columns ++ deltaCols.filterNot(b.columns.contains)
+        ).getOrElse(deltaCols)
+        // symmetric projection: a column the deltas never saw (e.g. a
+        // key inserted before the ALTER) reads as null on their side too
+        def proj(df: DataFrame): DataFrame = df.select(dataCols.map(c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).as(c)).toIndexedSeq: _*)
+        val survivors = proj(latest
+          .where(col(SystemColumns.OpType) =!= SystemColumns.OpDelete))
         baseDf match {
           case Some(b) =>
-            b.join(latest.select(col(SystemColumns.OlakeId)),
-              Seq(SystemColumns.OlakeId), "left_anti")
+            proj(b.join(latest.select(col(SystemColumns.OlakeId)),
+              Seq(SystemColumns.OlakeId), "left_anti"))
               .unionByName(survivors)
           case None => survivors
         }

@@ -182,6 +182,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", 10L), ("c", 3L)))
   }
 
+  test("schema evolution through delta segments: column added mid-stream reads as null for older rows") {
+    import graft.sinks.DeltaSegments
+    val (table, state) = (tmp() + "/t", tmp() + "/s.json")
+    val policy = DeltaSegments.CompactionPolicy(maxSegments = 100,
+      maxDeltaRatio = 1e9) // never fold mid-test
+    def batch(sch: StructType, rows: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val p = java.nio.file.Files.createTempFile("seg", ".json")
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes)
+      spark.read.schema(sch).json(p.toString)
+    }
+    val evolved = StructType(schema.fields :+ StructField("w", StringType))
+    // batch 0 (old schema): a, b — lands as the base (bootstrap fold)
+    CdcStream.applyBatch(batch(schema, Seq(
+      line("a", 1, "insert", 1), line("b", 2, "insert", 2))),
+      0L, table, state, "ev", policy)
+    // batch 1 (evolved): update a with the new column, insert c
+    CdcStream.applyBatch(batch(evolved, Seq(
+      s"""{"_olake_id":"a","lsn":3,"kind":"update","_cdc_timestamp":"2024-01-01 00:00:03","v":10,"w":"x"}""",
+      s"""{"_olake_id":"c","lsn":4,"kind":"insert","_cdc_timestamp":"2024-01-01 00:00:04","v":3,"w":"y"}""")),
+      1L, table, state, "ev", policy)
+    val t = CdcStream.readTable(spark, table).orderBy("_olake_id").collect()
+    assert(t.map(r => (r.getAs[String]("_olake_id"), r.getAs[Long]("v"),
+      Option(r.getAs[String]("w")))).toSeq ==
+      Seq(("a", 10L, Some("x")), ("b", 2L, None), ("c", 3L, Some("y"))))
+    // compaction folds the evolved schema into the new base
+    DeltaSegments.compact(spark, table)
+    val folded = CdcStream.readTable(spark, table).orderBy("_olake_id").collect()
+    assert(folded.map(r => (r.getAs[String]("_olake_id"),
+      Option(r.getAs[String]("w")))).toSeq ==
+      Seq(("a", Some("x")), ("b", None), ("c", Some("y"))))
+  }
+
   test("pipeline is stateless: no streaming state across batches with disjoint keys") {
     val (logDir, table, state, ckpt) = (tmp(), tmp() + "/t", tmp() + "/s.json", tmp())
     writeLog(logDir, "b1.json", Seq(line("a", 1, "insert", 1)))
