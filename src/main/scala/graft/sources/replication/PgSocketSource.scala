@@ -48,14 +48,27 @@ import graft.sources.changelog.LsnOffset
   */
 class PgSocketSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pgoutput-socket"
+  protected def protocol: String = "pgoutput"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PgSocketSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new PgSocketTable(
-      new CaseInsensitiveStringMap(properties).get("host"),
-      new CaseInsensitiveStringMap(properties).getInt("port", -1),
-      new CaseInsensitiveStringMap(properties).getLong("startlsn", -1L))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PgSocketTable(opts.get("host"), opts.getInt("port", -1),
+      opts.getLong("startlsn", -1L), protocol)
+  }
+}
+
+/** Same framed transport, MySQL binlog payloads: frames carry binlog v4
+  * events (`pos` in walStart), the session cache replays TABLE_MAP
+  * events (the reference's `pkg/binlog/binlog.go:31-160` connection
+  * keeps table maps for the stream's lifetime). MySQL replication has
+  * no standby acks — the position lives client-side, which is exactly
+  * the streaming checkpoint; the transport's ack frames are simply
+  * ignored by a binlog server. */
+class BinlogSocketSource extends PgSocketSource {
+  override def shortName(): String = "graft-binlog-socket"
+  override protected def protocol: String = "binlog"
 }
 
 object PgSocketSource {
@@ -65,23 +78,25 @@ object PgSocketSource {
     StructField("msg", BinaryType)))
 }
 
-class PgSocketTable(host: String, port: Int, startLsn: Long)
+class PgSocketTable(host: String, port: Int, startLsn: Long, protocol: String)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-pgoutput-socket(`$host:$port`)"
+  override def name(): String = s"graft-$protocol-socket(`$host:$port`)"
   override def schema(): StructType = PgSocketSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new PgSocketScan(host, port, startLsn)
+    () => new PgSocketScan(host, port, startLsn, protocol)
 }
 
-class PgSocketScan(host: String, port: Int, startLsn: Long) extends Scan {
+class PgSocketScan(host: String, port: Int, startLsn: Long, protocol: String)
+    extends Scan {
   override def readSchema(): StructType = PgSocketSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PgSocketStream(host, port, startLsn)
+    new PgSocketStream(host, port, startLsn, protocol)
 }
 
-class PgSocketStream(host: String, port: Int, startLsn: Long)
+class PgSocketStream(host: String, port: Int, startLsn: Long,
+                     protocol: String = "pgoutput")
     extends MicroBatchStream {
 
   private var client: ReplicationClient = _
@@ -93,7 +108,7 @@ class PgSocketStream(host: String, port: Int, startLsn: Long)
   // (pkg/waljs/pgoutput.go:25,120-128). Cache them and replay into every
   // batch so each partition is a self-describing stream slice.
   private val relations =
-    scala.collection.mutable.LinkedHashMap.empty[Int, FrameData]
+    scala.collection.mutable.LinkedHashMap.empty[Long, FrameData]
   private var resumed = startLsn
 
   private def ensureClient(fromLsn: Long): ReplicationClient = synchronized {
@@ -110,12 +125,22 @@ class PgSocketStream(host: String, port: Int, startLsn: Long)
     o
   }
 
+  /** Schema-describing message detection per protocol: pgoutput
+    * Relation ('R' + int32 relid) or binlog TABLE_MAP (type 19 at
+    * header offset 4, 6-byte LE table id at body offset 0). The key
+    * dedups re-sent descriptors per relation/table. */
+  private def schemaKey(data: Array[Byte]): Option[Long] = protocol match {
+    case "pgoutput" if data.length >= 5 && data(0) == 'R' =>
+      Some(java.nio.ByteBuffer.wrap(data, 1, 4).getInt.toLong)
+    case "binlog" if data.length >= 25 && (data(4) & 0xff) == 19 =>
+      Some((0 until 6).map(i => (data(19 + i) & 0xffL) << (8 * i)).sum)
+    case _ => None
+  }
+
   override def latestOffset(): Offset = synchronized {
     val c = ensureClient(resumed)
     c.poll().foreach { case (lsn, data) =>
-      if (data.nonEmpty && data(0) == 'R' && data.length >= 5)
-        relations(java.nio.ByteBuffer.wrap(data, 1, 4).getInt) =
-          FrameData(lsn, data)
+      schemaKey(data).foreach(k => relations(k) = FrameData(lsn, data))
       if (lsn > resumed) buffer(lsn) = data // drop replays below resume
     }
     LsnOffset(if (buffer.isEmpty) resumed else buffer.lastKey)

@@ -161,6 +161,45 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("graft-binlog-socket: binlog events over the same transport, TABLE_MAP replayed across batches") {
+    import graft.cdc.Binlog
+    val colTypes = Array(8, 15) // LONGLONG, VARCHAR
+    val colMeta = Array(0, 255)
+    val names = Seq("id", "name")
+    def write(pos: Long, i: Int): (Long, Array[Byte]) =
+      (pos, Binlog.encodeWrite(99L, colTypes, colMeta, 1000L + i,
+        Seq(Seq(i.toString, s"r$i"))))
+    // TABLE_MAP only in tranche 1; tranche 2 rows decode via the cache
+    val t1 = Seq((10L, Binlog.encodeTableMap(99L, "db", "t", colTypes,
+      colMeta, names)), write(20L, 1), write(30L, 2))
+    val t2 = Seq(write(40L, 3), write(50L, 4))
+    val srv = new LoopbackServer(Seq(t1, t2), trancheDelayMs = 2000)
+    try {
+      val raw = spark.readStream.format("graft-binlog-socket")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("startLsn", 0L).load()
+      val decoded = Binlog.decode(raw, "lsn", "msg")
+      val sink = new mutable.ArrayBuffer[Long]()
+      val q = decoded.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          sink.synchronized {
+            sink ++= df.where(org.apache.spark.sql.functions.col("kind") === "insert")
+              .collect().map(r => r.getAs[Seq[String]]("after").head.toLong)
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (sink.synchronized(sink.size) < 4 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+      assert(sink.synchronized(sink.sorted.toSeq) == Seq(1L, 2L, 3L, 4L))
+    } finally srv.close()
+  }
+
   test("live pipeline: socket → decode → delta-segment merge → committed position") {
     import org.apache.spark.sql.functions._
     val cdcRel = PgOutput.Relation(7, "public", "kv", 'f', Seq(
