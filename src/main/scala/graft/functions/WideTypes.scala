@@ -49,7 +49,8 @@ object WideTypes {
     * Polygon, MultiPoint, MultiLineString, MultiPolygon,
     * GeometryCollection — the types the reference lists as geospatial
     * (`reformat.go:40`). Returns None on any structural violation. */
-  private def parseWkb(b: Array[Byte], off0: Int): Option[(String, Int)] = {
+  private def parseWkb(b: Array[Byte], off0: Int, depth: Int = 0): Option[(String, Int)] = {
+    if (depth > 8) return None // nesting bound: junk bytes must not recurse away
     if (b.length - off0 < 5) return None
     val little = b(off0) match {
       case 0 => false
@@ -121,7 +122,7 @@ object WideTypes {
         val parts = new scala.collection.mutable.ArrayBuffer[String](n.toInt)
         var i = 0L
         while (i < n) {
-          parseWkb(b, cur) match {
+          parseWkb(b, cur, depth + 1) match {
             case Some((s, nx)) =>
               // nested members of MULTI* render without their type tag
               val inner =

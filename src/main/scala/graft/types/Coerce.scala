@@ -19,14 +19,18 @@ object Coerce {
   import CanonicalType._
 
   /** Column coercion to a canonical type. String sources follow the
-    * reference's parse rules: bool accepts "true"/"1"
-    * (`reformat.go:120-145`), integers go through a double parse
-    * (`ReformatInt64` accepts "12.0"), timestamps run the shared
-    * format-sniffing list. */
+    * reference's parse rules: bool accepts the 1/t/true/yes families
+    * case-insensitively and rejects (→ null) anything else
+    * (`ReformatBool`, reformat.go:515-540 errors on unknown), integers
+    * go through a double parse (`ReformatInt64` accepts "12.0"),
+    * timestamps run the shared format-sniffing list. */
   def cast(t: CanonicalType, c: Column): Column = t match {
     case Null    => lit(null)
-    case Bool    => when(c.cast("string").isNull, lit(null).cast("boolean"))
-      .otherwise(lower(trim(c.cast("string"))).isin("true", "1", "t"))
+    case Bool    =>
+      val s = lower(trim(c.cast("string")))
+      when(s.isin("true", "1", "t", "yes"), lit(true))
+        .when(s.isin("false", "0", "f", "no"), lit(false))
+        .otherwise(lit(null).cast("boolean"))
     case Int32   => c.cast("string").cast("double").cast("int")
     case Int64   => c.cast("string").cast("double").cast("long")
     case Float32 => c.cast("float")

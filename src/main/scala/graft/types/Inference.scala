@@ -139,7 +139,12 @@ object Inference {
       case Bool  => v match {
         case b: Boolean => b
         case n: Number  => n.doubleValue != 0.0
-        case s: String  => s.equalsIgnoreCase("true") || s == "1"
+        case s: String  => s.trim.toLowerCase match {
+          // ReformatBool's accepted families (reformat.go:515-540)
+          case "true" | "1" | "t" | "yes" => true
+          case "false" | "0" | "f" | "no" => false
+          case _ => null
+        }
         case other      => other
       }
       case Int32 => v match {

@@ -88,6 +88,25 @@ class WideTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3).isEmpty)
   }
 
+  test("plan-time coerce ≡ data-path cast (drift protection across the two rule sets)") {
+    import spark.implicits._
+    import graft.types.Inference
+    val values = Seq("true", "YES", "t", "0", "No", "f", "maybe", "1")
+    val planSide = values.map(v =>
+      Inference.coerce(CanonicalType.Bool, v).asInstanceOf[Any])
+    val dataSide = values.toDF("s")
+      .select(Coerce.cast(CanonicalType.Bool, col("s")).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(planSide.zip(dataSide).forall { case (p, d) => p == d },
+      s"plan=$planSide data=${dataSide.toSeq}")
+    val nums = Seq("12", "12.0", "-3.7")
+    val planNum = nums.map(v => Inference.coerce(CanonicalType.Int64, v))
+    val dataNum = nums.toDF("s")
+      .select(Coerce.cast(CanonicalType.Int64, col("s")).as("n"))
+      .collect().map(_.getLong(0))
+    assert(planNum.map(_.asInstanceOf[Long]).toSeq == dataNum.toSeq)
+  }
+
   test("coerce casts follow ReformatValue: bool '1', int via double parse, binary → UTF-8") {
     import spark.implicits._
     val df = Seq(("1", "12.0", "ab")).toDF("b", "i", "s")
