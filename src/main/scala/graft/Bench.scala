@@ -20,10 +20,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Why each secondary query is out of the headline total:
   *  - q_backfill_chunked / q_chunk_equidepth / q_chunk_even /
-  *    q_chunk_lexi / q_mongo_scan / q_ctid_scan: coverage proofs —
-  *    union of N filtered scans of the SAME file; production runs one
-  *    scan per partition, so N× read amplification is the proof shape,
-  *    not the plan shape.
+  *    q_chunk_lexi / q_mongo_scan / q_ctid_scan / q_rowid_scan /
+  *    q_physloc_scan / q_rid_scan: coverage proofs — union of N
+  *    filtered scans of the SAME file; production runs one scan per
+  *    partition, so N× read amplification is the proof shape, not the
+  *    plan shape.
   *  - q_jdbc_chunked / q_jdbc_incremental / q_cdc_mssql_jdbc: execute
   *    against embedded Derby — they time Derby's single-JVM engine, not
   *    the Spark plan.

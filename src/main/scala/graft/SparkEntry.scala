@@ -7,7 +7,7 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
-import graft.sources.{BoundedRead, CtidScan, Discover, FileSources, JdbcSource, KafkaDecode, MongoScan}
+import graft.sources.{BoundedRead, CtidScan, Discover, FileSources, JdbcSource, KafkaDecode, LocatorScan, MongoScan}
 import graft.spec.{ChunkSql, DialectSql, FilterSpec, WideFixture}
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
 import graft.types.{CanonicalType, Coerce, Naming}
@@ -161,6 +161,32 @@ object SparkEntry {
         CtidScan.relPages(heap), blockSize = 8192, targetBytes = 8192L * 8)
       CtidScan.scanChunked(heap, ranges)
         .select("ctid", "event_id", "user_id", "value")
+    }),
+
+    // ---- S9/S8/S10 executed: the Oracle ROWID, MSSQL physloc, and DB2
+    //      RID chunk scans — planner-rendered predicate strings parsed
+    //      back and RUN over locator-shaped frames, each under its
+    //      dialect's own total order (ROWID base64 decode, physloc
+    //      bytewise, RID bigint). Union of ranges = tiling proof. ----
+    "q_rowid_scan" -> ((s, dir) => {
+      val heap = LocatorScan.syntheticOracleHeap(
+        t(s, dir, "events").where(col("event_id") < 10000), "event_id")
+      LocatorScan.oracleScanChunked(heap, "event_id", blocksPerChunk = 8)
+        .select("rowid", "event_id", "user_id", "value")
+    }),
+
+    "q_physloc_scan" -> ((s, dir) => {
+      val heap = LocatorScan.syntheticMssqlHeap(
+        t(s, dir, "events").where(col("event_id") < 10000), "event_id")
+      LocatorScan.mssqlScanChunked(heap, nChunks = 6)
+        .select("physloc_hex", "event_id", "user_id", "value")
+    }),
+
+    "q_rid_scan" -> ((s, dir) => {
+      val heap = LocatorScan.syntheticDb2Heap(
+        t(s, dir, "events").where(col("event_id") < 10000), "event_id")
+      LocatorScan.db2ScanChunked(heap, pagesPerChunk = 8)
+        .select("rid", "event_id", "user_id", "value")
     }),
 
     // ---- S11/S12 executed: Mongo splitVector-analog boundaries
@@ -862,6 +888,42 @@ object SparkEntry {
 
     "q_chunk_even" ->
       "SELECT * FROM lineitem",
+
+    // Locator scans: union of ranges must reproduce the heap; each
+    // synthetic locator is rebuilt in SQL (ROWID base64 chars from
+    // 6-bit groups, physloc little-endian hex image, RID page packing).
+    "q_rowid_scan" ->
+      """WITH al(s) AS (SELECT 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/'),
+        |h AS (SELECT event_id, user_id, value,
+        |  event_id // 226 AS b, event_id % 226 AS r FROM events
+        |  WHERE event_id < 10000)
+        |SELECT 'AAAABNAAE' ||
+        |  substr(s, CAST((b >> 30) & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST((b >> 24) & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST((b >> 18) & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST((b >> 12) & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST((b >> 6) & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST(b & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST((r >> 12) & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST((r >> 6) & 63 AS INTEGER) + 1, 1) ||
+        |  substr(s, CAST(r & 63 AS INTEGER) + 1, 1) AS rowid,
+        |  event_id, user_id, value
+        |FROM h CROSS JOIN al""".stripMargin,
+
+    "q_physloc_scan" ->
+      """WITH h AS (SELECT event_id, user_id, value,
+        |  lower(lpad(to_hex(event_id // 226), 8, '0')) AS p,
+        |  lower(lpad(to_hex(event_id % 226), 4, '0')) AS sl
+        |  FROM events WHERE event_id < 10000)
+        |SELECT substr(p,7,2)||substr(p,5,2)||substr(p,3,2)||substr(p,1,2) ||
+        |  '0100' || substr(sl,3,2)||substr(sl,1,2) AS physloc_hex,
+        |  event_id, user_id, value
+        |FROM h""".stripMargin,
+
+    "q_rid_scan" ->
+      """SELECT (event_id // 226) * 4096 + event_id % 226 AS rid,
+        |  event_id, user_id, value
+        |FROM events WHERE event_id < 10000""".stripMargin,
 
     // Union of ctid-range scans must reproduce the heap exactly; the
     // synthetic (page, 1-based tuple) address is rebuilt in SQL.
