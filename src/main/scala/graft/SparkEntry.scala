@@ -657,6 +657,17 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", threshold = 0.9)),
 
+    // ---- LLM: duplicate-cluster resolution — connected components of
+    //      the exact near-dup pair graph via min-label propagation;
+    //      every doc maps to its cluster's canonical (min) id. The
+    //      oracle replays the closure with a recursive CTE. ----
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.9)
+        .select("id_a", "id_b")
+      Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id")
+    }),
+
     // ---- LLM: exact Jaccard via prefix filtering — same results as
     //      the all-pairs form on 5× its scope. (Emitting ALL pairs is
     //      inherently quadratic inside duplicate clusters — the pair
@@ -1207,6 +1218,27 @@ object SparkEntry {
         |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
         |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
+
+    // Same pair predicate as q_jaccard_neardup, then the transitive
+    // closure as a recursive CTE; canonical = min reachable id.
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t FROM d0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b
+        |  FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM d0
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS canonical
+        |FROM reach GROUP BY src""".stripMargin,
 
     "q_cosine_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -161,6 +161,53 @@ object Dedup {
           .as("bands")))
   }
 
+  /** Duplicate-cluster resolution: map every id to its cluster's
+    * CANONICAL (minimum) id, where clusters are the connected
+    * components of the near-dup pair graph — the final step of a
+    * dedup pipeline (pairs say "these match"; this decides which copy
+    * survives). Singletons map to themselves.
+    *
+    * Algorithm: iterative min-label propagation — the standard
+    * join-based connected-components for data-parallel engines:
+    * each round, a node's label becomes the min of its own and its
+    * neighbors' labels; converged when no label changes. Rounds =
+    * O(component diameter) — near-dup clusters are shallow (a dup
+    * cluster is near-cliquey), so a handful of rounds; each round is
+    * one keyed shuffle of (node, label) + an edge join, never
+    * all-pairs. For adversarially deep graphs swap in the
+    * large-star/small-star variant; `maxIter` guards the loop either
+    * way (throws rather than silently emitting unconverged labels).
+    */
+  def canonicalize(ids: DataFrame, pairs: DataFrame, idCol: String,
+                   maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("x"), col(idCol).cast("long").as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("x").as("y"), col("lbl")), "y")
+        .select(col("x"), col("lbl"))
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy("x").agg(min("lbl").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "x")
+        .where(col("lbl") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = changed
+      i += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(s"not converged after $maxIter rounds")
+    labels.select(col("x").as(idCol), col("lbl").as("canonical"))
+  }
+
   /** MinHash signature alone (see sigWithBands for the layout). */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     sigWithBands(shinglesCol, k, 1).getField("sig")

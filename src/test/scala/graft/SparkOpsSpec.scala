@@ -386,6 +386,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked == 0L)
   }
 
+  test("canonicalize: chain components need multiple rounds; singletons self-map") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4), clique {10,11}, singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("id")
+    val out = Dedup.canonicalize(ids, pairs, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L && out(20L) == 20L)
+  }
+
   test("simhashExactDups: token-order-insensitive, content-sensitive") {
     import spark.implicits._
     val docs = Seq(
