@@ -48,6 +48,10 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
   @volatile var clientXLogPos: Long = startLsn
   /** Highest WAL position acked to the server (slot's confirmed flush). */
   @volatile var confirmedFlushLsn: Long = startLsn
+  /** Set when the server closed the stream — the session is over and
+    * the owner must reconnect (a slot re-delivers from the confirmed
+    * position, so reconnection is always safe). */
+  @volatile var sessionClosed: Boolean = false
 
   // START_REPLICATION analog: one start frame with the resume position.
   sendFrame('S', { b => b.writeLong(startLsn) })
@@ -110,7 +114,10 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
       outBuf.toSeq
     } catch {
       case _: SocketTimeoutException => outBuf.toSeq // idle: batch is done
-      case _: EOFException => outBuf.toSeq           // server closed: drain
+      case _: EOFException =>                        // server closed: drain
+        sessionClosed = true; outBuf.toSeq
+      case _: java.net.SocketException =>
+        sessionClosed = true; outBuf.toSeq
     }
   }
 

@@ -138,6 +138,12 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
   }
 
   override def latestOffset(): Offset = synchronized {
+    // reconnect after a dropped session: a slot re-delivers everything
+    // above the confirmed position, and the committed-offset filter
+    // below drops anything at or below `resumed` — restart-safe by the
+    // same contract as a process restart (reference behavior: the sync
+    // loop reconnects and resumes from the slot, waljs.go/replicator.go)
+    if (client != null && client.sessionClosed) { client.close(); client = null }
     val c = ensureClient(resumed)
     c.poll().foreach { case (lsn, data) =>
       schemaKey(data).foreach(k => relations(k) = FrameData(lsn, data))

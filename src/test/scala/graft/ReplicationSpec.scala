@@ -38,9 +38,11 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     * commit-previous-batch cycle), keepalive (reply requested), then
     * record standby acks until the client disconnects. */
   private class LoopbackServer(tranches: Seq[Seq[(Long, Array[Byte])]],
-                               trancheDelayMs: Long = 0) {
+                               trancheDelayMs: Long = 0,
+                               fixedPort: Int = 0,
+                               closeAfterSend: Boolean = false) {
     private def messages = tranches.flatten
-    val server = new ServerSocket(0)
+    val server = new ServerSocket(fixedPort)
     val port: Int = server.getLocalPort
     val acks = new java.util.concurrent.CopyOnWriteArrayList[Long]()
     @volatile var handshakeLsn: Long = Long.MinValue
@@ -66,13 +68,16 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
         out.write(ReplicationWire.keepalive(
           messages.map(_._1).foldLeft(0L)(math.max), 3L, replyRequested = false))
         out.flush()
-        // collect standby status updates until the client hangs up
-        try {
-          while (true) {
-            val (t, b) = ReplicationWire.readFrame(in)
-            if (t == 'r') acks.add(b.getLong) // walWritten
-          }
-        } catch { case _: Exception => () }
+        if (closeAfterSend) { sock.close(); server.close() }
+        else {
+          // collect standby status updates until the client hangs up
+          try {
+            while (true) {
+              val (t, b) = ReplicationWire.readFrame(in)
+              if (t == 'r') acks.add(b.getLong) // walWritten
+            }
+          } catch { case _: Exception => () }
+        }
       } catch { case _: Exception => () }
     })
     thread.setDaemon(true); thread.start()
@@ -198,6 +203,45 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally q.stop()
       assert(sink.synchronized(sink.sorted.toSeq) == Seq(1L, 2L, 3L, 4L))
     } finally srv.close()
+  }
+
+  test("server drop mid-stream: client reconnects from the resumed position") {
+    val srvA = new LoopbackServer(Seq(walMessages(1 to 2)), closeAfterSend = true)
+    val port = srvA.port
+    try {
+      val raw = spark.readStream.format("graft-pgoutput-socket")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("startLsn", 0L).load()
+      val decoded = PgOutput.decode(raw, "lsn", "msg")
+      val sink = new mutable.ArrayBuffer[Long]()
+      val q = decoded.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          sink.synchronized {
+            sink ++= df.where(org.apache.spark.sql.functions.col("kind") === "insert")
+              .collect().map(_.getAs[Long]("lsn"))
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        .start()
+      var srvB: LoopbackServer = null
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (sink.synchronized(sink.size) < 2 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(sink.synchronized(sink.size) == 2) // tranche A landed, server gone
+        // restart "the database" on the same port with the next WAL span
+        // (walMessages re-sends the Relation, like a new real session)
+        srvB = new LoopbackServer(Seq(walMessages(3 to 4)), fixedPort = port)
+        while (sink.synchronized(sink.size) < 4 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        // exactly once per row across the drop: the checkpointed offset
+        // range (not the reconnect timing) guards against replays
+        assert(sink.synchronized(sink.sorted.toSeq) == Seq(111L, 121L, 131L, 141L))
+        assert(srvB.handshakeLsn >= 0L) // new session handshake happened
+      } finally { q.stop(); if (srvB != null) srvB.close() }
+    } finally srvA.close()
   }
 
   test("live pipeline: socket → decode → delta-segment merge → committed position") {
