@@ -187,19 +187,34 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
+    var prevCache = labels
     while (!converged && i < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("x").as("y"), col("lbl")), "y")
         .select(col("x"), col("lbl"))
-      val next = labels.unionAll(viaNeighbor)
-        .groupBy("x").agg(min("lbl").as("lbl"))
+      // one aggregation carries BOTH the new label (min) and the
+      // convergence signal: the previous label is one of the grouped
+      // rows and min ≤ prev ≤ max, so min == max for every node ⟺ no
+      // label changed anywhere. One job per round — the convergence
+      // probe is the same action that materializes the cache.
+      val hop = labels.unionAll(viaNeighbor)
+        .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "x")
-        .where(col("lbl") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
-      converged = changed
+      converged = hop.agg(max(col("maxLbl") - col("lbl"))).head.getLong(0) == 0L
+      val hopLabels = hop.select(col("x"), col("lbl"))
+      // pointer jump (label ← label's label) once plain propagation has
+      // NOT converged in the first two rounds: near-clique dup clusters
+      // finish by then (the common case — the jump would be pure
+      // overhead), while deep chain components switch to O(log
+      // diameter) rounds. Min-labels are monotone (lbl(x) ≤ x), so the
+      // jump is one keyed self-join over the cached hop.
+      labels = if (converged || i < 2) hopLabels
+        else hopLabels.as("a")
+          .join(hopLabels.select(col("x").as("lbl"), col("lbl").as("lbl2")).as("b"),
+            Seq("lbl"), "left")
+          .select(col("x"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      prevCache.unpersist()
+      prevCache = hop
       i += 1
     }
     edges.unpersist()
