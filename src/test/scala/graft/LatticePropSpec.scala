@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types.{CanonicalType, Inference, Lattice}
+
+/** Algebraic properties of the promotion lattice and the timestamp
+  * sniffer — the invariants schema merging relies on: any permutation /
+  * grouping of observed types must land on the same column type
+  * (reference LCA fold, `types/type_schema.go:215-322`). The type
+  * domain is 14 values, so the laws are checked EXHAUSTIVELY (every
+  * pair and triple); timestamps use seeded random sampling. */
+class LatticePropSpec extends AnyFunSuite {
+
+  private val all = CanonicalType.all
+
+  test("promote is commutative, associative, idempotent — exhaustively") {
+    for (a <- all; b <- all) {
+      assert(Lattice.promote(a, b) == Lattice.promote(b, a), s"comm $a $b")
+      assert(Lattice.promote(a, a) == a, s"idem $a")
+    }
+    for (a <- all; b <- all; c <- all)
+      assert(Lattice.promote(Lattice.promote(a, b), c) ==
+        Lattice.promote(a, Lattice.promote(b, c)), s"assoc $a $b $c")
+  }
+
+  test("promote is an upper bound; promoteAll is order-insensitive") {
+    for (a <- all; b <- all) {
+      val p = Lattice.promote(a, b)
+      assert(Lattice.promote(p, a) == p && Lattice.promote(p, b) == p,
+        s"bound $a $b -> $p")
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val ts = Seq.fill(2 + rnd.nextInt(6))(all(rnd.nextInt(all.size)))
+      val base = Lattice.promoteAll(ts)
+      assert(Lattice.promoteAll(ts.reverse) == base)
+      assert(Lattice.promoteAll(rnd.shuffle(ts)) == base)
+    }
+  }
+
+  test("Null is identity; Str is absorbing") {
+    all.foreach { a =>
+      assert(Lattice.promote(CanonicalType.Null, a) == a)
+      assert(Lattice.promote(CanonicalType.Str, a) == CanonicalType.Str)
+    }
+  }
+
+  test("timestamp sniffing: format → parse roundtrip across supported layouts") {
+    import java.time.{Instant, ZoneOffset}
+    import java.time.format.DateTimeFormatter
+    val layouts = Seq(
+      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+      "yyyy-MM-dd HH:mm:ss.SSSSSS",
+      "yyyy-MM-dd'T'HH:mm:ss",
+      "yyyy-MM-dd-HH.mm.ss.SSSSSS") // DB2
+    val rnd = new scala.util.Random(7)
+    (1 to 400).foreach { _ =>
+      val us = (rnd.nextDouble() * 4102444800L * 1e6).toLong // 1970..2100
+      val layout = layouts(rnd.nextInt(layouts.size))
+      val i = Instant.EPOCH.plusNanos(us * 1000L)
+      val s = DateTimeFormatter.ofPattern(layout)
+        .withZone(ZoneOffset.UTC).format(i)
+      val parsed = Inference.sniffTimestamp(s)
+      val expected = if (layout.contains("SSSSSS")) i
+        else Instant.ofEpochSecond(i.getEpochSecond) // second-precision layout
+      assert(parsed.contains(expected), s"layout=$layout s=$s parsed=$parsed")
+    }
+  }
+
+  test("sniffer rejects non-temporal strings") {
+    val rnd = new scala.util.Random(13)
+    (1 to 300).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(20)).mkString
+      if (s.length < 4 || !s.take(4).forall(_.isDigit))
+        assert(Inference.sniffTimestamp(s).isEmpty, s"accepted junk: $s")
+    }
+  }
+}
