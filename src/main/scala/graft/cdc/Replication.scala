@@ -41,7 +41,9 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
   private val sock = new Socket()
   sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
   sock.setTcpNoDelay(true)
-  private val in = new DataInputStream(sock.getInputStream)
+  private val pin =
+    new java.io.PushbackInputStream(sock.getInputStream, 1)
+  private val in = new DataInputStream(pin)
   private val out = new DataOutputStream(sock.getOutputStream)
 
   /** Highest WAL position this client has delivered to its consumer. */
@@ -84,36 +86,58 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
     * the confirmed-flush position (the reference's fake ack); all
     * advance `clientXLogPos` like `pgoutput.go:92-101`. Returns
     * (walStart, walData) pairs — the exact (lsn, msg) frame shape
-    * `PgOutput.decode` consumes. */
-  def poll(maxFrames: Int = 4096, idleMillis: Int = 200): Seq[(Long, Array[Byte])] = {
+    * `PgOutput.decode` consumes.
+    *
+    * Framing safety: the idle timeout only fires BETWEEN frames (a
+    * frame read starts only once its 4-byte length is buffered); inside
+    * a frame, reads block with a generous `frameTimeoutMs` — a timeout
+    * mid-frame would silently drop consumed bytes and desync the
+    * stream, so it is treated as a dead session, never retried. */
+  def poll(maxFrames: Int = 4096, idleMillis: Int = 200,
+           frameTimeoutMs: Int = 10000): Seq[(Long, Array[Byte])] = {
     val outBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
-    sock.setSoTimeout(idleMillis)
+    val idleDeadline = System.nanoTime() + idleMillis * 1000000L
     try {
       while (outBuf.length < maxFrames) {
-        val len = in.readInt()
-        require(len >= 1 && len <= (1 << 26), s"bad frame length $len")
-        val tpe = in.readByte().toChar
-        val body = new Array[Byte](len - 1)
-        in.readFully(body)
-        val bb = java.nio.ByteBuffer.wrap(body)
-        tpe match {
-          case 'w' =>
-            val walStart = bb.getLong; bb.getLong; bb.getLong // walEnd, serverTime
-            val data = new Array[Byte](bb.remaining()); bb.get(data)
-            if (walStart > clientXLogPos) clientXLogPos = walStart
-            outBuf += ((walStart, data))
-          case 'k' =>
-            val walEnd = bb.getLong; bb.getLong
-            val replyRequested = bb.get() != 0
-            if (walEnd > clientXLogPos) clientXLogPos = walEnd
-            if (replyRequested) standbyStatusUpdate(confirmedFlushLsn)
-          case other => // unhandled message types are skipped, like the
-            ()          // reference's default branch (pgoutput.go:104)
+        if (in.available() < 4) {
+          // probe one byte with a tiny timeout: detects server close
+          // (-1 → session over) and doubles as the idle wait; the byte
+          // is pushed back so frame alignment is untouched
+          sock.setSoTimeout(2)
+          try {
+            val b = pin.read()
+            if (b == -1) { sessionClosed = true; return outBuf.toSeq }
+            pin.unread(b)
+          } catch { case _: SocketTimeoutException => () }
+          if (System.nanoTime() > idleDeadline) return outBuf.toSeq
+        } else {
+          sock.setSoTimeout(frameTimeoutMs)
+          val len = in.readInt()
+          require(len >= 1 && len <= (1 << 26), s"bad frame length $len")
+          val tpe = in.readByte().toChar
+          val body = new Array[Byte](len - 1)
+          in.readFully(body)
+          val bb = java.nio.ByteBuffer.wrap(body)
+          tpe match {
+            case 'w' =>
+              val walStart = bb.getLong; bb.getLong; bb.getLong // walEnd, serverTime
+              val data = new Array[Byte](bb.remaining()); bb.get(data)
+              if (walStart > clientXLogPos) clientXLogPos = walStart
+              outBuf += ((walStart, data))
+            case 'k' =>
+              val walEnd = bb.getLong; bb.getLong
+              val replyRequested = bb.get() != 0
+              if (walEnd > clientXLogPos) clientXLogPos = walEnd
+              if (replyRequested) standbyStatusUpdate(confirmedFlushLsn)
+            case other => // unhandled message types are skipped, like the
+              ()          // reference's default branch (pgoutput.go:104)
+          }
         }
       }
       outBuf.toSeq
     } catch {
-      case _: SocketTimeoutException => outBuf.toSeq // idle: batch is done
+      case _: SocketTimeoutException =>              // stalled MID-frame:
+        sessionClosed = true; outBuf.toSeq           // desynced — reconnect
       case _: EOFException =>                        // server closed: drain
         sessionClosed = true; outBuf.toSeq
       case _: java.net.SocketException =>

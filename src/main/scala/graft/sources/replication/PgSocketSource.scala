@@ -118,10 +118,10 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
 
   override def initialOffset(): Offset = LsnOffset(startLsn)
 
-  override def deserializeOffset(json: String): Offset = {
+  override def deserializeOffset(json: String): Offset = synchronized {
     val m = new ObjectMapper().readTree(json)
     val o = LsnOffset(m.get("lsn").asLong())
-    resumed = o.lsn // restart: reconnect from the checkpointed position
+    resumed = math.max(resumed, o.lsn) // restart: resume from checkpoint
     o
   }
 
