@@ -100,7 +100,11 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
     extends MicroBatchStream {
 
   private var client: ReplicationClient = _
-  // uncommitted frames only; trimmed on commit (bounded by one batch)
+  // uncommitted frames only; trimmed on commit (bounded by one batch).
+  // Keyed by walStart: WAL positions are unique per message (each
+  // record occupies distinct WAL bytes) — a server violating that
+  // would overwrite here, same as it would corrupt a position-keyed
+  // resume anywhere else.
   private val buffer = scala.collection.mutable.TreeMap.empty[Long, Array[Byte]]
   // pgoutput Relation messages ('R' + int32 relid) arrive once per
   // session but describe every later row message — the reference keeps
