@@ -115,14 +115,49 @@ object Protocol {
     val stats = ParquetSink.writeWithStats(out, s"$destDir/${cfg.name}",
       fields, append = !firstRun, extraMetrics = cursorMetric)
     // advance the cursor AFTER the write lands (commit order, sync.go);
-    // an empty delta observes null — the committed cursor stays put
+    // an empty delta observes null — the committed cursor stays put.
+    // The commit RE-READS the state under the lock: concurrent stream
+    // syncs share one state file, and a stale read-modify-write would
+    // drop a sibling stream's commit.
     val newCursor = cursorParsed.flatMap(c =>
       Option(stats.getOrElse("cursor_max", null))
         .map(mx => Map(c.primary -> StateStore.formatCursor(mx))))
       .getOrElse(Map.empty)
-    StateStore.save(statePath, st.copy(streams = st.streams.updated(cfg.name,
-      ss.copy(cursor = ss.cursor ++ newCursor))))
+    stateLock.synchronized {
+      val cur = StateStore.load(statePath).getOrElse(StateStore.State())
+      val curSs = cur.streams.getOrElse(cfg.name, StateStore.StreamState())
+      StateStore.save(statePath, cur.copy(streams = cur.streams.updated(
+        cfg.name, curSs.copy(cursor = curSs.cursor ++ newCursor))))
+    }
     stats("records_written").asInstanceOf[Long]
+  }
+
+  private val stateLock = new Object
+
+  /** `sync` ALL selected streams concurrently through a bounded pool
+    * with retry — the reference's connection-group execution
+    * (`drivers/abstract/abstract.go:86`,
+    * `utils.ConcurrentInGroupWithRetry` bounded by MaxConnections).
+    * One SparkSession schedules the per-stream jobs in parallel;
+    * per-stream state entries are disjoint and commits serialize
+    * through `stateLock`. Returns rows synced per stream; the first
+    * stream failure (after retries) aborts the sync like the
+    * reference's group error. */
+  def syncAll(spark: SparkSession, sourceDir: String, destDir: String,
+              cfgs: Seq[StreamConfig], statePath: String,
+              parallelism: Int = 4, attempts: Int = 3): Map[String, Long] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = cfgs.map { cfg =>
+        Future(cfg.name -> Retry.withBackoff(attempts, baseDelayMs = 100L)(
+          syncStream(spark, sourceDir, destDir, cfg, statePath)))
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
+    } finally pool.shutdown()
   }
 
   /** Chunk-level resumable backfill — the reference's actual full-load

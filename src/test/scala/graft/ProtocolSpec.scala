@@ -63,6 +63,27 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!StateStore.load(state).get.streams.contains("orders"))
   }
 
+  test("syncAll runs streams concurrently; no state commit is lost") {
+    val dest = Files.createTempDirectory("graft_syncall").toString
+    val state = s"$dest/state.json"
+    val cfgs = Seq(
+      Protocol.StreamConfig("orders", syncMode = "incremental",
+        cursor = Some("o_orderdate"), primaryKeys = Seq("o_orderkey")),
+      Protocol.StreamConfig("customer", syncMode = "incremental",
+        cursor = Some("c_custkey"), primaryKeys = Seq("c_custkey")),
+      Protocol.StreamConfig("nation", primaryKeys = Seq("n_nationkey")))
+    val rows = Protocol.syncAll(spark, src, dest, cfgs, state, parallelism = 3)
+    cfgs.foreach { c =>
+      assert(rows(c.name) == Tables.load(spark, src, c.name).count(), c.name)
+      assert(spark.read.parquet(s"$dest/${c.name}").count() == rows(c.name))
+    }
+    // every cursor-bearing stream committed its cursor — a lost
+    // read-modify-write would drop one of these entries
+    val st = StateStore.load(state).get.streams
+    assert(st("orders").cursor.contains("o_orderdate"))
+    assert(st("customer").cursor.contains("c_custkey"))
+  }
+
   test("chunked backfill resumes after a crash: committed chunks skip, no dupes, no loss") {
     val dest = Files.createTempDirectory("graft_chunked").toString
     val state = s"$dest/state.json"
