@@ -134,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // executable chunk scans (unions of per-range filters) are
     // single-pass: any Exchange appearing here is a regression
     Seq("q_flatten", "q_system_cols", "q_cdc_pgoutput", "q_cdc_binlog",
-        "q_wide_types", "q_avro_registry", "q_ctid_scan")
+        "q_wide_types", "q_avro_registry", "q_ctid_scan", "q_rowid_scan",
+        "q_physloc_scan", "q_rid_scan")
       .foreach { name =>
         val p = plan(q(name))
         assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
