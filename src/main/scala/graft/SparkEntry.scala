@@ -657,6 +657,24 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", threshold = 0.9)),
 
+    // ---- LLM: boilerplate removal by segment document-frequency (the
+    //      CCNet line-dedup family; separator parameterized — '\n' at
+    //      web scale, word granularity on this corpus): segments in
+    //      more than maxDocFreq docs drop, survivors reassemble in
+    //      order. ----
+    "q_boilerplate" -> ((s, dir) =>
+      TextAnalysis.stripBoilerplate(t(s, dir, "documents"),
+        "text", "doc_id", maxDocFreq = 450, sep = " ")),
+
+    // ---- LLM: cleaning pass — codegen'd NFC + control strip +
+    //      whitespace collapse. The suffix carries a DECOMPOSED accent
+    //      (e + U+0301) and a BEL control so the fixture genuinely
+    //      exercises both; DuckDB replays with nfc_normalize. ----
+    "q_text_clean" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.cleanText(concat(col("text"),
+          lit(" cafe\u0301 \u0007x"))).as("clean_text"))),
+
     // ---- LLM: duplicate-cluster resolution — connected components of
     //      the exact near-dup pair graph via min-label propagation;
     //      every doc maps to its cluster's canonical (min) id. The
@@ -1218,6 +1236,29 @@ object SparkEntry {
         |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
         |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
+
+    // Segment doc-frequency via count(DISTINCT doc); zipped unnests give
+    // (word, position); survivors re-join in order; fully-boilerplate
+    // docs come back as '' via the left join.
+    "q_boilerplate" ->
+      """WITH segs AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS seg,
+        |    generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents),
+        |hot AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS dfreq
+        |  FROM segs GROUP BY seg) WHERE dfreq > 450),
+        |kept AS (SELECT s.doc_id, s.seg, s.i FROM segs s
+        |  LEFT JOIN hot h ON s.seg = h.seg WHERE h.seg IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      ("""SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7) || 'x'),
+        |  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text
+        |FROM documents""").stripMargin,
 
     // Same pair predicate as q_jaccard_neardup, then the transitive
     // closure as a recursive CTE; canonical = min reachable id.

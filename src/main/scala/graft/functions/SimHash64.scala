@@ -113,5 +113,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sniff_ts"),
       new ExpressionInfo(classOf[SniffTimestamp].getName, "graft_sniff_ts"),
       (children: Seq[Expression]) => SniffTimestamp(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -174,6 +174,16 @@ object WideTypes {
     UTF8String.fromString(base)
   }
 
+  /** NFC unicode normalization (java.text.Normalizer): composed form,
+    * so visually-identical text byte-compares equal before hashing. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: ASCII (and most already-composed text) is unchanged
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** String → epoch micros through the shared format-sniffing list;
     * returns Long.MinValue to signal null (wrapped by the expression). */
   def sniffTsMicros(s: UTF8String): Long =
@@ -211,6 +221,21 @@ case class ObjectIdHex(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.WideTypes.objectIdHex($c)")
   override protected def withNewChildInternal(newChild: Expression): ObjectIdHex =
+    copy(child = newChild)
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(input: Any): Any =
+    WideTypes.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WideTypes.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 

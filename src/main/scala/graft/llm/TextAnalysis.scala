@@ -106,4 +106,45 @@ object TextAnalysis {
         aggregate(tokens(t), lit(0L),
           (acc, x) => pmod(acc * 131 + ascii(x) + length(x), p)))
   }
+
+  /** Boilerplate removal by segment document-frequency (the CCNet /
+    * RefinedWeb line-dedup family): split each document on `sep`, drop
+    * every segment that occurs in MORE than `maxDocFreq` distinct
+    * documents (headers, footers, nav chrome — at web scale `sep` is
+    * `"\n"` and the hot set is tiny), reassemble survivors in original
+    * order. Documents whose every segment was boilerplate come back
+    * empty, not missing.
+    *
+    * Scale shape: one distinct+agg for segment document frequencies
+    * (map-side combined), the hot-segment set broadcast into a
+    * left-anti join (it is small BY DEFINITION — only segments in
+    * > maxDocFreq docs), one groupBy(doc) to reassemble. Never an
+    * all-pairs anything.
+    */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       maxDocFreq: Long, sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val segs = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), quoted)).as(Seq("i", "seg")))
+    val hot = segs.select("seg", "id").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") > maxDocFreq).select("seg")
+    val kept = segs.join(broadcast(hot), Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("i"), col("seg")))),
+        s => s.getField("seg")), sep).as("clean_text"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Text cleaning: NFC unicode normalization (via the codegen'd
+    * `graft_nfc` kernel), control/format-character strip, whitespace
+    * collapse, trim — the canonicalization pass that runs before any
+    * hashing/dedup so visually-identical text hashes identically. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(call_function("graft_nfc", text),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "\\s+", " "))
 }

@@ -386,6 +386,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked == 0L)
   }
 
+  test("stripBoilerplate: hot lines drop, order survives, fully-boilerplate docs come back empty") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "HEADER\nalpha\nFOOTER"),
+      (2L, "HEADER\nbeta\ngamma\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),
+      (4L, "HEADER\ndelta\nFOOTER")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "text", "doc_id",
+        maxDocFreq = 3, sep = "\n")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "alpha" && out(2L) == "beta\ngamma" &&
+      out(3L) == "" && out(4L) == "delta")
+  }
+
+  test("cleanText: NFC composes decomposed accents, controls strip, whitespace collapses") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val dirty = "cafe\u0301   du\u0007monde\t x " // decomposed accent + BEL
+    val out = Seq(dirty).toDF("t")
+      .select(TextAnalysis.cleanText(col("t"))).head.getString(0)
+    assert(out == "caf\u00e9 dumonde x") // BEL strips with no space
+  }
+
   test("canonicalize: chain components need multiple rounds; singletons self-map") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4), clique {10,11}, singleton 20
