@@ -200,7 +200,7 @@ object Dedup {
       val hop = labels.unionAll(viaNeighbor)
         .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = hop.agg(max(col("maxLbl") - col("lbl"))).head.getLong(0) == 0L
+      converged = hop.agg(max(col("maxLbl") - col("lbl"))).head().getLong(0) == 0L
       val hopLabels = hop.select(col("x"), col("lbl"))
       // pointer jump (label ← label's label) once plain propagation has
       // NOT converged in the first two rounds: near-clique dup clusters

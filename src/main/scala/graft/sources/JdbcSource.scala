@@ -51,7 +51,7 @@ object JdbcSource {
     val row = spark.read
       .jdbc(url, s"(SELECT MIN($column) MN, MAX($column) MX FROM $table) X",
         connProps())
-      .head
+      .head()
     (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
   }
 

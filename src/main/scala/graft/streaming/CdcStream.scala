@@ -120,7 +120,7 @@ object CdcStream {
     val deduped = Merge.dedupKeepLatestAgg(stamped,
       orderCols = Seq(col(SystemColumns.CdcTimestamp),
         Merge.opPriority(col(SystemColumns.OpType)), col("lsn"))).cache()
-    val maxLsn = deduped.agg(max(col("lsn"))).head.get(0)
+    val maxLsn = deduped.agg(max(col("lsn"))).head().get(0)
 
     if (maxLsn != null)
       DeltaSegments.writeSegment(deduped, tablePath, batchId)
