@@ -657,6 +657,21 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", threshold = 0.9)),
 
+    // ---- LLM: embedding hygiene — L2 normalization with zero-vector
+    //      quarantine. The oracle asserts the CONTRACT (unit length
+    //      within 1e-9, null exactly when the source norm is ~0) as
+    //      booleans: float-array hash equality across engines is
+    //      summation-order-fragile by nature (same reason the ANN
+    //      oracles compare ranks, not sims). ----
+    "q_vec_norm" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val unit = Similarity.l2Normalize(col("embedding"))
+      emb.select(col("vec_id"),
+        when(unit.isNull, lit(null).cast("boolean"))
+          .otherwise(abs(Similarity.norm(unit) - 1.0) < 1e-9)
+          .as("is_unit"))
+    }),
+
     // ---- LLM: boilerplate removal by segment document-frequency (the
     //      CCNet line-dedup family; separator parameterized — '\n' at
     //      web scale, word granularity on this corpus): segments in
@@ -1236,6 +1251,14 @@ object SparkEntry {
         |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
         |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
+
+    // The contract, not the float bits: unit when the source norm is
+    // positive, null when degenerate.
+    "q_vec_norm" ->
+      """SELECT vec_id,
+        |  CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |         x -> x*x))) > 1e-12 THEN true ELSE NULL END AS is_unit
+        |FROM embeddings""".stripMargin,
 
     // Segment doc-frequency via count(DISTINCT doc); zipped unnests give
     // (word, position); survivors re-join in order; fully-boilerplate

@@ -28,6 +28,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Embedding hygiene: L2-normalize to unit length so cosine becomes a
+    * plain dot product downstream; zero/degenerate vectors (norm below
+    * `eps`) come back null so they can be filtered or quarantined
+    * instead of poisoning similarity scores with NaN. Per-row codegen'd
+    * column math, no shuffle. The norm rides in a zip argument position
+    * (array_repeat) — referencing it inside the lambda would re-run the
+    * whole dot-product pipeline once per ELEMENT (see the shingles
+    * scaladoc in Dedup for the same trap). */
+  def l2Normalize(vec: Column, eps: Double = 1e-12): Column = {
+    val n = norm(vec)
+    when(n > eps,
+      zip_with(vec, array_repeat(n, size(vec)),
+        (x, nn) => x.cast("double") / nn))
+      .otherwise(lit(null).cast("array<double>"))
+  }
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query vector (self excluded).

@@ -386,6 +386,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked == 0L)
   }
 
+  test("l2Normalize: unit vectors out, zero vector quarantined as null") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), Similarity.l2Normalize(col("v")).as("u"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(rows(1).isNullAt(1))
+  }
+
   test("stripBoilerplate: hot lines drop, order survives, fully-boilerplate docs come back empty") {
     import spark.implicits._
     import graft.llm.TextAnalysis
