@@ -223,6 +223,14 @@ object Dedup {
     labels.select(col("x").as(idCol), col("lbl").as("canonical"))
   }
 
+  /** Keep one document per duplicate cluster (the canonical one):
+    * the filter step a dedup pipeline runs after `canonicalize`. */
+  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val canon = canonicalize(df.select(col(idCol)), pairs, idCol)
+    df.join(canon.where(col(idCol) === col("canonical")).select(idCol),
+      Seq(idCol))
+  }
+
   /** MinHash signature alone (see sigWithBands for the layout). */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     sigWithBands(shinglesCol, k, 1).getField("sig")

@@ -86,13 +86,20 @@ class ChangeLogTable(dir: String) extends Table with SupportsRead {
   override def schema(): StructType = ChangeLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  /** Batch reads honor `startLsn`/`endLsn` options — the bounded
+    * (start, end] replay window (a recovery sync reads exactly the span
+    * between two committed positions; segment files outside the window
+    * are pruned by NAME, never opened). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ChangeLogScan(dir)
+    () => new ChangeLogScan(dir,
+      options.getLong("startlsn", Long.MinValue),
+      options.getLong("endlsn", Long.MaxValue))
 }
 
-class ChangeLogScan(dir: String) extends Scan {
+class ChangeLogScan(dir: String, startLsn: Long = Long.MinValue,
+                    endLsn: Long = Long.MaxValue) extends Scan {
   override def readSchema(): StructType = ChangeLogSource.schema
-  override def toBatch: Batch = new ChangeLogBatch(dir, Long.MinValue, Long.MaxValue)
+  override def toBatch: Batch = new ChangeLogBatch(dir, startLsn, endLsn)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeLogStream(dir)
 }

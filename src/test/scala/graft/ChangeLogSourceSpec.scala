@@ -58,6 +58,17 @@ class ChangeLogSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "2024-01-01T00:00:00Z")
   }
 
+  test("batch read honors the (startLsn, endLsn] replay window; pruning is by name") {
+    val dir = tmp()
+    seg(dir, 1, 2, Seq(rec(1, "insert", 1), rec(2, "insert", 2)))
+    seg(dir, 3, 4, Seq(rec(3, "update", 3), rec(4, "delete", 4)))
+    seg(dir, 5, 6, Seq(rec(5, "insert", 5), rec(6, "insert", 6)))
+    val window = spark.read.format("graft-changelog")
+      .option("startLsn", 2).option("endLsn", 5).load(dir)
+      .select("lsn").collect().map(_.getLong(0)).sorted
+    assert(window.toSeq == Seq(3L, 4L, 5L))
+  }
+
   test("micro-batch stream resumes from the checkpointed LSN without re-delivery") {
     val dir = tmp(); val out = tmp(); val ckpt = tmp()
     seg(dir, 1, 2, Seq(rec(1, "insert", 1), rec(2, "insert", 2)))

@@ -431,6 +431,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((1L to 5L).forall(out(_) == 1L))
     assert(out(10L) == 10L && out(11L) == 10L && out(20L) == 20L)
+    // the retention filter keeps exactly one doc per cluster
+    val kept = Dedup.keepCanonical(ids, pairs, "id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 20L))
   }
 
   test("simhashExactDups: token-order-insensitive, content-sensitive") {
