@@ -153,6 +153,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(projectLine.trim.startsWith("*("), projectLine)
   }
 
+  test("delta-segment read: base joins the small delta by broadcast, never shuffled") {
+    import graft.sinks.DeltaSegments
+    import graft.operators.SystemColumns
+    val table = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    // base: 10k keyed rows; delta: one 20-row segment
+    val base = spark.range(10000).select(
+      col("id").cast("string").as(SystemColumns.OlakeId), col("id").as("v"))
+    base.write.parquet(s"$table/base")
+    val seg = spark.range(20).select(
+      concat(lit("k"), col("id")).as(SystemColumns.OlakeId),
+      col("id").as("v"), lit("c").as(SystemColumns.OpType),
+      current_timestamp().as(SystemColumns.CdcTimestamp), col("id").as("lsn"))
+    DeltaSegments.writeSegment(seg, table, 1L)
+    val read = DeltaSegments.read(spark, table)
+    assert(read.count() == 10020)
+    val finalPlan = read.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"delta side not broadcast:\n$finalPlan")
+    // the base scan must not be exchanged for the anti join
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
   test("windowed rates shuffle once, with partial aggregation before it") {
     val p = plan(q("q_windowed_rates"))
     assert("Exchange".r.findAllIn(p).size == 1, p)
