@@ -114,6 +114,31 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("server dies mid-frame: completed frames survive, session marked dead, no desync") {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new DataInputStream(sock.getInputStream)
+        ReplicationWire.readFrame(in) // start frame
+        val out = sock.getOutputStream
+        out.write(ReplicationWire.xLogData(100L, 100L, 0L, Array[Byte](1, 2, 3)))
+        // a truncated second frame: length prefix + 3 of the promised bytes
+        out.write(Array[Byte](0, 0, 0, 30, 'w'.toByte, 9, 9))
+        out.flush()
+        Thread.sleep(300)
+        sock.close(); server.close()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    val c = new ReplicationClient("127.0.0.1", server.getLocalPort, 0L)
+    try {
+      val frames = c.poll(idleMillis = 5000, frameTimeoutMs = 2000)
+      assert(frames.map(_._1) == Seq(100L)) // only the COMPLETE frame
+      assert(c.sessionClosed) // truncated tail → dead session, reconnect path
+    } finally c.close()
+  }
+
   test("graft-pgoutput-socket micro-batch: socket → decoder → rows, commit acks the slot") {
     // tranche 2 (rows 4-5) arrives ~2s after tranche 1 (rows 1-3): the
     // stream spans ≥2 micro-batches, so batch 1's construction commits
