@@ -180,55 +180,85 @@ object Dedup {
     */
   def canonicalize(ids: DataFrame, pairs: DataFrame, idCol: String,
                    maxIter: Int = 20): DataFrame = {
+    val labels = propagateMinLabels(pairs, maxIter)
+    // One corpus-sized join at the very END maps untouched ids to
+    // themselves; every per-round shuffle above was bounded by the
+    // dup-graph size. The label side is |dup vertices| rows — tiny vs
+    // the corpus in the normal (singleton-dominated) case, so Spark
+    // broadcasts it and the corpus is never shuffled here either.
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("x", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol).cast("long")).as("canonical"))
+  }
+
+  /** Min-label propagation over the dup-graph VERTEX set only — the
+    * ids that appear in at least one pair. At 100 TB with a sparse dup
+    * graph (singletons dominate) this is the whole trick: each round
+    * shuffles O(|dup vertices| + |edges|), never O(corpus). Returns
+    * (x, lbl) for dup-graph vertices; callers map the untouched rest.
+    */
+  private def propagateMinLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
       .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("x"), col(idCol).cast("long").as("lbl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("x")).distinct()
+      .select(col("x"), col("x").cast("long").as("lbl"))
     var converged = false
     var i = 0
-    var prevCache = labels
     while (!converged && i < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("x").as("y"), col("lbl")), "y")
         .select(col("x"), col("lbl"))
+      // LAZY localCheckpoint, not persist: the round's self-joins make
+      // each logical plan contain the previous one twice, so with
+      // persist alone (which caches execution but NOT analysis) the
+      // analyzer/optimizer re-walks an exponentially growing tree —
+      // measured at 20+ s of pure driver time by round 3 on a
+      // 300-vertex graph. Truncating lineage keeps every round's plan
+      // flat. Still one job per round: the convergence probe below is
+      // the action that materializes the checkpoint.
+      val hop = labels.unionAll(viaNeighbor)
+        .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
+        .localCheckpoint(false)
       // one aggregation carries BOTH the new label (min) and the
       // convergence signal: the previous label is one of the grouped
       // rows and min ≤ prev ≤ max, so min == max for every node ⟺ no
-      // label changed anywhere. One job per round — the convergence
-      // probe is the same action that materializes the cache.
-      val hop = labels.unionAll(viaNeighbor)
-        .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = hop.agg(max(col("maxLbl") - col("lbl"))).head().getLong(0) == 0L
+      // label changed anywhere. A null aggregate ⟺ no vertices at all
+      // (empty pair set) — that is converged, not an error.
+      converged = Option(hop.agg(max(col("maxLbl") - col("lbl"))).head().get(0))
+        .forall(_ == 0L)
       val hopLabels = hop.select(col("x"), col("lbl"))
       // pointer jump (label ← label's label) once plain propagation has
       // NOT converged in the first two rounds: near-clique dup clusters
       // finish by then (the common case — the jump would be pure
       // overhead), while deep chain components switch to O(log
       // diameter) rounds. Min-labels are monotone (lbl(x) ≤ x), so the
-      // jump is one keyed self-join over the cached hop.
+      // jump is one keyed self-join over the checkpointed hop.
       labels = if (converged || i < 2) hopLabels
         else hopLabels.as("a")
           .join(hopLabels.select(col("x").as("lbl"), col("lbl").as("lbl2")).as("b"),
             Seq("lbl"), "left")
           .select(col("x"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-      prevCache.unpersist()
-      prevCache = hop
       i += 1
     }
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(s"not converged after $maxIter rounds")
-    labels.select(col("x").as(idCol), col("lbl").as("canonical"))
+    labels
   }
 
   /** Keep one document per duplicate cluster (the canonical one):
-    * the filter step a dedup pipeline runs after `canonicalize`. */
+    * the filter step a dedup pipeline runs after `canonicalize`.
+    * Only the non-canonical dup ids (the "losers") need to leave the
+    * corpus, so this is one broadcast anti-join against a frame of
+    * |dup vertices − clusters| rows — the corpus is never shuffled.
+    */
   def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val canon = canonicalize(df.select(col(idCol)), pairs, idCol)
-    df.join(canon.where(col(idCol) === col("canonical")).select(idCol),
-      Seq(idCol))
+    val losers = propagateMinLabels(pairs, maxIter = 20)
+      .where(col("x").cast("long") =!= col("lbl"))
+      .select(col("x").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** MinHash signature alone (see sigWithBands for the layout). */
@@ -281,10 +311,17 @@ object Dedup {
     val bandRows = df
       .select(col(idCol).as("id"), explode(sigExpr.getField("bands")).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandRows.as("a").join(bandRows.as("b"),
+    // materialize the (much smaller) candidate set eagerly so the band
+    // index cache — O(corpus × bands) — can be released right here
+    // instead of leaking past the verify step
+    val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    bandRows.unpersist()
+    cand
   }
 
   /** MinHash-LSH candidates VERIFIED by exact shingle Jaccard: the

@@ -2,41 +2,70 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.llm.Dedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
-/** Dev-only scratch profiler (not part of the library surface). */
+/** Dev-only scratchpad (contents change per investigation). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        if (dur > 0.5)
+          println(f"    stage ${si.stageId} tasks=${si.numTasks} $dur%.1f s  ${si.name.take(80)}")
+      }
+    })
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    val d = Tables.load(spark, dir, "documents").where(col("doc_id") < 200)
-    d.cache().count()
-    time("tokens+shingles") {
-      d.select(size(Dedup.shingles(col("text"), 3)).as("n")).agg(sum("n")).collect()
+    import graft.llm.Dedup
+    val docs = graft.Tables.load(spark, dir, "documents").where(col("doc_id") < 200)
+    time("warmup count")(docs.count())
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"pair count: ${pairs.count()}")
+
+    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("x")).distinct()
+      .select(col("x"), col("x").cast("long").as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    var prevCache = labels
+    while (!converged && i < 20) {
+      val viaNeighbor = edges
+        .join(labels.select(col("x").as("y"), col("lbl")), "y")
+        .select(col("x"), col("lbl"))
+      val hop = labels.unionAll(viaNeighbor)
+        .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = time(s"round $i probe") {
+        Option(hop.agg(max(col("maxLbl") - col("lbl"))).head().get(0))
+          .forall(_ == 0L)
+      }
+      val hopLabels = hop.select(col("x"), col("lbl"))
+      labels = if (converged || i < 2) hopLabels
+        else hopLabels.as("a")
+          .join(hopLabels.select(col("x").as("lbl"), col("lbl").as("lbl2")).as("b"),
+            Seq("lbl"), "left")
+          .select(col("x"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      prevCache.unpersist()
+      prevCache = hop
+      i += 1
     }
-    val sb = d.select(col("doc_id").as("id"),
-      Dedup.sigWithBands(Dedup.shingles(col("text"), 3), 64, 16).as("sb"))
-    time("signatures") { sb.agg(sum(size(col("sb.sig")))).collect() }
-    val banded = sb.select(col("id"), col("sb.sig").as("sig"),
-      explode(col("sb.bands")).as("band"))
-    time("banded") { banded.count() }
-    val a = banded.as("a"); val b = banded.as("b")
-    val joined = a.join(b,
-      col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-    time("join-count") { joined.count() }
-    time("full minhashPairs") {
-      Dedup.minhashPairs(d, "text", "doc_id", estThreshold = 0.5).count()
-    }
+    println(s"rounds: $i converged: $converged")
     spark.stop()
   }
 }

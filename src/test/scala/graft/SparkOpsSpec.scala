@@ -437,6 +437,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L, 10L, 20L))
   }
 
+  test("canonicalize: empty pair set converges — every id self-maps") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(ids, noPairs, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // and an entirely empty corpus returns an empty mapping, not a throw
+    val empty = Seq.empty[Long].toDF("id")
+    assert(Dedup.canonicalize(empty, noPairs, "id").count() == 0L)
+    assert(Dedup.keepCanonical(ids, noPairs, "id").count() == 3L)
+  }
+
   test("simhashExactDups: token-order-insensitive, content-sensitive") {
     import spark.implicits._
     val docs = Seq(
