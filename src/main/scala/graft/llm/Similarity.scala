@@ -133,8 +133,13 @@ object Similarity {
     * partitions the corpus into `nlist` cells; each query probes its
     * `nprobe` nearest cells and ranks candidates by exact cosine.
     *
-    * Scale shape: the quantizer fits on a SAMPLE (planner-time, bounded
-    * by `fitSampleFraction` — never a full pass at 100 TB), cell
+    * Scale shape: the quantizer fits on a BOUNDED sample — at most
+    * `fitMaxRows` rows regardless of corpus size (a per-partition
+    * LocalLimit caps what any partition contributes before the rows
+    * funnel to the deterministic single-partition fit), optionally
+    * thinned further by `fitSampleFraction` for an unbiased spread on
+    * adversarially ordered data. Never a full pass at 100 TB, and the
+    * SAFE behavior is the default — no caller knowledge needed. Cell
     * assignment is one map pass over the corpus, and the probe join is
     * keyed on cell id. Centroids are nlist×d floats — driver/broadcast
     * size, like the reference's chunk boundary sets.
@@ -142,6 +147,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 8, assign: Int = 2,
               fitSampleFraction: Double = 1.0,
+              fitMaxRows: Int = 100000,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -149,11 +155,13 @@ object Similarity {
     val spark = corpus.sparkSession
     // coalesce(1): k-means random init samples depend on partitioning;
     // one partition makes the quantizer deterministic across executor
-    // counts. The fit input is a bounded SAMPLE by construction (set
-    // fitSampleFraction < 1 at scale), so this is planner-sized work.
+    // counts. The limit keeps that stage planner-sized by construction:
+    // GlobalLimit(LocalLimit) bounds every partition's contribution, so
+    // no full-corpus single-partition stage exists in the fit plan.
     val fitInput = (if (fitSampleFraction < 1.0)
       corpus.sample(fitSampleFraction, seed = 42) else corpus)
-      .select(array_to_vector(col(vecCol)).as("features")).coalesce(1)
+      .select(array_to_vector(col(vecCol)).as("features"))
+      .limit(fitMaxRows).coalesce(1)
     // random init: a coarse quantizer needs balanced cells, not optimal
     // clusters — k-means|| costs extra full passes for nothing here
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
