@@ -65,9 +65,34 @@ object Protocol {
 
   /** `sync` one stream: chunked backfill (first run) or cursor delta
     * (subsequent), system columns attached, state committed per phase.
-    * Returns rows synced. */
+    * Returns rows synced.
+    *
+    * Idempotent per attempt (so `syncAll`'s retry wrapper is safe): the
+    * batch lands in a per-stream STAGING path first (overwrite mode —
+    * a retry obliterates any partial prior attempt instead of
+    * re-appending it), then one atomic state write commits the cursor
+    * together with a promote-pending marker, then the staged files move
+    * into the table. A crash in any window either re-stages cleanly
+    * (before the state commit) or completes the recorded promotion on
+    * the next attempt (after it) — the delta can never append twice. */
   def syncStream(spark: SparkSession, sourceDir: String, destDir: String,
                  cfg: StreamConfig, statePath: String): Long = {
+    val stagePath = s"$destDir/.stage_${cfg.name}"
+    val tablePath = s"$destDir/${cfg.name}"
+    // finish a promotion a previous attempt committed but never
+    // completed (files move one by one; re-promotion only sees the
+    // not-yet-moved remainder, so this is safe to repeat)
+    val recovered = stateLock.synchronized {
+      val cur = StateStore.load(statePath).getOrElse(StateStore.State())
+      val curSs = cur.streams.getOrElse(cfg.name, StateStore.StreamState())
+      if (curSs.offsets.getOrElse("promote_pending", 0L) == 1L) {
+        promoteStage(spark, stagePath, tablePath)
+        StateStore.save(statePath, cur.copy(streams = cur.streams.updated(
+          cfg.name, curSs.copy(
+            offsets = curSs.offsets - "promote_pending" - "promote_rows"))))
+        curSs.offsets.getOrElse("promote_rows", 0L)
+      } else 0L
+    }
     val src0 = Tables.load(spark, sourceDir, cfg.name)
     val filtered = cfg.filter.map(f => src0.where(FilterSpec.parse(f).toColumn))
       .getOrElse(src0)
@@ -112,10 +137,20 @@ object Protocol {
       max(lastColOf(c).fold(col(c.primary))(l => greatest(col(c.primary), l)))
         .as("cursor_max")
     }
-    val stats = ParquetSink.writeWithStats(out, s"$destDir/${cfg.name}",
-      fields, append = !firstRun, extraMetrics = cursorMetric)
-    // advance the cursor AFTER the write lands (commit order, sync.go);
-    // an empty delta observes null — the committed cursor stays put.
+    // 1. stage: overwrite mode makes the attempt restartable — a retry
+    //    replaces a partial prior stage instead of appending beside it
+    val stats = ParquetSink.writeWithStats(out, stagePath,
+      fields, append = false, extraMetrics = cursorMetric)
+    val rows = stats("records_written").asInstanceOf[Long]
+    // full refresh replaces the table; clearing BEFORE the cursor
+    // commit keeps the recovery story simple (a crash here re-stages
+    // and re-clears — both idempotent)
+    if (firstRun) ParquetSink.clear(spark, tablePath)
+    // 2. advance the cursor AFTER the staged write lands (commit order,
+    // sync.go), atomically WITH the promote-pending marker — from this
+    // point the staged delta is owed to the table and any later attempt
+    // completes the move instead of recomputing the delta.
+    // An empty delta observes null — the committed cursor stays put.
     // The commit RE-READS the state under the lock: concurrent stream
     // syncs share one state file, and a stale read-modify-write would
     // drop a sibling stream's commit.
@@ -127,9 +162,46 @@ object Protocol {
       val cur = StateStore.load(statePath).getOrElse(StateStore.State())
       val curSs = cur.streams.getOrElse(cfg.name, StateStore.StreamState())
       StateStore.save(statePath, cur.copy(streams = cur.streams.updated(
-        cfg.name, curSs.copy(cursor = curSs.cursor ++ newCursor))))
+        cfg.name, curSs.copy(cursor = curSs.cursor ++ newCursor,
+          offsets = curSs.offsets +
+            ("promote_pending" -> 1L) + ("promote_rows" -> rows)))))
     }
-    stats("records_written").asInstanceOf[Long]
+    // 3. promote, then clear the marker
+    promoteStage(spark, stagePath, tablePath)
+    stateLock.synchronized {
+      val cur = StateStore.load(statePath).getOrElse(StateStore.State())
+      val curSs = cur.streams.getOrElse(cfg.name, StateStore.StreamState())
+      StateStore.save(statePath, cur.copy(streams = cur.streams.updated(
+        cfg.name, curSs.copy(
+          offsets = curSs.offsets - "promote_pending" - "promote_rows"))))
+    }
+    recovered + rows
+  }
+
+  /** Move every staged data file into the table directory (partition
+    * subpaths preserved). File-by-file renames: each is atomic, already
+    * -moved files vanish from the stage, so repeating a half-done
+    * promotion finishes it — never doubles it. Hidden/underscore files
+    * (_SUCCESS, .crc) stay behind and die with the stage dir. */
+  private def promoteStage(spark: SparkSession, stage: String,
+                           dest: String): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) return
+    def walk(dir: org.apache.hadoop.fs.Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath, s"$rel/$name")
+          else {
+            val target = new org.apache.hadoop.fs.Path(s"$dest$rel/$name")
+            fs.mkdirs(target.getParent)
+            fs.rename(st.getPath, target)
+          }
+        }
+      }
+    walk(sp, "")
+    fs.delete(sp, true)
   }
 
   private val stateLock = new Object

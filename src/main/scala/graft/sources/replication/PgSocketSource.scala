@@ -59,13 +59,15 @@ class PgSocketSource extends TableProvider with DataSourceRegister {
   }
 }
 
-/** Same framed transport, MySQL binlog payloads: frames carry binlog v4
-  * events (`pos` in walStart), the session cache replays TABLE_MAP
+/** Same transport, MySQL binlog payloads: CopyData frames carry binlog
+  * v4 events (`pos` in walStart), the session cache replays TABLE_MAP
   * events (the reference's `pkg/binlog/binlog.go:31-160` connection
-  * keeps table maps for the stream's lifetime). MySQL replication has
-  * no standby acks — the position lives client-side, which is exactly
-  * the streaming checkpoint; the transport's ack frames are simply
-  * ignored by a binlog server. */
+  * keeps table maps for the stream's lifetime). The loopback transport
+  * borrows the PG replication envelope — a real MySQL server speaks its
+  * own handshake/COM_BINLOG_DUMP, which is the documented boundary
+  * here. MySQL replication has no standby acks — the position lives
+  * client-side, which is exactly the streaming checkpoint; the
+  * transport's ack frames are simply ignored by a binlog server. */
 class BinlogSocketSource extends PgSocketSource {
   override def shortName(): String = "graft-binlog-socket"
   override protected def protocol: String = "binlog"
@@ -109,15 +111,38 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
   // pgoutput Relation messages ('R' + int32 relid) arrive once per
   // session but describe every later row message — the reference keeps
   // them in relationIDToMsgMap for the connection's lifetime
-  // (pkg/waljs/pgoutput.go:25,120-128). Cache them and replay into every
-  // batch so each partition is a self-describing stream slice.
-  private val relations =
-    scala.collection.mutable.LinkedHashMap.empty[Long, FrameData]
+  // (pkg/waljs/pgoutput.go:25,120-128). Cache them — per relid, EVERY
+  // version by WAL position, not just the newest: a batch must be
+  // decoded against the schema in force AT ITS START, and an ALTER
+  // landing after the batch range would otherwise mis-map its columns.
+  private val relations = scala.collection.mutable.LinkedHashMap
+    .empty[Long, scala.collection.mutable.TreeMap[Long, FrameData]]
+  // Last position KNOWN COMMITTED downstream — the replay filter floor
+  // and the reconnect position (the slot's confirmed-flush analog).
+  // Never advanced past an unacked checkpointed offset: that would
+  // permanently drop the in-flight batch on restart.
   private var resumed = startLsn
+  private var recoveredAny = false
 
   private def ensureClient(fromLsn: Long): ReplicationClient = synchronized {
     if (client == null) client = new ReplicationClient(host, port, fromLsn)
     client
+  }
+
+  /** Reconnect-if-dead + drain the socket into the frame buffer.
+    * Caller holds the lock. */
+  private def drainSocket(): ReplicationClient = {
+    if (client != null && client.sessionClosed) { client.close(); client = null }
+    val c = ensureClient(resumed)
+    c.poll().foreach { case (lsn, data) =>
+      schemaKey(data).foreach { k =>
+        relations.getOrElseUpdate(k,
+          scala.collection.mutable.TreeMap.empty[Long, FrameData])
+          .update(lsn, FrameData(lsn, data))
+      }
+      if (lsn > resumed) buffer(lsn) = data // drop replays at/below committed
+    }
+    c
   }
 
   override def initialOffset(): Offset = LsnOffset(startLsn)
@@ -125,7 +150,17 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
   override def deserializeOffset(json: String): Offset = synchronized {
     val m = new ObjectMapper().readTree(json)
     val o = LsnOffset(m.get("lsn").asLong())
-    resumed = math.max(resumed, o.lsn) // restart: resume from checkpoint
+    // Restart recovery (offsets only come off the log before the first
+    // connection): the MINIMUM recovered offset is the start of the
+    // earliest replayed batch — i.e. the last position actually
+    // committed. Resuming from the maximum (the unacked END) would
+    // leave the replayed batch with an empty buffer, plan zero
+    // partitions, then ack a never-delivered LSN — silent loss.
+    if (client == null) {
+      resumed = if (!recoveredAny) math.max(resumed, o.lsn)
+                else math.min(resumed, o.lsn)
+      recoveredAny = true
+    }
     o
   }
 
@@ -143,16 +178,12 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
 
   override def latestOffset(): Offset = synchronized {
     // reconnect after a dropped session: a slot re-delivers everything
-    // above the confirmed position, and the committed-offset filter
-    // below drops anything at or below `resumed` — restart-safe by the
-    // same contract as a process restart (reference behavior: the sync
-    // loop reconnects and resumes from the slot, waljs.go/replicator.go)
-    if (client != null && client.sessionClosed) { client.close(); client = null }
-    val c = ensureClient(resumed)
-    c.poll().foreach { case (lsn, data) =>
-      schemaKey(data).foreach(k => relations(k) = FrameData(lsn, data))
-      if (lsn > resumed) buffer(lsn) = data // drop replays below resume
-    }
+    // above the confirmed position, and the committed-offset filter in
+    // drainSocket drops anything at or below `resumed` — restart-safe
+    // by the same contract as a process restart (reference behavior:
+    // the sync loop reconnects and resumes from the slot,
+    // waljs.go/replicator.go)
+    drainSocket()
     LsnOffset(if (buffer.isEmpty) resumed else buffer.lastKey)
   }
 
@@ -160,11 +191,26 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
     val s = start.asInstanceOf[LsnOffset].lsn
     val e = end.asInstanceOf[LsnOffset].lsn
     val frames = synchronized {
+      // Restart replay: a fresh stream's buffer is empty for a
+      // checkpointed-but-uncommitted range. The session (re)connected
+      // from `resumed` (= the batch's start), so the server re-delivers
+      // the range — poll until the WAL position reaches `end` or the
+      // session dies, so the replayed batch plans its real frames
+      // instead of silently planning zero and then acking them away.
+      val deadline = System.nanoTime() + PgSocketStream.replayWaitNanos
+      var c = if (client == null) null else client
+      while ((buffer.isEmpty || buffer.lastKey < e) &&
+             (c == null || (!c.sessionClosed && c.clientXLogPos < e)) &&
+             System.nanoTime() < deadline) {
+        c = drainSocket()
+      }
       val inRange = buffer.rangeImpl(Some(s + 1), Some(e + 1))
         .map { case (l, d) => FrameData(l, d) }.toArray
-      // prepend cached relations not already inside the slice
+      // prepend, per relation, the latest descriptor at-or-below the
+      // batch START (later versions inside the range ride along in
+      // order; versions beyond `end` must NOT describe this batch)
       val prefix = relations.values
-        .filterNot(f => f.lsn > s && f.lsn <= e).toArray
+        .flatMap(vs => vs.rangeTo(s).lastOption.map(_._2)).toArray
       prefix ++ inRange
     }
     if (frames.isEmpty) Array.empty
@@ -182,11 +228,23 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
     val done = buffer.keys.takeWhile(_ <= e).toSeq
     done.foreach(buffer.remove)
     resumed = math.max(resumed, e)
+    // relation history below the committed position collapses to the
+    // single version still in force there (future batches start > e)
+    relations.values.foreach { vs =>
+      vs.rangeTo(resumed).keys.toSeq.dropRight(1).foreach(vs.remove)
+    }
   }
 
   override def stop(): Unit = synchronized {
     if (client != null) { client.close(); client = null }
   }
+}
+
+object PgSocketStream {
+  /** How long a replayed batch waits for the session to re-deliver its
+    * range before planning whatever arrived (a dead session also ends
+    * the wait — the next latestOffset reconnects). */
+  val replayWaitNanos: Long = 30L * 1000 * 1000 * 1000
 }
 
 case class FrameData(lsn: Long, msg: Array[Byte])

@@ -22,7 +22,10 @@ object Coerce {
     * reference's parse rules: bool accepts the 1/t/true/yes families
     * case-insensitively and rejects (→ null) anything else
     * (`ReformatBool`, reformat.go:515-540 errors on unknown), integers
-    * go through a double parse (`ReformatInt64` accepts "12.0"),
+    * take an EXACT integral parse first (`ReformatInt64` is
+    * strconv.ParseInt — routing everything through double would
+    * silently corrupt |v| > 2^53, e.g. snowflake-style bigint keys) and
+    * fall back through double only for decimal-looking strings,
     * timestamps run the shared format-sniffing list. */
   def cast(t: CanonicalType, c: Column): Column = t match {
     case Null    => lit(null)
@@ -31,8 +34,12 @@ object Coerce {
       when(s.isin("true", "1", "t", "yes"), lit(true))
         .when(s.isin("false", "0", "f", "no"), lit(false))
         .otherwise(lit(null).cast("boolean"))
-    case Int32   => c.cast("string").cast("double").cast("int")
-    case Int64   => c.cast("string").cast("double").cast("long")
+    case Int32   =>
+      val s = c.cast("string")
+      coalesce(s.try_cast("int"), s.try_cast("double").try_cast("int"))
+    case Int64   =>
+      val s = c.cast("string")
+      coalesce(s.try_cast("long"), s.try_cast("double").try_cast("long"))
     case Float32 => c.cast("float")
     case Float64 => c.cast("double")
     case TsSeconds | TsMillis | TsMicros | TsNanos =>

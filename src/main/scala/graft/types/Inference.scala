@@ -149,12 +149,17 @@ object Inference {
       }
       case Int32 => v match {
         case n: Number => n.intValue
-        case s: String => s.trim.toDouble.toInt
+        // exact parse first (ReformatInt64 is strconv.ParseInt); the
+        // double path only for decimal-looking strings — it corrupts
+        // integers above 2^53
+        case s: String => scala.util.Try(s.trim.toInt)
+          .getOrElse(s.trim.toDouble.toInt)
         case other     => other
       }
       case Int64 => v match {
         case n: Number => n.longValue
-        case s: String => s.trim.toDouble.toLong
+        case s: String => scala.util.Try(s.trim.toLong)
+          .getOrElse(s.trim.toDouble.toLong)
         case t: java.sql.Timestamp => t.getTime
         case other     => other
       }

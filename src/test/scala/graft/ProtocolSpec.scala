@@ -63,6 +63,46 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!StateStore.load(state).get.streams.contains("orders"))
   }
 
+  test("sync attempt is idempotent: stale staged data is discarded, a committed promote completes once") {
+    val dest = Files.createTempDirectory("graft_idem").toString
+    val state = s"$dest/state.json"
+    val cfg = Protocol.StreamConfig("orders",
+      syncMode = "incremental", cursor = Some("o_orderdate"),
+      primaryKeys = Seq("o_orderkey"))
+    val n1 = Protocol.syncStream(spark, src, dest, cfg, state)
+    assert(spark.read.parquet(s"$dest/orders").count() == n1)
+
+    // crash window A — attempt died AFTER its staged write landed but
+    // BEFORE the cursor commit: the leftover stage must be overwritten
+    // by the retry, never appended to the table
+    spark.read.parquet(s"$dest/orders").limit(7)
+      .write.mode("overwrite").parquet(s"$dest/.stage_orders")
+    val n2 = Protocol.syncStream(spark, src, dest, cfg, state)
+    assert(n2 == 0)
+    assert(spark.read.parquet(s"$dest/orders").count() == n1,
+      "stale staged rows must not be promoted")
+    assert(!new java.io.File(s"$dest/.stage_orders").exists)
+
+    // crash window B — attempt died AFTER the cursor+marker commit but
+    // BEFORE the promotion: the next attempt completes the move exactly
+    // once and clears the marker
+    spark.read.parquet(s"$dest/orders").limit(5)
+      .write.mode("overwrite").parquet(s"$dest/.stage_orders")
+    val st = StateStore.load(state).get
+    val ss = st.streams("orders")
+    StateStore.save(state, st.copy(streams = st.streams.updated("orders",
+      ss.copy(offsets = ss.offsets +
+        ("promote_pending" -> 1L) + ("promote_rows" -> 5L)))))
+    val n3 = Protocol.syncStream(spark, src, dest, cfg, state)
+    assert(n3 == 5, "recovered promote rows are reported")
+    assert(spark.read.parquet(s"$dest/orders").count() == n1 + 5)
+    val after = StateStore.load(state).get.streams("orders").offsets
+    assert(!after.contains("promote_pending") && !after.contains("promote_rows"))
+    // and running again changes nothing
+    assert(Protocol.syncStream(spark, src, dest, cfg, state) == 0)
+    assert(spark.read.parquet(s"$dest/orders").count() == n1 + 5)
+  }
+
   test("syncAll runs streams concurrently; no state commit is lost") {
     val dest = Files.createTempDirectory("graft_syncall").toString
     val state = s"$dest/state.json"

@@ -99,12 +99,28 @@ class WideTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
     assert(planSide.zip(dataSide).forall { case (p, d) => p == d },
       s"plan=$planSide data=${dataSide.toSeq}")
-    val nums = Seq("12", "12.0", "-3.7")
+    val nums = Seq("12", "12.0", "-3.7", "9007199254740993", "-9007199254740993")
     val planNum = nums.map(v => Inference.coerce(CanonicalType.Int64, v))
     val dataNum = nums.toDF("s")
       .select(Coerce.cast(CanonicalType.Int64, col("s")).as("n"))
       .collect().map(_.getLong(0))
     assert(planNum.map(_.asInstanceOf[Long]).toSeq == dataNum.toSeq)
+  }
+
+  test("int coercion is exact above 2^53 (no silent double corruption of bigint keys)") {
+    import spark.implicits._
+    import graft.types.Inference
+    // 2^53 + 1 is the first long a double cannot represent; the old
+    // string→double→long route returned ...992 for it
+    val big = 9007199254740993L
+    val out = Seq((big, big.toString)).toDF("l", "s")
+      .select(Coerce.cast(CanonicalType.Int64, col("l")).as("fromLong"),
+        Coerce.cast(CanonicalType.Int64, col("s")).as("fromString"))
+      .head
+    assert(out.getLong(0) == big && out.getLong(1) == big)
+    assert(Inference.coerce(CanonicalType.Int64, big.toString) == big)
+    // the decimal-string fallback still works
+    assert(Inference.coerce(CanonicalType.Int64, "12.0") == 12L)
   }
 
   test("coerce casts follow ReformatValue: bool '1', int via double parse, binary → UTF-8") {
