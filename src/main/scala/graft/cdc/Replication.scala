@@ -3,16 +3,26 @@ package graft.cdc
 import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
 
-/** Logical-replication protocol client: the socket/session layer the
-  * round-3 verdict called out as the gap between the bit-level pgoutput
-  * decoder (proven by encode→decode identity) and a live protocol
-  * client.
+/** Logical-replication protocol client speaking the REAL PostgreSQL
+  * v3 wire protocol — the socket/session layer between the bit-level
+  * pgoutput decoder (proven by encode→decode identity) and a live
+  * server. A stock Postgres with trust auth would accept this client
+  * unmodified; the loopback test server speaks the same exchange.
   *
-  * Speaks the public PostgreSQL streaming-replication sub-protocol
-  * messages (the payloads pglogrepl parses inside CopyData — the
-  * reference consumes exactly these in
-  * `pkg/waljs/pgoutput.go:76-106` and acks via
-  * `SendStandbyStatusUpdate`, `replicator.go:139-150`):
+  * The session follows the reference exactly
+  * (`pkg/waljs/replicator.go:50-120`, `pkg/waljs/pgoutput.go:33-106`):
+  *
+  *  1. StartupMessage (protocol 3.0) with `replication=database` — the
+  *     query param pgconn sets before connecting (replicator.go:52-56);
+  *     AuthenticationOk (trust) … ReadyForQuery.
+  *  2. `IDENTIFY_SYSTEM` simple query → systemid / timeline / xlogpos /
+  *     dbname row (replicator.go:93-99 logs exactly these and uses
+  *     XLogPos as the target WAL position).
+  *  3. `START_REPLICATION SLOT "slot" LOGICAL lsn (proto_version '1',
+  *     publication_names 'pub')` → CopyBothResponse, after which the
+  *     link is a CopyData stream both ways (pgoutput.go:34-36).
+  *
+  * Inside CopyData ('d') envelopes, the payloads pglogrepl parses:
   *
   *  - `w` XLogData: walStart int64 | walEnd int64 | serverTime int64 |
   *    walData bytes — walData is a pgoutput logical message, handed to
@@ -25,18 +35,17 @@ import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
   *    walFlushed int64 | walApplied int64 | clientTime int64 |
   *    replyRequested byte — the slot ack (`AcknowledgeLSN`).
   *
-  * Framing: each message is `int32 length | type byte | body` — the
-  * CopyData envelope with the PG startup/auth handshake replaced by one
-  * `S` start frame carrying the resume LSN (the role START_REPLICATION
-  * plays, `pgoutput.go:34-36`); the full pgconn startup exchange needs
-  * a real server and stays out of scope, which is exactly the boundary
-  * this shim documents.
-  *
   * All timestamps are micros since the PG epoch convention is the
   * server's concern — the client treats them as opaque passthrough.
   */
 class ReplicationClient(host: String, port: Int, startLsn: Long,
-                        connectTimeoutMs: Int = 5000) extends AutoCloseable {
+                        connectTimeoutMs: Int = 5000,
+                        user: String = "graft",
+                        database: String = "postgres",
+                        slot: String = "graft_slot",
+                        publication: String = "graft_pub")
+    extends AutoCloseable {
+  import ReplicationWire._
 
   private val sock = new Socket()
   sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
@@ -50,34 +59,91 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
   @volatile var clientXLogPos: Long = startLsn
   /** Highest WAL position acked to the server (slot's confirmed flush). */
   @volatile var confirmedFlushLsn: Long = startLsn
+  /** Server's current WAL write position from IDENTIFY_SYSTEM — the
+    * reference's `targetWalPos` (replicator.go:101-107). */
+  @volatile var systemXLogPos: Long = -1L
   /** Set when the server closed the stream — the session is over and
     * the owner must reconnect (a slot re-delivers from the confirmed
     * position, so reconnection is always safe). */
   @volatile var sessionClosed: Boolean = false
 
-  // START_REPLICATION analog: one start frame with the resume position.
-  sendFrame('S', { b => b.writeLong(startLsn) })
+  handshake()
 
-  private def sendFrame(tpe: Char, body: DataOutputStream => Unit): Unit =
-    out.synchronized {
-      val buf = new java.io.ByteArrayOutputStream()
-      val d = new DataOutputStream(buf)
-      body(d); d.flush()
-      out.writeInt(1 + buf.size())
-      out.writeByte(tpe)
-      buf.writeTo(out)
-      out.flush()
+  private def send(bytes: Array[Byte]): Unit = out.synchronized {
+    out.write(bytes); out.flush()
+  }
+
+  /** Read one tagged backend message (type byte | int32 len | body). */
+  private def readTagged(): (Char, java.nio.ByteBuffer) = {
+    val tpe = in.readByte().toChar
+    val len = in.readInt()
+    require(len >= 4 && len <= (1 << 26), s"bad frame length $len")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    (tpe, java.nio.ByteBuffer.wrap(body))
+  }
+
+  private def fail(tpe: Char, body: java.nio.ByteBuffer): Nothing =
+    throw new java.io.IOException(
+      if (tpe == 'E') s"server error: ${errorFields(body)}"
+      else s"unexpected message '$tpe' from server")
+
+  private def handshake(): Unit = {
+    sock.setSoTimeout(connectTimeoutMs)
+    // 1. startup + auth (trust): consume status noise until ReadyForQuery
+    send(startupMessage(Seq(
+      "user" -> user, "database" -> database, "replication" -> "database")))
+    var t = ' '
+    while (t != 'Z') {
+      val (tpe, body) = readTagged()
+      tpe match {
+        case 'R' =>
+          val code = body.getInt
+          if (code != 0) throw new java.io.IOException(
+            s"unsupported auth method $code (trust only)")
+        case 'E' => fail(tpe, body)
+        case _   => () // ParameterStatus / BackendKeyData / notices
+      }
+      t = tpe
     }
+    // 2. IDENTIFY_SYSTEM: capture the server's WAL write position
+    send(query("IDENTIFY_SYSTEM"))
+    t = ' '
+    while (t != 'Z') {
+      val (tpe, body) = readTagged()
+      tpe match {
+        case 'D' =>
+          val cols = dataRowColumns(body)
+          if (cols.length >= 3) cols(2).foreach(v => systemXLogPos = parseLsn(v))
+        case 'E' => fail(tpe, body)
+        case _   => () // RowDescription / CommandComplete
+      }
+      t = tpe
+    }
+    // 3. START_REPLICATION on the slot from the resume position
+    send(query(s"""START_REPLICATION SLOT "$slot" LOGICAL """ +
+      s"${formatLsn(startLsn)} (proto_version '1', " +
+      s"publication_names '$publication')"))
+    var started = false
+    while (!started) {
+      val (tpe, body) = readTagged()
+      tpe match {
+        case 'W' => started = true // CopyBothResponse — the stream is live
+        case 'N' => ()             // NoticeResponse
+        case _   => fail(tpe, body)
+      }
+    }
+  }
 
   /** The slot ack: everything at or below `lsn` is durably committed
-    * downstream. Mirrors StandbyStatusUpdate's layout. */
+    * downstream. StandbyStatusUpdate inside a CopyData envelope. */
   def standbyStatusUpdate(lsn: Long, replyRequested: Boolean = false): Unit = {
     confirmedFlushLsn = math.max(confirmedFlushLsn, lsn)
-    sendFrame('r', { b =>
-      b.writeLong(lsn); b.writeLong(lsn); b.writeLong(lsn)
-      b.writeLong(System.nanoTime() / 1000L)
-      b.writeByte(if (replyRequested) 1 else 0)
-    })
+    val b = java.nio.ByteBuffer.allocate(34)
+    b.put('r'.toByte).putLong(lsn).putLong(lsn).putLong(lsn)
+      .putLong(System.nanoTime() / 1000L)
+      .put((if (replyRequested) 1 else 0).toByte)
+    send(pgFrame('d', b.array()))
   }
 
   /** Read whatever the server has pushed, up to `maxFrames` XLogData
@@ -89,8 +155,8 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
     * `PgOutput.decode` consumes.
     *
     * Framing safety: the idle timeout only fires BETWEEN frames (a
-    * frame read starts only once its 4-byte length is buffered); inside
-    * a frame, reads block with a generous `frameTimeoutMs` — a timeout
+    * frame read starts only once its type byte is buffered); inside a
+    * frame, reads block with a generous `frameTimeoutMs` — a timeout
     * mid-frame would silently drop consumed bytes and desync the
     * stream, so it is treated as a dead session, never retried. */
   def poll(maxFrames: Int = 4096, idleMillis: Int = 200,
@@ -99,7 +165,7 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
     val idleDeadline = System.nanoTime() + idleMillis * 1000000L
     try {
       while (outBuf.length < maxFrames) {
-        if (in.available() < 4) {
+        if (in.available() < 5) {
           // probe one byte with a tiny timeout: detects server close
           // (-1 → session over) and doubles as the idle wait; the byte
           // is pushed back so frame alignment is untouched
@@ -112,25 +178,24 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
           if (System.nanoTime() > idleDeadline) return outBuf.toSeq
         } else {
           sock.setSoTimeout(frameTimeoutMs)
-          val len = in.readInt()
-          require(len >= 1 && len <= (1 << 26), s"bad frame length $len")
-          val tpe = in.readByte().toChar
-          val body = new Array[Byte](len - 1)
-          in.readFully(body)
-          val bb = java.nio.ByteBuffer.wrap(body)
+          val (tpe, bb) = readTagged()
           tpe match {
-            case 'w' =>
-              val walStart = bb.getLong; bb.getLong; bb.getLong // walEnd, serverTime
-              val data = new Array[Byte](bb.remaining()); bb.get(data)
-              if (walStart > clientXLogPos) clientXLogPos = walStart
-              outBuf += ((walStart, data))
-            case 'k' =>
-              val walEnd = bb.getLong; bb.getLong
-              val replyRequested = bb.get() != 0
-              if (walEnd > clientXLogPos) clientXLogPos = walEnd
-              if (replyRequested) standbyStatusUpdate(confirmedFlushLsn)
-            case other => // unhandled message types are skipped, like the
-              ()          // reference's default branch (pgoutput.go:104)
+            case 'd' if bb.remaining() >= 1 => bb.get().toChar match {
+              case 'w' =>
+                val walStart = bb.getLong; bb.getLong; bb.getLong // walEnd, serverTime
+                val data = new Array[Byte](bb.remaining()); bb.get(data)
+                if (walStart > clientXLogPos) clientXLogPos = walStart
+                outBuf += ((walStart, data))
+              case 'k' =>
+                val walEnd = bb.getLong; bb.getLong
+                val replyRequested = bb.get() != 0
+                if (walEnd > clientXLogPos) clientXLogPos = walEnd
+                if (replyRequested) standbyStatusUpdate(confirmedFlushLsn)
+              case _ => () // unknown CopyData payloads are skipped, like
+            }              // the reference's default branch (pgoutput.go:104)
+            case 'E' =>    // ErrorResponse ends the replication session
+              sessionClosed = true; return outBuf.toSeq
+            case _ => ()   // CopyDone / NoticeResponse / ReadyForQuery
           }
         }
       }
@@ -150,38 +215,186 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
   }
 }
 
-/** Server-side encoding of the same frames — used by loopback tests and
-  * by anything that needs to re-serve a captured WAL stream. */
+/** Wire-level encoding of the PostgreSQL v3 messages both sides speak —
+  * used by the client above, by loopback test servers, and by anything
+  * that needs to re-serve a captured WAL stream. */
 object ReplicationWire {
 
-  def frame(tpe: Char, body: Array[Byte]): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(4 + 1 + body.length)
-    buf.putInt(1 + body.length).put(tpe.toByte).put(body)
+  /** Tagged message: type byte | int32 length (self-inclusive) | body. */
+  def pgFrame(tpe: Char, body: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(1 + 4 + body.length)
+    buf.put(tpe.toByte).putInt(4 + body.length).put(body)
     buf.array()
   }
 
+  /** Untagged StartupMessage: int32 len | int32 196608 | k\0v\0 … \0. */
+  def startupMessage(params: Seq[(String, String)]): Array[Byte] = {
+    val kv = params.flatMap { case (k, v) =>
+      k.getBytes("UTF-8") ++ Array[Byte](0) ++
+        v.getBytes("UTF-8") ++ Array[Byte](0)
+    }.toArray :+ 0.toByte
+    val buf = java.nio.ByteBuffer.allocate(8 + kv.length)
+    buf.putInt(8 + kv.length).putInt(196608).put(kv) // protocol 3.0
+    buf.array()
+  }
+
+  /** Simple Query ('Q'): SQL text + NUL. */
+  def query(sql: String): Array[Byte] =
+    pgFrame('Q', sql.getBytes("UTF-8") :+ 0.toByte)
+
+  /** XLogData inside its CopyData envelope (server → client). */
   def xLogData(walStart: Long, walEnd: Long, serverTimeMicros: Long,
                walData: Array[Byte]): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(24 + walData.length)
-    buf.putLong(walStart).putLong(walEnd).putLong(serverTimeMicros).put(walData)
-    frame('w', buf.array())
+    val buf = java.nio.ByteBuffer.allocate(25 + walData.length)
+    buf.put('w'.toByte).putLong(walStart).putLong(walEnd)
+      .putLong(serverTimeMicros).put(walData)
+    pgFrame('d', buf.array())
   }
 
+  /** Primary keepalive inside its CopyData envelope (server → client). */
   def keepalive(walEnd: Long, serverTimeMicros: Long,
                 replyRequested: Boolean): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(17)
-    buf.putLong(walEnd).putLong(serverTimeMicros)
+    val buf = java.nio.ByteBuffer.allocate(18)
+    buf.put('k'.toByte).putLong(walEnd).putLong(serverTimeMicros)
       .put((if (replyRequested) 1 else 0).toByte)
-    frame('k', buf.array())
+    pgFrame('d', buf.array())
   }
 
-  /** Parse a client frame (server side): returns (type, body). */
+  /** `X/X` hex rendering of an LSN (pglogrepl.LSN.String). */
+  def formatLsn(lsn: Long): String =
+    f"${(lsn >>> 32) & 0xffffffffL}%X/${lsn & 0xffffffffL}%X"
+
+  def parseLsn(s: String): Long = s.split('/') match {
+    case Array(hi, lo) =>
+      (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+    case _ => throw new IllegalArgumentException(s"bad LSN '$s'")
+  }
+
+  /** Parse one tagged frame (server side); CopyData frames are unwrapped
+    * to their payload type — so a client's status update reads as
+    * ('r', walWritten …), matching what a WAL re-server cares about. */
   def readFrame(in: DataInputStream): (Char, java.nio.ByteBuffer) = {
-    val len = in.readInt()
-    require(len >= 1 && len <= (1 << 26), s"bad frame length $len")
     val tpe = in.readByte().toChar
-    val body = new Array[Byte](len - 1)
+    val len = in.readInt()
+    require(len >= 4 && len <= (1 << 26), s"bad frame length $len")
+    val body = new Array[Byte](len - 4)
     in.readFully(body)
-    (tpe, java.nio.ByteBuffer.wrap(body))
+    val bb = java.nio.ByteBuffer.wrap(body)
+    if (tpe == 'd' && bb.remaining() >= 1) (bb.get().toChar, bb.slice())
+    else (tpe, bb)
+  }
+
+  /** Server side of the untagged StartupMessage. */
+  def readStartup(in: DataInputStream): Map[String, String] = {
+    val len = in.readInt()
+    require(len >= 8 && len <= (1 << 20), s"bad startup length $len")
+    val proto = in.readInt()
+    require(proto == 196608, s"unsupported protocol $proto")
+    val body = new Array[Byte](len - 8)
+    in.readFully(body)
+    val parts = new String(body, "UTF-8").split('\u0000').filter(_.nonEmpty)
+    parts.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+  }
+
+  /** ErrorResponse fields (code byte + cstring, NUL-terminated list). */
+  def errorFields(bb: java.nio.ByteBuffer): String = {
+    val sb = new StringBuilder
+    while (bb.remaining() > 1) {
+      val code = bb.get().toChar
+      val s = new StringBuilder
+      var b = bb.get()
+      while (b != 0) { s.append(b.toChar); b = bb.get() }
+      if (code == 'S' || code == 'M') sb.append(s).append(' ')
+    }
+    sb.toString.trim
+  }
+
+  /** Drive the SERVER side of the full session establishment against a
+    * connecting client: startup + trust AuthenticationOk, the
+    * IDENTIFY_SYSTEM round trip, then START_REPLICATION →
+    * CopyBothResponse. Returns the LSN the client asked to start from.
+    * This is the exchange a real Postgres runs for the reference's
+    * pgconn/pglogrepl stack (replicator.go:50-120, pgoutput.go:34-36).
+    */
+  def serveHandshake(in: DataInputStream, out: java.io.OutputStream,
+                     systemId: String = "7000000000000000001",
+                     timeline: Int = 1, xlogpos: Long = 0L,
+                     dbname: String = "postgres"): Long = {
+    val params = readStartup(in)
+    require(params.get("replication").contains("database"),
+      s"expected a replication session request, got $params")
+    out.write(pgFrame('R', java.nio.ByteBuffer.allocate(4).putInt(0).array()))
+    out.write(pgFrame('Z', Array('I'.toByte)))
+    out.flush()
+    var startLsn = -1L
+    while (startLsn < 0) {
+      val (t, b) = {
+        // raw tagged read: queries are never CopyData-wrapped
+        val tpe = in.readByte().toChar
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        (tpe, new String(body, "UTF-8"))
+      }
+      require(t == 'Q', s"expected a simple query, got '$t'")
+      val sql = b.takeWhile(_ != '\u0000')
+      if (sql.startsWith("IDENTIFY_SYSTEM")) {
+        out.write(identifySystemResponse(systemId, timeline, xlogpos, dbname))
+        out.flush()
+      } else if (sql.startsWith("START_REPLICATION")) {
+        startLsn = "[0-9A-Fa-f]+/[0-9A-Fa-f]+".r.findFirstIn(sql)
+          .map(parseLsn).getOrElse(
+            throw new IllegalArgumentException(s"no LSN in: $sql"))
+        // CopyBothResponse: overall format 0 (text), 0 columns
+        out.write(pgFrame('W', Array[Byte](0, 0, 0)))
+        out.flush()
+      } else throw new IllegalArgumentException(s"unexpected query: $sql")
+    }
+    startLsn
+  }
+
+  /** RowDescription + DataRow + CommandComplete + ReadyForQuery for the
+    * IDENTIFY_SYSTEM result (systemid, timeline, xlogpos, dbname). */
+  def identifySystemResponse(systemId: String, timeline: Int,
+                             xlogpos: Long, dbname: String): Array[Byte] = {
+    def field(name: String, typeOid: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(name.length + 1 + 18)
+      b.put(name.getBytes("UTF-8")).put(0.toByte)
+        .putInt(0).putShort(0).putInt(typeOid)
+        .putShort(-1).putInt(-1).putShort(0)
+      b.array()
+    }
+    val fields = Array(field("systemid", 25), field("timeline", 23),
+      field("xlogpos", 25), field("dbname", 25))
+    val rowDesc = {
+      val body = java.nio.ByteBuffer.allocate(2 + fields.map(_.length).sum)
+      body.putShort(4.toShort); fields.foreach(body.put)
+      pgFrame('T', body.array())
+    }
+    val vals = Seq(systemId, timeline.toString, formatLsn(xlogpos), dbname)
+      .map(_.getBytes("UTF-8"))
+    val dataRow = {
+      val body = java.nio.ByteBuffer.allocate(2 + vals.map(_.length + 4).sum)
+      body.putShort(4.toShort)
+      vals.foreach(v => { body.putInt(v.length); body.put(v) })
+      pgFrame('D', body.array())
+    }
+    val complete = pgFrame('C', "SELECT 1".getBytes("UTF-8") :+ 0.toByte)
+    val ready = pgFrame('Z', Array('I'.toByte))
+    rowDesc ++ dataRow ++ complete ++ ready
+  }
+
+  /** DataRow columns: int16 n, then per column int32 len | bytes
+    * (len -1 = NULL). */
+  def dataRowColumns(bb: java.nio.ByteBuffer): Array[Option[String]] = {
+    val n = bb.getShort.toInt
+    Array.fill(n) {
+      val len = bb.getInt
+      if (len < 0) None
+      else {
+        val v = new Array[Byte](len); bb.get(v)
+        Some(new String(v, "UTF-8"))
+      }
+    }
   }
 }

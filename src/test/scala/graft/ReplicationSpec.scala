@@ -52,10 +52,10 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
         val sock = server.accept()
         val in = new DataInputStream(sock.getInputStream)
         val out = sock.getOutputStream
-        // START_REPLICATION analog
-        val (tpe, body) = ReplicationWire.readFrame(in)
-        assert(tpe == 'S')
-        handshakeLsn = body.getLong
+        // full PG v3 session establishment: startup + trust auth,
+        // IDENTIFY_SYSTEM, START_REPLICATION → CopyBothResponse
+        handshakeLsn = ReplicationWire.serveHandshake(in, out,
+          xlogpos = messages.map(_._1).foldLeft(0L)(math.max))
         // ask for an ack first (reference's reply-requested keepalive)
         out.write(ReplicationWire.keepalive(handshakeLsn, 1L, replyRequested = true))
         tranches.zipWithIndex.foreach { case (tranche, i) =>
@@ -101,6 +101,8 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
       val c = new ReplicationClient("127.0.0.1", srv.port, startLsn = 7L)
       val frames = c.poll()
       assert(srv.handshakeLsn == 7L)
+      // IDENTIFY_SYSTEM round trip captured the server's WAL position
+      assert(c.systemXLogPos == 132L)
       assert(frames.length == 10) // relation + 3 × (begin, insert, commit)
       assert(frames.head._2(0) == 'R')
       assert(c.clientXLogPos == 132L)
@@ -114,17 +116,42 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("wire protocol pieces: LSN hex form, startup message, IDENTIFY_SYSTEM row") {
+    import java.io.ByteArrayInputStream
+    assert(ReplicationWire.formatLsn(0x16B3748L) == "0/16B3748")
+    assert(ReplicationWire.formatLsn((5L << 32) | 0xABCL) == "5/ABC")
+    assert(ReplicationWire.parseLsn("5/ABC") == ((5L << 32) | 0xABCL))
+    assert(ReplicationWire.parseLsn(ReplicationWire.formatLsn(Long.MaxValue)) ==
+      Long.MaxValue)
+    val su = ReplicationWire.startupMessage(Seq(
+      "user" -> "graft", "database" -> "postgres", "replication" -> "database"))
+    val parsed = ReplicationWire.readStartup(
+      new DataInputStream(new ByteArrayInputStream(su)))
+    assert(parsed == Map("user" -> "graft", "database" -> "postgres",
+      "replication" -> "database"))
+    val resp = ReplicationWire.identifySystemResponse(
+      "7000000000000000001", 1, 0xCAFEL, "postgres")
+    val in = new DataInputStream(new ByteArrayInputStream(resp))
+    val frames = Iterator.continually(
+      try Some(ReplicationWire.readFrame(in)) catch { case _: Exception => None })
+      .takeWhile(_.isDefined).flatten.toSeq
+    assert(frames.map(_._1) == Seq('T', 'D', 'C', 'Z'))
+    val row = ReplicationWire.dataRowColumns(frames(1)._2)
+    assert(row.toSeq == Seq(Some("7000000000000000001"), Some("1"),
+      Some("0/CAFE"), Some("postgres")))
+  }
+
   test("server dies mid-frame: completed frames survive, session marked dead, no desync") {
     val server = new ServerSocket(0)
     val t = new Thread(() => {
       try {
         val sock = server.accept()
         val in = new DataInputStream(sock.getInputStream)
-        ReplicationWire.readFrame(in) // start frame
         val out = sock.getOutputStream
+        ReplicationWire.serveHandshake(in, out)
         out.write(ReplicationWire.xLogData(100L, 100L, 0L, Array[Byte](1, 2, 3)))
-        // a truncated second frame: length prefix + 3 of the promised bytes
-        out.write(Array[Byte](0, 0, 0, 30, 'w'.toByte, 9, 9))
+        // a truncated second CopyData frame: header + 3 of the promised bytes
+        out.write(Array[Byte]('d'.toByte, 0, 0, 0, 30, 'w'.toByte, 9, 9))
         out.flush()
         Thread.sleep(300)
         sock.close(); server.close()
@@ -267,6 +294,71 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(srvB.handshakeLsn >= 0L) // new session handshake happened
       } finally { q.stop(); if (srvB != null) srvB.close() }
     } finally srvA.close()
+  }
+
+  test("restart with an uncommitted batch: replayed range refills from the socket, never acked empty") {
+    import graft.sources.replication.{PgSocketStream, FramesPartition}
+    import graft.sources.changelog.LsnOffset
+    // Rows: tx1 at 110-112, tx2 120-122, tx3 130-132 (+ relation@10).
+    // The dying run committed through 112 and had batch (112,132]
+    // checkpointed but NOT committed. A fresh stream must re-deliver
+    // that exact range — resuming from the unacked END (132) would plan
+    // zero partitions and then ack frames nobody ever saw.
+    val srv = new LoopbackServer(Seq(walMessages(1 to 3)))
+    try {
+      val stream = new PgSocketStream("127.0.0.1", srv.port, startLsn = 0L)
+      // recovery order (end first) must not matter: the MIN is the floor
+      stream.deserializeOffset("""{"lsn":132}""")
+      stream.deserializeOffset("""{"lsn":112}""")
+      val parts = stream.planInputPartitions(LsnOffset(112L), LsnOffset(132L))
+      assert(parts.length == 1, "replayed batch must plan its frames, not zero partitions")
+      val lsns = parts(0).asInstanceOf[FramesPartition].frames.map(_.lsn).toSeq
+      // relation descriptor replayed as prefix + exactly the (112,132] rows
+      assert(lsns == Seq(10L, 120L, 121L, 122L, 130L, 131L, 132L))
+      // the session reconnected from the committed floor, not the unacked end
+      assert(srv.handshakeLsn == 112L)
+      stream.commit(LsnOffset(132L))
+      Thread.sleep(200)
+      val acks = srv.acks.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(acks.last == 132L)
+      stream.stop()
+    } finally srv.close()
+  }
+
+  test("relation replay: a batch decodes against the descriptor at its start, not a later ALTER") {
+    import graft.sources.replication.{PgSocketStream, FramesPartition}
+    import graft.sources.changelog.LsnOffset
+    val rel2 = PgOutput.Relation(42, "public", "t", 'f',
+      relCols :+ PgOutput.RelColumn(0, "extra", 25, -1))
+    val msgs = Seq(
+      (10L, PgOutput.encodeRelation(rel)),
+      (15L, PgOutput.encodeInsert(42, Seq("1", "a"))),
+      (55L, PgOutput.encodeInsert(42, Seq("2", "b"))),
+      (70L, PgOutput.encodeRelation(rel2)), // ALTER lands after lsn 60
+      (75L, PgOutput.encodeInsert(42, Seq("3", "c", "x"))))
+    val srv = new LoopbackServer(Seq(msgs))
+    try {
+      val stream = new PgSocketStream("127.0.0.1", srv.port, startLsn = 0L)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = 0L
+      while (last < 75L && System.nanoTime() < deadline) {
+        last = stream.latestOffset().asInstanceOf[LsnOffset].lsn
+        if (last < 75L) Thread.sleep(50)
+      }
+      assert(last == 75L)
+      // batch (20,60] planned AFTER the newer descriptor is cached: its
+      // prefix must be rel@10 (in force at the batch start), never rel2@70
+      val b1 = stream.planInputPartitions(LsnOffset(20L), LsnOffset(60L))
+      assert(b1(0).asInstanceOf[FramesPartition].frames.map(_.lsn).toSeq ==
+        Seq(10L, 55L))
+      stream.commit(LsnOffset(60L))
+      // next batch: old version still the prefix; the in-range ALTER
+      // rides along in WAL order ahead of the rows it describes
+      val b2 = stream.planInputPartitions(LsnOffset(60L), LsnOffset(80L))
+      assert(b2(0).asInstanceOf[FramesPartition].frames.map(_.lsn).toSeq ==
+        Seq(10L, 70L, 75L))
+      stream.stop()
+    } finally srv.close()
   }
 
   test("live pipeline: socket → decode → delta-segment merge → committed position") {
