@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Binlog, ChangeLogFixture, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
-import graft.sinks.{ParquetSink, PartitionTransforms}
+import graft.sinks.{IcebergMetadata, ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
 import graft.sources.{BoundedRead, CtidScan, Discover, FileSources, JdbcSource, KafkaDecode, LocatorScan, MongoScan}
 import graft.spec.{ChunkSql, DialectSql, FilterSpec, WideFixture}
@@ -575,6 +575,20 @@ object SparkEntry {
         append = false)
       s.read.parquet(tmp)
         .select(col("o_orderkey"), col("o_orderdate_year").cast("int"))
+    }),
+
+    // ---- K2 Iceberg v2 metadata commit: write the spec's metadata
+    // tree (metadata.json + manifest-list/manifest Avro) over parquet
+    // data files, then read the table back BY WALKING THE MANIFESTS —
+    // the result only matches the oracle if the tree is connected and
+    // complete (IcebergTableOperator.java:83-227 commit analog). ----
+    "q_iceberg_commit" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_iceberg").toString
+      t(s, dir, "nation").write.parquet(s"$tmp/data")
+      IcebergMetadata.commit(s, tmp, s"$tmp/data",
+        summary = Map("olake_2pc" -> """{"stream":"nation"}"""))
+      s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+        .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
     // ---- P5 record flatten: nested → JSON text, binary → string ----
@@ -1192,6 +1206,9 @@ object SparkEntry {
     "q_parquet_roundtrip" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) - 1970 AS INTEGER) AS o_orderdate_year
         |FROM orders""".stripMargin,
+
+    "q_iceberg_commit" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_flatten" ->
       """SELECT event_id,

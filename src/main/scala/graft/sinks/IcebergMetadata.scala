@@ -1,0 +1,350 @@
+package graft.sinks
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Iceberg **v2 table-format metadata writer**, from the public table
+  * spec (https://iceberg.apache.org/spec/): `vN.metadata.json` +
+  * manifest-list Avro + manifest Avro with the spec's field-ids, over
+  * parquet data files the sink already produced (DeltaSegments'
+  * compacted base). This closes as much of the reference's Iceberg
+  * commit path (`IcebergTableOperator.java:83-227`,
+  * `destination/iceberg/iceberg.go:521-545`) as a jar-less sandbox
+  * allows: the sidecar's RPC commit becomes a metadata-tree commit an
+  * Iceberg reader can walk, and the reference's `olake_2pc` state rides
+  * the snapshot summary exactly like its table-property twin.
+  *
+  * Layout produced under `tableDir`:
+  * {{{
+  *   metadata/v1.metadata.json      // + v2… on later commits
+  *   metadata/version-hint.text     // current version number
+  *   metadata/snap-<id>-1-<uuid>.avro   // manifest list (one per commit)
+  *   metadata/<uuid>-m0.avro            // manifest (one per commit)
+  * }}}
+  * Data files stay where the sink wrote them; manifests carry absolute
+  * paths (the spec allows fully-qualified locations).
+  *
+  * Sequence numbers follow v2 semantics: each commit bumps
+  * `last-sequence-number` and stamps it on its manifest entries; the
+  * snapshot records it so merge-on-read readers can order deletes.
+  */
+object IcebergMetadata {
+
+  private val mapper = new ObjectMapper()
+
+  case class Commit(version: Int, snapshotId: Long, sequenceNumber: Long,
+                    manifestPath: String, manifestListPath: String,
+                    addedFiles: Int, addedRows: Long)
+
+  private def metaDir(tableDir: String): File = new File(tableDir, "metadata")
+
+  /** The manifest_entry Avro schema (spec §Manifests, v2 required
+    * fields; optional column stats omitted — they are spec-optional). */
+  private val manifestEntrySchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse("""{
+      "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "default": null, "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
+          "type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "field-id": 102,
+             "type": {"type": "record", "name": "r102", "fields": []}},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+          ]}}
+      ]}""")
+
+  /** The manifest_file Avro schema for the manifest list (spec
+    * §Manifest Lists, v2 required fields). */
+  private val manifestFileSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse("""{
+      "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514}
+      ]}""")
+
+  /** Spark type → Iceberg type JSON (spec §Schemas). `nextId` hands out
+    * fresh field ids for nested fields, matching Iceberg's fresh-id
+    * assignment on table creation. */
+  private def icebergType(dt: DataType, nextId: () => Int): Any = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case s: StructType =>
+      val node = mapper.createObjectNode()
+      node.put("type", "struct")
+      val fields = node.putArray("fields")
+      s.fields.foreach { f =>
+        val id = nextId()
+        val fn = fields.addObject()
+        fn.put("id", id); fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        putType(fn, "type", icebergType(f.dataType, nextId))
+      }
+      node
+    case a: ArrayType =>
+      val node = mapper.createObjectNode()
+      node.put("type", "list"); node.put("element-id", nextId())
+      putType(node, "element", icebergType(a.elementType, nextId))
+      node.put("element-required", !a.containsNull)
+      node
+    case m: MapType =>
+      val node = mapper.createObjectNode()
+      node.put("type", "map")
+      node.put("key-id", nextId())
+      putType(node, "key", icebergType(m.keyType, nextId))
+      node.put("value-id", nextId())
+      putType(node, "value", icebergType(m.valueType, nextId))
+      node.put("value-required", !m.valueContainsNull)
+      node
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
+  }
+
+  private def putType(node: ObjectNode, key: String, t: Any): Unit = t match {
+    case s: String => node.put(key, s): Unit
+    case n: JsonNode => node.set[JsonNode](key, n): Unit
+  }
+
+  /** Iceberg schema JSON for a Spark schema (schema-id 0, fresh ids). */
+  def schemaJson(schema: StructType): String = {
+    var id = 0
+    def nextId() = { id += 1; id }
+    val root = icebergType(schema, () => nextId()).asInstanceOf[ObjectNode]
+    root.put("schema-id", 0)
+    // last assigned id rides along for metadata.json's last-column-id
+    root.put("x-last-column-id", id)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Parquet footer row count — no data scan. */
+  private def parquetRowCount(spark: SparkSession, f: File): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getPath),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Commit the parquet files under `dataDir` as the next snapshot of
+    * the Iceberg table rooted at `tableDir`. `operation` is the spec's
+    * snapshot summary operation (`append` for incremental segments,
+    * `overwrite` after a compaction rewrote the base); `summary` extras
+    * land in the snapshot summary — the reference stores its 2PC state
+    * there via the `olake_2pc` property (iceberg.go:521-545), so pass
+    * `Map("olake_2pc" -> stateJson)` for the commit-position analog. */
+  def commit(spark: SparkSession, tableDir: String, dataDir: String,
+             operation: String = "append",
+             summary: Map[String, String] = Map.empty): Commit = {
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    val prev = currentMetadata(tableDir)
+    val version = prev.map(_._1).getOrElse(0) + 1
+    val seq = prev.map(_._2.get("last-sequence-number").asLong).getOrElse(0L) + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val nowMs = System.currentTimeMillis()
+
+    val dataFiles = Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(dataFiles.nonEmpty, s"no parquet data files under $dataDir")
+
+    // ---- manifest: one ADDED entry per data file
+    val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
+    val manifestFile = new File(md, manifestName)
+    val schema = spark.read.parquet(dataDir).schema
+    val schemaStr = schemaJson(schema)
+    var addedRows = 0L
+    locally {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestEntrySchema))
+      w.setMeta("schema", stripInternal(schemaStr))
+      w.setMeta("partition-spec", "[]")
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      w.create(manifestEntrySchema, manifestFile)
+      try dataFiles.foreach { f =>
+        val rows = parquetRowCount(spark, f)
+        addedRows += rows
+        val df = new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema())
+        df.put("content", 0) // data (1/2 are delete files)
+        df.put("file_path", f.getAbsolutePath)
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema()
+            .getField("partition").schema()))
+        df.put("record_count", rows)
+        df.put("file_size_in_bytes", f.length())
+        val entry = new GenericData.Record(manifestEntrySchema)
+        entry.put("status", 1) // ADDED
+        entry.put("snapshot_id", snapshotId)
+        entry.put("sequence_number", seq)
+        entry.put("file_sequence_number", seq)
+        entry.put("data_file", df)
+        w.append(entry)
+      } finally w.close()
+    }
+
+    // ---- manifest list: one manifest_file row for this commit
+    val listName = s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    val listFile = new File(md, listName)
+    locally {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestFileSchema))
+      w.setMeta("format-version", "2")
+      w.create(manifestFileSchema, listFile)
+      try {
+        val m = new GenericData.Record(manifestFileSchema)
+        m.put("manifest_path", manifestFile.getAbsolutePath)
+        m.put("manifest_length", manifestFile.length())
+        m.put("partition_spec_id", 0)
+        m.put("content", 0) // data manifests
+        m.put("sequence_number", seq)
+        m.put("min_sequence_number", seq)
+        m.put("added_snapshot_id", snapshotId)
+        m.put("added_files_count", dataFiles.length)
+        m.put("existing_files_count", 0)
+        m.put("deleted_files_count", 0)
+        m.put("added_rows_count", addedRows)
+        m.put("existing_rows_count", 0L)
+        m.put("deleted_rows_count", 0L)
+        w.append(m)
+      } finally w.close()
+    }
+
+    // ---- vN.metadata.json
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", prev.map(_._2.get("table-uuid").asText)
+      .getOrElse(java.util.UUID.randomUUID().toString))
+    root.put("location", new File(tableDir).getAbsolutePath)
+    root.put("last-sequence-number", seq)
+    root.put("last-updated-ms", nowMs)
+    val schemaNode = mapper.readTree(schemaStr).asInstanceOf[ObjectNode]
+    root.put("last-column-id", schemaNode.get("x-last-column-id").asInt)
+    schemaNode.remove("x-last-column-id")
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaNode)
+    root.put("default-spec-id", 0)
+    val spec = root.putArray("partition-specs").addObject()
+    spec.put("spec-id", 0); spec.putArray("fields")
+    root.put("last-partition-id", 999) // spec: 1000 is the first field id
+    root.put("default-sort-order-id", 0)
+    val order = root.putArray("sort-orders").addObject()
+    order.put("order-id", 0); order.putArray("fields")
+    val props = root.putObject("properties")
+    props.put("write.delete.mode", "merge-on-read")
+    props.put("write.update.mode", "merge-on-read")
+    props.put("write.merge.mode", "merge-on-read")
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    prev.foreach(_._2.withArray[ArrayNode]("snapshots").forEach(s => snaps.add(s): Unit))
+    val snap = snaps.addObject()
+    snap.put("snapshot-id", snapshotId)
+    prev.foreach(p => snap.put("parent-snapshot-id",
+      p._2.get("current-snapshot-id").asLong))
+    snap.put("timestamp-ms", nowMs)
+    snap.put("sequence-number", seq)
+    snap.put("schema-id", 0)
+    snap.put("manifest-list", listFile.getAbsolutePath)
+    val sum = snap.putObject("summary")
+    sum.put("operation", operation)
+    sum.put("added-data-files", dataFiles.length.toString)
+    sum.put("added-records", addedRows.toString)
+    summary.foreach { case (k, v) => sum.put(k, v) }
+    val log = root.putArray("snapshot-log")
+    prev.foreach(_._2.withArray[ArrayNode]("snapshot-log").forEach(s => log.add(s): Unit))
+    val logEntry = log.addObject()
+    logEntry.put("snapshot-id", snapshotId); logEntry.put("timestamp-ms", nowMs)
+    val refs = root.putObject("refs").putObject("main")
+    refs.put("snapshot-id", snapshotId); refs.put("type", "branch")
+
+    val target = new File(md, s"v$version.metadata.json")
+    val tmp = new File(md, s".v$version.metadata.json.tmp")
+    Files.writeString(tmp.toPath,
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // version-hint last: the commit "happens" when the hint flips
+    val hintTmp = new File(md, ".version-hint.tmp")
+    Files.writeString(hintTmp.toPath, version.toString)
+    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+
+    Commit(version, snapshotId, seq, manifestFile.getAbsolutePath,
+      listFile.getAbsolutePath, dataFiles.length, addedRows)
+  }
+
+  private def stripInternal(schemaStr: String): String = {
+    val node = mapper.readTree(schemaStr).asInstanceOf[ObjectNode]
+    node.remove("x-last-column-id")
+    mapper.writeValueAsString(node)
+  }
+
+  /** (version, parsed metadata.json) of the current table version. */
+  def currentMetadata(tableDir: String): Option[(Int, JsonNode)] = {
+    val hint = new File(metaDir(tableDir), "version-hint.text")
+    if (!hint.exists) None
+    else {
+      val v = Files.readString(hint.toPath).trim.toInt
+      val f = new File(metaDir(tableDir), s"v$v.metadata.json")
+      Some((v, mapper.readTree(Files.readString(f.toPath))))
+    }
+  }
+
+  private def readAvro(f: File): Seq[GenericRecord] = {
+    val r = new DataFileReader(f, new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  /** Walk version-hint → metadata.json → manifest list → manifests and
+    * return the live data-file paths of the current snapshot — the read
+    * path an Iceberg-aware engine runs, proving the tree is connected. */
+  def dataFilePaths(tableDir: String): Seq[String] = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snapId = meta.get("current-snapshot-id").asLong
+    val snap = meta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == snapId).get
+    val listFile = new File(snap.get("manifest-list").asText)
+    readAvro(listFile).flatMap { mf =>
+      val manifest = new File(mf.get("manifest_path").toString)
+      readAvro(manifest).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
+          e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString
+      }
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.sinks.{DeltaSegments, IcebergMetadata}
+
+/** The Iceberg v2 metadata tree (K2): structural assertions against the
+  * public table spec — metadata.json fields, manifest-list and manifest
+  * Avro with the spec's field-ids, sequence-number chaining across
+  * commits, and the reader walk from version-hint down to data files. */
+class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def avroSchemaOf(f: File): org.apache.avro.Schema = {
+    val r = new DataFileReader(f, new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
+  test("commit writes a connected v2 tree: metadata.json, manifest list, manifest, data files") {
+    val tmp = Files.createTempDirectory("graft_ice").toString
+    val base = s"$tmp/data"
+    Tables.load(spark, "/root/testdata/sf0.001", "nation").write.parquet(base)
+    val c1 = IcebergMetadata.commit(spark, tmp, base, operation = "append",
+      summary = Map("olake_2pc" -> """{"stream":"nation","lsn":42}"""))
+    assert(c1.version == 1 && c1.sequenceNumber == 1 && c1.addedRows == 25)
+
+    val (v, meta) = IcebergMetadata.currentMetadata(tmp).get
+    assert(v == 1)
+    assert(meta.get("format-version").asInt == 2)
+    assert(meta.get("last-sequence-number").asLong == 1)
+    assert(meta.get("current-snapshot-id").asLong == c1.snapshotId)
+    assert(meta.get("refs").get("main").get("snapshot-id").asLong == c1.snapshotId)
+    assert(meta.get("refs").get("main").get("type").asText == "branch")
+    // fresh field ids 1..3 on nation's three columns
+    val fields = meta.get("schemas").get(0).get("fields")
+    assert(fields.size == 3)
+    assert((0 until 3).map(i => fields.get(i).get("id").asInt) == Seq(1, 2, 3))
+    assert(meta.get("last-column-id").asInt == 3)
+    // snapshot summary carries the 2PC state like the reference's
+    // olake_2pc table property (iceberg.go:521-545)
+    val snap = meta.get("snapshots").get(0)
+    assert(snap.get("summary").get("operation").asText == "append")
+    assert(snap.get("summary").get("olake_2pc").asText.contains("\"lsn\":42"))
+    assert(snap.get("sequence-number").asLong == 1)
+
+    // manifest list: spec field-ids and counts
+    val listFile = new File(snap.get("manifest-list").asText)
+    assert(listFile.getName.startsWith(s"snap-${c1.snapshotId}-1-"))
+    val listSchema = avroSchemaOf(listFile)
+    assert(listSchema.getName == "manifest_file")
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id") == 500)
+    assert(listSchema.getField("added_snapshot_id").getObjectProp("field-id") == 503)
+    assert(listSchema.getField("sequence_number").getObjectProp("field-id") == 515)
+    val listRows = {
+      val r = new DataFileReader(listFile, new GenericDatumReader[GenericRecord]())
+      try { import scala.jdk.CollectionConverters._; r.iterator().asScala.toList }
+      finally r.close()
+    }
+    assert(listRows.length == 1)
+    assert(listRows.head.get("added_rows_count") == 25L)
+    assert(listRows.head.get("content") == 0)
+
+    // manifest: entry schema field-ids, real on-disk length recorded
+    val manifestFile = new File(listRows.head.get("manifest_path").toString)
+    assert(listRows.head.get("manifest_length") == manifestFile.length())
+    val entrySchema = avroSchemaOf(manifestFile)
+    assert(entrySchema.getName == "manifest_entry")
+    assert(entrySchema.getField("status").getObjectProp("field-id") == 0)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    assert(entrySchema.getField("data_file").getObjectProp("field-id") == 2)
+    assert(dataFileSchema.getField("file_path").getObjectProp("field-id") == 100)
+    assert(dataFileSchema.getField("record_count").getObjectProp("field-id") == 103)
+
+    // the reader walk: version-hint → … → data files, rows intact
+    val files = IcebergMetadata.dataFilePaths(tmp)
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+    assert(spark.read.parquet(files: _*).count() == 25)
+  }
+
+  test("second commit chains: version 2, sequence 2, parent snapshot, history kept") {
+    val tmp = Files.createTempDirectory("graft_ice2").toString
+    val base = s"$tmp/data"
+    Tables.load(spark, "/root/testdata/sf0.001", "region").write.parquet(base)
+    val c1 = IcebergMetadata.commit(spark, tmp, base)
+    val c2 = IcebergMetadata.commit(spark, tmp, base, operation = "overwrite",
+      summary = Map("olake_2pc" -> """{"lsn":99}"""))
+    assert(c2.version == 2 && c2.sequenceNumber == 2)
+    val (v, meta) = IcebergMetadata.currentMetadata(tmp).get
+    assert(v == 2)
+    assert(meta.get("current-snapshot-id").asLong == c2.snapshotId)
+    assert(meta.get("snapshots").size == 2)
+    val snap2 = meta.get("snapshots").get(1)
+    assert(snap2.get("parent-snapshot-id").asLong == c1.snapshotId)
+    assert(snap2.get("summary").get("operation").asText == "overwrite")
+    assert(meta.get("snapshot-log").size == 2)
+    // v1 metadata still on disk (time travel), hint points at v2
+    assert(new File(s"$tmp/metadata/v1.metadata.json").exists)
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$tmp/metadata/version-hint.text")).trim == "2")
+  }
+
+  test("schemaJson: nested types get unique fresh ids; spark→iceberg type names") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType)),
+      StructField("meta", StructType(Seq(
+        StructField("k", StringType), StructField("v", DoubleType)))),
+      StructField("ts", TimestampType)))
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(IcebergMetadata.schemaJson(schema))
+    val top = json.get("fields")
+    assert(top.get(0).get("required").asBoolean)
+    assert(top.get(0).get("type").asText == "long")
+    assert(top.get(1).get("type").get("type").asText == "list")
+    assert(top.get(3).get("type").asText == "timestamptz")
+    // every assigned id distinct
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def collect(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.has("id")) ids += n.get("id").asInt
+      if (n.has("element-id")) ids += n.get("element-id").asInt
+      n.forEach(collect)
+    }
+    collect(json)
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("metadata over a DeltaSegments compacted base (the MoR sink's data files)") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_ice3").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select(col("n_nationkey").as("_olake_id"), col("n_name"))
+    nation.write.parquet(DeltaSegments.baseDir(tmp).getPath)
+    val c = IcebergMetadata.commit(spark, tmp, DeltaSegments.baseDir(tmp).getPath,
+      operation = "overwrite", summary = Map("olake_2pc" -> """{"compacted":true}"""))
+    assert(c.addedRows == 25)
+    assert(spark.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+      .count() == 25)
+  }
+}
