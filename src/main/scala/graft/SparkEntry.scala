@@ -147,6 +147,19 @@ object SparkEntry {
       ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
     }),
 
+    // ---- S6 string leg EXECUTED: collation-aware string-PK chunking.
+    // Boundary candidates are generated in bijective base-95 space,
+    // aligned to actual values in ONE distributed bucket-min pass (the
+    // semantics of the reference's UNION-ALL probe, jdbc.go:471-494),
+    // and the union of the resulting chunk scans must reproduce the
+    // table exactly. ----
+    "q_chunk_string" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val collation = "utf8mb4_0900_ai_ci"
+      val chunks = ChunkPlanner.planStringChunks(c, "c_name", 8, collation)
+      ChunkPlanner.scanStringChunked(c, "c_name", chunks, collation)
+    }),
+
     // ---- S2/S4 executed: Postgres ctid page chunking — the planner's
     //      page math (pgCtidRanges) renders the same `ctid >= '(p,0)'
     //      AND ctid < '(q,0)'` predicate strings the JDBC predicates
@@ -200,6 +213,29 @@ object SparkEntry {
         t(s, dir, "events").where(col("event_id") < 10000), "event_id", "ts")
       val bounds = MongoScan.splitVectorBoundaries(docs, 32)
       MongoScan.scanChunked(docs, bounds)
+        .select("_id", "event_id", "user_id", "value")
+    }),
+
+    // ---- S11 splitVector EXECUTED: the command's byte contract — a
+    // boundary every ~maxChunkBytes of doc size in _id order, walked
+    // distributed; 8-grouped chunks; union of pipeline scans must
+    // reproduce the collection exactly ----
+    "q_mongo_splitvector" -> ((s, dir) => {
+      val docs = MongoScan.syntheticCollection(
+        t(s, dir, "events").where(col("event_id") < 10000), "event_id", "ts")
+      val bounds = MongoScan.splitVectorSizedBoundaries(docs,
+        length(to_json(struct(col("*")))), maxChunkBytes = 16384)
+      MongoScan.scanChunked(docs, bounds)
+        .select("_id", "event_id", "user_id", "value")
+    }),
+
+    // ---- S11 timestamp-stride EXECUTED: synthetic-ObjectID ranges at
+    // the reference's 10s-per-6h density, exact tiling (no overlapping
+    // tail), union of pipeline scans == collection ----
+    "q_mongo_tsstride" -> ((s, dir) => {
+      val docs = MongoScan.syntheticCollection(
+        t(s, dir, "events").where(col("event_id") < 10000), "event_id", "ts")
+      MongoScan.scanChunks(docs, MongoScan.timestampStrideChunks(docs))
         .select("_id", "event_id", "user_id", "value")
     }),
 
@@ -428,6 +464,38 @@ object SparkEntry {
         // v1 entry omits schemaType — AVRO is the registry default
         7 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchema),
         9 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchemaV2, "AVRO")))
+      KafkaDecode.decodeWithRegistry(s, stripped, "schema_id", "body", registry)
+        .select(
+          col("schema_id"),
+          get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("json"), "$.user_id").cast("long").as("user_id"),
+          get_json_object(col("json"), "$.event_type").as("event_type"),
+          get_json_object(col("json"), "$.value").cast("double").as("value"))
+    }),
+
+    // ---- S16 through the REAL HTTP protocol path: a loopback
+    //      Confluent-shaped registry serves the same schemas over
+    //      /schemas/ids/{id} (v1 Accept header, bearer auth enforced);
+    //      the HttpResolver fetches them, and the decode must match the
+    //      fixture-resolver gate bit for bit. The registry is resolved
+    //      on the driver and snapshotted so the gate leaks no live
+    //      server; the spec exercises the lazy executor-side path. ----
+    "q_avro_registry_http" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val framed = ChangeLogFixture.avroRegistryLog(ev)
+      val (schemaId, payload) = KafkaDecode.confluentFrame(col("value"))
+      val stripped = framed.select(schemaId.as("schema_id"), payload.as("body"))
+      val srv = new KafkaDecode.SchemaRegistryServer(Map(
+        7 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchema),
+        9 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchemaV2, "AVRO")),
+        requireBearer = "graft-token")
+      val registry = try {
+        val http = KafkaDecode.HttpResolver(srv.endpoint,
+          bearerToken = "graft-token")
+        require(http.validate(), "registry /subjects probe failed")
+        KafkaDecode.MapResolver(
+          Seq(7, 9).map(id => id -> http.resolve(id)).toMap)
+      } finally srv.close()
       KafkaDecode.decodeWithRegistry(s, stripped, "schema_id", "body", registry)
         .select(
           col("schema_id"),
@@ -947,6 +1015,9 @@ object SparkEntry {
     "q_chunk_even" ->
       "SELECT * FROM lineitem",
 
+    "q_chunk_string" ->
+      "SELECT * FROM customer",
+
     // Locator scans: union of ranges must reproduce the heap; each
     // synthetic locator is rebuilt in SQL (ROWID base64 chars from
     // 6-bit groups, physloc little-endian hex image, RID page packing).
@@ -995,6 +1066,18 @@ object SparkEntry {
     // SQL. Boundary placement is sketch-approximate by design — the
     // EXACT contract is the tiling, which row/hash equality proves.
     "q_mongo_scan" ->
+      """SELECT lower(lpad(to_hex(CAST(floor(epoch(ts)) AS BIGINT)), 8, '0') ||
+        |       lpad(to_hex(event_id), 16, '0')) AS _id,
+        |  event_id, user_id, value
+        |FROM events WHERE event_id < 10000""".stripMargin,
+
+    "q_mongo_splitvector" ->
+      """SELECT lower(lpad(to_hex(CAST(floor(epoch(ts)) AS BIGINT)), 8, '0') ||
+        |       lpad(to_hex(event_id), 16, '0')) AS _id,
+        |  event_id, user_id, value
+        |FROM events WHERE event_id < 10000""".stripMargin,
+
+    "q_mongo_tsstride" ->
       """SELECT lower(lpad(to_hex(CAST(floor(epoch(ts)) AS BIGINT)), 8, '0') ||
         |       lpad(to_hex(event_id), 16, '0')) AS _id,
         |  event_id, user_id, value
@@ -1101,6 +1184,16 @@ object SparkEntry {
     // v2 (odd event_id) rows: union-null user_id on errors, decimal
     // value = event_id x 10^-2 (exactly event_id/100.0 as a double).
     "q_avro_registry" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 7 ELSE 9 END AS schema_id,
+        |  event_id,
+        |  CASE WHEN event_id % 2 = 1 AND event_type = 'error' THEN NULL
+        |       ELSE user_id END AS user_id,
+        |  event_type,
+        |  CASE WHEN event_id % 2 = 0 THEN value
+        |       ELSE CAST(event_id AS DOUBLE) / 100 END AS value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_avro_registry_http" ->
       """SELECT CASE WHEN event_id % 2 = 0 THEN 7 ELSE 9 END AS schema_id,
         |  event_id,
         |  CASE WHEN event_id % 2 = 1 AND event_type = 'error' THEN NULL

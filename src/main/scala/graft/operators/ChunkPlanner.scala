@@ -187,6 +187,144 @@ object ChunkPlanner {
                         chunks: Seq[LexChunk]): DataFrame =
     chunks.map(ch => df.where(ch.toColumn(pkCols))).reduce(_ unionAll _)
 
+  // ---- S6 string leg: collation-aware string-PK chunking (EXECUTED) ----
+
+  /** The reference planner's 95-character bijective base-95 alphabet
+    * (`drivers/mysql/internal/backfill.go:498`): strings map to BigInts
+    * so candidate boundaries can be generated arithmetically between
+    * the padded min and max, then mapped back to strings. 1-based
+    * digits — bijective numeration, so every BigInt decodes to exactly
+    * one string and vice versa. */
+  private val StringCharset: String =
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz" +
+      "[\\]^_`{|}~!\"#$%&'()*+,-./:;<=>?@ "
+  private val charToIdx: Map[Char, Int] =
+    StringCharset.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+  private val CharsetBase = BigInt(StringCharset.length)
+
+  /** String → BigInt under the planner charset (backfill.go:516-529). */
+  def encodeCharsetString(s: String): BigInt =
+    s.foldLeft(BigInt(0)) { (acc, ch) =>
+      acc * CharsetBase + BigInt(charToIdx.getOrElse(ch,
+        throw new IllegalArgumentException(s"unsupported character '$ch'")))
+    }
+
+  /** BigInt → string, the bijective inverse (backfill.go:531-553). */
+  def decodeCharsetString(n: BigInt): String = {
+    var x = n
+    val sb = new StringBuilder
+    while (x > 0) {
+      var rem = (x % CharsetBase).toInt
+      if (rem == 0) { rem = StringCharset.length; x -= 1 }
+      sb.append(StringCharset(rem - 1))
+      x /= CharsetBase
+    }
+    sb.reverse.toString
+  }
+
+  /** Column under a simulated MySQL collation: `_ci` collations compare
+    * case-insensitively (the planner's boundaries then live in folded
+    * space), binary collations byte-compare. */
+  def collated(c: Column, collation: String): Column =
+    if (collation.toLowerCase.endsWith("_ci")) lower(c) else c
+
+  /** Half-open string range [lo, hi) in collated space; None = open. */
+  case class StringChunk(lo: Option[String], hi: Option[String]) {
+    def toColumn(c: String, collation: String = "binary"): Column = {
+      val k = collated(col(c), collation)
+      (lo, hi) match {
+        case (Some(a), Some(b)) => k >= a && k < b
+        case (Some(a), None)    => k >= a
+        case (None, Some(b))    => k < b || k.isNull
+        case (None, None)       => lit(true)
+      }
+    }
+  }
+
+  /** Collation-aware string-PK chunk planning, EXECUTED — the Spark
+    * semantics of the reference's `splitEvenlyForString`
+    * (`drivers/mysql/internal/backfill.go:264-360` + the UNION-ALL
+    * boundary probe `pkg/jdbc/jdbc.go:471-494`, whose exact SQL
+    * `ChunkSql.mysqlCollationAlignedBoundsQuery` renders):
+    *
+    *  1. min/max/maxlen of the collated key (one agg), padded with '0's
+    *     and encoded to BigInts;
+    *  2. arithmetic candidate boundaries in BigInt space, decoded back
+    *     to strings;
+    *  3. candidate ALIGNMENT to actual values: the reference probes
+    *     "first PK at-or-after candidate" once per candidate and
+    *     dedups. Here that whole probe set is ONE distributed pass —
+    *     bucket every key to its floor candidate (array_max∘filter over
+    *     the broadcast candidate array, all codegen'd builtins), then
+    *     min(key) per bucket. Each occupied bucket's min IS its probe
+    *     result, and unoccupied candidates' probes land on a later
+    *     bucket's min — exactly the DISTINCT the reference applies.
+    *  4. adaptive retry with a shrinking step (stepShrinkFactor
+    *     doubling) until enough boundaries align, then condense to the
+    *     expected count by even subsampling (backfill.go:579-595).
+    *
+    * Scale: each attempt is one O(keys) pass with ≤ C distinct groups
+    * (C = candidate count, driver-bounded); usually one attempt. No
+    * per-candidate queries, no sort, no window.
+    */
+  def planStringChunks(df: DataFrame, column: String, expectedChunks: Int,
+                       collation: String = "binary",
+                       acceptanceRatio: Double = 0.8): Seq[StringChunk] = {
+    require(expectedChunks > 0)
+    val keys = df.select(collated(col(column), collation).as("k"))
+      .where(col("k").isNotNull)
+    val row = keys.agg(min(col("k")), max(col("k")),
+      max(length(col("k")))).head()
+    if (row.isNullAt(0)) return Seq(StringChunk(None, None))
+    val (mn, mx, maxLen) = (row.getString(0), row.getString(1), row.getInt(2))
+    def pad(s: String) = s + "0" * math.max(0, maxLen - s.length)
+    val lo = encodeCharsetString(pad(mn))
+    val hi = encodeCharsetString(pad(mx))
+    if (expectedChunks == 1 || lo >= hi)
+      return Seq(StringChunk(None, Some(mx)), StringChunk(Some(mx), None))
+    val step0 = (hi - lo + expectedChunks - 1) / expectedChunks
+    var best = Seq.empty[String]
+    var shrink = 1L
+    val needed = math.ceil(acceptanceRatio * expectedChunks).toInt
+    while (shrink <= 64 && best.length < expectedChunks) {
+      val step = (step0 + shrink) / (shrink + 1) max BigInt(1)
+      val candidates = (Iterator.iterate(lo)(_ + step)
+        .takeWhile(_ < hi).take(expectedChunks * (shrink.toInt + 1))
+        .map(decodeCharsetString).toSeq :+ pad(mx)).distinct.sorted
+      val candArr = array(candidates.map(lit): _*)
+      val aligned = keys
+        .groupBy(array_max(filter(candArr, c => c <= col("k"))).as("floor"))
+        .agg(min(col("k")).as("val"))
+        .where(col("floor").isNotNull)
+        .select("val").collect().map(_.getString(0)).toSeq.distinct.sorted
+      if (aligned.length > best.length) best = aligned
+      shrink *= 2
+    }
+    val boundaries =
+      if (best.length >= needed) condenseStrings(best, expectedChunks)
+      else best // best effort; coverage holds regardless (like the
+                // reference's fallback to PK walking)
+    if (boundaries.isEmpty) return Seq(StringChunk(None, None))
+    val los = None +: boundaries.map(Some(_))
+    val his = boundaries.map(Some(_)) :+ None
+    los.zip(his).map { case (a, b) => StringChunk(a, b) }
+  }
+
+  /** Even subsample preserving order and endpoints
+    * (backfill.go:579-595). */
+  def condenseStrings(bs: Seq[String], n: Int): Seq[String] =
+    if (bs.length <= n || n <= 1) bs
+    else (0 until n).map { i =>
+      bs(((i.toLong * (bs.length - 1) + (n - 1) / 2) / (n - 1)).toInt)
+    }.distinct
+
+  /** Union-of-chunk-scans coverage proof for string chunks. */
+  def scanStringChunked(df: DataFrame, column: String,
+                        chunks: Seq[StringChunk],
+                        collation: String = "binary"): DataFrame =
+    chunks.map(ch => df.where(ch.toColumn(column, collation)))
+      .reduce(_ unionAll _)
+
   // ---- S7: limit/offset fallback (no usable PK) ----
 
   /** The reference's last-resort chunking for PK-less tables: `LIMIT n

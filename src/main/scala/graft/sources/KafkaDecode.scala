@@ -88,6 +88,107 @@ object KafkaDecode {
       throw new IllegalArgumentException(s"schema id $id not in registry"))
   }
 
+  /** Confluent-protocol HTTP resolver — the client the reference runs
+    * (`pkg/kafka/schema_registry.go:24-98`): GET
+    * `{endpoint}/schemas/ids/{id}` with the v1 Accept header, bearer
+    * token taking priority over basic auth, non-200 → error,
+    * `{"schema": …, "schemaType": …}` response with AVRO the default
+    * type. Caches per id like the reference's `schemaMap`; the cache is
+    * transient, so each executor builds its own on first use (same
+    * shape as the per-partition decoder cache downstream). */
+  case class HttpResolver(endpoint: String, bearerToken: String = "",
+                          username: String = "", password: String = "",
+                          timeoutMs: Int = 30000) extends SchemaResolver {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[Int, RegisteredSchema]()
+
+    def resolve(id: Int): RegisteredSchema =
+      cache.computeIfAbsent(id, _ => fetch(s"/schemas/ids/$id") match {
+        case (200, body) =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(body)
+          RegisteredSchema(node.get("schema").asText,
+            Option(node.get("schemaType")).map(_.asText).getOrElse(""))
+        case (code, _) => throw new java.io.IOException(
+          s"schema registry returned status $code for schema ID $id")
+      })
+
+    /** The reference's lightweight connectivity check (`/subjects`,
+      * schema_registry.go:99-110). */
+    def validate(): Boolean = fetch("/subjects")._1 == 200
+
+    private def fetch(path: String): (Int, String) = {
+      val conn = java.net.URI.create(endpoint + path).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestProperty("Accept",
+        "application/vnd.schemaregistry.v1+json")
+      if (bearerToken.nonEmpty)
+        conn.setRequestProperty("Authorization", s"Bearer $bearerToken")
+      else if (username.nonEmpty && password.nonEmpty)
+        conn.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(
+            s"$username:$password".getBytes("UTF-8")))
+      try {
+        val code = conn.getResponseCode
+        val stream = if (code == 200) conn.getInputStream
+                     else conn.getErrorStream
+        val body = if (stream == null) ""
+                   else new String(stream.readAllBytes(), "UTF-8")
+        (code, body)
+      } finally conn.disconnect()
+    }
+  }
+
+  /** Loopback registry speaking the same wire surface the resolver (and
+    * the reference) consume: `/schemas/ids/{id}` + `/subjects`, v1
+    * content type, optional bearer enforcement. For tests and
+    * self-contained gates — anything that needs to re-serve a schema
+    * snapshot over HTTP. */
+  class SchemaRegistryServer(schemas: Map[Int, RegisteredSchema],
+                             requireBearer: String = "") extends AutoCloseable {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      def respond(code: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type",
+          "application/vnd.schemaregistry.v1+json")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      hits.incrementAndGet()
+      if (requireBearer.nonEmpty &&
+          !auth.contains(s"Bearer $requireBearer")) {
+        respond(401, """{"error_code":401,"message":"Unauthorized"}""")
+      } else if (path == "/subjects") {
+        respond(200, "[]")
+      } else if (path.startsWith("/schemas/ids/")) {
+        path.stripPrefix("/schemas/ids/").toIntOption
+          .flatMap(schemas.get) match {
+          case Some(rs) =>
+            val node = mapper.createObjectNode()
+            node.put("schema", rs.schemaJson)
+            if (rs.schemaType.nonEmpty) node.put("schemaType", rs.schemaType)
+            respond(200, mapper.writeValueAsString(node))
+          case None => respond(404,
+            """{"error_code":40403,"message":"Schema not found"}""")
+        }
+      } else respond(404, """{"error_code":404,"message":"not found"}""")
+    })
+    server.start()
+
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    override def close(): Unit = server.stop(0)
+  }
+
   /** Render a decoded Avro datum as JSON with the reference's value
     * extraction semantics (`utils/typeutils/avro.go:10-47`,
     * `ExtractAvroValue`): unions unwrap to their branch value, decimal

@@ -68,6 +68,84 @@ object MongoScan {
     (lo +: cuts.toSeq) :+ hi
   }
 
+  /** splitVector's ACTUAL contract, executed: the server command cuts a
+    * boundary every ~`maxChunkBytes` of storage in `_id` order
+    * (`mongoSplitVectorCommand` renders it; reference backfill.go:120-143
+    * consumes `splitKeys`). Over a frame the byte walk is DISTRIBUTED
+    * exactly like `ChunkPlanner.planLexicographic`: range-partition on
+    * `_id` (sampled bounds, no global sort), each partition walks its
+    * sorted slice accumulating the per-doc size column and emits a cut
+    * each time the running total crosses the chunk size; partition
+    * seams only under-fill one chunk (< 2× size — the same slack the
+    * real command's sampled estimates carry). Boundary count is
+    * ~bytes/maxChunkBytes — driver-side metadata only. */
+  def splitVectorSizedBoundaries(docs: DataFrame, sizeCol: Column,
+                                 maxChunkBytes: Long): Seq[String] = {
+    require(maxChunkBytes > 0)
+    val keys = docs.select(col("_id"), sizeCol.cast("long").as("sz"))
+    val mm = keys.agg(min("_id"), max("_id"), sum("sz")).head()
+    if (mm.isNullAt(0)) return Seq.empty
+    val (lo, hi, total) = (mm.getString(0), mm.getString(1), mm.getLong(2))
+    val spark = docs.sparkSession
+    val maxPar = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(maxPar.toLong,
+      total / (4 * maxChunkBytes))).toInt
+    val cuts = keys
+      .repartitionByRange(parts, col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .rdd.mapPartitions { it =>
+        var acc = 0L
+        it.flatMap { r =>
+          acc += r.getLong(1)
+          if (acc >= maxChunkBytes) { acc = 0L; Iterator(r.getString(0)) }
+          else Iterator.empty
+        }
+      }.collect().sorted.toSeq
+    (lo +: cuts.filter(c => c > lo && c < hi)) :+ hi
+  }
+
+  /** Timestamp-stride chunking, executed (the reference's third
+    * strategy, backfill.go:217-260): extremes come from the ObjectID's
+    * embedded epoch seconds, the stride is 10 s per 6 h of span
+    * (minimum one), and each chunk is a synthetic-ObjectID range
+    * (`ChunkSql.syntheticObjectId`). One extremes agg; chunk generation
+    * is driver arithmetic.
+    *
+    * Deviation, deliberate: the reference appends its open tail chunk
+    * from `last` even when the loop already covered through `last+1s`,
+    * double-scanning the final second and relying on downstream PK
+    * dedup to absorb it. An exact-coverage planner starts the tail at
+    * the first UNCOVERED position instead — same reach, no overlap. */
+  def timestampStrideChunks(docs: DataFrame): Seq[(String, Option[String])] = {
+    val ts = docs.select(
+      conv(substring(col("_id"), 1, 8), 16, 10).cast("long").as("s"))
+    val mm = ts.agg(min("s"), max("s")).head()
+    if (mm.isNullAt(0)) return Seq.empty
+    val (first, last) = (mm.getLong(0), mm.getLong(1))
+    val density = math.max(1L, (last - first) / 3600 / 6) * 10 // seconds
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[String])]
+    var start = first
+    var covered = first
+    while (start < last) {
+      val end = start + density
+      covered = if (end > last) last + 1 else end
+      out += ((ChunkSql.syntheticObjectId(start),
+        Some(ChunkSql.syntheticObjectId(covered))))
+      start = end
+    }
+    out += ((ChunkSql.syntheticObjectId(covered), None))
+    out.toSeq
+  }
+
+  /** Union of per-chunk pipeline scans over explicit (min, max) chunks
+    * (the coverage-proof shape; production runs one scan/partition). */
+  def scanChunks(docs: DataFrame,
+                 chunks: Seq[(String, Option[String])]): DataFrame =
+    chunks.map { case (mn, mx) =>
+      pipelineScan(docs, ChunkSql.mongoChunkPipeline(mn, mx))
+    }.reduce(_ unionAll _)
+
   // ---- pipeline interpreter ----
 
   private def idValue(v: Any): String = v match {

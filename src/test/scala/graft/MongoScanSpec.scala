@@ -66,4 +66,41 @@ class MongoScanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("_id").collect().map(_.getString(0)).toSeq
     assert(all.sorted == ids.sorted && all.length == ids.length)
   }
+
+  test("splitVector size walk: cuts every ~maxChunkBytes of doc size, exact coverage") {
+    val ids = (1 to 64).map(i => f"$i%024x")
+    val d = docs(ids: _*)
+    // every doc weighs 100 bytes → a cut about every 4 docs at 400B
+    val bounds = MongoScan.splitVectorSizedBoundaries(d, lit(100), 400L)
+    assert(bounds.head == ids.head && bounds.last == ids.last)
+    assert(bounds == bounds.distinct.sorted)
+    assert(bounds.length >= 8, s"expected ~16 cuts, got ${bounds.length}")
+    // every cut is an actual _id (the walk emits real keys)
+    bounds.foreach(b => assert(ids.contains(b)))
+    val all = MongoScan.scanChunked(d, bounds, group = 2)
+      .select("_id").collect().map(_.getString(0)).toSeq
+    assert(all.sorted == ids.sorted && all.length == ids.length)
+  }
+
+  test("timestamp-stride chunks tile the ObjectID space exactly once") {
+    // ids spread over ~36h of embedded epoch seconds → density 60s
+    val t0 = 1700000000L
+    val ids = (0 until 50).map(i => f"${t0 + i * 2500}%08x" + f"$i%016x")
+    val d = docs(ids: _*)
+    val chunks = MongoScan.timestampStrideChunks(d)
+    assert(chunks.last._2.isEmpty) // open tail
+    // contiguous, non-overlapping: each chunk's max == next chunk's min
+    chunks.sliding(2).foreach {
+      case Seq((_, Some(mx)), (mn2, _)) => assert(mx == mn2)
+      case _ => ()
+    }
+    val all = MongoScan.scanChunks(d, chunks)
+      .select("_id").collect().map(_.getString(0)).toSeq
+    assert(all.sorted == ids.sorted && all.length == ids.length)
+    // per-chunk counts sum to the total (no doc scanned twice)
+    val per = chunks.map { case (mn, mx) =>
+      MongoScan.pipelineScan(d, ChunkSql.mongoChunkPipeline(mn, mx)).count()
+    }
+    assert(per.sum == ids.length.toLong)
+  }
 }

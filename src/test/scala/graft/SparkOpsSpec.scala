@@ -24,6 +24,59 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sf(name: String): DataFrame =
     Tables.load(spark, "/root/testdata/sf0.001", name)
 
+  // ---- S6 string leg: collation-aware string-PK chunking ----
+
+  test("charset encode/decode is a bijection, order-preserving on equal-length strings") {
+    import graft.operators.ChunkPlanner._
+    for (s <- Seq("", "0", " ", "Customer#000000001", "zz@ ", "ABC 123"))
+      assert(decodeCharsetString(encodeCharsetString(s)) == s)
+    // 1-based bijective numeration: the last alphabet char (space, idx
+    // 95) exercises the zero-remainder borrow
+    assert(decodeCharsetString(encodeCharsetString("  ")) == "  ")
+    // arithmetic order == string order at equal length
+    val ordered = Seq("aa00", "aa01", "ab00", "b000")
+    val encoded = ordered.map(encodeCharsetString)
+    assert(encoded == encoded.sorted)
+  }
+
+  test("planStringChunks: boundaries are actual aligned values, chunks partition the table") {
+    import graft.operators.ChunkPlanner
+    val c = sf("customer")
+    val chunks = ChunkPlanner.planStringChunks(c, "c_name", 6)
+    assert(chunks.length >= 3, s"expected several chunks, got $chunks")
+    assert(chunks.head.lo.isEmpty && chunks.last.hi.isEmpty)
+    // interior boundaries are REAL c_name values (alignment semantics:
+    // every boundary is some probe's first-at-or-after result)
+    val names = c.select("c_name").collect().map(_.getString(0)).toSet
+    chunks.flatMap(_.lo).foreach(b => assert(names.contains(b), b))
+    // chunks tile the key space: total coverage, no overlap
+    val total = c.count()
+    val scanned = ChunkPlanner.scanStringChunked(c, "c_name", chunks)
+    assert(scanned.count() == total)
+    val perChunk = chunks.map(ch =>
+      c.where(ch.toColumn("c_name")).count())
+    assert(perChunk.sum == total)
+    assert(perChunk.count(_ > 0) >= 3) // split actually spreads rows
+  }
+
+  test("planStringChunks under a _ci collation folds case; coverage still exact") {
+    import spark.implicits._
+    import graft.operators.ChunkPlanner
+    val df = Seq("Apple", "apricot", "BANANA", "banoffee", "Cherry",
+      "citrus", "DATE", "damson").toDF("k")
+    val chunks = ChunkPlanner.planStringChunks(df, "k", 4,
+      collation = "utf8mb4_0900_ai_ci")
+    // boundaries live in folded space
+    chunks.flatMap(_.lo).foreach(b => assert(b == b.toLowerCase, b))
+    assert(ChunkPlanner.scanStringChunked(df, "k", chunks,
+      "utf8mb4_0900_ai_ci").count() == 8)
+    // case variants of one word land in the same chunk
+    val probe = Seq("BANANA", "banana").toDF("k")
+    val hits = chunks.map(ch =>
+      probe.where(ch.toColumn("k", "utf8mb4_0900_ai_ci")).count())
+    assert(hits.count(_ == 2) == 1 && hits.sum == 2)
+  }
+
   // ---- P5 flatten: nested → JSON text, binary → string ----
 
   test("flatten: struct/array → JSON, binary → string, names normalized (flatten.go:57-84)") {
@@ -544,6 +597,49 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect()
     }
     assert(unknown.getMessage.contains("schema id 3"))
+  }
+
+  test("HTTP registry resolver: Confluent wire surface, auth, caching, errors, executor-lazy decode") {
+    import spark.implicits._
+    val avroSchema =
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+    def enc(id: Long): Array[Byte] = {
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", id)
+      val out = new java.io.ByteArrayOutputStream()
+      val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[Any](schema).write(rec, e)
+      e.flush(); out.toByteArray
+    }
+    val srv = new KafkaDecode.SchemaRegistryServer(Map(
+      1 -> KafkaDecode.RegisteredSchema(avroSchema),
+      2 -> KafkaDecode.RegisteredSchema("{}", "JSON")),
+      requireBearer = "tok")
+    try {
+      // wrong/missing auth → 401 surfaces as an error
+      val anon = KafkaDecode.HttpResolver(srv.endpoint)
+      val denied = intercept[java.io.IOException](anon.resolve(1))
+      assert(denied.getMessage.contains("401"))
+      val http = KafkaDecode.HttpResolver(srv.endpoint, bearerToken = "tok")
+      assert(http.validate())
+      // schemaType omitted on the wire → AVRO default (the Confluent
+      // contract the reference encodes, schema_registry.go:74-76)
+      assert(http.resolve(1).resolvedType == "AVRO")
+      assert(http.resolve(2).resolvedType == "JSON")
+      // unknown id → registry 404 propagated
+      val nf = intercept[java.io.IOException](http.resolve(99))
+      assert(nf.getMessage.contains("404"))
+      // per-id cache: repeated resolves do not re-fetch
+      val before = srv.hits.get()
+      http.resolve(1); http.resolve(1)
+      assert(srv.hits.get() == before)
+      // the LAZY executor-side path: tasks fetch over live HTTP
+      val df = Seq((1, enc(5L)), (1, enc(6L))).toDF("sid", "body")
+      val out = KafkaDecode.decodeWithRegistry(spark, df, "sid", "body", http)
+        .collect().map(_.getString(1)).sorted
+      assert(out.toSeq == Seq("""{"id":5}""", """{"id":6}"""))
+    } finally srv.close()
   }
 
   // ---- Multimodal plumbing ----
