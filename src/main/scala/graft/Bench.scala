@@ -35,6 +35,12 @@ import org.apache.spark.sql.SparkSession
   *    headlined at full size).
   *  - q_hyperplane_native: equivalence gate that deliberately runs the
   *    kernel twice (native === HOF); not a production shape.
+  *  - q_chunk_string / q_mongo_splitvector / q_mongo_tsstride: coverage
+  *    proofs again (union of N filtered scans).
+  *  - q_iceberg_commit: write-then-manifest-walk roundtrip into a
+  *    tempdir (metadata cost, not a query plan).
+  *  - q_avro_registry_http: q_avro_registry plus loopback-HTTP schema
+  *    fetches; the decode is already headlined via q_avro_registry.
   */
 object Bench {
 

@@ -235,7 +235,10 @@ object SparkEntry {
     "q_mongo_tsstride" -> ((s, dir) => {
       val docs = MongoScan.syntheticCollection(
         t(s, dir, "events").where(col("event_id") < 10000), "event_id", "ts")
-      MongoScan.scanChunks(docs, MongoScan.timestampStrideChunks(docs))
+      // maxChunks keeps the union coverage proof driver-bounded — the
+      // reference stride alone fixes ~2160 chunks for any span > 6h
+      MongoScan.scanChunks(docs,
+          MongoScan.timestampStrideChunks(docs, maxChunks = 48))
         .select("_id", "event_id", "user_id", "value")
     }),
 

@@ -245,8 +245,14 @@ object Dedup {
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(s"not converged after $maxIter rounds")
+    lastPropagationRounds = i
     labels
   }
+
+  /** Rounds the latest propagation took — dev observability for scale
+    * checks: rounds must track component DIAMETER (near-cliquey dup
+    * clusters → a handful), never corpus size. */
+  @volatile var lastPropagationRounds: Int = 0
 
   /** Keep one document per duplicate cluster (the canonical one):
     * the filter step a dedup pipeline runs after `canonicalize`.
@@ -384,8 +390,11 @@ object Dedup {
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     import graft.llm.Similarity.{dot, norm}
+    // persisted like the LSH tier's coded frame: both self-join legs
+    // read the normed rows instead of re-scanning + re-norming per leg
     val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = side.as("a"); val b = side.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -425,9 +434,16 @@ object Dedup {
         array(masks.map(m => struct(tc.getField("t").as("t"),
           tc.getField("code").bitwiseXOR(lit(m)).as("code"))): _*))))
         .as("probe"))
+    // materialize the (much smaller) deduped candidate set eagerly so
+    // the coded frame — O(corpus × tables × probes) once exploded — is
+    // released here instead of leaking past the verify step (same
+    // shape as minhashCandidates)
     val cand = probed.as("a").join(coded.as("b"),
         col("a.probe") === col("b.tc") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    codes0.unpersist()
     val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     cand

@@ -111,18 +111,30 @@ object MongoScan {
     * (`ChunkSql.syntheticObjectId`). One extremes agg; chunk generation
     * is driver arithmetic.
     *
+    * `maxChunks`: the reference's density formula fixes chunk count at
+    * ~2160 for ANY span over 6 h (span/density cancels to 21600/10) —
+    * fine when each chunk is its own server-side cursor, pathological
+    * for anything that materializes the whole set at once (a
+    * 2160-branch union coverage proof measured 343 s at sf0.1). The cap
+    * scales the stride up so the plan stays driver-bounded; production
+    * keeps the default.
+    *
     * Deviation, deliberate: the reference appends its open tail chunk
     * from `last` even when the loop already covered through `last+1s`,
     * double-scanning the final second and relying on downstream PK
     * dedup to absorb it. An exact-coverage planner starts the tail at
     * the first UNCOVERED position instead — same reach, no overlap. */
-  def timestampStrideChunks(docs: DataFrame): Seq[(String, Option[String])] = {
+  def timestampStrideChunks(docs: DataFrame,
+                            maxChunks: Int = Int.MaxValue)
+      : Seq[(String, Option[String])] = {
     val ts = docs.select(
       conv(substring(col("_id"), 1, 8), 16, 10).cast("long").as("s"))
     val mm = ts.agg(min("s"), max("s")).head()
     if (mm.isNullAt(0)) return Seq.empty
     val (first, last) = (mm.getLong(0), mm.getLong(1))
-    val density = math.max(1L, (last - first) / 3600 / 6) * 10 // seconds
+    val density = math.max(
+      math.max(1L, (last - first) / 3600 / 6) * 10, // reference stride
+      (last - first + maxChunks) / math.max(1, maxChunks)) // cap
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[String])]
     var start = first

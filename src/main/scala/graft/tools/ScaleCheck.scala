@@ -44,12 +44,18 @@ object ScaleCheck {
     replicate("documents", Seq("doc_id"))
     replicate("events", Seq("event_id", "user_id"))
 
+    val canonicalRounds = scala.collection.mutable.Map.empty[String, Int]
     def run(sf: String, label: String): Map[String, Double] = {
       val li = Tables.load(spark, sf, "lineitem")
       val docs = Tables.load(spark, sf, "documents")
       val ev = Tables.load(spark, sf, "events")
       val out = java.nio.file.Files.createTempDirectory("sc").toString
       Map(
+        "dedup_canonical" -> time(s"$label dedup_canonical") {
+          val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+            native = true).select("id_a", "id_b")
+          Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id").count()
+          canonicalRounds(label) = Dedup.lastPropagationRounds },
         "backfill_write" -> time(s"$label backfill_write") {
           SystemColumns.attach(li, Seq("l_orderkey", "l_linenumber"), "r")
             .write.mode("overwrite").parquet(s"$out/b") },
@@ -78,6 +84,9 @@ object ScaleCheck {
     t1.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-16s ${t10(k) / t1(k)}%.1f×")
     }
+    println(s"canonicalize propagation rounds: 1x=${canonicalRounds("1x")} " +
+      s"10x=${canonicalRounds("10x")} (flat = O(cluster diameter), " +
+      "per-round shuffle bounded by dup-graph size, not corpus)")
     spark.stop()
   }
 }

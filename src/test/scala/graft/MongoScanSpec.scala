@@ -83,11 +83,13 @@ class MongoScanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("timestamp-stride chunks tile the ObjectID space exactly once") {
-    // ids spread over ~36h of embedded epoch seconds → density 60s
+    // ids spread over ~36h of embedded epoch seconds; capped chunk
+    // count (the uncapped reference stride would be ~2500 chunks here)
     val t0 = 1700000000L
     val ids = (0 until 50).map(i => f"${t0 + i * 2500}%08x" + f"$i%016x")
     val d = docs(ids: _*)
-    val chunks = MongoScan.timestampStrideChunks(d)
+    val chunks = MongoScan.timestampStrideChunks(d, maxChunks = 24)
+    assert(chunks.length <= 26, s"cap not applied: ${chunks.length} chunks")
     assert(chunks.last._2.isEmpty) // open tail
     // contiguous, non-overlapping: each chunk's max == next chunk's min
     chunks.sliding(2).foreach {
