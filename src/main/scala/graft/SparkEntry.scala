@@ -662,6 +662,40 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K2/K3 MERGE-ON-READ published as Iceberg v2: base + one CDC
+    // delta segment become data + EQUALITY-DELETE manifests (content=1,
+    // equality_ids on the key), and the result is read back by
+    // replaying the v2 delete algebra FROM THE MANIFESTS ALONE — it
+    // matches the upsert oracle only if sequence numbers, delete files,
+    // and the survivor rule are all right. ----
+    "q_iceberg_mor" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val table = java.nio.file.Files.createTempDirectory("graft_mor_t").toString
+      val ice = java.nio.file.Files.createTempDirectory("graft_mor_i").toString
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      val upd = n.where(col("n_nationkey") < 10).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), upper(col("n_name")).as("n_name"),
+        lit("u").as(SystemColumns.OpType))
+      val del = n.where(col("n_nationkey") >= 20).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), col("n_name"), lit("d").as(SystemColumns.OpType))
+      val ins = n.where(col("n_nationkey") < 5).select(
+        (col("n_nationkey") + 100).cast("string").as(SystemColumns.OlakeId),
+        (col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+        lit("c").as(SystemColumns.OpType))
+      graft.sinks.DeltaSegments.writeSegment(
+        upd.unionByName(del).unionByName(ins)
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 1L)
+      IcebergMetadata.publishMoR(s, ice, table,
+        summary = Map("olake_2pc" -> """{"stream":"nation"}"""))
+      IcebergMetadata.readMoR(s, ice)
+        .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
+    }),
+
     // ---- P5 record flatten: nested → JSON text, binary → string ----
     "q_flatten" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 1000)
@@ -1305,6 +1339,17 @@ object SparkEntry {
 
     "q_iceberg_commit" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // same merge semantics as q_upsert_apply, reproduced through the
+    // Iceberg v2 equality-delete algebra over the published manifests
+    "q_iceberg_mor" ->
+      """WITH base AS (SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, n_name FROM nation),
+        |changes AS (
+        |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, upper(n_name) AS n_name, 'u' AS op FROM nation WHERE n_nationkey < 10
+        |  UNION ALL SELECT cast(n_nationkey AS VARCHAR), n_nationkey, n_name, 'd' FROM nation WHERE n_nationkey >= 20
+        |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
+        |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
+        |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
 
     "q_flatten" ->
       """SELECT event_id,

@@ -1,8 +1,7 @@
 package graft.sinks
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -10,33 +9,48 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Iceberg **v2 table-format metadata writer**, from the public table
   * spec (https://iceberg.apache.org/spec/): `vN.metadata.json` +
   * manifest-list Avro + manifest Avro with the spec's field-ids, over
-  * parquet data files the sink already produced (DeltaSegments'
-  * compacted base). This closes as much of the reference's Iceberg
-  * commit path (`IcebergTableOperator.java:83-227`,
+  * parquet data files the sink already produced. This closes as much of
+  * the reference's Iceberg commit path
+  * (`IcebergTableOperator.java:83-227`,
   * `destination/iceberg/iceberg.go:521-545`) as a jar-less sandbox
   * allows: the sidecar's RPC commit becomes a metadata-tree commit an
   * Iceberg reader can walk, and the reference's `olake_2pc` state rides
   * the snapshot summary exactly like its table-property twin.
+  *
+  * Two publishing modes:
+  *  - `commit`: the parquet files of one directory as the next
+  *    append/overwrite snapshot (one data manifest);
+  *  - `publishMoR`: a full MERGE-ON-READ snapshot of a `DeltaSegments`
+  *    table — base files at sequence 1, one derived data file + one
+  *    EQUALITY-DELETE file per delta segment at sequence k+2, emitted
+  *    through a data manifest and a delete manifest (`content=1`), the
+  *    exact file algebra the reference's Arrow writer produces
+  *    per batch (`arrow-writer/writer.go:155-271`: every upsert batch
+  *    is an eq-delete file over the key plus a data file). `readMoR`
+  *    replays that algebra from the manifests alone — a row survives
+  *    iff no equality delete on its key carries a strictly greater
+  *    sequence number — and is pinned equal to `DeltaSegments.read`.
   *
   * Layout produced under `tableDir`:
   * {{{
   *   metadata/v1.metadata.json      // + v2… on later commits
   *   metadata/version-hint.text     // current version number
   *   metadata/snap-<id>-1-<uuid>.avro   // manifest list (one per commit)
-  *   metadata/<uuid>-m0.avro            // manifest (one per commit)
+  *   metadata/<uuid>-m<i>.avro          // manifests
+  *   data/…                         // derived MoR data/delete files
   * }}}
-  * Data files stay where the sink wrote them; manifests carry absolute
-  * paths (the spec allows fully-qualified locations).
+  * Manifests carry absolute paths (the spec allows fully-qualified
+  * locations), so base parquet is referenced in place — zero copy.
   *
-  * Sequence numbers follow v2 semantics: each commit bumps
-  * `last-sequence-number` and stamps it on its manifest entries; the
-  * snapshot records it so merge-on-read readers can order deletes.
+  * Sequence numbers follow v2 semantics: `last-sequence-number` is the
+  * highest stamped; every manifest entry carries its own.
   */
 object IcebergMetadata {
 
@@ -46,10 +60,16 @@ object IcebergMetadata {
                     manifestPath: String, manifestListPath: String,
                     addedFiles: Int, addedRows: Long)
 
+  /** One physical file headed for a manifest. `content`: 0 data,
+    * 2 equality deletes (per the data_file spec). */
+  case class FileEntry(path: String, sizeBytes: Long, rows: Long,
+                       seq: Long, content: Int = 0,
+                       equalityIds: Seq[Int] = Nil)
+
   private def metaDir(tableDir: String): File = new File(tableDir, "metadata")
 
   /** The manifest_entry Avro schema (spec §Manifests, v2 required
-    * fields; optional column stats omitted — they are spec-optional). */
+    * fields + equality_ids; remaining column stats are spec-optional). */
   private val manifestEntrySchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse("""{
       "type": "record", "name": "manifest_entry", "fields": [
@@ -65,7 +85,9 @@ object IcebergMetadata {
             {"name": "partition", "field-id": 102,
              "type": {"type": "record", "name": "r102", "fields": []}},
             {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "equality_ids", "default": null, "field-id": 135,
+             "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
           ]}}
       ]}""")
 
@@ -150,6 +172,14 @@ object IcebergMetadata {
     mapper.writeValueAsString(root)
   }
 
+  /** Field id of a top-level column in a `schemaJson` result. */
+  def fieldId(schemaStr: String, name: String): Int = {
+    val fields = mapper.readTree(schemaStr).withArray[ArrayNode]("fields")
+    fields.asScala.find(_.get("name").asText == name)
+      .map(_.get("id").asInt)
+      .getOrElse(throw new IllegalArgumentException(s"no field $name"))
+  }
+
   /** Parquet footer row count — no data scan. */
   private def parquetRowCount(spark: SparkSession, f: File): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -159,92 +189,96 @@ object IcebergMetadata {
     try r.getRecordCount finally r.close()
   }
 
-  /** Commit the parquet files under `dataDir` as the next snapshot of
-    * the Iceberg table rooted at `tableDir`. `operation` is the spec's
-    * snapshot summary operation (`append` for incremental segments,
-    * `overwrite` after a compaction rewrote the base); `summary` extras
-    * land in the snapshot summary — the reference stores its 2PC state
-    * there via the `olake_2pc` property (iceberg.go:521-545), so pass
-    * `Map("olake_2pc" -> stateJson)` for the commit-position analog. */
-  def commit(spark: SparkSession, tableDir: String, dataDir: String,
-             operation: String = "append",
-             summary: Map[String, String] = Map.empty): Commit = {
+  private def parquetFilesIn(dir: String): Seq[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+
+  private def entriesFor(spark: SparkSession, dir: String, seq: Long,
+                         content: Int = 0,
+                         equalityIds: Seq[Int] = Nil): Seq[FileEntry] =
+    parquetFilesIn(dir).map(f => FileEntry(f.getAbsolutePath, f.length(),
+      parquetRowCount(spark, f), seq, content, equalityIds))
+
+  /** Write one manifest Avro with ADDED entries. */
+  private def writeManifest(md: File, entries: Seq[FileEntry],
+                            snapshotId: Long, schemaStr: String,
+                            content: String, index: Int): File = {
+    val f = new File(md, s"${java.util.UUID.randomUUID()}-m$index.avro")
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](manifestEntrySchema))
+    w.setMeta("schema", stripInternal(schemaStr))
+    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec-id", "0")
+    w.setMeta("format-version", "2")
+    w.setMeta("content", content)
+    w.create(manifestEntrySchema, f)
+    try entries.foreach { e =>
+      val df = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      df.put("content", e.content)
+      df.put("file_path", e.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema()
+          .getField("partition").schema()))
+      df.put("record_count", e.rows)
+      df.put("file_size_in_bytes", e.sizeBytes)
+      if (e.equalityIds.nonEmpty)
+        df.put("equality_ids", e.equalityIds.map(Int.box).asJava)
+      val entry = new GenericData.Record(manifestEntrySchema)
+      entry.put("status", 1) // ADDED
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", e.seq)
+      entry.put("file_sequence_number", e.seq)
+      entry.put("data_file", df)
+      w.append(entry)
+    } finally w.close()
+    f
+  }
+
+  /** Write the manifest list: one row per manifest.
+    * (file, listContent 0=data/1=deletes, entries). */
+  private def writeManifestList(md: File, snapshotId: Long,
+                                manifests: Seq[(File, Int, Seq[FileEntry])])
+      : File = {
+    val f = new File(md,
+      s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    w.setMeta("format-version", "2")
+    w.create(manifestFileSchema, f)
+    try manifests.foreach { case (mf, content, entries) =>
+      val m = new GenericData.Record(manifestFileSchema)
+      m.put("manifest_path", mf.getAbsolutePath)
+      m.put("manifest_length", mf.length())
+      m.put("partition_spec_id", 0)
+      m.put("content", content)
+      m.put("sequence_number", entries.map(_.seq).max)
+      m.put("min_sequence_number", entries.map(_.seq).min)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_files_count", entries.length)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", entries.map(_.rows).sum)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      w.append(m)
+    } finally w.close()
+    f
+  }
+
+  /** Write vN.metadata.json + flip version-hint (the atomic commit
+    * point). Carries forward table-uuid, snapshots and snapshot-log. */
+  private def writeMetadataJson(tableDir: String, schemaStr: String,
+                                snapshotId: Long, seq: Long, listFile: File,
+                                operation: String,
+                                summary: Map[String, String],
+                                addedFiles: Int, addedRows: Long): Int = {
     val md = metaDir(tableDir)
-    md.mkdirs()
     val prev = currentMetadata(tableDir)
     val version = prev.map(_._1).getOrElse(0) + 1
-    val seq = prev.map(_._2.get("last-sequence-number").asLong).getOrElse(0L) + 1
-    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val nowMs = System.currentTimeMillis()
-
-    val dataFiles = Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
-    require(dataFiles.nonEmpty, s"no parquet data files under $dataDir")
-
-    // ---- manifest: one ADDED entry per data file
-    val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
-    val manifestFile = new File(md, manifestName)
-    val schema = spark.read.parquet(dataDir).schema
-    val schemaStr = schemaJson(schema)
-    var addedRows = 0L
-    locally {
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestEntrySchema))
-      w.setMeta("schema", stripInternal(schemaStr))
-      w.setMeta("partition-spec", "[]")
-      w.setMeta("partition-spec-id", "0")
-      w.setMeta("format-version", "2")
-      w.setMeta("content", "data")
-      w.create(manifestEntrySchema, manifestFile)
-      try dataFiles.foreach { f =>
-        val rows = parquetRowCount(spark, f)
-        addedRows += rows
-        val df = new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema())
-        df.put("content", 0) // data (1/2 are delete files)
-        df.put("file_path", f.getAbsolutePath)
-        df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema()
-            .getField("partition").schema()))
-        df.put("record_count", rows)
-        df.put("file_size_in_bytes", f.length())
-        val entry = new GenericData.Record(manifestEntrySchema)
-        entry.put("status", 1) // ADDED
-        entry.put("snapshot_id", snapshotId)
-        entry.put("sequence_number", seq)
-        entry.put("file_sequence_number", seq)
-        entry.put("data_file", df)
-        w.append(entry)
-      } finally w.close()
-    }
-
-    // ---- manifest list: one manifest_file row for this commit
-    val listName = s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
-    val listFile = new File(md, listName)
-    locally {
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](manifestFileSchema))
-      w.setMeta("format-version", "2")
-      w.create(manifestFileSchema, listFile)
-      try {
-        val m = new GenericData.Record(manifestFileSchema)
-        m.put("manifest_path", manifestFile.getAbsolutePath)
-        m.put("manifest_length", manifestFile.length())
-        m.put("partition_spec_id", 0)
-        m.put("content", 0) // data manifests
-        m.put("sequence_number", seq)
-        m.put("min_sequence_number", seq)
-        m.put("added_snapshot_id", snapshotId)
-        m.put("added_files_count", dataFiles.length)
-        m.put("existing_files_count", 0)
-        m.put("deleted_files_count", 0)
-        m.put("added_rows_count", addedRows)
-        m.put("existing_rows_count", 0L)
-        m.put("deleted_rows_count", 0L)
-        w.append(m)
-      } finally w.close()
-    }
-
-    // ---- vN.metadata.json
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", prev.map(_._2.get("table-uuid").asText)
@@ -270,7 +304,8 @@ object IcebergMetadata {
     props.put("write.merge.mode", "merge-on-read")
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
-    prev.foreach(_._2.withArray[ArrayNode]("snapshots").forEach(s => snaps.add(s): Unit))
+    prev.foreach(_._2.withArray[ArrayNode]("snapshots")
+      .forEach(s => snaps.add(s): Unit))
     val snap = snaps.addObject()
     snap.put("snapshot-id", snapshotId)
     prev.foreach(p => snap.put("parent-snapshot-id",
@@ -281,13 +316,15 @@ object IcebergMetadata {
     snap.put("manifest-list", listFile.getAbsolutePath)
     val sum = snap.putObject("summary")
     sum.put("operation", operation)
-    sum.put("added-data-files", dataFiles.length.toString)
+    sum.put("added-data-files", addedFiles.toString)
     sum.put("added-records", addedRows.toString)
     summary.foreach { case (k, v) => sum.put(k, v) }
     val log = root.putArray("snapshot-log")
-    prev.foreach(_._2.withArray[ArrayNode]("snapshot-log").forEach(s => log.add(s): Unit))
+    prev.foreach(_._2.withArray[ArrayNode]("snapshot-log")
+      .forEach(s => log.add(s): Unit))
     val logEntry = log.addObject()
-    logEntry.put("snapshot-id", snapshotId); logEntry.put("timestamp-ms", nowMs)
+    logEntry.put("snapshot-id", snapshotId)
+    logEntry.put("timestamp-ms", nowMs)
     val refs = root.putObject("refs").putObject("main")
     refs.put("snapshot-id", snapshotId); refs.put("type", "branch")
 
@@ -301,9 +338,7 @@ object IcebergMetadata {
     Files.writeString(hintTmp.toPath, version.toString)
     Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-
-    Commit(version, snapshotId, seq, manifestFile.getAbsolutePath,
-      listFile.getAbsolutePath, dataFiles.length, addedRows)
+    version
   }
 
   private def stripInternal(schemaStr: String): String = {
@@ -311,6 +346,138 @@ object IcebergMetadata {
     node.remove("x-last-column-id")
     mapper.writeValueAsString(node)
   }
+
+  /** Commit the parquet files under `dataDir` as the next snapshot of
+    * the Iceberg table rooted at `tableDir`. `operation` is the spec's
+    * snapshot summary operation (`append` for incremental segments,
+    * `overwrite` after a compaction rewrote the base); `summary` extras
+    * land in the snapshot summary — the reference stores its 2PC state
+    * there via the `olake_2pc` property (iceberg.go:521-545), so pass
+    * `Map("olake_2pc" -> stateJson)` for the commit-position analog. */
+  def commit(spark: SparkSession, tableDir: String, dataDir: String,
+             operation: String = "append",
+             summary: Map[String, String] = Map.empty): Commit = {
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    val prev = currentMetadata(tableDir)
+    val seq = prev.map(_._2.get("last-sequence-number").asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val entries = entriesFor(spark, dataDir, seq)
+    require(entries.nonEmpty, s"no parquet data files under $dataDir")
+    val schemaStr = schemaJson(spark.read.parquet(dataDir).schema)
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq((manifest, 0, entries)))
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, operation, summary, entries.length, entries.map(_.rows).sum)
+    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+  }
+
+  /** Publish a `DeltaSegments` table as ONE merge-on-read snapshot:
+    * base files at sequence 1 (in place, zero copy); per delta segment
+    * k (batch order) a derived data file (the segment's non-tombstone
+    * rows, internal columns dropped) and an EQUALITY-DELETE file (every
+    * key the segment touched — an upsert is delete+insert at the same
+    * sequence, exactly the reference writer's per-batch eq-delete
+    * emission) at sequence k+2. `summary` should carry the 2PC state
+    * (`olake_2pc`), recoverable via `commitState` — the reference's
+    * restart path reads the same property back (iceberg.go:521-545). */
+  def publishMoR(spark: SparkSession, tableDir: String, tablePath: String,
+                 summary: Map[String, String] = Map.empty): Commit = {
+    import graft.operators.SystemColumns
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    val keyCol = SystemColumns.OlakeId
+    val viewSchema = DeltaSegments.read(spark, tablePath).schema
+    val schemaStr = schemaJson(viewSchema)
+    val eqIds = Seq(fieldId(schemaStr, keyCol))
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val dataCols = viewSchema.fieldNames.toSeq
+
+    val base = DeltaSegments.baseDir(tablePath)
+    val baseEntries =
+      if (base.exists) entriesFor(spark, base.getPath, seq = 1L) else Nil
+
+    val segs = DeltaSegments.listSegments(tablePath)
+    val derived = new File(tableDir, "data"); derived.mkdirs()
+    val segEntries = segs.zipWithIndex.flatMap { case (seg, k) =>
+      val seq = k + 2L
+      val segDf = spark.read.parquet(seg.getPath)
+      def projected(df: DataFrame) = df.select(dataCols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+      val dataDir = new File(derived, s"${seg.getName}-data")
+      projected(segDf.where(col(SystemColumns.OpType) =!=
+          SystemColumns.OpDelete))
+        .write.mode("overwrite").parquet(dataDir.getPath)
+      val delDir = new File(derived, s"${seg.getName}-deletes")
+      segDf.select(col(keyCol)).distinct()
+        .write.mode("overwrite").parquet(delDir.getPath)
+      entriesFor(spark, dataDir.getPath, seq) ++
+        entriesFor(spark, delDir.getPath, seq, content = 2,
+          equalityIds = eqIds)
+    }
+
+    val dataEntries = baseEntries ++ segEntries.filter(_.content == 0)
+    val deleteEntries = segEntries.filter(_.content == 2)
+    require(dataEntries.nonEmpty || deleteEntries.nonEmpty,
+      s"nothing to publish under $tablePath")
+    val seqMax = (dataEntries ++ deleteEntries).map(_.seq).max
+    val manifests =
+      Seq((writeManifest(md, dataEntries, snapshotId, schemaStr,
+        "data", 0), 0, dataEntries)) ++
+      (if (deleteEntries.nonEmpty)
+        Seq((writeManifest(md, deleteEntries, snapshotId, schemaStr,
+          "deletes", 1), 1, deleteEntries))
+      else Nil)
+    val list = writeManifestList(md, snapshotId, manifests)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId,
+      seqMax, list, "overwrite", summary,
+      dataEntries.length, dataEntries.map(_.rows).sum)
+    Commit(version, snapshotId, seqMax, manifests.head._1.getAbsolutePath,
+      list.getAbsolutePath, dataEntries.length,
+      dataEntries.map(_.rows).sum)
+  }
+
+  /** Merge-on-read READ from the manifests alone — the v2 algebra an
+    * Iceberg engine runs: a data row survives iff no equality delete on
+    * its key has a STRICTLY greater sequence number (a delete never
+    * applies to files of its own sequence, so the upsert's paired data
+    * row lives). Plan: per-sequence scans unioned with a literal seq
+    * column; the delete side collapses to max(seq) per key and joins
+    * in (small side → AQE broadcasts it). */
+  def readMoR(spark: SparkSession, tableDir: String,
+              keyCol: String = graft.operators.SystemColumns.OlakeId)
+      : DataFrame = {
+    val (dataFiles, delFiles) = manifestEntries(tableDir)
+    def bySeq(files: Seq[(String, Long)], cols: Option[Seq[String]]) =
+      files.groupBy(_._2).toSeq.map { case (seq, fs) =>
+        val df = spark.read.parquet(fs.map(_._1): _*)
+        cols.fold(df)(cs => df.select(cs.map(col): _*))
+          .withColumn("__seq", lit(seq))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val data = bySeq(dataFiles, None)
+    if (delFiles.isEmpty) return data.drop("__seq")
+    val dels = bySeq(delFiles, Some(Seq(keyCol)))
+      .groupBy(keyCol).agg(max(col("__seq")).as("__del_seq"))
+    data.join(dels, Seq(keyCol), "left")
+      .where(col("__del_seq").isNull || col("__seq") >= col("__del_seq"))
+      .drop("__seq", "__del_seq")
+  }
+
+  /** The 2PC state stored in the current snapshot's summary — the
+    * reference's restart recovery reads the same `olake_2pc` property
+    * (iceberg.go:521-545). */
+  def commitState(tableDir: String): Option[String] =
+    currentMetadata(tableDir).flatMap { case (_, meta) =>
+      val snapId = meta.get("current-snapshot-id").asLong
+      meta.withArray[ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == snapId)
+        .flatMap(s => Option(s.get("summary").get("olake_2pc"))
+          .map(_.asText))
+    }
 
   /** (version, parsed metadata.json) of the current table version. */
   def currentMetadata(tableDir: String): Option[(Int, JsonNode)] = {
@@ -328,23 +495,32 @@ object IcebergMetadata {
     try r.iterator().asScala.toList finally r.close()
   }
 
-  /** Walk version-hint → metadata.json → manifest list → manifests and
-    * return the live data-file paths of the current snapshot — the read
-    * path an Iceberg-aware engine runs, proving the tree is connected. */
-  def dataFilePaths(tableDir: String): Seq[String] = {
+  /** Live (path, sequence) entries of the current snapshot, split into
+    * (data files, equality-delete files). */
+  def manifestEntries(tableDir: String)
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snapId = meta.get("current-snapshot-id").asLong
     val snap = meta.withArray[ArrayNode]("snapshots").asScala
       .find(_.get("snapshot-id").asLong == snapId).get
     val listFile = new File(snap.get("manifest-list").asText)
-    readAvro(listFile).flatMap { mf =>
-      val manifest = new File(mf.get("manifest_path").toString)
-      readAvro(manifest).collect {
+    val all = readAvro(listFile).flatMap { mf =>
+      readAvro(new File(mf.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
-          e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          (df.get("file_path").toString,
+            e.get("sequence_number").asInstanceOf[Long],
+            df.get("content").asInstanceOf[Int])
       }
     }
+    (all.collect { case (p, s, 0) => (p, s) },
+     all.collect { case (p, s, c) if c != 0 => (p, s) })
   }
+
+  /** Walk version-hint → metadata.json → manifest list → manifests and
+    * return the live DATA file paths of the current snapshot — the read
+    * path an Iceberg-aware engine runs, proving the tree is connected. */
+  def dataFilePaths(tableDir: String): Seq[String] =
+    manifestEntries(tableDir)._1.map(_._1)
 }

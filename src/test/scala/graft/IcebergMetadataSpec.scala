@@ -140,6 +140,76 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("publishMoR: eq-delete manifests replay to the DeltaSegments view; 2PC state round-trips") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_morpub").toString
+    val ice = Files.createTempDirectory("graft_morice").toString
+    spark.range(100).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    def change(ids: Range, op: String, vOff: Long = 0, pfx: String = "") =
+      spark.range(ids.start, ids.end).select(
+        concat(lit(pfx), col("id")).as(OlakeId), (col("id") + vOff).as("v"),
+        lit(op).as(OpType), current_timestamp().as(CdcTimestamp),
+        col("id").as("lsn"))
+    // batch 1: update 0-9, delete 90-99, insert n100-n104
+    DeltaSegments.writeSegment(
+      change(0 until 10, "u", vOff = 1000)
+        .unionByName(change(90 until 100, "d"))
+        .unionByName(change(100 until 105, "c", pfx = "n")), table, 1L)
+    // batch 2: re-update key 0, delete the fresh n100, insert n200
+    DeltaSegments.writeSegment(
+      change(0 until 1, "u", vOff = 5000)
+        .unionByName(change(100 until 101, "d", pfx = "n"))
+        .unionByName(change(200 until 201, "c", pfx = "n")), table, 2L)
+
+    val c = IcebergMetadata.publishMoR(spark, ice, table,
+      summary = Map("olake_2pc" -> """{"stream":"t","lsn":77}"""))
+    assert(c.sequenceNumber == 3) // base=1, batch1=2, batch2=3
+
+    // the manifest replay must equal the sink's own merged view
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expect = snap(DeltaSegments.read(spark, table))
+    val got = snap(IcebergMetadata.readMoR(spark, ice))
+    assert(got == expect)
+    assert(got.size == 100 - 10 + 5 - 1 + 1) // 95 live keys
+    assert(got.toMap.apply("0") == 5000L)    // batch-2 update won
+
+    // structural: one data + one delete manifest; delete entries carry
+    // content=2 and equality_ids pointing at the key column
+    val (dataFiles, delFiles) = IcebergMetadata.manifestEntries(ice)
+    assert(dataFiles.map(_._2).distinct.sorted == Seq(1L, 2L, 3L))
+    assert(delFiles.nonEmpty && delFiles.map(_._2).distinct.sorted == Seq(2L, 3L))
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val snapNode = meta.get("snapshots").get(meta.get("snapshots").size - 1)
+    val listRows = {
+      val r = new DataFileReader(new File(snapNode.get("manifest-list").asText),
+        new GenericDatumReader[GenericRecord]())
+      try { import scala.jdk.CollectionConverters._; r.iterator().asScala.toList }
+      finally r.close()
+    }
+    assert(listRows.map(_.get("content")).toSet == Set(0, 1))
+    val delManifest = listRows.find(_.get("content") == 1).get
+    val delEntries = {
+      val r = new DataFileReader(
+        new File(delManifest.get("manifest_path").toString),
+        new GenericDatumReader[GenericRecord]())
+      try { import scala.jdk.CollectionConverters._; r.iterator().asScala.toList }
+      finally r.close()
+    }
+    val dataFileRec = delEntries.head.get("data_file")
+      .asInstanceOf[GenericRecord]
+    assert(dataFileRec.get("content") == 2)
+    assert(dataFileRec.get("equality_ids") != null)
+
+    // the reference's restart path: 2PC state read back from the summary
+    assert(IcebergMetadata.commitState(ice)
+      .contains("""{"stream":"t","lsn":77}"""))
+  }
+
   test("metadata over a DeltaSegments compacted base (the MoR sink's data files)") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft_ice3").toString
