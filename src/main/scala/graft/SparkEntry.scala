@@ -809,6 +809,19 @@ object SparkEntry {
         TextAnalysis.cleanText(concat(col("text"),
           lit(" cafe\u0301 \u0007x"))).as("clean_text"))),
 
+    // ---- LLM: training-data DECONTAMINATION — train docs sharing any
+    //      word n-gram with a held-out corpus (the public 13-gram
+    //      collision rule; n=5 at fixture scale). Held-out gram hashes
+    //      broadcast; the train side is one explode + semi-join, never
+    //      shuffled. ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Decontaminate.overlap(
+        docs.where(col("doc_id") < 400),
+        docs.where(col("doc_id") >= 400 && col("doc_id") < 500),
+        "text", "doc_id", n = 5)
+    }),
+
     // ---- LLM: duplicate-cluster resolution — connected components of
     //      the exact near-dup pair graph via min-label propagation;
     //      every doc maps to its cluster's canonical (min) id. The
@@ -1440,6 +1453,23 @@ object SparkEntry {
         |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7) || 'x'),
         |  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text
         |FROM documents""").stripMargin,
+
+    // n-gram generation mirrors Dedup.shingles: shorter-than-n docs
+    // contribute their full token join; matched_grams counts DISTINCT
+    // overlapping grams.
+    "q_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |he AS (SELECT text FROM documents WHERE doc_id >= 400 AND doc_id < 500),
+        |ttok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS t FROM tr),
+        |htok AS (SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS t FROM he),
+        |tg AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 5 THEN array_to_string(t,' ') ELSE array_to_string(t[i:i+4],' ') END AS g
+        |  FROM ttok CROSS JOIN UNNEST(generate_series(1, greatest(len(t)-4,1))) AS u(i)),
+        |hg AS (SELECT DISTINCT
+        |  CASE WHEN len(t) < 5 THEN array_to_string(t,' ') ELSE array_to_string(t[i:i+4],' ') END AS g
+        |  FROM htok CROSS JOIN UNNEST(generate_series(1, greatest(len(t)-4,1))) AS u(i))
+        |SELECT tg.doc_id, count(DISTINCT tg.g) AS matched_grams
+        |FROM tg JOIN hg USING (g) GROUP BY 1""".stripMargin,
 
     // Same pair predicate as q_jaccard_neardup, then the transitive
     // closure as a recursive CTE; canonical = min reachable id.

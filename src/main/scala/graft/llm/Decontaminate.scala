@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data DECONTAMINATION: find (and drop) training documents
+  * that share word n-grams with an evaluation/benchmark corpus — the
+  * published n-gram-collision rule from the public GPT-3 / PaLM data
+  * appendices (13-gram overlap). A training-pipeline first-class
+  * citizen alongside the dedup tiers: dedup removes copies WITHIN the
+  * corpus, decontamination removes leakage INTO the corpus from what
+  * the model will be evaluated on.
+  *
+  * Scale shape (the whole point): the evaluation side is SMALL — a few
+  * benchmarks, maybe millions of grams — so its distinct gram-hash set
+  * broadcasts; the 100 TB training corpus streams through ONE
+  * projection + explode + broadcast semi-join and is never shuffled.
+  * No pair enumeration, no inverted index over the big side. Gram
+  * identity is xxhash64 of the joined token n-gram (same token rules as
+  * every other text operator here — `Dedup.tokens`).
+  */
+object Decontaminate {
+
+  /** Hashes of the word n-grams of a text column (per-row, no shuffle).
+    * Documents shorter than `n` tokens contribute their full token
+    * join — same contract as `Dedup.shingles`. */
+  def gramHashes(text: Column, n: Int): Column =
+    transform(Dedup.shingles(text, n), g => xxhash64(g))
+
+  /** Contaminated training docs: (id, matched_grams) for every training
+    * document sharing at least one n-gram with the held-out corpus.
+    * `matched_grams` counts DISTINCT overlapping grams — the evidence
+    * strength the published rule thresholds on. */
+  def overlap(train: DataFrame, heldout: DataFrame, textCol: String,
+              idCol: String, n: Int = 13): DataFrame = {
+    val heldGrams = heldout
+      .select(explode(gramHashes(col(textCol), n)).as("h")).distinct()
+    train.select(col(idCol), explode(gramHashes(col(textCol), n)).as("h"))
+      .join(broadcast(heldGrams), "h")
+      .groupBy(idCol)
+      .agg(countDistinct(col("h")).as("matched_grams"))
+  }
+
+  /** The filter step: training corpus minus contaminated docs (those
+    * with ≥ `minMatches` overlapping grams). One broadcast anti-join —
+    * the corpus is never shuffled. */
+  def clean(train: DataFrame, heldout: DataFrame, textCol: String,
+            idCol: String, n: Int = 13, minMatches: Long = 1L): DataFrame =
+    train.join(
+      broadcast(overlap(train, heldout, textCol, idCol, n)
+        .where(col("matched_grams") >= minMatches).select(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -642,6 +642,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("decontamination: n-gram overlap flags leaked docs, clean drops them, corpus never shuffled") {
+    import spark.implicits._
+    import graft.llm.Decontaminate
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark plans"),
+      (3L, "a benchmark answer string appears verbatim here today")).toDF("doc_id", "text")
+    val heldout = Seq(
+      (100L, "the benchmark answer string appears verbatim in eval"),
+      (101L, "quick brown fox jumps over everything")).toDF("doc_id", "text")
+    val hits = Decontaminate.overlap(train, heldout, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "quick brown fox jumps over" (1 gram); doc 3 shares
+    // "benchmark answer string appears verbatim" (1 gram); doc 2 clean
+    assert(hits == Map(1L -> 1L, 3L -> 1L))
+    val cleaned = Decontaminate.clean(train, heldout, "text", "doc_id", n = 5)
+    assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // scale shape: the held-out side broadcasts into the train-side join
+    val plan = Decontaminate.overlap(train, heldout, "text", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal decode stub: deterministic features, stable schema") {
