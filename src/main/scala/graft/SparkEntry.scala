@@ -809,6 +809,13 @@ object SparkEntry {
         TextAnalysis.cleanText(concat(col("text"),
           lit(" cafe\u0301 \u0007x"))).as("clean_text"))),
 
+    // ---- LLM: Gopher-style repetition signals — duplicate-token,
+    //      duplicate-n-gram, and top-n-gram-character fractions; one
+    //      explode + combinable keyed aggs, thresholdable before any
+    //      downstream shuffle. ----
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- LLM: training-data DECONTAMINATION — train docs sharing any
     //      word n-gram with a held-out corpus (the public 13-gram
     //      collision rule; n=5 at fixture scale). Held-out gram hashes
@@ -1453,6 +1460,25 @@ object SparkEntry {
         |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7) || 'x'),
         |  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text
         |FROM documents""").stripMargin,
+
+    // top_gram_char_frac uses max(count × gram length) so gram ties
+    // cannot change the value; gram generation mirrors Dedup.shingles.
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS t,
+        |  length(text) AS n_chars FROM documents),
+        |tstats AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_tok_d FROM tok),
+        |g AS (SELECT doc_id, n_chars,
+        |  CASE WHEN len(t) < 2 THEN array_to_string(t,' ') ELSE array_to_string(t[i:i+1],' ') END AS g
+        |  FROM tok CROSS JOIN UNNEST(generate_series(1, greatest(len(t)-1,1))) AS u(i)),
+        |gc AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g GROUP BY 1,2,3),
+        |gs AS (SELECT doc_id, any_value(n_chars) AS n_chars, sum(c) AS n_grams,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams,
+        |  max(c*length(g)) AS top_chars FROM gc GROUP BY 1)
+        |SELECT t.doc_id,
+        |  round(1.0 - n_tok_d*1.0/n_tok, 6) AS dup_token_frac,
+        |  round(dup_grams*1.0/n_grams, 6) AS dup_gram_frac,
+        |  round(top_chars*1.0/n_chars, 6) AS top_gram_char_frac
+        |FROM tstats t JOIN gs USING (doc_id)""".stripMargin,
 
     // n-gram generation mirrors Dedup.shingles: shorter-than-n docs
     // contribute their full token join; matched_grams counts DISTINCT

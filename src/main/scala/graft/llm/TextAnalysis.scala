@@ -147,4 +147,47 @@ object TextAnalysis {
       regexp_replace(call_function("graft_nfc", text),
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "\\s+", " "))
+
+  /** REPETITION signals — the published Gopher quality rules (Rae et
+    * al. 2021, appendix A1.1) re-expressed at token/n-gram level:
+    *
+    *  - `dup_token_frac`: 1 − distinct/total tokens (per-row, no
+    *    shuffle);
+    *  - `dup_gram_frac`: fraction of word n-grams (with multiplicity)
+    *    whose gram occurs more than once in the document;
+    *  - `top_gram_char_frac`: characters covered by the most frequent
+    *    n-gram — max over grams of count × gram length (spaces
+    *    included) ÷ document characters. Using the max PRODUCT makes
+    *    ties irrelevant, so the metric is deterministic without a
+    *    tie-break rule.
+    *
+    * Scale shape: one explode + two keyed aggregations (doc, gram) →
+    * (doc) — both map-side combinable — then a keyed join back to the
+    * per-row token stats; nothing touches the corpus twice. High values
+    * mean machine-generated/boilerplate repetition; threshold and drop
+    * before any downstream shuffle. */
+  def repetition(df: DataFrame, textCol: String, idCol: String,
+                 n: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val tokStats = df.select(col(idCol),
+      size(tokens(t)).as("n_tok"),
+      size(array_distinct(tokens(t))).as("n_tok_d"))
+    val grams = df.select(col(idCol), length(t).as("n_chars"),
+      explode(Dedup.shingles(t, n)).as("g"))
+    val gramStats = grams
+      .groupBy(col(idCol), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(first(col("n_chars")).as("n_chars"),
+        sum(col("c")).as("n_grams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_grams"),
+        max(col("c") * length(col("g"))).as("top_chars"))
+    tokStats.join(gramStats, Seq(idCol))
+      .select(col(idCol),
+        round(lit(1.0) - col("n_tok_d") / col("n_tok"), 6)
+          .as("dup_token_frac"),
+        round(col("dup_grams") / col("n_grams"), 6).as("dup_gram_frac"),
+        round(col("top_chars") / col("n_chars"), 6)
+          .as("top_gram_char_frac"))
+  }
 }

@@ -665,6 +665,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("repetition signals: hand-computed fractions on a known doc") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // tokens: a b a b a  → 5 tokens, 2 distinct → dup_token_frac 0.6
+    // bigrams: "a b","b a","a b","b a" → both occur twice → dup_gram_frac 1.0
+    // top gram: count 2 × len 3 = 6 chars / 9 text chars = 0.666667
+    val df = Seq((1L, "a b a b a"), (2L, "all words differ here")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((0.6, 1.0, 0.666667)))
+    // doc 2: all distinct; top bigram "words differ" = 12 chars / 21
+    assert(out(2L) == ((0.0, 0.0, 0.571429)))
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal decode stub: deterministic features, stable schema") {
