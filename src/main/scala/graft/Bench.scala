@@ -35,7 +35,8 @@ import org.apache.spark.sql.SparkSession
   *    headlined at full size).
   *  - q_hyperplane_native: equivalence gate that deliberately runs the
   *    kernel twice (native === HOF); not a production shape.
-  *  - q_chunk_string / q_mongo_splitvector / q_mongo_tsstride: coverage
+  *  - q_chunk_auto / q_chunk_string / q_mongo_splitvector /
+  *    q_mongo_tsstride: coverage
   *    proofs again (union of N filtered scans).
   *  - q_iceberg_commit: write-then-manifest-walk roundtrip into a
   *    tempdir (metadata cost, not a query plan).

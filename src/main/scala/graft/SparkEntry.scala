@@ -147,6 +147,18 @@ object SparkEntry {
       ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
     }),
 
+    // ---- S6 numeric guard EXECUTED: the distribution-factor decision
+    //      ((max−min+1)/rows ∈ [0.05, 1000]) admits lineitem's near-
+    //      dense orderkey, the stride scales by the factor to target
+    //      ~rows-per-chunk, and the union of chunk scans must be the
+    //      table ----
+    "q_chunk_auto" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val chunks = ChunkPlanner.planNumericAuto(li, "l_orderkey", 10000L)
+        .getOrElse(sys.error("dense key rejected by distribution guard"))
+      ChunkPlanner.scanChunked(li, "l_orderkey", chunks)
+    }),
+
     // ---- S6 string leg EXECUTED: collation-aware string-PK chunking.
     // Boundary candidates are generated in bijective base-95 space,
     // aligned to actual values in ONE distributed bucket-min pass (the
@@ -1070,6 +1082,9 @@ object SparkEntry {
       "SELECT * FROM lineitem",
 
     "q_chunk_even" ->
+      "SELECT * FROM lineitem",
+
+    "q_chunk_auto" ->
       "SELECT * FROM lineitem",
 
     "q_chunk_string" ->

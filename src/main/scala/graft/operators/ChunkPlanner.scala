@@ -71,6 +71,32 @@ object ChunkPlanner {
     strideChunks(min, max, width)
   }
 
+  /** The MySQL numeric fast-path GUARD, executed
+    * (`isNumericAndEvenDistributed`,
+    * `drivers/mysql/internal/backfill.go:403-438`): arithmetic
+    * even-splitting is only sound when the key is near-dense —
+    * distribution factor (max−min+1)/rows within [0.05, 1000]
+    * (`constants/constants.go:38-40`). Inside the band, the stride is
+    * scaled by the factor so each chunk still targets ~`chunkSize`
+    * ROWS, not key-space width; outside it, returns None and the
+    * caller falls back to the boundary walk (`planLexicographic`) —
+    * the same decision tree the reference runs. One min/max/count agg;
+    * everything else is driver arithmetic. */
+  def planNumericAuto(df: DataFrame, column: String, chunkSize: Long,
+                      lower: Double = 0.05, upper: Double = 1000.0)
+      : Option[Seq[Chunk]] = {
+    val row = df.agg(min(col(column)).cast("long"),
+      max(col(column)).cast("long"), count(lit(1))).head()
+    if (row.isNullAt(0)) return Some(Seq(Chunk(None, None)))
+    val (mn, mx, rows) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val factor = (mx - mn + 1).toDouble / rows
+    if (factor < lower || factor > upper) None
+    else {
+      val stride = math.ceil(math.max(factor * chunkSize, 1.0)).toLong
+      Some(strideChunks(mn, mx, stride))
+    }
+  }
+
   /** Equi-depth boundaries from data, the Spark analog of Mongo's
     * `$bucketAuto` / MSSQL `TABLESAMPLE` boundary sampling: one
     * approxQuantile pass on the chunk column. The default relativeError

@@ -39,6 +39,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(encoded == encoded.sorted)
   }
 
+  test("numeric distribution guard: dense keys pass with row-targeted stride, sparse keys fall back") {
+    import spark.implicits._
+    import graft.operators.ChunkPlanner
+    // dense: ids 0..999, factor 1.0 → stride == chunkSize rows
+    val dense = (0L until 1000L).toDF("k")
+    val chunks = ChunkPlanner.planNumericAuto(dense, "k", 100L).get
+    assert(chunks.length == 10)
+    val counts = chunks.map(c => dense.where(c.toColumn("k")).count())
+    assert(counts.sum == 1000L && counts.forall(_ == 100L))
+    // sparse: factor 1e6 → outside [0.05, 1000] → fall back (None)
+    val sparse = (0L until 100L).map(_ * 1000000L).toDF("k")
+    assert(ChunkPlanner.planNumericAuto(sparse, "k", 100L).isEmpty)
+    // semi-sparse factor 4: stride covers ~chunkSize ROWS, not keys
+    val gappy = (0L until 1000L).map(_ * 4).toDF("k")
+    val g = ChunkPlanner.planNumericAuto(gappy, "k", 100L).get
+    val gCounts = g.map(c => gappy.where(c.toColumn("k")).count())
+    assert(gCounts.sum == 1000L)
+    assert(gCounts.forall(_ <= 101L), s"rows per chunk: $gCounts")
+  }
+
   test("planStringChunks: boundaries are actual aligned values, chunks partition the table") {
     import graft.operators.ChunkPlanner
     val c = sf("customer")
