@@ -211,4 +211,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dedup window + anti-join both key on _olake_id
     assert(p.contains("_olake_id"), p)
   }
+
+  test("repetition signals aggregate partially before both keyed shuffles") {
+    val p = plan(q("q_repetition"))
+    assert(!p.contains("CartesianProduct"), p)
+    // (doc,gram) and (doc) aggs both run map-side partials
+    assert("partial".r.findAllIn(p.toLowerCase).size >= 2, p)
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
+
+  test("decontamination broadcasts the held-out grams; the train corpus is never shuffled before the match") {
+    val p = plan(q("q_decontaminate"))
+    // the gram match must be a broadcast join — a SortMergeJoin here
+    // would shuffle the exploded TRAIN corpus on gram hash
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the STREAMED side of the join (printed between BroadcastHashJoin
+    // and its BroadcastExchange subtree) is the exploded train corpus —
+    // it must reach the join with no Exchange of its own
+    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange"), s"train side shuffled:\n$p")
+  }
+
+  test("string-PK boundary alignment is one keyed aggregation pass (no per-candidate scans)") {
+    import graft.operators.ChunkPlanner
+    val c = Tables.load(spark, dir, "customer")
+    // audit the ALIGNMENT pass itself: floor-candidate bucket + min
+    val cands = Array("customer#000000001", "customer#000000750")
+    val candArr = org.apache.spark.sql.functions.array(cands.map(
+      org.apache.spark.sql.functions.lit): _*)
+    val aligned = c.select(ChunkPlanner.collated(
+        org.apache.spark.sql.functions.col("c_name"), "x_ci").as("k"))
+      .groupBy(org.apache.spark.sql.functions.array_max(
+        org.apache.spark.sql.functions.filter(candArr,
+          x => x <= org.apache.spark.sql.functions.col("k"))).as("floor"))
+      .agg(org.apache.spark.sql.functions.min("k"))
+    val p = plan(aligned)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.toLowerCase.contains("partial"), p) // map-side combine
+  }
 }
