@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{Binlog, ChangeLogFixture, PgOutput, PollingCdc, Wal2Json}
+import graft.cdc.{Binlog, ChangeLogFixture, MongoWatchClient, MongoWireServer, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{IcebergMetadata, ParquetSink, PartitionTransforms}
@@ -557,6 +557,42 @@ object SparkEntry {
       PollingCdc.mongoChanges(
           ChangeLogFixture.mongoChangeLog(ev), "doc",
           afterToken = Some("%016x".format(50L).toUpperCase))
+        .select(col("kind"), col("_cdc_timestamp"),
+          get_json_object(col("data"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("data"), "$.value").cast("double").as("value"))
+    }),
+
+    // ---- C5 through the REAL MongoDB wire protocol: a loopback server
+    //      speaks OP_MSG/BSON, the client runs hello →
+    //      aggregate($changeStream resumeAfter) → getMore (the driver
+    //      conversation the reference's Watch performs), and the
+    //      fetched events must decode to the same rows as the fixture
+    //      path. The socket is single-reader by nature (one cursor) —
+    //      parallelism starts at the decode, like every CDC source. ----
+    "q_cdc_mongo_wire" -> ((s, dir) => {
+      val docs = ChangeLogFixture.mongoChangeLog(
+          t(s, dir, "events").where(col("event_id") < 2000))
+        .collect().map(_.getString(0)).toSeq
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        try MongoWireServer.serve(server.accept(), docs, 256, "graft", "events")
+        catch { case _: Exception => () }
+      })
+      th.setDaemon(true); th.start()
+      val client = new MongoWatchClient("127.0.0.1", server.getLocalPort,
+        "graft", "events", resumeAfter = Some("%016X".format(50L)))
+      val got = try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var quiet = 0
+        while (quiet < 3 && System.nanoTime() < deadline) {
+          val b = client.poll()
+          if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
+        }
+        buf.toSeq
+      } finally { client.close(); server.close() }
+      import s.implicits._
+      PollingCdc.mongoChanges(got.toDF("doc"), "doc")
         .select(col("kind"), col("_cdc_timestamp"),
           get_json_object(col("data"), "$.event_id").cast("long").as("event_id"),
           get_json_object(col("data"), "$.value").cast("double").as("value"))
@@ -1291,6 +1327,14 @@ object SparkEntry {
         |FROM events WHERE event_id > 100 AND event_id <= 1500""".stripMargin,
 
     "q_cdc_mongo" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS _cdc_timestamp,
+        |  event_id,
+        |  CASE WHEN event_type='error' THEN NULL ELSE value END AS value
+        |FROM events WHERE event_id < 2000 AND event_id > 50""".stripMargin,
+
+    "q_cdc_mongo_wire" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS _cdc_timestamp,

@@ -1,0 +1,236 @@
+package graft.cdc
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal BSON encoder/decoder from the public specification
+  * (bsonspec.org, version 1.1) — the document subset the MongoDB wire
+  * protocol needs for command round trips and change-stream events:
+  * double, string, document, array, binary, ObjectId, bool, UTC
+  * datetime, null, int32, BSON timestamp, int64.
+  *
+  * Representation: documents are `Seq[(String, Any)]` (order is
+  * significant in BSON commands — the command NAME must be the first
+  * key); arrays are `Seq[Any]`; scalars map to the obvious JVM types
+  * plus the two tagged wrappers below. All integers little-endian per
+  * the spec (note: the PG replication wire is big-endian — these do not
+  * share helpers on purpose).
+  */
+object Bson {
+
+  /** BSON type 0x11 — the internal MongoDB timestamp (seconds, inc). */
+  case class BsonTimestamp(t: Long, i: Long)
+  /** BSON type 0x09 — UTC datetime, millis since epoch. */
+  case class BsonDateTime(ms: Long)
+  /** BSON type 0x07 — 12-byte ObjectId. */
+  case class BsonObjectId(bytes: Array[Byte]) {
+    require(bytes.length == 12, "ObjectId is 12 bytes")
+    def hex: String = bytes.map("%02x".format(_)).mkString
+  }
+  /** Explicit array wrapper — disambiguates an empty array from an
+    * empty document (both are `Seq()` otherwise). */
+  case class BArray(elems: Seq[Any])
+
+  type Doc = Seq[(String, Any)]
+
+  def doc(fields: (String, Any)*): Doc = fields
+
+  // ---- encoding ----------------------------------------------------------
+
+  def encode(d: Doc): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeDoc(out, d)
+    out.toByteArray
+  }
+
+  private def writeDoc(out: java.io.ByteArrayOutputStream, d: Doc): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    d.foreach { case (k, v) => writeElement(body, k, v) }
+    val total = 4 + body.size() + 1
+    out.write(le32(total))
+    body.writeTo(out)
+    out.write(0)
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def le64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  private def cstring(s: String): Array[Byte] =
+    s.getBytes("UTF-8") :+ 0.toByte
+
+  private def writeElement(out: java.io.ByteArrayOutputStream,
+                           name: String, v: Any): Unit = {
+    def tag(t: Int): Unit = { out.write(t); out.write(cstring(name)) }
+    v match {
+      case null =>
+        tag(0x0A)
+      case d: Double =>
+        tag(0x01); out.write(le64(java.lang.Double.doubleToLongBits(d)))
+      case f: Float =>
+        writeElement(out, name, f.toDouble); return
+      case s: String =>
+        tag(0x02)
+        val b = s.getBytes("UTF-8")
+        out.write(le32(b.length + 1)); out.write(b); out.write(0)
+      case m: Seq[_] if m.isEmpty || m.head.isInstanceOf[(_, _)] =>
+        // empty Seq is an empty DOCUMENT (`cursor: {}` in commands);
+        // wrap array payloads in BArray when one could be empty
+        tag(0x03); writeDoc(out, m.asInstanceOf[Doc])
+      case BArray(elems) =>
+        tag(0x04)
+        writeDoc(out, elems.zipWithIndex.map { case (e, i) => i.toString -> e })
+      case m: Seq[_] => // array = doc keyed "0","1",…
+        tag(0x04)
+        writeDoc(out, m.zipWithIndex.map { case (e, i) => i.toString -> e })
+      case m: Map[_, _] =>
+        tag(0x03); writeDoc(out, m.toSeq.asInstanceOf[Doc])
+      case b: Array[Byte] =>
+        tag(0x05); out.write(le32(b.length)); out.write(0); out.write(b)
+      case o: BsonObjectId =>
+        tag(0x07); out.write(o.bytes)
+      case b: Boolean =>
+        tag(0x08); out.write(if (b) 1 else 0)
+      case BsonDateTime(ms) =>
+        tag(0x09); out.write(le64(ms))
+      case i: Int =>
+        tag(0x10); out.write(le32(i))
+      case BsonTimestamp(t, i) =>
+        tag(0x11); out.write(le64((t << 32) | (i & 0xffffffffL)))
+      case l: Long =>
+        tag(0x12); out.write(le64(l))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported BSON value: ${other.getClass}")
+    }
+  }
+
+  // ---- decoding ----------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): Doc = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    readDoc(bb)
+  }
+
+  private def readCString(bb: ByteBuffer): String = {
+    val sb = new java.io.ByteArrayOutputStream()
+    var b = bb.get()
+    while (b != 0) { sb.write(b); b = bb.get() }
+    new String(sb.toByteArray, "UTF-8")
+  }
+
+  private def readDoc(bb: ByteBuffer): Doc = {
+    val start = bb.position()
+    val len = bb.getInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+    while (bb.position() < start + len - 1) {
+      val tpe = bb.get() & 0xff
+      val name = readCString(bb)
+      out += name -> readValue(bb, tpe)
+    }
+    require(bb.get() == 0, "missing document terminator")
+    out.toSeq
+  }
+
+  private def readValue(bb: ByteBuffer, tpe: Int): Any = tpe match {
+    case 0x01 => bb.getDouble
+    case 0x02 =>
+      val len = bb.getInt
+      val b = new Array[Byte](len - 1); bb.get(b)
+      require(bb.get() == 0, "unterminated string")
+      new String(b, "UTF-8")
+    case 0x03 => readDoc(bb)
+    case 0x04 => BArray(readDoc(bb).map(_._2))
+    case 0x05 =>
+      val len = bb.getInt; bb.get() // subtype
+      val b = new Array[Byte](len); bb.get(b); b
+    case 0x07 =>
+      val b = new Array[Byte](12); bb.get(b); BsonObjectId(b)
+    case 0x08 => bb.get() != 0
+    case 0x09 => BsonDateTime(bb.getLong)
+    case 0x0A => null
+    case 0x10 => bb.getInt
+    case 0x11 =>
+      val v = bb.getLong; BsonTimestamp(v >>> 32, v & 0xffffffffL)
+    case 0x12 => bb.getLong
+    case other =>
+      throw new IllegalArgumentException(f"unsupported BSON type 0x$other%02x")
+  }
+
+  // ---- JSON bridge -------------------------------------------------------
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse a JSON object into a BSON doc (numbers → int/long/double as
+    * Jackson reads them; nested objects/arrays recurse). */
+  def fromJson(json: String): Doc = {
+    def conv(n: com.fasterxml.jackson.databind.JsonNode): Any =
+      if (n.isObject)
+        new IterAsScala(n.fields()).asScala
+          .map(e => e.getKey -> conv(e.getValue)).toSeq
+      else if (n.isArray) BArray(n.asScala.map(conv).toSeq)
+      else if (n.isTextual) n.asText
+      else if (n.isInt) n.asInt
+      else if (n.isLong) n.asLong
+      else if (n.isNumber) n.asDouble
+      else if (n.isBoolean) n.asBoolean
+      else null
+    conv(jackson.readTree(json)) match {
+      case d: Seq[_] => d.asInstanceOf[Doc]
+      case other => throw new IllegalArgumentException(s"not an object: $other")
+    }
+  }
+
+  /** Render a BSON doc as JSON: timestamps → {"t":…,"i":…}, datetimes →
+    * millis, ObjectId → hex string — the extended-JSON-lite shape the
+    * change-stream decoder consumes (`PollingCdc.mongoSchema`). */
+  def toJson(d: Doc): String = {
+    val node = jackson.createObjectNode()
+    d.foreach { case (k, v) => putJson(node, k, v) }
+    jackson.writeValueAsString(node)
+  }
+
+  private def jsonValue(v: Any): com.fasterxml.jackson.databind.JsonNode = {
+    val f = jackson.getNodeFactory
+    v match {
+      case null => f.nullNode()
+      case s: String => f.textNode(s)
+      case i: Int => f.numberNode(i)
+      case l: Long => f.numberNode(l)
+      case d: Double => f.numberNode(d)
+      case b: Boolean => f.booleanNode(b)
+      case BsonDateTime(ms) => f.numberNode(ms)
+      case BsonTimestamp(t, i) =>
+        val o = f.objectNode(); o.put("t", t); o.put("i", i); o
+      case o: BsonObjectId => f.textNode(o.hex)
+      case bytes: Array[Byte] =>
+        f.textNode(java.util.Base64.getEncoder.encodeToString(bytes))
+      case BArray(elems) =>
+        val arr = f.arrayNode(); elems.foreach(e => arr.add(jsonValue(e))); arr
+      case seq: Seq[_] if seq.isEmpty || seq.head.isInstanceOf[(_, _)] =>
+        val o = f.objectNode()
+        seq.asInstanceOf[Doc].foreach { case (ck, cv) =>
+          o.set[com.fasterxml.jackson.databind.JsonNode](ck, jsonValue(cv)) }
+        o
+      case seq: Seq[_] =>
+        val arr = f.arrayNode(); seq.foreach(e => arr.add(jsonValue(e))); arr
+      case other =>
+        throw new IllegalArgumentException(s"unsupported: ${other.getClass}")
+    }
+  }
+
+  private def putJson(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                      k: String, v: Any): Unit =
+    node.set[com.fasterxml.jackson.databind.JsonNode](k, jsonValue(v)): Unit
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+  private implicit class NodeIter(n: com.fasterxml.jackson.databind.JsonNode) {
+    def asScala: Iterator[com.fasterxml.jackson.databind.JsonNode] =
+      new IterAsScala(n.elements()).asScala
+  }
+}

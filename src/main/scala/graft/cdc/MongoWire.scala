@@ -1,0 +1,258 @@
+package graft.cdc
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.cdc.Bson.{BArray, Doc}
+
+/** The MongoDB wire protocol (public spec: OP_MSG, opcode 2013) — the
+  * session layer that makes the change-stream consumer a real driver
+  * conversation instead of a fixture read. A stock MongoDB would accept
+  * this client's byte stream unmodified for the exchange it speaks:
+  *
+  *  1. `hello` command (+`$db: admin`) → server description (the modern
+  *     driver handshake);
+  *  2. `aggregate` with a `$changeStream` pipeline stage
+  *     (`resumeAfter` for checkpoint resume, `fullDocumentBeforeChange:
+  *     whenAvailable` — the options the reference's Watch sets,
+  *     `drivers/mongodb/internal/cdc.go:166-215`) → cursor id + first
+  *     batch;
+  *  3. `getMore` loop on the cursor → change-event batches; cursor id 0
+  *     or socket EOF ends the session (reconnect resumes from the last
+  *     delivered token, exactly the reference's resume-token
+  *     checkpoint).
+  *
+  * Framing (all little-endian, per the spec): MsgHeader = int32
+  * messageLength (self-inclusive) | int32 requestID | int32 responseTo
+  * | int32 opCode(2013); OP_MSG body = uint32 flagBits | section kind 0
+  * | one BSON document. Kind-1 document sequences are not needed for
+  * this exchange.
+  */
+object MongoWire {
+
+  val OpMsg = 2013
+
+  /** Wrap one BSON command/reply document as an OP_MSG. */
+  def message(requestId: Int, responseTo: Int, body: Doc): Array[Byte] = {
+    val bson = Bson.encode(body)
+    val total = 16 + 4 + 1 + bson.length
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(total).putInt(requestId).putInt(responseTo).putInt(OpMsg)
+    buf.putInt(0)      // flagBits
+    buf.put(0.toByte)  // section kind 0
+    buf.put(bson)
+    buf.array()
+  }
+
+  /** Read one OP_MSG: (requestId, responseTo, body document). */
+  def readMessage(in: DataInputStream): (Int, Int, Doc) = {
+    val header = new Array[Byte](16)
+    in.readFully(header)
+    val hb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+    val len = hb.getInt; val reqId = hb.getInt; val respTo = hb.getInt
+    val op = hb.getInt
+    require(len >= 21 && len <= (1 << 26), s"bad message length $len")
+    require(op == OpMsg, s"unsupported opcode $op")
+    val rest = new Array[Byte](len - 16)
+    in.readFully(rest)
+    val bb = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+    bb.getInt // flagBits
+    val kind = bb.get()
+    require(kind == 0, s"unsupported section kind $kind")
+    val body = new Array[Byte](bb.remaining()); bb.get(body)
+    (reqId, respTo, Bson.decode(body))
+  }
+
+  def field(d: Doc, name: String): Option[Any] =
+    d.collectFirst { case (k, v) if k == name => v }
+
+  def subDoc(d: Doc, name: String): Doc =
+    field(d, name).map(_.asInstanceOf[Doc]).getOrElse(Seq.empty)
+}
+
+/** Change-stream client over the real wire protocol: hello →
+  * aggregate($changeStream) → getMore loop. Delivers raw change-event
+  * documents as JSON strings — the exact `doc` shape
+  * `PollingCdc.mongoChanges` decodes — and tracks the last delivered
+  * resume token (`lastResumeToken`) for checkpoint/reconnect. */
+class MongoWatchClient(host: String, port: Int,
+                       db: String, collection: String,
+                       resumeAfter: Option[String] = None,
+                       connectTimeoutMs: Int = 5000) extends AutoCloseable {
+  import MongoWire._
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  sock.setTcpNoDelay(true)
+  private val in = new DataInputStream(sock.getInputStream)
+  private val out = new DataOutputStream(sock.getOutputStream)
+  private var reqId = 0
+  private var cursorId = 0L
+
+  /** Last change-event resume token handed to the consumer — the
+    * position a reconnect passes as `resumeAfter`. */
+  @volatile var lastResumeToken: Option[String] = resumeAfter
+  @volatile var sessionClosed: Boolean = false
+
+  private def roundTrip(body: Doc): Doc = {
+    reqId += 1
+    out.write(message(reqId, 0, body)); out.flush()
+    val (_, _, reply) = readMessage(in)
+    reply
+  }
+
+  private def requireOk(reply: Doc, what: String): Unit = {
+    val ok = field(reply, "ok") match {
+      case Some(d: Double) => d == 1.0
+      case Some(i: Int)    => i == 1
+      case _               => false
+    }
+    if (!ok) throw new java.io.IOException(
+      s"$what failed: ${Bson.toJson(reply)}")
+  }
+
+  // 1. handshake
+  locally {
+    sock.setSoTimeout(connectTimeoutMs)
+    val reply = roundTrip(Bson.doc(
+      "hello" -> 1, "$db" -> "admin"))
+    requireOk(reply, "hello")
+  }
+
+  private val buffered = scala.collection.mutable.Queue.empty[Doc]
+
+  // 2. open the change-stream cursor
+  locally {
+    val csOptions: Doc =
+      Bson.doc("fullDocumentBeforeChange" -> "whenAvailable") ++
+        lastResumeToken.map(t =>
+          "resumeAfter" -> Bson.doc("_data" -> t)).toSeq
+    val reply = roundTrip(Bson.doc(
+      "aggregate" -> collection,
+      "pipeline" -> BArray(Seq(Bson.doc("$changeStream" -> csOptions))),
+      "cursor" -> Bson.doc(),
+      "$db" -> db))
+    requireOk(reply, "aggregate($changeStream)")
+    val cursor = subDoc(reply, "cursor")
+    cursorId = field(cursor, "id").get.asInstanceOf[Long]
+    buffered ++= batchDocs(cursor, "firstBatch")
+  }
+
+  private def batchDocs(cursor: Doc, key: String): Seq[Doc] =
+    field(cursor, key) match {
+      case Some(BArray(elems)) => elems.map(_.asInstanceOf[Doc])
+      case Some(s: Seq[_]) if s.isEmpty => Seq.empty
+      case None => Seq.empty
+      case other => throw new IllegalArgumentException(s"bad batch: $other")
+    }
+
+  /** Drain available change events (≤ `maxDocs`), advancing the resume
+    * token per delivered event. A dead cursor/socket marks the session
+    * closed — the owner reconnects with `lastResumeToken`. */
+  def poll(maxDocs: Int = 4096, idleMillis: Int = 200): Seq[String] = {
+    val outBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      var idle = false
+      while (outBuf.length < maxDocs && !sessionClosed && !idle) {
+        if (buffered.nonEmpty) {
+          val d = buffered.dequeue()
+          MongoWire.field(MongoWire.subDoc(d, "_id"), "_data")
+            .foreach(t => lastResumeToken = Some(t.toString))
+          outBuf += Bson.toJson(d)
+        } else if (cursorId == 0L) {
+          sessionClosed = true
+        } else {
+          sock.setSoTimeout(math.max(1, idleMillis))
+          try {
+            val reply = roundTrip(Bson.doc(
+              "getMore" -> cursorId, "collection" -> collection,
+              "$db" -> db))
+            requireOk(reply, "getMore")
+            val cursor = subDoc(reply, "cursor")
+            cursorId = field(cursor, "id").get.asInstanceOf[Long]
+            val batch = batchDocs(cursor, "nextBatch")
+            if (batch.isEmpty && cursorId != 0L) idle = true
+            buffered ++= batch
+          } catch {
+            case _: SocketTimeoutException => idle = true
+          }
+        }
+      }
+      outBuf.toSeq
+    } catch {
+      case _: EOFException => sessionClosed = true; outBuf.toSeq
+      case _: java.net.SocketException => sessionClosed = true; outBuf.toSeq
+    }
+  }
+
+  override def close(): Unit = {
+    try sock.close() catch { case _: Exception => () }
+  }
+}
+
+/** Server side of the same exchange — loopback change-stream servers
+  * for tests/gates, and anything re-serving captured change events.
+  * Honors `resumeAfter` by skipping events at or below the token. */
+object MongoWireServer {
+  import MongoWire._
+
+  /** Serve one client connection: handshake, cursor open (recording the
+    * requested resume position via `onResume`), then batches of
+    * `batchSize` events per getMore; an empty tail keeps the cursor
+    * open (a live stream never self-terminates). `events` are raw
+    * change-event JSON docs ordered by resume token. */
+  def serve(sock: Socket, eventsJson: Seq[String], batchSize: Int,
+            db: String, collection: String,
+            onResume: String => Unit = _ => ()): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val ns = s"$db.$collection"
+    var pending: Seq[Doc] = Seq.empty
+    var served = false
+    while (true) {
+      val (reqId, _, body) = readMessage(in)
+      def reply(d: Doc): Unit = {
+        out.write(message(0, reqId, d)); out.flush()
+      }
+      body.headOption match {
+        case Some(("hello", _)) | Some(("ismaster", _)) =>
+          reply(Bson.doc("ok" -> 1.0, "maxWireVersion" -> 17,
+            "minWireVersion" -> 0, "readOnly" -> false))
+        case Some(("aggregate", coll)) =>
+          require(coll == collection, s"unknown collection $coll")
+          val pipeline = field(body, "pipeline") match {
+            case Some(BArray(stages)) => stages.map(_.asInstanceOf[Doc])
+            case _ => Seq.empty
+          }
+          val cs = pipeline.headOption.map(subDoc(_, "$changeStream"))
+            .getOrElse(Seq.empty)
+          val resumeTok = field(cs, "resumeAfter")
+            .map(r => field(r.asInstanceOf[Doc], "_data").get.toString)
+          resumeTok.foreach(onResume)
+          val all = eventsJson.map(Bson.fromJson)
+          pending = resumeTok match {
+            case Some(t) => all.filter(d =>
+              field(subDoc(d, "_id"), "_data").exists(_.toString > t))
+            case None => all
+          }
+          served = true
+          val (first, rest) = pending.splitAt(batchSize)
+          pending = rest
+          reply(Bson.doc("ok" -> 1.0, "cursor" -> Bson.doc(
+            "id" -> 42L, "ns" -> ns, "firstBatch" -> BArray(first))))
+        case Some(("getMore", id)) =>
+          require(served && id == 42L, s"unknown cursor $id")
+          val (batch, rest) = pending.splitAt(batchSize)
+          pending = rest
+          reply(Bson.doc("ok" -> 1.0, "cursor" -> Bson.doc(
+            "id" -> 42L, "ns" -> ns, "nextBatch" -> BArray(batch))))
+        case Some(("endSessions", _)) =>
+          reply(Bson.doc("ok" -> 1.0))
+        case other =>
+          reply(Bson.doc("ok" -> 0.0,
+            "errmsg" -> s"unsupported command: ${other.map(_._1)}"))
+      }
+    }
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.net.ServerSocket
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Bson, ChangeLogFixture, MongoWatchClient, MongoWireServer, PollingCdc}
+import graft.cdc.Bson.{BArray, BsonDateTime, BsonObjectId, BsonTimestamp}
+
+/** The MongoDB wire protocol layer (OP_MSG + BSON subset): byte-level
+  * round trips, the hello/aggregate($changeStream)/getMore session
+  * against a loopback server, resume-token checkpointing, and decode
+  * parity with the fixture path. */
+class MongoWireSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("BSON encode/decode identity across the supported type set") {
+    val d = Bson.doc(
+      "str" -> "héllo",
+      "i32" -> 42,
+      "i64" -> 9007199254740993L, // > 2^53: must survive exactly
+      "dbl" -> 3.5,
+      "yes" -> true,
+      "nul" -> null,
+      "ts" -> BsonTimestamp(1700000000L, 7L),
+      "dt" -> BsonDateTime(1700000000123L),
+      "oid" -> BsonObjectId(Array.tabulate(12)(_.toByte)),
+      "bin" -> Array[Byte](1, 2, 3),
+      "nested" -> Bson.doc("a" -> 1, "b" -> Bson.doc("c" -> "x")),
+      "arr" -> BArray(Seq(1, "two", Bson.doc("three" -> 3))),
+      "emptyDoc" -> Bson.doc(),
+      "emptyArr" -> BArray(Seq.empty))
+    val back = Bson.decode(Bson.encode(d))
+    def cmp(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+      case (BsonObjectId(x), BsonObjectId(y)) => x.sameElements(y)
+      case (x: Seq[_], y: Seq[_]) =>
+        x.length == y.length && x.zip(y).forall {
+          case ((ka: String, va), (kb: String, vb)) => ka == kb && cmp(va, vb)
+          case (va, vb) => cmp(va, vb)
+        }
+      case (BArray(x), BArray(y)) => cmp(x, y)
+      case (x, y) => x == y
+    }
+    assert(back.map(_._1) == d.map(_._1))
+    d.zip(back).foreach { case ((k, v), (_, b)) => assert(cmp(v, b), k) }
+  }
+
+  test("BSON⇄JSON bridge: fixture change docs survive the wire round trip") {
+    val json = """{"_id":{"_data":"00000000000000AB"},"operationType":"insert","fullDocument":{"event_id":171,"user_id":9,"event_type":"view","value":12.5},"documentKey":{"event_id":171},"clusterTime":{"t":1700000000,"i":0},"wallTime":1700000000123}"""
+    val round = Bson.toJson(Bson.decode(Bson.encode(Bson.fromJson(json))))
+    assert(round == json)
+  }
+
+  private def fixtureDocs(n: Int): Seq[String] = {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .where(col("event_id") < n)
+    ChangeLogFixture.mongoChangeLog(ev)
+      .orderBy("doc").collect().map(_.getString(0)).toSeq
+  }
+
+  private def withServer(events: Seq[String], batchSize: Int)
+                        (f: (Int, () => Option[String]) => Unit): Unit = {
+    val server = new ServerSocket(0)
+    @volatile var resumed: Option[String] = None
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        MongoWireServer.serve(sock, events, batchSize, "graft", "events",
+          onResume = tok => resumed = Some(tok))
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try f(server.getLocalPort, () => resumed)
+    finally server.close()
+  }
+
+  test("live session: hello → aggregate($changeStream) → getMore batches, token advances") {
+    val docs = fixtureDocs(200)
+    withServer(docs, batchSize = 32) { (port, _) =>
+      val c = new MongoWatchClient("127.0.0.1", port, "graft", "events")
+      try {
+        val got = scala.collection.mutable.ArrayBuffer.empty[String]
+        val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+        while (got.length < docs.length && System.nanoTime() < deadline)
+          got ++= c.poll()
+        assert(got.length == docs.length)
+        // every fixture event delivered, values intact after BSON⇄JSON
+        val gotIds = got.map(j => com.fasterxml.jackson.databind.json
+          .JsonMapper.builder().build().readTree(j)
+          .at("/documentKey/event_id").asLong()).sorted
+        val fixIds = docs.map(j => com.fasterxml.jackson.databind.json
+          .JsonMapper.builder().build().readTree(j)
+          .at("/documentKey/event_id").asLong()).sorted
+        assert(gotIds == fixIds)
+        // resume token tracked to the max delivered position
+        assert(c.lastResumeToken.isDefined)
+        assert(got.forall(j => !c.sessionClosed || true))
+        // live stream: an empty nextBatch keeps the cursor open
+        assert(!c.sessionClosed)
+        assert(c.poll().isEmpty)
+      } finally c.close()
+    }
+  }
+
+  test("resumeAfter: the server receives the checkpoint token and replays strictly after it") {
+    val docs = fixtureDocs(200)
+    val resumeTok = "%016X".format(120L)
+    withServer(docs, batchSize = 16) { (port, resumedTok) =>
+      val c = new MongoWatchClient("127.0.0.1", port, "graft", "events",
+        resumeAfter = Some(resumeTok))
+      try {
+        val got = scala.collection.mutable.ArrayBuffer.empty[String]
+        val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+        var quiet = 0
+        while (quiet < 3 && System.nanoTime() < deadline) {
+          val batch = c.poll()
+          if (batch.isEmpty) quiet += 1 else { quiet = 0; got ++= batch }
+        }
+        assert(resumedTok() == Some(resumeTok), "server saw the resume token")
+        val mapper = com.fasterxml.jackson.databind.json.JsonMapper
+          .builder().build()
+        val toks = got.map(j => mapper.readTree(j).at("/_id/_data").asText())
+        assert(toks.nonEmpty && toks.forall(_ > resumeTok))
+        assert(got.length == docs.count(j =>
+          mapper.readTree(j).at("/_id/_data").asText() > resumeTok))
+      } finally c.close()
+    }
+  }
+
+  test("wire-fetched events decode identically to the fixture path") {
+    import spark.implicits._
+    val docs = fixtureDocs(300)
+    withServer(docs, batchSize = 64) { (port, _) =>
+      val c = new MongoWatchClient("127.0.0.1", port, "graft", "events")
+      try {
+        val got = scala.collection.mutable.ArrayBuffer.empty[String]
+        val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+        while (got.length < docs.length && System.nanoTime() < deadline)
+          got ++= c.poll()
+        val wire = PollingCdc.mongoChanges(got.toSeq.toDF("doc"), "doc")
+        val fixture = PollingCdc.mongoChanges(docs.toDF("doc"), "doc")
+        val key = Seq("resume_token", "kind", "data")
+        assert(wire.select(key.map(col): _*).collect().map(_.toString).sorted
+          .toSeq ==
+          fixture.select(key.map(col): _*).collect().map(_.toString).sorted
+            .toSeq)
+      } finally c.close()
+    }
+  }
+}
