@@ -1,0 +1,193 @@
+package graft.sources.replication
+
+import java.util
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.MongoWatchClient
+
+/** `graft-mongo-watch`: a MicroBatchStream fed by a live MongoDB
+  * change-stream session over the real wire protocol
+  * (`cdc/MongoWire.scala`) — the source layer over the change-event
+  * decoder, completing C5 the way `graft-pgoutput-socket` completes C1.
+  *
+  * {{{
+  * val raw = spark.readStream.format("graft-mongo-watch")
+  *   .option("host", h).option("port", p)
+  *   .option("db", "app").option("collection", "users").load()
+  * PollingCdc.mongoChanges(raw, "doc")   // the proven decoder
+  * }}}
+  *
+  * Contract mapping (reference `drivers/mongodb/internal/cdc.go`):
+  *  - the stream's offset IS the resume token (`_id._data` — opaque but
+  *    lexicographically ordered, which is exactly what an Offset
+  *    needs); restart resumes from the checkpoint like the reference's
+  *    persisted resume token;
+  *  - `latestOffset` drains the cursor into a driver-side buffer of
+  *    UNCOMMITTED events only, trimmed on every commit;
+  *  - `commit(end)` records the token floor; the NEXT session (after a
+  *    drop or restart) passes it as `resumeAfter` — the watch analog of
+  *    the slot ack;
+  *  - a replayed-but-uncommitted batch refills from the server via
+  *    `resumeAfter` before planning (same restart-replay contract as
+  *    `PgSocketStream`: never plan zero partitions and then commit a
+  *    range nobody delivered);
+  *  - one cursor = one reader (a Mongo fact, not a Spark choice):
+  *    each batch is one input partition; parallelism starts at the
+  *    decode exchange.
+  */
+class MongoWatchSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mongo-watch"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MongoWatchSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new MongoWatchTable(opts.get("host"), opts.getInt("port", -1),
+      opts.getOrDefault("db", "graft"),
+      opts.getOrDefault("collection", "events"),
+      Option(opts.get("startafter")).filter(_.nonEmpty))
+  }
+}
+
+object MongoWatchSource {
+  /** (token, doc): resume token + raw change-event JSON — the `doc`
+    * shape `PollingCdc.mongoChanges` consumes. */
+  val schema: StructType = StructType(Seq(
+    StructField("token", StringType),
+    StructField("doc", StringType)))
+}
+
+class MongoWatchTable(host: String, port: Int, db: String, coll: String,
+                      startAfter: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-mongo-watch(`$host:$port/$db.$coll`)"
+  override def schema(): StructType = MongoWatchSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MongoWatchScan(host, port, db, coll, startAfter)
+}
+
+class MongoWatchScan(host: String, port: Int, db: String, coll: String,
+                     startAfter: Option[String]) extends Scan {
+  override def readSchema(): StructType = MongoWatchSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MongoWatchStream(host, port, db, coll, startAfter)
+}
+
+/** Resume-token offset: opaque hex, lexicographically ordered (a BSON
+  * KeyString property the reference also relies on for resume). Empty
+  * string = stream start. */
+case class TokenOffset(token: String) extends Offset {
+  override def json(): String =
+    s"""{"token":${new ObjectMapper().writeValueAsString(token)}}"""
+}
+
+class MongoWatchStream(host: String, port: Int, db: String, coll: String,
+                       startAfter: Option[String]) extends MicroBatchStream {
+
+  private var client: MongoWatchClient = _
+  // uncommitted events only; trimmed on commit (bounded by one batch)
+  private val buffer = scala.collection.mutable.TreeMap.empty[String, String]
+  // last KNOWN COMMITTED token — reconnect position + replay filter
+  private var resumed: String = startAfter.getOrElse("")
+  private var recoveredAny = false
+  private val mapper = new ObjectMapper()
+
+  private def tokenOf(docJson: String): Option[String] =
+    Option(mapper.readTree(docJson).at("/_id/_data").asText(null))
+
+  private def drainCursor(): MongoWatchClient = {
+    if (client != null && client.sessionClosed) { client.close(); client = null }
+    if (client == null)
+      client = new MongoWatchClient(host, port, db, coll,
+        resumeAfter = Some(resumed).filter(_.nonEmpty))
+    client.poll().foreach { doc =>
+      tokenOf(doc).filter(_ > resumed).foreach(t => buffer(t) = doc)
+    }
+    client
+  }
+
+  override def initialOffset(): Offset = TokenOffset(resumed)
+
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val o = TokenOffset(mapper.readTree(json).get("token").asText)
+    // restart recovery: the MINIMUM recovered token is the last truly
+    // committed position (same reasoning as PgSocketStream — resuming
+    // from an unacked END would drop the in-flight batch)
+    if (client == null) {
+      resumed = if (!recoveredAny) Seq(resumed, o.token).max
+                else Seq(resumed, o.token).min
+      recoveredAny = true
+    }
+    o
+  }
+
+  override def latestOffset(): Offset = synchronized {
+    drainCursor()
+    TokenOffset(if (buffer.isEmpty) resumed else buffer.lastKey)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TokenOffset].token
+    val e = end.asInstanceOf[TokenOffset].token
+    val docs = synchronized {
+      // replayed batch after restart: buffer is empty for the range —
+      // poll the (resumeAfter-positioned) cursor until the server has
+      // re-delivered through `end` or the session dies
+      val deadline = System.nanoTime() + PgSocketStream.replayWaitNanos
+      var c = client
+      while ((buffer.isEmpty || buffer.lastKey < e) &&
+             (c == null ||
+               (!c.sessionClosed && !c.lastResumeToken.exists(_ >= e))) &&
+             System.nanoTime() < deadline) {
+        c = drainCursor()
+      }
+      buffer.rangeImpl(Some(s), None).iterator
+        .filter { case (t, _) => t > s && t <= e }
+        .map { case (t, d) => (t, d) }.toArray
+    }
+    if (docs.isEmpty) Array.empty
+    else Array(DocsPartition(docs))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsReaderFactory
+
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[TokenOffset].token
+    val done = buffer.keys.takeWhile(_ <= e).toSeq
+    done.foreach(buffer.remove)
+    if (e > resumed) resumed = e
+  }
+
+  override def stop(): Unit = synchronized {
+    if (client != null) { client.close(); client = null }
+  }
+}
+
+case class DocsPartition(docs: Array[(String, String)]) extends InputPartition
+
+class DocsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val docs = partition.asInstanceOf[DocsPartition].docs
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < docs.length }
+      override def get(): InternalRow = InternalRow(
+        UTF8String.fromString(docs(i)._1), UTF8String.fromString(docs(i)._2))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -139,6 +139,59 @@ class MongoWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft-mongo-watch micro-batch: wire session → decoder → rows, exactly once") {
+    val docs = fixtureDocs(150)
+    withServer(docs, batchSize = 64) { (port, _) =>
+      val raw = spark.readStream.format("graft-mongo-watch")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("db", "graft").option("collection", "events").load()
+      val decoded = PollingCdc.mongoChanges(raw, "doc")
+      val sink = new scala.collection.mutable.ArrayBuffer[String]()
+      val q = decoded.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          sink.synchronized {
+            sink ++= df.collect().map(_.getAs[String]("resume_token"))
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_mw_ckpt").toString)
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (sink.synchronized(sink.size) < docs.length &&
+               System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+      val toks = sink.synchronized(sink.toSeq)
+      assert(toks.length == docs.length, "every event exactly once")
+      assert(toks.distinct.length == toks.length)
+    }
+  }
+
+  test("mongo-watch restart with an uncommitted batch: replayed range refills via resumeAfter") {
+    import graft.sources.replication.{DocsPartition, MongoWatchStream, TokenOffset}
+    val docs = fixtureDocs(100) // tokens 0…0063 hex, zero-padded
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val toks = docs.map(j => mapper.readTree(j).at("/_id/_data").asText()).sorted
+    val (s, e) = (toks(39), toks.last) // committed through #40, batch (s, e]
+    withServer(docs, batchSize = 32) { (port, resumedTok) =>
+      val stream = new MongoWatchStream("127.0.0.1", port, "graft", "events",
+        startAfter = None)
+      // recovery order (end first) must not matter
+      stream.deserializeOffset(TokenOffset(e).json())
+      stream.deserializeOffset(TokenOffset(s).json())
+      val parts = stream.planInputPartitions(TokenOffset(s), TokenOffset(e))
+      assert(parts.length == 1, "replayed batch must plan its events")
+      val got = parts(0).asInstanceOf[DocsPartition].docs.map(_._1).toSeq
+      assert(got == toks.filter(t => t > s && t <= e))
+      // the session resumed from the committed floor, not the unacked end
+      assert(resumedTok() == Some(s))
+      stream.commit(TokenOffset(e))
+      stream.stop()
+    }
+  }
+
   test("wire-fetched events decode identically to the fixture path") {
     import spark.implicits._
     val docs = fixtureDocs(300)
