@@ -65,7 +65,8 @@ object Bench {
     "q_text_stats", "q_quality_score", "q_lang_id",
     "q_token_count", "q_fingerprint", "q_boilerplate", "q_text_clean",
     "q_repetition", "q_decontaminate",
-    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_vec_norm", "q_multimodal_meta",
+    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_vec_norm", "q_vec_quantize",
+    "q_multimodal_meta",
     "q_media_frames", "q_media_resize",
     "q_avro_decode", "q_avro_registry", "q_wide_types",
     "q_minhash_native", "q_simhash_native")

@@ -839,6 +839,22 @@ object SparkEntry {
           .as("is_unit"))
     }),
 
+    // ---- LLM: int8 embedding quantization — integer digests (sum,
+    //      min, max of the quantized codes) compare exactly across
+    //      engines; both sides compute in float64 with away-from-zero
+    //      rounding on the non-negative operand, so the codes are
+    //      bit-identical. scale rounds to 6 places. ----
+    "q_vec_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      val q = Similarity.quantize(col("embedding"))
+      emb.select(col("vec_id"),
+        round(q.getField("scale"), 6).as("scale6"),
+        aggregate(q.getField("q"), lit(0L),
+          (acc, x) => acc + x.cast("long")).as("q_sum"),
+        array_min(q.getField("q")).cast("int").as("q_min"),
+        array_max(q.getField("q")).cast("int").as("q_max"))
+    }),
+
     // ---- LLM: boilerplate removal by segment document-frequency (the
     //      CCNet line-dedup family; separator parameterized — '\n' at
     //      web scale, word granularity on this corpus): segments in
@@ -1488,6 +1504,20 @@ object SparkEntry {
         |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
         |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH p AS (SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx, embedding
+        |  FROM embeddings WHERE vec_id < 500),
+        |qz AS (SELECT vec_id, (mx-mn)/255.0 AS scale,
+        |  list_transform(embedding, x -> CASE WHEN mx = mn THEN -128
+        |    ELSE CAST(round((CAST(x AS DOUBLE)-mn)/((mx-mn)/255.0)) AS BIGINT) - 128 END) AS q
+        |  FROM p)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |  list_sum(q) AS q_sum,
+        |  CAST(list_min(q) AS INTEGER) AS q_min,
+        |  CAST(list_max(q) AS INTEGER) AS q_max
+        |FROM qz""".stripMargin,
 
     // The contract, not the float bits: unit when the source norm is
     // positive, null when degenerate.

@@ -258,4 +258,34 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  // ---- int8 storage quantization ----------------------------------------
+
+  /** Per-vector affine int8 quantization — the standard storage form
+    * for embedding corpora (4× smaller than float32; at 100 TB that is
+    * the difference between one copy and four). The vector's [min, max]
+    * maps to [−128, 127]; `scale = (max−min)/255` and the original
+    * minimum ride along, so each row is self-describing. Per-row HOFs
+    * only — no shuffle, codegen'd, runs at scan speed. Reconstruction
+    * error is ≤ scale/2 per element by construction (pinned in spec).
+    * A constant vector (max == min) stores scale 0 and dequantizes to
+    * the constant exactly. */
+  def quantize(vec: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val mx = array_max(vec).cast("double")
+    val scale = (mx - mn) / 255.0
+    struct(
+      scale.as("scale"), mn.as("zero"),
+      transform(vec, x =>
+        when(scale === 0.0, lit(-128))
+          .otherwise(round((x.cast("double") - mn) / scale) - 128)
+          .cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of `quantize`: float32 vector within scale/2 per element
+    * of the original. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("q"), b =>
+      (q.getField("zero") +
+        (b.cast("double") + 128.0) * q.getField("scale")).cast("float"))
 }

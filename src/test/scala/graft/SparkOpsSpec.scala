@@ -700,6 +700,38 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((0.0, 0.0, 0.571429)))
   }
 
+  test("int8 quantization: dequant error ≤ scale/2 per element, constant vectors exact") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .where(col("vec_id") < 200)
+    val q = Similarity.quantize(col("embedding"))
+    val checked = emb.select(
+      col("vec_id"), q.as("qs"),
+      Similarity.dequantize(q).as("back"), col("embedding"))
+      .select(col("vec_id"), col("qs.scale").as("scale"),
+        aggregate(zip_with(col("embedding"), col("back"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: err ${r.getDouble(2)} vs scale ${r.getDouble(1)}")
+    }
+    // constant vector: scale 0, exact reconstruction
+    val const = Seq((1L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val cq = Similarity.quantize(col("embedding"))
+    val back = const.select(Similarity.dequantize(cq).as("b")).head
+      .getSeq[Float](0)
+    assert(back.toSeq == Seq(0.5f, 0.5f, 0.5f))
+    // storage really is int8
+    assert(const.select(cq.getField("q")).schema.head.dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      const.select(cq.getField("q")).schema.head.dataType.toString
+        .contains("ByteType"))
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal decode stub: deterministic features, stable schema") {
