@@ -319,7 +319,8 @@ object ReplicationWire {
   def serveHandshake(in: DataInputStream, out: java.io.OutputStream,
                      systemId: String = "7000000000000000001",
                      timeline: Int = 1, xlogpos: Long = 0L,
-                     dbname: String = "postgres"): Long = {
+                     dbname: String = "postgres",
+                     onStart: String => Unit = _ => ()): Long = {
     val params = readStartup(in)
     require(params.get("replication").contains("database"),
       s"expected a replication session request, got $params")
@@ -342,6 +343,7 @@ object ReplicationWire {
         out.write(identifySystemResponse(systemId, timeline, xlogpos, dbname))
         out.flush()
       } else if (sql.startsWith("START_REPLICATION")) {
+        onStart(sql)
         startLsn = "[0-9A-Fa-f]+/[0-9A-Fa-f]+".r.findFirstIn(sql)
           .map(parseLsn).getOrElse(
             throw new IllegalArgumentException(s"no LSN in: $sql"))

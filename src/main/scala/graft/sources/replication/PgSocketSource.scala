@@ -55,9 +55,22 @@ class PgSocketSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new PgSocketTable(opts.get("host"), opts.getInt("port", -1),
-      opts.getLong("startlsn", -1L), protocol)
+      opts.getLong("startlsn", -1L), protocol,
+      ReplicationOptions(
+        user = opts.getOrDefault("user", "graft"),
+        database = opts.getOrDefault("database", "postgres"),
+        slot = opts.getOrDefault("slot", "graft_slot"),
+        publication = opts.getOrDefault("publication", "graft_pub")))
   }
 }
+
+/** Session parameters for the replication connection — the pieces of
+  * the reference's connection URL + slot/publication config
+  * (replicator.go:52-56, pgoutput.go:34-36). */
+case class ReplicationOptions(user: String = "graft",
+                              database: String = "postgres",
+                              slot: String = "graft_slot",
+                              publication: String = "graft_pub")
 
 /** Same transport, MySQL binlog payloads: CopyData frames carry binlog
   * v4 events (`pos` in walStart), the session cache replays TABLE_MAP
@@ -80,25 +93,28 @@ object PgSocketSource {
     StructField("msg", BinaryType)))
 }
 
-class PgSocketTable(host: String, port: Int, startLsn: Long, protocol: String)
+class PgSocketTable(host: String, port: Int, startLsn: Long, protocol: String,
+                    opts: ReplicationOptions = ReplicationOptions())
     extends Table with SupportsRead {
   override def name(): String = s"graft-$protocol-socket(`$host:$port`)"
   override def schema(): StructType = PgSocketSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new PgSocketScan(host, port, startLsn, protocol)
+    () => new PgSocketScan(host, port, startLsn, protocol, opts)
 }
 
-class PgSocketScan(host: String, port: Int, startLsn: Long, protocol: String)
+class PgSocketScan(host: String, port: Int, startLsn: Long, protocol: String,
+                   opts: ReplicationOptions = ReplicationOptions())
     extends Scan {
   override def readSchema(): StructType = PgSocketSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PgSocketStream(host, port, startLsn, protocol)
+    new PgSocketStream(host, port, startLsn, protocol, opts)
 }
 
 class PgSocketStream(host: String, port: Int, startLsn: Long,
-                     protocol: String = "pgoutput")
+                     protocol: String = "pgoutput",
+                     opts: ReplicationOptions = ReplicationOptions())
     extends MicroBatchStream {
 
   private var client: ReplicationClient = _
@@ -125,7 +141,9 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
   private var recoveredAny = false
 
   private def ensureClient(fromLsn: Long): ReplicationClient = synchronized {
-    if (client == null) client = new ReplicationClient(host, port, fromLsn)
+    if (client == null) client = new ReplicationClient(host, port, fromLsn,
+      user = opts.user, database = opts.database, slot = opts.slot,
+      publication = opts.publication)
     client
   }
 

@@ -100,7 +100,8 @@ object CdcStream {
   def applyBatch(batch: DataFrame, batchId: Long, tablePath: String,
                  statePath: String, stream: String,
                  policy: DeltaSegments.CompactionPolicy =
-                   DeltaSegments.CompactionPolicy()): Unit = {
+                   DeltaSegments.CompactionPolicy(),
+                 icebergDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val st = StateStore.load(statePath).getOrElse(StateStore.State())
     val ss = st.streams.getOrElse(stream, StateStore.StreamState())
@@ -134,6 +135,19 @@ object CdcStream {
     // a crash anywhere inside it loses no data (recoverSwap + the
     // idempotence of re-folding segments)
     DeltaSegments.maybeCompact(spark, tablePath, policy)
+    // optional continuous Iceberg publish: every committed batch
+    // becomes a v2 merge-on-read snapshot whose summary carries the
+    // position state — the reference's per-commit `olake_2pc` property
+    // (iceberg.go:521-545), recoverable via IcebergMetadata.commitState.
+    // Publish cost is O(current delta set), bounded by the compaction
+    // policy, not O(base).
+    icebergDir.foreach { dir =>
+      val stateJson = Option(maxLsn)
+        .map(l => s"""{"stream":"$stream","batchId":$batchId,"lsn":$l}""")
+        .getOrElse(s"""{"stream":"$stream","batchId":$batchId}""")
+      graft.sinks.IcebergMetadata.publishMoR(spark, dir, tablePath,
+        summary = Map("olake_2pc" -> stateJson))
+    }
   }
 
   /** The merged (merge-on-read) view of a CDC table. */

@@ -210,6 +210,42 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("""{"stream":"t","lsn":77}"""))
   }
 
+  test("CdcStream.applyBatch publishes an Iceberg snapshot per batch when configured") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, CdcTimestamp}
+    val root = Files.createTempDirectory("graft_cdc_ice").toString
+    val table = s"$root/t"; val ice = s"$root/ice"; val state = s"$root/s.json"
+    // lsn must advance monotonically ACROSS batches (the committed-LSN
+    // replay filter drops anything at or below the last commit)
+    def batch(ids: Range, kind: String, lsnOff: Long, vOff: Long = 0) =
+      spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as(OlakeId),
+        (col("id") + lsnOff).as("lsn"),
+        lit(kind).as("kind"), current_timestamp().as(CdcTimestamp),
+        (col("id") + vOff).as("v"))
+    graft.streaming.CdcStream.applyBatch(
+      batch(0 until 50, "insert", lsnOff = 0), 1L, table, state, "s",
+      icebergDir = Some(ice))
+    // snapshot 1: table view == manifest replay; 2PC state round-trips
+    assert(IcebergMetadata.readMoR(spark, ice).count() == 50)
+    assert(IcebergMetadata.commitState(ice).exists(_.contains("\"batchId\":1")))
+    graft.streaming.CdcStream.applyBatch(
+      batch(40 until 45, "delete", lsnOff = 1000) unionByName
+        batch(100 until 110, "insert", lsnOff = 1000, vOff = 7),
+      2L, table, state, "s", icebergDir = Some(ice))
+    val (v, _) = IcebergMetadata.currentMetadata(ice).get
+    assert(v == 2)
+    val fromManifests = IcebergMetadata.readMoR(spark, ice)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val fromTable = graft.streaming.CdcStream.readTable(spark, table)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fromManifests == fromTable)
+    assert(fromManifests.size == 50 - 5 + 10)
+    assert(IcebergMetadata.commitState(ice).exists(_.contains("\"batchId\":2")))
+  }
+
   test("metadata over a DeltaSegments compacted base (the MoR sink's data files)") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft_ice3").toString

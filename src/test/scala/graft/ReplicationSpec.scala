@@ -116,6 +116,55 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("slot/publication/user/database options reach the wire verbatim") {
+    val server = new ServerSocket(0)
+    @volatile var startSql = ""
+    @volatile var startupParams = Map.empty[String, String]
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new DataInputStream(sock.getInputStream)
+        val out = sock.getOutputStream
+        // capture the startup params, then run the standard handshake
+        // tail by hand (readStartup consumed the params already)
+        startupParams = ReplicationWire.readStartup(in)
+        out.write(ReplicationWire.pgFrame('R',
+          java.nio.ByteBuffer.allocate(4).putInt(0).array()))
+        out.write(ReplicationWire.pgFrame('Z', Array('I'.toByte)))
+        out.flush()
+        var done = false
+        while (!done) {
+          val tpe = in.readByte().toChar
+          val len = in.readInt()
+          val body = new Array[Byte](len - 4); in.readFully(body)
+          val sql = new String(body, "UTF-8").takeWhile(_ != '\u0000')
+          assert(tpe == 'Q')
+          if (sql.startsWith("IDENTIFY_SYSTEM")) {
+            out.write(ReplicationWire.identifySystemResponse(
+              "7", 1, 0L, "mydb")); out.flush()
+          } else if (sql.startsWith("START_REPLICATION")) {
+            startSql = sql
+            out.write(ReplicationWire.pgFrame('W', Array[Byte](0, 0, 0)))
+            out.flush(); done = true
+          }
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    val c = new ReplicationClient("127.0.0.1", server.getLocalPort, 0x2AL,
+      user = "svc", database = "mydb", slot = "my_slot", publication = "my_pub")
+    try {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (startSql.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(startupParams.get("user").contains("svc"))
+      assert(startupParams.get("database").contains("mydb"))
+      assert(startupParams.get("replication").contains("database"))
+      assert(startSql.contains("""SLOT "my_slot""""), startSql)
+      assert(startSql.contains("publication_names 'my_pub'"), startSql)
+      assert(startSql.contains("0/2A"), startSql)
+    } finally { c.close(); server.close() }
+  }
+
   test("wire protocol pieces: LSN hex form, startup message, IDENTIFY_SYSTEM row") {
     import java.io.ByteArrayInputStream
     assert(ReplicationWire.formatLsn(0x16B3748L) == "0/16B3748")
