@@ -873,6 +873,16 @@ object SparkEntry {
         TextAnalysis.cleanText(concat(col("text"),
           lit(" cafe\u0301 \u0007x"))).as("clean_text"))),
 
+    // ---- LLM: PII scrubbing — email/IPv4/phone → typed placeholders;
+    //      the fixture suffix carries one of each so every row
+    //      exercises all three patterns; DuckDB replays the identical
+    //      regex chain (RE2 ∩ java.util.regex dialect). ----
+    "q_pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.scrubPii(concat(col("text"), lit(
+          " contact: bob.smith+x@example-mail.co.uk server 192.168.0.1" +
+            " call +1 (415) 555-0199 done"))).as("scrubbed"))),
+
     // ---- LLM: Gopher-style repetition signals — duplicate-token,
     //      duplicate-n-gram, and top-n-gram-character fractions; one
     //      explode + combinable keyed aggs, thresholdable before any
@@ -1549,6 +1559,15 @@ object SparkEntry {
         |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7) || 'x'),
         |  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text
         |FROM documents""").stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact: bob.smith+x@example-mail.co.uk server 192.168.0.1 call +1 (415) 555-0199 done',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |  '\+?\d{1,3}[-. ]?\(\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{3,4}|\+?\d{7,15}', '<PHONE>', 'g')
+        |  AS scrubbed
+        |FROM documents""".stripMargin,
 
     // top_gram_char_frac uses max(count × gram length) so gram ties
     // cannot change the value; gram generation mirrors Dedup.shingles.

@@ -148,6 +148,21 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "\\s+", " "))
 
+  /** PII scrubbing — the redaction pass every public training-data
+    * pipeline runs before release: emails, IPv4 addresses, and phone
+    * numbers become typed placeholder tokens. A pure `regexp_replace`
+    * chain — codegen'd, no shuffle, scan speed over 100 TB. The
+    * patterns stay inside the RE2 ∩ java.util.regex dialect so the
+    * exact same strings run on any engine (pinned by the DuckDB-oracle
+    * gate). Order matters: emails first (their dots must not look like
+    * IPs), IPs before phones (so digit runs left by neither). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      "\\+?\\d{1,3}[-. ]?\\(\\d{2,4}\\)[-. ]?\\d{3,4}[-. ]?\\d{3,4}" +
+        "|\\+?\\d{7,15}", "<PHONE>")
+
   /** REPETITION signals — the published Gopher quality rules (Rae et
     * al. 2021, appendix A1.1) re-expressed at token/n-gram level:
     *

@@ -685,6 +685,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("PII scrubbing: emails, IPs, phones redacted; clean text untouched") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val rows = Seq(
+      "mail a.b%c+d@sub.example.org here",
+      "host 10.0.255.7 up",
+      "ring +1 (415) 555-0199 or +4915123456789 now",
+      "nothing sensitive in this line at all")
+      .toDF("t").select(TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "mail <EMAIL> here")
+    assert(rows(1) == "host <IP> up")
+    assert(rows(2) == "ring <PHONE> or <PHONE> now")
+    assert(rows(3) == "nothing sensitive in this line at all")
+  }
+
   test("repetition signals: hand-computed fractions on a known doc") {
     import spark.implicits._
     import graft.llm.TextAnalysis
