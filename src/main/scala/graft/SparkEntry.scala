@@ -873,6 +873,13 @@ object SparkEntry {
         TextAnalysis.cleanText(concat(col("text"),
           lit(" cafe\u0301 \u0007x"))).as("clean_text"))),
 
+    // ---- LLM: deterministic split assignment — md5-bucket train/
+    //      validation/test labels, reproducible on any engine/layout
+    //      (sample() is not); DuckDB replays the identical compares ----
+    "q_split_assign" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.assignSplit(col("doc_id")).as("split"))),
+
     // ---- LLM: PII scrubbing — email/IPv4/phone → typed placeholders;
     //      the fixture suffix carries one of each so every row
     //      exercises all three patterns; DuckDB replays the identical
@@ -1559,6 +1566,14 @@ object SparkEntry {
         |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(7) || 'x'),
         |  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text
         |FROM documents""").stripMargin,
+
+    // thresholds: floor(65536*0.95)=62259=0xf333, floor(65536*0.975)=63897=0xf999
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f999' THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(

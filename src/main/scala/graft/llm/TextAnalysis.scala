@@ -148,6 +148,23 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "\\s+", " "))
 
+  /** Deterministic train/validation/test SPLIT assignment by id-hash
+    * bucket — the reproducible alternative to `sample()`, whose output
+    * depends on partition layout and so cannot be re-derived, audited,
+    * or joined against later. The first 4 hex chars of md5(id) give a
+    * uniform 16-bit bucket; at fixed width, lexicographic order on
+    * lowercase hex IS numeric order, so the split is two string
+    * compares — codegen'd, engine-portable (DuckDB replays it
+    * verbatim), no shuffle. Permille thresholds: default 950/25/25. */
+  def assignSplit(id: Column, trainPermille: Int = 950,
+                  valPermille: Int = 25): Column = {
+    require(trainPermille + valPermille <= 1000)
+    val h = substring(md5(id.cast("string")), 1, 4)
+    val t1 = f"${65536L * trainPermille / 1000}%04x"
+    val t2 = f"${65536L * (trainPermille + valPermille) / 1000}%04x"
+    when(h < t1, "train").when(h < t2, "validation").otherwise("test")
+  }
+
   /** PII scrubbing — the redaction pass every public training-data
     * pipeline runs before release: emails, IPv4 addresses, and phone
     * numbers become typed placeholder tokens. A pure `regexp_replace`

@@ -685,6 +685,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("split assignment: deterministic, layout-independent, ~permille-accurate") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val ids = spark.range(100000).toDF("id")
+    val split = ids.select(TextAnalysis.assignSplit(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(math.abs(split("train") - 95000L) < 500, split.toString)
+    assert(math.abs(split("validation") - 2500L) < 200, split.toString)
+    assert(math.abs(split("test") - 2500L) < 200, split.toString)
+    // layout-independent: identical labels after an arbitrary repartition
+    val a = ids.select(col("id"), TextAnalysis.assignSplit(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = ids.repartition(13).select(col("id"),
+        TextAnalysis.assignSplit(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("PII scrubbing: emails, IPs, phones redacted; clean text untouched") {
     import spark.implicits._
     import graft.llm.TextAnalysis
