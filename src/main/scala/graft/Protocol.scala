@@ -214,21 +214,39 @@ object Protocol {
     * per-stream state entries are disjoint and commits serialize
     * through `stateLock`. Returns rows synced per stream; the first
     * stream failure (after retries) aborts the sync like the
-    * reference's group error. */
+    * reference's group error, and the await is BOUNDED: a hung stream
+    * fails the whole sync after `timeoutMillis` with the pool
+    * interrupted (`shutdownNow`), mirroring the reference's context
+    * cancellation — never an indefinite block. `runStream` is the
+    * per-stream body (overridable for fault-injection tests). */
   def syncAll(spark: SparkSession, sourceDir: String, destDir: String,
               cfgs: Seq[StreamConfig], statePath: String,
-              parallelism: Int = 4, attempts: Int = 3): Map[String, Long] = {
-    import java.util.concurrent.Executors
+              parallelism: Int = 4, attempts: Int = 3,
+              timeoutMillis: Long = 30L * 60 * 1000,
+              runStream: (SparkSession, String, String, StreamConfig,
+                String) => Long = syncStream): Map[String, Long] = {
+    import java.util.concurrent.{Executors, TimeoutException}
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = cfgs.map { cfg =>
         Future(cfg.name -> Retry.withBackoff(attempts, baseDelayMs = 100L)(
-          syncStream(spark, sourceDir, destDir, cfg, statePath)))
+          runStream(spark, sourceDir, destDir, cfg, statePath)))
       }
-      Await.result(Future.sequence(futures), Duration.Inf).toMap
+      // fails fast on the FIRST stream failure (Future.sequence) and on
+      // timeout; either way the in-flight streams are interrupted below
+      Await.result(Future.sequence(futures), timeoutMillis.millis).toMap
+    } catch {
+      case e: TimeoutException =>
+        pool.shutdownNow()
+        throw new IllegalStateException(
+          s"syncAll timed out after ${timeoutMillis} ms with " +
+            s"${cfgs.size} stream(s) configured; pool cancelled", e)
+      case scala.util.control.NonFatal(e) =>
+        pool.shutdownNow() // first failure cancels the remaining streams
+        throw e
     } finally pool.shutdown()
   }
 

@@ -839,16 +839,17 @@ object SparkEntry {
           .as("is_unit"))
     }),
 
-    // ---- LLM: int8 embedding quantization — integer digests (sum,
-    //      min, max of the quantized codes) compare exactly across
-    //      engines; both sides compute in float64 with away-from-zero
-    //      rounding on the non-negative operand, so the codes are
-    //      bit-identical. scale rounds to 6 places. ----
+    // ---- LLM: int8 embedding quantization — all-integer digests (sum,
+    //      min, max of the quantized codes, scale*1e6 as a BIGINT code)
+    //      compare hash-exactly across engines; both sides compute
+    //      floor(v + 0.5) in float64 (identical IEEE ops — no
+    //      shortest-decimal re-rounding), so the codes are
+    //      bit-identical. ----
     "q_vec_quantize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
       val q = Similarity.quantize(col("embedding"))
       emb.select(col("vec_id"),
-        round(q.getField("scale"), 6).as("scale6"),
+        floor(q.getField("scale") * 1e6 + 0.5).cast("long").as("scale_code"),
         aggregate(q.getField("q"), lit(0L),
           (acc, x) => acc + x.cast("long")).as("q_sum"),
         array_min(q.getField("q")).cast("int").as("q_min"),
@@ -1528,10 +1529,10 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id < 500),
         |qz AS (SELECT vec_id, (mx-mn)/255.0 AS scale,
         |  list_transform(embedding, x -> CASE WHEN mx = mn THEN -128
-        |    ELSE CAST(round((CAST(x AS DOUBLE)-mn)/((mx-mn)/255.0)) AS BIGINT) - 128 END) AS q
+        |    ELSE CAST(floor((CAST(x AS DOUBLE)-mn)/((mx-mn)/255.0) + 0.5) AS BIGINT) - 128 END) AS q
         |  FROM p)
-        |SELECT vec_id, round(scale, 6) AS scale6,
-        |  list_sum(q) AS q_sum,
+        |SELECT vec_id, CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_code,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(list_min(q) AS INTEGER) AS q_min,
         |  CAST(list_max(q) AS INTEGER) AS q_max
         |FROM qz""".stripMargin,
@@ -1580,7 +1581,7 @@ object SparkEntry {
         |  text || ' contact: bob.smith+x@example-mail.co.uk server 192.168.0.1 call +1 (415) 555-0199 done',
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-        |  '\+?\d{1,3}[-. ]?\(\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{3,4}|\+?\d{7,15}', '<PHONE>', 'g')
+        |  '\+?\d{1,3}[-. ]?\(\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{3,4}|([^0-9]|^)\+?\d{7,15}([^0-9]|$)', '\1<PHONE>\2', 'g')
         |  AS scrubbed
         |FROM documents""".stripMargin,
 

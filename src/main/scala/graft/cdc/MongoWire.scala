@@ -85,21 +85,74 @@ class MongoWatchClient(host: String, port: Int,
   private val sock = new Socket()
   sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
   sock.setTcpNoDelay(true)
-  private val in = new DataInputStream(sock.getInputStream)
+  // 1-byte pushback so idle detection can PROBE for a reply's first
+  // byte without ever consuming into the frame: a timeout either hits
+  // before any byte (clean — the reply is merely in flight) or inside
+  // a frame we already started (desync — the session is dead). The
+  // whole-round-trip soTimeout this replaces could time out after
+  // readFully had consumed part of a reply, silently losing framing.
+  private val pin = new java.io.PushbackInputStream(sock.getInputStream, 1)
+  private val in = new DataInputStream(pin)
   private val out = new DataOutputStream(sock.getOutputStream)
   private var reqId = 0
   private var cursorId = 0L
+  // reqId of a sent request whose reply has not been read yet (a clean
+  // idle timeout leaves the reply in flight; the NEXT read must await
+  // and attribute it before any new request goes out)
+  private var outstanding: Option[Int] = None
+  private val inFrameTimeoutMs = math.max(30000, connectTimeoutMs)
 
   /** Last change-event resume token handed to the consumer — the
     * position a reconnect passes as `resumeAfter`. */
   @volatile var lastResumeToken: Option[String] = resumeAfter
   @volatile var sessionClosed: Boolean = false
 
-  private def roundTrip(body: Doc): Doc = {
+  private def sendRequest(body: Doc): Int = {
     reqId += 1
     out.write(message(reqId, 0, body)); out.flush()
-    val (_, _, reply) = readMessage(in)
-    reply
+    reqId
+  }
+
+  /** Await the reply to `expectId`. `None` = clean idle (no reply byte
+    * arrived within `firstByteTimeout`; nothing consumed — the caller
+    * may retry later). A timeout once the frame has STARTED, or a reply
+    * attributed to a different request, kills the session: framing is
+    * no longer trustworthy and the owner reconnects via
+    * `lastResumeToken`. */
+  private def readReply(expectId: Int, firstByteTimeout: Int): Option[Doc] = {
+    sock.setSoTimeout(math.max(1, firstByteTimeout))
+    val first =
+      try pin.read()
+      catch { case _: SocketTimeoutException => return None }
+    if (first < 0) throw new EOFException("server closed")
+    pin.unread(first)
+    sock.setSoTimeout(inFrameTimeoutMs)
+    val (_, respTo, reply) =
+      try readMessage(in)
+      catch {
+        case _: SocketTimeoutException =>
+          sessionClosed = true
+          // SocketException (not ProtocolException): poll treats this
+          // like any dead socket — deliver what it has and let the
+          // owner reconnect from lastResumeToken
+          throw new java.net.SocketException(
+            "timeout mid-frame: OP_MSG framing lost")
+      }
+    if (respTo != expectId) {
+      sessionClosed = true
+      throw new java.net.ProtocolException(
+        s"reply attributed to request $respTo, expected $expectId")
+    }
+    outstanding = None
+    Some(reply)
+  }
+
+  private def roundTrip(body: Doc): Doc = {
+    require(outstanding.isEmpty, "request already in flight")
+    val id = sendRequest(body)
+    outstanding = Some(id)
+    readReply(id, inFrameTimeoutMs).getOrElse(
+      throw new java.io.IOException("no reply within timeout"))
   }
 
   private def requireOk(reply: Doc, what: String): Unit = {
@@ -149,7 +202,14 @@ class MongoWatchClient(host: String, port: Int,
 
   /** Drain available change events (≤ `maxDocs`), advancing the resume
     * token per delivered event. A dead cursor/socket marks the session
-    * closed — the owner reconnects with `lastResumeToken`. */
+    * closed — the owner reconnects with `lastResumeToken`.
+    *
+    * Idle handling never risks framing: the wait for a getMore reply
+    * probes for the FIRST byte only (`readReply`), so a timeout leaves
+    * either zero consumed bytes (the request stays `outstanding` and
+    * the next poll awaits the same reply — no new request is sent while
+    * one is in flight) or a half-read frame, which closes the session
+    * outright rather than attributing the remnant to a later request. */
   def poll(maxDocs: Int = 4096, idleMillis: Int = 200): Seq[String] = {
     val outBuf = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
@@ -163,19 +223,22 @@ class MongoWatchClient(host: String, port: Int,
         } else if (cursorId == 0L) {
           sessionClosed = true
         } else {
-          sock.setSoTimeout(math.max(1, idleMillis))
-          try {
-            val reply = roundTrip(Bson.doc(
+          val id = outstanding.getOrElse {
+            val sent = sendRequest(Bson.doc(
               "getMore" -> cursorId, "collection" -> collection,
               "$db" -> db))
-            requireOk(reply, "getMore")
-            val cursor = subDoc(reply, "cursor")
-            cursorId = field(cursor, "id").get.asInstanceOf[Long]
-            val batch = batchDocs(cursor, "nextBatch")
-            if (batch.isEmpty && cursorId != 0L) idle = true
-            buffered ++= batch
-          } catch {
-            case _: SocketTimeoutException => idle = true
+            outstanding = Some(sent)
+            sent
+          }
+          readReply(id, idleMillis) match {
+            case None => idle = true // reply in flight; nothing consumed
+            case Some(reply) =>
+              requireOk(reply, "getMore")
+              val cursor = subDoc(reply, "cursor")
+              cursorId = field(cursor, "id").get.asInstanceOf[Long]
+              val batch = batchDocs(cursor, "nextBatch")
+              if (batch.isEmpty && cursorId != 0L) idle = true
+              buffered ++= batch
           }
         }
       }

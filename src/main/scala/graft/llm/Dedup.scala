@@ -32,6 +32,21 @@ object Dedup {
   def tokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
 
+  /** Materialize a SMALL result frame off-cache: one distributed
+    * write + read through a session-temp parquet dir. Breaks lineage
+    * (so cached inputs can be released with zero recompute on the
+    * caller's later actions) without pinning a single block — the
+    * tiers' contract is that `getPersistentRDDs` is empty again the
+    * moment they return. Only ever called on pair/label frames, which
+    * are O(duplicates), never O(corpus). */
+  private def materializeOffCache(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("m").toString
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Exact dedup: keep the lowest id per content digest. One shuffle. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
@@ -199,6 +214,11 @@ object Dedup {
     * (x, lbl) for dup-graph vertices; callers map the untouched rest.
     */
   private def propagateMinLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // the rounds' lazy localCheckpoints below pin rdd-level blocks the
+    // CacheManager cannot see; snapshot what was pinned before the call
+    // so everything this call adds can be swept on the way out
+    val pinnedBefore = sc.getPersistentRDDs.keySet
     val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
       .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -243,10 +263,17 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // labels is |dup vertices| rows — materialize it off-cache, then
+    // release every block the rounds pinned (edge cache + each round's
+    // localCheckpoint), so the tier returns with nothing cached
+    val out = materializeOffCache(labels)
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+    }
     if (!converged)
       throw new IllegalStateException(s"not converged after $maxIter rounds")
     lastPropagationRounds = i
-    labels
+    out
   }
 
   /** Rounds the latest propagation took — dev observability for scale
@@ -294,12 +321,18 @@ object Dedup {
         explode(col("sb.bands")).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.as("a"); val b = sigs.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    val pairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           b => b)) / lit(k.toDouble)).as("est_jaccard"))
       .distinct()
       .where(col("est_jaccard") >= estThreshold)
+    // the O(corpus × bands) signature cache lives only for this call:
+    // the (small) pair result is materialized off-cache, then released
+    val out = materializeOffCache(pairs)
+    sigs.unpersist()
+    out
   }
 
   /** Banded candidate PAIRS only (no signature similarity): the shape
@@ -352,7 +385,7 @@ object Dedup {
       native)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
-    cand
+    val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
@@ -360,6 +393,11 @@ object Dedup {
         (size(col("sa")) + size(col("sb")) - col("common")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // release the candidate cache once the verified pairs exist
+    // off-cache — nothing stays pinned past the tier's return
+    val out = materializeOffCache(verified)
+    cand.unpersist()
+    out
   }
 
   /** SimHash-blocked EXACT bag-of-words duplicates: candidates from the
@@ -396,12 +434,16 @@ object Dedup {
       norm(col(vecCol)).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = side.as("a"); val b = side.as("b")
-    a.join(b, col("a.id") < col("b.id"))
+    val pairs = a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
           .as("cos"))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b")
+    // release the normed-side cache once the pairs exist off-cache
+    val out = materializeOffCache(pairs)
+    side.unpersist()
+    out
   }
 
   /** Embedding-cosine near-dup, LSH-bucketed (the scale path):
@@ -446,13 +488,18 @@ object Dedup {
     codes0.unpersist()
     val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
-    cand
+    val verified = cand
       .join(side.select(col("id").as("id_a"), col("vec").as("va"),
         col("nrm").as("na")), "id_a")
       .join(side.select(col("id").as("id_b"), col("vec").as("vb"),
         col("nrm").as("nb")), "id_b")
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
+    // release the candidate cache once the verified pairs exist
+    // off-cache (codes0 was already released above)
+    val out = materializeOffCache(verified)
+    cand.unpersist()
+    out
   }
 
   /** SimHash-64: per token-hash, vote +1/-1 on each bit; the fingerprint

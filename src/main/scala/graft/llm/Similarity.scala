@@ -278,7 +278,11 @@ object Similarity {
       scale.as("scale"), mn.as("zero"),
       transform(vec, x =>
         when(scale === 0.0, lit(-128))
-          .otherwise(round((x.cast("double") - mn) / scale) - 128)
+          // floor(v + 0.5) instead of round(): identical IEEE double ops
+          // on every engine (Spark round() re-rounds the shortest-decimal
+          // representation, which can differ from rounding the exact
+          // binary double near .5 boundaries).
+          .otherwise(floor((x.cast("double") - mn) / scale + 0.5) - 128)
           .cast("tinyint")).as("q"))
   }
 

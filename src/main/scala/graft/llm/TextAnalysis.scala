@@ -177,8 +177,15 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      // the bare-digit alternative is digit-BOUNDED without lookbehind
+      // (RE2-compatible): a run of 7–15 digits only scrubs when it is
+      // not embedded in a longer digit run, so order ids / epoch
+      // timestamps / 16-digit PANs survive intact instead of being
+      // scrubbed piecewise; the consumed boundary chars are restored
+      // via group references (empty when the parenthesized-phone
+      // alternative matched).
       "\\+?\\d{1,3}[-. ]?\\(\\d{2,4}\\)[-. ]?\\d{3,4}[-. ]?\\d{3,4}" +
-        "|\\+?\\d{7,15}", "<PHONE>")
+        "|([^0-9]|^)\\+?\\d{7,15}([^0-9]|$)", "$1<PHONE>$2")
 
   /** REPETITION signals — the published Gopher quality rules (Rae et
     * al. 2021, appendix A1.1) re-expressed at token/n-gram level:

@@ -192,6 +192,95 @@ class MongoWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("slow getMore reply: clean idle leaves framing intact, the reply is picked up next poll") {
+    import graft.cdc.MongoWire
+    val doc = fixtureDocs(1).head
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        var done = false
+        while (!done) {
+          val (reqId, _, body) = MongoWire.readMessage(in)
+          def reply(d: Bson.Doc): Unit = {
+            out.write(MongoWire.message(0, reqId, d)); out.flush()
+          }
+          body.headOption match {
+            case Some(("hello", _)) => reply(Bson.doc("ok" -> 1.0))
+            case Some(("aggregate", _)) =>
+              reply(Bson.doc("ok" -> 1.0, "cursor" -> Bson.doc(
+                "id" -> 42L, "ns" -> "graft.events",
+                "firstBatch" -> BArray(Seq.empty))))
+            case Some(("getMore", _)) =>
+              Thread.sleep(700) // longer than the client's idle probe
+              reply(Bson.doc("ok" -> 1.0, "cursor" -> Bson.doc(
+                "id" -> 42L, "ns" -> "graft.events",
+                "nextBatch" -> BArray(Seq(Bson.fromJson(doc))))))
+              done = true
+            case _ => done = true
+          }
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val c = new MongoWatchClient("127.0.0.1", server.getLocalPort,
+        "graft", "events")
+      // reply still in flight after the idle window: empty, NOT closed
+      assert(c.poll(idleMillis = 100).isEmpty)
+      assert(!c.sessionClosed)
+      // the delayed reply is awaited and correctly attributed next poll
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var got = Seq.empty[String]
+      while (got.isEmpty && System.nanoTime() < deadline)
+        got = c.poll(idleMillis = 300)
+      assert(got.length == 1 && !c.sessionClosed)
+      c.close()
+    } finally server.close()
+  }
+
+  test("a reply attributed to the wrong request kills the session instead of desyncing") {
+    import graft.cdc.MongoWire
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        var n = 0
+        while (n < 10) {
+          val (reqId, _, body) = MongoWire.readMessage(in)
+          n += 1
+          body.headOption match {
+            case Some(("hello", _)) =>
+              out.write(MongoWire.message(0, reqId, Bson.doc("ok" -> 1.0)))
+            case Some(("aggregate", _)) =>
+              out.write(MongoWire.message(0, reqId,
+                Bson.doc("ok" -> 1.0, "cursor" -> Bson.doc(
+                  "id" -> 42L, "ns" -> "graft.events",
+                  "firstBatch" -> BArray(Seq.empty)))))
+            case _ => // reply to a request id that was never sent
+              out.write(MongoWire.message(0, reqId + 999,
+                Bson.doc("ok" -> 1.0, "cursor" -> Bson.doc(
+                  "id" -> 42L, "ns" -> "graft.events",
+                  "nextBatch" -> BArray(Seq.empty)))))
+          }
+          out.flush()
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val c = new MongoWatchClient("127.0.0.1", server.getLocalPort,
+        "graft", "events")
+      intercept[java.net.ProtocolException] { c.poll(idleMillis = 2000) }
+      assert(c.sessionClosed, "misattributed reply must close the session")
+      c.close()
+    } finally server.close()
+  }
+
   test("wire-fetched events decode identically to the fixture path") {
     import spark.implicits._
     val docs = fixtureDocs(300)

@@ -124,6 +124,34 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st("customer").cursor.contains("c_custkey"))
   }
 
+  test("syncAll: a hung stream fails the sync after the bounded await, never blocks forever") {
+    val dest = Files.createTempDirectory("graft_synchang").toString
+    val state = s"$dest/state.json"
+    val cfgs = Seq(
+      Protocol.StreamConfig("nation", primaryKeys = Seq("n_nationkey")),
+      Protocol.StreamConfig("region", primaryKeys = Seq("r_regionkey")))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] {
+      Protocol.syncAll(spark, src, dest, cfgs, state,
+        parallelism = 2, attempts = 1, timeoutMillis = 1500L,
+        runStream = (_, _, _, cfg, _) =>
+          if (cfg.name == "region") { Thread.sleep(3600_000L); 0L }
+          else 1L)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1_000_000
+    assert(e.getMessage.contains("timed out"))
+    assert(elapsedMs < 30_000, s"took ${elapsedMs} ms — await not bounded")
+    // and a FAILING (not hung) stream aborts fast without the timeout
+    val e2 = intercept[RuntimeException] {
+      Protocol.syncAll(spark, src, dest, cfgs, state,
+        parallelism = 2, attempts = 1, timeoutMillis = 3600_000L,
+        runStream = (_, _, _, cfg, _) =>
+          if (cfg.name == "region") throw new RuntimeException("boom")
+          else 1L)
+    }
+    assert(e2.getMessage.contains("boom"))
+  }
+
   test("chunked backfill resumes after a crash: committed chunks skip, no dupes, no loss") {
     val dest = Files.createTempDirectory("graft_chunked").toString
     val state = s"$dest/state.json"

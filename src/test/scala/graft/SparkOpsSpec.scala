@@ -459,6 +459,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked == 0L)
   }
 
+  test("dedup tiers release every cached block before returning") {
+    import spark.implicits._
+    val docs = sf("documents").where(col("doc_id") < 40)
+      .select("doc_id", "text")
+    val emb = sf("embeddings").where(col("vec_id") < 40)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    def pinned(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinned()
+    // each tier materializes its result internally (or here, for the
+    // lazy ones) and must leave nothing newly cached behind
+    Dedup.minhashPairs(docs, "text", "doc_id").count()
+    assert(pinned() == before, "minhashPairs leaked cached blocks")
+    Dedup.minhashPairsVerified(docs, "text", "doc_id",
+      threshold = 0.9).count()
+    assert(pinned() == before, "minhashPairsVerified leaked cached blocks")
+    Dedup.simhashExactDups(docs, "text", "doc_id").count()
+    assert(pinned() == before, "simhashExactDups leaked cached blocks")
+    Dedup.cosinePairs(emb, "vec_id", "embedding", 0.9).count()
+    assert(pinned() == before, "cosinePairs leaked cached blocks")
+    Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.9).count()
+    assert(pinned() == before, "cosinePairsLsh leaked cached blocks")
+    Dedup.canonicalize(ids, pairs, "id").count()
+    assert(pinned() == before, "canonicalize leaked cached blocks")
+    Dedup.keepCanonical(ids, pairs, "id").count()
+    assert(pinned() == before, "keepCanonical leaked cached blocks")
+  }
+
   test("l2Normalize: unit vectors out, zero vector quarantined as null") {
     import spark.implicits._
     import graft.llm.Similarity
@@ -711,13 +740,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mail a.b%c+d@sub.example.org here",
       "host 10.0.255.7 up",
       "ring +1 (415) 555-0199 or +4915123456789 now",
-      "nothing sensitive in this line at all")
+      "nothing sensitive in this line at all",
+      "order 1234567890123456 shipped", // 16 digits: not a phone (E.164 max 15)
+      "phone 5551234567.")
       .toDF("t").select(TextAnalysis.scrubPii(col("t")).as("s"))
       .collect().map(_.getString(0))
     assert(rows(0) == "mail <EMAIL> here")
     assert(rows(1) == "host <IP> up")
     assert(rows(2) == "ring <PHONE> or <PHONE> now")
     assert(rows(3) == "nothing sensitive in this line at all")
+    // digit-bounded: a >15-digit run survives whole, never piecewise
+    assert(rows(4) == "order 1234567890123456 shipped")
+    assert(rows(5) == "phone <PHONE>.")
   }
 
   test("repetition signals: hand-computed fractions on a known doc") {
