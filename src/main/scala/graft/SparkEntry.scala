@@ -598,6 +598,57 @@ object SparkEntry {
           get_json_object(col("data"), "$.value").cast("double").as("value"))
     }),
 
+    // ---- C4 over the REAL MySQL wire: the binlog fixture served by a
+    //      loopback MySqlWireServer (handshake v10 + COM_REGISTER_SLAVE
+    //      + COM_BINLOG_DUMP + packet envelope), fetched by
+    //      BinlogClient, decoded by the same bit-level decoder — the
+    //      result must equal the fixture path's (q_cdc_binlog). Served
+    //      positions are shifted +10 (log_pos must exceed the dump
+    //      position 0; TABLE_MAP rides at 5) and un-shifted after
+    //      decode. ----
+    "q_cdc_binlog_wire" -> ((s, dir) => {
+      import graft.cdc.{BinlogClient, MySqlWireServer}
+      val pairs = ChangeLogFixture.binlogLog(
+          t(s, dir, "events").where(col("event_id") < 2000))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+      val served = pairs.map { case (l, m) =>
+        // TABLE_MAP (type 19 at header offset 4) rides at pos 5; row
+        // events shift by +10 so even event_id 0 clears the dump floor
+        if ((m(4) & 0xff) == 19) (5L, m) else (l + 10L, m) }
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        try MySqlWireServer.serve(server.accept(), Seq(served))
+        catch { case _: Exception => () }
+      })
+      th.setDaemon(true); th.start()
+      val client = new BinlogClient("127.0.0.1", server.getLocalPort, 0L)
+      val got = try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var quiet = 0
+        while (quiet < 3 && System.nanoTime() < deadline) {
+          val b = client.poll()
+          if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
+        }
+        buf.toSeq
+      } finally { client.close(); server.close() }
+      import s.implicits._
+      // one partition: a binlog session is a single ordered stream, and
+      // the decoder needs the TABLE_MAP before its rows
+      val decoded = Binlog.decode(got.toDF("lsn", "msg").coalesce(1),
+        "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.where(col("pos") > 5L).select(
+        col("kind"), col("table"), (col("pos") - 10L).as("pos"),
+        timestamp_seconds(col("ts_sec")).as("ts"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 2).cast("long").as("user_id"),
+        element_at(img, 3).as("event_type"),
+        element_at(img, 4).cast("double").as("value"))
+    }),
+
     // ---- event-time tumbling-window rates (streaming operator, batch
     //      semantics oracled; StreamingSpec drives the streaming path) ----
     "q_windowed_rates" -> ((s, dir) =>
@@ -742,6 +793,57 @@ object SparkEntry {
         summary = Map("olake_2pc" -> """{"stream":"nation"}"""))
       IcebergMetadata.readMoR(s, ice)
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
+    }),
+
+    // ---- K6 2PC commit analog, gate-backed: two CDC batches publish
+    // Iceberg snapshots whose summaries carry the committed position
+    // state (stream, batchId, lsn, dedup_inserts — the reference's
+    // MetadataState). The table dir is DETERMINISTIC so the DuckDB
+    // oracle reads the SAME metadata.json with read_json: the gate
+    // passes only if the committed state is byte-parseable by a
+    // foreign engine AND each lsn equals the source-derived position
+    // (lsn_ok recomputed from `orders` on both sides). ----
+    "q_iceberg_2pc" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_2pc_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val table = s"$root/table"; val state = s"$root/state.json"
+      val ice = s"$root/ice"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as(SystemColumns.OlakeId),
+        col("o_orderkey"), col("o_custkey"),
+        lit("c").as("kind"), col("o_orderkey").as("lsn"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as(SystemColumns.CdcTimestamp))
+      graft.streaming.CdcStream.applyBatch(
+        o.where(col("o_orderkey") <= 4000), 1L, table, state, "orders",
+        icebergDir = Some(ice))
+      graft.streaming.CdcStream.applyBatch(
+        o.where(col("o_orderkey") > 4000 && col("o_orderkey") <= 8000),
+        2L, table, state, "orders", icebergDir = Some(ice))
+      val snaps = s.read.option("multiLine", "true")
+        .json(s"$ice/metadata/v2.metadata.json")
+        .select(explode(col("snapshots")).as("snap"))
+        .select(col("snap.summary.operation").as("operation"),
+          get_json_object(col("snap.summary.olake_2pc"), "$.stream")
+            .as("stream"),
+          get_json_object(col("snap.summary.olake_2pc"), "$.batchId")
+            .cast("long").as("batch_id"),
+          get_json_object(col("snap.summary.olake_2pc"), "$.lsn")
+            .cast("long").as("lsn"),
+          get_json_object(col("snap.summary.olake_2pc"), "$.dedup_inserts")
+            .cast("boolean").as("dedup_inserts"))
+      val bounds = t(s, dir, "orders")
+        .where(col("o_orderkey") <= 8000)
+        .groupBy((col("o_orderkey") > 4000).cast("int").cast("long") + 1L)
+        .agg(max(col("o_orderkey")).as("expect_lsn"))
+        .toDF("batch_id", "expect_lsn")
+      snaps.join(bounds, Seq("batch_id"))
+        .select(col("batch_id"), col("operation"), col("stream"),
+          col("lsn"), col("dedup_inserts"),
+          (col("lsn") === col("expect_lsn")).as("lsn_ok"))
     }),
 
     // ---- P5 record flatten: nested → JSON text, binary → string ----
@@ -1368,6 +1470,15 @@ object SparkEntry {
         |  CASE WHEN event_type='error' THEN NULL ELSE value END AS value
         |FROM events WHERE event_id < 2000 AND event_id > 50""".stripMargin,
 
+    // identical to q_cdc_binlog: the wire session must be lossless
+    "q_cdc_binlog_wire" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  'events' AS "table", event_id AS pos,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
     "q_cdc_mongo_wire" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
@@ -1463,6 +1574,27 @@ object SparkEntry {
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // the SAME committed metadata.json the Spark query wrote, parsed by
+    // a foreign engine, with the position re-derived from `orders`
+    "q_iceberg_2pc" ->
+      """WITH snaps AS (
+        |  SELECT unnest(snapshots) AS snap
+        |  FROM read_json('/tmp/graft_2pc_gate/ice/metadata/v2.metadata.json')),
+        |parsed AS (
+        |  SELECT snap.summary.operation AS operation,
+        |    json_extract_string(snap.summary.olake_2pc, '$.stream') AS stream,
+        |    CAST(json_extract(snap.summary.olake_2pc, '$.batchId') AS BIGINT) AS batch_id,
+        |    CAST(json_extract(snap.summary.olake_2pc, '$.lsn') AS BIGINT) AS lsn,
+        |    CAST(json_extract(snap.summary.olake_2pc, '$.dedup_inserts') AS BOOLEAN) AS dedup_inserts
+        |  FROM snaps),
+        |bounds AS (
+        |  SELECT CAST(o_orderkey > 4000 AS BIGINT) + 1 AS batch_id,
+        |    max(o_orderkey) AS expect_lsn
+        |  FROM orders WHERE o_orderkey <= 8000 GROUP BY 1)
+        |SELECT p.batch_id, p.operation, p.stream, p.lsn, p.dedup_inserts,
+        |  p.lsn = b.expect_lsn AS lsn_ok
+        |FROM parsed p JOIN bounds b USING (batch_id)""".stripMargin,
 
     "q_flatten" ->
       """SELECT event_id,

@@ -1,0 +1,434 @@
+package graft.cdc
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** The MySQL client/server wire protocol (public docs: the
+  * 4-byte-packet envelope, Initial Handshake v10, HandshakeResponse41,
+  * mysql_native_password, COM_REGISTER_SLAVE, COM_BINLOG_DUMP) — the
+  * session layer that makes the binlog consumer a real replica
+  * conversation instead of a borrowed transport. A stock MySQL would
+  * accept this client's byte stream for the exchange it speaks:
+  *
+  *  1. server greets with Initial Handshake v10 (auth seed inside);
+  *     client answers HandshakeResponse41 (CLIENT_PROTOCOL_41 |
+  *     CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH, native-password
+  *     scramble of the seed); server replies OK;
+  *  2. COM_REGISTER_SLAVE announces the replica's server-id → OK (the
+  *     go-mysql syncer the reference configures does the same,
+  *     `pkg/binlog/binlog.go:31-66`);
+  *  3. COM_BINLOG_DUMP(pos, server-id, file) switches the link to a
+  *     one-way event stream: each packet is 0x00 OK byte + one binlog
+  *     v4 event (header ts|type|server-id|size|log_pos|flags), the
+  *     existing `Binlog` decoder's exact input. The stream position is
+  *     the header's log_pos — MySQL replication has no standby acks;
+  *     the position lives client-side (the streaming checkpoint).
+  *
+  * Every payload rides the MySQL packet envelope: 3-byte LE length +
+  * 1-byte sequence id; payloads of 0xFFFFFF continue in the next
+  * packet. Binlog checksums are NONE for this exchange (the loopback
+  * server does not append CRC32; a real deployment sets
+  * `@master_binlog_checksum='NONE'` first, as replica libraries do).
+  */
+object MySqlWire {
+
+  val ComRegisterSlave = 0x15
+  val ComBinlogDump = 0x12
+
+  val ClientLongFlag = 0x00000004
+  val ClientProtocol41 = 0x00000200
+  val ClientSecureConnection = 0x00008000
+  val ClientPluginAuth = 0x00080000
+  val ClientCapabilities: Int =
+    ClientLongFlag | ClientProtocol41 | ClientSecureConnection |
+      ClientPluginAuth
+
+  /** Wrap one payload into MySQL packets (3-byte LE len | seq | bytes),
+    * splitting at the 0xFFFFFF continuation boundary. */
+  def packets(firstSeq: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0; var seq = firstSeq
+    var emitted = false
+    while (!emitted || off < payload.length) {
+      val n = math.min(0xFFFFFF, payload.length - off)
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write((n >> 16) & 0xff); out.write(seq & 0xff)
+      out.write(payload, off, n)
+      off += n; seq += 1
+      emitted = n < 0xFFFFFF || off < payload.length
+      if (n == 0xFFFFFF && off == payload.length) {
+        // spec: a maximal packet is followed by an empty terminator
+        out.write(0); out.write(0); out.write(0); out.write(seq & 0xff)
+        seq += 1; emitted = true
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Read one logical payload (re-joining 0xFFFFFF continuations).
+    * Returns (lastSeq, payload). */
+  def readPacket(in: DataInputStream): (Int, Array[Byte]) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var seq = 0
+    var continues = true
+    while (continues) {
+      val h = new Array[Byte](4)
+      in.readFully(h)
+      val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+      seq = h(3) & 0xff
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      buf.write(body)
+      continues = len == 0xFFFFFF
+    }
+    (seq, buf.toByteArray)
+  }
+
+  /** mysql_native_password scramble:
+    * SHA1(pw) XOR SHA1(seed · SHA1(SHA1(pw))). Empty password → empty
+    * auth response, per the protocol. */
+  def nativePassword(password: String, seed: Array[Byte]): Array[Byte] =
+    if (password.isEmpty) Array.emptyByteArray
+    else {
+      val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+      val h1 = sha1.digest(password.getBytes(StandardCharsets.UTF_8))
+      sha1.reset(); val h2 = sha1.digest(h1)
+      sha1.reset(); sha1.update(seed); sha1.update(h2)
+      val h3 = sha1.digest()
+      h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+    }
+
+  case class Handshake(serverVersion: String, connectionId: Int,
+                       authSeed: Array[Byte], capabilities: Int,
+                       authPlugin: String)
+
+  /** Initial Handshake v10 payload (server → client). */
+  def handshakeV10(h: Handshake): Array[Byte] = {
+    val b = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(10.toByte)
+    b.put(h.serverVersion.getBytes(StandardCharsets.UTF_8)).put(0.toByte)
+    b.putInt(h.connectionId)
+    b.put(h.authSeed, 0, 8).put(0.toByte)          // auth-data part 1
+    b.putShort((h.capabilities & 0xFFFF).toShort)  // capabilities low
+    b.put(33.toByte)                               // charset utf8mb4
+    b.putShort(2.toShort)                          // status: autocommit
+    b.putShort(((h.capabilities >>> 16) & 0xFFFF).toShort)
+    b.put((h.authSeed.length + 1).toByte)
+    b.put(new Array[Byte](10))                     // reserved
+    // auth-data part 2: the rest, NUL-terminated, min 13 bytes
+    val part2 = h.authSeed.drop(8)
+    b.put(part2).put(new Array[Byte](math.max(0, 12 - part2.length)))
+    b.put(0.toByte)
+    b.put(h.authPlugin.getBytes(StandardCharsets.UTF_8)).put(0.toByte)
+    b.flip(); val out = new Array[Byte](b.remaining()); b.get(out); out
+  }
+
+  def parseHandshakeV10(p: Array[Byte]): Handshake = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 10, "only protocol v10 handshakes supported")
+    val ver = readNulString(b)
+    val connId = b.getInt
+    val seed1 = new Array[Byte](8); b.get(seed1); b.get() // filler
+    val capLow = b.getShort & 0xFFFF
+    b.get()                 // charset
+    b.getShort()            // status
+    val capHigh = b.getShort & 0xFFFF
+    val caps = capLow | (capHigh << 16)
+    val authLen = b.get() & 0xff
+    b.position(b.position() + 10)
+    val seed2Len = math.max(12, authLen - 9)
+    val seed2 = new Array[Byte](seed2Len); b.get(seed2); b.get() // NUL
+    val plugin = if ((caps & ClientPluginAuth) != 0) readNulString(b) else ""
+    Handshake(ver, connId, (seed1 ++ seed2).take(20), caps, plugin)
+  }
+
+  /** HandshakeResponse41 payload (client → server). */
+  def handshakeResponse41(user: String, authResponse: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(256 + authResponse.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(ClientCapabilities)
+    b.putInt(1 << 24)       // max packet size
+    b.put(33.toByte)        // charset utf8mb4
+    b.put(new Array[Byte](23))
+    b.put(user.getBytes(StandardCharsets.UTF_8)).put(0.toByte)
+    b.put(authResponse.length.toByte).put(authResponse)
+    b.put("mysql_native_password".getBytes(StandardCharsets.UTF_8))
+      .put(0.toByte)
+    b.flip(); val out = new Array[Byte](b.remaining()); b.get(out); out
+  }
+
+  case class HandshakeResponse(user: String, authResponse: Array[Byte],
+                               capabilities: Int, authPlugin: String)
+
+  def parseHandshakeResponse41(p: Array[Byte]): HandshakeResponse = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val caps = b.getInt
+    b.getInt; b.get()       // max packet, charset
+    b.position(b.position() + 23)
+    val user = readNulString(b)
+    val n = b.get() & 0xff
+    val auth = new Array[Byte](n); b.get(auth)
+    val plugin =
+      if ((caps & ClientPluginAuth) != 0 && b.hasRemaining) readNulString(b)
+      else ""
+    HandshakeResponse(user, auth, caps, plugin)
+  }
+
+  /** OK_Packet payload: 0x00 | affected (lenenc) | insert-id (lenenc) |
+    * status int16 | warnings int16. */
+  def okPacket(): Array[Byte] =
+    Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00)
+
+  /** ERR_Packet payload: 0xFF | code int16 | '#' + sqlstate(5) | msg. */
+  def errPacket(code: Int, msg: String): Array[Byte] = {
+    val m = msg.getBytes(StandardCharsets.UTF_8)
+    val b = ByteBuffer.allocate(9 + m.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0xFF.toByte).putShort(code.toShort)
+    b.put('#'.toByte).put("HY000".getBytes(StandardCharsets.US_ASCII))
+    b.put(m)
+    b.array()
+  }
+
+  def errMessage(p: Array[Byte]): String = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    b.get(); val code = b.getShort & 0xFFFF
+    if (b.hasRemaining && p(3) == '#') b.position(b.position() + 6)
+    val rest = new Array[Byte](b.remaining()); b.get(rest)
+    s"[$code] ${new String(rest, StandardCharsets.UTF_8)}"
+  }
+
+  /** COM_BINLOG_DUMP payload: 0x12 | pos int32 | flags int16 |
+    * server-id int32 | filename (EOF string). */
+  def comBinlogDump(pos: Long, serverId: Int, file: String,
+                    flags: Int = 0): Array[Byte] = {
+    val f = file.getBytes(StandardCharsets.UTF_8)
+    val b = ByteBuffer.allocate(11 + f.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(ComBinlogDump.toByte).putInt(pos.toInt).putShort(flags.toShort)
+      .putInt(serverId).put(f)
+    b.array()
+  }
+
+  case class DumpRequest(pos: Long, serverId: Int, file: String)
+
+  def parseComBinlogDump(p: Array[Byte]): DumpRequest = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    require((b.get() & 0xff) == ComBinlogDump, "not COM_BINLOG_DUMP")
+    val pos = b.getInt.toLong & 0xFFFFFFFFL
+    b.getShort()
+    val sid = b.getInt
+    val f = new Array[Byte](b.remaining()); b.get(f)
+    DumpRequest(pos, sid, new String(f, StandardCharsets.UTF_8))
+  }
+
+  /** COM_REGISTER_SLAVE payload: 0x15 | server-id int32 | host/user/pw
+    * (1-byte-len strings, empty) | port int16 | rank int32 |
+    * master-id int32. */
+  def comRegisterSlave(serverId: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(ComRegisterSlave.toByte).putInt(serverId)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // host, user, password
+    b.putShort(0).putInt(0).putInt(0)
+    b.array()
+  }
+
+  /** Binlog event header's log_pos (LE int32 at offset 13). */
+  def eventLogPos(event: Array[Byte]): Long =
+    if (event.length < 19) 0L
+    else ((event(13) & 0xffL)) | ((event(14) & 0xffL) << 8) |
+      ((event(15) & 0xffL) << 16) | ((event(16) & 0xffL) << 24)
+
+  /** Stamp log_pos into an event header (the server owns positions). */
+  def stampLogPos(event: Array[Byte], pos: Long): Array[Byte] = {
+    val e = event.clone()
+    e(13) = (pos & 0xff).toByte; e(14) = ((pos >> 8) & 0xff).toByte
+    e(15) = ((pos >> 16) & 0xff).toByte; e(16) = ((pos >> 24) & 0xff).toByte
+    e
+  }
+
+  private def readNulString(b: ByteBuffer): String = {
+    val s = new StringBuilder
+    var c = b.get()
+    while (c != 0) { s.append(c.toChar); c = b.get() }
+    s.toString()
+  }
+}
+
+/** Binlog replica client over the real MySQL protocol: handshake →
+  * COM_REGISTER_SLAVE → COM_BINLOG_DUMP → event stream. Delivers
+  * (log_pos, event-bytes) frames — the exact (lsn, msg) shape
+  * `Binlog.decode` consumes — and tracks the highest delivered
+  * position. MySQL replication has no server-side acks: `ack` is a
+  * client-side no-op and the position IS the streaming checkpoint,
+  * which is where the reference keeps it too
+  * (`pkg/binlog/binlog.go:110-112` tracks `CurrentPos` from
+  * `ev.Header.LogPos`). */
+class BinlogClient(host: String, port: Int, startPos: Long,
+                   binlogFile: String = "binlog.000001",
+                   serverId: Int = 1001,
+                   user: String = "graft", password: String = "",
+                   connectTimeoutMs: Int = 5000) extends FrameStreamClient {
+  import MySqlWire._
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  sock.setTcpNoDelay(true)
+  private val pin = new java.io.PushbackInputStream(sock.getInputStream, 1)
+  private val in = new DataInputStream(pin)
+  private val out = new DataOutputStream(sock.getOutputStream)
+
+  /** Highest binlog position delivered (the CurrentPos analog). */
+  @volatile var clientXLogPos: Long = startPos
+  @volatile var sessionClosed: Boolean = false
+  /** Current binlog file — updated by Rotate events (type 4). */
+  @volatile var currentFile: String = binlogFile
+
+  locally {
+    sock.setSoTimeout(connectTimeoutMs)
+    // 1. greeting → HandshakeResponse41 (seq continues) → OK
+    val (seq0, greeting) = readPacket(in)
+    val hs = parseHandshakeV10(greeting)
+    val auth = nativePassword(password, hs.authSeed)
+    out.write(packets(seq0 + 1, handshakeResponse41(user, auth)))
+    out.flush()
+    expectOk("auth")
+    // 2. register as a replica, 3. start the dump (fresh sequence per
+    // command, per the protocol)
+    out.write(packets(0, comRegisterSlave(serverId))); out.flush()
+    expectOk("COM_REGISTER_SLAVE")
+    out.write(packets(0, comBinlogDump(startPos, serverId, binlogFile)))
+    out.flush()
+  }
+
+  private def expectOk(what: String): Unit = {
+    val (_, p) = readPacket(in)
+    if (p.nonEmpty && (p(0) & 0xff) == 0xFF)
+      throw new java.io.IOException(s"$what failed: ${errMessage(p)}")
+    require(p.nonEmpty && p(0) == 0x00, s"$what: expected OK packet")
+  }
+
+  /** Drain pushed event packets — same framing discipline as
+    * `ReplicationClient.poll`: the idle probe only ever consumes (and
+    * pushes back) ONE byte between packets; inside a packet, reads
+    * block with a generous timeout and a mid-packet stall kills the
+    * session rather than desyncing the envelope. */
+  override def poll(maxFrames: Int, idleMillis: Int,
+                    frameTimeoutMs: Int): Seq[(Long, Array[Byte])] = {
+    val outBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    val idleDeadline = System.nanoTime() + idleMillis * 1000000L
+    try {
+      while (outBuf.length < maxFrames && !sessionClosed) {
+        if (in.available() < 4) {
+          sock.setSoTimeout(2)
+          try {
+            val b = pin.read()
+            if (b == -1) { sessionClosed = true; return outBuf.toSeq }
+            pin.unread(b)
+          } catch { case _: SocketTimeoutException => () }
+          if (System.nanoTime() > idleDeadline) return outBuf.toSeq
+        } else {
+          sock.setSoTimeout(frameTimeoutMs)
+          val (_, p) = readPacket(in)
+          (p.headOption.map(_ & 0xff): @unchecked) match {
+            case Some(0x00) =>
+              val event = p.drop(1)
+              val evType = if (event.length >= 5) event(4) & 0xff else -1
+              val pos = eventLogPos(event)
+              if (evType == 4 && event.length > 27) {
+                // Rotate: 8-byte position + next file name
+                currentFile = new String(event, 27, event.length - 27,
+                  StandardCharsets.UTF_8)
+              } else if (pos > 0) {
+                if (pos > clientXLogPos) clientXLogPos = pos
+                outBuf += ((pos, event))
+              }
+            case Some(0xFE) => sessionClosed = true // EOF: dump finished
+            case Some(0xFF) => sessionClosed = true // ERR ends the stream
+            case _          => ()
+          }
+        }
+      }
+      outBuf.toSeq
+    } catch {
+      case _: SocketTimeoutException => sessionClosed = true; outBuf.toSeq
+      case _: EOFException           => sessionClosed = true; outBuf.toSeq
+      case _: java.net.SocketException => sessionClosed = true; outBuf.toSeq
+    }
+  }
+
+  /** MySQL has no standby acks — the position is client-side state. */
+  override def ack(lsn: Long): Unit = ()
+
+  override def close(): Unit = {
+    try sock.close() catch { case _: Exception => () }
+  }
+}
+
+/** Server side of the same exchange — loopback binlog servers for
+  * tests/gates, and anything re-serving a captured event stream.
+  * Serves events ABOVE the requested dump position (a replica resumes
+  * from its saved position), stamping each event header's log_pos with
+  * its stream position, exactly what a real server does. */
+object MySqlWireServer {
+  import MySqlWire._
+
+  /** Serve one client connection. `tranches` are (pos, event-bytes)
+    * groups separated by `trancheDelayMs` (to span micro-batches);
+    * `onDump` observes the client's requested resume position. */
+  def serve(sock: Socket, tranches: Seq[Seq[(Long, Array[Byte])]],
+            trancheDelayMs: Long = 0,
+            password: String = "",
+            onDump: DumpRequest => Unit = _ => (),
+            closeAfterSend: Boolean = false): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val seed = Array.tabulate[Byte](20)(i => (i + 1).toByte)
+    out.write(packets(0, handshakeV10(Handshake("8.0.0-graft", 7, seed,
+      ClientCapabilities, "mysql_native_password"))))
+    out.flush()
+    val (seq1, respP) = readPacket(in)
+    val resp = parseHandshakeResponse41(respP)
+    val expect = nativePassword(password, seed)
+    if (!java.util.Arrays.equals(resp.authResponse, expect)) {
+      out.write(packets(seq1 + 1, errPacket(1045,
+        s"Access denied for user '${resp.user}'")))
+      out.flush(); sock.close(); return
+    }
+    out.write(packets(seq1 + 1, okPacket())); out.flush()
+
+    var dump: Option[DumpRequest] = None
+    while (dump.isEmpty) {
+      val (seq, cmd) = readPacket(in)
+      (cmd.headOption.map(_ & 0xff): @unchecked) match {
+        case Some(ComRegisterSlave) =>
+          out.write(packets(seq + 1, okPacket())); out.flush()
+        case Some(ComBinlogDump) =>
+          dump = Some(parseComBinlogDump(cmd))
+        case other =>
+          out.write(packets(seq + 1,
+            errPacket(1047, s"unsupported command $other")))
+          out.flush()
+      }
+    }
+    val req = dump.get
+    onDump(req)
+    var seq = 1
+    tranches.zipWithIndex.foreach { case (tranche, i) =>
+      if (i > 0 && trancheDelayMs > 0) Thread.sleep(trancheDelayMs)
+      tranche.foreach { case (pos, ev) =>
+        if (pos > req.pos) {
+          out.write(packets(seq, 0x00.toByte +: stampLogPos(ev, pos)))
+          seq += 1
+        }
+      }
+      out.flush()
+    }
+    if (closeAfterSend) sock.close()
+    else {
+      // keep the stream open like a live server; exit when the client
+      // hangs up (read returns -1 / throws)
+      try while (in.read() != -1) () catch { case _: Exception => () }
+    }
+  }
+}

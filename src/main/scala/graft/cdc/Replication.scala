@@ -44,8 +44,11 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
                         database: String = "postgres",
                         slot: String = "graft_slot",
                         publication: String = "graft_pub")
-    extends AutoCloseable {
+    extends FrameStreamClient {
   import ReplicationWire._
+
+  /** The slot ack — everything at or below `lsn` is committed. */
+  override def ack(lsn: Long): Unit = standbyStatusUpdate(lsn)
 
   private val sock = new Socket()
   sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
@@ -159,8 +162,8 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
     * frame, reads block with a generous `frameTimeoutMs` — a timeout
     * mid-frame would silently drop consumed bytes and desync the
     * stream, so it is treated as a dead session, never retried. */
-  def poll(maxFrames: Int = 4096, idleMillis: Int = 200,
-           frameTimeoutMs: Int = 10000): Seq[(Long, Array[Byte])] = {
+  override def poll(maxFrames: Int, idleMillis: Int,
+                    frameTimeoutMs: Int): Seq[(Long, Array[Byte])] = {
     val outBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
     val idleDeadline = System.nanoTime() + idleMillis * 1000000L
     try {
@@ -213,6 +216,19 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
   override def close(): Unit = {
     try sock.close() catch { case _: Exception => () }
   }
+}
+
+/** What a change-stream socket client owes its DSv2 source: a frame
+  * drain, a liveness flag, the delivered position, and a commit ack —
+  * implemented by `ReplicationClient` (PG logical replication, acks =
+  * StandbyStatusUpdate) and `BinlogClient` (MySQL binlog dump, acks
+  * are client-side no-ops because the protocol has none). */
+trait FrameStreamClient extends AutoCloseable {
+  def poll(maxFrames: Int = 4096, idleMillis: Int = 200,
+           frameTimeoutMs: Int = 10000): Seq[(Long, Array[Byte])]
+  def sessionClosed: Boolean
+  def clientXLogPos: Long
+  def ack(lsn: Long): Unit
 }
 
 /** Wire-level encoding of the PostgreSQL v3 messages both sides speak —

@@ -402,7 +402,15 @@ object IcebergMetadata {
       if (base.exists) entriesFor(spark, base.getPath, seq = 1L) else Nil
 
     val segs = DeltaSegments.listSegments(tablePath)
-    val derived = new File(tableDir, "data"); derived.mkdirs()
+    // derived files are IMMUTABLE, as the Iceberg spec assumes: each
+    // publish writes under its own snapshot-id directory, so the files
+    // an EARLIER snapshot's manifests reference are never overwritten —
+    // time travel to any snapshot in the carried-forward history stays
+    // valid, and a reader concurrent with a re-publish never sees its
+    // files vanish. Old snapshots are expired explicitly
+    // (`expireSnapshots`), never silently orphaned.
+    val derived = new File(new File(tableDir, "data"), snapshotId.toString)
+    derived.mkdirs()
     val segEntries = segs.zipWithIndex.flatMap { case (seg, k) =>
       val seq = k + 2L
       val segDf = spark.read.parquet(seg.getPath)
@@ -412,16 +420,59 @@ object IcebergMetadata {
       projected(segDf.where(col(SystemColumns.OpType) =!=
           SystemColumns.OpDelete))
         .write.mode("overwrite").parquet(dataDir.getPath)
+      // intra-batch duplicates (several occurrences of one key in ONE
+      // segment) become a POSITIONAL-delete file, exactly the
+      // reference Arrow writer's n−1 logic (arrow-writer/writer.go:
+      // 174-195): every occurrence lands in the data file; all but the
+      // last-written per key are marked dead by (file_path, pos). The
+      // positions come from the parquet files just written
+      // (`_metadata.file_path`/`row_index`), so the delete file names
+      // real row coordinates, per the spec's position-delete schema.
+      val written = spark.read.parquet(dataDir.getPath).select(
+        col(keyCol),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol))
+        .orderBy(col("file_path").desc, col("pos").desc)
+      // a key whose LAST in-batch occurrence (tombstones included, in
+      // segment write order) is a delete leaves NO live row: equality
+      // deletes never apply at their own sequence, so its data rows
+      // must die positionally — all n of them, not n−1
+      val lastOp = spark.read.parquet(seg.getPath).select(
+          col(keyCol), col(SystemColumns.OpType).as("__op"),
+          struct(col("_metadata.file_path"),
+            col("_metadata.row_index")).as("__ord"))
+        .groupBy(col(keyCol))
+        .agg(max_by(col("__op"), col("__ord")).as("__last_op"))
+      val deadKeys = lastOp
+        .where(col("__last_op") === SystemColumns.OpDelete)
+        .select(col(keyCol))
+      val losers = written
+        .withColumn("_rn", row_number().over(wOrd))
+        .where(col("_rn") > 1)
+        .select(col("file_path"), col("pos"))
+        .unionByName(written.join(deadKeys, Seq(keyCol), "left_semi")
+          .select(col("file_path"), col("pos")))
+        .distinct()
+      val posEntries =
+        if (losers.isEmpty) Nil
+        else {
+          val posDir = new File(derived, s"${seg.getName}-posdeletes")
+          losers.orderBy("file_path", "pos") // spec: sorted by position
+            .write.mode("overwrite").parquet(posDir.getPath)
+          entriesFor(spark, posDir.getPath, seq, content = 1)
+        }
       val delDir = new File(derived, s"${seg.getName}-deletes")
       segDf.select(col(keyCol)).distinct()
         .write.mode("overwrite").parquet(delDir.getPath)
-      entriesFor(spark, dataDir.getPath, seq) ++
+      entriesFor(spark, dataDir.getPath, seq) ++ posEntries ++
         entriesFor(spark, delDir.getPath, seq, content = 2,
           equalityIds = eqIds)
     }
 
     val dataEntries = baseEntries ++ segEntries.filter(_.content == 0)
-    val deleteEntries = segEntries.filter(_.content == 2)
+    val deleteEntries = segEntries.filter(_.content != 0) // pos + equality
     require(dataEntries.nonEmpty || deleteEntries.nonEmpty,
       s"nothing to publish under $tablePath")
     val seqMax = (dataEntries ++ deleteEntries).map(_.seq).max
@@ -442,29 +493,122 @@ object IcebergMetadata {
   }
 
   /** Merge-on-read READ from the manifests alone — the v2 algebra an
-    * Iceberg engine runs: a data row survives iff no equality delete on
-    * its key has a STRICTLY greater sequence number (a delete never
-    * applies to files of its own sequence, so the upsert's paired data
-    * row lives). Plan: per-sequence scans unioned with a literal seq
-    * column; the delete side collapses to max(seq) per key and joins
-    * in (small side → AQE broadcasts it). */
+    * Iceberg engine runs, both delete flavors:
+    *
+    *  - POSITIONAL deletes (content 1) name exact (file_path, pos) row
+    *    coordinates — applied first via an anti-join against the data
+    *    rows' own `_metadata` coordinates (they kill the n−1 earlier
+    *    occurrences of an intra-batch dup);
+    *  - EQUALITY deletes (content 2): a surviving data row lives iff no
+    *    equality delete on its key has a STRICTLY greater sequence
+    *    number (a delete never applies to files of its own sequence, so
+    *    the upsert's paired data row lives).
+    *
+    * Plan: per-sequence scans unioned with a literal seq column; both
+    * delete sides are tiny → AQE broadcasts them; the data side is
+    * never shuffled. */
   def readMoR(spark: SparkSession, tableDir: String,
-              keyCol: String = graft.operators.SystemColumns.OlakeId)
+              keyCol: String = graft.operators.SystemColumns.OlakeId,
+              asOfSnapshotId: Option[Long] = None)
       : DataFrame = {
-    val (dataFiles, delFiles) = manifestEntries(tableDir)
-    def bySeq(files: Seq[(String, Long)], cols: Option[Seq[String]]) =
+    val (dataFiles, delFiles) = manifestEntries(tableDir, asOfSnapshotId)
+    val eqFiles = delFiles.collect { case (p, s, 2) => (p, s) }
+    val posFiles = delFiles.collect { case (p, s, 1) => (p, s) }
+    def bySeq(files: Seq[(String, Long)], cols: Option[Seq[String]],
+              withPos: Boolean = false) =
       files.groupBy(_._2).toSeq.map { case (seq, fs) =>
-        val df = spark.read.parquet(fs.map(_._1): _*)
-        cols.fold(df)(cs => df.select(cs.map(col): _*))
-          .withColumn("__seq", lit(seq))
+        val raw = spark.read.parquet(fs.map(_._1): _*)
+        val df =
+          if (withPos) raw.select(col("*"),
+            col("_metadata.file_path").as("__fp"),
+            col("_metadata.row_index").as("__pos"))
+          else cols.fold(raw)(cs => raw.select(cs.map(col): _*))
+        df.withColumn("__seq", lit(seq))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val data = bySeq(dataFiles, None)
-    if (delFiles.isEmpty) return data.drop("__seq")
-    val dels = bySeq(delFiles, Some(Seq(keyCol)))
+    val data0 = bySeq(dataFiles, None, withPos = posFiles.nonEmpty)
+    val data =
+      if (posFiles.isEmpty) data0
+      else {
+        val pd = spark.read.parquet(posFiles.map(_._1): _*)
+          .select(col("file_path").as("__fp"), col("pos").as("__pos"))
+        data0.join(pd, Seq("__fp", "__pos"), "left_anti")
+          .drop("__fp", "__pos")
+      }
+    if (eqFiles.isEmpty) return data.drop("__seq")
+    val dels = bySeq(eqFiles, Some(Seq(keyCol)))
       .groupBy(keyCol).agg(max(col("__seq")).as("__del_seq"))
     data.join(dels, Seq(keyCol), "left")
       .where(col("__del_seq").isNull || col("__seq") >= col("__del_seq"))
       .drop("__seq", "__del_seq")
+  }
+
+  /** Expire old snapshots — the spec's expire-snapshots maintenance
+    * action. Keeps the most recent `keepLast` snapshots (the current
+    * one always survives), writes a new metadata version with the
+    * trimmed history, then deletes what only the expired snapshots
+    * referenced: their manifest lists, manifests no kept snapshot
+    * references, and the per-snapshot derived data directory
+    * (`data/<snapshot-id>`) `publishMoR` wrote for them. Base files
+    * published in place (outside `data/`) are shared across snapshots
+    * and never touched. Returns the number of snapshots expired. */
+  def expireSnapshots(tableDir: String, keepLast: Int = 1): Int = {
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val root = meta.deepCopy[ObjectNode]()
+    val snaps = root.withArray[ArrayNode]("snapshots").asScala.toSeq
+    if (snaps.length <= math.max(1, keepLast)) return 0
+    val currentId = root.get("current-snapshot-id").asLong
+    val cut = snaps.length - math.max(1, keepLast)
+    val (dropped0, kept0) = snaps.splitAt(cut)
+    val kept = kept0 ++
+      dropped0.filter(_.get("snapshot-id").asLong == currentId)
+    val dropped =
+      dropped0.filterNot(_.get("snapshot-id").asLong == currentId)
+    if (dropped.isEmpty) return 0
+    val keptIds = kept.map(_.get("snapshot-id").asLong).toSet
+    // manifests still reachable from any kept snapshot stay on disk
+    val keptManifests = kept.flatMap(s =>
+      readAvro(new File(s.get("manifest-list").asText))
+        .map(_.get("manifest_path").toString)).toSet
+
+    val newSnaps = mapper.createArrayNode()
+    kept.foreach(newSnaps.add(_): Unit)
+    root.set[ObjectNode]("snapshots", newSnaps)
+    val newLog = mapper.createArrayNode()
+    meta.withArray[ArrayNode]("snapshot-log").asScala
+      .filter(e => keptIds.contains(e.get("snapshot-id").asLong))
+      .foreach(newLog.add(_): Unit)
+    root.set[ObjectNode]("snapshot-log", newLog)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    val nv = version + 1
+    val target = new File(md, s"v$nv.metadata.json")
+    val tmp = new File(md, s".v$nv.metadata.json.tmp")
+    Files.writeString(tmp.toPath,
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    val hintTmp = new File(md, ".version-hint.tmp")
+    Files.writeString(hintTmp.toPath, nv.toString)
+    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+
+    // physical cleanup only AFTER the trimmed metadata is live
+    def rmTree(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    dropped.foreach { s =>
+      val listFile = new File(s.get("manifest-list").asText)
+      if (listFile.exists)
+        readAvro(listFile).map(_.get("manifest_path").toString)
+          .filterNot(keptManifests.contains)
+          .foreach(p => new File(p).delete(): Unit)
+      listFile.delete()
+      val derived = new File(new File(tableDir, "data"),
+        s.get("snapshot-id").asLong.toString)
+      if (derived.isDirectory) rmTree(derived)
+    }
+    dropped.length
   }
 
   /** The 2PC state stored in the current snapshot's summary — the
@@ -497,13 +641,20 @@ object IcebergMetadata {
 
   /** Live (path, sequence) entries of the current snapshot, split into
     * (data files, equality-delete files). */
-  def manifestEntries(tableDir: String)
-      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+  /** Live (path, sequence) data entries and (path, sequence, content)
+    * delete entries — content 1 = positional, 2 = equality — of a
+    * snapshot (current unless `asOfSnapshotId` time-travels). */
+  def manifestEntries(tableDir: String,
+                      asOfSnapshotId: Option[Long] = None)
+      : (Seq[(String, Long)], Seq[(String, Long, Int)]) = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val snapId = meta.get("current-snapshot-id").asLong
+    val snapId = asOfSnapshotId.getOrElse(
+      meta.get("current-snapshot-id").asLong)
     val snap = meta.withArray[ArrayNode]("snapshots").asScala
-      .find(_.get("snapshot-id").asLong == snapId).get
+      .find(_.get("snapshot-id").asLong == snapId).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $snapId not in table history at $tableDir"))
     val listFile = new File(snap.get("manifest-list").asText)
     val all = readAvro(listFile).flatMap { mf =>
       readAvro(new File(mf.get("manifest_path").toString)).collect {
@@ -515,7 +666,7 @@ object IcebergMetadata {
       }
     }
     (all.collect { case (p, s, 0) => (p, s) },
-     all.collect { case (p, s, c) if c != 0 => (p, s) })
+     all.collect { case (p, s, c) if c != 0 => (p, s, c) })
   }
 
   /** Walk version-hint → metadata.json → manifest list → manifests and

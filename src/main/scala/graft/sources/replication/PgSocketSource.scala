@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.cdc.ReplicationClient
+import graft.cdc.{BinlogClient, FrameStreamClient, ReplicationClient}
 import graft.sources.changelog.LsnOffset
 
 /** `graft-pgoutput-socket`: a MicroBatchStream fed by a live
@@ -72,15 +72,14 @@ case class ReplicationOptions(user: String = "graft",
                               slot: String = "graft_slot",
                               publication: String = "graft_pub")
 
-/** Same transport, MySQL binlog payloads: CopyData frames carry binlog
-  * v4 events (`pos` in walStart), the session cache replays TABLE_MAP
+/** Same micro-batch machinery, REAL MySQL wire protocol: the session
+  * is `BinlogClient`'s handshake → COM_REGISTER_SLAVE →
+  * COM_BINLOG_DUMP exchange, frames are binlog v4 events positioned by
+  * their header's log_pos, and the session cache replays TABLE_MAP
   * events (the reference's `pkg/binlog/binlog.go:31-160` connection
-  * keeps table maps for the stream's lifetime). The loopback transport
-  * borrows the PG replication envelope — a real MySQL server speaks its
-  * own handshake/COM_BINLOG_DUMP, which is the documented boundary
-  * here. MySQL replication has no standby acks — the position lives
-  * client-side, which is exactly the streaming checkpoint; the
-  * transport's ack frames are simply ignored by a binlog server. */
+  * keeps table maps for the stream's lifetime). MySQL replication has
+  * no standby acks — the position lives client-side, which is exactly
+  * the streaming checkpoint; `commit` is a local ack no-op. */
 class BinlogSocketSource extends PgSocketSource {
   override def shortName(): String = "graft-binlog-socket"
   override protected def protocol: String = "binlog"
@@ -117,7 +116,7 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
                      opts: ReplicationOptions = ReplicationOptions())
     extends MicroBatchStream {
 
-  private var client: ReplicationClient = _
+  private var client: FrameStreamClient = _
   // uncommitted frames only; trimmed on commit (bounded by one batch).
   // Keyed by walStart: WAL positions are unique per message (each
   // record occupies distinct WAL bytes) — a server violating that
@@ -140,16 +139,22 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
   private var resumed = startLsn
   private var recoveredAny = false
 
-  private def ensureClient(fromLsn: Long): ReplicationClient = synchronized {
-    if (client == null) client = new ReplicationClient(host, port, fromLsn,
-      user = opts.user, database = opts.database, slot = opts.slot,
-      publication = opts.publication)
+  private def ensureClient(fromLsn: Long): FrameStreamClient = synchronized {
+    if (client == null) client = protocol match {
+      // the real MySQL conversation: handshake → COM_REGISTER_SLAVE →
+      // COM_BINLOG_DUMP; positions are client-side (no acks)
+      case "binlog" => new BinlogClient(host, port, fromLsn,
+        user = opts.user)
+      case _ => new ReplicationClient(host, port, fromLsn,
+        user = opts.user, database = opts.database, slot = opts.slot,
+        publication = opts.publication)
+    }
     client
   }
 
   /** Reconnect-if-dead + drain the socket into the frame buffer.
     * Caller holds the lock. */
-  private def drainSocket(): ReplicationClient = {
+  private def drainSocket(): FrameStreamClient = {
     if (client != null && client.sessionClosed) { client.close(); client = null }
     val c = ensureClient(resumed)
     c.poll().foreach { case (lsn, data) =>
@@ -242,7 +247,7 @@ class PgSocketStream(host: String, port: Int, startLsn: Long,
     * and the server may recycle WAL below this position. */
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[LsnOffset].lsn
-    if (client != null) client.standbyStatusUpdate(e)
+    if (client != null) client.ack(e)
     val done = buffer.keys.takeWhile(_ <= e).toSeq
     done.foreach(buffer.remove)
     resumed = math.max(resumed, e)

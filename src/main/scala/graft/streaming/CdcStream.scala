@@ -127,10 +127,11 @@ object CdcStream {
       DeltaSegments.writeSegment(deduped, tablePath, batchId)
     deduped.unpersist()
 
-    StateStore.save(statePath, st.copy(streams = st.streams.updated(stream,
-      StateStore.closeDedupWindow(ss.copy(
-        offsets = ss.offsets + ("batchId" -> batchId) ++
-          Option(maxLsn).map(l => "lsn" -> l.toString.toLong))))))
+    val committed = StateStore.closeDedupWindow(ss.copy(
+      offsets = ss.offsets + ("batchId" -> batchId) ++
+        Option(maxLsn).map(l => "lsn" -> l.toString.toLong)))
+    StateStore.save(statePath,
+      st.copy(streams = st.streams.updated(stream, committed)))
     // compaction AFTER the commit: it is a pure layout optimization —
     // a crash anywhere inside it loses no data (recoverSwap + the
     // idempotence of re-folding segments)
@@ -142,9 +143,13 @@ object CdcStream {
     // Publish cost is O(current delta set), bounded by the compaction
     // policy, not O(base).
     icebergDir.foreach { dir =>
-      val stateJson = Option(maxLsn)
-        .map(l => s"""{"stream":"$stream","batchId":$batchId,"lsn":$l}""")
-        .getOrElse(s"""{"stream":"$stream","batchId":$batchId}""")
+      // the summary mirrors the committed StreamState — position plus
+      // the insert-dedup-window flag, like the reference's
+      // MetadataState JSON {id, state, dedup_inserts}
+      // (types/metadata_state.go:9-16) riding the table metadata
+      val lsnPart = Option(maxLsn).map(l => s""","lsn":$l""").getOrElse("")
+      val stateJson = s"""{"stream":"$stream","batchId":$batchId$lsnPart""" +
+        s""","dedup_inserts":${committed.dedupInserts}}"""
       graft.sinks.IcebergMetadata.publishMoR(spark, dir, tablePath,
         summary = Map("olake_2pc" -> stateJson))
     }

@@ -210,6 +210,97 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("""{"stream":"t","lsn":77}"""))
   }
 
+  test("intra-batch dupes publish as positional deletes: n-1 occurrences die, the last written survives") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_morpos").toString
+    val ice = Files.createTempDirectory("graft_morposice").toString
+    spark.range(5).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    // a segment that was NOT pre-deduped: key "1" occurs three times
+    // (v=101,102,103 in write order), key "2" twice (201 then a delete)
+    import spark.implicits._
+    val seg = Seq(
+      ("1", 101L, "u", 1L), ("1", 102L, "u", 2L), ("1", 103L, "u", 3L),
+      ("2", 201L, "u", 4L), ("2", -1L, "d", 5L),
+      ("7", 700L, "c", 6L))
+      .toDF(OlakeId, "v", OpType, "ord")
+      .withColumn(CdcTimestamp, current_timestamp())
+      .coalesce(1).sortWithinPartitions("ord").drop("ord")
+    DeltaSegments.writeSegment(seg, table, 1L)
+    val c = IcebergMetadata.publishMoR(spark, ice, table)
+
+    // the delete manifest carries BOTH flavors: content=1 positional
+    // (file_path/pos coordinates) and content=2 equality entries
+    val (_, delFiles) = IcebergMetadata.manifestEntries(ice)
+    assert(delFiles.exists(_._3 == 1), "positional-delete entry missing")
+    assert(delFiles.exists(_._3 == 2), "equality-delete entry missing")
+    val posRows = spark.read.parquet(
+        delFiles.collect { case (p, _, 1) => p }: _*)
+      .collect()
+    // n−1 logic for "1" (2 earlier occurrences) + "2"'s lone data row
+    // (its last in-batch occurrence is the tombstone) = 3
+    assert(posRows.length == 3)
+    assert(posRows.forall(r => r.schema.fieldNames.toSeq ==
+      Seq("file_path", "pos")))
+
+    // replay: "1" keeps its LAST occurrence, "2" died to the in-batch
+    // delete, "7" inserted, base keys 0,3,4 untouched
+    val got = IcebergMetadata.readMoR(spark, ice)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq("0" -> 0L, "1" -> 103L, "3" -> 3L, "4" -> 4L,
+      "7" -> 700L))
+  }
+
+  test("re-publish never clobbers earlier snapshots: files immutable, time travel works, expire cleans up") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_morimm").toString
+    val ice = Files.createTempDirectory("graft_morimmice").toString
+    spark.range(10).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    def change(ids: Range, op: String, vOff: Long = 0) =
+      spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as(OlakeId), (col("id") + vOff).as("v"),
+        lit(op).as(OpType), current_timestamp().as(CdcTimestamp),
+        col("id").as("lsn"))
+    DeltaSegments.writeSegment(change(0 until 2, "u", vOff = 100), table, 1L)
+    val c1 = IcebergMetadata.publishMoR(spark, ice, table)
+    val snap1Files = IcebergMetadata.dataFilePaths(ice)
+    val view1 = IcebergMetadata.readMoR(spark, ice)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+
+    // second publish with one more segment: snapshot 1's files survive
+    DeltaSegments.writeSegment(change(5 until 6, "d"), table, 2L)
+    val c2 = IcebergMetadata.publishMoR(spark, ice, table)
+    assert(c2.snapshotId != c1.snapshotId)
+    snap1Files.foreach(p =>
+      assert(new File(p).exists, s"snapshot-1 file vanished: $p"))
+    // time travel: the FIRST snapshot replays identically post-re-publish
+    val travel = IcebergMetadata
+      .readMoR(spark, ice, asOfSnapshotId = Some(c1.snapshotId))
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(travel == view1)
+    // and the current snapshot sees the delete
+    assert(IcebergMetadata.readMoR(spark, ice).count() == 9)
+
+    // expire: snapshot 1 leaves the history, its derived dir is removed,
+    // the current snapshot stays fully readable
+    assert(IcebergMetadata.expireSnapshots(ice, keepLast = 1) == 1)
+    assert(!new File(new File(ice, "data"), c1.snapshotId.toString).exists)
+    assert(new File(new File(ice, "data"), c2.snapshotId.toString).exists)
+    assert(IcebergMetadata.readMoR(spark, ice).count() == 9)
+    intercept[IllegalArgumentException] {
+      IcebergMetadata.readMoR(spark, ice,
+        asOfSnapshotId = Some(c1.snapshotId)).count()
+    }
+  }
+
   test("CdcStream.applyBatch publishes an Iceberg snapshot per batch when configured") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, CdcTimestamp}

@@ -267,7 +267,72 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
-  test("graft-binlog-socket: binlog events over the same transport, TABLE_MAP replayed across batches") {
+  /** One-connection loopback MySQL binlog server speaking the REAL
+    * protocol: handshake v10 + native-password auth, COM_REGISTER_SLAVE,
+    * COM_BINLOG_DUMP, then event packets (log_pos stamped server-side). */
+  private class MySqlLoopback(tranches: Seq[Seq[(Long, Array[Byte])]],
+                              trancheDelayMs: Long = 0,
+                              password: String = "",
+                              closeAfterSend: Boolean = false) {
+    import graft.cdc.{MySqlWire, MySqlWireServer}
+    val server = new ServerSocket(0)
+    val port: Int = server.getLocalPort
+    @volatile var dumpRequest: Option[MySqlWire.DumpRequest] = None
+    val thread = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          MySqlWireServer.serve(sock, tranches, trancheDelayMs, password,
+            onDump = r => dumpRequest = Some(r),
+            closeAfterSend = closeAfterSend)
+        }
+      } catch { case _: Exception => () }
+    })
+    thread.setDaemon(true); thread.start()
+    def close(): Unit = server.close()
+  }
+
+  test("BinlogClient: real handshake/auth/dump exchange — events above the resume position, rotate tracked") {
+    import graft.cdc.{Binlog, BinlogClient}
+    val colTypes = Array(8, 15); val colMeta = Array(0, 255)
+    def write(pos: Long, i: Int): (Long, Array[Byte]) =
+      (pos, Binlog.encodeWrite(99L, colTypes, colMeta, 1000L + i,
+        Seq(Seq(i.toString, s"r$i"))))
+    val events = Seq(
+      (10L, Binlog.encodeTableMap(99L, "db", "t", colTypes, colMeta,
+        Seq("id", "name"))),
+      write(20L, 1), write(30L, 2), write(40L, 3))
+    val srv = new MySqlLoopback(Seq(events), password = "s3cret")
+    try {
+      val c = new BinlogClient("127.0.0.1", srv.port, startPos = 20L,
+        serverId = 4242, password = "s3cret")
+      try {
+        val frames = c.poll(idleMillis = 2000)
+        // the server saw the resume request verbatim
+        assert(srv.dumpRequest.map(_.pos).contains(20L))
+        assert(srv.dumpRequest.map(_.serverId).contains(4242))
+        assert(srv.dumpRequest.map(_.file).contains("binlog.000001"))
+        // only events ABOVE the dump position were served; log_pos rode
+        // the event headers (the client derived lsn from them)
+        assert(frames.map(_._1) == Seq(30L, 40L))
+        assert(c.clientXLogPos == 40L)
+        assert(!c.sessionClosed)
+      } finally c.close()
+    } finally srv.close()
+  }
+
+  test("BinlogClient: wrong password is refused with the server's ERR packet") {
+    import graft.cdc.BinlogClient
+    val srv = new MySqlLoopback(Seq(Seq.empty), password = "right")
+    try {
+      val e = intercept[java.io.IOException] {
+        new BinlogClient("127.0.0.1", srv.port, 0L, password = "wrong")
+      }
+      assert(e.getMessage.contains("Access denied"))
+    } finally srv.close()
+  }
+
+  test("graft-binlog-socket: REAL MySQL wire session, TABLE_MAP replayed across batches") {
     import graft.cdc.Binlog
     val colTypes = Array(8, 15) // LONGLONG, VARCHAR
     val colMeta = Array(0, 255)
@@ -279,7 +344,7 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t1 = Seq((10L, Binlog.encodeTableMap(99L, "db", "t", colTypes,
       colMeta, names)), write(20L, 1), write(30L, 2))
     val t2 = Seq(write(40L, 3), write(50L, 4))
-    val srv = new LoopbackServer(Seq(t1, t2), trancheDelayMs = 2000)
+    val srv = new MySqlLoopback(Seq(t1, t2), trancheDelayMs = 2000)
     try {
       val raw = spark.readStream.format("graft-binlog-socket")
         .option("host", "127.0.0.1").option("port", srv.port)
