@@ -43,7 +43,8 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
                         user: String = "graft",
                         database: String = "postgres",
                         slot: String = "graft_slot",
-                        publication: String = "graft_pub")
+                        publication: String = "graft_pub",
+                        password: String = "")
     extends FrameStreamClient {
   import ReplicationWire._
 
@@ -96,14 +97,42 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
     // 1. startup + auth (trust): consume status noise until ReadyForQuery
     send(startupMessage(Seq(
       "user" -> user, "database" -> database, "replication" -> "database")))
+    // trust (code 0) or SASL SCRAM-SHA-256 (codes 10/11/12, RFC 7677 —
+    // the exchange PG runs for password auth); the SASL sub-messages
+    // arrive through the same 'R' stream as plain auth
+    var scram: Scram.ClientSession = null
     var t = ' '
     while (t != 'Z') {
       val (tpe, body) = readTagged()
       tpe match {
         case 'R' =>
-          val code = body.getInt
-          if (code != 0) throw new java.io.IOException(
-            s"unsupported auth method $code (trust only)")
+          body.getInt match {
+            case 0 => () // AuthenticationOk
+            case 10 => // AuthenticationSASL: mechanism list, NUL-separated
+              val rest = new Array[Byte](body.remaining()); body.get(rest)
+              val mechs = new String(rest, "UTF-8").split('\u0000')
+                .filter(_.nonEmpty).toSeq
+              if (!mechs.contains(Scram.Mechanism))
+                throw new java.io.IOException(
+                  s"server offers no ${Scram.Mechanism} (got $mechs)")
+              scram = new Scram.ClientSession(password)
+              val first = scram.clientFirstMessage
+                .getBytes("UTF-8")
+              val bb = java.nio.ByteBuffer.allocate(
+                Scram.Mechanism.length + 1 + 4 + first.length)
+              bb.put(Scram.Mechanism.getBytes("UTF-8")).put(0.toByte)
+                .putInt(first.length).put(first)
+              send(pgFrame('p', bb.array())) // SASLInitialResponse
+            case 11 => // AuthenticationSASLContinue: server-first
+              val rest = new Array[Byte](body.remaining()); body.get(rest)
+              send(pgFrame('p', scram
+                .clientFinal(new String(rest, "UTF-8")).getBytes("UTF-8")))
+            case 12 => // AuthenticationSASLFinal: verify the server too
+              val rest = new Array[Byte](body.remaining()); body.get(rest)
+              scram.verifyServerFinal(new String(rest, "UTF-8"))
+            case code => throw new java.io.IOException(
+              s"unsupported auth method $code (trust or SCRAM-SHA-256)")
+          }
         case 'E' => fail(tpe, body)
         case _   => () // ParameterStatus / BackendKeyData / notices
       }
@@ -336,10 +365,50 @@ object ReplicationWire {
                      systemId: String = "7000000000000000001",
                      timeline: Int = 1, xlogpos: Long = 0L,
                      dbname: String = "postgres",
-                     onStart: String => Unit = _ => ()): Long = {
+                     onStart: String => Unit = _ => (),
+                     password: Option[String] = None): Long = {
     val params = readStartup(in)
     require(params.get("replication").contains("database"),
       s"expected a replication session request, got $params")
+    // password set → the full SASL SCRAM-SHA-256 exchange (RFC 7677)
+    // with a REAL proof verification; otherwise trust (code 0)
+    password.foreach { pw =>
+      val mech = (Scram.Mechanism + "\u0000\u0000").getBytes("UTF-8")
+      val saslReq = java.nio.ByteBuffer.allocate(4 + mech.length)
+      saslReq.putInt(10).put(mech)
+      out.write(pgFrame('R', saslReq.array())); out.flush()
+      val (t1, b1) = readFrame(in)
+      require(t1 == 'p', s"expected SASLInitialResponse, got '$t1'")
+      val mechName = {
+        val sb = new StringBuilder
+        var c = b1.get()
+        while (c != 0) { sb.append(c.toChar); c = b1.get() }
+        sb.toString()
+      }
+      require(mechName == Scram.Mechanism, s"unsupported mechanism $mechName")
+      val n1 = b1.getInt
+      val cf = new Array[Byte](n1); b1.get(cf)
+      val session = new Scram.ServerSession(pw)
+      val sf = session.serverFirst(new String(cf, "UTF-8")).getBytes("UTF-8")
+      val cont = java.nio.ByteBuffer.allocate(4 + sf.length)
+      cont.putInt(11).put(sf)
+      out.write(pgFrame('R', cont.array())); out.flush()
+      val (t2, b2) = readFrame(in)
+      require(t2 == 'p', s"expected SASLResponse, got '$t2'")
+      val cfin = new Array[Byte](b2.remaining()); b2.get(cfin)
+      session.verifyClientFinal(new String(cfin, "UTF-8")) match {
+        case Left(reason) =>
+          val msg = ("SFATAL\u0000C28P01\u0000M" + reason + "\u0000\u0000")
+            .getBytes("UTF-8")
+          out.write(pgFrame('E', msg)); out.flush()
+          throw new IllegalArgumentException(reason)
+        case Right(serverFinal) =>
+          val fin = serverFinal.getBytes("UTF-8")
+          val fb = java.nio.ByteBuffer.allocate(4 + fin.length)
+          fb.putInt(12).put(fin)
+          out.write(pgFrame('R', fb.array())); out.flush()
+      }
+    }
     out.write(pgFrame('R', java.nio.ByteBuffer.allocate(4).putInt(0).array()))
     out.write(pgFrame('Z', Array('I'.toByte)))
     out.flush()

@@ -1,0 +1,138 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+
+/** SCRAM-SHA-256 (RFC 5802 / RFC 7677) — the password auth PostgreSQL
+  * runs inside AuthenticationSASL v3 messages, which is how the
+  * reference actually connects (pgconn's password path; the
+  * `ReplicationClient` trust path stays for passwordless loopbacks).
+  * Client and server halves share the same primitive math so the
+  * loopback server verifies real proofs, not a stub:
+  *
+  *   SaltedPassword = PBKDF2-HMAC-SHA256(password, salt, i)
+  *   ClientKey = HMAC(SaltedPassword, "Client Key"); StoredKey = H(ClientKey)
+  *   AuthMessage = client-first-bare , server-first , client-final-no-proof
+  *   ClientProof = ClientKey XOR HMAC(StoredKey, AuthMessage)
+  *   ServerSignature = HMAC(HMAC(SaltedPassword, "Server Key"), AuthMessage)
+  *
+  * Passwords are used verbatim (no SASLprep normalization — ASCII
+  * passwords, the common case, are unaffected).
+  */
+object Scram {
+
+  val Mechanism = "SCRAM-SHA-256"
+
+  def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(data)
+  }
+
+  def sha256(d: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(d)
+
+  def saltedPassword(password: String, salt: Array[Byte],
+                     iterations: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    a.indices.map(i => (a(i) ^ b(i)).toByte).toArray
+
+  private def attrs(msg: String): Map[Char, String] =
+    msg.split(",").collect {
+      case kv if kv.length >= 2 && kv(1) == '=' => kv(0) -> kv.drop(2)
+    }.toMap
+
+  def randomNonce(): String = {
+    val b = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(b)
+    Base64.getEncoder.encodeToString(b)
+  }
+
+  /** Client half: first message → final message → server verify. */
+  final class ClientSession(password: String,
+                            nonce: String = randomNonce()) {
+    private val clientFirstBare = s"n=,r=$nonce" // PG: user rides startup
+    private var salted: Array[Byte] = _
+    private var authMessage: String = _
+
+    def clientFirstMessage: String = s"n,,$clientFirstBare"
+
+    def clientFinal(serverFirst: String): String = {
+      val a = attrs(serverFirst)
+      val fullNonce = a('r')
+      require(fullNonce.startsWith(nonce),
+        "server nonce does not extend the client nonce")
+      val salt = Base64.getDecoder.decode(a('s'))
+      val iters = a('i').toInt
+      require(iters >= 1 && iters <= 1000000, s"bad iteration count $iters")
+      salted = saltedPassword(password, salt, iters)
+      val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8))
+      val storedKey = sha256(clientKey)
+      val withoutProof = s"c=biws,r=$fullNonce" // biws = base64("n,,")
+      authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+      val proof = xor(clientKey,
+        hmac(storedKey, authMessage.getBytes(StandardCharsets.UTF_8)))
+      s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}"
+    }
+
+    /** Mutual auth: the server proves it also holds the credentials. */
+    def verifyServerFinal(serverFinal: String): Unit = {
+      val v = attrs(serverFinal).getOrElse('v',
+        throw new java.io.IOException(s"no server signature: $serverFinal"))
+      val serverKey = hmac(salted, "Server Key".getBytes(StandardCharsets.UTF_8))
+      val expect = Base64.getEncoder.encodeToString(
+        hmac(serverKey, authMessage.getBytes(StandardCharsets.UTF_8)))
+      if (v != expect)
+        throw new java.io.IOException("server signature mismatch")
+    }
+  }
+
+  /** Server half — for loopback servers verifying real client proofs. */
+  final class ServerSession(password: String,
+                            iterations: Int = 4096) {
+    private val salt = { val b = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(b); b }
+    private val serverNonce = randomNonce()
+    private var clientFirstBare: String = _
+    private var serverFirstMsg: String = _
+    private var fullNonce: String = _
+
+    def serverFirst(clientFirstMessage: String): String = {
+      require(clientFirstMessage.startsWith("n,,"),
+        s"unsupported GS2 header in: $clientFirstMessage")
+      clientFirstBare = clientFirstMessage.drop(3)
+      fullNonce = attrs(clientFirstBare)('r') + serverNonce
+      serverFirstMsg = s"r=$fullNonce," +
+        s"s=${Base64.getEncoder.encodeToString(salt)},i=$iterations"
+      serverFirstMsg
+    }
+
+    /** Verify the proof; Right(server-final) on success. */
+    def verifyClientFinal(clientFinal: String): Either[String, String] = {
+      val a = attrs(clientFinal)
+      if (!a.get('r').contains(fullNonce)) return Left("nonce mismatch")
+      val withoutProof = clientFinal.take(clientFinal.lastIndexOf(",p="))
+      val authMessage = s"$clientFirstBare,$serverFirstMsg,$withoutProof"
+      val salted = saltedPassword(password, salt, iterations)
+      val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8))
+      val storedKey = sha256(clientKey)
+      val expected = xor(clientKey,
+        hmac(storedKey, authMessage.getBytes(StandardCharsets.UTF_8)))
+      val got = Base64.getDecoder.decode(a.getOrElse('p', return Left("no proof")))
+      if (!MessageDigest.isEqual(expected, got))
+        Left("password authentication failed")
+      else {
+        val serverKey = hmac(salted, "Server Key".getBytes(StandardCharsets.UTF_8))
+        Right("v=" + Base64.getEncoder.encodeToString(
+          hmac(serverKey, authMessage.getBytes(StandardCharsets.UTF_8))))
+      }
+    }
+  }
+}

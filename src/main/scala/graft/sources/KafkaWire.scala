@@ -1,0 +1,421 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** The Kafka wire protocol (public spec) at classic, non-flexible
+  * versions — the broker conversation that turns the bounded-offset
+  * read (S15/C7) into real frames instead of a keyed-frame simulation.
+  * The exchange mirrors the reference's reader
+  * (`pkg/kafka/reader.go:102-148`): ApiVersions → Metadata (partition
+  * discovery) → OffsetFetch (the consumer group's committed offsets) →
+  * ListOffsets (earliest + the END-OFFSET SNAPSHOT that bounds the
+  * batch) → per-partition Fetch loop up to exactly that snapshot.
+  *
+  * Framing: every request is int32 size | int16 api_key | int16
+  * api_version | int32 correlation_id | client_id (nullable string) |
+  * body; every response is int32 size | int32 correlation_id | body.
+  * Versions used (all classic encoding, no tagged fields):
+  * ApiVersions v0 (key 18), Metadata v0 (key 3), ListOffsets v1
+  * (key 2), OffsetFetch v1 (key 9), Fetch v2 (key 1) with message
+  * format v1 (magic 1: crc | magic | attributes | timestamp | key |
+  * value) — CRC32 checked on read.
+  */
+object KafkaWire {
+
+  val ApiFetch = 1
+  val ApiListOffsets = 2
+  val ApiMetadata = 3
+  val ApiOffsetFetch = 9
+  val ApiVersions = 18
+
+  val EarliestTs: Long = -2L
+  val LatestTs: Long = -1L
+
+  // ---- primitive encoding ------------------------------------------------
+
+  def putString(b: ByteBuffer, s: String): Unit = {
+    val a = s.getBytes(StandardCharsets.UTF_8)
+    b.putShort(a.length.toShort); b.put(a): Unit
+  }
+
+  def putNullableString(b: ByteBuffer, s: Option[String]): Unit = s match {
+    case None => b.putShort(-1): Unit
+    case Some(v) => putString(b, v)
+  }
+
+  def getString(b: ByteBuffer): String = {
+    val n = b.getShort.toInt
+    require(n >= 0, "unexpected null string")
+    val a = new Array[Byte](n); b.get(a)
+    new String(a, StandardCharsets.UTF_8)
+  }
+
+  def getNullableString(b: ByteBuffer): Option[String] = {
+    val n = b.getShort.toInt
+    if (n < 0) None
+    else { val a = new Array[Byte](n); b.get(a)
+      Some(new String(a, StandardCharsets.UTF_8)) }
+  }
+
+  def putBytes(b: ByteBuffer, a: Array[Byte]): Unit =
+    if (a == null) b.putInt(-1): Unit
+    else { b.putInt(a.length); b.put(a): Unit }
+
+  def getBytes(b: ByteBuffer): Array[Byte] = {
+    val n = b.getInt
+    if (n < 0) null
+    else { val a = new Array[Byte](n); b.get(a); a }
+  }
+
+  def requestFrame(apiKey: Int, apiVersion: Int, correlationId: Int,
+                   clientId: String, body: Array[Byte]): Array[Byte] = {
+    val cid = clientId.getBytes(StandardCharsets.UTF_8)
+    val len = 2 + 2 + 4 + 2 + cid.length + body.length
+    val b = ByteBuffer.allocate(4 + len)
+    b.putInt(len).putShort(apiKey.toShort).putShort(apiVersion.toShort)
+      .putInt(correlationId).putShort(cid.length.toShort).put(cid).put(body)
+    b.array()
+  }
+
+  def responseFrame(correlationId: Int, body: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + body.length)
+    b.putInt(4 + body.length).putInt(correlationId).put(body)
+    b.array()
+  }
+
+  def readFrame(in: DataInputStream): ByteBuffer = {
+    val len = in.readInt()
+    require(len >= 0 && len <= (1 << 26), s"bad frame length $len")
+    val a = new Array[Byte](len)
+    in.readFully(a)
+    ByteBuffer.wrap(a)
+  }
+
+  // ---- message set (format v1, magic 1) ----------------------------------
+
+  /** One v1 message: crc int32 | magic 1 | attributes 0 | timestamp
+    * int64 | key bytes | value bytes — CRC32 over magic..value. */
+  def messageV1(timestamp: Long, key: Array[Byte],
+                value: Array[Byte]): Array[Byte] = {
+    val payloadLen = 1 + 1 + 8 + 4 + (if (key == null) 0 else key.length) +
+      4 + (if (value == null) 0 else value.length)
+    val p = ByteBuffer.allocate(payloadLen)
+    p.put(1.toByte).put(0.toByte).putLong(timestamp)
+    putBytes(p, key); putBytes(p, value)
+    val crc = new java.util.zip.CRC32()
+    crc.update(p.array(), 0, p.position())
+    val out = ByteBuffer.allocate(4 + p.position())
+    out.putInt(crc.getValue.toInt).put(p.array(), 0, p.position())
+    out.array()
+  }
+
+  /** MessageSet: concatenated [offset int64 | size int32 | message]. */
+  def messageSet(entries: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val size = entries.map(12 + _._2.length).sum
+    val b = ByteBuffer.allocate(size)
+    entries.foreach { case (off, m) => b.putLong(off).putInt(m.length).put(m) }
+    b.array()
+  }
+
+  case class FetchedRecord(offset: Long, timestamp: Long,
+                           key: Array[Byte], value: Array[Byte])
+
+  /** Parse a MessageSet, verifying each CRC. A trailing partial message
+    * (the protocol allows truncation at maxBytes) is dropped. */
+  def parseMessageSet(a: Array[Byte]): Seq[FetchedRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FetchedRecord]
+    val b = ByteBuffer.wrap(a)
+    while (b.remaining() >= 12) {
+      val off = b.getLong
+      val size = b.getInt
+      if (b.remaining() < size) { b.position(b.limit()) } // truncated tail
+      else {
+        val m = ByteBuffer.wrap(a, b.position(), size)
+        b.position(b.position() + size)
+        val crcVal = m.getInt
+        val crc = new java.util.zip.CRC32()
+        crc.update(a, m.position(), size - 4)
+        require(crc.getValue.toInt == crcVal, s"bad message CRC at $off")
+        val magic = m.get()
+        require(magic == 1, s"unsupported message magic $magic")
+        m.get() // attributes (no compression here)
+        val ts = m.getLong
+        val key = getBytes(m)
+        val value = getBytes(m)
+        out += FetchedRecord(off, ts, key, value)
+      }
+    }
+    out.toSeq
+  }
+}
+
+/** Bounded consumer over the real wire: the reference's partition loop
+  * (`PartitionsForStream` + per-partition reader) — committed offsets
+  * from the group, end offsets snapshotted ONCE, each partition fetched
+  * from max(committed, earliest) up to exactly the snapshot. */
+class KafkaBoundedClient(host: String, port: Int, topic: String,
+                         group: String = "graft",
+                         clientId: String = "graft-reader",
+                         connectTimeoutMs: Int = 5000) extends AutoCloseable {
+  import KafkaWire._
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  sock.setTcpNoDelay(true)
+  sock.setSoTimeout(30000)
+  private val in = new DataInputStream(sock.getInputStream)
+  private val out = new DataOutputStream(sock.getOutputStream)
+  private var correlation = 0
+
+  private def call(apiKey: Int, apiVersion: Int,
+                   body: Array[Byte]): ByteBuffer = {
+    correlation += 1
+    out.write(requestFrame(apiKey, apiVersion, correlation, clientId, body))
+    out.flush()
+    val resp = readFrame(in)
+    val corr = resp.getInt
+    require(corr == correlation,
+      s"response correlation $corr, expected $correlation")
+    resp
+  }
+
+  /** ApiVersions v0 → supported (apiKey → maxVersion). */
+  def apiVersions(): Map[Int, Int] = {
+    val r = call(ApiVersions, 0, Array.emptyByteArray)
+    val err = r.getShort
+    require(err == 0, s"ApiVersions error $err")
+    (0 until r.getInt).map { _ =>
+      val k = r.getShort.toInt; r.getShort; val mx = r.getShort.toInt
+      k -> mx
+    }.toMap
+  }
+
+  /** Metadata v0 → partition ids of `topic`. */
+  def partitions(): Seq[Int] = {
+    val body = ByteBuffer.allocate(6 + topic.length * 4)
+    body.putInt(1); putString(body, topic)
+    val r = call(ApiMetadata, 0, java.util.Arrays.copyOf(body.array(),
+      body.position()))
+    (0 until r.getInt).foreach { _ => r.getInt; getString(r); r.getInt } // brokers
+    val nTopics = r.getInt
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    val errT = r.getShort
+    require(errT == 0, s"Metadata topic error $errT")
+    val name = getString(r)
+    require(name == topic, s"metadata for wrong topic $name")
+    (0 until r.getInt).map { _ =>
+      val errP = r.getShort; require(errP == 0, s"partition error $errP")
+      val pid = r.getInt
+      r.getInt                              // leader
+      (0 until r.getInt).foreach(_ => r.getInt) // replicas
+      (0 until r.getInt).foreach(_ => r.getInt) // isr
+      pid
+    }
+  }
+
+  /** OffsetFetch v1 → the group's committed offset per partition (-1 =
+    * nothing committed). */
+  def committedOffsets(parts: Seq[Int]): Map[Int, Long] = {
+    val body = ByteBuffer.allocate(64 + topic.length + parts.length * 4)
+    putString(body, group)
+    body.putInt(1); putString(body, topic)
+    body.putInt(parts.length); parts.foreach(body.putInt)
+    val r = call(ApiOffsetFetch, 1, java.util.Arrays.copyOf(body.array(),
+      body.position()))
+    val nTopics = r.getInt
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    getString(r)
+    (0 until r.getInt).map { _ =>
+      val pid = r.getInt; val off = r.getLong
+      getNullableString(r)                  // metadata
+      val err = r.getShort; require(err == 0, s"OffsetFetch error $err")
+      pid -> off
+    }.toMap
+  }
+
+  /** ListOffsets v1 at `timestamp` (-1 latest / -2 earliest). */
+  def listOffsets(parts: Seq[Int], timestamp: Long): Map[Int, Long] = {
+    val body = ByteBuffer.allocate(64 + topic.length + parts.length * 12)
+    body.putInt(-1)                         // replica_id: consumer
+    body.putInt(1); putString(body, topic)
+    body.putInt(parts.length)
+    parts.foreach { p => body.putInt(p); body.putLong(timestamp) }
+    val r = call(ApiListOffsets, 1, java.util.Arrays.copyOf(body.array(),
+      body.position()))
+    val nTopics = r.getInt
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    getString(r)
+    (0 until r.getInt).map { _ =>
+      val pid = r.getInt
+      val err = r.getShort; require(err == 0, s"ListOffsets error $err")
+      r.getLong                             // timestamp
+      pid -> r.getLong
+    }.toMap
+  }
+
+  /** Fetch v2 from `offset` — one round trip, up to `maxBytes`. */
+  def fetch(partition: Int, offset: Long,
+            maxBytes: Int = 1 << 20): Seq[FetchedRecord] = {
+    val body = ByteBuffer.allocate(64 + topic.length)
+    body.putInt(-1).putInt(100).putInt(1)   // replica, max_wait, min_bytes
+    body.putInt(1); putString(body, topic)
+    body.putInt(1); body.putInt(partition).putLong(offset).putInt(maxBytes)
+    val r = call(ApiFetch, 2, java.util.Arrays.copyOf(body.array(),
+      body.position()))
+    r.getInt                                // throttle_time_ms
+    val nTopics = r.getInt
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    getString(r)
+    val nParts = r.getInt
+    require(nParts == 1, s"expected 1 partition, got $nParts")
+    r.getInt                                // partition id
+    val err = r.getShort; require(err == 0, s"Fetch error $err")
+    r.getLong                               // high watermark
+    val setSize = r.getInt
+    val set = new Array[Byte](setSize); r.get(set)
+    // the broker may return messages below the requested offset (batch
+    // alignment); the consumer discards them, per the protocol
+    parseMessageSet(set).filter(_.offset >= offset)
+  }
+
+  /** The reference's bounded read: every partition from its committed
+    * offset (earliest when none) to the END SNAPSHOT taken before any
+    * fetch — new records appended mid-read are NOT consumed. Returns
+    * (partition, offset, timestamp, value-bytes). */
+  def boundedConsume(): Seq[(Int, Long, Long, Array[Byte])] = {
+    val vs = apiVersions()
+    Seq(ApiFetch, ApiListOffsets, ApiMetadata, ApiOffsetFetch).foreach(k =>
+      require(vs.contains(k), s"broker does not support api $k"))
+    val parts = partitions()
+    val committed = committedOffsets(parts)
+    val earliest = listOffsets(parts, EarliestTs)
+    val end = listOffsets(parts, LatestTs)   // the bounding snapshot
+    val outBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Array[Byte])]
+    parts.sorted.foreach { p =>
+      var pos = math.max(committed.getOrElse(p, -1L), earliest(p))
+      val stop = end(p)
+      while (pos < stop) {
+        val recs = fetch(p, pos)
+        require(recs.nonEmpty, s"no progress at $topic/$p offset $pos")
+        recs.iterator.takeWhile(_.offset < stop).foreach { rec =>
+          outBuf += ((p, rec.offset, rec.timestamp, rec.value))
+        }
+        pos = math.max(pos + 1, recs.map(_.offset).max + 1)
+      }
+    }
+    outBuf.toSeq
+  }
+
+  override def close(): Unit = {
+    try sock.close() catch { case _: Exception => () }
+  }
+}
+
+/** Loopback broker for tests/gates: one node serving one topic from an
+  * in-memory log, with per-partition committed offsets for the group —
+  * enough broker surface for the reference's whole read path. */
+object KafkaWireServer {
+  import KafkaWire._
+
+  /** `log`: per partition, (timestamp, key, value) in offset order
+    * (offsets are the indices). `committed`: group offsets. */
+  def serve(sock: Socket, topic: String,
+            log: Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
+            committed: Map[Int, Long]): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val host = "127.0.0.1"
+    while (true) {
+      val req = readFrame(in)
+      val apiKey = req.getShort.toInt
+      val apiVersion = req.getShort.toInt
+      val corr = req.getInt
+      getNullableString(req) // client id
+      val body = ByteBuffer.allocate(1 << 22)
+      apiKey match {
+        case ApiVersions =>
+          body.putShort(0)
+          val apis = Seq(ApiFetch -> 2, ApiListOffsets -> 1,
+            ApiMetadata -> 0, ApiOffsetFetch -> 1, ApiVersions -> 0)
+          body.putInt(apis.length)
+          apis.foreach { case (k, mx) =>
+            body.putShort(k.toShort).putShort(0).putShort(mx.toShort)
+          }
+        case ApiMetadata =>
+          body.putInt(1)                     // brokers
+          body.putInt(0); putString(body, host)
+          body.putInt(sock.getLocalPort)
+          body.putInt(1)                     // topics
+          body.putShort(0); putString(body, topic)
+          val parts = log.keys.toSeq.sorted
+          body.putInt(parts.length)
+          parts.foreach { p =>
+            body.putShort(0); body.putInt(p); body.putInt(0)
+            body.putInt(1); body.putInt(0)   // replicas [0]
+            body.putInt(1); body.putInt(0)   // isr [0]
+          }
+        case ApiListOffsets =>
+          require(apiVersion == 1, s"ListOffsets v$apiVersion")
+          req.getInt                          // replica
+          val n = req.getInt; require(n == 1, "one topic per request")
+          getString(req)
+          val queries = (0 until req.getInt).map(_ => (req.getInt, req.getLong))
+          body.putInt(1); putString(body, topic)
+          body.putInt(queries.length)
+          queries.foreach { case (p, ts) =>
+            body.putInt(p).putShort(0).putLong(ts)
+            body.putLong(if (ts == EarliestTs) 0L
+              else log.getOrElse(p, IndexedSeq.empty).length.toLong)
+          }
+        case ApiOffsetFetch =>
+          getString(req)                      // group
+          val n = req.getInt; require(n == 1, "one topic per request")
+          getString(req)
+          val parts = (0 until req.getInt).map(_ => req.getInt)
+          body.putInt(1); putString(body, topic)
+          body.putInt(parts.length)
+          parts.foreach { p =>
+            body.putInt(p).putLong(committed.getOrElse(p, -1L))
+            putNullableString(body, None)
+            body.putShort(0)
+          }
+        case ApiFetch =>
+          require(apiVersion == 2, s"Fetch v$apiVersion")
+          req.getInt; req.getInt; req.getInt  // replica, max_wait, min_bytes
+          val n = req.getInt; require(n == 1, "one topic per request")
+          getString(req)
+          val np = req.getInt; require(np == 1, "one partition per request")
+          val p = req.getInt
+          val off = req.getLong
+          val maxBytes = req.getInt
+          val entries = log.getOrElse(p, IndexedSeq.empty)
+          val slice = entries.zipWithIndex
+            .drop(math.max(0L, off).toInt)
+            .map { case ((ts, k, v), i) => (i.toLong, messageV1(ts, k, v)) }
+          // honor maxBytes with at least one whole message (protocol:
+          // the first message may exceed maxBytes; consumers retry
+          // bigger — here we always ship at least one)
+          var size = 0
+          val bounded = slice.takeWhile { case (_, m) =>
+            size += 12 + m.length
+            size <= maxBytes || size == 12 + m.length
+          }
+          val set = messageSet(bounded)
+          body.putInt(0)                      // throttle
+          body.putInt(1); putString(body, topic)
+          body.putInt(1)
+          body.putInt(p).putShort(0).putLong(entries.length.toLong)
+          body.putInt(set.length); body.put(set)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported api $other")
+      }
+      out.write(responseFrame(corr,
+        java.util.Arrays.copyOf(body.array(), body.position())))
+      out.flush()
+    }
+  }
+}

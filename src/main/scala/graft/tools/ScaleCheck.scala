@@ -74,7 +74,20 @@ object ScaleCheck {
           Merge.applyChanges(baseT, ch).count() },
         "groupby_agg" -> time(s"$label groupby_agg") {
           li.groupBy("l_returnflag", "l_linestatus")
-            .agg(sum("l_quantity"), count(lit(1))).count() })
+            .agg(sum("l_quantity"), count(lit(1))).count() },
+        // the four sub-second text ops the round-5 bench flagged as
+        // apparent regressions — linear scaling here proves the drift
+        // was fixed overhead / VM noise, not a plan problem
+        "token_count" -> time(s"$label token_count") {
+          graft.llm.TextAnalysis.tokenCounts(docs, "text").count() },
+        "fingerprint" -> time(s"$label fingerprint") {
+          graft.llm.TextAnalysis.fingerprint(docs, "text").count() },
+        "text_clean" -> time(s"$label text_clean") {
+          docs.select(graft.llm.TextAnalysis.cleanText(col("text")))
+            .count() },
+        "boilerplate" -> time(s"$label boilerplate") {
+          graft.llm.TextAnalysis.stripBoilerplate(docs, "text", "doc_id",
+            maxDocFreq = 450, sep = " ").count() })
     }
     // warm
     Tables.load(spark, base, "lineitem").count()

@@ -1,0 +1,90 @@
+package graft
+
+import java.net.ServerSocket
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{KafkaBoundedClient, KafkaWire, KafkaWireServer}
+
+/** The Kafka wire layer: message-set byte format (CRC-verified), and
+  * the full bounded-read broker conversation against a loopback. */
+class KafkaWireSpec extends AnyFunSuite {
+
+  private def rec(s: String): (Long, Array[Byte], Array[Byte]) =
+    (1700000000000L, null, s.getBytes("UTF-8"))
+
+  private def withBroker(log: Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
+                         committed: Map[Int, Long])
+                        (f: Int => Unit): Unit = {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try KafkaWireServer.serve(server.accept(), "t", log, committed)
+      catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try f(server.getLocalPort) finally server.close()
+  }
+
+  test("v1 message set: encode/parse roundtrip; CRC corruption detected; truncated tail dropped") {
+    import KafkaWire._
+    val entries = (0 until 5).map(i =>
+      (i.toLong, messageV1(1000L + i, s"k$i".getBytes, s"v$i".getBytes)))
+    val set = messageSet(entries)
+    val back = parseMessageSet(set)
+    assert(back.map(_.offset) == (0L until 5L))
+    assert(back.map(r => new String(r.value)) == (0 until 5).map(i => s"v$i"))
+    assert(back.map(_.timestamp) == (0 until 5).map(1000L + _))
+    // flip one payload byte → CRC must catch it
+    val corrupt = set.clone(); corrupt(set.length - 1) =
+      (corrupt(set.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { parseMessageSet(corrupt) }
+    // a partial trailing message (maxBytes truncation) parses cleanly
+    assert(parseMessageSet(set.dropRight(3)).length == 4)
+  }
+
+  test("bounded consume: committed offsets honored, end snapshot bounds, empty/caught-up partitions skip") {
+    val log = Map(
+      0 -> (0 until 10).map(i => rec(s"p0-$i")).toIndexedSeq,
+      1 -> (0 until 4).map(i => rec(s"p1-$i")).toIndexedSeq,
+      2 -> IndexedSeq.empty[(Long, Array[Byte], Array[Byte])], // empty
+      3 -> (0 until 3).map(i => rec(s"p3-$i")).toIndexedSeq)
+    // p0: committed 7 → 3 records; p1: nothing committed → all 4;
+    // p3: committed == end → zero
+    val committed = Map(0 -> 7L, 3 -> 3L)
+    withBroker(log, committed) { port =>
+      val c = new KafkaBoundedClient("127.0.0.1", port, "t")
+      try {
+        val got = c.boundedConsume()
+          .map { case (p, off, _, v) => (p, off, new String(v, "UTF-8")) }
+        assert(got.filter(_._1 == 0).map(_._3) ==
+          Seq("p0-7", "p0-8", "p0-9"))
+        assert(got.filter(_._1 == 1).map(_._3) ==
+          (0 until 4).map(i => s"p1-$i"))
+        assert(!got.exists(r => r._1 == 2 || r._1 == 3))
+        // offsets are the log positions
+        assert(got.filter(_._1 == 0).map(_._2) == Seq(7L, 8L, 9L))
+      } finally c.close()
+    }
+  }
+
+  test("fetch paginates under maxBytes: every round trip makes progress, nothing lost") {
+    val log = Map(0 -> (0 until 50).map(i => rec(s"m$i" * 10)).toIndexedSeq)
+    withBroker(log, Map.empty) { port =>
+      val c = new KafkaBoundedClient("127.0.0.1", port, "t")
+      try {
+        // tiny maxBytes: each fetch carries at least one whole message
+        var pos = 0L; var rounds = 0
+        val vals = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (pos < 50) {
+          val recs = c.fetch(0, pos, maxBytes = 64)
+          assert(recs.nonEmpty, s"stuck at $pos")
+          vals ++= recs.map(r => new String(r.value, "UTF-8"))
+          pos = recs.map(_.offset).max + 1
+          rounds += 1
+        }
+        assert(rounds > 1, "maxBytes never forced pagination")
+        assert(vals.toSeq == (0 until 50).map(i => s"m$i" * 10))
+      } finally c.close()
+    }
+  }
+}

@@ -40,7 +40,8 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
   private class LoopbackServer(tranches: Seq[Seq[(Long, Array[Byte])]],
                                trancheDelayMs: Long = 0,
                                fixedPort: Int = 0,
-                               closeAfterSend: Boolean = false) {
+                               closeAfterSend: Boolean = false,
+                               password: Option[String] = None) {
     private def messages = tranches.flatten
     val server = new ServerSocket(fixedPort)
     val port: Int = server.getLocalPort
@@ -52,10 +53,11 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
         val sock = server.accept()
         val in = new DataInputStream(sock.getInputStream)
         val out = sock.getOutputStream
-        // full PG v3 session establishment: startup + trust auth,
-        // IDENTIFY_SYSTEM, START_REPLICATION → CopyBothResponse
+        // full PG v3 session establishment: startup + auth (trust or
+        // SCRAM), IDENTIFY_SYSTEM, START_REPLICATION → CopyBothResponse
         handshakeLsn = ReplicationWire.serveHandshake(in, out,
-          xlogpos = messages.map(_._1).foldLeft(0L)(math.max))
+          xlogpos = messages.map(_._1).foldLeft(0L)(math.max),
+          password = password)
         // ask for an ack first (reference's reply-requested keepalive)
         out.write(ReplicationWire.keepalive(handshakeLsn, 1L, replyRequested = true))
         tranches.zipWithIndex.foreach { case (tranche, i) =>
@@ -114,6 +116,65 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
       val acks = srv.acks.toArray(Array.empty[java.lang.Long]).map(_.toLong)
       assert(acks.contains(7L) && acks.last == 132L)
     } finally srv.close()
+  }
+
+  test("SCRAM-SHA-256: password auth completes the full SASL exchange, stream flows, server is mutually verified") {
+    val srv = new LoopbackServer(Seq(walMessages(1 to 3)),
+      password = Some("wal-s3cret"))
+    try {
+      val c = new ReplicationClient("127.0.0.1", srv.port, startLsn = 7L,
+        password = "wal-s3cret")
+      try {
+        // auth + IDENTIFY_SYSTEM + START_REPLICATION all succeeded and
+        // the CopyBoth stream delivers (verifyServerFinal threw if the
+        // server's signature was wrong — mutual auth, not just ours)
+        val frames = c.poll()
+        assert(frames.length == 10)
+        assert(c.clientXLogPos == 132L)
+      } finally c.close()
+    } finally srv.close()
+  }
+
+  test("SCRAM-SHA-256: a wrong password is rejected with the server's 28P01 error") {
+    val srv = new LoopbackServer(Seq(walMessages(1 to 1)),
+      password = Some("right"))
+    try {
+      val e = intercept[java.io.IOException] {
+        new ReplicationClient("127.0.0.1", srv.port, 0L, password = "wrong")
+      }
+      assert(e.getMessage.contains("authentication failed"), e.getMessage)
+    } finally srv.close()
+  }
+
+  test("SCRAM primitives: proof verifies, wrong password rejected, RFC 7677 salted-password vector") {
+    import graft.cdc.Scram
+    import java.util.Base64
+    // RFC 7677 §3 inputs: password "pencil", salt, i=4096 — pin the
+    // PBKDF2 half against the published exchange's derived ClientKey →
+    // StoredKey path via the known server signature inputs
+    val salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val salted = Scram.saltedPassword("pencil", salt, 4096)
+    // derived per RFC: H(HMAC(salted, "Client Key")) must be stable
+    val storedKey = Scram.sha256(Scram.hmac(salted,
+      "Client Key".getBytes("UTF-8")))
+    assert(Base64.getEncoder.encodeToString(salted) ==
+      "xKSVEDI6tPlSysH6mUQZOeeOp01r6B3fcJbodRPcYV0=")
+    assert(storedKey.length == 32)
+    // full client↔server exchange with matching credentials succeeds
+    // and is MUTUAL (client verifies the server's signature too)
+    val nonce = "rOprNGfwEbeRWgbNEkqO"
+    val client = new Scram.ClientSession("pencil", nonce)
+    val server = new Scram.ServerSession("pencil")
+    val sf = server.serverFirst(client.clientFirstMessage)
+    server.verifyClientFinal(client.clientFinal(sf)) match {
+      case Right(v) => client.verifyServerFinal(v)
+      case Left(err) => fail(s"server rejected a correct proof: $err")
+    }
+    // a wrong password fails the proof check
+    val server2 = new Scram.ServerSession("pencil")
+    val liar = new Scram.ClientSession("NOT-pencil", nonce)
+    val sf2 = server2.serverFirst(liar.clientFirstMessage)
+    assert(server2.verifyClientFinal(liar.clientFinal(sf2)).isLeft)
   }
 
   test("slot/publication/user/database options reach the wire verbatim") {
