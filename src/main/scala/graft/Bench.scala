@@ -42,6 +42,14 @@ import org.apache.spark.sql.SparkSession
   *    tempdir (metadata cost, not a query plan).
   *  - q_avro_registry_http: q_avro_registry plus loopback-HTTP schema
   *    fetches; the decode is already headlined via q_avro_registry.
+  *  - q_cdc_mongo_wire / q_cdc_binlog_wire / q_bounded_read_wire:
+  *    loopback WIRE-SESSION gates — they time a single-socket protocol
+  *    conversation (driver-side by nature), not a Spark plan; their
+  *    decode paths are already headlined via q_cdc_mongo /
+  *    q_cdc_binlog / q_bounded_read.
+  *  - q_iceberg_mor / q_iceberg_2pc / q_clear_resync: multi-commit
+  *    write-then-read-back roundtrips into tempdirs (sink/metadata
+  *    cost on tiny fixtures, not a query plan).
   */
 object Bench {
 

@@ -92,6 +92,27 @@ object SparkEntry {
     }),
 
     // ---- I1 max-cursor snapshot (dual cursor) ----
+    // ---- K8 clear destination, gate-backed: sync → clear (drops the
+    //      table AND the stream's state entry) → re-sync runs a fresh
+    //      full load. The result matches the source only if clear
+    //      removed both: a stale cursor would resync zero rows, stale
+    //      files would duplicate them. ----
+    "q_clear_resync" -> ((s, dir) => {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_clear").toString
+      val state = s"$dest/state.json"
+      val cfg = Protocol.StreamConfig("nation", syncMode = "incremental",
+        cursor = Some("n_nationkey"), primaryKeys = Seq("n_nationkey"))
+      Protocol.syncStream(s, dir, dest, cfg, state)
+      Protocol.clear(s, dest, state, Seq("nation"))
+      require(!new java.io.File(s"$dest/nation").exists,
+        "clear left the destination behind")
+      require(Protocol.syncStream(s, dir, dest, cfg, state) > 0,
+        "clear left the cursor behind — resync was empty")
+      s.read.parquet(s"$dest/nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     "q_cursor_snapshot" -> ((s, dir) => {
       val cur = Incremental.Cursor.parse("o_orderdate:o_orderkey")
       t(s, dir, "orders").agg(
@@ -1046,6 +1067,24 @@ object SparkEntry {
           " contact: bob.smith+x@example-mail.co.uk server 192.168.0.1" +
             " call +1 (415) 555-0199 done"))).as("scrubbed"))),
 
+    // ---- LLM: deterministic weighted MIXTURE sampling — the
+    //      data-mixing step composing a corpus from sources at
+    //      different rates; md5-bucket membership is reproducible on
+    //      any engine/layout (sample() is not). Per-row, no shuffle. ----
+    "q_sample_mix" -> ((s, dir) =>
+      graft.llm.Sampling.sampleMix(t(s, dir, "documents"),
+        "doc_id", "lang",
+        Seq("en" -> 0.5, "zh" -> 0.9, "de" -> 0.25), defaultRate = 0.75)
+        .select("doc_id", "lang", "source")),
+
+    // ---- LLM: token-budget sequence packing in deterministic shuffle
+    //      order — bucket-parallel running-total windows, no driver
+    //      loop, no global sort partition. ----
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.llm.Sampling.packSequences(t(s, dir, "documents"),
+        "doc_id", length(col("text")), budget = 4000L, buckets = 8)
+        .select("doc_id", "bucket", "pack_id")),
+
     // ---- LLM: Gopher-style repetition signals — duplicate-token,
     //      duplicate-n-gram, and top-n-gram-character fractions; one
     //      explode + combinable keyed aggs, thresholdable before any
@@ -1282,6 +1321,10 @@ object SparkEntry {
       """SELECT concat('{"n_nationkey":', n_nationkey, ',"n_name":"', n_name, '"}') AS data,
         |  cast(n_nationkey AS VARCHAR) AS _olake_id, 'r' AS _op_type
         |FROM nation""".stripMargin,
+
+    // after clear + full resync, the destination IS the source table
+    "q_clear_resync" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_cursor_snapshot" ->
       "SELECT max(o_orderdate) AS max_primary, max(o_orderkey) AS max_secondary FROM orders",
@@ -1780,6 +1823,25 @@ object SparkEntry {
         |  '\+?\d{1,3}[-. ]?\(\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{3,4}|([^0-9]|^)\+?\d{7,15}([^0-9]|$)', '\1<PHONE>\2', 'g')
         |  AS scrubbed
         |FROM documents""".stripMargin,
+
+    "q_sample_mix" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '${graft.llm.Sampling.rateThreshold(0.5)}'
+         |    WHEN 'zh' THEN '${graft.llm.Sampling.rateThreshold(0.9)}'
+         |    WHEN 'de' THEN '${graft.llm.Sampling.rateThreshold(0.25)}'
+         |    ELSE '${graft.llm.Sampling.rateThreshold(0.75)}' END""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH w AS (SELECT doc_id, doc_id % 8 AS bucket,
+        |  length(text) AS cost,
+        |  sum(length(text)) OVER (PARTITION BY doc_id % 8
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM documents)
+        |SELECT doc_id, bucket,
+        |  CAST(bucket * 1000000 + floor((cum - cost) / 4000.0) AS BIGINT) AS pack_id
+        |FROM w""".stripMargin,
 
     // top_gram_char_frac uses max(count × gram length) so gram ties
     // cannot change the value; gram generation mirrors Dedup.shingles.

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators for training-data pipelines: weighted
+  * mixture sampling, deterministic global shuffle order, and
+  * token-budget sequence packing. All three are pure Catalyst plans
+  * with engine-portable determinism (md5-bucket decisions, the
+  * `assignSplit` trick) — rerunning on different cluster sizes,
+  * partition layouts, or engines yields byte-identical membership,
+  * which `sample()`/`rand()` cannot promise.
+  */
+object Sampling {
+
+  /** Hex threshold for a keep-rate: a row survives iff the first 8 md5
+    * hex chars of its id compare BELOW this string. String comparison
+    * of fixed-width lowercase hex == numeric comparison, and every
+    * engine agrees on md5 hex. */
+  def rateThreshold(rate: Double): String =
+    f"${math.min(math.max((rate * 4294967296.0).toLong, 0L), 4294967295L)}%08x"
+
+  /** Deterministic weighted MIXTURE sampling — the data-mixing step
+    * that composes a training corpus from sources at different rates
+    * (e.g. wiki ×0.9, web ×0.3). Per-row work only: no shuffle, no
+    * state, reproducible membership on any engine or layout.
+    */
+  def sampleMix(df: DataFrame, idCol: String, groupCol: String,
+                rates: Seq[(String, Double)],
+                defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.where(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
+  }
+
+  /** Deterministic global shuffle key: ordering by it IS the training
+    * shuffle at 100 TB — one range-partitioned sort by a hash of the
+    * id, stable across engines and reruns (seed by salting the id
+    * upstream if epochs need distinct orders). */
+  def shuffleKey(idCol: Column): Column =
+    md5(idCol.cast("string"))
+
+  /** Token-budget SEQUENCE PACKING: assign documents to fixed-budget
+    * packs (context windows) in deterministic shuffle order. Documents
+    * are hashed into `buckets` independent streams; within a bucket,
+    * the running cost total assigns pack ids (`bucket * 1e6 + local`).
+    * Scale shape: `Window.partitionBy(bucket)` — `buckets` independent
+    * sorted streams, so parallelism is the bucket count (set it ≈
+    * cluster cores), never a single global sort partition; each pack
+    * is built greedily by running total within its stream, one window
+    * pass, no driver loop. A document whose cost straddles a boundary
+    * opens the next pack (contiguous greedy semantics — the standard
+    * sample-packing approximation, trading ≤ one document of slack per
+    * pack for a fully parallel plan).
+    */
+  def packSequences(df: DataFrame, idCol: String, costCol: Column,
+                    budget: Long, buckets: Int = 64): DataFrame = {
+    val bucket = pmod(col(idCol), lit(buckets.toLong))
+    val w = Window.partitionBy(bucket)
+      .orderBy(shuffleKey(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bucket", bucket)
+      .withColumn("__cost", costCol.cast("long"))
+      .withColumn("__cum", sum(col("__cost")).over(w))
+      .withColumn("pack_id",
+        (col("bucket") * 1000000L +
+          floor((col("__cum") - col("__cost")) / budget.toDouble))
+          .cast("long"))
+      .drop("__cost", "__cum")
+  }
+}

@@ -170,13 +170,19 @@ object ChunkPlanner {
     * server-side; on files the walk is DISTRIBUTED: the key set is
     * range-partitioned on the PK order (Spark samples the range bounds —
     * no global sort, no single-partition window), each partition walks
-    * its own sorted slice emitting every `chunkSize`-th tuple, and the
-    * driver merges the (already range-disjoint) boundary sets. Chunks
-    * are ≤ `chunkSize` rows except at partition seams, where a
-    * partition's sub-`chunkSize` tail merges into the next boundary
-    * (< 2 × `chunkSize` — the same slack the reference accepts from its
-    * sampled `$bucketAuto`/TABLESAMPLE planners). Boundary count stays
-    * ~rows/chunkSize — driver-side metadata only.
+    * its own sorted slice emitting every `chunkSize`-th tuple PLUS its
+    * final tuple (the seam boundary), and the driver merges the
+    * (already range-disjoint) boundary sets. The seam boundary makes
+    * every chunk fall inside ONE partition, so with unique PKs chunks
+    * are ≤ `chunkSize` rows BY CONSTRUCTION — no dependence on the
+    * range sampler's skew (without it, a sampled partition smaller
+    * than `chunkSize` emits no boundary and its neighbor's chunk
+    * silently exceeds the slack bound). With DUPLICATE key tuples the
+    * boundary predicate necessarily takes every occurrence of its end
+    * keys, adding at most (multiplicity − 1) per end — the same
+    * property the reference's `LIMIT 1 OFFSET chunkSize` walk has on
+    * non-unique keys. Boundary count stays ~rows/chunkSize +
+    * #partitions — driver-side metadata only.
     */
   def planLexicographic(df: DataFrame, pkCols: Seq[String],
                         chunkSize: Long): Seq[LexChunk] = {
@@ -194,15 +200,21 @@ object ChunkPlanner {
       .sortWithinPartitions(pkCols.map(col): _*)
       .rdd.mapPartitions { it =>
         var i = 0L
-        it.flatMap { r =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var last: Seq[Long] = null
+        it.foreach { r =>
           i += 1
-          if (i % chunkSize == 0)
-            Iterator(pkCols.indices.map(r.getLong))
-          else Iterator.empty
+          last = pkCols.indices.map(r.getLong)
+          if (i % chunkSize == 0) out += last
         }
+        // partition seam: the final key is always a boundary, so no
+        // chunk ever spans two partitions (dedup when it coincides
+        // with the last stride boundary)
+        if (last != null && !out.lastOption.contains(last)) out += last
+        out.iterator
       }.collect()
     import scala.math.Ordering.Implicits._
-    val merged = bounds.map(_.toSeq).sorted.map(LexBoundary).toSeq
+    val merged = bounds.map(_.toSeq).distinct.sorted.map(LexBoundary).toSeq
     val los = None +: merged.map(Some(_))
     val his = merged.map(Some(_)) :+ None
     los.zip(his).map { case (lo, hi) => LexChunk(lo, hi) }

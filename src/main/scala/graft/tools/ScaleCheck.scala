@@ -77,17 +77,22 @@ object ScaleCheck {
             .agg(sum("l_quantity"), count(lit(1))).count() },
         // the four sub-second text ops the round-5 bench flagged as
         // apparent regressions — linear scaling here proves the drift
-        // was fixed overhead / VM noise, not a plan problem
+        // was fixed overhead / VM noise, not a plan problem. Each is
+        // forced through an aggregate over its OUTPUT columns — a bare
+        // count() lets Catalyst prune the whole computation away.
         "token_count" -> time(s"$label token_count") {
-          graft.llm.TextAnalysis.tokenCounts(docs, "text").count() },
+          graft.llm.TextAnalysis.tokenCounts(docs, "text")
+            .agg(sum(col("est_tokens"))).head() },
         "fingerprint" -> time(s"$label fingerprint") {
-          graft.llm.TextAnalysis.fingerprint(docs, "text").count() },
+          graft.llm.TextAnalysis.fingerprint(docs, "text")
+            .agg(max(col("fp_roll")), max(col("fp_md5"))).head() },
         "text_clean" -> time(s"$label text_clean") {
-          docs.select(graft.llm.TextAnalysis.cleanText(col("text")))
-            .count() },
+          docs.select(graft.llm.TextAnalysis.cleanText(col("text")).as("c"))
+            .agg(sum(length(col("c")))).head() },
         "boilerplate" -> time(s"$label boilerplate") {
           graft.llm.TextAnalysis.stripBoilerplate(docs, "text", "doc_id",
-            maxDocFreq = 450, sep = " ").count() })
+            maxDocFreq = 450, sep = " ")
+            .agg(sum(length(col("clean_text")))).head() })
     }
     // warm
     Tables.load(spark, base, "lineitem").count()

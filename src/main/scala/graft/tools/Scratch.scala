@@ -2,9 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
-/** Dev-only scratchpad (contents change per investigation). */
+/** Dev-only scratchpad (contents change per investigation).
+  * Round 6: the three throughput analogs SCALING.md publishes against
+  * BASELINE.md — backfill scan+syscols+write, in-memory CDC apply, and
+  * the shipped micro-batch segment path (applyBatch incl. state commit).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -15,57 +18,52 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
-        if (dur > 0.5)
-          println(f"    stage ${si.stageId} tasks=${si.numTasks} $dur%.1f s  ${si.name.take(80)}")
-      }
-    })
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
-    }
-    import graft.llm.Dedup
-    val docs = graft.Tables.load(spark, dir, "documents").where(col("doc_id") < 200)
-    time("warmup count")(docs.count())
-    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.9)
-      .select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"pair count: ${pairs.count()}")
+    import graft.operators.{Merge, SystemColumns}
 
-    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
-      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("x")).distinct()
-      .select(col("x"), col("x").cast("long").as("lbl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var i = 0
-    var prevCache = labels
-    while (!converged && i < 20) {
-      val viaNeighbor = edges
-        .join(labels.select(col("x").as("y"), col("lbl")), "y")
-        .select(col("x"), col("lbl"))
-      val hop = labels.unionAll(viaNeighbor)
-        .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = time(s"round $i probe") {
-        Option(hop.agg(max(col("maxLbl") - col("lbl"))).head().get(0))
-          .forall(_ == 0L)
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val ev = graft.Tables.load(spark, dir, "events")
+    val nLi = li.count(); val nEv = ev.count()
+
+    def rps(label: String, rows: Long)(f: => Unit): Unit =
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime(); f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label run$i: $s%.3f s  ${rows / s}%.0f rows/s")
       }
-      val hopLabels = hop.select(col("x"), col("lbl"))
-      labels = if (converged || i < 2) hopLabels
-        else hopLabels.as("a")
-          .join(hopLabels.select(col("x").as("lbl"), col("lbl").as("lbl2")).as("b"),
-            Seq("lbl"), "left")
-          .select(col("x"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-      prevCache.unpersist()
-      prevCache = hop
-      i += 1
+
+    val out = java.nio.file.Files.createTempDirectory("graft_tp").toString
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "5m")
+    rps("backfill (scan+syscols+write)", nLi) {
+      SystemColumns.attach(li, Seq("l_orderkey", "l_linenumber"),
+        SystemColumns.OpRead).write.mode("overwrite").parquet(s"$out/bf")
     }
-    println(s"rounds: $i converged: $converged")
+
+    val changes = ev.select(
+      col("user_id").cast("string").as(SystemColumns.OlakeId),
+      when(col("event_type") === "error", "d").otherwise("u")
+        .as(SystemColumns.OpType),
+      col("ts").as(SystemColumns.CdcTimestamp), col("event_id"))
+    val base = changes.drop(SystemColumns.OpType, SystemColumns.CdcTimestamp)
+      .dropDuplicates(SystemColumns.OlakeId)
+    rps("cdc apply (dedup+merge, in-memory)", nEv) {
+      Merge.applyChanges(base, changes).count(): Unit
+    }
+
+    // the shipped path: one micro-batch through CdcStream.applyBatch —
+    // segment write + state commit (compaction policy defaults)
+    val evCdc = ev.select(
+      col("event_id").cast("string").as(SystemColumns.OlakeId),
+      col("event_id"), col("user_id"), col("value"),
+      lit("c").as("kind"), col("event_id").as("lsn"),
+      col("ts").as(SystemColumns.CdcTimestamp))
+    (1 to 3).foreach { i =>
+      val table = java.nio.file.Files.createTempDirectory("graft_seg").toString
+      val t0 = System.nanoTime()
+      graft.streaming.CdcStream.applyBatch(evCdc, 1L, table,
+        s"$table/state.json", "events")
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"shipped segment path run$i: $s%.3f s  ${nEv / s}%.0f rows/s")
+    }
     spark.stop()
   }
 }
