@@ -920,6 +920,50 @@ object SparkEntry {
           (col("lsn") === col("expect_lsn")).as("lsn_ok"))
     }),
 
+    // ---- K2 schema evolution, gate-backed: a mid-stream ALTER adds a
+    //      column; the second publish appends schema-id 1 whose
+    //      pre-existing columns keep their field ids. Both engines read
+    //      the SAME committed metadata.json (deterministic dir) and
+    //      emit the (schema_id, field, id) history — Iceberg's field-id
+    //      stability contract, externally checkable. ----
+    "q_iceberg_evolve" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_evolve_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val table = s"$root/table"; val ice = s"$root/ice"
+      val n = t(s, dir, "nation")
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      def seg(extra: Boolean, lo: Int, hi: Int, batch: Long): Unit = {
+        val b = n.where(col("n_nationkey") >= lo && col("n_nationkey") < hi)
+          .select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+            col("n_nationkey"), upper(col("n_name")).as("n_name"),
+            lit("u").as(SystemColumns.OpType),
+            to_timestamp(lit("2024-01-01 00:00:00"))
+              .as(SystemColumns.CdcTimestamp))
+        graft.sinks.DeltaSegments.writeSegment(
+          if (extra) b.withColumn("n_alias", concat(lit("a"),
+            col(SystemColumns.OlakeId))) else b, table, batch)
+      }
+      seg(extra = false, 0, 5, 1L)
+      IcebergMetadata.publishMoR(s, ice, table)
+      seg(extra = true, 5, 10, 2L) // the ALTER lands mid-stream
+      IcebergMetadata.publishMoR(s, ice, table)
+      s.read.option("multiLine", "true")
+        .json(s"$ice/metadata/v2.metadata.json")
+        .select(col("`current-schema-id`").as("current_schema_id"),
+          explode(col("schemas")).as("s"))
+        .select(col("current_schema_id"),
+          col("s.`schema-id`").as("schema_id"),
+          explode(col("s.fields")).as("f"))
+        .select(col("current_schema_id"), col("schema_id"),
+          col("f.name").as("field"), col("f.id").as("field_id"))
+    }),
+
     // ---- P5 record flatten: nested → JSON text, binary → string ----
     "q_flatten" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 1000)
@@ -1066,6 +1110,15 @@ object SparkEntry {
         TextAnalysis.scrubPii(concat(col("text"), lit(
           " contact: bob.smith+x@example-mail.co.uk server 192.168.0.1" +
             " call +1 (415) 555-0199 done"))).as("scrubbed"))),
+
+    // ---- LLM: unigram corpus-frequency quality scoring (the CCNet
+    //      LM-signal family at unigram granularity, engine-exact:
+    //      integer-ratio outputs only) — top-K vocab via TakeOrdered,
+    //      broadcast into the scoring join. vocabSize=500 leaves a
+    //      real OOV tail on this corpus. ----
+    "q_unigram_score" -> ((s, dir) =>
+      TextAnalysis.unigramScore(t(s, dir, "documents"), "text", "doc_id",
+        vocabSize = 500)),
 
     // ---- LLM: deterministic weighted MIXTURE sampling — the
     //      data-mixing step composing a corpus from sources at
@@ -1682,6 +1735,19 @@ object SparkEntry {
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
 
+    // the SAME committed metadata.json the Spark query wrote: the
+    // schema history with its field ids, parsed by a foreign engine
+    "q_iceberg_evolve" ->
+      """WITH s AS (
+        |  SELECT "current-schema-id" AS current_schema_id,
+        |    unnest(schemas) AS sc
+        |  FROM read_json('/tmp/graft_evolve_gate/ice/metadata/v2.metadata.json')),
+        |f AS (SELECT current_schema_id, sc."schema-id" AS schema_id,
+        |    unnest(sc.fields) AS fld FROM s)
+        |SELECT current_schema_id, schema_id,
+        |  fld.name AS field, fld.id AS field_id
+        |FROM f""".stripMargin,
+
     // the SAME committed metadata.json the Spark query wrote, parsed by
     // a foreign engine, with the position re-derived from `orders`
     "q_iceberg_2pc" ->
@@ -1823,6 +1889,22 @@ object SparkEntry {
         |  '\+?\d{1,3}[-. ]?\(\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{3,4}|([^0-9]|^)\+?\d{7,15}([^0-9]|$)', '\1<PHONE>\2', 'g')
         |  AS scrubbed
         |FROM documents""".stripMargin,
+
+    "q_unigram_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |vocab AS (SELECT t, count(*) AS freq FROM tok
+        |  GROUP BY t ORDER BY freq DESC, t LIMIT 500),
+        |scored AS (SELECT doc_id, count(*) AS n_tok,
+        |    sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    sum(coalesce(v.freq, 0)) AS sumfreq
+        |  FROM tok LEFT JOIN vocab v USING (t) GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  round(n_oov * 1.0 / n_tok, 6) AS oov_rate,
+        |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS mean_freq_ppm
+        |FROM scored""".stripMargin,
 
     "q_sample_mix" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -205,6 +205,42 @@ object TextAnalysis {
     * per-row token stats; nothing touches the corpus twice. High values
     * mean machine-generated/boilerplate repetition; threshold and drop
     * before any downstream shuffle. */
+  /** Unigram corpus-frequency scoring — the LM-quality signal family
+    * (CCNet scores documents by LM perplexity; at unigram granularity
+    * the same signal is the tokens' corpus frequency) kept fully
+    * ENGINE-EXACT: every output is a ratio of integers rounded to 6
+    * places, so a DuckDB oracle replays it hash-identically — a true
+    * log-perplexity would hang cross-engine equality on transcendental
+    * libm ULPs.
+    *
+    * Outputs per document: `n_tok`; `oov_rate` (fraction of tokens
+    * outside the top-`vocabSize` corpus vocabulary — high = rare or
+    * garbled text); `mean_freq_ppm` (mean corpus frequency of the
+    * document's tokens in parts-per-million, OOV counting 0 — low =
+    * unusual text).
+    *
+    * Scale shape: vocabulary = top-K by (freq DESC, token ASC) — a
+    * TakeOrdered over the token aggregate, K bounded by config, never
+    * a global sort; the vocab then BROADCASTS into the scoring join;
+    * both aggregations combine map-side. The corpus streams through
+    * once for the vocab and once for the score. */
+  def unigramScore(df: DataFrame, textCol: String, idCol: String,
+                   vocabSize: Int = 50000): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val total = tok.count() // scalar planner metadata, like cursor maxes
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t")).limit(vocabSize)
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("freq"), lit(0L))).as("sumfreq"))
+      .select(col(idCol), col("n_tok"),
+        round(col("n_oov") / col("n_tok"), 6).as("oov_rate"),
+        round((col("sumfreq") * 1e6) /
+          (col("n_tok") * lit(total.toDouble)), 6).as("mean_freq_ppm"))
+  }
+
   def repetition(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 2): DataFrame = {
     val t = col(textCol)

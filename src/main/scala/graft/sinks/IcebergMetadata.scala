@@ -286,11 +286,84 @@ object IcebergMetadata {
     root.put("location", new File(tableDir).getAbsolutePath)
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", nowMs)
-    val schemaNode = mapper.readTree(schemaStr).asInstanceOf[ObjectNode]
-    root.put("last-column-id", schemaNode.get("x-last-column-id").asInt)
-    schemaNode.remove("x-last-column-id")
-    root.put("current-schema-id", 0)
-    root.putArray("schemas").add(schemaNode)
+    // SCHEMA EVOLUTION with Iceberg's field-id stability contract
+    // (spec §Schemas; the reference's EVOLVE_SCHEMA path adds columns
+    // the same way, IcebergTableOperator/typeutils): a column that
+    // already exists keeps its field id verbatim; only NEW columns take
+    // fresh ids above the table's last-column-id; an unchanged schema
+    // keeps its schema-id and the carried-forward history gains nothing.
+    val freshNode = mapper.readTree(schemaStr).asInstanceOf[ObjectNode]
+    freshNode.remove("x-last-column-id")
+    val prevSchemas: Seq[ObjectNode] = prev.toSeq.flatMap(
+      _._2.withArray[ArrayNode]("schemas").asScala
+        .map(_.asInstanceOf[ObjectNode]))
+    val prevCurrent: Option[ObjectNode] = prev.map { case (_, m) =>
+      val id = m.get("current-schema-id").asInt
+      prevSchemas.find(_.get("schema-id").asInt == id).get
+    }
+    val prevLastCol = prev.map(_._2.get("last-column-id").asInt).getOrElse(0)
+    def stripIds(n: JsonNode): JsonNode = {
+      val c = n.deepCopy[JsonNode]()
+      def walk(x: JsonNode): Unit = x match {
+        case o: ObjectNode =>
+          o.remove("id"); o.remove("schema-id")
+          o.remove("element-id"); o.remove("key-id"); o.remove("value-id")
+          o.fields().asScala.foreach(e => walk(e.getValue))
+        case a: ArrayNode => a.asScala.foreach(walk)
+        case _ => ()
+      }
+      walk(c); c
+    }
+    // rebuild the fresh schema reusing prior field nodes (ids included)
+    // for columns whose name+shape are unchanged; renumber new columns
+    var nextId = prevLastCol
+    val evolved = mapper.createObjectNode()
+    evolved.put("type", "struct")
+    val evolvedFields = evolved.putArray("fields")
+    freshNode.withArray[ArrayNode]("fields").asScala.foreach { f =>
+      val name = f.get("name").asText
+      val prior = prevCurrent.flatMap(
+        _.withArray[ArrayNode]("fields").asScala.find(p =>
+          p.get("name").asText == name &&
+            stripIds(p) == stripIds(f)))
+      prior match {
+        case Some(p) => evolvedFields.add(p.deepCopy[JsonNode]()): Unit
+        case None =>
+          val c = f.deepCopy[ObjectNode]()
+          def renumber(x: JsonNode): Unit = x match {
+            case o: ObjectNode =>
+              Seq("id", "element-id", "key-id", "value-id").foreach { k =>
+                if (o.has(k)) { nextId += 1; o.put(k, nextId): Unit }
+              }
+              o.fields().asScala.foreach(e => renumber(e.getValue))
+            case a: ArrayNode => a.asScala.foreach(renumber)
+            case _ => ()
+          }
+          renumber(c)
+          evolvedFields.add(c): Unit
+      }
+    }
+    val schemaChanged =
+      prevCurrent.forall(p => stripIds(p) != stripIds(evolved))
+    val schemaId =
+      if (!schemaChanged) prev.map(_._2.get("current-schema-id").asInt).get
+      else prevSchemas.map(_.get("schema-id").asInt).maxOption
+        .map(_ + 1).getOrElse(0)
+    evolved.put("schema-id", schemaId)
+    root.put("last-column-id",
+      if (prev.isEmpty) // first commit: schemaJson's own counter
+        mapper.readTree(schemaStr).get("x-last-column-id").asInt
+      else math.max(prevLastCol, nextId))
+    root.put("current-schema-id", schemaId)
+    val schemasArr = root.putArray("schemas")
+    prevSchemas.foreach(s => schemasArr.add(s.deepCopy[JsonNode]()): Unit)
+    if (schemaChanged || prev.isEmpty) {
+      val node = if (prev.isEmpty) {
+        val n = mapper.readTree(schemaStr).asInstanceOf[ObjectNode]
+        n.remove("x-last-column-id"); n.put("schema-id", 0); n
+      } else evolved
+      schemasArr.add(node): Unit
+    }
     root.put("default-spec-id", 0)
     val spec = root.putArray("partition-specs").addObject()
     spec.put("spec-id", 0); spec.putArray("fields")

@@ -254,6 +254,61 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       "7" -> 700L))
   }
 
+  test("schema evolution: existing columns keep their field ids, new columns extend, schema history accrues") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_evo").toString
+    val ice = Files.createTempDirectory("graft_evoice").toString
+    spark.range(10).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    def seg(extra: Boolean, ids: Range, batch: Long): Unit = {
+      val base = spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as(OlakeId), (col("id") + 100).as("v"),
+        lit("u").as(OpType), current_timestamp().as(CdcTimestamp))
+      DeltaSegments.writeSegment(
+        if (extra) base.withColumn("note", concat(lit("n"), col(OlakeId)))
+        else base, table, batch)
+    }
+    seg(extra = false, 0 until 2, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val (_, m1) = IcebergMetadata.currentMetadata(ice).get
+    import scala.jdk.CollectionConverters._
+    val s1 = m1.get("schemas").get(0)
+    val ids1 = s1.get("fields").elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val lastCol1 = m1.get("last-column-id").asInt
+
+    // a mid-stream ALTER adds `note`: the view schema gains a column
+    seg(extra = true, 2 until 4, 2L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val (_, m2) = IcebergMetadata.currentMetadata(ice).get
+    assert(m2.get("schemas").size == 2, "evolved schema must append")
+    assert(m2.get("current-schema-id").asInt == 1)
+    val s2 = m2.get("schemas").get(1)
+    val ids2 = s2.get("fields").elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    // stability: every pre-existing column keeps its EXACT field id
+    ids1.foreach { case (n, id) => assert(ids2(n) == id, s"column $n moved") }
+    // the new column takes a fresh id above the old last-column-id
+    assert(ids2("note") > lastCol1)
+    assert(m2.get("last-column-id").asInt >= ids2("note"))
+
+    // an unchanged re-publish appends NO new schema entry
+    seg(extra = true, 4 until 5, 3L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val (_, m3) = IcebergMetadata.currentMetadata(ice).get
+    assert(m3.get("schemas").size == 2)
+    assert(m3.get("current-schema-id").asInt == 1)
+
+    // the merged view still replays: old rows read `note` as null
+    val got = IcebergMetadata.readMoR(spark, ice)
+      .select(OlakeId, "note").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got("2") == Some("n2") && got("4") == Some("n4"))
+    assert(got("7") == None) // untouched base row: evolved column null
+  }
+
   test("re-publish never clobbers earlier snapshots: files immutable, time travel works, expire cleans up") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}

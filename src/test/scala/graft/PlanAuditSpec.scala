@@ -234,6 +234,53 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!streamed.contains("Exchange"), s"train side shuffled:\n$p")
   }
 
+  test("mixture sampling is map-only: the membership predicate introduces zero exchanges") {
+    val p = plan(q("q_sample_mix"))
+    assert(!p.contains("Exchange"), s"sample_mix shuffles:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("sequence packing shuffles once (bucket-keyed window), never a single global sort partition") {
+    val p = plan(q("q_pack_sequences"))
+    // exactly one hash exchange on the bucket key feeds the window —
+    // parallelism = bucket count; a rangepartitioning(1)/global sort
+    // here would serialize the whole corpus through one task
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("readMoR applies positional deletes by broadcast anti-join — data files never shuffle") {
+    import graft.sinks.{DeltaSegments, IcebergMetadata}
+    import graft.operators.SystemColumns
+    val table = java.nio.file.Files.createTempDirectory("graft_pos_t").toString
+    val ice = java.nio.file.Files.createTempDirectory("graft_pos_i").toString
+    spark.range(5000).select(col("id").cast("string")
+      .as(SystemColumns.OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    // one segment with an intra-batch dup → a positional-delete file
+    import spark.implicits._
+    val seg = Seq(("1", 101L, "u"), ("1", 102L, "u"), ("2", 201L, "u"))
+      .toDF(SystemColumns.OlakeId, "v", SystemColumns.OpType)
+      .withColumn(SystemColumns.CdcTimestamp, current_timestamp())
+      .coalesce(1)
+    DeltaSegments.writeSegment(seg, table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val p = plan(IcebergMetadata.readMoR(spark, ice))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    // neither delete flavor may force a sort-merge shuffle of the data
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("unigram scoring broadcasts the vocab; top-K is TakeOrdered, never a global sort") {
+    val p = plan(q("q_unigram_score"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("string-PK boundary alignment is one keyed aggregation pass (no per-candidate scans)") {
     import graft.operators.ChunkPlanner
     val c = Tables.load(spark, dir, "customer")
