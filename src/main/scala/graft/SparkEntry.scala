@@ -314,8 +314,11 @@ object SparkEntry {
           .toLong
       }.toMap
       val server = new java.net.ServerSocket(0)
+      val committedState =
+        scala.collection.concurrent.TrieMap.empty[Int, Long] ++ committed
       val th = new Thread(() => {
-        try KafkaWireServer.serve(server.accept(), "events", log, committed)
+        try KafkaWireServer.serve(server.accept(), "events", log,
+          committedState)
         catch { case _: Exception => () }
       })
       th.setDaemon(true); th.start()

@@ -28,6 +28,7 @@ object KafkaWire {
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
+  val ApiOffsetCommit = 8
   val ApiOffsetFetch = 9
   val ApiVersions = 18
 
@@ -256,6 +257,30 @@ class KafkaBoundedClient(host: String, port: Int, topic: String,
     }.toMap
   }
 
+  /** OffsetCommit v2: persist the group's position broker-side (the
+    * commit the reference issues after a bounded read finishes). */
+  def commitOffsets(offsets: Map[Int, Long]): Unit = {
+    val body = ByteBuffer.allocate(128 + topic.length + offsets.size * 24)
+    putString(body, group)
+    body.putInt(-1)                         // generation id
+    putString(body, "")                     // member id
+    body.putLong(-1L)                       // retention time
+    body.putInt(1); putString(body, topic)
+    body.putInt(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+      body.putInt(p).putLong(off); putNullableString(body, None)
+    }
+    val r = call(ApiOffsetCommit, 2, java.util.Arrays.copyOf(body.array(),
+      body.position()))
+    val nTopics = r.getInt
+    require(nTopics == 1, s"expected 1 topic, got $nTopics")
+    getString(r)
+    (0 until r.getInt).foreach { _ =>
+      r.getInt
+      val err = r.getShort; require(err == 0, s"OffsetCommit error $err")
+    }
+  }
+
   /** Fetch v2 from `offset` — one round trip, up to `maxBytes`. */
   def fetch(partition: Int, offset: Long,
             maxBytes: Int = 1 << 20): Seq[FetchedRecord] = {
@@ -322,10 +347,15 @@ object KafkaWireServer {
   import KafkaWire._
 
   /** `log`: per partition, (timestamp, key, value) in offset order
-    * (offsets are the indices). `committed`: group offsets. */
+    * (offsets are the indices) — read per request, so a test can
+    * append records between micro-batches like a live topic.
+    * `committed`: group offsets — a CONCURRENT map shared across
+    * connections so OffsetCommit from one session is visible to
+    * OffsetFetch on another (executor-side fetches + driver-side
+    * commits, like a real broker). */
   def serve(sock: Socket, topic: String,
-            log: Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
-            committed: Map[Int, Long]): Unit = {
+            log: scala.collection.Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
+            committed: scala.collection.concurrent.Map[Int, Long]): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     val host = "127.0.0.1"
@@ -382,6 +412,22 @@ object KafkaWireServer {
             body.putInt(p).putLong(committed.getOrElse(p, -1L))
             putNullableString(body, None)
             body.putShort(0)
+          }
+        case ApiOffsetCommit =>
+          getString(req)                      // group
+          req.getInt; getString(req); req.getLong // generation/member/retention
+          val n = req.getInt; require(n == 1, "one topic per request")
+          getString(req)
+          val entries = (0 until req.getInt).map { _ =>
+            val p = req.getInt; val off = req.getLong
+            getNullableString(req)
+            (p, off)
+          }
+          entries.foreach { case (p, off) => committed.put(p, off) }
+          body.putInt(1); putString(body, topic)
+          body.putInt(entries.length)
+          entries.foreach { case (p, _) =>
+            body.putInt(p).putShort(0)
           }
         case ApiFetch =>
           require(apiVersion == 2, s"Fetch v$apiVersion")

@@ -1,0 +1,182 @@
+package graft.sources.replication
+
+import java.util
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.KafkaBoundedClient
+
+/** `graft-kafka`: a MicroBatchStream over the real Kafka wire protocol
+  * (`KafkaWire` / `KafkaBoundedClient`) — the streaming face of the
+  * reference's bounded consume (`pkg/kafka/reader.go:102-148`,
+  * `drivers/kafka/internal/cdc.go:71-180`), with its exact offset
+  * semantics:
+  *
+  *  - the stream's offset is the per-partition offset map; the FIRST
+  *    batch starts from the group's committed offsets (floored at
+  *    earliest — `OffsetFetch`), exactly where the reference resumes;
+  *  - `latestOffset` snapshots the broker's end offsets ONCE per batch
+  *    (`ListOffsets` at -1) — records appended mid-batch wait for the
+  *    next one (the reference's bounded-batch contract);
+  *  - `commit(end)` writes the group offsets back to the broker
+  *    (`OffsetCommit`), so an external restart — or the reference's own
+  *    reader — resumes after the last committed batch;
+  *  - partitions fetch ON THE EXECUTORS: each input partition opens its
+  *    own broker connection and drains its [start, end) range — the
+  *    same per-partition parallelism Spark's built-in Kafka source has;
+  *    nothing flows through the driver.
+  *
+  * Row shape mirrors spark-sql-kafka: (partition, offset, timestamp,
+  * key, value).
+  */
+class KafkaWireSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaWireSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new KafkaWireTable(opts.get("host"), opts.getInt("port", -1),
+      opts.get("topic"), opts.getOrDefault("group", "graft"))
+  }
+}
+
+object KafkaWireSource {
+  val schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", LongType),
+    StructField("key", BinaryType),
+    StructField("value", BinaryType)))
+}
+
+class KafkaWireTable(host: String, port: Int, topic: String, group: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-kafka(`$topic@$host:$port`)"
+  override def schema(): StructType = KafkaWireSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KafkaWireScan(host, port, topic, group)
+}
+
+class KafkaWireScan(host: String, port: Int, topic: String, group: String)
+    extends Scan {
+  override def readSchema(): StructType = KafkaWireSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaWireStream(host, port, topic, group)
+}
+
+/** Per-partition offset map as a streaming Offset. */
+case class KafkaOffsets(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val o = root.putObject("offsets")
+    offsets.toSeq.sortBy(_._1).foreach { case (p, v) =>
+      o.put(p.toString, v): Unit
+    }
+    m.writeValueAsString(root)
+  }
+}
+
+object KafkaOffsets {
+  def parse(json: String): KafkaOffsets = {
+    val node = new ObjectMapper().readTree(json).get("offsets")
+    val it = node.fields()
+    val b = Map.newBuilder[Int, Long]
+    while (it.hasNext) { val e = it.next(); b += e.getKey.toInt -> e.getValue.asLong }
+    KafkaOffsets(b.result())
+  }
+}
+
+class KafkaWireStream(host: String, port: Int, topic: String, group: String)
+    extends MicroBatchStream {
+
+  // driver-side admin connection: metadata / offsets / commits only —
+  // record bytes never touch it
+  private lazy val admin = new KafkaBoundedClient(host, port, topic, group)
+  private lazy val parts: Seq[Int] = admin.partitions()
+
+  override def initialOffset(): Offset = {
+    val committed = admin.committedOffsets(parts)
+    val earliest = admin.listOffsets(parts, graft.sources.KafkaWire.EarliestTs)
+    KafkaOffsets(parts.map(p =>
+      p -> math.max(committed.getOrElse(p, -1L), earliest(p))).toMap)
+  }
+
+  override def latestOffset(): Offset =
+    KafkaOffsets(admin.listOffsets(parts, graft.sources.KafkaWire.LatestTs))
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaOffsets.parse(json)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaOffsets].offsets
+    val e = end.asInstanceOf[KafkaOffsets].offsets
+    e.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
+      val lo = s.getOrElse(p, 0L)
+      if (lo < hi)
+        Some(KafkaRangePartition(host, port, topic, group, p, lo, hi)
+          : InputPartition)
+      else None
+    }.toArray
+  }
+
+  /** The group commit — the broker remembers the position, so both this
+    * stream and the reference's own reader resume after it. */
+  override def commit(end: Offset): Unit =
+    admin.commitOffsets(end.asInstanceOf[KafkaOffsets].offsets)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KafkaRangeReaderFactory
+
+  override def stop(): Unit =
+    try admin.close() catch { case _: Exception => () }
+}
+
+case class KafkaRangePartition(host: String, port: Int, topic: String,
+                               group: String, partition: Int,
+                               start: Long, end: Long) extends InputPartition
+
+class KafkaRangeReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val kp = p.asInstanceOf[KafkaRangePartition]
+    new PartitionReader[InternalRow] {
+      // executor-side connection: this partition drains its own range
+      private val client = new KafkaBoundedClient(kp.host, kp.port,
+        kp.topic, kp.group)
+      private var pos = kp.start
+      private var batch: Iterator[graft.sources.KafkaWire.FetchedRecord] =
+        Iterator.empty
+      private var current: graft.sources.KafkaWire.FetchedRecord = _
+
+      override def next(): Boolean = {
+        while (!batch.hasNext && pos < kp.end) {
+          val recs = client.fetch(kp.partition, pos)
+          require(recs.nonEmpty,
+            s"no progress at ${kp.topic}/${kp.partition} offset $pos")
+          pos = recs.map(_.offset).max + 1
+          batch = recs.iterator.filter(_.offset < kp.end)
+        }
+        if (batch.hasNext) { current = batch.next(); true } else false
+      }
+
+      override def get(): InternalRow = InternalRow(
+        kp.partition, current.offset, current.timestamp,
+        current.key, current.value)
+
+      override def close(): Unit = client.close()
+    }
+  }
+}

@@ -16,13 +16,34 @@ class KafkaWireSpec extends AnyFunSuite {
   private def withBroker(log: Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
                          committed: Map[Int, Long])
                         (f: Int => Unit): Unit = {
+    val live = scala.collection.concurrent.TrieMap(log.toSeq: _*)
+    withBrokerState(live, committed)((port, _) => f(port))
+  }
+
+  /** Accept-loop broker (executor connections + driver admin share the
+    * committed-offset state, like a real broker; the log map is read
+    * per request, so appending to it mid-test behaves like a live
+    * topic). */
+  private def withBrokerState(log: scala.collection.Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
+                              committed: Map[Int, Long])
+                             (f: (Int, scala.collection.concurrent.Map[Int, Long]) => Unit): Unit = {
     val server = new ServerSocket(0)
+    val state = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    state ++= committed
     val t = new Thread(() => {
-      try KafkaWireServer.serve(server.accept(), "t", log, committed)
-      catch { case _: Exception => () }
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val h = new Thread(() => {
+            try KafkaWireServer.serve(sock, "t", log, state)
+            catch { case _: Exception => () }
+          })
+          h.setDaemon(true); h.start()
+        }
+      } catch { case _: Exception => () }
     })
     t.setDaemon(true); t.start()
-    try f(server.getLocalPort) finally server.close()
+    try f(server.getLocalPort, state) finally server.close()
   }
 
   test("v1 message set: encode/parse roundtrip; CRC corruption detected; truncated tail dropped") {
@@ -65,6 +86,62 @@ class KafkaWireSpec extends AnyFunSuite {
         assert(got.filter(_._1 == 0).map(_._2) == Seq(7L, 8L, 9L))
       } finally c.close()
     }
+  }
+
+  test("graft-kafka micro-batch: executor-side fetches, exactly once, group offsets committed to the broker") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val log = scala.collection.concurrent.TrieMap(
+        0 -> (0 until 40).map(i => rec(s"p0-$i")).toIndexedSeq,
+        1 -> (0 until 25).map(i => rec(s"p1-$i")).toIndexedSeq)
+      // the group already committed through p0:10 — the stream must
+      // resume there, not at earliest
+      withBrokerState(log, Map(0 -> 10L)) { (port, state) =>
+        val raw = spark.readStream.format("graft-kafka")
+          .option("host", "127.0.0.1").option("port", port)
+          .option("topic", "t").load()
+        val sink = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
+        val q = raw.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            sink.synchronized {
+              sink ++= df.collect().map(r => (r.getInt(0), r.getLong(1),
+                new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+            }: Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_kckpt").toString)
+          .start()
+        try {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (sink.synchronized(sink.size) < 55 &&
+                 System.nanoTime() < deadline)
+            Thread.sleep(100)
+          // wave 2 arrives on the live topic: the next micro-batch runs
+          // and — in its construction — commits wave 1's offsets to the
+          // broker (Spark commits batch N during batch N+1's cleanup)
+          log.put(0, (0 until 45).map(i => rec(s"p0-$i")).toIndexedSeq)
+          while ((sink.synchronized(sink.size) < 60 ||
+                  !state.get(1).contains(25L)) &&
+                 System.nanoTime() < deadline)
+            Thread.sleep(100)
+        } finally q.stop()
+        val got = sink.synchronized(sink.toSeq)
+        // exactly once, resuming from the committed offset on p0
+        assert(got.count(_._1 == 0) == 35, s"p0 rows: ${got.count(_._1 == 0)}")
+        assert(got.count(_._1 == 1) == 25)
+        assert(got.filter(_._1 == 0).map(_._2).sorted == (10L until 45L))
+        assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+        // the batch commit wrote the group offsets back to the broker
+        assert(state.get(0).exists(_ >= 40L), s"broker offsets: $state")
+        assert(state.get(1).contains(25L), s"broker offsets: $state")
+      }
+    } finally spark.stop()
   }
 
   test("fetch paginates under maxBytes: every round trip makes progress, nothing lost") {
