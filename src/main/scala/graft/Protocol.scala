@@ -260,7 +260,8 @@ object Protocol {
   def syncChunkedResumable(spark: SparkSession, sourceDir: String,
                            destDir: String, cfg: StreamConfig,
                            statePath: String, chunkStride: Long,
-                           failAfterChunks: Int = Int.MaxValue): Long = {
+                           failAfterChunks: Int = Int.MaxValue,
+                           targetOverride: Option[String] = None): Long = {
     import graft.operators.ChunkPlanner
     val chunkCol = cfg.chunkColumn.getOrElse(
       throw new IllegalArgumentException("chunk_column required"))
@@ -289,7 +290,8 @@ object Protocol {
         src.where(chunk.toColumn(chunkCol)), cfg.primaryKeys,
         SystemColumns.OpRead)
       val stats = ParquetSink.writeWithStats(rows,
-        s"$destDir/${cfg.name}", Nil, append = true)
+        targetOverride.getOrElse(s"$destDir/${cfg.name}"), Nil,
+        append = true)
       written += stats("records_written").asInstanceOf[Long]
       // commit AFTER the write lands (backfill.go:61-64 ordering)
       val st = StateStore.load(statePath).get
@@ -313,6 +315,89 @@ object Protocol {
     graft.streaming.CdcStream.run(spark, changeDir, schema,
       s"$destDir/${cfg.name}", statePath, s"$destDir/.ckpt_${cfg.name}",
       cfg.name).awaitTermination()
+
+  /** The reference's change-stream orchestration
+    * (`drivers/abstract/cdc.go:24-95` `RunChangeStream`):
+    *
+    *  1. PRE-CDC — record every stream's change-log position BEFORE any
+    *     snapshot read (the slot-creation/resume-token analog). The
+    *     floor seeds the committed-LSN replay filter, so nothing at or
+    *     below it is ever applied by CDC;
+    *  2. BACKFILL — chunked resumable snapshot into the CDC table's
+    *     base, skipped when state says it already completed (and on
+    *     "strict_cdc" sync mode, like the reference's STRICTCDC);
+    *  3. CDC — apply the change log from the recorded floor. Changes
+    *     that landed between the floor and the snapshot read exist on
+    *     BOTH sides; keyed upsert apply + the insert-dedup window make
+    *     the overlap converge instead of duplicating — the same
+    *     overlap contract the reference's dedup_inserts flag covers.
+    *
+    * `mode` = "sequential" (each stream backfills then CDCs in turn) or
+    * "concurrent" (a stream's CDC starts the moment its OWN backfill
+    * completes — the reference's concurrent mode), both through the
+    * bounded pool + bounded await of `syncAll`. Returns rows in each
+    * stream's merged table. */
+  def runChangeStream(spark: SparkSession, sourceDir: String,
+                      destDir: String,
+                      streams: Seq[(StreamConfig, String)],
+                      schema: org.apache.spark.sql.types.StructType,
+                      statePath: String, chunkStride: Long = 1000L,
+                      mode: String = "concurrent",
+                      parallelism: Int = 4,
+                      timeoutMillis: Long = 30L * 60 * 1000): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    // phase 1: every floor is recorded before ANY backfill reads — the
+    // reference runs PreCDC across the board first
+    streams.foreach { case (cfg, changeDir) =>
+      stateLock.synchronized {
+        val st = StateStore.load(statePath).getOrElse(StateStore.State())
+        val ss = st.streams.getOrElse(cfg.name, StateStore.StreamState())
+        if (!ss.offsets.contains("cdc_floor")) {
+          val floor = Option(spark.read.schema(schema).json(changeDir)
+              .agg(smax(col("lsn"))).head.get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          StateStore.save(statePath, st.copy(streams = st.streams.updated(
+            cfg.name, ss.copy(offsets = ss.offsets +
+              ("cdc_floor" -> floor) + ("lsn" -> floor)))))
+        }
+      }
+    }
+    def one(cfg: StreamConfig, changeDir: String): Long = {
+      val tablePath = s"$destDir/${cfg.name}"
+      val strict = cfg.syncMode == "strict_cdc"
+      val backfilled = stateLock.synchronized {
+        StateStore.load(statePath).exists(
+          _.streams.get(cfg.name).exists(
+            _.offsets.getOrElse("backfill_done", 0L) == 1L))
+      }
+      if (!strict && !backfilled) {
+        syncChunkedResumable(spark, sourceDir, destDir, cfg, statePath,
+          chunkStride, targetOverride = Some(s"$tablePath/base"))
+        stateLock.synchronized {
+          val st = StateStore.load(statePath).get
+          val ss = st.streams(cfg.name)
+          StateStore.save(statePath, st.copy(streams = st.streams.updated(
+            cfg.name,
+            ss.copy(offsets = ss.offsets + ("backfill_done" -> 1L)))))
+        }
+      }
+      graft.streaming.CdcStream.run(spark, changeDir, schema, tablePath,
+        statePath, s"$destDir/.ckpt_${cfg.name}", cfg.name)
+        .awaitTermination()
+      graft.streaming.CdcStream.readTable(spark, tablePath).count()
+    }
+    mode match {
+      case "sequential" =>
+        streams.map { case (cfg, d) => cfg.name -> one(cfg, d) }.toMap
+      case "concurrent" =>
+        syncAll(spark, sourceDir, destDir, streams.map(_._1), statePath,
+          parallelism, attempts = 1, timeoutMillis,
+          runStream = (_, _, _, cfg, _) =>
+            one(cfg, streams.find(_._1.name == cfg.name).get._2))
+      case other =>
+        throw new IllegalArgumentException(s"unknown mode $other")
+    }
+  }
 
   /** `clear`: drop destinations + per-stream state (clear.go analog). */
   def clear(spark: SparkSession, destDir: String, statePath: String,

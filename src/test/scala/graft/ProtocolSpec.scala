@@ -203,6 +203,99 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       .offsets("lsn") == 3L)
   }
 
+  test("runChangeStream: pre-CDC floor, backfill once, CDC applies only post-floor changes") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcStream
+    val src = Files.createTempDirectory("graft_rcs_src").toString
+    val dest = Files.createTempDirectory("graft_rcs_d").toString
+    val logDir = Files.createTempDirectory("graft_rcs_log").toString
+    val state = s"$dest/state.json"
+    import spark.implicits._
+    (1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$src/t1.parquet")
+    val schema = StructType(Seq(
+      StructField("_olake_id", StringType), StructField("lsn", LongType),
+      StructField("kind", StringType),
+      StructField("_cdc_timestamp", TimestampType),
+      StructField("id", LongType), StructField("v", LongType)))
+    // pre-floor change: its effect is ALREADY in the snapshot —
+    // re-applying it would set v to the poison value
+    java.nio.file.Files.write(java.nio.file.Paths.get(logDir, "seg0.json"),
+      """{"_olake_id":"7","lsn":40,"kind":"update","_cdc_timestamp":"2024-01-01 00:00:01","id":7,"v":999999}"""
+        .getBytes)
+    val cfg = Protocol.StreamConfig("t1", syncMode = "cdc",
+      primaryKeys = Seq("id"), chunkColumn = Some("id"))
+    val r1 = Protocol.runChangeStream(spark, src, dest, Seq(cfg -> logDir),
+      schema, state, chunkStride = 30L, mode = "sequential")
+    assert(r1("t1") == 100L)
+    assert(StateStore.load(state).get.streams("t1")
+      .offsets("cdc_floor") == 40L)
+    def byId() = CdcStream.readTable(spark, s"$dest/t1")
+      .select("_olake_id", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byId()("7") == 7L, "pre-floor change must NOT reapply")
+
+    // post-floor changes (the writes that raced the snapshot window):
+    // update 1, delete 2, insert 200
+    java.nio.file.Files.write(java.nio.file.Paths.get(logDir, "seg1.json"),
+      Seq(
+        """{"_olake_id":"1","lsn":41,"kind":"update","_cdc_timestamp":"2024-01-01 00:00:02","id":1,"v":1001}""",
+        """{"_olake_id":"2","lsn":42,"kind":"delete","_cdc_timestamp":"2024-01-01 00:00:03","id":2,"v":2}""",
+        """{"_olake_id":"200","lsn":43,"kind":"insert","_cdc_timestamp":"2024-01-01 00:00:04","id":200,"v":200}"""
+      ).mkString("\n").getBytes)
+    val r2 = Protocol.runChangeStream(spark, src, dest, Seq(cfg -> logDir),
+      schema, state, chunkStride = 30L, mode = "sequential")
+    assert(r2("t1") == 100L) // −1 delete +1 insert
+    val m = byId()
+    assert(m("1") == 1001L && m("200") == 200L && !m.contains("2"))
+    assert(m("7") == 7L && m("50") == 50L)
+    // backfill ran exactly once: a second pass would have doubled base
+    assert(spark.read.parquet(s"$dest/t1/base").count() == 100L)
+    // and a third invocation is a complete no-op
+    assert(Protocol.runChangeStream(spark, src, dest, Seq(cfg -> logDir),
+      schema, state, chunkStride = 30L, mode = "sequential")("t1") == 100L)
+  }
+
+  test("runChangeStream concurrent mode: each stream backfills + CDCs through the pool") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcStream
+    val src = Files.createTempDirectory("graft_rcc_src").toString
+    val dest = Files.createTempDirectory("graft_rcc_d").toString
+    val state = s"$dest/state.json"
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("_olake_id", StringType), StructField("lsn", LongType),
+      StructField("kind", StringType),
+      StructField("_cdc_timestamp", TimestampType),
+      StructField("id", LongType), StructField("v", LongType)))
+    val streams = Seq("a1", "a2").map { name =>
+      (1L to 50L).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$src/$name.parquet")
+      val logDir = Files.createTempDirectory(s"graft_rcc_$name").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(logDir, "seg.json"),
+        s"""{"_olake_id":"60","lsn":5,"kind":"insert","_cdc_timestamp":"2024-01-01 00:00:01","id":60,"v":60}"""
+          .getBytes)
+      Protocol.StreamConfig(name, syncMode = "cdc",
+        primaryKeys = Seq("id"), chunkColumn = Some("id")) -> logDir
+    }
+    // floors were recorded when the log was still empty (the pre-CDC
+    // phase of an earlier attempt) — the lsn-5 inserts are post-floor
+    StateStore.save(state, StateStore.State(streams = streams.map {
+      case (cfg, _) => cfg.name -> StateStore.StreamState(
+        offsets = Map("cdc_floor" -> 0L, "lsn" -> 0L))
+    }.toMap))
+    val r = Protocol.runChangeStream(spark, src, dest, streams, schema,
+      state, chunkStride = 20L, mode = "concurrent", parallelism = 2)
+    assert(r == Map("a1" -> 51L, "a2" -> 51L))
+    streams.foreach { case (cfg, _) =>
+      val m = CdcStream.readTable(spark, s"$dest/${cfg.name}")
+        .select("_olake_id", "v").collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(m("60") == 60L && m("3") == 3L)
+    }
+  }
+
   test("sync honors the stream filter") {
     val dest = Files.createTempDirectory("graft_syncf").toString
     val cfg = Protocol.StreamConfig("nation",
