@@ -393,6 +393,50 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("binlog server drop mid-stream: the source reconnects and resumes from the committed position") {
+    import graft.cdc.Binlog
+    val colTypes = Array(8, 15); val colMeta = Array(0, 255)
+    def write(pos: Long, i: Int): (Long, Array[Byte]) =
+      (pos, Binlog.encodeWrite(99L, colTypes, colMeta, 1000L + i,
+        Seq(Seq(i.toString, s"r$i"))))
+    val tm = Binlog.encodeTableMap(99L, "db", "t", colTypes, colMeta,
+      Seq("id", "name"))
+    // the server closes after each dump; every reconnect serves the
+    // WHOLE log again and the client's resume position filters it —
+    // the TABLE_MAP rides at pos 5 so every session re-delivers it
+    val events = Seq((5L, tm), write(20L, 1), write(30L, 2),
+      write(40L, 3), write(50L, 4))
+    val srv = new MySqlLoopback(Seq(events), closeAfterSend = true)
+    try {
+      val raw = spark.readStream.format("graft-binlog-socket")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("startLsn", 0L).load()
+      val decoded = Binlog.decode(raw, "lsn", "msg")
+      val sink = new mutable.ArrayBuffer[Long]()
+      val q = decoded.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          sink.synchronized {
+            sink ++= df.where(org.apache.spark.sql.functions.col("kind") === "insert")
+              .collect().map(r => r.getAs[Seq[String]]("after").head.toLong)
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_bl_ckpt").toString)
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (sink.synchronized(sink.distinct.size) < 4 &&
+               System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+      // across ≥1 reconnect every row arrived, each exactly once (the
+      // committed-position filter drops the re-served prefix)
+      assert(sink.synchronized(sink.sorted.toSeq) == Seq(1L, 2L, 3L, 4L),
+        s"got ${sink.synchronized(sink.toSeq)}")
+    } finally srv.close()
+  }
+
   test("graft-binlog-socket: REAL MySQL wire session, TABLE_MAP replayed across batches") {
     import graft.cdc.Binlog
     val colTypes = Array(8, 15) // LONGLONG, VARCHAR
