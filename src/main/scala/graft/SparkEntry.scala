@@ -113,6 +113,22 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- I5 cursor formatting, gate-backed: the ISO-8601/decimal
+    //      strings the state file persists (reference
+    //      incremental.go:195-208), recomputed by DuckDB with
+    //      strftime — both engines must serialize the same cursor
+    //      values identically. ----
+    "q_cursor_format" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val maxTs = o.agg(max(col("o_orderdate"))).head.get(0)
+      val maxKey = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      Seq(
+        ("o_orderdate", Incremental.formatCursor(maxTs)),
+        ("o_orderkey", Incremental.formatCursor(maxKey)))
+        .toDF("cursor_field", "cursor_value")
+    }),
+
     "q_cursor_snapshot" -> ((s, dir) => {
       val cur = Incremental.Cursor.parse("o_orderdate:o_orderkey")
       t(s, dir, "orders").agg(
@@ -1381,6 +1397,13 @@ object SparkEntry {
     // after clear + full resync, the destination IS the source table
     "q_clear_resync" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_cursor_format" ->
+      """SELECT 'o_orderdate' AS cursor_field,
+        |  strftime(max(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%dT%H:%M:%SZ') AS cursor_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(max(o_orderkey) AS VARCHAR) FROM orders""".stripMargin,
 
     "q_cursor_snapshot" ->
       "SELECT max(o_orderdate) AS max_primary, max(o_orderkey) AS max_secondary FROM orders",

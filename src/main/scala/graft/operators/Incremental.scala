@@ -70,7 +70,10 @@ object Incremental {
   def formatCursor(v: Any): String = v match {
     case t: java.sql.Timestamp =>
       t.toInstant.toString // RFC3339 / ISO-8601 UTC
-    case d: java.sql.Date => d.toString
-    case other            => String.valueOf(other)
+    case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ: wall clock IS UTC
+      ldt.atOffset(java.time.ZoneOffset.UTC).toInstant.toString
+    case d: java.sql.Date       => d.toString
+    case ld: java.time.LocalDate => ld.toString
+    case other                  => String.valueOf(other)
   }
 }
