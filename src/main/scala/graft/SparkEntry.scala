@@ -1,13 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.streaming.CdcStream
 import graft.cdc.{Binlog, ChangeLogFixture, MongoWatchClient, MongoWireServer, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{IcebergMetadata, ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
-import graft.sources.{BoundedRead, CtidScan, Discover, FileSources, JdbcSource, KafkaDecode, LocatorScan, MongoScan}
+import graft.sources.{BoundedRead, CtidScan, Dialects, Discover, FileSources, JdbcSource, KafkaDecode, LocatorScan, MongoScan}
 import graft.spec.{ChunkSql, DialectSql, FilterSpec, WideFixture}
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
 import graft.types.{CanonicalType, Coerce, Naming}
@@ -24,6 +25,19 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Change-log shape consumed by the K1 writer-pipeline gate. */
+  private val changeLogSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(SystemColumns.OlakeId, StringType),
+      StructField("lsn", LongType),
+      StructField("kind", StringType),
+      StructField(SystemColumns.CdcTimestamp, TimestampType),
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -110,6 +124,57 @@ object SparkEntry {
       require(Protocol.syncStream(s, dir, dest, cfg, state) > 0,
         "clear left the cursor behind — resync was empty")
       s.read.parquet(s"$dest/nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    // ---- K1 writer pipeline, gate-backed: two REAL Structured
+    //      Streaming runs (AvailableNow trigger, foreachBatch apply,
+    //      checkpoint resume between them) over a change log derived
+    //      from `nation` — inserts, then updates + deletes + a stale
+    //      replay that the committed-LSN bound must drop (reference
+    //      cdc.go:100-164 writer loop). The merged table matches the
+    //      oracle only if every micro-batch applied exactly once and
+    //      in position order. ----
+    "q_stream_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_k1").toString
+      val logDir = s"$root/log"; val table = s"$root/t"
+      val state = s"$root/state.json"; val ckpt = s"$root/ckpt"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(logDir))
+      val n = t(s, dir, "nation")
+      def change(rows: DataFrame, lsnBase: Int, kind: String, ts: String,
+                 name: Column): DataFrame = rows.select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        (col("n_nationkey") + lsnBase).cast("long").as("lsn"),
+        lit(kind).as("kind"),
+        to_timestamp(lit(ts)).as(SystemColumns.CdcTimestamp),
+        col("n_nationkey"), name.as("n_name"), col("n_regionkey"))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(logDir, file)): Unit
+      }
+      val inserts = change(n, 1, "insert", "2024-01-01 00:00:00",
+        col("n_name"))
+      stage(inserts, "b1.json")
+      CdcStream.run(s, logDir, changeLogSchema, table, state, ckpt)
+        .awaitTermination()
+      val updates = change(n.where(col("n_nationkey") % 5 === 0),
+        1000, "update", "2024-01-01 00:00:01",
+        concat(upper(col("n_name")), lit("_V2")))
+      val deletes = change(n.where(col("n_nationkey") % 7 === 3),
+        2000, "delete", "2024-01-01 00:00:02", col("n_name"))
+      // stale re-delivery at an already-committed position: dropped
+      val replay = change(n.where(col("n_nationkey") === 0),
+        1, "insert", "2024-01-01 00:00:03", lit("STALE_MUST_DROP"))
+      stage(updates.unionAll(deletes).unionAll(replay), "b2.json")
+      CdcStream.run(s, logDir, changeLogSchema, table, state, ckpt)
+        .awaitTermination()
+      CdcStream.readTable(s, table)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
@@ -403,6 +468,44 @@ object SparkEntry {
       JdbcSource.readChunked(s, url, "LINEITEM", "\"l_orderkey\"",
           stride = 100)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    }),
+
+    // ---- S17 row materializer / custom JdbcDialect, gate-backed: the
+    //      dialect's type-routing decision table (reference
+    //      reader.go:76-88 + data_types.go:116-133 — integer-scale
+    //      NUMBER by precision, fractional NUMBER to double, DB2
+    //      TIME/XML to string) recomputed independently by DuckDB over
+    //      a table-derived (precision, scale, sqlType) grid. Precisions
+    //      1..25 cross the ≤9 / ≤18 / >18 routing boundaries. ----
+    "q_dialect_types" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.MetadataBuilder
+      Dialects.register()
+      val oracleRows = t(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq.sorted.flatMap { k =>
+          val p = k + 1
+          Seq(0, 2).map { sc =>
+            val md = new MetadataBuilder().putLong("scale", sc.toLong)
+            val dt = Dialects.OracleNumberDialect
+              .getCatalystType(java.sql.Types.NUMERIC, "NUMBER", p, md).get
+            ("oracle", p, sc, dt.simpleString)
+          }
+        }
+      val db2Rows = t(s, dir, "region").select("r_regionkey").collect()
+        .map(_.getInt(0)).toSeq.sorted.map { k =>
+          val sqlType = k match {
+            case 0 => java.sql.Types.TIME
+            case 1 => java.sql.Types.SQLXML
+            case 2 => java.sql.Types.DECIMAL
+            case 3 => java.sql.Types.NUMERIC
+            case _ => java.sql.Types.VARCHAR
+          }
+          val dt = Dialects.Db2Dialect
+            .getCatalystType(sqlType, "T", 10, new MetadataBuilder)
+          ("db2", k, 0, dt.map(_.simpleString).getOrElse("default"))
+        }
+      (oracleRows ++ db2Rows)
+        .toDF("dialect", "precision", "scale", "spark_type")
     }),
 
     // ---- I1/I3 executed for REAL over JDBC: cursor snapshot via a
@@ -1397,6 +1500,27 @@ object SparkEntry {
     // after clear + full resync, the destination IS the source table
     "q_clear_resync" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_dialect_types" ->
+      """SELECT 'oracle' AS dialect, n_nationkey + 1 AS precision, s.scale,
+        |  CASE WHEN s.scale = 0 AND n_nationkey + 1 <= 9 THEN 'int'
+        |       WHEN s.scale = 0 THEN 'bigint'
+        |       ELSE 'double' END AS spark_type
+        |FROM nation CROSS JOIN (SELECT 0 AS scale UNION ALL SELECT 2) s
+        |UNION ALL
+        |SELECT 'db2', r_regionkey, 0,
+        |  CASE WHEN r_regionkey IN (0, 1) THEN 'string'
+        |       WHEN r_regionkey IN (2, 3) THEN 'double'
+        |       ELSE 'default' END
+        |FROM region""".stripMargin,
+
+    "q_stream_pipeline" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN upper(n_name) || '_V2'
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey
+        |FROM nation
+        |WHERE n_nationkey % 7 <> 3""".stripMargin,
 
     "q_cursor_format" ->
       """SELECT 'o_orderdate' AS cursor_field,
