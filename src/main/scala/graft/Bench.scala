@@ -47,9 +47,12 @@ import org.apache.spark.sql.SparkSession
   *    conversation (driver-side by nature), not a Spark plan; their
   *    decode paths are already headlined via q_cdc_mongo /
   *    q_cdc_binlog / q_bounded_read.
-  *  - q_iceberg_mor / q_iceberg_2pc / q_clear_resync: multi-commit
-  *    write-then-read-back roundtrips into tempdirs (sink/metadata
-  *    cost on tiny fixtures, not a query plan).
+  *  - q_iceberg_mor / q_iceberg_2pc / q_clear_resync /
+  *    q_stream_pipeline: multi-commit write-then-read-back roundtrips
+  *    into tempdirs (sink/metadata/streaming-checkpoint cost on tiny
+  *    fixtures, not a query plan).
+  *  - q_cursor_format / q_dialect_types: driver-side scalar/decision-
+  *    table gates (two-row / 55-row outputs) — nothing to time.
   */
 object Bench {
 
