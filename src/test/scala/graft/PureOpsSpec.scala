@@ -216,5 +216,11 @@ class PureOpsSpec extends AnyFunSuite {
     val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05Z"))
     assert(StateStore.formatCursor(ts) == "2024-01-02T03:04:05Z")
     assert(StateStore.formatCursor(42L) == "42")
+    // TIMESTAMP_NTZ surfaces as LocalDateTime: wall clock IS UTC
+    assert(StateStore.formatCursor(
+      java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)) ==
+      "2024-01-02T03:04:05Z")
+    assert(StateStore.formatCursor(
+      java.time.LocalDate.of(2024, 1, 2)) == "2024-01-02")
   }
 }
