@@ -622,6 +622,29 @@ object SparkEntry {
         element_at(img, 4).cast("double").as("value"))
     }),
 
+    // ---- C4 binlog wide-type decode: charset registry (latin1/utf16/
+    //      utf16le/utf32), CHAR/ENUM/SET via STRING metadata, binary
+    //      JSON documents, GEOMETRY WKB, binary BLOB hex — the column
+    //      set the reference's filter.go:137-360 decodes ----
+    "q_cdc_binlog_charset" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 1000)
+      val decoded = Binlog.decode(ChangeLogFixture.binlogWideLog(ev), "lsn", "msg")
+      decoded.select(
+        col("pos"),
+        element_at(col("after"), 1).cast("long").as("event_id"),
+        element_at(col("after"), 2).as("name_latin1"),
+        element_at(col("after"), 3).as("name_utf16"),
+        element_at(col("after"), 4).as("name_utf16le"),
+        element_at(col("after"), 5).as("name_utf32"),
+        element_at(col("after"), 6).as("char_latin1"),
+        element_at(col("after"), 7).as("tier"),
+        element_at(col("after"), 8).as("tags"),
+        element_at(col("after"), 9).as("doc"),
+        element_at(col("after"), 10).as("geo"),
+        element_at(col("after"), 11).as("payload_hex"),
+        element_at(col("after"), 12).as("txt"))
+    }),
+
     // ---- C1/C3 DSv2 change-log source: LSN-segmented batch read ----
     "q_changelog_source" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -1715,6 +1738,25 @@ object SparkEntry {
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
         |  event_id, user_id, event_type, value
         |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_cdc_binlog_charset" ->
+      """SELECT event_id AS pos, event_id,
+        |  event_type || '_é' AS name_latin1,
+        |  event_type || '_✓' AS name_utf16,
+        |  event_type || '_Ω' AS name_utf16le,
+        |  event_type || '_€' AS name_utf32,
+        |  substr(event_type, 1, 3) || 'é' AS char_latin1,
+        |  CASE event_id % 3 WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+        |    ELSE 'gold' END AS tier,
+        |  concat_ws(',',
+        |    CASE WHEN ((event_id % 7 + 1) & 1) != 0 THEN 'alpha' END,
+        |    CASE WHEN ((event_id % 7 + 1) & 2) != 0 THEN 'beta' END,
+        |    CASE WHEN ((event_id % 7 + 1) & 4) != 0 THEN 'gamma' END) AS tags,
+        |  '{"id":' || event_id || ',"type":"' || event_type || '"}' AS doc,
+        |  'POINT (' || (event_id % 100) || ' 7)' AS geo,
+        |  upper(hex(event_type)) AS payload_hex,
+        |  event_type || '_T✓' AS txt
+        |FROM events WHERE event_id < 1000""".stripMargin,
 
     "q_changelog_source" ->
       """SELECT event_id AS lsn,

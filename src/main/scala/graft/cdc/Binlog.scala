@@ -23,10 +23,23 @@ import org.apache.spark.sql.types._
   * `mapPartitions` with a per-partition stateful decoder; each
   * partition must be a contiguous slice of one binlog file's stream.
   *
-  * Supported column types (the common row-image set): TINY(1), SHORT(2),
-  * LONG(3), FLOAT(4), DOUBLE(5), LONGLONG(8), VARCHAR(15) — any other
-  * type throws: its byte length is unknown, so continuing would
+  * Supported column types: TINY(1), SHORT(2), LONG(3), FLOAT(4),
+  * DOUBLE(5), LONGLONG(8), VARCHAR(15), JSON(245), ENUM/SET/CHAR (via
+  * STRING 254), BLOB/TEXT(252), VAR_STRING(253), GEOMETRY(255) — any
+  * other type throws: its byte length is unknown, so continuing would
   * misalign the buffer and silently corrupt every later column.
+  *
+  * Charset handling mirrors the reference's collation registry
+  * (`/root/reference/pkg/binlog/filter.go:311-360`): TABLE_MAP optional
+  * metadata carries per-column collation ids (DEFAULT_CHARSET /
+  * COLUMN_CHARSET TLVs); string bytes decode through the public
+  * collation→charset table (latin1, ucs2/utf16 → UTF-16BE, utf16le,
+  * utf32; utf8/utf8mb4/ascii pass through; collation 63 = binary →
+  * uppercase hex like DuckDB's `hex()`). ENUM indexes and SET bitmasks
+  * resolve through the ENUM_STR_VALUE/SET_STR_VALUE TLVs the way
+  * `filter.go:137-176` walks `EnumStrValue`/`SetStrValue`. JSON columns
+  * decode the binary JSONB document ([[Jsonb]]); GEOMETRY columns strip
+  * the 4-byte SRID and render WKT via [[graft.functions.WideTypes]].
   */
 object Binlog {
 
@@ -42,7 +55,63 @@ object Binlog {
 
   final case class TableDef(tableId: Long, schema: String, table: String,
                             colTypes: Array[Int], colMeta: Array[Int],
-                            colNames: Seq[String])
+                            colNames: Seq[String],
+                            colCharsets: Array[Int] = Array.empty,
+                            enumVals: Map[Int, IndexedSeq[Array[Byte]]] = Map.empty,
+                            setVals: Map[Int, IndexedSeq[Array[Byte]]] = Map.empty) {
+    def charsetOf(i: Int): Int =
+      if (i < colCharsets.length) colCharsets(i) else 0
+  }
+
+  // ---- collation → charset registry (public MySQL collation ids) --------
+
+  /** Collation id → Java charset name for the charsets whose bytes are
+    * not already UTF-8 (the reference's `mysqlStringDecoders`,
+    * `filter.go:322-333`). Everything else passes through as UTF-8 —
+    * correct for utf8/utf8mb3/utf8mb4/ascii. Collation 63 is `binary`. */
+  private val collationCharset: Map[Int, String] = (
+    Seq(5, 8, 15, 31, 47, 48, 49, 94).map(_ -> "ISO-8859-1") ++ // latin1_*
+      Seq(11, 65).map(_ -> "US-ASCII") ++                       // ascii_*
+      (Seq(35, 90, 159) ++ Seq(54, 55) ++ (101 to 124))
+        .map(_ -> "UTF-16BE") ++                                // ucs2/utf16_*
+      Seq(56, 62).map(_ -> "UTF-16LE") ++                       // utf16le_*
+      (Seq(60, 61) ++ (160 to 183)).map(_ -> "UTF-32BE")        // utf32_*
+    ).toMap
+
+  val BinaryCollation = 63
+
+  /** None = binary (caller renders hex); Some = text decoder. Unknown
+    * collations fall back to UTF-8 passthrough like the reference. */
+  def charsetFor(collation: Int): Option[java.nio.charset.Charset] =
+    if (collation == BinaryCollation) None
+    else Some(java.nio.charset.Charset.forName(
+      collationCharset.getOrElse(collation, "UTF-8")))
+
+  private def hexUpper(b: Array[Byte]): String = {
+    val digits = "0123456789ABCDEF"
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(digits.charAt((b(i) >> 4) & 0xf)).append(digits.charAt(b(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def decodeStr(bytes: Array[Byte], collation: Int): String =
+    charsetFor(collation) match {
+      case Some(cs) => new String(bytes, cs)
+      case None => hexUpper(bytes)
+    }
+
+  /** Is column `i` a "character column" for charset-TLV ordering (the
+    * set MySQL's `is_character_field` covers: VARCHAR, VAR_STRING,
+    * BLOB/TEXT, and STRING when its real type is not ENUM/SET). */
+  private def isCharCol(t: Int, meta: Int): Boolean = t match {
+    case 15 | 252 | 253 => true
+    case 254 => val real = meta >> 8; real != 247 && real != 248
+    case _ => false
+  }
 
   final case class Change(kind: String, schema: String, table: String,
                           pos: Long, tsSec: Long, names: Seq[String],
@@ -110,55 +179,151 @@ object Binlog {
       val metaLen = readLenEnc(b).toInt
       val metaEnd = b.position() + metaLen
       val meta = types.map {
-        case 15 /*VARCHAR*/ => b.getShort & 0xffff
+        case 15 | 253 /*VARCHAR/VAR_STRING: LE max length*/ => b.getShort & 0xffff
         case 4 | 5 /*FLOAT/DOUBLE*/ => b.get() & 0xff
+        case 245 | 252 | 255 /*JSON/BLOB/GEOMETRY: length-byte count*/ =>
+          b.get() & 0xff
+        case 254 /*STRING: (real type << 8) | packed length*/ =>
+          ((b.get() & 0xff) << 8) | (b.get() & 0xff)
         case _ => 0
       }
       b.position(metaEnd)
       val nullBitmapLen = (nCols + 7) / 8
       b.position(b.position() + nullBitmapLen)
-      // optional metadata TLVs (binlog_row_metadata=FULL): 4=COLUMN_NAME
+      // columns in charset-TLV / enum-TLV / set-TLV ordinal order
+      val charCols = (0 until nCols).filter(i => isCharCol(types(i), meta(i)))
+      val enumCols = (0 until nCols).filter(i => types(i) == 254 && (meta(i) >> 8) == 247)
+      val setCols = (0 until nCols).filter(i => types(i) == 254 && (meta(i) >> 8) == 248)
+      val charsets = Array.fill(nCols)(0)
+      var enumVals = Map.empty[Int, IndexedSeq[Array[Byte]]]
+      var setVals = Map.empty[Int, IndexedSeq[Array[Byte]]]
+      // optional metadata TLVs (binlog_row_metadata=FULL; type codes from
+      // the public Table_map_event optional-metadata enum): 1=SIGNEDNESS
+      // 2=DEFAULT_CHARSET 3=COLUMN_CHARSET 4=COLUMN_NAME 5=SET_STR_VALUE
+      // 6=ENUM_STR_VALUE 10=ENUM_AND_SET_DEFAULT_CHARSET
       var names: Seq[String] = (1 to nCols).map(i => s"col$i")
+      def readStrValues(cols: Seq[Int], end: Int): Map[Int, IndexedSeq[Array[Byte]]] = {
+        val out = Map.newBuilder[Int, IndexedSeq[Array[Byte]]]
+        var k = 0
+        while (b.position() < end && k < cols.length) {
+          val count = readLenEnc(b).toInt
+          out += cols(k) -> IndexedSeq.fill(count) {
+            val a = new Array[Byte](readLenEnc(b).toInt); b.get(a); a
+          }
+          k += 1
+        }
+        out.result()
+      }
       while (b.remaining() > 0) {
         val t = b.get() & 0xff
         val len = readLenEnc(b).toInt
         val end = b.position() + len
-        if (t == 4) {
-          val out = Seq.newBuilder[String]
-          while (b.position() < end)
-            out += readStrN(b, readLenEnc(b).toInt)
-          names = out.result()
+        t match {
+          case 4 =>
+            val out = Seq.newBuilder[String]
+            while (b.position() < end)
+              out += readStrN(b, readLenEnc(b).toInt)
+            names = out.result()
+          case 2 =>
+            val dflt = readLenEnc(b).toInt
+            charCols.foreach(i => charsets(i) = dflt)
+            while (b.position() < end) {
+              val idx = readLenEnc(b).toInt
+              val coll = readLenEnc(b).toInt
+              if (idx < charCols.length) charsets(charCols(idx)) = coll
+            }
+          case 3 =>
+            var k = 0
+            while (b.position() < end && k < charCols.length) {
+              charsets(charCols(k)) = readLenEnc(b).toInt; k += 1
+            }
+          case 10 =>
+            val dflt = readLenEnc(b).toInt
+            (enumCols ++ setCols).foreach(i => charsets(i) = dflt)
+          case 6 => enumVals = readStrValues(enumCols, end)
+          case 5 => setVals = readStrValues(setCols, end)
+          case _ => ()
         }
         b.position(end)
       }
-      tables(tableId) = TableDef(tableId, schema, table, types, meta, names)
+      tables(tableId) = TableDef(tableId, schema, table, types, meta, names,
+        charsets, enumVals, setVals)
     }
 
-    private def readValue(b: ByteBuffer, colType: Int, meta: Int): String =
-      colType match {
+    /** LE unsigned int of `n` bytes (BLOB/JSON/GEOMETRY length fields,
+      * ENUM indexes, SET bitmasks). */
+    private def readUIntN(b: ByteBuffer, n: Int): Long =
+      (0 until n).map(i => (b.get() & 0xffL) << (8 * i)).foldLeft(0L)(_ | _)
+
+    private def readBytes(b: ByteBuffer, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); b.get(a); a
+    }
+
+    private def readValue(b: ByteBuffer, td: TableDef, i: Int): String = {
+      val meta = td.colMeta(i)
+      td.colTypes(i) match {
         case 1 => b.get().toString                    // TINY
         case 2 => b.getShort.toString                 // SHORT
         case 3 => b.getInt.toString                   // LONG
         case 4 => java.lang.Float.toString(b.getFloat)
         case 5 => java.lang.Double.toString(b.getDouble)
         case 8 => b.getLong.toString                  // LONGLONG
-        case 15 =>                                    // VARCHAR
+        case 15 | 253 =>                              // VARCHAR / VAR_STRING
           val len = if (meta > 255) b.getShort & 0xffff else b.get() & 0xff
-          readStrN(b, len)
+          decodeStr(readBytes(b, len), td.charsetOf(i))
+        case 252 =>                                   // BLOB / TEXT
+          val bytes = readBytes(b, readUIntN(b, meta).toInt)
+          // TEXT carries a charset; a true BLOB is collation 63 (binary)
+          // or has no charset TLV at all → uppercase hex (DuckDB hex())
+          val cs = td.charsetOf(i)
+          if (cs == 0 || cs == BinaryCollation) hexUpper(bytes)
+          else decodeStr(bytes, cs)
+        case 245 =>                                   // JSON (binary doc)
+          Jsonb.decode(readBytes(b, readUIntN(b, meta).toInt))
+        case 255 =>                                   // GEOMETRY: SRID + WKB
+          // MySQL's internal geometry value ALWAYS leads with a 4-byte
+          // SRID; strip it before WKT rendering (an SRID of 0 would
+          // otherwise false-parse as a big-endian WKB header)
+          val geo = readBytes(b, readUIntN(b, meta).toInt)
+          graft.functions.WideTypes.wkbToWkt(geo.drop(4)).toString
+        case 254 =>                                   // STRING: CHAR/ENUM/SET
+          val real = meta >> 8
+          real match {
+            case 247 => // ENUM: 1- or 2-byte index into ENUM_STR_VALUE
+              val idx = readUIntN(b, meta & 0xff).toInt
+              // index 0 is MySQL's invalid-value sentinel → empty string
+              if (idx == 0) ""
+              else decodeStr(td.enumVals(i)(idx - 1), td.charsetOf(i))
+            case 248 => // SET: bitmask over SET_STR_VALUE members
+              val mask = readUIntN(b, meta & 0xff)
+              val members = td.setVals(i)
+              members.indices.collect {
+                case bit if (mask & (1L << bit)) != 0 =>
+                  decodeStr(members(bit), td.charsetOf(i))
+              }.mkString(",")
+            case _ => // CHAR: length may borrow bits from the type byte
+              val maxLen =
+                if ((real & 0x30) != 0x30) (meta & 0xff) | (((real & 0x30) ^ 0x30) << 4)
+                else meta & 0xff
+              val len = if (maxLen > 255) b.getShort & 0xffff else b.get() & 0xff
+              decodeStr(readBytes(b, len), td.charsetOf(i))
+          }
         case t =>
           // Unknown type: we cannot know the value's byte length, so the
           // buffer would misalign and every later column/row would decode
           // as garbage. Fail the event loudly instead.
           throw new IllegalArgumentException(
-            s"unsupported binlog column type $t (supported: 1,2,3,4,5,8,15)")
+            s"unsupported binlog column type $t " +
+              "(supported: 1,2,3,4,5,8,15,245,252,253,254,255)")
       }
+    }
 
     private def readImage(b: ByteBuffer, td: TableDef): Seq[String] = {
       val n = td.colTypes.length
       val nullBits = new Array[Byte]((n + 7) / 8); b.get(nullBits)
       (0 until n).map { i =>
         if ((nullBits(i / 8) & (1 << (i % 8))) != 0) null
-        else readValue(b, td.colTypes(i), td.colMeta(i))
+        else readValue(b, td, i)
       }
     }
 
@@ -232,8 +397,11 @@ object Binlog {
 
   def encodeTableMap(tableId: Long, schema: String, table: String,
                      colTypes: Array[Int], colMeta: Array[Int],
-                     colNames: Seq[String]): Array[Byte] = {
-    val body = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+                     colNames: Seq[String],
+                     colCharsets: Seq[Int] = Nil,
+                     enumVals: Map[Int, Seq[String]] = Map.empty,
+                     setVals: Map[Int, Seq[String]] = Map.empty): Array[Byte] = {
+    val body = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
     (0 until 6).foreach(i => body.put(((tableId >> (8 * i)) & 0xff).toByte))
     body.putShort(1)
     val sb = schema.getBytes(StandardCharsets.UTF_8)
@@ -244,22 +412,57 @@ object Binlog {
     colTypes.foreach(t => body.put(t.toByte))
     val metaBuf = ByteBuffer.allocate(256).order(ByteOrder.LITTLE_ENDIAN)
     colTypes.zip(colMeta).foreach {
-      case (15, m) => metaBuf.putShort(m.toShort)
+      case (15 | 253, m) => metaBuf.putShort(m.toShort)
       case (4 | 5, m) => metaBuf.put(m.toByte)
+      case (245 | 252 | 255, m) => metaBuf.put(m.toByte)
+      case (254, m) => metaBuf.put((m >> 8).toByte).put((m & 0xff).toByte)
       case _ => ()
     }
     metaBuf.flip()
     putLenEnc(body, metaBuf.remaining())
     body.put(metaBuf)
     body.put(new Array[Byte]((colTypes.length + 7) / 8)) // null bitmap
+    def tlv(t: Int, payload: ByteBuffer): Unit = {
+      payload.flip()
+      if (payload.remaining() > 0) {
+        body.put(t.toByte); putLenEnc(body, payload.remaining()); body.put(payload)
+      }
+    }
     // optional metadata: COLUMN_NAME TLV
-    val namesBuf = ByteBuffer.allocate(1024)
+    val namesBuf = ByteBuffer.allocate(2048)
     colNames.foreach { n =>
       val nb = n.getBytes(StandardCharsets.UTF_8)
       namesBuf.put(nb.length.toByte).put(nb)
     }
-    namesBuf.flip()
-    body.put(4.toByte); putLenEnc(body, namesBuf.remaining()); body.put(namesBuf)
+    tlv(4, namesBuf)
+    // COLUMN_CHARSET TLV: one lenenc collation per character column
+    if (colCharsets.nonEmpty) {
+      val csBuf = ByteBuffer.allocate(256)
+      (0 until colTypes.length).foreach { i =>
+        if (isCharCol(colTypes(i), colMeta(i)))
+          putLenEnc(csBuf, colCharsets(i).toLong)
+      }
+      tlv(3, csBuf)
+    }
+    // ENUM_STR_VALUE (6) / SET_STR_VALUE (5) TLVs, charset-encoded
+    def strValues(vals: Map[Int, Seq[String]], realType: Int): ByteBuffer = {
+      val buf = ByteBuffer.allocate(2048)
+      (0 until colTypes.length).foreach { i =>
+        if (colTypes(i) == 254 && (colMeta(i) >> 8) == realType)
+          vals.get(i).foreach { members =>
+            putLenEnc(buf, members.length.toLong)
+            members.foreach { m =>
+              val cs = charsetFor(colCharsets.lift(i).getOrElse(0))
+                .getOrElse(StandardCharsets.UTF_8)
+              val mb = m.getBytes(cs)
+              putLenEnc(buf, mb.length.toLong); buf.put(mb)
+            }
+          }
+      }
+      buf
+    }
+    tlv(6, strValues(enumVals, 247))
+    tlv(5, strValues(setVals, 248))
     finish(19, 0L, body)
   }
 
@@ -270,13 +473,32 @@ object Binlog {
     h.array()
   }
 
+  private def putUIntN(b: ByteBuffer, v: Long, n: Int): Unit =
+    (0 until n).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+
+  private def hexToBytes(s: String): Array[Byte] =
+    (0 until s.length by 2)
+      .map(i => Integer.parseInt(s.substring(i, i + 2), 16).toByte).toArray
+
+  /** "POINT (x y)" / "POINT(x y)" WKT → MySQL geometry value: 4-byte
+    * SRID 0 + little-endian WKB point. Fixture-side only. */
+  private def wktPointToWkb(wkt: String): Array[Byte] = {
+    val inner = wkt.substring(wkt.indexOf('(') + 1, wkt.lastIndexOf(')')).trim
+    val Array(x, y) = inner.split("\\s+").map(_.toDouble)
+    val b = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0).put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    b.array()
+  }
+
   private def putImage(b: ByteBuffer, colTypes: Array[Int], colMeta: Array[Int],
-                       vals: Seq[String]): Unit = {
+                       vals: Seq[String], colCharsets: Seq[Int] = Nil): Unit = {
     val nullBits = new Array[Byte]((vals.size + 7) / 8)
     vals.zipWithIndex.foreach { case (v, i) =>
       if (v == null) nullBits(i / 8) = (nullBits(i / 8) | (1 << (i % 8))).toByte
     }
     b.put(nullBits)
+    def charsetOf(i: Int): java.nio.charset.Charset =
+      charsetFor(colCharsets.lift(i).getOrElse(0)).getOrElse(StandardCharsets.UTF_8)
     vals.zipWithIndex.foreach { case (v, i) =>
       if (v != null) colTypes(i) match {
         case 1 => b.put(v.toByte)
@@ -285,11 +507,30 @@ object Binlog {
         case 4 => b.putFloat(v.toFloat)
         case 5 => b.putDouble(v.toDouble)
         case 8 => b.putLong(v.toLong)
-        case 15 =>
-          val vb = v.getBytes(StandardCharsets.UTF_8)
+        case 15 | 253 =>
+          val vb = v.getBytes(charsetOf(i))
           if (colMeta(i) > 255) b.putShort(vb.length.toShort)
           else b.put(vb.length.toByte)
           b.put(vb)
+        case 252 => // BLOB (binary collation: value is uppercase hex) / TEXT
+          val binary = colCharsets.lift(i).forall(c => c == 0 || c == BinaryCollation)
+          val vb = if (binary) hexToBytes(v) else v.getBytes(charsetOf(i))
+          putUIntN(b, vb.length.toLong, colMeta(i)); b.put(vb)
+        case 245 => // JSON text → binary JSONB document
+          val doc = Jsonb.encode(v)
+          putUIntN(b, doc.length.toLong, colMeta(i)); b.put(doc)
+        case 255 => // WKT point → SRID + WKB
+          val geo = wktPointToWkb(v)
+          putUIntN(b, geo.length.toLong, colMeta(i)); b.put(geo)
+        case 254 =>
+          val real = colMeta(i) >> 8
+          real match {
+            case 247 => putUIntN(b, v.toLong, colMeta(i) & 0xff) // ENUM index
+            case 248 => putUIntN(b, v.toLong, colMeta(i) & 0xff) // SET bitmask
+            case _ => // CHAR (maxLen ≤ 255 in fixtures)
+              val vb = v.getBytes(charsetOf(i))
+              b.put(vb.length.toByte).put(vb)
+          }
       }
     }
   }
@@ -307,28 +548,31 @@ object Binlog {
   }
 
   def encodeWrite(tableId: Long, colTypes: Array[Int], colMeta: Array[Int],
-                  tsSec: Long, rows: Seq[Seq[String]]): Array[Byte] = {
+                  tsSec: Long, rows: Seq[Seq[String]],
+                  colCharsets: Seq[Int] = Nil): Array[Byte] = {
     val b = rowsBody(tableId, colTypes.length)
-    rows.foreach(putImage(b, colTypes, colMeta, _))
+    rows.foreach(putImage(b, colTypes, colMeta, _, colCharsets))
     finish(WriteRowsV2, tsSec, b)
   }
 
   def encodeDelete(tableId: Long, colTypes: Array[Int], colMeta: Array[Int],
-                   tsSec: Long, rows: Seq[Seq[String]]): Array[Byte] = {
+                   tsSec: Long, rows: Seq[Seq[String]],
+                   colCharsets: Seq[Int] = Nil): Array[Byte] = {
     val b = rowsBody(tableId, colTypes.length)
-    rows.foreach(putImage(b, colTypes, colMeta, _))
+    rows.foreach(putImage(b, colTypes, colMeta, _, colCharsets))
     finish(DeleteRowsV2, tsSec, b)
   }
 
   def encodeUpdate(tableId: Long, colTypes: Array[Int], colMeta: Array[Int],
-                   tsSec: Long, rows: Seq[(Seq[String], Seq[String])]): Array[Byte] = {
+                   tsSec: Long, rows: Seq[(Seq[String], Seq[String])],
+                   colCharsets: Seq[Int] = Nil): Array[Byte] = {
     val b = rowsBody(tableId, colTypes.length)
     val present = new Array[Byte]((colTypes.length + 7) / 8)
     java.util.Arrays.fill(present, 0xff.toByte)
     b.put(present) // update carries a second columns-present bitmap
     rows.foreach { case (before, after) =>
-      putImage(b, colTypes, colMeta, before)
-      putImage(b, colTypes, colMeta, after)
+      putImage(b, colTypes, colMeta, before, colCharsets)
+      putImage(b, colTypes, colMeta, after, colCharsets)
     }
     finish(UpdateRowsV2, tsSec, b)
   }

@@ -79,6 +79,54 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → binlog stream over the wide-type column set the reference
+    * decodes from row images (`pkg/binlog/filter.go:137-360`): latin1 /
+    * utf16 / utf16le / utf32 VARCHAR columns, a latin1 CHAR, an ENUM, a
+    * SET, a binary JSON document, a GEOMETRY point, a binary BLOB
+    * (hex-rendered) and a utf16 TEXT. TABLE_MAP carries COLUMN_CHARSET +
+    * ENUM_STR_VALUE/SET_STR_VALUE optional metadata; every value is
+    * derived from `events` so a DuckDB SELECT can replay the decode. */
+  def binlogWideLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("event_type"),
+      unix_seconds(col("ts")).as("ts_s"))
+    //                 id latin1 u16 u16le u32 char enum set json geo blob text
+    val colTypes = Array(8, 15, 15, 15, 15, 254, 254, 254, 245, 255, 252, 252)
+    val colMeta = Array(0, 255, 255, 255, 255,
+      (254 << 8) | 10, (247 << 8) | 1, (248 << 8) | 1, 4, 4, 2, 2)
+    val charsets = Seq(0, 8, 54, 56, 60, 8, 45, 45, 0, 0, 63, 54)
+    val names = Seq("event_id", "name_latin1", "name_utf16", "name_utf16le",
+      "name_utf32", "char_latin1", "tier", "tags", "doc", "geo", "payload",
+      "txt")
+    val enums = Map(6 -> Seq("bronze", "silver", "gold"))
+    val sets = Map(7 -> Seq("alpha", "beta", "gamma"))
+    src.mapPartitions { it =>
+      val tm = Iterator.single(Row(0L,
+        Binlog.encodeTableMap(77L, "mydb", "events_wide", colTypes, colMeta,
+          names, charsets, enums, sets)))
+      val body = it.map { r =>
+        val id = r.getLong(0); val et = r.getString(1)
+        val hex = et.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xff}%02X").mkString
+        val vals = Seq(
+          id.toString,
+          et + "_é",          // latin1: é
+          et + "_✓",          // utf16: ✓
+          et + "_Ω",          // utf16le: Ω
+          et + "_€",          // utf32: €
+          et.take(3) + "é",   // CHAR latin1
+          (id % 3 + 1).toString,   // ENUM index 1..3
+          (id % 7 + 1).toString,   // SET bitmask 1..7
+          s"""{"id":$id,"type":"$et"}""",
+          s"POINT (${id % 100} 7)",
+          hex,
+          et + "_T✓")
+        Row(id, Binlog.encodeWrite(77L, colTypes, colMeta, r.getLong(2),
+          Seq(vals), charsets))
+      }
+      tm ++ body
+    }(Encoders.row(logSchema))
+  }
+
   /** events → LSN-segmented change-log directory for the
     * `graft-changelog` DSv2 source: each input partition writes one
     * `seg-<min>-<max>.json` (executor-side, no driver collect). */

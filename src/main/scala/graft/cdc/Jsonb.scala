@@ -1,0 +1,253 @@
+package graft.cdc
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** MySQL binary JSON ("JSONB") codec — the storage format of `JSON`
+  * columns as they appear in binlog row images (public format, MySQL
+  * source `sql/json_binary.cc` header comment; also documented in the
+  * MySQL Internals manual).
+  *
+  * Reference behavior: `/root/reference/pkg/binlog/filter.go:254-255`
+  * types JSON columns, and the reference's go-mysql dependency decodes
+  * the binary document into text before `decodeBytesToString` /
+  * conversion runs. Here the decode is a self-contained parser with no
+  * library: `decode` renders the document as compact JSON text
+  * (insertion-ordered as stored; MySQL itself stores object keys sorted
+  * by length then bytes).
+  *
+  * `encode` is the fixture-side inverse used by the binlog gate
+  * (decode ∘ encode = identity for the supported subset): small objects
+  * and arrays (2-byte offsets — documents < 64 KiB), strings, booleans,
+  * nulls, integers and doubles. Callers must pass object keys already
+  * in MySQL's storage order if they want byte-faithful server output.
+  */
+object Jsonb {
+
+  // value type tags (json_binary.cc)
+  private val SmallObj = 0x00
+  private val LargeObj = 0x01
+  private val SmallArr = 0x02
+  private val LargeArr = 0x03
+  private val Literal = 0x04
+  private val Int16 = 0x05
+  private val UInt16 = 0x06
+  private val Int32 = 0x07
+  private val UInt32 = 0x08
+  private val Int64 = 0x09
+  private val UInt64 = 0x0a
+  private val Dbl = 0x0b
+  private val Str = 0x0c
+
+  // ---- decode ------------------------------------------------------------
+
+  /** Binary JSON document (type byte + payload) → compact JSON text.
+    * Empty payload renders as SQL NULL's JSON spelling, "null". */
+  def decode(doc: Array[Byte]): String = {
+    if (doc.isEmpty) return "null"
+    val sb = new java.lang.StringBuilder(doc.length * 2)
+    writeValue(sb, doc, doc(0) & 0xff, 1, inlined = false)
+    sb.toString
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def i64(b: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(b, off, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+
+  /** Variable-length size: 7 bits per byte little-endian, high bit =
+    * continuation. Returns (value, bytesConsumed). */
+  private def varlen(b: Array[Byte], off: Int): (Int, Int) = {
+    var v = 0L; var i = 0
+    while ({
+      v |= (b(off + i) & 0x7fL) << (7 * i)
+      val cont = (b(off + i) & 0x80) != 0
+      i += 1
+      cont
+    }) ()
+    (v.toInt, i)
+  }
+
+  private def escape(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  /** Write one value. `off` points at the value payload (for inlined
+    * small scalars it points at the 2- or 4-byte inline slot). */
+  private def writeValue(sb: java.lang.StringBuilder, b: Array[Byte],
+                         tpe: Int, off: Int, inlined: Boolean,
+                         large: Boolean = false): Unit = tpe match {
+    case SmallObj => writeContainer(sb, b, off, obj = true, large = false)
+    case LargeObj => writeContainer(sb, b, off, obj = true, large = true)
+    case SmallArr => writeContainer(sb, b, off, obj = false, large = false)
+    case LargeArr => writeContainer(sb, b, off, obj = false, large = true)
+    case Literal => (b(off) & 0xff) match {
+      case 0 => sb.append("null")
+      case 1 => sb.append("true")
+      case 2 => sb.append("false")
+      case x => throw new IllegalArgumentException(s"bad JSONB literal $x")
+    }
+    case Int16 => sb.append(u16(b, off).toShort.toInt)
+    case UInt16 => sb.append(u16(b, off))
+    case Int32 =>
+      if (inlined && !large)
+        throw new IllegalArgumentException("int32 cannot inline in small container")
+      sb.append(u32(b, off).toInt)
+    case UInt32 => sb.append(u32(b, off))
+    case Int64 => sb.append(i64(b, off))
+    case UInt64 => sb.append(java.lang.Long.toUnsignedString(i64(b, off)))
+    case Dbl => sb.append(java.lang.Double.toString(
+      java.lang.Double.longBitsToDouble(i64(b, off))))
+    case Str =>
+      val (len, n) = varlen(b, off)
+      escape(sb, new String(b, off + n, len, StandardCharsets.UTF_8))
+    case x => throw new IllegalArgumentException(
+      s"unsupported JSONB value type 0x${Integer.toHexString(x)}")
+  }
+
+  /** Object/array container: header offsets are relative to the
+    * container's own start (`base`). */
+  private def writeContainer(sb: java.lang.StringBuilder, b: Array[Byte],
+                             base: Int, obj: Boolean, large: Boolean): Unit = {
+    val w = if (large) 4 else 2
+    def cnt(off: Int): Int = if (large) u32(b, off).toInt else u16(b, off)
+    val count = cnt(base)
+    val keyEntry = base + 2 * w
+    val valEntry = keyEntry + (if (obj) count * (w + 2) else 0)
+    sb.append(if (obj) '{' else '[')
+    var i = 0
+    while (i < count) {
+      if (i > 0) sb.append(',')
+      if (obj) {
+        val kOff = cnt(keyEntry + i * (w + 2))
+        val kLen = u16(b, keyEntry + i * (w + 2) + w)
+        escape(sb, new String(b, base + kOff, kLen, StandardCharsets.UTF_8))
+        sb.append(':')
+      }
+      val e = valEntry + i * (w + 1)
+      val t = b(e) & 0xff
+      val inline = t == Literal || t == Int16 || t == UInt16 ||
+        (large && (t == Int32 || t == UInt32))
+      if (inline) writeValue(sb, b, t, e + 1, inlined = true, large)
+      else writeValue(sb, b, t, base + cnt(e + 1), inlined = false, large)
+      i += 1
+    }
+    sb.append(if (obj) '}' else ']')
+  }
+
+  // ---- encode (fixture side) ---------------------------------------------
+
+  /** JSON text → binary document (type byte + payload), small-format
+    * containers only. Uses Jackson (on Spark's classpath) for parsing. */
+  def encode(json: String): Array[Byte] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val (t, body) = encodeValue(node)
+    val out = new Array[Byte](1 + body.length)
+    out(0) = t.toByte
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
+  }
+
+  private def putVarlen(len: Int): Array[Byte] = {
+    var v = len
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    while ({
+      val b = (v & 0x7f); v >>>= 7
+      buf += (if (v != 0) (b | 0x80) else b).toByte
+      v != 0
+    }) ()
+    buf.toArray
+  }
+
+  /** (type byte, payload bytes). Inline-eligibility is decided by the
+    * container builder (literal/int16/uint16 payloads are 2 bytes or
+    * padded to 2 in the entry slot). */
+  private def encodeValue(n: com.fasterxml.jackson.databind.JsonNode): (Int, Array[Byte]) = {
+    import com.fasterxml.jackson.databind.JsonNode
+    if (n.isNull) (Literal, Array(0.toByte))
+    else if (n.isBoolean) (Literal, Array(if (n.asBoolean()) 1.toByte else 2.toByte))
+    else if (n.isIntegralNumber) {
+      val v = n.asLong()
+      if (v >= Short.MinValue && v <= Short.MaxValue)
+        (Int16, Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+      else if (v >= Int.MinValue && v <= Int.MaxValue) {
+        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v.toInt)
+        (Int32, b.array())
+      } else {
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+        (Int64, b.array())
+      }
+    } else if (n.isFloatingPointNumber) {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(n.asDouble())
+      (Dbl, b.array())
+    } else if (n.isTextual) {
+      val sb = n.asText().getBytes(StandardCharsets.UTF_8)
+      (Str, putVarlen(sb.length) ++ sb)
+    } else if (n.isArray || n.isObject) {
+      val obj = n.isObject
+      val fields: Seq[(Array[Byte], JsonNode)] =
+        if (obj) {
+          val it = n.fields()
+          val buf = Seq.newBuilder[(Array[Byte], JsonNode)]
+          while (it.hasNext) {
+            val e = it.next()
+            buf += ((e.getKey.getBytes(StandardCharsets.UTF_8), e.getValue))
+          }
+          buf.result()
+        } else (0 until n.size()).map(i => (Array.empty[Byte], n.get(i)))
+      val count = fields.size
+      val encoded = fields.map { case (_, v) => encodeValue(v) }
+      val headerLen = 4 + (if (obj) count * 4 else 0) + count * 3
+      val keysLen = fields.map(_._1.length).sum
+      // lay out: header | keys | non-inlined values
+      val body = ByteBuffer.allocate(
+        headerLen + keysLen + encoded.map(_._2.length).sum + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      body.position(4 + (if (obj) count * 4 else 0) + count * 3)
+      val keyOffs = fields.map { case (k, _) =>
+        val off = body.position(); body.put(k); off
+      }
+      val valSlots = encoded.map { case (t, payload) =>
+        val inline = t == Literal || t == Int16 || t == UInt16
+        if (inline) Left((t, payload))
+        else { val off = body.position(); body.put(payload); Right((t, off)) }
+      }
+      val size = body.position()
+      body.position(0)
+      body.putShort(count.toShort).putShort(size.toShort)
+      if (obj) keyOffs.zip(fields).foreach { case (off, (k, _)) =>
+        body.putShort(off.toShort).putShort(k.length.toShort)
+      }
+      valSlots.foreach {
+        case Left((t, payload)) =>
+          body.put(t.toByte)
+          body.put(payload(0)).put(if (payload.length > 1) payload(1) else 0.toByte)
+        case Right((t, off)) =>
+          body.put(t.toByte).putShort(off.toShort)
+      }
+      (if (obj) SmallObj else SmallArr,
+        java.util.Arrays.copyOf(body.array(), size))
+    } else throw new IllegalArgumentException(s"unsupported JSON node $n")
+  }
+}

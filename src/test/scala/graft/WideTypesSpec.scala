@@ -132,4 +132,64 @@ class WideTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = df.head
     assert(r.getBoolean(0) && r.getLong(1) == 12L && r.getString(2) == "ab")
   }
+
+  // ---- binlog wide-type decode (filter.go:137-360 parity) ----------------
+
+  test("JSONB codec: scalars, escaping, nesting round-trip; large-format decode") {
+    import graft.cdc.Jsonb
+    def rt(s: String): String = Jsonb.decode(Jsonb.encode(s))
+    assert(rt("null") == "null")
+    assert(rt("true") == "true")
+    assert(rt("[1,-2,70000,9007199254740993]") == "[1,-2,70000,9007199254740993]")
+    assert(rt("1.5") == "1.5")
+    assert(rt("""{"a":"x\"y\n","b":[false,null]}""") ==
+      """{"a":"x\"y\n","b":[false,null]}""")
+    assert(rt("""{"id":7,"type":"click","nested":{"k":[1,"two"]}}""") ==
+      """{"id":7,"type":"click","nested":{"k":[1,"two"]}}""")
+    assert(Jsonb.decode(Array.empty[Byte]) == "null")
+    // large array format (4-byte counts/offsets, int16 inline): the
+    // server emits it above 64 KiB; decode must handle it even though
+    // the fixture encoder only writes small format
+    val large = Array[Byte](0x03, 2, 0, 0, 0, 18, 0, 0, 0,
+      0x05, 7, 0, 0, 0, 0x05, 0xf9.toByte, 0xff.toByte, 0, 0)
+    assert(Jsonb.decode(large) == "[7,-7]")
+  }
+
+  test("binlog charset registry: latin1/utf16/utf16le/utf32 decode, binary → None, unknown → UTF-8") {
+    import graft.cdc.Binlog
+    import java.nio.charset.StandardCharsets
+    assert(Binlog.charsetFor(8).get.name == "ISO-8859-1")
+    assert(Binlog.charsetFor(54).get.name == "UTF-16BE")
+    assert(Binlog.charsetFor(35).get.name == "UTF-16BE") // ucs2 = BE subset
+    assert(Binlog.charsetFor(56).get.name == "UTF-16LE")
+    assert(Binlog.charsetFor(60).get.name == "UTF-32BE")
+    assert(Binlog.charsetFor(63).isEmpty) // binary
+    assert(Binlog.charsetFor(255).get == StandardCharsets.UTF_8) // utf8mb4_0900
+    assert(Binlog.charsetFor(9999).get == StandardCharsets.UTF_8) // passthrough
+  }
+
+  test("binlog ENUM/SET/CHAR/BLOB/JSON/GEOMETRY row-image decode incl. sentinel cases") {
+    import graft.cdc.Binlog
+    //              enum           set            char           blob json geom
+    val types = Array(254, 254, 254, 252, 245, 255)
+    val meta = Array((247 << 8) | 1, (248 << 8) | 1, (254 << 8) | 8, 2, 4, 4)
+    val charsets = Seq(45, 45, 8, 63, 0, 0)
+    val names = Seq("tier", "tags", "c", "blob", "doc", "geo")
+    val tm = Binlog.encodeTableMap(9L, "db", "t", types, meta, names, charsets,
+      Map(0 -> Seq("bronze", "silver")), Map(1 -> Seq("a", "b", "c")))
+    // ENUM index 0 = invalid sentinel → ""; SET mask 0 → ""; latin1 CHAR
+    val w = Binlog.encodeWrite(9L, types, meta, 0L,
+      Seq(Seq("0", "0", "né", "0AFF", """{"k":true}""", "POINT (3 4)"),
+        Seq("2", "5", "x", "00", "[]", "POINT (0 0)")), charsets)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(tm, 0L)
+    val rows = dec.decode(w, 1L).toSeq
+    assert(rows.head.after == Seq("", "", "né", "0AFF", """{"k":true}""", "POINT (3 4)"))
+    assert(rows(1).after == Seq("silver", "a,c", "x", "00", "[]", "POINT (0 0)"))
+    // null-bitmap still aligns across the new types
+    val wNull = Binlog.encodeWrite(9L, types, meta, 0L,
+      Seq(Seq("1", null, null, "BEEF", null, "POINT (1 2)")), charsets)
+    assert(dec.decode(wNull, 2L).next().after ==
+      Seq("bronze", null, null, "BEEF", null, "POINT (1 2)"))
+  }
 }
