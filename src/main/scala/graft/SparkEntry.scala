@@ -1014,6 +1014,45 @@ object SparkEntry {
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
 
+    // ---- K2 manifest column stats + file pruning, gate-backed: a
+    //      commit over range-partitioned files records per-column
+    //      value/null counts and min/max bounds in the manifest Avro;
+    //      the gate emits ONE ROW PER DATA FILE straight from the
+    //      manifest (nothing rescanned) — bounds, counts, and the
+    //      prune verdict for a range predicate — while DuckDB
+    //      recomputes the same facts from the parquet files
+    //      themselves. Equal rows = the stats an Iceberg planner would
+    //      prune by are exactly the truth on disk. ----
+    "q_iceberg_prune" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_prune_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val ice = s"$root/ice"
+      t(s, dir, "events")
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("error")).as("etype"))
+        .repartitionByRange(8, col("event_id"))
+        .write.parquet(s"$root/data")
+      IcebergMetadata.commit(s, ice, s"$root/data")
+      val (lo, hi) = (2500L, 4500L)
+      val fidId = IcebergMetadata.currentFieldId(ice, "event_id")
+      val fidEt = IcebergMetadata.currentFieldId(ice, "etype")
+      val kept = IcebergMetadata.pruneDataFiles(ice, "event_id", lo, hi).toSet
+      val rows = IcebergMetadata.dataFileStats(ice).filter(_.content == 0)
+        .map { e =>
+          (IcebergMetadata.boundLong(e.stats.lower(fidId)),
+            IcebergMetadata.boundLong(e.stats.upper(fidId)),
+            e.stats.valueCounts(fidId),
+            e.stats.nullCounts(fidEt),
+            kept.contains(e.path))
+        }
+      import s.implicits._
+      rows.toDF("mn", "mx", "nrows", "nulls_etype", "selected")
+    }),
+
     // ---- K6 2PC commit analog, gate-backed: two CDC batches publish
     // Iceberg snapshots whose summaries carry the committed position
     // state (stream, batchId, lsn, dedup_inserts — the reference's
@@ -1960,6 +1999,18 @@ object SparkEntry {
         |SELECT p.batch_id, p.operation, p.stream, p.lsn, p.dedup_inserts,
         |  p.lsn = b.expect_lsn AS lsn_ok
         |FROM parsed p JOIN bounds b USING (batch_id)""".stripMargin,
+
+    // the manifest-recorded stats re-derived from the parquet files
+    // themselves: per file, true min/max/count/null-count + the same
+    // overlap verdict the Spark side took FROM THE MANIFEST AVRO
+    "q_iceberg_prune" ->
+      """SELECT min(event_id) AS mn, max(event_id) AS mx,
+        |  count(*) AS nrows,
+        |  count(*) FILTER (WHERE etype IS NULL) AS nulls_etype,
+        |  (min(event_id) <= 4500 AND max(event_id) >= 2500) AS selected
+        |FROM read_parquet('/tmp/graft_prune_gate/data/*.parquet',
+        |                  filename=true)
+        |GROUP BY filename""".stripMargin,
 
     "q_flatten" ->
       """SELECT event_id,

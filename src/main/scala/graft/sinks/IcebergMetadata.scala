@@ -60,11 +60,35 @@ object IcebergMetadata {
                     manifestPath: String, manifestListPath: String,
                     addedFiles: Int, addedRows: Long)
 
+  /** Per-file column statistics keyed by Iceberg field id, as the spec's
+    * optional data_file stat maps. Bound values use the spec's binary
+    * single-value serialization (little-endian numerics, raw UTF-8 for
+    * strings). The library writer populates these automatically; they
+    * are what makes 100 TB scan planning skip files. */
+  case class ColStats(sizes: Map[Int, Long] = Map.empty,
+                      valueCounts: Map[Int, Long] = Map.empty,
+                      nullCounts: Map[Int, Long] = Map.empty,
+                      lower: Map[Int, Array[Byte]] = Map.empty,
+                      upper: Map[Int, Array[Byte]] = Map.empty)
+
   /** One physical file headed for a manifest. `content`: 0 data,
     * 2 equality deletes (per the data_file spec). */
   case class FileEntry(path: String, sizeBytes: Long, rows: Long,
                        seq: Long, content: Int = 0,
-                       equalityIds: Seq[Int] = Nil)
+                       equalityIds: Seq[Int] = Nil,
+                       stats: ColStats = ColStats())
+
+  /** A manifest entry read back with its stats — the planner's view. */
+  case class DataFileStat(path: String, seq: Long, content: Int,
+                          recordCount: Long, stats: ColStats)
+
+  /** Decode a numeric bound from Iceberg single-value serialization
+    * (4-byte LE int / 8-byte LE long). */
+  def boundLong(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (b.length == 4) buf.getInt.toLong else buf.getLong
+  }
 
   private def metaDir(tableDir: String): File = new File(tableDir, "metadata")
 
@@ -86,6 +110,31 @@ object IcebergMetadata {
              "type": {"type": "record", "name": "r102", "fields": []}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "column_sizes", "default": null, "field-id": 108,
+             "type": ["null", {"type": "array", "logicalType": "map",
+               "items": {"type": "record", "name": "k117_v118", "fields": [
+                 {"name": "key", "type": "int", "field-id": 117},
+                 {"name": "value", "type": "long", "field-id": 118}]}}]},
+            {"name": "value_counts", "default": null, "field-id": 109,
+             "type": ["null", {"type": "array", "logicalType": "map",
+               "items": {"type": "record", "name": "k119_v120", "fields": [
+                 {"name": "key", "type": "int", "field-id": 119},
+                 {"name": "value", "type": "long", "field-id": 120}]}}]},
+            {"name": "null_value_counts", "default": null, "field-id": 110,
+             "type": ["null", {"type": "array", "logicalType": "map",
+               "items": {"type": "record", "name": "k121_v122", "fields": [
+                 {"name": "key", "type": "int", "field-id": 121},
+                 {"name": "value", "type": "long", "field-id": 122}]}}]},
+            {"name": "lower_bounds", "default": null, "field-id": 125,
+             "type": ["null", {"type": "array", "logicalType": "map",
+               "items": {"type": "record", "name": "k126_v127", "fields": [
+                 {"name": "key", "type": "int", "field-id": 126},
+                 {"name": "value", "type": "bytes", "field-id": 127}]}}]},
+            {"name": "upper_bounds", "default": null, "field-id": 128,
+             "type": ["null", {"type": "array", "logicalType": "map",
+               "items": {"type": "record", "name": "k129_v130", "fields": [
+                 {"name": "key", "type": "int", "field-id": 129},
+                 {"name": "value", "type": "bytes", "field-id": 130}]}}]},
             {"name": "equality_ids", "default": null, "field-id": 135,
              "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
           ]}}
@@ -180,13 +229,92 @@ object IcebergMetadata {
       .getOrElse(throw new IllegalArgumentException(s"no field $name"))
   }
 
-  /** Parquet footer row count — no data scan. */
-  private def parquetRowCount(spark: SparkSession, f: File): Long = {
+  /** Parquet footer row count + per-column stats — no data scan. The
+    * footer's row-group statistics aggregate into the manifest's
+    * value/null counts and min/max bounds keyed by Iceberg field id
+    * (only top-level primitive columns present in `fieldIds`; a column
+    * whose footer lacks stats in ANY row group gets no bounds — absent
+    * stats must read as "cannot prune", never as a wrong bound). */
+  private def footerInfo(spark: SparkSession, f: File,
+                         fieldIds: Map[String, Int]): (Long, ColStats) = {
+    import org.apache.parquet.column.statistics.Statistics
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(f.getPath),
       spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      if (fieldIds.isEmpty) (r.getRecordCount, ColStats())
+      else {
+        val sizes = scala.collection.mutable.Map.empty[Int, Long]
+        val values = scala.collection.mutable.Map.empty[Int, Long]
+        val nulls = scala.collection.mutable.Map.empty[Int, Long]
+        val merged = scala.collection.mutable.Map.empty[Int, Statistics[_]]
+        val unbounded = scala.collection.mutable.Set.empty[Int]
+        r.getRowGroups.asScala.foreach { bl =>
+          bl.getColumns.asScala.foreach { cc =>
+            val path = cc.getPath.toArray
+            if (path.length == 1) fieldIds.get(path(0)).foreach { id =>
+              sizes(id) = sizes.getOrElse(id, 0L) + cc.getTotalSize
+              values(id) = values.getOrElse(id, 0L) + cc.getValueCount
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue)
+                unbounded += id
+              else {
+                nulls(id) = nulls.getOrElse(id, 0L) + st.getNumNulls
+                merged.get(id) match {
+                  case Some(acc) => mergeStats(acc, st)
+                  case None => merged(id) = st.copy()
+                }
+              }
+            }
+          }
+        }
+        unbounded.foreach { id => merged.remove(id); nulls.remove(id) }
+        val bounds = merged.toMap.flatMap { case (id, st) =>
+          serializeBound(st.genericGetMin)
+            .zip(serializeBound(st.genericGetMax))
+            .map { case (lo, hi) => id -> (lo, hi) }
+        }
+        (r.getRecordCount, ColStats(sizes.toMap, values.toMap, nulls.toMap,
+          bounds.map { case (id, (lo, _)) => id -> lo },
+          bounds.map { case (id, (_, hi)) => id -> hi }))
+      }
+    } finally r.close()
+  }
+
+  @SuppressWarnings(Array("unchecked"))
+  private def mergeStats(acc: org.apache.parquet.column.statistics.Statistics[_],
+                         st: org.apache.parquet.column.statistics.Statistics[_]): Unit = {
+    // the two Statistics instances are the same concrete subtype (same
+    // parquet column across row groups); the raw call is safe
+    type S = org.apache.parquet.column.statistics.Statistics[T] forSome {
+      type T <: Comparable[T]
+    }
+    acc.asInstanceOf[S].mergeStatistics(st.asInstanceOf[acc.type])
+  }
+
+  /** Iceberg binary single-value serialization of a parquet stat value
+    * (spec Appendix D: little-endian numerics, UTF-8 strings). */
+  private def serializeBound(v: Any): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    v match {
+      case i: java.lang.Integer =>
+        Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(i).array())
+      case l: java.lang.Long =>
+        Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(l).array())
+      case f: java.lang.Float =>
+        Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putFloat(f).array())
+      case d: java.lang.Double =>
+        Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putDouble(d).array())
+      case b: java.lang.Boolean =>
+        Some(Array[Byte](if (b) 1 else 0))
+      case bin: org.apache.parquet.io.api.Binary => Some(bin.getBytes)
+      case _ => None
+    }
   }
 
   private def parquetFilesIn(dir: String): Seq[File] =
@@ -194,11 +322,20 @@ object IcebergMetadata {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .sortBy(_.getName).toSeq
 
+  /** Top-level (column name → field id) of a `schemaJson` result. */
+  private def topLevelFieldIds(schemaStr: String): Map[String, Int] =
+    mapper.readTree(schemaStr).withArray[ArrayNode]("fields").asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+
   private def entriesFor(spark: SparkSession, dir: String, seq: Long,
                          content: Int = 0,
-                         equalityIds: Seq[Int] = Nil): Seq[FileEntry] =
-    parquetFilesIn(dir).map(f => FileEntry(f.getAbsolutePath, f.length(),
-      parquetRowCount(spark, f), seq, content, equalityIds))
+                         equalityIds: Seq[Int] = Nil,
+                         fieldIds: Map[String, Int] = Map.empty): Seq[FileEntry] =
+    parquetFilesIn(dir).map { f =>
+      val (rows, stats) = footerInfo(spark, f, fieldIds)
+      FileEntry(f.getAbsolutePath, f.length(), rows, seq, content,
+        equalityIds, stats)
+    }
 
   /** Write one manifest Avro with ADDED entries. */
   private def writeManifest(md: File, entries: Seq[FileEntry],
@@ -224,6 +361,25 @@ object IcebergMetadata {
           .getField("partition").schema()))
       df.put("record_count", e.rows)
       df.put("file_size_in_bytes", e.sizeBytes)
+      val dfSchema = manifestEntrySchema.getField("data_file").schema()
+      def kvArray[T](field: String, m: Map[Int, T])(put: (GenericData.Record, T) => Unit): Unit =
+        if (m.nonEmpty) {
+          val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)
+          val itemSchema = arrSchema.getElementType
+          val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+          m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            val kv = new GenericData.Record(itemSchema)
+            kv.put("key", k); put(kv, v); arr.add(kv)
+          }
+          df.put(field, arr)
+        }
+      kvArray("column_sizes", e.stats.sizes)((r, v) => r.put("value", v))
+      kvArray("value_counts", e.stats.valueCounts)((r, v) => r.put("value", v))
+      kvArray("null_value_counts", e.stats.nullCounts)((r, v) => r.put("value", v))
+      kvArray("lower_bounds", e.stats.lower)((r, v) =>
+        r.put("value", java.nio.ByteBuffer.wrap(v)))
+      kvArray("upper_bounds", e.stats.upper)((r, v) =>
+        r.put("value", java.nio.ByteBuffer.wrap(v)))
       if (e.equalityIds.nonEmpty)
         df.put("equality_ids", e.equalityIds.map(Int.box).asJava)
       val entry = new GenericData.Record(manifestEntrySchema)
@@ -320,15 +476,40 @@ object IcebergMetadata {
     val evolved = mapper.createObjectNode()
     evolved.put("type", "struct")
     val evolvedFields = evolved.putArray("fields")
+    // a legal Iceberg primitive type promotion (spec §Schema Evolution:
+    // int→long, float→double, decimal precision widening at the same
+    // scale — the reference's promotionTransitions in
+    // destination/iceberg/iceberg.go) keeps the field id and widens the
+    // type; treating it as drop+add would renumber the column and make
+    // readers resolve pre-promotion data files to null
+    def promotable(from: String, to: String): Boolean =
+      (from == "int" && to == "long") ||
+        (from == "float" && to == "double") || {
+          val dec = """decimal\((\d+),\s*(\d+)\)""".r
+          (from, to) match {
+            case (dec(p1, s1), dec(p2, s2)) =>
+              s1 == s2 && p2.toInt >= p1.toInt
+            case _ => false
+          }
+        }
     freshNode.withArray[ArrayNode]("fields").asScala.foreach { f =>
       val name = f.get("name").asText
-      val prior = prevCurrent.flatMap(
-        _.withArray[ArrayNode]("fields").asScala.find(p =>
-          p.get("name").asText == name &&
-            stripIds(p) == stripIds(f)))
-      prior match {
-        case Some(p) => evolvedFields.add(p.deepCopy[JsonNode]()): Unit
-        case None =>
+      val byName = prevCurrent.toSeq.flatMap(
+        _.withArray[ArrayNode]("fields").asScala.filter(
+          _.get("name").asText == name))
+      val prior = byName.find(p => stripIds(p) == stripIds(f))
+      val promoted = byName.find { p =>
+        p.get("type").isTextual && f.get("type").isTextual &&
+          promotable(p.get("type").asText, f.get("type").asText) &&
+          p.get("required").asBoolean == f.get("required").asBoolean
+      }
+      (prior, promoted) match {
+        case (Some(p), _) => evolvedFields.add(p.deepCopy[JsonNode]()): Unit
+        case (None, Some(p)) =>
+          val c = f.deepCopy[ObjectNode]()
+          c.put("id", p.get("id").asInt) // keep the id, emit the widened type
+          evolvedFields.add(c): Unit
+        case (None, None) =>
           val c = f.deepCopy[ObjectNode]()
           def renumber(x: JsonNode): Unit = x match {
             case o: ObjectNode =>
@@ -436,9 +617,10 @@ object IcebergMetadata {
     val seq = prev.map(_._2.get("last-sequence-number").asLong)
       .getOrElse(0L) + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
-    val entries = entriesFor(spark, dataDir, seq)
-    require(entries.nonEmpty, s"no parquet data files under $dataDir")
     val schemaStr = schemaJson(spark.read.parquet(dataDir).schema)
+    val entries = entriesFor(spark, dataDir, seq,
+      fieldIds = topLevelFieldIds(schemaStr))
+    require(entries.nonEmpty, s"no parquet data files under $dataDir")
     val manifest = writeManifest(md, entries, snapshotId, schemaStr,
       "data", 0)
     val list = writeManifestList(md, snapshotId,
@@ -470,9 +652,12 @@ object IcebergMetadata {
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val dataCols = viewSchema.fieldNames.toSeq
 
+    val statIds = topLevelFieldIds(schemaStr)
     val base = DeltaSegments.baseDir(tablePath)
     val baseEntries =
-      if (base.exists) entriesFor(spark, base.getPath, seq = 1L) else Nil
+      if (base.exists) entriesFor(spark, base.getPath, seq = 1L,
+        fieldIds = statIds)
+      else Nil
 
     val segs = DeltaSegments.listSegments(tablePath)
     // derived files are IMMUTABLE, as the Iceberg spec assumes: each
@@ -539,9 +724,10 @@ object IcebergMetadata {
       val delDir = new File(derived, s"${seg.getName}-deletes")
       segDf.select(col(keyCol)).distinct()
         .write.mode("overwrite").parquet(delDir.getPath)
-      entriesFor(spark, dataDir.getPath, seq) ++ posEntries ++
+      entriesFor(spark, dataDir.getPath, seq, fieldIds = statIds) ++
+        posEntries ++
         entriesFor(spark, delDir.getPath, seq, content = 2,
-          equalityIds = eqIds)
+          equalityIds = eqIds, fieldIds = statIds)
     }
 
     val dataEntries = baseEntries ++ segEntries.filter(_.content == 0)
@@ -582,9 +768,18 @@ object IcebergMetadata {
     * never shuffled. */
   def readMoR(spark: SparkSession, tableDir: String,
               keyCol: String = graft.operators.SystemColumns.OlakeId,
-              asOfSnapshotId: Option[Long] = None)
+              asOfSnapshotId: Option[Long] = None,
+              prune: Option[(String, Long, Long)] = None)
       : DataFrame = {
-    val (dataFiles, delFiles) = manifestEntries(tableDir, asOfSnapshotId)
+    val (dataFiles0, delFiles) = manifestEntries(tableDir, asOfSnapshotId)
+    // manifest-stats file skipping: drop data files whose column bounds
+    // cannot overlap the predicate — the scan-planning step that keeps
+    // a 100 TB table from full-scanning every query. Delete files are
+    // never pruned (a kept data file's deletes must all apply).
+    val dataFiles = prune.fold(dataFiles0) { case (c, lo, hi) =>
+      val keep = pruneDataFiles(tableDir, c, lo, hi, asOfSnapshotId).toSet
+      dataFiles0.filter(f => keep.contains(f._1))
+    }
     val eqFiles = delFiles.collect { case (p, s, 2) => (p, s) }
     val posFiles = delFiles.collect { case (p, s, 1) => (p, s) }
     def bySeq(files: Seq[(String, Long)], cols: Option[Seq[String]],
@@ -712,14 +907,12 @@ object IcebergMetadata {
     try r.iterator().asScala.toList finally r.close()
   }
 
-  /** Live (path, sequence) entries of the current snapshot, split into
-    * (data files, equality-delete files). */
-  /** Live (path, sequence) data entries and (path, sequence, content)
-    * delete entries — content 1 = positional, 2 = equality — of a
-    * snapshot (current unless `asOfSnapshotId` time-travels). */
-  def manifestEntries(tableDir: String,
-                      asOfSnapshotId: Option[Long] = None)
-      : (Seq[(String, Long)], Seq[(String, Long, Int)]) = {
+  /** Live manifest entries of a snapshot (current unless
+    * `asOfSnapshotId` time-travels), with the per-column stats read
+    * back from the manifest Avro — the exact planner view an Iceberg
+    * engine builds before deciding which files to open. */
+  def dataFileStats(tableDir: String,
+                    asOfSnapshotId: Option[Long] = None): Seq[DataFileStat] = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snapId = asOfSnapshotId.getOrElse(
@@ -729,17 +922,71 @@ object IcebergMetadata {
         throw new IllegalArgumentException(
           s"snapshot $snapId not in table history at $tableDir"))
     val listFile = new File(snap.get("manifest-list").asText)
-    val all = readAvro(listFile).flatMap { mf =>
+    def longMap(df: GenericRecord, field: String): Map[Int, Long] =
+      Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
+        .asScala.map(kv => kv.get("key").asInstanceOf[Int] ->
+          kv.get("value").asInstanceOf[Long]).toMap).getOrElse(Map.empty)
+    def bytesMap(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
+      Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
+        .asScala.map { kv =>
+          val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+          kv.get("key").asInstanceOf[Int] -> a
+        }.toMap).getOrElse(Map.empty)
+    readAvro(listFile).flatMap { mf =>
       readAvro(new File(mf.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          (df.get("file_path").toString,
+          DataFileStat(df.get("file_path").toString,
             e.get("sequence_number").asInstanceOf[Long],
-            df.get("content").asInstanceOf[Int])
+            df.get("content").asInstanceOf[Int],
+            df.get("record_count").asInstanceOf[Long],
+            ColStats(longMap(df, "column_sizes"), longMap(df, "value_counts"),
+              longMap(df, "null_value_counts"), bytesMap(df, "lower_bounds"),
+              bytesMap(df, "upper_bounds")))
       }
     }
-    (all.collect { case (p, s, 0) => (p, s) },
-     all.collect { case (p, s, c) if c != 0 => (p, s, c) })
+  }
+
+  /** Live (path, sequence) data entries and (path, sequence, content)
+    * delete entries — content 1 = positional, 2 = equality — of a
+    * snapshot (current unless `asOfSnapshotId` time-travels). */
+  def manifestEntries(tableDir: String,
+                      asOfSnapshotId: Option[Long] = None)
+      : (Seq[(String, Long)], Seq[(String, Long, Int)]) = {
+    val all = dataFileStats(tableDir, asOfSnapshotId)
+    (all.collect { case e if e.content == 0 => (e.path, e.seq) },
+     all.collect { case e if e.content != 0 => (e.path, e.seq, e.content) })
+  }
+
+  /** Field id of a top-level column in the CURRENT committed schema. */
+  def currentFieldId(tableDir: String, name: String): Int = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val id = meta.get("current-schema-id").asInt
+    val schema = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == id).get
+    schema.withArray[ArrayNode]("fields").asScala
+      .find(_.get("name").asText == name)
+      .map(_.get("id").asInt)
+      .getOrElse(throw new IllegalArgumentException(s"no field $name"))
+  }
+
+  /** Data-file paths of a snapshot that can contain rows with
+    * `column` in `[lo, hi]`, judged from the manifest bounds alone — a
+    * file without bounds for the column is conservatively kept (absent
+    * stats mean "cannot prune", never "skip"). */
+  def pruneDataFiles(tableDir: String, column: String, lo: Long, hi: Long,
+                     asOfSnapshotId: Option[Long] = None): Seq[String] = {
+    val fid = currentFieldId(tableDir, column)
+    dataFileStats(tableDir, asOfSnapshotId).filter(_.content == 0)
+      .filter { e =>
+        (e.stats.lower.get(fid), e.stats.upper.get(fid)) match {
+          case (Some(l), Some(u)) =>
+            boundLong(l) <= hi && boundLong(u) >= lo
+          case _ => true
+        }
+      }.map(_.path)
   }
 
   /** Walk version-hint → metadata.json → manifest list → manifests and

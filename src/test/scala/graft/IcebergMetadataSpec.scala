@@ -404,4 +404,102 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
       .count() == 25)
   }
+
+  test("manifest column stats round-trip: value/null counts and bounds match the data; pruning opens only overlapping files") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_icestats").toString
+    val base = s"$tmp/data"
+    // 4 range-partitioned files over id 0..99, with a nullable column
+    spark.range(100).select(col("id"),
+        when(col("id") % 10 === 0, lit(null: String))
+          .otherwise(concat(lit("s"), col("id"))).as("s"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(base)
+    IcebergMetadata.commit(spark, tmp, base)
+    val fid = IcebergMetadata.currentFieldId(tmp, "id")
+    val fidS = IcebergMetadata.currentFieldId(tmp, "s")
+    val stats = IcebergMetadata.dataFileStats(tmp).filter(_.content == 0)
+    assert(stats.length == 4)
+    // per file, the manifest stats equal a full rescan of that file
+    stats.foreach { e =>
+      val df = spark.read.parquet(e.path)
+      val r = df.agg(min("id"), max("id"), count(lit(1)),
+        sum(col("s").isNull.cast("long"))).head
+      assert(IcebergMetadata.boundLong(e.stats.lower(fid)) == r.getLong(0))
+      assert(IcebergMetadata.boundLong(e.stats.upper(fid)) == r.getLong(1))
+      assert(e.stats.valueCounts(fid) == r.getLong(2))
+      assert(e.recordCount == r.getLong(2))
+      assert(e.stats.nullCounts(fidS) == r.getLong(3))
+      assert(e.stats.nullCounts(fid) == 0L)
+      // string bounds are raw UTF-8 per the spec's single-value format
+      val loS = new String(e.stats.lower(fidS), "UTF-8")
+      assert(loS == df.where(col("s").isNotNull).agg(min("s")).head.getString(0))
+      assert(e.stats.sizes.contains(fid))
+    }
+    // bounds cover disjoint quarters → a range predicate keeps only
+    // the overlapping files
+    val kept = IcebergMetadata.pruneDataFiles(tmp, "id", 30, 40)
+    assert(kept.nonEmpty && kept.length < 4)
+    val keptRows = spark.read.parquet(kept: _*)
+      .where(col("id").between(30, 40)).count()
+    assert(keptRows == 11)
+  }
+
+  test("readMoR prune: file skipping via manifest bounds, result identical to the unpruned read on the predicate") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_prunet").toString
+    val ice = Files.createTempDirectory("graft_prunei").toString
+    spark.range(100).select(
+        col("id").cast("string").as(OlakeId), col("id"), col("id").as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(s"$table/base")
+    val upd = spark.range(10, 20).select(
+      col("id").cast("string").as(OlakeId), col("id"),
+      (col("id") + 1000).as("v"), lit("u").as(OpType),
+      current_timestamp().as(CdcTimestamp))
+    DeltaSegments.writeSegment(upd, table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val full = IcebergMetadata.readMoR(spark, ice)
+      .where(col("id").between(10, 30))
+    val pruned = IcebergMetadata.readMoR(spark, ice,
+      prune = Some(("id", 10L, 30L)))
+      .where(col("id").between(10, 30))
+    val f = full.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val p = pruned.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(f.sameElements(p))
+    assert(p.length == 21 && p.count(_._2 >= 1000) == 10)
+    // and the prune really dropped files
+    val all = IcebergMetadata.dataFileStats(ice).count(_.content == 0)
+    val kept = IcebergMetadata.pruneDataFiles(ice, "id", 10, 30).length
+    assert(kept < all, s"expected pruning: $kept of $all")
+  }
+
+  test("type promotion keeps the field id and widens the type (int→long, float→double); illegal change renumbers") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_icepromo").toString
+    spark.range(5).select(col("id").cast("int").as("a"),
+        col("id").cast("float").as("f"), col("id").cast("long").as("k"))
+      .write.parquet(s"$tmp/d1")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d1")
+    val idA = IcebergMetadata.currentFieldId(tmp, "a")
+    val idF = IcebergMetadata.currentFieldId(tmp, "f")
+    val idK = IcebergMetadata.currentFieldId(tmp, "k")
+    // int→long and float→double are legal promotions; long→int is not
+    spark.range(5).select(col("id").cast("long").as("a"),
+        col("id").cast("double").as("f"), col("id").cast("int").as("k"))
+      .write.parquet(s"$tmp/d2")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d2")
+    val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+    assert(meta.get("schemas").size == 2)
+    val cur = meta.get("schemas").get(1)
+    import scala.jdk.CollectionConverters._
+    val byName = cur.get("fields").elements.asScala
+      .map(f => f.get("name").asText ->
+        (f.get("id").asInt, f.get("type").asText)).toMap
+    assert(byName("a") == ((idA, "long")), "int→long keeps id, widens")
+    assert(byName("f") == ((idF, "double")), "float→double keeps id, widens")
+    assert(byName("k")._1 != idK, "long→int is NOT a promotion: new id")
+    assert(byName("k")._2 == "int")
+  }
 }
