@@ -32,17 +32,65 @@ object Dedup {
   def tokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
 
+  /** Session-scoped scratch space for off-cache materialization.
+    *
+    * Location: `spark.graft.scratchDir` if set — point it at SHARED
+    * storage (HDFS/S3A/NFS) on a real cluster, where executors and the
+    * driver must see the same filesystem; a driver-local temp dir is
+    * only correct in local mode and is therefore just the default, not
+    * the contract. All materializations live under ONE parent dir per
+    * JVM, and a single shutdown hook deletes that parent recursively
+    * through the Hadoop FileSystem API (`File.deleteOnExit` cannot
+    * remove non-empty directories — the round-6 disk-leak defect). */
+  private[graft] object Scratch {
+    private val counter = new java.util.concurrent.atomic.AtomicLong()
+    @volatile private[graft] var parentPath: Option[String] = None
+
+    private def parent(df: DataFrame): String = synchronized {
+      parentPath.getOrElse {
+        val spark = df.sparkSession
+        val base = spark.conf.getOption("spark.graft.scratchDir")
+          .getOrElse(java.nio.file.Files
+            .createTempDirectory("graft-scratch-").toString)
+        val p = s"$base/graft-dedup-${java.util.UUID.randomUUID()}"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(hp)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup(fs)))
+        parentPath = Some(p)
+        p
+      }
+    }
+
+    private[graft] def cleanup(fs: org.apache.hadoop.fs.FileSystem): Unit =
+      parentPath.foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true): Unit
+        synchronized { parentPath = None }
+      }
+
+    /** Delete everything materialized so far (test hook / eager reclaim
+      * once all returned frames have been consumed). */
+    private[graft] def cleanupNow(df: DataFrame): Unit =
+      parentPath.foreach { p =>
+        cleanup(new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration))
+      }
+
+    private[graft] def next(df: DataFrame): String =
+      s"${parent(df)}/m${counter.incrementAndGet()}"
+  }
+
   /** Materialize a SMALL result frame off-cache: one distributed
-    * write + read through a session-temp parquet dir. Breaks lineage
+    * write + read through the session scratch dir. Breaks lineage
     * (so cached inputs can be released with zero recompute on the
     * caller's later actions) without pinning a single block — the
     * tiers' contract is that `getPersistentRDDs` is empty again the
     * moment they return. Only ever called on pair/label frames, which
-    * are O(duplicates), never O(corpus). */
+    * are O(duplicates), never O(corpus). The returned frame reads
+    * lazily, so deletion is deferred to the JVM-exit hook (or an
+    * explicit `Scratch.cleanupNow`), never eager. */
   private def materializeOffCache(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-")
-    dir.toFile.deleteOnExit()
-    val path = dir.resolve("m").toString
+    val path = Scratch.next(df)
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }

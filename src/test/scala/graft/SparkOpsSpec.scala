@@ -488,6 +488,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pinned() == before, "keepCanonical leaked cached blocks")
   }
 
+  test("dedup scratch: all materializations under ONE registered parent, recursive cleanup removes it") {
+    val docs = sf("documents").where(col("doc_id") < 40)
+      .select("doc_id", "text")
+    Dedup.minhashPairsVerified(docs, "text", "doc_id", threshold = 0.9).count()
+    Dedup.simhashExactDups(docs, "text", "doc_id").count()
+    val parent = Dedup.Scratch.parentPath
+      .getOrElse(fail("no scratch parent registered"))
+    val dir = new java.io.File(parent)
+    assert(dir.isDirectory, "scratch parent must exist on disk")
+    // every tier call materialized under the SAME parent (m1, m2, …),
+    // so one recursive delete reclaims everything — the round-6 defect
+    // was per-call temp dirs whose parquet contents deleteOnExit never
+    // covered
+    val children = dir.listFiles()
+    assert(children != null && children.nonEmpty,
+      "materializations must land under the parent")
+    assert(children.forall(_.getName.startsWith("m")))
+    // the shutdown hook's body, invoked now: parent is gone after
+    Dedup.Scratch.cleanupNow(docs)
+    assert(!dir.exists, "recursive cleanup must remove the parent")
+    assert(Dedup.Scratch.parentPath.isEmpty, "registration resets")
+    // a later tier call re-registers a fresh parent and still works
+    Dedup.minhashPairs(docs, "text", "doc_id").count()
+    assert(Dedup.Scratch.parentPath.exists(p => new java.io.File(p).isDirectory))
+  }
+
   test("packSequences: greedy budget packing per bucket, deterministic, bounded slack") {
     import graft.llm.Sampling
     val docs = sf("documents")
