@@ -1490,10 +1490,17 @@ object SparkEntry {
           (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
     }),
 
-    // ---- LLM: multimodal binary columns — metadata projection ----
+    // ---- LLM: multimodal decode over REAL PNG payloads (ImageIO):
+    //      dimensions and exact channel means come from the DECODED
+    //      raster; the oracle predicts them from the generator's
+    //      SQL-replayable dim/color formulas — equal only if
+    //      encode→decode→pixel-stats genuinely round-trips ----
     "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.mediaMeta(
-        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))),
+      Multimodal.decodeFeatures(s,
+          Multimodal.asPngMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          (col("width").cast("long") * col("height")).as("n_pixels"))),
 
     // ---- LLM: frame sampling over binary payloads ----
     "q_media_frames" -> ((s, dir) =>
@@ -1501,14 +1508,18 @@ object SparkEntry {
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))),
 
-    // ---- LLM: aspect-preserving resize — the integer fit math is
-    //      replayed exactly by the oracle; resampling is the stub ----
+    // ---- LLM: aspect-preserving resize over REAL pixels: PNG in,
+    //      nearest-neighbor resample, PNG out — the output dims and
+    //      colors are then RE-DECODED (second ImageIO round-trip), so
+    //      the oracle's fit-math replay only matches if the resampled
+    //      image truly carries the source pixels ----
     "q_media_resize" -> ((s, dir) =>
-      Multimodal.resize(s,
-          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"),
-          maxW = 128, maxH = 96)
+      Multimodal.decodeFeatures(s,
+          Multimodal.resize(s,
+            Multimodal.asPngMedia(t(s, dir, "documents"), "doc_id", "text"),
+            maxW = 16, maxH = 12).toDF())
         .select(col("doc_id"), col("width"), col("height"),
-          length(col("payload")).cast("long").as("n_bytes")))
+          col("mean_r"), col("mean_g"), col("mean_b")))
   )
 
   /** Shared by q_pushdown_sql's query and oracle: the oracle string IS the
@@ -2380,9 +2391,16 @@ object SparkEntry {
         |  FROM scored QUALIFY rank <= 5)
         |SELECT count(*) AS n_exact, true AS recall_ok FROM topk""".stripMargin,
 
+    // the DECODED dims/means predicted from the PNG generator formulas
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_size,
-        |  md5(text) AS checksum
+      """SELECT doc_id,
+        |  CAST(length(text) % 64 + 1 AS INTEGER) AS width,
+        |  CAST(length(text) % 48 + 1 AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS INTEGER) AS mean_r,
+        |  CAST(doc_id * 7 % 256 AS INTEGER) AS mean_g,
+        |  CAST(doc_id * 13 % 256 AS INTEGER) AS mean_b,
+        |  CAST((length(text) % 64 + 1) * (length(text) % 48 + 1) AS BIGINT)
+        |    AS n_pixels
         |FROM documents""".stripMargin,
 
     "q_media_frames" ->
@@ -2390,24 +2408,27 @@ object SparkEntry {
         |  CAST(((greatest(1, octet_length(encode(text))//64) - 1)//4) + 1 AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
 
-    // Exact replay of the resize fit math: width-limited when
-    // w*96 >= h*128, floor-divide the other axis, clamp at 1.
+    // Exact replay of the resize fit math over the PNG generator's
+    // dims: width-limited when w*12 >= h*16, floor-divide the other
+    // axis, clamp at 1; colors survive resampling (solid fill).
     "q_media_resize" ->
       """WITH m AS (SELECT doc_id,
-        |  greatest(length(text) % 640, 1) AS w,
-        |  greatest(length(text) % 480, 1) AS h
+        |  length(text) % 64 + 1 AS w,
+        |  length(text) % 48 + 1 AS h
         |  FROM documents),
         |r AS (SELECT doc_id,
-        |  CASE WHEN w <= 128 AND h <= 96 THEN w
-        |       WHEN w*96 >= h*128 THEN 128
-        |       ELSE greatest(w*96//h, 1) END AS width,
-        |  CASE WHEN w <= 128 AND h <= 96 THEN h
-        |       WHEN w*96 >= h*128 THEN greatest(h*128//w, 1)
-        |       ELSE 96 END AS height
+        |  CASE WHEN w <= 16 AND h <= 12 THEN w
+        |       WHEN w*12 >= h*16 THEN 16
+        |       ELSE greatest(w*12//h, 1) END AS width,
+        |  CASE WHEN w <= 16 AND h <= 12 THEN h
+        |       WHEN w*12 >= h*16 THEN greatest(h*16//w, 1)
+        |       ELSE 12 END AS height
         |  FROM m)
-        |SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |SELECT r.doc_id, CAST(width AS INTEGER) AS width,
         |  CAST(height AS INTEGER) AS height,
-        |  CAST(width * height AS BIGINT) AS n_bytes
+        |  CAST(r.doc_id % 256 AS INTEGER) AS mean_r,
+        |  CAST(r.doc_id * 7 % 256 AS INTEGER) AS mean_g,
+        |  CAST(r.doc_id * 13 % 256 AS INTEGER) AS mean_b
         |FROM r""".stripMargin
   )
 }

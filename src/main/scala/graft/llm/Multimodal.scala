@@ -1,19 +1,24 @@
 package graft.llm
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata.
   *
-  * The Spark-side architecture is real and tested — schema, encoders,
-  * partition-friendly batch shape (`mapPartitions` over case classes, the
-  * Scala analog of `mapInPandas` batches), write layout — while the media
-  * decode itself is a clearly-marked deterministic STUB: this container
-  * has no image/audio codecs, and at 100 TB the decode step is an
-  * executor-side library call whose cost dominates, so the contract
-  * (binary in → fixed-width features out, one pass, no shuffle) is what
-  * matters here.
+  * The image path is REAL as of round 7: `javax.imageio` ships in the
+  * JDK (PNG/BMP/GIF), so `decodeFeatures` genuinely decodes the
+  * payload (dimensions + per-channel pixel statistics) and `resize`
+  * genuinely resamples pixels (nearest-neighbor) and re-encodes PNG —
+  * executed per-partition, zero shuffle, the `mapInPandas`-batch shape
+  * a 100 TB pipeline needs. Payloads that are NOT a decodable image
+  * (audio/video containers, raw text fixtures) fall back to the
+  * deterministic digest stub, clearly marked below — those codecs do
+  * not ship in the JDK and remain the honest stub surface.
   */
 object Multimodal {
 
@@ -21,10 +26,12 @@ object Multimodal {
                          payload: Array[Byte], width: Int, height: Int)
 
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-                           checksum: String, feature: Array[Float])
+                           checksum: String, width: Int, height: Int,
+                           mean_r: Int, mean_g: Int, mean_b: Int,
+                           feature: Array[Float])
 
   /** Wrap a text corpus as fake media rows (payload = UTF-8 bytes) —
-    * fixture plumbing for the pipeline below.
+    * fixture plumbing for the byte-path operators below.
     */
   def asMedia(df: DataFrame, idCol: String, textCol: String,
               mediaType: String = "image"): DataFrame =
@@ -34,12 +41,55 @@ object Multimodal {
       (length(col(textCol)) % 640).cast("int").as("width"),
       (length(col(textCol)) % 480).cast("int").as("height"))
 
-  /** ======= STUB ======= deterministic fake "decode": a real deployment
-    * replaces the body with an image/audio library call (e.g. decode +
-    * resize + embed). Signature, batching, and schema are the real
-    * contract: binary in, fixed-width float feature out, executed
-    * per-partition with zero shuffle.
-    */
+  /** Deterministic solid color for a doc id (one byte per channel). */
+  private def fillColor(id: Long): Int = {
+    val r = (id % 256).toInt; val g = (id * 7 % 256).toInt
+    val b = (id * 13 % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Wrap a corpus as REAL PNG media rows: each document becomes a
+    * solid-color image whose dimensions derive from the text length
+    * (`len % 64 + 1` × `len % 48 + 1`) and whose color derives from the
+    * doc id — both SQL-replayable, so a foreign engine can predict the
+    * DECODED dimensions and channel means without a PNG codec. The
+    * payload itself is a genuine PNG produced by `javax.imageio`. */
+  def asPngMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        (length(col(textCol)) % 64 + 1).cast("int").as("w"),
+        (length(col(textCol)) % 48 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          MediaRecord(id, "image", pngBytes(w, h, fillColor(id)), w, h)
+        }
+      }.toDF()
+  }
+
+  /** Decode features per payload, one pass, no shuffle.
+    *
+    * REAL path (any JDK-decodable image — PNG/BMP/GIF): dimensions and
+    * exact per-channel pixel means from the decoded raster, feature
+    * vector = channel means cycled to `featureDim` and scaled to [0,1).
+    *
+    * ======= STUB ======= fallback for payloads `ImageIO` cannot decode
+    * (audio/video — no JDK codec): digest-derived pseudo-features,
+    * deterministic for tests; dimensions and means report 0. */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
                      featureDim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -48,38 +98,92 @@ object Multimodal {
       it.map { r =>
         val sum = digest.digest(r.payload)
         val hex = sum.map("%02x".format(_)).mkString
-        // STUB features: bytes of the digest scaled to [0,1) — stands in
-        // for a model embedding; deterministic for tests.
-        val feat = (0 until featureDim)
-          .map(i => ((sum(i % sum.length) & 0xff) / 256.0f)).toArray
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, hex, feat)
+        val img =
+          if (r.payload.isEmpty) null
+          else try ImageIO.read(new ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img != null) {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val means = Array((sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+          val feat = (0 until featureDim)
+            .map(i => means(i % 3) / 256.0f).toArray
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            hex, w, h, means(0), means(1), means(2), feat)
+        } else {
+          // STUB features: digest bytes scaled to [0,1) — stands in for
+          // a codec+model call on media the JDK cannot decode.
+          val feat = (0 until featureDim)
+            .map(i => ((sum(i % sum.length) & 0xff) / 256.0f)).toArray
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            hex, 0, 0, 0, 0, 0, feat)
+        }
       }
     }
   }
 
-  /** Aspect-preserving thumbnail resize. The FIT math is the real
-    * operator — pure integer arithmetic (compare w·maxH vs h·maxW to
-    * pick the limiting axis, floor-divide the other), so the oracle
-    * replays it exactly in SQL. ======= STUB =======: the byte
-    * resampling (a codec call in a real deployment) cycles payload
-    * bytes to the output pixel count; the contract is binary in →
-    * binary out, one pass per partition, zero shuffle.
+  /** Aspect-preserving thumbnail resize, pure integer fit math (compare
+    * w·maxH vs h·maxW to pick the limiting axis, floor-divide the
+    * other, clamp at 1 — the oracle replays it exactly in SQL).
+    *
+    * REAL path: a JDK-decodable payload is decoded, resampled
+    * nearest-neighbor onto the fitted raster (source dims taken from
+    * the DECODED image, not the metadata columns), and re-encoded as
+    * PNG — binary in → binary out, one pass per partition, zero
+    * shuffle. ======= STUB ======= fallback for non-image payloads:
+    * byte cycling to the output pixel count, using the metadata dims.
     */
   def resize(spark: SparkSession, media: DataFrame,
              maxW: Int, maxH: Int): Dataset[MediaRecord] = {
     import spark.implicits._
+    def fit(w: Int, h: Int): (Int, Int) =
+      if (w <= maxW && h <= maxH) (w, h)
+      else if (w.toLong * maxH >= h.toLong * maxW)
+        (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+      else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        val w = math.max(1, r.width); val h = math.max(1, r.height)
-        val (ow, oh) =
-          if (w <= maxW && h <= maxH) (w, h)
-          else if (w.toLong * maxH >= h.toLong * maxW)
-            (maxW, math.max(1, (h.toLong * maxW / w).toInt))
-          else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
-        val out =
-          if (r.payload.isEmpty) Array.fill[Byte](ow * oh)(0)
-          else Array.tabulate(ow * oh)(i => r.payload(i % r.payload.length))
-        MediaRecord(r.doc_id, r.media_type, out, ow, oh)
+        val img =
+          if (r.payload.isEmpty) null
+          else try ImageIO.read(new ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img != null) {
+          val w = img.getWidth; val h = img.getHeight
+          val (ow, oh) = fit(w, h)
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          MediaRecord(r.doc_id, r.media_type, bos.toByteArray, ow, oh)
+        } else {
+          val w = math.max(1, r.width); val h = math.max(1, r.height)
+          val (ow, oh) = fit(w, h)
+          val out =
+            if (r.payload.isEmpty) Array.fill[Byte](ow * oh)(0)
+            else Array.tabulate(ow * oh)(i => r.payload(i % r.payload.length))
+          MediaRecord(r.doc_id, r.media_type, out, ow, oh)
+        }
       }
     }
   }
