@@ -286,13 +286,37 @@ class BinlogClient(host: String, port: Int, startPos: Long,
 
   locally {
     sock.setSoTimeout(connectTimeoutMs)
-    // 1. greeting → HandshakeResponse41 (seq continues) → OK
+    // 1. greeting → HandshakeResponse41 (seq continues) → OK, possibly
+    //    via an AuthSwitchRequest round (MySQL 8 defaults to
+    //    caching_sha2_password and switches accounts that use
+    //    mysql_native_password with an 0xFE packet)
     val (seq0, greeting) = readPacket(in)
     val hs = parseHandshakeV10(greeting)
     val auth = nativePassword(password, hs.authSeed)
     out.write(packets(seq0 + 1, handshakeResponse41(user, auth)))
     out.flush()
-    expectOk("auth")
+    val (seqA, authReply) = readPacket(in)
+    (authReply.headOption.map(_ & 0xff): @unchecked) match {
+      case Some(0x00) => () // OK — authenticated
+      case Some(0xFF) =>
+        throw new java.io.IOException(s"auth failed: ${errMessage(authReply)}")
+      case Some(0xFE) =>
+        // AuthSwitchRequest: 0xFE | plugin name NUL | new seed
+        val nul = authReply.indexOf(0.toByte, 1)
+        val plugin = new String(authReply, 1, nul - 1, StandardCharsets.UTF_8)
+        if (plugin != "mysql_native_password")
+          throw new java.io.IOException(
+            s"server requests auth plugin '$plugin'; this client speaks " +
+              "mysql_native_password only — configure the replication " +
+              "account with IDENTIFIED WITH mysql_native_password")
+        val seed2 = authReply.drop(nul + 1).takeWhile(_ != 0)
+        // AuthSwitchResponse: raw scramble against the NEW seed
+        out.write(packets(seqA + 1, nativePassword(password, seed2)))
+        out.flush()
+        expectOk("auth (post-switch)")
+      case other =>
+        throw new java.io.IOException(s"unexpected auth reply $other")
+    }
     // 2. register as a replica, 3. start the dump (fresh sequence per
     // command, per the protocol)
     out.write(packets(0, comRegisterSlave(serverId))); out.flush()
@@ -375,12 +399,16 @@ object MySqlWireServer {
 
   /** Serve one client connection. `tranches` are (pos, event-bytes)
     * groups separated by `trancheDelayMs` (to span micro-batches);
-    * `onDump` observes the client's requested resume position. */
+    * `onDump` observes the client's requested resume position.
+    * `authSwitch = true` makes the server demand an AuthSwitchRequest
+    * round before accepting the scramble, like a MySQL 8 whose default
+    * plugin differs from the account's. */
   def serve(sock: Socket, tranches: Seq[Seq[(Long, Array[Byte])]],
             trancheDelayMs: Long = 0,
             password: String = "",
             onDump: DumpRequest => Unit = _ => (),
-            closeAfterSend: Boolean = false): Unit = {
+            closeAfterSend: Boolean = false,
+            authSwitch: Boolean = false): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     val seed = Array.tabulate[Byte](20)(i => (i + 1).toByte)
@@ -389,13 +417,30 @@ object MySqlWireServer {
     out.flush()
     val (seq1, respP) = readPacket(in)
     val resp = parseHandshakeResponse41(respP)
-    val expect = nativePassword(password, seed)
-    if (!java.util.Arrays.equals(resp.authResponse, expect)) {
-      out.write(packets(seq1 + 1, errPacket(1045,
+    val (authGiven, seqAuth) =
+      if (!authSwitch) (resp.authResponse, seq1)
+      else {
+        // demand a second scramble against a FRESH seed (0xFE packet)
+        val seed2 = Array.tabulate[Byte](20)(i => (7 * i + 3).toByte)
+        val sw = new java.io.ByteArrayOutputStream()
+        sw.write(0xFE)
+        sw.write("mysql_native_password".getBytes(StandardCharsets.UTF_8))
+        sw.write(0)
+        sw.write(seed2); sw.write(0)
+        out.write(packets(seq1 + 1, sw.toByteArray)); out.flush()
+        val (seq2, switched) = readPacket(in)
+        (switched, seq2)
+      }
+    val expectSeed =
+      if (authSwitch) Array.tabulate[Byte](20)(i => (7 * i + 3).toByte)
+      else seed
+    val expect = nativePassword(password, expectSeed)
+    if (!java.util.Arrays.equals(authGiven, expect)) {
+      out.write(packets(seqAuth + 1, errPacket(1045,
         s"Access denied for user '${resp.user}'")))
       out.flush(); sock.close(); return
     }
-    out.write(packets(seq1 + 1, okPacket())); out.flush()
+    out.write(packets(seqAuth + 1, okPacket())); out.flush()
 
     var dump: Option[DumpRequest] = None
     while (dump.isEmpty) {
@@ -414,10 +459,27 @@ object MySqlWireServer {
     val req = dump.get
     onDump(req)
     var seq = 1
+    // a real master re-sends the TABLE_MAP before the first row-event
+    // group regardless of the dump position — a replica resuming from
+    // pos > the map's position could not attribute row events
+    // otherwise. Track the latest map seen below the resume point and
+    // serve it once, ahead of the first delivered event.
+    var pendingMap: Option[(Long, Array[Byte])] = None
+    var mapServed = false
     tranches.zipWithIndex.foreach { case (tranche, i) =>
       if (i > 0 && trancheDelayMs > 0) Thread.sleep(trancheDelayMs)
       tranche.foreach { case (pos, ev) =>
+        val evType = if (ev.length >= 5) ev(4) & 0xff else -1
+        if (evType == 19 && pos <= req.pos && !mapServed)
+          pendingMap = Some((pos, ev))
         if (pos > req.pos) {
+          if (!mapServed) {
+            pendingMap.foreach { case (mp, mev) =>
+              out.write(packets(seq, 0x00.toByte +: stampLogPos(mev, mp)))
+              seq += 1
+            }
+            mapServed = true
+          }
           out.write(packets(seq, 0x00.toByte +: stampLogPos(ev, pos)))
           seq += 1
         }

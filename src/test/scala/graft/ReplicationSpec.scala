@@ -334,7 +334,8 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
   private class MySqlLoopback(tranches: Seq[Seq[(Long, Array[Byte])]],
                               trancheDelayMs: Long = 0,
                               password: String = "",
-                              closeAfterSend: Boolean = false) {
+                              closeAfterSend: Boolean = false,
+                              authSwitch: Boolean = false) {
     import graft.cdc.{MySqlWire, MySqlWireServer}
     val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
@@ -345,7 +346,7 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
           val sock = server.accept()
           MySqlWireServer.serve(sock, tranches, trancheDelayMs, password,
             onDump = r => dumpRequest = Some(r),
-            closeAfterSend = closeAfterSend)
+            closeAfterSend = closeAfterSend, authSwitch = authSwitch)
         }
       } catch { case _: Exception => () }
     })
@@ -373,13 +374,50 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(srv.dumpRequest.map(_.pos).contains(20L))
         assert(srv.dumpRequest.map(_.serverId).contains(4242))
         assert(srv.dumpRequest.map(_.file).contains("binlog.000001"))
-        // only events ABOVE the dump position were served; log_pos rode
-        // the event headers (the client derived lsn from them)
-        assert(frames.map(_._1) == Seq(30L, 40L))
+        // events ABOVE the dump position were served, PLUS the
+        // TABLE_MAP re-sent ahead of the first row event (a real
+        // master re-serves it so a resuming replica can attribute
+        // rows); log_pos rode the event headers
+        assert(frames.map(_._1) == Seq(10L, 30L, 40L))
         assert(c.clientXLogPos == 40L)
         assert(!c.sessionClosed)
+        // and the resumed stream DECODES: the re-served map lets the
+        // row events at 30/40 name their table and columns
+        val dec = new Binlog.StreamDecoder
+        val rows = frames.flatMap { case (pos, ev) => dec.decode(ev, pos) }
+        assert(rows.map(_.after(1)) == Seq("r2", "r3"))
+        assert(rows.forall(r => r.table == "t" && r.names == Seq("id", "name")))
       } finally c.close()
     } finally srv.close()
+  }
+
+  test("AuthSwitchRequest: client re-scrambles against the fresh seed and the dump proceeds") {
+    import graft.cdc.{Binlog, BinlogClient}
+    val colTypes = Array(8, 15); val colMeta = Array(0, 255)
+    val events = Seq(
+      (10L, Binlog.encodeTableMap(99L, "db", "t", colTypes, colMeta,
+        Seq("id", "name"))),
+      (20L, Binlog.encodeWrite(99L, colTypes, colMeta, 1001L,
+        Seq(Seq("1", "r1")))))
+    val srv = new MySqlLoopback(Seq(events), password = "s3cret",
+      authSwitch = true)
+    try {
+      val c = new BinlogClient("127.0.0.1", srv.port, startPos = 0L,
+        password = "s3cret")
+      try {
+        val frames = c.poll(idleMillis = 2000)
+        assert(frames.map(_._1) == Seq(10L, 20L))
+      } finally c.close()
+    } finally srv.close()
+    // and a wrong password still fails cleanly through the switch round
+    val srv2 = new MySqlLoopback(Seq(Seq.empty), password = "right",
+      authSwitch = true)
+    try {
+      val e = intercept[java.io.IOException] {
+        new BinlogClient("127.0.0.1", srv2.port, 0L, password = "wrong")
+      }
+      assert(e.getMessage.contains("Access denied"))
+    } finally srv2.close()
   }
 
   test("BinlogClient: wrong password is refused with the server's ERR packet") {
