@@ -163,24 +163,51 @@ class KafkaBoundedClient(host: String, port: Int, topic: String,
                          connectTimeoutMs: Int = 5000) extends AutoCloseable {
   import KafkaWire._
 
-  private val sock = new Socket()
-  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-  sock.setTcpNoDelay(true)
-  sock.setSoTimeout(30000)
-  private val in = new DataInputStream(sock.getInputStream)
-  private val out = new DataOutputStream(sock.getOutputStream)
+  private var sock: Socket = _
+  private var in: DataInputStream = _
+  private var out: DataOutputStream = _
   private var correlation = 0
+  /** Broker-drop recoveries performed (observable by tests). */
+  @volatile var reconnects: Int = 0
 
+  private def connect(): Unit = {
+    sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    sock.setTcpNoDelay(true)
+    sock.setSoTimeout(30000)
+    in = new DataInputStream(sock.getInputStream)
+    out = new DataOutputStream(sock.getOutputStream)
+  }
+  connect()
+
+  /** One request/response round trip, validating the correlation id on
+    * EVERY response (the session analog of MongoWire's `responseTo`
+    * check — a frame for another request kills the call, not the
+    * data). A dropped broker connection mid-call reconnects ONCE and
+    * re-issues the request: every request this client speaks is an
+    * idempotent read or an offset operation keyed by explicit
+    * positions, so the retry cannot lose or duplicate records — the
+    * same recovery the binlog/Mongo clients perform. */
   private def call(apiKey: Int, apiVersion: Int,
                    body: Array[Byte]): ByteBuffer = {
     correlation += 1
-    out.write(requestFrame(apiKey, apiVersion, correlation, clientId, body))
-    out.flush()
-    val resp = readFrame(in)
-    val corr = resp.getInt
-    require(corr == correlation,
-      s"response correlation $corr, expected $correlation")
-    resp
+    def attempt(): ByteBuffer = {
+      out.write(requestFrame(apiKey, apiVersion, correlation, clientId, body))
+      out.flush()
+      val resp = readFrame(in)
+      val corr = resp.getInt
+      require(corr == correlation,
+        s"response correlation $corr, expected $correlation")
+      resp
+    }
+    try attempt()
+    catch {
+      case _: java.io.IOException =>
+        try sock.close() catch { case _: Exception => () }
+        reconnects += 1
+        connect()
+        attempt()
+    }
   }
 
   /** ApiVersions v0 → supported (apiKey → maxVersion). */
@@ -355,11 +382,14 @@ object KafkaWireServer {
     * commits, like a real broker). */
   def serve(sock: Socket, topic: String,
             log: scala.collection.Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
-            committed: scala.collection.concurrent.Map[Int, Long]): Unit = {
+            committed: scala.collection.concurrent.Map[Int, Long],
+            dropAfterResponses: Int = Int.MaxValue): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     val host = "127.0.0.1"
+    var served = 0
     while (true) {
+      if (served >= dropAfterResponses) { sock.close(); return }
       val req = readFrame(in)
       val apiKey = req.getShort.toInt
       val apiVersion = req.getShort.toInt
@@ -462,6 +492,7 @@ object KafkaWireServer {
       out.write(responseFrame(corr,
         java.util.Arrays.copyOf(body.array(), body.position())))
       out.flush()
+      served += 1
     }
   }
 }

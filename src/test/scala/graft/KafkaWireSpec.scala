@@ -88,6 +88,53 @@ class KafkaWireSpec extends AnyFunSuite {
     }
   }
 
+  test("broker drop mid-session: client reconnects once, bounded consume completes with no loss or duplication") {
+    val log = Map(
+      0 -> (0 until 20).map(i => rec(s"p0-$i")).toIndexedSeq,
+      1 -> (0 until 15).map(i => rec(s"p1-$i")).toIndexedSeq)
+    val server = new ServerSocket(0)
+    val state = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    state += 0 -> 5L
+    @volatile var connections = 0
+    val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          connections += 1
+          // FIRST connection dies after 6 responses (mid-conversation,
+          // between the admin calls and the fetch loop); later
+          // connections serve normally
+          val drop = if (connections == 1) 6 else Int.MaxValue
+          val h = new Thread(() => {
+            try KafkaWireServer.serve(sock, "t", log, state,
+              dropAfterResponses = drop)
+            catch { case _: Exception => () }
+          })
+          h.setDaemon(true); h.start()
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val c = new KafkaBoundedClient("127.0.0.1", server.getLocalPort, "t")
+      try {
+        val got = c.boundedConsume()
+          .map { case (p, off, _, v) => (p, off, new String(v, "UTF-8")) }
+        assert(c.reconnects == 1, s"expected one recovery, got ${c.reconnects}")
+        // committed offset on p0 still honored across the reconnect;
+        // every record exactly once, in offset order
+        assert(got.filter(_._1 == 0).map(_._3) ==
+          (5 until 20).map(i => s"p0-$i"))
+        assert(got.filter(_._1 == 1).map(_._3) ==
+          (0 until 15).map(i => s"p1-$i"))
+        assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+        // the position survives: OffsetCommit lands on the live broker
+        c.commitOffsets(Map(0 -> 20L, 1 -> 15L))
+        assert(state(0) == 20L && state(1) == 15L)
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("graft-kafka micro-batch: executor-side fetches, exactly once, group offsets committed to the broker") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
