@@ -173,19 +173,27 @@ object TextAnalysis {
     * exact same strings run on any engine (pinned by the DuckDB-oracle
     * gate). Order matters: emails first (their dots must not look like
     * IPs), IPs before phones (so digit runs left by neither). */
-  def scrubPii(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(text,
+  def scrubPii(text: Column): Column = {
+    // the bare-digit alternative is digit-BOUNDED without lookbehind
+    // (RE2-compatible): a run of 7–15 digits only scrubs when it is
+    // not embedded in a longer digit run, so order ids / epoch
+    // timestamps / 16-digit PANs survive intact instead of being
+    // scrubbed piecewise; the consumed boundary chars are restored
+    // via group references (empty when the parenthesized-phone
+    // alternative matched). Because the trailing boundary char is
+    // CONSUMED, non-overlapping matching skips every other number in a
+    // run like "1234567,7654321" — so the phone replace runs TWICE:
+    // pass one scrubs alternating numbers, leaving each survivor
+    // bounded by non-digits, and pass two scrubs the rest.
+    val phone = "\\+?\\d{1,3}[-. ]?\\(\\d{2,4}\\)[-. ]?\\d{3,4}[-. ]?\\d{3,4}" +
+      "|([^0-9]|^)\\+?\\d{7,15}([^0-9]|$)"
+    val noEmailIp = regexp_replace(regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-      // the bare-digit alternative is digit-BOUNDED without lookbehind
-      // (RE2-compatible): a run of 7–15 digits only scrubs when it is
-      // not embedded in a longer digit run, so order ids / epoch
-      // timestamps / 16-digit PANs survive intact instead of being
-      // scrubbed piecewise; the consumed boundary chars are restored
-      // via group references (empty when the parenthesized-phone
-      // alternative matched).
-      "\\+?\\d{1,3}[-. ]?\\(\\d{2,4}\\)[-. ]?\\d{3,4}[-. ]?\\d{3,4}" +
-        "|([^0-9]|^)\\+?\\d{7,15}([^0-9]|$)", "$1<PHONE>$2")
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(
+      regexp_replace(noEmailIp, phone, "$1<PHONE>$2"),
+      phone, "$1<PHONE>$2")
+  }
 
   /** REPETITION signals — the published Gopher quality rules (Rae et
     * al. 2021, appendix A1.1) re-expressed at token/n-gram level:

@@ -806,7 +806,12 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ring +1 (415) 555-0199 or +4915123456789 now",
       "nothing sensitive in this line at all",
       "order 1234567890123456 shipped", // 16 digits: not a phone (E.164 max 15)
-      "phone 5551234567.")
+      "phone 5551234567.",
+      // adjacent numbers split by ONE non-digit: the consumed trailing
+      // boundary used to leave every other number unscrubbed (a PII
+      // leak); the double-pass replace scrubs them all
+      "1234567,7654321",
+      "5550001,5550002,5550003,5550004 end")
       .toDF("t").select(TextAnalysis.scrubPii(col("t")).as("s"))
       .collect().map(_.getString(0))
     assert(rows(0) == "mail <EMAIL> here")
@@ -816,6 +821,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // digit-bounded: a >15-digit run survives whole, never piecewise
     assert(rows(4) == "order 1234567890123456 shipped")
     assert(rows(5) == "phone <PHONE>.")
+    assert(rows(6) == "<PHONE>,<PHONE>")
+    assert(rows(7) == "<PHONE>,<PHONE>,<PHONE>,<PHONE> end")
   }
 
   test("repetition signals: hand-computed fractions on a known doc") {
