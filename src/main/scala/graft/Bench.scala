@@ -38,8 +38,9 @@ import org.apache.spark.sql.SparkSession
   *  - q_chunk_auto / q_chunk_string / q_mongo_splitvector /
   *    q_mongo_tsstride: coverage
   *    proofs again (union of N filtered scans).
-  *  - q_iceberg_commit: write-then-manifest-walk roundtrip into a
-  *    tempdir (metadata cost, not a query plan).
+  *  - q_iceberg_commit / q_iceberg_prune: write-then-manifest-walk
+  *    roundtrips into a tempdir (metadata/footer-stats cost, not a
+  *    query plan).
   *  - q_avro_registry_http: q_avro_registry plus loopback-HTTP schema
   *    fetches; the decode is already headlined via q_avro_registry.
   *  - q_cdc_mongo_wire / q_cdc_binlog_wire / q_bounded_read_wire:
@@ -63,7 +64,8 @@ object Bench {
     "q_cursor_snapshot", "q_incremental_delta", "q_threshold",
     "q_bounded_read", "q_chunk_plan", "q_limit_offset",
     "q_dedup_keep_latest", "q_upsert_apply", "q_cdc_window",
-    "q_cdc_pgoutput", "q_cdc_binlog", "q_cdc_wal2json", "q_cdc_mssql",
+    "q_cdc_pgoutput", "q_cdc_binlog", "q_cdc_binlog_charset",
+    "q_cdc_wal2json", "q_cdc_mssql",
     "q_cdc_mongo", "q_changelog_source", "q_windowed_rates",
     "q_flatten", "q_s3_incremental",
     "q_salted_join",
@@ -86,6 +88,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SETTLE before timing anything: a contended VM (e.g. an sbt build
+    // finishing on the same cores — the round-6 artifact) poisons every
+    // number, and best-of-2 cannot save a run where both passes are
+    // contended. Wait until the 1-minute load drops below half the core
+    // count (max 90 s), and publish the observed load at start AND end
+    // in the JSON line so a still-contended recording is self-labeling.
+    def load1(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadAtStart = load1()
+    var settleWaited = 0
+    while (load1() > cpus.toInt * 0.5 && settleWaited < 90) {
+      Thread.sleep(5000); settleWaited += 5
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -240,8 +258,10 @@ object Bench {
     val jf = if (failedNames.isEmpty) ""
       else s""","failed_queries":${failedNames.mkString("[", ",", "]")}"""
     val sfName = new java.io.File(sfDir).getName
+    val jload = s""""load_start":${"%.1f".format(loadAtStart)},""" +
+      s""""settle_sec":$settleWaited,"load_end":${"%.1f".format(load1())}"""
     def line(sec: String) =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$jt,"secondary":$sec,"throughput":$jp,"failed":${failedNames.size}$jf,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$jt,"secondary":$sec,"throughput":$jp,"failed":${failedNames.size}$jf,$jload,"sf":"$sfName"}"""
     // overflow guard: if the single line would risk the capture window,
     // publish secondary on its own preceding line and keep the headline
     // line intact

@@ -43,14 +43,42 @@ object ScaleCheck {
     replicate("lineitem", Seq("l_orderkey"))
     replicate("documents", Seq("doc_id"))
     replicate("events", Seq("event_id", "user_id"))
+    replicate("embeddings", Seq("vec_id"))
 
     val canonicalRounds = scala.collection.mutable.Map.empty[String, Int]
+    // result-row counts per (label, op): the LSH tiers' candidate
+    // volume must grow ~linearly in rows. NOTE the replicas are EXACT
+    // copies, so each source row gains C(10,2)=45 cross-copy duplicate
+    // pairs and each original pair appears 10² times — pair counts at
+    // 10× are expected ≈ 45·n + 100·p, i.e. a KNOWN constant factor,
+    // still linear in corpus size; superlinear-in-rows is the bug
+    // signal.
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    // fixed query set for ANN (always from the 1× table): corpus scales,
+    // queries don't — the curve isolates the corpus-side scan
+    val annQueries = Tables.load(spark, base, "embeddings")
+      .where(col("vec_id") < 50).cache()
+    annQueries.count()
     def run(sf: String, label: String): Map[String, Double] = {
       val li = Tables.load(spark, sf, "lineitem")
       val docs = Tables.load(spark, sf, "documents")
       val ev = Tables.load(spark, sf, "events")
+      val emb = Tables.load(spark, sf, "embeddings")
       val out = java.nio.file.Files.createTempDirectory("sc").toString
       Map(
+        "minhash_verified" -> time(s"$label minhash_verified") {
+          counts(s"$label minhash_verified") = Dedup.minhashPairsVerified(
+            docs, "text", "doc_id", native = true).count() },
+        "jaccard_prefix" -> time(s"$label jaccard_prefix") {
+          counts(s"$label jaccard_prefix") = Dedup.jaccardPairsPrefix(
+            docs, "text", "doc_id", threshold = 0.8).count() },
+        "cosine_lsh" -> time(s"$label cosine_lsh") {
+          counts(s"$label cosine_lsh") = Dedup.cosinePairsLsh(
+            emb, "vec_id", "embedding", threshold = 0.9,
+            native = true).count() },
+        "ivf_topk" -> time(s"$label ivf_topk") {
+          counts(s"$label ivf_topk") = graft.llm.Similarity.ivfTopK(
+            emb, annQueries, k = 10).count() },
         "dedup_canonical" -> time(s"$label dedup_canonical") {
           val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
             native = true).select("id_a", "id_b")
@@ -101,6 +129,11 @@ object ScaleCheck {
     println("== scaling factors (10x data / 1x data; ~10 = linear) ==")
     t1.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-16s ${t10(k) / t1(k)}%.1f×")
+    }
+    println("== result-row counts (candidate growth; copies are exact " +
+      "dups → expected ≈ 45·n + 100·p for pair tiers) ==")
+    counts.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-24s ${counts(k)}%d")
     }
     println(s"canonicalize propagation rounds: 1x=${canonicalRounds("1x")} " +
       s"10x=${canonicalRounds("10x")} (flat = O(cluster diameter), " +
