@@ -645,6 +645,30 @@ object SparkEntry {
         element_at(col("after"), 12).as("txt"))
     }),
 
+    // ---- C4 binlog temporal/decimal/bit decode: NEWDECIMAL binary
+    //      format, DATE/DATETIME/TIME (pre-5.6 packed), DATETIME2/
+    //      TIME2/TIMESTAMP2 (5.6.4+ big-endian sign-offset + frac),
+    //      TIMESTAMP, YEAR, BIT, INT24 — decode ∘ encode = identity,
+    //      replayed value-by-value in DuckDB ----
+    "q_cdc_binlog_temporal" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 1000)
+      val decoded = Binlog.decode(ChangeLogFixture.binlogTemporalLog(ev), "lsn", "msg")
+      decoded.select(
+        col("pos"),
+        element_at(col("after"), 1).cast("long").as("event_id"),
+        element_at(col("after"), 2).as("qty"),
+        element_at(col("after"), 3).as("d"),
+        element_at(col("after"), 4).as("dt"),
+        element_at(col("after"), 5).as("dt2"),
+        element_at(col("after"), 6).as("tm"),
+        element_at(col("after"), 7).as("tm2"),
+        element_at(col("after"), 8).as("ts0"),
+        element_at(col("after"), 9).as("ts2"),
+        element_at(col("after"), 10).as("yr"),
+        element_at(col("after"), 11).as("flags"),
+        element_at(col("after"), 12).as("small"))
+    }),
+
     // ---- C1/C3 DSv2 change-log source: LSN-segmented batch read ----
     "q_changelog_source" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -1806,6 +1830,29 @@ object SparkEntry {
         |  'POINT (' || (event_id % 100) || ' 7)' AS geo,
         |  upper(hex(event_type)) AS payload_hex,
         |  event_type || '_T✓' AS txt
+        |FROM events WHERE event_id < 1000""".stripMargin,
+
+    "q_cdc_binlog_temporal" ->
+      """SELECT event_id AS pos, event_id,
+        |  printf('%s%d.%02d', CASE WHEN event_id % 5 = 3 THEN '-' ELSE '' END,
+        |         (event_id*37) % 10000, event_id % 100) AS qty,
+        |  CAST(DATE '2020-01-01' + CAST(event_id % 1000 AS INT) AS VARCHAR) AS d,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') AS dt,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') || printf('.%03d', event_id % 1000) AS dt2,
+        |  printf('%s%02d:%02d:%02d', CASE WHEN event_id % 7 = 3 THEN '-' ELSE '' END,
+        |         event_id % 120, (event_id*7) % 60, (event_id*13) % 59 + 1) AS tm,
+        |  printf('%s%02d:%02d:%02d', CASE WHEN event_id % 11 = 5 THEN '-' ELSE '' END,
+        |         event_id % 839, (event_id*11) % 60, (event_id*17) % 59 + 1) AS tm2,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') AS ts0,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') || printf('.%06d', (event_id*997) % 1000000) AS ts2,
+        |  CAST(1971 + event_id % 55 AS VARCHAR) AS yr,
+        |  CAST(event_id % 4096 AS VARCHAR) AS flags,
+        |  CAST(CASE WHEN event_id % 2 = 0 THEN -((event_id*911) % 100000)
+        |       ELSE (event_id*911) % 100000 END AS VARCHAR) AS small
         |FROM events WHERE event_id < 1000""".stripMargin,
 
     "q_changelog_source" ->

@@ -24,10 +24,21 @@ import org.apache.spark.sql.types._
   * partition must be a contiguous slice of one binlog file's stream.
   *
   * Supported column types: TINY(1), SHORT(2), LONG(3), FLOAT(4),
-  * DOUBLE(5), LONGLONG(8), VARCHAR(15), JSON(245), ENUM/SET/CHAR (via
-  * STRING 254), BLOB/TEXT(252), VAR_STRING(253), GEOMETRY(255) — any
-  * other type throws: its byte length is unknown, so continuing would
-  * misalign the buffer and silently corrupt every later column.
+  * DOUBLE(5), TIMESTAMP(7), LONGLONG(8), INT24(9), DATE(10), TIME(11),
+  * DATETIME(12), YEAR(13), NEWDATE(14), VARCHAR(15), BIT(16),
+  * TIMESTAMP2(17), DATETIME2(18), TIME2(19), JSON(245),
+  * NEWDECIMAL(246), ENUM/SET/CHAR (via STRING 254), BLOB/TEXT(252),
+  * VAR_STRING(253), GEOMETRY(255) — any other type throws: its byte
+  * length is unknown, so continuing would misalign the buffer and
+  * silently corrupt every later column.
+  *
+  * Temporal v2 types use the 5.6.4+ big-endian packed layouts from the
+  * public MySQL internals docs (offset constants 0x8000000000 for
+  * DATETIME2, 0x800000 for TIME2, fractional-second storage of
+  * (fsp+1)/2 bytes); NEWDECIMAL uses the strings/decimal.c binary
+  * format (9-digit base-10⁹ groups of 4 bytes, leftover-digit byte
+  * table, sign via top-bit flip + one's complement). TIMESTAMP values
+  * render as UTC wall-clock strings.
   *
   * Charset handling mirrors the reference's collation registry
   * (`/root/reference/pkg/binlog/filter.go:311-360`): TABLE_MAP optional
@@ -141,6 +152,140 @@ object Binlog {
     new String(a, StandardCharsets.UTF_8)
   }
 
+  // ---- temporal/decimal helpers (5.6.4+ packed layouts) ------------------
+
+  /** Big-endian unsigned int of `n` bytes — the temporal v2 and decimal
+    * formats are big-endian for memcmp-sortability, unlike the rest of
+    * the (little-endian) binlog. */
+  private def beN(b: ByteBuffer, n: Int): Long =
+    (0 until n).foldLeft(0L)((acc, _) => (acc << 8) | (b.get() & 0xff))
+
+  private def putBeN(b: ByteBuffer, v: Long, n: Int): Unit =
+    ((n - 1) to 0 by -1).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+
+  /** Fractional-second bytes for fsp: (fsp+1)/2 bytes holding the
+    * fraction scaled to 10^-2 / 10^-4 / 10^-6 seconds. Returns micros. */
+  private def readFracMicros(b: ByteBuffer, fsp: Int): Int = fsp match {
+    case 0 => 0
+    case 1 | 2 => (b.get() & 0xff) * 10000
+    case 3 | 4 => beN(b, 2).toInt * 100
+    case _ => beN(b, 3).toInt
+  }
+
+  private def putFracMicros(b: ByteBuffer, micros: Int, fsp: Int): Unit =
+    fsp match {
+      case 0 => ()
+      case 1 | 2 => b.put((micros / 10000).toByte)
+      case 3 | 4 => putBeN(b, micros / 100, 2)
+      case _ => putBeN(b, micros.toLong, 3)
+    }
+
+  /** ".ffffff" truncated to fsp digits; empty for fsp 0. MySQL renders
+    * DATETIME(3) etc. with exactly fsp fractional digits. */
+  private def fracSuffix(micros: Int, fsp: Int): String =
+    if (fsp == 0) "" else "." + "%06d".format(micros).substring(0, fsp)
+
+  private def fmtDate(y: Int, m: Int, d: Int): String =
+    f"$y%04d-$m%02d-$d%02d"
+
+  private def fmtTime(neg: Boolean, h: Long, m: Long, s: Long): String =
+    f"${if (neg) "-" else ""}%s$h%02d:$m%02d:$s%02d"
+
+  /** Epoch seconds → UTC wall-clock string (MySQL TIMESTAMP stores UTC
+    * seconds; rendering in UTC keeps the gate timezone-independent). */
+  private def fmtEpoch(sec: Long, micros: Int, fsp: Int): String = {
+    val t = java.time.LocalDateTime.ofEpochSecond(sec, 0,
+      java.time.ZoneOffset.UTC)
+    fmtDate(t.getYear, t.getMonthValue, t.getDayOfMonth) + " " +
+      fmtTime(neg = false, t.getHour, t.getMinute, t.getSecond) +
+      fracSuffix(micros, fsp)
+  }
+
+  /** Bytes per leftover digit group in the decimal binary format
+    * (strings/decimal.c `dig2bytes`). */
+  private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  private[graft] def decimalBinSize(precision: Int, scale: Int): Int = {
+    val intg = precision - scale
+    (intg / 9) * 4 + dig2bytes(intg % 9) +
+      (scale / 9) * 4 + dig2bytes(scale % 9)
+  }
+
+  /** Decode the NEWDECIMAL binary format: base-10⁹ groups of 4 bytes
+    * big-endian, leftover digits in `dig2bytes` bytes, sign carried as
+    * a flipped top bit with one's-complement negation. Renders with
+    * exactly `scale` fractional digits (MySQL's own display rule). */
+  private[graft] def decodeNewDecimal(raw: Array[Byte], precision: Int,
+                                    scale: Int): String = {
+    val neg = (raw(0) & 0x80) == 0
+    val a = raw.clone()
+    a(0) = (a(0) ^ 0x80).toByte
+    if (neg) (0 until a.length).foreach(i => a(i) = (~a(i)).toByte)
+    var pos = 0
+    def readN(n: Int): Long = {
+      var v = 0L
+      (0 until n).foreach { _ => v = (v << 8) | (a(pos) & 0xff); pos += 1 }
+      v
+    }
+    val intg = precision - scale
+    val intg0 = intg / 9; val intgx = intg % 9
+    val frac0 = scale / 9; val fracx = scale % 9
+    val sb = new java.lang.StringBuilder
+    if (neg) sb.append('-')
+    var started = false
+    if (intgx > 0) {
+      val v = readN(dig2bytes(intgx))
+      if (v != 0) { sb.append(v); started = true }
+    }
+    (0 until intg0).foreach { _ =>
+      val v = readN(4)
+      if (started) sb.append("%09d".format(v))
+      else if (v != 0) { sb.append(v); started = true }
+    }
+    if (!started) sb.append('0')
+    if (scale > 0) {
+      sb.append('.')
+      (0 until frac0).foreach(_ => sb.append("%09d".format(readN(4))))
+      if (fracx > 0)
+        sb.append(s"%0${fracx}d".format(readN(dig2bytes(fracx))))
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[decodeNewDecimal]] (fixture/test side). */
+  private[graft] def encodeNewDecimal(v: String, precision: Int,
+                                    scale: Int): Array[Byte] = {
+    val neg = v.startsWith("-")
+    val s = if (neg) v.substring(1) else v
+    val dot = s.indexOf('.')
+    val ip0 = if (dot < 0) s else s.substring(0, dot)
+    val fp0 = if (dot < 0) "" else s.substring(dot + 1)
+    val intg = precision - scale
+    val ip = ("0" * (intg - ip0.length)) + ip0
+    val fp = (fp0 + ("0" * scale)).substring(0, scale)
+    val intg0 = intg / 9; val intgx = intg % 9
+    val frac0 = scale / 9; val fracx = scale % 9
+    val out = ByteBuffer.allocate(decimalBinSize(precision, scale))
+    var ipPos = 0
+    def takeInt(n: Int): Long = {
+      val g = ip.substring(ipPos, ipPos + n); ipPos += n
+      g.toLong
+    }
+    if (intgx > 0) putBeN(out, takeInt(intgx), dig2bytes(intgx))
+    (0 until intg0).foreach(_ => putBeN(out, takeInt(9), 4))
+    var fpPos = 0
+    def takeFrac(n: Int): Long = {
+      val g = fp.substring(fpPos, fpPos + n); fpPos += n
+      g.toLong
+    }
+    (0 until frac0).foreach(_ => putBeN(out, takeFrac(9), 4))
+    if (fracx > 0) putBeN(out, takeFrac(fracx), dig2bytes(fracx))
+    val raw = out.array()
+    raw(0) = (raw(0) ^ 0x80).toByte
+    if (neg) (0 until raw.length).foreach(i => raw(i) = (~raw(i)).toByte)
+    raw
+  }
+
   // ---- stateful stream decoder -------------------------------------------
 
   final class StreamDecoder {
@@ -184,6 +329,11 @@ object Binlog {
         case 245 | 252 | 255 /*JSON/BLOB/GEOMETRY: length-byte count*/ =>
           b.get() & 0xff
         case 254 /*STRING: (real type << 8) | packed length*/ =>
+          ((b.get() & 0xff) << 8) | (b.get() & 0xff)
+        case 16 /*BIT: bits%8 then bytes — meta = total bit count*/ =>
+          val m0 = b.get() & 0xff; (b.get() & 0xff) * 8 + m0
+        case 17 | 18 | 19 /*TIMESTAMP2/DATETIME2/TIME2: fsp*/ => b.get() & 0xff
+        case 246 /*NEWDECIMAL: (precision << 8) | scale*/ =>
           ((b.get() & 0xff) << 8) | (b.get() & 0xff)
         case _ => 0
       }
@@ -267,7 +417,69 @@ object Binlog {
         case 3 => b.getInt.toString                   // LONG
         case 4 => java.lang.Float.toString(b.getFloat)
         case 5 => java.lang.Double.toString(b.getDouble)
+        case 7 =>                                     // TIMESTAMP: LE epoch sec
+          fmtEpoch(b.getInt & 0xffffffffL, 0, 0)
         case 8 => b.getLong.toString                  // LONGLONG
+        case 9 =>                                     // INT24: LE 3-byte signed
+          val v = readUIntN(b, 3).toInt
+          (if ((v & 0x800000) != 0) v - 0x1000000 else v).toString
+        case 10 | 14 =>                               // DATE/NEWDATE: LE ymd bits
+          val v = readUIntN(b, 3).toInt
+          fmtDate(v >> 9, (v >> 5) & 0xf, v & 0x1f)
+        case 11 =>                                    // TIME: LE signed HHMMSS
+          val raw = readUIntN(b, 3).toInt
+          val v = if ((raw & 0x800000) != 0) raw - 0x1000000 else raw
+          val a = math.abs(v)
+          fmtTime(v < 0, a / 10000, a / 100 % 100, a % 100)
+        case 12 =>                                    // DATETIME: LE YYYYMMDDHHMMSS
+          val v = b.getLong
+          val d = v / 1000000; val hms = v % 1000000
+          fmtDate((d / 10000).toInt, (d / 100 % 100).toInt, (d % 100).toInt) +
+            " " + fmtTime(neg = false, hms / 10000, hms / 100 % 100, hms % 100)
+        case 13 =>                                    // YEAR: byte + 1900
+          val y = b.get() & 0xff
+          if (y == 0) "0000" else (1900 + y).toString
+        case 16 =>                                    // BIT: BE, meta = bit count
+          var v = 0L
+          readBytes(b, (meta + 7) / 8).foreach(x => v = (v << 8) | (x & 0xff))
+          v.toString
+        case 17 =>                                    // TIMESTAMP2: BE epoch + frac
+          val sec = beN(b, 4)
+          fmtEpoch(sec, readFracMicros(b, meta), meta)
+        case 18 =>                                    // DATETIME2: BE packed + frac
+          val v = beN(b, 5) - 0x8000000000L
+          val ymd = v >> 17; val hms = v & 0x1ffff
+          val ym = ymd >> 5
+          fmtDate((ym / 13).toInt, (ym % 13).toInt, (ymd & 0x1f).toInt) + " " +
+            fmtTime(neg = false, hms >> 12, (hms >> 6) & 0x3f, hms & 0x3f) +
+            fracSuffix(readFracMicros(b, meta), meta)
+        case 19 =>                                    // TIME2: sign-offset BE + frac
+          // reconstruct the signed packed value ((hms << 24) + micros)
+          // per the published storage branches, then split sign/abs
+          val nr = meta match {
+            case 0 => (beN(b, 3) - 0x800000L) << 24
+            case 1 | 2 =>
+              var ip = beN(b, 3) - 0x800000L
+              var fr = (b.get() & 0xffL) * 10000
+              // negative values store the frac byte complemented for
+              // memcmp order: shift back to the previous integer second
+              if (ip < 0 && fr != 0) { ip += 1; fr -= 0x100L * 10000 }
+              (ip << 24) + fr
+            case 3 | 4 =>
+              var ip = beN(b, 3) - 0x800000L
+              var fr = beN(b, 2) * 100
+              if (ip < 0 && fr != 0) { ip += 1; fr -= 0x10000L * 100 }
+              (ip << 24) + fr
+            case _ => beN(b, 6) - 0x800000000000L
+          }
+          val a = math.abs(nr)
+          val hms = a >> 24
+          fmtTime(nr < 0, hms >> 12, (hms >> 6) & 0x3f, hms & 0x3f) +
+            fracSuffix((a & 0xffffff).toInt, meta)
+        case 246 =>                                   // NEWDECIMAL
+          val precision = meta >> 8; val scale = meta & 0xff
+          decodeNewDecimal(readBytes(b, decimalBinSize(precision, scale)),
+            precision, scale)
         case 15 | 253 =>                              // VARCHAR / VAR_STRING
           val len = if (meta > 255) b.getShort & 0xffff else b.get() & 0xff
           decodeStr(readBytes(b, len), td.charsetOf(i))
@@ -313,8 +525,8 @@ object Binlog {
           // buffer would misalign and every later column/row would decode
           // as garbage. Fail the event loudly instead.
           throw new IllegalArgumentException(
-            s"unsupported binlog column type $t " +
-              "(supported: 1,2,3,4,5,8,15,245,252,253,254,255)")
+            s"unsupported binlog column type $t (supported: 1-5,7-19," +
+              "245,246,252,253,254,255)")
       }
     }
 
@@ -416,6 +628,9 @@ object Binlog {
       case (4 | 5, m) => metaBuf.put(m.toByte)
       case (245 | 252 | 255, m) => metaBuf.put(m.toByte)
       case (254, m) => metaBuf.put((m >> 8).toByte).put((m & 0xff).toByte)
+      case (16, m) => metaBuf.put((m % 8).toByte).put((m / 8).toByte)
+      case (17 | 18 | 19, m) => metaBuf.put(m.toByte)
+      case (246, m) => metaBuf.put((m >> 8).toByte).put((m & 0xff).toByte)
       case _ => ()
     }
     metaBuf.flip()
@@ -500,13 +715,77 @@ object Binlog {
     def charsetOf(i: Int): java.nio.charset.Charset =
       charsetFor(colCharsets.lift(i).getOrElse(0)).getOrElse(StandardCharsets.UTF_8)
     vals.zipWithIndex.foreach { case (v, i) =>
+      // "yyyy-MM-dd HH:mm:ss[.ffffff]" → (epoch-or-packed parts, micros)
+      def splitDateTime(s: String): (java.time.LocalDateTime, Int) = {
+        val dot = s.indexOf('.')
+        val base = java.time.LocalDateTime.parse(
+          (if (dot < 0) s else s.substring(0, dot)).replace(' ', 'T'))
+        val micros = if (dot < 0) 0
+          else (s.substring(dot + 1) + "000000").substring(0, 6).toInt
+        (base, micros)
+      }
+      // "[-]H+:MM:SS[.ffffff]" → (neg, h, m, s, micros)
+      def splitTime(s0: String): (Boolean, Int, Int, Int, Int) = {
+        val neg = s0.startsWith("-")
+        val s = if (neg) s0.substring(1) else s0
+        val dot = s.indexOf('.')
+        val hms = (if (dot < 0) s else s.substring(0, dot)).split(":")
+        val micros = if (dot < 0) 0
+          else (s.substring(dot + 1) + "000000").substring(0, 6).toInt
+        (neg, hms(0).toInt, hms(1).toInt, hms(2).toInt, micros)
+      }
       if (v != null) colTypes(i) match {
         case 1 => b.put(v.toByte)
         case 2 => b.putShort(v.toShort)
         case 3 => b.putInt(v.toInt)
         case 4 => b.putFloat(v.toFloat)
         case 5 => b.putDouble(v.toDouble)
+        case 7 =>
+          val (t, _) = splitDateTime(v)
+          b.putInt(t.toEpochSecond(java.time.ZoneOffset.UTC).toInt)
         case 8 => b.putLong(v.toLong)
+        case 9 => putUIntN(b, v.toLong & 0xffffff, 3)
+        case 10 | 14 =>
+          val d = java.time.LocalDate.parse(v)
+          putUIntN(b, ((d.getYear << 9) | (d.getMonthValue << 5) |
+            d.getDayOfMonth).toLong, 3)
+        case 11 =>
+          val (neg, h, m, s, _) = splitTime(v)
+          val packed = h * 10000 + m * 100 + s
+          putUIntN(b, (if (neg) -packed else packed).toLong & 0xffffff, 3)
+        case 12 =>
+          val (t, _) = splitDateTime(v)
+          b.putLong((t.getYear * 10000L + t.getMonthValue * 100L +
+            t.getDayOfMonth) * 1000000L +
+            t.getHour * 10000L + t.getMinute * 100L + t.getSecond)
+        case 13 => b.put((if (v == "0000") 0 else v.toInt - 1900).toByte)
+        case 16 => putBeN(b, v.toLong, (colMeta(i) + 7) / 8)
+        case 17 =>
+          val (t, micros) = splitDateTime(v)
+          putBeN(b, t.toEpochSecond(java.time.ZoneOffset.UTC), 4)
+          putFracMicros(b, micros, colMeta(i))
+        case 18 =>
+          val (t, micros) = splitDateTime(v)
+          val ymd = ((t.getYear * 13L + t.getMonthValue) << 5) | t.getDayOfMonth
+          val hms = (t.getHour << 12) | (t.getMinute << 6) | t.getSecond
+          putBeN(b, 0x8000000000L + ((ymd << 17) | hms), 5)
+          putFracMicros(b, micros, colMeta(i))
+        case 19 =>
+          val (neg, h, m, s, micros) = splitTime(v)
+          val nr0 = (((h << 12) | (m << 6) | s).toLong << 24) + micros
+          val nr = if (neg) -nr0 else nr0
+          colMeta(i) match {
+            case 0 => putBeN(b, 0x800000L + (nr >> 24), 3)
+            case 1 | 2 =>
+              putBeN(b, 0x800000L + (nr >> 24), 3)
+              b.put(((nr % (1L << 24)) / 10000).toByte)
+            case 3 | 4 =>
+              putBeN(b, 0x800000L + (nr >> 24), 3)
+              putBeN(b, ((nr % (1L << 24)) / 100) & 0xffff, 2)
+            case _ => putBeN(b, 0x800000000000L + nr, 6)
+          }
+        case 246 =>
+          b.put(encodeNewDecimal(v, colMeta(i) >> 8, colMeta(i) & 0xff))
         case 15 | 253 =>
           val vb = v.getBytes(charsetOf(i))
           if (colMeta(i) > 255) b.putShort(vb.length.toShort)

@@ -127,6 +127,56 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → binlog stream over the temporal/decimal/bit column set:
+    * NEWDECIMAL(12,2), DATE, DATETIME (pre-5.6 packed), DATETIME2(3),
+    * TIME (signed HHMMSS), TIME2(0), TIMESTAMP (LE epoch),
+    * TIMESTAMP2(6), YEAR, BIT(12) and INT24 — the remaining value
+    * families `pkg/binlog/filter.go` row images carry. Every value
+    * derives from `events` so a DuckDB SELECT replays the decode. */
+  def binlogTemporalLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"),
+      unix_seconds(col("ts")).as("ts_s"))
+    //             id  dec  date dtime dt2 time tm2 ts  ts2 yr bit i24
+    val colTypes = Array(8, 246, 10, 12, 18, 11, 19, 7, 17, 13, 16, 9)
+    val colMeta = Array(0, (12 << 8) | 2, 0, 0, 3, 0, 0, 0, 6, 0, 12, 0)
+    val names = Seq("event_id", "qty", "d", "dt", "dt2", "tm", "tm2",
+      "ts0", "ts2", "yr", "flags", "small")
+    src.mapPartitions { it =>
+      val tm = Iterator.single(Row(0L,
+        Binlog.encodeTableMap(78L, "mydb", "events_temporal", colTypes,
+          colMeta, names)))
+      val body = it.map { r =>
+        val id = r.getLong(0); val es = r.getLong(1)
+        val wall = java.time.LocalDateTime.ofEpochSecond(es, 0,
+          java.time.ZoneOffset.UTC)
+        val wallS = wall.toLocalDate.toString + " " +
+          "%02d:%02d:%02d".format(wall.getHour, wall.getMinute,
+            wall.getSecond)
+        val vals = Seq(
+          id.toString,
+          "%s%d.%02d".format(if (id % 5 == 3) "-" else "",
+            id * 37 % 10000, id % 100),
+          java.time.LocalDate.of(2020, 1, 1).plusDays(id % 1000).toString,
+          wallS,
+          wallS + ".%03d".format(id % 1000),
+          // seconds land in 1..59: negative zero doesn't exist in the
+          // signed packed encodings, so "-00:00:00" can't round-trip
+          "%s%02d:%02d:%02d".format(if (id % 7 == 3) "-" else "",
+            id % 120, id * 7 % 60, id * 13 % 59 + 1),
+          "%s%02d:%02d:%02d".format(if (id % 11 == 5) "-" else "",
+            id % 839, id * 11 % 60, id * 17 % 59 + 1),
+          wallS,
+          wallS + ".%06d".format(id * 997 % 1000000),
+          (1971 + id % 55).toString,
+          (id % 4096).toString,
+          (if (id % 2 == 0) -(id * 911 % 100000) else id * 911 % 100000)
+            .toString)
+        Row(id, Binlog.encodeWrite(78L, colTypes, colMeta, es, Seq(vals)))
+      }
+      tm ++ body
+    }(Encoders.row(logSchema))
+  }
+
   /** events → LSN-segmented change-log directory for the
     * `graft-changelog` DSv2 source: each input partition writes one
     * `seg-<min>-<max>.json` (executor-side, no driver collect). */

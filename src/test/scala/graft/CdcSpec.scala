@@ -144,6 +144,69 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(del.head.before == Seq("2", "bye") && del.head.after.isEmpty)
   }
 
+  test("binlog: temporal/decimal/bit types roundtrip with edge values") {
+    import graft.cdc.Binlog
+    //             ts  i24 date time dtime year bit  ts2 dt2 tm2 dec
+    val types = Array(7, 9, 10, 11, 12, 13, 16, 17, 18, 19, 246)
+    val meta = Array(0, 0, 0, 0, 0, 0, 12, 6, 3, 0, (20 << 8) | 6)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(11L, "db", "tt", types, meta,
+      Seq("ts0", "i24", "d", "tm", "dt", "yr", "flags", "ts2", "dt2",
+        "tm2", "qty")), 0L)
+    val rows = Seq(
+      Seq("2024-02-29 23:59:59", "-8388608", "2024-02-29", "-838:59:59",
+        "9999-12-31 23:59:59", "1901", "4095",
+        "2024-02-29 23:59:59.000001", "2024-02-29 00:00:00.999",
+        "-838:59:59", "-99999999999999.000001"),
+      Seq("1970-01-01 00:00:00", "8388607", "1000-01-01", "838:59:59",
+        "1000-01-01 00:00:00", "2155", "0",
+        "1970-01-01 00:00:00.999999", "1000-01-01 23:59:59.001",
+        "838:59:59", "99999999999999.999999"),
+      Seq("2038-01-19 03:14:07", "0", "2020-07-15", "00:00:00",
+        "2024-06-01 12:34:56", "0000", "1",
+        "2038-01-19 03:14:07.000000", "2024-06-01 12:34:56.000",
+        "00:00:00", "0.000001"))
+    val out = dec.decode(Binlog.encodeWrite(11L, types, meta, 0L, rows), 1L)
+      .toSeq
+    rows.zip(out).foreach { case (in, ch) => assert(ch.after == in) }
+  }
+
+  test("binlog: TIME2 fractional-second sign handling (fsp 2/4/6)") {
+    import graft.cdc.Binlog
+    val types = Array(19, 19, 19)
+    val meta = Array(2, 4, 6)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(12L, "db", "t2", types, meta,
+      Seq("a", "b", "c")), 0L)
+    val rows = Seq(
+      // negative with frac exercises the stored-complement branches
+      Seq("-00:00:00.05", "-00:00:00.0001", "-00:00:00.000001"),
+      Seq("-12:30:45.99", "-12:30:45.9999", "-838:59:58.999999"),
+      Seq("00:00:00.05", "12:30:45.1234", "838:59:58.999999"))
+    val out = dec.decode(Binlog.encodeWrite(12L, types, meta, 0L, rows), 1L)
+      .toSeq
+    rows.zip(out).foreach { case (in, ch) => assert(ch.after == in) }
+  }
+
+  test("binlog: NEWDECIMAL binary format across digit-group boundaries") {
+    import graft.cdc.Binlog
+    // (precision, scale, value) spanning leftover-digit byte widths,
+    // full base-10⁹ groups, sign, and zero integer part
+    val cases = Seq(
+      (12, 2, "1234567890.12"), (12, 2, "-1234567890.12"),
+      (12, 2, "0.00"), (12, 2, "-3.07"), (12, 2, "5.00"),
+      (20, 6, "99999999999999.999999"), (20, 6, "-0.000001"),
+      (9, 0, "999999999"), (9, 0, "-999999999"),
+      (18, 9, "123456789.987654321"), (10, 10, "0.0000000001"),
+      (30, 15, "-123456789012345.123456789012345"))
+    cases.foreach { case (p, s, v) =>
+      val enc = Binlog.encodeNewDecimal(v, p, s)
+      assert(enc.length == Binlog.decimalBinSize(p, s))
+      assert(Binlog.decodeNewDecimal(enc, p, s) == v,
+        s"decimal($p,$s) $v")
+    }
+  }
+
   test("binlog: rows event before TABLE_MAP is a hard error") {
     import graft.cdc.Binlog
     val dec = new Binlog.StreamDecoder
