@@ -49,9 +49,9 @@ import org.apache.spark.sql.SparkSession
   *    decode paths are already headlined via q_cdc_mongo /
   *    q_cdc_binlog / q_bounded_read.
   *  - q_iceberg_mor / q_iceberg_2pc / q_clear_resync /
-  *    q_stream_pipeline: multi-commit write-then-read-back roundtrips
-  *    into tempdirs (sink/metadata/streaming-checkpoint cost on tiny
-  *    fixtures, not a query plan).
+  *    q_stream_pipeline / q_late_drop: multi-commit write-then-read-back
+  *    roundtrips into tempdirs (sink/metadata/streaming-checkpoint cost
+  *    on tiny fixtures, not a query plan).
   *  - q_cursor_format / q_dialect_types: driver-side scalar/decision-
   *    table gates (two-row / 55-row outputs) — nothing to time.
   */
@@ -65,6 +65,7 @@ object Bench {
     "q_bounded_read", "q_chunk_plan", "q_limit_offset",
     "q_dedup_keep_latest", "q_upsert_apply", "q_cdc_window",
     "q_cdc_pgoutput", "q_cdc_binlog", "q_cdc_binlog_charset",
+    "q_cdc_binlog_temporal",
     "q_cdc_wal2json", "q_cdc_mssql",
     "q_cdc_mongo", "q_changelog_source", "q_windowed_rates",
     "q_flatten", "q_s3_incremental",

@@ -898,6 +898,73 @@ object SparkEntry {
       graft.streaming.WindowedStats.eventRates(
         t(s, dir, "events"), "ts", "event_type", "1 hour")),
 
+    // ---- C9 (beyond-reference) late/out-of-order handling, gate-backed:
+    //      three real watermarked streaming runs over out-of-order batches
+    //      (event_id % 3), checkpoint-resumed, append mode. Semantics
+    //      pinned by tools/WmProbe.scala: each AvailableNow run executes
+    //      its data batch under the watermark committed by the PRIOR runs
+    //      (max event time seen minus delay), then one empty batch that
+    //      advances the watermark and emits closed windows; a late row is
+    //      dropped iff its window end ≤ that prior watermark (ties drop).
+    //      A far-future sentinel run flushes every real window so DuckDB
+    //      can replay the admit/drop rule batch-by-batch. ----
+    "q_late_drop" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_c9").toString
+      val logDir = s"$root/log"; val ckpt = s"$root/ckpt"
+      val out = s"$root/out"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(logDir))
+      val ev = t(s, dir, "events").where(col("event_id") < 3000)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(logDir, file)): Unit
+      }
+      val streamSchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      def run(): Unit = {
+        val q = graft.streaming.WindowedStats.eventRates(
+            s.readStream.schema(streamSchema).json(logDir),
+            "ts", "event_type", "1 hour", "30 minutes")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      (0 until 3).foreach { k =>
+        stage(ev.where(col("event_id") % 3 === k)
+          .select(col("event_type"), col("ts")), s"b$k.json")
+        run()
+      }
+      // sentinel far past every real window: closes them all; its own
+      // window stays open and never emits
+      stage(ev.agg((max(col("ts")) +
+          expr("INTERVAL 10 HOURS")).as("ts"))
+        .withColumn("event_type", lit("__sentinel__"))
+        .select(col("event_type"), col("ts")), "b3.json")
+      run()
+      s.read.schema(StructType(Seq(
+          StructField("window_start", TimestampType),
+          StructField("event_type", StringType),
+          StructField("n", LongType)))).parquet(out)
+    }),
+
+    // ---- C9 (beyond-reference) gap-based session windows: per-user
+    //      sessions over event time; DuckDB replays the session
+    //      assignment with a lag/running-sum break scan ----
+    "q_session_windows" -> ((s, dir) =>
+      graft.streaming.WindowedStats.sessionize(
+        t(s, dir, "events").where(col("event_id") < 20000),
+        "ts", "user_id", "30 minutes")),
+
     // ---- §1.2 schema inference over a JSON column (S16 decode path) ----
     "q_infer_schema" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1940,6 +2007,46 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // replay of the watermark admit/drop rule (see q_late_drop comment):
+    // batch k rows admitted iff their window END strictly exceeds the
+    // watermark committed by batches 0..k-1 (max seen ts - 30min)
+    "q_late_drop" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_id < 3000),
+        |m AS (SELECT
+        |  max(CASE WHEN event_id % 3 = 0 THEN ts END)
+        |    - INTERVAL 30 MINUTE AS wm1,
+        |  max(CASE WHEN event_id % 3 <= 1 THEN ts END)
+        |    - INTERVAL 30 MINUTE AS wm2
+        |  FROM e)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |  event_type, count(*) AS n
+        |FROM e, m
+        |WHERE event_id % 3 = 0
+        |   OR (event_id % 3 = 1
+        |       AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR > wm1)
+        |   OR (event_id % 3 = 2
+        |       AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR > wm2)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // session break when the gap REACHES 30min (Spark sessions are
+    // [start, last+gap), so an event at exactly prev+gap opens a new one)
+    "q_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_id < 20000),
+        |x AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q_infer_schema" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k

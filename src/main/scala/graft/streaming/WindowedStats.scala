@@ -37,4 +37,18 @@ object WindowedStats {
       df.withWatermark(tsCol, watermarkDelay)
         .dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
+
+  /** Gap-based session windows per key: (key, session_start, n). A new
+    * session opens when the inter-event gap reaches `gap` (Spark
+    * sessions are [start, last+gap) — an event landing exactly at the
+    * previous session's end starts a new one). Works on batch and, with
+    * a watermark, on streams. */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val in = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay)
+      else df
+    in.groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("w.start").as("session_start"), col("n"))
+  }
 }

@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Dev probe (NOT part of the library): empirically pin down Spark 4's
+  * watermark semantics across sequential Trigger.AvailableNow runs with
+  * checkpoint resume — which rows get dropped as late, which windows
+  * emit in append mode, and whether an extra empty batch advances the
+  * watermark at the end of each run. Findings feed the q_late_drop gate
+  * design.
+  */
+object WmProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("wmprobe").toString
+    val logDir = s"$root/log"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(logDir))
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampType)))
+
+    def stage(file: String, rows: Seq[(String, String)]): Unit = {
+      val lines = rows.map { case (k, ts) =>
+        s"""{"k":"$k","ts":"$ts"}"""
+      }.mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(logDir, file),
+        lines.getBytes("UTF-8")): Unit
+    }
+
+    def run(label: String): Unit = runWith(label, "30 minutes")
+
+    def runWith(label: String, delay: String): Unit = {
+      val q = spark.readStream.schema(schema).json(logDir)
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("k"), col("n"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val prog = q.recentProgress
+      println(s"== $label: ${prog.length} batches")
+      prog.foreach { p =>
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} wm=${
+          p.eventTime.get("watermark")} max=${p.eventTime.get("max")}")
+      }
+      val res = spark.read.schema(StructType(Seq(
+          StructField("ws", TimestampType), StructField("k", StringType),
+          StructField("n", LongType)))).parquet(out)
+        .orderBy("ws", "k").collect()
+      println(s"  emitted so far: ${res.map(r =>
+        s"(${r.getTimestamp(0)},${r.getString(1)},${r.getLong(2)})").mkString(" ")}")
+    }
+
+    // tie probe: delay below is changed to 70 minutes via args(0)="tie"
+    if (args.nonEmpty && args(0) == "tie") {
+      // wm after b0 = 11:10 - 70m = 10:00 exactly. b1 row in window
+      // [09:00,10:00) has window_end == wm: admitted or dropped?
+      stage("b0.json", Seq(("b", "2024-01-01 11:10:00")))
+      runWith("tie-run1", "70 minutes")
+      stage("b1.json", Seq(("a", "2024-01-01 09:30:00"),
+        ("a", "2024-01-01 10:30:00")))
+      runWith("tie-run2", "70 minutes")
+      stage("b2.json", Seq(("z", "2024-01-02 09:00:00")))
+      runWith("tie-run3 (sentinel)", "70 minutes")
+      spark.stop(); return
+    }
+
+    // b0: two windows, 10:00 and 11:00; max ts 11:10
+    stage("b0.json", Seq(("a", "2024-01-01 10:05:00"),
+      ("a", "2024-01-01 10:20:00"), ("b", "2024-01-01 11:10:00")))
+    run("run1 (b0)")
+    // b1: late row into 10:00 window (end 11:00 ≤ wm1=10:40? NO —
+    // 11:00 > 10:40, should be ADMITTED), late row into a 09:00 window
+    // (end 10:00 ≤ 10:40 → dropped), fresh row 12:05; max 12:05
+    stage("b1.json", Seq(("a", "2024-01-01 10:30:00"),
+      ("a", "2024-01-01 09:30:00"), ("c", "2024-01-01 12:05:00")))
+    run("run2 (b1)")
+    // b2: late row into 11:00 window (end 12:00 vs wm2=11:35 → dropped),
+    // row into 12:00 window (end 13:00 > wm2 → admitted); max 12:30
+    stage("b2.json", Seq(("b", "2024-01-01 11:40:00"),
+      ("c", "2024-01-01 12:30:00")))
+    run("run3 (b2)")
+    // b3: sentinel far future to flush everything real
+    stage("b3.json", Seq(("z", "2024-01-02 09:00:00")))
+    run("run4 (sentinel)")
+    spark.stop()
+  }
+}

@@ -257,6 +257,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.length == 3)
   }
 
+  test("late rows drop at the committed watermark across checkpoint-resumed runs") {
+    import graft.streaming.WindowedStats
+    import org.apache.spark.sql.streaming.Trigger
+    val (logDir, ckpt, out) = (tmp(), tmp(), tmp())
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampType)))
+    def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = WindowedStats.eventRates(
+          spark.readStream.schema(sch).json(logDir), "ts", "k",
+          "1 hour", "30 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    def j(k: String, ts: String) = s"""{"k":"$k","ts":"$ts"}"""
+    // run 1: watermark commits at 11:10 - 30m = 10:40
+    writeLog(logDir, "b1.json", Seq(
+      j("a", "2024-01-01 10:05:00"), j("b", "2024-01-01 11:10:00")))
+    runOnce()
+    // run 2: 09:30 (window end 10:00 ≤ 10:40) must DROP; 10:30 (end
+    // 11:00 > 10:40) must merge into a's 10:00 window
+    writeLog(logDir, "b2.json", Seq(
+      j("a", "2024-01-01 09:30:00"), j("a", "2024-01-01 10:30:00")))
+    val q2 = runOnce()
+    val dropped = q2.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 1L, s"expected exactly the 09:30 straggler dropped, got $dropped")
+    // run 3: sentinel closes all real windows
+    writeLog(logDir, "b3.json", Seq(j("z", "2024-01-02 09:00:00")))
+    runOnce()
+    val res = spark.read.schema(StructType(Seq(
+        StructField("window_start", TimestampType),
+        StructField("k", StringType), StructField("n", LongType))))
+      .parquet(out).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    // a's 10:00 window counts 10:05 + 10:30 but NOT the dropped 09:30;
+    // no 09:00 window exists; sentinel window never emits
+    assert(res == Set(("2024-01-01 10:00:00.0", "a", 2L),
+      ("2024-01-01 11:00:00.0", "b", 1L)))
+  }
+
+  test("sessionize merges gap-joined events across micro-batch runs") {
+    import graft.streaming.WindowedStats
+    import org.apache.spark.sql.streaming.Trigger
+    val (logDir, ckpt, out) = (tmp(), tmp(), tmp())
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampType)))
+    def runOnce(): Unit = {
+      val q = WindowedStats.sessionize(
+          spark.readStream.schema(sch).json(logDir), "ts", "k",
+          "30 minutes", "30 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def j(k: String, ts: String) = s"""{"k":"$k","ts":"$ts"}"""
+    writeLog(logDir, "b1.json", Seq(
+      j("a", "2024-01-01 10:00:00"), j("a", "2024-01-01 10:20:00")))
+    runOnce()
+    // extends a's open session (10:20 + 30m = 10:50 > 10:40); a later
+    // event at 11:30 (≥ 10:40 + 30m) opens a second session
+    writeLog(logDir, "b2.json", Seq(
+      j("a", "2024-01-01 10:40:00"), j("a", "2024-01-01 11:30:00")))
+    runOnce()
+    writeLog(logDir, "b3.json", Seq(j("z", "2024-01-02 09:00:00")))
+    runOnce()
+    val res = spark.read.schema(StructType(Seq(
+        StructField("k", StringType),
+        StructField("session_start", TimestampType),
+        StructField("n", LongType)))).parquet(out).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    assert(res == Set(("a", "2024-01-01 10:00:00.0", 3L),
+      ("a", "2024-01-01 11:30:00.0", 1L)))
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicate keys") {
     import graft.streaming.WindowedStats
     val (logDir, ckpt, out) = (tmp(), tmp(), tmp())
