@@ -669,6 +669,24 @@ object SparkEntry {
         element_at(col("after"), 12).as("small"))
     }),
 
+    // ---- C4 binlog SIGNEDNESS TLV: unsigned TINY/SHORT/INT24/LONG/
+    //      LONGLONG render their full unsigned ranges; the bitmap walks
+    //      numeric columns only (varchar in between) ----
+    "q_cdc_binlog_unsigned" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 1000)
+      val decoded = Binlog.decode(ChangeLogFixture.binlogUnsignedLog(ev), "lsn", "msg")
+      decoded.select(
+        col("pos"),
+        element_at(col("after"), 1).cast("long").as("event_id"),
+        element_at(col("after"), 2).as("event_type"),
+        element_at(col("after"), 3).as("tiny_u"),
+        element_at(col("after"), 4).as("small_u"),
+        element_at(col("after"), 5).as("i24_u"),
+        element_at(col("after"), 6).as("int_u"),
+        element_at(col("after"), 7).as("big_u"),
+        element_at(col("after"), 8).as("tiny_s"))
+    }),
+
     // ---- C1/C3 DSv2 change-log source: LSN-segmented batch read ----
     "q_changelog_source" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -1920,6 +1938,16 @@ object SparkEntry {
         |  CAST(event_id % 4096 AS VARCHAR) AS flags,
         |  CAST(CASE WHEN event_id % 2 = 0 THEN -((event_id*911) % 100000)
         |       ELSE (event_id*911) % 100000 END AS VARCHAR) AS small
+        |FROM events WHERE event_id < 1000""".stripMargin,
+
+    "q_cdc_binlog_unsigned" ->
+      """SELECT event_id AS pos, event_id, event_type,
+        |  CAST(128 + event_id % 128 AS VARCHAR) AS tiny_u,
+        |  CAST(32768 + event_id % 32768 AS VARCHAR) AS small_u,
+        |  CAST(8388608 + event_id % 8388608 AS VARCHAR) AS i24_u,
+        |  CAST(2147483648 + event_id AS VARCHAR) AS int_u,
+        |  CAST(CAST('9223372036854775808' AS HUGEINT) + event_id AS VARCHAR) AS big_u,
+        |  CAST(-(event_id % 129) AS VARCHAR) AS tiny_s
         |FROM events WHERE event_id < 1000""".stripMargin,
 
     "q_changelog_source" ->

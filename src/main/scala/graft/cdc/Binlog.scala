@@ -38,7 +38,10 @@ import org.apache.spark.sql.types._
   * (fsp+1)/2 bytes); NEWDECIMAL uses the strings/decimal.c binary
   * format (9-digit base-10⁹ groups of 4 bytes, leftover-digit byte
   * table, sign via top-bit flip + one's complement). TIMESTAMP values
-  * render as UTC wall-clock strings.
+  * render as UTC wall-clock strings. The SIGNEDNESS optional-metadata
+  * TLV (one bit per numeric column, MSB-first, the walk the reference's
+  * `unsignedMap` does in `filter.go:279-301`) switches TINY/SHORT/
+  * INT24/LONG/LONGLONG rendering to their full unsigned ranges.
   *
   * Charset handling mirrors the reference's collation registry
   * (`/root/reference/pkg/binlog/filter.go:311-360`): TABLE_MAP optional
@@ -69,9 +72,21 @@ object Binlog {
                             colNames: Seq[String],
                             colCharsets: Array[Int] = Array.empty,
                             enumVals: Map[Int, IndexedSeq[Array[Byte]]] = Map.empty,
-                            setVals: Map[Int, IndexedSeq[Array[Byte]]] = Map.empty) {
+                            setVals: Map[Int, IndexedSeq[Array[Byte]]] = Map.empty,
+                            unsignedCols: Array[Boolean] = Array.empty) {
     def charsetOf(i: Int): Int =
       if (i < colCharsets.length) colCharsets(i) else 0
+    def unsignedOf(i: Int): Boolean =
+      i < unsignedCols.length && unsignedCols(i)
+  }
+
+  /** Columns covered by the SIGNEDNESS TLV bitmap — MySQL's
+    * is_numeric_field set (the reference's `isNumericColumn`,
+    * `filter.go:303-318`): DECIMAL, TINY, SHORT, LONG, FLOAT, DOUBLE,
+    * LONGLONG, INT24, YEAR, NEWDECIMAL. */
+  private def isNumericCol(t: Int): Boolean = t match {
+    case 0 | 1 | 2 | 3 | 4 | 5 | 8 | 9 | 13 | 246 => true
+    case _ => false
   }
 
   // ---- collation → charset registry (public MySQL collation ids) --------
@@ -344,7 +359,9 @@ object Binlog {
       val charCols = (0 until nCols).filter(i => isCharCol(types(i), meta(i)))
       val enumCols = (0 until nCols).filter(i => types(i) == 254 && (meta(i) >> 8) == 247)
       val setCols = (0 until nCols).filter(i => types(i) == 254 && (meta(i) >> 8) == 248)
+      val numericCols = (0 until nCols).filter(i => isNumericCol(types(i)))
       val charsets = Array.fill(nCols)(0)
+      val unsigned = Array.fill(nCols)(false)
       var enumVals = Map.empty[Int, IndexedSeq[Array[Byte]]]
       var setVals = Map.empty[Int, IndexedSeq[Array[Byte]]]
       // optional metadata TLVs (binlog_row_metadata=FULL; type codes from
@@ -369,6 +386,16 @@ object Binlog {
         val len = readLenEnc(b).toInt
         val end = b.position() + len
         t match {
+          case 1 => // SIGNEDNESS: one bit per NUMERIC column, MSB-first
+            var k = 0
+            while (b.position() < end && k < numericCols.length) {
+              val byte0 = b.get() & 0xff
+              var c = 0x80
+              while (c != 0 && k < numericCols.length) {
+                unsigned(numericCols(k)) = (byte0 & c) != 0
+                c >>= 1; k += 1
+              }
+            }
           case 4 =>
             val out = Seq.newBuilder[String]
             while (b.position() < end)
@@ -397,7 +424,7 @@ object Binlog {
         b.position(end)
       }
       tables(tableId) = TableDef(tableId, schema, table, types, meta, names,
-        charsets, enumVals, setVals)
+        charsets, enumVals, setVals, unsigned)
     }
 
     /** LE unsigned int of `n` bytes (BLOB/JSON/GEOMETRY length fields,
@@ -411,18 +438,24 @@ object Binlog {
 
     private def readValue(b: ByteBuffer, td: TableDef, i: Int): String = {
       val meta = td.colMeta(i)
+      val uns = td.unsignedOf(i)
       td.colTypes(i) match {
-        case 1 => b.get().toString                    // TINY
-        case 2 => b.getShort.toString                 // SHORT
-        case 3 => b.getInt.toString                   // LONG
+        case 1 =>                                     // TINY
+          if (uns) (b.get() & 0xff).toString else b.get().toString
+        case 2 =>                                     // SHORT
+          if (uns) (b.getShort & 0xffff).toString else b.getShort.toString
+        case 3 =>                                     // LONG
+          if (uns) (b.getInt & 0xffffffffL).toString else b.getInt.toString
         case 4 => java.lang.Float.toString(b.getFloat)
         case 5 => java.lang.Double.toString(b.getDouble)
         case 7 =>                                     // TIMESTAMP: LE epoch sec
           fmtEpoch(b.getInt & 0xffffffffL, 0, 0)
-        case 8 => b.getLong.toString                  // LONGLONG
-        case 9 =>                                     // INT24: LE 3-byte signed
+        case 8 =>                                     // LONGLONG
+          if (uns) java.lang.Long.toUnsignedString(b.getLong)
+          else b.getLong.toString
+        case 9 =>                                     // INT24: LE 3-byte
           val v = readUIntN(b, 3).toInt
-          (if ((v & 0x800000) != 0) v - 0x1000000 else v).toString
+          (if (!uns && (v & 0x800000) != 0) v - 0x1000000 else v).toString
         case 10 | 14 =>                               // DATE/NEWDATE: LE ymd bits
           val v = readUIntN(b, 3).toInt
           fmtDate(v >> 9, (v >> 5) & 0xf, v & 0x1f)
@@ -612,7 +645,8 @@ object Binlog {
                      colNames: Seq[String],
                      colCharsets: Seq[Int] = Nil,
                      enumVals: Map[Int, Seq[String]] = Map.empty,
-                     setVals: Map[Int, Seq[String]] = Map.empty): Array[Byte] = {
+                     setVals: Map[Int, Seq[String]] = Map.empty,
+                     unsignedCols: Seq[Boolean] = Nil): Array[Byte] = {
     val body = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
     (0 until 6).foreach(i => body.put(((tableId >> (8 * i)) & 0xff).toByte))
     body.putShort(1)
@@ -642,6 +676,19 @@ object Binlog {
       if (payload.remaining() > 0) {
         body.put(t.toByte); putLenEnc(body, payload.remaining()); body.put(payload)
       }
+    }
+    // SIGNEDNESS TLV: one bit per numeric column, MSB-first
+    if (unsignedCols.nonEmpty) {
+      val numeric = (0 until colTypes.length).filter(i => isNumericCol(colTypes(i)))
+      val bits = ByteBuffer.allocate((numeric.length + 7) / 8)
+      var acc = 0; var nbits = 0
+      numeric.foreach { i =>
+        acc = (acc << 1) | (if (unsignedCols.lift(i).getOrElse(false)) 1 else 0)
+        nbits += 1
+        if (nbits == 8) { bits.put(acc.toByte); acc = 0; nbits = 0 }
+      }
+      if (nbits > 0) bits.put((acc << (8 - nbits)).toByte)
+      tlv(1, bits)
     }
     // optional metadata: COLUMN_NAME TLV
     val namesBuf = ByteBuffer.allocate(2048)
@@ -735,15 +782,18 @@ object Binlog {
         (neg, hms(0).toInt, hms(1).toInt, hms(2).toInt, micros)
       }
       if (v != null) colTypes(i) match {
-        case 1 => b.put(v.toByte)
-        case 2 => b.putShort(v.toShort)
-        case 3 => b.putInt(v.toInt)
+        // integer parses accept full unsigned ranges ("200" for a TINY)
+        case 1 => b.put(v.toInt.toByte)
+        case 2 => b.putShort(v.toInt.toShort)
+        case 3 => b.putInt(v.toLong.toInt)
         case 4 => b.putFloat(v.toFloat)
         case 5 => b.putDouble(v.toDouble)
         case 7 =>
           val (t, _) = splitDateTime(v)
           b.putInt(t.toEpochSecond(java.time.ZoneOffset.UTC).toInt)
-        case 8 => b.putLong(v.toLong)
+        case 8 => b.putLong(
+          if (v.startsWith("-")) v.toLong
+          else java.lang.Long.parseUnsignedLong(v))
         case 9 => putUIntN(b, v.toLong & 0xffffff, 3)
         case 10 | 14 =>
           val d = java.time.LocalDate.parse(v)

@@ -177,6 +177,41 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → binlog stream exercising the SIGNEDNESS TLV: unsigned
+    * TINY/SHORT/INT24/LONG/LONGLONG columns at values past their signed
+    * maxima, a signed TINY alongside, and a varchar between numerics so
+    * the bitmap's numeric-columns-only walk is load-bearing. */
+  def binlogUnsignedLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("event_type"),
+      unix_seconds(col("ts")).as("ts_s"))
+    //             id  et  tiny_u small_u i24_u int_u big_u tiny_s
+    val colTypes = Array(8, 15, 1, 2, 9, 3, 8, 1)
+    val colMeta = Array(0, 255, 0, 0, 0, 0, 0, 0)
+    val names = Seq("event_id", "event_type", "tiny_u", "small_u",
+      "i24_u", "int_u", "big_u", "tiny_s")
+    val unsigned = Seq(false, false, true, true, true, true, true, false)
+    src.mapPartitions { it =>
+      val tm = Iterator.single(Row(0L,
+        Binlog.encodeTableMap(79L, "mydb", "events_unsigned", colTypes,
+          colMeta, names, Nil, Map.empty, Map.empty, unsigned)))
+      val body = it.map { r =>
+        val id = r.getLong(0)
+        val vals = Seq(
+          id.toString,
+          r.getString(1),
+          (128 + id % 128).toString,
+          (32768 + id % 32768).toString,
+          (8388608 + id % 8388608).toString,
+          (2147483648L + id).toString,
+          ((BigInt(1) << 63) + id).toString,
+          (-(id % 129)).toString)
+        Row(id, Binlog.encodeWrite(79L, colTypes, colMeta, r.getLong(2),
+          Seq(vals)))
+      }
+      tm ++ body
+    }(Encoders.row(logSchema))
+  }
+
   /** events → LSN-segmented change-log directory for the
     * `graft-changelog` DSv2 source: each input partition writes one
     * `seg-<min>-<max>.json` (executor-side, no driver collect). */

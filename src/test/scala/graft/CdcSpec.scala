@@ -207,6 +207,27 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binlog: SIGNEDNESS bitmap renders unsigned integer columns") {
+    import graft.cdc.Binlog
+    // the bitmap covers NUMERIC columns only, MSB-first — the varchar
+    // at index 1 must be skipped when assigning bits
+    val types = Array(8, 15, 1, 2, 3, 9, 8, 1)
+    val meta = Array(0, 64, 0, 0, 0, 0, 0, 0)
+    val unsigned = Seq(false, false, true, true, true, true, true, false)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(13L, "db", "u", types, meta,
+      Seq("id", "name", "t", "s", "l", "i24", "big", "st"), Nil,
+      Map.empty, Map.empty, unsigned), 0L)
+    val rows = Seq(
+      Seq("-5", "x", "255", "65535", "4294967295", "16777215",
+        "18446744073709551615", "-128"),
+      Seq("7", "y", "0", "40000", "3000000000", "10000000",
+        "9223372036854775808", "127"))
+    val out = dec.decode(Binlog.encodeWrite(13L, types, meta, 0L, rows), 1L)
+      .toSeq
+    rows.zip(out).foreach { case (in, ch) => assert(ch.after == in) }
+  }
+
   test("binlog: rows event before TABLE_MAP is a hard error") {
     import graft.cdc.Binlog
     val dec = new Binlog.StreamDecoder
