@@ -622,6 +622,21 @@ object SparkEntry {
         element_at(img, 4).cast("double").as("value"))
     }),
 
+    // ---- C4 binlog GTID events: "uuid:gno" transaction identity and
+    //      microsecond commit timestamps override the second-precision
+    //      header ts on subsequent rows events ----
+    "q_cdc_binlog_gtid" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val decoded = Binlog.decode(ChangeLogFixture.binlogGtidLog(ev), "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.select(
+        col("kind"), col("gtid"), col("pos"),
+        timestamp_micros(col("ts_micros")).as("commit_ts"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 3).as("event_type"))
+    }),
+
     // ---- C4 binlog wide-type decode: charset registry (latin1/utf16/
     //      utf16le/utf32), CHAR/ENUM/SET via STRING metadata, binary
     //      JSON documents, GEOMETRY WKB, binary BLOB hex — the column
@@ -1896,6 +1911,14 @@ object SparkEntry {
         |  'events' AS "table", event_id AS pos,
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
         |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    "q_cdc_binlog_gtid" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  '3e11fa47-71ca-11e1-9e33-c80aa9429562:' || event_id AS gtid,
+        |  event_id AS pos, CAST(ts AS TIMESTAMP) AS commit_ts,
+        |  event_id, event_type
         |FROM events WHERE event_id < 2000""".stripMargin,
 
     "q_cdc_binlog_charset" ->

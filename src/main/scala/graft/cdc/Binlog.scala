@@ -64,6 +64,7 @@ object Binlog {
   val WriteRowsV2 = 30
   val UpdateRowsV2 = 31
   val DeleteRowsV2 = 32
+  val GtidEvent = 33
 
   val HeaderLen = 19
 
@@ -139,9 +140,15 @@ object Binlog {
     case _ => false
   }
 
+  /** `tsMicros` is the GTID event's commit timestamp when one preceded
+    * the rows event (MySQL 8.0.1+ microsecond precision — the
+    * reference's `lastGTIDEvent` fallback chain, `filter.go:98-100`),
+    * else the header's second-precision timestamp ×10⁶. `gtid` is the
+    * owning transaction's "uuid:gno", null before any GTID event. */
   final case class Change(kind: String, schema: String, table: String,
                           pos: Long, tsSec: Long, names: Seq[String],
-                          before: Seq[String], after: Seq[String])
+                          before: Seq[String], after: Seq[String],
+                          tsMicros: Long = 0L, gtid: String = null)
 
   // ---- little-endian primitives ------------------------------------------
 
@@ -305,6 +312,8 @@ object Binlog {
 
   final class StreamDecoder {
     private val tables = scala.collection.mutable.Map.empty[Long, TableDef]
+    private var lastGtid: String = null
+    private var lastCommitMicros: Long = 0L
 
     /** Decode one event (header + payload). `filePos` orders the
       * stream; the header's own log_pos is also read. */
@@ -318,12 +327,43 @@ object Binlog {
       b.getShort // flags
       evType match {
         case TableMapEvent => parseTableMap(b); Iterator.empty
+        case GtidEvent    => parseGtid(b); Iterator.empty
         case WriteRowsV2  => rowsEvent(b, "insert", tsSec, filePos, hasBefore = false)
         case UpdateRowsV2 => rowsEvent(b, "update", tsSec, filePos, hasBefore = true)
         case DeleteRowsV2 =>
           // delete carries only the before-image
           rowsEvent(b, "delete", tsSec, filePos, hasBefore = false, imageIsBefore = true)
         case _ => Iterator.empty // Query(BEGIN)/Xid/Gtid/Rotate: no rows
+      }
+    }
+
+    /** GTID_LOG_EVENT (public Gtid_event layout): flags, 16-byte SID,
+      * GNO, logical-timestamp block, then (MySQL 8.0.1+) a 7-byte
+      * immediate_commit_timestamp whose top bit says an explicit
+      * original_commit_timestamp follows; otherwise original ==
+      * immediate. Older (5.6-era) short bodies carry no timestamps. */
+    private def parseGtid(b: ByteBuffer): Unit = {
+      b.get() // gtid_flags
+      val sid = readBytes(b, 16)
+      val gno = b.getLong
+      val hex = sid.map(x => f"${x & 0xff}%02x").mkString
+      lastGtid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+        s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+        s"${hex.substring(20)}:$gno"
+      if (b.remaining() >= 17) {
+        b.get() // lt_type
+        b.getLong // last_committed
+        b.getLong // sequence_number
+        if (b.remaining() >= 7) {
+          val imm = readUIntN(b, 7)
+          val hasOriginal = (imm & (1L << 55)) != 0
+          val immMicros = imm & ((1L << 55) - 1)
+          val micros =
+            if (hasOriginal && b.remaining() >= 7)
+              readUIntN(b, 7) & ((1L << 55) - 1)
+            else immMicros
+          if (micros > 0) lastCommitMicros = micros
+        }
       }
     }
 
@@ -593,7 +633,9 @@ object Binlog {
           else if (imageIsBefore) (img1, Nil)
           else (Nil, img1)
         out += Change(kind, td.schema, td.table, pos, tsSec, td.colNames,
-          before, after)
+          before, after,
+          if (lastCommitMicros > 0) lastCommitMicros else tsSec * 1000000L,
+          lastGtid)
       }
       out.result().iterator
     }
@@ -609,7 +651,9 @@ object Binlog {
     StructField("ts_sec", LongType),
     StructField("names", ArrayType(StringType)),
     StructField("before", ArrayType(StringType)),
-    StructField("after", ArrayType(StringType))))
+    StructField("after", ArrayType(StringType)),
+    StructField("ts_micros", LongType),
+    StructField("gtid", StringType)))
 
   /** Decode a binlog event frame: (`posCol`: long ordering within each
     * partition, `msgCol`: binary event incl. 19-byte header). */
@@ -620,7 +664,7 @@ object Binlog {
       it.flatMap { r =>
         dec.decode(r.getAs[Array[Byte]](1), r.getLong(0)).map(c =>
           Row(c.kind, c.schema, c.table, c.pos, c.tsSec, c.names,
-            c.before, c.after))
+            c.before, c.after, c.tsMicros, c.gtid))
       }
     }(enc)
   }
@@ -726,6 +770,25 @@ object Binlog {
     tlv(6, strValues(enumVals, 247))
     tlv(5, strValues(setVals, 248))
     finish(19, 0L, body)
+  }
+
+  /** GTID_LOG_EVENT with an immediate_commit_timestamp (top bit clear →
+    * original == immediate, the common same-server-commit case).
+    * `uuid` is the canonical dashed form. Fixture/test side. */
+  def encodeGtid(uuid: String, gno: Long, commitMicros: Long): Array[Byte] = {
+    val body = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    body.put(1.toByte) // gtid_flags
+    val hex = uuid.replace("-", "")
+    (0 until 16).foreach(i =>
+      body.put(Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte))
+    body.putLong(gno)
+    body.put(2.toByte) // lt_type
+    body.putLong(0L)   // last_committed
+    body.putLong(1L)   // sequence_number
+    putUIntN(body, commitMicros & ((1L << 55) - 1), 7)
+    putLenEnc(body, 0L) // transaction_length
+    putUIntN(body, 80036L, 4) // immediate_server_version (MSB clear)
+    finish(GtidEvent, commitMicros / 1000000L, body)
   }
 
   private def finish(evType: Int, tsSec: Long, body: ByteBuffer): Array[Byte] = {

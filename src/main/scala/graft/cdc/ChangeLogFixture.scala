@@ -79,6 +79,40 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → binlog stream where every transaction is preceded by a
+    * GTID event carrying a microsecond commit timestamp (MySQL 8.0.1+)
+    * — rows events inherit it, matching the reference's
+    * `lastGTIDEvent` precedence over the second-precision header ts. */
+  def binlogGtidLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    val colTypes = Array(8, 8, 15, 5)
+    val colMeta = Array(0, 0, 255, 8)
+    val names = Seq("event_id", "user_id", "event_type", "value")
+    val sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    src.mapPartitions { it =>
+      val tm = Iterator.single(Row(0L,
+        Binlog.encodeTableMap(42L, "mydb", "events", colTypes, colMeta, names)))
+      val body = it.flatMap { r =>
+        val id = r.getLong(0)
+        val vals = Seq(id.toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString)
+        val us = r.getLong(4)
+        val ev = r.getString(2) match {
+          case "error" =>
+            Binlog.encodeDelete(42L, colTypes, colMeta, us / 1000000L, Seq(vals))
+          case "purchase" =>
+            Binlog.encodeUpdate(42L, colTypes, colMeta, us / 1000000L,
+              Seq((vals, vals)))
+          case _ =>
+            Binlog.encodeWrite(42L, colTypes, colMeta, us / 1000000L, Seq(vals))
+        }
+        Iterator(Row(id, Binlog.encodeGtid(sid, id, us)), Row(id, ev))
+      }
+      tm ++ body
+    }(Encoders.row(logSchema))
+  }
+
   /** events → binlog stream over the wide-type column set the reference
     * decodes from row images (`pkg/binlog/filter.go:137-360`): latin1 /
     * utf16 / utf16le / utf32 VARCHAR columns, a latin1 CHAR, an ENUM, a

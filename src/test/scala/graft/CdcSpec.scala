@@ -228,6 +228,33 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.zip(out).foreach { case (in, ch) => assert(ch.after == in) }
   }
 
+  test("binlog: GTID commit micros override header seconds; short body falls back") {
+    import graft.cdc.Binlog
+    val types = Array(8); val meta = Array(0)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(14L, "db", "g", types, meta,
+      Seq("id")), 0L)
+    // before any GTID: ts_micros falls back to header seconds ×10⁶
+    val pre = dec.decode(Binlog.encodeWrite(14L, types, meta,
+      1700000000L, Seq(Seq("1"))), 1L).toSeq.head
+    assert(pre.gtid == null && pre.tsMicros == 1700000000000000L)
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    dec.decode(Binlog.encodeGtid(uuid, 42L, 1700000001234567L), 2L)
+    val post = dec.decode(Binlog.encodeWrite(14L, types, meta,
+      1700000001L, Seq(Seq("2"))), 3L).toSeq.head
+    assert(post.gtid == s"$uuid:42")
+    assert(post.tsMicros == 1700000001234567L)
+    // a 5.6-era short GTID body (flags+sid+gno only) updates the gtid
+    // but carries no timestamp: micros keeps the last known value
+    val shortBody = Binlog.encodeGtid(uuid, 43L, 1700000002000000L)
+      .take(Binlog.HeaderLen + 25)
+    dec.decode(shortBody, 4L)
+    val post2 = dec.decode(Binlog.encodeWrite(14L, types, meta,
+      1700000002L, Seq(Seq("3"))), 5L).toSeq.head
+    assert(post2.gtid == s"$uuid:43")
+    assert(post2.tsMicros == 1700000001234567L)
+  }
+
   test("binlog: rows event before TABLE_MAP is a hard error") {
     import graft.cdc.Binlog
     val dec = new Binlog.StreamDecoder
