@@ -332,6 +332,57 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binlog roundtrip survives 200 random rows of temporal/decimal/unsigned types") {
+    import graft.cdc.Binlog
+    //            dec     date dt2 tm2 ts2 bit i24u bigu  tinyu
+    val types = Array(246, 10, 18, 19, 17, 16, 9,   8,    1)
+    val meta = Array((18 << 8) | 4, 0, 6, 6, 3, 21, 0, 0, 0)
+    val unsigned = Seq(false, false, false, false, false, false, true, true, true)
+    val rnd = new scala.util.Random(11)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(4L, "db", "r", types, meta,
+      (1 to types.length).map("c" + _), Nil, Map.empty, Map.empty,
+      unsigned), 0L)
+    def two(n: Int) = "%02d".format(n)
+    (1 to 200).foreach { i =>
+      val sign = if (rnd.nextBoolean()) "-" else ""
+      val micros6 = "%06d".format(rnd.nextInt(1000000))
+      val vals = Seq(
+        // DECIMAL(18,4): int part up to 14 digits
+        s"$sign${math.abs(rnd.nextLong() % 100000000000000L)}." +
+          "%04d".format(rnd.nextInt(10000)),
+        s"${1000 + rnd.nextInt(9000)}-${two(1 + rnd.nextInt(12))}-${two(1 + rnd.nextInt(28))}",
+        s"${1000 + rnd.nextInt(9000)}-${two(1 + rnd.nextInt(12))}-${two(1 + rnd.nextInt(28))} " +
+          s"${two(rnd.nextInt(24))}:${two(rnd.nextInt(60))}:${two(rnd.nextInt(60))}.$micros6",
+        { // TIME2(6) incl. negative with fraction
+          val neg = if (rnd.nextBoolean()) "-" else ""
+          val frac = "." + "%06d".format(rnd.nextInt(1000000))
+          s"$neg${two(rnd.nextInt(839))}:${two(rnd.nextInt(60))}:${two(rnd.nextInt(60))}$frac"
+        },
+        { // TIMESTAMP2(3): whole-second epoch + millis
+          val es = 1 + rnd.nextInt(Int.MaxValue - 1)
+          val t = java.time.LocalDateTime.ofEpochSecond(es.toLong, 0,
+            java.time.ZoneOffset.UTC)
+          f"${t.getYear}%04d-${two(t.getMonthValue)}%s-${two(t.getDayOfMonth)}%s " +
+            s"${two(t.getHour)}:${two(t.getMinute)}:${two(t.getSecond)}" +
+            "." + "%03d".format(rnd.nextInt(1000))
+        },
+        (rnd.nextLong() & ((1L << 21) - 1)).toString,          // BIT(21)
+        rnd.nextInt(1 << 24).toString,                          // INT24 unsigned
+        java.lang.Long.toUnsignedString(rnd.nextLong()),        // BIGINT unsigned
+        rnd.nextInt(256).toString)                              // TINY unsigned
+      // "-0.0000"-class decimals and "-00:00:00.000000" don't exist in
+      // the signed encodings; skip the (rare) negative-zero draws
+      val dz = vals(0) == "-0.0000"
+      val tz = vals(3) == "-00:00:00.000000"
+      if (!dz && !tz) {
+        val out = dec.decode(
+          Binlog.encodeWrite(4L, types, meta, i.toLong, Seq(vals)), i.toLong).toSeq
+        assert(out.head.after == vals, s"row $i")
+      }
+    }
+  }
+
   test("pgoutput end-to-end on events fixture: kinds and row counts") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val decoded = PgOutput.decode(ChangeLogFixture.pgoutputLog(ev), "lsn", "msg")
