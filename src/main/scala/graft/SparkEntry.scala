@@ -1499,6 +1499,17 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", threshold = 0.9, native = true)),
 
+    // ---- LLM: INCREMENTAL near-dup — new batch (doc_id % 10 = 0)
+    //      probed against the existing corpus's band index + within-
+    //      batch pairs; corpus-internal pairs not re-emitted ----
+    "q_minhash_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 2000)
+      Dedup.minhashIncrementalVerified(
+        d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0),
+        "text", "doc_id", threshold = 0.9, native = true)
+    }),
+
     // ---- LLM: native codegen'd MinHash sig+bands ≡ the HOF form ----
     "q_minhash_native" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2470,6 +2481,24 @@ object SparkEntry {
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
+        |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
+
+    // Incremental tier: exact pairs where at least one side is in the
+    // arriving batch (doc_id % 10 = 0); corpus-internal pairs excluded.
+    "q_minhash_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE doc_id < 2000),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
 

@@ -411,6 +411,69 @@ object Dedup {
     cand
   }
 
+  /** Band-index rows (id, band): the per-corpus state an INCREMENTAL
+    * dedup pipeline persists — O(corpus × bands) rows, ~600 B/doc. At
+    * cluster scale this is a stored table bucketed by `band`, so the
+    * probe join below is co-located and touches only matching buckets,
+    * never the corpus itself. */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                   native: Boolean = false): DataFrame = {
+    val sigExpr =
+      if (native) call_function("graft_minhash", col(textCol),
+        lit(shingleN), lit(k), lit(bands))
+      else sigWithBands(shingles(col(textCol), shingleN), k, bands)
+    df.select(col(idCol).as("id"),
+      explode(sigExpr.getField("bands")).as("band"))
+  }
+
+  /** Incremental near-dup: match a NEW batch against an existing corpus
+    * via the band index, plus within-batch pairs — the realistic
+    * 100 TB shape, where re-pairing the whole corpus per arriving batch
+    * (O(corpus²)) is impossible. Corpus-side work is ONE band-keyed
+    * join probing O(batch × bands) rows; corpus-internal pairs are by
+    * construction not re-emitted (the corpus is already deduped).
+    * Candidates are verified by exact shingle Jaccard like
+    * [[minhashPairsVerified]] (same recall algebra: equality with the
+    * exact predicate needs threshold ≥ ~0.9 at k=64/b=16). Batch and
+    * corpus ids must be disjoint; pairs emit as id_a < id_b. */
+  def minhashIncrementalVerified(corpus: DataFrame, batch: DataFrame,
+                                 textCol: String, idCol: String,
+                                 shingleN: Int = 3, k: Int = 64,
+                                 bands: Int = 16, threshold: Double = 0.5,
+                                 native: Boolean = false): DataFrame = {
+    val idx = minhashIndex(corpus, textCol, idCol, shingleN, k, bands, native)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = minhashIndex(batch, textCol, idCol, shingleN, k, bands, native)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = bb.as("a").join(idx.as("b"), col("a.band") === col("b.band"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val within = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = cross.unionByName(within).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    idx.unpersist(); bb.unpersist()
+    // exact verify needs shingles for both sides: batch side is small;
+    // corpus side resolves by id (in production a fetch-by-key read)
+    val sh = corpus.unionByName(batch)
+      .select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("sa")) + size(col("sb")) - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    val out = materializeOffCache(verified)
+    cand.unpersist()
+    out
+  }
+
   /** MinHash-LSH candidates VERIFIED by exact shingle Jaccard: the
     * production near-dup shape (banded candidates, then one exact check
     * per candidate — never per pair), and the oracle-able one: output

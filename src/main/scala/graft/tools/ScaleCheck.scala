@@ -59,6 +59,13 @@ object ScaleCheck {
     val annQueries = Tables.load(spark, base, "embeddings")
       .where(col("vec_id") < 50).cache()
     annQueries.count()
+    // fixed arriving batch for the incremental tier (ids disjoint from
+    // every replica offset): corpus scales, the batch doesn't — probe
+    // cost is O(batch × bands) against the band index
+    val incrBatch = Tables.load(spark, base, "documents")
+      .where(col("doc_id") < 500)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000000L)).cache()
+    incrBatch.count()
     def run(sf: String, label: String): Map[String, Double] = {
       val li = Tables.load(spark, sf, "lineitem")
       val docs = Tables.load(spark, sf, "documents")
@@ -69,6 +76,10 @@ object ScaleCheck {
         "minhash_verified" -> time(s"$label minhash_verified") {
           counts(s"$label minhash_verified") = Dedup.minhashPairsVerified(
             docs, "text", "doc_id", native = true).count() },
+        "minhash_incr" -> time(s"$label minhash_incr") {
+          counts(s"$label minhash_incr") = Dedup.minhashIncrementalVerified(
+            docs, incrBatch, "text", "doc_id", threshold = 0.9,
+            native = true).count() },
         "jaccard_prefix" -> time(s"$label jaccard_prefix") {
           counts(s"$label jaccard_prefix") = Dedup.jaccardPairsPrefix(
             docs, "text", "doc_id", threshold = 0.8).count() },

@@ -434,6 +434,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.count() == li.where(col("l_linenumber") === 1).count())
   }
 
+  test("minhashIncrementalVerified: batch pairs found, corpus-internal dups silent") {
+    val docs = sf("documents").where(col("doc_id") < 30)
+      .select("doc_id", "text")
+    // corpus contains an internal dup pair (id, id+10000) per doc; the
+    // batch replants 10 of the same texts at +20000
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000))
+    val batch = docs.where(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val out = Dedup.minhashIncrementalVerified(corpus, batch,
+      "text", "doc_id", threshold = 0.9).collect()
+    // every emitted pair touches the batch; the 30 corpus-internal
+    // (id, id+10000) dup pairs must NOT re-emit
+    assert(out.forall(r => r.getAs[Long]("id_b") >= 20000))
+    // each batch doc matches both corpus copies of its text
+    val hits = out.filter(r => r.getAs[Double]("jaccard") == 1.0)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    (0L until 10L).foreach { i =>
+      assert(hits.contains((i, i + 20000)), s"corpus copy $i missed")
+      assert(hits.contains((i + 10000, i + 20000)), s"corpus copy ${i + 10000} missed")
+    }
+  }
+
   test("minhashPairsVerified: planted dupes at jaccard 1.0, no false positives") {
     val docs = sf("documents").where(col("doc_id") < 30)
       .select("doc_id", "text")
