@@ -1550,6 +1550,15 @@ object SparkEntry {
       Dedup.cosinePairsLsh(t(s, dir, "embeddings").where(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.35, native = true)),
 
+    // ---- LLM: INCREMENTAL embedding near-dup — batch (vec_id % 10 = 0)
+    //      probed against the corpus hyperplane-code index ----
+    "q_cosine_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
+      Dedup.cosineIncrementalVerified(
+        e.where(col("vec_id") % 10 =!= 0), e.where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.35, native = true)
+    }),
+
     // ---- LLM: native codegen'd hyperplane-code kernel ≡ the HOF form
     //      on every embedding row (oracle: count == total) ----
     "q_hyperplane_native" -> ((s, dir) => {
@@ -2517,6 +2526,13 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    "q_cosine_incremental" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
 
     "q_simhash_native" ->

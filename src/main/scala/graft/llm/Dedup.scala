@@ -613,6 +613,60 @@ object Dedup {
     out
   }
 
+  /** Incremental embedding near-dup: an arriving batch probed against
+    * the corpus's hyperplane-code index plus within-batch pairs — the
+    * cosine analog of [[minhashIncrementalVerified]]. The corpus-side
+    * state is the (id, table-code) frame (bucketed by code at cluster
+    * scale); the multi-probe bit flips apply to the BATCH side only, so
+    * probe volume is O(batch × tables × probes) regardless of corpus
+    * size. Candidates verify by exact cosine. Ids must be disjoint;
+    * pairs emit as id_a < id_b. */
+  def cosineIncrementalVerified(corpus: DataFrame, batch: DataFrame,
+                                idCol: String, vecCol: String,
+                                threshold: Double, planes: Int = 4,
+                                dims: Int = 64, tables: Int = 4,
+                                maxFlips: Int = 2,
+                                native: Boolean = false): DataFrame = {
+    import graft.llm.Similarity.{dot, norm, probeMasks, tableCodes}
+    val cIdx = corpus.select(col(idCol).as("id"),
+        explode(tableCodes(col(vecCol), planes, dims, tables, native))
+          .as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bCodes0 = batch.select(col(idCol).as("id"),
+        tableCodes(col(vecCol), planes, dims, tables, native).as("tcs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bCoded = bCodes0.select(col("id"), explode(col("tcs")).as("tc"))
+    val masks = probeMasks(planes, maxFlips)
+    val bProbed = bCodes0.select(col("id"),
+      explode(flatten(transform(col("tcs"), tc =>
+        array(masks.map(m => struct(tc.getField("t").as("t"),
+          tc.getField("code").bitwiseXOR(lit(m)).as("code"))): _*))))
+        .as("probe"))
+    val cross = bProbed.as("a").join(cIdx.as("b"),
+        col("a.probe") === col("b.tc"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val within = bProbed.as("a").join(bCoded.as("b"),
+        col("a.probe") === col("b.tc") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = cross.unionByName(within).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    cIdx.unpersist(); bCodes0.unpersist()
+    val side = corpus.unionByName(batch).select(col(idCol).as("id"),
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    val verified = cand
+      .join(side.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    val out = materializeOffCache(verified)
+    cand.unpersist()
+    out
+  }
+
   /** SimHash-64: per token-hash, vote +1/-1 on each bit; the fingerprint
     * sets bit i when votes are positive. Expressed as 64 per-row
     * aggregates over the token array — no shuffle, codegen'd.

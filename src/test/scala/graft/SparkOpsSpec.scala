@@ -456,6 +456,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cosineIncrementalVerified: batch matches corpus copies, corpus pairs silent") {
+    val e = sf("embeddings").where(col("vec_id") < 30)
+      .select("vec_id", "embedding")
+    val corpus = e.union(e.withColumn("vec_id", col("vec_id") + 10000))
+    val batch = e.where(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 20000)
+    val out = Dedup.cosineIncrementalVerified(corpus, batch,
+      "vec_id", "embedding", threshold = 0.99).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(out.forall(_._2 >= 20000), "corpus-internal pair leaked")
+    (0L until 10L).foreach { i =>
+      assert(out.contains((i, i + 20000)), s"corpus copy $i missed")
+      assert(out.contains((i + 10000, i + 20000)), s"copy ${i + 10000} missed")
+    }
+  }
+
   test("minhashPairsVerified: planted dupes at jaccard 1.0, no false positives") {
     val docs = sf("documents").where(col("doc_id") < 30)
       .select("doc_id", "text")
