@@ -1466,6 +1466,17 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // ---- LLM: EXACT-SUBSTRING decontamination — verbatim 40-char
+    //      leaks from a secret set, broadcast multi-contains ----
+    "q_decontaminate_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+      val secrets = docs
+        .where(col("doc_id") % 31 === 3 && length(col("text")) >= 49)
+        .select(substring(col("text"), 10, 40).as("s"))
+      graft.llm.Decontaminate.exactOverlap(docs, secrets,
+        "text", "doc_id", "s")
+    }),
+
     // ---- LLM: duplicate-cluster resolution — connected components of
     //      the exact near-dup pair graph via min-label propagation;
     //      every doc maps to its cluster's canonical (min) id. The
@@ -2442,6 +2453,13 @@ object SparkEntry {
         |  FROM htok CROSS JOIN UNNEST(generate_series(1, greatest(len(t)-4,1))) AS u(i))
         |SELECT tg.doc_id, count(DISTINCT tg.g) AS matched_grams
         |FROM tg JOIN hg USING (g) GROUP BY 1""".stripMargin,
+
+    "q_decontaminate_exact" ->
+      """WITH c AS (SELECT DISTINCT substr(text, 10, 40) AS s
+        |  FROM documents WHERE doc_id % 31 = 3 AND length(text) >= 49)
+        |SELECT d.doc_id, count(DISTINCT c.s) AS hits
+        |FROM documents d JOIN c ON contains(d.text, c.s)
+        |WHERE d.doc_id < 2000 GROUP BY 1""".stripMargin,
 
     // Same pair predicate as q_jaccard_neardup, then the transitive
     // closure as a recursive CTE; canonical = min reachable id.

@@ -50,4 +50,32 @@ object Decontaminate {
       broadcast(overlap(train, heldout, textCol, idCol, n)
         .where(col("matched_grams") >= minMatches).select(idCol)),
       Seq(idCol), "left_anti")
+
+  /** EXACT-SUBSTRING decontamination: training docs that contain any
+    * held-out string VERBATIM — the strict complement of the n-gram
+    * rule (tokenization-independent, catches leakage the token grams
+    * normalize away: punctuation, casing inside words, digit runs).
+    *
+    * Scale shape: the secret set is benchmark-sized (thousands), so it
+    * broadcasts and the corpus streams through one codegen'd
+    * multi-`contains` — a broadcast nested-loop, O(docs × secrets)
+    * substring scans with NO shuffle of the big side. For much larger
+    * secret sets, run [[overlap]] first as a cheap prefilter and apply
+    * this only to its survivors. Returns (id, hits = distinct secrets
+    * matched). */
+  def exactOverlap(train: DataFrame, secrets: DataFrame, textCol: String,
+                   idCol: String, secretCol: String): DataFrame =
+    train.select(col(idCol), col(textCol))
+      .join(broadcast(secrets.select(col(secretCol).as("__s")).distinct()),
+        col(textCol).contains(col("__s")))
+      .groupBy(idCol).agg(countDistinct(col("__s")).as("hits"))
+
+  /** Corpus minus verbatim leaks: broadcast anti-join on the flagged
+    * ids, corpus never shuffled. */
+  def exactClean(train: DataFrame, secrets: DataFrame, textCol: String,
+                 idCol: String, secretCol: String): DataFrame =
+    train.join(
+      broadcast(exactOverlap(train, secrets, textCol, idCol, secretCol)
+        .select(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -816,6 +816,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("exact-substring decontamination: verbatim leaks flagged, token-normalized ones not") {
+    import spark.implicits._
+    import graft.llm.Decontaminate
+    val train = Seq(
+      (1L, "prefix THE SECRET Answer: 42!? suffix"),       // verbatim
+      (2L, "prefix the secret answer 42 suffix"),          // normalized — not verbatim
+      (3L, "two leaks: THE SECRET Answer: 42!? and also pi=3.14159"),
+      (4L, "nothing to see")).toDF("doc_id", "text")
+    val secrets = Seq("THE SECRET Answer: 42!?", "pi=3.14159").toDF("s")
+    val hits = Decontaminate.exactOverlap(train, secrets, "text", "doc_id", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 2L))
+    val cleaned = Decontaminate.exactClean(train, secrets, "text", "doc_id", "s")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cleaned == Seq(2L, 4L))
+    // scale shape: secrets broadcast; corpus side not shuffled
+    val plan = Decontaminate.exactOverlap(train, secrets, "text", "doc_id", "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("split assignment: deterministic, layout-independent, ~permille-accurate") {
     import spark.implicits._
     import graft.llm.TextAnalysis
