@@ -82,6 +82,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental minhash: band-keyed probe join, no cartesian against the corpus") {
+    val p = plan(q("q_minhash_incremental"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("incremental cosine: code-keyed probe join, no cartesian against the corpus") {
+    val p = plan(q("q_cosine_incremental"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("iceberg bucket[N] transform is codegen'd — no UDF in the write path") {
     import graft.sinks.PartitionTransforms
     import graft.sinks.PartitionTransforms.PartitionField
