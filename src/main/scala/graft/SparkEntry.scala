@@ -894,7 +894,10 @@ object SparkEntry {
         if ((m(4) & 0xff) == 19) (5L, m) else (l + 10L, m) }
       val server = new java.net.ServerSocket(0)
       val th = new Thread(() => {
-        try MySqlWireServer.serve(server.accept(), Seq(served))
+        // checksum = true: the MySQL 8 default shape — FDE announcing
+        // CRC32, every event CRC-suffixed; the client verifies + strips
+        try MySqlWireServer.serve(server.accept(), Seq(served),
+          checksum = true)
         catch { case _: Exception => () }
       })
       th.setDaemon(true); th.start()

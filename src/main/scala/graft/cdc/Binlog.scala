@@ -59,6 +59,7 @@ object Binlog {
 
   // event type codes (public binlog spec)
   val QueryEvent = 2
+  val FormatDescriptionEvent = 15
   val XidEvent = 16
   val TableMapEvent = 19
   val WriteRowsV2 = 30
@@ -314,6 +315,13 @@ object Binlog {
     private val tables = scala.collection.mutable.Map.empty[Long, TableDef]
     private var lastGtid: String = null
     private var lastCommitMicros: Long = 0L
+    /** 0 = none, 1 = CRC32 — learned from the FORMAT_DESCRIPTION
+      * event. MySQL 8 defaults to binlog_checksum=CRC32: every event
+      * after the FDE then carries 4 trailing CRC bytes that MUST be
+      * stripped or the TLV/row loops (which read to the buffer end)
+      * misparse. The FDE itself always ends with [alg byte][4-byte
+      * checksum] since 5.6.1, so the alg lives at length-5. */
+    private var checksumAlg = 0
 
     /** Decode one event (header + payload). `filePos` orders the
       * stream; the header's own log_pos is also read. */
@@ -325,6 +333,22 @@ object Binlog {
       b.getInt // event_size
       b.getInt // log_pos
       b.getShort // flags
+      if (evType == FormatDescriptionEvent) {
+        checksumAlg = event(event.length - 5) & 0xff
+        return Iterator.empty
+      }
+      if (checksumAlg == 1) {
+        // verify then drop the trailing CRC32 (little-endian, over
+        // header + body excluding the checksum itself)
+        val crc = new java.util.zip.CRC32()
+        crc.update(event, 0, event.length - 4)
+        val stored = le(event).getInt(event.length - 4) & 0xffffffffL
+        if (crc.getValue != stored)
+          throw new IllegalStateException(
+            f"binlog event CRC32 mismatch at pos $filePos: " +
+              f"computed ${crc.getValue}%08x, stored $stored%08x")
+        b.limit(event.length - 4)
+      }
       evType match {
         case TableMapEvent => parseTableMap(b); Iterator.empty
         case GtidEvent    => parseGtid(b); Iterator.empty
@@ -770,6 +794,36 @@ object Binlog {
     tlv(6, strValues(enumVals, 247))
     tlv(5, strValues(setVals, 248))
     finish(19, 0L, body)
+  }
+
+  /** FORMAT_DESCRIPTION event (v4): binlog-version, server-version,
+    * create-ts, header length, per-type header lengths, then the
+    * checksum-alg byte + 4 checksum bytes (present since 5.6.1
+    * regardless of whether checksums are on). Fixture/test side. */
+  def encodeFde(checksumAlg: Int = 0): Array[Byte] = {
+    val body = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
+    body.putShort(4) // binlog version
+    val ver = "8.0.36-graft".getBytes(StandardCharsets.UTF_8)
+    body.put(java.util.Arrays.copyOf(ver, 50)) // NUL-padded
+    body.putInt(0) // create_timestamp
+    body.put(HeaderLen.toByte)
+    (1 to 42).foreach(_ => body.put(0.toByte)) // post-header lengths
+    body.put(checksumAlg.toByte)
+    val fde = finish(FormatDescriptionEvent, 0L, body)
+    // the FDE's own trailing 4 checksum bytes (CRC when alg=1, zeros
+    // otherwise); either way the alg byte sits at length-5
+    if (checksumAlg == 1) withCrc32(fde) else fde ++ Array[Byte](0, 0, 0, 0)
+  }
+
+  /** Append the little-endian CRC32 of header+body — what a server
+    * with binlog_checksum=CRC32 sends for every event. */
+  def withCrc32(event: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(event, 0, event.length)
+    val out = java.util.Arrays.copyOf(event, event.length + 4)
+    val v = crc.getValue
+    (0 until 4).foreach(i => out(event.length + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out
   }
 
   /** GTID_LOG_EVENT with an immediate_commit_timestamp (top bit clear →

@@ -28,14 +28,23 @@ import java.nio.charset.StandardCharsets
   *
   * Every payload rides the MySQL packet envelope: 3-byte LE length +
   * 1-byte sequence id; payloads of 0xFFFFFF continue in the next
-  * packet. Binlog checksums are NONE for this exchange (the loopback
-  * server does not append CRC32; a real deployment sets
-  * `@master_binlog_checksum='NONE'` first, as replica libraries do).
+  * packet. Binlog checksums: the client declares support via
+  * `SET @master_binlog_checksum= @@global.binlog_checksum` (a MySQL 8
+  * source — binlog_checksum=CRC32 by default — refuses the dump
+  * otherwise), learns the active algorithm from the
+  * FORMAT_DESCRIPTION event, and verifies + strips the 4-byte CRC32
+  * from every event before emitting frames; the loopback server's
+  * `checksum = true` mode serves that exact shape.
   */
 object MySqlWire {
 
+  val ComQuery = 0x03
   val ComRegisterSlave = 0x15
   val ComBinlogDump = 0x12
+
+  /** COM_QUERY payload: 0x03 | sql bytes. */
+  def comQuery(sql: String): Array[Byte] =
+    ComQuery.toByte +: sql.getBytes(StandardCharsets.UTF_8)
 
   val ClientLongFlag = 0x00000004
   val ClientProtocol41 = 0x00000200
@@ -283,6 +292,9 @@ class BinlogClient(host: String, port: Int, startPos: Long,
   @volatile var sessionClosed: Boolean = false
   /** Current binlog file — updated by Rotate events (type 4). */
   @volatile var currentFile: String = binlogFile
+  /** CRC32 checksums active (learned from the FORMAT_DESCRIPTION
+    * event) — events are verified and stripped before emission. */
+  @volatile private var crcOn: Boolean = false
 
   locally {
     sock.setSoTimeout(connectTimeoutMs)
@@ -317,6 +329,14 @@ class BinlogClient(host: String, port: Int, startPos: Long,
       case other =>
         throw new java.io.IOException(s"unexpected auth reply $other")
     }
+    // declare checksum awareness: a MySQL 8 source (binlog_checksum=
+    // CRC32 by default) refuses COM_BINLOG_DUMP from sessions that have
+    // not set @master_binlog_checksum; the decoder strips+verifies the
+    // CRC once the FORMAT_DESCRIPTION event announces it
+    out.write(packets(0,
+      comQuery("SET @master_binlog_checksum= @@global.binlog_checksum")))
+    out.flush()
+    expectOk("SET @master_binlog_checksum")
     // 2. register as a replica, 3. start the dump (fresh sequence per
     // command, per the protocol)
     out.write(packets(0, comRegisterSlave(serverId))); out.flush()
@@ -356,16 +376,35 @@ class BinlogClient(host: String, port: Int, startPos: Long,
           val (_, p) = readPacket(in)
           (p.headOption.map(_ & 0xff): @unchecked) match {
             case Some(0x00) =>
-              val event = p.drop(1)
+              var event = p.drop(1)
               val evType = if (event.length >= 5) event(4) & 0xff else -1
-              val pos = eventLogPos(event)
-              if (evType == 4 && event.length > 27) {
-                // Rotate: 8-byte position + next file name
-                currentFile = new String(event, 27, event.length - 27,
-                  StandardCharsets.UTF_8)
-              } else if (pos > 0) {
-                if (pos > clientXLogPos) clientXLogPos = pos
-                outBuf += ((pos, event))
+              if (evType == 15 && event.length >= 5) {
+                // FORMAT_DESCRIPTION: learn the checksum algorithm (alg
+                // byte at length-5, present since 5.6.1); session-level
+                // only — not emitted as a data frame
+                crcOn = (event(event.length - 5) & 0xff) == 1
+              } else {
+                if (crcOn && event.length > 4) {
+                  // verify + strip the CRC32 here so downstream decode
+                  // partitions never depend on having seen the FDE
+                  val crc = new java.util.zip.CRC32()
+                  crc.update(event, 0, event.length - 4)
+                  val stored = ByteBuffer.wrap(event, event.length - 4, 4)
+                    .order(ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+                  if (crc.getValue != stored)
+                    throw new java.io.IOException(
+                      f"binlog event CRC32 mismatch: computed ${crc.getValue}%08x, stored $stored%08x")
+                  event = java.util.Arrays.copyOf(event, event.length - 4)
+                }
+                val pos = eventLogPos(event)
+                if (evType == 4 && event.length > 27) {
+                  // Rotate: 8-byte position + next file name
+                  currentFile = new String(event, 27, event.length - 27,
+                    StandardCharsets.UTF_8)
+                } else if (pos > 0) {
+                  if (pos > clientXLogPos) clientXLogPos = pos
+                  outBuf += ((pos, event))
+                }
               }
             case Some(0xFE) => sessionClosed = true // EOF: dump finished
             case Some(0xFF) => sessionClosed = true // ERR ends the stream
@@ -408,7 +447,8 @@ object MySqlWireServer {
             password: String = "",
             onDump: DumpRequest => Unit = _ => (),
             closeAfterSend: Boolean = false,
-            authSwitch: Boolean = false): Unit = {
+            authSwitch: Boolean = false,
+            checksum: Boolean = false): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     val seed = Array.tabulate[Byte](20)(i => (i + 1).toByte)
@@ -448,6 +488,9 @@ object MySqlWireServer {
       (cmd.headOption.map(_ & 0xff): @unchecked) match {
         case Some(ComRegisterSlave) =>
           out.write(packets(seq + 1, okPacket())); out.flush()
+        case Some(ComQuery) =>
+          // session settings (e.g. SET @master_binlog_checksum) → OK
+          out.write(packets(seq + 1, okPacket())); out.flush()
         case Some(ComBinlogDump) =>
           dump = Some(parseComBinlogDump(cmd))
         case other =>
@@ -459,6 +502,15 @@ object MySqlWireServer {
     val req = dump.get
     onDump(req)
     var seq = 1
+    // checksummed mode (MySQL 8 default binlog_checksum=CRC32): lead
+    // with a FORMAT_DESCRIPTION event declaring CRC32, then append the
+    // CRC to every event AFTER its log_pos is stamped
+    def framed(ev: Array[Byte]): Array[Byte] =
+      if (checksum) Binlog.withCrc32(ev) else ev
+    if (checksum) {
+      out.write(packets(seq, 0x00.toByte +: Binlog.encodeFde(1)))
+      seq += 1
+    }
     // a real master re-sends the TABLE_MAP before the first row-event
     // group regardless of the dump position — a replica resuming from
     // pos > the map's position could not attribute row events
@@ -475,12 +527,12 @@ object MySqlWireServer {
         if (pos > req.pos) {
           if (!mapServed) {
             pendingMap.foreach { case (mp, mev) =>
-              out.write(packets(seq, 0x00.toByte +: stampLogPos(mev, mp)))
+              out.write(packets(seq, 0x00.toByte +: framed(stampLogPos(mev, mp))))
               seq += 1
             }
             mapServed = true
           }
-          out.write(packets(seq, 0x00.toByte +: stampLogPos(ev, pos)))
+          out.write(packets(seq, 0x00.toByte +: framed(stampLogPos(ev, pos))))
           seq += 1
         }
       }

@@ -255,6 +255,31 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post2.tsMicros == 1700000001234567L)
   }
 
+  test("binlog: CRC32-checksummed stream (FDE-announced) verifies and strips; corruption throws") {
+    import graft.cdc.Binlog
+    val types = Array(8, 15); val meta = Array(0, 255)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeFde(checksumAlg = 1), 0L)
+    dec.decode(Binlog.withCrc32(Binlog.encodeTableMap(21L, "db", "c",
+      types, meta, Seq("id", "s"))), 1L)
+    val ev = Binlog.withCrc32(Binlog.encodeWrite(21L, types, meta, 0L,
+      Seq(Seq("7", "hello"))))
+    val out = dec.decode(ev, 2L).toSeq
+    assert(out.head.after == Seq("7", "hello"))
+    // flip one payload byte: the stored CRC no longer matches
+    val bad = ev.clone(); bad(25) = (bad(25) ^ 0x40).toByte
+    intercept[IllegalStateException] { dec.decode(bad, 3L).toSeq }
+    // without an FDE, a fresh decoder treats the same bytes as
+    // unchecksummed and the trailing CRC misparses — the FDE is load-bearing
+    val dec2 = new Binlog.StreamDecoder
+    dec2.decode(Binlog.encodeFde(checksumAlg = 0), 0L)
+    dec2.decode(Binlog.encodeTableMap(21L, "db", "c", types, meta,
+      Seq("id", "s")), 1L)
+    val plain = dec2.decode(Binlog.encodeWrite(21L, types, meta, 0L,
+      Seq(Seq("7", "hello"))), 2L).toSeq
+    assert(plain.head.after == Seq("7", "hello"))
+  }
+
   test("binlog: rows event before TABLE_MAP is a hard error") {
     import graft.cdc.Binlog
     val dec = new Binlog.StreamDecoder
