@@ -456,9 +456,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
     idx.unpersist(); bb.unpersist()
-    // exact verify needs shingles for both sides: batch side is small;
-    // corpus side resolves by id (in production a fetch-by-key read)
+    // exact verify needs shingles for both sides — but ONLY for
+    // candidate rows. The candidate id set is O(batch × dup-degree),
+    // so it broadcasts; semi-joining it into the corpus scan prunes
+    // the shingle computation to the touched rows instead of
+    // re-shingling the whole corpus per arriving batch.
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val sh = corpus.unionByName(batch)
+      .join(broadcast(candIds), col(idCol) === col("id"), "left_semi")
       .select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), shingleN)).as("sh"))
     val verified = cand
@@ -653,8 +659,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
     cIdx.unpersist(); bCodes0.unpersist()
-    val side = corpus.unionByName(batch).select(col(idCol).as("id"),
-      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    // prune the exact-cosine verify to candidate rows (the id set is
+    // batch-sized and broadcasts) — never a full-corpus norm pass
+    val candIds = cand.select(col("id_a").as("cid"))
+      .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    val side = corpus.unionByName(batch)
+      .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("id"),
+        col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
     val verified = cand
       .join(side.select(col("id").as("id_a"), col("vec").as("va"),
         col("nrm").as("na")), "id_a")
