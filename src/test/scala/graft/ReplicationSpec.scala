@@ -335,7 +335,8 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
                               trancheDelayMs: Long = 0,
                               password: String = "",
                               closeAfterSend: Boolean = false,
-                              authSwitch: Boolean = false) {
+                              authSwitch: Boolean = false,
+                              checksum: Boolean = false) {
     import graft.cdc.{MySqlWire, MySqlWireServer}
     val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
@@ -346,7 +347,8 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
           val sock = server.accept()
           MySqlWireServer.serve(sock, tranches, trancheDelayMs, password,
             onDump = r => dumpRequest = Some(r),
-            closeAfterSend = closeAfterSend, authSwitch = authSwitch)
+            closeAfterSend = closeAfterSend, authSwitch = authSwitch,
+            checksum = checksum)
         }
       } catch { case _: Exception => () }
     })
@@ -483,11 +485,15 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     def write(pos: Long, i: Int): (Long, Array[Byte]) =
       (pos, Binlog.encodeWrite(99L, colTypes, colMeta, 1000L + i,
         Seq(Seq(i.toString, s"r$i"))))
-    // TABLE_MAP only in tranche 1; tranche 2 rows decode via the cache
+    // TABLE_MAP only in tranche 1; tranche 2 rows decode via the cache.
+    // checksum = true: the server CRC32-suffixes every event (MySQL 8
+    // default) — the client must verify+strip BEFORE frames reach the
+    // per-batch decoder, or tranche-2 partitions (no FDE) would misparse
     val t1 = Seq((10L, Binlog.encodeTableMap(99L, "db", "t", colTypes,
       colMeta, names)), write(20L, 1), write(30L, 2))
     val t2 = Seq(write(40L, 3), write(50L, 4))
-    val srv = new MySqlLoopback(Seq(t1, t2), trancheDelayMs = 2000)
+    val srv = new MySqlLoopback(Seq(t1, t2), trancheDelayMs = 2000,
+      checksum = true)
     try {
       val raw = spark.readStream.format("graft-binlog-socket")
         .option("host", "127.0.0.1").option("port", srv.port)
