@@ -333,13 +333,7 @@ object Binlog {
       b.getInt // event_size
       b.getInt // log_pos
       b.getShort // flags
-      if (evType == FormatDescriptionEvent) {
-        checksumAlg = event(event.length - 5) & 0xff
-        return Iterator.empty
-      }
-      if (checksumAlg == 1) {
-        // verify then drop the trailing CRC32 (little-endian, over
-        // header + body excluding the checksum itself)
+      def verifyCrc(): Unit = {
         val crc = new java.util.zip.CRC32()
         crc.update(event, 0, event.length - 4)
         val stored = le(event).getInt(event.length - 4) & 0xffffffffL
@@ -347,6 +341,17 @@ object Binlog {
           throw new IllegalStateException(
             f"binlog event CRC32 mismatch at pos $filePos: " +
               f"computed ${crc.getValue}%08x, stored $stored%08x")
+      }
+      if (evType == FormatDescriptionEvent) {
+        checksumAlg = event(event.length - 5) & 0xff
+        // the FDE carries its own CRC once the alg it announces is on
+        if (checksumAlg == 1) verifyCrc()
+        return Iterator.empty
+      }
+      if (checksumAlg == 1) {
+        // verify then drop the trailing CRC32 (little-endian, over
+        // header + body excluding the checksum itself)
+        verifyCrc()
         b.limit(event.length - 4)
       }
       evType match {
