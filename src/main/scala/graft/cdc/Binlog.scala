@@ -62,6 +62,9 @@ object Binlog {
   val FormatDescriptionEvent = 15
   val XidEvent = 16
   val TableMapEvent = 19
+  val WriteRowsV1 = 23
+  val UpdateRowsV1 = 24
+  val DeleteRowsV1 = 25
   val WriteRowsV2 = 30
   val UpdateRowsV2 = 31
   val DeleteRowsV2 = 32
@@ -362,7 +365,16 @@ object Binlog {
         case DeleteRowsV2 =>
           // delete carries only the before-image
           rowsEvent(b, "delete", tsSec, filePos, hasBefore = false, imageIsBefore = true)
-        case _ => Iterator.empty // Query(BEGIN)/Xid/Gtid/Rotate: no rows
+        // v1 rows events (pre-5.6): identical layout minus the v2
+        // extra-data block — the reference accepts both generations
+        // (filter.go:62-66)
+        case WriteRowsV1  => rowsEvent(b, "insert", tsSec, filePos,
+          hasBefore = false, v1 = true)
+        case UpdateRowsV1 => rowsEvent(b, "update", tsSec, filePos,
+          hasBefore = true, v1 = true)
+        case DeleteRowsV1 => rowsEvent(b, "delete", tsSec, filePos,
+          hasBefore = false, imageIsBefore = true, v1 = true)
+        case _ => Iterator.empty // Query(BEGIN)/Xid/Rotate: no rows
       }
     }
 
@@ -643,12 +655,15 @@ object Binlog {
 
     private def rowsEvent(b: ByteBuffer, kind: String, tsSec: Long,
                           pos: Long, hasBefore: Boolean,
-                          imageIsBefore: Boolean = false): Iterator[Change] = {
+                          imageIsBefore: Boolean = false,
+                          v1: Boolean = false): Iterator[Change] = {
       val td = tables.getOrElse(readU48(b),
         throw new IllegalStateException("rows event before TABLE_MAP"))
       b.getShort // flags
-      val extraLen = b.getShort & 0xffff // v2 extra-data length (incl. the 2)
-      if (extraLen > 2) b.position(b.position() + (extraLen - 2))
+      if (!v1) {
+        val extraLen = b.getShort & 0xffff // v2 extra-data length (incl. the 2)
+        if (extraLen > 2) b.position(b.position() + (extraLen - 2))
+      }
       val nCols = readLenEnc(b).toInt
       val presentLen = (nCols + 7) / 8
       b.position(b.position() + presentLen) // columns-present (all set here)
@@ -986,11 +1001,12 @@ object Binlog {
     }
   }
 
-  private def rowsBody(tableId: Long, nCols: Int): ByteBuffer = {
+  private def rowsBody(tableId: Long, nCols: Int,
+                       v1: Boolean = false): ByteBuffer = {
     val b = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
     (0 until 6).foreach(i => b.put(((tableId >> (8 * i)) & 0xff).toByte))
     b.putShort(0)
-    b.putShort(2) // v2 extra-data length (just the length field itself)
+    if (!v1) b.putShort(2) // v2 extra-data length (just the field itself)
     putLenEnc(b, nCols)
     val present = new Array[Byte]((nCols + 7) / 8)
     java.util.Arrays.fill(present, 0xff.toByte)
@@ -1000,24 +1016,27 @@ object Binlog {
 
   def encodeWrite(tableId: Long, colTypes: Array[Int], colMeta: Array[Int],
                   tsSec: Long, rows: Seq[Seq[String]],
-                  colCharsets: Seq[Int] = Nil): Array[Byte] = {
-    val b = rowsBody(tableId, colTypes.length)
+                  colCharsets: Seq[Int] = Nil,
+                  v1: Boolean = false): Array[Byte] = {
+    val b = rowsBody(tableId, colTypes.length, v1)
     rows.foreach(putImage(b, colTypes, colMeta, _, colCharsets))
-    finish(WriteRowsV2, tsSec, b)
+    finish(if (v1) WriteRowsV1 else WriteRowsV2, tsSec, b)
   }
 
   def encodeDelete(tableId: Long, colTypes: Array[Int], colMeta: Array[Int],
                    tsSec: Long, rows: Seq[Seq[String]],
-                   colCharsets: Seq[Int] = Nil): Array[Byte] = {
-    val b = rowsBody(tableId, colTypes.length)
+                   colCharsets: Seq[Int] = Nil,
+                   v1: Boolean = false): Array[Byte] = {
+    val b = rowsBody(tableId, colTypes.length, v1)
     rows.foreach(putImage(b, colTypes, colMeta, _, colCharsets))
-    finish(DeleteRowsV2, tsSec, b)
+    finish(if (v1) DeleteRowsV1 else DeleteRowsV2, tsSec, b)
   }
 
   def encodeUpdate(tableId: Long, colTypes: Array[Int], colMeta: Array[Int],
                    tsSec: Long, rows: Seq[(Seq[String], Seq[String])],
-                   colCharsets: Seq[Int] = Nil): Array[Byte] = {
-    val b = rowsBody(tableId, colTypes.length)
+                   colCharsets: Seq[Int] = Nil,
+                   v1: Boolean = false): Array[Byte] = {
+    val b = rowsBody(tableId, colTypes.length, v1)
     val present = new Array[Byte]((colTypes.length + 7) / 8)
     java.util.Arrays.fill(present, 0xff.toByte)
     b.put(present) // update carries a second columns-present bitmap
@@ -1025,6 +1044,6 @@ object Binlog {
       putImage(b, colTypes, colMeta, before, colCharsets)
       putImage(b, colTypes, colMeta, after, colCharsets)
     }
-    finish(UpdateRowsV2, tsSec, b)
+    finish(if (v1) UpdateRowsV1 else UpdateRowsV2, tsSec, b)
   }
 }

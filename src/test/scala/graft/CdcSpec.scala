@@ -280,6 +280,24 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.head.after == Seq("7", "hello"))
   }
 
+  test("binlog: v1 rows events (pre-5.6, no extra-data block) decode like v2") {
+    import graft.cdc.Binlog
+    val types = Array(8, 15); val meta = Array(0, 255)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeTableMap(15L, "db", "v", types, meta,
+      Seq("id", "s")), 0L)
+    val w = dec.decode(Binlog.encodeWrite(15L, types, meta, 0L,
+      Seq(Seq("1", "a"), Seq("2", "b")), v1 = true), 1L).toSeq
+    assert(w.map(_.after) == Seq(Seq("1", "a"), Seq("2", "b")))
+    assert(w.forall(_.kind == "insert"))
+    val u = dec.decode(Binlog.encodeUpdate(15L, types, meta, 0L,
+      Seq((Seq("1", "a"), Seq("1", "a2"))), v1 = true), 2L).toSeq
+    assert(u.head.before == Seq("1", "a") && u.head.after == Seq("1", "a2"))
+    val d = dec.decode(Binlog.encodeDelete(15L, types, meta, 0L,
+      Seq(Seq("2", "b")), v1 = true), 3L).toSeq
+    assert(d.head.kind == "delete" && d.head.before == Seq("2", "b"))
+  }
+
   test("binlog: rows event before TABLE_MAP is a hard error") {
     import graft.cdc.Binlog
     val dec = new Binlog.StreamDecoder
