@@ -38,6 +38,7 @@ object Jsonb {
   private val UInt64 = 0x0a
   private val Dbl = 0x0b
   private val Str = 0x0c
+  private val Opaque = 0x0f
 
   // ---- decode ------------------------------------------------------------
 
@@ -122,6 +123,56 @@ object Jsonb {
     case Str =>
       val (len, n) = varlen(b, off)
       escape(sb, new String(b, off + n, len, StandardCharsets.UTF_8))
+    case Opaque =>
+      // typed non-JSON values MySQL embeds in documents (CAST(... AS
+      // JSON) of DECIMAL/DATE/TIME/DATETIME): 1-byte MySQL type id +
+      // varlen length + payload. Temporals use the in-memory packed
+      // longlong (ymd<<17|hms)<<24 + micros — rendered the way MySQL
+      // prints them in JSON (dates bare, date-times with 6-digit
+      // fraction); decimals use the NEWDECIMAL binary format and render
+      // as JSON numbers.
+      val mt = b(off) & 0xff
+      val (len, n) = varlen(b, off + 1)
+      val p = off + 1 + n
+      def packed(): (Long, Long, Long) = { // (ymd, hms, micros), abs
+        val v = i64(b, p)
+        val a = math.abs(v)
+        ((a >> 41), (a >> 24) & 0x1ffff, a & 0xffffff)
+      }
+      def dateStr(ymd: Long): String = {
+        val ym = ymd >> 5
+        f"${ym / 13}%04d-${ym % 13}%02d-${ymd & 0x1f}%02d"
+      }
+      def timeStr(hms: Long, micros: Long): String =
+        f"${hms >> 12}%02d:${(hms >> 6) & 0x3f}%02d:${hms & 0x3f}%02d.$micros%06d"
+      mt match {
+        case 246 =>
+          val precision = b(p) & 0xff; val scale = b(p + 1) & 0xff
+          val raw = java.util.Arrays.copyOfRange(b, p + 2, p + len)
+          sb.append(Binlog.decodeNewDecimal(raw, precision, scale))
+        case 10 | 14 => // DATE
+          val (ymd, _, _) = packed()
+          sb.append('"').append(dateStr(ymd)).append('"')
+        case 7 | 12 => // TIMESTAMP / DATETIME
+          val (ymd, hms, us) = packed()
+          sb.append('"').append(dateStr(ymd)).append(' ')
+            .append(timeStr(hms, us)).append('"')
+        case 11 => // TIME (signed)
+          val neg = i64(b, p) < 0
+          val (_, hms, us) = packed()
+          sb.append('"').append(if (neg) "-" else "")
+            .append(timeStr(hms, us)).append('"')
+        case _ =>
+          // unknown embedded type: length is known, so render the
+          // payload as a hex string rather than failing the document
+          val digits = "0123456789ABCDEF"
+          sb.append('"')
+          (p until p + len).foreach { i =>
+            sb.append(digits.charAt((b(i) >> 4) & 0xf))
+              .append(digits.charAt(b(i) & 0xf))
+          }
+          sb.append('"')
+      }
     case x => throw new IllegalArgumentException(
       s"unsupported JSONB value type 0x${Integer.toHexString(x)}")
   }

@@ -155,6 +155,52 @@ class WideTypesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Jsonb.decode(large) == "[7,-7]")
   }
 
+  test("JSONB opaque values: embedded DECIMAL/DATE/DATETIME/TIME render like MySQL") {
+    import graft.cdc.{Binlog, Jsonb}
+    def opaque(mt: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(0x0f.toByte, mt.toByte, payload.length.toByte) ++ payload
+    }
+    def le8(v: Long): Array[Byte] =
+      (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    // DECIMAL(6,2) embeds precision+scale then the binary decimal
+    val dec = opaque(246,
+      Array(6.toByte, 2.toByte) ++ Binlog.encodeNewDecimal("1234.56", 6, 2))
+    assert(Jsonb.decode(dec) == "1234.56")
+    // DATE: packed longlong (ymd<<17)<<24
+    val ymd = (2020L * 13 + 5) << 5 | 7
+    assert(Jsonb.decode(opaque(10, le8(ymd << 41))) == "\"2020-05-07\"")
+    // DATETIME with microseconds
+    val hms = (13L << 12) | (14L << 6) | 15L
+    val dt = ((ymd << 17) | hms) << 24 | 123456L
+    assert(Jsonb.decode(opaque(12, le8(dt))) ==
+      "\"2020-05-07 13:14:15.123456\"")
+    // negative TIME
+    val tm = -(((hms << 24) | 123456L))
+    assert(Jsonb.decode(opaque(11, le8(tm))) == "\"-13:14:15.123456\"")
+    // unknown embedded type: length-bounded hex, never a misparse
+    assert(Jsonb.decode(opaque(16, Array(0xAB.toByte, 0x01.toByte)))
+      == "\"AB01\"")
+    // opaque inside an object (offset, not inline)
+    val inner = opaque(10, le8(ymd << 41))
+    val key = "d".getBytes("UTF-8")
+    val obj = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(0x00.toByte)       // small object (type byte for decode())
+      b.putShort(1)            // count
+      b.putShort(0)            // total size (unused by decoder)
+      b.putShort(11)           // key offset (from container base)
+      b.putShort(1)            // key length
+      b.put(0x0f.toByte)       // value entry: opaque, by offset
+      b.putShort(12)           // value offset (from container base)
+      b.put(key)               // the key at offset 11
+      b.put(inner.drop(1))     // opaque payload at offset 12 (no type byte)
+      b.flip(); val out = new Array[Byte](b.remaining()); b.get(out); out
+    }
+    assert(Jsonb.decode(obj) == "{\"d\":\"2020-05-07\"}")
+  }
+
   test("binlog charset registry: latin1/utf16/utf16le/utf32 decode, binary → None, unknown → UTF-8") {
     import graft.cdc.Binlog
     import java.nio.charset.StandardCharsets
