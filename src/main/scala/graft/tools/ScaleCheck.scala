@@ -80,6 +80,12 @@ object ScaleCheck {
           counts(s"$label minhash_incr") = Dedup.minhashIncrementalVerified(
             docs, incrBatch, "text", "doc_id", threshold = 0.9,
             native = true).count() },
+        "cosine_incr" -> time(s"$label cosine_incr") {
+          counts(s"$label cosine_incr") = Dedup.cosineIncrementalVerified(
+            emb, annQueries.withColumn("vec_id",
+              col("vec_id") + lit(1000000000000L)),
+            "vec_id", "embedding", threshold = 0.9,
+            native = true).count() },
         "jaccard_prefix" -> time(s"$label jaccard_prefix") {
           counts(s"$label jaccard_prefix") = Dedup.jaccardPairsPrefix(
             docs, "text", "doc_id", threshold = 0.8).count() },
