@@ -946,11 +946,19 @@ object SparkEntry {
     //      can replay the admit/drop rule batch-by-batch. ----
     "q_late_drop" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_c9").toString
+      // fixed path cleared at query start (same pattern as
+      // q_iceberg_prune) so repeated Verify/Bench runs don't accumulate
+      // staging + checkpoint dirs on disk
+      val rootF = new java.io.File("/tmp/graft_c9_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(rootF)
+      val root = rootF.toString
       val logDir = s"$root/log"; val ckpt = s"$root/ckpt"
       val out = s"$root/out"
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(logDir))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
       val ev = t(s, dir, "events").where(col("event_id") < 3000)
         .select(col("event_id"), col("event_type"), col("ts"))
       def stage(df: DataFrame, file: String): Unit = {

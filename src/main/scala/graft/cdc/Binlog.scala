@@ -374,7 +374,11 @@ object Binlog {
           hasBefore = true, v1 = true)
         case DeleteRowsV1 => rowsEvent(b, "delete", tsSec, filePos,
           hasBefore = false, imageIsBefore = true, v1 = true)
-        case _ => Iterator.empty // Query(BEGIN)/Xid/Rotate: no rows
+        case XidEvent =>
+          // transaction boundary: a following GTID-less (5.6-era)
+          // transaction must not inherit this one's gtid / commit ts
+          lastGtid = null; lastCommitMicros = 0L; Iterator.empty
+        case _ => Iterator.empty // Query(BEGIN)/Rotate: no rows
       }
     }
 
@@ -391,6 +395,9 @@ object Binlog {
       lastGtid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
         s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
         s"${hex.substring(20)}:$gno"
+      // overwrite unconditionally: a timestamp-less GTID must not
+      // inherit the previous transaction's commit micros
+      lastCommitMicros = 0L
       if (b.remaining() >= 17) {
         b.get() // lt_type
         b.getLong // last_committed

@@ -285,6 +285,10 @@ object Jsonb {
         else { val off = body.position(); body.put(payload); Right((t, off)) }
       }
       val size = body.position()
+      // small-format size/offset fields are u16: fail loudly instead of
+      // silently wrapping toShort into a corrupt document
+      require(size <= 0xFFFF && count <= 0xFFFF,
+        s"JSONB document too large for small format (size=$size count=$count)")
       body.position(0)
       body.putShort(count.toShort).putShort(size.toShort)
       if (obj) keyOffs.zip(fields).foreach { case (off, (k, _)) =>

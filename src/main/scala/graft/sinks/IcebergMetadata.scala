@@ -250,6 +250,7 @@ object IcebergMetadata {
         val nulls = scala.collection.mutable.Map.empty[Int, Long]
         val merged = scala.collection.mutable.Map.empty[Int, Statistics[_]]
         val unbounded = scala.collection.mutable.Set.empty[Int]
+        val nullsUnknown = scala.collection.mutable.Set.empty[Int]
         r.getRowGroups.asScala.foreach { bl =>
           bl.getColumns.asScala.foreach { cc =>
             val path = cc.getPath.toArray
@@ -260,7 +261,12 @@ object IcebergMetadata {
               if (st == null || st.isEmpty || !st.hasNonNullValue)
                 unbounded += id
               else {
-                nulls(id) = nulls.getOrElse(id, 0L) + st.getNumNulls
+                // a footer may carry min/max but leave num_nulls unset
+                // (getNumNulls = -1): treat the column's null count as
+                // missing rather than corrupting the manifest with -1s
+                if (st.isNumNullsSet)
+                  nulls(id) = nulls.getOrElse(id, 0L) + st.getNumNulls
+                else nullsUnknown += id
                 merged.get(id) match {
                   case Some(acc) => mergeStats(acc, st)
                   case None => merged(id) = st.copy()
@@ -270,6 +276,7 @@ object IcebergMetadata {
           }
         }
         unbounded.foreach { id => merged.remove(id); nulls.remove(id) }
+        nullsUnknown.foreach { id => nulls.remove(id): Unit }
         val bounds = merged.toMap.flatMap { case (id, st) =>
           serializeBound(st.genericGetMin)
             .zip(serializeBound(st.genericGetMax))

@@ -35,6 +35,11 @@ object KafkaWire {
   val EarliestTs: Long = -2L
   val LatestTs: Long = -1L
 
+  /** APIs safe to re-issue after a mid-call connection drop: reads and
+    * absolute-position offset ops. Produce (0) is deliberately absent. */
+  val IdempotentApis: Set[Int] = Set(ApiFetch, ApiListOffsets, ApiMetadata,
+    ApiOffsetCommit, ApiOffsetFetch, ApiVersions)
+
   // ---- primitive encoding ------------------------------------------------
 
   def putString(b: ByteBuffer, s: String): Unit = {
@@ -202,7 +207,11 @@ class KafkaBoundedClient(host: String, port: Int, topic: String,
     }
     try attempt()
     catch {
-      case _: java.io.IOException =>
+      case e: java.io.IOException =>
+        // retry is gated on a known-idempotent apiKey set: a future
+        // non-idempotent API routed through call() (e.g. Produce) must
+        // NOT be silently double-sent after a mid-call drop
+        if (!KafkaWire.IdempotentApis.contains(apiKey)) throw e
         try sock.close() catch { case _: Exception => () }
         reconnects += 1
         connect()
