@@ -1532,6 +1532,27 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9, native = true)
     }),
 
+    // ---- LLM: STORED-index incremental dedup — the corpus index is
+    //      persisted as bucketed+sorted tables ONCE, then the arriving
+    //      batch probes it with zero corpus-side scans (broadcast band
+    //      probe + file-pruned shingle lookups). Same split and verify
+    //      algebra as q_minhash_incremental, so the oracle is the same
+    //      SQL and the counts must be identical. ----
+    "q_minhash_index_store" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_mh_store")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val d = t(s, dir, "documents").where(col("doc_id") < 2000)
+      Dedup.minhashIndexStore(d.where(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", "graft_mh_gate", root.toString, buckets = 8,
+        native = true)
+      Dedup.minhashIncrementalStored(d.where(col("doc_id") % 10 === 0),
+        "text", "doc_id", "graft_mh_gate", threshold = 0.9, native = true)
+    }),
+
     // ---- LLM: native codegen'd MinHash sig+bands ≡ the HOF form ----
     "q_minhash_native" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1634,6 +1655,24 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
         native = true)
+    }),
+
+    // ---- LLM: ANN serving against a STORED index — corpus codes and
+    //      vectors persisted as bucketed tables once, then the query
+    //      batch probes with zero corpus scans. Same ranking algebra as
+    //      q_ann_lsh, so the oracle is the same brute-force SQL. ----
+    "q_ann_lsh_stored" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_ann_store")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshIndexStore(emb, "graft_ann_gate", root.toString,
+        buckets = 8, native = true)
+      Similarity.lshTopKStored(emb.where(col("vec_id") < 10), k = 5,
+        "graft_ann_gate", native = true)
     }),
 
     // ---- LLM: IVF-bucketed ANN with 2-cell multi-assignment. The gate
@@ -2540,6 +2579,24 @@ object SparkEntry {
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
 
+    // The stored-index tier must emit exactly the in-memory incremental
+    // tier's pairs — same oracle SQL.
+    "q_minhash_index_store" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE doc_id < 2000),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
+        |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
+
     // Exact replay of simhashExactDups: identical distinct-token sets.
     "q_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
@@ -2651,6 +2708,18 @@ object SparkEntry {
     // scale and ranks candidates by exact cosine, so the brute-force
     // top-k SQL is its oracle too.
     "q_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.qvec, e.embedding) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // The stored-index serving tier must rank exactly like q_ann_lsh —
+    // same brute-force oracle.
+    "q_ann_lsh_stored" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |  list_cosine_similarity(q.qvec, e.embedding) AS sim

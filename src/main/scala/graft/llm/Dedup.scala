@@ -480,6 +480,114 @@ object Dedup {
     out
   }
 
+  /** Persist the corpus-side dedup state as bucketed+sorted tables —
+    * the stored-index shape a production pipeline keeps between
+    * arriving batches (the reference's state-between-syncs idea,
+    * `types/metadata_state.go:9-16`, applied to the index itself).
+    *
+    * Two external tables under `path`:
+    *   - `<prefix>_bands`: (id, band) bucketed+sorted by `band` — what
+    *     candidate generation probes, band-keyed;
+    *   - `<prefix>_shingles`: (id, sh) bucketed+sorted by `id` — what
+    *     exact verification reads, bucket-PRUNED to candidate ids so
+    *     the verify step touches matching files only.
+    *
+    * Build cost is one corpus pass, paid ONCE; after that every batch
+    * probe is corpus-scan-free ([[minhashIncrementalStored]]). Bucket
+    * count should follow chunk-planning arithmetic (one bucket ≈ one
+    * task at target scale). */
+  def minhashIndexStore(corpus: DataFrame, textCol: String, idCol: String,
+                        prefix: String, path: String, buckets: Int = 32,
+                        shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                        native: Boolean = false): Unit = {
+    graft.sinks.Bucketed.writeBucketed(
+      minhashIndex(corpus, textCol, idCol, shingleN, k, bands, native),
+      s"${prefix}_bands", s"$path/bands", Seq("band"), buckets)
+    graft.sinks.Bucketed.writeBucketed(
+      corpus.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("sh")),
+      s"${prefix}_shingles", s"$path/shingles", Seq("id"), buckets)
+  }
+
+  /** The lazily-built probe frames against a stored index — split out
+    * so PlanAuditSpec can assert the physical shapes before
+    * materialization. Returns (crossCandidates, verified, candCache);
+    * the caller must unpersist `candCache` after consuming `verified`.
+    *
+    * Shapes audited:
+    *   - `cross` = stored band table ⋈ broadcast(batch bands): a
+    *     BroadcastHashJoin with ZERO exchanges — the stored side
+    *     streams, nothing corpus-sized ever shuffles;
+    *   - `verified`'s corpus-side read is the shingle store filtered by
+    *     candidate-id LITERALS, so the bucketed+sorted layout prunes
+    *     files (SelectedBucketsCount) and row groups — never a scan. */
+  private[graft] def minhashStoredProbe(batch: DataFrame, textCol: String,
+      idCol: String, prefix: String, shingleN: Int, k: Int, bands: Int,
+      threshold: Double, native: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val bb = minhashIndex(batch, textCol, idCol, shingleN, k, bands, native)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = spark.table(s"${prefix}_bands")
+    // batch side broadcasts — O(batch × bands) rows, small relative to
+    // any corpus: the stored index streams through the join unshuffled
+    val cross = idx.as("b").join(broadcast(bb.as("a")),
+        col("a.band") === col("b.band"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val within = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = cross.unionByName(within).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    bb.unpersist()
+    // candidate ids are driver-bounded — O(batch × dup-degree), the
+    // same class as chunk-boundary collects — and become LITERALS so
+    // the shingle store's bucketing prunes whole files. Batch ids are
+    // disjoint from the store by contract, so the union below never
+    // double-serves a document.
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id")))
+      .distinct().collect().map(_.get(0)).toSeq
+    val corpusSh = spark.table(s"${prefix}_shingles")
+      .where(col("id").isInCollection(candIds))
+    val batchSh = batch.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val sh = batchSh.unionByName(corpusSh)
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("sa")) + size(col("sb")) - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    (cross, verified, cand)
+  }
+
+  /** Incremental near-dup against a STORED index
+    * ([[minhashIndexStore]]): the only shape that holds at 100 TB —
+    * the corpus is never read, shingled, or shuffled per arriving
+    * batch. Probe cost is O(batch × bands) broadcast rows against the
+    * bucketed band table plus file-pruned shingle lookups for the
+    * candidates; wall time is a function of BATCH size and dup degree,
+    * not corpus size (measured flat in SCALING.md). Same verify
+    * algebra and output as [[minhashIncrementalVerified]] — counts are
+    * identical by construction. Batch and corpus ids must be
+    * disjoint; pairs emit as id_a < id_b. */
+  def minhashIncrementalStored(batch: DataFrame, textCol: String,
+                               idCol: String, prefix: String,
+                               shingleN: Int = 3, k: Int = 64,
+                               bands: Int = 16, threshold: Double = 0.5,
+                               native: Boolean = false): DataFrame = {
+    val (_, verified, cand) = minhashStoredProbe(batch, textCol, idCol,
+      prefix, shingleN, k, bands, threshold, native)
+    val out = materializeOffCache(verified)
+    cand.unpersist()
+    out
+  }
+
   /** MinHash-LSH candidates VERIFIED by exact shingle Jaccard: the
     * production near-dup shape (banded candidates, then one exact check
     * per candidate — never per pair), and the oracle-able one: output

@@ -259,6 +259,92 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Persist the ANN serving-side state: corpus hyperplane codes
+    * bucketed+sorted by (t, code) and the vector store bucketed+sorted
+    * by id — built ONCE per corpus, then [[lshTopKStored]] probes it
+    * per query batch with zero corpus-side scans. The same
+    * index-as-state idea as `Dedup.minhashIndexStore` (reference
+    * analog: sync state, `types/metadata_state.go:9-16`). */
+  def lshIndexStore(corpus: DataFrame, prefix: String, path: String,
+                    buckets: Int = 32, planes: Int = 4, dims: Int = 64,
+                    tables: Int = 6, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    native: Boolean = false): Unit = {
+    graft.sinks.Bucketed.writeBucketed(
+      corpus.select(col(idCol).as("neighbor_id"),
+          explode(tableCodes(col(vecCol), planes, dims, tables, native))
+            .as("tc"))
+        .select(col("neighbor_id"), col("tc.t").as("t"),
+          col("tc.code").as("code")),
+      s"${prefix}_codes", s"$path/codes", Seq("t", "code"), buckets)
+    graft.sinks.Bucketed.writeBucketed(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec"), norm(col(vecCol)).as("cnorm")),
+      s"${prefix}_vecs", s"$path/vecs", Seq("neighbor_id"), buckets)
+  }
+
+  /** Lazily-built probe frames against a stored ANN index (split out
+    * for PlanAuditSpec). Returns (candidates, result). Shapes: the
+    * stored code table streams through a broadcast hash join (zero
+    * exchanges on the corpus side); candidate vectors are fetched from
+    * the bucketed store by id LITERALS, so the lookup prunes files —
+    * the corpus vectors are never scanned. */
+  private[graft] def lshStoredProbe(queries: DataFrame, k: Int,
+      prefix: String, planes: Int, dims: Int, tables: Int, maxFlips: Int,
+      idCol: String, vecCol: String, native: Boolean)
+      : (DataFrame, DataFrame) = {
+    val spark = queries.sparkSession
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      explode(probeKeys(col(vecCol), planes, dims, tables, maxFlips, native))
+        .as("probe")))
+    val codes = spark.table(s"${prefix}_codes")
+    val cand = codes.join(q, col("probe.t") === col("t") &&
+        col("probe.code") === col("code") &&
+        col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate ids are bounded by (queries × probes × bucket
+    // occupancy) — driver-small; as literals they bucket-prune the
+    // vector store so scoring reads matching files only
+    val candIds = cand.select(col("neighbor_id"))
+      .distinct().collect().map(_.get(0)).toSeq
+    val cv = spark.table(s"${prefix}_vecs")
+      .where(col("neighbor_id").isInCollection(candIds))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm")))
+    val scored = cand.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    (cand, scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank"))
+  }
+
+  /** ANN serving against a STORED index ([[lshIndexStore]]): per query
+    * batch the corpus is never scanned — probe cost is (queries ×
+    * probe keys) broadcast rows against the bucketed code table plus
+    * file-pruned vector fetches for candidates. Wall time is a
+    * function of QUERY volume and bucket occupancy, not corpus size
+    * (measured flat in SCALING.md). Same ranking algebra and output as
+    * [[lshTopK]]. */
+  def lshTopKStored(queries: DataFrame, k: Int, prefix: String,
+                    planes: Int = 4, dims: Int = 64,
+                    tables: Int = 6, maxFlips: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    native: Boolean = false): DataFrame = {
+    val (cand, result) = lshStoredProbe(queries, k, prefix, planes, dims,
+      tables, maxFlips, idCol, vecCol, native)
+    // small top-k result goes off-cache via the shared scratch so no
+    // cache outlives the call (same discipline as the dedup tiers)
+    val path = Dedup.Scratch.next(result)
+    result.write.mode("overwrite").parquet(path)
+    cand.unpersist()
+    queries.sparkSession.read.parquet(path)
+  }
+
   // ---- int8 storage quantization ----------------------------------------
 
   /** Per-vector affine int8 quantization — the standard storage form

@@ -86,6 +86,23 @@ object ScaleCheck {
               col("vec_id") + lit(1000000000000L)),
             "vec_id", "embedding", threshold = 0.9,
             native = true).count() },
+        // stored-index tiers: the build is the one-time linear cost a
+        // production pipeline amortizes (expect ~10× here — honest);
+        // the PROBE must stay flat as the corpus scales (≤~1.3×)
+        "minhash_stored_build" -> time(s"$label minhash_stored_build") {
+          Dedup.minhashIndexStore(docs, "text", "doc_id",
+            s"sc_mh_$label", s"$out/mhidx", buckets = 32, native = true) },
+        "minhash_stored_probe" -> time(s"$label minhash_stored_probe") {
+          counts(s"$label minhash_stored_probe") =
+            Dedup.minhashIncrementalStored(incrBatch, "text", "doc_id",
+              s"sc_mh_$label", threshold = 0.9, native = true).count() },
+        "ann_stored_build" -> time(s"$label ann_stored_build") {
+          graft.llm.Similarity.lshIndexStore(emb, s"sc_ann_$label",
+            s"$out/annidx", buckets = 32, native = true) },
+        "ann_stored_probe" -> time(s"$label ann_stored_probe") {
+          counts(s"$label ann_stored_probe") =
+            graft.llm.Similarity.lshTopKStored(annQueries, k = 10,
+              s"sc_ann_$label", native = true).count() },
         "jaccard_prefix" -> time(s"$label jaccard_prefix") {
           counts(s"$label jaccard_prefix") = Dedup.jaccardPairsPrefix(
             docs, "text", "doc_id", threshold = 0.8).count() },

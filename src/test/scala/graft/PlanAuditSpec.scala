@@ -94,6 +94,64 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("stored-index minhash probe: broadcast band join with zero corpus-side " +
+       "exchanges; shingle lookup bucket-prunes files") {
+    import graft.llm.Dedup
+    val root = new java.io.File("/tmp/graft_mh_audit")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val d = Tables.load(spark, dir, "documents").where(col("doc_id") < 400)
+    Dedup.minhashIndexStore(d.where(col("doc_id") % 10 =!= 0),
+      "text", "doc_id", "graft_mh_audit", root.toString, buckets = 4,
+      native = true)
+    val (cross, verified, cand) = Dedup.minhashStoredProbe(
+      d.where(col("doc_id") % 10 === 0), "text", "doc_id", "graft_mh_audit",
+      3, 64, 16, 0.9, native = true)
+    // candidate generation: the stored band table streams through a
+    // broadcast hash join — no shuffle exchange anywhere in the probe
+    val pc = cross.queryExecution.executedPlan.toString
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("Exchange hashpartitioning") &&
+           !pc.contains("Exchange rangepartitioning"),
+      s"corpus-side shuffle in stored probe:\n$pc")
+    // verify step: the corpus-side shingle read is file-pruned by the
+    // candidate-id literals against the bucketed layout
+    val pv = verified.queryExecution.executedPlan.toString
+    assert(pv.contains("SelectedBucketsCount"), pv)
+    assert(!pv.contains("CartesianProduct") &&
+           !pv.contains("BroadcastNestedLoopJoin"), pv)
+    assert(verified.count() > 0)
+    cand.unpersist()
+  }
+
+  test("stored-index ANN probe: broadcast code join with zero corpus-side " +
+       "exchanges; vector fetch bucket-prunes files") {
+    import graft.llm.Similarity
+    val root = new java.io.File("/tmp/graft_ann_audit")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.lshIndexStore(emb, "graft_ann_audit", root.toString,
+      buckets = 4, native = true)
+    val (cand, result) = Similarity.lshStoredProbe(
+      emb.where(col("vec_id") < 5), k = 5, "graft_ann_audit",
+      4, 64, 6, 2, "vec_id", "embedding", native = true)
+    val pc = cand.queryExecution.executedPlan.toString
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    val pr = result.queryExecution.executedPlan.toString
+    assert(pr.contains("SelectedBucketsCount"), pr)
+    assert(!pr.contains("CartesianProduct") &&
+           !pr.contains("BroadcastNestedLoopJoin"), pr)
+    assert(result.count() > 0)
+    cand.unpersist()
+  }
+
   test("iceberg bucket[N] transform is codegen'd — no UDF in the write path") {
     import graft.sinks.PartitionTransforms
     import graft.sinks.PartitionTransforms.PartitionField
