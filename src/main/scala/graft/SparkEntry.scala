@@ -8,7 +8,7 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{IcebergMetadata, ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
-import graft.sources.{BoundedRead, CtidScan, Dialects, Discover, FileSources, JdbcSource, KafkaDecode, LocatorScan, MongoScan}
+import graft.sources.{BoundedRead, CtidScan, Dialects, Discover, FileSources, JdbcSource, KafkaDecode, LocatorScan, MongoScan, S3Wire}
 import graft.spec.{ChunkSql, DialectSql, FilterSpec, WideFixture}
 import graft.spec.FilterSpec.{Condition, Filter, SInt, SNum, SStr, STimestamp}
 import graft.types.{CanonicalType, Coerce, Naming}
@@ -449,6 +449,34 @@ object SparkEntry {
       FileSources.readMatching(s, "csv", tmp + "/exports",
           filePattern = Some("""r[0-9]+\.csv"""))
         .select(col("r_regionkey").cast("int"), col("r_name"))
+    }),
+
+    // ---- S13 over the REAL S3 wire: ListObjectsV2 REST (list-type=2,
+    //      prefix + continuation-token pagination, XML) against a
+    //      loopback endpoint; page size 3 forces multiple pages over
+    //      the part files, so the pagination loop is exercised in the
+    //      gate. Same fixture + regex + read as q_file_regex, so the
+    //      result must match it row-for-row (same oracle SQL). ----
+    "q_s3_list_wire" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_s3wire").toString
+      val r = t(s, dir, "region")
+      r.write.mode("overwrite").option("header", "true")
+        .csv(tmp + "/exports/r1.csv")
+      r.write.mode("overwrite").option("header", "true")
+        .csv(tmp + "/exports/r2.csv")
+      r.write.mode("overwrite").option("header", "true")
+        .csv(tmp + "/exports/skip_this.txt")
+      val srv = new S3Wire.S3LoopbackServer("lake", new java.io.File(tmp))
+      try {
+        val client = new S3Wire.S3ListClient(srv.endpoint)
+        val matched = FileSources.listMatchingWire(client, "lake",
+          "exports/", Some("""r[0-9]+\.csv"""), pageSize = 3)
+        require(srv.requests.get() > 1, "pagination not exercised")
+        s.read.option("header", "true").option("inferSchema", "true")
+          .csv(matched.map(o => s"$tmp/${o.key}"): _*)
+          .select(col("r_regionkey").cast("int"), col("r_name"))
+      } finally srv.close()
     }),
 
     // ---- S1/S4 REAL JDBC execution path: load a slice into embedded
@@ -1945,6 +1973,11 @@ object SparkEntry {
 
     // two of the three exports match the regex → region doubled
     "q_file_regex" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
+
+    // wire-listed variant reads the same two matched exports
+    "q_s3_list_wire" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
 

@@ -99,6 +99,20 @@ object FileSources {
     withSchema.load(files: _*)
   }
 
+  /** [[listMatching]] over the S3 REST wire ([[S3Wire.S3ListClient]]):
+    * a paginated ListObjectsV2 listing, regex-filtered per key like the
+    * local variant (reference `drivers/s3/internal/s3.go:146-175`).
+    * Metadata-only and driver-side, same as local listing; the caller
+    * maps matched keys to readable paths (`s3a://bucket/key` against
+    * real S3, a local mirror for the loopback server). */
+  def listMatchingWire(client: S3Wire.S3ListClient, bucket: String,
+                       prefix: String, filePattern: Option[String] = None,
+                       pageSize: Int = 1000): Seq[S3Wire.S3Object] = {
+    val re = filePattern.map(_.r)
+    client.listAll(bucket, prefix, pageSize)
+      .filter(o => re.forall(_.findFirstIn(o.key).isDefined))
+  }
+
   /** Incremental file pickup: only files modified after the cursor
     * (reference `drivers/s3/internal/incremental.go:19-129`). For
     * continuous pickup use `spark.readStream` with the same format —

@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+/** S3 ListObjectsV2 over the real REST wire protocol.
+  *
+  * Reference (`drivers/s3/internal/s3.go:146-175`): paginated
+  * `ListObjectsV2` by prefix, regex filter per key, ~200 B of metadata
+  * per object. The reference reaches it through the AWS SDK; this
+  * client speaks the protocol itself — `GET /{bucket}?list-type=2` with
+  * `prefix` / `max-keys` / `continuation-token` query params and the
+  * public `ListBucketResult` XML response (Amazon S3 API reference,
+  * ListObjectsV2) — the same loopback-closure pattern as the Kafka /
+  * Mongo / MySQL wire clients: every byte of the protocol is exercised
+  * in-sandbox, and pointing `endpoint` at real S3 (plus SigV4 headers,
+  * the one env-blocked piece) is the only delta.
+  *
+  * Listing is planner-time metadata (driver-side, like chunk
+  * planning); the returned keys feed `spark.read.load`, where
+  * `maxPartitionBytes` does the target-size chunk grouping — so the
+  * 100 TB read path stays fully distributed.
+  */
+object S3Wire {
+
+  /** One object's listing metadata (Key / Size / LastModified). */
+  case class S3Object(key: String, size: Long, lastModifiedIso: String)
+
+  private def enc(s: String): String =
+    URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  /** Minimal ListObjectsV2 client against `endpoint` (e.g.
+    * `http://127.0.0.1:9999`). Virtual-host addressing is a DNS trick;
+    * path-style (`/{bucket}?...`) is what loopback and most non-AWS
+    * S3-compatible stores speak. */
+  class S3ListClient(endpoint: String) {
+
+    private def get(url: String): (Int, String) = {
+      val conn = URI.create(url).toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      try {
+        val code = conn.getResponseCode
+        val stream = if (code == 200) conn.getInputStream
+                     else conn.getErrorStream
+        val body = if (stream == null) ""
+                   else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        (code, body)
+      } finally conn.disconnect()
+    }
+
+    private def parsePage(xml: String): (Seq[S3Object], Option[String]) = {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(
+          xml.getBytes(StandardCharsets.UTF_8)))
+      def text(parent: org.w3c.dom.Element, tag: String): Option[String] = {
+        val nl = parent.getElementsByTagName(tag)
+        if (nl.getLength == 0) None else Some(nl.item(0).getTextContent)
+      }
+      val root = doc.getDocumentElement
+      val contents = root.getElementsByTagName("Contents")
+      val objs = (0 until contents.getLength).map { i =>
+        val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
+        S3Object(text(el, "Key").getOrElse(""),
+          text(el, "Size").flatMap(_.toLongOption).getOrElse(0L),
+          text(el, "LastModified").getOrElse(""))
+      }
+      val truncated = text(root, "IsTruncated").contains("true")
+      val next = if (truncated) text(root, "NextContinuationToken") else None
+      (objs, next)
+    }
+
+    /** Full paginated listing of `prefix` in `bucket`. `pageSize` maps
+      * to `max-keys` (AWS default/cap 1000). */
+    def listAll(bucket: String, prefix: String,
+                pageSize: Int = 1000): Seq[S3Object] = {
+      val out = Seq.newBuilder[S3Object]
+      var token: Option[String] = None
+      var done = false
+      while (!done) {
+        val url = s"$endpoint/$bucket?list-type=2&prefix=${enc(prefix)}" +
+          s"&max-keys=$pageSize" +
+          token.map(t => s"&continuation-token=${enc(t)}").getOrElse("")
+        val (code, body) = get(url)
+        require(code == 200, s"ListObjectsV2 HTTP $code: $body")
+        val (objs, next) = parsePage(body)
+        out ++= objs
+        token = next
+        done = next.isEmpty
+      }
+      out.result()
+    }
+  }
+
+  /** Loopback S3 endpoint serving ListObjectsV2 over a local directory
+    * (keys = `/`-separated paths relative to `dir`, UTF-8
+    * binary-ordered like real S3; continuation tokens are opaque
+    * base64 of the last served key, matching AWS's opaque-token
+    * contract). For tests and self-contained gates. */
+  class S3LoopbackServer(bucket: String, dir: java.io.File)
+      extends AutoCloseable {
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private def allKeys(): Seq[(String, java.io.File)] = {
+      def walk(f: java.io.File, rel: String): Seq[(String, java.io.File)] =
+        if (f.isFile) Seq((rel, f))
+        else f.listFiles().toSeq.sortBy(_.getName)
+          .flatMap(c => walk(c, if (rel.isEmpty) c.getName
+                                else s"$rel/${c.getName}"))
+      walk(dir, "").sortBy(_._1)
+    }
+
+    private def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      requests.incrementAndGet()
+      val path = ex.getRequestURI.getPath.stripPrefix("/")
+      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").filter(_.contains("="))
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      def respond(code: Int, body: String): Unit = {
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/xml")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      if (path != bucket || !params.get("list-type").contains("2")) {
+        respond(404, """<?xml version="1.0"?><Error><Code>NoSuchBucket""" +
+          "</Code></Error>")
+      } else {
+        val prefix = params.getOrElse("prefix", "")
+        val maxKeys = params.get("max-keys").flatMap(_.toIntOption)
+          .getOrElse(1000)
+        val after = params.get("continuation-token").map(t =>
+          new String(java.util.Base64.getDecoder.decode(t),
+            StandardCharsets.UTF_8))
+        val matching = allKeys().map(_._1).filter(_.startsWith(prefix))
+        val remaining = after.fold(matching)(a => matching.dropWhile(_ <= a))
+        val page = remaining.take(maxKeys)
+        val truncated = remaining.size > page.size
+        val fileFor = allKeys().toMap
+        val contents = page.map { k =>
+          val f = fileFor(k)
+          val iso = java.time.Instant.ofEpochMilli(f.lastModified())
+            .toString
+          s"<Contents><Key>${esc(k)}</Key><LastModified>$iso" +
+            s"</LastModified><Size>${f.length()}</Size>" +
+            "<StorageClass>STANDARD</StorageClass></Contents>"
+        }.mkString
+        val nextTok =
+          if (truncated)
+            "<NextContinuationToken>" + java.util.Base64.getEncoder
+              .encodeToString(page.last.getBytes(StandardCharsets.UTF_8)) +
+              "</NextContinuationToken>"
+          else ""
+        respond(200,
+          """<?xml version="1.0" encoding="UTF-8"?>""" +
+            """<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">""" +
+            s"<Name>${esc(bucket)}</Name><Prefix>${esc(prefix)}</Prefix>" +
+            s"<KeyCount>${page.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys>" +
+            s"<IsTruncated>$truncated</IsTruncated>$contents$nextTok" +
+            "</ListBucketResult>")
+      }
+    })
+    server.start()
+
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    override def close(): Unit = server.stop(0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.S3Wire
+import graft.sources.S3Wire.{S3ListClient, S3LoopbackServer}
+
+/** ListObjectsV2 wire protocol: pagination, prefix filtering, token
+  * round-trip, and metadata fidelity against a loopback endpoint
+  * (reference surface: `drivers/s3/internal/s3.go:146-175`). */
+class S3WireSpec extends AnyFunSuite {
+
+  private def withFixture(f: (java.io.File, S3LoopbackServer,
+                              S3ListClient) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("s3wire").toFile
+    val names = Seq("exports/a.csv", "exports/b.csv", "exports/sub/c.csv",
+      "other/d.csv", "exports/skip.txt")
+    names.foreach { n =>
+      val file = new java.io.File(dir, n)
+      file.getParentFile.mkdirs()
+      java.nio.file.Files.write(file.toPath, s"payload of $n".getBytes)
+    }
+    val srv = new S3LoopbackServer("lake", dir)
+    try f(dir, srv, new S3ListClient(srv.endpoint))
+    finally {
+      srv.close()
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles.foreach(rm)
+        x.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("prefix filter: only keys under the prefix, binary-ordered") {
+    withFixture { (_, _, client) =>
+      val keys = client.listAll("lake", "exports/").map(_.key)
+      assert(keys == Seq("exports/a.csv", "exports/b.csv",
+        "exports/skip.txt", "exports/sub/c.csv"))
+    }
+  }
+
+  test("pagination: max-keys=1 walks every page via continuation tokens") {
+    withFixture { (_, srv, client) =>
+      val before = srv.requests.get()
+      val keys = client.listAll("lake", "exports/", pageSize = 1).map(_.key)
+      assert(keys.size == 4)
+      // 4 full pages + 1 final empty-truncation check = 4 requests
+      // minimum (the last page reports IsTruncated=false)
+      assert(srv.requests.get() - before >= 4)
+      // paged result identical to the single-page listing
+      assert(keys == client.listAll("lake", "exports/").map(_.key))
+    }
+  }
+
+  test("listing carries Size and LastModified metadata") {
+    withFixture { (dir, _, client) =>
+      val objs = client.listAll("lake", "exports/")
+      val a = objs.find(_.key == "exports/a.csv").get
+      assert(a.size == new java.io.File(dir, "exports/a.csv").length())
+      assert(a.lastModifiedIso.nonEmpty &&
+        java.time.Instant.parse(a.lastModifiedIso) != null)
+    }
+  }
+
+  test("unknown bucket and missing list-type are rejected") {
+    withFixture { (_, srv, _) =>
+      val bad = new S3ListClient(srv.endpoint)
+      val e = intercept[IllegalArgumentException] {
+        bad.listAll("nope", "")
+      }
+      assert(e.getMessage.contains("404"))
+    }
+  }
+
+  test("regex-filtered wire listing matches the local-path listing") {
+    withFixture { (dir, _, client) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val wire = graft.sources.FileSources.listMatchingWire(client, "lake",
+          "exports/", Some("""[ab]\.csv"""), pageSize = 2)
+        .map(o => s"$dir/${o.key}")
+      val local = graft.sources.FileSources.listMatching(spark,
+        s"$dir/exports", Some("""[ab]\.csv"""))
+      assert(wire.map(p => p.substring(p.lastIndexOf('/'))).sorted ==
+        local.map(p => p.substring(p.lastIndexOf('/'))).sorted)
+      assert(wire.size == 2)
+    }
+  }
+}
