@@ -956,6 +956,59 @@ object SparkEntry {
         element_at(img, 4).cast("double").as("value"))
     }),
 
+    // ---- C4 MariaDB flavor over the wire: the loopback server
+    //      announces a MariaDB version (with the 5.5.5- replication
+    //      prefix real MariaDB sends), the client detects the flavor
+    //      from the handshake (the reference's jdbc.go:567 logic), and
+    //      the stream carries MariaDB GTID_LIST + GTID events (types
+    //      163/162) that decode to domain-server-seq gtid strings.
+    //      Commit ts is the header's second precision — the MariaDB
+    //      event has no µs timestamp (reference TODO binlog.go:126). ----
+    "q_cdc_binlog_mariadb" -> ((s, dir) => {
+      import graft.cdc.{BinlogClient, MySqlWireServer}
+      val pairs = ChangeLogFixture.binlogMariaLog(
+          t(s, dir, "events").where(col("event_id") < 2000))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+      val served = pairs.map { case (l, m) =>
+        if ((m(4) & 0xff) == 19) (5L, m) else (l + 10L, m) }
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        // MariaDB keeps CRC32 checksums on by default too
+        try MySqlWireServer.serve(server.accept(), Seq(served),
+          checksum = true, serverVersion = "5.5.5-10.6.14-MariaDB-graft")
+        catch { case _: Exception => () }
+      })
+      th.setDaemon(true); th.start()
+      val client = new BinlogClient("127.0.0.1", server.getLocalPort, 0L)
+      val got = try {
+        require(client.flavor == "MariaDB" &&
+          client.flavorVersion == ((10, 6)),
+          s"flavor detection failed: ${client.flavor} ${client.flavorVersion}")
+        require(graft.cdc.MySqlWire.masterStatusQuery(client.flavor,
+          client.flavorVersion._1, client.flavorVersion._2) ==
+          "SHOW MASTER STATUS")
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var quiet = 0
+        while (quiet < 3 && System.nanoTime() < deadline) {
+          val b = client.poll()
+          if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
+        }
+        buf.toSeq
+      } finally { client.close(); server.close() }
+      import s.implicits._
+      val decoded = Binlog.decode(got.toDF("lsn", "msg").coalesce(1),
+        "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.where(col("pos") > 5L).select(
+        col("kind"), col("gtid"), (col("pos") - 10L).as("pos"),
+        timestamp_seconds(col("ts_sec")).as("ts"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 3).as("event_type"))
+    }),
+
     // ---- event-time tumbling-window rates (streaming operator, batch
     //      semantics oracled; StreamingSpec drives the streaming path) ----
     "q_windowed_rates" -> ((s, dir) =>
@@ -2158,6 +2211,16 @@ object SparkEntry {
         |  'events' AS "table", event_id AS pos,
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
         |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // MariaDB flavor: gtid = domain-server-seq (domain 0, fixture
+    // server id 1, seq = event_id); second-precision commit ts
+    "q_cdc_binlog_mariadb" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  '0-1-' || event_id AS gtid, event_id AS pos,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_id, event_type
         |FROM events WHERE event_id < 2000""".stripMargin,
 
     "q_cdc_mongo_wire" ->

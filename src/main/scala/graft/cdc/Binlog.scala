@@ -70,6 +70,24 @@ object Binlog {
   val DeleteRowsV2 = 32
   val GtidEvent = 33
 
+  // MariaDB-flavor event codes (public MariaDB KB, "Replication
+  // Protocol"): same v4 container, different GTID events. The
+  // reference detects the flavor (`pkg/jdbc/jdbc.go:567`) but leaves
+  // MariaDB GTID decoding a TODO (`pkg/binlog/binlog.go:126`) — here
+  // the GTID event IS decoded (domain-server-seq); only the
+  // microsecond-commit-timestamp enrichment stays open, because the
+  // MariaDB GTID event genuinely does not carry one (rows fall back to
+  // the header's second-precision timestamp).
+  val MariaAnnotateRowsEvent = 160
+  val MariaBinlogCheckpointEvent = 161
+  val MariaGtidEvent = 162
+  val MariaGtidListEvent = 163
+
+  /** MySQL 8.0.20+ `binlog_transaction_compression=ON` wraps a
+    * transaction's events in one zstd-compressed envelope (public
+    * libbinlogevents `Transaction_payload_event` format). */
+  val TransactionPayloadEvent = 40
+
   val HeaderLen = 19
 
   final case class TableDef(tableId: Long, schema: String, table: String,
@@ -328,11 +346,17 @@ object Binlog {
 
     /** Decode one event (header + payload). `filePos` orders the
       * stream; the header's own log_pos is also read. */
-    def decode(event: Array[Byte], filePos: Long): Iterator[Change] = {
+    def decode(event: Array[Byte], filePos: Long): Iterator[Change] =
+      decodeEvent(event, filePos, checksummed = true)
+
+    /** `checksummed = false` for events INSIDE a transaction payload:
+      * the envelope carries the stream CRC; inner events never do. */
+    private def decodeEvent(event: Array[Byte], filePos: Long,
+                            checksummed: Boolean): Iterator[Change] = {
       val b = le(event)
       val tsSec = (b.getInt & 0xffffffffL)
       val evType = b.get() & 0xff
-      b.getInt // server_id
+      val serverId = b.getInt & 0xffffffffL
       b.getInt // event_size
       b.getInt // log_pos
       b.getShort // flags
@@ -351,7 +375,7 @@ object Binlog {
         if (checksumAlg == 1) verifyCrc()
         return Iterator.empty
       }
-      if (checksumAlg == 1) {
+      if (checksummed && checksumAlg == 1) {
         // verify then drop the trailing CRC32 (little-endian, over
         // header + body excluding the checksum itself)
         verifyCrc()
@@ -360,6 +384,29 @@ object Binlog {
       evType match {
         case TableMapEvent => parseTableMap(b); Iterator.empty
         case GtidEvent    => parseGtid(b); Iterator.empty
+        case MariaGtidEvent =>
+          // u64 seq_no, u32 domain_id, u8 flags2 [+ u64 commit_id when
+          // FL_GROUP_COMMIT_ID is set]; canonical GTID string is
+          // domain-server-seq with server_id from the event header
+          val seq = b.getLong
+          val domain = b.getInt & 0xffffffffL
+          b.get() // flags2 (commit_id / standalone bits — not needed)
+          lastGtid = s"$domain-$serverId-$seq"
+          lastCommitMicros = 0L // MariaDB GTID carries no µs commit ts
+          Iterator.empty
+        case MariaGtidListEvent =>
+          // u32 = count (lower 28 bits) | flags; count × {domain u32,
+          // server u32, seq u64} — binlog-start state, consumed for
+          // frame validity, carried no further (the reference does not
+          // track it either)
+          val head = b.getInt
+          val n = head & 0x0FFFFFFF
+          require(b.remaining() >= n * 16,
+            s"GTID_LIST truncated: $n entries, ${b.remaining()} bytes")
+          Iterator.empty
+        case MariaAnnotateRowsEvent | MariaBinlogCheckpointEvent =>
+          Iterator.empty // SQL-text annotation / checkpoint bookkeeping
+        case TransactionPayloadEvent => decodePayload(b, filePos)
         case WriteRowsV2  => rowsEvent(b, "insert", tsSec, filePos, hasBefore = false)
         case UpdateRowsV2 => rowsEvent(b, "update", tsSec, filePos, hasBefore = true)
         case DeleteRowsV2 =>
@@ -380,6 +427,58 @@ object Binlog {
           lastGtid = null; lastCommitMicros = 0L; Iterator.empty
         case _ => Iterator.empty // Query(BEGIN)/Rotate: no rows
       }
+    }
+
+    /** TRANSACTION_PAYLOAD_EVENT body: [field-type, field-size,
+      * field-value] tuples (net_field_length-coded type/size; the
+      * integer-valued fields store their value net_field_length-coded
+      * too), terminated by OTW_PAYLOAD_HEADER_END_MARK, then the
+      * payload bytes — a concatenation of complete inner events
+      * (each with its own 19-byte header, never checksummed),
+      * zstd-compressed when compression type = 0. */
+    private def decodePayload(b: ByteBuffer, filePos: Long): Iterator[Change] = {
+      var compType = 255L // NONE
+      var uncompSize = -1L
+      var done = false
+      while (!done) {
+        readLenEnc(b) match {
+          case 0 => done = true // OTW_PAYLOAD_HEADER_END_MARK
+          case 2 => // OTW_PAYLOAD_COMPRESSION_TYPE_FIELD
+            readLenEnc(b); compType = readLenEnc(b)
+          case 3 => // OTW_PAYLOAD_UNCOMPRESSED_SIZE_FIELD
+            readLenEnc(b); uncompSize = readLenEnc(b)
+          case _ => // unknown/size field: skip by declared size
+            val sz = readLenEnc(b)
+            b.position(b.position() + sz.toInt)
+        }
+      }
+      val payload = new Array[Byte](b.remaining())
+      b.get(payload)
+      val raw = compType match {
+        case 0 => // ZSTD
+          require(uncompSize >= 0,
+            "compressed payload without an uncompressed-size field")
+          com.github.luben.zstd.Zstd.decompress(payload, uncompSize.toInt)
+        case 255 => payload // NONE
+        case other =>
+          throw new IllegalStateException(
+            s"unsupported transaction payload compression $other")
+      }
+      // walk the inner events by each header's event_size (LE u32 at
+      // header offset 9) and decode them CRC-free
+      val out = Seq.newBuilder[Change]
+      var off = 0
+      while (off < raw.length) {
+        val evLen = ((raw(off + 9) & 0xff) | ((raw(off + 10) & 0xff) << 8) |
+          ((raw(off + 11) & 0xff) << 16) |
+          ((raw(off + 12) & 0xffL) << 24)).toInt
+        require(evLen >= HeaderLen && off + evLen <= raw.length,
+          s"inner event overruns payload: off=$off len=$evLen of ${raw.length}")
+        out ++= decodeEvent(java.util.Arrays.copyOfRange(raw, off, off + evLen),
+          filePos, checksummed = false)
+        off += evLen
+      }
+      out.result().iterator
     }
 
     /** GTID_LOG_EVENT (public Gtid_event layout): flags, 16-byte SID,
@@ -870,6 +969,30 @@ object Binlog {
     putLenEnc(body, 0L) // transaction_length
     putUIntN(body, 80036L, 4) // immediate_server_version (MSB clear)
     finish(GtidEvent, commitMicros / 1000000L, body)
+  }
+
+  /** MariaDB GTID_EVENT (type 162): u64 seq_no, u32 domain_id, u8
+    * flags2. The server id rides the common header (the fixture
+    * header pins server_id = 1). Fixture/test side. */
+  def encodeMariaGtid(domain: Long, seq: Long, tsSec: Long): Array[Byte] = {
+    val body = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    body.putLong(seq)
+    body.putInt(domain.toInt)
+    body.put(0.toByte) // flags2
+    finish(MariaGtidEvent, tsSec, body)
+  }
+
+  /** MariaDB GTID_LIST_EVENT (type 163): u32 count|flags, then count ×
+    * {domain u32, server u32, seq u64}. Fixture/test side. */
+  def encodeMariaGtidList(entries: Seq[(Long, Long, Long)],
+                          tsSec: Long = 0L): Array[Byte] = {
+    val body = ByteBuffer.allocate(4 + entries.size * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    body.putInt(entries.size)
+    entries.foreach { case (domain, server, seq) =>
+      body.putInt(domain.toInt).putInt(server.toInt).putLong(seq)
+    }
+    finish(MariaGtidListEvent, tsSec, body)
   }
 
   private def finish(evType: Int, tsSec: Long, body: ByteBuffer): Array[Byte] = {

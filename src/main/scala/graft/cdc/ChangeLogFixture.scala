@@ -113,6 +113,42 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → MariaDB-flavored binlog stream: a GTID_LIST at stream
+    * start (binlog-start state), then each transaction preceded by a
+    * MariaDB GTID_EVENT (type 162, domain-server-seq). No microsecond
+    * commit timestamp exists in the MariaDB event — rows fall back to
+    * the header's second-precision ts, the open half the reference
+    * also leaves open (`pkg/binlog/binlog.go:126`). */
+  def binlogMariaLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_seconds(col("ts")).as("ts_s"))
+    val colTypes = Array(8, 8, 15, 5)
+    val colMeta = Array(0, 0, 255, 8)
+    val names = Seq("event_id", "user_id", "event_type", "value")
+    src.mapPartitions { it =>
+      val head = Iterator(
+        Row(0L, Binlog.encodeMariaGtidList(Seq((0L, 1L, 0L)))),
+        Row(0L, Binlog.encodeTableMap(42L, "mydb", "events", colTypes,
+          colMeta, names)))
+      val body = it.flatMap { r =>
+        val id = r.getLong(0)
+        val vals = Seq(id.toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString)
+        val ts = r.getLong(4)
+        val ev = r.getString(2) match {
+          case "error" =>
+            Binlog.encodeDelete(42L, colTypes, colMeta, ts, Seq(vals))
+          case "purchase" =>
+            Binlog.encodeUpdate(42L, colTypes, colMeta, ts, Seq((vals, vals)))
+          case _ =>
+            Binlog.encodeWrite(42L, colTypes, colMeta, ts, Seq(vals))
+        }
+        Iterator(Row(id, Binlog.encodeMariaGtid(0L, id, ts)), Row(id, ev))
+      }
+      head ++ body
+    }(Encoders.row(logSchema))
+  }
+
   /** events → binlog stream over the wide-type column set the reference
     * decodes from row images (`pkg/binlog/filter.go:137-360`): latin1 /
     * utf16 / utf16le / utf32 VARCHAR columns, a latin1 CHAR, an ENUM, a

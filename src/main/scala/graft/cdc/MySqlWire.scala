@@ -46,6 +46,41 @@ object MySqlWire {
   def comQuery(sql: String): Array[Byte] =
     ComQuery.toByte +: sql.getBytes(StandardCharsets.UTF_8)
 
+  /** Flavor + version from a server version string — the reference's
+    * `MySQLVersion` logic (`pkg/jdbc/jdbc.go:535-571`): flavor is
+    * MariaDB iff the string mentions it (case-insensitive), version is
+    * the leading `major.minor`. Handles the handshake's replication
+    * compatibility prefix (`5.5.5-10.6.14-MariaDB`), which MariaDB 10+
+    * prepends on the wire but not in `SELECT VERSION()`. */
+  def flavorOf(serverVersion: String): (String, Int, Int) = {
+    val mariadb = serverVersion.toUpperCase.contains("MARIADB")
+    val v = if (mariadb && serverVersion.startsWith("5.5.5-"))
+      serverVersion.stripPrefix("5.5.5-") else serverVersion
+    val parts = v.takeWhile(c => c.isDigit || c == '.').split("\\.")
+    val major = parts.headOption.flatMap(_.toIntOption).getOrElse(0)
+    val minor = parts.drop(1).headOption.flatMap(_.toIntOption).getOrElse(0)
+    (if (mariadb) "MariaDB" else "MySQL", major, minor)
+  }
+
+  /** Binlog-position query for the flavor/version — the reference's
+    * ternary (`pkg/binlog/binlog.go:155`): `SHOW MASTER STATUS` was
+    * removed in MySQL 8.4 in favor of `SHOW BINARY LOG STATUS`;
+    * MariaDB keeps the old verb. */
+  def masterStatusQuery(flavor: String, major: Int, minor: Int): String =
+    if (flavor == "MySQL" && (major > 8 || (major == 8 && minor >= 4)))
+      "SHOW BINARY LOG STATUS"
+    else "SHOW MASTER STATUS"
+
+  /** Parse one master-status row into (file, position) — MySQL returns
+    * 5 columns (..., Executed_Gtid_Set), MariaDB 4
+    * (`pkg/binlog/binlog.go:169-181`). */
+  def parseMasterStatus(flavor: String, row: Seq[String]): (String, Long) = {
+    val expected = if (flavor == "MariaDB") 4 else 5
+    require(row.size == expected,
+      s"$flavor master status: expected $expected columns, got ${row.size}")
+    (row.head, row(1).toLong)
+  }
+
   val ClientLongFlag = 0x00000004
   val ClientProtocol41 = 0x00000200
   val ClientSecureConnection = 0x00008000
@@ -295,6 +330,12 @@ class BinlogClient(host: String, port: Int, startPos: Long,
   /** CRC32 checksums active (learned from the FORMAT_DESCRIPTION
     * event) — events are verified and stripped before emission. */
   @volatile private var crcOn: Boolean = false
+  /** Server flavor learned from the handshake's version string
+    * ("MySQL" | "MariaDB") plus major/minor — drives the
+    * master-status query choice and column count
+    * ([[MySqlWire.masterStatusQuery]] / [[MySqlWire.parseMasterStatus]]). */
+  @volatile var flavor: String = "MySQL"
+  @volatile var flavorVersion: (Int, Int) = (0, 0)
 
   locally {
     sock.setSoTimeout(connectTimeoutMs)
@@ -304,6 +345,8 @@ class BinlogClient(host: String, port: Int, startPos: Long,
     //    mysql_native_password with an 0xFE packet)
     val (seq0, greeting) = readPacket(in)
     val hs = parseHandshakeV10(greeting)
+    val (fl, fMaj, fMin) = flavorOf(hs.serverVersion)
+    flavor = fl; flavorVersion = (fMaj, fMin)
     val auth = nativePassword(password, hs.authSeed)
     out.write(packets(seq0 + 1, handshakeResponse41(user, auth)))
     out.flush()
@@ -448,11 +491,12 @@ object MySqlWireServer {
             onDump: DumpRequest => Unit = _ => (),
             closeAfterSend: Boolean = false,
             authSwitch: Boolean = false,
-            checksum: Boolean = false): Unit = {
+            checksum: Boolean = false,
+            serverVersion: String = "8.0.0-graft"): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     val seed = Array.tabulate[Byte](20)(i => (i + 1).toByte)
-    out.write(packets(0, handshakeV10(Handshake("8.0.0-graft", 7, seed,
+    out.write(packets(0, handshakeV10(Handshake(serverVersion, 7, seed,
       ClientCapabilities, "mysql_native_password"))))
     out.flush()
     val (seq1, respP) = readPacket(in)

@@ -356,6 +356,48 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     def close(): Unit = server.close()
   }
 
+  test("flavor detection + master-status query/columns per flavor") {
+    import graft.cdc.MySqlWire._
+    assert(flavorOf("8.0.36") == (("MySQL", 8, 0)))
+    assert(flavorOf("8.4.2") == (("MySQL", 8, 4)))
+    assert(flavorOf("9.1.0") == (("MySQL", 9, 1)))
+    // MariaDB over the wire carries the 5.5.5- replication prefix;
+    // SELECT VERSION() does not — both must resolve
+    assert(flavorOf("5.5.5-10.6.14-MariaDB-log") == (("MariaDB", 10, 6)))
+    assert(flavorOf("10.11.6-MariaDB") == (("MariaDB", 10, 11)))
+    assert(masterStatusQuery("MySQL", 8, 0) == "SHOW MASTER STATUS")
+    assert(masterStatusQuery("MySQL", 8, 4) == "SHOW BINARY LOG STATUS")
+    assert(masterStatusQuery("MySQL", 9, 0) == "SHOW BINARY LOG STATUS")
+    assert(masterStatusQuery("MariaDB", 11, 4) == "SHOW MASTER STATUS")
+    // MySQL rows carry 5 columns, MariaDB 4 (binlog.go:169-181)
+    assert(parseMasterStatus("MySQL",
+      Seq("binlog.000003", "157", "", "", "uuid:1-5")) ==
+      (("binlog.000003", 157L)))
+    assert(parseMasterStatus("MariaDB",
+      Seq("mariadb-bin.000002", "4242", "", "")) ==
+      (("mariadb-bin.000002", 4242L)))
+    intercept[IllegalArgumentException] {
+      parseMasterStatus("MariaDB",
+        Seq("f", "1", "", "", "extra"))
+    }
+  }
+
+  test("MariaDB GTID events decode to domain-server-seq; header ts is the commit time") {
+    import graft.cdc.Binlog
+    val colTypes = Array(8); val colMeta = Array(0)
+    val dec = new Binlog.StreamDecoder
+    dec.decode(Binlog.encodeMariaGtidList(Seq((0L, 1L, 7L))), 1L)
+    dec.decode(Binlog.encodeTableMap(9L, "db", "t", colTypes, colMeta,
+      Seq("id")), 2L)
+    dec.decode(Binlog.encodeMariaGtid(3L, 42L, 1700000000L), 3L)
+    val rows = dec.decode(Binlog.encodeWrite(9L, colTypes, colMeta,
+      1700000000L, Seq(Seq("5"))), 4L).toSeq
+    assert(rows.size == 1)
+    assert(rows.head.gtid == "3-1-42") // domain 3, header server 1, seq 42
+    // no µs commit timestamp in the MariaDB event → header-second µs
+    assert(rows.head.tsMicros == 1700000000L * 1000000L)
+  }
+
   test("BinlogClient: real handshake/auth/dump exchange — events above the resume position, rotate tracked") {
     import graft.cdc.{Binlog, BinlogClient}
     val colTypes = Array(8, 15); val colMeta = Array(0, 255)
