@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (see TESTDATA.md). */
 object Tables {
@@ -21,6 +21,12 @@ object Tables {
       // integer division — `/` would go through double and lose precision
       // on ~1.7e18 nanosecond epochs (53-bit mantissa)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      // timestamp[us] without the isAdjustedToUTC flag reads as NTZ under
+      // Spark 4's inference; the engine (like the reference) treats every
+      // timestamp as microsecond UTC, and the session tz is pinned to UTC,
+      // so the cast relabels the same micros without shifting them.
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 }

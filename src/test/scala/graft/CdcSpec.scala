@@ -245,14 +245,16 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post.gtid == s"$uuid:42")
     assert(post.tsMicros == 1700000001234567L)
     // a 5.6-era short GTID body (flags+sid+gno only) updates the gtid
-    // but carries no timestamp: micros keeps the last known value
+    // but carries no timestamp: the new transaction must NOT inherit
+    // the previous one's commit micros — rows fall back to their own
+    // header seconds ×10⁶
     val shortBody = Binlog.encodeGtid(uuid, 43L, 1700000002000000L)
       .take(Binlog.HeaderLen + 25)
     dec.decode(shortBody, 4L)
     val post2 = dec.decode(Binlog.encodeWrite(14L, types, meta,
       1700000002L, Seq(Seq("3"))), 5L).toSeq.head
     assert(post2.gtid == s"$uuid:43")
-    assert(post2.tsMicros == 1700000001234567L)
+    assert(post2.tsMicros == 1700000002000000L)
   }
 
   test("binlog: CRC32-checksummed stream (FDE-announced) verifies and strips; corruption throws") {
