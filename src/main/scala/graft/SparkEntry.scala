@@ -1269,6 +1269,41 @@ object SparkEntry {
       rows.toDF("mn", "mx", "nrows", "nulls_etype", "selected")
     }),
 
+    // ---- K2+K5 manifest-LIST partition summaries, gate-backed: events
+    //      published day(ts)-partitioned (one data file per day, 5
+    //      manifests of 6 contiguous days), the `partitions`
+    //      field-summary (spec field-id 507) read back from the
+    //      manifest-list Avro — one row per MANIFEST with its bounds,
+    //      file/row counts, and the prune verdict for a 10-day window —
+    //      while DuckDB recomputes the same facts from the raw events
+    //      table by replaying the sorted-days/6 grouping. Equal rows =
+    //      a planner skipping manifests by these summaries skips
+    //      exactly the right ones. ----
+    "q_iceberg_partition_prune" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_partprune_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val ice = s"$root/ice"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      IcebergMetadata.publishPartitioned(s, ice, ev, "/{ts,day}",
+        groupSize = 6)
+      val (lo, hi) = (19730L, 19739L) // 2024-01-08 .. 2024-01-17
+      val kept = IcebergMetadata.pruneManifests(ice, lo, hi).toSet
+      val rows = IcebergMetadata.manifestSummaries(ice).map { m =>
+        val sm = m.partitions.head
+        (IcebergMetadata.boundLong(sm.lower.get),
+          IcebergMetadata.boundLong(sm.upper.get),
+          m.addedFiles.toLong, m.addedRows,
+          kept.contains(m.path))
+      }.sortBy(_._1)
+      import s.implicits._
+      rows.toDF("p_lo", "p_hi", "n_files", "n_rows", "selected")
+    }),
+
     // ---- K6 2PC commit analog, gate-backed: two CDC batches publish
     // Iceberg snapshots whose summaries carry the committed position
     // state (stream, batchId, lsn, dedup_inserts — the reference's
@@ -2404,6 +2439,24 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_prune_gate/data/*.parquet',
         |                  filename=true)
         |GROUP BY filename""".stripMargin,
+
+    // the manifest-list partition field-summaries re-derived from the
+    // events table itself: per day-value group of 6 (sorted), the
+    // bounds/counts the summary claims + the same overlap verdict the
+    // Spark side took FROM THE MANIFEST-LIST AVRO
+    "q_iceberg_partition_prune" ->
+      """WITH days AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT d, n,
+        |    (dense_rank() OVER (ORDER BY d) - 1) // 6 AS grp
+        |  FROM days)
+        |SELECT min(d) AS p_lo, max(d) AS p_hi,
+        |  count(*) AS n_files, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  (min(d) <= 19739 AND max(d) >= 19730) AS selected
+        |FROM g GROUP BY grp""".stripMargin,
 
     "q_flatten" ->
       """SELECT event_id,

@@ -72,15 +72,33 @@ object IcebergMetadata {
                       upper: Map[Int, Array[Byte]] = Map.empty)
 
   /** One physical file headed for a manifest. `content`: 0 data,
-    * 2 equality deletes (per the data_file spec). */
+    * 2 equality deletes (per the data_file spec). `partition` holds the
+    * file's partition tuple (one value per spec field, null allowed)
+    * when the table is partitioned. */
   case class FileEntry(path: String, sizeBytes: Long, rows: Long,
                        seq: Long, content: Int = 0,
                        equalityIds: Seq[Int] = Nil,
-                       stats: ColStats = ColStats())
+                       stats: ColStats = ColStats(),
+                       partition: Seq[Any] = Nil)
 
   /** A manifest entry read back with its stats — the planner's view. */
   case class DataFileStat(path: String, seq: Long, content: Int,
-                          recordCount: Long, stats: ColStats)
+                          recordCount: Long, stats: ColStats,
+                          partition: Seq[Any] = Nil)
+
+  /** One partition-spec field as written to metadata + manifests:
+    * `avroType` is the transform RESULT type ("int" | "long" |
+    * "string"), `sourceId` the source column's Iceberg field id.
+    * Spec field ids start at 1000 in declaration order. */
+  case class PartSpecField(name: String, avroType: String,
+                           sourceId: Int, transform: String)
+
+  /** A manifest-list `field_summary` (spec field-ids 509/518/510/511):
+    * the per-partition-field aggregate over one manifest's entries that
+    * lets a planner skip the WHOLE manifest without opening it. */
+  case class PartFieldSummary(containsNull: Boolean,
+                              lower: Option[Array[Byte]],
+                              upper: Option[Array[Byte]])
 
   /** Decode a numeric bound from Iceberg single-value serialization
     * (4-byte LE int / 8-byte LE long). */
@@ -93,9 +111,17 @@ object IcebergMetadata {
   private def metaDir(tableDir: String): File = new File(tableDir, "metadata")
 
   /** The manifest_entry Avro schema (spec §Manifests, v2 required
-    * fields + equality_ids; remaining column stats are spec-optional). */
-  private val manifestEntrySchema: org.apache.avro.Schema =
-    new org.apache.avro.Schema.Parser().parse("""{
+    * fields + equality_ids; remaining column stats are spec-optional).
+    * The `partition` record (field-id 102) carries one field per
+    * partition-spec field — ids 1000+ in spec order — so the schema is
+    * built per spec; the unpartitioned shape is cached below. */
+  private def entrySchemaFor(parts: Seq[PartSpecField])
+      : org.apache.avro.Schema = {
+    val partFields = parts.zipWithIndex.map { case (p, i) =>
+      s"""{"name": "${p.name}", "type": ["null", "${p.avroType}"],
+         | "default": null, "field-id": ${1000 + i}}""".stripMargin
+    }.mkString(",")
+    new org.apache.avro.Schema.Parser().parse(s"""{
       "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
@@ -107,7 +133,7 @@ object IcebergMetadata {
             {"name": "file_path", "type": "string", "field-id": 100},
             {"name": "file_format", "type": "string", "field-id": 101},
             {"name": "partition", "field-id": 102,
-             "type": {"type": "record", "name": "r102", "fields": []}},
+             "type": {"type": "record", "name": "r102", "fields": [$partFields]}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             {"name": "column_sizes", "default": null, "field-id": 108,
@@ -139,9 +165,15 @@ object IcebergMetadata {
              "type": ["null", {"type": "array", "items": "int", "element-id": 136}]}
           ]}}
       ]}""")
+  }
+
+  private val manifestEntrySchema: org.apache.avro.Schema =
+    entrySchemaFor(Nil)
 
   /** The manifest_file Avro schema for the manifest list (spec
-    * §Manifest Lists, v2 required fields). */
+    * §Manifest Lists, v2 required fields + the `partitions`
+    * field-summary list, field-id 507, that prunes whole manifests on
+    * partitioned tables). */
   private val manifestFileSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse("""{
       "type": "record", "name": "manifest_file", "fields": [
@@ -157,7 +189,18 @@ object IcebergMetadata {
         {"name": "deleted_files_count", "type": "int", "field-id": 506},
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
-        {"name": "deleted_rows_count", "type": "long", "field-id": 514}
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions", "default": null, "field-id": 507,
+         "type": ["null", {"type": "array", "element-id": 508,
+           "items": {"type": "record", "name": "r508", "fields": [
+             {"name": "contains_null", "type": "boolean", "field-id": 509},
+             {"name": "contains_nan", "type": ["null", "boolean"],
+              "default": null, "field-id": 518},
+             {"name": "lower_bound", "type": ["null", "bytes"],
+              "default": null, "field-id": 510},
+             {"name": "upper_bound", "type": ["null", "bytes"],
+              "default": null, "field-id": 511}
+           ]}}]}
       ]}""")
 
   /** Spark type → Iceberg type JSON (spec §Schemas). `nextId` hands out
@@ -337,38 +380,61 @@ object IcebergMetadata {
   private def entriesFor(spark: SparkSession, dir: String, seq: Long,
                          content: Int = 0,
                          equalityIds: Seq[Int] = Nil,
-                         fieldIds: Map[String, Int] = Map.empty): Seq[FileEntry] =
+                         fieldIds: Map[String, Int] = Map.empty,
+                         partition: Seq[Any] = Nil): Seq[FileEntry] =
     parquetFilesIn(dir).map { f =>
       val (rows, stats) = footerInfo(spark, f, fieldIds)
       FileEntry(f.getAbsolutePath, f.length(), rows, seq, content,
-        equalityIds, stats)
+        equalityIds, stats, partition)
     }
+
+  /** The partition-spec JSON written to manifest metadata and
+    * `metadata.json` (spec §Partition Specs). */
+  private def partSpecJson(parts: Seq[PartSpecField]): String =
+    parts.zipWithIndex.map { case (p, i) =>
+      s"""{"name":"${p.name}","transform":"${p.transform}",""" +
+        s""""source-id":${p.sourceId},"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
 
   /** Write one manifest Avro with ADDED entries. */
   private def writeManifest(md: File, entries: Seq[FileEntry],
                             snapshotId: Long, schemaStr: String,
-                            content: String, index: Int): File = {
+                            content: String, index: Int,
+                            parts: Seq[PartSpecField] = Nil): File = {
+    val entrySchema = if (parts.isEmpty) manifestEntrySchema
+      else entrySchemaFor(parts)
     val f = new File(md, s"${java.util.UUID.randomUUID()}-m$index.avro")
     val w = new DataFileWriter(
-      new GenericDatumWriter[GenericRecord](manifestEntrySchema))
+      new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("schema", stripInternal(schemaStr))
-    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec", partSpecJson(parts))
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", "2")
     w.setMeta("content", content)
-    w.create(manifestEntrySchema, f)
+    w.create(entrySchema, f)
     try entries.foreach { e =>
       val df = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       df.put("content", e.content)
       df.put("file_path", e.path)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema()
-          .getField("partition").schema()))
+      val pRec = new GenericData.Record(
+        entrySchema.getField("data_file").schema()
+          .getField("partition").schema())
+      parts.zip(e.partition).foreach { case (p, v) =>
+        pRec.put(p.name, v match {
+          case null => null
+          case i: Int => Int.box(i)
+          case l: Long => Long.box(l)
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition value type: ${other.getClass}")
+        })
+      }
+      df.put("partition", pRec)
       df.put("record_count", e.rows)
       df.put("file_size_in_bytes", e.sizeBytes)
-      val dfSchema = manifestEntrySchema.getField("data_file").schema()
+      val dfSchema = entrySchema.getField("data_file").schema()
       def kvArray[T](field: String, m: Map[Int, T])(put: (GenericData.Record, T) => Unit): Unit =
         if (m.nonEmpty) {
           val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)
@@ -389,7 +455,7 @@ object IcebergMetadata {
         r.put("value", java.nio.ByteBuffer.wrap(v)))
       if (e.equalityIds.nonEmpty)
         df.put("equality_ids", e.equalityIds.map(Int.box).asJava)
-      val entry = new GenericData.Record(manifestEntrySchema)
+      val entry = new GenericData.Record(entrySchema)
       entry.put("status", 1) // ADDED
       entry.put("snapshot_id", snapshotId)
       entry.put("sequence_number", e.seq)
@@ -400,10 +466,54 @@ object IcebergMetadata {
     f
   }
 
+  /** Serialize one partition VALUE with the spec's binary single-value
+    * serialization (same rules `serializeBound` applies to parquet
+    * stats — Appendix D). */
+  private def serializePartValue(avroType: String, v: Any): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    (avroType, v) match {
+      case ("int", i: Int) =>
+        ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+      case ("long", l: Long) =>
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+      case ("string", s: String) =>
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported partition bound: $avroType / $v")
+    }
+  }
+
+  /** field_summary rows for one manifest: per spec field, null-presence
+    * and min/max over the manifest's entries — what `partitions`
+    * (field-id 507) carries so a planner prunes manifests unopened. */
+  private def partSummaries(parts: Seq[PartSpecField],
+                            entries: Seq[FileEntry])
+      : Seq[PartFieldSummary] =
+    parts.zipWithIndex.map { case (p, i) =>
+      val vs = entries.map(e => e.partition.lift(i).orNull)
+      val nonNull = vs.filter(_ != null)
+      val ordered: Option[(Any, Any)] = p.avroType match {
+        case _ if nonNull.isEmpty => None
+        case "int" =>
+          val xs = nonNull.map(_.asInstanceOf[Int]); Some((xs.min, xs.max))
+        case "long" =>
+          val xs = nonNull.map(_.asInstanceOf[Long]); Some((xs.min, xs.max))
+        case "string" =>
+          val xs = nonNull.map(_.asInstanceOf[String]); Some((xs.min, xs.max))
+        case _ => None
+      }
+      PartFieldSummary(vs.exists(_ == null),
+        ordered.map { case (lo, _) => serializePartValue(p.avroType, lo) },
+        ordered.map { case (_, hi) => serializePartValue(p.avroType, hi) })
+    }
+
   /** Write the manifest list: one row per manifest.
-    * (file, listContent 0=data/1=deletes, entries). */
+    * (file, listContent 0=data/1=deletes, entries). On a partitioned
+    * table each DATA manifest row also carries the `partitions`
+    * field-summary list computed over its entries. */
   private def writeManifestList(md: File, snapshotId: Long,
-                                manifests: Seq[(File, Int, Seq[FileEntry])])
+                                manifests: Seq[(File, Int, Seq[FileEntry])],
+                                parts: Seq[PartSpecField] = Nil)
       : File = {
     val f = new File(md,
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
@@ -426,6 +536,22 @@ object IcebergMetadata {
       m.put("added_rows_count", entries.map(_.rows).sum)
       m.put("existing_rows_count", 0L)
       m.put("deleted_rows_count", 0L)
+      if (parts.nonEmpty && content == 0) {
+        val arrSchema = manifestFileSchema.getField("partitions")
+          .schema().getTypes.get(1)
+        val itemSchema = arrSchema.getElementType
+        val arr = new GenericData.Array[GenericRecord](parts.size, arrSchema)
+        partSummaries(parts, entries).foreach { s =>
+          val r = new GenericData.Record(itemSchema)
+          r.put("contains_null", s.containsNull)
+          s.lower.foreach(b =>
+            r.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+          s.upper.foreach(b =>
+            r.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+          arr.add(r)
+        }
+        m.put("partitions", arr)
+      }
       w.append(m)
     } finally w.close()
     f
@@ -437,7 +563,8 @@ object IcebergMetadata {
                                 snapshotId: Long, seq: Long, listFile: File,
                                 operation: String,
                                 summary: Map[String, String],
-                                addedFiles: Int, addedRows: Long): Int = {
+                                addedFiles: Int, addedRows: Long,
+                                parts: Seq[PartSpecField] = Nil): Int = {
     val md = metaDir(tableDir)
     val prev = currentMetadata(tableDir)
     val version = prev.map(_._1).getOrElse(0) + 1
@@ -554,8 +681,15 @@ object IcebergMetadata {
     }
     root.put("default-spec-id", 0)
     val spec = root.putArray("partition-specs").addObject()
-    spec.put("spec-id", 0); spec.putArray("fields")
-    root.put("last-partition-id", 999) // spec: 1000 is the first field id
+    spec.put("spec-id", 0)
+    val specFields = spec.putArray("fields")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val fNode = specFields.addObject()
+      fNode.put("name", p.name); fNode.put("transform", p.transform)
+      fNode.put("source-id", p.sourceId); fNode.put("field-id", 1000 + i)
+    }
+    // spec: 1000 is the first partition field id
+    root.put("last-partition-id", 999 + parts.size)
     root.put("default-sort-order-id", 0)
     val order = root.putArray("sort-orders").addObject()
     order.put("order-id", 0); order.putArray("fields")
@@ -636,6 +770,207 @@ object IcebergMetadata {
       list, operation, summary, entries.length, entries.map(_.rows).sum)
     Commit(version, snapshotId, seq, manifest.getAbsolutePath,
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+  }
+
+  /** Commit `df` as a PARTITIONED first snapshot: the K5 transforms
+    * (`PartitionTransforms.parseRegex` syntax, e.g. `/{ts,day}`) drive
+    * the file layout, each data file's partition tuple lands in its
+    * manifest entry (r102, spec field-ids 1000+), the partition spec in
+    * `metadata.json`, and — the piece that matters at 100 TB — the
+    * manifest LIST rows carry per-field `field_summary` bounds over
+    * sorted partition-value groups of `groupSize`, so a planner skips
+    * whole manifests (thousands of files each) without opening them.
+    * The reference's Java writer gets the same summaries from the
+    * Iceberg library on its partitioned tables
+    * (`destination/iceberg/iceberg.go:521-545` partition_regex path).
+    *
+    * Data layout: one file per partition tuple under hive-style
+    * `__p_<name>=<value>` dirs (the `__p_` prefix keeps identity
+    * source columns IN the data files, as the spec expects — the
+    * partition tuple is derived metadata, not a dropped column). */
+  def publishPartitioned(spark: SparkSession, tableDir: String,
+                         df: DataFrame, partitionRegex: String,
+                         groupSize: Int = 8,
+                         summary: Map[String, String] = Map.empty): Commit = {
+    import PartitionTransforms.{parseRegex, withPartitionColumns, PartitionField}
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    require(currentMetadata(tableDir).isEmpty,
+      s"publishPartitioned writes the FIRST snapshot; $tableDir has history")
+    val fields = parseRegex(partitionRegex)
+    require(fields.nonEmpty, s"no partition fields in '$partitionRegex'")
+    val schemaStr = schemaJson(df.schema)
+    val argRe = """(bucket|truncate)\[(\d+)\]""".r
+    def avroTypeOf(f: PartitionField): String = f.transform match {
+      case "year" | "month" | "day" | "hour" => "int"
+      case argRe("bucket", _) => "int"
+      case argRe("truncate", _) =>
+        if (df.schema(f.column).dataType == StringType) "string" else "long"
+      case "identity" => df.schema(f.column).dataType match {
+        case IntegerType => "int"
+        case LongType => "long"
+        case StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"identity partition on unsupported type $other")
+      }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported transform $other")
+    }
+    val parts = fields.map(f => PartSpecField(
+      (if (f.transform == "identity") s"${f.column}_id" else f.outputName),
+      avroTypeOf(f), fieldId(schemaStr, f.column), f.transform))
+    val dirCols = parts.map(p => s"__p_${p.name}")
+    // computed partition columns under __p_ names; the transform's own
+    // output column is dropped again so data files hold EXACTLY the
+    // source schema (identity's outputName IS the source column — kept)
+    val withP = fields.zip(dirCols).foldLeft(df) { case (acc, (f, pc)) =>
+      val added = withPartitionColumns(acc, Seq(f))
+      val renamed = added.withColumn(pc, col(f.outputName))
+      if (f.transform == "identity") renamed else renamed.drop(f.outputName)
+    }
+    val dataRoot = new File(tableDir, "data")
+    // one task per partition tuple → exactly one file per tuple; at
+    // real scale the same layout comes from repartitioning on the
+    // transform columns, whatever the file count per tuple
+    withP.repartition(dirCols.map(col): _*)
+      .write.mode("errorifexists").partitionBy(dirCols: _*)
+      .parquet(dataRoot.getPath)
+
+    // walk the hive-style dirs back into (partition tuple, leaf dir)
+    def leaves(dir: File, tuple: List[Any]): Seq[(Seq[Any], File)] =
+      if (tuple.length == parts.length) Seq((tuple.reverse, dir))
+      else Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).toSeq.flatMap { sub =>
+          val Array(_, raw) = sub.getName.split("=", 2)
+          val dec = java.net.URLDecoder.decode(raw, "UTF-8")
+          val p = parts(tuple.length)
+          val v: Any =
+            if (dec == "__HIVE_DEFAULT_PARTITION__") null
+            else p.avroType match {
+              case "int" => dec.toInt
+              case "long" => dec.toLong
+              case _ => dec
+            }
+          leaves(sub, v :: tuple)
+        }
+    val seq = 1L
+    val statIds = topLevelFieldIds(schemaStr)
+    val tuples = leaves(dataRoot, Nil)
+    require(tuples.nonEmpty, s"no partitioned files under $dataRoot")
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    // sorted tuples → groups of `groupSize` → one manifest per group:
+    // contiguous partition ranges per manifest are what make the
+    // field summaries selective (random assignment would give every
+    // manifest the full range and nothing would ever prune)
+    implicit val anyOrd: Ordering[Seq[Any]] = (a, b) => {
+      val cmp = a.zip(b).iterator.map {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x: Int, y: Int) => x.compare(y)
+        case (x: Long, y: Long) => x.compare(y)
+        case (x, y) => x.toString.compare(y.toString)
+      }.find(_ != 0)
+      cmp.getOrElse(0)
+    }
+    val groups = tuples.sortBy(_._1).grouped(math.max(1, groupSize)).toSeq
+    val manifests = groups.zipWithIndex.map { case (grp, i) =>
+      val entries = grp.flatMap { case (tup, dir) =>
+        entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+          partition = tup)
+      }
+      (writeManifest(md, entries, snapshotId, schemaStr, "data", i,
+        parts), 0, entries)
+    }
+    val allEntries = manifests.flatMap(_._3)
+    val list = writeManifestList(md, snapshotId, manifests, parts)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "append", summary, allEntries.length,
+      allEntries.map(_.rows).sum, parts)
+    Commit(version, snapshotId, seq, manifests.head._1.getAbsolutePath,
+      list.getAbsolutePath, allEntries.length, allEntries.map(_.rows).sum)
+  }
+
+  /** One manifest-list row of the current snapshot, with its decoded
+    * `partitions` field summaries — the planner view for
+    * manifest-level pruning. */
+  case class ManifestSummary(path: String, content: Int,
+                             addedFiles: Int, addedRows: Long,
+                             partitions: Seq[PartFieldSummary])
+
+  def manifestSummaries(tableDir: String,
+                        asOfSnapshotId: Option[Long] = None)
+      : Seq[ManifestSummary] = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snapId = asOfSnapshotId.getOrElse(
+      meta.get("current-snapshot-id").asLong)
+    val snap = meta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == snapId).getOrElse(
+        throw new IllegalArgumentException(s"snapshot $snapId not found"))
+    readAvro(new File(snap.get("manifest-list").asText)).map { mf =>
+      val sums = Option(mf.get("partitions")).map(
+        _.asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq.map { r =>
+          def bytes(f: String): Option[Array[Byte]] =
+            Option(r.get(f)).map { bb0 =>
+              val bb = bb0.asInstanceOf[java.nio.ByteBuffer]
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+              a
+            }
+          PartFieldSummary(r.get("contains_null").asInstanceOf[Boolean],
+            bytes("lower_bound"), bytes("upper_bound"))
+        }).getOrElse(Nil)
+      ManifestSummary(mf.get("manifest_path").toString,
+        mf.get("content").asInstanceOf[Int],
+        mf.get("added_files_count").asInstanceOf[Int],
+        mf.get("added_rows_count").asInstanceOf[Long], sums)
+    }
+  }
+
+  /** Manifest paths whose FIRST partition-field summary can overlap
+    * `[lo, hi]` — the manifest-level pruning step a planner runs
+    * BEFORE opening any manifest (a missing summary keeps the
+    * manifest: absent stats never mean "skip"). */
+  def pruneManifests(tableDir: String, lo: Long, hi: Long,
+                     asOfSnapshotId: Option[Long] = None): Seq[String] =
+    manifestSummaries(tableDir, asOfSnapshotId).filter { m =>
+      m.content != 0 || m.partitions.headOption.forall { s =>
+        s.containsNull ||
+          ((s.lower, s.upper) match {
+            case (Some(l), Some(u)) => boundLong(l) <= hi && boundLong(u) >= lo
+            case _ => true
+          })
+      }
+    }.map(_.path)
+
+  /** Read the current snapshot through BOTH pruning levels — skip
+    * manifests by their field summaries WITHOUT opening them, then
+    * files inside the kept manifests by their partition value — and
+    * return the surviving rows. This is the planner walk an Iceberg
+    * engine runs on a partitioned table; at 100 TB the first level is
+    * what keeps scan planning itself sub-linear in file count. */
+  def readPartitionPruned(spark: SparkSession, tableDir: String,
+                          lo: Long, hi: Long): DataFrame = {
+    val kept = pruneManifests(tableDir, lo, hi).toSet
+    val keptFiles = kept.toSeq.sorted.flatMap { mPath =>
+      readAvro(new File(mPath)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 =>
+          e.get("data_file").asInstanceOf[GenericRecord]
+      }.filter { df =>
+        df.get("content").asInstanceOf[Int] == 0 && {
+          val pRec = df.get("partition").asInstanceOf[GenericRecord]
+          pRec.getSchema.getFields.asScala.headOption
+            .map(f => pRec.get(f.name())).forall {
+              case null => true
+              case i: java.lang.Integer => i >= lo && i <= hi
+              case l: java.lang.Long => l >= lo && l <= hi
+              case _ => true
+            }
+        }
+      }.map(_.get("file_path").toString)
+    }
+    require(keptFiles.nonEmpty, "no files survive partition pruning")
+    spark.read.parquet(keptFiles: _*)
   }
 
   /** Publish a `DeltaSegments` table as ONE merge-on-read snapshot:
@@ -944,13 +1279,23 @@ object IcebergMetadata {
       readAvro(new File(mf.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
           val df = e.get("data_file").asInstanceOf[GenericRecord]
+          // decode the partition tuple (r102) in writer-schema field
+          // order; Avro Utf8 → String so callers compare naturally
+          val pRec = df.get("partition").asInstanceOf[GenericRecord]
+          val pVals = pRec.getSchema.getFields.asScala.toSeq.map { f =>
+            pRec.get(f.name()) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case v => v
+            }
+          }
           DataFileStat(df.get("file_path").toString,
             e.get("sequence_number").asInstanceOf[Long],
             df.get("content").asInstanceOf[Int],
             df.get("record_count").asInstanceOf[Long],
             ColStats(longMap(df, "column_sizes"), longMap(df, "value_counts"),
               longMap(df, "null_value_counts"), bytesMap(df, "lower_bounds"),
-              bytesMap(df, "upper_bounds")))
+              bytesMap(df, "upper_bounds")),
+            pVals)
       }
     }
   }

@@ -475,6 +475,53 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept < all, s"expected pruning: $kept of $all")
   }
 
+  test("publishPartitioned: spec in metadata.json, partition tuples in manifests, list summaries prune whole manifests, two-level read matches") {
+    import org.apache.spark.sql.functions._
+    val ice = Files.createTempDirectory("graft_part").toString
+    // 40 ids → day values 0..39 via a synthetic date column
+    val df = spark.range(200).select(
+      col("id"),
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        (col("id") % 40).cast("int")).as("d"),
+      (col("id") * 2).as("v"))
+    val c = IcebergMetadata.publishPartitioned(spark, ice, df,
+      "/{d,day}", groupSize = 10)
+    assert(c.addedFiles == 40 && c.addedRows == 200)
+
+    // metadata.json carries the real spec
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val sf = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(sf.get("name").asText == "d_day")
+    assert(sf.get("transform").asText == "day")
+    assert(sf.get("field-id").asInt == 1000)
+    assert(meta.get("last-partition-id").asInt == 1000)
+
+    // 4 manifests of 10 contiguous day values each, summaries decoded
+    val sums = IcebergMetadata.manifestSummaries(ice)
+    assert(sums.length == 4)
+    val ranges = sums.map { m =>
+      val s = m.partitions.head
+      assert(!s.containsNull)
+      (IcebergMetadata.boundLong(s.lower.get),
+        IcebergMetadata.boundLong(s.upper.get))
+    }.sorted
+    assert(ranges == Seq((0L, 9L), (10L, 19L), (20L, 29L), (30L, 39L)))
+
+    // manifest entries carry the tuple; data files keep the source cols
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.length == 40)
+    assert(stats.flatMap(_.partition).map(_.asInstanceOf[Int]).sorted ==
+      (0 until 40))
+    // manifest-level pruning: [12, 27] keeps exactly 2 of 4 manifests
+    assert(IcebergMetadata.pruneManifests(ice, 12, 27).length == 2)
+    // the two-level pruned read equals the predicate on the raw frame
+    val got = IcebergMetadata.readPartitionPruned(spark, ice, 12, 27)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = df.where((col("id") % 40).between(12, 27))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want) && got.length == 80)
+  }
+
   test("type promotion keeps the field id and widens the type (int→long, float→double); illegal change renumbers") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft_icepromo").toString
