@@ -650,6 +650,26 @@ object SparkEntry {
         element_at(img, 4).cast("double").as("value"))
     }),
 
+    // ---- C4 binlog TRANSACTION_PAYLOAD (MySQL 8
+    //      binlog_transaction_compression=ON): every transaction is a
+    //      zstd-compressed envelope holding its complete inner events
+    //      (TABLE_MAP included); decodes to the same rows as the
+    //      uncompressed stream ----
+    "q_cdc_binlog_compressed" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val decoded = Binlog.decode(
+        ChangeLogFixture.binlogCompressedLog(ev), "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.select(
+        col("kind"), col("table"), col("pos"),
+        timestamp_seconds(col("ts_sec")).as("ts"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 2).cast("long").as("user_id"),
+        element_at(img, 3).as("event_type"),
+        element_at(img, 4).cast("double").as("value"))
+    }),
+
     // ---- C4 binlog GTID events: "uuid:gno" transaction identity and
     //      microsecond commit timestamps override the second-precision
     //      header ts on subsequent rows events ----
@@ -2108,6 +2128,15 @@ object SparkEntry {
         |FROM events WHERE event_id < 2000""".stripMargin,
 
     "q_cdc_binlog" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  'events' AS "table", event_id AS pos,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // same truth as q_cdc_binlog: compression must be invisible
+    "q_cdc_binlog_compressed" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  'events' AS "table", event_id AS pos,

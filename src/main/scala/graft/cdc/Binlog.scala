@@ -952,6 +952,36 @@ object Binlog {
     out
   }
 
+  /** TRANSACTION_PAYLOAD_EVENT (type 40): the MySQL 8
+    * `binlog_transaction_compression=ON` envelope — [field-type,
+    * field-size, field-value] TLVs (compression type = 2, uncompressed
+    * size = 3, both values net_field_length-coded), the
+    * OTW_PAYLOAD_HEADER_END_MARK, then the transaction's complete inner
+    * events concatenated and zstd-compressed (raw when
+    * `compress=false` — compression type NONE). Inner events carry no
+    * checksums regardless of the outer stream's setting. Fixture/test
+    * side of [[Binlog.StreamDecoder]]'s decodePayload. */
+  def encodePayload(inner: Seq[Array[Byte]], tsSec: Long = 0L,
+                    compress: Boolean = true): Array[Byte] = {
+    val raw = inner.foldLeft(Array.empty[Byte])(_ ++ _)
+    val payload =
+      if (compress) com.github.luben.zstd.Zstd.compress(raw, 3) else raw
+    val body = ByteBuffer.allocate(payload.length + 64)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def tlv(t: Long, v: Long): Unit = {
+      putLenEnc(body, t)
+      val tmp = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+      putLenEnc(tmp, v); tmp.flip()
+      putLenEnc(body, tmp.remaining())
+      body.put(tmp)
+    }
+    tlv(2, if (compress) 0L else 255L) // ZSTD = 0, NONE = 255
+    if (compress) tlv(3, raw.length.toLong)
+    putLenEnc(body, 0) // OTW_PAYLOAD_HEADER_END_MARK
+    body.put(payload)
+    finish(TransactionPayloadEvent, tsSec, body)
+  }
+
   /** GTID_LOG_EVENT with an immediate_commit_timestamp (top bit clear →
     * original == immediate, the common same-server-commit case).
     * `uuid` is the canonical dashed form. Fixture/test side. */

@@ -79,6 +79,40 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → binlog stream under `binlog_transaction_compression=ON`
+    * (MySQL 8.0.20+): every transaction ships as a TRANSACTION_PAYLOAD
+    * envelope whose zstd-compressed payload holds the complete inner
+    * events. The TABLE_MAP rides inside the first envelope per
+    * partition, exactly where the server puts it. Decodes to the same
+    * rows as [[binlogLog]]. */
+  def binlogCompressedLog(events: DataFrame): DataFrame = {
+    val src = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_seconds(col("ts")).as("ts_s"))
+    val colTypes = Array(8, 8, 15, 5)
+    val colMeta = Array(0, 0, 255, 8)
+    val names = Seq("event_id", "user_id", "event_type", "value")
+    src.mapPartitions { it =>
+      val tm = Binlog.encodeTableMap(42L, "mydb", "events", colTypes,
+        colMeta, names)
+      var first = true
+      it.map { r =>
+        val vals = Seq(r.getLong(0).toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString)
+        val ts = r.getLong(4)
+        val ev = r.getString(2) match {
+          case "error" =>
+            Binlog.encodeDelete(42L, colTypes, colMeta, ts, Seq(vals))
+          case "purchase" =>
+            Binlog.encodeUpdate(42L, colTypes, colMeta, ts, Seq((vals, vals)))
+          case _ =>
+            Binlog.encodeWrite(42L, colTypes, colMeta, ts, Seq(vals))
+        }
+        val inner = if (first) { first = false; Seq(tm, ev) } else Seq(ev)
+        Row(r.getLong(0), Binlog.encodePayload(inner, ts))
+      }
+    }(Encoders.row(logSchema))
+  }
+
   /** events → binlog stream where every transaction is preceded by a
     * GTID event carrying a microsecond commit timestamp (MySQL 8.0.1+)
     * — rows events inherit it, matching the reference's

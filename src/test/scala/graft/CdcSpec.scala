@@ -257,6 +257,35 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post2.tsMicros == 1700000002000000L)
   }
 
+  test("binlog: TRANSACTION_PAYLOAD envelope (zstd + uncompressed) decodes inner events; CRC outer stream leaves inner events checksum-free") {
+    import graft.cdc.Binlog
+    val types = Array(8, 15); val meta = Array(0, 255)
+    val tm = Binlog.encodeTableMap(30L, "db", "p", types, meta,
+      Seq("id", "s"))
+    val w1 = Binlog.encodeWrite(30L, types, meta, 100L, Seq(Seq("1", "a")))
+    val w2 = Binlog.encodeUpdate(30L, types, meta, 100L,
+      Seq((Seq("1", "a"), Seq("1", "b"))))
+    // one envelope holding the whole transaction, zstd-compressed
+    val dec = new Binlog.StreamDecoder
+    val out = dec.decode(
+      Binlog.encodePayload(Seq(tm, w1, w2), 100L), 7L).toSeq
+    assert(out.map(_.kind) == Seq("insert", "update"))
+    assert(out.head.after == Seq("1", "a"))
+    assert(out(1).after == Seq("1", "b"))
+    // compression type NONE (raw payload) decodes identically
+    val dec2 = new Binlog.StreamDecoder
+    val raw = dec2.decode(
+      Binlog.encodePayload(Seq(tm, w1, w2), 100L, compress = false), 7L).toSeq
+    assert(raw.map(_.after) == out.map(_.after))
+    // on a CRC32-checksummed stream the OUTER envelope is checksummed
+    // but the inner events are not — the decoder must strip only once
+    val dec3 = new Binlog.StreamDecoder
+    dec3.decode(Binlog.encodeFde(checksumAlg = 1), 0L)
+    val out3 = dec3.decode(
+      Binlog.withCrc32(Binlog.encodePayload(Seq(tm, w1, w2), 100L)), 8L).toSeq
+    assert(out3.map(_.after) == out.map(_.after))
+  }
+
   test("binlog: CRC32-checksummed stream (FDE-announced) verifies and strips; corruption throws") {
     import graft.cdc.Binlog
     val types = Array(8, 15); val meta = Array(0, 255)
