@@ -298,8 +298,16 @@ object SparkEntry {
     "q_rowid_scan" -> ((s, dir) => {
       val heap = LocatorScan.syntheticOracleHeap(
         t(s, dir, "events").where(col("event_id") < 10000), "event_id")
-      LocatorScan.oracleScanChunked(heap, "event_id", blocksPerChunk = 8)
-        .select("rowid", "event_id", "user_id", "value")
+      // the full DBMS_PARALLEL_EXECUTE verb sequence (create_task →
+      // create_chunks_by_rowid → user_parallel_execute_chunks retrieval
+      // → drop_task), retrieval rows parsed the reference's way (start
+      // ROWIDs only, half-open tiling) — the audit trail of rendered
+      // SQL is shape-asserted inside, so an Oracle deployment replays
+      // these strings verbatim
+      val (scanned, audit) = LocatorScan.oracleScanViaParallelExecute(
+        heap, "NS", "T", blocksPerChunk = 8)
+      require(audit.length >= 5, "missing rendered SQL audit trail")
+      scanned.select("rowid", "event_id", "user_id", "value")
     }),
 
     "q_physloc_scan" -> ((s, dir) => {

@@ -103,6 +103,70 @@ object LocatorScan {
     ranges.map(oracleScan(heap, _)).reduce(_ unionAll _)
   }
 
+  /** One `user_parallel_execute_chunks` row as the retrieval query
+    * returns it: `SELECT chunk_id, start_rowid, end_rowid ...`. */
+  case class PeChunk(chunkId: Int, startRowid: String, endRowid: String)
+
+  /** Simulate the server side of
+    * `DBMS_PARALLEL_EXECUTE.create_chunks_by_rowid(by_row => FALSE,
+    * chunk_size => blocksPerChunk)`: Oracle tiles the segment's BLOCKS
+    * (not rows) into ranges and materializes one
+    * `user_parallel_execute_chunks` row per range with inclusive
+    * start/end ROWIDs. Block extent comes from the heap (bounded
+    * planner metadata, like the existing boundary walks). */
+  def oracleParallelExecuteChunks(heap: DataFrame, blocksPerChunk: Long,
+                                  rowsPerBlock: Int = 226,
+                                  obj: Long = 77, file: Long = 4)
+      : Seq[PeChunk] = {
+    val maxBlock = heap.agg(max(col("_block"))).head().getLong(0)
+    (0L to maxBlock by blocksPerChunk).zipWithIndex.map { case (start, i) =>
+      PeChunk(i + 1,
+        encodeRowid(obj, file, start, 0),
+        encodeRowid(obj, file,
+          math.min(start + blocksPerChunk, maxBlock + 1) - 1,
+          rowsPerBlock - 1))
+    }
+  }
+
+  /** The reference's `splitViaRowId` end-to-end
+    * (`drivers/oracle/internal/backfill.go:207-258` +
+    * `pkg/jdbc/jdbc.go:1160-1187`): render the four
+    * DBMS_PARALLEL_EXECUTE verbs, "execute" the retrieval against the
+    * simulated chunk table, keep only the start ROWIDs
+    * (`buildChunksFromStartRowIDs`, backfill.go:261-285 — the end
+    * ROWIDs are discarded so chunks tile half-open with open leading/
+    * trailing ranges), then render + run each chunk scan. Returns the
+    * union of chunk scans plus the rendered SQL audit trail. */
+  def oracleScanViaParallelExecute(heap: DataFrame, ns: String,
+                                   name: String, blocksPerChunk: Long)
+      : (DataFrame, Seq[String]) = {
+    val task = s"chunk_${ns}_${name}_fixture"
+    val verbs = Seq(
+      ChunkSql.oracleCreateTask(task),
+      ChunkSql.oracleCreateChunksByRowId(task, ns, name, blocksPerChunk),
+      ChunkSql.oracleRetrieveChunks(task),
+      ChunkSql.oracleDropTask(task))
+    require(verbs(0).contains("DBMS_PARALLEL_EXECUTE.create_task('" +
+      task + "')"), s"bad create_task: ${verbs(0)}")
+    require(verbs(1).contains("create_chunks_by_rowid") &&
+      verbs(1).contains("by_row => FALSE") &&
+      verbs(1).contains(s"chunk_size => $blocksPerChunk"),
+      s"bad create_chunks: ${verbs(1)}")
+    require(verbs(2).startsWith(
+      "SELECT chunk_id, start_rowid, end_rowid FROM " +
+        "user_parallel_execute_chunks") &&
+      verbs(2).endsWith("ORDER BY chunk_id"),
+      s"bad retrieval: ${verbs(2)}")
+    val rows = oracleParallelExecuteChunks(heap, blocksPerChunk)
+    val starts = rows.sortBy(_.chunkId).map(_.startRowid)
+    val bounds = (None +: starts.map(Option(_))).zip(
+      starts.map(Option(_)) :+ None)
+    val scans = bounds.map { case (lo, hi) =>
+      ChunkSql.oracleRowIdChunkScanQuery(ns, name, lo, hi)
+    }
+    (scans.map(oracleScan(heap, _)).reduce(_ unionAll _), verbs ++ scans)
+  }
+
   // ---- MSSQL %%physloc%% (S8) -------------------------------------------
 
   /** Hex image of the 8-byte physloc `page(4 LE) file(2 LE) slot(2 LE)`

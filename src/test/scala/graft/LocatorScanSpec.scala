@@ -54,6 +54,30 @@ class LocatorScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.toSeq == (226L until 452L)) // block 1 exactly
   }
 
+  test("oracle DBMS_PARALLEL_EXECUTE: retrieval rows parsed the reference's way, union tiles, verbs rendered") {
+    import spark.implicits._
+    val heap = LocatorScan.syntheticOracleHeap((0L until 2000L).toDF("id"), "id")
+    // simulated user_parallel_execute_chunks rows: inclusive block
+    // ranges, chunk_id ordered
+    val rows = LocatorScan.oracleParallelExecuteChunks(heap, blocksPerChunk = 3)
+    assert(rows.map(_.chunkId) == (1 to rows.length))
+    assert(rows.head.startRowid == LocatorScan.encodeRowid(77, 4, 0, 0))
+    // end_rowid is the INCLUSIVE last slot of the chunk's block range
+    assert(rows.head.endRowid == LocatorScan.encodeRowid(77, 4, 2, 225))
+    // the full verb sequence + half-open tiling from start ROWIDs only
+    val (scanned, audit) = LocatorScan.oracleScanViaParallelExecute(
+      heap, "NS", "T", blocksPerChunk = 3)
+    val all = scanned.select("id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == (0L until 2000L)) // no gaps, no dups
+    assert(audit.exists(_.contains("DBMS_PARALLEL_EXECUTE.create_task")))
+    assert(audit.exists(_.contains("create_chunks_by_rowid")))
+    assert(audit.exists(_.startsWith(
+      "SELECT chunk_id, start_rowid, end_rowid FROM user_parallel_execute_chunks")))
+    assert(audit.exists(_.contains("DBMS_PARALLEL_EXECUTE.drop_task")))
+    // one rendered chunk scan per half-open range (n starts → n+1 ranges)
+    assert(audit.count(_.startsWith("SELECT * FROM")) == rows.length + 1)
+  }
+
   test("mssql physloc: hex image preserves bytewise order; (lo, hi] union tiles") {
     import spark.implicits._
     val heap = LocatorScan.syntheticMssqlHeap((0L until 2000L).toDF("id"), "id")
