@@ -1332,6 +1332,28 @@ object SparkEntry {
       rows.toDF("p_lo", "p_hi", "n_files", "n_rows", "selected")
     }),
 
+    // ---- K2+K5 partition-pruned READ, gate-backed: the two-level
+    //      planner walk (skip manifests by field summary, then files
+    //      by partition value) must return exactly the predicate's
+    //      rows — DuckDB recomputes the same 10-day window from the
+    //      raw events table. Proves pruning never drops a live row. ----
+    "q_iceberg_partition_read" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_partread_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val ice = s"$root/ice"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      IcebergMetadata.publishPartitioned(s, ice, ev, "/{ts,day}",
+        groupSize = 6)
+      IcebergMetadata.readPartitionPruned(s, ice, 19730L, 19739L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+    }),
+
     // ---- K6 2PC commit analog, gate-backed: two CDC batches publish
     // Iceberg snapshots whose summaries carry the committed position
     // state (stream, batchId, lsn, dedup_inserts — the reference's
@@ -2476,6 +2498,13 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_prune_gate/data/*.parquet',
         |                  filename=true)
         |GROUP BY filename""".stripMargin,
+
+    // the two-level pruned read = the same 10-day window on raw events
+    "q_iceberg_partition_read" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |  BETWEEN 19730 AND 19739""".stripMargin,
 
     // the manifest-list partition field-summaries re-derived from the
     // events table itself: per day-value group of 6 (sorted), the

@@ -44,6 +44,19 @@ object ScaleCheck {
     replicate("documents", Seq("doc_id"))
     replicate("events", Seq("event_id", "user_id"))
     replicate("embeddings", Seq("vec_id"))
+    // a TIME-spread events replica for the partition-planning tier:
+    // each copy shifted +30 days so the day-partition COUNT scales 10×
+    // (the plain replica keeps all copies inside the same 30 days)
+    locally {
+      val out = s"$big/events_spread.parquet"
+      if (!new java.io.File(out).exists) {
+        val src = Tables.load(spark, base, "events")
+        (0 until 10).map { i =>
+          src.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+            .withColumn("ts", col("ts") + expr(s"make_interval(0,0,0,${i * 30})"))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
+      }
+    }
 
     val canonicalRounds = scala.collection.mutable.Map.empty[String, Int]
     // result-row counts per (label, op): the LSH tiers' candidate
@@ -121,6 +134,27 @@ object ScaleCheck {
         "backfill_write" -> time(s"$label backfill_write") {
           SystemColumns.attach(li, Seq("l_orderkey", "l_linenumber"), "r")
             .write.mode("overwrite").parquet(s"$out/b") },
+        // partitioned-table PLANNING: a fixed 10-day predicate window
+        // while the table's day span (and so manifest/file count)
+        // scales 10×. The publish is the one-time linear build; FULL
+        // planning opens every manifest (expect ~10×); PRUNED planning
+        // reads only the manifest-list summaries plus the ~constant
+        // overlapping manifests (expect ~flat) — the property that
+        // keeps scan planning itself sub-linear on a 100 TB table.
+        "ice_part_publish" -> time(s"$label ice_part_publish") {
+          val evP =
+            if (sf == base) ev.select("event_id", "ts", "user_id")
+            else spark.read.parquet(s"$big/events_spread.parquet")
+              .select("event_id", "ts", "user_id")
+          graft.sinks.IcebergMetadata.publishPartitioned(spark,
+            s"$out/ice_plan", evP, "/{ts,day}", groupSize = 6) },
+        "ice_plan_full" -> time(s"$label ice_plan_full") {
+          counts(s"$label ice_plan_full") = graft.sinks.IcebergMetadata
+            .dataFileStats(s"$out/ice_plan").length },
+        "ice_plan_pruned" -> time(s"$label ice_plan_pruned") {
+          counts(s"$label ice_plan_pruned") = graft.sinks.IcebergMetadata
+            .readPartitionPruned(spark, s"$out/ice_plan", 19730L, 19739L)
+            .inputFiles.length },
         "exact_dedup" -> time(s"$label exact_dedup") {
           Dedup.exact(docs, "text", "doc_id").count() },
         "minhash_pairs" -> time(s"$label minhash_pairs") {
