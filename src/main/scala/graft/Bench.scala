@@ -266,12 +266,12 @@ object Bench {
       .map { case (k, v) => s""""${k.stripPrefix("q_")}":${"%.1f".format(v)}""" }
       .mkString("{", ",", "}")
     // the headline line can't carry all ~50 secondary entries under the
-    // ~2000-char capture, so it inlines the TOP-24 slowest (the ones
-    // worth reading) plus the summed remainder; the full map still gets
-    // its own metric line below
-    val topSecondary = {
+    // ~2000-char capture, so the fallback inlines as many of the
+    // SLOWEST entries as fit (plus the summed remainder); the full map
+    // still gets its own metric line below
+    def secondaryDigest(n: Int): String = {
       val sorted = secondaryTimes.toSeq.sortBy(-_._2)
-      val (top, rest) = sorted.splitAt(24)
+      val (top, rest) = sorted.splitAt(n)
       val entries = top.sortBy(_._1).map { case (k, v) =>
         s""""${k.stripPrefix("q_")}":${"%.1f".format(v)}""" } ++
         (if (rest.isEmpty) Nil
@@ -294,11 +294,14 @@ object Bench {
     // ~2000-char capture window (r7 verdict nit: parsed.secondary={})
     println(s"""{"metric":"secondary","queries":$js,"unit":"sec"}""")
     // overflow guard for the headline itself: the full secondary map
-    // when it fits, else the top-24 digest, else empty — never an
-    // overflowing line (the driver's parser keeps the final ~2000 chars)
-    if (line(js).length <= 1950) println(line(js))
-    else if (line(topSecondary).length <= 1950) println(line(topSecondary))
-    else println(line("{}"))
+    // when it fits, else the largest slowest-first digest that does —
+    // never an overflowing line (the driver's parser keeps the final
+    // ~2000 chars, minus the build tool's trailing success line)
+    val budget = 1880
+    if (line(js).length <= budget) println(line(js))
+    else println(line(
+      (secondaryTimes.size to 0 by -1).view.map(secondaryDigest)
+        .find(d => line(d).length <= budget).getOrElse("{}")))
     spark.stop()
   }
 }
