@@ -1354,6 +1354,49 @@ object SparkEntry {
           col("ts"))
     }),
 
+    // ---- K2+K3+K5 PARTITIONED merge-on-read, gate-backed: a CDC
+    //      table (unpartitioned base at spec 0 + day(ts)-partitioned
+    //      upsert/delete segments at spec 1, global eq-deletes) reads
+    //      back partition-pruned; DuckDB independently replays the
+    //      merge (update wins, delete removes) restricted to the same
+    //      10-day window. Equal rows = multi-spec pruning never drops
+    //      a live row and deletes apply across partitions. ----
+    "q_iceberg_mor_partitioned" -> ((s, dir) => {
+      import graft.operators.SystemColumns
+      val root = new java.io.File("/tmp/graft_morpart_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val table = s"$root/table"; val ice = s"$root/ice"
+      val ev = t(s, dir, "events").select(
+        col("event_id").cast("string").as(SystemColumns.OlakeId),
+        col("event_id"), col("ts"), col("user_id"), col("value"))
+      ev.where(col("event_id") < 4000)
+        .repartitionByRange(4, col("event_id"))
+        .write.parquet(s"$table/base")
+      // segment 1: update keys < 2000 (value doubles, ts unchanged)
+      graft.sinks.DeltaSegments.writeSegment(
+        ev.where(col("event_id") < 2000)
+          .withColumn("value", col("value") * 2)
+          .withColumn(SystemColumns.OpType, lit("u"))
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 1L)
+      // segment 2: delete keys 3000..3999
+      graft.sinks.DeltaSegments.writeSegment(
+        ev.where(col("event_id") >= 3000 && col("event_id") < 4000)
+          .withColumn(SystemColumns.OpType, lit("d"))
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 2L)
+      IcebergMetadata.publishMoR(s, ice, table,
+        partitionRegex = Some("/{ts,day}"))
+      IcebergMetadata.readMoR(s, ice, partPrune = Some((19730L, 19739L)))
+        .where(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .between(19730, 19739))
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    }),
+
     // ---- K6 2PC commit analog, gate-backed: two CDC batches publish
     // Iceberg snapshots whose summaries carry the committed position
     // state (stream, batchId, lsn, dedup_inserts — the reference's
@@ -2498,6 +2541,18 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_prune_gate/data/*.parquet',
         |                  filename=true)
         |GROUP BY filename""".stripMargin,
+
+    // the partitioned-MoR state replayed from raw events: updates win
+    // (value doubles under 2000), deletes remove 3000..3999, restricted
+    // to the same 10-day window the partition-pruned read served
+    "q_iceberg_mor_partitioned" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id < 2000 THEN value * 2 ELSE value END AS value,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE event_id < 3000
+        |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    BETWEEN 19730 AND 19739""".stripMargin,
 
     // the two-level pruned read = the same 10-day window on raw events
     "q_iceberg_partition_read" ->

@@ -400,7 +400,8 @@ object IcebergMetadata {
   private def writeManifest(md: File, entries: Seq[FileEntry],
                             snapshotId: Long, schemaStr: String,
                             content: String, index: Int,
-                            parts: Seq[PartSpecField] = Nil): File = {
+                            parts: Seq[PartSpecField] = Nil,
+                            specId: Int = 0): File = {
     val entrySchema = if (parts.isEmpty) manifestEntrySchema
       else entrySchemaFor(parts)
     val f = new File(md, s"${java.util.UUID.randomUUID()}-m$index.avro")
@@ -408,7 +409,7 @@ object IcebergMetadata {
       new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("schema", stripInternal(schemaStr))
     w.setMeta("partition-spec", partSpecJson(parts))
-    w.setMeta("partition-spec-id", "0")
+    w.setMeta("partition-spec-id", specId.toString)
     w.setMeta("format-version", "2")
     w.setMeta("content", content)
     w.create(entrySchema, f)
@@ -507,13 +508,21 @@ object IcebergMetadata {
         ordered.map { case (_, hi) => serializePartValue(p.avroType, hi) })
     }
 
-  /** Write the manifest list: one row per manifest.
-    * (file, listContent 0=data/1=deletes, entries). On a partitioned
-    * table each DATA manifest row also carries the `partitions`
+  /** One manifest headed for the manifest list: `content` 0 data /
+    * 1 deletes, plus the partition spec its entries were written under
+    * (`parts` empty = unpartitioned; a multi-spec table mixes both —
+    * e.g. an unpartitioned base at spec 0 and partitioned CDC segments
+    * at spec 1). */
+  private case class ManifestOut(file: File, content: Int,
+                                 entries: Seq[FileEntry],
+                                 parts: Seq[PartSpecField] = Nil,
+                                 specId: Int = 0)
+
+  /** Write the manifest list: one row per manifest. A manifest written
+    * under a partitioned spec also carries the `partitions`
     * field-summary list computed over its entries. */
   private def writeManifestList(md: File, snapshotId: Long,
-                                manifests: Seq[(File, Int, Seq[FileEntry])],
-                                parts: Seq[PartSpecField] = Nil)
+                                manifests: Seq[ManifestOut])
       : File = {
     val f = new File(md,
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
@@ -521,12 +530,13 @@ object IcebergMetadata {
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setMeta("format-version", "2")
     w.create(manifestFileSchema, f)
-    try manifests.foreach { case (mf, content, entries) =>
+    try manifests.foreach { mo =>
+      val entries = mo.entries
       val m = new GenericData.Record(manifestFileSchema)
-      m.put("manifest_path", mf.getAbsolutePath)
-      m.put("manifest_length", mf.length())
-      m.put("partition_spec_id", 0)
-      m.put("content", content)
+      m.put("manifest_path", mo.file.getAbsolutePath)
+      m.put("manifest_length", mo.file.length())
+      m.put("partition_spec_id", mo.specId)
+      m.put("content", mo.content)
       m.put("sequence_number", entries.map(_.seq).max)
       m.put("min_sequence_number", entries.map(_.seq).min)
       m.put("added_snapshot_id", snapshotId)
@@ -536,12 +546,12 @@ object IcebergMetadata {
       m.put("added_rows_count", entries.map(_.rows).sum)
       m.put("existing_rows_count", 0L)
       m.put("deleted_rows_count", 0L)
-      if (parts.nonEmpty && content == 0) {
+      if (mo.parts.nonEmpty) {
         val arrSchema = manifestFileSchema.getField("partitions")
           .schema().getTypes.get(1)
         val itemSchema = arrSchema.getElementType
-        val arr = new GenericData.Array[GenericRecord](parts.size, arrSchema)
-        partSummaries(parts, entries).foreach { s =>
+        val arr = new GenericData.Array[GenericRecord](mo.parts.size, arrSchema)
+        partSummaries(mo.parts, entries).foreach { s =>
           val r = new GenericData.Record(itemSchema)
           r.put("contains_null", s.containsNull)
           s.lower.foreach(b =>
@@ -564,7 +574,8 @@ object IcebergMetadata {
                                 operation: String,
                                 summary: Map[String, String],
                                 addedFiles: Int, addedRows: Long,
-                                parts: Seq[PartSpecField] = Nil): Int = {
+                                specs: Seq[Seq[PartSpecField]] = Seq(Nil))
+      : Int = {
     val md = metaDir(tableDir)
     val prev = currentMetadata(tableDir)
     val version = prev.map(_._1).getOrElse(0) + 1
@@ -679,17 +690,23 @@ object IcebergMetadata {
       } else evolved
       schemasArr.add(node): Unit
     }
-    root.put("default-spec-id", 0)
-    val spec = root.putArray("partition-specs").addObject()
-    spec.put("spec-id", 0)
-    val specFields = spec.putArray("fields")
-    parts.zipWithIndex.foreach { case (p, i) =>
-      val fNode = specFields.addObject()
-      fNode.put("name", p.name); fNode.put("transform", p.transform)
-      fNode.put("source-id", p.sourceId); fNode.put("field-id", 1000 + i)
+    // the LAST spec is the default (a table that evolved from an
+    // unpartitioned base to partitioned writes lists both; spec-ids
+    // are the list positions)
+    root.put("default-spec-id", specs.length - 1)
+    val specArr = root.putArray("partition-specs")
+    specs.zipWithIndex.foreach { case (parts, sid) =>
+      val spec = specArr.addObject()
+      spec.put("spec-id", sid)
+      val specFields = spec.putArray("fields")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val fNode = specFields.addObject()
+        fNode.put("name", p.name); fNode.put("transform", p.transform)
+        fNode.put("source-id", p.sourceId); fNode.put("field-id", 1000 + i)
+      }
     }
     // spec: 1000 is the first partition field id
-    root.put("last-partition-id", 999 + parts.size)
+    root.put("last-partition-id", 999 + specs.map(_.size).max)
     root.put("default-sort-order-id", 0)
     val order = root.putArray("sort-orders").addObject()
     order.put("order-id", 0); order.putArray("fields")
@@ -765,7 +782,7 @@ object IcebergMetadata {
     val manifest = writeManifest(md, entries, snapshotId, schemaStr,
       "data", 0)
     val list = writeManifestList(md, snapshotId,
-      Seq((manifest, 0, entries)))
+      Seq(ManifestOut(manifest, 0, entries)))
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, operation, summary, entries.length, entries.map(_.rows).sum)
     Commit(version, snapshotId, seq, manifest.getAbsolutePath,
@@ -788,55 +805,58 @@ object IcebergMetadata {
     * `__p_<name>=<value>` dirs (the `__p_` prefix keeps identity
     * source columns IN the data files, as the spec expects — the
     * partition tuple is derived metadata, not a dropped column). */
-  def publishPartitioned(spark: SparkSession, tableDir: String,
-                         df: DataFrame, partitionRegex: String,
-                         groupSize: Int = 8,
-                         summary: Map[String, String] = Map.empty): Commit = {
-    import PartitionTransforms.{parseRegex, withPartitionColumns, PartitionField}
-    val md = metaDir(tableDir)
-    md.mkdirs()
-    require(currentMetadata(tableDir).isEmpty,
-      s"publishPartitioned writes the FIRST snapshot; $tableDir has history")
-    val fields = parseRegex(partitionRegex)
-    require(fields.nonEmpty, s"no partition fields in '$partitionRegex'")
-    val schemaStr = schemaJson(df.schema)
+  /** Resolve a parsed partition-regex field list against a frame's
+    * schema into spec fields (transform result type + source ids). */
+  private def specFieldsFor(schema: StructType, schemaStr: String,
+                            fields: Seq[PartitionTransforms.PartitionField])
+      : Seq[PartSpecField] = {
     val argRe = """(bucket|truncate)\[(\d+)\]""".r
-    def avroTypeOf(f: PartitionField): String = f.transform match {
-      case "year" | "month" | "day" | "hour" => "int"
-      case argRe("bucket", _) => "int"
-      case argRe("truncate", _) =>
-        if (df.schema(f.column).dataType == StringType) "string" else "long"
-      case "identity" => df.schema(f.column).dataType match {
-        case IntegerType => "int"
-        case LongType => "long"
-        case StringType => "string"
-        case other => throw new IllegalArgumentException(
-          s"identity partition on unsupported type $other")
+    def avroTypeOf(f: PartitionTransforms.PartitionField): String =
+      f.transform match {
+        case "year" | "month" | "day" | "hour" => "int"
+        case argRe("bucket", _) => "int"
+        case argRe("truncate", _) =>
+          if (schema(f.column).dataType == StringType) "string" else "long"
+        case "identity" => schema(f.column).dataType match {
+          case IntegerType => "int"
+          case LongType => "long"
+          case StringType => "string"
+          case other => throw new IllegalArgumentException(
+            s"identity partition on unsupported type $other")
+        }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported transform $other")
       }
-      case other =>
-        throw new IllegalArgumentException(s"unsupported transform $other")
-    }
-    val parts = fields.map(f => PartSpecField(
+    fields.map(f => PartSpecField(
       (if (f.transform == "identity") s"${f.column}_id" else f.outputName),
       avroTypeOf(f), fieldId(schemaStr, f.column), f.transform))
+  }
+
+  /** Write `df` under hive-style `__p_<name>=<value>` dirs — one file
+    * per partition tuple (at real scale the same layout comes from
+    * repartitioning on the transform columns, whatever the file count
+    * per tuple). The `__p_` prefix keeps identity source columns IN
+    * the data files; the transform's own output column is dropped so
+    * files hold exactly the source schema. */
+  private def writePartitionedFiles(df: DataFrame,
+                                    fields: Seq[PartitionTransforms.PartitionField],
+                                    parts: Seq[PartSpecField],
+                                    destDir: String): Unit = {
+    import PartitionTransforms.withPartitionColumns
     val dirCols = parts.map(p => s"__p_${p.name}")
-    // computed partition columns under __p_ names; the transform's own
-    // output column is dropped again so data files hold EXACTLY the
-    // source schema (identity's outputName IS the source column — kept)
     val withP = fields.zip(dirCols).foldLeft(df) { case (acc, (f, pc)) =>
       val added = withPartitionColumns(acc, Seq(f))
       val renamed = added.withColumn(pc, col(f.outputName))
       if (f.transform == "identity") renamed else renamed.drop(f.outputName)
     }
-    val dataRoot = new File(tableDir, "data")
-    // one task per partition tuple → exactly one file per tuple; at
-    // real scale the same layout comes from repartitioning on the
-    // transform columns, whatever the file count per tuple
     withP.repartition(dirCols.map(col): _*)
       .write.mode("errorifexists").partitionBy(dirCols: _*)
-      .parquet(dataRoot.getPath)
+      .parquet(destDir)
+  }
 
-    // walk the hive-style dirs back into (partition tuple, leaf dir)
+  /** Walk hive-style dirs back into (partition tuple, leaf dir). */
+  private def partitionedLeaves(root: File, parts: Seq[PartSpecField])
+      : Seq[(Seq[Any], File)] = {
     def leaves(dir: File, tuple: List[Any]): Seq[(Seq[Any], File)] =
       if (tuple.length == parts.length) Seq((tuple.reverse, dir))
       else Option(dir.listFiles()).getOrElse(Array.empty)
@@ -853,9 +873,27 @@ object IcebergMetadata {
             }
           leaves(sub, v :: tuple)
         }
+    leaves(root, Nil)
+  }
+
+  def publishPartitioned(spark: SparkSession, tableDir: String,
+                         df: DataFrame, partitionRegex: String,
+                         groupSize: Int = 8,
+                         summary: Map[String, String] = Map.empty): Commit = {
+    import PartitionTransforms.parseRegex
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    require(currentMetadata(tableDir).isEmpty,
+      s"publishPartitioned writes the FIRST snapshot; $tableDir has history")
+    val fields = parseRegex(partitionRegex)
+    require(fields.nonEmpty, s"no partition fields in '$partitionRegex'")
+    val schemaStr = schemaJson(df.schema)
+    val parts = specFieldsFor(df.schema, schemaStr, fields)
+    val dataRoot = new File(tableDir, "data")
+    writePartitionedFiles(df, fields, parts, dataRoot.getPath)
     val seq = 1L
     val statIds = topLevelFieldIds(schemaStr)
-    val tuples = leaves(dataRoot, Nil)
+    val tuples = partitionedLeaves(dataRoot, parts)
     require(tuples.nonEmpty, s"no partitioned files under $dataRoot")
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     // sorted tuples → groups of `groupSize` → one manifest per group:
@@ -879,15 +917,15 @@ object IcebergMetadata {
         entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
           partition = tup)
       }
-      (writeManifest(md, entries, snapshotId, schemaStr, "data", i,
-        parts), 0, entries)
+      ManifestOut(writeManifest(md, entries, snapshotId, schemaStr,
+        "data", i, parts), 0, entries, parts)
     }
-    val allEntries = manifests.flatMap(_._3)
-    val list = writeManifestList(md, snapshotId, manifests, parts)
+    val allEntries = manifests.flatMap(_.entries)
+    val list = writeManifestList(md, snapshotId, manifests)
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "append", summary, allEntries.length,
-      allEntries.map(_.rows).sum, parts)
-    Commit(version, snapshotId, seq, manifests.head._1.getAbsolutePath,
+      allEntries.map(_.rows).sum, specs = Seq(parts))
+    Commit(version, snapshotId, seq, manifests.head.file.getAbsolutePath,
       list.getAbsolutePath, allEntries.length, allEntries.map(_.rows).sum)
   }
 
@@ -983,7 +1021,8 @@ object IcebergMetadata {
     * (`olake_2pc`), recoverable via `commitState` — the reference's
     * restart path reads the same property back (iceberg.go:521-545). */
   def publishMoR(spark: SparkSession, tableDir: String, tablePath: String,
-                 summary: Map[String, String] = Map.empty): Commit = {
+                 summary: Map[String, String] = Map.empty,
+                 partitionRegex: Option[String] = None): Commit = {
     import graft.operators.SystemColumns
     val md = metaDir(tableDir)
     md.mkdirs()
@@ -993,6 +1032,16 @@ object IcebergMetadata {
     val eqIds = Seq(fieldId(schemaStr, keyCol))
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val dataCols = viewSchema.fieldNames.toSeq
+    // partitioned tables are MULTI-SPEC: the base published in place
+    // stays at spec 0 (unpartitioned — its layout predates the spec,
+    // exactly Iceberg's partition-spec-evolution story), segment data
+    // files land under spec 1 via the K5 transforms, and delete files
+    // stay at spec 0 so equality deletes apply table-wide (the spec's
+    // global-delete shape; our readMoR algebra is key-scoped, not
+    // partition-scoped)
+    val partFields = partitionRegex
+      .map(PartitionTransforms.parseRegex).getOrElse(Nil)
+    val parts = specFieldsFor(viewSchema, schemaStr, partFields)
 
     val statIds = topLevelFieldIds(schemaStr)
     val base = DeltaSegments.baseDir(tablePath)
@@ -1011,15 +1060,18 @@ object IcebergMetadata {
     // (`expireSnapshots`), never silently orphaned.
     val derived = new File(new File(tableDir, "data"), snapshotId.toString)
     derived.mkdirs()
-    val segEntries = segs.zipWithIndex.flatMap { case (seg, k) =>
+    val segResults = segs.zipWithIndex.map { case (seg, k) =>
       val seq = k + 2L
       val segDf = spark.read.parquet(seg.getPath)
       def projected(df: DataFrame) = df.select(dataCols.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
       val dataDir = new File(derived, s"${seg.getName}-data")
-      projected(segDf.where(col(SystemColumns.OpType) =!=
-          SystemColumns.OpDelete))
-        .write.mode("overwrite").parquet(dataDir.getPath)
+      val liveRows = projected(segDf.where(col(SystemColumns.OpType) =!=
+        SystemColumns.OpDelete))
+      if (parts.isEmpty)
+        liveRows.write.mode("overwrite").parquet(dataDir.getPath)
+      else
+        writePartitionedFiles(liveRows, partFields, parts, dataDir.getPath)
       // intra-batch duplicates (several occurrences of one key in ONE
       // segment) become a POSITIONAL-delete file, exactly the
       // reference Arrow writer's n−1 logic (arrow-writer/writer.go:
@@ -1028,34 +1080,43 @@ object IcebergMetadata {
       // positions come from the parquet files just written
       // (`_metadata.file_path`/`row_index`), so the delete file names
       // real row coordinates, per the spec's position-delete schema.
-      val written = spark.read.parquet(dataDir.getPath).select(
-        col(keyCol),
-        col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos"))
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(keyCol))
-        .orderBy(col("file_path").desc, col("pos").desc)
-      // a key whose LAST in-batch occurrence (tombstones included, in
-      // segment write order) is a delete leaves NO live row: equality
-      // deletes never apply at their own sequence, so its data rows
-      // must die positionally — all n of them, not n−1
-      val lastOp = spark.read.parquet(seg.getPath).select(
-          col(keyCol), col(SystemColumns.OpType).as("__op"),
-          struct(col("_metadata.file_path"),
-            col("_metadata.row_index")).as("__ord"))
-        .groupBy(col(keyCol))
-        .agg(max_by(col("__op"), col("__ord")).as("__last_op"))
-      val deadKeys = lastOp
-        .where(col("__last_op") === SystemColumns.OpDelete)
-        .select(col(keyCol))
-      val losers = written
-        .withColumn("_rn", row_number().over(wOrd))
-        .where(col("_rn") > 1)
-        .select(col("file_path"), col("pos"))
-        .unionByName(written.join(deadKeys, Seq(keyCol), "left_semi")
-          .select(col("file_path"), col("pos")))
-        .distinct()
-      val posEntries =
+      // (a partitioned all-delete segment writes NO data files — hive
+      // layout has no empty-file carrier — so the positional pass has
+      // nothing to read and nothing to kill; eq-deletes do all the work)
+      val dataLeaves =
+        if (parts.isEmpty) Nil else partitionedLeaves(dataDir, parts)
+      val writtenOpt =
+        if (parts.isEmpty) Some(spark.read.parquet(dataDir.getPath))
+        else if (dataLeaves.isEmpty) None
+        else Some(spark.read.parquet(dataLeaves.map(_._2.getPath): _*))
+      val posEntries = writtenOpt.toSeq.flatMap { raw =>
+        val written = raw.select(
+          col(keyCol),
+          col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col("file_path").desc, col("pos").desc)
+        // a key whose LAST in-batch occurrence (tombstones included, in
+        // segment write order) is a delete leaves NO live row: equality
+        // deletes never apply at their own sequence, so its data rows
+        // must die positionally — all n of them, not n−1
+        val lastOp = spark.read.parquet(seg.getPath).select(
+            col(keyCol), col(SystemColumns.OpType).as("__op"),
+            struct(col("_metadata.file_path"),
+              col("_metadata.row_index")).as("__ord"))
+          .groupBy(col(keyCol))
+          .agg(max_by(col("__op"), col("__ord")).as("__last_op"))
+        val deadKeys = lastOp
+          .where(col("__last_op") === SystemColumns.OpDelete)
+          .select(col(keyCol))
+        val losers = written
+          .withColumn("_rn", row_number().over(wOrd))
+          .where(col("_rn") > 1)
+          .select(col("file_path"), col("pos"))
+          .unionByName(written.join(deadKeys, Seq(keyCol), "left_semi")
+            .select(col("file_path"), col("pos")))
+          .distinct()
         if (losers.isEmpty) Nil
         else {
           val posDir = new File(derived, s"${seg.getName}-posdeletes")
@@ -1063,32 +1124,64 @@ object IcebergMetadata {
             .write.mode("overwrite").parquet(posDir.getPath)
           entriesFor(spark, posDir.getPath, seq, content = 1)
         }
+      }
       val delDir = new File(derived, s"${seg.getName}-deletes")
       segDf.select(col(keyCol)).distinct()
         .write.mode("overwrite").parquet(delDir.getPath)
-      entriesFor(spark, dataDir.getPath, seq, fieldIds = statIds) ++
-        posEntries ++
-        entriesFor(spark, delDir.getPath, seq, content = 2,
-          equalityIds = eqIds, fieldIds = statIds)
+      val segDataEntries =
+        if (parts.isEmpty)
+          entriesFor(spark, dataDir.getPath, seq, fieldIds = statIds)
+        else dataLeaves.flatMap { case (tup, dir) =>
+          entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+            partition = tup)
+        }
+      (segDataEntries,
+        posEntries ++ entriesFor(spark, delDir.getPath, seq, content = 2,
+          equalityIds = eqIds, fieldIds = statIds))
     }
 
-    val dataEntries = baseEntries ++ segEntries.filter(_.content == 0)
-    val deleteEntries = segEntries.filter(_.content != 0) // pos + equality
+    val segDataBySeg = segResults.map(_._1)
+    val dataEntries = baseEntries ++ segDataBySeg.flatten
+    val deleteEntries = segResults.flatMap(_._2) // pos + equality
     require(dataEntries.nonEmpty || deleteEntries.nonEmpty,
       s"nothing to publish under $tablePath")
     val seqMax = (dataEntries ++ deleteEntries).map(_.seq).max
     val manifests =
-      Seq((writeManifest(md, dataEntries, snapshotId, schemaStr,
-        "data", 0), 0, dataEntries)) ++
-      (if (deleteEntries.nonEmpty)
-        Seq((writeManifest(md, deleteEntries, snapshotId, schemaStr,
-          "deletes", 1), 1, deleteEntries))
-      else Nil)
+      if (parts.isEmpty)
+        Seq(ManifestOut(writeManifest(md, dataEntries, snapshotId,
+          schemaStr, "data", 0), 0, dataEntries)) ++
+        (if (deleteEntries.nonEmpty)
+          Seq(ManifestOut(writeManifest(md, deleteEntries, snapshotId,
+            schemaStr, "deletes", 1), 1, deleteEntries))
+        else Nil)
+      else {
+        // partitioned: base (if any) keeps its own spec-0 manifest; ONE
+        // spec-1 manifest per segment, so each manifest's partition
+        // field-summary covers just that batch's touched partitions —
+        // the shape that lets a recent-window query prune every old
+        // batch's manifest unopened
+        val baseM =
+          if (baseEntries.isEmpty) Nil
+          else Seq(ManifestOut(writeManifest(md, baseEntries, snapshotId,
+            schemaStr, "data", 0), 0, baseEntries))
+        val segM = segDataBySeg.zipWithIndex
+          .filter(_._1.nonEmpty).map { case (es, i) =>
+            ManifestOut(writeManifest(md, es, snapshotId, schemaStr,
+              "data", i + 1, parts, specId = 1), 0, es, parts, specId = 1)
+          }
+        val delM =
+          if (deleteEntries.isEmpty) Nil
+          else Seq(ManifestOut(writeManifest(md, deleteEntries, snapshotId,
+            schemaStr, "deletes", segDataBySeg.length + 1), 1,
+            deleteEntries))
+        baseM ++ segM ++ delM
+      }
     val list = writeManifestList(md, snapshotId, manifests)
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId,
       seqMax, list, "overwrite", summary,
-      dataEntries.length, dataEntries.map(_.rows).sum)
-    Commit(version, snapshotId, seqMax, manifests.head._1.getAbsolutePath,
+      dataEntries.length, dataEntries.map(_.rows).sum,
+      specs = if (parts.isEmpty) Seq(Nil) else Seq(Nil, parts))
+    Commit(version, snapshotId, seqMax, manifests.head.file.getAbsolutePath,
       list.getAbsolutePath, dataEntries.length,
       dataEntries.map(_.rows).sum)
   }
@@ -1111,16 +1204,33 @@ object IcebergMetadata {
   def readMoR(spark: SparkSession, tableDir: String,
               keyCol: String = graft.operators.SystemColumns.OlakeId,
               asOfSnapshotId: Option[Long] = None,
-              prune: Option[(String, Long, Long)] = None)
+              prune: Option[(String, Long, Long)] = None,
+              partPrune: Option[(Long, Long)] = None)
       : DataFrame = {
     val (dataFiles0, delFiles) = manifestEntries(tableDir, asOfSnapshotId)
+    // partition pruning on a partitioned (multi-spec) table: drop data
+    // files whose FIRST partition-field value falls outside [lo, hi].
+    // Spec-0 files (the unpartitioned base) carry no tuple and are
+    // always kept — that layout predates the spec, which is exactly
+    // why tables partition their ongoing writes. Manifest-LEVEL
+    // skipping (pruneManifests) is the planner's first level; this is
+    // the per-entry second level over the kept manifests.
+    val dataFilesP = partPrune.fold(dataFiles0) { case (lo, hi) =>
+      val keep = dataFileStats(tableDir, asOfSnapshotId)
+        .filter(e => e.content == 0 && (e.partition.headOption match {
+          case Some(i: Int) => i >= lo && i <= hi
+          case Some(l: Long) => l >= lo && l <= hi
+          case _ => true
+        })).map(_.path).toSet
+      dataFiles0.filter(f => keep.contains(f._1))
+    }
     // manifest-stats file skipping: drop data files whose column bounds
     // cannot overlap the predicate — the scan-planning step that keeps
     // a 100 TB table from full-scanning every query. Delete files are
     // never pruned (a kept data file's deletes must all apply).
-    val dataFiles = prune.fold(dataFiles0) { case (c, lo, hi) =>
+    val dataFiles = prune.fold(dataFilesP) { case (c, lo, hi) =>
       val keep = pruneDataFiles(tableDir, c, lo, hi, asOfSnapshotId).toSet
-      dataFiles0.filter(f => keep.contains(f._1))
+      dataFilesP.filter(f => keep.contains(f._1))
     }
     val eqFiles = delFiles.collect { case (p, s, 2) => (p, s) }
     val posFiles = delFiles.collect { case (p, s, 1) => (p, s) }

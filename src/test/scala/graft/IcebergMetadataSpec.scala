@@ -522,6 +522,75 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(want) && got.length == 80)
   }
 
+  test("partitioned publishMoR: multi-spec metadata, per-segment summarized manifests, global deletes, partition-pruned read") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_morp_t").toString
+    val ice = Files.createTempDirectory("graft_morp_i").toString
+    // base: ids 0..99, day d = id % 20 (20 day-partitions worth of data)
+    val mk = spark.range(100).select(
+      col("id").cast("string").as(OlakeId), col("id"),
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        (col("id") % 20).cast("int")).as("d"),
+      col("id").as("v"))
+    mk.repartitionByRange(4, col("id")).write.parquet(s"$table/base")
+    // segment 1: update ids 10..19 (days 10..19) → v + 1000
+    DeltaSegments.writeSegment(
+      mk.where(col("id").between(10, 19))
+        .withColumn("v", col("v") + 1000)
+        .withColumn(OpType, lit("u"))
+        .withColumn(CdcTimestamp, current_timestamp()), table, 1L)
+    // segment 2: delete ids 0..4 (days 0..4)
+    DeltaSegments.writeSegment(
+      mk.where(col("id") < 5)
+        .withColumn(OpType, lit("d"))
+        .withColumn(CdcTimestamp, current_timestamp()), table, 2L)
+    IcebergMetadata.publishMoR(spark, ice, table,
+      partitionRegex = Some("/{d,day}"))
+
+    // multi-spec metadata: spec 0 unpartitioned, spec 1 = day(d), default 1
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val specs = meta.get("partition-specs")
+    assert(specs.size == 2)
+    assert(specs.get(0).get("fields").size == 0)
+    assert(specs.get(1).get("fields").get(0).get("name").asText == "d_day")
+    assert(meta.get("default-spec-id").asInt == 1)
+
+    // manifests: base (no summaries) + one summarized manifest per
+    // data-bearing segment + the delete manifest
+    val sums = IcebergMetadata.manifestSummaries(ice)
+    val dataSums = sums.filter(_.content == 0)
+    val withSummary = dataSums.filter(_.partitions.nonEmpty)
+    assert(dataSums.exists(_.partitions.isEmpty)) // the spec-0 base
+    assert(withSummary.length == 1) // seg 2 is all deletes → no data files
+    val s1 = withSummary.head.partitions.head
+    assert(IcebergMetadata.boundLong(s1.lower.get) == 10
+      && IcebergMetadata.boundLong(s1.upper.get) == 19)
+    assert(sums.count(_.content == 1) == 1)
+
+    // full read: deletes applied across partitions, updates win
+    val full = IcebergMetadata.readMoR(spark, ice)
+    val ids = full.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (5L until 100L))
+    assert(full.where(col("id") === 15).select("v").head().getLong(0) == 1015L)
+
+    // partition-pruned read over days [10, 14]: equals the full read's
+    // day filter, and base files (no tuple) are never dropped
+    val pruned = IcebergMetadata.readMoR(spark, ice,
+        partPrune = Some((10L, 14L)))
+      .where(datediff(col("d"), lit("1970-01-01")).between(10, 14))
+    val wantRows = full
+      .where(datediff(col("d"), lit("1970-01-01")).between(10, 14))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs(pruned).sameElements(pairs(wantRows)))
+    // and the prune really dropped the segment's out-of-window files
+    val statsAll = IcebergMetadata.dataFileStats(ice).filter(_.content == 0)
+    val partFiles = statsAll.filter(_.partition.nonEmpty)
+    assert(partFiles.nonEmpty)
+    assert(partFiles.count(e => e.partition.head.asInstanceOf[Int] > 14) > 0)
+  }
+
   test("type promotion keeps the field id and widens the type (int→long, float→double); illegal change renumbers") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft_icepromo").toString
