@@ -101,7 +101,8 @@ object CdcStream {
                  statePath: String, stream: String,
                  policy: DeltaSegments.CompactionPolicy =
                    DeltaSegments.CompactionPolicy(),
-                 icebergDir: Option[String] = None): Unit = {
+                 icebergDir: Option[String] = None,
+                 partitionRegex: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val st = StateStore.load(statePath).getOrElse(StateStore.State())
     val ss = st.streams.getOrElse(stream, StateStore.StreamState())
@@ -150,8 +151,12 @@ object CdcStream {
       val lsnPart = Option(maxLsn).map(l => s""","lsn":$l""").getOrElse("")
       val stateJson = s"""{"stream":"$stream","batchId":$batchId$lsnPart""" +
         s""","dedup_inserts":${committed.dedupInserts}}"""
+      // partitionRegex (the reference's per-stream `partition_regex`,
+      // iceberg.go:521-545) publishes the segments day/bucket/…-
+      // partitioned under a spec-1 layout with manifest summaries
       graft.sinks.IcebergMetadata.publishMoR(spark, dir, tablePath,
-        summary = Map("olake_2pc" -> stateJson))
+        summary = Map("olake_2pc" -> stateJson),
+        partitionRegex = partitionRegex)
     }
   }
 

@@ -392,6 +392,45 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergMetadata.commitState(ice).exists(_.contains("\"batchId\":2")))
   }
 
+  test("CdcStream.applyBatch with partition_regex publishes partitioned (multi-spec) snapshots") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, CdcTimestamp}
+    val root = Files.createTempDirectory("graft_cdc_icep").toString
+    val table = s"$root/t"; val ice = s"$root/ice"; val state = s"$root/s.json"
+    def batch(ids: Range, lsnOff: Long) = spark.range(ids.start, ids.end)
+      .select(
+        col("id").cast("string").as(OlakeId),
+        (col("id") + lsnOff).as("lsn"),
+        lit("insert").as("kind"), current_timestamp().as(CdcTimestamp),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (col("id") % 8).cast("int")).as("d"),
+        col("id").as("v"))
+    // batch 1 folds into the (unpartitioned, spec-0) base — the
+    // no-base compaction rule; batch 2 stays a delta segment under the
+    // high thresholds and publishes day-partitioned at spec 1
+    val noCompact = DeltaSegments.CompactionPolicy(maxSegments = 100,
+      maxDeltaRatio = 1e9)
+    graft.streaming.CdcStream.applyBatch(batch(0 until 40, 0), 1L,
+      table, state, "s", policy = noCompact,
+      icebergDir = Some(ice), partitionRegex = Some("/{d,day}"))
+    graft.streaming.CdcStream.applyBatch(batch(40 until 60, 1000), 2L,
+      table, state, "s", policy = noCompact,
+      icebergDir = Some(ice), partitionRegex = Some("/{d,day}"))
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    assert(meta.get("partition-specs").size == 2)
+    assert(meta.get("default-spec-id").asInt == 1)
+    val sums = IcebergMetadata.manifestSummaries(ice)
+      .filter(m => m.content == 0 && m.partitions.nonEmpty)
+    assert(sums.nonEmpty)
+    assert(IcebergMetadata.boundLong(sums.head.partitions.head.lower.get) == 0)
+    assert(IcebergMetadata.boundLong(sums.head.partitions.head.upper.get) == 7)
+    // pruned read over days [2,3] equals the day filter on the view
+    val pruned = IcebergMetadata.readMoR(spark, ice,
+        partPrune = Some((2L, 3L)))
+      .where(datediff(col("d"), lit("1970-01-01")).between(2, 3))
+    assert(pruned.count() == 16) // ids 0..59 with id%8 ∈ {2,3}
+  }
+
   test("metadata over a DeltaSegments compacted base (the MoR sink's data files)") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft_ice3").toString
