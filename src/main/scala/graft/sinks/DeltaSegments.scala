@@ -89,8 +89,13 @@ object DeltaSegments {
     * a left-anti join. */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val base = baseDir(tablePath)
+    // a partition-aware-compacted base is hive-laid-out; its `__p_*`
+    // discovery columns are layout metadata, not data columns
     val baseDf =
-      if (base.exists) Some(spark.read.parquet(base.getPath)) else None
+      if (base.exists) Some {
+        val raw = spark.read.parquet(base.getPath)
+        raw.drop(raw.columns.filter(_.startsWith("__p_")).toIndexedSeq: _*)
+      } else None
     latestDelta(spark, tablePath) match {
       case None =>
         baseDf.getOrElse(
@@ -130,13 +135,23 @@ object DeltaSegments {
   /** Fold every current delta segment into a new base snapshot
     * (write-new-then-swap; old snapshot moved aside first — see
     * `recoverSwap`), then drop the folded segments. */
-  def compact(spark: SparkSession, tablePath: String): Unit = {
+  def compact(spark: SparkSession, tablePath: String,
+              partitionRegex: Option[String] = None): Unit = {
     val segs = listSegments(tablePath)
     if (segs.isEmpty) return
     val base = baseDir(tablePath)
     val next = new File(base.getPath + ".next")
     val old = new File(base.getPath + ".old")
-    read(spark, tablePath).write.mode("overwrite").parquet(next.getPath)
+    // partition-aware fold: the new base lands hive-partitioned under
+    // the same `__p_<field>` layout the Iceberg publish uses, so after
+    // compaction the spec-0 "base is always kept" caveat disappears —
+    // the whole table prunes by partition value
+    partitionRegex match {
+      case None =>
+        read(spark, tablePath).write.mode("overwrite").parquet(next.getPath)
+      case Some(rx) => IcebergMetadata.writePartitionedForCompaction(
+        read(spark, tablePath), rx, next.getPath)
+    }
     if (base.exists && !base.renameTo(old))
       throw new java.io.IOException(s"could not move $base aside to $old")
     if (!next.renameTo(base)) {
@@ -151,14 +166,15 @@ object DeltaSegments {
     * segment count ≥ `maxSegments`, delta bytes > `maxDeltaRatio` ×
     * base bytes, or no base yet (bootstrap fold — costs O(delta)). */
   def maybeCompact(spark: SparkSession, tablePath: String,
-                   policy: CompactionPolicy = CompactionPolicy()): Unit = {
+                   policy: CompactionPolicy = CompactionPolicy(),
+                   partitionRegex: Option[String] = None): Unit = {
     val segs = listSegments(tablePath)
     if (segs.isEmpty) return
     val baseB = dirBytes(baseDir(tablePath))
     val deltaB = segs.map(dirBytes).sum
     if (baseB == 0L || segs.size >= policy.maxSegments ||
         deltaB > (policy.maxDeltaRatio * baseB).toLong)
-      compact(spark, tablePath)
+      compact(spark, tablePath, partitionRegex)
   }
 
   /** Recover from a crash mid-compaction before touching the table: if

@@ -841,7 +841,8 @@ object IcebergMetadata {
   private def writePartitionedFiles(df: DataFrame,
                                     fields: Seq[PartitionTransforms.PartitionField],
                                     parts: Seq[PartSpecField],
-                                    destDir: String): Unit = {
+                                    destDir: String,
+                                    overwrite: Boolean = false): Unit = {
     import PartitionTransforms.withPartitionColumns
     val dirCols = parts.map(p => s"__p_${p.name}")
     val withP = fields.zip(dirCols).foldLeft(df) { case (acc, (f, pc)) =>
@@ -850,8 +851,21 @@ object IcebergMetadata {
       if (f.transform == "identity") renamed else renamed.drop(f.outputName)
     }
     withP.repartition(dirCols.map(col): _*)
-      .write.mode("errorifexists").partitionBy(dirCols: _*)
+      .write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .partitionBy(dirCols: _*)
       .parquet(destDir)
+  }
+
+  /** `DeltaSegments.compact`'s partition-aware base write: the folded
+    * base lands under the same `__p_<field>` hive layout the publish
+    * uses, so `publishMoR` emits the compacted base with partition
+    * tuples (spec 1) instead of the unprunable spec-0 shape. */
+  private[sinks] def writePartitionedForCompaction(df: DataFrame,
+                                                   partitionRegex: String,
+                                                   destDir: String): Unit = {
+    val fields = PartitionTransforms.parseRegex(partitionRegex)
+    val parts = specFieldsFor(df.schema, schemaJson(df.schema), fields)
+    writePartitionedFiles(df, fields, parts, destDir, overwrite = true)
   }
 
   /** Walk hive-style dirs back into (partition tuple, leaf dir). */
@@ -1045,10 +1059,21 @@ object IcebergMetadata {
 
     val statIds = topLevelFieldIds(schemaStr)
     val base = DeltaSegments.baseDir(tablePath)
+    // a partition-aware-compacted base is hive-laid-out (`__p_*` dirs):
+    // its files carry partition tuples and publish under spec 1 like
+    // the segments, so the WHOLE table prunes; a plain base stays the
+    // unprunable-but-legal spec-0 shape
+    val baseIsPartitioned = parts.nonEmpty && base.exists &&
+      Option(base.listFiles()).exists(_.exists(f =>
+        f.isDirectory && f.getName.startsWith("__p_")))
     val baseEntries =
-      if (base.exists) entriesFor(spark, base.getPath, seq = 1L,
-        fieldIds = statIds)
-      else Nil
+      if (!base.exists) Nil
+      else if (baseIsPartitioned)
+        partitionedLeaves(base, parts).flatMap { case (tup, dir) =>
+          entriesFor(spark, dir.getPath, seq = 1L, fieldIds = statIds,
+            partition = tup)
+        }
+      else entriesFor(spark, base.getPath, seq = 1L, fieldIds = statIds)
 
     val segs = DeltaSegments.listSegments(tablePath)
     // derived files are IMMUTABLE, as the Iceberg spec assumes: each
@@ -1162,6 +1187,10 @@ object IcebergMetadata {
         // batch's manifest unopened
         val baseM =
           if (baseEntries.isEmpty) Nil
+          else if (baseIsPartitioned)
+            Seq(ManifestOut(writeManifest(md, baseEntries, snapshotId,
+              schemaStr, "data", 0, parts, specId = 1), 0, baseEntries,
+              parts, specId = 1))
           else Seq(ManifestOut(writeManifest(md, baseEntries, snapshotId,
             schemaStr, "data", 0), 0, baseEntries))
         val segM = segDataBySeg.zipWithIndex

@@ -136,7 +136,7 @@ object CdcStream {
     // compaction AFTER the commit: it is a pure layout optimization —
     // a crash anywhere inside it loses no data (recoverSwap + the
     // idempotence of re-folding segments)
-    DeltaSegments.maybeCompact(spark, tablePath, policy)
+    DeltaSegments.maybeCompact(spark, tablePath, policy, partitionRegex)
     // optional continuous Iceberg publish: every committed batch
     // becomes a v2 merge-on-read snapshot whose summary carries the
     // position state — the reference's per-commit `olake_2pc` property

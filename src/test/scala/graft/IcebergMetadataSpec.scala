@@ -429,6 +429,25 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
         partPrune = Some((2L, 3L)))
       .where(datediff(col("d"), lit("1970-01-01")).between(2, 3))
     assert(pruned.count() == 16) // ids 0..59 with id%8 ∈ {2,3}
+
+    // partition-AWARE compaction: force a fold with the regex — the
+    // new base lands hive-partitioned, the re-publish emits it at
+    // spec 1 with tuples, and EVERY data file now prunes
+    DeltaSegments.compact(spark, table, Some("/{d,day}"))
+    assert(DeltaSegments.listSegments(table).isEmpty)
+    graft.streaming.CdcStream.applyBatch(batch(60 until 70, 2000), 3L,
+      table, state, "s", policy = noCompact,
+      icebergDir = Some(ice), partitionRegex = Some("/{d,day}"))
+    val stats = IcebergMetadata.dataFileStats(ice).filter(_.content == 0)
+    assert(stats.nonEmpty && stats.forall(_.partition.nonEmpty))
+    val prunedAll = IcebergMetadata.readMoR(spark, ice,
+        partPrune = Some((2L, 3L)))
+      .where(datediff(col("d"), lit("1970-01-01")).between(2, 3))
+    assert(prunedAll.count() == 18) // ids 0..69 with id%8 ∈ {2,3}
+    // the view itself is unchanged by the layout (no __p_ leakage)
+    val view = graft.streaming.CdcStream.readTable(spark, table)
+    assert(!view.columns.exists(_.startsWith("__p_")))
+    assert(view.count() == 70)
   }
 
   test("metadata over a DeltaSegments compacted base (the MoR sink's data files)") {
