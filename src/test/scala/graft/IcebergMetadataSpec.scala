@@ -580,6 +580,47 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(want) && got.length == 80)
   }
 
+  test("multi-field partition spec (day + bucket): tuples, spec json, summaries per field, identity keeps source column") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.PartitionTransforms
+    val ice = Files.createTempDirectory("graft_part2").toString
+    val df = spark.range(120).select(
+      col("id"),
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        (col("id") % 6).cast("int")).as("d"),
+      concat(lit("u"), (col("id") % 4)).as("user"))
+    val c = IcebergMetadata.publishPartitioned(spark, ice, df,
+      "/{d,day}/{user,bucket[3]}", groupSize = 100)
+    // 6 days × (≤3 buckets over 4 users); every tuple has 2 values
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.forall(_.partition.length == 2))
+    assert(c.addedRows == 120)
+    val days = stats.map(_.partition.head.asInstanceOf[Int]).distinct.sorted
+    assert(days == (0 until 6))
+    val buckets = stats.map(_.partition(1).asInstanceOf[Int]).distinct
+    assert(buckets.forall(b => b >= 0 && b < 3))
+    // bucket values match the codegen'd Iceberg murmur3 exactly
+    val expect = (0 until 4).map(u =>
+      PartitionTransforms.bucketString(s"u$u", 3)).toSet
+    assert(buckets.toSet == expect)
+    // spec json carries both fields in order with ids 1000/1001
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val fs = meta.get("partition-specs").get(0).get("fields")
+    assert(fs.get(0).get("name").asText == "d_day"
+      && fs.get(0).get("field-id").asInt == 1000)
+    assert(fs.get(1).get("name").asText == "user_bucket"
+      && fs.get(1).get("field-id").asInt == 1001)
+    // one manifest (groupSize=100): per-FIELD summaries decode
+    val sums = IcebergMetadata.manifestSummaries(ice)
+    assert(sums.length == 1 && sums.head.partitions.length == 2)
+    assert(IcebergMetadata.boundLong(sums.head.partitions.head.lower.get) == 0)
+    assert(IcebergMetadata.boundLong(sums.head.partitions.head.upper.get) == 5)
+    // data files keep the source columns (nothing was hive-dropped)
+    val back = spark.read.parquet(stats.map(_.path): _*)
+    assert(back.columns.sorted.toSeq == Seq("d", "id", "user"))
+    assert(back.count() == 120)
+  }
+
   test("partitioned publishMoR: multi-spec metadata, per-segment summarized manifests, global deletes, partition-pruned read") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
