@@ -55,8 +55,9 @@ import org.apache.spark.sql.SparkSession
   *  - q_cursor_format / q_dialect_types: driver-side scalar/decision-
   *    table gates (two-row / 55-row outputs) — nothing to time.
   *  - q_iceberg_partition_prune / q_iceberg_partition_read /
-  *    q_iceberg_mor_partitioned: write-then-manifest-walk roundtrips
-  *    into a tempdir (like q_iceberg_commit/q_iceberg_prune).
+  *    q_iceberg_mor_partitioned / q_iceberg_time_travel:
+  *    write-then-manifest-walk roundtrips into a tempdir (like
+  *    q_iceberg_commit/q_iceberg_prune).
   *  - q_cdc_binlog_mariadb / q_cdc_binlog_gtid / q_cdc_binlog_unsigned:
   *    flavor/typing variants of the headlined binlog decode
   *    (q_cdc_binlog + charset/temporal/compressed already time the

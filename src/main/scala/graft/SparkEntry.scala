@@ -1258,6 +1258,43 @@ object SparkEntry {
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
 
+    // ---- K2 TIME TRAVEL, gate-backed: two publishes, each an
+    //      immutable snapshot; reading AS OF the first snapshot id
+    //      replays only batch 1's state from the carried-forward
+    //      history (old manifests untouched by the re-publish), while
+    //      the current read reflects batch 2's deletes. DuckDB replays
+    //      both states independently from nation. ----
+    "q_iceberg_time_travel" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val table = java.nio.file.Files.createTempDirectory("graft_tt_t").toString
+      val ice = java.nio.file.Files.createTempDirectory("graft_tt_i").toString
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      // batch 1: upper-case names below 10
+      graft.sinks.DeltaSegments.writeSegment(
+        n.where(col("n_nationkey") < 10).select(
+          col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), upper(col("n_name")).as("n_name"),
+          lit("u").as(SystemColumns.OpType),
+          current_timestamp().as(SystemColumns.CdcTimestamp)), table, 1L)
+      val c1 = IcebergMetadata.publishMoR(s, ice, table)
+      // batch 2: delete keys ≥ 20
+      graft.sinks.DeltaSegments.writeSegment(
+        n.where(col("n_nationkey") >= 20).select(
+          col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"),
+          lit("d").as(SystemColumns.OpType),
+          current_timestamp().as(SystemColumns.CdcTimestamp)), table, 2L)
+      IcebergMetadata.publishMoR(s, ice, table)
+      val asOf = IcebergMetadata.readMoR(s, ice,
+          asOfSnapshotId = Some(c1.snapshotId))
+        .select(col("n_nationkey"), col("n_name"), lit("s1").as("snap"))
+      val current = IcebergMetadata.readMoR(s, ice)
+        .select(col("n_nationkey"), col("n_name"), lit("s2").as("snap"))
+      asOf.unionByName(current)
+    }),
+
     // ---- K2 manifest column stats + file pruning, gate-backed: a
     //      commit over range-partitioned files records per-column
     //      value/null counts and min/max bounds in the manifest Avro;
@@ -2495,6 +2532,19 @@ object SparkEntry {
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // both snapshot states replayed independently: s1 = after the
+    // upper-case batch (all 25 rows), s2 = after the delete batch
+    "q_iceberg_time_travel" ->
+      """WITH s1 AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey < 10 THEN upper(n_name) ELSE n_name END
+        |      AS n_name
+        |  FROM nation)
+        |SELECT n_nationkey, n_name, 's1' AS snap FROM s1
+        |UNION ALL
+        |SELECT n_nationkey, n_name, 's2' AS snap FROM s1
+        |WHERE n_nationkey < 20""".stripMargin,
 
     // the SAME committed metadata.json the Spark query wrote: the
     // schema history with its field ids, parsed by a foreign engine
