@@ -91,7 +91,8 @@ object Bench {
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
     "q_text_stats", "q_quality_score", "q_lang_id",
     "q_token_count", "q_fingerprint", "q_boilerplate", "q_text_clean",
-    "q_repetition", "q_decontaminate", "q_pii_scrub", "q_split_assign",
+    "q_repetition", "q_decontaminate", "q_decontaminate_fuzzy",
+    "q_pii_scrub", "q_split_assign",
     "q_unigram_score", "q_sample_mix", "q_pack_sequences",
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_vec_norm", "q_vec_quantize",
     "q_multimodal_meta",

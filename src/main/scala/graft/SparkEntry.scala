@@ -1734,6 +1734,20 @@ object SparkEntry {
         "text", "doc_id", "s")
     }),
 
+    // ---- LLM: FUZZY decontamination — training docs near-duplicating
+    //      a benchmark doc (MinHash band candidates vs the broadcast
+    //      benchmark index, verified by exact shingle Jaccard; corpus
+    //      never shuffled). Every 10th doc poses as the benchmark.
+    //      DuckDB replays the exact predicate over all corpus×bench
+    //      pairs with the same deterministic best-match reduction. ----
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 2000)
+      val bench = d.where(col("doc_id") % 10 === 0)
+      val corpus = d.where(col("doc_id") % 10 =!= 0)
+      graft.llm.Decontaminate.fuzzyOverlap(corpus, bench,
+        "text", "doc_id", threshold = 0.9, native = true)
+    }),
+
     // ---- LLM: duplicate-cluster resolution — connected components of
     //      the exact near-dup pair graph via min-label propagation;
     //      every doc maps to its cluster's canonical (min) id. The
@@ -2830,6 +2844,29 @@ object SparkEntry {
         |SELECT d.doc_id, count(DISTINCT c.s) AS hits
         |FROM documents d JOIN c ON contains(d.text, c.s)
         |WHERE d.doc_id < 2000 GROUP BY 1""".stripMargin,
+
+    // exact shingle Jaccard over all corpus×bench pairs; best match per
+    // doc with the same (jaccard, bench_id) tie-break the Spark side uses
+    "q_decontaminate_fuzzy" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE doc_id < 2000),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh
+        |  FROM d),
+        |bench AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+        |corp AS (SELECT * FROM s WHERE doc_id % 10 <> 0),
+        |p AS (SELECT c.doc_id AS id, b.doc_id AS bench_id,
+        |    round(len(list_intersect(c.sh, b.sh)) * 1.0 /
+        |      (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))), 6) AS j
+        |  FROM corp c, bench b)
+        |SELECT id, bench_id, j AS jaccard FROM (
+        |  SELECT id, bench_id, j,
+        |    row_number() OVER (PARTITION BY id ORDER BY j DESC, bench_id DESC) AS rn
+        |  FROM p WHERE j >= 0.9)
+        |WHERE rn = 1""".stripMargin,
 
     // Same pair predicate as q_jaccard_neardup, then the transitive
     // closure as a recursive CTE; canonical = min reachable id.

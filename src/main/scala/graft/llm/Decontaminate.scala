@@ -78,4 +78,51 @@ object Decontaminate {
       broadcast(exactOverlap(train, secrets, textCol, idCol, secretCol)
         .select(idCol)),
       Seq(idCol), "left_anti")
+
+  /** FUZZY decontamination: training docs that NEAR-duplicate a
+    * benchmark document — the paraphrase-robust tier next to the exact
+    * n-gram rule (a reworded eval question shares few 13-grams but a
+    * high shingle Jaccard). Candidates come from MinHash band
+    * collisions against the benchmark's band index; every candidate is
+    * verified by exact shingle Jaccard, so at the gate regime
+    * (k=64/b=16, τ≥0.9, band-miss ≈ 4e-8) the output equals the exact
+    * predicate and oracles cleanly.
+    *
+    * Scale shape: the benchmark is tiny next to the corpus, so its
+    * band index AND its shingle sets broadcast; corpus-side cost is
+    * one map-only signature pass, a broadcast band join, and exact
+    * verification pruned (broadcast semi-join) to candidate rows. The
+    * 100 TB corpus is never shuffled.
+    *
+    * Returns one row per contaminated doc: (id, bench_id, jaccard) for
+    * the best-matching benchmark doc (ties broken by larger bench_id —
+    * keep the reduction deterministic for the cross-engine gate). */
+  def fuzzyOverlap(train: DataFrame, benchmark: DataFrame,
+                   textCol: String, idCol: String,
+                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.9,
+                   native: Boolean = false): DataFrame = {
+    val bIdx = Dedup.minhashIndex(benchmark, textCol, idCol,
+      shingleN, k, bands, native).withColumnRenamed("id", "bench_id")
+    val dIdx = Dedup.minhashIndex(train, textCol, idCol,
+      shingleN, k, bands, native)
+    val cand = dIdx.join(broadcast(bIdx), "band")
+      .select(col("id"), col("bench_id")).distinct()
+    val bsh = benchmark.select(col(idCol).as("bench_id"),
+      array_distinct(Dedup.shingles(col(textCol), shingleN)).as("bs"))
+    val dsh = train
+      .join(broadcast(cand.select("id").distinct()),
+        train(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(Dedup.shingles(col(textCol), shingleN)).as("ds"))
+    cand.join(dsh, "id").join(broadcast(bsh), "bench_id")
+      .withColumn("common", size(array_intersect(col("ds"), col("bs"))))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("ds")) + size(col("bs")) - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .groupBy("id")
+      .agg(max_by(col("bench_id"),
+          struct(col("jaccard"), col("bench_id"))).as("bench_id"),
+        max(col("jaccard")).as("jaccard"))
+  }
 }

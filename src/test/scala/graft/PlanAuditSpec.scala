@@ -304,6 +304,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!streamed.contains("Exchange"), s"train side shuffled:\n$p")
   }
 
+  test("fuzzy decontamination: benchmark index and shingles broadcast, candidate joins keyed, no cartesian") {
+    val p = plan(q("q_decontaminate_fuzzy"))
+    // band candidates + both verify-side benchmark joins broadcast;
+    // the corpus-scale scans only ever sit on the streamed side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
+
   test("mixture sampling is map-only: the membership predicate introduces zero exchanges") {
     val p = plan(q("q_sample_mix"))
     assert(!p.contains("Exchange"), s"sample_mix shuffles:\n$p")
