@@ -1748,6 +1748,17 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9, native = true)
     }),
 
+    // ---- LLM: source capping (domain balancing) — at most N docs per
+    //      source, deterministic md5 selection, skew-safe two-phase
+    //      rank. DuckDB replays the single-phase rank (provably the
+    //      same selection). ----
+    "q_sample_cap_source" -> ((s, dir) => {
+      graft.llm.Sampling.capPerSource(
+        t(s, dir, "documents").where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("source")),
+        "source", "doc_id", cap = 50)
+    }),
+
     // ---- LLM: duplicate-cluster resolution — connected components of
     //      the exact near-dup pair graph via min-label propagation;
     //      every doc maps to its cluster's canonical (min) id. The
@@ -2844,6 +2855,17 @@ object SparkEntry {
         |SELECT d.doc_id, count(DISTINCT c.s) AS hits
         |FROM documents d JOIN c ON contains(d.text, c.s)
         |WHERE d.doc_id < 2000 GROUP BY 1""".stripMargin,
+
+    // the single-phase rank over the same md5 order — provably the same
+    // selection the two-phase skew-safe plan makes
+    "q_sample_cap_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents WHERE doc_id < 2000)
+        |WHERE rn <= 50""".stripMargin,
 
     // exact shingle Jaccard over all corpus×bench pairs; best match per
     // doc with the same (jaccard, bench_id) tie-break the Spark side uses

@@ -43,6 +43,38 @@ object Sampling {
   def shuffleKey(idCol: Column): Column =
     md5(idCol.cast("string"))
 
+  /** SOURCE CAPPING (domain balancing): keep at most `cap` documents
+    * per source, chosen deterministically by md5 order — the C4/
+    * RefinedWeb-style step that stops a handful of giant domains from
+    * dominating the mixture.
+    *
+    * Skew-safe two-phase top-N: a naive `row_number over (partition by
+    * source)` puts EVERY row of the biggest domain in one task — at
+    * 100 TB a single domain can be terabytes. Phase 1 ranks within
+    * (source, salt) sub-streams and keeps `cap` per sub-stream; phase 2
+    * ranks the surviving ≤ salts×cap rows per source. Selection is
+    * provably identical to the single-phase rank (each salt stream's
+    * local top-cap is a superset of its members in the global top-cap)
+    * while the per-task row bound drops from |domain| to |domain|/salts.
+    */
+  def capPerSource(df: DataFrame, srcCol: String, idCol: String,
+                   cap: Int, salts: Int = 8): DataFrame = {
+    val key = md5(concat(col(srcCol), lit(":"), col(idCol).cast("string")))
+    val salted = df
+      .withColumn("__k", key)
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+    val local = Window.partitionBy(col(srcCol), col("__salt"))
+      .orderBy(col("__k"), col(idCol))
+    val global = Window.partitionBy(col(srcCol))
+      .orderBy(col("__k"), col(idCol))
+    salted
+      .withColumn("__rn", row_number().over(local))
+      .where(col("__rn") <= cap)
+      .withColumn("__rn", row_number().over(global))
+      .where(col("__rn") <= cap)
+      .drop("__k", "__salt", "__rn")
+  }
+
   /** Token-budget SEQUENCE PACKING: assign documents to fixed-budget
     * packs (context windows) in deterministic shuffle order. Documents
     * are hashed into `buckets` independent streams; within a bucket,

@@ -590,6 +590,33 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       docs.where(!col("lang").isin("en", "de")).count())
   }
 
+  test("capPerSource: two-phase skew-safe rank selects exactly the single-phase top-cap") {
+    import graft.llm.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture: one giant source, several small ones
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 1500, "giant")
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(7)))).as("source"))
+    val got = Sampling.capPerSource(docs, "source", "doc_id",
+        cap = 20, salts = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // reference: naive single-phase rank over the same md5 order
+    val naive = docs
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(md5(concat(col("source"), lit(":"),
+          col("doc_id").cast("string"))), col("doc_id"))))
+      .where(col("rn") <= 20)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(naive))
+    // each source capped; the giant source contributes exactly 20
+    val bySrc = Sampling.capPerSource(docs, "source", "doc_id", 20)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("giant") == 20)
+    assert(bySrc.values.forall(_ <= 20))
+  }
+
   test("l2Normalize: unit vectors out, zero vector quarantined as null") {
     import spark.implicits._
     import graft.llm.Similarity
