@@ -1748,6 +1748,16 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9, native = true)
     }),
 
+    // ---- LLM: domain-level quality filtering — per-source counts of
+    //      low-quality docs (reusing the oracled qualityScore) and an
+    //      integer-exact drop verdict (bad×100 > n×40). DuckDB replays
+    //      the stats and the verdict from the raw table. ----
+    "q_source_quality" -> ((s, dir) => {
+      TextAnalysis.sourceQualityStats(
+        t(s, dir, "documents").where(col("doc_id") < 2000),
+        "text", "source", TextAnalysis.Markers.head._2)
+    }),
+
     // ---- LLM: source capping (domain balancing) — at most N docs per
     //      source, deterministic md5 selection, skew-safe two-phase
     //      rank. DuckDB replays the single-phase rank (provably the
@@ -2855,6 +2865,26 @@ object SparkEntry {
         |SELECT d.doc_id, count(DISTINCT c.s) AS hits
         |FROM documents d JOIN c ON contains(d.text, c.s)
         |WHERE d.doc_id < 2000 GROUP BY 1""".stripMargin,
+
+    // per-source low-quality counts + the integer drop verdict, from
+    // the same per-doc quality formula the q_quality_score oracle pins
+    "q_source_quality" ->
+      """WITH x AS (SELECT doc_id, source, text,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text) AS punct
+        |  FROM documents WHERE doc_id < 2000),
+        |y AS (SELECT doc_id, source,
+        |  round((least(length(text)/500.0, 1.0) +
+        |    CASE WHEN punct <= 0.1 THEN 1.0
+        |         ELSE greatest(0.0, 1.0 - (punct - 0.1)*5) END +
+        |    least(round(len(list_filter(toks,
+        |        t -> list_contains(['the','a','of','and','is','to','in','that'], t)))
+        |      * 1.0 / len(toks), 6) * 5, 1.0)) / 3, 6) AS q
+        |  FROM x)
+        |SELECT source, count(*) AS n,
+        |  count(*) FILTER (WHERE q < 0.6) AS bad,
+        |  count(*) FILTER (WHERE q < 0.6) * 100 > count(*) * 40 AS dropped
+        |FROM y GROUP BY source""".stripMargin,
 
     // the single-phase rank over the same md5 order — provably the same
     // selection the two-phase skew-safe plan makes

@@ -56,6 +56,39 @@ object TextAnalysis {
     round((lenScore + punctScore + stopScore) / 3, 6)
   }
 
+  /** DOMAIN-level quality stats: sources whose share of low-quality
+    * documents exceeds `maxBadPct` percent — the C4/RefinedWeb-style
+    * step that drops a whole bad domain instead of sieving it doc by
+    * doc. The verdict is pure integer arithmetic (`bad × 100 > n ×
+    * maxBadPct`) so it is engine-exact; the per-doc predicate reuses
+    * [[qualityScore]], whose rounded values already oracle hash-exact.
+    *
+    * Scale shape: per-row scoring is map-only, the per-source counts
+    * partial-aggregate map-side, and the resulting source stats are
+    * tiny (≪ doc count) — at 100 TB this is one pass + one small
+    * keyed agg. */
+  def sourceQualityStats(df: DataFrame, textCol: String, srcCol: String,
+                         stopwords: Seq[String],
+                         docThreshold: Double = 0.6,
+                         maxBadPct: Int = 40): DataFrame =
+    df.withColumn("__q", qualityScore(col(textCol), stopwords))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__q") < docThreshold, 1)).as("bad"))
+      .withColumn("dropped", col("bad") * 100 > col("n") * maxBadPct)
+
+  /** Corpus minus bad domains: broadcast anti-join on the flagged
+    * sources, corpus never shuffled. */
+  def filterBySourceQuality(df: DataFrame, textCol: String, srcCol: String,
+                            stopwords: Seq[String],
+                            docThreshold: Double = 0.6,
+                            maxBadPct: Int = 40): DataFrame =
+    df.join(
+      broadcast(sourceQualityStats(df, textCol, srcCol, stopwords,
+          docThreshold, maxBadPct)
+        .where(col("dropped")).select(srcCol)),
+      Seq(srcCol), "left_anti")
+
   /** Language-marker token lists. Deterministic scoring: distinct-token
     * overlap with each marker list; CJK characters short-circuit to zh.
     */

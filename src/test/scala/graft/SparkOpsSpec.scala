@@ -617,6 +617,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySrc.values.forall(_ <= 20))
   }
 
+  test("filterBySourceQuality drops exactly the flagged domains' docs") {
+    import graft.llm.TextAnalysis
+    val docs = sf("documents").where(col("doc_id") < 2000)
+    val stats = TextAnalysis.sourceQualityStats(docs, "text", "source",
+      TextAnalysis.Markers.head._2)
+    val droppedSrcs = stats.where(col("dropped"))
+      .select("source").collect().map(_.getString(0)).toSet
+    assert(droppedSrcs.nonEmpty && droppedSrcs.size < 20) // both classes
+    val kept = TextAnalysis.filterBySourceQuality(docs, "text", "source",
+      TextAnalysis.Markers.head._2)
+    assert(!kept.select("source").distinct().collect()
+      .map(_.getString(0)).exists(droppedSrcs))
+    assert(kept.count() ==
+      docs.where(!col("source").isin(droppedSrcs.toSeq: _*)).count())
+  }
+
   test("l2Normalize: unit vectors out, zero vector quarantined as null") {
     import spark.implicits._
     import graft.llm.Similarity
