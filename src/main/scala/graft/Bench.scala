@@ -91,6 +91,7 @@ object Bench {
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
     "q_text_stats", "q_quality_score", "q_source_quality", "q_lang_id",
     "q_token_count", "q_fingerprint", "q_boilerplate", "q_text_clean",
+    "q_ngram_vocab",
     "q_repetition", "q_decontaminate", "q_decontaminate_fuzzy",
     "q_pii_scrub", "q_split_assign",
     "q_unigram_score", "q_sample_mix", "q_sample_cap_source",

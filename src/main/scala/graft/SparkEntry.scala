@@ -1748,6 +1748,16 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9, native = true)
     }),
 
+    // ---- LLM: vocabulary mining — top-200 bigrams by document
+    //      frequency, deterministic tie-break on the gram string;
+    //      plan is partial-agg + TakeOrdered (no global vocab sort).
+    //      DuckDB replays with the same count/tie ordering. ----
+    "q_ngram_vocab" -> ((s, dir) => {
+      TextAnalysis.topNgrams(
+        t(s, dir, "documents").where(col("doc_id") < 2000),
+        "text", n = 2, k = 200)
+    }),
+
     // ---- LLM: domain-level quality filtering — per-source counts of
     //      low-quality docs (reusing the oracled qualityScore) and an
     //      integer-exact drop verdict (bad×100 > n×40). DuckDB replays
@@ -2865,6 +2875,21 @@ object SparkEntry {
         |SELECT d.doc_id, count(DISTINCT c.s) AS hits
         |FROM documents d JOIN c ON contains(d.text, c.s)
         |WHERE d.doc_id < 2000 GROUP BY 1""".stripMargin,
+
+    // document-frequency bigram vocab, same deterministic top-k rule
+    "q_ngram_vocab" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE doc_id < 2000),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(tk)),
+        |         i -> tk[i] || ' ' || tk[i+1])) END AS g
+        |  FROM d),
+        |e AS (SELECT unnest(g) AS gram FROM s),
+        |c AS (SELECT gram, count(*) AS docs FROM e GROUP BY 1)
+        |SELECT gram, docs FROM c
+        |ORDER BY docs DESC, gram ASC LIMIT 200""".stripMargin,
 
     // per-source low-quality counts + the integer drop verdict, from
     // the same per-doc quality formula the q_quality_score oracle pins

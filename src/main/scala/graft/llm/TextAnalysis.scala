@@ -56,6 +56,22 @@ object TextAnalysis {
     round((lenScore + punctScore + stopScore) / 3, 6)
   }
 
+  /** VOCABULARY MINING: the corpus's top-k word n-grams by DOCUMENT
+    * frequency (distinct per doc — the signal stopword/boilerplate
+    * lists and tokenizer-merge seeds are built from). Deterministic
+    * selection: ties at the k-th count break on the gram string, so
+    * the result is engine-exact.
+    *
+    * Scale shape: explode + one partially-aggregated groupBy(gram),
+    * then TakeOrdered over the (gram, count) aggregate — the top-k
+    * never materializes a global sort of the vocabulary. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(array_distinct(
+        Dedup.shingles(col(textCol), n))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("docs"))
+      .orderBy(col("docs").desc, col("gram").asc)
+      .limit(k)
+
   /** DOMAIN-level quality stats: sources whose share of low-quality
     * documents exceeds `maxBadPct` percent — the C4/RefinedWeb-style
     * step that drops a whole bad domain instead of sieving it doc by

@@ -304,6 +304,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!streamed.contains("Exchange"), s"train side shuffled:\n$p")
   }
 
+  test("ngram vocab mining: partial aggregation + TakeOrdered, never a global vocabulary sort") {
+    val p = plan(q("q_ngram_vocab"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+    assert(!p.contains("GlobalSort") && !p.toLowerCase.contains("udf"), p)
+  }
+
   test("fuzzy decontamination: benchmark index and shingles broadcast, candidate joins keyed, no cartesian") {
     val p = plan(q("q_decontaminate_fuzzy"))
     // band candidates + both verify-side benchmark joins broadcast;
