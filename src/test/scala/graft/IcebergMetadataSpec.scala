@@ -580,6 +580,44 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(want) && got.length == 80)
   }
 
+  test("null partition values: hive default dir round-trips, contains_null set, pruning never drops the null partition") {
+    import org.apache.spark.sql.functions._
+    val ice = Files.createTempDirectory("graft_partnull").toString
+    // days 0..9 plus a fifth of rows with NULL d
+    val df = spark.range(50).select(
+      col("id"),
+      when(col("id") % 5 === 0, lit(null).cast("date"))
+        .otherwise(date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (col("id") % 10).cast("int"))).as("d"))
+    IcebergMetadata.publishPartitioned(spark, ice, df, "/{d,day}",
+      groupSize = 100)
+    val stats = IcebergMetadata.dataFileStats(ice)
+    // the null tuple decoded back as null, the rest as ints
+    assert(stats.exists(_.partition.head == null))
+    // days 0 and 5 only arise from %5 ids (all null) → 8 real days
+    assert(stats.count(_.partition.head != null) == 8)
+    val sums = IcebergMetadata.manifestSummaries(ice)
+    assert(sums.length == 1)
+    val s = sums.head.partitions.head
+    assert(s.containsNull) // the summary records null presence
+    // bounds cover only the non-null values
+    assert(IcebergMetadata.boundLong(s.lower.get) == 1
+      && IcebergMetadata.boundLong(s.upper.get) == 9)
+    // a window that excludes every non-null day STILL keeps the
+    // manifest (contains_null → cannot prune) and the null files
+    assert(IcebergMetadata.pruneManifests(ice, 100, 200).length == 1)
+    val got = IcebergMetadata.readPartitionPruned(spark, ice, 3L, 5L)
+      .where(col("d").isNull ||
+        datediff(col("d"), lit("1970-01-01")).between(3, 5))
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = df.where(col("d").isNull ||
+        datediff(col("d"), lit("1970-01-01")).between(3, 5))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    // 10 null-day rows + days {3,4} (5 each; day-5 ids are all %5 → null)
+    assert(got.length == 20)
+  }
+
   test("multi-field partition spec (day + bucket): tuples, spec json, summaries per field, identity keeps source column") {
     import org.apache.spark.sql.functions._
     import graft.sinks.PartitionTransforms
