@@ -580,6 +580,69 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(want) && got.length == 80)
   }
 
+  test("partition metadata roundtrip survives randomized specs: per-file tuple == recomputed transform, pruned read == filter") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.PartitionTransforms
+    val rnd = new scala.util.Random(42)
+    val transforms = Seq("day", "month", "bucket[5]", "truncate[100]",
+      "identity")
+    for (t <- transforms) {
+      val ice = Files.createTempDirectory(s"graft_prop_$t".takeWhile(_ != '['))
+        .toString
+      val n = 100 + rnd.nextInt(200)
+      val df = spark.range(n).select(
+        col("id"),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (col("id") % (3 + rnd.nextInt(20))).cast("int")).as("d"),
+        (col("id") * 7 % 1000).as("v"))
+      // column + expected-value function per transform
+      val (c, exp): (String, org.apache.spark.sql.Row => Any) = t match {
+        case "day" => ("d", r => r.getAs[java.sql.Date]("d")
+          .toLocalDate.toEpochDay.toInt)
+        case "month" => ("d", { r =>
+          val ld = r.getAs[java.sql.Date]("d").toLocalDate
+          (ld.getYear - 1970) * 12 + ld.getMonthValue - 1 })
+        case "bucket[5]" => ("v",
+          r => PartitionTransforms.bucketLong(r.getAs[Long]("v"), 5))
+        case "truncate[100]" => ("v",
+          r => r.getAs[Long]("v") / 100 * 100)
+        case "identity" => ("v", r => r.getAs[Long]("v"))
+      }
+      IcebergMetadata.publishPartitioned(spark, ice, df, s"/{$c,$t}",
+        groupSize = 4)
+      // every file's manifest tuple equals the transform recomputed
+      // from the file's own rows (and is single-valued per file)
+      val stats = IcebergMetadata.dataFileStats(ice)
+      stats.foreach { e =>
+        val vals = spark.read.parquet(e.path).collect()
+          .map(exp).map {
+            case i: Int => i.toLong
+            case l: Long => l
+          }.distinct
+        val tup = e.partition.head match {
+          case i: Int => i.toLong
+          case l: Long => l
+        }
+        assert(vals.toSeq == Seq(tup),
+          s"$t: file tuple $tup vs data ${vals.toSeq}")
+      }
+      // pruned read equivalence on a random window over tuple values
+      val tups = stats.map(_.partition.head match {
+        case i: Int => i.toLong; case l: Long => l
+      }).sorted
+      val lo = tups(rnd.nextInt(tups.length))
+      val hi = lo + rnd.nextInt(5)
+      val got = IcebergMetadata.readPartitionPruned(spark, ice, lo, hi)
+        .collect().map(_.getAs[Long]("id")).sorted
+      val want = df.collect()
+        .filter { r => val v = exp(r) match {
+          case i: Int => i.toLong; case l: Long => l }
+          v >= lo && v <= hi }
+        .map(_.getAs[Long]("id")).sorted
+      assert(got.sameElements(want), s"$t: pruned read mismatch")
+    }
+  }
+
   test("null partition values: hive default dir round-trips, contains_null set, pruning never drops the null partition") {
     import org.apache.spark.sql.functions._
     val ice = Files.createTempDirectory("graft_partnull").toString
