@@ -86,7 +86,7 @@ object Bench {
     "q_infer_schema", "q_evolve", "q_pushdown_sql",
     "q_partition_transform", "q_discover",
     "q_dedup_exact", "q_jaccard_neardup", "q_jaccard_prefix",
-    "q_dedup_canonical",
+    "q_dedup_canonical", "q_dedup_keep_best",
     "q_minhash_neardup",
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
     "q_text_stats", "q_quality_score", "q_source_quality", "q_lang_id",

@@ -1790,6 +1790,17 @@ object SparkEntry {
       Dedup.canonicalize(docs.select("doc_id"), pairs, "doc_id")
     }),
 
+    // ---- LLM: quality-aware cluster resolution — within each dup
+    //      cluster keep the highest-n_chars member (ties → larger id),
+    //      the "retain the best copy" rule a production dedup applies.
+    //      DuckDB replays closure + the same argmax. ----
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.9)
+        .select("id_a", "id_b")
+      Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("n_chars"))
+    }),
+
     // ---- LLM: exact Jaccard via prefix filtering — same results as
     //      the all-pairs form on 5× its scope. (Emitting ALL pairs is
     //      inherently quadratic inside duplicate clusters — the pair
@@ -2965,6 +2976,31 @@ object SparkEntry {
         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
         |SELECT src AS doc_id, min(dst) AS canonical
         |FROM reach GROUP BY src""".stripMargin,
+
+    // the same closure, then the winner per cluster by (n_chars, id)
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t FROM d0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b
+        |  FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM d0
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |canon AS (SELECT src AS doc_id, min(dst) AS canonical
+        |  FROM reach GROUP BY src),
+        |w AS (SELECT cn.canonical, cn.doc_id,
+        |    row_number() OVER (PARTITION BY cn.canonical
+        |      ORDER BY d.n_chars DESC, cn.doc_id DESC) AS rn
+        |  FROM canon cn JOIN d0 d USING (doc_id))
+        |SELECT doc_id, canonical, rn = 1 AS keep FROM w""".stripMargin,
 
     "q_cosine_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -255,6 +255,27 @@ object Dedup {
         coalesce(col("lbl"), col(idCol).cast("long")).as("canonical"))
   }
 
+  /** QUALITY-AWARE cluster resolution: within each duplicate cluster
+    * keep the highest-scoring member (ties → larger id) instead of the
+    * arbitrary min-id canonical — what a production dedup pass actually
+    * retains. Returns (id, canonical, keep): one row per input doc,
+    * `keep` true for exactly one member per cluster.
+    *
+    * Scale shape on top of [[canonicalize]]: the winner argmax is one
+    * keyed aggregation over (cluster → (score, id)) — partial map-side,
+    * output |clusters| rows, broadcast back over the labeled corpus. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         scoreCol: Column, maxIter: Int = 20): DataFrame = {
+    val labeled = canonicalize(docs.select(col(idCol)), pairs, idCol, maxIter)
+      .join(docs.select(col(idCol), scoreCol.as("__score")), Seq(idCol))
+    val winners = labeled.groupBy(col("canonical"))
+      .agg(max_by(col(idCol), struct(col("__score"), col(idCol)))
+        .as("__winner"))
+    labeled.join(broadcast(winners), Seq("canonical"))
+      .select(col(idCol), col("canonical"),
+        (col(idCol) === col("__winner")).as("keep"))
+  }
+
   /** Min-label propagation over the dup-graph VERTEX set only — the
     * ids that appear in at least one pair. At 100 TB with a sparse dup
     * graph (singletons dominate) this is the whole trick: each round
