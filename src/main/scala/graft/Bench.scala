@@ -28,7 +28,8 @@ import org.apache.spark.sql.SparkSession
   *  - q_jdbc_chunked / q_jdbc_incremental / q_cdc_mssql_jdbc: execute
   *    against embedded Derby — they time Derby's single-JVM engine, not
   *    the Spark plan.
-  *  - q_file_csv / q_file_jsonl / q_file_regex / q_parquet_roundtrip /
+  *  - q_file_csv / q_file_csv_gz / q_file_zip / q_file_jsonl /
+  *    q_file_regex / q_parquet_roundtrip /
   *    q_bucketed_join / q_writer_stats: write-then-read roundtrips into
   *    a tempdir; the write dominates and the fixture is tiny.
   *  - q_system_cols_single: a 25-row arm of q_system_cols (already

@@ -441,6 +441,59 @@ object SparkEntry {
           col("n_regionkey").cast("int"))
     }),
 
+    // ---- S14 compression parity with the reference's S3 driver
+    //      (s3.go:444-460, config compression: none/gzip/zip):
+    //      gzip rides Spark's native codec; read back = the table ----
+    "q_file_csv_gz" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csvgz").toString
+      t(s, dir, "nation").write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip").csv(tmp)
+      FileSources.readCsv(s, Seq(tmp))
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+    }),
+
+    // ---- S14 zip ARCHIVES (no native Spark codec): events rows packed
+    //      into 3 multi-entry zip files, unzipped per partition and
+    //      parsed by codegen'd from_csv; decode∘encode must reproduce
+    //      the source rows exactly ----
+    "q_file_zip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val root = new java.io.File("/tmp/graft_zip_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val ev = t(s, dir, "events").where(col("event_id") < 3000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      // 3 archives × 2 entries, grouped deterministically by event_id;
+      // fixture building is driver-side by nature (a test S3 bucket)
+      val lines = ev.select(col("event_id") % 3, col("event_id") % 6,
+          concat_ws(",", col("event_id"), col("user_id"),
+            col("event_type"), col("value")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      lines.groupBy(_._1).foreach { case (a, rows) =>
+        val zout = new java.util.zip.ZipOutputStream(
+          new java.io.FileOutputStream(s"$root/part-$a.zip"))
+        rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (e, ls) =>
+          zout.putNextEntry(new java.util.zip.ZipEntry(s"chunk-$e.csv"))
+          val body = ("event_id,user_id,event_type,value" +:
+            ls.map(_._3)).mkString("\n")
+          zout.write(body.getBytes("UTF-8"))
+          zout.closeEntry()
+        }
+        zout.close()
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      FileSources.readZippedCsv(s, s"$root/*.zip", schema)
+    }),
+
     // ---- S13 prefix + regex object listing: two region exports land
     //      beside a decoy; only keys matching the file_pattern regex
     //      are read (reference s3.go:146-190) ----
@@ -2236,6 +2289,16 @@ object SparkEntry {
 
     "q_file_jsonl" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_file_csv_gz" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // decode∘encode identity: the zipped CSV chunks must reproduce
+    // the source rows (doubles round-trip through Spark's shortest
+    // representation, reparsed to the identical double)
+    "q_file_zip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 3000""".stripMargin,
 
     "q_jdbc_chunked" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
