@@ -494,6 +494,36 @@ object SparkEntry {
       FileSources.readZippedCsv(s, s"$root/*.zip", schema)
     }),
 
+    // ---- S13 stream discovery: keys group into streams by the first
+    //      folder after the prefix (one per region), a root-level file
+    //      names its own stream, and the extension rule excludes the
+    //      decoy .txt (reference s3.go:190-260) ----
+    "q_s3_discover" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_s3disc_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val rows = t(s, dir, "nation").as("n")
+        .join(t(s, dir, "region").as("r"),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .select(col("r.r_name"), col("n.n_name"), col("n.n_nationkey"))
+        .collect()
+      rows.foreach { r =>
+        val d = new java.io.File(root, s"exports/${r.getString(0)}")
+        d.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(d, s"${r.getString(1)}.csv").toPath,
+          s"n_nationkey\n${r.get(2)}\n")
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "exports/readme.txt").toPath, "decoy")
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "exports/loose.csv").toPath, "a\n1\n")
+      FileSources.discoverStreams(s, s"$root/exports", "csv")
+    }),
+
     // ---- S13 prefix + regex object listing: two region exports land
     //      beside a decoy; only keys matching the file_pattern regex
     //      are read (reference s3.go:146-190) ----
@@ -2292,6 +2322,13 @@ object SparkEntry {
 
     "q_file_csv_gz" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // one stream per region folder (5 nations each) + the root file
+    "q_s3_discover" ->
+      """SELECT r_name AS stream, count(*) AS n_files
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1
+        |UNION ALL SELECT 'loose.csv', 1""".stripMargin,
 
     // decode∘encode identity: the zipped CSV chunks must reproduce
     // the source rows (doubles round-trip through Spark's shortest

@@ -143,6 +143,43 @@ object FileSources {
       .where(col("_file_modified") > timestamp_millis(lit(afterMillis)))
   }
 
+  /** STREAM DISCOVERY over a file tree (the reference's S3 discover —
+    * `drivers/s3/internal/s3.go:190-260`): keys under `prefix` filter
+    * by the format's extension rule (`matchesFileFormat`, including
+    * `.csv.gz`/`.json.gz`/`.jsonl.gz` only when compression=gzip) and
+    * group into streams by the FIRST folder level after the prefix; a
+    * file at the root becomes its own stream named by the filename.
+    * Planner-time metadata, like [[listMatching]]. */
+  def discoverStreams(spark: SparkSession, prefix: String, format: String,
+                      compression: String = "none",
+                      filePattern: Option[String] = None): DataFrame = {
+    val gz = compression == "gzip"
+    val exts: Seq[String] = format match {
+      case "csv" => Seq(".csv") ++ (if (gz) Seq(".csv.gz") else Nil)
+      case "json" => Seq(".json", ".jsonl") ++
+        (if (gz) Seq(".json.gz", ".jsonl.gz") else Nil)
+      case "parquet" => Seq(".parquet")
+      case other =>
+        throw new IllegalArgumentException(s"unknown file_format $other")
+    }
+    val prefixPath = new org.apache.hadoop.fs.Path(prefix)
+    val fs = prefixPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(prefixPath).toUri.getPath
+    val streams = listMatching(spark, prefix, filePattern)
+      .filter(p => exts.exists(p.toLowerCase.endsWith))
+      .map { p =>
+        // Hadoop Path handles unencoded spaces etc. where URI throws
+        val rel = new org.apache.hadoop.fs.Path(p).toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/")
+        // first folder level = stream; root files name themselves
+        rel.split("/").head
+      }
+      .groupBy(identity).toSeq
+      .map { case (s, fsList) => (s, fsList.length.toLong) }
+    import spark.implicits._
+    streams.toDF("stream", "n_files")
+  }
+
   /** ZIP-archive text lines (the reference's `compression: zip` —
     * `drivers/s3/internal/s3.go:444-460` wraps the object stream in a
     * decompressor by extension; gzip needs nothing here because every
