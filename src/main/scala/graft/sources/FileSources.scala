@@ -152,7 +152,8 @@ object FileSources {
     * Planner-time metadata, like [[listMatching]]. */
   def discoverStreams(spark: SparkSession, prefix: String, format: String,
                       compression: String = "none",
-                      filePattern: Option[String] = None): DataFrame = {
+                      filePattern: Option[String] = None,
+                      streamPattern: Option[String] = None): DataFrame = {
     val gz = compression == "gzip"
     val exts: Seq[String] = format match {
       case "csv" => Seq(".csv") ++ (if (gz) Seq(".csv.gz") else Nil)
@@ -171,8 +172,14 @@ object FileSources {
         // Hadoop Path handles unencoded spaces etc. where URI throws
         val rel = new org.apache.hadoop.fs.Path(p).toUri.getPath
           .stripPrefix(rootUri).stripPrefix("/")
-        // first folder level = stream; root files name themselves
-        rel.split("/").head
+        // custom grouping (the reference's Phase-2 `stream_pattern`
+        // TODO, config.go:52 — implemented here): stream = the regex's
+        // first capture group over the relative path; non-matching
+        // keys fall back to the level-1 rule
+        streamPattern.flatMap(_.r.findFirstMatchIn(rel))
+          .flatMap(m => Option(m.group(1)))
+          // default: first folder level; root files name themselves
+          .getOrElse(rel.split("/").head)
       }
       .groupBy(identity).toSeq
       .map { case (s, fsList) => (s, fsList.length.toLong) }

@@ -126,6 +126,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.where(col("id") === 1).head.getString(1) == "x")
   }
 
+  test("discoverStreams: custom stream_pattern capture group overrides level-1 grouping; extension rule filters") {
+    import graft.sources.FileSources
+    val dir = java.nio.file.Files.createTempDirectory("graft_disc")
+    def put(rel: String): Unit = {
+      val f = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, "a\n1\n".getBytes): Unit
+    }
+    put("t1/2024/jan.csv"); put("t1/2024/feb.csv")
+    put("t2/2024/jan.csv"); put("decoy.txt"); put("zipped.csv.gz")
+    // level-1 default; .gz excluded under compression=none
+    val lvl1 = FileSources.discoverStreams(spark, dir.toString, "csv")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lvl1 == Map("t1" -> 2L, "t2" -> 1L))
+    // gzip compression admits the .csv.gz root file as its own stream
+    val gz = FileSources.discoverStreams(spark, dir.toString, "csv",
+      compression = "gzip").collect().map(_.getString(0)).toSet
+    assert(gz.contains("zipped.csv.gz"))
+    // the Phase-2 stream_pattern: group by the YEAR segment instead
+    val byYear = FileSources.discoverStreams(spark, dir.toString, "csv",
+        streamPattern = Some("""[^/]+/(\d{4})/"""))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byYear == Map("2024" -> 3L))
+  }
+
   // ---- I4 S3 incremental: mtime discriminates files ----
 
   test("incrementalScan picks up only files modified after the cursor") {
