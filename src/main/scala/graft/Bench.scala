@@ -63,6 +63,9 @@ import org.apache.spark.sql.SparkSession
   *    flavor/typing variants of the headlined binlog decode
   *    (q_cdc_binlog + charset/temporal/compressed already time the
   *    decode cost envelope).
+  *  - q_dedup_keep_best: re-runs q_dedup_canonical's pair+closure plan
+  *    (already headlined) plus one |clusters|-row argmax — headlining
+  *    it would double-count the closure.
   *  - q_minhash_index_store / q_ann_lsh_stored: bucketed-index
   *    write-then-probe roundtrips (the write dominates at fixture
   *    scale; the probe path is what ScaleCheck measures).
@@ -87,7 +90,7 @@ object Bench {
     "q_infer_schema", "q_evolve", "q_pushdown_sql",
     "q_partition_transform", "q_discover",
     "q_dedup_exact", "q_jaccard_neardup", "q_jaccard_prefix",
-    "q_dedup_canonical", "q_dedup_keep_best",
+    "q_dedup_canonical",
     "q_minhash_neardup",
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
     "q_text_stats", "q_quality_score", "q_source_quality", "q_lang_id",
