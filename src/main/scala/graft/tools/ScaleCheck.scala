@@ -116,6 +116,25 @@ object ScaleCheck {
           counts(s"$label ann_stored_probe") =
             graft.llm.Similarity.lshTopKStored(annQueries, k = 10,
               s"sc_ann_$label", native = true).count() },
+        // round-9 corpus-curation ops: benchmark/broadcast sides fixed,
+        // corpus scales — walls should be ~linear in corpus, and
+        // fuzzy-decont candidate counts follow the replica model
+        "fuzzy_decont" -> time(s"$label fuzzy_decont") {
+          counts(s"$label fuzzy_decont") = graft.llm.Decontaminate
+            .fuzzyOverlap(docs, incrBatch, "text", "doc_id",
+              threshold = 0.9, native = true).count() },
+        "cap_source" -> time(s"$label cap_source") {
+          counts(s"$label cap_source") = graft.llm.Sampling.capPerSource(
+            docs.withColumn("source",
+              concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+            "source", "doc_id", cap = 100).count() },
+        "source_quality" -> time(s"$label source_quality") {
+          counts(s"$label source_quality") = graft.llm.TextAnalysis
+            .sourceQualityStats(docs, "text", "source",
+              graft.llm.TextAnalysis.Markers.head._2).count() },
+        "ngram_vocab" -> time(s"$label ngram_vocab") {
+          graft.llm.TextAnalysis.topNgrams(docs, "text", n = 2, k = 200)
+            .count(): Unit },
         "jaccard_prefix" -> time(s"$label jaccard_prefix") {
           counts(s"$label jaccard_prefix") = Dedup.jaccardPairsPrefix(
             docs, "text", "doc_id", threshold = 0.8).count() },
