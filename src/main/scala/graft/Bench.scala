@@ -69,8 +69,9 @@ import org.apache.spark.sql.SparkSession
   *  - q_minhash_index_store / q_ann_lsh_stored: bucketed-index
   *    write-then-probe roundtrips (the write dominates at fixture
   *    scale; the probe path is what ScaleCheck measures).
-  *  - q_s3_list_wire: loopback wire-session gate like the other
-  *    *_wire exclusions.
+  *  - q_s3_list_wire / q_s3_parquet_range / q_s3_discover: loopback
+  *    wire-session / tempdir-fixture gates like the other *_wire
+  *    exclusions.
   */
 object Bench {
 

@@ -494,6 +494,42 @@ object SparkEntry {
       FileSources.readZippedCsv(s, s"$root/*.zip", schema)
     }),
 
+    // ---- S14 parquet over RANGED GetObject (the reference's
+    //      range_reader.go): per-file footer row counts and event_id
+    //      bounds read via `Range: bytes=a-b` requests only — the gate
+    //      REQUIRES the bytes fetched to stay far below the object
+    //      sizes (never a whole-object download); DuckDB recomputes
+    //      the same facts from the parquet files themselves ----
+    "q_s3_parquet_range" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_s3range_gate")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      t(s, dir, "events").where(col("event_id") < 8000)
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .repartitionByRange(4, col("event_id"))
+        .write.parquet(s"$root/data")
+      val srv = new S3Wire.S3LoopbackServer("lake", root)
+      try {
+        val client = new S3Wire.S3ListClient(srv.endpoint)
+        val keys = client.listAll("lake", "data/")
+          .filter(_.key.endsWith(".parquet"))
+        val rows = keys.map { o =>
+          val (n, mn, mx) = S3Wire.footerStatsViaRange(
+            client, "lake", o.key, "event_id")
+          (n, mn, mx)
+        }
+        val totalSize = keys.map(_.size).sum
+        require(client.bytesFetched.get() < totalSize / 4,
+          s"range reads fetched ${client.bytesFetched.get()} of " +
+            s"$totalSize bytes — not footer-sized")
+        import s.implicits._
+        rows.toDF("nrows", "mn", "mx")
+      } finally srv.close()
+    }),
+
     // ---- S13 stream discovery: keys group into streams by the first
     //      folder after the prefix (one per region), a root-level file
     //      names its own stream, and the extension rule excludes the
@@ -2322,6 +2358,13 @@ object SparkEntry {
 
     "q_file_csv_gz" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // the footer facts recomputed from the parquet files themselves
+    "q_s3_parquet_range" ->
+      """SELECT count(*) AS nrows, min(event_id) AS mn, max(event_id) AS mx
+        |FROM read_parquet('/tmp/graft_s3range_gate/data/*.parquet',
+        |                  filename=true)
+        |GROUP BY filename""".stripMargin,
 
     // one stream per region folder (5 nations each) + the root file
     "q_s3_discover" ->

@@ -73,6 +73,46 @@ object S3Wire {
       (objs, next)
     }
 
+    /** Total bytes fetched through [[getRange]] — the evidence a
+      * parquet footer read stayed a few KB on a multi-MB object. */
+    val bytesFetched = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** Ranged GetObject — the reference's `S3RangeReader.ReadAt`
+      * (`drivers/s3/internal/range_reader.go:36-75`): `Range:
+      * bytes=start-end` (inclusive), 206 Partial Content back. This is
+      * what reads parquet footers/pages without downloading objects. */
+    def getRange(bucket: String, key: String,
+                 start: Long, endIncl: Long): Array[Byte] = {
+      val conn = URI.create(s"$endpoint/$bucket/${enc(key)}").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setRequestProperty("Range", s"bytes=$start-$endIncl")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      try {
+        val code = conn.getResponseCode
+        require(code == 206 || code == 200,
+          s"GetObject range HTTP $code for $key")
+        val body = conn.getInputStream.readAllBytes()
+        bytesFetched.addAndGet(body.length.toLong)
+        body
+      } finally conn.disconnect()
+    }
+
+    /** Object size via HEAD (Content-Length) — what sizes the range
+      * math, like the SDK's HeadObject before ranged reads. */
+    def objectSize(bucket: String, key: String): Long = {
+      val conn = URI.create(s"$endpoint/$bucket/${enc(key)}").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("HEAD")
+      conn.setConnectTimeout(5000)
+      try {
+        require(conn.getResponseCode == 200,
+          s"HeadObject HTTP ${conn.getResponseCode} for $key")
+        conn.getContentLengthLong
+      } finally conn.disconnect()
+    }
+
     /** Full paginated listing of `prefix` in `bucket`. `pageSize` maps
       * to `max-keys` (AWS default/cap 1000). */
     def listAll(bucket: String, prefix: String,
@@ -134,7 +174,40 @@ object S3Wire {
         ex.getResponseBody.write(bytes)
         ex.close()
       }
-      if (path != bucket || !params.get("list-type").contains("2")) {
+      if (path.startsWith(s"$bucket/")) {
+        // object GET/HEAD with Range support (206 + Content-Range),
+        // the server half of the reference's range reader
+        val key = java.net.URLDecoder.decode(
+          path.stripPrefix(s"$bucket/"), "UTF-8")
+        allKeys().toMap.get(key) match {
+          case None =>
+            respond(404, """<?xml version="1.0"?><Error><Code>""" +
+              "NoSuchKey</Code></Error>")
+          case Some(f) =>
+            val size = f.length()
+            val RangeRe = """bytes=(\d+)-(\d+)""".r
+            val range = Option(ex.getRequestHeaders.getFirst("Range"))
+              .collect { case RangeRe(a, b) =>
+                (a.toLong, math.min(b.toLong, size - 1)) }
+            if (ex.getRequestMethod == "HEAD") {
+              ex.getResponseHeaders.set("Content-Length", size.toString)
+              ex.sendResponseHeaders(200, -1)
+              ex.close()
+            } else {
+              val (start, endIncl) = range.getOrElse((0L, size - 1))
+              val n = (endIncl - start + 1).toInt
+              val buf = new Array[Byte](n)
+              val raf = new java.io.RandomAccessFile(f, "r")
+              try { raf.seek(start); raf.readFully(buf) } finally raf.close()
+              if (range.isDefined)
+                ex.getResponseHeaders.set("Content-Range",
+                  s"bytes $start-$endIncl/$size")
+              ex.sendResponseHeaders(if (range.isDefined) 206 else 200, n)
+              ex.getResponseBody.write(buf)
+              ex.close()
+            }
+        }
+      } else if (path != bucket || !params.get("list-type").contains("2")) {
         respond(404, """<?xml version="1.0"?><Error><Code>NoSuchBucket""" +
           "</Code></Error>")
       } else {
@@ -176,5 +249,61 @@ object S3Wire {
 
     def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
     override def close(): Unit = server.stop(0)
+  }
+
+  /** A parquet `InputFile` whose every read is a ranged GetObject —
+    * the reference's `io.ReaderAt` adapter for parquet-go
+    * (`range_reader.go:14-34`) re-expressed for parquet-mr: footer and
+    * page reads fetch exact byte ranges, never the object. */
+  class RangeInputFile(client: S3ListClient, bucket: String, key: String)
+      extends org.apache.parquet.io.InputFile {
+    private lazy val len = client.objectSize(bucket, key)
+    override def getLength: Long = len
+    override def newStream(): org.apache.parquet.io.SeekableInputStream = {
+      val in = new java.io.InputStream {
+        var pos = 0L
+        override def read(): Int = {
+          val b = new Array[Byte](1)
+          if (read(b, 0, 1) == -1) -1 else b(0) & 0xff
+        }
+        override def read(b: Array[Byte], off: Int, n: Int): Int =
+          if (pos >= len) -1
+          else {
+            val endIncl = math.min(len - 1, pos + n - 1)
+            val got = client.getRange(bucket, key, pos, endIncl)
+            System.arraycopy(got, 0, b, off, got.length)
+            pos += got.length
+            got.length
+          }
+      }
+      new org.apache.parquet.io.DelegatingSeekableInputStream(in) {
+        override def getPos: Long = in.pos
+        override def seek(newPos: Long): Unit = in.pos = newPos
+      }
+    }
+  }
+
+  /** Footer stats over the wire: (rows, min, max of `column`) read
+    * with ranged GETs only. `bytesFetched` on the client shows the
+    * cost stayed footer-sized. */
+  def footerStatsViaRange(client: S3ListClient, bucket: String,
+                          key: String, column: String): (Long, Long, Long) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      new RangeInputFile(client, bucket, key),
+      org.apache.parquet.ParquetReadOptions.builder().build())
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = blocks.flatMap(_.getColumns.asScala
+        .filter(_.getPath.toDotString == column).map(_.getStatistics))
+      def asLong(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case other => throw new IllegalStateException(s"bound $other")
+      }
+      (rows, stats.map(s => asLong(s.genericGetMin)).min,
+        stats.map(s => asLong(s.genericGetMax)).max)
+    } finally reader.close()
   }
 }

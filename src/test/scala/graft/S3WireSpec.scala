@@ -72,6 +72,48 @@ class S3WireSpec extends AnyFunSuite {
     }
   }
 
+  test("ranged GetObject: 206 + exact slice, HEAD size, missing key 404") {
+    withFixture { (_, _, client) =>
+      val payload = "payload of exports/a.csv"
+      assert(client.objectSize("lake", "exports/a.csv") == payload.length)
+      val mid = client.getRange("lake", "exports/a.csv", 8, 9)
+      assert(new String(mid) == "of")
+      // over-long end clamps at the object size, like real S3
+      val tail = client.getRange("lake", "exports/a.csv", 11,
+        payload.length + 100L)
+      assert(new String(tail) == "exports/a.csv")
+      assert(client.bytesFetched.get() == 2 + 13)
+      intercept[IllegalArgumentException] {
+        client.objectSize("lake", "exports/nope.csv")
+      }
+    }
+  }
+
+  test("parquet footer over ranged reads only: stats equal the local footer, bytes stay footer-sized") {
+    val dir = java.nio.file.Files.createTempDirectory("s3pq").toFile
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    try {
+      spark.range(0, 50000)
+        .selectExpr("id AS event_id", "id * 2 AS v",
+          "repeat(uuid(), 4) AS pad") // make the object multi-MB-ish
+        .coalesce(1).write.parquet(new java.io.File(dir, "d").getPath)
+      val srv = new S3LoopbackServer("lake", dir)
+      try {
+        val client = new S3ListClient(srv.endpoint)
+        val key = client.listAll("lake", "d/")
+          .filter(_.key.endsWith(".parquet")).head
+        val (rows, mn, mx) = S3Wire.footerStatsViaRange(
+          client, "lake", key.key, "event_id")
+        assert(rows == 50000L && mn == 0L && mx == 49999L)
+        // never the whole object — the reference's entire point
+        assert(client.bytesFetched.get() < key.size / 10,
+          s"fetched ${client.bytesFetched.get()} of ${key.size}")
+      } finally srv.close()
+    } finally spark.stop()
+  }
+
   test("regex-filtered wire listing matches the local-path listing") {
     withFixture { (dir, _, client) =>
       val spark = org.apache.spark.sql.SparkSession.builder()
