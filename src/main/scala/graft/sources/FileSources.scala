@@ -223,6 +223,18 @@ object FileSources {
       }(Encoders.row(schema))
   }
 
+  /** JSONL rows out of zip archives: unzip + codegen'd `from_json` per
+    * line (the reference's json × zip config cell). */
+  def readZippedJsonl(spark: SparkSession, glob: String,
+                      schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    readZippedLines(spark, glob)
+      .where(length(trim(col("line"))) > 0)
+      .select(from_json(col("line"), schema).as("r"))
+      .select("r.*")
+  }
+
   /** CSV rows out of zip archives: unzip (above) + codegen'd `from_csv`
     * per line; `header` drops each entry's first line. */
   def readZippedCsv(spark: SparkSession, glob: String,

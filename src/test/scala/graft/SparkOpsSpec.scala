@@ -126,6 +126,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.where(col("id") === 1).head.getString(1) == "x")
   }
 
+  test("readZippedJsonl: multi-entry archives parse line-by-line; blank lines skipped") {
+    import graft.sources.FileSources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipjson")
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(dir.resolve("a.zip").toFile))
+    zout.putNextEntry(new java.util.zip.ZipEntry("p1.jsonl"))
+    zout.write("""{"id":1,"s":"x"}""".getBytes)
+    zout.write("\n\n".getBytes) // blank line must not produce a row
+    zout.write("""{"id":2,"s":"y"}""".getBytes)
+    zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("p2.jsonl"))
+    zout.write("""{"id":3,"s":"z"}""".getBytes)
+    zout.closeEntry()
+    zout.close()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType)))
+    val rows = FileSources.readZippedJsonl(spark,
+        dir.toString + "/*.zip", schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
   test("discoverStreams: custom stream_pattern capture group overrides level-1 grouping; extension rule filters") {
     import graft.sources.FileSources
     val dir = java.nio.file.Files.createTempDirectory("graft_disc")
