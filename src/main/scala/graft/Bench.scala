@@ -94,6 +94,7 @@ object Bench {
     "q_dedup_canonical",
     "q_minhash_neardup",
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
+    "q_semdedup", "q_segment_dedup", "q_dsir_score",
     "q_text_stats", "q_quality_score", "q_source_quality", "q_lang_id",
     "q_token_count", "q_fingerprint", "q_boilerplate", "q_text_clean",
     "q_ngram_vocab",
@@ -165,6 +166,10 @@ object Bench {
           } catch { case e: Throwable =>
             status(name) = "fail: " + Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(120).replace("\"", "'")
+            // the JSON line only carries failing NAMES (capture budget);
+            // the reason goes to stderr so a failing artifact is
+            // diagnosable from the run log (r08: 14 silent failures)
+            System.err.println(s"[bench] $name ${status(name)}")
           }
       }
     headline.foreach(timeQuery(_, times))

@@ -2014,6 +2014,35 @@ object SparkEntry {
       Dedup.cosinePairsLsh(t(s, dir, "embeddings").where(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.35, native = true)),
 
+    // ---- LLM: SEMANTIC dedup (SemDeDup family) — keep a vector unless
+    //      a lower-id vector lies within the cosine threshold; the
+    //      non-greedy drop rule makes the kept set declarative, so the
+    //      oracle replays it as a NOT-EXISTS over exact cosine while
+    //      the Spark side goes through the LSH candidate tier (full
+    //      recall at this config, same as q_cosine_neardup_lsh). ----
+    "q_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(t(s, dir, "embeddings").where(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.35, native = true)),
+
+    // ---- LLM: SEGMENT-level corpus dedup (C4/RefinedWeb line dedup):
+    //      10-token windows deduped corpus-wide by first occurrence,
+    //      documents reassembled from survivors. One segment-keyed
+    //      shuffle + one doc-keyed reassembly shuffle. ----
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")),
+
+    // ---- LLM: DSIR-style importance scoring — hashed-unigram
+    //      probability-ratio weights of a trusted target slice
+    //      (source='src0') vs the raw corpus, integer-exact. 256-row
+    //      broadcast weight join + one doc-keyed sum. ----
+    "q_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Selection.dsirWeights(docs,
+          docs.where(col("source") === "src0"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- LLM: INCREMENTAL embedding near-dup — batch (vec_id % 10 = 0)
     //      probed against the corpus hyperplane-code index ----
     "q_cosine_incremental" -> ((s, dir) => {
@@ -3233,6 +3262,54 @@ object SparkEntry {
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    // the non-greedy drop rule IS this NOT-EXISTS — no clustering walk
+    // to replay
+    "q_semdedup" ->
+      """SELECT v.vec_id,
+        |  NOT EXISTS (SELECT 1 FROM embeddings u WHERE u.vec_id < v.vec_id
+        |    AND list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+        |                               CAST(v.embedding AS DOUBLE[])) >= 0.35)
+        |  AS keep
+        |FROM embeddings v WHERE v.vec_id < 300""".stripMargin,
+
+    "q_segment_dedup" ->
+      """WITH n2 AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    CAST(ceil(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))/10.0) AS INTEGER) AS nseg
+        |  FROM documents),
+        |seg AS (SELECT doc_id, nseg, unnest(list_transform(range(0, nseg),
+        |    i -> struct_pack(seg_no := i,
+        |      seg := array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')))) AS s
+        |  FROM n2),
+        |occ AS (SELECT doc_id, CAST(s.seg_no AS INTEGER) AS seg_no, s.seg AS seg,
+        |    doc_id*1000000 + s.seg_no AS okey FROM seg),
+        |f AS (SELECT seg, min(okey) AS fk FROM occ GROUP BY seg),
+        |kept AS (SELECT o.doc_id, o.seg_no, o.seg
+        |  FROM occ o JOIN f ON o.seg = f.seg AND o.okey = f.fk),
+        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT n2.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  n2.nseg AS n_segments,
+        |  CAST(n2.nseg - coalesce(a.n_kept, 0) AS INTEGER) AS n_dropped
+        |FROM n2 LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_dsir_score" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(toks) AS t FROM d),
+        |tb AS (SELECT doc_id, source, substr(md5(t), 1, 2) AS b FROM tok),
+        |rh AS (SELECT b, count(*) AS rc FROM tb GROUP BY b),
+        |th AS (SELECT b, count(*) AS tc FROM tb WHERE source = 'src0' GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM tb) AS rt,
+        |               (SELECT count(*) FROM tb WHERE source = 'src0') AS tt),
+        |w AS (SELECT rh.b,
+        |    (coalesce(th.tc, 0) * tot.rt * 1000000) // (rh.rc * tot.tt) AS w
+        |  FROM rh LEFT JOIN th USING (b) CROSS JOIN tot)
+        |SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(w.w) AS BIGINT) AS dsir_score
+        |FROM tb JOIN w USING (b) GROUP BY tb.doc_id""".stripMargin,
 
     "q_simhash_native" ->
       "SELECT count(*) AS n_match FROM documents",

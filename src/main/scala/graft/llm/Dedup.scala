@@ -852,4 +852,82 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** SEMANTIC DEDUP (the SemDeDup family, Abbas et al. 2023): drop an
+    * embedding when a LOWER-ID embedding lies within the cosine
+    * threshold, keeping exactly one representative per ε-ball chain.
+    * The drop rule is non-greedy (any lower-id neighbor disqualifies,
+    * kept or not) so the kept set is declarative — independent of
+    * execution order and recomputable by a plain NOT-EXISTS query —
+    * where the paper's greedy per-cluster walk depends on visit order.
+    *
+    * Scale shape: candidate pairs come from [[cosinePairsLsh]] (keyed
+    * (table, code) joins — never a cartesian; full recall at gate
+    * config, measured by AnnRecall), then one keyed anti-join marks the
+    * dropped side. Emits (id, keep) for the whole corpus so downstream
+    * filters — or audits of the drop rate — are a predicate away. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, planes: Int = 4, dims: Int = 64,
+               tables: Int = 4, maxFlips: Int = 2,
+               native: Boolean = false): DataFrame = {
+    val pairs = cosinePairsLsh(df, idCol, vecCol, threshold, planes,
+      dims, tables, maxFlips, native)
+    // a vector is dropped iff it appears as the HIGHER id of any pair
+    val drops = pairs.select(col("id_b").as("__drop")).distinct()
+    df.join(drops, col(idCol) === col("__drop"), "left")
+      .select(col(idCol), col("__drop").isNull.as("keep"))
+  }
+
+  /** SEGMENT-LEVEL corpus dedup — the C4/RefinedWeb "line dedup" step:
+    * any text segment that occurs more than once ACROSS THE CORPUS is
+    * kept only at its first occurrence (ordered by (doc id, position))
+    * and removed everywhere else, then documents are reassembled from
+    * their surviving segments. Boilerplate (headers, footers, license
+    * blocks) dies corpus-wide in one pass without a curated list.
+    *
+    * Real web text segments on newlines; this corpus is single-line, so
+    * the segmenter is fixed `segTokens`-token windows — the semantics
+    * (hash → first-occurrence → rewrite) are separator-independent.
+    *
+    * Scale shape: segment construction is per-row HOF work (no
+    * explode-then-window); the first-occurrence pass is ONE shuffle of
+    * (segment, occurrence-key) keyed by segment hash — the same
+    * cardinality as exact dedup's — and reassembly is one shuffle of
+    * the SURVIVING segments keyed by doc id. The occurrence key packs
+    * (doc id, position) into a single long so "first" is the same total
+    * order on any engine. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 10): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val toks = tokens(col(textCol))
+    val nseg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segsCol = when(size(toks) > 0,
+      transform(sequence(lit(0), nseg - 1), i =>
+        array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(col(idCol).as("id"), nseg.as("nseg"),
+      segsCol.as("segs"))
+    val occ = base.select(col("id"), col("nseg"),
+        posexplode(col("segs")).as(Seq("seg_no", "seg")))
+      // position budget: 1e6 segments per document (a 10M-token doc at
+      // the default window) before keys could collide
+      .withColumn("okey", col("id") * 1000000L + col("seg_no"))
+    val firsts = occ.groupBy(col("seg"))
+      .agg(min(col("okey")).as("first_okey"))
+    val kept = occ.join(firsts, "seg")
+      .where(col("okey") === col("first_okey"))
+    val reassembled = kept.groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(
+            collect_list(struct(col("seg_no"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("id"), col("nseg"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("nseg").as("n_segments"),
+        (col("nseg") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_dropped"))
+  }
 }

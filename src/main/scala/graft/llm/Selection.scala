@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data SELECTION for training pipelines: score every raw document by
+  * how much it resembles a small trusted target domain, so the mixture
+  * step can up-weight domain-relevant data (the DSIR recipe — Xie et
+  * al. 2023, "Data Selection for Language Models via Importance
+  * Resampling": importance weights from hashed n-gram bag-of-words
+  * models of target vs raw).
+  *
+  * Everything is integer arithmetic over md5-prefix hash buckets, so
+  * the scores are byte-identical on any engine, partition layout, or
+  * cluster size — a selection decision that cannot be replayed exactly
+  * is a lineage hole at 100 TB.
+  */
+object Selection {
+
+  /** Hashed-unigram bucket: first two md5 hex chars → 256 buckets.
+    * Collisions are the POINT of hashed n-gram features (they bound the
+    * model size at any vocabulary), and every engine agrees on md5. */
+  def bucket(tok: Column): Column = substring(md5(tok), 1, 2)
+
+  /** DSIR-style importance score per raw document.
+    *
+    * Both corpora are reduced to 256-bucket hashed-unigram histograms;
+    * a bucket's weight is the scaled integer probability ratio
+    * `(targetCount · rawTotal · scale) div (rawCount · targetTotal)`
+    * — >scale where the target over-represents the bucket — and a
+    * document's score is the sum of its tokens' bucket weights. The
+    * paper works in log space with floats; the integer ratio keeps the
+    * SAME ranking for unigram features and is exactly reproducible
+    * (floats would drift across libm implementations).
+    *
+    * Scale shape: token bucketing is per-row map work; the two
+    * histograms partial-aggregate down to ≤256 rows each (collected as
+    * planner metadata — bounded by construction); scoring is a
+    * BROADCAST join of the 256-row weight table onto the exploded
+    * tokens plus ONE keyed shuffle (groupBy doc) for the per-document
+    * sums. The raw corpus is never shuffled whole.
+    *
+    * At 100 TB the `tc·rawTotal·scale` numerator can pass 2^63 —
+    * switch the weight expression to DECIMAL(38,0) there; longs are
+    * exact at gate scale and keep whole-stage codegen tight. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, scale: Long = 1000000L): DataFrame = {
+    val rawTok = raw.select(col(idCol).as("id"),
+        explode(Dedup.tokens(col(textCol))).as("t"))
+      .withColumn("b", bucket(col("t")))
+    val tgtTok = target.select(explode(Dedup.tokens(col(textCol))).as("t"))
+      .withColumn("b", bucket(col("t")))
+    val rawHist = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgtHist = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
+    // ≤256-row histograms: totals are driver-side scalars by
+    // construction, not a data-dependent collect
+    val rawTotal = rawHist.agg(sum("rc")).head.getLong(0)
+    val tgtTotal = tgtHist.agg(sum("tc")).head.getLong(0)
+    require(tgtTotal > 0, "target corpus has no tokens")
+    // `div` = Spark's IntegralDivide — exact long division, matching
+    // DuckDB's `//` on the non-negative operands here
+    val weights = rawHist.join(tgtHist, Seq("b"), "left").select(col("b"),
+      call_function("div",
+        coalesce(col("tc"), lit(0L)) * lit(rawTotal) * lit(scale),
+        col("rc") * lit(tgtTotal)).as("w"))
+    rawTok.join(broadcast(weights), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("dsir_score"))
+  }
+}

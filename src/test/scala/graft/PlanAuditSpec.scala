@@ -385,4 +385,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(p.toLowerCase.contains("partial"), p) // map-side combine
   }
+
+  test("segment dedup: keyed shuffles only (segment hash + doc id), no cartesian, partial combine") {
+    val p = plan(q("q_segment_dedup"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("SinglePartition"), p)
+    // the first-occurrence pass must combine map-side before its
+    // segment-keyed exchange
+    assert(p.toLowerCase.contains("partial"), p)
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
+
+  test("DSIR scoring: 256-row weight table broadcasts; the exploded corpus is never shuffled before the join") {
+    val p = plan(q("q_dsir_score"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the streamed (corpus) side of the weight join reaches it without
+    // an exchange of its own — same contract as decontamination
+    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange"), s"corpus side shuffled:\n$p")
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
+
+  test("semantic dedup: drop-side join keyed, never a cartesian") {
+    val p = plan(q("q_semdedup"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
 }

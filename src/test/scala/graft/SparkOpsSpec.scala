@@ -1139,4 +1139,60 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // degenerate 0×0 source clamps to 1×1
     assert(out(3L).width == 1 && out(3L).height == 1)
   }
+
+  test("semDedup keep set == NOT-EXISTS over exact cosine pairs") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .where(col("vec_id") < 200)
+    val pairs = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectDrop = pairs.map(_._2).toSet
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size == emb.count())
+    assert(out.filterNot(_._2).keySet == expectDrop)
+    assert(expectDrop.nonEmpty, "fixture has no near-dups at 0.35")
+  }
+
+  test("segmentDedup keeps first occurrences and rewrites later docs") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$ten alpha beta"),          // segs: [ten], [alpha beta]
+      (2L, s"$ten gamma delta"),         // seg0 duplicates doc 1 → dropped
+      (3L, s"alpha beta $ten")           // distinct segs (different windows)
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "text", "doc_id", segTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((s"$ten alpha beta", 2, 0)))
+    assert(out(2L) == (("gamma delta", 2, 1)))
+    // doc 3's windows are "alpha beta w1..w8" and "w9 w10" — neither
+    // string-equal to an earlier segment, so nothing is dropped
+    assert(out(3L)._2 == 2 && out(3L)._3 == 0)
+  }
+
+  test("segmentDedup drops a fully-duplicated doc to empty text") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "text", "doc_id", segTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(3)))).toMap
+    assert(out(1L) == (("x y z", 0)))
+    assert(out(2L) == (("", 1)))
+  }
+
+  test("dsirWeights: integer probability-ratio math, target slice scores higher") {
+    import spark.implicits._
+    // raw = {aa aa bb, cc cc dd}; target = first doc. Bucket counts are
+    // per md5 prefix, but with 4 distinct tokens collisions are
+    // astronomically unlikely to matter for the ORDERING assertion.
+    val raw = Seq((1L, "aa aa bb"), (2L, "cc cc dd")).toDF("doc_id", "text")
+    val target = raw.where(col("doc_id") === 1L)
+    val out = graft.llm.Selection.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // target doc: each token's bucket has tc=rc → w = (tc*6*1e6)/(rc*3)
+    //   = 2e6 per token → score 6e6; off-target doc: tc=0 → 0
+    assert(out(1L) == ((3L, 6000000L)))
+    assert(out(2L) == ((3L, 0L)))
+  }
 }
