@@ -2032,6 +2032,15 @@ object SparkEntry {
       Dedup.segmentDedup(t(s, dir, "documents"), "text", "doc_id")
         .withColumnRenamed("id", "doc_id")),
 
+    // ---- LLM: EXACT-SUBSTRING dedup (the Lee-et-al sliding-window
+    //      result as gram algebra): 15-token windows at every offset,
+    //      corpus-wide first occurrence wins, covered tokens removed,
+    //      docs rewritten. Shuffles md5 digests, never window text. ----
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.dedupSubstrings(t(s, dir, "documents"), "text", "doc_id",
+          minTokens = 15)
+        .withColumnRenamed("id", "doc_id")),
+
     // ---- LLM: DSIR-style importance scoring — hashed-unigram
     //      probability-ratio weights of a trusted target slice
     //      (source='src0') vs the raw corpus, integer-exact. 256-row
@@ -3293,6 +3302,33 @@ object SparkEntry {
         |  n2.nseg AS n_segments,
         |  CAST(n2.nseg - coalesce(a.n_kept, 0) AS INTEGER) AS n_dropped
         |FROM n2 LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(n - 15 + 1, 0)),
+        |    p -> struct_pack(p := p,
+        |      h := md5(array_to_string(list_slice(toks, p+1, p+15), ' '))))) AS s
+        |  FROM n),
+        |occ AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS h,
+        |    doc_id*1000000 + s.p AS okey FROM g),
+        |f AS (SELECT h, min(okey) AS fk FROM occ GROUP BY h),
+        |dup AS (SELECT o.doc_id, o.p FROM occ o JOIN f USING (h)
+        |  WHERE o.okey <> f.fk),
+        |spans AS (SELECT doc_id, list(struct_pack(s := p, e := p + 14)) AS sp
+        |  FROM dup GROUP BY doc_id),
+        |r AS (SELECT n.doc_id, n.n, n.toks, coalesce(spans.sp, []) AS sp
+        |  FROM n LEFT JOIN spans USING (doc_id)),
+        |k AS (SELECT doc_id, n, list_transform(
+        |    list_filter(list_transform(range(0, n),
+        |        q -> struct_pack(q := q, t := toks[q+1])),
+        |      x -> len(list_filter(sp, s2 -> s2.s <= x.q AND x.q <= s2.e)) = 0),
+        |    x -> x.t) AS kept FROM r)
+        |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(n AS INTEGER) AS n_tokens, CAST(n - len(kept) AS INTEGER) AS n_removed
+        |FROM k""".stripMargin,
 
     "q_dsir_score" ->
       """WITH d AS (SELECT doc_id, source,

@@ -878,6 +878,60 @@ object Dedup {
       .select(col(idCol), col("__drop").isNull.as("keep"))
   }
 
+  /** EXACT-SUBSTRING dedup — the sliding-window flavor (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * every `minTokens`-token window is fingerprinted; a window seen
+    * earlier in the corpus (by (doc id, position) order) marks its span
+    * for removal, overlapping marked spans coalesce implicitly through
+    * per-token coverage, and documents are rewritten without the
+    * covered tokens. Unlike [[segmentDedup]]'s fixed tiling this
+    * catches duplicated passages at ANY offset — the suffix-array
+    * result, re-expressed as gram algebra that shuffles instead of
+    * building a global index. Degenerate self-repeats (aaa…) collapse
+    * to their first window, which is exactly what substring dedup is
+    * for.
+    *
+    * Scale shape: window construction is per-row HOF work; the
+    * first-occurrence pass shuffles (md5(window), occurrence-key) ONCE
+    * keyed by the 32-char digest — never the window text; span
+    * collection is one doc-keyed shuffle of only the DUPLICATED
+    * windows; the rewrite is a per-row filter over the collected span
+    * list. Docs shorter than `minTokens` never enter the shuffle. */
+  def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
+                      minTokens: Int = 15): DataFrame = {
+    require(minTokens > 1, "minTokens must be > 1")
+    val L = minTokens
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val gramsCol = when(n >= L,
+      transform(sequence(lit(0), n - L), p =>
+        struct(p.as("p"),
+          md5(array_join(slice(toks, p + 1, lit(L)), " ")).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:string>>"))
+    val base = df.select(col(idCol).as("id"), toks.as("toks"),
+      n.as("n"), gramsCol.as("grams"))
+    val occ = base.select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), col("g.p").as("p"), col("g.h").as("h"))
+      .withColumn("okey", col("id") * 1000000L + col("p"))
+    val firsts = occ.groupBy(col("h")).agg(min(col("okey")).as("fk"))
+    val spans = occ.join(firsts, "h").where(col("okey") =!= col("fk"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("p").as("s"),
+        (col("p") + lit(L - 1)).as("e"))).as("sp"))
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"), col("n"), col("toks"),
+        coalesce(col("sp"),
+          array().cast("array<struct<s:int,e:int>>")).as("sp"))
+      .select(col("id"), col("n"),
+        filter(col("toks"), (_, q) =>
+          !exists(col("sp"), s2 =>
+            s2.getField("s") <= q && q <= s2.getField("e"))).as("kept"))
+      .select(col("id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        col("n").as("n_tokens"),
+        (col("n") - size(col("kept"))).as("n_removed"))
+  }
+
   /** SEGMENT-LEVEL corpus dedup — the C4/RefinedWeb "line dedup" step:
     * any text segment that occurs more than once ACROSS THE CORPUS is
     * kept only at its first occurrence (ordered by (doc id, position))

@@ -135,6 +135,27 @@ object ScaleCheck {
         "ngram_vocab" -> time(s"$label ngram_vocab") {
           graft.llm.TextAnalysis.topNgrams(docs, "text", n = 2, k = 200)
             .count(): Unit },
+        // corpus-rewrite dedup tiers: segment tiling + sliding windows.
+        // Walls should track the corpus ~linearly (one digest-keyed
+        // shuffle + one doc-keyed shuffle each); the replica model
+        // makes every copied segment/window a duplicate, so removal
+        // counts at 10× are ~9/10 of all positions — a KNOWN constant,
+        // not a blow-up signal.
+        "segment_dedup" -> time(s"$label segment_dedup") {
+          counts(s"$label segment_dedup") = Dedup.segmentDedup(
+            docs, "text", "doc_id").agg(sum("n_dropped")).head.getLong(0) },
+        "substring_dedup" -> time(s"$label substring_dedup") {
+          counts(s"$label substring_dedup") = Dedup.dedupSubstrings(
+            docs, "text", "doc_id", minTokens = 15)
+            .agg(sum("n_removed")).head.getLong(0) },
+        "semdedup" -> time(s"$label semdedup") {
+          counts(s"$label semdedup") = Dedup.semDedup(emb, "vec_id",
+            "embedding", threshold = 0.9, native = true)
+            .where(!col("keep")).count() },
+        "dsir_score" -> time(s"$label dsir_score") {
+          counts(s"$label dsir_score") = graft.llm.Selection.dsirWeights(
+            docs, docs.where(pmod(col("doc_id"), lit(7)) === 0),
+            "text", "doc_id").count() },
         "jaccard_prefix" -> time(s"$label jaccard_prefix") {
           counts(s"$label jaccard_prefix") = Dedup.jaccardPairsPrefix(
             docs, "text", "doc_id", threshold = 0.8).count() },

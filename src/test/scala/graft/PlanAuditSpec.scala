@@ -410,6 +410,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("udf"), p)
   }
 
+  test("substring dedup: digest-keyed first-occurrence shuffle, no cartesian, partial combine") {
+    val p = plan(q("q_substring_dedup"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("SinglePartition"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
+
   test("semantic dedup: drop-side join keyed, never a cartesian") {
     val p = plan(q("q_semdedup"))
     assert(!p.contains("CartesianProduct") &&

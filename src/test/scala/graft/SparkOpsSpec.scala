@@ -1181,6 +1181,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == (("", 1)))
   }
 
+  test("dedupSubstrings removes a shifted duplicated passage, keeps the first") {
+    import spark.implicits._
+    val run = (1 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run tail1 tail2"),       // first occurrence — untouched
+      (2L, s"lead1 lead2 $run fin"),   // passage at offset 2 — removed
+      (3L, "short doc only")           // < minTokens — never enters
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "text", "doc_id", minTokens = 15)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((s"$run tail1 tail2", 17, 0)))
+    assert(out(2L) == (("lead1 lead2 fin", 18, 15)))
+    assert(out(3L) == (("short doc only", 3, 0)))
+  }
+
+  test("dedupSubstrings overlapping windows coalesce through per-token coverage") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's 16-token run: BOTH 15-token windows of the
+    // run are duplicated; their spans overlap on tokens 1..14 and the
+    // union removes all 16 tokens exactly once
+    val run = (1 to 16).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, run), (2L, s"$run extra")).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "text", "doc_id", minTokens = 15)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(3)))).toMap
+    assert(out(1L) == ((run, 0)))
+    assert(out(2L) == (("extra", 16)))
+  }
+
   test("dsirWeights: integer probability-ratio math, target slice scores higher") {
     import spark.implicits._
     // raw = {aa aa bb, cc cc dd}; target = first doc. Bucket counts are
