@@ -16,17 +16,23 @@ object Tables {
     // lossy-but-deliberate mapping the reference applies (all timestamps →
     // microsecond UTC, types/data_types.go:116-133).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // integer division — `/` would go through double and lose precision
-      // on ~1.7e18 nanosecond epochs (53-bit mantissa)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
-      // timestamp[us] without the isAdjustedToUTC flag reads as NTZ under
-      // Spark 4's inference; the engine (like the reference) treats every
-      // timestamp as microsecond UTC, and the session tz is pinned to UTC,
-      // so the cast relabels the same micros without shifting them.
-      df.withColumn("ts", col("ts").cast(TimestampType))
-    else df
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        // integer division — `/` would go through double and lose precision
+        // on ~1.7e18 nanosecond epochs (53-bit mantissa)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    // timestamp[us] without the isAdjustedToUTC flag reads as NTZ under
+    // Spark 4's inference, which unix_micros/window/etc. reject; the engine
+    // (like the reference) treats every timestamp as microsecond UTC, and
+    // the session tz is pinned to UTC, so the cast relabels the same micros
+    // without shifting them. Applied to EVERY table (the driver regenerates
+    // the parquet between rounds — round 8 lost 14 gates when only
+    // events.ts was handled and the regenerated file flipped NANOS→NTZ).
+    df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df) { (acc, f) =>
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
   }
 }
