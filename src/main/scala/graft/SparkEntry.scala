@@ -1974,6 +1974,32 @@ object SparkEntry {
         "text", "doc_id", "graft_mh_gate", threshold = 0.9, native = true)
     }),
 
+    // ---- LLM: EXACT dedup against a STORED membership index (per-slot
+    //      Bloom filters + bucketed digest store). The corpus has no
+    //      exact dups, so the batch is built from it: %10==0 rows
+    //      re-id'd verbatim (guaranteed hits — dup_of = the original),
+    //      %10==5 rows suffix-perturbed (guaranteed misses — dup_of
+    //      NULL via a definitive Bloom negative). Oracle replays the
+    //      construction and the membership left-join in SQL. ----
+    "q_dedup_exact_stored" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_ex_store")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val d = t(s, dir, "documents").where(col("doc_id") < 2000)
+      Dedup.exactIndexStore(d, "text", "doc_id", "graft_ex_gate",
+        root.toString, slots = 16)
+      val batch = d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text")))
+      Dedup.exactIncrementalStored(batch, "text", "doc_id",
+        "graft_ex_gate", slots = 16)
+    }),
+
     // ---- LLM: native codegen'd MinHash sig+bands ≡ the HOF form ----
     "q_minhash_native" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -3247,6 +3273,19 @@ object SparkEntry {
         |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
+
+    // The Bloom pass accelerates but never changes the answer: the
+    // output is the plain membership left-join, replayed here.
+    "q_dedup_exact_stored" ->
+      """WITH c AS (SELECT md5(text) AS dg, min(doc_id) AS id
+        |  FROM documents WHERE doc_id < 2000 GROUP BY 1),
+        |b AS (SELECT doc_id + 100000 AS id, md5(text) AS dg
+        |    FROM documents WHERE doc_id < 2000 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, md5(text || ' xyzzy')
+        |    FROM documents WHERE doc_id < 2000 AND doc_id % 10 = 5)
+        |SELECT b.id, b.dg AS digest, c.id AS dup_of
+        |FROM b LEFT JOIN c ON b.dg = c.dg""".stripMargin,
 
     // Exact replay of simhashExactDups: identical distinct-token sets.
     "q_simhash_neardup" ->

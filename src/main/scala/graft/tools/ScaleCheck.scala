@@ -109,6 +109,13 @@ object ScaleCheck {
           counts(s"$label minhash_stored_probe") =
             Dedup.minhashIncrementalStored(incrBatch, "text", "doc_id",
               s"sc_mh_$label", threshold = 0.9, native = true).count() },
+        "exact_stored_build" -> time(s"$label exact_stored_build") {
+          Dedup.exactIndexStore(docs, "text", "doc_id",
+            s"sc_ex_$label", s"$out/exidx", slots = 64) },
+        "exact_stored_probe" -> time(s"$label exact_stored_probe") {
+          counts(s"$label exact_stored_probe") =
+            Dedup.exactIncrementalStored(incrBatch, "text", "doc_id",
+              s"sc_ex_$label", slots = 64).count() },
         "ann_stored_build" -> time(s"$label ann_stored_build") {
           graft.llm.Similarity.lshIndexStore(emb, s"sc_ann_$label",
             s"$out/annidx", buckets = 32, native = true) },

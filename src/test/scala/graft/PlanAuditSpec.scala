@@ -127,6 +127,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     cand.unpersist()
   }
 
+  test("stored exact-dedup probe: bloom pass never reads the digest store; " +
+       "verify lookup partition-prunes slots") {
+    import graft.llm.Dedup
+    val root = new java.io.File("/tmp/graft_ex_audit")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val d = Tables.load(spark, dir, "documents").where(col("doc_id") < 500)
+    Dedup.exactIndexStore(d, "text", "doc_id", "graft_ex_audit",
+      root.toString, slots = 8)
+    val batch = d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val (positives, result) = Dedup.exactStoredProbe(batch, "text",
+      "doc_id", "graft_ex_audit", slots = 8)
+    // the membership pass reads only the O(slots) bloom table — the
+    // digest store must be absent from its plan entirely
+    val pp = positives.queryExecution.executedPlan.toString
+    assert(!pp.contains("digests"), s"digest store read in bloom pass:\n$pp")
+    assert(pp.contains("blooms"), pp)
+    // the verify lookup partition-prunes the slot-partitioned store
+    // (directory-level pruning survives the broadcast, where bucket
+    // pruning would not) and the (tiny) hit set broadcasts into the
+    // final left join; the digest-IN filter is pushed for row-group
+    // pruning within the surviving slots
+    val pr = result.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*slot".r.findFirstIn(pr).isDefined, pr)
+    assert(pr.contains("PushedFilters: [In(digest"), pr)
+    assert(pr.contains("BroadcastHashJoin"), pr)
+    assert(!pr.contains("CartesianProduct") &&
+           !pr.contains("BroadcastNestedLoopJoin"), pr)
+    assert(result.count() == batch.count())
+  }
+
   test("stored-index ANN probe: broadcast code join with zero corpus-side " +
        "exchanges; vector fetch bucket-prunes files") {
     import graft.llm.Similarity

@@ -1225,4 +1225,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) == ((3L, 6000000L)))
     assert(out(2L) == ((3L, 0L)))
   }
+
+  test("exactIncrementalStored: hits map to stored min-id, misses NULL, " +
+       "bloom positives cover every true hit") {
+    import spark.implicits._
+    val root = new java.io.File("/tmp/graft_ex_spec")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    // corpus has a duplicated text (ids 1,4) — the store must keep min(id)=1
+    val corpus = Seq((1L, "the quick brown fox"), (2L, "jumps over"),
+      (3L, "lazy dog"), (4L, "the quick brown fox")).toDF("doc_id", "text")
+    Dedup.exactIndexStore(corpus, "text", "doc_id", "graft_ex_spec",
+      root.toString, slots = 4)
+    val batch = Seq((10L, "jumps over"), (11L, "brand new content"),
+      (12L, "the quick brown fox")).toDF("doc_id", "text")
+    val (positives, result) = Dedup.exactStoredProbe(batch, "text",
+      "doc_id", "graft_ex_spec", slots = 4)
+    val out = result.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out == Map(10L -> Some(2L), 11L -> None, 12L -> Some(1L)))
+    // no false negatives: every true hit is bloom-positive
+    val pos = positives.select("id").as[Long].collect().toSet
+    assert(Set(10L, 12L).subsetOf(pos))
+  }
 }
