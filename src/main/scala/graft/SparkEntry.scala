@@ -2087,6 +2087,26 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.35, native = true)
     }),
 
+    // ---- LLM: cosine near-dup against a STORED code+vector index —
+    //      same split, threshold, and oracle as q_cosine_incremental;
+    //      the corpus is persisted once (bucketed codes + vectors) and
+    //      the batch probes it with zero corpus-side scans ----
+    "q_cosine_index_store" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_cos_store")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
+      Dedup.cosineIndexStore(e.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", "graft_cos_gate", root.toString,
+        buckets = 8, native = true)
+      Dedup.cosineIncrementalStored(e.where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "graft_cos_gate", threshold = 0.35,
+        native = true)
+    }),
+
     // ---- LLM: native codegen'd hyperplane-code kernel ≡ the HOF form
     //      on every embedding row (oracle: count == total) ----
     "q_hyperplane_native" -> ((s, dir) => {
@@ -3305,6 +3325,15 @@ object SparkEntry {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
 
     "q_cosine_incremental" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    // same answer as the in-session incremental tier — the stored
+    // index changes where the state lives, never the pairs
+    "q_cosine_index_store" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300

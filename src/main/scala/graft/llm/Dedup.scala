@@ -808,6 +808,115 @@ object Dedup {
     out
   }
 
+  /** Persist the cosine near-dup index for a corpus — the stored
+    * counterpart of [[cosineIncrementalVerified]]'s in-session state,
+    * closing its one linear term (the per-batch corpus∪batch vector
+    * scan, pruned but still a scan):
+    *  - `{prefix}_codes` — (id, t, code) hyperplane codes,
+    *    bucketed+sorted by (t, code): the candidate-generation side.
+    *  - `{prefix}_vecs` — (id, vec, nrm), bucketed by id: the
+    *    exact-cosine verify side, fetched by candidate-id literals so
+    *    the bucketed layout prunes files — never a corpus scan. */
+  def cosineIndexStore(corpus: DataFrame, idCol: String, vecCol: String,
+                       prefix: String, path: String, buckets: Int = 32,
+                       planes: Int = 4, dims: Int = 64, tables: Int = 4,
+                       native: Boolean = false): Unit = {
+    import graft.llm.Similarity.{norm, tableCodes}
+    graft.sinks.Bucketed.writeBucketed(
+      corpus.select(col(idCol).as("id"),
+          explode(tableCodes(col(vecCol), planes, dims, tables, native))
+            .as("tc"))
+        .select(col("id"), col("tc.t").as("t"), col("tc.code").as("code")),
+      s"${prefix}_codes", s"$path/codes", Seq("t", "code"), buckets)
+    graft.sinks.Bucketed.writeBucketed(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm")),
+      s"${prefix}_vecs", s"$path/vecs", Seq("id"), buckets)
+  }
+
+  /** Lazily-built probe frames against a stored cosine index (split
+    * out for PlanAuditSpec). Returns (cross, verified, candCache); the
+    * caller unpersists `candCache` after consuming `verified`. Shapes
+    * mirror [[minhashStoredProbe]]: the stored code table streams
+    * through a broadcast hash join against the batch's multi-probe
+    * keys (zero corpus-side exchanges); candidate vectors come from
+    * the bucketed vector store via id LITERALS (file-pruned), unioned
+    * with the batch's own vectors — the corpus is never scanned. */
+  private[graft] def cosineStoredProbe(batch: DataFrame, idCol: String,
+      vecCol: String, prefix: String, threshold: Double, planes: Int,
+      dims: Int, tables: Int, maxFlips: Int, native: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.llm.Similarity.{dot, norm, probeMasks, tableCodes}
+    val spark = batch.sparkSession
+    val bCodes0 = batch.select(col(idCol).as("id"),
+        tableCodes(col(vecCol), planes, dims, tables, native).as("tcs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bCoded = bCodes0.select(col("id"), explode(col("tcs")).as("tc"))
+    val masks = probeMasks(planes, maxFlips)
+    val bProbed = bCodes0.select(col("id"),
+      explode(flatten(transform(col("tcs"), tc =>
+        array(masks.map(m => struct(tc.getField("t").as("t"),
+          tc.getField("code").bitwiseXOR(lit(m)).as("code"))): _*))))
+        .as("probe"))
+    val idx = spark.table(s"${prefix}_codes")
+    // multi-probe flips ride the BATCH side only — O(batch × tables ×
+    // probes) broadcast rows; the stored code table streams unshuffled
+    val cross = idx.as("b").join(broadcast(bProbed.as("a")),
+        col("a.probe.t") === col("b.t") &&
+        col("a.probe.code") === col("b.code"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val within = bProbed.as("a").join(bCoded.as("b"),
+        col("a.probe") === col("b.tc") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = cross.unionByName(within).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    bCodes0.unpersist()
+    // candidate ids are driver-bounded (batch × bucket occupancy) and
+    // become LITERALS against the bucketed vector store; batch ids are
+    // disjoint from the store by contract so the union double-serves
+    // nothing
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id")))
+      .distinct().collect().map(_.get(0)).toSeq
+    val corpusVecs = spark.table(s"${prefix}_vecs")
+      .where(col("id").isInCollection(candIds))
+    val batchVecs = batch.select(col(idCol).as("id"),
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    val side = batchVecs.unionByName(corpusVecs)
+    val verified = cand
+      .join(side.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    (cross, verified, cand)
+  }
+
+  /** Incremental embedding near-dup against a STORED index
+    * ([[cosineIndexStore]]): the corpus is never read, coded, or
+    * normed per arriving batch — probe cost is O(batch × tables ×
+    * probes) broadcast rows against the bucketed code table plus
+    * file-pruned vector fetches for candidates. Wall time is a
+    * function of BATCH size and bucket occupancy, not corpus size.
+    * Same candidate algebra and verify as
+    * [[cosineIncrementalVerified]] — outputs are identical by
+    * construction. Ids must be disjoint; pairs emit as id_a < id_b. */
+  def cosineIncrementalStored(batch: DataFrame, idCol: String,
+                              vecCol: String, prefix: String,
+                              threshold: Double, planes: Int = 4,
+                              dims: Int = 64, tables: Int = 4,
+                              maxFlips: Int = 2,
+                              native: Boolean = false): DataFrame = {
+    val (_, verified, cand) = cosineStoredProbe(batch, idCol, vecCol,
+      prefix, threshold, planes, dims, tables, maxFlips, native)
+    val out = materializeOffCache(verified)
+    cand.unpersist()
+    out
+  }
+
   /** SimHash-64: per token-hash, vote +1/-1 on each bit; the fingerprint
     * sets bit i when votes are positive. Expressed as 64 per-row
     * aggregates over the token array — no shuffle, codegen'd.

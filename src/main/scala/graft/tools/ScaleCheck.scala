@@ -109,6 +109,16 @@ object ScaleCheck {
           counts(s"$label minhash_stored_probe") =
             Dedup.minhashIncrementalStored(incrBatch, "text", "doc_id",
               s"sc_mh_$label", threshold = 0.9, native = true).count() },
+        "cosine_stored_build" -> time(s"$label cosine_stored_build") {
+          Dedup.cosineIndexStore(emb, "vec_id", "embedding",
+            s"sc_cos_$label", s"$out/cosidx", buckets = 32,
+            native = true) },
+        "cosine_stored_probe" -> time(s"$label cosine_stored_probe") {
+          counts(s"$label cosine_stored_probe") =
+            Dedup.cosineIncrementalStored(annQueries.withColumn("vec_id",
+                col("vec_id") + lit(1000000000000L)),
+              "vec_id", "embedding", s"sc_cos_$label", threshold = 0.9,
+              native = true).count() },
         "exact_stored_build" -> time(s"$label exact_stored_build") {
           Dedup.exactIndexStore(docs, "text", "doc_id",
             s"sc_ex_$label", s"$out/exidx", slots = 64) },

@@ -127,6 +127,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     cand.unpersist()
   }
 
+  test("stored cosine probe: broadcast code join with zero corpus-side " +
+       "exchanges; vector fetch bucket-prunes files") {
+    import graft.llm.Dedup
+    val root = new java.io.File("/tmp/graft_cos_audit")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val emb = Tables.load(spark, dir, "embeddings")
+    Dedup.cosineIndexStore(emb.where(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", "graft_cos_audit", root.toString,
+      buckets = 4, native = true)
+    val (cross, verified, cand) = Dedup.cosineStoredProbe(
+      emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      "graft_cos_audit", 0.35, 4, 64, 4, 2, native = true)
+    val pc = cross.queryExecution.executedPlan.toString
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("Exchange hashpartitioning") &&
+           !pc.contains("Exchange rangepartitioning"),
+      s"corpus-side shuffle in stored probe:\n$pc")
+    val pv = verified.queryExecution.executedPlan.toString
+    assert(pv.contains("SelectedBucketsCount"), pv)
+    assert(!pv.contains("CartesianProduct") &&
+           !pv.contains("BroadcastNestedLoopJoin"), pv)
+    assert(verified.count() > 0)
+    cand.unpersist()
+  }
+
   test("stored exact-dedup probe: bloom pass never reads the digest store; " +
        "verify lookup partition-prunes slots") {
     import graft.llm.Dedup
