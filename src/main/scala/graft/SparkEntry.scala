@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, DedupStream}
 import graft.cdc.{Binlog, ChangeLogFixture, MongoWatchClient, MongoWireServer, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
@@ -176,6 +176,68 @@ object SparkEntry {
         .awaitTermination()
       CdcStream.readTable(s, table)
         .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    // ---- Streaming dedup-on-arrival over the STORED exact-dedup
+    //      index: two real AvailableNow runs with checkpoint resume.
+    //      Batch 1 carries corpus dups (dropped via the stored index)
+    //      plus new content (kept); batch 2 carries dups OF BATCH 1's
+    //      survivors (dropped — proves the index advanced between
+    //      batches), fresh content (kept), and a within-batch dup pair
+    //      (min id kept). A manual stale replay of batch 0 afterwards
+    //      must be a no-op. Oracle replays the three kept sets. ----
+    "q_dedup_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+      val root = new java.io.File("/tmp/graft_dstream")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val idx = s"$root/idx"; val corpus = s"$root/corpus"
+      val state = s"$root/state.json"; val ckpt = s"$root/ckpt"
+      val d = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val init = d.where(col("doc_id") % 10 =!= 0)
+      init.select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$corpus/base")
+      Dedup.exactIndexStore(init, "text", "doc_id", "graft_ds_gate",
+        idx, slots = 16)
+      val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, file)): Unit
+      }
+      // dup leg MUST re-use texts the corpus holds: %10==1 is in init
+      // (%10==0 is excluded from it and would be genuinely new)
+      val b1 = d.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text")))
+      stage(b1, "b1.json")
+      DedupStream.run(s, src, schema, "graft_ds_gate", idx, corpus,
+        state, ckpt, slots = 16).awaitTermination()
+      stage(d.where(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" plugh")).as("text")))
+        .unionByName(d.where(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(col("text"), lit(" plugh")).as("text"))), "b2.json")
+      DedupStream.run(s, src, schema, "graft_ds_gate", idx, corpus,
+        state, ckpt, slots = 16).awaitTermination()
+      // stale re-delivery of the already-committed first batch
+      DedupStream.applyBatch(b1, 0L, "graft_ds_gate", idx, corpus,
+        state, 16)
+      DedupStream.readCorpus(s, corpus)
+        .select(col("doc_id").as("id"), md5(col("text")).as("digest"))
     }),
 
     // ---- I5 cursor formatting, gate-backed: the ISO-8601/decimal
@@ -3293,6 +3355,20 @@ object SparkEntry {
         |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
+
+    // The final corpus is exactly the three kept sets: the initial
+    // load, batch 1's genuinely-new rows, and batch 2's fresh rows
+    // (batch 2's replays of batch-1 content and its own within-batch
+    // copy never land; the min-id rule keeps +400000 over +500000).
+    "q_dedup_stream" ->
+      """SELECT doc_id AS id, md5(text) AS digest FROM documents
+        |  WHERE doc_id < 1000 AND doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id + 200000, md5(text || ' xyzzy') FROM documents
+        |  WHERE doc_id < 1000 AND doc_id % 10 = 5
+        |UNION ALL
+        |SELECT doc_id + 400000, md5(text || ' plugh') FROM documents
+        |  WHERE doc_id < 1000 AND doc_id % 10 = 7""".stripMargin,
 
     // The Bloom pass accelerates but never changes the answer: the
     // output is the plain membership left-join, replayed here.

@@ -1,0 +1,202 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.llm.Dedup
+
+/** Streaming dedup-on-arrival: the 100 TB corpus-ingest loop, run as a
+  * Structured Streaming pipeline over the STORED exact-dedup index
+  * ([[Dedup.exactIndexStore]]).
+  *
+  * Each micro-batch probes the stored membership state (Bloom pass +
+  * pruned digest-store verify — the corpus itself is never read),
+  * keeps only first-seen content, appends the survivors, and advances
+  * the index so the NEXT batch dedups against them too. The index is
+  * state the same way a CDC offset is state (reference
+  * types/metadata_state.go): it lives outside the stream and every
+  * mutation is scoped by batchId, so a checkpoint-resumed replay
+  * rewrites the same files instead of double-applying:
+  *
+  *  - survivors        → `corpusDir/b<batchId>/`        (overwrite)
+  *  - new digests      → `indexPath/digests_delta/b<id>/` (overwrite;
+  *    slot rides as a data column — the base store keeps its
+  *    slot-partitioned layout and these small deltas are folded in by
+  *    [[compactIndex]])
+  *  - Bloom snapshots  → `indexPath/blooms_v<id>/` (a full versioned
+  *    copy, built DISTRIBUTED by cogrouping the previous snapshot
+  *    with the batch's survivor digests per slot — no driver-side
+  *    filter materialization, so it holds when the filters total
+  *    ~100 GB at corpus scale)
+  *
+  * State-commit ordering: segments, digest delta, and bloom snapshot
+  * all land before `statePath` records the batchId — a crash anywhere
+  * in between replays into identical overwrites.
+  */
+object DedupStream {
+
+  /** Register `{prefix}_digests` / `{prefix}_blooms` temp views over
+    * the CURRENT index state (base + uncompacted deltas; newest bloom
+    * snapshot). Temp views shadow the catalog tables
+    * [[Dedup.exactIndexStore]] registers, so the probe sees appended
+    * state and a FRESH session can resume from disk alone. */
+  def registerIndex(spark: SparkSession, prefix: String,
+                    indexPath: String): Unit = {
+    val base = spark.read.parquet(s"$indexPath/digests")
+      .select(col("digest"), col("id"), col("slot").cast("int").as("slot"))
+    val deltaRoot = new File(s"$indexPath/digests_delta")
+    val deltas = Option(deltaRoot.listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.toString).sorted
+    val digests =
+      if (deltas.isEmpty) base
+      else base.unionByName(spark.read.parquet(deltas: _*)
+        .select(col("digest"), col("id"), col("slot").cast("int").as("slot")))
+    digests.createOrReplaceTempView(s"${prefix}_digests")
+    spark.read.parquet(bloomDir(indexPath))
+      .createOrReplaceTempView(s"${prefix}_blooms")
+  }
+
+  /** Newest bloom snapshot dir: `blooms_v<id>` if any batch has
+    * committed, else the store-time `blooms`. */
+  private def bloomDir(indexPath: String): String = {
+    val vs = Option(new File(indexPath).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("blooms_v"))
+      .map(_.getName.stripPrefix("blooms_v").toLong)
+    if (vs.isEmpty) s"$indexPath/blooms"
+    else s"$indexPath/blooms_v${vs.max}"
+  }
+
+  private def readState(statePath: String): Long = {
+    val f = new File(statePath)
+    if (!f.exists) Long.MinValue
+    else """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(
+      java.nio.file.Files.readString(f.toPath))
+      .map(_.group(1).toLong).getOrElse(Long.MinValue)
+  }
+
+  /** One micro-batch: probe → keep first-seen → append survivors →
+    * advance index → commit batchId. Idempotent: replays of committed
+    * batches return immediately; a torn batch re-overwrites its own
+    * dirs. */
+  def applyBatch(batch: DataFrame, batchId: Long, prefix: String,
+                 indexPath: String, corpusDir: String, statePath: String,
+                 slots: Int): Unit = {
+    if (batchId <= readState(statePath)) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    registerIndex(spark, prefix, indexPath)
+    val marked = Dedup.exactIncrementalStored(batch, "text", "doc_id",
+      prefix, slots)
+    // TORN-BATCH RULE: a dup_of pointing at an id inside THIS batch is
+    // the batch's own previously-applied (but uncommitted) state, not
+    // a genuine duplicate — without this, replaying a torn batch finds
+    // its survivors already indexed, drops them as dups of themselves,
+    // and overwrites the segment EMPTY (caught by StreamingSpec).
+    // Globally-unique ids make the test exact: no earlier batch can
+    // own this batch's ids.
+    val selfOwned = marked.join(
+      batch.select(col("doc_id").as("dup_of")), Seq("dup_of"), "left_semi")
+    // within-batch first-occurrence: two copies arriving together keep
+    // the min id (batch-sized shuffle on digest); the same rule
+    // re-collapses self-owned replay rows to the identical survivor
+    val w = Window.partitionBy(col("digest")).orderBy(col("id"))
+    val survivors = marked.where(col("dup_of").isNull)
+      .unionByName(selfOwned.select("id", "digest", "dup_of"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "dup_of")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1. corpus segment (ids only need the original row — re-join to
+    //    the batch for the full payload)
+    batch.join(survivors.select(col("id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .write.mode("overwrite").parquet(s"$corpusDir/b$batchId")
+    // 2. digest delta (slot as data column; folded by compactIndex)
+    val slotOfCol = pmod(conv(substring(col("digest"), 1, 4), 16, 10)
+      .cast("int"), lit(slots))
+    survivors.select(col("digest"), col("id"),
+        slotOfCol.as("slot"))
+      .write.mode("overwrite").parquet(s"$indexPath/digests_delta/b$batchId")
+    // 3. bloom snapshot: distributed per-slot merge — the previous
+    //    snapshot streams through a cogroup with the survivors'
+    //    digests; untouched slots copy through
+    val prev = spark.read.parquet(bloomDir(indexPath))
+      .select(col("slot").cast("int"), col("n_digests"), col("bloom"))
+      .as[(Int, Long, Array[Byte])].groupByKey(_._1)
+    val add = survivors.select(slotOfCol.as("slot"), col("digest"))
+      .as[(Int, String)].groupByKey(_._1)
+    prev.cogroup(add) { (slot, bfs, rows) =>
+      val items = rows.map(_._2).toArray
+      bfs.toSeq.headOption match {
+        case Some((_, n, bytes)) if items.isEmpty =>
+          Iterator.single((slot, n, bytes))
+        case Some((_, n, bytes)) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+          items.foreach(bf.putString)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Iterator.single((slot, n + items.length, bos.toByteArray))
+        case None =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(items.length, 1).toLong, 0.01)
+          items.foreach(bf.putString)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Iterator.single((slot, items.length.toLong, bos.toByteArray))
+      }
+    }.toDF("slot", "n_digests", "bloom")
+      .write.mode("overwrite").parquet(s"$indexPath/blooms_v$batchId")
+    survivors.unpersist()
+    // 4. commit — last, so every prior write replays as an overwrite
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(statePath),
+      s"""{"batchId":$batchId}""")
+  }
+
+  /** Fold the digest deltas back into the slot-partitioned base store
+    * and drop superseded bloom snapshots — the same size-triggered
+    * compaction idea as DeltaSegments, run out-of-band so the hot
+    * ingest path stays O(batch). */
+  def compactIndex(spark: SparkSession, prefix: String,
+                   indexPath: String): Unit = {
+    registerIndex(spark, prefix, indexPath)
+    val all = spark.table(s"${prefix}_digests")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    all.count()
+    val staged = s"$indexPath/digests_staged"
+    all.repartition(col("slot")).sortWithinPartitions("digest")
+      .write.mode("overwrite").partitionBy("slot").parquet(staged)
+    all.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val baseP = new org.apache.hadoop.fs.Path(s"$indexPath/digests")
+    fs.delete(baseP, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), baseP)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/digests_delta"),
+      true)
+    registerIndex(spark, prefix, indexPath)
+  }
+
+  /** The streaming pipeline: JSON document batches arriving in
+    * `srcDir` → [[applyBatch]] per micro-batch, AvailableNow trigger
+    * (drain-and-stop — rerun with the same checkpoint to resume). */
+  def run(spark: SparkSession, srcDir: String, schema: StructType,
+          prefix: String, indexPath: String, corpusDir: String,
+          statePath: String, ckpt: String,
+          slots: Int = 64): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) =>
+        applyBatch(df, id, prefix, indexPath, corpusDir, statePath, slots))
+      .start()
+
+  /** The deduped corpus: base + committed segments. */
+  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(corpusDir)
+}

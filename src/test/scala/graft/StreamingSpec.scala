@@ -380,4 +380,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count() == 3)
     assert(rows.agg(max("lsn")).head.getLong(0) == 6L)
   }
+
+  test("DedupStream: torn-batch re-apply overwrites identically; " +
+       "compactIndex folds deltas without changing probe results") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    import graft.llm.Dedup
+    val root = tmp()
+    val idx = s"$root/idx"; val corpus = s"$root/corpus"
+    val state = s"$root/state.json"
+    val init = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    init.write.mode("overwrite").parquet(s"$corpus/base")
+    Dedup.exactIndexStore(init, "text", "doc_id", "graft_ds_spec",
+      idx, slots = 4)
+    val b0 = Seq((10L, "beta"), (11L, "delta")).toDF("doc_id", "text")
+    DedupStream.applyBatch(b0, 0L, "graft_ds_spec", idx, corpus, state, 4)
+    def corpusIds() = DedupStream.readCorpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() == Set(1L, 2L, 3L, 11L))
+    // torn-batch semantics: wind the state back (as if the crash hit
+    // before the commit line) and re-apply — same dirs overwritten,
+    // corpus unchanged
+    new java.io.File(state).delete()
+    DedupStream.applyBatch(b0, 0L, "graft_ds_spec", idx, corpus, state, 4)
+    assert(corpusIds() == Set(1L, 2L, 3L, 11L))
+    // committed replay: no-op even with different content
+    DedupStream.applyBatch(Seq((99L, "omega")).toDF("doc_id", "text"),
+      0L, "graft_ds_spec", idx, corpus, state, 4)
+    assert(corpusIds() == Set(1L, 2L, 3L, 11L))
+    // next batch dedups against the batch-0 survivor via the delta
+    val b1 = Seq((20L, "delta"), (21L, "epsilon")).toDF("doc_id", "text")
+    DedupStream.applyBatch(b1, 1L, "graft_ds_spec", idx, corpus, state, 4)
+    assert(corpusIds() == Set(1L, 2L, 3L, 11L, 21L))
+    // compaction folds the deltas into the slot-partitioned base;
+    // probe answers are unchanged and the delta dir is gone
+    DedupStream.compactIndex(spark, "graft_ds_spec", idx)
+    assert(!new java.io.File(s"$idx/digests_delta").exists)
+    val b2 = Seq((30L, "epsilon"), (31L, "zeta")).toDF("doc_id", "text")
+    DedupStream.applyBatch(b2, 2L, "graft_ds_spec", idx, corpus, state, 4)
+    assert(corpusIds() == Set(1L, 2L, 3L, 11L, 21L, 31L))
+  }
 }
