@@ -1866,6 +1866,13 @@ object SparkEntry {
       TextAnalysis.unigramScore(t(s, dir, "documents"), "text", "doc_id",
         vocabSize = 500)),
 
+    // ---- LLM: bigram-LM quality score (CCNet family) — integer
+    //      conditional-probability ratios so DuckDB replays exactly;
+    //      top-K bigram vocab broadcast with prefix unigram counts ----
+    "q_bigram_score" -> ((s, dir) =>
+      TextAnalysis.bigramScore(t(s, dir, "documents"), "text", "doc_id",
+        vocabSize = 2000)),
+
     // ---- LLM: deterministic weighted MIXTURE sampling — the
     //      data-mixing step composing a corpus from sources at
     //      different rates; md5-bucket membership is reproducible on
@@ -3113,6 +3120,27 @@ object SparkEntry {
         |  round(n_oov * 1.0 / n_tok, 6) AS oov_rate,
         |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS mean_freq_ppm
         |FROM scored""".stripMargin,
+
+    // same CASE-split as the minhash shingle oracles: a short doc's
+    // token array collapses to one space-joined "gram" on both engines
+    "q_bigram_score" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS g
+        |  FROM d),
+        |uni AS (SELECT t, count(*) AS u_cnt
+        |  FROM (SELECT unnest(tk) AS t FROM d) GROUP BY 1),
+        |vocab AS (SELECT g, count(*) AS b_cnt FROM bg
+        |  GROUP BY 1 ORDER BY b_cnt DESC, g LIMIT 2000),
+        |sv AS (SELECT vocab.g, b_cnt, u_cnt FROM vocab
+        |  JOIN uni ON split_part(vocab.g, ' ', 1) = uni.t)
+        |SELECT doc_id, count(*) AS n_big,
+        |  sum(CASE WHEN sv.g IS NULL THEN 1 ELSE 0 END) AS n_oov_big,
+        |  sum(coalesce(sv.b_cnt * 1000000 // sv.u_cnt, 0)) AS lm_score
+        |FROM bg LEFT JOIN sv USING (g) GROUP BY doc_id""".stripMargin,
 
     "q_sample_mix" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -298,6 +298,43 @@ object TextAnalysis {
           (col("n_tok") * lit(total.toDouble)), 6).as("mean_freq_ppm"))
   }
 
+  /** Bigram-LM quality signal — the CCNet-family scorer one order up
+    * from [[unigramScore]]: each adjacent token pair contributes its
+    * corpus conditional-probability estimate B(w1,w2)/U(w1), summed
+    * per document as SCALED INTEGER ratios (`B·10⁶ div U` — a real
+    * log-perplexity would hang the cross-engine oracle on libm ULPs,
+    * the same trade unigramScore documents). High scores = text whose
+    * transitions the corpus has seen often; boilerplate-ish and
+    * disfluent text scores low.
+    *
+    * Scale shape: bigram vocab is TakeOrdered top-K (never a full
+    * sort); prefix unigram counts come from one map-side-combinable
+    * groupBy and are pruned to the K vocab prefixes BEFORE the
+    * broadcast, so the scoring join broadcasts ≤ K rows no matter the
+    * corpus; the per-doc aggregate is partial-agg'd. One corpus
+    * shuffle each for the two count tables, one for the per-doc sum. */
+  def bigramScore(df: DataFrame, textCol: String, idCol: String,
+                  vocabSize: Int = 10000): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), 2)).as("g"))
+    val vocab = bg.groupBy("g").agg(count(lit(1)).as("b_cnt"))
+      .orderBy(col("b_cnt").desc, col("g")).limit(vocabSize)
+    val uni = df.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("u_cnt"))
+    // substring_index = the pair's prefix token (a degenerate
+    // single-token "bigram" from a short doc is its own prefix)
+    val scored = vocab
+      .withColumn("p", substring_index(col("g"), " ", 1))
+      .join(uni, col("p") === col("t"))
+      .select(col("g"), col("b_cnt"), col("u_cnt"))
+    bg.join(broadcast(scored), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"),
+        sum(when(col("b_cnt").isNull, 1L).otherwise(0L)).as("n_oov_big"),
+        sum(coalesce(expr("b_cnt * 1000000 DIV u_cnt"), lit(0L)))
+          .as("lm_score"))
+  }
+
   def repetition(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 2): DataFrame = {
     val t = col(textCol)

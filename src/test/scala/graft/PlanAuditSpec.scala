@@ -432,6 +432,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("bigram scoring broadcasts the pruned vocab; top-K is TakeOrdered; " +
+       "per-doc sum is partial-agg'd") {
+    val p = plan(q("q_bigram_score"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("string-PK boundary alignment is one keyed aggregation pass (no per-candidate scans)") {
     import graft.operators.ChunkPlanner
     val c = Tables.load(spark, dir, "customer")
