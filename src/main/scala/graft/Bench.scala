@@ -100,7 +100,7 @@ object Bench {
     "q_ngram_vocab",
     "q_repetition", "q_decontaminate", "q_decontaminate_fuzzy",
     "q_pii_scrub", "q_split_assign",
-    "q_unigram_score", "q_bigram_score", "q_sample_mix",
+    "q_unigram_score", "q_bigram_score", "q_select_budget", "q_sample_mix",
     "q_sample_cap_source",
     "q_pack_sequences",
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_vec_norm", "q_vec_quantize",

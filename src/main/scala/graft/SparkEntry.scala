@@ -1873,6 +1873,18 @@ object SparkEntry {
       TextAnalysis.bigramScore(t(s, dir, "documents"), "text", "doc_id",
         vocabSize = 2000)),
 
+    // ---- LLM: token-budget selection — keep the best docs (by token
+    //      count here) until the running total crosses the budget;
+    //      banded prefix sum, output invariant to band boundaries ----
+    "q_select_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.llm.Selection.selectUnderBudget(d, col("n_tok"), "doc_id",
+        col("n_tok"), budget = 12000L, shards = 8)
+        .select("doc_id", "n_tok", "cum_tokens")
+    }),
+
     // ---- LLM: deterministic weighted MIXTURE sampling — the
     //      data-mixing step composing a corpus from sources at
     //      different rates; md5-bucket membership is reproducible on
@@ -3120,6 +3132,17 @@ object SparkEntry {
         |  round(n_oov * 1.0 / n_tok, 6) AS oov_rate,
         |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS mean_freq_ppm
         |FROM scored""".stripMargin,
+
+    // the banded prefix sum equals one global ordered running total
+    "q_select_budget" ->
+      """WITH tok AS (SELECT doc_id,
+        |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id) AS cum_tokens
+        |  FROM tok)
+        |SELECT doc_id, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens <= 12000""".stripMargin,
 
     // same CASE-split as the minhash shingle oracles: a short doc's
     // token array collapses to one space-joined "gram" on both engines

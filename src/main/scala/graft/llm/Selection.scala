@@ -67,4 +67,64 @@ object Selection {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("dsir_score"))
   }
+
+  /** TOKEN-BUDGET selection: keep the best documents — ordered by
+    * (score desc, id asc) — whose running token total fits `budget`.
+    * The "train on the top N tokens" cut every budgeted run makes,
+    * emitted with the running total (`cum_tokens`) so downstream
+    * audits can see exactly where the knife fell.
+    *
+    * Scale shape: a naive global cumulative sum is one window over ONE
+    * sort partition — a non-starter. Instead the corpus is banded by
+    * score quantiles (approxQuantile on the driver, `shards`-bounded
+    * metadata), the running sum is computed per band in parallel
+    * (ONE keyed shuffle — the window's hash exchange on band), and
+    * band prefix offsets are added back from a ≤`shards`-entry map
+    * literal. Equal scores always land in the same band, so
+    * band-major order composes with the in-band (score desc, id)
+    * order into the exact global order — the output is invariant to
+    * where the quantile boundaries fall. Degenerate case: a corpus
+    * dominated by one score value collapses to one band (the same
+    * trade packSequences documents for hot buckets). */
+  def selectUnderBudget(df: DataFrame, scoreCol: Column, idCol: String,
+                        tokenCol: Column, budget: Long,
+                        shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__score", scoreCol.cast("double"))
+      .withColumn("__tok", tokenCol.cast("long"))
+    val probs = (1 until shards).map(_.toDouble / shards).toArray
+    val cuts =
+      if (probs.isEmpty) Array.empty[Double] // shards=1 → single band
+      else base.stat.approxQuantile("__score", probs, 0.001)
+        .distinct.sorted
+    // band = #boundaries strictly below the score ⇒ equal scores share
+    // a band regardless of boundary placement
+    val band = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("__score") > c, 1).otherwise(0)
+    }
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col("__score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__band", band)
+      .withColumn("__cum_local", sum(col("__tok")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-band totals: ≤ shards rows — planner metadata, same class as
+    // chunk boundaries
+    val totals = local.groupBy("__band").agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bandsDesc = totals.keys.toSeq.sorted.reverse
+    val offsets = bandsDesc.zip(
+      bandsDesc.scanLeft(0L)((acc, b) => acc + totals(b))).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__band") === b, off).otherwise(acc)
+    }
+    val out = local
+      .withColumn("cum_tokens", col("__cum_local") + offExpr)
+      .where(col("cum_tokens") <= budget)
+      .drop("__score", "__tok", "__band", "__cum_local")
+    val path = Dedup.Scratch.next(out)
+    out.write.mode("overwrite").parquet(path)
+    local.unpersist()
+    df.sparkSession.read.parquet(path)
+  }
 }

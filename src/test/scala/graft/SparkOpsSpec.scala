@@ -1226,6 +1226,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((3L, 0L)))
   }
 
+  test("selectUnderBudget equals the global running-total cut for any shard " +
+       "count; boundary doc excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq((1L, 100L), (2L, 900L), (3L, 500L), (4L, 500L),
+      (5L, 250L), (6L, 900L), (7L, 10L)).toDF("doc_id", "n_tok")
+    // ground truth: one global window (fine at 7 rows)
+    val g = Window.orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs.withColumn("cum", sum("n_tok").over(g))
+      .where(col("cum") <= 2000L)
+      .select("doc_id", "cum").as[(Long, Long)].collect().toSet
+    // order: 2(900)→900, 6(900)→1800, 3(500)→2300 excluded...
+    assert(want == Set((2L, 900L), (6L, 1800L)))
+    for (shards <- Seq(1, 3, 5))
+      assert(graft.llm.Selection.selectUnderBudget(docs, col("n_tok"),
+          "doc_id", col("n_tok"), budget = 2000L, shards = shards)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+        == want, s"shards=$shards")
+  }
+
   test("exactIncrementalStored: hits map to stored min-id, misses NULL, " +
        "bloom positives cover every true hit") {
     import spark.implicits._
