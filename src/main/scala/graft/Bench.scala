@@ -103,7 +103,7 @@ object Bench {
     "q_unigram_score", "q_bigram_score", "q_select_budget", "q_sample_mix",
     "q_sample_cap_source",
     "q_pack_sequences",
-    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_vec_norm", "q_vec_quantize",
+    "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_kmeans_assign", "q_vec_norm", "q_vec_quantize",
     "q_multimodal_meta",
     "q_media_frames", "q_media_resize",
     "q_avro_decode", "q_avro_registry", "q_wide_types",

@@ -1873,6 +1873,21 @@ object SparkEntry {
       TextAnalysis.bigramScore(t(s, dir, "documents"), "text", "doc_id",
         vocabSize = 2000)),
 
+    // ---- LLM: k-means nearest-centroid assignment (the clustering
+    //      step ahead of SemDeDup-style per-cluster work) — fixed
+    //      deterministic centroids (the 8 lowest-id vectors), argmin
+    //      of sequential-double L2 distances, ties to lowest cid ----
+    "q_kmeans_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toSeq.sortBy(_._1)
+      Similarity.kmeansAssign(e, "vec_id", "embedding", cents)
+    }),
+
     // ---- LLM: token-budget selection — keep the best docs (by token
     //      count here) until the running total crosses the budget;
     //      banded prefix sum, output invariant to band boundaries ----
@@ -3132,6 +3147,20 @@ object SparkEntry {
         |  round(n_oov * 1.0 / n_tok, 6) AS oov_rate,
         |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS mean_freq_ppm
         |FROM scored""".stripMargin,
+
+    // argmin over sequential-double distances; ties break to lowest cid
+    "q_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dist AS (SELECT vec_id, cid,
+        |  list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+        |  FROM d CROSS JOIN c),
+        |r AS (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist)
+        |SELECT vec_id, cid AS cluster FROM r WHERE rn = 1""".stripMargin,
 
     // the banded prefix sum equals one global ordered running total
     "q_select_budget" ->

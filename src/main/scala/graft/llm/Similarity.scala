@@ -378,4 +378,66 @@ object Similarity {
     transform(q.getField("q"), b =>
       (q.getField("zero") +
         (b.cast("double") + 128.0) * q.getField("scale")).cast("float"))
+
+  // --------------------------------------------------------------------
+  // K-means corpus clustering (the SemDeDup / diversity-sampling step)
+  // --------------------------------------------------------------------
+
+  /** Nearest-centroid assignment under FIXED centroids: per-row
+    * codegen'd column math, zero shuffle — the centroids ride as array
+    * literals (k × dims driver metadata, the same class as chunk
+    * boundaries). Distances accumulate left-to-right in double, so the
+    * argmin ordering is bit-identical on any engine executing the same
+    * IEEE ops (the property every cosine gate already leans on); ties
+    * break to the lowest centroid id via struct ordering. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val cands = array(centroids.map { case (cid, c) =>
+      struct(
+        aggregate(zip_with(v, lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+    df.select(col(idCol), element_at(array_sort(cands), 1)
+      .getField("cid").as("cluster"))
+  }
+
+  /** Lloyd's k-means with deterministic seeding (the k lowest-id
+    * vectors) — the clustering step ahead of per-cluster dedup or
+    * diversity-stratified sampling.
+    *
+    * Scale shape per iteration: assignment is the map-only
+    * [[kmeansAssign]]; the update is ONE keyed shuffle of (cluster,
+    * pos, value) with partial aggregation, and the k × dims centroid
+    * matrix collects to the driver (bounded by construction, like the
+    * DSIR histograms). The driver loop runs `iters` times — bounded by
+    * the parameter, never by corpus size. Returns (assignments,
+    * centroids). */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int): (DataFrame, Seq[(Long, Array[Double])]) = {
+    val init = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i.toLong -> r.getSeq[Double](1).toArray }
+      .toSeq
+    var centroids = init
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      assigned = kmeansAssign(df, idCol, vecCol, centroids)
+      val joined = df.select(col(idCol),
+          posexplode(transform(col(vecCol), _.cast("double"))))
+        .join(assigned, idCol)
+      val mat = joined.groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      centroids = mat.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3).toArray
+      }
+    }
+    (assigned, centroids)
+  }
 }

@@ -432,6 +432,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("kmeans assignment is map-only: no exchange, no join — centroids " +
+       "ride as literals") {
+    val p = plan(q("q_kmeans_assign"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("bigram scoring broadcasts the pruned vocab; top-K is TakeOrdered; " +
        "per-doc sum is partial-agg'd") {
     val p = plan(q("q_bigram_score"))

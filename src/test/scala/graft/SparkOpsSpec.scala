@@ -1226,6 +1226,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((3L, 0L)))
   }
 
+  test("kmeansFit converges on a separable fixture; assignment ties break " +
+       "to the lowest centroid id") {
+    import spark.implicits._
+    // two tight groups around (0,0) and (10,10); seeds = ids 1,2 start
+    // both in the left group, the update pass must pull centroid 2 over
+    val docs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 1f)), (3L, Array(0f, 1f)),
+      (10L, Array(10f, 10f)), (11L, Array(9f, 10f)), (12L, Array(10f, 9f))
+    ).toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.kmeansFit(docs, "vec_id",
+      "embedding", k = 2, iters = 3)
+    val m = assigned.as[(Long, Long)].collect().toMap
+    assert(Set(m(1L), m(2L), m(3L)).size == 1)
+    assert(Set(m(10L), m(11L), m(12L)).size == 1)
+    assert(m(1L) != m(10L))
+    val byId = cents.toMap
+    // converged centroids are the exact group means (sums are exact in
+    // binary floating point for these values)
+    val left = byId(m(1L)); val right = byId(m(10L))
+    assert(left.toSeq == Seq(1.0 / 3, 2.0 / 3))
+    assert(right.toSeq == Seq(29.0 / 3, 29.0 / 3))
+    // equidistant point ties to the LOWEST centroid id
+    val tied = Similarity.kmeansAssign(
+      Seq((7L, Array(5f, 5f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding",
+      Seq(0L -> Array(0.0, 0.0), 1L -> Array(10.0, 10.0)))
+    assert(tied.as[(Long, Long)].head() == ((7L, 0L)))
+  }
+
   test("selectUnderBudget equals the global running-total cut for any shard " +
        "count; boundary doc excluded") {
     import spark.implicits._
