@@ -240,6 +240,64 @@ object SparkEntry {
         .select(col("doc_id").as("id"), md5(col("text")).as("digest"))
     }),
 
+    // ---- Streaming NEAR-dup on arrival (MinHash over the stored band
+    //      index): two AvailableNow runs with checkpoint resume. Batch
+    //      1 carries suffix-perturbed copies of corpus docs (dropped
+    //      where verified Jaccard ≥ 0.9) plus perturbed copies of
+    //      EXCLUDED docs (mostly new); batch 2 perturbs batch-1
+    //      content (dropped only where batch-1's version was indexed)
+    //      and replays near-dups of the initial corpus. The non-greedy
+    //      drop rule makes the whole chain declarative: DuckDB replays
+    //      it as three chained NOT-EXISTS levels over exact shingle
+    //      Jaccard (full recall at k=64/b=16/t=0.9 — the standing
+    //      q_minhash_index_store argument). ----
+    "q_neardup_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+      val root = new java.io.File("/tmp/graft_ndstream")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val idx = s"$root/idx"; val corpus = s"$root/corpus"
+      val state = s"$root/state.json"; val ckpt = s"$root/ckpt"
+      val d = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val init = d.where(col("doc_id") % 10 =!= 0)
+      init.select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$corpus/base")
+      Dedup.minhashIndexStore(init, "text", "doc_id", "graft_nd_gate",
+        idx, buckets = 8, native = true)
+      val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, file)): Unit
+      }
+      stage(d.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text"))), "b1.json")
+      DedupStream.runNearDup(s, src, schema, "graft_nd_gate", idx,
+        corpus, state, ckpt, threshold = 0.9, native = true)
+        .awaitTermination()
+      stage(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zz qq zz")).as("text"))
+        .unionByName(d.where(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" novel pad")).as("text"))), "b2.json")
+      DedupStream.runNearDup(s, src, schema, "graft_nd_gate", idx,
+        corpus, state, ckpt, threshold = 0.9, native = true)
+        .awaitTermination()
+      DedupStream.readCorpus(s, corpus).select(col("doc_id").as("id"))
+    }),
+
     // ---- I5 cursor formatting, gate-backed: the ISO-8601/decimal
     //      strings the state file persists (reference
     //      incremental.go:195-208), recomputed by DuckDB with
@@ -3435,6 +3493,45 @@ object SparkEntry {
         |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
+
+    // Three chained non-greedy levels over exact shingle Jaccard:
+    // kept1 = batch-1 rows near-dup of no init doc and no lower-id
+    // batch-1 row; kept2 likewise vs init ∪ kept1 and lower batch-2
+    // rows; final corpus = init ∪ kept1 ∪ kept2.
+    "q_neardup_stream" ->
+      """WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |rows_all AS (
+        |  SELECT doc_id AS id, text, 0 AS grp FROM raw WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT doc_id + 100000, text || ' zz qq', 1 FROM raw WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 200000, text || ' zz qq', 1 FROM raw WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 300000, text || ' zz qq zz', 2 FROM raw WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 400000, text || ' novel pad', 2 FROM raw WHERE doc_id % 10 = 3),
+        |tk AS (SELECT id, grp,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM rows_all),
+        |sh AS (SELECT id, grp,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM tk),
+        |kept1 AS (SELECT s.id FROM sh s WHERE s.grp = 1
+        |  AND NOT EXISTS (SELECT 1 FROM sh i WHERE i.grp = 0
+        |    AND len(list_intersect(s.sh, i.sh)) * 1.0 /
+        |        (len(s.sh) + len(i.sh) - len(list_intersect(s.sh, i.sh))) >= 0.9)
+        |  AND NOT EXISTS (SELECT 1 FROM sh x WHERE x.grp = 1 AND x.id < s.id
+        |    AND len(list_intersect(s.sh, x.sh)) * 1.0 /
+        |        (len(s.sh) + len(x.sh) - len(list_intersect(s.sh, x.sh))) >= 0.9)),
+        |kept2 AS (SELECT s.id FROM sh s WHERE s.grp = 2
+        |  AND NOT EXISTS (SELECT 1 FROM sh i
+        |    WHERE (i.grp = 0 OR i.id IN (SELECT id FROM kept1))
+        |    AND len(list_intersect(s.sh, i.sh)) * 1.0 /
+        |        (len(s.sh) + len(i.sh) - len(list_intersect(s.sh, i.sh))) >= 0.9)
+        |  AND NOT EXISTS (SELECT 1 FROM sh x WHERE x.grp = 2 AND x.id < s.id
+        |    AND len(list_intersect(s.sh, x.sh)) * 1.0 /
+        |        (len(s.sh) + len(x.sh) - len(list_intersect(s.sh, x.sh))) >= 0.9))
+        |SELECT id FROM sh WHERE grp = 0
+        |UNION ALL SELECT id FROM kept1
+        |UNION ALL SELECT id FROM kept2""".stripMargin,
 
     // The final corpus is exactly the three kept sets: the initial
     // load, batch 1's genuinely-new rows, and batch 2's fresh rows

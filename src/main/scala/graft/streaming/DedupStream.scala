@@ -182,6 +182,136 @@ object DedupStream {
     registerIndex(spark, prefix, indexPath)
   }
 
+  // --------------------------------------------------------------------
+  // NEAR-dup on arrival (MinHash over the stored band index)
+  // --------------------------------------------------------------------
+
+  /** Temp views over the CURRENT MinHash index state: the store-time
+    * bucketed tables ([[Dedup.minhashIndexStore]]) plus per-batch
+    * delta dirs. Plain parquet reads lose the bucketing metadata —
+    * the probe's candidate join broadcasts the batch side so nothing
+    * needed the distribution, and the verify's pushed id-IN filter
+    * still prunes row groups in the id-sorted files (file-level
+    * bucket pruning returns after [[compactMinhashIndex]] rewrites). */
+  def registerMinhashIndex(spark: SparkSession, prefix: String,
+                           indexPath: String): Unit = {
+    def union(base: String, deltaRoot: String, view: String): Unit = {
+      val b = spark.read.parquet(base)
+      val deltas = Option(new File(deltaRoot).listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.toString).sorted
+      (if (deltas.isEmpty) b
+       else b.unionByName(spark.read.parquet(deltas: _*)))
+        .createOrReplaceTempView(view)
+    }
+    union(s"$indexPath/bands", s"$indexPath/bands_delta",
+      s"${prefix}_bands")
+    union(s"$indexPath/shingles", s"$indexPath/shingles_delta",
+      s"${prefix}_shingles")
+  }
+
+  /** One NEAR-dup micro-batch over the stored band index. Drop rule
+    * (non-greedy, so it is declarative and oracle-replayable):
+    *  - a batch doc near-dup (verified Jaccard ≥ threshold) of ANY
+    *    indexed doc is dropped;
+    *  - a batch doc near-dup of a LOWER-ID batch doc is dropped,
+    *    whether or not that doc itself survives (the SemDeDup rule).
+    * Survivors append to the corpus and to band/shingle delta dirs so
+    * the NEXT batch dedups against them. Torn-batch replay: pairs
+    * whose partner id is inside the current batch are classified as
+    * within-batch regardless of which side of the index they came
+    * from, so a replayed batch that finds its own survivors indexed
+    * reaches the identical survivor set. */
+  def applyBatchNearDup(batch: DataFrame, batchId: Long, prefix: String,
+                        indexPath: String, corpusDir: String,
+                        statePath: String, shingleN: Int = 3,
+                        k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.9,
+                        native: Boolean = false): Unit = {
+    if (batchId <= readState(statePath)) return
+    val spark = batch.sparkSession
+    registerMinhashIndex(spark, prefix, indexPath)
+    // drop (x,x) self-pairs: a torn-batch replay finds its own
+    // survivors in the band index and would otherwise pair each with
+    // its stored copy (J = 1) and delete it
+    val pairs = Dedup.minhashIncrementalStored(batch, "text", "doc_id",
+        prefix, shingleN, k, bands, threshold, native)
+      .where(col("id_a") =!= col("id_b"))
+    val inBatch = batch.select(col("doc_id").as("bid"))
+    val marked = pairs
+      .join(inBatch.select(col("bid").as("id_a"), lit(1).as("a_in")),
+        Seq("id_a"), "left")
+      .join(inBatch.select(col("bid").as("id_b"), lit(1).as("b_in")),
+        Seq("id_b"), "left")
+    val drops = marked
+      .where(col("a_in").isNotNull && col("b_in").isNull)
+      .select(col("id_a").as("doc_id"))
+      .unionByName(marked
+        .where(col("b_in").isNotNull && col("a_in").isNull)
+        .select(col("id_b").as("doc_id")))
+      .unionByName(marked // all-batch pair: higher id drops
+        .where(col("a_in").isNotNull && col("b_in").isNotNull)
+        .select(col("id_b").as("doc_id")))
+      .distinct()
+    val survivors = batch.join(drops, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.write.mode("overwrite").parquet(s"$corpusDir/b$batchId")
+    Dedup.minhashIndex(survivors, "text", "doc_id", shingleN, k, bands,
+        native)
+      .write.mode("overwrite").parquet(s"$indexPath/bands_delta/b$batchId")
+    survivors.select(col("doc_id").as("id"),
+        array_distinct(Dedup.shingles(col("text"), shingleN)).as("sh"))
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/shingles_delta/b$batchId")
+    survivors.unpersist()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(statePath),
+      s"""{"batchId":$batchId}""")
+  }
+
+  /** Fold band/shingle deltas back into the bucketed base tables —
+    * restores file-level bucket pruning for the verify lookups. */
+  def compactMinhashIndex(spark: SparkSession, prefix: String,
+                          indexPath: String, buckets: Int = 32): Unit = {
+    registerMinhashIndex(spark, prefix, indexPath)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def fold(view: String, base: String, deltaRoot: String,
+             bucketCols: Seq[String]): Unit = {
+      val all = spark.table(view)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      val staged = s"$base.staged"
+      graft.sinks.Bucketed.writeBucketed(all, s"${view}_staged", staged,
+        bucketCols, buckets)
+      all.unpersist()
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(base))
+      fs.delete(new org.apache.hadoop.fs.Path(deltaRoot), true)
+      spark.sql(s"DROP TABLE IF EXISTS ${view}_staged")
+    }
+    fold(s"${prefix}_bands", s"$indexPath/bands",
+      s"$indexPath/bands_delta", Seq("band"))
+    fold(s"${prefix}_shingles", s"$indexPath/shingles",
+      s"$indexPath/shingles_delta", Seq("id"))
+    registerMinhashIndex(spark, prefix, indexPath)
+  }
+
+  /** Streaming NEAR-dup pipeline: JSON batches → [[applyBatchNearDup]]
+    * per micro-batch, AvailableNow trigger. */
+  def runNearDup(spark: SparkSession, srcDir: String, schema: StructType,
+                 prefix: String, indexPath: String, corpusDir: String,
+                 statePath: String, ckpt: String,
+                 threshold: Double = 0.9,
+                 native: Boolean = false): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) =>
+        applyBatchNearDup(df, id, prefix, indexPath, corpusDir,
+          statePath, threshold = threshold, native = native))
+      .start()
+
   /** The streaming pipeline: JSON document batches arriving in
     * `srcDir` → [[applyBatch]] per micro-batch, AvailableNow trigger
     * (drain-and-stop — rerun with the same checkpoint to resume). */

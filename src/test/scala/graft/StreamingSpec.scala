@@ -381,6 +381,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.agg(max("lsn")).head.getLong(0) == 6L)
   }
 
+  test("DedupStream near-dup: drops near-dups of the index and of lower " +
+       "batch ids; torn-batch replay reaches the same survivors") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    import graft.llm.Dedup
+    val root = tmp()
+    val idx = s"$root/idx"; val corpus = s"$root/corpus"
+    val state = s"$root/state.json"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val init = Seq((1L, base), (2L, "one two three four five six seven " +
+      "eight nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    init.write.mode("overwrite").parquet(s"$corpus/base")
+    Dedup.minhashIndexStore(init, "text", "doc_id", "graft_nd_spec", idx,
+      buckets = 2)
+    val b0 = Seq(
+      (10L, base + " appended"),          // near-dup of indexed doc 1
+      (11L, "completely different words entirely unrelated content " +
+        "seventeen distinct tokens here making an independent document " +
+        "for survival"),                  // new
+      (12L, "completely different words entirely unrelated content " +
+        "seventeen distinct tokens here making an independent document " +
+        "for survival plus")              // near-dup of LOWER batch id 11
+    ).toDF("doc_id", "text")
+    DedupStream.applyBatchNearDup(b0, 0L, "graft_nd_spec", idx, corpus,
+      state, threshold = 0.9)
+    def ids() = DedupStream.readCorpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids() == Set(1L, 2L, 11L))
+    // torn-batch replay: survivors are already indexed — the self-pair
+    // and partner-in-batch rules must reach the identical set
+    new java.io.File(state).delete()
+    DedupStream.applyBatchNearDup(b0, 0L, "graft_nd_spec", idx, corpus,
+      state, threshold = 0.9)
+    assert(ids() == Set(1L, 2L, 11L))
+    // next batch dedups against batch-0's survivor via the deltas
+    val b1 = Seq((20L, "completely different words entirely unrelated " +
+      "content seventeen distinct tokens here making an independent " +
+      "document for survival also"), (21L, "fresh prose with enough " +
+      "running length that a single appended token keeps jaccard above " +
+      "nine tenths easily")).toDF("doc_id", "text")
+    DedupStream.applyBatchNearDup(b1, 1L, "graft_nd_spec", idx, corpus,
+      state, threshold = 0.9)
+    assert(ids() == Set(1L, 2L, 11L, 21L))
+    // compaction folds deltas; probing still sees everything
+    DedupStream.compactMinhashIndex(spark, "graft_nd_spec", idx,
+      buckets = 2)
+    assert(!new java.io.File(s"$idx/bands_delta").exists)
+    val b2 = Seq((30L, "fresh prose with enough running length that a " +
+      "single appended token keeps jaccard above nine tenths easily plus"),
+      (31L, "another genuinely novel piece of writing with plenty of " +
+        "unique vocabulary spread across twenty tokens or so for margin"))
+      .toDF("doc_id", "text")
+    DedupStream.applyBatchNearDup(b2, 2L, "graft_nd_spec", idx, corpus,
+      state, threshold = 0.9)
+    assert(ids().contains(31L) && !ids().contains(30L))
+  }
+
   test("DedupStream: torn-batch re-apply overwrites identically; " +
        "compactIndex folds deltas without changing probe results") {
     import spark.implicits._
