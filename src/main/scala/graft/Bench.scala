@@ -72,6 +72,12 @@ import org.apache.spark.sql.SparkSession
   *  - q_s3_list_wire / q_s3_parquet_range / q_s3_discover: loopback
   *    wire-session / tempdir-fixture gates like the other *_wire
   *    exclusions.
+  *  - q_dedup_exact_stored / q_cosine_index_store: bucketed-index
+  *    write-then-probe roundtrips like q_minhash_index_store (the
+  *    build dominates at fixture scale; ScaleCheck measures the probe).
+  *  - q_dedup_stream / q_neardup_stream: multi-run streaming
+  *    checkpoint-resume roundtrips into tempdirs, like
+  *    q_stream_pipeline / q_late_drop.
   */
 object Bench {
 

@@ -1226,6 +1226,55 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((3L, 0L)))
   }
 
+  test("property: selectUnderBudget equals the in-memory global cut on " +
+       "seeded random corpora (ties included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 50 + rnd.nextInt(100)
+      val rows = (1 to n).map(i => (i.toLong, 1L + rnd.nextInt(20)))
+      val budget = rows.map(_._2).sum / (2 + rnd.nextInt(3))
+      val want = rows.sortBy { case (id, tok) => (-tok, id) }
+        .scanLeft((0L, 0L)) { case ((_, cum), (id, tok)) => (id, cum + tok) }
+        .drop(1).takeWhile(_._2 <= budget).toSet
+      val got = graft.llm.Selection.selectUnderBudget(
+          rows.toDF("doc_id", "n_tok"), col("n_tok"), "doc_id",
+          col("n_tok"), budget, shards = 1 + rnd.nextInt(6))
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial n=$n budget=$budget")
+    }
+  }
+
+  test("property: exactIncrementalStored equals the in-memory membership " +
+       "map on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val root = new java.io.File(s"/tmp/graft_ex_prop$trial")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val words = Vector("ant", "bee", "cat", "dog", "elk", "fox")
+      def text() = Seq.fill(3 + rnd.nextInt(4))(
+        words(rnd.nextInt(words.size))).mkString(" ")
+      val corpus = (1 to 60).map(i => (i.toLong, text()))
+      val batch = (101 to 140).map(i => (i.toLong, text()))
+      val first = corpus.groupBy(_._2).map { case (t, rs) =>
+        t -> rs.map(_._1).min }
+      Dedup.exactIndexStore(corpus.toDF("doc_id", "text"), "text",
+        "doc_id", s"graft_exp$trial", root.toString, slots = 4)
+      val got = Dedup.exactIncrementalStored(batch.toDF("doc_id", "text"),
+          "text", "doc_id", s"graft_exp$trial", slots = 4)
+        .select("id", "dup_of").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      val want = batch.map { case (id, t) => id -> first.get(t) }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("kmeansFit converges on a separable fixture; assignment ties break " +
        "to the lowest centroid id") {
     import spark.implicits._
