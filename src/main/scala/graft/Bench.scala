@@ -103,7 +103,7 @@ object Bench {
     "q_semdedup", "q_segment_dedup", "q_substring_dedup", "q_dsir_score",
     "q_text_stats", "q_quality_score", "q_source_quality", "q_lang_id",
     "q_token_count", "q_fingerprint", "q_boilerplate", "q_text_clean",
-    "q_ngram_vocab",
+    "q_ngram_vocab", "q_bpe_pairs",
     "q_repetition", "q_decontaminate", "q_decontaminate_fuzzy",
     "q_pii_scrub", "q_split_assign",
     "q_unigram_score", "q_bigram_score", "q_select_budget", "q_sample_mix",

@@ -1931,6 +1931,11 @@ object SparkEntry {
       TextAnalysis.bigramScore(t(s, dir, "documents"), "text", "doc_id",
         vocabSize = 2000)),
 
+    // ---- LLM: BPE merge-pair mining — adjacent char-pair counts over
+    //      the distinct-word vocab, word-frequency weighted, top-k ----
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 200)),
+
     // ---- LLM: k-means nearest-centroid assignment (the clustering
     //      step ahead of SemDeDup-style per-cluster work) — fixed
     //      deterministic centroids (the 8 lowest-id vectors), argmin
@@ -3205,6 +3210,19 @@ object SparkEntry {
         |  round(n_oov * 1.0 / n_tok, 6) AS oov_rate,
         |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS mean_freq_ppm
         |FROM scored""".stripMargin,
+
+    // pair counts over the distinct-word table, weighted by word freq
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT t AS w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(trim(
+        |    regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |    FROM documents) GROUP BY 1),
+        |p AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)), i -> w[i] || w[i+1])
+        |    ELSE [] END) AS pair, freq
+        |  FROM w)
+        |SELECT pair, sum(freq) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200""".stripMargin,
 
     // argmin over sequential-double distances; ties break to lowest cid
     "q_kmeans_assign" ->

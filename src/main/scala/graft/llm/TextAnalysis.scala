@@ -298,6 +298,34 @@ object TextAnalysis {
           (col("n_tok") * lit(total.toDouble)), 6).as("mean_freq_ppm"))
   }
 
+  /** BPE merge-pair mining — the first step of byte-pair-encoding
+    * tokenizer training: count adjacent character pairs across the
+    * corpus, weighted by word frequency, and emit the top-k merge
+    * candidates. The iteration that BPE training loops (merge the top
+    * pair, recount) is driver-bounded by the merge budget; this op is
+    * the per-round corpus pass.
+    *
+    * Scale shape: pair extraction runs over the DISTINCT-WORD
+    * vocabulary (one map-side-combinable groupBy), never the raw
+    * token stream — a 100 TB corpus has billions of tokens but a
+    * vocab-bounded word table, so the char-pair explode touches
+    * vocab×wordlen rows. Top-k is TakeOrdered with a (count desc,
+    * pair asc) total order. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+                    k: Int = 1000): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // guard: sequence(1, 0) would generate a DESCENDING range for
+    // 1-char words, not an empty one
+    val pairs = words.select(col("freq"),
+      explode(when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+  }
+
   /** Bigram-LM quality signal — the CCNet-family scorer one order up
     * from [[unigramScore]]: each adjacent token pair contributes its
     * corpus conditional-probability estimate B(w1,w2)/U(w1), summed
