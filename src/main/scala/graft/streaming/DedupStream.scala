@@ -28,11 +28,13 @@ import graft.llm.Dedup
   *    slot rides as a data column — the base store keeps its
   *    slot-partitioned layout and these small deltas are folded in by
   *    [[compactIndex]])
-  *  - Bloom snapshots  → `indexPath/blooms_v<id>/` (a full versioned
-  *    copy, built DISTRIBUTED by cogrouping the previous snapshot
-  *    with the batch's survivor digests per slot — no driver-side
-  *    filter materialization, so it holds when the filters total
-  *    ~100 GB at corpus scale)
+  *  - Bloom snapshots  → `indexPath/blooms_v<id>/` holding ONLY the
+  *    slots this batch touched, built DISTRIBUTED by cogrouping the
+  *    batch's survivor digests with the latest pre-batch version of
+  *    those slots; reads overlay the chain latest-version-per-slot.
+  *    Write volume per batch is O(batch slots), never the full filter
+  *    set — the difference between ~MBs and ~100 GB of write
+  *    amplification per micro-batch at corpus scale
   *
   * State-commit ordering: segments, digest delta, and bloom snapshot
   * all land before `statePath` records the batchId — a crash anywhere
@@ -57,18 +59,35 @@ object DedupStream {
       else base.unionByName(spark.read.parquet(deltas: _*)
         .select(col("digest"), col("id"), col("slot").cast("int").as("slot")))
     digests.createOrReplaceTempView(s"${prefix}_digests")
-    spark.read.parquet(bloomDir(indexPath))
+    currentBlooms(spark, indexPath, Long.MaxValue)
       .createOrReplaceTempView(s"${prefix}_blooms")
   }
 
-  /** Newest bloom snapshot dir: `blooms_v<id>` if any batch has
-    * committed, else the store-time `blooms`. */
-  private def bloomDir(indexPath: String): String = {
+  /** The effective Bloom table: the store-time base overlaid by the
+    * per-batch snapshot dirs, LATEST VERSION WINNING PER SLOT. Each
+    * `blooms_v<id>` carries only the slots batch `id` touched — at
+    * corpus scale the filter set totals ~10 GB per 10^10 docs, and
+    * rewriting all of it every micro-batch would be the write
+    * amplification the delta design exists to avoid. `belowVersion`
+    * bounds the overlay (exclusive) so a torn-batch replay can merge
+    * from the state BEFORE its own half-written snapshot. */
+  private def currentBlooms(spark: SparkSession, indexPath: String,
+                            belowVersion: Long): org.apache.spark.sql.DataFrame = {
+    val base = spark.read.parquet(s"$indexPath/blooms")
+      .select(col("slot").cast("int").as("slot"), col("n_digests"),
+        col("bloom"), lit(-1L).as("__v"))
     val vs = Option(new File(indexPath).listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("blooms_v"))
-      .map(_.getName.stripPrefix("blooms_v").toLong)
-    if (vs.isEmpty) s"$indexPath/blooms"
-    else s"$indexPath/blooms_v${vs.max}"
+      .map(f => f.getName.stripPrefix("blooms_v").toLong)
+      .filter(_ < belowVersion).sorted
+    val all = vs.foldLeft(base) { (acc, v) =>
+      acc.unionByName(spark.read.parquet(s"$indexPath/blooms_v$v")
+        .select(col("slot").cast("int").as("slot"), col("n_digests"),
+          col("bloom"), lit(v).as("__v")))
+    }
+    val w = Window.partitionBy(col("slot")).orderBy(col("__v").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__v")
   }
 
   private def readState(statePath: String): Long = {
@@ -121,19 +140,23 @@ object DedupStream {
     survivors.select(col("digest"), col("id"),
         slotOfCol.as("slot"))
       .write.mode("overwrite").parquet(s"$indexPath/digests_delta/b$batchId")
-    // 3. bloom snapshot: distributed per-slot merge — the previous
-    //    snapshot streams through a cogroup with the survivors'
-    //    digests; untouched slots copy through
-    val prev = spark.read.parquet(bloomDir(indexPath))
-      .select(col("slot").cast("int"), col("n_digests"), col("bloom"))
+    // 3. bloom snapshot: TOUCHED SLOTS ONLY (write volume is O(batch
+    //    slots), never the full filter set). Merge sources are the
+    //    latest versions BELOW this batchId, so a torn-batch replay
+    //    merges from pre-crash state instead of double-counting into
+    //    its own half-written snapshot. The touched-slot list is
+    //    batch-bounded driver metadata.
+    val touched = survivors.select(slotOfCol.as("slot")).distinct()
+      .as[Int].collect().toSeq
+    val prev = currentBlooms(spark, indexPath, belowVersion = batchId)
+      .where(col("slot").isInCollection(touched))
+      .select(col("slot"), col("n_digests"), col("bloom"))
       .as[(Int, Long, Array[Byte])].groupByKey(_._1)
     val add = survivors.select(slotOfCol.as("slot"), col("digest"))
       .as[(Int, String)].groupByKey(_._1)
-    prev.cogroup(add) { (slot, bfs, rows) =>
+    add.cogroup(prev) { (slot, rows, bfs) =>
       val items = rows.map(_._2).toArray
       bfs.toSeq.headOption match {
-        case Some((_, n, bytes)) if items.isEmpty =>
-          Iterator.single((slot, n, bytes))
         case Some((_, n, bytes)) =>
           val bf = org.apache.spark.util.sketch.BloomFilter
             .readFrom(new java.io.ByteArrayInputStream(bytes))
@@ -179,6 +202,17 @@ object DedupStream {
     fs.rename(new org.apache.hadoop.fs.Path(staged), baseP)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/digests_delta"),
       true)
+    // fold the bloom snapshot chain into the base the same way
+    val bloomStaged = s"$indexPath/blooms_staged"
+    currentBlooms(spark, indexPath, Long.MaxValue)
+      .write.mode("overwrite").parquet(bloomStaged)
+    val bloomBase = new org.apache.hadoop.fs.Path(s"$indexPath/blooms")
+    fs.delete(bloomBase, true)
+    fs.rename(new org.apache.hadoop.fs.Path(bloomStaged), bloomBase)
+    Option(new File(indexPath).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("blooms_v"))
+      .foreach(f => fs.delete(
+        new org.apache.hadoop.fs.Path(f.toString), true))
     registerIndex(spark, prefix, indexPath)
   }
 
