@@ -1951,6 +1951,24 @@ object SparkEntry {
       Similarity.kmeansAssign(e, "vec_id", "embedding", cents)
     }),
 
+    // ---- LLM: diversity-stratified sampling — cluster by nearest
+    //      centroid, then cap per cluster (composes kmeansAssign with
+    //      the skew-safe two-phase rank of capPerSource) ----
+    "q_cluster_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toSeq.sortBy(_._1)
+      val assigned = Similarity.kmeansAssign(e, "vec_id", "embedding",
+        cents).withColumn("cluster", col("cluster").cast("string"))
+      graft.llm.Sampling.capPerSource(assigned, "cluster", "vec_id",
+          cap = 20)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    }),
+
     // ---- LLM: token-budget selection — keep the best docs (by token
     //      count here) until the running total crosses the budget;
     //      banded prefix sum, output invariant to band boundaries ----
@@ -3210,6 +3228,27 @@ object SparkEntry {
         |  round(n_oov * 1.0 / n_tok, 6) AS oov_rate,
         |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS mean_freq_ppm
         |FROM scored""".stripMargin,
+
+    // kmeans argmin, then capPerSource's md5-keyed deterministic rank
+    "q_cluster_sample" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dist AS (SELECT vec_id, cid,
+        |  list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+        |  FROM d CROSS JOIN c),
+        |r AS (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist),
+        |a AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1)
+        |SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5(CAST(cluster AS VARCHAR) || ':' ||
+        |        CAST(vec_id AS VARCHAR)), vec_id) AS rn2
+        |  FROM a)
+        |WHERE rn2 <= 20""".stripMargin,
 
     // pair counts over the distinct-word table, weighted by word freq
     "q_bpe_pairs" ->
