@@ -2235,6 +2235,13 @@ object SparkEntry {
       Dedup.segmentDedup(t(s, dir, "documents"), "text", "doc_id")
         .withColumnRenamed("id", "doc_id")),
 
+    // ---- LLM: WITHIN-doc segment dedup (the per-row half of the C4
+    //      repetition cleanup) — zero shuffle, first occurrence kept ----
+    "q_segment_dedup_doc" -> ((s, dir) =>
+      Dedup.dedupSegmentsWithinDoc(t(s, dir, "documents"), "text",
+          "doc_id")
+        .withColumnRenamed("id", "doc_id")),
+
     // ---- LLM: EXACT-SUBSTRING dedup (the Lee-et-al sliding-window
     //      result as gram algebra): 15-token windows at every offset,
     //      corpus-wide first occurrence wins, covered tokens removed,
@@ -3680,6 +3687,29 @@ object SparkEntry {
         |  n2.nseg AS n_segments,
         |  CAST(n2.nseg - coalesce(a.n_kept, 0) AS INTEGER) AS n_dropped
         |FROM n2 LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // per-doc first occurrence: min ordinal per (doc, segment), list
+    // re-aggregated in ordinal order (list_distinct would not preserve
+    // first-occurrence order in DuckDB)
+    "q_segment_dedup_doc" ->
+      """WITH n2 AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    CAST(ceil(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))/10.0) AS INTEGER) AS nseg
+        |  FROM documents),
+        |seg AS (SELECT doc_id, nseg, unnest(list_transform(range(0, nseg),
+        |    i -> struct_pack(seg_no := i,
+        |      seg := array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')))) AS s
+        |  FROM n2),
+        |f AS (SELECT doc_id, s.seg AS seg, min(s.seg_no) AS fi
+        |  FROM seg GROUP BY doc_id, s.seg),
+        |agg AS (SELECT doc_id,
+        |    string_agg(seg, ' ' ORDER BY fi) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM f GROUP BY doc_id)
+        |SELECT n2.doc_id, a.clean_text, n2.nseg AS n_segments,
+        |  CAST(a.n_kept AS INTEGER) AS n_kept
+        |FROM (SELECT DISTINCT doc_id, nseg FROM n2) n2
+        |JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_substring_dedup" ->
       """WITH d AS (SELECT doc_id,

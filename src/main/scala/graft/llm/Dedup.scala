@@ -1094,6 +1094,28 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** WITHIN-document segment dedup — the per-doc half of the C4-style
+    * repetition cleanup: tile each doc into `n`-token segments, keep
+    * each segment's FIRST occurrence within its own document, and
+    * reassemble. Catches the "same paragraph pasted five times" page
+    * without any cross-document state: pure per-row column work, ZERO
+    * shuffle (contrast [[segmentDedup]], which dedups corpus-wide and
+    * pays two keyed exchanges). `array_distinct` preserves
+    * first-occurrence order, which is exactly the rewrite rule. */
+  def dedupSegmentsWithinDoc(df: DataFrame, textCol: String,
+                             idCol: String, n: Int = 10): DataFrame = {
+    val toks = tokens(col(textCol))
+    // `/` is double division in Spark — cast back for sequence()
+    val m = ((size(toks) + n - 1) / n).cast("int") // ≥ 1: tokens("") is [""]
+    val tiles = transform(sequence(lit(0), m - 1),
+      i => array_join(slice(toks, i * n + 1, lit(n)), " "))
+    df.select(col(idCol).as("id"), tiles.as("__t"))
+      .select(col("id"),
+        array_join(array_distinct(col("__t")), " ").as("clean_text"),
+        size(col("__t")).as("n_segments"),
+        size(array_distinct(col("__t"))).as("n_kept"))
+  }
+
   // --------------------------------------------------------------------
   // Exact dedup against a STORED membership index (Bloom + digest store)
   // --------------------------------------------------------------------
