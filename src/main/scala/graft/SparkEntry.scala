@@ -2396,6 +2396,14 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"),
           (col("width").cast("long") * col("height")).as("n_pixels"))),
 
+    // ---- LLM: perceptual image hash (aHash) over REAL decoded
+    //      pixels — patterned PNGs make the 8×8 grid SQL-predictable
+    //      while Spark does a genuine decode + resample ----
+    "q_image_ahash" -> ((s, dir) =>
+      Multimodal.aHash64(s,
+        Multimodal.asPatternPngMedia(t(s, dir, "documents"), "doc_id",
+          "text"))),
+
     // ---- LLM: frame sampling over binary payloads ----
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -3887,6 +3895,21 @@ object SparkEntry {
         |  CAST((length(text) % 64 + 1) * (length(text) % 48 + 1) AS BIGINT)
         |    AS n_pixels
         |FROM documents""".stripMargin,
+
+    // the decoded sample at grid (x,y) is channel value
+    // (id + 3*floor(x*w/8) + 5*floor(y*h/8)) % 256 — the bit rule
+    // compares gray*64 against the grid total, integer-exact
+    "q_image_ahash" ->
+      """WITH d AS (SELECT doc_id, length(text) % 64 + 1 AS w,
+        |  length(text) % 48 + 1 AS h FROM documents),
+        |px AS (SELECT doc_id, rx.x AS x, ry.y AS y,
+        |  3 * ((doc_id + 3 * ((rx.x * w) // 8) + 5 * ((ry.y * h) // 8)) % 256) AS g
+        |  FROM d, range(8) AS rx(x), range(8) AS ry(y)),
+        |tot AS (SELECT doc_id, sum(g) AS total FROM px GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  string_agg(CASE WHEN p.g * 64 > t.total THEN '1' ELSE '0' END, ''
+        |    ORDER BY p.y * 8 + p.x) AS ahash_bits
+        |FROM px p JOIN tot t USING (doc_id) GROUP BY p.doc_id""".stripMargin,
 
     "q_media_frames" ->
       """SELECT doc_id,

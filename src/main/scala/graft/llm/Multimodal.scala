@@ -81,6 +81,83 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Patterned twin of [[asPngMedia]]: every channel of pixel (x,y) is
+    * `(id + 3x + 5y) mod 256`, so the DECODED raster — and anything
+    * derived from it by integer math, like [[aHash64]] — is
+    * SQL-predictable while the payload remains a genuine PNG. */
+  def asPatternPngMedia(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        (length(col(textCol)) % 64 + 1).cast("int").as("w"),
+        (length(col(textCol)) % 48 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val c = ((id + 3L * x + 5L * y) % 256).toInt
+              img.setRGB(x, y, (c << 16) | (c << 8) | c)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image", bos.toByteArray, w, h)
+        }
+      }.toDF()
+  }
+
+  /** Perceptual AVERAGE-HASH (aHash) over real decoded pixels — the
+    * image near-dup fingerprint (the visual sibling of SimHash):
+    * nearest-neighbor sample the decoded raster onto an 8×8 grid, and
+    * set bit (y·8+x) when that sample's gray sum beats the grid mean
+    * (`gray·64 > total` — integer compare, no division). Emitted as a
+    * 64-char bit string, MSB-free by construction, so any engine can
+    * compare or hamming-distance it without signed-shift traps.
+    * Per-partition decode, zero shuffle. Non-decodable payloads emit
+    * NULL (quarantine, not a fake hash). */
+  def aHash64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val img =
+          if (r.payload.isEmpty) null
+          else try ImageIO.read(new ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) (r.doc_id, null: String)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val gray = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x * w / 8, y * h / 8)
+              val g = ((rgb >> 16) & 0xff).toLong +
+                ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              gray(y * 8 + x) = g; total += g
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new StringBuilder(64)
+          var i = 0
+          while (i < 64) {
+            sb.append(if (gray(i) * 64 > total) '1' else '0'); i += 1
+          }
+          (r.doc_id, sb.toString)
+        }
+      }
+    }.toDF("doc_id", "ahash_bits")
+  }
+
   /** Decode features per payload, one pass, no shuffle.
     *
     * REAL path (any JDK-decodable image — PNG/BMP/GIF): dimensions and
