@@ -22,7 +22,12 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional arg: comma-separated tier names — run only those (the
+    // full sweep takes ~45 min at 10×; a new tier shouldn't)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     def time[A](label: String)(f: => A): Double = {
+      val tier = label.split(" ").last
+      if (only.exists(!_.contains(tier))) return 0.0
       val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
       println(f"$label: $s%.2f s"); s
@@ -260,9 +265,10 @@ object ScaleCheck {
     counts.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-24s ${counts(k)}%d")
     }
-    println(s"canonicalize propagation rounds: 1x=${canonicalRounds("1x")} " +
-      s"10x=${canonicalRounds("10x")} (flat = O(cluster diameter), " +
-      "per-round shuffle bounded by dup-graph size, not corpus)")
+    if (canonicalRounds.contains("1x"))
+      println(s"canonicalize propagation rounds: 1x=${canonicalRounds("1x")} " +
+        s"10x=${canonicalRounds("10x")} (flat = O(cluster diameter), " +
+        "per-round shuffle bounded by dup-graph size, not corpus)")
     spark.stop()
   }
 }
