@@ -100,7 +100,7 @@ object Bench {
     "q_dedup_canonical",
     "q_minhash_neardup",
     "q_simhash_neardup", "q_cosine_neardup", "q_cosine_neardup_lsh",
-    "q_semdedup", "q_segment_dedup", "q_segment_dedup_doc", "q_substring_dedup", "q_dsir_score",
+    "q_semdedup", "q_semdedup_clustered", "q_segment_dedup", "q_segment_dedup_doc", "q_substring_dedup", "q_dsir_score",
     "q_text_stats", "q_quality_score", "q_source_quality", "q_lang_id",
     "q_token_count", "q_fingerprint", "q_boilerplate", "q_text_clean",
     "q_ngram_vocab", "q_bpe_pairs",

@@ -1969,6 +1969,22 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
     }),
 
+    // ---- LLM: SemDeDup with the paper's cluster-then-pairwise
+    //      structure — exact within-cluster recall, zero cross-cluster
+    //      (by design); oracle = NOT-EXISTS restricted to equal
+    //      cluster over the same fixed centroids ----
+    "q_semdedup_clustered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 400)
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toSeq.sortBy(_._1)
+      Dedup.semDedupClustered(e, "vec_id", "embedding", cents,
+        threshold = 0.35)
+    }),
+
     // ---- LLM: token-budget selection — keep the best docs (by token
     //      count here) until the running total crosses the budget;
     //      banded prefix sum, output invariant to band boundaries ----
@@ -3243,6 +3259,31 @@ object SparkEntry {
         |  round(n_oov * 1.0 / n_tok, 6) AS oov_rate,
         |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS mean_freq_ppm
         |FROM scored""".stripMargin,
+
+    // same argmin CTE as q_kmeans_assign; the drop rule is a
+    // NOT-EXISTS over exact cosine restricted to equal cluster
+    "q_semdedup_clustered" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 400),
+        |dist AS (SELECT vec_id, cid,
+        |  list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+        |  FROM d CROSS JOIN c),
+        |r AS (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist),
+        |a AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1)
+        |SELECT v.vec_id, a.cluster,
+        |  NOT EXISTS (SELECT 1 FROM embeddings u JOIN a ua ON ua.vec_id = u.vec_id
+        |    WHERE u.vec_id < 400 AND u.vec_id < v.vec_id
+        |      AND ua.cluster = a.cluster
+        |      AND list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+        |                                 CAST(v.embedding AS DOUBLE[])) >= 0.35)
+        |  AS keep
+        |FROM embeddings v JOIN a ON a.vec_id = v.vec_id
+        |WHERE v.vec_id < 400""".stripMargin,
 
     // kmeans argmin, then capPerSource's md5-keyed deterministic rank
     "q_cluster_sample" ->

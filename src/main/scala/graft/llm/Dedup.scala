@@ -1094,6 +1094,46 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** SemDeDup with the paper's ACTUAL candidate structure (Abbas et
+    * al. 2023 §3): k-means-cluster the embeddings first, then compare
+    * pairs only WITHIN a cluster — the clustering is what turns an
+    * O(n²) all-pairs cosine into k independent O((n/k)²) blocks that
+    * each fit a task. Same non-greedy drop rule as [[semDedup]] (any
+    * lower-id same-cluster neighbor within the threshold disqualifies)
+    * so the kept set replays as a declarative NOT-EXISTS restricted to
+    * equal cluster assignment.
+    *
+    * Scale shape: assignment is map-only ([[Similarity.kmeansAssign]]
+    * with driver-bounded centroid literals); the pair join is keyed on
+    * cluster — one shuffle, never a cartesian — and cluster sizes are
+    * bounded by k (size skew is the operator's tuning knob, exactly as
+    * in the paper). Trade vs the LSH tier: recall is exact WITHIN
+    * clusters and zero ACROSS them — the paper accepts cross-cluster
+    * misses by design; the LSH tier catches them probabilistically. */
+  def semDedupClustered(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[(Long, Array[Double])],
+                        threshold: Double): DataFrame = {
+    import graft.llm.Similarity.{dot, norm}
+    val assigned = graft.llm.Similarity.kmeansAssign(df, idCol, vecCol,
+      centroids)
+    val side = df.join(assigned, idCol)
+      .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = side.as("a").join(side.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(dot(col("a.vec"), col("b.vec")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.id").as("__drop")).distinct()
+    val out = materializeOffCache(
+      df.join(drops, col(idCol) === col("__drop"), "left")
+        .join(assigned, idCol)
+        .select(col(idCol), col("cluster"),
+          col("__drop").isNull.as("keep")))
+    side.unpersist()
+    out
+  }
+
   /** WITHIN-document segment dedup — the per-doc half of the C4-style
     * repetition cleanup: tile each doc into `n`-token segments, keep
     * each segment's FIRST occurrence within its own document, and

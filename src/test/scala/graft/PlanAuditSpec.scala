@@ -432,6 +432,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("clustered semdedup: pair join keyed on cluster — never a cartesian") {
+    val p = plan(q("q_semdedup_clustered"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kmeans assignment is map-only: no exchange, no join — centroids " +
        "ride as literals") {
     val p = plan(q("q_kmeans_assign"))
