@@ -240,6 +240,71 @@ object SparkEntry {
         .select(col("doc_id").as("id"), md5(col("text")).as("digest"))
     }),
 
+    // ---- Streaming CURATED ingest: quality gate → benchmark
+    //      decontamination → stored-index exact dedup → append, per
+    //      micro-batch across two checkpoint-resumed runs. Every rule
+    //      is declarative, so DuckDB replays the whole chain: token
+    //      bounds, 5-gram benchmark overlap, membership against
+    //      init ∪ previously-kept, within-batch min-id. ----
+    "q_curate_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+      val root = new java.io.File("/tmp/graft_custream")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val idx = s"$root/idx"; val corpus = s"$root/corpus"
+      val state = s"$root/state.json"; val ckpt = s"$root/ckpt"
+      val all = t(s, dir, "documents")
+      val raw = all.where(col("doc_id") < 400)
+      val bench = all.where(col("doc_id") >= 400 && col("doc_id") < 450)
+        .select("doc_id", "text")
+      val init = raw.where(col("doc_id") % 10 =!= 0)
+      init.select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$corpus/base")
+      Dedup.exactIndexStore(init, "text", "doc_id", "graft_cu_gate",
+        idx, slots = 16)
+      val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, file)): Unit
+      }
+      val b1 = raw.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionByName(raw.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text")))
+        .unionByName(raw.where(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            lit("tiny").as("text")))
+        .unionByName(bench
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      stage(b1, "b1.json")
+      DedupStream.runCurated(s, src, schema, "graft_cu_gate", idx,
+        corpus, state, ckpt, slots = 16, benchmark = bench,
+        minTokens = 5, maxTokens = 5000).awaitTermination()
+      stage(raw.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text"))
+        .unionByName(raw.where(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" plugh")).as("text"))), "b2.json")
+      DedupStream.runCurated(s, src, schema, "graft_cu_gate", idx,
+        corpus, state, ckpt, slots = 16, benchmark = bench,
+        minTokens = 5, maxTokens = 5000).awaitTermination()
+      // stale re-delivery of the committed first batch: no-op
+      DedupStream.applyBatchCurated(b1, 0L, "graft_cu_gate", idx,
+        corpus, state, 16, bench, 5, 5000)
+      DedupStream.readCorpus(s, corpus)
+        .select(col("doc_id").as("id"), md5(col("text")).as("digest"))
+    }),
+
     // ---- Streaming NEAR-dup on arrival (MinHash over the stored band
     //      index): two AvailableNow runs with checkpoint resume. Batch
     //      1 carries suffix-perturbed copies of corpus docs (dropped
@@ -3606,6 +3671,45 @@ object SparkEntry {
         |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
+
+    // full curation chain: token bounds → 5-gram benchmark overlap →
+    // digest membership vs init ∪ previously-kept → within-batch min-id
+    "q_curate_stream" ->
+      """WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |bench AS (SELECT text FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+        |init AS (SELECT doc_id AS id, text FROM raw WHERE doc_id % 10 <> 0),
+        |b1 AS (SELECT doc_id + 100000 AS id, text FROM raw WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 200000, text || ' xyzzy' FROM raw WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 600000, 'tiny' FROM raw WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 700000, text FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+        |b2 AS (SELECT doc_id + 300000 AS id, text || ' xyzzy' AS text FROM raw WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 400000, text || ' plugh' FROM raw WHERE doc_id % 10 = 7),
+        |btok AS (SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS t FROM bench),
+        |bg AS (SELECT DISTINCT CASE WHEN len(t) < 5 THEN array_to_string(t,' ')
+        |    ELSE array_to_string(t[i:i+4],' ') END AS g
+        |  FROM btok CROSS JOIN UNNEST(generate_series(1, greatest(len(t)-4,1))) AS u(i)),
+        |allb AS (SELECT 1 AS batch, id, text FROM b1
+        |  UNION ALL SELECT 2, id, text FROM b2),
+        |atok AS (SELECT batch, id, text,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS t FROM allb),
+        |ag AS (SELECT id, CASE WHEN len(t) < 5 THEN array_to_string(t,' ')
+        |    ELSE array_to_string(t[i:i+4],' ') END AS g
+        |  FROM atok CROSS JOIN UNNEST(generate_series(1, greatest(len(t)-4,1))) AS u(i)),
+        |contam AS (SELECT DISTINCT id FROM ag JOIN bg USING (g)),
+        |q AS (SELECT batch, id, text, md5(text) AS dg FROM atok
+        |  WHERE len(t) BETWEEN 5 AND 5000
+        |    AND id NOT IN (SELECT id FROM contam)),
+        |initd AS (SELECT md5(text) AS dg FROM init),
+        |k1 AS (SELECT id, dg FROM q WHERE batch = 1
+        |  AND dg NOT IN (SELECT dg FROM initd)
+        |  AND id = (SELECT min(id) FROM q q2 WHERE q2.batch = 1 AND q2.dg = q.dg)),
+        |k2 AS (SELECT id, dg FROM q WHERE batch = 2
+        |  AND dg NOT IN (SELECT dg FROM initd)
+        |  AND dg NOT IN (SELECT dg FROM k1)
+        |  AND id = (SELECT min(id) FROM q q2 WHERE q2.batch = 2 AND q2.dg = q.dg))
+        |SELECT id, md5(text) AS digest FROM init
+        |UNION ALL SELECT id, dg FROM k1
+        |UNION ALL SELECT id, dg FROM k2""".stripMargin,
 
     // Three chained non-greedy levels over exact shingle Jaccard:
     // kept1 = batch-1 rows near-dup of no init doc and no lower-id

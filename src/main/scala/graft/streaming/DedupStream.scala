@@ -216,6 +216,47 @@ object DedupStream {
     registerIndex(spark, prefix, indexPath)
   }
 
+  /** CURATED ingest — the full per-batch corpus-curation chain, every
+    * rule declarative so the multi-batch result replays in SQL:
+    *   1. quality gate: token count within [minTokens, maxTokens]
+    *      (integer-exact, map-only);
+    *   2. decontamination: drop docs sharing any `gramN`-gram with the
+    *      benchmark (broadcast anti-join — the batch never shuffles);
+    *   3. exact dedup against the STORED membership index (Bloom pass
+    *      + pruned verify) with the torn-batch self-ownership rule;
+    *   4. append survivors + advance the index ([[applyBatch]] body).
+    * Order matters and is part of the contract: a low-quality or
+    * contaminated duplicate must NOT claim first-occurrence over a
+    * clean copy arriving later — filtering runs BEFORE membership. */
+  def applyBatchCurated(batch: DataFrame, batchId: Long, prefix: String,
+                        indexPath: String, corpusDir: String,
+                        statePath: String, slots: Int,
+                        benchmark: DataFrame, minTokens: Int,
+                        maxTokens: Int, gramN: Int = 5): Unit = {
+    if (batchId <= readState(statePath)) return
+    val nTok = size(Dedup.tokens(col("text")))
+    val quality = batch.where(nTok >= minTokens && nTok <= maxTokens)
+    val cleaned = graft.llm.Decontaminate.clean(quality, benchmark,
+      "text", "doc_id", n = gramN)
+    applyBatch(cleaned, batchId, prefix, indexPath, corpusDir, statePath,
+      slots)
+  }
+
+  /** Streaming curated-ingest pipeline: [[applyBatchCurated]] per
+    * micro-batch, AvailableNow trigger. */
+  def runCurated(spark: SparkSession, srcDir: String, schema: StructType,
+                 prefix: String, indexPath: String, corpusDir: String,
+                 statePath: String, ckpt: String, slots: Int,
+                 benchmark: DataFrame, minTokens: Int,
+                 maxTokens: Int, gramN: Int = 5): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) =>
+        applyBatchCurated(df, id, prefix, indexPath, corpusDir,
+          statePath, slots, benchmark, minTokens, maxTokens, gramN))
+      .start()
+
   // --------------------------------------------------------------------
   // NEAR-dup on arrival (MinHash over the stored band index)
   // --------------------------------------------------------------------
