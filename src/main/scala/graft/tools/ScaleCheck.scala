@@ -131,6 +131,18 @@ object ScaleCheck {
           counts(s"$label exact_stored_probe") =
             Dedup.exactIncrementalStored(incrBatch, "text", "doc_id",
               s"sc_ex_$label", slots = 64).count() },
+        // the full streaming-ingest micro-batch (probe + survivor
+        // segment + digest delta + touched-slot bloom snapshot) over
+        // the stored index built above — expect FLAT: every term is
+        // O(batch), none O(corpus)
+        "dedup_stream_batch" -> time(s"$label dedup_stream_batch") {
+          val corpusDir = s"$out/ds_corpus"
+          graft.streaming.DedupStream.applyBatch(
+            incrBatch.select("doc_id", "text"), 0L, s"sc_ex_$label",
+            s"$out/exidx", corpusDir, s"$out/ds_state.json", 64)
+          counts(s"$label dedup_stream_batch") = spark.read
+            .option("recursiveFileLookup", "true").parquet(corpusDir)
+            .count() },
         "ann_stored_build" -> time(s"$label ann_stored_build") {
           graft.llm.Similarity.lshIndexStore(emb, s"sc_ann_$label",
             s"$out/annidx", buckets = 32, native = true) },
