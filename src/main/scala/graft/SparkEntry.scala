@@ -1562,6 +1562,38 @@ object SparkEntry {
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
 
+    // ---- K2 orphan-file cleanup: a crashed publish's stray parquet
+    //      is removed, referenced files survive, and the MoR read
+    //      still matches the oracle afterwards ----
+    "q_iceberg_orphans" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val table = java.nio.file.Files.createTempDirectory("graft_orp_t").toString
+      val ice = java.nio.file.Files.createTempDirectory("graft_orp_i").toString
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      val upd = n.where(col("n_nationkey") < 10).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), upper(col("n_name")).as("n_name"),
+        lit("u").as(SystemColumns.OpType))
+      graft.sinks.DeltaSegments.writeSegment(
+        upd.withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 1L)
+      IcebergMetadata.publishMoR(s, ice, table,
+        summary = Map("olake_2pc" -> """{"stream":"nation"}"""))
+      // simulate the crash: data files written, metadata never committed
+      val stray = new java.io.File(s"$ice/data/999999")
+      n.limit(3).write.mode("overwrite").parquet(stray.toString)
+      val strayCount = Option(stray.listFiles).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+      val deleted = IcebergMetadata.removeOrphans(ice)
+      require(deleted == strayCount && strayCount > 0,
+        s"orphan sweep removed $deleted of $strayCount stray files")
+      require(!stray.exists, "emptied orphan snapshot dir must be swept")
+      IcebergMetadata.readMoR(s, ice)
+        .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
+    }),
+
     // ---- K2 TIME TRAVEL, gate-backed: two publishes, each an
     //      immutable snapshot; reading AS OF the first snapshot id
     //      replays only batch 1's state from the carried-forward
@@ -3088,6 +3120,16 @@ object SparkEntry {
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // the read after the orphan sweep: base overlaid with the update
+    // batch — stray unreferenced files must not change a row
+    "q_iceberg_orphans" ->
+      """WITH base AS (SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, n_name FROM nation),
+        |changes AS (SELECT cast(n_nationkey AS VARCHAR) AS _olake_id,
+        |  n_nationkey, upper(n_name) AS n_name FROM nation WHERE n_nationkey < 10)
+        |SELECT _olake_id, n_nationkey, n_name FROM base
+        |  WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
+        |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes""".stripMargin,
 
     // both snapshot states replayed independently: s1 = after the
     // upper-case batch (all 25 rows), s2 = after the delete batch

@@ -1360,6 +1360,55 @@ object IcebergMetadata {
     dropped.length
   }
 
+  /** Remove ORPHAN files under `tableDir/data` — the complement of
+    * [[expireSnapshots]]: a publish that crashed between writing its
+    * parquet and committing its metadata leaves data files no
+    * snapshot references (the reference's Java writer inherits the
+    * same hazard and leans on Iceberg's `remove_orphan_files`). Walks
+    * every snapshot in the CURRENT metadata (data + delete files),
+    * deletes unreferenced parquet older than `minAgeMs` (the grace
+    * window that protects an in-flight publish, same rule as the
+    * Iceberg procedure), and prunes emptied snapshot dirs. Returns the
+    * number of files deleted. */
+  def removeOrphans(tableDir: String, minAgeMs: Long = 0L): Int = {
+    val meta = currentMetadata(tableDir) match {
+      case Some((_, m)) => m
+      case None => return 0
+    }
+    val snapIds = meta.withArray[ArrayNode]("snapshots").asScala
+      .map(_.get("snapshot-id").asLong).toSeq
+    val referenced = snapIds.flatMap(id =>
+      dataFileStats(tableDir, Some(id))
+        .map(e => new File(e.path).getCanonicalPath)).toSet
+    val dataRoot = new File(tableDir, "data")
+    if (!dataRoot.isDirectory) return 0
+    val now = System.currentTimeMillis()
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val orphans = walk(dataRoot).filter { f =>
+      f.getName.endsWith(".parquet") &&
+        !referenced.contains(f.getCanonicalPath) &&
+        now - f.lastModified >= minAgeMs
+    }
+    orphans.foreach(_.delete(): Unit)
+    // sweep emptied dirs bottom-up (write-side markers like _SUCCESS
+    // go with their dir)
+    def sweep(d: File): Unit = if (d.isDirectory) {
+      Option(d.listFiles).getOrElse(Array.empty[File]).foreach(sweep)
+      val left = Option(d.listFiles).getOrElse(Array.empty[File])
+      if (d != dataRoot &&
+          left.forall(f => !f.isDirectory &&
+            (f.getName.startsWith("_") || f.getName.startsWith(".")))) {
+        left.foreach(_.delete(): Unit)
+        d.delete(): Unit
+      }
+    }
+    sweep(dataRoot)
+    orphans.length
+  }
+
   /** The 2PC state stored in the current snapshot's summary — the
     * reference's restart recovery reads the same `olake_2pc` property
     * (iceberg.go:521-545). */

@@ -309,6 +309,32 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("7") == None) // untouched base row: evolved column null
   }
 
+  test("removeOrphans: grace window protects young files; 0-age sweeps " +
+       "strays and emptied dirs, referenced files survive") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.OlakeId
+    val table = Files.createTempDirectory("graft_orph_t").toString
+    val ice = Files.createTempDirectory("graft_orph_i").toString
+    spark.range(20).select(
+        col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val before = IcebergMetadata.readMoR(spark, ice).count()
+    val stray = new File(s"$ice/data/424242")
+    spark.range(3).write.parquet(stray.toString)
+    // grace window: fresh files stay
+    assert(IcebergMetadata.removeOrphans(ice, minAgeMs = 3600000L) == 0)
+    assert(stray.isDirectory)
+    // zero-age: strays and their emptied dir go; the table is unchanged
+    val n = Option(stray.listFiles).get
+      .count(_.getName.endsWith(".parquet"))
+    assert(IcebergMetadata.removeOrphans(ice) == n && n > 0)
+    assert(!stray.exists)
+    assert(IcebergMetadata.readMoR(spark, ice).count() == before)
+    // idempotent: nothing left to sweep
+    assert(IcebergMetadata.removeOrphans(ice) == 0)
+  }
+
   test("re-publish never clobbers earlier snapshots: files immutable, time travel works, expire cleans up") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
