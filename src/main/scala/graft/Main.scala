@@ -63,6 +63,45 @@ object Main {
       println(s"""{"stream":"$stream","records_synced":$n}""")
       spark.stop()
 
+    // Streaming curated ingest over a stored dedup index:
+    //   curate <srcDir> <indexDir> <corpusDir> [benchmarkParquet]
+    //     [minTokens] [maxTokens]
+    // First run builds the index from <corpusDir>/base (if present);
+    // re-runs resume from the checkpoint and state file.
+    case "curate" :: src :: indexDir :: corpusDir :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import org.apache.spark.sql.functions.col
+      val prefix = "graft_cli_curate"
+      val base = new java.io.File(s"$corpusDir/base")
+      if (!new java.io.File(s"$indexDir/digests").exists) {
+        require(base.exists,
+          s"first curate run needs an initial corpus at $base")
+        graft.llm.Dedup.exactIndexStore(spark.read.parquet(base.toString),
+          "text", "doc_id", prefix, indexDir)
+      }
+      val bench = rest.headOption.filter(_.nonEmpty)
+        .map(p => spark.read.parquet(p))
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType)))))
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      // state + checkpoint live beside the INDEX, not inside the corpus
+      // dir — readCorpus scans that recursively
+      graft.streaming.DedupStream.runCurated(spark, src, schema, prefix,
+          indexDir, corpusDir, s"$indexDir/state.json",
+          s"$indexDir/ckpt", slots = 64, benchmark = bench,
+          minTokens = rest.lift(1).map(_.toInt).getOrElse(1),
+          maxTokens = rest.lift(2).map(_.toInt).getOrElse(Int.MaxValue))
+        .awaitTermination()
+      val total = graft.streaming.DedupStream
+        .readCorpus(spark, corpusDir).count()
+      println(s"""{"status":"curated","corpus_docs":$total}""")
+      spark.stop()
+
     case "clear" :: dest :: streams :: Nil =>
       val spark = session()
       Protocol.clear(spark, dest, s"$dest/state.json", streams.split(",").toSeq)
@@ -72,7 +111,7 @@ object Main {
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | discover | sync | clear")
+          "usage: spec | check | discover | sync | clear | curate")
       sys.exit(2)
   }
 }
