@@ -363,6 +363,63 @@ object SparkEntry {
       DedupStream.readCorpus(s, corpus).select(col("doc_id").as("id"))
     }),
 
+    // ---- Streaming EMBEDDING near-dup on arrival (cosine over the
+    //      stored code index): two AvailableNow runs, checkpoint
+    //      resume. Batch 1 replays init vectors verbatim (cos = 1 →
+    //      dropped) plus vectors whose originals init excludes
+    //      (kept unless a ≥-threshold init neighbor exists); batch 2
+    //      replays batch-1 content (dropped only where batch 1's copy
+    //      was indexed) plus NEGATED vectors (cos flips sign → mostly
+    //      new). DuckDB replays the chain via list_cosine_similarity
+    //      NOT-EXISTS levels. ----
+    "q_cosine_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField => SF, StructType => ST}
+      val root = new java.io.File("/tmp/graft_costream")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val idx = s"$root/idx"; val corpus = s"$root/corpus"
+      val state = s"$root/state.json"; val ckpt = s"$root/ckpt"
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 400)
+      val init = e.where(col("vec_id") % 10 =!= 0)
+      init.select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$corpus/base")
+      Dedup.cosineIndexStore(init, "vec_id", "embedding",
+        "graft_cs_gate", idx, buckets = 8, native = true)
+      val schema = ST(Seq(SF("vec_id", LongType),
+        SF("embedding", ArrayType(FloatType))))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.parquet(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, file)): Unit
+      }
+      stage(e.where(col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"),
+            col("embedding"))), "b1.parquet")
+      DedupStream.runCosine(s, src, schema, "graft_cs_gate", idx,
+        corpus, state, ckpt, threshold = 0.35, native = true)
+        .awaitTermination()
+      stage(e.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 500000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))),
+        "b2.parquet")
+      DedupStream.runCosine(s, src, schema, "graft_cs_gate", idx,
+        corpus, state, ckpt, threshold = 0.35, native = true)
+        .awaitTermination()
+      DedupStream.readCorpus(s, corpus).select(col("vec_id").as("id"))
+    }),
+
     // ---- I5 cursor formatting, gate-backed: the ISO-8601/decimal
     //      strings the state file persists (reference
     //      incremental.go:195-208), recomputed by DuckDB with
@@ -3713,6 +3770,34 @@ object SparkEntry {
         |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
         |SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM p WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.9""".stripMargin,
+
+    // chained non-greedy levels over exact cosine: kept1 = batch-1
+    // rows with no ≥t init neighbor and no lower-id batch-1 neighbor;
+    // kept2 likewise vs init ∪ kept1; final = init ∪ kept1 ∪ kept2
+    "q_cosine_stream" ->
+      """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 400),
+        |rows_all AS (
+        |  SELECT vec_id AS id, v, 0 AS grp FROM raw WHERE vec_id % 10 <> 0
+        |  UNION ALL SELECT vec_id + 100000, v, 1 FROM raw WHERE vec_id % 10 = 1
+        |  UNION ALL SELECT vec_id + 200000, v, 1 FROM raw WHERE vec_id % 10 = 0
+        |  UNION ALL SELECT vec_id + 300000, v, 2 FROM raw WHERE vec_id % 10 = 0
+        |  UNION ALL SELECT vec_id + 500000, list_transform(v, x -> -x), 2
+        |    FROM raw WHERE vec_id % 10 = 5),
+        |kept1 AS (SELECT s.id FROM rows_all s WHERE s.grp = 1
+        |  AND NOT EXISTS (SELECT 1 FROM rows_all i WHERE i.grp = 0
+        |    AND list_cosine_similarity(s.v, i.v) >= 0.35)
+        |  AND NOT EXISTS (SELECT 1 FROM rows_all x WHERE x.grp = 1
+        |    AND x.id < s.id AND list_cosine_similarity(s.v, x.v) >= 0.35)),
+        |kept2 AS (SELECT s.id FROM rows_all s WHERE s.grp = 2
+        |  AND NOT EXISTS (SELECT 1 FROM rows_all i
+        |    WHERE (i.grp = 0 OR i.id IN (SELECT id FROM kept1))
+        |    AND list_cosine_similarity(s.v, i.v) >= 0.35)
+        |  AND NOT EXISTS (SELECT 1 FROM rows_all x WHERE x.grp = 2
+        |    AND x.id < s.id AND list_cosine_similarity(s.v, x.v) >= 0.35))
+        |SELECT id FROM rows_all WHERE grp = 0
+        |UNION ALL SELECT id FROM kept1
+        |UNION ALL SELECT id FROM kept2""".stripMargin,
 
     // full curation chain: token bounds → 5-gram benchmark overlap →
     // digest membership vs init ∪ previously-kept → within-batch min-id

@@ -834,6 +834,22 @@ object Dedup {
       s"${prefix}_vecs", s"$path/vecs", Seq("id"), buckets)
   }
 
+  /** The (codes, vectors) delta frames for appending `batch` to a
+    * stored cosine index — the per-batch increment the streaming
+    * pipeline writes next to [[cosineIndexStore]]'s base tables. */
+  def cosineIndexDelta(batch: DataFrame, idCol: String, vecCol: String,
+                       planes: Int = 4, dims: Int = 64, tables: Int = 4,
+                       native: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    import graft.llm.Similarity.{norm, tableCodes}
+    (batch.select(col(idCol).as("id"),
+        explode(tableCodes(col(vecCol), planes, dims, tables, native))
+          .as("tc"))
+      .select(col("id"), col("tc.t").as("t"), col("tc.code").as("code")),
+     batch.select(col(idCol).as("id"), col(vecCol).as("vec"),
+       norm(col(vecCol)).as("nrm")))
+  }
+
   /** Lazily-built probe frames against a stored cosine index (split
     * out for PlanAuditSpec). Returns (cross, verified, candCache); the
     * caller unpersists `candCache` after consuming `verified`. Shapes

@@ -387,6 +387,95 @@ object DedupStream {
           statePath, threshold = threshold, native = native))
       .start()
 
+  // --------------------------------------------------------------------
+  // EMBEDDING near-dup on arrival (cosine over the stored code index)
+  // --------------------------------------------------------------------
+
+  /** Temp views over the CURRENT cosine index state (store-time
+    * bucketed tables from [[Dedup.cosineIndexStore]] plus per-batch
+    * delta dirs) — same overlay pattern as the MinHash views. */
+  def registerCosineIndex(spark: SparkSession, prefix: String,
+                          indexPath: String): Unit = {
+    def union(base: String, deltaRoot: String, view: String): Unit = {
+      val b = spark.read.parquet(base)
+      val deltas = Option(new File(deltaRoot).listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.toString).sorted
+      (if (deltas.isEmpty) b
+       else b.unionByName(spark.read.parquet(deltas: _*)))
+        .createOrReplaceTempView(view)
+    }
+    union(s"$indexPath/codes", s"$indexPath/codes_delta",
+      s"${prefix}_codes")
+    union(s"$indexPath/vecs", s"$indexPath/vecs_delta",
+      s"${prefix}_vecs")
+  }
+
+  /** One EMBEDDING near-dup micro-batch over the stored cosine index —
+    * the same non-greedy drop chain as [[applyBatchNearDup]] with
+    * verified cosine ≥ threshold as the pair predicate, the same
+    * torn-replay classification (partner-in-batch ⇒ within-batch
+    * rule; (x,x) self-pairs from a replayed survivor's stored copy
+    * are discarded), and the same overwrite-scoped appends (corpus
+    * segment + code/vector delta dirs). */
+  def applyBatchCosine(batch: DataFrame, batchId: Long, prefix: String,
+                       indexPath: String, corpusDir: String,
+                       statePath: String, threshold: Double,
+                       planes: Int = 4, dims: Int = 64, tables: Int = 4,
+                       maxFlips: Int = 2,
+                       native: Boolean = false): Unit = {
+    if (batchId <= readState(statePath)) return
+    val spark = batch.sparkSession
+    registerCosineIndex(spark, prefix, indexPath)
+    val (_, verified, cand) = Dedup.cosineStoredProbe(batch, "vec_id",
+      "embedding", prefix, threshold, planes, dims, tables, maxFlips,
+      native)
+    val pairs = verified.where(col("id_a") =!= col("id_b"))
+    val inBatch = batch.select(col("vec_id").as("bid"))
+    val marked = pairs
+      .join(inBatch.select(col("bid").as("id_a"), lit(1).as("a_in")),
+        Seq("id_a"), "left")
+      .join(inBatch.select(col("bid").as("id_b"), lit(1).as("b_in")),
+        Seq("id_b"), "left")
+    val drops = marked
+      .where(col("a_in").isNotNull && col("b_in").isNull)
+      .select(col("id_a").as("vec_id"))
+      .unionByName(marked
+        .where(col("b_in").isNotNull && col("a_in").isNull)
+        .select(col("id_b").as("vec_id")))
+      .unionByName(marked
+        .where(col("a_in").isNotNull && col("b_in").isNotNull)
+        .select(col("id_b").as("vec_id")))
+      .distinct()
+    val survivors = batch.join(drops, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.write.mode("overwrite").parquet(s"$corpusDir/b$batchId")
+    val (codesDelta, vecsDelta) = Dedup.cosineIndexDelta(survivors,
+      "vec_id", "embedding", planes, dims, tables, native)
+    codesDelta.write.mode("overwrite")
+      .parquet(s"$indexPath/codes_delta/b$batchId")
+    vecsDelta.write.mode("overwrite")
+      .parquet(s"$indexPath/vecs_delta/b$batchId")
+    survivors.unpersist()
+    cand.unpersist()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(statePath),
+      s"""{"batchId":$batchId}""")
+  }
+
+  /** Streaming embedding near-dup pipeline over PARQUET batch files
+    * (float vectors round-trip exactly; JSON would reparse them). */
+  def runCosine(spark: SparkSession, srcDir: String, schema: StructType,
+                prefix: String, indexPath: String, corpusDir: String,
+                statePath: String, ckpt: String, threshold: Double,
+                native: Boolean = false): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) =>
+        applyBatchCosine(df, id, prefix, indexPath, corpusDir,
+          statePath, threshold, native = native))
+      .start()
+
   /** The streaming pipeline: JSON document batches arriving in
     * `srcDir` → [[applyBatch]] per micro-batch, AvailableNow trigger
     * (drain-and-stop — rerun with the same checkpoint to resume). */

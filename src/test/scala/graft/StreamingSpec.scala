@@ -440,6 +440,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids().contains(31L) && !ids().contains(30L))
   }
 
+  test("DedupStream cosine: drops embedding dups vs index and lower batch " +
+       "ids; torn-batch replay reaches the same survivors") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    import graft.llm.Dedup
+    val root = tmp()
+    val idx = s"$root/idx"; val corpus = s"$root/corpus"
+    val state = s"$root/state.json"
+    val init = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    init.write.mode("overwrite").parquet(s"$corpus/base")
+    Dedup.cosineIndexStore(init, "vec_id", "embedding", "graft_cs_spec",
+      idx, buckets = 2)
+    val b0 = Seq(
+      (10L, Array(1f, 0f)),   // identical to indexed vec 1 → dropped
+      (11L, Array(1f, -1f)),  // cos .707 / -.707 vs index → kept
+      (12L, Array(1f, -1f))   // identical to LOWER batch id 11 → dropped
+    ).toDF("vec_id", "embedding")
+    DedupStream.applyBatchCosine(b0, 0L, "graft_cs_spec", idx, corpus,
+      state, threshold = 0.9)
+    def ids() = DedupStream.readCorpus(spark, corpus)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids() == Set(1L, 2L, 11L))
+    // torn replay: survivor 11's stored copy must not delete it
+    new java.io.File(state).delete()
+    DedupStream.applyBatchCosine(b0, 0L, "graft_cs_spec", idx, corpus,
+      state, threshold = 0.9)
+    assert(ids() == Set(1L, 2L, 11L))
+    // next batch dedups against the batch-0 survivor via the deltas
+    val b1 = Seq((20L, Array(1f, -1f)), (21L, Array(-3f, -1f)))
+      .toDF("vec_id", "embedding")
+    DedupStream.applyBatchCosine(b1, 1L, "graft_cs_spec", idx, corpus,
+      state, threshold = 0.9)
+    assert(ids() == Set(1L, 2L, 11L, 21L))
+  }
+
   test("DedupStream: torn-batch re-apply overwrites identically; " +
        "compactIndex folds deltas without changing probe results") {
     import spark.implicits._
