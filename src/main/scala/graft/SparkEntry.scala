@@ -2085,6 +2085,12 @@ object SparkEntry {
       TextAnalysis.bigramScore(t(s, dir, "documents"), "text", "doc_id",
         vocabSize = 2000)),
 
+    // ---- Column-level data profile (the audit step after discover):
+    //      nulls / distincts / string-rendered bounds per column, one
+    //      aggregate pass; exact mode pinned by the oracle ----
+    "q_profile" -> ((s, dir) =>
+      Discover.profile(s, dir, "nation")),
+
     // ---- LLM: BPE merge-pair mining — adjacent char-pair counts over
     //      the distinct-word vocab, word-frequency weighted, top-k ----
     "q_bpe_pairs" -> ((s, dir) =>
@@ -3469,6 +3475,25 @@ object SparkEntry {
         |        CAST(vec_id AS VARCHAR)), vec_id) AS rn2
         |  FROM a)
         |WHERE rn2 <= 20""".stripMargin,
+
+    // per-column aggregates, dtypes as Spark renders them
+    "q_profile" ->
+      """SELECT 'n_nationkey' AS column_name, 'int' AS dtype,
+        |  CAST(count(*) FILTER (n_nationkey IS NULL) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(n_nationkey) AS VARCHAR) AS min_value,
+        |  CAST(max(n_nationkey) AS VARCHAR) AS max_value FROM nation
+        |UNION ALL
+        |SELECT 'n_name', 'string',
+        |  CAST(count(*) FILTER (n_name IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT n_name) AS BIGINT),
+        |  min(n_name), max(n_name) FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey', 'int',
+        |  CAST(count(*) FILTER (n_regionkey IS NULL) AS BIGINT),
+        |  CAST(count(DISTINCT n_regionkey) AS BIGINT),
+        |  CAST(min(n_regionkey) AS VARCHAR),
+        |  CAST(max(n_regionkey) AS VARCHAR) FROM nation""".stripMargin,
 
     // pair counts over the distinct-word table, weighted by word freq
     "q_bpe_pairs" ->

@@ -70,4 +70,47 @@ object Discover {
     s.columns.map { case (c, t) => (c, t.name) }
       .toDF("column_name", "canonical_type")
   }
+
+  /** Column-level data PROFILE — the audit step after discovery: one
+    * row per top-level column with null count, distinct count, and
+    * min/max rendered as strings (atomic types only; arrays/structs
+    * report counts with null bounds). One pass over the table: every
+    * per-column aggregate rides a single Aggregate node, partial-agg'd
+    * map-side. `exact = false` switches distinct counting to
+    * approx_count_distinct — at 100 TB the exact mode's per-column
+    * distincts are the expensive knob, and HLL is the production
+    * default (the gate pins the exact mode against the oracle). */
+  def profile(spark: SparkSession, dir: String, name: String,
+              exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.load(spark, dir, name)
+    val atomic = df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }).map(_.name).toSet
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val distinct =
+        if (exact) count_distinct(c) else approx_count_distinct(c)
+      Seq(
+        count(when(c.isNull, 1)).as(s"__n_${f.name}"),
+        distinct.as(s"__d_${f.name}"),
+        (if (atomic(f.name)) min(c).cast("string")
+         else lit(null).cast("string")).as(s"__mn_${f.name}"),
+        (if (atomic(f.name)) max(c).cast("string")
+         else lit(null).cast("string")).as(s"__mx_${f.name}"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    import spark.implicits._
+    df.schema.fields.map { f =>
+      (f.name, f.dataType.simpleString,
+        row.getAs[Long](s"__n_${f.name}"),
+        row.getAs[Long](s"__d_${f.name}"),
+        Option(row.getAs[String](s"__mn_${f.name}")),
+        Option(row.getAs[String](s"__mx_${f.name}")))
+    }.toSeq.toDF("column_name", "dtype", "n_nulls", "n_distinct",
+      "min_value", "max_value")
+  }
 }
