@@ -104,8 +104,8 @@ object DedupStream {
     * dirs. */
   def applyBatch(batch: DataFrame, batchId: Long, prefix: String,
                  indexPath: String, corpusDir: String, statePath: String,
-                 slots: Int): Unit = {
-    if (batchId <= readState(statePath)) return
+                 slots: Int): Long = {
+    if (batchId <= readState(statePath)) return -1L
     val spark = batch.sparkSession
     import spark.implicits._
     registerIndex(spark, prefix, indexPath)
@@ -174,11 +174,13 @@ object DedupStream {
       }
     }.toDF("slot", "n_digests", "bloom")
       .write.mode("overwrite").parquet(s"$indexPath/blooms_v$batchId")
+    val nKept = survivors.count()
     survivors.unpersist()
     // 4. commit — last, so every prior write replays as an overwrite
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(statePath),
       s"""{"batchId":$batchId}""")
+    nKept
   }
 
   /** Fold the digest deltas back into the slot-partitioned base store
@@ -238,8 +240,27 @@ object DedupStream {
     val quality = batch.where(nTok >= minTokens && nTok <= maxTokens)
     val cleaned = graft.llm.Decontaminate.clean(quality, benchmark,
       "text", "doc_id", n = gramN)
-    applyBatch(cleaned, batchId, prefix, indexPath, corpusDir, statePath,
-      slots)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-batch funnel stats — the writer-stats analog for curation.
+    // `_stats` is underscore-prefixed so readCorpus's recursive scan
+    // skips it (same rule that hides _SUCCESS); one file per batchId,
+    // overwritten on torn-batch replay. Written after the commit:
+    // best-effort observability, never load-bearing state.
+    val nIn = batch.count(); val nQuality = quality.count()
+    val nClean = cleaned.count()
+    val nKept = applyBatch(cleaned, batchId, prefix, indexPath,
+      corpusDir, statePath, slots)
+    cleaned.unpersist()
+    if (nKept >= 0) {
+      val statsDir = new File(s"$corpusDir/_stats")
+      statsDir.mkdirs()
+      java.nio.file.Files.writeString(
+        new File(statsDir, s"b$batchId.json").toPath,
+        s"""{"batchId":$batchId,"n_in":$nIn,""" +
+          s""""n_quality_dropped":${nIn - nQuality},""" +
+          s""""n_contaminated":${nQuality - nClean},""" +
+          s""""n_dup":${nClean - nKept},"n_kept":$nKept}""")
+    }
   }
 
   /** Streaming curated-ingest pipeline: [[applyBatchCurated]] per
@@ -486,8 +507,10 @@ object DedupStream {
     spark.readStream.schema(schema).json(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((df: DataFrame, id: Long) =>
-        applyBatch(df, id, prefix, indexPath, corpusDir, statePath, slots))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        applyBatch(df, id, prefix, indexPath, corpusDir, statePath,
+          slots): Unit
+      }
       .start()
 
   /** The deduped corpus: base + committed segments. */
