@@ -1312,9 +1312,13 @@ object SparkEntry {
       val server = new java.net.ServerSocket(0)
       val th = new Thread(() => {
         // checksum = true: the MySQL 8 default shape — FDE announcing
-        // CRC32, every event CRC-suffixed; the client verifies + strips
+        // CRC32, every event CRC-suffixed; the client verifies + strips.
+        // closeAfterSend gives the harness a DETERMINISTIC end-of-dump:
+        // polling "until 3 quiet rounds" raced a loaded VM (a GC pause
+        // mid-stream read as quiescence dropped rows — seen in r9's
+        // full-verify run)
         try MySqlWireServer.serve(server.accept(), Seq(served),
-          checksum = true)
+          checksum = true, closeAfterSend = true)
         catch { case _: Exception => () }
       })
       th.setDaemon(true); th.start()
@@ -1322,11 +1326,8 @@ object SparkEntry {
       val got = try {
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        var quiet = 0
-        while (quiet < 3 && System.nanoTime() < deadline) {
-          val b = client.poll()
-          if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
-        }
+        while (!client.sessionClosed && System.nanoTime() < deadline)
+          buf ++= client.poll()
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._
@@ -1363,9 +1364,11 @@ object SparkEntry {
         if ((m(4) & 0xff) == 19) (5L, m) else (l + 10L, m) }
       val server = new java.net.ServerSocket(0)
       val th = new Thread(() => {
-        // MariaDB keeps CRC32 checksums on by default too
+        // MariaDB keeps CRC32 checksums on by default too;
+        // closeAfterSend = deterministic end-of-dump (see binlog_wire)
         try MySqlWireServer.serve(server.accept(), Seq(served),
-          checksum = true, serverVersion = "5.5.5-10.6.14-MariaDB-graft")
+          checksum = true, serverVersion = "5.5.5-10.6.14-MariaDB-graft",
+          closeAfterSend = true)
         catch { case _: Exception => () }
       })
       th.setDaemon(true); th.start()
@@ -1379,11 +1382,8 @@ object SparkEntry {
           "SHOW MASTER STATUS")
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        var quiet = 0
-        while (quiet < 3 && System.nanoTime() < deadline) {
-          val b = client.poll()
-          if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
-        }
+        while (!client.sessionClosed && System.nanoTime() < deadline)
+          buf ++= client.poll()
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._
