@@ -1054,6 +1054,28 @@ object SparkEntry {
         element_at(img, 3).as("event_type"))
     }),
 
+    // ---- C4 binlog MID-STREAM SCHEMA CHANGE: ALTER TABLE ADD COLUMN
+    //      lands as QUERY_EVENT + a fresh TABLE_MAP under a NEW table
+    //      id; earlier rows decode against the 4-column shape, later
+    //      rows against the 5-column one, and the added column reads
+    //      NULL for pre-DDL rows. The decoder's table-id-keyed shape
+    //      cache is what makes this work (filter.go:27-49 re-reads
+    //      shape per rows event for the same reason). ----
+    "q_cdc_binlog_ddl" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val decoded = Binlog.decode(
+        ChangeLogFixture.binlogDdlLog(ev, ddlAt = 1000L), "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.select(
+        col("kind"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 2).cast("long").as("user_id"),
+        element_at(img, 4).cast("double").as("value"),
+        when(size(col("names")) === 5, element_at(img, 5).cast("long"))
+          .as("score"))
+    }),
+
     // ---- C4 binlog wide-type decode: charset registry (latin1/utf16/
     //      utf16le/utf32), CHAR/ENUM/SET via STRING metadata, binary
     //      JSON documents, GEOMETRY WKB, binary BLOB hex — the column
@@ -2894,6 +2916,15 @@ object SparkEntry {
         |  'events' AS "table", event_id AS pos,
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
         |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // pre-DDL rows (event_id < 1000) have no score column — NULL;
+    // post-DDL rows carry score = user_id % 100 from the widened shape
+    "q_cdc_binlog_ddl" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  event_id, user_id, value,
+        |  CASE WHEN event_id >= 1000 THEN user_id % 100 END AS score
         |FROM events WHERE event_id < 2000""".stripMargin,
 
     // same truth as q_cdc_binlog: compression must be invisible

@@ -982,6 +982,26 @@ object Binlog {
     finish(TransactionPayloadEvent, tsSec, body)
   }
 
+  /** QUERY_EVENT (type 2): thread_id u32, exec_time u32, schema_len u8,
+    * error_code u16, status_vars_len u16, status vars, schema NUL, SQL
+    * text. The server emits one per DDL statement (ALTER/CREATE/DROP)
+    * and per BEGIN; row decoding skips them, but a schema-change stream
+    * is not wire-valid without them. Fixture/test side. */
+  def encodeQuery(schema: String, sql: String, tsSec: Long): Array[Byte] = {
+    val sb = schema.getBytes(StandardCharsets.UTF_8)
+    val qb = sql.getBytes(StandardCharsets.UTF_8)
+    val body = ByteBuffer.allocate(13 + sb.length + 1 + qb.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    body.putInt(1)             // thread_id
+    body.putInt(0)             // exec_time
+    body.put(sb.length.toByte) // schema_len
+    body.putShort(0)           // error_code
+    body.putShort(0)           // status_vars_len (none)
+    body.put(sb).put(0.toByte)
+    body.put(qb)
+    finish(QueryEvent, tsSec, body)
+  }
+
   /** GTID_LOG_EVENT with an immediate_commit_timestamp (top bit clear →
     * original == immediate, the common same-server-commit case).
     * `uuid` is the canonical dashed form. Fixture/test side. */

@@ -183,6 +183,65 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → binlog stream with a MID-STREAM SCHEMA CHANGE: rows with
+    * event_id < `ddlAt` are encoded against the original 4-column
+    * TABLE_MAP; then the server's actual ALTER sequence follows — a
+    * QUERY_EVENT carrying the DDL text, and a FRESH TABLE_MAP under a
+    * NEW table id (MySQL invalidates the cached id on ALTER) with the
+    * added `score` column — and later rows carry 5 values. The decoder
+    * must hold both live shapes keyed by table id (the reference's
+    * `go-mysql` session does the same via its table-id cache;
+    * `pkg/binlog/filter.go:27-49` re-reads shape per rows event).
+    * Partitions are range-split on event_id so each is a contiguous
+    * stream slice; the shape a partition starts in depends on its
+    * range, exactly like resuming a binlog mid-file. */
+  def binlogDdlLog(events: DataFrame, ddlAt: Long = 1000L): DataFrame = {
+    val src = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_seconds(col("ts")).as("ts_s"))
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions("event_id")
+    val typesV1 = Array(8, 8, 15, 5) // LONGLONG, LONGLONG, VARCHAR, DOUBLE
+    val metaV1 = Array(0, 0, 255, 8)
+    val namesV1 = Seq("event_id", "user_id", "event_type", "value")
+    val typesV2 = typesV1 :+ 8 // ALTER TABLE ... ADD COLUMN score BIGINT
+    val metaV2 = metaV1 :+ 0
+    val namesV2 = namesV1 :+ "score"
+    src.mapPartitions { it =>
+      var mapped1 = false; var mapped2 = false
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val ts = r.getLong(4)
+        val pre = id < ddlAt
+        val head =
+          if (pre && !mapped1) {
+            mapped1 = true
+            Iterator(Row(id, Binlog.encodeTableMap(42L, "mydb", "events",
+              typesV1, metaV1, namesV1)))
+          } else if (!pre && !mapped2) {
+            mapped2 = true
+            Iterator(
+              Row(id, Binlog.encodeQuery("mydb",
+                "ALTER TABLE events ADD COLUMN score BIGINT", ts)),
+              Row(id, Binlog.encodeTableMap(43L, "mydb", "events",
+                typesV2, metaV2, namesV2)))
+          } else Iterator.empty
+        val vals0 = Seq(id.toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString)
+        val vals = if (pre) vals0 else vals0 :+ (r.getLong(1) % 100L).toString
+        val (tid, types, meta) =
+          if (pre) (42L, typesV1, metaV1) else (43L, typesV2, metaV2)
+        val ev = r.getString(2) match {
+          case "error"    => Binlog.encodeDelete(tid, types, meta, ts, Seq(vals))
+          case "purchase" => Binlog.encodeUpdate(tid, types, meta, ts,
+            Seq((vals, vals)))
+          case _          => Binlog.encodeWrite(tid, types, meta, ts, Seq(vals))
+        }
+        head ++ Iterator(Row(id, ev))
+      }
+    }(Encoders.row(logSchema))
+  }
+
   /** events → binlog stream over the wide-type column set the reference
     * decodes from row images (`pkg/binlog/filter.go:137-360`): latin1 /
     * utf16 / utf16le / utf32 VARCHAR columns, a latin1 CHAR, an ENUM, a
