@@ -178,6 +178,74 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- The FULL `sync`-in-CDC-mode verb end-to-end: the reference's
+    //      PreCDC handoff (postgres/internal/cdc.go:44-60) records the
+    //      slot position BEFORE any backfill reads, so writes racing
+    //      the snapshot window land on BOTH sides and converge via
+    //      keyed upsert. Gate: pre-floor changes already reflected in
+    //      the snapshot must NOT re-apply (poison value), post-floor
+    //      updates/deletes/inserts staged after the first sync must,
+    //      and a chunked backfill (chunkStride) lands exactly once.
+    //      Runs Protocol.runChangeStream twice — real checkpointed
+    //      streaming with state, not a fixture shortcut. ----
+    "q_backfill_cdc_handoff" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType, StructField => SF, StructType => ST}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_handoff").toString
+      val src = s"$root/src"; val dest = s"$root/dest"
+      val logDir = s"$root/log"; val state = s"$dest/state.json"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(logDir))
+      val ev = t(s, dir, "events").where(col("event_id") < 3000)
+        .select("event_id", "user_id", "value")
+      ev.write.parquet(s"$src/events_ho.parquet")
+      val schema = ST(Seq(
+        SF(SystemColumns.OlakeId, StringType), SF("lsn", LongType),
+        SF("kind", StringType),
+        SF(SystemColumns.CdcTimestamp, TimestampType),
+        SF("event_id", LongType), SF("user_id", LongType),
+        SF("value", DoubleType)))
+      def change(rows: DataFrame, lsnBase: Long, kind: String,
+                 value: Column): DataFrame = rows.select(
+        col("event_id").cast("string").as(SystemColumns.OlakeId),
+        (col("event_id") + lsnBase).cast("long").as("lsn"),
+        lit(kind).as("kind"),
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .as(SystemColumns.CdcTimestamp),
+        col("event_id"), col("user_id"), value.as("value"))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(logDir, file)): Unit
+      }
+      // pre-floor changes: their effect is ALREADY in the snapshot —
+      // re-applying would write the poison value
+      stage(change(ev.where(col("event_id") % 5 === 0), 0L, "update",
+        lit(-999999.0)), "seg0.json")
+      val cfg = Protocol.StreamConfig("events_ho", syncMode = "cdc",
+        primaryKeys = Seq("event_id"), chunkColumn = Some("event_id"))
+      Protocol.runChangeStream(s, src, dest, Seq(cfg -> logDir), schema,
+        state, chunkStride = 1000L, mode = "sequential")
+      // post-floor changes: the writes that raced the snapshot window
+      val e2 = t(s, dir, "events").select("event_id", "user_id", "value")
+      stage(change(e2.where(col("event_id") < 3000 &&
+        col("event_id") % 7 === 0), 100000L, "update",
+        col("value") + 1000), "seg1.json")
+      stage(change(e2.where(col("event_id") < 3000 &&
+        col("event_id") % 11 === 3), 200000L, "delete",
+        col("value")), "seg2.json")
+      stage(change(e2.where(col("event_id") >= 3000 &&
+        col("event_id") < 3100), 300000L, "insert",
+        col("value")), "seg3.json")
+      Protocol.runChangeStream(s, src, dest, Seq(cfg -> logDir), schema,
+        state, chunkStride = 1000L, mode = "sequential")
+      graft.streaming.CdcStream.readTable(s, s"$dest/events_ho")
+        .select("event_id", "user_id", "value")
+    }),
+
     // ---- Streaming dedup-on-arrival over the STORED exact-dedup
     //      index: two real AvailableNow runs with checkpoint resume.
     //      Batch 1 carries corpus dups (dropped via the stored index)
@@ -2694,6 +2762,17 @@ object SparkEntry {
         |  n_regionkey
         |FROM nation
         |WHERE n_nationkey % 7 <> 3""".stripMargin,
+
+    // snapshot (pre-floor effects included, poison excluded) + post-floor
+    // updates (%7 → value+1000), deletes (%11=3 gone, delete wins the
+    // later lsn over the %7 update) and inserts ([3000,3100))
+    "q_backfill_cdc_handoff" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END AS value
+        |FROM events WHERE event_id < 3000 AND event_id % 11 <> 3
+        |UNION ALL
+        |SELECT event_id, user_id, value FROM events
+        |WHERE event_id >= 3000 AND event_id < 3100""".stripMargin,
 
     "q_cursor_format" ->
       """SELECT 'o_orderdate' AS cursor_field,
