@@ -29,18 +29,130 @@ object S3Wire {
   private def enc(s: String): String =
     URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
+  /** AWS Signature Version 4, service `s3` (public spec:
+    * docs.aws.amazon.com "Authenticating Requests: AWS Signature
+    * Version 4"). Pure functions shared by the signing client and the
+    * verifying loopback endpoint, so every byte of the auth protocol
+    * is exercised in-sandbox — the last piece of the S3 REST surface
+    * that had been left to "point at real S3". */
+  object SigV4 {
+    case class Credentials(accessKey: String, secretKey: String,
+                           region: String)
+
+    /** SHA-256 of the empty body — the constant GET/HEAD payload hash. */
+    val EmptyPayloadHash: String =
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+    private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+    }
+    private def hex(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02x").mkString
+    private def sha256Hex(s: String): String =
+      hex(java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(StandardCharsets.UTF_8)))
+
+    /** SigV4 URI encoding: RFC 3986 unreserved characters literal,
+      * everything else percent-encoded uppercase; `/` kept only in
+      * paths (`keepSlash`). Single-encode — the S3 exception to the
+      * double-encoding rule other services use. */
+    def uriEncode(s: String, keepSlash: Boolean): String =
+      s.getBytes(StandardCharsets.UTF_8).map { b =>
+        val c = (b & 0xff).toChar
+        if (c.isLetterOrDigit && c < 128 || "-_.~".contains(c)) c.toString
+        else if (c == '/' && keepSlash) "/"
+        else f"%%${b & 0xff}%02X"
+      }.mkString
+
+    /** The Authorization header for (`method`, `rawPath`, `query`).
+      * `rawPath` is the path exactly as sent on the wire (segments
+      * already percent-encoded); `query` the DECODED pairs; `headers`
+      * the to-be-signed (name, exact-sent-value) pairs — must include
+      * host and every x-amz-*. */
+    def authorization(method: String, rawPath: String,
+                      query: Seq[(String, String)],
+                      headers: Seq[(String, String)],
+                      payloadHash: String, amzDate: String,
+                      creds: Credentials): String = {
+      val date = amzDate.take(8)
+      val canonQuery = query
+        .map { case (k, v) => uriEncode(k, false) + "=" + uriEncode(v, false) }
+        .sorted.mkString("&")
+      val canonHeaders = headers
+        .map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
+      val signedHeaders = canonHeaders.map(_._1).mkString(";")
+      val canonicalRequest = Seq(method, rawPath, canonQuery,
+        canonHeaders.map { case (k, v) => s"$k:$v" }
+          .mkString("", "\n", "\n"),
+        signedHeaders, payloadHash).mkString("\n")
+      val scope = s"$date/${creds.region}/s3/aws4_request"
+      val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+        sha256Hex(canonicalRequest)).mkString("\n")
+      val kSigning = hmac(hmac(hmac(hmac(
+        ("AWS4" + creds.secretKey).getBytes(StandardCharsets.UTF_8),
+        date), creds.region), "s3"), "aws4_request")
+      s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, " +
+        s"SignedHeaders=$signedHeaders, Signature=${hex(hmac(kSigning, stringToSign))}"
+    }
+
+    /** Current UTC timestamp in the `yyyyMMddTHHmmssZ` header form. */
+    def amzNow(): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC))
+  }
+
   /** Minimal ListObjectsV2 client against `endpoint` (e.g.
     * `http://127.0.0.1:9999`). Virtual-host addressing is a DNS trick;
     * path-style (`/{bucket}?...`) is what loopback and most non-AWS
-    * S3-compatible stores speak. */
-  class S3ListClient(endpoint: String) {
+    * S3-compatible stores speak. With `creds` set, every request is
+    * SigV4-signed (x-amz-date + x-amz-content-sha256 + Authorization)
+    * — the form real S3 requires. */
+  class S3ListClient(endpoint: String,
+                     creds: Option[SigV4.Credentials] = None) {
 
-    private def get(url: String): (Int, String) = {
+    private val epUri = URI.create(endpoint)
+    private def hostHeader: String =
+      if (epUri.getPort == -1 || epUri.getPort == 80) epUri.getHost
+      else s"${epUri.getHost}:${epUri.getPort}"
+
+    /** Open (and, with creds, sign) a request. `rawPath` must already
+      * be percent-encoded (it is signed byte-for-byte as sent); `query`
+      * is the decoded pairs, encoded here with the same SigV4 rules the
+      * signature canonicalizes with. */
+    private def open(method: String, rawPath: String,
+                     query: Seq[(String, String)]): HttpURLConnection = {
+      val qs = query.map { case (k, v) =>
+        SigV4.uriEncode(k, false) + "=" + SigV4.uriEncode(v, false)
+      }.mkString("&")
+      val url = endpoint + rawPath + (if (qs.isEmpty) "" else "?" + qs)
       val conn = URI.create(url).toURL
         .openConnection().asInstanceOf[HttpURLConnection]
-      conn.setRequestMethod("GET")
+      conn.setRequestMethod(method)
       conn.setConnectTimeout(5000)
       conn.setReadTimeout(30000)
+      creds.foreach { c =>
+        val amzDate = SigV4.amzNow()
+        conn.setRequestProperty("x-amz-date", amzDate)
+        conn.setRequestProperty("x-amz-content-sha256",
+          SigV4.EmptyPayloadHash)
+        conn.setRequestProperty("Authorization", SigV4.authorization(
+          method, rawPath, query,
+          Seq("host" -> hostHeader,
+            "x-amz-content-sha256" -> SigV4.EmptyPayloadHash,
+            "x-amz-date" -> amzDate),
+          SigV4.EmptyPayloadHash, amzDate, c))
+      }
+      conn
+    }
+
+    private def objectPath(bucket: String, key: String): String =
+      s"/$bucket/${SigV4.uriEncode(key, keepSlash = true)}"
+
+    private def get(rawPath: String,
+                    query: Seq[(String, String)]): (Int, String) = {
+      val conn = open("GET", rawPath, query)
       try {
         val code = conn.getResponseCode
         val stream = if (code == 200) conn.getInputStream
@@ -83,12 +195,8 @@ object S3Wire {
       * what reads parquet footers/pages without downloading objects. */
     def getRange(bucket: String, key: String,
                  start: Long, endIncl: Long): Array[Byte] = {
-      val conn = URI.create(s"$endpoint/$bucket/${enc(key)}").toURL
-        .openConnection().asInstanceOf[HttpURLConnection]
-      conn.setRequestMethod("GET")
+      val conn = open("GET", objectPath(bucket, key), Nil)
       conn.setRequestProperty("Range", s"bytes=$start-$endIncl")
-      conn.setConnectTimeout(5000)
-      conn.setReadTimeout(30000)
       try {
         val code = conn.getResponseCode
         require(code == 206 || code == 200,
@@ -102,10 +210,7 @@ object S3Wire {
     /** Object size via HEAD (Content-Length) — what sizes the range
       * math, like the SDK's HeadObject before ranged reads. */
     def objectSize(bucket: String, key: String): Long = {
-      val conn = URI.create(s"$endpoint/$bucket/${enc(key)}").toURL
-        .openConnection().asInstanceOf[HttpURLConnection]
-      conn.setRequestMethod("HEAD")
-      conn.setConnectTimeout(5000)
+      val conn = open("HEAD", objectPath(bucket, key), Nil)
       try {
         require(conn.getResponseCode == 200,
           s"HeadObject HTTP ${conn.getResponseCode} for $key")
@@ -121,10 +226,10 @@ object S3Wire {
       var token: Option[String] = None
       var done = false
       while (!done) {
-        val url = s"$endpoint/$bucket?list-type=2&prefix=${enc(prefix)}" +
-          s"&max-keys=$pageSize" +
-          token.map(t => s"&continuation-token=${enc(t)}").getOrElse("")
-        val (code, body) = get(url)
+        val query = Seq("list-type" -> "2", "prefix" -> prefix,
+          "max-keys" -> pageSize.toString) ++
+          token.map("continuation-token" -> _)
+        val (code, body) = get(s"/$bucket", query)
         require(code == 200, s"ListObjectsV2 HTTP $code: $body")
         val (objs, next) = parsePage(body)
         out ++= objs
@@ -140,7 +245,8 @@ object S3Wire {
     * binary-ordered like real S3; continuation tokens are opaque
     * base64 of the last served key, matching AWS's opaque-token
     * contract). For tests and self-contained gates. */
-  class S3LoopbackServer(bucket: String, dir: java.io.File)
+  class S3LoopbackServer(bucket: String, dir: java.io.File,
+                         creds: Option[SigV4.Credentials] = None)
       extends AutoCloseable {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -170,11 +276,49 @@ object S3Wire {
       def respond(code: Int, body: String): Unit = {
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/xml")
-        ex.sendResponseHeaders(code, bytes.length)
-        ex.getResponseBody.write(bytes)
+        if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(code, -1)
+        else {
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
         ex.close()
       }
-      if (path.startsWith(s"$bucket/")) {
+      // SigV4 verification (when the endpoint is constructed with
+      // credentials): recompute the Authorization header over exactly
+      // what arrived — raw path, decoded query, the headers the client
+      // DECLARED in SignedHeaders — and require byte equality. This is
+      // what real S3 does; error shapes match (403 + XML code).
+      val authError: Option[String] = creds.flatMap { c =>
+        val hdrs = ex.getRequestHeaders
+        val auth = Option(hdrs.getFirst("Authorization")).getOrElse("")
+        val amzDate = Option(hdrs.getFirst("x-amz-date")).getOrElse("")
+        val payloadHash =
+          Option(hdrs.getFirst("x-amz-content-sha256")).getOrElse("")
+        if (auth.isEmpty || amzDate.isEmpty || payloadHash.isEmpty)
+          Some("AccessDenied")
+        else {
+          val SignedRe = """SignedHeaders=([^,]+),""".r
+          val signedNames = SignedRe.findFirstMatchIn(auth)
+            .map(_.group(1).split(";").toSeq).getOrElse(Nil)
+          val signedVals = signedNames.map(n =>
+            n -> Option(hdrs.getFirst(n)).getOrElse(""))
+          val queryPairs = Option(ex.getRequestURI.getRawQuery)
+            .getOrElse("").split("&").filter(_.contains("=")).toSeq
+            .map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              java.net.URLDecoder.decode(k, "UTF-8") ->
+                java.net.URLDecoder.decode(v, "UTF-8")
+            }
+          val expected = SigV4.authorization(ex.getRequestMethod,
+            ex.getRequestURI.getRawPath, queryPairs, signedVals,
+            payloadHash, amzDate, c)
+          if (expected == auth) None else Some("SignatureDoesNotMatch")
+        }
+      }
+      if (authError.isDefined) {
+        respond(403, """<?xml version="1.0"?><Error><Code>""" +
+          authError.get + "</Code></Error>")
+      } else if (path.startsWith(s"$bucket/")) {
         // object GET/HEAD with Range support (206 + Content-Range),
         // the server half of the reference's range reader
         val key = java.net.URLDecoder.decode(
