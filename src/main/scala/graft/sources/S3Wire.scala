@@ -266,12 +266,17 @@ object S3Wire {
 
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       requests.incrementAndGet()
+      // getPath is ALREADY percent-decoded (decode exactly once — a
+      // second URLDecoder pass would also eat literal '+' in keys);
+      // query components come from the RAW query so each side of '='
+      // is decoded exactly once too
       val path = ex.getRequestURI.getPath.stripPrefix("/")
-      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         .split("&").filter(_.contains("="))
         .map { kv =>
           val Array(k, v) = kv.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
       def respond(code: Int, body: String): Unit = {
         val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -320,9 +325,9 @@ object S3Wire {
           authError.get + "</Code></Error>")
       } else if (path.startsWith(s"$bucket/")) {
         // object GET/HEAD with Range support (206 + Content-Range),
-        // the server half of the reference's range reader
-        val key = java.net.URLDecoder.decode(
-          path.stripPrefix(s"$bucket/"), "UTF-8")
+        // the server half of the reference's range reader. `path` is
+        // already decoded — no second decode.
+        val key = path.stripPrefix(s"$bucket/")
         allKeys().toMap.get(key) match {
           case None =>
             respond(404, """<?xml version="1.0"?><Error><Code>""" +
