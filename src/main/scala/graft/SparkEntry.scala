@@ -2229,6 +2229,17 @@ object SparkEntry {
     "q_profile" -> ((s, dir) =>
       Discover.profile(s, dir, "nation")),
 
+    // ---- Data profiling, quantile tier: exact percentiles for the
+    //      numeric columns in ONE aggregate pass, pivoted to long form
+    //      declaratively (posexplode of the single agg row — no
+    //      collect). The [0,2000] slice has 2001 rows so every quartile
+    //      position is integral: both engines return exact row values,
+    //      no interpolation ambiguity in the cross-engine hash. ----
+    "q_profile_quantiles" -> ((s, dir) =>
+      Discover.profileQuantiles(
+        t(s, dir, "events").where(col("event_id") < 2001),
+        Seq("value", "user_id"), Seq(0.0, 0.25, 0.5, 0.75, 1.0))),
+
     // ---- LLM: BPE merge-pair mining — adjacent char-pair counts over
     //      the distinct-word vocab, word-frequency weighted, top-k ----
     "q_bpe_pairs" -> ((s, dir) =>
@@ -3638,6 +3649,20 @@ object SparkEntry {
         |        CAST(vec_id AS VARCHAR)), vec_id) AS rn2
         |  FROM a)
         |WHERE rn2 <= 20""".stripMargin,
+
+    // 2001 rows → integral quartile positions → exact row values on
+    // both engines (quantile_cont == Spark's exact percentile here)
+    "q_profile_quantiles" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id < 2001)
+        |SELECT 'value' AS column_name,
+        |  unnest([0.0,0.25,0.5,0.75,1.0]) AS q,
+        |  unnest(quantile_cont(value, [0.0,0.25,0.5,0.75,1.0])) AS value
+        |FROM src
+        |UNION ALL
+        |SELECT 'user_id',
+        |  unnest([0.0,0.25,0.5,0.75,1.0]),
+        |  unnest(quantile_cont(user_id, [0.0,0.25,0.5,0.75,1.0]))
+        |FROM src""".stripMargin,
 
     // per-column aggregates, dtypes as Spark renders them
     "q_profile" ->

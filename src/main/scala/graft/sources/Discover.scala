@@ -113,4 +113,27 @@ object Discover {
     }.toSeq.toDF("column_name", "dtype", "n_nulls", "n_distinct",
       "min_value", "max_value")
   }
+
+  /** Numeric-column quantile profile in ONE aggregate pass: exact
+    * percentiles (Spark's `percentile`, the percentile_cont semantics)
+    * for every requested q over every requested column, returned long
+    * (column_name, q, value). The whole pivot stays declarative — the
+    * single agg row is exploded with array/posexplode, never collected.
+    * At 100 TB swap `percentile` → `approx_percentile` (same plan
+    * shape, still one pass); the gate pins the exact tier. */
+  def profileQuantiles(df: DataFrame, cols: Seq[String],
+                       qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qsArr = array(qs.map(lit): _*)
+    val aggs = cols.map(c =>
+      percentile(col(c), qsArr).as(s"__q_$c"))
+    val structs = cols.map(c =>
+      struct(lit(c).as("column_name"), col(s"__q_$c").as("vals")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("e"))
+      .select(col("e.column_name").as("column_name"),
+        posexplode(col("e.vals")).as(Seq("i", "value")))
+      .select(col("column_name"),
+        element_at(qsArr, col("i") + 1).as("q"), col("value"))
+  }
 }
