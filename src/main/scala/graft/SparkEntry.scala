@@ -2155,6 +2155,15 @@ object SparkEntry {
           .as("is_unit"))
     }),
 
+    // ---- LLM: random-projection dim reduction (64 → 16) — the ±1
+    //      sign matrix is a deterministic integer hash both engines
+    //      recompute, and the per-dim sequential left-fold makes the
+    //      double summation bit-identical cross-engine ----
+    "q_vec_project" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(Similarity.randomProject(col("embedding"), 16))
+          .as(Seq("j", "value")))),
+
     // ---- LLM: int8 embedding quantization — all-integer digests (sum,
     //      min, max of the quantized codes, scale*1e6 as a BIGINT code)
     //      compare hash-exactly across engines; both sides compute
@@ -3539,6 +3548,20 @@ object SparkEntry {
 
     // The contract, not the float bits: unit when the source norm is
     // positive, null when degenerate.
+    // same deterministic ±1 hash, same sequential fold order → the
+    // doubles match bit-for-bit
+    "q_vec_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |js AS (SELECT unnest(range(0, 16)) AS j)
+        |SELECT e.vec_id, CAST(js.j AS INT) AS j,
+        |  list_reduce(list_transform(range(1, array_length(v) + 1),
+        |    i -> v[i] * (CASE WHEN (((CAST(i - 1 AS BIGINT) * 1103515245
+        |                  + js.j * 12345) >> 16) & 1) = 0
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+        |    (a, b) -> a + b) AS value
+        |FROM e, js""".stripMargin,
+
     "q_vec_norm" ->
       """SELECT vec_id,
         |  CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

@@ -372,6 +372,28 @@ object Similarity {
           .cast("tinyint")).as("q"))
   }
 
+  /** Random-projection dimensionality reduction (Achlioptas-style ±1
+    * sign matrix): out[j] = Σᵢ vec[i] · sign(i, j), with the sign drawn
+    * from a DETERMINISTIC integer hash of (i, j) — no stored matrix, no
+    * broadcast: any executor recomputes the sign inline, so the whole
+    * op is per-row codegen'd arithmetic at scan speed. This is the
+    * standard cheap pre-ANN step at corpus scale (project 1024-dim
+    * float32 to 64 dims before LSH/IVF — 16× less io and distance
+    * math); the Johnson–Lindenstrauss bound is what licenses the ±1
+    * matrix. Sequential left-fold per output dim keeps the float
+    * summation order deterministic, so results are bit-reproducible
+    * across engines and runs. */
+  def randomProject(vec: Column, outDims: Int): Column =
+    array((0 until outDims).map { j =>
+      aggregate(sequence(lit(0), size(vec) - 1), lit(0.0d),
+        (acc, i) => {
+          val s = i.cast("long") * lit(1103515245L) + lit(j * 12345L)
+          val sign = when(shiftright(s, 16).bitwiseAND(lit(1L)) === 0,
+            lit(1.0d)).otherwise(lit(-1.0d))
+          acc + element_at(vec, i + 1).cast("double") * sign
+        })
+    }: _*)
+
   /** Inverse of `quantize`: float32 vector within scale/2 per element
     * of the original. */
   def dequantize(q: Column): Column =
