@@ -513,4 +513,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.toLowerCase.contains("udf"), p)
   }
+
+  test("random projection is map-only: no exchange, no join, no udf") {
+    val p = plan(q("q_vec_project"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
 }
