@@ -39,6 +39,27 @@ object SparkEntry {
       StructField("n_regionkey", IntegerType)))
   }
 
+  /** Fixed ranked BPE merge table for the q_bpe_encode gate — the
+    * "tokenizer shipped with the model" a production pipeline applies.
+    * Rank order matters (later merges build on earlier ones: i+n
+    * before in+g). The oracle SQL is generated from this same list so
+    * gate and oracle can never drift. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t",
+    "e" -> "s", "e" -> "n", "e" -> "d", "t" -> "o", "i" -> "s",
+    "o" -> "r")
+
+  /** DuckDB expression applying [[BpeMerges]] to one word `w`: the
+    * same separator-join + rank-ordered replace fold the Spark side
+    * compiles, rendered as nested SQL calls. */
+  private def bpeOracleFold: String =
+    BpeMerges.foldLeft(
+      "array_to_string(string_split(w, ''), chr(1))") {
+      case (acc, (a, b)) =>
+        s"replace($acc, '$a' || chr(1) || '$b', '$a$b')"
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -2254,6 +2275,15 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 200)),
 
+    // ---- LLM: BPE APPLY — tokenize the corpus with a fixed ranked
+    //      merge table (the op that actually runs at 100 TB; mining is
+    //      the sample-sized half). Greedy rank-ordered merging as a
+    //      compile-time fold of replace() calls — map-only, zero
+    //      shuffle. The oracle replays the identical fold in SQL. ----
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCount(t(s, dir, "documents"), "text",
+        "doc_id", BpeMerges)),
+
     // ---- LLM: k-means nearest-centroid assignment (the clustering
     //      step ahead of SemDeDup-style per-cluster work) — fixed
     //      deterministic centroids (the 8 lowest-id vectors), argmin
@@ -3718,6 +3748,18 @@ object SparkEntry {
         |  FROM w)
         |SELECT pair, sum(freq) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200""".stripMargin,
+
+    // the identical separator-join + rank-ordered replace fold,
+    // generated from the SAME BpeMerges list the gate compiles
+    "q_bpe_encode" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(trim(
+         |    regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |    w -> w <> '') AS ws FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         |  CAST(list_sum(list_transform(ws, w ->
+         |    len(string_split($bpeOracleFold, chr(1))))) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM d""".stripMargin,
 
     // argmin over sequential-double distances; ties break to lowest cid
     "q_kmeans_assign" ->

@@ -326,6 +326,38 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(k)
   }
 
+  /** Apply a FIXED ranked BPE merge table and count tokens per
+    * document — the tokenize-at-scale half of BPE ([[bpePairCounts]]
+    * being the mining half): training learns merges once on a sample;
+    * APPLYING them to the full corpus is the op that actually runs at
+    * 100 TB, and that op must be map-only. Each word becomes its
+    * separator-joined character sequence; each merge (a, b) → "ab"
+    * rewrites every adjacent occurrence left-to-right in rank order —
+    * the classic greedy BPE apply loop — expressed as a compile-time
+    * fold of codegen'd `replace` calls inside a `transform` lambda.
+    * No UDF, no shuffle, no stored vocab join: the merge table rides
+    * the plan itself (it is tokenizer-sized, i.e. tiny). */
+  def bpeTokenCount(df: DataFrame, textCol: String, idCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u0001"
+    val words = filter(tokens(col(textCol)), w => w =!= "")
+    val perWord = transform(words, w => {
+      // split(w, "") carries a trailing "" element (Java split, limit
+      // -1) — drop empties before joining or every word gains a
+      // phantom symbol
+      val spaced = array_join(
+        filter(split(w, ""), s => s =!= ""), sep)
+      val merged = merges.foldLeft(spaced) { case (c, (a, b)) =>
+        replace(c, lit(a + sep + b), lit(a + b))
+      }
+      size(split(merged, sep))
+    })
+    df.select(col(idCol),
+      size(words).as("n_words"),
+      aggregate(perWord, lit(0L), (acc, x) => acc + x.cast("long"))
+        .as("n_bpe_tokens"))
+  }
+
   /** Bigram-LM quality signal — the CCNet-family scorer one order up
     * from [[unigramScore]]: each adjacent token pair contributes its
     * corpus conditional-probability estimate B(w1,w2)/U(w1), summed
