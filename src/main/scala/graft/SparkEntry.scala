@@ -1141,6 +1141,24 @@ object SparkEntry {
         element_at(col("values"), 4).cast("double").as("value"))
     }),
 
+    // ---- C1 pgoutput MID-STREAM SCHEMA CHANGE: after ALTER TABLE the
+    //      server re-sends the Relation message for the SAME relation
+    //      OID with the new column list; the decoder's id-keyed cache
+    //      must replace the shape in place — pre-DDL rows carry 4
+    //      values (score NULL), post-DDL rows 5 ----
+    "q_cdc_pgoutput_ddl" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val decoded = PgOutput.decode(
+        ChangeLogFixture.pgoutputDdlLog(ev, ddlAt = 1000L), "lsn", "msg")
+      decoded.select(
+        col("kind"),
+        element_at(col("values"), 1).cast("long").as("event_id"),
+        element_at(col("values"), 2).cast("long").as("user_id"),
+        element_at(col("values"), 4).cast("double").as("value"),
+        when(size(col("names")) === 5,
+          element_at(col("values"), 5).cast("long")).as("score"))
+    }),
+
     // ---- C4 MySQL binlog v4 decoder (encode → wire → decode) ----
     "q_cdc_binlog" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -3102,6 +3120,14 @@ object SparkEntry {
 
     // pre-DDL rows (event_id < 1000) have no score column — NULL;
     // post-DDL rows carry score = user_id % 100 from the widened shape
+    "q_cdc_pgoutput_ddl" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  event_id, user_id, value,
+        |  CASE WHEN event_id >= 1000 THEN user_id % 100 END AS score
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // same DDL truth through the MySQL wire shape
     "q_cdc_binlog_ddl" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,

@@ -49,6 +49,56 @@ object ChangeLogFixture {
     }(Encoders.row(logSchema))
   }
 
+  /** events → pgoutput stream with a MID-STREAM SCHEMA CHANGE: after
+    * ALTER TABLE ADD COLUMN, Postgres re-sends the Relation message
+    * for the SAME relation OID with the new column list before the
+    * next DML (pgoutput re-describes on cache invalidation). Rows with
+    * event_id < `ddlAt` ride the 4-column shape, later rows the
+    * 5-column one; the decoder's id-keyed Relation cache must replace
+    * the stale shape in place. */
+  def pgoutputDdlLog(events: DataFrame, ddlAt: Long = 1000L): DataFrame = {
+    val src = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions("event_id")
+    val colsV1 = Seq(
+      PgOutput.RelColumn(1, "event_id", 20, -1),
+      PgOutput.RelColumn(0, "user_id", 20, -1),
+      PgOutput.RelColumn(0, "event_type", 25, -1),
+      PgOutput.RelColumn(0, "value", 701, -1))
+    val colsV2 = colsV1 :+ PgOutput.RelColumn(0, "score", 20, -1)
+    val relV1 = PgOutput.Relation(1, "public", "events", 'f', colsV1)
+    val relV2 = PgOutput.Relation(1, "public", "events", 'f', colsV2)
+    src.mapPartitions { it =>
+      var sent1 = false; var sent2 = false
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val pre = id < ddlAt
+        val head =
+          if (pre && !sent1) {
+            sent1 = true
+            Iterator(Row(0L, PgOutput.encodeRelation(relV1)))
+          } else if (!pre && !sent2) {
+            sent2 = true
+            Iterator(Row(id, PgOutput.encodeRelation(relV2)))
+          } else Iterator.empty
+        val vals0 = Seq(id.toString, r.getLong(1).toString,
+          r.getString(2), r.getDouble(3).toString)
+        val vals =
+          if (pre) vals0 else vals0 :+ (r.getLong(1) % 100L).toString
+        val ts = r.getLong(4)
+        val data = r.getString(2) match {
+          case "error"    => PgOutput.encodeDelete(1, vals)
+          case "purchase" => PgOutput.encodeUpdate(1, Some(vals), vals)
+          case _          => PgOutput.encodeInsert(1, vals)
+        }
+        head ++ Iterator(Row(id, PgOutput.encodeBegin(ts, id.toInt)),
+          Row(id, data), Row(id, PgOutput.encodeCommit(ts)))
+      }
+    }(Encoders.row(logSchema))
+  }
+
   /** events → binlog v4 event stream: TABLE_MAP first per partition
     * (with FULL row metadata carrying column names), then one rows
     * event per source row, pos = event_id. */
