@@ -1762,6 +1762,60 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K2 through the Iceberg REST CATALOG protocol (public
+    //      OpenAPI; reference catalog_type:rest): the engine stages
+    //      manifests + manifest list, the catalog owns metadata.json.
+    //      Full conversation runs — config, createNamespace,
+    //      createTable, listTables, two commits — and the optimistic-
+    //      concurrency loop is exercised for real: the second commit
+    //      first claims a STALE parent, gets the spec's 409
+    //      CommitFailedException, reloads the table, re-stages on the
+    //      fresh base and lands. Read-back goes through the committed
+    //      metadata tree. ----
+    "q_iceberg_rest_commit" -> ((s, dir) => {
+      import graft.sinks.IcebergRestCatalog
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_rest_ice").toString
+      val srv = new IcebergRestCatalog.Server(
+        Map(("graft", "nation_rest") -> tmp))
+      try {
+        val c = new IcebergRestCatalog.Client(srv.endpoint)
+        c.config()
+        c.createNamespace("graft")
+        c.createTable("graft", "nation_rest")
+        require(c.listTables("graft") == Seq("nation_rest"),
+          "createTable not visible in listTables")
+        val n = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        n.write.parquet(s"$tmp/dataA")
+        val st0 = c.loadTable("graft", "nation_rest")
+        require(st0.currentSnapshotId.isEmpty, "fresh table has a snapshot")
+        val stagedA = IcebergMetadata.stageSnapshot(s, tmp, s"$tmp/dataA",
+          st0.lastSequenceNumber + 1)
+        c.commitSnapshot("graft", "nation_rest", None, stagedA)
+        // second commit: full replacement set (nation ∪ shifted copy)
+        n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
+          .write.parquet(s"$tmp/dataB")
+        val stagedB = IcebergMetadata.stageSnapshot(s, tmp, s"$tmp/dataB",
+          stagedA.sequenceNumber + 1)
+        // deliberately stale parent → the catalog must refuse with 409
+        val conflicted =
+          try { c.commitSnapshot("graft", "nation_rest", None, stagedB); false }
+          catch { case _: IcebergRestCatalog.CommitConflictException => true }
+        require(conflicted, "stale-parent commit was not rejected")
+        // the retry loop: reload, re-stage on the fresh base, land
+        val st1 = c.loadTable("graft", "nation_rest")
+        require(st1.currentSnapshotId.contains(stagedA.snapshotId),
+          "loadTable does not reflect commit A")
+        val stagedB2 = IcebergMetadata.stageSnapshot(s, tmp, s"$tmp/dataB",
+          st1.lastSequenceNumber + 1)
+        c.commitSnapshot("graft", "nation_rest", st1.currentSnapshotId,
+          stagedB2, operation = "replace")
+        s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+          .select("n_nationkey", "n_name", "n_regionkey")
+      } finally srv.close()
+    }),
+
     // ---- K2/K3 MERGE-ON-READ published as Iceberg v2: base + one CDC
     // delta segment become data + EQUALITY-DELETE manifests (content=1,
     // equality_ids on the key), and the result is read back by
@@ -3411,6 +3465,13 @@ object SparkEntry {
 
     "q_iceberg_commit" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // commit 2 (the replace that survived the 409-retry loop) holds
+    // nation plus a key-shifted copy
+    "q_iceberg_rest_commit" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation""".stripMargin,
 
     // same merge semantics as q_upsert_apply, reproduced through the
     // Iceberg v2 equality-delete algebra over the published manifests

@@ -54,7 +54,7 @@ import org.apache.spark.sql.types._
   */
 object IcebergMetadata {
 
-  private val mapper = new ObjectMapper()
+  private[sinks] val mapper = new ObjectMapper()
 
   case class Commit(version: Int, snapshotId: Long, sequenceNumber: Long,
                     manifestPath: String, manifestListPath: String,
@@ -373,11 +373,11 @@ object IcebergMetadata {
       .sortBy(_.getName).toSeq
 
   /** Top-level (column name → field id) of a `schemaJson` result. */
-  private def topLevelFieldIds(schemaStr: String): Map[String, Int] =
+  private[sinks] def topLevelFieldIds(schemaStr: String): Map[String, Int] =
     mapper.readTree(schemaStr).withArray[ArrayNode]("fields").asScala
       .map(f => f.get("name").asText -> f.get("id").asInt).toMap
 
-  private def entriesFor(spark: SparkSession, dir: String, seq: Long,
+  private[sinks] def entriesFor(spark: SparkSession, dir: String, seq: Long,
                          content: Int = 0,
                          equalityIds: Seq[Int] = Nil,
                          fieldIds: Map[String, Int] = Map.empty,
@@ -397,7 +397,7 @@ object IcebergMetadata {
     }.mkString("[", ",", "]")
 
   /** Write one manifest Avro with ADDED entries. */
-  private def writeManifest(md: File, entries: Seq[FileEntry],
+  private[sinks] def writeManifest(md: File, entries: Seq[FileEntry],
                             snapshotId: Long, schemaStr: String,
                             content: String, index: Int,
                             parts: Seq[PartSpecField] = Nil,
@@ -521,7 +521,7 @@ object IcebergMetadata {
   /** Write the manifest list: one row per manifest. A manifest written
     * under a partitioned spec also carries the `partitions`
     * field-summary list computed over its entries. */
-  private def writeManifestList(md: File, snapshotId: Long,
+  private[sinks] def writeManifestList(md: File, snapshotId: Long,
                                 manifests: Seq[ManifestOut])
       : File = {
     val f = new File(md,
@@ -569,7 +569,7 @@ object IcebergMetadata {
 
   /** Write vN.metadata.json + flip version-hint (the atomic commit
     * point). Carries forward table-uuid, snapshots and snapshot-log. */
-  private def writeMetadataJson(tableDir: String, schemaStr: String,
+  private[sinks] def writeMetadataJson(tableDir: String, schemaStr: String,
                                 snapshotId: Long, seq: Long, listFile: File,
                                 operation: String,
                                 summary: Map[String, String],
@@ -766,6 +766,47 @@ object IcebergMetadata {
     * land in the snapshot summary — the reference stores its 2PC state
     * there via the `olake_2pc` property (iceberg.go:521-545), so pass
     * `Map("olake_2pc" -> stateJson)` for the commit-position analog. */
+  /** A staged-but-uncommitted snapshot: the CLIENT half of a
+    * REST-catalog commit. Manifests and the manifest list are written
+    * (the engine owns those, spec-wise), `metadata.json` deliberately
+    * is NOT — the catalog service owns that write, which is the whole
+    * point of a REST catalog (the server serializes commits, the
+    * client retries on conflict with a fresh base). */
+  case class StagedSnapshot(snapshotId: Long, sequenceNumber: Long,
+                            manifestListPath: String, schemaStr: String,
+                            addedFiles: Int, addedRows: Long)
+
+  /** Stage `dataDir`'s parquet files as a snapshot at `sequenceNumber`
+    * without touching metadata.json — pair with
+    * [[IcebergRestCatalog.Client.commitSnapshot]]. */
+  def stageSnapshot(spark: SparkSession, tableDir: String, dataDir: String,
+                    sequenceNumber: Long): StagedSnapshot = {
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val schemaStr = schemaJson(spark.read.parquet(dataDir).schema)
+    val entries = entriesFor(spark, dataDir, sequenceNumber,
+      fieldIds = topLevelFieldIds(schemaStr))
+    require(entries.nonEmpty, s"no parquet data files under $dataDir")
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq(ManifestOut(manifest, 0, entries)))
+    StagedSnapshot(snapshotId, sequenceNumber, list.getAbsolutePath,
+      schemaStr, entries.length, entries.map(_.rows).sum)
+  }
+
+  /** SERVER half of a REST commit: append the staged snapshot to the
+    * table's metadata tree and flip the version hint. Exposed for
+    * [[IcebergRestCatalog.Server]]. */
+  private[sinks] def applyStagedCommit(tableDir: String,
+                                       staged: StagedSnapshot,
+                                       operation: String,
+                                       summary: Map[String, String]): Int =
+    writeMetadataJson(tableDir, staged.schemaStr, staged.snapshotId,
+      staged.sequenceNumber, new File(staged.manifestListPath), operation,
+      summary, staged.addedFiles, staged.addedRows)
+
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
              operation: String = "append",
              summary: Map[String, String] = Map.empty): Commit = {

@@ -1,0 +1,342 @@
+package graft.sinks
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Iceberg REST catalog protocol — client and loopback server.
+  *
+  * The reference's Iceberg destination supports `catalog_type: rest`
+  * (`destination/iceberg/config.go:42-44`, wired through its Java
+  * writer's RESTCatalog); the protocol itself is the public Apache
+  * Iceberg REST OpenAPI spec. Same loopback-closure pattern as the
+  * Kafka / Mongo / MySQL / S3 wire clients: every byte of the protocol
+  * runs in-sandbox, and pointing `endpoint` at a real catalog is the
+  * only delta.
+  *
+  * Division of labor is the spec's own: the ENGINE writes data files,
+  * manifests and the manifest list ([[IcebergMetadata.stageSnapshot]]);
+  * the CATALOG owns the `metadata.json` write and serializes commits —
+  * a commit POSTs `requirements` + `updates`, the server checks the
+  * requirements against its current state and either applies the
+  * updates atomically or answers 409 `CommitFailedException`, upon
+  * which the client reloads the table and retries on the fresh base
+  * (Iceberg's optimistic-concurrency loop).
+  *
+  * Endpoints spoken (OpenAPI operation ids in parens):
+  *   GET  /v1/config                          (getConfig)
+  *   POST /v1/namespaces                      (createNamespace)
+  *   GET  /v1/namespaces/{ns}/tables          (listTables)
+  *   POST /v1/namespaces/{ns}/tables          (createTable)
+  *   GET  /v1/namespaces/{ns}/tables/{t}      (loadTable)
+  *   POST /v1/namespaces/{ns}/tables/{t}      (updateTable = commit)
+  */
+object IcebergRestCatalog {
+
+  private val mapper = IcebergMetadata.mapper
+
+  /** 409 from the catalog: requirements failed, reload + retry. */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Current table state as loadTable returns it. */
+  case class TableState(currentSnapshotId: Option[Long],
+                        lastSequenceNumber: Long,
+                        metadataLocation: Option[String])
+
+  class Client(endpoint: String) {
+
+    private def http(method: String, path: String,
+                     body: Option[String]): (Int, String) = {
+      val conn = URI.create(endpoint + path).toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+      }
+      try {
+        val code = conn.getResponseCode
+        val stream = if (code < 400) conn.getInputStream
+                     else conn.getErrorStream
+        val out = if (stream == null) ""
+                  else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        (code, out)
+      } finally conn.disconnect()
+    }
+
+    /** GET /v1/config — the handshake every REST-catalog client opens
+      * with; returns the server's default/override properties. */
+    def config(): JsonNode = {
+      val (code, body) = http("GET", "/v1/config", None)
+      require(code == 200, s"getConfig HTTP $code: $body")
+      mapper.readTree(body)
+    }
+
+    def createNamespace(ns: String): Unit = {
+      val req = mapper.createObjectNode()
+      req.putArray("namespace").add(ns)
+      val (code, body) =
+        http("POST", "/v1/namespaces", Some(mapper.writeValueAsString(req)))
+      require(code == 200, s"createNamespace HTTP $code: $body")
+    }
+
+    def listTables(ns: String): Seq[String] = {
+      val (code, body) = http("GET", s"/v1/namespaces/$ns/tables", None)
+      require(code == 200, s"listTables HTTP $code: $body")
+      val ids = mapper.readTree(body).withArray[JsonNode]("identifiers")
+      (0 until ids.size).map(i => ids.get(i).get("name").asText)
+    }
+
+    def createTable(ns: String, name: String): Unit = {
+      val req = mapper.createObjectNode()
+      req.put("name", name)
+      val (code, body) = http("POST", s"/v1/namespaces/$ns/tables",
+        Some(mapper.writeValueAsString(req)))
+      require(code == 200, s"createTable HTTP $code: $body")
+    }
+
+    def loadTable(ns: String, name: String): TableState = {
+      val (code, body) = http("GET", s"/v1/namespaces/$ns/tables/$name", None)
+      require(code == 200, s"loadTable HTTP $code: $body")
+      val root = mapper.readTree(body)
+      val meta = root.get("metadata")
+      val cur = Option(meta.get("current-snapshot-id"))
+        .filter(!_.isNull).map(_.asLong)
+      val seq = Option(meta.get("last-sequence-number"))
+        .map(_.asLong).getOrElse(0L)
+      TableState(cur, seq,
+        Option(root.get("metadata-location")).filter(!_.isNull).map(_.asText))
+    }
+
+    /** The commit: `assert-ref-snapshot-id main == parent` (None =
+      * the table must still have no snapshot), then add-schema +
+      * add-snapshot + set-snapshot-ref. Returns the new
+      * metadata-location; throws [[CommitConflictException]] on 409. */
+    def commitSnapshot(ns: String, name: String, parent: Option[Long],
+                       staged: IcebergMetadata.StagedSnapshot,
+                       operation: String = "append"): String = {
+      val req = mapper.createObjectNode()
+      val reqs = req.putArray("requirements")
+      val r = reqs.addObject()
+      r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+      parent match {
+        case Some(p) => r.put("snapshot-id", p)
+        case None    => r.putNull("snapshot-id")
+      }
+      val ups = req.putArray("updates")
+      val addSchema = ups.addObject()
+      addSchema.put("action", "add-schema")
+      addSchema.set[ObjectNode]("schema", mapper.readTree(staged.schemaStr))
+      val addSnap = ups.addObject()
+      addSnap.put("action", "add-snapshot")
+      val snap = addSnap.putObject("snapshot")
+      snap.put("snapshot-id", staged.snapshotId)
+      snap.put("sequence-number", staged.sequenceNumber)
+      snap.put("manifest-list", staged.manifestListPath)
+      val sum = snap.putObject("summary")
+      sum.put("operation", operation)
+      sum.put("added-data-files", staged.addedFiles.toString)
+      sum.put("added-records", staged.addedRows.toString)
+      val setRef = ups.addObject()
+      setRef.put("action", "set-snapshot-ref")
+      setRef.put("ref-name", "main"); setRef.put("type", "branch")
+      setRef.put("snapshot-id", staged.snapshotId)
+      val (code, body) = http("POST", s"/v1/namespaces/$ns/tables/$name",
+        Some(mapper.writeValueAsString(req)))
+      if (code == 409) throw new CommitConflictException(body)
+      require(code == 200, s"commit HTTP $code: $body")
+      mapper.readTree(body).get("metadata-location").asText
+    }
+  }
+
+  /** Loopback catalog: serves the endpoints above over the provided
+    * (namespace, table) → tableDir registry. Commits are applied
+    * through the SAME metadata writer the FS path uses
+    * ([[IcebergMetadata.applyStagedCommit]]) under a per-table lock —
+    * the serialization point a real catalog provides. */
+  class Server(registry: Map[(String, String), String])
+      extends AutoCloseable {
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    private val namespaces =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val created =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    private val lock = new Object
+
+    private def readBody(ex: com.sun.net.httpserver.HttpExchange): JsonNode =
+      mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8))
+
+    private def respond(ex: com.sun.net.httpserver.HttpExchange,
+                        code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    private def error(ex: com.sun.net.httpserver.HttpExchange,
+                      code: Int, errType: String, msg: String): Unit = {
+      val root = mapper.createObjectNode()
+      val e = root.putObject("error")
+      e.put("message", msg); e.put("type", errType); e.put("code", code)
+      respond(ex, code, mapper.writeValueAsString(root))
+    }
+
+    server.createContext("/v1", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try route(ex)
+      catch { case t: Throwable =>
+        error(ex, 500, "InternalServerError", String.valueOf(t.getMessage))
+      }
+    })
+
+    private def route(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      val parts = path.stripPrefix("/v1/").split("/").toSeq
+      (method, parts) match {
+        case ("GET", Seq("config")) =>
+          respond(ex, 200, """{"defaults":{},"overrides":{}}""")
+        case ("POST", Seq("namespaces")) =>
+          val ns = readBody(ex).withArray[JsonNode]("namespace").get(0).asText
+          if (!namespaces.add(ns))
+            error(ex, 409, "AlreadyExistsException", s"namespace $ns exists")
+          else respond(ex, 200, s"""{"namespace":["$ns"],"properties":{}}""")
+        case ("GET", Seq("namespaces", ns, "tables")) =>
+          if (!namespaces.contains(ns))
+            error(ex, 404, "NoSuchNamespaceException", ns)
+          else {
+            val root = mapper.createObjectNode()
+            val ids = root.putArray("identifiers")
+            created.forEach { case (n, t) =>
+              if (n == ns) {
+                val id = ids.addObject()
+                id.putArray("namespace").add(n); id.put("name", t)
+              }
+            }
+            respond(ex, 200, mapper.writeValueAsString(root))
+          }
+        case ("POST", Seq("namespaces", ns, "tables")) =>
+          val name = readBody(ex).get("name").asText
+          if (!namespaces.contains(ns))
+            error(ex, 404, "NoSuchNamespaceException", ns)
+          else if (!registry.contains((ns, name)))
+            error(ex, 400, "BadRequestException",
+              s"no storage registered for $ns.$name")
+          else if (!created.add((ns, name)))
+            error(ex, 409, "AlreadyExistsException", s"$ns.$name exists")
+          else respond(ex, 200,
+            s"""{"metadata-location":null,"metadata":{"last-sequence-number":0}}""")
+        case ("GET", Seq("namespaces", ns, "tables", t)) =>
+          if (!created.contains((ns, t)))
+            error(ex, 404, "NoSuchTableException", s"$ns.$t")
+          else respond(ex, 200, tableJson(registry((ns, t))))
+        case ("POST", Seq("namespaces", ns, "tables", t)) =>
+          if (!created.contains((ns, t)))
+            error(ex, 404, "NoSuchTableException", s"$ns.$t")
+          else commitHandler(ex, registry((ns, t)))
+        case _ =>
+          error(ex, 404, "NotFoundException", s"$method $path")
+      }
+    }
+
+    private def tableJson(dir: String): String = {
+      val root = mapper.createObjectNode()
+      IcebergMetadata.currentMetadata(dir) match {
+        case Some((v, meta)) =>
+          root.put("metadata-location",
+            s"$dir/metadata/v$v.metadata.json")
+          root.set[ObjectNode]("metadata", meta.deepCopy())
+        case None =>
+          root.putNull("metadata-location")
+          root.putObject("metadata").put("last-sequence-number", 0L)
+      }
+      mapper.writeValueAsString(root)
+    }
+
+    private def commitHandler(ex: com.sun.net.httpserver.HttpExchange,
+                              dir: String): Unit = lock.synchronized {
+      val req = readBody(ex)
+      val current = IcebergMetadata.currentMetadata(dir)
+        .map(_._2.get("current-snapshot-id").asLong)
+      // requirements: the catalog's whole job is checking these under
+      // the same lock that applies the updates
+      val reqs = req.withArray[JsonNode]("requirements")
+      var failed: Option[String] = None
+      (0 until reqs.size).foreach { i =>
+        val r = reqs.get(i)
+        r.get("type").asText match {
+          case "assert-ref-snapshot-id" =>
+            val want = Option(r.get("snapshot-id"))
+              .filter(!_.isNull).map(_.asLong)
+            if (want != current)
+              failed = Some(s"branch main: expected $want, found $current")
+          case "assert-create" =>
+            if (current.isDefined) failed = Some("table already has snapshots")
+          case other => failed = Some(s"unsupported requirement $other")
+        }
+      }
+      if (failed.isDefined) {
+        error(ex, 409, "CommitFailedException",
+          s"Requirement failed: ${failed.get}")
+        return
+      }
+      val ups = req.withArray[JsonNode]("updates")
+      var schemaStr: Option[String] = None
+      var snap: Option[JsonNode] = None
+      (0 until ups.size).foreach { i =>
+        val u = ups.get(i)
+        u.get("action").asText match {
+          case "add-schema" =>
+            schemaStr = Some(mapper.writeValueAsString(u.get("schema")))
+          case "add-snapshot" => snap = Some(u.get("snapshot"))
+          case "set-snapshot-ref" => () // main-branch flip: implied below
+          case other =>
+            error(ex, 400, "BadRequestException", s"unsupported update $other")
+            return
+        }
+      }
+      (schemaStr, snap) match {
+        case (Some(schema), Some(s)) =>
+          val sum = s.get("summary")
+          val extra = {
+            val it = sum.properties().iterator()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getKey != "operation" && e.getKey != "added-data-files" &&
+                  e.getKey != "added-records")
+                b += e.getKey -> e.getValue.asText
+            }
+            b.result()
+          }
+          val staged = IcebergMetadata.StagedSnapshot(
+            s.get("snapshot-id").asLong, s.get("sequence-number").asLong,
+            s.get("manifest-list").asText, schema,
+            sum.get("added-data-files").asText.toInt,
+            sum.get("added-records").asText.toLong)
+          val v = IcebergMetadata.applyStagedCommit(dir, staged,
+            sum.get("operation").asText, extra)
+          val root = mapper.createObjectNode()
+          root.put("metadata-location", s"$dir/metadata/v$v.metadata.json")
+          root.set[ObjectNode]("metadata",
+            IcebergMetadata.currentMetadata(dir).get._2.deepCopy())
+          respond(ex, 200, mapper.writeValueAsString(root))
+        case _ =>
+          error(ex, 400, "BadRequestException",
+            "commit must carry add-schema and add-snapshot updates")
+      }
+    }
+
+    server.start()
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    override def close(): Unit = server.stop(0)
+  }
+}

@@ -844,4 +844,55 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byName("k")._1 != idK, "long→int is NOT a promotion: new id")
     assert(byName("k")._2 == "int")
   }
+
+  test("REST catalog: racing commits on the same parent — exactly one wins, loser 409s") {
+    import graft.sinks.IcebergRestCatalog
+    val tmp = Files.createTempDirectory("graft_rest_race").toString
+    val srv = new IcebergRestCatalog.Server(Map(("g", "t") -> tmp))
+    try {
+      val c = new IcebergRestCatalog.Client(srv.endpoint)
+      c.createNamespace("g"); c.createTable("g", "t")
+      Tables.load(spark, "/root/testdata/sf0.001", "nation")
+        .write.parquet(s"$tmp/d0")
+      val s0 = IcebergMetadata.stageSnapshot(spark, tmp, s"$tmp/d0", 1L)
+      c.commitSnapshot("g", "t", None, s0)
+      val parent = c.loadTable("g", "t").currentSnapshotId
+      // two staged snapshots, both claiming the same parent
+      val s1 = IcebergMetadata.stageSnapshot(spark, tmp, s"$tmp/d0", 2L)
+      val s2 = IcebergMetadata.stageSnapshot(spark, tmp, s"$tmp/d0", 2L)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(Future.sequence(Seq(s1, s2).map(st =>
+        Future {
+          try { c.commitSnapshot("g", "t", parent, st); "ok" }
+          catch { case _: IcebergRestCatalog.CommitConflictException => "409" }
+        })), 30.seconds).toList
+      assert(results.sorted == List("409", "ok"), results.toString)
+      // the winner's snapshot is current; only v1 (first commit) and
+      // v2 (the race winner) exist — the loser wrote NO metadata
+      val cur = c.loadTable("g", "t").currentSnapshotId.get
+      assert(cur == s1.snapshotId || cur == s2.snapshotId)
+      assert(new File(s"$tmp/metadata").listFiles
+        .count(_.getName.endsWith(".metadata.json")) == 2)
+    } finally srv.close()
+  }
+
+  test("REST catalog error shapes: unknown table 404, double create 409, unregistered storage 400") {
+    import graft.sinks.IcebergRestCatalog
+    val tmp = Files.createTempDirectory("graft_rest_err").toString
+    val srv = new IcebergRestCatalog.Server(Map(("g", "t") -> tmp))
+    try {
+      val c = new IcebergRestCatalog.Client(srv.endpoint)
+      c.createNamespace("g")
+      val e404 = intercept[IllegalArgumentException](c.loadTable("g", "nope"))
+      assert(e404.getMessage.contains("404"))
+      c.createTable("g", "t")
+      val e409 = intercept[IllegalArgumentException](c.createTable("g", "t"))
+      assert(e409.getMessage.contains("409"))
+      val e400 = intercept[IllegalArgumentException](
+        c.createTable("g", "unregistered"))
+      assert(e400.getMessage.contains("400"))
+    } finally srv.close()
+  }
 }
