@@ -1816,6 +1816,50 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // ---- K2 through the Iceberg JDBC CATALOG contract (reference
+    //      catalog_type:jdbc → org.apache.iceberg.jdbc.JdbcCatalog):
+    //      the iceberg_tables row is the atomically-CASed pointer —
+    //      `UPDATE … WHERE metadata_location = expected`, 1 row = the
+    //      commit. Runs over real JDBC (embedded Derby). A stale-
+    //      expected CAS must swap nothing; read-back resolves the
+    //      pointer, not the FS version-hint. ----
+    "q_iceberg_jdbc_catalog" -> ((s, dir) => {
+      import graft.sinks.IcebergJdbcCatalog
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jdbc_ice").toString
+      val cat = new IcebergJdbcCatalog(
+        JdbcSource.derbyUrl(s"$tmp/catalogdb"), "graft")
+      cat.initialize()
+      cat.createNamespace("lake")
+      require(cat.namespaceExists("lake") && !cat.namespaceExists("nope"))
+      cat.createTable("lake", "nation_jdbc")
+      require(cat.listTables("lake") == Seq("nation_jdbc"))
+      require(cat.loadTable("lake", "nation_jdbc").isEmpty,
+        "fresh table already has a metadata pointer")
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/dataA")
+      val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/dataA")
+      val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+      require(cat.commitTable("lake", "nation_jdbc", None, loc1),
+        "first CAS from NULL failed")
+      n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
+        .write.parquet(s"$tmp/dataB")
+      val c2 = IcebergMetadata.commit(s, tmp, s"$tmp/dataB",
+        operation = "replace")
+      val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
+      // stale expected (NULL) — the CAS must swap NOTHING
+      require(!cat.commitTable("lake", "nation_jdbc", None, loc2),
+        "stale CAS succeeded")
+      require(cat.loadTable("lake", "nation_jdbc").contains(loc1),
+        "stale CAS moved the pointer")
+      // the retry on the fresh base lands
+      require(cat.commitTable("lake", "nation_jdbc", Some(loc1), loc2))
+      val current = cat.loadTable("lake", "nation_jdbc").get
+      s.read.parquet(IcebergMetadata.dataFilePathsAt(current): _*)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- K2/K3 MERGE-ON-READ published as Iceberg v2: base + one CDC
     // delta segment become data + EQUALITY-DELETE manifests (content=1,
     // equality_ids on the key), and the result is read back by
@@ -3469,6 +3513,12 @@ object SparkEntry {
     // commit 2 (the replace that survived the 409-retry loop) holds
     // nation plus a key-shifted copy
     "q_iceberg_rest_commit" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation""".stripMargin,
+
+    // same final state, committed through the JDBC-catalog CAS pointer
+    "q_iceberg_jdbc_catalog" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |UNION ALL
         |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation""".stripMargin,

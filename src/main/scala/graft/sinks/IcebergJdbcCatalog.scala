@@ -1,0 +1,133 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+/** Iceberg JDBC catalog — the `catalog-impl:
+  * org.apache.iceberg.jdbc.JdbcCatalog` path the reference exposes as
+  * `catalog_type: jdbc` (`destination/iceberg/java_client.go:88-92`),
+  * re-expressed against the catalog's PUBLIC storage contract (Apache
+  * Iceberg `JdbcUtil`): a relational table
+  *
+  *   iceberg_tables(catalog_name, table_namespace, table_name,
+  *                  metadata_location, previous_metadata_location)
+  *
+  * where a commit is a compare-and-swap —
+  * `UPDATE … SET metadata_location = new WHERE … AND metadata_location
+  * = expected` — and `1 row updated` IS the commit. Unlike the REST
+  * catalog the ENGINE writes metadata.json itself; the database row is
+  * only the atomically-swapped pointer. Runs here against embedded
+  * Derby over real JDBC (same engine the chunked-scan gates use); a
+  * deployment points `url` at Postgres/MySQL unchanged.
+  */
+class IcebergJdbcCatalog(url: String, catalogName: String) {
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** Create the catalog tables if absent (JdbcCatalog's
+    * initializeCatalogTables). Derby has no IF NOT EXISTS — the
+    * already-exists SQLState X0Y32 is the idempotent path. */
+  def initialize(): Unit = withConn { c =>
+    def create(ddl: String): Unit =
+      try { c.createStatement().executeUpdate(ddl); () }
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+    create("""CREATE TABLE iceberg_tables (
+      catalog_name VARCHAR(255) NOT NULL,
+      table_namespace VARCHAR(255) NOT NULL,
+      table_name VARCHAR(255) NOT NULL,
+      metadata_location VARCHAR(1000),
+      previous_metadata_location VARCHAR(1000),
+      PRIMARY KEY (catalog_name, table_namespace, table_name))""")
+    create("""CREATE TABLE iceberg_namespace_properties (
+      catalog_name VARCHAR(255) NOT NULL,
+      namespace VARCHAR(255) NOT NULL,
+      property_key VARCHAR(255) NOT NULL,
+      property_value VARCHAR(1000),
+      PRIMARY KEY (catalog_name, namespace, property_key))""")
+  }
+
+  def createNamespace(ns: String): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      "INSERT INTO iceberg_namespace_properties VALUES (?, ?, 'exists', 'true')")
+    ps.setString(1, catalogName); ps.setString(2, ns)
+    ps.executeUpdate(): Unit
+  }
+
+  def namespaceExists(ns: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement("""SELECT 1 FROM iceberg_namespace_properties
+      WHERE catalog_name = ? AND namespace = ?""")
+    ps.setString(1, catalogName); ps.setString(2, ns)
+    ps.executeQuery().next()
+  }
+
+  /** Register a table with no metadata yet (first commit CASes from
+    * NULL). */
+  def createTable(ns: String, name: String): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      "INSERT INTO iceberg_tables VALUES (?, ?, ?, NULL, NULL)")
+    ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, name)
+    ps.executeUpdate(): Unit
+  }
+
+  def listTables(ns: String): Seq[String] = withConn { c =>
+    val ps = c.prepareStatement("""SELECT table_name FROM iceberg_tables
+      WHERE catalog_name = ? AND table_namespace = ? ORDER BY table_name""")
+    ps.setString(1, catalogName); ps.setString(2, ns)
+    val rs = ps.executeQuery()
+    val b = Seq.newBuilder[String]
+    while (rs.next()) b += rs.getString(1)
+    b.result()
+  }
+
+  /** Current metadata location (None until the first commit lands). */
+  def loadTable(ns: String, name: String): Option[String] = withConn { c =>
+    val ps = c.prepareStatement("""SELECT metadata_location FROM
+      iceberg_tables WHERE catalog_name = ? AND table_namespace = ?
+      AND table_name = ?""")
+    ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, name)
+    val rs = ps.executeQuery()
+    if (!rs.next())
+      throw new NoSuchElementException(s"no such table $ns.$name")
+    Option(rs.getString(1))
+  }
+
+  /** THE commit: CAS the pointer from `expected` to `newLocation`.
+    * Returns false when another writer moved the pointer first — the
+    * caller reloads and retries on the fresh base, exactly Iceberg's
+    * JdbcTableOperations.doCommit contract. */
+  def commitTable(ns: String, name: String, expected: Option[String],
+                  newLocation: String): Boolean = withConn { c =>
+    val sql = expected match {
+      case Some(_) => """UPDATE iceberg_tables
+        SET metadata_location = ?, previous_metadata_location = ?
+        WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
+        AND metadata_location = ?"""
+      case None => """UPDATE iceberg_tables
+        SET metadata_location = ?, previous_metadata_location = NULL
+        WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
+        AND metadata_location IS NULL"""
+    }
+    val ps = c.prepareStatement(sql)
+    expected match {
+      case Some(prev) =>
+        ps.setString(1, newLocation); ps.setString(2, prev)
+        ps.setString(3, catalogName); ps.setString(4, ns)
+        ps.setString(5, name); ps.setString(6, prev)
+      case None =>
+        ps.setString(1, newLocation); ps.setString(2, catalogName)
+        ps.setString(3, ns); ps.setString(4, name)
+    }
+    ps.executeUpdate() == 1
+  }
+
+  def dropTable(ns: String, name: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement("""DELETE FROM iceberg_tables WHERE
+      catalog_name = ? AND table_namespace = ? AND table_name = ?""")
+    ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, name)
+    ps.executeUpdate() == 1
+  }
+}

@@ -1532,6 +1532,28 @@ object IcebergMetadata {
   /** Live (path, sequence) data entries and (path, sequence, content)
     * delete entries — content 1 = positional, 2 = equality — of a
     * snapshot (current unless `asOfSnapshotId` time-travels). */
+  /** Live DATA-file paths of the current snapshot of the metadata file
+    * at `metadataJsonPath` — the CATALOG-POINTER read path: JDBC and
+    * REST catalogs address a table by metadata location, not by the
+    * FS version-hint convention. */
+  def dataFilePathsAt(metadataJsonPath: String): Seq[String] = {
+    val meta = mapper.readTree(
+      Files.readString(new File(metadataJsonPath).toPath))
+    val snapId = meta.get("current-snapshot-id").asLong
+    val snap = meta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == snapId).getOrElse(
+        throw new IllegalStateException(
+          s"snapshot $snapId missing from $metadataJsonPath"))
+    readAvro(new File(snap.get("manifest-list").asText)).flatMap { mf =>
+      readAvro(new File(mf.get("manifest_path").toString)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          (df.get("content").asInstanceOf[Int],
+            df.get("file_path").toString)
+      }.collect { case (0, p) => p }
+    }
+  }
+
   def manifestEntries(tableDir: String,
                       asOfSnapshotId: Option[Long] = None)
       : (Seq[(String, Long)], Seq[(String, Long, Int)]) = {
