@@ -1816,6 +1816,40 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // ---- K2 snapshot ROLLBACK through the REST catalog: a
+    //      set-snapshot-ref-only commit moves main back to an EXISTING
+    //      snapshot — history immutable, current flipped; the
+    //      metadata-location read path must resolve to the OLD rows
+    //      while both snapshots remain in the tree ----
+    "q_iceberg_rollback" -> ((s, dir) => {
+      import graft.sinks.IcebergRestCatalog
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_rollback").toString
+      val srv = new IcebergRestCatalog.Server(
+        Map(("graft", "nation_rb") -> tmp))
+      try {
+        val c = new IcebergRestCatalog.Client(srv.endpoint)
+        c.createNamespace("graft"); c.createTable("graft", "nation_rb")
+        val n = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        n.write.parquet(s"$tmp/dataA")
+        val stA = IcebergMetadata.stageSnapshot(s, tmp, s"$tmp/dataA", 1L)
+        c.commitSnapshot("graft", "nation_rb", None, stA)
+        n.withColumn("n_nationkey", col("n_nationkey") + 500)
+          .write.parquet(s"$tmp/dataB")
+        val stB = IcebergMetadata.stageSnapshot(s, tmp, s"$tmp/dataB", 2L)
+        c.commitSnapshot("graft", "nation_rb", Some(stA.snapshotId), stB)
+        // bad wine: roll main back to snapshot A
+        val loc = c.rollback("graft", "nation_rb", stB.snapshotId,
+          stA.snapshotId)
+        val st = c.loadTable("graft", "nation_rb")
+        require(st.currentSnapshotId.contains(stA.snapshotId),
+          "rollback did not move main")
+        s.read.parquet(IcebergMetadata.dataFilePathsAt(loc): _*)
+          .select("n_nationkey", "n_name", "n_regionkey")
+      } finally srv.close()
+    }),
+
     // ---- K2 through the Iceberg JDBC CATALOG contract (reference
     //      catalog_type:jdbc → org.apache.iceberg.jdbc.JdbcCatalog):
     //      the iceberg_tables row is the atomically-CASed pointer —
@@ -3516,6 +3550,10 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |UNION ALL
         |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation""".stripMargin,
+
+    // after rollback, main points at snapshot A again — plain nation
+    "q_iceberg_rollback" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     // same final state, committed through the JDBC-catalog CAS pointer
     "q_iceberg_jdbc_catalog" ->

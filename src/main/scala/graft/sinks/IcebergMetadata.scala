@@ -807,6 +807,41 @@ object IcebergMetadata {
       staged.sequenceNumber, new File(staged.manifestListPath), operation,
       summary, staged.addedFiles, staged.addedRows)
 
+  /** Roll the main branch back to an EXISTING snapshot: a new metadata
+    * version whose current-snapshot-id / refs point at `toSnapshotId`
+    * — no snapshot is added or removed (history is immutable; rollback
+    * is a ref move, spec §References). Server half of a REST
+    * `set-snapshot-ref`-only commit. */
+  private[sinks] def applyRollback(tableDir: String,
+                                   toSnapshotId: Long): Int = {
+    val md = metaDir(tableDir)
+    val (version, prev) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    require(prev.withArray[ArrayNode]("snapshots").asScala
+      .exists(_.get("snapshot-id").asLong == toSnapshotId),
+      s"snapshot $toSnapshotId not in table history")
+    val root = prev.deepCopy().asInstanceOf[ObjectNode]
+    val nowMs = System.currentTimeMillis()
+    root.put("current-snapshot-id", toSnapshotId)
+    root.put("last-updated-ms", nowMs)
+    val refs = root.putObject("refs").putObject("main")
+    refs.put("snapshot-id", toSnapshotId); refs.put("type", "branch")
+    val log = root.withArray[ArrayNode]("snapshot-log").addObject()
+    log.put("snapshot-id", toSnapshotId)
+    log.put("timestamp-ms", nowMs)
+    val next = version + 1
+    val target = new File(md, s"v$next.metadata.json")
+    val tmp = new File(md, s".v$next.metadata.json.tmp")
+    Files.writeString(tmp.toPath,
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    val hintTmp = new File(md, ".version-hint.tmp")
+    Files.writeString(hintTmp.toPath, next.toString)
+    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
              operation: String = "append",
              summary: Map[String, String] = Map.empty): Commit = {

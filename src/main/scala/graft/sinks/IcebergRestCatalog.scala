@@ -152,6 +152,25 @@ object IcebergRestCatalog {
       require(code == 200, s"commit HTTP $code: $body")
       mapper.readTree(body).get("metadata-location").asText
     }
+
+    /** Rollback = a `set-snapshot-ref`-only commit: move main to an
+      * EXISTING snapshot (history stays; rollback is a ref move). */
+    def rollback(ns: String, name: String, parent: Long,
+                 toSnapshotId: Long): String = {
+      val req = mapper.createObjectNode()
+      val r = req.putArray("requirements").addObject()
+      r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+      r.put("snapshot-id", parent)
+      val u = req.putArray("updates").addObject()
+      u.put("action", "set-snapshot-ref")
+      u.put("ref-name", "main"); u.put("type", "branch")
+      u.put("snapshot-id", toSnapshotId)
+      val (code, body) = http("POST", s"/v1/namespaces/$ns/tables/$name",
+        Some(mapper.writeValueAsString(req)))
+      if (code == 409) throw new CommitConflictException(body)
+      require(code == 200, s"rollback HTTP $code: $body")
+      mapper.readTree(body).get("metadata-location").asText
+    }
   }
 
   /** Loopback catalog: serves the endpoints above over the provided
@@ -291,17 +310,30 @@ object IcebergRestCatalog {
       val ups = req.withArray[JsonNode]("updates")
       var schemaStr: Option[String] = None
       var snap: Option[JsonNode] = None
+      var refTarget: Option[Long] = None
       (0 until ups.size).foreach { i =>
         val u = ups.get(i)
         u.get("action").asText match {
           case "add-schema" =>
             schemaStr = Some(mapper.writeValueAsString(u.get("schema")))
           case "add-snapshot" => snap = Some(u.get("snapshot"))
-          case "set-snapshot-ref" => () // main-branch flip: implied below
+          case "set-snapshot-ref" =>
+            refTarget = Some(u.get("snapshot-id").asLong)
           case other =>
             error(ex, 400, "BadRequestException", s"unsupported update $other")
             return
         }
+      }
+      // a set-snapshot-ref WITHOUT add-snapshot is a rollback: move
+      // main to an existing snapshot (history is immutable)
+      if (snap.isEmpty && refTarget.isDefined) {
+        val v = IcebergMetadata.applyRollback(dir, refTarget.get)
+        val root = mapper.createObjectNode()
+        root.put("metadata-location", s"$dir/metadata/v$v.metadata.json")
+        root.set[ObjectNode]("metadata",
+          IcebergMetadata.currentMetadata(dir).get._2.deepCopy())
+        respond(ex, 200, mapper.writeValueAsString(root))
+        return
       }
       (schemaStr, snap) match {
         case (Some(schema), Some(s)) =>
