@@ -262,7 +262,21 @@ object ScaleCheck {
         "boilerplate" -> time(s"$label boilerplate") {
           graft.llm.TextAnalysis.stripBoilerplate(docs, "text", "doc_id",
             maxDocFreq = 450, sep = " ")
-            .agg(sum(length(col("clean_text")))).head() })
+            .agg(sum(length(col("clean_text")))).head() },
+        // round-10 map-only additions: aggregates over the outputs so
+        // Catalyst can't prune the computation away
+        "vec_project" -> time(s"$label vec_project") {
+          emb.select(graft.llm.Similarity
+              .randomProject(col("embedding"), 16).as("p"))
+            .agg(sum(aggregate(col("p"), lit(0.0d), (a, x) => a + x)))
+            .head() },
+        "bpe_encode" -> time(s"$label bpe_encode") {
+          graft.llm.TextAnalysis.bpeTokenCount(docs, "text", "doc_id",
+              Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
+                "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n",
+                "r" -> "e", "a" -> "t", "e" -> "s", "e" -> "n",
+                "e" -> "d", "t" -> "o", "i" -> "s", "o" -> "r"))
+            .agg(sum(col("n_bpe_tokens"))).head() })
     }
     // warm
     Tables.load(spark, base, "lineitem").count()
