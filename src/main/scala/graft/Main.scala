@@ -108,10 +108,26 @@ object Main {
       println("""{"status":"cleared"}""")
       spark.stop()
 
+    // profile <sourceDir> <stream> [--approx]: per-column nulls /
+    // distincts / bounds plus exact quartiles for numeric columns —
+    // the data-quality triage step ahead of a big sync
+    case "profile" :: src :: stream :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val exact = !rest.contains("--approx")
+      graft.sources.Discover.profile(spark, src, stream, exact = exact)
+        .orderBy("column_name").collect().foreach { r =>
+          println(Seq("column_name", "dtype", "n_nulls", "n_distinct",
+            "min_value", "max_value")
+            .map(c => s""""$c":"${r.getAs[Any](c)}"""")
+            .mkString("{", ",", "}"))
+        }
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | discover | sync | clear | curate")
+          "usage: spec | check | discover | sync | clear | curate | profile")
       sys.exit(2)
   }
 }
