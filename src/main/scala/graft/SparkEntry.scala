@@ -1850,6 +1850,59 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // ---- K2 through the AWS GLUE catalog (reference
+    //      catalog_type:glue → org.apache.iceberg.aws.glue.GlueCatalog)
+    //      over the public Glue JSON-1.1 API, every request
+    //      SigV4-signed with service=glue (payload-hash form — no
+    //      x-amz-content-sha256 header, unlike S3) and VERIFIED by the
+    //      loopback service. Iceberg's Glue contract: metadata_location
+    //      in table Parameters, optimistic locking via VersionId — a
+    //      stale-version UpdateTable must fail with
+    //      ConcurrentModificationException and the retry on the fresh
+    //      version lands. ----
+    "q_iceberg_glue_catalog" -> ((s, dir) => {
+      import graft.sinks.IcebergGlueCatalog
+      import graft.sources.S3Wire.SigV4
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_glue_ice").toString
+      val creds = SigV4.Credentials("AKIAGLUE", "glu3s3cret", "us-east-1")
+      val srv = new IcebergGlueCatalog.Server(creds)
+      try {
+        val c = new IcebergGlueCatalog.Client(srv.endpoint, creds)
+        c.createDatabase("lake")
+        c.createTable("lake", "nation_glue")
+        val t0 = c.getTable("lake", "nation_glue")
+        require(t0.metadataLocation.isEmpty && t0.versionId == "1")
+        val n = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        n.write.parquet(s"$tmp/dataA")
+        val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/dataA")
+        c.updateTable("lake", "nation_glue",
+          s"$tmp/metadata/v${c1.version}.metadata.json", t0.versionId)
+        n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
+          .write.parquet(s"$tmp/dataB")
+        val c2 = IcebergMetadata.commit(s, tmp, s"$tmp/dataB",
+          operation = "replace")
+        val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
+        // stale VersionId ("1" was consumed by commit 1) → refused
+        val conflicted = try { c.updateTable("lake", "nation_glue",
+            loc2, t0.versionId); false }
+          catch {
+            case _: IcebergGlueCatalog.ConcurrentModificationException =>
+              true
+          }
+        require(conflicted, "stale-version UpdateTable succeeded")
+        val t1 = c.getTable("lake", "nation_glue")
+        require(t1.metadataLocation.contains(
+          s"$tmp/metadata/v${c1.version}.metadata.json"),
+          "stale update moved the pointer")
+        c.updateTable("lake", "nation_glue", loc2, t1.versionId)
+        val current = c.getTable("lake", "nation_glue").metadataLocation.get
+        s.read.parquet(IcebergMetadata.dataFilePathsAt(current): _*)
+          .select("n_nationkey", "n_name", "n_regionkey")
+      } finally srv.close()
+    }),
+
     // ---- K2 through the Iceberg JDBC CATALOG contract (reference
     //      catalog_type:jdbc → org.apache.iceberg.jdbc.JdbcCatalog):
     //      the iceberg_tables row is the atomically-CASed pointer —
@@ -3554,6 +3607,12 @@ object SparkEntry {
     // after rollback, main points at snapshot A again — plain nation
     "q_iceberg_rollback" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // same final state, committed through the Glue VersionId lock
+    "q_iceberg_glue_catalog" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation""".stripMargin,
 
     // same final state, committed through the JDBC-catalog CAS pointer
     "q_iceberg_jdbc_catalog" ->

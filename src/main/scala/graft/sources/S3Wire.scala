@@ -50,9 +50,11 @@ object S3Wire {
     }
     private def hex(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02x").mkString
-    private def sha256Hex(s: String): String =
+    def sha256Hex(s: String): String =
       hex(java.security.MessageDigest.getInstance("SHA-256")
         .digest(s.getBytes(StandardCharsets.UTF_8)))
+    def sha256Hex(b: Array[Byte]): String =
+      hex(java.security.MessageDigest.getInstance("SHA-256").digest(b))
 
     /** SigV4 URI encoding: RFC 3986 unreserved characters literal,
       * everything else percent-encoded uppercase; `/` kept only in
@@ -75,7 +77,7 @@ object S3Wire {
                       query: Seq[(String, String)],
                       headers: Seq[(String, String)],
                       payloadHash: String, amzDate: String,
-                      creds: Credentials): String = {
+                      creds: Credentials, service: String = "s3"): String = {
       val date = amzDate.take(8)
       val canonQuery = query
         .map { case (k, v) => uriEncode(k, false) + "=" + uriEncode(v, false) }
@@ -87,12 +89,12 @@ object S3Wire {
         canonHeaders.map { case (k, v) => s"$k:$v" }
           .mkString("", "\n", "\n"),
         signedHeaders, payloadHash).mkString("\n")
-      val scope = s"$date/${creds.region}/s3/aws4_request"
+      val scope = s"$date/${creds.region}/$service/aws4_request"
       val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
         sha256Hex(canonicalRequest)).mkString("\n")
       val kSigning = hmac(hmac(hmac(hmac(
         ("AWS4" + creds.secretKey).getBytes(StandardCharsets.UTF_8),
-        date), creds.region), "s3"), "aws4_request")
+        date), creds.region), service), "aws4_request")
       s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, " +
         s"SignedHeaders=$signedHeaders, Signature=${hex(hmac(kSigning, stringToSign))}"
     }
