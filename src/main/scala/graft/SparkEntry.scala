@@ -985,6 +985,52 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // ---- K7 destination WRITE over the S3 wire: single-shot
+    //      PutObject plus the full multipart protocol (initiate →
+    //      UploadPart ×3 → complete with the part/ETag manifest) every
+    //      large object reaches S3 through — all SigV4-signed with the
+    //      real body hash, which the endpoint verifies per request.
+    //      The uploaded objects are then DISCOVERED over the wire
+    //      listing and read back; an aborted upload must leave no
+    //      object behind. ----
+    "q_s3_multipart_write" -> ((s, dir) => {
+      import graft.sources.S3Wire.SigV4
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_s3mpu").toString
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_s3mpu_stage").toString
+      val r = t(s, dir, "region")
+      r.coalesce(1).write.option("header", "true").csv(s"$stage/out")
+      val part = new java.io.File(s"$stage/out").listFiles
+        .find(_.getName.startsWith("part-")).get
+      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      val creds = SigV4.Credentials("AKIAMPU", "mpu-s3cret", "us-east-1")
+      val srv = new S3Wire.S3LoopbackServer("lake",
+        new java.io.File(tmp), creds = Some(creds))
+      try {
+        val c = new S3Wire.S3ListClient(srv.endpoint, Some(creds))
+        val key = "writes/region.csv"
+        val id = c.createMultipartUpload("lake", key)
+        val chunks = bytes.grouped(math.max(1, bytes.length / 3 + 1)).toSeq
+        val etags = chunks.zipWithIndex.map { case (b, i) =>
+          (i + 1) -> c.uploadPart("lake", key, id, i + 1, b) }
+        c.completeMultipartUpload("lake", key, id, etags)
+        // single-shot PutObject of the same content under a second key
+        c.putObject("lake", "writes/region2.csv", bytes)
+        // an aborted upload leaves nothing
+        val id2 = c.createMultipartUpload("lake", "writes/ghost.csv")
+        c.uploadPart("lake", "writes/ghost.csv", id2, 1, bytes)
+        c.abortMultipartUpload("lake", "writes/ghost.csv", id2)
+        val listed = c.listAll("lake", "writes/").map(_.key)
+        require(listed.sorted ==
+          Seq("writes/region.csv", "writes/region2.csv"),
+          s"wire listing after writes: $listed")
+        s.read.option("header", "true").option("inferSchema", "true")
+          .csv(listed.map(k => s"$tmp/$k"): _*)
+          .select(col("r_regionkey").cast("int"), col("r_name"))
+      } finally srv.close()
+    }),
+
     // ---- S1/S4 REAL JDBC execution path: load a slice into embedded
     //      Derby, stride-plan on JDBC MIN/MAX, then read one partition
     //      per chunk via the predicates array (the reference's per-chunk
@@ -3254,6 +3300,12 @@ object SparkEntry {
 
     // same listing + read as q_s3_list_wire, authenticated via SigV4
     "q_s3_sigv4" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
+
+    // the multipart-spliced object and the PutObject copy both hold
+    // region; the aborted upload contributes nothing
+    "q_s3_multipart_write" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
 

@@ -122,9 +122,11 @@ object S3Wire {
     /** Open (and, with creds, sign) a request. `rawPath` must already
       * be percent-encoded (it is signed byte-for-byte as sent); `query`
       * is the decoded pairs, encoded here with the same SigV4 rules the
-      * signature canonicalizes with. */
-    private def open(method: String, rawPath: String,
-                     query: Seq[(String, String)]): HttpURLConnection = {
+      * signature canonicalizes with. `payloadHash` must be the sha256
+      * of the body about to be sent (empty-body constant otherwise). */
+    private def openSigned(method: String, rawPath: String,
+                           query: Seq[(String, String)],
+                           payloadHash: String): HttpURLConnection = {
       val qs = query.map { case (k, v) =>
         SigV4.uriEncode(k, false) + "=" + SigV4.uriEncode(v, false)
       }.mkString("&")
@@ -137,16 +139,92 @@ object S3Wire {
       creds.foreach { c =>
         val amzDate = SigV4.amzNow()
         conn.setRequestProperty("x-amz-date", amzDate)
-        conn.setRequestProperty("x-amz-content-sha256",
-          SigV4.EmptyPayloadHash)
+        conn.setRequestProperty("x-amz-content-sha256", payloadHash)
         conn.setRequestProperty("Authorization", SigV4.authorization(
           method, rawPath, query,
           Seq("host" -> hostHeader,
-            "x-amz-content-sha256" -> SigV4.EmptyPayloadHash,
+            "x-amz-content-sha256" -> payloadHash,
             "x-amz-date" -> amzDate),
-          SigV4.EmptyPayloadHash, amzDate, c))
+          payloadHash, amzDate, c))
       }
       conn
+    }
+
+    private def open(method: String, rawPath: String,
+                     query: Seq[(String, String)]): HttpURLConnection =
+      openSigned(method, rawPath, query, SigV4.EmptyPayloadHash)
+
+    private def send(method: String, rawPath: String,
+                     query: Seq[(String, String)],
+                     body: Array[Byte]): (Int, String, Option[String]) = {
+      val conn = openSigned(method, rawPath, query, SigV4.sha256Hex(body))
+      if (body.nonEmpty || method == "PUT" || method == "POST") {
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body)
+      }
+      try {
+        val code = conn.getResponseCode
+        val stream = if (code < 400) conn.getInputStream
+                     else conn.getErrorStream
+        val out = if (stream == null) ""
+                  else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        (code, out, Option(conn.getHeaderField("ETag")))
+      } finally conn.disconnect()
+    }
+
+    /** PutObject — single-shot write, body-hash signed. */
+    def putObject(bucket: String, key: String, bytes: Array[Byte]): Unit = {
+      val (code, body, _) = send("PUT", objectPath(bucket, key), Nil, bytes)
+      require(code == 200, s"PutObject HTTP $code: $body")
+    }
+
+    /** CreateMultipartUpload (`POST ?uploads`) → UploadId. The
+      * multipart protocol is how every large object reaches S3 — the
+      * reference's parquet destination uploads through the SDK's
+      * managed uploader, which speaks exactly this. */
+    def createMultipartUpload(bucket: String, key: String): String = {
+      val (code, body, _) =
+        send("POST", objectPath(bucket, key), Seq("uploads" -> ""),
+          Array.emptyByteArray)
+      require(code == 200, s"CreateMultipartUpload HTTP $code: $body")
+      val m = """<UploadId>([^<]+)</UploadId>""".r.findFirstMatchIn(body)
+      m.map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"no UploadId in $body"))
+    }
+
+    /** UploadPart (`PUT ?partNumber=N&uploadId=`) → ETag. */
+    def uploadPart(bucket: String, key: String, uploadId: String,
+                   partNumber: Int, bytes: Array[Byte]): String = {
+      val (code, body, etag) = send("PUT", objectPath(bucket, key),
+        Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+        bytes)
+      require(code == 200, s"UploadPart HTTP $code: $body")
+      etag.getOrElse(throw new IllegalStateException("no ETag on part"))
+    }
+
+    /** CompleteMultipartUpload: XML part manifest; the service splices
+      * the parts in part-number order. */
+    def completeMultipartUpload(bucket: String, key: String,
+                                uploadId: String,
+                                parts: Seq[(Int, String)]): Unit = {
+      val xml = "<CompleteMultipartUpload>" + parts.sortBy(_._1).map {
+        case (n, etag) =>
+          s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"
+      }.mkString + "</CompleteMultipartUpload>"
+      val (code, body, _) = send("POST", objectPath(bucket, key),
+        Seq("uploadId" -> uploadId),
+        xml.getBytes(StandardCharsets.UTF_8))
+      require(code == 200, s"CompleteMultipartUpload HTTP $code: $body")
+    }
+
+    /** AbortMultipartUpload (`DELETE ?uploadId=`). */
+    def abortMultipartUpload(bucket: String, key: String,
+                             uploadId: String): Unit = {
+      val conn = open("DELETE", objectPath(bucket, key),
+        Seq("uploadId" -> uploadId))
+      try require(conn.getResponseCode == 204,
+        s"AbortMultipartUpload HTTP ${conn.getResponseCode}")
+      finally conn.disconnect()
     }
 
     private def objectPath(bucket: String, key: String): String =
@@ -253,6 +331,10 @@ object S3Wire {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    // in-flight multipart uploads: (key, uploadId) → partNumber → bytes
+    private val uploads = new java.util.concurrent.ConcurrentHashMap[
+      (String, String),
+      java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]]()
 
     private def allKeys(): Seq[(String, java.io.File)] = {
       def walk(f: java.io.File, rel: String): Seq[(String, java.io.File)] =
@@ -325,6 +407,93 @@ object S3Wire {
       if (authError.isDefined) {
         respond(403, """<?xml version="1.0"?><Error><Code>""" +
           authError.get + "</Code></Error>")
+      } else if (path.startsWith(s"$bucket/") &&
+                 (ex.getRequestMethod == "PUT" ||
+                  ex.getRequestMethod == "POST" ||
+                  ex.getRequestMethod == "DELETE")) {
+        // object WRITE surface: PutObject, and the multipart protocol
+        // (initiate / UploadPart / complete / abort) every large
+        // object reaches S3 through
+        val key = path.stripPrefix(s"$bucket/")
+        val body = ex.getRequestBody.readAllBytes()
+        // body-integrity half of SigV4: the signature covered the
+        // DECLARED hash; the body must actually match it
+        val declaredHash = Option(
+          ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+        val bodyHashOk = creds.isEmpty ||
+          declaredHash.contains(SigV4.sha256Hex(body))
+        def md5hex(b: Array[Byte]): String =
+          java.security.MessageDigest.getInstance("MD5").digest(b)
+            .map(x => f"${x & 0xff}%02x").mkString
+        def writeObject(bytes: Array[Byte]): Unit = {
+          val f = new java.io.File(dir, key)
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, bytes): Unit
+        }
+        if (!bodyHashOk) {
+          respond(400, """<?xml version="1.0"?><Error><Code>""" +
+            "XAmzContentSHA256Mismatch</Code></Error>")
+        } else (ex.getRequestMethod, params.get("uploadId"),
+            params.get("partNumber")) match {
+          case ("POST", None, _) if params.contains("uploads") =>
+            val id = java.util.UUID.randomUUID().toString
+            uploads.put((key, id),
+              new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]())
+            respond(200, s"""<?xml version="1.0"?>""" +
+              "<InitiateMultipartUploadResult>" +
+              s"<Bucket>$bucket</Bucket><Key>${esc(key)}</Key>" +
+              s"<UploadId>$id</UploadId>" +
+              "</InitiateMultipartUploadResult>")
+          case ("PUT", Some(id), Some(pn)) =>
+            Option(uploads.get((key, id))) match {
+              case None => respond(404, """<?xml version="1.0"?>""" +
+                "<Error><Code>NoSuchUpload</Code></Error>")
+              case Some(parts) =>
+                parts.put(pn.toInt, body)
+                ex.getResponseHeaders.set("ETag", "\"" + md5hex(body) + "\"")
+                respond(200, "<ok/>")
+            }
+          case ("POST", Some(id), _) =>
+            Option(uploads.remove((key, id))) match {
+              case None => respond(404, """<?xml version="1.0"?>""" +
+                "<Error><Code>NoSuchUpload</Code></Error>")
+              case Some(parts) =>
+                // verify the client's part manifest against what was
+                // uploaded: every declared ETag must match its part
+                val manifest = """<PartNumber>(\d+)</PartNumber>""" +
+                  """<ETag>"?([0-9a-f]+)"?</ETag>"""
+                val declared = manifest.r.findAllMatchIn(
+                    new String(body, StandardCharsets.UTF_8))
+                  .map(m => m.group(1).toInt -> m.group(2)).toSeq
+                val ok = declared.nonEmpty && declared.forall {
+                  case (n, etag) =>
+                    Option(parts.get(n)).exists(b => md5hex(b) == etag)
+                }
+                if (!ok) respond(400, """<?xml version="1.0"?>""" +
+                  "<Error><Code>InvalidPart</Code></Error>")
+                else {
+                  val spliced = declared.sortBy(_._1)
+                    .map(p => parts.get(p._1))
+                    .foldLeft(Array.empty[Byte])(_ ++ _)
+                  writeObject(spliced)
+                  respond(200, s"""<?xml version="1.0"?>""" +
+                    "<CompleteMultipartUploadResult>" +
+                    s"<Bucket>$bucket</Bucket><Key>${esc(key)}</Key>" +
+                    s"""<ETag>"${md5hex(spliced)}"</ETag>""" +
+                    "</CompleteMultipartUploadResult>")
+                }
+            }
+          case ("DELETE", Some(id), _) =>
+            uploads.remove((key, id))
+            ex.sendResponseHeaders(204, -1); ex.close()
+          case ("PUT", None, _) =>
+            writeObject(body)
+            ex.getResponseHeaders.set("ETag", "\"" + md5hex(body) + "\"")
+            respond(200, "<ok/>")
+          case _ =>
+            respond(400, """<?xml version="1.0"?>""" +
+              "<Error><Code>InvalidRequest</Code></Error>")
+        }
       } else if (path.startsWith(s"$bucket/")) {
         // object GET/HEAD with Range support (206 + Content-Range),
         // the server half of the reference's range reader. `path` is
