@@ -179,4 +179,36 @@ class S3WireSpec extends AnyFunSuite {
         e2.getMessage.contains("AccessDenied"))
     } finally srv.close()
   }
+
+  test("multipart: wrong ETag manifest 400s, unknown uploadId 404s, abort leaves nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("s3mpu").toFile
+    val srv = new S3LoopbackServer("lake", dir)
+    try {
+      val c = new S3ListClient(srv.endpoint)
+      val id = c.createMultipartUpload("lake", "a/big.bin")
+      c.uploadPart("lake", "a/big.bin", id, 1, "hello".getBytes)
+      // a manifest whose ETag does not match the uploaded part
+      val bad = intercept[IllegalArgumentException](
+        c.completeMultipartUpload("lake", "a/big.bin", id,
+          Seq(1 -> "00000000000000000000000000000000")))
+      assert(bad.getMessage.contains("400"))
+      // the failed completion consumed the upload id
+      val gone = intercept[IllegalArgumentException](
+        c.uploadPart("lake", "a/big.bin", id, 2, "x".getBytes))
+      assert(gone.getMessage.contains("404"))
+      // fresh upload, aborted: no object may exist
+      val id2 = c.createMultipartUpload("lake", "a/big.bin")
+      c.uploadPart("lake", "a/big.bin", id2, 1, "hello".getBytes)
+      c.abortMultipartUpload("lake", "a/big.bin", id2)
+      assert(c.listAll("lake", "a/").isEmpty)
+      // happy path: two parts splice in order
+      val id3 = c.createMultipartUpload("lake", "a/big.bin")
+      val e1 = c.uploadPart("lake", "a/big.bin", id3, 1, "hello ".getBytes)
+      val e2 = c.uploadPart("lake", "a/big.bin", id3, 2, "world".getBytes)
+      c.completeMultipartUpload("lake", "a/big.bin", id3,
+        Seq(2 -> e2, 1 -> e1))
+      assert(new String(c.getRange("lake", "a/big.bin", 0L, 10L),
+        "UTF-8") == "hello world")
+    } finally srv.close()
+  }
 }
