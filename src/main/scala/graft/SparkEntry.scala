@@ -1896,6 +1896,55 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // ---- K2 through the HIVE METASTORE over hand-rolled Thrift
+    //      binary protocol (reference catalog_type:hive, hive_uri):
+    //      create_database / create_table / get_table / alter_table /
+    //      lock / check_lock / unlock against a loopback HMS speaking
+    //      real TBinaryProtocol on a TCP socket. Iceberg's Hive commit
+    //      contract runs in full: EXCLUSIVE table lock, re-read +
+    //      base-location check under the lock (the lost-update guard),
+    //      alter_table pointer swap, unlock — and a stale-base commit
+    //      must conflict. ----
+    "q_iceberg_hive_catalog" -> ((s, dir) => {
+      import graft.sinks.{HiveMetastore, IcebergRestCatalog}
+      import HiveMetastore.{HmsClient, HmsServer, HmsTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hive_ice").toString
+      val srv = new HmsServer
+      val c = new HmsClient("127.0.0.1", srv.port)
+      try {
+        c.createDatabase("lake")
+        c.createTable(HmsTable("lake", "nation_hive",
+          Map("table_type" -> "ICEBERG")))
+        val n = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        n.write.parquet(s"$tmp/dataA")
+        val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/dataA")
+        val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+        HiveMetastore.commitWithLock(c, "lake", "nation_hive", None, loc1)
+        n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
+          .write.parquet(s"$tmp/dataB")
+        val c2 = IcebergMetadata.commit(s, tmp, s"$tmp/dataB",
+          operation = "replace")
+        val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
+        // lost update: the base this commit was staged against has
+        // moved — must conflict under the lock, not clobber
+        val conflicted = try {
+          HiveMetastore.commitWithLock(c, "lake", "nation_hive", None, loc2)
+          false
+        } catch {
+          case _: IcebergRestCatalog.CommitConflictException => true
+        }
+        require(conflicted, "stale-base Hive commit did not conflict")
+        HiveMetastore.commitWithLock(c, "lake", "nation_hive",
+          Some(loc1), loc2)
+        val current = c.getTable("lake", "nation_hive")
+          .parameters("metadata_location")
+        s.read.parquet(IcebergMetadata.dataFilePathsAt(current): _*)
+          .select("n_nationkey", "n_name", "n_regionkey")
+      } finally { c.close(); srv.close() }
+    }),
+
     // ---- K2 through the AWS GLUE catalog (reference
     //      catalog_type:glue → org.apache.iceberg.aws.glue.GlueCatalog)
     //      over the public Glue JSON-1.1 API, every request
@@ -3659,6 +3708,12 @@ object SparkEntry {
     // after rollback, main points at snapshot A again — plain nation
     "q_iceberg_rollback" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // same final state, committed under the HMS exclusive table lock
+    "q_iceberg_hive_catalog" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation""".stripMargin,
 
     // same final state, committed through the Glue VersionId lock
     "q_iceberg_glue_catalog" ->

@@ -1,0 +1,541 @@
+package graft.sinks
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+/** Hive Metastore catalog over the REAL Thrift binary wire protocol —
+  * the reference's `catalog_type: hive` (`destination/iceberg/
+  * java_client.go`, `hive_uri`/`hive_clients` config) re-expressed by
+  * hand-rolling the protocol instead of linking the Hive jars. Both
+  * the framing (strict TBinaryProtocol: version-word message header,
+  * typed field ids, STOP byte) and the API subset (create_database /
+  * create_table / get_table / alter_table / lock / check_lock /
+  * unlock from the public `hive_metastore.thrift`) are public
+  * interfaces; the loopback metastore serves them over a plain TCP
+  * socket exactly like a real HMS on 9083.
+  *
+  * Iceberg's Hive commit contract (HiveTableOperations): take the
+  * table's EXCLUSIVE metastore lock, re-read `metadata_location`,
+  * verify it still equals the base the snapshot was staged against
+  * (the lost-update check THE LOCK makes race-free), alter_table with
+  * the new location, unlock. Lock acquisition is the HMS poll shape:
+  * `lock` answers ACQUIRED or WAITING; a WAITING holder polls
+  * `check_lock` until the queue grants it.
+  */
+object HiveMetastore {
+
+  // thrift type bytes (TBinaryProtocol)
+  private val TStop = 0; private val TBool = 2; private val TI32 = 8
+  private val TI64 = 10; private val TString = 11; private val TStruct = 12
+  private val TMap = 13; private val TList = 15
+  private val Version1 = 0x80010000
+
+  // LockState enum (hive_metastore.thrift)
+  val Acquired = 1; val Waiting = 2; val NotAcquired = 4
+
+  private def writeString(o: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    o.writeInt(b.length); o.write(b)
+  }
+  private def readString(i: DataInputStream): String = {
+    val n = i.readInt(); val b = new Array[Byte](n); i.readFully(b)
+    new String(b, StandardCharsets.UTF_8)
+  }
+  private def writeField(o: DataOutputStream, t: Int, id: Int): Unit = {
+    o.writeByte(t); o.writeShort(id)
+  }
+  private def writeStringField(o: DataOutputStream, id: Int, v: String): Unit = {
+    writeField(o, TString, id); writeString(o, v)
+  }
+  private def writeMapField(o: DataOutputStream, id: Int,
+                            m: Map[String, String]): Unit = {
+    writeField(o, TMap, id)
+    o.writeByte(TString); o.writeByte(TString); o.writeInt(m.size)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      writeString(o, k); writeString(o, v)
+    }
+  }
+
+  /** Skip one value of thrift type `t` — forward compatibility: fields
+    * we don't model are walked over, never a parse error. */
+  private def skip(i: DataInputStream, t: Int): Unit = t match {
+    case TBool => i.readByte(): Unit
+    case 3     => i.readByte(): Unit
+    case 4     => i.readDouble(): Unit
+    case 6     => i.readShort(): Unit
+    case TI32  => i.readInt(): Unit
+    case TI64  => i.readLong(): Unit
+    case TString => val n = i.readInt(); i.skipNBytes(n)
+    case TStruct =>
+      var ft = i.readByte()
+      while (ft != TStop) { i.readShort(); skip(i, ft); ft = i.readByte() }
+    case TMap =>
+      val kt = i.readByte(); val vt = i.readByte(); val n = i.readInt()
+      (0 until n).foreach { _ => skip(i, kt); skip(i, vt) }
+    case TList | 14 =>
+      val et = i.readByte(); val n = i.readInt()
+      (0 until n).foreach(_ => skip(i, et))
+    case other => throw new IllegalStateException(s"thrift type $other")
+  }
+
+  /** Minimal Table: identity + parameters (optional thrift fields are
+    * legitimately omitted on the wire). */
+  case class HmsTable(dbName: String, tableName: String,
+                      parameters: Map[String, String])
+
+  private def writeTable(o: DataOutputStream, t: HmsTable): Unit = {
+    writeStringField(o, 1, t.tableName)
+    writeStringField(o, 2, t.dbName)
+    writeMapField(o, 9, t.parameters)
+    o.writeByte(TStop)
+  }
+
+  private def readTable(i: DataInputStream): HmsTable = {
+    var db = ""; var name = ""; var params = Map.empty[String, String]
+    var ft = i.readByte()
+    while (ft != TStop) {
+      val id = i.readShort()
+      (ft, id) match {
+        case (TString, 1) => name = readString(i)
+        case (TString, 2) => db = readString(i)
+        case (TMap, 9) =>
+          i.readByte(); i.readByte()
+          val n = i.readInt()
+          params = (0 until n).map(_ =>
+            readString(i) -> readString(i)).toMap
+        case _ => skip(i, ft)
+      }
+      ft = i.readByte()
+    }
+    HmsTable(db, name, params)
+  }
+
+  /** Metastore-side exception surfaced through a result struct. */
+  class HmsException(val errType: String, msg: String)
+      extends RuntimeException(s"$errType: $msg")
+
+  // ---- client ------------------------------------------------------------
+
+  class HmsClient(host: String, port: Int) extends AutoCloseable {
+    private val sock = new Socket(host, port)
+    private val out = new DataOutputStream(sock.getOutputStream)
+    private val in = new DataInputStream(sock.getInputStream)
+    private var seq = 0
+
+    private def call(method: String)(writeArgs: DataOutputStream => Unit)
+        : DataInputStream = {
+      seq += 1
+      val buf = new java.io.ByteArrayOutputStream()
+      val o = new DataOutputStream(buf)
+      o.writeInt(Version1 | 1) // CALL
+      writeString(o, method)
+      o.writeInt(seq)
+      writeArgs(o)
+      o.writeByte(TStop) // end args struct
+      out.write(buf.toByteArray); out.flush()
+      // reply
+      val ver = in.readInt()
+      require((ver & 0xffff0000) == Version1, f"bad thrift version $ver%08x")
+      val mtype = ver & 0xff
+      val name = readString(in)
+      require(name == method, s"reply for $name, expected $method")
+      in.readInt() // seqid
+      if (mtype == 3) { // TApplicationException
+        var msg = ""
+        var ft = in.readByte()
+        while (ft != TStop) {
+          val id = in.readShort()
+          if (ft == TString && id == 1) msg = readString(in) else skip(in, ft)
+          ft = in.readByte()
+        }
+        throw new HmsException("TApplicationException", msg)
+      }
+      in
+    }
+
+    /** Walk a result struct: field 0 = success (handled by `onSuccess`),
+      * any other field = a declared exception struct. The WHOLE struct
+      * is consumed (including the closing STOP) before any throw —
+      * bailing mid-walk would leave bytes behind and desync every
+      * later call on this connection. */
+    private def result[T](i: DataInputStream, onSuccess: => T,
+                          default: => T): T = {
+      var outV: Option[T] = None
+      var exc: Option[HmsException] = None
+      var ft = i.readByte()
+      while (ft != TStop) {
+        val id = i.readShort()
+        if (id == 0) outV = Some(onSuccess)
+        else if (ft == TStruct) {
+          // declared exception: {1: string message, 2: string type}
+          var msg = ""; var typ = s"exception-field-$id"
+          var et = i.readByte()
+          while (et != TStop) {
+            val eid = i.readShort()
+            if (et == TString && eid == 1) msg = readString(i)
+            else if (et == TString && eid == 2) typ = readString(i)
+            else skip(i, et)
+            et = i.readByte()
+          }
+          exc = Some(new HmsException(typ, msg))
+        } else skip(i, ft)
+        ft = i.readByte()
+      }
+      exc.foreach(throw _)
+      outV.getOrElse(default)
+    }
+
+    def createDatabase(name: String): Unit = {
+      val i = call("create_database") { o =>
+        writeField(o, TStruct, 1)
+        writeStringField(o, 1, name)
+        o.writeByte(TStop)
+      }
+      result(i, (), ())
+    }
+
+    def createTable(t: HmsTable): Unit = {
+      val i = call("create_table") { o =>
+        writeField(o, TStruct, 1); writeTable(o, t)
+      }
+      result(i, (), ())
+    }
+
+    def getTable(db: String, name: String): HmsTable = {
+      val i = call("get_table") { o =>
+        writeStringField(o, 1, db)
+        writeStringField(o, 2, name)
+      }
+      result(i, readTable(i),
+        throw new HmsException("NoSuchObjectException", s"$db.$name"))
+    }
+
+    def alterTable(db: String, name: String, t: HmsTable): Unit = {
+      val i = call("alter_table") { o =>
+        writeStringField(o, 1, db)
+        writeStringField(o, 2, name)
+        writeField(o, TStruct, 3); writeTable(o, t)
+      }
+      result(i, (), ())
+    }
+
+    /** EXCLUSIVE table lock request → (lockid, state). */
+    def lock(db: String, table: String): (Long, Int) = {
+      val i = call("lock") { o =>
+        writeField(o, TStruct, 1) // LockRequest
+        writeField(o, TList, 1)   //   1: component
+        o.writeByte(TStruct); o.writeInt(1)
+        writeField(o, TI32, 1); o.writeInt(3) // LockType.EXCLUSIVE
+        writeField(o, TI32, 2); o.writeInt(2) // LockLevel.TABLE
+        writeStringField(o, 3, db)
+        writeStringField(o, 4, table)
+        o.writeByte(TStop)
+        writeStringField(o, 5, "graft")      //   5: user
+        writeStringField(o, 6, "localhost")  //   6: hostname
+        o.writeByte(TStop)
+      }
+      result(i, {
+        var lockid = 0L; var state = NotAcquired
+        var ft = i.readByte()
+        while (ft != TStop) {
+          val id = i.readShort()
+          (ft, id) match {
+            case (TI64, 1) => lockid = i.readLong()
+            case (TI32, 2) => state = i.readInt()
+            case _ => skip(i, ft)
+          }
+          ft = i.readByte()
+        }
+        (lockid, state)
+      }, (0L, NotAcquired))
+    }
+
+    /** Poll a WAITING lock (HMS CheckLockRequest). */
+    def checkLock(lockid: Long): Int = {
+      val i = call("check_lock") { o =>
+        writeField(o, TStruct, 1)
+        writeField(o, TI64, 1); o.writeLong(lockid)
+        o.writeByte(TStop)
+      }
+      result(i, {
+        var state = NotAcquired
+        var ft = i.readByte()
+        while (ft != TStop) {
+          val id = i.readShort()
+          if (ft == TI32 && id == 2) state = i.readInt() else skip(i, ft)
+          ft = i.readByte()
+        }
+        state
+      }, NotAcquired)
+    }
+
+    def unlock(lockid: Long): Unit = {
+      val i = call("unlock") { o =>
+        writeField(o, TStruct, 1)
+        writeField(o, TI64, 1); o.writeLong(lockid)
+        o.writeByte(TStop)
+      }
+      result(i, (), ())
+    }
+
+    override def close(): Unit = sock.close()
+  }
+
+  // ---- loopback metastore ------------------------------------------------
+
+  class HmsServer extends AutoCloseable {
+    private val server = new ServerSocket(0)
+    private val databases =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val tables = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), Map[String, String]]()
+    // table-lock queue: (db, table) -> FIFO of lock ids; head = holder
+    private val lockQueues = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), java.util.ArrayDeque[Long]]()
+    private val lockTargets =
+      new java.util.concurrent.ConcurrentHashMap[Long, (String, String)]()
+    private val nextLock = new java.util.concurrent.atomic.AtomicLong(1L)
+    private val lock = new Object
+    @volatile private var closed = false
+
+    private val acceptor = new Thread(() => {
+      while (!closed) {
+        try {
+          val s = server.accept()
+          val t = new Thread(() => try serve(s) catch {
+            case _: Exception => ()
+          } finally s.close())
+          t.setDaemon(true); t.start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    def port: Int = server.getLocalPort
+    override def close(): Unit = { closed = true; server.close() }
+
+    private def reply(o: DataOutputStream, method: String, seq: Int)
+                     (writeResult: DataOutputStream => Unit): Unit = {
+      o.writeInt(Version1 | 2) // REPLY
+      writeString(o, method); o.writeInt(seq)
+      writeResult(o)
+      o.writeByte(TStop)
+      o.flush()
+    }
+
+    private def writeException(o: DataOutputStream, fieldId: Int,
+                               typ: String, msg: String): Unit = {
+      writeField(o, TStruct, fieldId)
+      writeStringField(o, 1, msg)
+      writeStringField(o, 2, typ)
+      o.writeByte(TStop)
+    }
+
+    private def serve(sock: Socket): Unit = {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (!closed) {
+        val ver = in.readInt()
+        require((ver & 0xffff0000) == Version1, "bad version")
+        val method = readString(in)
+        val seq = in.readInt()
+        method match {
+          case "create_database" =>
+            var name = ""
+            walkArgs(in) { (ft, id, i) =>
+              if (ft == TStruct && id == 1) {
+                var et = i.readByte()
+                while (et != TStop) {
+                  val eid = i.readShort()
+                  if (et == TString && eid == 1) name = readString(i)
+                  else skip(i, et)
+                  et = i.readByte()
+                }
+              } else skip(i, ft)
+            }
+            if (databases.add(name)) reply(out, method, seq)(_ => ())
+            else reply(out, method, seq)(writeException(_, 1,
+              "AlreadyExistsException", name))
+          case "create_table" =>
+            var t: HmsTable = null
+            walkArgs(in) { (ft, id, i) =>
+              if (ft == TStruct && id == 1) t = readTable(i) else skip(i, ft)
+            }
+            if (!databases.contains(t.dbName))
+              reply(out, method, seq)(writeException(_, 1,
+                "InvalidObjectException", t.dbName))
+            else if (tables.putIfAbsent((t.dbName, t.tableName),
+                t.parameters) != null)
+              reply(out, method, seq)(writeException(_, 1,
+                "AlreadyExistsException", s"${t.dbName}.${t.tableName}"))
+            else reply(out, method, seq)(_ => ())
+          case "get_table" =>
+            var db = ""; var name = ""
+            walkArgs(in) { (ft, id, i) =>
+              if (ft == TString && id == 1) db = readString(i)
+              else if (ft == TString && id == 2) name = readString(i)
+              else skip(i, ft)
+            }
+            Option(tables.get((db, name))) match {
+              case Some(params) => reply(out, method, seq) { o =>
+                writeField(o, TStruct, 0)
+                writeTable(o, HmsTable(db, name, params))
+              }
+              case None => reply(out, method, seq)(writeException(_, 1,
+                "NoSuchObjectException", s"$db.$name"))
+            }
+          case "alter_table" =>
+            var db = ""; var name = ""; var t: HmsTable = null
+            walkArgs(in) { (ft, id, i) =>
+              if (ft == TString && id == 1) db = readString(i)
+              else if (ft == TString && id == 2) name = readString(i)
+              else if (ft == TStruct && id == 3) t = readTable(i)
+              else skip(i, ft)
+            }
+            if (tables.replace((db, name), t.parameters) == null &&
+                !tables.containsKey((db, name)))
+              reply(out, method, seq)(writeException(_, 1,
+                "NoSuchObjectException", s"$db.$name"))
+            else reply(out, method, seq)(_ => ())
+          case "lock" =>
+            var db = ""; var table = ""
+            walkArgs(in) { (ft, id, i) =>
+              if (ft == TStruct && id == 1) {
+                var et = i.readByte()
+                while (et != TStop) {
+                  val eid = i.readShort()
+                  if (et == TList && eid == 1) {
+                    i.readByte(); val n = i.readInt()
+                    (0 until n).foreach { _ =>
+                      var ct = i.readByte()
+                      while (ct != TStop) {
+                        val cid = i.readShort()
+                        if (ct == TString && cid == 3) db = readString(i)
+                        else if (ct == TString && cid == 4)
+                          table = readString(i)
+                        else skip(i, ct)
+                        ct = i.readByte()
+                      }
+                    }
+                  } else skip(i, et)
+                  et = i.readByte()
+                }
+              } else skip(i, ft)
+            }
+            val (lockid, state) = lock.synchronized {
+              val id = nextLock.getAndIncrement()
+              val q = lockQueues.computeIfAbsent((db, table),
+                _ => new java.util.ArrayDeque[Long]())
+              q.addLast(id)
+              lockTargets.put(id, (db, table))
+              (id, if (q.peekFirst() == id) Acquired else Waiting)
+            }
+            reply(out, method, seq) { o =>
+              writeField(o, TStruct, 0)
+              writeField(o, TI64, 1); o.writeLong(lockid)
+              writeField(o, TI32, 2); o.writeInt(state)
+              o.writeByte(TStop)
+            }
+          case "check_lock" =>
+            var lockid = 0L
+            walkArgs(in) { (ft, id, i) =>
+              if (ft == TStruct && id == 1) {
+                var et = i.readByte()
+                while (et != TStop) {
+                  val eid = i.readShort()
+                  if (et == TI64 && eid == 1) lockid = i.readLong()
+                  else skip(i, et)
+                  et = i.readByte()
+                }
+              } else skip(i, ft)
+            }
+            val state = lock.synchronized {
+              Option(lockTargets.get(lockid)) match {
+                case None => NotAcquired
+                case Some(key) =>
+                  val q = lockQueues.get(key)
+                  if (q != null && q.peekFirst() == lockid) Acquired
+                  else Waiting
+              }
+            }
+            reply(out, method, seq) { o =>
+              writeField(o, TStruct, 0)
+              writeField(o, TI32, 2); o.writeInt(state)
+              o.writeByte(TStop)
+            }
+          case "unlock" =>
+            var lockid = 0L
+            walkArgs(in) { (ft, id, i) =>
+              if (ft == TStruct && id == 1) {
+                var et = i.readByte()
+                while (et != TStop) {
+                  val eid = i.readShort()
+                  if (et == TI64 && eid == 1) lockid = i.readLong()
+                  else skip(i, et)
+                  et = i.readByte()
+                }
+              } else skip(i, ft)
+            }
+            lock.synchronized {
+              Option(lockTargets.remove(lockid)).foreach { key =>
+                val q = lockQueues.get(key)
+                if (q != null) q.remove(lockid)
+              }
+            }
+            reply(out, method, seq)(_ => ())
+          case other =>
+            // TApplicationException UNKNOWN_METHOD
+            walkArgs(in)((ft, _, i) => skip(i, ft))
+            out.writeInt(Version1 | 3)
+            writeString(out, other); out.writeInt(seq)
+            writeStringField(out, 1, s"unknown method $other")
+            writeField(out, TI32, 2); out.writeInt(1)
+            out.writeByte(TStop)
+            out.flush()
+        }
+      }
+    }
+
+    private def walkArgs(i: DataInputStream)
+                        (f: (Int, Int, DataInputStream) => Unit): Unit = {
+      var ft = i.readByte()
+      while (ft != TStop) {
+        val id = i.readShort()
+        f(ft, id, i)
+        ft = i.readByte()
+      }
+    }
+  }
+
+  // ---- Iceberg-over-HMS commit flow --------------------------------------
+
+  /** HiveTableOperations' commit: exclusive lock → re-read + base check
+    * → alter_table pointer swap → unlock. Throws
+    * [[IcebergRestCatalog.CommitConflictException]] on a lost update. */
+  def commitWithLock(c: HmsClient, db: String, table: String,
+                     expectedLocation: Option[String],
+                     newLocation: String,
+                     pollMillis: Int = 5): Unit = {
+    val (lockid, st0) = c.lock(db, table)
+    try {
+      var state = st0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (state == Waiting && System.nanoTime() < deadline) {
+        Thread.sleep(pollMillis.toLong)
+        state = c.checkLock(lockid)
+      }
+      require(state == Acquired, s"lock not acquired: state $state")
+      val t = c.getTable(db, table)
+      val current = t.parameters.get("metadata_location")
+      if (current != expectedLocation)
+        throw new IcebergRestCatalog.CommitConflictException(
+          s"metadata_location moved: expected $expectedLocation, " +
+            s"found $current")
+      val params = t.parameters ++
+        Map("metadata_location" -> newLocation) ++
+        current.map("previous_metadata_location" -> _)
+      c.alterTable(db, table, HmsTable(db, table, params))
+    } finally c.unlock(lockid)
+  }
+}

@@ -878,6 +878,54 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("HMS thrift: lock queue — second locker WAITS, acquires after unlock, commits serialize") {
+    import graft.sinks.HiveMetastore
+    import HiveMetastore.{HmsClient, HmsServer, HmsTable}
+    val srv = new HmsServer
+    val a = new HmsClient("127.0.0.1", srv.port)
+    val b = new HmsClient("127.0.0.1", srv.port)
+    try {
+      a.createDatabase("g")
+      a.createTable(HmsTable("g", "t", Map.empty))
+      val (la, sa) = a.lock("g", "t")
+      assert(sa == HiveMetastore.Acquired)
+      val (lb, sb) = b.lock("g", "t")
+      assert(sb == HiveMetastore.Waiting, "second EXCLUSIVE lock must wait")
+      assert(b.checkLock(lb) == HiveMetastore.Waiting)
+      a.unlock(la)
+      assert(b.checkLock(lb) == HiveMetastore.Acquired,
+        "queue head after unlock")
+      b.unlock(lb)
+      // full commit flow through the lock, twice, with conflict detect
+      HiveMetastore.commitWithLock(a, "g", "t", None, "loc1")
+      intercept[graft.sinks.IcebergRestCatalog.CommitConflictException](
+        HiveMetastore.commitWithLock(b, "g", "t", None, "loc2"))
+      HiveMetastore.commitWithLock(b, "g", "t", Some("loc1"), "loc2")
+      assert(a.getTable("g", "t").parameters("metadata_location") == "loc2")
+      assert(a.getTable("g", "t")
+        .parameters("previous_metadata_location") == "loc1")
+    } finally { a.close(); b.close(); srv.close() }
+  }
+
+  test("HMS thrift error shapes: NoSuchObject, AlreadyExists, unknown method") {
+    import graft.sinks.HiveMetastore
+    import HiveMetastore.{HmsClient, HmsException, HmsServer, HmsTable}
+    val srv = new HmsServer
+    val c = new HmsClient("127.0.0.1", srv.port)
+    try {
+      c.createDatabase("g")
+      val e1 = intercept[HmsException](c.getTable("g", "nope"))
+      assert(e1.errType == "NoSuchObjectException")
+      val e2 = intercept[HmsException](c.createDatabase("g"))
+      assert(e2.errType == "AlreadyExistsException")
+      c.createTable(HmsTable("g", "t", Map("k" -> "v")))
+      val e3 = intercept[HmsException](
+        c.createTable(HmsTable("g", "t", Map.empty)))
+      assert(e3.errType == "AlreadyExistsException")
+      assert(c.getTable("g", "t").parameters == Map("k" -> "v"))
+    } finally { c.close(); srv.close() }
+  }
+
   test("REST catalog error shapes: unknown table 404, double create 409, unregistered storage 400") {
     import graft.sinks.IcebergRestCatalog
     val tmp = Files.createTempDirectory("graft_rest_err").toString
