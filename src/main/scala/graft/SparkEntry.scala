@@ -2573,6 +2573,16 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 200)),
 
+    // ---- LLM: deterministic EPOCH SHUFFLE — reproducible global
+    //      permutation by md5(seed‖id) rank, built as the scalable
+    //      two-phase distributed rank (range-partitioned sort + local
+    //      row numbers + per-partition offsets), never a
+    //      single-partition global window ----
+    "q_epoch_shuffle" -> ((s, dir) =>
+      TextAnalysis.epochShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id", "ep0")
+        .select("doc_id", "shuffle_pos")),
+
     // ---- LLM: BPE APPLY — tokenize the corpus with a fixed ranked
     //      merge table (the op that actually runs at 100 TB; mining is
     //      the sample-sized half). Greedy rank-ordered merging as a
@@ -4089,6 +4099,14 @@ object SparkEntry {
         |  FROM w)
         |SELECT pair, sum(freq) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200""".stripMargin,
+
+    // the same md5(seed‖id) global rank, recomputed flat
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('ep0-' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     // the identical separator-join + rank-ordered replace fold,
     // generated from the SAME BpeMerges list the gate compiles

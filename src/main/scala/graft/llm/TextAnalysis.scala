@@ -214,6 +214,43 @@ object TextAnalysis {
     when(h < t1, "train").when(h < t2, "validation").otherwise("test")
   }
 
+  /** Deterministic EPOCH SHUFFLE: a reproducible global permutation of
+    * the corpus per (seed, epoch) — what a training run needs instead
+    * of `orderBy(rand())`, whose order depends on partition layout and
+    * can never be replayed for a crashed run or audited against a loss
+    * spike. Position = global rank of md5(seed ‖ id); different seeds
+    * give independent permutations (epoch k uses seed "base-k"), and
+    * any engine rederives byte-identical order.
+    *
+    * Scale shape — the standard two-phase distributed rank, NOT a
+    * global `Window.orderBy` (which executes single-partition): one
+    * range-partitioned sort on the hash (the TeraSort shape that
+    * shuffles 100 TB routinely), per-partition local row numbers, and
+    * a per-partition offset table (|partitions| rows — planner-side
+    * metadata, like chunk boundaries) added back broadcast-style. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val h = md5(concat(lit(seed), lit("-"), col(idCol).cast("string")))
+    val sorted = df.withColumn("__h", h)
+      .repartitionByRange(n, col("__h"), col(idCol))
+      .sortWithinPartitions("__h", idCol)
+      .withColumn("__pid", spark_partition_id())
+    val counts = sorted.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
+      .map { case (off, (pid, _)) => pid -> off }.toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, off).otherwise(acc)
+    }
+    sorted.withColumn("shuffle_pos",
+      offsetExpr + row_number().over(
+        Window.partitionBy("__pid").orderBy("__h", idCol)).cast("long") - 1)
+      .drop("__h", "__pid")
+  }
+
   /** PII scrubbing — the redaction pass every public training-data
     * pipeline runs before release: emails, IPv4 addresses, and phone
     * numbers become typed placeholder tokens. A pure `regexp_replace`
