@@ -1896,6 +1896,38 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // ---- The reference's PRIMARY deployment shape end-to-end: the
+    //      `sync` verb lands a stream, the result is staged as an
+    //      Iceberg snapshot (engine writes manifests + list), the
+    //      snapshot is committed through the REST catalog, and the
+    //      read path resolves the CATALOG pointer — verb → destination
+    //      → catalog in one flow, not three isolated gates. ----
+    "q_sync_iceberg_catalog" -> ((s, dir) => {
+      import graft.sinks.IcebergRestCatalog
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_sync_ice").toString
+      val state = s"$dest/state.json"
+      val rows = Protocol.syncStream(s, dir, dest,
+        Protocol.StreamConfig("nation"), state)
+      require(rows == 25L, s"sync landed $rows rows")
+      val tableDir = s"$dest/nation_ice"
+      val srv = new IcebergRestCatalog.Server(
+        Map(("graft", "nation_sync") -> tableDir))
+      try {
+        val c = new IcebergRestCatalog.Client(srv.endpoint)
+        c.createNamespace("graft"); c.createTable("graft", "nation_sync")
+        val staged = IcebergMetadata.stageSnapshot(s, tableDir,
+          s"$dest/nation", 1L)
+        val loc = c.commitSnapshot("graft", "nation_sync", None, staged)
+        val st = c.loadTable("graft", "nation_sync")
+        require(st.metadataLocation.contains(loc) &&
+          st.currentSnapshotId.contains(staged.snapshotId),
+          "catalog does not reflect the sync commit")
+        s.read.parquet(IcebergMetadata.dataFilePathsAt(loc): _*)
+          .select("n_nationkey", "n_name", "n_regionkey")
+      } finally srv.close()
+    }),
+
     // ---- K2 through the HIVE METASTORE over hand-rolled Thrift
     //      binary protocol (reference catalog_type:hive, hive_uri):
     //      create_database / create_table / get_table / alter_table /
@@ -3717,6 +3749,10 @@ object SparkEntry {
 
     // after rollback, main points at snapshot A again — plain nation
     "q_iceberg_rollback" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // the synced stream read back through the catalog pointer
+    "q_sync_iceberg_catalog" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     // same final state, committed under the HMS exclusive table lock
