@@ -982,6 +982,20 @@ object Binlog {
     finish(TransactionPayloadEvent, tsSec, body)
   }
 
+  /** ROTATE_EVENT (type 4): u64 first-position-in-next-file + the next
+    * binlog file name (no NUL). The server emits one at every log-file
+    * switch and at dump start; a replica must track the new file name
+    * or its saved (file, pos) resume coordinates go stale. Fixture/test
+    * side of `BinlogClient.currentFile`. */
+  def encodeRotate(nextFile: String, position: Long = 4L,
+                   tsSec: Long = 0L): Array[Byte] = {
+    val fb = nextFile.getBytes(StandardCharsets.UTF_8)
+    val body = ByteBuffer.allocate(8 + fb.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    body.putLong(position).put(fb)
+    finish(4, tsSec, body)
+  }
+
   /** QUERY_EVENT (type 2): thread_id u32, exec_time u32, schema_len u8,
     * error_code u16, status_vars_len u16, status vars, schema NUL, SQL
     * text. The server emits one per DDL statement (ALTER/CREATE/DROP)

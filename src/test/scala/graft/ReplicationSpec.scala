@@ -519,6 +519,41 @@ class ReplicationSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("binlog ROTATE mid-stream: client tracks the new file, post-rotate rows decode") {
+    import graft.cdc.{Binlog, BinlogClient}
+    val colTypes = Array(8, 15); val colMeta = Array(0, 255)
+    val tm = Binlog.encodeTableMap(99L, "db", "t", colTypes, colMeta,
+      Seq("id", "name"))
+    def write(pos: Long, i: Int): (Long, Array[Byte]) =
+      (pos, Binlog.encodeWrite(99L, colTypes, colMeta, 1000L + i,
+        Seq(Seq(i.toString, s"r$i"))))
+    // a log-file switch mid-dump: positions RESTART in the new file
+    // and the server re-serves a TABLE_MAP there, as mysqld does
+    val events = Seq((5L, tm), write(20L, 1), write(30L, 2),
+      (40L, Binlog.encodeRotate("binlog.000002", position = 4L)),
+      (5L, tm), write(20L, 3), write(30L, 4))
+    val srv = new MySqlLoopback(Seq(events), closeAfterSend = true)
+    try {
+      val c = new BinlogClient("127.0.0.1", srv.port, startPos = 0L)
+      assert(c.currentFile == "binlog.000001")
+      val buf = mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!c.sessionClosed && System.nanoTime() < deadline)
+        buf ++= c.poll()
+      c.close()
+      assert(c.currentFile == "binlog.000002",
+        s"rotate not tracked: ${c.currentFile}")
+      // all four rows arrived despite the position restart
+      import spark.implicits._
+      val decoded = graft.cdc.Binlog.decode(
+        buf.toSeq.toDF("lsn", "msg"), "lsn", "msg")
+      val ids = decoded
+        .where(org.apache.spark.sql.functions.col("kind") === "insert")
+        .collect().map(_.getAs[Seq[String]]("after").head.toLong).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally srv.close()
+  }
+
   test("graft-binlog-socket: REAL MySQL wire session, TABLE_MAP replayed across batches") {
     import graft.cdc.Binlog
     val colTypes = Array(8, 15) // LONGLONG, VARCHAR
