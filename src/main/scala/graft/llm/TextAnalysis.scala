@@ -230,25 +230,35 @@ object TextAnalysis {
     * metadata, like chunk boundaries) added back broadcast-style. */
   def epochShuffle(df: DataFrame, idCol: String, seed: String,
                    partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val h = md5(concat(lit(seed), lit("-"), col(idCol).cast("string")))
-    val sorted = df.withColumn("__h", h)
+    // ONE range-partitioned sort; the local ordinal comes free from
+    // monotonically_increasing_id (upper bits = partition id, lower 33
+    // = position within the partition) — no second exchange, no
+    // single-partition window. Materialized through the session
+    // scratch so the offset pass and the result read the same sorted
+    // bytes and the sort executes exactly once.
+    val sortedPlan = df.withColumn("__h", h)
       .repartitionByRange(n, col("__h"), col(idCol))
       .sortWithinPartitions("__h", idCol)
-      .withColumn("__pid", spark_partition_id())
-    val counts = sorted.groupBy("__pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .withColumn("__mid", monotonically_increasing_id())
+    val path = Dedup.Scratch.next(df)
+    sortedPlan.write.mode("overwrite").parquet(path)
+    val sorted = df.sparkSession.read.parquet(path)
+    val pid = shiftright(col("__mid"), 33)
+    // per-partition sizes → prefix-sum offsets: |partitions| rows of
+    // planner-side metadata, like chunk boundaries
+    val counts = sorted.groupBy(pid.as("__pid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
-      .map { case (off, (pid, _)) => pid -> off }.toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, off).otherwise(acc)
+      .map { case (off, (p, _)) => p -> off }
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(pid === p, off).otherwise(acc)
     }
     sorted.withColumn("shuffle_pos",
-      offsetExpr + row_number().over(
-        Window.partitionBy("__pid").orderBy("__h", idCol)).cast("long") - 1)
-      .drop("__h", "__pid")
+      offsetExpr + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__h", "__mid")
   }
 
   /** PII scrubbing — the redaction pass every public training-data
