@@ -265,6 +265,17 @@ object DedupStream {
 
   /** Streaming curated-ingest pipeline: [[applyBatchCurated]] per
     * micro-batch, AvailableNow trigger. */
+  /** Bounded-arrival reader: `maxFilesPerTrigger` caps each
+    * micro-batch's file count (Spark's file-source rate control) — at
+    * 100 TB arrival this is what keeps a single trigger's probe join
+    * sized to the index, not to the backlog. 0 = unbounded. */
+  private def reader(spark: SparkSession, schema: StructType,
+                     maxFilesPerTrigger: Int) = {
+    val r = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+  }
+
   def runCurated(spark: SparkSession, srcDir: String, schema: StructType,
                  prefix: String, indexPath: String, corpusDir: String,
                  statePath: String, ckpt: String, slots: Int,
@@ -503,8 +514,8 @@ object DedupStream {
   def run(spark: SparkSession, srcDir: String, schema: StructType,
           prefix: String, indexPath: String, corpusDir: String,
           statePath: String, ckpt: String,
-          slots: Int = 64): StreamingQuery =
-    spark.readStream.schema(schema).json(srcDir)
+          slots: Int = 64, maxFilesPerTrigger: Int = 0): StreamingQuery =
+    reader(spark, schema, maxFilesPerTrigger).json(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, id: Long) =>

@@ -516,4 +516,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupStream.applyBatch(b2, 2L, "graft_ds_spec", idx, corpus, state, 4)
     assert(corpusIds() == Set(1L, 2L, 3L, 11L, 21L, 31L))
   }
+
+  test("maxFilesPerTrigger bounds each micro-batch: 3 staged files → 3 batch segments") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    import graft.llm.Dedup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    val root = tmp()
+    val src = s"$root/src"; new java.io.File(src).mkdirs()
+    val idx = s"$root/idx"; val corpus = s"$root/corpus"
+    val state = s"$root/state.json"; val ckpt = s"$root/ckpt"
+    val init = Seq((1L, "seed document for the index"))
+      .toDF("doc_id", "text")
+    init.write.parquet(s"$corpus/base")
+    Dedup.exactIndexStore(init, "text", "doc_id", "graft_mft_spec",
+      idx, slots = 4)
+    val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(src, s"f$i.json"),
+        s"""{"doc_id":${10 + i},"text":"fresh content number $i"}"""
+          .getBytes)
+    }
+    DedupStream.run(spark, src, schema, "graft_mft_spec", idx, corpus,
+      state, ckpt, slots = 4, maxFilesPerTrigger = 1).awaitTermination()
+    // rate control: one file per trigger → three per-batchId segments
+    val segs = new java.io.File(corpus).listFiles
+      .filter(_.getName.matches("b\\d+")).map(_.getName).sorted
+    assert(segs.toSeq == Seq("b0", "b1", "b2"), segs.mkString(","))
+    val ids = DedupStream.readCorpus(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 10L, 11L, 12L))
+  }
 }
