@@ -45,6 +45,19 @@ object Main {
           println(s"""{"status":"error","message":"$msg"}"""); sys.exit(1)
       }
 
+    // check-dest <destDir>: the destination half of `check` —
+    // write/read/clean a probe record (reference check.go destination
+    // branch)
+    case "check-dest" :: dest :: Nil =>
+      val spark = session()
+      val r = Protocol.checkDestination(spark, dest)
+      spark.stop()
+      r match {
+        case Right(_) => println("""{"status":"ok"}""")
+        case Left(msg) =>
+          println(s"""{"status":"error","message":"$msg"}"""); sys.exit(1)
+      }
+
     case "discover" :: src :: streams :: Nil =>
       val spark = session()
       println(Protocol.discover(spark, src, streams.split(",").toSeq))
@@ -127,7 +140,7 @@ object Main {
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | discover | sync | clear | curate | profile")
+          "usage: spec | check | check-dest | discover | sync | clear | curate | profile")
       sys.exit(2)
   }
 }

@@ -58,6 +58,29 @@ object Protocol {
       catch { case e: Exception => Left(s"unreadable: ${e.getMessage}") }
   }
 
+  /** `check --destination` analog (reference check.go:39-41: the
+    * writer-pool construction IS the connectivity probe): write a probe
+    * record to the destination, read it back, clean up. With a catalog
+    * probe attached, the catalog's own handshake runs too — the shape
+    * real deployments need before a 12-hour sync starts, not after. */
+  def checkDestination(spark: SparkSession, destDir: String,
+                       catalogProbe: Option[() => Unit] = None)
+      : Either[String, Unit] =
+    try {
+      import spark.implicits._
+      val probe = s"$destDir/.graft_check_${java.util.UUID.randomUUID()}"
+      Seq((1L, "probe")).toDF("id", "v").write.parquet(probe)
+      val n = spark.read.parquet(probe).count()
+      graft.sinks.ParquetSink.clear(spark, probe)
+      if (n != 1L) Left(s"probe wrote 1 row, read $n")
+      else {
+        catalogProbe.foreach(p => p())
+        Right(())
+      }
+    } catch { case e: Exception =>
+      Left(s"destination check failed: ${e.getMessage}")
+    }
+
   /** `discover`: catalog JSON for every stream in the source dir. */
   def discover(spark: SparkSession, sourceDir: String,
                names: Seq[String]): String =

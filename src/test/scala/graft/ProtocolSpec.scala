@@ -30,6 +30,22 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.left.exists(_.contains("nope")))
   }
 
+  test("check-dest: probe write/read/clean succeeds; catalog probe failure surfaces; unwritable path errors") {
+    val dest = Files.createTempDirectory("graft_chkd").toString
+    assert(Protocol.checkDestination(spark, dest).isRight)
+    // the probe cleaned up after itself
+    assert(new java.io.File(dest).listFiles.forall(
+      !_.getName.startsWith(".graft_check_")))
+    val failing = Protocol.checkDestination(spark, dest,
+      catalogProbe = Some(() =>
+        throw new RuntimeException("catalog unreachable")))
+    assert(failing.left.exists(_.contains("catalog unreachable")))
+    // a FILE in the parent path makes the destination unwritable
+    val blocker = Files.createTempFile("graft_blocker", ".txt")
+    assert(Protocol.checkDestination(spark,
+      s"$blocker/sub").isLeft)
+  }
+
   test("discover emits a parseable catalog with canonical types and PKs") {
     val cat = Protocol.discover(spark, src, Seq("nation", "events"))
     assert(cat.contains(""""name": "nation""""))
