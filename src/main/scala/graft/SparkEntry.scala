@@ -60,6 +60,15 @@ object SparkEntry {
         s"replace($acc, '$a' || chr(1) || '$b', '$a$b')"
     }
 
+  /** DuckDB rendering of the lowbias32 sign bit `randomProject` uses —
+    * generated so gate and oracle share one definition. */
+  private def lowbias32BitSql(k: String): String = {
+    val h0 = s"(($k) & 4294967295)"
+    val h1 = s"((xor($h0, ($h0 >> 16)) * 73244475) & 4294967295)"
+    val h2 = s"((xor($h1, ($h1 >> 16)) * 73244475) & 4294967295)"
+    s"(xor($h2, ($h2 >> 16)) & 1)"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -3965,19 +3974,19 @@ object SparkEntry {
 
     // The contract, not the float bits: unit when the source norm is
     // positive, null when degenerate.
-    // same deterministic ±1 hash, same sequential fold order → the
-    // doubles match bit-for-bit
+    // same deterministic lowbias32 sign bit (rendered from the shared
+    // definition), same sequential fold order → bit-for-bit doubles
     "q_vec_project" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |js AS (SELECT unnest(range(0, 16)) AS j)
-        |SELECT e.vec_id, CAST(js.j AS INT) AS j,
-        |  list_reduce(list_transform(range(1, array_length(v) + 1),
-        |    i -> v[i] * (CASE WHEN (((CAST(i - 1 AS BIGINT) * 1103515245
-        |                  + js.j * 12345) >> 16) & 1) = 0
-        |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
-        |    (a, b) -> a + b) AS value
-        |FROM e, js""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |js AS (SELECT unnest(range(0, 16)) AS j)
+         |SELECT e.vec_id, CAST(js.j AS INT) AS j,
+         |  list_reduce(list_transform(range(1, array_length(v) + 1),
+         |    i -> v[i] * (CASE WHEN ${lowbias32BitSql(
+                "CAST(i - 1 AS BIGINT) * 4099 + js.j")} = 0
+         |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+         |    (a, b) -> a + b) AS value
+         |FROM e, js""".stripMargin,
 
     "q_vec_norm" ->
       """SELECT vec_id,

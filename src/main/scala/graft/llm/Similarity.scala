@@ -387,9 +387,23 @@ object Similarity {
     array((0 until outDims).map { j =>
       aggregate(sequence(lit(0), size(vec) - 1), lit(0.0d),
         (acc, i) => {
-          val s = i.cast("long") * lit(1103515245L) + lit(j * 12345L)
-          val sign = when(shiftright(s, 16).bitwiseAND(lit(1L)) === 0,
-            lit(1.0d)).otherwise(lit(-1.0d))
+          // sign(i, j) must be a REAL integer mix of (i, j): a linear
+          // i·a + j·b draw makes adjacent output dims near-copies, and
+          // a single Weyl multiply's bit-16 sequence is Sturmian (both
+          // measured: column correlations up to 1.0, recall ≈ 0). The
+          // lowbias32 finalizer over k = i·4099 + j measures at the
+          // ideal column-correlation level (mean |ρ| ≈ 1/√64) and
+          // every op stays < 2^59 — int64-safe on ANSI engines, so the
+          // DuckDB oracle replays it exactly.
+          val m = lit(4294967295L)
+          val k = (i.cast("long") * lit(4099L) + lit(j.toLong))
+            .bitwiseAND(m)
+          def mulStep(h: Column): Column =
+            (h.bitwiseXOR(shiftright(h, 16)) * lit(73244475L))
+              .bitwiseAND(m)
+          val h2 = mulStep(mulStep(k))
+          val bit = h2.bitwiseXOR(shiftright(h2, 16)).bitwiseAND(lit(1L))
+          val sign = when(bit === 0, lit(1.0d)).otherwise(lit(-1.0d))
           acc + element_at(vec, i + 1).cast("double") * sign
         })
     }: _*)

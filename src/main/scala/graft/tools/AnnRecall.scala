@@ -51,6 +51,26 @@ object AnnRecall {
         s"hit=${(exactPairs & lshPairs).size} " +
         s"recall=${(exactPairs & lshPairs).size.toDouble / exactPairs.size}")
     }
+
+    // random-projection quality, measured on the signal that exists:
+    // the fixture's PLANTED near-dup pairs (cos ≥ 0.35). Top-k of
+    // arbitrary queries in this fixture is noise (uniform vectors have
+    // no stable neighbors; any ε-distortion reorders them) — what the
+    // 100 TB pre-ANN reduction must preserve is the true-duplicate
+    // signal, so recall/precision of the planted pairs under a
+    // projected-space threshold is the honest metric.
+    for (dims <- Seq(8, 16, 32); thr <- Seq(0.2, 0.3)) {
+      def proj(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+          Similarity.randomProject(col("embedding"), dims).as("embedding"))
+      val prPairs = Dedup.cosinePairs(proj(sub), "vec_id", "embedding", thr)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val hit = (exactPairs & prPairs).size
+      println(f"randProjPairs(d=$dims,thr=$thr): exact=${exactPairs.size} " +
+        f"found=${prPairs.size} hit=$hit " +
+        f"recall=${hit.toDouble / exactPairs.size}%.2f " +
+        f"precision=${if (prPairs.isEmpty) 0.0 else hit.toDouble / prPairs.size}%.2f")
+    }
     spark.stop()
   }
 }
