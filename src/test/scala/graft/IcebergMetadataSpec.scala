@@ -907,6 +907,37 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { a.close(); b.close(); srv.close() }
   }
 
+  test("HMS thrift roundtrip property: random names/parameters survive create→get→alter→get") {
+    import graft.sinks.HiveMetastore
+    import HiveMetastore.{HmsClient, HmsServer, HmsTable}
+    val srv = new HmsServer
+    val c = new HmsClient("127.0.0.1", srv.port)
+    try {
+      c.createDatabase("propdb")
+      val rnd = new scala.util.Random(42)
+      def randStr(): String = {
+        // exercise multi-byte UTF-8, quotes, separators — the codec is
+        // length-prefixed so none of it may matter
+        val pool = "abcXYZ019 _-./:{}\"'\\βαγ✓漢"
+        (0 until (1 + rnd.nextInt(24)))
+          .map(_ => pool(rnd.nextInt(pool.length))).mkString
+      }
+      (0 until 25).foreach { i =>
+        val name = s"t$i"
+        val params = (0 until rnd.nextInt(8))
+          .map(k => s"k${i}_$k" -> randStr()).toMap
+        c.createTable(HmsTable("propdb", name, params))
+        assert(c.getTable("propdb", name).parameters == params,
+          s"create/get mismatch for $name")
+        val params2 = params ++ (0 until rnd.nextInt(4))
+          .map(k => s"m${i}_$k" -> randStr()).toMap
+        c.alterTable("propdb", name, HmsTable("propdb", name, params2))
+        assert(c.getTable("propdb", name).parameters == params2,
+          s"alter/get mismatch for $name")
+      }
+    } finally { c.close(); srv.close() }
+  }
+
   test("HMS thrift error shapes: NoSuchObject, AlreadyExists, unknown method") {
     import graft.sinks.HiveMetastore
     import HiveMetastore.{HmsClient, HmsException, HmsServer, HmsTable}
