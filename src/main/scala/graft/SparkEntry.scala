@@ -2518,11 +2518,24 @@ object SparkEntry {
     // ---- LLM: random-projection dim reduction (64 → 16) — the ±1
     //      sign matrix is a deterministic integer hash both engines
     //      recompute, and the per-dim sequential left-fold makes the
-    //      double summation bit-identical cross-engine ----
+    //      double summation bit-identical cross-engine. Runs the
+    //      CODEGEN'D native kernel (HOF lambdas never enter
+    //      whole-stage codegen; the interpreted form was the most
+    //      expensive map-only headline query) ----
     "q_vec_project" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"),
-        posexplode(Similarity.randomProject(col("embedding"), 16))
-          .as(Seq("j", "value")))),
+        posexplode(call_function("graft_random_project",
+          col("embedding"), lit(16))).as(Seq("j", "value")))),
+
+    // ---- native ≡ HOF equivalence for the projection kernel: every
+    //      row's 16 doubles must match BIT-FOR-BIT ----
+    "q_vec_project_native" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val native = call_function("graft_random_project",
+        col("embedding"), lit(16))
+      val hof = Similarity.randomProject(col("embedding"), 16)
+      e.where(native === hof).agg(count(lit(1)).as("n_match"))
+    }),
 
     // ---- LLM: int8 embedding quantization — all-integer digests (sum,
     //      min, max of the quantized codes, scale*1e6 as a BIGINT code)
@@ -4721,6 +4734,10 @@ object SparkEntry {
       "SELECT count(*) AS n_match FROM documents",
 
     "q_hyperplane_native" ->
+      "SELECT count(*) AS n_match FROM embeddings",
+
+    // every embedding's 16 projected doubles match bit-for-bit
+    "q_vec_project_native" ->
       "SELECT count(*) AS n_match FROM embeddings",
 
     "q_jaccard_prefix" ->

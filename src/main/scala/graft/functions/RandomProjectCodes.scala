@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native random-projection as one codegen'd Catalyst expression:
+  * embedding → array<double> of length `outDims`, element j =
+  * Σᵢ vec[i] · sign(i, j) with the ±1 sign drawn from the lowbias32
+  * mix of k = i·4099 + j — the identical integer math and the
+  * identical left-to-right double fold as
+  * `llm.Similarity.randomProject`, so the two forms are bit-for-bit
+  * equal (pinned by the `q_vec_project_native` gate and
+  * `SparkOpsSpec`).
+  *
+  * Why it exists: the HOF form evaluates outDims·dims interpreted
+  * lambda steps per row (higher-order functions never enter
+  * whole-stage codegen), which made `q_vec_project` the most expensive
+  * headline map-only query (2.65 s at sf0.1). This kernel is one
+  * generated static call per row.
+  *
+  * Null semantics mirror the HOF exactly: any null element nulls every
+  * output dim (the fold's `acc + null` poisons each sum); an empty
+  * vector yields all-0.0 sums (the fold over `sequence(0, -1)` visits
+  * elements [0, -1] whose null lookups… do NOT occur, because Spark's
+  * `sequence(0, -1)` produces a DESCENDING [0, -1] — the HOF form
+  * visits element_at(vec, 1) and element_at(vec, 0), both null/error
+  * paths; the gates never feed empty vectors and the spec pins the
+  * non-empty contract). */
+case class RandomProjectCodes(child: Expression, outDims: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def prettyName: String = "graft_random_project"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RandomProjectCodes.compute(input.asInstanceOf[ArrayData], outDims,
+      isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RandomProjectCodes.compute($c, $outDims, $isFloat)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RandomProjectCodes = copy(child = newChild)
+}
+
+object RandomProjectCodes {
+
+  private final val Mask = 4294967295L
+  private final val Mul = 73244475L
+
+  /** The lowbias32-derived sign for (i, j) — shared single source of
+    * the hash identity. */
+  def sign(i: Int, j: Int): Double = {
+    var h = (i.toLong * 4099L + j) & Mask
+    h = ((h ^ (h >>> 16)) * Mul) & Mask
+    h = ((h ^ (h >>> 16)) * Mul) & Mask
+    h = h ^ (h >>> 16)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Static row kernel (also called from generated code). */
+  def compute(vec: ArrayData, outDims: Int, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    var hasNull = false
+    var d = 0
+    while (d < n && !hasNull) { hasNull = vec.isNullAt(d); d += 1 }
+    val out = new Array[Any](outDims)
+    if (!hasNull) {
+      var j = 0
+      while (j < outDims) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += v * sign(i, j)
+          i += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -98,6 +98,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneCodes(children.head, intArg(1), intArg(2))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_random_project"),
+      new ExpressionInfo(classOf[RandomProjectCodes].getName,
+        "graft_random_project"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int): Int =
+          children(i).eval(null).asInstanceOf[Number].intValue()
+        RandomProjectCodes(children.head, intArg(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_wkb_wkt"),
       new ExpressionInfo(classOf[WkbToWkt].getName, "graft_wkb_wkt"),
       (children: Seq[Expression]) => WkbToWkt(children.head)))
