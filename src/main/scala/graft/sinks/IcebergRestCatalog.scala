@@ -45,7 +45,51 @@ object IcebergRestCatalog {
                         lastSequenceNumber: Long,
                         metadataLocation: Option[String])
 
-  class Client(endpoint: String) {
+  /** The reference's REST auth surface (`destination/iceberg/config.go:
+    * 69-76` — token / oauth2_uri + rest_auth_type / rest_signing_v_4):
+    * a static bearer token, the spec's own `POST /v1/oauth/tokens`
+    * client-credentials flow, or AWS SigV4 request signing (S3
+    * Tables-style signed catalogs, `rest_signing_name`/`region`). */
+  sealed trait RestAuth
+  case object NoAuth extends RestAuth
+  case class Bearer(token: String) extends RestAuth
+  case class OAuth2(clientId: String, clientSecret: String) extends RestAuth
+  case class AwsSigV4(creds: graft.sources.S3Wire.SigV4.Credentials,
+                      signingName: String = "execute-api") extends RestAuth
+
+  class Client(endpoint: String, auth: RestAuth = NoAuth) {
+
+    import graft.sources.S3Wire.SigV4
+    private val epUri = URI.create(endpoint)
+    private def hostHeader: String =
+      if (epUri.getPort == -1 || epUri.getPort == 80) epUri.getHost
+      else s"${epUri.getHost}:${epUri.getPort}"
+
+    // client-credentials tokens are fetched once and reused (the spec's
+    // response carries expires_in; a production client refreshes)
+    @volatile private var oauthToken: Option[String] = None
+
+    private def fetchOAuthToken(id: String, secret: String): String =
+      oauthToken.getOrElse {
+        val form = s"grant_type=client_credentials&client_id=$id" +
+          s"&client_secret=$secret"
+        val conn = URI.create(endpoint + "/v1/oauth/tokens").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type",
+          "application/x-www-form-urlencoded")
+        conn.getOutputStream.write(form.getBytes(StandardCharsets.UTF_8))
+        val code = conn.getResponseCode
+        val body = new String(
+          (if (code < 400) conn.getInputStream
+           else conn.getErrorStream).readAllBytes(), StandardCharsets.UTF_8)
+        conn.disconnect()
+        require(code == 200, s"oauth token HTTP $code: $body")
+        val tok = mapper.readTree(body).get("access_token").asText
+        oauthToken = Some(tok)
+        tok
+      }
 
     private def http(method: String, path: String,
                      body: Option[String]): (Int, String) = {
@@ -54,6 +98,26 @@ object IcebergRestCatalog {
       conn.setRequestMethod(method)
       conn.setConnectTimeout(5000)
       conn.setReadTimeout(30000)
+      auth match {
+        case NoAuth => ()
+        case Bearer(t) =>
+          conn.setRequestProperty("Authorization", s"Bearer $t")
+        case OAuth2(id, secret) =>
+          conn.setRequestProperty("Authorization",
+            s"Bearer ${fetchOAuthToken(id, secret)}")
+        case AwsSigV4(creds, name) =>
+          val amzDate = SigV4.amzNow()
+          val payloadHash = body.fold(SigV4.EmptyPayloadHash)(
+            SigV4.sha256Hex)
+          conn.setRequestProperty("x-amz-date", amzDate)
+          conn.setRequestProperty("x-amz-content-sha256", payloadHash)
+          conn.setRequestProperty("Authorization", SigV4.authorization(
+            method, path, Nil,
+            Seq("host" -> hostHeader,
+              "x-amz-content-sha256" -> payloadHash,
+              "x-amz-date" -> amzDate),
+            payloadHash, amzDate, creds, service = name))
+      }
       body.foreach { b =>
         conn.setDoOutput(true)
         conn.setRequestProperty("Content-Type", "application/json")
@@ -178,7 +242,11 @@ object IcebergRestCatalog {
     * through the SAME metadata writer the FS path uses
     * ([[IcebergMetadata.applyStagedCommit]]) under a per-table lock —
     * the serialization point a real catalog provides. */
-  class Server(registry: Map[(String, String), String])
+  class Server(registry: Map[(String, String), String],
+               bearerTokens: Set[String] = Set.empty,
+               oauthClients: Map[String, String] = Map.empty,
+               sigv4: Option[(graft.sources.S3Wire.SigV4.Credentials,
+                 String)] = None)
       extends AutoCloseable {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -186,11 +254,46 @@ object IcebergRestCatalog {
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val created =
       java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    private val issuedTokens =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val lock = new Object
 
-    private def readBody(ex: com.sun.net.httpserver.HttpExchange): JsonNode =
-      mapper.readTree(new String(ex.getRequestBody.readAllBytes(),
-        StandardCharsets.UTF_8))
+    private def authRequired: Boolean =
+      bearerTokens.nonEmpty || oauthClients.nonEmpty || sigv4.isDefined
+
+    /** Authorize a request under any configured mode: a known bearer
+      * token (static or OAuth-issued) or a valid SigV4 signature over
+      * the received raw path / declared headers / body hash. */
+    private def authorized(ex: com.sun.net.httpserver.HttpExchange,
+                           bodyBytes: Array[Byte]): Boolean = {
+      if (!authRequired) return true
+      import graft.sources.S3Wire.SigV4
+      val hdrs = ex.getRequestHeaders
+      val authHdr = Option(hdrs.getFirst("Authorization")).getOrElse("")
+      if (authHdr.startsWith("Bearer ")) {
+        val t = authHdr.stripPrefix("Bearer ")
+        bearerTokens.contains(t) || issuedTokens.contains(t)
+      } else sigv4.exists { case (creds, name) =>
+        val amzDate = Option(hdrs.getFirst("x-amz-date")).getOrElse("")
+        val payloadHash = Option(
+          hdrs.getFirst("x-amz-content-sha256")).getOrElse("")
+        if (amzDate.isEmpty || payloadHash.isEmpty ||
+            payloadHash != SigV4.sha256Hex(bodyBytes)) false
+        else {
+          val SignedRe = """SignedHeaders=([^,]+),""".r
+          val signedNames = SignedRe.findFirstMatchIn(authHdr)
+            .map(_.group(1).split(";").toSeq).getOrElse(Nil)
+          val signedVals = signedNames.map(n =>
+            n -> Option(hdrs.getFirst(n)).getOrElse(""))
+          SigV4.authorization(ex.getRequestMethod,
+            ex.getRequestURI.getRawPath, Nil, signedVals,
+            payloadHash, amzDate, creds, service = name) == authHdr
+        }
+      }
+    }
+
+    private def parseBody(bodyBytes: Array[Byte]): JsonNode =
+      mapper.readTree(new String(bodyBytes, StandardCharsets.UTF_8))
 
     private def respond(ex: com.sun.net.httpserver.HttpExchange,
                         code: Int, body: String): Unit = {
@@ -210,21 +313,51 @@ object IcebergRestCatalog {
     }
 
     server.createContext("/v1", (ex: com.sun.net.httpserver.HttpExchange) => {
-      try route(ex)
-      catch { case t: Throwable =>
+      try {
+        val bodyBytes = ex.getRequestBody.readAllBytes()
+        route(ex, bodyBytes)
+      } catch { case t: Throwable =>
         error(ex, 500, "InternalServerError", String.valueOf(t.getMessage))
       }
     })
 
-    private def route(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+    private def route(ex: com.sun.net.httpserver.HttpExchange,
+                      bodyBytes: Array[Byte]): Unit = {
       val path = ex.getRequestURI.getPath
       val method = ex.getRequestMethod
       val parts = path.stripPrefix("/v1/").split("/").toSeq
+      // the token endpoint authenticates by the client credentials in
+      // its own body — everything else needs the configured auth
+      (method, parts) match {
+        case ("POST", Seq("oauth", "tokens")) =>
+          val form = new String(bodyBytes, StandardCharsets.UTF_8)
+            .split("&").filter(_.contains("=")).map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              k -> java.net.URLDecoder.decode(v, "UTF-8")
+            }.toMap
+          val ok = form.get("grant_type").contains("client_credentials") &&
+            form.get("client_id").exists(id =>
+              oauthClients.get(id) == form.get("client_secret"))
+          if (!ok)
+            error(ex, 401, "NotAuthorizedException", "invalid client")
+          else {
+            val tok = java.util.UUID.randomUUID().toString
+            issuedTokens.add(tok)
+            respond(ex, 200,
+              s"""{"access_token":"$tok","token_type":"bearer","expires_in":3600}""")
+          }
+          return
+        case _ => ()
+      }
+      if (!authorized(ex, bodyBytes)) {
+        error(ex, 401, "NotAuthorizedException", "missing or bad credentials")
+        return
+      }
       (method, parts) match {
         case ("GET", Seq("config")) =>
           respond(ex, 200, """{"defaults":{},"overrides":{}}""")
         case ("POST", Seq("namespaces")) =>
-          val ns = readBody(ex).withArray[JsonNode]("namespace").get(0).asText
+          val ns = parseBody(bodyBytes).withArray[JsonNode]("namespace").get(0).asText
           if (!namespaces.add(ns))
             error(ex, 409, "AlreadyExistsException", s"namespace $ns exists")
           else respond(ex, 200, s"""{"namespace":["$ns"],"properties":{}}""")
@@ -243,7 +376,7 @@ object IcebergRestCatalog {
             respond(ex, 200, mapper.writeValueAsString(root))
           }
         case ("POST", Seq("namespaces", ns, "tables")) =>
-          val name = readBody(ex).get("name").asText
+          val name = parseBody(bodyBytes).get("name").asText
           if (!namespaces.contains(ns))
             error(ex, 404, "NoSuchNamespaceException", ns)
           else if (!registry.contains((ns, name)))
@@ -260,7 +393,7 @@ object IcebergRestCatalog {
         case ("POST", Seq("namespaces", ns, "tables", t)) =>
           if (!created.contains((ns, t)))
             error(ex, 404, "NoSuchTableException", s"$ns.$t")
-          else commitHandler(ex, registry((ns, t)))
+          else commitHandler(ex, registry((ns, t)), bodyBytes)
         case _ =>
           error(ex, 404, "NotFoundException", s"$method $path")
       }
@@ -281,8 +414,9 @@ object IcebergRestCatalog {
     }
 
     private def commitHandler(ex: com.sun.net.httpserver.HttpExchange,
-                              dir: String): Unit = lock.synchronized {
-      val req = readBody(ex)
+                              dir: String,
+                              bodyBytes: Array[Byte]): Unit = lock.synchronized {
+      val req = parseBody(bodyBytes)
       val current = IcebergMetadata.currentMetadata(dir)
         .map(_._2.get("current-snapshot-id").asLong)
       // requirements: the catalog's whole job is checking these under

@@ -957,6 +957,42 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { c.close(); srv.close() }
   }
 
+  test("REST catalog auth: bearer, OAuth2 client-credentials flow, SigV4 — wrong creds 401") {
+    import graft.sinks.IcebergRestCatalog._
+    import graft.sources.S3Wire.SigV4
+    val creds = SigV4.Credentials("AKREST", "restsecret", "eu-central-1")
+    val srv = new Server(Map.empty,
+      bearerTokens = Set("static-token-1"),
+      oauthClients = Map("svc-account" -> "s3cret"),
+      sigv4 = Some((creds, "execute-api")))
+    try {
+      // anonymous → 401
+      val anon = new Client(srv.endpoint)
+      val e = intercept[IllegalArgumentException](anon.config())
+      assert(e.getMessage.contains("401"))
+      // static bearer
+      new Client(srv.endpoint, Bearer("static-token-1")).config()
+      val eBad = intercept[IllegalArgumentException](
+        new Client(srv.endpoint, Bearer("wrong")).config())
+      assert(eBad.getMessage.contains("401"))
+      // OAuth2: the spec's /v1/oauth/tokens client-credentials flow
+      val oc = new Client(srv.endpoint, OAuth2("svc-account", "s3cret"))
+      oc.config()
+      oc.createNamespace("authns") // token reused on a POST with body
+      val eOauth = intercept[IllegalArgumentException](
+        new Client(srv.endpoint, OAuth2("svc-account", "nope")).config())
+      assert(eOauth.getMessage.toLowerCase.contains("oauth"))
+      // SigV4-signed catalog (S3 Tables shape): GET + body-carrying POST
+      val sc = new Client(srv.endpoint, AwsSigV4(creds))
+      sc.config()
+      sc.createNamespace("signs")
+      val eSig = intercept[IllegalArgumentException](
+        new Client(srv.endpoint,
+          AwsSigV4(creds.copy(secretKey = "bad"))).config())
+      assert(eSig.getMessage.contains("401"))
+    } finally srv.close()
+  }
+
   test("REST catalog error shapes: unknown table 404, double create 409, unregistered storage 400") {
     import graft.sinks.IcebergRestCatalog
     val tmp = Files.createTempDirectory("graft_rest_err").toString
