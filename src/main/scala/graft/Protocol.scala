@@ -337,7 +337,7 @@ object Protocol {
               destDir: String, cfg: StreamConfig, statePath: String): Unit =
     graft.streaming.CdcStream.run(spark, changeDir, schema,
       s"$destDir/${cfg.name}", statePath, s"$destDir/.ckpt_${cfg.name}",
-      cfg.name).awaitTermination()
+      cfg.name, filter = cfg.filter).awaitTermination()
 
   /** The reference's change-stream orchestration
     * (`drivers/abstract/cdc.go:24-95` `RunChangeStream`):

@@ -208,6 +208,57 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- CDC with a STREAM FILTER: the reference's CDC writers run
+    //      WithApplyFilter(true) (abstract/cdc.go:123 →
+    //      parquet.go:426-435) — the stream's record filter drops
+    //      non-matching changes before they apply. Inserts, updates
+    //      and deletes for filtered-out records must all be no-ops. ----
+    "q_cdc_filtered" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType, StructField => SF, StructType => ST}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdcf").toString
+      val logDir = s"$root/log"; val dest = s"$root/dest"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(logDir))
+      val schema = ST(Seq(
+        SF(SystemColumns.OlakeId, StringType), SF("lsn", LongType),
+        SF("kind", StringType),
+        SF(SystemColumns.CdcTimestamp, TimestampType),
+        SF("event_id", LongType), SF("user_id", LongType),
+        SF("value", DoubleType)))
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      def change(rows: DataFrame, lsnBase: Long, kind: String,
+                 value: Column): DataFrame = rows.select(
+        col("event_id").cast("string").as(SystemColumns.OlakeId),
+        (col("event_id") + lsnBase).cast("long").as("lsn"),
+        lit(kind).as("kind"),
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .as(SystemColumns.CdcTimestamp),
+        col("event_id"), col("user_id"), value.as("value"))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(logDir, file)): Unit
+      }
+      // inserts for everything, then updates that push %3==0 rows
+      // BELOW the filter bar (they must vanish from the apply stream —
+      // their last applied state stands), and deletes on %5==0 rows
+      // whose current value fails the filter (no-ops)
+      stage(change(ev, 0L, "insert", col("value")), "b1.json")
+      stage(change(ev.where(col("event_id") % 3 === 0), 100000L,
+        "update", lit(-1.0)), "b2.json")
+      stage(change(ev.where(col("event_id") % 5 === 0), 200000L,
+        "delete", col("value")), "b3.json")
+      Protocol.syncCdc(s, logDir, schema, dest,
+        Protocol.StreamConfig("evf", syncMode = "cdc",
+          filter = Some("value > 20")), s"$dest/state.json")
+      graft.streaming.CdcStream.readTable(s, s"$dest/evf")
+        .select("event_id", "user_id", "value")
+    }),
+
     // ---- The FULL `sync`-in-CDC-mode verb end-to-end: the reference's
     //      PreCDC handoff (postgres/internal/cdc.go:44-60) records the
     //      slot position BEFORE any backfill reads, so writes racing
@@ -3222,6 +3273,13 @@ object SparkEntry {
         |  n_regionkey
         |FROM nation
         |WHERE n_nationkey % 7 <> 3""".stripMargin,
+
+    // inserts filtered to value>20; the -1.0 updates fail the filter
+    // (no-ops); deletes pass it only where the carried value does, so
+    // %5==0 survivors vanish
+    "q_cdc_filtered" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id < 2000 AND value > 20 AND event_id % 5 <> 0""".stripMargin,
 
     // snapshot (pre-floor effects included, poison excluded) + post-floor
     // updates (%7 → value+1000), deletes (%11=3 gone, delete wins the

@@ -176,13 +176,21 @@ object CdcStream {
     * no per-key state store growing with corpus cardinality. */
   def run(spark: SparkSession, changeDir: String, schema: StructType,
           tablePath: String, statePath: String, checkpoint: String,
-          stream: String = "events"): StreamingQuery = {
+          stream: String = "events",
+          filter: Option[String] = None): StreamingQuery = {
+    // the stream's record filter applies to CDC records too — the
+    // reference's CDC writers are constructed WithApplyFilter(true)
+    // (abstract/cdc.go:123) and run the stream filter over every
+    // change before writing (parquet.go:426-435). A filtered-out
+    // update/delete is simply not applied, same as there.
+    val filtered = filter.map(f => graft.spec.FilterSpec.parse(f).toColumn)
     readChangeLog(spark, changeDir, schema).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch((df: Dataset[Row], id: Long) =>
-        applyBatch(df, id, tablePath, statePath, stream))
+        applyBatch(filtered.fold(df.toDF)(df.where), id, tablePath,
+          statePath, stream))
       .start()
   }
 
