@@ -30,7 +30,9 @@ object Protocol {
                           filter: Option[String] = None,
                           chunkColumn: Option[String] = None,
                           partitionRegex: Option[String] = None,
-                          normalization: Boolean = true)
+                          normalization: Boolean = true,
+                          selectedColumns: Option[Seq[String]] = None,
+                          syncNewColumns: Boolean = false)
 
   /** `spec`: the config surface as JSON schema (spec.go analog). */
   def spec(): String =
@@ -337,7 +339,9 @@ object Protocol {
               destDir: String, cfg: StreamConfig, statePath: String): Unit =
     graft.streaming.CdcStream.run(spark, changeDir, schema,
       s"$destDir/${cfg.name}", statePath, s"$destDir/.ckpt_${cfg.name}",
-      cfg.name, filter = cfg.filter).awaitTermination()
+      cfg.name, filter = cfg.filter,
+      selectedColumns = cfg.selectedColumns,
+      syncNewColumns = cfg.syncNewColumns).awaitTermination()
 
   /** The reference's change-stream orchestration
     * (`drivers/abstract/cdc.go:24-95` `RunChangeStream`):

@@ -259,6 +259,49 @@ object SparkEntry {
         .select("event_id", "user_id", "value")
     }),
 
+    // ---- CDC COLUMN SELECTION: the per-stream selected-columns set
+    //      prunes every change's payload before it applies (the
+    //      reference's RetainSelectedColumns callback on the CDC path,
+    //      abstract/cdc.go:152-157) — system columns always survive,
+    //      and the destination table carries ONLY the selected
+    //      payload. ----
+    "q_cdc_projected" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType, StructField => SF, StructType => ST}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdcp").toString
+      val logDir = s"$root/log"; val dest = s"$root/dest"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(logDir))
+      val schema = ST(Seq(
+        SF(SystemColumns.OlakeId, StringType), SF("lsn", LongType),
+        SF("kind", StringType),
+        SF(SystemColumns.CdcTimestamp, TimestampType),
+        SF("event_id", LongType), SF("user_id", LongType),
+        SF("event_type", StringType), SF("value", DoubleType)))
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val changes = ev.select(
+        col("event_id").cast("string").as(SystemColumns.OlakeId),
+        col("event_id").as("lsn"), lit("insert").as("kind"),
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .as(SystemColumns.CdcTimestamp),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val stg = s"$root/stg"
+      changes.coalesce(1).write.json(stg)
+      val part = new java.io.File(stg).listFiles
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(logDir, "b1.json")): Unit
+      Protocol.syncCdc(s, logDir, schema, dest,
+        Protocol.StreamConfig("evp", syncMode = "cdc",
+          selectedColumns = Some(Seq("event_id", "value"))),
+        s"$dest/state.json")
+      val table = graft.streaming.CdcStream.readTable(s, s"$dest/evp")
+      require(!table.columns.contains("user_id") &&
+        !table.columns.contains("event_type"),
+        s"unselected columns leaked: ${table.columns.mkString(",")}")
+      table.select("event_id", "value")
+    }),
+
     // ---- The FULL `sync`-in-CDC-mode verb end-to-end: the reference's
     //      PreCDC handoff (postgres/internal/cdc.go:44-60) records the
     //      slot position BEFORE any backfill reads, so writes racing
@@ -3273,6 +3316,11 @@ object SparkEntry {
         |  n_regionkey
         |FROM nation
         |WHERE n_nationkey % 7 <> 3""".stripMargin,
+
+    // only the selected payload columns land in the destination
+    "q_cdc_projected" ->
+      """SELECT event_id, value FROM events
+        |WHERE event_id < 2000""".stripMargin,
 
     // inserts filtered to value>20; the -1.0 updates fail the filter
     // (no-ops); deletes pass it only where the carried value does, so

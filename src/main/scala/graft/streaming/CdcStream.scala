@@ -177,19 +177,41 @@ object CdcStream {
   def run(spark: SparkSession, changeDir: String, schema: StructType,
           tablePath: String, statePath: String, checkpoint: String,
           stream: String = "events",
-          filter: Option[String] = None): StreamingQuery = {
+          filter: Option[String] = None,
+          selectedColumns: Option[Seq[String]] = None,
+          syncNewColumns: Boolean = false): StreamingQuery = {
     // the stream's record filter applies to CDC records too — the
     // reference's CDC writers are constructed WithApplyFilter(true)
     // (abstract/cdc.go:123) and run the stream filter over every
     // change before writing (parquet.go:426-435). A filtered-out
     // update/delete is simply not applied, same as there.
     val filtered = filter.map(f => graft.spec.FilterSpec.parse(f).toColumn)
+    // column selection prunes each change's payload
+    // (RetainSelectedColumns, types/stream_configured.go:80-118):
+    // keep-list mode emits only selected columns; syncNewColumns mode
+    // drops only the EXPLICITLY-unselected set (so columns unknown at
+    // selection time flow through — the reference's
+    // new-columns-selected-by-default rule). System columns always
+    // survive; the filter sees the record BEFORE pruning, like the
+    // reference (filter runs in the writer, selection at the callback).
+    val sysCols = Set(SystemColumns.OlakeId, "lsn", "kind",
+      SystemColumns.CdcTimestamp)
+    def prune(df: Dataset[Row]): Dataset[Row] = selectedColumns match {
+      case None => df
+      case Some(sel) if !syncNewColumns =>
+        df.select(df.columns.filter(c =>
+          sysCols.contains(c) || sel.contains(c)).map(col): _*)
+      case Some(sel) =>
+        val dropList = schema.fieldNames
+          .filterNot(c => sysCols.contains(c) || sel.contains(c))
+        df.drop(dropList: _*)
+    }
     readChangeLog(spark, changeDir, schema).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch((df: Dataset[Row], id: Long) =>
-        applyBatch(filtered.fold(df.toDF)(df.where), id, tablePath,
+        applyBatch(prune(filtered.fold(df.toDF)(df.where)), id, tablePath,
           statePath, stream))
       .start()
   }
