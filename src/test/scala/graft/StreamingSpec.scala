@@ -517,6 +517,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusIds() == Set(1L, 2L, 3L, 11L, 21L, 31L))
   }
 
+  test("syncNewColumns: only the explicitly-unselected set is dropped; unknown columns flow") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.CdcStream
+    val root = tmp()
+    val logDir = s"$root/log"; val dest = s"$root/t"
+    new java.io.File(logDir).mkdirs()
+    // catalog knew a,b,c at selection time; selected = a. A NEW column
+    // d (absent from the configured schema... but present in the data)
+    // — model the reference's rule with the configured schema carrying
+    // all four and d arriving "new": drop-list = {b, c} only.
+    val schema = StructType(Seq(
+      StructField("_olake_id", StringType), StructField("lsn", LongType),
+      StructField("kind", StringType),
+      StructField("_cdc_timestamp", TimestampType),
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(logDir, "b1.json"),
+      Seq(
+        """{"_olake_id":"1","lsn":1,"kind":"insert","_cdc_timestamp":"2024-01-01 00:00:00","a":1,"b":2,"c":3}""",
+        """{"_olake_id":"2","lsn":2,"kind":"insert","_cdc_timestamp":"2024-01-01 00:00:00","a":4,"b":5,"c":6}"""
+      ).mkString("\n").getBytes)
+    CdcStream.run(spark, logDir, schema, dest, s"$root/state.json",
+      s"$root/ckpt", "t", selectedColumns = Some(Seq("a")),
+      syncNewColumns = true).awaitTermination()
+    val cols = CdcStream.readTable(spark, dest).columns.toSet
+    assert(cols.contains("a") && !cols.contains("b") && !cols.contains("c"),
+      cols.mkString(","))
+    // keep-list mode on the same log: identical here (no new columns),
+    // pinning that both modes agree on the known set
+    val dest2 = s"$root/t2"
+    CdcStream.run(spark, logDir, schema, dest2, s"$root/state2.json",
+      s"$root/ckpt2", "t2", selectedColumns = Some(Seq("a")))
+      .awaitTermination()
+    val cols2 = CdcStream.readTable(spark, dest2).columns.toSet
+    assert(cols2.contains("a") && !cols2.contains("b"))
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch: 3 staged files → 3 batch segments") {
     import spark.implicits._
     import graft.streaming.DedupStream
