@@ -83,6 +83,79 @@ object Protocol {
       Left(s"destination check failed: ${e.getMessage}")
     }
 
+  /** The pre-sync classification result (`protocol/sync.go:157-262`). */
+  case class StreamClassification(selected: Seq[StreamConfig],
+                                  fullLoad: Seq[StreamConfig],
+                                  incremental: Seq[StreamConfig],
+                                  cdc: Seq[StreamConfig],
+                                  skipped: Map[String, String])
+
+  /** Pre-sync stream classification + validation — the reference's
+    * classifyStreams (`protocol/sync.go:157-262`): a stream missing
+    * from the source is SKIPPED with a warning (not an error), a
+    * structured filter is validated up front (≤ 2 conditions, the
+    * column must exist in the stream schema with a value parseable to
+    * its type) and an invalid one skips the stream, survivors are
+    * bucketed by sync mode, and saved state belonging to streams NOT
+    * selected this run is pruned (sync.go:257-259). */
+  def classifyStreams(spark: SparkSession, sourceDir: String,
+                      configs: Seq[StreamConfig],
+                      statePath: String): StreamClassification = {
+    import org.apache.spark.sql.types._
+    val results: Seq[(StreamConfig, Option[String])] = configs.map { cfg =>
+      if (!new java.io.File(s"$sourceDir/${cfg.name}.parquet").exists)
+        cfg -> Some("not found in source")
+      else cfg.filter match {
+        case None => cfg -> None
+        case Some(f) =>
+          try {
+            val filt = FilterSpec.parse(f)
+            FilterSpec.validateStrict(filt) match {
+              case Left(msg) => cfg -> Some(msg)
+              case Right(_) =>
+                val schema = Tables.load(spark, sourceDir, cfg.name).schema
+                val bad = filt.conditions.find { c =>
+                  if (!schema.fieldNames.contains(c.column)) true
+                  else {
+                    val ok = (schema(c.column).dataType, c.value) match {
+                      case (_, FilterSpec.SNull) => true
+                      case (_: NumericType,
+                        FilterSpec.SNum(_) | FilterSpec.SInt(_)) => true
+                      case (StringType, FilterSpec.SStr(_)) => true
+                      case (BooleanType, FilterSpec.SBool(_)) => true
+                      case (TimestampType | DateType,
+                        FilterSpec.STimestamp(_)) => true
+                      case _ => false
+                    }
+                    !ok
+                  }
+                }
+                cfg -> bad.map(c =>
+                  s"invalid filter condition on '${c.column}'")
+            }
+          } catch { case e: Exception =>
+            cfg -> Some(s"cannot parse filter: ${e.getMessage}")
+          }
+      }
+    }
+    val selected = results.collect { case (c, None) => c }
+    val skipped = results.collect { case (c, Some(r)) => c.name -> r }.toMap
+    // prune state of non-selected streams, never during clear
+    stateLock.synchronized {
+      StateStore.load(statePath).foreach { st =>
+        val keep = selected.map(_.name).toSet
+        StateStore.save(statePath,
+          st.copy(streams = st.streams.view.filterKeys(keep).toMap))
+      }
+    }
+    StreamClassification(selected,
+      selected.filter(_.syncMode == "full_refresh"),
+      selected.filter(_.syncMode == "incremental"),
+      selected.filter(c =>
+        c.syncMode == "cdc" || c.syncMode == "strict_cdc"),
+      skipped)
+  }
+
   /** `discover`: catalog JSON for every stream in the source dir. */
   def discover(spark: SparkSession, sourceDir: String,
                names: Seq[String]): String =

@@ -46,6 +46,38 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$blocker/sub").isLeft)
   }
 
+  test("classifyStreams: missing streams + invalid filters skip with reasons; state of unselected streams prunes") {
+    import graft.state.StateStore
+    val state = Files.createTempDirectory("graft_cls").toString + "/s.json"
+    StateStore.save(state, StateStore.State(streams = Map(
+      "nation" -> StateStore.StreamState(offsets = Map("lsn" -> 5L)),
+      "ghost" -> StateStore.StreamState(offsets = Map("lsn" -> 9L)))))
+    val cls = Protocol.classifyStreams(spark, src, Seq(
+      Protocol.StreamConfig("nation"),                       // ok, full
+      Protocol.StreamConfig("orders", syncMode = "incremental",
+        cursor = Some("o_orderkey")),                        // ok, incr
+      Protocol.StreamConfig("events", syncMode = "cdc",
+        filter = Some("value > 10")),                        // ok, cdc
+      Protocol.StreamConfig("nope"),                         // missing
+      Protocol.StreamConfig("region",
+        filter = Some("no_such_col = 1")),                   // bad column
+      Protocol.StreamConfig("region",
+        filter = Some("r_name > 5")),                        // type clash
+      Protocol.StreamConfig("region", filter =
+        Some("r_regionkey > 0 and r_regionkey < 9 and r_name != 'x'"))
+      ), state)                                              // 3 conds
+    assert(cls.selected.map(_.name) == Seq("nation", "orders", "events"))
+    assert(cls.fullLoad.map(_.name) == Seq("nation"))
+    assert(cls.incremental.map(_.name) == Seq("orders"))
+    assert(cls.cdc.map(_.name) == Seq("events"))
+    assert(cls.skipped.keySet == Set("nope", "region"))
+    assert(cls.skipped("nope").contains("not found"))
+    // saved state for the unselected 'ghost' stream was pruned, the
+    // selected stream's survived
+    val st = StateStore.load(state).get
+    assert(st.streams.keySet == Set("nation"))
+  }
+
   test("discover emits a parseable catalog with canonical types and PKs") {
     val cat = Protocol.discover(spark, src, Seq("nation", "events"))
     assert(cat.contains(""""name": "nation""""))
