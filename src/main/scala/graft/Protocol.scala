@@ -317,12 +317,52 @@ object Protocol {
     * interrupted (`shutdownNow`), mirroring the reference's context
     * cancellation — never an indefinite block. `runStream` is the
     * per-stream body (overridable for fault-injection tests). */
+  /** The reference's periodic monitoring line (`logger.StatsLogger`,
+    * `utils/logger`): a daemon ticker prints running streams, synced
+    * records, records/s and an ETA as one JSON line per interval until
+    * closed. Counters are updated by `syncAll` as streams start and
+    * finish. */
+  class StatsMonitor(totalToSync: Long, intervalMillis: Long = 2000,
+                     out: String => Unit = println) extends AutoCloseable {
+    private[graft] val running = new java.util.concurrent.atomic.AtomicLong
+    private[graft] val synced = new java.util.concurrent.atomic.AtomicLong
+    val linesEmitted = new java.util.concurrent.atomic.AtomicLong
+    private val start = System.nanoTime()
+    @volatile private var closed = false
+    private def line(): String = {
+      val elapsed = (System.nanoTime() - start) / 1e9
+      val s = synced.get()
+      val speed = if (elapsed > 0) s / elapsed else 0.0
+      val remaining = math.max(0L, totalToSync - s)
+      val eta = if (speed > 0) f"${remaining / speed}%.1f" else "unknown"
+      f"""{"running_streams":${running.get()},"synced_records":$s,""" +
+        f""""records_per_sec":$speed%.0f,"eta_sec":"$eta","elapsed_sec":$elapsed%.1f}"""
+    }
+    private val ticker = new Thread(() => {
+      var interrupted = false
+      while (!closed && !interrupted) {
+        try Thread.sleep(intervalMillis) catch {
+          case _: InterruptedException => interrupted = true
+        }
+        if (!closed && !interrupted) {
+          out(line()); linesEmitted.incrementAndGet(): Unit
+        }
+      }
+    })
+    ticker.setDaemon(true); ticker.start()
+    override def close(): Unit = {
+      closed = true; ticker.interrupt()
+      out(line()); linesEmitted.incrementAndGet(): Unit // final snapshot
+    }
+  }
+
   def syncAll(spark: SparkSession, sourceDir: String, destDir: String,
               cfgs: Seq[StreamConfig], statePath: String,
               parallelism: Int = 4, attempts: Int = 3,
               timeoutMillis: Long = 30L * 60 * 1000,
               runStream: (SparkSession, String, String, StreamConfig,
-                String) => Long = syncStream): Map[String, Long] = {
+                String) => Long = syncStream,
+              monitor: Option[StatsMonitor] = None): Map[String, Long] = {
     import java.util.concurrent.{Executors, TimeoutException}
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
@@ -330,8 +370,15 @@ object Protocol {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = cfgs.map { cfg =>
-        Future(cfg.name -> Retry.withBackoff(attempts, baseDelayMs = 100L)(
-          runStream(spark, sourceDir, destDir, cfg, statePath)))
+        Future(cfg.name -> {
+          monitor.foreach(_.running.incrementAndGet())
+          try {
+            val n = Retry.withBackoff(attempts, baseDelayMs = 100L)(
+              runStream(spark, sourceDir, destDir, cfg, statePath))
+            monitor.foreach(_.synced.addAndGet(n))
+            n
+          } finally monitor.foreach(_.running.decrementAndGet())
+        })
       }
       // fails fast on the FIRST stream failure (Future.sequence) and on
       // timeout; either way the in-flight streams are interrupted below

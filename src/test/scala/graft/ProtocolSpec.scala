@@ -78,6 +78,30 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.streams.keySet == Set("nation"))
   }
 
+  test("StatsMonitor: periodic JSON lines while syncAll runs, counters reach the totals") {
+    val dest = Files.createTempDirectory("graft_stats").toString
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val mon = new Protocol.StatsMonitor(totalToSync = 30L,
+      intervalMillis = 50, out = lines.add(_): Unit)
+    try {
+      val r = Protocol.syncAll(spark, src, dest,
+        Seq(Protocol.StreamConfig("nation"),
+          Protocol.StreamConfig("region")),
+        s"$dest/state.json", parallelism = 2, monitor = Some(mon))
+      assert(r == Map("nation" -> 25L, "region" -> 5L))
+    } finally mon.close()
+    import scala.jdk.CollectionConverters._
+    val all = lines.asScala.toSeq
+    assert(all.nonEmpty, "no monitoring lines emitted")
+    // every line is parseable JSON with the expected fields; the final
+    // snapshot carries the full totals and zero running streams
+    all.foreach(l => assert(l.contains("\"records_per_sec\"") &&
+      l.contains("\"eta_sec\""), l))
+    val last = all.last
+    assert(last.contains("\"synced_records\":30") &&
+      last.contains("\"running_streams\":0"), last)
+  }
+
   test("discover emits a parseable catalog with canonical types and PKs") {
     val cat = Protocol.discover(spark, src, Seq("nation", "events"))
     assert(cat.contains(""""name": "nation""""))
