@@ -76,6 +76,29 @@ object Main {
       println(s"""{"stream":"$stream","records_synced":$n}""")
       spark.stop()
 
+    // sync-all <srcDir> <destDir> <streams,csv> [parallelism]: the
+    // reference's actual sync shape — classify (validate + skip with
+    // reasons), then every selected stream through the bounded pool
+    // with the periodic monitoring line
+    case "sync-all" :: src :: dest :: streams :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val cfgs = streams.split(",").toSeq.map(Protocol.StreamConfig(_))
+      val cls = Protocol.classifyStreams(spark, src, cfgs,
+        s"$dest/state.json")
+      cls.skipped.foreach { case (name, reason) =>
+        System.err.println(s"""{"skipped":"$name","reason":"$reason"}""")
+      }
+      val mon = new Protocol.StatsMonitor(totalToSync = 0L)
+      val r = try Protocol.syncAll(spark, src, dest, cls.selected,
+        s"$dest/state.json",
+        parallelism = rest.headOption.flatMap(_.toIntOption).getOrElse(4),
+        monitor = Some(mon))
+      finally mon.close()
+      println(r.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{\"records_synced\":{", ",", "}}"))
+      spark.stop()
+
     // Streaming curated ingest over a stored dedup index:
     //   curate <srcDir> <indexDir> <corpusDir> [benchmarkParquet]
     //     [minTokens] [maxTokens]
@@ -140,7 +163,7 @@ object Main {
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | check-dest | discover | sync | clear | curate | profile")
+          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile")
       sys.exit(2)
   }
 }
