@@ -28,8 +28,19 @@ object StateStore {
                          offsets: Map[String, Long] = Map.empty,
                          dedupInserts: Boolean = true)
 
+  /** Current state-file format version (reference
+    * `constants/state_version.go` — new files are stamped with the
+    * latest; an existing file KEEPS its version on load so
+    * version-gated behaviors stay consistent for the life of that
+    * state, exactly the reference's LoadedStateVersion rule at
+    * `protocol/sync.go:66-77`). The Go version history gates Go-side
+    * type-conversion quirks that Spark's reader does not reproduce;
+    * the bookkeeping contract is what matters for state portability. */
+  val LatestStateVersion = 6
+
   case class State(streams: Map[String, StreamState] = Map.empty,
-                   cdcPosition: Option[String] = None)
+                   cdcPosition: Option[String] = None,
+                   version: Int = LatestStateVersion)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -44,7 +55,15 @@ object StateStore {
   def load(path: String): Option[State] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) None
-    else Some(normalize(mapper.readValue(Files.readString(p), classOf[State])))
+    else {
+      // a file written before versioning existed is version 0 (the
+      // reference's legacy-compat rule) — Jackson would otherwise fill
+      // the case-class default (latest), silently upgrading it
+      val tree = mapper.readTree(Files.readString(p))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (!tree.has("version")) tree.put("version", 0): Unit
+      Some(normalize(mapper.treeToValue(tree, classOf[State])))
+    }
   }
 
   // Jackson + erased Long fields (Map values, Option contents) yield

@@ -78,6 +78,27 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.streams.keySet == Set("nation"))
   }
 
+  test("state versioning: new files stamp latest, legacy files read as version 0 and keep it") {
+    import graft.state.StateStore
+    val dir = Files.createTempDirectory("graft_stv").toString
+    StateStore.save(s"$dir/new.json", StateStore.State())
+    assert(StateStore.load(s"$dir/new.json").get.version ==
+      StateStore.LatestStateVersion)
+    // a legacy file with no version field is version 0 (the
+    // reference's backward-compat rule) and KEEPS that version across
+    // a re-save — version-gated behavior must stay consistent for the
+    // life of the state (sync.go:66-77)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/legacy.json"),
+      """{"streams":{"s":{"cursor":{},"remainingChunks":[],
+        |"offsets":{"lsn":5},"dedupInserts":true}},"cdcPosition":null}"""
+        .stripMargin)
+    val legacy = StateStore.load(s"$dir/legacy.json").get
+    assert(legacy.version == 0)
+    assert(legacy.streams("s").offsets("lsn") == 5L)
+    StateStore.save(s"$dir/legacy.json", legacy)
+    assert(StateStore.load(s"$dir/legacy.json").get.version == 0)
+  }
+
   test("StatsMonitor: periodic JSON lines while syncAll runs, counters reach the totals") {
     val dest = Files.createTempDirectory("graft_stats").toString
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
