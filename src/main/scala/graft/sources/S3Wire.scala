@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets
 
 /** S3 ListObjectsV2 over the real REST wire protocol.
@@ -25,9 +25,6 @@ object S3Wire {
 
   /** One object's listing metadata (Key / Size / LastModified). */
   case class S3Object(key: String, size: Long, lastModifiedIso: String)
-
-  private def enc(s: String): String =
-    URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   /** AWS Signature Version 4, service `s3` (public spec:
     * docs.aws.amazon.com "Authenticating Requests: AWS Signature
