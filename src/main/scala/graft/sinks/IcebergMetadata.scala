@@ -574,11 +574,32 @@ object IcebergMetadata {
                                 operation: String,
                                 summary: Map[String, String],
                                 addedFiles: Int, addedRows: Long,
-                                specs: Seq[Seq[PartSpecField]] = Seq(Nil))
+                                specs: Seq[Seq[PartSpecField]] = Seq(Nil),
+                                baseMetadata: Option[Option[String]] = None)
       : Int = {
     val md = metaDir(tableDir)
-    val prev = currentMetadata(tableDir)
-    val version = prev.map(_._1).getOrElse(0) + 1
+    // `baseMetadata` (catalog-pointer path): history builds on the
+    // COMMITTED base the catalog names, never on the version-hint —
+    // after a failed catalog CAS the hint points at an ORPHANED
+    // metadata file whose uncommitted snapshot must not leak into the
+    // retry's history (Iceberg retries re-read the committed base).
+    // The new version number still skips past every existing file so
+    // orphans are never overwritten.
+    val prev = baseMetadata match {
+      case None => currentMetadata(tableDir)
+      case Some(base) => base.map { p =>
+        val f = new File(p)
+        val v = f.getName.stripPrefix("v").stripSuffix(".metadata.json")
+        (v.toInt, mapper.readTree(Files.readString(f.toPath)))
+      }
+    }
+    val maxExisting = Option(md.listFiles).map(_.toSeq).getOrElse(Nil)
+      .map(_.getName)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+      .maxOption.getOrElse(0)
+    val version =
+      math.max(prev.map(_._1).getOrElse(0), maxExisting) + 1
     val nowMs = System.currentTimeMillis()
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -840,6 +861,39 @@ object IcebergMetadata {
     Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     next
+  }
+
+  /** Catalog-pointer variant of [[commit]]: the previous metadata is
+    * the catalog's CURRENT pointer (None = table has no committed
+    * metadata yet), never the FS version-hint — the retry-after-CAS-
+    * failure path must not inherit an orphaned file's uncommitted
+    * snapshot. Use with [[IcebergJdbcCatalog]] / Glue / HMS flows:
+    * `commitAgainst(..., cat.loadTable(...))` then CAS the returned
+    * version's path. */
+  def commitAgainst(spark: SparkSession, tableDir: String, dataDir: String,
+                    baseMetadata: Option[String],
+                    operation: String = "append",
+                    summary: Map[String, String] = Map.empty): Commit = {
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    val prevMeta = baseMetadata.map(p =>
+      mapper.readTree(Files.readString(new File(p).toPath)))
+    val seq = prevMeta.map(_.get("last-sequence-number").asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val schemaStr = schemaJson(spark.read.parquet(dataDir).schema)
+    val entries = entriesFor(spark, dataDir, seq,
+      fieldIds = topLevelFieldIds(schemaStr))
+    require(entries.nonEmpty, s"no parquet data files under $dataDir")
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq(ManifestOut(manifest, 0, entries)))
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, operation, summary, entries.length, entries.map(_.rows).sum,
+      baseMetadata = Some(baseMetadata))
+    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 
   def commit(spark: SparkSession, tableDir: String, dataDir: String,

@@ -907,6 +907,42 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { a.close(); b.close(); srv.close() }
   }
 
+  test("commitAgainst: a failed-CAS orphan never leaks into the retry's history") {
+    val tmp = Files.createTempDirectory("graft_orphan").toString
+    val cat = new graft.sinks.IcebergJdbcCatalog(
+      graft.sources.JdbcSource.derbyUrl(s"$tmp/cat"), "g")
+    cat.initialize(); cat.createNamespace("n"); cat.createTable("n", "t")
+    Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .write.parquet(s"$tmp/d1")
+    val c1 = IcebergMetadata.commitAgainst(spark, tmp, s"$tmp/d1", None)
+    val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+    assert(cat.commitTable("n", "t", None, loc1))
+    // attempt 2 writes its metadata but the CAS never happens (crash):
+    // v2 is now an ORPHAN — and the version-hint points at it
+    Tables.load(spark, "/root/testdata/sf0.001", "region")
+      .write.parquet(s"$tmp/d2")
+    val orphan = IcebergMetadata.commitAgainst(spark, tmp, s"$tmp/d2",
+      Some(loc1), operation = "replace")
+    // the RETRY rebuilds from the catalog's committed base (v1), not
+    // the hint: its history must not contain the orphan's snapshot,
+    // its sequence number must not skip, and its version must skip
+    // past the orphan file (never overwrite it)
+    val retry = IcebergMetadata.commitAgainst(spark, tmp, s"$tmp/d2",
+      Some(loc1), operation = "replace")
+    assert(retry.version > orphan.version, "orphan file overwritten")
+    assert(retry.sequenceNumber == 2L)
+    val locR = s"$tmp/metadata/v${retry.version}.metadata.json"
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(locR)), "UTF-8")
+    assert(!meta.contains(orphan.snapshotId.toString),
+      "orphaned snapshot leaked into the retry's history")
+    assert(meta.contains(c1.snapshotId.toString), "base history lost")
+    assert(cat.commitTable("n", "t", Some(loc1), locR))
+    // the committed pointer reads region (5 rows), not nation
+    assert(spark.read.parquet(
+      IcebergMetadata.dataFilePathsAt(locR): _*).count() == 5L)
+  }
+
   test("HMS thrift roundtrip property: random names/parameters survive create→get→alter→get") {
     import graft.sinks.HiveMetastore
     import HiveMetastore.{HmsClient, HmsServer, HmsTable}
