@@ -2054,13 +2054,13 @@ object SparkEntry {
         val n = t(s, dir, "nation")
           .select("n_nationkey", "n_name", "n_regionkey")
         n.write.parquet(s"$tmp/dataA")
-        val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/dataA")
+        val c1 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataA", None)
         val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
         HiveMetastore.commitWithLock(c, "lake", "nation_hive", None, loc1)
         n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
           .write.parquet(s"$tmp/dataB")
-        val c2 = IcebergMetadata.commit(s, tmp, s"$tmp/dataB",
-          operation = "replace")
+        val c2 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataB",
+          Some(loc1), operation = "replace")
         val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
         // lost update: the base this commit was staged against has
         // moved — must conflict under the lock, not clobber
@@ -2106,13 +2106,13 @@ object SparkEntry {
         val n = t(s, dir, "nation")
           .select("n_nationkey", "n_name", "n_regionkey")
         n.write.parquet(s"$tmp/dataA")
-        val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/dataA")
-        c.updateTable("lake", "nation_glue",
-          s"$tmp/metadata/v${c1.version}.metadata.json", t0.versionId)
+        val c1 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataA", None)
+        val glueLoc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+        c.updateTable("lake", "nation_glue", glueLoc1, t0.versionId)
         n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
           .write.parquet(s"$tmp/dataB")
-        val c2 = IcebergMetadata.commit(s, tmp, s"$tmp/dataB",
-          operation = "replace")
+        val c2 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataB",
+          Some(glueLoc1), operation = "replace")
         val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
         // stale VersionId ("1" was consumed by commit 1) → refused
         val conflicted = try { c.updateTable("lake", "nation_glue",
@@ -2156,14 +2156,16 @@ object SparkEntry {
       val n = t(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
       n.write.parquet(s"$tmp/dataA")
-      val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/dataA")
+      val c1 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataA", None)
       val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
       require(cat.commitTable("lake", "nation_jdbc", None, loc1),
         "first CAS from NULL failed")
       n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
         .write.parquet(s"$tmp/dataB")
-      val c2 = IcebergMetadata.commit(s, tmp, s"$tmp/dataB",
-        operation = "replace")
+      // build on the catalog's committed pointer, never the FS hint —
+      // the failed-CAS-retry contract (see commitAgainst scaladoc)
+      val c2 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataB",
+        Some(loc1), operation = "replace")
       val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
       // stale expected (NULL) — the CAS must swap NOTHING
       require(!cat.commitTable("lake", "nation_jdbc", None, loc2),
