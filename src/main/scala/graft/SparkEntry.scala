@@ -2723,6 +2723,27 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 200)),
 
+    // ---- LLM: the curation pipeline COMPOSED end-to-end in ONE plan —
+    //      quality gate → language gate → PII scrub → exact dedup →
+    //      split assignment → token count. Every stage is individually
+    //      gated elsewhere; this pins that they compose (filters feed
+    //      the dedup window the scrubbed text, the split sees only
+    //      survivors) and that the whole chain stays a single Spark
+    //      job: map-only until the one dedup shuffle. ----
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(col("text"),
+        TextAnalysis.Markers.head._2)
+      val kept = d.where(quality >= 0.5 &&
+        TextAnalysis.langId(col("text")) === "en")
+      val scrubbed = kept.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("clean"))
+      Dedup.exact(scrubbed, "clean", "doc_id")
+        .select(col("doc_id"),
+          TextAnalysis.assignSplit(col("doc_id")).as("split"),
+          size(TextAnalysis.tokens(col("clean"))).as("n_tokens"))
+    }),
+
     // ---- LLM: deterministic EPOCH SHUFFLE — reproducible global
     //      permutation by md5(seed‖id) rank, built as the scalable
     //      two-phase distributed rank (range-partitioned sort + local
@@ -4265,6 +4286,47 @@ object SparkEntry {
         |  FROM w)
         |SELECT pair, sum(freq) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200""".stripMargin,
+
+    // every stage's oracle fragment chained as CTEs — the same math
+    // as q_quality_score / q_lang_id / q_pii_scrub / q_dedup_exact /
+    // q_split_assign, composed
+    "q_pipeline_e2e" ->
+      """WITH x AS (SELECT doc_id, text,
+        |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text) AS punct
+        |  FROM documents),
+        |q AS (SELECT doc_id, round((
+        |    least(length(text)/500.0, 1.0) +
+        |    CASE WHEN punct <= 0.1 THEN 1.0 ELSE greatest(0.0, 1.0 - (punct - 0.1)*5) END +
+        |    least(round(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to','in','that'], t))) * 1.0 / len(toks), 6) * 5, 1.0)
+        |  )/3, 6) AS quality FROM x),
+        |l AS (SELECT doc_id,
+        |  len(list_intersect(list_distinct(toks), ['the','a','of','and','is','to','in','that'])) AS s_en,
+        |  len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+        |  len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un','une','dans'])) AS s_fr,
+        |  len(list_intersect(list_distinct(toks), ['el','los','las','es','un','una','que','para'])) AS s_es,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+        |  FROM x),
+        |kept AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN q USING (doc_id) JOIN l USING (doc_id)
+        |  WHERE q.quality >= 0.5 AND l.zh = 0
+        |    AND l.s_en = greatest(l.s_en, l.s_de, l.s_fr, l.s_es)
+        |    AND l.s_en > 0),
+        |scrub AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d{1,3}[-. ]?\(\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{3,4}|([^0-9]|^)\+?\d{7,15}([^0-9]|$)', '\1<PHONE>\2', 'g'),
+        |    '\+?\d{1,3}[-. ]?\(\d{2,4}\)[-. ]?\d{3,4}[-. ]?\d{3,4}|([^0-9]|^)\+?\d{7,15}([^0-9]|$)', '\1<PHONE>\2', 'g')
+        |  AS clean FROM kept),
+        |ded AS (SELECT doc_id, clean FROM scrub
+        |  QUALIFY row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) = 1)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f999' THEN 'validation'
+        |       ELSE 'test' END AS split,
+        |  CAST(len(string_split(trim(regexp_replace(lower(clean), '\s+', ' ', 'g')), ' ')) AS INT) AS n_tokens
+        |FROM ded""".stripMargin,
 
     // the same md5(seed‖id) global rank, recomputed flat
     "q_epoch_shuffle" ->
