@@ -111,6 +111,7 @@ object Bench {
     "q_pack_sequences",
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_kmeans_assign", "q_vec_norm", "q_vec_quantize",
     "q_vec_project", "q_bpe_encode", "q_profile_quantiles",
+    "q_pipeline_e2e", "q_epoch_shuffle",
     "q_multimodal_meta", "q_image_ahash",
     "q_media_frames", "q_media_resize",
     "q_avro_decode", "q_avro_registry", "q_wide_types",
