@@ -254,11 +254,33 @@ object IcebergMetadata {
   }
 
   /** Iceberg schema JSON for a Spark schema (schema-id 0, fresh ids). */
-  def schemaJson(schema: StructType): String = {
+  def schemaJson(schema: StructType): String = schemaJson(schema, Nil)
+
+  /** `identifierFields` become the schema's `identifier-field-ids` —
+    * Iceberg's ROW IDENTITY (spec §Schemas), what real readers use to
+    * interpret v2 equality deletes. The reference's Java writer adds
+    * the PK field the same way (`SchemaConvertor.java:46-48`,
+    * toggleable via the `no_identifier_fields` config for catalogs
+    * like Unity that reject them). The spec requires identifier fields
+    * to be `required`, so they are forced non-null here. */
+  def schemaJson(schema: StructType,
+                 identifierFields: Seq[String]): String = {
     var id = 0
     def nextId() = { id += 1; id }
     val root = icebergType(schema, () => nextId()).asInstanceOf[ObjectNode]
     root.put("schema-id", 0)
+    if (identifierFields.nonEmpty) {
+      val fields = root.withArray[ArrayNode]("fields")
+      val idArr = root.putArray("identifier-field-ids")
+      identifierFields.foreach { name =>
+        val f = fields.asScala.map(_.asInstanceOf[ObjectNode])
+          .find(_.get("name").asText == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"identifier field $name not in schema"))
+        f.put("required", true)
+        idArr.add(f.get("id").asInt): Unit
+      }
+    }
     // last assigned id rides along for metadata.json's last-column-id
     root.put("x-last-column-id", id)
     mapper.writeValueAsString(root)
@@ -1172,7 +1194,10 @@ object IcebergMetadata {
     md.mkdirs()
     val keyCol = SystemColumns.OlakeId
     val viewSchema = DeltaSegments.read(spark, tablePath).schema
-    val schemaStr = schemaJson(viewSchema)
+    // the upsert key doubles as the schema's identifier-field-ids (row
+    // identity; reference SchemaConvertor.java:46-48) so a real v2
+    // reader knows how to interpret the equality deletes
+    val schemaStr = schemaJson(viewSchema, identifierFields = Seq(keyCol))
     val eqIds = Seq(fieldId(schemaStr, keyCol))
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val dataCols = viewSchema.fieldNames.toSeq

@@ -907,6 +907,27 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { a.close(); b.close(); srv.close() }
   }
 
+  test("publishMoR schema carries identifier-field-ids for the upsert key, forced required") {
+    import graft.operators.SystemColumns
+    val table = Files.createTempDirectory("graft_idf_t").toString
+    val ice = Files.createTempDirectory("graft_idf_i").toString
+    import spark.implicits._
+    Seq(("1", 1L, "a"), ("2", 2L, "b"))
+      .toDF(SystemColumns.OlakeId, "k", "v")
+      .write.parquet(s"$table/base")
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val schema = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").get(0)
+    val ids = schema.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("identifier-field-ids")
+    assert(ids.size == 1)
+    import scala.jdk.CollectionConverters._
+    val keyField = schema.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      .asScala.find(_.get("name").asText == SystemColumns.OlakeId).get
+    assert(keyField.get("id").asInt == ids.get(0).asInt)
+    assert(keyField.get("required").asBoolean,
+      "identifier fields must be required (spec §Schemas)")
+  }
+
   test("commitAgainst: a failed-CAS orphan never leaks into the retry's history") {
     val tmp = Files.createTempDirectory("graft_orphan").toString
     val cat = new graft.sinks.IcebergJdbcCatalog(
