@@ -1456,19 +1456,28 @@ object IcebergMetadata {
     * published in place (outside `data/`) are shared across snapshots
     * and never touched. Returns the number of snapshots expired. */
   def expireSnapshots(tableDir: String, keepLast: Int = 1): Int = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
+    if (snaps.length <= math.max(1, keepLast)) return 0
+    val cut = snaps.length - math.max(1, keepLast)
+    removeSnapshotIds(tableDir,
+      snaps.take(cut).map(_.get("snapshot-id").asLong).toSet)
+  }
+
+  /** Remove EXPLICIT snapshot ids (the REST catalog's
+    * `remove-snapshots` update action; the current snapshot is always
+    * retained). Returns how many were dropped. */
+  def removeSnapshotIds(tableDir: String, ids: Set[Long]): Int = {
     val md = metaDir(tableDir)
     val (version, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val root = meta.deepCopy[ObjectNode]()
     val snaps = root.withArray[ArrayNode]("snapshots").asScala.toSeq
-    if (snaps.length <= math.max(1, keepLast)) return 0
     val currentId = root.get("current-snapshot-id").asLong
-    val cut = snaps.length - math.max(1, keepLast)
-    val (dropped0, kept0) = snaps.splitAt(cut)
-    val kept = kept0 ++
-      dropped0.filter(_.get("snapshot-id").asLong == currentId)
-    val dropped =
-      dropped0.filterNot(_.get("snapshot-id").asLong == currentId)
+    val (dropped, kept) = snaps.partition(s =>
+      ids.contains(s.get("snapshot-id").asLong) &&
+        s.get("snapshot-id").asLong != currentId)
     if (dropped.isEmpty) return 0
     val keptIds = kept.map(_.get("snapshot-id").asLong).toSet
     // manifests still reachable from any kept snapshot stay on disk

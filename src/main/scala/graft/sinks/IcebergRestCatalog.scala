@@ -217,6 +217,26 @@ object IcebergRestCatalog {
       mapper.readTree(body).get("metadata-location").asText
     }
 
+    /** Maintenance: the spec's `remove-snapshots` update action —
+      * expire EXPLICIT snapshot ids (the current snapshot is always
+      * retained server-side). */
+    def removeSnapshots(ns: String, name: String, parent: Long,
+                        ids: Seq[Long]): String = {
+      val req = mapper.createObjectNode()
+      val r = req.putArray("requirements").addObject()
+      r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+      r.put("snapshot-id", parent)
+      val u = req.putArray("updates").addObject()
+      u.put("action", "remove-snapshots")
+      val arr = u.putArray("snapshot-ids")
+      ids.foreach(arr.add(_): Unit)
+      val (code, body) = http("POST", s"/v1/namespaces/$ns/tables/$name",
+        Some(mapper.writeValueAsString(req)))
+      if (code == 409) throw new CommitConflictException(body)
+      require(code == 200, s"removeSnapshots HTTP $code: $body")
+      mapper.readTree(body).get("metadata-location").asText
+    }
+
     /** Rollback = a `set-snapshot-ref`-only commit: move main to an
       * EXISTING snapshot (history stays; rollback is a ref move). */
     def rollback(ns: String, name: String, parent: Long,
@@ -445,6 +465,7 @@ object IcebergRestCatalog {
       var schemaStr: Option[String] = None
       var snap: Option[JsonNode] = None
       var refTarget: Option[Long] = None
+      var removeIds: Seq[Long] = Nil
       (0 until ups.size).foreach { i =>
         val u = ups.get(i)
         u.get("action").asText match {
@@ -453,10 +474,23 @@ object IcebergRestCatalog {
           case "add-snapshot" => snap = Some(u.get("snapshot"))
           case "set-snapshot-ref" =>
             refTarget = Some(u.get("snapshot-id").asLong)
+          case "remove-snapshots" =>
+            val arr = u.withArray[JsonNode]("snapshot-ids")
+            removeIds = (0 until arr.size).map(j => arr.get(j).asLong)
           case other =>
             error(ex, 400, "BadRequestException", s"unsupported update $other")
             return
         }
+      }
+      // maintenance commit: expire explicit snapshot ids
+      if (removeIds.nonEmpty && snap.isEmpty) {
+        IcebergMetadata.removeSnapshotIds(dir, removeIds.toSet): Unit
+        val (v, metaNow) = IcebergMetadata.currentMetadata(dir).get
+        val root = mapper.createObjectNode()
+        root.put("metadata-location", s"$dir/metadata/v$v.metadata.json")
+        root.set[ObjectNode]("metadata", metaNow.deepCopy())
+        respond(ex, 200, mapper.writeValueAsString(root))
+        return
       }
       // a set-snapshot-ref WITHOUT add-snapshot is a rollback: move
       // main to an existing snapshot (history is immutable)

@@ -907,6 +907,46 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { a.close(); b.close(); srv.close() }
   }
 
+  test("REST remove-snapshots: explicit ids expire, current survives, files clean up") {
+    import graft.sinks.IcebergRestCatalog
+    val tmp = Files.createTempDirectory("graft_rest_exp").toString
+    val srv = new IcebergRestCatalog.Server(Map(("g", "t") -> tmp))
+    try {
+      val c = new IcebergRestCatalog.Client(srv.endpoint)
+      c.createNamespace("g"); c.createTable("g", "t")
+      val n = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      var parent: Option[Long] = None
+      val snapIds = (1 to 3).map { i =>
+        n.write.parquet(s"$tmp/d$i")
+        val st = IcebergMetadata.stageSnapshot(spark, tmp, s"$tmp/d$i", i.toLong)
+        c.commitSnapshot("g", "t", parent, st,
+          operation = if (i == 1) "append" else "replace")
+        parent = Some(st.snapshotId)
+        st.snapshotId
+      }
+      // expire the two oldest; asking to remove the CURRENT too is
+      // ignored (always retained)
+      val loc = c.removeSnapshots("g", "t", snapIds.last,
+        Seq(snapIds(0), snapIds(1), snapIds.last))
+      // judge by the snapshots ARRAY: the kept snapshot's
+      // parent-snapshot-id legitimately still names its expired parent
+      // (real Iceberg leaves the dangling parent id after expiry)
+      val metaNode = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(java.nio.file.Paths.get(loc)))
+      import scala.jdk.CollectionConverters._
+      val liveIds = metaNode.get("snapshots").elements.asScala
+        .map(_.get("snapshot-id").asLong).toSet
+      assert(liveIds == Set(snapIds.last), liveIds.toString)
+      // current snapshot still reads
+      assert(spark.read.parquet(
+        IcebergMetadata.dataFilePathsAt(loc): _*).count() == 25L)
+      // the expired snapshots' manifest lists are gone from disk
+      val lists = new File(s"$tmp/metadata").listFiles
+        .count(_.getName.startsWith("snap-"))
+      assert(lists == 1, s"$lists manifest lists remain")
+    } finally srv.close()
+  }
+
   test("publishMoR schema carries identifier-field-ids for the upsert key, forced required") {
     import graft.operators.SystemColumns
     val table = Files.createTempDirectory("graft_idf_t").toString
