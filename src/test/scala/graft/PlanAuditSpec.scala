@@ -520,4 +520,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
     assert(!p.toLowerCase.contains("udf"), p)
   }
+
+  test("composed curation pipeline: exactly ONE exchange (the dedup), no udf") {
+    val p = plan(q("q_pipeline_e2e"))
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$p")
+    assert(!p.toLowerCase.contains("udf"), p)
+  }
 }
