@@ -24,20 +24,34 @@ object Scram {
 
   val Mechanism = "SCRAM-SHA-256"
 
-  def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val m = javax.crypto.Mac.getInstance("HmacSHA256")
-    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+  /** Hash-family parameterization: PostgreSQL runs SCRAM-SHA-256
+    * (RFC 7677); Kafka's stronger mechanism is SCRAM-SHA-512 — same
+    * RFC 5802 message flow, different primitives. */
+  case class Algo(hmacName: String, digestName: String,
+                  pbkdf2Name: String, keyBits: Int)
+  val Sha256: Algo =
+    Algo("HmacSHA256", "SHA-256", "PBKDF2WithHmacSHA256", 256)
+  val Sha512: Algo =
+    Algo("HmacSHA512", "SHA-512", "PBKDF2WithHmacSHA512", 512)
+
+  def hmac(key: Array[Byte], data: Array[Byte],
+           algo: Algo = Sha256): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance(algo.hmacName)
+    m.init(new javax.crypto.spec.SecretKeySpec(key, algo.hmacName))
     m.doFinal(data)
   }
 
-  def sha256(d: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("SHA-256").digest(d)
+  def sha256(d: Array[Byte]): Array[Byte] = digest(d, Sha256)
+
+  def digest(d: Array[Byte], algo: Algo): Array[Byte] =
+    MessageDigest.getInstance(algo.digestName).digest(d)
 
   def saltedPassword(password: String, salt: Array[Byte],
-                     iterations: Int): Array[Byte] = {
+                     iterations: Int,
+                     algo: Algo = Sha256): Array[Byte] = {
     val spec = new javax.crypto.spec.PBEKeySpec(
-      password.toCharArray, salt, iterations, 256)
-    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      password.toCharArray, salt, iterations, algo.keyBits)
+    javax.crypto.SecretKeyFactory.getInstance(algo.pbkdf2Name)
       .generateSecret(spec).getEncoded
   }
 
@@ -57,8 +71,12 @@ object Scram {
 
   /** Client half: first message → final message → server verify. */
   final class ClientSession(password: String,
-                            nonce: String = randomNonce()) {
-    private val clientFirstBare = s"n=,r=$nonce" // PG: user rides startup
+                            nonce: String = randomNonce(),
+                            user: String = "",
+                            algo: Algo = Sha256) {
+    // PG leaves n= empty (user rides the startup packet); Kafka puts
+    // the principal here
+    private val clientFirstBare = s"n=$user,r=$nonce"
     private var salted: Array[Byte] = _
     private var authMessage: String = _
 
@@ -72,13 +90,13 @@ object Scram {
       val salt = Base64.getDecoder.decode(a('s'))
       val iters = a('i').toInt
       require(iters >= 1 && iters <= 1000000, s"bad iteration count $iters")
-      salted = saltedPassword(password, salt, iters)
-      val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8))
-      val storedKey = sha256(clientKey)
+      salted = saltedPassword(password, salt, iters, algo)
+      val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8), algo)
+      val storedKey = digest(clientKey, algo)
       val withoutProof = s"c=biws,r=$fullNonce" // biws = base64("n,,")
       authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
       val proof = xor(clientKey,
-        hmac(storedKey, authMessage.getBytes(StandardCharsets.UTF_8)))
+        hmac(storedKey, authMessage.getBytes(StandardCharsets.UTF_8), algo))
       s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}"
     }
 
@@ -86,9 +104,9 @@ object Scram {
     def verifyServerFinal(serverFinal: String): Unit = {
       val v = attrs(serverFinal).getOrElse('v',
         throw new java.io.IOException(s"no server signature: $serverFinal"))
-      val serverKey = hmac(salted, "Server Key".getBytes(StandardCharsets.UTF_8))
+      val serverKey = hmac(salted, "Server Key".getBytes(StandardCharsets.UTF_8), algo)
       val expect = Base64.getEncoder.encodeToString(
-        hmac(serverKey, authMessage.getBytes(StandardCharsets.UTF_8)))
+        hmac(serverKey, authMessage.getBytes(StandardCharsets.UTF_8), algo))
       if (v != expect)
         throw new java.io.IOException("server signature mismatch")
     }
@@ -96,7 +114,8 @@ object Scram {
 
   /** Server half — for loopback servers verifying real client proofs. */
   final class ServerSession(password: String,
-                            iterations: Int = 4096) {
+                            iterations: Int = 4096,
+                            algo: Algo = Sha256) {
     private val salt = { val b = new Array[Byte](16)
       new java.security.SecureRandom().nextBytes(b); b }
     private val serverNonce = randomNonce()
@@ -120,18 +139,18 @@ object Scram {
       if (!a.get('r').contains(fullNonce)) return Left("nonce mismatch")
       val withoutProof = clientFinal.take(clientFinal.lastIndexOf(",p="))
       val authMessage = s"$clientFirstBare,$serverFirstMsg,$withoutProof"
-      val salted = saltedPassword(password, salt, iterations)
-      val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8))
-      val storedKey = sha256(clientKey)
+      val salted = saltedPassword(password, salt, iterations, algo)
+      val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8), algo)
+      val storedKey = digest(clientKey, algo)
       val expected = xor(clientKey,
-        hmac(storedKey, authMessage.getBytes(StandardCharsets.UTF_8)))
+        hmac(storedKey, authMessage.getBytes(StandardCharsets.UTF_8), algo))
       val got = Base64.getDecoder.decode(a.getOrElse('p', return Left("no proof")))
       if (!MessageDigest.isEqual(expected, got))
         Left("password authentication failed")
       else {
-        val serverKey = hmac(salted, "Server Key".getBytes(StandardCharsets.UTF_8))
+        val serverKey = hmac(salted, "Server Key".getBytes(StandardCharsets.UTF_8), algo)
         Right("v=" + Base64.getEncoder.encodeToString(
-          hmac(serverKey, authMessage.getBytes(StandardCharsets.UTF_8))))
+          hmac(serverKey, authMessage.getBytes(StandardCharsets.UTF_8), algo)))
       }
     }
   }

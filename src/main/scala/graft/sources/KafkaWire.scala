@@ -30,7 +30,14 @@ object KafkaWire {
   val ApiMetadata = 3
   val ApiOffsetCommit = 8
   val ApiOffsetFetch = 9
+  val ApiSaslHandshake = 17
   val ApiVersions = 18
+  val ApiSaslAuthenticate = 36
+
+  /** SASL credentials for the bounded client -- the reference's
+    * `sasl_mechanism` config (`drivers/kafka/internal/config.go:23-41`:
+    * PLAIN or SCRAM-SHA-512 under SASL_PLAINTEXT/SASL_SSL). */
+  case class Sasl(mechanism: String, user: String, password: String)
 
   val EarliestTs: Long = -2L
   val LatestTs: Long = -1L
@@ -165,7 +172,9 @@ object KafkaWire {
 class KafkaBoundedClient(host: String, port: Int, topic: String,
                          group: String = "graft",
                          clientId: String = "graft-reader",
-                         connectTimeoutMs: Int = 5000) extends AutoCloseable {
+                         connectTimeoutMs: Int = 5000,
+                         sasl: Option[KafkaWire.Sasl] = None)
+    extends AutoCloseable {
   import KafkaWire._
 
   private var sock: Socket = _
@@ -182,6 +191,67 @@ class KafkaBoundedClient(host: String, port: Int, topic: String,
     sock.setSoTimeout(30000)
     in = new DataInputStream(sock.getInputStream)
     out = new DataOutputStream(sock.getOutputStream)
+    // authentication is per-CONNECTION state: a reconnect re-runs the
+    // whole SASL conversation before any re-issued request
+    sasl.foreach(authenticate)
+  }
+
+  /** One request/response WITHOUT the reconnect wrapper -- used inside
+    * the auth conversation itself (a retry there would recurse through
+    * connect -> authenticate). */
+  private def rawCall(apiKey: Int, apiVersion: Int,
+                      body: Array[Byte]): ByteBuffer = {
+    correlation += 1
+    out.write(requestFrame(apiKey, apiVersion, correlation, clientId, body))
+    out.flush()
+    val resp = readFrame(in)
+    val corr = resp.getInt
+    require(corr == correlation,
+      s"response correlation $corr, expected $correlation")
+    resp
+  }
+
+  /** SaslHandshake v1 + SaslAuthenticate rounds (KIP-152 framing):
+    * PLAIN sends the RFC 4616 NUL-separated token in one round;
+    * SCRAM-SHA-512 runs the RFC 5802 exchange inside SaslAuthenticate
+    * bodies, with the server's final signature verified (mutual
+    * auth). */
+  private def authenticate(s: KafkaWire.Sasl): Unit = {
+    val hb = ByteBuffer.allocate(64 + s.mechanism.length)
+    putString(hb, s.mechanism)
+    val hr = rawCall(ApiSaslHandshake, 1,
+      java.util.Arrays.copyOf(hb.array(), hb.position()))
+    val herr = hr.getShort
+    val offered = (0 until hr.getInt).map(_ => getString(hr))
+    require(herr == 0,
+      s"SaslHandshake error $herr (server offers: ${offered.mkString(",")})")
+    def round(tok: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + tok.length)
+      putBytes(b, tok)
+      val r = rawCall(ApiSaslAuthenticate, 0,
+        java.util.Arrays.copyOf(b.array(), b.position()))
+      val err = r.getShort
+      val msg = getNullableString(r)
+      require(err == 0, s"SASL auth failed ($err): ${msg.getOrElse("")}")
+      getBytes(r)
+    }
+    s.mechanism match {
+      case "PLAIN" =>
+        round(("\u0000" + s.user + "\u0000" + s.password)
+          .getBytes(StandardCharsets.UTF_8)): Unit
+      case "SCRAM-SHA-512" =>
+        val cs = new graft.cdc.Scram.ClientSession(s.password,
+          user = s.user, algo = graft.cdc.Scram.Sha512)
+        val serverFirst = new String(
+          round(cs.clientFirstMessage.getBytes(StandardCharsets.UTF_8)),
+          StandardCharsets.UTF_8)
+        val serverFinal = new String(
+          round(cs.clientFinal(serverFirst)
+            .getBytes(StandardCharsets.UTF_8)), StandardCharsets.UTF_8)
+        cs.verifyServerFinal(serverFinal)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported mechanism $other")
+    }
   }
   connect()
 
@@ -392,11 +462,19 @@ object KafkaWireServer {
   def serve(sock: Socket, topic: String,
             log: scala.collection.Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]],
             committed: scala.collection.concurrent.Map[Int, Long],
-            dropAfterResponses: Int = Int.MaxValue): Unit = {
+            dropAfterResponses: Int = Int.MaxValue,
+            saslUsers: Map[String, String] = Map.empty): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     val host = "127.0.0.1"
     var served = 0
+    // per-connection SASL state (KIP-152): which mechanism the
+    // handshake selected, the in-flight SCRAM server session, and
+    // whether this connection may speak data APIs yet
+    var saslMechanism: Option[String] = None
+    var scramServer: graft.cdc.Scram.ServerSession = null
+    var authenticated = saslUsers.isEmpty
+    var scramUser: String = null
     while (true) {
       if (served >= dropAfterResponses) { sock.close(); return }
       val req = readFrame(in)
@@ -404,8 +482,67 @@ object KafkaWireServer {
       val apiVersion = req.getShort.toInt
       val corr = req.getInt
       getNullableString(req) // client id
+      // a broker requiring SASL closes connections that try data APIs
+      // before authenticating
+      if (!authenticated && apiKey != ApiSaslHandshake &&
+          apiKey != ApiSaslAuthenticate && apiKey != ApiVersions) {
+        sock.close(); return
+      }
       val body = ByteBuffer.allocate(1 << 22)
       apiKey match {
+        case ApiSaslHandshake =>
+          val mech = getString(req)
+          val supported = Seq("PLAIN", "SCRAM-SHA-512")
+          if (supported.contains(mech)) {
+            saslMechanism = Some(mech)
+            body.putShort(0)
+          } else body.putShort(33) // UNSUPPORTED_SASL_MECHANISM
+          body.putInt(supported.length)
+          supported.foreach(putString(body, _))
+        case ApiSaslAuthenticate =>
+          val tok = getBytes(req)
+          def fail(msg: String): Unit = {
+            body.putShort(58) // SASL_AUTHENTICATION_FAILED
+            putNullableString(body, Some(msg))
+            body.putInt(0) // empty auth bytes
+          }
+          def ok(resp: Array[Byte]): Unit = {
+            body.putShort(0)
+            putNullableString(body, None)
+            body.putInt(resp.length); body.put(resp)
+          }
+          saslMechanism match {
+            case Some("PLAIN") =>
+              // RFC 4616: [authzid] NUL authcid NUL passwd
+              val parts = new String(tok, StandardCharsets.UTF_8)
+                .split("\u0000", -1)
+              if (parts.length == 3 &&
+                  saslUsers.get(parts(1)).contains(parts(2))) {
+                authenticated = true; ok(Array.emptyByteArray)
+              } else fail("Authentication failed: Invalid username or password")
+            case Some("SCRAM-SHA-512") =>
+              val msg = new String(tok, StandardCharsets.UTF_8)
+              if (scramServer == null) {
+                // client-first: principal rides the n= attribute
+                scramUser = msg.split(",").collectFirst {
+                  case a if a.startsWith("n=") => a.drop(2)
+                }.getOrElse("")
+                saslUsers.get(scramUser) match {
+                  case None => fail(s"unknown user $scramUser")
+                  case Some(pw) =>
+                    scramServer = new graft.cdc.Scram.ServerSession(pw,
+                      algo = graft.cdc.Scram.Sha512)
+                    ok(scramServer.serverFirst(msg)
+                      .getBytes(StandardCharsets.UTF_8))
+                }
+              } else scramServer.verifyClientFinal(msg) match {
+                case Left(err) => scramServer = null; fail(err)
+                case Right(serverFinal) =>
+                  authenticated = true
+                  ok(serverFinal.getBytes(StandardCharsets.UTF_8))
+              }
+            case _ => fail("SaslHandshake must precede SaslAuthenticate")
+          }
         case ApiVersions =>
           body.putShort(0)
           val apis = Seq(ApiFetch -> 2, ApiListOffsets -> 1,

@@ -211,4 +211,75 @@ class KafkaWireSpec extends AnyFunSuite {
       } finally c.close()
     }
   }
+
+  private def withSaslBroker(users: Map[String, String])
+                            (f: Int => Unit): Unit = {
+    val log = Map(0 -> (0 until 5).map(i => rec(s"r$i")).toIndexedSeq)
+    val server = new ServerSocket(0)
+    val state = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val h = new Thread(() => {
+            try KafkaWireServer.serve(sock, "t", log, state,
+              saslUsers = users)
+            catch { case _: Exception => () }
+          })
+          h.setDaemon(true); h.start()
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try f(server.getLocalPort) finally server.close()
+  }
+
+  test("SASL PLAIN: good creds read the topic; bad password and anonymous are refused") {
+    withSaslBroker(Map("svc" -> "hunter2")) { port =>
+      val ok = new KafkaBoundedClient("127.0.0.1", port, "t",
+        sasl = Some(KafkaWire.Sasl("PLAIN", "svc", "hunter2")))
+      try {
+        val got = ok.boundedConsume()
+        assert(got.map(r => new String(r._4, "UTF-8")) ==
+          (0 until 5).map(i => s"r$i"))
+      } finally ok.close()
+      val bad = intercept[IllegalArgumentException](
+        new KafkaBoundedClient("127.0.0.1", port, "t",
+          sasl = Some(KafkaWire.Sasl("PLAIN", "svc", "wrong"))))
+      assert(bad.getMessage.contains("SASL auth failed"))
+      // an unauthenticated client is cut off before any data API
+      intercept[Exception] {
+        val anon = new KafkaBoundedClient("127.0.0.1", port, "t")
+        try anon.boundedConsume() finally anon.close()
+      }
+    }
+  }
+
+  test("SASL SCRAM-SHA-512: full RFC 5802 exchange with mutual auth; wrong password refused") {
+    withSaslBroker(Map("svc" -> "correct horse")) { port =>
+      val ok = new KafkaBoundedClient("127.0.0.1", port, "t",
+        sasl = Some(KafkaWire.Sasl("SCRAM-SHA-512", "svc", "correct horse")))
+      try {
+        assert(ok.boundedConsume().size == 5)
+      } finally ok.close()
+      val bad = intercept[IllegalArgumentException](
+        new KafkaBoundedClient("127.0.0.1", port, "t",
+          sasl = Some(KafkaWire.Sasl("SCRAM-SHA-512", "svc", "nope"))))
+      assert(bad.getMessage.contains("SASL auth failed"))
+      val unknown = intercept[IllegalArgumentException](
+        new KafkaBoundedClient("127.0.0.1", port, "t",
+          sasl = Some(KafkaWire.Sasl("SCRAM-SHA-512", "ghost", "x"))))
+      assert(unknown.getMessage.contains("SASL auth failed"))
+    }
+  }
+
+  test("SaslHandshake: unsupported mechanism rejected with the server's offer list") {
+    withSaslBroker(Map("svc" -> "pw")) { port =>
+      val e = intercept[IllegalArgumentException](
+        new KafkaBoundedClient("127.0.0.1", port, "t",
+          sasl = Some(KafkaWire.Sasl("GSSAPI", "svc", "pw"))))
+      assert(e.getMessage.contains("unsupported mechanism") ||
+        e.getMessage.contains("SaslHandshake error 33"))
+    }
+  }
 }
