@@ -864,6 +864,61 @@ object SparkEntry {
           col("j.value").as("value"))
     }),
 
+    // ---- S15 over SASL: the same bounded conversation, but the
+    //      broker REQUIRES SCRAM-SHA-512 — handshake, the RFC 5802
+    //      exchange inside SaslAuthenticate rounds, mutual auth, then
+    //      the full read. Same oracle as q_bounded_read_wire: auth
+    //      must be invisible to the data. ----
+    "q_bounded_read_sasl" -> ((s, dir) => {
+      import graft.sources.{KafkaBoundedClient, KafkaWire, KafkaWireServer}
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = t(s, dir, "events")
+        .withColumn("partition", pmod(col("event_id"), lit(4)).cast("int"))
+      val rows = ev.where(col("event_id") <= 803)
+        .select(col("partition"), col("event_id"),
+          to_json(struct(col("event_id"), col("ts"), col("event_type"),
+            col("value")), Map("timestampFormat" -> tsFmt)).as("v"))
+        .collect()
+      val log: Map[Int, IndexedSeq[(Long, Array[Byte], Array[Byte])]] =
+        (0 until 4).map { p =>
+          p -> rows.filter(r => r.getInt(0) == p && r.getLong(1) <= 800 + p)
+            .sortBy(_.getLong(1))
+            .map(r => (0L, null: Array[Byte],
+              r.getString(2).getBytes("UTF-8"))).toIndexedSeq
+        }.toMap
+      val committed = (0 until 4).map { p =>
+        p -> rows.count(r => r.getInt(0) == p && r.getLong(1) <= 100 + p)
+          .toLong
+      }.toMap
+      val server = new java.net.ServerSocket(0)
+      val committedState =
+        scala.collection.concurrent.TrieMap.empty[Int, Long] ++ committed
+      val th = new Thread(() => {
+        try KafkaWireServer.serve(server.accept(), "events", log,
+          committedState, saslUsers = Map("reader" -> "sasl-pw"))
+        catch { case _: Exception => () }
+      })
+      th.setDaemon(true); th.start()
+      val client = new KafkaBoundedClient("127.0.0.1",
+        server.getLocalPort, "events",
+        sasl = Some(KafkaWire.Sasl("SCRAM-SHA-512", "reader", "sasl-pw")))
+      val got = try client.boundedConsume()
+        finally { client.close(); server.close() }
+      import s.implicits._
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField => SF, StructType => ST, TimestampType}
+      val jsonSchema = ST(Seq(SF("event_id", LongType),
+        SF("ts", TimestampType), SF("event_type", StringType),
+        SF("value", DoubleType)))
+      got.map { case (p, _, _, v) => (p, new String(v, "UTF-8")) }
+        .toDF("partition", "v")
+        .select(col("partition"),
+          from_json(col("v"), jsonSchema,
+            Map("timestampFormat" -> tsFmt)).as("j"))
+        .select(col("j.event_id").as("event_id"), col("partition"),
+          col("j.ts").as("ts"), col("j.event_type").as("event_type"),
+          col("j.value").as("value"))
+    }),
+
     // ---- S13/S14 CSV parse with schema inference (roundtrip) ----
     "q_file_csv" -> ((s, dir) => {
       val tmp = java.nio.file.Files
@@ -3484,6 +3539,16 @@ object SparkEntry {
     // identical to q_bounded_read: the wire conversation must consume
     // exactly the committed→snapshot window
     "q_bounded_read_wire" ->
+      """SELECT event_id, cast(event_id % 4 AS INTEGER) AS partition,
+        |  CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE (event_id % 4 = 0 AND event_id > 100 AND event_id <= 800)
+        |   OR (event_id % 4 = 1 AND event_id > 101 AND event_id <= 801)
+        |   OR (event_id % 4 = 2 AND event_id > 102 AND event_id <= 802)
+        |   OR (event_id % 4 = 3 AND event_id > 103 AND event_id <= 803)""".stripMargin,
+
+    // auth is invisible to the data: identical to q_bounded_read_wire
+    "q_bounded_read_sasl" ->
       """SELECT event_id, cast(event_id % 4 AS INTEGER) AS partition,
         |  CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events
