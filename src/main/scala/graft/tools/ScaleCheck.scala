@@ -270,6 +270,19 @@ object ScaleCheck {
               .randomProject(col("embedding"), 16).as("p"))
             .agg(sum(aggregate(col("p"), lit(0.0d), (a, x) => a + x)))
             .head() },
+        "pipeline_e2e" -> time(s"$label pipeline_e2e") {
+          val quality = graft.llm.TextAnalysis.qualityScore(col("text"),
+            graft.llm.TextAnalysis.Markers.head._2)
+          val kept = docs.where(quality >= 0.5 &&
+            graft.llm.TextAnalysis.langId(col("text")) === "en")
+          val scrubbed = kept.select(col("doc_id"),
+            graft.llm.TextAnalysis.scrubPii(col("text")).as("clean"))
+          counts(s"$label pipeline_e2e") =
+            Dedup.exact(scrubbed, "clean", "doc_id").count() },
+        "epoch_shuffle" -> time(s"$label epoch_shuffle") {
+          graft.llm.TextAnalysis.epochShuffle(
+              docs.select("doc_id"), "doc_id", "sc0")
+            .agg(max(col("shuffle_pos"))).head() },
         "bpe_encode" -> time(s"$label bpe_encode") {
           graft.llm.TextAnalysis.bpeTokenCount(docs, "text", "doc_id",
               Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g",
