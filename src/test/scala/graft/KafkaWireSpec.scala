@@ -234,6 +234,40 @@ class KafkaWireSpec extends AnyFunSuite {
     try f(server.getLocalPort) finally server.close()
   }
 
+  test("SASL + broker drop: the reconnect re-runs the whole auth conversation") {
+    val log = Map(0 -> (0 until 12).map(i => rec(s"r$i")).toIndexedSeq)
+    val server = new ServerSocket(0)
+    val state = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val h = new Thread(() => {
+            // every connection drops after 6 responses: the SASL rounds
+            // consume part of that budget, so the client must both
+            // reconnect AND re-authenticate to finish the read
+            try KafkaWireServer.serve(sock, "t", log, state,
+              dropAfterResponses = 6,
+              saslUsers = Map("svc" -> "pw"))
+            catch { case _: Exception => () }
+          })
+          h.setDaemon(true); h.start()
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val c = new KafkaBoundedClient("127.0.0.1", server.getLocalPort,
+        "t", sasl = Some(KafkaWire.Sasl("SCRAM-SHA-512", "svc", "pw")))
+      try {
+        val got = c.boundedConsume()
+        assert(got.map(r => new String(r._4, "UTF-8")) ==
+          (0 until 12).map(i => s"r$i"), "loss/dup across re-auth")
+        assert(c.reconnects >= 1, "no reconnect happened")
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("SASL PLAIN: good creds read the topic; bad password and anonymous are refused") {
     withSaslBroker(Map("svc" -> "hunter2")) { port =>
       val ok = new KafkaBoundedClient("127.0.0.1", port, "t",
