@@ -69,6 +69,83 @@ object SparkEntry {
     s"(xor($h2, ($h2 >> 16)) & 1)"
   }
 
+  /** Deterministic catalog fixtures for the discover merge/diff gates
+    * (k = n_nationkey drives every knob, so the DuckDB oracle can
+    * recompute the expected merge/diff output independently).
+    * The OLD catalog holds streams k<20 with user configuration; the
+    * NEW discovery holds streams k>=5 with an evolved schema (column
+    * `d` appeared everywhere; `b` vanished from even streams). */
+  private def catalogFixture(nation: DataFrame, old: Boolean): DataFrame = {
+    val k = col("n_nationkey")
+    val name = lower(col("n_name"))
+    val base = nation.select(k.as("k"), name.as("stream_name"),
+      lit("db").as("namespace"))
+    if (old)
+      base.where(col("k") < 20).select(
+        col("namespace"), col("stream_name"),
+        array(lit("id"), lit("a"), lit("b")).as("columns"),
+        when(col("k") % 2 === 0, "incremental").otherwise("cdc")
+          .as("sync_mode"),
+        when(col("k") % 2 === 0, "id").as("cursor_field"),
+        concat(lit("dst_"), col("stream_name")).as("dest_table"),
+        (col("k") % 4 =!= 3).as("selected"),
+        when(col("k") % 3 === 0, array().cast("array<string>"))
+          .otherwise(array(lit("id"), lit("a"))).as("selected_columns"),
+        (col("k") % 2 === 1).as("sync_new_columns"))
+    else
+      base.where(col("k") >= 5).select(
+        col("namespace"), col("stream_name"),
+        when(col("k") % 2 === 0, array(lit("id"), lit("a"), lit("d")))
+          .otherwise(array(lit("id"), lit("a"), lit("b"), lit("d")))
+          .as("columns"),
+        lit("full_refresh").as("sync_mode"),
+        lit(null).cast("string").as("cursor_field"),
+        col("stream_name").as("dest_table"),
+        lit(true).as("selected"),
+        lit(null).cast("array<string>").as("selected_columns"),
+        lit(true).as("sync_new_columns"))
+  }
+
+  /** Configured-catalog pair for the diff gate: the NEW side mirrors
+    * the OLD user config except five targeted edits (norm flip k%9=7,
+    * filter k%6=1, sync_mode k%7=3, cursor k%11=1, dest k%13=8) plus a
+    * different selection (k%4!=2 vs old k%4!=3) so the delta has both
+    * 'added' and 'changed' rows and genuinely-unchanged streams to
+    * exclude. */
+  private def diffCatalogFixture(nation: DataFrame, old: Boolean)
+      : DataFrame = {
+    val base = nation.select(col("n_nationkey").as("k"),
+      lower(col("n_name")).as("stream_name"), lit("db").as("namespace"))
+    val k = col("k")
+    if (old)
+      base.where(k < 20).select(
+        col("namespace"), col("stream_name"),
+        when(k % 2 === 0, "incremental").otherwise("cdc").as("sync_mode"),
+        when(k % 2 === 0, "id").as("cursor_field"),
+        concat(lit("dst_"), col("stream_name")).as("dest_table"),
+        (k % 4 =!= 3).as("selected"),
+        (k % 5 =!= 2).as("normalization"),
+        when(k % 6 === 0, "p1").as("partition_regex"),
+        when(k % 2 === 0, "id>0").as("filter"),
+        (k % 7 === 0).as("append_mode"))
+    else {
+      val syncMode = when(k % 7 === 3, "full_refresh")
+        .when(k % 2 === 0, "incremental").otherwise("cdc")
+      base.where(k >= 5).select(
+        col("namespace"), col("stream_name"),
+        syncMode.as("sync_mode"),
+        when(syncMode === "incremental",
+          when(k % 11 === 1, "ts").otherwise("id")).as("cursor_field"),
+        concat(when(k % 13 === 8, "alt_").otherwise("dst_"),
+          col("stream_name")).as("dest_table"),
+        (k % 4 =!= 2).as("selected"),
+        ((k % 5 =!= 2) =!= (k % 9 === 7)).as("normalization"),
+        when(k % 6 === 0, "p1").as("partition_regex"),
+        when(k % 6 === 1, "id>5").when(k % 2 === 0, "id>0").as("filter"),
+        (k % 7 === 0).as("append_mode"))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -1605,6 +1682,27 @@ object SparkEntry {
         .select("kind", "cdc_start_lsn", "event_id", "user_id", "value")
     }),
 
+    // ---- C6 across DDL: two capture instances for one table (the
+    //      post-ALTER instance adds `category` and starts at LSN 800);
+    //      the first poll is clamped to the newer instance's start_lsn
+    //      and the next poll switches instances — rows at or before the
+    //      transition carry NULL for the new column (the reference's
+    //      documented column-level gap, cdc.go:126-155) ----
+    "q_cdc_mssql_ddl" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      def lsn(k: Long) = "%020x".format(k)
+      val base = ChangeLogFixture.msSqlCdcTable(ev)
+        .withColumn("__$start_lsn", lower(col("__$start_lsn")))
+      val v2 = base.where(col("__$start_lsn") > lit(lsn(800)))
+        .withColumn("category", upper(col("event_type")))
+      PollingCdc.msSqlChangesAcrossDdl(Seq(
+          PollingCdc.CaptureInstance("dbo_events", lsn(0), base),
+          PollingCdc.CaptureInstance("dbo_events_v2", lsn(800), v2)),
+        lsn(100), lsn(1500))
+        .select("kind", "cdc_start_lsn", "event_id", "user_id", "value",
+          "category")
+    }),
+
     // ---- C6 executed for REAL over JDBC: the CDC table lives in
     //      embedded Derby and the LSN-range poll pushes down into the
     //      database (the fn_cdc_get_all_changes shape — a WHERE over a
@@ -2627,6 +2725,33 @@ object SparkEntry {
 
     // ---- §3.2 discover: canonical schema of a stream ----
     "q_discover" -> ((s, dir) => Discover.discoverAsFrame(s, dir, "lineitem")),
+
+    // ---- §3.2 re-discover MERGE: fresh discovery merged into the
+    //      previous streams.json preserving user selections / sync
+    //      modes / selected columns (types/catalog.go:99-212). Arrays
+    //      render as csv so the cross-engine hash sees plain strings. ----
+    "q_discover_merge" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      Discover.mergeCatalogs(
+          catalogFixture(nation, old = true),
+          catalogFixture(nation, old = false))
+        .select(col("namespace"), col("stream_name"),
+          array_join(col("columns"), ",").as("columns_csv"),
+          col("sync_mode"), col("cursor_field"), col("dest_table"),
+          col("selected"),
+          array_join(col("selected_columns"), ",").as("selected_columns_csv"),
+          col("sync_new_columns"))
+    }),
+
+    // ---- §3.2 discover DIFF mode: the difference_streams.json payload
+    //      — selected new-catalog streams that are additions or carry a
+    //      config change (types/catalog.go:253-340) ----
+    "q_discover_diff" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      Discover.streamsDelta(
+        diffCatalogFixture(nation, old = true),
+        diffCatalogFixture(nation, old = false))
+    }),
 
     // ---- S5 composite-PK lexicographic chunk scan (coverage proof) ----
     "q_chunk_lexi" -> ((s, dir) => {
@@ -3796,6 +3921,17 @@ object SparkEntry {
         |  event_id, user_id, value
         |FROM events WHERE event_id > 100 AND event_id <= 1500""".stripMargin,
 
+    // the DDL transition replayed flat: rows up to the new instance's
+    // start LSN (800) were read through the pre-ALTER instance and so
+    // carry NULL category; rows after it carry the new column
+    "q_cdc_mssql_ddl" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  lpad(lower(to_hex(event_id)), 20, '0') AS cdc_start_lsn,
+        |  event_id, user_id, value,
+        |  CASE WHEN event_id > 800 THEN upper(event_type) END AS category
+        |FROM events WHERE event_id > 100 AND event_id <= 1500""".stripMargin,
+
     // same semantics as q_cdc_mssql — the poll just runs through a DB
     "q_cdc_mssql_jdbc" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
@@ -4143,6 +4279,52 @@ object SparkEntry {
         |  ELSE 'unknown' END AS canonical_type
         |FROM (DESCRIBE SELECT * FROM lineitem)""".stripMargin,
 
+    // independent replay of the merge rules: every knob of both
+    // catalog fixtures is a pure function of k = n_nationkey, so the
+    // oracle recomputes the merged catalog with CASE arithmetic —
+    // selections survive only for streams present in both, empty
+    // previous column-selections initialize to the full new schema,
+    // sync_new_columns admits the newly appeared column `d`
+    "q_discover_merge" ->
+      """SELECT 'db' AS namespace, lower(n_name) AS stream_name,
+        |  CASE WHEN n_nationkey%2=0 THEN 'id,a,d' ELSE 'id,a,b,d' END
+        |    AS columns_csv,
+        |  CASE WHEN n_nationkey<20 THEN
+        |    CASE WHEN n_nationkey%2=0 THEN 'incremental' ELSE 'cdc' END
+        |  ELSE 'full_refresh' END AS sync_mode,
+        |  CASE WHEN n_nationkey<20 AND n_nationkey%2=0 THEN 'id' END
+        |    AS cursor_field,
+        |  CASE WHEN n_nationkey<20 THEN 'dst_'||lower(n_name)
+        |    ELSE lower(n_name) END AS dest_table,
+        |  (n_nationkey<20 AND n_nationkey%4<>3) AS selected,
+        |  CASE WHEN n_nationkey<20 AND n_nationkey%4<>3 THEN
+        |    CASE WHEN n_nationkey%3=0 THEN
+        |      CASE WHEN n_nationkey%2=0 THEN 'id,a,d' ELSE 'id,a,b,d' END
+        |    WHEN n_nationkey%2=0 THEN 'id,a' ELSE 'id,a,d' END
+        |  END AS selected_columns_csv,
+        |  CASE WHEN n_nationkey<20 AND n_nationkey%4<>3
+        |    THEN n_nationkey%2=1 END AS sync_new_columns
+        |FROM nation WHERE n_nationkey >= 5""".stripMargin,
+
+    // the delta replayed flat: additions = selected-new streams absent
+    // from the old selection; changes = one of the five targeted config
+    // edits (norm k%9=7, filter k%6=1, sync k%7=3, cursor k%11=1 on
+    // incremental streams, dest k%13=8); untouched streams excluded
+    "q_discover_diff" ->
+      """WITH n AS (SELECT n_nationkey AS k, lower(n_name) AS name
+        |  FROM nation WHERE n_nationkey >= 5 AND n_nationkey%4<>2),
+        |d AS (SELECT k, name,
+        |  CASE WHEN NOT (k<20 AND k%4<>3) THEN 'added'
+        |    WHEN k%9=7 OR k%6=1 OR k%7=3 OR k%13=8
+        |      OR (k%2=0 AND k%7<>3 AND k%11=1) THEN 'changed' END AS delta
+        |  FROM n)
+        |SELECT 'db' AS namespace, name AS stream_name, delta,
+        |  CASE WHEN k%7=3 THEN 'full_refresh'
+        |    WHEN k%2=0 THEN 'incremental' ELSE 'cdc' END AS sync_mode,
+        |  CASE WHEN k%13=8 THEN 'alt_'||name ELSE 'dst_'||name END
+        |    AS dest_table
+        |FROM d WHERE delta IS NOT NULL""".stripMargin,
+
     "q_chunk_lexi" ->
       "SELECT * FROM lineitem",
 
@@ -4349,7 +4531,7 @@ object SparkEntry {
         |    THEN list_transform(range(1, len(w)), i -> w[i] || w[i+1])
         |    ELSE [] END) AS pair, freq
         |  FROM w)
-        |SELECT pair, sum(freq) AS cnt FROM p
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200""".stripMargin,
 
     // every stage's oracle fragment chained as CTEs — the same math
@@ -4433,7 +4615,8 @@ object SparkEntry {
         |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tok
         |  FROM documents),
         |c AS (SELECT doc_id, n_tok,
-        |  sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id) AS cum_tokens
+        |  CAST(sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT)
+        |    AS cum_tokens
         |  FROM tok)
         |SELECT doc_id, n_tok, cum_tokens FROM c
         |WHERE cum_tokens <= 12000""".stripMargin,
@@ -4455,8 +4638,10 @@ object SparkEntry {
         |sv AS (SELECT vocab.g, b_cnt, u_cnt FROM vocab
         |  JOIN uni ON split_part(vocab.g, ' ', 1) = uni.t)
         |SELECT doc_id, count(*) AS n_big,
-        |  sum(CASE WHEN sv.g IS NULL THEN 1 ELSE 0 END) AS n_oov_big,
-        |  sum(coalesce(sv.b_cnt * 1000000 // sv.u_cnt, 0)) AS lm_score
+        |  CAST(sum(CASE WHEN sv.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov_big,
+        |  CAST(sum(coalesce(sv.b_cnt * 1000000 // sv.u_cnt, 0)) AS BIGINT)
+        |    AS lm_score
         |FROM bg LEFT JOIN sv USING (g) GROUP BY doc_id""".stripMargin,
 
     "q_sample_mix" ->

@@ -43,6 +43,71 @@ object PollingCdc {
       .orderBy("cdc_start_lsn", "cdc_seqval")
   }
 
+  // ---- MSSQL capture-instance transitions across DDL -------------------
+  // Reference: /root/reference/drivers/mssql/internal/cdc.go:126-155,
+  // 329-338 — after ALTER TABLE the DBA creates a second capture
+  // instance; a poll selects the NEWEST instance whose start_lsn <= the
+  // cursor, and if a newer instance exists it clamps the poll's target
+  // LSN to that instance's start_lsn so rows that conceptually belong
+  // to the new schema are never read through the old instance. The
+  // clamped remainder is picked up by the next poll, which selects the
+  // newer instance — the mid-stream switch.
+
+  /** One capture instance: its name, the LSN its capture began at, and
+    * its change table (which may carry a different column set than its
+    * siblings — schema evolution is WHY it exists). */
+  case class CaptureInstance(name: String, startLsnHex: String,
+                             table: DataFrame)
+
+  /** One poll against a multi-instance capture set: pick the newest
+    * instance valid at `fromLsnHex`, clamp the target to the next
+    * instance's start when one exists, and poll that window. Returns
+    * the changes plus the cursor the state store should record — the
+    * clamped LSN, NOT the requested target, exactly like the reference
+    * (cdc.go:151-155). An empty cursor selects the latest instance
+    * (fresh sync); a cursor older than every instance demands a
+    * full-refresh (cdc.go:143-149). */
+  def msSqlChangesOnePoll(instances: Seq[CaptureInstance],
+                          fromLsnHex: String, targetLsnHex: String)
+      : (DataFrame, String) = {
+    val sorted = instances.sortBy(_.startLsnHex)
+    val idx =
+      if (fromLsnHex.isEmpty) sorted.size - 1
+      else sorted.lastIndexWhere(_.startLsnHex <= fromLsnHex)
+    require(idx >= 0,
+      s"LSN $fromLsnHex is earlier than the start LSN of available " +
+        "capture instances; perform full-refresh")
+    val clampedTo =
+      if (idx + 1 < sorted.size && targetLsnHex > sorted(idx + 1).startLsnHex)
+        sorted(idx + 1).startLsnHex
+      else targetLsnHex
+    (msSqlChanges(sorted(idx).table, fromLsnHex, clampedTo), clampedTo)
+  }
+
+  /** Drive polls until the target LSN is reached — each clamped poll
+    * advances the cursor to the next instance's start, so a DDL
+    * transition surfaces as consecutive polls reading from different
+    * change tables. Column sets are unioned (the reference's documented
+    * column-level gap: rows read through the pre-ALTER instance carry
+    * NULL for columns only the newer instance captures). The loop is
+    * bounded by the instance count — planner metadata, not data. */
+  def msSqlChangesAcrossDdl(instances: Seq[CaptureInstance],
+                            fromLsnHex: String, targetLsnHex: String)
+      : DataFrame = {
+    val polls = Seq.newBuilder[DataFrame]
+    var cursor = fromLsnHex
+    var guard = instances.size + 1
+    while (cursor < targetLsnHex && guard > 0) {
+      val (df, advanced) = msSqlChangesOnePoll(instances, cursor,
+        targetLsnHex)
+      polls += df
+      cursor = advanced
+      guard -= 1
+    }
+    polls.result()
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   // ---- MongoDB change streams ------------------------------------------
   // Reference: /root/reference/drivers/mongodb/internal/cdc.go:166-215,
   // 313-320 — watch docs {_id: {_data}, operationType, fullDocument,

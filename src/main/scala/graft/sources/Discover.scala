@@ -114,6 +114,124 @@ object Discover {
       "min_value", "max_value")
   }
 
+  // ---- Catalog merge + diff (re-discover over a configured catalog) ----
+  //
+  // Reference semantics (`types/catalog.go:99-171` mergeCatalogs,
+  // `types/catalog.go:178-212` MergeSelectedColumns,
+  // `types/catalog.go:253-340` GetStreamsDelta,
+  // `protocol/discover.go:76-100` compareStreams): a re-run of discover
+  // merges the fresh catalog with the previous streams.json preserving
+  // user decisions, and a diff mode emits only the streams whose
+  // configuration changed (difference_streams.json).
+  //
+  // Catalog frames here carry one row per stream:
+  //   namespace, stream_name, columns: array<string>   — the schema
+  //   sync_mode, cursor_field, dest_table              — Stream fields
+  //   selected: boolean,                               — SelectedStreams
+  //   selected_columns: array<string>, sync_new_columns: boolean
+  // plus, for the diff, the StreamMetadata knobs:
+  //   normalization, partition_regex, filter, append_mode
+  //
+  // Catalogs are planner-scale metadata (thousands of streams, not
+  // billions of rows); the joins below broadcast the old side so a
+  // merge inside a 1000-executor job never shuffles the new catalog.
+
+  /** Merge a previous (user-configured) catalog with a freshly
+    * discovered one. Rules, in reference order:
+    *  1. a stream is selected after the merge only if it was selected
+    *     before AND still exists (vanished streams drop; NEW streams
+    *     are not auto-selected — the user enables them);
+    *  2. selected columns: empty previous selection initializes to the
+    *     full new schema; otherwise keep previously selected columns
+    *     that survive, and admit newly appeared columns only when the
+    *     stream's `sync_new_columns` flag is set;
+    *  3. sync_mode / cursor_field / dest_table carry over from the old
+    *     catalog when the stream existed there;
+    *  4. everything else (the schema itself) comes from the new
+    *     discovery.
+    */
+  def mergeCatalogs(oldCat: DataFrame, newCat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldCat.select(
+      col("namespace"), col("stream_name"),
+      col("columns").as("old_columns"),
+      col("sync_mode").as("old_sync_mode"),
+      col("cursor_field").as("old_cursor_field"),
+      col("dest_table").as("old_dest_table"),
+      col("selected").as("old_selected"),
+      col("selected_columns").as("old_selected_columns"),
+      col("sync_new_columns").as("old_sync_new_columns"),
+      lit(true).as("__in_old"))
+    val j = newCat.join(broadcast(o), Seq("namespace", "stream_name"), "left")
+    val inOld = coalesce(col("__in_old"), lit(false))
+    val selectedAfter = inOld && coalesce(col("old_selected"), lit(false))
+    // MergeSelectedColumns: iterate the NEW schema, keep previously
+    // selected survivors + (sync_new_columns ? newly appeared : none);
+    // an empty/absent previous selection means "all columns".
+    val mergedSel = when(!selectedAfter, lit(null).cast("array<string>"))
+      .when(col("old_selected_columns").isNull ||
+            size(col("old_selected_columns")) === 0, col("columns"))
+      .otherwise(filter(col("columns"), c =>
+        array_contains(col("old_selected_columns"), c) ||
+          (coalesce(col("old_sync_new_columns"), lit(false)) &&
+            !array_contains(col("old_columns"), c))))
+    j.select(
+      col("namespace"), col("stream_name"), col("columns"),
+      when(inOld, col("old_sync_mode")).otherwise(col("sync_mode"))
+        .as("sync_mode"),
+      when(inOld, col("old_cursor_field")).otherwise(col("cursor_field"))
+        .as("cursor_field"),
+      when(inOld, col("old_dest_table")).otherwise(col("dest_table"))
+        .as("dest_table"),
+      selectedAfter.as("selected"),
+      mergedSel.as("selected_columns"),
+      when(selectedAfter, coalesce(col("old_sync_new_columns"), lit(true)))
+        .otherwise(lit(null).cast("boolean")).as("sync_new_columns"))
+  }
+
+  /** Catalog diff (GetStreamsDelta): compare two configured catalogs
+    * and keep only the SELECTED streams of the new catalog that are
+    * additions or carry a configuration change — normalization,
+    * partition_regex, filter, append_mode, sync_mode, dest_table, or
+    * (for incremental streams) the cursor field. Unchanged streams are
+    * excluded; the result is the difference_streams.json payload.
+    */
+  def streamsDelta(oldCat: DataFrame, newCat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldCat.select(
+      col("namespace"), col("stream_name"),
+      col("sync_mode").as("old_sync_mode"),
+      col("cursor_field").as("old_cursor_field"),
+      col("dest_table").as("old_dest_table"),
+      col("selected").as("old_selected"),
+      col("normalization").as("old_normalization"),
+      col("partition_regex").as("old_partition_regex"),
+      col("filter").as("old_filter"),
+      col("append_mode").as("old_append_mode"),
+      lit(true).as("__in_old"))
+    val j = newCat.where(col("selected"))
+      .join(broadcast(o), Seq("namespace", "stream_name"), "left")
+    val existed = coalesce(col("__in_old"), lit(false)) &&
+      coalesce(col("old_selected"), lit(false))
+    // cursor only counts when the NEW stream is incremental
+    // (catalog.go:312 cursorDelta)
+    val cursorDelta = col("sync_mode") === "incremental" &&
+      !(col("cursor_field") <=> col("old_cursor_field"))
+    val changed =
+      !(col("normalization") <=> col("old_normalization")) ||
+      !(col("partition_regex") <=> col("old_partition_regex")) ||
+      !(col("filter") <=> col("old_filter")) ||
+      !(col("append_mode") <=> col("old_append_mode")) ||
+      !(col("sync_mode") <=> col("old_sync_mode")) ||
+      !(col("dest_table") <=> col("old_dest_table")) ||
+      cursorDelta
+    j.withColumn("delta",
+        when(!existed, "added").when(changed, "changed"))
+      .where(col("delta").isNotNull)
+      .select("namespace", "stream_name", "delta", "sync_mode",
+        "dest_table")
+  }
+
   /** Numeric-column quantile profile in ONE aggregate pass: exact
     * percentiles (Spark's `percentile`, the percentile_cont semantics)
     * for every requested q over every requested column, returned long

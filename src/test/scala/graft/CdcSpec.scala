@@ -91,6 +91,57 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("insert", 1L), ("update", 2L)))
   }
 
+  test("mssql: capture-instance selection, target clamp, and mid-poll DDL switch (cdc.go:126-155)") {
+    import spark.implicits._
+    def table(withCat: Boolean, rows: Seq[(String, Long)]): DataFrame = {
+      val base = rows.toDF("__$start_lsn", "id")
+        .withColumn("__$seqval", lit("01"))
+        .withColumn("__$operation", lit(2))
+        .withColumn("__$update_mask", lit("m"))
+      if (withCat) base.withColumn("category", concat(lit("c"), col("id")))
+      else base
+    }
+    // pre-ALTER instance captures everything, post-ALTER (start 0005)
+    // captures the later rows plus the new column
+    val v1 = table(withCat = false,
+      Seq(("0002", 1L), ("0004", 2L), ("0006", 3L)))
+    val v2 = table(withCat = true, Seq(("0006", 3L), ("0008", 4L)))
+    val instances = Seq(
+      PollingCdc.CaptureInstance("dbo_t", "0000", v1),
+      PollingCdc.CaptureInstance("dbo_t_v2", "0005", v2))
+
+    // one poll from 0001 toward 0008: selects v1, clamps to 0005
+    val (df1, cursor1) = PollingCdc.msSqlChangesOnePoll(instances, "0001", "0008")
+    assert(cursor1 == "0005")
+    assert(df1.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(!df1.columns.contains("category"))
+
+    // the follow-up poll switches to v2 and reaches the target
+    val (df2, cursor2) = PollingCdc.msSqlChangesOnePoll(instances, cursor1, "0008")
+    assert(cursor2 == "0008")
+    assert(df2.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("category"))).toSeq == Seq((3L, "c3"), (4L, "c4")))
+
+    // the driver loop unions both windows; v1-window rows carry NULL
+    // for the column only the newer instance captures
+    val all = PollingCdc.msSqlChangesAcrossDdl(instances, "0001", "0008")
+      .orderBy("cdc_start_lsn")
+      .select("id", "category").collect()
+    assert(all.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("c3")), (4L, Some("c4"))))
+
+    // fresh sync (empty cursor) picks the LATEST instance — the frame
+    // carries the post-ALTER column
+    val (fresh, _) = PollingCdc.msSqlChangesOnePoll(instances, "", "0008")
+    assert(fresh.columns.contains("category"))
+
+    // a cursor older than every instance demands full-refresh
+    val tooOld = instances.map(i => i.copy(startLsnHex = "0003"))
+    assertThrows[IllegalArgumentException] {
+      PollingCdc.msSqlChangesOnePoll(tooOld, "0001", "0008")
+    }
+  }
+
   test("mongo: replace→update, delete falls back to documentKey, resume filter") {
     import spark.implicits._
     val docs = Seq(

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Discover
+
+/** Catalog merge + diff semantics (`types/catalog.go:99-212` mergeCatalogs
+  * and MergeSelectedColumns, `:253-340` GetStreamsDelta) on hand-built
+  * two-stream catalogs — the gate queries cover the 20-stream fixture;
+  * these pin the individual rules in isolation.
+  */
+class DiscoverMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def cat(rows: Seq[(String, Seq[String], String, Option[String],
+                             String, Boolean, Option[Seq[String]], Boolean)])
+      : DataFrame = {
+    import spark.implicits._
+    rows.toDF("stream_name", "columns", "sync_mode", "cursor_field",
+        "dest_table", "selected", "selected_columns", "sync_new_columns")
+      .withColumn("namespace", lit("db"))
+  }
+
+  test("merge: vanished streams drop, new streams unselected, config carries over") {
+    val old = cat(Seq(
+      ("gone", Seq("id"), "cdc", None, "dst_gone", true, Some(Seq("id")), false),
+      ("kept", Seq("id", "a"), "incremental", Some("id"), "dst_kept", true,
+        Some(Seq("id")), false)))
+    val fresh = cat(Seq(
+      ("kept", Seq("id", "a", "b"), "full_refresh", None, "kept", true, None, true),
+      ("brand_new", Seq("x"), "full_refresh", None, "brand_new", true, None, true)))
+    val out = Discover.mergeCatalogs(old, fresh)
+      .orderBy("stream_name").collect()
+    assert(out.map(_.getAs[String]("stream_name")).toSeq ==
+      Seq("brand_new", "kept"))
+    val brandNew = out(0); val kept = out(1)
+    assert(!brandNew.getAs[Boolean]("selected"))
+    assert(brandNew.getAs[String]("sync_mode") == "full_refresh")
+    assert(kept.getAs[Boolean]("selected"))
+    assert(kept.getAs[String]("sync_mode") == "incremental")
+    assert(kept.getAs[String]("cursor_field") == "id")
+    assert(kept.getAs[String]("dest_table") == "dst_kept")
+    // previously selected ["id"] survives; "b" is new but
+    // sync_new_columns=false so it is NOT admitted; "a" existed before
+    // and was not selected
+    assert(kept.getAs[scala.collection.Seq[String]]("selected_columns").toSeq == Seq("id"))
+  }
+
+  test("merge: empty previous selection initializes to the full new schema; sync_new_columns admits new columns") {
+    val old = cat(Seq(
+      ("init", Seq("id", "a"), "cdc", None, "dst_init", true, Some(Nil), false),
+      ("grow", Seq("id", "a"), "cdc", None, "dst_grow", true,
+        Some(Seq("id")), true)))
+    val fresh = cat(Seq(
+      ("init", Seq("id", "a", "b"), "full_refresh", None, "init", true, None, true),
+      ("grow", Seq("id", "a", "b"), "full_refresh", None, "grow", true, None, true)))
+    val out = Discover.mergeCatalogs(old, fresh).orderBy("stream_name").collect()
+    // "grow" sorts first: "id" previously selected + "b" newly appeared
+    // (admitted); "a" survives unselected
+    assert(out(0).getAs[scala.collection.Seq[String]]("selected_columns").toSeq == Seq("id", "b"))
+    // "init": empty previous selection → full new schema
+    assert(out(1).getAs[scala.collection.Seq[String]]("selected_columns").toSeq == Seq("id", "a", "b"))
+  }
+
+  private def diffCat(rows: Seq[(String, String, Option[String], String,
+                                 Boolean, Boolean, Option[String],
+                                 Option[String], Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("stream_name", "sync_mode", "cursor_field", "dest_table",
+        "selected", "normalization", "partition_regex", "filter",
+        "append_mode")
+      .withColumn("namespace", lit("db"))
+  }
+
+  test("diff: additions, per-knob changes, unchanged exclusion, cursor only on incremental") {
+    val old = diffCat(Seq(
+      ("same", "cdc", None, "d1", true, true, None, None, false),
+      ("filt", "cdc", None, "d2", true, true, None, Some("id>0"), false),
+      ("curs_cdc", "cdc", Some("id"), "d3", true, true, None, None, false),
+      ("curs_inc", "incremental", Some("id"), "d4", true, true, None, None, false)))
+    val fresh = diffCat(Seq(
+      ("same", "cdc", None, "d1", true, true, None, None, false),
+      ("filt", "cdc", None, "d2", true, true, None, Some("id>9"), false),
+      // cursor changed but stream is CDC → cursor delta ignored
+      ("curs_cdc", "cdc", Some("ts"), "d3", true, true, None, None, false),
+      // cursor changed on an incremental stream → counts
+      ("curs_inc", "incremental", Some("ts"), "d4", true, true, None, None, false),
+      ("added", "full_refresh", None, "d5", true, true, None, None, false)))
+    val out = Discover.streamsDelta(old, fresh)
+      .orderBy("stream_name").collect()
+      .map(r => (r.getAs[String]("stream_name"), r.getAs[String]("delta")))
+    assert(out.toSeq == Seq(
+      ("added", "added"), ("curs_inc", "changed"), ("filt", "changed")))
+  }
+
+  test("diff: unselected new streams never appear") {
+    val old = diffCat(Seq(
+      ("s", "cdc", None, "d", true, true, None, None, false)))
+    val fresh = diffCat(Seq(
+      ("s", "full_refresh", None, "d", false, true, None, None, false)))
+    assert(Discover.streamsDelta(old, fresh).count() == 0)
+  }
+}
