@@ -234,6 +234,53 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K7+S13 the destination BEHIND the S3 wire, end-to-end: the
+    //      sync stages, promotes and publishes `events` to an
+    //      s3wire:// warehouse — every data byte travels SigV4-signed
+    //      PutObject/multipart through the loopback S3 endpoint via
+    //      the Hadoop FS adapter, and the read-back lists + ranged-GETs
+    //      the parquet over the same wire (reference: the parquet
+    //      destination writes to S3, parquet.go:125-707; Iceberg
+    //      warehouses are S3A paths in every shipped config) ----
+    "q_sync_s3_dest" -> ((s, dir) => {
+      import graft.sources.S3Wire
+      val bucketDir = java.nio.file.Files
+        .createTempDirectory("graft_s3dest").toFile
+      val local = java.nio.file.Files
+        .createTempDirectory("graft_s3dest_state").toString
+      val creds = S3Wire.SigV4.Credentials("AKIADEST", "dest-s3cret",
+        "us-east-1")
+      val srv = new S3Wire.S3LoopbackServer("lake", bucketDir,
+        creds = Some(creds))
+      try {
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.s3wire.impl",
+          classOf[graft.sources.S3WireFileSystem].getName)
+        // fresh loopback endpoint per run — never reuse a cached FS
+        hc.set("fs.s3wire.impl.disable.cache", "true")
+        hc.set("fs.s3wire.endpoint", srv.endpoint)
+        hc.set("fs.s3wire.access.key", creds.accessKey)
+        hc.set("fs.s3wire.secret.key", creds.secretKey)
+        hc.set("fs.s3wire.region", creds.region)
+        // small part size so the staged parquet exercises the
+        // streaming-multipart write path, not just PutObject
+        hc.set("fs.s3wire.part.size", (256 * 1024).toString)
+        val cfg = Protocol.StreamConfig("events",
+          primaryKeys = Seq("event_id"))
+        val rows = Protocol.syncStream(s, dir, "s3wire://lake/warehouse",
+          cfg, s"$local/state.json")
+        require(rows > 0, "sync through the s3wire destination was empty")
+        require(srv.requests.get() > 0, "no traffic hit the S3 endpoint")
+        // read-back over the wire: ListObjectsV2 + ranged GetObject —
+        // materialized to a local staging copy INSIDE the server's
+        // lifetime (the returned frame is evaluated after close)
+        s.read.parquet("s3wire://lake/warehouse/events")
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").parquet(s"$local/readback")
+        s.read.parquet(s"$local/readback")
+      } finally srv.close()
+    }),
+
     // ---- K1 writer pipeline, gate-backed: two REAL Structured
     //      Streaming runs (AvailableNow trigger, foreachBatch apply,
     //      checkpoint resume between them) over a change log derived
@@ -3498,6 +3545,11 @@ object SparkEntry {
     // after clear + full resync, the destination IS the source table
     "q_clear_resync" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // a full-refresh sync is lossless however the bytes travel; the
+    // oracle reads the source directly
+    "q_sync_s3_dest" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
 
     "q_dialect_types" ->
       """SELECT 'oracle' AS dialect, n_nationkey + 1 AS precision, s.scale,

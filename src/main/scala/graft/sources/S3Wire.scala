@@ -214,6 +214,14 @@ object S3Wire {
       require(code == 200, s"CompleteMultipartUpload HTTP $code: $body")
     }
 
+    /** DeleteObject — idempotent, 204 even when the key is absent. */
+    def deleteObject(bucket: String, key: String): Unit = {
+      val conn = open("DELETE", objectPath(bucket, key), Nil)
+      try require(conn.getResponseCode == 204,
+        s"DeleteObject HTTP ${conn.getResponseCode} for $key")
+      finally conn.disconnect()
+    }
+
     /** AbortMultipartUpload (`DELETE ?uploadId=`). */
     def abortMultipartUpload(bucket: String, key: String,
                              uploadId: String): Unit = {
@@ -482,6 +490,12 @@ object S3Wire {
             }
           case ("DELETE", Some(id), _) =>
             uploads.remove((key, id))
+            ex.sendResponseHeaders(204, -1); ex.close()
+          case ("DELETE", None, _) =>
+            // DeleteObject: 204 whether or not the key existed (S3's
+            // idempotent-delete contract)
+            val f = new java.io.File(dir, key)
+            if (f.isFile) f.delete(): Unit
             ex.sendResponseHeaders(204, -1); ex.close()
           case ("PUT", None, _) =>
             writeObject(body)

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import graft.sources.{S3Wire, S3WireFileSystem}
+
+/** The s3wire:// Hadoop FileSystem: the Hadoop contract pieces the
+  * parquet committer needs (status/list/rename/delete), the streaming
+  * multipart write path, and a full distributed Spark write→read
+  * round-trip over the wire. */
+class S3WireFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withFs(partSize: Int = 5 * 1024 * 1024)
+                    (f: (S3WireFileSystem, S3Wire.S3LoopbackServer,
+                         java.io.File) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("s3wirefs").toFile
+    val srv = new S3Wire.S3LoopbackServer("lake", dir)
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.s3wire.endpoint", srv.endpoint)
+      conf.setInt("fs.s3wire.part.size", partSize)
+      val fs = new S3WireFileSystem()
+      fs.initialize(java.net.URI.create("s3wire://lake/"), conf)
+      f(fs, srv, dir)
+    } finally srv.close()
+  }
+
+  private def put(fs: S3WireFileSystem, p: String, s: String): Unit = {
+    val out = fs.create(new Path(p), true)
+    out.write(s.getBytes("UTF-8")); out.close()
+  }
+
+  private def read(fs: S3WireFileSystem, p: String): String = {
+    val in = fs.open(new Path(p))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  test("create/open round-trip; getFileStatus file vs implicit dir vs missing") {
+    withFs() { (fs, _, _) =>
+      put(fs, "s3wire://lake/a/b/file.txt", "hello wire")
+      assert(read(fs, "s3wire://lake/a/b/file.txt") == "hello wire")
+      assert(fs.getFileStatus(new Path("s3wire://lake/a/b/file.txt")).isFile)
+      assert(fs.getFileStatus(new Path("s3wire://lake/a")).isDirectory)
+      intercept[java.io.FileNotFoundException] {
+        fs.getFileStatus(new Path("s3wire://lake/nope"))
+      }
+      // empty directories do not exist in the object model
+      assert(fs.mkdirs(new Path("s3wire://lake/empty")))
+      intercept[java.io.FileNotFoundException] {
+        fs.getFileStatus(new Path("s3wire://lake/empty"))
+      }
+    }
+  }
+
+  test("listStatus groups descendants into immediate children") {
+    withFs() { (fs, _, _) =>
+      put(fs, "s3wire://lake/d/x.txt", "x")
+      put(fs, "s3wire://lake/d/sub/y.txt", "y")
+      put(fs, "s3wire://lake/d/sub/z.txt", "z")
+      val names = fs.listStatus(new Path("s3wire://lake/d"))
+        .map(s => (s.getPath.getName, s.isDirectory)).sortBy(_._1)
+      assert(names.toSeq == Seq(("sub", true), ("x.txt", false)))
+      val subNames = fs.listStatus(new Path("s3wire://lake/d/sub"))
+        .map(_.getPath.getName).sorted
+      assert(subNames.toSeq == Seq("y.txt", "z.txt"))
+    }
+  }
+
+  test("rename moves files and whole directories; delete is recursive") {
+    withFs() { (fs, _, _) =>
+      put(fs, "s3wire://lake/t/_temporary/0/task_0/p1.parquet", "one")
+      put(fs, "s3wire://lake/t/_temporary/0/task_0/p2.parquet", "two")
+      assert(fs.rename(new Path("s3wire://lake/t/_temporary/0/task_0"),
+        new Path("s3wire://lake/t/final")))
+      assert(read(fs, "s3wire://lake/t/final/p1.parquet") == "one")
+      assert(read(fs, "s3wire://lake/t/final/p2.parquet") == "two")
+      // source is gone
+      assert(!fs.rename(new Path("s3wire://lake/t/_temporary/0/task_0"),
+        new Path("s3wire://lake/elsewhere")))
+      assert(fs.delete(new Path("s3wire://lake/t"), true))
+      intercept[java.io.FileNotFoundException] {
+        fs.getFileStatus(new Path("s3wire://lake/t"))
+      }
+      assert(!fs.delete(new Path("s3wire://lake/t"), true))
+    }
+  }
+
+  test("writes above the part size stream as multipart and read back intact") {
+    withFs(partSize = 64 * 1024) { (fs, _, dir) =>
+      val payload = Array.tabulate[Byte](200 * 1024)(i => (i % 251).toByte)
+      val out = fs.create(new Path("s3wire://lake/big.bin"), true)
+      out.write(payload); out.close()
+      val in = fs.open(new Path("s3wire://lake/big.bin"))
+      val got = try in.readAllBytes() finally in.close()
+      assert(got.sameElements(payload))
+      // the object landed spliced on the server side too
+      val onDisk = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "big.bin").toPath)
+      assert(onDisk.sameElements(payload))
+    }
+  }
+
+  test("seek + ranged read serve arbitrary slices") {
+    withFs() { (fs, _, _) =>
+      put(fs, "s3wire://lake/s.txt", "0123456789")
+      val in = fs.open(new Path("s3wire://lake/s.txt"))
+      try {
+        in.seek(4)
+        val b = new Array[Byte](3)
+        assert(in.read(b, 0, 3) == 3)
+        assert(new String(b) == "456")
+        assert(in.getPos == 7)
+        // positioned read does not disturb the cursor
+        val c = new Array[Byte](2)
+        in.readFully(1L, c)
+        assert(new String(c) == "12" && in.getPos == 7)
+      } finally in.close()
+    }
+  }
+
+  test("Spark writes and reads parquet through the wire, distributed") {
+    withFs() { (_, srv, _) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3wire.impl", classOf[S3WireFileSystem].getName)
+      hc.set("fs.s3wire.impl.disable.cache", "true")
+      hc.set("fs.s3wire.endpoint", srv.endpoint)
+      import spark.implicits._
+      (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(4)
+        .write.mode("overwrite").parquet("s3wire://lake/tbl")
+      val back = spark.read.parquet("s3wire://lake/tbl")
+      assert(back.count() == 5000)
+      assert(back.where($"id" <= 10)
+        .agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0)
+        == 55L)
+      assert(srv.requests.get() > 0)
+    }
+  }
+}
