@@ -542,6 +542,24 @@ object Dedup {
     *   - `verified`'s corpus-side read is the shingle store filtered by
     *     candidate-id LITERALS, so the bucketed+sorted layout prunes
     *     files (SelectedBucketsCount) and row groups — never a scan. */
+  /** Candidate-row fetch from a bucketed store. Small candidate sets
+    * become literals (`In`), which the bucketed + sorted layout turns
+    * into file and row-group pruning; past [[LiteralLookupMax]] the ids
+    * ride a broadcast LEFT SEMI join instead — a 10^5-literal In()
+    * expression is a planner denial-of-service (minutes of driver time
+    * at 100× corpus, measured), and at that candidate volume the probe
+    * touches most buckets anyway, so the streamed scan is the cheaper
+    * honest plan. `ids` must be a single-column frame. */
+  private[graft] val LiteralLookupMax = 16384
+  private[graft] def storeLookup(store: DataFrame, keyCol: String,
+                                 ids: DataFrame): DataFrame = {
+    val sample = ids.limit(LiteralLookupMax + 1).collect()
+    if (sample.length <= LiteralLookupMax)
+      store.where(col(keyCol).isInCollection(
+        sample.map(_.get(0)).toSeq))
+    else store.join(broadcast(ids.toDF(keyCol)), Seq(keyCol), "left_semi")
+  }
+
   private[graft] def minhashStoredProbe(batch: DataFrame, textCol: String,
       idCol: String, prefix: String, shingleN: Int, k: Int, bands: Int,
       threshold: Double, native: Boolean)
@@ -563,16 +581,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
     bb.unpersist()
-    // candidate ids are driver-bounded — O(batch × dup-degree), the
-    // same class as chunk-boundary collects — and become LITERALS so
-    // the shingle store's bucketing prunes whole files. Batch ids are
+    // candidate ids are usually batch-bounded (O(batch × dup-degree))
+    // and become LITERALS so the shingle store's bucketing prunes whole
+    // files; storeLookup switches to a broadcast semi-join when the
+    // candidate set is too large to be a sane In() plan. Batch ids are
     // disjoint from the store by contract, so the union below never
     // double-serves a document.
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id")))
-      .distinct().collect().map(_.get(0)).toSeq
-    val corpusSh = spark.table(s"${prefix}_shingles")
-      .where(col("id").isInCollection(candIds))
+    val candIdsDf = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val corpusSh = storeLookup(spark.table(s"${prefix}_shingles"), "id",
+      candIdsDf)
     val batchSh = batch.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
     val sh = batchSh.unionByName(corpusSh)
@@ -889,15 +907,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
     bCodes0.unpersist()
-    // candidate ids are driver-bounded (batch × bucket occupancy) and
-    // become LITERALS against the bucketed vector store; batch ids are
+    // candidate ids (batch × bucket occupancy) become LITERALS against
+    // the bucketed vector store while small; at realistic occupancy the
+    // set can approach the corpus, so storeLookup switches to a
+    // broadcast semi-join past the literal budget. Batch ids are
     // disjoint from the store by contract so the union double-serves
     // nothing
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id")))
-      .distinct().collect().map(_.get(0)).toSeq
-    val corpusVecs = spark.table(s"${prefix}_vecs")
-      .where(col("id").isInCollection(candIds))
+    val candIdsDf = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val corpusVecs = storeLookup(spark.table(s"${prefix}_vecs"), "id",
+      candIdsDf)
     val batchVecs = batch.select(col(idCol).as("id"),
       col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
     val side = batchVecs.unionByName(corpusVecs)
@@ -916,7 +935,12 @@ object Dedup {
     * normed per arriving batch — probe cost is O(batch × tables ×
     * probes) broadcast rows against the bucketed code table plus
     * file-pruned vector fetches for candidates. Wall time is a
-    * function of BATCH size and bucket occupancy, not corpus size.
+    * function of BATCH size and bucket occupancy, not corpus size —
+    * PROVIDED the code space is sized to the corpus: occupancy per
+    * (table, code) bucket is ~corpus/2^planes, so a growing corpus
+    * needs planes ∝ log2(corpus) to keep probes flat (measured in
+    * SCALING.md's 100× tier: a fixed 4-bit space degraded 65×, the
+    * scaled 11-bit space stayed flat at the same recall config).
     * Same candidate algebra and verify as
     * [[cosineIncrementalVerified]] — outputs are identical by
     * construction. Ids must be disjoint; pairs emit as id_a < id_b. */

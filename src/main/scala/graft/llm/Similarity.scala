@@ -303,13 +303,12 @@ object Similarity {
         col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate ids are bounded by (queries × probes × bucket
-    // occupancy) — driver-small; as literals they bucket-prune the
-    // vector store so scoring reads matching files only
-    val candIds = cand.select(col("neighbor_id"))
-      .distinct().collect().map(_.get(0)).toSeq
-    val cv = spark.table(s"${prefix}_vecs")
-      .where(col("neighbor_id").isInCollection(candIds))
+    // candidate ids are (queries × probes × bucket occupancy); while
+    // small they become literals that bucket-prune the vector store;
+    // past the literal budget they ride a broadcast semi-join instead
+    // (Dedup.storeLookup — a corpus-sized In() is a planner DoS)
+    val cv = Dedup.storeLookup(spark.table(s"${prefix}_vecs"),
+      "neighbor_id", cand.select(col("neighbor_id")).distinct())
     val qv = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec"), norm(col(vecCol)).as("qnorm")))
     val scored = cand.join(cv, "neighbor_id").join(qv, "query_id")
@@ -327,8 +326,10 @@ object Similarity {
     * probe keys) broadcast rows against the bucketed code table plus
     * file-pruned vector fetches for candidates. Wall time is a
     * function of QUERY volume and bucket occupancy, not corpus size
-    * (measured flat in SCALING.md). Same ranking algebra and output as
-    * [[lshTopK]]. */
+    * (measured flat in SCALING.md) — occupancy is ~corpus/2^planes per
+    * table, so the code space must grow with the corpus (planes ∝
+    * log2(corpus), the knob SCALING.md's 100× tier measures both ways).
+    * Same ranking algebra and output as [[lshTopK]]. */
   def lshTopKStored(queries: DataFrame, k: Int, prefix: String,
                     planes: Int = 4, dims: Int = 64,
                     tables: Int = 6, maxFlips: Int = 2,

@@ -45,6 +45,151 @@ object ScaleCheck {
         copies.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
       }
     }
+    // ---- 100× tier (`ScaleCheck 100x`): the stored-probe family at a
+    // corpus scale where bucket occupancy actually bites. The index
+    // BUILD is the one-time linear cost a production pipeline amortizes
+    // (run off-clock here); the claim under test is that the PROBE of a
+    // fixed batch stays O(batch) — flat wall — as the corpus behind the
+    // stored index grows 100×. ----
+    if (args.headOption.contains("100x")) {
+      // local timer: the sweep-mode tier filter (`only`) must not
+      // swallow the 100× bodies
+      def time[A](label: String)(f: => A): Double = {
+        val t0 = System.nanoTime(); f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label: $s%.2f s"); s
+      }
+      // Copies are PERTURBED (copy 0 stays the original): a probe's
+      // true-duplicate set must stay the same size while the corpus
+      // behind the index grows 100× — exact replicas would grow every
+      // probe's match set 100× and the wall with it, measuring output
+      // volume, not index scaling (the first 100× run did exactly
+      // that: minhash matches 540 → 53,901).
+      val big100 = "/tmp/graft_sf0_1_x100p"
+      locally {
+        val outP = s"$big100/documents.parquet"
+        if (!new java.io.File(outP).exists) {
+          val src = Tables.load(spark, base, "documents")
+          (0 until 100).map { i =>
+            val copy = src.withColumn("doc_id",
+              col("doc_id") + lit(i * 100000000L))
+            // i>0: a per-copy token lands between every pair of words,
+            // breaking ~all shingles — Jaccard vs the original ≈ 0
+            if (i == 0) copy
+            else copy.withColumn("text",
+              regexp_replace(col("text"), " ", s" z$i "))
+          }.reduce(_ unionByName _)
+            .repartition(64).write.mode("overwrite").parquet(outP)
+        }
+      }
+      locally {
+        val outP = s"$big100/embeddings.parquet"
+        if (!new java.io.File(outP).exists) {
+          val src = Tables.load(spark, base, "embeddings")
+          (0 until 100).map { i =>
+            val copy = src.withColumn("vec_id",
+              col("vec_id") + lit(i * 100000000L))
+            // i>0: deterministic per-copy random-sign mask — cosine vs
+            // the original ≈ 0, copies mutually ≈ 0, codes spread
+            if (i == 0) copy
+            else copy.withColumn("embedding",
+              zip_with(col("embedding"),
+                transform(sequence(lit(0),
+                    size(col("embedding")) - 1), j =>
+                  when(pmod(hash(lit(i * 1000003), j), lit(2)) === 0, 1.0f)
+                    .otherwise(-1.0f)),
+                (x, s) => x * s))
+          }.reduce(_ unionByName _)
+            .repartition(64).write.mode("overwrite").parquet(outP)
+        }
+      }
+      val probeBatch = Tables.load(spark, base, "documents")
+        .where(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000000L)).cache()
+      probeBatch.count()
+      val probeVecs = Tables.load(spark, base, "embeddings")
+        .where(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000000L)).cache()
+      probeVecs.count()
+      val walls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val probeCounts =
+        scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      // the occupancy knob: LSH code space sized ∝ corpus (2^planes
+      // buckets per table) so per-bucket occupancy stays ~constant —
+      // 5 000/2^4 ≈ 312 at 1×, 500 000/2^11 ≈ 244 at 100×. This is the
+      // rule a production deployment applies when the corpus grows; a
+      // FIXED 4-bit code space at 100× scans 100× the bucket occupancy
+      // per probe (measured: cosine probe 4.6 s → 295 s) — the index
+      // didn't degrade, the configuration did.
+      // candidate BUDGET matched across scales: probes-per-table ×
+      // occupancy ≈ 11×312 at 1× (planes 4, flips 2 → 11 masks) and
+      // 12×244 at 100× (planes 11, flips 1 → 12 masks). The budget is
+      // the recall knob — flat probe wall is only claimable at a fixed
+      // budget; growing the budget with the corpus buys recall at
+      // linear cost (that frontier is intrinsic to LSH, not a plan
+      // property).
+      for ((label, dir, vecPlanes, vecFlips) <- Seq(("1x", base, 4, 2),
+                                          ("100x", big100, 11, 1))) {
+        val docs = Tables.load(spark, dir, "documents")
+        val emb = Tables.load(spark, dir, "embeddings")
+        val out = java.nio.file.Files.createTempDirectory("sc100").toString
+        // builds: off-clock for the flat-probe claim, but printed so the
+        // linear build cost is on record too
+        time(s"$label build exact_stored") {
+          Dedup.exactIndexStore(docs, "text", "doc_id",
+            s"sc100_ex_$label", s"$out/exidx", slots = 64) }
+        time(s"$label build minhash_stored") {
+          Dedup.minhashIndexStore(docs, "text", "doc_id",
+            s"sc100_mh_$label", s"$out/mhidx", buckets = 32,
+            native = true) }
+        time(s"$label build cosine_stored") {
+          Dedup.cosineIndexStore(emb, "vec_id", "embedding",
+            s"sc100_cos_$label", s"$out/cosidx", buckets = 32,
+            planes = vecPlanes, native = true) }
+        time(s"$label build ann_stored") {
+          graft.llm.Similarity.lshIndexStore(emb, s"sc100_ann_$label",
+            s"$out/annidx", buckets = 32, planes = vecPlanes,
+            native = true) }
+        // probes: best of 2 (the second run isolates steady-state probe
+        // cost from first-touch scheduling noise on the tiny fixed batch)
+        def probe(name: String)(f: => Long): Unit = {
+          val runs = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            probeCounts(s"$label $name") = f
+            (System.nanoTime() - t0) / 1e9
+          }
+          walls(s"$label $name") = runs.min
+          println(f"$label probe $name: ${runs.min}%.2f s " +
+            f"(matches ${probeCounts(s"$label $name")}%d)")
+        }
+        probe("exact_stored_probe") {
+          Dedup.exactIncrementalStored(probeBatch, "text", "doc_id",
+            s"sc100_ex_$label", slots = 64).count() }
+        probe("minhash_stored_probe") {
+          Dedup.minhashIncrementalStored(probeBatch, "text", "doc_id",
+            s"sc100_mh_$label", threshold = 0.9, native = true).count() }
+        probe("cosine_stored_probe") {
+          Dedup.cosineIncrementalStored(probeVecs, "vec_id", "embedding",
+            s"sc100_cos_$label", threshold = 0.9, planes = vecPlanes,
+            maxFlips = vecFlips, native = true).count() }
+        probe("ann_stored_probe") {
+          graft.llm.Similarity.lshTopKStored(
+            Tables.load(spark, base, "embeddings")
+              .where(col("vec_id") < 50), k = 10,
+            s"sc100_ann_$label", planes = vecPlanes,
+            maxFlips = vecFlips, native = true).count() }
+      }
+      println("== 100x probe ratios (flat ≈ 1.0; the O(batch) claim) ==")
+      Seq("exact_stored_probe", "minhash_stored_probe",
+          "cosine_stored_probe", "ann_stored_probe").foreach { k =>
+        println(f"$k%-22s ${walls(s"100x $k") / walls(s"1x $k")}%.2f× " +
+          f"(1x ${walls(s"1x $k")}%.2f s → 100x ${walls(s"100x $k")}%.2f s; " +
+          f"matches ${probeCounts(s"1x $k")}%d → ${probeCounts(s"100x $k")}%d)")
+      }
+      spark.stop()
+      return
+    }
+
     replicate("lineitem", Seq("l_orderkey"))
     replicate("documents", Seq("doc_id"))
     replicate("events", Seq("event_id", "user_id"))

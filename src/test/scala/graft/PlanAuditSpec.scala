@@ -527,4 +527,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"$exchanges exchanges:\n$p")
     assert(!p.toLowerCase.contains("udf"), p)
   }
+
+  test("catalog merge broadcasts the old catalog; the fresh discovery never shuffles") {
+    val p = plan(q("q_discover_merge"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"merge shuffled the catalogs:\n$p")
+  }
+
+  test("catalog diff broadcasts the old catalog and keys on (namespace, stream)") {
+    val p = plan(q("q_discover_diff"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"diff shuffled or crossed the catalogs:\n$p")
+  }
 }
