@@ -2921,6 +2921,22 @@ object SparkEntry {
       TextAnalysis.unigramScore(t(s, dir, "documents"), "text", "doc_id",
         vocabSize = 500)),
 
+    // ---- LLM: CCNet head/middle/tail — global-rank terciles over the
+    //      LM-quality score (banded rank, no single-sort-partition
+    //      window), head kept whole, middle 0.5, tail 0.1 by md5
+    //      threshold. Composes unigramScore → rankBuckets → sampleMix
+    //      in one plan. ----
+    "q_perplexity_sample" -> ((s, dir) => {
+      val scored = TextAnalysis.unigramScore(
+        t(s, dir, "documents"), "text", "doc_id", vocabSize = 500)
+      val bucketed = graft.llm.Selection.rankBuckets(
+        scored, col("mean_freq_ppm"), "doc_id", buckets = 3, shards = 8)
+      graft.llm.Sampling.sampleMix(
+          bucketed.withColumn("b", col("ppl_bucket").cast("string")),
+          "doc_id", "b", Seq("1" -> 1.0, "2" -> 0.5), defaultRate = 0.1)
+        .select(col("doc_id"), col("rank").as("rnk"), col("ppl_bucket"))
+    }),
+
     // ---- LLM: bigram-LM quality score (CCNet family) — integer
     //      conditional-probability ratios so DuckDB replays exactly;
     //      top-K bigram vocab broadcast with prefix unigram counts ----
@@ -3021,6 +3037,22 @@ object SparkEntry {
       graft.llm.Sampling.capPerSource(assigned, "cluster", "vec_id",
           cap = 20)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    }),
+
+    // ---- LLM: SSL-prototypes pruning — drop the 30 closest-to-
+    //      centroid vectors per cluster (the "easy" examples), same
+    //      fixed centroids as the k-means gate; oracle replays the
+    //      argmin + per-cluster rank ----
+    "q_prototype_prune" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toSeq.sortBy(_._1)
+      Similarity.prototypePrune(e, "vec_id", "embedding", cents,
+        dropPerCluster = 30)
     }),
 
     // ---- LLM: SemDeDup with the paper's cluster-then-pairwise
@@ -3124,6 +3156,32 @@ object SparkEntry {
         "text", n = 2, k = 200)
     }),
 
+    // ---- LLM: keyword search (BM25 family, rational idf) — top-100
+    //      docs for a 3-term query; literal term filter prunes before
+    //      any shuffle, ≤3-row df table broadcasts, top-k is a
+    //      TakeOrdered. Scores are integer, so DuckDB replays them
+    //      exactly. ----
+    "q_keyword_search" -> ((s, dir) =>
+      graft.llm.Search.keywordSearch(t(s, dir, "documents"),
+        "text", "doc_id", Seq("vector", "merge", "spark"), k = 100)),
+
+    // ---- LLM: keyword search against the STORED inverted index —
+    //      postings bucketed by term (query terms prune to their
+    //      buckets, zero re-tokenization), same scores as the inline
+    //      tier, same oracle. ----
+    "q_keyword_search_stored" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_kw_store")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      graft.llm.Search.keywordIndexStore(t(s, dir, "documents"),
+        "text", "doc_id", "graft_kw_gate", root.toString, buckets = 8)
+      graft.llm.Search.keywordSearchStored(s, "graft_kw_gate",
+        Seq("vector", "merge", "spark"), k = 100)
+    }),
+
     // ---- LLM: domain-level quality filtering — per-source counts of
     //      low-quality docs (reusing the oracled qualityScore) and an
     //      integer-exact drop verdict (bad×100 > n×40). DuckDB replays
@@ -3144,6 +3202,18 @@ object SparkEntry {
           .select(col("doc_id"), col("source")),
         "source", "doc_id", cap = 50)
     }),
+
+    // ---- LLM: UniMax language balancing — integer level-waterfill
+    //      cap T* (largest T with sum_g min(count_g, T) <= budget),
+    //      then md5-order top-T* per language. At sf0.01 (budget 350
+    //      over counts 64/70/73/75/218) T* = 72: three languages are
+    //      capped, two pass whole, the budget is consumed exactly.
+    //      DuckDB replays the waterfill from its own group histogram
+    //      — the cap is never inlined from the Spark side. ----
+    "q_sample_unimax" -> ((s, dir) =>
+      graft.llm.Sampling.uniMaxSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", budget = 350L)),
 
     // ---- LLM: duplicate-cluster resolution — connected components of
     //      the exact near-dup pair graph via min-label propagation;
@@ -4792,6 +4862,108 @@ object SparkEntry {
         |  count(*) FILTER (WHERE q < 0.6) AS bad,
         |  count(*) FILTER (WHERE q < 0.6) * 100 > count(*) * 40 AS dropped
         |FROM y GROUP BY source""".stripMargin,
+
+    // the level-waterfill replayed from DuckDB's own histogram: the
+    // candidate set (segment interiors + breakpoints) is evaluated
+    // exactly, so both engines land on the identical integer cap; the
+    // selection is the same single-phase-rank equivalence cap_source
+    // pins. Negative interior candidates may differ between floor (//)
+    // and truncating (Scala /) division — both sides discard T < 0, so
+    // the discrepancy is unreachable.
+    "q_sample_unimax" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS L FROM c),
+        |s AS (SELECT lang, cnt,
+        |    row_number() OVER (ORDER BY cnt, lang) AS i,
+        |    sum(cnt) OVER (ORDER BY cnt, lang) AS S
+        |  FROM c),
+        |cand AS (SELECT (350 - (S - cnt)) // ((SELECT L FROM n) - i + 1) AS T FROM s
+        |  UNION SELECT cnt FROM s UNION SELECT 0),
+        |f AS (SELECT t.T, sum(least(c.cnt, greatest(t.T, 0))) AS ftot
+        |  FROM cand t CROSS JOIN c GROUP BY 1),
+        |pick AS (SELECT max(T) AS ts FROM f WHERE T >= 0 AND ftot <= 350),
+        |sel AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM sel WHERE rn <= (SELECT ts FROM pick)""".stripMargin,
+
+    // unigram-score CTE verbatim from q_unigram_score, then the global
+    // rank directly (the banded Spark rank equals it exactly — equal
+    // scores share a band), integer tercile cut, md5 keep thresholds
+    "q_perplexity_sample" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+         |  FROM documents),
+         |tot AS (SELECT count(*) AS total FROM tok),
+         |vocab AS (SELECT t, count(*) AS freq FROM tok
+         |  GROUP BY t ORDER BY freq DESC, t LIMIT 500),
+         |scored AS (SELECT doc_id, count(*) AS n_tok,
+         |    sum(coalesce(v.freq, 0)) AS sumfreq
+         |  FROM tok LEFT JOIN vocab v USING (t) GROUP BY doc_id),
+         |m AS (SELECT doc_id,
+         |  round((sumfreq * 1000000.0) / (n_tok * (SELECT total * 1.0 FROM tot)), 6) AS s
+         |  FROM scored),
+         |nn AS (SELECT count(*) AS N FROM m),
+         |r AS (SELECT doc_id, s,
+         |  row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM m),
+         |b AS (SELECT doc_id, rnk,
+         |  (rnk - 1) * 3 // (SELECT N FROM nn) + 1 AS ppl_bucket FROM r)
+         |SELECT doc_id, rnk, ppl_bucket FROM b
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE ppl_bucket WHEN 1 THEN '${graft.llm.Sampling.rateThreshold(1.0)}'
+         |    WHEN 2 THEN '${graft.llm.Sampling.rateThreshold(0.5)}'
+         |    ELSE '${graft.llm.Sampling.rateThreshold(0.1)}' END""".stripMargin,
+
+    // same argmin CTE as q_kmeans_assign, then the per-cluster
+    // closest-first rank; survivors are rank > 30
+    "q_prototype_prune" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dist AS (SELECT vec_id, cid,
+        |  list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d2
+        |  FROM d CROSS JOIN c),
+        |a AS (SELECT vec_id, cid, d2,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist),
+        |asg AS (SELECT vec_id, cid AS cluster, d2 FROM a WHERE rn = 1),
+        |r AS (SELECT vec_id, cluster, d2,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS prn
+        |  FROM asg)
+        |SELECT vec_id, cluster, round(d2, 6) AS d2 FROM r WHERE prn > 30""".stripMargin,
+
+    // integer rational-idf scores replay exactly; sum cast to BIGINT
+    // (DuckDB sum(BIGINT) widens to HUGEINT → float64 in the dump)
+    "q_keyword_search" ->
+      """WITH nn AS (SELECT count(*) AS N FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term IN ('vector', 'merge', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        |s AS (SELECT doc_id, count(*) AS n_hit,
+        |  CAST(sum(tf * ((SELECT N FROM nn) * 1000000 // df)) AS BIGINT) AS score
+        |  FROM p JOIN dfq USING (term) GROUP BY 1)
+        |SELECT doc_id, n_hit, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // the stored tier must reproduce the inline tier bit-identically
+    "q_keyword_search_stored" ->
+      """WITH nn AS (SELECT count(*) AS N FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term IN ('vector', 'merge', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        |s AS (SELECT doc_id, count(*) AS n_hit,
+        |  CAST(sum(tf * ((SELECT N FROM nn) * 1000000 // df)) AS BIGINT) AS score
+        |  FROM p JOIN dfq USING (term) GROUP BY 1)
+        |SELECT doc_id, n_hit, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
 
     // the single-phase rank over the same md5 order — provably the same
     // selection the two-phase skew-safe plan makes

@@ -88,6 +88,58 @@ object Sampling {
     * sample-packing approximation, trading ≤ one document of slack per
     * pack for a fully parallel plan).
     */
+  /** UniMax-style LANGUAGE BALANCING (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling"): spread a total
+    * document budget across languages as uniformly as the per-language
+    * inventories allow — small languages keep everything, large ones
+    * are capped at a common level — instead of the `count^alpha`
+    * temperature heuristic whose float exponents cannot be replayed
+    * engine-exactly.
+    *
+    * This is the LEVEL-WATERFILL variant: the cap is the largest
+    * integer T with `sum_g min(count_g, T) <= budget`, and every group
+    * keeps its md5-order top `min(count_g, T)`. All arithmetic is
+    * integer, so a SQL engine reproduces the cap (and therefore the
+    * exact membership) bit-identically; the paper's sequential
+    * remainder distribution would shift quotas by < 1 doc per language
+    * at the cost of an order-dependent driver loop. The leftover
+    * `budget - f(T*)` (< number of groups) stays unspent by design.
+    *
+    * Scale shape: the group histogram is one map-side-combinable
+    * aggregate collapsing to ≤ |languages| rows (driver planner
+    * metadata, the same class as chunk boundaries); selection is the
+    * skew-safe two-phase [[capPerSource]] rank — the biggest language
+    * never lands in one task. */
+  def uniMaxCap(counts: Seq[(String, Long)], budget: Long): Long = {
+    val cs = counts.map(_._2).sorted
+    val L = cs.size
+    if (L == 0) return 0L
+    // candidate levels: every segment's interior optimum floor((B-S_i)
+    // /(L-i)) plus the breakpoints themselves; f is evaluated exactly
+    // for each, so a candidate outside its segment is simply beaten
+    val prefix = cs.scanLeft(0L)(_ + _) // S_0..S_L
+    val interior = (0 until L).map(i => (budget - prefix(i)) / (L - i))
+    val cands = (interior ++ cs :+ 0L).distinct
+    def f(t: Long): Long = cs.map(c => math.min(c, math.max(t, 0L))).sum
+    cands.filter(t => t >= 0L && f(t) <= budget)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Apply [[uniMaxCap]]'s level to the corpus: md5-order top
+    * `min(count_g, T*)` per group. Emits the surviving rows. */
+  def uniMaxSample(df: DataFrame, groupCol: String, idCol: String,
+                   budget: Long, salts: Int = 8): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq.sortBy(_._1)
+    val t = uniMaxCap(counts, budget)
+    if (t <= 0L) df.where(lit(false))
+    else capPerSource(df, groupCol, idCol,
+      math.min(t, Int.MaxValue.toLong).toInt, salts)
+  }
+
   def packSequences(df: DataFrame, idCol: String, costCol: Column,
                     budget: Long, buckets: Int = 64): DataFrame = {
     val bucket = pmod(col(idCol), lit(buckets.toLong))

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyword SEARCH over the corpus — the retrieval half of a curation
+  * stack (find the documents about X to up-weight, audit, or
+  * decontaminate against). A BM25-family ranker kept ENGINE-EXACT: the
+  * idf is the scaled integer ratio `N·1e6 div df(term)` instead of the
+  * logarithm — identical top-k ORDERING for single-term and
+  * short-conjunction queries at gate scale, and a DuckDB oracle replays
+  * every score bit-identically (the same rational-probability trick
+  * the bigram-LM scorer pins; swap a log idf in at deployment if
+  * classic BM25 numbers are wanted — the plan shape is unchanged).
+  *
+  * Scale shape, inline tier: tokens explode map-side and the query-term
+  * filter (a literal `isin`) prunes BEFORE anything shuffles — the
+  * corpus contributes only its matching postings to the one (term,doc)
+  * aggregation; document frequencies are a ≤|terms|-row broadcast; the
+  * final top-k is a TakeOrdered, never a global sort.
+  *
+  * Stored tier: the inverted index is written ONCE, bucketed by term
+  * ([[graft.sinks.Bucketed]]), so a query reads only the buckets its
+  * terms hash into (file pruning via the bucketed+sorted layout) and
+  * aggregates postings without re-tokenizing a byte of corpus — the
+  * same pay-once-probe-forever contract as the dedup index stores.
+  */
+object Search {
+
+  /** Posting lists: one row per (term, doc_id) with the term frequency.
+    * One explode + one map-side-combinable aggregation. */
+  def invertedIndex(df: DataFrame, textCol: String,
+                    idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Score postings for `terms` against a corpus of `n` documents:
+    * per-document `score = Σ tf(t,d) · (n·1e6 div df(t))`, plus
+    * `n_hit` = how many distinct query terms the document contains
+    * (filter `n_hit = terms.size` for conjunctive AND search). */
+  private def score(postings: DataFrame, terms: Seq[String], n: Long,
+                    k: Int): DataFrame = {
+    val hits = postings.where(col("term").isin(terms: _*))
+    val dfreq = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfreq), "term")
+      .withColumn("w",
+        col("tf") * call_function("div", lit(n * 1000000L), col("df")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Inline search: tokenize, filter to the query terms, score, top-k
+    * by (score desc, doc_id). */
+  def keywordSearch(df: DataFrame, textCol: String, idCol: String,
+                    terms: Seq[String], k: Int): DataFrame = {
+    val n = df.count() // scalar planner metadata, like cursor maxes
+    score(invertedIndex(df, textCol, idCol), terms, n, k)
+  }
+
+  /** Build the stored index: postings bucketed+sorted by term (query
+    * terms prune to their buckets) plus a one-row meta table carrying
+    * the corpus size the idf needs. */
+  def keywordIndexStore(corpus: DataFrame, textCol: String, idCol: String,
+                        prefix: String, path: String,
+                        buckets: Int = 32): Unit = {
+    graft.sinks.Bucketed.writeBucketed(
+      invertedIndex(corpus, textCol, idCol),
+      s"${prefix}_postings", s"$path/postings", Seq("term"), buckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(corpus.count()).toDF("n").write.mode("overwrite")
+      .option("path", s"$path/meta").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Probe the stored index: same scores as [[keywordSearch]] over the
+    * same corpus, zero tokenization, file-pruned postings read. */
+  def keywordSearchStored(spark: SparkSession, prefix: String,
+                          terms: Seq[String], k: Int): DataFrame = {
+    val n = spark.table(s"${prefix}_meta").head.getLong(0)
+    score(spark.table(s"${prefix}_postings"), terms, n, k)
+  }
+}

@@ -86,6 +86,56 @@ object Selection {
     * where the quantile boundaries fall. Degenerate case: a corpus
     * dominated by one score value collapses to one band (the same
     * trade packSequences documents for hot buckets). */
+  /** GLOBAL-RANK bucketing — the CCNet head/middle/tail split (Wenzek
+    * et al. 2020): order the corpus by an LM-quality score and cut it
+    * into `buckets` equal-rank slices, so downstream sampling can keep
+    * the head whole and thin the tail. Emits `rank` (1-based global
+    * rank by score desc, id asc) and `ppl_bucket` (1..buckets,
+    * `(rank-1)·buckets div N + 1` — integer arithmetic, so any engine
+    * replays the bucket boundaries exactly).
+    *
+    * Scale shape: the same banded construction as
+    * [[selectUnderBudget]] — score-quantile bands from a driver-side
+    * approxQuantile, per-band `row_number` in parallel (ONE keyed
+    * shuffle), band prefix COUNTS added back from a ≤`shards`-entry
+    * literal map. Equal scores always share a band, so band-major +
+    * in-band order is exactly the global order; a global
+    * `row_number() OVER (ORDER BY ...)` — one sort partition — never
+    * appears. The corpus streams twice (band counts, then ranks);
+    * persist upstream if the score is expensive. */
+  def rankBuckets(df: DataFrame, scoreCol: Column, idCol: String,
+                  buckets: Int, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__score", scoreCol.cast("double"))
+    val probs = (1 until shards).map(_.toDouble / shards).toArray
+    val cuts =
+      if (probs.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("__score", probs, 0.001)
+        .distinct.sorted
+    val band = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("__score") > c, 1).otherwise(0)
+    }
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col("__score").desc, col(idCol))
+    val local = base.withColumn("__band", band)
+      .withColumn("__rn", row_number().over(w))
+    val counts = local.groupBy("__band").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.max(1L)
+    val bandsDesc = counts.keys.toSeq.sorted.reverse
+    val offsets = bandsDesc.zip(
+      bandsDesc.scanLeft(0L)((acc, b) => acc + counts(b))).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__band") === b, off).otherwise(acc)
+    }
+    local
+      .withColumn("rank", col("__rn") + offExpr)
+      .withColumn("ppl_bucket",
+        (call_function("div", (col("rank") - 1L) * buckets, lit(n)) +
+          1L).cast("long"))
+      .drop("__score", "__band", "__rn")
+  }
+
   def selectUnderBudget(df: DataFrame, scoreCol: Column, idCol: String,
                         tokenCol: Column, budget: Long,
                         shards: Int = 64): DataFrame = {

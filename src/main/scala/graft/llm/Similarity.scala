@@ -440,6 +440,42 @@ object Similarity {
       .getField("cid").as("cluster"))
   }
 
+  /** SSL-PROTOTYPES pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): in the large-data regime, drop the EASIEST
+    * examples — the ones closest to their cluster centroid — and keep
+    * the informative periphery. Per cluster, the `dropPerCluster`
+    * lowest-d2 members (ties → lower id) are removed; survivors emit
+    * with their cluster and squared distance (rounded to 6, ratio of
+    * the same IEEE ops both engines run — the d2 math and its ordering
+    * are the ones the k-means gate already pins cross-engine).
+    *
+    * Scale shape: assignment is the map-only [[kmeansAssign]] argmin
+    * (centroids ride as literals); the per-cluster rank is ONE keyed
+    * shuffle whose partition count is k — for small k at 100 TB,
+    * sub-rank within (cluster, salt) first exactly as
+    * [[graft.llm.Sampling.capPerSource]] does (the dropped set is a
+    * subset of every salt-stream's local bottom-`dropPerCluster`). */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Long, Array[Double])],
+                     dropPerCluster: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val cands = array(centroids.map { case (cid, c) =>
+      struct(
+        aggregate(zip_with(v, lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+    val best = element_at(array_sort(cands), 1)
+    val assigned = df.select(col(idCol),
+      best.getField("cid").as("cluster"), best.getField("d2").as("d2"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("d2"), col(idCol))
+    assigned.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > dropPerCluster)
+      .select(col(idCol), col("cluster"), round(col("d2"), 6).as("d2"))
+  }
+
   /** Lloyd's k-means with deterministic seeding (the k lowest-id
     * vectors) — the clustering step ahead of per-cluster dedup or
     * diversity-stratified sampling.

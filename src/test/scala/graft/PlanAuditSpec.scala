@@ -528,6 +528,56 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("udf"), p)
   }
 
+  test("keyword search: literal term filter prunes pre-shuffle, df table " +
+       "broadcasts, top-k is TakeOrdered") {
+    val p = plan(q("q_keyword_search"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the isin filter sits below the first aggregate, so only matching
+    // postings enter any exchange
+    val filterIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("vector"))
+    assert(filterIdx >= 0, s"no literal term filter:\n$p")
+  }
+
+  test("stored keyword search: bucket-pruned postings read, no re-tokenize") {
+    val root = new java.io.File("/tmp/graft_kw_audit")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val docs = Tables.load(spark, dir, "documents")
+    graft.llm.Search.keywordIndexStore(docs, "text", "doc_id",
+      "graft_kw_audit", root.toString, buckets = 4)
+    val p = plan(graft.llm.Search.keywordSearchStored(spark,
+      "graft_kw_audit", Seq("vector", "merge"), k = 10))
+    // the bucketed layout prunes: SelectedBucketsCount appears and is
+    // smaller than the full bucket count
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(!p.contains("explode"), s"stored probe re-tokenized:\n$p")
+  }
+
+  test("rank buckets: per-band window (hash exchange), never a single " +
+       "global sort partition") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("s"))
+    val p = plan(graft.llm.Selection.rankBuckets(docs, col("s"),
+      "doc_id", buckets = 3, shards = 8))
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("prototype prune: map-only argmin + one keyed window exchange") {
+    val p = plan(q("q_prototype_prune"))
+    assert(!p.contains("Join"), p)
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$p")
+  }
+
   test("catalog merge broadcasts the old catalog; the fresh discovery never shuffles") {
     val p = plan(q("q_discover_merge"))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")

@@ -665,6 +665,132 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySrc.values.forall(_ <= 20))
   }
 
+  test("uniMaxCap: integer level-waterfill — largest T with sum min(c,T) <= budget") {
+    import graft.llm.Sampling.uniMaxCap
+    val counts = Seq("fr" -> 64L, "de" -> 70L, "es" -> 73L,
+      "zh" -> 75L, "en" -> 218L)
+    // 64+70+72+72+72 = 350 exactly; T=73 would give 353
+    assert(uniMaxCap(counts, 350L) == 72L)
+    // budget >= total: cap at the largest inventory, keep everything
+    assert(uniMaxCap(counts, 10000L) >= 218L)
+    // budget below the group count: uniform integer share
+    assert(uniMaxCap(counts, 4L) == 0L)
+    assert(uniMaxCap(counts, 5L) == 1L)
+    assert(uniMaxCap(Nil, 100L) == 0L)
+    // exhaustive cross-check against brute force on small instances —
+    // compare the induced QUOTAS min(c, T): above saturation every
+    // level yields the same membership, so the raw T may differ
+    for (b <- 0L to 40L) {
+      val cs = Seq("a" -> 3L, "b" -> 7L, "c" -> 12L, "d" -> 1L)
+      def quotas(t: Long) = cs.map { case (_, c) => math.min(c, t) }
+      val brute = (0L to 30L).filter(t => quotas(t).sum <= b).max
+      assert(quotas(uniMaxCap(cs, b)) == quotas(brute), s"budget $b")
+    }
+  }
+
+  test("uniMaxSample: budget consumed level-wise, small groups whole, big capped") {
+    import graft.llm.Sampling
+    val docs = sf("documents").select(col("doc_id"), col("lang"))
+    val total = docs.count()
+    val kept = Sampling.uniMaxSample(docs, "lang", "doc_id",
+      budget = total / 2)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inv = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.sum <= total / 2)
+    val t = byLang.values.max // the level
+    byLang.foreach { case (l, n) => assert(n == math.min(inv(l), t)) }
+    // leftover strictly smaller than the group count
+    assert(total / 2 - byLang.values.sum < byLang.size)
+  }
+
+  test("rankBuckets: banded rank equals the global row_number; buckets are terciles") {
+    import graft.llm.Selection
+    import org.apache.spark.sql.expressions.Window
+    val docs = sf("documents").select(col("doc_id"),
+      col("n_chars").cast("double").as("s"))
+    val got = Selection.rankBuckets(docs, col("s"), "doc_id",
+        buckets = 3, shards = 8)
+      .select("doc_id", "rank", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = docs.count()
+    val naive = docs.withColumn("rank",
+        row_number().over(Window.orderBy(col("s").desc, col("doc_id")))
+          .cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank"))
+      .toMap
+    naive.foreach { case (id, rk) =>
+      assert(got(id)._1 == rk, s"doc $id")
+      assert(got(id)._2 == (rk - 1) * 3 / n + 1)
+    }
+    // shard-count invariance: boundaries don't change the output
+    val one = Selection.rankBuckets(docs, col("s"), "doc_id", 3, shards = 1)
+      .select("doc_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == naive)
+  }
+
+  test("prototypePrune: drops exactly the dropPerCluster closest per cluster") {
+    val e = sf("embeddings")
+    val cents = e.where(col("vec_id") < 4)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toSeq.sortBy(_._1)
+    val assigned = Similarity.kmeansAssign(e, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Similarity.prototypePrune(e, "vec_id", "embedding", cents,
+      dropPerCluster = 5).collect()
+    // survivors carry their kmeansAssign cluster
+    kept.foreach(r =>
+      assert(assigned(r.getLong(0)) == r.getLong(1)))
+    // per cluster: survivors = max(size - 5, 0)
+    val sizes = assigned.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    val keptSizes = kept.groupBy(_.getLong(1)).map { case (c, v) => c -> v.size }
+    sizes.foreach { case (c, sz) =>
+      assert(keptSizes.getOrElse(c, 0) == math.max(sz - 5, 0), s"cluster $c")
+    }
+  }
+
+  test("keywordSearch: rational-idf scoring, AND-filterable, stored tier identical") {
+    import graft.llm.Search
+    val docs = sf("documents")
+    val terms = Seq("vector", "merge")
+    val res = Search.keywordSearch(docs, "text", "doc_id", terms, k = 20)
+      .collect()
+    assert(res.nonEmpty && res.length <= 20)
+    // scores descending with doc_id tie-break
+    val scores = res.map(r => (r.getAs[Long]("score"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy { case (s, id) => (-s, id) }))
+    // n_hit bounded by the query size; a hand-computed score spot check
+    assert(res.forall(_.getAs[Long]("n_hit") <= terms.size))
+    val n = docs.count()
+    val postings = Search.invertedIndex(docs, "text", "doc_id")
+      .where(col("term").isin(terms: _*)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dfByTerm = postings.keys.groupBy(_._1).map { case (t, v) => t -> v.size }
+    val top = res.head
+    val expected = terms.flatMap { tm =>
+      postings.get(tm -> top.getAs[Long]("doc_id"))
+        .map(_ * (n * 1000000L / dfByTerm(tm)))
+    }.sum
+    assert(top.getAs[Long]("score") == expected)
+    // stored tier: byte-identical results
+    val root = new java.io.File("/tmp/graft_kw_spec")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    Search.keywordIndexStore(docs, "text", "doc_id", "graft_kw_spec",
+      root.toString, buckets = 4)
+    val stored = Search.keywordSearchStored(spark, "graft_kw_spec",
+      terms, k = 20).collect()
+    assert(stored.map(_.toSeq).toSeq == res.map(_.toSeq).toSeq)
+  }
+
   test("filterBySourceQuality drops exactly the flagged domains' docs") {
     import graft.llm.TextAnalysis
     val docs = sf("documents").where(col("doc_id") < 2000)
