@@ -3561,7 +3561,120 @@ object SparkEntry {
             Multimodal.asPngMedia(t(s, dir, "documents"), "doc_id", "text"),
             maxW = 16, maxH = 12).toDF())
         .select(col("doc_id"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b")))
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+
+    // ---- Encrypted credentials config (`utils/decryption.go`,
+    //      applied by `utils/utils.go:171-193` UnmarshalFile with
+    //      credsFile=true): the whole config file is ONE encrypted
+    //      blob, decrypted before JSON parsing. Both modes exercised —
+    //      local AES-256-GCM under the SHA-256-derived key, and the
+    //      `arn:aws:kms:` mode over the KMS Decrypt wire (SigV4
+    //      service=kms, loopback-verified). The recovered filter
+    //      drives the read, so a wrong decrypt cannot hash-match. ----
+    "q_config_decrypt" -> ((s, dir) => {
+      import graft.net.ConfigCrypto
+      val configJson =
+        """{"stream":"orders","filter":"o_totalprice > 400000.0 or o_orderstatus = \"F\""}"""
+      val localKey = "graft-encryption-key-r10"
+      val decLocal = ConfigCrypto.decrypt(
+        ConfigCrypto.encrypt(configJson, localKey), localKey)
+      val creds = S3Wire.SigV4.Credentials("AKIAKMS", "kms-secret",
+        "us-east-1")
+      val srv = new ConfigCrypto.KmsServer(creds)
+      val decKms = try {
+        val client = new ConfigCrypto.KmsClient(srv.endpoint, creds)
+        val blob = client.encrypt(srv.keyArn,
+          configJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ConfigCrypto.decrypt(
+          ConfigCrypto.jsonQuote(
+            java.util.Base64.getEncoder.encodeToString(blob)),
+          srv.keyArn, kms = Some(client))
+      } finally srv.close()
+      require(decLocal == configJson && decKms == configJson,
+        "config decrypt mismatch")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def filterOf(json: String): Column =
+        FilterSpec.parse(om.readTree(json).get("filter").asText).toColumn
+      t(s, dir, "orders").where(filterOf(decLocal))
+        .unionAll(t(s, dir, "orders").where(filterOf(decKms)))
+    }),
+
+    // ---- SSL mode semantics (`utils/ssl.go:60-147`) over LIVE
+    //      loopback TLS: `require` accepts a self-signed server,
+    //      `verify-ca` validates the chain but ignores hostname,
+    //      `verify-full` checks both (ServerName = configured host,
+    //      not the dial address), client cert+key presented for
+    //      mutual TLS. Each passing mode carries the nation table as
+    //      JSONL through its channel; the must-fail scenarios (wrong
+    //      CA, wrong hostname, missing client cert) are asserted
+    //      in-gate. Certificates are minted in-process (X509Mint). ----
+    "q_ssl_modes" -> ((s, dir) => {
+      import graft.net.{Ssl, X509Mint}
+      val payload = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .toJSON.collect().mkString("\n")
+      val ca = X509Mint.mintCa("Graft Gate CA")
+      val otherCa = X509Mint.mintCa("Unrelated CA")
+      val leaf = X509Mint.mintLeaf("graft.local", Seq("graft.local"), ca)
+      val clientLeaf = X509Mint.mintLeaf("graft-client", Nil, ca)
+      def serve(ctx: javax.net.ssl.SSLContext, needClientAuth: Boolean,
+                conns: Int): Int = {
+        val ss = ctx.getServerSocketFactory.createServerSocket(0)
+          .asInstanceOf[javax.net.ssl.SSLServerSocket]
+        ss.setNeedClientAuth(needClientAuth)
+        val th = new Thread(() => {
+          try (1 to conns).foreach { _ =>
+            val c = ss.accept()
+            try {
+              c.getOutputStream.write(
+                payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              c.getOutputStream.flush()
+            } catch { case _: Exception => () } finally c.close()
+          } catch { case _: Exception => () } finally ss.close()
+        })
+        th.setDaemon(true); th.start()
+        ss.getLocalPort
+      }
+      def fetch(port: Int, host: String, cfg: Ssl.SslConfig): String = {
+        val sock = Ssl.connect("127.0.0.1", port, host, Some(cfg))
+        try new String(sock.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally sock.close()
+      }
+      def mustFail(port: Int, host: String, cfg: Ssl.SslConfig): Unit = {
+        val ok = try fetch(port, host, cfg) == payload
+                 catch { case _: Exception => false }
+        require(!ok, s"TLS scenario unexpectedly succeeded: ${cfg.mode}")
+      }
+      val pSelf = serve(Ssl.serverContext(
+        X509Mint.mintSelfSigned("anon", Nil)), needClientAuth = false, 1)
+      val pCa = serve(Ssl.serverContext(leaf, chain = Seq(ca.cert)),
+        needClientAuth = false, 4)
+      val pMtls = serve(Ssl.serverContext(leaf, chain = Seq(ca.cert),
+        clientCa = Some(ca.cert)), needClientAuth = true, 2)
+      val got = Seq(
+        fetch(pSelf, "ignored.host", Ssl.SslConfig(Ssl.ModeRequire)),
+        fetch(pCa, "totally.wrong.host",
+          Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = ca.certPem)),
+        fetch(pCa, "graft.local",
+          Ssl.SslConfig(Ssl.ModeVerifyFull, serverCa = ca.certPem)),
+        fetch(pMtls, "graft.local",
+          Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = ca.certPem,
+            clientCert = clientLeaf.certPem,
+            clientKey = clientLeaf.keyPem)))
+      mustFail(pCa, "x",
+        Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = otherCa.certPem))
+      mustFail(pCa, "evil.local",
+        Ssl.SslConfig(Ssl.ModeVerifyFull, serverCa = ca.certPem))
+      mustFail(pMtls, "graft.local",
+        Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = ca.certPem))
+      require(got.forall(_ == payload), "TLS payload mismatch")
+      import s.implicits._
+      s.read.json(s.createDataset(got.flatMap(_.split("\n"))))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    })
   )
 
   /** Shared by q_pushdown_sql's query and oracle: the oracle string IS the
@@ -5552,6 +5665,21 @@ object SparkEntry {
         |  CAST(r.doc_id % 256 AS INTEGER) AS mean_r,
         |  CAST(r.doc_id * 7 % 256 AS INTEGER) AS mean_g,
         |  CAST(r.doc_id * 13 % 256 AS INTEGER) AS mean_b
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // both decrypt modes (local AES-GCM + KMS wire) recover the same
+    // filter, so the result is the filtered read twice
+    "q_config_decrypt" ->
+      """SELECT * FROM orders WHERE o_totalprice > 400000.0 OR o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT * FROM orders WHERE o_totalprice > 400000.0 OR o_orderstatus = 'F'""".stripMargin,
+
+    // the four passing TLS modes each carry nation once; BIGINT casts
+    // because the Spark side reads JSON (integers land as long)
+    "q_ssl_modes" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation)
+        |SELECT * FROM n UNION ALL SELECT * FROM n
+        |UNION ALL SELECT * FROM n UNION ALL SELECT * FROM n""".stripMargin
   )
 }

@@ -1,0 +1,305 @@
+package graft.net
+
+import java.nio.charset.StandardCharsets
+
+import javax.crypto.Cipher
+import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.sources.S3Wire.SigV4
+
+/** Encrypted-config support — the reference's `utils/decryption.go`.
+  *
+  * The reference CLI takes `--encryption-key` (`protocol/root.go:147`)
+  * and, when set, every credentials file is decrypted as ONE blob
+  * before JSON parsing (`utils/utils.go:171-193`, `UnmarshalFile` with
+  * `credsFile=true`). The decrypt semantics (`decryption.go:40-91`):
+  *
+  *  - blank key → encryption disabled, the input passes through
+  *    unchanged (`getSecretKey` returns an empty key,
+  *    `decryption.go:22-25,46-49`);
+  *  - blank input → error (`decryption.go:41-43`);
+  *  - the encrypted text is a JSON STRING LITERAL whose value is
+  *    standard base64 (`decryption.go:51-60`) — the double wrapping is
+  *    part of the format;
+  *  - key starting `arn:aws:kms:` → AWS KMS `Decrypt` on the blob
+  *    (`decryption.go:29-35,63-71`);
+  *  - otherwise local AES-256-GCM under the SHA-256 of the key string,
+  *    nonce = the first 12 bytes of the blob, tag appended to the
+  *    ciphertext (`decryption.go:36-38,74-90` — Go's `gcm.Open` with
+  *    the nonce split off the front).
+  *
+  * Encryption is the exact inverse (the reference UI encrypts; the CLI
+  * only decrypts — both directions live here so fixtures and tests can
+  * produce real blobs).
+  */
+object ConfigCrypto {
+
+  private val NonceLen = 12 // Go gcm.NonceSize()
+  private val rnd = new java.security.SecureRandom()
+
+  /** SHA-256-derived AES key (`decryption.go:37`). */
+  def deriveKey(secret: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(secret.getBytes(StandardCharsets.UTF_8))
+
+  private def gcm(mode: Int, key: Array[Byte],
+                  nonce: Array[Byte]): Cipher = {
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"),
+      new GCMParameterSpec(128, nonce))
+    c
+  }
+
+  /** JSON string literal → its value (the `json.Unmarshal` into a
+    * `string` at `decryption.go:52-55`). Escape handling per RFC 8259.
+    */
+  def jsonUnquote(s: String): String = {
+    val t = s.trim
+    require(t.length >= 2 && t.head == '"' && t.last == '"',
+      "failed to unmarshal JSON string: not a JSON string literal")
+    val sb = new StringBuilder
+    var i = 1
+    while (i < t.length - 1) {
+      val c = t.charAt(i)
+      if (c == '\\') {
+        i += 1
+        require(i < t.length - 1, "bad escape")
+        t.charAt(i) match {
+          case '"'  => sb += '"'
+          case '\\' => sb += '\\'
+          case '/'  => sb += '/'
+          case 'b'  => sb += '\b'
+          case 'f'  => sb += '\f'
+          case 'n'  => sb += '\n'
+          case 'r'  => sb += '\r'
+          case 't'  => sb += '\t'
+          case 'u' =>
+            require(i + 4 < t.length, "bad \\u escape")
+            sb += Integer.parseInt(t.substring(i + 1, i + 5), 16).toChar
+            i += 4
+          case other => throw new IllegalArgumentException(
+            s"bad escape \\$other")
+        }
+      } else sb += c
+      i += 1
+    }
+    sb.result()
+  }
+
+  /** Value → JSON string literal (what the encrypting side writes). */
+  def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c    => sb += c
+    }
+    sb += '"'
+    sb.result()
+  }
+
+  /** Local-mode encrypt: AES-256-GCM under SHA-256(key), blob =
+    * nonce ‖ ciphertext ‖ tag, base64'd, wrapped as a JSON string. */
+  def encrypt(plaintext: String, secretKey: String): String = {
+    require(secretKey.trim.nonEmpty, "encryption key required")
+    val nonce = new Array[Byte](NonceLen)
+    rnd.nextBytes(nonce)
+    val ct = gcm(Cipher.ENCRYPT_MODE, deriveKey(secretKey), nonce)
+      .doFinal(plaintext.getBytes(StandardCharsets.UTF_8))
+    jsonQuote(java.util.Base64.getEncoder.encodeToString(nonce ++ ct))
+  }
+
+  /** The reference's `Decrypt` (`decryption.go:40-91`): see the mode
+    * table in the object doc. `kms` supplies the client for ARN keys
+    * (the reference builds it from ambient AWS config). */
+  def decrypt(encryptedText: String, secretKey: String,
+              kms: Option[KmsClient] = None): String = {
+    if (secretKey.trim.isEmpty) return encryptedText // disabled
+    require(encryptedText.trim.nonEmpty,
+      "cannot decrypt empty or whitespace-only input")
+    val blob = java.util.Base64.getDecoder
+      .decode(jsonUnquote(encryptedText))
+    if (secretKey.startsWith("arn:aws:kms:")) {
+      val client = kms.getOrElse(throw new IllegalArgumentException(
+        "KMS key ARN given but no KMS endpoint configured"))
+      new String(client.decrypt(blob), StandardCharsets.UTF_8)
+    } else {
+      require(blob.length >= NonceLen, "ciphertext too short")
+      val pt = gcm(Cipher.DECRYPT_MODE, deriveKey(secretKey),
+        blob.take(NonceLen)).doFinal(blob.drop(NonceLen))
+      new String(pt, StandardCharsets.UTF_8)
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // KMS wire (the `arn:aws:kms:` mode, `decryption.go:29-35,63-71`).
+  // Public AWS KMS API: JSON 1.1, POST / with
+  // `X-Amz-Target: TrentService.<Op>`, SigV4 service `kms`.
+  // --------------------------------------------------------------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  class KmsClient(endpoint: String, creds: SigV4.Credentials) {
+    private val epUri = java.net.URI.create(endpoint)
+    private def hostHeader: String =
+      if (epUri.getPort == -1 || epUri.getPort == 80) epUri.getHost
+      else s"${epUri.getHost}:${epUri.getPort}"
+
+    private def call(target: String, body: ObjectNode)
+        : com.fasterxml.jackson.databind.JsonNode = {
+      val payload = mapper.writeValueAsString(body)
+      val conn = java.net.URI.create(endpoint + "/").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      conn.setDoOutput(true)
+      val amzDate = SigV4.amzNow()
+      conn.setRequestProperty("Content-Type", "application/x-amz-json-1.1")
+      conn.setRequestProperty("X-Amz-Target", s"TrentService.$target")
+      conn.setRequestProperty("x-amz-date", amzDate)
+      conn.setRequestProperty("Authorization", SigV4.authorization(
+        "POST", "/", Nil,
+        Seq("host" -> hostHeader, "x-amz-date" -> amzDate,
+          "x-amz-target" -> s"TrentService.$target"),
+        SigV4.sha256Hex(payload), amzDate, creds, service = "kms"))
+      conn.getOutputStream.write(payload.getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      val stream = if (code < 400) conn.getInputStream
+                   else conn.getErrorStream
+      val out = if (stream == null) "{}"
+                else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      conn.disconnect()
+      require(code == 200, s"KMS $target HTTP $code: $out")
+      mapper.readTree(if (out.isEmpty) "{}" else out)
+    }
+
+    /** `Decrypt` — `CiphertextBlob` in, `Plaintext` out (both base64
+      * on the wire). */
+    def decrypt(ciphertextBlob: Array[Byte]): Array[Byte] = {
+      val req = mapper.createObjectNode()
+      req.put("CiphertextBlob",
+        java.util.Base64.getEncoder.encodeToString(ciphertextBlob))
+      val resp = call("Decrypt", req)
+      java.util.Base64.getDecoder.decode(resp.get("Plaintext").asText)
+    }
+
+    /** `Encrypt` — for building fixtures the way the KMS-using UI
+      * would. */
+    def encrypt(keyId: String, plaintext: Array[Byte]): Array[Byte] = {
+      val req = mapper.createObjectNode()
+      req.put("KeyId", keyId)
+      req.put("Plaintext",
+        java.util.Base64.getEncoder.encodeToString(plaintext))
+      val resp = call("Encrypt", req)
+      java.util.Base64.getDecoder
+        .decode(resp.get("CiphertextBlob").asText)
+    }
+  }
+
+  /** Loopback KMS: SigV4-verifying (service `kms`), JSON 1.1
+    * dispatching `TrentService.Encrypt` / `TrentService.Decrypt`.
+    * Ciphertexts are AES-GCM under a server-held random master key
+    * with the key ARN authenticated as GCM AAD — exactly KMS's
+    * contract (opaque blob, key never leaves the service, blob bound
+    * to the key that made it). */
+  class KmsServer(creds: SigV4.Credentials,
+                  val keyArn: String =
+                    "arn:aws:kms:us-east-1:000000000000:key/graft-test")
+      extends AutoCloseable {
+    private val master = {
+      val k = new Array[Byte](32); rnd.nextBytes(k); k
+    }
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+
+    private def respond(ex: com.sun.net.httpserver.HttpExchange,
+                        code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/x-amz-json-1.1")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+
+    server.createContext("/", { ex =>
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val target = Option(ex.getRequestHeaders.getFirst("X-Amz-Target"))
+          .getOrElse("")
+        val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date"))
+          .getOrElse("")
+        val expected = SigV4.authorization(
+          ex.getRequestMethod, "/", Nil,
+          Seq("host" -> Option(ex.getRequestHeaders.getFirst("Host"))
+              .getOrElse(""),
+            "x-amz-date" -> amzDate, "x-amz-target" -> target),
+          SigV4.sha256Hex(body), amzDate, creds, service = "kms")
+        val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse("")
+        if (got != expected)
+          respond(ex, 403,
+            """{"__type":"IncompleteSignatureException"}""")
+        else {
+          val req = mapper.readTree(if (body.isEmpty) "{}" else body)
+          target.stripPrefix("TrentService.") match {
+            case "Encrypt" =>
+              val keyId = req.get("KeyId").asText
+              if (keyId != keyArn)
+                respond(ex, 400, """{"__type":"NotFoundException"}""")
+              else {
+                val pt = java.util.Base64.getDecoder
+                  .decode(req.get("Plaintext").asText)
+                val nonce = new Array[Byte](NonceLen)
+                rnd.nextBytes(nonce)
+                val c = gcm(Cipher.ENCRYPT_MODE, master, nonce)
+                c.updateAAD(keyArn.getBytes(StandardCharsets.UTF_8))
+                val blob = nonce ++ c.doFinal(pt)
+                val resp = mapper.createObjectNode()
+                resp.put("CiphertextBlob",
+                  java.util.Base64.getEncoder.encodeToString(blob))
+                resp.put("KeyId", keyArn)
+                respond(ex, 200, mapper.writeValueAsString(resp))
+              }
+            case "Decrypt" =>
+              val blob = java.util.Base64.getDecoder
+                .decode(req.get("CiphertextBlob").asText)
+              try {
+                val c = gcm(Cipher.DECRYPT_MODE, master,
+                  blob.take(NonceLen))
+                c.updateAAD(keyArn.getBytes(StandardCharsets.UTF_8))
+                val pt = c.doFinal(blob.drop(NonceLen))
+                val resp = mapper.createObjectNode()
+                resp.put("KeyId", keyArn)
+                resp.put("Plaintext",
+                  java.util.Base64.getEncoder.encodeToString(pt))
+                resp.put("EncryptionAlgorithm", "SYMMETRIC_DEFAULT")
+                respond(ex, 200, mapper.writeValueAsString(resp))
+              } catch {
+                case _: Exception => respond(ex, 400,
+                  """{"__type":"InvalidCiphertextException"}""")
+              }
+            case other =>
+              respond(ex, 400,
+                s"""{"__type":"UnknownOperationException","op":"$other"}""")
+          }
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"__type":"InternalFailure","msg":"${e.getMessage}"}""")
+      }
+    })
+    server.start()
+
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    override def close(): Unit = server.stop(0)
+  }
+}

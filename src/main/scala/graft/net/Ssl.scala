@@ -1,0 +1,372 @@
+package graft.net
+
+import java.math.BigInteger
+import java.nio.charset.StandardCharsets
+import java.security.cert.{CertificateFactory, X509Certificate}
+import java.security.{KeyFactory, KeyPair, KeyPairGenerator, KeyStore,
+  SecureRandom, Signature}
+
+import javax.net.ssl.{KeyManagerFactory, SSLContext, SSLSocket,
+  TrustManager, TrustManagerFactory, X509TrustManager}
+
+/** SSL mode semantics — the reference's `utils/ssl.go`.
+  *
+  * `BuildTLSConfig(host, sslConfig)` (`ssl.go:60-147`):
+  *  - `disable` (or no config) → plain connection (`:61-64`);
+  *  - `require` → encrypt but skip ALL server identity verification
+  *    (`:66-74`);
+  *  - `verify-ca` → validate the server chain against `server_ca`
+  *    (intermediates honored) but SKIP hostname verification
+  *    (`:91-119`);
+  *  - `verify-full` → chain AND hostname, `ServerName = host`
+  *    (`:120-123`);
+  *  - client cert+key presented when both are configured
+  *    (`:126-139`);
+  *  - minimum TLS 1.2 everywhere (`:73,88`).
+  *
+  * `Validate` (`ssl.go:40-58`): mode required; `server_ca` required
+  * for the two verify modes. `readPEMData` (`ssl.go:149-180`): value
+  * must be PEM blocks only (no trailing junk), cert fields must hold
+  * parseable CERTIFICATE blocks.
+  */
+object Ssl {
+
+  val ModeRequire = "require"
+  val ModeDisable = "disable"
+  val ModeVerifyCa = "verify-ca"
+  val ModeVerifyFull = "verify-full"
+
+  case class SslConfig(mode: String = "",
+                       serverCa: String = "",
+                       clientCert: String = "",
+                       clientKey: String = "")
+
+  /** `ssl.go:40-58`. */
+  def validate(sc: Option[SslConfig]): Either[String, Unit] = sc match {
+    case None => Left("'ssl' config is required")
+    case Some(c) if c.mode.isEmpty => Left("'ssl.mode' is required parameter")
+    case Some(c) if (c.mode == ModeVerifyCa || c.mode == ModeVerifyFull) &&
+        c.serverCa.isEmpty =>
+      Left("'ssl.server_ca' is required parameter")
+    case _ => Right(())
+  }
+
+  // ------------------------------------------------------------------
+  // PEM
+  // ------------------------------------------------------------------
+
+  /** One decoded PEM block. */
+  case class PemBlock(blockType: String, der: Array[Byte])
+
+  /** Strict PEM split — `readPEMData`'s loop (`ssl.go:149-180`): every
+    * block decodes, nothing but PEM allowed, at least one block. */
+  def pemBlocks(value: String, field: String): Seq[PemBlock] = {
+    val trimmed = value.trim
+    require(trimmed.nonEmpty, s"'$field' is required")
+    val begin = "-----BEGIN "
+    val blocks = Seq.newBuilder[PemBlock]
+    var rest = trimmed
+    while (rest.trim.nonEmpty) {
+      val t = rest.trim
+      require(t.startsWith(begin),
+        s"'$field' must contain only PEM blocks")
+      val typeEnd = t.indexOf("-----", begin.length)
+      require(typeEnd > 0, s"'$field' is not a valid PEM encoded block")
+      val blockType = t.substring(begin.length, typeEnd)
+      val endMarker = s"-----END $blockType-----"
+      val endIdx = t.indexOf(endMarker)
+      require(endIdx > 0, s"'$field' is not a valid PEM encoded block")
+      val b64 = t.substring(typeEnd + 5, endIdx)
+        .replaceAll("\\s", "")
+      blocks += PemBlock(blockType,
+        java.util.Base64.getDecoder.decode(b64))
+      rest = t.substring(endIdx + endMarker.length)
+    }
+    val out = blocks.result()
+    require(out.nonEmpty, s"'$field' is not a valid PEM encoded block")
+    out
+  }
+
+  /** Certificate-field validation parity (`ssl.go:163-171`): all
+    * blocks CERTIFICATE and parseable. Returns the parsed certs. */
+  def readCerts(value: String, field: String): Seq[X509Certificate] = {
+    val cf = CertificateFactory.getInstance("X.509")
+    pemBlocks(value, field).map { b =>
+      require(b.blockType == "CERTIFICATE",
+        s"'$field' must contain CERTIFICATE PEM blocks")
+      try cf.generateCertificate(
+          new java.io.ByteArrayInputStream(b.der))
+        .asInstanceOf[X509Certificate]
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"'$field' contains an invalid certificate: ${e.getMessage}")
+      }
+    }
+  }
+
+  def toPem(blockType: String, der: Array[Byte]): String = {
+    val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+      .encodeToString(der)
+    s"-----BEGIN $blockType-----\n$b64\n-----END $blockType-----\n"
+  }
+
+  // ------------------------------------------------------------------
+  // TLS context per mode
+  // ------------------------------------------------------------------
+
+  private val Protocols = Array("TLSv1.2", "TLSv1.3")
+
+  private def trustAll: Array[TrustManager] = Array(new X509TrustManager {
+    override def checkClientTrusted(c: Array[X509Certificate],
+                                    a: String): Unit = ()
+    override def checkServerTrusted(c: Array[X509Certificate],
+                                    a: String): Unit = ()
+    override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+  })
+
+  /** Chain validation against the CA pool with intermediates, no
+    * hostname — the `verify-ca` VerifyPeerCertificate callback
+    * (`ssl.go:93-119`). */
+  private def caTrust(cas: Seq[X509Certificate]): Array[TrustManager] = {
+    val anchors = new java.util.HashSet[java.security.cert.TrustAnchor]()
+    cas.foreach(c => anchors.add(
+      new java.security.cert.TrustAnchor(c, null)))
+    Array(new X509TrustManager {
+      override def checkClientTrusted(c: Array[X509Certificate],
+                                      a: String): Unit = ()
+      override def checkServerTrusted(chain: Array[X509Certificate],
+                                      authType: String): Unit = {
+        require(chain != null && chain.nonEmpty,
+          "no server certificate provided")
+        val cf = CertificateFactory.getInstance("X.509")
+        val path = cf.generateCertPath(
+          java.util.Arrays.asList(chain: _*))
+        val params = new java.security.cert.PKIXParameters(anchors)
+        params.setRevocationEnabled(false)
+        try java.security.cert.CertPathValidator.getInstance("PKIX")
+          .validate(path, params)
+        catch {
+          case e: Exception =>
+            throw new java.security.cert.CertificateException(
+              s"failed to verify server certificate against CA: ${e.getMessage}")
+        }
+      }
+      override def getAcceptedIssuers: Array[X509Certificate] =
+        cas.toArray
+    })
+  }
+
+  private def clientKeyManagers(cfg: SslConfig)
+      : Array[javax.net.ssl.KeyManager] =
+    if (cfg.clientCert.isEmpty || cfg.clientKey.isEmpty) null
+    else {
+      val certs = readCerts(cfg.clientCert, "ssl.client_cert")
+      val keyBlocks = pemBlocks(cfg.clientKey, "ssl.client_key")
+      val keyDer = keyBlocks.head.der
+      val key = KeyFactory.getInstance("RSA").generatePrivate(
+        new java.security.spec.PKCS8EncodedKeySpec(keyDer))
+      val ks = KeyStore.getInstance("PKCS12")
+      ks.load(null, null)
+      ks.setKeyEntry("client", key, Array.emptyCharArray, certs.toArray)
+      val kmf = KeyManagerFactory.getInstance(
+        KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, Array.emptyCharArray)
+      kmf.getKeyManagers
+    }
+
+  /** The client-side connect honoring the mode table. Dials
+    * `dialHost:port` but verifies identity (verify-full) against
+    * `host` — exactly Go's `ServerName = host` through a bastion/IP
+    * dial. Returns the connected socket (plain for `disable`). */
+  def connect(dialHost: String, port: Int, host: String,
+              sc: Option[SslConfig]): java.net.Socket = {
+    val cfg = sc.getOrElse(SslConfig(ModeDisable))
+    if (sc.isEmpty || cfg.mode == ModeDisable)
+      return new java.net.Socket(dialHost, port)
+    val tms: Array[TrustManager] = cfg.mode match {
+      case ModeRequire => trustAll
+      case ModeVerifyCa =>
+        caTrust(readCerts(cfg.serverCa, "ssl.server_ca"))
+      case ModeVerifyFull =>
+        // standard PKIX manager over the CA pool; hostname added below
+        val ks = KeyStore.getInstance("PKCS12")
+        ks.load(null, null)
+        readCerts(cfg.serverCa, "ssl.server_ca").zipWithIndex
+          .foreach { case (c, i) => ks.setCertificateEntry(s"ca$i", c) }
+        val tmf = TrustManagerFactory.getInstance(
+          TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        tmf.getTrustManagers
+      case other => throw new IllegalArgumentException(
+        s"unknown ssl mode '$other'")
+    }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(clientKeyManagers(cfg), tms, new SecureRandom())
+    val raw = new java.net.Socket(dialHost, port)
+    val sock = ctx.getSocketFactory
+      .createSocket(raw, host, port, true).asInstanceOf[SSLSocket]
+    sock.setEnabledProtocols(Protocols)
+    if (cfg.mode == ModeVerifyFull) {
+      val p = sock.getSSLParameters
+      p.setEndpointIdentificationAlgorithm("HTTPS")
+      sock.setSSLParameters(p)
+    }
+    sock.startHandshake()
+    sock
+  }
+
+  /** Server-side context from a minted identity; `needClientAuth`
+    * additionally verifies client certs against `clientCa`. */
+  def serverContext(identity: X509Mint.Minted,
+                    chain: Seq[X509Certificate] = Nil,
+                    clientCa: Option[X509Certificate] = None)
+      : SSLContext = {
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("server", identity.keyPair.getPrivate,
+      Array.emptyCharArray, (identity.cert +: chain).toArray)
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.emptyCharArray)
+    val tms = clientCa.map(ca => caTrust(Seq(ca))).orNull
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tms, new SecureRandom())
+    ctx
+  }
+}
+
+/** Self-contained X.509 minting — DER encoded by hand (RFC 5280
+  * profile: v3 TBSCertificate, sha256WithRSAEncryption, CN subject,
+  * basicConstraints for CAs, dNSName SANs for leaves) so the TLS
+  * fixtures need no external tooling. The encoder is the same
+  * wire-format discipline as the repo's other protocol clients. */
+object X509Mint {
+
+  // ---- DER primitives ----
+  private def len(n: Int): Array[Byte] =
+    if (n < 0x80) Array(n.toByte)
+    else {
+      val b = BigInteger.valueOf(n).toByteArray.dropWhile(_ == 0)
+      (0x80 | b.length).toByte +: b
+    }
+  private def tlv(tag: Int, content: Array[Byte]): Array[Byte] =
+    tag.toByte +: (len(content.length) ++ content)
+  private def seq(parts: Array[Byte]*): Array[Byte] =
+    tlv(0x30, parts.flatten.toArray)
+  private def derSet(parts: Array[Byte]*): Array[Byte] =
+    tlv(0x31, parts.flatten.toArray)
+  private def derInt(v: BigInteger): Array[Byte] =
+    tlv(0x02, v.toByteArray)
+  private def oid(s: String): Array[Byte] = {
+    val parts = s.split('.').map(_.toLong)
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write((40 * parts(0) + parts(1)).toInt)
+    parts.drop(2).foreach { p =>
+      val chunks = Iterator.iterate(p)(_ >> 7).takeWhile(_ != 0)
+        .map(x => (x & 0x7f).toInt).toSeq.reverse match {
+        case Nil => Seq(0)
+        case cs  => cs
+      }
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        bb.write(if (i == chunks.length - 1) c else c | 0x80)
+      }
+    }
+    tlv(0x06, bb.toByteArray)
+  }
+  private def utf8(s: String): Array[Byte] =
+    tlv(0x0c, s.getBytes(StandardCharsets.UTF_8))
+  private def ia5(s: String): Array[Byte] =
+    tlv(0x16, s.getBytes(StandardCharsets.US_ASCII))
+  private def utcTime(s: String): Array[Byte] =
+    tlv(0x17, s.getBytes(StandardCharsets.US_ASCII))
+  private def bitString(b: Array[Byte]): Array[Byte] =
+    tlv(0x03, 0.toByte +: b)
+  private def octet(b: Array[Byte]): Array[Byte] = tlv(0x04, b)
+  private def derBool(v: Boolean): Array[Byte] =
+    tlv(0x01, Array((if (v) 0xff else 0x00).toByte))
+  private def ctxExplicit(n: Int, content: Array[Byte]): Array[Byte] =
+    tlv(0xa0 | n, content)
+
+  private val Sha256Rsa = seq(oid("1.2.840.113549.1.1.11"),
+    Array(0x05.toByte, 0x00.toByte)) // AlgorithmIdentifier + NULL
+
+  private def cnName(cn: String): Array[Byte] =
+    seq(derSet(seq(oid("2.5.4.3"), utf8(cn))))
+
+  case class Minted(cert: X509Certificate, certDer: Array[Byte],
+                    keyPair: KeyPair) {
+    def certPem: String = Ssl.toPem("CERTIFICATE", certDer)
+    /** PKCS#8 (what JDK emits; accepted by `tls.X509KeyPair`'s PKCS#8
+      * branch). */
+    def keyPem: String =
+      Ssl.toPem("PRIVATE KEY", keyPair.getPrivate.getEncoded)
+  }
+
+  private val rnd = new SecureRandom()
+
+  private def mint(subjectCn: String, sanDns: Seq[String], isCa: Boolean,
+                   issuerCn: String, signWith: KeyPair,
+                   subjectKeys: KeyPair): Minted = {
+    val serial = new BigInteger(63, rnd)
+    val validity = seq(utcTime("250101000000Z"), utcTime("490101000000Z"))
+    val extensions = {
+      val bc =
+        if (isCa) Seq(seq(oid("2.5.29.19"), derBool(true),
+          octet(seq(derBool(true)))))
+        else Nil
+      val san =
+        if (sanDns.nonEmpty)
+          Seq(seq(oid("2.5.29.17"), octet(seq(
+            sanDns.map(d => tlv(0x82, d.getBytes(StandardCharsets.US_ASCII)))
+              .flatten.toArray))))
+        else Nil
+      val all = bc ++ san
+      if (all.isEmpty) Array.emptyByteArray
+      else ctxExplicit(3, seq(all: _*))
+    }
+    val tbs = seq(
+      ctxExplicit(0, derInt(BigInteger.valueOf(2))), // v3
+      derInt(serial),
+      Sha256Rsa,
+      cnName(issuerCn),
+      validity,
+      cnName(subjectCn),
+      subjectKeys.getPublic.getEncoded, // SPKI is already DER
+      extensions)
+    val sig = Signature.getInstance("SHA256withRSA")
+    sig.initSign(signWith.getPrivate)
+    sig.update(tbs)
+    val der = seq(tbs, Sha256Rsa, bitString(sig.sign()))
+    val cert = CertificateFactory.getInstance("X.509")
+      .generateCertificate(new java.io.ByteArrayInputStream(der))
+      .asInstanceOf[X509Certificate]
+    Minted(cert, der, subjectKeys)
+  }
+
+  private def rsa(): KeyPair = {
+    val g = KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  /** Self-signed CA. */
+  def mintCa(cn: String): Minted = {
+    val kp = rsa()
+    mint(cn, Nil, isCa = true, cn, kp, kp)
+  }
+
+  /** Leaf signed by `ca` with dNSName SANs (what verify-full checks).
+    */
+  def mintLeaf(cn: String, sanDns: Seq[String], ca: Minted): Minted =
+    mint(cn, sanDns, isCa = false,
+      ca.cert.getSubjectX500Principal.getName match {
+        case n if n.startsWith("CN=") => n.stripPrefix("CN=")
+        case n => n
+      }, ca.keyPair, rsa())
+
+  /** Self-signed leaf (the `require`-mode fixture: no CA at all). */
+  def mintSelfSigned(cn: String, sanDns: Seq[String]): Minted = {
+    val kp = rsa()
+    mint(cn, sanDns, isCa = false, cn, kp, kp)
+  }
+}

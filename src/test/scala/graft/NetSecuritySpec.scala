@@ -1,0 +1,243 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.net.{ConfigCrypto, Ssl, X509Mint}
+import graft.sources.S3Wire.SigV4
+
+/** Connection-security layer: encrypted-config decryption
+  * (`utils/decryption.go`), SSL mode semantics (`utils/ssl.go`), and
+  * the minted-certificate TLS fixtures behind them. */
+class NetSecuritySpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------------
+  // ConfigCrypto — local AES-GCM mode
+  // ------------------------------------------------------------------
+
+  test("config decrypt: local AES-GCM round trip through the JSON-string wrapping") {
+    val plain = """{"host":"db.internal","password":"hunter2"}"""
+    val blob = ConfigCrypto.encrypt(plain, "my-uuid-key")
+    assert(blob.startsWith("\"") && blob.endsWith("\""))
+    assert(ConfigCrypto.decrypt(blob, "my-uuid-key") === plain)
+  }
+
+  test("config decrypt: blank key disables encryption - input passes through") {
+    assert(ConfigCrypto.decrypt("anything at all", "") === "anything at all")
+    assert(ConfigCrypto.decrypt("x", "   ") === "x")
+  }
+
+  test("config decrypt: blank input is an error when a key is set") {
+    intercept[Exception](ConfigCrypto.decrypt("   ", "k"))
+  }
+
+  test("config decrypt: wrong key and tampered blob both fail the GCM tag") {
+    val blob = ConfigCrypto.encrypt("secret", "right-key")
+    intercept[Exception](ConfigCrypto.decrypt(blob, "wrong-key"))
+    val raw = java.util.Base64.getDecoder
+      .decode(ConfigCrypto.jsonUnquote(blob))
+    raw(raw.length - 1) = (raw(raw.length - 1) ^ 0x01).toByte
+    val tampered = ConfigCrypto.jsonQuote(
+      java.util.Base64.getEncoder.encodeToString(raw))
+    intercept[Exception](ConfigCrypto.decrypt(tampered, "right-key"))
+  }
+
+  test("config decrypt: ciphertext shorter than the nonce is rejected") {
+    val blob = ConfigCrypto.jsonQuote(
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2, 3)))
+    intercept[Exception](ConfigCrypto.decrypt(blob, "k"))
+  }
+
+  test("jsonUnquote handles RFC 8259 escapes; jsonQuote round-trips") {
+    assert(ConfigCrypto.jsonUnquote("\"a\\nb\\t\\u0041\\\\\"") === "a\nb\tA\\")
+    val s = "line1\nline2\t\"quoted\"\\end\u0001"
+    assert(ConfigCrypto.jsonUnquote(ConfigCrypto.jsonQuote(s)) === s)
+    intercept[Exception](ConfigCrypto.jsonUnquote("not quoted"))
+  }
+
+  // ------------------------------------------------------------------
+  // ConfigCrypto — KMS mode over the loopback wire
+  // ------------------------------------------------------------------
+
+  test("config decrypt: KMS ARN key routes to the KMS Decrypt wire call") {
+    val creds = SigV4.Credentials("AKIAKMS", "kms-secret", "us-east-1")
+    val srv = new ConfigCrypto.KmsServer(creds)
+    try {
+      val client = new ConfigCrypto.KmsClient(srv.endpoint, creds)
+      val plain = """{"password":"p@ss"}"""
+      val blob = client.encrypt(srv.keyArn,
+        plain.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val wrapped = ConfigCrypto.jsonQuote(
+        java.util.Base64.getEncoder.encodeToString(blob))
+      assert(ConfigCrypto.decrypt(wrapped, srv.keyArn,
+        kms = Some(client)) === plain)
+      // and the ARN prefix without a client is a config error
+      intercept[Exception](ConfigCrypto.decrypt(wrapped, srv.keyArn))
+    } finally srv.close()
+  }
+
+  test("KMS loopback verifies SigV4: wrong secret key is rejected") {
+    val creds = SigV4.Credentials("AKIAKMS", "kms-secret", "us-east-1")
+    val srv = new ConfigCrypto.KmsServer(creds)
+    try {
+      val bad = new ConfigCrypto.KmsClient(srv.endpoint,
+        SigV4.Credentials("AKIAKMS", "WRONG", "us-east-1"))
+      val e = intercept[Exception](bad.decrypt(Array[Byte](1, 2, 3)))
+      assert(e.getMessage.contains("403"))
+    } finally srv.close()
+  }
+
+  test("KMS loopback rejects a tampered ciphertext blob") {
+    val creds = SigV4.Credentials("AKIAKMS", "kms-secret", "us-east-1")
+    val srv = new ConfigCrypto.KmsServer(creds)
+    try {
+      val client = new ConfigCrypto.KmsClient(srv.endpoint, creds)
+      val blob = client.encrypt(srv.keyArn, "x".getBytes)
+      blob(blob.length - 1) = (blob(blob.length - 1) ^ 1).toByte
+      val e = intercept[Exception](client.decrypt(blob))
+      assert(e.getMessage.contains("400"))
+    } finally srv.close()
+  }
+
+  // ------------------------------------------------------------------
+  // Ssl — config validation + PEM strictness
+  // ------------------------------------------------------------------
+
+  test("ssl validate: mode required; server_ca required for verify modes") {
+    assert(Ssl.validate(None).isLeft)
+    assert(Ssl.validate(Some(Ssl.SslConfig())).isLeft)
+    assert(Ssl.validate(Some(Ssl.SslConfig(Ssl.ModeRequire))).isRight)
+    assert(Ssl.validate(Some(Ssl.SslConfig(Ssl.ModeVerifyCa))).isLeft)
+    assert(Ssl.validate(Some(Ssl.SslConfig(Ssl.ModeVerifyFull))).isLeft)
+    assert(Ssl.validate(Some(
+      Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = "x"))).isRight)
+  }
+
+  test("PEM reader: multi-block chains parse; trailing junk and wrong block types rejected") {
+    val ca = X509Mint.mintCa("Graft Test CA")
+    val leaf = X509Mint.mintLeaf("graft.local", Seq("graft.local"), ca)
+    val chainPem = leaf.certPem + ca.certPem
+    assert(Ssl.readCerts(chainPem, "ssl.server_ca").size === 2)
+    intercept[Exception](
+      Ssl.readCerts(chainPem + "trailing garbage", "ssl.server_ca"))
+    intercept[Exception](Ssl.readCerts(leaf.keyPem, "ssl.server_ca"))
+    intercept[Exception](Ssl.readCerts("", "ssl.server_ca"))
+    // a PEM block whose base64 decodes but is not a certificate
+    val bogus = Ssl.toPem("CERTIFICATE", Array[Byte](1, 2, 3))
+    intercept[Exception](Ssl.readCerts(bogus, "ssl.server_ca"))
+  }
+
+  test("minted certificates parse as v3 with the intended subject and SAN") {
+    val ca = X509Mint.mintCa("Graft Test CA")
+    assert(ca.cert.getVersion === 3)
+    assert(ca.cert.getBasicConstraints >= 0) // CA
+    val leaf = X509Mint.mintLeaf("graft.local",
+      Seq("graft.local", "alt.local"), ca)
+    assert(leaf.cert.getBasicConstraints === -1) // not a CA
+    val sans = leaf.cert.getSubjectAlternativeNames
+    assert(sans != null && sans.size === 2)
+    leaf.cert.verify(ca.keyPair.getPublic) // CA signature is real
+    ca.cert.verify(ca.keyPair.getPublic)   // self-signed
+  }
+
+  // ------------------------------------------------------------------
+  // Ssl — the live mode matrix over loopback TLS
+  // ------------------------------------------------------------------
+
+  /** One-shot TLS server: accepts a single connection, writes
+    * `payload`, closes. Returns (port, doneLatch). */
+  private def oneShot(ctx: javax.net.ssl.SSLContext,
+                      needClientAuth: Boolean,
+                      payload: String): (Int, Thread) = {
+    val ss = ctx.getServerSocketFactory.createServerSocket(0)
+      .asInstanceOf[javax.net.ssl.SSLServerSocket]
+    ss.setNeedClientAuth(needClientAuth)
+    val t = new Thread(() => {
+      try {
+        val s = ss.accept()
+        try {
+          s.getOutputStream.write(payload.getBytes)
+          s.getOutputStream.flush()
+        } finally s.close()
+      } catch { case _: Exception => () }
+      finally ss.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    (ss.getLocalPort, t)
+  }
+
+  private def readAll(s: java.net.Socket): String =
+    try new String(s.getInputStream.readAllBytes())
+    finally s.close()
+
+  test("mode matrix: require accepts a self-signed server; verify-ca needs the right CA; verify-full also needs the right hostname") {
+    val ca = X509Mint.mintCa("Graft Test CA")
+    val otherCa = X509Mint.mintCa("Unrelated CA")
+    val leaf = X509Mint.mintLeaf("graft.local", Seq("graft.local"), ca)
+    val serverCtx = Ssl.serverContext(leaf, chain = Seq(ca.cert))
+
+    // require: even a self-signed unknown cert passes (ssl.go:66-74)
+    val selfCtx = Ssl.serverContext(
+      X509Mint.mintSelfSigned("whoever", Seq("whoever")))
+    val (p1, _) = oneShot(selfCtx, needClientAuth = false, "require-ok")
+    assert(readAll(Ssl.connect("127.0.0.1", p1, "ignored.host",
+      Some(Ssl.SslConfig(Ssl.ModeRequire)))) === "require-ok")
+
+    // verify-ca: chain must anchor at server_ca, hostname ignored
+    val (p2, _) = oneShot(serverCtx, needClientAuth = false, "ca-ok")
+    assert(readAll(Ssl.connect("127.0.0.1", p2, "totally.wrong.host",
+      Some(Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = ca.certPem))))
+      === "ca-ok")
+    val (p3, _) = oneShot(serverCtx, needClientAuth = false, "nope")
+    intercept[Exception](Ssl.connect("127.0.0.1", p3, "x",
+      Some(Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = otherCa.certPem))))
+
+    // verify-full: chain AND hostname (ServerName = host, ssl.go:120-123)
+    val (p4, _) = oneShot(serverCtx, needClientAuth = false, "full-ok")
+    assert(readAll(Ssl.connect("127.0.0.1", p4, "graft.local",
+      Some(Ssl.SslConfig(Ssl.ModeVerifyFull, serverCa = ca.certPem))))
+      === "full-ok")
+    val (p5, _) = oneShot(serverCtx, needClientAuth = false, "nope")
+    intercept[Exception](Ssl.connect("127.0.0.1", p5, "evil.local",
+      Some(Ssl.SslConfig(Ssl.ModeVerifyFull, serverCa = ca.certPem))))
+  }
+
+  test("client certificates: presented when configured, required by a mutual-TLS server") {
+    val ca = X509Mint.mintCa("Graft Test CA")
+    val serverLeaf = X509Mint.mintLeaf("graft.local", Seq("graft.local"), ca)
+    val clientLeaf = X509Mint.mintLeaf("graft-client", Nil, ca)
+    val mtlsCtx = Ssl.serverContext(serverLeaf, chain = Seq(ca.cert),
+      clientCa = Some(ca.cert))
+
+    val withCert = Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = ca.certPem,
+      clientCert = clientLeaf.certPem, clientKey = clientLeaf.keyPem)
+    val (p1, _) = oneShot(mtlsCtx, needClientAuth = true, "mtls-ok")
+    assert(readAll(Ssl.connect("127.0.0.1", p1, "h", Some(withCert)))
+      === "mtls-ok")
+
+    val without = Ssl.SslConfig(Ssl.ModeVerifyCa, serverCa = ca.certPem)
+    val (p2, _) = oneShot(mtlsCtx, needClientAuth = true, "nope")
+    intercept[Exception] {
+      val s = Ssl.connect("127.0.0.1", p2, "h", Some(without))
+      // TLS 1.3 may surface the server's rejection on first read
+      val got = readAll(s)
+      if (got.isEmpty) throw new RuntimeException("server refused")
+      assert(got !== "nope")
+    }
+  }
+
+  test("disable mode returns a plain socket (no TLS)") {
+    val ss = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val s = ss.accept()
+        s.getOutputStream.write("plain".getBytes)
+        s.close()
+      } catch { case _: Exception => () } finally ss.close()
+    })
+    t.setDaemon(true); t.start()
+    val s = Ssl.connect("127.0.0.1", ss.getLocalPort, "h", None)
+    assert(!s.isInstanceOf[javax.net.ssl.SSLSocket])
+    assert(readAll(s) === "plain")
+  }
+}
