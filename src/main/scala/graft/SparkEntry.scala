@@ -1872,6 +1872,61 @@ object SparkEntry {
         element_at(img, 4).cast("double").as("value"))
     }),
 
+    // ---- C4 through an SSH BASTION (`utils/ssh.go` +
+    //      `drivers/mysql/internal/mysql.go:70-95`: the reference
+    //      dials MySQL through `sshClient.Dial`): the same loopback
+    //      MySqlWireServer, but the BinlogClient's TCP session rides a
+    //      real SSH-2 direct-tcpip channel — curve25519-sha256 kex,
+    //      ssh-ed25519 host key, aes128-ctr + hmac-sha2-256, password
+    //      auth — through graft's own SSH client AND verifying
+    //      bastion. Every binlog byte is tunnel-encrypted; the decode
+    //      must equal the direct-wire gate's. ----
+    "q_cdc_binlog_ssh" -> ((s, dir) => {
+      import graft.cdc.{BinlogClient, MySqlWireServer}
+      import graft.net.SshTunnel
+      val pairs = ChangeLogFixture.binlogLog(
+          t(s, dir, "events").where(col("event_id") < 2000))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+      val served = pairs.map { case (l, m) =>
+        if ((m(4) & 0xff) == 19) (5L, m) else (l + 10L, m) }
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        try MySqlWireServer.serve(server.accept(), Seq(served),
+          checksum = true, closeAfterSend = true)
+        catch { case _: Exception => () }
+      })
+      th.setDaemon(true); th.start()
+      val bastion = new SshTunnel.SshServer(
+        users = Map("graft" -> "tunnel-pw"))
+      val ssh = SshTunnel.SshClient.connect(SshTunnel.SshConfig(
+        "127.0.0.1", bastion.port, "graft", password = "tunnel-pw"))
+      val got = try {
+        val fwd = ssh.localForward("127.0.0.1", server.getLocalPort)
+        val client = new BinlogClient("127.0.0.1", fwd, 0L)
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Byte])]
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (!client.sessionClosed && System.nanoTime() < deadline)
+            buf ++= client.poll()
+          buf.toSeq
+        } finally client.close()
+      } finally { ssh.close(); bastion.close(); server.close() }
+      import s.implicits._
+      val decoded = Binlog.decode(got.toDF("lsn", "msg").coalesce(1),
+        "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.where(col("pos") > 5L).select(
+        col("kind"), col("table"), (col("pos") - 10L).as("pos"),
+        timestamp_seconds(col("ts_sec")).as("ts"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 2).cast("long").as("user_id"),
+        element_at(img, 3).as("event_type"),
+        element_at(img, 4).cast("double").as("value"))
+    }),
+
     // ---- C4 MariaDB flavor over the wire: the loopback server
     //      announces a MariaDB version (with the 5.5.5- replication
     //      prefix real MariaDB sends), the client detects the flavor
@@ -4185,6 +4240,15 @@ object SparkEntry {
 
     // identical to q_cdc_binlog: the wire session must be lossless
     "q_cdc_binlog_wire" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  'events' AS "table", event_id AS pos,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // identical stream, tunneled through the SSH bastion
+    "q_cdc_binlog_ssh" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  'events' AS "table", event_id AS pos,

@@ -1,0 +1,221 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.net.{Ssh, SshTunnel}
+import graft.net.SshTunnel.{SshClient, SshConfig, SshServer}
+
+/** SSH-2 bastion tunnel (`utils/ssh.go`): transport handshake, both
+  * auth methods, direct-tcpip forwarding with flow control — client
+  * against the verifying loopback server, nothing mocked below the
+  * socket. */
+class SshSpec extends AnyFunSuite {
+
+  /** TCP echo server: every byte written comes back. */
+  private def echoServer(): (Int, java.net.ServerSocket) = {
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try while (true) {
+        val s = ss.accept()
+        val h = new Thread(() => {
+          try {
+            val buf = new Array[Byte](8192)
+            var n = s.getInputStream.read(buf)
+            while (n >= 0) {
+              if (n > 0) { s.getOutputStream.write(buf, 0, n)
+                           s.getOutputStream.flush() }
+              n = s.getInputStream.read(buf)
+            }
+          } catch { case _: Exception => () }
+          finally s.close()
+        })
+        h.setDaemon(true); h.start()
+      } catch { case _: Exception => () }
+    })
+    th.setDaemon(true); th.start()
+    (ss.getLocalPort, ss)
+  }
+
+  test("ssh config validation mirrors the reference's rules") {
+    import SshTunnel.validate
+    assert(validate(SshConfig("", 22, "u", password = "p")).isLeft)
+    assert(validate(SshConfig("h", 0, "u", password = "p")).isLeft)
+    assert(validate(SshConfig("h", 70000, "u", password = "p")).isLeft)
+    assert(validate(SshConfig("h", 22, "", password = "p")).isLeft)
+    assert(validate(SshConfig("h", 22, "u")).isLeft)
+    assert(validate(SshConfig("h", 22, "u", password = "p")).isRight)
+    assert(validate(SshConfig("h", 22, "u", privateKey = "k")).isRight)
+  }
+
+  test("openssh-key-v1 ed25519 PEM round-trips; encrypted keys raise the passphrase complaint") {
+    val kp = Ssh.Curves.ed25519KeyPair()
+    val pem = Ssh.encodeOpenSshEd25519(kp, comment = "round-trip")
+    val (parsed, pubRaw) = Ssh.parseOpenSshEd25519(pem)
+    assert(java.util.Arrays.equals(pubRaw,
+      Ssh.Curves.ed25519PubRaw(kp.getPublic)))
+    // the parsed private key signs; the original public key verifies
+    val msg = "sign me".getBytes
+    val sig = Ssh.Curves.ed25519Sign(parsed.getPrivate, msg)
+    assert(Ssh.Curves.ed25519Verify(pubRaw, msg, sig))
+
+    // flip the cipher name to simulate an encrypted key
+    val enc = pem.replace("OPENSSH PRIVATE KEY", "OPENSSH PRIVATE KEY")
+    val tampered = {
+      // rebuild with cipher "aes256-ctr" to hit the encrypted branch
+      val der = graft.net.Ssl.pemBlocks(pem, "k").head.der
+      val magicLen = "openssh-key-v1".length + 1
+      val w = new Ssh.Writer()
+      w.bytes(der.take(magicLen))
+      w.string("aes256-ctr").string("bcrypt")
+      // keep the remainder as-is (never reached past the cipher check)
+      val r = new Ssh.Reader(der.drop(magicLen))
+      r.string(); r.string() // skip original cipher/kdf
+      w.bytes(der.drop(magicLen + 4 + 4 + 4 + 4)) // both were 4-byte "none"
+      graft.net.Ssl.toPem("OPENSSH PRIVATE KEY", w.result())
+    }
+    val e = intercept[IllegalArgumentException](
+      Ssh.parseOpenSshEd25519(tampered))
+    assert(e.getMessage.contains("enter the passphrase"))
+    val e2 = intercept[IllegalArgumentException](
+      Ssh.parseOpenSshEd25519(tampered, passphrase = "pw"))
+    assert(e2.getMessage.contains("not supported"))
+    assert(enc == pem)
+  }
+
+  test("password auth + direct-tcpip forward: bytes round-trip through the tunnel") {
+    val (echoPort, echoSock) = echoServer()
+    val srv = new SshServer(users = Map("graft" -> "s3cr3t"))
+    try {
+      val client = SshClient.connect(SshConfig("127.0.0.1", srv.port,
+        "graft", password = "s3cr3t"))
+      try {
+        val fwd = client.localForward("127.0.0.1", echoPort)
+        val s = new java.net.Socket("127.0.0.1", fwd)
+        try {
+          val msg = "hello through the bastion".getBytes
+          s.getOutputStream.write(msg)
+          s.getOutputStream.flush()
+          val got = new Array[Byte](msg.length)
+          new java.io.DataInputStream(s.getInputStream).readFully(got)
+          assert(new String(got) === "hello through the bastion")
+        } finally s.close()
+      } finally client.close()
+    } finally { srv.close(); echoSock.close() }
+  }
+
+  test("publickey auth: authorized key admitted via real signature, unknown key refused") {
+    val (echoPort, echoSock) = echoServer()
+    val goodKp = Ssh.Curves.ed25519KeyPair()
+    val goodPem = Ssh.encodeOpenSshEd25519(goodKp)
+    val badPem = Ssh.encodeOpenSshEd25519(Ssh.Curves.ed25519KeyPair())
+    val srv = new SshServer(
+      authorizedKeys = Seq(Ssh.Curves.ed25519PubRaw(goodKp.getPublic)))
+    try {
+      val client = SshClient.connect(SshConfig("127.0.0.1", srv.port,
+        "graft", privateKey = goodPem))
+      try {
+        val fwd = client.localForward("127.0.0.1", echoPort)
+        val s = new java.net.Socket("127.0.0.1", fwd)
+        try {
+          s.getOutputStream.write("pk".getBytes); s.getOutputStream.flush()
+          val got = new Array[Byte](2)
+          new java.io.DataInputStream(s.getInputStream).readFully(got)
+          assert(new String(got) === "pk")
+        } finally s.close()
+      } finally client.close()
+
+      intercept[Exception](SshClient.connect(SshConfig("127.0.0.1",
+        srv.port, "graft", privateKey = badPem)))
+    } finally { srv.close(); echoSock.close() }
+  }
+
+  test("wrong password is refused after the full handshake") {
+    val srv = new SshServer(users = Map("graft" -> "right"))
+    try {
+      val e = intercept[Exception](SshClient.connect(
+        SshConfig("127.0.0.1", srv.port, "graft", password = "wrong")))
+      assert(e.getMessage.contains("unable to authenticate"))
+    } finally srv.close()
+  }
+
+  test("8 MiB through the tunnel: window adjusts both directions, bytes intact") {
+    val (echoPort, echoSock) = echoServer()
+    val srv = new SshServer(users = Map("graft" -> "pw"))
+    try {
+      val client = SshClient.connect(SshConfig("127.0.0.1", srv.port,
+        "graft", password = "pw"))
+      try {
+        val fwd = client.localForward("127.0.0.1", echoPort)
+        val payload = new Array[Byte](8 * 1024 * 1024)
+        new java.util.Random(42).nextBytes(payload)
+        val s = new java.net.Socket("127.0.0.1", fwd)
+        try {
+          val writer = new Thread(() => {
+            try {
+              s.getOutputStream.write(payload)
+              s.getOutputStream.flush()
+              s.shutdownOutput()
+            } catch { case _: Exception => () }
+          })
+          writer.setDaemon(true); writer.start()
+          val got = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = s.getInputStream.read(buf)
+          while (n >= 0 && got.size < payload.length) {
+            got.write(buf, 0, n)
+            if (got.size < payload.length) n = s.getInputStream.read(buf)
+          }
+          writer.join(30000)
+          val d1 = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(payload)
+          val d2 = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(got.toByteArray)
+          assert(got.size === payload.length)
+          assert(java.util.Arrays.equals(d1, d2))
+        } finally s.close()
+      } finally client.close()
+    } finally { srv.close(); echoSock.close() }
+  }
+
+  test("bastion confines forwards: non-loopback targets are administratively prohibited") {
+    val srv = new SshServer(users = Map("graft" -> "pw"))
+    try {
+      val client = SshClient.connect(SshConfig("127.0.0.1", srv.port,
+        "graft", password = "pw"))
+      try {
+        val fwd = client.localForward("203.0.113.9", 5432)
+        val s = new java.net.Socket("127.0.0.1", fwd)
+        try {
+          // channel open is refused; the local socket sees EOF, no data
+          s.setSoTimeout(10000)
+          assert(s.getInputStream.read() === -1)
+        } finally s.close()
+      } finally client.close()
+    } finally srv.close()
+  }
+
+  test("two concurrent forwards multiplex over one transport") {
+    val (p1, ss1) = echoServer()
+    val (p2, ss2) = echoServer()
+    val srv = new SshServer(users = Map("graft" -> "pw"))
+    try {
+      val client = SshClient.connect(SshConfig("127.0.0.1", srv.port,
+        "graft", password = "pw"))
+      try {
+        val f1 = client.localForward("127.0.0.1", p1)
+        val f2 = client.localForward("127.0.0.1", p2)
+        val s1 = new java.net.Socket("127.0.0.1", f1)
+        val s2 = new java.net.Socket("127.0.0.1", f2)
+        try {
+          s1.getOutputStream.write("alpha".getBytes); s1.getOutputStream.flush()
+          s2.getOutputStream.write("beta".getBytes); s2.getOutputStream.flush()
+          val g1 = new Array[Byte](5); val g2 = new Array[Byte](4)
+          new java.io.DataInputStream(s1.getInputStream).readFully(g1)
+          new java.io.DataInputStream(s2.getInputStream).readFully(g2)
+          assert(new String(g1) === "alpha")
+          assert(new String(g2) === "beta")
+        } finally { s1.close(); s2.close() }
+      } finally client.close()
+    } finally { srv.close(); ss1.close(); ss2.close() }
+  }
+}
