@@ -1487,6 +1487,56 @@ object SparkEntry {
           element_at(col("values"), 5).cast("long")).as("score"))
     }),
 
+    // ---- C1 over TLS: the reference's `utils/ssl.go` exists for
+    //      exactly this connection (Postgres sslmode). SSLRequest
+    //      (80877103) precedes the startup message, 'S' upgrades the
+    //      live socket to TLS 1.2+, verify-full checks the chain AND
+    //      the host identity (iPAddress SAN here — the dial address),
+    //      then the ENTIRE replication session (startup,
+    //      IDENTIFY_SYSTEM, START_REPLICATION, every XLogData frame)
+    //      rides inside the channel. Decode must equal the fixture
+    //      path's (q_cdc_pgoutput). ----
+    "q_cdc_pgoutput_tls" -> ((s, dir) => {
+      import graft.cdc.{ReplicationClient, ReplicationWire}
+      import graft.net.{Ssl, X509Mint}
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val msgs = ChangeLogFixture.pgoutputLog(ev)
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+      val ca = X509Mint.mintCa("Graft PG CA")
+      val leaf = X509Mint.mintLeaf("postgres.graft.local",
+        Seq("postgres.graft.local"), ca, sanIps = Seq("127.0.0.1"))
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        try ReplicationWire.serveLog(server.accept(), msgs,
+          sslCtx = Some(Ssl.serverContext(leaf, chain = Seq(ca.cert))))
+        catch { case _: Exception => () } finally server.close()
+      })
+      th.setDaemon(true); th.start()
+      val client = new ReplicationClient("127.0.0.1", server.getLocalPort,
+        startLsn = 0L,
+        ssl = Some(Ssl.SslConfig(Ssl.ModeVerifyFull,
+          serverCa = ca.certPem)))
+      val got = try {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Byte])]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline)
+          buf ++= client.poll()
+        buf.toSeq
+      } finally client.close()
+      import s.implicits._
+      val decoded = PgOutput.decode(got.toDF("lsn", "msg").coalesce(1),
+        "lsn", "msg")
+      decoded.select(
+        col("kind"), col("lsn"),
+        timestamp_micros(col("commit_ts_micros")).as("commit_ts"),
+        element_at(col("values"), 1).cast("long").as("event_id"),
+        element_at(col("values"), 2).cast("long").as("user_id"),
+        element_at(col("values"), 3).as("event_type"),
+        element_at(col("values"), 4).cast("double").as("value"))
+    }),
+
     // ---- C4 MySQL binlog v4 decoder (encode → wire → decode) ----
     "q_cdc_binlog" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -4063,6 +4113,14 @@ object SparkEntry {
         |FROM events WHERE event_id < 1000""".stripMargin,
 
     "q_cdc_pgoutput" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  event_id AS lsn, CAST(ts AS TIMESTAMP) AS commit_ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // identical stream, carried inside the sslmode=verify-full channel
+    "q_cdc_pgoutput_tls" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  event_id AS lsn, CAST(ts AS TIMESTAMP) AS commit_ts,

@@ -44,16 +44,40 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
                         database: String = "postgres",
                         slot: String = "graft_slot",
                         publication: String = "graft_pub",
-                        password: String = "")
+                        password: String = "",
+                        ssl: Option[graft.net.Ssl.SslConfig] = None)
     extends FrameStreamClient {
   import ReplicationWire._
 
   /** The slot ack — everything at or below `lsn` is committed. */
   override def ack(lsn: Long): Unit = standbyStatusUpdate(lsn)
 
-  private val sock = new Socket()
-  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-  sock.setTcpNoDelay(true)
+  private val sock: Socket = {
+    val raw = new Socket()
+    raw.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    raw.setTcpNoDelay(true)
+    // sslmode semantics (the reference's `utils/ssl.go` BuildTLSConfig
+    // is exactly the Postgres surface): SSLRequest (int32 8, int32
+    // 80877103) BEFORE the startup message; 'S' upgrades the live
+    // connection to TLS under the mode table, 'N' with any non-disable
+    // mode is a hard error (the reference's tls config would fail the
+    // same way — encryption was requested).
+    ssl.filter(_.mode != graft.net.Ssl.ModeDisable) match {
+      case None => raw
+      case Some(cfg) =>
+        val o = raw.getOutputStream
+        o.write(java.nio.ByteBuffer.allocate(8)
+          .putInt(8).putInt(80877103).array())
+        o.flush()
+        raw.getInputStream.read() match {
+          case 'S' => graft.net.Ssl.wrap(raw, host, Some(cfg))
+          case 'N' => throw new java.io.IOException(
+            s"server refused SSL but sslmode is '${cfg.mode}'")
+          case other => throw new java.io.IOException(
+            s"unexpected SSLRequest response $other")
+        }
+    }
+  }
   private val pin =
     new java.io.PushbackInputStream(sock.getInputStream, 1)
   private val in = new DataInputStream(pin)
@@ -352,6 +376,44 @@ object ReplicationWire {
       if (code == 'S' || code == 'M') sb.append(s).append(' ')
     }
     sb.toString.trim
+  }
+
+  /** Server side of the SSLRequest upgrade: require the 8-byte
+    * SSLRequest, answer 'S', run the TLS handshake over the same
+    * connection (what `ssl = on` Postgres does). */
+  def acceptSsl(sock: java.net.Socket,
+                ctx: javax.net.ssl.SSLContext): java.net.Socket = {
+    val in = new DataInputStream(sock.getInputStream)
+    val len = in.readInt(); val code = in.readInt()
+    require(len == 8 && code == 80877103,
+      s"expected SSLRequest, got len=$len code=$code")
+    sock.getOutputStream.write('S'); sock.getOutputStream.flush()
+    val tls = ctx.getSocketFactory.createSocket(sock,
+        sock.getInetAddress.getHostAddress, sock.getPort, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    tls.setUseClientMode(false)
+    tls.startHandshake()
+    tls
+  }
+
+  /** One-shot loopback WAL session for gates: optional TLS upgrade,
+    * full session establishment, XLogData for every message, a final
+    * keepalive, close. */
+  def serveLog(sock0: java.net.Socket,
+               messages: Seq[(Long, Array[Byte])],
+               sslCtx: Option[javax.net.ssl.SSLContext] = None,
+               password: Option[String] = None): Unit = {
+    val sock = sslCtx.map(acceptSsl(sock0, _)).getOrElse(sock0)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = sock.getOutputStream
+    val top = messages.map(_._1).foldLeft(0L)(math.max)
+    serveHandshake(in, out, xlogpos = top, password = password): Unit
+    messages.foreach { case (lsn, msg) =>
+      out.write(xLogData(lsn, lsn, 2L, msg))
+    }
+    out.write(keepalive(top, 3L, replyRequested = false))
+    out.flush()
+    sock.close()
   }
 
   /** Drive the SERVER side of the full session establishment against a

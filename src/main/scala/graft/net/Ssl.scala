@@ -180,9 +180,18 @@ object Ssl {
     * dial. Returns the connected socket (plain for `disable`). */
   def connect(dialHost: String, port: Int, host: String,
               sc: Option[SslConfig]): java.net.Socket = {
+    val raw = new java.net.Socket(dialHost, port)
+    wrap(raw, host, sc)
+  }
+
+  /** TLS-upgrade an ALREADY-CONNECTED socket under the mode table —
+    * the shape STARTTLS-style protocols need (PostgreSQL's SSLRequest
+    * upgrades the live connection; Go hands `tls.Client(conn, cfg)`
+    * the same way). `disable`/no config returns the socket as-is. */
+  def wrap(raw: java.net.Socket, host: String,
+           sc: Option[SslConfig]): java.net.Socket = {
     val cfg = sc.getOrElse(SslConfig(ModeDisable))
-    if (sc.isEmpty || cfg.mode == ModeDisable)
-      return new java.net.Socket(dialHost, port)
+    if (sc.isEmpty || cfg.mode == ModeDisable) return raw
     val tms: Array[TrustManager] = cfg.mode match {
       case ModeRequire => trustAll
       case ModeVerifyCa =>
@@ -202,9 +211,8 @@ object Ssl {
     }
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(clientKeyManagers(cfg), tms, new SecureRandom())
-    val raw = new java.net.Socket(dialHost, port)
     val sock = ctx.getSocketFactory
-      .createSocket(raw, host, port, true).asInstanceOf[SSLSocket]
+      .createSocket(raw, host, raw.getPort, true).asInstanceOf[SSLSocket]
     sock.setEnabledProtocols(Protocols)
     if (cfg.mode == ModeVerifyFull) {
       val p = sock.getSSLParameters
@@ -304,9 +312,16 @@ object X509Mint {
 
   private val rnd = new SecureRandom()
 
+  private def ipBytes(ip: String): Array[Byte] = {
+    val parts = ip.split('.')
+    require(parts.length == 4, s"IPv4 dotted-quad expected, got $ip")
+    parts.map(p => p.toInt.toByte)
+  }
+
   private def mint(subjectCn: String, sanDns: Seq[String], isCa: Boolean,
                    issuerCn: String, signWith: KeyPair,
-                   subjectKeys: KeyPair): Minted = {
+                   subjectKeys: KeyPair,
+                   sanIps: Seq[String] = Nil): Minted = {
     val serial = new BigInteger(63, rnd)
     val validity = seq(utcTime("250101000000Z"), utcTime("490101000000Z"))
     val extensions = {
@@ -314,11 +329,13 @@ object X509Mint {
         if (isCa) Seq(seq(oid("2.5.29.19"), derBool(true),
           octet(seq(derBool(true)))))
         else Nil
+      val sanEntries =
+        sanDns.map(d => tlv(0x82, d.getBytes(StandardCharsets.US_ASCII))) ++
+          sanIps.map(ip => tlv(0x87, ipBytes(ip))) // iPAddress GeneralName
       val san =
-        if (sanDns.nonEmpty)
-          Seq(seq(oid("2.5.29.17"), octet(seq(
-            sanDns.map(d => tlv(0x82, d.getBytes(StandardCharsets.US_ASCII)))
-              .flatten.toArray))))
+        if (sanEntries.nonEmpty)
+          Seq(seq(oid("2.5.29.17"),
+            octet(seq(sanEntries.flatten.toArray))))
         else Nil
       val all = bc ++ san
       if (all.isEmpty) Array.emptyByteArray
@@ -355,14 +372,15 @@ object X509Mint {
     mint(cn, Nil, isCa = true, cn, kp, kp)
   }
 
-  /** Leaf signed by `ca` with dNSName SANs (what verify-full checks).
-    */
-  def mintLeaf(cn: String, sanDns: Seq[String], ca: Minted): Minted =
+  /** Leaf signed by `ca` with dNSName (and optional iPAddress) SANs —
+    * what verify-full checks. */
+  def mintLeaf(cn: String, sanDns: Seq[String], ca: Minted,
+               sanIps: Seq[String] = Nil): Minted =
     mint(cn, sanDns, isCa = false,
       ca.cert.getSubjectX500Principal.getName match {
         case n if n.startsWith("CN=") => n.stripPrefix("CN=")
         case n => n
-      }, ca.keyPair, rsa())
+      }, ca.keyPair, rsa(), sanIps)
 
   /** Self-signed leaf (the `require`-mode fixture: no CA at all). */
   def mintSelfSigned(cn: String, sanDns: Seq[String]): Minted = {

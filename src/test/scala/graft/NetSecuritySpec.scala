@@ -226,6 +226,73 @@ class NetSecuritySpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Postgres sslmode over the replication wire (SSLRequest upgrade)
+  // ------------------------------------------------------------------
+
+  test("replication client: SSLRequest upgrade, full session inside TLS, frames intact") {
+    import graft.cdc.{ReplicationClient, ReplicationWire}
+    val ca = X509Mint.mintCa("PG CA")
+    val leaf = X509Mint.mintLeaf("pg.local", Seq("pg.local"), ca,
+      sanIps = Seq("127.0.0.1"))
+    val msgs = Seq((10L, "alpha".getBytes), (20L, "beta".getBytes))
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try ReplicationWire.serveLog(ss.accept(), msgs,
+        sslCtx = Some(Ssl.serverContext(leaf, chain = Seq(ca.cert))))
+      catch { case _: Exception => () } finally ss.close()
+    })
+    th.setDaemon(true); th.start()
+    val c = new ReplicationClient("127.0.0.1", ss.getLocalPort, 0L,
+      ssl = Some(Ssl.SslConfig(Ssl.ModeVerifyFull, serverCa = ca.certPem)))
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!c.sessionClosed && System.nanoTime() < deadline)
+        buf ++= c.poll()
+      assert(buf.map(_._1) === Seq(10L, 20L))
+      assert(buf.map(f => new String(f._2)) === Seq("alpha", "beta"))
+    } finally c.close()
+  }
+
+  test("replication client: server refusing SSL ('N') fails any non-disable mode") {
+    import graft.cdc.ReplicationClient
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try {
+        val s = ss.accept()
+        val in = new java.io.DataInputStream(s.getInputStream)
+        in.readInt(); in.readInt() // the SSLRequest
+        s.getOutputStream.write('N')
+        s.getOutputStream.flush()
+      } catch { case _: Exception => () }
+    })
+    th.setDaemon(true); th.start()
+    try {
+      val e = intercept[java.io.IOException](new ReplicationClient(
+        "127.0.0.1", ss.getLocalPort, 0L,
+        ssl = Some(Ssl.SslConfig(Ssl.ModeRequire))))
+      assert(e.getMessage.contains("refused SSL"))
+    } finally ss.close()
+  }
+
+  test("replication client: wrong CA under verify-ca kills the handshake") {
+    import graft.cdc.{ReplicationClient, ReplicationWire}
+    val ca = X509Mint.mintCa("PG CA")
+    val otherCa = X509Mint.mintCa("Other CA")
+    val leaf = X509Mint.mintLeaf("pg.local", Seq("pg.local"), ca)
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try ReplicationWire.serveLog(ss.accept(), Seq((1L, "x".getBytes)),
+        sslCtx = Some(Ssl.serverContext(leaf, chain = Seq(ca.cert))))
+      catch { case _: Exception => () } finally ss.close()
+    })
+    th.setDaemon(true); th.start()
+    intercept[Exception](new ReplicationClient("127.0.0.1", ss.getLocalPort,
+      0L, ssl = Some(Ssl.SslConfig(Ssl.ModeVerifyCa,
+        serverCa = otherCa.certPem))))
+  }
+
   test("disable mode returns a plain socket (no TLS)") {
     val ss = new java.net.ServerSocket(0)
     val t = new Thread(() => {
