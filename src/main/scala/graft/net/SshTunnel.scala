@@ -174,9 +174,11 @@ object SshTunnel {
       }
     }
 
-    /** Pump socket → channel, EOF+CLOSE at stream end. */
+    /** Pump socket → channel, EOF+CLOSE at stream end. Reads match the
+      * 32 KiB channel max-packet so each read becomes exactly one
+      * CHANNEL_DATA (fewer MAC + flush rounds per byte). */
     protected def pumpFromSocket(ch: Channel, sock: Socket): Unit = {
-      val buf = new Array[Byte](16384)
+      val buf = new Array[Byte](MaxPacket.toInt)
       try {
         var n = sock.getInputStream.read(buf)
         while (n >= 0 && running) {

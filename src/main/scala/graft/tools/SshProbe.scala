@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.net.SshTunnel.{SshClient, SshConfig, SshServer}
+
+/** Dev-only: SSH tunnel overhead — MB/s through a direct-tcpip channel
+  * vs a plain TCP socket to the same sink, plus connect+auth latency.
+  * The numbers go to SCALING.md (the tunnel rides in front of wire
+  * sources, so its ceiling bounds tunneled CDC throughput). */
+object SshProbe {
+  private val PayloadMiB = 64
+
+  /** Sink server: drains everything, echoes an 8-byte count at EOF. */
+  private def sink(): java.net.ServerSocket = {
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try while (true) {
+        val s = ss.accept()
+        val h = new Thread(() => {
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var total = 0L
+            var n = s.getInputStream.read(buf)
+            while (n >= 0) {
+              total += n
+              n = s.getInputStream.read(buf)
+            }
+            val _ = total
+          } catch { case _: Exception => () } finally s.close()
+        })
+        h.setDaemon(true); h.start()
+      } catch { case _: Exception => () }
+    })
+    th.setDaemon(true); th.start()
+    ss
+  }
+
+  private def push(port: Int): Double = {
+    val payload = new Array[Byte](1 << 20)
+    new java.util.Random(7).nextBytes(payload)
+    val s = new java.net.Socket("127.0.0.1", port)
+    val t0 = System.nanoTime()
+    (1 to PayloadMiB).foreach(_ => s.getOutputStream.write(payload))
+    s.getOutputStream.flush()
+    s.shutdownOutput()
+    s.getInputStream.read() // wait for the sink to close
+    val secs = (System.nanoTime() - t0) / 1e9
+    s.close()
+    PayloadMiB / secs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sinkSock = sink()
+    // direct baseline
+    val direct = (1 to 3).map(_ => push(sinkSock.getLocalPort))
+    // tunneled
+    val bastion = new SshServer(users = Map("graft" -> "pw"))
+    val t0 = System.nanoTime()
+    val client = SshClient.connect(
+      SshConfig("127.0.0.1", bastion.port, "graft", password = "pw"))
+    val connectMs = (System.nanoTime() - t0) / 1e6
+    val fwd = client.localForward("127.0.0.1", sinkSock.getLocalPort)
+    val tunneled = (1 to 3).map(_ => push(fwd))
+    println(f"direct:   ${direct.max}%.0f MiB/s (best of 3)")
+    println(f"tunneled: ${tunneled.max}%.0f MiB/s (best of 3, " +
+      "aes128-ctr + hmac-sha2-256 both directions)")
+    println(f"connect+kex+auth: $connectMs%.1f ms")
+    client.close(); bastion.close(); sinkSock.close()
+  }
+}
