@@ -1977,6 +1977,57 @@ object SparkEntry {
         element_at(img, 4).cast("double").as("value"))
     }),
 
+    // ---- C4 over TLS (`drivers/mysql/internal/cdc.go:21-27` wires
+    //      SSLConfiguration into the binlog syncer): the client sends
+    //      Protocol::SSLRequest at the handshake-response slot, the
+    //      connection upgrades to TLS 1.2+ (verify-full against the
+    //      server's iPAddress SAN), and auth + REGISTER_SLAVE +
+    //      BINLOG_DUMP + every event byte ride inside the channel. ----
+    "q_cdc_binlog_tls" -> ((s, dir) => {
+      import graft.cdc.{BinlogClient, MySqlWireServer}
+      import graft.net.{Ssl, X509Mint}
+      val pairs = ChangeLogFixture.binlogLog(
+          t(s, dir, "events").where(col("event_id") < 2000))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+      val served = pairs.map { case (l, m) =>
+        if ((m(4) & 0xff) == 19) (5L, m) else (l + 10L, m) }
+      val ca = X509Mint.mintCa("Graft MySQL CA")
+      val leaf = X509Mint.mintLeaf("mysql.graft.local",
+        Seq("mysql.graft.local"), ca, sanIps = Seq("127.0.0.1"))
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        try MySqlWireServer.serve(server.accept(), Seq(served),
+          checksum = true, closeAfterSend = true,
+          sslCtx = Some(Ssl.serverContext(leaf, chain = Seq(ca.cert))))
+        catch { case _: Exception => () }
+      })
+      th.setDaemon(true); th.start()
+      val client = new BinlogClient("127.0.0.1", server.getLocalPort, 0L,
+        ssl = Some(Ssl.SslConfig(Ssl.ModeVerifyFull,
+          serverCa = ca.certPem)))
+      val got = try {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Byte])]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline)
+          buf ++= client.poll()
+        buf.toSeq
+      } finally { client.close(); server.close() }
+      import s.implicits._
+      val decoded = Binlog.decode(got.toDF("lsn", "msg").coalesce(1),
+        "lsn", "msg")
+      val img = when(col("kind") === "delete", col("before"))
+        .otherwise(col("after"))
+      decoded.where(col("pos") > 5L).select(
+        col("kind"), col("table"), (col("pos") - 10L).as("pos"),
+        timestamp_seconds(col("ts_sec")).as("ts"),
+        element_at(img, 1).cast("long").as("event_id"),
+        element_at(img, 2).cast("long").as("user_id"),
+        element_at(img, 3).as("event_type"),
+        element_at(img, 4).cast("double").as("value"))
+    }),
+
     // ---- C4 MariaDB flavor over the wire: the loopback server
     //      announces a MariaDB version (with the 5.5.5- replication
     //      prefix real MariaDB sends), the client detects the flavor
@@ -4298,6 +4349,15 @@ object SparkEntry {
 
     // identical to q_cdc_binlog: the wire session must be lossless
     "q_cdc_binlog_wire" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  'events' AS "table", event_id AS pos,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // identical stream, inside the Protocol::SSLRequest TLS channel
+    "q_cdc_binlog_tls" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  'events' AS "table", event_id AS pos,

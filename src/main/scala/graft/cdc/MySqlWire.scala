@@ -82,12 +82,37 @@ object MySqlWire {
   }
 
   val ClientLongFlag = 0x00000004
+  val ClientSsl = 0x00000800
   val ClientProtocol41 = 0x00000200
   val ClientSecureConnection = 0x00008000
   val ClientPluginAuth = 0x00080000
   val ClientCapabilities: Int =
     ClientLongFlag | ClientProtocol41 | ClientSecureConnection |
       ClientPluginAuth
+
+  /** Protocol::SSLRequest — the 32-byte prefix of HandshakeResponse41
+    * (capabilities with CLIENT_SSL, max packet, charset, 23-byte
+    * filler), NO username: the client sends it mid-handshake, TLS
+    * starts immediately after, and the REAL HandshakeResponse41
+    * follows inside the channel (MySQL protocol docs, "Protocol::
+    * SSLRequest"; the reference's binlog syncer does this when
+    * `SSLConfiguration` is set, `drivers/mysql/internal/cdc.go:21-27`).
+    */
+  def sslRequest(): Array[Byte] = {
+    val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(ClientCapabilities | ClientSsl)
+    b.putInt(1 << 24)
+    b.put(33.toByte)
+    b.put(new Array[Byte](23))
+    b.array()
+  }
+
+  /** Distinguishes the short SSLRequest from a full
+    * HandshakeResponse41 (which carries a username past byte 32). */
+  def isSslRequest(p: Array[Byte]): Boolean =
+    p.length == 32 &&
+      (ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN).getInt &
+        ClientSsl) != 0
 
   /** Wrap one payload into MySQL packets (3-byte LE len | seq | bytes),
     * splitting at the 0xFFFFFF continuation boundary. */
@@ -312,15 +337,22 @@ class BinlogClient(host: String, port: Int, startPos: Long,
                    binlogFile: String = "binlog.000001",
                    serverId: Int = 1001,
                    user: String = "graft", password: String = "",
-                   connectTimeoutMs: Int = 5000) extends FrameStreamClient {
+                   connectTimeoutMs: Int = 5000,
+                   ssl: Option[graft.net.Ssl.SslConfig] = None)
+    extends FrameStreamClient {
   import MySqlWire._
 
-  private val sock = new Socket()
-  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-  sock.setTcpNoDelay(true)
-  private val pin = new java.io.PushbackInputStream(sock.getInputStream, 1)
-  private val in = new DataInputStream(pin)
-  private val out = new DataOutputStream(sock.getOutputStream)
+  // vars: the mid-handshake TLS upgrade (Protocol::SSLRequest) swaps
+  // the socket and both streams in place
+  private var sock: Socket = {
+    val s = new Socket()
+    s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    s.setTcpNoDelay(true)
+    s
+  }
+  private var pin = new java.io.PushbackInputStream(sock.getInputStream, 1)
+  private var in = new DataInputStream(pin)
+  private var out = new DataOutputStream(sock.getOutputStream)
 
   /** Highest binlog position delivered (the CurrentPos analog). */
   @volatile var clientXLogPos: Long = startPos
@@ -347,8 +379,25 @@ class BinlogClient(host: String, port: Int, startPos: Long,
     val hs = parseHandshakeV10(greeting)
     val (fl, fMaj, fMin) = flavorOf(hs.serverVersion)
     flavor = fl; flavorVersion = (fMaj, fMin)
+    // TLS (the reference wires SSLConfiguration into the binlog syncer,
+    // drivers/mysql/internal/cdc.go:21-27): short SSLRequest at the
+    // handshake-response slot, TLS handshake, then the REAL
+    // HandshakeResponse41 — auth and every binlog byte ride inside.
+    var respSeq = seq0 + 1
+    ssl.filter(_.mode != graft.net.Ssl.ModeDisable).foreach { cfg =>
+      if ((hs.capabilities & ClientSsl) == 0)
+        throw new java.io.IOException(
+          s"server does not support SSL but ssl mode is '${cfg.mode}'")
+      out.write(packets(seq0 + 1, sslRequest())); out.flush()
+      sock = graft.net.Ssl.wrap(sock, host, Some(cfg))
+      sock.setSoTimeout(connectTimeoutMs)
+      pin = new java.io.PushbackInputStream(sock.getInputStream, 1)
+      in = new DataInputStream(pin)
+      out = new DataOutputStream(sock.getOutputStream)
+      respSeq = seq0 + 2
+    }
     val auth = nativePassword(password, hs.authSeed)
-    out.write(packets(seq0 + 1, handshakeResponse41(user, auth)))
+    out.write(packets(respSeq, handshakeResponse41(user, auth)))
     out.flush()
     val (seqA, authReply) = readPacket(in)
     (authReply.headOption.map(_ & 0xff): @unchecked) match {
@@ -485,21 +534,41 @@ object MySqlWireServer {
     * `authSwitch = true` makes the server demand an AuthSwitchRequest
     * round before accepting the scramble, like a MySQL 8 whose default
     * plugin differs from the account's. */
-  def serve(sock: Socket, tranches: Seq[Seq[(Long, Array[Byte])]],
+  def serve(sock0: Socket, tranches: Seq[Seq[(Long, Array[Byte])]],
             trancheDelayMs: Long = 0,
             password: String = "",
             onDump: DumpRequest => Unit = _ => (),
             closeAfterSend: Boolean = false,
             authSwitch: Boolean = false,
             checksum: Boolean = false,
-            serverVersion: String = "8.0.0-graft"): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+            serverVersion: String = "8.0.0-graft",
+            sslCtx: Option[javax.net.ssl.SSLContext] = None): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(sock.getInputStream)
+    var out = new DataOutputStream(sock.getOutputStream)
     val seed = Array.tabulate[Byte](20)(i => (i + 1).toByte)
+    // CLIENT_SSL advertised iff the server holds a TLS identity —
+    // exactly how a have-ssl MySQL announces itself
+    val caps = ClientCapabilities |
+      (if (sslCtx.isDefined) ClientSsl else 0)
     out.write(packets(0, handshakeV10(Handshake(serverVersion, 7, seed,
-      ClientCapabilities, "mysql_native_password"))))
+      caps, "mysql_native_password"))))
     out.flush()
-    val (seq1, respP) = readPacket(in)
+    var (seq1, respP) = readPacket(in)
+    if (isSslRequest(respP)) {
+      val ctx = sslCtx.getOrElse(throw new IllegalStateException(
+        "client sent SSLRequest but the server has no TLS identity"))
+      val tls = ctx.getSocketFactory.createSocket(sock,
+          sock.getInetAddress.getHostAddress, sock.getPort, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      tls.setUseClientMode(false)
+      tls.startHandshake()
+      sock = tls
+      in = new DataInputStream(sock.getInputStream)
+      out = new DataOutputStream(sock.getOutputStream)
+      val next = readPacket(in) // the real HandshakeResponse41, inside
+      seq1 = next._1; respP = next._2
+    }
     val resp = parseHandshakeResponse41(respP)
     val (authGiven, seqAuth) =
       if (!authSwitch) (resp.authResponse, seq1)

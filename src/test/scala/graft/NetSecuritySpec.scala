@@ -293,6 +293,48 @@ class NetSecuritySpec extends AnyFunSuite {
         serverCa = otherCa.certPem))))
   }
 
+  // ------------------------------------------------------------------
+  // MySQL Protocol::SSLRequest upgrade on the binlog wire
+  // ------------------------------------------------------------------
+
+  test("mysql wire: SSLRequest recognizer separates the 32-byte probe from a full response") {
+    import graft.cdc.MySqlWire
+    assert(MySqlWire.isSslRequest(MySqlWire.sslRequest()))
+    assert(!MySqlWire.isSslRequest(
+      MySqlWire.handshakeResponse41("graft", Array.emptyByteArray)))
+  }
+
+  test("mysql wire: client demanding TLS from a no-SSL server fails before sending credentials") {
+    import graft.cdc.{BinlogClient, MySqlWireServer}
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try MySqlWireServer.serve(ss.accept(), Seq(Nil)) // no sslCtx
+      catch { case _: Exception => () } finally ss.close()
+    })
+    th.setDaemon(true); th.start()
+    val e = intercept[java.io.IOException](new BinlogClient("127.0.0.1",
+      ss.getLocalPort, 0L,
+      ssl = Some(Ssl.SslConfig(Ssl.ModeRequire))))
+    assert(e.getMessage.contains("does not support SSL"))
+  }
+
+  test("mysql wire: plaintext client still works against a TLS-capable server") {
+    import graft.cdc.{BinlogClient, MySqlWireServer}
+    val ca = X509Mint.mintCa("MySQL CA")
+    val leaf = X509Mint.mintLeaf("mysql.local", Seq("mysql.local"), ca)
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try MySqlWireServer.serve(ss.accept(), Seq(Nil),
+        closeAfterSend = true,
+        sslCtx = Some(Ssl.serverContext(leaf, chain = Seq(ca.cert))))
+      catch { case _: Exception => () } finally ss.close()
+    })
+    th.setDaemon(true); th.start()
+    // no ssl config → plain handshake must still complete
+    val c = new BinlogClient("127.0.0.1", ss.getLocalPort, 0L)
+    c.close()
+  }
+
   test("disable mode returns a plain socket (no TLS)") {
     val ss = new java.net.ServerSocket(0)
     val t = new Thread(() => {
