@@ -1522,7 +1522,7 @@ object SparkEntry {
           .empty[(Long, Array[Byte])]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll()
+          buf ++= client.poll(frameTimeoutMs = 60000)
         buf.toSeq
       } finally client.close()
       import s.implicits._
@@ -1903,7 +1903,7 @@ object SparkEntry {
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll()
+          buf ++= client.poll(frameTimeoutMs = 60000)
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._
@@ -1959,7 +1959,7 @@ object SparkEntry {
             .empty[(Long, Array[Byte])]
           val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
           while (!client.sessionClosed && System.nanoTime() < deadline)
-            buf ++= client.poll()
+            buf ++= client.poll(frameTimeoutMs = 60000)
           buf.toSeq
         } finally client.close()
       } finally { ssh.close(); bastion.close(); server.close() }
@@ -2011,7 +2011,7 @@ object SparkEntry {
           .empty[(Long, Array[Byte])]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll()
+          buf ++= client.poll(frameTimeoutMs = 60000)
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._
@@ -2065,7 +2065,7 @@ object SparkEntry {
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll()
+          buf ++= client.poll(frameTimeoutMs = 60000)
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._
@@ -3621,6 +3621,14 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
         .select("doc_id", "ws_tokens", "bpe_tokens", "est_tokens")),
+
+    // ---- LLM: overlapping token-window chunking (window 64, stride
+    //      48 → 16-token overlap) — the pre-embedding / context-prep
+    //      shape; map-only, DuckDB replays the chunk math over its own
+    //      tokenization ----
+    "q_doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 48)),
 
     // ---- LLM: document fingerprints (md5 + rolling hash) ----
     "q_fingerprint" -> ((s, dir) =>
@@ -5736,6 +5744,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_tokens
         |FROM documents""".stripMargin,
+
+    // window 64 / stride 48; chunk k slices toks[k*48+1, +64]
+    "q_doc_chunks" ->
+      """WITH s AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |  CASE WHEN len(toks) <= 64 THEN 1
+        |       ELSE 1 + CAST(ceil((len(toks)-64)/48.0) AS INTEGER) END AS n_chunks
+        |  FROM s),
+        |e AS (SELECT doc_id, toks, n,
+        |  unnest(range(n_chunks)) AS k FROM c)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |  array_to_string(list_slice(toks, k*48+1, k*48+64), ' ') AS chunk_text,
+        |  CAST(least(64, n - k*48) AS INTEGER) AS n_tok
+        |FROM e""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

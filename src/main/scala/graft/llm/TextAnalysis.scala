@@ -466,4 +466,33 @@ object TextAnalysis {
         round(col("top_chars") / col("n_chars"), 6)
           .as("top_gram_char_frac"))
   }
+
+  /** Overlapping token-window chunking — the standard pre-embedding /
+    * context-length preparation shape (chunk k covers tokens
+    * [k·stride, k·stride+window)). A doc with ≤`window` tokens is one
+    * chunk; otherwise 1 + ⌈(n−window)/stride⌉ chunks, so every token
+    * is covered and the final chunk keeps its left overlap. Map-only
+    * (tokenize once, explode the chunk-index sequence, slice) —
+    * zero-shuffle at any corpus size; chunk ordering is (doc, k), no
+    * global state. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= window, lit(1)).otherwise(
+          lit(1) + ceil((col("n") - lit(window)).cast("double") / stride)
+            .cast("int")))
+      .select(col(idCol),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"),
+        col("toks"), col("n"))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), col("n") - col("chunk_id") * stride)
+          .cast("int").as("n_tok"))
+  }
 }

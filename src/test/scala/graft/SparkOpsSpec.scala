@@ -1477,4 +1477,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pos = positives.select("id").as[Long].collect().toSet
     assert(Set(10L, 12L).subsetOf(pos))
   }
+
+  test("chunkDocs: count formula, full coverage, exact overlap, short docs intact") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val doc = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "just three tokens"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df, "doc_id", "text",
+      window = 64, stride = 48).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 150 tokens → 1 + ceil((150-64)/48) = 3 chunks
+    assert(d1.length === 3)
+    assert(d1.map(_._4).toSeq === Seq(64, 64, 54))
+    // chunk k starts at token k*48+1
+    assert(d1(0)._3.startsWith("w1 ") && d1(1)._3.startsWith("w49 ") &&
+      d1(2)._3.startsWith("w97 "))
+    // the 16-token overlap: chunk 0's tail == chunk 1's head
+    assert(d1(0)._3.split(" ").drop(48).toSeq ===
+      d1(1)._3.split(" ").take(16).toSeq)
+    // every token covered in order
+    assert(d1.flatMap(_._3.split(" ")).distinct.length === 150)
+    // short doc: one chunk, unchanged
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2(0)._3 === "just three tokens" &&
+      d2(0)._4 === 3)
+    assert(out.count(_._1 == 3L) === 1) // empty text still yields a row
+  }
 }
