@@ -1,0 +1,222 @@
+package graft.net
+
+import java.math.BigInteger
+import java.security.MessageDigest
+
+/** `bcrypt_pbkdf` — the KDF protecting passphrase-encrypted
+  * openssh-key-v1 private keys (OpenBSD `bcrypt_pbkdf.c`; the
+  * reference reaches it through `ssh.ParsePrivateKeyWithPassphrase`,
+  * `utils/ssh.go:84-86`).
+  *
+  * Needs Eks-Blowfish (the cost-parameterized key schedule), which the
+  * JDK's "Blowfish" cipher cannot express — so the cipher core lives
+  * here. The P-array and S-boxes are, by Blowfish's definition, the
+  * leading hexadecimal digits of π; rather than embedding 4 KiB of
+  * constant tables they are computed at class-init from π itself
+  * (Machin's formula over BigInteger) and pinned against the published
+  * first words (P[0]=0x243f6a88, S0[0]=0xd1310ba6).
+  */
+object Bcrypt {
+
+  private val NWordsNeeded = 18 + 4 * 256
+
+  /** Fractional hex digits of π as 32-bit words: 16·atan(1/5) −
+    * 4·atan(1/239), ~256 guard bits beyond the 33,344 needed. */
+  private def piWords(n: Int): Array[Int] = {
+    val bits = 32 * n + 256
+    val scale = BigInteger.ONE.shiftLeft(bits)
+    def atanInv(x: Long): BigInteger = {
+      val x2 = BigInteger.valueOf(x * x)
+      var term = scale.divide(BigInteger.valueOf(x))
+      var sum = BigInteger.ZERO
+      var k = 0
+      while (term.signum != 0) {
+        val t = term.divide(BigInteger.valueOf(2L * k + 1))
+        sum = if (k % 2 == 0) sum.add(t) else sum.subtract(t)
+        term = term.divide(x2)
+        k += 1
+      }
+      sum
+    }
+    val pi = atanInv(5).multiply(BigInteger.valueOf(16))
+      .subtract(atanInv(239).multiply(BigInteger.valueOf(4)))
+    var frac = pi.subtract(BigInteger.valueOf(3).shiftLeft(bits))
+    val mask = scale.subtract(BigInteger.ONE)
+    Array.fill(n) {
+      frac = frac.shiftLeft(32)
+      val w = frac.shiftRight(bits).intValue
+      frac = frac.and(mask)
+      w
+    }
+  }
+
+  private val piTable: Array[Int] = {
+    val t = piWords(NWordsNeeded)
+    require(t(0) == 0x243f6a88 && t(18) == 0xd1310ba6,
+      "pi digit generation does not match Blowfish's published boxes")
+    t
+  }
+
+  /** One Eks-Blowfish state (P-array + 4 S-boxes). */
+  private final class State {
+    val p: Array[Int] = java.util.Arrays.copyOfRange(piTable, 0, 18)
+    val s: Array[Array[Int]] = Array.tabulate(4)(i =>
+      java.util.Arrays.copyOfRange(piTable, 18 + 256 * i, 18 + 256 * (i + 1)))
+
+    private def f(x: Int): Int =
+      ((s(0)(x >>> 24) + s(1)((x >>> 16) & 0xff)) ^ s(2)((x >>> 8) & 0xff)) +
+        s(3)(x & 0xff)
+
+    /** Returns (xl', xr') — OpenBSD `Blowfish_encipher`. */
+    def encipher(xl: Int, xr: Int): (Int, Int) = {
+      var l = xl ^ p(0)
+      var r = xr
+      var i = 1
+      while (i <= 16) {
+        r ^= f(l) ^ p(i); i += 1
+        l ^= f(r) ^ p(i); i += 1
+      }
+      (r ^ p(17), l)
+    }
+
+    /** Big-endian 4-byte word from `key`, cursor wrapping — OpenBSD
+      * `Blowfish_stream2word`. */
+    private def stream2word(key: Array[Byte], j0: Int): (Int, Int) = {
+      var j = j0
+      var w = 0
+      var i = 0
+      while (i < 4) {
+        w = (w << 8) | (key(j) & 0xff)
+        j = (j + 1) % key.length
+        i += 1
+      }
+      (w, j)
+    }
+
+    /** `Blowfish_expand0state`: P ^= key words, then regenerate P and
+      * S by chained encryption of an all-zero block. */
+    def expand0(key: Array[Byte]): Unit = expand(None, key)
+
+    /** `Blowfish_expandstate`: like expand0 but the chaining block is
+      * XORed with `data` words before every encryption. */
+    def expand(data: Option[Array[Byte]], key: Array[Byte]): Unit = {
+      var j = 0
+      var i = 0
+      while (i < 18) {
+        val (w, j2) = stream2word(key, j)
+        p(i) ^= w; j = j2; i += 1
+      }
+      var dj = 0
+      var dl = 0; var dr = 0
+      def step(): Unit = {
+        data.foreach { d =>
+          val (w1, a) = stream2word(d, dj)
+          val (w2, b) = stream2word(d, a)
+          dl ^= w1; dr ^= w2; dj = b
+        }
+        val (l2, r2) = encipher(dl, dr)
+        dl = l2; dr = r2
+      }
+      i = 0
+      while (i < 18) { step(); p(i) = dl; p(i + 1) = dr; i += 2 }
+      var b = 0
+      while (b < 4) {
+        i = 0
+        while (i < 256) { step(); s(b)(i) = dl; s(b)(i + 1) = dr; i += 2 }
+        b += 1
+      }
+    }
+  }
+
+  private val Magic = "OxychromaticBlowfishSwatDynamite"
+    .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** OpenBSD `bcrypt_hash`: 64-byte hashed pass + 64-byte hashed salt
+    * → 32 bytes. */
+  private def bcryptHash(sha2pass: Array[Byte],
+                         sha2salt: Array[Byte]): Array[Byte] = {
+    val st = new State
+    st.expand(Some(sha2salt), sha2pass)
+    var i = 0
+    while (i < 64) {
+      st.expand0(sha2salt)
+      st.expand0(sha2pass)
+      i += 1
+    }
+    // cdata = the magic as 8 BE words, encrypted 64 times in place
+    val cdata = new Array[Int](8)
+    i = 0
+    while (i < 8) {
+      cdata(i) = ((Magic(4 * i) & 0xff) << 24) |
+        ((Magic(4 * i + 1) & 0xff) << 16) |
+        ((Magic(4 * i + 2) & 0xff) << 8) | (Magic(4 * i + 3) & 0xff)
+      i += 1
+    }
+    i = 0
+    while (i < 64) {
+      var k = 0
+      while (k < 8) {
+        val (l, r) = st.encipher(cdata(k), cdata(k + 1))
+        cdata(k) = l; cdata(k + 1) = r
+        k += 2
+      }
+      i += 1
+    }
+    // out is LITTLE-endian per word (the OpenBSD quirk)
+    val out = new Array[Byte](32)
+    i = 0
+    while (i < 8) {
+      out(4 * i) = (cdata(i) & 0xff).toByte
+      out(4 * i + 1) = ((cdata(i) >>> 8) & 0xff).toByte
+      out(4 * i + 2) = ((cdata(i) >>> 16) & 0xff).toByte
+      out(4 * i + 3) = ((cdata(i) >>> 24) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def sha512(parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance("SHA-512")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** OpenBSD `bcrypt_pbkdf(pass, salt, key, keylen, rounds)` — note
+    * the strided output interleave (byte i of block `count` lands at
+    * `i*stride + count-1`), which is part of the format. */
+  def pbkdf(pass: Array[Byte], salt: Array[Byte], keyLen: Int,
+            rounds: Int): Array[Byte] = {
+    require(rounds >= 1 && keyLen >= 1 && keyLen <= 1024, "bad kdf params")
+    val stride = (keyLen + 31) / 32
+    val amt0 = (keyLen + stride - 1) / stride
+    val key = new Array[Byte](keyLen)
+    val sha2pass = sha512(pass)
+    var remaining = keyLen
+    var count = 1
+    while (remaining > 0) {
+      val countSalt = salt ++ Array[Byte](
+        ((count >>> 24) & 0xff).toByte, ((count >>> 16) & 0xff).toByte,
+        ((count >>> 8) & 0xff).toByte, (count & 0xff).toByte)
+      var tmp = bcryptHash(sha2pass, sha512(countSalt))
+      val out = tmp.clone()
+      var r = 1
+      while (r < rounds) {
+        tmp = bcryptHash(sha2pass, sha512(tmp))
+        var i = 0
+        while (i < 32) { out(i) = (out(i) ^ tmp(i)).toByte; i += 1 }
+        r += 1
+      }
+      val amt = math.min(amt0, remaining)
+      var i = 0
+      var placed = 0
+      while (i < amt) {
+        val dest = i * stride + (count - 1)
+        if (dest < keyLen) { key(dest) = out(i); placed += 1 }
+        i += 1
+      }
+      remaining -= placed
+      count += 1
+    }
+    key
+  }
+}

@@ -238,9 +238,20 @@ object Ssh {
   private val OpenSshMagic =
     "openssh-key-v1".getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
 
+  private def aes256Ctr(mode: Int, keyIv: Array[Byte]): Cipher = {
+    val c = Cipher.getInstance("AES/CTR/NoPadding")
+    c.init(mode, new SecretKeySpec(keyIv.take(32), "AES"),
+      new IvParameterSpec(keyIv.slice(32, 48)))
+    c
+  }
+
   /** Serialize an Ed25519 keypair the way `ssh-keygen -t ed25519`
-    * does (unencrypted). */
-  def encodeOpenSshEd25519(kp: KeyPair, comment: String = "graft"): String = {
+    * does — unencrypted (`cipher none`), or with a passphrase the
+    * default way: `aes256-ctr` under `bcrypt` (16-byte salt, 16
+    * rounds), key‖iv = bcrypt_pbkdf(pass, salt, 48, rounds). */
+  def encodeOpenSshEd25519(kp: KeyPair, comment: String = "graft",
+                           passphrase: String = "",
+                           kdfRounds: Int = 16): String = {
     val pubRaw = Curves.ed25519PubRaw(kp.getPublic)
     val seed = Curves.ed25519Seed(kp.getPrivate)
     val check = rnd.nextInt()
@@ -250,23 +261,36 @@ object Ssh {
       .string(seed ++ pubRaw) // RFC 8032 private = seed || public
       .string(comment)
     var body = inner.result()
+    val blockSize = if (passphrase.isEmpty) 8 else 16
     var pad = 1
-    while (body.length % 8 != 0) { // cipher "none" still pads to 8
+    while (body.length % blockSize != 0) {
       body = body :+ pad.toByte; pad += 1
     }
     val outer = new Writer()
     outer.bytes(OpenSshMagic)
-    outer.string("none").string("none").string(Array.emptyByteArray)
+    if (passphrase.isEmpty) {
+      outer.string("none").string("none").string(Array.emptyByteArray)
+    } else {
+      val salt = new Array[Byte](16)
+      rnd.nextBytes(salt)
+      val keyIv = Bcrypt.pbkdf(
+        passphrase.getBytes(StandardCharsets.UTF_8), salt, 48, kdfRounds)
+      body = aes256Ctr(Cipher.ENCRYPT_MODE, keyIv).doFinal(body)
+      outer.string("aes256-ctr").string("bcrypt")
+      outer.string(new Writer().string(salt).uint32(kdfRounds.toLong)
+        .result())
+    }
     outer.uint32(1L)
     outer.string(ed25519Blob(pubRaw))
     outer.string(body)
     Ssl.toPem("OPENSSH PRIVATE KEY", outer.result())
   }
 
-  /** Parse an unencrypted openssh-key-v1 Ed25519 key. An encrypted
-    * key without a passphrase raises the reference's exact complaint
-    * (`ssh.go:92-94`); with one, honesty about the unimplemented
-    * bcrypt KDF beats a wrong decrypt. */
+  /** Parse an openssh-key-v1 Ed25519 key — plaintext, or
+    * `aes256-ctr`/`bcrypt` with the passphrase (the `ssh-keygen`
+    * default; key‖iv from [[Bcrypt.pbkdf]]). An encrypted key without
+    * a passphrase raises the reference's exact complaint
+    * (`ssh.go:92-94`); a wrong passphrase fails the check-int pair. */
   def parseOpenSshEd25519(pem: String, passphrase: String = "")
       : (KeyPair, Array[Byte]) = {
     val blocks = Ssl.pemBlocks(pem, "ssh private_key")
@@ -277,19 +301,30 @@ object Ssh {
     val r = new Reader(der.drop(OpenSshMagic.length))
     val cipher = r.stringUtf8()
     val kdf = r.stringUtf8()
-    r.string() // kdf options
-    if (cipher != "none" || kdf != "none") {
-      if (passphrase.isEmpty)
-        throw new IllegalArgumentException(
-          "SSH private key appears encrypted, enter the passphrase")
+    val kdfOptions = r.string()
+    if (cipher != "none" && passphrase.isEmpty)
       throw new IllegalArgumentException(
-        s"encrypted openssh keys ($cipher/$kdf) are not supported here")
-    }
+        "SSH private key appears encrypted, enter the passphrase")
+    if (cipher != "none" && (cipher != "aes256-ctr" || kdf != "bcrypt"))
+      throw new IllegalArgumentException(
+        s"unsupported openssh key encryption ($cipher/$kdf)")
     val nKeys = r.uint32()
     require(nKeys == 1, s"expected 1 key, found $nKeys")
     val pubBlob = r.string()
-    val inner = new Reader(r.string())
-    require(inner.uint32() == inner.uint32(), "check mismatch (corrupt key)")
+    val bodyRaw = r.string()
+    val body =
+      if (cipher == "none") bodyRaw
+      else {
+        val kr = new Reader(kdfOptions)
+        val salt = kr.string()
+        val rounds = kr.uint32().toInt
+        val keyIv = Bcrypt.pbkdf(
+          passphrase.getBytes(StandardCharsets.UTF_8), salt, 48, rounds)
+        aes256Ctr(Cipher.DECRYPT_MODE, keyIv).doFinal(bodyRaw)
+      }
+    val inner = new Reader(body)
+    require(inner.uint32() == inner.uint32(),
+      "check mismatch (wrong passphrase or corrupt key)")
     require(inner.stringUtf8() == "ssh-ed25519", "not an ed25519 key")
     val pubRaw = inner.string()
     val privBytes = inner.string()

@@ -47,7 +47,7 @@ class SshSpec extends AnyFunSuite {
     assert(validate(SshConfig("h", 22, "u", privateKey = "k")).isRight)
   }
 
-  test("openssh-key-v1 ed25519 PEM round-trips; encrypted keys raise the passphrase complaint") {
+  test("openssh-key-v1 ed25519 PEM round-trips, plaintext and bcrypt/aes256-ctr encrypted") {
     val kp = Ssh.Curves.ed25519KeyPair()
     val pem = Ssh.encodeOpenSshEd25519(kp, comment = "round-trip")
     val (parsed, pubRaw) = Ssh.parseOpenSshEd25519(pem)
@@ -58,28 +58,39 @@ class SshSpec extends AnyFunSuite {
     val sig = Ssh.Curves.ed25519Sign(parsed.getPrivate, msg)
     assert(Ssh.Curves.ed25519Verify(pubRaw, msg, sig))
 
-    // flip the cipher name to simulate an encrypted key
-    val enc = pem.replace("OPENSSH PRIVATE KEY", "OPENSSH PRIVATE KEY")
-    val tampered = {
-      // rebuild with cipher "aes256-ctr" to hit the encrypted branch
-      val der = graft.net.Ssl.pemBlocks(pem, "k").head.der
-      val magicLen = "openssh-key-v1".length + 1
-      val w = new Ssh.Writer()
-      w.bytes(der.take(magicLen))
-      w.string("aes256-ctr").string("bcrypt")
-      // keep the remainder as-is (never reached past the cipher check)
-      val r = new Ssh.Reader(der.drop(magicLen))
-      r.string(); r.string() // skip original cipher/kdf
-      w.bytes(der.drop(magicLen + 4 + 4 + 4 + 4)) // both were 4-byte "none"
-      graft.net.Ssl.toPem("OPENSSH PRIVATE KEY", w.result())
-    }
+    // encrypted: ssh-keygen's default aes256-ctr under bcrypt_pbkdf
+    val enc = Ssh.encodeOpenSshEd25519(kp, passphrase = "opensesame",
+      kdfRounds = 4)
+    val (parsedEnc, pubEnc) =
+      Ssh.parseOpenSshEd25519(enc, passphrase = "opensesame")
+    assert(java.util.Arrays.equals(pubEnc, pubRaw))
+    val sig2 = Ssh.Curves.ed25519Sign(parsedEnc.getPrivate, msg)
+    assert(Ssh.Curves.ed25519Verify(pubRaw, msg, sig2))
+
+    // no passphrase → the reference's exact complaint (ssh.go:92-94)
     val e = intercept[IllegalArgumentException](
-      Ssh.parseOpenSshEd25519(tampered))
+      Ssh.parseOpenSshEd25519(enc))
     assert(e.getMessage.contains("enter the passphrase"))
-    val e2 = intercept[IllegalArgumentException](
-      Ssh.parseOpenSshEd25519(tampered, passphrase = "pw"))
-    assert(e2.getMessage.contains("not supported"))
-    assert(enc == pem)
+    // wrong passphrase → the check-int pair disagrees
+    val e2 = intercept[Exception](
+      Ssh.parseOpenSshEd25519(enc, passphrase = "wrong"))
+    assert(e2.getMessage.contains("wrong passphrase") ||
+      e2.getMessage.contains("check mismatch"))
+  }
+
+  test("bcrypt_pbkdf matches the published test vector; pi-derived boxes pinned") {
+    // x/crypto/ssh's internal bcrypt_pbkdf test vector
+    val got = graft.net.Bcrypt.pbkdf("password".getBytes, "salt".getBytes,
+      32, 4)
+    val hex = got.map(b => f"${b & 0xff}%02x").mkString
+    assert(hex ===
+      "5bbf0cc293587f1c3635555c27796598d47e579071bf427e9d8fbe842aba34d9")
+    // different passphrase/salt/rounds all change the key
+    def k(p: String, s: String, r: Int) =
+      graft.net.Bcrypt.pbkdf(p.getBytes, s.getBytes, 48, r).toSeq
+    assert(k("a", "s", 2) !== k("b", "s", 2))
+    assert(k("a", "s", 2) !== k("a", "t", 2))
+    assert(k("a", "s", 2) !== k("a", "s", 3))
   }
 
   test("password auth + direct-tcpip forward: bytes round-trip through the tunnel") {
@@ -126,6 +137,32 @@ class SshSpec extends AnyFunSuite {
 
       intercept[Exception](SshClient.connect(SshConfig("127.0.0.1",
         srv.port, "graft", privateKey = badPem)))
+    } finally { srv.close(); echoSock.close() }
+  }
+
+  test("publickey auth with a passphrase-encrypted key: the SSHConfig.Passphrase path end-to-end") {
+    val (echoPort, echoSock) = echoServer()
+    val kp = Ssh.Curves.ed25519KeyPair()
+    val encPem = Ssh.encodeOpenSshEd25519(kp, passphrase = "tunnel-pass",
+      kdfRounds = 4)
+    val srv = new SshServer(
+      authorizedKeys = Seq(Ssh.Curves.ed25519PubRaw(kp.getPublic)))
+    try {
+      val client = SshClient.connect(SshConfig("127.0.0.1", srv.port,
+        "graft", privateKey = encPem, passphrase = "tunnel-pass"))
+      try {
+        val fwd = client.localForward("127.0.0.1", echoPort)
+        val s = new java.net.Socket("127.0.0.1", fwd)
+        try {
+          s.getOutputStream.write("enc".getBytes); s.getOutputStream.flush()
+          val got = new Array[Byte](3)
+          new java.io.DataInputStream(s.getInputStream).readFully(got)
+          assert(new String(got) === "enc")
+        } finally s.close()
+      } finally client.close()
+      // wrong passphrase never reaches the server
+      intercept[Exception](SshClient.connect(SshConfig("127.0.0.1",
+        srv.port, "graft", privateKey = encPem, passphrase = "nope")))
     } finally { srv.close(); echoSock.close() }
   }
 
