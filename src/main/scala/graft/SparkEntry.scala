@@ -1537,6 +1537,56 @@ object SparkEntry {
         element_at(col("values"), 4).cast("double").as("value"))
     }),
 
+    // ---- C1 over TLS with CHANNEL-BOUND SCRAM (SCRAM-SHA-256-PLUS,
+    //      RFC 5802 §6.1 + RFC 5929 tls-server-end-point): the server
+    //      offers the PLUS mechanism on its ssl listener, the client
+    //      binds its proof to the SHA-256 of the server certificate it
+    //      actually handshook with, and the server verifies both the
+    //      password proof AND the binding — a TLS-terminating
+    //      middlebox would present a different certificate and fail
+    //      the c= attribute even knowing the password. ----
+    "q_cdc_pgoutput_scram_cb" -> ((s, dir) => {
+      import graft.cdc.{ReplicationClient, ReplicationWire}
+      import graft.net.{Ssl, X509Mint}
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val msgs = ChangeLogFixture.pgoutputLog(ev)
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+      val ca = X509Mint.mintCa("Graft PG CA")
+      val leaf = X509Mint.mintLeaf("postgres.graft.local",
+        Seq("postgres.graft.local"), ca, sanIps = Seq("127.0.0.1"))
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        try ReplicationWire.serveLog(server.accept(), msgs,
+          sslCtx = Some(Ssl.serverContext(leaf, chain = Seq(ca.cert))),
+          password = Some("wal-pass"), cbindCert = Some(leaf.cert))
+        catch { case _: Exception => () } finally server.close()
+      })
+      th.setDaemon(true); th.start()
+      val client = new ReplicationClient("127.0.0.1", server.getLocalPort,
+        startLsn = 0L, password = "wal-pass",
+        ssl = Some(Ssl.SslConfig(Ssl.ModeVerifyFull,
+          serverCa = ca.certPem)))
+      val got = try {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Byte])]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline)
+          buf ++= client.poll(frameTimeoutMs = 60000)
+        buf.toSeq
+      } finally client.close()
+      import s.implicits._
+      val decoded = PgOutput.decode(got.toDF("lsn", "msg").coalesce(1),
+        "lsn", "msg")
+      decoded.select(
+        col("kind"), col("lsn"),
+        timestamp_micros(col("commit_ts_micros")).as("commit_ts"),
+        element_at(col("values"), 1).cast("long").as("event_id"),
+        element_at(col("values"), 2).cast("long").as("user_id"),
+        element_at(col("values"), 3).as("event_type"),
+        element_at(col("values"), 4).cast("double").as("value"))
+    }),
+
     // ---- C4 MySQL binlog v4 decoder (encode → wire → decode) ----
     "q_cdc_binlog" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -4172,6 +4222,14 @@ object SparkEntry {
         |FROM events WHERE event_id < 1000""".stripMargin,
 
     "q_cdc_pgoutput" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  event_id AS lsn, CAST(ts AS TIMESTAMP) AS commit_ts,
+        |  event_id, user_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin,
+
+    // identical stream, TLS + channel-bound SCRAM-SHA-256-PLUS
+    "q_cdc_pgoutput_scram_cb" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  event_id AS lsn, CAST(ts AS TIMESTAMP) AS commit_ts,

@@ -136,15 +136,29 @@ class ReplicationClient(host: String, port: Int, startLsn: Long,
               val rest = new Array[Byte](body.remaining()); body.get(rest)
               val mechs = new String(rest, "UTF-8").split('\u0000')
                 .filter(_.nonEmpty).toSeq
-              if (!mechs.contains(Scram.Mechanism))
+              // On TLS, prefer the channel-bound PLUS variant when the
+              // server offers it (what libpq does): the c= attribute
+              // carries the tls-server-end-point cert hash, so a
+              // TLS-terminating middlebox fails the proof.
+              val cbind = sock match {
+                case s: javax.net.ssl.SSLSocket
+                    if mechs.contains(Scram.MechanismPlus) =>
+                  Some(Scram.endPointBinding(
+                    s.getSession.getPeerCertificates.head))
+                case _ => None
+              }
+              val mechName =
+                if (cbind.isDefined) Scram.MechanismPlus
+                else Scram.Mechanism
+              if (!mechs.contains(mechName))
                 throw new java.io.IOException(
-                  s"server offers no ${Scram.Mechanism} (got $mechs)")
-              scram = new Scram.ClientSession(password)
+                  s"server offers no $mechName (got $mechs)")
+              scram = new Scram.ClientSession(password, cbind = cbind)
               val first = scram.clientFirstMessage
                 .getBytes("UTF-8")
               val bb = java.nio.ByteBuffer.allocate(
-                Scram.Mechanism.length + 1 + 4 + first.length)
-              bb.put(Scram.Mechanism.getBytes("UTF-8")).put(0.toByte)
+                mechName.length + 1 + 4 + first.length)
+              bb.put(mechName.getBytes("UTF-8")).put(0.toByte)
                 .putInt(first.length).put(first)
               send(pgFrame('p', bb.array())) // SASLInitialResponse
             case 11 => // AuthenticationSASLContinue: server-first
@@ -402,12 +416,15 @@ object ReplicationWire {
   def serveLog(sock0: java.net.Socket,
                messages: Seq[(Long, Array[Byte])],
                sslCtx: Option[javax.net.ssl.SSLContext] = None,
-               password: Option[String] = None): Unit = {
+               password: Option[String] = None,
+               cbindCert: Option[java.security.cert.Certificate] = None)
+      : Unit = {
     val sock = sslCtx.map(acceptSsl(sock0, _)).getOrElse(sock0)
     val in = new DataInputStream(sock.getInputStream)
     val out = sock.getOutputStream
     val top = messages.map(_._1).foldLeft(0L)(math.max)
-    serveHandshake(in, out, xlogpos = top, password = password): Unit
+    serveHandshake(in, out, xlogpos = top, password = password,
+      cbindCert = cbindCert): Unit
     messages.foreach { case (lsn, msg) =>
       out.write(xLogData(lsn, lsn, 2L, msg))
     }
@@ -428,14 +445,22 @@ object ReplicationWire {
                      timeline: Int = 1, xlogpos: Long = 0L,
                      dbname: String = "postgres",
                      onStart: String => Unit = _ => (),
-                     password: Option[String] = None): Long = {
+                     password: Option[String] = None,
+                     cbindCert: Option[java.security.cert.Certificate] =
+                       None): Long = {
     val params = readStartup(in)
     require(params.get("replication").contains("database"),
       s"expected a replication session request, got $params")
     // password set → the full SASL SCRAM-SHA-256 exchange (RFC 7677)
     // with a REAL proof verification; otherwise trust (code 0)
+    // With a TLS identity the channel-bound PLUS mechanism is offered
+    // first, exactly as Postgres does on ssl connections.
     password.foreach { pw =>
-      val mech = (Scram.Mechanism + "\u0000\u0000").getBytes("UTF-8")
+      val offered =
+        (if (cbindCert.isDefined) Seq(Scram.MechanismPlus) else Nil) :+
+          Scram.Mechanism
+      val mech = (offered.mkString("\u0000") + "\u0000\u0000")
+        .getBytes("UTF-8")
       val saslReq = java.nio.ByteBuffer.allocate(4 + mech.length)
       saslReq.putInt(10).put(mech)
       out.write(pgFrame('R', saslReq.array())); out.flush()
@@ -447,10 +472,15 @@ object ReplicationWire {
         while (c != 0) { sb.append(c.toChar); c = b1.get() }
         sb.toString()
       }
-      require(mechName == Scram.Mechanism, s"unsupported mechanism $mechName")
+      require(offered.contains(mechName),
+        s"unsupported mechanism $mechName")
       val n1 = b1.getInt
       val cf = new Array[Byte](n1); b1.get(cf)
-      val session = new Scram.ServerSession(pw)
+      val session = new Scram.ServerSession(pw,
+        cbind =
+          if (mechName == Scram.MechanismPlus)
+            cbindCert.map(Scram.endPointBinding)
+          else None)
       val sf = session.serverFirst(new String(cf, "UTF-8")).getBytes("UTF-8")
       val cont = java.nio.ByteBuffer.allocate(4 + sf.length)
       cont.putInt(11).put(sf)

@@ -23,6 +23,17 @@ import java.util.Base64
 object Scram {
 
   val Mechanism = "SCRAM-SHA-256"
+  /** Channel-bound variant (RFC 5802 §6.1) — Postgres offers it on TLS
+    * connections; the binding data is the `tls-server-end-point` cert
+    * hash (RFC 5929 §4). */
+  val MechanismPlus = "SCRAM-SHA-256-PLUS"
+  private val CbindGs2 = "p=tls-server-end-point,,"
+
+  /** RFC 5929 tls-server-end-point: hash of the server certificate
+    * under the cert's signature hash (SHA-256 here; MD5/SHA-1 upgrade
+    * to SHA-256 per the RFC). */
+  def endPointBinding(cert: java.security.cert.Certificate): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(cert.getEncoded)
 
   /** Hash-family parameterization: PostgreSQL runs SCRAM-SHA-256
     * (RFC 7677); Kafka's stronger mechanism is SCRAM-SHA-512 — same
@@ -69,18 +80,22 @@ object Scram {
     Base64.getEncoder.encodeToString(b)
   }
 
-  /** Client half: first message → final message → server verify. */
+  /** Client half: first message → final message → server verify.
+    * `cbind` = the tls-server-end-point hash for SCRAM-*-PLUS; None =
+    * the unbound "n,," flow. */
   final class ClientSession(password: String,
                             nonce: String = randomNonce(),
                             user: String = "",
-                            algo: Algo = Sha256) {
+                            algo: Algo = Sha256,
+                            cbind: Option[Array[Byte]] = None) {
     // PG leaves n= empty (user rides the startup packet); Kafka puts
     // the principal here
     private val clientFirstBare = s"n=$user,r=$nonce"
+    private val gs2Header = if (cbind.isDefined) CbindGs2 else "n,,"
     private var salted: Array[Byte] = _
     private var authMessage: String = _
 
-    def clientFirstMessage: String = s"n,,$clientFirstBare"
+    def clientFirstMessage: String = s"$gs2Header$clientFirstBare"
 
     def clientFinal(serverFirst: String): String = {
       val a = attrs(serverFirst)
@@ -93,7 +108,11 @@ object Scram {
       salted = saltedPassword(password, salt, iters, algo)
       val clientKey = hmac(salted, "Client Key".getBytes(StandardCharsets.UTF_8), algo)
       val storedKey = digest(clientKey, algo)
-      val withoutProof = s"c=biws,r=$fullNonce" // biws = base64("n,,")
+      // c = base64(gs2-header ‖ cbind-data); "biws" = base64("n,,")
+      val c = Base64.getEncoder.encodeToString(
+        gs2Header.getBytes(StandardCharsets.UTF_8) ++
+          cbind.getOrElse(Array.emptyByteArray))
+      val withoutProof = s"c=$c,r=$fullNonce"
       authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
       val proof = xor(clientKey,
         hmac(storedKey, authMessage.getBytes(StandardCharsets.UTF_8), algo))
@@ -112,21 +131,32 @@ object Scram {
     }
   }
 
-  /** Server half — for loopback servers verifying real client proofs. */
+  /** Server half — for loopback servers verifying real client proofs.
+    * With `cbind` set, a client choosing the PLUS flow must present
+    * exactly that binding data in its `c=` attribute (a proxied/MITM'd
+    * TLS session hashes a different certificate and fails here). */
   final class ServerSession(password: String,
                             iterations: Int = 4096,
-                            algo: Algo = Sha256) {
+                            algo: Algo = Sha256,
+                            cbind: Option[Array[Byte]] = None) {
     private val salt = { val b = new Array[Byte](16)
       new java.security.SecureRandom().nextBytes(b); b }
     private val serverNonce = randomNonce()
     private var clientFirstBare: String = _
     private var serverFirstMsg: String = _
     private var fullNonce: String = _
+    private var gs2Header: String = _
 
     def serverFirst(clientFirstMessage: String): String = {
-      require(clientFirstMessage.startsWith("n,,"),
-        s"unsupported GS2 header in: $clientFirstMessage")
-      clientFirstBare = clientFirstMessage.drop(3)
+      gs2Header =
+        if (clientFirstMessage.startsWith("n,,")) "n,,"
+        else if (clientFirstMessage.startsWith(CbindGs2)) {
+          require(cbind.isDefined,
+            "client requests channel binding but none is configured")
+          CbindGs2
+        } else throw new IllegalArgumentException(
+          s"unsupported GS2 header in: $clientFirstMessage")
+      clientFirstBare = clientFirstMessage.drop(gs2Header.length)
       fullNonce = attrs(clientFirstBare)('r') + serverNonce
       serverFirstMsg = s"r=$fullNonce," +
         s"s=${Base64.getEncoder.encodeToString(salt)},i=$iterations"
@@ -137,6 +167,11 @@ object Scram {
     def verifyClientFinal(clientFinal: String): Either[String, String] = {
       val a = attrs(clientFinal)
       if (!a.get('r').contains(fullNonce)) return Left("nonce mismatch")
+      val expectC = Base64.getEncoder.encodeToString(
+        gs2Header.getBytes(StandardCharsets.UTF_8) ++
+          (if (gs2Header == CbindGs2) cbind.get else Array.emptyByteArray))
+      if (!a.get('c').contains(expectC))
+        return Left("channel binding mismatch")
       val withoutProof = clientFinal.take(clientFinal.lastIndexOf(",p="))
       val authMessage = s"$clientFirstBare,$serverFirstMsg,$withoutProof"
       val salted = saltedPassword(password, salt, iterations, algo)

@@ -293,6 +293,66 @@ class NetSecuritySpec extends AnyFunSuite {
         serverCa = otherCa.certPem))))
   }
 
+  test("SCRAM-SHA-256-PLUS: channel binding ties the proof to the TLS certificate") {
+    import graft.cdc.Scram
+    val ca = X509Mint.mintCa("CB CA")
+    val certA = X509Mint.mintLeaf("a.local", Seq("a.local"), ca).cert
+    val certB = X509Mint.mintLeaf("b.local", Seq("b.local"), ca).cert
+    val bindA = Scram.endPointBinding(certA)
+    val bindB = Scram.endPointBinding(certB)
+    assert(!java.util.Arrays.equals(bindA, bindB))
+
+    // matched binding: the full exchange succeeds with mutual auth
+    val c1 = new Scram.ClientSession("pw", cbind = Some(bindA))
+    val s1 = new Scram.ServerSession("pw", cbind = Some(bindA))
+    assert(c1.clientFirstMessage.startsWith("p=tls-server-end-point,,"))
+    val sf1 = s1.serverFirst(c1.clientFirstMessage)
+    s1.verifyClientFinal(c1.clientFinal(sf1)) match {
+      case Right(serverFinal) => c1.verifyServerFinal(serverFinal)
+      case Left(err) => fail(s"bound exchange rejected: $err")
+    }
+
+    // MITM shape: client bound to the middlebox cert, server expects
+    // its own — the password is RIGHT but the binding fails
+    val c2 = new Scram.ClientSession("pw", cbind = Some(bindB))
+    val s2 = new Scram.ServerSession("pw", cbind = Some(bindA))
+    val sf2 = s2.serverFirst(c2.clientFirstMessage)
+    assert(s2.verifyClientFinal(c2.clientFinal(sf2)) ===
+      Left("channel binding mismatch"))
+
+    // unbound flow still works against a binding-capable server
+    val c3 = new Scram.ClientSession("pw")
+    val s3 = new Scram.ServerSession("pw", cbind = Some(bindA))
+    val sf3 = s3.serverFirst(c3.clientFirstMessage)
+    assert(s3.verifyClientFinal(c3.clientFinal(sf3)).isRight)
+  }
+
+  test("replication client on TLS negotiates SCRAM-SHA-256-PLUS end-to-end") {
+    import graft.cdc.{ReplicationClient, ReplicationWire}
+    val ca = X509Mint.mintCa("PG CB CA")
+    val leaf = X509Mint.mintLeaf("pg.local", Seq("pg.local"), ca,
+      sanIps = Seq("127.0.0.1"))
+    val msgs = Seq((5L, "bound".getBytes))
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      try ReplicationWire.serveLog(ss.accept(), msgs,
+        sslCtx = Some(Ssl.serverContext(leaf, chain = Seq(ca.cert))),
+        password = Some("pw"), cbindCert = Some(leaf.cert))
+      catch { case _: Exception => () } finally ss.close()
+    })
+    th.setDaemon(true); th.start()
+    val c = new ReplicationClient("127.0.0.1", ss.getLocalPort, 0L,
+      password = "pw",
+      ssl = Some(Ssl.SslConfig(Ssl.ModeVerifyFull, serverCa = ca.certPem)))
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!c.sessionClosed && System.nanoTime() < deadline)
+        buf ++= c.poll()
+      assert(buf.map(f => new String(f._2)) === Seq("bound"))
+    } finally c.close()
+  }
+
   // ------------------------------------------------------------------
   // MySQL Protocol::SSLRequest upgrade on the binlog wire
   // ------------------------------------------------------------------
