@@ -590,4 +590,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"diff shuffled or crossed the catalogs:\n$p")
   }
+
+  test("doc chunking is map-only: no exchange, no join, one scan") {
+    val p = plan(q("q_doc_chunks"))
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+    assert(!p.contains("Join"), s"chunking joined:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+  }
 }
