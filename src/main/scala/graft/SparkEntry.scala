@@ -3813,6 +3813,58 @@ object SparkEntry {
         .unionAll(t(s, dir, "orders").where(filterOf(decKms)))
     }),
 
+    // ---- Driver source-config surface (`drivers/postgres/internal/
+    //      config.go:38-99` Validate + URL build, loaded through the
+    //      UnmarshalFile decrypt seam): a 25-case grid derived from
+    //      nation exercises every rule in the reference's order —
+    //      empty host, scheme-in-host, port range, max_threads
+    //      default, sslmode default + verify-modes-need-CA, blank
+    //      schemas — and the assembled connection URL (user info,
+    //      sorted query params, %20 encoding, sslmode). Every config
+    //      JSON rides whole-file AES-GCM encryption before parsing.
+    //      DuckDB replays the decision table from the same grid. ----
+    "q_source_config" -> ((s, dir) => {
+      import graft.net.{ConfigCrypto, SourceConfig}
+      val key = "grid-key-r10"
+      val ns = t(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getAs[Number](0).intValue).sorted.toSeq
+      val rows = ns.map { n =>
+        val host = if (n % 5 == 0) ""
+          else if (n % 5 == 1) "http://db" else s"db-$n.internal"
+        val port = if (n % 7 == 0) 0
+          else if (n % 7 == 1) 70000 else 5000 + n
+        val mt = (n % 4) - 1
+        val mode = Seq("", "require", "verify-ca", "verify-full")(n % 4)
+        val ca = n % 3 == 0
+        val sslJson =
+          if (mode.isEmpty) ""
+          else s""","ssl":{"mode":"$mode"${
+            if (ca) ""","server_ca":"CERT"""" else ""}}"""
+        val params = if (n % 2 == 1)
+          ""","jdbc_url_params":{"app":"graft","b":"x y"}""" else ""
+        val schemas = if (n % 11 == 5) ""","schemas":["ok"," "]"""
+          else ""","schemas":["public"]"""
+        val pw = if (n % 2 == 0) s"p$n" else ""
+        val json = s"""{"host":"$host","port":$port,"database":"appdb",""" +
+          s""""username":"u$n","password":"$pw","max_threads":$mt""" +
+          s"""$params$sslJson$schemas}"""
+        val cfg = SourceConfig.load(ConfigCrypto.encrypt(json, key), key)
+        SourceConfig.validate(cfg) match {
+          case Right(norm) =>
+            (n, true, Option.empty[String], norm.ssl.get.mode,
+              Option(norm.maxThreads),
+              Option(SourceConfig.connectionUrl(norm)))
+          case Left(err) =>
+            (n, false, Option(err),
+              if (mode.isEmpty) "disable" else mode,
+              Option.empty[Int], Option.empty[String])
+        }
+      }
+      import s.implicits._
+      rows.toDF("case_id", "valid", "err", "sslmode_eff",
+        "max_threads_eff", "url")
+    }),
+
     // ---- SSL mode semantics (`utils/ssl.go:60-147`) over LIVE
     //      loopback TLS: `require` accepts a self-signed server,
     //      `verify-ca` validates the chain but ignores hostname,
@@ -5937,6 +5989,40 @@ object SparkEntry {
       """SELECT * FROM orders WHERE o_totalprice > 400000.0 OR o_orderstatus = 'F'
         |UNION ALL
         |SELECT * FROM orders WHERE o_totalprice > 400000.0 OR o_orderstatus = 'F'""".stripMargin,
+
+    // the validation decision table replayed rule-by-rule in the
+    // reference's order over the same nation-derived grid
+    "q_source_config" ->
+      """WITH g AS (SELECT CAST(n_nationkey AS INTEGER) AS n FROM nation),
+        |f AS (SELECT n,
+        |  CASE WHEN n%5=0 THEN '' WHEN n%5=1 THEN 'http://db'
+        |       ELSE 'db-'||n||'.internal' END AS host,
+        |  CASE WHEN n%7=0 THEN 0 WHEN n%7=1 THEN 70000 ELSE 5000+n END AS port,
+        |  (n%4)-1 AS mt,
+        |  CASE n%4 WHEN 0 THEN '' WHEN 1 THEN 'require'
+        |       WHEN 2 THEN 'verify-ca' ELSE 'verify-full' END AS mode,
+        |  (n%3=0) AS ca, (n%11=5) AS blank_schema, (n%2=0) AS has_pw
+        |  FROM g),
+        |v AS (SELECT *,
+        |  CASE WHEN host='' THEN 'empty host name'
+        |       WHEN host LIKE '%http%' THEN 'host should not contain http or https'
+        |       WHEN port<=0 OR port>65535 THEN 'invalid port number: must be between 1 and 65535'
+        |       WHEN mode IN ('verify-ca','verify-full') AND NOT ca
+        |         THEN 'failed to validate ssl config: ''ssl.server_ca'' is required parameter'
+        |       WHEN blank_schema THEN 'schemas[1] must not be blank'
+        |       ELSE NULL END AS err,
+        |  CASE WHEN mode='' THEN 'disable' ELSE mode END AS sslmode_eff
+        |  FROM f)
+        |SELECT n AS case_id, err IS NULL AS valid, err, sslmode_eff,
+        |  CASE WHEN err IS NULL
+        |       THEN CAST(CASE WHEN mt<=0 THEN 3 ELSE mt END AS INTEGER) END
+        |    AS max_threads_eff,
+        |  CASE WHEN err IS NULL THEN
+        |    'postgres://u'||n||CASE WHEN has_pw THEN ':p'||n ELSE '' END
+        |    ||'@'||host||':'||port||'/appdb?'
+        |    ||CASE WHEN NOT has_pw THEN 'app=graft&b=x%20y&' ELSE '' END
+        |    ||'sslmode='||sslmode_eff END AS url
+        |FROM v""".stripMargin,
 
     // the four passing TLS modes each carry nation once; BIGINT casts
     // because the Spark side reads JSON (integers land as long)

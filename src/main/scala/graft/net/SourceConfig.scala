@@ -1,0 +1,131 @@
+package graft.net
+
+/** Driver source-config surface — the reference's per-driver `Config`
+  * struct (`drivers/postgres/internal/config.go:13-35`,
+  * `drivers/mysql/internal/config.go:16-31`): host/port/database/
+  * credentials, `jdbc_url_params`, `ssl`, `ssh_config`, `max_threads`,
+  * retry count, `update_method`. Loaded through the `UnmarshalFile`
+  * seam (`utils/utils.go:171-193`): when an encryption key is
+  * configured the WHOLE file is one encrypted blob, decrypted by
+  * [[ConfigCrypto.decrypt]] before JSON parsing.
+  *
+  * `validate()` mirrors `Config.Validate()`
+  * (`config.go:38-99`): non-empty host without a scheme, port
+  * 1..65535, `max_threads` defaulted, `ssl.mode` defaulted to
+  * `disable` then validated, blank schemas rejected — and the
+  * connection URL is assembled with the sslmode + extra params in the
+  * query string.
+  */
+object SourceConfig {
+
+  val DefaultMaxThreads = 3 // constants.DefaultThreadCount
+
+  case class Config(host: String = "",
+                    port: Int = 0,
+                    database: String = "",
+                    username: String = "",
+                    password: String = "",
+                    jdbcUrlParams: Map[String, String] = Map.empty,
+                    ssl: Option[Ssl.SslConfig] = None,
+                    sshConfig: Option[SshTunnel.SshConfig] = None,
+                    maxThreads: Int = 0,
+                    retryCount: Int = 0,
+                    updateMethod: String = "standalone",
+                    schemas: Seq[String] = Nil)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def optText(n: com.fasterxml.jackson.databind.JsonNode,
+                      field: String): String =
+    Option(n.get(field)).map(_.asText).getOrElse("")
+
+  private def optInt(n: com.fasterxml.jackson.databind.JsonNode,
+                     field: String): Int =
+    Option(n.get(field)).map(_.asInt).getOrElse(0)
+
+  /** Parse the reference's config JSON shape. */
+  def parse(json: String): Config = {
+    val n = mapper.readTree(json)
+    val ssl = Option(n.get("ssl")).map { s =>
+      Ssl.SslConfig(optText(s, "mode"), optText(s, "server_ca"),
+        optText(s, "client_cert"), optText(s, "client_key"))
+    }
+    val sshCfg = Option(n.get("ssh_config")).map { s =>
+      SshTunnel.SshConfig(optText(s, "host"), optInt(s, "port"),
+        optText(s, "username"), optText(s, "private_key"),
+        optText(s, "passphrase"), optText(s, "password"))
+    }
+    val params = Option(n.get("jdbc_url_params")).map { p =>
+      val it = p.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    val schemas = Option(n.get("schemas")).map { a =>
+      (0 until a.size).map(i => a.get(i).asText)
+    }.getOrElse(Nil)
+    val update = Option(n.get("update_method")).map {
+      case t if t.isTextual => t.asText
+      case o => optText(o, "type") // the reference's object form
+    }.getOrElse("standalone")
+    Config(optText(n, "host"), optInt(n, "port"), optText(n, "database"),
+      optText(n, "username"), optText(n, "password"), params, ssl, sshCfg,
+      optInt(n, "max_threads"), optInt(n, "backoff_retry_count") max
+        optInt(n, "retry_count"),
+      update, schemas)
+  }
+
+  /** `UnmarshalFile` with `credsFile=true`: decrypt-when-key-set, then
+    * parse. `kms` supplies the client for `arn:aws:kms:` keys. */
+  def load(json: String, encryptionKey: String,
+           kms: Option[ConfigCrypto.KmsClient] = None): Config =
+    parse(ConfigCrypto.decrypt(json, encryptionKey, kms))
+
+  /** `Config.Validate()` — Right(normalized config) or Left(reason);
+    * normalization = defaulted max_threads and sslmode, like the
+    * reference mutating its struct in place. */
+  def validate(c: Config): Either[String, Config] = {
+    if (c.host.isEmpty) return Left("empty host name")
+    if (c.host.contains("http"))
+      return Left("host should not contain http or https")
+    if (c.port <= 0 || c.port > 65535)
+      return Left("invalid port number: must be between 1 and 65535")
+    val withDefaults = c.copy(
+      maxThreads = if (c.maxThreads <= 0) DefaultMaxThreads else c.maxThreads,
+      ssl = c.ssl.orElse(Some(Ssl.SslConfig(Ssl.ModeDisable))))
+    Ssl.validate(withDefaults.ssl) match {
+      case Left(e) => return Left(s"failed to validate ssl config: $e")
+      case Right(()) => ()
+    }
+    withDefaults.sshConfig.filter(s => s.host.nonEmpty || s.port != 0 ||
+        s.username.nonEmpty).foreach { s =>
+      SshTunnel.validate(s) match {
+        case Left(e) => return Left(s"failed to validate ssh config: $e")
+        case Right(()) => ()
+      }
+    }
+    val blank = c.schemas.indexWhere(_.trim.isEmpty)
+    if (blank >= 0) return Left(s"schemas[$blank] must not be blank")
+    Right(withDefaults)
+  }
+
+  /** The assembled connection URL (`config.go:56-87`): scheme, user
+    * info, host:port, /database, query = jdbc_url_params + sslmode,
+    * keys percent-encoded and sorted the way Go's `Encode()` emits
+    * them (sorted by key). */
+  def connectionUrl(c: Config, scheme: String = "postgres"): String = {
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    val userInfo =
+      if (c.username.isEmpty) ""
+      else if (c.password.isEmpty) s"${enc(c.username)}@"
+      else s"${enc(c.username)}:${enc(c.password)}@"
+    val query = (c.jdbcUrlParams ++
+      c.ssl.map(s => "sslmode" -> s.mode).filter(_._2.nonEmpty))
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString("&")
+    val q = if (query.isEmpty) "" else s"?$query"
+    s"$scheme://$userInfo${c.host}:${c.port}/${c.database}$q"
+  }
+}

@@ -293,6 +293,64 @@ class NetSecuritySpec extends AnyFunSuite {
         serverCa = otherCa.certPem))))
   }
 
+  // ------------------------------------------------------------------
+  // Driver source-config surface
+  // ------------------------------------------------------------------
+
+  test("source config: parse covers ssl, ssh_config, jdbc params, update_method object form") {
+    import graft.net.SourceConfig
+    val json =
+      """{"host":"db.internal","port":5432,"database":"app",
+        |"username":"svc","password":"pw",
+        |"jdbc_url_params":{"connect_timeout":"10"},
+        |"ssl":{"mode":"verify-full","server_ca":"CA"},
+        |"ssh_config":{"host":"bastion","port":22,"username":"jump",
+        |  "password":"jp"},
+        |"max_threads":8,"backoff_retry_count":3,
+        |"update_method":{"type":"cdc","replication_slot":"s1"},
+        |"schemas":["public","audit"]}""".stripMargin
+    val c = SourceConfig.parse(json)
+    assert(c.host === "db.internal" && c.port === 5432)
+    assert(c.ssl.exists(_.mode === "verify-full"))
+    assert(c.sshConfig.exists(s => s.host === "bastion" && s.port === 22))
+    assert(c.jdbcUrlParams === Map("connect_timeout" -> "10"))
+    assert(c.maxThreads === 8 && c.retryCount === 3)
+    assert(c.updateMethod === "cdc")
+    assert(c.schemas === Seq("public", "audit"))
+    val norm = SourceConfig.validate(c).toOption.get
+    assert(SourceConfig.connectionUrl(norm) ===
+      "postgres://svc:pw@db.internal:5432/app?connect_timeout=10&sslmode=verify-full")
+  }
+
+  test("source config: the decrypt-at-load seam and the validation order") {
+    import graft.net.{ConfigCrypto, SourceConfig}
+    val json = """{"host":"h","port":1,"username":"u"}"""
+    val enc = ConfigCrypto.encrypt(json, "k")
+    assert(SourceConfig.load(enc, "k").host === "h")
+    assert(SourceConfig.load(json, "").host === "h") // key unset: plaintext
+    intercept[Exception](SourceConfig.load(enc, "wrong"))
+
+    def err(j: String) = SourceConfig.validate(SourceConfig.parse(j))
+      .swap.toOption.get
+    assert(err("""{"port":5432}""") === "empty host name")
+    assert(err("""{"host":"https://x","port":5432}""")
+      === "host should not contain http or https")
+    assert(err("""{"host":"h","port":0}""")
+      === "invalid port number: must be between 1 and 65535")
+    assert(err("""{"host":"h","port":1,"ssl":{"mode":"verify-ca"}}""")
+      .contains("ssl.server_ca"))
+    assert(err("""{"host":"h","port":1,"ssh_config":{"host":"b","port":22,
+        "username":"j"}}""".stripMargin)
+      .contains("private key or password"))
+    assert(err("""{"host":"h","port":1,"schemas":["a",""]}""")
+      === "schemas[1] must not be blank")
+    // defaults: max_threads and sslmode
+    val norm = SourceConfig.validate(
+      SourceConfig.parse("""{"host":"h","port":1}""")).toOption.get
+    assert(norm.maxThreads === SourceConfig.DefaultMaxThreads)
+    assert(norm.ssl.exists(_.mode === "disable"))
+  }
+
   test("SCRAM-SHA-256-PLUS: channel binding ties the proof to the TLS certificate") {
     import graft.cdc.Scram
     val ca = X509Mint.mintCa("CB CA")
