@@ -1917,6 +1917,48 @@ object SparkEntry {
           get_json_object(col("data"), "$.value").cast("double").as("value"))
     }),
 
+    // ---- C5 over TLS: MongoDB `tls=true` is TLS from the FIRST byte
+    //      (no STARTTLS — Atlas requires it); the whole OP_MSG
+    //      conversation (hello → aggregate($changeStream) → getMore)
+    //      rides inside a verify-full channel against the server's
+    //      iPAddress SAN. Same rows as the plaintext wire gate. ----
+    "q_cdc_mongo_tls" -> ((s, dir) => {
+      import graft.net.{Ssl, X509Mint}
+      val docs = ChangeLogFixture.mongoChangeLog(
+          t(s, dir, "events").where(col("event_id") < 2000))
+        .collect().map(_.getString(0)).toSeq
+      val ca = X509Mint.mintCa("Graft Mongo CA")
+      val leaf = X509Mint.mintLeaf("mongo.graft.local",
+        Seq("mongo.graft.local"), ca, sanIps = Seq("127.0.0.1"))
+      val srvCtx = Ssl.serverContext(leaf, chain = Seq(ca.cert))
+      val server = new java.net.ServerSocket(0)
+      val th = new Thread(() => {
+        try MongoWireServer.serve(Ssl.accept(server.accept(), srvCtx),
+          docs, 256, "graft", "events")
+        catch { case _: Exception => () }
+      })
+      th.setDaemon(true); th.start()
+      val client = new MongoWatchClient("127.0.0.1", server.getLocalPort,
+        "graft", "events", resumeAfter = Some("%016X".format(50L)),
+        ssl = Some(Ssl.SslConfig(Ssl.ModeVerifyFull,
+          serverCa = ca.certPem)))
+      val got = try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var quiet = 0
+        while (quiet < 3 && System.nanoTime() < deadline) {
+          val b = client.poll()
+          if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
+        }
+        buf.toSeq
+      } finally { client.close(); server.close() }
+      import s.implicits._
+      PollingCdc.mongoChanges(got.toDF("doc"), "doc")
+        .select(col("kind"), col("_cdc_timestamp"),
+          get_json_object(col("data"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("data"), "$.value").cast("double").as("value"))
+    }),
+
     // ---- C4 over the REAL MySQL wire: the binlog fixture served by a
     //      loopback MySqlWireServer (handshake v10 + COM_REGISTER_SLAVE
     //      + COM_BINLOG_DUMP + packet envelope), fetched by
@@ -3672,6 +3714,13 @@ object SparkEntry {
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
         .select("doc_id", "ws_tokens", "bpe_tokens", "est_tokens")),
 
+    // ---- LLM: the published Gopher quality-rule decision table
+    //      (structural/lexical rules; repetition rules are their own
+    //      gate) — every ratio cross-multiplied to integer arithmetic
+    //      so boundary decisions are engine-exact ----
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- LLM: overlapping token-window chunking (window 64, stride
     //      48 → 16-token overlap) — the pre-embedding / context-prep
     //      shape; map-only, DuckDB replays the chunk math over its own
@@ -4503,6 +4552,15 @@ object SparkEntry {
         |FROM events WHERE event_id < 2000""".stripMargin,
 
     "q_cdc_mongo_wire" ->
+      """SELECT CASE WHEN event_type='error' THEN 'delete'
+        |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
+        |  date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS _cdc_timestamp,
+        |  event_id,
+        |  CASE WHEN event_type='error' THEN NULL ELSE value END AS value
+        |FROM events WHERE event_id < 2000 AND event_id > 50""".stripMargin,
+
+    // identical stream, TLS from the first byte
+    "q_cdc_mongo_tls" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
         |  date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS _cdc_timestamp,
@@ -5854,6 +5912,39 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_tokens
         |FROM documents""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks,
+        |  string_split(text, chr(10)) AS lines FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len,
+        |  CAST(len(regexp_extract_all(text,'#')) +
+        |       len(regexp_extract_all(text,'\.\.\.|…')) AS BIGINT) AS n_sym,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•] '))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS n_ellipsis,
+        |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the','and','of','to','in','a','is','for'])) AS BIGINT) AS n_stop
+        |  FROM s)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS r_words,
+        |  sum_len >= n_words*3 AND sum_len <= n_words*10 AS r_mean_len,
+        |  n_sym*10 <= n_words AS r_symbol,
+        |  n_bullet*10 <= n_lines*9 AS r_bullet,
+        |  n_ellipsis*10 <= n_lines*3 AS r_ellipsis,
+        |  n_alpha*5 >= n_words*4 AS r_alpha,
+        |  n_stop >= 2 AS r_stop,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (sum_len >= n_words*3 AND sum_len <= n_words*10)
+        |    AND n_sym*10 <= n_words
+        |    AND n_bullet*10 <= n_lines*9
+        |    AND n_ellipsis*10 <= n_lines*3
+        |    AND n_alpha*5 >= n_words*4
+        |    AND n_stop >= 2 AS keep
+        |FROM c""".stripMargin,
 
     // window 64 / stride 48; chunk k slices toks[k*48+1, +64]
     "q_doc_chunks" ->

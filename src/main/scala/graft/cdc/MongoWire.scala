@@ -79,12 +79,20 @@ object MongoWire {
 class MongoWatchClient(host: String, port: Int,
                        db: String, collection: String,
                        resumeAfter: Option[String] = None,
-                       connectTimeoutMs: Int = 5000) extends AutoCloseable {
+                       connectTimeoutMs: Int = 5000,
+                       ssl: Option[graft.net.Ssl.SslConfig] = None)
+    extends AutoCloseable {
   import MongoWire._
 
-  private val sock = new Socket()
-  sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-  sock.setTcpNoDelay(true)
+  // MongoDB `tls=true` is TLS from the first byte (no STARTTLS step —
+  // Atlas and `mongodb+srv` URIs require it); the mode table is the
+  // reference's `utils/ssl.go` semantics
+  private val sock = {
+    val raw = new Socket()
+    raw.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    raw.setTcpNoDelay(true)
+    graft.net.Ssl.wrap(raw, host, ssl)
+  }
   // 1-byte pushback so idle detection can PROBE for a reply's first
   // byte without ever consuming into the frame: a timeout either hits
   // before any byte (clean — the reply is merely in flight) or inside

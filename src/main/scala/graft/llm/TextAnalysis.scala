@@ -467,6 +467,59 @@ object TextAnalysis {
           .as("top_gram_char_frac"))
   }
 
+  /** The published Gopher quality-rule set (Rae et al. 2021 §A1.1) as
+    * a per-document decision table — the repetition rules live in
+    * [[repetition]]; this covers the structural/lexical ones:
+    *
+    *   r_words:    50 ≤ word count ≤ 100,000
+    *   r_mean_len: 3 ≤ mean word length ≤ 10
+    *   r_symbol:   (# + …) symbols ≤ 0.1 per word
+    *   r_bullet:   ≤ 90% of lines start with a bullet (- * •)
+    *   r_ellipsis: ≤ 30% of lines end with …/...
+    *   r_alpha:    ≥ 80% of words contain a letter
+    *   r_stop:     ≥ 2 of the 8 canonical stop words present
+    *
+    * Every ratio test is cross-multiplied to INTEGER arithmetic
+    * (10·sym ≤ words, not sym/words ≤ 0.1) so the decision is
+    * engine-exact at the boundaries. Map-only. */
+  def gopherRules(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stops = Seq("the", "and", "of", "to", "in", "a", "is", "for")
+    df.select(col(idCol), t.as("_t"), toks.as("_toks"))
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      .withColumn("sum_len", aggregate(col("_toks"), lit(0L),
+        (acc, x) => acc + length(x)))
+      .withColumn("n_sym",
+        (regexp_count(col("_t"), lit("#")) +
+          regexp_count(col("_t"), lit("\\.\\.\\.|…"))).cast("long"))
+      .withColumn("_lines", split(col("_t"), "\n"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_bullet", size(filter(col("_lines"),
+        l => ltrim(l).rlike("^[-*•] "))).cast("long"))
+      .withColumn("n_ellipsis", size(filter(col("_lines"),
+        l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"))
+      .withColumn("n_alpha", size(filter(col("_toks"),
+        w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop", size(array_intersect(
+        array_distinct(col("_toks")),
+        array(stops.map(lit): _*))).cast("long"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).as("r_mean_len"),
+        (col("n_sym") * 10 <= col("n_words")).as("r_symbol"),
+        (col("n_bullet") * 10 <= col("n_lines") * 9).as("r_bullet"),
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("r_ellipsis"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
   /** Overlapping token-window chunking — the standard pre-embedding /
     * context-length preparation shape (chunk k covers tokens
     * [k·stride, k·stride+window)). A doc with ≤`window` tokens is one

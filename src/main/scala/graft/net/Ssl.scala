@@ -223,6 +223,18 @@ object Ssl {
     sock
   }
 
+  /** Server-side plain TLS accept over an already-accepted socket
+    * (protocols that are TLS from byte 0 — MongoDB `tls=true`). */
+  def accept(raw: java.net.Socket, ctx: SSLContext): java.net.Socket = {
+    val tls = ctx.getSocketFactory.createSocket(raw,
+        raw.getInetAddress.getHostAddress, raw.getPort, true)
+      .asInstanceOf[SSLSocket]
+    tls.setUseClientMode(false)
+    tls.setEnabledProtocols(Protocols)
+    tls.startHandshake()
+    tls
+  }
+
   /** Server-side context from a minted identity; `needClientAuth`
     * additionally verifies client certs against `clientCa`. */
   def serverContext(identity: X509Mint.Minted,

@@ -1478,6 +1478,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Set(10L, 12L).subsetOf(pos))
   }
 
+  test("gopherRules: each rule trips on its crafted violator and only that rule") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val good = (1 to 8).map(_ => "the quick brown fox jumps over a lazy dog " +
+      "and runs far to find food in every field for fun").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                            // keeps
+      (2L, "too short for the corpus and its rules"),        // r_words
+      (3L, good + " " + (1 to 20).map(_ => "#").mkString(" ")), // r_symbol
+      (4L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // r_bullet
+      (5L, good.split(" ").grouped(6).map(_.mkString(" ") + " ...")
+        .mkString("\n")),                                    // r_ellipsis
+      (6L, (1 to 30).map(_ => "the 123 456 789").mkString(" ")), // r_alpha
+      (7L, (1 to 60).map(i => s"w$i xyz").mkString(" ")),    // r_stop (w1 has a letter)
+      (8L, (1 to 60).map(_ => "incomprehensibilities").mkString(" "))) // r_mean_len
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    def failsOnly(id: Long, rule: String): Unit = {
+      val r = out(id)
+      assert(!r.getAs[Boolean]("keep"), s"doc $id kept")
+      assert(!r.getAs[Boolean](rule), s"doc $id passed $rule")
+    }
+    failsOnly(2L, "r_words")
+    failsOnly(3L, "r_symbol")
+    failsOnly(4L, "r_bullet")
+    failsOnly(5L, "r_ellipsis")
+    failsOnly(6L, "r_alpha")
+    failsOnly(7L, "r_stop")
+    failsOnly(8L, "r_mean_len")
+  }
+
   test("chunkDocs: count formula, full coverage, exact overlap, short docs intact") {
     import graft.llm.TextAnalysis
     import spark.implicits._
