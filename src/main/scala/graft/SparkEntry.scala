@@ -3740,6 +3740,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
+    // ---- LLM: kNN label propagation — the 20% of vectors with
+    //      vec_id%5=0 take the majority label of their 5 nearest
+    //      labeled neighbors (cosine); vote ties break to the smallest
+    //      label ----
+    "q_knn_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLabel(
+        emb.where(col("vec_id") % 5 =!= 0),
+        emb.where(col("vec_id") % 5 === 0), k = 5)
+    }),
+
     // ---- LLM: LSH-bucketed ANN scale path — multi-table/multi-probe
     //      candidates + exact ranking; tuned to match bruteForceTopK at
     //      gate scale, so the brute-force SQL is the oracle ----
@@ -5980,6 +5991,26 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+
+    "q_knn_label" ->
+      """WITH l AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id % 5 <> 0),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |scored AS (SELECT q.query_id, l.vec_id AS neighbor_id, l.label,
+        |  list_cosine_similarity(q.qvec, l.embedding) AS sim
+        |  FROM l CROSS JOIN q WHERE l.vec_id <> q.query_id),
+        |nn AS (SELECT query_id, neighbor_id, label,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |votes AS (SELECT query_id, label, COUNT(*) AS n FROM nn
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(label AS INTEGER) AS label_pred,
+        |  CAST(n AS INTEGER) AS votes
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY n DESC, label) = 1""".stripMargin,
 
     // Multi-table/multi-probe LSH is tuned for full recall at gate
     // scale and ranks candidates by exact cosine, so the brute-force

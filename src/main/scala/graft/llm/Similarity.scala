@@ -70,6 +70,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Semi-supervised kNN label propagation — how a curation pipeline
+    * extends a small hand-labeled seed set (quality tiers, domains)
+    * over an unlabeled corpus without training a classifier: each
+    * query takes the MAJORITY label of its k nearest labeled
+    * neighbors; vote ties break to the smallest label. Exact tier
+    * composes [[bruteForceTopK]] (labeled seed broadcast is the
+    * queries-side of that join); at 100 TB the identical vote runs
+    * over the LSH/IVF/stored-index candidate probes instead. */
+  def knnLabel(labeled: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(labeled, queries, k, idCol, vecCol)
+    nn.join(labeled.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("nlabel"))))
+      .where(col("r") === 1)
+      .select(col("query_id"), col("nlabel").as("label_pred"),
+        col("votes").cast("int").as("votes"))
+  }
+
   /** Sign bit-code of a vector under `planes` deterministic
     * pseudo-random hyperplanes; component (p, d) =
     * xxhash64(seed·1000003 + p·100003 + d) scaled to [-1, 1) —

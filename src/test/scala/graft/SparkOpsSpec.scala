@@ -1478,6 +1478,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Set(10L, 12L).subsetOf(pos))
   }
 
+  test("knnLabel: separable clusters label correctly; vote ties break to the smallest label") {
+    import graft.llm.Similarity
+    import spark.implicits._
+    // two well-separated directions; labels 1 and 2
+    val labeled = Seq(
+      (10L, Array(1f, 0f, 0.1f), 1), (11L, Array(1f, 0.1f, 0f), 1),
+      (12L, Array(0.9f, 0f, 0f), 1),
+      (20L, Array(0f, 1f, 0.1f), 2), (21L, Array(0.1f, 1f, 0f), 2),
+      (22L, Array(0f, 0.9f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(1f, 0.05f, 0f)),   // x-direction → label 1
+      (2L, Array(0.05f, 1f, 0f)),   // y-direction → label 2
+      (3L, Array(1f, 1f, 0f)))      // equidistant → 2-2 among k=4 → tie → 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnLabel(labeled, queries, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L)._1 === 1 && out(2L)._1 === 2)
+    assert(out(3L) === ((1, 2))) // tie at 2 votes each, smallest label wins
+  }
+
   test("gopherRules: each rule trips on its crafted violator and only that rule") {
     import graft.llm.TextAnalysis
     import spark.implicits._
