@@ -3873,6 +3873,24 @@ object SparkEntry {
         .unionAll(t(s, dir, "orders").where(filterOf(decKms)))
     }),
 
+    // ---- Discover-time type maps for all five SQL dialects
+    //      (`drivers/*/internal/datatype_conversion.go` + the
+    //      ExtractAndMapColumnType base-type extraction, the
+    //      String-on-miss fallback, and Oracle's TIMESTAMP/INTERVAL/
+    //      NUMBER prefix dispatcher). The grid decorates every map key
+    //      (precision suffix / case / padding) so the extraction rule
+    //      is load-bearing; the oracle SQL is GENERATED from the same
+    //      Scala maps, replaying only the rules. ----
+    "q_type_maps" -> ((s, dir) => {
+      import graft.spec.TypeMaps
+      val rows = TypeMaps.gateGrid.map { case (d, raw, p, sc) =>
+        val (canon, known) = TypeMaps.map(d, raw, p, sc)
+        (d, raw, canon.name, known)
+      }
+      import s.implicits._
+      rows.toDF("dialect", "source_type", "canonical", "known")
+    }),
+
     // ---- Driver source-config surface (`drivers/postgres/internal/
     //      config.go:38-99` Validate + URL build, loaded through the
     //      UnmarshalFile decrypt seam): a 25-case grid derived from
@@ -4009,9 +4027,50 @@ object SparkEntry {
     Condition("o_totalprice", "<", SNum(150000.0)),
     Condition("o_orderdate", ">=", STimestamp("1996-01-01T00:00:00"))))
 
+  /** q_type_maps oracle, generated from the same TypeMaps constants so
+    * gate and oracle can never drift: the VALUES carry the grid and
+    * the base maps; the SQL replays only the RULES (base-type
+    * extraction, String fallback, Oracle prefix dispatch + NUMBER
+    * precision/scale routing). */
+  private def typeMapsOracle: String = {
+    import graft.spec.TypeMaps
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val grid = TypeMaps.gateGrid.map { case (d, raw, p, sc) =>
+      s"(${q(d)}, ${q(raw)}, ${p.map(_.toString).getOrElse("NULL")}, " +
+        s"${sc.map(_.toString).getOrElse("NULL")})"
+    }.mkString(",\n")
+    val base = TypeMaps.byDialect.toSeq.sortBy(_._1).flatMap {
+      case (d, m) => m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"(${q(d)}, ${q(k)}, ${q(v.name)})" }
+    }.mkString(",\n")
+    s"""WITH grid(dialect, raw, prec, scale) AS (VALUES
+$grid),
+base(dialect, t, canon) AS (VALUES
+$base),
+e AS (SELECT dialect, raw, prec, scale,
+  lower(trim(string_split(raw, '(')[1])) AS t FROM grid)
+SELECT e.dialect, e.raw AS source_type,
+  CASE WHEN e.dialect='oracle' AND upper(trim(e.raw)) LIKE 'TIMESTAMP%'
+         THEN 'timestamp_micro'
+       WHEN e.dialect='oracle' AND upper(trim(e.raw)) LIKE 'INTERVAL%'
+         THEN 'string'
+       WHEN e.dialect='oracle' AND upper(trim(e.raw)) LIKE 'NUMBER%' THEN
+         CASE WHEN e.scale = 0 AND e.prec <= 9 THEN 'integer_small'
+              WHEN e.scale = 0 THEN 'integer'
+              ELSE 'number' END
+       ELSE coalesce(b.canon, 'string') END AS canonical,
+  ((e.dialect='oracle' AND (upper(trim(e.raw)) LIKE 'TIMESTAMP%'
+     OR upper(trim(e.raw)) LIKE 'INTERVAL%'
+     OR upper(trim(e.raw)) LIKE 'NUMBER%'))
+   OR b.canon IS NOT NULL) AS known
+FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+
+    "q_type_maps" -> typeMapsOracle,
     // Outer BIGINT casts: DuckDB sum(BIGINT) returns HUGEINT (int128) while
     // Spark returns BIGINT, and the driver's hash compare is type-sensitive.
     "q1_agg" ->

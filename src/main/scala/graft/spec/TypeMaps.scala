@@ -1,0 +1,179 @@
+package graft.spec
+
+import graft.types.CanonicalType
+import graft.types.CanonicalType._
+
+/** Discover-time source-type → canonical-type maps, one per dialect —
+  * the reference's `drivers/{postgres,mysql,mssql,oracle,db2}/internal/
+  * datatype_conversion.go` tables plus the lookup semantics around
+  * them:
+  *
+  *  - `ExtractAndMapColumnType` (`utils/typeutils/datatype.go:208-212`):
+  *    the base type is everything before `(`, trimmed, lowercased;
+  *  - lookup miss → String with a warning
+  *    (`postgres.go:252-258`, `mysql.go:228-233`);
+  *  - Oracle dispatches on PREFIX before the map
+  *    (`reformatOracleDatatype`, oracle `datatype_conversion.go:50-71`):
+  *    TIMESTAMP* → timestamp_micro, INTERVAL* → string, NUMBER* routed
+  *    by (precision, scale) — scale 0 & precision ≤ 9 → int32, scale 0
+  *    → int64, else float64.
+  *
+  * A handful of reference keys contain `(` (`bit(n)`, `varying(n)`) and
+  * can never match an extracted lookup — they are kept verbatim, dead
+  * exactly as they are upstream.
+  */
+object TypeMaps {
+
+  /** postgres `datatype_conversion.go:7-103`. */
+  val postgres: Map[String, CanonicalType] = Map(
+    "bigint" -> Int64, "int8" -> Int64, "tinyint" -> Int32,
+    "integer" -> Int32, "smallint" -> Int32, "smallserial" -> Int32,
+    "int" -> Int32, "int2" -> Int32, "int4" -> Int32, "serial" -> Int32,
+    "serial2" -> Int32, "serial4" -> Int32, "serial8" -> Int64,
+    "bigserial" -> Int64,
+    "decimal" -> Float64, "numeric" -> Float64,
+    "double precision" -> Float64, "float" -> Float32,
+    "float4" -> Float32, "float8" -> Float64, "real" -> Float32,
+    "bool" -> Bool, "boolean" -> Bool,
+    "bit varying" -> Str, "box" -> Str, "bytea" -> Str,
+    "character" -> Str, "char" -> Str, "varbit" -> Str, "bit" -> Str,
+    "bit(n)" -> Str, "varying(n)" -> Str, "cidr" -> Str, "inet" -> Str,
+    "macaddr" -> Str, "macaddr8" -> Str, "character varying" -> Str,
+    "text" -> Str, "varchar" -> Str, "longvarchar" -> Str,
+    "circle" -> Str, "hstore" -> Str, "name" -> Str, "uuid" -> Str,
+    "json" -> Str, "jsonb" -> Str, "line" -> Str, "lseg" -> Str,
+    "money" -> Str, "path" -> Str, "pg_lsn" -> Str, "point" -> Str,
+    "polygon" -> Str, "tsquery" -> Str, "tsvector" -> Str, "xml" -> Str,
+    "enum" -> Str, "tsrange" -> Str, "bpchar" -> Str,
+    "time" -> Str, "timez" -> Str, "interval" -> Str,
+    "date" -> TsSeconds, "timestamp" -> TsSeconds,
+    "timestampz" -> TsSeconds, "timestamp with time zone" -> TsSeconds,
+    "timestamp without time zone" -> TsSeconds, "timestamptz" -> TsSeconds,
+    "array" -> Arr, "bool[]" -> Arr, "int2[]" -> Arr, "int4[]" -> Arr,
+    "text[]" -> Arr, "bytea[]" -> Arr, "int8[]" -> Arr,
+    "float4[]" -> Arr, "float8[]" -> Arr, "timestamp[]" -> Arr,
+    "date[]" -> Arr, "timestamptz[]" -> Arr, "numeric[]" -> Arr,
+    "uuid[]" -> Arr, "jsonb[]" -> Arr)
+
+  /** mysql `datatype_conversion.go:6-72`. */
+  val mysql: Map[String, CanonicalType] = Map(
+    "tinyint" -> Int32, "smallint" -> Int32, "mediumint" -> Int32,
+    "int" -> Int32, "integer" -> Int32, "unsigned int" -> Int64,
+    "unsigned integer" -> Int64, "unsigned smallint" -> Int32,
+    "unsigned tinyint" -> Int32, "unsigned mediumint" -> Int32,
+    "unsigned bigint" -> Int64, "bit" -> Int32, "bigint" -> Int64,
+    "float" -> Float32, "real" -> Float32, "double" -> Float64,
+    "numeric" -> Float64, "decimal" -> Float64,
+    "char" -> Str, "varchar" -> Str, "tinytext" -> Str, "text" -> Str,
+    "mediumtext" -> Str, "longtext" -> Str,
+    "binary" -> Str, "varbinary" -> Str, "tinyblob" -> Str,
+    "blob" -> Str, "mediumblob" -> Str, "longblob" -> Str,
+    "date" -> TsSeconds, "timestamp" -> TsSeconds,
+    "datetime" -> TsSeconds, "year" -> Int64,
+    "time" -> Str, "json" -> Str, "enum" -> Str, "set" -> Str,
+    "geometry" -> Str)
+
+  /** mssql `datatype_conversion.go` — note `timestamp` is ROWVERSION
+    * there, a string, not a temporal. */
+  val mssql: Map[String, CanonicalType] = Map(
+    "tinyint" -> Int32, "smallint" -> Int32, "int" -> Int32,
+    "bigint" -> Int64,
+    "decimal" -> Float64, "numeric" -> Float64, "float" -> Float64,
+    "real" -> Float32, "bit" -> Bool,
+    "smallmoney" -> Float64, "money" -> Float64,
+    "char" -> Str, "varchar" -> Str, "text" -> Str, "nchar" -> Str,
+    "nvarchar" -> Str, "ntext" -> Str, "sysname" -> Str, "json" -> Str,
+    "binary" -> Str, "varbinary" -> Str, "image" -> Str,
+    "rowversion" -> Str, "timestamp" -> Str,
+    "date" -> TsSeconds, "smalldatetime" -> TsSeconds,
+    "datetime" -> TsSeconds, "datetime2" -> TsMicros,
+    "datetimeoffset" -> TsMicros, "time" -> Str,
+    "uniqueidentifier" -> Str, "geometry" -> Str, "geography" -> Str,
+    "sql_variant" -> Str, "xml" -> Str, "hierarchyid" -> Str)
+
+  /** oracle `datatype_conversion.go:6-47` (the prefix dispatcher in
+    * [[map]] runs first). */
+  val oracle: Map[String, CanonicalType] = Map(
+    "int32" -> Int32, "int64" -> Int64,
+    "ibfloat" -> Float32, "binary_float" -> Float32,
+    "ibdouble" -> Float64, "number" -> Float64, "float" -> Float64,
+    "binary_double" -> Float64,
+    "varchar2" -> Str, "nvarchar2" -> Str, "char" -> Str,
+    "nchar" -> Str, "longvarchar" -> Str, "clob" -> Str, "nclob" -> Str,
+    "long" -> Str, "raw" -> Str, "longraw" -> Str,
+    "date" -> TsMicros, "timestampdty" -> TsMicros,
+    "timestamptz_dty" -> TsMicros, "timestampltz_dty" -> TsMicros,
+    "intervalym_dty" -> Str, "intervalds_dty" -> Str,
+    "xmltype" -> Str, "blob" -> Str, "bfile" -> Str)
+
+  /** db2 `datatype_conversion.go`. */
+  val db2: Map[String, CanonicalType] = Map(
+    "smallint" -> Int32, "integer" -> Int32, "bigint" -> Int64,
+    "real" -> Float32, "float" -> Float64, "numeric" -> Float64,
+    "double" -> Float64, "decimal" -> Float64, "decfloat" -> Str,
+    "boolean" -> Bool,
+    "char" -> Str, "chararr" -> Str, "chararray" -> Str,
+    "character" -> Str, "varchar" -> Str, "long varchar" -> Str,
+    "clob" -> Str, "graphic" -> Str, "vargraphic" -> Str,
+    "long vargraphic" -> Str, "xml" -> Str, "array" -> Str,
+    "row" -> Str,
+    "blob" -> Str, "binary" -> Str, "varbinary" -> Str,
+    "dbclob" -> Str, "time" -> Str, "date" -> TsSeconds,
+    "timestamp" -> TsSeconds)
+
+  val byDialect: Map[String, Map[String, CanonicalType]] = Map(
+    "postgres" -> postgres, "mysql" -> mysql, "mssql" -> mssql,
+    "oracle" -> oracle, "db2" -> db2)
+
+  /** `ExtractAndMapColumnType`'s base-type extraction. */
+  def extract(columnType: String): String =
+    columnType.split('(')(0).trim.toLowerCase
+
+  /** The full discover mapping: (canonical, known). Unknown types fall
+    * back to String exactly as every driver does. */
+  def map(dialect: String, columnType: String,
+          precision: Option[Long] = None,
+          scale: Option[Long] = None): (CanonicalType, Boolean) = {
+    if (dialect == "oracle") {
+      val up = columnType.trim.toUpperCase
+      if (up.startsWith("TIMESTAMP")) return (TsMicros, true)
+      if (up.startsWith("INTERVAL")) return (Str, true)
+      if (up.startsWith("NUMBER")) {
+        return (
+          if (scale.contains(0L))
+            if (precision.exists(_ <= 9)) Int32 else Int64
+          else Float64, true)
+      }
+    }
+    byDialect(dialect).get(extract(columnType)) match {
+      case Some(t) => (t, true)
+      case None => (Str, false)
+    }
+  }
+
+  /** The gate grid shared by `q_type_maps` and its generated oracle:
+    * every map key decorated deterministically by index (precision
+    * suffix / uppercase / padding), plus per-dialect unknowns and the
+    * Oracle NUMBER precision/scale routing rows.
+    * (dialect, raw, precision, scale). */
+  def gateGrid: Seq[(String, String, Option[Long], Option[Long])] = {
+    val decorated = byDialect.toSeq.sortBy(_._1).flatMap {
+      case (dialect, m) =>
+        m.keys.toSeq.sorted.zipWithIndex.map { case (k, i) =>
+          val raw = (i % 3) match {
+            case 0 => s"$k(10)"
+            case 1 => k.toUpperCase
+            case _ => s"  $k  "
+          }
+          (dialect, raw, None: Option[Long], None: Option[Long])
+        }
+    }
+    val unknowns = byDialect.keys.toSeq.sorted
+      .map(d => (d, "mystery_type", None: Option[Long], None: Option[Long]))
+    val numberRouting = Seq(
+      ("oracle", "NUMBER", Some(9L), Some(0L)),
+      ("oracle", "NUMBER(18,0)", Some(18L), Some(0L)),
+      ("oracle", "NUMBER(10,2)", Some(10L), Some(2L)))
+    decorated ++ unknowns ++ numberRouting
+  }
+}
