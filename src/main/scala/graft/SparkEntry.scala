@@ -932,6 +932,25 @@ object SparkEntry {
         .select("event_id", "partition", "ts", "event_type", "value")
     }),
 
+    // ---- S15 consumer-group balancing (`pkg/kafka/balancer.go`,
+    //      protocol olake-kafka-round-robin): topics × 16 partitions,
+    //      only partitions with data in the window are ACTIVE, dealt
+    //      round-robin over 3 members in (topic, partition) order ----
+    "q_kafka_balance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counts = ev.where(col("event_id") < 500)
+        .groupBy(col("event_type").as("topic"),
+          pmod(col("user_id"), lit(16)).cast("long").as("part_id"))
+        .agg(count(lit(1)).as("msg_count"))
+      val grid = ev.select(col("event_type").as("topic")).distinct
+        .crossJoin(s.range(16).select(col("id").as("part_id")))
+      val parts = grid.join(counts, Seq("topic", "part_id"), "left")
+        .na.fill(0L, Seq("msg_count"))
+      BoundedRead.assignActivePartitions(parts, members = 3)
+        .select(col("topic"), col("part_id"), col("member"),
+          col("msg_count"))
+    }),
+
     // ---- S15/C7 over the REAL Kafka wire: a loopback broker serves
     //      the events log (4 partitions, offsets = positions) and the
     //      full reader conversation runs — ApiVersions → Metadata →
@@ -4272,6 +4291,23 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
 
     // events.ts is TIMESTAMP_NS in the parquet; both sides truncate to
     // microseconds (Spark: ts DIV 1000 in Tables.load; DuckDB: CAST).
+    // active = partitions with data in the window; member = rank % 3
+    "q_kafka_balance" ->
+      """WITH c AS (SELECT event_type AS topic,
+        |  CAST(user_id % 16 AS BIGINT) AS part_id, COUNT(*) AS n
+        |  FROM events WHERE event_id < 500 GROUP BY 1, 2),
+        |t AS (SELECT DISTINCT event_type AS topic FROM events),
+        |g AS (SELECT t.topic, p.part_id
+        |  FROM t, generate_series(0, 15) AS p(part_id)),
+        |a AS (SELECT g.topic, g.part_id, COALESCE(c.n, 0) AS msg_count
+        |  FROM g LEFT JOIN c ON c.topic = g.topic AND c.part_id = g.part_id
+        |  WHERE COALESCE(c.n, 0) > 0)
+        |SELECT topic, part_id,
+        |  CAST((row_number() OVER (ORDER BY topic, part_id) - 1) % 3
+        |    AS INTEGER) AS member,
+        |  msg_count
+        |FROM a""".stripMargin,
+
     "q_bounded_read" ->
       """SELECT event_id, cast(event_id % 4 AS INTEGER) AS partition,
         |  CAST(ts AS TIMESTAMP) AS ts, event_type, value

@@ -45,4 +45,28 @@ object BoundedRead {
       .collect()
       .map(r => r.getAs[Number](partCol).intValue -> r.getAs[Number]("end_off").longValue)
       .toMap
+
+  /** The reference's custom consumer-group balancer
+    * (`pkg/kafka/balancer.go:38-64`, protocol
+    * `olake-kafka-round-robin`): only ACTIVE partitions — those whose
+    * partition metadata shows data to read — receive assignments,
+    * dealt round-robin across the group (the doc table there: 6 active
+    * partitions over 3 members → 2,2,2). Go map iteration makes the
+    * upstream's deal order incidental; the deterministic contract is
+    * the round-robin distribution, pinned here by sorting on
+    * (topic, partition) before dealing. The global window rides a
+    * partition-count-sized frame (planner metadata, thousands of rows
+    * at most), not record data. */
+  def assignActivePartitions(partitions: DataFrame, members: Int,
+                             topicCol: String = "topic",
+                             partCol: String = "part_id",
+                             countCol: String = "msg_count"): DataFrame = {
+    require(members > 0, "need at least one group member")
+    import org.apache.spark.sql.expressions.Window
+    partitions.where(col(countCol) > 0)
+      .withColumn("_idx", row_number().over(
+        Window.orderBy(col(topicCol), col(partCol))) - 1)
+      .withColumn("member", (col("_idx") % members).cast("int"))
+      .drop("_idx")
+  }
 }

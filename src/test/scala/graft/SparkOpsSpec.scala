@@ -1478,6 +1478,33 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Set(10L, 12L).subsetOf(pos))
   }
 
+  test("kafka balancer: inactive partitions skipped, round-robin matches the reference's doc table") {
+    import graft.sources.BoundedRead
+    import spark.implicits._
+    val parts = Seq(
+      ("a", 0L, 5L), ("a", 1L, 3L), ("a", 2L, 0L), // a/2 inactive
+      ("b", 0L, 9L), ("b", 1L, 1L), ("b", 2L, 2L),
+      ("b", 3L, 0L), ("c", 0L, 4L))                // b/3 inactive
+      .toDF("topic", "part_id", "msg_count")
+    // 6 active partitions / 3 members → 2,2,2 (balancer.go doc table)
+    val m3 = BoundedRead.assignActivePartitions(parts, members = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(m3.length === 6)
+    assert(!m3.exists(p => (p._1, p._2) == ("a", 2L) ||
+      (p._1, p._2) == ("b", 3L)))
+    assert(m3.groupBy(_._3).view.mapValues(_.length).toMap ===
+      Map(0 -> 2, 1 -> 2, 2 -> 2))
+    // deal order is (topic, part_id): a0→0, a1→1, b0→2, b1→0, b2→1, c0→2
+    assert(m3.map(p => (p._1, p._2) -> p._3).toMap === Map(
+      ("a", 0L) -> 0, ("a", 1L) -> 1, ("b", 0L) -> 2,
+      ("b", 1L) -> 0, ("b", 2L) -> 1, ("c", 0L) -> 2))
+    // 6 active / 4 members → 2,2,1,1
+    val m4 = BoundedRead.assignActivePartitions(parts, members = 4)
+      .collect().map(_.getInt(3))
+    assert(m4.groupBy(identity).view.mapValues(_.length).toMap ===
+      Map(0 -> 2, 1 -> 2, 2 -> 1, 3 -> 1))
+  }
+
   test("knnLabel: separable clusters label correctly; vote ties break to the smallest label") {
     import graft.llm.Similarity
     import spark.implicits._
