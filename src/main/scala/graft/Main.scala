@@ -32,17 +32,23 @@ object Main {
     .getOrCreate()
 
   def main(args: Array[String]): Unit = args.toList match {
+    // spec [driver]: the reference serves {jsonschema, uischema} in a
+    // SPEC envelope (protocol/spec.go:34-39); bare `spec` keeps the
+    // engine's own config schema for compatibility
     case "spec" :: Nil =>
       println(Protocol.spec())
+    case "spec" :: driver :: Nil =>
+      println(ProtocolMessages.spec(driver))
 
     case "check" :: src :: streams :: Nil =>
       val spark = session()
       val r = Protocol.check(spark, src, streams.split(",").toSeq)
       spark.stop()
       r match {
-        case Right(_) => println("""{"status":"ok"}""")
+        case Right(_) => println(ProtocolMessages.connectionStatus(true))
         case Left(msg) =>
-          println(s"""{"status":"error","message":"$msg"}"""); sys.exit(1)
+          println(ProtocolMessages.connectionStatus(false, msg))
+          sys.exit(1)
       }
 
     // check-dest <destDir>: the destination half of `check` —
@@ -53,14 +59,16 @@ object Main {
       val r = Protocol.checkDestination(spark, dest)
       spark.stop()
       r match {
-        case Right(_) => println("""{"status":"ok"}""")
+        case Right(_) => println(ProtocolMessages.connectionStatus(true))
         case Left(msg) =>
-          println(s"""{"status":"error","message":"$msg"}"""); sys.exit(1)
+          println(ProtocolMessages.connectionStatus(false, msg))
+          sys.exit(1)
       }
 
     case "discover" :: src :: streams :: Nil =>
       val spark = session()
-      println(Protocol.discover(spark, src, streams.split(",").toSeq))
+      println(ProtocolMessages.catalog(
+        Protocol.discover(spark, src, streams.split(",").toSeq)))
       spark.stop()
 
     case "sync" :: src :: dest :: stream :: rest =>

@@ -1,0 +1,164 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** The CLI's typed STDOUT contract — the reference's `types.Message`
+  * envelope (`types/catalog.go:12-39`, `types/message_type.go`): every
+  * verb's machine-readable output is one JSON line
+  * `{"type": <TYPE>, <payload-field>: ...}` —
+  *
+  *   CONNECTION_STATUS  `check` (`protocol/check.go:51-62`):
+  *                      `connectionStatus.status` SUCCEEDED|FAILED +
+  *                      error message on failure
+  *   CATALOG            `discover` (`protocol/discover.go:94-99`)
+  *   SPEC               `spec` (`protocol/spec.go:34-39`):
+  *                      `{jsonschema, uischema}`
+  *   STATE              sync checkpoints
+  *   LOG                leveled progress lines
+  */
+object ProtocolMessages {
+
+  private val mapper = new ObjectMapper()
+
+  private def envelope(tpe: String): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", tpe)
+    n
+  }
+
+  /** `check` outcome (`check.go:51-62`): SUCCEEDED, or FAILED with the
+    * error in `message`. */
+  def connectionStatus(ok: Boolean, message: String = ""): String = {
+    val n = envelope("CONNECTION_STATUS")
+    val st = n.putObject("connectionStatus")
+    st.put("status", if (ok) "SUCCEEDED" else "FAILED")
+    if (!ok && message.nonEmpty) st.put("message", message)
+    mapper.writeValueAsString(n)
+  }
+
+  /** `discover` output: the catalog JSON under `catalog`. */
+  def catalog(catalogJson: String): String = {
+    val n = envelope("CATALOG")
+    n.set[com.fasterxml.jackson.databind.JsonNode]("catalog", mapper.readTree(catalogJson))
+    mapper.writeValueAsString(n)
+  }
+
+  /** `spec` output: `{jsonschema, uischema}` under `spec`
+    * (`spec.go:34-39`). */
+  def spec(driver: String): String = {
+    val n = envelope("SPEC")
+    val sp = n.putObject("spec")
+    sp.set[com.fasterxml.jackson.databind.JsonNode]("jsonschema", SpecSchemas.jsonSchema(driver))
+    sp.set[com.fasterxml.jackson.databind.JsonNode]("uischema", SpecSchemas.uiSchema(driver))
+    mapper.writeValueAsString(n)
+  }
+
+  /** Sync state checkpoint line. */
+  def state(stateJson: String): String = {
+    val n = envelope("STATE")
+    n.set[com.fasterxml.jackson.databind.JsonNode]("state", mapper.readTree(stateJson))
+    mapper.writeValueAsString(n)
+  }
+
+  /** Leveled log line (`types/catalog.go:31-34`). */
+  def log(level: String, message: String): String = {
+    val n = envelope("LOG")
+    val l = n.putObject("log")
+    l.put("level", level)
+    l.put("message", message)
+    mapper.writeValueAsString(n)
+  }
+}
+
+/** Per-driver config spec — the reference's
+  * `drivers/<driver>/resources/spec.json` (JSON Schema with titles/
+  * defaults) and `utils/spec/uischema.go` (the `ui:grid` layout hints)
+  * that the `spec` verb serves together. The shared surface matches
+  * `SourceConfig`; driver-specific knobs follow each driver's config
+  * struct. */
+object SpecSchemas {
+
+  private val mapper = new ObjectMapper()
+
+  val drivers: Seq[String] =
+    Seq("postgres", "mysql", "mssql", "oracle", "db2", "mongodb")
+
+  private def prop(parent: ObjectNode, name: String, tpe: String,
+                   title: String, default: Option[Any] = None)
+      : ObjectNode = {
+    val p = parent.putObject(name)
+    p.put("type", tpe)
+    p.put("title", title)
+    default.foreach {
+      case i: Int    => p.put("default", i)
+      case s: String => p.put("default", s)
+      case b: Boolean => p.put("default", b)
+      case other     => p.put("default", other.toString)
+    }
+    p
+  }
+
+  private val defaultPorts = Map("postgres" -> 5432, "mysql" -> 3306,
+    "mssql" -> 1433, "oracle" -> 1521, "db2" -> 50000,
+    "mongodb" -> 27017)
+
+  /** JSON Schema of the driver's source config (spec.json shape). */
+  def jsonSchema(driver: String): ObjectNode = {
+    require(drivers.contains(driver), s"unknown driver $driver")
+    val root = mapper.createObjectNode()
+    root.put("type", "object")
+    val props = root.putObject("properties")
+    // mongodb takes a host LIST like the reference's `hosts`
+    if (driver == "mongodb")
+      prop(props, "hosts", "array", "Mongo Hosts")
+    else
+      prop(props, "host", "string", s"${driver.capitalize} Host")
+    prop(props, "port", "integer", s"${driver.capitalize} Port",
+      Some(defaultPorts(driver)))
+    prop(props, "database", "string", "Database Name")
+    prop(props, "username", "string", "Username")
+    prop(props, "password", "string", "Password")
+      .put("format", "password")
+    prop(props, "jdbc_url_params", "object", "JDBC URL Parameters")
+    prop(props, "max_threads", "integer", "Max Threads", Some(3))
+    prop(props, "retry_count", "integer", "Retry Count", Some(3))
+    prop(props, "ssl", "object", "SSL Configuration")
+    prop(props, "ssh_config", "object", "SSH Tunnel Configuration")
+    prop(props, "update_method", "object", "Update Method")
+    driver match {
+      case "postgres" =>
+        prop(props, "replication_slot", "string", "Replication Slot")
+        prop(props, "publication", "string", "Publication"): Unit
+      case "mysql" =>
+        prop(props, "initial_wait_time", "integer",
+          "Initial Wait Time", Some(10)): Unit
+      case "mongodb" =>
+        prop(props, "srv", "boolean", "Use SRV", Some(false))
+        prop(props, "replica_set", "string", "Replica Set"): Unit
+      case _ => ()
+    }
+    val req = root.putArray("required")
+    req.add(if (driver == "mongodb") "hosts" else "host")
+    req.add("username")
+    root
+  }
+
+  /** The `ui:grid` hints (`uischema.go`): two fields per row in
+    * declaration order, the security/advanced blocks last. */
+  def uiSchema(driver: String): ObjectNode = {
+    val root = mapper.createObjectNode()
+    val grid = root.putArray("ui:grid")
+    val fields = {
+      val it = jsonSchema(driver).get("properties").fieldNames()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    fields.grouped(2).foreach { pair =>
+      val row = grid.addObject()
+      pair.foreach(f => row.put(f, 12))
+    }
+    root
+  }
+}

@@ -3892,6 +3892,38 @@ object SparkEntry {
         .unionAll(t(s, dir, "orders").where(filterOf(decKms)))
     }),
 
+    // ---- The CLI's typed STDOUT contract (`types.Message`,
+    //      `types/catalog.go:12-39`): CONNECTION_STATUS / LOG / SPEC
+    //      envelopes built by the same code the verbs print, parsed
+    //      back field-by-field — encode→parse identity, with the
+    //      per-driver SPEC payloads carrying their jsonschema port
+    //      defaults. ----
+    "q_protocol_messages" -> ((s, dir) => {
+      val ns = t(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getAs[Number](0).intValue).sorted.toSeq
+      val rows = ns.map { n =>
+        (n % 3) match {
+          case 0 => (n, ProtocolMessages.connectionStatus(true))
+          case 1 => (n, ProtocolMessages.connectionStatus(false,
+            s"streams not found: s$n"))
+          case _ => (n, ProtocolMessages.log("info", s"synced $n chunks"))
+        }
+      } ++ SpecSchemas.drivers.zipWithIndex.map { case (d, i) =>
+        (100 + i, ProtocolMessages.spec(d))
+      }
+      import s.implicits._
+      rows.toDF("case_id", "line").select(col("case_id"),
+        get_json_object(col("line"), "$.type").as("msg_type"),
+        get_json_object(col("line"), "$.connectionStatus.status")
+          .as("status"),
+        get_json_object(col("line"), "$.connectionStatus.message")
+          .as("message"),
+        get_json_object(col("line"), "$.log.message").as("log_message"),
+        get_json_object(col("line"),
+            "$.spec.jsonschema.properties.port.default")
+          .cast("int").as("port_default"))
+    }),
+
     // ---- Discover-time type maps for all five SQL dialects
     //      (`drivers/*/internal/datatype_conversion.go` + the
     //      ExtractAndMapColumnType base-type extraction, the
@@ -4090,6 +4122,23 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
   def oracleSql: Map[String, String] = Map(
 
     "q_type_maps" -> typeMapsOracle,
+
+    // envelope fields replayed from the same grid rules; spec rows
+    // carry each driver's default port
+    "q_protocol_messages" ->
+      """WITH g AS (SELECT CAST(n_nationkey AS INTEGER) AS n FROM nation),
+        |checks AS (SELECT n AS case_id,
+        |  CASE n%3 WHEN 2 THEN 'LOG' ELSE 'CONNECTION_STATUS' END AS msg_type,
+        |  CASE n%3 WHEN 0 THEN 'SUCCEEDED' WHEN 1 THEN 'FAILED' END AS status,
+        |  CASE n%3 WHEN 1 THEN 'streams not found: s'||n END AS message,
+        |  CASE n%3 WHEN 2 THEN 'synced '||n||' chunks' END AS log_message,
+        |  CAST(NULL AS INTEGER) AS port_default FROM g),
+        |specs AS (SELECT 100+i AS case_id, 'SPEC' AS msg_type,
+        |  CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS message,
+        |  CAST(NULL AS VARCHAR) AS log_message, port AS port_default
+        |  FROM (VALUES (0,5432),(1,3306),(2,1433),(3,1521),(4,50000),
+        |    (5,27017)) v(i, port))
+        |SELECT * FROM checks UNION ALL SELECT * FROM specs""".stripMargin,
     // Outer BIGINT casts: DuckDB sum(BIGINT) returns HUGEINT (int128) while
     // Spark returns BIGINT, and the driver's hash compare is type-sensitive.
     "q1_agg" ->
