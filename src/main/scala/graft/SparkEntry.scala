@@ -3770,6 +3770,27 @@ object SparkEntry {
         emb.where(col("vec_id") % 5 === 0), k = 5)
     }),
 
+    // ---- LLM: kNN label propagation over the STORED ANN index — the
+    //      100 TB serving shape (labeled corpus never scanned; probes
+    //      ride the bucketed code table, candidates fetched pruned).
+    //      Same vote, same oracle as the brute tier. ----
+    "q_knn_label_stored" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_knnlbl_store")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val emb = t(s, dir, "embeddings")
+      val labeled = emb.where(col("vec_id") % 5 =!= 0)
+      Similarity.lshIndexStore(labeled, "graft_knnlbl", root.toString,
+        buckets = 8, native = true)
+      Similarity.voteLabels(
+        Similarity.lshTopKStored(emb.where(col("vec_id") % 5 === 0),
+          k = 5, "graft_knnlbl", native = true),
+        labeled)
+    }),
+
     // ---- LLM: LSH-bucketed ANN scale path — multi-table/multi-probe
     //      candidates + exact ranking; tuned to match bruteForceTopK at
     //      gate scale, so the brute-force SQL is the oracle ----
@@ -6135,6 +6156,28 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+
+    // the stored-index tier returns the same neighbors at gate scale,
+    // so the brute-force vote SQL is its oracle too
+    "q_knn_label_stored" ->
+      """WITH l AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id % 5 <> 0),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |scored AS (SELECT q.query_id, l.vec_id AS neighbor_id, l.label,
+        |  list_cosine_similarity(q.qvec, l.embedding) AS sim
+        |  FROM l CROSS JOIN q WHERE l.vec_id <> q.query_id),
+        |nn AS (SELECT query_id, neighbor_id, label,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored QUALIFY rank <= 5),
+        |votes AS (SELECT query_id, label, COUNT(*) AS n FROM nn
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(label AS INTEGER) AS label_pred,
+        |  CAST(n AS INTEGER) AS votes
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY n DESC, label) = 1""".stripMargin,
 
     "q_knn_label" ->
       """WITH l AS (SELECT vec_id, embedding, label FROM embeddings

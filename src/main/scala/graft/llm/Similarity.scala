@@ -80,8 +80,16 @@ object Similarity {
     * over the LSH/IVF/stored-index candidate probes instead. */
   def knnLabel(labeled: DataFrame, queries: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               labelCol: String = "label"): DataFrame = {
-    val nn = bruteForceTopK(labeled, queries, k, idCol, vecCol)
+               labelCol: String = "label"): DataFrame =
+    voteLabels(bruteForceTopK(labeled, queries, k, idCol, vecCol),
+      labeled, idCol, labelCol)
+
+  /** The majority vote over any (query_id, neighbor_id) neighbor
+    * frame — shared by the brute tier and the stored-index serving
+    * path ([[lshTopKStored]] produces the same neighbor shape). */
+  def voteLabels(nn: DataFrame, labeled: DataFrame,
+                 idCol: String = "vec_id",
+                 labelCol: String = "label"): DataFrame =
     nn.join(labeled.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("nlabel")), "neighbor_id")
       .groupBy(col("query_id"), col("nlabel"))
@@ -92,7 +100,6 @@ object Similarity {
       .where(col("r") === 1)
       .select(col("query_id"), col("nlabel").as("label_pred"),
         col("votes").cast("int").as("votes"))
-  }
 
   /** Sign bit-code of a vector under `planes` deterministic
     * pseudo-random hyperplanes; component (p, d) =
