@@ -78,6 +78,13 @@ import org.apache.spark.sql.SparkSession
   *  - q_dedup_stream / q_neardup_stream: multi-run streaming
   *    checkpoint-resume roundtrips into tempdirs, like
   *    q_stream_pipeline / q_late_drop.
+  *  - q_cdc_binlog_ssh / q_cdc_binlog_tls / q_cdc_pgoutput_tls /
+  *    q_cdc_pgoutput_scram_cb / q_cdc_mongo_tls / q_ssl_modes /
+  *    q_config_decrypt / q_source_config / q_type_maps /
+  *    q_protocol_messages / q_kafka_balance: connection-security and
+  *    protocol-surface gates — single-socket conversations, crypto
+  *    handshakes, and driver-side decision tables; the data-plane
+  *    decode paths they wrap are already headlined.
   */
 object Bench {
 
