@@ -591,6 +591,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"diff shuffled or crossed the catalogs:\n$p")
   }
 
+  test("knn label vote: queries broadcast against the labeled corpus, labels joined keyed") {
+    val p = plan(q("q_knn_label"))
+    // the all-pairs scoring is the declared exact tier: query side
+    // broadcast (bounded), corpus streamed once — never a shuffle of
+    // corpus × corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("kafka balancer window rides the partition-count frame, not record data") {
+    val p = plan(q("q_kafka_balance"))
+    // the counts aggregate is partial+final; the global-order window
+    // exists but over topics×16 rows of planner metadata
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("doc chunking is map-only: no exchange, no join, one scan") {
     val p = plan(q("q_doc_chunks"))
     assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
