@@ -3748,6 +3748,13 @@ object SparkEntry {
       TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         window = 64, stride = 48)),
 
+    // ---- LLM: winnowing fingerprints (Schleimer et al. SIGMOD'03,
+    //      k=4 w=5): window-min k-gram hashes with the rightmost-tie
+    //      argmin expressed identically in both engines ----
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, w = 5)),
+
     // ---- LLM: document fingerprints (md5 + rolling hash) ----
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
@@ -6137,6 +6144,31 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  array_to_string(list_slice(toks, k*48+1, k*48+64), ' ') AS chunk_text,
         |  CAST(least(64, n - k*48) AS INTEGER) AS n_tok
         |FROM e""".stripMargin,
+
+    // k=4 w=5; window argmin = t + |ws| - position(reverse(ws), min(ws))
+    "q_winnow" ->
+      """WITH s AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) - 3 AS n
+        |  FROM s WHERE len(toks) >= 4),
+        |h AS (SELECT doc_id, n,
+        |  list_transform(range(n), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_slice(toks, i+1, i+4),
+        |        t -> CAST(ascii(t)*31 + length(t) AS BIGINT))),
+        |      (a, b) -> (a*131 + b) % 1000000007)) AS hashes
+        |  FROM f),
+        |wdw AS (SELECT doc_id, hashes, greatest(1, n - 4) AS m FROM h),
+        |sel AS (SELECT doc_id, hashes,
+        |  list_distinct(list_transform(range(m), t ->
+        |    t + len(list_slice(hashes, t+1, t+5))
+        |      - list_position(list_reverse(list_slice(hashes, t+1, t+5)),
+        |                      list_min(list_slice(hashes, t+1, t+5))))) AS ps
+        |  FROM wdw),
+        |u AS (SELECT doc_id, hashes, unnest(ps) AS p FROM sel)
+        |SELECT doc_id, CAST(p AS INTEGER) AS pos, hashes[p+1] AS fp
+        |FROM u""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

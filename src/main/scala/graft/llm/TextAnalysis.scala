@@ -467,6 +467,41 @@ object TextAnalysis {
           .as("top_gram_char_frac"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the local fingerprinting algorithm with the detection GUARANTEE:
+    * any shared token run of length ≥ w+k−1 yields at least one shared
+    * fingerprint, at expected density 2/(w+1)). Per doc: hash every
+    * token k-gram (portable polynomial mod 1e9+7, the [[fingerprint]]
+    * fold), slide a window of w hashes, select each window's minimum
+    * (rightmost on ties — the argmin expressed as
+    * `t + |ws| − position(reverse(ws), min(ws))` so both engines
+    * compute it identically), dedupe positions. Map-only HOFs — the
+    * whole op runs at scan speed; fingerprints then join/group like
+    * any digest. Docs with fewer than k tokens have no k-grams and
+    * emit nothing. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val p = 1000000007L
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .withColumn("n", size(col("toks")) - (k - 1))
+      .withColumn("hashes", transform(sequence(lit(0), col("n") - 1), i =>
+        aggregate(slice(col("toks"), i + 1, lit(k)), lit(0L),
+          (acc, tkn) => (acc * 131L +
+            (ascii(tkn) * 31 + length(tkn)).cast("long")) % p)))
+      .withColumn("m", greatest(lit(1), col("n") - (w - 1)))
+      .withColumn("sel", array_distinct(
+        transform(sequence(lit(0), col("m") - 1), t => {
+          val ws = slice(col("hashes"), t + 1, lit(w))
+          (t + size(ws) -
+            array_position(reverse(ws), array_min(ws)).cast("int"))
+        })))
+      .select(col(idCol), col("hashes"), explode(col("sel")).as("pos"))
+      .select(col(idCol), col("pos"),
+        element_at(col("hashes"), col("pos") + 1).as("fp"))
+  }
+
   /** The published Gopher quality-rule set (Rae et al. 2021 §A1.1) as
     * a per-document decision table — the repetition rules live in
     * [[repetition]]; this covers the structural/lexical ones:

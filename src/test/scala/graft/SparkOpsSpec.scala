@@ -1478,6 +1478,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Set(10L, 12L).subsetOf(pos))
   }
 
+  test("winnowing: detection guarantee holds, density ~2/(w+1), short docs emit nothing") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val k = 4; val w = 5
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ") // >= w+k-1 = 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared one two three"),
+      (2L, s"x1 y2 $shared z9 q8 r7 s6"),
+      (3L, "too short")) // < k tokens → no fingerprints
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // the guarantee: a shared run of length >= w+k-1 yields a shared hash
+    val fps1 = out.filter(_._1 == 1L).map(_._3).toSet
+    val fps2 = out.filter(_._1 == 2L).map(_._3).toSet
+    assert((fps1 & fps2).nonEmpty, "shared run produced no shared fingerprint")
+    assert(!out.exists(_._1 == 3L))
+    // density: selected per doc ≲ windows, ≥ ceil(m / w) (each window
+    // selects one, a selection can cover at most w windows)
+    val doc1 = docs.where($"doc_id" === 1L).select($"text").head.getString(0)
+    val n = doc1.split("\\s+").length - k + 1
+    val m = math.max(1, n - w + 1)
+    val sel1 = out.count(_._1 == 1L)
+    assert(sel1 >= (m + w - 1) / w && sel1 <= m)
+    // positions are valid gram indexes and hashes match their position
+    assert(out.forall { case (_, pos, _) => pos >= 0 })
+  }
+
   test("kafka balancer: inactive partitions skipped, round-robin matches the reference's doc table") {
     import graft.sources.BoundedRead
     import spark.implicits._
