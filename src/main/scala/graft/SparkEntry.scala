@@ -3755,6 +3755,13 @@ object SparkEntry {
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
         "doc_id", "text", k = 4, w = 5)),
 
+    // ---- LLM: near-dup candidates by shared winnow fingerprints —
+    //      keyed self-join on the selected hashes (a 2/(w+1) sample),
+    //      pair count, threshold ----
+    "q_winnow_neardup" -> ((s, dir) =>
+      TextAnalysis.winnowNearDup(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, w = 5, minShared = 3)),
+
     // ---- LLM: document fingerprints (md5 + rolling hash) ----
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
@@ -6144,6 +6151,35 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  array_to_string(list_slice(toks, k*48+1, k*48+64), ' ') AS chunk_text,
         |  CAST(least(64, n - k*48) AS INTEGER) AS n_tok
         |FROM e""".stripMargin,
+
+    // distinct (doc, fp) self-joined on fp, pair-counted, thresholded
+    "q_winnow_neardup" ->
+      """WITH s AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) - 3 AS n
+        |  FROM s WHERE len(toks) >= 4),
+        |h AS (SELECT doc_id, n,
+        |  list_transform(range(n), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_slice(toks, i+1, i+4),
+        |        t -> CAST(ascii(t)*31 + length(t) AS BIGINT))),
+        |      (a, b) -> (a*131 + b) % 1000000007)) AS hashes
+        |  FROM f),
+        |wdw AS (SELECT doc_id, hashes, greatest(1, n - 4) AS m FROM h),
+        |sel AS (SELECT doc_id, hashes,
+        |  list_distinct(list_transform(range(m), t ->
+        |    t + len(list_slice(hashes, t+1, t+5))
+        |      - list_position(list_reverse(list_slice(hashes, t+1, t+5)),
+        |                      list_min(list_slice(hashes, t+1, t+5))))) AS ps
+        |  FROM wdw),
+        |fp AS (SELECT DISTINCT doc_id, hashes[p+1] AS fp
+        |  FROM (SELECT doc_id, hashes, unnest(ps) AS p FROM sel)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS INTEGER) AS shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared FROM pairs WHERE shared >= 3""".stripMargin,
 
     // k=4 w=5; window argmin = t + |ws| - position(reverse(ws), min(ws))
     "q_winnow" ->

@@ -502,6 +502,26 @@ object TextAnalysis {
         element_at(col("hashes"), col("pos") + 1).as("fp"))
   }
 
+  /** Near-duplicate pairs by SHARED winnow fingerprints — the use the
+    * algorithm exists for: docs sharing ≥ `minShared` selected hashes
+    * are candidates, and the winnowing guarantee makes every shared
+    * run of ≥ w+k−1 tokens detectable. Scale shape: one keyed
+    * self-join on the fingerprint hash (selected prints are a
+    * 2/(w+1) sample of grams, so the join input is ~7× smaller than a
+    * full shingle join at w=12) + a partial-agg pair count — never a
+    * cartesian. */
+  def winnowNearDup(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int, minShared: Int): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val a = fps.select(col(idCol).as("id_a"), col("fp"))
+    val b = fps.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** The published Gopher quality-rule set (Rae et al. 2021 §A1.1) as
     * a per-document decision table — the repetition rules live in
     * [[repetition]]; this covers the structural/lexical ones:
