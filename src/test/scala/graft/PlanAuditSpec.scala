@@ -609,6 +609,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p)
   }
 
+  test("winnow near-dup joins keyed on the fingerprint hash, never cartesian") {
+    val p = plan(q("q_winnow_neardup"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial pair count
+  }
+
   test("doc chunking is map-only: no exchange, no join, one scan") {
     val p = plan(q("q_doc_chunks"))
     assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
