@@ -3482,6 +3482,17 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", "doc_id", budget = 350L)),
 
+    // ---- LLM: temperature (count^alpha) language sampling at
+    //      alpha = 1/2, integer-exact — isqrt weights, largest-
+    //      remainder apportionment, md5-order top-quota per language.
+    //      The mixture stays PROPORTIONAL to the dampened inventory
+    //      (UniMax levels instead). Oracle replays the exact integer
+    //      pipeline. ----
+    "q_sample_temperature" -> ((s, dir) =>
+      graft.llm.Sampling.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", budget = 350L)),
+
     // ---- LLM: duplicate-cluster resolution — connected components of
     //      the exact near-dup pair graph via min-label propagation;
     //      every doc maps to its cluster's canonical (min) id. The
@@ -3869,6 +3880,15 @@ object SparkEntry {
     //      while Spark does a genuine decode + resample ----
     "q_image_ahash" -> ((s, dir) =>
       Multimodal.aHash64(s,
+        Multimodal.asPatternPngMedia(t(s, dir, "documents"), "doc_id",
+          "text"))),
+
+    // ---- LLM: perceptual image NEAR-DUP — aHash fingerprints over
+    //      real decoded pixels, 4-band pigeonhole blocking (hamming
+    //      ≤ 3 pairs share a band), exact bit_count(xor) filter. The
+    //      oracle replays the grid math, bands and hamming in SQL. ----
+    "q_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDup(s,
         Multimodal.asPatternPngMedia(t(s, dir, "documents"), "doc_id",
           "text"))),
 
@@ -5549,6 +5569,29 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  FROM documents)
         |SELECT doc_id, lang FROM sel WHERE rn <= (SELECT ts FROM pick)""".stripMargin,
 
+    // integer-exact temperature sampling: isqrt via corrected floor-
+    // sqrt, largest-remainder quota split, md5-order top-quota
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |w0 AS (SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS t FROM c),
+        |w AS (SELECT lang, cnt,
+        |    t - CASE WHEN t*t > cnt THEN 1 ELSE 0 END
+        |      + CASE WHEN (t+1)*(t+1) <= cnt THEN 1 ELSE 0 END AS isq
+        |  FROM w0),
+        |tot AS (SELECT sum(isq) AS s FROM w),
+        |q0 AS (SELECT lang, cnt, (350 * isq) // (SELECT s FROM tot) AS q,
+        |    (350 * isq) % (SELECT s FROM tot) AS rem FROM w),
+        |lf AS (SELECT 350 - sum(q) AS leftover FROM q0),
+        |q1 AS (SELECT lang, q + CASE WHEN row_number()
+        |      OVER (ORDER BY rem DESC, lang) <= (SELECT leftover FROM lf)
+        |    THEN 1 ELSE 0 END AS quota FROM q0),
+        |sel AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM sel JOIN q1 USING (lang)
+        |WHERE rn <= quota""".stripMargin,
+
     // unigram-score CTE verbatim from q_unigram_score, then the global
     // rank directly (the banded Spark rank equals it exactly — equal
     // scores share a band), integer tercile cut, md5 keep thresholds
@@ -6331,6 +6374,30 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  string_agg(CASE WHEN p.g * 64 > t.total THEN '1' ELSE '0' END, ''
         |    ORDER BY p.y * 8 + p.x) AS ahash_bits
         |FROM px p JOIN tot t USING (doc_id) GROUP BY p.doc_id""".stripMargin,
+
+    // same grid-math bits CTE, then 4×16-bit band blocking, distinct
+    // candidate pairs and DuckDB's hamming() as the exact filter
+    "q_image_neardup" ->
+      """WITH d AS (SELECT doc_id, length(text) % 64 + 1 AS w,
+        |  length(text) % 48 + 1 AS h FROM documents),
+        |px AS (SELECT doc_id, rx.x AS x, ry.y AS y,
+        |  3 * ((doc_id + 3 * ((rx.x * w) // 8) + 5 * ((ry.y * h) // 8)) % 256) AS g
+        |  FROM d, range(8) AS rx(x), range(8) AS ry(y)),
+        |tot AS (SELECT doc_id, sum(g) AS total FROM px GROUP BY doc_id),
+        |bits AS (SELECT p.doc_id,
+        |  string_agg(CASE WHEN p.g * 64 > t.total THEN '1' ELSE '0' END, ''
+        |    ORDER BY p.y * 8 + p.x) AS bits
+        |  FROM px p JOIN tot t USING (doc_id) GROUP BY p.doc_id),
+        |bands AS (SELECT doc_id, b.b AS band, substr(bits, b.b*16+1, 16) AS v
+        |  FROM bits, range(4) AS b(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(hamming(x.bits, y.bits) AS INTEGER) AS hamming
+        |FROM cand c JOIN bits x ON x.doc_id = c.id_a
+        |  JOIN bits y ON y.doc_id = c.id_b
+        |WHERE hamming(x.bits, y.bits) <= 3""".stripMargin,
 
     "q_media_frames" ->
       """SELECT doc_id,

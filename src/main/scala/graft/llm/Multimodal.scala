@@ -158,6 +158,51 @@ object Multimodal {
     }.toDF("doc_id", "ahash_bits")
   }
 
+  /** PERCEPTUAL IMAGE NEAR-DUP — the image-side sibling of SimHash
+    * dedup: hamming-close [[aHash64]] fingerprints mean visually
+    * near-identical images (re-encodes, minor crops/recompression),
+    * the dedup a 100 TB multimodal corpus needs where byte-exact
+    * hashing misses every transcode.
+    *
+    * Candidate generation is the pigeonhole band trick: split the 64
+    * bits into 4 bands of 16; any pair within hamming `maxHamming` ≤ 3
+    * agrees on at least one full band, so a keyed equi-join on
+    * (band index, band bits) finds every qualifying pair — never a
+    * cartesian. The exact hamming filter then runs on the 64-bit
+    * signature as two 32-bit halves (`bit_count(xor)`), dodging the
+    * signed-long parse trap on an MSB-set hash. Non-decodable payloads
+    * (NULL hash) never enter the join.
+    *
+    * Scale note: a band value shared by k images contributes k²/2
+    * candidates — monocolor/boilerplate images (all-zero bands) are the
+    * image-side stop-word problem. At corpus scale, bump to 8+ bands
+    * (tighter agreement per band) or pre-filter degenerate constant
+    * bands the way text dedup drops stop-grams; the gate corpus keeps
+    * the 4-band published shape. */
+  def imageNearDup(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = aHash64(spark, media)
+      .where(col("ahash_bits").isNotNull)
+      .select(col("doc_id").as("id"),
+        col("ahash_bits"),
+        conv(substring(col("ahash_bits"), 1, 32), 2, 10)
+          .cast("long").as("hi"),
+        conv(substring(col("ahash_bits"), 33, 32), 2, 10)
+          .cast("long").as("lo"))
+    val bands = hashed.withColumn("band",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            substring(col("ahash_bits"), b * 16 + 1, 16).as("v"))): _*)))
+      .select(col("id"), col("band"), col("hi"), col("lo"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Decode features per payload, one pass, no shuffle.
     *
     * REAL path (any JDK-decodable image — PNG/BMP/GIF): dimensions and

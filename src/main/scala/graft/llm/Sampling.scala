@@ -140,6 +140,75 @@ object Sampling {
       math.min(t, Int.MaxValue.toLong).toInt, salts)
   }
 
+  /** TEMPERATURE language sampling — the `count^alpha` heuristic of
+    * the multilingual-pretraining lineage (XLM-R / mT5 use alpha in
+    * [0.2, 0.7]), made ENGINE-EXACT at alpha = 1/2: per-group weight is
+    * the integer square root of the inventory, the budget splits by
+    * largest-remainder apportionment (floor quotas + one extra doc to
+    * the largest remainders, ties by group name), and each group keeps
+    * its md5-order top-quota. Where [[uniMaxSample]] levels every
+    * language to a common cap, temperature sampling keeps the mixture
+    * PROPORTIONAL to a dampened inventory — big languages still get
+    * more, just sublinearly. All arithmetic is integer (isqrt is
+    * float-sqrt corrected by two integer compares, so an engine's
+    * correctly-rounded `sqrt` cannot shift it), which is what makes the
+    * float-exponent heuristic replayable bit-identically in SQL.
+    *
+    * Scale shape: the histogram is one map-combinable aggregate to
+    * ≤ |groups| rows of planner metadata; quotas broadcast back; the
+    * selection is the skew-safe two-phase rank of [[capPerSource]] with
+    * a per-group cap column, so the biggest language never lands in a
+    * single task. */
+  def temperatureQuotas(counts: Seq[(String, Long)],
+                        budget: Long): Seq[(String, Long)] = {
+    def isqrt(n: Long): Long = {
+      var t = math.sqrt(n.toDouble).toLong
+      while (t > 0 && t * t > n) t -= 1
+      while ((t + 1) * (t + 1) <= n) t += 1
+      t
+    }
+    val ws = counts.map { case (g, c) => (g, isqrt(math.max(c, 0L))) }
+    val tot = ws.map(_._2).sum
+    if (tot <= 0L) return counts.map { case (g, _) => g -> 0L }
+    val base = ws.map { case (g, w) =>
+      (g, budget * w / tot, budget * w % tot)
+    }
+    val leftover = (budget - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case (g, _, rem) => (-rem, g) }
+      .take(math.max(leftover, 0)).map(_._1).toSet
+    base.map { case (g, q, _) => g -> (q + (if (bump(g)) 1L else 0L)) }
+  }
+
+  /** Apply [[temperatureQuotas]]: md5-order top `quota_g` per group
+    * (a quota above the inventory keeps the whole group). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        budget: Long, salts: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq.sortBy(_._1)
+    val quotas = temperatureQuotas(counts, budget)
+    val qdf = quotas.toDF("__grp", "__cap")
+    val key = md5(concat(col(groupCol), lit(":"), col(idCol).cast("string")))
+    val salted = df
+      .join(broadcast(qdf), col(groupCol) === col("__grp"))
+      .withColumn("__k", key)
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+    val local = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col("__k"), col(idCol))
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(col("__k"), col(idCol))
+    salted
+      .withColumn("__rn", row_number().over(local))
+      .where(col("__rn") <= col("__cap"))
+      .withColumn("__rn", row_number().over(global))
+      .where(col("__rn") <= col("__cap"))
+      .drop("__grp", "__cap", "__k", "__salt", "__rn")
+  }
+
   def packSequences(df: DataFrame, idCol: String, costCol: Column,
                     budget: Long, buckets: Int = 64): DataFrame = {
     val bucket = pmod(col(idCol), lit(buckets.toLong))

@@ -94,6 +94,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("image near-dup: aHash band join is keyed — no cartesian") {
+    val p = plan(q("q_image_neardup"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("temperature sampling: quota side broadcast, corpus never shuffled for the join") {
+    val p = plan(q("q_sample_temperature"))
+    // ≤|languages| quota rows ride a broadcast; the only corpus
+    // exchanges are the two window partitionings
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("stored-index minhash probe: broadcast band join with zero corpus-side " +
        "exchanges; shingle lookup bucket-prunes files") {
     import graft.llm.Dedup

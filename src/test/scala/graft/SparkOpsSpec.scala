@@ -705,6 +705,57 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total / 2 - byLang.values.sum < byLang.size)
   }
 
+  test("temperatureQuotas: isqrt weights, largest-remainder split sums to budget") {
+    import graft.llm.Sampling.temperatureQuotas
+    val counts = Seq("fr" -> 64L, "de" -> 70L, "es" -> 73L,
+      "zh" -> 75L, "en" -> 218L)
+    val q = temperatureQuotas(counts, 350L).toMap
+    // quotas sum EXACTLY to the budget (largest-remainder apportionment)
+    assert(q.values.sum == 350L)
+    // isqrt weights: 8,8,8,8,14 — en dampened from 62% to 14/46 = 30%
+    assert(q("en") == 350L * 14 / 46 || q("en") == 350L * 14 / 46 + 1)
+    // equal-weight groups differ by at most the remainder doc
+    val small = Seq("fr", "de", "es", "zh").map(q)
+    assert(small.max - small.min <= 1)
+    // edge cases: empty, zero budget, zero counts
+    assert(temperatureQuotas(Nil, 100L).isEmpty)
+    assert(temperatureQuotas(counts, 0L).map(_._2).sum == 0L)
+    assert(temperatureQuotas(Seq("a" -> 0L, "b" -> 0L), 10L)
+      .forall(_._2 == 0L))
+    // isqrt correction survives perfect squares and off-by-ones
+    for (c <- Seq(1L, 3L, 4L, 8L, 9L, 10L, 288L, 289L, 290L)) {
+      val w = temperatureQuotas(Seq("x" -> c, "y" -> c), 2L).toMap
+      assert(w("x") == 1L && w("y") == 1L, s"count $c")
+    }
+  }
+
+  test("temperatureSample: per-group counts hit the quotas; membership is md5 top-quota") {
+    import graft.llm.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = sf("documents").select(col("doc_id"), col("lang"))
+    val inv = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val quotas = Sampling.temperatureQuotas(inv, 350L).toMap
+    val kept = Sampling.temperatureSample(docs, "lang", "doc_id", 350L)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    quotas.foreach { case (l, q) =>
+      assert(byLang.getOrElse(l, 0L) ==
+        math.min(q, inv.toMap.apply(l)), s"lang $l")
+    }
+    // membership equals the naive single-phase md5 rank
+    val naive = docs
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(md5(concat(col("lang"), lit(":"),
+          col("doc_id").cast("string"))), col("doc_id"))))
+      .collect()
+      .filter(r => r.getAs[Int]("rn") <=
+        quotas(r.getAs[String]("lang")))
+      .map(_.getAs[Long]("doc_id")).sorted
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(naive))
+  }
+
   test("rankBuckets: banded rank equals the global row_number; buckets are terciles") {
     import graft.llm.Selection
     import org.apache.spark.sql.expressions.Window
@@ -1194,6 +1245,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pf = Multimodal.decodeFeatures(spark, png).head()
     assert(pf.width == 100 % 64 + 1 && pf.height == 100 % 48 + 1)
     assert(pf.mean_r == 42 && pf.mean_g == 42 * 7 % 256 && pf.mean_b == 42 * 13 % 256)
+  }
+
+  test("imageNearDup: banded pairs == brute-force hamming<=3; null hashes excluded") {
+    import spark.implicits._
+    val media = Multimodal.asPatternPngMedia(
+      sf("documents").limit(120), "doc_id", "text")
+    val hashes = Multimodal.aHash64(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // brute-force reference over all pairs
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      h = ham(hashes(i), hashes(j)) if h <= 3
+    } yield (i, j, h)).toSet
+    val got = Multimodal.imageNearDup(spark, media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole completeness: 4 bands of 16 bits, hamming <= 3 pairs
+    // must share a band — the banded join finds EVERY brute pair
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    // a non-decodable payload yields a NULL hash and never pairs
+    val poisoned = media.union(Seq(
+      Multimodal.MediaRecord(999999L, "image",
+        Array[Byte](1, 2, 3), 0, 0)).toDF())
+    val withBad = Multimodal.imageNearDup(spark, poisoned, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(withBad == brute)
   }
 
   test("frame sampling shape: stride-4 over 64-byte frames") {
