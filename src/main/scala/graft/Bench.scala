@@ -119,8 +119,8 @@ object Bench {
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_kmeans_assign", "q_vec_norm", "q_vec_quantize",
     "q_vec_project", "q_bpe_encode", "q_profile_quantiles",
     "q_pipeline_e2e", "q_epoch_shuffle",
-    "q_multimodal_meta", "q_image_ahash",
-    "q_media_frames", "q_media_resize",
+    "q_multimodal_meta", "q_image_ahash", "q_image_neardup",
+    "q_media_frames", "q_media_resize", "q_sample_temperature",
     "q_avro_decode", "q_avro_registry", "q_wide_types",
     "q_cdc_binlog_compressed",
     "q_minhash_native", "q_simhash_native")

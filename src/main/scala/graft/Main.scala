@@ -152,14 +152,19 @@ object Main {
       println("""{"status":"cleared"}""")
       spark.stop()
 
-    // profile <sourceDir> <stream> [--approx]: per-column nulls /
-    // distincts / bounds plus exact quartiles for numeric columns —
-    // the data-quality triage step ahead of a big sync
+    // profile <sourceDir> <stream> [--approx|--sketch]: per-column
+    // nulls / distincts / bounds — the data-quality triage step ahead
+    // of a big sync. --approx swaps exact distincts for
+    // approx_count_distinct; --sketch routes them through the
+    // max-mergeable HLL register sketch (the 100 TB default: no
+    // per-value shuffle, and the registers persist across syncs)
     case "profile" :: src :: stream :: rest =>
       val spark = session()
       spark.sparkContext.setLogLevel("ERROR")
       val exact = !rest.contains("--approx")
-      graft.sources.Discover.profile(spark, src, stream, exact = exact)
+      (if (rest.contains("--sketch"))
+         graft.sources.Discover.profileSketch(spark, src, stream)
+       else graft.sources.Discover.profile(spark, src, stream, exact = exact))
         .orderBy("column_name").collect().foreach { r =>
           println(Seq("column_name", "dtype", "n_nulls", "n_distinct",
             "min_value", "max_value")

@@ -60,6 +60,26 @@ object SparkEntry {
         s"replace($acc, '$a' || chr(1) || '$b', '$a$b')"
     }
 
+  /** DuckDB side of the HLL profile gates: the hashed (column, value)
+    * stream and the md5-hex → (register, rank) derivation, shared by
+    * the register and estimate oracles so both replay one definition. */
+  private def hllSrcSql: String =
+    """SELECT 'doc_id' AS column_name, md5(CAST(doc_id AS VARCHAR)) AS hx
+      |    FROM documents WHERE doc_id IS NOT NULL
+      |  UNION ALL SELECT 'lang', md5(lang) FROM documents WHERE lang IS NOT NULL
+      |  UNION ALL SELECT 'source', md5(source) FROM documents
+      |    WHERE source IS NOT NULL""".stripMargin
+
+  private def hllRankSql: String =
+    """SELECT column_name,
+      |  CAST(('0x' || substr(hx, 1, 2)) AS INT) AS register,
+      |  CAST((13 - length(ltrim(substr(hx, 3, 13), '0'))) * 4 +
+      |    CASE substr(ltrim(substr(hx, 3, 13), '0'), 1, 1)
+      |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      |      ELSE 0 END + 1 AS INT) AS rank
+      |  FROM src""".stripMargin
+
   /** DuckDB rendering of the lowbias32 sign bit `randomProject` uses —
     * generated so gate and oracle share one definition. */
   private def lowbias32BitSql(k: String): String = {
@@ -3228,6 +3248,22 @@ object SparkEntry {
         t(s, dir, "events").where(col("event_id") < 2001),
         Seq("value", "user_id"), Seq(0.0, 0.25, 0.5, 0.75, 1.0))),
 
+    // ---- Data profiling, HLL tier: from-scratch HyperLogLog register
+    //      sketch (p=8, md5-derived registers) — the distinct-count
+    //      scale path. One map pass + a 256×n_cols partial-max
+    //      exchange; no per-value distinct shuffle. Registers are
+    //      integer-exact cross-engine, so the oracle replays the whole
+    //      sketch, not just its size. ----
+    "q_profile_hll" -> ((s, dir) =>
+      Discover.hllRegisters(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source"))),
+
+    // ---- HLL estimate: fixed-point harmonic mean + linear-counting
+    //      small-range correction, both integer-exact in the oracle ----
+    "q_profile_hll_estimate" -> ((s, dir) =>
+      Discover.hllEstimate(Discover.hllRegisters(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source")))),
+
     // ---- LLM: BPE merge-pair mining — adjacent char-pair counts over
     //      the distinct-word vocab, word-frequency weighted, top-k ----
     "q_bpe_pairs" -> ((s, dir) =>
@@ -5323,6 +5359,40 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(count(DISTINCT n_regionkey) AS BIGINT),
         |  CAST(min(n_regionkey) AS VARCHAR),
         |  CAST(max(n_regionkey) AS VARCHAR) FROM nation""".stripMargin,
+
+    // the SAME md5-hex register derivation: first byte → register,
+    // leading-zero bits of the next 13 hex chars (+1) → rank
+    "q_profile_hll" ->
+      s"""WITH src AS ($hllSrcSql),
+         |r AS ($hllRankSql)
+         |SELECT column_name, register, CAST(max(rank) AS INT) AS max_rank
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // fixed-point harmonic mean over the registers (HUGEINT floor
+    // division mirrors the Spark side's decimal sub-mod-div), linear
+    // counting below 5m/2 — every step integer-exact
+    "q_profile_hll_estimate" ->
+      s"""WITH src AS ($hllSrcSql),
+         |r AS ($hllRankSql),
+         |rg AS (SELECT column_name, register, max(rank) AS max_rank
+         |  FROM r GROUP BY 1, 2),
+         |mx AS (SELECT column_name, max(max_rank) AS rmax FROM rg GROUP BY 1),
+         |agg AS (SELECT rg.column_name, rmax,
+         |    count(*) AS n_hit,
+         |    sum(CAST(1 AS BIGINT) << (rmax - max_rank)) AS denom_hit
+         |  FROM rg JOIN mx USING (column_name) GROUP BY 1, 2),
+         |e AS (SELECT column_name, n_hit, 256 - n_hit AS zeros,
+         |    CAST('470727126712022335488' AS HUGEINT) *
+         |      (CAST(1 AS BIGINT) << rmax) //
+         |      (CAST(denom_hit + (256 - n_hit) * (CAST(1 AS BIGINT) << rmax)
+         |        AS HUGEINT) * CAST('10000000000000000' AS HUGEINT))
+         |      AS est_raw
+         |  FROM agg)
+         |SELECT column_name, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN est_raw <= 640 AND zeros > 0
+         |    THEN CAST(round(256.0 * ln(256.0 / zeros)) AS BIGINT)
+         |    ELSE est_raw END AS BIGINT) AS hll_estimate
+         |FROM e""".stripMargin,
 
     // pair counts over the distinct-word table, weighted by word freq
     "q_bpe_pairs" ->

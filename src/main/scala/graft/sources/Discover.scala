@@ -83,20 +83,25 @@ object Discover {
   def profile(spark: SparkSession, dir: String, name: String,
               exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
-    val df = graft.Tables.load(spark, dir, name)
-    val atomic = df.schema.fields.filter(f => f.dataType match {
-      case _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.StructType |
-           _: org.apache.spark.sql.types.MapType => false
-      case _ => true
-    }).map(_.name).toSet
+    profileCore(spark, graft.Tables.load(spark, dir, name),
+      distinctOf = Some(c => if (exact) count_distinct(c)
+                             else approx_count_distinct(c)))
+  }
+
+  /** The null/bounds aggregate pass shared by every profile tier;
+    * `distinctOf` injects the per-column distinct aggregate (None skips
+    * it — the sketch tier counts distincts out-of-band). */
+  private def profileCore(spark: SparkSession, df: DataFrame,
+      distinctOf: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val atomic = atomicColumns(df)
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
-      val distinct =
-        if (exact) count_distinct(c) else approx_count_distinct(c)
       Seq(
         count(when(c.isNull, 1)).as(s"__n_${f.name}"),
-        distinct.as(s"__d_${f.name}"),
+        distinctOf.map(d => d(c)).getOrElse(lit(null).cast("long"))
+          .as(s"__d_${f.name}"),
         (if (atomic(f.name)) min(c).cast("string")
          else lit(null).cast("string")).as(s"__mn_${f.name}"),
         (if (atomic(f.name)) max(c).cast("string")
@@ -107,11 +112,40 @@ object Discover {
     df.schema.fields.map { f =>
       (f.name, f.dataType.simpleString,
         row.getAs[Long](s"__n_${f.name}"),
-        row.getAs[Long](s"__d_${f.name}"),
+        Option(row.getAs[java.lang.Long](s"__d_${f.name}")).map(_.toLong),
         Option(row.getAs[String](s"__mn_${f.name}")),
         Option(row.getAs[String](s"__mx_${f.name}")))
     }.toSeq.toDF("column_name", "dtype", "n_nulls", "n_distinct",
       "min_value", "max_value")
+  }
+
+  private def atomicColumns(df: DataFrame): Set[String] =
+    df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }).map(_.name).toSet
+
+  /** Sketch-tier profile: nulls/bounds from the shared one-pass
+    * aggregate, distinct counts from the from-scratch HLL registers
+    * (below) instead of a per-value shuffle — the 100 TB default. Two
+    * passes over the scan, but the second moves only ≤256 rows per
+    * column; unlike `approx_count_distinct` the sketch itself is
+    * persistable and max-mergeable across incremental syncs. */
+  def profileSketch(spark: SparkSession, dir: String,
+                    name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.load(spark, dir, name)
+    val base = profileCore(spark, df, distinctOf = None)
+    val est = hllEstimate(hllRegisters(df,
+        atomicColumns(df).toSeq.sorted))
+      .select(col("column_name"), col("hll_estimate"))
+    base.drop("n_distinct")
+      .join(broadcast(est), Seq("column_name"), "left")
+      .select(col("column_name"), col("dtype"), col("n_nulls"),
+        col("hll_estimate").as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 
   // ---- Catalog merge + diff (re-discover over a configured catalog) ----
@@ -253,5 +287,87 @@ object Discover {
         posexplode(col("e.vals")).as(Seq("i", "value")))
       .select(col("column_name"),
         element_at(qsArr, col("i") + 1).as("q"), col("value"))
+  }
+
+  // ---- HyperLogLog distinct-count tier (the profiler's scale path) ----
+  //
+  // The exact-distinct profile above shuffles every value per column; at
+  // 100 TB that is the dominant cost. This tier is a from-scratch
+  // HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007 — public
+  // algorithm): p = 8 → m = 256 registers, register = first byte of
+  // md5(value), rank = leading-zero count of the next 52 bits + 1.
+  // Deriving registers from the md5 HEX STRING (both engines' `md5`
+  // agree byte-for-byte) makes every step integer-exact cross-engine,
+  // so the gate can replay registers AND the estimate in DuckDB —
+  // unlike `approx_count_distinct`, whose sketch internals an oracle
+  // cannot reproduce.
+  //
+  // Scale shape: one map-side pass computes (column, register, rank);
+  // the only exchange carries ≤ 256 × n_cols partial-max rows.
+  // Registers are MERGEABLE by max — union of two corpora = element-wise
+  // register max — which is what makes the sketch incremental: a sync
+  // can persist registers per stream and fold new batches in without
+  // rescanning history (HllSpec pins the merge law).
+
+  /** Register sketch: one row per (column, register) hit, with the max
+    * rank observed. Columns are cast to string before hashing so the
+    * same value always lands on the same register in both engines. */
+  def hllRegisters(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val entries = cols.map(c => struct(lit(c).as("column_name"),
+      md5(col(c).cast("string")).as("hx")))
+    val hx = col("e.hx")
+    val frag = substring(hx, 3, 13)              // 52 bits of rank space
+    val stripped = regexp_replace(frag, "^0*", "")
+    val first = substring(stripped, 1, 1)
+    // each leading zero HEX char = 4 zero bits; the first non-zero char
+    // adds 0–3 more (1→3, 2-3→2, 4-7→1, 8-f→0)
+    val extra = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rank = (lit(13) - length(stripped)) * 4 + extra + 1
+    df.select(explode(array(entries: _*)).as("e"))
+      .where(hx.isNotNull)
+      .select(col("e.column_name").as("column_name"),
+        conv(substring(hx, 1, 2), 16, 10).cast("int").as("register"),
+        rank.cast("int").as("rank"))
+      .groupBy("column_name", "register")
+      .agg(max("rank").as("max_rank"))
+  }
+
+  /** Cardinality estimate from a register frame — integer-exact so the
+    * oracle reproduces it digit-for-digit. The harmonic mean runs in
+    * fixed point: with R = max rank, sum(2^-rank) scales to the integer
+    * sum(2^(R-rank)), and E = alpha·m²·2^R·10^16 ÷ that, floor-divided
+    * (alpha·m²·10^16 = 470727126712022335488, a 21-digit constant both
+    * engines carry as decimal/HUGEINT). Small-range correction is the
+    * standard linear counting m·ln(m/V); its 255 possible inputs were
+    * checked exhaustively — Java and DuckDB round identically on every
+    * one, the nearest value sitting ≥1e-9 from a .5 boundary. The
+    * 2^32 large-range correction is unnecessary here: the 52-bit rank
+    * space saturates far beyond any real cardinality. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val m = 256L
+    val rmax = regs.groupBy("column_name").agg(max("max_rank").as("rmax"))
+    val g = regs.join(broadcast(rmax), "column_name")
+      .groupBy(col("column_name"), col("rmax"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(cast(1 as bigint), rmax - max_rank)"))
+          .as("denom_hit"))
+    val pow2rmax = expr("shiftleft(cast(1 as bigint), rmax)")
+    val zeros = lit(m) - col("n_hit")
+    val denom = (col("denom_hit") + zeros * pow2rmax).cast(DecimalType(38, 0))
+    val num = lit(BigDecimal("470727126712022335488"))
+      .cast(DecimalType(38, 0)) * pow2rmax.cast(DecimalType(38, 0))
+    val divisor = denom * lit(BigDecimal(10).pow(16)).cast(DecimalType(38, 0))
+    val estRaw = ((num - num % divisor) / divisor).cast("long")
+    val lc = round(lit(256.0) * log(lit(256.0) / zeros.cast("double")))
+      .cast("long")
+    g.select(col("column_name"), col("n_hit").cast("long").as("n_hit"),
+      when(estRaw <= lit(5L * m / 2) && zeros > 0, lc).otherwise(estRaw)
+        .as("hll_estimate"))
   }
 }

@@ -636,4 +636,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"chunking joined:\n$p")
     assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
   }
+
+  test("HLL registers: one scan, partial max before the single ≤256×cols-row exchange") {
+    val p = plan(q("q_profile_hll"))
+    // no per-value distinct shuffle — the exchange carries only the
+    // partial-agg'd (column, register) rows
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"register sketch should shuffle exactly once:\n$p")
+  }
+
+  test("HLL estimate: rmax side broadcast, never a sort-merge over registers") {
+    val p = plan(q("q_profile_hll_estimate"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"rmax join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$p")
+  }
 }

@@ -1691,4 +1691,88 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       d2(0)._4 === 3)
     assert(out.count(_._1 == 3L) === 1) // empty text still yields a row
   }
+
+  // ---- profiler HLL tier: from-scratch register sketch ----
+
+  /** JVM reference of the md5-register derivation (independent of the
+    * Column-DSL path under test). */
+  private def refHll(values: Seq[String]): Map[Int, Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    values.foldLeft(Map.empty[Int, Int]) { (regs, v) =>
+      val hx = md.digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val reg = Integer.parseInt(hx.take(2), 16)
+      val frag = BigInt(hx.slice(2, 15), 16)
+      // leading zeros of the 52-bit frag, +1 (all-zero frag → 53)
+      val rank = if (frag == 0) 53 else 52 - frag.toString(2).length + 1
+      regs.updated(reg, math.max(regs.getOrElse(reg, 0), rank))
+    }
+  }
+
+  test("hllRegisters matches an independent JVM md5 reference; merge law holds") {
+    import graft.sources.Discover
+    val docs = sf("documents")
+    val got = Discover.hllRegisters(docs, Seq("doc_id")).collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val ids = docs.select(col("doc_id").cast("string"))
+      .na.drop().collect().map(_.getString(0)).toSeq
+    assert(got === refHll(ids))
+    // mergeability — union of halves == element-wise register max —
+    // is what lets a sync fold new batches into a persisted sketch
+    // without rescanning history
+    val (a, b) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 =!= 0))
+    def regsOf(df: DataFrame) =
+      Discover.hllRegisters(df, Seq("doc_id")).collect()
+        .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val merged = (regsOf(a).toSeq ++ regsOf(b).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
+    assert(merged === got)
+  }
+
+  test("hllEstimate: within 10% of truth on every column, exact agreement with fixed-point formula") {
+    import graft.sources.Discover
+    val docs = sf("documents")
+    val cols = Seq("doc_id", "lang", "source")
+    val est = Discover.hllEstimate(Discover.hllRegisters(docs, cols))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (c <- cols) {
+      val truth = docs.select(col(c)).na.drop().distinct().count()
+      val e = est(c)
+      assert(math.abs(e - truth) <= math.max(1L, truth / 10),
+        s"$c: estimate $e vs truth $truth")
+    }
+    // replay the fixed-point + linear-counting math on the reference
+    // registers — pins the estimate independent of the Column DSL
+    val ids = docs.select(col("doc_id").cast("string"))
+      .na.drop().collect().map(_.getString(0)).toSeq
+    val regs = refHll(ids)
+    val rmax = regs.values.max
+    val denom = regs.values.map(r => BigInt(1) << (rmax - r)).sum +
+      BigInt(256 - regs.size) * (BigInt(1) << rmax)
+    val raw = (BigInt("470727126712022335488") * (BigInt(1) << rmax) /
+      (denom * BigInt(10).pow(16))).toLong
+    val zeros = 256 - regs.size
+    val expected = if (raw <= 640 && zeros > 0)
+      math.round(256.0 * math.log(256.0 / zeros)) else raw
+    assert(est("doc_id") === expected)
+  }
+
+  test("profileSketch: nulls/bounds match the exact profile, HLL distincts within 10%") {
+    import graft.sources.Discover
+    def byCol(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = byCol(Discover.profile(spark, "/root/testdata/sf0.001", "documents"))
+    val sketch = byCol(Discover.profileSketch(spark, "/root/testdata/sf0.001", "documents"))
+    assert(sketch.keySet === exact.keySet)
+    for ((c, e) <- exact) {
+      val s = sketch(c)
+      assert(s.getLong(2) === e.getLong(2), s"$c nulls") // n_nulls
+      assert(s.getString(4) === e.getString(4) &&
+             s.getString(5) === e.getString(5), s"$c bounds")
+      val (truth, est) = (e.getLong(3), s.getLong(3))
+      assert(math.abs(est - truth) <= math.max(1L, truth / 10),
+        s"$c: sketch $est vs exact $truth")
+    }
+  }
 }
