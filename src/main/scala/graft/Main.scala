@@ -173,10 +173,26 @@ object Main {
         }
       spark.stop()
 
+    // topk <sourceDir> <stream> <column> [k] [fracDen]: heavy hitters
+    // of one column — values occurring ≥ rows/fracDen times, exact
+    // counts. The Count-Min prefilter keeps non-candidate keys out of
+    // the shuffle, so the answer is exact at sketch cost
+    case "topk" :: src :: stream :: column :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val k = rest.headOption.map(_.toInt).getOrElse(20)
+      val den = rest.drop(1).headOption.map(_.toLong).getOrElse(100L)
+      graft.sources.Discover.heavyHitters(
+          graft.Tables.load(spark, src, stream), column, k, den)
+        .collect().foreach { r =>
+          println(s"""{"value":"${r.getString(0)}","count":${r.getLong(1)}}""")
+        }
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile")
+          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk")
       sys.exit(2)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.streaming.{CdcStream, DedupStream}
+import graft.streaming.{CdcStream, DedupStream, ProfileStream}
 import graft.cdc.{Binlog, ChangeLogFixture, MongoWatchClient, MongoWireServer, PgOutput, PollingCdc, Wal2Json}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
@@ -3264,6 +3264,69 @@ object SparkEntry {
       Discover.hllEstimate(Discover.hllRegisters(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source")))),
 
+    // ---- Data profiling, Count-Min tier: the d×w sketch cells — pass 1
+    //      of heavy hitters. One scan, one ≤ d×w-row exchange; buckets
+    //      md5-derived so the oracle replays every cell ----
+    "q_profile_cms" -> ((s, dir) =>
+      Discover.cmsSketch(t(s, dir, "events"), "user_id")),
+
+    // ---- Heavy hitters: values with exact count ≥ n/140, top-20. The
+    //      broadcast CMS-estimate filter runs BEFORE the exact-count
+    //      exchange; an over-counting sketch has no false negatives, so
+    //      the filter provably cannot change the answer — it only keeps
+    //      non-candidate keys out of the shuffle ----
+    "q_profile_topk" -> ((s, dir) =>
+      Discover.heavyHitters(t(s, dir, "events"), "user_id",
+        k = 20, fracDen = 140)),
+
+    // ---- Quantile hash-sample tier: deterministic md5-keyed 25%
+    //      sample (first hash byte < 64), exact quantiles of the
+    //      sample — a pure map predicate both engines replay, and the
+    //      sample unions cleanly across corpora unlike a reservoir ----
+    "q_profile_quantile_sample" -> ((s, dir) =>
+      Discover.quantileSample(t(s, dir, "events"), "event_id",
+        Seq("value", "user_id"), Seq(0.25, 0.5, 0.75), bar = 64)),
+
+    // ---- INCREMENTAL profiling: HLL registers maintained across
+    //      micro-batches (two checkpoint-resumed streaming runs), plus
+    //      a stale re-delivery of batch 0 — max-folding is idempotent,
+    //      so the final stored sketch must equal the one-shot batch
+    //      sketch over the whole table (the q_profile_hll oracle) ----
+    "q_profile_hll_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+      val root = new java.io.File("/tmp/graft_pstream")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val regs = s"$root/regs"; val ckpt = s"$root/ckpt"
+      val cols = Seq("doc_id", "lang", "source")
+      val d = t(s, dir, "documents").select(cols.map(col): _*)
+      val schema = ST(Seq(SF("doc_id", LongType), SF("lang", StringType),
+        SF("source", StringType)))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, file)): Unit
+      }
+      val b0 = d.where(col("doc_id") % 2 === 0)
+      stage(b0, "b1.json")
+      ProfileStream.run(s, src, schema, cols, regs, ckpt)
+        .awaitTermination()
+      stage(d.where(col("doc_id") % 2 =!= 0), "b2.json")
+      ProfileStream.run(s, src, schema, cols, regs, ckpt)
+        .awaitTermination()
+      // stale re-delivery of the committed first batch: must rewrite
+      // regs_v0 from the pre-batch base, leaving the newest unchanged
+      ProfileStream.applyBatch(b0, 0L, cols, regs)
+      ProfileStream.currentRegisters(s, regs)
+    }),
+
     // ---- LLM: BPE merge-pair mining — adjacent char-pair counts over
     //      the distinct-word vocab, word-frequency weighted, top-k ----
     "q_bpe_pairs" -> ((s, dir) =>
@@ -3786,6 +3849,31 @@ object SparkEntry {
     //      so boundary decisions are engine-exact ----
     "q_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM: the published C4 cleaning rules (Raffel et al. 2020) —
+    //      LINE-level where Gopher is doc-level. The corpus has no
+    //      newlines or punctuation, so the gate builds a 5-line page
+    //      per doc from the real texts (both engines replay the
+    //      construction): two good lines, a short line, a javascript
+    //      line, and a doc_id-dependent poison line exercising the
+    //      lorem-ipsum / brace / bad-word page rules ----
+    "q_c4_rules" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        concat(substring(col("text"), 1, 60), lit(" end of line one.")),
+        lit("too short."),
+        concat(lit("javascript "), substring(col("text"), 1, 30),
+          lit(" tracking snippet.")),
+        concat(substring(col("text"), 61, 60),
+          lit(" is this a question ?")),
+        when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))
+          .when(col("doc_id") % 17 === 0, lit("code { braces } here."))
+          .when(col("doc_id") % 19 === 0, lit("buy viagra now cheap deal."))
+          .otherwise(concat(substring(col("text"), 121, 40),
+            lit(" closing remark!"))))
+      TextAnalysis.c4Rules(
+        t(s, dir, "documents").select(col("doc_id"), page.as("page")),
+        "doc_id", "page")
+    }),
 
     // ---- LLM: overlapping token-window chunking (window 64, stride
     //      48 → 16-token overlap) — the pre-embedding / context-prep
@@ -5394,6 +5482,53 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
          |    ELSE est_raw END AS BIGINT) AS hll_estimate
          |FROM e""".stripMargin,
 
+    // the SAME md5 bucket derivation: first 8 hex chars of
+    // md5("r:value") mod w, for each of the d hash rows
+    "q_profile_cms" ->
+      """WITH hr AS (SELECT unnest([0,1,2,3]) AS r),
+        |h AS (SELECT hr.r AS r,
+        |    CAST(CAST(('0x' || substr(md5(CAST(hr.r AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS INT)
+        |      AS bucket
+        |  FROM events, hr WHERE user_id IS NOT NULL)
+        |SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // incremental == one-shot: the final stored sketch must equal the
+    // whole-table register oracle (same SQL as q_profile_hll)
+    "q_profile_hll_stream" ->
+      s"""WITH src AS ($hllSrcSql),
+         |r AS ($hllRankSql)
+         |SELECT column_name, register, CAST(max(rank) AS INT) AS max_rank
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // the sketch filter has no false negatives, so the exact top-k IS
+    // the answer — the oracle needs no sketch replay
+    "q_profile_topk" ->
+      """WITH n AS (SELECT count(*) AS n FROM events
+        |    WHERE user_id IS NOT NULL),
+        |g AS (SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT value, CAST(cnt AS BIGINT) AS cnt FROM g, n
+        |WHERE cnt >= greatest(1, n // 140)
+        |ORDER BY cnt DESC, value LIMIT 20""".stripMargin,
+
+    // the same md5-keyed sample predicate, then exact quantiles of the
+    // survivors
+    "q_profile_quantile_sample" ->
+      """WITH src AS (SELECT * FROM events
+        |  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |    || ':qs'), 1, 2)) AS INT) < 64)
+        |SELECT 'value' AS column_name,
+        |  unnest([0.25,0.5,0.75]) AS q,
+        |  unnest(quantile_cont(value, [0.25,0.5,0.75])) AS value
+        |FROM src
+        |UNION ALL
+        |SELECT 'user_id',
+        |  unnest([0.25,0.5,0.75]),
+        |  unnest(quantile_cont(user_id, [0.25,0.5,0.75]))
+        |FROM src""".stripMargin,
+
     // pair counts over the distinct-word table, weighted by word freq
     "q_bpe_pairs" ->
       """WITH w AS (SELECT t AS w, count(*) AS freq
@@ -6215,6 +6350,40 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_tokens
         |FROM documents""".stripMargin,
+
+    // the same page construction, line lambda, and page rules
+    "q_c4_rules" ->
+      """WITH pages AS (SELECT doc_id,
+        |    substr(text, 1, 60) || ' end of line one.' || chr(10) ||
+        |    'too short.' || chr(10) ||
+        |    'javascript ' || substr(text, 1, 30) || ' tracking snippet.'
+        |      || chr(10) ||
+        |    substr(text, 61, 60) || ' is this a question ?' || chr(10) ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |         WHEN doc_id % 17 = 0 THEN 'code { braces } here.'
+        |         WHEN doc_id % 19 = 0 THEN 'buy viagra now cheap deal.'
+        |         ELSE substr(text, 121, 40) || ' closing remark!' END
+        |    AS page FROM documents),
+        |f AS (SELECT doc_id, page,
+        |    string_split(page, chr(10)) AS ls,
+        |    list_filter(string_split(page, chr(10)), x ->
+        |      list_contains(['.', '!', '?', '"'], right(rtrim(x), 1))
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kl
+        |  FROM pages),
+        |c AS (SELECT doc_id, len(ls) AS n_lines, len(kl) AS n_kept,
+        |    array_to_string(kl, chr(10)) AS clean_text, page FROM f)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+        |  CAST(n_kept AS INT) AS n_kept,
+        |  CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g'))
+        |    AS INT) AS n_sentences,
+        |  (NOT contains(lower(page), 'viagra')
+        |   AND NOT contains(lower(page), 'lorem ipsum')
+        |   AND NOT contains(page, '{')
+        |   AND length(regexp_replace(clean_text, '[^.!?]', '', 'g')) >= 3)
+        |    AS kept,
+        |  clean_text
+        |FROM c""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH s AS (SELECT doc_id, text,

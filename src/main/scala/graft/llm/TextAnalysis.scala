@@ -575,6 +575,40 @@ object TextAnalysis {
           col("r_stop"))
   }
 
+  /** The published C4 cleaning rule set (Raffel et al. 2020 §2.2) —
+    * LINE-level where [[gopherRules]] is document-level:
+    *
+    *   line kept iff: ends in terminal punctuation (. ! ? ")
+    *                  AND has ≥ 5 words
+    *                  AND does not mention "javascript"
+    *   page kept iff: ≥ 3 sentences remain after line filtering
+    *                  AND no "lorem ipsum", no "{", no bad-word hit
+    *
+    * (C4's remaining rule — three-sentence-span dedup — is the
+    * corpus-wide [[Dedup.segmentDedup]] family.) Sentence counting is
+    * the terminal-punctuation count of the CLEANED text, so every
+    * decision is string/integer-exact cross-engine. Map-only: line
+    * filtering is an array HOF inside the row, no explode, no shuffle. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+              badWords: Seq[String] = Seq("viagra")): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    val nSent = length(regexp_replace(clean, "[^.!?]", ""))
+    val low = lower(t)
+    val badHit = badWords.map(w => low.contains(w.toLowerCase))
+      .reduce(_ || _)
+    df.select(col(idCol), size(lines).as("n_lines"),
+        size(kept).as("n_kept"), nSent.cast("int").as("n_sentences"),
+        (!badHit && !low.contains("lorem ipsum") && !t.contains("{") &&
+          nSent >= 3).as("kept"),
+        clean.as("clean_text"))
+  }
+
   /** Overlapping token-window chunking — the standard pre-embedding /
     * context-length preparation shape (chunk k covers tokens
     * [k·stride, k·stride+window)). A doc with ≤`window` tokens is one

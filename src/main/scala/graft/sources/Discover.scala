@@ -370,4 +370,80 @@ object Discover {
       when(estRaw <= lit(5L * m / 2) && zeros > 0, lc).otherwise(estRaw)
         .as("hll_estimate"))
   }
+
+  // ---- Count-Min heavy hitters (the profiler's frequent-values path) ----
+  //
+  // "What are the hot values of this column?" asked naively is a full
+  // groupBy over every distinct key — at 100 TB the shuffle carries the
+  // whole key space. The Count-Min sketch (Cormode & Muthukrishnan 2005,
+  // public algorithm) bounds pass 1 to d×w cells: each of d hash rows
+  // maps a value to one of w buckets and counts occurrences. Estimates
+  // only ever OVER-count (collisions add), so filtering pass 2 on
+  // "sketch estimate ≥ threshold" provably never drops a true heavy
+  // hitter — the exact re-count after the filter restores exactness,
+  // and the exchange now carries only candidate keys. Like the HLL
+  // registers above, buckets derive from the md5 hex string so the
+  // oracle replays the sketch cell-for-cell; and cells are mergeable by
+  // SUM, so incremental syncs fold new batches into a persisted sketch.
+
+  /** Pass 1: the d×w cell counts, one row per non-empty (row, bucket).
+    * One scan, one exchange of ≤ d×w partial-agg'd rows. */
+  def cmsSketch(df: DataFrame, c: String, d: Int = 4,
+                w: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until d).map(r => struct(lit(r).as("r"),
+      cmsBucket(col(c), r, w).as("bucket")))
+    df.where(col(c).isNotNull)
+      .select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.r").as("r"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Bucket of hash row `r`: first 8 hex chars of md5("r:value") mod w —
+    * integer-exact in both engines. */
+  private def cmsBucket(c: org.apache.spark.sql.Column, r: Int,
+                        w: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (conv(substring(md5(concat(lit(s"$r:"), c.cast("string"))), 1, 8),
+      16, 10).cast("long") % w).cast("int")
+  }
+
+  /** Heavy hitters of `c`: every value occurring ≥ count(*)/fracDen
+    * times, exact counts, top-k by (cnt desc, value). Two passes: the
+    * sketch (bounded exchange), then a scan filtered BY the broadcast
+    * sketch before the exact-count exchange — only candidate keys
+    * shuffle. The collected sketch is planner metadata, ≤ d×w longs. */
+  def heavyHitters(df: DataFrame, c: String, k: Int, fracDen: Long,
+                   d: Int = 4, w: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = cmsSketch(df, c, d, w).collect()
+    val dense = Array.fill(d)(Array.fill(w)(0L))
+    cells.foreach(r => dense(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val n = dense(0).sum                 // every row counts each value once
+    val thr = math.max(1L, n / fracDen)
+    val est = (0 until d).map(r =>
+        element_at(typedLit(dense(r).toSeq), cmsBucket(col(c), r, w) + 1))
+      .reduce(least(_, _))
+    df.where(col(c).isNotNull && est >= thr)
+      .groupBy(col(c).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= thr)          // CMS over-counts; re-check exact
+      .orderBy(col("cnt").desc, col("value"))
+      .limit(k)
+  }
+
+  /** Quantiles over a deterministic hash sample — the profiler's
+    * quantile path at scale. The exact tier feeds every row to one
+    * percentile aggregate; here only rows whose md5(key) first byte <
+    * `bar` survive (rate = bar/256), a pure map-side predicate both
+    * engines evaluate identically, so the sample — and therefore the
+    * gate — is reproducible, and samples of two corpora union cleanly
+    * (the filter commutes with union, unlike a reservoir). */
+  def quantileSample(df: DataFrame, keyCol: String, cols: Seq[String],
+                     qs: Seq[Double], bar: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    profileQuantiles(df.where(
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(":qs"))),
+        1, 2), 16, 10).cast("int") < bar), cols, qs)
+  }
 }

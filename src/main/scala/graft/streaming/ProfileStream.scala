@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Discover
+
+/** Incremental data profiling: maintain per-column HLL register
+  * sketches ([[Discover.hllRegisters]]) across micro-batches, so a
+  * long-running sync always has a current distinct-count profile
+  * without ever rescanning history.
+  *
+  * This is the payoff of register MERGEABILITY (union of corpora =
+  * element-wise register max): each batch computes its own tiny
+  * sketch — one map pass over the batch plus a ≤256-rows-per-column
+  * exchange — and folds it into the stored registers.
+  *
+  * State follows the same overwrite-scoped versioning as
+  * [[DedupStream]]: batch B reads the newest `regs_v<id>` with
+  * id < B and writes `regs_v<B>`. A torn-batch replay rewrites
+  * `regs_v<B>` identically, because max-folding the same batch twice
+  * is idempotent — the profile can never double-count a replayed
+  * batch (which a raw counter would).
+  */
+object ProfileStream {
+
+  /** Newest stored register version strictly below `belowVersion`. */
+  private def latest(regDir: String, belowVersion: Long): Option[String] = {
+    val vs = Option(new File(regDir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("regs_v"))
+      .map(f => f.getName.stripPrefix("regs_v").toLong)
+      .filter(_ < belowVersion)
+    if (vs.isEmpty) None else Some(s"$regDir/regs_v${vs.max}")
+  }
+
+  /** The current register sketch on disk (empty frame if none yet). */
+  def currentRegisters(spark: SparkSession, regDir: String): DataFrame =
+    latest(regDir, Long.MaxValue) match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Int, Int)]
+          .toDF("column_name", "register", "max_rank")
+    }
+
+  /** Fold one batch's registers into the stored sketch. Public so a
+    * bounded (non-streaming) sync can call it per chunk too. */
+  def applyBatch(batch: DataFrame, batchId: Long, cols: Seq[String],
+                 regDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = Discover.hllRegisters(batch, cols)
+    val merged = latest(regDir, belowVersion = batchId) match {
+      case Some(p) => spark.read.parquet(p).unionByName(fresh)
+        .groupBy("column_name", "register")
+        .agg(max("max_rank").as("max_rank"))
+      case None => fresh
+    }
+    // ≤ 256 × n_cols rows — one file keeps the version chain cheap to
+    // read back, and the write is O(sketch), never O(corpus)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$regDir/regs_v$batchId")
+  }
+
+  /** Stream `srcDir` (JSON file source) and keep `regDir` current. */
+  def run(spark: SparkSession, srcDir: String, schema: StructType,
+          cols: Seq[String], regDir: String, ckpt: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) =>
+        applyBatch(df, id, cols, regDir))
+      .start()
+}

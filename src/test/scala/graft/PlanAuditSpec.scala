@@ -654,4 +654,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$p")
   }
+
+  test("CMS sketch: one scan, partial counts before the single ≤d×w-row exchange") {
+    val p = plan(q("q_profile_cms"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"sketch should shuffle exactly once:\n$p")
+  }
+
+  test("heavy hitters: CMS candidate filter sits before the exact-count exchange; no join") {
+    val p = plan(q("q_profile_topk"))
+    assert(!p.contains("Join"), s"sketch must ride as literals, not a join:\n$p")
+    // the least(element_at(...)) estimate filter must sit in the
+    // scan-side stage — BELOW the one exact-count exchange in the tree
+    // (the plan prints root-first), so only candidate keys shuffle
+    val exch = p.indexOf("Exchange hashpartitioning")
+    val filt = p.indexOf("least(")
+    assert(exch >= 0 && filt >= 0, s"missing filter or exchange:\n$p")
+    assert(filt > exch, s"candidate filter is above the exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exact count should shuffle exactly once:\n$p")
+  }
+
+  test("C4 rules: map-only — line filtering rides array HOFs, never an explode/shuffle") {
+    val p = plan(q("q_c4_rules"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+    assert(!p.contains("Exchange"), s"shuffle in a per-row rule table:\n$p")
+    assert(!p.contains("Generate"), s"explode in a per-row rule table:\n$p")
+  }
+
+  test("quantile sample: the hash predicate is a map-side filter on the scan stage") {
+    val p = plan(q("q_profile_quantile_sample"))
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+    assert(p.contains("Filter"), s"sample predicate missing:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
 }

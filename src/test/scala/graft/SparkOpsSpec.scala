@@ -1758,6 +1758,111 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est("doc_id") === expected)
   }
 
+  // ---- C4 line-level cleaning rules ----
+
+  test("c4Rules: line filter (terminal punct, ≥5 words, no javascript) and page rules") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high.\nshort one.\n" +
+        "does this javascript line vanish entirely?\n" +
+        "a second proper sentence right here!\nand one more to reach three?"),
+      (2L, "lorem ipsum dolor sit amet.\nthe quick brown fox jumps high.\n" +
+        "a second proper sentence right here!\nand one more to reach three?"),
+      (3L, "config block { nested } here.\nthe quick brown fox jumps high.\n" +
+        "a second proper sentence right here!\nand one more to reach three?"),
+      (4L, "no terminal punctuation on this line\n" +
+        "the quick brown fox jumps high.\nonly two sentences survive here!"),
+      (5L, "he said \"this line truly ends well.\"\n" +
+        "the quick brown fox jumps high.\na third one for good measure.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4), r.getString(5)))
+      .toMap
+    // doc 1: short + javascript lines drop; 3 good lines stay → kept
+    assert(out(1L)._2 === 3 && out(1L)._4,
+      s"doc1: ${out(1L)}")
+    assert(!out(1L)._5.contains("javascript") && !out(1L)._5.contains("short one"))
+    // doc 2: lorem ipsum kills the page even though its lines pass
+    assert(out(2L)._2 === 4 && !out(2L)._4)
+    // doc 3: the brace kills the page
+    assert(!out(3L)._4)
+    // doc 4: only 2 sentences remain → dropped by the ≥3 rule
+    assert(out(4L)._2 === 2 && out(4L)._3 === 2 && !out(4L)._4)
+    // doc 5: a line ending in a double quote counts as terminal
+    assert(out(5L)._2 === 3 && out(5L)._4)
+  }
+
+  // ---- profiler Count-Min tier ----
+
+  /** JVM reference of the md5 bucket derivation. */
+  private def refCms(values: Seq[String], d: Int = 4,
+                     w: Int = 1024): Map[(Int, Int), Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (v <- values; r <- 0 until d) {
+      val hx = md.digest(s"$r:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = (java.lang.Long.parseLong(hx.take(8), 16) % w).toInt
+      cells((r, b)) = cells.getOrElse((r, b), 0L) + 1
+    }
+    cells.toMap
+  }
+
+  test("cmsSketch matches an independent JVM md5 reference; cells merge by sum") {
+    import graft.sources.Discover
+    val ev = sf("events")
+    def cellsOf(df: DataFrame) =
+      Discover.cmsSketch(df, "user_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = cellsOf(ev)
+    val vals = ev.select(col("user_id").cast("string")).na.drop()
+      .collect().map(_.getString(0)).toSeq
+    assert(got === refCms(vals))
+    // mergeability: sketch(a) + sketch(b) cell-wise == sketch(a ∪ b),
+    // which is what lets incremental syncs fold batches into a stored
+    // sketch without rescanning history
+    val (a, b) = (ev.where(col("event_id") % 2 === 0),
+      ev.where(col("event_id") % 2 =!= 0))
+    val merged = (cellsOf(a).toSeq ++ cellsOf(b).toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(merged === got)
+  }
+
+  test("heavyHitters equals the exact top-k (sketch filter has no false negatives)") {
+    import graft.sources.Discover
+    val ev = sf("events")
+    val got = Discover.heavyHitters(ev, "user_id", k = 15, fracDen = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val n = ev.where(col("user_id").isNotNull).count()
+    val thr = math.max(1L, n / 100)
+    val want = ev.where(col("user_id").isNotNull)
+      .groupBy(col("user_id").cast("string").as("v")).count()
+      .where(col("count") >= thr)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (v, c) => (-c, v) }.take(15).toSeq
+    assert(got === want)
+  }
+
+  test("quantileSample: deterministic, and quantiles equal the exact tier on the same subset") {
+    import graft.sources.Discover
+    val ev = sf("events")
+    val s1 = Discover.quantileSample(ev, "event_id", Seq("value"),
+      Seq(0.25, 0.5, 0.75), bar = 64).collect().toSeq
+    val s2 = Discover.quantileSample(ev, "event_id", Seq("value"),
+      Seq(0.25, 0.5, 0.75), bar = 64).collect().toSeq
+    assert(s1 === s2) // pure hash predicate — no RNG, reruns identical
+    // sample rate lands near bar/256 of the rows
+    val kept = ev.where(conv(substring(md5(concat(col("event_id")
+        .cast("string"), lit(":qs"))), 1, 2), 16, 10).cast("int") < 64)
+    val (nk, nn) = (kept.count().toDouble, ev.count().toDouble)
+    assert(math.abs(nk / nn - 0.25) < 0.05, s"sample rate ${nk / nn}")
+    val exact = Discover.profileQuantiles(kept, Seq("value"),
+      Seq(0.25, 0.5, 0.75)).collect().toSeq
+    assert(s1.toSet === exact.toSet)
+  }
+
   test("profileSketch: nulls/bounds match the exact profile, HLL distincts within 10%") {
     import graft.sources.Discover
     def byCol(df: DataFrame) = df.collect()

@@ -585,4 +585,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 10L, 11L, 12L))
   }
+
+  test("ProfileStream: incremental register folds equal the one-shot sketch; " +
+       "torn-batch re-apply is a no-op on the final state") {
+    import spark.implicits._
+    import graft.sources.Discover
+    import graft.streaming.ProfileStream
+    val root = tmp()
+    val regs = s"$root/regs"
+    val rows = (1L to 400L).map(i => (i, s"v${i % 37}"))
+    val df = rows.toDF("id", "cat")
+    def regsAt(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val oneShot = regsAt(Discover.hllRegisters(df, Seq("id", "cat")))
+    // two incremental batches
+    ProfileStream.applyBatch(df.where($"id" % 2 === 0), 0L,
+      Seq("id", "cat"), regs)
+    ProfileStream.applyBatch(df.where($"id" % 2 =!= 0), 1L,
+      Seq("id", "cat"), regs)
+    assert(regsAt(ProfileStream.currentRegisters(spark, regs)) === oneShot)
+    // stale re-delivery of batch 0: rewrites regs_v0 from the
+    // pre-batch base (nothing), leaving the newest version unchanged
+    ProfileStream.applyBatch(df.where($"id" % 2 === 0), 0L,
+      Seq("id", "cat"), regs)
+    assert(regsAt(ProfileStream.currentRegisters(spark, regs)) === oneShot)
+    // a THIRD batch folding a subset already seen cannot change anything
+    ProfileStream.applyBatch(df.limit(50), 2L, Seq("id", "cat"), regs)
+    assert(regsAt(ProfileStream.currentRegisters(spark, regs)) === oneShot)
+  }
 }
