@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.{CdcStream, DedupStream, ProfileStream}
 import graft.cdc.{Binlog, ChangeLogFixture, MongoWatchClient, MongoWireServer, PgOutput, PollingCdc, Wal2Json}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{CdcWindow, ChunkPlanner, Evolve, Flatten, Incremental, Merge, SystemColumns}
 import graft.sinks.{IcebergMetadata, ParquetSink, PartitionTransforms}
 import graft.sinks.PartitionTransforms.PartitionField
@@ -79,6 +79,37 @@ object SparkEntry {
       |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
       |      ELSE 0 END + 1 AS INT) AS rank
       |  FROM src""".stripMargin
+
+  /** DuckDB side of the perceptron gates: (doc, ±1 label, feature
+    * bucket) token rows — the same tokenization fragment the Gopher
+    * oracle pins against `Dedup.tokens`, md5-hash-bucketed. */
+  private def perceptronTbSql: String =
+    """SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 1024 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(trim(
+      |    regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      |    FROM documents)""".stripMargin
+
+  /** Two batch-perceptron epochs replayed as SQL over `tb`, AVERAGED
+    * (per Classifier.perceptronFit): epoch 1 starts from zero weights
+    * (score 0 ⇒ every doc misclassified ⇒ w1 = Σ y·x); epoch 2
+    * re-scores under w1 and folds in the still-misclassified docs
+    * (w2 = w1 + u2). The averaged model is w1 + w2 = 2·w1 + u2. All
+    * 1024 buckets emitted, zeros included. */
+  private def perceptronW2Sql: String =
+    """w1 AS (SELECT b, sum(y) AS w FROM tb GROUP BY 1),
+      |s2 AS (SELECT doc_id, min(y) AS y, sum(w1.w) AS s
+      |  FROM tb LEFT JOIN w1 USING (b) GROUP BY doc_id),
+      |u2 AS (SELECT tb.b, sum(tb.y) AS u FROM tb
+      |  JOIN (SELECT doc_id FROM s2 WHERE y * s <= 0) m USING (doc_id)
+      |  GROUP BY 1),
+      |w2 AS (SELECT CAST(r.range AS INT) AS bucket,
+      |    CAST(2 * COALESCE(w1.w, 0) + COALESCE(u2.u, 0) AS BIGINT)
+      |      AS weight
+      |  FROM range(1024) r
+      |  LEFT JOIN w1 ON w1.b = r.range
+      |  LEFT JOIN u2 ON u2.b = r.range)""".stripMargin
 
   /** DuckDB rendering of the lowbias32 sign bit `randomProject` uses —
     * generated so gate and oracle share one definition. */
@@ -3875,6 +3906,42 @@ object SparkEntry {
         "doc_id", "page")
     }),
 
+    // ---- LLM: in-engine quality-classifier TRAINING — the fastText-
+    //      shaped CCNet/LLaMA curation step as a batch perceptron over
+    //      md5-hashed bag-of-words. Integer weights, batch updates, no
+    //      ordering or learning-rate float → the oracle replays whole
+    //      EPOCHS as SQL. One corpus pass + one ≤dim-row exchange per
+    //      epoch ----
+    "q_perceptron_fit" -> ((s, dir) =>
+      Classifier.perceptronFitFrame(
+        t(s, dir, "documents").withColumn("y",
+          when(col("lang") === "en", 1).otherwise(-1)),
+        "text", "y", dim = 1024, epochs = 2)),
+
+    // ---- LLM: classifier SERVING — per-doc integer score under the
+    //      trained weights, map-only (weights broadcast as literals,
+    //      the dot product is an aggregate HOF — no join, no explode) ----
+    "q_perceptron_apply" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("y",
+        when(col("lang") === "en", 1).otherwise(-1))
+      val w = Classifier.perceptronFit(d, "text", "y", dim = 1024,
+        epochs = 2)
+      Classifier.perceptronApply(d, "doc_id", "text", "y", w.toSeq)
+    }),
+
+    // ---- LLM: threshold selection — confusion counts + F1 at every
+    //      observed score, so curation picks its precision/recall
+    //      point; the window runs over one row per DISTINCT INTEGER
+    //      SCORE, never the corpus ----
+    "q_perceptron_threshold" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("y",
+        when(col("lang") === "en", 1).otherwise(-1))
+      val w = Classifier.perceptronFit(d, "text", "y", dim = 1024,
+        epochs = 2)
+      Classifier.thresholdCurve(
+        Classifier.perceptronApply(d, "doc_id", "text", "y", w.toSeq))
+    }),
+
     // ---- LLM: overlapping token-window chunking (window 64, stride
     //      48 → 16-token overlap) — the pre-embedding / context-prep
     //      shape; map-only, DuckDB replays the chunk math over its own
@@ -6350,6 +6417,47 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         |  CAST(ceil(length(text)/4.0) AS BIGINT) AS est_tokens
         |FROM documents""".stripMargin,
+
+    // two whole perceptron epochs replayed as SQL
+    "q_perceptron_fit" ->
+      s"""WITH tb AS ($perceptronTbSql),
+         |$perceptronW2Sql
+         |SELECT bucket, weight FROM w2""".stripMargin,
+
+    // the same two epochs, then per-doc scores under the final weights
+    "q_perceptron_apply" ->
+      s"""WITH tb AS ($perceptronTbSql),
+         |$perceptronW2Sql,
+         |sc AS (SELECT tb.doc_id, min(tb.y) AS y, sum(w2.weight) AS s
+         |  FROM tb JOIN w2 ON w2.bucket = tb.b GROUP BY tb.doc_id)
+         |SELECT doc_id, CAST(s AS BIGINT) AS score,
+         |  CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+         |  CAST(y AS INT) AS y,
+         |  (CASE WHEN s > 0 THEN 1 ELSE -1 END) = y AS correct
+         |FROM sc""".stripMargin,
+
+    // the same epochs and scores, then the cumulative confusion curve
+    // over distinct scores (descending), F1 as one exact-int division
+    "q_perceptron_threshold" ->
+      s"""WITH tb AS ($perceptronTbSql),
+         |$perceptronW2Sql,
+         |sc AS (SELECT tb.doc_id, min(tb.y) AS y, sum(w2.weight) AS s
+         |  FROM tb JOIN w2 ON w2.bucket = tb.b GROUP BY tb.doc_id),
+         |g AS (SELECT CAST(s AS BIGINT) AS score,
+         |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+         |    sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS neg
+         |  FROM sc GROUP BY 1),
+         |cum AS (SELECT score,
+         |    CAST(sum(pos) OVER (ORDER BY score DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         |    CAST(sum(neg) OVER (ORDER BY score DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+         |    CAST((sum(pos) OVER ()) - (sum(pos) OVER (ORDER BY score DESC
+         |      ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS fn
+         |  FROM g)
+         |SELECT score, tp, fp, fn,
+         |  2.0 * tp / (2 * tp + fp + fn) AS f1
+         |FROM cum""".stripMargin,
 
     // the same page construction, line lambda, and page rules
     "q_c4_rules" ->

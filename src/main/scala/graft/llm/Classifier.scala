@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine quality-classifier training — the fastText-shaped step of
+  * public curation pipelines (CCNet trains a linear classifier to keep
+  * "Wikipedia-like" pages; LLaMA's curation repeats it). The model here
+  * is the classic batch perceptron (Rosenblatt 1958; convergence:
+  * Novikoff 1962) over hashed bag-of-words features:
+  *
+  *   bucket(token) = first 4 hex chars of md5(token) mod dim
+  *   epoch:  w ← w + Σ_{docs with y·⟨w,x⟩ ≤ 0} y · x
+  *
+  * Every quantity is an INTEGER (counts, ±1 labels, weight sums) and
+  * the update is a batch sum — no sample ordering, no learning-rate
+  * float — so training is deterministic and the DuckDB oracle replays
+  * whole epochs as SQL.
+  *
+  * Scale shape: one epoch = one pass over the corpus (the score is an
+  * `aggregate` HOF over the token array against BROADCAST literal
+  * weights — no join) + one exchange of ≤ dim partial-summed rows.
+  * The collected weight vector is planner metadata (dim longs),
+  * exactly like a chunk-boundary list. Epochs are few and fixed;
+  * corpus passes dominate, and each is map-only until the dim-row
+  * combine.
+  */
+object Classifier {
+
+  /** Feature bucket of one token — md5-derived so the oracle agrees. */
+  def bucket(tok: Column, dim: Int): Column =
+    (conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % dim).cast("int")
+
+  /** ⟨w, x(text)⟩ as a single HOF fold over the token array: summing
+    * w[bucket(tok)] over token INSTANCES is the dot product with the
+    * hashed count vector. Codegen-friendly, zero shuffle. */
+  def score(text: Column, w: Seq[Long]): Column = {
+    val wl = typedLit(w)
+    aggregate(Dedup.tokens(text), lit(0L),
+      (acc, tk) => acc + element_at(wl, bucket(tk, w.size) + 1))
+  }
+
+  /** One batch-perceptron epoch: fold the misclassified docs' y·x into
+    * the weights. `labelCol` must be ±1. */
+  private def epoch(df: DataFrame, textCol: String, labelCol: String,
+                    w: Array[Long]): Array[Long] = {
+    val mis = df.where(col(labelCol) * score(col(textCol), w.toSeq) <= 0)
+    val upd = mis
+      .select(col(labelCol).cast("long").as("_y"),
+        explode(Dedup.tokens(col(textCol))).as("_tok"))
+      .groupBy(bucket(col("_tok"), w.length).as("b"))
+      .agg(sum(col("_y")).as("u"))
+      .collect()                        // ≤ dim rows — planner metadata
+    val next = w.clone()
+    upd.foreach(r => next(r.getInt(0)) += r.getLong(1))
+    next
+  }
+
+  /** Train `epochs` batch-perceptron epochs from zero weights and
+    * return the AVERAGED model — the sum of the per-epoch weight
+    * vectors (Freund & Schapire 1999's averaged perceptron, scaled by
+    * the epoch count, which cannot change any score's sign). Plain
+    * last-epoch weights oscillate under class imbalance: with shared
+    * vocabulary across classes, epoch t overshoots toward whichever
+    * class epoch t−1 got wrong, flipping the majority prediction each
+    * round. Marker features accumulate the same sign EVERY epoch while
+    * shared features alternate, so the sum keeps the signal and
+    * cancels the oscillation — and stays integer/deterministic, so the
+    * oracle replays it epoch by epoch. */
+  def perceptronFit(df: DataFrame, textCol: String, labelCol: String,
+                    dim: Int, epochs: Int): Array[Long] = {
+    val perEpoch = (1 to epochs).scanLeft(Array.fill(dim)(0L))((w, _) =>
+      epoch(df, textCol, labelCol, w)).drop(1)
+    perEpoch.transpose.map(_.sum).toArray
+  }
+
+  /** Fitted weights as a frame for the gate: all `dim` buckets, zeros
+    * included (a hit bucket can legitimately sum to zero). */
+  def perceptronFitFrame(df: DataFrame, textCol: String, labelCol: String,
+                         dim: Int, epochs: Int): DataFrame = {
+    val w = perceptronFit(df, textCol, labelCol, dim, epochs)
+    import df.sparkSession.implicits._
+    w.toSeq.zipWithIndex.map { case (wt, b) => (b, wt) }
+      .toDF("bucket", "weight")
+  }
+
+  /** Serve the model: per-doc integer score and ±1 prediction — a
+    * map-only pass (weights broadcast as literals). */
+  def perceptronApply(df: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, w: Seq[Long]): DataFrame = {
+    val s = score(col(textCol), w)
+    df.select(col(idCol), s.as("score"),
+      when(s > 0, 1).otherwise(-1).as("pred"), col(labelCol).as("y"))
+      .withColumn("correct", col("pred") === col("y"))
+  }
+
+  /** Threshold selection — "keep docs scoring ≥ t": the confusion
+    * counts and F1 at every candidate threshold (= every observed
+    * score), so curation can pick its precision/recall point. The
+    * corpus collapses to one row per DISTINCT INTEGER SCORE first
+    * (bounded by the score range, not the corpus), then the cumulative
+    * window runs over that small frame — the same planner-metadata
+    * scale as a chunk-boundary list. F1 is one IEEE division of exact
+    * integers, bit-identical cross-engine (never a float sum). */
+  def thresholdCurve(applied: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = applied.groupBy(col("score"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("neg"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    g.select(col("score"),
+        sum(col("pos")).over(cum).as("tp"),
+        sum(col("neg")).over(cum).as("fp"),
+        (sum(col("pos")).over(tot) - sum(col("pos")).over(cum)).as("fn"))
+      .withColumn("f1", lit(2.0) * col("tp") /
+        (lit(2) * col("tp") + col("fp") + col("fn")))
+  }
+}

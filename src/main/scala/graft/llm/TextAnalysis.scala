@@ -483,14 +483,27 @@ object TextAnalysis {
                          k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
     val p = 1000000007L
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val hashed = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
       .withColumn("n", size(col("toks")) - (k - 1))
-      .withColumn("hashes", transform(sequence(lit(0), col("n") - 1), i =>
-        aggregate(slice(col("toks"), i + 1, lit(k)), lit(0L),
-          (acc, tkn) => (acc * 131L +
-            (ascii(tkn) * 31 + length(tkn)).cast("long")) % p)))
-      .withColumn("m", greatest(lit(1), col("n") - (w - 1)))
+      .select(col(idCol),
+        transform(sequence(lit(0), col("n") - 1), i =>
+          aggregate(slice(col("toks"), i + 1, lit(k)), lit(0L),
+            (acc, tkn) => (acc * 131L +
+              (ascii(tkn) * 31 + length(tkn)).cast("long")) % p))
+          .as("hashes"))
+    // MATERIALIZE the hash array before the window-argmin pass. Catalyst
+    // inlines single-use aliases into downstream lambdas, and HOF
+    // lambdas evaluate interpreted with no common-subexpression reuse —
+    // inlined, every one of the ~n window positions would recompute the
+    // whole n×k hash pipeline (tokens included), turning a per-doc
+    // O(n·w) selection into O(n²·k·|text|); at sf0.1 that is a
+    // 30-CPU-minute straggler task (measured). The RDD round-trip is a
+    // plan barrier: one row-encode per doc, zero shuffle, and the
+    // selection below reads `hashes` as plain row data.
+    val mat = df.sparkSession.createDataFrame(hashed.rdd, hashed.schema)
+    mat
+      .withColumn("m", greatest(lit(1), size(col("hashes")) - (w - 1)))
       .withColumn("sel", array_distinct(
         transform(sequence(lit(0), col("m") - 1), t => {
           val ws = slice(col("hashes"), t + 1, lit(w))

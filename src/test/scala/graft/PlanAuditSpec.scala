@@ -677,6 +677,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exact count should shuffle exactly once:\n$p")
   }
 
+  test("perceptron serving is map-only: literal weights, no join/explode/shuffle") {
+    val p = plan(q("q_perceptron_apply"))
+    assert(!p.contains("Join"), s"weights must ride as literals:\n$p")
+    assert(!p.contains("Exchange"), s"serving must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"the HOF dot product must not explode:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")
+  }
+
   test("C4 rules: map-only — line filtering rides array HOFs, never an explode/shuffle") {
     val p = plan(q("q_c4_rules"))
     assert("Scan parquet".r.findAllIn(p).size == 1, s"multiple scans:\n$p")

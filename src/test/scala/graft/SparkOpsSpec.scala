@@ -1758,6 +1758,98 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est("doc_id") === expected)
   }
 
+  // ---- in-engine classifier training (batch perceptron) ----
+
+  /** JVM reference of hashed-BoW batch-perceptron training, independent
+    * of the Column-DSL path under test. */
+  private def refPerceptron(docs: Seq[(String, Int)], dim: Int,
+                            epochs: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def buck(tok: String): Int = {
+      val hx = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hx.take(4), 16) % dim
+    }
+    def toks(t: String): Seq[Int] = t.toLowerCase
+      .replaceAll("\\s+", " ").trim.split(" ", -1).toSeq.map(buck)
+    var w = Array.fill(dim)(0L)
+    val avg = Array.fill(dim)(0L)
+    for (_ <- 1 to epochs) {
+      val upd = Array.fill(dim)(0L)
+      for ((t, y) <- docs) {
+        val bs = toks(t)
+        if (y * bs.map(w(_)).sum <= 0) bs.foreach(b => upd(b) += y)
+      }
+      w = w.zip(upd).map { case (a, b) => a + b }
+      for (i <- 0 until dim) avg(i) += w(i)
+    }
+    avg
+  }
+
+  test("perceptronFit matches an independent JVM reference on the corpus") {
+    import graft.llm.Classifier
+    // the synthetic corpus gives every language the SAME 31-word
+    // vocabulary, so this label carries no signal — which makes it the
+    // determinism check (training must still be bit-reproducible);
+    // learnability is proven on the marker fixture below
+    val d = sf("documents").withColumn("y",
+      when(col("lang") === "en", 1).otherwise(-1))
+    val got = Classifier.perceptronFit(d, "text", "y", dim = 1024,
+      epochs = 2)
+    val docs = d.select("text", "y").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toSeq
+    assert(got.toSeq === refPerceptron(docs, 1024, 2).toSeq)
+  }
+
+  test("perceptron learns a separable concept: marker vocabularies classify perfectly") {
+    import spark.implicits._
+    import graft.llm.Classifier
+    // two classes sharing filler words but with disjoint markers —
+    // the averaged model must recover the markers and classify 100%
+    val filler = "the data table row value"
+    val docs = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, s"$filler alpha beta gamma item $i", 1)
+      else (i.toLong, s"$filler delta epsilon zeta item $i", -1)
+    }.toDF("id", "text", "y")
+    val w = Classifier.perceptronFit(docs, "text", "y", dim = 1024,
+      epochs = 3)
+    val applied = Classifier.perceptronApply(docs, "id", "text", "y",
+      w.toSeq)
+    assert(applied.where(!col("correct")).count() === 0L)
+    // and the averaged model is what makes that stable: per-epoch
+    // weights oscillate with class imbalance, the sum keeps markers
+    val skewed = (0 until 300).map { i =>
+      if (i % 3 == 0) (i.toLong, s"$filler alpha beta gamma item $i", 1)
+      else (i.toLong, s"$filler delta epsilon zeta item $i", -1)
+    }.toDF("id", "text", "y")
+    val w2 = Classifier.perceptronFit(skewed, "text", "y", 1024, 3)
+    val acc2 = Classifier.perceptronApply(skewed, "id", "text", "y",
+      w2.toSeq)
+    assert(acc2.where(!col("correct")).count() === 0L)
+  }
+
+  test("thresholdCurve: confusion counts verified against brute force at every threshold") {
+    import graft.llm.Classifier
+    val d = sf("documents").withColumn("y",
+      when(col("lang") === "en", 1).otherwise(-1))
+    val w = Classifier.perceptronFit(d, "text", "y", 1024, 2)
+    val applied = Classifier.perceptronApply(d, "doc_id", "text", "y",
+      w.toSeq)
+    val rows = applied.select("score", "y").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val curve = Classifier.thresholdCurve(applied).collect()
+    assert(curve.nonEmpty)
+    for (c <- curve) {
+      val t = c.getLong(0)
+      val tp = rows.count { case (s, y) => s >= t && y == 1 }
+      val fp = rows.count { case (s, y) => s >= t && y == -1 }
+      val fn = rows.count { case (s, y) => s < t && y == 1 }
+      assert((c.getLong(1), c.getLong(2), c.getLong(3)) === ((tp, fp, fn)),
+        s"threshold $t")
+      assert(c.getDouble(4) === 2.0 * tp / (2 * tp + fp + fn))
+    }
+  }
+
   // ---- C4 line-level cleaning rules ----
 
   test("c4Rules: line filter (terminal punct, ≥5 words, no javascript) and page rules") {
