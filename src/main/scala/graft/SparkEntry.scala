@@ -3318,6 +3318,19 @@ object SparkEntry {
       Discover.quantileSample(t(s, dir, "events"), "event_id",
         Seq("value", "user_id"), Seq(0.25, 0.5, 0.75), bar = 64)),
 
+    // ---- PROFILE DRIFT: the data-quality regression check between
+    //      two snapshots of one stream — per-column null/distinct
+    //      deltas + type/bounds-movement flags; the comparison joins
+    //      n_cols rows, never the tables ----
+    "q_profile_drift" -> ((s, dir) => {
+      val cols = Seq("user_id", "event_type")
+      val ev = t(s, dir, "events")
+      Discover.profileDrift(
+        Discover.profileFrame(
+          ev.where(col("event_id") <= 5000).select(cols.map(col): _*)),
+        Discover.profileFrame(ev.select(cols.map(col): _*)))
+    }),
+
     // ---- INCREMENTAL profiling: HLL registers maintained across
     //      micro-batches (two checkpoint-resumed streaming runs), plus
     //      a stale re-delivery of batch 0 — max-folding is idempotent,
@@ -3356,6 +3369,44 @@ object SparkEntry {
       // regs_v0 from the pre-batch base, leaving the newest unchanged
       ProfileStream.applyBatch(b0, 0L, cols, regs)
       ProfileStream.currentRegisters(s, regs)
+    }),
+
+    // ---- INCREMENTAL heavy hitters: CMS cells maintained across
+    //      micro-batches. Sum-folds are replay-safe only through the
+    //      version scoping (fold into the newest version BELOW the
+    //      batchId) — the stale re-delivery of batch 0 here rewrites
+    //      cms_v0 and must NOT double-count into the newest. Final
+    //      sketch == the one-shot q_profile_cms oracle ----
+    "q_profile_cms_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField => SF, StructType => ST}
+      val root = new java.io.File("/tmp/graft_cstream")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val cms = s"$root/cms"; val ckpt = s"$root/ckpt"
+      val d = t(s, dir, "events").select("event_id", "user_id")
+      val schema = ST(Seq(SF("event_id", LongType),
+        SF("user_id", LongType)))
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, file)): Unit
+      }
+      val b0 = d.where(col("event_id") % 2 === 0)
+      stage(b0, "b1.json")
+      ProfileStream.runCms(s, src, schema, "user_id", cms, ckpt)
+        .awaitTermination()
+      stage(d.where(col("event_id") % 2 =!= 0), "b2.json")
+      ProfileStream.runCms(s, src, schema, "user_id", cms, ckpt)
+        .awaitTermination()
+      ProfileStream.applyCmsBatch(b0, 0L, "user_id", cms)
+      ProfileStream.currentCms(s, cms)
     }),
 
     // ---- LLM: BPE merge-pair mining — adjacent char-pair counts over
@@ -5560,6 +5611,54 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  FROM events, hr WHERE user_id IS NOT NULL)
         |SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // incremental == one-shot: the final stored CMS must equal the
+    // whole-table sketch (same derivation as q_profile_cms)
+    "q_profile_cms_stream" ->
+      """WITH hr AS (SELECT unnest([0,1,2,3]) AS r),
+        |h AS (SELECT hr.r AS r,
+        |    CAST(CAST(('0x' || substr(md5(CAST(hr.r AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS INT)
+        |      AS bucket
+        |  FROM events, hr WHERE user_id IS NOT NULL)
+        |SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // both snapshots' profiles replayed per column, then the deltas
+    "q_profile_drift" ->
+      """WITH prev AS (
+        |  SELECT 'user_id' AS column_name, 'bigint' AS dtype,
+        |    CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(user_id) AS VARCHAR) AS mn,
+        |    CAST(max(user_id) AS VARCHAR) AS mx
+        |  FROM events WHERE event_id <= 5000
+        |  UNION ALL
+        |  SELECT 'event_type', 'string',
+        |    CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+        |    CAST(count(DISTINCT event_type) AS BIGINT),
+        |    min(event_type), max(event_type)
+        |  FROM events WHERE event_id <= 5000),
+        |cur AS (
+        |  SELECT 'user_id' AS column_name, 'bigint' AS dtype,
+        |    CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(user_id) AS VARCHAR) AS mn,
+        |    CAST(max(user_id) AS VARCHAR) AS mx
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', 'string',
+        |    CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+        |    CAST(count(DISTINCT event_type) AS BIGINT),
+        |    min(event_type), max(event_type)
+        |  FROM events)
+        |SELECT column_name,
+        |  cur.dtype <> prev.dtype AS dtype_changed,
+        |  cur.n_nulls - prev.n_nulls AS null_delta,
+        |  cur.n_distinct - prev.n_distinct AS distinct_delta,
+        |  cur.mn IS DISTINCT FROM prev.mn AS min_changed,
+        |  cur.mx IS DISTINCT FROM prev.mx AS max_changed
+        |FROM prev JOIN cur USING (column_name)""".stripMargin,
 
     // incremental == one-shot: the final stored sketch must equal the
     // whole-table register oracle (same SQL as q_profile_hll)

@@ -119,6 +119,35 @@ object Discover {
       "min_value", "max_value")
   }
 
+  /** The one-pass exact profile of an arbitrary frame (the
+    * table-loading [[profile]] narrowed to its aggregate core) — the
+    * building block for snapshot-to-snapshot comparisons. */
+  def profileFrame(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    profileCore(df.sparkSession, df,
+      distinctOf = Some(c => count_distinct(c)))
+  }
+
+  /** PROFILE DRIFT — the data-quality regression check between two
+    * snapshots of one stream (previous sync vs current): per-column
+    * null/distinct deltas and type/bounds-movement flags. Each side is
+    * the one-pass profile aggregate; the comparison joins n_cols rows
+    * — planner-metadata scale regardless of table size. */
+  def profileDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def side(p: DataFrame, sfx: String) = p.select(col("column_name"),
+      col("dtype").as(s"dtype$sfx"), col("n_nulls").as(s"n_nulls$sfx"),
+      col("n_distinct").as(s"n_distinct$sfx"),
+      col("min_value").as(s"mn$sfx"), col("max_value").as(s"mx$sfx"))
+    side(prev, "_p").join(side(cur, "_c"), Seq("column_name"))
+      .select(col("column_name"),
+        (col("dtype_c") =!= col("dtype_p")).as("dtype_changed"),
+        (col("n_nulls_c") - col("n_nulls_p")).as("null_delta"),
+        (col("n_distinct_c") - col("n_distinct_p")).as("distinct_delta"),
+        (!(col("mn_c") <=> col("mn_p"))).as("min_changed"),
+        (!(col("mx_c") <=> col("mx_p"))).as("max_changed"))
+  }
+
   private def atomicColumns(df: DataFrame): Set[String] =
     df.schema.fields.filter(f => f.dataType match {
       case _: org.apache.spark.sql.types.ArrayType |

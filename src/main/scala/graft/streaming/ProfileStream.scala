@@ -74,4 +74,54 @@ object ProfileStream {
       .foreachBatch((df: DataFrame, id: Long) =>
         applyBatch(df, id, cols, regDir))
       .start()
+
+  // ---- Count-Min maintenance (heavy hitters across syncs) ----
+  //
+  // CMS cells merge by SUM, which — unlike the register max-fold — is
+  // NOT idempotent on its own. The versioned overwrite scoping is what
+  // restores replay safety: batch B always folds into the newest
+  // version STRICTLY BELOW B, so a torn-batch replay of B rewrites
+  // cms_v<B> from the same base, byte-identically, instead of
+  // double-counting into it.
+
+  private def latestCms(dir: String, belowVersion: Long): Option[String] = {
+    val vs = Option(new File(dir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cms_v"))
+      .map(f => f.getName.stripPrefix("cms_v").toLong)
+      .filter(_ < belowVersion)
+    if (vs.isEmpty) None else Some(s"$dir/cms_v${vs.max}")
+  }
+
+  /** The current sketch on disk (empty frame if none yet). */
+  def currentCms(spark: SparkSession, dir: String): DataFrame =
+    latestCms(dir, Long.MaxValue) match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Int, Int, Long)].toDF("r", "bucket", "cnt")
+    }
+
+  /** Fold one batch's CMS cells into the stored sketch. */
+  def applyCmsBatch(batch: DataFrame, batchId: Long, c: String,
+                    dir: String, d: Int = 4, w: Int = 1024): Unit = {
+    val spark = batch.sparkSession
+    val fresh = Discover.cmsSketch(batch, c, d, w)
+    val merged = latestCms(dir, belowVersion = batchId) match {
+      case Some(p) => spark.read.parquet(p).unionByName(fresh)
+        .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      case None => fresh
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/cms_v$batchId")
+  }
+
+  /** Stream `srcDir` and keep the heavy-hitter sketch current. */
+  def runCms(spark: SparkSession, srcDir: String, schema: StructType,
+             c: String, dir: String, ckpt: String): StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) =>
+        applyCmsBatch(df, id, c, dir))
+      .start()
 }

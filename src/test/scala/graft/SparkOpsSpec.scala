@@ -1955,6 +1955,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.toSet === exact.toSet)
   }
 
+  test("profileDrift: identical snapshots report zero drift; injected drift is itemized") {
+    import graft.sources.Discover
+    val ev = sf("events").select("user_id", "event_type")
+    val same = Discover.profileDrift(Discover.profileFrame(ev),
+      Discover.profileFrame(ev)).collect()
+    assert(same.length === 2)
+    for (r <- same) {
+      assert(!r.getBoolean(1) && r.getLong(2) === 0L &&
+        r.getLong(3) === 0L && !r.getBoolean(4) && !r.getBoolean(5),
+        s"phantom drift: $r")
+    }
+    // inject: drop the max user_id and null out some event_types
+    val maxId = sf("events").agg(max("user_id")).collect()(0).getLong(0)
+    val cur = sf("events")
+      .where(col("user_id") =!= maxId || col("user_id").isNull)
+      .select(col("user_id"),
+        when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("event_type"))
+    val drift = Discover.profileDrift(
+        Discover.profileFrame(sf("events").select("user_id", "event_type")),
+        Discover.profileFrame(cur))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(drift("user_id").getLong(3) === -1L)     // one distinct gone
+    assert(drift("user_id").getBoolean(5))           // max moved
+    assert(drift("event_type").getLong(2) > 0L)      // nulls appeared
+    assert(!drift("event_type").getBoolean(4))       // min intact
+  }
+
   test("profileSketch: nulls/bounds match the exact profile, HLL distincts within 10%") {
     import graft.sources.Discover
     def byCol(df: DataFrame) = df.collect()

@@ -613,4 +613,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     ProfileStream.applyBatch(df.limit(50), 2L, Seq("id", "cat"), regs)
     assert(regsAt(ProfileStream.currentRegisters(spark, regs)) === oneShot)
   }
+
+  test("ProfileStream CMS: incremental sum-folds equal the one-shot sketch; " +
+       "version scoping makes the replay rewrite, not double-count") {
+    import spark.implicits._
+    import graft.sources.Discover
+    import graft.streaming.ProfileStream
+    val root = tmp()
+    val dir = s"$root/cms"
+    val rows = (1L to 500L).map(i => (i, i % 41))
+    val df = rows.toDF("id", "v")
+    def cells(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val oneShot = cells(Discover.cmsSketch(df, "v"))
+    val b0 = df.where($"id" % 2 === 0)
+    ProfileStream.applyCmsBatch(b0, 0L, "v", dir)
+    ProfileStream.applyCmsBatch(df.where($"id" % 2 =!= 0), 1L, "v", dir)
+    assert(cells(ProfileStream.currentCms(spark, dir)) === oneShot)
+    // stale re-delivery of batch 0: a SUM-fold would double-count if it
+    // folded into the newest state — the version scoping must instead
+    // rewrite cms_v0 from the (empty) pre-batch base
+    ProfileStream.applyCmsBatch(b0, 0L, "v", dir)
+    assert(cells(ProfileStream.currentCms(spark, dir)) === oneShot)
+  }
 }
