@@ -119,7 +119,7 @@ object Bench {
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_kmeans_assign", "q_vec_norm", "q_vec_quantize",
     "q_vec_project", "q_bpe_encode", "q_profile_quantiles",
     "q_profile_hll", "q_profile_cms", "q_profile_topk", "q_c4_rules",
-    "q_perceptron_fit",
+    "q_perceptron_fit", "q_bpe_train",
     "q_pipeline_e2e", "q_epoch_shuffle",
     "q_multimodal_meta", "q_image_ahash", "q_image_neardup",
     "q_media_frames", "q_media_resize", "q_sample_temperature",

@@ -111,6 +111,39 @@ object SparkEntry {
       |  LEFT JOIN w1 ON w1.b = r.range
       |  LEFT JOIN u2 ON u2.b = r.range)""".stripMargin
 
+  /** DuckDB replay of `rounds` BPE training rounds — the CTE chain is
+    * GENERATED so gate and oracle share one definition of the loop:
+    * w0 = chr(1)-separated character spellings of the corpus vocab;
+    * each round counts adjacent symbol pairs, takes the (cnt desc,
+    * pair) argmax, and applies it as a string replace. `finalSelect`
+    * picks the output (merge table or trained vocab). */
+  private def bpeTrainOracleSql(rounds: Int, finalSelect: String): String = {
+    val w0 =
+      """w0 AS (SELECT
+        |  rtrim(regexp_replace(w, '(.)', '\1' || chr(1), 'g'), chr(1)) AS s,
+        |  freq
+        |  FROM (SELECT t AS w, count(*) AS freq
+        |    FROM (SELECT unnest(string_split(trim(
+        |      regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |      FROM documents) GROUP BY 1))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pair, sum(freq) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(l) >= 2
+         |      THEN list_transform(range(1, len(l)),
+         |        i -> l[i] || chr(1) || l[i+1])
+         |      ELSE [] END) AS pair, freq
+         |    FROM (SELECT string_split(s, chr(1)) AS l, freq
+         |      FROM w${r - 1})) GROUP BY 1),
+         |b$r AS (SELECT string_split(pair, chr(1))[1] AS a,
+         |    string_split(pair, chr(1))[2] AS b, cnt
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (SELECT
+         |  replace(s, b$r.a || chr(1) || b$r.b, b$r.a || b$r.b) AS s,
+         |  freq FROM w${r - 1}, b$r)""".stripMargin
+    }
+    (Seq("WITH " + w0) ++ steps).mkString(",\n") + "\n" + finalSelect
+  }
+
   /** DuckDB rendering of the lowbias32 sign bit `randomProject` uses —
     * generated so gate and oracle share one definition. */
   private def lowbias32BitSql(k: String): String = {
@@ -3414,6 +3447,21 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 200)),
 
+    // ---- LLM: BPE TRAINING — the iterative merge-learning loop
+    //      (Sennrich et al. 2016) between pair mining and apply. Each
+    //      round: pair counts over the vocab partial-agg to ONE argmax
+    //      row, merge applies as a string replace (left-to-right,
+    //      non-overlapping in both engines) — the oracle replays all
+    //      8 rounds ----
+    "q_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", rounds = 8)),
+
+    // ---- LLM: the trained tokenizer vocabulary after those merges —
+    //      what a tokenizer export serializes ----
+    "q_bpe_train_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeTrainedVocab(t(s, dir, "documents"), "text",
+        rounds = 8)),
+
     // ---- LLM: the curation pipeline COMPOSED end-to-end in ONE plan —
     //      quality gate → language gate → PII scrub → exact dedup →
     //      split assignment → token count. Every stage is individually
@@ -5707,6 +5755,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  FROM w)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 200""".stripMargin,
+
+    // all 8 training rounds replayed (generated CTE chain)
+    "q_bpe_train" -> bpeTrainOracleSql(8,
+      (1 to 8).map(r =>
+        s"SELECT $r AS round, a, b, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+        .mkString("\nUNION ALL ")),
+
+    // the vocabulary after those merges
+    "q_bpe_train_vocab" -> bpeTrainOracleSql(8,
+      """SELECT replace(s, chr(1), ' ') AS spelling,
+        |  CAST(freq AS BIGINT) AS freq FROM w8""".stripMargin),
 
     // every stage's oracle fragment chained as CTEs — the same math
     // as q_quality_score / q_lang_id / q_pii_scrub / q_dedup_exact /

@@ -373,6 +373,75 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(k)
   }
 
+  /** BPE TRAINING — learn the merge table itself (Sennrich et al.
+    * 2016; [[bpePairCounts]] mines the round-1 candidates,
+    * [[bpeTokenCount]] applies a finished table, this is the loop
+    * between them). Spellings ride as chr(1)-separated symbol strings,
+    * merges apply as plain string `replace` — left-to-right and
+    * non-overlapping in both engines — so the DuckDB oracle replays
+    * EVERY ROUND: pair argmax (ties by pair string) and merge apply,
+    * exactly.
+    *
+    * Scale shape: training runs on the (word, freq) VOCABULARY, the
+    * way published BPE trainers do — one corpus pass builds it, and
+    * each round is then a pass over vocab rows: pair counts
+    * partial-agg down to a single collected argmax (planner
+    * metadata), and the merge is a codegen'd replace. The declarative
+    * lineage recomputes the vocab chain per round at gate scale; a
+    * long production run would persist the vocab between rounds, which
+    * changes nothing the oracle sees. */
+  def bpeTrain(df: DataFrame, textCol: String,
+               rounds: Int): DataFrame = {
+    val sep = "\u0001"
+    val sepL = lit(sep)
+    def pairsOf(s: Column): Column = {
+      val syms = split(s, sep)
+      when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1), i =>
+          concat(element_at(syms, i), sepL, element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
+        .as("s"), col("freq"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = vocab
+        .select(col("freq"), explode(pairsOf(col("s"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()(0)                    // one row — planner metadata
+      val Array(a, b) = best.getString(0).split(sep)
+      merges += ((r, a, b, best.getLong(1)))
+      vocab = vocab.select(
+        replace(col("s"), lit(a + sep + b), lit(a + b)).as("s"),
+        col("freq"))
+    }
+    import df.sparkSession.implicits._
+    merges.result().toDF("round", "a", "b", "cnt")
+  }
+
+  /** The trained vocabulary after `rounds` merges: each word's final
+    * symbol spelling (space-joined for readability) with its corpus
+    * frequency — what a tokenizer export would serialize. */
+  def bpeTrainedVocab(df: DataFrame, textCol: String,
+                      rounds: Int): DataFrame = {
+    val sep = "\u0001"
+    val table = bpeTrain(df, textCol, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
+        .as("s"), col("freq"))
+    for ((a, b) <- table)
+      vocab = vocab.select(
+        replace(col("s"), lit(a + sep + b), lit(a + b)).as("s"),
+        col("freq"))
+    vocab.select(replace(col("s"), lit(sep), lit(" ")).as("spelling"),
+      col("freq"))
+  }
+
   /** Apply a FIXED ranked BPE merge table and count tokens per
     * document — the tokenize-at-scale half of BPE ([[bpePairCounts]]
     * being the mining half): training learns merges once on a sample;

@@ -1758,6 +1758,64 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est("doc_id") === expected)
   }
 
+  // ---- BPE training loop ----
+
+  /** JVM reference BPE trainer (sequence-of-symbols form, independent
+    * of the string-replace representation under test). */
+  private def refBpe(words: Map[String, Long],
+                     rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = words.toSeq.map { case (w, f) =>
+      (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) =>
+        (-n, x + "\u0001" + y) }
+      out += ((r, a, b, c))
+      vocab = vocab.map { case (syms, f) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        (merged.result(), f)
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain matches a symbol-sequence JVM reference; trained vocab folds back to the words") {
+    import graft.llm.TextAnalysis
+    val d = sf("documents")
+    val got = TextAnalysis.bpeTrain(d, "text", rounds = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val words = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refBpe(words, 8))
+    // merges actually merge: every learned pair's halves concatenate to
+    // a symbol that appears in the trained vocab spellings
+    val vocab = TextAnalysis.bpeTrainedVocab(d, "text", rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val syms = vocab.flatMap(_._1.split(" ")).toSet
+    val firstMerge = got.head._2 + got.head._3
+    assert(syms.exists(_.contains(firstMerge)))
+    // removing the separators reconstructs exactly the corpus vocabulary
+    assert(vocab.map { case (s, f) => s.replace(" ", "") -> f }.toMap
+      === words)
+    // and symbols shrink monotonically vs the raw character count
+    val rawSyms = words.keysIterator.map(_.length.toLong).sum
+    val trainedSyms = vocab.map(_._1.split(" ").length.toLong).sum
+    assert(trainedSyms < rawSyms)
+  }
+
   // ---- in-engine classifier training (batch perceptron) ----
 
   /** JVM reference of hashed-BoW batch-perceptron training, independent
