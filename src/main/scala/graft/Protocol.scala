@@ -484,6 +484,80 @@ object Protocol {
     * completes — the reference's concurrent mode), both through the
     * bounded pool + bounded await of `syncAll`. Returns rows in each
     * stream's merged table. */
+  /** One stream's verdict from [[recoverState]]: the state-file
+    * position, the destination-committed position, and whether the
+    * destination won the arbitration. */
+  case class RecoveredStream(stream: String, stateLsn: Option[Long],
+                             destLsn: Option[Long], recovered: Boolean)
+
+  /** Crash-recovery state arbitration before a CDC run — the
+    * reference's "metadata ahead of state" path
+    * (`drivers/mysql/internal/cdc.go:86-140`,
+    * `drivers/postgres/internal/cdc.go:62-127`). Each stream's
+    * DESTINATION-committed position (the `olake_2pc` snapshot-summary
+    * state the sink publishes per commit, `types/metadata_state.go:9-16`)
+    * is compared with the state file's position for that stream:
+    *
+    *  - destination STRICTLY ahead → the crash landed after the sink
+    *    commit but before the state save. The stream is fenced to the
+    *    destination's `{lsn, batchId, dedup_inserts}`: a checkpoint
+    *    replay of the committed batch is a no-op (batchId fence) and
+    *    nothing at or below the committed LSN can re-apply (LSN fence).
+    *    This is the reference's `finishedStreams` exclusion — a stream
+    *    already committed through the window must not see it again;
+    *  - state at-or-ahead → "blank sync scenario — stream forward
+    *    normally" (the reference's comment, verbatim semantics): the
+    *    state file stands, nothing changes;
+    *  - no destination metadata → fresh stream, nothing to arbitrate.
+    *
+    * Streams left behind replay exactly their own (state, destination]
+    * window on the next run. The reference must pick ONE global
+    * recovery LSN (its binlog/WAL position is shared) and so subscribes
+    * only the remaining streams for the bounded window; our positions
+    * are per-stream, so the "remaining streams only" subscription falls
+    * out of each stream's own fence — same observable results, no
+    * global arbitration (the reference's map-iteration-order choice of
+    * `metadataCommittedLSN` is nondeterministic when several streams
+    * are ahead; per-stream fencing removes that ambiguity).
+    *
+    * Scale: O(#streams) driver-side metadata reads; no data moves.
+    *
+    * @param streams (stream name, its Iceberg table dir) pairs
+    * @return per-stream arbitration report, in input order
+    */
+  def recoverState(statePath: String,
+                   streams: Seq[(String, String)]): Seq[RecoveredStream] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    stateLock.synchronized {
+      val st0 = StateStore.load(statePath).getOrElse(StateStore.State())
+      var st = st0
+      val report = streams.map { case (name, iceDir) =>
+        val ss = st.streams.getOrElse(name, StateStore.StreamState())
+        val stateLsn = ss.offsets.get("lsn")
+        val meta = graft.sinks.IcebergMetadata.commitState(iceDir)
+          .map(mapper.readTree)
+          // the summary is per-table; a foreign stream's state never
+          // fences this one (defensive — one table per stream here)
+          .filter(j => Option(j.get("stream")).forall(_.asText == name))
+        val destLsn = meta.flatMap(j => Option(j.get("lsn")).map(_.asLong))
+        val ahead = destLsn.exists(d => stateLsn.forall(_ < d))
+        if (ahead) {
+          val destBatch = meta.flatMap(j =>
+            Option(j.get("batchId")).map(_.asLong))
+          val destDedup = meta.flatMap(j =>
+            Option(j.get("dedup_inserts")).map(_.asBoolean))
+          st = st.copy(streams = st.streams.updated(name, ss.copy(
+            offsets = ss.offsets + ("lsn" -> destLsn.get) ++
+              destBatch.map("batchId" -> _),
+            dedupInserts = destDedup.getOrElse(ss.dedupInserts))))
+        }
+        RecoveredStream(name, stateLsn, destLsn, ahead)
+      }
+      if (st != st0) StateStore.save(statePath, st)
+      report
+    }
+  }
+
   def runChangeStream(spark: SparkSession, sourceDir: String,
                       destDir: String,
                       streams: Seq[(StreamConfig, String)],

@@ -578,6 +578,49 @@ object SparkEntry {
         .select("event_id", "user_id", "value")
     }),
 
+    // ---- Crash-recovery arbitration, SEGMENT AUDIT: the reference's
+    //      "metadata ahead of state" path (mysql/internal/cdc.go:86-140,
+    //      postgres/internal/cdc.go:62-127) — after a crash that
+    //      committed the destination but lost the state save, the
+    //      destination's olake_2pc position fences the stream
+    //      (finishedStreams exclusion) while the behind stream replays
+    //      the window (bounded recovery sync). The audit reads the RAW
+    //      delta segments: per (stream, batch, op) row counts prove the
+    //      committed batch was not re-applied (batchId fence), the
+    //      window never re-entered a later batch (LSN fence), and the
+    //      recovered dedup_inserts flag kept the crashed run's 'c'
+    //      inserts (a non-recovered replay would rewrite them as 'i'). ----
+    "q_cdc_recovery_fence" -> ((s, dir) => {
+      val (tblA, tblB) = recoveryStory(s, dir, "/tmp/graft_recovery_fence")
+      // batch 1 bootstrap-folds into base/ (op columns shed on fold);
+      // the crash-window and live batches stay as raw segments
+      def audit(tbl: String, name: String): DataFrame =
+        s.read.parquet(s"$tbl/delta/seg-*")
+          .groupBy(col(graft.sinks.DeltaSegments.SeqCol).as("seq"),
+            col(SystemColumns.OpType).as("op"))
+          .agg(count(lit(1)).as("cnt"))
+          .unionByName(s.read.parquet(s"$tbl/base")
+            .agg(count(lit(1)).as("cnt"))
+            .select(lit(0L).as("seq"), lit("base").as("op"), col("cnt")))
+          .select(lit(name).as("stream"), col("seq"), col("op"), col("cnt"))
+      audit(tblA, "ra").unionByName(audit(tblB, "rb"))
+    }),
+
+    // ---- Crash-recovery arbitration, MERGED END-STATE: the same story,
+    //      verified through the merge-on-read view — ra keeps exactly
+    //      one application of the window (the crashed-but-committed
+    //      one), rb gets exactly one (the recovery replay), both carry
+    //      the live tail and deletes. ----
+    "q_cdc_recovery_sync" -> ((s, dir) => {
+      val (tblA, tblB) = recoveryStory(s, dir, "/tmp/graft_recovery_sync")
+      graft.streaming.CdcStream.readTable(s, tblA)
+        .select(lit("ra").as("stream"), col("event_id"), col("user_id"),
+          col("value"))
+        .unionByName(graft.streaming.CdcStream.readTable(s, tblB)
+          .select(lit("rb").as("stream"), col("event_id"), col("user_id"),
+            col("value")))
+    }),
+
     // ---- Streaming dedup-on-arrival over the STORED exact-dedup
     //      index: two real AvailableNow runs with checkpoint resume.
     //      Batch 1 carries corpus dups (dropped via the stored index)
@@ -3121,6 +3164,60 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
     }),
 
+    // ---- AS-OF join (keyed, backward, with tolerance): each event
+    //      matched to the customer's latest order at-or-before the
+    //      event's (synthetic, order-era) timestamp, matches older
+    //      than a year nulled. The oracle is DuckDB's OWN `ASOF LEFT
+    //      JOIN` — the operator's semantics validated against an
+    //      independent native implementation, not a SQL re-derivation.
+    //      Plan: union + keyed running window — one hash exchange, no
+    //      broadcast-nested-loop (which is all Spark itself can plan
+    //      for the naive inequality-join formulation). ----
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        date_add(to_date(lit("1992-01-01")),
+          (col("event_id") % 2400).cast("int")).cast("timestamp").as("t"))
+      // as-of needs a unique right row per (key, time): keep max key
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.operators.AsofJoin.backward(e, o,
+          Seq("user_id"), Seq("o_custkey"), "t", "o_orderdate",
+          tolerance = Some(expr("INTERVAL 365 DAYS")))
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    }),
+
+    // ---- RANGE join, point-in-interval: events (as day offsets in
+    //      the order era) against 7-day order windows, NO equi key —
+    //      the shape Spark alone can only plan as a broadcast nested
+    //      loop. Binning makes the bin id an equi key: one exchange
+    //      per side, exact predicate inside the bin, each pair met in
+    //      exactly one bin (the point's). The spec pins the no-BNL
+    //      plan; the oracle replays the naive inequality join. ----
+    "q_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), (col("event_id") % 2400).as("p"))
+      val o = t(s, dir, "orders").select(
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 7L)
+      graft.operators.RangeJoin.pointInInterval(e, "p", o, "lo", "hi",
+          binWidth = 7L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_overlap"))
+    }),
+
+    // ---- INTERVAL-OVERLAP join: 7-day order windows self-joined on
+    //      overlap. Pairs can share many bins; the max-lo-bin
+    //      ownership rule emits each exactly once — duplicate-free
+    //      with NO distinct (no second shuffle). ----
+    "q_interval_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 7L)
+      graft.operators.RangeJoin.intervalOverlap(o, "lo", "hi",
+          o, "lo", "hi", binWidth = 7L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_overlap"))
+    }),
+
     // ---- §3.2 discover: canonical schema of a stream ----
     "q_discover" -> ((s, dir) => Discover.discoverAsFrame(s, dir, "lineitem")),
 
@@ -4417,6 +4514,118 @@ object SparkEntry {
     })
   )
 
+  /** Shared fixture for the two crash-recovery gates
+    * (`q_cdc_recovery_fence` / `q_cdc_recovery_sync`) — the reference's
+    * "metadata ahead of state" story (`drivers/mysql/internal/
+    * cdc.go:86-140`, `drivers/postgres/internal/cdc.go:62-127`) played
+    * out over two streams sharing one state file:
+    *
+    *  - `ra` CRASHES mid-story: its window batch commits to the
+    *    destination (segment + Iceberg `olake_2pc` summary) but the
+    *    state save is lost (simulated by rewinding the state file).
+    *    `Protocol.recoverState` must fence it back to the
+    *    destination-committed `{lsn, batchId, dedup_inserts}` so the
+    *    checkpoint replay of the committed batch no-ops (batchId fence)
+    *    and a later batch spanning the window re-applies nothing at or
+    *    below the committed LSN (LSN fence);
+    *  - `rb` never saw the window before the crash: state and
+    *    destination agree, recovery must NOT touch it, and the window
+    *    replays for it alone — the reference's bounded recovery sync
+    *    for the "remaining" streams.
+    *
+    * Returns (tableA, tableB) delta-table paths. */
+  private def recoveryStory(s: SparkSession, dir: String,
+                            root: String): (String, String) = {
+    import graft.streaming.CdcStream
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    val state = s"$root/state.json"
+    val tblA = s"$root/ra"; val tblB = s"$root/rb"
+    val iceA = s"$root/ice_ra"; val iceB = s"$root/ice_rb"
+    val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+    def change(rows: DataFrame, lsnBase: Long, kind: String,
+               value: Column): DataFrame = rows.select(
+      col("event_id").cast("string").as(SystemColumns.OlakeId),
+      (col("event_id") + lsnBase).cast("long").as("lsn"),
+      lit(kind).as("kind"),
+      to_timestamp(lit("2024-01-01 00:00:00"))
+        .as(SystemColumns.CdcTimestamp),
+      col("event_id"), col("user_id"), col("value").as("value_orig"))
+      .withColumn("value", value).drop("value_orig")
+      .select(col(SystemColumns.OlakeId), col("lsn"), col("kind"),
+        col(SystemColumns.CdcTimestamp), col("event_id"), col("user_id"),
+        col("value"))
+    def part(parity: Int)(df: DataFrame): DataFrame =
+      df.where(col("user_id") % 2 === parity)
+    val base = ev.where(col("event_id") < 2000)
+    val winIns = ev.where(col("event_id") >= 2000 && col("event_id") < 2100)
+    val liveIns = ev.where(col("event_id") >= 2100 && col("event_id") < 2200)
+    // phase 0: initial inserts, lsn = event_id
+    def p0(parity: Int) = change(part(parity)(base), 0L, "insert",
+      col("value_orig"))
+    // window (the crash span), lsn = 100000 + event_id: updates to a
+    // parity-specific key slice plus fresh inserts
+    def p1(parity: Int) = {
+      val bump = if (parity == 0) 1000.0 else 2000.0
+      val keySel = col("event_id") % 3 === (parity: Int)
+      change(part(parity)(base).where(keySel), 100000L, "update",
+        col("value_orig") + bump)
+        .unionByName(change(part(parity)(winIns), 100000L, "insert",
+          col("value_orig")))
+    }
+    // live tail, lsn = 200000 + event_id: inserts + deletes
+    def p2(parity: Int) = {
+      val delSel = col("event_id") % 10 === (if (parity == 0) 4 else 5)
+      change(part(parity)(liveIns), 200000L, "insert", col("value_orig"))
+        .unionByName(change(part(parity)(base).where(delSel), 200000L,
+          "delete", col("value_orig")))
+    }
+    // compaction off: the fence gate audits the raw segment layout
+    val keep = graft.sinks.DeltaSegments.CompactionPolicy(
+      maxSegments = Int.MaxValue, maxDeltaRatio = Double.MaxValue)
+    CdcStream.applyBatch(p0(0), 1L, tblA, state, "ra", policy = keep,
+      icebergDir = Some(iceA))
+    CdcStream.applyBatch(p0(1), 1L, tblB, state, "rb", policy = keep,
+      icebergDir = Some(iceB))
+    // ra's window batch: destination commits (segment + olake_2pc) ...
+    CdcStream.applyBatch(p1(0), 2L, tblA, state, "ra", policy = keep,
+      icebergDir = Some(iceA))
+    // ... but the state save is lost in the crash: rewind to batch 1
+    val st = graft.state.StateStore.load(state).get
+    val ssA = st.streams("ra")
+    graft.state.StateStore.save(state, st.copy(streams =
+      st.streams.updated("ra", ssA.copy(
+        offsets = ssA.offsets + ("lsn" ->
+          part(0)(base).agg(max(col("event_id"))).head.getLong(0)) +
+          ("batchId" -> 1L),
+        dedupInserts = true))))
+    // restart: destination metadata arbitrates against the state file
+    val report = Protocol.recoverState(state,
+      Seq("ra" -> iceA, "rb" -> iceB))
+    require(report.find(_.stream == "ra").exists(_.recovered),
+      s"ra not recovered: $report")
+    require(!report.find(_.stream == "rb").exists(_.recovered),
+      s"rb wrongly recovered: $report")
+    // checkpoint replay of the committed batch — batchId fence no-ops
+    // it (seg-2 keeps the 'c' inserts the crashed run wrote: a
+    // non-recovered state would rewrite them as 'i', the audit catches)
+    CdcStream.applyBatch(p1(0), 2L, tblA, state, "ra", policy = keep,
+      icebergDir = Some(iceA))
+    // a later batch spanning the window — the recovered LSN fence
+    // drops the window rows, only the live tail lands in seg-3
+    CdcStream.applyBatch(p1(0).unionByName(p2(0)), 3L, tblA, state,
+      "ra", policy = keep, icebergDir = Some(iceA))
+    // rb (behind, untouched by recovery) replays the window normally
+    CdcStream.applyBatch(p1(1), 2L, tblB, state, "rb", policy = keep,
+      icebergDir = Some(iceB))
+    CdcStream.applyBatch(p2(1), 3L, tblB, state, "rb", policy = keep,
+      icebergDir = Some(iceB))
+    (tblA, tblB)
+  }
+
   /** Shared by q_pushdown_sql's query and oracle: the oracle string IS the
     * dialect renderer's output, proving AST→SQL ≡ AST→Column. */
   private val pushdownFilter = Filter("and", Seq(
@@ -4575,6 +4784,54 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT event_id, user_id, value FROM events
         |WHERE event_id >= 3000 AND event_id < 3100""".stripMargin,
+
+    // per-(stream, batch, op) segment census replayed from `events`:
+    // batch 1 (phase-0 inserts) bootstrap-folds into base; seg-2 =
+    // the window's updates ('u') + inserts AFTER the window closed ('c',
+    // preserved across the crash by the recovered dedup_inserts flag);
+    // seg-3 = the live tail only (window rows fenced by the recovered
+    // LSN): inserts 'c' + deletes 'd'
+    "q_cdc_recovery_fence" ->
+      """WITH p(stream, parity) AS (VALUES ('ra', 0), ('rb', 1)),
+        |seg AS (
+        |  SELECT stream, 0 AS seq, 'base' AS op, count(*) AS cnt
+        |  FROM events JOIN p ON user_id % 2 = parity
+        |  WHERE event_id < 2000 GROUP BY stream
+        |  UNION ALL
+        |  SELECT stream, 2, 'u', count(*)
+        |  FROM events JOIN p ON user_id % 2 = parity
+        |  WHERE event_id < 2000 AND event_id % 3 = parity GROUP BY stream
+        |  UNION ALL
+        |  SELECT stream, 2, 'c', count(*)
+        |  FROM events JOIN p ON user_id % 2 = parity
+        |  WHERE event_id >= 2000 AND event_id < 2100 GROUP BY stream
+        |  UNION ALL
+        |  SELECT stream, 3, 'c', count(*)
+        |  FROM events JOIN p ON user_id % 2 = parity
+        |  WHERE event_id >= 2100 AND event_id < 2200 GROUP BY stream
+        |  UNION ALL
+        |  SELECT stream, 3, 'd', count(*)
+        |  FROM events JOIN p ON user_id % 2 = parity
+        |  WHERE event_id < 2000 AND event_id % 10 = 4 + parity
+        |  GROUP BY stream)
+        |SELECT stream, CAST(seq AS BIGINT) AS seq, op,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM seg""".stripMargin,
+
+    // merged end-state: base rows with the window's update applied
+    // EXACTLY once (ra: +1000 on %3=0, rb: +2000 on %3=1), live deletes
+    // gone, window + live inserts present
+    "q_cdc_recovery_sync" ->
+      """WITH p(stream, parity) AS (VALUES ('ra', 0), ('rb', 1))
+        |SELECT stream, event_id, user_id,
+        |  CASE WHEN event_id % 3 = parity
+        |       THEN value + 1000 * (parity + 1) ELSE value END AS value
+        |FROM events JOIN p ON user_id % 2 = parity
+        |WHERE event_id < 2000 AND event_id % 10 <> 4 + parity
+        |UNION ALL
+        |SELECT stream, event_id, user_id, value
+        |FROM events JOIN p ON user_id % 2 = parity
+        |WHERE event_id >= 2000 AND event_id < 2200""".stripMargin,
 
     "q_cursor_format" ->
       """SELECT 'o_orderdate' AS cursor_field,
@@ -5360,6 +5617,42 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN as the independent referee;
+    // tolerance replayed as a post-join null-out, exactly the
+    // operator's contract
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(DATE '1992-01-01' + CAST(event_id % 2400 AS INT)
+        |      AS TIMESTAMP) AS t
+        |  FROM events),
+        |o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (SELECT e.event_id, e.user_id, e.t, o.o_orderkey, o.o_orderdate
+        |  FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.t >= o.o_orderdate)
+        |SELECT event_id, user_id,
+        |  CASE WHEN t - o_orderdate <= INTERVAL 365 DAY
+        |       THEN o_orderkey END AS o_orderkey,
+        |  CASE WHEN t - o_orderdate <= INTERVAL 365 DAY
+        |       THEN o_orderdate END AS o_orderdate
+        |FROM j""".stripMargin,
+
+    // the naive inequality join the binned plan must reproduce
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, event_id % 2400 AS p FROM events),
+        |o AS (SELECT datediff('day', DATE '1992-01-01',
+        |    CAST(o_orderdate AS DATE)) AS lo FROM orders)
+        |SELECT event_id, count(*) AS n_overlap
+        |FROM e JOIN o ON p >= lo AND p < lo + 7
+        |GROUP BY 1""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH o AS (SELECT o_orderkey, datediff('day', DATE '1992-01-01',
+        |    CAST(o_orderdate AS DATE)) AS lo FROM orders)
+        |SELECT a.o_orderkey, count(*) AS n_overlap
+        |FROM o a JOIN o b ON a.lo < b.lo + 7 AND b.lo < a.lo + 7
+        |GROUP BY 1""".stripMargin,
 
     "q_discover" ->
       """SELECT column_name, CASE column_type

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, the single right row with the
+  * nearest time at-or-before (backward) or at-or-after (forward) the
+  * left row's time, within the same key group. The canonical
+  * time-series enrichment operator (match a trade to the prevailing
+  * quote, an event to the customer's latest order); DuckDB exposes it
+  * as `ASOF JOIN`, kdb as `aj` — the gate's oracle replays the
+  * backward form with DuckDB's own operator.
+  *
+  * Spark-first shape: NOT a join at all. Both sides are unioned into
+  * one keyed stream ordered by (time, side) and the match is a
+  * running `last(right_row, ignoreNulls)` window — exactly the
+  * merge-scan an as-of join is, expressed declaratively:
+  *
+  *  - ONE hash exchange on the key (the same exchange a sort-merge
+  *    join would need) + one per-partition sort. No per-row range
+  *    probe, no inequality-join fallback to broadcast-nested-loop —
+  *    Spark's own planner CANNOT do better than BNL for the naive
+  *    `l.k = r.k AND r.t <= l.t` + argmax formulation at this
+  *    generality;
+  *  - the window is `rowsBetween(unboundedPreceding, currentRow)` —
+  *    a RUNNING frame, evaluated incrementally in O(n) per partition,
+  *    never the O(n²) re-scan an unbounded-following frame can cost;
+  *  - at equal times the right row sorts FIRST (side 0 < 1), so a
+  *    right row stamped exactly at the left time matches — the `>=`
+  *    of `ASOF JOIN`'s default comparator.
+  *
+  * Skew: one key's rows serialize through one partition's sort — the
+  * same bound every keyed window has. A pathological hot key wants
+  * coarse time-bucketing salt upstream; key cardinality ≫ cores is
+  * the normal regime.
+  *
+  * The right side must be unique per (key, time) — as-of semantics
+  * are undefined otherwise (the reference oracle, DuckDB, makes an
+  * arbitrary pick too). Pre-dedup with a keep-one rule if needed.
+  *
+  * @param tolerance  max allowed |leftTime − rightTime| as a Spark
+  *                   interval Column (e.g. `expr("INTERVAL 365 DAYS")`);
+  *                   a match farther away is nulled out (the
+  *                   `tolerance` of pandas `merge_asof`)
+  * @param rightPrefix prepended to right payload columns in the output
+  */
+object AsofJoin {
+
+  def backward(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftTime: String, rightTime: String,
+               tolerance: Option[Column] = None,
+               rightPrefix: String = ""): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      tolerance, rightPrefix, forward = false)
+
+  def forward(left: DataFrame, right: DataFrame,
+              leftKeys: Seq[String], rightKeys: Seq[String],
+              leftTime: String, rightTime: String,
+              tolerance: Option[Column] = None,
+              rightPrefix: String = ""): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      tolerance, rightPrefix, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   tolerance: Option[Column], rightPrefix: String,
+                   forward: Boolean): DataFrame = {
+    require(leftKeys.length == rightKeys.length,
+      "leftKeys and rightKeys must pair up")
+    val rPayload = right.columns.filterNot(rightKeys.contains).toSeq
+    val rStruct = struct(rPayload.map(right(_)): _*)
+    val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val keyCols = leftKeys.indices.map(i => s"_k$i")
+    // side 0 = right, 1 = left: at equal times the right row sorts
+    // first under the backward order, so `>=` matches. Forward flips
+    // the time order; the side tiebreak flips with it so `<=` matches.
+    val l = left.select(
+      leftKeys.zipWithIndex.map { case (k, i) => left(k).as(s"_k$i") } ++ Seq(
+        left(leftTime).as("_t"), lit(1).as("_side"),
+        struct(left.columns.map(left(_)): _*).as("_l"),
+        lit(null).cast(rType).as("_r")): _*)
+    val r = right.select(
+      rightKeys.zipWithIndex.map { case (k, i) => right(k).as(s"_k$i") } ++ Seq(
+        right(rightTime).as("_t"), lit(0).as("_side"),
+        lit(null).cast(l.schema("_l").dataType).as("_l"),
+        rStruct.as("_r")): _*)
+    val ord =
+      if (forward) Seq(col("_t").desc, col("_side").asc)
+      else Seq(col("_t").asc, col("_side").asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+    val mTime = col("_m").getField(rightTime)
+    val withinTol = tolerance.fold(lit(true)) { tol =>
+      if (forward) mTime - col("_t") <= tol else col("_t") - mTime <= tol
+    }
+    val m = when(col("_m").isNotNull && withinTol, col("_m"))
+    matched.select(
+      left.columns.toSeq.map(c => col("_l").getField(c).as(c)) ++
+        rPayload.map(c => m.getField(c).as(rightPrefix + c)): _*)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, RangeJoin}
+
+/** AsofJoin / RangeJoin: semantics pinned against brute-force
+  * formulations on small frames, plan shape pinned against the
+  * cartesian/BNL fallbacks the operators exist to avoid. */
+class AsofRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val left = {
+    import spark.implicits._
+    Seq((1L, 1, 10L), (2L, 1, 25L), (3L, 2, 5L), (4L, 2, 100L),
+      (5L, 3, 50L)).toDF("id", "k", "t")
+  }
+  private lazy val right = {
+    import spark.implicits._
+    // key 1: times 10, 20; key 2: 30; key 3 absent
+    Seq((1, 10L, "a"), (1, 20L, "b"), (2, 30L, "c"))
+      .toDF("k", "rt", "tag")
+  }
+
+  test("backward: latest right at-or-before, null when none") {
+    val got = AsofJoin.backward(left, right, Seq("k"), Seq("k"), "t", "rt")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // id1: t=10 matches rt=10 (>=); id2: rt=20; id3: t=5 before all →
+    // null; id4: rt=30; id5: key 3 has no right rows → null
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> "c",
+      5L -> null))
+  }
+
+  test("forward: earliest right at-or-after; tolerance nulls far matches") {
+    val f = AsofJoin.forward(left, right, Seq("k"), Seq("k"), "t", "rt")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // id1: rt=10 (>=, equal matches); id2: rt≥25 → none for k=1? rt=20<25
+    // → null... rt values for k1 are 10,20 → null; id3: rt=30; id4: none
+    assert(f == Map(1L -> "a", 2L -> null, 3L -> "c", 4L -> null,
+      5L -> null))
+    val tol = AsofJoin.backward(left, right, Seq("k"), Seq("k"), "t", "rt",
+        tolerance = Some(lit(5L)))
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // id2: t=25, match rt=20, distance 5 ≤ 5 keeps; id4: t=100 vs rt=30
+    // → distance 70 nulled
+    assert(tol == Map(1L -> "a", 2L -> "b", 3L -> null, 4L -> null,
+      5L -> null))
+  }
+
+  test("asof matches brute-force argmax on real data; one exchange, no BNL") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        (col("event_id") % 300).as("t"))
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg((max(col("o_orderkey")) % 250).as("rt"),
+        first(col("o_custkey")).as("rk"))
+      .select(col("rk").as("o_custkey"), col("rt"))
+    val asof = AsofJoin.backward(e, o, Seq("user_id"), Seq("o_custkey"),
+      "t", "rt")
+    // brute force: max rt ≤ t per left row via join+argmax
+    val brute = e.join(o, e("user_id") === o("o_custkey") &&
+        o("rt") <= e("t"), "left")
+      .groupBy(e("event_id").as("event_id"))
+      .agg(max(col("rt")).as("rt"))
+    val a = asof.select("event_id", "rt").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val b = brute.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(a == b)
+    val p = plan(asof)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // union + keyed window: exchanges = the two inputs feeding the
+    // union's hash partition (no join exchange at all)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      <= 2, p)
+  }
+
+  test("pointInInterval: equals naive inequality join; binned plan is keyed") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L), (2L, 6L), (3L, 7L), (4L, 20L), (5L, -3L))
+      .toDF("id", "p")
+    val iv = Seq((10L, 0L, 7L), (20L, 5L, 9L), (30L, -7L, 1L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", 4L)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive && got ==
+      Set((1L, 10L), (1L, 30L), (2L, 10L), (2L, 20L), (3L, 20L),
+        (5L, 30L)))
+    val p = plan(RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", 4L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("intervalOverlap: exactly the naive pair set, duplicate-free, no BNL") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 8L, 12L), (3L, 20L, 21L))
+      .toDF("aid", "lo", "hi")
+    val b = Seq((7L, 9L, 30L), (8L, -5L, 1L)).toDF("bid", "lo", "hi")
+    val got = RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo", "hi", 3L)
+      .select("aid", "r_bid").as[(Long, Long)].collect().toList
+    val naive = a.join(
+        b.select(col("bid").as("r_bid"), col("lo").as("blo"),
+          col("hi").as("bhi")),
+        col("lo") < col("bhi") && col("blo") < col("hi"))
+      .select("aid", "r_bid").as[(Long, Long)].collect().toList
+    // sets equal AND no duplicates from multi-bin pairs
+    assert(got.sorted == naive.sorted)
+    assert(got.distinct.size == got.size)
+    assert(got.toSet == Set((1L, 7L), (1L, 8L), (2L, 7L), (3L, 7L)))
+    val p = plan(RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo", "hi", 3L))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+}

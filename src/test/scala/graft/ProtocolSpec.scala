@@ -397,4 +397,41 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == Tables.load(spark, src, "nation")
       .where(col("n_regionkey") === 1).count())
   }
+
+  test("recoverState: destination-ahead fences lsn/batchId/dedup; state-ahead and fresh streams untouched") {
+    import graft.operators.SystemColumns
+    val root = Files.createTempDirectory("graft_recov").toString
+    val state = s"$root/state.json"
+    val tbl = s"$root/t"; val ice = s"$root/ice"
+    val rows = spark.range(10).select(
+      col("id").cast("string").as(SystemColumns.OlakeId),
+      (col("id") + 100).as("lsn"), lit("insert").as("kind"),
+      to_timestamp(lit("2024-01-01 00:00:00"))
+        .as(SystemColumns.CdcTimestamp), col("id"))
+    graft.streaming.CdcStream.applyBatch(rows, 7L, tbl, state, "s1",
+      icebergDir = Some(ice))
+    // crash: rewind the saved state behind the destination commit
+    val st = StateStore.load(state).get
+    val ss = st.streams("s1")
+    StateStore.save(state, st.copy(streams = st.streams.updated("s1",
+      ss.copy(offsets = ss.offsets + ("lsn" -> 50L) + ("batchId" -> 3L),
+        dedupInserts = true))))
+    val rep = Protocol.recoverState(state, Seq("s1" -> ice, "s2" -> ice))
+    // s1: destination (lsn=109, batchId=7, window closed) wins
+    assert(rep.head == Protocol.RecoveredStream("s1", Some(50L),
+      Some(109L), recovered = true))
+    val after = StateStore.load(state).get.streams("s1")
+    assert(after.offsets("lsn") == 109L && after.offsets("batchId") == 7L
+      && !after.dedupInserts)
+    // s2 points at s1's table: the foreign-stream summary must not
+    // fence it (per-table state belongs to its own stream)
+    assert(!rep(1).recovered && rep(1).destLsn.isEmpty)
+    // state at-or-ahead of metadata: blank sync scenario, untouched
+    val rep2 = Protocol.recoverState(state, Seq("s1" -> ice))
+    assert(!rep2.head.recovered &&
+      StateStore.load(state).get.streams("s1").offsets("lsn") == 109L)
+    // no destination metadata at all: nothing to arbitrate
+    val rep3 = Protocol.recoverState(state, Seq("s1" -> s"$root/missing"))
+    assert(!rep3.head.recovered && rep3.head.destLsn.isEmpty)
+  }
 }
