@@ -4230,6 +4230,41 @@ object SparkEntry {
         "graft_ann_gate", native = true)
     }),
 
+    // ---- LLM: product-quantization encode (Jégou et al. 2011): 64-dim
+    //      float vectors → 8 one-byte codes (32× compression, the
+    //      100-TB vector-store tier). Codebook = the 16 lowest-id
+    //      vectors' subvectors (pqTrain at iters=0 — deterministic, so
+    //      the oracle replays every argmin cell-for-cell in SQL). ----
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").as("sub"), col("col").as("code"))
+    }),
+
+    // ---- LLM: IVF-PQ serving (the FAISS IVFx,PQy layout): coarse
+    //      cells prune, asymmetric distance against the codebook ranks
+    //      — the corpus's raw vectors never cross the candidate join,
+    //      only 8 small ints per vector. Deterministic codebook +
+    //      deterministic coarse centroids (vec_id < 8) make the WHOLE
+    //      approximate pipeline SQL-replayable: the oracle recomputes
+    //      cells, probes, codes and the exact ADC float math, and the
+    //      compare is pair-exact, not a recall bound. ----
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+      val coarse = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toSeq
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        coarse, cb, nprobe = 2)
+    }),
+
     // ---- LLM: IVF-bucketed ANN with 2-cell multi-assignment. The gate
     //      asserts the recall PROPERTY (≥ 0.9 vs brute force; measured
     //      1.0 at sf0.01 with nprobe=12) rather than pair-exact output:
@@ -7136,6 +7171,67 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // Recall-property gate: the Spark side counts IVF hits against its
     // own brute-force baseline; the oracle recomputes the baseline size
     // and asserts the property bit.
+    // every subspace argmin replayed: codebook = vec_id<16 subvectors,
+    // d2 accumulated with the same (a-b)*(a-b) left-to-right float ops
+    "q_pq_encode" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT v.vec_id, s.sub, cb.code,
+        |  list_sum(list_transform(range(1, 9), p ->
+        |    (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]) *
+        |    (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]))) AS dist
+        |  FROM v CROSS JOIN range(8) AS s(sub) CROSS JOIN cb)
+        |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |  ORDER BY dist, code) = 1""".stripMargin,
+
+    // the full IVF-PQ pipeline replayed: coarse argmin cells, 2-cell
+    // probes, per-sub codes, then ADC with Spark's exact float
+    // grouping — per-sub partial sums accumulated in sub order
+    "q_ann_ivfpq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |cbl AS (SELECT list(cv ORDER BY code) AS cbl FROM cb),
+        |coarse AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cc
+        |  FROM embeddings WHERE vec_id < 8),
+        |cellrank AS (SELECT v.vec_id, coarse.cell,
+        |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |    list_sum(list_transform(range(1, 65), p ->
+        |      (v.v[p] - coarse.cc[p]) * (v.v[p] - coarse.cc[p]))),
+        |    coarse.cell) AS rn
+        |  FROM v CROSS JOIN coarse),
+        |cell AS (SELECT vec_id, cell FROM cellrank WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM cellrank
+        |  WHERE vec_id < 10 AND rn <= 2),
+        |pq AS (SELECT v.vec_id, s.sub, cb.code,
+        |  row_number() OVER (PARTITION BY v.vec_id, s.sub ORDER BY
+        |    list_sum(list_transform(range(1, 9), p ->
+        |      (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]) *
+        |      (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]))), cb.code) AS rn
+        |  FROM v CROSS JOIN range(8) AS s(sub) CROSS JOIN cb),
+        |codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+        |  FROM pq WHERE rn = 1 GROUP BY 1),
+        |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN cell c USING (cell)
+        |  WHERE c.vec_id <> p.query_id),
+        |adc AS (SELECT c.query_id, c.neighbor_id,
+        |  list_sum(list_transform(range(0, 8), s ->
+        |    list_sum(list_transform(range(1, 9), p ->
+        |      (qv.v[s*8 + p] - cbl.cbl[cd.codes[s+1] + 1][s*8 + p]) *
+        |      (qv.v[s*8 + p] - cbl.cbl[cd.codes[s+1] + 1][s*8 + p])))))
+        |    AS dist
+        |  FROM cand c JOIN codes cd ON cd.vec_id = c.neighbor_id
+        |  JOIN v qv ON qv.vec_id = c.query_id CROSS JOIN cbl)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5""".stripMargin,
+
     "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -544,4 +544,155 @@ object Similarity {
     }
     (assigned, centroids)
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, TPAMI 2011) — the
+  // 100-TB vector-compression tier under IVF: each d-dim vector is cut
+  // into `m` subvectors and each subvector replaced by the id of its
+  // nearest centroid in a per-subspace codebook (m × ksub × d/m doubles
+  // of planner metadata). A 64-dim float vector (256 B) becomes m=8
+  // one-byte codes — 32× less to store, shuffle, and scan at serve
+  // time. Queries rank candidates by ASYMMETRIC distance (exact query
+  // subvector vs the candidate's centroid): the corpus's raw vectors
+  // are never touched on the serving path.
+  // ------------------------------------------------------------------
+
+  /** `centroids(sub)(code)` = the codebook entry for subspace `sub`. */
+  case class PqCodebook(m: Int, dsub: Int,
+                        centroids: Seq[Seq[Array[Double]]]) {
+    require(centroids.length == m && centroids.forall(_.nonEmpty) &&
+      centroids.forall(_.forall(_.length == dsub)), "malformed codebook")
+    def ksub: Int = centroids.head.length
+    private[llm] def lit0: Column =
+      typedLit(centroids.map(_.map(_.toSeq)))
+  }
+
+  /** Squared L2 between two double arrays, left-to-right accumulation
+    * (the deterministic ordering every distance gate pins). */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codes for one vector: per subspace, the argmin-d2 centroid id
+    * (ties → lowest id via struct ordering). Map-only codegen'd column
+    * math — the whole corpus encodes in one pass, no shuffle. The
+    * candidate distances unroll at plan-build time (m·ksub expressions
+    * over the literal codebook — the kmeansAssign pattern). */
+  def pqCodes(vec: Column, cb: PqCodebook): Column = {
+    val v = transform(vec, _.cast("double"))
+    array((0 until cb.m).map { i =>
+      val sub = slice(v, i * cb.dsub + 1, cb.dsub)
+      val dists = array(cb.centroids(i).map(c =>
+        d2(sub, typedLit(c.toSeq))): _*)
+      // argmin without a struct (struct field names do not survive
+      // alias cleanup under generator selects); array_position finds
+      // the FIRST minimum — ties break to the lowest code
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** (id, codes array<int>) for a whole frame. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebook): DataFrame =
+    df.select(col(idCol), pqCodes(col(vecCol), cb).as("codes"))
+
+  /** Asymmetric distance: Σ_sub d2(query subvector, codebook[sub][code]).
+    * The per-(query, sub) centroid-distance table of the paper is not
+    * materialized — at `ksub ≤ 256` the inline d2 against the literal
+    * codebook stays inside whole-stage codegen and needs no join. */
+  def adcDistance(qvec: Column, codes: Column, cb: PqCodebook): Column = {
+    val q = transform(qvec, _.cast("double"))
+    (0 until cb.m).map { i =>
+      val cent = element_at(typedLit(cb.centroids(i).map(_.toSeq)),
+        element_at(codes, i + 1) + 1)
+      d2(slice(q, i * cb.dsub + 1, cb.dsub), cent)
+    }.reduceLeft(_ + _) // left-to-right over subs — deterministic order
+  }
+
+  /** Per-subspace Lloyd training with deterministic seeding (subspace
+    * codebooks init from the `ksub` lowest-id vectors' subvectors — the
+    * same rule as [[kmeansFit]]).
+    *
+    * Scale shape per iteration: encoding is the map-only [[pqCodes]];
+    * the update is ONE keyed shuffle of (sub, code, pos, value) with
+    * partial aggregation down to m·ksub·dsub cells — driver-collected,
+    * bounded by parameters, never by corpus size. A code that captures
+    * no vectors keeps its previous centroid (the standard empty-cell
+    * rule, and what keeps the codebook total). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int): PqCodebook = {
+    val d = df.select(size(col(vecCol))).head.getInt(0)
+    require(d % m == 0, s"m=$m must divide dims=$d")
+    val dsub = d / m
+    val seed = df.orderBy(col(idCol)).limit(ksub)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seed.length == ksub, s"need ≥ $ksub rows to seed")
+    var cb = PqCodebook(m, dsub,
+      (0 until m).map(i => seed.toSeq.map(_.slice(i * dsub, (i + 1) * dsub))))
+    for (_ <- 0 until iters) {
+      val enc = df.select(
+        posexplode(transform(col(vecCol), _.cast("double"))),
+        pqCodes(col(vecCol), cb).as("codes"))
+      val cells = enc.select(
+          (col("pos") / dsub).cast("int").as("sub"),
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1)
+            .as("code"),
+          pmod(col("pos"), lit(dsub)).as("p"), col("col").as("x"))
+        .groupBy("sub", "code", "p").agg(avg(col("x")).as("v"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          r.getDouble(3))).toMap
+      cb = PqCodebook(m, dsub, (0 until m).map(i =>
+        (0 until ksub).map(j =>
+          Array.tabulate(dsub)(p =>
+            cells.getOrElse((i, j, p), cb.centroids(i)(j)(p))))))
+    }
+    cb
+  }
+
+  /** Mean squared quantization error — the training objective, for
+    * convergence checks and codebook-size sweeps. */
+  def pqError(df: DataFrame, vecCol: String, cb: PqCodebook): Double = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val recon = flatten(transform(pqCodes(col(vecCol), cb),
+      (code, i) => element_at(element_at(cb.lit0, i + 1), code + 1)))
+    df.select(avg(d2(v, recon))).head.getDouble(0)
+  }
+
+  /** IVF-PQ serving: coarse cells prune the corpus, ADC ranks the
+    * survivors — the standard billion-scale ANN layout (FAISS
+    * IVFx,PQy). The corpus side of the candidate join carries ONLY
+    * (id, cell, codes): m small ints per vector cross the shuffle,
+    * never the raw embeddings; queries (tiny by construction)
+    * broadcast with their full vectors for the asymmetric ranking. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                coarse: Seq[(Long, Array[Double])], cb: PqCodebook,
+                nprobe: Int = 2,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cells = coarse.sortBy(_._1).map(_._2).zipWithIndex
+    def nearestCells(vec: Column, n: Int): Column = {
+      val v = transform(vec, _.cast("double"))
+      val scored = array(cells.map { case (c, i) =>
+        struct(d2(v, typedLit(c.toSeq)).as("dist"), lit(i).as("cell"))
+      }: _*)
+      transform(slice(array_sort(scored), 1, n), _.getField("cell"))
+    }
+    val corpusIdx = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(nearestCells(col(vecCol), 1), 1).as("cell"),
+      pqCodes(col(vecCol), cb).as("codes"))
+    val probes = broadcast(queries.select(col(idCol).as("query_id"),
+      explode(nearestCells(col(vecCol), nprobe)).as("cell")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")))
+    val scored = corpusIdx.join(probes, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(qv, "query_id")
+      .withColumn("adc", adcDistance(col("qvec"), col("codes"), cb))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

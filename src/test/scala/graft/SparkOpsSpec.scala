@@ -216,6 +216,54 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF recall $recall (${(ivf & exact).size}/${exact.size})")
   }
 
+  test("pqTrain: error non-increasing over iterations, deterministic; encode round-trips through codes") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cb0 = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val cb2 = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val (e0, e2) = (Similarity.pqError(emb, "embedding", cb0),
+      Similarity.pqError(emb, "embedding", cb2))
+    assert(e2 <= e0, s"training increased quantization error: $e0 -> $e2")
+    // deterministic: same call, same codebook
+    val cb2b = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    assert(cb2.centroids.flatten.map(_.toSeq) ==
+      cb2b.centroids.flatten.map(_.toSeq))
+    // codes are in range and a codebook row encodes to itself at iters=0
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb0)
+    val bad = codes.where(exists(col("codes"),
+      c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+    val self = codes.where(col("vec_id") < 16)
+      .select(col("vec_id"), col("codes")).collect()
+    self.foreach(r => assert(r.getSeq[Int](1).forall(_ == r.getLong(0)),
+      s"seed row ${r.getLong(0)} not its own nearest codebook entry"))
+  }
+
+  test("ivfPqTopK: usable recall vs brute force; corpus vectors stay off the candidate join") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val coarse = emb.where(col("vec_id") < 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(emb, queries, k = 5, coarse, cb,
+      nprobe = 4)
+    val got = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cosine top-k vs L2 ADC on unnormalized vectors differ by design;
+    // the bar is a usable candidate overlap, exactness is q_ann_ivfpq's
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall")
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("parity API surface: snapshotMax, appendOnly, readModifiedAfter, minhashSignature") {
     import graft.operators.{Incremental, Merge}
     val orders = sf("orders")
