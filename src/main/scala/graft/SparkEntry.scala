@@ -3197,8 +3197,11 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .select(col("event_id"), (col("event_id") % 2400).as("p"))
-      val o = t(s, dir, "orders").select(
-        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("lo"))
+      // %10 cap keeps the pair count linear-ish across SFs (interval
+      // self-density grows with SF; the op itself is the subject here)
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 10 === 3)
+        .select(
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("lo"))
         .withColumn("hi", col("lo") + 7L)
       graft.operators.RangeJoin.pointInInterval(e, "p", o, "lo", "hi",
           binWidth = 7L)
@@ -3210,8 +3213,9 @@ object SparkEntry {
     //      ownership rule emits each exactly once — duplicate-free
     //      with NO distinct (no second shuffle). ----
     "q_interval_join" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"),
-        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("lo"))
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("lo"))
         .withColumn("hi", col("lo") + 7L)
       graft.operators.RangeJoin.intervalOverlap(o, "lo", "hi",
           o, "lo", "hi", binWidth = 7L)
@@ -4230,6 +4234,32 @@ object SparkEntry {
         "graft_ann_gate", native = true)
     }),
 
+    // ---- LLM: IVF-PQ against the STORED index — the serving path
+    //      reads ONLY the cell-bucketed code table (m ints per corpus
+    //      vector, ~32× smaller than a vector store; raw embeddings
+    //      untouched) plus the JSON codebook metadata. Same ranking
+    //      algebra as q_ann_ivfpq → same oracle replay. ----
+    "q_ann_ivfpq_stored" -> ((s, dir) => {
+      val root = new java.io.File("/tmp/graft_ivfpq_store")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+      val coarse = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toSeq
+      Similarity.ivfPqIndexStore(emb, "graft_ivfpq_gate", root.toString,
+        coarse, cb)
+      Similarity.ivfPqTopKStored(emb.where(col("vec_id") < 10), k = 5,
+        "graft_ivfpq_gate", root.toString, nprobe = 2)
+    }),
+
     // ---- LLM: product-quantization encode (Jégou et al. 2011): 64-dim
     //      float vectors → 8 one-byte codes (32× compression, the
     //      100-TB vector-store tier). Codebook = the 16 lowest-id
@@ -4666,6 +4696,51 @@ object SparkEntry {
   private val pushdownFilter = Filter("and", Seq(
     Condition("o_totalprice", "<", SNum(150000.0)),
     Condition("o_orderdate", ">=", STimestamp("1996-01-01T00:00:00"))))
+
+  /** Shared by q_ann_ivfpq and q_ann_ivfpq_stored: the full IVF-PQ
+    * pipeline replayed in SQL - coarse argmin cells, 2-cell probes,
+    * per-sub codes, then ADC with Spark's exact float grouping
+    * (per-sub partial sums accumulated in sub order). */
+  private val ivfPqOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |cbl AS (SELECT list(cv ORDER BY code) AS cbl FROM cb),
+        |coarse AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cc
+        |  FROM embeddings WHERE vec_id < 8),
+        |cellrank AS (SELECT v.vec_id, coarse.cell,
+        |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |    list_sum(list_transform(range(1, 65), p ->
+        |      (v.v[p] - coarse.cc[p]) * (v.v[p] - coarse.cc[p]))),
+        |    coarse.cell) AS rn
+        |  FROM v CROSS JOIN coarse),
+        |cell AS (SELECT vec_id, cell FROM cellrank WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM cellrank
+        |  WHERE vec_id < 10 AND rn <= 2),
+        |pq AS (SELECT v.vec_id, s.sub, cb.code,
+        |  row_number() OVER (PARTITION BY v.vec_id, s.sub ORDER BY
+        |    list_sum(list_transform(range(1, 9), p ->
+        |      (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]) *
+        |      (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]))), cb.code) AS rn
+        |  FROM v CROSS JOIN range(8) AS s(sub) CROSS JOIN cb),
+        |codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+        |  FROM pq WHERE rn = 1 GROUP BY 1),
+        |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN cell c USING (cell)
+        |  WHERE c.vec_id <> p.query_id),
+        |adc AS (SELECT c.query_id, c.neighbor_id,
+        |  list_sum(list_transform(range(0, 8), s ->
+        |    list_sum(list_transform(range(1, 9), p ->
+        |      (qv.v[s*8 + p] - cbl.cbl[cd.codes[s+1] + 1][s*8 + p]) *
+        |      (qv.v[s*8 + p] - cbl.cbl[cd.codes[s+1] + 1][s*8 + p])))))
+        |    AS dist
+        |  FROM cand c JOIN codes cd ON cd.vec_id = c.neighbor_id
+        |  JOIN v qv ON qv.vec_id = c.query_id CROSS JOIN cbl)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5""".stripMargin
 
   /** q_type_maps oracle, generated from the same TypeMaps constants so
     * gate and oracle can never drift: the VALUES carry the grid and
@@ -5677,14 +5752,16 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     "q_range_join" ->
       """WITH e AS (SELECT event_id, event_id % 2400 AS p FROM events),
         |o AS (SELECT datediff('day', DATE '1992-01-01',
-        |    CAST(o_orderdate AS DATE)) AS lo FROM orders)
+        |    CAST(o_orderdate AS DATE)) AS lo FROM orders
+        |  WHERE o_orderkey % 10 = 3)
         |SELECT event_id, count(*) AS n_overlap
         |FROM e JOIN o ON p >= lo AND p < lo + 7
         |GROUP BY 1""".stripMargin,
 
     "q_interval_join" ->
       """WITH o AS (SELECT o_orderkey, datediff('day', DATE '1992-01-01',
-        |    CAST(o_orderdate AS DATE)) AS lo FROM orders)
+        |    CAST(o_orderdate AS DATE)) AS lo FROM orders
+        |  WHERE o_orderkey % 10 = 3)
         |SELECT a.o_orderkey, count(*) AS n_overlap
         |FROM o a JOIN o b ON a.lo < b.lo + 7 AND b.lo < a.lo + 7
         |GROUP BY 1""".stripMargin,
@@ -7191,46 +7268,11 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // the full IVF-PQ pipeline replayed: coarse argmin cells, 2-cell
     // probes, per-sub codes, then ADC with Spark's exact float
     // grouping — per-sub partial sums accumulated in sub order
-    "q_ann_ivfpq" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |cb AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings WHERE vec_id < 16),
-        |cbl AS (SELECT list(cv ORDER BY code) AS cbl FROM cb),
-        |coarse AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cc
-        |  FROM embeddings WHERE vec_id < 8),
-        |cellrank AS (SELECT v.vec_id, coarse.cell,
-        |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |    list_sum(list_transform(range(1, 65), p ->
-        |      (v.v[p] - coarse.cc[p]) * (v.v[p] - coarse.cc[p]))),
-        |    coarse.cell) AS rn
-        |  FROM v CROSS JOIN coarse),
-        |cell AS (SELECT vec_id, cell FROM cellrank WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, cell FROM cellrank
-        |  WHERE vec_id < 10 AND rn <= 2),
-        |pq AS (SELECT v.vec_id, s.sub, cb.code,
-        |  row_number() OVER (PARTITION BY v.vec_id, s.sub ORDER BY
-        |    list_sum(list_transform(range(1, 9), p ->
-        |      (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]) *
-        |      (v.v[s.sub*8 + p] - cb.cv[s.sub*8 + p]))), cb.code) AS rn
-        |  FROM v CROSS JOIN range(8) AS s(sub) CROSS JOIN cb),
-        |codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
-        |  FROM pq WHERE rn = 1 GROUP BY 1),
-        |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
-        |  FROM probes p JOIN cell c USING (cell)
-        |  WHERE c.vec_id <> p.query_id),
-        |adc AS (SELECT c.query_id, c.neighbor_id,
-        |  list_sum(list_transform(range(0, 8), s ->
-        |    list_sum(list_transform(range(1, 9), p ->
-        |      (qv.v[s*8 + p] - cbl.cbl[cd.codes[s+1] + 1][s*8 + p]) *
-        |      (qv.v[s*8 + p] - cbl.cbl[cd.codes[s+1] + 1][s*8 + p])))))
-        |    AS dist
-        |  FROM cand c JOIN codes cd ON cd.vec_id = c.neighbor_id
-        |  JOIN v qv ON qv.vec_id = c.query_id CROSS JOIN cbl)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
-        |  SELECT query_id, neighbor_id, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-        |  FROM adc) WHERE rank <= 5""".stripMargin,
+    "q_ann_ivfpq" -> ivfPqOracleSql,
+
+    // identical pipeline to q_ann_ivfpq - the stored tier must serve
+    // byte-identical rankings from the code-only index
+    "q_ann_ivfpq_stored" -> ivfPqOracleSql,
 
     "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),

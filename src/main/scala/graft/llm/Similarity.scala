@@ -665,24 +665,40 @@ object Similarity {
     * (id, cell, codes): m small ints per vector cross the shuffle,
     * never the raw embeddings; queries (tiny by construction)
     * broadcast with their full vectors for the asymmetric ranking. */
+  /** Coarse-quantizer cell ranking: the `n` nearest of the literal
+    * centroid list (positions after sort by id = cell ids), ties to
+    * the lower cell. Map-only, argmin-free of shuffles. */
+  private def coarseCells(vec: Column, coarse: Seq[(Long, Array[Double])],
+                          n: Int): Column = {
+    val v = transform(vec, _.cast("double"))
+    val scored = array(coarse.sortBy(_._1).map(_._2).zipWithIndex.map {
+      case (c, i) =>
+        struct(d2(v, typedLit(c.toSeq)).as("dist"), lit(i).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, n), _.getField("cell"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 coarse: Seq[(Long, Array[Double])], cb: PqCodebook,
                 nprobe: Int = 2,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val cells = coarse.sortBy(_._1).map(_._2).zipWithIndex
-    def nearestCells(vec: Column, n: Int): Column = {
-      val v = transform(vec, _.cast("double"))
-      val scored = array(cells.map { case (c, i) =>
-        struct(d2(v, typedLit(c.toSeq)).as("dist"), lit(i).as("cell"))
-      }: _*)
-      transform(slice(array_sort(scored), 1, n), _.getField("cell"))
-    }
     val corpusIdx = corpus.select(col(idCol).as("neighbor_id"),
-      element_at(nearestCells(col(vecCol), 1), 1).as("cell"),
+      element_at(coarseCells(col(vecCol), coarse, 1), 1).as("cell"),
       pqCodes(col(vecCol), cb).as("codes"))
+    ivfPqProbe(corpusIdx, queries, k, coarse, cb, nprobe, idCol, vecCol)
+  }
+
+  /** Rank a (neighbor_id, cell, codes) index against a query batch —
+    * shared by the inline and stored tiers. Probes and query vectors
+    * broadcast; the index side streams through the join with ZERO
+    * exchanges (pinned in PlanAuditSpec for the stored tier). */
+  private def ivfPqProbe(corpusIdx: DataFrame, queries: DataFrame, k: Int,
+                         coarse: Seq[(Long, Array[Double])], cb: PqCodebook,
+                         nprobe: Int, idCol: String,
+                         vecCol: String): DataFrame = {
     val probes = broadcast(queries.select(col(idCol).as("query_id"),
-      explode(nearestCells(col(vecCol), nprobe)).as("cell")))
+      explode(coarseCells(col(vecCol), coarse, nprobe)).as("cell")))
     val qv = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qvec")))
     val scored = corpusIdx.join(probes, Seq("cell"))
@@ -694,5 +710,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Persist the IVF-PQ index: (neighbor_id, cell, codes) bucketed by
+    * cell — m small ints per corpus vector and NO raw vectors at all
+    * (the PQ point: the serving index is ~32× smaller than a vector
+    * store, and nothing else is ever read at query time). Codebook +
+    * coarse centroids persist as JSON planner metadata beside the
+    * buckets. Index build is one map pass + the bucketed write. */
+  def ivfPqIndexStore(corpus: DataFrame, prefix: String, path: String,
+                      coarse: Seq[(Long, Array[Double])], cb: PqCodebook,
+                      buckets: Int = 8, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    graft.sinks.Bucketed.writeBucketed(
+      corpus.select(col(idCol).as("neighbor_id"),
+        element_at(coarseCells(col(vecCol), coarse, 1), 1).as("cell"),
+        pqCodes(col(vecCol), cb).as("codes")),
+      s"${prefix}_pq", s"$path/pq", Seq("cell"), buckets)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.createObjectNode()
+    meta.put("m", cb.m); meta.put("dsub", cb.dsub)
+    val cbArr = meta.putArray("centroids")
+    cb.centroids.foreach { sub =>
+      val s = cbArr.addArray()
+      sub.foreach { c => val a = s.addArray(); c.foreach(x => a.add(x)) }
+    }
+    val coArr = meta.putArray("coarse")
+    coarse.sortBy(_._1).foreach { case (id, c) =>
+      val e = coArr.addObject(); e.put("id", id)
+      val a = e.putArray("v"); c.foreach(x => a.add(x))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "pq_meta.json"), meta.toString)
+  }
+
+  /** (coarse centroids, codebook) back from a stored index. */
+  def ivfPqLoadMeta(path: String): (Seq[(Long, Array[Double])], PqCodebook) = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "pq_meta.json")))
+    val cb = PqCodebook(meta.get("m").asInt, meta.get("dsub").asInt,
+      meta.get("centroids").asScala.toSeq.map(_.asScala.toSeq.map(
+        _.asScala.toArray.map(_.asDouble))))
+    val coarse = meta.get("coarse").asScala.toSeq.map(e =>
+      e.get("id").asLong -> e.get("v").asScala.toArray.map(_.asDouble))
+    (coarse, cb)
+  }
+
+  /** IVF-PQ serving against the STORED index: per query batch only the
+    * probed cells' code buckets are read (cell is the bucketing key —
+    * file-pruned), the raw corpus is untouched, and wall time tracks
+    * query volume × cell occupancy, not corpus size — the same flat
+    * contract as the other stored tiers, with a 32×-smaller store. */
+  def ivfPqTopKStored(queries: DataFrame, k: Int, prefix: String,
+                      metaPath: String, nprobe: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val (coarse, cb) = ivfPqLoadMeta(metaPath)
+    ivfPqProbe(queries.sparkSession.table(s"${prefix}_pq"), queries, k,
+      coarse, cb, nprobe, idCol, vecCol)
   }
 }

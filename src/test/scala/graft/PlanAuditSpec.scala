@@ -230,6 +230,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     cand.unpersist()
   }
 
+  test("stored IVF-PQ probe: code-only serving — no vector store exists, " +
+       "broadcast probes, zero corpus-side exchange before the top-k") {
+    import graft.llm.Similarity
+    val root = new java.io.File("/tmp/graft_ivfpq_audit")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val coarse = emb.where(col("vec_id") < 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    Similarity.ivfPqIndexStore(emb, "graft_ivfpq_audit", root.toString,
+      coarse, cb, buckets = 4)
+    // the store holds ONLY the code buckets + JSON metadata — no raw
+    // vectors anywhere (the 32× point of PQ)
+    assert(new java.io.File(root, "pq").exists)
+    assert(new java.io.File(root, "pq_meta.json").exists)
+    assert(!new java.io.File(root, "vecs").exists)
+    val result = Similarity.ivfPqTopKStored(
+      emb.where(col("vec_id") < 5), k = 5, "graft_ivfpq_audit",
+      root.toString, nprobe = 2)
+    val p = result.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchange is the per-query top-k window; the code
+    // table itself streams through the broadcast joins unshuffled
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      <= 1, p)
+    assert(result.count() > 0)
+  }
+
   test("iceberg bucket[N] transform is codegen'd — no UDF in the write path") {
     import graft.sinks.PartitionTransforms
     import graft.sinks.PartitionTransforms.PartitionField
