@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) construction and lookup — the
+  * standard warehouse consumption pattern for a CDC feed: instead of
+  * upserting changes away (type 1, what the MoR sink does), every
+  * change OPENS a new dimension version and CLOSES the previous one,
+  * so facts can be enriched as-of any point in history.
+  *
+  * Reference tie-in: the change feed shape is exactly what the CDC
+  * decoders emit (`kind` ∈ insert/update/delete + a total position
+  * order); the reference stops at the upsert sink
+  * (`destination/iceberg`, equality deletes), this is the downstream
+  * half a training-data pipeline needs for point-in-time-correct
+  * joins (no feature leakage: a fact only ever sees dimension state
+  * that existed at fact time).
+  */
+object Scd {
+
+  /** Build the type-2 version table from a change log.
+    *
+    * Input: one row per change — `keyCol` (business key), `orderCol`
+    * (the total order: LSN or commit timestamp), `kindCol`
+    * (insert/update/delete), plus payload columns. Output: the payload
+    * with `valid_from` = the change's position, `valid_to` = the next
+    * change's position for that key (null = still current), and
+    * `is_current`. Delete changes close the previous version without
+    * opening one (their row carries no version).
+    *
+    * Scale shape: ONE hash exchange on the key + per-key sort — the
+    * `lead()` window is the whole algorithm. No self-join, no
+    * per-version scan. Re-running over a grown log is deterministic
+    * (same input → same versions), and an incremental variant only
+    * needs each key's LAST version plus the new changes — the same
+    * keyed shuffle over a far smaller frame.
+    *
+    * Replays: duplicate deliveries of the same (key, position) must be
+    * deduped upstream (`Merge.dedupKeepLatestAgg`), exactly as the
+    * apply path does — SCD versions are keyed on position, so a true
+    * duplicate would open a zero-width version. */
+  def buildType2(changes: DataFrame, keyCol: String, orderCol: String,
+                 kindCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    changes
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull && col(kindCol) =!= "delete")
+      // a delete closes its predecessor (the lead() above already did
+      // that) and contributes no version of its own
+      .where(col(kindCol) =!= "delete")
+      .drop(kindCol)
+  }
+
+  /** Point-in-time lookup: each fact row (`factKey`, `tsCol`) joined to
+    * the dimension version live at its timestamp
+    * (`valid_from <= ts < valid_to`, open-ended current versions
+    * match everything from their start). Left join — facts with no
+    * live version keep nulls.
+    *
+    * Plan shape: the key equality makes this a NORMAL keyed join (one
+    * exchange per side, sort-merge or broadcast); the interval
+    * predicate is a post-join filter within the key group, never a
+    * BNL. Version counts per key are small by construction (one per
+    * change), so the within-key fan-out is bounded by change
+    * frequency, not corpus size. A version table small enough to
+    * broadcast makes the whole lookup map-only — pass
+    * `broadcastDim = true`. */
+  def lookupAsOf(facts: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String, tsCol: String,
+                 broadcastDim: Boolean = false,
+                 dimPrefix: String = "dim_"): DataFrame = {
+    val renamed = dim.columns.foldLeft(dim)((d, c) =>
+      d.withColumnRenamed(c, dimPrefix + c))
+    val d = if (broadcastDim) broadcast(renamed) else renamed
+    val from = col(dimPrefix + "valid_from")
+    val to = col(dimPrefix + "valid_to")
+    facts.join(d,
+      facts(factKey) === d(dimPrefix + dimKey) &&
+        facts(tsCol) >= from && (to.isNull || facts(tsCol) < to),
+      "left")
+  }
+}

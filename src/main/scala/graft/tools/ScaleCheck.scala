@@ -434,7 +434,63 @@ object ScaleCheck {
                 "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n",
                 "r" -> "e", "a" -> "t", "e" -> "s", "e" -> "n",
                 "e" -> "d", "t" -> "o", "i" -> "s", "o" -> "r"))
-            .agg(sum(col("n_bpe_tokens"))).head() })
+            .agg(sum(col("n_bpe_tokens"))).head() },
+        // round-10 session-4: joins + PQ. Left/point/corpus sides
+        // scale; right/interval sides stay the 1× fixtures, so the
+        // curve isolates the scaling side's cost.
+        "asof_join" -> time(s"$label asof_join") {
+          val e = ev.select(col("event_id"), col("user_id"),
+            date_add(to_date(lit("1992-01-01")),
+              pmod(col("event_id"), lit(2400)).cast("int"))
+              .cast("timestamp").as("t"))
+          val o = Tables.load(spark, base, "orders")
+            .groupBy(col("o_custkey"), col("o_orderdate"))
+            .agg(max("o_orderkey").as("o_orderkey"))
+          counts(s"$label asof_join") = graft.operators.AsofJoin
+            .backward(e, o, Seq("user_id"), Seq("o_custkey"),
+              "t", "o_orderdate")
+            .where(col("o_orderkey").isNotNull).count() },
+        "range_join" -> time(s"$label range_join") {
+          val pts = ev.select(col("event_id"),
+            pmod(col("event_id"), lit(2400)).as("p"))
+          val iv = Tables.load(spark, base, "orders")
+            .where(col("o_orderkey") % 10 === 3)
+            .select(datediff(col("o_orderdate"), lit("1992-01-01"))
+              .cast("long").as("lo"))
+            .withColumn("hi", col("lo") + 7L)
+          counts(s"$label range_join") = graft.operators.RangeJoin
+            .pointInInterval(pts, "p", iv, "lo", "hi", 7L).count() },
+        "interval_join" -> time(s"$label interval_join") {
+          val l = ev.select(col("event_id"),
+            pmod(col("event_id"), lit(2400)).as("lo"))
+            .withColumn("hi", col("lo") + pmod(col("event_id"), lit(7)) + 1L)
+          val r = Tables.load(spark, base, "orders")
+            .where(col("o_orderkey") % 10 === 3)
+            .select(col("o_orderkey"),
+              datediff(col("o_orderdate"), lit("1992-01-01"))
+                .cast("long").as("lo"))
+            .withColumn("hi", col("lo") + 7L)
+          counts(s"$label interval_join") = graft.operators.RangeJoin
+            .intervalOverlap(l, "lo", "hi", r, "lo", "hi", 7L).count() },
+        "pq_encode" -> time(s"$label pq_encode") {
+          val cb = graft.llm.Similarity.pqTrain(annQueries, "vec_id",
+            "embedding", m = 8, ksub = 16, iters = 0)
+          graft.llm.Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+            .agg(sum(aggregate(col("codes"), lit(0L),
+              (a, x) => a + x.cast("long")))).head() },
+        // candidate volume per query ∝ cell occupancy = corpus/nlist:
+        // expect ~linear here; at a real 100× the knob is nlist ∝
+        // corpus (the IVF contract), which this fixture can't exercise
+        "ivfpq_topk" -> time(s"$label ivfpq_topk") {
+          val cb = graft.llm.Similarity.pqTrain(annQueries, "vec_id",
+            "embedding", m = 8, ksub = 16, iters = 0)
+          val coarse = annQueries.where(col("vec_id") < 8)
+            .select(col("vec_id"),
+              transform(col("embedding"), _.cast("double")).as("v"))
+            .collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+          counts(s"$label ivfpq_topk") = graft.llm.Similarity.ivfPqTopK(
+            emb, annQueries, k = 10, coarse, cb, nprobe = 2).count() })
     }
     // warm
     Tables.load(spark, base, "lineitem").count()

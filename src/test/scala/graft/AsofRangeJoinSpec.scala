@@ -113,6 +113,40 @@ class AsofRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("SCD-2 build: versions chain per key, deletes close without opening; broadcast lookup is map-only") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val log = Seq(
+      (1L, 10L, "insert", "a1"), (1L, 20L, "update", "a2"),
+      (1L, 30L, "delete", "a2"),
+      (2L, 15L, "insert", "b1"),
+      (3L, 5L, "insert", "c1"), (3L, 25L, "update", "c2"))
+      .toDF("k", "lsn", "kind", "v")
+    val dim = Scd.buildType2(log, "k", "lsn", "kind")
+    val got = dim.select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "a1", 10L, Some(20L), false),
+      (1L, "a2", 20L, Some(30L), false), // closed by the delete
+      (2L, "b1", 15L, None, true),
+      (3L, "c1", 5L, Some(25L), false),
+      (3L, "c2", 25L, None, true)))
+    // lookups: before first version → null; inside spans → the right
+    // version; after a delete → null; open current matches forever
+    val facts = Seq((100L, 1L, 5L), (101L, 1L, 25L), (102L, 1L, 99L),
+      (103L, 3L, 25L), (104L, 2L, 1000000L)).toDF("fid", "k", "ts")
+    val looked = Scd.lookupAsOf(facts, dim, "k", "k", "ts",
+      broadcastDim = true)
+      .select(col("fid"), col("dim_v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(looked == Map(100L -> null, 101L -> "a2", 102L -> null,
+      103L -> "c2", 104L -> "b1"))
+    val p = Scd.lookupAsOf(facts, dim, "k", "k", "ts",
+      broadcastDim = true).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("intervalOverlap: exactly the naive pair set, duplicate-free, no BNL") {
     import spark.implicits._
     val a = Seq((1L, 0L, 10L), (2L, 8L, 12L), (3L, 20L, 21L))
