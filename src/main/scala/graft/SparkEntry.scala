@@ -3187,6 +3187,55 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
     }),
 
+    // ---- Classic analytics shape, TPC-H Q3 (shipping priority):
+    //      3-way join with the filtered dimension BROADCAST, partial
+    //      aggregation map-side, integer-cents revenue. Plan pinned in
+    //      PlanAuditSpec (broadcast customer, no cartesian). ----
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < to_timestamp(lit("1997-03-15")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > to_timestamp(lit("1997-03-15")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_c"))
+    }),
+
+    // ---- TPC-H Q5 (local supplier volume): 6-way join; region →
+    //      nation → supplier chain and the customer dim all broadcast,
+    //      the two fact tables shuffle once on the join key. ----
+    "q_tpch_q5" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_c"))
+    }),
+
     // ---- SCD TYPE-2 build: a CDC-shaped change log (insert/update/
     //      delete at total LSN order) folded into dimension VERSIONS —
     //      valid_from/valid_to half-open spans, deletes close without
@@ -5812,6 +5861,30 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
 
     // the same generated change log + one lead() window; deletes close
     // their predecessor and emit no version

@@ -230,6 +230,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     cand.unpersist()
   }
 
+  test("tpch q3/q5: dimensions broadcast, facts shuffle once, partial agg, no cartesian") {
+    val p3 = plan(q("q_tpch_q3"))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(!p3.contains("CartesianProduct") &&
+      !p3.contains("BroadcastNestedLoopJoin"), p3)
+    assert(p3.contains("partial_sum") || p3.contains("HashAggregate"), p3)
+    val p5 = plan(q("q_tpch_q5"))
+    // region→nation→supplier chain + customer all ride broadcasts;
+    // only the lineitem⋈orders join may shuffle
+    assert(p5.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p5)
+    assert(!p5.contains("CartesianProduct") &&
+      !p5.contains("BroadcastNestedLoopJoin"), p5)
+    // filters reach the scans
+    assert(p5.contains("PushedFilters"), p5)
+  }
+
   test("stored IVF-PQ probe: code-only serving — no vector store exists, " +
        "broadcast probes, zero corpus-side exchange before the top-k") {
     import graft.llm.Similarity
