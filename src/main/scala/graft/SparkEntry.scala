@@ -3248,6 +3248,22 @@ object SparkEntry {
         .select(col("k"), col("price"), col("valid_from"), col("valid_to"),
           col("is_current"))),
 
+    // ---- SCD TYPE-2 INCREMENTAL maintenance: the stored dimension
+    //      (built from the first half of the log) folds in the second
+    //      half as an O(batch) increment — affected keys re-chain,
+    //      untouched keys pass through an anti-join vs the broadcast
+    //      batch keys. Output must equal the from-scratch build: the
+    //      oracle IS q_scd2_build's. ----
+    "q_scd2_increment" -> ((s, dir) => {
+      val log = scdChangeLog(s, dir)
+      val stored = graft.operators.Scd.buildType2(
+        log.where(col("lsn") < 2000000L), "k", "lsn", "kind")
+      graft.operators.Scd.applyIncrement(stored,
+          log.where(col("lsn") >= 2000000L), "k", "lsn", "kind")
+        .select(col("k"), col("price"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+    }),
+
     // ---- SCD TYPE-2 point-in-time lookup: facts at four probe
     //      positions per key (before/between/after the key's changes;
     //      post-delete probes get nulls) joined to the version live at
@@ -4809,6 +4825,19 @@ object SparkEntry {
         col("o_totalprice")))
   }
 
+  /** Shared by q_scd2_build and q_scd2_increment (the incremental
+    * fold must land exactly on the from-scratch build): the generated
+    * change log + one lead() window; deletes close their predecessor
+    * and emit no version. */
+  private def scd2BuildOracle: String =
+    s"""WITH ch AS ($scdChangeLogSql),
+       |v AS (SELECT k, lsn, kind, price, lsn AS valid_from,
+       |  lead(lsn) OVER (PARTITION BY k ORDER BY lsn) AS valid_to
+       |  FROM ch)
+       |SELECT k, price, valid_from, valid_to,
+       |  (valid_to IS NULL AND kind <> 'delete') AS is_current
+       |FROM v WHERE kind <> 'delete'""".stripMargin
+
   /** The SQL twin of [[scdChangeLog]] — spliced into both SCD oracles
     * so gate and oracle can never drift on the fixture arithmetic. */
   private val scdChangeLogSql: String =
@@ -5888,14 +5917,10 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
 
     // the same generated change log + one lead() window; deletes close
     // their predecessor and emit no version
-    "q_scd2_build" ->
-      s"""WITH ch AS ($scdChangeLogSql),
-         |v AS (SELECT k, lsn, kind, price, lsn AS valid_from,
-         |  lead(lsn) OVER (PARTITION BY k ORDER BY lsn) AS valid_to
-         |  FROM ch)
-         |SELECT k, price, valid_from, valid_to,
-         |  (valid_to IS NULL AND kind <> 'delete') AS is_current
-         |FROM v WHERE kind <> 'delete'""".stripMargin,
+    "q_scd2_build" -> scd2BuildOracle,
+
+    // the increment must land exactly on the from-scratch build
+    "q_scd2_increment" -> scd2BuildOracle,
 
     // keyed equi join + in-group interval predicate; post-delete probe
     // positions fall in no version and keep nulls (left join)

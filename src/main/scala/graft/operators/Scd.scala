@@ -50,9 +50,68 @@ object Scd {
       .withColumn("is_current",
         col("valid_to").isNull && col(kindCol) =!= "delete")
       // a delete closes its predecessor (the lead() above already did
-      // that) and contributes no version of its own
+      // that) and contributes no version of its own; the raw position
+      // column is redundant with valid_from and would collide on
+      // re-chaining in applyIncrement
       .where(col(kindCol) =!= "delete")
-      .drop(kindCol)
+      .drop(kindCol, orderCol)
+  }
+
+  /** Incremental type-2 maintenance: fold ONE arriving change batch
+    * into an existing version table without rebuilding it.
+    *
+    * Only keys present in the batch are touched: their stored versions
+    * are re-expressed as pseudo-changes (payload + `valid_from` as the
+    * position; a gap between one version's `valid_to` and its
+    * successor's `valid_from` — or a closed FINAL version — means a
+    * delete lived there, so the tombstone is reconstructed at that
+    * position), unioned with the new changes, and re-chained with the
+    * same `lead()` window [[buildType2]] uses. Untouched keys pass
+    * through an anti-join against the BROADCAST batch key set —
+    * map-only, never shuffled.
+    *
+    * Cost: one keyed shuffle of (affected versions + batch) — O(batch
+    * × versions-per-key), independent of dimension size — plus one
+    * scan of the stored table (bucket-pruned when the store is
+    * key-bucketed, the deployment layout). Equivalence
+    * `applyIncrement(buildType2(A), B) == buildType2(A ∪ B)` holds for
+    * any split where every position in B is ≥ every position in A for
+    * the keys they share (the CDC delivery order guarantees this); the
+    * gate asserts it literally. */
+  def applyIncrement(storedDim: DataFrame, changes: DataFrame,
+                     keyCol: String, orderCol: String,
+                     kindCol: String): DataFrame = {
+    val batchKeys = changes.select(col(keyCol)).distinct()
+    val affected = storedDim.join(broadcast(batchKeys), Seq(keyCol),
+      "left_semi")
+    val untouched = storedDim.join(broadcast(batchKeys), Seq(keyCol),
+      "left_anti")
+    // stored versions back to change form: the payload ride-along
+    // columns are everything but the bookkeeping triple
+    val payload = storedDim.columns
+      .filterNot(Set(keyCol, "valid_from", "valid_to", "is_current")).toSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    val withNext = affected.withColumn("_next_from",
+      lead(col("valid_from"), 1).over(w))
+    val asChanges = withNext.select(
+      Seq(col(keyCol), col("valid_from").as(orderCol),
+        lit("insert").as(kindCol)) ++ payload.map(col): _*)
+    // a closed version with no successor at exactly valid_to hides a
+    // tombstone — put it back so the re-chain closes the span again
+    val tombstones = withNext
+      .where(col("valid_to").isNotNull &&
+        (col("_next_from").isNull || col("_next_from") =!= col("valid_to")))
+      .select(
+        Seq(col(keyCol), col("valid_to").as(orderCol),
+          lit("delete").as(kindCol)) ++
+          payload.map(c => col(c)): _*)
+    val rebuilt = buildType2(
+      asChanges.unionByName(tombstones)
+        .unionByName(changes.select(
+          Seq(col(keyCol), col(orderCol), col(kindCol)) ++
+            payload.map(col): _*)),
+      keyCol, orderCol, kindCol)
+    untouched.unionByName(rebuilt.select(untouched.columns.map(col): _*))
   }
 
   /** Point-in-time lookup: each fact row (`factKey`, `tsCol`) joined to

@@ -147,6 +147,33 @@ class AsofRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("SCD-2 increment equals rebuild, including reconstructed tombstones and re-inserts after delete") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val a = Seq(
+      (1L, 10L, "insert", "a1"), (1L, 20L, "delete", "a1"), // closed by delete
+      (2L, 11L, "insert", "b1"), (2L, 21L, "update", "b2"),
+      (3L, 12L, "insert", "c1"))
+      .toDF("k", "lsn", "kind", "v")
+    val b = Seq(
+      (1L, 30L, "insert", "a2"), // re-insert after the delete
+      (2L, 31L, "delete", "b2"), // delete in the increment
+      (4L, 32L, "insert", "d1")) // brand-new key
+      .toDF("k", "lsn", "kind", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "valid_from", "valid_to", "is_current")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val incr = Scd.applyIncrement(Scd.buildType2(a, "k", "lsn", "kind"),
+      b, "k", "lsn", "kind")
+    val full = Scd.buildType2(a.unionByName(b), "k", "lsn", "kind")
+    assert(canon(incr) == canon(full))
+    // the delete at lsn 20 survived the round-trip: key 1's first
+    // version is CLOSED at 20, not silently extended to 30
+    assert(canon(incr).contains((1L, "a1", 10L, Some(20L), false)))
+    // untouched key 3 passed through
+    assert(canon(incr).contains((3L, "c1", 12L, None, true)))
+  }
+
   test("intervalOverlap: exactly the naive pair set, duplicate-free, no BNL") {
     import spark.implicits._
     val a = Seq((1L, 0L, 10L), (2L, 8L, 12L), (3L, 20L, 21L))
