@@ -3264,6 +3264,50 @@ object SparkEntry {
           col("valid_to"), col("is_current"))
     }),
 
+    // ---- SCD TYPE-2 STREAMING maintenance: the same change log as a
+    //      REAL checkpointed stream (AvailableNow, one staged segment
+    //      per micro-batch) folding into the key-bucketed dimension
+    //      store — per batch only the touched buckets are read and
+    //      swapped. A stale replay of batch 0 afterwards must no-op
+    //      (batchId fence). Final dimension == the from-scratch
+    //      oracle. ----
+    "q_scd2_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField => SF, StructType => ST}
+      val root = new java.io.File("/tmp/graft_scd_stream")
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val logDir = s"$root/log"; val store = s"$root/dim"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(logDir))
+      val log = scdChangeLog(s, dir)
+      def stage(df: DataFrame, file: String): Unit = {
+        val stg = s"$root/stg_$file"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(logDir, file)): Unit
+      }
+      stage(log.where(col("lsn") < 1000000L), "seg0.json")
+      stage(log.where(col("lsn") >= 1000000L && col("lsn") < 2000000L),
+        "seg1.json")
+      stage(log.where(col("lsn") >= 2000000L), "seg2.json")
+      val schema = ST(Seq(SF("k", LongType), SF("lsn", LongType),
+        SF("kind", StringType), SF("price", DoubleType)))
+      graft.streaming.ScdStream.run(s, logDir, schema, store,
+        s"$root/ckpt", "k", "lsn", "kind").awaitTermination()
+      // committed replay: must not disturb the store
+      graft.streaming.ScdStream.applyBatch(
+        s.read.schema(schema).json(s"$logDir/seg0.json"), 0L, store,
+        "k", "lsn", "kind")
+      graft.streaming.ScdStream.readDim(s, store)
+        .select(col("k"), col("price"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+    }),
+
     // ---- SCD TYPE-2 point-in-time lookup: facts at four probe
     //      positions per key (before/between/after the key's changes;
     //      post-delete probes get nulls) joined to the version live at
@@ -5921,6 +5965,9 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
 
     // the increment must land exactly on the from-scratch build
     "q_scd2_increment" -> scd2BuildOracle,
+
+    // and so must the streamed fold
+    "q_scd2_stream" -> scd2BuildOracle,
 
     // keyed equi join + in-group interval predicate; post-delete probe
     // positions fall in no version and keep nulls (left join)

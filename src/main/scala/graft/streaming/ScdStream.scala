@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Scd
+
+/** Streaming SCD-2 maintenance: a CDC change stream folded into a
+  * key-bucketed type-2 dimension store, O(batch) per micro-batch.
+  *
+  * Store layout: one parquet dir per key bucket
+  * (`kb = pmod(xxhash64(key), buckets)`). A micro-batch touches only
+  * its keys' buckets — read bucket-pruned, re-chained through
+  * [[Scd.applyIncrement]] (whose untouched-keys anti-join therefore
+  * scans ONLY the affected buckets, never the whole dimension), and
+  * written back bucket-by-bucket. At any dimension size the per-batch
+  * cost is (batch keys × versions-per-key) + the affected buckets'
+  * rows.
+  *
+  * Crash safety is the delta-segment discipline: bucket rewrites are
+  * deterministic in (store content, batch content) and land in a
+  * temp dir swapped in per bucket; the position commit (`_scd_batch`)
+  * is written AFTER all swaps, so a replayed batch re-derives and
+  * re-swaps identical bucket contents — idempotent — and the batchId
+  * fence makes the replay a no-op once committed. */
+object ScdStream {
+
+  private def bucketOf(key: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(xxhash64(key), lit(buckets))
+
+  private def stateFile(store: String) = new File(store, "_scd_batch")
+
+  private def lastBatch(store: String): Long = {
+    val f = stateFile(store)
+    if (f.exists) java.nio.file.Files.readString(f.toPath).trim.toLong
+    else Long.MinValue
+  }
+
+  /** Fold one change micro-batch into the store. Exposed for tests and
+    * the gate; the stream wires it through foreachBatch. */
+  def applyBatch(batch: DataFrame, batchId: Long, store: String,
+                 keyCol: String, orderCol: String, kindCol: String,
+                 buckets: Int = 16): Unit = {
+    if (batchId <= lastBatch(store)) return // committed replay: no-op
+    val spark = batch.sparkSession
+    if (batch.isEmpty) { commit(store, batchId); return }
+    val touched = batch.select(bucketOf(col(keyCol), buckets).as("kb"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val existing = touched.filter(kb => new File(store, s"kb=$kb").exists)
+    val stored =
+      if (existing.isEmpty) None
+      else Some(spark.read.parquet(
+        existing.map(kb => s"$store/kb=$kb"): _*))
+    val dim = stored match {
+      case Some(st) =>
+        Scd.applyIncrement(st, batch, keyCol, orderCol, kindCol)
+      case None => Scd.buildType2(batch, keyCol, orderCol, kindCol)
+    }
+    // write-new-then-swap per bucket: the rewrite is deterministic, so
+    // a crash between swaps replays into identical content
+    val staged = dim.withColumn("kb", bucketOf(col(keyCol), buckets))
+    staged.write.mode("overwrite").partitionBy("kb")
+      .parquet(s"$store/.stage_$batchId")
+    touched.foreach { kb =>
+      val src = new File(store, s".stage_$batchId/kb=$kb")
+      val dst = new File(store, s"kb=$kb")
+      if (src.exists) {
+        rm(dst)
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"swap failed for bucket $kb")
+      } else rm(dst) // every key in the bucket ended deleted
+    }
+    rm(new File(store, s".stage_$batchId"))
+    commit(store, batchId)
+  }
+
+  private def commit(store: String, batchId: Long): Unit = {
+    new File(store).mkdirs()
+    val tmp = new File(store, "_scd_batch.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, batchId.toString)
+    java.nio.file.Files.move(tmp.toPath, stateFile(store).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private def rm(f: File): Unit = if (f.exists) {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+    f.delete(): Unit
+  }
+
+  /** The merged dimension view across all buckets. */
+  def readDim(spark: SparkSession, store: String): DataFrame =
+    spark.read
+      .option("basePath", store)
+      .parquet(new File(store).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+        .map(_.getPath).toSeq: _*)
+      .drop("kb")
+
+  /** Wire the stream: JSON changelog dir → per-batch SCD fold. */
+  def run(spark: SparkSession, changeDir: String, schema: StructType,
+          store: String, checkpoint: String,
+          keyCol: String, orderCol: String, kindCol: String,
+          buckets: Int = 16): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // one staged segment per batch
+      .json(changeDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: Dataset[Row], id: Long) =>
+        applyBatch(df.toDF, id, store, keyCol, orderCol, kindCol, buckets))
+      .start()
+}

@@ -636,4 +636,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     ProfileStream.applyCmsBatch(b0, 0L, "v", dir)
     assert(cells(ProfileStream.currentCms(spark, dir)) === oneShot)
   }
+
+  test("ScdStream: checkpoint resume folds a late segment; only touched buckets rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    import graft.streaming.ScdStream
+    val root = java.nio.file.Files.createTempDirectory("graft_scds").toString
+    val logDir = s"$root/log"; val store = s"$root/dim"
+    new java.io.File(logDir).mkdirs()
+    val schema = ST(Seq(SF("k", LongType), SF("lsn", LongType),
+      SF("kind", StringType), SF("v", StringType)))
+    def stage(rows: Seq[(Long, Long, String, String)], f: String): Unit = {
+      val stg = s"$root/stg_$f"
+      rows.toDF("k", "lsn", "kind", "v").coalesce(1).write.json(stg)
+      val part = new java.io.File(stg).listFiles
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(logDir, f)): Unit
+    }
+    stage(Seq((1L, 10L, "insert", "a1"), (2L, 11L, "insert", "b1")), "s0.json")
+    ScdStream.run(spark, logDir, schema, store, s"$root/ckpt",
+      "k", "lsn", "kind", buckets = 4).awaitTermination()
+    val bucketOf = (k: Long) => spark.range(1).select(
+      pmod(xxhash64(lit(k)), lit(4))).head.getLong(0)
+    val untouchedBucket = new java.io.File(store, s"kb=${bucketOf(2L)}")
+    val before = untouchedBucket.lastModified
+    Thread.sleep(1100)
+    // a later segment updates only key 1: resume from the checkpoint
+    stage(Seq((1L, 20L, "update", "a2")), "s1.json")
+    ScdStream.run(spark, logDir, schema, store, s"$root/ckpt",
+      "k", "lsn", "kind", buckets = 4).awaitTermination()
+    val dim = ScdStream.readDim(spark, store)
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(dim == Set((1L, "a1", 10L, Some(20L), false),
+      (1L, "a2", 20L, None, true), (2L, "b1", 11L, None, true)))
+    // key 2's bucket was not rewritten by the second run (O(batch))
+    if (bucketOf(2L) != bucketOf(1L))
+      assert(untouchedBucket.lastModified == before,
+        "untouched bucket rewritten")
+  }
 }
