@@ -189,10 +189,30 @@ object Main {
         }
       spark.stop()
 
+    // scd <changeDir> <store> <key> <order> [kind] [buckets]: maintain
+    // a type-2 dimension from a JSON change log — drains the available
+    // log (AvailableNow + checkpoint under the store), then prints the
+    // dimension's version/current counts. Re-runs resume and fold only
+    // new segments; replayed batches no-op.
+    case "scd" :: changeDir :: store :: key :: order :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val kind = rest.headOption.getOrElse("kind")
+      val buckets = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val schema = spark.read.json(changeDir).schema
+      graft.streaming.ScdStream.run(spark, changeDir, schema, store,
+        s"$store/.ckpt", key, order, kind, buckets).awaitTermination()
+      val dim = graft.streaming.ScdStream.readDim(spark, store)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val r = dim.agg(count(lit(1)).as("versions"),
+        sum(col("is_current").cast("long")).as("current")).head
+      println(s"""{"versions":${r.getLong(0)},"current":${r.getLong(1)}}""")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk")
+          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk | scd")
       sys.exit(2)
   }
 }
