@@ -3820,6 +3820,20 @@ object SparkEntry {
         .select("doc_id", "n_tok", "cum_tokens")
     }),
 
+    // ---- LLM: MIXTURE ASSEMBLY — per-language token budgets filled
+    //      best-first (the "100B en / 30B code / 10B de" composition
+    //      step). One keyed running-sum window per group; groups
+    //      without a budget drop. ----
+    "q_mixture_assemble" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.llm.Selection.assembleMixture(d, "lang", col("n_tok"),
+          "doc_id", col("n_tok"),
+          Map("en" -> 9000L, "de" -> 4000L, "zh" -> 2500L))
+        .select("doc_id", "lang", "n_tok", "cum_tokens")
+    }),
+
     // ---- LLM: deterministic weighted MIXTURE sampling — the
     //      data-mixing step composing a corpus from sources at
     //      different rates; md5-bucket membership is reproducible on
@@ -6507,6 +6521,19 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |  FROM dist)
         |SELECT vec_id, cid AS cluster FROM r WHERE rn = 1""".stripMargin,
+
+    // per-group running totals against the budget CASE
+    "q_mixture_assemble" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tok
+        |  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY n_tok DESC, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM tok)
+        |SELECT doc_id, lang, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 9000
+        |  WHEN 'de' THEN 4000 ELSE 2500 END""".stripMargin,
 
     // the banded prefix sum equals one global ordered running total
     "q_select_budget" ->

@@ -177,4 +177,36 @@ object Selection {
     local.unpersist()
     df.sparkSession.read.parquet(path)
   }
+
+  /** MIXTURE ASSEMBLY: per-group token-budget selection — the step
+    * that composes a training mix from per-domain/per-language token
+    * targets ("100B en, 30B code, 10B de"): within each group, keep
+    * the best documents (score desc, id asc) until the group's budget
+    * fills, emitting the running `cum_tokens` so the audit sees where
+    * each group's knife fell. Groups without a budget are dropped.
+    *
+    * Scale shape: ONE keyed shuffle — the per-group running-sum window
+    * (a RUNNING frame, O(n) per partition). Parallelism = #groups: the
+    * normal mixture regime (tens to thousands of sources) spreads
+    * fine; a single dominant group serializes through one sort, and
+    * the escape hatch is [[selectUnderBudget]]'s banded construction
+    * on that group alone (same output, driver-side quantile bands).
+    * Budgets ride as a literal CASE — planner metadata. */
+  def assembleMixture(df: DataFrame, groupCol: String, scoreCol: Column,
+                      idCol: String, tokenCol: Column,
+                      budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "no budgets")
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, b)) => when(col(groupCol) === g, b).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(scoreCol.cast("double").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__budget", budget)
+      .where(col("__budget").isNotNull)
+      .withColumn("cum_tokens", sum(tokenCol.cast("long")).over(w))
+      .where(col("cum_tokens") <= col("__budget"))
+      .drop("__budget")
+  }
 }
