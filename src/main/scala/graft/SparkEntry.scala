@@ -3834,6 +3834,27 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tok", "cum_tokens")
     }),
 
+    // ---- LLM: the EPOCH-ASSEMBLY pipeline end-to-end — per-language
+    //      budgets filled best-first, the selection shuffled by the
+    //      deterministic md5 epoch permutation (scalable two-phase
+    //      rank), then packed into 512-token training sequences
+    //      (bucketed running sums). Three operators composed; the
+    //      oracle chains their three SQL replays. ----
+    "q_training_mix_e2e" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      val sel = graft.llm.Selection.assembleMixture(d, "lang",
+        col("n_tok"), "doc_id", col("n_tok"),
+        Map("en" -> 9000L, "de" -> 4000L, "zh" -> 2500L))
+        .select("doc_id", "lang", "n_tok")
+      val shuffled = TextAnalysis.epochShuffle(sel, "doc_id", "mix1")
+      graft.llm.Sampling.packSequences(shuffled, "doc_id",
+          col("n_tok"), budget = 512L, buckets = 8)
+        .select("doc_id", "lang", "n_tok", "shuffle_pos", "bucket",
+          "pack_id")
+    }),
+
     // ---- LLM: deterministic weighted MIXTURE sampling — the
     //      data-mixing step composing a corpus from sources at
     //      different rates; md5-bucket membership is reproducible on
@@ -6534,6 +6555,36 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT doc_id, lang, n_tok, cum_tokens FROM c
         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 9000
         |  WHEN 'de' THEN 4000 ELSE 2500 END""".stripMargin,
+
+    // the three stage oracles chained: budget selection → md5 epoch
+    // rank over the survivors → bucketed packing sums
+    "q_training_mix_e2e" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tok
+        |  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY n_tok DESC, doc_id) AS cum_tokens
+        |  FROM tok),
+        |sel AS (SELECT doc_id, lang, n_tok FROM c
+        |  WHERE cum_tokens <= CASE lang WHEN 'en' THEN 9000
+        |    WHEN 'de' THEN 4000 ELSE 2500 END),
+        |sh AS (SELECT doc_id, lang, n_tok,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('mix1-' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS BIGINT) AS shuffle_pos
+        |  FROM sel),
+        |p AS (SELECT doc_id, lang, n_tok, shuffle_pos,
+        |  doc_id % 8 AS bucket,
+        |  sum(n_tok) OVER (PARTITION BY doc_id % 8
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sh)
+        |SELECT doc_id, lang, n_tok, shuffle_pos,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(bucket * 1000000 + floor((cum - n_tok) / 512.0) AS BIGINT)
+        |    AS pack_id
+        |FROM p""".stripMargin,
 
     // the banded prefix sum equals one global ordered running total
     "q_select_budget" ->
