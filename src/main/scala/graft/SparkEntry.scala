@@ -3834,6 +3834,24 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tok", "cum_tokens")
     }),
 
+    // ---- LLM: SFT conversation prep — documents become alternating
+    //      user/assistant turns (deterministic sentence alternation),
+    //      render through the ChatML-style template, and carry the
+    //      loss-mask accounting (assistant-only token counts) +
+    //      validity rules. Per-row codegen'd, zero shuffle; the oracle
+    //      replays turns/template/masks verbatim. ----
+    "q_chat_render" -> ((s, dir) => {
+      import graft.llm.Chat
+      t(s, dir, "documents")
+        .select(col("doc_id"), Chat.turns(col("text"), 8).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_turns"),
+          length(Chat.render(col("__t"))).cast("long").as("n_chars_rendered"),
+          Chat.assistantTokens(col("__t")).as("n_tok_assistant"),
+          Chat.totalTokens(col("__t")).as("n_tok_total"),
+          Chat.isValid(col("__t")).as("valid"))
+    }),
+
     // ---- LLM: the EPOCH-ASSEMBLY pipeline end-to-end — per-language
     //      budgets filled best-first, the selection shuffled by the
     //      deterministic md5 epoch permutation (scalable two-phase
@@ -6555,6 +6573,35 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT doc_id, lang, n_tok, cum_tokens FROM c
         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 9000
         |  WHEN 'de' THEN 4000 ELSE 2500 END""".stripMargin,
+
+    // turns, template, and masks replayed with list ops; tok() is the
+    // shared whitespace tokenizer every text gate uses
+    "q_chat_render" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(text, '. '),
+        |    s -> trim(s)), s -> s <> '')[1:8] AS ts
+        |  FROM documents),
+        |r AS (SELECT doc_id, ts,
+        |  array_to_string(list_transform(range(1, len(ts) + 1), i ->
+        |    '<|' || CASE WHEN (i-1) % 2 = 0 THEN 'user'
+        |            ELSE 'assistant' END || '|>' || ts[i]), chr(10))
+        |    || chr(10) || '<|end|>' AS rendered,
+        |  coalesce(list_sum(list_transform(range(1, len(ts) + 1), i ->
+        |    CASE WHEN (i-1) % 2 = 1 THEN len(string_split(trim(
+        |      regexp_replace(lower(ts[i]), '\s+', ' ', 'g')), ' '))
+        |    ELSE 0 END)), 0) AS n_tok_assistant,
+        |  coalesce(list_sum(list_transform(ts, t ->
+        |    len(string_split(trim(
+        |      regexp_replace(lower(t), '\s+', ' ', 'g')), ' ')))), 0)
+        |    AS n_tok_total
+        |  FROM d)
+        |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_turns,
+        |  CAST(length(rendered) AS BIGINT) AS n_chars_rendered,
+        |  CAST(n_tok_assistant AS BIGINT) AS n_tok_assistant,
+        |  CAST(n_tok_total AS BIGINT) AS n_tok_total,
+        |  (len(ts) >= 2 AND NOT list_contains(ts, '')
+        |    AND n_tok_assistant > 0) AS valid
+        |FROM r""".stripMargin,
 
     // the three stage oracles chained: budget selection → md5 epoch
     // rank over the survivors → bucketed packing sums

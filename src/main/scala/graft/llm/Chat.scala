@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SFT conversation prep — the supervised-fine-tuning half of a
+  * training-data pipeline: raw documents become alternating
+  * user/assistant turns, turns render through a chat template, and the
+  * loss-mask accounting (how many target tokens actually train) rides
+  * along. Everything is per-row codegen'd column math — no shuffle
+  * anywhere, the whole family runs at scan speed — and every rule is
+  * integer/string-exact so the DuckDB oracle replays it verbatim.
+  *
+  * The turn SOURCE here is deterministic sentence alternation (the
+  * fixture corpus has no real dialogues); in production the same
+  * render/mask/validate stages run over parsed conversation JSON —
+  * the template and accounting logic is the part that carries. */
+object Chat {
+
+  /** [0, n) as a column — `sequence(0, n-1)` is INVALID at n = 0
+    * (Spark's default step turns it into [0, -1]); slicing [0..n]
+    * to its first n elements is empty-safe. */
+  private def turnIdx(turnsCol: Column): Column =
+    slice(sequence(lit(0), size(turnsCol)), lit(1), size(turnsCol))
+
+  /** Sentence-split turns: '. '-separated spans, trimmed, empties
+    * dropped, capped at `maxTurns`. Even indices = user, odd =
+    * assistant (a conversation always starts with the user). */
+  def turns(text: Column, maxTurns: Int): Column =
+    slice(filter(transform(split(text, "\\. "), s => trim(s)),
+      s => s =!= ""), 1, maxTurns)
+
+  /** ChatML-style render: `<|role|>content` lines joined by \n with a
+    * trailing `<|end|>`. Template token overhead is 3 markers per turn
+    * (role open, newline, implicit close) — the constant the packing
+    * budget needs. */
+  def render(turnsCol: Column): Column =
+    concat(
+      array_join(
+        zip_with(turnsCol, turnIdx(turnsCol),
+          (t, i) => concat(lit("<|"),
+            when(i % 2 === 0, "user").otherwise("assistant"),
+            lit("|>"), t)),
+        "\n"),
+      lit("\n<|end|>"))
+
+  /** Whitespace-token count of the ASSISTANT turns only — the tokens
+    * the loss actually sees under assistant-only masking. */
+  def assistantTokens(turnsCol: Column): Column =
+    aggregate(
+      zip_with(turnsCol, turnIdx(turnsCol),
+        (t, i) => when(i % 2 === 1, size(Dedup.tokens(t))).otherwise(0)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Total whitespace tokens across all turns. */
+  def totalTokens(turnsCol: Column): Column =
+    aggregate(transform(turnsCol, t => size(Dedup.tokens(t))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** SFT validity: at least one complete (user, assistant) exchange,
+    * no empty turns (guaranteed by [[turns]] but asserted for foreign
+    * turn sources), and a non-empty supervision signal. */
+  def isValid(turnsCol: Column): Column =
+    size(turnsCol) >= 2 &&
+      !exists(turnsCol, t => t === "") &&
+      assistantTokens(turnsCol) > 0
+}
