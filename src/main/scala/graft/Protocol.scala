@@ -302,7 +302,10 @@ object Protocol {
     fs.delete(sp, true)
   }
 
-  private val stateLock = new Object
+  // read-decide-write regions share StateStore's own I/O lock, so a
+  // region here can never interleave with a bare StateStore.update
+  // elsewhere (same monitor, reentrant for the nested saves inside)
+  private def stateLock: Object = StateStore.lock
 
   /** `sync` ALL selected streams concurrently through a bounded pool
     * with retry — the reference's connection-group execution
@@ -420,9 +423,12 @@ object Protocol {
       else {
         val planned = ChunkPlanner.planByStride(src, chunkCol, chunkStride)
           .map(c => StateStore.ChunkState(c.min, c.max))
-        StateStore.save(statePath, st0.copy(streams = st0.streams.updated(
-          cfg.name, ss0.copy(remainingChunks = planned,
-            offsets = ss0.offsets + ("planned" -> 1L)))))
+        StateStore.update(statePath) { st =>
+          val ss = st.streams.getOrElse(cfg.name, StateStore.StreamState())
+          st.copy(streams = st.streams.updated(cfg.name,
+            ss.copy(remainingChunks = planned,
+              offsets = ss.offsets + ("planned" -> 1L))))
+        }
         planned
       }
     var written = 0L
@@ -438,11 +444,11 @@ object Protocol {
         targetOverride.getOrElse(s"$destDir/${cfg.name}"), Nil,
         append = true)
       written += stats("records_written").asInstanceOf[Long]
-      // commit AFTER the write lands (backfill.go:61-64 ordering)
-      val st = StateStore.load(statePath).get
-      val ss = st.streams(cfg.name)
-      StateStore.save(statePath, st.copy(streams = st.streams.updated(
-        cfg.name, StateStore.commitChunk(ss, ch))))
+      // commit AFTER the write lands (backfill.go:61-64 ordering);
+      // atomic vs the pool's other streams committing into the same map
+      StateStore.update(statePath)(st => st.copy(streams =
+        st.streams.updated(cfg.name,
+          StateStore.commitChunk(st.streams(cfg.name), ch))))
       done += 1
     }
     written
@@ -624,9 +630,11 @@ object Protocol {
   def clear(spark: SparkSession, destDir: String, statePath: String,
             streams: Seq[String]): Unit = {
     streams.foreach(s => ParquetSink.clear(spark, s"$destDir/$s"))
-    StateStore.load(statePath).foreach { st =>
-      StateStore.save(statePath,
-        st.copy(streams = st.streams -- streams))
+    stateLock.synchronized {
+      StateStore.load(statePath).foreach { st =>
+        StateStore.save(statePath,
+          st.copy(streams = st.streams -- streams))
+      }
     }
   }
 }

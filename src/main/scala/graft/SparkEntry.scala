@@ -3236,6 +3236,53 @@ object SparkEntry {
           .as("revenue_c"))
     }),
 
+    // ---- Z-ORDER clustering, the z-value itself: 16-bit shift
+    //      quantization + magic-number bit interleave, all integer
+    //      Column math inside one codegen span (no UDF, no doubles —
+    //      the oracle replays the identical >>/&/| ops). Bounds are
+    //      one min/max agg of writer metadata. ----
+    "q_zorder_value" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val b = graft.sinks.ZOrder.bounds(li, Seq("l_orderkey", "l_partkey"))
+      val (xLo, xHi) = b("l_orderkey"); val (yLo, yHi) = b("l_partkey")
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        graft.sinks.ZOrder.zValue2(col("l_orderkey"), xLo, xHi,
+          col("l_partkey"), yLo, yHi).as("zval"))
+    }),
+
+    // ---- Z-ORDER file skipping, the proof the layout pays: the same
+    //      rows laid out z-ordered vs linearly (sorted by l_orderkey),
+    //      64 files each via the deterministic two-phase global rank,
+    //      then per-file min/max stats against one box predicate on
+    //      BOTH clustered columns. The z layout prunes most files on
+    //      each axis; the linear layout prunes only on its sort
+    //      prefix. Per-file stats are O(nFiles) planner metadata —
+    //      exactly what Iceberg manifests / parquet footers hold. ----
+    "q_zorder_skip" -> ((s, dir) => {
+      import graft.sinks.ZOrder
+      val li = t(s, dir, "lineitem")
+      val b = ZOrder.bounds(li, Seq("l_orderkey", "l_partkey"))
+      val (xLo, xHi) = b("l_orderkey"); val (yLo, yHi) = b("l_partkey")
+      val spanX = xHi - xLo; val spanY = yHi - yLo
+      val n = li.count()
+      val rowsPerFile = (n + 63L) / 64L
+      // box: x in [25%, 31.25%] of its span, y in [50%, 56.25%] —
+      // bounds derived with shifts only so the oracle is integer-exact
+      val (bxLo, bxHi) = (xLo + (spanX >> 2), xLo + (spanX >> 2) + (spanX >> 4))
+      val (byLo, byHi) = (yLo + (spanY >> 1), yLo + (spanY >> 1) + (spanY >> 4))
+      val withZ = li.withColumn("zval",
+        ZOrder.zValue2(col("l_orderkey"), xLo, xHi, col("l_partkey"), yLo, yHi))
+      val tie = Seq(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val zFiles = ZOrder.fileAssign(withZ, col("zval") +: tie, rowsPerFile)
+      val linFiles = ZOrder.fileAssign(li, tie, rowsPerFile)
+      val zs = ZOrder.skipStats(zFiles, "file_id", "l_orderkey", "l_partkey",
+        bxLo, bxHi, byLo, byHi).withColumn("layout", lit("zorder"))
+      val ls = ZOrder.skipStats(linFiles, "file_id", "l_orderkey", "l_partkey",
+        bxLo, bxHi, byLo, byHi).withColumn("layout", lit("linear"))
+      zs.unionByName(ls).select("layout", "file_id", "n_rows",
+        "min_x", "max_x", "min_y", "max_y", "scanned")
+    }),
+
     // ---- SCD TYPE-2 build: a CDC-shaped change log (insert/update/
     //      delete at total LSN order) folded into dimension VERSIONS —
     //      valid_from/valid_to half-open spans, deletes close without
@@ -5002,6 +5049,33 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
         |  FROM adc) WHERE rank <= 5""".stripMargin
 
+  /** Shared z-order oracle fragment: min/max bounds, the bin()-derived
+    * span shift, 16-bit quantization, and the magic-number bit spread
+    * staged as CTE columns — the same constants as
+    * [[graft.sinks.ZOrder.spread16]], integer-exact on both engines. */
+  private def zValCteSql: String =
+    """b AS (SELECT min(l_orderkey) AS xlo, max(l_orderkey) AS xhi,
+      |  min(l_partkey) AS ylo, max(l_partkey) AS yhi,
+      |  count(*) AS n FROM lineitem),
+      |q AS (SELECT l_orderkey, l_partkey, l_linenumber,
+      |  ((l_orderkey - xlo) <<
+      |    greatest(16 - length(bin(greatest(xhi - xlo, 1))), 0)) >>
+      |    greatest(length(bin(greatest(xhi - xlo, 1))) - 16, 0) AS qx,
+      |  ((l_partkey - ylo) <<
+      |    greatest(16 - length(bin(greatest(yhi - ylo, 1))), 0)) >>
+      |    greatest(length(bin(greatest(yhi - ylo, 1))) - 16, 0) AS qy
+      |  FROM lineitem, b),
+      |e1 AS (SELECT *, ((qx | (qx << 8)) & 16711935) AS x1,
+      |  ((qy | (qy << 8)) & 16711935) AS y1 FROM q),
+      |e2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2,
+      |  ((y1 | (y1 << 4)) & 252645135) AS y2 FROM e1),
+      |e3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3,
+      |  ((y2 | (y2 << 2)) & 858993459) AS y3 FROM e2),
+      |e4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+      |  ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM e3),
+      |z AS (SELECT l_orderkey, l_partkey, l_linenumber,
+      |  (x4 | (y4 << 1)) AS zval FROM e4)""".stripMargin
+
   /** q_type_maps oracle, generated from the same TypeMaps constants so
     * gate and oracle can never drift: the VALUES carry the grid and
     * the base maps; the SQL replays only the RULES (base-type
@@ -6011,6 +6085,45 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    // the identical shift quantization + magic-number interleave,
+    // staged as CTE columns (shared fragment, generated once)
+    "q_zorder_value" ->
+      s"""WITH $zValCteSql
+         |SELECT l_orderkey, l_partkey, l_linenumber, zval FROM z"""
+        .stripMargin,
+
+    // file = floor(global rank / ceil(n/64)) in (zval, pk) order vs
+    // plain (pk) order; stats + the same interval-overlap verdict
+    "q_zorder_skip" ->
+      s"""WITH $zValCteSql,
+         |zf AS (SELECT l_orderkey, l_partkey,
+         |  (row_number() OVER (ORDER BY zval, l_orderkey, l_partkey,
+         |      l_linenumber) - 1) // ((b.n + 63) // 64) AS file_id
+         |  FROM z, b),
+         |lf AS (SELECT l_orderkey, l_partkey,
+         |  (row_number() OVER (ORDER BY l_orderkey, l_partkey,
+         |      l_linenumber) - 1) // ((b.n + 63) // 64) AS file_id
+         |  FROM lineitem, b),
+         |box AS (SELECT
+         |  xlo + ((xhi - xlo) >> 2) AS bxlo,
+         |  xlo + ((xhi - xlo) >> 2) + ((xhi - xlo) >> 4) AS bxhi,
+         |  ylo + ((yhi - ylo) >> 1) AS bylo,
+         |  ylo + ((yhi - ylo) >> 1) + ((yhi - ylo) >> 4) AS byhi FROM b),
+         |st AS (
+         |  SELECT 'zorder' AS layout, file_id, count(*) AS n_rows,
+         |    min(l_orderkey) AS min_x, max(l_orderkey) AS max_x,
+         |    min(l_partkey) AS min_y, max(l_partkey) AS max_y
+         |  FROM zf GROUP BY file_id
+         |  UNION ALL
+         |  SELECT 'linear', file_id, count(*),
+         |    min(l_orderkey), max(l_orderkey),
+         |    min(l_partkey), max(l_partkey)
+         |  FROM lf GROUP BY file_id)
+         |SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+         |  (min_x <= bxhi AND max_x >= bxlo AND
+         |   min_y <= byhi AND max_y >= bylo) AS scanned
+         |FROM st, box""".stripMargin,
 
     // the same generated change log + one lead() window; deletes close
     // their predecessor and emit no version

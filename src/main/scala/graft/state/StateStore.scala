@@ -44,12 +44,33 @@ object StateStore {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
-  def save(path: String, state: State): Unit = {
-    val tmp = Paths.get(path + ".tmp")
+  /** Process-wide state-I/O lock. Concurrent streams (sync-all /
+    * runChangeStream's pool) share ONE state file but each save writes
+    * the WHOLE map — an unserialized read-modify-write loses the other
+    * stream's update, and two saves racing on a shared temp name crash
+    * the rename. Every save/[[update]] serializes through this;
+    * callers that read-decide-write with side effects in between take
+    * it around their region (Protocol does). Coarse by design: state
+    * is O(#streams) driver metadata, the hold time is microseconds. */
+  val lock = new Object
+
+  def save(path: String, state: State): Unit = lock.synchronized {
+    // unique temp name: a crash mid-write leaves harmless clutter
+    // instead of a landmine another writer could move out from under us
+    val tmp = Paths.get(path + ".tmp." + java.util.UUID.randomUUID())
     Files.createDirectories(tmp.toAbsolutePath.getParent)
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter.writeValueAsString(state))
     Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Atomic read-modify-write: `f` sees the CURRENT state (not a
+    * caller-cached one) and its result lands before any other writer
+    * can interleave. All per-stream commit points go through this. */
+  def update(path: String)(f: State => State): State = lock.synchronized {
+    val st = f(load(path).getOrElse(State()))
+    save(path, st)
+    st
   }
 
   def load(path: String): Option[State] = {

@@ -131,8 +131,12 @@ object CdcStream {
     val committed = StateStore.closeDedupWindow(ss.copy(
       offsets = ss.offsets + ("batchId" -> batchId) ++
         Option(maxLsn).map(l => "lsn" -> l.toString.toLong)))
-    StateStore.save(statePath,
-      st.copy(streams = st.streams.updated(stream, committed)))
+    // update, not save: only this stream's writer touches `stream`'s
+    // entry (batches are serialized per query), but concurrent streams
+    // share the map — writing back the batch-start snapshot `st` would
+    // erase their commits
+    StateStore.update(statePath)(cur =>
+      cur.copy(streams = cur.streams.updated(stream, committed)))
     // compaction AFTER the commit: it is a pure layout optimization —
     // a crash anywhere inside it loses no data (recoverSwap + the
     // idempotence of re-folding segments)
