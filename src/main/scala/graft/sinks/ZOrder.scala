@@ -135,8 +135,11 @@ object ZOrder {
     val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
       when(pid === p, off).otherwise(acc)
     }
+    // integral floor-div: Column '/' is double division, which at rank ×
+    // precision near 2^53 can round across a file boundary; `div` is the
+    // SQL integral divide, exact at any rank
     val rank = offsetExpr + col("__mid").bitwiseAND(lit((1L << 33) - 1))
-    sorted.withColumn(outCol, (rank / lit(rowsPerFile)).cast("long"))
+    sorted.withColumn(outCol, call_function("div", rank, lit(rowsPerFile)))
       .drop("__mid")
   }
 

@@ -75,12 +75,35 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("z-ordered files skip most of the box scan a linear layout cannot") {
-    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    // Granularity derivation (adjudicated round 11; measured numbers are
+    // deterministic because fileAssign ranks a UNIQUE key — (z, orderkey,
+    // partkey, linenumber) — so file ids don't depend on sampling):
+    //
+    //   The pruning win of a z-layout over a linear sort is bounded by
+    //   the z-cell grid the file count can resolve: nFiles files give a
+    //   sqrt(nFiles) × sqrt(nFiles) cell grid. quantize16's pure-shift
+    //   scaling fills only span/2^ceil(log2 span) of the 16-bit space
+    //   (73% on l_orderkey, 78% on l_partkey), and equal-row-count file
+    //   boundaries cut across cells (~1.3-1.8 files touched per occupied
+    //   cell + one straddle file per contiguous-z-run boundary).
+    //
+    //   At 64 files (8×8 grid) the quarter-span box covers a 2-3 × 3
+    //   cell block = cell-aligned ideal 6-9 files; boundary straddle
+    //   inflates that to the measured 14 vs linear 17 — a real win but
+    //   structurally < 2× AT THAT GRANULARITY, for any layout.
+    //
+    //   At 256 files (16×16 grid) the same box is 5×5 cells = ideal 25,
+    //   measured z = 32 while the linear layout still scans every file
+    //   overlapping the x-range (1/4 of 256 + boundary = 66). That is
+    //   the regime the module targets (production file counts >> cell
+    //   counts), and there the asserted 2× holds deterministically.
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
     val b = ZOrder.bounds(li, Seq("l_orderkey", "l_partkey"))
     val (xLo, xHi) = b("l_orderkey"); val (yLo, yHi) = b("l_partkey")
     val spanX = xHi - xLo; val spanY = yHi - yLo
     val n = li.count()
-    val rpf = (n + 63) / 64
+    val nFiles = 256
+    val rpf = (n + nFiles - 1) / nFiles
     val withZ = li.withColumn("z", ZOrder.zValue2(
       col("l_orderkey"), xLo, xHi, col("l_partkey"), yLo, yHi))
     val tie = Seq(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
@@ -96,9 +119,11 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (zScan, lScan) = (scanned(zf), scanned(lf))
     assert(zScan < lScan,
       s"zorder scanned $zScan files, linear $lScan — no pruning win")
-    // the linear layout can only prune on its sort prefix: every file
-    // inside the x-range must be scanned (~1/4 of 64 + boundary);
-    // zorder prunes on y too, cutting that at least in half
+    // linear prunes only on its sort prefix: ~1/4 of 256 + boundary
+    // (measured 66); zorder prunes on y too (measured 32, ideal 25)
     assert(zScan * 2 <= lScan, s"z=$zScan lin=$lScan")
+    // and the z-scan is within 1.5× of the cell-aligned ideal for the
+    // 5×5-cell box — the layout itself is not the bottleneck
+    assert(zScan <= 38, s"z=$zScan exceeds 1.5 × the 25-cell ideal")
   }
 }
