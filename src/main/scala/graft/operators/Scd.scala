@@ -38,9 +38,11 @@ object Scd {
     * keyed shuffle over a far smaller frame.
     *
     * Replays: duplicate deliveries of the same (key, position) must be
-    * deduped upstream (`Merge.dedupKeepLatestAgg`), exactly as the
-    * apply path does — SCD versions are keyed on position, so a true
-    * duplicate would open a zero-width version. */
+    * deduped upstream (`Merge.dedupKeepLatestAgg`) when calling this
+    * full rebuild directly — SCD versions are keyed on position, so a
+    * true duplicate would open a zero-width version. The incremental
+    * path ([[applyIncrement]]) dedupes its own union, which also makes
+    * a crash-replayed batch (already folded into the store) a no-op. */
   def buildType2(changes: DataFrame, keyCol: String, orderCol: String,
                  kindCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
@@ -105,12 +107,24 @@ object Scd {
         Seq(col(keyCol), col("valid_to").as(orderCol),
           lit("delete").as(kindCol)) ++
           payload.map(c => col(c)): _*)
-    val rebuilt = buildType2(
-      asChanges.unionByName(tombstones)
-        .unionByName(changes.select(
-          Seq(col(keyCol), col(orderCol), col(kindCol)) ++
-            payload.map(col): _*)),
-      keyCol, orderCol, kindCol)
+    // Dedupe the re-chain input on (key, position): a crash-replayed
+    // batch whose changes were ALREADY folded into the store arrives
+    // here twice — once as the stored versions' pseudo-changes, once as
+    // the batch rows — and duplicate (key, position) rows would make
+    // buildType2's lead() emit spurious zero-width versions. Positions
+    // are a total order per key, so one row per (key, position) is
+    // always correct; at equal positions a delete wins (the key ended
+    // deleted there), making partial-swap replay idempotent.
+    val unioned = asChanges.unionByName(tombstones)
+      .unionByName(changes.select(
+        Seq(col(keyCol), col(orderCol), col(kindCol)) ++
+          payload.map(col): _*))
+    val dupW = Window.partitionBy(col(keyCol), col(orderCol))
+      .orderBy(when(col(kindCol) === "delete", 0).otherwise(1), col(kindCol))
+    val deduped = unioned
+      .withColumn("_dup_rn", row_number().over(dupW))
+      .where(col("_dup_rn") === 1).drop("_dup_rn")
+    val rebuilt = buildType2(deduped, keyCol, orderCol, kindCol)
     untouched.unionByName(rebuilt.select(untouched.columns.map(col): _*))
   }
 

@@ -21,12 +21,14 @@ import graft.operators.Scd
   * cost is (batch keys × versions-per-key) + the affected buckets'
   * rows.
   *
-  * Crash safety is the delta-segment discipline: bucket rewrites are
-  * deterministic in (store content, batch content) and land in a
-  * temp dir swapped in per bucket; the position commit (`_scd_batch`)
-  * is written AFTER all swaps, so a replayed batch re-derives and
-  * re-swaps identical bucket contents — idempotent — and the batchId
-  * fence makes the replay a no-op once committed. */
+  * Crash safety: bucket rewrites land in a temp dir swapped in per
+  * bucket; the position commit (`_scd_batch`) is written AFTER all
+  * swaps, and the batchId fence makes a committed replay a no-op. A
+  * crash BETWEEN swaps and commit replays the batch into buckets that
+  * already contain it — safe because [[Scd.applyIncrement]] dedupes
+  * its re-chain input on (key, position) (positions are a total order
+  * per key), so re-folding an already-folded change is a fixpoint;
+  * pinned by the partial-swap replay test in StreamingSpec. */
 object ScdStream {
 
   private def bucketOf(key: org.apache.spark.sql.Column, buckets: Int) =

@@ -676,4 +676,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(untouchedBucket.lastModified == before,
         "untouched bucket rewritten")
   }
+
+  test("ScdStream: partial-swap crash replay is idempotent (no zero-width versions)") {
+    // Crash model: applyBatch swaps every bucket, then dies BEFORE the
+    // _scd_batch commit. The Structured Streaming checkpoint replays the
+    // batch against a store that ALREADY contains it; applyIncrement's
+    // (key, position) dedupe must make the re-fold a no-op instead of
+    // chaining duplicate changes into zero-width versions.
+    import spark.implicits._
+    import graft.streaming.ScdStream
+    val root = java.nio.file.Files.createTempDirectory("graft_scdr").toString
+    val store = s"$root/dim"
+    def batch(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("k", "lsn", "kind", "v")
+    ScdStream.applyBatch(batch(Seq((1L, 10L, "insert", "a1"),
+      (2L, 11L, "insert", "b1"), (3L, 12L, "insert", "c1"))),
+      0L, store, "k", "lsn", "kind", buckets = 4)
+    val b1 = batch(Seq((1L, 20L, "update", "a2"), (2L, 21L, "delete", ""),
+      (4L, 22L, "insert", "d1")))
+    ScdStream.applyBatch(b1, 1L, store, "k", "lsn", "kind", buckets = 4)
+    def dim() = ScdStream.readDim(spark, store)
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val expected = dim()
+    assert(expected == Set(
+      (1L, "a1", 10L, Some(20L), false), (1L, "a2", 20L, None, true),
+      (2L, "b1", 11L, Some(21L), false), (3L, "c1", 12L, None, true),
+      (4L, "d1", 22L, None, true)))
+    // simulate the crash: roll the commit marker back to batch 0 so the
+    // replayed batch 1 passes the fence and re-folds into swapped buckets
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, "_scd_batch"), "0")
+    ScdStream.applyBatch(b1, 1L, store, "k", "lsn", "kind", buckets = 4)
+    assert(dim() == expected, "replay corrupted the dimension")
+    // twice more — arbitrary replay depth stays a fixpoint
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, "_scd_batch"), "0")
+    ScdStream.applyBatch(b1, 1L, store, "k", "lsn", "kind", buckets = 4)
+    assert(dim() == expected)
+  }
 }
