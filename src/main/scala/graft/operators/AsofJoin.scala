@@ -82,11 +82,18 @@ object AsofJoin {
         left(leftTime).as("_t"), lit(1).as("_side"),
         struct(left.columns.map(left(_)): _*).as("_l"),
         lit(null).cast(rType).as("_r")): _*)
+    // SQL join semantics: a null key matches NOTHING. The union+window
+    // would otherwise group null-key rows of both sides into one window
+    // partition and match them; dropping null-key right rows restores
+    // join semantics (null-key LEFT rows stay, with a null match —
+    // exactly a left join's behavior, and DuckDB ASOF's ON equality).
     val r = right.select(
       rightKeys.zipWithIndex.map { case (k, i) => right(k).as(s"_k$i") } ++ Seq(
         right(rightTime).as("_t"), lit(0).as("_side"),
         lit(null).cast(l.schema("_l").dataType).as("_l"),
         rStruct.as("_r")): _*)
+      .where(keyCols.map(col(_).isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true)))
     val ord =
       if (forward) Seq(col("_t").desc, col("_side").asc)
       else Seq(col("_t").asc, col("_side").asc)

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   * keys) — quantization on an explicit integer domain keeps both
   * engines' bin math bit-identical. Intervals are half-open
   * `[lo, hi)`; callers with closed intervals pass `hi+1`.
+  *
+  * Degenerate intervals (`hi <= lo`) are DROPPED on every interval
+  * side: an empty interval `[x, x)` contains no points and overlaps
+  * nothing (the half-open rule — even when it sits strictly inside
+  * another interval), and a reversed one is caller error. Without the
+  * guard, `sequence(floor(lo/w), floor((hi-1)/w))` would run DESCENDING
+  * (Spark infers step -1), exploding spurious bins.
   */
 object RangeJoin {
 
@@ -47,7 +54,7 @@ object RangeJoin {
                       rightPrefix: String = ""): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val l = left.withColumn("_bin", floorDiv(col(pointCol), binWidth))
-    val r = right.select(
+    val r = right.where(col(hiCol) > col(loCol)).select(
       explode(sequence(floorDiv(col(loCol), binWidth),
         floorDiv(col(hiCol) - 1, binWidth))).as("_bin") +:
         right.columns.toSeq.map(c => right(c).as(rightPrefix + c)): _*)
@@ -69,7 +76,7 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     def exploded(df: DataFrame, lo: String, hi: String,
                  prefix: String): DataFrame =
-      df.select(
+      df.where(col(hi) > col(lo)).select(
         explode(sequence(floorDiv(col(lo), binWidth),
           floorDiv(col(hi) - 1, binWidth))).as("_bin") +:
           df.columns.toSeq.map(c => df(c).as(prefix + c)): _*)

@@ -174,6 +174,40 @@ class AsofRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(incr).contains((3L, "c1", 12L, None, true)))
   }
 
+  test("asof: null keys never match (SQL join semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, Some(1), 10L), (2L, None, 10L), (3L, None, 50L))
+      .toDF("id", "k", "t")
+    val r = Seq((Some(1), 5L, "a"), (None, 5L, "NULLKEY"))
+      .toDF("k", "rt", "tag")
+    val got = AsofJoin.backward(l, r, Seq("k"), Seq("k"), "t", "rt")
+      .select("id", "tag").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // null-key left rows stay (left-join behavior) but match NOTHING —
+    // in particular not the null-key right row
+    assert(got == Map(1L -> "a", 2L -> null, 3L -> null))
+  }
+
+  test("range joins drop degenerate intervals: empty [x,x) matches/overlaps nothing, no descending-sequence explosion") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("id", "p")
+    // empty interval at 5, reversed interval spanning 5, real interval
+    val iv = Seq((10L, 5L, 5L), (20L, 9L, 0L), (30L, 4L, 6L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", 2L)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 30L)))
+    // overlap: the empty interval sits STRICTLY INSIDE b's [0,10) and
+    // still overlaps nothing (an empty set intersects nothing); the
+    // reversed one explodes no bins at all
+    val a = Seq((1L, 5L, 5L), (2L, 9L, 0L), (3L, 4L, 6L))
+      .toDF("aid", "lo", "hi")
+    val b = Seq((7L, 0L, 10L)).toDF("bid", "lo", "hi")
+    val ov = RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo", "hi", 3L)
+      .select("aid", "r_bid").as[(Long, Long)].collect().toSet
+    assert(ov == Set((3L, 7L)))
+  }
+
   test("intervalOverlap: exactly the naive pair set, duplicate-free, no BNL") {
     import spark.implicits._
     val a = Seq((1L, 0L, 10L), (2L, 8L, 12L), (3L, 20L, 21L))
