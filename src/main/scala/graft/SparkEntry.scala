@@ -26,6 +26,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-process root for gate fixtures (stores, staged streams,
+    * recovery dirs). Previously fixed `/tmp/graft_*` constants — two
+    * concurrent runner JVMs (e.g. verify and bench in parallel) would
+    * race on the shared rm-then-rebuild directories; the per-JVM temp
+    * root keeps every fixture process-private while staying stable
+    * within a run (the recoveryStory/store memos are per-JVM too). */
+  private lazy val FixtureRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_gates").toString
+
+  private def fixture(name: String): String = s"$FixtureRoot/graft_$name"
+
   /** Change-log shape consumed by the K1 writer-pipeline gate. */
   private val changeLogSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -591,7 +602,7 @@ object SparkEntry {
     //      recovered dedup_inserts flag kept the crashed run's 'c'
     //      inserts (a non-recovered replay would rewrite them as 'i'). ----
     "q_cdc_recovery_fence" -> ((s, dir) => {
-      val (tblA, tblB) = recoveryStory(s, dir, "/tmp/graft_recovery_gate")
+      val (tblA, tblB) = recoveryStory(s, dir, fixture("recovery_gate"))
       // batch 1 bootstrap-folds into base/ (op columns shed on fold);
       // the crash-window and live batches stay as raw segments
       def audit(tbl: String, name: String): DataFrame =
@@ -612,7 +623,7 @@ object SparkEntry {
     //      one), rb gets exactly one (the recovery replay), both carry
     //      the live tail and deletes. ----
     "q_cdc_recovery_sync" -> ((s, dir) => {
-      val (tblA, tblB) = recoveryStory(s, dir, "/tmp/graft_recovery_gate")
+      val (tblA, tblB) = recoveryStory(s, dir, fixture("recovery_gate"))
       graft.streaming.CdcStream.readTable(s, tblA)
         .select(lit("ra").as("stream"), col("event_id"), col("user_id"),
           col("value"))
@@ -631,7 +642,7 @@ object SparkEntry {
     //      must be a no-op. Oracle replays the three kept sets. ----
     "q_dedup_stream" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
-      val root = new java.io.File("/tmp/graft_dstream")
+      val root = new java.io.File(fixture("dstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -691,7 +702,7 @@ object SparkEntry {
     //      init ∪ previously-kept, within-batch min-id. ----
     "q_curate_stream" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
-      val root = new java.io.File("/tmp/graft_custream")
+      val root = new java.io.File(fixture("custream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -761,7 +772,7 @@ object SparkEntry {
     //      q_minhash_index_store argument). ----
     "q_neardup_stream" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
-      val root = new java.io.File("/tmp/graft_ndstream")
+      val root = new java.io.File(fixture("ndstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -817,7 +828,7 @@ object SparkEntry {
     //      NOT-EXISTS levels. ----
     "q_cosine_stream" -> ((s, dir) => {
       import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField => SF, StructType => ST}
-      val root = new java.io.File("/tmp/graft_costream")
+      val root = new java.io.File(fixture("costream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -1219,7 +1230,7 @@ object SparkEntry {
     //      the source rows exactly ----
     "q_file_zip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val root = new java.io.File("/tmp/graft_zip_gate")
+      val root = new java.io.File(fixture("zip_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -1260,7 +1271,7 @@ object SparkEntry {
     //      sizes (never a whole-object download); DuckDB recomputes
     //      the same facts from the parquet files themselves ----
     "q_s3_parquet_range" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_s3range_gate")
+      val root = new java.io.File(fixture("s3range_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -1294,7 +1305,7 @@ object SparkEntry {
     //      names its own stream, and the extension rule excludes the
     //      decoy .txt (reference s3.go:190-260) ----
     "q_s3_discover" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_s3disc_gate")
+      val root = new java.io.File(fixture("s3disc_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -2339,7 +2350,7 @@ object SparkEntry {
       // fixed path cleared at query start (same pattern as
       // q_iceberg_prune) so repeated Verify/Bench runs don't accumulate
       // staging + checkpoint dirs on disk
-      val rootF = new java.io.File("/tmp/graft_c9_gate")
+      val rootF = new java.io.File(fixture("c9_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -2886,7 +2897,7 @@ object SparkEntry {
     //      themselves. Equal rows = the stats an Iceberg planner would
     //      prune by are exactly the truth on disk. ----
     "q_iceberg_prune" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_prune_gate")
+      val root = new java.io.File(fixture("prune_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -2926,7 +2937,7 @@ object SparkEntry {
     //      a planner skipping manifests by these summaries skips
     //      exactly the right ones. ----
     "q_iceberg_partition_prune" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_partprune_gate")
+      val root = new java.io.File(fixture("partprune_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -2956,7 +2967,7 @@ object SparkEntry {
     //      rows — DuckDB recomputes the same 10-day window from the
     //      raw events table. Proves pruning never drops a live row. ----
     "q_iceberg_partition_read" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_partread_gate")
+      val root = new java.io.File(fixture("partread_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -2981,7 +2992,7 @@ object SparkEntry {
     //      a live row and deletes apply across partitions. ----
     "q_iceberg_mor_partitioned" -> ((s, dir) => {
       import graft.operators.SystemColumns
-      val root = new java.io.File("/tmp/graft_morpart_gate")
+      val root = new java.io.File(fixture("morpart_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -3024,7 +3035,7 @@ object SparkEntry {
     // foreign engine AND each lsn equals the source-derived position
     // (lsn_ok recomputed from `orders` on both sides). ----
     "q_iceberg_2pc" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_2pc_gate")
+      val root = new java.io.File(fixture("2pc_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -3073,7 +3084,7 @@ object SparkEntry {
     //      emit the (schema_id, field, id) history — Iceberg's field-id
     //      stability contract, externally checkable. ----
     "q_iceberg_evolve" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_evolve_gate")
+      val root = new java.io.File(fixture("evolve_gate"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -3188,9 +3199,14 @@ object SparkEntry {
     }),
 
     // ---- Classic analytics shape, TPC-H Q3 (shipping priority):
-    //      3-way join with the filtered dimension BROADCAST, partial
-    //      aggregation map-side, integer-cents revenue. Plan pinned in
-    //      PlanAuditSpec (broadcast customer, no cartesian). ----
+    //      3-way join, partial aggregation map-side, integer-cents
+    //      revenue. The customer dimension is NOT hint-broadcast:
+    //      customer is linear in SF (15 M rows at sf100, ~1/5 of that
+    //      after the BUILDING filter), so a forced broadcast OOMs at
+    //      the 100× target — AQE's size-based join selection picks
+    //      broadcast when the filtered dim is actually small (pinned in
+    //      PlanAuditSpec at gate scale) and falls back to shuffle when
+    //      it isn't. ----
     "q_tpch_q3" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -3201,16 +3217,20 @@ object SparkEntry {
         .where(col("l_shipdate") > to_timestamp(lit("1997-03-15")))
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(round(col("l_extendedprice") *
           (lit(1.0) - col("l_discount")) * 100).cast("long"))
           .as("revenue_c"))
     }),
 
-    // ---- TPC-H Q5 (local supplier volume): 6-way join; region →
-    //      nation → supplier chain and the customer dim all broadcast,
-    //      the two fact tables shuffle once on the join key. ----
+    // ---- TPC-H Q5 (local supplier volume): 6-way join; the region →
+    //      nation → supplier chain is hint-broadcast (region/nation are
+    //      CONSTANT-size — 5/25 rows at every SF — and supplier joins
+    //      them before fanning out), but customer is linear in SF
+    //      (15 M rows at sf100) so its join is left to AQE's size-based
+    //      selection rather than forced; the two fact tables shuffle
+    //      once on the join key. ----
     "q_tpch_q5" -> ((s, dir) => {
       val r = t(s, dir, "region").where(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
@@ -3228,7 +3248,7 @@ object SparkEntry {
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        .join(c, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(round(col("l_extendedprice") *
@@ -3320,7 +3340,7 @@ object SparkEntry {
     //      oracle. ----
     "q_scd2_stream" -> ((s, dir) => {
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField => SF, StructType => ST}
-      val root = new java.io.File("/tmp/graft_scd_stream")
+      val root = new java.io.File(fixture("scd_stream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -3659,7 +3679,7 @@ object SparkEntry {
     //      sketch over the whole table (the q_profile_hll oracle) ----
     "q_profile_hll_stream" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
-      val root = new java.io.File("/tmp/graft_pstream")
+      val root = new java.io.File(fixture("pstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -3700,7 +3720,7 @@ object SparkEntry {
     //      sketch == the one-shot q_profile_cms oracle ----
     "q_profile_cms_stream" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StructField => SF, StructType => ST}
-      val root = new java.io.File("/tmp/graft_cstream")
+      val root = new java.io.File(fixture("cstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4007,7 +4027,7 @@ object SparkEntry {
     //      buckets, zero re-tokenization), same scores as the inline
     //      tier, same oracle. ----
     "q_keyword_search_stored" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_kw_store")
+      val root = new java.io.File(fixture("kw_store"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4125,7 +4145,7 @@ object SparkEntry {
     //      algebra as q_minhash_incremental, so the oracle is the same
     //      SQL and the counts must be identical. ----
     "q_minhash_index_store" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_mh_store")
+      val root = new java.io.File(fixture("mh_store"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4147,7 +4167,7 @@ object SparkEntry {
     //      NULL via a definitive Bloom negative). Oracle replays the
     //      construction and the membership left-join in SQL. ----
     "q_dedup_exact_stored" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_ex_store")
+      val root = new java.io.File(fixture("ex_store"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4264,7 +4284,7 @@ object SparkEntry {
     //      the corpus is persisted once (bucketed codes + vectors) and
     //      the batch probes it with zero corpus-side scans ----
     "q_cosine_index_store" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_cos_store")
+      val root = new java.io.File(fixture("cos_store"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4431,7 +4451,7 @@ object SparkEntry {
     //      ride the bucketed code table, candidates fetched pruned).
     //      Same vote, same oracle as the brute tier. ----
     "q_knn_label_stored" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_knnlbl_store")
+      val root = new java.io.File(fixture("knnlbl_store"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4461,7 +4481,7 @@ object SparkEntry {
     //      batch probes with zero corpus scans. Same ranking algebra as
     //      q_ann_lsh, so the oracle is the same brute-force SQL. ----
     "q_ann_lsh_stored" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_ann_store")
+      val root = new java.io.File(fixture("ann_store"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4480,7 +4500,7 @@ object SparkEntry {
     //      untouched) plus the JSON codebook metadata. Same ranking
     //      algebra as q_ann_ivfpq → same oracle replay. ----
     "q_ann_ivfpq_stored" -> ((s, dir) => {
-      val root = new java.io.File("/tmp/graft_ivfpq_store")
+      val root = new java.io.File(fixture("ivfpq_store"))
       def rm(f: java.io.File): Unit = if (f.exists) {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit
@@ -4727,18 +4747,28 @@ object SparkEntry {
         val cfg = SourceConfig.load(ConfigCrypto.encrypt(json, key), key)
         SourceConfig.validate(cfg) match {
           case Right(norm) =>
+            // r11: the three JDBC dialects' TLS URL forms ride the same
+            // validated config — encrypt/TrustServerCertificate
+            // (mssql config.go:134-146), ssl + "ssl verify" options
+            // (oracle config.go:38-46), ;SECURITY=SSL (db2
+            // config.go:39-42)
             (n, true, Option.empty[String], norm.ssl.get.mode,
               Option(norm.maxThreads),
-              Option(SourceConfig.connectionUrl(norm)))
+              Option(SourceConfig.connectionUrl(norm)),
+              Option(SourceConfig.mssqlUri(norm)),
+              Option(SourceConfig.oracleUrl(norm)),
+              Option(SourceConfig.db2Dsn(norm)))
           case Left(err) =>
             (n, false, Option(err),
               if (mode.isEmpty) "disable" else mode,
-              Option.empty[Int], Option.empty[String])
+              Option.empty[Int], Option.empty[String],
+              Option.empty[String], Option.empty[String],
+              Option.empty[String])
         }
       }
       import s.implicits._
       rows.toDF("case_id", "valid", "err", "sslmode_eff",
-        "max_threads_eff", "url")
+        "max_threads_eff", "url", "url_mssql", "url_oracle", "dsn_db2")
     }),
 
     // ---- SSL mode semantics (`utils/ssl.go:60-147`) over LIVE
@@ -5444,8 +5474,8 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
 
     // the footer facts recomputed from the parquet files themselves
     "q_s3_parquet_range" ->
-      """SELECT count(*) AS nrows, min(event_id) AS mn, max(event_id) AS mx
-        |FROM read_parquet('/tmp/graft_s3range_gate/data/*.parquet',
+      s"""SELECT count(*) AS nrows, min(event_id) AS mn, max(event_id) AS mx
+        |FROM read_parquet('${fixture("s3range_gate")}/data/*.parquet',
         |                  filename=true)
         |GROUP BY filename""".stripMargin,
 
@@ -5956,10 +5986,10 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // the SAME committed metadata.json the Spark query wrote: the
     // schema history with its field ids, parsed by a foreign engine
     "q_iceberg_evolve" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT "current-schema-id" AS current_schema_id,
         |    unnest(schemas) AS sc
-        |  FROM read_json('/tmp/graft_evolve_gate/ice/metadata/v2.metadata.json')),
+        |  FROM read_json('${fixture("evolve_gate")}/ice/metadata/v2.metadata.json')),
         |f AS (SELECT current_schema_id, sc."schema-id" AS schema_id,
         |    unnest(sc.fields) AS fld FROM s)
         |SELECT current_schema_id, schema_id,
@@ -5969,15 +5999,15 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // the SAME committed metadata.json the Spark query wrote, parsed by
     // a foreign engine, with the position re-derived from `orders`
     "q_iceberg_2pc" ->
-      """WITH snaps AS (
+      s"""WITH snaps AS (
         |  SELECT unnest(snapshots) AS snap
-        |  FROM read_json('/tmp/graft_2pc_gate/ice/metadata/v2.metadata.json')),
+        |  FROM read_json('${fixture("2pc_gate")}/ice/metadata/v2.metadata.json')),
         |parsed AS (
         |  SELECT snap.summary.operation AS operation,
-        |    json_extract_string(snap.summary.olake_2pc, '$.stream') AS stream,
-        |    CAST(json_extract(snap.summary.olake_2pc, '$.batchId') AS BIGINT) AS batch_id,
-        |    CAST(json_extract(snap.summary.olake_2pc, '$.lsn') AS BIGINT) AS lsn,
-        |    CAST(json_extract(snap.summary.olake_2pc, '$.dedup_inserts') AS BOOLEAN) AS dedup_inserts
+        |    json_extract_string(snap.summary.olake_2pc, '$$.stream') AS stream,
+        |    CAST(json_extract(snap.summary.olake_2pc, '$$.batchId') AS BIGINT) AS batch_id,
+        |    CAST(json_extract(snap.summary.olake_2pc, '$$.lsn') AS BIGINT) AS lsn,
+        |    CAST(json_extract(snap.summary.olake_2pc, '$$.dedup_inserts') AS BOOLEAN) AS dedup_inserts
         |  FROM snaps),
         |bounds AS (
         |  SELECT CAST(o_orderkey > 4000 AS BIGINT) + 1 AS batch_id,
@@ -5991,11 +6021,11 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // themselves: per file, true min/max/count/null-count + the same
     // overlap verdict the Spark side took FROM THE MANIFEST AVRO
     "q_iceberg_prune" ->
-      """SELECT min(event_id) AS mn, max(event_id) AS mx,
+      s"""SELECT min(event_id) AS mn, max(event_id) AS mx,
         |  count(*) AS nrows,
         |  count(*) FILTER (WHERE etype IS NULL) AS nulls_etype,
         |  (min(event_id) <= 4500 AND max(event_id) >= 2500) AS selected
-        |FROM read_parquet('/tmp/graft_prune_gate/data/*.parquet',
+        |FROM read_parquet('${fixture("prune_gate")}/data/*.parquet',
         |                  filename=true)
         |GROUP BY filename""".stripMargin,
 
@@ -7900,7 +7930,32 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |    'postgres://u'||n||CASE WHEN has_pw THEN ':p'||n ELSE '' END
         |    ||'@'||host||':'||port||'/appdb?'
         |    ||CASE WHEN NOT has_pw THEN 'app=graft&b=x%20y&' ELSE '' END
-        |    ||'sslmode='||sslmode_eff END AS url
+        |    ||'sslmode='||sslmode_eff END AS url,
+        |  CASE WHEN err IS NULL THEN
+        |    'sqlserver://u'||n||':'||CASE WHEN has_pw THEN 'p'||n ELSE '' END
+        |    ||'@'||host||':'||port||'?'
+        |    ||CASE WHEN mode='require' THEN 'TrustServerCertificate=true&'
+        |         ELSE '' END
+        |    ||CASE WHEN NOT has_pw THEN 'app=graft&b=x+y&' ELSE '' END
+        |    ||'database=appdb&encrypt='
+        |    ||CASE WHEN mode='require' THEN 'true' ELSE 'disable' END
+        |    END AS url_mssql,
+        |  CASE WHEN err IS NULL THEN
+        |    'oracle://%22u'||n||'%22:'
+        |    ||CASE WHEN has_pw THEN 'p'||n ELSE '' END
+        |    ||'@'||host||':'||port||'/appdb'
+        |    ||CASE WHEN NOT has_pw AND mode<>''
+        |           THEN '?app=graft&b=x+y&ssl=true&ssl verify=false'
+        |         WHEN NOT has_pw THEN '?app=graft&b=x+y'
+        |         WHEN mode<>'' THEN '?ssl=true&ssl verify=false'
+        |         ELSE '' END
+        |    END AS url_oracle,
+        |  CASE WHEN err IS NULL THEN
+        |    'HOSTNAME='||host||';PORT='||port||';DATABASE=appdb;UID=u'||n
+        |    ||';PWD='||CASE WHEN has_pw THEN 'p'||n ELSE '' END||';'
+        |    ||CASE WHEN NOT has_pw THEN ';app=graft;b=x y' ELSE '' END
+        |    ||CASE WHEN mode<>'' THEN ';SECURITY=SSL' ELSE '' END
+        |    END AS dsn_db2
         |FROM v""".stripMargin,
 
     // the four passing TLS modes each carry nation once; BIGINT casts

@@ -230,16 +230,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     cand.unpersist()
   }
 
-  test("tpch q3/q5: dimensions broadcast, facts shuffle once, partial agg, no cartesian") {
-    val p3 = plan(q("q_tpch_q3"))
+  test("tpch q3/q5: customer join strategy from STATS, not hints; AQE picks broadcast at gate scale") {
+    // customer is linear in SF (15 M rows at sf100): a forced broadcast
+    // hint OOMs at the 100× target, so the query must carry NO hint on
+    // the customer join and let size-based selection decide. At gate
+    // scale the filtered customer IS small, so the final (post-AQE)
+    // plan must still broadcast it — proving the decision rides stats.
+    val d3 = q("q_tpch_q3")
+    // no hint anywhere in q3 (the only dimension is customer)
+    assert(!d3.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      d3.queryExecution.analyzed.toString)
+    d3.collect(): Unit // run so AQE finalizes join strategies
+    val p3 = d3.queryExecution.executedPlan.toString
     assert(p3.contains("BroadcastHashJoin"), p3)
     assert(!p3.contains("CartesianProduct") &&
       !p3.contains("BroadcastNestedLoopJoin"), p3)
     assert(p3.contains("partial_sum") || p3.contains("HashAggregate"), p3)
-    val p5 = plan(q("q_tpch_q5"))
-    // region→nation→supplier chain + customer all ride broadcasts;
-    // only the lineitem⋈orders join may shuffle
-    assert(p5.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p5)
+    val d5 = q("q_tpch_q5")
+    // exactly the region/nation/supplier hints remain (constant-size
+    // dims); customer's join is unhinted
+    assert(d5.queryExecution.analyzed.toString
+      .linesIterator.count(_.contains("ResolvedHint")) == 3,
+      d5.queryExecution.analyzed.toString)
+    d5.collect(): Unit
+    val p5 = d5.queryExecution.executedPlan.toString
+    // region→nation→supplier chain + the stats-selected customer join
+    // all ride broadcasts; only the lineitem⋈orders join may shuffle
+    assert(p5.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, p5)
     assert(!p5.contains("CartesianProduct") &&
       !p5.contains("BroadcastNestedLoopJoin"), p5)
     // filters reach the scans
