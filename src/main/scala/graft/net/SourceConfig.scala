@@ -109,6 +109,82 @@ object SourceConfig {
     Right(withDefaults)
   }
 
+  // ------------------------------------------------------------------
+  // Per-dialect connection-string rendering — the three JDBC-side
+  // drivers each carry the shared `ssl.mode` table into their own URL
+  // dialect (the wire drivers upgrade the socket instead; see Ssl.wrap)
+  // ------------------------------------------------------------------
+
+  /** Go's `url.Values.Encode()`: keys sorted, space → '+', both key
+    * and value query-escaped. */
+  private def goQueryEncode(params: Seq[(String, String)]): String = {
+    def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    params.sortBy(_._1).map { case (k, v) => s"${esc(k)}=${esc(v)}" }
+      .mkString("&")
+  }
+
+  /** MSSQL `sqlserver://` URI (`drivers/mssql/internal/config.go:
+    * 121-156`): query = jdbc params + `database`, plus the ssl-mode
+    * mapping — `disable` → `encrypt=disable`, `require` →
+    * `encrypt=true&TrustServerCertificate=true`, and (the reference's
+    * current behavior, its `default` branch) `verify-ca`/`verify-full`
+    * ALSO fall back to `encrypt=disable` — mirrored bug-for-bug so a
+    * user switching engines sees identical connection behavior. User
+    * info renders `user:password` even when the password is empty
+    * (Go `url.UserPassword` marks the password as set). */
+  def mssqlUri(c: Config): String = {
+    val sslParams = c.ssl.map(_.mode).getOrElse(Ssl.ModeDisable) match {
+      case Ssl.ModeRequire =>
+        Seq("encrypt" -> "true", "TrustServerCertificate" -> "true")
+      case _ => Seq("encrypt" -> "disable")
+    }
+    val query = goQueryEncode(
+      c.jdbcUrlParams.toSeq ++ Seq("database" -> c.database) ++ sslParams)
+    s"sqlserver://${c.username}:${c.password}@${c.host}:${c.port}?$query"
+  }
+
+  /** Oracle `oracle://` URL, go-ora `BuildUrl` shape
+    * (`drivers/oracle/internal/config.go:26-52`): options = jdbc
+    * params + (mode ≠ disable → `ssl=true` and `ssl verify=false` —
+    * the reference encrypts but never verifies, for ALL non-disable
+    * modes); username %q-quoted then path-escaped (`%22u%22`), option
+    * KEYS printed raw (go-ora only query-escapes values, so the
+    * `ssl verify` key keeps its literal space). Option order is
+    * sorted-by-key here — Go map iteration is random, so the
+    * reference's own order is nondeterministic and sorted is the
+    * canonical deterministic choice. `service` = the configured
+    * database (the driver's service_name). */
+  def oracleUrl(c: Config): String = {
+    def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val sslOpts =
+      if (c.ssl.exists(_.mode != Ssl.ModeDisable))
+        Seq("ssl" -> "true", "ssl verify" -> "false")
+      else Nil
+    val opts = (c.jdbcUrlParams.toSeq ++ sslOpts).sortBy(_._1)
+      .map { case (k, v) => s"$k=${esc(v)}" }.mkString("&")
+    val q = if (opts.isEmpty) "" else s"?$opts"
+    val quotedUser = "%22" + c.username + "%22"
+    s"oracle://$quotedUser:${c.password}@${c.host}:${c.port}/${c.database}$q"
+  }
+
+  /** DB2 go_ibm_db DSN (`drivers/db2/internal/config.go:24-47`):
+    * `HOSTNAME=…;PORT=…;DATABASE=…;UID=…;PWD=…;` then `;k=v` per jdbc
+    * param (the reference's base string already ends in `;`, so the
+    * first param produces a double `;;` — mirrored verbatim), then
+    * `;SECURITY=SSL` for every non-disable ssl mode (DB2's DSN has a
+    * single TLS switch; CA material rides the driver's keydb, so
+    * verify-ca/full collapse to SECURITY=SSL here too). Params sorted
+    * by key (Go map order is random; see [[oracleUrl]]). */
+  def db2Dsn(c: Config): String = {
+    val base = s"HOSTNAME=${c.host};PORT=${c.port};DATABASE=${c.database};" +
+      s"UID=${c.username};PWD=${c.password};"
+    val params = c.jdbcUrlParams.toSeq.sortBy(_._1)
+      .map { case (k, v) => s";$k=$v" }.mkString
+    val ssl = if (c.ssl.exists(_.mode != Ssl.ModeDisable)) ";SECURITY=SSL"
+      else ""
+    base + params + ssl
+  }
+
   /** The assembled connection URL (`config.go:56-87`): scheme, user
     * info, host:port, /database, query = jdbc_url_params + sslmode,
     * keys percent-encoded and sorted the way Go's `Encode()` emits

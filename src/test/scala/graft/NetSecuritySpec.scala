@@ -322,6 +322,53 @@ class NetSecuritySpec extends AnyFunSuite {
       "postgres://svc:pw@db.internal:5432/app?connect_timeout=10&sslmode=verify-full")
   }
 
+  test("source config: per-dialect TLS url forms (mssql encrypt / oracle ssl opts / db2 SECURITY=SSL)") {
+    import graft.net.{SourceConfig, Ssl}
+    def cfg(mode: String) = SourceConfig.Config(
+      host = "db.internal", port = 1433, database = "app",
+      username = "svc", password = "pw",
+      jdbcUrlParams = Map("app" -> "graft", "b" -> "x y"),
+      ssl = if (mode.isEmpty) None else Some(Ssl.SslConfig(mode,
+        serverCa = if (mode.startsWith("verify")) "CERT" else "")))
+    // mssql (drivers/mssql/internal/config.go:134-146): require is the
+    // ONLY mode that turns encryption on; verify-* fall back to
+    // encrypt=disable (reference behavior, mirrored bug-for-bug).
+    // Query keys Go-sorted (uppercase first), space → '+'.
+    assert(SourceConfig.mssqlUri(cfg("require")) ===
+      "sqlserver://svc:pw@db.internal:1433?TrustServerCertificate=true&app=graft&b=x+y&database=app&encrypt=true")
+    assert(SourceConfig.mssqlUri(cfg("disable")) ===
+      "sqlserver://svc:pw@db.internal:1433?app=graft&b=x+y&database=app&encrypt=disable")
+    assert(SourceConfig.mssqlUri(cfg("verify-full")) ===
+      "sqlserver://svc:pw@db.internal:1433?app=graft&b=x+y&database=app&encrypt=disable")
+    // empty password still renders `user:` (Go url.UserPassword)
+    assert(SourceConfig.mssqlUri(cfg("disable").copy(password = ""))
+      .startsWith("sqlserver://svc:@"))
+    // oracle (drivers/oracle/internal/config.go:38-46): every
+    // non-disable mode encrypts but never verifies; username %q-quoted
+    // then path-escaped; the `ssl verify` KEY keeps its literal space
+    assert(SourceConfig.oracleUrl(cfg("require")) ===
+      "oracle://%22svc%22:pw@db.internal:1433/app?app=graft&b=x+y&ssl=true&ssl verify=false")
+    assert(SourceConfig.oracleUrl(cfg("verify-ca")) ===
+      "oracle://%22svc%22:pw@db.internal:1433/app?app=graft&b=x+y&ssl=true&ssl verify=false")
+    assert(SourceConfig.oracleUrl(cfg("disable")) ===
+      "oracle://%22svc%22:pw@db.internal:1433/app?app=graft&b=x+y")
+    assert(SourceConfig.oracleUrl(cfg("disable").copy(
+      jdbcUrlParams = Map.empty)) ===
+      "oracle://%22svc%22:pw@db.internal:1433/app") // no opts → no '?'
+    // db2 (drivers/db2/internal/config.go:24-47): single SECURITY=SSL
+    // switch; the reference's base DSN ends in ';' so the first jdbc
+    // param produces ';;' — mirrored verbatim
+    assert(SourceConfig.db2Dsn(cfg("verify-full")) ===
+      "HOSTNAME=db.internal;PORT=1433;DATABASE=app;UID=svc;PWD=pw;;app=graft;b=x y;SECURITY=SSL")
+    assert(SourceConfig.db2Dsn(cfg("disable").copy(
+      jdbcUrlParams = Map.empty)) ===
+      "HOSTNAME=db.internal;PORT=1433;DATABASE=app;UID=svc;PWD=pw;")
+    // the full validate → render path: an invalid TLS config (verify
+    // without CA) is rejected BEFORE any dialect rendering applies
+    assert(SourceConfig.validate(cfg("verify-ca").copy(
+      ssl = Some(Ssl.SslConfig("verify-ca")))).isLeft)
+  }
+
   test("source config: the decrypt-at-load seam and the validation order") {
     import graft.net.{ConfigCrypto, SourceConfig}
     val json = """{"host":"h","port":1,"username":"u"}"""
