@@ -92,6 +92,133 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(files: _*).count() == 25)
   }
 
+  test("spec cross-vectors: COMPLETE field-id tables, manifest metadata keys, Appendix D bound bytes") {
+    // The official iceberg-spark-runtime cannot enter this sandbox (no
+    // jar on disk, zero egress — SCALING.md r11), so the external-reader
+    // trust chain is pinned here instead: (1) the COMPLETE field-id
+    // tables transcribed from the published table spec (§Manifest Lists,
+    // §Manifests) — both directions, so an extra or missing field fails;
+    // (2) the Avro file metadata keys a reader dispatches on; (3) the
+    // Appendix D single-value byte encodings recomputed independently in
+    // this test and compared with the bytes on disk. The Avro container
+    // layer itself is written by the canonical org.apache.avro library.
+    val tmp = Files.createTempDirectory("graft_icevec").toString
+    val base = s"$tmp/data"
+    Tables.load(spark, "/root/testdata/sf0.001", "nation").write.parquet(base)
+    IcebergMetadata.commit(spark, tmp, base)
+    val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+    val listFile = new File(
+      meta.get("snapshots").get(0).get("manifest-list").asText)
+
+    // ---- §Manifest Lists: manifest_file, all 14 fields ----
+    val listIds = Map(
+      "manifest_path" -> 500, "manifest_length" -> 501,
+      "partition_spec_id" -> 502, "content" -> 517,
+      "sequence_number" -> 515, "min_sequence_number" -> 516,
+      "added_snapshot_id" -> 503, "added_files_count" -> 504,
+      "existing_files_count" -> 505, "deleted_files_count" -> 506,
+      "added_rows_count" -> 512, "existing_rows_count" -> 513,
+      "deleted_rows_count" -> 514, "partitions" -> 507)
+    val listSchema = avroSchemaOf(listFile)
+    import scala.jdk.CollectionConverters._
+    assert(listSchema.getFields.asScala.map(_.name).toSet == listIds.keySet)
+    for ((f, id) <- listIds)
+      assert(listSchema.getField(f).getObjectProp("field-id") == id, f)
+    // field_summary: element-id 508, fields 509/518/510/511
+    val partsF = listSchema.getField("partitions")
+    val arr = partsF.schema().getTypes.get(1)
+    assert(arr.getObjectProp("element-id") == 508)
+    val fsIds = Map("contains_null" -> 509, "contains_nan" -> 518,
+      "lower_bound" -> 510, "upper_bound" -> 511)
+    val fs = arr.getElementType
+    assert(fs.getFields.asScala.map(_.name).toSet == fsIds.keySet)
+    for ((f, id) <- fsIds)
+      assert(fs.getField(f).getObjectProp("field-id") == id, f)
+
+    // ---- §Manifests: manifest_entry + data_file ----
+    val listRows = {
+      val r = new DataFileReader(listFile,
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val manifestFile = new File(listRows.head.get("manifest_path").toString)
+    val entrySchema = avroSchemaOf(manifestFile)
+    val entryIds = Map("status" -> 0, "snapshot_id" -> 1,
+      "sequence_number" -> 3, "file_sequence_number" -> 4, "data_file" -> 2)
+    assert(entrySchema.getFields.asScala.map(_.name).toSet == entryIds.keySet)
+    for ((f, id) <- entryIds)
+      assert(entrySchema.getField(f).getObjectProp("field-id") == id, f)
+    val dfS = entrySchema.getField("data_file").schema()
+    val dataFileIds = Map("content" -> 134, "file_path" -> 100,
+      "file_format" -> 101, "partition" -> 102, "record_count" -> 103,
+      "file_size_in_bytes" -> 104, "column_sizes" -> 108,
+      "value_counts" -> 109, "null_value_counts" -> 110,
+      "lower_bounds" -> 125, "upper_bounds" -> 128, "equality_ids" -> 135)
+    assert(dfS.getFields.asScala.map(_.name).toSet == dataFileIds.keySet)
+    for ((f, id) <- dataFileIds)
+      assert(dfS.getField(f).getObjectProp("field-id") == id, f)
+    // nested map key/value ids (spec: column_sizes k117/v118, value_counts
+    // k119/v120, null_value_counts k121/v122, lower k126/v127, upper
+    // k129/v130; equality_ids element 136)
+    def kvIds(field: String): (Any, Any) = {
+      val it = dfS.getField(field).schema().getTypes.get(1).getElementType
+      (it.getField("key").getObjectProp("field-id"),
+        it.getField("value").getObjectProp("field-id"))
+    }
+    assert(kvIds("column_sizes") == ((117, 118)))
+    assert(kvIds("value_counts") == ((119, 120)))
+    assert(kvIds("null_value_counts") == ((121, 122)))
+    assert(kvIds("lower_bounds") == ((126, 127)))
+    assert(kvIds("upper_bounds") == ((129, 130)))
+    assert(dfS.getField("equality_ids").schema().getTypes.get(1)
+      .getObjectProp("element-id") == 136)
+
+    // ---- manifest file metadata keys a reader dispatches on ----
+    val mr = new DataFileReader(manifestFile,
+      new GenericDatumReader[GenericRecord]())
+    val (mMeta, entries) =
+      try ((Seq("schema", "partition-spec", "partition-spec-id",
+          "format-version", "content")
+          .map(k => k -> Option(mr.getMetaString(k))).toMap),
+        mr.iterator().asScala.toList)
+      finally mr.close()
+    assert(mMeta("format-version").contains("2"))
+    assert(mMeta("content").contains("data"))
+    assert(mMeta("partition-spec").contains("[]"))
+    assert(mMeta("partition-spec-id").contains("0"))
+    assert(mMeta("schema").exists(_.contains("\"type\":\"struct\"")))
+
+    // ---- Appendix D: bound bytes on disk vs independent re-encoding.
+    // nation: n_nationkey int32 (field 1) min 0 max 24; n_name string
+    // (field 2) min "NATION_0" max "NATION_9" (lexicographic over the
+    // synthetic names) — int = 4-byte little endian, string = raw
+    // UTF-8 ----
+    def boundMap(e: GenericRecord, field: String): Map[Int, Array[Byte]] = {
+      val a = e.get("data_file").asInstanceOf[GenericRecord].get(field)
+      if (a == null) Map.empty
+      else a.asInstanceOf[java.util.Collection[GenericRecord]].asScala.map {
+        kv =>
+          val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+          val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+          kv.get("key").asInstanceOf[Int] -> b
+      }.toMap
+    }
+    def leInt(i: Int): Array[Byte] = Array(
+      (i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    // single data file expected for 25 rows, so entry 0's bounds ARE the
+    // table bounds
+    assert(entries.size == 1)
+    val e0lo = boundMap(entries.head, "lower_bounds")
+    val e0hi = boundMap(entries.head, "upper_bounds")
+    assert(e0lo(1).toSeq == leInt(0).toSeq, "n_nationkey lower")
+    assert(e0hi(1).toSeq == leInt(24).toSeq, "n_nationkey upper")
+    assert(new String(e0lo(2), "UTF-8") == "NATION_0", "n_name lower")
+    assert(new String(e0hi(2), "UTF-8") == "NATION_9", "n_name upper")
+    assert(e0lo(3).toSeq == leInt(0).toSeq, "n_regionkey lower")
+    assert(e0hi(3).toSeq == leInt(4).toSeq, "n_regionkey upper")
+  }
+
   test("second commit chains: version 2, sequence 2, parent snapshot, history kept") {
     val tmp = Files.createTempDirectory("graft_ice2").toString
     val base = s"$tmp/data"
