@@ -4003,6 +4003,29 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9, native = true)
     }),
 
+    // ---- SEMANTIC decontamination, exact tier: corpus docs whose
+    //      embedding is cosine-close to any benchmark embedding —
+    //      benchmark broadcast whole, corpus map-only (one codegen'd
+    //      dot-product pass, never shuffled). Oracle = DuckDB's own
+    //      list_cosine_similarity brute force. ----
+    "q_decontaminate_embed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.llm.Decontaminate.embeddingOverlap(
+        e.where(col("vec_id") >= 50), e.where(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+
+    // ---- Semantic decontamination, LSH tier: hyperplane-coded
+    //      benchmark broadcast (multi-probe, 2 flips), corpus codes
+    //      map-only, exact verify pruned to candidates. Same oracle as
+    //      the exact tier — recall at this regime is exact. ----
+    "q_decontaminate_embed_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.llm.Decontaminate.embeddingOverlapLsh(
+        e.where(col("vec_id") >= 50), e.where(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 0.35, native = true)
+    }),
+
     // ---- LLM: vocabulary mining — top-200 bigrams by document
     //      frequency, deterministic tie-break on the gram string;
     //      plan is partial-agg + TakeOrdered (no global vocab sort).
@@ -7066,6 +7089,22 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |    row_number() OVER (PARTITION BY id ORDER BY j DESC, bench_id DESC) AS rn
         |  FROM p WHERE j >= 0.9)
         |WHERE rn = 1""".stripMargin,
+
+    // semantic decontamination: DuckDB's native cosine as the oracle
+    "q_decontaminate_embed" ->
+      """SELECT a.vec_id AS id, b.vec_id AS bench_id
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id >= 50 AND b.vec_id < 50
+        | AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    // the LSH tier's recall is exact at this regime: same oracle
+    "q_decontaminate_embed_lsh" ->
+      """SELECT a.vec_id AS id, b.vec_id AS bench_id
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id >= 50 AND b.vec_id < 50
+        | AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
 
     // Same pair predicate as q_jaccard_neardup, then the transitive
     // closure as a recursive CTE; canonical = min reachable id.

@@ -79,6 +79,85 @@ object Decontaminate {
         .select(idCol)),
       Seq(idCol), "left_anti")
 
+  /** SEMANTIC (embedding-space) decontamination: training docs whose
+    * embedding is cosine-close to ANY benchmark embedding — the
+    * paraphrase-and-translation-robust tier past the token-based rules
+    * (an eval question rewritten in different words or a different
+    * language shares no 13-grams and few shingles, but its embedding
+    * under a multilingual encoder stays close; SemDeDup's published
+    * observation applied across the train/eval boundary).
+    *
+    * Scale shape: the benchmark side is SMALL (thousands of vectors) so
+    * it broadcasts whole — the corpus streams through one codegen'd
+    * dot-product pass per benchmark row, map-only, never shuffled. The
+    * per-row cost is O(|bench| · dims) flops; past ~10⁵ benchmark rows
+    * switch to [[embeddingOverlapLsh]], which cuts that to a code
+    * compare per table via the hyperplane index.
+    *
+    * Returns one row per (contaminated doc, matching benchmark doc). */
+  def embeddingOverlap(train: DataFrame, benchmark: DataFrame,
+                       idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    import graft.llm.Similarity.{dot, norm}
+    val bench = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).as("bv"), norm(col(vecCol)).as("bn"))
+    train.select(col(idCol).as("id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .join(broadcast(bench),
+        dot(col("cv"), col("bv")) / (col("cn") * col("bn")) >= threshold)
+      .select("id", "bench_id")
+  }
+
+  /** [[embeddingOverlap]] with a hyperplane-LSH prefilter for large
+    * benchmark sets: benchmark codes (multi-probed to `maxFlips` bit
+    * flips) broadcast, the corpus computes its own codes map-only and
+    * joins on code equality, and only the candidates pay the exact
+    * cosine verify (corpus vectors pruned by a broadcast semi-join on
+    * the candidate ids — contamination-sized, not corpus-sized). At the
+    * gate regime (4 planes × 4 tables, 2 flips) recall is exact —
+    * pinned against [[embeddingOverlap]] by the gate oracle. */
+  def embeddingOverlapLsh(train: DataFrame, benchmark: DataFrame,
+                          idCol: String, vecCol: String,
+                          threshold: Double, planes: Int = 4,
+                          dims: Int = 64, tables: Int = 4,
+                          maxFlips: Int = 2,
+                          native: Boolean = false): DataFrame = {
+    import graft.llm.Similarity.{dot, norm, probeMasks, tableCodes}
+    val masks = probeMasks(planes, maxFlips)
+    val bench = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).as("bv"), norm(col(vecCol)).as("bn"),
+      tableCodes(col(vecCol), planes, dims, tables, native).as("tcs"))
+    val bProbed = bench.select(col("bench_id"),
+      explode(flatten(transform(col("tcs"), tc =>
+        array(masks.map(m => struct(tc.getField("t").as("t"),
+          tc.getField("code").bitwiseXOR(lit(m)).as("code"))): _*))))
+        .as("tc"))
+    val cIdx = train.select(col(idCol).as("id"),
+      explode(tableCodes(col(vecCol), planes, dims, tables, native))
+        .as("tc"))
+    val cand = cIdx.join(broadcast(bProbed), cIdx("tc") === bProbed("tc"))
+      .select("id", "bench_id").distinct()
+    val cVec = train
+      .join(broadcast(cand.select("id").distinct()),
+        train(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+    cand.join(cVec, "id")
+      .join(broadcast(bench.select("bench_id", "bv", "bn")), "bench_id")
+      .where(dot(col("cv"), col("bv")) / (col("cn") * col("bn")) >= threshold)
+      .select("id", "bench_id")
+  }
+
+  /** Corpus minus semantic leaks: broadcast anti-join on the flagged
+    * ids, corpus never shuffled. */
+  def embeddingClean(train: DataFrame, benchmark: DataFrame,
+                     idCol: String, vecCol: String,
+                     threshold: Double): DataFrame =
+    train.join(
+      broadcast(embeddingOverlap(train, benchmark, idCol, vecCol, threshold)
+        .select(col("id").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** FUZZY decontamination: training docs that NEAR-duplicate a
     * benchmark document — the paraphrase-robust tier next to the exact
     * n-gram rule (a reworded eval question shares few 13-grams but a

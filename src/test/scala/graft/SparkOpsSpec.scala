@@ -1153,6 +1153,44 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("semantic decontamination: exact == LSH == brute force, clean drops flagged, corpus map-only") {
+    import graft.llm.Decontaminate
+    import graft.llm.Similarity.{dot, norm}
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bench = e.where(col("vec_id") < 20)
+    val corpus = e.where(col("vec_id") >= 20 && col("vec_id") < 220)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Decontaminate.embeddingOverlap(
+      corpus, bench, "vec_id", "embedding", 0.35))
+    // brute force re-derived independently with the same double math
+    val brute = pairs(corpus.select(col("vec_id").as("id"),
+        col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+      .crossJoin(bench.select(col("vec_id").as("bench_id"),
+        col("embedding").as("bv"), norm(col("embedding")).as("bn")))
+      .where(dot(col("cv"), col("bv")) / (col("cn") * col("bn")) >= 0.35)
+      .select("id", "bench_id"))
+    assert(exact == brute && exact.nonEmpty)
+    // LSH tier: exact recall at the gate regime
+    val lsh = pairs(Decontaminate.embeddingOverlapLsh(
+      corpus, bench, "vec_id", "embedding", 0.35, native = true))
+    assert(lsh == exact)
+    // clean removes exactly the flagged ids
+    val flagged = exact.map(_._1)
+    val kept = Decontaminate.embeddingClean(
+        corpus, bench, "vec_id", "embedding", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == pairs(corpus.select(col("vec_id"), col("vec_id")))
+      .map(_._1) -- flagged)
+    // scale shape: benchmark broadcast; no corpus-side hash exchange in
+    // the exact tier (the only allowed exchange feeds the final select)
+    val p = Decontaminate.embeddingOverlap(
+      corpus, bench, "vec_id", "embedding", 0.35)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("split assignment: deterministic, layout-independent, ~permille-accurate") {
     import spark.implicits._
     import graft.llm.TextAnalysis
