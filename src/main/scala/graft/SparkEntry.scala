@@ -4768,30 +4768,37 @@ object SparkEntry {
           s""""username":"u$n","password":"$pw","max_threads":$mt""" +
           s"""$params$sslJson$schemas}"""
         val cfg = SourceConfig.load(ConfigCrypto.encrypt(json, key), key)
+        // r11: each JDBC dialect validates with ITS OWN rule order and
+        // messages (mssql requires a password, db2 skips the http-in-
+        // host check, oracle maps database→service_name) and renders
+        // ITS OWN TLS URL form — encrypt/TrustServerCertificate (mssql
+        // config.go:134-146), ssl + "ssl verify" options (oracle
+        // config.go:38-46), ;SECURITY=SSL (db2 config.go:39-42)
+        def dial(d: String, render: SourceConfig.Config => String) =
+          SourceConfig.validateFor(d, cfg) match {
+            case Right(norm) => (Option.empty[String], Option(render(norm)))
+            case Left(e) => (Option(e), Option.empty[String])
+          }
+        val (eM, uM) = dial("mssql", SourceConfig.mssqlUri)
+        val (eO, uO) = dial("oracle", SourceConfig.oracleUrl)
+        val (eD, uD) = dial("db2", SourceConfig.db2Dsn)
         SourceConfig.validate(cfg) match {
           case Right(norm) =>
-            // r11: the three JDBC dialects' TLS URL forms ride the same
-            // validated config — encrypt/TrustServerCertificate
-            // (mssql config.go:134-146), ssl + "ssl verify" options
-            // (oracle config.go:38-46), ;SECURITY=SSL (db2
-            // config.go:39-42)
             (n, true, Option.empty[String], norm.ssl.get.mode,
               Option(norm.maxThreads),
               Option(SourceConfig.connectionUrl(norm)),
-              Option(SourceConfig.mssqlUri(norm)),
-              Option(SourceConfig.oracleUrl(norm)),
-              Option(SourceConfig.db2Dsn(norm)))
+              eM, uM, eO, uO, eD, uD)
           case Left(err) =>
             (n, false, Option(err),
               if (mode.isEmpty) "disable" else mode,
               Option.empty[Int], Option.empty[String],
-              Option.empty[String], Option.empty[String],
-              Option.empty[String])
+              eM, uM, eO, uO, eD, uD)
         }
       }
       import s.implicits._
       rows.toDF("case_id", "valid", "err", "sslmode_eff",
-        "max_threads_eff", "url", "url_mssql", "url_oracle", "dsn_db2")
+        "max_threads_eff", "url", "err_mssql", "url_mssql",
+        "err_oracle", "url_oracle", "err_db2", "dsn_db2")
     }),
 
     // ---- SSL mode semantics (`utils/ssl.go:60-147`) over LIVE
@@ -7960,7 +7967,27 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |       WHEN blank_schema THEN 'schemas[1] must not be blank'
         |       ELSE NULL END AS err,
         |  CASE WHEN mode='' THEN 'disable' ELSE mode END AS sslmode_eff
-        |  FROM f)
+        |  FROM f),
+        |d AS (SELECT *,
+        |  CASE WHEN host='' THEN 'empty host name'
+        |       WHEN host LIKE '%http%' THEN 'host should not contain http or https'
+        |       WHEN port<=0 OR port>65535 THEN 'invalid port number: must be between 1 and 65535'
+        |       WHEN NOT has_pw THEN 'password is required'
+        |       WHEN mode IN ('verify-ca','verify-full') AND NOT ca
+        |         THEN 'failed to validate ssl config: ''ssl.server_ca'' is required parameter'
+        |       ELSE NULL END AS err_mssql,
+        |  CASE WHEN host='' THEN 'empty host name'
+        |       WHEN host LIKE '%http%' THEN 'host should not contain http or https'
+        |       WHEN port<=0 OR port>65535 THEN 'invalid port number: must be between 1 and 65535'
+        |       WHEN mode IN ('verify-ca','verify-full') AND NOT ca
+        |         THEN 'failed to validate ssl config: ''ssl.server_ca'' is required parameter'
+        |       ELSE NULL END AS err_oracle,
+        |  CASE WHEN host='' THEN 'empty host name'
+        |       WHEN port<=0 OR port>65535 THEN 'invalid port number: must be between 1 and 65535'
+        |       WHEN mode IN ('verify-ca','verify-full') AND NOT ca
+        |         THEN 'invalid SSL configuration: ''ssl.server_ca'' is required parameter'
+        |       ELSE NULL END AS err_db2
+        |  FROM v)
         |SELECT n AS case_id, err IS NULL AS valid, err, sslmode_eff,
         |  CASE WHEN err IS NULL
         |       THEN CAST(CASE WHEN mt<=0 THEN 3 ELSE mt END AS INTEGER) END
@@ -7970,7 +7997,8 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |    ||'@'||host||':'||port||'/appdb?'
         |    ||CASE WHEN NOT has_pw THEN 'app=graft&b=x%20y&' ELSE '' END
         |    ||'sslmode='||sslmode_eff END AS url,
-        |  CASE WHEN err IS NULL THEN
+        |  err_mssql,
+        |  CASE WHEN err_mssql IS NULL THEN
         |    'sqlserver://u'||n||':'||CASE WHEN has_pw THEN 'p'||n ELSE '' END
         |    ||'@'||host||':'||port||'?'
         |    ||CASE WHEN mode='require' THEN 'TrustServerCertificate=true&'
@@ -7979,7 +8007,8 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |    ||'database=appdb&encrypt='
         |    ||CASE WHEN mode='require' THEN 'true' ELSE 'disable' END
         |    END AS url_mssql,
-        |  CASE WHEN err IS NULL THEN
+        |  err_oracle,
+        |  CASE WHEN err_oracle IS NULL THEN
         |    'oracle://%22u'||n||'%22:'
         |    ||CASE WHEN has_pw THEN 'p'||n ELSE '' END
         |    ||'@'||host||':'||port||'/appdb'
@@ -7989,13 +8018,14 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |         WHEN mode<>'' THEN '?ssl=true&ssl verify=false'
         |         ELSE '' END
         |    END AS url_oracle,
-        |  CASE WHEN err IS NULL THEN
+        |  err_db2,
+        |  CASE WHEN err_db2 IS NULL THEN
         |    'HOSTNAME='||host||';PORT='||port||';DATABASE=appdb;UID=u'||n
         |    ||';PWD='||CASE WHEN has_pw THEN 'p'||n ELSE '' END||';'
         |    ||CASE WHEN NOT has_pw THEN ';app=graft;b=x y' ELSE '' END
         |    ||CASE WHEN mode<>'' THEN ';SECURITY=SSL' ELSE '' END
         |    END AS dsn_db2
-        |FROM v""".stripMargin,
+        |FROM d""".stripMargin,
 
     // the four passing TLS modes each carry nation once; BIGINT casts
     // because the Spark side reads JSON (integers land as long)

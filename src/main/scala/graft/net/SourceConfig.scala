@@ -185,6 +185,70 @@ object SourceConfig {
     base + params + ssl
   }
 
+  /** Per-dialect `Config.Validate()` parity — each reference driver
+    * layers its own required-field rules (in ITS order, with ITS
+    * messages) over the shared host/port/ssl checks:
+    *
+    *  - mssql (`drivers/mssql/internal/config.go:56-100`): host, no
+    *    http(s), port, username, PASSWORD (required — the only dialect
+    *    that insists), database; ssl validated LAST with the
+    *    `failed to validate ssl config:` prefix.
+    *  - oracle (`drivers/oracle/internal/config.go:54-98`): host, no
+    *    http(s), port, username, service_name-or-sid (mapped to the
+    *    shared `database` field here); same ssl prefix.
+    *  - db2 (`drivers/db2/internal/config.go:60-95`): host (NO
+    *    http(s) check — mirrored), port, username, database; ssl
+    *    prefix `invalid SSL configuration:`.
+    *  - anything else → the shared postgres-shape [[validate]].
+    *
+    * Right(normalized) defaults max_threads and sslmode exactly like
+    * the drivers mutating their structs. */
+  def validateFor(dialect: String, c: Config): Either[String, Config] = {
+    val norm = c.copy(
+      maxThreads = if (c.maxThreads <= 0) DefaultMaxThreads else c.maxThreads,
+      ssl = c.ssl.orElse(Some(Ssl.SslConfig(Ssl.ModeDisable))))
+    def sslCheck(prefix: String): Either[String, Config] =
+      Ssl.validate(norm.ssl) match {
+        case Left(e) => Left(prefix + e)
+        case Right(()) => Right(norm)
+      }
+    def port(): Option[String] =
+      if (c.port <= 0 || c.port > 65535)
+        Some("invalid port number: must be between 1 and 65535") else None
+    def hostEmpty(): Option[String] =
+      if (c.host.isEmpty) Some("empty host name") else None
+    def hostScheme(): Option[String] =
+      if (c.host.contains("http"))
+        Some("host should not contain http or https") else None
+    def user(): Option[String] =
+      if (c.username.isEmpty) Some("username is required") else None
+    def chain(firstErr: Option[String], sslPrefix: String)
+        : Either[String, Config] = firstErr match {
+      case Some(e) => Left(e)
+      case None => sslCheck(sslPrefix)
+    }
+    dialect match {
+      case "mssql" =>
+        chain(hostEmpty().orElse(hostScheme()).orElse(port()).orElse(user())
+          .orElse(if (c.password.isEmpty) Some("password is required")
+            else None)
+          .orElse(if (c.database.isEmpty) Some("database is required")
+            else None),
+          "failed to validate ssl config: ")
+      case "oracle" =>
+        chain(hostEmpty().orElse(hostScheme()).orElse(port()).orElse(user())
+          .orElse(if (c.database.isEmpty)
+            Some("service_name or sid is required") else None),
+          "failed to validate ssl config: ")
+      case "db2" =>
+        chain(hostEmpty().orElse(port()).orElse(user())
+          .orElse(if (c.database.isEmpty)
+            Some("database name is required") else None),
+          "invalid SSL configuration: ")
+      case _ => validate(c)
+    }
+  }
+
   /** The assembled connection URL (`config.go:56-87`): scheme, user
     * info, host:port, /database, query = jdbc_url_params + sslmode,
     * keys percent-encoded and sorted the way Go's `Encode()` emits

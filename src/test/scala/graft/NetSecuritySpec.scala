@@ -367,6 +367,38 @@ class NetSecuritySpec extends AnyFunSuite {
     // without CA) is rejected BEFORE any dialect rendering applies
     assert(SourceConfig.validate(cfg("verify-ca").copy(
       ssl = Some(Ssl.SslConfig("verify-ca")))).isLeft)
+    // per-dialect validate rules, each driver's own order and messages
+    def err(d: String, c: SourceConfig.Config) =
+      SourceConfig.validateFor(d, c).swap.toOption.get
+    // mssql is the only dialect that REQUIRES a password
+    assert(err("mssql", cfg("disable").copy(password = ""))
+      === "password is required")
+    assert(SourceConfig.validateFor("oracle",
+      cfg("disable").copy(password = "")).isRight)
+    // oracle: database maps to service_name
+    assert(err("oracle", cfg("disable").copy(database = ""))
+      === "service_name or sid is required")
+    assert(err("db2", cfg("disable").copy(database = ""))
+      === "database name is required")
+    assert(err("mssql", cfg("disable").copy(database = ""))
+      === "database is required")
+    // db2 has NO http-in-host check (reference parity); mssql/oracle do
+    assert(SourceConfig.validateFor("db2",
+      cfg("disable").copy(host = "http://db")).isRight)
+    assert(err("mssql", cfg("disable").copy(host = "http://db"))
+      === "host should not contain http or https")
+    // dialect-specific ssl error prefixes
+    assert(err("db2", cfg("disable").copy(
+        ssl = Some(Ssl.SslConfig("verify-ca"))))
+      === "invalid SSL configuration: 'ssl.server_ca' is required parameter")
+    assert(err("oracle", cfg("disable").copy(
+        ssl = Some(Ssl.SslConfig("verify-full"))))
+      === "failed to validate ssl config: 'ssl.server_ca' is required parameter")
+    // normalization parity: defaults applied like the drivers' structs
+    val normed = SourceConfig.validateFor("db2",
+      cfg("").copy(ssl = None, maxThreads = 0)).toOption.get
+    assert(normed.maxThreads === SourceConfig.DefaultMaxThreads)
+    assert(normed.ssl.exists(_.mode === "disable"))
   }
 
   test("source config: the decrypt-at-load seam and the validation order") {
