@@ -112,6 +112,7 @@ object Bench {
     "q_token_count", "q_fingerprint", "q_boilerplate", "q_text_clean",
     "q_ngram_vocab", "q_bpe_pairs",
     "q_repetition", "q_decontaminate", "q_decontaminate_fuzzy",
+    "q_decontaminate_embed",
     "q_pii_scrub", "q_split_assign",
     "q_unigram_score", "q_bigram_score", "q_select_budget", "q_sample_mix",
     "q_sample_cap_source",
