@@ -4003,6 +4003,33 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.9, native = true)
     }),
 
+    // ---- PCA sufficient statistics, integer-exact: the (n, Σx, Σy,
+    //      Σxy) table over quantized embedding elements that determines
+    //      the covariance matrix — BIGINT math on both engines, so the
+    //      gate is hash-exact (raw double covariances would diverge by
+    //      summation order). The scalable one-pass treeAggregate
+    //      covariance + Jacobi eigen + map-only projection are pinned
+    //      against these statistics in SparkOpsSpec. First 8 dims keep
+    //      the agg-expression count bounded; the rule is dim-uniform. ----
+    "q_pca_covariance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val d = 8
+      def q(i: Int) = floor(element_at(col("embedding"), i + 1)
+        .cast("double") * 1000.0d + 0.5d).cast("long")
+      val pairs = for (i <- 0 until d; j <- i until d) yield (i, j)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (0 until d).map(i => sum(q(i)).as(s"sx_$i")) ++
+        pairs.map { case (i, j) => sum(q(i) * q(j)).as(s"sxy_${i}_$j") }
+      val row = emb.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getAs[Long]("n")
+      val out = pairs.map { case (i, j) =>
+        (i.toLong, j.toLong, n, row.getAs[Long](s"sx_$i"),
+          row.getAs[Long](s"sx_$j"), row.getAs[Long](s"sxy_${i}_$j"))
+      }
+      import s.implicits._
+      out.toDF("i", "j", "n", "sum_x", "sum_y", "sum_xy")
+    }),
+
     // ---- SEMANTIC decontamination, exact tier: corpus docs whose
     //      embedding is cosine-close to any benchmark embedding —
     //      benchmark broadcast whole, corpus map-only (one codegen'd
@@ -7096,6 +7123,19 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |    row_number() OVER (PARTITION BY id ORDER BY j DESC, bench_id DESC) AS rn
         |  FROM p WHERE j >= 0.9)
         |WHERE rn = 1""".stripMargin,
+
+    // PCA sufficient statistics: quantize → exact BIGINT sums; DuckDB's
+    // 1-based list index replays element_at
+    "q_pca_covariance" ->
+      """WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j
+        |  FROM range(8) t1(i), range(8) t2(j) WHERE t2.j >= t1.i)
+        |SELECT p.i, p.j, count(*) AS n,
+        |  sum(qv[p.i+1]) AS sum_x, sum(qv[p.j+1]) AS sum_y,
+        |  sum(qv[p.i+1]*qv[p.j+1]) AS sum_xy
+        |FROM q, pairs p GROUP BY 1, 2""".stripMargin,
 
     // semantic decontamination: DuckDB's native cosine as the oracle
     "q_decontaminate_embed" ->

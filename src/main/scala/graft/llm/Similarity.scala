@@ -440,6 +440,128 @@ object Similarity {
         })
     }: _*)
 
+  // --------------------------------------------------------------------
+  // PCA (data-driven dimensionality reduction — the principled
+  // counterpart of randomProject's data-oblivious JL projection)
+  // --------------------------------------------------------------------
+
+  /** One-pass distributed covariance: per-partition outer-product
+    * accumulation folded up a tree — the corpus is read ONCE and only
+    * (dims² + dims + 1) doubles per partition cross the wire
+    * (`treeAggregate`: combine depth log(partitions), never a driver
+    * funnel of per-partition results at high partition counts). Returns
+    * (n, mean, covariance) with the unbiased n−1 denominator. dims is
+    * bounded (embedding width, ≤ a few thousand), so the dims² driver
+    * matrix is parameter-class metadata like the k-means centroids —
+    * at 100 TB the cost stays one corpus scan + log-depth combines. */
+  def covariance(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val rows = df.select(col(vecCol)).na.drop().rdd
+      .map(_.getSeq[Float](0).toArray)
+    case class Acc(var n: Long, sum: Array[Double], prod: Array[Double])
+    val dims = rows.first().length
+    val zero = Acc(0L, new Array[Double](dims),
+      new Array[Double](dims * dims))
+    val acc = rows.treeAggregate(zero)(
+      seqOp = (a, v) => {
+        a.n += 1
+        var i = 0
+        while (i < dims) {
+          val vi = v(i).toDouble
+          a.sum(i) += vi
+          var j = 0
+          while (j < dims) { a.prod(i * dims + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+        a
+      },
+      combOp = (a, b) => {
+        a.n += b.n
+        var i = 0
+        while (i < dims) { a.sum(i) += b.sum(i); i += 1 }
+        i = 0
+        while (i < dims * dims) { a.prod(i) += b.prod(i); i += 1 }
+        a
+      })
+    val n = acc.n
+    val mean = acc.sum.map(_ / n)
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      (acc.prod(i * dims + j) - n * mean(i) * mean(j)) / (n - 1))
+    (n, mean, cov)
+  }
+
+  /** Eigen-decomposition of a symmetric matrix by the cyclic Jacobi
+    * rotation method (Golub & Van Loan §8.5) — driver-side on the
+    * dims×dims covariance (parameter-class work, independent of corpus
+    * size). Returns (eigenvalues, eigenvectors-as-rows), sorted by
+    * descending eigenvalue. */
+  private[graft] def jacobiEigen(m0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off += a(p)(q) * a(p)(q)
+      if (off > 1e-12) {
+        for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case x => x
+            }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** Fit a PCA basis: one covariance pass + driver-side Jacobi eigen.
+    * Returns (mean, top-k eigenvectors as rows, eigenvalues). */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val (_, mean, cov) = covariance(df, vecCol)
+    val (vals, vecs) = jacobiEigen(cov)
+    (mean, vecs.take(k), vals.take(k))
+  }
+
+  /** Map-only PCA projection: out[j] = Σᵢ (vec[i] − mean[i]) · pc[j][i].
+    * The basis rides as array literals (k × dims driver metadata, like
+    * the k-means centroids) — per-row codegen'd arithmetic, zero
+    * shuffle, zero broadcast. Sequential left-fold keeps the double
+    * summation order deterministic. */
+  def pcaProject(vec: Column, mean: Array[Double],
+                 components: Array[Array[Double]]): Column =
+    array(components.map { pc =>
+      pc.zip(mean).zipWithIndex.foldLeft(lit(0.0d)) {
+        case (acc, ((w, mu), i)) =>
+          acc + (element_at(vec, i + 1).cast("double") - lit(mu)) * lit(w)
+      }
+    }: _*)
+
   /** Inverse of `quantize`: float32 vector within scale/2 per element
     * of the original. */
   def dequantize(q: Column): Column =

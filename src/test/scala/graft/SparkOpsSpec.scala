@@ -1191,6 +1191,63 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("PCA: one-pass covariance matches the exact-integer statistics; eigen orthonormal; projection decorrelates") {
+    import graft.llm.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // the scalable treeAggregate covariance vs a brute-force driver
+    // recomputation on the collected fixture
+    val (n, mean, cov) = Similarity.covariance(emb, "embedding")
+    val local = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(n == local.length)
+    val d = local.head.length
+    val bMean = (0 until d).map(i => local.map(_(i)).sum / n)
+    (0 until d).foreach(i => assert(math.abs(mean(i) - bMean(i)) < 1e-9))
+    for (i <- 0 until 5; j <- 0 until 5) {
+      val b = local.map(v => (v(i) - bMean(i)) * (v(j) - bMean(j))).sum /
+        (n - 1)
+      assert(math.abs(cov(i)(j) - b) < 1e-7, s"cov($i)($j)")
+    }
+    // Jacobi eigen: descending values, orthonormal rows, A·v = λ·v
+    val (vals, vecs) = Similarity.jacobiEigen(cov)
+    vals.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9)
+    case _ => () }
+    for (r <- 0 until 4; s2 <- r until 4) {
+      val dp = (0 until d).map(k => vecs(r)(k) * vecs(s2)(k)).sum
+      assert(math.abs(dp - (if (r == s2) 1.0 else 0.0)) < 1e-8,
+        s"orthonormality ($r,$s2)")
+    }
+    for (r <- 0 until 3) {
+      val av = (0 until d).map(i =>
+        (0 until d).map(j => cov(i)(j) * vecs(r)(j)).sum)
+      (0 until d).foreach(i =>
+        assert(math.abs(av(i) - vals(r) * vecs(r)(i)) < 1e-7, s"Av=λv $r"))
+    }
+    // map-only projection: matches driver math on sample rows, and the
+    // projected dims are decorrelated with variances = eigenvalues
+    val (m2, pcs, evs) = Similarity.pcaFit(emb, "embedding", 4)
+    val proj = emb.limit(50).select(col("vec_id"),
+      Similarity.pcaProject(col("embedding"), m2, pcs).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val byId = emb.limit(50).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    byId.take(5).foreach { case (id, v) =>
+      val want = pcs.map(pc =>
+        pc.zipWithIndex.map { case (w, i) => (v(i) - m2(i)) * w }.sum)
+      proj(id).zip(want).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9) }
+    }
+    val projAll = emb.select(
+      Similarity.pcaProject(col("embedding"), m2, pcs).as("p"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (r <- 0 until 2) {
+      val xs = projAll.map(_(r))
+      val mu = xs.sum / xs.length
+      val variance = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+      assert(math.abs(variance - evs(r)) / evs(r) < 1e-6, s"var=λ $r")
+    }
+  }
+
   test("split assignment: deterministic, layout-independent, ~permille-accurate") {
     import spark.implicits._
     import graft.llm.TextAnalysis
