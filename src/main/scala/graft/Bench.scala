@@ -118,7 +118,7 @@ object Bench {
     "q_sample_cap_source",
     "q_pack_sequences",
     "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_kmeans_assign", "q_vec_norm", "q_vec_quantize",
-    "q_vec_project", "q_bpe_encode", "q_profile_quantiles",
+    "q_vec_project", "q_pca_covariance", "q_bpe_encode", "q_profile_quantiles",
     "q_profile_hll", "q_profile_cms", "q_profile_topk", "q_c4_rules",
     "q_perceptron_fit", "q_bpe_train",
     "q_pipeline_e2e", "q_epoch_shuffle",
@@ -134,9 +134,9 @@ object Bench {
     // SETTLE before timing anything: a contended VM (e.g. an sbt build
     // finishing on the same cores — the round-6 artifact) poisons every
     // number, and best-of-2 cannot save a run where both passes are
-    // contended. Wait until the 1-minute load drops below half the core
-    // count (max 90 s), and publish the observed load at start AND end
-    // in the JSON line so a still-contended recording is self-labeling.
+    // contended. Load thresholds below; the observed load at arrival,
+    // timing start, and end all ride the JSON line so a still-contended
+    // recording is self-labeling.
     def load1(): Double =
       try java.nio.file.Files
         .readString(java.nio.file.Paths.get("/proc/loadavg"))

@@ -1677,9 +1677,16 @@ object SparkEntry {
       val got = try {
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Array[Byte])]
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll(frameTimeoutMs = 60000)
+        // PROGRESS-based hang guard: the deadline extends whenever the
+        // server delivers — a wall-clock cap truncated the stream on a
+        // contended box (r11: 1521/2000 rows once at load > 8)
+        var deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline) {
+          val polled = client.poll(frameTimeoutMs = 60000)
+          if (polled.nonEmpty)
+            deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          buf ++= polled
+        }
         buf.toSeq
       } finally client.close()
       import s.implicits._
@@ -1727,9 +1734,16 @@ object SparkEntry {
       val got = try {
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Array[Byte])]
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll(frameTimeoutMs = 60000)
+        // PROGRESS-based hang guard: the deadline extends whenever the
+        // server delivers — a wall-clock cap truncated the stream on a
+        // contended box (r11: 1521/2000 rows once at load > 8)
+        var deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline) {
+          val polled = client.poll(frameTimeoutMs = 60000)
+          if (polled.nonEmpty)
+            deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          buf ++= polled
+        }
         buf.toSeq
       } finally client.close()
       import s.implicits._
@@ -2150,9 +2164,16 @@ object SparkEntry {
       val client = new BinlogClient("127.0.0.1", server.getLocalPort, 0L)
       val got = try {
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll(frameTimeoutMs = 60000)
+        // PROGRESS-based hang guard: the deadline extends whenever the
+        // server delivers — a wall-clock cap truncated the stream on a
+        // contended box (r11: 1521/2000 rows once at load > 8)
+        var deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline) {
+          val polled = client.poll(frameTimeoutMs = 60000)
+          if (polled.nonEmpty)
+            deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          buf ++= polled
+        }
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._
@@ -2206,9 +2227,16 @@ object SparkEntry {
         try {
           val buf = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Array[Byte])]
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (!client.sessionClosed && System.nanoTime() < deadline)
-            buf ++= client.poll(frameTimeoutMs = 60000)
+          // PROGRESS-based hang guard: the deadline extends whenever the
+          // server delivers — a wall-clock cap truncated the stream on a
+          // contended box (r11: 1521/2000 rows once at load > 8)
+          var deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (!client.sessionClosed && System.nanoTime() < deadline) {
+            val polled = client.poll(frameTimeoutMs = 60000)
+            if (polled.nonEmpty)
+              deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+            buf ++= polled
+          }
           buf.toSeq
         } finally client.close()
       } finally { ssh.close(); bastion.close(); server.close() }
@@ -2258,9 +2286,16 @@ object SparkEntry {
       val got = try {
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Array[Byte])]
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll(frameTimeoutMs = 60000)
+        // PROGRESS-based hang guard: the deadline extends whenever the
+        // server delivers — a wall-clock cap truncated the stream on a
+        // contended box (r11: 1521/2000 rows once at load > 8)
+        var deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline) {
+          val polled = client.poll(frameTimeoutMs = 60000)
+          if (polled.nonEmpty)
+            deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          buf ++= polled
+        }
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._
@@ -2312,9 +2347,16 @@ object SparkEntry {
           client.flavorVersion._1, client.flavorVersion._2) ==
           "SHOW MASTER STATUS")
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (!client.sessionClosed && System.nanoTime() < deadline)
-          buf ++= client.poll(frameTimeoutMs = 60000)
+        // PROGRESS-based hang guard: the deadline extends whenever the
+        // server delivers — a wall-clock cap truncated the stream on a
+        // contended box (r11: 1521/2000 rows once at load > 8)
+        var deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!client.sessionClosed && System.nanoTime() < deadline) {
+          val polled = client.poll(frameTimeoutMs = 60000)
+          if (polled.nonEmpty)
+            deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          buf ++= polled
+        }
         buf.toSeq
       } finally { client.close(); server.close() }
       import s.implicits._

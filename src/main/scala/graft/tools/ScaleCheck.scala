@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.Dedup
+import graft.llm.{Dedup, Similarity}
 import graft.operators.{Merge, SystemColumns}
 
 /** Dev tool: scale-linearity check. Builds a 10× replica of the sf0.1
@@ -527,6 +527,10 @@ object ScaleCheck {
             .agg(sum(length(col("clean_text")))).head() },
         // round-10 map-only additions: aggregates over the outputs so
         // Catalyst can't prune the computation away
+        // PCA covariance: ONE corpus pass + log-depth combines — expect
+        // ~linear wall in rows; dims^2 driver matrix is constant
+        "pca_cov" -> time(s"$label pca_cov") {
+          Similarity.covariance(emb, "embedding"): Unit },
         "vec_project" -> time(s"$label vec_project") {
           emb.select(graft.llm.Similarity
               .randomProject(col("embedding"), 16).as("p"))

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.sinks.ZOrder
+import graft.operators.ChunkPlanner
+
+/** Property-based pins for the pure integer kernels — the math the
+  * cross-engine gates lean on. ScalaCheck explores the input space the
+  * example-based specs only sample: arbitrary spans, degenerate
+  * interval shapes, adversarial value distributions. Everything here is
+  * driver-side pure math (no SparkSession), so the suite runs in
+  * milliseconds. */
+object ZOrderProps extends Properties("ZOrder") {
+
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  private def spreadRef(x: Long): Long = mortonRef(x, 0L)
+
+  // driver-side replicas of the Column math (same shift constants)
+  private def spread16(x: Long): Long = {
+    val a = x & 0xFFFFL
+    val b = (a | (a << 8)) & 0x00FF00FFL
+    val c = (b | (b << 4)) & 0x0F0F0F0FL
+    val d = (c | (c << 2)) & 0x33333333L
+    (d | (d << 1)) & 0x55555555L
+  }
+
+  private def quantize16(v: Long, lo: Long, hi: Long): Long =
+    ((v - lo) << ZOrder.spanUpshift(hi - lo)) >> ZOrder.spanShift(hi - lo)
+
+  property("spread16 == bit-loop reference on the full 16-bit domain") =
+    forAll(Gen.choose(0L, 65535L)) { x => spread16(x) == spreadRef(x) }
+
+  property("quantize16 stays in [0, 65535] for any in-range value") =
+    forAll(for {
+      lo <- Gen.choose(-1000000000L, 1000000000L)
+      span <- Gen.choose(1L, 1L << 40)
+      off <- Gen.choose(0L, span)
+    } yield (lo, lo + span, lo + off)) { case (lo, hi, v) =>
+      val q = quantize16(v, lo, hi)
+      q >= 0L && q <= 65535L
+    }
+
+  property("quantize16 is monotone (order-preserving) in the value") =
+    forAll(for {
+      lo <- Gen.choose(-1000000L, 1000000L)
+      span <- Gen.choose(1L, 1L << 30)
+      a <- Gen.choose(0L, span)
+      b <- Gen.choose(0L, span)
+    } yield (lo, lo + span, lo + math.min(a, b), lo + math.max(a, b))) {
+      case (lo, hi, va, vb) =>
+        quantize16(va, lo, hi) <= quantize16(vb, lo, hi)
+    }
+
+  property("span endpoints map to 0 and the top half of the 16-bit space") =
+    forAll(for {
+      lo <- Gen.choose(-1000000L, 1000000L)
+      span <- Gen.choose(1L, 1L << 40)
+    } yield (lo, lo + span)) { case (lo, hi) =>
+      val top = quantize16(hi, lo, hi)
+      quantize16(lo, lo, hi) == 0L && top >= 32768L && top <= 65535L
+    }
+
+  property("exactly one of spanShift/spanUpshift is nonzero (or both zero at 16 bits)") =
+    forAll(Gen.choose(1L, 1L << 50)) { span =>
+      ZOrder.spanShift(span) == 0 || ZOrder.spanUpshift(span) == 0
+    }
+}
+
+/** RangeJoin bin math: the driver-side floor-div/ownership rules that
+  * make the bin join emit each pair exactly once. */
+object RangeJoinProps extends Properties("RangeJoinMath") {
+
+  private def floorDiv(x: Long, w: Long): Long = Math.floorDiv(x, w)
+
+  private def bins(lo: Long, hi: Long, w: Long): Seq[Long] =
+    if (hi <= lo) Seq.empty
+    else floorDiv(lo, w) to floorDiv(hi - 1, w)
+
+  private val iv = for {
+    lo <- Gen.choose(-10000L, 10000L)
+    len <- Gen.choose(1L, 500L)
+  } yield (lo, lo + len)
+
+  property("a point meets a containing interval in exactly ONE bin (the point's)") =
+    forAll(iv, Gen.choose(-10000L, 10500L), Gen.choose(1L, 64L)) {
+      case ((lo, hi), p, w) =>
+        val contained = p >= lo && p < hi
+        val meet = contained && bins(lo, hi, w).contains(floorDiv(p, w))
+        // containment ⇒ they meet in the point's bin; non-containment
+        // may still share a bin but the exact predicate filters it
+        !contained || meet
+    }
+
+  property("overlapping intervals share the max-lo ownership bin; disjoint ones never get emitted there") =
+    forAll(iv, iv, Gen.choose(1L, 64L)) { case ((alo, ahi), (blo, bhi), w) =>
+      val overlap = alo < bhi && blo < ahi
+      val own = math.max(floorDiv(alo, w), floorDiv(blo, w))
+      val shared = bins(alo, ahi, w).contains(own) &&
+        bins(blo, bhi, w).contains(own)
+      // overlap ⇒ the ownership bin is in BOTH explode sets (the pair is
+      // emitted exactly there); the join's exact predicate handles the
+      // non-overlap case
+      !overlap || shared
+    }
+
+  property("degenerate intervals explode zero bins") =
+    forAll(Gen.choose(-1000L, 1000L), Gen.choose(0L, 100L),
+      Gen.choose(1L, 64L)) { (lo, backwards, w) =>
+      bins(lo, lo - backwards, w).isEmpty
+    }
+}
+
+/** ChunkPlanner stride math: full coverage, no gaps, no overlap — the
+  * property every chunked backfill leans on. */
+object ChunkPlannerProps extends Properties("ChunkPlanner") {
+
+  private val ranges = for {
+    min <- Gen.choose(-1000000L, 1000000L)
+    span <- Gen.choose(0L, 100000L)
+  } yield (min, min + span)
+
+  property("strideChunks tile [min, max]: first anchored, last unbounded, edges meet") =
+    forAll(ranges, Gen.choose(1L, 10000L)) { case ((min, max), stride) =>
+      val cs = ChunkPlanner.strideChunks(min, max, stride)
+      Prop.all(
+        (cs.head.min == Option(min)): Prop,
+        (cs.last.max.isEmpty): Prop,
+        Prop.all(cs.sliding(2).toSeq.map {
+          case Seq(a, b) => (a.max == b.min): Prop
+          case _ => Prop.passed
+        }: _*))
+    }
+
+  property("every value in [min, max] lands in exactly one chunk") =
+    forAll(ranges, Gen.choose(1L, 10000L), Gen.choose(0.0, 1.0)) {
+      case ((min, max), stride, frac) =>
+        val v = min + ((max - min) * frac).toLong
+        val cs = ChunkPlanner.strideChunks(min, max, stride)
+        cs.count(c => c.min.forall(v >= _) && c.max.forall(v < _)) == 1
+    }
+
+  property("evenChunks covers [min, max] for any chunk count") =
+    forAll(ranges, Gen.choose(1, 64)) { case ((min, max), n) =>
+      val cs = ChunkPlanner.evenChunks(min, max, n)
+      cs.head.min == Option(min) && cs.last.max.isEmpty &&
+        cs.sliding(2).forall {
+          case Seq(a, b) => a.max == b.min
+          case _ => true
+        }
+    }
+}
