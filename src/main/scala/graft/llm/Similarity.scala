@@ -562,6 +562,23 @@ object Similarity {
       }
     }: _*)
 
+  /** PCA whitening: project onto the top-k basis and scale each
+    * component by 1/√(λ + eps) so the output has identity covariance —
+    * the standard embedding-hygiene step before cosine retrieval
+    * (dominant directions stop swamping the metric). Same map-only
+    * literal-basis shape as [[pcaProject]]. */
+  def pcaWhiten(vec: Column, mean: Array[Double],
+                components: Array[Array[Double]],
+                eigenvalues: Array[Double],
+                eps: Double = 1e-9): Column =
+    array(components.zip(eigenvalues).map { case (pc, ev) =>
+      val scale = 1.0 / math.sqrt(ev + eps)
+      pc.zip(mean).zipWithIndex.foldLeft(lit(0.0d)) {
+        case (acc, ((w, mu), i)) =>
+          acc + (element_at(vec, i + 1).cast("double") - lit(mu)) * lit(w)
+      } * lit(scale)
+    }: _*)
+
   /** Inverse of `quantize`: float32 vector within scale/2 per element
     * of the original. */
   def dequantize(q: Column): Column =

@@ -1246,6 +1246,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val variance = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
       assert(math.abs(variance - evs(r)) / evs(r) < 1e-6, s"var=λ $r")
     }
+    // whitening: every output component has unit variance
+    val white = emb.select(
+      Similarity.pcaWhiten(col("embedding"), m2, pcs, evs).as("w"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (r <- 0 until 4) {
+      val xs = white.map(_(r))
+      val mu = xs.sum / xs.length
+      val variance = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+      assert(math.abs(variance - 1.0) < 1e-6, s"whitened var $r = $variance")
+    }
   }
 
   test("split assignment: deterministic, layout-independent, ~permille-accurate") {
