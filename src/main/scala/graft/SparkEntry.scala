@@ -2075,8 +2075,12 @@ object SparkEntry {
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         var quiet = 0
+        // a change stream never closes its cursor, so end-of-stream IS
+        // sustained silence — 3 × 2 s empty polls (a 200 ms window got
+        // starved past on a loaded box, truncating the read; same flake
+        // class as the binlog wall-clock deadline fixed this round)
         while (quiet < 3 && System.nanoTime() < deadline) {
-          val b = client.poll()
+          val b = client.poll(idleMillis = 2000)
           if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
         }
         buf.toSeq
@@ -2117,8 +2121,12 @@ object SparkEntry {
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         var quiet = 0
+        // a change stream never closes its cursor, so end-of-stream IS
+        // sustained silence — 3 × 2 s empty polls (a 200 ms window got
+        // starved past on a loaded box, truncating the read; same flake
+        // class as the binlog wall-clock deadline fixed this round)
         while (quiet < 3 && System.nanoTime() < deadline) {
-          val b = client.poll()
+          val b = client.poll(idleMillis = 2000)
           if (b.isEmpty) quiet += 1 else { quiet = 0; buf ++= b }
         }
         buf.toSeq
