@@ -3257,6 +3257,23 @@ object SparkEntry {
     //      broadcast when the filtered dim is actually small (pinned in
     //      PlanAuditSpec at gate scale) and falls back to shuffle when
     //      it isn't. ----
+    // ---- TPC-H Q6 (forecasting revenue change): the pure pushdown
+    //      showcase — three range predicates reach the parquet scan
+    //      (PushedFilters carries all of them), one partial-agg'd sum,
+    //      no join, no shuffle beyond the final single-row exchange.
+    //      Revenue in integer cents (the repo's no-raw-double-sums
+    //      rule). ----
+    "q_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")).as("revenue_c"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "q_tpch_q3" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -6198,6 +6215,16 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,

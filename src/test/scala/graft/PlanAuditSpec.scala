@@ -236,6 +236,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the customer join and let size-based selection decide. At gate
     // scale the filtered customer IS small, so the final (post-AQE)
     // plan must still broadcast it — proving the decision rides stats.
+    // Q6: all three range predicates reach the parquet scan; map-side
+    // partial agg; no join anywhere
+    val p6 = plan(q("q_tpch_q6"))
+    // plan strings truncate long filter lists; prefixes are enough
+    val pushed6 = p6.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed6.contains("IsNotNull(l_discount") &&
+      pushed6.contains("GreaterThanOrEqual(l_shipda"), pushed6)
+    assert(!p6.contains("Join"), p6)
+    assert("HashAggregate".r.findAllIn(p6).size >= 2, p6)
     val d3 = q("q_tpch_q3")
     // no hint anywhere in q3 (the only dimension is customer)
     assert(!d3.queryExecution.analyzed.toString.contains("ResolvedHint"),
