@@ -47,6 +47,7 @@ object SshTunnel {
     @volatile var remoteMaxPacket: Long = MaxPacket
     val inbound = new LinkedBlockingQueue[Option[Array[Byte]]]()
     val opened = new LinkedBlockingQueue[Either[String, Unit]](1)
+    val closeSent = new java.util.concurrent.atomic.AtomicBoolean(false)
     var consumedSinceAdjust: Long = 0 // only touched by the pump thread
 
     def awaitWindow(): Long = remoteWindow.synchronized {
@@ -106,10 +107,18 @@ object SshTunnel {
             Option(channels.get(local)).foreach(_.inbound.put(Some(data)))
           case MsgChannelExtendedData =>
             r.uint32(); r.uint32(); r.string(): Unit // drained, unused
-          case MsgChannelEof | MsgChannelClose =>
+          case MsgChannelEof =>
+            // half-close: the peer is done SENDING; our outbound
+            // direction (and its WINDOW_ADJUST credits) stays live
             val local = r.uint32()
             Option(channels.get(local)).foreach(_.inbound.put(None))
-            if (t == MsgChannelClose) channels.remove(local): Unit
+          case MsgChannelClose =>
+            val local = r.uint32()
+            Option(channels.get(local)).foreach { ch =>
+              ch.inbound.put(None)
+              sendCloseOnce(ch) // RFC 4254 §5.3: reply with our CLOSE
+            }
+            channels.remove(local): Unit
           case MsgChannelRequest =>
             val local = r.uint32(); r.stringUtf8()
             val wantReply = r.bool()
@@ -135,6 +144,15 @@ object SshTunnel {
 
     protected def send(payload: Array[Byte]): Unit =
       transport.sendPacket(payload)
+
+    /** CHANNEL_CLOSE exactly once per channel (RFC 4254 §5.3: each side
+      * sends one close; a reply-close must not loop). */
+    protected def sendCloseOnce(ch: Channel): Unit =
+      if (!ch.closeSent.getAndSet(true) && ch.remoteId >= 0) {
+        try send(new Writer().byte(MsgChannelClose)
+          .uint32(ch.remoteId).result())
+        catch { case _: Exception => () }
+      }
 
     protected def sendData(ch: Channel, data: Array[Byte]): Unit = {
       var off = 0
@@ -174,9 +192,13 @@ object SshTunnel {
       }
     }
 
-    /** Pump socket → channel, EOF+CLOSE at stream end. Reads match the
-      * 32 KiB channel max-packet so each read becomes exactly one
-      * CHANNEL_DATA (fewer MAC + flush rounds per byte). */
+    /** Pump socket → channel, EOF at stream end — EOF ONLY: CHANNEL_CLOSE
+      * waits until BOTH directions finish (the connection handler sends
+      * it). Sending close here raced the inbound tail: the peer stops
+      * forwarding WINDOW_ADJUST for a closed channel, so a >2 MiB
+      * response stalled mid-flight and truncated (caught by the 8 MiB
+      * SshSpec tunnel test under load). Reads match the 32 KiB channel
+      * max-packet so each read becomes exactly one CHANNEL_DATA. */
     protected def pumpFromSocket(ch: Channel, sock: Socket): Unit = {
       val buf = new Array[Byte](MaxPacket.toInt)
       try {
@@ -187,11 +209,10 @@ object SshTunnel {
         }
       } catch { case _: Exception => () }
       finally {
-        if (ch.remoteId >= 0) {
-          try {
-            send(new Writer().byte(MsgChannelEof).uint32(ch.remoteId).result())
-            send(new Writer().byte(MsgChannelClose).uint32(ch.remoteId).result())
-          } catch { case _: Exception => () }
+        if (ch.remoteId >= 0 && !ch.closeSent.get()) {
+          try send(new Writer().byte(MsgChannelEof)
+            .uint32(ch.remoteId).result())
+          catch { case _: Exception => () }
         }
       }
     }
@@ -237,6 +258,7 @@ object SshTunnel {
                   t2.setDaemon(true); t2.start()
                   pumpFromSocket(ch, local)
                   t2.join(30000)
+                  sendCloseOnce(ch) // both directions done
                 case other =>
                   val why = other match {
                     case Left(msg) => msg
@@ -438,7 +460,14 @@ object SshTunnel {
                         .uint32(WindowInit).uint32(MaxPacket).result())
                       val tIn = new Thread(() => pumpToSocket(ch, target))
                       tIn.setDaemon(true); tIn.start()
-                      val tOut = new Thread(() => pumpFromSocket(ch, target))
+                      val tOut = new Thread(() => {
+                        pumpFromSocket(ch, target)
+                        tIn.join(30000)
+                        sendCloseOnce(ch) // both directions done
+                        channels.remove(ch.localId): Unit
+                        try target.close()
+                        catch { case _: Exception => () }
+                      })
                       tOut.setDaemon(true); tOut.start()
                     } catch {
                       case e: Exception =>
