@@ -3323,6 +3323,89 @@ object SparkEntry {
           .as("revenue_c"))
     }),
 
+    // ---- TPC-H Q10 (returned item reporting): which customers returned
+    //      the most revenue in a quarter. lineitem's returnflag filter
+    //      and orders' date window both reach the scans; nation (25 rows
+    //      at EVERY SF) is the only hint-broadcast dim; customer is
+    //      linear in SF so its join is AQE stats-selected (same rule as
+    //      Q3/Q5, pinned in PlanAuditSpec). Top-20 with a total order
+    //      (revenue desc, custkey) so the LIMIT frontier is
+    //      deterministic on both engines. ----
+    "q_tpch_q10" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_c"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("n_name"), col("revenue_c"))
+        .orderBy(desc("revenue_c"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q14 (promotion effect): share of a month's revenue from
+    //      PROMO parts. part is linear in SF (20 M rows at sf100) so the
+    //      l⋈p join is unhinted/AQE-selected; the month filter reaches
+    //      the lineitem scan so only ~1/84 of the fact table joins. The
+    //      promo share is reported in basis points via PURE BIGINT
+    //      round-half-up ((p*20000+t) div (2t)) — no double division to
+    //      diverge between engines. ----
+    "q_tpch_q14" -> ((s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-10-01")))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = round(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100).cast("long")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+            .as("promo_c"),
+          sum(rev).as("total_c"))
+        .select(col("promo_c"), col("total_c"),
+          expr("(promo_c * 20000 + total_c) div (2 * total_c)")
+            .as("promo_bp"))
+    }),
+
+    // ---- TPC-H Q18 (large-volume customers): orders whose total
+    //      quantity exceeds the threshold. The dominant cost is ONE
+    //      map-side-partial aggregation of lineitem on its natural join
+    //      key; the HAVING survivor set is tiny (~5% of orders at every
+    //      SF) so AQE broadcasts it into orders/customer. Top-100 under
+    //      a (totalprice desc, orderkey) total order. ----
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(sum(round(col("l_quantity") * 100).cast("long"))
+          .as("sum_qty_c"))
+        .where(col("sum_qty_c") > 200 * 100)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_c"),
+          col("sum_qty_c"))
+        .orderBy(desc("totalprice_c"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ---- Z-ORDER clustering, the z-value itself: 16-bit shift
     //      quantization + magic-number bit interleave, all integer
     //      Column math inside one codegen span (no UDF, no doubles —
@@ -6250,6 +6333,50 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
 
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // promo share in basis points via the same pure-BIGINT
+    // round-half-up — (p*20000+t) // (2t) — both engines integer-exact
+    "q_tpch_q14" ->
+      """WITH j AS (SELECT
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS rev_c, p_type
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+        |    AS BIGINT) AS promo_c,
+        |  CAST(sum(rev_c) AS BIGINT) AS total_c,
+        |  (CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+        |     AS BIGINT) * 20000 + CAST(sum(rev_c) AS BIGINT))
+        |    // (2 * CAST(sum(rev_c) AS BIGINT)) AS promo_bp
+        |FROM j""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey AS k,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty_c
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty_c > 20000)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+        |  sum_qty_c
+        |FROM big, orders, customer
+        |WHERE k = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin,
+
     // the identical shift quantization + magic-number interleave,
     // staged as CTE columns (shared fragment, generated once)
     "q_zorder_value" ->
@@ -7210,8 +7337,9 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |pairs AS (SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j
         |  FROM range(8) t1(i), range(8) t2(j) WHERE t2.j >= t1.i)
         |SELECT p.i, p.j, count(*) AS n,
-        |  sum(qv[p.i+1]) AS sum_x, sum(qv[p.j+1]) AS sum_y,
-        |  sum(qv[p.i+1]*qv[p.j+1]) AS sum_xy
+        |  CAST(sum(qv[p.i+1]) AS BIGINT) AS sum_x,
+        |  CAST(sum(qv[p.j+1]) AS BIGINT) AS sum_y,
+        |  CAST(sum(qv[p.i+1]*qv[p.j+1]) AS BIGINT) AS sum_xy
         |FROM q, pairs p GROUP BY 1, 2""".stripMargin,
 
     // semantic decontamination: DuckDB's native cosine as the oracle

@@ -272,6 +272,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p5.contains("PushedFilters"), p5)
   }
 
+  test("tpch q10/q14/q18: SF-linear dims unhinted (AQE-selected); filters " +
+       "pushed; q18's lineitem agg is map-side partial") {
+    // q10: only nation (constant 25 rows) is hint-broadcast; customer
+    // rides stats. The returnflag + date filters reach the scans.
+    val d10 = q("q_tpch_q10")
+    assert(d10.queryExecution.analyzed.toString
+      .linesIterator.count(_.contains("ResolvedHint")) == 1,
+      d10.queryExecution.analyzed.toString)
+    d10.collect(): Unit
+    val p10 = d10.queryExecution.executedPlan.toString
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    assert(!p10.contains("CartesianProduct") &&
+      !p10.contains("BroadcastNestedLoopJoin"), p10)
+    assert(p10.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("EqualTo(l_returnflag,R)")), p10)
+    // q14: part is linear in SF — NO hint anywhere; the month filter is
+    // pushed so only ~1/84 of lineitem reaches the join
+    val d14 = q("q_tpch_q14")
+    assert(!d14.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      d14.queryExecution.analyzed.toString)
+    d14.collect(): Unit
+    val p14 = d14.queryExecution.executedPlan.toString
+    assert(!p14.contains("CartesianProduct") &&
+      !p14.contains("BroadcastNestedLoopJoin"), p14)
+    assert(p14.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("GreaterThanOrEqual(l_shipda")), p14)
+    // q18: the lineitem quantity rollup partial-aggregates map-side
+    // before its one shuffle; the HAVING survivor set joins without
+    // nested loops; no hints anywhere
+    val d18 = q("q_tpch_q18")
+    assert(!d18.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      d18.queryExecution.analyzed.toString)
+    d18.collect(): Unit
+    val p18 = d18.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p18).size >= 2, p18)
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"), p18)
+  }
+
   test("stored IVF-PQ probe: code-only serving — no vector store exists, " +
        "broadcast probes, zero corpus-side exchange before the top-k") {
     import graft.llm.Similarity
