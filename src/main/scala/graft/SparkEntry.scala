@@ -2566,6 +2566,28 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K2 BINPACK rewrite (RewriteDataFiles analog): a table
+    //      committed as 32 streaming-sized small files is rewritten
+    //      into target-sized files under a `replace` snapshot, then
+    //      read back BY WALKING THE MANIFESTS — the gate only matches
+    //      if the rewritten tree still carries every row exactly once.
+    //      Layout/carry-forward/time-travel properties are pinned in
+    //      IcebergMetadataSpec. ----
+    "q_iceberg_binpack" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_binpack").toString
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(32).write.parquet(s"$tmp/data")
+      IcebergMetadata.commit(s, tmp, s"$tmp/data")
+      val c = IcebergMetadata.binpackRewrite(s, tmp,
+        targetBytes = 512L << 20)
+      require(c.nonEmpty, "binpack found nothing to rewrite")
+      s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_c"))
+    }),
+
     // ---- K2 through the Iceberg REST CATALOG protocol (public
     //      OpenAPI; reference catalog_type:rest): the engine stages
     //      manifests + manifest list, the catalog owns metadata.json.
@@ -6122,6 +6144,12 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
 
     "q_iceberg_commit" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // binpack preserves the row set exactly; the oracle is the source
+    "q_iceberg_binpack" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
+        |FROM orders""".stripMargin,
 
     // commit 2 (the replace that survived the 409-retry loop) holds
     // nation plus a key-shifted copy

@@ -941,6 +941,93 @@ object IcebergMetadata {
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 
+  /** Small-file BINPACK rewrite — the RewriteDataFiles maintenance
+    * action every long-lived 100 TB table needs: streaming commits
+    * leave thousands of KB-scale files whose per-file open/plan cost
+    * eventually dominates scans. Files under `minFileBytes` (default
+    * 3/4 of target — Iceberg's own min-file-size ratio) are read once,
+    * shuffled round-robin into ceil(victimBytes/targetBytes) evenly
+    * sized outputs, and committed as a `replace` snapshot; files
+    * already at size are carried forward UNTOUCHED in a second manifest
+    * with their ORIGINAL data sequence numbers — their bytes never
+    * move, so the rewrite cost is proportional to the small-file set,
+    * not the table. History stays time-travelable (the pre-rewrite
+    * snapshot's manifests still reference the old files, reclaimed
+    * later by `expireSnapshots` + `removeOrphans`).
+    *
+    * The reference leans on the Iceberg library's maintenance actions
+    * for this (destination/iceberg/iceberg.go treats compaction as
+    * out-of-band table service); here it is a first-class engine op
+    * with the same plan shape as Iceberg's Spark binpack action: ONE
+    * round-robin exchange sized to the victim bytes.
+    *
+    * Returns None when fewer than `minInputFiles` files qualify
+    * (rewriting one small file alone buys nothing). Refuses
+    * delete-bearing (MoR) tables: binpack moves row positions, which
+    * would orphan positional deletes — compact the segment view first
+    * (`DeltaSegments.compact`), then publish and binpack. */
+  def binpackRewrite(spark: SparkSession, tableDir: String,
+                     targetBytes: Long,
+                     minFileBytes: Long = 0L,
+                     minInputFiles: Int = 2,
+                     summary: Map[String, String] = Map.empty)
+      : Option[Commit] = {
+    val md = metaDir(tableDir)
+    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val (dataFiles, deleteFiles) = manifestEntries(tableDir)
+    require(deleteFiles.isEmpty,
+      "binpack over a delete-bearing (MoR) table would orphan its " +
+        "positional deletes: compact the segment view first")
+    val threshold = if (minFileBytes > 0) minFileBytes else targetBytes * 3 / 4
+    val sized = dataFiles.map { case (p, fseq) => (new File(p), fseq) }
+    val (victims, kept) = sized.partition(_._1.length < threshold)
+    if (victims.size < minInputFiles) None
+    else {
+      // the TABLE's committed current schema, not a re-derived one —
+      // field ids must survive the rewrite verbatim (an evolved table's
+      // stat maps would otherwise key on the wrong ids)
+      val curSchemaId = prevMeta.get("current-schema-id").asInt
+      val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+        .find(_.get("schema-id").asInt == curSchemaId).get.toString
+      val statIds = topLevelFieldIds(schemaStr)
+      val victimBytes = victims.map(_._1.length).sum
+      val bins =
+        math.max(1L, (victimBytes + targetBytes - 1) / targetBytes).toInt
+      val seq = prevMeta.get("last-sequence-number").asLong + 1
+      val snapshotId =
+        java.util.UUID.randomUUID().getMostSignificantBits.abs
+      val outDir = new File(new File(tableDir, "data"), s"$snapshotId-binpack")
+      spark.read.parquet(victims.map(_._1.getPath): _*)
+        .repartition(bins)
+        .write.mode("overwrite").parquet(outDir.getPath)
+      val newEntries = entriesFor(spark, outDir.getPath, seq,
+        fieldIds = statIds)
+      val keptEntries = kept.map { case (f, fseq) =>
+        val (rows, stats) = footerInfo(spark, f, statIds)
+        FileEntry(f.getAbsolutePath, f.length(), rows, fseq, 0, Nil, stats)
+      }
+      val newManifest =
+        writeManifest(md, newEntries, snapshotId, schemaStr, "data", 0)
+      val manifests = Seq(ManifestOut(newManifest, 0, newEntries)) ++
+        (if (keptEntries.isEmpty) Nil
+         else Seq(ManifestOut(
+           writeManifest(md, keptEntries, snapshotId, schemaStr, "data", 1),
+           0, keptEntries)))
+      val list = writeManifestList(md, snapshotId, manifests)
+      val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+        list, "replace",
+        summary ++ Map(
+          "rewritten-data-files" -> victims.size.toString,
+          "added-data-files" -> newEntries.size.toString,
+          "rewritten-bytes" -> victimBytes.toString),
+        newEntries.length, newEntries.map(_.rows).sum)
+      Some(Commit(version, snapshotId, seq, newManifest.getAbsolutePath,
+        list.getAbsolutePath, newEntries.length,
+        newEntries.map(_.rows).sum))
+    }
+  }
+
   /** Commit `df` as a PARTITIONED first snapshot: the K5 transforms
     * (`PartitionTransforms.parseRegex` syntax, e.g. `/{ts,day}`) drive
     * the file layout, each data file's partition tuple lands in its

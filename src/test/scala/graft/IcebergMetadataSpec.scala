@@ -1234,4 +1234,80 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e400.getMessage.contains("400"))
     } finally srv.close()
   }
+
+  test("binpackRewrite: small files merge under a replace snapshot; " +
+       "at-size files carry forward with their original sequence; " +
+       "time travel still reads the pre-rewrite layout") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_binpack").toString
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    // one at-size file (~1000 rows) + 8 streaming-sized fragments
+    // (sf0.001 orderkeys are dense 0..1499)
+    o.where(col("o_orderkey") < 1000).coalesce(1)
+      .write.parquet(s"$tmp/data")
+    o.where(col("o_orderkey") >= 1000).repartition(8)
+      .write.mode("append").parquet(s"$tmp/data")
+    val c1 = IcebergMetadata.commit(spark, tmp, s"$tmp/data")
+    val before = IcebergMetadata.dataFilePaths(tmp)
+    assert(before.size == 9)
+    val bigFile = before.map(new File(_)).maxBy(_.length)
+    val smallBytes = before.map(new File(_))
+      .filterNot(_ == bigFile).map(_.length).sum
+
+    val c2 = IcebergMetadata.binpackRewrite(spark, tmp,
+      targetBytes = 1L << 20, minFileBytes = bigFile.length).get
+    assert(c2.sequenceNumber == c1.sequenceNumber + 1)
+
+    // layout: the 8 fragments became ONE new file; the big file's
+    // bytes never moved
+    val after = IcebergMetadata.dataFileStats(tmp)
+    assert(after.size == 2, after.map(_.path))
+    val kept = after.find(_.path == bigFile.getAbsolutePath).get
+    val fresh = after.find(_.path != bigFile.getAbsolutePath).get
+    assert(kept.seq == c1.sequenceNumber)    // original data sequence
+    assert(fresh.seq == c2.sequenceNumber)
+    assert(fresh.path.contains("-binpack"))
+    // row set identical to the source (merge lost/duplicated nothing)
+    val got = spark.read
+      .parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = o.select("o_orderkey").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    // snapshot summary records the maintenance action
+    val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+    val snaps = meta.get("snapshots")
+    val last = snaps.get(snaps.size - 1).get("summary")
+    assert(last.get("operation").asText == "replace")
+    assert(last.get("rewritten-data-files").asText == "8")
+    assert(last.get("added-data-files").asText == "1")
+    assert(last.get("rewritten-bytes").asText.toLong == smallBytes)
+    // history: time travel to the pre-rewrite snapshot still reads the
+    // 9-file layout (maintenance never rewrites the past)
+    val old = IcebergMetadata.dataFileStats(tmp, Some(c1.snapshotId))
+    assert(old.map(_.path).toSet == before.toSet)
+    // idempotence frontier: nothing left under the threshold → None
+    assert(IcebergMetadata.binpackRewrite(spark, tmp,
+      targetBytes = 1L << 20, minFileBytes = 1024).isEmpty)
+  }
+
+  test("binpackRewrite refuses a delete-bearing (MoR) table") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_bpmor").toString
+    val ice = Files.createTempDirectory("graft_bpmorice").toString
+    spark.range(50).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    DeltaSegments.writeSegment(
+      spark.range(5).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 100).as("v"), lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val e = intercept[IllegalArgumentException](
+      IcebergMetadata.binpackRewrite(spark, ice, targetBytes = 1L << 20))
+    assert(e.getMessage.contains("compact the segment view first"))
+  }
 }
