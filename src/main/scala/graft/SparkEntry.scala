@@ -2588,6 +2588,26 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long").as("totalprice_c"))
     }),
 
+    // ---- K2 SORT/Z-ORDER rewrite (the clustering maintenance
+    //      strategy): a randomly-laid-out table is re-clustered on the
+    //      Morton z-value of (l_orderkey, l_partkey) under a `replace`
+    //      snapshot, then read back through the manifests — the gate
+    //      matches only if re-clustering is a pure permutation of the
+    //      row set. The pruning payoff + sort-order metadata are pinned
+    //      in IcebergMetadataSpec. ----
+    "q_iceberg_sort_rewrite" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sortrw").toString
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .repartition(16).write.parquet(s"$tmp/data")
+      IcebergMetadata.commit(s, tmp, s"$tmp/data")
+      IcebergMetadata.sortRewrite(s, tmp, targetBytes = 256L << 10,
+        sortCols = Seq("l_orderkey", "l_partkey"), zorder = true)
+      s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    }),
+
     // ---- K2 through the Iceberg REST CATALOG protocol (public
     //      OpenAPI; reference catalog_type:rest): the engine stages
     //      manifests + manifest list, the catalog owns metadata.json.
@@ -6150,6 +6170,10 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
       """SELECT o_orderkey, o_custkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
         |FROM orders""".stripMargin,
+
+    // sort rewrite is a pure permutation of the row set
+    "q_iceberg_sort_rewrite" ->
+      "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
 
     // commit 2 (the replace that survived the 409-retry loop) holds
     // nation plus a key-shifted copy

@@ -597,7 +597,8 @@ object IcebergMetadata {
                                 summary: Map[String, String],
                                 addedFiles: Int, addedRows: Long,
                                 specs: Seq[Seq[PartSpecField]] = Seq(Nil),
-                                baseMetadata: Option[Option[String]] = None)
+                                baseMetadata: Option[Option[String]] = None,
+                                sortOrderFields: Seq[Int] = Nil)
       : Int = {
     val md = metaDir(tableDir)
     // `baseMetadata` (catalog-pointer path): history builds on the
@@ -750,9 +751,24 @@ object IcebergMetadata {
     }
     // spec: 1000 is the first partition field id
     root.put("last-partition-id", 999 + specs.map(_.size).max)
-    root.put("default-sort-order-id", 0)
-    val order = root.putArray("sort-orders").addObject()
-    order.put("order-id", 0); order.putArray("fields")
+    // spec §Sort Orders: order 0 is the spec's required "unsorted";
+    // a sort rewrite stamps order 1 (identity/asc/nulls-first per
+    // column) as the default so planners know the files are clustered
+    root.put("default-sort-order-id",
+      if (sortOrderFields.isEmpty) 0 else 1)
+    val orders = root.putArray("sort-orders")
+    val o0 = orders.addObject()
+    o0.put("order-id", 0); o0.putArray("fields")
+    if (sortOrderFields.nonEmpty) {
+      val o1 = orders.addObject()
+      o1.put("order-id", 1)
+      val fs = o1.putArray("fields")
+      sortOrderFields.foreach { sid =>
+        val f = fs.addObject()
+        f.put("transform", "identity"); f.put("source-id", sid)
+        f.put("direction", "asc"); f.put("null-order", "nulls-first")
+      }
+    }
     val props = root.putObject("properties")
     props.put("write.delete.mode", "merge-on-read")
     props.put("write.update.mode", "merge-on-read")
@@ -1026,6 +1042,85 @@ object IcebergMetadata {
         list.getAbsolutePath, newEntries.length,
         newEntries.map(_.rows).sum))
     }
+  }
+
+  /** SORT / Z-ORDER rewrite — the clustering counterpart to
+    * [[binpackRewrite]] (Iceberg's sort strategy): the WHOLE live file
+    * set is re-laid-out so each output file covers a compact range of
+    * the sort key (or of the Morton z-value over 2..4 keys), which is
+    * what makes per-file min/max bounds tight enough for
+    * [[pruneDataFiles]] to skip most of a selective scan. Plan shape:
+    * ONE range exchange (Spark's sampled range partitioner balances
+    * files even under skew) + per-file local sort — the TeraSort shape
+    * that moves 100 TB routinely; nothing driver-side beyond the
+    * z-bounds row. The identity sort order lands in metadata.json as
+    * the spec's order-id 1 (z-order has no spec sort-order form — the
+    * clustering columns ride the snapshot summary instead, as Iceberg's
+    * own action reports them).
+    *
+    * Unlike binpack this rewrites every file (clustering is global by
+    * nature) — run it at the cadence scan-selectivity decay justifies,
+    * binpack at small-file-accumulation cadence. */
+  def sortRewrite(spark: SparkSession, tableDir: String,
+                  targetBytes: Long, sortCols: Seq[String],
+                  zorder: Boolean = false,
+                  summary: Map[String, String] = Map.empty): Commit = {
+    require(sortCols.nonEmpty, "sortRewrite needs at least one column")
+    require(!zorder || (sortCols.size >= 2 && sortCols.size <= 4),
+      "z-order clusters 2..4 columns")
+    val md = metaDir(tableDir)
+    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val (dataFiles, deleteFiles) = manifestEntries(tableDir)
+    require(deleteFiles.isEmpty,
+      "sort rewrite over a delete-bearing (MoR) table would orphan its " +
+        "positional deletes: compact the segment view first")
+    val curSchemaId = prevMeta.get("current-schema-id").asInt
+    val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val statIds = topLevelFieldIds(schemaStr)
+    val totalBytes = dataFiles.map(p => new File(p._1).length).sum
+    val bins =
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val outDir = new File(new File(tableDir, "data"), s"$snapshotId-sorted")
+    val df = spark.read.parquet(dataFiles.map(_._1): _*)
+    val clustered =
+      if (zorder) {
+        val b = ZOrder.bounds(df, sortCols)
+        val z =
+          if (sortCols.size == 2) {
+            val (xLo, xHi) = b(sortCols(0)); val (yLo, yHi) = b(sortCols(1))
+            ZOrder.zValue2(col(sortCols(0)), xLo, xHi,
+              col(sortCols(1)), yLo, yHi)
+          } else ZOrder.zValueK(sortCols.map(c =>
+            (col(c), b(c)._1, b(c)._2)))
+        df.withColumn("__z", z)
+          .repartitionByRange(bins, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      } else
+        df.repartitionByRange(bins, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+    clustered.write.mode("overwrite").parquet(outDir.getPath)
+    val entries = entriesFor(spark, outDir.getPath, seq, fieldIds = statIds)
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq(ManifestOut(manifest, 0, entries)))
+    val sortIds =
+      if (zorder) Nil else sortCols.map(c => fieldId(schemaStr, c))
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "replace",
+      summary ++ Map(
+        "rewritten-data-files" -> dataFiles.size.toString,
+        "added-data-files" -> entries.size.toString,
+        (if (zorder) "zorder-columns" else "sort-columns") ->
+          sortCols.mkString(",")),
+      entries.length, entries.map(_.rows).sum, sortOrderFields = sortIds)
+    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 
   /** Commit `df` as a PARTITIONED first snapshot: the K5 transforms

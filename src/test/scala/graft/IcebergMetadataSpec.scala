@@ -1292,6 +1292,76 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       targetBytes = 1L << 20, minFileBytes = 1024).isEmpty)
   }
 
+  test("sortRewrite: clustering tightens file bounds so pruning pays; " +
+       "sort order lands in metadata; row set is a pure permutation") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_sortrw").toString
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+    li.repartition(16).write.parquet(s"$tmp/data")
+    val c1 = IcebergMetadata.commit(spark, tmp, s"$tmp/data")
+    // random layout: a 10%-of-keyspace range (orderkeys are dense
+    // 0..1499 at sf0.001) cannot prune — every file spans nearly the
+    // whole key range
+    val beforeFiles = IcebergMetadata.dataFilePaths(tmp).size
+    val beforePruned =
+      IcebergMetadata.pruneDataFiles(tmp, "l_orderkey", 100, 250).size
+    assert(beforePruned == beforeFiles) // nothing skippable
+
+    val c2 = IcebergMetadata.sortRewrite(spark, tmp,
+      targetBytes = 4L << 10, sortCols = Seq("l_orderkey"))
+    assert(c2.sequenceNumber == c1.sequenceNumber + 1)
+    val afterFiles = IcebergMetadata.dataFilePaths(tmp).size
+    assert(afterFiles >= 8) // enough granularity for the bound below
+    val afterPruned =
+      IcebergMetadata.pruneDataFiles(tmp, "l_orderkey", 100, 250).size
+    // each sorted file covers a compact ~1/afterFiles slice: the 10%
+    // box's aligned ideal is ceil(0.10*afterFiles)+1 straddle; a third
+    // of the files is a conservative ceiling over that for any
+    // afterFiles >= 8 (sampled range boundaries can straddle)
+    assert(afterPruned * 3 <= afterFiles,
+      s"pruned $afterPruned of $afterFiles sorted files")
+    // row set identical
+    def snap(paths: Seq[String]) = spark.read.parquet(paths: _*)
+      .select("l_orderkey", "l_partkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(snap(IcebergMetadata.dataFilePaths(tmp)) ==
+      li.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq)
+    // spec §Sort Orders: order 1 = identity/asc/nulls-first on the
+    // sort column, and it is the table default after the rewrite
+    val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+    assert(meta.get("default-sort-order-id").asInt == 1)
+    val o1 = meta.get("sort-orders").get(1)
+    assert(o1.get("order-id").asInt == 1)
+    val f0 = o1.get("fields").get(0)
+    assert(f0.get("transform").asText == "identity")
+    assert(f0.get("direction").asText == "asc")
+    assert(f0.get("null-order").asText == "nulls-first")
+    assert(f0.get("source-id").asInt ==
+      IcebergMetadata.currentFieldId(tmp, "l_orderkey"))
+    val snaps = meta.get("snapshots")
+    val sum = snaps.get(snaps.size - 1).get("summary")
+    assert(sum.get("operation").asText == "replace")
+    assert(sum.get("sort-columns").asText == "l_orderkey")
+
+    // z-order variant: 2-column box pruning; columns ride the summary
+    // (no spec sort-order form for z-order), order reverts to unsorted
+    val c3 = IcebergMetadata.sortRewrite(spark, tmp,
+      targetBytes = 4L << 10,
+      sortCols = Seq("l_orderkey", "l_partkey"), zorder = true)
+    val zFiles = IcebergMetadata.dataFilePaths(tmp).size
+    val zPrunedX =
+      IcebergMetadata.pruneDataFiles(tmp, "l_orderkey", 100, 250).size
+    assert(zPrunedX < zFiles) // one-axis slice still prunes under z
+    val (_, meta3) = IcebergMetadata.currentMetadata(tmp).get
+    assert(meta3.get("default-sort-order-id").asInt == 0)
+    val snaps3 = meta3.get("snapshots")
+    assert(snaps3.get(snaps3.size - 1).get("summary")
+      .get("zorder-columns").asText == "l_orderkey,l_partkey")
+    assert(c3.sequenceNumber == c2.sequenceNumber + 1)
+  }
+
   test("binpackRewrite refuses a delete-bearing (MoR) table") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
