@@ -162,6 +162,79 @@ object ScaleCheck {
       return
     }
 
+    // ---- rewrite-maintenance tier (`ScaleCheck rewrite`): the two
+    // table-maintenance claims. binpack cost must scale with the
+    // SMALL-FILE set, not the table — kept bytes 10× with victims
+    // fixed stays ~flat (kept files pay one footer read each), victims
+    // 10× with kept fixed grows ≤~linear. sortRewrite is one range
+    // exchange + per-file local sort — ~linear in table bytes. ----
+    if (args.headOption.contains("rewrite")) {
+      import graft.sinks.IcebergMetadata
+      def timeR[A](label: String)(f: => A): Double = {
+        val t0 = System.nanoTime(); f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label: $s%.2f s"); s
+      }
+      val li = Tables.load(spark, base, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      def offset(df: DataFrame, i: Int) = df.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * 100000000L))
+      // kept files = full-lineitem copies (one ~multi-MB file each);
+      // victims land as 32 small fragments appended to the same dir
+      def mk(tag: String, keptCopies: Int, victims: DataFrame): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"scrw$tag").toString
+        (1 to keptCopies).map(i => offset(li, i)).reduce(_ unionByName _)
+          .repartition(keptCopies).write.parquet(s"$tmp/data")
+        victims.repartition(32).write.mode("append").parquet(s"$tmp/data")
+        IcebergMetadata.commit(spark, tmp, s"$tmp/data")
+        tmp
+      }
+      val v1 = offset(li.sample(0.1, 7), 90).cache(); v1.count()
+      val v10 = offset(li, 90).cache(); v10.count()
+      val thr = 4L << 20 // kept ≈ 8 MB+/file, victims ≈ tens of KB
+      val a = mk("a", 2, v1)
+      val b = mk("b", 2, v10)
+      val c = mk("c", 20, v10)
+      // discarded warm pass (JVM/codegen warmup would poison tA)
+      IcebergMetadata.binpackRewrite(spark, mk("w", 2, v1),
+        256L << 20, thr)
+      val tA = timeR("binpack kept2 victims1x") {
+        IcebergMetadata.binpackRewrite(spark, a, 256L << 20, thr).get }
+      val tB = timeR("binpack kept2 victims10x") {
+        IcebergMetadata.binpackRewrite(spark, b, 256L << 20, thr).get }
+      val tC = timeR("binpack kept20 victims10x") {
+        IcebergMetadata.binpackRewrite(spark, c, 256L << 20, thr).get }
+      println(f"binpack victims-10x ratio: ${tB / tA}%.1f× " +
+        "(≤~10 = victim-bytes-proportional)")
+      println(f"binpack kept-10x ratio:    ${tC / tB}%.1f× " +
+        "(~1 = kept-byte-indifferent)")
+      def mkSort(tag: String, src: DataFrame, files: Int): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"scrs$tag").toString
+        src.repartition(files).write.parquet(s"$tmp/data")
+        IcebergMetadata.commit(spark, tmp, s"$tmp/data")
+        tmp
+      }
+      replicate("lineitem", Seq("l_orderkey"))
+      val li10 = spark.read.parquet(s"$big/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      mkSort("w", li, 8) // warm build path
+      val s1 = mkSort("1", li, 8)
+      val s10 = mkSort("10", li10, 80)
+      IcebergMetadata.sortRewrite(spark, mkSort("w2", li, 8),
+        2L << 20, Seq("l_orderkey", "l_partkey"), zorder = true) // warm
+      val tS1 = timeR("sortRewrite zorder 1x") {
+        IcebergMetadata.sortRewrite(spark, s1, 2L << 20,
+          Seq("l_orderkey", "l_partkey"), zorder = true) }
+      val tS10 = timeR("sortRewrite zorder 10x") {
+        IcebergMetadata.sortRewrite(spark, s10, 2L << 20,
+          Seq("l_orderkey", "l_partkey"), zorder = true) }
+      println(f"sortRewrite 10x ratio: ${tS10 / tS1}%.1f× (~10 = linear)")
+      spark.stop()
+      return
+    }
+
     // ---- 100× tier (`ScaleCheck 100x`): the stored-probe family at a
     // corpus scale where bucket occupancy actually bites. The index
     // BUILD is the one-time linear cost a production pipeline amortizes
