@@ -223,42 +223,41 @@ object TextAnalysis {
     * any engine rederives byte-identical order.
     *
     * Scale shape — the standard two-phase distributed rank, NOT a
-    * global `Window.orderBy` (which executes single-partition): one
-    * range-partitioned sort on the hash (the TeraSort shape that
-    * shuffles 100 TB routinely), per-partition local row numbers, and
-    * a per-partition offset table (|partitions| rows — planner-side
-    * metadata, like chunk boundaries) added back broadcast-style. */
+    * global `Window.orderBy` (which executes single-partition). The
+    * hash key buys a shortcut over the generic TeraSort shape: md5 is
+    * UNIFORM, so `bucket = floor(first32bits(h) · n / 2³²)` is a
+    * DETERMINISTIC, balanced, order-preserving range partitioning
+    * (bucket is monotone in h) — no sampled range partitioner, hence
+    * no materialization barrier to freeze sampled boundaries
+    * (recomputation reproduces identical buckets, unlike the
+    * parquet-scratch variant this replaced). Pass 1 partial-aggregates
+    * bucket counts map-side (an n-row exchange — planner metadata,
+    * like chunk boundaries); pass 2 is ONE hash exchange + per-bucket
+    * sort (the window partitions by bucket, never a single global
+    * partition) with the prefix-sum offsets added back as a literal
+    * decode. */
   def epochShuffle(df: DataFrame, idCol: String, seed: String,
                    partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val h = md5(concat(lit(seed), lit("-"), col(idCol).cast("string")))
-    // ONE range-partitioned sort; the local ordinal comes free from
-    // monotonically_increasing_id (upper bits = partition id, lower 33
-    // = position within the partition) — no second exchange, no
-    // single-partition window. Materialized through the session
-    // scratch so the offset pass and the result read the same sorted
-    // bytes and the sort executes exactly once.
-    val sortedPlan = df.withColumn("__h", h)
-      .repartitionByRange(n, col("__h"), col(idCol))
-      .sortWithinPartitions("__h", idCol)
-      .withColumn("__mid", monotonically_increasing_id())
-    val path = Dedup.Scratch.next(df)
-    sortedPlan.write.mode("overwrite").parquet(path)
-    val sorted = df.sparkSession.read.parquet(path)
-    val pid = shiftright(col("__mid"), 33)
-    // per-partition sizes → prefix-sum offsets: |partitions| rows of
-    // planner-side metadata, like chunk boundaries
-    val counts = sorted.groupBy(pid.as("__pid")).count()
+    // first 8 hex chars = top 32 bits; ·n/2³² keeps the bucket id
+    // monotone in the full hash (lowercase hex sorts numerically)
+    val bucket = (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") *
+      n / 4294967296L).cast("long")
+    val withB = df.withColumn("__h", h).withColumn("__b", bucket)
+    val counts = withB.groupBy("__b").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
-      .map { case (off, (p, _)) => p -> off }
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(pid === p, off).otherwise(acc)
+      .map { case (off, (b, _)) => b -> off }
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__b") === b, off).otherwise(acc)
     }
-    sorted.withColumn("shuffle_pos",
-      offsetExpr + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("__h", "__mid")
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    withB.withColumn("shuffle_pos",
+        offsetExpr + row_number().over(w).cast("long") - 1)
+      .drop("__h", "__b")
   }
 
   /** PII scrubbing — the redaction pass every public training-data
