@@ -2460,6 +2460,66 @@ object SparkEntry {
         t(s, dir, "events").where(col("event_id") < 20000),
         "ts", "user_id", "30 minutes")),
 
+    // ---- STREAM-STREAM interval join (click attribution), a REAL
+    //      StreamingSymmetricHashJoin run: clicks and purchases arrive
+    //      as two watermarked file streams, each purchase matches the
+    //      same user's clicks within the attribution hour. One staged
+    //      batch per side → nothing is late, so DuckDB replays the
+    //      result as a plain range join; the watermark's LATE-DROP and
+    //      state-eviction semantics are pinned in StreamingSpec. ----
+    "q_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val rootF = new java.io.File(fixture("sj_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(rootF)
+      val root = rootF.toString
+      val clickDir = s"$root/clicks"; val buyDir = s"$root/buys"
+      val ckpt = s"$root/ckpt"; val out = s"$root/out"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(clickDir))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(buyDir))
+      val ev = t(s, dir, "events").where(col("event_id") < 4000)
+      def stage(df: DataFrame, dirPath: String): Unit = {
+        val stg = s"$dirPath.stg"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(dirPath, "b0.json")): Unit
+      }
+      stage(ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("cuser"), col("ts").as("cts")), clickDir)
+      stage(ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"),
+          col("user_id").as("buser"), col("ts").as("bts")), buyDir)
+      val cSchema = StructType(Seq(StructField("click_id", LongType),
+        StructField("cuser", LongType), StructField("cts", TimestampType)))
+      val bSchema = StructType(Seq(StructField("buy_id", LongType),
+        StructField("buser", LongType), StructField("bts", TimestampType)))
+      val joined = graft.streaming.StreamJoin.interval(
+        s.readStream.schema(cSchema).json(clickDir),
+        s.readStream.schema(bSchema).json(buyDir),
+        "cuser", "buser", "cts", "bts", "1 hour", "30 minutes")
+      val q = joined.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(StructField("click_id", LongType),
+          StructField("cuser", LongType), StructField("cts", TimestampType),
+          StructField("buy_id", LongType), StructField("buser", LongType),
+          StructField("bts", TimestampType)))).parquet(out)
+        .select(col("click_id"), col("buy_id"),
+          col("cuser").as("user_id"),
+          (unix_timestamp(col("bts")) - unix_timestamp(col("cts")))
+            .as("delay_s"))
+    }),
+
     // ---- §1.2 schema inference over a JSON column (S16 decode path) ----
     "q_infer_schema" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -6092,6 +6152,18 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |                 ROWS UNBOUNDED PRECEDING) AS sid FROM x)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // one staged batch per side → no late rows → the streaming join's
+    // result IS the batch range join
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS buy_id,
+        |  c.user_id,
+        |  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.event_id < 4000 AND p.event_id < 4000""".stripMargin,
 
     "q_infer_schema" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** STREAM-STREAM event-time interval join — the enrichment shape a CDC
+  * pipeline needs when BOTH sides arrive as streams (e.g. click
+  * attribution: match each purchase to the click that preceded it
+  * within the attribution window). The reference has no streaming
+  * join at all (its per-stream pipelines never correlate streams);
+  * this is the Spark-first capability that closes that gap:
+  * `withWatermark` on both sides + an equi-key AND time-range join
+  * condition is exactly what Catalyst plans as
+  * `StreamingSymmetricHashJoin` — each side keeps only
+  * watermark-bounded keyed state (state for a left row is evicted
+  * once the watermark passes `lTs + within`), so state is
+  * O(in-flight window), not O(stream history), at any scale.
+  *
+  * Inner-join matches emit eagerly (the watermark only bounds state
+  * and admits/drops late rows, it does not delay emission), so an
+  * `AvailableNow` run over staged batches drains completely.
+  *
+  * On two BATCH frames the same expression degrades to a plain range
+  * join — which is how the DuckDB oracle replays it. */
+object StreamJoin {
+
+  /** Rows `(l, r)` with `l.leftKey = r.rightKey` and
+    * `r.rightTs ∈ [l.leftTs, l.leftTs + within]`. Column names must be
+    * disjoint across the two sides (streaming joins cannot alias
+    * through the state store). `watermark` is the max expected
+    * out-of-orderness on BOTH sides. */
+  def interval(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
+        s"$rightTs <= $leftTs + interval $within"))
+  }
+}

@@ -300,6 +300,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01 11:00:00.0", "b", 1L)))
   }
 
+  test("stream-stream interval join: on-time pairs emit; a post-watermark " +
+       "straggler is dropped and its click state evicted") {
+    import graft.streaming.StreamJoin
+    import org.apache.spark.sql.streaming.Trigger
+    val (clickDir, buyDir, ckpt, out) = (tmp(), tmp(), tmp(), tmp())
+    val cSch = StructType(Seq(StructField("click_id", LongType),
+      StructField("cuser", LongType), StructField("cts", TimestampType)))
+    val bSch = StructType(Seq(StructField("buy_id", LongType),
+      StructField("buser", LongType), StructField("bts", TimestampType)))
+    def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = StreamJoin.interval(
+          spark.readStream.schema(cSch).json(clickDir),
+          spark.readStream.schema(bSch).json(buyDir),
+          "cuser", "buser", "cts", "bts", "1 hour", "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    def c(id: Long, u: Long, ts: String) =
+      s"""{"click_id":$id,"cuser":$u,"cts":"$ts"}"""
+    def b(id: Long, u: Long, ts: String) =
+      s"""{"buy_id":$id,"buser":$u,"bts":"$ts"}"""
+    // run 1: user 1's on-time pair; disjoint users 8/9 push the global
+    // watermark to 20:00 − 10 min = 19:50 on BOTH sides (the join's
+    // watermark is the min over inputs)
+    writeLog(clickDir, "b0.json", Seq(
+      c(100, 1, "2024-01-01 10:00:00"), c(108, 8, "2024-01-01 20:00:00")))
+    writeLog(buyDir, "b0.json", Seq(
+      b(200, 1, "2024-01-01 10:30:00"), b(209, 9, "2024-01-01 20:00:00")))
+    runOnce()
+    // run 2: user 1 "buys" again at 10:40 — behind the committed 19:50
+    // watermark: the row drops at input and click 100's state is long
+    // evicted (watermark > cts + 1 h), so no pair may appear even
+    // though a batch join would match it. An on-time pair (user 2 at
+    // 19:55/19:58) still joins — the stream is live, not wedged.
+    writeLog(clickDir, "b1.json", Seq(c(102, 2, "2024-01-01 19:55:00")))
+    writeLog(buyDir, "b1.json", Seq(
+      b(201, 1, "2024-01-01 10:40:00"), b(202, 2, "2024-01-01 19:58:00")))
+    runOnce()
+    val res = spark.read.schema(StructType(cSch.fields ++ bSch.fields))
+      .parquet(out).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("buy_id")))
+      .toSet
+    assert(res == Set((100L, 200L), (102L, 202L)), res.toString)
+  }
+
   test("sessionize merges gap-joined events across micro-batch runs") {
     import graft.streaming.WindowedStats
     import org.apache.spark.sql.streaming.Trigger
