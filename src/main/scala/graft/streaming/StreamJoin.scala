@@ -39,4 +39,22 @@ object StreamJoin {
       s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
         s"$rightTs <= $leftTs + interval $within"))
   }
+
+  /** LEFT-OUTER variant — "which clicks converted, null for the rest".
+    * Unlike the eager inner join, the null row for an unmatched left
+    * row can only emit once the watermark has passed its join window
+    * (before that a match could still arrive), so outer emission is
+    * watermark-GATED: an `AvailableNow` run emits nulls for windows the
+    * final watermark closed and holds the rest in state for the next
+    * run. Same O(in-flight window) state bound. */
+  def intervalLeftOuter(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String,
+                        within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
+        s"$rightTs <= $leftTs + interval $within"), "left_outer")
+  }
 }

@@ -347,6 +347,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res == Set((100L, 200L), (102L, 202L)), res.toString)
   }
 
+  test("stream-stream LEFT-OUTER interval join: null rows are " +
+       "watermark-gated — emitted only once a match can no longer arrive") {
+    import graft.streaming.StreamJoin
+    import org.apache.spark.sql.streaming.Trigger
+    val (clickDir, buyDir, ckpt, out) = (tmp(), tmp(), tmp(), tmp())
+    val cSch = StructType(Seq(StructField("click_id", LongType),
+      StructField("cuser", LongType), StructField("cts", TimestampType)))
+    val bSch = StructType(Seq(StructField("buy_id", LongType),
+      StructField("buser", LongType), StructField("bts", TimestampType)))
+    def runOnce(): Unit = {
+      val q = StreamJoin.intervalLeftOuter(
+          spark.readStream.schema(cSch).json(clickDir),
+          spark.readStream.schema(bSch).json(buyDir),
+          "cuser", "buser", "cts", "bts", "1 hour", "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def c(id: Long, u: Long, ts: String) =
+      s"""{"click_id":$id,"cuser":$u,"cts":"$ts"}"""
+    def b(id: Long, u: Long, ts: String) =
+      s"""{"buy_id":$id,"buser":$u,"bts":"$ts"}"""
+    def pairs(): Set[(Long, Option[Long])] =
+      spark.read.schema(StructType(cSch.fields ++ bSch.fields))
+        .parquet(out).collect()
+        .map(r => (r.getAs[Long]("click_id"),
+          Option(r.getAs[java.lang.Long]("buy_id")).map(_.longValue)))
+        .toSet
+    // run 1: unconverted click at 10:00 (window closes 11:00); pushers
+    // on disjoint users move the watermark to 19:50 — PAST the window,
+    // so the null row emits within this run. Pusher click 108 (window
+    // end 21:00 > 19:50) must NOT emit yet.
+    writeLog(clickDir, "b0.json", Seq(
+      c(300, 3, "2024-01-01 10:00:00"), c(108, 8, "2024-01-01 20:00:00")))
+    writeLog(buyDir, "b0.json", Seq(b(209, 9, "2024-01-01 20:00:00")))
+    runOnce()
+    assert(pairs() == Set((300L, None)), pairs().toString)
+    // run 2: a late purchase for user 3 cannot retro-pair (the null
+    // verdict is final); pushing the watermark to 22:50 releases click
+    // 108's held null row
+    writeLog(clickDir, "b1.json", Seq(c(109, 8, "2024-01-01 23:00:00")))
+    writeLog(buyDir, "b1.json", Seq(
+      b(301, 3, "2024-01-01 10:30:00"), b(210, 9, "2024-01-01 23:00:00")))
+    runOnce()
+    assert(pairs() == Set((300L, None), (108L, None)), pairs().toString)
+  }
+
   test("sessionize merges gap-joined events across micro-batch runs") {
     import graft.streaming.WindowedStats
     import org.apache.spark.sql.streaming.Trigger
