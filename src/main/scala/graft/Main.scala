@@ -209,10 +209,39 @@ object Main {
       println(s"""{"versions":${r.getLong(0)},"current":${r.getLong(1)}}""")
       spark.stop()
 
+    // maintain <icebergTableDir> binpack <targetMB> [minFileKB]:
+    // merge small files into target-sized ones under a replace
+    // snapshot (kept files never move — cost ∝ small-file set).
+    // maintain <icebergTableDir> sort <targetMB> <col[,col...]>
+    // [--zorder]: re-cluster the table so file min/max bounds prune.
+    // Both leave history time-travelable; reclaim old files with the
+    // usual expire/orphan cleanup.
+    case "maintain" :: table :: "binpack" :: targetMb :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val minBytes = rest.headOption.map(_.toLong * 1024).getOrElse(0L)
+      graft.sinks.IcebergMetadata.binpackRewrite(spark, table,
+        targetMb.toLong << 20, minBytes) match {
+        case Some(c) => println(s"""{"status":"rewritten","snapshot":""" +
+          s"""${c.snapshotId},"added_files":${c.addedFiles}}""")
+        case None => println("""{"status":"nothing-to-rewrite"}""")
+      }
+      spark.stop()
+
+    case "maintain" :: table :: "sort" :: targetMb :: cols :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val c = graft.sinks.IcebergMetadata.sortRewrite(spark, table,
+        targetMb.toLong << 20, cols.split(",").toSeq,
+        zorder = rest.contains("--zorder"))
+      println(s"""{"status":"rewritten","snapshot":${c.snapshotId},""" +
+        s""""added_files":${c.addedFiles}}""")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk | scd")
+          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk | scd | maintain")
       sys.exit(2)
   }
 }
