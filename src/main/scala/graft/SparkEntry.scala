@@ -2520,6 +2520,40 @@ object SparkEntry {
             .as("delay_s"))
     }),
 
+    // ---- DEAD-LETTER QUARANTINE (beyond-reference: the reference
+    //      aborts the whole file on the first malformed line,
+    //      backfill.go:221-240): one PERMISSIVE scan routes good rows
+    //      and syntactically-invalid lines to separate outputs, bad
+    //      lines with provenance. DuckDB replays the split with
+    //      json_valid over the same physical lines. ----
+    "q_file_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val root = new java.io.File(fixture("dlq_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val f = new java.io.File(root, "data.jsonl")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+        .collect().sortBy(_.getInt(0))
+      val good = n.map(r =>
+        s"""{"id": ${r.getInt(0)}, "name": "${r.getString(1)}"}""")
+      val bad = Seq("{truncated upload", """{"id": 7, "name": [}""",
+        "not json at all")
+      java.nio.file.Files.writeString(f.toPath,
+        (good.take(10) ++ bad ++ good.drop(10)).mkString("\n"))
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType)))
+      val (goodDf, badDf) = graft.sources.FileSources
+        .readJsonlQuarantine(s, Seq(f.getPath), schema)
+      goodDf.select(col("id"), col("name"),
+          lit(null).cast("string").as("raw_line"), lit("ok").as("status"))
+        .unionByName(badDf.select(lit(null).cast("long").as("id"),
+          lit(null).cast("string").as("name"), col("raw_line"),
+          lit("quarantined").as("status")))
+    }),
+
     // ---- §1.2 schema inference over a JSON column (S16 decode path) ----
     "q_infer_schema" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -6164,6 +6198,21 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND c.event_id < 4000 AND p.event_id < 4000""".stripMargin,
+
+    // same physical lines, split by json_valid — DuckDB's independent
+    // judgment of "syntactically invalid" must agree with PERMISSIVE
+    "q_file_quarantine" ->
+      s"""WITH l AS (SELECT line
+         |  FROM read_csv('${fixture("dlq_gate")}/data.jsonl',
+         |    columns={'line':'VARCHAR'}, delim='', header=false,
+         |    quote=''))
+         |SELECT CAST(json_extract(line, '$$.id') AS BIGINT) AS id,
+         |  json_extract_string(line, '$$.name') AS name,
+         |  CAST(NULL AS VARCHAR) AS raw_line, 'ok' AS status
+         |FROM l WHERE json_valid(line)
+         |UNION ALL
+         |SELECT NULL, NULL, line, 'quarantined'
+         |FROM l WHERE NOT json_valid(line)""".stripMargin,
 
     "q_infer_schema" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k

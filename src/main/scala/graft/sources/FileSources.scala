@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 /** File-based sources (the reference's S3 driver surface).
   *
@@ -48,6 +49,42 @@ object FileSources {
 
   def readJsonl(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.json(paths: _*)
+
+  /** DEAD-LETTER QUARANTINE read of JSON lines — beyond the reference,
+    * which fails the WHOLE file on the first malformed line
+    * (`drivers/s3/internal/backfill.go:221-240`: any parseErr aborts
+    * the key). At 100 TB a single truncated upload must not sink a
+    * backfill: Spark's PERMISSIVE mode routes each unparseable line to
+    * the corrupt-record column in the same scan (no second pass), and
+    * the split returns (good rows, quarantined raw lines + source
+    * file) so the bad lines land in a dead-letter sink with
+    * provenance instead of killing the sync. `schema` is the expected
+    * GOOD-row schema; corrupt = syntactically invalid JSON. */
+  def readJsonlQuarantine(spark: SparkSession, paths: Seq[String],
+                          schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.from_json
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // text scan + from_json carrying the corrupt-record field INSIDE
+    // the parse schema (a malformed line parses to a struct whose only
+    // non-null field is the corrupt column — from_json never returns a
+    // null struct): same single scan, and it sidesteps Spark's
+    // corrupt-only-projection restriction on the quarantine side
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(corrupt, StringType))
+    val parsed = spark.read.text(paths: _*)
+      .select(col("value"),
+        input_file_name().as("source_file"),
+        from_json(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corrupt)).as("__p"))
+    val good = parsed.where(col(s"__p.$corrupt").isNull)
+      .select(schema.fieldNames.toSeq.map(f => col(s"__p.$f").as(f)): _*)
+    val bad = parsed.where(col(s"__p.$corrupt").isNotNull)
+      .select(col("value").as("raw_line"), col("source_file"))
+    (good, bad)
+  }
 
   def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
