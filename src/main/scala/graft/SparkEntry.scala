@@ -3542,6 +3542,140 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- TPC-H Q7 (volume shipping): bilateral trade between two
+    //      nations by ship year. Nation (constant 25 rows) broadcasts
+    //      into supplier and customer BEFORE the fact joins, so the
+    //      two-nation filter prunes both dimension sides early; the
+    //      cross-pair predicate applies after. supplier/customer are
+    //      SF-linear — unhinted. ----
+    "q_tpch_q7" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat.select(col("n_nationkey").as("nk2"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice",
+          "l_discount", "l_shipdate")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_c"))
+    }),
+
+    // ---- TPC-H Q8 (national market share): one nation's share of a
+    //      region's PROMO-part market by order year, in basis points
+    //      via the same pure-BIGINT round-half-up as Q14. region/
+    //      nation broadcast; part/supplier/customer unhinted. ----
+    "q_tpch_q8" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n1 = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("nk1"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("nation"))
+      val p = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n2), col("s_nationkey") === col("nk2"))
+        .select("s_suppkey", "nation")
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n1), col("c_nationkey") === col("nk1"))
+        .select("c_custkey")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+      val vol = round(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100).cast("long")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("nation") === "NATION_1", vol).otherwise(lit(0L)))
+            .as("nat_c"),
+          sum(vol).as("tot_c"))
+        .select(col("o_year"), col("nat_c"), col("tot_c"),
+          expr("(nat_c * 20000 + tot_c) div (2 * tot_c)").as("share_bp"))
+    }),
+
+    // ---- TPC-H Q13 (customer order-count distribution): LEFT join so
+    //      zero-order customers land in the c_count=0 bucket; the
+    //      priority filter stands in for the classic comment pattern
+    //      (testdata has no o_comment). Two partial-agg'd exchanges,
+    //      the second over ≤|distinct counts| rows. ----
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+
+    // ---- TPC-H Q15 (top supplier): quarter revenue per supplier, keep
+    //      every supplier tied at the max — the max is ONE broadcast
+    //      row joined back (no window over the full set, no second
+    //      scan of lineitem). ----
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .as("total_c"))
+      val top = rev.agg(max(col("total_c")).as("max_c"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(top), col("total_c") === col("max_c"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_c"))
+    }),
+
+    // ---- TPC-H Q17 (small-quantity-order revenue): rows under 20% of
+    //      their part's average quantity. The avg compare is the
+    //      CROSS-MULTIPLIED integer inequality 10·q·cnt < 2·sum_q (all
+    //      BIGINT cents) — no double division to diverge; the per-part
+    //      aggregate joins back to the same filtered fact slice
+    //      (partkey determines brand, so pre-filtering through the
+    //      brand join changes nothing and reads 71/2000 parts). ----
+    "q_tpch_q17" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_brand") === "Brand#1")
+        .select("p_partkey")
+      val l = t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100).cast("long").as("q_c"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("q_c")).as("sum_qc"), count(lit(1)).as("cnt"))
+      l.join(perPart, col("l_partkey") === col("pk"))
+        .where(col("q_c") * 10 * col("cnt") < col("sum_qc") * 2)
+        .agg(sum(col("price_c")).as("revenue_c"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // ---- Z-ORDER clustering, the z-value itself: 16-bit shift
     //      quantization + magic-number bit interleave, all integer
     //      Column math inside one codegen span (no UDF, no doubles —
@@ -6549,6 +6683,79 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |FROM big, orders, customer
         |WHERE k = o_orderkey AND o_custkey = c_custkey
         |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH vols AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS vol, n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol ELSE 0 END)
+        |    AS BIGINT) AS nat_c,
+        |  CAST(sum(vol) AS BIGINT) AS tot_c,
+        |  (CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol ELSE 0 END)
+        |     AS BIGINT) * 20000 + CAST(sum(vol) AS BIGINT))
+        |    // (2 * CAST(sum(vol) AS BIGINT)) AS share_bp
+        |FROM vols GROUP BY o_year""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_c
+        |FROM supplier, rev
+        |WHERE s_suppkey = l_suppkey
+        |  AND total_c = (SELECT max(total_c) FROM rev)""".stripMargin,
+
+    // the avg compare is the cross-multiplied BIGINT inequality
+    // 10·q·cnt < 2·sum_q — engine-exact on both sides
+    "q_tpch_q17" ->
+      """WITH l AS (SELECT l_partkey,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#1'),
+        |pp AS (SELECT l_partkey AS pk,
+        |    CAST(sum(q_c) AS BIGINT) AS sum_qc, count(*) AS cnt
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(sum(price_c) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_rows
+        |FROM l, pp
+        |WHERE l_partkey = pk AND q_c * 10 * cnt < sum_qc * 2"""
+        .stripMargin,
 
     // the identical shift quantization + magic-number interleave,
     // staged as CTE columns (shared fragment, generated once)

@@ -311,6 +311,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p18.contains("BroadcastNestedLoopJoin"), p18)
   }
 
+  test("tpch q7/q8/q13/q15/q17: constant dims (nation/region) are the " +
+       "only hints; no nested-loop joins; q15's max is one broadcast row") {
+    // q7: exactly the two broadcast(nation) hints; q8: region + the
+    // two nation broadcasts = 3; everything SF-linear rides stats
+    for ((name, hints) <- Seq(("q_tpch_q7", 2), ("q_tpch_q8", 3),
+        ("q_tpch_q13", 0), ("q_tpch_q17", 0))) {
+      val d = q(name)
+      assert(d.queryExecution.analyzed.toString
+        .linesIterator.count(_.contains("ResolvedHint")) == hints,
+        s"$name: " + d.queryExecution.analyzed.toString)
+      d.collect(): Unit
+      val p = d.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name: $p")
+    }
+    // q15: the max revenue is a single broadcast row equality-joined
+    // back — no window over the supplier set, no second lineitem scan
+    val d15 = q("q_tpch_q15")
+    d15.collect(): Unit
+    val p15 = d15.queryExecution.executedPlan.toString
+    assert(p15.contains("BroadcastHashJoin"), p15)
+    assert(!p15.contains("CartesianProduct") &&
+      !p15.contains("BroadcastNestedLoopJoin"), p15)
+    assert(!p15.toLowerCase.contains("window"), p15)
+  }
+
   test("stored IVF-PQ probe: code-only serving — no vector store exists, " +
        "broadcast probes, zero corpus-side exchange before the top-k") {
     import graft.llm.Similarity
