@@ -238,6 +238,20 @@ object Main {
         s""""added_files":${c.addedFiles}}""")
       spark.stop()
 
+    // maintain <table> expire [keepLast] / maintain <table> orphans
+    // [minAgeMinutes]: the reclamation half of the rewrite strategies —
+    // drop superseded snapshots, then sweep files no manifest
+    // references (grace window guards in-flight writers)
+    case "maintain" :: table :: "expire" :: rest =>
+      val keep = rest.headOption.map(_.toInt).getOrElse(1)
+      val n = graft.sinks.IcebergMetadata.expireSnapshots(table, keep)
+      println(s"""{"status":"expired","snapshots_removed":$n}""")
+
+    case "maintain" :: table :: "orphans" :: rest =>
+      val ageMs = rest.headOption.map(_.toLong * 60000).getOrElse(0L)
+      val n = graft.sinks.IcebergMetadata.removeOrphans(table, ageMs)
+      println(s"""{"status":"swept","files_removed":$n}""")
+
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +

@@ -86,6 +86,37 @@ object FileSources {
     (good, bad)
   }
 
+  /** CSV counterpart of [[readJsonlQuarantine]] (same single-scan
+    * text + from_csv shape). `from_csv` quarantines ANY token-count
+    * mismatch — both extra and missing fields — which is the right
+    * strictness for a dead-letter reader (a short row is as suspect
+    * as a long one; the file reader's pad-with-nulls leniency stays
+    * available via [[readCsv]]). Pinned in SparkOpsSpec. `header`
+    * lines must be stripped by the caller (a text scan has no header
+    * notion). */
+  def readCsvQuarantine(spark: SparkSession, paths: Seq[String],
+                        schema: org.apache.spark.sql.types.StructType,
+                        delimiter: String = ",")
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.from_csv
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(corrupt, StringType))
+    val parsed = spark.read.text(paths: _*)
+      .select(col("value"),
+        input_file_name().as("source_file"),
+        from_csv(col("value"), withCorrupt, Map(
+          "sep" -> delimiter,
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corrupt)).as("__p"))
+    val good = parsed.where(col(s"__p.$corrupt").isNull)
+      .select(schema.fieldNames.toSeq.map(f => col(s"__p.$f").as(f)): _*)
+    val bad = parsed.where(col(s"__p.$corrupt").isNotNull)
+      .select(col("value").as("raw_line"), col("source_file"))
+    (good, bad)
+  }
+
   def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
 

@@ -126,6 +126,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.where(col("id") === 1).head.getString(1) == "x")
   }
 
+  test("readCsvQuarantine: any token-count mismatch quarantines with " +
+       "provenance; clean lines pass") {
+    import graft.sources.FileSources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_dlq")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "1,alpha\n2,beta\n3,gamma,EXTRA,TOKENS\n4\n5,delta".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val (good, bad) = FileSources.readCsvQuarantine(spark,
+      Seq(dir.toString + "/a.csv"), schema)
+    val g = good.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"))).toSet
+    assert(g == Set((1L, "alpha"), (2L, "beta"), (5L, "delta")),
+      g.toString)
+    // both the long line AND the short line are dead-lettered
+    val b = bad.collect().map(_.getAs[String]("raw_line")).toSet
+    assert(b == Set("3,gamma,EXTRA,TOKENS", "4"), b.toString)
+    assert(bad.head.getAs[String]("source_file").contains("a.csv"))
+  }
+
   test("readZippedJsonl: multi-entry archives parse line-by-line; blank lines skipped") {
     import graft.sources.FileSources
     import org.apache.spark.sql.types._
