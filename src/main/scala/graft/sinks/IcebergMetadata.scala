@@ -773,6 +773,18 @@ object IcebergMetadata {
     props.put("write.delete.mode", "merge-on-read")
     props.put("write.update.mode", "merge-on-read")
     props.put("write.merge.mode", "merge-on-read")
+    // spec §Table Metadata `metadata-log`: every previous metadata
+    // file with its timestamp — what catalogs walk for metadata time
+    // travel and stale-file cleanup
+    val mlog = root.putArray("metadata-log")
+    prev.foreach { case (pv, pm) =>
+      Option(pm.get("metadata-log"))
+        .foreach(_.forEach(e => mlog.add(e): Unit))
+      val e = mlog.addObject()
+      e.put("metadata-file",
+        new File(md, s"v$pv.metadata.json").getAbsolutePath)
+      e.put("timestamp-ms", pm.get("last-updated-ms").asLong)
+    }
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
     prev.foreach(_._2.withArray[ArrayNode]("snapshots")
@@ -796,8 +808,16 @@ object IcebergMetadata {
     val logEntry = log.addObject()
     logEntry.put("snapshot-id", snapshotId)
     logEntry.put("timestamp-ms", nowMs)
-    val refs = root.putObject("refs").putObject("main")
-    refs.put("snapshot-id", snapshotId); refs.put("type", "branch")
+    // refs: main moves to the new snapshot; every OTHER ref (tags,
+    // audit branches) carries forward verbatim — a commit must never
+    // silently drop a tag (spec §References)
+    val refs = root.putObject("refs")
+    prev.foreach(_._2.path("refs").fields().asScala
+      .filter(_.getKey != "main")
+      .foreach(e => refs.set[ObjectNode](e.getKey,
+        e.getValue.deepCopy[JsonNode]()): Unit))
+    val mainRef = refs.putObject("main")
+    mainRef.put("snapshot-id", snapshotId); mainRef.put("type", "branch")
 
     val target = new File(md, s"v$version.metadata.json")
     val tmp = new File(md, s".v$version.metadata.json.tmp")
@@ -881,6 +901,7 @@ object IcebergMetadata {
       s"snapshot $toSnapshotId not in table history")
     val root = prev.deepCopy().asInstanceOf[ObjectNode]
     val nowMs = System.currentTimeMillis()
+    appendMetadataLog(root, md, version, prev.get("last-updated-ms").asLong)
     root.put("current-snapshot-id", toSnapshotId)
     root.put("last-updated-ms", nowMs)
     val refs = root.putObject("refs").putObject("main")
@@ -1642,9 +1663,97 @@ object IcebergMetadata {
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
     if (snaps.length <= math.max(1, keepLast)) return 0
+    // spec §References: a snapshot any ref (tag / branch) points at is
+    // RETAINED regardless of age — expiration only reclaims the
+    // unreferenced past
+    val refIds = meta.path("refs").asScala
+      .map(_.get("snapshot-id").asLong).toSet
     val cut = snaps.length - math.max(1, keepLast)
     removeSnapshotIds(tableDir,
-      snaps.take(cut).map(_.get("snapshot-id").asLong).toSet)
+      snaps.take(cut).map(_.get("snapshot-id").asLong)
+        .filterNot(refIds.contains).toSet)
+  }
+
+  /** Create or move a named REF (spec §References): a `tag` pins a
+    * snapshot against expiration (audit cuts, "the snapshot we trained
+    * run X on"); a `branch` is a movable head. Writes a new metadata
+    * version; data is untouched. `main` is managed by commits/rollback
+    * and refused here. */
+  def setRef(tableDir: String, name: String, snapshotId: Long,
+             refType: String = "tag"): Int = {
+    require(name != "main", "main moves via commit/rollback")
+    require(refType == "tag" || refType == "branch", s"bad type $refType")
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    require(meta.withArray[ArrayNode]("snapshots").asScala
+      .exists(_.get("snapshot-id").asLong == snapshotId),
+      s"snapshot $snapshotId not in table history")
+    val root = meta.deepCopy[ObjectNode]()
+    val refs =
+      if (root.has("refs")) root.get("refs").asInstanceOf[ObjectNode]
+      else root.putObject("refs")
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId); r.put("type", refType)
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeVersionFiles(md, root, version + 1)
+  }
+
+  /** Drop a named ref (the snapshot becomes expirable again). */
+  def dropRef(tableDir: String, name: String): Int = {
+    require(name != "main", "main cannot be dropped")
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val root = meta.deepCopy[ObjectNode]()
+    root.path("refs") match {
+      case o: ObjectNode if o.has(name) => o.remove(name): Unit
+      case _ => throw new IllegalArgumentException(s"no ref $name")
+    }
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeVersionFiles(md, root, version + 1)
+  }
+
+  /** Resolve a ref name to its snapshot id (time travel by name:
+    * `dataFileStats(dir, refSnapshotId(dir, "audit-2024"))`). */
+  def refSnapshotId(tableDir: String, name: String): Option[Long] = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    Option(meta.path("refs").get(name)).map(_.get("snapshot-id").asLong)
+  }
+
+  /** Append the predecessor version to a deep-copied root's
+    * `metadata-log` (commit writes do this inline; every other
+    * mutation — refs, rollback, snapshot removal — must too, or the
+    * log skips versions). */
+  private def appendMetadataLog(root: ObjectNode, md: File,
+                                prevVersion: Int,
+                                prevUpdatedMs: Long): Unit = {
+    val log =
+      if (root.has("metadata-log")) root.withArray[ArrayNode]("metadata-log")
+      else root.putArray("metadata-log")
+    val e = log.addObject()
+    e.put("metadata-file",
+      new File(md, s"v$prevVersion.metadata.json").getAbsolutePath)
+    e.put("timestamp-ms", prevUpdatedMs): Unit
+  }
+
+  /** Write vN.metadata.json + flip the version hint (the shared atomic
+    * tail of every metadata mutation). */
+  private def writeVersionFiles(md: File, root: ObjectNode,
+                                nv: Int): Int = {
+    val target = new File(md, s"v$nv.metadata.json")
+    val tmp = new File(md, s".v$nv.metadata.json.tmp")
+    Files.writeString(tmp.toPath,
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
+    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    val hintTmp = new File(md, ".version-hint.tmp")
+    Files.writeString(hintTmp.toPath, nv.toString)
+    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    nv
   }
 
   /** Remove EXPLICIT snapshot ids (the REST catalog's
@@ -1670,11 +1779,23 @@ object IcebergMetadata {
     val newSnaps = mapper.createArrayNode()
     kept.foreach(newSnaps.add(_): Unit)
     root.set[ObjectNode]("snapshots", newSnaps)
+    // refs pointing at removed snapshots would dangle — drop them
+    // (spec: cleaning refs is part of snapshot removal)
+    val droppedIds = dropped.map(_.get("snapshot-id").asLong).toSet
+    root.path("refs") match {
+      case o: ObjectNode =>
+        o.fields().asScala
+          .filter(e => droppedIds.contains(
+            e.getValue.get("snapshot-id").asLong))
+          .map(_.getKey).toList.foreach(o.remove(_): Unit)
+      case _ => ()
+    }
     val newLog = mapper.createArrayNode()
     meta.withArray[ArrayNode]("snapshot-log").asScala
       .filter(e => keptIds.contains(e.get("snapshot-id").asLong))
       .foreach(newLog.add(_): Unit)
     root.set[ObjectNode]("snapshot-log", newLog)
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
     root.put("last-updated-ms", System.currentTimeMillis())
     val nv = version + 1
     val target = new File(md, s"v$nv.metadata.json")

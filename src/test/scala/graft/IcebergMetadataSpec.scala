@@ -1362,6 +1362,55 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c3.sequenceNumber == c2.sequenceNumber + 1)
   }
 
+  test("refs + metadata-log: a tag survives commits, pins its snapshot " +
+       "against expiration, and time-travels by name; metadata-log " +
+       "lists every prior version in order") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_refs").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$tmp/d1")
+    val c1 = IcebergMetadata.commit(spark, tmp, s"$tmp/d1")
+    // tag the audit cut, then keep committing past it
+    IcebergMetadata.setRef(tmp, "audit-cut", c1.snapshotId)
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.parquet(s"$tmp/d2")
+    val c2 = IcebergMetadata.commit(spark, tmp, s"$tmp/d2")
+    nation.withColumn("n_nationkey", col("n_nationkey") + 200)
+      .write.parquet(s"$tmp/d3")
+    val c3 = IcebergMetadata.commit(spark, tmp, s"$tmp/d3")
+    // the tag survived both commits and resolves by name
+    assert(IcebergMetadata.refSnapshotId(tmp, "audit-cut")
+      .contains(c1.snapshotId))
+    // time travel by ref reads the tagged layout
+    val tagged = IcebergMetadata.dataFileStats(tmp,
+      IcebergMetadata.refSnapshotId(tmp, "audit-cut"))
+    assert(tagged.forall(_.path.contains("/d1/")), tagged.map(_.path))
+    // expiration retains the tagged snapshot (c2 is the only casualty)
+    assert(IcebergMetadata.expireSnapshots(tmp, keepLast = 1) == 1)
+    val (_, metaAfter) = IcebergMetadata.currentMetadata(tmp).get
+    val ids = metaAfter.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("snapshots").asScala
+      .map(_.get("snapshot-id").asLong).toSet
+    assert(ids == Set(c1.snapshotId, c3.snapshotId), ids.toString)
+    // dropping the tag makes it expirable; the dangling ref is gone
+    IcebergMetadata.dropRef(tmp, "audit-cut")
+    assert(IcebergMetadata.refSnapshotId(tmp, "audit-cut").isEmpty)
+    assert(IcebergMetadata.expireSnapshots(tmp, keepLast = 1) == 1)
+    // metadata-log: every version lists its predecessors in order
+    val (v, meta) = IcebergMetadata.currentMetadata(tmp).get
+    val logged = meta.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("metadata-log").asScala
+      .map(_.get("metadata-file").asText).toSeq
+    // commits append (v1, v2); ref/expire mutations carry the log
+    // forward verbatim — so the three commit-era predecessors appear
+    assert(logged.take(2) ==
+      Seq(s"$tmp/metadata/v1.metadata.json",
+          s"$tmp/metadata/v2.metadata.json").map(p =>
+        new java.io.File(p).getAbsolutePath), logged.toString)
+    assert(v >= 6) // 3 commits + tag + drop + 2 expires → hint advanced
+  }
+
   test("binpackRewrite refuses a delete-bearing (MoR) table") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
