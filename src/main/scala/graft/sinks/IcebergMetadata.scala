@@ -978,6 +978,72 @@ object IcebergMetadata {
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 
+  /** WRITE-AUDIT-PUBLISH, the write half: commit `dataDir` as a new
+    * snapshot on a named BRANCH while `main` — and every reader that
+    * does not opt in by ref — keeps serving the previous table state.
+    * The snapshot enters history with the next sequence number and the
+    * branch ref points at it; `current-snapshot-id`, the `main` ref
+    * and the snapshot-log are untouched (the spec's log tracks
+    * current-state changes only). Audit queries read it via
+    * `dataFileStats(dir, refSnapshotId(dir, branch))`; once clean,
+    * [[fastForward]] publishes atomically. An abandoned audit branch
+    * is just [[dropRef]] + expiration. Schema is the table's committed
+    * current schema (field ids must not fork on a branch). */
+  def commitToBranch(spark: SparkSession, tableDir: String,
+                     dataDir: String, branch: String,
+                     summary: Map[String, String] = Map.empty): Commit = {
+    require(branch != "main", "main moves via commit/fastForward")
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val curSchemaId = meta.get("current-schema-id").asInt
+    val schemaStr = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val entries = entriesFor(spark, dataDir, seq,
+      fieldIds = topLevelFieldIds(schemaStr))
+    require(entries.nonEmpty, s"no parquet data files under $dataDir")
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq(ManifestOut(manifest, 0, entries)))
+    val nowMs = System.currentTimeMillis()
+    val root = meta.deepCopy[ObjectNode]()
+    root.put("last-sequence-number", seq)
+    val snap = root.withArray[ArrayNode]("snapshots").addObject()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
+    snap.put("timestamp-ms", nowMs)
+    snap.put("sequence-number", seq)
+    snap.put("schema-id", curSchemaId)
+    snap.put("manifest-list", list.getAbsolutePath)
+    val sum = snap.putObject("summary")
+    sum.put("operation", "append")
+    sum.put("added-data-files", entries.length.toString)
+    sum.put("added-records", entries.map(_.rows).sum.toString)
+    summary.foreach { case (k, v) => sum.put(k, v): Unit }
+    val refs =
+      if (root.has("refs")) root.get("refs").asInstanceOf[ObjectNode]
+      else root.putObject("refs")
+    val r = refs.putObject(branch)
+    r.put("snapshot-id", snapshotId); r.put("type", "branch")
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
+    root.put("last-updated-ms", nowMs)
+    val nv = writeVersionFiles(md, root, version + 1)
+    Commit(nv, snapshotId, seq, manifest.getAbsolutePath,
+      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+  }
+
+  /** WRITE-AUDIT-PUBLISH, the publish half: move `main` (and the
+    * current snapshot) to a branch head — a ref-only metadata commit,
+    * atomic at the version-hint flip, no data movement. */
+  def fastForward(tableDir: String, branch: String): Int = {
+    val target = refSnapshotId(tableDir, branch).getOrElse(
+      throw new IllegalArgumentException(s"no ref $branch"))
+    applyRollback(tableDir, target)
+  }
+
   /** Small-file BINPACK rewrite — the RewriteDataFiles maintenance
     * action every long-lived 100 TB table needs: streaming commits
     * leave thousands of KB-scale files whose per-file open/plan cost
@@ -1662,16 +1728,23 @@ object IcebergMetadata {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
-    if (snaps.length <= math.max(1, keepLast)) return 0
-    // spec §References: a snapshot any ref (tag / branch) points at is
-    // RETAINED regardless of age — expiration only reclaims the
-    // unreferenced past
+    // retained: the last `keepLast` of the MAIN lineage (the
+    // snapshot-log tracks current-state history — a branch-only
+    // snapshot never enters it), the current snapshot, and — spec
+    // §References — any snapshot a ref (tag / audit branch) points at.
+    // Everything else, including an orphaned branch commit whose ref
+    // was dropped, is reclaimable.
     val refIds = meta.path("refs").asScala
       .map(_.get("snapshot-id").asLong).toSet
-    val cut = snaps.length - math.max(1, keepLast)
-    removeSnapshotIds(tableDir,
-      snaps.take(cut).map(_.get("snapshot-id").asLong)
-        .filterNot(refIds.contains).toSet)
+    val keepRecent = meta.withArray[ArrayNode]("snapshot-log").asScala
+      .map(_.get("snapshot-id").asLong).toSeq
+      .takeRight(math.max(1, keepLast)).toSet
+    val currentId = meta.get("current-snapshot-id").asLong
+    val candidates = snaps.map(_.get("snapshot-id").asLong)
+      .filterNot(id =>
+        refIds.contains(id) || keepRecent.contains(id) || id == currentId)
+    if (candidates.isEmpty) return 0
+    removeSnapshotIds(tableDir, candidates.toSet)
   }
 
   /** Create or move a named REF (spec §References): a `tag` pins a

@@ -1411,6 +1411,54 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v >= 6) // 3 commits + tag + drop + 2 expires → hint advanced
   }
 
+  test("write-audit-publish: a branch commit is invisible to main until " +
+       "fastForward; an abandoned branch drops and expires clean") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_wap").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$tmp/d1")
+    val c1 = IcebergMetadata.commit(spark, tmp, s"$tmp/d1")
+    // write: stage the risky batch on the audit branch
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.parquet(s"$tmp/d2")
+    val cb = IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/d2", "audit")
+    assert(cb.sequenceNumber == c1.sequenceNumber + 1)
+    // main still serves d1; the audit reader opts in by ref
+    assert(IcebergMetadata.dataFilePaths(tmp)
+      .forall(_.contains("/d1/")))
+    val (_, m1) = IcebergMetadata.currentMetadata(tmp).get
+    assert(m1.get("current-snapshot-id").asLong == c1.snapshotId)
+    val auditFiles = IcebergMetadata.dataFileStats(tmp,
+      IcebergMetadata.refSnapshotId(tmp, "audit")).map(_.path)
+    assert(auditFiles.nonEmpty && auditFiles.forall(_.contains("/d2/")),
+      auditFiles.toString)
+    // audit passed → publish: one ref-move commit, main flips to d2
+    IcebergMetadata.fastForward(tmp, "audit")
+    assert(IcebergMetadata.dataFilePaths(tmp)
+      .forall(_.contains("/d2/")))
+    val keys = spark.read
+      .parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    assert(keys == (100 until 125).toSeq, keys.toString)
+    // both snapshots remain in history (time travel to pre-publish ok)
+    val (_, m2) = IcebergMetadata.currentMetadata(tmp).get
+    assert(m2.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala.map(_.get("snapshot-id").asLong).toSet ==
+      Set(c1.snapshotId, cb.snapshotId))
+    // an abandoned second audit branch: drop + expire reclaims it
+    nation.withColumn("n_nationkey", col("n_nationkey") + 500)
+      .write.parquet(s"$tmp/d3")
+    val cb2 = IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/d3", "audit2")
+    IcebergMetadata.dropRef(tmp, "audit2")
+    IcebergMetadata.expireSnapshots(tmp, keepLast = 1): Unit
+    val (_, m3) = IcebergMetadata.currentMetadata(tmp).get
+    val left = m3.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala.map(_.get("snapshot-id").asLong).toSet
+    assert(!left.contains(cb2.snapshotId), left.toString)
+    assert(left.contains(cb.snapshotId)) // published current survives
+  }
+
   test("binpackRewrite refuses a delete-bearing (MoR) table") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
