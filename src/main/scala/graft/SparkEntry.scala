@@ -2520,6 +2520,48 @@ object SparkEntry {
             .as("delay_s"))
     }),
 
+    // ---- S14 extension: Avro OBJECT-CONTAINER-FILE source. The
+    //      fixture is written by the canonical org.apache.avro library
+    //      from the nation table, split across two archives; the gate
+    //      matches only if decode∘encode = id through the same
+    //      logical-type JSON shaping the Kafka Avro path uses. ----
+    "q_file_avro" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val root = new java.io.File(fixture("avro_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root); root.mkdirs()
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val avSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"nation","fields":[
+          |{"name":"n_nationkey","type":"long"},
+          |{"name":"n_name","type":"string"},
+          |{"name":"n_regionkey","type":"long"}]}""".stripMargin)
+      rows.grouped(13).zipWithIndex.foreach { case (grp, i) =>
+        val w = new org.apache.avro.file.DataFileWriter(
+          new GenericDatumWriter[GenericRecord](avSchema))
+        w.create(avSchema, new java.io.File(root, s"part$i.avro"))
+        grp.foreach { r =>
+          val rec = new GenericData.Record(avSchema)
+          rec.put("n_nationkey", r.getInt(0).toLong)
+          rec.put("n_name", r.getString(1))
+          rec.put("n_regionkey", r.getInt(2).toLong)
+          w.append(rec)
+        }
+        w.close()
+      }
+      graft.sources.FileSources.readAvroFiles(s,
+        root.getPath + "/*.avro",
+        StructType(Seq(StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType))))
+    }),
+
     // ---- DEAD-LETTER QUARANTINE (beyond-reference: the reference
     //      aborts the whole file on the first malformed line,
     //      backfill.go:221-240): one PERMISSIVE scan routes good rows
@@ -6332,6 +6374,12 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND c.event_id < 4000 AND p.event_id < 4000""".stripMargin,
+
+    // the OCF fixture was built FROM nation, so the oracle is nation
+    "q_file_avro" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
 
     // same physical lines, split by json_valid — DuckDB's independent
     // judgment of "syntactically invalid" must agree with PERMISSIVE

@@ -291,6 +291,43 @@ object FileSources {
       }(Encoders.row(schema))
   }
 
+  /** Avro OBJECT-CONTAINER-FILE rows — an S14 extension beyond the
+    * reference's csv/jsonl/parquet matrix (training corpora ship as
+    * OCF routinely). Same task shape as [[readZippedLines]]: one
+    * archive = one task via the binaryFile source; the per-record
+    * decode renders through the SAME logical-type-aware JSON shaping
+    * the Kafka Avro path uses ([[KafkaDecode.avroJson]]: decimal/
+    * date/time/uuid handling), then a codegen'd `from_json` projects
+    * to `schema` — the imperative part stays confined to the byte
+    * codec, exactly the wire-decoder contract. */
+  def readAvroFiles(spark: SparkSession, glob: String,
+                    schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.from_json
+    val lineSchema = StructType(Seq(StructField("json", StringType)))
+    val json = spark.read.format("binaryFile").load(glob)
+      .select("content")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val in = new org.apache.avro.file.SeekableByteArrayInput(
+            r.getAs[Array[Byte]](0))
+          val rd = new org.apache.avro.file.DataFileReader(in,
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          try {
+            val sch = rd.getSchema
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (rd.hasNext)
+              buf += Row(KafkaDecode.avroJson(rd.next(), sch))
+            buf
+          } finally rd.close()
+        }
+      }(Encoders.row(lineSchema))
+    json.select(from_json(col("json"), schema).as("r")).select("r.*")
+  }
+
   /** JSONL rows out of zip archives: unzip + codegen'd `from_json` per
     * line (the reference's json × zip config cell). */
   def readZippedJsonl(spark: SparkSession, glob: String,

@@ -193,7 +193,8 @@ object KafkaDecode {
     * extraction semantics (`utils/typeutils/avro.go:10-47`,
     * `ExtractAvroValue`): unions unwrap to their branch value, decimal
     * logical types become double, Utf8 → string. */
-  private def avroJson(datum: Any, schema: org.apache.avro.Schema): String = {
+  private[sources] def avroJson(datum: Any,
+                                schema: org.apache.avro.Schema): String = {
     import org.apache.avro.Schema.Type._
     import scala.jdk.CollectionConverters._
     def esc(s: String): String = s.flatMap {
