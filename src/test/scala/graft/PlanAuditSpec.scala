@@ -30,6 +30,52 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
+  test("AQE skew-join: a pathologically hot key splits into " +
+       "subpartitions (isSkew in the final adaptive plan)") {
+    // the runtime answer to skew the engine leans on at 100 TB when a
+    // key is hot but not known in advance (the planned answer —
+    // explicit salting — is q_salted_join). Thresholds shrunk so the
+    // ~MB test fixture trips the same code path a TB-scale hot key
+    // would; restored after.
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "2")
+      // force a sort-merge join so the skew handler (not a broadcast)
+      // is what resolves the hot side
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "-1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val hot = spark.range(200000)
+        .select((col("id") % 50).multiply(lit(0))
+          .plus(when(col("id") % 10 === 0, col("id") % 7)
+            .otherwise(lit(1L))).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(2000)
+        .select((col("id") % 100).as("k"),
+          col("id").as("dim_val"))
+      val j = hot.join(dim, "k")
+      j.collect(): Unit
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("isSkew=true") || p.contains("skew=true"), p)
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q_project prunes the parquet read schema to the selected columns") {
     val p = plan(q("q_project"))
     assert(p.contains("ReadSchema"))
