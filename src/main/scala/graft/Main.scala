@@ -238,6 +238,19 @@ object Main {
         s""""added_files":${c.addedFiles}}""")
       spark.stop()
 
+    // maintain <table> compact <targetMB>: MAJOR compaction of a
+    // merge-on-read table — every delete applied into a delete-free
+    // replace snapshot (read-side merge cost paid once; unlocks
+    // binpack/sort on the table)
+    case "maintain" :: table :: "compact" :: targetMb :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val c = graft.sinks.IcebergMetadata.majorCompactMoR(spark, table,
+        targetMb.toLong << 20)
+      println(s"""{"status":"compacted","snapshot":${c.snapshotId},""" +
+        s""""added_files":${c.addedFiles},"rows":${c.addedRows}}""")
+      spark.stop()
+
     // maintain <table> expire [keepLast] / maintain <table> orphans
     // [minAgeMinutes]: the reclamation half of the rewrite strategies —
     // drop superseded snapshots, then sweep files no manifest

@@ -3046,6 +3046,41 @@ object SparkEntry {
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
 
+    // ---- K2 MAJOR COMPACTION: the same MoR fixture, then every
+    //      delete is applied into a delete-free replace snapshot —
+    //      the gate reads the RAW parquet of the compacted files
+    //      (bypassing the MoR algebra entirely), so it matches the
+    //      oracle only if the deletes truly baked in. ----
+    "q_iceberg_compact" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_cmp_t").toString
+      val ice = java.nio.file.Files
+        .createTempDirectory("graft_cmp_i").toString
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      val upd = n.where(col("n_nationkey") < 10).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), upper(col("n_name")).as("n_name"),
+        lit("u").as(SystemColumns.OpType))
+      val del = n.where(col("n_nationkey") >= 20).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), col("n_name"), lit("d").as(SystemColumns.OpType))
+      val ins = n.where(col("n_nationkey") < 5).select(
+        (col("n_nationkey") + 100).cast("string").as(SystemColumns.OlakeId),
+        (col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+        lit("c").as(SystemColumns.OpType))
+      graft.sinks.DeltaSegments.writeSegment(
+        upd.unionByName(del).unionByName(ins)
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 1L)
+      IcebergMetadata.publishMoR(s, ice, table)
+      IcebergMetadata.majorCompactMoR(s, ice, targetBytes = 512L << 20)
+      s.read.parquet(IcebergMetadata.dataFilePaths(ice): _*)
+        .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
+    }),
+
     // ---- K2 orphan-file cleanup: a crashed publish's stray parquet
     //      is removed, referenced files survive, and the MoR read
     //      still matches the oracle afterwards ----
@@ -6514,6 +6549,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // same merge semantics as q_upsert_apply, reproduced through the
     // Iceberg v2 equality-delete algebra over the published manifests
     "q_iceberg_mor" ->
+      """WITH base AS (SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, n_name FROM nation),
+        |changes AS (
+        |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, upper(n_name) AS n_name, 'u' AS op FROM nation WHERE n_nationkey < 10
+        |  UNION ALL SELECT cast(n_nationkey AS VARCHAR), n_nationkey, n_name, 'd' FROM nation WHERE n_nationkey >= 20
+        |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
+        |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
+        |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // identical row algebra to q_iceberg_mor — but the gate read the
+    // raw compacted parquet, so equality proves the deletes baked in
+    "q_iceberg_compact" ->
       """WITH base AS (SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, n_name FROM nation),
         |changes AS (
         |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, upper(n_name) AS n_name, 'u' AS op FROM nation WHERE n_nationkey < 10

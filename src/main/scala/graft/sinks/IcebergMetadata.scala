@@ -1131,6 +1131,56 @@ object IcebergMetadata {
     }
   }
 
+  /** MAJOR COMPACTION of a merge-on-read table: apply every delete —
+    * positional and equality — and commit the resolved rows as a
+    * delete-free `replace` snapshot in ceil(bytes/target) files. The
+    * read-side merge cost a long-lived CDC table accrues (every scan
+    * re-applies the delete algebra) is paid once here; afterwards the
+    * tree carries plain data manifests, which is also what unlocks
+    * [[binpackRewrite]]/[[sortRewrite]] on it (both refuse
+    * delete-bearing trees). History stays time-travelable; the old
+    * delete-bearing snapshots reclaim via the usual expire/orphans.
+    * Plan: ONE pass of the [[readMoR]] algebra (delete sides broadcast,
+    * data never shuffled) + a round-robin write exchange. */
+  def majorCompactMoR(spark: SparkSession, tableDir: String,
+                      targetBytes: Long,
+                      keyCol: String =
+                        graft.operators.SystemColumns.OlakeId,
+                      summary: Map[String, String] = Map.empty): Commit = {
+    val md = metaDir(tableDir)
+    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val (dataFiles, _) = manifestEntries(tableDir)
+    val curSchemaId = prevMeta.get("current-schema-id").asInt
+    val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val statIds = topLevelFieldIds(schemaStr)
+    val totalBytes = dataFiles.map(p => new File(p._1).length).sum
+    val bins =
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val outDir =
+      new File(new File(tableDir, "data"), s"$snapshotId-compacted")
+    readMoR(spark, tableDir, keyCol)
+      .repartition(bins)
+      .write.mode("overwrite").parquet(outDir.getPath)
+    val entries = entriesFor(spark, outDir.getPath, seq,
+      fieldIds = statIds)
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq(ManifestOut(manifest, 0, entries)))
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "replace",
+      summary ++ Map(
+        "compacted-data-files" -> dataFiles.size.toString,
+        "added-data-files" -> entries.size.toString),
+      entries.length, entries.map(_.rows).sum)
+    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+  }
+
   /** SORT / Z-ORDER rewrite — the clustering counterpart to
     * [[binpackRewrite]] (Iceberg's sort strategy): the WHOLE live file
     * set is re-laid-out so each output file covers a compact range of

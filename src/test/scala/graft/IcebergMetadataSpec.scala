@@ -1459,6 +1459,53 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.contains(cb.snapshotId)) // published current survives
   }
 
+  test("majorCompactMoR: deletes bake into a delete-free replace " +
+       "snapshot; pre-compaction MoR history survives; binpack unlocks") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_mjc").toString
+    val ice = Files.createTempDirectory("graft_mjcice").toString
+    spark.range(100).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    DeltaSegments.writeSegment(
+      spark.range(10).select(col("id").cast("string").as(OlakeId),
+          (col("id") + 1000).as("v"), lit("u").as(OpType),
+          current_timestamp().as(CdcTimestamp), col("id").as("lsn"))
+        .unionByName(spark.range(90, 100).select(
+          col("id").cast("string").as(OlakeId), col("id").as("v"),
+          lit("d").as(OpType), current_timestamp().as(CdcTimestamp),
+          col("id").as("lsn"))), table, 1L)
+    val c1 = IcebergMetadata.publishMoR(spark, ice, table)
+    val (_, delBefore) = IcebergMetadata.manifestEntries(ice)
+    assert(delBefore.nonEmpty) // the fixture really is delete-bearing
+
+    val c2 = IcebergMetadata.majorCompactMoR(spark, ice,
+      targetBytes = 2L << 10) // tiny target → several files, so the
+                              // binpack pass below has victims to merge
+    // delete-free: no delete entries; raw parquet = resolved view
+    val (dataAfter, delAfter) = IcebergMetadata.manifestEntries(ice)
+    assert(delAfter.isEmpty, delAfter.toString)
+    val raw = spark.read.parquet(dataAfter.map(_._1): _*)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(raw.size == 90)
+    assert(raw.toMap.apply("0") == 1000L) // update applied
+    assert(!raw.exists(_._1 == "99"))     // delete applied
+    // time travel: the pre-compaction snapshot still MoR-reads whole
+    val old = IcebergMetadata.readMoR(spark, ice,
+      asOfSnapshotId = Some(c1.snapshotId))
+    assert(old.count() == 90)
+    // the delete-free tree now accepts a binpack pass
+    assert(c2.sequenceNumber == c1.sequenceNumber + 1)
+    IcebergMetadata.binpackRewrite(spark, ice, targetBytes = 512L << 20,
+      minFileBytes = 1L << 30): Unit // all files victims → merges fine
+    val (_, m) = IcebergMetadata.currentMetadata(ice).get
+    val snaps = m.get("snapshots")
+    assert(snaps.get(snaps.size - 2).get("summary")
+      .get("operation").asText == "replace")
+  }
+
   test("binpackRewrite refuses a delete-bearing (MoR) table") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
