@@ -1082,6 +1082,9 @@ object IcebergMetadata {
     require(deleteFiles.isEmpty,
       "binpack over a delete-bearing (MoR) table would orphan its " +
         "positional deletes: compact the segment view first")
+    require(!isPartitioned(prevMeta),
+      "binpack is an unpartitioned-tree op: a partitioned table's " +
+        "manifests carry partition tuples it would strip")
     val threshold = if (minFileBytes > 0) minFileBytes else targetBytes * 3 / 4
     val sized = dataFiles.map { case (p, fseq) => (new File(p), fseq) }
     val (victims, kept) = sized.partition(_._1.length < threshold)
@@ -1131,6 +1134,15 @@ object IcebergMetadata {
     }
   }
 
+  /** True when any partition spec of the table carries fields — the
+    * rewrite strategies below are unpartitioned-tree ops (their
+    * manifests carry no partition tuples); rewriting a partitioned
+    * table through them would silently strip the partition summaries
+    * planners prune by, so they refuse instead. */
+  private def isPartitioned(meta: JsonNode): Boolean =
+    Option(meta.get("partition-specs")).exists(_.asScala.exists(
+      _.withArray[ArrayNode]("fields").size > 0))
+
   /** MAJOR COMPACTION of a merge-on-read table: apply every delete —
     * positional and equality — and commit the resolved rows as a
     * delete-free `replace` snapshot in ceil(bytes/target) files. The
@@ -1151,6 +1163,9 @@ object IcebergMetadata {
     val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val (dataFiles, _) = manifestEntries(tableDir)
+    require(!isPartitioned(prevMeta),
+      "major compaction is an unpartitioned-tree op: re-publish a " +
+        "partitioned table through the partitioned path instead")
     val curSchemaId = prevMeta.get("current-schema-id").asInt
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
       .find(_.get("schema-id").asInt == curSchemaId).get.toString
@@ -1212,6 +1227,9 @@ object IcebergMetadata {
     require(deleteFiles.isEmpty,
       "sort rewrite over a delete-bearing (MoR) table would orphan its " +
         "positional deletes: compact the segment view first")
+    require(!isPartitioned(prevMeta),
+      "sort rewrite is an unpartitioned-tree op: a partitioned table's " +
+        "manifests carry partition tuples it would strip")
     val curSchemaId = prevMeta.get("current-schema-id").asInt
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
       .find(_.get("schema-id").asInt == curSchemaId).get.toString

@@ -1524,4 +1524,30 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       IcebergMetadata.binpackRewrite(spark, ice, targetBytes = 1L << 20))
     assert(e.getMessage.contains("compact the segment view first"))
   }
+
+  test("rewrite strategies refuse a PARTITIONED table (manifests would " +
+       "lose their partition tuples)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_partrw").toString
+    val ice = Files.createTempDirectory("graft_partrwice").toString
+    spark.range(100).select(
+        col("id").cast("string").as(OlakeId), col("id").as("v"),
+        to_timestamp(lit("2024-03-05 00:00:00")).as("ts"))
+      .write.parquet(s"$table/base")
+    DeltaSegments.writeSegment(
+      spark.range(5).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 100).as("v"),
+        to_timestamp(lit("2024-03-06 00:00:00")).as("ts"),
+        lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table,
+      partitionRegex = Some("/{ts,day}"))
+    for (op <- Seq(
+        () => IcebergMetadata.majorCompactMoR(spark, ice, 1L << 20))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("partition"), e.getMessage)
+    }
+  }
 }
