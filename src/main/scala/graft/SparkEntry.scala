@@ -2712,7 +2712,10 @@ object SparkEntry {
     "q_iceberg_binpack" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_binpack").toString
-      t(s, dir, "orders")
+      // o_orderkey < 15000 = the whole table at the gate SF (sf0.01);
+      // at bench SF it bounds the fixture so the secondary timing
+      // stays a fixed-size measurement, not a table scan race
+      t(s, dir, "orders").where(col("o_orderkey") < 15000)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .repartition(32).write.parquet(s"$tmp/data")
       IcebergMetadata.commit(s, tmp, s"$tmp/data")
@@ -2734,7 +2737,8 @@ object SparkEntry {
     "q_iceberg_sort_rewrite" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_sortrw").toString
-      t(s, dir, "lineitem")
+      // fixed-size fixture across SFs (see q_iceberg_binpack note)
+      t(s, dir, "lineitem").where(col("l_orderkey") < 15000)
         .select("l_orderkey", "l_partkey", "l_linenumber")
         .repartition(16).write.parquet(s"$tmp/data")
       IcebergMetadata.commit(s, tmp, s"$tmp/data")
@@ -6507,11 +6511,12 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     "q_iceberg_binpack" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
-        |FROM orders""".stripMargin,
+        |FROM orders WHERE o_orderkey < 15000""".stripMargin,
 
     // sort rewrite is a pure permutation of the row set
     "q_iceberg_sort_rewrite" ->
-      "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
+      """SELECT l_orderkey, l_partkey, l_linenumber
+        |FROM lineitem WHERE l_orderkey < 15000""".stripMargin,
 
     // commit 2 (the replace that survived the 409-retry loop) holds
     // nation plus a key-shifted copy
