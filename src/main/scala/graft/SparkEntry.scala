@@ -3983,6 +3983,15 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 200),
         "text", "doc_id", threshold = 0.9)),
 
+    // ---- LLM: n-gram NOVELTY — per-doc count of first-seen trigrams
+    //      (arrival order = ascending id), the contribution signal
+    //      dedup-aware samplers rank by. Text never shuffles, only
+    //      digests; DuckDB replays min-owner over the raw grams. ----
+    "q_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(
+        t(s, dir, "documents").where(col("doc_id") < 1000),
+        "text", "doc_id")),
+
     // ---- LLM: embedding hygiene — L2 normalization with zero-vector
     //      quarantine. The oracle asserts the CONTRACT (unit length
     //      within 1e-9, null exactly when the source norm is ~0) as
@@ -7041,6 +7050,23 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT id_a, id_b, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
         |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.9""".stripMargin,
+
+    // min-owner per raw trigram; the Spark side's md5 only buckets
+    "q_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE doc_id < 1000),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh
+        |  FROM d),
+        |g AS (SELECT doc_id, unnest(sh) AS gr FROM s),
+        |o AS (SELECT gr, min(doc_id) AS owner FROM g GROUP BY 1)
+        |SELECT g.doc_id AS doc, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        |FROM g JOIN o ON g.gr = o.gr GROUP BY 1""".stripMargin,
 
     "q_vec_quantize" ->
       """WITH p AS (SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,

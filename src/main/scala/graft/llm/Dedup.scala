@@ -119,6 +119,31 @@ object Dedup {
     when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(zipped)
   }
 
+  /** N-GRAM NOVELTY — per-document count of its distinct n-grams that
+    * no EARLIER document (ascending id = arrival order) contains: the
+    * contribution signal dedup-aware samplers rank by (a document
+    * whose n-grams are all re-runs of the existing corpus adds
+    * nothing even when no single near-duplicate pair fires).
+    *
+    * Shape: per-doc distinct shingles reshape to (md5 digest, doc)
+    * rows — the TEXT never shuffles, only 16-byte digests — one
+    * digest-keyed aggregation finds each gram's first owner, and the
+    * per-doc rollup is a second keyed aggregation over the same rows.
+    * Linear in corpus tokens; the digest shuffle is the same exchange
+    * the exact-dedup path already pays. */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .select(col("doc"), md5(col("g")).as("d"))
+    val owner = sh.groupBy("d").agg(min("doc").as("owner"))
+    sh.join(owner, "d")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+  }
+
   /** Exact pairwise Jaccard over distinct tokens via an inverted index:
     * explode → self-join on token → |A∩B| counts → sizes → J.
     * Shuffles on token; token frequency skew makes this the SMALL-scale
