@@ -609,6 +609,9 @@ object ScaleCheck {
               .randomProject(col("embedding"), 16).as("p"))
             .agg(sum(aggregate(col("p"), lit(0.0d), (a, x) => a + x)))
             .head() },
+        "ngram_novelty" -> time(s"$label ngram_novelty") {
+          counts(s"$label ngram_novelty") = Dedup.ngramNovelty(
+            docs, "text", "doc_id").count() },
         "pipeline_e2e" -> time(s"$label pipeline_e2e") {
           val quality = graft.llm.TextAnalysis.qualityScore(col("text"),
             graft.llm.TextAnalysis.Markers.head._2)
