@@ -56,9 +56,13 @@ import org.apache.spark.sql.SparkSession
   *  - q_cursor_format / q_dialect_types: driver-side scalar/decision-
   *    table gates (two-row / 55-row outputs) — nothing to time.
   *  - q_iceberg_partition_prune / q_iceberg_partition_read /
-  *    q_iceberg_mor_partitioned / q_iceberg_time_travel:
-  *    write-then-manifest-walk roundtrips into a tempdir (like
-  *    q_iceberg_commit/q_iceberg_prune).
+  *    q_iceberg_mor_partitioned / q_iceberg_time_travel /
+  *    q_iceberg_binpack_partitioned / q_iceberg_compact_partitioned /
+  *    q_iceberg_sort_partitioned / q_stream_join_outer /
+  *    q_kafka_quarantine:
+  *    write-then-manifest-walk / multi-commit / streaming-checkpoint
+  *    roundtrips into a tempdir (like q_iceberg_commit/q_iceberg_prune);
+  *    the quarantine decode cost is headlined via q_avro_registry.
   *  - q_cdc_binlog_mariadb / q_cdc_binlog_gtid / q_cdc_binlog_unsigned:
   *    flavor/typing variants of the headlined binlog decode
   *    (q_cdc_binlog + charset/temporal/compressed already time the
@@ -198,20 +202,19 @@ object Bench {
             System.err.println(s"[bench] $name ${status(name)}")
           }
       }
-    headline.foreach(timeQuery(_, times))
-    // the full set: everything not in the headline runs too (coverage
-    // proofs, Derby-bound paths, write roundtrips — see scaladoc), in a
-    // separate section that does not feed the headline total
-    queries.keys.toSeq.sorted.filterNot(headline.contains)
-      .foreach(timeQuery(_, secondaryTimes))
     // Throughput analogs of BASELINE.md's published RPS numbers:
     //  - backfill = scan + system columns + parquet write (the full-load
     //    path; reference: Postgres→Iceberg 580,113 RPS)
     //  - cdc_apply = dedup-keep-latest + merge into a base table
     //    (the CDC apply path; reference: Postgres→Iceberg CDC 55,555 RPS)
+    // These run FIRST, right after the settle gate + warm-up (r12
+    // lesson: the settle gate covers the start of the run, not the end
+    // — with the probes last, a box that got busy late under-reported
+    // backfill by 1.6× vs the same binary quiet).
     import org.apache.spark.sql.functions._
     import graft.operators.{Merge, SystemColumns}
     val throughput = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val prevMaxPart = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     try {
       // chunk-sized input splits (the reference reads 2 GiB chunks per
       // thread; scaled to the fixture): without this a single ~170 MB
@@ -314,6 +317,21 @@ object Bench {
       val segSecs = (System.nanoTime() - t2) / 1e9
       throughput("cdc_segment_rps") = segN * m / segSecs
     } catch { case _: Throwable => () }
+    finally {
+      // the probes shrink input splits (5m) for core saturation; the
+      // query sweep below must run with the stock setting
+      prevMaxPart match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+    }
+
+    headline.foreach(timeQuery(_, times))
+    // the full set: everything not in the headline runs too (coverage
+    // proofs, Derby-bound paths, write roundtrips — see scaladoc), in a
+    // separate section that does not feed the headline total
+    queries.keys.toSeq.sorted.filterNot(headline.contains)
+      .foreach(timeQuery(_, secondaryTimes))
 
     val total = times.values.sum
     // The harness that records this line keeps only the FINAL ~2000

@@ -251,10 +251,19 @@ object Main {
         s""""added_files":${c.addedFiles},"rows":${c.addedRows}}""")
       spark.stop()
 
-    // maintain <table> expire [keepLast] / maintain <table> orphans
+    // maintain <table> expire [keepLast] — count-based retention, OR
+    // maintain <table> expire --older-than <epochMillis> [retainLast]
+    // — timestamp-based (the standard production policy; tag-pinned
+    // snapshots survive either way). maintain <table> orphans
     // [minAgeMinutes]: the reclamation half of the rewrite strategies —
     // drop superseded snapshots, then sweep files no manifest
     // references (grace window guards in-flight writers)
+    case "maintain" :: table :: "expire" :: "--older-than" :: ts :: rest =>
+      val retain = rest.headOption.map(_.toInt).getOrElse(1)
+      val n = graft.sinks.IcebergMetadata
+        .expireSnapshotsOlderThan(table, ts.toLong, retain)
+      println(s"""{"status":"expired","snapshots_removed":$n}""")
+
     case "maintain" :: table :: "expire" :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
       val n = graft.sinks.IcebergMetadata.expireSnapshots(table, keep)

@@ -1989,6 +1989,47 @@ object SparkEntry {
           get_json_object(col("json"), "$.value").cast("double").as("value"))
     }),
 
+    // ---- S16 DEAD-LETTER QUARANTINE on the Kafka decode path (r13):
+    //      a registry-id miss and a truncated Avro body must not fail
+    //      a 100 TB backfill (the reference's poll loop aborts on the
+    //      first parse error, cdc.go parseKafkaData). ONE decode pass
+    //      splits good rows from dead-letter rows that keep the RAW
+    //      payload bytes + partition/offset provenance. The two bad
+    //      frames sit at known positions, so DuckDB replays the split
+    //      exactly. ----
+    "q_kafka_quarantine" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id") < 2000)
+      val framed = ChangeLogFixture.avroRegistryLogMeta(ev)
+      // two dead-letter frames on a known partition/offset: an id the
+      // registry does not know (42), and a v1 body truncated mid-record
+      val badFrames = Seq(
+        (9, 2000001L,
+          Array[Byte](0, 0, 0, 0, 42, 1, 2, 3)),          // registry miss
+        (9, 2000002L, Array[Byte](0, 0, 0, 0, 7, 0x02)))  // truncated
+      val bad = s.createDataFrame(badFrames)
+        .toDF("part", "offset", "value")
+      val all = framed.unionByName(bad)
+      val (schemaId, payload) = KafkaDecode.confluentFrame(col("value"))
+      val stripped = all.select(col("part"), col("offset"),
+        schemaId.as("schema_id"), payload.as("body"))
+      val registry = KafkaDecode.MapResolver(Map(
+        7 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchema),
+        9 -> KafkaDecode.RegisteredSchema(ChangeLogFixture.eventsAvroSchemaV2, "AVRO")))
+      val out = KafkaDecode.decodeWithRegistryQuarantine(s, stripped,
+        "schema_id", "body", registry, metaCols = Seq("part", "offset"))
+      // dead-letter rows must carry the raw payload for replay
+      require(out.where(col("error").isNotNull && col("raw").isNull)
+        .isEmpty, "quarantined rows must keep their raw bytes")
+      out.select(col("part"), col("offset"), col("schema_id"),
+        get_json_object(col("json"), "$.event_id").cast("long")
+          .as("event_id"),
+        get_json_object(col("json"), "$.user_id").cast("long")
+          .as("user_id"),
+        get_json_object(col("json"), "$.event_type").as("event_type"),
+        when(col("error").isNull, "ok").otherwise("quarantined")
+          .as("status"))
+    }),
+
     // ---- C6 MSSQL CDC-table polling (LSN range, skip update-before) ----
     "q_cdc_mssql" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("event_id") < 2000)
@@ -2520,6 +2561,76 @@ object SparkEntry {
             .as("delay_s"))
     }),
 
+    // ---- STREAM-STREAM interval join, LEFT-OUTER (r13): "which
+    //      clicks converted — null for the rest". Null rows are
+    //      watermark-GATED (a match could still arrive until the
+    //      watermark passes the click's window), so the fixture stages
+    //      far-future pusher rows on BOTH sides: the run's final batch
+    //      releases every real click's held null row, while the
+    //      pushers themselves never emit (the pusher click's own
+    //      window never closes; the pusher purchase is inner-side).
+    //      DuckDB replays the final table as a batch LEFT range join. ----
+    "q_stream_join_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val rootF = new java.io.File(fixture("sjo_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(rootF)
+      val root = rootF.toString
+      val clickDir = s"$root/clicks"; val buyDir = s"$root/buys"
+      val ckpt = s"$root/ckpt"; val out = s"$root/out"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(clickDir))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(buyDir))
+      val ev = t(s, dir, "events").where(col("event_id") < 4000)
+      def stage(df: DataFrame, dirPath: String): Unit = {
+        val stg = s"$dirPath.stg"
+        df.coalesce(1).write.json(stg)
+        val part = new java.io.File(stg).listFiles
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(dirPath, "b0.json")): Unit
+      }
+      val far = ev.agg((max(col("ts")) +
+        expr("INTERVAL 10 HOURS")).as("ts"))
+      stage(ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("cuser"), col("ts").as("cts"))
+        .unionByName(far.select(lit(-1L).as("click_id"),
+          lit(-1L).as("cuser"), col("ts").as("cts"))), clickDir)
+      stage(ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"),
+          col("user_id").as("buser"), col("ts").as("bts"))
+        // a DIFFERENT user than the pusher click: the two pushers must
+        // not match each other (an inner match emits eagerly)
+        .unionByName(far.select(lit(-2L).as("buy_id"),
+          lit(-2L).as("buser"), col("ts").as("bts"))), buyDir)
+      val cSchema = StructType(Seq(StructField("click_id", LongType),
+        StructField("cuser", LongType), StructField("cts", TimestampType)))
+      val bSchema = StructType(Seq(StructField("buy_id", LongType),
+        StructField("buser", LongType), StructField("bts", TimestampType)))
+      val joined = graft.streaming.StreamJoin.intervalLeftOuter(
+        s.readStream.schema(cSchema).json(clickDir),
+        s.readStream.schema(bSchema).json(buyDir),
+        "cuser", "buser", "cts", "bts", "1 hour", "30 minutes")
+      val q = joined.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.schema(StructType(Seq(StructField("click_id", LongType),
+          StructField("cuser", LongType), StructField("cts", TimestampType),
+          StructField("buy_id", LongType), StructField("buser", LongType),
+          StructField("bts", TimestampType)))).parquet(out)
+        .select(col("click_id"), col("buy_id"),
+          col("cuser").as("user_id"),
+          (unix_timestamp(col("bts")) - unix_timestamp(col("cts")))
+            .as("delay_s"))
+    }),
+
     // ---- S14 extension: Avro OBJECT-CONTAINER-FILE source. The
     //      fixture is written by the canonical org.apache.avro library
     //      from the nation table, split across two archives; the gate
@@ -2582,7 +2693,11 @@ object SparkEntry {
       val good = n.map(r =>
         s"""{"id": ${r.getInt(0)}, "name": "${r.getString(1)}"}""")
       val bad = Seq("{truncated upload", """{"id": 7, "name": [}""",
-        "not json at all")
+        "not json at all",
+        // valid JSON but NOT an object — from_json yields a null
+        // struct (no corrupt marker); these must dead-letter, not
+        // pass as all-null rows
+        "[1, 2, 3]", "null")
       java.nio.file.Files.writeString(f.toPath,
         (good.take(10) ++ bad ++ good.drop(10)).mkString("\n"))
       val schema = StructType(Seq(StructField("id", LongType),
@@ -3083,6 +3198,118 @@ object SparkEntry {
       IcebergMetadata.majorCompactMoR(s, ice, targetBytes = 512L << 20)
       s.read.parquet(IcebergMetadata.dataFilePaths(ice): _*)
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
+    }),
+
+    // ---- K2 PARTITION-AWARE BINPACK (r13): the RewriteDataFiles
+    //      planning unit is the per-partition FILE GROUP — victim sets
+    //      form WITHIN each day tuple, outputs land under the same
+    //      __p_ hive layout, and the new manifests carry the tuples +
+    //      field_summary bounds verbatim. The gate fragments a
+    //      day-partitioned table into streaming-sized files, merges it
+    //      back per partition, then runs the TWO-LEVEL pruned read —
+    //      it matches only if the rewritten tree still prunes AND
+    //      lost/duplicated nothing. ----
+    "q_iceberg_binpack_partitioned" -> ((s, dir) => {
+      val root = new java.io.File(fixture("pbinpack_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val ice = s"$root/ice"
+      // event_id < 8000 = a fixed-size fixture across SFs (whole-table
+      // at the sf0.01 gate; bounded at bench SF)
+      val ev = t(s, dir, "events").where(col("event_id") < 8000)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      IcebergMetadata.publishPartitioned(s, ice, ev, "/{ts,day}",
+        groupSize = 6)
+      // fragment each day (floor 1, tiny target), then merge per
+      // partition with the default rewrite-worthiness floor
+      IcebergMetadata.binpackRewrite(s, ice, targetBytes = 2L << 10,
+        minFileBytes = 1L << 30, minInputFiles = 1): Unit
+      val merged = IcebergMetadata.binpackRewrite(s, ice,
+        targetBytes = 512L << 20)
+      require(merged.nonEmpty, "partitioned binpack had nothing to merge")
+      require(IcebergMetadata.dataFileStats(ice)
+        .forall(_.partition.length == 1), "partition tuple lost in rewrite")
+      IcebergMetadata.readPartitionPruned(s, ice, 19730L, 19739L)
+        .select(col("event_id"), col("user_id"), col("ts"))
+    }),
+
+    // ---- K2+K3 PARTITIONED MAJOR COMPACTION (r13): the same
+    //      multi-spec MoR fixture as q_iceberg_mor_partitioned
+    //      (unpartitioned base + day-partitioned segments + global
+    //      eq-deletes), compacted in place: deletes bake in via ONE
+    //      readMoR pass + one range exchange on (day, key); the old
+    //      spec-0 base is ABSORBED into the partitioned layout. The
+    //      gate reads the RAW parquet of the compacted files — it
+    //      matches only if the deletes truly baked in — and pins that
+    //      every output file carries a day tuple. ----
+    "q_iceberg_compact_partitioned" -> ((s, dir) => {
+      import graft.operators.SystemColumns
+      val root = new java.io.File(fixture("pcompact_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val table = s"$root/table"; val ice = s"$root/ice"
+      val ev = t(s, dir, "events").select(
+        col("event_id").cast("string").as(SystemColumns.OlakeId),
+        col("event_id"), col("ts"), col("user_id"), col("value"))
+      ev.where(col("event_id") < 4000)
+        .repartitionByRange(4, col("event_id"))
+        .write.parquet(s"$table/base")
+      graft.sinks.DeltaSegments.writeSegment(
+        ev.where(col("event_id") < 2000)
+          .withColumn("value", col("value") * 2)
+          .withColumn(SystemColumns.OpType, lit("u"))
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 1L)
+      graft.sinks.DeltaSegments.writeSegment(
+        ev.where(col("event_id") >= 3000 && col("event_id") < 4000)
+          .withColumn(SystemColumns.OpType, lit("d"))
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 2L)
+      IcebergMetadata.publishMoR(s, ice, table,
+        partitionRegex = Some("/{ts,day}"))
+      IcebergMetadata.majorCompactMoR(s, ice, targetBytes = 512L << 20)
+      val stats = IcebergMetadata.dataFileStats(ice)
+      require(stats.nonEmpty && stats.forall(_.partition.length == 1),
+        "compaction must absorb every file into the partitioned layout")
+      s.read.parquet(IcebergMetadata.dataFilePaths(ice): _*)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    }),
+
+    // ---- K2 PARTITIONED SORT REWRITE (r13): per-partition clustering
+    //      (Iceberg's sort strategy) — ONE range exchange on
+    //      (day, user_id) lays each day out as key-sorted files, so the
+    //      table prunes on BOTH the partition tuple and the per-file
+    //      user_id bounds (the require pins file-level pruning bites).
+    //      Result = the two-level pruned 10-day window. ----
+    "q_iceberg_sort_partitioned" -> ((s, dir) => {
+      val root = new java.io.File(fixture("psort_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val ice = s"$root/ice"
+      val ev = t(s, dir, "events").where(col("event_id") < 8000)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      IcebergMetadata.publishPartitioned(s, ice, ev, "/{ts,day}",
+        groupSize = 6)
+      IcebergMetadata.sortRewrite(s, ice, targetBytes = 2L << 10,
+        sortCols = Seq("user_id")): Unit
+      val stats = IcebergMetadata.dataFileStats(ice)
+      require(stats.forall(_.partition.length == 1),
+        "partition tuple lost in sort rewrite")
+      val pruned = IcebergMetadata.pruneDataFiles(ice, "user_id", 10, 24)
+      require(pruned.size < stats.size,
+        s"sorted bounds must prune: kept ${pruned.size} of ${stats.size}")
+      IcebergMetadata.readPartitionPruned(s, ice, 19730L, 19739L)
+        .where(col("user_id").between(10, 24))
+        .select(col("event_id"), col("user_id"), col("ts"))
     }),
 
     // ---- K2 orphan-file cleanup: a crashed publish's stray parquet
@@ -6278,6 +6505,22 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |       ELSE CAST(event_id AS DOUBLE) / 100 END AS value
         |FROM events WHERE event_id < 2000""".stripMargin,
 
+    // good rows decode as in q_avro_registry (plus the fixture's
+    // partition/offset provenance); the two dead-letter frames sit at
+    // pinned positions with their undecodable ids
+    "q_kafka_quarantine" ->
+      """SELECT CAST(event_id % 4 AS INTEGER) AS part, event_id AS offset,
+        |  CASE WHEN event_id % 2 = 0 THEN 7 ELSE 9 END AS schema_id,
+        |  event_id,
+        |  CASE WHEN event_id % 2 = 1 AND event_type = 'error' THEN NULL
+        |       ELSE user_id END AS user_id,
+        |  event_type, 'ok' AS status
+        |FROM events WHERE event_id < 2000
+        |UNION ALL
+        |SELECT 9, 2000001, 42, NULL, NULL, NULL, 'quarantined'
+        |UNION ALL
+        |SELECT 9, 2000002, 7, NULL, NULL, NULL, 'quarantined'""".stripMargin,
+
     "q_cdc_mssql" ->
       """SELECT CASE WHEN event_type='error' THEN 'delete'
         |  WHEN event_type='purchase' THEN 'update' ELSE 'insert' END AS kind,
@@ -6423,26 +6666,45 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND c.event_id < 4000 AND p.event_id < 4000""".stripMargin,
 
+    // the watermark-gated outer join drains to the batch LEFT range
+    // join: every click appears, null-matched when no purchase landed
+    // in its window (the pushers never emit on either side)
+    "q_stream_join_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS buy_id,
+        |  c.user_id,
+        |  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        | AND p.event_id < 4000
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND c.event_id < 4000""".stripMargin,
+
     // the OCF fixture was built FROM nation, so the oracle is nation
     "q_file_avro" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,
 
-    // same physical lines, split by json_valid — DuckDB's independent
-    // judgment of "syntactically invalid" must agree with PERMISSIVE
+    // same physical lines, split by json_valid AND object-ness —
+    // DuckDB's independent judgment of "not a parseable record" (bad
+    // syntax OR valid-but-not-an-object, e.g. a bare array) must agree
+    // with the engine's PERMISSIVE + null-struct routing
     "q_file_quarantine" ->
       s"""WITH l AS (SELECT line
          |  FROM read_csv('${fixture("dlq_gate")}/data.jsonl',
          |    columns={'line':'VARCHAR'}, delim='', header=false,
-         |    quote=''))
+         |    quote='')),
+         |j AS (SELECT line,
+         |  coalesce(json_valid(line)
+         |    AND json_type(TRY_CAST(line AS JSON)) = 'OBJECT',
+         |    false) AS ok FROM l)
          |SELECT CAST(json_extract(line, '$$.id') AS BIGINT) AS id,
          |  json_extract_string(line, '$$.name') AS name,
          |  CAST(NULL AS VARCHAR) AS raw_line, 'ok' AS status
-         |FROM l WHERE json_valid(line)
+         |FROM j WHERE ok
          |UNION ALL
          |SELECT NULL, NULL, line, 'quarantined'
-         |FROM l WHERE NOT json_valid(line)""".stripMargin,
+         |FROM j WHERE NOT ok""".stripMargin,
 
     "q_infer_schema" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k
@@ -6570,6 +6832,31 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // the two-level pruned read of the twice-rewritten partitioned
+    // tree = the same 10-day window on raw events
+    "q_iceberg_binpack_partitioned" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE event_id < 8000
+        |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    BETWEEN 19730 AND 19739""".stripMargin,
+
+    // raw compacted parquet = the resolved merge (update wins, delete
+    // removes) over the WHOLE partitioned table
+    "q_iceberg_compact_partitioned" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id < 2000 THEN value * 2 ELSE value END AS value,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_id < 3000""".stripMargin,
+
+    // partition window + user box over the per-day re-clustered tree
+    "q_iceberg_sort_partitioned" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE event_id < 8000 AND user_id BETWEEN 10 AND 24
+        |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    BETWEEN 19730 AND 19739""".stripMargin,
 
     // identical row algebra to q_iceberg_mor — but the gate read the
     // raw compacted parquet, so equality proves the deletes baked in

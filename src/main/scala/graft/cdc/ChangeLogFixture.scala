@@ -502,7 +502,15 @@ object ChangeLogFixture {
     * v2 id 9). v2 rows carry a null `user_id` for error events and the
     * decimal value `event_id × 10⁻²` (integer-unscaled — exactly
     * replayable as `event_id / 100.0`). */
-  def avroRegistryLog(events: DataFrame, v1Id: Int = 7, v2Id: Int = 9): DataFrame = {
+  def avroRegistryLog(events: DataFrame, v1Id: Int = 7, v2Id: Int = 9): DataFrame =
+    avroRegistryLogMeta(events, v1Id, v2Id).select(col("value"))
+
+  /** [[avroRegistryLog]] plus Kafka record provenance, the shape a
+    * consumer actually sees: `part` = event_id mod 4 (a 4-partition
+    * topic), `offset` = event_id — both engine-replayable, which is
+    * what lets a dead-letter gate pin quarantined records by position. */
+  def avroRegistryLogMeta(events: DataFrame, v1Id: Int = 7,
+                          v2Id: Int = 9): DataFrame = {
     val src = events.select(col("event_id"), col("user_id"),
       col("event_type"), col("value"))
     val (s1Json, s2Json) = (eventsAvroSchema, eventsAvroSchemaV2)
@@ -537,9 +545,11 @@ object ChangeLogFixture {
           w1.write(rec, enc)
         }
         enc.flush()
-        Row(bos.toByteArray)
+        Row((id % 4).toInt, id, bos.toByteArray)
       }
-    }(Encoders.row(StructType(Seq(StructField("value", BinaryType)))))
+    }(Encoders.row(StructType(Seq(StructField("part", IntegerType),
+      StructField("offset", LongType),
+      StructField("value", BinaryType)))))
   }
 
   /** events → wal2json v1 documents (one transaction per row). Deletes

@@ -251,13 +251,20 @@ object TextAnalysis {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts)
       .map { case (off, (b, _)) => b -> off }
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col("__b") === b, off).otherwise(acc)
-    }
+    // prefix-sum offsets rejoin as a BROADCAST hash join on __b, not a
+    // folded when-chain: one branch per shuffle partition would blow
+    // codegen's 64 KB method limit at production partition counts
+    // (2,000–10,000) and fall back to interpreted eval; the broadcast
+    // side is n rows of planner metadata (pinned in PlanAuditSpec at
+    // n=4096)
+    val spark = df.sparkSession
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__b", "__off")
     val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
-    withB.withColumn("shuffle_pos",
-        offsetExpr + row_number().over(w).cast("long") - 1)
-      .drop("__h", "__b")
+    withB.join(broadcast(offsetsDf), Seq("__b"))
+      .withColumn("shuffle_pos",
+        col("__off") + row_number().over(w).cast("long") - 1)
+      .drop("__h", "__b", "__off")
   }
 
   /** PII scrubbing — the redaction pass every public training-data

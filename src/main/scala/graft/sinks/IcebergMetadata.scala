@@ -74,17 +74,26 @@ object IcebergMetadata {
   /** One physical file headed for a manifest. `content`: 0 data,
     * 2 equality deletes (per the data_file spec). `partition` holds the
     * file's partition tuple (one value per spec field, null allowed)
-    * when the table is partitioned. */
+    * when the table is partitioned. `entryStatus` is the manifest-entry
+    * status (spec §Manifests: 0 EXISTING, 1 ADDED) — a rewrite carries
+    * untouched files forward as EXISTING with their ORIGINAL
+    * `entrySnapshotId` (None = the committing snapshot), so external
+    * incremental/append scans never re-see a kept file as new. */
   case class FileEntry(path: String, sizeBytes: Long, rows: Long,
                        seq: Long, content: Int = 0,
                        equalityIds: Seq[Int] = Nil,
                        stats: ColStats = ColStats(),
-                       partition: Seq[Any] = Nil)
+                       partition: Seq[Any] = Nil,
+                       entryStatus: Int = 1,
+                       entrySnapshotId: Option[Long] = None)
 
-  /** A manifest entry read back with its stats — the planner's view. */
+  /** A manifest entry read back with its stats — the planner's view.
+    * `addedSnapshotId` is the entry's own snapshot_id (the snapshot
+    * that first added the file — preserved across rewrites). */
   case class DataFileStat(path: String, seq: Long, content: Int,
                           recordCount: Long, stats: ColStats,
-                          partition: Seq[Any] = Nil)
+                          partition: Seq[Any] = Nil,
+                          addedSnapshotId: Long = 0L)
 
   /** One partition-spec field as written to metadata + manifests:
     * `avroType` is the transform RESULT type ("int" | "long" |
@@ -479,8 +488,12 @@ object IcebergMetadata {
       if (e.equalityIds.nonEmpty)
         df.put("equality_ids", e.equalityIds.map(Int.box).asJava)
       val entry = new GenericData.Record(entrySchema)
-      entry.put("status", 1) // ADDED
-      entry.put("snapshot_id", snapshotId)
+      // 1 ADDED for fresh files; 0 EXISTING for carried-forward files,
+      // whose snapshot_id stays the ORIGINAL adding snapshot (spec
+      // §Manifests — an incremental reader keys "new since snapshot X"
+      // on exactly these two fields)
+      entry.put("status", e.entryStatus)
+      entry.put("snapshot_id", e.entrySnapshotId.getOrElse(snapshotId))
       entry.put("sequence_number", e.seq)
       entry.put("file_sequence_number", e.seq)
       entry.put("data_file", df)
@@ -562,11 +575,15 @@ object IcebergMetadata {
       m.put("sequence_number", entries.map(_.seq).max)
       m.put("min_sequence_number", entries.map(_.seq).min)
       m.put("added_snapshot_id", snapshotId)
-      m.put("added_files_count", entries.length)
-      m.put("existing_files_count", 0)
+      // EXISTING entries (rewrite carry-forwards) count under the
+      // existing_* fields, per the manifest_file spec — an external
+      // reader's "added this snapshot" math must not re-count them
+      val (addedE, existingE) = entries.partition(_.entryStatus == 1)
+      m.put("added_files_count", addedE.length)
+      m.put("existing_files_count", existingE.length)
       m.put("deleted_files_count", 0)
-      m.put("added_rows_count", entries.map(_.rows).sum)
-      m.put("existing_rows_count", 0L)
+      m.put("added_rows_count", addedE.map(_.rows).sum)
+      m.put("existing_rows_count", existingE.map(_.rows).sum)
       m.put("deleted_rows_count", 0L)
       if (mo.parts.nonEmpty) {
         val arrSchema = manifestFileSchema.getField("partitions")
@@ -598,7 +615,7 @@ object IcebergMetadata {
                                 addedFiles: Int, addedRows: Long,
                                 specs: Seq[Seq[PartSpecField]] = Seq(Nil),
                                 baseMetadata: Option[Option[String]] = None,
-                                sortOrderFields: Seq[Int] = Nil)
+                                sortOrder: Option[Seq[Int]] = None)
       : Int = {
     val md = metaDir(tableDir)
     // `baseMetadata` (catalog-pointer path): history builds on the
@@ -751,23 +768,50 @@ object IcebergMetadata {
     }
     // spec: 1000 is the first partition field id
     root.put("last-partition-id", 999 + specs.map(_.size).max)
-    // spec §Sort Orders: order 0 is the spec's required "unsorted";
-    // a sort rewrite stamps order 1 (identity/asc/nulls-first per
-    // column) as the default so planners know the files are clustered
-    root.put("default-sort-order-id",
-      if (sortOrderFields.isEmpty) 0 else 1)
+    // spec §Sort Orders: APPEND-ONLY table metadata — every previous
+    // order carries forward verbatim (order 0 is the required
+    // "unsorted"). `sortOrder` semantics: None = an ordinary commit,
+    // which PRESERVES the previous default (the clustering
+    // advertisement planners read must survive later appends instead
+    // of resetting to unsorted); Some(Nil) = a layout rewrite that
+    // VOIDS identity clustering (z-order) — default reverts to 0;
+    // Some(ids) = a sort rewrite, which appends its
+    // identity/asc/nulls-first order (or reuses an identical existing
+    // one) and makes it the default.
     val orders = root.putArray("sort-orders")
-    val o0 = orders.addObject()
-    o0.put("order-id", 0); o0.putArray("fields")
-    if (sortOrderFields.nonEmpty) {
-      val o1 = orders.addObject()
-      o1.put("order-id", 1)
-      val fs = o1.putArray("fields")
-      sortOrderFields.foreach { sid =>
-        val f = fs.addObject()
-        f.put("transform", "identity"); f.put("source-id", sid)
-        f.put("direction", "asc"); f.put("null-order", "nulls-first")
-      }
+    val prevOrderNodes = prev.toSeq.flatMap(p =>
+      Option(p._2.get("sort-orders")).map(_.asScala.toSeq).getOrElse(Nil))
+    if (prevOrderNodes.isEmpty) {
+      val o0 = orders.addObject()
+      o0.put("order-id", 0); o0.putArray("fields"): Unit
+    } else prevOrderNodes.foreach(o => orders.add(o.deepCopy[JsonNode]()): Unit)
+    val prevDefaultOrder =
+      prev.map(_._2.path("default-sort-order-id").asInt(0)).getOrElse(0)
+    sortOrder match {
+      case None =>
+        root.put("default-sort-order-id", prevDefaultOrder): Unit
+      case Some(Nil) =>
+        root.put("default-sort-order-id", 0): Unit
+      case Some(ids) =>
+        def fieldsOf(o: JsonNode): Seq[(Int, String, String)] =
+          o.withArray[ArrayNode]("fields").asScala.toSeq.map(f =>
+            (f.get("source-id").asInt, f.get("transform").asText,
+              f.get("direction").asText))
+        val wanted = ids.map(sid => (sid, "identity", "asc"))
+        val oid = orders.asScala.find(o => fieldsOf(o) == wanted)
+          .map(_.get("order-id").asInt).getOrElse {
+            val next = orders.asScala.map(_.get("order-id").asInt).max + 1
+            val o1 = orders.addObject()
+            o1.put("order-id", next)
+            val fs = o1.putArray("fields")
+            ids.foreach { sid =>
+              val f = fs.addObject()
+              f.put("transform", "identity"); f.put("source-id", sid)
+              f.put("direction", "asc"); f.put("null-order", "nulls-first")
+            }
+            next
+          }
+        root.put("default-sort-order-id", oid): Unit
     }
     val props = root.putObject("properties")
     props.put("write.delete.mode", "merge-on-read")
@@ -904,7 +948,16 @@ object IcebergMetadata {
     appendMetadataLog(root, md, version, prev.get("last-updated-ms").asLong)
     root.put("current-snapshot-id", toSnapshotId)
     root.put("last-updated-ms", nowMs)
-    val refs = root.putObject("refs").putObject("main")
+    // refs: every non-main ref (tags, audit branches) carries forward
+    // verbatim — a rollback / WAP fast-forward is a MAIN move and must
+    // never silently drop a tag (spec §References; same invariant the
+    // commit path holds). Replacing the whole refs object here would
+    // make previously pinned snapshots expirable after any publish.
+    val refsObj = root.path("refs") match {
+      case o: ObjectNode => o
+      case _ => root.putObject("refs")
+    }
+    val refs = refsObj.putObject("main")
     refs.put("snapshot-id", toSnapshotId); refs.put("type", "branch")
     val log = root.withArray[ArrayNode]("snapshot-log").addObject()
     log.put("snapshot-id", toSnapshotId)
@@ -1064,8 +1117,17 @@ object IcebergMetadata {
     * with the same plan shape as Iceberg's Spark binpack action: ONE
     * round-robin exchange sized to the victim bytes.
     *
-    * Returns None when fewer than `minInputFiles` files qualify
-    * (rewriting one small file alone buys nothing). Refuses
+    * PARTITION-AWARE, like Iceberg's own RewriteDataFiles: the
+    * planning unit is the per-partition FILE GROUP — victim sets form
+    * WITHIN each partition tuple, each group rewrites as its own
+    * independent job (parallelizable; the commit lands only after all
+    * groups succeed), outputs land under the same `__p_` hive layout,
+    * and the new manifests carry the partition tuples + field_summary
+    * bounds verbatim so pruning is unaffected. Files of another spec
+    * (an unpartitioned spec-0 base) always carry forward untouched.
+    *
+    * Returns None when no partition has `minInputFiles` qualifying
+    * files (rewriting one small file alone buys nothing). Refuses
     * delete-bearing (MoR) tables: binpack moves row positions, which
     * would orphan positional deletes — compact the segment view first
     * (`DeltaSegments.compact`), then publish and binpack. */
@@ -1073,22 +1135,32 @@ object IcebergMetadata {
                      targetBytes: Long,
                      minFileBytes: Long = 0L,
                      minInputFiles: Int = 2,
-                     summary: Map[String, String] = Map.empty)
+                     summary: Map[String, String] = Map.empty,
+                     groupSize: Int = 8)
       : Option[Commit] = {
     val md = metaDir(tableDir)
     val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val (dataFiles, deleteFiles) = manifestEntries(tableDir)
-    require(deleteFiles.isEmpty,
+    val all = dataFileStats(tableDir)
+    require(all.forall(_.content == 0),
       "binpack over a delete-bearing (MoR) table would orphan its " +
         "positional deletes: compact the segment view first")
-    require(!isPartitioned(prevMeta),
-      "binpack is an unpartitioned-tree op: a partitioned table's " +
-        "manifests carry partition tuples it would strip")
+    val specs = specsFromMeta(prevMeta)
+    val parts = specs.last // the default spec (writers keep it last)
     val threshold = if (minFileBytes > 0) minFileBytes else targetBytes * 3 / 4
-    val sized = dataFiles.map { case (p, fseq) => (new File(p), fseq) }
-    val (victims, kept) = sized.partition(_._1.length < threshold)
-    if (victims.size < minInputFiles) None
+    val (tupled, otherSpec) =
+      all.partition(_.partition.length == parts.length)
+    // (tuple, victims, kept) per file group; a group under the
+    // rewrite-worthiness floor keeps ALL its files
+    val planned = tupled.groupBy(_.partition).toSeq
+      .sortBy(_._1)(tupleOrdering)
+      .map { case (tuple, fs) =>
+        val (v, k) = fs.partition(e => new File(e.path).length < threshold)
+        if (v.size < minInputFiles) (tuple, Seq.empty[DataFileStat], fs)
+        else (tuple, v, k)
+      }
+    val victims = planned.flatMap(_._2)
+    if (victims.isEmpty) None
     else {
       // the TABLE's committed current schema, not a re-derived one —
       // field ids must survive the rewrite verbatim (an evolved table's
@@ -1097,29 +1169,68 @@ object IcebergMetadata {
       val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
         .find(_.get("schema-id").asInt == curSchemaId).get.toString
       val statIds = topLevelFieldIds(schemaStr)
-      val victimBytes = victims.map(_._1.length).sum
-      val bins =
-        math.max(1L, (victimBytes + targetBytes - 1) / targetBytes).toInt
       val seq = prevMeta.get("last-sequence-number").asLong + 1
       val snapshotId =
         java.util.UUID.randomUUID().getMostSignificantBits.abs
       val outDir = new File(new File(tableDir, "data"), s"$snapshotId-binpack")
-      spark.read.parquet(victims.map(_._1.getPath): _*)
-        .repartition(bins)
-        .write.mode("overwrite").parquet(outDir.getPath)
-      val newEntries = entriesFor(spark, outDir.getPath, seq,
-        fieldIds = statIds)
-      val keptEntries = kept.map { case (f, fseq) =>
-        val (rows, stats) = footerInfo(spark, f, statIds)
-        FileEntry(f.getAbsolutePath, f.length(), rows, fseq, 0, Nil, stats)
-      }
-      val newManifest =
-        writeManifest(md, newEntries, snapshotId, schemaStr, "data", 0)
-      val manifests = Seq(ManifestOut(newManifest, 0, newEntries)) ++
-        (if (keptEntries.isEmpty) Nil
-         else Seq(ManifestOut(
-           writeManifest(md, keptEntries, snapshotId, schemaStr, "data", 1),
-           0, keptEntries)))
+      // each rewritten group round-robins its victim bytes into
+      // ceil(bytes/target) outputs — the rewrite reads ONLY victim
+      // files, so cost ∝ small-file set, not the table. Groups are
+      // independent jobs and run CONCURRENTLY (bounded pool — Iceberg's
+      // max-concurrent-file-group-rewrites): at a day-partitioned
+      // year's ~365 groups, serial job-submit overhead would dominate
+      // the tiny per-group work.
+      val rewriteGroups = planned.filter(_._2.nonEmpty)
+      val pool = new java.util.concurrent.ForkJoinPool(
+        math.min(8, math.max(1, rewriteGroups.size)))
+      val newEntries =
+        try {
+          import scala.collection.parallel.CollectionConverters._
+          val par = rewriteGroups.par
+          par.tasksupport =
+            new scala.collection.parallel.ForkJoinTaskSupport(pool)
+          par.map { case (tuple, v, _) =>
+            val bytes = v.map(e => new File(e.path).length).sum
+            val bins =
+              math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+            val dir = tupleDir(outDir, parts, tuple)
+            spark.read.parquet(v.map(_.path): _*)
+              .repartition(bins)
+              .write.mode("overwrite").parquet(dir.getPath)
+            entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+              partition = tuple)
+          }.seq.flatten.toSeq
+        } finally pool.shutdown()
+      // kept files: EXISTING entries rebuilt from the MANIFESTS alone
+      // (zero footer reads) — original sequence numbers, original
+      // adding-snapshot ids, original stats and tuples, all verbatim
+      def keptEntry(e: DataFileStat): FileEntry =
+        FileEntry(e.path, new File(e.path).length(), e.recordCount, e.seq,
+          0, Nil, e.stats, e.partition,
+          entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId))
+      val keptTupled = planned.flatMap(_._3).map(keptEntry)
+      val victimBytes = victims.map(e => new File(e.path).length).sum
+      val manifests =
+        if (parts.isEmpty)
+          Seq(ManifestOut(
+            writeManifest(md, newEntries, snapshotId, schemaStr, "data", 0),
+            0, newEntries)) ++
+            (if (keptTupled.isEmpty) Nil
+             else Seq(ManifestOut(
+               writeManifest(md, keptTupled, snapshotId, schemaStr,
+                 "data", 1), 0, keptTupled)))
+        else {
+          val partM = partitionedManifests(md, newEntries ++ keptTupled,
+            parts, specs.length - 1, snapshotId, schemaStr, groupSize, 0)
+          val baseM =
+            if (otherSpec.isEmpty) Nil
+            else {
+              val es = otherSpec.map(keptEntry)
+              Seq(ManifestOut(writeManifest(md, es, snapshotId, schemaStr,
+                "data", partM.length), 0, es))
+            }
+          partM ++ baseM
+        }
       val list = writeManifestList(md, snapshotId, manifests)
       val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
         list, "replace",
@@ -1127,21 +1238,13 @@ object IcebergMetadata {
           "rewritten-data-files" -> victims.size.toString,
           "added-data-files" -> newEntries.size.toString,
           "rewritten-bytes" -> victimBytes.toString),
-        newEntries.length, newEntries.map(_.rows).sum)
-      Some(Commit(version, snapshotId, seq, newManifest.getAbsolutePath,
+        newEntries.length, newEntries.map(_.rows).sum, specs = specs)
+      Some(Commit(version, snapshotId, seq,
+        manifests.head.file.getAbsolutePath,
         list.getAbsolutePath, newEntries.length,
         newEntries.map(_.rows).sum))
     }
   }
-
-  /** True when any partition spec of the table carries fields — the
-    * rewrite strategies below are unpartitioned-tree ops (their
-    * manifests carry no partition tuples); rewriting a partitioned
-    * table through them would silently strip the partition summaries
-    * planners prune by, so they refuse instead. */
-  private def isPartitioned(meta: JsonNode): Boolean =
-    Option(meta.get("partition-specs")).exists(_.asScala.exists(
-      _.withArray[ArrayNode]("fields").size > 0))
 
   /** MAJOR COMPACTION of a merge-on-read table: apply every delete —
     * positional and equality — and commit the resolved rows as a
@@ -1158,14 +1261,14 @@ object IcebergMetadata {
                       targetBytes: Long,
                       keyCol: String =
                         graft.operators.SystemColumns.OlakeId,
-                      summary: Map[String, String] = Map.empty): Commit = {
+                      summary: Map[String, String] = Map.empty,
+                      groupSize: Int = 8): Commit = {
     val md = metaDir(tableDir)
     val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val (dataFiles, _) = manifestEntries(tableDir)
-    require(!isPartitioned(prevMeta),
-      "major compaction is an unpartitioned-tree op: re-publish a " +
-        "partitioned table through the partitioned path instead")
+    val specs = specsFromMeta(prevMeta)
+    val parts = specs.last
     val curSchemaId = prevMeta.get("current-schema-id").asInt
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
       .find(_.get("schema-id").asInt == curSchemaId).get.toString
@@ -1177,22 +1280,44 @@ object IcebergMetadata {
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val outDir =
       new File(new File(tableDir, "data"), s"$snapshotId-compacted")
-    readMoR(spark, tableDir, keyCol)
-      .repartition(bins)
-      .write.mode("overwrite").parquet(outDir.getPath)
-    val entries = entriesFor(spark, outDir.getPath, seq,
-      fieldIds = statIds)
-    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
-      "data", 0)
-    val list = writeManifestList(md, snapshotId,
-      Seq(ManifestOut(manifest, 0, entries)))
+    val resolved = readMoR(spark, tableDir, keyCol)
+    val entries =
+      if (parts.isEmpty) {
+        resolved.repartition(bins)
+          .write.mode("overwrite").parquet(outDir.getPath)
+        entriesFor(spark, outDir.getPath, seq, fieldIds = statIds)
+      } else {
+        // PARTITIONED compaction: partition values recompute from the
+        // source columns (the tuple is derived metadata), outputs land
+        // under the same __p_ hive layout via ONE range exchange on
+        // (partition dirs ++ key) — an unpartitioned spec-0 base is
+        // ABSORBED into the partitioned layout, upgrading the whole
+        // table to prunable files. Specs carry forward verbatim; new
+        // manifests write under the default spec with tuples +
+        // field_summary bounds intact.
+        val fields = partitionFieldsFor(prevMeta, parts)
+        writePartitionedFiles(resolved, fields, parts, outDir.getPath,
+          overwrite = true, bins = bins, clusterCols = Seq(keyCol))
+        partitionedLeaves(outDir, parts).flatMap { case (tup, dir) =>
+          entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+            partition = tup)
+        }
+      }
+    val manifests =
+      if (parts.isEmpty)
+        Seq(ManifestOut(writeManifest(md, entries, snapshotId, schemaStr,
+          "data", 0), 0, entries))
+      else partitionedManifests(md, entries, parts, specs.length - 1,
+        snapshotId, schemaStr, groupSize, 0)
+    val list = writeManifestList(md, snapshotId, manifests)
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "replace",
       summary ++ Map(
         "compacted-data-files" -> dataFiles.size.toString,
         "added-data-files" -> entries.size.toString),
-      entries.length, entries.map(_.rows).sum)
-    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      entries.length, entries.map(_.rows).sum, specs = specs)
+    Commit(version, snapshotId, seq,
+      manifests.head.file.getAbsolutePath,
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 
@@ -1216,7 +1341,8 @@ object IcebergMetadata {
   def sortRewrite(spark: SparkSession, tableDir: String,
                   targetBytes: Long, sortCols: Seq[String],
                   zorder: Boolean = false,
-                  summary: Map[String, String] = Map.empty): Commit = {
+                  summary: Map[String, String] = Map.empty,
+                  groupSize: Int = 8): Commit = {
     require(sortCols.nonEmpty, "sortRewrite needs at least one column")
     require(!zorder || (sortCols.size >= 2 && sortCols.size <= 4),
       "z-order clusters 2..4 columns")
@@ -1227,9 +1353,11 @@ object IcebergMetadata {
     require(deleteFiles.isEmpty,
       "sort rewrite over a delete-bearing (MoR) table would orphan its " +
         "positional deletes: compact the segment view first")
-    require(!isPartitioned(prevMeta),
-      "sort rewrite is an unpartitioned-tree op: a partitioned table's " +
-        "manifests carry partition tuples it would strip")
+    val specs = specsFromMeta(prevMeta)
+    val parts = specs.last
+    require(!zorder || parts.isEmpty,
+      "z-order rewrite is global by nature; partitioned tables cluster " +
+        "per-partition on sort columns (zorder = false)")
     val curSchemaId = prevMeta.get("current-schema-id").asInt
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
       .find(_.get("schema-id").asInt == curSchemaId).get.toString
@@ -1241,29 +1369,51 @@ object IcebergMetadata {
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val outDir = new File(new File(tableDir, "data"), s"$snapshotId-sorted")
     val df = spark.read.parquet(dataFiles.map(_._1): _*)
-    val clustered =
-      if (zorder) {
-        val b = ZOrder.bounds(df, sortCols)
-        val z =
-          if (sortCols.size == 2) {
-            val (xLo, xHi) = b(sortCols(0)); val (yLo, yHi) = b(sortCols(1))
-            ZOrder.zValue2(col(sortCols(0)), xLo, xHi,
-              col(sortCols(1)), yLo, yHi)
-          } else ZOrder.zValueK(sortCols.map(c =>
-            (col(c), b(c)._1, b(c)._2)))
-        df.withColumn("__z", z)
-          .repartitionByRange(bins, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-      } else
-        df.repartitionByRange(bins, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-    clustered.write.mode("overwrite").parquet(outDir.getPath)
-    val entries = entriesFor(spark, outDir.getPath, seq, fieldIds = statIds)
-    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
-      "data", 0)
-    val list = writeManifestList(md, snapshotId,
-      Seq(ManifestOut(manifest, 0, entries)))
+    val entries =
+      if (parts.nonEmpty) {
+        // PARTITIONED sort rewrite, Iceberg's per-partition clustering:
+        // ONE range exchange on (partition dirs ++ sort cols) lays each
+        // partition out as a contiguous run of key-sorted files — the
+        // table then prunes on BOTH the partition tuple (manifest field
+        // summaries) and the per-file sort-column bounds. Partition
+        // values recompute from the source columns; specs carry
+        // forward verbatim.
+        val fields = partitionFieldsFor(prevMeta, parts)
+        writePartitionedFiles(df, fields, parts, outDir.getPath,
+          overwrite = true, bins = bins, clusterCols = sortCols)
+        partitionedLeaves(outDir, parts).flatMap { case (tup, dir) =>
+          entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+            partition = tup)
+        }
+      } else {
+        val clustered =
+          if (zorder) {
+            val b = ZOrder.bounds(df, sortCols)
+            val z =
+              if (sortCols.size == 2) {
+                val (xLo, xHi) = b(sortCols(0))
+                val (yLo, yHi) = b(sortCols(1))
+                ZOrder.zValue2(col(sortCols(0)), xLo, xHi,
+                  col(sortCols(1)), yLo, yHi)
+              } else ZOrder.zValueK(sortCols.map(c =>
+                (col(c), b(c)._1, b(c)._2)))
+            df.withColumn("__z", z)
+              .repartitionByRange(bins, col("__z"))
+              .sortWithinPartitions("__z")
+              .drop("__z")
+          } else
+            df.repartitionByRange(bins, sortCols.map(col): _*)
+              .sortWithinPartitions(sortCols.map(col): _*)
+        clustered.write.mode("overwrite").parquet(outDir.getPath)
+        entriesFor(spark, outDir.getPath, seq, fieldIds = statIds)
+      }
+    val manifests =
+      if (parts.isEmpty)
+        Seq(ManifestOut(writeManifest(md, entries, snapshotId, schemaStr,
+          "data", 0), 0, entries))
+      else partitionedManifests(md, entries, parts, specs.length - 1,
+        snapshotId, schemaStr, groupSize, 0)
+    val list = writeManifestList(md, snapshotId, manifests)
     val sortIds =
       if (zorder) Nil else sortCols.map(c => fieldId(schemaStr, c))
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
@@ -1273,8 +1423,10 @@ object IcebergMetadata {
         "added-data-files" -> entries.size.toString,
         (if (zorder) "zorder-columns" else "sort-columns") ->
           sortCols.mkString(",")),
-      entries.length, entries.map(_.rows).sum, sortOrderFields = sortIds)
-    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      entries.length, entries.map(_.rows).sum, sortOrder = Some(sortIds),
+      specs = specs)
+    Commit(version, snapshotId, seq,
+      manifests.head.file.getAbsolutePath,
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 
@@ -1331,7 +1483,9 @@ object IcebergMetadata {
                                     fields: Seq[PartitionTransforms.PartitionField],
                                     parts: Seq[PartSpecField],
                                     destDir: String,
-                                    overwrite: Boolean = false): Unit = {
+                                    overwrite: Boolean = false,
+                                    bins: Int = 0,
+                                    clusterCols: Seq[String] = Nil): Unit = {
     import PartitionTransforms.withPartitionColumns
     val dirCols = parts.map(p => s"__p_${p.name}")
     val withP = fields.zip(dirCols).foldLeft(df) { case (acc, (f, pc)) =>
@@ -1339,8 +1493,21 @@ object IcebergMetadata {
       val renamed = added.withColumn(pc, col(f.outputName))
       if (f.transform == "identity") renamed else renamed.drop(f.outputName)
     }
-    withP.repartition(dirCols.map(col): _*)
-      .write.mode(if (overwrite) "overwrite" else "errorifexists")
+    // bins > 0: the maintenance-rewrite shape — ONE range exchange on
+    // (partition dirs ++ cluster cols). Range partitioning allocates
+    // output tasks ∝ row share, so a skewed partition automatically
+    // gets more ~target-sized files while small partitions share a
+    // task; each task covers a contiguous (tuple, key) run, so file
+    // min/max bounds stay tight. bins == 0: the publish shape (one
+    // file per tuple).
+    val shaped =
+      if (bins <= 0) withP.repartition(dirCols.map(col): _*)
+      else {
+        val keys = (dirCols ++ clusterCols).map(col)
+        withP.repartitionByRange(bins, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      }
+    shaped.write.mode(if (overwrite) "overwrite" else "errorifexists")
       .partitionBy(dirCols: _*)
       .parquet(destDir)
   }
@@ -1355,6 +1522,103 @@ object IcebergMetadata {
     val fields = PartitionTransforms.parseRegex(partitionRegex)
     val parts = specFieldsFor(df.schema, schemaJson(df.schema), fields)
     writePartitionedFiles(df, fields, parts, destDir, overwrite = true)
+  }
+
+  /** Reconstruct the table's committed partition-spec list from
+    * metadata (spec-id order) — the rewrite strategies must carry the
+    * specs forward VERBATIM, and their new manifests write under the
+    * default (last) spec. Transform result types re-derive from the
+    * current schema exactly as [[specFieldsFor]] derived them. */
+  private def specsFromMeta(meta: JsonNode): Seq[Seq[PartSpecField]] = {
+    val curId = meta.get("current-schema-id").asInt
+    val schema = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curId).get
+    val typeById = schema.withArray[ArrayNode]("fields").asScala
+      .map(f => f.get("id").asInt ->
+        (if (f.get("type").isTextual) f.get("type").asText else "")).toMap
+    val argRe = """(bucket|truncate)\[(\d+)\]""".r
+    Option(meta.get("partition-specs")).map(_.asScala.toSeq.map { sp =>
+      sp.withArray[ArrayNode]("fields").asScala.toSeq.map { f =>
+        val tr = f.get("transform").asText
+        val srcId = f.get("source-id").asInt
+        val srcType = typeById.getOrElse(srcId, "")
+        val avroType = tr match {
+          case "year" | "month" | "day" | "hour" => "int"
+          case argRe("bucket", _) => "int"
+          case argRe("truncate", _) => if (srcType == "string") "string"
+            else "long"
+          case "identity" => srcType match {
+            case "int" | "long" | "string" => srcType
+            case other => throw new IllegalArgumentException(
+              s"identity partition on unsupported type $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"unsupported transform $other")
+        }
+        PartSpecField(f.get("name").asText, avroType, srcId, tr)
+      }
+    }).getOrElse(Seq(Nil))
+  }
+
+  /** The parse-side [[PartitionTransforms.PartitionField]] view of a
+    * committed spec — what a rewrite needs to RECOMPUTE partition
+    * values from source columns (the tuple is derived metadata; the
+    * sources ride in the data files). */
+  private def partitionFieldsFor(meta: JsonNode, parts: Seq[PartSpecField])
+      : Seq[PartitionTransforms.PartitionField] = {
+    val curId = meta.get("current-schema-id").asInt
+    val schema = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curId).get
+    val nameById = schema.withArray[ArrayNode]("fields").asScala
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    parts.map(p =>
+      PartitionTransforms.PartitionField(nameById(p.sourceId), p.transform))
+  }
+
+  /** Lexicographic order over partition tuples (nulls first) — sorted
+    * tuples give each manifest a CONTIGUOUS partition range, which is
+    * what makes its field summaries selective. */
+  private val tupleOrdering: Ordering[Seq[Any]] = (a, b) => {
+    val cmp = a.zip(b).iterator.map {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: Int, y: Int) => x.compare(y)
+      case (x: Long, y: Long) => x.compare(y)
+      case (x, y) => x.toString.compare(y.toString)
+    }.find(_ != 0)
+    cmp.getOrElse(0)
+  }
+
+  /** Hive-style leaf dir for one partition tuple under `root`
+    * (the exact layout [[partitionedLeaves]] walks back). */
+  private def tupleDir(root: File, parts: Seq[PartSpecField],
+                       tuple: Seq[Any]): File =
+    parts.zip(tuple).foldLeft(root) { case (dir, (p, v)) =>
+      val raw = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+        else java.net.URLEncoder.encode(v.toString, "UTF-8")
+      new File(dir, s"__p_${p.name}=$raw")
+    }
+
+  /** Group tuple-carrying entries into manifests of `groupSize`
+    * contiguous tuples each (the [[publishPartitioned]] shape: each
+    * manifest's field summary covers a compact range, so planners
+    * prune whole manifests unopened). Entries keep their own
+    * status/snapshot-id — kept (EXISTING) and fresh (ADDED) files mix
+    * freely inside one manifest, per the spec. */
+  private def partitionedManifests(md: File, entries: Seq[FileEntry],
+                                   parts: Seq[PartSpecField], specId: Int,
+                                   snapshotId: Long, schemaStr: String,
+                                   groupSize: Int, startIndex: Int)
+      : Seq[ManifestOut] = {
+    val byTuple = entries.groupBy(_.partition).toSeq
+      .sortBy(_._1)(tupleOrdering)
+    byTuple.grouped(math.max(1, groupSize)).toSeq.zipWithIndex.map {
+      case (grp, i) =>
+        val es = grp.flatMap(_._2)
+        ManifestOut(writeManifest(md, es, snapshotId, schemaStr, "data",
+          startIndex + i, parts, specId), 0, es, parts, specId)
+    }
   }
 
   /** Walk hive-style dirs back into (partition tuple, leaf dir). */
@@ -1815,6 +2079,35 @@ object IcebergMetadata {
     removeSnapshotIds(tableDir, candidates.toSet)
   }
 
+  /** TIMESTAMP-BASED snapshot expiration — the standard production
+    * retention policy (Iceberg's `expire_snapshots(older_than => ts)`):
+    * drop every snapshot whose `timestamp-ms` predates `olderThanMs`,
+    * EXCEPT the current snapshot, the most recent `retainLast` of the
+    * main lineage (Iceberg's retain_last floor — a bad clock must not
+    * empty the history), and — spec §References — any snapshot a ref
+    * (tag / audit branch) points at: a pinned "trained-run-X" tag
+    * protects its snapshot however old it gets, until the tag is
+    * dropped. Returns the number of snapshots expired. */
+  def expireSnapshotsOlderThan(tableDir: String, olderThanMs: Long,
+                               retainLast: Int = 1): Int = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
+    val refIds = meta.path("refs").asScala
+      .map(_.get("snapshot-id").asLong).toSet
+    val keepRecent = meta.withArray[ArrayNode]("snapshot-log").asScala
+      .map(_.get("snapshot-id").asLong).toSeq
+      .takeRight(math.max(1, retainLast)).toSet
+    val currentId = meta.get("current-snapshot-id").asLong
+    val candidates = snaps
+      .filter(_.get("timestamp-ms").asLong < olderThanMs)
+      .map(_.get("snapshot-id").asLong)
+      .filterNot(id =>
+        refIds.contains(id) || keepRecent.contains(id) || id == currentId)
+    if (candidates.isEmpty) return 0
+    removeSnapshotIds(tableDir, candidates.toSet)
+  }
+
   /** Create or move a named REF (spec §References): a `tag` pins a
     * snapshot against expiration (audit cuts, "the snapshot we trained
     * run X on"); a `branch` is a movable head. Writes a new metadata
@@ -2091,7 +2384,8 @@ object IcebergMetadata {
             ColStats(longMap(df, "column_sizes"), longMap(df, "value_counts"),
               longMap(df, "null_value_counts"), bytesMap(df, "lower_bounds"),
               bytesMap(df, "upper_bounds")),
-            pVals)
+            pVals,
+            e.get("snapshot_id").asInstanceOf[Long])
       }
     }
   }

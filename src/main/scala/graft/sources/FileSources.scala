@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.functions.{col, input_file_name, trim}
 
 /** File-based sources (the reference's S3 driver surface).
   *
@@ -79,9 +79,16 @@ object FileSources {
         from_json(col("value"), withCorrupt, Map(
           "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corrupt)).as("__p"))
-    val good = parsed.where(col(s"__p.$corrupt").isNull)
+    // a NULL parse struct is also dead-letter material: from_json
+    // yields a null struct (not a corrupt-record marker) for
+    // empty/whitespace-only lines and non-object JSON (a bare array or
+    // `null`) — without this guard those lines would pass as all-null
+    // "good" rows
+    val good = parsed.where(col("__p").isNotNull &&
+        col(s"__p.$corrupt").isNull)
       .select(schema.fieldNames.toSeq.map(f => col(s"__p.$f").as(f)): _*)
-    val bad = parsed.where(col(s"__p.$corrupt").isNotNull)
+    val bad = parsed.where(col("__p").isNull ||
+        col(s"__p.$corrupt").isNotNull)
       .select(col("value").as("raw_line"), col("source_file"))
     (good, bad)
   }
@@ -110,9 +117,15 @@ object FileSources {
           "sep" -> delimiter,
           "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corrupt)).as("__p"))
-    val good = parsed.where(col(s"__p.$corrupt").isNull)
+    // same null-struct guard as the JSONL path, plus an explicit
+    // blank-line check: from_csv parses "" to an all-null struct (not
+    // a corrupt marker), and an empty line is not a record in any CSV
+    // dialect — it must not pass as an all-null good row
+    val isBad = col("__p").isNull || col(s"__p.$corrupt").isNotNull ||
+      trim(col("value")) === ""
+    val good = parsed.where(!isBad)
       .select(schema.fieldNames.toSeq.map(f => col(s"__p.$f").as(f)): _*)
-    val bad = parsed.where(col(s"__p.$corrupt").isNotNull)
+    val bad = parsed.where(isBad)
       .select(col("value").as("raw_line"), col("source_file"))
     (good, bad)
   }

@@ -246,6 +246,68 @@ object KafkaDecode {
     * reference caches codecs in the registry client). JSON-typed
     * schemas pass the payload through as JSON text. Output:
     * (schema_id, json). */
+  /** Dead-letter variant of [[decodeWithRegistry]] — the quarantine
+    * pattern the file sources use (`FileSources.readJsonlQuarantine`),
+    * applied to the Kafka decode path: a malformed Avro body, a
+    * registry-id miss, or an unsupported schema type must not fail a
+    * 100 TB backfill (the reference's poll loop aborts on the first
+    * parse error — `drivers/kafka/internal/cdc.go:266-292`
+    * `parseKafkaData` returns the error up). ONE `mapPartitions` pass
+    * splits every record into either a decoded `json` row or a
+    * dead-letter row carrying the RAW payload bytes, the caller's
+    * provenance columns (`metaCols`, e.g. topic/partition/offset) and
+    * the failure reason — so the bad records land in a quarantine sink
+    * replayable after the schema/registry problem is fixed. */
+  def decodeWithRegistryQuarantine(spark: SparkSession, df: DataFrame,
+                                   idCol: String, payloadCol: String,
+                                   resolver: SchemaResolver,
+                                   metaCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType, StructField, StructType}
+    val metaFields = metaCols.map(c => df.schema(c))
+    val outSchema = StructType(metaFields ++ Seq(
+      StructField("schema_id", IntegerType),
+      StructField("json", StringType),
+      StructField("raw", BinaryType),
+      StructField("error", StringType)))
+    val n = metaCols.length
+    df.select(metaCols.map(col) ++
+        Seq(col(idCol).cast("int"), col(payloadCol)): _*)
+      .mapPartitions { it =>
+        val readers = scala.collection.mutable.HashMap
+          .empty[Int, (org.apache.avro.Schema,
+                       org.apache.avro.generic.GenericDatumReader[Any])]
+        it.map { r =>
+          val meta = (0 until n).map(r.get)
+          val id = r.getInt(n)
+          val bytes = r.getAs[Array[Byte]](n + 1)
+          try {
+            val reg = resolver.resolve(id)
+            val json = reg.resolvedType match {
+              case "AVRO" =>
+                val (schema, reader) = readers.getOrElseUpdate(id, {
+                  val s =
+                    new org.apache.avro.Schema.Parser().parse(reg.schemaJson)
+                  (s, new org.apache.avro.generic.GenericDatumReader[Any](s))
+                })
+                val dec = org.apache.avro.io.DecoderFactory.get()
+                  .binaryDecoder(bytes, null)
+                avroJson(reader.read(null.asInstanceOf[Any], dec), schema)
+              case "JSON" =>
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              case other => throw new IllegalArgumentException(
+                s"unsupported schema type: $other")
+            }
+            Row.fromSeq(meta ++ Seq(id, json, null, null))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Row.fromSeq(meta ++ Seq(id, null, bytes,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   def decodeWithRegistry(spark: SparkSession, df: DataFrame,
                          idCol: String, payloadCol: String,
                          resolver: SchemaResolver): DataFrame = {

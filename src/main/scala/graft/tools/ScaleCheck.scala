@@ -231,6 +231,42 @@ object ScaleCheck {
         IcebergMetadata.sortRewrite(spark, s10, 2L << 20,
           Seq("l_orderkey", "l_partkey"), zorder = true) }
       println(f"sortRewrite 10x ratio: ${tS10 / tS1}%.1f× (~10 = linear)")
+
+      // ---- PARTITIONED binpack (r13): two claims. (1) group fan-out
+      // amortizes — same victim bytes split over 10× more partitions
+      // costs well under 10× (groups are independent jobs on a bounded
+      // concurrent pool); (2) victim bytes 10× at fixed partitions
+      // grows ≤~linear, same as the unpartitioned path. Fixture:
+      // day-partitioned publish, fragmented in place by a tiny-target
+      // floor-1 binpack, then the timed merge pass. ----
+      def mkPart(tag: String, days: Int, rowsPerDay: Int): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"scrp$tag").toString
+        val df = spark.range(days.toLong * rowsPerDay).select(
+          col("id"),
+          concat(lit("body-"), col("id")).as("body"),
+          to_timestamp(from_unixtime(
+            lit(1704067200L) + (col("id") % days) * 86400L)).as("ts"))
+        IcebergMetadata.publishPartitioned(spark, tmp, df, "/{ts,day}")
+        IcebergMetadata.binpackRewrite(spark, tmp,
+          targetBytes = 4L << 10, minFileBytes = 1L << 30,
+          minInputFiles = 1): Unit // fragment every day
+        tmp
+      }
+      mkPart("w", 3, 2000) // warm the partitioned build+rewrite path
+      val p1 = mkPart("p1", 3, 20000)
+      val p10 = mkPart("p10", 30, 2000)   // same bytes, 10× groups
+      val pv10 = mkPart("v10", 3, 200000) // 10× bytes, same groups
+      val tP1 = timeR("pbinpack 3 days") {
+        IcebergMetadata.binpackRewrite(spark, p1, 256L << 20).get }
+      val tP10 = timeR("pbinpack 30 days same bytes") {
+        IcebergMetadata.binpackRewrite(spark, p10, 256L << 20).get }
+      val tPv = timeR("pbinpack 3 days 10x bytes") {
+        IcebergMetadata.binpackRewrite(spark, pv10, 256L << 20).get }
+      println(f"pbinpack groups-10x ratio: ${tP10 / tP1}%.1f× " +
+        "(<<10 = concurrent group fan-out amortizes)")
+      println(f"pbinpack victims-10x ratio: ${tPv / tP1}%.1f× " +
+        "(≤~10 = victim-bytes-proportional)")
       spark.stop()
       return
     }

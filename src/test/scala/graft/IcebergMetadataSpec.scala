@@ -1268,6 +1268,43 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.seq == c1.sequenceNumber)    // original data sequence
     assert(fresh.seq == c2.sequenceNumber)
     assert(fresh.path.contains("-binpack"))
+    // spec §Manifests: the carried-forward file is an EXISTING entry
+    // (status 0) under its ORIGINAL adding snapshot id; the manifest
+    // list counts it under existing_*, never added_* — an external
+    // incremental/append reader must not re-see kept files as new on
+    // every rewrite
+    assert(kept.addedSnapshotId == c1.snapshotId)
+    assert(fresh.addedSnapshotId == c2.snapshotId)
+    val (_, metaBp) = IcebergMetadata.currentMetadata(tmp).get
+    val curSnapBp = {
+      val ss = metaBp.get("snapshots")
+      (0 until ss.size).map(ss.get)
+        .find(_.get("snapshot-id").asLong == c2.snapshotId).get
+    }
+    val bpListRows = {
+      val r = new DataFileReader(
+        new File(curSnapBp.get("manifest-list").asText),
+        new GenericDatumReader[GenericRecord]())
+      try { import scala.jdk.CollectionConverters._
+        r.iterator().asScala.toList }
+      finally r.close()
+    }
+    assert(bpListRows.map(m => (m.get("added_files_count"),
+      m.get("existing_files_count"))).toSet == Set((1, 0), (0, 1)),
+      bpListRows.toString)
+    val keptManifest = bpListRows
+      .find(_.get("existing_files_count") == 1).get
+    val keptEntries = {
+      val r = new DataFileReader(
+        new File(keptManifest.get("manifest_path").toString),
+        new GenericDatumReader[GenericRecord]())
+      try { import scala.jdk.CollectionConverters._
+        r.iterator().asScala.toList }
+      finally r.close()
+    }
+    assert(keptEntries.map(_.get("status")) == List(0)) // EXISTING
+    assert(keptEntries.head.get("snapshot_id") == c1.snapshotId)
+    assert(keptManifest.get("existing_rows_count") == kept.recordCount)
     // row set identical to the source (merge lost/duplicated nothing)
     val got = spark.read
       .parquet(IcebergMetadata.dataFilePaths(tmp): _*)
@@ -1525,29 +1562,307 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("compact the segment view first"))
   }
 
-  test("rewrite strategies refuse a PARTITIONED table (manifests would " +
-       "lose their partition tuples)") {
+  test("PARTITIONED majorCompactMoR: deletes bake in per partition, the " +
+       "spec-0 base is absorbed into the __p_ layout, tuples + field " +
+       "summaries survive, and partition pruning still works") {
     import org.apache.spark.sql.functions._
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
-    val table = Files.createTempDirectory("graft_partrw").toString
-    val ice = Files.createTempDirectory("graft_partrwice").toString
+    val table = Files.createTempDirectory("graft_pcmp").toString
+    val ice = Files.createTempDirectory("graft_pcmpice").toString
+    // base day 2024-03-05; segment upserts 5 rows onto day 2024-03-06
+    // and deletes ids 90..99
     spark.range(100).select(
         col("id").cast("string").as(OlakeId), col("id").as("v"),
         to_timestamp(lit("2024-03-05 00:00:00")).as("ts"))
       .write.parquet(s"$table/base")
     DeltaSegments.writeSegment(
       spark.range(5).select(col("id").cast("string").as(OlakeId),
-        (col("id") + 100).as("v"),
-        to_timestamp(lit("2024-03-06 00:00:00")).as("ts"),
-        lit("u").as(OpType),
-        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
-      table, 1L)
-    IcebergMetadata.publishMoR(spark, ice, table,
+          (col("id") + 100).as("v"),
+          to_timestamp(lit("2024-03-06 00:00:00")).as("ts"),
+          lit("u").as(OpType),
+          current_timestamp().as(CdcTimestamp), col("id").as("lsn"))
+        .unionByName(spark.range(90, 100).select(
+          col("id").cast("string").as(OlakeId), col("id").as("v"),
+          to_timestamp(lit("2024-03-05 00:00:00")).as("ts"),
+          lit("d").as(OpType), current_timestamp().as(CdcTimestamp),
+          col("id").as("lsn"))), table, 1L)
+    val c1 = IcebergMetadata.publishMoR(spark, ice, table,
       partitionRegex = Some("/{ts,day}"))
-    for (op <- Seq(
-        () => IcebergMetadata.majorCompactMoR(spark, ice, 1L << 20))) {
-      val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains("partition"), e.getMessage)
+    val c2 = IcebergMetadata.majorCompactMoR(spark, ice,
+      targetBytes = 512L << 20)
+    assert(c2.sequenceNumber == c1.sequenceNumber + 1)
+    // delete-free, and EVERY file (the old spec-0 base included) now
+    // carries a day tuple
+    val (dataAfter, delAfter) = IcebergMetadata.manifestEntries(ice)
+    assert(delAfter.isEmpty)
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.nonEmpty && stats.forall(_.partition.length == 1),
+      stats.map(_.partition).toString)
+    val day5 = java.time.LocalDate.of(2024, 3, 5).toEpochDay.toInt
+    val day6 = java.time.LocalDate.of(2024, 3, 6).toEpochDay.toInt
+    assert(stats.map(_.partition.head).toSet == Set(day5, day6))
+    // raw parquet = resolved rows (deletes truly baked in)
+    val raw = spark.read.parquet(dataAfter.map(_._1): _*)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(raw.size == 90)
+    assert(raw.toMap.apply("0") == 100L)  // upsert applied
+    assert(!raw.exists(_._1 == "99"))     // delete applied
+    // specs carried forward verbatim (multi-spec: unpartitioned 0 +
+    // day spec 1, default still the partitioned one)
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    assert(meta.get("partition-specs").size == 2)
+    assert(meta.get("default-spec-id").asInt == 1)
+    // partition pruning still works end-to-end on the compacted tree
+    val only6 = IcebergMetadata.readPartitionPruned(spark, ice,
+      day6, day6).select(OlakeId).collect().map(_.getString(0)).sorted
+    assert(only6.toSeq == (0 until 5).map(_.toString).sorted.toSeq)
+  }
+
+  test("PARTITIONED binpackRewrite: victim sets form WITHIN each day, " +
+       "outputs land under the same __p_ layout, below-floor days carry " +
+       "forward as EXISTING with tuples verbatim, pruning intact") {
+    import org.apache.spark.sql.functions._
+    val ice = Files.createTempDirectory("graft_pbp").toString
+    val day = (d: Int) => s"2024-03-0$d 00:00:00"
+    // skewed days: day 5 holds 4000 rows, days 6/7 hold 100 each —
+    // after fragmentation only day 5 accrues a mergeable victim set
+    val df = spark.range(4200).select(col("id"),
+      concat(lit("payload-"), col("id")).as("body"),
+      to_timestamp(
+        when(col("id") < 4000, day(5))
+          .when(col("id") < 4100, day(6)).otherwise(day(7))).as("ts"))
+    IcebergMetadata.publishPartitioned(spark, ice, df, "/{ts,day}"): Unit
+    // fragment everything (tiny target, floor 1): day 5 splits into
+    // several small files; days 6/7 are too small to split (1 file)
+    val c2 = IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 4L << 10, minFileBytes = 1L << 30,
+      minInputFiles = 1).get
+    val frag = IcebergMetadata.dataFileStats(ice)
+    val day5 = java.time.LocalDate.of(2024, 3, 5).toEpochDay.toInt
+    val perDay = frag.groupBy(_.partition.head).view.mapValues(_.size).toMap
+    assert(perDay(day5) >= 2, perDay.toString)
+    assert(perDay.size == 3)
+    val keepSmallDays = frag.filterNot(_.partition.head == day5)
+    assert(keepSmallDays.forall(_.addedSnapshotId == c2.snapshotId))
+    // merge with the default floor (2): ONLY day 5's group qualifies;
+    // days 6/7 carry forward as EXISTING — tuple, sequence number and
+    // ORIGINAL adding snapshot id all verbatim
+    val c3 = IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 512L << 20).get
+    assert(c3.sequenceNumber == c2.sequenceNumber + 1)
+    val merged = IcebergMetadata.dataFileStats(ice)
+    assert(merged.count(_.partition.head == day5) == 1,
+      merged.map(_.path).toString)
+    assert(merged.forall(_.partition.length == 1))
+    val keptAfter = merged.filterNot(_.partition.head == day5)
+    assert(keptAfter.map(_.path).toSet == keepSmallDays.map(_.path).toSet)
+    keptAfter.foreach { k =>
+      val orig = keepSmallDays.find(_.path == k.path).get
+      assert(k.partition == orig.partition)             // tuple verbatim
+      assert(k.seq == orig.seq)                         // data sequence
+      assert(k.addedSnapshotId == orig.addedSnapshotId) // original snap
     }
+    // row set identical through both rewrites
+    val got = spark.read.parquet(merged.map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 4200L).toSeq)
+    // manifests still summarize partition ranges → the pruned read
+    // returns exactly day 5 from the rewritten tree
+    val kept5 = IcebergMetadata.readPartitionPruned(spark, ice, day5, day5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept5 == (0L until 4000L).toSeq)
+    // per-partition idempotence frontier: no day has a mergeable set
+    assert(IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 512L << 20).isEmpty)
+  }
+
+  test("PARTITIONED sortRewrite: per-partition clustering — scans prune " +
+       "on BOTH the partition tuple and the per-file sort-column bounds") {
+    import org.apache.spark.sql.functions._
+    val ice = Files.createTempDirectory("graft_psort").toString
+    val day = (d: Int) => s"2024-03-0$d 00:00:00"
+    // v is key-scrambled within each day so the pre-rewrite file
+    // bounds are useless
+    val df = spark.range(4000).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(4000L)).as("v"),
+      to_timestamp(when(col("id") % 2 === 0, day(5)).otherwise(day(6)))
+        .as("ts"))
+    IcebergMetadata.publishPartitioned(spark, ice, df, "/{ts,day}")
+    // fragment each day so there are multiple files to cluster
+    IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 4L << 10, minFileBytes = 1L << 30): Unit
+    val beforeFiles = IcebergMetadata.dataFileStats(ice)
+    val beforePruned =
+      IcebergMetadata.pruneDataFiles(ice, "v", 100, 500).size
+    assert(beforePruned == beforeFiles.size) // scrambled → no pruning
+
+    val c = IcebergMetadata.sortRewrite(spark, ice,
+      targetBytes = 4L << 10, sortCols = Seq("v"))
+    val after = IcebergMetadata.dataFileStats(ice)
+    assert(after.forall(_.partition.length == 1)) // tuples survive
+    assert(after.size >= 8)
+    // file-bound pruning now pays: the 10% v-box keeps a minority
+    val afterPruned = IcebergMetadata.pruneDataFiles(ice, "v", 100, 500)
+    assert(afterPruned.size * 2 <= after.size,
+      s"pruned ${afterPruned.size} of ${after.size}")
+    // AND partition pruning still works on the re-clustered tree
+    val day5 = java.time.LocalDate.of(2024, 3, 5).toEpochDay.toInt
+    val got5 = IcebergMetadata.readPartitionPruned(spark, ice, day5, day5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got5 == (0L until 4000L by 2).toSeq)
+    // row set is a pure permutation
+    val all = spark.read.parquet(after.map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == (0L until 4000L).toSeq)
+    // the identity order landed as the table default
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    assert(meta.get("default-sort-order-id").asInt == 1)
+    val snaps = meta.get("snapshots")
+    assert(snaps.get(snaps.size - 1).get("summary")
+      .get("sort-columns").asText == "v")
+    assert(c.addedFiles == after.size)
+  }
+
+  test("maintenance replace snapshots re-walk under the independent " +
+       "decoder: EXISTING/ADDED statuses, per-entry snapshot ids, " +
+       "manifest-list counts and partition field-ids all reconcile") {
+    // extends the spec cross-vector trust chain (the external-reader
+    // stand-in while no official Iceberg jar can enter the sandbox) to
+    // the NEW snapshot producers: a binpack merge whose snapshot mixes
+    // ADDED rewrite outputs with EXISTING carry-forwards is re-walked
+    // with a raw Avro reader and reconciled field by field.
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val ice = Files.createTempDirectory("graft_mvec").toString
+    val day = (d: Int) => s"2024-03-0$d 00:00:00"
+    val df = spark.range(2200).select(col("id"),
+      concat(lit("body-"), col("id")).as("body"),
+      to_timestamp(when(col("id") < 2000, day(5)).otherwise(day(6)))
+        .as("ts"))
+    IcebergMetadata.publishPartitioned(spark, ice, df, "/{ts,day}"): Unit
+    // fragment (everything rewrites), then merge: the merge snapshot
+    // carries ADDED (day-5 rewrite output) and EXISTING (day-6
+    // below-floor carry-forward) entries in the same tree
+    val cSplit = IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 4L << 10, minFileBytes = 1L << 30,
+      minInputFiles = 1).get
+    val cMerge = IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 512L << 20).get
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val snap = meta.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == cMerge.snapshotId).get
+    assert(snap.get("summary").get("operation").asText == "replace")
+    val listFile = new File(snap.get("manifest-list").asText)
+    assert(listFile.getName.startsWith(s"snap-${cMerge.snapshotId}-"))
+    def rows(f: File) = {
+      val r = new DataFileReader(f, new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val listRows = rows(listFile)
+    var added = 0; var existing = 0
+    var addedRows = 0L; var existingRows = 0L
+    var sawExisting = false; var sawAdded = false
+    listRows.foreach { m =>
+      added += m.get("added_files_count").asInstanceOf[Int]
+      existing += m.get("existing_files_count").asInstanceOf[Int]
+      addedRows += m.get("added_rows_count").asInstanceOf[Long]
+      existingRows += m.get("existing_rows_count").asInstanceOf[Long]
+      val entries = rows(new File(m.get("manifest_path").toString))
+      // per-manifest counts reconcile against the entries themselves
+      assert(entries.count(_.get("status") == 1) ==
+        m.get("added_files_count"))
+      assert(entries.count(_.get("status") == 0) ==
+        m.get("existing_files_count"))
+      // sequence rollups
+      val seqs = entries.map(_.get("sequence_number").asInstanceOf[Long])
+      assert(m.get("sequence_number") == seqs.max)
+      assert(m.get("min_sequence_number") == seqs.min)
+      entries.foreach { e =>
+        val st = e.get("status").asInstanceOf[Int]
+        assert(st == 0 || st == 1)
+        if (st == 1) { sawAdded = true
+          assert(e.get("snapshot_id") == cMerge.snapshotId)
+        } else { sawExisting = true
+          // EXISTING keeps the ORIGINAL adding snapshot + data sequence
+          assert(e.get("snapshot_id") == cSplit.snapshotId)
+          assert(e.get("sequence_number") == cSplit.sequenceNumber)
+        }
+        // partition record: spec field-id 1000; the tuple value matches
+        // the file's hive dir
+        val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+        val pRec = dfr.get("partition").asInstanceOf[GenericRecord]
+        val pf = pRec.getSchema.getFields.asScala.toSeq
+        assert(pf.map(_.getObjectProp("field-id")) == Seq(1000))
+        val pVal = pRec.get(pf.head.name()).asInstanceOf[Int]
+        assert(dfr.get("file_path").toString.contains(s"=$pVal"),
+          dfr.get("file_path").toString)
+      }
+    }
+    assert(sawAdded && sawExisting, "fixture must exercise both statuses")
+    // totals reconcile with the table: every live row counted once
+    assert(addedRows + existingRows == 2200L)
+    assert(added + existing == IcebergMetadata.dataFilePaths(ice).size)
+  }
+
+  test("refs survive fastForward/rollback; sort orders survive appends; " +
+       "age-based expiration honors tag pins and the retain-last floor") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_refsafety").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$tmp/d1")
+    val c1 = IcebergMetadata.commit(spark, tmp, s"$tmp/d1")
+    IcebergMetadata.setRef(tmp, "train-run-1", c1.snapshotId) // tag pin
+    // a sort rewrite stamps order 1 as the default
+    IcebergMetadata.sortRewrite(spark, tmp, targetBytes = 1L << 20,
+      sortCols = Seq("n_nationkey")): Unit
+    // WAP: stage on a branch, then publish via fastForward — the
+    // fast-forward is a ref-only metadata commit and MUST carry every
+    // other ref (the tag, the branch itself) forward verbatim
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.parquet(s"$tmp/d2")
+    val cb = IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/d2", "audit")
+    IcebergMetadata.fastForward(tmp, "audit")
+    val (_, m) = IcebergMetadata.currentMetadata(tmp).get
+    val refNames = m.get("refs").fieldNames.asScala.toSet
+    assert(refNames == Set("main", "train-run-1", "audit"), refNames)
+    assert(m.get("refs").get("train-run-1").get("snapshot-id").asLong ==
+      c1.snapshotId)
+    assert(m.get("refs").get("audit").get("snapshot-id").asLong ==
+      cb.snapshotId)
+    // sort orders: the fast-forward (an ordinary metadata mutation)
+    // and a later plain append both PRESERVE order 1 as the default —
+    // the clustering advertisement must not reset to unsorted
+    nation.withColumn("n_nationkey", col("n_nationkey") + 300)
+      .write.parquet(s"$tmp/d3")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d3"): Unit
+    val (_, m2) = IcebergMetadata.currentMetadata(tmp).get
+    assert(m2.get("default-sort-order-id").asInt == 1)
+    assert(m2.get("sort-orders").size == 2)
+    assert(m2.get("sort-orders").get(1).get("order-id").asInt == 1)
+    // age-based expiration: everything predates the horizon, but the
+    // tag pins c1, the current snapshot always survives, and
+    // retain-last floors the main lineage
+    val horizon = System.currentTimeMillis() + 3600_000L
+    val n1 = IcebergMetadata.expireSnapshotsOlderThan(tmp, horizon,
+      retainLast = 1)
+    val (_, m3) = IcebergMetadata.currentMetadata(tmp).get
+    val left = m3.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").asScala.map(_.get("snapshot-id").asLong).toSet
+    assert(left.contains(c1.snapshotId))   // tag-pinned survives
+    assert(left.contains(m3.get("current-snapshot-id").asLong))
+    assert(n1 >= 1)
+    // a horizon in the past expires nothing
+    assert(IcebergMetadata.expireSnapshotsOlderThan(tmp, 1000L) == 0)
+    // dropping the tag releases the pin
+    IcebergMetadata.dropRef(tmp, "train-run-1")
+    val n2 = IcebergMetadata.expireSnapshotsOlderThan(tmp, horizon)
+    val (_, m4) = IcebergMetadata.currentMetadata(tmp).get
+    val left2 = m4.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").asScala.map(_.get("snapshot-id").asLong).toSet
+    assert(!left2.contains(c1.snapshotId) || left2.size == 1, left2)
+    assert(n2 >= 1)
   }
 }

@@ -889,4 +889,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Filter"), s"sample predicate missing:\n$p")
     assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
+
+  test("epochShuffle at n=4096: offsets decode via BROADCAST hash join, " +
+       "never a per-partition when-chain (codegen's 64 KB method limit); " +
+       "order stays byte-identical to the global-rank oracle") {
+    val docs = spark.range(2000)
+      .select(col("id").cast("string").as("doc_id"))
+    val out = graft.llm.TextAnalysis.epochShuffle(docs, "doc_id", "seed-1",
+      partitions = 4096)
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset decode must be a broadcast join:\n$p")
+    // the old folded literal decode rendered as a 4096-branch CASE WHEN
+    // — at that width codegen falls back to interpreted eval
+    assert(!p.contains("CASE WHEN"), s"when-chain decode resurfaced:\n$p")
+    // the window partitions by bucket — never one global sort partition
+    assert(!p.contains("SinglePartition"), s"global-window shuffle:\n$p")
+    val got = out.orderBy("shuffle_pos").select("doc_id")
+      .collect().map(_.getString(0)).toSeq
+    val want = docs.select(col("doc_id"),
+        md5(concat(lit("seed-1-"), col("doc_id"))).as("h"))
+      .orderBy("h", "doc_id").select("doc_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want)
+    // positions are a dense 0..n-1 permutation
+    val pos = out.select("shuffle_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (0L until 2000L).toSeq)
+  }
 }

@@ -147,6 +147,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.head.getAs[String]("source_file").contains("a.csv"))
   }
 
+  test("readJsonlQuarantine: null-struct lines (whitespace, bare array, " +
+       "bare null) dead-letter instead of passing as all-null rows") {
+    import graft.sources.FileSources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_dlq")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      ("""{"id":1,"name":"x"}""" + "\n" +
+        "   \n" +                    // whitespace-only → null struct
+        "[1,2,3]\n" +                // valid JSON, not an object
+        "null\n" +                   // valid JSON, not an object
+        "{broken\n" +                // syntactically invalid
+        """{"id":2,"name":"y"}""").getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val (good, bad) = FileSources.readJsonlQuarantine(spark,
+      Seq(dir.toString + "/a.jsonl"), schema)
+    val g = good.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"))).toSet
+    assert(g == Set((1L, "x"), (2L, "y")), g.toString)
+    val b = bad.collect().map(_.getAs[String]("raw_line")).toSet
+    assert(b == Set("   ", "[1,2,3]", "null", "{broken"), b.toString)
+    // CSV twin: an empty line must not pass as an all-null row
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      "1,alpha\n\n2,beta".getBytes)
+    val (g2, b2) = FileSources.readCsvQuarantine(spark,
+      Seq(dir.toString + "/b.csv"), schema)
+    assert(g2.count() == 2)
+    assert(b2.collect().map(_.getAs[String]("raw_line")).toSet == Set(""))
+  }
+
   test("readZippedJsonl: multi-entry archives parse line-by-line; blank lines skipped") {
     import graft.sources.FileSources
     import org.apache.spark.sql.types._
