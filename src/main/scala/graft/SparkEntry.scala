@@ -3232,7 +3232,9 @@ object SparkEntry {
       require(merged.nonEmpty, "partitioned binpack had nothing to merge")
       require(IcebergMetadata.dataFileStats(ice)
         .forall(_.partition.length == 1), "partition tuple lost in rewrite")
-      IcebergMetadata.readPartitionPruned(s, ice, 19730L, 19739L)
+      // Jan 1-2: inside the fixture at EVERY sf (event_id < 8000 covers
+      // ~3 days at sf0.1 but ~24 at sf0.01)
+      IcebergMetadata.readPartitionPruned(s, ice, 19723L, 19724L)
         .select(col("event_id"), col("user_id"), col("ts"))
     }),
 
@@ -3307,7 +3309,8 @@ object SparkEntry {
       val pruned = IcebergMetadata.pruneDataFiles(ice, "user_id", 10, 24)
       require(pruned.size < stats.size,
         s"sorted bounds must prune: kept ${pruned.size} of ${stats.size}")
-      IcebergMetadata.readPartitionPruned(s, ice, 19730L, 19739L)
+      // Jan 1-2 window: inside the fixture at every sf (see binpack gate)
+      IcebergMetadata.readPartitionPruned(s, ice, 19723L, 19724L)
         .where(col("user_id").between(10, 24))
         .select(col("event_id"), col("user_id"), col("ts"))
     }),
@@ -6840,7 +6843,7 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |FROM events
         |WHERE event_id < 8000
         |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-        |    BETWEEN 19730 AND 19739""".stripMargin,
+        |    BETWEEN 19723 AND 19724""".stripMargin,
 
     // raw compacted parquet = the resolved merge (update wins, delete
     // removes) over the WHOLE partitioned table
@@ -6856,7 +6859,7 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |FROM events
         |WHERE event_id < 8000 AND user_id BETWEEN 10 AND 24
         |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-        |    BETWEEN 19730 AND 19739""".stripMargin,
+        |    BETWEEN 19723 AND 19724""".stripMargin,
 
     // identical row algebra to q_iceberg_mor — but the gate read the
     // raw compacted parquet, so equality proves the deletes baked in

@@ -1355,9 +1355,6 @@ object IcebergMetadata {
         "positional deletes: compact the segment view first")
     val specs = specsFromMeta(prevMeta)
     val parts = specs.last
-    require(!zorder || parts.isEmpty,
-      "z-order rewrite is global by nature; partitioned tables cluster " +
-        "per-partition on sort columns (zorder = false)")
     val curSchemaId = prevMeta.get("current-schema-id").asInt
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
       .find(_.get("schema-id").asInt == curSchemaId).get.toString
@@ -1372,15 +1369,33 @@ object IcebergMetadata {
     val entries =
       if (parts.nonEmpty) {
         // PARTITIONED sort rewrite, Iceberg's per-partition clustering:
-        // ONE range exchange on (partition dirs ++ sort cols) lays each
-        // partition out as a contiguous run of key-sorted files — the
-        // table then prunes on BOTH the partition tuple (manifest field
-        // summaries) and the per-file sort-column bounds. Partition
-        // values recompute from the source columns; specs carry
-        // forward verbatim.
+        // ONE range exchange on (partition dirs ++ cluster key) lays
+        // each partition out as a contiguous run of key-sorted files —
+        // the table then prunes on BOTH the partition tuple (manifest
+        // field summaries) and the per-file bounds. The cluster key is
+        // the sort columns, or the Morton z-value over them (z-order is
+        // per-partition here too, like Iceberg's action; the scratch
+        // __z column never lands in the data files). Partition values
+        // recompute from the source columns; specs carry forward
+        // verbatim.
         val fields = partitionFieldsFor(prevMeta, parts)
-        writePartitionedFiles(df, fields, parts, outDir.getPath,
-          overwrite = true, bins = bins, clusterCols = sortCols)
+        val (src, clusterCols, scratch) =
+          if (!zorder) (df, sortCols, Nil)
+          else {
+            val b = ZOrder.bounds(df, sortCols)
+            val z =
+              if (sortCols.size == 2) {
+                val (xLo, xHi) = b(sortCols(0))
+                val (yLo, yHi) = b(sortCols(1))
+                ZOrder.zValue2(col(sortCols(0)), xLo, xHi,
+                  col(sortCols(1)), yLo, yHi)
+              } else ZOrder.zValueK(sortCols.map(c =>
+                (col(c), b(c)._1, b(c)._2)))
+            (df.withColumn("__z", z), Seq("__z"), Seq("__z"))
+          }
+        writePartitionedFiles(src, fields, parts, outDir.getPath,
+          overwrite = true, bins = bins, clusterCols = clusterCols,
+          dropCols = scratch)
         partitionedLeaves(outDir, parts).flatMap { case (tup, dir) =>
           entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
             partition = tup)
@@ -1485,7 +1500,8 @@ object IcebergMetadata {
                                     destDir: String,
                                     overwrite: Boolean = false,
                                     bins: Int = 0,
-                                    clusterCols: Seq[String] = Nil): Unit = {
+                                    clusterCols: Seq[String] = Nil,
+                                    dropCols: Seq[String] = Nil): Unit = {
     import PartitionTransforms.withPartitionColumns
     val dirCols = parts.map(p => s"__p_${p.name}")
     val withP = fields.zip(dirCols).foldLeft(df) { case (acc, (f, pc)) =>
@@ -1498,8 +1514,9 @@ object IcebergMetadata {
     // output tasks ∝ row share, so a skewed partition automatically
     // gets more ~target-sized files while small partitions share a
     // task; each task covers a contiguous (tuple, key) run, so file
-    // min/max bounds stay tight. bins == 0: the publish shape (one
-    // file per tuple).
+    // min/max bounds stay tight. `dropCols` are scratch cluster keys
+    // (a Morton z-value) that must not land in the data files.
+    // bins == 0: the publish shape (one file per tuple).
     val shaped =
       if (bins <= 0) withP.repartition(dirCols.map(col): _*)
       else {
@@ -1507,7 +1524,8 @@ object IcebergMetadata {
         withP.repartitionByRange(bins, keys: _*)
           .sortWithinPartitions(keys: _*)
       }
-    shaped.write.mode(if (overwrite) "overwrite" else "errorifexists")
+    dropCols.foldLeft(shaped)(_ drop _)
+      .write.mode(if (overwrite) "overwrite" else "errorifexists")
       .partitionBy(dirCols: _*)
       .parquet(destDir)
   }

@@ -1724,6 +1724,50 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.addedFiles == after.size)
   }
 
+  test("PARTITIONED z-order rewrite: per-partition Morton clustering — " +
+       "single-axis boxes prune inside each day; the scratch __z never " +
+       "lands in the data files; order reverts to unsorted") {
+    import org.apache.spark.sql.functions._
+    val ice = Files.createTempDirectory("graft_pzord").toString
+    val day = (d: Int) => s"2024-03-0$d 00:00:00"
+    // x/y are key-scrambled so pre-rewrite bounds are useless
+    val df = spark.range(4000).select(
+      col("id"),
+      pmod(col("id") * 2654435761L, lit(2000L)).as("x"),
+      pmod(col("id") * 40503L, lit(2000L)).as("y"),
+      to_timestamp(when(col("id") % 2 === 0, day(5)).otherwise(day(6)))
+        .as("ts"))
+    IcebergMetadata.publishPartitioned(spark, ice, df, "/{ts,day}"): Unit
+    IcebergMetadata.sortRewrite(spark, ice, targetBytes = 4L << 10,
+      sortCols = Seq("x", "y"), zorder = true): Unit
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.forall(_.partition.length == 1)) // tuples survive
+    assert(stats.size >= 8)
+    // the scratch z column must not leak into the data files
+    val cols = spark.read.parquet(stats.head.path).columns.toSet
+    assert(cols == Set("id", "x", "y", "ts"), cols.toString)
+    // a 10% single-axis box prunes under z (both axes interleave)
+    val prunedX = IcebergMetadata.pruneDataFiles(ice, "x", 100, 300)
+    assert(prunedX.size < stats.size,
+      s"z-order must prune: kept ${prunedX.size} of ${stats.size}")
+    // row set is a pure permutation
+    val all = spark.read.parquet(stats.map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == (0L until 4000L).toSeq)
+    // z-order has no spec sort-order form: default stays/reverts to 0,
+    // columns ride the snapshot summary
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    assert(meta.get("default-sort-order-id").asInt == 0)
+    val snaps = meta.get("snapshots")
+    assert(snaps.get(snaps.size - 1).get("summary")
+      .get("zorder-columns").asText == "x,y")
+    // partition pruning still works on the z-clustered tree
+    val day6 = java.time.LocalDate.of(2024, 3, 6).toEpochDay.toInt
+    val got6 = IcebergMetadata.readPartitionPruned(spark, ice, day6, day6)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got6 == (1L until 4000L by 2).toSeq)
+  }
+
   test("maintenance replace snapshots re-walk under the independent " +
        "decoder: EXISTING/ADDED statuses, per-entry snapshot ids, " +
        "manifest-list counts and partition field-ids all reconcile") {
