@@ -3200,6 +3200,47 @@ object SparkEntry {
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
 
+    // ---- K2 AGE-BASED SNAPSHOT EXPIRATION (r13): the production
+    //      `expire_snapshots(older_than)` retention policy — everything
+    //      predates the horizon, but the tag pins its snapshot, the
+    //      current snapshot always survives, and dropping the tag
+    //      releases the pin. The final read walks the surviving
+    //      metadata tree; requires pin the history shape at each step. ----
+    "q_iceberg_expire_age" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_expage").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d1")
+      val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/d1")
+      IcebergMetadata.setRef(tmp, "train-run", c1.snapshotId)
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$tmp/d2")
+      val c2 = IcebergMetadata.commit(s, tmp, s"$tmp/d2")
+      n.withColumn("n_nationkey", col("n_nationkey") + 200)
+        .write.parquet(s"$tmp/d3")
+      val c3 = IcebergMetadata.commit(s, tmp, s"$tmp/d3")
+      val horizon = System.currentTimeMillis() + 3600000L
+      // pass 1: c2 expires; c1 (tag-pinned) and c3 (current) survive
+      require(IcebergMetadata.expireSnapshotsOlderThan(tmp, horizon) == 1,
+        "exactly the unpinned mid snapshot must expire")
+      val left1 = IcebergMetadata.currentMetadata(tmp).get._2
+        .get("snapshots")
+      require((0 until left1.size).map(left1.get(_)
+        .get("snapshot-id").asLong).toSet ==
+        Set(c1.snapshotId, c3.snapshotId), "tag pin / current survival")
+      // a horizon in the past expires nothing
+      require(IcebergMetadata.expireSnapshotsOlderThan(tmp, 1000L) == 0,
+        "past horizon must be a no-op")
+      // dropping the tag releases the pin
+      IcebergMetadata.dropRef(tmp, "train-run")
+      require(IcebergMetadata.expireSnapshotsOlderThan(tmp, horizon) == 1,
+        "released snapshot must expire")
+      require(c2.snapshotId != c3.snapshotId)
+      s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- K2 PARTITION-AWARE BINPACK (r13): the RewriteDataFiles
     //      planning unit is the per-partition FILE GROUP — victim sets
     //      form WITHIN each day tuple, outputs land under the same
@@ -6836,8 +6877,13 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
 
+    // after age-based expiration the current snapshot (the +200 shift)
+    // is what the surviving tree serves
+    "q_iceberg_expire_age" ->
+      "SELECT n_nationkey + 200 AS n_nationkey, n_name, n_regionkey FROM nation",
+
     // the two-level pruned read of the twice-rewritten partitioned
-    // tree = the same 10-day window on raw events
+    // tree = the same window on raw events
     "q_iceberg_binpack_partitioned" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |FROM events
