@@ -2546,11 +2546,19 @@ object SparkEntry {
         s.readStream.schema(cSchema).json(clickDir),
         s.readStream.schema(bSchema).json(buyDir),
         "cuser", "buser", "cts", "bts", "1 hour", "30 minutes")
-      val q = joined.writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // 8 state partitions for the tiny fixture (pinned at the first
+      // run via shuffle.partitions): the join keeps 4 state stores per
+      // partition per batch, and 32 of them is pure filesystem churn
+      // at this scale; the result is partition-count independent
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.schema(StructType(Seq(StructField("click_id", LongType),
           StructField("cuser", LongType), StructField("cts", TimestampType),
           StructField("buy_id", LongType), StructField("buser", LongType),
@@ -2616,11 +2624,16 @@ object SparkEntry {
         s.readStream.schema(cSchema).json(clickDir),
         s.readStream.schema(bSchema).json(buyDir),
         "cuser", "buser", "cts", "bts", "1 hour", "30 minutes")
-      val q = joined.writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // 8 state partitions for the tiny fixture (see q_stream_join)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.schema(StructType(Seq(StructField("click_id", LongType),
           StructField("cuser", LongType), StructField("cts", TimestampType),
           StructField("buy_id", LongType), StructField("buser", LongType),

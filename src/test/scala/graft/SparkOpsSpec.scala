@@ -1115,6 +1115,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect()
     }
     assert(unknown.getMessage.contains("schema id 3"))
+
+    // the QUARANTINE variant must survive every failure mode the strict
+    // decode throws on — registry miss, truncated body, unsupported
+    // type — and carry raw bytes + the caller's provenance columns
+    val mixed = Seq(
+      (0, 10L, 1, enc(5L, null, 123L)),           // good AVRO
+      (1, 11L, 2, """{"id":7}""".getBytes("UTF-8")), // good JSON
+      (2, 12L, 3, Array[Byte](1, 2)),             // registry miss
+      (3, 13L, 1, Array[Byte](0x02)),             // truncated AVRO
+      (0, 14L, 4, Array[Byte](9)))                // unsupported type
+      .toDF("part", "off", "sid", "body")
+    val resolver2 = KafkaDecode.MapResolver(Map(
+      1 -> KafkaDecode.RegisteredSchema(avroSchema),
+      2 -> KafkaDecode.RegisteredSchema("{}", "JSON"),
+      4 -> KafkaDecode.RegisteredSchema("{}", "PROTOBUF")))
+    val q = KafkaDecode.decodeWithRegistryQuarantine(spark, mixed,
+        "sid", "body", resolver2, metaCols = Seq("part", "off"))
+      .collect().map(r => (r.getAs[Long]("off"),
+        Option(r.getAs[String]("json")),
+        Option(r.getAs[Array[Byte]]("raw")).map(_.length),
+        Option(r.getAs[String]("error")))).sortBy(_._1)
+    assert(q(0) == ((10L, Some("""{"id":5,"who":null,"amt":1.23}"""),
+      None, None)))
+    assert(q(1) == ((11L, Some("""{"id":7}"""), None, None)))
+    assert(q(2)._2.isEmpty && q(2)._3.contains(2) &&
+      q(2)._4.exists(_.contains("schema id 3")))
+    assert(q(3)._2.isEmpty && q(3)._3.contains(1))   // raw byte kept
+    assert(q(4)._2.isEmpty &&
+      q(4)._4.exists(_.contains("unsupported schema type")))
   }
 
   test("HTTP registry resolver: Confluent wire surface, auth, caching, errors, executor-lazy decode") {
