@@ -37,6 +37,24 @@ object SparkEntry {
 
   private def fixture(name: String): String = s"$FixtureRoot/graft_$name"
 
+  /** Run a gate body under `n` shuffle partitions, restoring the
+    * session setting afterwards. For the multi-run STREAMING gates:
+    * their wall is dominated by per-micro-batch state-store and tiny-
+    * exchange churn × the session's 32 partitions, pure overhead at
+    * fixture scale (results are partition-count independent — each
+    * gate starts from a fresh checkpoint, and the override spans every
+    * run inside the gate so checkpointed state partitioning stays
+    * consistent). The returned frame is a plain read of the gate's
+    * output files, safe to execute after the restore. */
+  private def withShuffle(n: Int)(
+      fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try fn(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Change-log shape consumed by the K1 writer-pipeline gate. */
   private val changeLogSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -384,7 +402,7 @@ object SparkEntry {
     //      cdc.go:100-164 writer loop). The merged table matches the
     //      oracle only if every micro-batch applied exactly once and
     //      in position order. ----
-    "q_stream_pipeline" -> ((s, dir) => {
+    "q_stream_pipeline" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types._
       val root = java.nio.file.Files
         .createTempDirectory("graft_k1").toString
@@ -640,7 +658,7 @@ object SparkEntry {
     //      batches), fresh content (kept), and a within-batch dup pair
     //      (min id kept). A manual stale replay of batch 0 afterwards
     //      must be a no-op. Oracle replays the three kept sets. ----
-    "q_dedup_stream" -> ((s, dir) => {
+    "q_dedup_stream" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
       val root = new java.io.File(fixture("dstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
@@ -700,7 +718,7 @@ object SparkEntry {
     //      is declarative, so DuckDB replays the whole chain: token
     //      bounds, 5-gram benchmark overlap, membership against
     //      init ∪ previously-kept, within-batch min-id. ----
-    "q_curate_stream" -> ((s, dir) => {
+    "q_curate_stream" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
       val root = new java.io.File(fixture("custream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
@@ -770,7 +788,7 @@ object SparkEntry {
     //      it as three chained NOT-EXISTS levels over exact shingle
     //      Jaccard (full recall at k=64/b=16/t=0.9 — the standing
     //      q_minhash_index_store argument). ----
-    "q_neardup_stream" -> ((s, dir) => {
+    "q_neardup_stream" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
       val root = new java.io.File(fixture("ndstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
@@ -826,7 +844,7 @@ object SparkEntry {
     //      was indexed) plus NEGATED vectors (cos flips sign → mostly
     //      new). DuckDB replays the chain via list_cosine_similarity
     //      NOT-EXISTS levels. ----
-    "q_cosine_stream" -> ((s, dir) => {
+    "q_cosine_stream" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField => SF, StructType => ST}
       val root = new java.io.File(fixture("costream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
@@ -2436,7 +2454,7 @@ object SparkEntry {
     //      dropped iff its window end ≤ that prior watermark (ties drop).
     //      A far-future sentinel run flushes every real window so DuckDB
     //      can replay the admit/drop rule batch-by-batch. ----
-    "q_late_drop" -> ((s, dir) => {
+    "q_late_drop" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types._
       // fixed path cleared at query start (same pattern as
       // q_iceberg_prune) so repeated Verify/Bench runs don't accumulate
@@ -4123,7 +4141,7 @@ object SparkEntry {
     //      swapped. A stale replay of batch 0 afterwards must no-op
     //      (batchId fence). Final dimension == the from-scratch
     //      oracle. ----
-    "q_scd2_stream" -> ((s, dir) => {
+    "q_scd2_stream" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField => SF, StructType => ST}
       val root = new java.io.File(fixture("scd_stream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
@@ -4471,7 +4489,7 @@ object SparkEntry {
     //      a stale re-delivery of batch 0 — max-folding is idempotent,
     //      so the final stored sketch must equal the one-shot batch
     //      sketch over the whole table (the q_profile_hll oracle) ----
-    "q_profile_hll_stream" -> ((s, dir) => {
+    "q_profile_hll_stream" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
       val root = new java.io.File(fixture("pstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
@@ -4512,7 +4530,7 @@ object SparkEntry {
     //      batchId) — the stale re-delivery of batch 0 here rewrites
     //      cms_v0 and must NOT double-count into the newest. Final
     //      sketch == the one-shot q_profile_cms oracle ----
-    "q_profile_cms_stream" -> ((s, dir) => {
+    "q_profile_cms_stream" -> withShuffle(8)((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StructField => SF, StructType => ST}
       val root = new java.io.File(fixture("cstream"))
       def rm(f: java.io.File): Unit = if (f.exists) {
