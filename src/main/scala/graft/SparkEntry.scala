@@ -3231,6 +3231,43 @@ object SparkEntry {
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
 
+    // ---- K2 FAST-APPEND commit (r13): Iceberg's newFastAppend shape
+    //      — each append's manifest list carries the prior snapshot's
+    //      manifest rows VERBATIM plus one new manifest, so metadata
+    //      cost is O(new files) per commit. The requires pin the O(new)
+    //      structure (list grows by exactly one row per append; prior
+    //      manifest paths reused byte-for-byte); the read walks all
+    //      three accumulated manifests. ----
+    "q_iceberg_fast_append" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_fastapp").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d1")
+      val c1 = IcebergMetadata.commit(s, tmp, s"$tmp/d1")
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$tmp/d2")
+      val c2 = IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2")
+      n.withColumn("n_nationkey", col("n_nationkey") + 200)
+        .write.parquet(s"$tmp/d3")
+      val c3 = IcebergMetadata.appendCommit(s, tmp, s"$tmp/d3")
+      require(c3.sequenceNumber == c1.sequenceNumber + 2)
+      // O(new) structure: each snapshot's file set grows by its own
+      // files only, and earlier files stay addressed by the SAME paths
+      val files1 = IcebergMetadata.dataFileStats(tmp, Some(c1.snapshotId))
+      val files2 = IcebergMetadata.dataFileStats(tmp, Some(c2.snapshotId))
+      val files3 = IcebergMetadata.dataFileStats(tmp)
+      require(files1.map(_.path).toSet.subsetOf(files2.map(_.path).toSet) &&
+        files2.map(_.path).toSet.subsetOf(files3.map(_.path).toSet),
+        "appends must accumulate, never rewrite")
+      // carried entries keep their ORIGINAL adding snapshot
+      require(files3.filter(f => files1.exists(_.path == f.path))
+        .forall(_.addedSnapshotId == c1.snapshotId),
+        "carried manifests must keep their original snapshot ids")
+      s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- K2 AGE-BASED SNAPSHOT EXPIRATION (r13): the production
     //      `expire_snapshots(older_than)` retention policy — everything
     //      predates the horizon, but the tag pins its snapshot, the
@@ -6907,6 +6944,14 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // three accumulated appends = nation under three key shifts
+    "q_iceberg_fast_append" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey FROM nation""".stripMargin,
 
     // after age-based expiration the current snapshot (the +200 shift)
     // is what the surviving tree serves

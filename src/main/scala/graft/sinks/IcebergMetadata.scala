@@ -555,9 +555,13 @@ object IcebergMetadata {
 
   /** Write the manifest list: one row per manifest. A manifest written
     * under a partitioned spec also carries the `partitions`
-    * field-summary list computed over its entries. */
+    * field-summary list computed over its entries. `carryForward` rows
+    * (a fast-append's prior-snapshot manifests, read back with the
+    * same writer schema) are re-emitted FIRST, byte-equivalent — their
+    * added_snapshot_id / counts / summaries stay the original ones. */
   private[sinks] def writeManifestList(md: File, snapshotId: Long,
-                                manifests: Seq[ManifestOut])
+                                manifests: Seq[ManifestOut],
+                                carryForward: Seq[GenericRecord] = Nil)
       : File = {
     val f = new File(md,
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
@@ -565,7 +569,9 @@ object IcebergMetadata {
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setMeta("format-version", "2")
     w.create(manifestFileSchema, f)
-    try manifests.foreach { mo =>
+    try {
+    carryForward.foreach(w.append)
+    manifests.foreach { mo =>
       val entries = mo.entries
       val m = new GenericData.Record(manifestFileSchema)
       m.put("manifest_path", mo.file.getAbsolutePath)
@@ -602,6 +608,7 @@ object IcebergMetadata {
         m.put("partitions", arr)
       }
       w.append(m)
+    }
     } finally w.close()
     f
   }
@@ -1004,6 +1011,48 @@ object IcebergMetadata {
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, operation, summary, entries.length, entries.map(_.rows).sum,
       baseMetadata = Some(baseMetadata))
+    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+  }
+
+  /** FAST-APPEND commit — Iceberg's `newFastAppend` shape, the only
+    * append that survives a table with millions of files: the new
+    * snapshot's manifest LIST carries every prior manifest row
+    * VERBATIM (zero manifest rewrites, zero reads of existing data or
+    * manifest files — the rows keep their original added_snapshot_id,
+    * counts, sequence numbers and partition summaries) plus ONE new
+    * manifest for `dataDir`'s files. Metadata cost is O(new files) per
+    * commit, where [[commit]] / [[publishMoR]] rebuild the full
+    * manifest set (replace semantics). The reference's writer appends
+    * per micro-batch the same way through the library's AppendFiles
+    * (`destination/iceberg/iceberg.go` commit path). */
+  def appendCommit(spark: SparkSession, tableDir: String, dataDir: String,
+                   summary: Map[String, String] = Map.empty): Commit = {
+    val md = metaDir(tableDir)
+    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"appendCommit needs a committed table; use commit() first"))
+    val prevSnapId = prevMeta.get("current-snapshot-id").asLong
+    val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == prevSnapId).getOrElse(
+        throw new IllegalStateException("current snapshot missing"))
+    val carried = readAvro(new File(prevSnap.get("manifest-list").asText))
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    // same schema derivation as commit(): field ids are positional and
+    // writeMetadataJson reconciles them against the committed schema
+    // (unchanged columns keep their ids; evolution renumbers new ones)
+    val schemaStr = schemaJson(spark.read.parquet(dataDir).schema)
+    val entries = entriesFor(spark, dataDir, seq,
+      fieldIds = topLevelFieldIds(schemaStr))
+    require(entries.nonEmpty, s"no parquet data files under $dataDir")
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq(ManifestOut(manifest, 0, entries)), carryForward = carried)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "append", summary, entries.length, entries.map(_.rows).sum,
+      specs = specsFromMeta(prevMeta))
     Commit(version, snapshotId, seq, manifest.getAbsolutePath,
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }

@@ -1724,6 +1724,50 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.addedFiles == after.size)
   }
 
+  test("fast-append: the new manifest list = prior rows VERBATIM + one " +
+       "new manifest — O(new files) metadata; time travel and expiry " +
+       "still work over the accumulated tree") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_fastapp").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$tmp/d1")
+    val c1 = IcebergMetadata.commit(spark, tmp, s"$tmp/d1")
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.parquet(s"$tmp/d2")
+    val c2 = IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2")
+    def rows(f: File) = {
+      val r = new DataFileReader(f, new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    def listOf(c: IcebergMetadata.Commit) =
+      rows(new File(c.manifestListPath))
+    val l1 = listOf(c1); val l2 = listOf(c2)
+    assert(l1.size == 1 && l2.size == 2)
+    // row 0 of the append's list IS the prior row, field for field —
+    // same manifest file on disk, same adding snapshot, same counts
+    for (f <- Seq("manifest_path", "manifest_length", "added_snapshot_id",
+        "added_files_count", "added_rows_count", "sequence_number"))
+      assert(l2.head.get(f) == l1.head.get(f), f)
+    assert(l2(1).get("added_snapshot_id") == c2.snapshotId)
+    // sequence chain + accumulated read
+    assert(c2.sequenceNumber == c1.sequenceNumber + 1)
+    val keys = spark.read
+      .parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    assert(keys == ((0 until 25) ++ (100 until 125)).toSeq)
+    // time travel to the base still reads only d1
+    assert(IcebergMetadata.dataFileStats(tmp, Some(c1.snapshotId))
+      .forall(_.path.contains("/d1/")))
+    // expiring the base snapshot must NOT delete the shared manifest
+    // the append's list still references
+    assert(IcebergMetadata.expireSnapshots(tmp, keepLast = 1) == 1)
+    val after = spark.read
+      .parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    assert(after == keys, "shared manifest must survive base expiry")
+  }
+
   test("PARTITIONED z-order rewrite: per-partition Morton clustering — " +
        "single-axis boxes prune inside each day; the scratch __z never " +
        "lands in the data files; order reverts to unsorted") {
