@@ -251,6 +251,18 @@ object Main {
         s""""added_files":${c.addedFiles},"rows":${c.addedRows}}""")
       spark.stop()
 
+    // maintain <table> manifests [groupSize]: consolidate the small
+    // per-append manifests into grouped ones (pure metadata commit —
+    // no data file read or moved; scan PLANNING cost drops back to
+    // O(groups))
+    case "maintain" :: table :: "manifests" :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val g = rest.headOption.map(_.toInt).getOrElse(8)
+      val c = graft.sinks.IcebergMetadata.rewriteManifests(spark, table, g)
+      println(s"""{"status":"rewritten","snapshot":${c.snapshotId}}""")
+      spark.stop()
+
     // maintain <table> expire [keepLast] — count-based retention, OR
     // maintain <table> expire --older-than <epochMillis> [retainLast]
     // — timestamp-based (the standard production policy; tag-pinned

@@ -3268,6 +3268,39 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K2 REWRITE MANIFESTS (r13): the metadata-side maintenance
+    //      op a fast-append cadence needs — five appends leave five
+    //      manifests; the rewrite consolidates every live entry into
+    //      grouped manifests as EXISTING under the ORIGINAL snapshot
+    //      ids, reading/moving NO data file (the requires pin both).
+    //      The read then walks the consolidated tree. ----
+    "q_iceberg_rewrite_manifests" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_rwman").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      val c0 = IcebergMetadata.commit(s, tmp, s"$tmp/d0")
+      val appends = (1 to 4).map { i =>
+        n.withColumn("n_nationkey", col("n_nationkey") + i * 100)
+          .write.parquet(s"$tmp/d$i")
+        IcebergMetadata.appendCommit(s, tmp, s"$tmp/d$i")
+      }
+      val before = IcebergMetadata.dataFileStats(tmp)
+      val c = IcebergMetadata.rewriteManifests(s, tmp)
+      val after = IcebergMetadata.dataFileStats(tmp)
+      // pure metadata: identical file paths, original snapshot ids
+      require(after.map(_.path).sorted == before.map(_.path).sorted,
+        "rewriteManifests must not touch data files")
+      require(after.count(_.addedSnapshotId == c0.snapshotId) ==
+        before.count(_.addedSnapshotId == c0.snapshotId) &&
+        appends.forall(a => after.exists(_.addedSnapshotId == a.snapshotId)),
+        "original adding snapshots must survive consolidation")
+      require(c.sequenceNumber == appends.last.sequenceNumber + 1)
+      s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- K2 AGE-BASED SNAPSHOT EXPIRATION (r13): the production
     //      `expire_snapshots(older_than)` retention policy — everything
     //      predates the horizon, but the tag pins its snapshot, the
@@ -6944,6 +6977,12 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // consolidation is a pure metadata commit: the row set is the base
+    // plus the four appended key shifts, unchanged
+    "q_iceberg_rewrite_manifests" ->
+      """SELECT n_nationkey + s.s AS n_nationkey, n_name, n_regionkey
+        |FROM nation, (SELECT unnest([0, 100, 200, 300, 400]) AS s) s""".stripMargin,
 
     // three accumulated appends = nation under three key shifts
     "q_iceberg_fast_append" ->

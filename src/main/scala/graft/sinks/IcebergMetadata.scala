@@ -1057,6 +1057,73 @@ object IcebergMetadata {
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 
+  /** REWRITE MANIFESTS — Iceberg's RewriteManifests action, the
+    * metadata-side complement of [[binpackRewrite]]: a fast-append
+    * cadence leaves one small manifest per commit, and scan PLANNING
+    * cost grows with manifest count even when the data layout is fine.
+    * This consolidates every live DATA entry into `groupSize`-tuple
+    * manifests (sorted, so partitioned tables keep selective field
+    * summaries) as EXISTING entries under their ORIGINAL snapshot ids
+    * and sequence numbers; delete-manifest rows carry forward VERBATIM
+    * from the previous manifest list. No data file is read or moved —
+    * a pure metadata commit, O(live entries). */
+  def rewriteManifests(spark: SparkSession, tableDir: String,
+                       groupSize: Int = 8,
+                       summary: Map[String, String] = Map.empty): Commit = {
+    val md = metaDir(tableDir)
+    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val specs = specsFromMeta(prevMeta)
+    val parts = specs.last
+    val curSchemaId = prevMeta.get("current-schema-id").asInt
+    val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val prevSnapId = prevMeta.get("current-snapshot-id").asLong
+    val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == prevSnapId).get
+    // delete manifests (content 1) ride along untouched — their rows
+    // re-emit verbatim from the old list
+    val prevListRows =
+      readAvro(new File(prevSnap.get("manifest-list").asText))
+    val deleteRows = prevListRows.filter(
+      _.get("content").asInstanceOf[Int] == 1)
+    val all = dataFileStats(tableDir)
+    val dataEntries = all.filter(_.content == 0).map(e =>
+      FileEntry(e.path, new File(e.path).length(), e.recordCount, e.seq,
+        0, Nil, e.stats, e.partition,
+        entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId)))
+    require(dataEntries.nonEmpty, "nothing to rewrite")
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val (tupled, otherSpec) =
+      dataEntries.partition(_.partition.length == parts.length)
+    val manifests =
+      if (parts.isEmpty)
+        Seq(ManifestOut(writeManifest(md, dataEntries, snapshotId,
+          schemaStr, "data", 0), 0, dataEntries))
+      else {
+        val partM = partitionedManifests(md, tupled, parts,
+          specs.length - 1, snapshotId, schemaStr, groupSize, 0)
+        val baseM =
+          if (otherSpec.isEmpty) Nil
+          else Seq(ManifestOut(writeManifest(md, otherSpec, snapshotId,
+            schemaStr, "data", partM.length), 0, otherSpec))
+        partM ++ baseM
+      }
+    val list = writeManifestList(md, snapshotId, manifests,
+      carryForward = deleteRows)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "replace",
+      summary ++ Map(
+        "manifests-replaced" ->
+          (prevListRows.length - deleteRows.length).toString,
+        "manifests-created" -> manifests.length.toString),
+      0, 0L, specs = specs)
+    Commit(version, snapshotId, seq,
+      manifests.head.file.getAbsolutePath,
+      list.getAbsolutePath, 0, 0L)
+  }
+
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
              operation: String = "append",
              summary: Map[String, String] = Map.empty): Commit = {

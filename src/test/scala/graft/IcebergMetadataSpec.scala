@@ -1768,6 +1768,74 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == keys, "shared manifest must survive base expiry")
   }
 
+  test("rewriteManifests: per-append manifests consolidate (planning " +
+       "rows drop), EXISTING entries keep original ids, delete " +
+       "manifests carry verbatim and the MoR algebra still resolves") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    import scala.jdk.CollectionConverters._
+    def listRows(dir: String) = {
+      val (_, meta) = IcebergMetadata.currentMetadata(dir).get
+      val id = meta.get("current-snapshot-id").asLong
+      val snap = meta.withArray[com.fasterxml.jackson.databind.node
+          .ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == id).get
+      val r = new DataFileReader(
+        new File(snap.get("manifest-list").asText),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    // plain fast-append cadence: 1 base + 4 appends = 5 manifests → 1
+    val tmp = Files.createTempDirectory("graft_rwm").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    (1 to 4).foreach { i =>
+      nation.withColumn("n_nationkey", col("n_nationkey") + i * 100)
+        .write.parquet(s"$tmp/d$i")
+      IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d$i"): Unit
+    }
+    assert(listRows(tmp).size == 5)
+    IcebergMetadata.rewriteManifests(spark, tmp): Unit
+    val consolidated = listRows(tmp)
+    assert(consolidated.size == 1, consolidated.size)
+    // consolidated entries are EXISTING, counted as existing_*
+    assert(consolidated.head.get("added_files_count") == 0)
+    assert(consolidated.head.get("existing_files_count")
+      .asInstanceOf[Int] >= 5)
+    val keys = spark.read
+      .parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    assert(keys == (0 to 4).flatMap(i => (i * 100) until (i * 100 + 25)))
+
+    // MoR table: the delete manifest rides verbatim; the resolved view
+    // is unchanged after consolidation
+    val table = Files.createTempDirectory("graft_rwm_t").toString
+    val ice = Files.createTempDirectory("graft_rwm_i").toString
+    spark.range(50).select(
+        col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    DeltaSegments.writeSegment(
+      spark.range(5).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 100).as("v"), lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val beforeRows = IcebergMetadata.readMoR(spark, ice)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val delBefore = listRows(ice).count(
+      _.get("content").asInstanceOf[Int] == 1)
+    assert(delBefore >= 1)
+    IcebergMetadata.rewriteManifests(spark, ice): Unit
+    assert(listRows(ice).count(
+      _.get("content").asInstanceOf[Int] == 1) == delBefore)
+    val afterRows = IcebergMetadata.readMoR(spark, ice)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(afterRows == beforeRows)
+  }
+
   test("PARTITIONED z-order rewrite: per-partition Morton clustering — " +
        "single-axis boxes prune inside each day; the scratch __z never " +
        "lands in the data files; order reverts to unsorted") {
