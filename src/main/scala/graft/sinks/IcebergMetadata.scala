@@ -1032,6 +1032,10 @@ object IcebergMetadata {
     val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(
         s"appendCommit needs a committed table; use commit() first"))
+    val specs = specsFromMeta(prevMeta)
+    require(specs.last.isEmpty,
+      "table's default spec is partitioned: append through " +
+        "appendCommitPartitioned so the new manifest carries tuples")
     val prevSnapId = prevMeta.get("current-snapshot-id").asLong
     val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
       .find(_.get("snapshot-id").asLong == prevSnapId).getOrElse(
@@ -1052,8 +1056,57 @@ object IcebergMetadata {
       Seq(ManifestOut(manifest, 0, entries)), carryForward = carried)
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "append", summary, entries.length, entries.map(_.rows).sum,
-      specs = specsFromMeta(prevMeta))
+      specs = specs)
     Commit(version, snapshotId, seq, manifest.getAbsolutePath,
+      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+  }
+
+  /** [[appendCommit]] for a PARTITIONED table: `df`'s rows land under
+    * the table's `__p_` hive layout (partition values recomputed from
+    * the source columns via the committed spec's transforms), the new
+    * manifests carry the tuples + field summaries grouped by
+    * contiguous tuple ranges, and every prior manifest row still rides
+    * verbatim — O(new files) metadata, pruning intact. */
+  def appendCommitPartitioned(spark: SparkSession, tableDir: String,
+                              df: DataFrame, groupSize: Int = 8,
+                              summary: Map[String, String] = Map.empty)
+      : Commit = {
+    val md = metaDir(tableDir)
+    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"appendCommitPartitioned needs a committed table"))
+    val specs = specsFromMeta(prevMeta)
+    val parts = specs.last
+    require(parts.nonEmpty,
+      "table's default spec is unpartitioned: use appendCommit")
+    val curSchemaId = prevMeta.get("current-schema-id").asInt
+    val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val statIds = topLevelFieldIds(schemaStr)
+    val prevSnapId = prevMeta.get("current-snapshot-id").asLong
+    val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == prevSnapId).get
+    val carried = readAvro(new File(prevSnap.get("manifest-list").asText))
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val outDir = new File(new File(tableDir, "data"), s"$snapshotId-append")
+    val fields = partitionFieldsFor(prevMeta, parts)
+    writePartitionedFiles(df, fields, parts, outDir.getPath)
+    val entries = partitionedLeaves(outDir, parts).flatMap {
+      case (tup, dir) =>
+        entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+          partition = tup)
+    }
+    require(entries.nonEmpty, "nothing to append")
+    val manifests = partitionedManifests(md, entries, parts,
+      specs.length - 1, snapshotId, schemaStr, groupSize, 0)
+    val list = writeManifestList(md, snapshotId, manifests,
+      carryForward = carried)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "append", summary, entries.length, entries.map(_.rows).sum,
+      specs = specs)
+    Commit(version, snapshotId, seq,
+      manifests.head.file.getAbsolutePath,
       list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
   }
 

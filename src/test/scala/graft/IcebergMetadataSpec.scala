@@ -1768,6 +1768,54 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == keys, "shared manifest must survive base expiry")
   }
 
+  test("PARTITIONED fast-append: new day lands under the __p_ layout " +
+       "with tuples + summaries, prior manifests ride verbatim, both " +
+       "pruning levels work; a later rewriteManifests re-groups tuples") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val ice = Files.createTempDirectory("graft_pfa").toString
+    val day = (d: Int) => s"2024-03-0$d 00:00:00"
+    def rowsFor(dNum: Int, lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"),
+        to_timestamp(lit(day(dNum))).as("ts"))
+    IcebergMetadata.publishPartitioned(spark, ice,
+      rowsFor(5, 0, 500).unionByName(rowsFor(6, 500, 1000)),
+      "/{ts,day}"): Unit
+    val c2 = IcebergMetadata.appendCommitPartitioned(spark, ice,
+      rowsFor(7, 1000, 1500))
+    // prior manifest rows verbatim + the appended day prunable
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val snap = meta.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == c2.snapshotId).get
+    val l2 = {
+      val r = new DataFileReader(
+        new File(snap.get("manifest-list").asText),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    assert(l2.size == 2)
+    assert(l2.last.get("added_snapshot_id") == c2.snapshotId)
+    val day5 = java.time.LocalDate.of(2024, 3, 5).toEpochDay.toInt
+    val day7 = java.time.LocalDate.of(2024, 3, 7).toEpochDay.toInt
+    val got7 = IcebergMetadata.readPartitionPruned(spark, ice, day7, day7)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got7 == (1000L until 1500L).toSeq)
+    val got5 = IcebergMetadata.readPartitionPruned(spark, ice, day5, day5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got5 == (0L until 500L).toSeq)
+    // manifest-level pruning skips the pre-append manifest for day 7
+    val kept7 = IcebergMetadata.pruneManifests(ice, day7, day7)
+    assert(kept7.size == 1, kept7.toString)
+    // consolidation after appends keeps tuples + the full row set
+    IcebergMetadata.rewriteManifests(spark, ice): Unit
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.forall(_.partition.length == 1))
+    val all = spark.read.parquet(stats.map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == (0L until 1500L).toSeq)
+  }
+
   test("rewriteManifests: per-append manifests consolidate (planning " +
        "rows drop), EXISTING entries keep original ids, delete " +
        "manifests carry verbatim and the MoR algebra still resolves") {
