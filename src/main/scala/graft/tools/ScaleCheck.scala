@@ -267,6 +267,46 @@ object ScaleCheck {
         "(<<10 = concurrent group fan-out amortizes)")
       println(f"pbinpack victims-10x ratio: ${tPv / tP1}%.1f× " +
         "(≤~10 = victim-bytes-proportional)")
+
+      // ---- FAST-APPEND / REWRITE-MANIFESTS tier (r13): three claims.
+      // (1) appendCommit wall stays ~flat as the table's manifest
+      // count grows 10× (prior rows are COPIED, never re-read from
+      // manifest files); (2) scan PLANNING cost (a dataFileStats walk)
+      // grows with manifest count on an append-heavy table; (3) one
+      // rewriteManifests restores it, with zero data-plane IO. ----
+      val nat = Tables.load(spark, base, "nation")
+      def mkApp(tag: String, appends: Int): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"scfa$tag").toString
+        nat.write.parquet(s"$tmp/d0")
+        IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+        (1 to appends).foreach { i =>
+          nat.select((col("n_nationkey") + i * 100).as("n_nationkey"),
+              col("n_name"), col("n_regionkey"))
+            .coalesce(1).write.parquet(s"$tmp/d$i")
+          IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d$i"): Unit
+        }
+        tmp
+      }
+      val fa5 = mkApp("5", 5)
+      val fa50 = mkApp("50", 50)
+      nat.coalesce(1).write.parquet(s"$fa5/extra")
+      nat.coalesce(1).write.parquet(s"$fa50/extra")
+      val tApp5 = timeR("appendCommit onto 5-manifest table") {
+        IcebergMetadata.appendCommit(spark, fa5, s"$fa5/extra") }
+      val tApp50 = timeR("appendCommit onto 50-manifest table") {
+        IcebergMetadata.appendCommit(spark, fa50, s"$fa50/extra") }
+      println(f"appendCommit manifests-10x ratio: ${tApp50 / tApp5}%.1f× " +
+        "(~1 = carried rows copied, never re-read)")
+      val tPlanBefore = timeR("planning walk, 51 manifests") {
+        IcebergMetadata.dataFileStats(fa50).size }
+      val tRw = timeR("rewriteManifests (metadata only)") {
+        IcebergMetadata.rewriteManifests(spark, fa50) }
+      val tPlanAfter = timeR("planning walk, consolidated") {
+        IcebergMetadata.dataFileStats(fa50).size }
+      println(f"planning-walk consolidation ratio: " +
+        f"${tPlanBefore / tPlanAfter}%.1f× faster after ONE " +
+        f"rewriteManifests (${tRw}%.2f s, zero data files touched)")
       spark.stop()
       return
     }
