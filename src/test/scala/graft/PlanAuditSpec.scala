@@ -915,5 +915,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // positions are a dense 0..n-1 permutation
     val pos = out.select("shuffle_pos").collect().map(_.getLong(0)).sorted
     assert(pos.toSeq == (0L until 2000L).toSeq)
+    // the position of a document is a GLOBAL rank, so it is identical
+    // at ANY bucket count — a training run can retune partitions
+    // without changing the epoch's order (the replayability contract)
+    val p7 = graft.llm.TextAnalysis.epochShuffle(docs, "doc_id", "seed-1",
+        partitions = 7).select("doc_id", "shuffle_pos")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p4096 = out.select("doc_id", "shuffle_pos")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p7 == p4096)
   }
 }
