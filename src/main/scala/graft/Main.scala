@@ -251,6 +251,19 @@ object Main {
         s""""added_files":${c.addedFiles},"rows":${c.addedRows}}""")
       spark.stop()
 
+    // maintain <table> auto <targetMB> [keepLast]: the composed table
+    // service — compact (if delete-bearing) → binpack → consolidate
+    // manifests (if append-accumulated) → expire → sweep orphans
+    case "maintain" :: table :: "auto" :: targetMb :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val keep = rest.headOption.map(_.toInt).getOrElse(2)
+      val steps = graft.sinks.IcebergMetadata.autoMaintain(spark, table,
+        targetMb.toLong << 20, keepLast = keep)
+      println(steps.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}"))
+      spark.stop()
+
     // maintain <table> manifests [groupSize]: consolidate the small
     // per-append manifests into grouped ones (pure metadata commit —
     // no data file read or moved; scan PLANNING cost drops back to

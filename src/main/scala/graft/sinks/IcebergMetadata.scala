@@ -2234,6 +2234,63 @@ object IcebergMetadata {
       .drop("__seq", "__del_seq")
   }
 
+  /** One-call TABLE SERVICE pass — the maintenance loop a production
+    * deployment schedules per table (the order matters and encodes the
+    * ops' preconditions):
+    *
+    *  1. a delete-bearing (MoR) tree gets [[majorCompactMoR]] first —
+    *     read-side merge cost paid once, and it is what unlocks binpack
+    *     (which refuses delete-bearing trees);
+    *  2. [[binpackRewrite]] at `targetBytes` (a None result = no
+    *     partition had a mergeable small-file set — steady state);
+    *  3. [[rewriteManifests]] when the manifest list has outgrown the
+    *     grouped layout (more rows than 2× the grouped count — the
+    *     fast-append accumulation signature);
+    *  4. [[expireSnapshots]] keeps the last `keepLast` (tags always
+    *     pin), reclaiming the pre-rewrite history;
+    *  5. [[removeOrphans]] sweeps unreferenced files older than
+    *     `graceMs` (in-flight writer guard).
+    *
+    * Every step reuses the individually audited op; the returned map
+    * records each step's outcome for the operator's log. */
+  def autoMaintain(spark: SparkSession, tableDir: String,
+                   targetBytes: Long, keepLast: Int = 2,
+                   graceMs: Long = 0L, groupSize: Int = 8)
+      : Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val (_, delFiles) = manifestEntries(tableDir)
+    if (delFiles.nonEmpty) {
+      val c = majorCompactMoR(spark, tableDir, targetBytes,
+        groupSize = groupSize)
+      out("compact") = s"applied ${delFiles.size} delete files " +
+        s"into snapshot ${c.snapshotId}"
+    } else out("compact") = "skip (delete-free)"
+    binpackRewrite(spark, tableDir, targetBytes,
+      groupSize = groupSize) match {
+      case Some(c) => out("binpack") =
+        s"merged into snapshot ${c.snapshotId} (${c.addedFiles} files)"
+      case None => out("binpack") = "skip (no mergeable small-file set)"
+    }
+    val (_, meta) = currentMetadata(tableDir).get
+    val snapId = meta.get("current-snapshot-id").asLong
+    val listFile = meta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == snapId).get
+      .get("manifest-list").asText
+    val listRows = readAvro(new File(listFile))
+    val tuples = dataFileStats(tableDir).map(_.partition).distinct.size
+    val grouped = math.max(1,
+      (tuples + groupSize - 1) / math.max(1, groupSize))
+    if (listRows.size > 2 * grouped) {
+      val c = rewriteManifests(spark, tableDir, groupSize)
+      out("manifests") =
+        s"${listRows.size} manifests consolidated (snapshot ${c.snapshotId})"
+    } else out("manifests") = s"skip (${listRows.size} manifests)"
+    out("expire") =
+      s"${expireSnapshots(tableDir, keepLast)} snapshots removed"
+    out("orphans") = s"${removeOrphans(tableDir, graceMs)} files swept"
+    out.toMap
+  }
+
   /** Expire old snapshots — the spec's expire-snapshots maintenance
     * action. Keeps the most recent `keepLast` snapshots (the current
     * one always survives), writes a new metadata version with the

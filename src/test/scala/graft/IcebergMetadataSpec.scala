@@ -1768,6 +1768,75 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == keys, "shared manifest must survive base expiry")
   }
 
+  test("autoMaintain: the composed table service — MoR compacts then " +
+       "binpacks; an append-accumulated table consolidates manifests; " +
+       "history expires to the floor and orphans sweep; rows intact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    import scala.jdk.CollectionConverters._
+    // scenario 1: delete-bearing MoR table
+    val table = Files.createTempDirectory("graft_am_t").toString
+    val ice = Files.createTempDirectory("graft_am_i").toString
+    spark.range(100).select(
+        col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    DeltaSegments.writeSegment(
+      spark.range(10).select(col("id").cast("string").as(OlakeId),
+          (col("id") + 1000).as("v"), lit("u").as(OpType),
+          current_timestamp().as(CdcTimestamp), col("id").as("lsn"))
+        .unionByName(spark.range(90, 100).select(
+          col("id").cast("string").as(OlakeId), col("id").as("v"),
+          lit("d").as(OpType), current_timestamp().as(CdcTimestamp),
+          col("id").as("lsn"))), table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table)
+    val steps = IcebergMetadata.autoMaintain(spark, ice,
+      targetBytes = 512L << 20)
+    assert(steps("compact").contains("applied"), steps.toString)
+    val (_, delAfter) = IcebergMetadata.manifestEntries(ice)
+    assert(delAfter.isEmpty)
+    val rows = spark.read
+      .parquet(IcebergMetadata.dataFilePaths(ice): _*)
+      .select(OlakeId, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows.size == 90 && rows.toMap.apply("0") == 1000L)
+    // history trimmed to the keepLast floor
+    val (_, m1) = IcebergMetadata.currentMetadata(ice).get
+    assert(m1.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").size <= 2)
+
+    // scenario 2: fast-append accumulation → manifests consolidate
+    val tmp = Files.createTempDirectory("graft_am_fa").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    (1 to 6).foreach { i =>
+      nation.withColumn("n_nationkey", col("n_nationkey") + i * 100)
+        .write.parquet(s"$tmp/d$i")
+      IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d$i"): Unit
+    }
+    val steps2 = IcebergMetadata.autoMaintain(spark, tmp,
+      targetBytes = 1L << 20)
+    assert(steps2("compact").contains("skip"), steps2.toString)
+    // either binpack already merged everything into one manifest or
+    // the consolidation step did — both end consolidated
+    val (_, m2) = IcebergMetadata.currentMetadata(tmp).get
+    val curId = m2.get("current-snapshot-id").asLong
+    val listN = {
+      val lf = m2.withArray[com.fasterxml.jackson.databind.node
+          .ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == curId).get
+        .get("manifest-list").asText
+      val r = new DataFileReader(new File(lf),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.size finally r.close()
+    }
+    assert(listN <= 2, s"append accumulation must consolidate: $listN")
+    val keys = spark.read
+      .parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    assert(keys == (0 to 6).flatMap(i => (i * 100) until (i * 100 + 25)))
+  }
+
   test("PARTITIONED fast-append: new day lands under the __p_ layout " +
        "with tuples + summaries, prior manifests ride verbatim, both " +
        "pruning levels work; a later rewriteManifests re-groups tuples") {
