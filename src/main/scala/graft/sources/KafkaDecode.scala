@@ -257,7 +257,10 @@ object KafkaDecode {
     * dead-letter row carrying the RAW payload bytes, the caller's
     * provenance columns (`metaCols`, e.g. topic/partition/offset) and
     * the failure reason — so the bad records land in a quarantine sink
-    * replayable after the schema/registry problem is fixed. */
+    * replayable after the schema/registry problem is fixed. Failure
+    * KIND matters: only per-record problems quarantine; a resolver
+    * IOException (registry unreachable / 5xx) fails the task so the
+    * batch retries instead of dead-lettering a healthy stream. */
   def decodeWithRegistryQuarantine(spark: SparkSession, df: DataFrame,
                                    idCol: String, payloadCol: String,
                                    resolver: SchemaResolver,
@@ -281,28 +284,45 @@ object KafkaDecode {
           val meta = (0 until n).map(r.get)
           val id = r.getInt(n)
           val bytes = r.getAs[Array[Byte]](n + 1)
-          try {
-            val reg = resolver.resolve(id)
-            val json = reg.resolvedType match {
-              case "AVRO" =>
-                val (schema, reader) = readers.getOrElseUpdate(id, {
-                  val s =
-                    new org.apache.avro.Schema.Parser().parse(reg.schemaJson)
-                  (s, new org.apache.avro.generic.GenericDatumReader[Any](s))
-                })
-                val dec = org.apache.avro.io.DecoderFactory.get()
-                  .binaryDecoder(bytes, null)
-                avroJson(reader.read(null.asInstanceOf[Any], dec), schema)
-              case "JSON" =>
-                new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-              case other => throw new IllegalArgumentException(
-                s"unsupported schema type: $other")
+          // RESOLUTION failures split by kind: an unknown id is a
+          // RECORD problem (dead-letter it); an IOException from the
+          // resolver is an INFRASTRUCTURE problem (registry
+          // unreachable / 5xx) and must fail the task so the batch
+          // retries — an outage must not dead-letter the whole stream
+          val resolved: Either[String, RegisteredSchema] =
+            try Right(resolver.resolve(id))
+            catch {
+              case e: IllegalArgumentException =>
+                Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
             }
-            Row.fromSeq(meta ++ Seq(id, json, null, null))
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              Row.fromSeq(meta ++ Seq(id, null, bytes,
-                s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          resolved match {
+            case Left(err) =>
+              Row.fromSeq(meta ++ Seq(id, null, bytes, err))
+            case Right(reg) =>
+              try {
+                val json = reg.resolvedType match {
+                  case "AVRO" =>
+                    val (schema, reader) = readers.getOrElseUpdate(id, {
+                      val s = new org.apache.avro.Schema.Parser()
+                        .parse(reg.schemaJson)
+                      (s,
+                        new org.apache.avro.generic.GenericDatumReader[Any](s))
+                    })
+                    val dec = org.apache.avro.io.DecoderFactory.get()
+                      .binaryDecoder(bytes, null)
+                    avroJson(reader.read(null.asInstanceOf[Any], dec), schema)
+                  case "JSON" =>
+                    new String(bytes,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported schema type: $other")
+                }
+                Row.fromSeq(meta ++ Seq(id, json, null, null))
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  Row.fromSeq(meta ++ Seq(id, null, bytes,
+                    s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+              }
           }
         }
       }(Encoders.row(outSchema))
