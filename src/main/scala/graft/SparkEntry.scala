@@ -2894,6 +2894,119 @@ object SparkEntry {
         .select("l_orderkey", "l_partkey", "l_linenumber")
     }),
 
+    // ---- K2 MAINTENANCE OVER THE OBJECT STORE: the whole table —
+    //      metadata tree AND data — lives behind the s3wire://
+    //      endpoint (a 100 TB table lives on object storage, where
+    //      the reference points its Iceberg warehouse). The table is
+    //      fragmented by a fast-append cadence, then the composed
+    //      `maintain auto` service runs AGAINST THE WIRE: every
+    //      manifest read, rewrite output, metadata commit and orphan
+    //      sweep travels SigV4-signed S3 requests; file sizes come
+    //      from the manifests' own file_size_in_bytes (zero per-file
+    //      stats — pinned in IcebergMetadataSpec). Hash-green means
+    //      the consolidated table still holds exactly the source
+    //      rows. ----
+    "q_iceberg_maintain_s3" -> ((s, dir) => {
+      import graft.sources.S3Wire
+      val bucketDir = java.nio.file.Files
+        .createTempDirectory("graft_s3maint").toFile
+      val local = java.nio.file.Files
+        .createTempDirectory("graft_s3maint_rb").toString
+      val creds = S3Wire.SigV4.Credentials("AKIAMAINT", "maint-s3cret",
+        "us-east-1")
+      val srv = new S3Wire.S3LoopbackServer("lake", bucketDir,
+        creds = Some(creds))
+      try {
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.s3wire.impl",
+          classOf[graft.sources.S3WireFileSystem].getName)
+        hc.set("fs.s3wire.impl.disable.cache", "true")
+        hc.set("fs.s3wire.endpoint", srv.endpoint)
+        hc.set("fs.s3wire.access.key", creds.accessKey)
+        hc.set("fs.s3wire.secret.key", creds.secretKey)
+        hc.set("fs.s3wire.region", creds.region)
+        val tbl = "s3wire://lake/warehouse/nation_maint"
+        val n = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        // fragment: first snapshot + three fast-appends, each as
+        // several small files — the layout a streaming sync leaves
+        n.where(col("n_nationkey") % 4 === 0).repartition(3)
+          .write.parquet(s"$tbl/d0")
+        IcebergMetadata.commit(s, tbl, s"$tbl/d0")
+        (1 to 3).foreach { i =>
+          n.where(col("n_nationkey") % 4 === i).repartition(3)
+            .write.parquet(s"$tbl/d$i")
+          IcebergMetadata.appendCommit(s, tbl, s"$tbl/d$i")
+        }
+        val steps = IcebergMetadata.autoMaintain(s, tbl,
+          targetBytes = 512L << 20, graceMs = 0L)
+        require(steps("binpack").contains("merged"),
+          s"binpack skipped over s3wire: $steps")
+        require(srv.requests.get() > 0, "no traffic hit the S3 endpoint")
+        // read-back over the wire, materialized inside server lifetime
+        s.read.parquet(IcebergMetadata.dataFilePaths(tbl): _*)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").parquet(s"$local/readback")
+        s.read.parquet(s"$local/readback")
+      } finally srv.close()
+    }),
+
+    // ---- K1+K2 LIVE TABLE SERVICE: maintenance wired INTO the sync
+    //      loop (production runs it on a cadence, not as a CLI) — CDC
+    //      batches apply, every 2nd committed batch triggers the
+    //      composed autoMaintain against the published Iceberg table
+    //      MID-STREAM, more batches apply after. The gate passes only
+    //      if the interleaving is safe (apply → maintain → apply →
+    //      same rows) AND the 2PC recovery fence survives: each
+    //      maintenance commit re-anchors the olake_2pc summary, so a
+    //      restart recovering from the current snapshot still finds
+    //      its position. ----
+    "q_sync_maintained" -> withShuffle(8)((s, dir) => {
+      import graft.streaming.CdcStream
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_syncmaint").toString
+      val table = s"$root/t"; val ice = s"$root/ice"
+      val state = s"$root/state.json"
+      val n = t(s, dir, "nation")
+      def batch(rows: DataFrame, lsnBase: Int, kind: String,
+                name: Column): DataFrame = rows.select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        (col("n_nationkey") + lsnBase).cast("long").as("lsn"),
+        lit(kind).as("kind"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as(
+          SystemColumns.CdcTimestamp),
+        col("n_nationkey"), name.as("n_name"), col("n_regionkey"))
+      // b1 inserts; b2 (maintenance fires: 2 % 2 == 0) updates every
+      // 5th key; b3 deletes every 7th≡3 key; b4 (maintenance fires
+      // again) a late re-update of key 0
+      CdcStream.applyBatch(batch(n, 1, "insert", col("n_name")),
+        1L, table, state, "nation", icebergDir = Some(ice),
+        maintainEvery = 2)
+      CdcStream.applyBatch(
+        batch(n.where(col("n_nationkey") % 5 === 0), 1000, "update",
+          concat(upper(col("n_name")), lit("_V2"))),
+        2L, table, state, "nation", icebergDir = Some(ice),
+        maintainEvery = 2)
+      val fenceMid = IcebergMetadata.commitState(ice)
+      require(fenceMid.exists(_.contains(""""batchId":2""")),
+        s"2PC fence lost across mid-stream maintenance: $fenceMid")
+      CdcStream.applyBatch(
+        batch(n.where(col("n_nationkey") % 7 === 3), 2000, "delete",
+          col("n_name")),
+        3L, table, state, "nation", icebergDir = Some(ice),
+        maintainEvery = 2)
+      CdcStream.applyBatch(
+        batch(n.where(col("n_nationkey") === 0), 3000, "update",
+          lit("FINAL_V3")),
+        4L, table, state, "nation", icebergDir = Some(ice),
+        maintainEvery = 2)
+      val fenceEnd = IcebergMetadata.commitState(ice)
+      require(fenceEnd.exists(_.contains(""""batchId":4""")),
+        s"2PC fence lost after final maintenance: $fenceEnd")
+      IcebergMetadata.readMoR(s, ice)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- K2 through the Iceberg REST CATALOG protocol (public
     //      OpenAPI; reference catalog_type:rest): the engine stages
     //      manifests + manifest list, the catalog owns metadata.json.
@@ -3618,6 +3731,38 @@ object SparkEntry {
       IcebergMetadata.publishPartitioned(s, ice, ev, "/{ts,day}",
         groupSize = 6)
       IcebergMetadata.readPartitionPruned(s, ice, 19730L, 19739L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+    }),
+
+    // ---- K2+K5 PARTITION SPEC EVOLUTION (spec §Partition Evolution),
+    //      gate-backed: half of `events` publishes day-partitioned;
+    //      the table then evolves to HOUR grain mid-life (a pure
+    //      metadata commit — no data moves) and the other half appends
+    //      under the new spec. The read expresses ONE timestamp window
+    //      per spec — days-since-epoch for spec 0, hours-since-epoch
+    //      for spec 1 — and walks BOTH pruning levels across the
+    //      evolution boundary. DuckDB recomputes the same window over
+    //      raw events: equal rows = per-spec pruning never drops a
+    //      live row, whichever spec a file was written under. ----
+    "q_iceberg_spec_evolve" -> ((s, dir) => {
+      val root = new java.io.File(fixture("specevolve_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val ice = s"$root/ice"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      IcebergMetadata.publishPartitioned(s, ice,
+        ev.where(col("event_id") % 2 === 0), "/{ts,day}", groupSize = 6)
+      val hourSid = IcebergMetadata.evolvePartitionSpec(ice, "/{ts,hour}")
+      IcebergMetadata.appendCommitPartitioned(s, ice,
+        ev.where(col("event_id") % 2 === 1), groupSize = 6)
+      IcebergMetadata.readPartitionPrunedBySpec(s, ice, sid =>
+          if (sid == hourSid) Some((19730L * 24, 19739L * 24 + 23))
+          else Some((19730L, 19739L)))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"))
     }),
@@ -4969,6 +5114,39 @@ object SparkEntry {
         "text", "doc_id", "graft_kw_gate", root.toString, buckets = 8)
       graft.llm.Search.keywordSearchStored(s, "graft_kw_gate",
         Seq("vector", "merge", "spark"), k = 100)
+    }),
+
+    // ---- LLM: HYBRID RETRIEVAL — reciprocal-rank fusion of the BM25
+    //      stored-index probe and the ANN cosine stored-index probe
+    //      (the retrieval shape curation/decontamination pipelines
+    //      deploy: lexical recall + semantic recall, fused by rank).
+    //      Both sides serve from their bucketed stored indexes, so the
+    //      fusion is a two-probe union + keyed rank agg — zero corpus
+    //      re-scan. Integer-exact RRF; DuckDB replays both rankings
+    //      and the fusion. ----
+    "q_hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = new java.io.File(fixture("hybrid_store"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      graft.llm.Search.keywordIndexStore(t(s, dir, "documents"),
+        "text", "doc_id", "graft_hyb_kw", s"$root/kw", buckets = 8)
+      val kw = graft.llm.Search.keywordSearchStored(s, "graft_hyb_kw",
+          Seq("vector", "merge", "spark"), k = 50)
+        .select(col("doc_id").cast("long").as("id"),
+          row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshIndexStore(emb, "graft_hyb_ann", s"$root/ann",
+        buckets = 8, native = true)
+      val ann = Similarity.lshTopKStored(emb.where(col("vec_id") === 0),
+          k = 50, "graft_hyb_ann", native = true)
+        .select(col("neighbor_id").cast("long").as("id"),
+          col("rank").cast("int").as("rank"))
+      graft.llm.Search.rrfFuse(Seq(kw, ann), k = 30)
     }),
 
     // ---- LLM: domain-level quality filtering — per-source counts of
@@ -6934,6 +7112,22 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
       """SELECT l_orderkey, l_partkey, l_linenumber
         |FROM lineitem WHERE l_orderkey < 15000""".stripMargin,
 
+    // maintenance over the s3wire object store preserves the row set
+    // exactly (commit + 3 fast-appends cover all of nation)
+    "q_iceberg_maintain_s3" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // live table service mid-stream: inserts, then %5 updates, %7≡3
+    // deletes, and a final re-update of key 0 — with autoMaintain
+    // interleaved after batches 2 and 4
+    "q_sync_maintained" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey = 0 THEN 'FINAL_V3'
+        |       WHEN n_nationkey % 5 = 0 THEN upper(n_name) || '_V2'
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey
+        |FROM nation WHERE n_nationkey % 7 <> 3""".stripMargin,
+
     // commit 2 (the replace that survived the 409-retry loop) holds
     // nation plus a key-shifted copy
     "q_iceberg_rest_commit" ->
@@ -7113,6 +7307,14 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |WHERE event_id < 3000
         |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
         |    BETWEEN 19730 AND 19739""".stripMargin,
+
+    // spec evolution: both halves (day-spec and hour-spec files) of
+    // the same 10-day window — the union must equal the raw window
+    "q_iceberg_spec_evolve" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |  BETWEEN 19730 AND 19739""".stripMargin,
 
     // the two-level pruned read = the same 10-day window on raw events
     "q_iceberg_partition_read" ->
@@ -8234,6 +8436,36 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  FROM p JOIN dfq USING (term) GROUP BY 1)
         |SELECT doc_id, n_hit, score FROM s
         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // RRF fusion of the two stored-index probes, integer-exact: DuckDB
+    // replays the BM25 ranking, the exact-cosine ranking (the LSH probe
+    // returns the exact neighbors at gate scale — same guarantee
+    // q_knn_label_stored's oracle already rests on), and the fusion
+    "q_hybrid_search" ->
+      """WITH nn AS (SELECT count(*) AS N FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term IN ('vector', 'merge', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |  CAST(sum(tf * ((SELECT N FROM nn) * 1000000 // df)) AS BIGINT) AS score
+        |  FROM p JOIN dfq USING (term) GROUP BY 1),
+        |kw AS (SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |ann0 AS (SELECT e.vec_id AS id, list_cosine_similarity(
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |    e.embedding) AS sim
+        |  FROM embeddings e WHERE e.vec_id <> 0),
+        |ann AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+        |  FROM ann0 ORDER BY sim DESC, id LIMIT 50),
+        |u AS (SELECT id, 1000000 // (60 + rank) AS contrib FROM kw
+        |  UNION ALL SELECT id, 1000000 // (60 + rank) FROM ann)
+        |SELECT id, CAST(sum(contrib) AS BIGINT) AS rrf,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 30""".stripMargin,
 
     // the stored tier must reproduce the inline tier bit-identically
     "q_keyword_search_stored" ->

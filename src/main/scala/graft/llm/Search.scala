@@ -81,4 +81,24 @@ object Search {
     val n = spark.table(s"${prefix}_meta").head.getLong(0)
     score(spark.table(s"${prefix}_postings"), terms, n, k)
   }
+
+  /** HYBRID RETRIEVAL: reciprocal-rank fusion (Cormack et al., the RRF
+    * every lexical+vector retrieval stack deploys) of ranked lists —
+    * here the BM25-ish stored-index probe and the ANN cosine
+    * stored-index probe. `score(d) = Σ_lists 1e6 div (k0 + rank_d)`,
+    * integer-exact so the oracle replays it bit-for-bit; a document
+    * absent from a list contributes nothing. Cost: the fusion rides
+    * the probes' OUTPUTS (k rows each) — one union + one keyed agg,
+    * zero corpus re-scan, which is why it scales to stored indexes a
+    * 100 TB corpus serves from. Each input: (id, rank). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val scored = lists.map(_.select(col("id"),
+        call_function("div", lit(1000000L), lit(k0) + col("rank"))
+          .as("contrib")))
+      .reduce(_ unionByName _)
+    scored.groupBy("id")
+      .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
 }

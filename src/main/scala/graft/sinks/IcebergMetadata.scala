@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -93,7 +93,9 @@ object IcebergMetadata {
   case class DataFileStat(path: String, seq: Long, content: Int,
                           recordCount: Long, stats: ColStats,
                           partition: Seq[Any] = Nil,
-                          addedSnapshotId: Long = 0L)
+                          addedSnapshotId: Long = 0L,
+                          sizeBytes: Long = 0L,
+                          specId: Int = 0)
 
   /** One partition-spec field as written to metadata + manifests:
     * `avroType` is the transform RESULT type ("int" | "long" |
@@ -117,7 +119,11 @@ object IcebergMetadata {
     if (b.length == 4) buf.getInt.toLong else buf.getLong
   }
 
-  private def metaDir(tableDir: String): File = new File(tableDir, "metadata")
+  // All table IO goes through the TPath seam (local file or any Hadoop
+  // FileSystem scheme — s3wire://), so every commit/maintenance op in
+  // this object runs against the storage the table actually lives on.
+  private def metaDir(tableDir: String): TPath =
+    TableIO(tableDir).child("metadata")
 
   /** The manifest_entry Avro schema (spec §Manifests, v2 required
     * fields + equality_ids; remaining column stats are spec-optional).
@@ -309,11 +315,11 @@ object IcebergMetadata {
     * (only top-level primitive columns present in `fieldIds`; a column
     * whose footer lacks stats in ANY row group gets no bounds — absent
     * stats must read as "cannot prune", never as a wrong bound). */
-  private def footerInfo(spark: SparkSession, f: File,
+  private def footerInfo(spark: SparkSession, path: String,
                          fieldIds: Map[String, Int]): (Long, ColStats) = {
     import org.apache.parquet.column.statistics.Statistics
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(f.getPath),
+      new org.apache.hadoop.fs.Path(path),
       spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
@@ -398,10 +404,13 @@ object IcebergMetadata {
     }
   }
 
-  private def parquetFilesIn(dir: String): Seq[File] =
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName).toSeq
+  // Sizes ride the directory LISTING (one call per dir), never a
+  // per-file stat — the only files statted here are freshly written
+  // outputs whose sizes exist in no manifest yet.
+  private def parquetFilesIn(dir: String): Seq[TPath] =
+    TableIO(dir).list
+      .filter(f => f.isFile && f.name.endsWith(".parquet"))
+      .sortBy(_.name)
 
   /** Top-level (column name → field id) of a `schemaJson` result. */
   private[sinks] def topLevelFieldIds(schemaStr: String): Map[String, Int] =
@@ -414,8 +423,8 @@ object IcebergMetadata {
                          fieldIds: Map[String, Int] = Map.empty,
                          partition: Seq[Any] = Nil): Seq[FileEntry] =
     parquetFilesIn(dir).map { f =>
-      val (rows, stats) = footerInfo(spark, f, fieldIds)
-      FileEntry(f.getAbsolutePath, f.length(), rows, seq, content,
+      val (rows, stats) = footerInfo(spark, f.abs, fieldIds)
+      FileEntry(f.abs, f.length, rows, seq, content,
         equalityIds, stats, partition)
     }
 
@@ -428,14 +437,14 @@ object IcebergMetadata {
     }.mkString("[", ",", "]")
 
   /** Write one manifest Avro with ADDED entries. */
-  private[sinks] def writeManifest(md: File, entries: Seq[FileEntry],
+  private[sinks] def writeManifest(md: TPath, entries: Seq[FileEntry],
                             snapshotId: Long, schemaStr: String,
                             content: String, index: Int,
                             parts: Seq[PartSpecField] = Nil,
-                            specId: Int = 0): File = {
+                            specId: Int = 0): TPath = {
     val entrySchema = if (parts.isEmpty) manifestEntrySchema
       else entrySchemaFor(parts)
-    val f = new File(md, s"${java.util.UUID.randomUUID()}-m$index.avro")
+    val f = md.child(s"${java.util.UUID.randomUUID()}-m$index.avro")
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("schema", stripInternal(schemaStr))
@@ -443,7 +452,7 @@ object IcebergMetadata {
     w.setMeta("partition-spec-id", specId.toString)
     w.setMeta("format-version", "2")
     w.setMeta("content", content)
-    w.create(entrySchema, f)
+    w.create(entrySchema, f.createOutput())
     try entries.foreach { e =>
       val df = new GenericData.Record(
         entrySchema.getField("data_file").schema())
@@ -548,7 +557,7 @@ object IcebergMetadata {
     * (`parts` empty = unpartitioned; a multi-spec table mixes both —
     * e.g. an unpartitioned base at spec 0 and partitioned CDC segments
     * at spec 1). */
-  private case class ManifestOut(file: File, content: Int,
+  private case class ManifestOut(file: TPath, content: Int,
                                  entries: Seq[FileEntry],
                                  parts: Seq[PartSpecField] = Nil,
                                  specId: Int = 0)
@@ -559,23 +568,23 @@ object IcebergMetadata {
     * (a fast-append's prior-snapshot manifests, read back with the
     * same writer schema) are re-emitted FIRST, byte-equivalent — their
     * added_snapshot_id / counts / summaries stay the original ones. */
-  private[sinks] def writeManifestList(md: File, snapshotId: Long,
+  private[sinks] def writeManifestList(md: TPath, snapshotId: Long,
                                 manifests: Seq[ManifestOut],
                                 carryForward: Seq[GenericRecord] = Nil)
-      : File = {
-    val f = new File(md,
+      : TPath = {
+    val f = md.child(
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro")
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setMeta("format-version", "2")
-    w.create(manifestFileSchema, f)
+    w.create(manifestFileSchema, f.createOutput())
     try {
     carryForward.foreach(w.append)
     manifests.foreach { mo =>
       val entries = mo.entries
       val m = new GenericData.Record(manifestFileSchema)
-      m.put("manifest_path", mo.file.getAbsolutePath)
-      m.put("manifest_length", mo.file.length())
+      m.put("manifest_path", mo.file.abs)
+      m.put("manifest_length", mo.file.length)
       m.put("partition_spec_id", mo.specId)
       m.put("content", mo.content)
       m.put("sequence_number", entries.map(_.seq).max)
@@ -616,7 +625,7 @@ object IcebergMetadata {
   /** Write vN.metadata.json + flip version-hint (the atomic commit
     * point). Carries forward table-uuid, snapshots and snapshot-log. */
   private[sinks] def writeMetadataJson(tableDir: String, schemaStr: String,
-                                snapshotId: Long, seq: Long, listFile: File,
+                                snapshotId: Long, seq: Long, listFile: TPath,
                                 operation: String,
                                 summary: Map[String, String],
                                 addedFiles: Int, addedRows: Long,
@@ -635,13 +644,12 @@ object IcebergMetadata {
     val prev = baseMetadata match {
       case None => currentMetadata(tableDir)
       case Some(base) => base.map { p =>
-        val f = new File(p)
-        val v = f.getName.stripPrefix("v").stripSuffix(".metadata.json")
-        (v.toInt, mapper.readTree(Files.readString(f.toPath)))
+        val f = TableIO(p)
+        val v = f.name.stripPrefix("v").stripSuffix(".metadata.json")
+        (v.toInt, mapper.readTree(f.readString))
       }
     }
-    val maxExisting = Option(md.listFiles).map(_.toSeq).getOrElse(Nil)
-      .map(_.getName)
+    val maxExisting = md.list.map(_.name)
       .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
         n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
       .maxOption.getOrElse(0)
@@ -652,7 +660,7 @@ object IcebergMetadata {
     root.put("format-version", 2)
     root.put("table-uuid", prev.map(_._2.get("table-uuid").asText)
       .getOrElse(java.util.UUID.randomUUID().toString))
-    root.put("location", new File(tableDir).getAbsolutePath)
+    root.put("location", TableIO(tableDir).abs)
     root.put("last-sequence-number", seq)
     root.put("last-updated-ms", nowMs)
     // SCHEMA EVOLUTION with Iceberg's field-id stability contract
@@ -800,11 +808,14 @@ object IcebergMetadata {
       case Some(Nil) =>
         root.put("default-sort-order-id", 0): Unit
       case Some(ids) =>
-        def fieldsOf(o: JsonNode): Seq[(Int, String, String)] =
+        // reuse comparison covers the FULL field identity incl.
+        // null-order: an order differing only in null-order is a
+        // different order and must not silently alias an existing id
+        def fieldsOf(o: JsonNode): Seq[(Int, String, String, String)] =
           o.withArray[ArrayNode]("fields").asScala.toSeq.map(f =>
             (f.get("source-id").asInt, f.get("transform").asText,
-              f.get("direction").asText))
-        val wanted = ids.map(sid => (sid, "identity", "asc"))
+              f.get("direction").asText, f.get("null-order").asText))
+        val wanted = ids.map(sid => (sid, "identity", "asc", "nulls-first"))
         val oid = orders.asScala.find(o => fieldsOf(o) == wanted)
           .map(_.get("order-id").asInt).getOrElse {
             val next = orders.asScala.map(_.get("order-id").asInt).max + 1
@@ -832,8 +843,7 @@ object IcebergMetadata {
       Option(pm.get("metadata-log"))
         .foreach(_.forEach(e => mlog.add(e): Unit))
       val e = mlog.addObject()
-      e.put("metadata-file",
-        new File(md, s"v$pv.metadata.json").getAbsolutePath)
+      e.put("metadata-file", md.child(s"v$pv.metadata.json").abs)
       e.put("timestamp-ms", pm.get("last-updated-ms").asLong)
     }
     root.put("current-snapshot-id", snapshotId)
@@ -847,7 +857,7 @@ object IcebergMetadata {
     snap.put("timestamp-ms", nowMs)
     snap.put("sequence-number", seq)
     snap.put("schema-id", 0)
-    snap.put("manifest-list", listFile.getAbsolutePath)
+    snap.put("manifest-list", listFile.abs)
     val sum = snap.putObject("summary")
     sum.put("operation", operation)
     sum.put("added-data-files", addedFiles.toString)
@@ -870,16 +880,10 @@ object IcebergMetadata {
     val mainRef = refs.putObject("main")
     mainRef.put("snapshot-id", snapshotId); mainRef.put("type", "branch")
 
-    val target = new File(md, s"v$version.metadata.json")
-    val tmp = new File(md, s".v$version.metadata.json.tmp")
-    Files.writeString(tmp.toPath,
+    md.child(s"v$version.metadata.json").writeAtomic(
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
     // version-hint last: the commit "happens" when the hint flips
-    val hintTmp = new File(md, ".version-hint.tmp")
-    Files.writeString(hintTmp.toPath, version.toString)
-    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    md.child("version-hint.text").writeAtomic(version.toString)
     version
   }
 
@@ -922,7 +926,7 @@ object IcebergMetadata {
       "data", 0)
     val list = writeManifestList(md, snapshotId,
       Seq(ManifestOut(manifest, 0, entries)))
-    StagedSnapshot(snapshotId, sequenceNumber, list.getAbsolutePath,
+    StagedSnapshot(snapshotId, sequenceNumber, list.abs,
       schemaStr, entries.length, entries.map(_.rows).sum)
   }
 
@@ -934,7 +938,7 @@ object IcebergMetadata {
                                        operation: String,
                                        summary: Map[String, String]): Int =
     writeMetadataJson(tableDir, staged.schemaStr, staged.snapshotId,
-      staged.sequenceNumber, new File(staged.manifestListPath), operation,
+      staged.sequenceNumber, TableIO(staged.manifestListPath), operation,
       summary, staged.addedFiles, staged.addedRows)
 
   /** Roll the main branch back to an EXISTING snapshot: a new metadata
@@ -970,15 +974,9 @@ object IcebergMetadata {
     log.put("snapshot-id", toSnapshotId)
     log.put("timestamp-ms", nowMs)
     val next = version + 1
-    val target = new File(md, s"v$next.metadata.json")
-    val tmp = new File(md, s".v$next.metadata.json.tmp")
-    Files.writeString(tmp.toPath,
+    md.child(s"v$next.metadata.json").writeAtomic(
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    val hintTmp = new File(md, ".version-hint.tmp")
-    Files.writeString(hintTmp.toPath, next.toString)
-    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    md.child("version-hint.text").writeAtomic(next.toString)
     next
   }
 
@@ -996,7 +994,7 @@ object IcebergMetadata {
     val md = metaDir(tableDir)
     md.mkdirs()
     val prevMeta = baseMetadata.map(p =>
-      mapper.readTree(Files.readString(new File(p).toPath)))
+      mapper.readTree(TableIO(p).readString))
     val seq = prevMeta.map(_.get("last-sequence-number").asLong)
       .getOrElse(0L) + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
@@ -1011,8 +1009,8 @@ object IcebergMetadata {
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, operation, summary, entries.length, entries.map(_.rows).sum,
       baseMetadata = Some(baseMetadata))
-    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
-      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+    Commit(version, snapshotId, seq, manifest.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
   }
 
   /** FAST-APPEND commit — Iceberg's `newFastAppend` shape, the only
@@ -1040,7 +1038,7 @@ object IcebergMetadata {
     val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
       .find(_.get("snapshot-id").asLong == prevSnapId).getOrElse(
         throw new IllegalStateException("current snapshot missing"))
-    val carried = readAvro(new File(prevSnap.get("manifest-list").asText))
+    val carried = readAvro(TableIO(prevSnap.get("manifest-list").asText))
     val seq = prevMeta.get("last-sequence-number").asLong + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     // same schema derivation as commit(): field ids are positional and
@@ -1057,8 +1055,8 @@ object IcebergMetadata {
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "append", summary, entries.length, entries.map(_.rows).sum,
       specs = specs)
-    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
-      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+    Commit(version, snapshotId, seq, manifest.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
   }
 
   /** [[appendCommit]] for a PARTITIONED table: `df`'s rows land under
@@ -1086,15 +1084,15 @@ object IcebergMetadata {
     val prevSnapId = prevMeta.get("current-snapshot-id").asLong
     val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
       .find(_.get("snapshot-id").asLong == prevSnapId).get
-    val carried = readAvro(new File(prevSnap.get("manifest-list").asText))
+    val carried = readAvro(TableIO(prevSnap.get("manifest-list").asText))
     val seq = prevMeta.get("last-sequence-number").asLong + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
-    val outDir = new File(new File(tableDir, "data"), s"$snapshotId-append")
+    val outDir = TableIO(tableDir).child("data").child(s"$snapshotId-append")
     val fields = partitionFieldsFor(prevMeta, parts)
-    writePartitionedFiles(df, fields, parts, outDir.getPath)
+    writePartitionedFiles(df, fields, parts, outDir.abs)
     val entries = partitionedLeaves(outDir, parts).flatMap {
       case (tup, dir) =>
-        entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+        entriesFor(spark, dir.abs, seq, fieldIds = statIds,
           partition = tup)
     }
     require(entries.nonEmpty, "nothing to append")
@@ -1106,8 +1104,8 @@ object IcebergMetadata {
       list, "append", summary, entries.length, entries.map(_.rows).sum,
       specs = specs)
     Commit(version, snapshotId, seq,
-      manifests.head.file.getAbsolutePath,
-      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+      manifests.head.file.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
   }
 
   /** REWRITE MANIFESTS — Iceberg's RewriteManifests action, the
@@ -1137,31 +1135,35 @@ object IcebergMetadata {
     // delete manifests (content 1) ride along untouched — their rows
     // re-emit verbatim from the old list
     val prevListRows =
-      readAvro(new File(prevSnap.get("manifest-list").asText))
+      readAvro(TableIO(prevSnap.get("manifest-list").asText))
     val deleteRows = prevListRows.filter(
       _.get("content").asInstanceOf[Int] == 1)
-    val all = dataFileStats(tableDir)
-    val dataEntries = all.filter(_.content == 0).map(e =>
-      FileEntry(e.path, new File(e.path).length(), e.recordCount, e.seq,
+    val dataStats = dataFileStats(tableDir).filter(_.content == 0)
+    require(dataStats.nonEmpty, "nothing to rewrite")
+    def existing(e: DataFileStat): FileEntry =
+      FileEntry(e.path, e.sizeBytes, e.recordCount, e.seq,
         0, Nil, e.stats, e.partition,
-        entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId)))
-    require(dataEntries.nonEmpty, "nothing to rewrite")
+        entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId))
     val seq = prevMeta.get("last-sequence-number").asLong + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
-    val (tupled, otherSpec) =
-      dataEntries.partition(_.partition.length == parts.length)
+    // spec membership from each manifest's partition-spec-id (arity
+    // cannot distinguish same-arity specs after day→hour evolution)
+    val (tupledStats, otherStats) =
+      dataStats.partition(_.specId == specs.length - 1)
+    val tupled = tupledStats.map(existing)
     val manifests =
-      if (parts.isEmpty)
-        Seq(ManifestOut(writeManifest(md, dataEntries, snapshotId,
-          schemaStr, "data", 0), 0, dataEntries))
+      if (parts.isEmpty && otherStats.isEmpty)
+        Seq(ManifestOut(writeManifest(md, tupled, snapshotId,
+          schemaStr, "data", 0), 0, tupled))
       else {
-        val partM = partitionedManifests(md, tupled, parts,
-          specs.length - 1, snapshotId, schemaStr, groupSize, 0)
-        val baseM =
-          if (otherSpec.isEmpty) Nil
-          else Seq(ManifestOut(writeManifest(md, otherSpec, snapshotId,
-            schemaStr, "data", partM.length), 0, otherSpec))
-        partM ++ baseM
+        val partM =
+          if (parts.isEmpty)
+            Seq(ManifestOut(writeManifest(md, tupled, snapshotId,
+              schemaStr, "data", 0), 0, tupled))
+          else partitionedManifests(md, tupled, parts,
+            specs.length - 1, snapshotId, schemaStr, groupSize, 0)
+        partM ++ otherSpecManifests(md, otherStats, specs, snapshotId,
+          schemaStr, groupSize, partM.length)
       }
     val list = writeManifestList(md, snapshotId, manifests,
       carryForward = deleteRows)
@@ -1173,8 +1175,8 @@ object IcebergMetadata {
         "manifests-created" -> manifests.length.toString),
       0, 0L, specs = specs)
     Commit(version, snapshotId, seq,
-      manifests.head.file.getAbsolutePath,
-      list.getAbsolutePath, 0, 0L)
+      manifests.head.file.abs,
+      list.abs, 0, 0L)
   }
 
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
@@ -1196,8 +1198,8 @@ object IcebergMetadata {
       Seq(ManifestOut(manifest, 0, entries)))
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, operation, summary, entries.length, entries.map(_.rows).sum)
-    Commit(version, snapshotId, seq, manifest.getAbsolutePath,
-      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+    Commit(version, snapshotId, seq, manifest.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
   }
 
   /** WRITE-AUDIT-PUBLISH, the write half: commit `dataDir` as a new
@@ -1239,7 +1241,7 @@ object IcebergMetadata {
     snap.put("timestamp-ms", nowMs)
     snap.put("sequence-number", seq)
     snap.put("schema-id", curSchemaId)
-    snap.put("manifest-list", list.getAbsolutePath)
+    snap.put("manifest-list", list.abs)
     val sum = snap.putObject("summary")
     sum.put("operation", "append")
     sum.put("added-data-files", entries.length.toString)
@@ -1253,8 +1255,8 @@ object IcebergMetadata {
     appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
     root.put("last-updated-ms", nowMs)
     val nv = writeVersionFiles(md, root, version + 1)
-    Commit(nv, snapshotId, seq, manifest.getAbsolutePath,
-      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+    Commit(nv, snapshotId, seq, manifest.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
   }
 
   /** WRITE-AUDIT-PUBLISH, the publish half: move `main` (and the
@@ -1317,14 +1319,17 @@ object IcebergMetadata {
     val specs = specsFromMeta(prevMeta)
     val parts = specs.last // the default spec (writers keep it last)
     val threshold = if (minFileBytes > 0) minFileBytes else targetBytes * 3 / 4
+    // spec membership comes from each manifest's partition-spec-id,
+    // never tuple arity — two specs can share an arity (day→hour
+    // evolution) and only default-spec files are rewrite candidates
     val (tupled, otherSpec) =
-      all.partition(_.partition.length == parts.length)
+      all.partition(_.specId == specs.length - 1)
     // (tuple, victims, kept) per file group; a group under the
     // rewrite-worthiness floor keeps ALL its files
     val planned = tupled.groupBy(_.partition).toSeq
       .sortBy(_._1)(tupleOrdering)
       .map { case (tuple, fs) =>
-        val (v, k) = fs.partition(e => new File(e.path).length < threshold)
+        val (v, k) = fs.partition(_.sizeBytes < threshold)
         if (v.size < minInputFiles) (tuple, Seq.empty[DataFileStat], fs)
         else (tuple, v, k)
       }
@@ -1341,7 +1346,7 @@ object IcebergMetadata {
       val seq = prevMeta.get("last-sequence-number").asLong + 1
       val snapshotId =
         java.util.UUID.randomUUID().getMostSignificantBits.abs
-      val outDir = new File(new File(tableDir, "data"), s"$snapshotId-binpack")
+      val outDir = TableIO(tableDir).child("data").child(s"$snapshotId-binpack")
       // each rewritten group round-robins its victim bytes into
       // ceil(bytes/target) outputs — the rewrite reads ONLY victim
       // files, so cost ∝ small-file set, not the table. Groups are
@@ -1359,14 +1364,14 @@ object IcebergMetadata {
           par.tasksupport =
             new scala.collection.parallel.ForkJoinTaskSupport(pool)
           par.map { case (tuple, v, _) =>
-            val bytes = v.map(e => new File(e.path).length).sum
+            val bytes = v.map(_.sizeBytes).sum
             val bins =
               math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
             val dir = tupleDir(outDir, parts, tuple)
             spark.read.parquet(v.map(_.path): _*)
               .repartition(bins)
-              .write.mode("overwrite").parquet(dir.getPath)
-            entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+              .write.mode("overwrite").parquet(dir.abs)
+            entriesFor(spark, dir.abs, seq, fieldIds = statIds,
               partition = tuple)
           }.seq.flatten.toSeq
         } finally pool.shutdown()
@@ -1374,11 +1379,11 @@ object IcebergMetadata {
       // (zero footer reads) — original sequence numbers, original
       // adding-snapshot ids, original stats and tuples, all verbatim
       def keptEntry(e: DataFileStat): FileEntry =
-        FileEntry(e.path, new File(e.path).length(), e.recordCount, e.seq,
+        FileEntry(e.path, e.sizeBytes, e.recordCount, e.seq,
           0, Nil, e.stats, e.partition,
           entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId))
       val keptTupled = planned.flatMap(_._3).map(keptEntry)
-      val victimBytes = victims.map(e => new File(e.path).length).sum
+      val victimBytes = victims.map(_.sizeBytes).sum
       val manifests =
         if (parts.isEmpty)
           Seq(ManifestOut(
@@ -1391,14 +1396,11 @@ object IcebergMetadata {
         else {
           val partM = partitionedManifests(md, newEntries ++ keptTupled,
             parts, specs.length - 1, snapshotId, schemaStr, groupSize, 0)
-          val baseM =
-            if (otherSpec.isEmpty) Nil
-            else {
-              val es = otherSpec.map(keptEntry)
-              Seq(ManifestOut(writeManifest(md, es, snapshotId, schemaStr,
-                "data", partM.length), 0, es))
-            }
-          partM ++ baseM
+          // files of EVERY other spec carry forward verbatim — each
+          // spec keeps its own manifests, tuples intact, so per-spec
+          // pruning survives the rewrite
+          partM ++ otherSpecManifests(md, otherSpec,
+            specs, snapshotId, schemaStr, groupSize, partM.length)
         }
       val list = writeManifestList(md, snapshotId, manifests)
       val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
@@ -1409,8 +1411,8 @@ object IcebergMetadata {
           "rewritten-bytes" -> victimBytes.toString),
         newEntries.length, newEntries.map(_.rows).sum, specs = specs)
       Some(Commit(version, snapshotId, seq,
-        manifests.head.file.getAbsolutePath,
-        list.getAbsolutePath, newEntries.length,
+        manifests.head.file.abs,
+        list.abs, newEntries.length,
         newEntries.map(_.rows).sum))
     }
   }
@@ -1435,26 +1437,29 @@ object IcebergMetadata {
     val md = metaDir(tableDir)
     val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val (dataFiles, _) = manifestEntries(tableDir)
+    val allStats = dataFileStats(tableDir)
+    val dataFiles = allStats.collect {
+      case e if e.content == 0 => (e.path, e.seq) }
     val specs = specsFromMeta(prevMeta)
     val parts = specs.last
     val curSchemaId = prevMeta.get("current-schema-id").asInt
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
       .find(_.get("schema-id").asInt == curSchemaId).get.toString
     val statIds = topLevelFieldIds(schemaStr)
-    val totalBytes = dataFiles.map(p => new File(p._1).length).sum
+    // sizes from the manifests (field 104) — zero per-file stat calls
+    val totalBytes = allStats.filter(_.content == 0).map(_.sizeBytes).sum
     val bins =
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val seq = prevMeta.get("last-sequence-number").asLong + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val outDir =
-      new File(new File(tableDir, "data"), s"$snapshotId-compacted")
+      TableIO(tableDir).child("data").child(s"$snapshotId-compacted")
     val resolved = readMoR(spark, tableDir, keyCol)
     val entries =
       if (parts.isEmpty) {
         resolved.repartition(bins)
-          .write.mode("overwrite").parquet(outDir.getPath)
-        entriesFor(spark, outDir.getPath, seq, fieldIds = statIds)
+          .write.mode("overwrite").parquet(outDir.abs)
+        entriesFor(spark, outDir.abs, seq, fieldIds = statIds)
       } else {
         // PARTITIONED compaction: partition values recompute from the
         // source columns (the tuple is derived metadata), outputs land
@@ -1465,10 +1470,10 @@ object IcebergMetadata {
         // manifests write under the default spec with tuples +
         // field_summary bounds intact.
         val fields = partitionFieldsFor(prevMeta, parts)
-        writePartitionedFiles(resolved, fields, parts, outDir.getPath,
+        writePartitionedFiles(resolved, fields, parts, outDir.abs,
           overwrite = true, bins = bins, clusterCols = Seq(keyCol))
         partitionedLeaves(outDir, parts).flatMap { case (tup, dir) =>
-          entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+          entriesFor(spark, dir.abs, seq, fieldIds = statIds,
             partition = tup)
         }
       }
@@ -1486,8 +1491,8 @@ object IcebergMetadata {
         "added-data-files" -> entries.size.toString),
       entries.length, entries.map(_.rows).sum, specs = specs)
     Commit(version, snapshotId, seq,
-      manifests.head.file.getAbsolutePath,
-      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+      manifests.head.file.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
   }
 
   /** SORT / Z-ORDER rewrite — the clustering counterpart to
@@ -1518,8 +1523,10 @@ object IcebergMetadata {
     val md = metaDir(tableDir)
     val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val (dataFiles, deleteFiles) = manifestEntries(tableDir)
-    require(deleteFiles.isEmpty,
+    val allStats = dataFileStats(tableDir)
+    val dataFiles = allStats.collect {
+      case e if e.content == 0 => (e.path, e.seq) }
+    require(allStats.forall(_.content == 0),
       "sort rewrite over a delete-bearing (MoR) table would orphan its " +
         "positional deletes: compact the segment view first")
     val specs = specsFromMeta(prevMeta)
@@ -1528,12 +1535,13 @@ object IcebergMetadata {
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
       .find(_.get("schema-id").asInt == curSchemaId).get.toString
     val statIds = topLevelFieldIds(schemaStr)
-    val totalBytes = dataFiles.map(p => new File(p._1).length).sum
+    // sizes from the manifests (field 104) — zero per-file stat calls
+    val totalBytes = allStats.map(_.sizeBytes).sum
     val bins =
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val seq = prevMeta.get("last-sequence-number").asLong + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
-    val outDir = new File(new File(tableDir, "data"), s"$snapshotId-sorted")
+    val outDir = TableIO(tableDir).child("data").child(s"$snapshotId-sorted")
     val df = spark.read.parquet(dataFiles.map(_._1): _*)
     val entries =
       if (parts.nonEmpty) {
@@ -1562,11 +1570,11 @@ object IcebergMetadata {
                 (col(c), b(c)._1, b(c)._2)))
             (df.withColumn("__z", z), Seq("__z"), Seq("__z"))
           }
-        writePartitionedFiles(src, fields, parts, outDir.getPath,
+        writePartitionedFiles(src, fields, parts, outDir.abs,
           overwrite = true, bins = bins, clusterCols = clusterCols,
           dropCols = scratch)
         partitionedLeaves(outDir, parts).flatMap { case (tup, dir) =>
-          entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+          entriesFor(spark, dir.abs, seq, fieldIds = statIds,
             partition = tup)
         }
       } else {
@@ -1588,8 +1596,8 @@ object IcebergMetadata {
           } else
             df.repartitionByRange(bins, sortCols.map(col): _*)
               .sortWithinPartitions(sortCols.map(col): _*)
-        clustered.write.mode("overwrite").parquet(outDir.getPath)
-        entriesFor(spark, outDir.getPath, seq, fieldIds = statIds)
+        clustered.write.mode("overwrite").parquet(outDir.abs)
+        entriesFor(spark, outDir.abs, seq, fieldIds = statIds)
       }
     val manifests =
       if (parts.isEmpty)
@@ -1610,8 +1618,8 @@ object IcebergMetadata {
       entries.length, entries.map(_.rows).sum, sortOrder = Some(sortIds),
       specs = specs)
     Commit(version, snapshotId, seq,
-      manifests.head.file.getAbsolutePath,
-      list.getAbsolutePath, entries.length, entries.map(_.rows).sum)
+      manifests.head.file.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
   }
 
   /** Commit `df` as a PARTITIONED first snapshot: the K5 transforms
@@ -1778,14 +1786,50 @@ object IcebergMetadata {
   }
 
   /** Hive-style leaf dir for one partition tuple under `root`
-    * (the exact layout [[partitionedLeaves]] walks back). */
-  private def tupleDir(root: File, parts: Seq[PartSpecField],
-                       tuple: Seq[Any]): File =
+    * (the exact layout [[partitionedLeaves]] walks back). Escaping is
+    * Spark's own partitionBy rule (`ExternalCatalogUtils
+    * .escapePathName`), NOT URL-encoding: URL form turns space into
+    * '+' and escapes a different reserved set, so a string identity
+    * value containing a space or '+' would produce `=value` segments
+    * that disagree with the publish layout and break the
+    * tuple-vs-path cross-check. */
+  private def tupleDir(root: TPath, parts: Seq[PartSpecField],
+                       tuple: Seq[Any]): TPath =
     parts.zip(tuple).foldLeft(root) { case (dir, (p, v)) =>
       val raw = if (v == null) "__HIVE_DEFAULT_PARTITION__"
-        else java.net.URLEncoder.encode(v.toString, "UTF-8")
-      new File(dir, s"__p_${p.name}=$raw")
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString)
+      dir.child(s"__p_${p.name}=$raw")
     }
+
+  /** Carried-forward manifests for files of NON-default specs during a
+    * rewrite: one manifest group per spec id, each written under ITS
+    * OWN spec (entry schema, tuples, field summaries intact) as
+    * EXISTING entries with original snapshot ids and sequences — the
+    * multi-spec invariant partition evolution relies on. */
+  private def otherSpecManifests(md: TPath, stats: Seq[DataFileStat],
+                                 specs: Seq[Seq[PartSpecField]],
+                                 snapshotId: Long, schemaStr: String,
+                                 groupSize: Int, startIndex: Int)
+      : Seq[ManifestOut] = {
+    def existing(e: DataFileStat): FileEntry =
+      FileEntry(e.path, e.sizeBytes, e.recordCount, e.seq, 0, Nil,
+        e.stats, e.partition,
+        entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId))
+    var idx = startIndex
+    stats.groupBy(_.specId).toSeq.sortBy(_._1).flatMap { case (sid, ss) =>
+      val theirParts = specs(sid)
+      val es = ss.map(existing)
+      val out =
+        if (theirParts.isEmpty)
+          Seq(ManifestOut(writeManifest(md, es, snapshotId, schemaStr,
+            "data", idx), 0, es))
+        else partitionedManifests(md, es, theirParts, sid, snapshotId,
+          schemaStr, groupSize, idx)
+      idx += out.length
+      out
+    }
+  }
 
   /** Group tuple-carrying entries into manifests of `groupSize`
     * contiguous tuples each (the [[publishPartitioned]] shape: each
@@ -1793,7 +1837,7 @@ object IcebergMetadata {
     * prune whole manifests unopened). Entries keep their own
     * status/snapshot-id — kept (EXISTING) and fresh (ADDED) files mix
     * freely inside one manifest, per the spec. */
-  private def partitionedManifests(md: File, entries: Seq[FileEntry],
+  private def partitionedManifests(md: TPath, entries: Seq[FileEntry],
                                    parts: Seq[PartSpecField], specId: Int,
                                    snapshotId: Long, schemaStr: String,
                                    groupSize: Int, startIndex: Int)
@@ -1809,14 +1853,17 @@ object IcebergMetadata {
   }
 
   /** Walk hive-style dirs back into (partition tuple, leaf dir). */
-  private def partitionedLeaves(root: File, parts: Seq[PartSpecField])
-      : Seq[(Seq[Any], File)] = {
-    def leaves(dir: File, tuple: List[Any]): Seq[(Seq[Any], File)] =
+  private def partitionedLeaves(root: TPath, parts: Seq[PartSpecField])
+      : Seq[(Seq[Any], TPath)] = {
+    def leaves(dir: TPath, tuple: List[Any]): Seq[(Seq[Any], TPath)] =
       if (tuple.length == parts.length) Seq((tuple.reverse, dir))
-      else Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).toSeq.flatMap { sub =>
-          val Array(_, raw) = sub.getName.split("=", 2)
-          val dec = java.net.URLDecoder.decode(raw, "UTF-8")
+      else dir.list
+        .filter(_.isDirectory).flatMap { sub =>
+          val Array(_, raw) = sub.name.split("=", 2)
+          // inverse of the writer's Hive escaping (URLDecoder would
+          // corrupt a literal '+' in the value into a space)
+          val dec = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(raw)
           val p = parts(tuple.length)
           val v: Any =
             if (dec == "__HIVE_DEFAULT_PARTITION__") null
@@ -1828,6 +1875,73 @@ object IcebergMetadata {
           leaves(sub, v :: tuple)
         }
     leaves(root, Nil)
+  }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg spec §Partition Evolution): a
+    * metadata-ONLY commit that appends a NEW spec (e.g. hour-grain
+    * after a day-grain year) and makes it the default. No snapshot is
+    * added and no data moves: existing files keep their original spec
+    * (manifests carry `partition-spec-id`), new writes land under the
+    * new spec via [[appendCommitPartitioned]], readers prune each
+    * manifest under ITS OWN spec ([[readPartitionPrunedBySpec]]), and
+    * maintenance carries other-spec files forward verbatim until a
+    * [[majorCompactMoR]]/[[sortRewrite]] absorbs them into the default
+    * layout. Returns the new spec id. */
+  def evolvePartitionSpec(tableDir: String,
+                          partitionRegex: String): Int = {
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val fields = PartitionTransforms.parseRegex(partitionRegex)
+    require(fields.nonEmpty, s"no partition fields in '$partitionRegex'")
+    // transform result types derive against the COMMITTED current
+    // schema — field ids must reference committed columns
+    val curSchemaId = meta.get("current-schema-id").asInt
+    val schemaNode = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get
+    val byName = schemaNode.withArray[ArrayNode]("fields").asScala
+      .map(f => f.get("name").asText -> (f.get("id").asInt,
+        if (f.get("type").isTextual) f.get("type").asText else "")).toMap
+    val argRe = """(bucket|truncate)\[(\d+)\]""".r
+    val parts = fields.map { f =>
+      val (srcId, srcType) = byName.getOrElse(f.column,
+        throw new IllegalArgumentException(s"no column ${f.column}"))
+      val avroType = f.transform match {
+        case "year" | "month" | "day" | "hour" => "int"
+        case argRe("bucket", _) => "int"
+        case argRe("truncate", _) =>
+          if (srcType == "string") "string" else "long"
+        case "identity" => srcType match {
+          case "int" | "long" | "string" => srcType
+          case other => throw new IllegalArgumentException(
+            s"identity partition on unsupported type $other")
+        }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported transform $other")
+      }
+      PartSpecField(
+        if (f.transform == "identity") s"${f.column}_id" else f.outputName,
+        avroType, srcId, f.transform)
+    }
+    val root = meta.deepCopy[ObjectNode]()
+    val specArr = root.withArray[ArrayNode]("partition-specs")
+    val newSid = specArr.size
+    val spec = specArr.addObject()
+    spec.put("spec-id", newSid)
+    val fArr = spec.putArray("fields")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val fNode = fArr.addObject()
+      fNode.put("name", p.name); fNode.put("transform", p.transform)
+      fNode.put("source-id", p.sourceId); fNode.put("field-id", 1000 + i)
+    }
+    root.put("default-spec-id", newSid)
+    root.put("last-partition-id",
+      math.max(meta.path("last-partition-id").asInt(999),
+        999 + parts.size))
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeVersionFiles(md, root, version + 1): Unit
+    newSid
   }
 
   def publishPartitioned(spark: SparkSession, tableDir: String,
@@ -1843,8 +1957,8 @@ object IcebergMetadata {
     require(fields.nonEmpty, s"no partition fields in '$partitionRegex'")
     val schemaStr = schemaJson(df.schema)
     val parts = specFieldsFor(df.schema, schemaStr, fields)
-    val dataRoot = new File(tableDir, "data")
-    writePartitionedFiles(df, fields, parts, dataRoot.getPath)
+    val dataRoot = TableIO(tableDir).child("data")
+    writePartitionedFiles(df, fields, parts, dataRoot.abs)
     val seq = 1L
     val statIds = topLevelFieldIds(schemaStr)
     val tuples = partitionedLeaves(dataRoot, parts)
@@ -1868,7 +1982,7 @@ object IcebergMetadata {
     val groups = tuples.sortBy(_._1).grouped(math.max(1, groupSize)).toSeq
     val manifests = groups.zipWithIndex.map { case (grp, i) =>
       val entries = grp.flatMap { case (tup, dir) =>
-        entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+        entriesFor(spark, dir.abs, seq, fieldIds = statIds,
           partition = tup)
       }
       ManifestOut(writeManifest(md, entries, snapshotId, schemaStr,
@@ -1879,8 +1993,8 @@ object IcebergMetadata {
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "append", summary, allEntries.length,
       allEntries.map(_.rows).sum, specs = Seq(parts))
-    Commit(version, snapshotId, seq, manifests.head.file.getAbsolutePath,
-      list.getAbsolutePath, allEntries.length, allEntries.map(_.rows).sum)
+    Commit(version, snapshotId, seq, manifests.head.file.abs,
+      list.abs, allEntries.length, allEntries.map(_.rows).sum)
   }
 
   /** One manifest-list row of the current snapshot, with its decoded
@@ -1888,7 +2002,8 @@ object IcebergMetadata {
     * manifest-level pruning. */
   case class ManifestSummary(path: String, content: Int,
                              addedFiles: Int, addedRows: Long,
-                             partitions: Seq[PartFieldSummary])
+                             partitions: Seq[PartFieldSummary],
+                             specId: Int = 0)
 
   def manifestSummaries(tableDir: String,
                         asOfSnapshotId: Option[Long] = None)
@@ -1900,7 +2015,7 @@ object IcebergMetadata {
     val snap = meta.withArray[ArrayNode]("snapshots").asScala
       .find(_.get("snapshot-id").asLong == snapId).getOrElse(
         throw new IllegalArgumentException(s"snapshot $snapId not found"))
-    readAvro(new File(snap.get("manifest-list").asText)).map { mf =>
+    readAvro(TableIO(snap.get("manifest-list").asText)).map { mf =>
       val sums = Option(mf.get("partitions")).map(
         _.asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq.map { r =>
           def bytes(f: String): Option[Array[Byte]] =
@@ -1915,7 +2030,8 @@ object IcebergMetadata {
       ManifestSummary(mf.get("manifest_path").toString,
         mf.get("content").asInstanceOf[Int],
         mf.get("added_files_count").asInstanceOf[Int],
-        mf.get("added_rows_count").asInstanceOf[Long], sums)
+        mf.get("added_rows_count").asInstanceOf[Long], sums,
+        mf.get("partition_spec_id").asInstanceOf[Int])
     }
   }
 
@@ -1945,7 +2061,7 @@ object IcebergMetadata {
                           lo: Long, hi: Long): DataFrame = {
     val kept = pruneManifests(tableDir, lo, hi).toSet
     val keptFiles = kept.toSeq.sorted.flatMap { mPath =>
-      readAvro(new File(mPath)).collect {
+      readAvro(TableIO(mPath)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 =>
           e.get("data_file").asInstanceOf[GenericRecord]
       }.filter { df =>
@@ -1961,6 +2077,60 @@ object IcebergMetadata {
         }
       }.map(_.get("file_path").toString)
     }
+    require(keptFiles.nonEmpty, "no files survive partition pruning")
+    spark.read.parquet(keptFiles: _*)
+  }
+
+  /** Two-level pruned read of a MULTI-SPEC table (post partition
+    * evolution): each manifest prunes under ITS OWN spec — the caller
+    * maps a spec id to the [lo, hi] window in THAT spec's transform
+    * units (e.g. one timestamp window expressed as days-since-epoch
+    * for the day-grain spec and hours-since-epoch for the hour-grain
+    * one); `None` = this spec cannot express the predicate, keep its
+    * manifests/files (absent stats never mean "skip"). Level 1 skips
+    * whole manifests by field summary, level 2 files inside kept
+    * manifests by tuple value — planning stays sub-linear in file
+    * count across the evolution boundary. */
+  def readPartitionPrunedBySpec(spark: SparkSession, tableDir: String,
+                                boundsForSpec: Int => Option[(Long, Long)])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    def inRange(v: Any, b: Option[(Long, Long)]): Boolean = b match {
+      case None => true
+      case Some((lo, hi)) => v match {
+        case null => true
+        case i: java.lang.Integer => i >= lo && i <= hi
+        case l: java.lang.Long => l >= lo && l <= hi
+        case _ => true
+      }
+    }
+    val keptManifests = manifestSummaries(tableDir).filter { m =>
+      m.content != 0 || boundsForSpec(m.specId).forall { case (lo, hi) =>
+        m.partitions.headOption.forall { s =>
+          s.containsNull ||
+            ((s.lower, s.upper) match {
+              case (Some(l), Some(u)) =>
+                boundLong(l) <= hi && boundLong(u) >= lo
+              case _ => true
+            })
+        }
+      }
+    }.filter(_.content == 0)
+    val keptFiles = keptManifests.map(m => (m.path, m.specId))
+      .sortBy(_._1).flatMap { case (mPath, sid) =>
+        val bounds = boundsForSpec(sid)
+        readAvro(TableIO(mPath)).collect {
+          case e if e.get("status").asInstanceOf[Int] != 2 =>
+            e.get("data_file").asInstanceOf[GenericRecord]
+        }.filter { df =>
+          df.get("content").asInstanceOf[Int] == 0 && {
+            val pRec = df.get("partition").asInstanceOf[GenericRecord]
+            pRec.getSchema.getFields.asScala.headOption
+              .map(f => pRec.get(f.name()))
+              .forall(inRange(_, bounds))
+          }
+        }.map(_.get("file_path").toString)
+      }
     require(keptFiles.nonEmpty, "no files survive partition pruning")
     spark.read.parquet(keptFiles: _*)
   }
@@ -2001,22 +2171,21 @@ object IcebergMetadata {
     val parts = specFieldsFor(viewSchema, schemaStr, partFields)
 
     val statIds = topLevelFieldIds(schemaStr)
-    val base = DeltaSegments.baseDir(tablePath)
+    val base = LocalTPath(DeltaSegments.baseDir(tablePath))
     // a partition-aware-compacted base is hive-laid-out (`__p_*` dirs):
     // its files carry partition tuples and publish under spec 1 like
     // the segments, so the WHOLE table prunes; a plain base stays the
     // unprunable-but-legal spec-0 shape
     val baseIsPartitioned = parts.nonEmpty && base.exists &&
-      Option(base.listFiles()).exists(_.exists(f =>
-        f.isDirectory && f.getName.startsWith("__p_")))
+      base.list.exists(f => f.isDirectory && f.name.startsWith("__p_"))
     val baseEntries =
       if (!base.exists) Nil
       else if (baseIsPartitioned)
         partitionedLeaves(base, parts).flatMap { case (tup, dir) =>
-          entriesFor(spark, dir.getPath, seq = 1L, fieldIds = statIds,
+          entriesFor(spark, dir.abs, seq = 1L, fieldIds = statIds,
             partition = tup)
         }
-      else entriesFor(spark, base.getPath, seq = 1L, fieldIds = statIds)
+      else entriesFor(spark, base.abs, seq = 1L, fieldIds = statIds)
 
     val segs = DeltaSegments.listSegments(tablePath)
     // derived files are IMMUTABLE, as the Iceberg spec assumes: each
@@ -2026,20 +2195,20 @@ object IcebergMetadata {
     // valid, and a reader concurrent with a re-publish never sees its
     // files vanish. Old snapshots are expired explicitly
     // (`expireSnapshots`), never silently orphaned.
-    val derived = new File(new File(tableDir, "data"), snapshotId.toString)
+    val derived = TableIO(tableDir).child("data").child(snapshotId.toString)
     derived.mkdirs()
     val segResults = segs.zipWithIndex.map { case (seg, k) =>
       val seq = k + 2L
       val segDf = spark.read.parquet(seg.getPath)
       def projected(df: DataFrame) = df.select(dataCols.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-      val dataDir = new File(derived, s"${seg.getName}-data")
+      val dataDir = derived.child(s"${seg.getName}-data")
       val liveRows = projected(segDf.where(col(SystemColumns.OpType) =!=
         SystemColumns.OpDelete))
       if (parts.isEmpty)
-        liveRows.write.mode("overwrite").parquet(dataDir.getPath)
+        liveRows.write.mode("overwrite").parquet(dataDir.abs)
       else
-        writePartitionedFiles(liveRows, partFields, parts, dataDir.getPath)
+        writePartitionedFiles(liveRows, partFields, parts, dataDir.abs)
       // intra-batch duplicates (several occurrences of one key in ONE
       // segment) become a POSITIONAL-delete file, exactly the
       // reference Arrow writer's n−1 logic (arrow-writer/writer.go:
@@ -2054,9 +2223,9 @@ object IcebergMetadata {
       val dataLeaves =
         if (parts.isEmpty) Nil else partitionedLeaves(dataDir, parts)
       val writtenOpt =
-        if (parts.isEmpty) Some(spark.read.parquet(dataDir.getPath))
+        if (parts.isEmpty) Some(spark.read.parquet(dataDir.abs))
         else if (dataLeaves.isEmpty) None
-        else Some(spark.read.parquet(dataLeaves.map(_._2.getPath): _*))
+        else Some(spark.read.parquet(dataLeaves.map(_._2.abs): _*))
       val posEntries = writtenOpt.toSeq.flatMap { raw =>
         val written = raw.select(
           col(keyCol),
@@ -2087,24 +2256,24 @@ object IcebergMetadata {
           .distinct()
         if (losers.isEmpty) Nil
         else {
-          val posDir = new File(derived, s"${seg.getName}-posdeletes")
+          val posDir = derived.child(s"${seg.getName}-posdeletes")
           losers.orderBy("file_path", "pos") // spec: sorted by position
-            .write.mode("overwrite").parquet(posDir.getPath)
-          entriesFor(spark, posDir.getPath, seq, content = 1)
+            .write.mode("overwrite").parquet(posDir.abs)
+          entriesFor(spark, posDir.abs, seq, content = 1)
         }
       }
-      val delDir = new File(derived, s"${seg.getName}-deletes")
+      val delDir = derived.child(s"${seg.getName}-deletes")
       segDf.select(col(keyCol)).distinct()
-        .write.mode("overwrite").parquet(delDir.getPath)
+        .write.mode("overwrite").parquet(delDir.abs)
       val segDataEntries =
         if (parts.isEmpty)
-          entriesFor(spark, dataDir.getPath, seq, fieldIds = statIds)
+          entriesFor(spark, dataDir.abs, seq, fieldIds = statIds)
         else dataLeaves.flatMap { case (tup, dir) =>
-          entriesFor(spark, dir.getPath, seq, fieldIds = statIds,
+          entriesFor(spark, dir.abs, seq, fieldIds = statIds,
             partition = tup)
         }
       (segDataEntries,
-        posEntries ++ entriesFor(spark, delDir.getPath, seq, content = 2,
+        posEntries ++ entriesFor(spark, delDir.abs, seq, content = 2,
           equalityIds = eqIds, fieldIds = statIds))
     }
 
@@ -2153,8 +2322,8 @@ object IcebergMetadata {
       seqMax, list, "overwrite", summary,
       dataEntries.length, dataEntries.map(_.rows).sum,
       specs = if (parts.isEmpty) Seq(Nil) else Seq(Nil, parts))
-    Commit(version, snapshotId, seqMax, manifests.head.file.getAbsolutePath,
-      list.getAbsolutePath, dataEntries.length,
+    Commit(version, snapshotId, seqMax, manifests.head.file.abs,
+      list.abs, dataEntries.length,
       dataEntries.map(_.rows).sum)
   }
 
@@ -2249,24 +2418,29 @@ object IcebergMetadata {
     *  4. [[expireSnapshots]] keeps the last `keepLast` (tags always
     *     pin), reclaiming the pre-rewrite history;
     *  5. [[removeOrphans]] sweeps unreferenced files older than
-    *     `graceMs` (in-flight writer guard).
+    *     `graceMs` — defaulting to ONE HOUR, never zero: a scheduled
+    *     service pass must not delete parquet a concurrent publish
+    *     has staged but not yet committed (Iceberg's own
+    *     remove_orphan_files defaults to a 3-day horizon for the
+    *     same reason).
     *
     * Every step reuses the individually audited op; the returned map
     * records each step's outcome for the operator's log. */
   def autoMaintain(spark: SparkSession, tableDir: String,
                    targetBytes: Long, keepLast: Int = 2,
-                   graceMs: Long = 0L, groupSize: Int = 8)
+                   graceMs: Long = 3600000L, groupSize: Int = 8,
+                   summary: Map[String, String] = Map.empty)
       : Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val (_, delFiles) = manifestEntries(tableDir)
     if (delFiles.nonEmpty) {
       val c = majorCompactMoR(spark, tableDir, targetBytes,
-        groupSize = groupSize)
+        groupSize = groupSize, summary = summary)
       out("compact") = s"applied ${delFiles.size} delete files " +
         s"into snapshot ${c.snapshotId}"
     } else out("compact") = "skip (delete-free)"
     binpackRewrite(spark, tableDir, targetBytes,
-      groupSize = groupSize) match {
+      groupSize = groupSize, summary = summary) match {
       case Some(c) => out("binpack") =
         s"merged into snapshot ${c.snapshotId} (${c.addedFiles} files)"
       case None => out("binpack") = "skip (no mergeable small-file set)"
@@ -2276,12 +2450,13 @@ object IcebergMetadata {
     val listFile = meta.withArray[ArrayNode]("snapshots").asScala
       .find(_.get("snapshot-id").asLong == snapId).get
       .get("manifest-list").asText
-    val listRows = readAvro(new File(listFile))
+    val listRows = readAvro(TableIO(listFile))
     val tuples = dataFileStats(tableDir).map(_.partition).distinct.size
     val grouped = math.max(1,
       (tuples + groupSize - 1) / math.max(1, groupSize))
     if (listRows.size > 2 * grouped) {
-      val c = rewriteManifests(spark, tableDir, groupSize)
+      val c = rewriteManifests(spark, tableDir, groupSize,
+        summary = summary)
       out("manifests") =
         s"${listRows.size} manifests consolidated (snapshot ${c.snapshotId})"
     } else out("manifests") = s"skip (${listRows.size} manifests)"
@@ -2339,9 +2514,14 @@ object IcebergMetadata {
     val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
     val refIds = meta.path("refs").asScala
       .map(_.get("snapshot-id").asLong).toSet
-    val keepRecent = meta.withArray[ArrayNode]("snapshot-log").asScala
+    // retain_last floor counts DISTINCT snapshots, not log entries: a
+    // rollback re-appends an old snapshot-id to the log, so a raw
+    // takeRight over entries could hold fewer than retainLast distinct
+    // snapshots. Keep each id's LAST occurrence, then take the floor.
+    val logIds = meta.withArray[ArrayNode]("snapshot-log").asScala
       .map(_.get("snapshot-id").asLong).toSeq
-      .takeRight(math.max(1, retainLast)).toSet
+    val keepRecent = logIds.reverse.distinct
+      .take(math.max(1, retainLast)).toSet
     val currentId = meta.get("current-snapshot-id").asLong
     val candidates = snaps
       .filter(_.get("timestamp-ms").asLong < olderThanMs)
@@ -2406,31 +2586,24 @@ object IcebergMetadata {
     * `metadata-log` (commit writes do this inline; every other
     * mutation — refs, rollback, snapshot removal — must too, or the
     * log skips versions). */
-  private def appendMetadataLog(root: ObjectNode, md: File,
+  private def appendMetadataLog(root: ObjectNode, md: TPath,
                                 prevVersion: Int,
                                 prevUpdatedMs: Long): Unit = {
     val log =
       if (root.has("metadata-log")) root.withArray[ArrayNode]("metadata-log")
       else root.putArray("metadata-log")
     val e = log.addObject()
-    e.put("metadata-file",
-      new File(md, s"v$prevVersion.metadata.json").getAbsolutePath)
+    e.put("metadata-file", md.child(s"v$prevVersion.metadata.json").abs)
     e.put("timestamp-ms", prevUpdatedMs): Unit
   }
 
   /** Write vN.metadata.json + flip the version hint (the shared atomic
     * tail of every metadata mutation). */
-  private def writeVersionFiles(md: File, root: ObjectNode,
+  private def writeVersionFiles(md: TPath, root: ObjectNode,
                                 nv: Int): Int = {
-    val target = new File(md, s"v$nv.metadata.json")
-    val tmp = new File(md, s".v$nv.metadata.json.tmp")
-    Files.writeString(tmp.toPath,
+    md.child(s"v$nv.metadata.json").writeAtomic(
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    val hintTmp = new File(md, ".version-hint.tmp")
-    Files.writeString(hintTmp.toPath, nv.toString)
-    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    md.child("version-hint.text").writeAtomic(nv.toString)
     nv
   }
 
@@ -2451,7 +2624,7 @@ object IcebergMetadata {
     val keptIds = kept.map(_.get("snapshot-id").asLong).toSet
     // manifests still reachable from any kept snapshot stay on disk
     val keptManifests = kept.flatMap(s =>
-      readAvro(new File(s.get("manifest-list").asText))
+      readAvro(TableIO(s.get("manifest-list").asText))
         .map(_.get("manifest_path").toString)).toSet
 
     val newSnaps = mapper.createArrayNode()
@@ -2476,31 +2649,19 @@ object IcebergMetadata {
     appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
     root.put("last-updated-ms", System.currentTimeMillis())
     val nv = version + 1
-    val target = new File(md, s"v$nv.metadata.json")
-    val tmp = new File(md, s".v$nv.metadata.json.tmp")
-    Files.writeString(tmp.toPath,
-      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    val hintTmp = new File(md, ".version-hint.tmp")
-    Files.writeString(hintTmp.toPath, nv.toString)
-    Files.move(hintTmp.toPath, new File(md, "version-hint.text").toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    writeVersionFiles(md, root, nv)
 
     // physical cleanup only AFTER the trimmed metadata is live
-    def rmTree(f: File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(): Unit
-    }
     dropped.foreach { s =>
-      val listFile = new File(s.get("manifest-list").asText)
+      val listFile = TableIO(s.get("manifest-list").asText)
       if (listFile.exists)
         readAvro(listFile).map(_.get("manifest_path").toString)
           .filterNot(keptManifests.contains)
-          .foreach(p => new File(p).delete(): Unit)
+          .foreach(p => TableIO(p).delete())
       listFile.delete()
-      val derived = new File(new File(tableDir, "data"),
-        s.get("snapshot-id").asLong.toString)
-      if (derived.isDirectory) rmTree(derived)
+      val derived = TableIO(tableDir).child("data")
+        .child(s.get("snapshot-id").asLong.toString)
+      if (derived.isDirectory) derived.deleteRecursive()
     }
     dropped.length
   }
@@ -2524,35 +2685,42 @@ object IcebergMetadata {
       .map(_.get("snapshot-id").asLong).toSeq
     val referenced = snapIds.flatMap(id =>
       dataFileStats(tableDir, Some(id))
-        .map(e => new File(e.path).getCanonicalPath)).toSet
-    val dataRoot = new File(tableDir, "data")
+        .map(e => TableIO(e.path).canonical)).toSet
+    val dataRoot = TableIO(tableDir).child("data")
     if (!dataRoot.isDirectory) return 0
     val now = System.currentTimeMillis()
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory)
-        Option(f.listFiles).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
-      else Seq(f)
+    def walk(f: TPath): Seq[TPath] =
+      if (f.isDirectory) f.list.flatMap(walk) else Seq(f)
     val orphans = walk(dataRoot).filter { f =>
-      f.getName.endsWith(".parquet") &&
-        !referenced.contains(f.getCanonicalPath) &&
+      f.name.endsWith(".parquet") &&
+        !referenced.contains(f.canonical) &&
         now - f.lastModified >= minAgeMs
     }
-    orphans.foreach(_.delete(): Unit)
+    orphans.foreach(_.delete())
     // sweep emptied dirs bottom-up (write-side markers like _SUCCESS
     // go with their dir)
-    def sweep(d: File): Unit = if (d.isDirectory) {
-      Option(d.listFiles).getOrElse(Array.empty[File]).foreach(sweep)
-      val left = Option(d.listFiles).getOrElse(Array.empty[File])
-      if (d != dataRoot &&
+    def sweep(d: TPath): Unit = if (d.isDirectory) {
+      d.list.foreach(sweep)
+      val left = d.list
+      if (d.canonical != dataRoot.canonical &&
           left.forall(f => !f.isDirectory &&
-            (f.getName.startsWith("_") || f.getName.startsWith(".")))) {
-        left.foreach(_.delete(): Unit)
-        d.delete(): Unit
+            (f.name.startsWith("_") || f.name.startsWith(".")))) {
+        left.foreach(_.delete())
+        d.delete()
       }
     }
     sweep(dataRoot)
     orphans.length
   }
+
+  /** Audit hook (this thread): individual stat probes issued against
+    * parquet data files since [[resetParquetStatProbes]]. The planner
+    * contract is ZERO — file sizes come from the manifests' own
+    * `file_size_in_bytes`, never a driver-side per-file stat loop (a
+    * million-file table must plan from metadata alone; freshly written
+    * outputs stat batched through ONE directory listing). */
+  def parquetStatProbes: Int = TableIO.parquetStats.get
+  def resetParquetStatProbes(): Unit = TableIO.parquetStats.set(0)
 
   /** The 2PC state stored in the current snapshot's summary — the
     * reference's restart recovery reads the same `olake_2pc` property
@@ -2568,18 +2736,37 @@ object IcebergMetadata {
 
   /** (version, parsed metadata.json) of the current table version. */
   def currentMetadata(tableDir: String): Option[(Int, JsonNode)] = {
-    val hint = new File(metaDir(tableDir), "version-hint.text")
+    val md = metaDir(tableDir)
+    val hint = md.child("version-hint.text")
     if (!hint.exists) None
     else {
-      val v = Files.readString(hint.toPath).trim.toInt
-      val f = new File(metaDir(tableDir), s"v$v.metadata.json")
-      Some((v, mapper.readTree(Files.readString(f.toPath))))
+      val v = hint.readString.trim.toInt
+      Some((v, mapper.readTree(md.child(s"v$v.metadata.json").readString)))
     }
   }
 
-  private def readAvro(f: File): Seq[GenericRecord] = {
-    val r = new DataFileReader(f, new GenericDatumReader[GenericRecord]())
+  // One full read per metadata Avro (manifests are small and object
+  // stores bill per request, not per byte of a small GET).
+  private def readAvro(p: TPath): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(p.readBytes),
+      new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toList finally r.close()
+  }
+
+  /** A manifest's rows plus its `partition-spec-id` file metadata —
+    * the field a multi-spec reader keys tuple interpretation on (two
+    * specs can share an arity, e.g. day→hour evolution, so entry
+    * shape alone cannot identify the spec). */
+  private def readManifestRows(p: TPath): (Seq[GenericRecord], Int) = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(p.readBytes),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val sid = Option(r.getMetaString("partition-spec-id"))
+        .map(_.toInt).getOrElse(0)
+      (r.iterator().asScala.toList, sid)
+    } finally r.close()
   }
 
   /** Live manifest entries of a snapshot (current unless
@@ -2596,7 +2783,7 @@ object IcebergMetadata {
       .find(_.get("snapshot-id").asLong == snapId).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot $snapId not in table history at $tableDir"))
-    val listFile = new File(snap.get("manifest-list").asText)
+    val listFile = TableIO(snap.get("manifest-list").asText)
     def longMap(df: GenericRecord, field: String): Map[Int, Long] =
       Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
         .asScala.map(kv => kv.get("key").asInstanceOf[Int] ->
@@ -2609,7 +2796,9 @@ object IcebergMetadata {
           kv.get("key").asInstanceOf[Int] -> a
         }.toMap).getOrElse(Map.empty)
     readAvro(listFile).flatMap { mf =>
-      readAvro(new File(mf.get("manifest_path").toString)).collect {
+      val (rows, manifestSpecId) =
+        readManifestRows(TableIO(mf.get("manifest_path").toString))
+      rows.collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           // decode the partition tuple (r102) in writer-schema field
@@ -2629,7 +2818,12 @@ object IcebergMetadata {
               longMap(df, "null_value_counts"), bytesMap(df, "lower_bounds"),
               bytesMap(df, "upper_bounds")),
             pVals,
-            e.get("snapshot_id").asInstanceOf[Long])
+            e.get("snapshot_id").asInstanceOf[Long],
+            // field 104 — the manifest's own size record; planners read
+            // THIS, never a per-file stat syscall (a million-file table
+            // must plan from metadata alone)
+            sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+            specId = manifestSpecId)
       }
     }
   }
@@ -2642,15 +2836,14 @@ object IcebergMetadata {
     * REST catalogs address a table by metadata location, not by the
     * FS version-hint convention. */
   def dataFilePathsAt(metadataJsonPath: String): Seq[String] = {
-    val meta = mapper.readTree(
-      Files.readString(new File(metadataJsonPath).toPath))
+    val meta = mapper.readTree(TableIO(metadataJsonPath).readString)
     val snapId = meta.get("current-snapshot-id").asLong
     val snap = meta.withArray[ArrayNode]("snapshots").asScala
       .find(_.get("snapshot-id").asLong == snapId).getOrElse(
         throw new IllegalStateException(
           s"snapshot $snapId missing from $metadataJsonPath"))
-    readAvro(new File(snap.get("manifest-list").asText)).flatMap { mf =>
-      readAvro(new File(mf.get("manifest_path").toString)).collect {
+    readAvro(TableIO(snap.get("manifest-list").asText)).flatMap { mf =>
+      readAvro(TableIO(mf.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 =>
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           (df.get("content").asInstanceOf[Int],

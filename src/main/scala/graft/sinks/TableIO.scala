@@ -1,0 +1,176 @@
+package graft.sinks
+
+import java.io.{File, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Minimal table-storage VFS for the Iceberg metadata writer: the same
+  * handle works over the local filesystem AND over any Hadoop
+  * `FileSystem` scheme (the engine ships `s3wire://` —
+  * [[graft.sources.S3WireFileSystem]]), so `maintain <table> …` runs
+  * against the object store the table actually lives on, not just a
+  * local directory. The reference gets this from Iceberg's FileIO
+  * abstraction (all table IO in
+  * `destination/iceberg/olake-iceberg-java-writer/` goes through it);
+  * here the same seam is the Hadoop FS contract Spark already uses for
+  * the data files.
+  *
+  * Scale contract (100 TB): metadata planning must issue ZERO per-file
+  * stat calls against data files — sizes come from the manifests' own
+  * `file_size_in_bytes` (see `DataFileStat.sizeBytes`). The only
+  * driver-side file stats left are on freshly WRITTEN outputs (whose
+  * sizes exist in no manifest yet), and those arrive batched from ONE
+  * `listStatus` per output directory, not a syscall per file.
+  * [[TableIO.parquetStats]] counts any stat that does NOT come from a
+  * directory listing, so a spec can pin the zero-stat property.
+  */
+private[sinks] object TableIO {
+
+  /** Test hook: number of individual (non-listing) size/stat probes
+    * issued against `.parquet` files BY THE CURRENT THREAD. Maintenance
+    * PLANNING must leave this at zero — sizes must come from manifest
+    * metadata. Thread-local so concurrently running suites cannot
+    * pollute each other's assertion. */
+  val parquetStats: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+  def bumpParquetStat(): Unit = parquetStats.set(parquetStats.get + 1)
+
+  /** Hadoop configuration for schemed paths: the active session's,
+    * which is where `fs.s3wire.*` endpoint/credential config lives. */
+  def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def apply(s: String): TPath =
+    if (s.contains("://")) {
+      val p = new Path(s)
+      HadoopTPath(p.getFileSystem(hadoopConf), p, None)
+    } else LocalTPath(new File(s))
+}
+
+/** One file or directory of a table tree — the exact surface
+  * `IcebergMetadata` needs, nothing more. `abs` is the absolute form
+  * written into manifests / metadata.json (for a schemed path, the
+  * full URI). */
+private[sinks] sealed trait TPath {
+  def abs: String
+  /** Identity form for set membership (resolves `..`/links locally;
+    * qualified URI on a Hadoop scheme). */
+  def canonical: String
+  def name: String
+  def child(n: String): TPath
+  def exists: Boolean
+  def isFile: Boolean
+  def isDirectory: Boolean
+  /** Size in bytes. Counted by [[TableIO.parquetStats]] when probing a
+    * parquet file individually (listing-cached sizes are free). */
+  def length: Long
+  def lastModified: Long
+  /** Children (with their statuses pre-fetched in ONE listing on the
+    * Hadoop backend); empty when missing or not a directory. */
+  def list: Seq[TPath]
+  def mkdirs(): Unit
+  def delete(): Unit
+  def deleteRecursive(): Unit
+  def readBytes: Array[Byte]
+  def readString: String = new String(readBytes, UTF_8)
+  /** Write the full content so readers never observe a partial file:
+    * tmp + atomic rename locally; a direct single-object PUT on the
+    * object store (atomic per the S3 model). */
+  def writeAtomic(content: String): Unit
+  def createOutput(): OutputStream
+}
+
+private[sinks] final case class LocalTPath(f: File,
+                                           fromListing: Boolean = false)
+    extends TPath {
+  def abs: String = f.getAbsolutePath
+  def canonical: String = f.getCanonicalPath
+  def name: String = f.getName
+  def child(n: String): TPath = LocalTPath(new File(f, n))
+  def exists: Boolean = f.exists
+  def isFile: Boolean = f.isFile
+  def isDirectory: Boolean = f.isDirectory
+  def length: Long = {
+    if (!fromListing && f.getName.endsWith(".parquet"))
+      TableIO.bumpParquetStat()
+    f.length
+  }
+  def lastModified: Long = f.lastModified
+  def list: Seq[TPath] =
+    Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
+      .map(LocalTPath(_, fromListing = true))
+  def mkdirs(): Unit = { f.mkdirs(): Unit }
+  def delete(): Unit = { f.delete(): Unit }
+  def deleteRecursive(): Unit = {
+    def rm(x: File): Unit = {
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      x.delete(): Unit
+    }
+    rm(f)
+  }
+  def readBytes: Array[Byte] = Files.readAllBytes(f.toPath)
+  def writeAtomic(content: String): Unit = {
+    val tmp = new File(f.getParentFile, s".${f.getName}.tmp")
+    Files.writeString(tmp.toPath, content)
+    Files.move(tmp.toPath, f.toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+  def createOutput(): OutputStream = new java.io.FileOutputStream(f)
+}
+
+/** Hadoop-FS backend. `cached` carries the `FileStatus` a parent
+  * listing already fetched, so size/mtime probes on listed children
+  * cost nothing extra — one `listStatus` per directory is the whole
+  * IO bill (the S3 model's own economics: LIST returns sizes). */
+private[sinks] final case class HadoopTPath(fs: FileSystem, p: Path,
+                                            cached: Option[FileStatus])
+    extends TPath {
+  def abs: String = p.toString
+  def canonical: String = fs.makeQualified(p).toString
+  def name: String = p.getName
+  def child(n: String): TPath = HadoopTPath(fs, new Path(p, n), None)
+  private def status: Option[FileStatus] = cached.orElse(
+    try Some(fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None })
+  def exists: Boolean = status.isDefined
+  def isFile: Boolean = status.exists(_.isFile)
+  def isDirectory: Boolean = status.exists(_.isDirectory)
+  def length: Long = {
+    if (cached.isEmpty && p.getName.endsWith(".parquet"))
+      TableIO.bumpParquetStat()
+    status.map(_.getLen).getOrElse(0L)
+  }
+  def lastModified: Long = status.map(_.getModificationTime).getOrElse(0L)
+  def list: Seq[TPath] =
+    try fs.listStatus(p).toSeq.map(st =>
+      HadoopTPath(fs, st.getPath, Some(st)))
+    catch { case _: java.io.FileNotFoundException => Nil }
+  def mkdirs(): Unit = { fs.mkdirs(p): Unit }
+  def delete(): Unit = { fs.delete(p, false): Unit }
+  def deleteRecursive(): Unit = { fs.delete(p, true): Unit }
+  def readBytes: Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val len = status.map(_.getLen).getOrElse(
+        throw new java.io.FileNotFoundException(p.toString))
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+  def writeAtomic(content: String): Unit = {
+    // single PUT — atomic in the object model; no tmp+rename needed
+    // (rename is copy+delete on S3 and would WEAKEN atomicity)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+  }
+  def createOutput(): OutputStream = fs.create(p, true)
+}

@@ -102,7 +102,9 @@ object CdcStream {
                  policy: DeltaSegments.CompactionPolicy =
                    DeltaSegments.CompactionPolicy(),
                  icebergDir: Option[String] = None,
-                 partitionRegex: Option[String] = None): Unit = {
+                 partitionRegex: Option[String] = None,
+                 maintainEvery: Int = 0,
+                 maintainTargetBytes: Long = 128L << 20): Unit = {
     val spark = batch.sparkSession
     val st = StateStore.load(statePath).getOrElse(StateStore.State())
     val ss = st.streams.getOrElse(stream, StateStore.StreamState())
@@ -161,6 +163,22 @@ object CdcStream {
       graft.sinks.IcebergMetadata.publishMoR(spark, dir, tablePath,
         summary = Map("olake_2pc" -> stateJson),
         partitionRegex = partitionRegex)
+      // LIVE TABLE SERVICE (production runs maintenance on a cadence,
+      // not as an out-of-band CLI): every `maintainEvery` committed
+      // batches the composed autoMaintain pass runs against the
+      // published table. The current `olake_2pc` fence RE-ANCHORS on
+      // each maintenance commit's summary, so a restart recovering
+      // from the current snapshot still finds its position whether the
+      // last commit was a publish or a compaction. graceMs = 0 is safe
+      // HERE (and only here): publishes are serialized per stream
+      // inside this very method, so no concurrent in-flight writer can
+      // have staged files.
+      if (maintainEvery > 0 && batchId % maintainEvery == 0) {
+        val fence = graft.sinks.IcebergMetadata.commitState(dir)
+        graft.sinks.IcebergMetadata.autoMaintain(spark, dir,
+          maintainTargetBytes, graceMs = 0L,
+          summary = fence.map("olake_2pc" -> _).toMap): Unit
+      }
     }
   }
 

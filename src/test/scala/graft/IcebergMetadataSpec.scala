@@ -2138,4 +2138,307 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!left2.contains(c1.snapshotId) || left2.size == 1, left2)
     assert(n2 >= 1)
   }
+
+  test("fast-append snapshots re-walk under the independent decoder: " +
+       "carried manifest-list rows are VERBATIM copies of the base " +
+       "snapshot's rows, plus exactly one ADDED manifest") {
+    // extends the external-reader trust chain (official jar still
+    // blocked) to the appendCommit manifest LIST: an incremental
+    // reader keys "what changed since snapshot X" on exactly these
+    // carried fields, so any drift (re-stamped added_snapshot_id,
+    // recomputed counts) silently corrupts incremental consumption.
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val ice = Files.createTempDirectory("graft_favec").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$ice/d0")
+    val c0 = IcebergMetadata.commit(spark, ice, s"$ice/d0")
+    def listRowsOf(snapId: Long): Seq[GenericRecord] = {
+      val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+      val snap = meta.withArray[com.fasterxml.jackson.databind.node
+          .ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == snapId).get
+      val f = new File(snap.get("manifest-list").asText)
+      val r = new DataFileReader(f, new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val baseRows = listRowsOf(c0.snapshotId)
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.parquet(s"$ice/d1")
+    val c1 = IcebergMetadata.appendCommit(spark, ice, s"$ice/d1")
+    nation.withColumn("n_nationkey", col("n_nationkey") + 200)
+      .write.parquet(s"$ice/d2")
+    val c2 = IcebergMetadata.appendCommit(spark, ice, s"$ice/d2")
+    val rows1 = listRowsOf(c1.snapshotId)
+    val rows2 = listRowsOf(c2.snapshotId)
+    // append k's list = append k-1's rows VERBATIM ++ one new manifest
+    assert(rows1.size == baseRows.size + 1)
+    assert(rows2.size == rows1.size + 1)
+    rows2.init.zip(rows1).foreach { case (carried, orig) =>
+      assert(carried.toString == orig.toString,
+        s"carried row drifted:\n$carried\nvs\n$orig")
+    }
+    rows1.init.zip(baseRows).foreach { case (carried, orig) =>
+      assert(carried.toString == orig.toString)
+    }
+    // the one new row: this snapshot's id, ADDED counts only, its own
+    // sequence number — and its manifest's entries all status 1
+    val fresh = rows2.last
+    assert(fresh.get("added_snapshot_id") == c2.snapshotId)
+    assert(fresh.get("sequence_number") == c2.sequenceNumber)
+    assert(fresh.get("min_sequence_number") == c2.sequenceNumber)
+    assert(fresh.get("existing_files_count") == Int.box(0))
+    assert(fresh.get("added_rows_count") == Long.box(25L))
+    val r = new DataFileReader(
+      new File(fresh.get("manifest_path").toString),
+      new GenericDatumReader[GenericRecord]())
+    val entries = try r.iterator().asScala.toList finally r.close()
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      assert(e.get("status") == Int.box(1))
+      assert(e.get("snapshot_id") == c2.snapshotId)
+      assert(e.get("sequence_number") == c2.sequenceNumber)
+    }
+    // carried prefix still names live manifests whose entry walk
+    // reaches all three commits' rows exactly once
+    assert(IcebergMetadata.dataFileStats(ice).map(_.recordCount).sum == 75L)
+  }
+
+  test("rewrite-manifests snapshots re-walk under the independent " +
+       "decoder: data entries EXISTING under original ids/sequences, " +
+       "delete-manifest rows carried verbatim, rollups reconcile") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    // delete-BEARING fixture: a MoR publish (eq-delete manifest) plus
+    // two fast-appends accumulating small manifests
+    val table = Files.createTempDirectory("graft_rmvec_t").toString
+    val ice = Files.createTempDirectory("graft_rmvec_i").toString
+    spark.range(50).select(col("id").cast("string").as(OlakeId),
+        col("id").as("v"))
+      .write.parquet(s"$table/base")
+    DeltaSegments.writeSegment(
+      spark.range(5).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 500).as("v"), lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 1L)
+    val cPub = IcebergMetadata.publishMoR(spark, ice, table)
+    def listRows(snapId: Long): Seq[GenericRecord] = {
+      val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+      val snap = meta.withArray[com.fasterxml.jackson.databind.node
+          .ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == snapId).get
+      val r = new DataFileReader(
+        new File(snap.get("manifest-list").asText),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val delRowsBefore = listRows(cPub.snapshotId)
+      .filter(_.get("content") == Int.box(1))
+    assert(delRowsBefore.nonEmpty, "fixture must carry a delete manifest")
+    // live entries BEFORE, keyed by path → (seq, adding snapshot)
+    val before = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0)
+      .map(e => e.path -> (e.seq, e.addedSnapshotId)).toMap
+    val cRw = IcebergMetadata.rewriteManifests(spark, ice, groupSize = 4)
+    val rowsAfter = listRows(cRw.snapshotId)
+    // delete rows VERBATIM from the previous list
+    val delRowsAfter = rowsAfter.filter(_.get("content") == Int.box(1))
+    assert(delRowsAfter.map(_.toString) == delRowsBefore.map(_.toString))
+    // data manifests: every entry EXISTING (status 0) under its
+    // ORIGINAL adding-snapshot id and sequence number; list-row
+    // rollups reconcile against the re-walked entries
+    val dataRows = rowsAfter.filter(_.get("content") == Int.box(0))
+    dataRows.foreach { m =>
+      assert(m.get("added_snapshot_id") == cRw.snapshotId)
+      val r2 = new DataFileReader(
+        new File(m.get("manifest_path").toString),
+        new GenericDatumReader[GenericRecord]())
+      val entries = try r2.iterator().asScala.toList finally r2.close()
+      assert(entries.count(_.get("status") == Int.box(0)) ==
+        m.get("existing_files_count"))
+      assert(m.get("added_files_count") == Int.box(0))
+      val seqs = entries.map(_.get("sequence_number").asInstanceOf[Long])
+      assert(m.get("sequence_number") == seqs.max)
+      assert(m.get("min_sequence_number") == seqs.min)
+      entries.foreach { e =>
+        val p = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString
+        val (seq, addedBy) = before(p)
+        assert(e.get("status") == Int.box(0))
+        assert(e.get("sequence_number") == Long.box(seq),
+          s"sequence re-stamped for $p")
+        assert(e.get("snapshot_id") == Long.box(addedBy),
+          s"adding snapshot re-stamped for $p")
+      }
+    }
+    // coverage: every live data path appears exactly once after rewrite
+    val pathsAfter = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map(_.path)
+    assert(pathsAfter.sorted == before.keys.toSeq.sorted)
+    assert(pathsAfter.distinct.size == pathsAfter.size)
+    // and the MoR read algebra still resolves identically
+    val got = IcebergMetadata.readMoR(spark, ice)
+      .select(col(OlakeId), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.size == 50 && got("0") == 500L && got("10") == 10L)
+  }
+
+  test("maintenance planning issues ZERO per-file parquet stat probes: " +
+       "sizes come from the manifests' file_size_in_bytes") {
+    import org.apache.spark.sql.functions.col
+    val ice = Files.createTempDirectory("graft_zstat").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.repartition(4).write.parquet(s"$ice/d0")
+    IcebergMetadata.commit(spark, ice, s"$ice/d0"): Unit
+    (1 to 2).foreach { i =>
+      nation.withColumn("n_nationkey", col("n_nationkey") + i * 100)
+        .repartition(4).write.parquet(s"$ice/d$i")
+      IcebergMetadata.appendCommit(spark, ice, s"$ice/d$i"): Unit
+    }
+    // the manifests' size field IS the on-disk truth (cross-check)
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.nonEmpty)
+    stats.foreach(e =>
+      assert(e.sizeBytes == new File(e.path).length, e.path))
+    IcebergMetadata.resetParquetStatProbes()
+    // planning-only pass: stats walk, a binpack whose threshold
+    // qualifies nothing (pure victim selection), a pure-metadata
+    // manifest consolidation, expiration, an orphan sweep
+    IcebergMetadata.dataFileStats(ice): Unit
+    assert(IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 1L).isEmpty)
+    IcebergMetadata.rewriteManifests(spark, ice): Unit
+    IcebergMetadata.expireSnapshots(ice, keepLast = 2): Unit
+    IcebergMetadata.removeOrphans(ice, minAgeMs = 3600000L): Unit
+    assert(IcebergMetadata.parquetStatProbes == 0,
+      s"planner statted data files ${IcebergMetadata.parquetStatProbes}×")
+    // even a FULL rewrite plans from metadata alone — its fresh
+    // outputs stat batched through one directory listing, never a
+    // per-file probe
+    IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 512L << 20): Unit
+    assert(IcebergMetadata.parquetStatProbes == 0)
+  }
+
+  test("partition spec evolution day→hour: metadata-only commit, new " +
+       "writes under the new spec, per-spec pruned reads, maintenance " +
+       "carries other-spec files forward verbatim") {
+    import org.apache.spark.sql.functions._
+    val ice = Files.createTempDirectory("graft_evolve").toString
+    def rows(n: Int, base: Int, ts: String) =
+      spark.range(n).select((col("id") + base).as("id"),
+        concat(lit("d-"), col("id") + base).as("body"),
+        to_timestamp(lit(ts)).as("ts"))
+    // day-grain era: two days
+    val eraDay = rows(400, 0, "2024-03-05 10:00:00")
+      .unionByName(rows(400, 400, "2024-03-06 10:00:00"))
+    IcebergMetadata.publishPartitioned(spark, ice, eraDay, "/{ts,day}",
+      groupSize = 2): Unit
+    val vBefore = IcebergMetadata.currentMetadata(ice).get._1
+    // EVOLVE: pure metadata — version bumps, snapshot does not
+    val hourSid = IcebergMetadata.evolvePartitionSpec(ice, "/{ts,hour}")
+    assert(hourSid == 1)
+    val (vAfter, mAfter) = IcebergMetadata.currentMetadata(ice).get
+    assert(vAfter == vBefore + 1)
+    assert(mAfter.get("default-spec-id").asInt == 1)
+    assert(mAfter.get("partition-specs").size == 2)
+    assert(mAfter.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").size == 1, "evolution must not add a snapshot")
+    // hour-grain era: two appends into the same two hours (so each
+    // hour tuple holds 2 small files — binpack bait)
+    val hourA = rows(200, 800, "2024-03-07 01:30:00")
+      .unionByName(rows(200, 1000, "2024-03-07 02:30:00"))
+    val hourB = rows(200, 1200, "2024-03-07 01:45:00")
+      .unionByName(rows(200, 1400, "2024-03-07 02:45:00"))
+    IcebergMetadata.appendCommitPartitioned(spark, ice, hourA): Unit
+    IcebergMetadata.appendCommitPartitioned(spark, ice, hourB): Unit
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.exists(_.specId == 0) && stats.exists(_.specId == 1),
+      "both eras must be live")
+    stats.filter(_.specId == 1).foreach(e =>
+      assert(e.path.contains("__p_ts_hour="), e.path))
+    // per-spec pruned read: ONE window (day 2024-03-06 .. 03-07)
+    // expressed per spec — must see day-6 rows AND both hour batches
+    val d6 = java.time.LocalDate.parse("2024-03-06").toEpochDay
+    val d7 = d6 + 1
+    val got = IcebergMetadata.readPartitionPrunedBySpec(spark, ice, sid =>
+        if (sid == hourSid) Some((d6 * 24, d7 * 24 + 23))
+        else Some((d6, d7)))
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+    assert(got.getLong(0) == 400 + 800, got.toString)
+    assert(got.getLong(1) == 400 && got.getLong(2) == 1599)
+    // manifest-level pruning bites across the boundary: a day-5-only
+    // window keeps no hour-spec manifest
+    val d5 = d6 - 1
+    val keptSums = IcebergMetadata.manifestSummaries(ice).filter(m =>
+      m.content == 0 && {
+        val b = if (m.specId == hourSid) (d5 * 24, d5 * 24 + 23)
+          else (d5, d5)
+        m.partitions.headOption.forall(s =>
+          (s.lower, s.upper) match {
+            case (Some(l), Some(u)) =>
+              IcebergMetadata.boundLong(l) <= b._2 &&
+                IcebergMetadata.boundLong(u) >= b._1
+            case _ => true
+          })
+      })
+    assert(keptSums.nonEmpty &&
+      keptSums.forall(_.specId == 0), keptSums.map(m => (m.specId, m.path)))
+    // BINPACK on the evolved table: day-spec files are NOT candidates —
+    // they carry forward verbatim (path, seq, adding snapshot); the
+    // hour-spec small files merge per hour tuple
+    val day0 = stats.filter(_.specId == 0)
+      .map(e => (e.path, e.seq, e.addedSnapshotId)).toSet
+    val c = IcebergMetadata.binpackRewrite(spark, ice,
+      targetBytes = 512L << 20)
+    assert(c.nonEmpty, "hour-spec small files must merge")
+    val after = IcebergMetadata.dataFileStats(ice)
+    assert(after.filter(_.specId == 0)
+      .map(e => (e.path, e.seq, e.addedSnapshotId)).toSet == day0,
+      "day-spec files must carry forward verbatim")
+    assert(after.count(_.specId == 1) < stats.count(_.specId == 1))
+    // manifest consolidation keeps per-spec manifests + tuples
+    IcebergMetadata.rewriteManifests(spark, ice, groupSize = 2): Unit
+    val after2 = IcebergMetadata.dataFileStats(ice)
+    assert(after2.map(e => (e.path, e.specId)).sorted ==
+      after.map(e => (e.path, e.specId)).sorted)
+    // full row set intact across the whole lifecycle
+    val n = spark.read.parquet(
+      IcebergMetadata.dataFilePaths(ice): _*).count()
+    assert(n == 1600L)
+  }
+
+  test("a maintenance commit never clobbers the 2PC recovery fence: " +
+       "olake_2pc re-anchors on the maintenance snapshot's summary") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_fence_t").toString
+    val ice = Files.createTempDirectory("graft_fence_i").toString
+    spark.range(40).select(col("id").cast("string").as(OlakeId),
+        col("id").as("v"))
+      .write.parquet(s"$table/base")
+    DeltaSegments.writeSegment(
+      spark.range(4).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 900).as("v"), lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 1L)
+    val fence = """{"stream":"s","batchId":7,"lsn":703}"""
+    IcebergMetadata.publishMoR(spark, ice, table,
+      summary = Map("olake_2pc" -> fence)): Unit
+    assert(IcebergMetadata.commitState(ice).contains(fence))
+    // the live-sync hook's shape: read the fence, re-anchor it on
+    // every maintenance commit (compact + binpack + expire + orphans)
+    val carried = IcebergMetadata.commitState(ice)
+      .map("olake_2pc" -> _).toMap
+    IcebergMetadata.autoMaintain(spark, ice, targetBytes = 512L << 20,
+      graceMs = 0L, summary = carried): Unit
+    assert(IcebergMetadata.commitState(ice).contains(fence),
+      "maintenance clobbered the recovery fence")
+    // recovery-equivalent read still resolves the merged view
+    val got = IcebergMetadata.readMoR(spark, ice)
+      .select(col(OlakeId), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.size == 40 && got("0") == 900L)
+  }
 }
