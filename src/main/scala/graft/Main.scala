@@ -270,6 +270,16 @@ object Main {
         .mkString("{", ",", "}"))
       spark.stop()
 
+    // maintain <table> evolve <partitionRegex>: PARTITION SPEC
+    // EVOLUTION (spec §Partition Evolution) — a metadata-only commit
+    // that makes a new spec the default (e.g. "/{ts,hour}" after a
+    // day-grain year). No snapshot, no data movement; existing files
+    // keep their spec, readers prune per-spec, maintenance carries
+    // other-spec files forward.
+    case "maintain" :: table :: "evolve" :: regex :: Nil =>
+      val sid = graft.sinks.IcebergMetadata.evolvePartitionSpec(table, regex)
+      println(s"""{"status":"evolved","spec_id":$sid}""")
+
     // maintain <table> manifests [groupSize]: consolidate the small
     // per-append manifests into grouped ones (pure metadata commit —
     // no data file read or moved; scan PLANNING cost drops back to

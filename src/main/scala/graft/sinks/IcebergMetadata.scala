@@ -1307,7 +1307,8 @@ object IcebergMetadata {
                      minFileBytes: Long = 0L,
                      minInputFiles: Int = 2,
                      summary: Map[String, String] = Map.empty,
-                     groupSize: Int = 8)
+                     groupSize: Int = 8,
+                     maxConcurrentGroups: Int = 0)
       : Option[Commit] = {
     val md = metaDir(tableDir)
     val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
@@ -1355,8 +1356,14 @@ object IcebergMetadata {
       // year's ~365 groups, serial job-submit overhead would dominate
       // the tiny per-group work.
       val rewriteGroups = planned.filter(_._2.nonEmpty)
+      // Iceberg's max-concurrent-file-group-rewrites: 0 = derive from
+      // the cluster (defaultParallelism-bounded — on a real cluster
+      // the cap tracks executor capacity, not a local constant)
+      val maxGroups =
+        if (maxConcurrentGroups > 0) maxConcurrentGroups
+        else math.max(2, spark.sparkContext.defaultParallelism / 4)
       val pool = new java.util.concurrent.ForkJoinPool(
-        math.min(8, math.max(1, rewriteGroups.size)))
+        math.min(maxGroups, math.max(1, rewriteGroups.size)))
       val newEntries =
         try {
           import scala.collection.parallel.CollectionConverters._
@@ -2341,12 +2348,20 @@ object IcebergMetadata {
     *
     * Plan: per-sequence scans unioned with a literal seq column; both
     * delete sides are tiny → AQE broadcasts them; the data side is
-    * never shuffled. */
+    * never shuffled. A long-lived, never-maintained CDC table
+    * accumulates one live sequence per commit and the union plan grows
+    * one scan node per sequence — past `unionSeqLimit` distinct
+    * sequences the read switches to ONE scan plus a broadcast
+    * (file → sequence) map join, so plan WIDTH stays O(1) however long
+    * the commit history (the 10⁴-segment year-long table reads with
+    * the same plan as a 10-commit one; measured in ScaleCheck's
+    * `morseq` tier). */
   def readMoR(spark: SparkSession, tableDir: String,
               keyCol: String = graft.operators.SystemColumns.OlakeId,
               asOfSnapshotId: Option[Long] = None,
               prune: Option[(String, Long, Long)] = None,
-              partPrune: Option[(Long, Long)] = None)
+              partPrune: Option[(Long, Long)] = None,
+              unionSeqLimit: Int = 64)
       : DataFrame = {
     val (dataFiles0, delFiles) = manifestEntries(tableDir, asOfSnapshotId)
     // partition pruning on a partitioned (multi-spec) table: drop data
@@ -2376,16 +2391,44 @@ object IcebergMetadata {
     val eqFiles = delFiles.collect { case (p, s, 2) => (p, s) }
     val posFiles = delFiles.collect { case (p, s, 1) => (p, s) }
     def bySeq(files: Seq[(String, Long)], cols: Option[Seq[String]],
-              withPos: Boolean = false) =
-      files.groupBy(_._2).toSeq.map { case (seq, fs) =>
-        val raw = spark.read.parquet(fs.map(_._1): _*)
-        val df =
-          if (withPos) raw.select(col("*"),
-            col("_metadata.file_path").as("__fp"),
-            col("_metadata.row_index").as("__pos"))
-          else cols.fold(raw)(cs => raw.select(cs.map(col): _*))
-        df.withColumn("__seq", lit(seq))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+              withPos: Boolean = false) = {
+      val perSeq = files.groupBy(_._2).toSeq
+      if (perSeq.size <= unionSeqLimit)
+        perSeq.map { case (seq, fs) =>
+          val raw = spark.read.parquet(fs.map(_._1): _*)
+          val df =
+            if (withPos) raw.select(col("*"),
+              col("_metadata.file_path").as("__fp"),
+              col("_metadata.row_index").as("__pos"))
+            else cols.fold(raw)(cs => raw.select(cs.map(col): _*))
+          df.withColumn("__seq", lit(seq))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      else {
+        // high-commit-count shape: ONE scan, sequence numbers rejoined
+        // from a broadcast map keyed on the file path. Manifest paths
+        // and `_metadata.file_path` render the scheme differently
+        // ("/x" vs "file:///x"), so both sides normalize to the path
+        // part before joining. mergeSchema reproduces the union path's
+        // allowMissingColumns semantics across evolved commits.
+        val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+        import spark.implicits._
+        val seqMap = broadcast(files
+          .map { case (p, s) => (p.replaceFirst(schemeRe, "/"), s) }
+          .toDF("__fpn", "__seq"))
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_._1): _*)
+        val baseCols = cols.map(_.map(col)).getOrElse(Seq(col("*")))
+        val metaCols =
+          Seq(regexp_replace(col("_metadata.file_path"),
+            schemeRe, "/").as("__fpn")) ++
+          (if (withPos)
+            Seq(col("_metadata.file_path").as("__fp"),
+              col("_metadata.row_index").as("__pos"))
+          else Nil)
+        raw.select(baseCols ++ metaCols: _*)
+          .join(seqMap, Seq("__fpn")).drop("__fpn")
+      }
+    }
     val data0 = bySeq(dataFiles, None, withPos = posFiles.nonEmpty)
     val data =
       if (posFiles.isEmpty) data0

@@ -170,10 +170,32 @@ object TypeMaps {
     }
     val unknowns = byDialect.keys.toSeq.sorted
       .map(d => (d, "mystery_type", None: Option[Long], None: Option[Long]))
+    // the reference's runtime NUMBER(p,0) router
+    // (pkg/jdbc/reader.go:77-88: scale 0 & precision > 9 → int64, else
+    // int32) exercised at EVERY boundary — 9/10 (the int32/int64
+    // edge), 19/38 (max-int64-digits and max-Oracle-precision stay
+    // int64: the reference never routes integers to decimal), an
+    // unparenthesized NUMBER with metadata-only precision, a negative
+    // scale (Oracle rounds to tens — NOT an integer), and the typed
+    // temporal corners (DB2 TIME is a STRING in the reference — its
+    // dotted 13.30.05 form survives; MSSQL datetimeoffset is
+    // micros-UTC, while MSSQL `timestamp` is ROWVERSION, a string)
     val numberRouting = Seq(
       ("oracle", "NUMBER", Some(9L), Some(0L)),
+      ("oracle", "NUMBER(10,0)", Some(10L), Some(0L)),
       ("oracle", "NUMBER(18,0)", Some(18L), Some(0L)),
-      ("oracle", "NUMBER(10,2)", Some(10L), Some(2L)))
+      ("oracle", "NUMBER(19,0)", Some(19L), Some(0L)),
+      ("oracle", "NUMBER(38,0)", Some(38L), Some(0L)),
+      ("oracle", "NUMBER", None, Some(0L)),
+      ("oracle", "NUMBER(10,2)", Some(10L), Some(2L)),
+      ("oracle", "NUMBER(5,-2)", Some(5L), Some(-2L)),
+      ("oracle", "NUMBER(38,10)", Some(38L), Some(10L)),
+      ("db2", "TIME", None, None),
+      ("db2", "TIMESTAMP(12)", None, None),
+      ("mssql", "datetimeoffset(7)", None, None),
+      ("mssql", "DATETIMEOFFSET", None, None),
+      ("mssql", "TIMESTAMP", None, None),
+      ("mssql", "time(3)", None, None))
     decorated ++ unknowns ++ numberRouting
   }
 }

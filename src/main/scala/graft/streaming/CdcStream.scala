@@ -201,7 +201,11 @@ object CdcStream {
           stream: String = "events",
           filter: Option[String] = None,
           selectedColumns: Option[Seq[String]] = None,
-          syncNewColumns: Boolean = false): StreamingQuery = {
+          syncNewColumns: Boolean = false,
+          icebergDir: Option[String] = None,
+          partitionRegex: Option[String] = None,
+          maintainEvery: Int = 0,
+          maintainTargetBytes: Long = 128L << 20): StreamingQuery = {
     // the stream's record filter applies to CDC records too — the
     // reference's CDC writers are constructed WithApplyFilter(true)
     // (abstract/cdc.go:123) and run the stream filter over every
@@ -234,7 +238,10 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch((df: Dataset[Row], id: Long) =>
         applyBatch(prune(filtered.fold(df.toDF)(df.where)), id, tablePath,
-          statePath, stream))
+          statePath, stream,
+          icebergDir = icebergDir, partitionRegex = partitionRegex,
+          maintainEvery = maintainEvery,
+          maintainTargetBytes = maintainTargetBytes))
       .start()
   }
 

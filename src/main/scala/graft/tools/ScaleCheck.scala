@@ -168,6 +168,72 @@ object ScaleCheck {
     // fixed stays ~flat (kept files pay one footer read each), victims
     // 10× with kept fixed grows ≤~linear. sortRewrite is one range
     // exchange + per-file local sort — ~linear in table bytes. ----
+    // ---- readMoR AT HIGH COMMIT COUNT (`ScaleCheck morseq`): a
+    // never-maintained CDC table accumulates one live sequence per
+    // commit; the union-per-sequence plan grows one scan node per
+    // commit. Claim under test: past the unionSeqLimit the single-
+    // scan + broadcast-(file→seq)-map plan keeps PLANNING wall ~flat
+    // in sequence count (reads stay file-count-linear, never
+    // plan-width-superlinear). Table build uses one Spark write + raw
+    // file copies so the tier measures the read, not the build. ----
+    if (args.headOption.contains("morseq")) {
+      import graft.sinks.IcebergMetadata
+      def timeR[A](label: String)(f: => A): Double = {
+        val t0 = System.nanoTime(); f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label: $s%.2f s"); s
+      }
+      val nat = Tables.load(spark, base, "nation")
+        .select(col("n_nationkey").cast("string")
+          .as(graft.operators.SystemColumns.OlakeId), col("n_name"))
+      def mkSeqTable(n: Int): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"scmor$n").toString
+        nat.coalesce(1).write.parquet(s"$tmp/d0")
+        IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+        val part = new java.io.File(s"$tmp/d0").listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        (1 until n).foreach { i =>
+          val d = new java.io.File(s"$tmp/d$i"); d.mkdirs()
+          java.nio.file.Files.copy(part.toPath,
+            new java.io.File(d, part.getName).toPath)
+          IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d$i"): Unit
+        }
+        tmp
+      }
+      var dir100 = ""; var dir1000 = ""
+      timeR("build 100-sequence table") { dir100 = mkSeqTable(100) }
+      timeR("build 1000-sequence table") { dir1000 = mkSeqTable(1000) }
+      // warm pass (codegen/JIT) off-clock
+      IcebergMetadata.readMoR(spark, dir100).count(): Unit
+      def planWall(dir: String, limit: Int): Double = {
+        val t0 = System.nanoTime()
+        IcebergMetadata.readMoR(spark, dir, unionSeqLimit = limit)
+          .queryExecution.executedPlan: Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pUnion100 = timeR("plan wall, 100 seqs, union path") {
+        planWall(dir100, Int.MaxValue) }
+      val pMap100 = timeR("plan wall, 100 seqs, broadcast-map path") {
+        planWall(dir100, 64) }
+      val pMap1000 = timeR("plan wall, 1000 seqs, broadcast-map path") {
+        planWall(dir1000, 64) }
+      val pUnion1000 = timeR("plan wall, 1000 seqs, union path") {
+        planWall(dir1000, Int.MaxValue) }
+      println(f"union plan growth 100→1000 seqs: " +
+        f"${pUnion1000 / pUnion100}%.1f× (superlinear = the hazard)")
+      println(f"broadcast-map plan growth 100→1000 seqs: " +
+        f"${pMap1000 / pMap100}%.1f× (~flat = the claim)")
+      println(f"broadcast-map vs union at 1000 seqs: " +
+        f"${pUnion1000 / pMap1000}%.1f× faster planning")
+      val cMap = timeR("full read (count), 1000 seqs, broadcast-map") {
+        IcebergMetadata.readMoR(spark, dir1000).count() }
+      println(f"rows: ${nat.count() * 1000} expected; " +
+        f"read wall $cMap%.2f s (file-count-linear scan)")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("rewrite")) {
       import graft.sinks.IcebergMetadata
       def timeR[A](label: String)(f: => A): Double = {

@@ -2321,6 +2321,107 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergMetadata.parquetStatProbes == 0)
   }
 
+  test("merge-on-read maintenance over the s3wire object store: MoR " +
+       "publish, major compaction, expire and orphan sweep all run " +
+       "against the wire; the resolved rows survive") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    import graft.sources.S3Wire
+    val table = Files.createTempDirectory("graft_s3mor_t").toString
+    val bucketDir = Files.createTempDirectory("graft_s3mor_b").toFile
+    val srv = new S3Wire.S3LoopbackServer("lake", bucketDir)
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3wire.impl",
+        classOf[graft.sources.S3WireFileSystem].getName)
+      hc.set("fs.s3wire.impl.disable.cache", "true")
+      hc.set("fs.s3wire.endpoint", srv.endpoint)
+      val ice = "s3wire://lake/warehouse/mor_maint"
+      spark.range(60).select(col("id").cast("string").as(OlakeId),
+          col("id").as("v"))
+        .write.parquet(s"$table/base")
+      DeltaSegments.writeSegment(
+        spark.range(10).select(col("id").cast("string").as(OlakeId),
+          (col("id") + 700).as("v"), lit("u").as(OpType),
+          current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+        table, 1L)
+      DeltaSegments.writeSegment(
+        spark.range(50, 55).select(col("id").cast("string").as(OlakeId),
+          col("id").as("v"), lit("d").as(OpType),
+          current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+        table, 2L)
+      IcebergMetadata.publishMoR(spark, ice, table): Unit
+      val before = srv.requests.get()
+      val steps = IcebergMetadata.autoMaintain(spark, ice,
+        targetBytes = 512L << 20, graceMs = 0L)
+      assert(steps("compact").contains("applied"), steps.toString)
+      assert(srv.requests.get() > before,
+        "maintenance issued no wire traffic")
+      val (_, delAfter) = IcebergMetadata.manifestEntries(ice)
+      assert(delAfter.isEmpty, "compaction left delete files")
+      // every surviving data file lives BEHIND the wire
+      val paths = IcebergMetadata.dataFilePaths(ice)
+      assert(paths.nonEmpty && paths.forall(_.startsWith("s3wire://")),
+        paths.take(3))
+      val got = spark.read.parquet(paths: _*)
+        .select(col(OlakeId), col("v")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got.size == 55 && got("0") == 700L && !got.contains("52"))
+      // the readMoR algebra over the wire agrees
+      val viaMor = IcebergMetadata.readMoR(spark, ice).count()
+      assert(viaMor == 55L)
+    } finally srv.close()
+  }
+
+  test("readMoR high-commit-count path: the single-scan + broadcast " +
+       "(file→seq) map plan resolves the SAME rows as the union plan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_morseq_t").toString
+    val ice = Files.createTempDirectory("graft_morseq_i").toString
+    spark.range(30).select(col("id").cast("string").as(OlakeId),
+        col("id").as("v"))
+      .write.parquet(s"$table/base")
+    // three segments: update, delete, re-insert — every delete flavor
+    // and the strictly-greater-sequence rule must survive the switch
+    DeltaSegments.writeSegment(
+      spark.range(10).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 100).as("v"), lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 1L)
+    DeltaSegments.writeSegment(
+      spark.range(20, 25).select(col("id").cast("string").as(OlakeId),
+        col("id").as("v"), lit("d").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 2L)
+    DeltaSegments.writeSegment(
+      spark.range(22, 23).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 200).as("v"), lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      table, 3L)
+    IcebergMetadata.publishMoR(spark, ice, table): Unit
+    def rowsOf(limit: Int) =
+      IcebergMetadata.readMoR(spark, ice, unionSeqLimit = limit)
+        .select(col(OlakeId), col("v")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val viaUnion = rowsOf(Int.MaxValue)
+    val viaMap = rowsOf(1) // force the broadcast-map plan
+    assert(viaMap == viaUnion)
+    assert(viaMap.toMap.apply("0") == 100L)
+    assert(viaMap.toMap.apply("22") == 222L)
+    assert(!viaMap.exists(_._1 == "23"))
+    // the plan claim itself: ONE parquet scan node, not one per seq
+    val plan = IcebergMetadata.readMoR(spark, ice, unionSeqLimit = 1)
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r
+    }
+    // data single-scan + eq-delete single-scan + pos-delete side +
+    // broadcast maps (local relations) — far below one-per-sequence
+    assert(scans.size <= 6, s"plan width grew with commits: ${scans.size}")
+  }
+
   test("partition spec evolution day→hour: metadata-only commit, new " +
        "writes under the new spec, per-spec pruned reads, maintenance " +
        "carries other-spec files forward verbatim") {
