@@ -82,6 +82,12 @@ import org.apache.spark.sql.SparkSession
   *  - q_dedup_stream / q_neardup_stream: multi-run streaming
   *    checkpoint-resume roundtrips into tempdirs, like
   *    q_stream_pipeline / q_late_drop.
+  *  - q_iceberg_maintain_s3 / q_sync_maintained / q_iceberg_spec_evolve /
+  *    q_hybrid_search: multi-commit maintenance/streaming roundtrips
+  *    into tempdirs (plus a loopback S3 endpoint for the first) and an
+  *    index write-then-probe — the data-plane costs they wrap are
+  *    already headlined (binpack/compact via the rewrite tiers, the
+  *    probes via q_keyword_search / q_ann_lsh).
   *  - q_cdc_binlog_ssh / q_cdc_binlog_tls / q_cdc_pgoutput_tls /
   *    q_cdc_pgoutput_scram_cb / q_cdc_mongo_tls / q_ssl_modes /
   *    q_config_decrypt / q_source_config / q_type_maps /

@@ -3758,11 +3758,16 @@ object SparkEntry {
       IcebergMetadata.publishPartitioned(s, ice,
         ev.where(col("event_id") % 2 === 0), "/{ts,day}", groupSize = 6)
       val hourSid = IcebergMetadata.evolvePartitionSpec(ice, "/{ts,hour}")
+      // the hour-grain era covers (exactly) the read window's two days
+      // — 48 hour leaves, a fixed-size fixture at any SF (events always
+      // cover days 19723-19724); the window's odd rows all arrive
+      val dayWin = col("ts").cast("date")
+        .between(lit("2024-01-06"), lit("2024-01-07"))
       IcebergMetadata.appendCommitPartitioned(s, ice,
-        ev.where(col("event_id") % 2 === 1), groupSize = 6)
+        ev.where(col("event_id") % 2 === 1 && dayWin), groupSize = 6)
       IcebergMetadata.readPartitionPrunedBySpec(s, ice, sid =>
-          if (sid == hourSid) Some((19730L * 24, 19739L * 24 + 23))
-          else Some((19730L, 19739L)))
+          if (sid == hourSid) Some((19728L * 24, 19729L * 24 + 23))
+          else Some((19728L, 19729L)))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"))
     }),
@@ -7308,13 +7313,13 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
         |    BETWEEN 19730 AND 19739""".stripMargin,
 
-    // spec evolution: both halves (day-spec and hour-spec files) of
-    // the same 10-day window — the union must equal the raw window
+    // spec evolution: both halves (day-spec evens and hour-spec odds)
+    // of the same 2-day window — the union must equal the raw window
     "q_iceberg_spec_evolve" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |FROM events
         |WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-        |  BETWEEN 19730 AND 19739""".stripMargin,
+        |  BETWEEN 19728 AND 19729""".stripMargin,
 
     // the two-level pruned read = the same 10-day window on raw events
     "q_iceberg_partition_read" ->

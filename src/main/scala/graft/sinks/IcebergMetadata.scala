@@ -2372,12 +2372,20 @@ object IcebergMetadata {
     // skipping (pruneManifests) is the planner's first level; this is
     // the per-entry second level over the kept manifests.
     val dataFilesP = partPrune.fold(dataFiles0) { case (lo, hi) =>
+      // the window is expressed in the DEFAULT spec's transform units —
+      // a file of any OTHER spec (the unpartitioned base, or a
+      // pre-evolution day-grain spec when the default is hour-grain)
+      // must never be compared against it: its first field is in
+      // different units. Other-spec files are conservatively kept.
+      val defaultSid = currentMetadata(tableDir)
+        .map(_._2.path("default-spec-id").asInt(0)).getOrElse(0)
       val keep = dataFileStats(tableDir, asOfSnapshotId)
-        .filter(e => e.content == 0 && (e.partition.headOption match {
-          case Some(i: Int) => i >= lo && i <= hi
-          case Some(l: Long) => l >= lo && l <= hi
-          case _ => true
-        })).map(_.path).toSet
+        .filter(e => e.content == 0 &&
+          (e.specId != defaultSid || (e.partition.headOption match {
+            case Some(i: Int) => i >= lo && i <= hi
+            case Some(l: Long) => l >= lo && l <= hi
+            case _ => true
+          }))).map(_.path).toSet
       dataFiles0.filter(f => keep.contains(f._1))
     }
     // manifest-stats file skipping: drop data files whose column bounds
