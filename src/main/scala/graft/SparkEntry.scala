@@ -2951,6 +2951,51 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // ---- K2 INCREMENTAL APPEND SCAN (Iceberg's start-snapshot-id
+    //      read): a downstream consumer tails the table BY SNAPSHOT —
+    //      only the rows appended after its last-seen snapshot are
+    //      read, never history. Correct exactly because fast-append
+    //      carries prior manifest rows with their ORIGINAL adding
+    //      snapshot-id. DuckDB recomputes the two appended halves. ----
+    "q_iceberg_incr_read" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incr").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      val c0 = IcebergMetadata.commit(s, tmp, s"$tmp/d0")
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1")
+      n.withColumn("n_nationkey", col("n_nationkey") + 200)
+        .write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2")
+      IcebergMetadata.readAppendsSince(s, tmp, c0.snapshotId)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    // ---- K2 METADATA TABLES (Iceberg's `t.partitions` inspection
+    //      surface): per-partition file/row rollups straight from the
+    //      manifest walk — zero data-file IO (counts are manifest
+    //      fields). DuckDB recomputes the same rollup from raw events:
+    //      equal means the manifests' own bookkeeping is the truth. ----
+    "q_iceberg_partitions_meta" -> ((s, dir) => {
+      val root = new java.io.File(fixture("partmeta_gate"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      val ice = s"$root/ice"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("ts"), col("user_id"))
+      IcebergMetadata.publishPartitioned(s, ice, ev, "/{ts,day}",
+        groupSize = 6)
+      IcebergMetadata.partitionsTable(s, ice)
+        .select(col("spec_id"), col("partition"), col("file_count"),
+          col("row_count"))
+    }),
+
     // ---- K1+K2 LIVE TABLE SERVICE: maintenance wired INTO the sync
     //      loop (production runs it on a cadence, not as a CLI) — CDC
     //      batches apply, every 2nd committed batch triggers the
@@ -7121,6 +7166,24 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // exactly (commit + 3 fast-appends cover all of nation)
     "q_iceberg_maintain_s3" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // incremental scan since snapshot 0 = exactly the two appends
+    "q_iceberg_incr_read" ->
+      """SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 200 AS n_nationkey, n_name, n_regionkey
+        |FROM nation""".stripMargin,
+
+    // the partitions metadata table = the per-day rollup of raw events
+    // (publish writes ONE file per day tuple)
+    "q_iceberg_partitions_meta" ->
+      """SELECT CAST(0 AS INTEGER) AS spec_id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS VARCHAR) AS partition,
+        |  CAST(1 AS BIGINT) AS file_count,
+        |  count(*) AS row_count
+        |FROM events GROUP BY 2""".stripMargin,
 
     // live table service mid-stream: inserts, then %5 updates, %7≡3
     // deletes, and a final re-update of key 0 — with autoMaintain

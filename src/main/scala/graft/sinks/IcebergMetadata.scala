@@ -2946,4 +2946,112 @@ object IcebergMetadata {
     * path an Iceberg-aware engine runs, proving the tree is connected. */
   def dataFilePaths(tableDir: String): Seq[String] =
     manifestEntries(tableDir)._1.map(_._1)
+
+  /** INCREMENTAL APPEND SCAN — Iceberg's `start-snapshot-id` read, the
+    * downstream-consumption shape (a training-data pipeline tails a
+    * table by snapshot, never re-reading history): rows of data files
+    * first ADDED by snapshots AFTER `fromSnapshotId` in the current
+    * history. This is exactly why the fast-append/rewrite paths carry
+    * entries with their ORIGINAL adding snapshot-id — the incremental
+    * reader keys on that field. Like Iceberg, the range must contain
+    * only `append` snapshots: a replace/overwrite in the range rewrote
+    * row positions and an append-only consumer would double-count, so
+    * it refuses (the caller resyncs from the replace). */
+  def readAppendsSince(spark: SparkSession, tableDir: String,
+                       fromSnapshotId: Long): DataFrame = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
+    val fromSeq = snaps
+      .find(_.get("snapshot-id").asLong == fromSnapshotId)
+      .map(_.get("sequence-number").asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId not in table history (expired? " +
+          "resync from a full read)"))
+    val later = snaps
+      .filter(_.get("sequence-number").asLong > fromSeq)
+    later.foreach { s =>
+      val op = s.get("summary").get("operation").asText
+      require(op == "append",
+        s"snapshot ${s.get("snapshot-id").asLong} is '$op': an " +
+          "incremental append scan cannot cross a replace/overwrite — " +
+          "resync from that snapshot")
+    }
+    val laterIds = later.map(_.get("snapshot-id").asLong).toSet
+    val files = dataFileStats(tableDir)
+      .filter(e => e.content == 0 && laterIds.contains(e.addedSnapshotId))
+      .map(_.path)
+    if (files.isEmpty)
+      spark.read.parquet(dataFilePaths(tableDir): _*).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Iceberg-style METADATA TABLES (`SELECT * FROM t.partitions` /
+    * `t.files` / `t.snapshots` / `t.manifests`): the inspection
+    * surface operators query for health checks and maintenance
+    * triggers. Built from the same manifest/metadata walk the planner
+    * runs — ZERO data-file IO (row counts and sizes come from the
+    * manifests' own fields). */
+  def partitionsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    dataFileStats(tableDir).filter(_.content == 0)
+      .groupBy(e => (e.specId, e.partition)).toSeq
+      .map { case ((sid, tup), es) =>
+        (sid,
+          if (tup.isEmpty) null
+          else tup.map(v => String.valueOf(v)).mkString("/"),
+          es.size.toLong, es.map(_.recordCount).sum,
+          es.map(_.sizeBytes).sum)
+      }
+      .sortBy(r => (r._1, Option(r._2).getOrElse("")))
+      .toDF("spec_id", "partition", "file_count", "row_count",
+        "size_bytes")
+  }
+
+  def filesTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    dataFileStats(tableDir).map(e =>
+        (e.path, e.content, e.specId,
+          if (e.partition.isEmpty) null
+          else e.partition.map(v => String.valueOf(v)).mkString("/"),
+          e.seq, e.recordCount, e.sizeBytes, e.addedSnapshotId))
+      .toDF("file_path", "content", "spec_id", "partition",
+        "sequence_number", "record_count", "file_size_in_bytes",
+        "added_snapshot_id")
+  }
+
+  def snapshotsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    meta.withArray[ArrayNode]("snapshots").asScala.toSeq.map { s =>
+      (s.get("snapshot-id").asLong, s.get("sequence-number").asLong,
+        s.get("timestamp-ms").asLong,
+        s.get("summary").get("operation").asText,
+        Option(s.get("summary").get("added-records"))
+          .map(_.asText.toLong).getOrElse(0L))
+    }.toDF("snapshot_id", "sequence_number", "timestamp_ms",
+      "operation", "added_records")
+  }
+
+  def manifestsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snapId = meta.get("current-snapshot-id").asLong
+    val snap = meta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == snapId).get
+    readAvro(TableIO(snap.get("manifest-list").asText)).map { m =>
+      (m.get("manifest_path").toString,
+        m.get("manifest_length").asInstanceOf[Long],
+        m.get("partition_spec_id").asInstanceOf[Int],
+        m.get("content").asInstanceOf[Int],
+        m.get("added_files_count").asInstanceOf[Int],
+        m.get("existing_files_count").asInstanceOf[Int],
+        m.get("min_sequence_number").asInstanceOf[Long],
+        m.get("sequence_number").asInstanceOf[Long])
+    }.toDF("path", "length", "partition_spec_id", "content",
+      "added_files_count", "existing_files_count",
+      "min_sequence_number", "sequence_number")
+  }
 }

@@ -2321,6 +2321,60 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergMetadata.parquetStatProbes == 0)
   }
 
+  test("incremental append scan: empty range, expired-from refusal, " +
+       "replace-in-range refusal; metadata tables read zero data files") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_incrspec").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select("n_nationkey", "n_name")
+    nation.write.parquet(s"$tmp/d0")
+    val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    // empty range: no later snapshot → zero rows, schema intact
+    val empty = IcebergMetadata.readAppendsSince(spark, tmp, c0.snapshotId)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("n_nationkey", "n_name"))
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .repartition(3).write.parquet(s"$tmp/d1")
+    val c1 = IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1")
+    assert(IcebergMetadata.readAppendsSince(spark, tmp, c0.snapshotId)
+      .count() == 25)
+    // a replace inside the range rewrote row positions — refuse
+    IcebergMetadata.binpackRewrite(spark, tmp,
+      targetBytes = 512L << 20): Unit
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMetadata.readAppendsSince(spark, tmp, c0.snapshotId)
+    }
+    assert(ex.getMessage.contains("replace"))
+    // an unknown/expired from-snapshot refuses (consumer must resync)
+    intercept[IllegalArgumentException] {
+      IcebergMetadata.readAppendsSince(spark, tmp, 424242L)
+    }
+    // metadata tables: pure manifest/metadata walks — zero parquet
+    // stat probes AND consistent rollups
+    IcebergMetadata.resetParquetStatProbes()
+    val parts = IcebergMetadata.partitionsTable(spark, tmp).collect()
+    val files = IcebergMetadata.filesTable(spark, tmp).collect()
+    val snaps = IcebergMetadata.snapshotsTable(spark, tmp).collect()
+    val mans = IcebergMetadata.manifestsTable(spark, tmp).collect()
+    assert(IcebergMetadata.parquetStatProbes == 0)
+    assert(parts.map(_.getLong(3)).sum == 50L) // rows both halves
+    assert(files.map(_.getLong(5)).sum == 50L)
+    assert(files.length == parts.map(_.getLong(2)).sum)
+    assert(snaps.map(_.getString(3)).toSet == Set("append", "replace"))
+    assert(snaps.length == 3 && mans.nonEmpty)
+    // incremental read resumes cleanly from the replace snapshot
+    val cR = IcebergMetadata.currentMetadata(tmp).get._2
+      .get("current-snapshot-id").asLong
+    nation.withColumn("n_nationkey", col("n_nationkey") + 300)
+      .write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    val resumed = IcebergMetadata.readAppendsSince(spark, tmp, cR)
+    assert(resumed.count() == 25 &&
+      resumed.agg(org.apache.spark.sql.functions.min("n_nationkey"))
+        .head.getInt(0) == 300)
+    assert(c1.snapshotId != cR)
+  }
+
   test("merge-on-read maintenance over the s3wire object store: MoR " +
        "publish, major compaction, expire and orphan sweep all run " +
        "against the wire; the resolved rows survive") {
