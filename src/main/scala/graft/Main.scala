@@ -310,6 +310,15 @@ object Main {
       val n = graft.sinks.IcebergMetadata.expireSnapshots(table, keep)
       println(s"""{"status":"expired","snapshots_removed":$n}""")
 
+    // maintain <table> metadata [keepLast]: trim dead
+    // vN.metadata.json versions (previous-versions-max +
+    // delete-after-commit) — snapshots/manifests/data untouched
+    case "maintain" :: table :: "metadata" :: rest =>
+      val keep = rest.headOption.map(_.toInt).getOrElse(5)
+      val n = graft.sinks.IcebergMetadata
+        .expireMetadataVersions(table, keep)
+      println(s"""{"status":"trimmed","metadata_files_removed":$n}""")
+
     case "maintain" :: table :: "orphans" :: rest =>
       val ageMs = rest.headOption.map(_.toLong * 60000).getOrElse(0L)
       val n = graft.sinks.IcebergMetadata.removeOrphans(table, ageMs)

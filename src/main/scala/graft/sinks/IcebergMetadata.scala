@@ -2473,14 +2473,17 @@ object IcebergMetadata {
     *     service pass must not delete parquet a concurrent publish
     *     has staged but not yet committed (Iceberg's own
     *     remove_orphan_files defaults to a 3-day horizon for the
-    *     same reason).
+    *     same reason);
+    *  6. [[expireMetadataVersions]] trims dead vN.metadata.json files
+    *     past `metadataKeepLast` (previous-versions-max).
     *
     * Every step reuses the individually audited op; the returned map
     * records each step's outcome for the operator's log. */
   def autoMaintain(spark: SparkSession, tableDir: String,
                    targetBytes: Long, keepLast: Int = 2,
                    graceMs: Long = 3600000L, groupSize: Int = 8,
-                   summary: Map[String, String] = Map.empty)
+                   summary: Map[String, String] = Map.empty,
+                   metadataKeepLast: Int = 10)
       : Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val (_, delFiles) = manifestEntries(tableDir)
@@ -2514,6 +2517,9 @@ object IcebergMetadata {
     out("expire") =
       s"${expireSnapshots(tableDir, keepLast)} snapshots removed"
     out("orphans") = s"${removeOrphans(tableDir, graceMs)} files swept"
+    out("metadata") =
+      s"${expireMetadataVersions(tableDir, metadataKeepLast)} " +
+        "dead metadata versions removed"
     out.toMap
   }
 
@@ -2581,6 +2587,46 @@ object IcebergMetadata {
         refIds.contains(id) || keepRecent.contains(id) || id == currentId)
     if (candidates.isEmpty) return 0
     removeSnapshotIds(tableDir, candidates.toSet)
+  }
+
+  /** METADATA-VERSION expiry — Iceberg's
+    * `write.metadata.previous-versions-max` +
+    * `delete-after-commit.enabled`: every commit writes a new
+    * vN.metadata.json and a busy table accrues thousands of dead
+    * versions. Trims the metadata-log to the newest `keepLast`
+    * predecessors (the current version always survives) in a new
+    * metadata version, then deletes the dropped files — snapshots,
+    * manifests and data are untouched (snapshot history is carried in
+    * CURRENT metadata; only metadata-location time travel to the
+    * dropped versions goes away, exactly Iceberg's trade). Returns the
+    * number of files removed; writes nothing when there is nothing to
+    * drop. */
+  def expireMetadataVersions(tableDir: String, keepLast: Int = 5): Int = {
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val floor = math.max(1, keepLast)
+    // guard on the COMMITTED predecessor count so a steady-state
+    // service pass is a no-op (no version written), not a
+    // version-per-pass treadmill
+    if (Option(meta.get("metadata-log")).map(_.size).getOrElse(0) <= floor)
+      return 0
+    val root = meta.deepCopy[ObjectNode]()
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
+    val log = root.withArray[ArrayNode]("metadata-log").asScala.toSeq
+    val (dropped, kept) = log.splitAt(log.size - floor)
+    val newLog = mapper.createArrayNode()
+    kept.foreach(newLog.add(_): Unit)
+    root.set[ObjectNode]("metadata-log", newLog)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeVersionFiles(md, root, version + 1)
+    // physical deletes only AFTER the trimmed version is live
+    var n = 0
+    dropped.foreach { e =>
+      val f = TableIO(e.get("metadata-file").asText)
+      if (f.exists) { f.delete(); n += 1 }
+    }
+    n
   }
 
   /** Create or move a named REF (spec §References): a `tag` pins a

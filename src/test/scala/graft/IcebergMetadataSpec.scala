@@ -2321,6 +2321,45 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergMetadata.parquetStatProbes == 0)
   }
 
+  test("metadata-version expiry: dead vN.metadata.json files trim to " +
+       "previous-versions-max; snapshots, reads and time travel survive") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_mdexp").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select("n_nationkey", "n_name")
+    nation.write.parquet(s"$tmp/d0")
+    val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    (1 to 6).foreach { i =>
+      nation.withColumn("n_nationkey", col("n_nationkey") + i * 100)
+        .write.parquet(s"$tmp/d$i")
+      IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d$i"): Unit
+    }
+    def versionFiles = new File(s"$tmp/metadata").listFiles
+      .map(_.getName).filter(_.matches("v\\d+\\.metadata\\.json")).sorted
+    assert(versionFiles.length == 7)
+    val n = IcebergMetadata.expireMetadataVersions(tmp, keepLast = 3)
+    assert(n == 4, s"expected 4 dead versions removed, got $n")
+    // v1..v4 gone; the kept floor + the current + the trim commit stay
+    val left = versionFiles
+    assert(!left.contains("v1.metadata.json") &&
+      !left.contains("v4.metadata.json"), left.toSeq)
+    assert(left.contains("v8.metadata.json")) // the trim commit itself
+    val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+    assert(meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "metadata-log").size == 3)
+    // snapshot history untouched: all 7 snapshots, time travel works
+    assert(meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").size == 7)
+    assert(IcebergMetadata.dataFileStats(tmp, Some(c0.snapshotId))
+      .map(_.recordCount).sum == 25L)
+    assert(spark.read.parquet(
+      IcebergMetadata.dataFilePaths(tmp): _*).count() == 175L)
+    // idempotent: nothing more to drop → no new version written
+    val vBefore = IcebergMetadata.currentMetadata(tmp).get._1
+    assert(IcebergMetadata.expireMetadataVersions(tmp, keepLast = 3) == 0)
+    assert(IcebergMetadata.currentMetadata(tmp).get._1 == vBefore)
+  }
+
   test("incremental append scan: empty range, expired-from refusal, " +
        "replace-in-range refusal; metadata tables read zero data files") {
     import org.apache.spark.sql.functions.col
