@@ -324,10 +324,31 @@ object Main {
       val n = graft.sinks.IcebergMetadata.removeOrphans(table, ageMs)
       println(s"""{"status":"swept","files_removed":$n}""")
 
+    // changelog <table> <fromSnapshotId> [outDir] [--net]: the
+    // row-level insert/delete stream a downstream consumer replays
+    // for every commit after its last-seen snapshot (appends cross
+    // file-level, overwrites diff only the touched files, replaces
+    // emit nothing). --net collapses the range to one endpoint diff.
+    case "changelog" :: table :: from :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val net = rest.contains("--net")
+      val out = rest.filterNot(_ == "--net").headOption
+      val log = graft.sinks.IcebergMetadata.changelogScan(spark, table,
+        from.toLong, netChanges = net)
+      out match {
+        case Some(dir) => log.write.mode("overwrite").parquet(dir)
+        case None => log.show(100, truncate = false)
+      }
+      val counts = log.groupBy("change_type").count().collect()
+        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
+      println(s"""{"status":"changelog",${counts.mkString(",")}}""")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk | scd | maintain")
+          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk | scd | maintain | changelog")
       sys.exit(2)
   }
 }

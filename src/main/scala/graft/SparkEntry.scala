@@ -2974,6 +2974,41 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K2 CHANGELOG SCAN (Iceberg's create_changelog_view): the
+    //      row-level insert/delete stream between two snapshots — the
+    //      general CDC consumer where the incremental APPEND scan
+    //      refuses to cross an overwrite. Ordinal 1 is a plain append
+    //      (fast path: rows straight off the added files, no diffing);
+    //      ordinal 2 a copy-on-write overwrite that re-values every
+    //      5th key and drops every 7th≡3 key — its diff reads ONLY the
+    //      files the commit touched (bag algebra: untouched rows
+    //      cancel, so cost is bounded by the commit, not table size).
+    //      DuckDB replays both diffs with EXCEPT ALL. ----
+    "q_iceberg_changelog" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_changelog_gate").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      val c0 = IcebergMetadata.commit(s, tmp, s"$tmp/d0")
+      val shifted = n.withColumn("n_nationkey", col("n_nationkey") + 100)
+      shifted.write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1"): Unit
+      val prevState = n.unionByName(shifted)
+      prevState
+        .where(!(col("n_nationkey") < 100 && col("n_nationkey") % 7 === 3))
+        .withColumn("n_name",
+          when(col("n_nationkey") < 100 && col("n_nationkey") % 5 === 0,
+            concat(upper(col("n_name")), lit("_V2")))
+            .otherwise(col("n_name")))
+        .write.parquet(s"$tmp/d2")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d2",
+        operation = "overwrite"): Unit
+      IcebergMetadata.changelogScan(s, tmp, c0.snapshotId)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("change_type"), col("change_ordinal"))
+    }),
+
     // ---- K2 METADATA TABLES (Iceberg's `t.partitions` inspection
     //      surface): per-partition file/row rollups straight from the
     //      manifest walk — zero data-file IO (counts are manifest
@@ -7174,6 +7209,37 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT n_nationkey + 200 AS n_nationkey, n_name, n_regionkey
         |FROM nation""".stripMargin,
+
+    // changelog between snapshot 0 and current: ordinal 1 = the
+    // appended shifted rows; ordinal 2 = the overwrite's bag diff
+    // (EXCEPT ALL both ways between the two logical states)
+    "q_iceberg_changelog" ->
+      """WITH base AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation),
+        |shifted AS (
+        |  SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        |  FROM base),
+        |prev AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM shifted),
+        |cur AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey < 100 AND n_nationkey % 5 = 0
+        |         THEN upper(n_name) || '_V2' ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM prev
+        |  WHERE NOT (n_nationkey < 100 AND n_nationkey % 7 = 3))
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  'insert' AS change_type, CAST(1 AS INTEGER) AS change_ordinal
+        |FROM shifted
+        |UNION ALL
+        |SELECT *, 'insert' AS change_type,
+        |  CAST(2 AS INTEGER) AS change_ordinal
+        |FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM prev)
+        |UNION ALL
+        |SELECT *, 'delete' AS change_type,
+        |  CAST(2 AS INTEGER) AS change_ordinal
+        |FROM (SELECT * FROM prev EXCEPT ALL SELECT * FROM cur)"""
+        .stripMargin,
 
     // the partitions metadata table = the per-day rollup of raw events
     // (publish writes ONE file per day tuple)

@@ -3032,6 +3032,166 @@ object IcebergMetadata {
     else spark.read.parquet(files: _*)
   }
 
+  /** CHANGELOG SCAN — Iceberg's `create_changelog_view` shape: the
+    * row-level change stream `(rows, change_type, change_ordinal,
+    * commit_snapshot_id)` a CDC consumer replays for the snapshots
+    * AFTER `fromSnapshotId` (up to `toSnapshotId`, default current).
+    * Where [[readAppendsSince]] REFUSES a range crossing an
+    * overwrite (an append-only consumer would double-count), this is
+    * the general consumer: every commit kind maps to changes.
+    *
+    * Per snapshot, cheapest-exact-path first:
+    *  - `replace` (compaction / sort / manifest rewrite): NO logical
+    *    change by definition — emits nothing, costs nothing.
+    *  - `append`: inserts = rows of the data files first added by the
+    *    snapshot, straight off the manifest walk (zero diffing). Exact
+    *    even on a MoR table: an equality delete applies only to
+    *    STRICTLY SMALLER sequences and a positional delete names
+    *    already-written files, so no pre-existing delete can touch
+    *    rows appended after it.
+    *  - `overwrite`/`delete` without new delete files (copy-on-write):
+    *    diff RESTRICTED to the files the snapshot touched. With
+    *    U = rows of files live in both snapshots, R = removed files'
+    *    rows, A = added files' rows, the state multisets are
+    *    prev = U⊎R and cur = U⊎A, so prev∖cur = R∖A and
+    *    cur∖prev = A∖R — untouched files never need reading, the diff
+    *    is bag-exact, and its cost is bounded by the commit's own
+    *    footprint, not table size.
+    *  - `overwrite` that adds delete files (merge-on-read): new
+    *    deletes can kill rows inside UNTOUCHED data files, so the
+    *    restricted algebra no longer cancels — the snapshot pair is
+    *    diffed as full [[readMoR]] states. This is the one expensive
+    *    case; a table under `autoMaintain` compacts deletes away on a
+    *    cadence, so ranges are short and the COW/append paths carry
+    *    the tail.
+    *
+    * `netChanges = true` collapses the range to ONE diff of the
+    * endpoint states (Iceberg's net_changes view): intermediate
+    * insert+delete churn of the same row cancels, and the cost is two
+    * state reads total regardless of how many commits the range holds.
+    * Expired `from` snapshots are refused like readAppendsSince —
+    * the consumer resyncs from a full read. */
+  def changelogScan(spark: SparkSession, tableDir: String,
+                    fromSnapshotId: Long,
+                    toSnapshotId: Option[Long] = None,
+                    keyCol: String = graft.operators.SystemColumns.OlakeId,
+                    netChanges: Boolean = false): DataFrame = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
+      .sortBy(_.get("sequence-number").asLong)
+    def seqOf(id: Long): Long = snaps
+      .find(_.get("snapshot-id").asLong == id)
+      .map(_.get("sequence-number").asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $id not in table history (expired? resync from a " +
+          "full read)"))
+    val fromSeq = seqOf(fromSnapshotId)
+    val toSeq = toSnapshotId.map(seqOf).getOrElse(
+      snaps.last.get("sequence-number").asLong)
+    val range = snaps.filter { s =>
+      val q = s.get("sequence-number").asLong; q > fromSeq && q <= toSeq
+    }
+    // full logical state at a snapshot: the MoR algebra if any delete
+    // file is live there, a plain scan of the live data files otherwise
+    def state(id: Long): DataFrame = {
+      val stats = dataFileStats(tableDir, Some(id))
+      if (stats.exists(_.content != 0))
+        readMoR(spark, tableDir, keyCol, asOfSnapshotId = Some(id))
+      else {
+        val paths = stats.collect { case e if e.content == 0 => e.path }
+        if (paths.isEmpty) null else spark.read.parquet(paths: _*)
+      }
+    }
+    // bag-diff with schema alignment (an overwrite may have widened the
+    // schema mid-range; missing columns compare as null)
+    def aligned(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    def tag(df: DataFrame, kind: String, ord: Int, snap: Long) = df
+      .withColumn("change_type", lit(kind))
+      .withColumn("change_ordinal", lit(ord))
+      .withColumn("commit_snapshot_id", lit(snap))
+    val emptyTagged = {
+      val base = state(fromSnapshotId) match {
+        case null => state(snaps.last.get("snapshot-id").asLong)
+        case s => s
+      }
+      tag(base, "insert", 0, 0L).limit(0)
+    }
+    if (netChanges) {
+      val prev = state(fromSnapshotId)
+      val cur = state(range.lastOption.fold(fromSnapshotId)(
+        _.get("snapshot-id").asLong))
+      if (range.isEmpty || prev == null && cur == null) return emptyTagged
+      val cols =
+        (if (cur != null) cur.columns.toSeq else prev.columns.toSeq)
+      val p = if (prev == null) aligned(cur, cols).limit(0)
+              else aligned(prev, cols)
+      val c = if (cur == null) aligned(prev, cols).limit(0)
+              else aligned(cur, cols)
+      val snap = range.last.get("snapshot-id").asLong
+      return tag(c.exceptAll(p), "insert", range.size, snap)
+        .unionByName(tag(p.exceptAll(c), "delete", range.size, snap))
+    }
+    val parts = range.zipWithIndex.flatMap { case (s, i) =>
+      val id = s.get("snapshot-id").asLong
+      val ord = i + 1
+      val op = s.get("summary").get("operation").asText
+      if (op == "replace") Nil
+      else {
+        val curStats = dataFileStats(tableDir, Some(id))
+        val prevId = snaps.takeWhile(_ ne s).last.get("snapshot-id").asLong
+        val prevStats = dataFileStats(tableDir, Some(prevId))
+        val prevData = prevStats.collect {
+          case e if e.content == 0 => e.path }.toSet
+        val curData = curStats.collect {
+          case e if e.content == 0 => e.path }.toSet
+        val newDeletes = {
+          val prevDel = prevStats.collect {
+            case e if e.content != 0 => e.path }.toSet
+          curStats.exists(e => e.content != 0 && !prevDel.contains(e.path))
+        }
+        if (op == "append" && !newDeletes) {
+          val added = (curData -- prevData).toSeq.sorted
+          if (added.isEmpty) Nil
+          else Seq(tag(spark.read.parquet(added: _*), "insert", ord, id))
+        } else if (!newDeletes) {
+          val added = (curData -- prevData).toSeq.sorted
+          val removed = (prevData -- curData).toSeq.sorted
+          def rows(ps: Seq[String], other: Seq[String]) =
+            if (ps.nonEmpty) Some(spark.read.parquet(ps: _*))
+            else if (other.nonEmpty)
+              Some(spark.read.parquet(other: _*).limit(0))
+            else None
+          (rows(added, removed), rows(removed, added)) match {
+            case (Some(a), Some(r)) =>
+              val cols = a.columns.toSeq
+              val rA = aligned(r, cols)
+              Seq(tag(a.exceptAll(rA), "insert", ord, id),
+                tag(rA.exceptAll(a), "delete", ord, id))
+            case _ => Nil
+          }
+        } else {
+          val prev = state(prevId); val cur = state(id)
+          if (prev == null && cur == null) Nil
+          else {
+            val cols =
+              (if (cur != null) cur.columns.toSeq else prev.columns.toSeq)
+            val p = if (prev == null) aligned(cur, cols).limit(0)
+                    else aligned(prev, cols)
+            val c = if (cur == null) aligned(prev, cols).limit(0)
+                    else aligned(cur, cols)
+            Seq(tag(c.exceptAll(p), "insert", ord, id),
+              tag(p.exceptAll(c), "delete", ord, id))
+          }
+        }
+      }
+    }
+    if (parts.isEmpty) emptyTagged
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Iceberg-style METADATA TABLES (`SELECT * FROM t.partitions` /
     * `t.files` / `t.snapshots` / `t.manifests`): the inspection
     * surface operators query for health checks and maintenance

@@ -2635,4 +2635,98 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got.size == 40 && got("0") == 900L)
   }
+
+  test("changelogScan: append fast path, COW overwrite diff, replace " +
+    "emits nothing, net-changes collapse, expired-from refusal") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_changelog").toString
+    def rows(ids: Range, tagv: Long) = spark.range(ids.start, ids.end)
+      .select(col("id"), (col("id") * 10 + tagv).as("v"))
+    rows(0 until 10, 0).coalesce(1).write.parquet(s"$tmp/d0")
+    val a = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    // append: fast path, rows off the added files alone
+    rows(10 until 15, 0).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    // replace (binpack the two small files): NO changelog rows
+    IcebergMetadata.binpackRewrite(spark, tmp, targetBytes = 1L << 30): Unit
+    // COW overwrite: ids 0-2 re-valued, id 5 dropped, rest carried
+    rows(0 until 15, 0).where(col("id") =!= 5)
+      .withColumn("v", when(col("id") < 3, col("v") + 1).otherwise(col("v")))
+      .coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d2",
+      operation = "overwrite"): Unit
+
+    val log = IcebergMetadata.changelogScan(spark, tmp, a.snapshotId)
+      .select(col("id"), col("v"), col("change_type"),
+        col("change_ordinal")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSet
+    val appendRows = (10 until 15).map(i =>
+      (i.toLong, i * 10L, "insert", 1)).toSet
+    // the replace consumed ordinal 2 and emitted nothing
+    assert(!log.exists(_._4 == 2), "replace snapshot leaked changelog rows")
+    val overwriteRows =
+      (0 until 3).map(i => (i.toLong, i * 10L + 1, "insert", 3)).toSet ++
+      (0 until 3).map(i => (i.toLong, i * 10L, "delete", 3)).toSet +
+      ((5L, 50L, "delete", 3))
+    assert(log == appendRows ++ overwriteRows)
+
+    // net-changes: one endpoint diff; carried rows cancel out entirely
+    val net = IcebergMetadata.changelogScan(spark, tmp, a.snapshotId,
+        netChanges = true)
+      .select(col("id"), col("v"), col("change_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val netExpected =
+      (10 until 15).map(i => (i.toLong, i * 10L, "insert")).toSet ++
+      (0 until 3).map(i => (i.toLong, i * 10L + 1, "insert")).toSet ++
+      (0 until 3).map(i => (i.toLong, i * 10L, "delete")).toSet +
+      ((5L, 50L, "delete"))
+    assert(net == netExpected)
+
+    // empty range: from == current → zero rows, schema intact
+    val cur = IcebergMetadata.currentMetadata(tmp)
+      .get._2.get("current-snapshot-id").asLong
+    val empty = IcebergMetadata.changelogScan(spark, tmp, cur)
+    assert(empty.count() == 0 &&
+      empty.columns.contains("change_type"))
+
+    // an expired `from` refuses like readAppendsSince: consumer resyncs
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMetadata.changelogScan(spark, tmp, 999999999L)
+    }
+    assert(ex.getMessage.contains("resync"))
+  }
+
+  test("changelogScan on a merge-on-read table: new delete files force " +
+    "the full-state diff and the emitted deletes match the view delta") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_clmor").toString
+    val ice = Files.createTempDirectory("graft_clmorice").toString
+    spark.range(10).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    def change(ids: Range, op: String, vOff: Long = 0) =
+      spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as(OlakeId), (col("id") + vOff).as("v"),
+        lit(op).as(OpType), current_timestamp().as(CdcTimestamp),
+        col("id").as("lsn"))
+    DeltaSegments.writeSegment(change(0 until 2, "u", vOff = 100), table, 1L)
+    val c1 = IcebergMetadata.publishMoR(spark, ice, table)
+    // second publish adds an eq-delete segment: the changelog between
+    // the two snapshots must equal the MoR view delta, deletes included
+    DeltaSegments.writeSegment(change(5 until 6, "d"), table, 2L)
+    val c2 = IcebergMetadata.publishMoR(spark, ice, table)
+    def view(id: Long) = IcebergMetadata
+      .readMoR(spark, ice, asOfSnapshotId = Some(id))
+      .select(col(OlakeId), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val (v1, v2) = (view(c1.snapshotId), view(c2.snapshotId))
+    val log = IcebergMetadata.changelogScan(spark, ice, c1.snapshotId)
+      .select(col(OlakeId), col("v"), col("change_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(log.collect { case (k, v, "insert") => (k, v) } == v2 -- v1)
+    assert(log.collect { case (k, v, "delete") => (k, v) } == v1 -- v2)
+    assert(log.exists(_._3 == "delete"), "eq-delete row not emitted")
+  }
 }
