@@ -324,6 +324,16 @@ object Main {
       val n = graft.sinks.IcebergMetadata.removeOrphans(table, ageMs)
       println(s"""{"status":"swept","files_removed":$n}""")
 
+    // maintain <table> cherrypick <snapshotId>: transplant an
+    // audit-branch append onto the CURRENT main head (the WAP publish
+    // when main moved during audit and fast-forward would roll back
+    // concurrent appends). Metadata-only.
+    case "maintain" :: table :: "cherrypick" :: snapId :: Nil =>
+      val c = graft.sinks.IcebergMetadata
+        .cherrypickSnapshot(table, snapId.toLong)
+      println(s"""{"status":"cherry-picked","snapshot":${c.snapshotId},""" +
+        s""""added_files":${c.addedFiles},"added_rows":${c.addedRows}}""")
+
     // changelog <table> <fromSnapshotId> [outDir] [--net]: the
     // row-level insert/delete stream a downstream consumer replays
     // for every commit after its last-seen snapshot (appends cross

@@ -3009,6 +3009,33 @@ object SparkEntry {
           col("change_type"), col("change_ordinal"))
     }),
 
+    // ---- K2 CHERRY-PICK (Iceberg's cherrypick_snapshot): the WAP
+    //      publish path when main MOVED during audit — fast-forward
+    //      would roll back the concurrent append, so the branch
+    //      snapshot's added files transplant onto the new head as a
+    //      fresh append commit (metadata-only, O(picked files), head
+    //      manifests carried verbatim). The final state must hold all
+    //      three writes: base, the concurrent main append (+200), and
+    //      the audited branch rows (+100). ----
+    "q_iceberg_cherrypick" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cherry_gate").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$tmp/d1")
+      val staged = IcebergMetadata.commitToBranch(s, tmp, s"$tmp/d1",
+        "audit")
+      n.withColumn("n_nationkey", col("n_nationkey") + 200)
+        .write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2"): Unit
+      IcebergMetadata.cherrypickSnapshot(tmp, staged.snapshotId): Unit
+      s.read.parquet(IcebergMetadata.dataFilePaths(tmp): _*)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- K2 METADATA TABLES (Iceberg's `t.partitions` inspection
     //      surface): per-partition file/row rollups straight from the
     //      manifest walk — zero data-file IO (counts are manifest
@@ -7240,6 +7267,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(2 AS INTEGER) AS change_ordinal
         |FROM (SELECT * FROM prev EXCEPT ALL SELECT * FROM cur)"""
         .stripMargin,
+
+    // cherry-pick publish: base + the concurrent main append (+200)
+    // + the audited branch rows (+100) all land
+    "q_iceberg_cherrypick" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 200 AS n_nationkey, n_name, n_regionkey
+        |FROM nation""".stripMargin,
 
     // the partitions metadata table = the per-day rollup of raw events
     // (publish writes ONE file per day tuple)

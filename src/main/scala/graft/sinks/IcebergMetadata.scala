@@ -1268,6 +1268,77 @@ object IcebergMetadata {
     applyRollback(tableDir, target)
   }
 
+  /** CHERRY-PICK (Iceberg's `cherrypick_snapshot`): apply an APPEND
+    * snapshot's added files onto the CURRENT main head as a NEW
+    * commit — the publish path when [[fastForward]] no longer applies
+    * because main advanced while the audit branch was under review
+    * (the common WAP race: CDC keeps appending to main during audit).
+    *
+    * Metadata-only, O(picked files): the source snapshot's ADDED data
+    * entries are re-emitted in one new manifest at the NEW commit's
+    * sequence number (entries bake explicit sequences here, so picking
+    * must re-sequence — same reason Iceberg re-commits rather than
+    * re-pointing), and the head's manifest rows carry forward VERBATIM
+    * like a fast-append. The new snapshot records
+    * `source-snapshot-id`, Iceberg's own provenance key.
+    *
+    * Refused, per Iceberg's own rules: non-append sources (an
+    * overwrite's removals don't transplant), sources whose files are
+    * already live at head (double-pick or fast-forward-then-pick would
+    * double-count rows), and partitioned-spec sources (branch commits
+    * here are spec-0; transplanting tuples across specs is a
+    * different op). */
+  def cherrypickSnapshot(tableDir: String, sourceSnapshotId: Long,
+                         summary: Map[String, String] = Map.empty)
+      : Commit = {
+    val md = metaDir(tableDir)
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
+    val src = snaps.find(_.get("snapshot-id").asLong == sourceSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $sourceSnapshotId not in table history at $tableDir"))
+    val op = src.get("summary").get("operation").asText
+    require(op == "append",
+      s"cherry-pick source is '$op': only append snapshots transplant " +
+        "(an overwrite's file removals don't apply onto a moved head)")
+    val picked = dataFileStats(tableDir, Some(sourceSnapshotId))
+      .filter(e => e.content == 0 &&
+        e.addedSnapshotId == sourceSnapshotId)
+    require(picked.nonEmpty, s"snapshot $sourceSnapshotId added no files")
+    require(picked.forall(_.partition.isEmpty),
+      "cherry-pick of a partitioned-spec snapshot is not supported: " +
+        "fast-forward the branch or re-append through the table's spec")
+    val headLive = dataFileStats(tableDir).collect {
+      case e if e.content == 0 => e.path }.toSet
+    require(!picked.exists(e => headLive.contains(e.path)),
+      s"snapshot $sourceSnapshotId is already applied at the current " +
+        "head (its files are live) — nothing to cherry-pick")
+    val curSchemaId = meta.get("current-schema-id").asInt
+    val schemaStr = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val headSnap = snaps.find(_.get("snapshot-id").asLong ==
+      meta.get("current-snapshot-id").asLong).getOrElse(
+        throw new IllegalStateException("current snapshot missing"))
+    val carried = readAvro(TableIO(headSnap.get("manifest-list").asText))
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val entries = picked.map(e =>
+      FileEntry(e.path, e.sizeBytes, e.recordCount, seq, 0, Nil,
+        e.stats, Nil))
+    val manifest = writeManifest(md, entries, snapshotId, schemaStr,
+      "data", 0)
+    val list = writeManifestList(md, snapshotId,
+      Seq(ManifestOut(manifest, 0, entries)), carryForward = carried)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "append",
+      summary + ("source-snapshot-id" -> sourceSnapshotId.toString),
+      entries.length, entries.map(_.rows).sum,
+      specs = specsFromMeta(meta))
+    Commit(version, snapshotId, seq, manifest.abs,
+      list.abs, entries.length, entries.map(_.rows).sum)
+  }
+
   /** Small-file BINPACK rewrite — the RewriteDataFiles maintenance
     * action every long-lived 100 TB table needs: streaming commits
     * leave thousands of KB-scale files whose per-file open/plan cost

@@ -2697,6 +2697,61 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("resync"))
   }
 
+  test("cherrypickSnapshot: an audit-branch append transplants onto a " +
+    "moved main head; double-pick and non-append sources refuse") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_cherry").toString
+    def rows(ids: Range) = spark.range(ids.start, ids.end)
+      .select(col("id"), (col("id") * 10).as("v"))
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    // WAP write half: stage 10-15 on an audit branch
+    rows(10 until 15).coalesce(1).write.parquet(s"$tmp/d1")
+    val staged = IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/d1",
+      "audit")
+    // main advances while the branch is under review — fastForward
+    // would now ROLL BACK the concurrent append; cherry-pick is the
+    // only safe publish
+    rows(20 until 25).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    val c = IcebergMetadata.cherrypickSnapshot(tmp, staged.snapshotId)
+    assert(c.addedRows == 5)
+    val got = spark.read.parquet(
+        IcebergMetadata.dataFilePaths(tmp): _*)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 10L) ++ (10L until 15L) ++
+      (20L until 25L)).sorted)
+    // provenance rides the snapshot summary, Iceberg's own key
+    import scala.jdk.CollectionConverters._
+    val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+    val head = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").elements.asScala.find(
+        _.get("snapshot-id").asLong == c.snapshotId).get
+    assert(head.get("summary").get("source-snapshot-id").asText ==
+      staged.snapshotId.toString)
+    // the changelog sees the pick as a plain append of the 5 rows
+    val log = IcebergMetadata.changelogScan(spark, tmp, staged.snapshotId)
+      .where(col("commit_snapshot_id") === c.snapshotId)
+      .select(col("id"), col("change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(log == (10L until 15L).map((_, "insert")).toSet)
+    // double-pick: the files are already live at head
+    val ex = intercept[IllegalArgumentException] {
+      IcebergMetadata.cherrypickSnapshot(tmp, staged.snapshotId)
+    }
+    assert(ex.getMessage.contains("already applied"))
+    // non-append source: an overwrite's removals don't transplant
+    rows(0 until 3).coalesce(1).write.parquet(s"$tmp/d3")
+    val ow = IcebergMetadata.commit(spark, tmp, s"$tmp/d3",
+      operation = "overwrite")
+    rows(30 until 32).coalesce(1).write.parquet(s"$tmp/d4")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d4"): Unit
+    val ex2 = intercept[IllegalArgumentException] {
+      IcebergMetadata.cherrypickSnapshot(tmp, ow.snapshotId)
+    }
+    assert(ex2.getMessage.contains("only append snapshots"))
+  }
+
   test("changelogScan on a merge-on-read table: new delete files force " +
     "the full-state diff and the emitted deletes match the view delta") {
     import org.apache.spark.sql.functions._
