@@ -324,6 +324,21 @@ object Main {
       val n = graft.sinks.IcebergMetadata.removeOrphans(table, ageMs)
       println(s"""{"status":"swept","files_removed":$n}""")
 
+    // maintain <table> posdeletes: MINOR delete compaction —
+    // consolidate per-batch positional-delete files into one and drop
+    // dangling rows (cost ∝ pos-delete rows; data never moves)
+    case "maintain" :: table :: "posdeletes" :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.sinks.IcebergMetadata
+        .rewritePositionDeletes(spark, table) match {
+        case Some(c) => println(
+          s"""{"status":"rewritten","snapshot":${c.snapshotId},""" +
+            s""""pos_files":${c.addedFiles},"pos_rows":${c.addedRows}}""")
+        case None => println("""{"status":"nothing-to-rewrite"}""")
+      }
+      spark.stop()
+
     // maintain <table> cherrypick <snapshotId>: transplant an
     // audit-branch append onto the CURRENT main head (the WAP publish
     // when main moved during audit and fast-forward would roll back

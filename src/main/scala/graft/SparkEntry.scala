@@ -3416,6 +3416,56 @@ object SparkEntry {
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
 
+    // ---- K2 MINOR DELETE COMPACTION (Iceberg's
+    //      rewrite_position_delete_files): two dup-bearing upsert
+    //      batches each leave a positional-delete file; the rewrite
+    //      consolidates them to ONE (pure metadata + pos-row IO, data
+    //      manifests carried verbatim, equality entries untouched) and
+    //      the merged view must be unchanged — the gate requires the
+    //      file count actually dropped, then reads through readMoR. ----
+    "q_iceberg_pos_rewrite" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_posrw_t").toString
+      val ice = java.nio.file.Files
+        .createTempDirectory("graft_posrw_i").toString
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      // intra-batch dup: every update row appears twice (identical
+      // payload, so the surviving occurrence is value-deterministic)
+      val upd1 = n.where(col("n_nationkey") < 10).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), upper(col("n_name")).as("n_name"),
+        lit("u").as(SystemColumns.OpType))
+      val upd2 = n.where(col("n_nationkey") >= 10 &&
+          col("n_nationkey") < 15).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), concat(col("n_name"), lit("_X")).as("n_name"),
+        lit("u").as(SystemColumns.OpType))
+      val del2 = n.where(col("n_nationkey") >= 20).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), col("n_name"),
+        lit("d").as(SystemColumns.OpType))
+      graft.sinks.DeltaSegments.writeSegment(
+        upd1.unionByName(upd1)
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 1L)
+      graft.sinks.DeltaSegments.writeSegment(
+        upd2.unionByName(upd2).unionByName(del2)
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+        table, 2L)
+      IcebergMetadata.publishMoR(s, ice, table)
+      val pos0 = IcebergMetadata.dataFileStats(ice).count(_.content == 1)
+      require(pos0 >= 2, s"fixture produced only $pos0 pos-delete files")
+      IcebergMetadata.rewritePositionDeletes(s, ice).getOrElse(
+        throw new IllegalStateException("rewrite was a no-op"))
+      val pos1 = IcebergMetadata.dataFileStats(ice).count(_.content == 1)
+      require(pos1 == 1, s"expected 1 consolidated pos file, got $pos1")
+      IcebergMetadata.readMoR(s, ice)
+        .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
+    }),
+
     // ---- K2 MAJOR COMPACTION: the same MoR fixture, then every
     //      delete is applied into a delete-free replace snapshot —
     //      the gate reads the RAW parquet of the compacted files
@@ -7341,6 +7391,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, upper(n_name) AS n_name, 'u' AS op FROM nation WHERE n_nationkey < 10
         |  UNION ALL SELECT cast(n_nationkey AS VARCHAR), n_nationkey, n_name, 'd' FROM nation WHERE n_nationkey >= 20
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
+        |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
+        |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // minor delete compaction never changes the merged view: upserts
+    // on <10 (upper) and 10-14 (suffix), deletes >=20
+    "q_iceberg_pos_rewrite" ->
+      """WITH base AS (SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, n_name FROM nation),
+        |changes AS (
+        |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey, upper(n_name) AS n_name, 'u' AS op FROM nation WHERE n_nationkey < 10
+        |  UNION ALL SELECT cast(n_nationkey AS VARCHAR), n_nationkey, n_name || '_X', 'u' FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15
+        |  UNION ALL SELECT cast(n_nationkey AS VARCHAR), n_nationkey, n_name, 'd' FROM nation WHERE n_nationkey >= 20)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
 

@@ -95,7 +95,8 @@ object IcebergMetadata {
                           partition: Seq[Any] = Nil,
                           addedSnapshotId: Long = 0L,
                           sizeBytes: Long = 0L,
-                          specId: Int = 0)
+                          specId: Int = 0,
+                          equalityIds: Seq[Int] = Nil)
 
   /** One partition-spec field as written to metadata + manifests:
     * `avroType` is the transform RESULT type ("int" | "long" |
@@ -1177,6 +1178,92 @@ object IcebergMetadata {
     Commit(version, snapshotId, seq,
       manifests.head.file.abs,
       list.abs, 0, 0L)
+  }
+
+  /** MINOR delete compaction (Iceberg's
+    * `rewrite_position_delete_files`): consolidate the per-batch
+    * POSITIONAL delete files into one and drop DANGLING rows — those
+    * naming (file_path, pos) coordinates of data files no longer live
+    * (a prior rewrite/expire removed their targets, so the rows are
+    * dead weight every MoR read still scans and anti-joins).
+    *
+    * Equality-delete entries re-emit VERBATIM (EXISTING status,
+    * original snapshot-ids/sequences/equality_ids) — their key-vs-
+    * sequence algebra is untouchable without a major compact. Data
+    * manifest rows carry forward verbatim from the prior list (zero
+    * data IO — this is the cheap cadence op between major compacts:
+    * cost ∝ position-delete rows, not table size). The consolidated
+    * file takes the MAX original sequence, safe because positional
+    * deletes name exact coordinates — a data file added later has a
+    * different path and can never be falsely matched.
+    *
+    * No-op (None) when the table has no positional deletes, or exactly
+    * one file with nothing dangling. */
+  def rewritePositionDeletes(spark: SparkSession, tableDir: String,
+                             summary: Map[String, String] = Map.empty)
+      : Option[Commit] = {
+    val md = metaDir(tableDir)
+    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val stats = dataFileStats(tableDir)
+    val posStats = stats.filter(_.content == 1)
+    if (posStats.isEmpty) return None
+    val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+    import spark.implicits._
+    val liveDf = stats.collect { case e if e.content == 0 =>
+      e.path.replaceFirst(schemeRe, "/") }.toDF("__fpn")
+    val rows = spark.read.parquet(posStats.map(_.path): _*)
+    val kept = rows
+      .withColumn("__fpn",
+        regexp_replace(col("file_path"), schemeRe, "/"))
+      .join(liveDf, Seq("__fpn"), "left_semi")
+      .drop("__fpn")
+    val total = rows.count(); val keptN = kept.count()
+    val dangling = total - keptN
+    if (posStats.size == 1 && dangling == 0) return None
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val curSchemaId = prevMeta.get("current-schema-id").asInt
+    val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong ==
+        prevMeta.get("current-snapshot-id").asLong).getOrElse(
+        throw new IllegalStateException("current snapshot missing"))
+    val dataListRows =
+      readAvro(TableIO(prevSnap.get("manifest-list").asText))
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+    val posEntries =
+      if (keptN == 0) Nil
+      else {
+        val outDir = TableIO(tableDir).child("data")
+          .child(snapshotId.toString).child("posdeletes")
+        kept.orderBy("file_path", "pos") // spec: sorted by position
+          .coalesce(1).write.mode("overwrite").parquet(outDir.abs)
+        entriesFor(spark, outDir.abs, posStats.map(_.seq).max,
+          content = 1)
+      }
+    val eqEntries = stats.filter(_.content == 2).map(e =>
+      FileEntry(e.path, e.sizeBytes, e.recordCount, e.seq, 2,
+        e.equalityIds, e.stats, e.partition, entryStatus = 0,
+        entrySnapshotId = Some(e.addedSnapshotId)))
+    val delEntries = eqEntries ++ posEntries
+    val manifests =
+      if (delEntries.isEmpty) Nil
+      else Seq(ManifestOut(writeManifest(md, delEntries, snapshotId,
+        schemaStr, "deletes", 0), 1, delEntries))
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val list = writeManifestList(md, snapshotId, manifests,
+      carryForward = dataListRows)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "replace",
+      summary ++ Map(
+        "position-delete-files-removed" -> posStats.size.toString,
+        "position-delete-files-added" -> posEntries.size.toString,
+        "dangling-position-deletes-dropped" -> dangling.toString),
+      0, 0L, specs = specsFromMeta(prevMeta))
+    Some(Commit(version, snapshotId, seq,
+      manifests.headOption.map(_.file.abs).getOrElse(list.abs),
+      list.abs, posEntries.size, keptN))
   }
 
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
@@ -2991,7 +3078,10 @@ object IcebergMetadata {
             // THIS, never a per-file stat syscall (a million-file table
             // must plan from metadata alone)
             sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
-            specId = manifestSpecId)
+            specId = manifestSpecId,
+            equalityIds = Option(df.get("equality_ids"))
+              .map(_.asInstanceOf[java.util.List[Integer]]
+                .asScala.map(_.intValue).toSeq).getOrElse(Nil))
       }
     }
   }

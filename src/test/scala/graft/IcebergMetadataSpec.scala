@@ -2697,6 +2697,64 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("resync"))
   }
 
+  test("rewritePositionDeletes: per-batch positional delete files " +
+    "consolidate to one, MoR view unchanged, equality entries ride " +
+    "verbatim, steady state is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_posrw").toString
+    val ice = Files.createTempDirectory("graft_posrwice").toString
+    spark.range(10).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    // each segment holds every key TWICE (intra-batch dup → one
+    // positional-delete file per segment)
+    def dupSeg(ids: Range, vOff: Long) = {
+      val one = spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as(OlakeId), (col("id") + vOff).as("v"),
+        lit("u").as(OpType), current_timestamp().as(CdcTimestamp),
+        col("id").as("lsn"))
+      one.unionByName(one)
+    }
+    DeltaSegments.writeSegment(dupSeg(0 until 3, 100), table, 1L)
+    DeltaSegments.writeSegment(dupSeg(5 until 8, 500), table, 2L)
+    IcebergMetadata.publishMoR(spark, ice, table): Unit
+    val statsBefore = IcebergMetadata.dataFileStats(ice)
+    assert(statsBefore.count(_.content == 1) >= 2,
+      "fixture must produce one pos-delete file per dup-bearing segment")
+    val eqBefore = statsBefore.filter(_.content == 2)
+      .map(e => (e.path, e.seq, e.addedSnapshotId, e.equalityIds)).toSet
+    assert(eqBefore.nonEmpty && eqBefore.forall(_._4.nonEmpty),
+      "equality entries must carry equality_ids")
+    def viewNow() = IcebergMetadata.readMoR(spark, ice)
+      .select(col(OlakeId), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val before = viewNow()
+
+    val c = IcebergMetadata.rewritePositionDeletes(spark, ice).get
+    val statsAfter = IcebergMetadata.dataFileStats(ice)
+    assert(statsAfter.count(_.content == 1) == 1,
+      "positional deletes must consolidate to one file")
+    // equality entries untouched: same paths, sequences, provenance,
+    // equality_ids
+    assert(statsAfter.filter(_.content == 2)
+      .map(e => (e.path, e.seq, e.addedSnapshotId, e.equalityIds))
+      .toSet == eqBefore)
+    // data manifest rows carried verbatim → identical merged view
+    assert(viewNow() == before)
+    // the replace snapshot records what it did
+    import scala.jdk.CollectionConverters._
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val head = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "snapshots").elements.asScala.find(
+        _.get("snapshot-id").asLong == c.snapshotId).get
+    assert(head.get("summary").get("operation").asText == "replace")
+    assert(head.get("summary")
+      .get("dangling-position-deletes-dropped").asText == "0")
+    // steady state: one consolidated file, nothing dangling → no-op
+    assert(IcebergMetadata.rewritePositionDeletes(spark, ice).isEmpty)
+  }
+
   test("cherrypickSnapshot: an audit-branch append transplants onto a " +
     "moved main head; double-pick and non-append sources refuse") {
     import org.apache.spark.sql.functions._
