@@ -3236,7 +3236,8 @@ object IcebergMetadata {
                     fromSnapshotId: Long,
                     toSnapshotId: Option[Long] = None,
                     keyCol: String = graft.operators.SystemColumns.OlakeId,
-                    netChanges: Boolean = false): DataFrame = {
+                    netChanges: Boolean = false,
+                    unionSnapLimit: Int = 64): DataFrame = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
@@ -3295,12 +3296,42 @@ object IcebergMetadata {
       return tag(c.exceptAll(p), "insert", range.size, snap)
         .unionByName(tag(p.exceptAll(c), "delete", range.size, snap))
     }
+    // appends collect (file, ordinal, snapshot) triples; below
+    // `unionSnapLimit` snapshots each becomes its own tagged scan,
+    // above it ALL append files read as ONE scan with the tags
+    // rejoined from a broadcast map — plan WIDTH stays O(overwrites
+    // + 1) however long the tail (same shape as readMoR's
+    // high-commit-count path)
+    val appendAdds =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
     val parts = range.zipWithIndex.flatMap { case (s, i) =>
       val id = s.get("snapshot-id").asLong
       val ord = i + 1
       val op = s.get("summary").get("operation").asText
       if (op == "replace") Nil
-      else {
+      else if (op == "append") {
+        // read ONLY the manifests this snapshot itself added (list
+        // rows carry added_snapshot_id; fast-append/rewrite keep
+        // carried rows under their ORIGINAL ids) — a long append tail
+        // costs O(new manifests) metadata per snapshot, so tailing a
+        // 10⁴-commit table stays linear in the tail, never quadratic
+        // in table history
+        val listRows = readAvro(TableIO(s.get("manifest-list").asText))
+        listRows
+          .filter(_.get("added_snapshot_id").asInstanceOf[Long] == id)
+          .flatMap { m =>
+            readManifestRows(TableIO(m.get("manifest_path").toString))._1
+              .collect {
+                case e if e.get("status").asInstanceOf[Int] == 1 &&
+                  e.get("snapshot_id").asInstanceOf[Long] == id &&
+                  e.get("data_file").asInstanceOf[GenericRecord]
+                    .get("content").asInstanceOf[Int] == 0 =>
+                  e.get("data_file").asInstanceOf[GenericRecord]
+                    .get("file_path").toString
+              }
+          }.sorted.foreach(p => appendAdds += ((p, ord, id)))
+        Nil
+      } else {
         val curStats = dataFileStats(tableDir, Some(id))
         val prevId = snaps.takeWhile(_ ne s).last.get("snapshot-id").asLong
         val prevStats = dataFileStats(tableDir, Some(prevId))
@@ -3313,11 +3344,7 @@ object IcebergMetadata {
             case e if e.content != 0 => e.path }.toSet
           curStats.exists(e => e.content != 0 && !prevDel.contains(e.path))
         }
-        if (op == "append" && !newDeletes) {
-          val added = (curData -- prevData).toSeq.sorted
-          if (added.isEmpty) Nil
-          else Seq(tag(spark.read.parquet(added: _*), "insert", ord, id))
-        } else if (!newDeletes) {
+        if (!newDeletes) {
           val added = (curData -- prevData).toSeq.sorted
           val removed = (prevData -- curData).toSeq.sorted
           def rows(ps: Seq[String], other: Seq[String]) =
@@ -3349,8 +3376,34 @@ object IcebergMetadata {
         }
       }
     }
-    if (parts.isEmpty) emptyTagged
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val appendParts: Seq[DataFrame] =
+      if (appendAdds.isEmpty) Nil
+      else if (appendAdds.map(_._3).distinct.size <= unionSnapLimit)
+        appendAdds.groupBy(a => (a._2, a._3)).toSeq.sortBy(_._1._1)
+          .map { case ((ord, id), as) =>
+            tag(spark.read.parquet(as.map(_._1).toSeq: _*),
+              "insert", ord, id)
+          }
+      else {
+        // long-tail shape: ONE scan over every appended file, ordinal
+        // and snapshot-id rejoined from a broadcast (file → tag) map.
+        // Manifest paths and `_metadata.file_path` render the scheme
+        // differently, so both sides normalize to the path part.
+        val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+        import spark.implicits._
+        val tags = appendAdds.toSeq
+          .map { case (p, o, i) => (p.replaceFirst(schemeRe, "/"), o, i) }
+          .toDF("__fpn", "change_ordinal", "commit_snapshot_id")
+        Seq(spark.read.option("mergeSchema", "true")
+          .parquet(appendAdds.map(_._1).toSeq: _*)
+          .withColumn("__fpn",
+            regexp_replace(col("_metadata.file_path"), schemeRe, "/"))
+          .join(broadcast(tags), Seq("__fpn")).drop("__fpn")
+          .withColumn("change_type", lit("insert")))
+      }
+    val all = parts ++ appendParts
+    if (all.isEmpty) emptyTagged
+    else all.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Iceberg-style METADATA TABLES (`SELECT * FROM t.partitions` /

@@ -234,6 +234,75 @@ object ScaleCheck {
       return
     }
 
+    // ---- changelog tier: tailing cost of changelogScan over an
+    //      append-heavy history. CLAIM: an append tail costs O(new
+    //      manifests) metadata per snapshot (list rows are filtered by
+    //      added_snapshot_id before any manifest opens), so wall is
+    //      linear in the RANGE length and per-snapshot cost is flat as
+    //      the table's total history grows — the property that lets a
+    //      consumer tail a 10⁴-commit table. ----
+    if (args.headOption.contains("changelog")) {
+      import graft.sinks.IcebergMetadata
+      def timeR[A](label: String)(f: => A): Double = {
+        val t0 = System.nanoTime(); f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label: $s%.2f s"); s
+      }
+      val nat = Tables.load(spark, base, "nation")
+        .select(col("n_nationkey").cast("string")
+          .as(graft.operators.SystemColumns.OlakeId), col("n_name"))
+      def mkAppendTable(n: Int): (String, Seq[Long]) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"scchlog$n").toString
+        nat.coalesce(1).write.parquet(s"$tmp/d0")
+        val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+        val part = new java.io.File(s"$tmp/d0").listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val ids = (1 until n).map { i =>
+          val d = new java.io.File(s"$tmp/d$i"); d.mkdirs()
+          java.nio.file.Files.copy(part.toPath,
+            new java.io.File(d, part.getName).toPath)
+          IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d$i").snapshotId
+        }
+        (tmp, c0.snapshotId +: ids)
+      }
+      var dir200 = ""; var ids200: Seq[Long] = Nil
+      timeR("build 200-append table") {
+        val r = mkAppendTable(200); dir200 = r._1; ids200 = r._2 }
+      // warm (codegen/JIT) off-clock
+      IcebergMetadata.changelogScan(spark, dir200, ids200(198))
+        .count(): Unit
+      def tail(k: Int, limit: Int = 64): Double = {
+        val t0 = System.nanoTime()
+        val n = IcebergMetadata
+          .changelogScan(spark, dir200, ids200(200 - k - 1),
+            unionSnapLimit = limit).count()
+        require(n == 25L * k, s"expected ${25 * k} rows, got $n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val w10 = timeR("tail of 10 snapshots") { tail(10) }
+      val w50 = timeR("tail of 50 snapshots") { tail(50) }
+      val w199 = timeR("tail of 199 snapshots (broadcast-map path)") {
+        tail(199) }
+      val w199u = timeR("tail of 199, forced per-snapshot unions") {
+        tail(199, Int.MaxValue) }
+      println(f"broadcast-map vs per-snapshot unions at 199: " +
+        f"${w199u / w199}%.1f× faster (plan width O(1) vs O(range))")
+      println(f"per-snapshot cost, 10-tail: ${w10 / 10 * 1000}%.0f ms, " +
+        f"50-tail: ${w50 / 50 * 1000}%.0f ms, " +
+        f"199-tail: ${w199 / 199 * 1000}%.0f ms (flat = the claim)")
+      println(f"range growth 10→199 (19.9× rows): ${w199 / w10}%.1f× " +
+        "wall (≤ ~linear = pass)")
+      val net = timeR("net-changes over the full range (one diff)") {
+        IcebergMetadata.changelogScan(spark, dir200, ids200.head,
+          netChanges = true).count(): Unit
+      }
+      println(f"net-changes vs per-snapshot full range: " +
+        f"${w199 / net}%.1f× cheaper (endpoint diff)")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("rewrite")) {
       import graft.sinks.IcebergMetadata
       def timeR[A](label: String)(f: => A): Double = {

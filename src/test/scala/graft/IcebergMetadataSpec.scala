@@ -2671,6 +2671,16 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((5L, 50L, "delete", 3))
     assert(log == appendRows ++ overwriteRows)
 
+    // the long-tail path (ONE scan + broadcast tag map) is
+    // byte-equivalent to the per-snapshot unions
+    val logMap = IcebergMetadata.changelogScan(spark, tmp, a.snapshotId,
+        unionSnapLimit = 0)
+      .select(col("id"), col("v"), col("change_type"),
+        col("change_ordinal")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(logMap == log)
+
     // net-changes: one endpoint diff; carried rows cancel out entirely
     val net = IcebergMetadata.changelogScan(spark, tmp, a.snapshotId,
         netChanges = true)
