@@ -3009,6 +3009,43 @@ object SparkEntry {
           col("change_type"), col("change_ordinal"))
     }),
 
+    // ---- K1+K2 STREAMING TABLE TAIL (Iceberg's streaming read): a
+    //      downstream consumer polls the table with a checkpoint —
+    //      batch 0 backfills the current state, each later poll
+    //      delivers everything appended since the last-seen snapshot
+    //      as ONE batch (two appends between polls land together),
+    //      no-op ticks cost one metadata read. The union of delivered
+    //      batches, tagged by batch id, must replay the write
+    //      history exactly. ----
+    "q_iceberg_tail" -> ((s, dir) => {
+      import graft.streaming.IcebergTail
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tail_gate").toString
+      val state = s"$tmp/tail.json"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      def shift(k: Int) = n.withColumn("n_nationkey",
+        col("n_nationkey") + k)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def fn(df: DataFrame, b: Long): Unit =
+        out += df.withColumn("batch_id", lit(b))
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      IcebergTail.poll(s, tmp, state)(fn): Unit // batch 0: backfill
+      require(IcebergTail.poll(s, tmp, state)(fn).isEmpty,
+        "no-op tick must deliver nothing")
+      shift(100).write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1"): Unit
+      shift(200).write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2"): Unit
+      IcebergTail.poll(s, tmp, state)(fn): Unit // batch 1: both appends
+      shift(300).write.parquet(s"$tmp/d3")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d3"): Unit
+      IcebergTail.poll(s, tmp, state)(fn): Unit // batch 2
+      require(out.size == 3, s"expected 3 delivered batches, got ${out.size}")
+      out.reduce(_.unionByName(_))
+    }),
+
     // ---- K2 CHERRY-PICK (Iceberg's cherrypick_snapshot): the WAP
     //      publish path when main MOVED during audit — fast-forward
     //      would roll back the concurrent append, so the branch
@@ -7317,6 +7354,21 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(2 AS INTEGER) AS change_ordinal
         |FROM (SELECT * FROM prev EXCEPT ALL SELECT * FROM cur)"""
         .stripMargin,
+
+    // tail replay: batch 0 = the base, batch 1 = the two appends that
+    // landed between polls, batch 2 = the last append
+    "q_iceberg_tail" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(0 AS BIGINT) AS batch_id FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey,
+        |  CAST(1 AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey,
+        |  CAST(1 AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 300, n_name, n_regionkey,
+        |  CAST(2 AS BIGINT) FROM nation""".stripMargin,
 
     // cherry-pick publish: base + the concurrent main append (+200)
     // + the audited branch rows (+100) all land

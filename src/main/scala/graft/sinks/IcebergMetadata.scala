@@ -3193,6 +3193,53 @@ object IcebergMetadata {
     else spark.read.parquet(files: _*)
   }
 
+  /** Data-file paths ADDED by the append snapshots after
+    * `fromSnapshotId` — the planning walk of a streaming table tail
+    * ([[graft.streaming.IcebergTail]]): list rows filter by
+    * `added_snapshot_id` before any manifest opens, so a poll costs
+    * O(new manifests) metadata however long the table's history.
+    * `replace` commits contribute nothing (no logical change); an
+    * overwrite/delete commit throws unless `failOnOverwrite = false`
+    * (Iceberg's `streaming-skip-overwrite-snapshots`), in which case
+    * its changes are SKIPPED entirely, never partially delivered. */
+  def appendedFilesSince(tableDir: String, fromSnapshotId: Long,
+                         failOnOverwrite: Boolean = true): Seq[String] = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
+      .sortBy(_.get("sequence-number").asLong)
+    val fromSeq = snaps
+      .find(_.get("snapshot-id").asLong == fromSnapshotId)
+      .map(_.get("sequence-number").asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId not in table history (expired? " +
+          "resync from a full read)"))
+    snaps.filter(_.get("sequence-number").asLong > fromSeq).flatMap { s =>
+      val id = s.get("snapshot-id").asLong
+      val op = s.get("summary").get("operation").asText
+      if (op == "replace") Nil
+      else if (op != "append") {
+        if (failOnOverwrite) throw new IllegalArgumentException(
+          s"snapshot $id is '$op': an append tail cannot cross an " +
+            "overwrite — resync from a full read, or skip overwrite " +
+            "snapshots explicitly")
+        Nil
+      } else readAvro(TableIO(s.get("manifest-list").asText))
+        .filter(_.get("added_snapshot_id").asInstanceOf[Long] == id)
+        .flatMap { m =>
+          readManifestRows(TableIO(m.get("manifest_path").toString))._1
+            .collect {
+              case e if e.get("status").asInstanceOf[Int] == 1 &&
+                e.get("snapshot_id").asInstanceOf[Long] == id &&
+                e.get("data_file").asInstanceOf[GenericRecord]
+                  .get("content").asInstanceOf[Int] == 0 =>
+                e.get("data_file").asInstanceOf[GenericRecord]
+                  .get("file_path").toString
+            }
+        }.sorted
+    }
+  }
+
   /** CHANGELOG SCAN — Iceberg's `create_changelog_view` shape: the
     * row-level change stream `(rows, change_type, change_ordinal,
     * commit_snapshot_id)` a CDC consumer replays for the snapshots

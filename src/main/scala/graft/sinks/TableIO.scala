@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   * [[TableIO.parquetStats]] counts any stat that does NOT come from a
   * directory listing, so a spec can pin the zero-stat property.
   */
-private[sinks] object TableIO {
+private[graft] object TableIO {
 
   /** Test hook: number of individual (non-listing) size/stat probes
     * issued against `.parquet` files BY THE CURRENT THREAD. Maintenance
@@ -57,7 +57,7 @@ private[sinks] object TableIO {
   * `IcebergMetadata` needs, nothing more. `abs` is the absolute form
   * written into manifests / metadata.json (for a schemed path, the
   * full URI). */
-private[sinks] sealed trait TPath {
+private[graft] sealed trait TPath {
   def abs: String
   /** Identity form for set membership (resolves `..`/links locally;
     * qualified URI on a Hadoop scheme). */
@@ -86,7 +86,7 @@ private[sinks] sealed trait TPath {
   def createOutput(): OutputStream
 }
 
-private[sinks] final case class LocalTPath(f: File,
+private[graft] final case class LocalTPath(f: File,
                                            fromListing: Boolean = false)
     extends TPath {
   def abs: String = f.getAbsolutePath
@@ -130,7 +130,7 @@ private[sinks] final case class LocalTPath(f: File,
   * listing already fetched, so size/mtime probes on listed children
   * cost nothing extra — one `listStatus` per directory is the whole
   * IO bill (the S3 model's own economics: LIST returns sizes). */
-private[sinks] final case class HadoopTPath(fs: FileSystem, p: Path,
+private[graft] final case class HadoopTPath(fs: FileSystem, p: Path,
                                             cached: Option[FileStatus])
     extends TPath {
   def abs: String = p.toString

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sinks.{IcebergMetadata, TableIO}
+
+/** STREAMING TABLE TAIL — the consumption half of the Iceberg sink:
+  * a downstream pipeline (training-data curation, a feature store, a
+  * replica) tails a table the engine itself publishes, one microbatch
+  * per poll, resuming from a checkpoint across restarts. This is the
+  * shape of Iceberg's own Spark streaming read (`spark.readStream
+  * .format("iceberg")`): the OFFSET is the snapshot id, a microbatch
+  * is the incremental append scan between two offsets, and the
+  * checkpoint advances only after the batch function returns — with
+  * an idempotent sink that is exactly-once, the same at-least-once ×
+  * replay-filter contract [[CdcStream.applyBatch]] uses on the write
+  * side.
+  *
+  * Overwrites follow Iceberg's streaming rules: by default a
+  * replace/overwrite in the range FAILS the poll (an append-only
+  * consumer crossing one would double-count — resync from a full
+  * read); `skipOverwrites = true` mirrors
+  * `streaming-skip-overwrite-snapshots`, delivering only the appended
+  * files and skipping replace/overwrite commits. Planning cost per
+  * poll is O(new manifests) — list rows filter by `added_snapshot_id`
+  * before any manifest opens — and the batch reads as ONE scan,
+  * whatever the number of commits it spans.
+  *
+  * Reference analog: consumers of the reference's Iceberg destination
+  * tail tables through the Iceberg library's incremental scans
+  * (`destination/iceberg/`); here it is a first-class engine op.
+  */
+object IcebergTail {
+
+  /** Checkpoint: last-delivered snapshot + the batch counter. */
+  case class TailState(snapshotId: Long, batchId: Long)
+
+  private val mapper = new ObjectMapper()
+
+  def readState(statePath: String): Option[TailState] = {
+    val p = TableIO(statePath)
+    if (!p.exists) None
+    else {
+      val n = mapper.readTree(p.readString)
+      Some(TailState(n.get("snapshotId").asLong, n.get("batchId").asLong))
+    }
+  }
+
+  private def writeState(statePath: String, st: TailState): Unit =
+    TableIO(statePath).writeAtomic(
+      s"""{"snapshotId":${st.snapshotId},"batchId":${st.batchId}}""")
+
+  /** One poll: deliver everything committed since the checkpoint as a
+    * single microbatch, advance the checkpoint, return the new state —
+    * or None when the table has not moved (a no-op tick costs one
+    * metadata read, zero data IO). First poll with no checkpoint
+    * delivers the FULL current table as batch 0 (the backfill), like
+    * a stream started from `earliest`. */
+  def poll(spark: SparkSession, tableDir: String, statePath: String,
+           skipOverwrites: Boolean = false)
+          (fn: (DataFrame, Long) => Unit): Option[TailState] = {
+    val (_, meta) = IcebergMetadata.currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val curId = meta.get("current-snapshot-id").asLong
+    readState(statePath) match {
+      case None =>
+        val full = spark.read.parquet(
+          IcebergMetadata.dataFilePaths(tableDir): _*)
+        fn(full, 0L)
+        val st = TailState(curId, 0L)
+        writeState(statePath, st)
+        Some(st)
+      case Some(prev) if prev.snapshotId == curId => None
+      case Some(prev) =>
+        val files = IcebergMetadata.appendedFilesSince(tableDir,
+          prev.snapshotId, failOnOverwrite = !skipOverwrites)
+        if (files.isEmpty) {
+          // only replaces (or skipped overwrites) landed: nothing to
+          // deliver, but the checkpoint still advances past them so
+          // the next poll plans from here
+          val st = TailState(curId, prev.batchId)
+          writeState(statePath, st)
+          Some(st)
+        } else {
+          val batch = spark.read.option("mergeSchema", "true")
+            .parquet(files: _*)
+          val batchId = prev.batchId + 1
+          fn(batch, batchId)
+          val st = TailState(curId, batchId)
+          writeState(statePath, st)
+          Some(st)
+        }
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.IcebergMetadata
+import graft.streaming.IcebergTail
+
+/** Streaming table tail (the consumption half of the Iceberg sink):
+  * checkpointed microbatch polls over the engine's own tables —
+  * backfill batch, append tails, restart resume, and Iceberg's
+  * overwrite rules (fail by default, skip on request). */
+class IcebergTailSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rows(ids: Range) = spark.range(ids.start, ids.end)
+    .select(col("id"), (col("id") * 10).as("v"))
+
+  test("tail: backfill batch 0, one batch per poll across appends, " +
+    "no-op ticks, restart resumes from the checkpoint") {
+    val tmp = Files.createTempDirectory("graft_tail").toString
+    val state = s"$tmp/tail.json"
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def fn(df: DataFrame, b: Long): Unit =
+      seen += ((b, df.select("id").collect().map(_.getLong(0)).toSet))
+
+    // batch 0: the full current table (stream started from earliest)
+    assert(IcebergTail.poll(spark, tmp, state)(fn).get.batchId == 0L)
+    assert(seen.last == ((0L, (0L until 10L).toSet)))
+    // table unmoved: no-op tick, zero data IO, no fn call
+    assert(IcebergTail.poll(spark, tmp, state)(fn).isEmpty)
+    assert(seen.size == 1)
+
+    // two appends land between polls → ONE batch holds both
+    rows(10 until 13).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    rows(13 until 16).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    assert(IcebergTail.poll(spark, tmp, state)(fn).get.batchId == 1L)
+    assert(seen.last == ((1L, (10L until 16L).toSet)))
+
+    // restart: state reloads from disk, next poll continues the tail
+    rows(16 until 18).coalesce(1).write.parquet(s"$tmp/d3")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d3"): Unit
+    assert(IcebergTail.readState(state).get.batchId == 1L)
+    assert(IcebergTail.poll(spark, tmp, state)(fn).get.batchId == 2L)
+    assert(seen.last == ((2L, (16L until 18L).toSet)))
+  }
+
+  test("tail: a replace advances the checkpoint with nothing delivered; " +
+    "an overwrite fails the poll unless skipOverwrites, which skips " +
+    "its changes entirely") {
+    val tmp = Files.createTempDirectory("graft_tail_ow").toString
+    val state = s"$tmp/tail.json"
+    rows(0 until 6).coalesce(1).write.parquet(s"$tmp/d0a")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0a"): Unit
+    rows(6 until 12).coalesce(1).write.parquet(s"$tmp/d0b")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d0b"): Unit
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def fn(df: DataFrame, b: Long): Unit = seen += b
+    IcebergTail.poll(spark, tmp, state)(fn): Unit // backfill
+    // a compaction (replace) is no logical change: checkpoint moves,
+    // batch counter does not, fn never fires
+    IcebergMetadata.binpackRewrite(spark, tmp, targetBytes = 1L << 30): Unit
+    val st = IcebergTail.poll(spark, tmp, state)(fn).get
+    assert(st.batchId == 0L && seen == Seq(0L))
+    assert(IcebergTail.poll(spark, tmp, state)(fn).isEmpty)
+
+    // an overwrite breaks the append tail by default
+    rows(0 until 12).where(col("id") =!= 3).coalesce(1)
+      .write.parquet(s"$tmp/d1")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d1",
+      operation = "overwrite"): Unit
+    rows(20 until 22).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    val ex = intercept[IllegalArgumentException] {
+      IcebergTail.poll(spark, tmp, state)(fn)
+    }
+    assert(ex.getMessage.contains("cannot cross an overwrite"))
+    // skipOverwrites: the overwrite's changes are skipped ENTIRELY —
+    // only the append after it is delivered
+    val captured = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    IcebergTail.poll(spark, tmp, state, skipOverwrites = true) { (df, _) =>
+      captured += df.select("id").collect().map(_.getLong(0)).toSet
+    }: Unit
+    assert(captured == Seq((20L until 22L).toSet))
+  }
+}
