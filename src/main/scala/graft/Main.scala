@@ -349,6 +349,36 @@ object Main {
       println(s"""{"status":"cherry-picked","snapshot":${c.snapshotId},""" +
         s""""added_files":${c.addedFiles},"added_rows":${c.addedRows}}""")
 
+    // tail <table> <statePath> [outDir] [--changelog]
+    // [--skip-overwrites]: ONE checkpointed poll of the table — the
+    // cron-able consumption loop (batch 0 backfills; each later call
+    // delivers what landed since the checkpoint; restarts resume).
+    // --changelog delivers insert/delete rows instead of appends.
+    case "tail" :: table :: statePath :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      val changelog = rest.contains("--changelog")
+      val skipOw = rest.contains("--skip-overwrites")
+      val out = rest.filterNot(_.startsWith("--")).headOption
+      def deliver(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+        out match {
+          case Some(dir) =>
+            df.write.mode("overwrite").parquet(s"$dir/batch=$b")
+          case None => df.show(50, truncate = false)
+        }
+      val st =
+        if (changelog)
+          graft.streaming.IcebergTail.pollChangelog(spark, table,
+            statePath)(deliver)
+        else graft.streaming.IcebergTail.poll(spark, table, statePath,
+          skipOverwrites = skipOw)(deliver)
+      st match {
+        case Some(s) => println(s"""{"status":"delivered","batch":""" +
+          s"""${s.batchId},"snapshot":${s.snapshotId}}""")
+        case None => println("""{"status":"up-to-date"}""")
+      }
+      spark.stop()
+
     // changelog <table> <fromSnapshotId> [outDir] [--net]: the
     // row-level insert/delete stream a downstream consumer replays
     // for every commit after its last-seen snapshot (appends cross
@@ -373,7 +403,7 @@ object Main {
     case other =>
       System.err.println(
         s"unknown verb ${other.headOption.getOrElse("")}; " +
-          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk | scd | maintain | changelog")
+          "usage: spec | check | check-dest | discover | sync | sync-all | clear | curate | profile | topk | scd | maintain | changelog | tail")
       sys.exit(2)
   }
 }

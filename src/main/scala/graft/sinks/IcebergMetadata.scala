@@ -2641,17 +2641,44 @@ object IcebergMetadata {
                    targetBytes: Long, keepLast: Int = 2,
                    graceMs: Long = 3600000L, groupSize: Int = 8,
                    summary: Map[String, String] = Map.empty,
-                   metadataKeepLast: Int = 10)
+                   metadataKeepLast: Int = 10,
+                   majorDeleteRatio: Double = 0.1)
       : Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val (_, delFiles) = manifestEntries(tableDir)
+    val stats0 = dataFileStats(tableDir)
+    val delFiles = stats0.filter(_.content != 0)
+    var delsRemain = delFiles.nonEmpty
     if (delFiles.nonEmpty) {
-      val c = majorCompactMoR(spark, tableDir, targetBytes,
-        groupSize = groupSize, summary = summary)
-      out("compact") = s"applied ${delFiles.size} delete files " +
-        s"into snapshot ${c.snapshotId}"
+      // a major compact rewrites EVERY data row; pay that only when
+      // deletes have accumulated (Iceberg's delete_file_threshold
+      // idea, expressed as a row ratio computed from the manifests
+      // alone). Under the threshold the cheap minor compaction
+      // consolidates positional-delete files and the tree stays MoR.
+      val delRows = delFiles.map(_.recordCount).sum
+      val dataRows = stats0.collect {
+        case e if e.content == 0 => e.recordCount }.sum
+      val ratio = delRows.toDouble / math.max(1L, dataRows)
+      if (ratio >= majorDeleteRatio) {
+        val c = majorCompactMoR(spark, tableDir, targetBytes,
+          groupSize = groupSize, summary = summary)
+        out("compact") = s"applied ${delFiles.size} delete files " +
+          s"into snapshot ${c.snapshotId}"
+        delsRemain = false
+      } else {
+        out("compact") = f"skip (delete ratio $ratio%.3f < " +
+          f"$majorDeleteRatio%.2f)"
+        rewritePositionDeletes(spark, tableDir, summary = summary) match {
+          case Some(c) => out("posdeletes") =
+            s"consolidated into snapshot ${c.snapshotId} " +
+              s"(${c.addedFiles} files, ${c.addedRows} rows)"
+          case None => out("posdeletes") = "skip (already consolidated)"
+        }
+      }
     } else out("compact") = "skip (delete-free)"
-    binpackRewrite(spark, tableDir, targetBytes,
+    if (delsRemain)
+      out("binpack") = "skip (delete-bearing: binpack moves row " +
+        "positions; compaction unlocks it)"
+    else binpackRewrite(spark, tableDir, targetBytes,
       groupSize = groupSize, summary = summary) match {
       case Some(c) => out("binpack") =
         s"merged into snapshot ${c.snapshotId} (${c.addedFiles} files)"

@@ -94,4 +94,40 @@ object IcebergTail {
         }
     }
   }
+
+  /** The CDC variant: each poll delivers the row-level CHANGELOG
+    * (insert AND delete rows, `change_type` column) since the
+    * checkpoint via [[IcebergMetadata.changelogScan]] — the consumer
+    * for replicating a table that takes upserts, where the append
+    * tail would refuse. First poll backfills the current state as
+    * batch 0 of pure inserts. Same checkpoint/restart contract as
+    * [[poll]]. */
+  def pollChangelog(spark: SparkSession, tableDir: String,
+                    statePath: String)
+                   (fn: (DataFrame, Long) => Unit): Option[TailState] = {
+    import org.apache.spark.sql.functions.lit
+    val (_, meta) = IcebergMetadata.currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val curId = meta.get("current-snapshot-id").asLong
+    readState(statePath) match {
+      case None =>
+        val full = spark.read.parquet(
+            IcebergMetadata.dataFilePaths(tableDir): _*)
+          .withColumn("change_type", lit("insert"))
+        fn(full, 0L)
+        val st = TailState(curId, 0L)
+        writeState(statePath, st)
+        Some(st)
+      case Some(prev) if prev.snapshotId == curId => None
+      case Some(prev) =>
+        val log = IcebergMetadata
+          .changelogScan(spark, tableDir, prev.snapshotId)
+          .drop("change_ordinal", "commit_snapshot_id")
+        val batchId = prev.batchId + 1
+        fn(log, batchId)
+        val st = TailState(curId, batchId)
+        writeState(statePath, st)
+        Some(st)
+    }
+  }
 }

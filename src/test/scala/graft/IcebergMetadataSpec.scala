@@ -2765,6 +2765,60 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergMetadata.rewritePositionDeletes(spark, ice).isEmpty)
   }
 
+  test("autoMaintain delete-ratio routing: a light-delete table takes " +
+    "minor delete compaction and stays MoR; a heavy-delete table " +
+    "major-compacts and unlocks binpack") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    def mkMoR(baseRows: Int): (String, String) = {
+      val table = Files.createTempDirectory("graft_amr").toString
+      val ice = Files.createTempDirectory("graft_amrice").toString
+      spark.range(baseRows).select(
+        col("id").cast("string").as(OlakeId), col("id").as("v"))
+        .coalesce(2).write.parquet(s"$table/base")
+      def dupSeg(ids: Range, lsn: Long) = {
+        val one = spark.range(ids.start, ids.end).select(
+          col("id").cast("string").as(OlakeId), (col("id") + 100).as("v"),
+          lit("u").as(OpType), current_timestamp().as(CdcTimestamp),
+          col("id").as("lsn"))
+        DeltaSegments.writeSegment(one.unionByName(one), table, lsn)
+      }
+      dupSeg(0 until 3, 1L); dupSeg(3 until 6, 2L)
+      IcebergMetadata.publishMoR(spark, ice, table): Unit
+      (table, ice)
+    }
+    // 5000 base rows, ~24 delete rows → ratio ≪ 0.1: minor path
+    val (_, light) = mkMoR(5000)
+    def view(ice: String) = IcebergMetadata.readMoR(spark, ice)
+      .select(col(OlakeId), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val lightBefore = view(light)
+    assert(IcebergMetadata.dataFileStats(light)
+      .count(_.content == 1) >= 2)
+    val outL = IcebergMetadata.autoMaintain(spark, light,
+      targetBytes = 512L << 20, graceMs = 0L)
+    assert(outL("compact").startsWith("skip (delete ratio"))
+    assert(outL("posdeletes").contains("consolidated"))
+    assert(outL("binpack").startsWith("skip (delete-bearing"))
+    // still MoR (equality deletes remain), pos files consolidated,
+    // view identical
+    assert(IcebergMetadata.dataFileStats(light).count(_.content == 1) == 1)
+    assert(IcebergMetadata.dataFileStats(light).exists(_.content == 2))
+    assert(view(light) == lightBefore)
+
+    // 10 base rows, same deletes → ratio ≥ 0.1: major path, binpack
+    // eligible again
+    val (_, heavy) = mkMoR(10)
+    val heavyBefore = view(heavy)
+    val outH = IcebergMetadata.autoMaintain(spark, heavy,
+      targetBytes = 512L << 20, graceMs = 0L)
+    assert(outH("compact").contains("applied"))
+    assert(!outH.contains("posdeletes"))
+    assert(!outH("binpack").startsWith("skip (delete-bearing"))
+    assert(IcebergMetadata.dataFileStats(heavy).forall(_.content == 0))
+    assert(view(heavy) == heavyBefore)
+  }
+
   test("cherrypickSnapshot: an audit-branch append transplants onto a " +
     "moved main head; double-pick and non-append sources refuse") {
     import org.apache.spark.sql.functions._

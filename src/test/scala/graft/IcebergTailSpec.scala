@@ -61,6 +61,45 @@ class IcebergTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.last == ((2L, (16L until 18L).toSet)))
   }
 
+  test("pollChangelog: the CDC tail replicates a table that takes " +
+    "overwrites — applying delivered insert/delete batches rebuilds " +
+    "the exact table state") {
+    val tmp = Files.createTempDirectory("graft_tailcl").toString
+    val state = s"$tmp/tail.json"
+    rows(0 until 8).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    // the replica: a plain in-memory multiset the consumer maintains
+    val replica = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    def apply(df: DataFrame, @annotation.nowarn b: Long): Unit =
+      df.select("id", "v", "change_type").collect().foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        if (r.getString(2) == "insert")
+          replica(k) = replica.getOrElse(k, 0) + 1
+        else replica.get(k).foreach { n =>
+          if (n <= 1) replica.remove(k) else replica(k) = n - 1
+        }
+      }
+    IcebergTail.pollChangelog(spark, tmp, state)(apply): Unit // backfill
+    // an append, then an overwrite that re-values 0-1 and drops 5
+    rows(8 until 10).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    rows(0 until 10).where(col("id") =!= 5)
+      .withColumn("v", when(col("id") < 2, col("v") + 7)
+        .otherwise(col("v")))
+      .coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d2",
+      operation = "overwrite"): Unit
+    IcebergTail.pollChangelog(spark, tmp, state)(apply): Unit
+    // no-op tick after catching up
+    assert(IcebergTail.pollChangelog(spark, tmp, state)(apply).isEmpty)
+    val want = spark.read.parquet(
+        IcebergMetadata.dataFilePaths(tmp): _*)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replica.keySet.toSet == want)
+    assert(replica.values.forall(_ == 1))
+  }
+
   test("tail: a replace advances the checkpoint with nothing delivered; " +
     "an overwrite fails the poll unless skipOverwrites, which skips " +
     "its changes entirely") {
