@@ -3046,6 +3046,46 @@ object SparkEntry {
       out.reduce(_.unionByName(_))
     }),
 
+    // ---- K1+K2 CDC TABLE TAIL: the changelog variant of the
+    //      streaming tail — a consumer replicating a table that takes
+    //      OVERWRITES polls insert/delete batches (batch 0 backfills
+    //      as pure inserts; batch 1 carries an append plus an
+    //      overwrite's bag diff). DuckDB replays both batches with
+    //      EXCEPT ALL over the same logical states. ----
+    "q_iceberg_tail_changelog" -> ((s, dir) => {
+      import graft.streaming.IcebergTail
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tailcl_gate").toString
+      val state = s"$tmp/tail.json"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def fn(df: DataFrame, b: Long): Unit =
+        out += df.withColumn("batch_id", lit(b))
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      IcebergTail.pollChangelog(s, tmp, state)(fn): Unit // backfill
+      val shifted = n.withColumn("n_nationkey", col("n_nationkey") + 100)
+      shifted.write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1"): Unit
+      n.unionByName(shifted)
+        .where(!(col("n_nationkey") < 100 && col("n_nationkey") % 7 === 3))
+        .withColumn("n_name",
+          when(col("n_nationkey") < 100 && col("n_nationkey") % 5 === 0,
+            concat(upper(col("n_name")), lit("_V2")))
+            .otherwise(col("n_name")))
+        .write.parquet(s"$tmp/d2")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d2",
+        operation = "overwrite"): Unit
+      IcebergTail.pollChangelog(s, tmp, state)(fn): Unit
+      require(IcebergTail.pollChangelog(s, tmp, state)(fn).isEmpty,
+        "no-op tick must deliver nothing")
+      require(out.size == 2, s"expected 2 batches, got ${out.size}")
+      out.reduce(_.unionByName(_))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("change_type"), col("batch_id"))
+    }),
+
     // ---- K2 CHERRY-PICK (Iceberg's cherrypick_snapshot): the WAP
     //      publish path when main MOVED during audit — fast-forward
     //      would roll back the concurrent append, so the branch
@@ -7369,6 +7409,38 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT n_nationkey + 300, n_name, n_regionkey,
         |  CAST(2 AS BIGINT) FROM nation""".stripMargin,
+
+    // CDC tail: batch 0 = backfill inserts; batch 1 = the append's
+    // inserts plus the overwrite's bag diff (EXCEPT ALL both ways)
+    "q_iceberg_tail_changelog" ->
+      """WITH base AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation),
+        |shifted AS (
+        |  SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        |  FROM base),
+        |prev AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM shifted),
+        |cur AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey < 100 AND n_nationkey % 5 = 0
+        |         THEN upper(n_name) || '_V2' ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM prev
+        |  WHERE NOT (n_nationkey < 100 AND n_nationkey % 7 = 3))
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  'insert' AS change_type, CAST(0 AS BIGINT) AS batch_id
+        |FROM base
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  'insert' AS change_type, CAST(1 AS BIGINT) AS batch_id
+        |FROM shifted
+        |UNION ALL
+        |SELECT *, 'insert' AS change_type, CAST(1 AS BIGINT) AS batch_id
+        |FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM prev)
+        |UNION ALL
+        |SELECT *, 'delete' AS change_type, CAST(1 AS BIGINT) AS batch_id
+        |FROM (SELECT * FROM prev EXCEPT ALL SELECT * FROM cur)"""
+        .stripMargin,
 
     // cherry-pick publish: base + the concurrent main append (+200)
     // + the audited branch rows (+100) all land
