@@ -390,14 +390,16 @@ object Main {
       val net = rest.contains("--net")
       val out = rest.filterNot(_ == "--net").headOption
       val log = graft.sinks.IcebergMetadata.changelogScan(spark, table,
-        from.toLong, netChanges = net)
+        from.toLong, netChanges = net).persist()
       out match {
         case Some(dir) => log.write.mode("overwrite").parquet(dir)
         case None => log.show(100, truncate = false)
       }
       val counts = log.groupBy("change_type").count().collect()
         .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
-      println(s"""{"status":"changelog",${counts.mkString(",")}}""")
+      log.unpersist(): Unit
+      val body = if (counts.isEmpty) "" else "," + counts.mkString(",")
+      println(s"""{"status":"changelog"$body}""")
       spark.stop()
 
     case other =>

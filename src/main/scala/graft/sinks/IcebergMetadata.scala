@@ -114,6 +114,11 @@ object IcebergMetadata {
 
   /** Decode a numeric bound from Iceberg single-value serialization
     * (4-byte LE int / 8-byte LE long). */
+  /** Manifest paths and Spark's `_metadata.file_path` render the URI
+    * scheme differently ("/x" vs "file:///x"); every path join
+    * normalizes BOTH sides to the path part with this one regex. */
+  private[graft] val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+
   def boundLong(b: Array[Byte]): Long = {
     val buf = java.nio.ByteBuffer.wrap(b)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1208,19 +1213,24 @@ object IcebergMetadata {
     val stats = dataFileStats(tableDir)
     val posStats = stats.filter(_.content == 1)
     if (posStats.isEmpty) return None
-    val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
     import spark.implicits._
     val liveDf = stats.collect { case e if e.content == 0 =>
-      e.path.replaceFirst(schemeRe, "/") }.toDF("__fpn")
-    val rows = spark.read.parquet(posStats.map(_.path): _*)
-    val kept = rows
+      e.path.replaceFirst(SchemeRe, "/") }.toDF("__fpn")
+    // total comes from the manifests' own record counts (free); the
+    // semi-join is cached so count + write pay the scan once
+    val total = posStats.map(_.recordCount).sum
+    val kept = spark.read.parquet(posStats.map(_.path): _*)
       .withColumn("__fpn",
-        regexp_replace(col("file_path"), schemeRe, "/"))
+        regexp_replace(col("file_path"), SchemeRe, "/"))
       .join(liveDf, Seq("__fpn"), "left_semi")
       .drop("__fpn")
-    val total = rows.count(); val keptN = kept.count()
+      .persist()
+    val keptN = kept.count()
     val dangling = total - keptN
-    if (posStats.size == 1 && dangling == 0) return None
+    if (posStats.size == 1 && dangling == 0) {
+      kept.unpersist(): Unit
+      return None
+    }
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val curSchemaId = prevMeta.get("current-schema-id").asInt
     val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
@@ -1242,6 +1252,7 @@ object IcebergMetadata {
         entriesFor(spark, outDir.abs, posStats.map(_.seq).max,
           content = 1)
       }
+    kept.unpersist(): Unit
     val eqEntries = stats.filter(_.content == 2).map(e =>
       FileEntry(e.path, e.sizeBytes, e.recordCount, e.seq, 2,
         e.equalityIds, e.stats, e.partition, entryStatus = 0,
@@ -2576,17 +2587,16 @@ object IcebergMetadata {
         // ("/x" vs "file:///x"), so both sides normalize to the path
         // part before joining. mergeSchema reproduces the union path's
         // allowMissingColumns semantics across evolved commits.
-        val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
         import spark.implicits._
         val seqMap = broadcast(files
-          .map { case (p, s) => (p.replaceFirst(schemeRe, "/"), s) }
+          .map { case (p, s) => (p.replaceFirst(SchemeRe, "/"), s) }
           .toDF("__fpn", "__seq"))
         val raw = spark.read.option("mergeSchema", "true")
           .parquet(files.map(_._1): _*)
         val baseCols = cols.map(_.map(col)).getOrElse(Seq(col("*")))
         val metaCols =
           Seq(regexp_replace(col("_metadata.file_path"),
-            schemeRe, "/").as("__fpn")) ++
+            SchemeRe, "/").as("__fpn")) ++
           (if (withPos)
             Seq(col("_metadata.file_path").as("__fp"),
               col("_metadata.row_index").as("__pos"))
@@ -3195,15 +3205,17 @@ object IcebergMetadata {
                        fromSnapshotId: Long): DataFrame = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
-    val fromSeq = snaps
-      .find(_.get("snapshot-id").asLong == fromSnapshotId)
-      .map(_.get("sequence-number").asLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $fromSnapshotId not in table history (expired? " +
-          "resync from a full read)"))
-    val later = snaps
-      .filter(_.get("sequence-number").asLong > fromSeq)
+    // MAIN lineage, not the snapshots array: a branch snapshot or a
+    // rolled-back-over commit in the array must neither deliver rows
+    // nor trip the append-only check
+    val lineage = mainLineage(meta)
+    val fromIdx = lineage.indexWhere(
+      _.get("snapshot-id").asLong == fromSnapshotId)
+    if (fromIdx < 0) throw new IllegalArgumentException(
+      s"snapshot $fromSnapshotId not on the current main lineage " +
+        "(expired, rolled back over, or a branch snapshot? resync " +
+        "from a full read)")
+    val later = lineage.drop(fromIdx + 1)
     later.foreach { s =>
       val op = s.get("summary").get("operation").asText
       require(op == "append",
@@ -3220,28 +3232,87 @@ object IcebergMetadata {
     else spark.read.parquet(files: _*)
   }
 
+  /** Snapshot nodes on the CURRENT head's ancestry chain — the MAIN
+    * lineage, oldest first. The spec defines history by parent
+    * pointers, not array membership: an unpublished audit-branch
+    * snapshot and a rolled-back-over commit both sit in the
+    * `snapshots` array (reachable for time travel) but are NOT
+    * ancestors of the head, and every consumer walk (tail, changelog,
+    * append scan) must never deliver them. The chain stops at an
+    * expired parent. */
+  private def mainLineage(meta: JsonNode,
+                          headId: Option[Long] = None): Seq[JsonNode] = {
+    val byId = meta.withArray[ArrayNode]("snapshots").asScala
+      .map(s => s.get("snapshot-id").asLong -> s).toMap
+    val head = headId.getOrElse(meta.get("current-snapshot-id").asLong)
+    Iterator.iterate(byId.get(head))(_.flatMap(s =>
+        Option(s.get("parent-snapshot-id")).map(_.asLong).flatMap(byId.get)))
+      .takeWhile(_.isDefined).map(_.get).toSeq.reverse
+  }
+
+  /** Data-file paths first ADDED by snapshot node `s` — list rows
+    * filter by `added_snapshot_id` before any manifest opens, so the
+    * walk costs O(new manifests), never O(table). */
+  private def addedDataFilesOf(s: JsonNode): Seq[String] = {
+    val id = s.get("snapshot-id").asLong
+    readAvro(TableIO(s.get("manifest-list").asText))
+      .filter(_.get("added_snapshot_id").asInstanceOf[Long] == id)
+      .flatMap { m =>
+        readManifestRows(TableIO(m.get("manifest_path").toString))._1
+          .collect {
+            case e if e.get("status").asInstanceOf[Int] == 1 &&
+              e.get("snapshot_id").asInstanceOf[Long] == id &&
+              e.get("data_file").asInstanceOf[GenericRecord]
+                .get("content").asInstanceOf[Int] == 0 =>
+              e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString
+          }
+      }.sorted
+  }
+
+  /** Full logical state of the table at a snapshot (current by
+    * default): the MoR algebra when delete files are live there, a
+    * plain scan of the live data files otherwise — the read every
+    * consumer backfill must use (raw `dataFilePaths` would resurrect
+    * rows the live deletes killed). */
+  def readTable(spark: SparkSession, tableDir: String,
+                keyCol: String = graft.operators.SystemColumns.OlakeId,
+                asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val stats = dataFileStats(tableDir, asOfSnapshotId)
+    if (stats.exists(_.content != 0))
+      readMoR(spark, tableDir, keyCol, asOfSnapshotId = asOfSnapshotId)
+    else {
+      val paths = stats.collect { case e if e.content == 0 => e.path }
+      require(paths.nonEmpty, s"no live data files at $tableDir")
+      spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Data-file paths ADDED by the append snapshots after
-    * `fromSnapshotId` — the planning walk of a streaming table tail
-    * ([[graft.streaming.IcebergTail]]): list rows filter by
-    * `added_snapshot_id` before any manifest opens, so a poll costs
-    * O(new manifests) metadata however long the table's history.
-    * `replace` commits contribute nothing (no logical change); an
-    * overwrite/delete commit throws unless `failOnOverwrite = false`
-    * (Iceberg's `streaming-skip-overwrite-snapshots`), in which case
-    * its changes are SKIPPED entirely, never partially delivered. */
+    * `fromSnapshotId` on the MAIN lineage, bounded at `toSnapshotId`
+    * when given (a poller pins the head it checkpointed, so a commit
+    * racing the poll is never half-delivered) — the planning walk of a
+    * streaming table tail ([[graft.streaming.IcebergTail]]): list rows
+    * filter by `added_snapshot_id` before any manifest opens, so a
+    * poll costs O(new manifests) metadata however long the table's
+    * history. `replace` commits contribute nothing (no logical
+    * change); an overwrite/delete commit throws unless
+    * `failOnOverwrite = false` (Iceberg's
+    * `streaming-skip-overwrite-snapshots`), in which case its changes
+    * are SKIPPED entirely, never partially delivered. */
   def appendedFilesSince(tableDir: String, fromSnapshotId: Long,
-                         failOnOverwrite: Boolean = true): Seq[String] = {
+                         failOnOverwrite: Boolean = true,
+                         toSnapshotId: Option[Long] = None): Seq[String] = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
-      .sortBy(_.get("sequence-number").asLong)
-    val fromSeq = snaps
-      .find(_.get("snapshot-id").asLong == fromSnapshotId)
-      .map(_.get("sequence-number").asLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $fromSnapshotId not in table history (expired? " +
-          "resync from a full read)"))
-    snaps.filter(_.get("sequence-number").asLong > fromSeq).flatMap { s =>
+    val lineage = mainLineage(meta, toSnapshotId)
+    val fromIdx = lineage.indexWhere(
+      _.get("snapshot-id").asLong == fromSnapshotId)
+    if (fromIdx < 0) throw new IllegalArgumentException(
+      s"snapshot $fromSnapshotId not on the current main lineage " +
+        "(expired, rolled back over, or a branch snapshot? resync " +
+        "from a full read)")
+    lineage.drop(fromIdx + 1).flatMap { s =>
       val id = s.get("snapshot-id").asLong
       val op = s.get("summary").get("operation").asText
       if (op == "replace") Nil
@@ -3251,19 +3322,7 @@ object IcebergMetadata {
             "overwrite — resync from a full read, or skip overwrite " +
             "snapshots explicitly")
         Nil
-      } else readAvro(TableIO(s.get("manifest-list").asText))
-        .filter(_.get("added_snapshot_id").asInstanceOf[Long] == id)
-        .flatMap { m =>
-          readManifestRows(TableIO(m.get("manifest_path").toString))._1
-            .collect {
-              case e if e.get("status").asInstanceOf[Int] == 1 &&
-                e.get("snapshot_id").asInstanceOf[Long] == id &&
-                e.get("data_file").asInstanceOf[GenericRecord]
-                  .get("content").asInstanceOf[Int] == 0 =>
-                e.get("data_file").asInstanceOf[GenericRecord]
-                  .get("file_path").toString
-            }
-        }.sorted
+      } else addedDataFilesOf(s)
     }
   }
 
@@ -3314,30 +3373,25 @@ object IcebergMetadata {
                     unionSnapLimit: Int = 64): DataFrame = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
-      .sortBy(_.get("sequence-number").asLong)
-    def seqOf(id: Long): Long = snaps
-      .find(_.get("snapshot-id").asLong == id)
-      .map(_.get("sequence-number").asLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $id not in table history (expired? resync from a " +
-          "full read)"))
-    val fromSeq = seqOf(fromSnapshotId)
-    val toSeq = toSnapshotId.map(seqOf).getOrElse(
-      snaps.last.get("sequence-number").asLong)
-    val range = snaps.filter { s =>
-      val q = s.get("sequence-number").asLong; q > fromSeq && q <= toSeq
-    }
+    // MAIN-lineage selection (parent chain from the head, or from the
+    // pinned `toSnapshotId`): branch snapshots and rolled-back commits
+    // sit in the snapshots array but are NOT history — delivering them
+    // would hand a consumer rows that never existed on main (and twice,
+    // if a branch is later cherry-picked)
+    val lineage = mainLineage(meta, toSnapshotId)
+    val fromIdx = lineage.indexWhere(
+      _.get("snapshot-id").asLong == fromSnapshotId)
+    if (fromIdx < 0) throw new IllegalArgumentException(
+      s"snapshot $fromSnapshotId not on the current main lineage " +
+        "(expired, rolled back over, or a branch snapshot? resync " +
+        "from a full read)")
+    val range = lineage.drop(fromIdx + 1)
     // full logical state at a snapshot: the MoR algebra if any delete
     // file is live there, a plain scan of the live data files otherwise
     def state(id: Long): DataFrame = {
       val stats = dataFileStats(tableDir, Some(id))
-      if (stats.exists(_.content != 0))
-        readMoR(spark, tableDir, keyCol, asOfSnapshotId = Some(id))
-      else {
-        val paths = stats.collect { case e if e.content == 0 => e.path }
-        if (paths.isEmpty) null else spark.read.parquet(paths: _*)
-      }
+      if (!stats.exists(_.content == 0)) null
+      else readTable(spark, tableDir, keyCol, Some(id))
     }
     // bag-diff with schema alignment (an overwrite may have widened the
     // schema mid-range; missing columns compare as null)
@@ -3348,12 +3402,18 @@ object IcebergMetadata {
       .withColumn("change_type", lit(kind))
       .withColumn("change_ordinal", lit(ord))
       .withColumn("commit_snapshot_id", lit(snap))
-    val emptyTagged = {
+    // built only when a path needs it (the common non-empty scan never
+    // pays this metadata walk); a table with no live data files at
+    // either endpoint degrades to a tags-only empty frame
+    lazy val emptyTagged = {
       val base = state(fromSnapshotId) match {
-        case null => state(snaps.last.get("snapshot-id").asLong)
+        case null => state(lineage.last.get("snapshot-id").asLong)
         case s => s
       }
-      tag(base, "insert", 0, 0L).limit(0)
+      if (base == null)
+        spark.range(0).select(lit("").as("change_type"),
+          lit(0).as("change_ordinal"), lit(0L).as("commit_snapshot_id"))
+      else tag(base, "insert", 0, 0L).limit(0)
     }
     if (netChanges) {
       val prev = state(fromSnapshotId)
@@ -3384,30 +3444,13 @@ object IcebergMetadata {
       val op = s.get("summary").get("operation").asText
       if (op == "replace") Nil
       else if (op == "append") {
-        // read ONLY the manifests this snapshot itself added (list
-        // rows carry added_snapshot_id; fast-append/rewrite keep
-        // carried rows under their ORIGINAL ids) — a long append tail
-        // costs O(new manifests) metadata per snapshot, so tailing a
-        // 10⁴-commit table stays linear in the tail, never quadratic
-        // in table history
-        val listRows = readAvro(TableIO(s.get("manifest-list").asText))
-        listRows
-          .filter(_.get("added_snapshot_id").asInstanceOf[Long] == id)
-          .flatMap { m =>
-            readManifestRows(TableIO(m.get("manifest_path").toString))._1
-              .collect {
-                case e if e.get("status").asInstanceOf[Int] == 1 &&
-                  e.get("snapshot_id").asInstanceOf[Long] == id &&
-                  e.get("data_file").asInstanceOf[GenericRecord]
-                    .get("content").asInstanceOf[Int] == 0 =>
-                  e.get("data_file").asInstanceOf[GenericRecord]
-                    .get("file_path").toString
-              }
-          }.sorted.foreach(p => appendAdds += ((p, ord, id)))
+        // O(new manifests) per append snapshot, never quadratic in
+        // table history (the added_snapshot_id list filter)
+        addedDataFilesOf(s).foreach(p => appendAdds += ((p, ord, id)))
         Nil
       } else {
         val curStats = dataFileStats(tableDir, Some(id))
-        val prevId = snaps.takeWhile(_ ne s).last.get("snapshot-id").asLong
+        val prevId = lineage(fromIdx + i).get("snapshot-id").asLong
         val prevStats = dataFileStats(tableDir, Some(prevId))
         val prevData = prevStats.collect {
           case e if e.content == 0 => e.path }.toSet
@@ -3463,15 +3506,14 @@ object IcebergMetadata {
         // and snapshot-id rejoined from a broadcast (file → tag) map.
         // Manifest paths and `_metadata.file_path` render the scheme
         // differently, so both sides normalize to the path part.
-        val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
         import spark.implicits._
         val tags = appendAdds.toSeq
-          .map { case (p, o, i) => (p.replaceFirst(schemeRe, "/"), o, i) }
+          .map { case (p, o, i) => (p.replaceFirst(SchemeRe, "/"), o, i) }
           .toDF("__fpn", "change_ordinal", "commit_snapshot_id")
         Seq(spark.read.option("mergeSchema", "true")
           .parquet(appendAdds.map(_._1).toSeq: _*)
           .withColumn("__fpn",
-            regexp_replace(col("_metadata.file_path"), schemeRe, "/"))
+            regexp_replace(col("_metadata.file_path"), SchemeRe, "/"))
           .join(broadcast(tags), Seq("__fpn")).drop("__fpn")
           .withColumn("change_type", lit("insert")))
       }

@@ -66,16 +66,20 @@ object IcebergTail {
     val curId = meta.get("current-snapshot-id").asLong
     readState(statePath) match {
       case None =>
-        val full = spark.read.parquet(
-          IcebergMetadata.dataFilePaths(tableDir): _*)
-        fn(full, 0L)
+        // the merged view, not raw data files — a MoR table's live
+        // deletes must apply to the backfill too
+        fn(IcebergMetadata.readTable(spark, tableDir), 0L)
         val st = TailState(curId, 0L)
         writeState(statePath, st)
         Some(st)
       case Some(prev) if prev.snapshotId == curId => None
       case Some(prev) =>
+        // bounded at the curId read above: a commit racing the poll is
+        // delivered whole by the NEXT poll, never split across two
+        // batch ids (the idempotent-sink fence keys on batchId)
         val files = IcebergMetadata.appendedFilesSince(tableDir,
-          prev.snapshotId, failOnOverwrite = !skipOverwrites)
+          prev.snapshotId, failOnOverwrite = !skipOverwrites,
+          toSnapshotId = Some(curId))
         if (files.isEmpty) {
           // only replaces (or skipped overwrites) landed: nothing to
           // deliver, but the checkpoint still advances past them so
@@ -111,8 +115,10 @@ object IcebergTail {
     val curId = meta.get("current-snapshot-id").asLong
     readState(statePath) match {
       case None =>
-        val full = spark.read.parquet(
-            IcebergMetadata.dataFilePaths(tableDir): _*)
+        // merged view as inserts — raw data files would resurrect
+        // rows the live deletes killed and the replica could never
+        // converge (no delete event will ever name them)
+        val full = IcebergMetadata.readTable(spark, tableDir)
           .withColumn("change_type", lit("insert"))
         fn(full, 0L)
         val st = TailState(curId, 0L)
@@ -120,8 +126,11 @@ object IcebergTail {
         Some(st)
       case Some(prev) if prev.snapshotId == curId => None
       case Some(prev) =>
+        // bounded at curId: same no-split-across-batches contract as
+        // the append tail
         val log = IcebergMetadata
-          .changelogScan(spark, tableDir, prev.snapshotId)
+          .changelogScan(spark, tableDir, prev.snapshotId,
+            toSnapshotId = Some(curId))
           .drop("change_ordinal", "commit_snapshot_id")
         val batchId = prev.batchId + 1
         fn(log, batchId)

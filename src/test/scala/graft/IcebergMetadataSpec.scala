@@ -2835,7 +2835,13 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     // would now ROLL BACK the concurrent append; cherry-pick is the
     // only safe publish
     rows(20 until 25).coalesce(1).write.parquet(s"$tmp/d2")
-    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    val mainB = IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2")
+    // a BRANCH snapshot is not on the main lineage: consumers must
+    // refuse it as a changelog start (it was never published)
+    val exBr = intercept[IllegalArgumentException] {
+      IcebergMetadata.changelogScan(spark, tmp, staged.snapshotId)
+    }
+    assert(exBr.getMessage.contains("main lineage"))
     val c = IcebergMetadata.cherrypickSnapshot(tmp, staged.snapshotId)
     assert(c.addedRows == 5)
     val got = spark.read.parquet(
@@ -2851,8 +2857,9 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
         _.get("snapshot-id").asLong == c.snapshotId).get
     assert(head.get("summary").get("source-snapshot-id").asText ==
       staged.snapshotId.toString)
-    // the changelog sees the pick as a plain append of the 5 rows
-    val log = IcebergMetadata.changelogScan(spark, tmp, staged.snapshotId)
+    // the changelog (from the pre-pick MAIN head) sees the pick as a
+    // plain append of the 5 rows
+    val log = IcebergMetadata.changelogScan(spark, tmp, mainB.snapshotId)
       .where(col("commit_snapshot_id") === c.snapshotId)
       .select(col("id"), col("change_type")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet

@@ -61,6 +61,41 @@ class IcebergTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.last == ((2L, (16L until 18L).toSet)))
   }
 
+  test("tail delivers only the MAIN lineage: unpublished audit-branch " +
+    "snapshots and rolled-back commits never reach the consumer") {
+    val tmp = Files.createTempDirectory("graft_tail_lin").toString
+    val state = s"$tmp/tail.json"
+    rows(0 until 5).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def fn(df: DataFrame, @annotation.nowarn b: Long): Unit =
+      seen += df.select("id").collect().map(_.getLong(0)).toSet
+    IcebergTail.poll(spark, tmp, state)(fn): Unit // backfill
+    // an audit branch stages rows 100-105 — NOT published to main
+    rows(100 until 105).coalesce(1).write.parquet(s"$tmp/db")
+    IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/db", "audit"): Unit
+    // main meanwhile appends 5-8
+    rows(5 until 8).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    IcebergTail.poll(spark, tmp, state)(fn): Unit
+    assert(seen.last == (5L until 8L).toSet,
+      s"branch rows leaked into the tail: ${seen.last}")
+
+    // rollback: pin the pre-append head, move main back, append anew —
+    // the rolled-back commit must never be delivered
+    val headBefore = IcebergMetadata.currentMetadata(tmp)
+      .get._2.get("current-snapshot-id").asLong
+    rows(8 until 11).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    IcebergMetadata.setRef(tmp, "undo", headBefore): Unit
+    IcebergMetadata.fastForward(tmp, "undo"): Unit // main moves BACK
+    rows(20 until 22).coalesce(1).write.parquet(s"$tmp/d3")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d3"): Unit
+    IcebergTail.poll(spark, tmp, state)(fn): Unit
+    assert(seen.last == (20L until 22L).toSet,
+      s"rolled-back rows leaked into the tail: ${seen.last}")
+  }
+
   test("pollChangelog: the CDC tail replicates a table that takes " +
     "overwrites — applying delivered insert/delete batches rebuilds " +
     "the exact table state") {
