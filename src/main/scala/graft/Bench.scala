@@ -138,6 +138,41 @@ object Bench {
     "q_cdc_binlog_compressed",
     "q_minhash_native", "q_simhash_native")
 
+  /** Per-query MEDIAN over the last ≤3 recorded round artifacts — the
+    * outlier guard's reference point. The driver records each round as
+    * a wrapper object `{n, rc, tail, parsed}` whose `parsed` is the
+    * `{"metric":"total",...}` line holding the per-query map; raw
+    * JSON-line files are also accepted (spec-pinned against both). */
+  private[graft] def trailingMedians(repo: java.io.File)
+      : Map[String, Double] = try {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val perRound = Option(repo.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName).takeRight(3).toSeq
+      .flatMap { f =>
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          val text = java.nio.file.Files.readString(f.toPath)
+          val fromWrapper = scala.util.Try {
+            mapper.readTree(text).path("parsed").path("queries")
+          }.toOption.filter(_.isObject).map(_.fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble).toSeq)
+          fromWrapper.getOrElse {
+            text.linesIterator
+              .filter(_.contains("\"metric\":\"total\""))
+              .map(mapper.readTree).flatMap { n =>
+                n.path("queries").fields().asScala
+                  .map(e => e.getKey -> e.getValue.asDouble)
+              }.toSeq
+          }.filterNot(_._1 == "other_sum")
+        }.getOrElse(Nil)
+      }
+    perRound.groupBy(_._1).map { case (k, vs) =>
+      val s = vs.map(_._2).sorted
+      k -> s(s.size / 2)
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -194,29 +229,8 @@ object Bench {
     // the min — the same reasoning the throughput probes' two-pass max
     // encodes: ambient interference only ever inflates a wall time.
     // Re-timed names ride the JSON so the artifact is self-explaining.
-    val trailing: Map[String, Double] = try {
-      val repo = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val perRound = Option(repo.listFiles).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName).takeRight(3).toSeq
-        .flatMap { f =>
-          scala.util.Try {
-            java.nio.file.Files.readString(f.toPath).linesIterator
-              .filter(_.contains("\"metric\":\"queries\""))
-              .map(mapper.readTree).flatMap { n =>
-                import scala.jdk.CollectionConverters._
-                n.get("queries").fields().asScala
-                  .map(e => e.getKey -> e.getValue.asDouble)
-              }.toSeq
-          }.getOrElse(Nil)
-        }
-      perRound.groupBy(_._1).map { case (k, vs) =>
-        val s = vs.map(_._2).sorted
-        k -> s(s.size / 2)
-      }
-    } catch { case _: Throwable => Map.empty }
+    val trailing: Map[String, Double] = trailingMedians(new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")))
     val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
     def timeQuery(name: String, into: scala.collection.mutable.Map[String, Double]): Unit =
       queries.get(name) match {

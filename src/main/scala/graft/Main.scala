@@ -31,6 +31,19 @@ object Main {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Metadata-only verbs run no Spark jobs, but a SCHEMED table path
+    * (`s3wire://…`) resolves its FileSystem through the ACTIVE
+    * session's Hadoop conf (`fs.s3wire.*` endpoint/credentials live
+    * there) — build a session purely for the conf, local paths skip
+    * it. */
+  private def withTableSession[A](table: String)(body: => A): A =
+    if (!table.contains("://")) body
+    else {
+      val spark = session()
+      spark.sparkContext.setLogLevel("ERROR")
+      try body finally spark.stop()
+    }
+
   def main(args: Array[String]): Unit = args.toList match {
     // spec [driver]: the reference serves {jsonschema, uischema} in a
     // SPEC envelope (protocol/spec.go:34-39); bare `spec` keeps the
@@ -277,7 +290,8 @@ object Main {
     // keep their spec, readers prune per-spec, maintenance carries
     // other-spec files forward.
     case "maintain" :: table :: "evolve" :: regex :: Nil =>
-      val sid = graft.sinks.IcebergMetadata.evolvePartitionSpec(table, regex)
+      val sid = withTableSession(table) {
+        graft.sinks.IcebergMetadata.evolvePartitionSpec(table, regex) }
       println(s"""{"status":"evolved","spec_id":$sid}""")
 
     // maintain <table> manifests [groupSize]: consolidate the small
@@ -301,13 +315,14 @@ object Main {
     // references (grace window guards in-flight writers)
     case "maintain" :: table :: "expire" :: "--older-than" :: ts :: rest =>
       val retain = rest.headOption.map(_.toInt).getOrElse(1)
-      val n = graft.sinks.IcebergMetadata
-        .expireSnapshotsOlderThan(table, ts.toLong, retain)
+      val n = withTableSession(table) { graft.sinks.IcebergMetadata
+        .expireSnapshotsOlderThan(table, ts.toLong, retain) }
       println(s"""{"status":"expired","snapshots_removed":$n}""")
 
     case "maintain" :: table :: "expire" :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
-      val n = graft.sinks.IcebergMetadata.expireSnapshots(table, keep)
+      val n = withTableSession(table) {
+        graft.sinks.IcebergMetadata.expireSnapshots(table, keep) }
       println(s"""{"status":"expired","snapshots_removed":$n}""")
 
     // maintain <table> metadata [keepLast]: trim dead
@@ -315,13 +330,17 @@ object Main {
     // delete-after-commit) — snapshots/manifests/data untouched
     case "maintain" :: table :: "metadata" :: rest =>
       val keep = rest.headOption.map(_.toInt).getOrElse(5)
-      val n = graft.sinks.IcebergMetadata
-        .expireMetadataVersions(table, keep)
+      val n = withTableSession(table) { graft.sinks.IcebergMetadata
+        .expireMetadataVersions(table, keep) }
       println(s"""{"status":"trimmed","metadata_files_removed":$n}""")
 
+    // default grace = ONE HOUR, same doctrine as autoMaintain: a
+    // sweep must not delete parquet a concurrent publish has staged
+    // but not yet committed (pass 0 explicitly to force)
     case "maintain" :: table :: "orphans" :: rest =>
-      val ageMs = rest.headOption.map(_.toLong * 60000).getOrElse(0L)
-      val n = graft.sinks.IcebergMetadata.removeOrphans(table, ageMs)
+      val ageMs = rest.headOption.map(_.toLong * 60000).getOrElse(3600000L)
+      val n = withTableSession(table) {
+        graft.sinks.IcebergMetadata.removeOrphans(table, ageMs) }
       println(s"""{"status":"swept","files_removed":$n}""")
 
     // maintain <table> posdeletes: MINOR delete compaction —
@@ -344,8 +363,8 @@ object Main {
     // when main moved during audit and fast-forward would roll back
     // concurrent appends). Metadata-only.
     case "maintain" :: table :: "cherrypick" :: snapId :: Nil =>
-      val c = graft.sinks.IcebergMetadata
-        .cherrypickSnapshot(table, snapId.toLong)
+      val c = withTableSession(table) { graft.sinks.IcebergMetadata
+        .cherrypickSnapshot(table, snapId.toLong) }
       println(s"""{"status":"cherry-picked","snapshot":${c.snapshotId},""" +
         s""""added_files":${c.addedFiles},"added_rows":${c.addedRows}}""")
 

@@ -103,7 +103,15 @@ object IcebergMetadata {
     * "string"), `sourceId` the source column's Iceberg field id.
     * Spec field ids start at 1000 in declaration order. */
   case class PartSpecField(name: String, avroType: String,
-                           sourceId: Int, transform: String)
+                           sourceId: Int, transform: String,
+                           fieldId: Int = -1)
+
+  /** Resolved partition field-id: explicit when the spec carries one
+    * (post-evolution specs allocate fresh ids above last-partition-id
+    * — v2 requires field-ids unique ACROSS specs), else the spec-0
+    * positional default 1000+i. */
+  private def specFieldId(p: PartSpecField, i: Int): Int =
+    if (p.fieldId >= 0) p.fieldId else 1000 + i
 
   /** A manifest-list `field_summary` (spec field-ids 509/518/510/511):
     * the per-partition-field aggregate over one manifest's entries that
@@ -140,7 +148,7 @@ object IcebergMetadata {
       : org.apache.avro.Schema = {
     val partFields = parts.zipWithIndex.map { case (p, i) =>
       s"""{"name": "${p.name}", "type": ["null", "${p.avroType}"],
-         | "default": null, "field-id": ${1000 + i}}""".stripMargin
+         | "default": null, "field-id": ${specFieldId(p, i)}}""".stripMargin
     }.mkString(",")
     new org.apache.avro.Schema.Parser().parse(s"""{
       "type": "record", "name": "manifest_entry", "fields": [
@@ -439,7 +447,7 @@ object IcebergMetadata {
   private def partSpecJson(parts: Seq[PartSpecField]): String =
     parts.zipWithIndex.map { case (p, i) =>
       s"""{"name":"${p.name}","transform":"${p.transform}",""" +
-        s""""source-id":${p.sourceId},"field-id":${1000 + i}}"""
+        s""""source-id":${p.sourceId},"field-id":${specFieldId(p, i)}}"""
     }.mkString("[", ",", "]")
 
   /** Write one manifest Avro with ADDED entries. */
@@ -784,11 +792,14 @@ object IcebergMetadata {
       parts.zipWithIndex.foreach { case (p, i) =>
         val fNode = specFields.addObject()
         fNode.put("name", p.name); fNode.put("transform", p.transform)
-        fNode.put("source-id", p.sourceId); fNode.put("field-id", 1000 + i)
+        fNode.put("source-id", p.sourceId)
+        fNode.put("field-id", specFieldId(p, i))
       }
     }
-    // spec: 1000 is the first partition field id
-    root.put("last-partition-id", 999 + specs.map(_.size).max)
+    // spec: 1000 is the first partition field id; evolved specs may
+    // carry explicit ids above it (never recycled across specs)
+    root.put("last-partition-id", (999 +: specs.flatMap(parts =>
+      parts.zipWithIndex.map { case (p, i) => specFieldId(p, i) })).max)
     // spec §Sort Orders: APPEND-ONLY table metadata — every previous
     // order carries forward verbatim (order 0 is the required
     // "unsorted"). `sortOrder` semantics: None = an ordinary commit,
@@ -1926,7 +1937,8 @@ object IcebergMetadata {
           case other => throw new IllegalArgumentException(
             s"unsupported transform $other")
         }
-        PartSpecField(f.get("name").asText, avroType, srcId, tr)
+        PartSpecField(f.get("name").asText, avroType, srcId, tr,
+          fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(-1))
       }
     }).getOrElse(Seq(Nil))
   }
@@ -2102,18 +2114,35 @@ object IcebergMetadata {
     val root = meta.deepCopy[ObjectNode]()
     val specArr = root.withArray[ArrayNode]("partition-specs")
     val newSid = specArr.size
+    // v2: partition field-ids are unique ACROSS specs (external
+    // readers build the common partition struct keyed on them) —
+    // reuse an id only for an IDENTICAL field (same transform +
+    // source, Iceberg's own evolution rule), otherwise allocate fresh
+    // above last-partition-id
+    val existing: Map[(String, Int), Int] = specArr.asScala.flatMap(sp =>
+      sp.withArray[ArrayNode]("fields").asScala.zipWithIndex.map {
+        case (f, i) =>
+          (f.get("transform").asText, f.get("source-id").asInt) ->
+            Option(f.get("field-id")).map(_.asInt).getOrElse(1000 + i)
+      }).toMap
+    var nextId = math.max(meta.path("last-partition-id").asInt(999),
+      (999 +: existing.values.toSeq).max)
+    val withIds = parts.map { p =>
+      existing.get((p.transform, p.sourceId)) match {
+        case Some(id) => p.copy(fieldId = id)
+        case None => nextId += 1; p.copy(fieldId = nextId)
+      }
+    }
     val spec = specArr.addObject()
     spec.put("spec-id", newSid)
     val fArr = spec.putArray("fields")
-    parts.zipWithIndex.foreach { case (p, i) =>
+    withIds.foreach { p =>
       val fNode = fArr.addObject()
       fNode.put("name", p.name); fNode.put("transform", p.transform)
-      fNode.put("source-id", p.sourceId); fNode.put("field-id", 1000 + i)
+      fNode.put("source-id", p.sourceId); fNode.put("field-id", p.fieldId)
     }
     root.put("default-spec-id", newSid)
-    root.put("last-partition-id",
-      math.max(meta.path("last-partition-id").asInt(999),
-        999 + parts.size))
+    root.put("last-partition-id", nextId)
     appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
     root.put("last-updated-ms", System.currentTimeMillis())
     writeVersionFiles(md, root, version + 1): Unit
@@ -2234,28 +2263,10 @@ object IcebergMetadata {
     * engine runs on a partitioned table; at 100 TB the first level is
     * what keeps scan planning itself sub-linear in file count. */
   def readPartitionPruned(spark: SparkSession, tableDir: String,
-                          lo: Long, hi: Long): DataFrame = {
-    val kept = pruneManifests(tableDir, lo, hi).toSet
-    val keptFiles = kept.toSeq.sorted.flatMap { mPath =>
-      readAvro(TableIO(mPath)).collect {
-        case e if e.get("status").asInstanceOf[Int] != 2 =>
-          e.get("data_file").asInstanceOf[GenericRecord]
-      }.filter { df =>
-        df.get("content").asInstanceOf[Int] == 0 && {
-          val pRec = df.get("partition").asInstanceOf[GenericRecord]
-          pRec.getSchema.getFields.asScala.headOption
-            .map(f => pRec.get(f.name())).forall {
-              case null => true
-              case i: java.lang.Integer => i >= lo && i <= hi
-              case l: java.lang.Long => l >= lo && l <= hi
-              case _ => true
-            }
-        }
-      }.map(_.get("file_path").toString)
-    }
-    require(keptFiles.nonEmpty, "no files survive partition pruning")
-    spark.read.parquet(keptFiles: _*)
-  }
+                          lo: Long, hi: Long): DataFrame =
+    // the single-spec special case: every manifest prunes under the
+    // same window
+    readPartitionPrunedBySpec(spark, tableDir, _ => Some((lo, hi)))
 
   /** Two-level pruned read of a MULTI-SPEC table (post partition
     * evolution): each manifest prunes under ITS OWN spec — the caller
@@ -2280,8 +2291,11 @@ object IcebergMetadata {
         case _ => true
       }
     }
+    // this reader serves only data manifests (deletes are readMoR's
+    // business): drop content!=0 up front, then level-1 skip by the
+    // spec-correct field summary
     val keptManifests = manifestSummaries(tableDir).filter { m =>
-      m.content != 0 || boundsForSpec(m.specId).forall { case (lo, hi) =>
+      m.content == 0 && boundsForSpec(m.specId).forall { case (lo, hi) =>
         m.partitions.headOption.forall { s =>
           s.containsNull ||
             ((s.lower, s.upper) match {
@@ -2291,7 +2305,7 @@ object IcebergMetadata {
             })
         }
       }
-    }.filter(_.content == 0)
+    }
     val keptFiles = keptManifests.map(m => (m.path, m.specId))
       .sortBy(_._1).flatMap { case (mPath, sid) =>
         val bounds = boundsForSpec(sid)
@@ -2601,8 +2615,16 @@ object IcebergMetadata {
             Seq(col("_metadata.file_path").as("__fp"),
               col("_metadata.row_index").as("__pos"))
           else Nil)
+        // LEFT join + loud failure: a normalization miss (an exotic
+        // path rendering the two sides disagree on) must error, never
+        // silently drop every row of that file — an inner join here
+        // is results-change-with-commit-count data loss
         raw.select(baseCols ++ metaCols: _*)
-          .join(seqMap, Seq("__fpn")).drop("__fpn")
+          .join(seqMap, Seq("__fpn"), "left")
+          .withColumn("__seq", coalesce(col("__seq"), raise_error(
+            concat(lit("readMoR: no manifest sequence for data file "),
+              col("__fpn"))).cast("long")))
+          .drop("__fpn")
       }
     }
     val data0 = bySeq(dataFiles, None, withPos = posFiles.nonEmpty)
@@ -3011,8 +3033,8 @@ object IcebergMetadata {
     * `file_size_in_bytes`, never a driver-side per-file stat loop (a
     * million-file table must plan from metadata alone; freshly written
     * outputs stat batched through ONE directory listing). */
-  def parquetStatProbes: Int = TableIO.parquetStats.get
-  def resetParquetStatProbes(): Unit = TableIO.parquetStats.set(0)
+  def parquetStatProbes: Int = TableIO.parquetStats.sum().toInt
+  def resetParquetStatProbes(): Unit = TableIO.parquetStats.reset()
 
   /** The 2PC state stored in the current snapshot's summary — the
     * reference's restart recovery reads the same `olake_2pc` property

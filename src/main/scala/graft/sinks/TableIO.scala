@@ -31,13 +31,15 @@ import org.apache.spark.sql.SparkSession
 private[graft] object TableIO {
 
   /** Test hook: number of individual (non-listing) size/stat probes
-    * issued against `.parquet` files BY THE CURRENT THREAD. Maintenance
+    * issued against `.parquet` files, ACROSS ALL THREADS. Maintenance
     * PLANNING must leave this at zero — sizes must come from manifest
-    * metadata. Thread-local so concurrently running suites cannot
-    * pollute each other's assertion. */
-  val parquetStats: ThreadLocal[Integer] =
-    ThreadLocal.withInitial(() => Integer.valueOf(0))
-  def bumpParquetStat(): Unit = parquetStats.set(parquetStats.get + 1)
+    * metadata. Global (not thread-local) on purpose: binpack submits
+    * per-group work on ForkJoinPool threads, and a regression that
+    * re-introduces per-file stats THERE must still trip the zero-stat
+    * pin (suites run sequentially in the forked test JVM, so there is
+    * no cross-suite pollution). */
+  val parquetStats = new java.util.concurrent.atomic.LongAdder()
+  def bumpParquetStat(): Unit = parquetStats.increment()
 
   /** Hadoop configuration for schemed paths: the active session's,
     * which is where `fs.s3wire.*` endpoint/credential config lives. */

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench outlier guard's reference point: per-query medians over
+  * the recorded round artifacts — pinned against BOTH artifact shapes
+  * (the driver's wrapper object with `parsed`, and raw JSON lines),
+  * because a guard that parses neither is silently dead and the r13
+  * transient class goes undefended. */
+class BenchSpec extends AnyFunSuite {
+
+  test("trailingMedians parses the driver's wrapper artifacts and raw " +
+    "JSON-line artifacts, takes the last 3, and drops other_sum") {
+    val dir = Files.createTempDirectory("graft_bench_art").toFile
+    def write(name: String, content: String): Unit =
+      Files.writeString(new java.io.File(dir, name).toPath, content)
+    // driver shape: wrapper object, per-query map under parsed.queries
+    def wrapper(n: Int, fuzzy: Double) =
+      s"""{"n":$n,"rc":0,"cpus":32,"sf":0.1,
+         |"tail":"{\\"metric\\":\\"total\\"}",
+         |"parsed":{"metric":"total","value":50.0,"unit":"sec",
+         |  "queries":{"q_a":1.0,"q_fuzzy":$fuzzy,"other_sum":9.9}}}"""
+        .stripMargin
+    write("BENCH_r11.json", wrapper(11, 0.5))
+    write("BENCH_r12.json", wrapper(12, 0.6))
+    // raw-line shape: the {"metric":"total"} line itself
+    write("BENCH_r13.json",
+      """{"metric":"secondary","queries":{"x":1.0},"unit":"sec"}
+        |{"metric":"total","value":50.0,"unit":"sec",
+        | "queries":{"q_a":3.0,"q_fuzzy":0.7,"other_sum":9.9}}"""
+        .stripMargin)
+    // an older artifact that must NOT be in the trailing-3 window
+    write("BENCH_r01.json", wrapper(1, 99.0))
+    val med = Bench.trailingMedians(dir)
+    assert(med.get("q_fuzzy").contains(0.6), s"median wrong: $med")
+    assert(med.get("q_a").contains(1.0))
+    assert(!med.contains("other_sum"), "other_sum is not a query")
+    // unreadable dir degrades to empty, never throws
+    assert(Bench.trailingMedians(
+      new java.io.File("/nonexistent_graft")).isEmpty)
+  }
+}

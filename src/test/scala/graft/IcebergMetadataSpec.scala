@@ -2636,6 +2636,44 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 40 && got("0") == 900L)
   }
 
+  test("partition spec evolution allocates field-ids unique ACROSS " +
+    "specs, reuses the id of an identical field, and later commits " +
+    "preserve them verbatim") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val ice = Files.createTempDirectory("graft_specids").toString
+    val ev = spark.range(100).select(col("id"),
+      (expr("timestamp'2024-03-01 00:00:00'") +
+        expr("make_interval(0,0,0,0,cast(id as int),0,0)")).as("ts"))
+    IcebergMetadata.publishPartitioned(spark, ice, ev, "/{ts,day}"): Unit
+    def specFields() = IcebergMetadata.currentMetadata(ice).get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "partition-specs").asScala.toSeq.map(sp =>
+        sp.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "fields").asScala.toSeq.map(f =>
+          (f.get("transform").asText, f.get("field-id").asInt)))
+    // fresh partitioned publish: one spec, day at 1000
+    assert(specFields() == Seq(Seq(("day", 1000))))
+    // day→hour: a DIFFERENT field must get a FRESH id, not recycle 1000
+    IcebergMetadata.evolvePartitionSpec(ice, "/{ts,hour}"): Unit
+    assert(specFields() == Seq(Seq(("day", 1000)), Seq(("hour", 1001))))
+    val (_, m1) = IcebergMetadata.currentMetadata(ice).get
+    assert(m1.get("last-partition-id").asInt == 1001)
+    // hour→day again: the IDENTICAL field (same transform + source)
+    // reuses its original id, Iceberg's own evolution rule
+    IcebergMetadata.evolvePartitionSpec(ice, "/{ts,day}"): Unit
+    assert(specFields().last == Seq(("day", 1000)))
+    // a later commit rebuilds metadata from specsFromMeta — the
+    // explicit ids must survive the round-trip, never reset to 1000+i
+    IcebergMetadata.appendCommitPartitioned(spark, ice,
+      ev.where(col("id") < 5)): Unit
+    assert(specFields() == Seq(Seq(("day", 1000)), Seq(("hour", 1001)),
+      Seq(("day", 1000))))
+    val ids = specFields().flatten
+    assert(ids.distinct.size == ids.map(_._2).distinct.size,
+      s"field-ids must map 1:1 to distinct fields: $ids")
+  }
+
   test("changelogScan: append fast path, COW overwrite diff, replace " +
     "emits nothing, net-changes collapse, expired-from refusal") {
     import org.apache.spark.sql.functions._
