@@ -336,12 +336,46 @@ object Main {
 
     // default grace = ONE HOUR, same doctrine as autoMaintain: a
     // sweep must not delete parquet a concurrent publish has staged
-    // but not yet committed (pass 0 explicitly to force)
+    // but not yet committed (pass 0 explicitly to force).
+    // --dry-run lists the candidates without deleting.
     case "maintain" :: table :: "orphans" :: rest =>
-      val ageMs = rest.headOption.map(_.toLong * 60000).getOrElse(3600000L)
-      val n = withTableSession(table) {
-        graft.sinks.IcebergMetadata.removeOrphans(table, ageMs) }
-      println(s"""{"status":"swept","files_removed":$n}""")
+      val dry = rest.contains("--dry-run")
+      val ageMs = rest.filterNot(_.startsWith("--")).headOption
+        .map(_.toLong * 60000).getOrElse(3600000L)
+      withTableSession(table) {
+        if (dry) {
+          val fs = graft.sinks.IcebergMetadata.listOrphans(table, ageMs)
+          println(s"""{"status":"dry-run","orphans":${fs.length},""" +
+            fs.map(f => s""""$f"""").mkString(""""files":[""", ",", "]}"))
+        } else {
+          val n = graft.sinks.IcebergMetadata.removeOrphans(table, ageMs)
+          println(s"""{"status":"swept","files_removed":$n}""")
+        }
+      }
+
+    // maintain <table> rollback <snapshotId> — move main back to a
+    // prior snapshot (ref-only commit; abandoned commits stay
+    // time-travelable until expiration, off the main lineage).
+    // maintain <table> tag|branch <name> <snapshotId> — pin a snapshot
+    // (tags protect it from expiration; branches are WAP heads).
+    // maintain <table> drop-ref <name> — unpin.
+    case "maintain" :: table :: "rollback" :: snapId :: Nil =>
+      withTableSession(table) { graft.sinks.IcebergMetadata
+        .rollbackTo(table, snapId.toLong) }: Unit
+      println(s"""{"status":"rolled-back","snapshot":$snapId}""")
+
+    case "maintain" :: table :: ("tag" | "branch") :: name ::
+        snapId :: Nil =>
+      val kind = args(2)
+      withTableSession(table) { graft.sinks.IcebergMetadata
+        .setRef(table, name, snapId.toLong, refType = kind) }: Unit
+      println(s"""{"status":"ref-set","name":"$name","type":"$kind",""" +
+        s""""snapshot":$snapId}""")
+
+    case "maintain" :: table :: "drop-ref" :: name :: Nil =>
+      withTableSession(table) {
+        graft.sinks.IcebergMetadata.dropRef(table, name) }: Unit
+      println(s"""{"status":"ref-dropped","name":"$name"}""")
 
     // maintain <table> posdeletes: MINOR delete compaction —
     // consolidate per-batch positional-delete files into one and drop

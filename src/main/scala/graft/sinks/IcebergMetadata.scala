@@ -1371,6 +1371,14 @@ object IcebergMetadata {
   /** WRITE-AUDIT-PUBLISH, the publish half: move `main` (and the
     * current snapshot) to a branch head — a ref-only metadata commit,
     * atomic at the version-hint flip, no data movement. */
+  /** ROLLBACK main to a prior snapshot in history (Iceberg's
+    * `rollback_to_snapshot`): a ref-only metadata commit — the
+    * abandoned commits stay in the array for time travel until
+    * expiration, but leave the main lineage (consumer walks skip
+    * them). */
+  def rollbackTo(tableDir: String, snapshotId: Long): Int =
+    applyRollback(tableDir, snapshotId)
+
   def fastForward(tableDir: String, branch: String): Int = {
     val target = refSnapshotId(tableDir, branch).getOrElse(
       throw new IllegalArgumentException(s"no ref $branch"))
@@ -2990,10 +2998,16 @@ object IcebergMetadata {
     * window that protects an in-flight publish, same rule as the
     * Iceberg procedure), and prunes emptied snapshot dirs. Returns the
     * number of files deleted. */
-  def removeOrphans(tableDir: String, minAgeMs: Long = 0L): Int = {
+  /** Orphan DETECTION alone — the `--dry-run` an operator runs before
+    * trusting a sweep on a production table: the same referenced-set
+    * walk as [[removeOrphans]], nothing deleted. */
+  def listOrphans(tableDir: String, minAgeMs: Long = 0L): Seq[String] =
+    orphanFiles(tableDir, minAgeMs).map(_.abs)
+
+  private def orphanFiles(tableDir: String, minAgeMs: Long): Seq[TPath] = {
     val meta = currentMetadata(tableDir) match {
       case Some((_, m)) => m
-      case None => return 0
+      case None => return Nil
     }
     val snapIds = meta.withArray[ArrayNode]("snapshots").asScala
       .map(_.get("snapshot-id").asLong).toSeq
@@ -3001,15 +3015,21 @@ object IcebergMetadata {
       dataFileStats(tableDir, Some(id))
         .map(e => TableIO(e.path).canonical)).toSet
     val dataRoot = TableIO(tableDir).child("data")
-    if (!dataRoot.isDirectory) return 0
+    if (!dataRoot.isDirectory) return Nil
     val now = System.currentTimeMillis()
     def walk(f: TPath): Seq[TPath] =
       if (f.isDirectory) f.list.flatMap(walk) else Seq(f)
-    val orphans = walk(dataRoot).filter { f =>
+    walk(dataRoot).filter { f =>
       f.name.endsWith(".parquet") &&
         !referenced.contains(f.canonical) &&
         now - f.lastModified >= minAgeMs
     }
+  }
+
+  def removeOrphans(tableDir: String, minAgeMs: Long = 0L): Int = {
+    val orphans = orphanFiles(tableDir, minAgeMs)
+    val dataRoot = TableIO(tableDir).child("data")
+    if (!dataRoot.isDirectory) return 0
     orphans.foreach(_.delete())
     // sweep emptied dirs bottom-up (write-side markers like _SUCCESS
     // go with their dir)

@@ -1,0 +1,71 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.IcebergMetadata
+
+/** The table-ops CLI verbs driven through `Main.main` itself — the
+  * operator surface (rollback / tag / branch / drop-ref / orphan
+  * dry-run) must work as INVOKED, not just as library calls. */
+class MainVerbsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(args: String*): String = {
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { Main.main(args.toArray) }
+    out.toString("UTF-8").trim
+  }
+
+  test("maintain rollback/tag/drop-ref/orphans --dry-run verbs") {
+    val tmp = Files.createTempDirectory("graft_verbs").toString
+    spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(s"$tmp/d0")
+    val a = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    spark.range(10, 15).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+
+    // tag the first snapshot, then roll main back to it
+    val tagOut = run("maintain", tmp, "tag", "keep", a.snapshotId.toString)
+    assert(tagOut.contains(""""status":"ref-set"""") &&
+      tagOut.contains(""""type":"tag""""))
+    val rbOut = run("maintain", tmp, "rollback", a.snapshotId.toString)
+    assert(rbOut.contains(""""status":"rolled-back""""))
+    val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+    assert(meta.get("current-snapshot-id").asLong == a.snapshotId)
+    assert(meta.get("refs").has("keep"))
+
+    // the rolled-back-over append's file is NOT an orphan (its
+    // snapshot is still in history) — dry-run reports zero and
+    // deletes nothing
+    val dryOut = run("maintain", tmp, "orphans", "--dry-run", "0")
+    assert(dryOut.contains(""""status":"dry-run"""") &&
+      dryOut.contains(""""orphans":0"""), dryOut)
+
+    // drop the tag; a stray unreferenced parquet shows up in dry-run
+    // but survives it, then a real sweep removes it
+    assert(run("maintain", tmp, "drop-ref", "keep")
+      .contains(""""status":"ref-dropped""""))
+    val stray = new java.io.File(s"$tmp/data/stray.parquet")
+    stray.getParentFile.mkdirs()
+    Files.write(stray.toPath, Array[Byte](1, 2, 3)): Unit
+    val dry2 = run("maintain", tmp, "orphans", "--dry-run", "0")
+    assert(dry2.contains(""""orphans":1""") && stray.exists, dry2)
+    val sweep = run("maintain", tmp, "orphans", "0")
+    assert(sweep.contains(""""files_removed":1""") && !stray.exists)
+  }
+}
