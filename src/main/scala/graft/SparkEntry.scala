@@ -3420,6 +3420,53 @@ object SparkEntry {
     //      commit. Runs over real JDBC (embedded Derby). A stale-
     //      expected CAS must swap nothing; read-back resolves the
     //      pointer, not the FS version-hint. ----
+    // ---- K2 REGISTER TABLE (Iceberg's register_table procedure):
+    //      adopt a filesystem-committed table into a catalog by its
+    //      metadata location — migration without rewriting a byte.
+    //      Exercised against BOTH catalog protocols: the JDBC
+    //      iceberg_tables contract over real Derby, and the REST
+    //      /v1/namespaces/{ns}/register endpoint over the loopback
+    //      server (including the 409 double-register refusal on each).
+    //      The output reads THROUGH the adopted JDBC pointer. ----
+    "q_iceberg_register" -> ((s, dir) => {
+      import graft.sinks.{IcebergJdbcCatalog, IcebergRestCatalog}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_register").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$tmp/d1")
+      val c2 = IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1")
+      val loc = s"$tmp/metadata/v${c2.version}.metadata.json"
+      val cat = new IcebergJdbcCatalog(
+        JdbcSource.derbyUrl(s"$tmp/catalogdb"), "graft")
+      cat.initialize()
+      cat.createNamespace("lake")
+      cat.registerTable("lake", "nation_reg", loc)
+      require(cat.loadTable("lake", "nation_reg").contains(loc),
+        "registered pointer does not round-trip")
+      require(scala.util.Try(
+        cat.registerTable("lake", "nation_reg", loc)).isFailure,
+        "double-register must refuse, never clobber a live pointer")
+      val server = new IcebergRestCatalog.Server(Map.empty)
+      try {
+        val client = new IcebergRestCatalog.Client(server.endpoint)
+        client.createNamespace("lake")
+        val st = client.registerTable("lake", "nation_rest", loc)
+        require(st.metadataLocation.exists(_.endsWith(".metadata.json")),
+          s"REST register returned no metadata location: $st")
+        require(client.listTables("lake") == Seq("nation_rest"))
+        require(scala.util.Try(
+          client.registerTable("lake", "nation_rest", loc)).isFailure,
+          "REST double-register must 409")
+      } finally server.close()
+      s.read.parquet(IcebergMetadata.dataFilePathsAt(
+          cat.loadTable("lake", "nation_reg").get): _*)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     "q_iceberg_jdbc_catalog" -> ((s, dir) => {
       import graft.sinks.IcebergJdbcCatalog
       val tmp = java.nio.file.Files
@@ -7409,6 +7456,13 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT n_nationkey + 300, n_name, n_regionkey,
         |  CAST(2 AS BIGINT) FROM nation""".stripMargin,
+
+    // register adopts the table as-is: base plus the appended shift
+    "q_iceberg_register" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        |FROM nation""".stripMargin,
 
     // CDC tail: batch 0 = backfill inserts; batch 1 = the append's
     // inserts plus the overwrite's bag diff (EXCEPT ALL both ways)

@@ -124,6 +124,22 @@ class IcebergJdbcCatalog(url: String, catalogName: String) {
     ps.executeUpdate() == 1
   }
 
+  /** REGISTER (Iceberg's `register_table` procedure): adopt an
+    * EXISTING filesystem table by pointing a fresh catalog entry at
+    * its current metadata.json — migration without rewriting a byte.
+    * Fails on a duplicate name (the PK insert refuses — a live
+    * pointer is never clobbered). */
+  def registerTable(ns: String, name: String,
+                    metadataLocation: String): Unit = {
+    try createTable(ns, name)
+    catch {
+      case e: java.sql.SQLException => throw new IllegalStateException(
+        s"register conflict: $ns.$name already exists", e)
+    }
+    require(commitTable(ns, name, None, metadataLocation),
+      s"concurrent writer claimed $ns.$name during register")
+  }
+
   def dropTable(ns: String, name: String): Boolean = withConn { c =>
     val ps = c.prepareStatement("""DELETE FROM iceberg_tables WHERE
       catalog_name = ? AND table_namespace = ? AND table_name = ?""")

@@ -164,6 +164,24 @@ object IcebergRestCatalog {
       require(code == 200, s"createTable HTTP $code: $body")
     }
 
+    /** REGISTER (spec: POST /v1/namespaces/{ns}/register,
+      * registerTable): adopt an EXISTING table into the catalog by its
+      * current metadata location — the migration path for a
+      * filesystem-committed table, no data byte rewritten. Throws on
+      * 409 (never clobbers a live entry). */
+    def registerTable(ns: String, name: String,
+                      metadataLocation: String): TableState = {
+      val req = mapper.createObjectNode()
+      req.put("name", name)
+      req.put("metadata-location", metadataLocation)
+      val (code, body) = http("POST", s"/v1/namespaces/$ns/register",
+        Some(mapper.writeValueAsString(req)))
+      if (code == 409) throw new IllegalStateException(
+        s"register conflict: $ns.$name already exists ($body)")
+      require(code == 200, s"registerTable HTTP $code: $body")
+      loadTable(ns, name)
+    }
+
     def loadTable(ns: String, name: String): TableState = {
       val (code, body) = http("GET", s"/v1/namespaces/$ns/tables/$name", None)
       require(code == 200, s"loadTable HTTP $code: $body")
@@ -274,6 +292,11 @@ object IcebergRestCatalog {
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val created =
       java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    // the constructor registry seeds pre-provisioned storage; register
+    // adds adopted tables at runtime
+    private val tables =
+      scala.collection.concurrent.TrieMap[(String, String), String]() ++
+        registry
     private val issuedTokens =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val lock = new Object
@@ -399,21 +422,43 @@ object IcebergRestCatalog {
           val name = parseBody(bodyBytes).get("name").asText
           if (!namespaces.contains(ns))
             error(ex, 404, "NoSuchNamespaceException", ns)
-          else if (!registry.contains((ns, name)))
+          else if (!tables.contains((ns, name)))
             error(ex, 400, "BadRequestException",
               s"no storage registered for $ns.$name")
           else if (!created.add((ns, name)))
             error(ex, 409, "AlreadyExistsException", s"$ns.$name exists")
           else respond(ex, 200,
             s"""{"metadata-location":null,"metadata":{"last-sequence-number":0}}""")
+        // REGISTER (spec: POST /v1/namespaces/{ns}/register): adopt an
+        // EXISTING table by its metadata location — catalog migration
+        // without touching a data byte; never clobbers a live entry
+        case ("POST", Seq("namespaces", ns, "register")) =>
+          val req = parseBody(bodyBytes)
+          val name = req.get("name").asText
+          val loc = req.get("metadata-location").asText
+          val dir = loc
+            .replaceFirst("/metadata/v\\d+\\.metadata\\.json$", "")
+          if (!namespaces.contains(ns))
+            error(ex, 404, "NoSuchNamespaceException", ns)
+          else if (created.contains((ns, name)))
+            error(ex, 409, "AlreadyExistsException", s"$ns.$name exists")
+          else if (dir == loc ||
+              IcebergMetadata.currentMetadata(dir).isEmpty)
+            error(ex, 400, "BadRequestException",
+              s"no committed table at $loc")
+          else {
+            tables((ns, name)) = dir
+            created.add((ns, name)): Unit
+            respond(ex, 200, tableJson(dir))
+          }
         case ("GET", Seq("namespaces", ns, "tables", t)) =>
           if (!created.contains((ns, t)))
             error(ex, 404, "NoSuchTableException", s"$ns.$t")
-          else respond(ex, 200, tableJson(registry((ns, t))))
+          else respond(ex, 200, tableJson(tables((ns, t))))
         case ("POST", Seq("namespaces", ns, "tables", t)) =>
           if (!created.contains((ns, t)))
             error(ex, 404, "NoSuchTableException", s"$ns.$t")
-          else commitHandler(ex, registry((ns, t)), bodyBytes)
+          else commitHandler(ex, tables((ns, t)), bodyBytes)
         case _ =>
           error(ex, 404, "NotFoundException", s"$method $path")
       }
