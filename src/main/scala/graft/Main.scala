@@ -38,10 +38,15 @@ object Main {
     * it. */
   private def withTableSession[A](table: String)(body: => A): A =
     if (!table.contains("://")) body
-    else {
-      val spark = session()
-      spark.sparkContext.setLogLevel("ERROR")
-      try body finally spark.stop()
+    else org.apache.spark.sql.SparkSession.getActiveSession match {
+      // an in-process caller's live session already carries the
+      // fs.* conf — reuse it and NEVER stop it (getOrCreate would
+      // hand us the caller's session and the finally would kill it)
+      case Some(_) => body
+      case None =>
+        val spark = session()
+        spark.sparkContext.setLogLevel("ERROR")
+        try body finally spark.stop()
     }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -340,6 +345,14 @@ object Main {
     // --dry-run lists the candidates without deleting.
     case "maintain" :: table :: "orphans" :: rest =>
       val dry = rest.contains("--dry-run")
+      // an unrecognized flag must fail LOUDLY: a typo'd --dryrun that
+      // silently fell through would run a real destructive sweep
+      rest.filter(_.startsWith("--")).filterNot(_ == "--dry-run") match {
+        case Nil => ()
+        case bad =>
+          System.err.println(s"unknown flag(s): ${bad.mkString(" ")}")
+          sys.exit(2)
+      }
       val ageMs = rest.filterNot(_.startsWith("--")).headOption
         .map(_.toLong * 60000).getOrElse(3600000L)
       withTableSession(table) {

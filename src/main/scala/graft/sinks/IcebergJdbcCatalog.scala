@@ -130,14 +130,19 @@ class IcebergJdbcCatalog(url: String, catalogName: String) {
     * Fails on a duplicate name (the PK insert refuses — a live
     * pointer is never clobbered). */
   def registerTable(ns: String, name: String,
-                    metadataLocation: String): Unit = {
-    try createTable(ns, name)
+                    metadataLocation: String): Unit = withConn { c =>
+    // ONE insert carrying the pointer — atomic under the PK, so a
+    // crash can never strand a NULL-pointer row that bricks the name,
+    // and a concurrent create/register loses at the PK, not after
+    val ps = c.prepareStatement(
+      "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)")
+    ps.setString(1, catalogName); ps.setString(2, ns)
+    ps.setString(3, name); ps.setString(4, metadataLocation)
+    try ps.executeUpdate(): Unit
     catch {
       case e: java.sql.SQLException => throw new IllegalStateException(
         s"register conflict: $ns.$name already exists", e)
     }
-    require(commitTable(ns, name, None, metadataLocation),
-      s"concurrent writer claimed $ns.$name during register")
   }
 
   def dropTable(ns: String, name: String): Boolean = withConn { c =>

@@ -3027,6 +3027,11 @@ object IcebergMetadata {
   }
 
   def removeOrphans(tableDir: String, minAgeMs: Long = 0L): Int = {
+    // no committed metadata = possibly a FIRST publish in flight
+    // (publishPartitioned writes data/ before v1.metadata.json):
+    // touch NOTHING, not even the empty-dir sweep — a concurrent
+    // writer's _temporary attempt dirs must survive
+    if (currentMetadata(tableDir).isEmpty) return 0
     val orphans = orphanFiles(tableDir, minAgeMs)
     val dataRoot = TableIO(tableDir).child("data")
     if (!dataRoot.isDirectory) return 0

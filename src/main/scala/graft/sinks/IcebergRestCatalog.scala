@@ -179,7 +179,16 @@ object IcebergRestCatalog {
       if (code == 409) throw new IllegalStateException(
         s"register conflict: $ns.$name already exists ($body)")
       require(code == 200, s"registerTable HTTP $code: $body")
-      loadTable(ns, name)
+      // the 200 body IS the LoadTableResult — no second round-trip
+      val root = mapper.readTree(body)
+      val meta = root.get("metadata")
+      TableState(
+        Option(meta.get("current-snapshot-id"))
+          .filter(!_.isNull).map(_.asLong),
+        Option(meta.get("last-sequence-number"))
+          .map(_.asLong).getOrElse(0L),
+        Option(root.get("metadata-location"))
+          .filter(!_.isNull).map(_.asText))
     }
 
     def loadTable(ns: String, name: String): TableState = {
@@ -440,15 +449,17 @@ object IcebergRestCatalog {
             .replaceFirst("/metadata/v\\d+\\.metadata\\.json$", "")
           if (!namespaces.contains(ns))
             error(ex, 404, "NoSuchNamespaceException", ns)
-          else if (created.contains((ns, name)))
-            error(ex, 409, "AlreadyExistsException", s"$ns.$name exists")
           else if (dir == loc ||
               IcebergMetadata.currentMetadata(dir).isEmpty)
             error(ex, 400, "BadRequestException",
               s"no committed table at $loc")
+          // the ADD is the atomic claim (same pattern as createTable):
+          // two concurrent registers must not both get 200 with the
+          // loser silently clobbering the winner's pointer
+          else if (!created.add((ns, name)))
+            error(ex, 409, "AlreadyExistsException", s"$ns.$name exists")
           else {
             tables((ns, name)) = dir
-            created.add((ns, name)): Unit
             respond(ex, 200, tableJson(dir))
           }
         case ("GET", Seq("namespaces", ns, "tables", t)) =>

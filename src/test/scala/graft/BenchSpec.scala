@@ -17,25 +17,28 @@ class BenchSpec extends AnyFunSuite {
     def write(name: String, content: String): Unit =
       Files.writeString(new java.io.File(dir, name).toPath, content)
     // driver shape: wrapper object, per-query map under parsed.queries
-    def wrapper(n: Int, fuzzy: Double) =
+    def wrapper(n: Int, a: Double, fuzzy: Double) =
       s"""{"n":$n,"rc":0,"cpus":32,"sf":0.1,
          |"tail":"{\\"metric\\":\\"total\\"}",
          |"parsed":{"metric":"total","value":50.0,"unit":"sec",
-         |  "queries":{"q_a":1.0,"q_fuzzy":$fuzzy,"other_sum":9.9}}}"""
+         |  "queries":{"q_a":$a,"q_fuzzy":$fuzzy,"other_sum":9.9}}}"""
         .stripMargin
-    write("BENCH_r11.json", wrapper(11, 0.5))
-    write("BENCH_r12.json", wrapper(12, 0.6))
-    // raw-line shape: the {"metric":"total"} line itself
+    write("BENCH_r11.json", wrapper(11, 3.0, 0.9))
+    write("BENCH_r12.json", wrapper(12, 5.0, 0.8))
+    // raw-line shape: the {"metric":"total"} line itself — ONE
+    // physical line (a line-oriented parse must actually read it),
+    // with values chosen so the expected medians are only right if
+    // this artifact was parsed (without it: median(3,5)=5, not 3;
+    // median(0.9,0.8)=0.9, not 0.8)
     write("BENCH_r13.json",
-      """{"metric":"secondary","queries":{"x":1.0},"unit":"sec"}
-        |{"metric":"total","value":50.0,"unit":"sec",
-        | "queries":{"q_a":3.0,"q_fuzzy":0.7,"other_sum":9.9}}"""
-        .stripMargin)
+      """{"metric":"secondary","queries":{"x":1.0},"unit":"sec"}""" +
+        "\n" +
+        """{"metric":"total","value":50.0,"unit":"sec","queries":{"q_a":1.0,"q_fuzzy":0.1,"other_sum":9.9}}""")
     // an older artifact that must NOT be in the trailing-3 window
-    write("BENCH_r01.json", wrapper(1, 99.0))
+    write("BENCH_r01.json", wrapper(1, 99.0, 99.0))
     val med = Bench.trailingMedians(dir)
-    assert(med.get("q_fuzzy").contains(0.6), s"median wrong: $med")
-    assert(med.get("q_a").contains(1.0))
+    assert(med.get("q_fuzzy").contains(0.8), s"median wrong: $med")
+    assert(med.get("q_a").contains(3.0), s"median wrong: $med")
     assert(!med.contains("other_sum"), "other_sum is not a query")
     // unreadable dir degrades to empty, never throws
     assert(Bench.trailingMedians(

@@ -96,6 +96,20 @@ class IcebergTailSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rolled-back rows leaked into the tail: ${seen.last}")
   }
 
+  test("removeOrphans touches NOTHING on a table with no committed " +
+    "metadata — a first publish's staged files and attempt dirs " +
+    "survive a concurrent sweep") {
+    val tmp = Files.createTempDirectory("graft_orph_nm").toString
+    // a first publish in flight: data exists, no vN.metadata.json yet
+    val attempt = new java.io.File(s"$tmp/data/_temporary/0/task_0")
+    attempt.mkdirs()
+    val staged = new java.io.File(s"$tmp/data/part-0.parquet")
+    Files.write(staged.toPath, Array[Byte](1, 2, 3)): Unit
+    assert(IcebergMetadata.removeOrphans(tmp, 0L) == 0)
+    assert(staged.exists, "sweep deleted a staged first-publish file")
+    assert(attempt.exists, "sweep deleted an in-flight attempt dir")
+  }
+
   test("pollChangelog: the CDC tail replicates a table that takes " +
     "overwrites — applying delivered insert/delete batches rebuilds " +
     "the exact table state") {
