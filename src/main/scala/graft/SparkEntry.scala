@@ -3462,6 +3462,40 @@ object SparkEntry {
           client.registerTable("lake", "nation_rest", loc)).isFailure,
           "REST double-register must 409")
       } finally server.close()
+      // Glue: ONE CreateTable carrying metadata_location (SigV4 wire)
+      locally {
+        import graft.sinks.IcebergGlueCatalog
+        import graft.sources.S3Wire.SigV4
+        val creds = SigV4.Credentials("AKIAREG", "r3gs3cret", "us-east-1")
+        val gsrv = new IcebergGlueCatalog.Server(creds)
+        try {
+          val gc = new IcebergGlueCatalog.Client(gsrv.endpoint, creds)
+          gc.createDatabase("lake")
+          gc.registerTable("lake", "nation_glue", loc)
+          require(gc.getTable("lake", "nation_glue")
+            .metadataLocation.contains(loc), "Glue register lost pointer")
+          require(scala.util.Try(
+            gc.registerTable("lake", "nation_glue", loc)).isFailure,
+            "Glue double-register must AlreadyExists")
+        } finally gsrv.close()
+      }
+      // Hive: create_table with the metadata_location parameter
+      // (strict TBinaryProtocol wire)
+      locally {
+        import graft.sinks.HiveMetastore
+        val hsrv = new HiveMetastore.HmsServer
+        val hc = new HiveMetastore.HmsClient("127.0.0.1", hsrv.port)
+        try {
+          hc.createDatabase("lake")
+          hc.registerTable("lake", "nation_hive", loc)
+          require(hc.getTable("lake", "nation_hive").parameters
+            .get("metadata_location").contains(loc),
+            "HMS register lost pointer")
+          require(scala.util.Try(
+            hc.registerTable("lake", "nation_hive", loc)).isFailure,
+            "HMS double-register must AlreadyExists")
+        } finally { hc.close(); hsrv.close() }
+      }
       s.read.parquet(IcebergMetadata.dataFilePathsAt(
           cat.loadTable("lake", "nation_reg").get): _*)
         .select("n_nationkey", "n_name", "n_regionkey")

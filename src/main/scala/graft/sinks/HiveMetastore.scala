@@ -211,6 +211,16 @@ object HiveMetastore {
         throw new HmsException("NoSuchObjectException", s"$db.$name"))
     }
 
+    /** REGISTER (Iceberg HiveCatalog's `register_table`): ONE
+      * create_table whose parameters already carry the metadata
+      * location — atomic under HMS's AlreadyExistsException (the
+      * same properties HiveTableOperations reads back). */
+    def registerTable(db: String, name: String,
+                      metadataLocation: String): Unit =
+      createTable(HmsTable(db, name, Map(
+        "table_type" -> "ICEBERG",
+        "metadata_location" -> metadataLocation)))
+
     def alterTable(db: String, name: String, t: HmsTable): Unit = {
       val i = call("alter_table") { o =>
         writeStringField(o, 1, db)

@@ -93,6 +93,22 @@ object IcebergGlueCatalog {
       expectOk("CreateTable", req): Unit
     }
 
+    /** REGISTER (Iceberg GlueCatalog's `register_table`): ONE
+      * CreateTable whose Parameters already carry the metadata
+      * location — atomic under Glue's AlreadyExistsException, no
+      * NULL-pointer window between create and first commit. */
+    def registerTable(db: String, name: String,
+                      metadataLocation: String): Unit = {
+      val req = mapper.createObjectNode()
+      req.put("DatabaseName", db)
+      val ti = req.putObject("TableInput")
+      ti.put("Name", name)
+      val p = ti.putObject("Parameters")
+      p.put("table_type", "ICEBERG")
+      p.put("metadata_location", metadataLocation)
+      expectOk("CreateTable", req): Unit
+    }
+
     def getTable(db: String, name: String): GlueTable = {
       val req = mapper.createObjectNode()
       req.put("DatabaseName", db); req.put("Name", name)
@@ -178,10 +194,20 @@ object IcebergGlueCatalog {
           case "CreateTable" =>
             val db = req.get("DatabaseName").asText
             val name = req.get("TableInput").get("Name").asText
+            // real Glue stores the TableInput's Parameters verbatim —
+            // register rides CreateTable with metadata_location set
+            val params = Option(req.get("TableInput").get("Parameters"))
+              .map { pIn =>
+                val b = Map.newBuilder[String, String]
+                val it = pIn.properties().iterator()
+                while (it.hasNext) {
+                  val e = it.next(); b += e.getKey -> e.getValue.asText
+                }
+                b.result()
+              }.getOrElse(Map("table_type" -> "ICEBERG"))
             if (!databases.contains(db))
               fault(ex, "EntityNotFoundException", s"database $db")
-            else if (tables.putIfAbsent((db, name),
-                (Map("table_type" -> "ICEBERG"), 1)) != null)
+            else if (tables.putIfAbsent((db, name), (params, 1)) != null)
               fault(ex, "AlreadyExistsException", s"table $db.$name")
             else respond(ex, 200, "{}")
           case "GetTable" =>

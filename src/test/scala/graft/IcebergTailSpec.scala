@@ -96,6 +96,39 @@ class IcebergTailSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rolled-back rows leaked into the tail: ${seen.last}")
   }
 
+  test("tail over the s3wire object store: table, checkpoint and " +
+    "batches all live behind the wire — the consumption loop runs " +
+    "where a 100 TB table actually lives") {
+    import graft.sources.S3Wire
+    val bucketDir = Files.createTempDirectory("graft_s3tail_b").toFile
+    val srv = new S3Wire.S3LoopbackServer("lake", bucketDir)
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3wire.impl",
+        classOf[graft.sources.S3WireFileSystem].getName)
+      hc.set("fs.s3wire.impl.disable.cache", "true")
+      hc.set("fs.s3wire.endpoint", srv.endpoint)
+      val ice = "s3wire://lake/warehouse/tail_t"
+      val state = "s3wire://lake/warehouse/tail_t/tail.json"
+      rows(0 until 6).coalesce(1).write.parquet(s"$ice/d0")
+      IcebergMetadata.commit(spark, ice, s"$ice/d0"): Unit
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      def fn(df: DataFrame, @annotation.nowarn b: Long): Unit =
+        seen += df.select("id").collect().map(_.getLong(0)).toSet
+      IcebergTail.poll(spark, ice, state)(fn): Unit // backfill
+      assert(seen.last == (0L until 6L).toSet)
+      rows(6 until 9).coalesce(1).write.parquet(s"$ice/d1")
+      IcebergMetadata.appendCommit(spark, ice, s"$ice/d1"): Unit
+      val before = srv.requests.get()
+      assert(IcebergTail.poll(spark, ice, state)(fn).get.batchId == 1L)
+      assert(seen.last == (6L until 9L).toSet)
+      assert(srv.requests.get() > before, "poll issued no wire traffic")
+      // the checkpoint itself round-trips through the wire
+      assert(IcebergTail.readState(state).get.batchId == 1L)
+      assert(IcebergTail.poll(spark, ice, state)(fn).isEmpty)
+    } finally srv.close()
+  }
+
   test("removeOrphans touches NOTHING on a table with no committed " +
     "metadata — a first publish's staged files and attempt dirs " +
     "survive a concurrent sweep") {
