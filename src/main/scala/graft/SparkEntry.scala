@@ -4872,6 +4872,19 @@ object SparkEntry {
     //      floor(v + 0.5) in float64 (identical IEEE ops — no
     //      shortest-decimal re-rounding), so the codes are
     //      bit-identical. ----
+    // ---- LLM: MAXIMAL MARGINAL RELEVANCE rerank (Carbonell &
+    //      Goldstein 1998) — the diversified-selection step after
+    //      retrieval (diverse few-shot examples, non-redundant RAG
+    //      contexts): greedily pick k maximizing λ·rel − (1−λ)·max-sim
+    //      to the already-picked. Integer-exact (int-grid embeddings,
+    //      integer dots, lowest-id ties); DuckDB replays all five
+    //      greedy steps as unrolled argmax CTEs. ----
+    "q_mmr_rerank" -> ((s, dir) => {
+      val cand = t(s, dir, "embeddings").where(col("vec_id") < 40)
+        .withColumn("rel", pmod(col("vec_id") * 37, lit(101)))
+      Similarity.mmrRerank(cand, k = 5, lambdaPct = 70)
+    }),
+
     "q_vec_quantize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
       val q = Similarity.quantize(col("embedding"))
@@ -8165,6 +8178,54 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_novel
         |FROM g JOIN o ON g.gr = o.gr GROUP BY 1""".stripMargin,
+
+    // the five greedy MMR steps unrolled: each selN is the argmax of
+    // 70·rel·100000 − 30·max-dot-to-selected over the remaining set
+    "q_mmr_rerank" ->
+      """WITH cand AS (
+        |  SELECT vec_id, (vec_id * 37) % 101 AS rel,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS emb
+        |  FROM embeddings WHERE vec_id < 40),
+        |sel1 AS (SELECT vec_id, 70*rel*100000 AS score FROM cand
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |sc2 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM sel1)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM sel1)),
+        |sel2 AS (SELECT vec_id, score FROM sc2
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |pick2 AS (SELECT vec_id FROM sel1 UNION ALL
+        |  SELECT vec_id FROM sel2),
+        |sc3 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM pick2)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM pick2)),
+        |sel3 AS (SELECT vec_id, score FROM sc3
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |pick3 AS (SELECT vec_id FROM pick2 UNION ALL
+        |  SELECT vec_id FROM sel3),
+        |sc4 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM pick3)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM pick3)),
+        |sel4 AS (SELECT vec_id, score FROM sc4
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |pick4 AS (SELECT vec_id FROM pick3 UNION ALL
+        |  SELECT vec_id FROM sel4),
+        |sc5 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM pick4)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM pick4)),
+        |sel5 AS (SELECT vec_id, score FROM sc5
+        |  ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT vec_id, CAST(1 AS INTEGER) AS mmr_rank, score AS mmr_score
+        |FROM sel1
+        |UNION ALL SELECT vec_id, CAST(2 AS INTEGER), score FROM sel2
+        |UNION ALL SELECT vec_id, CAST(3 AS INTEGER), score FROM sel3
+        |UNION ALL SELECT vec_id, CAST(4 AS INTEGER), score FROM sel4
+        |UNION ALL SELECT vec_id, CAST(5 AS INTEGER), score FROM sel5"""
+        .stripMargin,
 
     "q_vec_quantize" ->
       """WITH p AS (SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,

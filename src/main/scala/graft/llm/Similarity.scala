@@ -911,4 +911,64 @@ object Similarity {
     ivfPqProbe(queries.sparkSession.table(s"${prefix}_pq"), queries, k,
       coarse, cb, nprobe, idCol, vecCol)
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein 1998) —
+    * the diversified-selection step a retrieval stage chains after
+    * BM25/ANN/hybrid: pick `k` items greedily, each maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked`, so the
+    * result is relevant AND non-redundant (diverse few-shot examples,
+    * dedup'd RAG contexts).
+    *
+    * This is a RERANK of a BOUNDED candidate set a retrieval stage
+    * already produced (top-N, N ≤ `maxCandidates` enforced) — the
+    * greedy loop is inherently sequential, so it runs on the driver
+    * over the collected candidates; the heavy work (producing the
+    * candidates from 100 TB) happened in the distributed stage before.
+    *
+    * Integer-exact end to end so an independent engine replays it
+    * bit-for-bit: embeddings quantize to the floor(x·127+0.5) integer
+    * grid, similarity is the integer dot product, and the score is
+    * `λpct·rel·100000 − (100−λpct)·maxdot` with ties broken by lowest
+    * id. Returns (id, mmr_rank, mmr_score). */
+  def mmrRerank(candidates: DataFrame, k: Int, lambdaPct: Int = 70,
+                idCol: String = "vec_id", relCol: String = "rel",
+                vecCol: String = "embedding",
+                maxCandidates: Int = 4096): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates.select(
+        col(idCol).cast("long"), col(relCol).cast("long"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 127 + lit(0.5))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    require(rows.length <= maxCandidates,
+      s"${rows.length} candidates: MMR is a rerank of a bounded top-N " +
+        s"(≤$maxCandidates) — reduce upstream, don't rerank a corpus")
+    require(rows.nonEmpty, "no candidates to rerank")
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      rows.map(r => r._1 -> r): _*)
+    val chosen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Array[Long])]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long)]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val (bestId, bestScore) = remaining.values.map { case (id, rel, e) =>
+        val maxdot =
+          if (chosen.isEmpty) 0L else chosen.map(c => dot(e, c._3)).max
+        (id, lambdaPct * rel * 100000L - (100L - lambdaPct) * maxdot)
+      }.minBy { case (id, score) => (-score, id) }
+      val c = remaining.remove(bestId).get
+      chosen += c
+      out += ((bestId, rank, bestScore))
+      rank += 1
+    }
+    out.toSeq.toDF(idCol, "mmr_rank", "mmr_score")
+  }
 }

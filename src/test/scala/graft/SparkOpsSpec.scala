@@ -2291,4 +2291,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$c: sketch $est vs exact $truth")
     }
   }
+
+  test("mmrRerank: pure relevance at λ=100, diversity bites below it, " +
+    "a corpus-sized candidate set refuses") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Similarity
+    // two identical max-relevance vectors + one orthogonal slightly-
+    // less-relevant one (64-dim so the integer dot term is material
+    // against the rel·100000 scale): λ=100 keeps both twins; λ=50
+    // must demote the redundant twin below the orthogonal vector
+    val twin = Seq.fill(64)(1.0f)
+    val orth = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val cand = spark.createDataFrame(Seq(
+      (0L, 100L, twin),
+      (1L, 100L, twin),
+      (2L, 98L, orth)
+    )).toDF("vec_id", "rel", "embedding")
+    def picks(lambda: Int) = Similarity
+      .mmrRerank(cand, k = 3, lambdaPct = lambda)
+      .orderBy("mmr_rank").collect().map(_.getLong(0)).toSeq
+    assert(picks(100) == Seq(0L, 1L, 2L))
+    assert(picks(50) == Seq(0L, 2L, 1L),
+      "λ=50 must pick the orthogonal vector over the redundant twin")
+    // rerank, not a scan: an unbounded candidate set refuses
+    val big = spark.range(5000).select(col("id").as("vec_id"),
+      lit(1L).as("rel"), array(lit(1.0f)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(big, k = 3)
+    }
+    assert(ex.getMessage.contains("bounded top-N"))
+  }
 }
