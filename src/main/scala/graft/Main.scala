@@ -421,6 +421,19 @@ object Main {
     // delivers what landed since the checkpoint; restarts resume).
     // --changelog delivers insert/delete rows instead of appends.
     case "tail" :: table :: statePath :: rest =>
+      // reject unknown flags LOUDLY (same contract as orphans): a
+      // typo'd `--change-log` would otherwise run in append mode and
+      // advance the checkpoint past commits never seen as changelog
+      // rows — unrecoverable without a resync
+      locally {
+        val bad = rest.filter(a => a.startsWith("--") &&
+          a != "--changelog" && a != "--skip-overwrites")
+        if (bad.nonEmpty) {
+          System.err.println(s"unknown flag(s): ${bad.mkString(" ")}; " +
+            "tail accepts --changelog --skip-overwrites")
+          sys.exit(2)
+        }
+      }
       val spark = session()
       spark.sparkContext.setLogLevel("ERROR")
       val changelog = rest.contains("--changelog")
@@ -451,6 +464,16 @@ object Main {
     // file-level, overwrites diff only the touched files, replaces
     // emit nothing). --net collapses the range to one endpoint diff.
     case "changelog" :: table :: from :: rest =>
+      // a typo'd `--nett` would otherwise be taken as the outDir and
+      // parquet written to a directory literally named `--nett`
+      locally {
+        val bad = rest.filter(a => a.startsWith("--") && a != "--net")
+        if (bad.nonEmpty) {
+          System.err.println(s"unknown flag(s): ${bad.mkString(" ")}; " +
+            "changelog accepts --net")
+          sys.exit(2)
+        }
+      }
       val spark = session()
       spark.sparkContext.setLogLevel("ERROR")
       val net = rest.contains("--net")

@@ -67,8 +67,11 @@ object IcebergTail {
     readState(statePath) match {
       case None =>
         // the merged view, not raw data files — a MoR table's live
-        // deletes must apply to the backfill too
-        fn(IcebergMetadata.readTable(spark, tableDir), 0L)
+        // deletes must apply to the backfill too; pinned at curId so a
+        // commit racing the poll is NOT delivered in batch 0 and then
+        // re-delivered by the next poll (the checkpoint records curId)
+        fn(IcebergMetadata.readTable(spark, tableDir,
+          asOfSnapshotId = Some(curId)), 0L)
         val st = TailState(curId, 0L)
         writeState(statePath, st)
         Some(st)
@@ -117,8 +120,11 @@ object IcebergTail {
       case None =>
         // merged view as inserts — raw data files would resurrect
         // rows the live deletes killed and the replica could never
-        // converge (no delete event will ever name them)
-        val full = IcebergMetadata.readTable(spark, tableDir)
+        // converge (no delete event will ever name them); pinned at
+        // curId so a racing commit is never split across batch 0 and
+        // the next poll's changelog
+        val full = IcebergMetadata.readTable(spark, tableDir,
+          asOfSnapshotId = Some(curId))
           .withColumn("change_type", lit("insert"))
         fn(full, 0L)
         val st = TailState(curId, 0L)
