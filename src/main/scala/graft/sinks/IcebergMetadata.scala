@@ -315,6 +315,55 @@ object IcebergMetadata {
     mapper.writeValueAsString(root)
   }
 
+  /** Iceberg type JSON → Spark type — the exact inverse of
+    * [[icebergType]], used by the DSv2 streaming source to answer
+    * `inferSchema` from the table's own metadata (no data-file probe).
+    * Spec §Schemas: primitives are strings, compound types are nodes
+    * with a `type` discriminator. */
+  private def sparkType(t: JsonNode): DataType =
+    if (t.isTextual) t.asText match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case s if s.startsWith("decimal(") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type: $other")
+    } else t.get("type").asText match {
+      case "struct" => StructType(
+        t.withArray[ArrayNode]("fields").asScala.toSeq.map(f =>
+          StructField(f.get("name").asText, sparkType(f.get("type")),
+            nullable = !f.get("required").asBoolean)))
+      case "list" => ArrayType(sparkType(t.get("element")),
+        containsNull = !t.get("element-required").asBoolean)
+      case "map" => MapType(sparkType(t.get("key")),
+        sparkType(t.get("value")),
+        valueContainsNull = !t.get("value-required").asBoolean)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type: $other")
+    }
+
+  /** Spark schema of a table's CURRENT Iceberg schema — metadata-only
+    * (one version-hint + one metadata.json read). */
+  def currentSparkSchema(tableDir: String): StructType = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val sid = meta.get("current-schema-id").asInt
+    val node = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == sid).getOrElse(
+        throw new IllegalStateException(s"schema $sid missing"))
+    sparkType(node).asInstanceOf[StructType]
+  }
+
   /** Field id of a top-level column in a `schemaJson` result. */
   def fieldId(schemaStr: String, name: String): Int = {
     val fields = mapper.readTree(schemaStr).withArray[ArrayNode]("fields")
@@ -3353,24 +3402,35 @@ object IcebergMetadata {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val lineage = mainLineage(meta, toSnapshotId)
+    // sentinel: replay the WHOLE main lineage (a stream starting from
+    // `earliest` — Iceberg's own streaming read starts at the oldest
+    // ancestor and delivers every append)
+    if (fromSnapshotId == BeforeAllSnapshots)
+      return lineage.flatMap(appendedOf(_, failOnOverwrite))
     val fromIdx = lineage.indexWhere(
       _.get("snapshot-id").asLong == fromSnapshotId)
     if (fromIdx < 0) throw new IllegalArgumentException(
       s"snapshot $fromSnapshotId not on the current main lineage " +
         "(expired, rolled back over, or a branch snapshot? resync " +
         "from a full read)")
-    lineage.drop(fromIdx + 1).flatMap { s =>
-      val id = s.get("snapshot-id").asLong
-      val op = s.get("summary").get("operation").asText
-      if (op == "replace") Nil
-      else if (op != "append") {
-        if (failOnOverwrite) throw new IllegalArgumentException(
-          s"snapshot $id is '$op': an append tail cannot cross an " +
-            "overwrite — resync from a full read, or skip overwrite " +
-            "snapshots explicitly")
-        Nil
-      } else addedDataFilesOf(s)
-    }
+    lineage.drop(fromIdx + 1).flatMap(appendedOf(_, failOnOverwrite))
+  }
+
+  /** "Before everything" sentinel for [[appendedFilesSince]]. */
+  val BeforeAllSnapshots: Long = Long.MinValue
+
+  private def appendedOf(s: JsonNode,
+                         failOnOverwrite: Boolean): Seq[String] = {
+    val id = s.get("snapshot-id").asLong
+    val op = s.get("summary").get("operation").asText
+    if (op == "replace") Nil
+    else if (op != "append") {
+      if (failOnOverwrite) throw new IllegalArgumentException(
+        s"snapshot $id is '$op': an append tail cannot cross an " +
+          "overwrite — resync from a full read, or skip overwrite " +
+          "snapshots explicitly")
+      Nil
+    } else addedDataFilesOf(s)
   }
 
   /** CHANGELOG SCAN — Iceberg's `create_changelog_view` shape: the
@@ -3557,11 +3617,23 @@ object IcebergMetadata {
         val tags = appendAdds.toSeq
           .map { case (p, o, i) => (p.replaceFirst(SchemeRe, "/"), o, i) }
           .toDF("__fpn", "change_ordinal", "commit_snapshot_id")
+        // LEFT join + loud failure, same guard as readMoR's seqMap
+        // join: a normalization miss must error, never silently drop
+        // every row of that file
         Seq(spark.read.option("mergeSchema", "true")
           .parquet(appendAdds.map(_._1).toSeq: _*)
           .withColumn("__fpn",
             regexp_replace(col("_metadata.file_path"), SchemeRe, "/"))
-          .join(broadcast(tags), Seq("__fpn")).drop("__fpn")
+          .join(broadcast(tags), Seq("__fpn"), "left")
+          .withColumn("change_ordinal",
+            coalesce(col("change_ordinal"), raise_error(
+              concat(lit("changelogScan: no snapshot tag for file "),
+                col("__fpn"))).cast("int")))
+          .withColumn("commit_snapshot_id",
+            coalesce(col("commit_snapshot_id"), raise_error(
+              concat(lit("changelogScan: no snapshot tag for file "),
+                col("__fpn"))).cast("long")))
+          .drop("__fpn")
           .withColumn("change_type", lit("insert")))
       }
     val all = parts ++ appendParts

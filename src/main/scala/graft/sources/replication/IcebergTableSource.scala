@@ -1,0 +1,357 @@
+package graft.sources.replication
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType, Type => PType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.IcebergMetadata
+
+/** `graft-iceberg`: a DSv2 **streaming source over the engine's own
+  * Iceberg tables** — `spark.readStream.format("graft-iceberg")
+  * .load(tableDir)` — so a downstream consumer tails a live-published
+  * table CONTINUOUSLY, composing with the engine's watermarks, windowed
+  * aggregations and stream-stream joins, instead of cron-ing one-poll
+  * CLI invocations ([[graft.streaming.IcebergTail]] keeps the
+  * cron-able shape; this is the production one). This is the shape of
+  * Iceberg's own `spark.readStream.format("iceberg")` and the read
+  * side the reference's examples stack exists for (consumers read the
+  * written tables from Spark/Trino — `examples/README.md`).
+  *
+  * Semantics (Iceberg's streaming-read rules):
+  *  - the OFFSET is the snapshot id on the MAIN lineage; a microbatch
+  *    is the set of data files first added by the append snapshots in
+  *    `(start, end]` — planning filters manifest-list rows by
+  *    `added_snapshot_id` BEFORE any manifest opens, so a batch costs
+  *    O(new manifests) metadata however long the table's history;
+  *  - the stream starts from `earliest` by default — it REPLAYS the
+  *    write history from the oldest main-lineage ancestor (Iceberg's
+  *    own start position), so the union of delivered batches is the
+  *    table's append history; `startSnapshot=latest` tails only
+  *    commits after stream start; a numeric `startSnapshot` resumes
+  *    exclusive of that snapshot;
+  *  - a `replace` (compaction) commit delivers NOTHING — no logical
+  *    change; an overwrite/delete commit FAILS the stream unless
+  *    `skipOverwrites=true` (Iceberg's
+  *    `streaming-skip-overwrite-snapshots`), which skips the commit
+  *    whole — never partially;
+  *  - each data file is one `InputPartition`: files distribute across
+  *    executors and rows never flow through the driver. Offsets live
+  *    in Spark's own checkpoint log, so restarts (incl.
+  *    `Trigger.AvailableNow` run-to-done invocations) resume exactly
+  *    after the last committed batch.
+  *
+  * `inferSchema` answers from the table's CURRENT Iceberg schema
+  * (metadata-only — [[IcebergMetadata.currentSparkSchema]]); files
+  * written before a widening/evolution convert by NAME with absent
+  * columns null and narrower physical types widened, the same
+  * mergeSchema semantics the batch readers use.
+  */
+class IcebergTableSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-iceberg"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IcebergMetadata.currentSparkSchema(IcebergTableSource.dir(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new IcebergStreamTable(IcebergTableSource.dir(opts), schema,
+      skipOverwrites = opts.getBoolean("skipOverwrites", false),
+      startSnapshot = opts.getOrDefault("startSnapshot", "earliest"))
+  }
+}
+
+object IcebergTableSource {
+  private def dir(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-iceberg needs the table directory: .load(tableDir)"))
+
+  /** The `fs.*` Hadoop entries, captured on the DRIVER (where the
+    * session's `s3wire://` endpoint/credential config lives) and
+    * rebuilt executor-side — `Configuration` itself is not
+    * serializable. */
+  private[replication] def fsConf(): Map[String, String] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith("fs.")) b += e.getKey -> e.getValue
+    }
+    b.result()
+  }
+}
+
+class IcebergStreamTable(tableDir: String, tableSchema: StructType,
+                         skipOverwrites: Boolean, startSnapshot: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-iceberg(`$tableDir`)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new IcebergStreamScan(tableDir, tableSchema, skipOverwrites,
+      startSnapshot)
+}
+
+class IcebergStreamScan(tableDir: String, tableSchema: StructType,
+                        skipOverwrites: Boolean, startSnapshot: String)
+    extends Scan {
+  override def readSchema(): StructType = tableSchema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new IcebergSnapshotStream(tableDir, tableSchema, skipOverwrites,
+      startSnapshot)
+}
+
+/** The snapshot id as a streaming Offset. */
+case class SnapshotOffset(snapshotId: Long) extends Offset {
+  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+}
+
+object SnapshotOffset {
+  def parse(json: String): SnapshotOffset = SnapshotOffset(
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("snapshotId").asLong)
+}
+
+class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
+                            skipOverwrites: Boolean, startSnapshot: String)
+    extends MicroBatchStream {
+
+  private def headId: Long =
+    IcebergMetadata.currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version at $tableDir"))
+      ._2.get("current-snapshot-id").asLong
+
+  override def initialOffset(): Offset = startSnapshot match {
+    case "earliest" =>
+      SnapshotOffset(IcebergMetadata.BeforeAllSnapshots)
+    case "latest" => SnapshotOffset(headId)
+    case id => SnapshotOffset(id.toLong)
+  }
+
+  override def latestOffset(): Offset = SnapshotOffset(headId)
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset.parse(json)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].snapshotId
+    val e = end.asInstanceOf[SnapshotOffset].snapshotId
+    if (s == e) return Array.empty
+    // pinned at `e` (the offset this batch committed to): a commit
+    // racing the poll lands in the NEXT batch, never splits this one
+    IcebergMetadata.appendedFilesSince(tableDir, s,
+        failOnOverwrite = !skipOverwrites, toSnapshotId = Some(e))
+      .map(p => IcebergFilePartition(p): InputPartition).toArray
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IcebergFileReaderFactory(tableSchema, IcebergTableSource.fsConf())
+
+  override def stop(): Unit = ()
+}
+
+case class IcebergFilePartition(path: String) extends InputPartition
+
+/** Executor-side reader: one parquet data file → InternalRows of the
+  * table's CURRENT schema, via parquet-hadoop's public Group API
+  * (columns matched by NAME so pre-evolution files read with nulls /
+  * widened values). Row-at-a-time is the right trade here: a tail
+  * stream's batches are commit-sized, and the file-per-partition fan
+  * -out is what carries scale — the whole batch reads in parallel
+  * across executors with zero driver data flow. */
+class IcebergFileReaderFactory(schema: StructType,
+                               fsConf: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[IcebergFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val conf = {
+        val c = new Configuration()
+        fsConf.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      private val hPath = new Path(path)
+      private val convert: Group => InternalRow = {
+        val fileSchema = {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(hPath, conf))
+          try r.getFooter.getFileMetaData.getSchema finally r.close()
+        }
+        GroupRows.structConverter(schema, fileSchema)
+      }
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), hPath)
+          .withConf(conf).build()
+      private var current: Group = _
+
+      override def next(): Boolean = {
+        current = reader.read()
+        current != null
+      }
+      override def get(): InternalRow = convert(current)
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** parquet Group → Catalyst InternalRow converters, built ONCE per
+  * (Spark schema, file schema) pair — per row is just an array of
+  * closure applications. Covers the types the engine writes (Spark's
+  * parquet layout: 3-level lists, key_value maps, INT64 timestamps,
+  * int/long/fixed decimals) and widens narrower physical types into
+  * an evolved logical schema (int→long/double, float→double), the
+  * same semantics as the batch readers' mergeSchema. */
+object GroupRows {
+
+  def structConverter(st: StructType,
+                      gt: GroupType): Group => InternalRow = {
+    val fields: Array[Group => Any] = st.fields.map { f =>
+      if (!gt.containsField(f.name)) (_: Group) => null
+      else {
+        val idx = gt.getFieldIndex(f.name)
+        val conv = valueConverter(f.dataType, gt.getType(idx), f.name)
+        (g: Group) =>
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else conv(g, idx)
+      }
+    }
+    g => {
+      val vals = new Array[Any](fields.length)
+      var i = 0
+      while (i < fields.length) { vals(i) = fields(i)(g); i += 1 }
+      new GenericInternalRow(vals)
+    }
+  }
+
+  private type Conv = (Group, Int) => Any
+
+  private def valueConverter(dt: DataType, ft: PType,
+                             name: String): Conv = dt match {
+    case s: StructType =>
+      val conv = structConverter(s, ft.asGroupType())
+      (g, i) => conv(g.getGroup(i, 0))
+    case a: ArrayType =>
+      // Spark's 3-level list: group (LIST) { repeated group list
+      // { element } }
+      val repG = ft.asGroupType().getType(0).asGroupType()
+      val elemConv = valueConverter(a.elementType, repG.getType(0), name)
+      (g, i) => {
+        val lg = g.getGroup(i, 0)
+        val n = lg.getFieldRepetitionCount(0)
+        val arr = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val eg = lg.getGroup(0, j)
+          arr(j) =
+            if (eg.getFieldRepetitionCount(0) == 0) null
+            else elemConv(eg, 0)
+          j += 1
+        }
+        new GenericArrayData(arr)
+      }
+    case m: MapType =>
+      // group (MAP) { repeated group key_value { key; value } }
+      val kvG = ft.asGroupType().getType(0).asGroupType()
+      val kConv = valueConverter(m.keyType, kvG.getType(0), name)
+      val vConv = valueConverter(m.valueType, kvG.getType(1), name)
+      (g, i) => {
+        val mg = g.getGroup(i, 0)
+        val n = mg.getFieldRepetitionCount(0)
+        val ks = new Array[Any](n); val vs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val kv = mg.getGroup(0, j)
+          ks(j) = kConv(kv, 0)
+          vs(j) =
+            if (kv.getFieldRepetitionCount(1) == 0) null
+            else vConv(kv, 1)
+          j += 1
+        }
+        ArrayBasedMapData(ks, vs)
+      }
+    case _ => primitiveConverter(dt, ft.asPrimitiveType(), name)
+  }
+
+  private def primitiveConverter(dt: DataType, pt: PrimitiveType,
+                                 name: String): Conv = {
+    val phys = pt.getPrimitiveTypeName
+    (dt, phys) match {
+      case (BooleanType, BOOLEAN) => (g, i) => g.getBoolean(i, 0)
+      case (IntegerType, INT32) => (g, i) => g.getInteger(i, 0)
+      case (ShortType, INT32) => (g, i) => g.getInteger(i, 0).toShort
+      case (ByteType, INT32) => (g, i) => g.getInteger(i, 0).toByte
+      case (DateType, INT32) => (g, i) => g.getInteger(i, 0)
+      case (LongType, INT64) => (g, i) => g.getLong(i, 0)
+      case (LongType, INT32) => (g, i) => g.getInteger(i, 0).toLong
+      case (FloatType, FLOAT) => (g, i) => g.getFloat(i, 0)
+      case (DoubleType, DOUBLE) => (g, i) => g.getDouble(i, 0)
+      case (DoubleType, FLOAT) => (g, i) => g.getFloat(i, 0).toDouble
+      case (DoubleType, INT32) => (g, i) => g.getInteger(i, 0).toDouble
+      case (DoubleType, INT64) => (g, i) => g.getLong(i, 0).toDouble
+      case (StringType, BINARY) =>
+        (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case (BinaryType, BINARY | FIXED_LEN_BYTE_ARRAY) =>
+        (g, i) => g.getBinary(i, 0).getBytes
+      case (TimestampType | TimestampNTZType, INT64) =>
+        val unit = pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit
+          case _ => LogicalTypeAnnotation.TimeUnit.MICROS
+        }
+        unit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+            (g, i) => g.getLong(i, 0)
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            (g, i) => g.getLong(i, 0) * 1000L
+          case LogicalTypeAnnotation.TimeUnit.NANOS =>
+            (g, i) => g.getLong(i, 0) / 1000L
+        }
+      case (TimestampType | TimestampNTZType, INT96) =>
+        // Spark's default parquet timestamp: 12 bytes — 8-byte LE
+        // nanos-of-day + 4-byte LE Julian day (epoch day 2440588)
+        (g, i) => {
+          val buf = java.nio.ByteBuffer
+            .wrap(g.getInt96(i, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay - 2440588L) * 86400000000L + nanos / 1000L
+        }
+      case (d: DecimalType, INT32) =>
+        (g, i) => Decimal(g.getInteger(i, 0).toLong, d.precision, d.scale)
+      case (d: DecimalType, INT64) =>
+        (g, i) => Decimal(g.getLong(i, 0), d.precision, d.scale)
+      case (d: DecimalType, BINARY | FIXED_LEN_BYTE_ARRAY) =>
+        (g, i) => Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(g.getBinary(i, 0).getBytes),
+          d.scale), d.precision, d.scale)
+      case other => throw new UnsupportedOperationException(
+        s"graft-iceberg reader: column `$name` $other (file " +
+          s"${pt.getLogicalTypeAnnotation})")
+    }
+  }
+}

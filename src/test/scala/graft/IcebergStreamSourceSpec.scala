@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.sinks.IcebergMetadata
+
+/** DSv2 streaming source over the engine's Iceberg tables
+  * (`spark.readStream.format("graft-iceberg")`): real streaming runs
+  * with AvailableNow, checkpoint resume across separate queries,
+  * Iceberg's overwrite fail/skip rules through the DSv2 path, and the
+  * executor-side Group reader's type coverage. */
+class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rows(ids: Range) = spark.range(ids.start, ids.end)
+    .select(col("id"), (col("id") * 10).as("v"))
+
+  /** Run the stream to completion (AvailableNow), collecting every
+    * delivered microbatch on the driver. */
+  private def runToDone(tableDir: String, ckpt: String,
+                        opts: Map[String, String] = Map.empty)
+      : Seq[(Long, Seq[Row])] = {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Row])]
+    val q = opts.foldLeft(spark.readStream.format("graft-iceberg")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(tableDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        seen += ((id, df.collect().toSeq)): Unit
+      }
+      .start()
+    q.awaitTermination()
+    seen.toSeq
+  }
+
+  test("readStream replays the append history, resumes from the " +
+    "checkpoint across two separate runs, and no-op runs deliver " +
+    "nothing") {
+    val tmp = Files.createTempDirectory("graft_dsv2_tail").toString
+    val ckpt = s"$tmp/ckpt"
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    rows(10 until 13).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+
+    // run 1: from earliest — the full write history in one batch
+    val run1 = runToDone(tmp, ckpt)
+    assert(run1.flatMap(_._2).map(_.getLong(0)).toSet ==
+      (0L until 13L).toSet)
+
+    // run 2, same checkpoint, table unmoved: nothing delivered
+    assert(runToDone(tmp, ckpt).flatMap(_._2).isEmpty)
+
+    // two more appends land; run 3 delivers exactly those
+    rows(13 until 16).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    rows(16 until 20).coalesce(1).write.parquet(s"$tmp/d3")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d3"): Unit
+    val run3 = runToDone(tmp, ckpt)
+    assert(run3.flatMap(_._2).map(_.getLong(0)).toSet ==
+      (13L until 20L).toSet)
+  }
+
+  test("startSnapshot=latest tails only post-start commits; a replace " +
+    "advances the stream with nothing delivered") {
+    val tmp = Files.createTempDirectory("graft_dsv2_latest").toString
+    rows(0 until 8).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+
+    // latest: the pre-existing table is NOT replayed
+    val ckpt = s"$tmp/ckpt"
+    assert(runToDone(tmp, ckpt, Map("startSnapshot" -> "latest"))
+      .flatMap(_._2).isEmpty)
+    rows(8 until 11).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    assert(runToDone(tmp, ckpt, Map("startSnapshot" -> "latest"))
+      .flatMap(_._2).map(_.getLong(0)).toSet == (8L until 11L).toSet)
+
+    // a compaction (replace) commit: no logical change, no rows, but
+    // the offset advances past it
+    IcebergMetadata.binpackRewrite(spark, tmp,
+      targetBytes = 512L * 1024 * 1024, minInputFiles = 2): Unit
+    assert(runToDone(tmp, ckpt, Map("startSnapshot" -> "latest"))
+      .flatMap(_._2).isEmpty)
+  }
+
+  test("an overwrite fails the stream by default (resync contract); " +
+    "skipOverwrites skips the commit whole, never partially") {
+    val tmp = Files.createTempDirectory("graft_dsv2_ow").toString
+    rows(0 until 6).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    val ckpt = s"$tmp/ckpt"
+    assert(runToDone(tmp, ckpt).flatMap(_._2).size == 6)
+
+    rows(0 until 4).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d1",
+      operation = "overwrite"): Unit
+    rows(20 until 23).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+
+    val ex = intercept[StreamingQueryException] {
+      runToDone(tmp, ckpt)
+    }
+    assert(ex.getMessage.contains("overwrite") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overwrite")))
+
+    // fresh checkpoint with skipOverwrites: the overwrite's rows are
+    // absent entirely, the appends before and after all present
+    val all = runToDone(tmp, s"$tmp/ckpt2",
+      Map("skipOverwrites" -> "true")).flatMap(_._2)
+    assert(all.map(_.getLong(0)).toSet ==
+      ((0L until 6L) ++ (20L until 23L)).toSet)
+  }
+
+  test("executor-side Group reader covers the engine's written types: " +
+    "string, decimal, timestamp, date, array, map, struct, binary") {
+    val tmp = Files.createTempDirectory("graft_dsv2_types").toString
+    val df = spark.range(0, 5).select(
+      col("id"),
+      concat(lit("name_"), col("id")).as("s"),
+      col("id").cast("decimal(12,2)").as("dec"),
+      to_timestamp(lit("2026-01-15 10:30:00")).as("ts"),
+      to_date(lit("2026-01-15")).as("d"),
+      array(col("id"), col("id") * 2).as("arr"),
+      map(lit("k"), col("id")).as("m"),
+      struct(col("id").as("a"), lit("x").as("b")).as("st"),
+      col("id").cast("string").cast("binary").as("bin"),
+      (col("id") % 2 === 0).as("flag"),
+      col("id").cast("double").as("dbl"),
+      col("id").cast("int").as("i32"))
+    df.coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+
+    val got = runToDone(tmp, s"$tmp/ckpt").flatMap(_._2)
+    val expected = df.collect().toSeq
+    def key(r: Row) = r.getLong(r.fieldIndex("id"))
+    assert(got.size == expected.size)
+    got.sortBy(key).zip(expected.sortBy(key)).foreach { case (g, e) =>
+      // Row equality covers nested arrays/maps/structs; binary needs
+      // a deep compare
+      val gi = g.getValuesMap[Any](df.columns.filterNot(_ == "bin"))
+      val ei = e.getValuesMap[Any](df.columns.filterNot(_ == "bin"))
+      assert(gi("arr") == ei("arr") && gi("m") == ei("m") &&
+        gi("st") == ei("st") && gi("dec") == ei("dec") &&
+        gi("ts") == ei("ts") && gi("d") == ei("d") &&
+        gi("s") == ei("s") && gi("flag") == ei("flag") &&
+        gi("dbl") == ei("dbl") && gi("i32") == ei("i32"))
+      assert(java.util.Arrays.equals(
+        g.getAs[Array[Byte]]("bin"), e.getAs[Array[Byte]]("bin")))
+    }
+  }
+}
