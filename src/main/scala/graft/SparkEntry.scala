@@ -3046,6 +3046,46 @@ object SparkEntry {
       out.reduce(_.unionByName(_))
     }),
 
+    // ---- K2 DSv2 STREAMING SOURCE (`graft-iceberg`): the production
+    //      consumption shape — spark.readStream over a live-published
+    //      table, offsets = snapshot ids in Spark's own checkpoint
+    //      log, run-to-done with Trigger.AvailableNow. Run 1 replays
+    //      the write history from earliest; run 2 RESUMES from the
+    //      checkpoint and delivers exactly the commit that landed
+    //      between the runs. Each data file is one input partition
+    //      read executor-side — rows never cross the driver. ----
+    "q_iceberg_stream" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dsv2_gate").toString
+      val ckpt = s"$tmp/ckpt"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      def shift(k: Int) = n.withColumn("n_nationkey",
+        col("n_nationkey") + k)
+      def run(runId: Int): Unit = {
+        val q = s.readStream.format("graft-iceberg").load(tmp)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(s"$tmp/out/run=$runId"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      shift(100).write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1"): Unit
+      run(1) // base + first append (history replay from earliest)
+      shift(200).write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2"): Unit
+      run(2) // checkpoint resume: ONLY the post-run-1 commit
+      s.read.option("basePath", s"$tmp/out").parquet(s"$tmp/out")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("run").cast("int").as("run_id"))
+    }),
+
     // ---- K1+K2 CDC TABLE TAIL: the changelog variant of the
     //      streaming tail — a consumer replicating a table that takes
     //      OVERWRITES polls insert/delete batches (batch 0 backfills
@@ -7491,6 +7531,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
 
     // tail replay: batch 0 = the base, batch 1 = the two appends that
     // landed between polls, batch 2 = the last append
+    // DSv2 stream: run 1 replays base + first append from earliest;
+    // run 2 resumes from the checkpoint with only the later append
+    "q_iceberg_stream" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 1 AS run_id
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey, 1 FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey, 2 FROM nation"""
+        .stripMargin,
+
     "q_iceberg_tail" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  CAST(0 AS BIGINT) AS batch_id FROM nation

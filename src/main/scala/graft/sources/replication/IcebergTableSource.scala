@@ -134,13 +134,34 @@ object SnapshotOffset {
 
 class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
                             skipOverwrites: Boolean, startSnapshot: String)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def headId: Long =
     IcebergMetadata.currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version at $tableDir"))
       ._2.get("current-snapshot-id").asLong
+
+  /** Trigger.AvailableNow contract: the end offset is pinned ONCE at
+    * stream start — commits landing mid-run wait for the next
+    * invocation, so a run-to-done query terminates even against a
+    * live table. */
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(headId)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset =
+    SnapshotOffset(availableNowEnd.getOrElse(headId))
+
+  override def reportLatestOffset(): Offset = SnapshotOffset(headId)
 
   override def initialOffset(): Offset = startSnapshot match {
     case "earliest" =>
