@@ -425,12 +425,18 @@ object Main {
       // typo'd `--change-log` would otherwise run in append mode and
       // advance the checkpoint past commits never seen as changelog
       // rows — unrecoverable without a resync
+      val refV = rest.sliding(2).collectFirst {
+        case Seq("--ref", v) if !v.startsWith("--") => v }
       locally {
         val bad = rest.filter(a => a.startsWith("--") &&
-          a != "--changelog" && a != "--skip-overwrites")
+          a != "--changelog" && a != "--skip-overwrites" && a != "--ref")
         if (bad.nonEmpty) {
           System.err.println(s"unknown flag(s): ${bad.mkString(" ")}; " +
-            "tail accepts --changelog --skip-overwrites")
+            "tail accepts --changelog --skip-overwrites --ref <name>")
+          sys.exit(2)
+        }
+        if (rest.contains("--ref") && refV.isEmpty) {
+          System.err.println("--ref needs a name")
           sys.exit(2)
         }
       }
@@ -438,7 +444,8 @@ object Main {
       spark.sparkContext.setLogLevel("ERROR")
       val changelog = rest.contains("--changelog")
       val skipOw = rest.contains("--skip-overwrites")
-      val out = rest.filterNot(_.startsWith("--")).headOption
+      val out = rest.filterNot(_.startsWith("--"))
+        .filterNot(refV.contains).headOption
       def deliver(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
         out match {
           case Some(dir) =>
@@ -448,9 +455,9 @@ object Main {
       val st =
         if (changelog)
           graft.streaming.IcebergTail.pollChangelog(spark, table,
-            statePath)(deliver)
+            statePath, ref = refV)(deliver)
         else graft.streaming.IcebergTail.poll(spark, table, statePath,
-          skipOverwrites = skipOw)(deliver)
+          skipOverwrites = skipOw, ref = refV)(deliver)
       st match {
         case Some(s) => println(s"""{"status":"delivered","batch":""" +
           s"""${s.batchId},"snapshot":${s.snapshotId}}""")

@@ -3046,6 +3046,51 @@ object SparkEntry {
       out.reduce(_.unionByName(_))
     }),
 
+    // ---- K2 BRANCH-SCOPED TAIL (the WAP auditor's consumer): a tail
+    //      follows the AUDIT branch while commits stage there — main
+    //      readers see nothing — then the branch fast-forwards into
+    //      main and the MAIN tail sees the whole publish as exactly
+    //      ONE transition (a ref move adds no snapshots, so the two
+    //      staged commits arrive as one batch). ----
+    "q_iceberg_tail_branch" -> ((s, dir) => {
+      import graft.streaming.IcebergTail
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tailbr_gate").toString
+      val stM = s"$tmp/main.json"; val stB = s"$tmp/branch.json"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      def shift(k: Int) = n.withColumn("n_nationkey",
+        col("n_nationkey") + k)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def sink(src: String)(df: DataFrame, b: Long): Unit =
+        out += df.withColumn("side", lit(src))
+          .withColumn("batch_id", lit(b))
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      IcebergTail.poll(s, tmp, stM)(sink("main")): Unit // main batch 0
+      // stage 1 on the audit branch; the branch tail backfills it
+      shift(100).write.parquet(s"$tmp/d1")
+      IcebergMetadata.commitToBranch(s, tmp, s"$tmp/d1", "audit"): Unit
+      IcebergTail.poll(s, tmp, stB,
+        ref = Some("audit"))(sink("branch")): Unit // branch batch 0
+      // stage 2 CHAINS on the branch head; the branch tail delivers
+      // exactly it, and main still sees nothing
+      shift(200).write.parquet(s"$tmp/d2")
+      IcebergMetadata.commitToBranch(s, tmp, s"$tmp/d2", "audit"): Unit
+      IcebergTail.poll(s, tmp, stB,
+        ref = Some("audit"))(sink("branch")): Unit // branch batch 1
+      require(IcebergTail.poll(s, tmp, stM)(sink("main")).isEmpty,
+        "staged branch commits leaked into the main tail")
+      // publish: one ref move — the main tail sees BOTH staged
+      // commits as exactly ONE transition
+      IcebergMetadata.fastForward(tmp, "audit"): Unit
+      IcebergTail.poll(s, tmp, stM)(sink("main")): Unit // main batch 1
+      require(IcebergTail.poll(s, tmp, stM)(sink("main")).isEmpty,
+        "post-publish main tail must be quiet")
+      require(out.size == 4, s"expected 4 batches, got ${out.size}")
+      out.reduce(_.unionByName(_))
+    }),
+
     // ---- K2 DSv2 STREAMING SOURCE (`graft-iceberg`): the production
     //      consumption shape — spark.readStream over a live-published
     //      table, offsets = snapshot ids in Spark's own checkpoint
@@ -3228,6 +3273,65 @@ object SparkEntry {
       require(fenceEnd.exists(_.contains(""""batchId":4""")),
         s"2PC fence lost after final maintenance: $fenceEnd")
       IcebergMetadata.readMoR(s, ice)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    // ---- K2+K6 CONCURRENT WRITERS, filesystem CAS: a live CDC sync
+    //      loop and an operator's CLI `maintain auto` hit the SAME
+    //      table from two threads — the exact race the version-file
+    //      claim (exclusive create, HadoopTableOperations semantics)
+    //      exists for. The loser of each claim re-reads the committed
+    //      base and retries, so every CDC publish AND every
+    //      maintenance replace lands on one linear chain; the gate is
+    //      green only if no commit — and no row — is lost, whatever
+    //      the interleaving. ----
+    "q_sync_concurrent_maintain" -> withShuffle(8)((s, dir) => {
+      import graft.streaming.CdcStream
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_syncrace").toString
+      val table = s"$root/t"; val ice = s"$root/ice"
+      val state = s"$root/state.json"
+      val n = t(s, dir, "nation")
+      def batch(rows: DataFrame, lsnBase: Int, kind: String,
+                name: Column): DataFrame = rows.select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        (col("n_nationkey") + lsnBase).cast("long").as("lsn"),
+        lit(kind).as("kind"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as(
+          SystemColumns.CdcTimestamp),
+        col("n_nationkey"), name.as("n_name"), col("n_regionkey"))
+      // batch 1 before the race so both threads see a committed table
+      CdcStream.applyBatch(batch(n, 1, "insert", col("n_name")),
+        1L, table, state, "nation", icebergDir = Some(ice))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val cdc = pool.submit(new Runnable { override def run(): Unit = {
+        start.await()
+        CdcStream.applyBatch(
+          batch(n.where(col("n_nationkey") % 5 === 0), 1000, "update",
+            concat(upper(col("n_name")), lit("_V2"))),
+          2L, table, state, "nation", icebergDir = Some(ice))
+        CdcStream.applyBatch(
+          batch(n.where(col("n_nationkey") % 7 === 3), 2000, "delete",
+            col("n_name")),
+          3L, table, state, "nation", icebergDir = Some(ice))
+        CdcStream.applyBatch(
+          batch(n.where(col("n_nationkey") === 0), 3000, "update",
+            lit("FINAL_V3")),
+          4L, table, state, "nation", icebergDir = Some(ice))
+      }})
+      val maint = pool.submit(new Runnable { override def run(): Unit = {
+        start.await()
+        (0 until 3).foreach { _ =>
+          IcebergMetadata.autoMaintain(s, ice,
+            targetBytes = 128L << 20, graceMs = 0L): Unit
+        }
+      }})
+      start.countDown()
+      cdc.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      maint.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      pool.shutdown()
+      IcebergMetadata.readTable(s, ice)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
@@ -3660,6 +3764,44 @@ object SparkEntry {
         throw new IllegalStateException("rewrite was a no-op"))
       val pos1 = IcebergMetadata.dataFileStats(ice).count(_.content == 1)
       require(pos1 == 1, s"expected 1 consolidated pos file, got $pos1")
+      IcebergMetadata.readMoR(s, ice)
+        .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
+    }),
+
+    // ---- K2 EQUALITY-DELETE MINOR COMPACTION: a hot-key CDC run —
+    //      three segments update the SAME keys, so each batch's
+    //      equality-delete file is fully subsumed by the next
+    //      (strictly-smaller-sequence rule: the newest delete's kill
+    //      set contains the older ones' for a shared key). The
+    //      rewrite collapses them to ONE file, data files never move,
+    //      and the MoR read is unchanged — which is exactly what the
+    //      oracle checks. ----
+    "q_iceberg_eq_rewrite" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_eqrw_t").toString
+      val ice = java.nio.file.Files
+        .createTempDirectory("graft_eqrw_i").toString
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      def seg(suffix: String, op: String) =
+        n.where(col("n_nationkey") < 10).select(
+          col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"),
+          concat(col("n_name"), lit(suffix)).as("n_name"),
+          lit(op).as(SystemColumns.OpType))
+          .withColumn(SystemColumns.CdcTimestamp, current_timestamp())
+      graft.sinks.DeltaSegments.writeSegment(seg("_V1", "u"), table, 1L)
+      graft.sinks.DeltaSegments.writeSegment(seg("_V2", "u"), table, 2L)
+      graft.sinks.DeltaSegments.writeSegment(seg("_V3", "u"), table, 3L)
+      IcebergMetadata.publishMoR(s, ice, table)
+      val eq0 = IcebergMetadata.dataFileStats(ice).count(_.content == 2)
+      require(eq0 >= 3, s"fixture produced only $eq0 eq-delete files")
+      IcebergMetadata.rewriteEqualityDeletes(s, ice).getOrElse(
+        throw new IllegalStateException("eq rewrite was a no-op"))
+      val eq1 = IcebergMetadata.dataFileStats(ice).count(_.content == 2)
+      require(eq1 == 1, s"expected 1 consolidated eq file, got $eq1")
       IcebergMetadata.readMoR(s, ice)
         .select(SystemColumns.OlakeId, "n_nationkey", "n_name")
     }),
@@ -5520,6 +5662,42 @@ object SparkEntry {
         .select(col("neighbor_id").cast("long").as("id"),
           col("rank").cast("int").as("rank"))
       graft.llm.Search.rrfFuse(Seq(kw, ann), k = 30)
+    }),
+
+    // ---- LLM: the FULL serving chain a RAG curation pipeline
+    //      deploys, end to end over the stored indexes: BM25 keyword
+    //      probe + ANN cosine probe → reciprocal-rank fusion → MMR
+    //      diversified rerank. Every stage is integer-exact and every
+    //      stage's input is the previous stage's bounded output (50 →
+    //      20 → 5 rows), so the whole chain costs two index probes —
+    //      zero corpus re-scans — and DuckDB replays all of it,
+    //      including the five greedy MMR steps. ----
+    "q_retrieval_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = new java.io.File(fixture("rete2e_store"))
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      graft.llm.Search.keywordIndexStore(t(s, dir, "documents"),
+        "text", "doc_id", "graft_e2e_kw", s"$root/kw", buckets = 8)
+      val kw = graft.llm.Search.keywordSearchStored(s, "graft_e2e_kw",
+          Seq("vector", "merge", "spark"), k = 50)
+        .select(col("doc_id").cast("long").as("id"),
+          row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshIndexStore(emb, "graft_e2e_ann", s"$root/ann",
+        buckets = 8, native = true)
+      val ann = Similarity.lshTopKStored(emb.where(col("vec_id") === 0),
+          k = 50, "graft_e2e_ann", native = true)
+        .select(col("neighbor_id").cast("long").as("id"),
+          col("rank").cast("int").as("rank"))
+      val fused = graft.llm.Search.rrfFuse(Seq(kw, ann), k = 20)
+      val cand = fused.join(emb, fused("id") === emb("vec_id"))
+        .select(col("vec_id"), col("rrf").as("rel"), col("embedding"))
+      Similarity.mmrRerank(cand, k = 5)
     }),
 
     // ---- LLM: domain-level quality filtering — per-source counts of
@@ -7531,6 +7709,26 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
 
     // tail replay: batch 0 = the base, batch 1 = the two appends that
     // landed between polls, batch 2 = the last append
+    // branch tail: backfill = the staged snapshot's own files
+    // (branch commits carry replace-style lists), then the chained
+    // stage; main tail: base, then BOTH staged commits as one batch
+    // after the fast-forward publish
+    "q_iceberg_tail_branch" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  'main' AS side, CAST(0 AS BIGINT) AS batch_id FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey,
+        |  'branch', CAST(0 AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey,
+        |  'branch', CAST(1 AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey,
+        |  'main', CAST(1 AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey,
+        |  'main', CAST(1 AS BIGINT) FROM nation""".stripMargin,
+
     // DSv2 stream: run 1 replays base + first append from earliest;
     // run 2 resumes from the checkpoint with only the later append
     "q_iceberg_stream" ->
@@ -7626,6 +7824,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  n_regionkey
         |FROM nation WHERE n_nationkey % 7 <> 3""".stripMargin,
 
+    // concurrent CDC apply + maintain auto: maintenance never changes
+    // the logical state, and the CAS guarantees no CDC publish is
+    // lost — final state is the pure CDC fold
+    "q_sync_concurrent_maintain" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey = 0 THEN 'FINAL_V3'
+        |       WHEN n_nationkey % 5 = 0 THEN upper(n_name) || '_V2'
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey
+        |FROM nation WHERE n_nationkey % 7 <> 3""".stripMargin,
+
     // commit 2 (the replace that survived the 409-retry loop) holds
     // nation plus a key-shifted copy
     "q_iceberg_rest_commit" ->
@@ -7669,6 +7878,14 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR), n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5)
         |SELECT _olake_id, n_nationkey, n_name FROM base WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
         |UNION ALL SELECT _olake_id, n_nationkey, n_name FROM changes WHERE op <> 'd'""".stripMargin,
+
+    // eq-delete minor compaction never changes the merged view: the
+    // hot keys (<10) end at their third update, everything else is base
+    "q_iceberg_eq_rewrite" ->
+      """SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey,
+        |  CASE WHEN n_nationkey < 10 THEN n_name || '_V3'
+        |       ELSE n_name END AS n_name
+        |FROM nation""".stripMargin,
 
     // minor delete compaction never changes the merged view: upserts
     // on <10 (upper) and 10-14 (suffix), deletes >=20
@@ -9023,6 +9240,76 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT id, CAST(sum(contrib) AS BIGINT) AS rrf,
         |  count(*) AS n_lists
         |FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 30""".stripMargin,
+
+    // the full serving chain: BM25 + ANN → RRF top-20 → 5 unrolled
+    // greedy MMR steps, each integer-exact
+    "q_retrieval_e2e" ->
+      """WITH nn AS (SELECT count(*) AS N FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term IN ('vector', 'merge', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        |sck AS (SELECT doc_id,
+        |  CAST(sum(tf * ((SELECT N FROM nn) * 1000000 // df)) AS BIGINT) AS score
+        |  FROM p JOIN dfq USING (term) GROUP BY 1),
+        |kw AS (SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sck ORDER BY score DESC, doc_id LIMIT 50),
+        |ann0 AS (SELECT e.vec_id AS id, list_cosine_similarity(
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |    e.embedding) AS sim
+        |  FROM embeddings e WHERE e.vec_id <> 0),
+        |ann AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+        |  FROM ann0 ORDER BY sim DESC, id LIMIT 50),
+        |u AS (SELECT id, 1000000 // (60 + rank) AS contrib FROM kw
+        |  UNION ALL SELECT id, 1000000 // (60 + rank) FROM ann),
+        |fused AS (SELECT id, CAST(sum(contrib) AS BIGINT) AS rrf
+        |  FROM u GROUP BY 1 ORDER BY rrf DESC, id LIMIT 20),
+        |cand AS (SELECT e.vec_id, f.rrf AS rel,
+        |    list_transform(e.embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)) AS emb
+        |  FROM fused f JOIN embeddings e ON e.vec_id = f.id),
+        |sel1 AS (SELECT vec_id, 70*rel*100000 AS score FROM cand
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |sc2 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM sel1)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM sel1)),
+        |sel2 AS (SELECT vec_id, score FROM sc2
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |pick2 AS (SELECT vec_id FROM sel1 UNION ALL
+        |  SELECT vec_id FROM sel2),
+        |sc3 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM pick2)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM pick2)),
+        |sel3 AS (SELECT vec_id, score FROM sc3
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |pick3 AS (SELECT vec_id FROM pick2 UNION ALL
+        |  SELECT vec_id FROM sel3),
+        |sc4 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM pick3)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM pick3)),
+        |sel4 AS (SELECT vec_id, score FROM sc4
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |pick4 AS (SELECT vec_id FROM pick3 UNION ALL
+        |  SELECT vec_id FROM sel4),
+        |sc5 AS (SELECT r.vec_id, 70*r.rel*100000 - 30*(
+        |    SELECT MAX(CAST(list_dot_product(r.emb, c.emb) AS BIGINT))
+        |    FROM cand c WHERE c.vec_id IN (SELECT vec_id FROM pick4)) AS score
+        |  FROM cand r WHERE r.vec_id NOT IN (SELECT vec_id FROM pick4)),
+        |sel5 AS (SELECT vec_id, score FROM sc5
+        |  ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT vec_id, CAST(1 AS INTEGER) AS mmr_rank, score AS mmr_score
+        |FROM sel1
+        |UNION ALL SELECT vec_id, CAST(2 AS INTEGER), score FROM sel2
+        |UNION ALL SELECT vec_id, CAST(3 AS INTEGER), score FROM sel3
+        |UNION ALL SELECT vec_id, CAST(4 AS INTEGER), score FROM sel4
+        |UNION ALL SELECT vec_id, CAST(5 AS INTEGER), score FROM sel5"""
+        .stripMargin,
 
     // the stored tier must reproduce the inline tier bit-identically
     "q_keyword_search_stored" ->

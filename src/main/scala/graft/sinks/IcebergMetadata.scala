@@ -694,7 +694,9 @@ object IcebergMetadata {
                                 addedFiles: Int, addedRows: Long,
                                 specs: Seq[Seq[PartSpecField]] = Seq(Nil),
                                 baseMetadata: Option[Option[String]] = None,
-                                sortOrder: Option[Seq[Int]] = None)
+                                sortOrder: Option[Seq[Int]] = None,
+                                hintBase: Option[Option[(Int, JsonNode)]] =
+                                  None)
       : Int = {
     val md = metaDir(tableDir)
     // `baseMetadata` (catalog-pointer path): history builds on the
@@ -704,20 +706,35 @@ object IcebergMetadata {
     // retry's history (Iceberg retries re-read the committed base).
     // The new version number still skips past every existing file so
     // orphans are never overwritten.
-    val prev = baseMetadata match {
+    // `hintBase` (filesystem-CAS path): the caller's OWN base read —
+    // the snapshot it built its manifest list and sequence number on.
+    // The claim at base+1 then catches any commit that landed after
+    // that read; re-reading currentMetadata here instead would let a
+    // racing commit slip between the caller's read and the claim and
+    // silently drop its files from the new manifest list.
+    val prev = hintBase.getOrElse(baseMetadata match {
       case None => currentMetadata(tableDir)
       case Some(base) => base.map { p =>
         val f = TableIO(p)
         val v = f.name.stripPrefix("v").stripSuffix(".metadata.json")
         (v.toInt, mapper.readTree(f.readString))
       }
-    }
+    })
     val maxExisting = md.list.map(_.name)
       .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
         n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
       .maxOption.getOrElse(0)
+    // Hint-arbitrated commits claim EXACTLY prev+1: the version file
+    // is the chain-linked CAS (HadoopTableOperations semantics), so a
+    // concurrent committer surfaces as CommitConflictException and
+    // retries on the fresh base — numbering past a concurrent claim
+    // would build on a stale parent and LOSE the claimed commit.
+    // Catalog-arbitrated commits keep the orphan-skipping numbering:
+    // the catalog CAS arbitrates, and the file written here must
+    // never collide with a failed-CAS orphan's name.
     val version =
-      math.max(prev.map(_._1).getOrElse(0), maxExisting) + 1
+      if (baseMetadata.isEmpty) prev.map(_._1).getOrElse(0) + 1
+      else math.max(prev.map(_._1).getOrElse(0), maxExisting) + 1
     val nowMs = System.currentTimeMillis()
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -946,10 +963,19 @@ object IcebergMetadata {
     val mainRef = refs.putObject("main")
     mainRef.put("snapshot-id", snapshotId); mainRef.put("type", "branch")
 
-    md.child(s"v$version.metadata.json").writeAtomic(
-      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    // version-hint last: the commit "happens" when the hint flips
-    md.child("version-hint.text").writeAtomic(version.toString)
+    val content = mapper.writerWithDefaultPrettyPrinter
+      .writeValueAsString(root)
+    if (baseMetadata.isEmpty) {
+      // the commit "happens" at the exclusive create; the hint flip
+      // after it is a monotonic cache (a racing winner's higher flip
+      // is never clobbered)
+      claimVersion(md, version, content)
+      flipHint(md, version)
+    } else {
+      md.child(s"v$version.metadata.json").writeAtomic(content)
+      // version-hint last: the commit "happens" when the hint flips
+      md.child("version-hint.text").writeAtomic(version.toString)
+    }
     version
   }
 
@@ -1040,9 +1066,9 @@ object IcebergMetadata {
     log.put("snapshot-id", toSnapshotId)
     log.put("timestamp-ms", nowMs)
     val next = version + 1
-    md.child(s"v$next.metadata.json").writeAtomic(
+    claimVersion(md, next,
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    md.child("version-hint.text").writeAtomic(next.toString)
+    flipHint(md, next)
     next
   }
 
@@ -1091,9 +1117,9 @@ object IcebergMetadata {
     * per micro-batch the same way through the library's AppendFiles
     * (`destination/iceberg/iceberg.go` commit path). */
   def appendCommit(spark: SparkSession, tableDir: String, dataDir: String,
-                   summary: Map[String, String] = Map.empty): Commit = {
+                   summary: Map[String, String] = Map.empty): Commit = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
-    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(
         s"appendCommit needs a committed table; use commit() first"))
     val specs = specsFromMeta(prevMeta)
@@ -1120,7 +1146,8 @@ object IcebergMetadata {
       Seq(ManifestOut(manifest, 0, entries)), carryForward = carried)
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "append", summary, entries.length, entries.map(_.rows).sum,
-      specs = specs)
+      specs = specs,
+      hintBase = Some(Some((prevVer, prevMeta))))
     Commit(version, snapshotId, seq, manifest.abs,
       list.abs, entries.length, entries.map(_.rows).sum)
   }
@@ -1134,9 +1161,9 @@ object IcebergMetadata {
   def appendCommitPartitioned(spark: SparkSession, tableDir: String,
                               df: DataFrame, groupSize: Int = 8,
                               summary: Map[String, String] = Map.empty)
-      : Commit = {
+      : Commit = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
-    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(
         s"appendCommitPartitioned needs a committed table"))
     val specs = specsFromMeta(prevMeta)
@@ -1168,7 +1195,8 @@ object IcebergMetadata {
       carryForward = carried)
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "append", summary, entries.length, entries.map(_.rows).sum,
-      specs = specs)
+      specs = specs,
+      hintBase = Some(Some((prevVer, prevMeta))))
     Commit(version, snapshotId, seq,
       manifests.head.file.abs,
       list.abs, entries.length, entries.map(_.rows).sum)
@@ -1186,9 +1214,9 @@ object IcebergMetadata {
     * a pure metadata commit, O(live entries). */
   def rewriteManifests(spark: SparkSession, tableDir: String,
                        groupSize: Int = 8,
-                       summary: Map[String, String] = Map.empty): Commit = {
+                       summary: Map[String, String] = Map.empty): Commit = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
-    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val specs = specsFromMeta(prevMeta)
     val parts = specs.last
@@ -1239,7 +1267,8 @@ object IcebergMetadata {
         "manifests-replaced" ->
           (prevListRows.length - deleteRows.length).toString,
         "manifests-created" -> manifests.length.toString),
-      0, 0L, specs = specs)
+      0, 0L, specs = specs,
+      hintBase = Some(Some((prevVer, prevMeta))))
     Commit(version, snapshotId, seq,
       manifests.head.file.abs,
       list.abs, 0, 0L)
@@ -1266,9 +1295,9 @@ object IcebergMetadata {
     * one file with nothing dangling. */
   def rewritePositionDeletes(spark: SparkSession, tableDir: String,
                              summary: Map[String, String] = Map.empty)
-      : Option[Commit] = {
+      : Option[Commit] = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
-    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val stats = dataFileStats(tableDir)
     val posStats = stats.filter(_.content == 1)
@@ -1331,15 +1360,122 @@ object IcebergMetadata {
         "position-delete-files-removed" -> posStats.size.toString,
         "position-delete-files-added" -> posEntries.size.toString,
         "dangling-position-deletes-dropped" -> dangling.toString),
-      0, 0L, specs = specsFromMeta(prevMeta))
+      0, 0L, specs = specsFromMeta(prevMeta),
+      hintBase = Some(Some((prevVer, prevMeta))))
     Some(Commit(version, snapshotId, seq,
       manifests.headOption.map(_.file.abs).getOrElse(list.abs),
       list.abs, posEntries.size, keptN))
   }
 
+  /** EQUALITY-DELETE minor compaction — the cadence op a long CDC run
+    * needs between major compacts: every upsert batch adds one
+    * equality-delete file, and each one is a broadcast side in every
+    * [[readMoR]]. Consolidation uses the only rewrite the
+    * strictly-smaller-sequence rule makes unconditionally safe:
+    *
+    *  - SUBSUMPTION: a key present in delete files at sequences
+    *    s₁ < s₂ is redundant at s₁ — the s₂ entry's kill set
+    *    (`seq < s₂`) contains the s₁ entry's (`seq < s₁`). Per key,
+    *    only the MAX-sequence entry survives.
+    *  - SAME-SEQUENCE MERGE: surviving keys regroup into ONE file per
+    *    (equality-ids, partition, spec, sequence) — a file's sequence
+    *    is a manifest-entry property, so entries at the same sequence
+    *    merge freely.
+    *
+    * A hot-key CDC stream (the common shape — the same rows update
+    * over and over) collapses to a handful of files; raising a key's
+    * sequence beyond its own max is deliberately NOT done (it would
+    * kill re-inserts that landed between the two sequences). Data
+    * manifests carry forward verbatim — data never moves, pos-deletes
+    * carry verbatim, cost ∝ equality-delete rows. No-op (None) when
+    * fewer than two files share a group or nothing subsumes. */
+  def rewriteEqualityDeletes(spark: SparkSession, tableDir: String,
+                             summary: Map[String, String] = Map.empty)
+      : Option[Commit] = withCommitRetry(tableDir) {
+    val md = metaDir(tableDir)
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val stats = dataFileStats(tableDir)
+    val eqStats = stats.filter(_.content == 2)
+    if (eqStats.size < 2) return None
+    val groups = eqStats.groupBy(e =>
+      (e.equalityIds, e.partition, e.specId))
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val outRoot = TableIO(tableDir).child("data")
+      .child(snapshotId.toString).child("eqdeletes")
+    var produced = 0
+    val newEntries = groups.toSeq.flatMap {
+      case ((ids, part, _), fs) if fs.size >= 2 =>
+        // per-key max sequence via ONE shuffle over the delete rows
+        // (key columns only — tiny next to the data they guard)
+        val perFile = fs.map(f =>
+          spark.read.parquet(f.path)
+            .withColumn("__seq", lit(f.seq)))
+        val keyCols = perFile.head.columns.filterNot(_ == "__seq").toSeq
+        val dedup = perFile.reduce(_ unionByName _)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col("__seq")).as("__seq"))
+          .persist()
+        val seqs = dedup.select("__seq").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val entries =
+          if (seqs.length >= fs.size) Nil // nothing subsumes: keep as-is
+          else seqs.toSeq.flatMap { s =>
+            val dir = outRoot.child(
+              s"g$produced-s$s-${java.util.UUID.randomUUID()}")
+            dedup.where(col("__seq") === s).drop("__seq")
+              .coalesce(1).write.parquet(dir.abs)
+            entriesFor(spark, dir.abs, s, content = 2,
+              equalityIds = ids, partition = part)
+          }
+        dedup.unpersist(): Unit
+        if (entries.isEmpty)
+          fs.map(e => FileEntry(e.path, e.sizeBytes, e.recordCount,
+            e.seq, 2, e.equalityIds, e.stats, e.partition,
+            entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId)))
+        else { produced += entries.size; entries }
+      case ((_, _, _), fs) =>
+        fs.map(e => FileEntry(e.path, e.sizeBytes, e.recordCount,
+          e.seq, 2, e.equalityIds, e.stats, e.partition,
+          entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId)))
+    }
+    if (produced == 0) return None
+    val curSchemaId = prevMeta.get("current-schema-id").asInt
+    val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong ==
+        prevMeta.get("current-snapshot-id").asLong).getOrElse(
+        throw new IllegalStateException("current snapshot missing"))
+    val dataListRows =
+      readAvro(TableIO(prevSnap.get("manifest-list").asText))
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+    val posEntries = stats.filter(_.content == 1).map(e =>
+      FileEntry(e.path, e.sizeBytes, e.recordCount, e.seq, 1,
+        Nil, e.stats, e.partition, entryStatus = 0,
+        entrySnapshotId = Some(e.addedSnapshotId)))
+    val delEntries = newEntries ++ posEntries
+    val manifests = Seq(ManifestOut(writeManifest(md, delEntries,
+      snapshotId, schemaStr, "deletes", 0), 1, delEntries))
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val list = writeManifestList(md, snapshotId, manifests,
+      carryForward = dataListRows)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "replace",
+      summary ++ Map(
+        "equality-delete-files-removed" -> eqStats.size.toString,
+        "equality-delete-files-added" ->
+          newEntries.count(_.entryStatus == 1).toString),
+      0, 0L, specs = specsFromMeta(prevMeta),
+      hintBase = Some(Some((prevVer, prevMeta))))
+    Some(Commit(version, snapshotId, seq, manifests.head.file.abs,
+      list.abs, newEntries.size, newEntries.map(_.rows).sum))
+  }
+
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
              operation: String = "append",
-             summary: Map[String, String] = Map.empty): Commit = {
+             summary: Map[String, String] = Map.empty): Commit =
+      withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
     md.mkdirs()
     val prev = currentMetadata(tableDir)
@@ -1355,7 +1491,8 @@ object IcebergMetadata {
     val list = writeManifestList(md, snapshotId,
       Seq(ManifestOut(manifest, 0, entries)))
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
-      list, operation, summary, entries.length, entries.map(_.rows).sum)
+      list, operation, summary, entries.length, entries.map(_.rows).sum,
+      hintBase = Some(prev))
     Commit(version, snapshotId, seq, manifest.abs,
       list.abs, entries.length, entries.map(_.rows).sum)
   }
@@ -1373,7 +1510,7 @@ object IcebergMetadata {
     * current schema (field ids must not fork on a branch). */
   def commitToBranch(spark: SparkSession, tableDir: String,
                      dataDir: String, branch: String,
-                     summary: Map[String, String] = Map.empty): Commit = {
+                     summary: Map[String, String] = Map.empty): Commit = withCommitRetry(tableDir) {
     require(branch != "main", "main moves via commit/fastForward")
     val md = metaDir(tableDir)
     val (version, meta) = currentMetadata(tableDir).getOrElse(
@@ -1395,7 +1532,13 @@ object IcebergMetadata {
     root.put("last-sequence-number", seq)
     val snap = root.withArray[ArrayNode]("snapshots").addObject()
     snap.put("snapshot-id", snapshotId)
-    snap.put("parent-snapshot-id", meta.get("current-snapshot-id").asLong)
+    // successive stages CHAIN on the branch: parent = the branch's own
+    // head when the ref exists (a multi-commit audit is one lineage a
+    // branch tail can walk), main's head only for the FIRST stage
+    snap.put("parent-snapshot-id",
+      Option(meta.path("refs").get(branch))
+        .map(_.get("snapshot-id").asLong)
+        .getOrElse(meta.get("current-snapshot-id").asLong))
     snap.put("timestamp-ms", nowMs)
     snap.put("sequence-number", seq)
     snap.put("schema-id", curSchemaId)
@@ -1426,9 +1569,9 @@ object IcebergMetadata {
     * expiration, but leave the main lineage (consumer walks skip
     * them). */
   def rollbackTo(tableDir: String, snapshotId: Long): Int =
-    applyRollback(tableDir, snapshotId)
+    withCommitRetry(tableDir) { applyRollback(tableDir, snapshotId) }
 
-  def fastForward(tableDir: String, branch: String): Int = {
+  def fastForward(tableDir: String, branch: String): Int = withCommitRetry(tableDir) {
     val target = refSnapshotId(tableDir, branch).getOrElse(
       throw new IllegalArgumentException(s"no ref $branch"))
     applyRollback(tableDir, target)
@@ -1456,9 +1599,9 @@ object IcebergMetadata {
     * different op). */
   def cherrypickSnapshot(tableDir: String, sourceSnapshotId: Long,
                          summary: Map[String, String] = Map.empty)
-      : Commit = {
+      : Commit = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
-    val (_, meta) = currentMetadata(tableDir).getOrElse(
+    val (baseVer, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
     val src = snaps.find(_.get("snapshot-id").asLong == sourceSnapshotId)
@@ -1500,7 +1643,8 @@ object IcebergMetadata {
       list, "append",
       summary + ("source-snapshot-id" -> sourceSnapshotId.toString),
       entries.length, entries.map(_.rows).sum,
-      specs = specsFromMeta(meta))
+      specs = specsFromMeta(meta),
+      hintBase = Some(Some((baseVer, meta))))
     Commit(version, snapshotId, seq, manifest.abs,
       list.abs, entries.length, entries.map(_.rows).sum)
   }
@@ -1546,9 +1690,9 @@ object IcebergMetadata {
                      summary: Map[String, String] = Map.empty,
                      groupSize: Int = 8,
                      maxConcurrentGroups: Int = 0)
-      : Option[Commit] = {
+      : Option[Commit] = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
-    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val all = dataFileStats(tableDir)
     require(all.forall(_.content == 0),
@@ -1653,7 +1797,8 @@ object IcebergMetadata {
           "rewritten-data-files" -> victims.size.toString,
           "added-data-files" -> newEntries.size.toString,
           "rewritten-bytes" -> victimBytes.toString),
-        newEntries.length, newEntries.map(_.rows).sum, specs = specs)
+        newEntries.length, newEntries.map(_.rows).sum, specs = specs,
+      hintBase = Some(Some((prevVer, prevMeta))))
       Some(Commit(version, snapshotId, seq,
         manifests.head.file.abs,
         list.abs, newEntries.length,
@@ -1677,9 +1822,9 @@ object IcebergMetadata {
                       keyCol: String =
                         graft.operators.SystemColumns.OlakeId,
                       summary: Map[String, String] = Map.empty,
-                      groupSize: Int = 8): Commit = {
+                      groupSize: Int = 8): Commit = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
-    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val allStats = dataFileStats(tableDir)
     val dataFiles = allStats.collect {
@@ -1733,7 +1878,8 @@ object IcebergMetadata {
       summary ++ Map(
         "compacted-data-files" -> dataFiles.size.toString,
         "added-data-files" -> entries.size.toString),
-      entries.length, entries.map(_.rows).sum, specs = specs)
+      entries.length, entries.map(_.rows).sum, specs = specs,
+      hintBase = Some(Some((prevVer, prevMeta))))
     Commit(version, snapshotId, seq,
       manifests.head.file.abs,
       list.abs, entries.length, entries.map(_.rows).sum)
@@ -1760,12 +1906,12 @@ object IcebergMetadata {
                   targetBytes: Long, sortCols: Seq[String],
                   zorder: Boolean = false,
                   summary: Map[String, String] = Map.empty,
-                  groupSize: Int = 8): Commit = {
+                  groupSize: Int = 8): Commit = withCommitRetry(tableDir) {
     require(sortCols.nonEmpty, "sortRewrite needs at least one column")
     require(!zorder || (sortCols.size >= 2 && sortCols.size <= 4),
       "z-order clusters 2..4 columns")
     val md = metaDir(tableDir)
-    val (_, prevMeta) = currentMetadata(tableDir).getOrElse(
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val allStats = dataFileStats(tableDir)
     val dataFiles = allStats.collect {
@@ -1860,7 +2006,8 @@ object IcebergMetadata {
         (if (zorder) "zorder-columns" else "sort-columns") ->
           sortCols.mkString(",")),
       entries.length, entries.map(_.rows).sum, sortOrder = Some(sortIds),
-      specs = specs)
+      specs = specs,
+      hintBase = Some(Some((prevVer, prevMeta))))
     Commit(version, snapshotId, seq,
       manifests.head.file.abs,
       list.abs, entries.length, entries.map(_.rows).sum)
@@ -2133,7 +2280,7 @@ object IcebergMetadata {
     * [[majorCompactMoR]]/[[sortRewrite]] absorbs them into the default
     * layout. Returns the new spec id. */
   def evolvePartitionSpec(tableDir: String,
-                          partitionRegex: String): Int = {
+                          partitionRegex: String): Int = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
     val (version, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
@@ -2209,7 +2356,7 @@ object IcebergMetadata {
   def publishPartitioned(spark: SparkSession, tableDir: String,
                          df: DataFrame, partitionRegex: String,
                          groupSize: Int = 8,
-                         summary: Map[String, String] = Map.empty): Commit = {
+                         summary: Map[String, String] = Map.empty): Commit = withCommitRetry(tableDir) {
     import PartitionTransforms.parseRegex
     val md = metaDir(tableDir)
     md.mkdirs()
@@ -2393,7 +2540,7 @@ object IcebergMetadata {
     * restart path reads the same property back (iceberg.go:521-545). */
   def publishMoR(spark: SparkSession, tableDir: String, tablePath: String,
                  summary: Map[String, String] = Map.empty,
-                 partitionRegex: Option[String] = None): Commit = {
+                 partitionRegex: Option[String] = None): Commit = withCommitRetry(tableDir) {
     import graft.operators.SystemColumns
     val md = metaDir(tableDir)
     md.mkdirs()
@@ -2762,6 +2909,12 @@ object IcebergMetadata {
               s"(${c.addedFiles} files, ${c.addedRows} rows)"
           case None => out("posdeletes") = "skip (already consolidated)"
         }
+        rewriteEqualityDeletes(spark, tableDir, summary = summary) match {
+          case Some(c) => out("eqdeletes") =
+            s"consolidated into snapshot ${c.snapshotId} " +
+              s"(${c.addedFiles} files, ${c.addedRows} rows)"
+          case None => out("eqdeletes") = "skip (nothing subsumes)"
+        }
       }
     } else out("compact") = "skip (delete-free)"
     if (delsRemain)
@@ -2806,7 +2959,7 @@ object IcebergMetadata {
     * (`data/<snapshot-id>`) `publishMoR` wrote for them. Base files
     * published in place (outside `data/`) are shared across snapshots
     * and never touched. Returns the number of snapshots expired. */
-  def expireSnapshots(tableDir: String, keepLast: Int = 1): Int = {
+  def expireSnapshots(tableDir: String, keepLast: Int = 1): Int = withCommitRetry(tableDir) {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
@@ -2839,7 +2992,7 @@ object IcebergMetadata {
     * protects its snapshot however old it gets, until the tag is
     * dropped. Returns the number of snapshots expired. */
   def expireSnapshotsOlderThan(tableDir: String, olderThanMs: Long,
-                               retainLast: Int = 1): Int = {
+                               retainLast: Int = 1): Int = withCommitRetry(tableDir) {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
     val snaps = meta.withArray[ArrayNode]("snapshots").asScala.toSeq
@@ -2875,7 +3028,7 @@ object IcebergMetadata {
     * dropped versions goes away, exactly Iceberg's trade). Returns the
     * number of files removed; writes nothing when there is nothing to
     * drop. */
-  def expireMetadataVersions(tableDir: String, keepLast: Int = 5): Int = {
+  def expireMetadataVersions(tableDir: String, keepLast: Int = 5): Int = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
     val (version, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
@@ -2909,7 +3062,7 @@ object IcebergMetadata {
     * version; data is untouched. `main` is managed by commits/rollback
     * and refused here. */
   def setRef(tableDir: String, name: String, snapshotId: Long,
-             refType: String = "tag"): Int = {
+             refType: String = "tag"): Int = withCommitRetry(tableDir) {
     require(name != "main", "main moves via commit/rollback")
     require(refType == "tag" || refType == "branch", s"bad type $refType")
     val md = metaDir(tableDir)
@@ -2930,7 +3083,7 @@ object IcebergMetadata {
   }
 
   /** Drop a named ref (the snapshot becomes expirable again). */
-  def dropRef(tableDir: String, name: String): Int = {
+  def dropRef(tableDir: String, name: String): Int = withCommitRetry(tableDir) {
     require(name != "main", "main cannot be dropped")
     val md = metaDir(tableDir)
     val (version, meta) = currentMetadata(tableDir).getOrElse(
@@ -2969,19 +3122,104 @@ object IcebergMetadata {
   }
 
   /** Write vN.metadata.json + flip the version hint (the shared atomic
-    * tail of every metadata mutation). */
+    * tail of every metadata mutation). The version file is CLAIMED
+    * with an exclusive create — the filesystem-table commit CAS. */
   private def writeVersionFiles(md: TPath, root: ObjectNode,
                                 nv: Int): Int = {
-    md.child(s"v$nv.metadata.json").writeAtomic(
+    claimVersion(md, nv,
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    md.child("version-hint.text").writeAtomic(nv.toString)
+    flipHint(md, nv)
     nv
+  }
+
+  /** Thrown when a concurrent committer claimed the next metadata
+    * version first — retryable: re-read the committed base (now
+    * including the winner) and rebuild. [[withCommitRetry]] does
+    * exactly that. */
+  final class CommitConflictException(version: Int)
+      extends RuntimeException(
+        s"metadata version v$version was claimed by a concurrent " +
+          "committer; re-read the committed base and retry")
+
+  /** The filesystem-table commit CAS: atomically claim
+    * `vN.metadata.json` with its full content (exclusive create —
+    * local hard-link, s3wire conditional PUT). Exactly one concurrent
+    * committer wins; the loser throws [[CommitConflictException]]. */
+  private def claimVersion(md: TPath, nv: Int, content: String): Unit =
+    if (!md.child(s"v$nv.metadata.json").createExclusive(content))
+      throw new CommitConflictException(nv)
+
+  /** Monotonic hint flip: never move the hint BACKWARDS — a slower
+    * committer must not clobber a racing winner's higher version. The
+    * read-check-write pair is not atomic, but any stale flip is healed
+    * by the next committer's [[healHint]] probe (the hint is a cache;
+    * the claimed chain of version files is the truth — Iceberg's own
+    * version-hint semantics). */
+  private def flipHint(md: TPath, nv: Int): Unit = {
+    val hint = md.child("version-hint.text")
+    val cur =
+      if (!hint.exists) 0
+      else scala.util.Try(hint.readString.trim.toInt).getOrElse(0)
+    if (nv > cur) hint.writeAtomic(nv.toString)
+  }
+
+  /** Advance a lagging version-hint along the CHAIN-LINKED claimed
+    * version files: v(N+1) counts as committed iff its metadata-log's
+    * last entry names vN (every mutation appends its predecessor
+    * there), so a claimed-but-unlinked file — e.g. a failed catalog
+    * CAS orphan staged against an older base — never gets adopted.
+    * Claims are atomic-with-content, so any existing claim file is
+    * complete and parseable. */
+  private def healHint(tableDir: String): Unit = {
+    val md = metaDir(tableDir)
+    currentMetadata(tableDir).foreach { case (v0, _) =>
+      var v = v0
+      var continue = true
+      while (continue) {
+        val nxt = md.child(s"v${v + 1}.metadata.json")
+        val linked = nxt.exists && {
+          try {
+            val m = mapper.readTree(nxt.readString)
+            Option(m.get("metadata-log")).exists { log =>
+              log.size() > 0 && log.get(log.size() - 1)
+                .get("metadata-file").asText
+                .endsWith(s"v$v.metadata.json")
+            }
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }
+        if (linked) v += 1 else continue = false
+      }
+      if (v > v0) flipHint(md, v)
+    }
+  }
+
+  /** Run a commit body with conflict retries: on
+    * [[CommitConflictException]] the hint heals forward to the racing
+    * winner's version and the WHOLE body re-runs — it re-reads
+    * `currentMetadata`, so the rebuilt snapshot chains on the winner
+    * (no lost update, linear history). Jittered backoff between
+    * attempts. */
+  def withCommitRetry[T](tableDir: String, attempts: Int = 6)
+                        (body: => T): T = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case _: CommitConflictException if i < attempts - 1 =>
+          i += 1
+          healHint(tableDir)
+          Thread.sleep(5L * i +
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(20))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Remove EXPLICIT snapshot ids (the REST catalog's
     * `remove-snapshots` update action; the current snapshot is always
     * retained). Returns how many were dropped. */
-  def removeSnapshotIds(tableDir: String, ids: Set[Long]): Int = {
+  def removeSnapshotIds(tableDir: String, ids: Set[Long]): Int = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
     val (version, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
@@ -3477,15 +3715,25 @@ object IcebergMetadata {
                     toSnapshotId: Option[Long] = None,
                     keyCol: String = graft.operators.SystemColumns.OlakeId,
                     netChanges: Boolean = false,
-                    unionSnapLimit: Int = 64): DataFrame = {
-    val (_, meta) = currentMetadata(tableDir).getOrElse(
+                    unionSnapLimit: Int = 64,
+                    ref: Option[String] = None): DataFrame = {
+    val (_, meta0) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
+    val meta = meta0
+    // branch-scoped consumption: the lineage walk heads at the named
+    // ref instead of main (a dropped ref refuses loudly — silently
+    // reading main would be a different history)
+    val refHead = ref.map(r => Option(meta.path("refs").get(r))
+      .map(_.get("snapshot-id").asLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"ref '$r' does not exist at $tableDir")))
+    val toSnapshotId2 = toSnapshotId.orElse(refHead)
     // MAIN-lineage selection (parent chain from the head, or from the
     // pinned `toSnapshotId`): branch snapshots and rolled-back commits
     // sit in the snapshots array but are NOT history — delivering them
     // would hand a consumer rows that never existed on main (and twice,
     // if a branch is later cherry-picked)
-    val lineage = mainLineage(meta, toSnapshotId)
+    val lineage = mainLineage(meta, toSnapshotId2)
     val fromIdx = lineage.indexWhere(
       _.get("snapshot-id").asLong == fromSnapshotId)
     if (fromIdx < 0) throw new IllegalArgumentException(

@@ -85,6 +85,15 @@ private[graft] sealed trait TPath {
     * tmp + atomic rename locally; a direct single-object PUT on the
     * object store (atomic per the S3 model). */
   def writeAtomic(content: String): Unit
+  /** ATOMIC exclusive create — the commit CAS of a filesystem table
+    * (HadoopTableOperations semantics): the name appears WITH its full
+    * content, or not at all, and exactly one concurrent caller wins.
+    * Returns false when the path already exists (the loser re-reads
+    * the committed base and retries). Local: content staged to a tmp
+    * file then hard-linked into place (link(2) fails atomically on an
+    * existing name); s3wire: a conditional PUT (`If-None-Match: *`,
+    * the S3 conditional-write API). */
+  def createExclusive(content: String): Boolean
   def createOutput(): OutputStream
 }
 
@@ -124,6 +133,19 @@ private[graft] final case class LocalTPath(f: File,
     Files.move(tmp.toPath, f.toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     ()
+  }
+  def createExclusive(content: String): Boolean = {
+    // full content staged first, then hard-linked into place: link(2)
+    // is atomic and fails on an existing name, so the target is only
+    // ever observed complete — Files.move without REPLACE_EXISTING
+    // would be check-then-rename, a lost-update window
+    val tmp = new File(f.getParentFile,
+      s".${f.getName}.claim.${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp.toPath, content)
+    try { Files.createLink(f.toPath, tmp.toPath); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally { Files.deleteIfExists(tmp.toPath): Unit }
   }
   def createOutput(): OutputStream = new java.io.FileOutputStream(f)
 }
@@ -173,6 +195,27 @@ private[graft] final case class HadoopTPath(fs: FileSystem, p: Path,
     // (rename is copy+delete on S3 and would WEAKEN atomicity)
     val out = fs.create(p, true)
     try out.write(content.getBytes(UTF_8)) finally out.close()
+  }
+  def createExclusive(content: String): Boolean = fs match {
+    case s3: graft.sources.S3WireFileSystem =>
+      // conditional single PUT (If-None-Match: *): the object store
+      // arbitrates — a non-atomic exists-check-then-create here would
+      // be exactly the lost-update this method exists to prevent
+      s3.putIfAbsent(p, content.getBytes(UTF_8))
+    case _ =>
+      // generic Hadoop FS: create(overwrite = false) is the contract's
+      // exclusive create (atomic on HDFS)
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(UTF_8)) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.contains("exists") => false
+      }
   }
   def createOutput(): OutputStream = fs.create(p, true)
 }

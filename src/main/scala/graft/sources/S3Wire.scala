@@ -153,8 +153,11 @@ object S3Wire {
 
     private def send(method: String, rawPath: String,
                      query: Seq[(String, String)],
-                     body: Array[Byte]): (Int, String, Option[String]) = {
+                     body: Array[Byte],
+                     extraHeaders: Seq[(String, String)] = Nil)
+        : (Int, String, Option[String]) = {
       val conn = openSigned(method, rawPath, query, SigV4.sha256Hex(body))
+      extraHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       if (body.nonEmpty || method == "PUT" || method == "POST") {
         conn.setDoOutput(true)
         conn.getOutputStream.write(body)
@@ -173,6 +176,18 @@ object S3Wire {
     def putObject(bucket: String, key: String, bytes: Array[Byte]): Unit = {
       val (code, body, _) = send("PUT", objectPath(bucket, key), Nil, bytes)
       require(code == 200, s"PutObject HTTP $code: $body")
+    }
+
+    /** Conditional PutObject (`If-None-Match: *` — the S3 conditional
+      * write API): true if this call created the object, false on 412
+      * PreconditionFailed (it already existed). The commit CAS of an
+      * object-store Iceberg table rides on this. */
+    def putObjectIfAbsent(bucket: String, key: String,
+                          bytes: Array[Byte]): Boolean = {
+      val (code, body, _) = send("PUT", objectPath(bucket, key), Nil,
+        bytes, extraHeaders = Seq("If-None-Match" -> "*"))
+      if (code == 412) false
+      else { require(code == 200, s"PutObject HTTP $code: $body"); true }
     }
 
     /** CreateMultipartUpload (`POST ?uploads`) → UploadId. The
@@ -335,6 +350,9 @@ object S3Wire {
       extends AutoCloseable {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // serializes conditional-PUT check+write pairs (per-process: the
+    // loopback store is one directory; real S3 arbitrates internally)
+    private[S3Wire] val condPutLock = new Object
     val requests = new java.util.concurrent.atomic.AtomicInteger(0)
     // in-flight multipart uploads: (key, uploadId) → partNumber → bytes
     private val uploads = new java.util.concurrent.ConcurrentHashMap[
@@ -498,9 +516,26 @@ object S3Wire {
             if (f.isFile) f.delete(): Unit
             ex.sendResponseHeaders(204, -1); ex.close()
           case ("PUT", None, _) =>
-            writeObject(body)
-            ex.getResponseHeaders.set("ETag", "\"" + md5hex(body) + "\"")
-            respond(200, "<ok/>")
+            // conditional write (If-None-Match: * — S3's conditional
+            // PUT API): exactly one concurrent claimer wins; the
+            // check+write pair is serialized so two racing claims
+            // can't both pass the existence check
+            val conditional = Option(
+              ex.getRequestHeaders.getFirst("If-None-Match"))
+              .contains("*")
+            val conflict = conditional && condPutLock.synchronized {
+              if (new java.io.File(dir, key).isFile) true
+              else { writeObject(body); false }
+            }
+            if (conflict)
+              respond(412, """<?xml version="1.0"?><Error><Code>""" +
+                "PreconditionFailed</Code></Error>")
+            else {
+              if (!conditional) writeObject(body)
+              ex.getResponseHeaders.set("ETag",
+                "\"" + md5hex(body) + "\"")
+              respond(200, "<ok/>")
+            }
           case _ =>
             respond(400, """<?xml version="1.0"?>""" +
               "<Error><Code>InvalidRequest</Code></Error>")

@@ -206,6 +206,12 @@ class S3WireFileSystem extends FileSystem {
                       progress: Progressable): FSDataOutputStream =
     throw new UnsupportedOperationException("s3wire does not append")
 
+  /** ATOMIC exclusive create via the store's conditional-PUT API —
+    * unlike `create(overwrite = false)`, whose exists-check-then-write
+    * is a lost-update window under concurrent committers. */
+  def putIfAbsent(f: Path, bytes: Array[Byte]): Boolean =
+    client.putObjectIfAbsent(bucket, key(f), bytes)
+
   /** Copy+delete rename (no rename in the S3 model). Directory renames
     * rewrite every descendant key — only the output committer's small
     * task-dir moves use this; data-sized objects move at most once. */

@@ -52,6 +52,22 @@ object IcebergTail {
     TableIO(statePath).writeAtomic(
       s"""{"snapshotId":${st.snapshotId},"batchId":${st.batchId}}""")
 
+  /** Head this tail follows: main by default, or a named BRANCH — the
+    * WAP-auditor shape (tail the audit branch BEFORE publish). A
+    * dropped ref REFUSES loudly: silently falling back to main would
+    * hand the consumer a different history than it checkpointed. */
+  private def headOf(meta: com.fasterxml.jackson.databind.JsonNode,
+                     tableDir: String, ref: Option[String]): Long =
+    ref match {
+      case None => meta.get("current-snapshot-id").asLong
+      case Some(r) =>
+        Option(meta.path("refs").get(r))
+          .map(_.get("snapshot-id").asLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"ref '$r' does not exist at $tableDir (dropped after " +
+                "publish?) — tail a live ref, or resync from main"))
+    }
+
   /** One poll: deliver everything committed since the checkpoint as a
     * single microbatch, advance the checkpoint, return the new state —
     * or None when the table has not moved (a no-op tick costs one
@@ -59,11 +75,12 @@ object IcebergTail {
     * delivers the FULL current table as batch 0 (the backfill), like
     * a stream started from `earliest`. */
   def poll(spark: SparkSession, tableDir: String, statePath: String,
-           skipOverwrites: Boolean = false)
+           skipOverwrites: Boolean = false,
+           ref: Option[String] = None)
           (fn: (DataFrame, Long) => Unit): Option[TailState] = {
     val (_, meta) = IcebergMetadata.currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val curId = meta.get("current-snapshot-id").asLong
+    val curId = headOf(meta, tableDir, ref)
     readState(statePath) match {
       case None =>
         // the merged view, not raw data files — a MoR table's live
@@ -110,12 +127,13 @@ object IcebergTail {
     * batch 0 of pure inserts. Same checkpoint/restart contract as
     * [[poll]]. */
   def pollChangelog(spark: SparkSession, tableDir: String,
-                    statePath: String)
+                    statePath: String,
+                    ref: Option[String] = None)
                    (fn: (DataFrame, Long) => Unit): Option[TailState] = {
     import org.apache.spark.sql.functions.lit
     val (_, meta) = IcebergMetadata.currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val curId = meta.get("current-snapshot-id").asLong
+    val curId = headOf(meta, tableDir, ref)
     readState(statePath) match {
       case None =>
         // merged view as inserts — raw data files would resurrect

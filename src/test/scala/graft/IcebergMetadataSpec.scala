@@ -2803,6 +2803,53 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IcebergMetadata.rewritePositionDeletes(spark, ice).isEmpty)
   }
 
+  test("rewriteEqualityDeletes: hot-key eq files collapse by " +
+    "subsumption, a disjoint-key file keeps its own sequence, MoR " +
+    "view unchanged, late re-inserts survive, steady state no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_eqrw").toString
+    val ice = Files.createTempDirectory("graft_eqrwice").toString
+    spark.range(20).select(
+      col("id").cast("string").as(OlakeId), col("id").as("v"))
+      .write.parquet(s"$table/base")
+    def seg(ids: Range, vOff: Long, op: String = "u") =
+      spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as(OlakeId), (col("id") + vOff).as("v"),
+        lit(op).as(OpType), current_timestamp().as(CdcTimestamp),
+        col("id").as("lsn"))
+    // three hot-key segments over 0-5 (each subsumes the previous),
+    // then: a DELETE of key 7 followed by a RE-INSERT of key 7 at a
+    // later sequence — the re-insert must survive consolidation (its
+    // own batch's delete has the key's max sequence; the strictly-
+    // smaller rule spares the same batch's data row)
+    DeltaSegments.writeSegment(seg(0 until 5, 100), table, 1L)
+    DeltaSegments.writeSegment(seg(0 until 5, 200), table, 2L)
+    DeltaSegments.writeSegment(seg(0 until 5, 300), table, 3L)
+    DeltaSegments.writeSegment(seg(7 until 8, 0, "d"), table, 4L)
+    DeltaSegments.writeSegment(seg(7 until 8, 700, "c"), table, 5L)
+    IcebergMetadata.publishMoR(spark, ice, table): Unit
+    val eq0 = IcebergMetadata.dataFileStats(ice).filter(_.content == 2)
+    assert(eq0.size >= 5, s"fixture produced only ${eq0.size} eq files")
+    def viewNow() = IcebergMetadata.readMoR(spark, ice)
+      .select(col(OlakeId), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val before = viewNow()
+    assert(before.contains(("7", 707L)), "re-insert must be live")
+    assert(before.contains(("0", 300L)), "hot key must be at V3")
+
+    IcebergMetadata.rewriteEqualityDeletes(spark, ice).getOrElse(
+      fail("expected a consolidation commit"))
+    val eq1 = IcebergMetadata.dataFileStats(ice).filter(_.content == 2)
+    assert(eq1.size < eq0.size,
+      s"file count must drop: ${eq0.size} -> ${eq1.size}")
+    // hot keys 0-5 collapse to the max sequence; key 7's delete rides
+    // its re-insert batch's sequence — never raised beyond it
+    assert(viewNow() == before, "MoR view changed")
+    // steady state: nothing subsumes any more
+    assert(IcebergMetadata.rewriteEqualityDeletes(spark, ice).isEmpty)
+  }
+
   test("autoMaintain delete-ratio routing: a light-delete table takes " +
     "minor delete compaction and stays MoR; a heavy-delete table " +
     "major-compacts and unlocks binpack") {

@@ -220,4 +220,35 @@ class IcebergTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     }: Unit
     assert(captured == Seq((20L until 22L).toSet))
   }
+
+  test("branch-scoped tail: chained stages deliver in order on the " +
+    "branch, a dropped ref refuses cleanly instead of silently " +
+    "switching to main") {
+    val tmp = Files.createTempDirectory("graft_tail_ref").toString
+    val state = s"$tmp/tail.json"
+    rows(0 until 5).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    rows(100 until 103).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/d1", "audit"): Unit
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def fn(df: DataFrame, b: Long): Unit =
+      seen += ((b, df.select("id").collect().map(_.getLong(0)).toSet))
+    // backfill at the BRANCH head (staged snapshot's files)
+    IcebergTail.poll(spark, tmp, state, ref = Some("audit"))(fn): Unit
+    assert(seen.last == ((0L, (100L until 103L).toSet)))
+    // second stage chains on the branch head and tails incrementally
+    rows(200 until 202).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/d2", "audit"): Unit
+    IcebergTail.poll(spark, tmp, state, ref = Some("audit"))(fn): Unit
+    assert(seen.last == ((1L, (200L until 202L).toSet)))
+    // branch unmoved → no-op tick
+    assert(IcebergTail.poll(spark, tmp, state,
+      ref = Some("audit"))(fn).isEmpty)
+    // dropped ref: loud refusal, never a silent fallback to main
+    IcebergMetadata.dropRef(tmp, "audit"): Unit
+    val ex = intercept[IllegalArgumentException] {
+      IcebergTail.poll(spark, tmp, state, ref = Some("audit"))(fn)
+    }
+    assert(ex.getMessage.contains("does not exist"))
+  }
 }
