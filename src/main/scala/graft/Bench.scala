@@ -396,6 +396,40 @@ object Bench {
 
     probePass() // pass 1: quiet box, partially-warm JIT
     headline.foreach(timeQuery(_, times))
+    // SWEEP-LEVEL AMBIENT GUARD (r14 lesson: the per-query 3× guard
+    // correctly does NOT fire on a UNIFORM sweep-wide inflation — the
+    // r14 artifact recorded every query ~1.34× its trailing median
+    // under neighbor loadavg ~2, mis-stating a binary whose quiet runs
+    // were the best on record). Detector: the MEDIAN per-query ratio
+    // vs trailing medians (uniform inflation moves the median; a
+    // single transient cannot), or ambient load still present when the
+    // sweep ends. On trigger: ONE settle-and-resweep, keeping the
+    // per-query MIN — interference only ever inflates a wall time —
+    // and the artifact carries `rerun_reason` so it self-explains.
+    val sweepRerunReason: Option[String] = {
+      val ratios = times.toSeq.flatMap { case (k, v) =>
+        trailing.get(k).filter(_ > 0.05).map(v / _) }.sorted
+      val medianRatio =
+        if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+      val loadNow = load1()
+      if (ratios.size >= 10 && medianRatio > 1.25)
+        Some("median_ratio_" + "%.2f".format(medianRatio) +
+          "_load_" + "%.1f".format(loadNow))
+      else if (loadNow > 1.5)
+        Some("load_end_" + "%.1f".format(loadNow))
+      else None
+    }
+    sweepRerunReason.foreach { _ =>
+      var waited = 0
+      while (load1() > 1.0 && waited < 240) {
+        Thread.sleep(5000); waited += 5
+      }
+      val second =
+        scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      headline.foreach(timeQuery(_, second))
+      second.foreach { case (k, v) =>
+        if (v < times.getOrElse(k, Double.MaxValue)) times(k) = v }
+    }
     // the full set: everything not in the headline runs too (coverage
     // proofs, Derby-bound paths, write roundtrips — see scaladoc), in a
     // separate section that does not feed the headline total
@@ -438,8 +472,9 @@ object Bench {
     val jf = (if (failedNames.isEmpty) ""
       else s""","failed_queries":${failedNames.mkString("[", ",", "]")}""") +
       (if (retimed.isEmpty) ""
-       else retimed.map(n => s""""$n"""")
-         .mkString(""","retimed":[""", ",", "]"))
+       else retimed.distinct.map(n => s""""$n"""")
+         .mkString(""","retimed":[""", ",", "]")) +
+      sweepRerunReason.fold("")(r => s""","rerun_reason":"$r"""")
     val sfName = new java.io.File(sfDir).getName
     val jload = s""""load_start":${"%.1f".format(loadAtStart)},""" +
       s""""load_arrive":${"%.1f".format(loadArrive)},""" +
