@@ -2284,6 +2284,256 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 50 && got("0") == 500L && got("10") == 10L)
   }
 
+  test("cherry-pick snapshots re-walk under the independent decoder: " +
+       "head manifests carried verbatim, picked entries re-sequenced " +
+       "at the new commit's sequence, source-snapshot-id recorded") {
+    // extends the external-reader trust chain to the WAP publish-onto-
+    // moved-head path: a consumer replays the pick as a plain append
+    // whose files are the branch snapshot's files IN PLACE (zero
+    // copies) at a FRESH sequence — any drift (head rows re-stamped,
+    // picked entries keeping the branch sequence) double-counts or
+    // time-travels rows for an incremental reader.
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val ice = Files.createTempDirectory("graft_cpvec").toString
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.parquet(s"$ice/d0")
+    IcebergMetadata.commit(spark, ice, s"$ice/d0"): Unit
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.parquet(s"$ice/d1")
+    val cb = IcebergMetadata.commitToBranch(spark, ice, s"$ice/d1",
+      "audit")
+    nation.withColumn("n_nationkey", col("n_nationkey") + 200)
+      .write.parquet(s"$ice/d2")
+    val c2 = IcebergMetadata.appendCommit(spark, ice, s"$ice/d2")
+    def listRows(snapId: Long): Seq[GenericRecord] = {
+      val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+      val snap = meta.withArray[com.fasterxml.jackson.databind.node
+          .ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == snapId).get
+      val r = new DataFileReader(
+        new File(snap.get("manifest-list").asText),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val headRows = listRows(c2.snapshotId)
+    val branchPaths = {
+      val r = new DataFileReader(
+        new File(listRows(cb.snapshotId).head
+          .get("manifest_path").toString),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList.map(_.get("data_file")
+        .asInstanceOf[GenericRecord].get("file_path").toString)
+      finally r.close()
+    }
+    val cp = IcebergMetadata.cherrypickSnapshot(ice, cb.snapshotId)
+    val rowsAfter = listRows(cp.snapshotId)
+    // head rows VERBATIM + exactly one fresh manifest
+    assert(rowsAfter.size == headRows.size + 1)
+    rowsAfter.init.zip(headRows).foreach { case (carried, orig) =>
+      assert(carried.toString == orig.toString,
+        s"carried head row drifted:\n$carried\nvs\n$orig")
+    }
+    val fresh = rowsAfter.last
+    assert(fresh.get("added_snapshot_id") == cp.snapshotId)
+    assert(fresh.get("sequence_number") == cp.sequenceNumber)
+    assert(cp.sequenceNumber > c2.sequenceNumber &&
+      cp.sequenceNumber > cb.sequenceNumber)
+    val r3 = new DataFileReader(
+      new File(fresh.get("manifest_path").toString),
+      new GenericDatumReader[GenericRecord]())
+    val picked = try r3.iterator().asScala.toList finally r3.close()
+    // the picked entries: branch FILES verbatim (in place, no copy),
+    // ADDED under the pick's id at the pick's sequence
+    assert(picked.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString).sorted == branchPaths.sorted)
+    picked.foreach { e =>
+      assert(e.get("status") == Int.box(1))
+      assert(e.get("snapshot_id") == cp.snapshotId)
+      assert(e.get("sequence_number") == cp.sequenceNumber)
+    }
+    // provenance recorded the Iceberg way
+    val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+    val snap = meta.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == cp.snapshotId).get
+    assert(snap.get("summary").get("source-snapshot-id").asText ==
+      cb.snapshotId.toString)
+    // all three writes live exactly once
+    assert(IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map(_.recordCount).sum == 75L)
+  }
+
+  test("pos-delete rewrite snapshots re-walk under the independent " +
+       "decoder: data rows verbatim, ONE consolidated delete " +
+       "manifest, eq entries original, pos rows position-sorted") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_prvec_t").toString
+    val ice = Files.createTempDirectory("graft_prvec_i").toString
+    spark.range(30).select(col("id").cast("string").as(OlakeId),
+        col("id").as("v"))
+      .write.parquet(s"$table/base")
+    // two dup-bearing segments → one positional-delete file each
+    def dupSeg(ids: Range, vOff: Long) = {
+      val one = spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as(OlakeId), (col("id") + vOff).as("v"),
+        lit("u").as(OpType), current_timestamp().as(CdcTimestamp),
+        col("id").as("lsn"))
+      one.unionByName(one)
+    }
+    DeltaSegments.writeSegment(dupSeg(0 until 4, 100), table, 1L)
+    DeltaSegments.writeSegment(dupSeg(10 until 14, 500), table, 2L)
+    val cPub = IcebergMetadata.publishMoR(spark, ice, table)
+    def listRows(snapId: Long): Seq[GenericRecord] = {
+      val (_, meta) = IcebergMetadata.currentMetadata(ice).get
+      val snap = meta.withArray[com.fasterxml.jackson.databind.node
+          .ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == snapId).get
+      val r = new DataFileReader(
+        new File(snap.get("manifest-list").asText),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    def entriesOf(m: GenericRecord): Seq[GenericRecord] = {
+      val r = new DataFileReader(
+        new File(m.get("manifest_path").toString),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    val dataRowsBefore = listRows(cPub.snapshotId)
+      .filter(_.get("content") == Int.box(0))
+    val eqBefore = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 2)
+      .map(e => (e.path, e.seq, e.addedSnapshotId)).toSet
+    val posSeqMax = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 1).map(_.seq).max
+    val cRw = IcebergMetadata.rewritePositionDeletes(spark, ice).get
+    val rowsAfter = listRows(cRw.snapshotId)
+    // data manifest rows VERBATIM — data never moves
+    assert(rowsAfter.filter(_.get("content") == Int.box(0))
+      .map(_.toString) == dataRowsBefore.map(_.toString))
+    // exactly ONE delete manifest; its entries: eq files EXISTING
+    // under original ids/sequences, ONE consolidated pos file ADDED
+    // at the max original pos sequence
+    val delManifests = rowsAfter.filter(_.get("content") == Int.box(1))
+    assert(delManifests.size == 1)
+    val delEntries = entriesOf(delManifests.head)
+    val (posE, eqE) = delEntries.partition(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("content") == Int.box(1))
+    assert(eqE.map(e => (e.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString,
+        e.get("sequence_number").asInstanceOf[Long],
+        e.get("snapshot_id").asInstanceOf[Long])).toSet == eqBefore)
+    eqE.foreach(e => assert(e.get("status") == Int.box(0)))
+    assert(posE.size == 1)
+    assert(posE.head.get("status") == Int.box(1))
+    assert(posE.head.get("snapshot_id") == cRw.snapshotId)
+    assert(posE.head.get("sequence_number") == Long.box(posSeqMax))
+    // the consolidated file is sorted by (file_path, pos) — the spec's
+    // required ordering — and every named file is a live data file
+    val posPath = posE.head.get("data_file")
+      .asInstanceOf[GenericRecord].get("file_path").toString
+    val rows = spark.read.parquet(posPath)
+      .select("file_path", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == rows.sortBy(identity), "pos rows not sorted")
+    val live = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map(_.path.replaceFirst("^file:/+", "/"))
+      .toSet
+    assert(rows.map(_._1.replaceFirst("^file:/+", "/"))
+      .forall(live.contains), "pos delete names a dead file")
+    // merged view identical through the algebra
+    val got = IcebergMetadata.readMoR(spark, ice)
+      .select(col(OlakeId), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.size == 30 && got("0") == 100L && got("10") == 510L &&
+      got("20") == 20L)
+  }
+
+  test("spec-evolution lifecycle re-walks under the independent " +
+       "decoder: both specs in metadata with cross-spec-unique field " +
+       "ids, per-manifest spec ids, tuples typed and valued per spec") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val ice = Files.createTempDirectory("graft_sevec").toString
+    val day = (d: Int) => s"2024-03-0$d 00:00:00"
+    val df1 = spark.range(200).select(col("id"),
+      to_timestamp(when(col("id") < 100, day(5)).otherwise(day(6)))
+        .as("ts"))
+    IcebergMetadata.publishPartitioned(spark, ice, df1, "/{ts,day}"): Unit
+    val hourSid = IcebergMetadata.evolvePartitionSpec(ice, "/{ts,hour}")
+    val df2 = spark.range(200, 260).select(col("id"),
+      to_timestamp(lit(day(7))).as("ts"))
+    IcebergMetadata.appendCommitPartitioned(spark, ice, df2): Unit
+    // metadata.json (the raw file, via a plain JSON read): all specs
+    // present, default = the evolved one, partition field-ids UNIQUE
+    // ACROSS SPECS (the v2 rule external readers key the common
+    // partition struct on)
+    val metaText = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(s"$ice/metadata").resolve(
+        s"v${IcebergMetadata.currentMetadata(ice).get._1}.metadata.json"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(metaText)
+    assert(root.get("default-spec-id").asInt == hourSid)
+    val specs = root.withArray[com.fasterxml.jackson.databind.node
+      .ArrayNode]("partition-specs").asScala.toSeq
+    val fieldIds = specs.flatMap(_.withArray[com.fasterxml.jackson
+        .databind.node.ArrayNode]("fields").asScala
+      .map(_.get("field-id").asInt))
+    assert(fieldIds.distinct.size == fieldIds.size,
+      s"partition field-ids collide across specs: $fieldIds")
+    assert(root.get("last-partition-id").asInt == fieldIds.max)
+    // manifest walk: every manifest declares its spec id in Avro file
+    // metadata, and its entries' tuples are typed/valued per THAT spec
+    val headId = root.get("current-snapshot-id").asLong
+    val snap = root.withArray[com.fasterxml.jackson.databind.node
+        .ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == headId).get
+    val lr = new DataFileReader(
+      new File(snap.get("manifest-list").asText),
+      new GenericDatumReader[GenericRecord]())
+    val listRows = try lr.iterator().asScala.toList finally lr.close()
+    val specFieldId: Map[Int, Seq[Int]] = specs.map(s =>
+      s.get("spec-id").asInt -> s.withArray[com.fasterxml.jackson
+        .databind.node.ArrayNode]("fields").asScala
+        .map(_.get("field-id").asInt).toSeq).toMap
+    var sawDay = false; var sawHour = false
+    var totalRows = 0L
+    listRows.foreach { m =>
+      val mr = new DataFileReader(
+        new File(m.get("manifest_path").toString),
+        new GenericDatumReader[GenericRecord]())
+      val sid = Option(mr.getMetaString("partition-spec-id"))
+        .map(_.toInt).getOrElse(0)
+      val entries = try mr.iterator().asScala.toList finally mr.close()
+      entries.foreach { e =>
+        val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+        totalRows += dfr.get("record_count").asInstanceOf[Long]
+        val pRec = dfr.get("partition").asInstanceOf[GenericRecord]
+        val pf = pRec.getSchema.getFields.asScala.toSeq
+        assert(pf.map(_.getObjectProp("field-id")
+          .asInstanceOf[Number].intValue) == specFieldId(sid),
+          s"manifest spec $sid tuple field-ids drifted")
+        if (pf.nonEmpty) {
+          val v = pRec.get(pf.head.name()).asInstanceOf[Int]
+          assert(dfr.get("file_path").toString.contains(s"=$v"))
+          if (sid == hourSid) {
+            sawHour = true
+            assert(v >= 19789 * 24, s"hour tuple out of range: $v")
+          } else if (pf.nonEmpty) { sawDay = true
+            assert(v >= 19787 && v <= 19790, s"day tuple: $v")
+          }
+        }
+      }
+    }
+    assert(sawDay && sawHour,
+      "fixture must exercise both specs' manifests")
+    assert(totalRows == 260L)
+  }
+
   test("maintenance planning issues ZERO per-file parquet stat probes: " +
        "sizes come from the manifests' file_size_in_bytes") {
     import org.apache.spark.sql.functions.col
