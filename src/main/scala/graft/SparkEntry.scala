@@ -3594,6 +3594,13 @@ object SparkEntry {
       require(scala.util.Try(
         cat.registerTable("lake", "nation_reg", loc)).isFailure,
         "double-register must refuse, never clobber a live pointer")
+      // each catalog's pointer read back through its OWN load path;
+      // at the end all four must agree on one metadata location (the
+      // migration invariant: re-pointing a consumer at any catalog
+      // serves the same table)
+      val pointers = scala.collection.mutable.LinkedHashMap.empty[
+        String, String]
+      pointers("jdbc") = cat.loadTable("lake", "nation_reg").get
       val server = new IcebergRestCatalog.Server(Map.empty)
       try {
         val client = new IcebergRestCatalog.Client(server.endpoint)
@@ -3605,6 +3612,9 @@ object SparkEntry {
         require(scala.util.Try(
           client.registerTable("lake", "nation_rest", loc)).isFailure,
           "REST double-register must 409")
+        pointers("rest") = client.loadTable("lake", "nation_rest")
+          .metadataLocation.getOrElse(
+            throw new IllegalStateException("REST loadTable lost pointer"))
       } finally server.close()
       // Glue: ONE CreateTable carrying metadata_location (SigV4 wire)
       locally {
@@ -3621,6 +3631,8 @@ object SparkEntry {
           require(scala.util.Try(
             gc.registerTable("lake", "nation_glue", loc)).isFailure,
             "Glue double-register must AlreadyExists")
+          pointers("glue") = gc.getTable("lake", "nation_glue")
+            .metadataLocation.get
         } finally gsrv.close()
       }
       // Hive: create_table with the metadata_location parameter
@@ -3638,10 +3650,15 @@ object SparkEntry {
           require(scala.util.Try(
             hc.registerTable("lake", "nation_hive", loc)).isFailure,
             "HMS double-register must AlreadyExists")
+          pointers("hms") = hc.getTable("lake", "nation_hive")
+            .parameters("metadata_location")
         } finally { hc.close(); hsrv.close() }
       }
+      require(pointers.size == 4 && pointers.values.toSet == Set(loc),
+        s"catalog pointers disagree after register: $pointers")
+      // the read goes through the AGREED pointer every catalog serves
       s.read.parquet(IcebergMetadata.dataFilePathsAt(
-          cat.loadTable("lake", "nation_reg").get): _*)
+          pointers("rest")): _*)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
