@@ -36,6 +36,20 @@ object Main {
     * session's Hadoop conf (`fs.s3wire.*` endpoint/credentials live
     * there) — build a session purely for the conf, local paths skip
     * it. */
+  /** Data verbs (tail / changelog / delete compactions) borrow an
+    * in-process caller's live session and NEVER stop it — standalone
+    * CLI invocations create and own one (same rationale as
+    * [[withTableSession]]: getOrCreate would hand us the caller's
+    * session and a finally would kill it). */
+  private def withDataSession[A](body: SparkSession => A): A =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => body(s)
+      case None =>
+        val s = session()
+        s.sparkContext.setLogLevel("ERROR")
+        try body(s) finally s.stop()
+    }
+
   private def withTableSession[A](table: String)(body: => A): A =
     if (!table.contains("://")) body
     else org.apache.spark.sql.SparkSession.getActiveSession match {
@@ -394,16 +408,30 @@ object Main {
     // consolidate per-batch positional-delete files into one and drop
     // dangling rows (cost ∝ pos-delete rows; data never moves)
     case "maintain" :: table :: "posdeletes" :: Nil =>
-      val spark = session()
-      spark.sparkContext.setLogLevel("ERROR")
-      graft.sinks.IcebergMetadata
-        .rewritePositionDeletes(spark, table) match {
-        case Some(c) => println(
-          s"""{"status":"rewritten","snapshot":${c.snapshotId},""" +
-            s""""pos_files":${c.addedFiles},"pos_rows":${c.addedRows}}""")
-        case None => println("""{"status":"nothing-to-rewrite"}""")
+      withDataSession { spark =>
+        graft.sinks.IcebergMetadata
+          .rewritePositionDeletes(spark, table) match {
+          case Some(c) => println(
+            s"""{"status":"rewritten","snapshot":${c.snapshotId},""" +
+              s""""pos_files":${c.addedFiles},"pos_rows":${c.addedRows}}""")
+          case None => println("""{"status":"nothing-to-rewrite"}""")
+        }
       }
-      spark.stop()
+
+    // maintain <table> eqdeletes: MINOR equality-delete compaction —
+    // per key only the max-sequence delete entry survives
+    // (subsumption), survivors regroup one file per sequence; data
+    // never moves (cost ∝ equality-delete rows)
+    case "maintain" :: table :: "eqdeletes" :: Nil =>
+      withDataSession { spark =>
+        graft.sinks.IcebergMetadata
+          .rewriteEqualityDeletes(spark, table) match {
+          case Some(c) => println(
+            s"""{"status":"rewritten","snapshot":${c.snapshotId},""" +
+              s""""eq_files":${c.addedFiles},"eq_rows":${c.addedRows}}""")
+          case None => println("""{"status":"nothing-to-rewrite"}""")
+        }
+      }
 
     // maintain <table> cherrypick <snapshotId>: transplant an
     // audit-branch append onto the CURRENT main head (the WAP publish
@@ -440,30 +468,29 @@ object Main {
           sys.exit(2)
         }
       }
-      val spark = session()
-      spark.sparkContext.setLogLevel("ERROR")
-      val changelog = rest.contains("--changelog")
-      val skipOw = rest.contains("--skip-overwrites")
-      val out = rest.filterNot(_.startsWith("--"))
-        .filterNot(refV.contains).headOption
-      def deliver(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
-        out match {
-          case Some(dir) =>
-            df.write.mode("overwrite").parquet(s"$dir/batch=$b")
-          case None => df.show(50, truncate = false)
+      withDataSession { spark =>
+        val changelog = rest.contains("--changelog")
+        val skipOw = rest.contains("--skip-overwrites")
+        val out = rest.filterNot(_.startsWith("--"))
+          .filterNot(refV.contains).headOption
+        def deliver(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+          out match {
+            case Some(dir) =>
+              df.write.mode("overwrite").parquet(s"$dir/batch=$b")
+            case None => df.show(50, truncate = false)
+          }
+        val st =
+          if (changelog)
+            graft.streaming.IcebergTail.pollChangelog(spark, table,
+              statePath, ref = refV)(deliver)
+          else graft.streaming.IcebergTail.poll(spark, table, statePath,
+            skipOverwrites = skipOw, ref = refV)(deliver)
+        st match {
+          case Some(s) => println(s"""{"status":"delivered","batch":""" +
+            s"""${s.batchId},"snapshot":${s.snapshotId}}""")
+          case None => println("""{"status":"up-to-date"}""")
         }
-      val st =
-        if (changelog)
-          graft.streaming.IcebergTail.pollChangelog(spark, table,
-            statePath, ref = refV)(deliver)
-        else graft.streaming.IcebergTail.poll(spark, table, statePath,
-          skipOverwrites = skipOw, ref = refV)(deliver)
-      st match {
-        case Some(s) => println(s"""{"status":"delivered","batch":""" +
-          s"""${s.batchId},"snapshot":${s.snapshotId}}""")
-        case None => println("""{"status":"up-to-date"}""")
       }
-      spark.stop()
 
     // changelog <table> <fromSnapshotId> [outDir] [--net]: the
     // row-level insert/delete stream a downstream consumer replays
@@ -481,22 +508,21 @@ object Main {
           sys.exit(2)
         }
       }
-      val spark = session()
-      spark.sparkContext.setLogLevel("ERROR")
-      val net = rest.contains("--net")
-      val out = rest.filterNot(_ == "--net").headOption
-      val log = graft.sinks.IcebergMetadata.changelogScan(spark, table,
-        from.toLong, netChanges = net).persist()
-      out match {
-        case Some(dir) => log.write.mode("overwrite").parquet(dir)
-        case None => log.show(100, truncate = false)
+      withDataSession { spark =>
+        val net = rest.contains("--net")
+        val out = rest.filterNot(_ == "--net").headOption
+        val log = graft.sinks.IcebergMetadata.changelogScan(spark, table,
+          from.toLong, netChanges = net).persist()
+        out match {
+          case Some(dir) => log.write.mode("overwrite").parquet(dir)
+          case None => log.show(100, truncate = false)
+        }
+        val counts = log.groupBy("change_type").count().collect()
+          .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
+        log.unpersist(): Unit
+        val body = if (counts.isEmpty) "" else "," + counts.mkString(",")
+        println(s"""{"status":"changelog"$body}""")
       }
-      val counts = log.groupBy("change_type").count().collect()
-        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
-      log.unpersist(): Unit
-      val body = if (counts.isEmpty) "" else "," + counts.mkString(",")
-      println(s"""{"status":"changelog"$body}""")
-      spark.stop()
 
     case other =>
       System.err.println(

@@ -3657,6 +3657,41 @@ object IcebergMetadata {
   /** "Before everything" sentinel for [[appendedFilesSince]]. */
   val BeforeAllSnapshots: Long = Long.MinValue
 
+  /** Admission control for the streaming source
+    * (`maxFilesPerTrigger`): the farthest snapshot — walking the main
+    * lineage from `fromSnapshotId` toward `toSnapshotId` — whose
+    * cumulative appended-file count stays within `maxFiles`, always
+    * advancing at least one snapshot so a single oversized commit
+    * still delivers whole (commits never split across batches).
+    * Metadata cost O(new manifests); an off-lineage start falls
+    * through to `toSnapshotId` and lets the plan path raise its own
+    * resync error. */
+  def boundedAppendHead(tableDir: String, fromSnapshotId: Long,
+                        toSnapshotId: Long, maxFiles: Int): Long = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val lineage = mainLineage(meta, Some(toSnapshotId))
+    val fromIdx =
+      if (fromSnapshotId == BeforeAllSnapshots) -1
+      else lineage.indexWhere(
+        _.get("snapshot-id").asLong == fromSnapshotId)
+    if (fromSnapshotId != BeforeAllSnapshots && fromIdx < 0)
+      return toSnapshotId
+    var cum = 0
+    var head = fromSnapshotId
+    var advanced = false
+    lineage.drop(fromIdx + 1).foreach { s =>
+      val op = s.get("summary").get("operation").asText
+      val cnt = if (op == "append") addedDataFilesOf(s).size else 0
+      if (advanced && cum + cnt > maxFiles) return head
+      cum += cnt
+      head = s.get("snapshot-id").asLong
+      advanced = true
+      if (cum >= maxFiles) return head
+    }
+    head
+  }
+
   private def appendedOf(s: JsonNode,
                          failOnOverwrite: Boolean): Seq[String] = {
     val id = s.get("snapshot-id").asLong

@@ -74,7 +74,9 @@ class IcebergTableSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new IcebergStreamTable(IcebergTableSource.dir(opts), schema,
       skipOverwrites = opts.getBoolean("skipOverwrites", false),
-      startSnapshot = opts.getOrDefault("startSnapshot", "earliest"))
+      startSnapshot = opts.getOrDefault("startSnapshot", "earliest"),
+      ref = Option(opts.get("ref")),
+      maxFilesPerTrigger = opts.getInt("maxFilesPerTrigger", 0))
   }
 }
 
@@ -101,24 +103,44 @@ object IcebergTableSource {
 }
 
 class IcebergStreamTable(tableDir: String, tableSchema: StructType,
-                         skipOverwrites: Boolean, startSnapshot: String)
+                         skipOverwrites: Boolean, startSnapshot: String,
+                         ref: Option[String],
+                         maxFilesPerTrigger: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft-iceberg(`$tableDir`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new IcebergStreamScan(tableDir, tableSchema, skipOverwrites,
-      startSnapshot)
+    new IcebergStreamScanBuilder(tableDir, tableSchema, skipOverwrites,
+      startSnapshot, ref, maxFilesPerTrigger)
+}
+
+/** Column pruning reaches the parquet reader: the pruned schema flows
+  * through the scan into each partition reader, which projects the
+  * parquet read itself (`parquet.read.schema`) — a two-column consumer
+  * of a wide table reads two column chunks, not the row. */
+class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
+                               skipOverwrites: Boolean,
+                               startSnapshot: String, ref: Option[String],
+                               maxFilesPerTrigger: Int)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var pruned: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+  override def build(): Scan = new IcebergStreamScan(tableDir, pruned,
+    skipOverwrites, startSnapshot, ref, maxFilesPerTrigger)
 }
 
 class IcebergStreamScan(tableDir: String, tableSchema: StructType,
-                        skipOverwrites: Boolean, startSnapshot: String)
+                        skipOverwrites: Boolean, startSnapshot: String,
+                        ref: Option[String], maxFilesPerTrigger: Int)
     extends Scan {
   override def readSchema(): StructType = tableSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new IcebergSnapshotStream(tableDir, tableSchema, skipOverwrites,
-      startSnapshot)
+      startSnapshot, ref, maxFilesPerTrigger)
 }
 
 /** The snapshot id as a streaming Offset. */
@@ -133,15 +155,27 @@ object SnapshotOffset {
 }
 
 class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
-                            skipOverwrites: Boolean, startSnapshot: String)
+                            skipOverwrites: Boolean, startSnapshot: String,
+                            ref: Option[String] = None,
+                            maxFilesPerTrigger: Int = 0)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private def headId: Long =
-    IcebergMetadata.currentMetadata(tableDir).getOrElse(
+  private def headId: Long = {
+    val meta = IcebergMetadata.currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(
-        s"no committed version at $tableDir"))
-      ._2.get("current-snapshot-id").asLong
+        s"no committed version at $tableDir"))._2
+    ref match {
+      case None => meta.get("current-snapshot-id").asLong
+      case Some(r) =>
+        // branch-scoped stream (the WAP auditor tails the audit
+        // branch); a dropped ref refuses — never a silent main switch
+        Option(meta.path("refs").get(r))
+          .map(_.get("snapshot-id").asLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"ref '$r' does not exist at $tableDir"))
+    }
+  }
 
   /** Trigger.AvailableNow contract: the end offset is pinned ONCE at
     * stream start — commits landing mid-run wait for the next
@@ -158,8 +192,14 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset =
-    SnapshotOffset(availableNowEnd.getOrElse(headId))
+      : Offset = {
+    val target = availableNowEnd.getOrElse(headId)
+    val s = start.asInstanceOf[SnapshotOffset].snapshotId
+    SnapshotOffset(
+      if (maxFilesPerTrigger <= 0 || s == target) target
+      else IcebergMetadata.boundedAppendHead(tableDir, s, target,
+        maxFilesPerTrigger))
+  }
 
   override def reportLatestOffset(): Offset = SnapshotOffset(headId)
 
@@ -216,17 +256,38 @@ class IcebergFileReaderFactory(schema: StructType,
         c
       }
       private val hPath = new Path(path)
-      private val convert: Group => InternalRow = {
-        val fileSchema = {
-          val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(hPath, conf))
-          try r.getFooter.getFileMetaData.getSchema finally r.close()
-        }
-        GroupRows.structConverter(schema, fileSchema)
+      private val fileSchema = {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(hPath, conf))
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
       }
-      private val reader: ParquetReader[Group] =
+      // PROJECTION pushed into the parquet read itself: only the
+      // pruned columns' chunks are decoded (a pruned-away column of a
+      // wide table costs zero IO). An EMPTY projection (count-style
+      // plans) still needs row COUNTS, so the narrowest single column
+      // is read and rows convert to empty tuples.
+      private val projected = {
+        import scala.jdk.CollectionConverters._
+        val wanted = schema.fieldNames.toSet
+        val keep = fileSchema.getFields.asScala
+          .filter(f => wanted.contains(f.getName))
+        val fields =
+          if (keep.nonEmpty) keep
+          else fileSchema.getFields.asScala.take(1)
+        new org.apache.parquet.schema.MessageType(
+          fileSchema.getName, fields.asJava)
+      }
+      private val convert: Group => InternalRow =
+        if (schema.fields.isEmpty) { _ =>
+          new GenericInternalRow(Array.empty[Any])
+        } else GroupRows.structConverter(schema, projected)
+      private val reader: ParquetReader[Group] = {
+        if (projected.getFieldCount < fileSchema.getFieldCount)
+          conf.set(org.apache.parquet.hadoop.api.ReadSupport
+            .PARQUET_READ_SCHEMA, projected.toString)
         ParquetReader.builder(new GroupReadSupport(), hPath)
           .withConf(conf).build()
+      }
       private var current: Group = _
 
       override def next(): Boolean = {

@@ -128,6 +128,67 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((0L until 6L) ++ (20L until 23L)).toSet)
   }
 
+  test("ref option tails a branch; maxFilesPerTrigger bounds each " +
+    "microbatch by appended files while commits never split") {
+    val tmp = Files.createTempDirectory("graft_dsv2_ref").toString
+    rows(0 until 6).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    rows(100 until 104).coalesce(1).write.parquet(s"$tmp/db")
+    IcebergMetadata.commitToBranch(spark, tmp, s"$tmp/db", "audit"): Unit
+    // the branch stream replays base + staged; main sees only base
+    val br = runToDone(tmp, s"$tmp/ckb", Map("ref" -> "audit"))
+      .flatMap(_._2).map(_.getLong(0)).toSet
+    assert(br == ((0L until 6L) ++ (100L until 104L)).toSet)
+    val mn = runToDone(tmp, s"$tmp/ckm").flatMap(_._2)
+      .map(_.getLong(0)).toSet
+    assert(mn == (0L until 6L).toSet)
+
+    // four single-file appends, 2 files per trigger → the AvailableNow
+    // run drains in MULTIPLE batches, each ≤ 2 commits, union complete
+    (0 until 4).foreach { k =>
+      rows(10 + 2 * k until 12 + 2 * k).coalesce(1)
+        .write.parquet(s"$tmp/a$k")
+      IcebergMetadata.appendCommit(spark, tmp, s"$tmp/a$k"): Unit
+    }
+    val batches = runToDone(tmp, s"$tmp/ckm",
+      Map("maxFilesPerTrigger" -> "2")).filter(_._2.nonEmpty)
+    assert(batches.size >= 2,
+      s"expected multiple bounded batches, got ${batches.size}")
+    assert(batches.forall(_._2.size <= 4),
+      "a batch exceeded 2 single-file commits")
+    assert(batches.flatMap(_._2).map(_.getLong(0)).toSet ==
+      (10L until 18L).toSet)
+  }
+
+  test("column pruning reaches the scan: the pruned schema is the " +
+    "scan's readSchema, and a projected stream delivers correct rows") {
+    val tmp = Files.createTempDirectory("graft_dsv2_prune").toString
+    rows(0 until 8).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    // the ScanBuilder honors pruneColumns
+    val schema = IcebergMetadata.currentSparkSchema(tmp)
+    val b = new graft.sources.replication.IcebergStreamScanBuilder(
+      tmp, schema, skipOverwrites = false, startSnapshot = "earliest",
+      ref = None, maxFilesPerTrigger = 0)
+    val prunedTo = org.apache.spark.sql.types.StructType(
+      schema.fields.filter(_.name == "v"))
+    b.pruneColumns(prunedTo)
+    assert(b.build().readSchema() == prunedTo)
+    // behavioral: a projected stream (Spark prunes through the DSv2
+    // scan) delivers the right values
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-iceberg").load(tmp)
+      .select("v")
+      .writeStream.option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        assert(df.columns.toSeq == Seq("v"))
+        seen ++= df.collect().map(_.getLong(0)): Unit
+      }.start()
+    q.awaitTermination()
+    assert(seen.toSet == (0L until 8L).map(_ * 10).toSet)
+  }
+
   test("executor-side Group reader covers the engine's written types: " +
     "string, decimal, timestamp, date, array, map, struct, binary") {
     val tmp = Files.createTempDirectory("graft_dsv2_types").toString

@@ -68,4 +68,42 @@ class MainVerbsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sweep = run("maintain", tmp, "orphans", "0")
     assert(sweep.contains(""""files_removed":1""") && !stray.exists)
   }
+
+  test("maintain eqdeletes verb consolidates hot-key equality files; " +
+    "tail --ref follows a branch") {
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    val table = Files.createTempDirectory("graft_verbs_eq_t").toString
+    val ice = Files.createTempDirectory("graft_verbs_eq_i").toString
+    spark.range(10).select(col("id").cast("string").as(OlakeId),
+        col("id").as("v"))
+      .write.parquet(s"$table/base")
+    def seg(off: Long) = spark.range(5).select(
+      col("id").cast("string").as(OlakeId), (col("id") + off).as("v"),
+      lit("u").as(OpType), current_timestamp().as(CdcTimestamp),
+      col("id").as("lsn"))
+    graft.sinks.DeltaSegments.writeSegment(seg(100), table, 1L)
+    graft.sinks.DeltaSegments.writeSegment(seg(200), table, 2L)
+    graft.sinks.DeltaSegments.writeSegment(seg(300), table, 3L)
+    IcebergMetadata.publishMoR(spark, ice, table): Unit
+    val out = run("maintain", ice, "eqdeletes")
+    assert(out.contains(""""status":"rewritten""""), out)
+    assert(run("maintain", ice, "eqdeletes")
+      .contains(""""status":"nothing-to-rewrite""""))
+
+    // tail --ref: a staged branch commit reaches only the ref tail
+    val tdir = Files.createTempDirectory("graft_verbs_tail").toString
+    spark.range(3).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(s"$tdir/d0")
+    IcebergMetadata.commit(spark, tdir, s"$tdir/d0"): Unit
+    spark.range(50, 53).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(s"$tdir/d1")
+    IcebergMetadata.commitToBranch(spark, tdir, s"$tdir/d1",
+      "audit"): Unit
+    val tOut = run("tail", tdir, s"$tdir/state.json", s"$tdir/out",
+      "--ref", "audit")
+    assert(tOut.contains(""""status":"delivered""""), tOut)
+    val delivered = spark.read.parquet(s"$tdir/out/batch=0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(delivered == Set(50L, 51L, 52L))
+  }
 }
