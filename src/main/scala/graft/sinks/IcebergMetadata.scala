@@ -3199,7 +3199,7 @@ object IcebergMetadata {
     * `currentMetadata`, so the rebuilt snapshot chains on the winner
     * (no lost update, linear history). Jittered backoff between
     * attempts. */
-  def withCommitRetry[T](tableDir: String, attempts: Int = 6)
+  def withCommitRetry[T](tableDir: String, attempts: Int = 12)
                         (body: => T): T = {
     var i = 0
     while (true) {
@@ -3208,9 +3208,13 @@ object IcebergMetadata {
         case _: CommitConflictException if i < attempts - 1 =>
           i += 1
           healHint(tableDir)
-          Thread.sleep(5L * i +
-            java.util.concurrent.ThreadLocalRandom.current()
-              .nextLong(20))
+          // exponential backoff with full jitter (Iceberg's own retry
+          // shape): a losing writer's rebuild costs real work, so
+          // under N-way contention the sleep must grow past the
+          // winners' commit time or the loser starves its budget
+          val cap = math.min(1000L, 25L << math.min(i, 5))
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(cap + 1))
       }
     }
     throw new IllegalStateException("unreachable")

@@ -50,6 +50,128 @@ object ScaleCheck {
     // measurement (warm commit untimed, then 3 timed commits) — the r10
     // flap adjudication requires three consecutive quiet runs within
     // ±20%. ----
+    // ---- Commit-CAS contention (`ScaleCheck casrace`): N writer
+    // threads race appendCommits on ONE table. Measures commits/sec
+    // at 1/2/4 writers plus the retry bill — the cost model of the
+    // exclusive-create claim. Contention slows a writer by ~the retry
+    // count × snapshot-build cost, never loses a commit. ----
+    if (args.headOption.contains("casrace")) {
+      import graft.sinks.IcebergMetadata
+      val nat = Tables.load(spark, base, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      def race(writers: Int, each: Int): (Double, Int) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"sccas$writers").toString
+        nat.coalesce(1).write.parquet(s"$tmp/d0")
+        IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+        // stage every data dir off-clock (the race measures COMMITS)
+        val dirs = (0 until writers).map { w =>
+          (0 until each).map { i =>
+            val d = s"$tmp/w$w-$i"
+            nat.withColumn("n_nationkey",
+              col("n_nationkey") + (w * each + i + 1) * 1000)
+              .coalesce(1).write.parquet(d)
+            d
+          }
+        }
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(writers)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val t0 = System.nanoTime()
+        val wall = try {
+          val futs = dirs.map(ds => pool.submit(
+            new Runnable { override def run(): Unit = {
+              start.await()
+              ds.foreach(d =>
+                IcebergMetadata.appendCommit(spark, tmp, d): Unit)
+            }}))
+          start.countDown()
+          futs.foreach(_.get())
+          (System.nanoTime() - t0) / 1e9
+        } finally pool.shutdownNow() // non-daemon threads must die
+                                     // even when a writer throws
+        val (_, meta) = IcebergMetadata.currentMetadata(tmp).get
+        val snaps = meta.withArray[
+          com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+        require(snaps.size == writers * each + 1,
+          s"lost commits: ${snaps.size - 1} of ${writers * each}")
+        val total = IcebergMetadata.readTable(spark, tmp).count()
+        require(total == 25L * (writers * each + 1),
+          s"lost rows: $total")
+        (wall, writers * each)
+      }
+      race(1, 2) // warm codegen/JIT off-record
+      Seq(1, 2, 4).foreach { w =>
+        val (wall, n) = race(w, 12 / w)
+        println(f"casrace $w writers × ${12 / w} commits: " +
+          f"$wall%.2f s (${n / wall}%.1f commits/s, all landed)")
+      }
+      spark.stop(); return
+    }
+
+    // ---- Equality-delete compaction cost (`ScaleCheck eqrewrite`):
+    // rewrite wall vs number of hot-key delete batches, with the DATA
+    // size held constant — the claim is cost ∝ eq-delete rows (data
+    // never moves), plus the readMoR speedup the consolidation buys.
+    if (args.headOption.contains("eqrewrite")) {
+      import graft.sinks.{DeltaSegments, IcebergMetadata}
+      import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+      def mk(batches: Int): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"sceq$batches").toString
+        // constant data: 600k events rows as base
+        Tables.load(spark, base, "events")
+          .select(col("event_id").cast("string").as(OlakeId),
+            col("event_id").as("v"))
+          .write.parquet(s"$tmp/t/base")
+        (1 to batches).foreach { b =>
+          DeltaSegments.writeSegment(
+            spark.range(2000).select(
+              col("id").cast("string").as(OlakeId),
+              (col("id") + b * 10000).as("v"),
+              lit("u").as(OpType),
+              current_timestamp().as(CdcTimestamp),
+              col("id").as("lsn")),
+            s"$tmp/t", b.toLong)
+        }
+        IcebergMetadata.publishMoR(spark, s"$tmp/ice", s"$tmp/t"): Unit
+        tmp
+      }
+      def run(batches: Int): (Double, Double, Double) = {
+        val tmp = mk(batches)
+        val ice = s"$tmp/ice"
+        val rBefore = {
+          val t0 = System.nanoTime()
+          IcebergMetadata.readMoR(spark, ice).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t0 = System.nanoTime()
+        IcebergMetadata.rewriteEqualityDeletes(spark, ice).getOrElse(
+          throw new IllegalStateException("no-op"))
+        val w = (System.nanoTime() - t0) / 1e9
+        val eqAfter = IcebergMetadata.dataFileStats(ice)
+          .count(_.content == 2)
+        require(eqAfter == 1, s"$eqAfter eq files left")
+        val rAfter = {
+          val t0b = System.nanoTime()
+          IcebergMetadata.readMoR(spark, ice).count()
+          (System.nanoTime() - t0b) / 1e9
+        }
+        (w, rBefore, rAfter)
+      }
+      run(4) // warm
+      val (w10, rb10, ra10) = run(10)
+      val (w40, rb40, ra40) = run(40)
+      println(f"eqrewrite 10 batches: rewrite $w10%.2f s, " +
+        f"readMoR $rb10%.2f → $ra10%.2f s")
+      println(f"eqrewrite 40 batches: rewrite $w40%.2f s, " +
+        f"readMoR $rb40%.2f → $ra40%.2f s")
+      println(f"4× delete batches → ${w40 / w10}%.1f× rewrite wall " +
+        "(∝ delete rows, data constant = the claim); " +
+        f"consolidation buys ${rb40 / ra40}%.1f× on the 40-batch read")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("segrate")) {
       def time[A](f: => A): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
