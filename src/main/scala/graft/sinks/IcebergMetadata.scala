@@ -3414,51 +3414,63 @@ object IcebergMetadata {
         throw new IllegalArgumentException(
           s"snapshot $snapId not in table history at $tableDir"))
     val listFile = TableIO(snap.get("manifest-list").asText)
-    def longMap(df: GenericRecord, field: String): Map[Int, Long] =
-      Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
-        .asScala.map(kv => kv.get("key").asInstanceOf[Int] ->
-          kv.get("value").asInstanceOf[Long]).toMap).getOrElse(Map.empty)
-    def bytesMap(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
-      Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
-        .asScala.map { kv =>
-          val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
-          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
-          kv.get("key").asInstanceOf[Int] -> a
-        }.toMap).getOrElse(Map.empty)
     readAvro(listFile).flatMap { mf =>
       val (rows, manifestSpecId) =
         readManifestRows(TableIO(mf.get("manifest_path").toString))
       rows.collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          // decode the partition tuple (r102) in writer-schema field
-          // order; Avro Utf8 → String so callers compare naturally
-          val pRec = df.get("partition").asInstanceOf[GenericRecord]
-          val pVals = pRec.getSchema.getFields.asScala.toSeq.map { f =>
-            pRec.get(f.name()) match {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case v => v
-            }
-          }
-          DataFileStat(df.get("file_path").toString,
-            e.get("sequence_number").asInstanceOf[Long],
-            df.get("content").asInstanceOf[Int],
-            df.get("record_count").asInstanceOf[Long],
-            ColStats(longMap(df, "column_sizes"), longMap(df, "value_counts"),
-              longMap(df, "null_value_counts"), bytesMap(df, "lower_bounds"),
-              bytesMap(df, "upper_bounds")),
-            pVals,
-            e.get("snapshot_id").asInstanceOf[Long],
-            // field 104 — the manifest's own size record; planners read
-            // THIS, never a per-file stat syscall (a million-file table
-            // must plan from metadata alone)
-            sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
-            specId = manifestSpecId,
-            equalityIds = Option(df.get("equality_ids"))
-              .map(_.asInstanceOf[java.util.List[Integer]]
-                .asScala.map(_.intValue).toSeq).getOrElse(Nil))
+          entryToStat(e, manifestSpecId)
       }
     }
+  }
+
+  private def avroLongMap(df: GenericRecord,
+                          field: String): Map[Int, Long] =
+    Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
+      .asScala.map(kv => kv.get("key").asInstanceOf[Int] ->
+        kv.get("value").asInstanceOf[Long]).toMap).getOrElse(Map.empty)
+
+  private def avroBytesMap(df: GenericRecord,
+                           field: String): Map[Int, Array[Byte]] =
+    Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]]
+      .asScala.map { kv =>
+        val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+        kv.get("key").asInstanceOf[Int] -> a
+      }.toMap).getOrElse(Map.empty)
+
+  /** One manifest entry → the planner's [[DataFileStat]] view. */
+  private def entryToStat(e: GenericRecord,
+                          manifestSpecId: Int): DataFileStat = {
+    val df = e.get("data_file").asInstanceOf[GenericRecord]
+    // decode the partition tuple (r102) in writer-schema field
+    // order; Avro Utf8 → String so callers compare naturally
+    val pRec = df.get("partition").asInstanceOf[GenericRecord]
+    val pVals = pRec.getSchema.getFields.asScala.toSeq.map { f =>
+      pRec.get(f.name()) match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case v => v
+      }
+    }
+    DataFileStat(df.get("file_path").toString,
+      e.get("sequence_number").asInstanceOf[Long],
+      df.get("content").asInstanceOf[Int],
+      df.get("record_count").asInstanceOf[Long],
+      ColStats(avroLongMap(df, "column_sizes"),
+        avroLongMap(df, "value_counts"),
+        avroLongMap(df, "null_value_counts"),
+        avroBytesMap(df, "lower_bounds"),
+        avroBytesMap(df, "upper_bounds")),
+      pVals,
+      e.get("snapshot_id").asInstanceOf[Long],
+      // field 104 — the manifest's own size record; planners read
+      // THIS, never a per-file stat syscall (a million-file table
+      // must plan from metadata alone)
+      sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+      specId = manifestSpecId,
+      equalityIds = Option(df.get("equality_ids"))
+        .map(_.asInstanceOf[java.util.List[Integer]]
+          .asScala.map(_.intValue).toSeq).getOrElse(Nil))
   }
 
   /** Live (path, sequence) data entries and (path, sequence, content)
@@ -3708,6 +3720,57 @@ object IcebergMetadata {
           "snapshots explicitly")
       Nil
     } else addedDataFilesOf(s)
+  }
+
+  /** Stats-bearing variant of [[appendedFilesSince]]: the same walk,
+    * but each added file arrives with its manifest entry's column
+    * bounds — what the streaming source's filter pushdown prunes files
+    * on at PLAN time (a filtered tail of a 100 TB table opens only the
+    * files whose stats overlap the predicate). Same O(new manifests)
+    * cost: list rows filter by `added_snapshot_id` before any manifest
+    * opens. */
+  def appendedStatsSince(tableDir: String, fromSnapshotId: Long,
+                         failOnOverwrite: Boolean = true,
+                         toSnapshotId: Option[Long] = None)
+      : Seq[DataFileStat] = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val lineage = mainLineage(meta, toSnapshotId)
+    def statsOf(s: JsonNode): Seq[DataFileStat] = {
+      val id = s.get("snapshot-id").asLong
+      val op = s.get("summary").get("operation").asText
+      if (op == "replace") Nil
+      else if (op != "append") {
+        if (failOnOverwrite) throw new IllegalArgumentException(
+          s"snapshot $id is '$op': an append tail cannot cross an " +
+            "overwrite — resync from a full read, or skip overwrite " +
+            "snapshots explicitly")
+        Nil
+      } else {
+        readAvro(TableIO(s.get("manifest-list").asText))
+          .filter(_.get("added_snapshot_id").asInstanceOf[Long] == id)
+          .flatMap { m =>
+            val (rows, sid) =
+              readManifestRows(TableIO(m.get("manifest_path").toString))
+            rows.collect {
+              case e if e.get("status").asInstanceOf[Int] == 1 &&
+                e.get("snapshot_id").asInstanceOf[Long] == id &&
+                e.get("data_file").asInstanceOf[GenericRecord]
+                  .get("content").asInstanceOf[Int] == 0 =>
+                entryToStat(e, sid)
+            }
+          }
+      }
+    }
+    if (fromSnapshotId == BeforeAllSnapshots)
+      return lineage.flatMap(statsOf)
+    val fromIdx = lineage.indexWhere(
+      _.get("snapshot-id").asLong == fromSnapshotId)
+    if (fromIdx < 0) throw new IllegalArgumentException(
+      s"snapshot $fromSnapshotId not on the current main lineage " +
+        "(expired, rolled back over, or a branch snapshot? resync " +
+        "from a full read)")
+    lineage.drop(fromIdx + 1).flatMap(statsOf)
   }
 
   /** CHANGELOG SCAN — Iceberg's `create_changelog_view` shape: the

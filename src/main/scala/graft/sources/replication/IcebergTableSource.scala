@@ -119,28 +119,90 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
 /** Column pruning reaches the parquet reader: the pruned schema flows
   * through the scan into each partition reader, which projects the
   * parquet read itself (`parquet.read.schema`) — a two-column consumer
-  * of a wide table reads two column chunks, not the row. */
+  * of a wide table reads two column chunks, not the row. Filter
+  * pushdown prunes whole FILES at plan time from the manifests' column
+  * bounds (every pushed filter is also returned as residual — the
+  * source prunes files, Spark filters rows, the parquet contract). */
 class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
                                skipOverwrites: Boolean,
                                startSnapshot: String, ref: Option[String],
                                maxFilesPerTrigger: Int)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var pruned: StructType = tableSchema
+  private var prunable: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    prunable = filters.filter(StatsPrune.supported)
+    filters // ALL residual: file-level pruning is best-effort
+  }
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.sources.Filter] = prunable
   override def build(): Scan = new IcebergStreamScan(tableDir, pruned,
-    skipOverwrites, startSnapshot, ref, maxFilesPerTrigger)
+    skipOverwrites, startSnapshot, ref, maxFilesPerTrigger, prunable)
 }
 
 class IcebergStreamScan(tableDir: String, tableSchema: StructType,
                         skipOverwrites: Boolean, startSnapshot: String,
-                        ref: Option[String], maxFilesPerTrigger: Int)
+                        ref: Option[String], maxFilesPerTrigger: Int,
+                        filters: Array[org.apache.spark.sql.sources.Filter]
+                          = Array.empty)
     extends Scan {
   override def readSchema(): StructType = tableSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new IcebergSnapshotStream(tableDir, tableSchema, skipOverwrites,
-      startSnapshot, ref, maxFilesPerTrigger)
+      startSnapshot, ref, maxFilesPerTrigger, filters)
+}
+
+/** File-level predicate evaluation against Iceberg manifest bounds —
+  * the planner half of filter pushdown. Integral comparisons only (the
+  * bounds decode via the spec's little-endian single-value
+  * serialization); anything else is conservatively unprunable. A file
+  * missing bounds for a column is KEPT (absent stats mean "cannot
+  * prune", never "skip"). */
+object StatsPrune {
+  import org.apache.spark.sql.sources._
+
+  private def num(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => num(v).isDefined
+    case GreaterThan(_, v) => num(v).isDefined
+    case GreaterThanOrEqual(_, v) => num(v).isDefined
+    case LessThan(_, v) => num(v).isDefined
+    case LessThanOrEqual(_, v) => num(v).isDefined
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  /** Can a file with these bounds possibly hold a matching row? */
+  def mightMatch(f: Filter,
+                 bounds: String => Option[(Long, Long)]): Boolean =
+    f match {
+      case EqualTo(c, v) => num(v).forall(x =>
+        bounds(c).forall { case (lo, hi) => lo <= x && x <= hi })
+      case GreaterThan(c, v) => num(v).forall(x =>
+        bounds(c).forall { case (_, hi) => hi > x })
+      case GreaterThanOrEqual(c, v) => num(v).forall(x =>
+        bounds(c).forall { case (_, hi) => hi >= x })
+      case LessThan(c, v) => num(v).forall(x =>
+        bounds(c).forall { case (lo, _) => lo < x })
+      case LessThanOrEqual(c, v) => num(v).forall(x =>
+        bounds(c).forall { case (lo, _) => lo <= x })
+      case And(l, r) => mightMatch(l, bounds) && mightMatch(r, bounds)
+      case _ => true
+    }
 }
 
 /** The snapshot id as a streaming Offset. */
@@ -157,7 +219,10 @@ object SnapshotOffset {
 class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
                             skipOverwrites: Boolean, startSnapshot: String,
                             ref: Option[String] = None,
-                            maxFilesPerTrigger: Int = 0)
+                            maxFilesPerTrigger: Int = 0,
+                            filters:
+                              Array[org.apache.spark.sql.sources.Filter] =
+                              Array.empty)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -222,9 +287,34 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     if (s == e) return Array.empty
     // pinned at `e` (the offset this batch committed to): a commit
     // racing the poll lands in the NEXT batch, never splits this one
-    IcebergMetadata.appendedFilesSince(tableDir, s,
-        failOnOverwrite = !skipOverwrites, toSnapshotId = Some(e))
-      .map(p => IcebergFilePartition(p): InputPartition).toArray
+    if (filters.isEmpty)
+      IcebergMetadata.appendedFilesSince(tableDir, s,
+          failOnOverwrite = !skipOverwrites, toSnapshotId = Some(e))
+        .map(p => IcebergFilePartition(p): InputPartition).toArray
+    else {
+      // pushed filters prune whole FILES from the manifests' column
+      // bounds before any partition is planned — the filtered tail of
+      // a huge table opens only overlapping files
+      val fidByName: Map[String, Int] = tableSchema.fieldNames.flatMap(
+        n => scala.util.Try(
+          IcebergMetadata.currentFieldId(tableDir, n)).toOption
+          .map(n -> _)).toMap
+      IcebergMetadata.appendedStatsSince(tableDir, s,
+          failOnOverwrite = !skipOverwrites, toSnapshotId = Some(e))
+        .filter { st =>
+          def bounds(c: String): Option[(Long, Long)] =
+            fidByName.get(c).flatMap { fid =>
+              (st.stats.lower.get(fid), st.stats.upper.get(fid)) match {
+                case (Some(l), Some(u)) => Some(
+                  (IcebergMetadata.boundLong(l),
+                    IcebergMetadata.boundLong(u)))
+                case _ => None
+              }
+            }
+          filters.forall(f => StatsPrune.mightMatch(f, bounds))
+        }
+        .map(st => IcebergFilePartition(st.path): InputPartition).toArray
+    }
   }
 
   override def commit(end: Offset): Unit = ()

@@ -160,6 +160,40 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L until 18L).toSet)
   }
 
+  test("filter pushdown prunes whole files from manifest bounds at " +
+    "plan time; filtered stream results stay exact") {
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    val tmp = Files.createTempDirectory("graft_dsv2_filter").toString
+    // three single-file commits with DISJOINT id ranges
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    rows(100 until 110).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    rows(200 until 210).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    val schema = IcebergMetadata.currentSparkSchema(tmp)
+    // plan-level pin: with id >= 200 pushed, only ONE file plans
+    val stream = new graft.sources.replication.IcebergSnapshotStream(
+      tmp, schema, skipOverwrites = false, startSnapshot = "earliest",
+      filters = Array[Filter](GreaterThanOrEqual("id", 200L)))
+    val parts = stream.planInputPartitions(
+      stream.initialOffset(), stream.latestOffset())
+    assert(parts.length == 1,
+      s"expected 1 surviving file, planned ${parts.length}")
+    // end-to-end: Spark pushes the .where into the scan and the
+    // result is exact (residual row filtering still applies)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-iceberg").load(tmp)
+      .where(col("id") >= 105)
+      .writeStream.option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen ++= df.select("id").collect().map(_.getLong(0)): Unit
+      }.start()
+    q.awaitTermination()
+    assert(seen.toSet == ((105L until 110L) ++ (200L until 210L)).toSet)
+  }
+
   test("column pruning reaches the scan: the pruned schema is the " +
     "scan's readSchema, and a projected stream delivers correct rows") {
     val tmp = Files.createTempDirectory("graft_dsv2_prune").toString
