@@ -3131,6 +3131,55 @@ object SparkEntry {
           col("run").cast("int").as("run_id"))
     }),
 
+    // ---- K2 DSv2 STREAM with FILTER PUSHDOWN: the predicate prunes
+    //      whole files from the manifests' column bounds at PLAN time
+    //      (three disjoint-range commits; only the overlapping files
+    //      are opened — asserted against the planner directly), and
+    //      the residual row filter keeps the result exact. ----
+    "q_iceberg_stream_filtered" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dsv2f_gate").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      def shift(k: Int) = n.withColumn("n_nationkey",
+        col("n_nationkey") + k)
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      shift(100).write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1"): Unit
+      shift(200).write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2"): Unit
+      // plan-level pin: n_nationkey >= 200 survives ONE commit's files
+      locally {
+        import org.apache.spark.sql.sources.GreaterThanOrEqual
+        val stream = new graft.sources.replication.IcebergSnapshotStream(
+          tmp, IcebergMetadata.currentSparkSchema(tmp),
+          skipOverwrites = false, startSnapshot = "earliest",
+          filters = Array(GreaterThanOrEqual("n_nationkey", 200)))
+        val all = new graft.sources.replication.IcebergSnapshotStream(
+          tmp, IcebergMetadata.currentSparkSchema(tmp),
+          skipOverwrites = false, startSnapshot = "earliest")
+        val pruned = stream.planInputPartitions(
+          stream.initialOffset(), stream.latestOffset()).length
+        val full = all.planInputPartitions(
+          all.initialOffset(), all.latestOffset()).length
+        require(pruned < full,
+          s"bounds pruned nothing: $pruned of $full files planned")
+      }
+      val q = s.readStream.format("graft-iceberg").load(tmp)
+        .where(col("n_nationkey") >= 110)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out"): Unit
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     // ---- K1+K2 CDC TABLE TAIL: the changelog variant of the
     //      streaming tail — a consumer replicating a table that takes
     //      OVERWRITES polls insert/delete batches (batch 0 backfills
@@ -7756,6 +7805,13 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT n_nationkey + 200, n_name, n_regionkey, 2 FROM nation"""
         .stripMargin,
+
+    // filtered stream: >= 110 prunes the base file whole by bounds,
+    // cuts the +100 file mid-range (residual row filter), keeps +200
+    "q_iceberg_stream_filtered" ->
+      """SELECT n_nationkey + s.s AS n_nationkey, n_name, n_regionkey
+        |FROM nation, (SELECT unnest([0, 100, 200]) AS s) s
+        |WHERE n_nationkey + s.s >= 110""".stripMargin,
 
     "q_iceberg_tail" ->
       """SELECT n_nationkey, n_name, n_regionkey,
