@@ -471,8 +471,13 @@ object Main {
       withDataSession { spark =>
         val changelog = rest.contains("--changelog")
         val skipOw = rest.contains("--skip-overwrites")
-        val out = rest.filterNot(_.startsWith("--"))
-          .filterNot(refV.contains).headOption
+        // positional args: drop flags and ONLY the token that follows
+        // --ref — an outDir that happens to share the ref's NAME must
+        // survive (filterNot(refV.contains) would silently discard it
+        // and show the batch instead of writing it)
+        val out = rest.zipWithIndex.filterNot { case (a, i) =>
+          a.startsWith("--") || (i > 0 && rest(i - 1) == "--ref")
+        }.map(_._1).headOption
         def deliver(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
           out match {
             case Some(dir) =>

@@ -3372,8 +3372,13 @@ object SparkEntry {
       val maint = pool.submit(new Runnable { override def run(): Unit = {
         start.await()
         (0 until 3).foreach { _ =>
+          // default graceMs: the orphan sweep must NOT run at zero
+          // grace beside a live publish — it would delete parquet a
+          // racing publishMoR has staged but not yet committed (the
+          // hazard autoMaintain's scaladoc calls out; the commit CAS
+          // cannot protect files no metadata references yet)
           IcebergMetadata.autoMaintain(s, ice,
-            targetBytes = 128L << 20, graceMs = 0L): Unit
+            targetBytes = 128L << 20): Unit
         }
       }})
       start.countDown()

@@ -968,15 +968,17 @@ object IcebergMetadata {
     if (baseMetadata.isEmpty) {
       // the commit "happens" at the exclusive create; the hint flip
       // after it is a monotonic cache (a racing winner's higher flip
-      // is never clobbered)
-      claimVersion(md, version, content)
-      flipHint(md, version)
+      // is never clobbered). The claimed NAME may land past `version`
+      // when unlinked orphan files occupy names in between.
+      val claimed = claimVersion(md, version - 1, content)
+      flipHint(md, claimed)
+      claimed
     } else {
       md.child(s"v$version.metadata.json").writeAtomic(content)
       // version-hint last: the commit "happens" when the hint flips
       md.child("version-hint.text").writeAtomic(version.toString)
+      version
     }
-    version
   }
 
   private def stripInternal(schemaStr: String): String = {
@@ -1065,8 +1067,7 @@ object IcebergMetadata {
     val log = root.withArray[ArrayNode]("snapshot-log").addObject()
     log.put("snapshot-id", toSnapshotId)
     log.put("timestamp-ms", nowMs)
-    val next = version + 1
-    claimVersion(md, next,
+    val next = claimVersion(md, version,
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
     flipHint(md, next)
     next
@@ -1468,8 +1469,12 @@ object IcebergMetadata {
           newEntries.count(_.entryStatus == 1).toString),
       0, 0L, specs = specsFromMeta(prevMeta),
       hintBase = Some(Some((prevVer, prevMeta))))
+    // report ADDED consolidation outputs only — carried-forward
+    // EXISTING entries of non-subsumed groups are not work done, and
+    // the CLI verb prints these counts
+    val addedOnly = newEntries.filter(_.entryStatus == 1)
     Some(Commit(version, snapshotId, seq, manifests.head.file.abs,
-      list.abs, newEntries.size, newEntries.map(_.rows).sum))
+      list.abs, addedOnly.size, addedOnly.map(_.rows).sum))
   }
 
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
@@ -3126,10 +3131,10 @@ object IcebergMetadata {
     * with an exclusive create — the filesystem-table commit CAS. */
   private def writeVersionFiles(md: TPath, root: ObjectNode,
                                 nv: Int): Int = {
-    claimVersion(md, nv,
+    val claimed = claimVersion(md, nv - 1,
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
-    flipHint(md, nv)
-    nv
+    flipHint(md, claimed)
+    claimed
   }
 
   /** Thrown when a concurrent committer claimed the next metadata
@@ -3141,13 +3146,44 @@ object IcebergMetadata {
         s"metadata version v$version was claimed by a concurrent " +
           "committer; re-read the committed base and retry")
 
-  /** The filesystem-table commit CAS: atomically claim
-    * `vN.metadata.json` with its full content (exclusive create —
-    * local hard-link, s3wire conditional PUT). Exactly one concurrent
-    * committer wins; the loser throws [[CommitConflictException]]. */
-  private def claimVersion(md: TPath, nv: Int, content: String): Unit =
-    if (!md.child(s"v$nv.metadata.json").createExclusive(content))
-      throw new CommitConflictException(nv)
+  /** The filesystem-table commit CAS: atomically claim a version file
+    * with the commit's full content (exclusive create — local
+    * hard-link, s3wire conditional PUT), starting at `baseVersion + 1`.
+    *
+    * A blocked name is inspected before conceding: a blocker whose
+    * metadata-log chains AT or PAST our base is a COMPETING commit —
+    * [[CommitConflictException]], the caller rebuilds on the fresh
+    * base. A blocker chained BEFORE our base (a failed catalog-CAS
+    * orphan staged against an older era, or unparseable debris) can
+    * never be a commit on our chain, so its NAME is skipped and the
+    * claim moves to the next number — without this, one crashed
+    * catalog writer's orphan at prev+1 would livelock every
+    * filesystem commit on the table forever (version numbers need not
+    * be consecutive; the chain linkage lives in each file's
+    * metadata-log, which is what [[healHint]] walks).
+    *
+    * Returns the version actually claimed. */
+  private def claimVersion(md: TPath, baseVersion: Int,
+                           content: String): Int = {
+    var v = baseVersion + 1
+    while (!md.child(s"v$v.metadata.json").createExclusive(content)) {
+      val linkedVersion: Int = try {
+        val m = mapper.readTree(md.child(s"v$v.metadata.json").readString)
+        Option(m.get("metadata-log")).filter(_.size() > 0).map { log =>
+          val f = log.get(log.size() - 1).get("metadata-file").asText
+          f.split("/").last.stripPrefix("v")
+            .stripSuffix(".metadata.json").toInt
+        }.getOrElse(0) // empty log = a first commit (chains at v0)
+      } catch { case scala.util.control.NonFatal(_) => -1 }
+      if (linkedVersion >= baseVersion)
+        throw new CommitConflictException(v)
+      v += 1
+      if (v > baseVersion + 1000) throw new IllegalStateException(
+        s"over 1000 orphaned metadata names past v$baseVersion at " +
+          s"${md.abs} — clean the directory (removeOrphans)")
+    }
+    v
+  }
 
   /** Monotonic hint flip: never move the hint BACKWARDS — a slower
     * committer must not clobber a racing winner's higher version. The
@@ -3174,11 +3210,17 @@ object IcebergMetadata {
     val md = metaDir(tableDir)
     currentMetadata(tableDir).foreach { case (v0, _) =>
       var v = v0
+      var probe = v0 + 1
       var continue = true
+      // walk EXISTING names (claims skip only names that exist as
+      // orphans, so the first missing name ends the walk) and advance
+      // the head whenever a file chains to it — names may have gaps
+      // when a claim skipped unlinked orphans
       while (continue) {
-        val nxt = md.child(s"v${v + 1}.metadata.json")
-        val linked = nxt.exists && {
-          try {
+        val nxt = md.child(s"v$probe.metadata.json")
+        if (!nxt.exists) continue = false
+        else {
+          val linked = try {
             val m = mapper.readTree(nxt.readString)
             Option(m.get("metadata-log")).exists { log =>
               log.size() > 0 && log.get(log.size() - 1)
@@ -3186,8 +3228,9 @@ object IcebergMetadata {
                 .endsWith(s"v$v.metadata.json")
             }
           } catch { case scala.util.control.NonFatal(_) => false }
+          if (linked) v = probe
+          probe += 1
         }
-        if (linked) v += 1 else continue = false
       }
       if (v > v0) flipHint(md, v)
     }
@@ -3506,6 +3549,19 @@ object IcebergMetadata {
   }
 
   /** Field id of a top-level column in the CURRENT committed schema. */
+  /** Field ids of every TOP-LEVEL column of the current schema — ONE
+    * metadata read (the per-plan streaming pushdown path must not pay
+    * a version-hint + metadata.json read per column per microbatch). */
+  def currentFieldIds(tableDir: String): Map[String, Int] = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val id = meta.get("current-schema-id").asInt
+    meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == id).get
+      .withArray[ArrayNode]("fields").asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+  }
+
   def currentFieldId(tableDir: String, name: String): Int = {
     val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
@@ -3817,25 +3873,19 @@ object IcebergMetadata {
                     toSnapshotId: Option[Long] = None,
                     keyCol: String = graft.operators.SystemColumns.OlakeId,
                     netChanges: Boolean = false,
-                    unionSnapLimit: Int = 64,
-                    ref: Option[String] = None): DataFrame = {
-    val (_, meta0) = currentMetadata(tableDir).getOrElse(
+                    unionSnapLimit: Int = 64): DataFrame = {
+    // branch-scoped consumption goes through the CALLER resolving the
+    // ref head and pinning it via `toSnapshotId`
+    // ([[graft.streaming.IcebergTail.pollChangelog]]) — one
+    // ref-or-refuse lookup, not three copies
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(s"no committed version at $tableDir"))
-    val meta = meta0
-    // branch-scoped consumption: the lineage walk heads at the named
-    // ref instead of main (a dropped ref refuses loudly — silently
-    // reading main would be a different history)
-    val refHead = ref.map(r => Option(meta.path("refs").get(r))
-      .map(_.get("snapshot-id").asLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"ref '$r' does not exist at $tableDir")))
-    val toSnapshotId2 = toSnapshotId.orElse(refHead)
     // MAIN-lineage selection (parent chain from the head, or from the
     // pinned `toSnapshotId`): branch snapshots and rolled-back commits
     // sit in the snapshots array but are NOT history — delivering them
     // would hand a consumer rows that never existed on main (and twice,
     // if a branch is later cherry-picked)
-    val lineage = mainLineage(meta, toSnapshotId2)
+    val lineage = mainLineage(meta, toSnapshotId)
     val fromIdx = lineage.indexWhere(
       _.get("snapshot-id").asLong == fromSnapshotId)
     if (fromIdx < 0) throw new IllegalArgumentException(

@@ -186,7 +186,12 @@ object S3Wire {
                           bytes: Array[Byte]): Boolean = {
       val (code, body, _) = send("PUT", objectPath(bucket, key), Nil,
         bytes, extraHeaders = Seq("If-None-Match" -> "*"))
-      if (code == 412) false
+      // 412 PreconditionFailed = the object exists; 409
+      // ConditionalRequestConflict = a CONCURRENT conditional write
+      // won the race mid-flight (real S3 emits this under contention)
+      // — both mean "lost the CAS, retry on the fresh base", never an
+      // abort
+      if (code == 412 || code == 409) false
       else { require(code == 200, s"PutObject HTTP $code: $body"); true }
     }
 

@@ -295,10 +295,8 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
       // pushed filters prune whole FILES from the manifests' column
       // bounds before any partition is planned — the filtered tail of
       // a huge table opens only overlapping files
-      val fidByName: Map[String, Int] = tableSchema.fieldNames.flatMap(
-        n => scala.util.Try(
-          IcebergMetadata.currentFieldId(tableDir, n)).toOption
-          .map(n -> _)).toMap
+      val fidByName: Map[String, Int] =
+        IcebergMetadata.currentFieldIds(tableDir)
       IcebergMetadata.appendedStatsSince(tableDir, s,
           failOnOverwrite = !skipOverwrites, toSnapshotId = Some(e))
         .filter { st =>

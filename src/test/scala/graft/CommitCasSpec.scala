@@ -118,6 +118,34 @@ class CommitCasSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L until 80L).toSet, "a racing commit lost rows")
   }
 
+  test("a stale catalog-CAS orphan occupying the next version name " +
+    "is skipped, not adopted and not a livelock") {
+    val tmp = Files.createTempDirectory("graft_cas_orphan").toString
+    rows(0 until 6).coalesce(1).write.parquet(s"$tmp/d0")
+    val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    // a failed catalog commit left v2.metadata.json that does NOT
+    // chain on v1 (its metadata-log is empty — staged as if a first
+    // commit); without name-skipping every later filesystem commit
+    // would claim v2, conflict, heal nothing, and starve its budget
+    val orphan = new java.io.File(s"$tmp/metadata/v2.metadata.json")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$tmp/metadata/v1.metadata.json").toPath,
+      orphan.toPath): Unit
+    rows(6 until 9).coalesce(1).write.parquet(s"$tmp/d1")
+    val c1 = IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1")
+    assert(c1.version == 3, s"claim must skip the orphan name: $c1")
+    // the orphan file is untouched, never adopted into history
+    assert(orphan.exists)
+    val (hv, meta) = IcebergMetadata.currentMetadata(tmp).get
+    assert(hv == 3)
+    assert(meta.get("current-snapshot-id").asLong == c1.snapshotId)
+    import scala.jdk.CollectionConverters._
+    assert(meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala.map(_.get("snapshot-id").asLong).toSet ==
+      Set(c0.snapshotId, c1.snapshotId))
+    assert(IcebergMetadata.readTable(spark, tmp).count() == 9)
+  }
+
   test("createExclusive is atomic under contention: exactly one of N " +
     "concurrent claimers wins, and the file holds the winner's " +
     "complete content") {
