@@ -3729,6 +3729,19 @@ object IcebergMetadata {
   /** "Before everything" sentinel for [[appendedFilesSince]]. */
   val BeforeAllSnapshots: Long = Long.MinValue
 
+  /** The last main-lineage snapshot committed STRICTLY BEFORE
+    * `timestampMs` — the start offset of a stream-from-timestamp read
+    * (everything at or after the instant replays). The sentinel when
+    * even the first snapshot qualifies. */
+  def snapshotBefore(tableDir: String, timestampMs: Long): Long = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    mainLineage(meta)
+      .takeWhile(_.get("timestamp-ms").asLong < timestampMs)
+      .lastOption.map(_.get("snapshot-id").asLong)
+      .getOrElse(BeforeAllSnapshots)
+  }
+
   /** Admission control for the streaming source
     * (`maxFilesPerTrigger`): the farthest snapshot — walking the main
     * lineage from `fromSnapshotId` toward `toSnapshotId` — whose

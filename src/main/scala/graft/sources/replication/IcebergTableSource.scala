@@ -272,6 +272,12 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     case "earliest" =>
       SnapshotOffset(IcebergMetadata.BeforeAllSnapshots)
     case "latest" => SnapshotOffset(headId)
+    case ts if ts.startsWith("timestamp:") =>
+      // Iceberg's stream-from-timestamp: deliver every main-lineage
+      // snapshot committed AT or AFTER the instant — the offset is
+      // the last snapshot strictly before it
+      SnapshotOffset(IcebergMetadata.snapshotBefore(tableDir,
+        ts.stripPrefix("timestamp:").toLong))
     case id => SnapshotOffset(id.toLong)
   }
 

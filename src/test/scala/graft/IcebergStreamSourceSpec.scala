@@ -160,6 +160,31 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L until 18L).toSet)
   }
 
+  test("startSnapshot=timestamp:<ms> replays from the first commit at " +
+    "or after the instant") {
+    val tmp = Files.createTempDirectory("graft_dsv2_ts").toString
+    rows(0 until 5).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    rows(10 until 14).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    rows(20 until 23).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    val got = runToDone(tmp, s"$tmp/ck",
+        Map("startSnapshot" -> s"timestamp:$cut"))
+      .flatMap(_._2).map(_.getLong(0)).toSet
+    assert(got == ((10L until 14L) ++ (20L until 23L)).toSet,
+      s"expected only post-cut commits, got $got")
+    // an instant before everything replays the whole history
+    val all = runToDone(tmp, s"$tmp/ck0",
+        Map("startSnapshot" -> "timestamp:0"))
+      .flatMap(_._2).map(_.getLong(0)).toSet
+    assert(all == ((0L until 5L) ++ (10L until 14L) ++
+      (20L until 23L)).toSet)
+  }
+
   test("filter pushdown prunes whole files from manifest bounds at " +
     "plan time; filtered stream results stay exact") {
     import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
