@@ -3180,6 +3180,31 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
+    // ---- K2 BATCH READ face of graft-iceberg: plain spark.read over
+    //      a live-published append table — SQL/DataFrame consumers
+    //      need no engine API. Current snapshot filtered (bounds
+    //      prune + residual) unioned with a TIME-TRAVEL read of the
+    //      first commit; both through the DSv2 path. ----
+    "q_iceberg_batch_read" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dsv2b_gate").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      val c0 = IcebergMetadata.commit(s, tmp, s"$tmp/d0")
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d1"): Unit
+      val cur = s.read.format("graft-iceberg").load(tmp)
+        .where(col("n_nationkey") >= 100)
+        .withColumn("at", lit("head"))
+      val old = s.read.format("graft-iceberg")
+        .option("asOfSnapshot", c0.snapshotId.toString).load(tmp)
+        .withColumn("at", lit("first"))
+      cur.unionByName(old)
+        .select("n_nationkey", "n_name", "n_regionkey", "at")
+    }),
+
     // ---- K1+K2 CDC TABLE TAIL: the changelog variant of the
     //      streaming tail — a consumer replicating a table that takes
     //      OVERWRITES polls insert/delete batches (batch 0 backfills
@@ -7817,6 +7842,15 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
       """SELECT n_nationkey + s.s AS n_nationkey, n_name, n_regionkey
         |FROM nation, (SELECT unnest([0, 100, 200]) AS s) s
         |WHERE n_nationkey + s.s >= 110""".stripMargin,
+
+    // batch face: the filtered head (only the +100 copy reaches 100)
+    // plus a time-travel read of the first commit
+    "q_iceberg_batch_read" ->
+      """SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey,
+        |  'head' AS at FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'first' FROM nation"""
+        .stripMargin,
 
     "q_iceberg_tail" ->
       """SELECT n_nationkey, n_name, n_regionkey,

@@ -76,7 +76,8 @@ class IcebergTableSource extends TableProvider with DataSourceRegister {
       skipOverwrites = opts.getBoolean("skipOverwrites", false),
       startSnapshot = opts.getOrDefault("startSnapshot", "earliest"),
       ref = Option(opts.get("ref")),
-      maxFilesPerTrigger = opts.getInt("maxFilesPerTrigger", 0))
+      maxFilesPerTrigger = opts.getInt("maxFilesPerTrigger", 0),
+      asOfSnapshot = Option(opts.get("asOfSnapshot")).map(_.toLong))
   }
 }
 
@@ -105,15 +106,17 @@ object IcebergTableSource {
 class IcebergStreamTable(tableDir: String, tableSchema: StructType,
                          skipOverwrites: Boolean, startSnapshot: String,
                          ref: Option[String],
-                         maxFilesPerTrigger: Int)
+                         maxFilesPerTrigger: Int,
+                         asOfSnapshot: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-iceberg(`$tableDir`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergStreamScanBuilder(tableDir, tableSchema, skipOverwrites,
-      startSnapshot, ref, maxFilesPerTrigger)
+      startSnapshot, ref, maxFilesPerTrigger, asOfSnapshot)
 }
 
 /** Column pruning reaches the parquet reader: the pruned schema flows
@@ -126,7 +129,8 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
 class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
                                skipOverwrites: Boolean,
                                startSnapshot: String, ref: Option[String],
-                               maxFilesPerTrigger: Int)
+                               maxFilesPerTrigger: Int,
+                               asOfSnapshot: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -144,19 +148,69 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
   override def pushedFilters()
       : Array[org.apache.spark.sql.sources.Filter] = prunable
   override def build(): Scan = new IcebergStreamScan(tableDir, pruned,
-    skipOverwrites, startSnapshot, ref, maxFilesPerTrigger, prunable)
+    skipOverwrites, startSnapshot, ref, maxFilesPerTrigger, prunable,
+    asOfSnapshot)
 }
 
 class IcebergStreamScan(tableDir: String, tableSchema: StructType,
                         skipOverwrites: Boolean, startSnapshot: String,
                         ref: Option[String], maxFilesPerTrigger: Int,
                         filters: Array[org.apache.spark.sql.sources.Filter]
-                          = Array.empty)
+                          = Array.empty,
+                        asOfSnapshot: Option[Long] = None)
     extends Scan {
   override def readSchema(): StructType = tableSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new IcebergSnapshotStream(tableDir, tableSchema, skipOverwrites,
       startSnapshot, ref, maxFilesPerTrigger, filters)
+
+  /** BATCH face of the same table: the live data files of one
+    * snapshot (current, `asOfSnapshot` time travel, or a `ref` head),
+    * stats-pruned by the pushed filters, one file per partition — so
+    * `spark.read.format("graft-iceberg")` serves SQL over an
+    * append-only engine table directly. A table with LIVE delete
+    * files refuses: raw file reads would resurrect deleted rows —
+    * that read is the engine's merge-on-read algebra
+    * ([[graft.sinks.IcebergMetadata.readMoR]]), not a file scan. */
+  override def toBatch
+      : org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val asOf = asOfSnapshot.orElse(ref.map { r =>
+          val meta = IcebergMetadata.currentMetadata(tableDir)
+            .getOrElse(throw new IllegalStateException(
+              s"no committed version at $tableDir"))._2
+          Option(meta.path("refs").get(r))
+            .map(_.get("snapshot-id").asLong).getOrElse(
+              throw new IllegalArgumentException(
+                s"ref '$r' does not exist at $tableDir"))
+        })
+        val stats = IcebergMetadata.dataFileStats(tableDir, asOf)
+        require(!stats.exists(_.content != 0),
+          s"$tableDir holds live delete files (merge-on-read): batch " +
+            "file scans would resurrect deleted rows — read through " +
+            "IcebergMetadata.readMoR, or compact first")
+        val fidByName =
+          if (filters.isEmpty) Map.empty[String, Int]
+          else IcebergMetadata.currentFieldIds(tableDir)
+        stats.filter { st =>
+          def bounds(c: String): Option[(Long, Long)] =
+            fidByName.get(c).flatMap { fid =>
+              (st.stats.lower.get(fid), st.stats.upper.get(fid)) match {
+                case (Some(l), Some(u)) => Some(
+                  (IcebergMetadata.boundLong(l),
+                    IcebergMetadata.boundLong(u)))
+                case _ => None
+              }
+            }
+          filters.forall(f => StatsPrune.mightMatch(f, bounds))
+        }.map(st => IcebergFilePartition(st.path): InputPartition)
+          .toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new IcebergFileReaderFactory(tableSchema,
+          IcebergTableSource.fsConf())
+    }
 }
 
 /** File-level predicate evaluation against Iceberg manifest bounds —

@@ -248,6 +248,48 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.toSet == (0L until 8L).map(_ * 10).toSet)
   }
 
+  test("batch read face: spark.read over an engine table with time " +
+    "travel, filter pruning, and a loud merge-on-read refusal") {
+    val tmp = Files.createTempDirectory("graft_dsv2_batch").toString
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    rows(100 until 105).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d1"): Unit
+    // current snapshot
+    val cur = spark.read.format("graft-iceberg").load(tmp)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cur == ((0L until 10L) ++ (100L until 105L)).toSet)
+    // time travel to the first commit
+    val asOf = spark.read.format("graft-iceberg")
+      .option("asOfSnapshot", c0.snapshotId.toString).load(tmp)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(asOf == (0L until 10L).toSet)
+    // filtered read stays exact (bounds prune + residual)
+    val filtered = spark.read.format("graft-iceberg").load(tmp)
+      .where(col("id") >= 100).select("v").collect()
+      .map(_.getLong(0)).toSet
+    assert(filtered == (100L until 105L).map(_ * 10).toSet)
+    // a MoR table refuses the raw-file batch scan
+    val morT = Files.createTempDirectory("graft_dsv2_mor_t").toString
+    val morI = Files.createTempDirectory("graft_dsv2_mor_i").toString
+    import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+    spark.range(5).select(col("id").cast("string").as(OlakeId),
+        col("id").as("v")).write.parquet(s"$morT/base")
+    graft.sinks.DeltaSegments.writeSegment(
+      spark.range(2).select(col("id").cast("string").as(OlakeId),
+        (col("id") + 50).as("v"), lit("u").as(OpType),
+        current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
+      morT, 1L)
+    IcebergMetadata.publishMoR(spark, morI, morT): Unit
+    val ex = intercept[Exception] {
+      spark.read.format("graft-iceberg").load(morI).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("merge-on-read")), msgs(ex))
+  }
+
   test("executor-side Group reader covers the engine's written types: " +
     "string, decimal, timestamp, date, array, map, struct, binary") {
     val tmp = Files.createTempDirectory("graft_dsv2_types").toString
