@@ -3205,6 +3205,34 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey", "at")
     }),
 
+    // ---- K2 SQL CATALOG (DSv2 TableCatalog): a SQL analyst queries
+    //      engine tables as `graft.<ns>.<tbl>` with no engine API —
+    //      the catalog maps identifiers to warehouse directories and
+    //      serves the same pruned DSv2 scan. The gate registers the
+    //      catalog on the live session and runs a filtered
+    //      SELECT + a GROUP BY through spark.sql itself. ----
+    "q_iceberg_sql_catalog" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlcat_gate").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$wh/stage0")
+      IcebergMetadata.commit(s, s"$wh/lake/nation_sql",
+        s"$wh/stage0"): Unit
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$wh/stage1")
+      IcebergMetadata.appendCommit(s, s"$wh/lake/nation_sql",
+        s"$wh/stage1"): Unit
+      s.conf.set("spark.sql.catalog.graft_gate",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_gate.warehouse", wh)
+      s.sql("""
+        SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum
+        FROM graft_gate.lake.nation_sql
+        WHERE n_nationkey >= 10
+        GROUP BY n_regionkey""")
+    }),
+
     // ---- K1+K2 CDC TABLE TAIL: the changelog variant of the
     //      streaming tail — a consumer replicating a table that takes
     //      OVERWRITES polls insert/delete batches (batch 0 backfills
@@ -7842,6 +7870,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
       """SELECT n_nationkey + s.s AS n_nationkey, n_name, n_regionkey
         |FROM nation, (SELECT unnest([0, 100, 200]) AS s) s
         |WHERE n_nationkey + s.s >= 110""".stripMargin,
+
+    // SQL catalog: group over base + the +100 copy, keys >= 10
+    "q_iceberg_sql_catalog" ->
+      """WITH t AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_regionkey FROM nation)
+        |SELECT n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM t WHERE n_nationkey >= 10 GROUP BY n_regionkey"""
+        .stripMargin,
 
     // batch face: the filtered head (only the +100 copy reaches 100)
     // plus a time-travel read of the first commit

@@ -1,0 +1,88 @@
+package graft.sources.replication
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.{IcebergMetadata, TableIO}
+
+/** DSv2 **TableCatalog** over a warehouse directory of engine tables —
+  * the SQL face of the lakehouse: register once per session
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.replication.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /lake     (or s3wire://bucket/lake)
+  * }}}
+  *
+  * and `spark.sql("SELECT … FROM graft.ns.tbl")` plans through the
+  * same pruned/filtered file scan as `spark.read.format
+  * ("graft-iceberg")` — a SQL analyst needs no engine API at all.
+  * Identifiers map to directories (`ns.tbl` → `<warehouse>/ns/tbl`);
+  * a table exists iff its metadata tree has a committed version.
+  * The catalog is READ-side by design: writes go through the engine's
+  * commit paths (CLI verbs / CdcStream), exactly like the reference's
+  * consumers querying its written tables from Spark/Trino.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq)
+      .mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = TableIO((warehouse +: namespace.toSeq).mkString("/"))
+    nsDir.list.filter(d =>
+        d.child("metadata").child("version-hint.text").exists)
+      .map(d => Identifier.of(namespace, d.name))
+      .sortBy(_.name).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    IcebergMetadata.currentMetadata(dirOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (IcebergMetadata.currentMetadata(dir).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    new IcebergStreamTable(dir, IcebergMetadata.currentSparkSchema(dir),
+      skipOverwrites = false, startSnapshot = "earliest", ref = None,
+      maxFilesPerTrigger = 0)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are written through the engine's commit paths " +
+        "(sync / CdcStream / CLI verbs), not SQL DDL")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "alter through the engine's evolve/maintain paths")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "drop through the engine's clear verb")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+}

@@ -248,6 +248,38 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.toSet == (0L until 8L).map(_ * 10).toSet)
   }
 
+  test("SQL catalog: spark.sql plans over engine tables through " +
+    "graft.<ns>.<tbl>; SHOW TABLES lists committed tables; a missing " +
+    "table raises the standard analysis error") {
+    val wh = Files.createTempDirectory("graft_sqlcat").toString
+    rows(0 until 10).coalesce(1).write.parquet(s"$wh/stage0")
+    IcebergMetadata.commit(spark, s"$wh/lake/t1", s"$wh/stage0"): Unit
+    rows(50 until 55).coalesce(1).write.parquet(s"$wh/stage1")
+    IcebergMetadata.appendCommit(spark, s"$wh/lake/t1",
+      s"$wh/stage1"): Unit
+    spark.conf.set("spark.sql.catalog.graftsql",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+    val got = spark.sql(
+        "SELECT id, v FROM graftsql.lake.t1 WHERE id >= 5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == ((5L until 10L) ++ (50L until 55L))
+      .map(i => (i, i * 10)))
+    val agg = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS s FROM graftsql.lake.t1")
+      .head
+    assert(agg.getLong(0) == 15L &&
+      agg.getLong(1) == ((0L until 10L) ++ (50L until 55L))
+        .map(_ * 10).sum)
+    val listed = spark.sql("SHOW TABLES IN graftsql.lake")
+      .collect().map(_.getString(1))
+    assert(listed.toSeq == Seq("t1"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graftsql.lake.nope").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("table"))
+  }
+
   test("batch read face: spark.read over an engine table with time " +
     "travel, filter pruning, and a loud merge-on-read refusal") {
     val tmp = Files.createTempDirectory("graft_dsv2_batch").toString
