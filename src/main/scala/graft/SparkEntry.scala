@@ -2943,8 +2943,11 @@ object SparkEntry {
         require(steps("binpack").contains("merged"),
           s"binpack skipped over s3wire: $steps")
         require(srv.requests.get() > 0, "no traffic hit the S3 endpoint")
-        // read-back over the wire, materialized inside server lifetime
-        s.read.parquet(IcebergMetadata.dataFilePaths(tbl): _*)
+        // read-back through the FULL logical read (readTable → the
+        // MoR-aware path) over the wire — stronger than raw
+        // dataFilePaths: the same consumer entry point a downstream
+        // reader uses; materialized inside server lifetime
+        IcebergMetadata.readTable(s, tbl)
           .select("n_nationkey", "n_name", "n_regionkey")
           .write.mode("overwrite").parquet(s"$local/readback")
         s.read.parquet(s"$local/readback")
