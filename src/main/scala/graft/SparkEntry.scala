@@ -3589,13 +3589,13 @@ object SparkEntry {
           .select("n_nationkey", "n_name", "n_regionkey")
         n.write.parquet(s"$tmp/dataA")
         val c1 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataA", None)
-        val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+        val loc1 = c1.metadataPath
         HiveMetastore.commitWithLock(c, "lake", "nation_hive", None, loc1)
         n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
           .write.parquet(s"$tmp/dataB")
         val c2 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataB",
           Some(loc1), operation = "replace")
-        val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
+        val loc2 = c2.metadataPath
         // lost update: the base this commit was staged against has
         // moved — must conflict under the lock, not clobber
         val conflicted = try {
@@ -3641,13 +3641,13 @@ object SparkEntry {
           .select("n_nationkey", "n_name", "n_regionkey")
         n.write.parquet(s"$tmp/dataA")
         val c1 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataA", None)
-        val glueLoc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+        val glueLoc1 = c1.metadataPath
         c.updateTable("lake", "nation_glue", glueLoc1, t0.versionId)
         n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
           .write.parquet(s"$tmp/dataB")
         val c2 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataB",
           Some(glueLoc1), operation = "replace")
-        val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
+        val loc2 = c2.metadataPath
         // stale VersionId ("1" was consumed by commit 1) → refused
         val conflicted = try { c.updateTable("lake", "nation_glue",
             loc2, t0.versionId); false }
@@ -3657,8 +3657,7 @@ object SparkEntry {
           }
         require(conflicted, "stale-version UpdateTable succeeded")
         val t1 = c.getTable("lake", "nation_glue")
-        require(t1.metadataLocation.contains(
-          s"$tmp/metadata/v${c1.version}.metadata.json"),
+        require(t1.metadataLocation.contains(glueLoc1),
           "stale update moved the pointer")
         c.updateTable("lake", "nation_glue", loc2, t1.versionId)
         val current = c.getTable("lake", "nation_glue").metadataLocation.get
@@ -3789,7 +3788,7 @@ object SparkEntry {
         .select("n_nationkey", "n_name", "n_regionkey")
       n.write.parquet(s"$tmp/dataA")
       val c1 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataA", None)
-      val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+      val loc1 = c1.metadataPath
       require(cat.commitTable("lake", "nation_jdbc", None, loc1),
         "first CAS from NULL failed")
       n.unionByName(n.withColumn("n_nationkey", col("n_nationkey") + 100))
@@ -3798,7 +3797,7 @@ object SparkEntry {
       // the failed-CAS-retry contract (see commitAgainst scaladoc)
       val c2 = IcebergMetadata.commitAgainst(s, tmp, s"$tmp/dataB",
         Some(loc1), operation = "replace")
-      val loc2 = s"$tmp/metadata/v${c2.version}.metadata.json"
+      val loc2 = c2.metadataPath
       // stale expected (NULL) — the CAS must swap NOTHING
       require(!cat.commitTable("lake", "nation_jdbc", None, loc2),
         "stale CAS succeeded")

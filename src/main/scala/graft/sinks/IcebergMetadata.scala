@@ -58,7 +58,14 @@ object IcebergMetadata {
 
   case class Commit(version: Int, snapshotId: Long, sequenceNumber: Long,
                     manifestPath: String, manifestListPath: String,
-                    addedFiles: Int, addedRows: Long)
+                    addedFiles: Int, addedRows: Long,
+                    /** Absolute path of the staged metadata file. For
+                      * hint-arbitrated (filesystem) commits this is the
+                      * claimed `vN.metadata.json`; for catalog-arbitrated
+                      * staging it is the snapshot-qualified
+                      * `vN-<snapshotId>.metadata.json` the caller hands
+                      * to the catalog CAS. */
+                    metadataPath: String = "")
 
   /** Per-file column statistics keyed by Iceberg field id, as the spec's
     * optional data_file stat maps. Bound values use the spec's binary
@@ -716,25 +723,24 @@ object IcebergMetadata {
       case None => currentMetadata(tableDir)
       case Some(base) => base.map { p =>
         val f = TableIO(p)
+        // both name shapes: a hint-claimed `vN.metadata.json` (a table
+        // registered into a catalog from its filesystem history) and a
+        // catalog-staged `vN-<snapshotId>.metadata.json`
         val v = f.name.stripPrefix("v").stripSuffix(".metadata.json")
+          .takeWhile(_.isDigit)
         (v.toInt, mapper.readTree(f.readString))
       }
     })
-    val maxExisting = md.list.map(_.name)
-      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
-        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
-      .maxOption.getOrElse(0)
     // Hint-arbitrated commits claim EXACTLY prev+1: the version file
     // is the chain-linked CAS (HadoopTableOperations semantics), so a
     // concurrent committer surfaces as CommitConflictException and
     // retries on the fresh base — numbering past a concurrent claim
     // would build on a stale parent and LOSE the claimed commit.
-    // Catalog-arbitrated commits keep the orphan-skipping numbering:
-    // the catalog CAS arbitrates, and the file written here must
-    // never collide with a failed-CAS orphan's name.
-    val version =
-      if (baseMetadata.isEmpty) prev.map(_._1).getOrElse(0) + 1
-      else math.max(prev.map(_._1).getOrElse(0), maxExisting) + 1
+    // Catalog-arbitrated stagings also number prev+1, but their file
+    // NAME is snapshot-qualified (see below) so two concurrent
+    // stagers — or a stager racing a filesystem claim — can never
+    // collide on a name, whatever number each computed.
+    val version = prev.map(_._1).getOrElse(0) + 1
     val nowMs = System.currentTimeMillis()
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -974,12 +980,32 @@ object IcebergMetadata {
       flipHint(md, claimed)
       claimed
     } else {
-      md.child(s"v$version.metadata.json").writeAtomic(content)
-      // version-hint last: the commit "happens" when the hint flips
-      md.child("version-hint.text").writeAtomic(version.toString)
+      // CATALOG-arbitrated staging: the file is a PROPOSAL — the
+      // commit happens only when the catalog CAS flips its pointer to
+      // this path (Iceberg's own catalog tables use UUID-qualified
+      // metadata names for the same reason). The snapshot-qualified
+      // name means (a) two concurrent stagers can never overwrite
+      // each other however they raced the directory listing, and
+      // (b) the filesystem-hint machinery (claimVersion's
+      // `v\d+\.metadata\.json` claims, healHint's chain walk) can
+      // never claim, conflict on, or ADOPT a catalog staging — the
+      // two arbitration modes cannot interleave on one table. The
+      // hint is deliberately NOT written: a catalog table's truth is
+      // the pointer, and a hint naming a catalog-rejected staging
+      // would fork read state from the catalog.
+      val staged = md.child(s"v$version-$snapshotId.metadata.json")
+      require(staged.createExclusive(content),
+        s"catalog staging name already taken: ${staged.abs}")
       version
     }
   }
+
+  /** Path of the metadata file staged for a catalog CAS by
+    * [[writeMetadataJson]]'s catalog branch — snapshot-qualified, see
+    * there. */
+  private def stagedMetadataPath(tableDir: String, version: Int,
+                                 snapshotId: Long): String =
+    metaDir(tableDir).child(s"v$version-$snapshotId.metadata.json").abs
 
   private def stripInternal(schemaStr: String): String = {
     val node = mapper.readTree(schemaStr).asInstanceOf[ObjectNode]
@@ -1103,7 +1129,8 @@ object IcebergMetadata {
       list, operation, summary, entries.length, entries.map(_.rows).sum,
       baseMetadata = Some(baseMetadata))
     Commit(version, snapshotId, seq, manifest.abs,
-      list.abs, entries.length, entries.map(_.rows).sum)
+      list.abs, entries.length, entries.map(_.rows).sum,
+      metadataPath = stagedMetadataPath(tableDir, version, snapshotId))
   }
 
   /** FAST-APPEND commit — Iceberg's `newFastAppend` shape, the only
@@ -1405,6 +1432,10 @@ object IcebergMetadata {
     val outRoot = TableIO(tableDir).child("data")
       .child(snapshotId.toString).child("eqdeletes")
     var produced = 0
+    // files-removed counts ONLY groups that actually rewrote — a
+    // mixed table's non-subsumed groups carry forward as EXISTING
+    // entries and are not consolidation work done
+    var removedFiles = 0
     val newEntries = groups.toSeq.flatMap {
       case ((ids, part, _), fs) if fs.size >= 2 =>
         // per-key max sequence via ONE shuffle over the delete rows
@@ -1434,7 +1465,7 @@ object IcebergMetadata {
           fs.map(e => FileEntry(e.path, e.sizeBytes, e.recordCount,
             e.seq, 2, e.equalityIds, e.stats, e.partition,
             entryStatus = 0, entrySnapshotId = Some(e.addedSnapshotId)))
-        else { produced += entries.size; entries }
+        else { produced += entries.size; removedFiles += fs.size; entries }
       case ((_, _, _), fs) =>
         fs.map(e => FileEntry(e.path, e.sizeBytes, e.recordCount,
           e.seq, 2, e.equalityIds, e.stats, e.partition,
@@ -1464,7 +1495,7 @@ object IcebergMetadata {
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "replace",
       summary ++ Map(
-        "equality-delete-files-removed" -> eqStats.size.toString,
+        "equality-delete-files-removed" -> removedFiles.toString,
         "equality-delete-files-added" ->
           newEntries.count(_.entryStatus == 1).toString),
       0, 0L, specs = specsFromMeta(prevMeta),
@@ -2369,6 +2400,11 @@ object IcebergMetadata {
       s"publishPartitioned writes the FIRST snapshot; $tableDir has history")
     val fields = parseRegex(partitionRegex)
     require(fields.nonEmpty, s"no partition fields in '$partitionRegex'")
+    // the base read this publish builds on (None — asserted empty
+    // above); passed as hintBase so a commit racing the long
+    // partitioned write surfaces as CommitConflictException at claim
+    // time instead of being silently built over
+    val hintBase: Option[(Int, JsonNode)] = None
     val schemaStr = schemaJson(df.schema)
     val parts = specFieldsFor(df.schema, schemaStr, fields)
     val dataRoot = TableIO(tableDir).child("data")
@@ -2406,7 +2442,8 @@ object IcebergMetadata {
     val list = writeManifestList(md, snapshotId, manifests)
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
       list, "append", summary, allEntries.length,
-      allEntries.map(_.rows).sum, specs = Seq(parts))
+      allEntries.map(_.rows).sum, specs = Seq(parts),
+      hintBase = Some(hintBase))
     Commit(version, snapshotId, seq, manifests.head.file.abs,
       list.abs, allEntries.length, allEntries.map(_.rows).sum)
   }
@@ -2549,6 +2586,13 @@ object IcebergMetadata {
     import graft.operators.SystemColumns
     val md = metaDir(tableDir)
     md.mkdirs()
+    // this publish's OWN base read, passed to the claim as hintBase: a
+    // commit landing during the (long) segment rewrite below then
+    // surfaces as CommitConflictException and the retry rebuilds on
+    // the fresh base — without it the claim would silently build the
+    // racing commit over (its manifest list is rebuilt whole here, so
+    // today that is benign, but only by accident of this code shape)
+    val hintBase = currentMetadata(tableDir)
     val keyCol = SystemColumns.OlakeId
     val viewSchema = DeltaSegments.read(spark, tablePath).schema
     // the upsert key doubles as the schema's identifier-field-ids (row
@@ -2720,7 +2764,8 @@ object IcebergMetadata {
     val version = writeMetadataJson(tableDir, schemaStr, snapshotId,
       seqMax, list, "overwrite", summary,
       dataEntries.length, dataEntries.map(_.rows).sum,
-      specs = if (parts.isEmpty) Seq(Nil) else Seq(Nil, parts))
+      specs = if (parts.isEmpty) Seq(Nil) else Seq(Nil, parts),
+      hintBase = Some(hintBase))
     Commit(version, snapshotId, seqMax, manifests.head.file.abs,
       list.abs, dataEntries.length,
       dataEntries.map(_.rows).sum)
@@ -3208,32 +3253,42 @@ object IcebergMetadata {
     * complete and parseable. */
   private def healHint(tableDir: String): Unit = {
     val md = metaDir(tableDir)
-    currentMetadata(tableDir).foreach { case (v0, _) =>
-      var v = v0
-      var probe = v0 + 1
-      var continue = true
-      // walk EXISTING names (claims skip only names that exist as
-      // orphans, so the first missing name ends the walk) and advance
-      // the head whenever a file chains to it — names may have gaps
-      // when a claim skipped unlinked orphans
-      while (continue) {
-        val nxt = md.child(s"v$probe.metadata.json")
-        if (!nxt.exists) continue = false
-        else {
-          val linked = try {
-            val m = mapper.readTree(nxt.readString)
-            Option(m.get("metadata-log")).exists { log =>
-              log.size() > 0 && log.get(log.size() - 1)
-                .get("metadata-file").asText
-                .endsWith(s"v$v.metadata.json")
-            }
-          } catch { case scala.util.control.NonFatal(_) => false }
-          if (linked) v = probe
-          probe += 1
-        }
+    // currentMetadata itself probes forward now, so this is the
+    // explicit flip for the commit-retry path (and a no-op when the
+    // read already healed the hint)
+    currentMetadata(tableDir).foreach { case (v, _) => flipHint(md, v) }
+  }
+
+  /** Furthest committed version reachable from `v0` along the
+    * chain-linked claimed version files: v(N+1) counts as committed
+    * iff its metadata-log's last entry names vN (every mutation
+    * appends its predecessor there). Walks EXISTING names — claims
+    * skip only names that exist as orphans, so the first missing name
+    * ends the walk; names may have gaps when a claim skipped unlinked
+    * orphans. Catalog-staged `vN-<snapshotId>` files are invisible to
+    * the probe by name shape — a catalog-rejected staging is never
+    * adopted. */
+  private def chainHead(md: TPath, v0: Int): Int = {
+    var v = v0
+    var probe = v0 + 1
+    var continue = true
+    while (continue) {
+      val nxt = md.child(s"v$probe.metadata.json")
+      if (!nxt.exists) continue = false
+      else {
+        val linked = try {
+          val m = mapper.readTree(nxt.readString)
+          Option(m.get("metadata-log")).exists { log =>
+            log.size() > 0 && log.get(log.size() - 1)
+              .get("metadata-file").asText
+              .endsWith(s"v$v.metadata.json")
+          }
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (linked) v = probe
+        probe += 1
       }
-      if (v > v0) flipHint(md, v)
     }
+    v
   }
 
   /** Run a commit body with conflict retries: on
@@ -3413,7 +3468,19 @@ object IcebergMetadata {
     val hint = md.child("version-hint.text")
     if (!hint.exists) None
     else {
-      val v = hint.readString.trim.toInt
+      // HadoopTableOperations findVersion semantics: the hint is a
+      // CACHE — probe forward along the chain-linked claimed version
+      // files, so a read that lands after a racing flipHint pair
+      // regressed the hint (or before the winner flipped it) still
+      // sees the committed head. The normal cost is ONE existence
+      // miss at v+1; read-only consumers of an idle table are never
+      // pinned to a pre-regression head. The healed value is flipped
+      // back best-effort (monotonic; a read-only mount may refuse).
+      val v0 = hint.readString.trim.toInt
+      val v = chainHead(md, v0)
+      if (v > v0)
+        try flipHint(md, v)
+        catch { case scala.util.control.NonFatal(_) => () }
       Some((v, mapper.readTree(md.child(s"v$v.metadata.json").readString)))
     }
   }

@@ -1103,28 +1103,41 @@ class IcebergMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     Tables.load(spark, "/root/testdata/sf0.001", "nation")
       .write.parquet(s"$tmp/d1")
     val c1 = IcebergMetadata.commitAgainst(spark, tmp, s"$tmp/d1", None)
-    val loc1 = s"$tmp/metadata/v${c1.version}.metadata.json"
+    val loc1 = c1.metadataPath
+    assert(loc1.matches(""".*/v1-\d+\.metadata\.json"""),
+      s"catalog staging must be snapshot-qualified: $loc1")
     assert(cat.commitTable("n", "t", None, loc1))
     // attempt 2 writes its metadata but the CAS never happens (crash):
-    // v2 is now an ORPHAN — and the version-hint points at it
+    // the staging is now an ORPHAN
     Tables.load(spark, "/root/testdata/sf0.001", "region")
       .write.parquet(s"$tmp/d2")
     val orphan = IcebergMetadata.commitAgainst(spark, tmp, s"$tmp/d2",
       Some(loc1), operation = "replace")
     // the RETRY rebuilds from the catalog's committed base (v1), not
     // the hint: its history must not contain the orphan's snapshot,
-    // its sequence number must not skip, and its version must skip
-    // past the orphan file (never overwrite it)
+    // its sequence number must not skip, and its staging must land
+    // under its OWN snapshot-qualified name (never overwrite the
+    // orphan's — two stagers against one base can never collide)
     val retry = IcebergMetadata.commitAgainst(spark, tmp, s"$tmp/d2",
       Some(loc1), operation = "replace")
-    assert(retry.version > orphan.version, "orphan file overwritten")
+    assert(retry.metadataPath != orphan.metadataPath,
+      "orphan staging overwritten")
+    val orphanMeta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(orphan.metadataPath)), "UTF-8")
+    assert(orphanMeta.contains(orphan.snapshotId.toString),
+      "orphan staging content clobbered")
     assert(retry.sequenceNumber == 2L)
-    val locR = s"$tmp/metadata/v${retry.version}.metadata.json"
+    val locR = retry.metadataPath
     val meta = new String(Files.readAllBytes(
       java.nio.file.Paths.get(locR)), "UTF-8")
     assert(!meta.contains(orphan.snapshotId.toString),
       "orphaned snapshot leaked into the retry's history")
     assert(meta.contains(c1.snapshotId.toString), "base history lost")
+    // the hint machinery never sees catalog stagings: no hint was
+    // written, and a filesystem read of the dir reports no committed
+    // version (the catalog pointer is this table's only truth)
+    assert(IcebergMetadata.currentMetadata(tmp).isEmpty,
+      "catalog staging leaked into the filesystem-hint view")
     assert(cat.commitTable("n", "t", Some(loc1), locR))
     // the committed pointer reads region (5 rows), not nation
     assert(spark.read.parquet(
