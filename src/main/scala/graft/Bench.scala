@@ -395,7 +395,18 @@ object Bench {
     }
 
     probePass() // pass 1: quiet box, partially-warm JIT
-    headline.foreach(timeQuery(_, times))
+    // per-attempt loadavg bracketing: every sweep attempt logs the load
+    // at its start AND end in the artifact, so the quiet claim is
+    // verifiable from the JSON alone (r15: both sweeps ran under
+    // neighbor load ~18 and a single resweep attempt could not escape
+    // the loaded box)
+    val sweepLoads = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sweepOnce(into: scala.collection.mutable.Map[String, Double]): Unit = {
+      val l0 = load1()
+      headline.foreach(timeQuery(_, into))
+      sweepLoads += "%.1f-%.1f".format(l0, load1())
+    }
+    sweepOnce(times)
     // SWEEP-LEVEL AMBIENT GUARD (r14 lesson: the per-query 3× guard
     // correctly does NOT fire on a UNIFORM sweep-wide inflation — the
     // r14 artifact recorded every query ~1.34× its trailing median
@@ -403,10 +414,12 @@ object Bench {
     // were the best on record). Detector: the MEDIAN per-query ratio
     // vs trailing medians (uniform inflation moves the median; a
     // single transient cannot), or ambient load still present when the
-    // sweep ends. On trigger: ONE settle-and-resweep, keeping the
-    // per-query MIN — interference only ever inflates a wall time —
-    // and the artifact carries `rerun_reason` so it self-explains.
-    val sweepRerunReason: Option[String] = {
+    // sweep ends. On trigger: settle and resweep — up to THREE attempts
+    // (r15 lesson: one attempt cannot outwait a long-lived neighbor) —
+    // keeping the per-query MIN across all attempts (interference only
+    // ever inflates a wall time). The artifact carries every attempt's
+    // reason so it self-explains.
+    def contendedReason(): Option[String] = {
       val ratios = times.toSeq.flatMap { case (k, v) =>
         trailing.get(k).filter(_ > 0.05).map(v / _) }.sorted
       val medianRatio =
@@ -419,17 +432,26 @@ object Bench {
         Some("load_end_" + "%.1f".format(loadNow))
       else None
     }
-    sweepRerunReason.foreach { _ =>
+    val rerunReasons = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rerunsLeft = 3
+    var reason = contendedReason()
+    while (reason.isDefined && rerunsLeft > 0) {
+      rerunReasons += reason.get
+      rerunsLeft -= 1
       var waited = 0
       while (load1() > 1.0 && waited < 240) {
         Thread.sleep(5000); waited += 5
       }
-      val second =
+      val again =
         scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      headline.foreach(timeQuery(_, second))
-      second.foreach { case (k, v) =>
+      sweepOnce(again)
+      again.foreach { case (k, v) =>
         if (v < times.getOrElse(k, Double.MaxValue)) times(k) = v }
+      reason = contendedReason() // mins may now clear the detector
     }
+    val sweepRerunReason: Option[String] =
+      if (rerunReasons.isEmpty) None
+      else Some(rerunReasons.mkString(";"))
     // the full set: everything not in the headline runs too (coverage
     // proofs, Derby-bound paths, write roundtrips — see scaladoc), in a
     // separate section that does not feed the headline total

@@ -3236,6 +3236,261 @@ object SparkEntry {
         GROUP BY n_regionkey""")
     }),
 
+    // ---- K2+K3 MoR-AWARE SQL FACE: spark.sql over a LIVE CDC table
+    //      (equality AND positional deletes) through the DSv2 catalog
+    //      — the engine's flagship output queried with no engine API.
+    //      The scan serves the merge-on-read ALGEBRA: the tiny delete
+    //      side ships once per executor inside the reader factory
+    //      (readMoR's broadcast premise); each data-file partition
+    //      filters its own rows by (position, key-sequence) — zero
+    //      shuffle, zero driver data flow. Spec-pins: the SQL face
+    //      equals readMoR row-for-row, and manifest-bounds file
+    //      pruning still happens under MoR. ----
+    "q_iceberg_sql_mor" -> ((s, dir) => {
+      import graft.operators.SystemColumns
+      val n = t(s, dir, "nation")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmor").toString
+      val table = s"$wh/stage_tbl"
+      val ice = s"$wh/lake/nation_mor"
+      n.select(col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+          col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$table/base")
+      val upd = n.where(col("n_nationkey") < 10).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), upper(col("n_name")).as("n_name"),
+        lit("u").as(SystemColumns.OpType))
+      val del = n.where(col("n_nationkey") >= 20).select(
+        col("n_nationkey").cast("string").as(SystemColumns.OlakeId),
+        col("n_nationkey"), col("n_name"),
+        lit("d").as(SystemColumns.OpType))
+      val ins = n.where(col("n_nationkey") < 5).select(
+        (col("n_nationkey") + 100).cast("string").as(SystemColumns.OlakeId),
+        (col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+        lit("c").as(SystemColumns.OpType))
+      // duplicate one update occurrence (key 7, inside the graded
+      // filter) so a POSITIONAL delete file is live alongside the
+      // equality deletes — both flavors cross the SQL face, and a
+      // missed pos-delete doubles key 7's group in the output
+      val seg = upd.unionByName(upd.where(col("n_nationkey") === 7))
+        .unionByName(del).unionByName(ins)
+        .withColumn(SystemColumns.CdcTimestamp, current_timestamp())
+      graft.sinks.DeltaSegments.writeSegment(seg, table, 1L)
+      IcebergMetadata.publishMoR(s, ice, table): Unit
+      val live = IcebergMetadata.dataFileStats(ice)
+      require(live.exists(_.content == 2) && live.exists(_.content == 1),
+        "gate needs live equality AND positional delete files")
+      s.conf.set("spark.sql.catalog.graft_mor",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mor.warehouse", wh)
+      // spec-pin 1: the SQL face equals the readMoR algebra
+      val viaSql = s.sql(
+        "SELECT n_nationkey, n_name FROM graft_mor.lake.nation_mor")
+      val viaMor = IcebergMetadata.readMoR(s, ice)
+        .select("n_nationkey", "n_name")
+      require(viaSql.exceptAll(viaMor).isEmpty &&
+        viaMor.exceptAll(viaSql).isEmpty,
+        "SQL face diverges from readMoR")
+      // spec-pin 2: manifest-bounds pruning still happens under MoR
+      locally {
+        import org.apache.spark.sql.sources.GreaterThanOrEqual
+        val sch = IcebergMetadata.currentSparkSchema(ice)
+        val pruned = new graft.sources.replication.IcebergBatchScan(
+          ice, sch, None, Array(GreaterThanOrEqual("n_nationkey", 100)),
+          None).planInputPartitions().length
+        val full = new graft.sources.replication.IcebergBatchScan(
+          ice, sch, None, Array.empty, None).planInputPartitions().length
+        require(pruned < full,
+          s"MoR batch scan pruned nothing: $pruned of $full files")
+      }
+      // the graded output: filter + aggregate through spark.sql itself
+      s.sql("""
+        SELECT n_name, count(*) AS cnt, sum(n_nationkey) AS key_sum
+        FROM graft_mor.lake.nation_mor
+        WHERE n_nationkey >= 5
+        GROUP BY n_name""")
+    }),
+
+    // ---- K2 DSv2 CHANGELOG STREAM (mode=changelog): the consumer
+    //      shape for replicating a table that takes OVERWRITES —
+    //      readStream delivers insert/delete rows (plus a per-commit
+    //      change_ordinal) instead of failing the stream; offsets stay
+    //      snapshot ids in Spark's checkpoint, so run 2 RESUMES after
+    //      run 1's backfill and delivers only the overwrite's diff and
+    //      the append. The gate REPLAYS the delivered batches — fold
+    //      per (run, batch, ordinal): (state EXCEPT ALL deletes) UNION
+    //      ALL inserts — and returns the rebuilt state; DuckDB pins it
+    //      against the table's final logical state computed directly. ----
+    "q_iceberg_stream_changelog" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dsv2cl").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      def run(runId: Int): Unit = {
+        val q = s.readStream.format("graft-iceberg")
+          .option("mode", "changelog").load(tmp)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, b: Long) =>
+            df.write.mode("append")
+              .parquet(s"$tmp/out/run=$runId/batch=$b"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d0"): Unit
+      run(1) // backfill: the history so far, pure inserts
+      // overwrite: drop every key ≡ 3 (mod 7), uppercase every key ≡ 0
+      // (mod 5) — a full-table rewrite commit
+      n.where(col("n_nationkey") % 7 =!= 3)
+        .withColumn("n_name",
+          when(col("n_nationkey") % 5 === 0, upper(col("n_name")))
+            .otherwise(col("n_name")))
+        .write.parquet(s"$tmp/d1")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d1",
+        operation = "overwrite"): Unit
+      n.withColumn("n_nationkey", col("n_nationkey") + 200)
+        .write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2"): Unit
+      run(2) // resume: the overwrite's diff (ordinal 1) + the append (2)
+      val delivered = s.read.option("basePath", s"$tmp/out")
+        .parquet(s"$tmp/out")
+        .withColumn("run", col("run").cast("int"))
+        .withColumn("batch", col("batch").cast("long"))
+      require(delivered
+          .where(col("run") === 2 && col("change_type") === "delete")
+          .count() > 0,
+        "run 2 delivered no delete rows — the overwrite diff is missing")
+      val steps = delivered.select("run", "batch", "change_ordinal")
+        .distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sorted
+      require(steps.exists(_._1 == 2),
+        "run 2 delivered nothing — checkpoint resume failed")
+      var state = delivered.limit(0)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      for ((r, b, o) <- steps) {
+        val step = delivered.where(col("run") === r &&
+          col("batch") === b && col("change_ordinal") === o)
+        state = state
+          .exceptAll(step.where(col("change_type") === "delete")
+            .select("n_nationkey", "n_name", "n_regionkey"))
+          .unionByName(step.where(col("change_type") === "insert")
+            .select("n_nationkey", "n_name", "n_regionkey"))
+      }
+      state
+    }),
+
+    // ---- K2+K5 PARTITIONED tables through the DSv2 source, across a
+    //      SPEC EVOLUTION (day → hour grain): the planner walks data
+    //      files with identity source columns kept in the files (the
+    //      __p_ layout), so both eras read correctly, and a timestamp
+    //      window prunes whole files from the manifests' ts bounds at
+    //      PLAN time — asserted against the stream AND batch planners
+    //      directly. Output = the streamed window, DuckDB recomputes
+    //      it from raw events. ----
+    "q_iceberg_stream_partitioned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dsv2part").toString
+      val ice = s"$tmp/ice"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      IcebergMetadata.publishPartitioned(s, ice,
+        ev.where(col("event_id") % 2 === 0), "/{ts,day}", groupSize = 6)
+      IcebergMetadata.evolvePartitionSpec(ice, "/{ts,hour}"): Unit
+      val dayWin = col("ts").cast("date")
+        .between(lit("2024-01-06"), lit("2024-01-07"))
+      IcebergMetadata.appendCommitPartitioned(s, ice,
+        ev.where(col("event_id") % 2 === 1 && dayWin), groupSize = 6)
+      // plan-level pin: the ts window prunes files on BOTH planners
+      locally {
+        import org.apache.spark.sql.sources.GreaterThanOrEqual
+        val sch = IcebergMetadata.currentSparkSchema(ice)
+        val winFrom = java.sql.Timestamp.valueOf("2024-01-06 00:00:00")
+        val f = Array[org.apache.spark.sql.sources.Filter](
+          GreaterThanOrEqual("ts", winFrom))
+        val sPruned = new graft.sources.replication.IcebergSnapshotStream(
+          ice, sch, skipOverwrites = false, startSnapshot = "earliest",
+          filters = f)
+        val sFull = new graft.sources.replication.IcebergSnapshotStream(
+          ice, sch, skipOverwrites = false, startSnapshot = "earliest")
+        val np = sPruned.planInputPartitions(
+          sPruned.initialOffset(), sPruned.latestOffset()).length
+        val nf = sFull.planInputPartitions(
+          sFull.initialOffset(), sFull.latestOffset()).length
+        require(np < nf,
+          s"stream planner pruned nothing on ts bounds: $np of $nf")
+        val bPruned = new graft.sources.replication.IcebergBatchScan(
+          ice, sch, None, f, None).planInputPartitions().length
+        val bFull = new graft.sources.replication.IcebergBatchScan(
+          ice, sch, None, Array.empty, None).planInputPartitions().length
+        require(bPruned < bFull,
+          s"batch planner pruned nothing on ts bounds: $bPruned of $bFull")
+      }
+      // the streamed read, window filter pushed through the scan
+      val q = s.readStream.format("graft-iceberg").load(ice)
+        .where(dayWin)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$tmp/out"): Unit
+        }
+        .start()
+      q.awaitTermination()
+      val streamed = s.read.parquet(s"$tmp/out")
+        .select("event_id", "user_id", "event_type", "ts")
+      // batch face over the same partitioned table must agree
+      val batch = s.read.format("graft-iceberg").load(ice)
+        .where(dayWin)
+        .select("event_id", "user_id", "event_type", "ts")
+      require(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "stream and batch faces diverge on the partitioned table")
+      streamed
+    }),
+
+    // ---- K2 SQL TIME TRAVEL through the DSv2 catalog: `VERSION AS
+    //      OF <snapshot-id>` and `TIMESTAMP AS OF <instant>` (Spark
+    //      hands the catalog micros; the served snapshot is the
+    //      main-lineage head at or before it). ----
+    "q_iceberg_sql_timetravel" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqltt").toString
+      val ice = s"$wh/lake/nation_tt"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$wh/stage0")
+      val c0 = IcebergMetadata.commit(s, ice, s"$wh/stage0")
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$wh/stage1")
+      val c1 = IcebergMetadata.appendCommit(s, ice, s"$wh/stage1")
+      s.conf.set("spark.sql.catalog.graft_tt",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+      val atV0 = s.sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM graft_tt.lake.nation_tt VERSION AS OF ${c0.snapshotId}"""
+          .stripMargin).withColumn("at", lit("v0"))
+      // TIMESTAMP AS OF the second commit's own instant serves v1
+      import scala.jdk.CollectionConverters._
+      val ts1Ms = IcebergMetadata.currentMetadata(ice).get._2
+        .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "snapshots").asScala
+        .find(_.get("snapshot-id").asLong == c1.snapshotId).get
+        .get("timestamp-ms").asLong
+      val tsStr = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts1Ms))
+      val atHead = s.sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM graft_tt.lake.nation_tt TIMESTAMP AS OF '$tsStr'"""
+          .stripMargin).withColumn("at", lit("head"))
+      atV0.unionByName(atHead)
+    }),
+
     // ---- K1+K2 CDC TABLE TAIL: the changelog variant of the
     //      streaming tail — a consumer replicating a table that takes
     //      OVERWRITES polls insert/delete batches (batch 0 backfills
@@ -3765,9 +4020,29 @@ object SparkEntry {
       }
       require(pointers.size == 4 && pointers.values.toSet == Set(loc),
         s"catalog pointers disagree after register: $pointers")
-      // the read goes through the AGREED pointer every catalog serves
-      s.read.parquet(IcebergMetadata.dataFilePathsAt(
-          pointers("rest")): _*)
+      // the INVERSE — catalog PORTABILITY (migration invariant): drop
+      // the table from the JDBC catalog (pointer forgotten, no byte of
+      // data or metadata touched), re-register in a SECOND catalog
+      // from the same metadata location, and the full history must be
+      // intact through the new pointer
+      require(cat.dropTable("lake", "nation_reg"),
+        "drop of a registered table reported nothing dropped")
+      require(scala.util.Try(cat.loadTable("lake", "nation_reg")).isFailure,
+        "dropped table still resolves")
+      val cat2 = new IcebergJdbcCatalog(
+        JdbcSource.derbyUrl(s"$tmp/catalogdb2"), "graft2")
+      cat2.initialize()
+      cat2.createNamespace("lake")
+      cat2.registerTable("lake", "nation_reg", loc)
+      val adopted = cat2.loadTable("lake", "nation_reg").getOrElse(
+        throw new IllegalStateException("re-register lost the pointer"))
+      require(adopted == loc, s"re-registered pointer moved: $adopted")
+      require(IcebergMetadata.dataFilePathsAt(adopted).toSet ==
+        IcebergMetadata.dataFilePathsAt(loc).toSet,
+        "history changed across the catalog migration")
+      // the read goes through the RE-REGISTERED pointer — the consumer
+      // re-pointed at the new catalog serves the same table
+      s.read.parquet(IcebergMetadata.dataFilePathsAt(adopted): _*)
         .select("n_nationkey", "n_name", "n_regionkey")
     }),
 
@@ -7883,6 +8158,64 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM t WHERE n_nationkey >= 10 GROUP BY n_regionkey"""
         .stripMargin,
+
+    // MoR SQL face: the same merge semantics as q_iceberg_mor (update
+    // wins, delete removes, insert adds; the intra-batch dup of key 7
+    // nets to ONE row via its positional delete), then the gate's
+    // filtered aggregate
+    "q_iceberg_sql_mor" ->
+      """WITH base AS (
+        |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id,
+        |    n_nationkey, n_name FROM nation),
+        |changes AS (
+        |  SELECT cast(n_nationkey AS VARCHAR) AS _olake_id, n_nationkey,
+        |    upper(n_name) AS n_name, 'u' AS op
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL SELECT cast(n_nationkey AS VARCHAR), n_nationkey,
+        |    n_name, 'd' FROM nation WHERE n_nationkey >= 20
+        |  UNION ALL SELECT cast(n_nationkey+100 AS VARCHAR),
+        |    n_nationkey+100, n_name, 'c' FROM nation WHERE n_nationkey < 5),
+        |merged AS (
+        |  SELECT _olake_id, n_nationkey, n_name FROM base
+        |  WHERE _olake_id NOT IN (SELECT _olake_id FROM changes)
+        |  UNION ALL
+        |  SELECT _olake_id, n_nationkey, n_name FROM changes
+        |  WHERE op <> 'd')
+        |SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM merged WHERE n_nationkey >= 5 GROUP BY n_name"""
+        .stripMargin,
+
+    // changelog stream replay: the rebuilt state equals the table's
+    // final logical state — overwrite (drop %7=3, uppercase %5=0)
+    // plus the +200 append
+    "q_iceberg_stream_changelog" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN upper(n_name)
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey
+        |FROM nation WHERE n_nationkey % 7 <> 3
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey FROM nation"""
+        .stripMargin,
+
+    // partitioned DSv2 read: the two-day window across both spec eras
+    // (even keys published day-grain cover all days; odd keys appended
+    // hour-grain cover exactly the window) = every event in the window
+    "q_iceberg_stream_partitioned" ->
+      """SELECT event_id, user_id, event_type, ts FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-06'
+        |  AND DATE '2024-01-07'""".stripMargin,
+
+    // SQL time travel: VERSION AS OF the first commit = base only;
+    // TIMESTAMP AS OF the second commit's instant = both
+    "q_iceberg_sql_timetravel" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'v0' AS at FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'head' FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey, 'head'
+        |FROM nation""".stripMargin,
 
     // batch face: the filtered head (only the +100 copy reaches 100)
     // plus a time-travel read of the first commit

@@ -2107,6 +2107,36 @@ object IcebergMetadata {
                                     clusterCols: Seq[String] = Nil,
                                     dropCols: Seq[String] = Nil): Unit = {
     import PartitionTransforms.withPartitionColumns
+    // Iceberg spec conformance: timestamps are int64 MICROS. Spark's
+    // default parquet output for TimestampType is INT96, which (a) is
+    // outside the Iceberg spec and (b) carries NO parquet min/max
+    // statistics — every manifest bound for the column would be
+    // missing and a timestamp predicate could never prune a file.
+    // Pinned for the engine's own writes, restored after.
+    val spark = df.sparkSession
+    val prevTsType =
+      spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try writePartitionedFilesInner(df, fields, parts, destDir, overwrite,
+      bins, clusterCols, dropCols)
+    finally prevTsType match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  private def writePartitionedFilesInner(df: DataFrame,
+                                    fields: Seq[PartitionTransforms.PartitionField],
+                                    parts: Seq[PartSpecField],
+                                    destDir: String,
+                                    overwrite: Boolean,
+                                    bins: Int,
+                                    clusterCols: Seq[String],
+                                    dropCols: Seq[String]): Unit = {
+    import PartitionTransforms.withPartitionColumns
     val dirCols = parts.map(p => s"__p_${p.name}")
     val withP = fields.zip(dirCols).foldLeft(df) { case (acc, (f, pc)) =>
       val added = withPartitionColumns(acc, Seq(f))
@@ -3721,6 +3751,21 @@ object IcebergMetadata {
     Iterator.iterate(byId.get(head))(_.flatMap(s =>
         Option(s.get("parent-snapshot-id")).map(_.asLong).flatMap(byId.get)))
       .takeWhile(_.isDefined).map(_.get).toSeq.reverse
+  }
+
+  /** `(snapshot-id, operation)` of every MAIN-lineage snapshot up to
+    * `toSnapshotId` (the head when None), in commit order — the
+    * per-commit planning walk of the DSv2 changelog stream
+    * ([[graft.sources.replication.IcebergSnapshotStream]]). Metadata
+    * only: one currentMetadata read, no manifest opens. */
+  def mainLineageOps(tableDir: String,
+                     toSnapshotId: Option[Long] = None)
+      : Seq[(Long, String)] = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    mainLineage(meta, toSnapshotId).map(s => (
+      s.get("snapshot-id").asLong,
+      s.get("summary").get("operation").asText))
   }
 
   /** Data-file paths first ADDED by snapshot node `s` — list rows

@@ -66,6 +66,44 @@ class GraftCatalog extends TableCatalog {
       maxFilesPerTrigger = 0)
   }
 
+  /** SQL time travel — `SELECT … FROM graft.ns.tbl VERSION AS OF
+    * <snapshot-id>` (a numeric snapshot id, Iceberg's semantics) or a
+    * named ref (tag/branch head). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (IcebergMetadata.currentMetadata(dir).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val snapId =
+      if (version.forall(_.isDigit)) version.toLong
+      else IcebergMetadata.refSnapshotId(dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"ref '$version' does not exist at $dir"))
+    new IcebergStreamTable(dir, IcebergMetadata.currentSparkSchema(dir),
+      skipOverwrites = false, startSnapshot = "earliest", ref = None,
+      maxFilesPerTrigger = 0, asOfSnapshot = Some(snapId))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROSECONDS since epoch; the
+    * served snapshot is the main-lineage head committed at or before
+    * that instant (Iceberg's snapshot-as-of-time rule). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (IcebergMetadata.currentMetadata(dir).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val tsMs = timestamp / 1000L
+    // snapshotBefore is strict-<, so +1ms gives "at or before"
+    val snapId = IcebergMetadata.snapshotBefore(dir, tsMs + 1L)
+    if (snapId == IcebergMetadata.BeforeAllSnapshots)
+      throw new IllegalArgumentException(
+        s"no snapshot at or before ${java.time.Instant.ofEpochMilli(tsMs)}" +
+          s" at $dir")
+    new IcebergStreamTable(dir, IcebergMetadata.currentSparkSchema(dir),
+      skipOverwrites = false, startSnapshot = "earliest", ref = None,
+      maxFilesPerTrigger = 0, asOfSnapshot = Some(snapId))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =

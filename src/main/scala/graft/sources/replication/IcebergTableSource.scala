@@ -2,6 +2,8 @@ package graft.sources.replication
 
 import java.util
 
+import scala.collection.mutable
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
@@ -21,6 +23,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sinks.IcebergMetadata
@@ -52,12 +55,26 @@ import graft.sinks.IcebergMetadata
   *    change; an overwrite/delete commit FAILS the stream unless
   *    `skipOverwrites=true` (Iceberg's
   *    `streaming-skip-overwrite-snapshots`), which skips the commit
-  *    whole — never partially;
+  *    whole — never partially — or unless `mode=changelog` (below);
   *  - each data file is one `InputPartition`: files distribute across
   *    executors and rows never flow through the driver. Offsets live
   *    in Spark's own checkpoint log, so restarts (incl.
   *    `Trigger.AvailableNow` run-to-done invocations) resume exactly
   *    after the last committed batch.
+  *
+  * **`mode=changelog`** is the CDC face: rows carry a `change_type`
+  * column (`insert` / `delete`), overwrite commits deliver their
+  * file-level diff instead of failing the stream, and commits that add
+  * DELETE files (the engine's merge-on-read CDC tables) deliver the
+  * rows those deletes killed as `delete` rows — computed per data-file
+  * partition from the before/after delete state, never through the
+  * driver. A consumer replays a batch as `(state EXCEPT ALL deletes)
+  * UNION ALL inserts`; the fold over all delivered batches equals the
+  * table's final state. This is the streaming analog of
+  * [[graft.streaming.IcebergTail.pollChangelog]], expressible per-file
+  * (the poll's bag-diff `EXCEPT ALL` needs a shuffle; the stream gets
+  * the same replayed state from raw add/kill row sets, Iceberg's own
+  * changelog-scan-with-carryovers shape).
   *
   * `inferSchema` answers from the table's CURRENT Iceberg schema
   * (metadata-only — [[IcebergMetadata.currentSparkSchema]]); files
@@ -67,8 +84,20 @@ import graft.sinks.IcebergMetadata
   */
 class IcebergTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-iceberg"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    IcebergMetadata.currentSparkSchema(IcebergTableSource.dir(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base =
+      IcebergMetadata.currentSparkSchema(IcebergTableSource.dir(options))
+    if (options.getOrDefault("mode", "append") == "changelog")
+      // change_ordinal = commit index within the delivered batch: a
+      // replayer folds per ordinal — (state EXCEPT ALL deletes) UNION
+      // ALL inserts — so a row inserted by one commit and deleted by a
+      // later commit in the SAME microbatch replays correctly
+      // (Iceberg's own changelog scan carries _change_ordinal for the
+      // same reason)
+      base.add("change_type", StringType, nullable = false)
+        .add("change_ordinal", IntegerType, nullable = false)
+    else base
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
@@ -77,7 +106,8 @@ class IcebergTableSource extends TableProvider with DataSourceRegister {
       startSnapshot = opts.getOrDefault("startSnapshot", "earliest"),
       ref = Option(opts.get("ref")),
       maxFilesPerTrigger = opts.getInt("maxFilesPerTrigger", 0),
-      asOfSnapshot = Option(opts.get("asOfSnapshot")).map(_.toLong))
+      asOfSnapshot = Option(opts.get("asOfSnapshot")).map(_.toLong),
+      mode = opts.getOrDefault("mode", "append"))
   }
 }
 
@@ -107,7 +137,8 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
                          skipOverwrites: Boolean, startSnapshot: String,
                          ref: Option[String],
                          maxFilesPerTrigger: Int,
-                         asOfSnapshot: Option[Long] = None)
+                         asOfSnapshot: Option[Long] = None,
+                         mode: String = "append")
     extends Table with SupportsRead {
   override def name(): String = s"graft-iceberg(`$tableDir`)"
   override def schema(): StructType = tableSchema
@@ -116,7 +147,7 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
       TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergStreamScanBuilder(tableDir, tableSchema, skipOverwrites,
-      startSnapshot, ref, maxFilesPerTrigger, asOfSnapshot)
+      startSnapshot, ref, maxFilesPerTrigger, asOfSnapshot, mode)
 }
 
 /** Column pruning reaches the parquet reader: the pruned schema flows
@@ -130,7 +161,8 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
                                skipOverwrites: Boolean,
                                startSnapshot: String, ref: Option[String],
                                maxFilesPerTrigger: Int,
-                               asOfSnapshot: Option[Long] = None)
+                               asOfSnapshot: Option[Long] = None,
+                               mode: String = "append")
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -149,7 +181,7 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
       : Array[org.apache.spark.sql.sources.Filter] = prunable
   override def build(): Scan = new IcebergStreamScan(tableDir, pruned,
     skipOverwrites, startSnapshot, ref, maxFilesPerTrigger, prunable,
-    asOfSnapshot)
+    asOfSnapshot, mode)
 }
 
 class IcebergStreamScan(tableDir: String, tableSchema: StructType,
@@ -157,60 +189,112 @@ class IcebergStreamScan(tableDir: String, tableSchema: StructType,
                         ref: Option[String], maxFilesPerTrigger: Int,
                         filters: Array[org.apache.spark.sql.sources.Filter]
                           = Array.empty,
-                        asOfSnapshot: Option[Long] = None)
+                        asOfSnapshot: Option[Long] = None,
+                        mode: String = "append")
     extends Scan {
   override def readSchema(): StructType = tableSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new IcebergSnapshotStream(tableDir, tableSchema, skipOverwrites,
-      startSnapshot, ref, maxFilesPerTrigger, filters)
+      startSnapshot, ref, maxFilesPerTrigger, filters, mode)
 
   /** BATCH face of the same table: the live data files of one
     * snapshot (current, `asOfSnapshot` time travel, or a `ref` head),
     * stats-pruned by the pushed filters, one file per partition — so
-    * `spark.read.format("graft-iceberg")` serves SQL over an
-    * append-only engine table directly. A table with LIVE delete
-    * files refuses: raw file reads would resurrect deleted rows —
-    * that read is the engine's merge-on-read algebra
-    * ([[graft.sinks.IcebergMetadata.readMoR]]), not a file scan. */
-  override def toBatch
-      : org.apache.spark.sql.connector.read.Batch =
-    new org.apache.spark.sql.connector.read.Batch {
-      override def planInputPartitions(): Array[InputPartition] = {
-        val asOf = asOfSnapshot.orElse(ref.map { r =>
-          val meta = IcebergMetadata.currentMetadata(tableDir)
-            .getOrElse(throw new IllegalStateException(
-              s"no committed version at $tableDir"))._2
-          Option(meta.path("refs").get(r))
-            .map(_.get("snapshot-id").asLong).getOrElse(
-              throw new IllegalArgumentException(
-                s"ref '$r' does not exist at $tableDir"))
-        })
-        val stats = IcebergMetadata.dataFileStats(tableDir, asOf)
-        require(!stats.exists(_.content != 0),
-          s"$tableDir holds live delete files (merge-on-read): batch " +
-            "file scans would resurrect deleted rows — read through " +
-            "IcebergMetadata.readMoR, or compact first")
-        val fidByName =
-          if (filters.isEmpty) Map.empty[String, Int]
-          else IcebergMetadata.currentFieldIds(tableDir)
-        stats.filter { st =>
-          def bounds(c: String): Option[(Long, Long)] =
-            fidByName.get(c).flatMap { fid =>
-              (st.stats.lower.get(fid), st.stats.upper.get(fid)) match {
-                case (Some(l), Some(u)) => Some(
-                  (IcebergMetadata.boundLong(l),
-                    IcebergMetadata.boundLong(u)))
-                case _ => None
-              }
-            }
-          filters.forall(f => StatsPrune.mightMatch(f, bounds))
-        }.map(st => IcebergFilePartition(st.path): InputPartition)
-          .toArray
-      }
-      override def createReaderFactory(): PartitionReaderFactory =
-        new IcebergFileReaderFactory(tableSchema,
-          IcebergTableSource.fsConf())
+    * `spark.read.format("graft-iceberg")` (and the
+    * [[GraftCatalog]] SQL face) serves engine tables directly.
+    *
+    * A table with LIVE delete files serves the merge-on-read ALGEBRA,
+    * not a raw file scan (which would resurrect deleted rows): the
+    * delete side — tiny next to the data it guards, the same premise
+    * [[IcebergMetadata.readMoR]] broadcasts it on — is read ONCE at
+    * plan time and shipped to executors in the reader factory (one
+    * copy per executor via the task binary broadcast); each data-file
+    * partition then filters its own rows by (position, equality-key
+    * sequence) with zero shuffle and zero driver data flow. Clean
+    * (delete-free) tables read COLUMNAR through Spark's vectorized
+    * parquet reader. */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    require(mode != "changelog",
+      "mode=changelog is a streaming read: use spark.readStream")
+    new IcebergBatchScan(tableDir, tableSchema, ref, filters, asOfSnapshot)
+  }
+}
+
+/** The DSv2 batch scan body — shared lazy state between partition
+  * planning and reader-factory creation so the MoR delete side is
+  * read exactly once. */
+class IcebergBatchScan(tableDir: String, tableSchema: StructType,
+                       ref: Option[String],
+                       filters: Array[org.apache.spark.sql.sources.Filter],
+                       asOfSnapshot: Option[Long])
+    extends org.apache.spark.sql.connector.read.Batch {
+
+  private lazy val asOf: Option[Long] = asOfSnapshot.orElse(ref.map { r =>
+    val meta = IcebergMetadata.currentMetadata(tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version at $tableDir"))._2
+    Option(meta.path("refs").get(r))
+      .map(_.get("snapshot-id").asLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"ref '$r' does not exist at $tableDir"))
+  })
+
+  private lazy val stats = IcebergMetadata.dataFileStats(tableDir, asOf)
+  private lazy val hasDeletes = stats.exists(_.content != 0)
+
+  /** Delete state, read once on the driver (`None` for clean tables).
+    * State id 0 = the scanned snapshot's own live delete state. */
+  private lazy val morState
+      : (Option[MorSpec], Map[String, Array[Long]]) =
+    if (!hasDeletes) (None, Map.empty)
+    else {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val cache: MorPlan.Cache = mutable.HashMap.empty
+      // key types resolve against the FULL table schema — `tableSchema`
+      // here is the consumer's PRUNED projection, which may not carry
+      // the equality-key column at all
+      val eq = MorPlan.eqStateOf(stats, tableDir,
+        IcebergMetadata.currentSparkSchema(tableDir), conf, cache)
+      val pos = MorPlan.posStateOf(stats, conf, cache)
+      val spec = MorSpec(eq.keyFields.map(f => (f.name, f.dataType)),
+        if (eq.byKey.nonEmpty) Map(0L -> eq.byKey) else Map.empty)
+      (Some(spec), pos)
     }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (morSpec, posState) = morState
+    val dataStats = stats.filter(_.content == 0)
+    val fidByName =
+      if (filters.isEmpty) Map.empty[String, Int]
+      else IcebergMetadata.currentFieldIds(tableDir)
+    // stats-pruning data files stays CORRECT under MoR: deletes only
+    // remove rows, so a file whose bounds cannot match the predicate
+    // still cannot contribute rows after the merge
+    dataStats.filter { st =>
+      def bounds(c: String): Option[(Long, Long)] =
+        fidByName.get(c).flatMap { fid =>
+          (st.stats.lower.get(fid), st.stats.upper.get(fid)) match {
+            case (Some(l), Some(u)) => Some(
+              (IcebergMetadata.boundLong(l),
+                IcebergMetadata.boundLong(u)))
+            case _ => None
+          }
+        }
+      filters.forall(f => StatsPrune.mightMatch(f, bounds))
+    }.map { st =>
+      IcebergFilePartition(st.path, seq = st.seq,
+        sizeBytes = st.sizeBytes,
+        deadPos = posState.getOrElse(MorPlan.norm(st.path), Array.empty),
+        eqState =
+          if (morSpec.exists(_.eqStates.nonEmpty)) 0L else -1L)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IcebergFileReaderFactory(tableSchema, IcebergTableSource.fsConf(),
+      mor = morState._1,
+      columnar = !hasDeletes && MorPlan.atomicOnly(tableSchema))
 }
 
 /** File-level predicate evaluation against Iceberg manifest bounds —
@@ -227,6 +311,19 @@ object StatsPrune {
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
+    // temporal predicates compare in the bounds' own units: Iceberg
+    // serializes timestamp bounds as MICROS since epoch (8 bytes LE)
+    // and date bounds as days (4 bytes) — exactly what these convert to
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(i))
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
     case _ => None
   }
 
@@ -276,9 +373,17 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
                             maxFilesPerTrigger: Int = 0,
                             filters:
                               Array[org.apache.spark.sql.sources.Filter] =
-                              Array.empty)
+                              Array.empty,
+                            mode: String = "append")
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val changelog = mode == "changelog"
+  /** Delete-state map accumulated by changelog planning, consumed by
+    * [[createReaderFactory]] — Spark plans partitions before creating
+    * the factory for the batch, both on the driver. */
+  private val eqStates = mutable.HashMap.empty[Long, Map[String, Long]]
+  private var eqKeyFields: Seq[(String, DataType)] = Nil
 
   private def headId: Long = {
     val meta = IcebergMetadata.currentMetadata(tableDir).getOrElse(
@@ -315,7 +420,7 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     val target = availableNowEnd.getOrElse(headId)
     val s = start.asInstanceOf[SnapshotOffset].snapshotId
     SnapshotOffset(
-      if (maxFilesPerTrigger <= 0 || s == target) target
+      if (changelog || maxFilesPerTrigger <= 0 || s == target) target
       else IcebergMetadata.boundedAppendHead(tableDir, s, target,
         maxFilesPerTrigger))
   }
@@ -345,6 +450,7 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     val s = start.asInstanceOf[SnapshotOffset].snapshotId
     val e = end.asInstanceOf[SnapshotOffset].snapshotId
     if (s == e) return Array.empty
+    if (changelog) return planChangelog(s, e)
     // pinned at `e` (the offset this batch committed to): a commit
     // racing the poll lands in the NEXT batch, never splits this one
     if (filters.isEmpty)
@@ -375,48 +481,450 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     }
   }
 
+  /** CHANGELOG planning for `(from, to]` — one pass per commit (the
+    * same per-commit shape as [[IcebergMetadata.changelogScan]]'s
+    * ordinals), all of it metadata + the tiny delete side; data rows
+    * never touch the driver:
+    *
+    *  - `append`: the commit's added data files → `insert` partitions
+    *    (O(new manifests) planning via the added_snapshot_id filter);
+    *  - `replace` (compaction / delete consolidation): no logical
+    *    change → nothing;
+    *  - overwrite/delete commits: added data files → `insert`
+    *    partitions under the commit's own delete state (so an upsert
+    *    segment's intra-batch positional deletes apply); removed data
+    *    files → `delete` partitions emitting rows that were ALIVE
+    *    under the pre-commit state (rows an earlier delete already
+    *    killed were never in the replica and must not be "deleted"
+    *    again); surviving data files whose delete state changed →
+    *    `delete` partitions emitting exactly the rows alive BEFORE and
+    *    dead AFTER (the rows this commit's new equality/positional
+    *    delete files killed).
+    *
+    * A replayer folds each batch as `(state EXCEPT ALL deletes) UNION
+    * ALL inserts`; the fold over all batches equals the table's state
+    * at `to`. Carryover pairs (a row rewritten verbatim by an
+    * overwrite emits delete+insert) are allowed, as in Iceberg's own
+    * changelog scan — netting them needs a shuffle, which a file-
+    * partition source must not pay. */
+  private def planChangelog(from: Long, to: Long): Array[InputPartition] = {
+    val lineage = IcebergMetadata.mainLineageOps(tableDir, Some(to))
+    val fromIdx =
+      if (from == IcebergMetadata.BeforeAllSnapshots) -1
+      else lineage.indexWhere(_._1 == from)
+    if (from != IcebergMetadata.BeforeAllSnapshots && fromIdx < 0)
+      throw new IllegalArgumentException(
+        s"snapshot $from not on the current main lineage (expired or " +
+          "rolled back over?) — resync the changelog stream from a " +
+          "fresh checkpoint")
+    val window = lineage.drop(fromIdx + 1)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val cache: MorPlan.Cache = mutable.HashMap.empty
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    var prevId: Option[Long] = if (fromIdx >= 0) Some(lineage(fromIdx)._1)
+                               else None
+
+    // (posState, eqNonEmpty) per snapshot, registering the eq map
+    // under the snapshot id for the reader factory; memoized — two
+    // consecutive overwrites share the middle state
+    val stateMemo =
+      mutable.HashMap.empty[Long, (Map[String, Array[Long]], Boolean)]
+    def stateOf(id: Long): (Map[String, Array[Long]], Boolean) =
+      stateMemo.getOrElseUpdate(id, {
+        val st = IcebergMetadata.dataFileStats(tableDir, Some(id))
+        // FULL schema, not the consumer's pruned projection — the
+        // equality-key column may be pruned out of the output
+        val eq = MorPlan.eqStateOf(st, tableDir,
+          IcebergMetadata.currentSparkSchema(tableDir), conf, cache)
+        if (eq.byKey.nonEmpty) {
+          eqStates(id) = eq.byKey
+          eqKeyFields = eq.keyFields.map(f => (f.name, f.dataType))
+        }
+        (MorPlan.posStateOf(st, conf, cache), eq.byKey.nonEmpty)
+      })
+
+    for (((cid, op), i) <- window.zipWithIndex; ord = i + 1) op match {
+      case "replace" => prevId = Some(cid)
+      case "append" =>
+        IcebergMetadata.appendedStatsSince(tableDir,
+            prevId.getOrElse(IcebergMetadata.BeforeAllSnapshots),
+            failOnOverwrite = false, toSnapshotId = Some(cid))
+          .foreach { st =>
+            parts += IcebergFilePartition(st.path, seq = st.seq,
+              sizeBytes = st.sizeBytes, changeType = "insert",
+              changeOrdinal = ord)
+          }
+        prevId = Some(cid)
+      case _ => // overwrite / delete: file-level diff + delete-state diff
+        val prevStats = prevId.map(p =>
+          IcebergMetadata.dataFileStats(tableDir, Some(p))).getOrElse(Nil)
+        val curStats = IcebergMetadata.dataFileStats(tableDir, Some(cid))
+        val prevData = prevStats.filter(_.content == 0)
+          .map(e => MorPlan.norm(e.path) -> e).toMap
+        val curData = curStats.filter(_.content == 0)
+          .map(e => MorPlan.norm(e.path) -> e).toMap
+        val (posCur, eqCur) = stateOf(cid)
+        val (posPrev, eqPrev) = prevId.map(stateOf)
+          .getOrElse((Map.empty[String, Array[Long]], false))
+        val curStateId = if (eqCur) cid else -1L
+        val prevStateId = prevId.filter(_ => eqPrev).getOrElse(-1L)
+        // added data files: rows alive under the commit's OWN state
+        (curData -- prevData.keys).values.foreach { e =>
+          parts += IcebergFilePartition(e.path, seq = e.seq,
+            sizeBytes = e.sizeBytes,
+            deadPos = posCur.getOrElse(MorPlan.norm(e.path), Array.empty),
+            eqState = curStateId, changeType = "insert",
+            changeOrdinal = ord)
+        }
+        // removed data files: rows that were alive BEFORE are deletes
+        (prevData -- curData.keys).values.foreach { e =>
+          parts += IcebergFilePartition(e.path, seq = e.seq,
+            sizeBytes = e.sizeBytes,
+            deadPos = posPrev.getOrElse(MorPlan.norm(e.path), Array.empty),
+            eqState = prevStateId, changeType = "delete",
+            changeOrdinal = ord)
+        }
+        // surviving files whose delete state changed: emit exactly the
+        // rows this commit's new delete files killed
+        val newEqSeqMax = {
+          val prevEq = prevStats.filter(_.content == 2).map(_.path).toSet
+          val fresh = curStats.filter(e =>
+            e.content == 2 && !prevEq.contains(e.path))
+          if (fresh.isEmpty) Long.MinValue else fresh.map(_.seq).max
+        }
+        curData.keys.filter(prevData.contains).foreach { k =>
+          val e = curData(k)
+          val before = posPrev.getOrElse(k, Array.empty[Long])
+          val after = posCur.getOrElse(k, Array.empty[Long])
+          val posGrew = after.length > before.length
+          val eqHits = eqCur && e.seq < newEqSeqMax
+          if (posGrew || eqHits)
+            parts += IcebergFilePartition(e.path, seq = e.seq,
+              sizeBytes = e.sizeBytes,
+              deadPos = after, eqState = curStateId,
+              beforeDeadPos = before, beforeEqState = prevStateId,
+              emitKilled = true, changeType = "delete",
+              changeOrdinal = ord)
+        }
+        prevId = Some(cid)
+    }
+    parts.toArray
+  }
+
   override def commit(end: Offset): Unit = ()
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IcebergFileReaderFactory(tableSchema, IcebergTableSource.fsConf())
+    new IcebergFileReaderFactory(tableSchema, IcebergTableSource.fsConf(),
+      mor =
+        if (eqStates.isEmpty) None
+        else Some(MorSpec(eqKeyFields, eqStates.toMap)))
 
   override def stop(): Unit = ()
 }
 
-case class IcebergFilePartition(path: String) extends InputPartition
+/** One data file → one partition. Beyond the path, the fields carry
+  * the file's MoR/changelog read spec (all defaults = a plain full
+  * read):
+  *  - `seq`: the file's Iceberg data sequence number (equality deletes
+  *    apply only to strictly older sequences);
+  *  - `deadPos`: sorted row positions dead under the EMIT state
+  *    (positional deletes naming this file);
+  *  - `eqState`: key into [[MorSpec.eqStates]] for the emit state's
+  *    equality-delete map (-1 = none);
+  *  - `emitKilled` + `beforeDeadPos`/`beforeEqState`: changelog
+  *    delete-emission — emit rows alive under the BEFORE state and
+  *    dead under the after state, instead of rows alive after;
+  *  - `changeType`/`changeOrdinal`: non-null in changelog mode — the
+  *    literals filled into the output's `change_type` /
+  *    `change_ordinal` columns (never read from parquet). */
+case class IcebergFilePartition(path: String,
+                                seq: Long = 0L,
+                                sizeBytes: Long = -1L,
+                                deadPos: Array[Long] = Array.empty,
+                                beforeDeadPos: Array[Long] = Array.empty,
+                                eqState: Long = -1L,
+                                beforeEqState: Long = -1L,
+                                emitKilled: Boolean = false,
+                                changeType: String = null,
+                                changeOrdinal: Int = 0)
+    extends InputPartition
 
-/** Executor-side reader: one parquet data file → InternalRows of the
-  * table's CURRENT schema, via parquet-hadoop's public Group API
-  * (columns matched by NAME so pre-evolution files read with nulls /
-  * widened values). Row-at-a-time is the right trade here: a tail
-  * stream's batches are commit-sized, and the file-per-partition fan
-  * -out is what carries scale — the whole batch reads in parallel
-  * across executors with zero driver data flow. */
-class IcebergFileReaderFactory(schema: StructType,
-                               fsConf: Map[String, String])
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val path = p.asInstanceOf[IcebergFilePartition].path
-    new PartitionReader[InternalRow] {
-      private val conf = {
-        val c = new Configuration()
-        fsConf.foreach { case (k, v) => c.set(k, v) }
-        c
+/** The broadcast-sized MoR delete state shipped once per executor in
+  * the reader factory (DSv2 serializes the factory into the task
+  * binary, which Spark broadcasts): equality-key → max delete
+  * sequence, per state id. Same premise as
+  * [[IcebergMetadata.readMoR]]'s broadcast delete side — tiny next to
+  * the data it guards; [[MorPlan]] refuses past a row cap rather than
+  * ship an unbounded map. */
+case class MorSpec(keyFields: Seq[(String, DataType)],
+                   eqStates: Map[Long, Map[String, Long]])
+
+/** Driver-side MoR planning: read the (small) delete files once,
+  * canonicalize equality keys, build the per-file position sets. */
+private[replication] object MorPlan {
+  import graft.sinks.IcebergMetadata.DataFileStat
+
+  /** (column names, rows) of one delete parquet file. */
+  type DeleteRows = (Seq[String], Seq[Array[Any]])
+  type Cache = mutable.Map[String, DeleteRows]
+
+  /** Ship-to-executor cap: past this many delete rows the right read
+    * is [[IcebergMetadata.readMoR]] (whose broadcast the planner
+    * sizes) after `maintain` compaction — refuse loudly rather than
+    * serialize an unbounded map into every task binary. */
+  val MaxDeleteRows = 5000000
+
+  def norm(p: String): String =
+    p.replaceFirst(IcebergMetadata.SchemeRe, "/")
+
+  /** Columnar (vectorized) reads need flat schemas; nested columns
+    * fall back to the row reader. */
+  def atomicOnly(st: StructType): Boolean = st.fields.forall(_.dataType match {
+    case _: StructType | _: ArrayType | _: MapType => false
+    case _ => true
+  })
+
+  /** Canonical string form of an equality-key value, identical for
+    * the driver-side (parquet Group) and executor-side (Catalyst)
+    * decodings and stable across integral widening. */
+  def canon(v: Any): String = v match {
+    case null => "\u0002null"
+    case s: UTF8String => "s:" + s.toString
+    case s: String => "s:" + s
+    case i: Int => "l:" + i
+    case l: Long => "l:" + l
+    case s: Short => "l:" + s
+    case b: Byte => "l:" + b
+    case b: Boolean => "b:" + b
+    case other => throw new UnsupportedOperationException(
+      "equality-delete key type not supported for DSv2 MoR reads: " +
+        other.getClass.getName + " — read through IcebergMetadata.readMoR")
+  }
+
+  /** Read one delete parquet file entirely on the DRIVER — the same
+    * cost model as readMoR, which broadcasts the delete side. Delete
+    * files are engine-written and flat: string/integral key columns
+    * (equality) or (file_path, pos) coordinates (positional). */
+  def readDeleteFile(path: String, conf: Configuration): DeleteRows = {
+    val hPath = new Path(path)
+    val fileSchema = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val fields = fileSchema.getFields.asScala.toSeq
+    val names = fields.map(_.getName)
+    val extractors: Seq[(Group, Int) => Any] = fields.map { f =>
+      val pt = f.asPrimitiveType()
+      pt.getPrimitiveTypeName match {
+        case BINARY | FIXED_LEN_BYTE_ARRAY
+          if pt.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          (g: Group, i: Int) => g.getString(i, 0)
+        case INT32 => (g: Group, i: Int) => g.getInteger(i, 0).toLong
+        case INT64 => (g: Group, i: Int) => g.getLong(i, 0)
+        case BOOLEAN => (g: Group, i: Int) => g.getBoolean(i, 0)
+        case other => throw new UnsupportedOperationException(
+          s"delete-file column ${f.getName}: $other")
       }
-      private val hPath = new Path(path)
+    }
+    val reader = ParquetReader.builder(new GroupReadSupport(), hPath)
+      .withConf(conf).build()
+    val rows = mutable.ArrayBuffer.empty[Array[Any]]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val arr = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) {
+          arr(i) = if (g.getFieldRepetitionCount(i) == 0) null
+                   else extractors(i)(g, i)
+          i += 1
+        }
+        rows += arr
+        g = reader.read()
+      }
+    } finally reader.close()
+    (names, rows.toSeq)
+  }
+
+  case class EqState(keyFields: Seq[StructField],
+                     byKey: Map[String, Long])
+
+  /** Equality-delete state of a snapshot: canonical key → max delete
+    * sequence (a data row of sequence s is killed iff maxSeq > s). */
+  def eqStateOf(stats: Seq[DataFileStat], tableDir: String,
+                tableSchema: StructType, conf: Configuration,
+                cache: Cache): EqState = {
+    val eqFiles = stats.filter(_.content == 2)
+    if (eqFiles.isEmpty) return EqState(Nil, Map.empty)
+    val idSets = eqFiles.map(_.equalityIds).distinct
+    require(idSets.size == 1,
+      s"mixed equality-delete key sets at $tableDir: $idSets — read " +
+        "through IcebergMetadata.readMoR")
+    val byId = IcebergMetadata.currentFieldIds(tableDir).map(_.swap)
+    val keyNames = idSets.head.map(id => byId.getOrElse(id,
+      throw new IllegalStateException(
+        s"equality field id $id not in the current schema at $tableDir")))
+    val keyFields = keyNames.map(n =>
+      tableSchema.fields(tableSchema.fieldIndex(n)))
+    val byKey = mutable.HashMap.empty[String, Long]
+    eqFiles.foreach { f =>
+      val (cols, rows) =
+        cache.getOrElseUpdate(f.path, readDeleteFile(f.path, conf))
+      val idx = keyNames.map(cols.indexOf(_)).toArray
+      require(idx.forall(_ >= 0),
+        s"equality-delete file ${f.path} lacks key columns $keyNames")
+      require(byKey.size + rows.size <= MaxDeleteRows,
+        s"over $MaxDeleteRows live equality-delete rows at $tableDir — " +
+          "run maintain (compaction) or read through readMoR")
+      rows.foreach { r =>
+        val k = idx.map(i => canon(r(i))).mkString("\u0000")
+        val cur = byKey.getOrElse(k, Long.MinValue)
+        if (f.seq > cur) byKey(k) = f.seq
+      }
+    }
+    EqState(keyFields, byKey.toMap)
+  }
+
+  /** Positional-delete state: normalized data-file path → sorted dead
+    * row positions. */
+  def posStateOf(stats: Seq[DataFileStat], conf: Configuration,
+                 cache: Cache): Map[String, Array[Long]] = {
+    val posFiles = stats.filter(_.content == 1)
+    if (posFiles.isEmpty) return Map.empty
+    val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+    var total = 0L
+    posFiles.foreach { f =>
+      val (cols, rows) =
+        cache.getOrElseUpdate(f.path, readDeleteFile(f.path, conf))
+      val fp = cols.indexOf("file_path")
+      val pp = cols.indexOf("pos")
+      require(fp >= 0 && pp >= 0,
+        s"positional-delete file ${f.path} lacks (file_path, pos)")
+      total += rows.size
+      require(total <= MaxDeleteRows,
+        s"over $MaxDeleteRows live positional-delete rows — run " +
+          "maintain (compaction) or read through readMoR")
+      rows.foreach { r =>
+        m.getOrElseUpdate(norm(r(fp).asInstanceOf[String]),
+          mutable.ArrayBuffer.empty[Long]) += r(pp).asInstanceOf[Long]
+      }
+    }
+    m.map { case (k, v) => k -> v.toArray.sorted }.toMap
+  }
+}
+
+/** Executor-side reader factory.
+  *
+  * CLEAN batch scans of flat schemas read COLUMNAR through Spark's
+  * vectorized parquet reader (`supportColumnarReads` — the whole scan
+  * answers uniformly, as Spark requires): batches of 4096 rows decode
+  * straight into column vectors and flow into whole-stage codegen
+  * without per-row materialization, the same engine
+  * `spark.read.parquet` uses. MoR/changelog partitions need per-row
+  * (position, key-sequence) filtering and read row-at-a-time via the
+  * public parquet Group API — commit-sized streaming batches, where
+  * the file-per-partition fan-out carries the scale.
+  *
+  * Column pruning reaches the parquet read in BOTH paths (vectorized:
+  * the requested-schema conf; row: `parquet.read.schema`): a
+  * pruned-away column of a wide table costs zero IO. Equality-key
+  * columns are force-read when a partition's filter needs them, then
+  * projected out of the emitted row. */
+class IcebergFileReaderFactory(schema: StructType,
+                               fsConf: Map[String, String],
+                               mor: Option[MorSpec] = None,
+                               columnar: Boolean = false)
+    extends PartitionReaderFactory {
+
+  private def hadoopConf(): Configuration = {
+    val c = new Configuration()
+    fsConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+    val part = p.asInstanceOf[IcebergFilePartition]
+    val conf = hadoopConf()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val path = new Path(part.path)
+    // file length from the MANIFEST's own size record — no stat call
+    val length =
+      if (part.sizeBytes >= 0) part.sizeBytes
+      else HadoopInputFile.fromPath(path, conf).getLength
+    // mapred.FileSplit (which extends the mapreduce one): Spark's
+    // reader base casts to the old-API class internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      path, 0, length, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    var ok = false
+    try {
+      reader.initialize(split, ctx)
+      reader.initBatch(new StructType(), InternalRow.empty)
+      reader.enableReturningBatches()
+      ok = true
+    } finally if (!ok) reader.close()
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): ColumnarBatch =
+        reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[IcebergFilePartition]
+    new PartitionReader[InternalRow] {
+      private val conf = hadoopConf()
+      private val hPath = new Path(part.path)
       private val fileSchema = {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(hPath, conf))
         try r.getFooter.getFileMetaData.getSchema finally r.close()
       }
+      // `change_type`/`change_ordinal` are VIRTUAL in changelog mode:
+      // filled from the partition's tags, never read from parquet
+      private val virtuals: Map[String, Any] =
+        if (part.changeType == null) Map.empty
+        else Map(
+          "change_type" -> UTF8String.fromString(part.changeType),
+          "change_ordinal" -> part.changeOrdinal)
+      private val virtIdx: Set[Int] = schema.fieldNames.zipWithIndex
+        .collect { case (n, i) if virtuals.contains(n) => i }.toSet
+      private val parquetOut: Array[StructField] = schema.fields
+        .zipWithIndex
+        .collect { case (f, i) if !virtIdx.contains(i) => f }
+      // equality keys are read even when pruned out of the output
+      private val needEq = part.eqState >= 0 || part.beforeEqState >= 0
+      private val keyExtra: Seq[StructField] =
+        if (!needEq) Nil
+        else mor.get.keyFields
+          .filterNot(k => parquetOut.exists(_.name == k._1))
+          .map { case (n, dt) => StructField(n, dt) }
+      private val extSchema = StructType(parquetOut ++ keyExtra)
       // PROJECTION pushed into the parquet read itself: only the
-      // pruned columns' chunks are decoded (a pruned-away column of a
-      // wide table costs zero IO). An EMPTY projection (count-style
-      // plans) still needs row COUNTS, so the narrowest single column
-      // is read and rows convert to empty tuples.
+      // needed columns' chunks are decoded. An EMPTY projection
+      // (count-style plans) still needs row COUNTS, so the narrowest
+      // single column is read and rows convert to empty tuples.
       private val projected = {
         import scala.jdk.CollectionConverters._
-        val wanted = schema.fieldNames.toSet
+        val wanted = extSchema.fieldNames.toSet
         val keep = fileSchema.getFields.asScala
           .filter(f => wanted.contains(f.getName))
         val fields =
@@ -426,9 +934,9 @@ class IcebergFileReaderFactory(schema: StructType,
           fileSchema.getName, fields.asJava)
       }
       private val convert: Group => InternalRow =
-        if (schema.fields.isEmpty) { _ =>
+        if (extSchema.fields.isEmpty) { _ =>
           new GenericInternalRow(Array.empty[Any])
-        } else GroupRows.structConverter(schema, projected)
+        } else GroupRows.structConverter(extSchema, projected)
       private val reader: ParquetReader[Group] = {
         if (projected.getFieldCount < fileSchema.getFieldCount)
           conf.set(org.apache.parquet.hadoop.api.ReadSupport
@@ -436,13 +944,80 @@ class IcebergFileReaderFactory(schema: StructType,
         ParquetReader.builder(new GroupReadSupport(), hPath)
           .withConf(conf).build()
       }
-      private var current: Group = _
+      private val keyIdx: Array[Int] =
+        if (!needEq) Array.empty
+        else mor.get.keyFields
+          .map(k => extSchema.fieldNames.indexOf(k._1)).toArray
+      private val eqAfter: Map[String, Long] =
+        if (part.eqState >= 0) mor.get.eqStates(part.eqState) else null
+      private val eqBefore: Map[String, Long] =
+        if (part.beforeEqState >= 0) mor.get.eqStates(part.beforeEqState)
+        else null
+      // output projection: extSchema index per output field, -1 for
+      // virtual columns; identity when nothing was appended
+      private val outMap: Array[Int] =
+        if (virtIdx.isEmpty && keyExtra.isEmpty) null
+        else schema.fields.zipWithIndex.map { case (f, i) =>
+          if (virtIdx.contains(i)) -1
+          else extSchema.fieldNames.indexOf(f.name)
+        }
+      private val virtByOut: Array[Any] =
+        schema.fields.map(f => virtuals.getOrElse(f.name, null))
+      private val filtering = part.deadPos.nonEmpty ||
+        part.emitKilled || eqAfter != null || eqBefore != null
+      private var pos: Long = -1L
+      private var current: InternalRow = _
+
+      private def keyOf(row: GenericInternalRow): String = {
+        if (keyIdx.length == 1) MorPlan.canon(row.values(keyIdx(0)))
+        else {
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < keyIdx.length) {
+            if (i > 0) sb.append('\u0000')
+            sb.append(MorPlan.canon(row.values(keyIdx(i))))
+            i += 1
+          }
+          sb.toString
+        }
+      }
+
+      private def alive(deadPos: Array[Long], eq: Map[String, Long],
+                        row: GenericInternalRow): Boolean =
+        (deadPos.length == 0 ||
+          java.util.Arrays.binarySearch(deadPos, pos) < 0) &&
+        (eq == null || keyIdx.length == 0 ||
+          eq.get(keyOf(row)).forall(_ <= part.seq))
+
+      private def projectOut(row: InternalRow): InternalRow =
+        if (outMap == null) row
+        else {
+          val g = row.asInstanceOf[GenericInternalRow]
+          val vals = new Array[Any](outMap.length)
+          var i = 0
+          while (i < outMap.length) {
+            vals(i) = if (outMap(i) < 0) virtByOut(i) else g.values(outMap(i))
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        }
 
       override def next(): Boolean = {
-        current = reader.read()
-        current != null
+        var g = reader.read()
+        while (g != null) {
+          pos += 1
+          if (!filtering) { current = projectOut(convert(g)); return true }
+          val row = convert(g).asInstanceOf[GenericInternalRow]
+          val aliveAfter = alive(part.deadPos, eqAfter, row)
+          val emit =
+            if (!part.emitKilled) aliveAfter
+            else !aliveAfter && alive(part.beforeDeadPos, eqBefore, row)
+          if (emit) { current = projectOut(row); return true }
+          g = reader.read()
+        }
+        false
       }
-      override def get(): InternalRow = convert(current)
+      override def get(): InternalRow = current
       override def close(): Unit = reader.close()
     }
   }

@@ -109,6 +109,51 @@ object ScaleCheck {
       spark.stop(); return
     }
 
+    // ---- DSv2 batch-read cost vs the native path (`ScaleCheck
+    // dsv2batch`): the SQL-catalog / spark.read.format("graft-iceberg")
+    // full scan must stay within ~1.5× of readTable (which plans the
+    // same pruned file list into Spark's own vectorized parquet scan).
+    // The DSv2 face reads columnar through VectorizedParquetRecordReader
+    // since r16 — before that it row-materialized via the Group API and
+    // lost ~an order of magnitude on wide scans. ----
+    if (args.headOption.contains("dsv2batch")) {
+      import graft.sinks.IcebergMetadata
+      replicate("lineitem", Seq("l_orderkey"))
+      val li = spark.read.parquet(s"$big/lineitem.parquet")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("scdsv2").toString
+      val ice = s"$tmp/lake/lineitem_x10"
+      li.write.parquet(s"$tmp/stage")
+      IcebergMetadata.commit(spark, ice, s"$tmp/stage"): Unit
+      spark.conf.set("spark.sql.catalog.gsc",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gsc.warehouse", tmp)
+      def t2[A](label: String)(f: => A): Double = {
+        f // warm
+        val t0 = System.nanoTime(); f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"dsv2batch $label: $s%.2f s"); s
+      }
+      val agg = (d: DataFrame) => d
+        .agg(sum("l_quantity"), count(lit(1))).collect()
+      val native = t2("readTable full-agg") {
+        agg(IcebergMetadata.readTable(spark, ice)) }
+      val dsv2 = t2("DSv2 full-agg") {
+        agg(spark.read.format("graft-iceberg").load(ice)) }
+      val viaSql = t2("SQL-catalog full-agg") {
+        spark.sql("SELECT sum(l_quantity), count(1) " +
+          "FROM gsc.lake.lineitem_x10").collect() }
+      val narrow = t2("DSv2 2-col projection") {
+        spark.read.format("graft-iceberg").load(ice)
+          .agg(sum("l_quantity"), max("l_orderkey")).collect() }
+      println(f"dsv2batch ratio dsv2/native=${dsv2 / native}%.2f " +
+        f"sql/native=${viaSql / native}%.2f narrow=${narrow}%.2f s")
+      require(dsv2 <= native * 1.5 && viaSql <= native * 1.5,
+        f"DSv2 batch face exceeds 1.5x native: dsv2=${dsv2 / native}%.2f" +
+          f" sql=${viaSql / native}%.2f")
+      spark.stop(); return
+    }
+
     // ---- Equality-delete compaction cost (`ScaleCheck eqrewrite`):
     // rewrite wall vs number of hot-key delete batches, with the DATA
     // size held constant — the claim is cost ∝ eq-delete rows (data

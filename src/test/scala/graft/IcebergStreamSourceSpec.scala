@@ -281,7 +281,8 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("batch read face: spark.read over an engine table with time " +
-    "travel, filter pruning, and a loud merge-on-read refusal") {
+    "travel, filter pruning, and the merge-on-read algebra served " +
+    "in place of the old refusal") {
     val tmp = Files.createTempDirectory("graft_dsv2_batch").toString
     rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
     val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
@@ -301,7 +302,9 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("id") >= 100).select("v").collect()
       .map(_.getLong(0)).toSet
     assert(filtered == (100L until 105L).map(_ * 10).toSet)
-    // a MoR table refuses the raw-file batch scan
+    // a MoR table no longer refuses: the batch scan SERVES the merge
+    // (r15 refused raw-file reads; r16 filters each data file by its
+    // delete state inside the partition reader)
     val morT = Files.createTempDirectory("graft_dsv2_mor_t").toString
     val morI = Files.createTempDirectory("graft_dsv2_mor_i").toString
     import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
@@ -313,13 +316,10 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         current_timestamp().as(CdcTimestamp), col("id").as("lsn")),
       morT, 1L)
     IcebergMetadata.publishMoR(spark, morI, morT): Unit
-    val ex = intercept[Exception] {
-      spark.read.format("graft-iceberg").load(morI).collect()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e =>
-        Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex).exists(_.contains("merge-on-read")), msgs(ex))
+    val merged = spark.read.format("graft-iceberg").load(morI)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(merged == Set(50L, 51L, 2L, 3L, 4L),
+      s"batch face did not serve the merge: $merged")
   }
 
   test("executor-side Group reader covers the engine's written types: " +
@@ -358,5 +358,242 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(java.util.Arrays.equals(
         g.getAs[Array[Byte]]("bin"), e.getAs[Array[Byte]]("bin")))
     }
+  }
+
+  // ---------- MoR-aware batch face ----------
+
+  /** A tiny CDC-shaped MoR table: base keys 0..9, one segment that
+    * updates keys < 3 (with key 1 duplicated → a positional delete),
+    * deletes keys >= 8, inserts keys 100..101. */
+  private def publishMorFixture(): String = {
+    import graft.operators.SystemColumns
+    val tmp = Files.createTempDirectory("graft_dsv2_mor").toString
+    val table = s"$tmp/table"; val ice = s"$tmp/ice"
+    val base = spark.range(0, 10).select(
+      col("id").cast("string").as(SystemColumns.OlakeId),
+      col("id"), (col("id") * 10).as("v"))
+    base.coalesce(1).write.parquet(s"$table/base")
+    val upd = spark.range(0, 3).select(
+      col("id").cast("string").as(SystemColumns.OlakeId),
+      col("id"), (col("id") * 10 + 1).as("v"),
+      lit("u").as(SystemColumns.OpType))
+    val del = spark.range(8, 10).select(
+      col("id").cast("string").as(SystemColumns.OlakeId),
+      col("id"), (col("id") * 10).as("v"),
+      lit("d").as(SystemColumns.OpType))
+    val ins = spark.range(100, 102).select(
+      col("id").cast("string").as(SystemColumns.OlakeId),
+      col("id"), (col("id") * 10).as("v"),
+      lit("c").as(SystemColumns.OpType))
+    graft.sinks.DeltaSegments.writeSegment(
+      upd.unionByName(upd.where(col("id") === 1))
+        .unionByName(del).unionByName(ins)
+        .withColumn(SystemColumns.CdcTimestamp, current_timestamp()),
+      table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table): Unit
+    ice
+  }
+
+  test("batch face serves the merge-on-read algebra on a delete-bearing " +
+    "table: equality deletes, positional deletes (intra-batch dup), and " +
+    "column pruning that drops the key column still filters correctly") {
+    val ice = publishMorFixture()
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.exists(_.content == 1), "fixture lost its pos-delete")
+    assert(stats.exists(_.content == 2), "fixture lost its eq-deletes")
+    val expected = IcebergMetadata.readMoR(spark, ice)
+      .select("id", "v").collect().toSet
+    val got = spark.read.format("graft-iceberg").load(ice)
+      .select("id", "v").collect().toSet
+    assert(got == expected)
+    // merge semantics spot-check: updates win, deletes gone, inserts in,
+    // the duplicated update nets to ONE row
+    val byId = got.toSeq.map(r => r.getLong(0) -> r.getLong(1))
+    assert(byId.count(_._1 == 1L) == 1, s"dup not netted: $byId")
+    assert(byId.toMap.get(1L).contains(11L))
+    assert(byId.toMap.contains(100L) && byId.toMap.contains(101L))
+    assert(!byId.toMap.contains(8L) && !byId.toMap.contains(9L))
+    // a projection WITHOUT the key column still merges (the key is
+    // force-read for the filter, then projected out)
+    val vOnly = spark.read.format("graft-iceberg").load(ice)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vOnly == expected.toSeq.map(_.getLong(1)).sorted)
+  }
+
+  test("SQL catalog serves MoR tables and time travel: VERSION AS OF " +
+    "and TIMESTAMP AS OF resolve snapshots") {
+    val ice = publishMorFixture()
+    val wh = new java.io.File(ice).getParent
+    spark.conf.set("spark.sql.catalog.gmor",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    val viaSql = spark.sql("SELECT id, v FROM gmor.ice")
+      .collect().toSet
+    val expected = IcebergMetadata.readMoR(spark, ice)
+      .select("id", "v").collect().toSet
+    assert(viaSql == expected)
+    // time travel on an append table through the same catalog
+    val tt = Files.createTempDirectory("graft_dsv2_tt").toString
+    rows(0 until 5).coalesce(1).write.parquet(s"$tt/d0")
+    val c0 = IcebergMetadata.commit(spark, s"$tt/lake/t", s"$tt/d0")
+    rows(5 until 9).coalesce(1).write.parquet(s"$tt/d1")
+    val c1 = IcebergMetadata.appendCommit(spark, s"$tt/lake/t", s"$tt/d1")
+    spark.conf.set("spark.sql.catalog.gtt",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtt.warehouse", tt)
+    assert(spark.sql(
+        s"SELECT id FROM gtt.lake.t VERSION AS OF ${c0.snapshotId}")
+      .collect().map(_.getLong(0)).toSet == (0L until 5L).toSet)
+    import scala.jdk.CollectionConverters._
+    val ts1 = IcebergMetadata.currentMetadata(s"$tt/lake/t").get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala
+      .find(_.get("snapshot-id").asLong == c1.snapshotId).get
+      .get("timestamp-ms").asLong
+    val tsStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts1))
+    assert(spark.sql(
+        s"SELECT id FROM gtt.lake.t TIMESTAMP AS OF '$tsStr'")
+      .collect().map(_.getLong(0)).toSet == (0L until 9L).toSet)
+    // a VERSION AS OF a nonexistent ref refuses loudly
+    assert(scala.util.Try(spark.sql(
+      "SELECT id FROM gtt.lake.t VERSION AS OF nope").collect()).isFailure)
+  }
+
+  test("clean batch scans read COLUMNAR (vectorized) and agree with the " +
+    "row path; MoR scans answer row-based") {
+    val tmp = Files.createTempDirectory("graft_dsv2_col").toString
+    rows(0 until 1000).coalesce(2).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    val scan = new graft.sources.replication.IcebergBatchScan(
+      tmp, IcebergMetadata.currentSparkSchema(tmp), None, Array.empty, None)
+    val parts = scan.planInputPartitions()
+    val factory = scan.createReaderFactory()
+    assert(parts.nonEmpty &&
+      parts.forall(factory.supportColumnarReads),
+      "clean flat-schema batch scan must answer columnar")
+    val got = spark.read.format("graft-iceberg").load(tmp)
+    assert(got.count() == 1000L)
+    assert(got.agg(sum("v")).collect().head.getLong(0) ==
+      (0L until 1000L).map(_ * 10).sum)
+    // MoR: must fall back to the row path (per-row delete filtering)
+    val ice = publishMorFixture()
+    val mScan = new graft.sources.replication.IcebergBatchScan(
+      ice, IcebergMetadata.currentSparkSchema(ice), None, Array.empty,
+      None)
+    val mParts = mScan.planInputPartitions()
+    val mFactory = mScan.createReaderFactory()
+    assert(mParts.nonEmpty &&
+      !mParts.exists(mFactory.supportColumnarReads))
+  }
+
+  // ---------- changelog streaming mode ----------
+
+  test("mode=changelog delivers insert/delete rows with per-commit " +
+    "ordinals; replaying the batches rebuilds the final state across " +
+    "an overwrite and an append, with checkpoint resume") {
+    val tmp = Files.createTempDirectory("graft_dsv2_cl").toString
+    val ckpt = s"$tmp/ckpt"
+    def runCl(): Seq[(Long, Seq[Row])] =
+      runToDone(tmp, ckpt, Map("mode" -> "changelog"))
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    val run1 = runCl()
+    assert(run1.flatMap(_._2).forall(_.getAs[String]("change_type")
+      == "insert"))
+    assert(run1.flatMap(_._2).map(_.getLong(0)).toSet ==
+      (0L until 10L).toSet)
+    // overwrite: keep even ids only, v doubled; then append 20..22
+    rows(0 until 10).where(col("id") % 2 === 0)
+      .withColumn("v", col("v") * 2)
+      .coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d1",
+      operation = "overwrite"): Unit
+    rows(20 until 23).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    val run2 = runCl()
+    val delivered2 = run2.flatMap(_._2)
+    assert(delivered2.exists(_.getAs[String]("change_type") == "delete"),
+      "the overwrite's removed rows were not delivered")
+    // the append's ordinal is AFTER the overwrite's
+    val ordsByType = delivered2.groupBy(_.getAs[String]("change_type"))
+      .view.mapValues(_.map(_.getAs[Int]("change_ordinal")).toSet).toMap
+    assert(ordsByType("delete").forall(_ == 1) &&
+      ordsByType("insert").contains(2))
+    // replay run1 + run2 per ordinal: equals the final table state
+    def replay(batches: Seq[Seq[Row]]): Map[Long, Long] = {
+      var state = Map.empty[(Long, Long), Int].withDefaultValue(0)
+      for (b <- batches;
+           ord <- b.map(_.getAs[Int]("change_ordinal")).distinct.sorted) {
+        val rowsOfOrd = b.filter(_.getAs[Int]("change_ordinal") == ord)
+        rowsOfOrd.filter(_.getAs[String]("change_type") == "delete")
+          .foreach { r =>
+            val k = (r.getLong(0), r.getLong(1))
+            state = state.updated(k, state(k) - 1)
+          }
+        rowsOfOrd.filter(_.getAs[String]("change_type") == "insert")
+          .foreach { r =>
+            val k = (r.getLong(0), r.getLong(1))
+            state = state.updated(k, state(k) + 1)
+          }
+      }
+      assert(state.values.forall(c => c == 0 || c == 1),
+        s"replay produced duplicate rows: $state")
+      state.collect { case ((id, v), 1) => id -> v }
+    }
+    val finalState = replay(run1.map(_._2) ++ run2.map(_._2))
+    val expected = spark.read.format("graft-iceberg").load(tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalState == expected)
+    // no-op tick delivers nothing
+    assert(runCl().flatMap(_._2).isEmpty)
+  }
+
+  test("mode=changelog over a merge-on-read publish delivers the rows " +
+    "the new delete files killed, and only those") {
+    import graft.operators.SystemColumns
+    val tmp = Files.createTempDirectory("graft_dsv2_clmor").toString
+    val table = s"$tmp/table"; val ice = s"$tmp/ice"
+    val ckpt = s"$tmp/ckpt"
+    val base = spark.range(0, 10).select(
+      col("id").cast("string").as(SystemColumns.OlakeId),
+      col("id"), (col("id") * 10).as("v"))
+    base.coalesce(1).write.parquet(s"$table/base")
+    IcebergMetadata.publishMoR(spark, ice, table): Unit
+    val run1 = runToDone(ice, ckpt, Map("mode" -> "changelog"))
+    assert(run1.flatMap(_._2).map(_.getLong(1)).toSet ==
+      (0L until 10L).toSet)
+    // segment: update key 2, delete keys 8,9 → republish (the engine's
+    // own CDC apply shape: same base files survive, delete files added)
+    val seg = spark.range(2, 3).select(
+        col("id").cast("string").as(SystemColumns.OlakeId),
+        col("id"), lit(999L).as("v"), lit("u").as(SystemColumns.OpType))
+      .unionByName(spark.range(8, 10).select(
+        col("id").cast("string").as(SystemColumns.OlakeId),
+        col("id"), (col("id") * 10).as("v"),
+        lit("d").as(SystemColumns.OpType)))
+      .withColumn(SystemColumns.CdcTimestamp, current_timestamp())
+    graft.sinks.DeltaSegments.writeSegment(seg, table, 1L)
+    IcebergMetadata.publishMoR(spark, ice, table): Unit
+    val run2 = runToDone(ice, ckpt, Map("mode" -> "changelog"))
+    val d2 = run2.flatMap(_._2)
+    val dels = d2.filter(_.getAs[String]("change_type") == "delete")
+      .map(_.getLong(1)).toSet
+    val ins = d2.filter(_.getAs[String]("change_type") == "insert")
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // killed: the OLD rows of keys 2 (upserted) and 8,9 (deleted)
+    assert(dels == Set(2L, 8L, 9L), s"wrong kill set: $dels")
+    assert(ins.contains((2L, 999L)), s"upsert's new row missing: $ins")
+    // replayed state equals the merged view
+    val stateAfter = (run1.flatMap(_._2)
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+      -- d2.filter(_.getAs[String]("change_type") == "delete")
+        .map(r => (r.getLong(1), r.getLong(2))).toSet) ++ ins
+    val expected = IcebergMetadata.readMoR(spark, ice)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(stateAfter == expected)
   }
 }
