@@ -508,6 +508,10 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     * changelog scan — netting them needs a shuffle, which a file-
     * partition source must not pay. */
   private def planChangelog(from: Long, to: Long): Array[InputPartition] = {
+    // per-batch state: each batch's factory snapshots eqStates.toMap,
+    // so clearing here never disturbs an in-flight batch and a
+    // long-lived stream never accumulates dead delete maps
+    eqStates.clear()
     val lineage = IcebergMetadata.mainLineageOps(tableDir, Some(to))
     val fromIdx =
       if (from == IcebergMetadata.BeforeAllSnapshots) -1
@@ -890,60 +894,40 @@ class IcebergFileReaderFactory(schema: StructType,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[IcebergFilePartition]
+    val conf = hadoopConf()
+    // `change_type`/`change_ordinal` are VIRTUAL in changelog mode:
+    // filled from the partition's tags, never read from parquet
+    val virtuals: Map[String, Any] =
+      if (part.changeType == null) Map.empty
+      else Map(
+        "change_type" -> UTF8String.fromString(part.changeType),
+        "change_ordinal" -> part.changeOrdinal)
+    val virtIdx: Set[Int] = schema.fieldNames.zipWithIndex
+      .collect { case (n, i) if virtuals.contains(n) => i }.toSet
+    val parquetOut: Array[StructField] = schema.fields
+      .zipWithIndex
+      .collect { case (f, i) if !virtIdx.contains(i) => f }
+    // equality keys are read even when pruned out of the output
+    val needEq = part.eqState >= 0 || part.beforeEqState >= 0
+    val keyExtra: Seq[StructField] =
+      if (!needEq) Nil
+      else mor.get.keyFields
+        .filterNot(k => parquetOut.exists(_.name == k._1))
+        .map { case (n, dt) => StructField(n, dt) }
+    val extSchema = StructType(parquetOut ++ keyExtra)
+    // the row SOURCE: flat read schemas (the engine's CDC tables)
+    // decode through Spark's VECTORIZED parquet reader in row mode —
+    // columnar decode speed with per-row access for the delete
+    // filter; nested columns fall back to the public Group API
+    val source: RowSource =
+      if (MorPlan.atomicOnly(extSchema))
+        new VectorizedRowSource(part, extSchema, conf)
+      else new GroupRowSource(part.path, extSchema, conf)
+
     new PartitionReader[InternalRow] {
-      private val conf = hadoopConf()
-      private val hPath = new Path(part.path)
-      private val fileSchema = {
-        val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(hPath, conf))
-        try r.getFooter.getFileMetaData.getSchema finally r.close()
-      }
-      // `change_type`/`change_ordinal` are VIRTUAL in changelog mode:
-      // filled from the partition's tags, never read from parquet
-      private val virtuals: Map[String, Any] =
-        if (part.changeType == null) Map.empty
-        else Map(
-          "change_type" -> UTF8String.fromString(part.changeType),
-          "change_ordinal" -> part.changeOrdinal)
-      private val virtIdx: Set[Int] = schema.fieldNames.zipWithIndex
-        .collect { case (n, i) if virtuals.contains(n) => i }.toSet
-      private val parquetOut: Array[StructField] = schema.fields
-        .zipWithIndex
-        .collect { case (f, i) if !virtIdx.contains(i) => f }
-      // equality keys are read even when pruned out of the output
-      private val needEq = part.eqState >= 0 || part.beforeEqState >= 0
-      private val keyExtra: Seq[StructField] =
-        if (!needEq) Nil
-        else mor.get.keyFields
-          .filterNot(k => parquetOut.exists(_.name == k._1))
-          .map { case (n, dt) => StructField(n, dt) }
-      private val extSchema = StructType(parquetOut ++ keyExtra)
-      // PROJECTION pushed into the parquet read itself: only the
-      // needed columns' chunks are decoded. An EMPTY projection
-      // (count-style plans) still needs row COUNTS, so the narrowest
-      // single column is read and rows convert to empty tuples.
-      private val projected = {
-        import scala.jdk.CollectionConverters._
-        val wanted = extSchema.fieldNames.toSet
-        val keep = fileSchema.getFields.asScala
-          .filter(f => wanted.contains(f.getName))
-        val fields =
-          if (keep.nonEmpty) keep
-          else fileSchema.getFields.asScala.take(1)
-        new org.apache.parquet.schema.MessageType(
-          fileSchema.getName, fields.asJava)
-      }
-      private val convert: Group => InternalRow =
-        if (extSchema.fields.isEmpty) { _ =>
-          new GenericInternalRow(Array.empty[Any])
-        } else GroupRows.structConverter(extSchema, projected)
-      private val reader: ParquetReader[Group] = {
-        if (projected.getFieldCount < fileSchema.getFieldCount)
-          conf.set(org.apache.parquet.hadoop.api.ReadSupport
-            .PARQUET_READ_SCHEMA, projected.toString)
-        ParquetReader.builder(new GroupReadSupport(), hPath)
-          .withConf(conf).build()
-      }
+      private val extTypes: Array[DataType] = extSchema.fields.map(_.dataType)
+      private def valAt(row: InternalRow, i: Int): Any =
+        if (row.isNullAt(i)) null else row.get(i, extTypes(i))
       private val keyIdx: Array[Int] =
         if (!needEq) Array.empty
         else mor.get.keyFields
@@ -953,6 +937,36 @@ class IcebergFileReaderFactory(schema: StructType,
       private val eqBefore: Map[String, Long] =
         if (part.beforeEqState >= 0) mor.get.eqStates(part.beforeEqState)
         else null
+      // per-row equality lookup, prepared ONCE per task: the engine's
+      // standard key (one string column, _olake_id) probes a
+      // UTF8String-keyed hash map with the row's own UTF8String —
+      // zero per-row conversions or canon allocations; composite /
+      // non-string keys take the generic canon path
+      private val singleStrKey =
+        keyIdx.length == 1 && extTypes(keyIdx(0)) == StringType
+      private def mkLookup(eq: Map[String, Long])
+          : InternalRow => Long =
+        if (eq == null || keyIdx.length == 0) null
+        else if (singleStrKey) {
+          val m = new java.util.HashMap[UTF8String, java.lang.Long](
+            eq.size * 2)
+          var nullSeq = Long.MinValue
+          eq.foreach { case (k, v) =>
+            if (k == "null") nullSeq = v
+            else m.put(UTF8String.fromString(k.substring(2)), v)
+          }
+          val ns = nullSeq
+          val ki = keyIdx(0)
+          row => {
+            if (row.isNullAt(ki)) ns
+            else {
+              val v = m.get(row.getUTF8String(ki))
+              if (v == null) Long.MinValue else v.longValue
+            }
+          }
+        } else { row =>
+          eq.getOrElse(keyOf(row), Long.MinValue)
+        }
       // output projection: extSchema index per output field, -1 for
       // virtual columns; identity when nothing was appended
       private val outMap: Array[Int] =
@@ -968,60 +982,168 @@ class IcebergFileReaderFactory(schema: StructType,
       private var pos: Long = -1L
       private var current: InternalRow = _
 
-      private def keyOf(row: GenericInternalRow): String = {
-        if (keyIdx.length == 1) MorPlan.canon(row.values(keyIdx(0)))
+      private def keyOf(row: InternalRow): String = {
+        if (keyIdx.length == 1) MorPlan.canon(valAt(row, keyIdx(0)))
         else {
           val sb = new java.lang.StringBuilder
           var i = 0
           while (i < keyIdx.length) {
             if (i > 0) sb.append('\u0000')
-            sb.append(MorPlan.canon(row.values(keyIdx(i))))
+            sb.append(MorPlan.canon(valAt(row, keyIdx(i))))
             i += 1
           }
           sb.toString
         }
       }
 
-      private def alive(deadPos: Array[Long], eq: Map[String, Long],
-                        row: GenericInternalRow): Boolean =
+      private lazy val afterLookup: InternalRow => Long =
+        mkLookup(eqAfter)
+      private lazy val beforeLookup: InternalRow => Long =
+        mkLookup(eqBefore)
+
+      private def alive(deadPos: Array[Long],
+                        lookup: InternalRow => Long,
+                        row: InternalRow): Boolean =
         (deadPos.length == 0 ||
           java.util.Arrays.binarySearch(deadPos, pos) < 0) &&
-        (eq == null || keyIdx.length == 0 ||
-          eq.get(keyOf(row)).forall(_ <= part.seq))
+        (lookup == null || lookup(row) <= part.seq)
 
       private def projectOut(row: InternalRow): InternalRow =
         if (outMap == null) row
         else {
-          val g = row.asInstanceOf[GenericInternalRow]
           val vals = new Array[Any](outMap.length)
           var i = 0
           while (i < outMap.length) {
-            vals(i) = if (outMap(i) < 0) virtByOut(i) else g.values(outMap(i))
+            vals(i) =
+              if (outMap(i) < 0) virtByOut(i) else valAt(row, outMap(i))
             i += 1
           }
           new GenericInternalRow(vals)
         }
 
       override def next(): Boolean = {
-        var g = reader.read()
-        while (g != null) {
+        while (source.advance()) {
           pos += 1
-          if (!filtering) { current = projectOut(convert(g)); return true }
-          val row = convert(g).asInstanceOf[GenericInternalRow]
-          val aliveAfter = alive(part.deadPos, eqAfter, row)
+          val row = source.row
+          if (!filtering) { current = projectOut(row); return true }
+          val aliveAfter = alive(part.deadPos, afterLookup, row)
           val emit =
             if (!part.emitKilled) aliveAfter
-            else !aliveAfter && alive(part.beforeDeadPos, eqBefore, row)
+            else !aliveAfter && alive(part.beforeDeadPos, beforeLookup, row)
           if (emit) { current = projectOut(row); return true }
-          g = reader.read()
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = reader.close()
+      override def close(): Unit = source.close()
     }
   }
 }
+
+/** One data file as a sequence of InternalRows of a requested (ext)
+  * schema, in FILE ORDER — row index == parquet `row_index`, which is
+  * what positional deletes address. */
+private[replication] trait RowSource {
+  /** Move to the next row; the row is valid until the next advance. */
+  def advance(): Boolean
+  def row: InternalRow
+  def close(): Unit
+}
+
+/** Vectorized decode, row-at-a-time surface: Spark's
+  * VectorizedParquetRecordReader WITHOUT `enableReturningBatches` —
+  * columnar page decode (the expensive part), `ColumnarBatchRow`
+  * iteration on top. Handles missing columns (schema evolution →
+  * null vectors) and integral widening via the requested-schema
+  * machinery, same as Spark's own scans. */
+private[replication] class VectorizedRowSource(part: IcebergFilePartition,
+                                               extSchema: StructType,
+                                               conf: Configuration)
+    extends RowSource {
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+  conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+    classOf[ParquetReadSupport].getName)
+  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, extSchema.json)
+  conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+  conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+  conf.setBoolean("spark.sql.caseSensitive", false)
+  conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+  conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+  private val path = new Path(part.path)
+  private val length =
+    if (part.sizeBytes >= 0) part.sizeBytes
+    else HadoopInputFile.fromPath(path, conf).getLength
+  private val reader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  locally {
+    var ok = false
+    try {
+      reader.initialize(
+        new org.apache.hadoop.mapred.FileSplit(
+          path, 0, length, Array.empty[String]),
+        new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+      reader.initBatch(new StructType(), InternalRow.empty)
+      ok = true
+    } finally if (!ok) reader.close()
+  }
+  private var cur: InternalRow = _
+  override def advance(): Boolean = {
+    val has = reader.nextKeyValue()
+    if (has) cur = reader.getCurrentValue.asInstanceOf[InternalRow]
+    has
+  }
+  override def row: InternalRow = cur
+  override def close(): Unit = reader.close()
+}
+
+/** Group-API fallback for NESTED read schemas (arrays/maps/structs):
+  * row-at-a-time via parquet-hadoop's public example API, converted
+  * once per row by [[GroupRows]]. Projection is pushed into the
+  * parquet read itself; an EMPTY projection (count-style plans) still
+  * needs row COUNTS, so the narrowest single column is read and rows
+  * convert to empty tuples. */
+private[replication] class GroupRowSource(filePath: String,
+                                          extSchema: StructType,
+                                          conf: Configuration)
+    extends RowSource {
+  private val hPath = new Path(filePath)
+  private val fileSchema = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val projected = {
+    import scala.jdk.CollectionConverters._
+    val wanted = extSchema.fieldNames.toSet
+    val keep = fileSchema.getFields.asScala
+      .filter(f => wanted.contains(f.getName))
+    val fields =
+      if (keep.nonEmpty) keep
+      else fileSchema.getFields.asScala.take(1)
+    new org.apache.parquet.schema.MessageType(
+      fileSchema.getName, fields.asJava)
+  }
+  private val convert: Group => InternalRow =
+    if (extSchema.fields.isEmpty) { _ =>
+      new GenericInternalRow(Array.empty[Any])
+    } else GroupRows.structConverter(extSchema, projected)
+  private val reader: ParquetReader[Group] = {
+    if (projected.getFieldCount < fileSchema.getFieldCount)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport
+        .PARQUET_READ_SCHEMA, projected.toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath)
+      .withConf(conf).build()
+  }
+  private var cur: InternalRow = _
+  override def advance(): Boolean = {
+    val g = reader.read()
+    if (g == null) false
+    else { cur = convert(g); true }
+  }
+  override def row: InternalRow = cur
+  override def close(): Unit = reader.close()
+}
+
 
 /** parquet Group → Catalyst InternalRow converters, built ONCE per
   * (Spark schema, file schema) pair — per row is just an array of

@@ -151,6 +151,40 @@ object ScaleCheck {
       require(dsv2 <= native * 1.5 && viaSql <= native * 1.5,
         f"DSv2 batch face exceeds 1.5x native: dsv2=${dsv2 / native}%.2f" +
           f" sql=${viaSql / native}%.2f")
+      // MoR leg: a delete-bearing replica — the DSv2 scan (vectorized
+      // decode + per-row delete filter, no shuffle) vs readMoR (the
+      // broadcast-join plan). Both are legitimate MoR reads; the DSv2
+      // face must stay in the same band, not an order off.
+      locally {
+        import graft.operators.SystemColumns.{OlakeId, OpType, CdcTimestamp}
+        val morT = s"$tmp/mor_t"; val morI = s"$tmp/lake/lineitem_mor"
+        li.withColumn(OlakeId,
+            concat(col("l_orderkey"), lit("-"), col("l_linenumber")))
+          .write.parquet(s"$morT/base")
+        // deletes for ~5% of keys + updates for ~5%
+        graft.sinks.DeltaSegments.writeSegment(
+          li.where(col("l_orderkey") % 20 === 0)
+            .withColumn(OlakeId,
+              concat(col("l_orderkey"), lit("-"), col("l_linenumber")))
+            .withColumn(OpType, lit("d"))
+            .withColumn(CdcTimestamp, current_timestamp())
+            .unionByName(li.where(col("l_orderkey") % 20 === 1)
+              .withColumn(OlakeId, concat(col("l_orderkey"), lit("-"),
+                col("l_linenumber")))
+              .withColumn("l_quantity", col("l_quantity") * 2)
+              .withColumn(OpType, lit("u"))
+              .withColumn(CdcTimestamp, current_timestamp())),
+          morT, 1L)
+        IcebergMetadata.publishMoR(spark, morI, morT): Unit
+        val morNative = t2("readMoR full-agg") {
+          agg(IcebergMetadata.readMoR(spark, morI)
+            .select("l_quantity")) }
+        val morDsv2 = t2("DSv2 MoR full-agg") {
+          spark.sql("SELECT sum(l_quantity), count(1) " +
+            "FROM gsc.lake.lineitem_mor").collect() }
+        println(f"dsv2batch MoR ratio dsv2/readMoR=" +
+          f"${morDsv2 / morNative}%.2f")
+      }
       spark.stop(); return
     }
 

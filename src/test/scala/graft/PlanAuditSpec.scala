@@ -925,4 +925,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(p7 == p4096)
   }
+
+  test("DSv2 batch face executes COLUMNAR on a clean table (vectorized " +
+    "parquet into whole-stage codegen) and row-based under MoR") {
+    import graft.sinks.IcebergMetadata
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_plan_dsv2col").toString
+    spark.range(0, 100)
+      .select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    val df = spark.read.format("graft-iceberg").load(tmp)
+      .agg(sum("v"))
+    // execute FIRST: under AQE the final physical plan only
+    // materializes at execution
+    assert(df.collect().head.getLong(0) == (0L until 100L).map(_ * 2).sum)
+    val executed = df.queryExecution.executedPlan.toString
+    // a columnar DSv2 scan surfaces as ColumnarToRow over BatchScan
+    // (the vectorized batches feed codegen without per-row
+    // materialization in the source)
+    assert(executed.contains("ColumnarToRow"),
+      s"clean DSv2 batch scan is not columnar:\n$executed")
+  }
 }
