@@ -2098,6 +2098,27 @@ object IcebergMetadata {
     * per tuple). The `__p_` prefix keeps identity source columns IN
     * the data files; the transform's own output column is dropped so
     * files hold exactly the source schema. */
+  /** Iceberg spec conformance for the engine's OWN data-file writes:
+    * timestamps are int64 MICROS. Spark's default parquet output for
+    * TimestampType is INT96, which (a) is outside the Iceberg spec and
+    * (b) carries NO parquet min/max statistics — every manifest bound
+    * for the column would be missing and a timestamp predicate could
+    * never prune a file. Pinned for the body, restored after. */
+  private[sinks] def withMicrosTimestamps[T](spark: SparkSession)
+                                            (body: => T): T = {
+    val prev =
+      spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   private def writePartitionedFiles(df: DataFrame,
                                     fields: Seq[PartitionTransforms.PartitionField],
                                     parts: Seq[PartSpecField],
@@ -2105,28 +2126,11 @@ object IcebergMetadata {
                                     overwrite: Boolean = false,
                                     bins: Int = 0,
                                     clusterCols: Seq[String] = Nil,
-                                    dropCols: Seq[String] = Nil): Unit = {
-    import PartitionTransforms.withPartitionColumns
-    // Iceberg spec conformance: timestamps are int64 MICROS. Spark's
-    // default parquet output for TimestampType is INT96, which (a) is
-    // outside the Iceberg spec and (b) carries NO parquet min/max
-    // statistics — every manifest bound for the column would be
-    // missing and a timestamp predicate could never prune a file.
-    // Pinned for the engine's own writes, restored after.
-    val spark = df.sparkSession
-    val prevTsType =
-      spark.conf.getOption("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
-    try writePartitionedFilesInner(df, fields, parts, destDir, overwrite,
-      bins, clusterCols, dropCols)
-    finally prevTsType match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
-      case None =>
-        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+                                    dropCols: Seq[String] = Nil): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      writePartitionedFilesInner(df, fields, parts, destDir, overwrite,
+        bins, clusterCols, dropCols)
     }
-  }
 
   private def writePartitionedFilesInner(df: DataFrame,
                                     fields: Seq[PartitionTransforms.PartitionField],
@@ -2612,7 +2616,7 @@ object IcebergMetadata {
     * restart path reads the same property back (iceberg.go:521-545). */
   def publishMoR(spark: SparkSession, tableDir: String, tablePath: String,
                  summary: Map[String, String] = Map.empty,
-                 partitionRegex: Option[String] = None): Commit = withCommitRetry(tableDir) {
+                 partitionRegex: Option[String] = None): Commit = withCommitRetry(tableDir) { withMicrosTimestamps(spark) {
     import graft.operators.SystemColumns
     val md = metaDir(tableDir)
     md.mkdirs()
@@ -2799,7 +2803,7 @@ object IcebergMetadata {
     Commit(version, snapshotId, seqMax, manifests.head.file.abs,
       list.abs, dataEntries.length,
       dataEntries.map(_.rows).sum)
-  }
+  } }
 
   /** Merge-on-read READ from the manifests alone — the v2 algebra an
     * Iceberg engine runs, both delete flavors:

@@ -452,11 +452,15 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     if (s == e) return Array.empty
     if (changelog) return planChangelog(s, e)
     // pinned at `e` (the offset this batch committed to): a commit
-    // racing the poll lands in the NEXT batch, never splits this one
+    // racing the poll lands in the NEXT batch, never splits this one.
+    // Both branches plan from the manifests' stats rows, so every
+    // partition carries the file's size from `file_size_in_bytes` —
+    // the reader never stats a file (the planner contract).
     if (filters.isEmpty)
-      IcebergMetadata.appendedFilesSince(tableDir, s,
+      IcebergMetadata.appendedStatsSince(tableDir, s,
           failOnOverwrite = !skipOverwrites, toSnapshotId = Some(e))
-        .map(p => IcebergFilePartition(p): InputPartition).toArray
+        .map(st => IcebergFilePartition(st.path, seq = st.seq,
+          sizeBytes = st.sizeBytes): InputPartition).toArray
     else {
       // pushed filters prune whole FILES from the manifests' column
       // bounds before any partition is planned — the filtered tail of
@@ -477,7 +481,8 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
             }
           filters.forall(f => StatsPrune.mightMatch(f, bounds))
         }
-        .map(st => IcebergFilePartition(st.path): InputPartition).toArray
+        .map(st => IcebergFilePartition(st.path, seq = st.seq,
+          sizeBytes = st.sizeBytes): InputPartition).toArray
     }
   }
 
