@@ -48,20 +48,37 @@ class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = TableIO((warehouse +: namespace.toSeq).mkString("/"))
     nsDir.list.filter(d =>
-        d.child("metadata").child("version-hint.text").exists)
+        d.child("metadata").child("version-hint.text").exists ||
+        d.child("metadata").child("created.schema.json").exists)
       .map(d => Identifier.of(namespace, d.name))
       .sortBy(_.name).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    IcebergMetadata.currentMetadata(dirOf(ident)).isDefined
+    IcebergMetadata.currentMetadata(dirOf(ident)).isDefined ||
+      schemaMarker(dirOf(ident)).exists
+
+  /** The created-but-never-written marker: `createTable` (DDL / the
+    * CTAS first half) records the declared schema here; the first
+    * write's commit makes the table real and takes over as the schema
+    * of record. Iceberg's own catalogs hold a snapshot-less
+    * metadata.json for this state; the marker is the engine's
+    * jar-less equivalent. */
+  private def schemaMarker(dir: String) =
+    TableIO(dir).child("metadata").child("created.schema.json")
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (IcebergMetadata.currentMetadata(dir).isEmpty)
-      throw new org.apache.spark.sql.catalyst.analysis
+    val schema =
+      if (IcebergMetadata.currentMetadata(dir).isDefined)
+        IcebergMetadata.currentSparkSchema(dir)
+      else if (schemaMarker(dir).exists)
+        org.apache.spark.sql.types.DataType
+          .fromJson(schemaMarker(dir).readString)
+          .asInstanceOf[StructType]
+      else throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
-    new IcebergStreamTable(dir, IcebergMetadata.currentSparkSchema(dir),
+    new IcebergStreamTable(dir, schema,
       skipOverwrites = false, startSnapshot = "earliest", ref = None,
       maxFilesPerTrigger = 0)
   }
@@ -104,21 +121,46 @@ class GraftCatalog extends TableCatalog {
       maxFilesPerTrigger = 0, asOfSnapshot = Some(snapId))
   }
 
+  /** CREATE TABLE / the CTAS first half: record the declared schema;
+    * the table scans as EMPTY until the first write commits (the
+    * DSv2 write face then runs the engine's first-publish commit).
+    * Partition transforms refuse — partitioned layouts go through
+    * the engine's publishPartitioned so files carry tuples. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are written through the engine's commit paths " +
-        "(sync / CdcStream / CLI verbs), not SQL DDL")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "CREATE TABLE ... PARTITIONED BY is the engine's " +
+        "publishPartitioned path, not SQL DDL")
+    val dir = dirOf(ident)
+    if (IcebergMetadata.currentMetadata(dir).isDefined ||
+        schemaMarker(dir).exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    TableIO(dir).child("metadata").mkdirs()
+    schemaMarker(dir).writeAtomic(schema.json)
+    new IcebergStreamTable(dir, schema,
+      skipOverwrites = false, startSnapshot = "earliest", ref = None,
+      maxFilesPerTrigger = 0)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "alter through the engine's evolve/maintain paths")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "drop through the engine's clear verb")
+  /** Drop is allowed ONLY for created-but-never-written tables (the
+    * CTAS failure-cleanup path); a committed table's data drops
+    * through the engine's clear verb, never SQL. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (IcebergMetadata.currentMetadata(dir).isDefined)
+      throw new UnsupportedOperationException(
+        "drop a committed table through the engine's clear verb")
+    val m = schemaMarker(dir)
+    if (!m.exists) false
+    else { m.delete(); true }
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

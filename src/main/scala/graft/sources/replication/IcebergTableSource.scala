@@ -139,15 +139,21 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
                          maxFilesPerTrigger: Int,
                          asOfSnapshot: Option[Long] = None,
                          mode: String = "append")
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-iceberg(`$tableDir`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergStreamScanBuilder(tableDir, tableSchema, skipOverwrites,
       startSnapshot, ref, maxFilesPerTrigger, asOfSnapshot, mode)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new IcebergWriteBuilder(tableDir, info)
 }
 
 /** Column pruning reaches the parquet reader: the pruned schema flows
@@ -239,7 +245,13 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
           s"ref '$r' does not exist at $tableDir"))
   })
 
-  private lazy val stats = IcebergMetadata.dataFileStats(tableDir, asOf)
+  // a CREATEd-but-never-written table (CTAS / DDL marker shape) has
+  // no committed version: it scans as empty and its factory must not
+  // touch the (nonexistent) manifests
+  private lazy val committed =
+    IcebergMetadata.currentMetadata(tableDir).isDefined
+  private lazy val stats =
+    if (!committed) Nil else IcebergMetadata.dataFileStats(tableDir, asOf)
   private lazy val hasDeletes = stats.exists(_.content != 0)
 
   /** Delete state, read once on the driver (`None` for clean tables).
@@ -262,6 +274,7 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (!committed) return Array.empty
     val (morSpec, posState) = morState
     val dataStats = stats.filter(_.content == 0)
     val fidByName =
@@ -386,9 +399,12 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
   private var eqKeyFields: Seq[(String, DataType)] = Nil
 
   private def headId: Long = {
-    val meta = IcebergMetadata.currentMetadata(tableDir).getOrElse(
-      throw new IllegalStateException(
-        s"no committed version at $tableDir"))._2
+    val meta = IcebergMetadata.currentMetadata(tableDir) match {
+      // a created-but-never-written table: the stream idles politely
+      // at the before-all offset until the first commit lands
+      case None => return IcebergMetadata.BeforeAllSnapshots
+      case Some((_, m)) => m
+    }
     ref match {
       case None => meta.get("current-snapshot-id").asLong
       case Some(r) =>

@@ -1,0 +1,189 @@
+package graft.sources.replication
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.{IcebergMetadata, TableIO}
+
+/** DSv2 WRITE face of the engine's Iceberg tables — `INSERT INTO
+  * graft.ns.tbl SELECT …`, `INSERT OVERWRITE`, CTAS, and
+  * `df.writeTo("graft.ns.tbl").append()` — closing the SQL loop: a
+  * consumer can land data in an engine table with no engine API, the
+  * same surface Iceberg's own Spark integration gives (the reference's
+  * writer path is its Java gRPC server; here the engine IS the Spark
+  * session, so the write face is a thin stage-then-commit).
+  *
+  * Scale shape:
+  *  - each TASK streams its rows straight into one parquet file under
+  *    `data/staged-<query>/` via Spark's own `ParquetWriteSupport`
+  *    (the production row→parquet encoder — dictionary/RLE codecs,
+  *    spec-form int64 MICROS timestamps), so rows never cross the
+  *    driver and a 1000-task insert writes 1000 files in parallel;
+  *  - the DRIVER then commits the staged directory through the
+  *    engine's own commit paths — fast-append for INSERT INTO
+  *    (O(new files) metadata however large the table), a replace
+  *    `commit(operation=overwrite)` for INSERT OVERWRITE — inheriting
+  *    the exclusive-create CAS, conflict retries, and snapshot
+  *    history;
+  *  - abort deletes the staged directory; a crash between stage and
+  *    commit leaves only orphans that `removeOrphans`' grace window
+  *    already handles (the same hazard every Iceberg writer has).
+  *
+  * Partitioned tables refuse loudly: their files need partition
+  * tuples in the manifests — that write is the engine's
+  * `publishPartitioned` / `appendCommitPartitioned`, not a plain
+  * file stage. */
+class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft-iceberg supports full-table INSERT OVERWRITE only; " +
+        "row-level deletes go through the engine's CDC apply")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      // refuse partitioned tables up front (plan time, not task time)
+      IcebergMetadata.currentMetadata(tableDir).foreach { case (_, meta) =>
+        val sid = meta.path("default-spec-id").asInt(0)
+        val specs = meta.withArray[
+          com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+        val it = specs.elements()
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.get("spec-id").asInt == sid)
+            require(s.withArray[com.fasterxml.jackson.databind.node
+                .ArrayNode]("fields").size() == 0,
+              s"$tableDir is partitioned: write through the engine's " +
+                "publishPartitioned/appendCommitPartitioned so files " +
+                "carry partition tuples")
+        }
+      }
+      new IcebergBatchWrite(tableDir, info.schema(), info.queryId(),
+        overwriteAll, IcebergTableSource.fsConf())
+    }
+  }
+}
+
+/** One staged task file. */
+case class StagedFileMessage(path: String, rows: Long)
+    extends WriterCommitMessage
+
+class IcebergBatchWrite(tableDir: String, schema: StructType,
+                        queryId: String, overwriteAll: Boolean,
+                        fsConf: Map[String, String])
+    extends BatchWrite {
+
+  private val stagedDir = s"$tableDir/data/staged-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new IcebergDataWriterFactory(stagedDir, schema, fsConf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case StagedFileMessage(p, n) if n > 0 => p }
+    val spark = SparkSession.active
+    if (files.isEmpty) {
+      // nothing written: an INSERT of an empty SELECT is a no-op
+      // commit (Iceberg would record an empty snapshot; the engine's
+      // commit paths require data, and an invisible no-op is the
+      // kinder contract)
+      TableIO(stagedDir).deleteRecursive()
+      require(!overwriteAll,
+        "INSERT OVERWRITE with an empty source would clear the " +
+          "table: use the engine's clear verb to do that explicitly")
+      return
+    }
+    if (overwriteAll || IcebergMetadata.currentMetadata(tableDir).isEmpty)
+      IcebergMetadata.commit(spark, tableDir, stagedDir,
+        operation = if (overwriteAll) "overwrite" else "append"): Unit
+    else
+      IcebergMetadata.appendCommit(spark, tableDir, stagedDir): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TableIO(stagedDir).deleteRecursive()
+}
+
+class IcebergDataWriterFactory(stagedDir: String, schema: StructType,
+                               fsConf: Map[String, String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new IcebergDataWriter(
+      s"$stagedDir/part-$partitionId-$taskId-${UUID.randomUUID()}.parquet",
+      schema, fsConf)
+}
+
+/** Executor-side: InternalRows → ONE parquet file through Spark's
+  * `ParquetWriteSupport` (the same encoder `df.write.parquet` uses —
+  * snappy, dictionary encoding, min/max column statistics the commit
+  * reads back into manifest bounds). The writer opens LAZILY on the
+  * first row, so empty tasks stage nothing. */
+class IcebergDataWriter(filePath: String, schema: StructType,
+                        fsConf: Map[String, String])
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  private var writer: ParquetWriter[InternalRow] = _
+  private var rows = 0L
+
+  private def open(): ParquetWriter[InternalRow] = {
+    val conf = new Configuration()
+    fsConf.foreach { case (k, v) => conf.set(k, v) }
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    // Iceberg spec form: int64 MICROS timestamps (never INT96 — no
+    // stats, outside the spec); CORRECTED = no legacy calendar rebase
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    class B(p: Path) extends ParquetWriter.Builder[InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: Configuration)
+          : WriteSupport[InternalRow] =
+        new ParquetWriteSupport().asInstanceOf[WriteSupport[InternalRow]]
+    }
+    new B(new Path(filePath)).withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) writer = open()
+    writer.write(record)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    StagedFileMessage(if (rows > 0) filePath else "", rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    TableIO(filePath).delete(): Unit
+  }
+
+  override def close(): Unit = ()
+}

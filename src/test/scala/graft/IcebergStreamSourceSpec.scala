@@ -489,6 +489,19 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       !mParts.exists(mFactory.supportColumnarReads))
   }
 
+  test("SQL-face gates are idempotent across repeated invocations — " +
+    "the bench's best-of-2 (Spark caches catalogs BY NAME, so each " +
+    "invocation must register a fresh one)") {
+    Seq("q_iceberg_sql_insert", "q_iceberg_sql_ctas",
+        "q_iceberg_sql_timetravel", "q_iceberg_sql_catalog",
+        "q_iceberg_sql_mor").foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      val a = fn(spark, "/root/testdata/sf0.001").count()
+      val b = fn(spark, "/root/testdata/sf0.001").count()
+      assert(a == b && a > 0, s"$q not idempotent: $a vs $b")
+    }
+  }
+
   // ---------- changelog streaming mode ----------
 
   test("mode=changelog delivers insert/delete rows with per-commit " +
