@@ -3519,6 +3519,60 @@ object SparkEntry {
             s"FROM $cat.lake.nation_ow"))
     }),
 
+    // ---- K1+K2 STREAMING SINK into an engine table: readStream from
+    //      table A → transform → `writeStream.toTable` into table B —
+    //      a continuous engine-to-engine pipeline with no foreachBatch
+    //      glue. One fast-append snapshot per epoch, stamped
+    //      graft-stream-query/epoch in the summary (the exactly-once
+    //      replay fence); Spark creates B through the catalog on first
+    //      use (the snapshot-less created state). Run 2 resumes from
+    //      the checkpoint and appends only A's new commit; a third
+    //      run with nothing new commits nothing. ----
+    "q_iceberg_stream_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dsv2sink").toString
+      val a = s"$tmp/src_a"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      IcebergMetadata.commit(s, a, s"$tmp/d0"): Unit
+      val cat = "graft_sink_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+      def run(): Unit = {
+        val q = s.readStream.format("graft-iceberg").load(a)
+          .withColumn("n_nationkey", col("n_nationkey") + 1000)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.lake.sink_t")
+        q.awaitTermination()
+      }
+      run() // epoch 0: A's backfill
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$tmp/d1")
+      IcebergMetadata.appendCommit(s, a, s"$tmp/d1"): Unit
+      run() // epoch 1: only the new commit (checkpoint resume)
+      run() // nothing new: must commit NOTHING
+      locally {
+        import scala.jdk.CollectionConverters._
+        val meta = IcebergMetadata
+          .currentMetadata(s"$tmp/lake/sink_t").get._2
+        val snaps = meta.withArray[
+          com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+          .asScala.toSeq
+        require(snaps.size == 2,
+          s"expected 2 epoch snapshots, got ${snaps.size}")
+        require(snaps.forall(sn => Option(
+            sn.get("summary").get("graft-stream-epoch")).isDefined),
+          "epoch stamps missing from the sink's snapshot summaries")
+      }
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+        s"FROM $cat.lake.sink_t")
+    }),
+
     // ---- K2+K4 SQL DDL + CTAS through the catalog: CREATE TABLE AS
     //      SELECT lands schema + first publish in one statement;
     //      plain CREATE TABLE records the declared schema and scans
@@ -8327,6 +8381,15 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT n_nationkey, upper(n_name), n_regionkey, 'ow' FROM n
         |WHERE n_nationkey % 2 = 0""".stripMargin,
+
+    // streaming sink: A's history (base + the +100 append) shifted
+    // +1000 by the pipeline
+    "q_iceberg_stream_sink" ->
+      """SELECT n_nationkey + 1000 AS n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 1100, n_name, n_regionkey FROM nation"""
+        .stripMargin,
 
     // CTAS keys < 20; the DDL+INSERT table holds the rest
     "q_iceberg_sql_ctas" ->

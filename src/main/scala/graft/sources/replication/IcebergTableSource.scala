@@ -85,8 +85,21 @@ import graft.sinks.IcebergMetadata
 class IcebergTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-iceberg"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = IcebergTableSource.dir(options)
+    // a created-but-never-written table answers from its CREATE marker
+    // (the catalog's snapshot-less created state) so the streaming
+    // sink / empty scans work by path too
+    val marker = graft.sinks.TableIO(dir)
+      .child("metadata").child("created.schema.json")
     val base =
-      IcebergMetadata.currentSparkSchema(IcebergTableSource.dir(options))
+      if (IcebergMetadata.currentMetadata(dir).isDefined)
+        IcebergMetadata.currentSparkSchema(dir)
+      else if (marker.exists)
+        org.apache.spark.sql.types.DataType.fromJson(marker.readString)
+          .asInstanceOf[StructType]
+      else throw new IllegalStateException(
+        s"no committed version at $dir — commit a first snapshot, or " +
+          "CREATE TABLE through the graft catalog to declare a schema")
     if (options.getOrDefault("mode", "append") == "changelog")
       // change_ordinal = commit index within the delivered batch: a
       // replayer folds per ordinal — (state EXCEPT ALL deletes) UNION
@@ -146,7 +159,8 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergStreamScanBuilder(tableDir, tableSchema, skipOverwrites,
       startSnapshot, ref, maxFilesPerTrigger, asOfSnapshot, mode)

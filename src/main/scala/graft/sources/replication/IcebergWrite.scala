@@ -56,28 +56,120 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
     this
   }
 
+  /** Refuse partitioned tables up front (plan time, not task time):
+    * their files need partition tuples in the manifests. */
+  private def requireUnpartitioned(): Unit =
+    IcebergMetadata.currentMetadata(tableDir).foreach { case (_, meta) =>
+      val sid = meta.path("default-spec-id").asInt(0)
+      val specs = meta.withArray[
+        com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+      val it = specs.elements()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.get("spec-id").asInt == sid)
+          require(s.withArray[com.fasterxml.jackson.databind.node
+              .ArrayNode]("fields").size() == 0,
+            s"$tableDir is partitioned: write through the engine's " +
+              "publishPartitioned/appendCommitPartitioned so files " +
+              "carry partition tuples")
+      }
+    }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      // refuse partitioned tables up front (plan time, not task time)
-      IcebergMetadata.currentMetadata(tableDir).foreach { case (_, meta) =>
-        val sid = meta.path("default-spec-id").asInt(0)
-        val specs = meta.withArray[
-          com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
-        val it = specs.elements()
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.get("spec-id").asInt == sid)
-            require(s.withArray[com.fasterxml.jackson.databind.node
-                .ArrayNode]("fields").size() == 0,
-              s"$tableDir is partitioned: write through the engine's " +
-                "publishPartitioned/appendCommitPartitioned so files " +
-                "carry partition tuples")
-        }
-      }
+      requireUnpartitioned()
       new IcebergBatchWrite(tableDir, info.schema(), info.queryId(),
         overwriteAll, IcebergTableSource.fsConf())
     }
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      requireUnpartitioned()
+      new IcebergStreamingWrite(tableDir, info.schema(), info.queryId(),
+        overwriteAll, IcebergTableSource.fsConf())
+    }
   }
+}
+
+/** STREAMING sink over engine tables —
+  * `df.writeStream.format("graft-iceberg").option("path", tableDir)`
+  * or `.toTable("graft.ns.tbl")` — each microbatch stages its files
+  * task-parallel like the batch face and commits ONE fast-append
+  * snapshot per epoch (Complete output mode commits a replace
+  * snapshot instead). EXACTLY-ONCE: the commit stamps
+  * `graft-stream-query`/`graft-stream-epoch` into the snapshot
+  * summary; a replayed epoch (Spark re-offers a batch after a crash
+  * between our commit and its checkpoint write) finds its own stamp
+  * at or past the epoch on the query's lineage and becomes a clean
+  * no-op — the same replay fence [[graft.streaming.CdcStream]] keys
+  * on committed positions. */
+class IcebergStreamingWrite(tableDir: String, schema: StructType,
+                            queryId: String, overwriteAll: Boolean,
+                            fsConf: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def stagedDir(epochId: Long) =
+    s"$tableDir/data/stream-$queryId/epoch-$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new IcebergStreamingWriterFactory(tableDir, queryId, schema, fsConf)
+
+  /** Last committed epoch of THIS query on the table's snapshot
+    * history (metadata-only walk; maintenance commits in between
+    * don't hide it). */
+  private def lastEpoch(): Option[Long] =
+    IcebergMetadata.currentMetadata(tableDir).flatMap { case (_, meta) =>
+      import scala.jdk.CollectionConverters._
+      meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "snapshots").asScala
+        .filter(s => Option(s.get("summary").get("graft-stream-query"))
+          .exists(_.asText == queryId))
+        .map(_.get("summary").get("graft-stream-epoch").asText.toLong)
+        .maxOption
+    }
+
+  /** Drop exactly THIS attempt's staged files. Never the epoch
+    * directory: a committed first attempt's data files live in the
+    * same directory (the staged dir IS the data location once
+    * committed), so a directory-recursive delete on a replayed or
+    * aborted re-attempt would destroy committed table data. */
+  private def dropStaged(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedFileMessage(p, _) if p.nonEmpty => TableIO(p).delete()
+      case _ => ()
+    }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = stagedDir(epochId)
+    if (lastEpoch().exists(_ >= epochId)) {
+      // replayed epoch: already committed — drop only the re-staged
+      // files of THIS attempt
+      dropStaged(messages)
+      return
+    }
+    val hasRows = messages.exists {
+      case StagedFileMessage(_, n) => n > 0
+      case _ => false
+    }
+    if (!hasRows) { dropStaged(messages); return }
+    val spark = SparkSession.active
+    val summary = Map(
+      "graft-stream-query" -> queryId,
+      "graft-stream-epoch" -> epochId.toString)
+    if (overwriteAll || IcebergMetadata.currentMetadata(tableDir).isEmpty)
+      IcebergMetadata.commit(spark, tableDir, dir,
+        operation = if (overwriteAll) "overwrite" else "append",
+        summary = summary): Unit
+    else
+      IcebergMetadata.appendCommit(spark, tableDir, dir,
+        summary = summary): Unit
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    dropStaged(messages) // failed tasks abort their own file task-side
 }
 
 /** One staged task file. */
@@ -119,6 +211,19 @@ class IcebergBatchWrite(tableDir: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     TableIO(stagedDir).deleteRecursive()
+}
+
+class IcebergStreamingWriterFactory(tableDir: String, queryId: String,
+                                    schema: StructType,
+                                    fsConf: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new IcebergDataWriter(
+      s"$tableDir/data/stream-$queryId/epoch-$epochId/" +
+        s"part-$partitionId-$taskId-${UUID.randomUUID()}.parquet",
+      schema, fsConf)
 }
 
 class IcebergDataWriterFactory(stagedDir: String, schema: StructType,

@@ -489,12 +489,86 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       !mParts.exists(mFactory.supportColumnarReads))
   }
 
+  test("streaming sink: the epoch replay fence makes a re-offered " +
+    "epoch a no-op, and empty epochs commit nothing") {
+    import graft.sources.replication.{IcebergDataWriter, IcebergStreamingWrite}
+    val tmp = Files.createTempDirectory("graft_sinkfence").toString
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    // seed v1 so the fence walks a real history
+    spark.range(0, 5).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d0"): Unit
+    val w = new IcebergStreamingWrite(tmp, sch, "qfence",
+      overwriteAll = false, Map.empty)
+    def stage(epoch: Long): graft.sources.replication.StagedFileMessage = {
+      // unique file per attempt, like the real factory's task UUIDs —
+      // a replayed epoch RE-stages into the same dir beside the
+      // committed first attempt's files
+      val dw = new IcebergDataWriter(
+        s"$tmp/data/stream-qfence/epoch-$epoch/" +
+          s"${java.util.UUID.randomUUID()}.parquet", sch, Map.empty)
+      (10L until 13L).foreach(i => dw.write(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i))))
+      dw.commit().asInstanceOf[graft.sources.replication.StagedFileMessage]
+    }
+    w.commit(0L, Array(stage(0L)))
+    val after1 = IcebergMetadata.dataFileStats(tmp).size
+    // the SAME epoch re-offered (crash between our commit and Spark's
+    // checkpoint write): must be a clean no-op — AND must not touch
+    // the committed first attempt's files (they share the epoch dir)
+    w.commit(0L, Array(stage(0L)))
+    assert(IcebergMetadata.dataFileStats(tmp).size == after1,
+      "replayed epoch committed twice")
+    assert(IcebergMetadata.readTable(spark, tmp).count() == 8L,
+      "replay cleanup destroyed committed data files")
+    // an empty epoch commits nothing
+    w.commit(1L, Array.empty)
+    assert(IcebergMetadata.dataFileStats(tmp).size == after1)
+    // the next real epoch lands
+    w.commit(2L, Array(stage(2L)))
+    assert(IcebergMetadata.readTable(spark, tmp).count() == 11L)
+  }
+
+  test("streaming sink in COMPLETE output mode replaces the table " +
+    "each epoch (aggregation dashboard shape)") {
+    val tmp = Files.createTempDirectory("graft_sinkcomplete").toString
+    val a = s"$tmp/src"
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, a, s"$tmp/d0"): Unit
+    val cat = "gsc_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").load(a)
+        .groupBy((col("id") % 2).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.agg_t")
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.sql(s"SELECT bucket, n FROM $cat.agg_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 5L, 1L -> 5L))
+    rows(10 until 16).coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, a, s"$tmp/d1"): Unit
+    run() // the epoch REPLACES the table with the updated aggregate
+    assert(spark.sql(s"SELECT bucket, n FROM $cat.agg_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 8L, 1L -> 8L))
+  }
+
   test("SQL-face gates are idempotent across repeated invocations — " +
     "the bench's best-of-2 (Spark caches catalogs BY NAME, so each " +
     "invocation must register a fresh one)") {
     Seq("q_iceberg_sql_insert", "q_iceberg_sql_ctas",
         "q_iceberg_sql_timetravel", "q_iceberg_sql_catalog",
-        "q_iceberg_sql_mor").foreach { q =>
+        "q_iceberg_sql_mor", "q_iceberg_stream_sink").foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       val a = fn(spark, "/root/testdata/sf0.001").count()
       val b = fn(spark, "/root/testdata/sf0.001").count()
