@@ -1508,10 +1508,33 @@ object IcebergMetadata {
       list.abs, addedOnly.size, addedOnly.map(_.rows).sum))
   }
 
+  /** INSERT-INTO semantics for a table that may not exist yet: the
+    * first publish when the directory has no committed version, an
+    * APPEND otherwise — with the decision safe under a first-publish
+    * RACE. `commit()`'s own conflict retry re-reads the base and
+    * rebuilds, which for a replace-shaped commit silently drops a
+    * racing writer's v1 from the new head (its manifest list holds
+    * only this call's files); here the first attempt runs with ONE
+    * retry so the conflict surfaces, and the loser re-dispatches as
+    * an append on the racer's base — both writers' rows live. */
+  def appendOrFirstCommit(spark: SparkSession, tableDir: String,
+                          dataDir: String,
+                          summary: Map[String, String] = Map.empty)
+      : Commit =
+    if (currentMetadata(tableDir).isDefined)
+      appendCommit(spark, tableDir, dataDir, summary)
+    else
+      try commit(spark, tableDir, dataDir, summary = summary,
+        retryAttempts = 1)
+      catch { case _: CommitConflictException =>
+        appendCommit(spark, tableDir, dataDir, summary)
+      }
+
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
              operation: String = "append",
-             summary: Map[String, String] = Map.empty): Commit =
-      withCommitRetry(tableDir) {
+             summary: Map[String, String] = Map.empty,
+             retryAttempts: Int = 12): Commit =
+      withCommitRetry(tableDir, retryAttempts) {
     val md = metaDir(tableDir)
     md.mkdirs()
     val prev = currentMetadata(tableDir)

@@ -26,7 +26,8 @@ import graft.sinks.{IcebergMetadata, TableIO}
   * commit paths (CLI verbs / CdcStream), exactly like the reference's
   * consumers querying its written tables from Spark/Trino.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -159,10 +160,78 @@ class GraftCatalog extends TableCatalog {
         "drop a committed table through the engine's clear verb")
     val m = schemaMarker(dir)
     if (!m.exists) false
-    else { m.delete(); true }
+    else {
+      m.delete()
+      // sweep the now-empty scaffolding so the namespace can drop
+      val md = TableIO(dir).child("metadata")
+      if (md.isDirectory && md.list.isEmpty) md.delete()
+      val d = TableIO(dir)
+      if (d.isDirectory && d.list.isEmpty) d.delete()
+      true
+    }
   }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- SupportsNamespaces: a namespace is a warehouse directory
+  // that is not itself a table (no metadata/ tree) ----
+
+  private def nsDir(ns: Array[String]) =
+    TableIO((warehouse +: ns.toSeq).mkString("/"))
+
+  private def isTableDir(d: graft.sinks.TPath): Boolean =
+    d.child("metadata").child("version-hint.text").exists ||
+      d.child("metadata").child("created.schema.json").exists
+
+  override def listNamespaces(): Array[Array[String]] =
+    TableIO(warehouse).list
+      .filter(d => d.isDirectory && !isTableDir(d))
+      .map(d => Array(d.name)).sortBy(_.head).toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    d.list.filter(c => c.isDirectory && !isTableDir(c))
+      .map(c => namespace :+ c.name).sortBy(_.last).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!nsDir(namespace).isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (nsDir(namespace).isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    nsDir(namespace).mkdirs()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit =
+    throw new UnsupportedOperationException(
+      "namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) false
+    else {
+      require(d.list.isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty — drop " +
+          "its tables through the engine's clear verb first")
+      d.delete()
+      true
+    }
+  }
 }

@@ -158,12 +158,11 @@ class IcebergStreamingWrite(tableDir: String, schema: StructType,
     val summary = Map(
       "graft-stream-query" -> queryId,
       "graft-stream-epoch" -> epochId.toString)
-    if (overwriteAll || IcebergMetadata.currentMetadata(tableDir).isEmpty)
+    if (overwriteAll)
       IcebergMetadata.commit(spark, tableDir, dir,
-        operation = if (overwriteAll) "overwrite" else "append",
-        summary = summary): Unit
+        operation = "overwrite", summary = summary): Unit
     else
-      IcebergMetadata.appendCommit(spark, tableDir, dir,
+      IcebergMetadata.appendOrFirstCommit(spark, tableDir, dir,
         summary = summary): Unit
   }
 
@@ -202,11 +201,13 @@ class IcebergBatchWrite(tableDir: String, schema: StructType,
           "table: use the engine's clear verb to do that explicitly")
       return
     }
-    if (overwriteAll || IcebergMetadata.currentMetadata(tableDir).isEmpty)
+    if (overwriteAll)
       IcebergMetadata.commit(spark, tableDir, stagedDir,
-        operation = if (overwriteAll) "overwrite" else "append"): Unit
+        operation = "overwrite"): Unit
     else
-      IcebergMetadata.appendCommit(spark, tableDir, stagedDir): Unit
+      // first publish OR append, race-safe: a concurrent first writer's
+      // rows must never vanish from the head
+      IcebergMetadata.appendOrFirstCommit(spark, tableDir, stagedDir): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -489,6 +489,57 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       !mParts.exists(mFactory.supportColumnarReads))
   }
 
+  test("concurrent SQL INSERTs into one table both land (the commit " +
+    "CAS serializes them), including the first-publish race") {
+    val tmp = Files.createTempDirectory("graft_sqlrace").toString
+    val cat = "gw_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    spark.sql(s"CREATE TABLE $cat.race_t (id BIGINT, v BIGINT)")
+    rows(0 until 50).createOrReplaceTempView("race_src")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val futs = (0 until 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            start.await()
+            spark.sql(s"INSERT INTO $cat.race_t " +
+              s"SELECT id + ${w * 1000}, v FROM race_src"): Unit
+          }
+        })
+      }
+      start.countDown()
+      futs.foreach(_.get())
+    } finally pool.shutdownNow()
+    // BOTH writers' rows live — the loser of the first-publish race
+    // must have re-dispatched as an append, never a replace
+    assert(spark.sql(s"SELECT id FROM $cat.race_t").count() == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.race_t WHERE id < 1000")
+      .collect().head.getLong(0) == 50L)
+  }
+
+  test("SupportsNamespaces: CREATE/SHOW/DROP NAMESPACE through SQL; " +
+    "dropping a non-empty namespace refuses") {
+    val tmp = Files.createTempDirectory("graft_ns").toString
+    val cat = "gns_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    spark.sql(s"CREATE NAMESPACE $cat.lakens")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("lakens"))
+    spark.sql(s"CREATE TABLE $cat.lakens.t1 (id BIGINT)")
+    assert(intercept[Exception] {
+      spark.sql(s"DROP NAMESPACE $cat.lakens")
+    }.getMessage.contains("not empty"))
+    spark.sql(s"DROP TABLE $cat.lakens.t1") // marker-only: allowed
+    spark.sql(s"DROP NAMESPACE $cat.lakens")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("lakens"))
+  }
+
   test("streaming sink: the epoch replay fence makes a re-offered " +
     "epoch a no-op, and empty epochs commit nothing") {
     import graft.sources.replication.{IcebergDataWriter, IcebergStreamingWrite}
