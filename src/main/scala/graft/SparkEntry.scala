@@ -3611,6 +3611,42 @@ object SparkEntry {
             s"FROM $cat.lake.nation_ddl"))
     }),
 
+    // ---- K2 SQL METADATA TABLES through the catalog (Iceberg's
+    //      `SELECT * FROM db.tbl.snapshots` surface): the inspection
+    //      tables an operator queries for health checks — served as a
+    //      LocalScan over the SAME manifest walk the planner runs,
+    //      zero data-file IO. ----
+    "q_iceberg_sql_meta" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmeta").toString
+      val ice = s"$wh/lake/nation_m"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$wh/stage0")
+      IcebergMetadata.commit(s, ice, s"$wh/stage0"): Unit
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$wh/stage1")
+      IcebergMetadata.appendCommit(s, ice, s"$wh/stage1"): Unit
+      val cat = "graft_m_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // files/manifests have nondeterministic paths — pin their
+      // CARDINALITY against the snapshots/live-file truth instead
+      val fileRows = s.sql(
+        s"SELECT count(*) FROM $cat.lake.nation_m.files")
+        .collect().head.getLong(0)
+      require(fileRows ==
+        IcebergMetadata.dataFileStats(ice).size.toLong,
+        "files metadata table disagrees with the planner walk")
+      require(s.sql(s"SELECT count(*) FROM $cat.lake.nation_m.manifests")
+        .collect().head.getLong(0) >= 1L,
+        "manifests metadata table empty")
+      s.sql(s"""SELECT sequence_number, operation, added_records
+                FROM $cat.lake.nation_m.snapshots""")
+    }),
+
     // ---- K2 SQL TIME TRAVEL through the DSv2 catalog: `VERSION AS
     //      OF <snapshot-id>` and `TIMESTAMP AS OF <instant>` (Spark
     //      hands the catalog micros; the served snapshot is the
@@ -8400,6 +8436,16 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT CAST(n_nationkey AS BIGINT), n_name,
         |  CAST(n_regionkey AS BIGINT), 'ddl'
         |FROM nation WHERE n_nationkey >= 20""".stripMargin,
+
+    // metadata tables: two append snapshots, each adding one nation's
+    // worth of records (scale-proof via the subquery)
+    "q_iceberg_sql_meta" ->
+      """SELECT CAST(1 AS BIGINT) AS sequence_number,
+        |  'append' AS operation,
+        |  (SELECT count(*) FROM nation) AS added_records
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append',
+        |  (SELECT count(*) FROM nation)""".stripMargin,
 
     // SQL time travel: VERSION AS OF the first commit = base only;
     // TIMESTAMP AS OF the second commit's instant = both

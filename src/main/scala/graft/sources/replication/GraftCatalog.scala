@@ -77,8 +77,22 @@ class GraftCatalog extends TableCatalog
         org.apache.spark.sql.types.DataType
           .fromJson(schemaMarker(dir).readString)
           .asInstanceOf[StructType]
-      else throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident)
+      else {
+        // Iceberg-style METADATA TABLES: `SELECT * FROM
+        // graft.ns.tbl.snapshots` resolves here with
+        // namespace = [ns, tbl], name = snapshots — serve the
+        // inspection surface (zero data-file IO, manifests only)
+        // when the namespace's tail names a committed table
+        val kinds = Set("snapshots", "files", "partitions", "manifests")
+        if (ident.namespace().nonEmpty && kinds.contains(ident.name())) {
+          val parent = (warehouse +: ident.namespace().toSeq)
+            .mkString("/")
+          if (IcebergMetadata.currentMetadata(parent).isDefined)
+            return new IcebergMetaTable(parent, ident.name())
+        }
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+      }
     new IcebergStreamTable(dir, schema,
       skipOverwrites = false, startSnapshot = "earliest", ref = None,
       maxFilesPerTrigger = 0)
@@ -232,6 +246,45 @@ class GraftCatalog extends TableCatalog
           "its tables through the engine's clear verb first")
       d.delete()
       true
+    }
+  }
+}
+
+/** Iceberg-style metadata table served through the SQL catalog —
+  * `graft.ns.tbl.snapshots` / `.files` / `.partitions` /
+  * `.manifests`. Rows come from the engine's inspection surface
+  * ([[IcebergMetadata.snapshotsTable]] family): the same
+  * manifest/metadata walk the planner runs, ZERO data-file IO, always
+  * metadata-small — served as a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * (Iceberg's own metadata tables are manifest scans too). */
+class IcebergMetaTable(tableDir: String, kind: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  private def df = {
+    val s = org.apache.spark.sql.SparkSession.active
+    kind match {
+      case "snapshots" => IcebergMetadata.snapshotsTable(s, tableDir)
+      case "files" => IcebergMetadata.filesTable(s, tableDir)
+      case "partitions" => IcebergMetadata.partitionsTable(s, tableDir)
+      case "manifests" => IcebergMetadata.manifestsTable(s, tableDir)
+    }
+  }
+
+  override def name(): String = s"graft-iceberg(`$tableDir`).$kind"
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new LocalScan {
+      override def readSchema(): StructType = df.schema
+      override def rows()
+          : Array[org.apache.spark.sql.catalyst.InternalRow] =
+        df.queryExecution.executedPlan.executeCollect()
     }
   }
 }

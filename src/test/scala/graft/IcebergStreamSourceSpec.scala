@@ -489,6 +489,30 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       !mParts.exists(mFactory.supportColumnarReads))
   }
 
+  test("SQL metadata tables: snapshots/files/partitions/manifests all " +
+    "answer through the catalog with zero data-file IO") {
+    val tmp = Files.createTempDirectory("graft_sqlmeta_spec").toString
+    val ice = s"$tmp/t"
+    rows(0 until 10).coalesce(2).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, ice, s"$tmp/d0"): Unit
+    val cat = "gm_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    val snaps = spark.sql(s"SELECT operation FROM $cat.t.snapshots")
+      .collect().map(_.getString(0)).toSeq
+    assert(snaps == Seq("append"))
+    assert(spark.sql(s"SELECT file_path FROM $cat.t.files").count() ==
+      IcebergMetadata.dataFileStats(ice).size.toLong)
+    assert(spark.sql(s"SELECT row_count FROM $cat.t.partitions")
+      .collect().map(_.getLong(0)).sum == 10L)
+    assert(spark.sql(s"SELECT path FROM $cat.t.manifests").count() >= 1L)
+    // a bogus suffix on a real table is still a missing table
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t.nope").collect()
+    }.getMessage.toLowerCase.contains("table"))
+  }
+
   test("concurrent SQL INSERTs into one table both land (the commit " +
     "CAS serializes them), including the first-publish race") {
     val tmp = Files.createTempDirectory("graft_sqlrace").toString
@@ -619,7 +643,8 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "invocation must register a fresh one)") {
     Seq("q_iceberg_sql_insert", "q_iceberg_sql_ctas",
         "q_iceberg_sql_timetravel", "q_iceberg_sql_catalog",
-        "q_iceberg_sql_mor", "q_iceberg_stream_sink").foreach { q =>
+        "q_iceberg_sql_mor", "q_iceberg_stream_sink",
+        "q_iceberg_sql_meta").foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       val a = fn(spark, "/root/testdata/sf0.001").count()
       val b = fn(spark, "/root/testdata/sf0.001").count()
