@@ -88,6 +88,13 @@ import org.apache.spark.sql.SparkSession
   *    index write-then-probe — the data-plane costs they wrap are
   *    already headlined (binpack/compact via the rewrite tiers, the
   *    probes via q_keyword_search / q_ann_lsh).
+  *  - q_iceberg_sql_mor / q_iceberg_sql_timetravel / q_iceberg_sql_insert /
+  *    q_iceberg_sql_ctas / q_iceberg_sql_meta / q_iceberg_stream_changelog /
+  *    q_iceberg_stream_partitioned / q_iceberg_stream_sink (r16): DSv2
+  *    catalog/stream gates — multi-commit publish-then-read (or
+  *    stream-checkpoint) roundtrips into tempdirs like the other
+  *    q_iceberg_* exclusions; the scan paths they exercise are measured
+  *    by `ScaleCheck dsv2batch` at 10× rows.
   *  - q_cdc_binlog_ssh / q_cdc_binlog_tls / q_cdc_pgoutput_tls /
   *    q_cdc_pgoutput_scram_cb / q_cdc_mongo_tls / q_ssl_modes /
   *    q_config_decrypt / q_source_config / q_type_maps /
