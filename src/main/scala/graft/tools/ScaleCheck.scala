@@ -188,6 +188,68 @@ object ScaleCheck {
       spark.stop(); return
     }
 
+    // ---- DSv2 changelog-stream planning cost (`ScaleCheck
+    // dsv2changelog`): a long append history tails in O(new manifests)
+    // per batch — planning the LAST commit of a 200-commit table must
+    // cost ~the same as on a 20-commit one (the added_snapshot_id list
+    // filter), and a full-history replay plan stays linear in commits.
+    if (args.headOption.contains("dsv2changelog")) {
+      import graft.sinks.IcebergMetadata
+      import graft.sources.replication.{IcebergSnapshotStream, SnapshotOffset}
+      val nat = Tables.load(spark, base, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      def mk(commits: Int): (String, Seq[Long]) = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"sccl$commits").toString
+        nat.coalesce(1).write.parquet(s"$tmp/d0")
+        var ids = Seq(IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+          .snapshotId)
+        (1 until commits).foreach { i =>
+          nat.withColumn("n_nationkey", col("n_nationkey") + i * 100)
+            .coalesce(1).write.parquet(s"$tmp/d$i")
+          ids :+= IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d$i")
+            .snapshotId
+        }
+        (tmp, ids)
+      }
+      def planLast(tmp: String, ids: Seq[Long]): Double = {
+        val st = new IcebergSnapshotStream(tmp,
+          IcebergMetadata.currentSparkSchema(tmp),
+          skipOverwrites = false, startSnapshot = "earliest",
+          mode = "changelog")
+        val t0 = System.nanoTime()
+        val n = st.planInputPartitions(
+          SnapshotOffset(ids(ids.size - 2)),
+          SnapshotOffset(ids.last)).length
+        require(n == 1, s"expected 1 partition, got $n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (t20, ids20) = mk(20)
+      val (t200, ids200) = mk(200)
+      planLast(t20, ids20) // warm
+      val p20 = planLast(t20, ids20)
+      val p200 = planLast(t200, ids200)
+      println(f"dsv2changelog last-commit plan: 20-commit $p20%.3f s, " +
+        f"200-commit $p200%.3f s (ratio ${p200 / p20}%.1f)")
+      require(p200 < math.max(0.25, p20 * 4),
+        f"changelog tail planning super-linear in history: " +
+          f"$p20%.3f -> $p200%.3f")
+      val t0 = System.nanoTime()
+      val full = {
+        val st = new IcebergSnapshotStream(t200,
+          IcebergMetadata.currentSparkSchema(t200),
+          skipOverwrites = false, startSnapshot = "earliest",
+          mode = "changelog")
+        st.planInputPartitions(
+          SnapshotOffset(IcebergMetadata.BeforeAllSnapshots),
+          SnapshotOffset(ids200.last)).length
+      }
+      println(f"dsv2changelog full 200-commit replay plan: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, $full partitions")
+      require(full == 200, s"expected 200 partitions, got $full")
+      spark.stop(); return
+    }
+
     // ---- Equality-delete compaction cost (`ScaleCheck eqrewrite`):
     // rewrite wall vs number of hot-key delete batches, with the DATA
     // size held constant — the claim is cost ∝ eq-delete rows (data
