@@ -491,12 +491,20 @@ object IcebergMetadata {
                          content: Int = 0,
                          equalityIds: Seq[Int] = Nil,
                          fieldIds: Map[String, Int] = Map.empty,
-                         partition: Seq[Any] = Nil): Seq[FileEntry] =
-    parquetFilesIn(dir).map { f =>
-      val (rows, stats) = footerInfo(spark, f.abs, fieldIds)
-      FileEntry(f.abs, f.length, rows, seq, content,
-        equalityIds, stats, partition)
-    }
+                         partition: Seq[Any] = Nil,
+                         onlyFiles: Option[Set[String]] = None)
+      : Seq[FileEntry] =
+    parquetFilesIn(dir)
+      // `onlyFiles` (the DSv2 write faces): commit EXACTLY the files
+      // the winning task attempts reported — a crashed or speculative
+      // attempt's stray file in the staged dir must neither be
+      // committed (duplicate rows) nor footer-read (it may be cut)
+      .filter(f => onlyFiles.forall(_.contains(f.canonical)))
+      .map { f =>
+        val (rows, stats) = footerInfo(spark, f.abs, fieldIds)
+        FileEntry(f.abs, f.length, rows, seq, content,
+          equalityIds, stats, partition)
+      }
 
   /** The partition-spec JSON written to manifest metadata and
     * `metadata.json` (spec §Partition Specs). */
@@ -1145,7 +1153,8 @@ object IcebergMetadata {
     * per micro-batch the same way through the library's AppendFiles
     * (`destination/iceberg/iceberg.go` commit path). */
   def appendCommit(spark: SparkSession, tableDir: String, dataDir: String,
-                   summary: Map[String, String] = Map.empty): Commit = withCommitRetry(tableDir) {
+                   summary: Map[String, String] = Map.empty,
+                   onlyFiles: Option[Set[String]] = None): Commit = withCommitRetry(tableDir) {
     val md = metaDir(tableDir)
     val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
       throw new IllegalStateException(
@@ -1164,9 +1173,11 @@ object IcebergMetadata {
     // same schema derivation as commit(): field ids are positional and
     // writeMetadataJson reconciles them against the committed schema
     // (unchanged columns keep their ids; evolution renumbers new ones)
-    val schemaStr = schemaJson(spark.read.parquet(dataDir).schema)
+    val schemaStr = schemaJson(onlyFiles
+      .fold(spark.read.parquet(dataDir))(fs =>
+        spark.read.parquet(fs.toSeq: _*)).schema)
     val entries = entriesFor(spark, dataDir, seq,
-      fieldIds = topLevelFieldIds(schemaStr))
+      fieldIds = topLevelFieldIds(schemaStr), onlyFiles = onlyFiles)
     require(entries.nonEmpty, s"no parquet data files under $dataDir")
     val manifest = writeManifest(md, entries, snapshotId, schemaStr,
       "data", 0)
@@ -1519,21 +1530,23 @@ object IcebergMetadata {
     * an append on the racer's base — both writers' rows live. */
   def appendOrFirstCommit(spark: SparkSession, tableDir: String,
                           dataDir: String,
-                          summary: Map[String, String] = Map.empty)
+                          summary: Map[String, String] = Map.empty,
+                          onlyFiles: Option[Set[String]] = None)
       : Commit =
     if (currentMetadata(tableDir).isDefined)
-      appendCommit(spark, tableDir, dataDir, summary)
+      appendCommit(spark, tableDir, dataDir, summary, onlyFiles)
     else
       try commit(spark, tableDir, dataDir, summary = summary,
-        retryAttempts = 1)
+        retryAttempts = 1, onlyFiles = onlyFiles)
       catch { case _: CommitConflictException =>
-        appendCommit(spark, tableDir, dataDir, summary)
+        appendCommit(spark, tableDir, dataDir, summary, onlyFiles)
       }
 
   def commit(spark: SparkSession, tableDir: String, dataDir: String,
              operation: String = "append",
              summary: Map[String, String] = Map.empty,
-             retryAttempts: Int = 12): Commit =
+             retryAttempts: Int = 12,
+             onlyFiles: Option[Set[String]] = None): Commit =
       withCommitRetry(tableDir, retryAttempts) {
     val md = metaDir(tableDir)
     md.mkdirs()
@@ -1541,9 +1554,11 @@ object IcebergMetadata {
     val seq = prev.map(_._2.get("last-sequence-number").asLong)
       .getOrElse(0L) + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
-    val schemaStr = schemaJson(spark.read.parquet(dataDir).schema)
+    val schemaStr = schemaJson(onlyFiles
+      .fold(spark.read.parquet(dataDir))(fs =>
+        spark.read.parquet(fs.toSeq: _*)).schema)
     val entries = entriesFor(spark, dataDir, seq,
-      fieldIds = topLevelFieldIds(schemaStr))
+      fieldIds = topLevelFieldIds(schemaStr), onlyFiles = onlyFiles)
     require(entries.nonEmpty, s"no parquet data files under $dataDir")
     val manifest = writeManifest(md, entries, snapshotId, schemaStr,
       "data", 0)

@@ -158,12 +158,17 @@ class IcebergStreamingWrite(tableDir: String, schema: StructType,
     val summary = Map(
       "graft-stream-query" -> queryId,
       "graft-stream-epoch" -> epochId.toString)
+    // winning attempts' files only, like the batch face
+    val only = Some(messages.collect {
+      case StagedFileMessage(p, n) if n > 0 =>
+        TableIO(p).canonical }.toSet)
     if (overwriteAll)
       IcebergMetadata.commit(spark, tableDir, dir,
-        operation = "overwrite", summary = summary): Unit
+        operation = "overwrite", summary = summary,
+        onlyFiles = only): Unit
     else
       IcebergMetadata.appendOrFirstCommit(spark, tableDir, dir,
-        summary = summary): Unit
+        summary = summary, onlyFiles = only): Unit
   }
 
   override def abort(epochId: Long,
@@ -201,13 +206,18 @@ class IcebergBatchWrite(tableDir: String, schema: StructType,
           "table: use the engine's clear verb to do that explicitly")
       return
     }
+    // commit EXACTLY the winning task attempts' files: a crashed or
+    // speculative attempt's stray file in the staged dir must not be
+    // swept into the snapshot (duplicate rows / cut footers)
+    val only = Some(files.map(TableIO(_).canonical).toSet)
     if (overwriteAll)
       IcebergMetadata.commit(spark, tableDir, stagedDir,
-        operation = "overwrite"): Unit
+        operation = "overwrite", onlyFiles = only): Unit
     else
       // first publish OR append, race-safe: a concurrent first writer's
       // rows must never vanish from the head
-      IcebergMetadata.appendOrFirstCommit(spark, tableDir, stagedDir): Unit
+      IcebergMetadata.appendOrFirstCommit(spark, tableDir, stagedDir,
+        onlyFiles = only): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
