@@ -505,7 +505,11 @@ object Bench {
          .mkString(""","retimed":[""", ",", "]")) +
       sweepRerunReason.fold("")(r => s""","rerun_reason":"$r"""")
     val sfName = new java.io.File(sfDir).getName
-    val jload = s""""load_start":${"%.1f".format(loadAtStart)},""" +
+    // per-attempt load brackets ("start-end" per headline sweep): the
+    // quiet claim is verifiable from the JSON alone
+    val jload = s""""sweep_loads":${sweepLoads
+        .map(s => s""""$s"""").mkString("[", ",", "]")},""" +
+      s""""load_start":${"%.1f".format(loadAtStart)},""" +
       s""""load_arrive":${"%.1f".format(loadArrive)},""" +
       s""""settle_sec":$settleWaited,"load_end":${"%.1f".format(load1())}"""
     def line(qs: String, sec: String) =
