@@ -90,11 +90,14 @@ import org.apache.spark.sql.SparkSession
   *    probes via q_keyword_search / q_ann_lsh).
   *  - q_iceberg_sql_mor / q_iceberg_sql_timetravel / q_iceberg_sql_insert /
   *    q_iceberg_sql_ctas / q_iceberg_sql_meta / q_iceberg_stream_changelog /
-  *    q_iceberg_stream_partitioned / q_iceberg_stream_sink (r16): DSv2
+  *    q_iceberg_stream_partitioned / q_iceberg_stream_sink (r16),
+  *    q_iceberg_sql_insert_partitioned / q_iceberg_sql_delete /
+  *    q_iceberg_sql_merge / q_iceberg_changelog_updates (r17): DSv2
   *    catalog/stream gates — multi-commit publish-then-read (or
   *    stream-checkpoint) roundtrips into tempdirs like the other
   *    q_iceberg_* exclusions; the scan paths they exercise are measured
-  *    by `ScaleCheck dsv2batch` at 10× rows.
+  *    by `ScaleCheck dsv2batch` at 10× rows (incl. the columnar MoR
+  *    leg, ≤1.3× readMoR pinned).
   *  - q_cdc_binlog_ssh / q_cdc_binlog_tls / q_cdc_pgoutput_tls /
   *    q_cdc_pgoutput_scram_cb / q_cdc_mongo_tls / q_ssl_modes /
   *    q_config_decrypt / q_source_config / q_type_maps /

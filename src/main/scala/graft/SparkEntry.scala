@@ -3023,6 +3023,38 @@ object SparkEntry {
           col("change_type"), col("change_ordinal"))
     }),
 
+    // ---- K2 CHANGELOG UPDATE PAIRING (Iceberg's
+    //      create_changelog_view compute_updates): an overwrite's
+    //      delete+insert rows sharing the key within one commit pair
+    //      into update_before/update_after; carryovers net away;
+    //      unpaired rows keep delete/insert. Batch/poll path — the
+    //      one place the pairing shuffle belongs. ----
+    "q_iceberg_changelog_updates" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_chupd_gate").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      val c0 = IcebergMetadata.commit(s, tmp, s"$tmp/d0")
+      // overwrite with known key overlap: drop %7=3, suffix %5=0,
+      // everything else rewritten VERBATIM (carryovers — must net)
+      n.where(col("n_nationkey") % 7 =!= 3)
+        .withColumn("n_name",
+          when(col("n_nationkey") % 5 === 0,
+            concat(col("n_name"), lit("_V2")))
+            .otherwise(col("n_name")))
+        .write.parquet(s"$tmp/d1")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d1",
+        operation = "overwrite"): Unit
+      n.withColumn("n_nationkey", col("n_nationkey") + 200)
+        .write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2"): Unit
+      val log = IcebergMetadata.changelogScan(s, tmp, c0.snapshotId)
+        .drop("commit_snapshot_id")
+      graft.streaming.IcebergTail
+        .changelogUpdates(log, Seq("n_nationkey"))
+    }),
+
     // ---- K1+K2 STREAMING TABLE TAIL (Iceberg's streaming read): a
     //      downstream consumer polls the table with a checkpoint —
     //      batch 0 backfills the current state, each later poll
@@ -3615,11 +3647,175 @@ object SparkEntry {
       s.sql(s"""INSERT INTO $cat.lake.nation_ddl
                SELECT n_nationkey, n_name, n_regionkey
                FROM nation_src_ctas WHERE n_nationkey >= 20""")
-      s.sql(s"SELECT n_nationkey, n_name, n_regionkey, 'ctas' AS src " +
+      // r17: ALTER TABLE ADD COLUMN mid-life — a metadata-only schema
+      // commit; the pre-ALTER era reads back with the new column null,
+      // the post-ALTER INSERT carries it (reference EvolveSchema,
+      // iceberg.go:439-518)
+      s.sql(s"ALTER TABLE $cat.lake.nation_ddl ADD COLUMN note STRING")
+      s.sql(s"""INSERT INTO $cat.lake.nation_ddl
+               SELECT n_nationkey + 500, n_name, n_regionkey, 'N'
+               FROM nation_src_ctas WHERE n_nationkey >= 20""")
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey, " +
+          s"CAST(NULL AS STRING) AS note, 'ctas' AS src " +
           s"FROM $cat.lake.nation_ctas")
         .unionByName(s.sql(
-          s"SELECT n_nationkey, n_name, n_regionkey, 'ddl' AS src " +
-            s"FROM $cat.lake.nation_ddl"))
+          s"SELECT n_nationkey, n_name, n_regionkey, note, " +
+            s"'ddl' AS src FROM $cat.lake.nation_ddl"))
+    }),
+
+    // ---- K2+K4+K5 PARTITIONED SQL WRITE face: CREATE TABLE …
+    //      PARTITIONED BY (days(ts)) → INSERT INTO fanout-stages
+    //      task-side under the hive layout and commits TUPLE-BEARING
+    //      manifests (field summaries included); a streaming toTable
+    //      epoch appends into the SAME table under the same spec; the
+    //      planner prunes files by ts bounds. The layout the
+    //      reference's partition_regex makes first-class
+    //      (iceberg.go:520-545), now writable from plain SQL. ----
+    "q_iceberg_sql_insert_partitioned" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlpartins").toString
+      val cat = "graft_pw_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val ev = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      s.sql(s"""CREATE TABLE $cat.lake.ev_part
+               (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                event_type STRING)
+               PARTITIONED BY (days(ts))""")
+      ev.where(col("ts") < lit("2024-01-11").cast("timestamp"))
+        .createOrReplaceTempView("ev_part_src")
+      s.sql(s"""INSERT INTO $cat.lake.ev_part
+               SELECT event_id, ts, user_id, event_type
+               FROM ev_part_src""")
+      // streaming epoch into the SAME partitioned table: an engine
+      // source table holding the next window, tailed AvailableNow
+      val srcTbl = s"$wh/stream_src"
+      ev.where(col("ts") >= lit("2024-01-11").cast("timestamp") &&
+          col("ts") < lit("2024-01-16").cast("timestamp"))
+        .write.parquet(s"$wh/d_src")
+      IcebergMetadata.commit(s, srcTbl, s"$wh/d_src"): Unit
+      val q = s.readStream.format("graft-iceberg").load(srcTbl)
+        .writeStream
+        .option("checkpointLocation", s"$wh/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.lake.ev_part")
+      q.awaitTermination()
+      val tableDir = s"$wh/lake/ev_part"
+      // every live data entry carries its day tuple; manifests carry
+      // field summaries (what a 100-TB planner prunes manifests by)
+      val stats = IcebergMetadata.dataFileStats(tableDir)
+      require(stats.nonEmpty && stats.forall(_.partition.nonEmpty),
+        "partitioned SQL insert lost its tuples")
+      require(IcebergMetadata.manifestSummaries(tableDir)
+          .exists(_.partitions.nonEmpty),
+        "no partition field summaries in the manifest list")
+      // ts-bound file pruning through the DSv2 planner: a two-day
+      // window plans strictly fewer file partitions than the table
+      val full = s.read.format("graft-iceberg").load(tableDir)
+      val allParts = full.rdd.getNumPartitions
+      val window = full
+        .where(col("ts") >= lit("2024-01-03").cast("timestamp") &&
+          col("ts") < lit("2024-01-05").cast("timestamp"))
+      require(window.rdd.getNumPartitions < allParts,
+        s"no ts-bound pruning: ${window.rdd.getNumPartitions}" +
+          s" of $allParts")
+      s.sql(s"""SELECT event_id, ts, user_id, event_type
+               FROM $cat.lake.ev_part""")
+    }),
+
+    // ---- K2+K3 SQL DELETE FROM: a pushable predicate takes the
+    //      metadata path (coordinates scan → ONE positional-delete
+    //      file, op `delete`, zero data rewrite); a non-pushable
+    //      predicate runs the delta-based row-level plan over the
+    //      _file/_pos row ids. Both route through the commit CAS. ----
+    "q_iceberg_sql_delete" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqldel").toString
+      val ice = s"$wh/lake/nation_d"
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      n.write.parquet(s"$wh/stage0")
+      IcebergMetadata.commit(s, ice, s"$wh/stage0"): Unit
+      val cat = "graft_del_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val livesBefore = IcebergMetadata.dataFileStats(ice)
+        .filter(_.content == 0).map(_.path).toSet
+      // pushable → metadata-path delete: delete-file append only
+      s.sql(s"DELETE FROM $cat.lake.nation_d WHERE n_nationkey >= 20")
+      val statsAfter = IcebergMetadata.dataFileStats(ice)
+      require(statsAfter.filter(_.content == 0).map(_.path).toSet ==
+          livesBefore,
+        "metadata-path DELETE rewrote data files")
+      require(statsAfter.exists(_.content == 1),
+        "metadata-path DELETE produced no positional-delete file")
+      locally {
+        import scala.jdk.CollectionConverters._
+        val ops = IcebergMetadata.currentMetadata(ice).get._2
+          .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+            "snapshots").asScala
+          .map(_.get("summary").get("operation").asText).toSeq
+        require(ops.contains("delete"), s"no delete snapshot: $ops")
+      }
+      // non-pushable (modulo) → the delta-based row-level rewrite
+      s.sql(s"DELETE FROM $cat.lake.nation_d WHERE n_nationkey % 3 = 1")
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+        s"FROM $cat.lake.nation_d")
+    }),
+
+    // ---- K2+K3 SQL UPDATE + MERGE INTO: the delta-based row-level
+    //      plan — scan serves _file/_pos row ids, executors write
+    //      replacement rows + positional-delete coordinates, commit
+    //      is ONE overwrite snapshot (merge-on-read row delta, no
+    //      rewrite of untouched files). ----
+    "q_iceberg_sql_merge" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmerge").toString
+      val ice = s"$wh/lake/nation_m"
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      n.write.parquet(s"$wh/stage0")
+      IcebergMetadata.commit(s, ice, s"$wh/stage0"): Unit
+      val cat = "graft_mrg_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val livesBefore = IcebergMetadata.dataFileStats(ice)
+        .filter(_.content == 0).map(_.path).toSet
+      s.sql(s"""UPDATE $cat.lake.nation_m
+               SET n_name = upper(n_name) WHERE n_regionkey = 2""")
+      // the update added files but rewrote none of the originals
+      val afterUpdate = IcebergMetadata.dataFileStats(ice)
+      require(livesBefore.subsetOf(
+          afterUpdate.filter(_.content == 0).map(_.path).toSet),
+        "UPDATE rewrote untouched data files")
+      require(afterUpdate.exists(_.content == 1),
+        "UPDATE produced no positional-delete file")
+      // source: keys <15 match the target; keys >=15 shift +100 so
+      // they exercise the NOT MATCHED insert branch
+      n.where(col("n_nationkey") < 15)
+        .unionByName(n.where(col("n_nationkey") >= 15)
+          .withColumn("n_nationkey", col("n_nationkey") + 100))
+        .withColumn("n_name", concat(lit("M_"), col("n_name")))
+        .createOrReplaceTempView("merge_src")
+      s.sql(s"""MERGE INTO $cat.lake.nation_m t
+               USING merge_src src ON t.n_nationkey = src.n_nationkey
+               WHEN MATCHED AND src.n_nationkey % 5 = 0 THEN DELETE
+               WHEN MATCHED THEN UPDATE SET n_name = src.n_name
+               WHEN NOT MATCHED THEN
+                 INSERT (n_nationkey, n_name, n_regionkey)
+                 VALUES (src.n_nationkey + 1000, src.n_name,
+                   src.n_regionkey)""")
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+        s"FROM $cat.lake.nation_m")
     }),
 
     // ---- K2 SQL METADATA TABLES through the catalog (Iceberg's
@@ -8317,6 +8513,25 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |FROM (SELECT * FROM prev EXCEPT ALL SELECT * FROM cur)"""
         .stripMargin,
 
+    // update pairing: dropped keys stay deletes, suffixed keys pair
+    // into update_before/update_after, verbatim rewrites net away,
+    // the append stays inserts
+    "q_iceberg_changelog_updates" ->
+      """WITH n AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  'delete' AS change_type, CAST(1 AS INTEGER) AS change_ordinal
+        |FROM n WHERE n_nationkey % 7 = 3
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'update_before', 1
+        |FROM n WHERE n_nationkey % 5 = 0 AND n_nationkey % 7 <> 3
+        |UNION ALL
+        |SELECT n_nationkey, n_name || '_V2', n_regionkey,
+        |  'update_after', 1
+        |FROM n WHERE n_nationkey % 5 = 0 AND n_nationkey % 7 <> 3
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey, 'insert', 2
+        |FROM n""".stripMargin,
+
     // tail replay: batch 0 = the base, batch 1 = the two appends that
     // landed between polls, batch 2 = the last append
     // branch tail: backfill = the staged snapshot's own files
@@ -8429,6 +8644,36 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT n_nationkey, upper(n_name), n_regionkey, 'ow' FROM n
         |WHERE n_nationkey % 2 = 0""".stripMargin,
 
+    // partitioned SQL write face: the INSERT window plus the
+    // streamed window = everything before Jan 16
+    "q_iceberg_sql_insert_partitioned" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+
+    // two DELETEs: the pushable (>= 20, metadata-path positional
+    // delete) and the modulo (row-level delta plan)
+    "q_iceberg_sql_delete" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE n_nationkey < 20 AND n_nationkey % 3 <> 1""".stripMargin,
+
+    // UPDATE (upper names of region 2) then MERGE: matched %5=0
+    // deleted, matched updated to 'M_'+original, source keys >=15
+    // (shifted +100) inserted at +1000
+    "q_iceberg_sql_merge" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  n_name AS nm, CAST(n_regionkey AS BIGINT) AS r FROM nation)
+        |SELECT k AS n_nationkey,
+        |  CASE WHEN r = 2 THEN upper(nm) ELSE nm END AS n_name,
+        |  r AS n_regionkey
+        |FROM n WHERE k >= 15
+        |UNION ALL
+        |SELECT k, 'M_' || nm, r FROM n WHERE k < 15 AND k % 5 <> 0
+        |UNION ALL
+        |SELECT k + 1100, 'M_' || nm, r FROM n WHERE k >= 15"""
+        .stripMargin,
+
     // streaming sink: A's history (base + the +100 append) shifted
     // +1000 by the pipeline
     "q_iceberg_stream_sink" ->
@@ -8438,14 +8683,21 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |SELECT n_nationkey + 1100, n_name, n_regionkey FROM nation"""
         .stripMargin,
 
-    // CTAS keys < 20; the DDL+INSERT table holds the rest
+    // CTAS keys < 20; the DDL+INSERT table holds the rest, where the
+    // pre-ALTER era reads the added column as NULL and the post-ALTER
+    // insert (+500) carries 'N'
     "q_iceberg_sql_ctas" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |  CAST(n_regionkey AS BIGINT) AS n_regionkey, 'ctas' AS src
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(NULL AS VARCHAR) AS note, 'ctas' AS src
         |FROM nation WHERE n_nationkey < 20
         |UNION ALL
         |SELECT CAST(n_nationkey AS BIGINT), n_name,
-        |  CAST(n_regionkey AS BIGINT), 'ddl'
+        |  CAST(n_regionkey AS BIGINT), CAST(NULL AS VARCHAR), 'ddl'
+        |FROM nation WHERE n_nationkey >= 20
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 500 AS BIGINT), n_name,
+        |  CAST(n_regionkey AS BIGINT), 'N', 'ddl'
         |FROM nation WHERE n_nationkey >= 20""".stripMargin,
 
     // metadata tables: two append snapshots, each adding one nation's

@@ -371,6 +371,25 @@ object IcebergMetadata {
     sparkType(node).asInstanceOf[StructType]
   }
 
+  /** Spark schema of one SNAPSHOT's own schema-id — what Iceberg time
+    * travel serves (`VERSION AS OF` resolves the snapshot's schema,
+    * not the table's current one, so post-evolution reads of old
+    * snapshots don't surface later-added columns). Falls back to the
+    * current schema when the snapshot predates schema-id tracking. */
+  def sparkSchemaForSnapshot(tableDir: String,
+                             snapshotId: Long): StructType = {
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val sid = meta.withArray[ArrayNode]("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == snapshotId)
+      .flatMap(s => Option(s.get("schema-id")).map(_.asInt))
+      .getOrElse(meta.get("current-schema-id").asInt)
+    val node = meta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == sid).getOrElse(
+        throw new IllegalStateException(s"schema $sid missing"))
+    sparkType(node).asInstanceOf[StructType]
+  }
+
   /** Field id of a top-level column in a `schemaJson` result. */
   def fieldId(schemaStr: String, name: String): Int = {
     val fields = mapper.readTree(schemaStr).withArray[ArrayNode]("fields")
@@ -1239,6 +1258,249 @@ object IcebergMetadata {
     Commit(version, snapshotId, seq,
       manifests.head.file.abs,
       list.abs, entries.length, entries.map(_.rows).sum)
+  }
+
+  /** The table's DEFAULT (write-target) partition spec as the
+    * parse-side view the DSv2 write face routes rows with: one
+    * `(source column + transform, spec field name)` pair per spec
+    * field, in spec order. Empty = unpartitioned (or no committed
+    * version). The spec field name is what the hive `__p_<name>=`
+    * layout and the manifests use. */
+  def defaultSpecView(tableDir: String)
+      : Seq[(PartitionTransforms.PartitionField, String)] =
+    currentMetadata(tableDir) match {
+      case None => Nil
+      case Some((_, meta)) =>
+        val parts = specsFromMeta(meta).last
+        if (parts.isEmpty) Nil
+        else partitionFieldsFor(meta, parts).zip(parts.map(_.name))
+    }
+
+  /** The same view derived from an engine partition-regex — the
+    * created-but-never-written (CTAS / DDL marker) case, where no
+    * metadata exists yet. Names follow [[specFieldsFor]]'s rule so
+    * the staged layout round-trips through [[partitionedLeaves]]. */
+  def specViewFromRegex(regex: String)
+      : Seq[(PartitionTransforms.PartitionField, String)] =
+    PartitionTransforms.parseRegex(regex).map(f =>
+      (f, if (f.transform == "identity") s"${f.column}_id"
+          else f.outputName))
+
+  /** Commit task-staged hive-layout (`__p_<field>=<value>`) files into
+    * a PARTITIONED table — the DSv2 write faces' driver step. The
+    * executors already fanout-wrote each row into its partition leaf
+    * (rows never cross the driver; this step is footer stats +
+    * manifests + the commit CAS, O(new files)):
+    *
+    *  - no committed version (CTAS / CREATE TABLE … PARTITIONED BY
+    *    marker): FIRST publish — the spec comes from `regexIfFirst`
+    *    and `schema` (the declared write schema), exactly the
+    *    [[publishPartitioned]] metadata shape;
+    *  - committed: APPEND under the default spec with every prior
+    *    manifest row carried forward verbatim (fast-append), or a
+    *    REPLACE (INSERT OVERWRITE) that drops them.
+    *
+    * Runs inside [[withCommitRetry]], so a first-publish race
+    * resolves naturally: the loser's retry re-reads the head and
+    * re-dispatches as an append on the winner's base. */
+  def commitPartitionedStaged(spark: SparkSession, tableDir: String,
+                              stagedRoot: String, schema: StructType,
+                              onlyFiles: Option[Set[String]] = None,
+                              summary: Map[String, String] = Map.empty,
+                              overwrite: Boolean = false,
+                              regexIfFirst: Option[String] = None,
+                              groupSize: Int = 8): Commit =
+      withCommitRetry(tableDir) {
+    val md = metaDir(tableDir)
+    md.mkdirs()
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    currentMetadata(tableDir) match {
+      case Some((prevVer, prevMeta)) =>
+        val specs = specsFromMeta(prevMeta)
+        val parts = specs.last
+        require(parts.nonEmpty,
+          s"$tableDir default spec is unpartitioned: stage through the " +
+            "plain append path")
+        val curSchemaId = prevMeta.get("current-schema-id").asInt
+        val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+          .find(_.get("schema-id").asInt == curSchemaId).get.toString
+        val statIds = topLevelFieldIds(schemaStr)
+        val seq = prevMeta.get("last-sequence-number").asLong + 1
+        val entries = partitionedLeaves(TableIO(stagedRoot), parts)
+          .flatMap { case (tup, dir) =>
+            entriesFor(spark, dir.abs, seq, fieldIds = statIds,
+              partition = tup, onlyFiles = onlyFiles)
+          }
+        require(entries.nonEmpty, s"no staged files under $stagedRoot")
+        val manifests = partitionedManifests(md, entries, parts,
+          specs.length - 1, snapshotId, schemaStr, groupSize, 0)
+        val carried =
+          if (overwrite) Nil
+          else {
+            val prevSnap = prevMeta.withArray[ArrayNode]("snapshots")
+              .asScala.find(_.get("snapshot-id").asLong ==
+                prevMeta.get("current-snapshot-id").asLong).getOrElse(
+                  throw new IllegalStateException(
+                    "current snapshot missing"))
+            readAvro(TableIO(prevSnap.get("manifest-list").asText))
+          }
+        val list = writeManifestList(md, snapshotId, manifests,
+          carryForward = carried)
+        val version = writeMetadataJson(tableDir, schemaStr, snapshotId,
+          seq, list, if (overwrite) "overwrite" else "append", summary,
+          entries.length, entries.map(_.rows).sum, specs = specs,
+          hintBase = Some(Some((prevVer, prevMeta))))
+        Commit(version, snapshotId, seq, manifests.head.file.abs,
+          list.abs, entries.length, entries.map(_.rows).sum)
+      case None =>
+        val regex = regexIfFirst.getOrElse(
+          throw new IllegalStateException(
+            s"no committed version and no declared partition spec at " +
+              s"$tableDir"))
+        val fields = PartitionTransforms.parseRegex(regex)
+        require(fields.nonEmpty, s"no partition fields in '$regex'")
+        val schemaStr = schemaJson(schema)
+        val parts = specFieldsFor(schema, schemaStr, fields)
+        val statIds = topLevelFieldIds(schemaStr)
+        val seq = 1L
+        val entries = partitionedLeaves(TableIO(stagedRoot), parts)
+          .flatMap { case (tup, dir) =>
+            entriesFor(spark, dir.abs, seq, fieldIds = statIds,
+              partition = tup, onlyFiles = onlyFiles)
+          }
+        require(entries.nonEmpty, s"no staged files under $stagedRoot")
+        val manifests = partitionedManifests(md, entries, parts, 0,
+          snapshotId, schemaStr, groupSize, 0)
+        val list = writeManifestList(md, snapshotId, manifests)
+        val version = writeMetadataJson(tableDir, schemaStr, snapshotId,
+          seq, list, "append", summary, entries.length,
+          entries.map(_.rows).sum, specs = Seq(parts),
+          hintBase = Some(None))
+        Commit(version, snapshotId, seq, manifests.head.file.abs,
+          list.abs, entries.length, entries.map(_.rows).sum)
+    }
+  }
+
+  /** ROW-DELTA commit — the SQL DELETE/UPDATE/MERGE landing: one
+    * snapshot appending new data files (staged under the default
+    * spec's hive layout when partitioned) AND/OR one-or-more
+    * positional-delete files, with every prior manifest row carried
+    * forward verbatim. This is Iceberg's merge-on-read row delta: no
+    * untouched data file is rewritten, planning cost is O(new files).
+    * Delete manifests write under spec 0 (table-wide), like the
+    * engine's CDC publishes. A table with no committed version
+    * accepts only the pure-insert shape (MERGE's not-matched inserts
+    * into a created-but-empty table) and dispatches to the first
+    * publish. */
+  def rowDeltaCommitStaged(spark: SparkSession, tableDir: String,
+                           stagedDataRoot: Option[String],
+                           onlyData: Option[Set[String]],
+                           deleteDir: Option[String],
+                           onlyDeletes: Option[Set[String]],
+                           summary: Map[String, String] = Map.empty,
+                           operation: String = "overwrite",
+                           regexIfFirst: Option[String] = None,
+                           groupSize: Int = 8): Commit = {
+    if (currentMetadata(tableDir).isEmpty) {
+      require(deleteDir.isEmpty,
+        s"row delta with deletes needs a committed table at $tableDir")
+      val dataRoot = stagedDataRoot.getOrElse(
+        throw new IllegalStateException("empty row delta"))
+      return regexIfFirst match {
+        case Some(_) =>
+          commitPartitionedStaged(spark, tableDir, dataRoot,
+            spark.read.parquet(onlyData.get.toSeq: _*).schema,
+            onlyFiles = onlyData, summary = summary,
+            regexIfFirst = regexIfFirst, groupSize = groupSize)
+        case None =>
+          // race-safe first-publish-or-append (a concurrent writer's
+          // first commit must not be built over)
+          appendOrFirstCommit(spark, tableDir, dataRoot,
+            summary = summary, onlyFiles = onlyData)
+      }
+    }
+    withCommitRetry(tableDir) {
+      val md = metaDir(tableDir)
+      val (prevVer, prevMeta) = currentMetadata(tableDir).get
+      val specs = specsFromMeta(prevMeta)
+      val parts = specs.last
+      val curSchemaId = prevMeta.get("current-schema-id").asInt
+      val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+        .find(_.get("schema-id").asInt == curSchemaId).get.toString
+      val statIds = topLevelFieldIds(schemaStr)
+      val seq = prevMeta.get("last-sequence-number").asLong + 1
+      val snapshotId =
+        java.util.UUID.randomUUID().getMostSignificantBits.abs
+      val dataEntries = stagedDataRoot.toSeq.flatMap { root =>
+        if (parts.nonEmpty)
+          partitionedLeaves(TableIO(root), parts).flatMap {
+            case (tup, dir) =>
+              entriesFor(spark, dir.abs, seq, fieldIds = statIds,
+                partition = tup, onlyFiles = onlyData)
+          }
+        else entriesFor(spark, root, seq, fieldIds = statIds,
+          onlyFiles = onlyData)
+      }
+      val deleteEntries = deleteDir.toSeq.flatMap(dir =>
+        entriesFor(spark, dir, seq, content = 1,
+          onlyFiles = onlyDeletes))
+      require(dataEntries.nonEmpty || deleteEntries.nonEmpty,
+        "empty row delta")
+      val dataManifests =
+        if (dataEntries.isEmpty) Nil
+        else if (parts.nonEmpty)
+          partitionedManifests(md, dataEntries, parts, specs.length - 1,
+            snapshotId, schemaStr, groupSize, 0)
+        else Seq(ManifestOut(writeManifest(md, dataEntries, snapshotId,
+          schemaStr, "data", 0), 0, dataEntries))
+      val deleteManifests =
+        if (deleteEntries.isEmpty) Nil
+        else Seq(ManifestOut(writeManifest(md, deleteEntries, snapshotId,
+          schemaStr, "deletes", dataManifests.length), 1, deleteEntries))
+      val prevSnap = prevMeta.withArray[ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong ==
+          prevMeta.get("current-snapshot-id").asLong).getOrElse(
+            throw new IllegalStateException("current snapshot missing"))
+      val carried = readAvro(TableIO(prevSnap.get("manifest-list").asText))
+      val list = writeManifestList(md, snapshotId,
+        dataManifests ++ deleteManifests, carryForward = carried)
+      val fullSummary = summary ++ Map(
+        "added-delete-files" -> deleteEntries.size.toString,
+        "added-position-deletes" ->
+          deleteEntries.map(_.rows).sum.toString)
+      val version = writeMetadataJson(tableDir, schemaStr, snapshotId,
+        seq, list, operation, fullSummary, dataEntries.length,
+        dataEntries.map(_.rows).sum, specs = specs,
+        hintBase = Some(Some((prevVer, prevMeta))))
+      Commit(version, snapshotId, seq,
+        (dataManifests ++ deleteManifests).head.file.abs, list.abs,
+        dataEntries.length + deleteEntries.length,
+        dataEntries.map(_.rows).sum)
+    }
+  }
+
+  /** TRUNCATE — replace the table with EMPTY state in one snapshot
+    * (the Iceberg semantics of `INSERT OVERWRITE` from an empty
+    * source): a manifest list with ZERO manifests under operation
+    * `delete`. Metadata-only — the old rows stay reachable through
+    * history/time-travel until expiration. */
+  def truncateCommit(spark: SparkSession, tableDir: String,
+                     summary: Map[String, String] = Map.empty): Commit =
+      withCommitRetry(tableDir) {
+    val md = metaDir(tableDir)
+    val (prevVer, prevMeta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"truncate needs a committed table at $tableDir"))
+    val curSchemaId = prevMeta.get("current-schema-id").asInt
+    val schemaStr = prevMeta.withArray[ArrayNode]("schemas").asScala
+      .find(_.get("schema-id").asInt == curSchemaId).get.toString
+    val seq = prevMeta.get("last-sequence-number").asLong + 1
+    val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
+    val list = writeManifestList(md, snapshotId, Nil)
+    val version = writeMetadataJson(tableDir, schemaStr, snapshotId, seq,
+      list, "delete", summary, 0, 0L, specs = specsFromMeta(prevMeta),
+      hintBase = Some(Some((prevVer, prevMeta))))
+    Commit(version, snapshotId, seq, list.abs, list.abs, 0, 0L)
   }
 
   /** REWRITE MANIFESTS — Iceberg's RewriteManifests action, the
@@ -2459,6 +2721,81 @@ object IcebergMetadata {
     root.put("last-updated-ms", System.currentTimeMillis())
     writeVersionFiles(md, root, version + 1): Unit
     newSid
+  }
+
+  /** ALTER TABLE schema evolution — a metadata-ONLY commit (no
+    * snapshot, Iceberg's ALTER semantics): `adds` appends nullable
+    * columns with fresh field ids above last-column-id; `widens`
+    * applies the spec's legal primitive promotions (int→long,
+    * float→double, decimal precision at the same scale) keeping the
+    * field id so pre-promotion files still resolve. Everything else
+    * refuses. Returns the new schema id. */
+  def evolveTableSchema(tableDir: String,
+                        adds: Seq[StructField] = Nil,
+                        widens: Seq[(String, String)] = Nil): Int =
+      withCommitRetry(tableDir) {
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val curId = meta.get("current-schema-id").asInt
+    val schemas = meta.withArray[ArrayNode]("schemas").asScala
+    val cur = schemas.find(_.get("schema-id").asInt == curId).get
+    val evolved = cur.deepCopy[ObjectNode]()
+    val fields = evolved.withArray[ArrayNode]("fields")
+    var lastCol = meta.get("last-column-id").asInt
+    def promotable(from: String, to: String): Boolean =
+      (from == "int" && to == "long") ||
+        (from == "float" && to == "double") || {
+          val dec = """decimal\((\d+),\s*(\d+)\)""".r
+          (from, to) match {
+            case (dec(p1, s1), dec(p2, s2)) =>
+              s1 == s2 && p2.toInt >= p1.toInt
+            case _ => false
+          }
+        }
+    widens.foreach { case (name, toType) =>
+      val f = fields.asScala.find(_.get("name").asText == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $name at $tableDir")).asInstanceOf[ObjectNode]
+      val from = if (f.get("type").isTextual) f.get("type").asText else ""
+      require(promotable(from, toType),
+        s"ALTER can only widen int->long, float->double, or decimal " +
+          s"precision: $name is $from, asked $toType")
+      f.put("type", toType): Unit
+    }
+    adds.foreach { add =>
+      // render through schemaJson for the full nested-type mapping,
+      // then renumber every id above last-column-id
+      val node = mapper.readTree(schemaJson(StructType(Seq(add))))
+        .withArray[ArrayNode]("fields").get(0).deepCopy[ObjectNode]()
+      require(fields.asScala.forall(_.get("name").asText !=
+          node.get("name").asText),
+        s"column ${node.get("name").asText} already exists")
+      // ADD COLUMN is always nullable in Iceberg (existing rows have
+      // no value for it)
+      node.put("required", false)
+      def renumber(x: JsonNode): Unit = x match {
+        case o: ObjectNode =>
+          Seq("id", "element-id", "key-id", "value-id").foreach { k =>
+            if (o.has(k)) { lastCol += 1; o.put(k, lastCol): Unit }
+          }
+          o.fields().asScala.foreach(e => renumber(e.getValue))
+        case a: ArrayNode => a.asScala.foreach(renumber)
+        case _ => ()
+      }
+      renumber(node)
+      fields.add(node): Unit
+    }
+    val newId = schemas.map(_.get("schema-id").asInt).max + 1
+    evolved.put("schema-id", newId)
+    val root = meta.deepCopy[ObjectNode]()
+    root.withArray[ArrayNode]("schemas").add(evolved)
+    root.put("current-schema-id", newId)
+    root.put("last-column-id", lastCol)
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeVersionFiles(md, root, version + 1): Unit
+    newId
   }
 
   def publishPartitioned(spark: SparkSession, tableDir: String,

@@ -3,7 +3,7 @@ package graft.sources.replication
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -106,12 +106,19 @@ class GraftCatalog extends TableCatalog
     if (IcebergMetadata.currentMetadata(dir).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
+    // nonEmpty guard: "".forall(_.isDigit) is vacuously true and
+    // "".toLong would throw NumberFormatException instead of the
+    // clean no-such-ref error
     val snapId =
-      if (version.forall(_.isDigit)) version.toLong
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
       else IcebergMetadata.refSnapshotId(dir, version).getOrElse(
         throw new IllegalArgumentException(
           s"ref '$version' does not exist at $dir"))
-    new IcebergStreamTable(dir, IcebergMetadata.currentSparkSchema(dir),
+    // the SNAPSHOT's schema, not the current one (Iceberg resolves
+    // the snapshot's schema-id): a post-evolution read of an old
+    // snapshot must not surface later-added columns
+    new IcebergStreamTable(dir,
+      IcebergMetadata.sparkSchemaForSnapshot(dir, snapId),
       skipOverwrites = false, startSnapshot = "earliest", ref = None,
       maxFilesPerTrigger = 0, asOfSnapshot = Some(snapId))
   }
@@ -131,38 +138,99 @@ class GraftCatalog extends TableCatalog
       throw new IllegalArgumentException(
         s"no snapshot at or before ${java.time.Instant.ofEpochMilli(tsMs)}" +
           s" at $dir")
-    new IcebergStreamTable(dir, IcebergMetadata.currentSparkSchema(dir),
+    new IcebergStreamTable(dir,
+      IcebergMetadata.sparkSchemaForSnapshot(dir, snapId),
       skipOverwrites = false, startSnapshot = "earliest", ref = None,
       maxFilesPerTrigger = 0, asOfSnapshot = Some(snapId))
   }
 
-  /** CREATE TABLE / the CTAS first half: record the declared schema;
-    * the table scans as EMPTY until the first write commits (the
-    * DSv2 write face then runs the engine's first-publish commit).
-    * Partition transforms refuse — partitioned layouts go through
-    * the engine's publishPartitioned so files carry tuples. */
+  /** The declared partition spec of a created-but-never-written
+    * table, as the engine's partition-regex — written by CREATE TABLE
+    * … PARTITIONED BY, consumed by the write face's first publish. */
+  private def partitionMarker(dir: String) =
+    TableIO(dir).child("metadata").child("created.partition.txt")
+
+  /** CREATE TABLE / the CTAS first half: record the declared schema
+    * (and partition spec); the table scans as EMPTY until the first
+    * write commits (the DSv2 write face then runs the engine's
+    * first-publish commit — partitioned tables publish tuple-bearing
+    * manifests from the declared spec). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "CREATE TABLE ... PARTITIONED BY is the engine's " +
-        "publishPartitioned path, not SQL DDL")
     val dir = dirOf(ident)
-    if (IcebergMetadata.currentMetadata(dir).isDefined ||
-        schemaMarker(dir).exists)
+    if (IcebergMetadata.currentMetadata(dir).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    // resolve BEFORE the marker CAS so an unsupported transform never
+    // leaves a half-created table behind
+    val regex = GraftCatalog.transformsToRegex(partitions)
     TableIO(dir).child("metadata").mkdirs()
-    schemaMarker(dir).writeAtomic(schema.json)
+    // exclusive create IS the existence check: two racing CREATEs
+    // resolve to exactly one winner (check-then-write would let both
+    // "succeed" with last-marker-wins), the same CAS discipline as
+    // the commit paths
+    if (!schemaMarker(dir).createExclusive(schema.json))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (regex.nonEmpty) partitionMarker(dir).writeAtomic(regex)
     new IcebergStreamTable(dir, schema,
       skipOverwrites = false, startSnapshot = "earliest", ref = None,
       maxFilesPerTrigger = 0)
   }
 
+  /** ALTER TABLE — the evolution subset the engine's own mid-stream
+    * schema evolution supports (reference `EvolveSchema`,
+    * destination/iceberg/iceberg.go:439-518): ADD COLUMN (top-level,
+    * nullable, fresh field ids) and type WIDENING (int→long,
+    * float→double, decimal precision). A metadata-only commit — no
+    * snapshot, files untouched; everything else refuses loudly. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter through the engine's evolve/maintain paths")
+                          changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, UpdateColumnType}
+    val dir = dirOf(ident)
+    def top(names: Array[String]): String = {
+      require(names.length == 1,
+        s"ALTER supports top-level columns only: ${names.mkString(".")}")
+      names.head
+    }
+    def icebergText(dt: org.apache.spark.sql.types.DataType): String =
+      dt match {
+        case org.apache.spark.sql.types.LongType => "long"
+        case org.apache.spark.sql.types.DoubleType => "double"
+        case d: org.apache.spark.sql.types.DecimalType =>
+          s"decimal(${d.precision},${d.scale})"
+        case other => throw new UnsupportedOperationException(
+          s"ALTER can only widen to long/double/decimal, not $other")
+      }
+    val adds = changes.collect { case a: AddColumn =>
+      require(a.position() == null,
+        "ALTER ADD COLUMN positions are not supported (columns append)")
+      org.apache.spark.sql.types.StructField(
+        top(a.fieldNames()), a.dataType(), nullable = true)
+    }
+    val widens = changes.collect { case u: UpdateColumnType =>
+      (top(u.fieldNames()), icebergText(u.newDataType()))
+    }
+    require(adds.size + widens.size == changes.size,
+      "only ADD COLUMN and type-widening ALTERs are supported — " +
+        s"got ${changes.map(_.getClass.getSimpleName).mkString(", ")}")
+    if (IcebergMetadata.currentMetadata(dir).isDefined)
+      IcebergMetadata.evolveTableSchema(dir, adds, widens): Unit
+    else if (schemaMarker(dir).exists) {
+      // created-but-never-written: evolve the declared marker schema
+      require(widens.isEmpty,
+        "type widening needs a committed schema")
+      val cur = org.apache.spark.sql.types.DataType
+        .fromJson(schemaMarker(dir).readString)
+        .asInstanceOf[StructType]
+      schemaMarker(dir).writeAtomic(
+        StructType(cur.fields ++ adds).json)
+    } else
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    loadTable(ident)
+  }
 
   /** Drop is allowed ONLY for created-but-never-written tables (the
     * CTAS failure-cleanup path); a committed table's data drops
@@ -176,6 +244,8 @@ class GraftCatalog extends TableCatalog
     if (!m.exists) false
     else {
       m.delete()
+      val pm = partitionMarker(dir)
+      if (pm.exists) pm.delete()
       // sweep the now-empty scaffolding so the namespace can drop
       val md = TableIO(dir).child("metadata")
       if (md.isDirectory && md.list.isEmpty) md.delete()
@@ -248,6 +318,46 @@ class GraftCatalog extends TableCatalog
       true
     }
   }
+}
+
+object GraftCatalog {
+
+  private def colOf(t: Transform): String = {
+    val refs = t.references()
+    require(refs.length == 1,
+      s"partition transform ${t.name} must reference exactly one column")
+    refs.head.fieldNames().mkString(".")
+  }
+
+  /** DSv2 `PARTITIONED BY` transforms → the engine's partition-regex
+    * DSL (`/{col,transform}` segments, the reference's
+    * `partition_regex` — iceberg.go:520-545): identity / years /
+    * months / days / hours / bucket(n) / truncate(w). Empty array →
+    * "" (unpartitioned). Unsupported shapes refuse loudly at CREATE
+    * time, before any marker lands. */
+  def transformsToRegex(partitions: Array[Transform]): String =
+    partitions.map { t =>
+      val seg = t.name().toLowerCase match {
+        case "identity" => s"{${colOf(t)},identity}"
+        case "year" | "years" => s"{${colOf(t)},year}"
+        case "month" | "months" => s"{${colOf(t)},month}"
+        case "day" | "days" => s"{${colOf(t)},day}"
+        case "hour" | "hours" => s"{${colOf(t)},hour}"
+        case "bucket" | "truncate" =>
+          // the column rides in t.references(); only the numeric
+          // argument is needed here (Spark emits (lit, ref) for
+          // bucket and (ref, lit) for truncate — accept both)
+          val n = t.arguments().toSeq.collectFirst {
+            case l: Literal[_] => l.value.toString.toInt
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"${t.name} needs a literal argument"))
+          s"{${colOf(t)},${t.name().toLowerCase}[$n]}"
+        case other => throw new UnsupportedOperationException(
+          s"partition transform $other is not supported — use " +
+            "identity/years/months/days/hours/bucket/truncate")
+      }
+      seg
+    }.mkString("/", "/", "")
 }
 
 /** Iceberg-style metadata table served through the SQL catalog —

@@ -1,0 +1,309 @@
+package graft.sources.replication
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.{IcebergMetadata, TableIO}
+
+/** SQL ROW-LEVEL OPERATIONS over engine tables — `DELETE FROM`,
+  * `UPDATE`, `MERGE INTO` through spark.sql, lowered to the engine's
+  * merge-on-read delta algebra (the reference's consumers get these
+  * from the official Iceberg Spark runtime against the tables it
+  * writes; here the engine serves them itself):
+  *
+  *  - **DELETE FROM (pushable predicate)** takes the metadata-path
+  *    [[IcebergRowLevel.deleteWhere]]: a distributed scan finds the
+  *    matching `(file, pos)` coordinates (predicate pushed into the
+  *    parquet read), ONE positional-delete file is appended in ONE
+  *    `delete` snapshot — zero data rewrite, routed through the same
+  *    commit CAS as every other commit.
+  *  - **UPDATE / MERGE INTO (and non-pushable DELETEs)** run Spark's
+  *    delta-based row-level plan against [[IcebergRowLevelOperation]]
+  *    (`SupportsDelta`): the scan serves each candidate row with its
+  *    `_file`/`_pos` row id (virtual metadata columns — the readers
+  *    fill them from the partition path and running row index);
+  *    executors fanout-write replacement/insert rows like any
+  *    partitioned append and buffer delete coordinates; the commit is
+  *    ONE `overwrite` snapshot appending the new data files plus one
+  *    positional-delete file per task — Iceberg's merge-on-read
+  *    row-delta shape, no data rewrite of untouched files.
+  *
+  * Scale shape: candidate discovery is a pruned distributed scan
+  * (group filters push down); only delete COORDINATES flow through
+  * task buffers (delete-sized — the MoR premise); new rows land
+  * task-parallel. The driver handles manifests only. */
+object IcebergRowLevel {
+
+  /** The metadata-path DELETE: coordinates of live rows matching the
+    * predicate → one sorted positional-delete file → one `delete`
+    * snapshot. No matching rows → no new snapshot (Iceberg's DELETE
+    * semantics). An empty/always-true filter set truncates. */
+  def deleteWhere(tableDir: String, tableSchema: StructType,
+                  filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit = {
+    val spark = SparkSession.active
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
+      IcebergMetadata.truncateCommit(spark, tableDir,
+        Map("graft-sql-op" -> "delete-all")): Unit
+      return
+    }
+    if (IcebergMetadata.currentMetadata(tableDir).isEmpty) return
+    val stats = IcebergMetadata.dataFileStats(tableDir)
+      .filter(_.content == 0)
+    if (stats.isEmpty) return
+    val cond = filters.map(FilterColumns.toColumn).reduce(_ && _)
+    // deletes may target rows an earlier delete already killed: a
+    // duplicate (file, pos) coordinate is a no-op in the algebra, so
+    // the scan can stay a plain pruned file read (no MoR filter)
+    val coords = spark.read.parquet(stats.map(_.path): _*)
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .where(cond)
+      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+    val staged = TableIO(tableDir).child("data")
+      .child(s"sqldelete-${UUID.randomUUID()}")
+    // spec: positional delete files sort by (file_path, pos)
+    coords.orderBy("file_path", "pos").coalesce(1)
+      .write.parquet(staged.abs)
+    val files = staged.list.filter(_.name.endsWith(".parquet"))
+    val rows = spark.read.parquet(staged.abs).count()
+    if (rows == 0) { staged.deleteRecursive(); return }
+    IcebergMetadata.rowDeltaCommitStaged(spark, tableDir,
+      stagedDataRoot = None, onlyData = None,
+      deleteDir = Some(staged.abs),
+      onlyDeletes = Some(files.map(_.canonical).toSet),
+      summary = Map("graft-sql-op" -> "delete"),
+      operation = "delete"): Unit
+  }
+}
+
+/** v1 data-source Filter → Column — the predicate bridge the
+  * metadata-path DELETE evaluates row-wise. Unsupported nodes are
+  * reported by [[translatable]] so `canDeleteWhere` routes those
+  * statements to the row-level rewrite plan instead. */
+object FilterColumns {
+  import org.apache.spark.sql.sources._
+
+  def translatable(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | EqualNullSafe(_, _) | GreaterThan(_, _) |
+         GreaterThanOrEqual(_, _) | LessThan(_, _) |
+         LessThanOrEqual(_, _) | In(_, _) | IsNull(_) | IsNotNull(_) |
+         StringStartsWith(_, _) | StringEndsWith(_, _) |
+         StringContains(_, _) | AlwaysTrue() | AlwaysFalse() => true
+    case And(l, r) => translatable(l) && translatable(r)
+    case Or(l, r) => translatable(l) && translatable(r)
+    case Not(c) => translatable(c)
+    case _ => false
+  }
+
+  def toColumn(f: Filter): Column = f match {
+    case EqualTo(a, v) => col(a) === lit(v)
+    case EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case In(a, vs) => col(a).isin(vs.toSeq: _*)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case StringStartsWith(a, v) => col(a).startsWith(v)
+    case StringEndsWith(a, v) => col(a).endsWith(v)
+    case StringContains(a, v) => col(a).contains(v)
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r) => toColumn(l) || toColumn(r)
+    case Not(c) => !toColumn(c)
+    case AlwaysTrue() => lit(true)
+    case AlwaysFalse() => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"filter $other is not translatable")
+  }
+}
+
+/** The `SupportsDelta` row-level operation: UPDATE / MERGE INTO /
+  * rewrite-path DELETE. Row ids are the `_file`/`_pos` virtual
+  * metadata columns; updates are served in place (delete + insert in
+  * one delta), never as a group rewrite. */
+class IcebergRowLevelOperation(tableDir: String, tableSchema: StructType,
+                               skipOverwrites: Boolean,
+                               cmd: RowLevelOperation.Command)
+    extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new IcebergStreamScanBuilder(tableDir, tableSchema, skipOverwrites,
+      startSnapshot = "earliest", ref = None, maxFilesPerTrigger = 0)
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new IcebergDeltaWrite(tableDir, info.schema(), info.queryId(),
+          IcebergTableSource.fsConf(),
+          PartitionedWritePlan.resolve(tableDir, info.schema()),
+          cmd.toString.toLowerCase)
+    }
+}
+
+/** One task's delta output: data files written + the positional
+  * delete file holding the task's delete coordinates. */
+case class DeltaFilesMessage(data: Seq[StagedFileMessage],
+                             deletes: Seq[StagedFileMessage])
+    extends WriterCommitMessage
+
+class IcebergDeltaWrite(tableDir: String, rowSchema: StructType,
+                        queryId: String, fsConf: Map[String, String],
+                        partPlan: Option[PartitionedWritePlan],
+                        opName: String)
+    extends DeltaWrite {
+
+  private val stagedData = s"$tableDir/data/delta-$queryId"
+  private val stagedDeletes = s"$tableDir/data/delta-$queryId-deletes"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : DeltaWriterFactory =
+      IcebergDeltaWriterFactory(stagedData, stagedDeletes, rowSchema,
+        fsConf, partPlan)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: DeltaFilesMessage => m }
+      val data = msgs.flatMap(_.data).filter(_.rows > 0)
+      val dels = msgs.flatMap(_.deletes).filter(_.rows > 0)
+      val spark = SparkSession.active
+      if (data.isEmpty && dels.isEmpty) {
+        TableIO(stagedData).deleteRecursive()
+        TableIO(stagedDeletes).deleteRecursive()
+        return
+      }
+      IcebergMetadata.rowDeltaCommitStaged(spark, tableDir,
+        stagedDataRoot = if (data.isEmpty) None else Some(stagedData),
+        onlyData =
+          if (data.isEmpty) None
+          else Some(data.map(m => TableIO(m.path).canonical).toSet),
+        deleteDir = if (dels.isEmpty) None else Some(stagedDeletes),
+        onlyDeletes =
+          if (dels.isEmpty) None
+          else Some(dels.map(m => TableIO(m.path).canonical).toSet),
+        summary = Map("graft-sql-op" -> opName),
+        regexIfFirst = partPlan.flatMap(_.regexIfFirst)): Unit
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      TableIO(stagedData).deleteRecursive()
+      TableIO(stagedDeletes).deleteRecursive()
+    }
+  }
+}
+
+/** Serializable factory shipped into the task binary (a nested
+  * anonymous factory would capture the non-serializable write). */
+case class IcebergDeltaWriterFactory(stagedData: String,
+                                     stagedDeletes: String,
+                                     rowSchema: StructType,
+                                     fsConf: Map[String, String],
+                                     partPlan: Option[PartitionedWritePlan])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DeltaWriter[InternalRow] =
+    new IcebergDeltaWriter(stagedData, stagedDeletes, rowSchema,
+      fsConf, partPlan, s"part-$partitionId-$taskId")
+}
+
+/** Executor-side delta writer: inserts (and the insert half of
+  * updates) route through the table's normal staged writer — the
+  * FANOUT writer on partitioned tables, so replacement rows land in
+  * their (possibly new) partitions; deletes buffer `(file, pos)`
+  * coordinates and flush as ONE sorted positional-delete parquet at
+  * commit. Coordinate buffers are delete-sized; file-path strings
+  * intern per task so a million-row delete against a handful of files
+  * holds one string per file. */
+class IcebergDeltaWriter(stagedData: String, stagedDeletes: String,
+                         rowSchema: StructType,
+                         fsConf: Map[String, String],
+                         partPlan: Option[PartitionedWritePlan],
+                         filePrefix: String)
+    extends DeltaWriter[InternalRow] {
+
+  private val dataWriter: DataWriter[InternalRow] = partPlan match {
+    case Some(p) => new IcebergFanoutDataWriter(stagedData, rowSchema,
+      fsConf, p.fields, filePrefix)
+    case None => new IcebergDataWriter(
+      s"$stagedData/$filePrefix-${UUID.randomUUID()}.parquet",
+      rowSchema, fsConf)
+  }
+
+  private val deletePath =
+    s"$stagedDeletes/$filePrefix-${UUID.randomUUID()}.parquet"
+  private val interned = mutable.HashMap.empty[String, String]
+  private val delFiles = mutable.ArrayBuffer.empty[String]
+  private val delPos = mutable.ArrayBuffer.empty[Long]
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // id = (_file, _pos), the rowId projection order
+    val f = id.getUTF8String(0).toString
+    delFiles += interned.getOrElseUpdate(f, f)
+    delPos += id.getLong(1)
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  private def flushDeletes(): Option[StagedFileMessage] = {
+    if (delFiles.isEmpty) return None
+    val n = delFiles.length
+    val order = (0 until n).sortBy(i => (delFiles(i), delPos(i)))
+    val w = IcebergParquetIO.open(deletePath,
+      IcebergDeltaWriter.DeleteSchema, fsConf)
+    try order.foreach { i =>
+      w.write(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(delFiles(i)), delPos(i))))
+    } finally w.close()
+    Some(StagedFileMessage(deletePath, n.toLong))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsgs = dataWriter.commit() match {
+      case StagedFileMessage(p, r) if p.nonEmpty =>
+        Seq(StagedFileMessage(p, r))
+      case StagedFilesMessage(fs) => fs
+      case _ => Nil
+    }
+    DeltaFilesMessage(dataMsgs, flushDeletes().toSeq)
+  }
+
+  override def abort(): Unit = {
+    dataWriter.abort()
+    TableIO(deletePath).delete(): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
+object IcebergDeltaWriter {
+  /** The spec's position-delete schema (without the optional row). */
+  val DeleteSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+}

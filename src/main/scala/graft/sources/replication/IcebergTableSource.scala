@@ -153,7 +153,10 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
                          asOfSnapshot: Option[Long] = None,
                          mode: String = "append")
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-iceberg(`$tableDir`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -168,6 +171,100 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new IcebergWriteBuilder(tableDir, info)
+
+  /** The table's default partition spec as DSv2 transforms — what
+    * `DESCRIBE TABLE` / `SHOW CREATE TABLE` render (the consumer
+    * walkthrough surface). Derived from committed metadata, or from
+    * the CREATE marker for a declared-but-never-written table. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val view =
+      if (IcebergMetadata.currentMetadata(tableDir).isDefined)
+        IcebergMetadata.defaultSpecView(tableDir)
+      else {
+        val pm = graft.sinks.TableIO(tableDir)
+          .child("metadata").child("created.partition.txt")
+        if (pm.exists)
+          IcebergMetadata.specViewFromRegex(pm.readString.trim)
+        else Nil
+      }
+    val argRe = """(bucket|truncate)\[(\d+)\]""".r
+    view.map { case (pf, _) =>
+      pf.transform match {
+        case "identity" => Expressions.identity(pf.column)
+        case "year" => Expressions.years(pf.column)
+        case "month" => Expressions.months(pf.column)
+        case "day" => Expressions.days(pf.column)
+        case "hour" => Expressions.hours(pf.column)
+        case argRe("bucket", n) => Expressions.bucket(n.toInt, pf.column)
+        case argRe("truncate", w) => Expressions.apply("truncate",
+          Expressions.column(pf.column), Expressions.literal(w.toInt))
+        case other => Expressions.apply(other,
+          Expressions.column(pf.column))
+      }
+    }.toArray
+  }
+
+  /** Key table properties for DESCRIBE EXTENDED / SHOW CREATE TABLE:
+    * format + location + the current snapshot, from the metadata
+    * tree (one metadata read, no data IO). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft-iceberg")
+    m.put("format", "iceberg/parquet")
+    m.put("location", tableDir)
+    IcebergMetadata.currentMetadata(tableDir).foreach { case (v, meta) =>
+      m.put("format-version", meta.get("format-version").asText)
+      m.put("metadata-version", v.toString)
+      m.put("current-snapshot-id",
+        meta.get("current-snapshot-id").asText)
+    }
+    m
+  }
+
+  /** Iceberg's row-coordinate metadata columns: `_file` (the data
+    * file's path) and `_pos` (the row's position in it) — the row id
+    * the DELETE/UPDATE/MERGE delta write addresses positional deletes
+    * with. Served virtually by the partition readers (never read from
+    * parquet). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(IcebergMetaCol("_file", StringType),
+      IcebergMetaCol("_pos", LongType))
+
+  /** DELETE FROM with a fully-pushable predicate — the metadata-path
+    * delete: matching row coordinates become ONE positional-delete
+    * file appended in ONE snapshot (no data rewrite), through the same
+    * commit CAS as every other commit. The scan that finds the
+    * coordinates is a distributed Spark job over the live data files
+    * (predicate pushed into the parquet scan); only the matched
+    * (file, pos) pairs — delete-sized, the MoR premise — flow back. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOfSnapshot.isEmpty && ref.isEmpty &&
+      filters.forall(FilterColumns.translatable)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    IcebergRowLevel.deleteWhere(tableDir, tableSchema, filters)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOfSnapshot.isEmpty && ref.isEmpty,
+      "row-level operations target the table head, not a time-travel " +
+        "or branch read")
+    () => new IcebergRowLevelOperation(tableDir, tableSchema,
+      skipOverwrites, info.command())
+  }
+}
+
+/** One virtual metadata column (SupportsMetadataColumns). */
+case class IcebergMetaCol(colName: String, dt: DataType)
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = colName
+  override def dataType(): DataType = dt
+  override def isNullable: Boolean = false
 }
 
 /** Column pruning reaches the parquet reader: the pruned schema flows
@@ -321,7 +418,13 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new IcebergFileReaderFactory(tableSchema, IcebergTableSource.fsConf(),
       mor = morState._1,
-      columnar = !hasDeletes && MorPlan.atomicOnly(tableSchema))
+      // flat schemas read COLUMNAR — including under MoR, where the
+      // delete filter becomes a row-id mapping over the decoded batch
+      // ([[MorColumnarReader]]). Virtual metadata columns (_file/_pos,
+      // a row-level operation's scan) are filled by the ROW reader,
+      // never decoded from parquet.
+      columnar = MorPlan.atomicOnly(tableSchema) &&
+        !tableSchema.fieldNames.exists(n => n == "_file" || n == "_pos"))
 }
 
 /** File-level predicate evaluation against Iceberg manifest bounds —
@@ -723,11 +826,17 @@ private[replication] object MorPlan {
     case _ => true
   })
 
+  /** canon(null) — the single form the driver-side map build and the
+    * executor-side single-string-key fast path must agree on (the
+    * U+0002 prefix keeps it disjoint from every "s:"/"l:"/"b:" value
+    * form, so a string key whose VALUE is "null" can never collide). */
+  val canonNull = "\u0002null"
+
   /** Canonical string form of an equality-key value, identical for
     * the driver-side (parquet Group) and executor-side (Catalyst)
     * decodings and stable across integral widening. */
   def canon(v: Any): String = v match {
-    case null => "\u0002null"
+    case null => canonNull
     case s: UTF8String => "s:" + s.toString
     case s: String => "s:" + s
     case i: Int => "l:" + i
@@ -890,6 +999,11 @@ class IcebergFileReaderFactory(schema: StructType,
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
     val part = p.asInstanceOf[IcebergFilePartition]
     val conf = hadoopConf()
+    // delete-bearing partitions stay COLUMNAR through the row-id
+    // mapped reader (Iceberg's vectorized-MoR shape): same page
+    // decode, the delete filter becomes an index mapping
+    if (part.deadPos.nonEmpty || part.eqState >= 0)
+      return new MorColumnarReader(part, schema, mor, conf)
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
@@ -931,14 +1045,23 @@ class IcebergFileReaderFactory(schema: StructType,
     val part = p.asInstanceOf[IcebergFilePartition]
     val conf = hadoopConf()
     // `change_type`/`change_ordinal` are VIRTUAL in changelog mode:
-    // filled from the partition's tags, never read from parquet
-    val virtuals: Map[String, Any] =
-      if (part.changeType == null) Map.empty
-      else Map(
-        "change_type" -> UTF8String.fromString(part.changeType),
-        "change_ordinal" -> part.changeOrdinal)
+    // filled from the partition's tags, never read from parquet.
+    // `_file`/`_pos` (the Iceberg row-coordinate metadata columns the
+    // row-level DELETE/UPDATE/MERGE writes address) are virtual too:
+    // the file path is the partition's own, the position the reader's
+    // running row index — exactly the coordinates positional deletes
+    // name.
+    val virtuals: Map[String, Any] = {
+      val base: Map[String, Any] =
+        if (part.changeType == null) Map.empty
+        else Map(
+          "change_type" -> UTF8String.fromString(part.changeType),
+          "change_ordinal" -> part.changeOrdinal)
+      base + ("_file" -> UTF8String.fromString(part.path))
+    }
     val virtIdx: Set[Int] = schema.fieldNames.zipWithIndex
-      .collect { case (n, i) if virtuals.contains(n) => i }.toSet
+      .collect { case (n, i)
+        if virtuals.contains(n) || n == "_pos" => i }.toSet
     val parquetOut: Array[StructField] = schema.fields
       .zipWithIndex
       .collect { case (f, i) if !virtIdx.contains(i) => f }
@@ -987,7 +1110,12 @@ class IcebergFileReaderFactory(schema: StructType,
             eq.size * 2)
           var nullSeq = Long.MinValue
           eq.foreach { case (k, v) =>
-            if (k == "null") nullSeq = v
+            // canon(null) is the \\u0002-prefixed form, never plain
+            // "null" — a plain-"null" match here would misroute a
+            // null-keyed delete into the else branch, where
+            // substring(2) turns canon(null) into a spurious "ull"
+            // map key (falsely deleting rows whose key is "ull")
+            if (k == MorPlan.canonNull) nullSeq = v
             else m.put(UTF8String.fromString(k.substring(2)), v)
           }
           val ns = nullSeq
@@ -1012,6 +1140,9 @@ class IcebergFileReaderFactory(schema: StructType,
         }
       private val virtByOut: Array[Any] =
         schema.fields.map(f => virtuals.getOrElse(f.name, null))
+      // `_pos` is dynamic (the running row index), not a constant
+      private val posOut: Array[Boolean] =
+        schema.fields.map(_.name == "_pos")
       private val filtering = part.deadPos.nonEmpty ||
         part.emitKilled || eqAfter != null || eqBefore != null
       private var pos: Long = -1L
@@ -1050,7 +1181,9 @@ class IcebergFileReaderFactory(schema: StructType,
           var i = 0
           while (i < outMap.length) {
             vals(i) =
-              if (outMap(i) < 0) virtByOut(i) else valAt(row, outMap(i))
+              if (outMap(i) >= 0) valAt(row, outMap(i))
+              else if (posOut(i)) pos
+              else virtByOut(i)
             i += 1
           }
           new GenericInternalRow(vals)

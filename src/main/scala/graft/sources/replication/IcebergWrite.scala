@@ -2,6 +2,8 @@ package graft.sources.replication
 
 import java.util.UUID
 
+import scala.collection.mutable
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetWriter
@@ -11,9 +13,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
-import graft.sinks.{IcebergMetadata, TableIO}
+import graft.sinks.{IcebergMetadata, PartitionTransforms, TableIO}
 
 /** DSv2 WRITE face of the engine's Iceberg tables — `INSERT INTO
   * graft.ns.tbl SELECT …`, `INSERT OVERWRITE`, CTAS, and
@@ -24,69 +26,188 @@ import graft.sinks.{IcebergMetadata, TableIO}
   * session, so the write face is a thin stage-then-commit).
   *
   * Scale shape:
-  *  - each TASK streams its rows straight into one parquet file under
+  *  - each TASK streams its rows straight into parquet files under
   *    `data/staged-<query>/` via Spark's own `ParquetWriteSupport`
   *    (the production row→parquet encoder — dictionary/RLE codecs,
   *    spec-form int64 MICROS timestamps), so rows never cross the
-  *    driver and a 1000-task insert writes 1000 files in parallel;
+  *    driver and a 1000-task insert writes its files in parallel;
+  *  - PARTITIONED tables fanout-write task-side: each task computes
+  *    the row's partition tuple with the spec's transforms (the same
+  *    Iceberg transform algebra [[PartitionTransforms]] implements
+  *    column-wise) and routes it to a per-tuple file under the
+  *    table's `__p_<field>=<value>` hive layout — Iceberg's own
+  *    fanout writer shape. Open writers per task are LRU-bounded
+  *    ([[IcebergFanoutDataWriter.MaxOpenWriters]]), so an adversarial
+  *    input order costs extra (still-correct) files, never memory;
+  *    `maintain`'s binpack compaction is the cadence fix, exactly as
+  *    for Iceberg's fanout writer. Pre-clustering the INSERT's SELECT
+  *    by the partition source columns gives the minimal file count;
   *  - the DRIVER then commits the staged directory through the
   *    engine's own commit paths — fast-append for INSERT INTO
-  *    (O(new files) metadata however large the table), a replace
-  *    `commit(operation=overwrite)` for INSERT OVERWRITE — inheriting
-  *    the exclusive-create CAS, conflict retries, and snapshot
-  *    history;
-  *  - abort deletes the staged directory; a crash between stage and
+  *    (O(new files) metadata however large the table; partitioned
+  *    appends carry tuples + field summaries in the new manifests via
+  *    [[IcebergMetadata.commitPartitionedStaged]]), a replace commit
+  *    for INSERT OVERWRITE — inheriting the exclusive-create CAS,
+  *    conflict retries, and snapshot history;
+  *  - INSERT OVERWRITE from an EMPTY source truncates: one
+  *    metadata-only `delete` snapshot with an empty manifest list
+  *    ([[IcebergMetadata.truncateCommit]]), the Iceberg/Spark SQL
+  *    semantics;
+  *  - abort deletes the staged files; a crash between stage and
   *    commit leaves only orphans that `removeOrphans`' grace window
-  *    already handles (the same hazard every Iceberg writer has).
-  *
-  * Partitioned tables refuse loudly: their files need partition
-  * tuples in the manifests — that write is the engine's
-  * `publishPartitioned` / `appendCommitPartitioned`, not a plain
-  * file stage. */
+  *    already handles (the same hazard every Iceberg writer has). */
 class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsOverwrite {
+    extends WriteBuilder with SupportsOverwrite with SupportsTruncate {
 
   private var overwriteAll = false
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     require(filters.forall(_.isInstanceOf[AlwaysTrue]),
       "graft-iceberg supports full-table INSERT OVERWRITE only; " +
-        "row-level deletes go through the engine's CDC apply")
+        "row-level deletes go through DELETE FROM or the engine's " +
+        "CDC apply")
     overwriteAll = true
     this
   }
 
-  /** Refuse partitioned tables up front (plan time, not task time):
-    * their files need partition tuples in the manifests. */
-  private def requireUnpartitioned(): Unit =
-    IcebergMetadata.currentMetadata(tableDir).foreach { case (_, meta) =>
-      val sid = meta.path("default-spec-id").asInt(0)
-      val specs = meta.withArray[
-        com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
-      val it = specs.elements()
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.get("spec-id").asInt == sid)
-          require(s.withArray[com.fasterxml.jackson.databind.node
-              .ArrayNode]("fields").size() == 0,
-            s"$tableDir is partitioned: write through the engine's " +
-              "publishPartitioned/appendCommitPartitioned so files " +
-              "carry partition tuples")
-      }
-    }
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      requireUnpartitioned()
+    override def toBatch: BatchWrite =
       new IcebergBatchWrite(tableDir, info.schema(), info.queryId(),
-        overwriteAll, IcebergTableSource.fsConf())
-    }
+        overwriteAll, IcebergTableSource.fsConf(),
+        PartitionedWritePlan.resolve(tableDir, info.schema()))
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      requireUnpartitioned()
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new IcebergStreamingWrite(tableDir, info.schema(), info.queryId(),
-        overwriteAll, IcebergTableSource.fsConf())
+        overwriteAll, IcebergTableSource.fsConf(),
+        PartitionedWritePlan.resolve(tableDir, info.schema()))
+  }
+}
+
+/** The write-side partition spec, shipped to tasks: per spec field,
+  * the source column's ordinal+type in the write schema and the
+  * transform to apply. `regexIfFirst` feeds the FIRST publish of a
+  * declared-but-never-written table. */
+case class PartitionedWritePlan(fields: Seq[TaskPartField],
+                                regexIfFirst: Option[String])
+
+object PartitionedWritePlan {
+  /** The partition write plan for a table: task-side transform fields
+    * + (for a created-but-never-written table) the regex the first
+    * publish declares the spec from. `None` = unpartitioned. Resolved
+    * at plan time (driver), shipped to tasks. */
+  def resolve(tableDir: String,
+              schema: StructType): Option[PartitionedWritePlan] = {
+    val view =
+      if (IcebergMetadata.currentMetadata(tableDir).isDefined)
+        (IcebergMetadata.defaultSpecView(tableDir), None)
+      else {
+        val pm = TableIO(tableDir).child("metadata")
+          .child("created.partition.txt")
+        if (pm.exists) {
+          val regex = pm.readString.trim
+          (IcebergMetadata.specViewFromRegex(regex), Some(regex))
+        } else (Nil, None)
+      }
+    view match {
+      case (Nil, _) => None
+      case (fields, regex) =>
+        val taskFields = fields.map { case (pf, specName) =>
+          val ord = schema.fieldIndex(pf.column)
+          TaskPartField(specName, ord, schema.fields(ord).dataType,
+            pf.transform)
+        }
+        Some(PartitionedWritePlan(taskFields, regex))
     }
+  }
+}
+
+/** One partition-spec field as the task writer evaluates it. */
+case class TaskPartField(specName: String, ordinal: Int,
+                         dataType: DataType, transform: String)
+
+/** Row-level Iceberg partition transforms — the task-side analog of
+  * [[PartitionTransforms]]' column expressions, value-identical by
+  * construction (same epoch-unit math, same spec murmur3 bucket,
+  * same truncate formula; the session timezone is pinned UTC so the
+  * column versions' calendar math matches `LocalDate` over UTC
+  * epoch days). */
+object RowTransforms {
+  import PartitionTransforms.{bucketLong, bucketString}
+
+  private val ArgRe = """(bucket|truncate)\[(\d+)\]""".r
+  private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
+
+  /** Evaluator returning the partition VALUE (Int / Long / String /
+    * null) for one row. */
+  def evaluator(f: TaskPartField): InternalRow => Any = {
+    val ord = f.ordinal
+    def micros(row: InternalRow): Long = row.getLong(ord)
+    def localDate(row: InternalRow): java.time.LocalDate =
+      f.dataType match {
+        case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ord))
+        case _ => java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(micros(row), MicrosPerDay))
+      }
+    val eval: InternalRow => Any = (f.transform, f.dataType) match {
+      case ("identity", IntegerType) => r => r.getInt(ord)
+      case ("identity", LongType) => r => r.getLong(ord)
+      case ("identity", StringType) => r => r.getUTF8String(ord).toString
+      case ("void", _) => _ => null
+      case ("year", _) => r => localDate(r).getYear - 1970
+      case ("month", _) => r => {
+        val d = localDate(r)
+        (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      }
+      case ("day", DateType) => r => r.getInt(ord)
+      case ("day", _) => r =>
+        Math.floorDiv(micros(r), MicrosPerDay).toInt
+      case ("hour", DateType) => r => r.getInt(ord) * 24
+      case ("hour", _) => r =>
+        Math.floorDiv(micros(r), MicrosPerHour).toInt
+      case (ArgRe("bucket", n), StringType) =>
+        val nn = n.toInt
+        r => bucketString(r.getUTF8String(ord).toString, nn)
+      case (ArgRe("bucket", n), TimestampType | TimestampNTZType) =>
+        val nn = n.toInt
+        r => bucketLong(micros(r), nn)
+      case (ArgRe("bucket", n), IntegerType) =>
+        val nn = n.toInt
+        r => bucketLong(r.getInt(ord).toLong, nn)
+      case (ArgRe("bucket", n), LongType) =>
+        val nn = n.toInt
+        r => bucketLong(r.getLong(ord), nn)
+      case (ArgRe("truncate", w), StringType) =>
+        val ww = w.toInt
+        r => {
+          val s = r.getUTF8String(ord).toString
+          if (s.length <= ww) s else s.substring(0, ww)
+        }
+      case (ArgRe("truncate", w), IntegerType) =>
+        val wl = w.toLong
+        r => Math.floorDiv(r.getInt(ord).toLong, wl) * wl
+      case (ArgRe("truncate", w), LongType) =>
+        val wl = w.toLong
+        r => Math.floorDiv(r.getLong(ord), wl) * wl
+      case (t, dt) => throw new UnsupportedOperationException(
+        s"partition transform $t over $dt is not writable through the " +
+          "DSv2 face")
+    }
+    r => if (r.isNullAt(ord)) null else eval(r)
+  }
+
+  /** The `__p_<name>=<rendered>` dir segment — Spark's own partitionBy
+    * escaping ([[org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils]]),
+    * exactly what [[graft.sinks.IcebergMetadata]]'s `partitionedLeaves`
+    * parses back. */
+  def dirSegment(specName: String, v: Any): String = {
+    val raw =
+      if (v == null) "__HIVE_DEFAULT_PARTITION__"
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString)
+    s"__p_$specName=$raw"
   }
 }
 
@@ -95,7 +216,8 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
   * or `.toTable("graft.ns.tbl")` — each microbatch stages its files
   * task-parallel like the batch face and commits ONE fast-append
   * snapshot per epoch (Complete output mode commits a replace
-  * snapshot instead). EXACTLY-ONCE: the commit stamps
+  * snapshot instead; partitioned tables commit tuple-bearing
+  * manifests). EXACTLY-ONCE: the commit stamps
   * `graft-stream-query`/`graft-stream-epoch` into the snapshot
   * summary; a replayed epoch (Spark re-offers a batch after a crash
   * between our commit and its checkpoint write) finds its own stamp
@@ -104,7 +226,8 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
   * on committed positions. */
 class IcebergStreamingWrite(tableDir: String, schema: StructType,
                             queryId: String, overwriteAll: Boolean,
-                            fsConf: Map[String, String])
+                            fsConf: Map[String, String],
+                            partPlan: Option[PartitionedWritePlan] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -113,7 +236,8 @@ class IcebergStreamingWrite(tableDir: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new IcebergStreamingWriterFactory(tableDir, queryId, schema, fsConf)
+    new IcebergStreamingWriterFactory(tableDir, queryId, schema, fsConf,
+      partPlan)
 
   /** Last committed epoch of THIS query on the table's snapshot
     * history (metadata-only walk; maintenance commits in between
@@ -135,10 +259,7 @@ class IcebergStreamingWrite(tableDir: String, schema: StructType,
     * committed), so a directory-recursive delete on a replayed or
     * aborted re-attempt would destroy committed table data. */
   private def dropStaged(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case StagedFileMessage(p, _) if p.nonEmpty => TableIO(p).delete()
-      case _ => ()
-    }
+    StagedFiles.all(messages).foreach(f => TableIO(f.path).delete())
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -149,75 +270,114 @@ class IcebergStreamingWrite(tableDir: String, schema: StructType,
       dropStaged(messages)
       return
     }
-    val hasRows = messages.exists {
-      case StagedFileMessage(_, n) => n > 0
-      case _ => false
-    }
-    if (!hasRows) { dropStaged(messages); return }
+    val winners = StagedFiles.winners(messages)
     val spark = SparkSession.active
     val summary = Map(
       "graft-stream-query" -> queryId,
       "graft-stream-epoch" -> epochId.toString)
+    if (winners.isEmpty) {
+      dropStaged(messages)
+      // Complete mode re-emits the FULL result each epoch: an empty
+      // result replaces the table with empty state (a truncate
+      // snapshot) — mirroring the batch INSERT OVERWRITE semantics
+      // rather than silently no-opping. Skipped when the table is
+      // already empty (idempotent across triggers; the epoch stamp
+      // rides on the truncate when one commits).
+      if (overwriteAll &&
+          IcebergMetadata.currentMetadata(tableDir).isDefined &&
+          IcebergMetadata.dataFileStats(tableDir).nonEmpty)
+        IcebergMetadata.truncateCommit(spark, tableDir, summary): Unit
+      return
+    }
     // winning attempts' files only, like the batch face
-    val only = Some(messages.collect {
-      case StagedFileMessage(p, n) if n > 0 =>
-        TableIO(p).canonical }.toSet)
-    if (overwriteAll)
-      IcebergMetadata.commit(spark, tableDir, dir,
-        operation = "overwrite", summary = summary,
-        onlyFiles = only): Unit
-    else
-      IcebergMetadata.appendOrFirstCommit(spark, tableDir, dir,
-        summary = summary, onlyFiles = only): Unit
+    val only = Some(winners.map(m => TableIO(m.path).canonical).toSet)
+    partPlan match {
+      case Some(p) =>
+        IcebergMetadata.commitPartitionedStaged(spark, tableDir, dir,
+          schema, onlyFiles = only, summary = summary,
+          overwrite = overwriteAll, regexIfFirst = p.regexIfFirst): Unit
+      case None if overwriteAll =>
+        IcebergMetadata.commit(spark, tableDir, dir,
+          operation = "overwrite", summary = summary,
+          onlyFiles = only): Unit
+      case None =>
+        IcebergMetadata.appendOrFirstCommit(spark, tableDir, dir,
+          summary = summary, onlyFiles = only): Unit
+    }
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
-    dropStaged(messages) // failed tasks abort their own file task-side
+    dropStaged(messages) // failed tasks abort their own files task-side
 }
 
 /** One staged task file. */
 case class StagedFileMessage(path: String, rows: Long)
     extends WriterCommitMessage
 
+/** All staged files of one PARTITIONED task (one per partition leaf
+  * the task touched). */
+case class StagedFilesMessage(files: Seq[StagedFileMessage])
+    extends WriterCommitMessage
+
+private[replication] object StagedFiles {
+  /** Every staged file named by the messages (winners or not). */
+  def all(messages: Array[WriterCommitMessage]): Seq[StagedFileMessage] =
+    messages.toSeq.flatMap {
+      case m @ StagedFileMessage(p, _) if p.nonEmpty => Seq(m)
+      case StagedFilesMessage(fs) => fs.filter(_.path.nonEmpty)
+      case _ => Nil
+    }
+
+  /** The committed set: files with rows, from winning attempts. */
+  def winners(messages: Array[WriterCommitMessage]): Seq[StagedFileMessage] =
+    all(messages).filter(_.rows > 0)
+}
+
 class IcebergBatchWrite(tableDir: String, schema: StructType,
                         queryId: String, overwriteAll: Boolean,
-                        fsConf: Map[String, String])
+                        fsConf: Map[String, String],
+                        partPlan: Option[PartitionedWritePlan] = None)
     extends BatchWrite {
 
   private val stagedDir = s"$tableDir/data/staged-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new IcebergDataWriterFactory(stagedDir, schema, fsConf)
+    new IcebergDataWriterFactory(stagedDir, schema, fsConf, partPlan)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case StagedFileMessage(p, n) if n > 0 => p }
+    val winners = StagedFiles.winners(messages)
     val spark = SparkSession.active
-    if (files.isEmpty) {
-      // nothing written: an INSERT of an empty SELECT is a no-op
-      // commit (Iceberg would record an empty snapshot; the engine's
-      // commit paths require data, and an invisible no-op is the
-      // kinder contract)
+    if (winners.isEmpty) {
+      // nothing written: INSERT OVERWRITE from an empty source
+      // TRUNCATES (the Iceberg/Spark semantics — one metadata-only
+      // empty replace snapshot); a plain INSERT of an empty SELECT is
+      // a no-op commit (an invisible no-op is the kinder contract
+      // than an empty snapshot)
       TableIO(stagedDir).deleteRecursive()
-      require(!overwriteAll,
-        "INSERT OVERWRITE with an empty source would clear the " +
-          "table: use the engine's clear verb to do that explicitly")
+      if (overwriteAll && IcebergMetadata.currentMetadata(tableDir).isDefined)
+        IcebergMetadata.truncateCommit(spark, tableDir): Unit
       return
     }
     // commit EXACTLY the winning task attempts' files: a crashed or
     // speculative attempt's stray file in the staged dir must not be
     // swept into the snapshot (duplicate rows / cut footers)
-    val only = Some(files.map(TableIO(_).canonical).toSet)
-    if (overwriteAll)
-      IcebergMetadata.commit(spark, tableDir, stagedDir,
-        operation = "overwrite", onlyFiles = only): Unit
-    else
-      // first publish OR append, race-safe: a concurrent first writer's
-      // rows must never vanish from the head
-      IcebergMetadata.appendOrFirstCommit(spark, tableDir, stagedDir,
-        onlyFiles = only): Unit
+    val only = Some(winners.map(m => TableIO(m.path).canonical).toSet)
+    partPlan match {
+      case Some(p) =>
+        IcebergMetadata.commitPartitionedStaged(spark, tableDir,
+          stagedDir, schema, onlyFiles = only,
+          overwrite = overwriteAll, regexIfFirst = p.regexIfFirst): Unit
+      case None if overwriteAll =>
+        IcebergMetadata.commit(spark, tableDir, stagedDir,
+          operation = "overwrite", onlyFiles = only): Unit
+      case None =>
+        // first publish OR append, race-safe: a concurrent first
+        // writer's rows must never vanish from the head
+        IcebergMetadata.appendOrFirstCommit(spark, tableDir, stagedDir,
+          onlyFiles = only): Unit
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -226,47 +386,54 @@ class IcebergBatchWrite(tableDir: String, schema: StructType,
 
 class IcebergStreamingWriterFactory(tableDir: String, queryId: String,
                                     schema: StructType,
-                                    fsConf: Map[String, String])
+                                    fsConf: Map[String, String],
+                                    partPlan: Option[PartitionedWritePlan]
+                                      = None)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] =
-    new IcebergDataWriter(
-      s"$tableDir/data/stream-$queryId/epoch-$epochId/" +
-        s"part-$partitionId-$taskId-${UUID.randomUUID()}.parquet",
-      schema, fsConf)
+                            epochId: Long): DataWriter[InternalRow] = {
+    val staged = s"$tableDir/data/stream-$queryId/epoch-$epochId"
+    partPlan match {
+      case Some(p) => new IcebergFanoutDataWriter(staged, schema, fsConf,
+        p.fields, s"part-$partitionId-$taskId")
+      case None => new IcebergDataWriter(
+        s"$staged/part-$partitionId-$taskId-${UUID.randomUUID()}.parquet",
+        schema, fsConf)
+    }
+  }
 }
 
 class IcebergDataWriterFactory(stagedDir: String, schema: StructType,
-                               fsConf: Map[String, String])
+                               fsConf: Map[String, String],
+                               partPlan: Option[PartitionedWritePlan]
+                                 = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new IcebergDataWriter(
-      s"$stagedDir/part-$partitionId-$taskId-${UUID.randomUUID()}.parquet",
-      schema, fsConf)
+    partPlan match {
+      case Some(p) => new IcebergFanoutDataWriter(stagedDir, schema,
+        fsConf, p.fields, s"part-$partitionId-$taskId")
+      case None => new IcebergDataWriter(
+        s"$stagedDir/part-$partitionId-$taskId-${UUID.randomUUID()}.parquet",
+        schema, fsConf)
+    }
 }
 
-/** Executor-side: InternalRows → ONE parquet file through Spark's
-  * `ParquetWriteSupport` (the same encoder `df.write.parquet` uses —
-  * snappy, dictionary encoding, min/max column statistics the commit
-  * reads back into manifest bounds). The writer opens LAZILY on the
-  * first row, so empty tasks stage nothing. */
-class IcebergDataWriter(filePath: String, schema: StructType,
-                        fsConf: Map[String, String])
-    extends DataWriter[InternalRow] {
+/** Executor-side parquet open — Spark's `ParquetWriteSupport` (the
+  * same encoder `df.write.parquet` uses: snappy, dictionary encoding,
+  * min/max column statistics the commit reads back into manifest
+  * bounds) in Iceberg spec form (int64 MICROS timestamps — never
+  * INT96, which is outside the spec and carries no stats). */
+private[replication] object IcebergParquetIO {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
-  private var writer: ParquetWriter[InternalRow] = _
-  private var rows = 0L
-
-  private def open(): ParquetWriter[InternalRow] = {
+  def open(filePath: String, schema: StructType,
+           fsConf: Map[String, String]): ParquetWriter[InternalRow] = {
     val conf = new Configuration()
     fsConf.foreach { case (k, v) => conf.set(k, v) }
     ParquetWriteSupport.setSchema(schema, conf)
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-    // Iceberg spec form: int64 MICROS timestamps (never INT96 — no
-    // stats, outside the spec); CORRECTED = no legacy calendar rebase
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
     conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
@@ -284,9 +451,20 @@ class IcebergDataWriter(filePath: String, schema: StructType,
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
   }
+}
+
+/** Executor-side: InternalRows → ONE parquet file. The writer opens
+  * LAZILY on the first row, so empty tasks stage nothing. */
+class IcebergDataWriter(filePath: String, schema: StructType,
+                        fsConf: Map[String, String])
+    extends DataWriter[InternalRow] {
+
+  private var writer: ParquetWriter[InternalRow] = _
+  private var rows = 0L
 
   override def write(record: InternalRow): Unit = {
-    if (writer == null) writer = open()
+    if (writer == null)
+      writer = IcebergParquetIO.open(filePath, schema, fsConf)
     writer.write(record)
     rows += 1
   }
@@ -299,6 +477,92 @@ class IcebergDataWriter(filePath: String, schema: StructType,
   override def abort(): Unit = {
     if (writer != null) writer.close()
     TableIO(filePath).delete(): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Executor-side FANOUT writer for PARTITIONED tables: each row's
+  * partition tuple routes it to a per-leaf parquet file under the
+  * `__p_<field>=<value>` hive layout (Iceberg's fanout writer shape —
+  * no task-side sort required). Open writers are LRU-bounded: past
+  * [[IcebergFanoutDataWriter.MaxOpenWriters]] the least-recently-used
+  * file closes, and a reappearing tuple simply opens a NEW file in
+  * the same leaf — bounded memory at the cost of extra files on
+  * adversarial row orders (compaction's job, not the writer's). */
+object IcebergFanoutDataWriter {
+  /** Parquet writers buffer up to a row group in memory; 64 caps a
+    * task's worst case while covering any sane partition-per-task
+    * spread (pre-clustered inputs touch a handful). */
+  val MaxOpenWriters = 64
+}
+
+class IcebergFanoutDataWriter(stagedRoot: String, schema: StructType,
+                              fsConf: Map[String, String],
+                              parts: Seq[TaskPartField],
+                              filePrefix: String)
+    extends DataWriter[InternalRow] {
+
+  private val evals = parts.map(RowTransforms.evaluator).toArray
+  private val names = parts.map(_.specName).toArray
+
+  private final class Open(val path: String) {
+    val writer: ParquetWriter[InternalRow] =
+      IcebergParquetIO.open(path, schema, fsConf)
+    var rows = 0L
+  }
+
+  // LinkedHashMap in access order = the LRU structure
+  private val open = new java.util.LinkedHashMap[String, Open](
+    16, 0.75f, /* accessOrder = */ true)
+  private val finished = mutable.ArrayBuffer.empty[StagedFileMessage]
+
+  private def leafDir(row: InternalRow): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < evals.length) {
+      if (i > 0) sb.append('/')
+      sb.append(RowTransforms.dirSegment(names(i), evals(i)(row)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def closeOne(o: Open): Unit = {
+    o.writer.close()
+    finished += StagedFileMessage(o.path, o.rows)
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val dir = leafDir(record)
+    var o = open.get(dir)
+    if (o == null) {
+      if (open.size >= IcebergFanoutDataWriter.MaxOpenWriters) {
+        val it = open.entrySet().iterator()
+        val lru = it.next()
+        closeOne(lru.getValue)
+        it.remove()
+      }
+      o = new Open(
+        s"$stagedRoot/$dir/$filePrefix-${UUID.randomUUID()}.parquet")
+      open.put(dir, o): Unit
+    }
+    o.writer.write(record)
+    o.rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val it = open.values().iterator()
+    while (it.hasNext) closeOne(it.next())
+    open.clear()
+    StagedFilesMessage(finished.filter(_.rows > 0).toSeq)
+  }
+
+  override def abort(): Unit = {
+    val it = open.values().iterator()
+    while (it.hasNext) closeOne(it.next())
+    open.clear()
+    finished.foreach(f => TableIO(f.path).delete())
   }
 
   override def close(): Unit = ()

@@ -119,6 +119,76 @@ object IcebergTail {
     }
   }
 
+  /** UPDATE PAIRING over a changelog batch — the analog of Iceberg's
+    * `create_changelog_view(compute_updates => identifier_columns)`:
+    *
+    *  1. CARRYOVER REMOVAL: an overwrite that rewrites a row verbatim
+    *     emits a (delete, insert) pair with identical values — pairs
+    *     net bag-wise per (all columns, ordinal), exactly Iceberg's
+    *     remove-carryovers;
+    *  2. UPDATE PAIRING: a surviving delete + insert sharing the key
+    *     within ONE commit ordinal pair into `update_before` /
+    *     `update_after`; unpaired rows keep `delete`/`insert`.
+    *
+    * Lives on the poll/batch path where a shuffle is acceptable (two
+    * keyed exchanges over commit-sized changelog rows) — the per-file
+    * DSv2 streaming source deliberately does NOT net carryovers
+    * (that would force a shuffle into a file-partition source). */
+  def changelogUpdates(changes: DataFrame,
+                       keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val metaCols = Set("change_type", "change_ordinal")
+    val dataCols = changes.columns.filterNot(c => metaCols.contains(c))
+      .toSeq
+    require(keyCols.forall(dataCols.contains), s"keys $keyCols missing")
+    // 1. bag-wise carryover netting per (values, ordinal)
+    val counted = changes
+      .groupBy((dataCols :+ "change_ordinal").map(col): _*)
+      .agg(
+        sum(when(col("change_type") === "delete", 1).otherwise(0))
+          .as("__nd"),
+        sum(when(col("change_type") === "insert", 1).otherwise(0))
+          .as("__ni"))
+    val survivors = counted.select(
+      (dataCols :+ "change_ordinal").map(col) :+ explode(concat(
+        array_repeat(lit("delete"),
+          (col("__nd") - least(col("__nd"), col("__ni"))).cast("int")),
+        array_repeat(lit("insert"),
+          (col("__ni") - least(col("__nd"), col("__ni"))).cast("int"))))
+        .as("change_type"): _*)
+    // 2. pair delete+insert on (key, ordinal); rn disambiguates
+    // multiplicities deterministically
+    val ordKeys = keyCols :+ "change_ordinal"
+    val nonKey = dataCols.filterNot(ordKeys.contains)
+    val w = Window.partitionBy(ordKeys.map(col): _*)
+      .orderBy(dataCols.map(col): _*)
+    def side(tp: String, prefix: String) = survivors
+      .where(col("change_type") === tp)
+      .withColumn("__rn", row_number().over(w))
+      .select(ordKeys.map(col) ++ Seq(col("__rn"),
+        lit(1).as(s"${prefix}present")) ++
+        nonKey.map(c => col(c).as(s"$prefix$c")): _*)
+    val joined = side("delete", "__d_")
+      .join(side("insert", "__i_"), ordKeys :+ "__rn", "full_outer")
+    val hasD = col("__d_present").isNotNull
+    val hasI = col("__i_present").isNotNull
+    // a paired row explodes into before/after; a lone side keeps its
+    // own type
+    val tagged = joined.withColumn("__tags",
+      when(hasD && hasI, array(lit("update_before"), lit("update_after")))
+        .when(hasD, array(lit("delete")))
+        .otherwise(array(lit("insert"))))
+      .select(col("*"), explode(col("__tags")).as("change_type"))
+    val out = dataCols.map { c =>
+      if (ordKeys.contains(c)) col(c)
+      else when(col("change_type").isin("update_before", "delete"),
+          col(s"__d_$c"))
+        .otherwise(col(s"__i_$c")).as(c)
+    } :+ col("change_type") :+ col("change_ordinal")
+    tagged.select(out: _*)
+  }
+
   /** The CDC variant: each poll delivers the row-level CHANGELOG
     * (insert AND delete rows, `change_type` column) since the
     * checkpoint via [[IcebergMetadata.changelogScan]] — the consumer

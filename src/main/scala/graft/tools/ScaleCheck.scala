@@ -184,6 +184,11 @@ object ScaleCheck {
             "FROM gsc.lake.lineitem_mor").collect() }
         println(f"dsv2batch MoR ratio dsv2/readMoR=" +
           f"${morDsv2 / morNative}%.2f")
+        // r17: the MoR scan is COLUMNAR (row-id-mapped vectors) — it
+        // must stay in readMoR's band, not the old 1.7-1.8x row path
+        require(morDsv2 <= morNative * 1.3,
+          f"DSv2 MoR scan exceeds 1.3x readMoR: " +
+            f"${morDsv2 / morNative}%.2f")
       }
       spark.stop(); return
     }

@@ -478,7 +478,9 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == 1000L)
     assert(got.agg(sum("v")).collect().head.getLong(0) ==
       (0L until 1000L).map(_ * 10).sum)
-    // MoR: must fall back to the row path (per-row delete filtering)
+    // MoR (r17): stays COLUMNAR — the delete filter becomes a row-id
+    // mapping over the decoded batch (Iceberg's vectorized-MoR shape);
+    // results must equal the engine's readMoR broadcast plan
     val ice = publishMorFixture()
     val mScan = new graft.sources.replication.IcebergBatchScan(
       ice, IcebergMetadata.currentSparkSchema(ice), None, Array.empty,
@@ -486,7 +488,18 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mParts = mScan.planInputPartitions()
     val mFactory = mScan.createReaderFactory()
     assert(mParts.nonEmpty &&
-      !mParts.exists(mFactory.supportColumnarReads))
+      mParts.forall(mFactory.supportColumnarReads),
+      "flat-schema MoR batch scan must answer columnar (row-id mapped)")
+    val viaDsv2 = spark.read.format("graft-iceberg").load(ice)
+      .select("id", "v").collect().toSet
+    val viaMor = IcebergMetadata.readMoR(spark, ice)
+      .select("id", "v").collect().toSet
+    assert(viaDsv2 == viaMor)
+    // a projection dropping the key column still merges columnar
+    // (key force-read, projected out of the batch)
+    val vOnly = spark.read.format("graft-iceberg").load(ice)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vOnly == viaMor.toSeq.map(_.getLong(1)).sorted)
   }
 
   test("SQL metadata tables: snapshots/files/partitions/manifests all " +
@@ -758,5 +771,406 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(stateAfter == expected)
+  }
+
+  // ---- round 17: partitioned SQL/streaming writes, truncate
+  //      semantics, exclusive CREATE, and the null-key MoR fast path ----
+
+  test("CREATE TABLE PARTITIONED BY (days(ts)) + INSERT INTO commits " +
+    "tuple-bearing manifests; appends carry prior manifests; INSERT " +
+    "OVERWRITE replaces; an empty-source OVERWRITE truncates") {
+    val wh = Files.createTempDirectory("graft_sqlpart").toString
+    val cat = "gp_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.lake.ev " +
+      "(id BIGINT, ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+    val dir = s"$wh/lake/ev"
+    // 30 rows over 3 distinct days
+    val src = spark.range(30).select(col("id"),
+      to_timestamp(lit("2024-03-01 00:00:00")).plus(
+        expr("make_interval(0, 0, 0, CAST(id % 3 AS INT), 0, 0, id)"))
+        .as("ts"),
+      (col("id") * 7).as("v"))
+    src.createOrReplaceTempView("part_src")
+    spark.sql(s"INSERT INTO $cat.lake.ev SELECT id, ts, v FROM part_src")
+    // read-back through SQL equals the source
+    val got = spark.sql(s"SELECT id, v FROM $cat.lake.ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 30L).map(i => (i, i * 7)).toSet)
+    // every data entry carries a day partition tuple matching its rows
+    val stats0 = IcebergMetadata.dataFileStats(dir)
+    assert(stats0.nonEmpty)
+    val day0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay.toInt
+    assert(stats0.forall(e => e.partition.nonEmpty &&
+      Set(day0, day0 + 1, day0 + 2).contains(
+        e.partition.head.asInstanceOf[Int])),
+      s"bad tuples: ${stats0.map(_.partition)}")
+    // second INSERT appends: prior manifest rows carried, both live
+    spark.sql(s"INSERT INTO $cat.lake.ev " +
+      "SELECT id + 100, ts, v FROM part_src")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ev")
+      .collect().head.getLong(0) == 60L)
+    // manifest-level field summaries exist for the partition field
+    assert(IcebergMetadata.manifestSummaries(dir)
+      .exists(_.partitions.nonEmpty), "no partition field summaries")
+    // ts-bound file pruning through the DSv2 planner: a one-day
+    // predicate plans fewer file partitions than the full scan
+    val full = spark.read.format("graft-iceberg").load(dir)
+    val all = full.rdd.getNumPartitions
+    val oneDay = full.where(col("ts") <
+        to_timestamp(lit("2024-03-01 12:00:00")))
+      .rdd.getNumPartitions
+    assert(oneDay < all, s"no file pruning: $oneDay vs $all")
+    // INSERT OVERWRITE replaces the whole table (tuples intact)
+    spark.sql(s"INSERT OVERWRITE $cat.lake.ev " +
+      "SELECT id, ts, v FROM part_src WHERE id < 9")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ev")
+      .collect().head.getLong(0) == 9L)
+    assert(IcebergMetadata.dataFileStats(dir).forall(_.partition.nonEmpty))
+    // empty-source OVERWRITE = truncate (one metadata-only delete
+    // snapshot; Iceberg/Spark SQL semantics)
+    spark.sql(s"INSERT OVERWRITE $cat.lake.ev " +
+      "SELECT id, ts, v FROM part_src WHERE id < 0")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ev")
+      .collect().head.getLong(0) == 0L)
+    val (_, meta) = IcebergMetadata.currentMetadata(dir).get
+    import scala.jdk.CollectionConverters._
+    val lastOp = meta.withArray[
+        com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .asScala.maxBy(_.get("sequence-number").asLong)
+      .get("summary").get("operation").asText
+    assert(lastOp == "delete", s"truncate wrote op $lastOp")
+  }
+
+  test("INSERT INTO an engine-published partitioned table appends " +
+    "under the committed spec (identity + bucket transforms)") {
+    val tmp = Files.createTempDirectory("graft_sqlpart2").toString
+    val dir = s"$tmp/lake/t2"
+    val df0 = spark.range(20).select(col("id"),
+      (col("id") % 4).as("grp"), (col("id") * 3).as("v"))
+    IcebergMetadata.publishPartitioned(spark, dir, df0,
+      "/{grp,identity}/{id,bucket[4]}"): Unit
+    val cat = "gp2_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    df0.createOrReplaceTempView("part_src2")
+    spark.sql(s"INSERT INTO $cat.lake.t2 " +
+      "SELECT id + 100, grp, v FROM part_src2")
+    val got = spark.sql(s"SELECT id FROM $cat.lake.t2")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == ((0L until 20L) ++ (100L until 120L)).toSet)
+    // the appended files carry (grp identity, bucket) tuples under
+    // the SAME spec as the publish; bucket values match the spec
+    // murmur3
+    val stats = IcebergMetadata.dataFileStats(dir)
+    assert(stats.forall(_.partition.size == 2))
+    assert(stats.forall { e =>
+      val b = e.partition(1).asInstanceOf[Int]; b >= 0 && b < 4 })
+  }
+
+  test("writeStream.toTable into a PARTITIONED table commits " +
+    "tuple-bearing epoch snapshots") {
+    val tmp = Files.createTempDirectory("graft_streampart").toString
+    val srcDir = s"$tmp/src"
+    val df0 = spark.range(12).select(col("id"),
+      (col("id") % 3).as("grp"), (col("id") * 2).as("v"))
+    df0.coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, srcDir, s"$tmp/d0"): Unit
+    val cat = "gsp_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    spark.sql(s"CREATE TABLE $cat.lake.psink " +
+      "(id BIGINT, grp BIGINT, v BIGINT) PARTITIONED BY (grp)")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").load(srcDir)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.lake.psink")
+      q.awaitTermination()
+    }
+    run()
+    df0.withColumn("id", col("id") + 100).coalesce(1)
+      .write.parquet(s"$tmp/d1")
+    IcebergMetadata.appendCommit(spark, srcDir, s"$tmp/d1"): Unit
+    run()
+    val sink = s"$tmp/lake/psink"
+    val got = spark.sql(s"SELECT id FROM $cat.lake.psink")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == ((0L until 12L) ++ (100L until 112L)).toSet)
+    val stats = IcebergMetadata.dataFileStats(sink)
+    assert(stats.nonEmpty && stats.forall(e =>
+      e.partition.size == 1 &&
+        Set(0L, 1L, 2L).contains(e.partition.head.asInstanceOf[Long])),
+      s"bad tuples: ${stats.map(_.partition)}")
+    // epoch stamps ride the partitioned commits (the replay fence)
+    import scala.jdk.CollectionConverters._
+    val snaps = IcebergMetadata.currentMetadata(sink).get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala.toSeq
+    assert(snaps.size == 2 && snaps.forall(sn =>
+      Option(sn.get("summary").get("graft-stream-epoch")).isDefined))
+  }
+
+  test("two CREATE TABLEs race through the exclusive-create marker: " +
+    "exactly one wins, the loser gets TableAlreadyExistsException") {
+    val wh = Files.createTempDirectory("graft_createcas").toString
+    val cat = "gcc_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.cas_t (id BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.cas_t (id BIGINT, v BIGINT)")
+    }
+    assert(e.getMessage.toLowerCase.contains("exists") ||
+      e.getCause != null &&
+        e.getCause.getMessage.toLowerCase.contains("exists"))
+  }
+
+  test("DELETE FROM with a pushable predicate is a delete-file " +
+    "APPEND: no data rewrite, op=delete, MoR read-back exact") {
+    val wh = Files.createTempDirectory("graft_sqldelete").toString
+    val ice = s"$wh/t"
+    rows(0 until 30).coalesce(2).write.parquet(s"$wh/d0")
+    IcebergMetadata.commit(spark, ice, s"$wh/d0"): Unit
+    val cat = "gd_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val before = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.t WHERE id >= 20")
+    val after = IcebergMetadata.dataFileStats(ice)
+    // the commit appended ONE positional-delete file and rewrote no
+    // data file (the delete-file-append contract)
+    assert(after.filter(_.content == 0).map(_.path).toSet == before)
+    assert(after.count(_.content == 1) == 1)
+    assert(spark.sql(s"SELECT id FROM $cat.t").collect()
+      .map(_.getLong(0)).toSet == (0L until 20L).toSet)
+    // routed through the commit CAS with op=delete
+    import scala.jdk.CollectionConverters._
+    val ops = IcebergMetadata.currentMetadata(ice).get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala
+      .map(_.get("summary").get("operation").asText).toSeq
+    assert(ops == Seq("append", "delete"), s"ops: $ops")
+    // DELETE with no matches commits NOTHING (Iceberg semantics)
+    spark.sql(s"DELETE FROM $cat.t WHERE id >= 1000")
+    assert(IcebergMetadata.currentMetadata(ice).get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").size == 2)
+    // a non-pushable predicate takes the row-level delta plan
+    spark.sql(s"DELETE FROM $cat.t WHERE id % 3 = 1")
+    assert(spark.sql(s"SELECT id FROM $cat.t").collect()
+      .map(_.getLong(0)).toSet ==
+      (0L until 20L).filter(_ % 3 != 1).toSet)
+  }
+
+  test("UPDATE and MERGE INTO run the delta-based row-level plan: " +
+    "positional deletes + new data files, untouched files intact") {
+    val wh = Files.createTempDirectory("graft_sqlupd").toString
+    val ice = s"$wh/t"
+    rows(0 until 20).coalesce(2).write.parquet(s"$wh/d0")
+    IcebergMetadata.commit(spark, ice, s"$wh/d0"): Unit
+    val cat = "gu_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val before = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map(_.path).toSet
+    spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE id < 5")
+    val after = IcebergMetadata.dataFileStats(ice)
+    assert(before.subsetOf(
+      after.filter(_.content == 0).map(_.path).toSet),
+      "UPDATE rewrote untouched data files")
+    assert(after.exists(_.content == 1), "UPDATE wrote no pos-deletes")
+    val got = spark.sql(s"SELECT id, v FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 20L).forall(i =>
+      got(i) == (if (i < 5) i * 10 + 1 else i * 10)), s"got $got")
+    // MERGE: delete evens <10, update odds <10, insert 100..104
+    spark.range(0, 10).select(col("id"), lit(-1L).as("v"))
+      .unionByName(spark.range(100, 105)
+        .select(col("id"), (col("id") * 2).as("v")))
+      .createOrReplaceTempView("msrc")
+    spark.sql(s"""MERGE INTO $cat.t t USING msrc s ON t.id = s.id
+      WHEN MATCHED AND s.id % 2 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = 999
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val got2 = spark.sql(s"SELECT id, v FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = ((0L until 20L).flatMap { i =>
+      if (i < 10 && i % 2 == 0) None           // deleted
+      else if (i < 10) Some(i -> 999L)          // updated
+      else Some(i -> (if (i < 5) i * 10 + 1 else i * 10))
+    } ++ (100L until 105L).map(i => i -> i * 2)).toMap
+    assert(got2 == expect, s"got $got2\nexp $expect")
+  }
+
+  test("UPDATE on a PARTITIONED table lands replacement rows in " +
+    "their (possibly new) partitions via the fanout writer") {
+    val wh = Files.createTempDirectory("graft_sqlupdp").toString
+    val ice = s"$wh/t"
+    val df0 = spark.range(12).select(col("id"),
+      (col("id") % 3).as("grp"), (col("id") * 10).as("v"))
+    IcebergMetadata.publishPartitioned(spark, ice, df0,
+      "/{grp,identity}"): Unit
+    val cat = "gup_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // moves rows from grp 0 to grp 7 — a partition-crossing update
+    spark.sql(s"UPDATE $cat.t SET grp = 7 WHERE grp = 0")
+    val got = spark.sql(s"SELECT id, grp FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 12L).forall(i =>
+      got(i) == (if (i % 3 == 0) 7L else i % 3)), s"got $got")
+    // the new rows carry the NEW partition tuple in the manifests
+    val tuples = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map(_.partition.head)
+    assert(tuples.contains(7L), s"tuples: $tuples")
+  }
+
+  test("ALTER TABLE ADD COLUMN + type widening evolve the committed " +
+    "schema metadata-only; both eras read back; others refuse") {
+    val wh = Files.createTempDirectory("graft_sqlalter").toString
+    val cat = "ga_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    rows(0 until 10).coalesce(1).write.parquet(s"$wh/d0")
+    IcebergMetadata.commit(spark, s"$wh/t", s"$wh/d0"): Unit
+    val snapsBefore = IcebergMetadata.currentMetadata(s"$wh/t").get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").size
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN note STRING")
+    // metadata-only: no new snapshot
+    assert(IcebergMetadata.currentMetadata(s"$wh/t").get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").size == snapsBefore)
+    // old files read back with the new column null
+    val got = spark.sql(s"SELECT id, v, note FROM $cat.t").collect()
+    assert(got.length == 10 && got.forall(_.isNullAt(2)))
+    // an INSERT with the new column lands; both eras read
+    spark.sql(s"INSERT INTO $cat.t VALUES (100, 1000, 'x')")
+    val got2 = spark.sql(
+      s"SELECT id, note FROM $cat.t WHERE note IS NOT NULL").collect()
+    assert(got2.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((100L, "x")))
+    // widening: v long already; add an int column, then widen it
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN note")
+    }
+    assert(e.getMessage.toLowerCase.contains("alter") ||
+      e.getMessage.toLowerCase.contains("support"))
+    // DESCRIBE and SHOW CREATE TABLE answer through the catalog
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.t").collect()
+      .map(_.getString(0))
+    assert(desc.contains("note"), s"DESCRIBE lost the added column")
+    assert(spark.sql(s"SHOW CREATE TABLE $cat.t").collect()
+      .head.getString(0).contains("note"))
+    // time travel resolves the SNAPSHOT's schema: the pre-ALTER
+    // snapshot must NOT surface the added column
+    import scala.jdk.CollectionConverters._
+    val firstSnap = IcebergMetadata.currentMetadata(s"$wh/t").get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala
+      .minBy(_.get("sequence-number").asLong).get("snapshot-id").asLong
+    val old = spark.sql(
+      s"SELECT * FROM $cat.t VERSION AS OF $firstSnap")
+    assert(!old.columns.contains("note"),
+      s"time travel served the post-evolution schema: ${
+        old.columns.toSeq}")
+    assert(old.count() == 10)
+    // an empty VERSION string refuses cleanly (no NumberFormat blowup)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF ''").collect()
+    }
+    assert(e2.getMessage.contains("does not exist") ||
+      Option(e2.getCause).exists(_.getMessage.contains("does not exist")))
+  }
+
+  test("DESCRIBE TABLE on a partitioned table surfaces the partition " +
+    "transforms") {
+    val wh = Files.createTempDirectory("graft_desc").toString
+    val dir = s"$wh/t"
+    val df0 = spark.range(10).select(col("id"),
+      (col("id") % 2).as("grp"), (col("id") * 3).as("v"))
+    IcebergMetadata.publishPartitioned(spark, dir, df0,
+      "/{grp,identity}/{id,bucket[4]}"): Unit
+    val cat = "gds_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.exists(_._2 == "grp"),
+      s"identity transform missing from DESCRIBE: $desc")
+    assert(desc.exists(_._2.startsWith("bucket")),
+      s"bucket transform missing from DESCRIBE: $desc")
+  }
+
+  test("changelogUpdates pairs an overwrite's delete+insert rows by " +
+    "key into update_before/update_after; carryovers net away") {
+    import graft.streaming.IcebergTail
+    val tmp = Files.createTempDirectory("graft_chupd").toString
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    // drop id 3; change v for ids 0 and 5; rewrite the rest verbatim
+    rows(0 until 10)
+      .where(col("id") =!= 3)
+      .withColumn("v", when(col("id").isin(0, 5), col("v") + 1)
+        .otherwise(col("v")))
+      .coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d1",
+      operation = "overwrite"): Unit
+    val log = IcebergMetadata.changelogScan(spark, tmp, c0.snapshotId)
+      .drop("commit_snapshot_id")
+    val got = IcebergTail.changelogUpdates(log, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2))).toSet
+    val expect = Set(
+      (3L, 30L, "delete"),
+      (0L, 0L, "update_before"), (0L, 1L, "update_after"),
+      (5L, 50L, "update_before"), (5L, 51L, "update_after"))
+    assert(got == expect, s"got $got")
+  }
+
+  test("null-keyed equality delete takes the single-string-key fast " +
+    "path: kills null-keyed rows and never a row keyed 'ull'") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.replication.{IcebergFilePartition, IcebergFileReaderFactory, MorSpec}
+    val tmp = Files.createTempDirectory("graft_nullkey").toString
+    val schema = StructType(Seq(
+      StructField("_olake_id", StringType),
+      StructField("v", LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("ull", 1L), Row(null, 2L), Row("a", 3L), Row(null, 4L)),
+      schema).coalesce(1).write.parquet(s"$tmp/data")
+    val file = new java.io.File(s"$tmp/data").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    // delete state: the null key and key "a" die at sequence 5; the
+    // data file sits at sequence 1 (strictly older -> killed)
+    val mor = MorSpec(Seq(("_olake_id", StringType)),
+      Map(0L -> Map("\u0002null" -> 5L, "s:a" -> 5L)))
+    val factory = new IcebergFileReaderFactory(schema,
+      Map.empty, mor = Some(mor))
+    val reader = factory.createReader(
+      IcebergFilePartition(file, seq = 1L, eqState = 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+    while (reader.next()) {
+      val r = reader.get()
+      out += ((if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+        r.getLong(1)))
+    }
+    reader.close()
+    // null-keyed rows (v=2,4) and "a" (v=3) dead; "ull" (v=1) alive
+    assert(out.toSet == Set(("ull", 1L)), s"got $out")
   }
 }
