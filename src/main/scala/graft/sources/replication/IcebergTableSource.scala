@@ -417,7 +417,21 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IcebergFileReaderFactory(tableSchema, IcebergTableSource.fsConf(),
-      mor = morState._1,
+      // the delete state ships as a REAL Spark broadcast: a task
+      // binary is deserialized PER TASK, so embedding the map there
+      // would rebuild a delete-sized structure for every file
+      // partition — the broadcast deserializes once per executor
+      // (readMoR's cost model), [[MorShared]] caches the built probe
+      // maps so tasks share them too, and the broadcast itself is
+      // REUSED across queries over the same delete state (keyed by
+      // the immutable delete-file set) so repeated plans never
+      // re-serialize a delete-sized map
+      mor = morState._1.map { spec =>
+        val fp = tableDir + "|" + stats.filter(_.content != 0)
+          .map(e => s"${e.path}#${e.seq}").sorted.mkString(",")
+        MorShared.broadcastSpec(fp)(
+          SparkSession.active.sparkContext.broadcast(spec))
+      },
       // flat schemas read COLUMNAR — including under MoR, where the
       // delete filter becomes a row-id mapping over the decoded batch
       // ([[MorColumnarReader]]). Virtual metadata columns (_file/_pos,
@@ -759,7 +773,8 @@ class IcebergSnapshotStream(tableDir: String, tableSchema: StructType,
     new IcebergFileReaderFactory(tableSchema, IcebergTableSource.fsConf(),
       mor =
         if (eqStates.isEmpty) None
-        else Some(MorSpec(eqKeyFields, eqStates.toMap)))
+        else Some(SparkSession.active.sparkContext.broadcast(
+          MorSpec(eqKeyFields, eqStates.toMap))))
 
   override def stop(): Unit = ()
 }
@@ -852,49 +867,68 @@ private[replication] object MorPlan {
   /** Read one delete parquet file entirely on the DRIVER — the same
     * cost model as readMoR, which broadcasts the delete side. Delete
     * files are engine-written and flat: string/integral key columns
-    * (equality) or (file_path, pos) coordinates (positional). */
-  def readDeleteFile(path: String, conf: Configuration): DeleteRows = {
-    val hPath = new Path(path)
-    val fileSchema = {
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-      try r.getFooter.getFileMetaData.getSchema finally r.close()
-    }
-    import scala.jdk.CollectionConverters._
-    val fields = fileSchema.getFields.asScala.toSeq
-    val names = fields.map(_.getName)
-    val extractors: Seq[(Group, Int) => Any] = fields.map { f =>
-      val pt = f.asPrimitiveType()
-      pt.getPrimitiveTypeName match {
-        case BINARY | FIXED_LEN_BYTE_ARRAY
-          if pt.getLogicalTypeAnnotation
-            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-          (g: Group, i: Int) => g.getString(i, 0)
-        case INT32 => (g: Group, i: Int) => g.getInteger(i, 0).toLong
-        case INT64 => (g: Group, i: Int) => g.getLong(i, 0)
-        case BOOLEAN => (g: Group, i: Int) => g.getBoolean(i, 0)
-        case other => throw new UnsupportedOperationException(
-          s"delete-file column ${f.getName}: $other")
+    * (equality) or (file_path, pos) coordinates (positional).
+    *
+    * Decode is VECTORIZED (Spark's parquet reader in row mode — the
+    * Group API was the planning bottleneck at 100k+ delete rows), and
+    * results cache globally by path: delete files are IMMUTABLE once
+    * committed (the Iceberg contract), so repeated plans over the
+    * same snapshot pay the read once per driver. */
+  def readDeleteFile(path: String, conf: Configuration): DeleteRows =
+    MorShared.deleteRows(path) {
+      val hPath = new Path(path)
+      val fileSchema = {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(hPath, conf))
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
       }
-    }
-    val reader = ParquetReader.builder(new GroupReadSupport(), hPath)
-      .withConf(conf).build()
-    val rows = mutable.ArrayBuffer.empty[Array[Any]]
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val arr = new Array[Any](extractors.length)
-        var i = 0
-        while (i < extractors.length) {
-          arr(i) = if (g.getFieldRepetitionCount(i) == 0) null
-                   else extractors(i)(g, i)
-          i += 1
+      import scala.jdk.CollectionConverters._
+      val fields = fileSchema.getFields.asScala.toSeq
+      val names = fields.map(_.getName)
+      val sparkFields = fields.map { f =>
+        val pt = f.asPrimitiveType()
+        val dt: DataType = pt.getPrimitiveTypeName match {
+          case BINARY | FIXED_LEN_BYTE_ARRAY
+            if pt.getLogicalTypeAnnotation.isInstanceOf[
+              LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            StringType
+          case INT32 => IntegerType
+          case INT64 => LongType
+          case BOOLEAN => BooleanType
+          case other => throw new UnsupportedOperationException(
+            s"delete-file column ${f.getName}: $other")
         }
-        rows += arr
-        g = reader.read()
+        StructField(f.getName, dt)
       }
-    } finally reader.close()
-    (names, rows.toSeq)
-  }
+      val st = StructType(sparkFields)
+      val src = new VectorizedRowSource(
+        IcebergFilePartition(path), st, conf)
+      val rows = mutable.ArrayBuffer.empty[Array[Any]]
+      try {
+        while (src.advance()) {
+          val row = src.row
+          val arr = new Array[Any](sparkFields.length)
+          var i = 0
+          while (i < sparkFields.length) {
+            arr(i) =
+              if (row.isNullAt(i)) null
+              else sparkFields(i).dataType match {
+                case StringType => row.getUTF8String(i).toString
+                // canon treats int and long alike; widen at read like
+                // the old extractor did
+                case IntegerType => row.getInt(i).toLong
+                case LongType => row.getLong(i)
+                case BooleanType => row.getBoolean(i)
+                case other => throw new IllegalStateException(
+                  other.toString)
+              }
+            i += 1
+          }
+          rows += arr
+        }
+      } finally src.close()
+      (names, rows.toSeq)
+    }
 
   case class EqState(keyFields: Seq[StructField],
                      byKey: Map[String, Long])
@@ -982,9 +1016,18 @@ private[replication] object MorPlan {
   * projected out of the emitted row. */
 class IcebergFileReaderFactory(schema: StructType,
                                fsConf: Map[String, String],
-                               mor: Option[MorSpec] = None,
+                               mor: Option[org.apache.spark.broadcast
+                                 .Broadcast[MorSpec]] = None,
                                columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  // executor-side view of the broadcast delete state: the broadcast
+  // VALUE deserializes once per executor (BlockManager-cached); the
+  // id keys [[MorShared]]'s built-probe cache so tasks also share the
+  // UTF8String hash maps
+  @transient private lazy val morSpec: Option[MorSpec] =
+    mor.map(_.value)
+  private def morBcastId: Long = mor.map(_.id).getOrElse(-1L)
 
   private def hadoopConf(): Configuration = {
     val c = new Configuration()
@@ -1003,7 +1046,8 @@ class IcebergFileReaderFactory(schema: StructType,
     // mapped reader (Iceberg's vectorized-MoR shape): same page
     // decode, the delete filter becomes an index mapping
     if (part.deadPos.nonEmpty || part.eqState >= 0)
-      return new MorColumnarReader(part, schema, mor, conf)
+      return new MorColumnarReader(part, schema, morSpec, morBcastId,
+        conf)
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
@@ -1069,7 +1113,7 @@ class IcebergFileReaderFactory(schema: StructType,
     val needEq = part.eqState >= 0 || part.beforeEqState >= 0
     val keyExtra: Seq[StructField] =
       if (!needEq) Nil
-      else mor.get.keyFields
+      else morSpec.get.keyFields
         .filterNot(k => parquetOut.exists(_.name == k._1))
         .map { case (n, dt) => StructField(n, dt) }
     val extSchema = StructType(parquetOut ++ keyExtra)
@@ -1088,13 +1132,8 @@ class IcebergFileReaderFactory(schema: StructType,
         if (row.isNullAt(i)) null else row.get(i, extTypes(i))
       private val keyIdx: Array[Int] =
         if (!needEq) Array.empty
-        else mor.get.keyFields
+        else morSpec.get.keyFields
           .map(k => extSchema.fieldNames.indexOf(k._1)).toArray
-      private val eqAfter: Map[String, Long] =
-        if (part.eqState >= 0) mor.get.eqStates(part.eqState) else null
-      private val eqBefore: Map[String, Long] =
-        if (part.beforeEqState >= 0) mor.get.eqStates(part.beforeEqState)
-        else null
       // per-row equality lookup, prepared ONCE per task: the engine's
       // standard key (one string column, _olake_id) probes a
       // UTF8String-keyed hash map with the row's own UTF8String —
@@ -1102,23 +1141,13 @@ class IcebergFileReaderFactory(schema: StructType,
       // non-string keys take the generic canon path
       private val singleStrKey =
         keyIdx.length == 1 && extTypes(keyIdx(0)) == StringType
-      private def mkLookup(eq: Map[String, Long])
-          : InternalRow => Long =
-        if (eq == null || keyIdx.length == 0) null
+      private def mkLookup(stateId: Long): InternalRow => Long =
+        if (stateId < 0 || keyIdx.length == 0) null
         else if (singleStrKey) {
-          val m = new java.util.HashMap[UTF8String, java.lang.Long](
-            eq.size * 2)
-          var nullSeq = Long.MinValue
-          eq.foreach { case (k, v) =>
-            // canon(null) is the \\u0002-prefixed form, never plain
-            // "null" — a plain-"null" match here would misroute a
-            // null-keyed delete into the else branch, where
-            // substring(2) turns canon(null) into a spurious "ull"
-            // map key (falsely deleting rows whose key is "ull")
-            if (k == MorPlan.canonNull) nullSeq = v
-            else m.put(UTF8String.fromString(k.substring(2)), v)
-          }
-          val ns = nullSeq
+          // built once per (broadcast, state) and shared across the
+          // executor's tasks via [[MorShared]]
+          val (m, ns) = MorShared.strKeyMap(morBcastId, stateId,
+            morSpec.get.eqStates(stateId))
           val ki = keyIdx(0)
           row => {
             if (row.isNullAt(ki)) ns
@@ -1127,8 +1156,9 @@ class IcebergFileReaderFactory(schema: StructType,
               if (v == null) Long.MinValue else v.longValue
             }
           }
-        } else { row =>
-          eq.getOrElse(keyOf(row), Long.MinValue)
+        } else {
+          val eq = morSpec.get.eqStates(stateId)
+          row => eq.getOrElse(keyOf(row), Long.MinValue)
         }
       // output projection: extSchema index per output field, -1 for
       // virtual columns; identity when nothing was appended
@@ -1144,7 +1174,7 @@ class IcebergFileReaderFactory(schema: StructType,
       private val posOut: Array[Boolean] =
         schema.fields.map(_.name == "_pos")
       private val filtering = part.deadPos.nonEmpty ||
-        part.emitKilled || eqAfter != null || eqBefore != null
+        part.emitKilled || part.eqState >= 0 || part.beforeEqState >= 0
       private var pos: Long = -1L
       private var current: InternalRow = _
 
@@ -1163,9 +1193,9 @@ class IcebergFileReaderFactory(schema: StructType,
       }
 
       private lazy val afterLookup: InternalRow => Long =
-        mkLookup(eqAfter)
+        mkLookup(part.eqState)
       private lazy val beforeLookup: InternalRow => Long =
-        mkLookup(eqBefore)
+        mkLookup(part.beforeEqState)
 
       private def alive(deadPos: Array[Long],
                         lookup: InternalRow => Long,

@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.IcebergMetadata
+
+/** Scratch profiler for the DSv2 MoR batch path: splits driver-side
+  * delete planning from executor scan time so regressions land on the
+  * right side. Builds the same delete-bearing 10× lineitem replica as
+  * `ScaleCheck dsv2batch`. */
+object MorProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.SystemColumns.{CdcTimestamp, OlakeId, OpType}
+
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val li0 = spark.read.parquet(s"$sf/lineitem.parquet")
+    val li = (0 until 10).map(i =>
+      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    val tmp = java.nio.file.Files.createTempDirectory("morprobe").toString
+    val morT = s"$tmp/mor_t"; val morI = s"$tmp/mor_i"
+    li.withColumn(OlakeId,
+        concat(col("l_orderkey"), lit("-"), col("l_linenumber")))
+      .write.parquet(s"$morT/base")
+    graft.sinks.DeltaSegments.writeSegment(
+      li.where(col("l_orderkey") % 20 === 0)
+        .withColumn(OlakeId,
+          concat(col("l_orderkey"), lit("-"), col("l_linenumber")))
+        .withColumn(OpType, lit("d"))
+        .withColumn(CdcTimestamp, current_timestamp())
+        .unionByName(li.where(col("l_orderkey") % 20 === 1)
+          .withColumn(OlakeId, concat(col("l_orderkey"), lit("-"),
+            col("l_linenumber")))
+          .withColumn("l_quantity", col("l_quantity") * 2)
+          .withColumn(OpType, lit("u"))
+          .withColumn(CdcTimestamp, current_timestamp())),
+      morT, 1L)
+    IcebergMetadata.publishMoR(spark, morI, morT): Unit
+
+    def t(label: String)(f: => Any): Double = {
+      f
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"morprobe $label: $s%.2f s"); s
+    }
+
+    val stats = IcebergMetadata.dataFileStats(morI)
+    println(s"morprobe files: data=${stats.count(_.content == 0)} " +
+      s"pos=${stats.count(_.content == 1)} eq=${stats.count(_.content == 2)} " +
+      s"eqRows=${stats.filter(_.content == 2).map(_.recordCount).sum} " +
+      s"posRows=${stats.filter(_.content == 1).map(_.recordCount).sum}")
+
+    // driver-side planning alone (delete-file reads + canon maps)
+    t("plan (driver delete-state build)") {
+      val scan = new graft.sources.replication.IcebergBatchScan(
+        morI, IcebergMetadata.currentSparkSchema(morI), None,
+        Array.empty, None)
+      scan.planInputPartitions()
+      scan.createReaderFactory()
+    }
+
+    t("readMoR full-agg") {
+      IcebergMetadata.readMoR(spark, morI)
+        .agg(sum("l_quantity"), count(lit(1))).collect()
+    }
+    t("DSv2 MoR full-agg") {
+      spark.read.format("graft-iceberg").load(morI)
+        .agg(sum("l_quantity"), count(lit(1))).collect()
+    }
+    t("DSv2 clean-base full-agg (no deletes)") {
+      spark.read.parquet(s"$morT/base")
+        .agg(sum("l_quantity"), count(lit(1))).collect()
+    }
+    spark.stop()
+  }
+}

@@ -1160,7 +1160,7 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mor = MorSpec(Seq(("_olake_id", StringType)),
       Map(0L -> Map("\u0002null" -> 5L, "s:a" -> 5L)))
     val factory = new IcebergFileReaderFactory(schema,
-      Map.empty, mor = Some(mor))
+      Map.empty, mor = Some(spark.sparkContext.broadcast(mor)))
     val reader = factory.createReader(
       IcebergFilePartition(file, seq = 1L, eqState = 0L))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
