@@ -92,7 +92,8 @@ import org.apache.spark.sql.SparkSession
   *    q_iceberg_sql_ctas / q_iceberg_sql_meta / q_iceberg_stream_changelog /
   *    q_iceberg_stream_partitioned / q_iceberg_stream_sink (r16),
   *    q_iceberg_sql_insert_partitioned / q_iceberg_sql_delete /
-  *    q_iceberg_sql_merge / q_iceberg_changelog_updates (r17): DSv2
+  *    q_iceberg_sql_merge / q_iceberg_changelog_updates /
+  *    q_iceberg_sql_call (r17): DSv2
   *    catalog/stream gates — multi-commit publish-then-read (or
   *    stream-checkpoint) roundtrips into tempdirs like the other
   *    q_iceberg_* exclusions; the scan paths they exercise are measured

@@ -3765,8 +3765,40 @@ object SparkEntry {
       }
       // non-pushable (modulo) → the delta-based row-level rewrite
       s.sql(s"DELETE FROM $cat.lake.nation_d WHERE n_nationkey % 3 = 1")
-      s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
-        s"FROM $cat.lake.nation_d")
+      // key-equality DELETE on a table with declared identifier
+      // fields: ONE equality-delete file, ZERO scan (metadata + a
+      // tiny file write whatever the table size)
+      locally {
+        import graft.operators.SystemColumns
+        val morStage = s"$wh/stage_k"
+        n.select(col("n_nationkey").cast("string")
+              .as(SystemColumns.OlakeId),
+            col("n_nationkey"), col("n_name"))
+          .write.parquet(s"$morStage/base")
+        IcebergMetadata.publishMoR(s, s"$wh/lake/nation_k",
+          morStage): Unit
+      }
+      s.sql(s"DELETE FROM $cat.lake.nation_k " +
+        "WHERE _olake_id IN ('1', '2', '3')")
+      locally {
+        val stats = IcebergMetadata.dataFileStats(s"$wh/lake/nation_k")
+        require(stats.exists(_.content == 2),
+          "key DELETE did not append an equality-delete file")
+        import scala.jdk.CollectionConverters._
+        val last = IcebergMetadata
+          .currentMetadata(s"$wh/lake/nation_k").get._2
+          .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+            "snapshots").asScala
+          .maxBy(_.get("sequence-number").asLong).get("summary")
+        require(Option(last.get("graft-sql-op"))
+            .exists(_.asText == "delete-by-key"),
+          "key DELETE missed the zero-scan equality path")
+      }
+      s.sql(s"SELECT n_nationkey, n_name, 'pos' AS src " +
+          s"FROM $cat.lake.nation_d")
+        .unionByName(s.sql(
+          s"SELECT n_nationkey, n_name, 'eq' AS src " +
+            s"FROM $cat.lake.nation_k"))
     }),
 
     // ---- K2+K3 SQL UPDATE + MERGE INTO: the delta-based row-level
@@ -3816,6 +3848,49 @@ object SparkEntry {
                    src.n_regionkey)""")
       s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
         s"FROM $cat.lake.nation_m")
+    }),
+
+    // ---- §3 SQL CALL PROCEDURES (Iceberg's `CALL cat.system.*`
+    //      surface): the maintenance verbs — set_ref, rollback,
+    //      rewrite_data_files, expire — driven from plain SQL through
+    //      the ProcedureCatalog, each routed through the engine's
+    //      commit CAS. The table ends rolled back to its first
+    //      snapshot with history compacted + expired; the tag ref
+    //      pins time travel across the expire. ----
+    "q_iceberg_sql_call" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlcall").toString
+      val ice = s"$wh/lake/nation_c"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$wh/stage0")
+      val c0 = IcebergMetadata.commit(s, ice, s"$wh/stage0")
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.parquet(s"$wh/stage1")
+      IcebergMetadata.appendCommit(s, ice, s"$wh/stage1"): Unit
+      val cat = "graft_call_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      require(s.sql(s"CALL $cat.system.set_ref('lake.nation_c', " +
+          s"'keep', ${c0.snapshotId}, 'tag')")
+        .collect().head.getString(0) == "keep")
+      val rolled = s.sql(s"CALL $cat.system.rollback_to_snapshot(" +
+        s"'lake.nation_c', ${c0.snapshotId})").collect()
+      require(rolled.head.getLong(1) == c0.snapshotId,
+        s"rollback returned ${rolled.toSeq}")
+      require(s.sql(s"CALL $cat.system.rewrite_manifests(" +
+          s"table => 'lake.nation_c')").collect()
+        .head.getLong(0) == c0.snapshotId)
+      require(s.sql(s"CALL $cat.system.expire_snapshots(" +
+          s"'lake.nation_c', ${System.currentTimeMillis() + 1000}, 1)")
+        .collect().head.getInt(0) >= 1, "nothing expired")
+      // the tag pinned the rolled-to snapshot across the expire
+      require(s.sql(s"SELECT count(*) FROM $cat.lake.nation_c " +
+          "VERSION AS OF 'keep'").collect().head.getLong(0) == 25L)
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+        s"FROM $cat.lake.nation_c")
     }),
 
     // ---- K2 SQL METADATA TABLES through the catalog (Iceberg's
@@ -8650,13 +8725,17 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
       """SELECT event_id, ts, user_id, event_type FROM events
         |WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
 
-    // two DELETEs: the pushable (>= 20, metadata-path positional
-    // delete) and the modulo (row-level delta plan)
+    // three DELETE shapes: the pushable (>= 20, metadata-path
+    // positional delete), the modulo (row-level delta plan), and the
+    // identifier-key IN (zero-scan equality-delete append)
     "q_iceberg_sql_delete" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |  'pos' AS src
         |FROM nation
-        |WHERE n_nationkey < 20 AND n_nationkey % 3 <> 1""".stripMargin,
+        |WHERE n_nationkey < 20 AND n_nationkey % 3 <> 1
+        |UNION ALL
+        |SELECT n_nationkey, n_name, 'eq'
+        |FROM nation WHERE n_nationkey NOT IN (1, 2, 3)""".stripMargin,
 
     // UPDATE (upper names of region 2) then MERGE: matched %5=0
     // deleted, matched updated to 'M_'+original, source keys >=15
@@ -8673,6 +8752,11 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT k + 1100, 'M_' || nm, r FROM n WHERE k >= 15"""
         .stripMargin,
+
+    // CALL surface: after set_ref + rollback + rewrite_manifests +
+    // expire, the table serves exactly its first snapshot
+    "q_iceberg_sql_call" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 
     // streaming sink: A's history (base + the +100 append) shifted
     // +1000 by the pipeline

@@ -390,6 +390,22 @@ object IcebergMetadata {
     sparkType(node).asInstanceOf[StructType]
   }
 
+  /** The current schema's `identifier-field-ids` as (name, field-id)
+    * pairs — the row-identity columns the engine's MoR publishes
+    * declare (reference SchemaConvertor.java:46-48). Empty when the
+    * table declares none. */
+  def identifierColumns(tableDir: String): Seq[(String, Int)] =
+    currentMetadata(tableDir).toSeq.flatMap { case (_, meta) =>
+      val sid = meta.get("current-schema-id").asInt
+      val node = meta.withArray[ArrayNode]("schemas").asScala
+        .find(_.get("schema-id").asInt == sid).get
+      val byId = node.withArray[ArrayNode]("fields").asScala
+        .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+      Option(node.get("identifier-field-ids")).toSeq
+        .flatMap(_.asScala.map(_.asInt))
+        .flatMap(id => byId.get(id).map(_ -> id))
+    }
+
   /** Field id of a top-level column in a `schemaJson` result. */
   def fieldId(schemaStr: String, name: String): Int = {
     val fields = mapper.readTree(schemaStr).withArray[ArrayNode]("fields")
@@ -1400,7 +1416,12 @@ object IcebergMetadata {
                            summary: Map[String, String] = Map.empty,
                            operation: String = "overwrite",
                            regexIfFirst: Option[String] = None,
-                           groupSize: Int = 8): Commit = {
+                           groupSize: Int = 8,
+                           // content 1 = positional (default); 2 with
+                           // `equalityIds` = equality-delete files
+                           // (the key-predicate DELETE fast path)
+                           deleteContent: Int = 1,
+                           equalityIds: Seq[Int] = Nil): Commit = {
     if (currentMetadata(tableDir).isEmpty) {
       require(deleteDir.isEmpty,
         s"row delta with deletes needs a committed table at $tableDir")
@@ -1442,8 +1463,8 @@ object IcebergMetadata {
           onlyFiles = onlyData)
       }
       val deleteEntries = deleteDir.toSeq.flatMap(dir =>
-        entriesFor(spark, dir, seq, content = 1,
-          onlyFiles = onlyDeletes))
+        entriesFor(spark, dir, seq, content = deleteContent,
+          equalityIds = equalityIds, onlyFiles = onlyDeletes))
       require(dataEntries.nonEmpty || deleteEntries.nonEmpty,
         "empty row delta")
       val dataManifests =
@@ -1466,7 +1487,8 @@ object IcebergMetadata {
         dataManifests ++ deleteManifests, carryForward = carried)
       val fullSummary = summary ++ Map(
         "added-delete-files" -> deleteEntries.size.toString,
-        "added-position-deletes" ->
+        (if (deleteContent == 2) "added-equality-deletes"
+         else "added-position-deletes") ->
           deleteEntries.map(_.rows).sum.toString)
       val version = writeMetadataJson(tableDir, schemaStr, snapshotId,
         seq, list, operation, fullSummary, dataEntries.length,

@@ -27,7 +27,8 @@ import graft.sinks.{IcebergMetadata, TableIO}
   * consumers querying its written tables from Spark/Trino.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -258,6 +259,28 @@ class GraftCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- ProcedureCatalog: `CALL <cat>.system.<proc>(...)` — the
+  // maintenance/ops surface (rollback, expire, rewrites, refs),
+  // served by [[GraftProcedures]] against the engine's commit paths ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under $catalogName.system — got " +
+        ident.namespace().mkString("."))
+    GraftProcedures.load(ident.name(), warehouse).getOrElse(
+      throw new RuntimeException(
+        s"no procedure ${ident.name()} — available: " +
+          GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else GraftProcedures.names
+      .map(Identifier.of(Array("system"), _)).toArray
 
   // ---- SupportsNamespaces: a namespace is a warehouse directory
   // that is not itself a table (no metadata/ tree) ----

@@ -1,0 +1,197 @@
+package graft.sources.replication
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.IcebergMetadata
+
+/** SQL **CALL procedures** over engine tables — the maintenance/ops
+  * surface Iceberg's own Spark integration ships (`CALL
+  * cat.system.rollback_to_snapshot(...)`), served against the
+  * engine's metadata machinery so an operator needs no engine API:
+  *
+  * {{{
+  * CALL graft.system.rollback_to_snapshot('lake.t', 123456789)
+  * CALL graft.system.expire_snapshots('lake.t', <older_than_ms>, 1)
+  * CALL graft.system.rewrite_data_files('lake.t', 134217728)
+  * CALL graft.system.remove_orphan_files('lake.t', <min_age_ms>)
+  * }}}
+  *
+  * Every procedure routes through the SAME commit paths (CAS +
+  * retries) the engine's verbs use; results come back as one-row
+  * LocalScans (metadata-only — the procedures that move data do so
+  * through the engine's distributed rewrites, never on the driver).
+  */
+object GraftProcedures {
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def pDefault(name: String, dt: DataType,
+                       default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private case class Spec(name: String,
+                          params: Array[ProcedureParameter],
+                          out: StructType,
+                          run: (String, InternalRow) => Seq[InternalRow])
+
+  private def dirOf(warehouse: String, table: String): String =
+    (warehouse +: table.split("\\.").toSeq).mkString("/")
+
+  private def snap(dir: String): Long =
+    IcebergMetadata.currentMetadata(dir)
+      .map(_._2.get("current-snapshot-id").asLong).getOrElse(-1L)
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  /** (previous, current) snapshot ids around a metadata action. */
+  private def around(dir: String)(body: => Unit): Seq[InternalRow] = {
+    val before = snap(dir)
+    body
+    Seq(row(before, snap(dir)))
+  }
+
+  private val snapsOut = StructType(Seq(
+    StructField("previous_snapshot_id", LongType),
+    StructField("current_snapshot_id", LongType)))
+
+  private val specs: Seq[Spec] = Seq(
+    Spec("rollback_to_snapshot",
+      Array(p("table", StringType), p("snapshot_id", LongType)),
+      snapsOut,
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        around(dir) {
+          IcebergMetadata.rollbackTo(dir, in.getLong(1)): Unit }
+      }),
+    Spec("fast_forward",
+      Array(p("table", StringType), p("branch", StringType)),
+      snapsOut,
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        around(dir) {
+          IcebergMetadata.fastForward(dir,
+            in.getUTF8String(1).toString): Unit }
+      }),
+    Spec("cherrypick_snapshot",
+      Array(p("table", StringType), p("snapshot_id", LongType)),
+      snapsOut,
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        around(dir) {
+          IcebergMetadata.cherrypickSnapshot(dir, in.getLong(1)): Unit }
+      }),
+    Spec("expire_snapshots",
+      Array(p("table", StringType), p("older_than_ms", LongType),
+        pDefault("retain_last", IntegerType, "1")),
+      StructType(Seq(StructField("expired_snapshots", IntegerType))),
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        Seq(row(IcebergMetadata.expireSnapshotsOlderThan(dir,
+          in.getLong(1), in.getInt(2))))
+      }),
+    Spec("remove_orphan_files",
+      Array(p("table", StringType),
+        pDefault("min_age_ms", LongType, "0")),
+      StructType(Seq(StructField("orphans_removed", IntegerType))),
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        Seq(row(IcebergMetadata.removeOrphans(dir, in.getLong(1))))
+      }),
+    Spec("rewrite_manifests",
+      Array(p("table", StringType),
+        pDefault("group_size", IntegerType, "8")),
+      snapsOut,
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        around(dir) {
+          IcebergMetadata.rewriteManifests(SparkSession.active, dir,
+            in.getInt(1)): Unit }
+      }),
+    Spec("rewrite_data_files",
+      Array(p("table", StringType),
+        pDefault("target_bytes", LongType, "134217728")),
+      snapsOut,
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        around(dir) {
+          IcebergMetadata.binpackRewrite(SparkSession.active, dir,
+            in.getLong(1)): Unit }
+      }),
+    Spec("rewrite_position_delete_files",
+      Array(p("table", StringType)),
+      snapsOut,
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        around(dir) {
+          IcebergMetadata.rewritePositionDeletes(
+            SparkSession.active, dir): Unit }
+      }),
+    Spec("rewrite_equality_deletes",
+      Array(p("table", StringType)),
+      snapsOut,
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        around(dir) {
+          IcebergMetadata.rewriteEqualityDeletes(
+            SparkSession.active, dir): Unit }
+      }),
+    Spec("set_ref",
+      Array(p("table", StringType), p("ref", StringType),
+        p("snapshot_id", LongType),
+        pDefault("ref_type", StringType, "'tag'")),
+      StructType(Seq(StructField("ref", StringType),
+        StructField("snapshot_id", LongType))),
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        val ref = in.getUTF8String(1).toString
+        IcebergMetadata.setRef(dir, ref, in.getLong(2),
+          in.getUTF8String(3).toString): Unit
+        Seq(row(UTF8String.fromString(ref), in.getLong(2)))
+      }),
+    Spec("drop_ref",
+      Array(p("table", StringType), p("ref", StringType)),
+      StructType(Seq(StructField("dropped", StringType))),
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        val ref = in.getUTF8String(1).toString
+        IcebergMetadata.dropRef(dir, ref): Unit
+        Seq(row(UTF8String.fromString(ref)))
+      }))
+
+  private val byName = specs.map(s => s.name -> s).toMap
+
+  def names: Seq[String] = specs.map(_.name)
+
+  def load(name: String, warehouse: String): Option[UnboundProcedure] =
+    byName.get(name).map { spec =>
+      new UnboundProcedure {
+        override def name(): String = spec.name
+        override def description(): String =
+          s"graft maintenance procedure ${spec.name}"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = spec.name
+            override def description(): String =
+              s"graft maintenance procedure ${spec.name}"
+            override def parameters(): Array[ProcedureParameter] =
+              spec.params
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val out = spec.run(warehouse, input)
+              java.util.Collections.singletonList(new LocalScan {
+                override def readSchema(): StructType = spec.out
+                override def rows(): Array[InternalRow] = out.toArray
+              }: Scan).iterator()
+            }
+          }
+      }
+    }
+}

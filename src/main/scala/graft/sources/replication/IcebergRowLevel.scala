@@ -61,6 +61,44 @@ object IcebergRowLevel {
       return
     }
     if (IcebergMetadata.currentMetadata(tableDir).isEmpty) return
+    // EQUALITY fast path: a predicate that is exactly key = v / key
+    // IN (…) on the table's declared identifier column commits ONE
+    // equality-delete file with ZERO scan — pure metadata + a tiny
+    // file write, whatever the table size (the new delete's sequence
+    // is above every live row's, so it kills exactly the keys named).
+    IcebergMetadata.identifierColumns(tableDir) match {
+      case Seq((keyCol, keyFid)) =>
+        import org.apache.spark.sql.sources.{EqualTo, In}
+        val keyVals: Option[Seq[Any]] = filters.toSeq match {
+          case Seq(EqualTo(c, v)) if c == keyCol => Some(Seq(v))
+          case Seq(In(c, vs)) if c == keyCol => Some(vs.toSeq)
+          case _ => None
+        }
+        keyVals.foreach { vs =>
+          val staged = TableIO(tableDir).child("data")
+            .child(s"sqldelete-eq-${UUID.randomUUID()}")
+          import spark.implicits._
+          val df = vs.head match {
+            case _: String =>
+              vs.map(_.asInstanceOf[String]).toDF(keyCol)
+            case _: java.lang.Long | _: java.lang.Integer =>
+              vs.map(v => v.toString.toLong).toDF(keyCol)
+            case other => throw new UnsupportedOperationException(
+              s"equality-delete key literal ${other.getClass}")
+          }
+          df.coalesce(1).write.parquet(staged.abs)
+          val files = staged.list.filter(_.name.endsWith(".parquet"))
+          IcebergMetadata.rowDeltaCommitStaged(spark, tableDir,
+            stagedDataRoot = None, onlyData = None,
+            deleteDir = Some(staged.abs),
+            onlyDeletes = Some(files.map(_.canonical).toSet),
+            summary = Map("graft-sql-op" -> "delete-by-key"),
+            operation = "delete",
+            deleteContent = 2, equalityIds = Seq(keyFid)): Unit
+          return
+        }
+      case _ => ()
+    }
     val stats = IcebergMetadata.dataFileStats(tableDir)
       .filter(_.content == 0)
     if (stats.isEmpty) return

@@ -1141,6 +1141,118 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"got $got")
   }
 
+  test("DELETE FROM by the declared identifier key commits ONE " +
+    "equality-delete file with zero scan") {
+    val ice = publishMorFixture()
+    val wh = new java.io.File(ice).getParent
+    val cat = "gek_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val name = new java.io.File(ice).getName
+    val before = spark.sql(s"SELECT id FROM $cat.$name").collect()
+      .map(_.getLong(0)).toSet
+    assert(before.contains(2L))
+    val eqBefore = IcebergMetadata.dataFileStats(ice)
+      .count(_.content == 2)
+    spark.sql(s"DELETE FROM $cat.$name WHERE _olake_id = '2'")
+    val after = spark.sql(s"SELECT id FROM $cat.$name").collect()
+      .map(_.getLong(0)).toSet
+    assert(after == before - 2L, s"got $after")
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.count(_.content == 2) == eqBefore + 1,
+      "key DELETE did not append an equality-delete file")
+    import scala.jdk.CollectionConverters._
+    val last = IcebergMetadata.currentMetadata(ice).get._2
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "snapshots").asScala
+      .maxBy(_.get("sequence-number").asLong).get("summary")
+    assert(last.get("operation").asText == "delete")
+    assert(Option(last.get("graft-sql-op"))
+      .exists(_.asText == "delete-by-key"))
+    // IN (...) takes the same path; readMoR agrees with the DSv2 face
+    spark.sql(s"DELETE FROM $cat.$name WHERE _olake_id IN ('3', '4')")
+    val after2 = spark.sql(s"SELECT id FROM $cat.$name").collect()
+      .map(_.getLong(0)).toSet
+    assert(after2 == before -- Set(2L, 3L, 4L), s"got $after2")
+    val viaMor = IcebergMetadata.readMoR(spark, ice)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaMor == after2)
+  }
+
+  test("CALL procedures: set_ref / rollback_to_snapshot / " +
+    "rewrite_manifests / expire_snapshots through plain SQL") {
+    val wh = Files.createTempDirectory("graft_sqlcall").toString
+    val ice = s"$wh/t"
+    rows(0 until 5).coalesce(1).write.parquet(s"$wh/d0")
+    val c0 = IcebergMetadata.commit(spark, ice, s"$wh/d0")
+    rows(5 until 9).coalesce(1).write.parquet(s"$wh/d1")
+    IcebergMetadata.appendCommit(spark, ice, s"$wh/d1"): Unit
+    val cat = "gc_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // tag the first snapshot, then roll the table back to it
+    val tagged = spark.sql(s"CALL $cat.system.set_ref('t', 'v1', " +
+      s"${c0.snapshotId}, 'tag')").collect()
+    assert(tagged.head.getString(0) == "v1")
+    val rolled = spark.sql(
+      s"CALL $cat.system.rollback_to_snapshot('t', ${c0.snapshotId})")
+      .collect()
+    assert(rolled.head.getLong(1) == c0.snapshotId,
+      s"rollback result: ${rolled.toSeq}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+      .collect().head.getLong(0) == 5L)
+    // named-arg form + a metadata-only rewrite
+    val rm = spark.sql(s"CALL $cat.system.rewrite_manifests(" +
+      s"table => 't')").collect()
+    assert(rm.head.getLong(0) == c0.snapshotId) // previous = rolled-to
+    // expire everything older than now, keeping the current chain
+    val expired = spark.sql(s"CALL $cat.system.expire_snapshots('t', " +
+      s"${System.currentTimeMillis() + 1000}, 1)").collect()
+    assert(expired.head.getInt(0) >= 1, s"expired: ${expired.toSeq}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+      .collect().head.getLong(0) == 5L)
+    // the tag must have survived expiration (refs pin snapshots)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'v1'")
+      .collect().head.getLong(0) == 5L)
+    // unknown procedure refuses with the available list
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.nope('t')").collect()
+    }
+    assert(e.getMessage.contains("rollback_to_snapshot") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("rollback_to_snapshot")))
+  }
+
+  test("fanout writer under adversarial row order: LRU eviction past " +
+    "MaxOpenWriters costs extra files, never correctness") {
+    val wh = Files.createTempDirectory("graft_fanout").toString
+    val cat = "gf_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, grp BIGINT, v BIGINT) " +
+      "PARTITIONED BY (grp)")
+    // 100 partitions interleaved in round-robin order from ONE task:
+    // the writer's 64-writer LRU must evict and reopen
+    val n = 1000
+    spark.range(n).select(col("id"), (col("id") % 100).as("grp"),
+        (col("id") * 3).as("v"))
+      .coalesce(1)
+      .createOrReplaceTempView("fanout_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, grp, v FROM fanout_src")
+    val got = spark.sql(s"SELECT id, grp, v FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (0L until n).map(i => (i, i % 100, i * 3)).toSet)
+    val stats = IcebergMetadata.dataFileStats(s"$wh/t")
+    assert(stats.forall(_.partition.nonEmpty))
+    // eviction produced more files than partitions (reopened leaves),
+    // proving the memory bound engaged rather than unbounded writers
+    assert(stats.size > 100,
+      s"expected evict-and-reopen extra files, got ${stats.size}")
+  }
+
   test("null-keyed equality delete takes the single-string-key fast " +
     "path: kills null-keyed rows and never a row keyed 'ull'") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
