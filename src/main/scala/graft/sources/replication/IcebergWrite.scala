@@ -72,16 +72,48 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering {
+    private val plan = PartitionedWritePlan.resolve(tableDir,
+      info.schema())
+
+    /** Identity-partitioned writes ask Spark to CLUSTER input rows by
+      * the partition source columns: each partition value then lands
+      * in exactly ONE task, so the fanout writer produces one file
+      * per partition value instead of one per (task, value) — the
+      * file-count shape that matters at 1000 tasks. Time/bucket/
+      * truncate transforms keep the unspecified distribution (their
+      * transform functions aren't expressible without a function
+      * catalog; the LRU fanout handles any input order correctly,
+      * and compaction owns the file-count cadence). ADVISORY only —
+      * Spark may still skip the exchange (AQE small inputs). */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution = {
+      import org.apache.spark.sql.connector.distributions.Distributions
+      import org.apache.spark.sql.connector.expressions.Expressions
+      plan match {
+        case Some(p) if p.fields.nonEmpty &&
+            p.fields.forall(_.transform == "identity") =>
+          Distributions.clustered(p.fields.map(f =>
+            Expressions.identity(info.schema().fields(f.ordinal).name)
+              : org.apache.spark.sql.connector.expressions.Expression)
+            .toArray)
+        case _ => Distributions.unspecified()
+      }
+    }
+    override def distributionStrictlyRequired(): Boolean = false
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
+
     override def toBatch: BatchWrite =
       new IcebergBatchWrite(tableDir, info.schema(), info.queryId(),
-        overwriteAll, IcebergTableSource.fsConf(),
-        PartitionedWritePlan.resolve(tableDir, info.schema()))
+        overwriteAll, IcebergTableSource.fsConf(), plan)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new IcebergStreamingWrite(tableDir, info.schema(), info.queryId(),
-        overwriteAll, IcebergTableSource.fsConf(),
-        PartitionedWritePlan.resolve(tableDir, info.schema()))
+        overwriteAll, IcebergTableSource.fsConf(), plan)
   }
 }
 

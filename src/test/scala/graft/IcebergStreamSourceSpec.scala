@@ -1232,10 +1232,12 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.replication.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // bucket transform: no clustered distribution is requested
+    // (identity-only), so ONE task sees all 100 bucket values in
+    // murmur3-shuffled order — the writer's 64-writer LRU must evict
+    // and reopen
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, grp BIGINT, v BIGINT) " +
-      "PARTITIONED BY (grp)")
-    // 100 partitions interleaved in round-robin order from ONE task:
-    // the writer's 64-writer LRU must evict and reopen
+      "PARTITIONED BY (bucket(100, id))")
     val n = 1000
     spark.range(n).select(col("id"), (col("id") % 100).as("grp"),
         (col("id") * 3).as("v"))
@@ -1251,6 +1253,29 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // proving the memory bound engaged rather than unbounded writers
     assert(stats.size > 100,
       s"expected evict-and-reopen extra files, got ${stats.size}")
+  }
+
+  test("identity-partitioned INSERT requests a clustered " +
+    "distribution: one data file per partition value, however many " +
+    "source tasks") {
+    val wh = Files.createTempDirectory("graft_cluster").toString
+    val cat = "gcl_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, grp BIGINT, v BIGINT) " +
+      "PARTITIONED BY (grp)")
+    // 8 source partitions, 5 grp values: without the clustered
+    // exchange this would stage up to 40 files
+    spark.range(0, 1000, 1, 8).select(col("id"),
+        (col("id") % 5).as("grp"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("cluster_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, grp, v FROM cluster_src")
+    val stats = IcebergMetadata.dataFileStats(s"$wh/t")
+    assert(stats.size == 5,
+      s"expected one file per partition value, got ${stats.size}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+      .collect().head.getLong(0) == 1000L)
   }
 
   test("null-keyed equality delete takes the single-string-key fast " +
