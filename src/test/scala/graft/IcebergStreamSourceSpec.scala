@@ -1223,6 +1223,13 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("rollback_to_snapshot") ||
       Option(e.getCause).exists(
         _.getMessage.contains("rollback_to_snapshot")))
+    // SHOW PROCEDURES lists the ops surface
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .collect().flatMap(_.toSeq).collect {
+        case s: String => s }.toSet
+    assert(Set("rollback_to_snapshot", "expire_snapshots",
+      "rewrite_data_files", "set_ref").subsetOf(listed),
+      s"SHOW PROCEDURES: $listed")
   }
 
   test("fanout writer under adversarial row order: LRU eviction past " +
