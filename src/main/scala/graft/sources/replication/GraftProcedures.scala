@@ -155,6 +155,14 @@ object GraftProcedures {
           in.getUTF8String(3).toString): Unit
         Seq(row(UTF8String.fromString(ref), in.getLong(2)))
       }),
+    Spec("evolve_partition_spec",
+      Array(p("table", StringType), p("partition_regex", StringType)),
+      StructType(Seq(StructField("spec_id", IntegerType))),
+      (wh, in) => {
+        val dir = dirOf(wh, in.getUTF8String(0).toString)
+        Seq(row(IcebergMetadata.evolvePartitionSpec(dir,
+          in.getUTF8String(1).toString)))
+      }),
     Spec("drop_ref",
       Array(p("table", StringType), p("ref", StringType)),
       StructType(Seq(StructField("dropped", StringType))),

@@ -1223,6 +1223,18 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("rollback_to_snapshot") ||
       Option(e.getCause).exists(
         _.getMessage.contains("rollback_to_snapshot")))
+    // partition-spec evolution from SQL: the unpartitioned table
+    // gains a bucket spec, which becomes the write target (the next
+    // INSERT lands tuple-bearing files)
+    val sid = spark.sql(s"CALL $cat.system.evolve_partition_spec(" +
+      "'t', '/{id,bucket[4]}')").collect().head.getInt(0)
+    assert(sid == 1, s"new spec id $sid")
+    spark.sql(s"INSERT INTO $cat.t VALUES (500, 5000)")
+    val tuples = IcebergMetadata.dataFileStats(ice)
+      .filter(_.partition.nonEmpty).map(_.partition.head)
+    assert(tuples.nonEmpty && tuples.forall(t =>
+      t.asInstanceOf[Int] >= 0 && t.asInstanceOf[Int] < 4),
+      s"post-evolution insert lost its bucket tuple: $tuples")
     // SHOW PROCEDURES lists the ops surface
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().flatMap(_.toSeq).collect {
