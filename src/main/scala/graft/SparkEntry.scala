@@ -3893,6 +3893,112 @@ object SparkEntry {
         s"FROM $cat.lake.nation_c")
     }),
 
+    // ---- K2 AGGREGATE PUSHDOWN from manifest statistics: COUNT(*) /
+    //      COUNT(col) / MIN / MAX on a clean snapshot answer from the
+    //      manifests' record counts, value/null counts and bounds —
+    //      ZERO data files open, no aggregate node in the plan. At
+    //      100 TB this is a sub-second metadata fold instead of a
+    //      full-table scan (Iceberg's own connector shape). ----
+    "q_iceberg_agg_push" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_aggpush").toString
+      val cat = "graft_ap_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // publish through the engine's OWN write face (CTAS): it stages
+      // Iceberg-spec INT64-micros timestamps, so o_orderdate gets real
+      // footer stats → manifest value/null counts. A raw
+      // `df.write.parquet` under Spark's INT96 default would stage a
+      // stats-less timestamp column and the pushdown would (rightly)
+      // refuse.
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .createOrReplaceTempView("ord_agg_src")
+      s.sql(s"""CREATE TABLE $cat.lake.orders_agg AS
+               SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+               FROM ord_agg_src""")
+      val df = s.sql(
+        s"""SELECT count(*) AS n_rows, count(o_orderdate) AS n_dated,
+            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+            min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+            FROM $cat.lake.orders_agg""")
+      // the answer must come from the manifest-stats scan: one
+      // precomputed-row partition, no aggregate node anywhere
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }
+      require(scans.nonEmpty && scans.forall(_.scan
+          .isInstanceOf[graft.sources.replication.IcebergAggScan]),
+        "aggregate not served from manifest statistics")
+      require(!df.queryExecution.executedPlan.toString
+          .contains("HashAggregate"),
+        "complete aggregate pushdown still planned HashAggregate")
+      df
+    }),
+
+    // ---- K2 RUNTIME (join-driven) FILE PRUNING: the DSv2 scan
+    //      advertises its partition-spec source columns; a selective
+    //      join hands the build side's IN set back after planning and
+    //      the scan re-plans, keeping only files whose bucket tuple /
+    //      bounds can hold those keys — dynamic partition pruning for
+    //      the 100 TB fact-dim join. ----
+    "q_iceberg_runtime_prune" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_rtprune").toString
+      val cat = "graft_rt_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.lake.ord_rt
+               (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+               PARTITIONED BY (bucket(8, o_custkey))""")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("ord_rt_src")
+      s.sql(s"""INSERT INTO $cat.lake.ord_rt
+               SELECT o_orderkey, o_custkey, o_totalprice
+               FROM ord_rt_src""")
+      val ice = s"$wh/lake/ord_rt"
+      // deterministic half of the contract: a 2-key IN set keeps only
+      // the files in those keys' buckets (≤2 of 8), exactly the files
+      // whose tuple matches
+      locally {
+        import org.apache.spark.sql.connector.expressions.{Expressions => VE, Expression => VExpr}
+        import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+        val scan = new graft.sources.replication.IcebergStreamScanBuilder(
+          ice, IcebergMetadata.currentSparkSchema(ice),
+          skipOverwrites = false, startSnapshot = "earliest", ref = None,
+          maxFilesPerTrigger = 0).build()
+          .asInstanceOf[graft.sources.replication.IcebergStreamScan]
+        require(scan.filterAttributes().map(_.fieldNames()(0)).toSeq ==
+            Seq("o_custkey"),
+          "bucket source column not advertised for runtime filtering")
+        val total = scan.toBatch.planInputPartitions().length
+        scan.filter(Array(new VPredicate("IN",
+          Array[VExpr](VE.column("o_custkey"),
+            VE.literal(1L), VE.literal(2L)))))
+        val kept = scan.toBatch.planInputPartitions().length
+        val wantBuckets = Seq(1L, 2L).map(v =>
+          graft.sinks.PartitionTransforms.bucketLong(v, 8).toLong).toSet
+        val expect = IcebergMetadata.dataFileStats(ice)
+          .filter(_.content == 0)
+          .count(st => wantBuckets.contains(
+            st.partition.head.asInstanceOf[Number].longValue))
+        require(kept == expect && kept < total,
+          s"runtime bucket prune kept $kept of $total (expected $expect)")
+      }
+      // the e2e join the pruning serves (values DuckDB-checked)
+      s.sql(s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+               FROM $cat.lake.ord_rt o
+               JOIN (SELECT DISTINCT o_custkey FROM ord_rt_src
+                     WHERE o_custkey <= 20) d
+                 ON o.o_custkey = d.o_custkey""")
+    }),
+
     // ---- K2 SQL METADATA TABLES through the catalog (Iceberg's
     //      `SELECT * FROM db.tbl.snapshots` surface): the inspection
     //      tables an operator queries for health checks — served as a
@@ -8757,6 +8863,22 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
     // expire, the table serves exactly its first snapshot
     "q_iceberg_sql_call" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+
+    // manifest-stats aggregate pushdown: the metadata-served answers
+    // must equal the data
+    "q_iceberg_agg_push" ->
+      """SELECT count(*) AS n_rows, count(o_orderdate) AS n_dated,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+
+    // runtime-pruned fact-dim join: pruning must never drop a
+    // matching row
+    "q_iceberg_runtime_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey <= 20)
+        |""".stripMargin,
 
     // streaming sink: A's history (base + the +100 append) shifted
     // +1000 by the pipeline

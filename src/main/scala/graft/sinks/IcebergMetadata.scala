@@ -2539,6 +2539,20 @@ object IcebergMetadata {
     }).getOrElse(Seq(Nil))
   }
 
+  /** Committed partition specs keyed by their declared spec-id — the
+    * per-file planner view (manifest entries carry a spec id; a
+    * spec-evolved table's older files prune under THEIR spec, not the
+    * default). Empty for an uncommitted table. */
+  def specsById(tableDir: String): Map[Int, Seq[PartSpecField]] =
+    currentMetadata(tableDir) match {
+      case None => Map.empty
+      case Some((_, meta)) =>
+        val ids = Option(meta.get("partition-specs"))
+          .map(_.asScala.toSeq.map(_.get("spec-id").asInt))
+          .getOrElse(Seq(0))
+        ids.zip(specsFromMeta(meta)).toMap
+    }
+
   /** The parse-side [[PartitionTransforms.PartitionField]] view of a
     * committed spec — what a rewrite needs to RECOMPUTE partition
     * values from source columns (the tuple is derived metadata; the

@@ -114,15 +114,42 @@ object GraftProcedures {
           IcebergMetadata.rewriteManifests(SparkSession.active, dir,
             in.getInt(1)): Unit }
       }),
+    // strategy 'binpack' (default: small-file consolidation, touched
+    // files only) or 'sort' with sort_order = 'c1,c2' (global
+    // clustering) / 'zorder(c1,c2)' (Morton interleave — multi-column
+    // skip quality), Iceberg's own rewrite_data_files forms
     Spec("rewrite_data_files",
       Array(p("table", StringType),
-        pDefault("target_bytes", LongType, "134217728")),
+        pDefault("target_bytes", LongType, "134217728"),
+        pDefault("strategy", StringType, "'binpack'"),
+        pDefault("sort_order", StringType, "''")),
       snapsOut,
       (wh, in) => {
         val dir = dirOf(wh, in.getUTF8String(0).toString)
+        val strategy = in.getUTF8String(2).toString
+        val order = in.getUTF8String(3).toString.trim
+        val zRe = """(?i)zorder\s*\((.*)\)""".r
         around(dir) {
-          IcebergMetadata.binpackRewrite(SparkSession.active, dir,
-            in.getLong(1)): Unit }
+          strategy match {
+            case "binpack" =>
+              IcebergMetadata.binpackRewrite(SparkSession.active, dir,
+                in.getLong(1)): Unit
+            case "sort" => order match {
+              case zRe(cols) =>
+                IcebergMetadata.sortRewrite(SparkSession.active, dir,
+                  in.getLong(1), cols.split(",").map(_.trim).toSeq,
+                  zorder = true): Unit
+              case cols if cols.nonEmpty =>
+                IcebergMetadata.sortRewrite(SparkSession.active, dir,
+                  in.getLong(1), cols.split(",").map(_.trim).toSeq): Unit
+              case _ => throw new IllegalArgumentException(
+                "strategy 'sort' needs sort_order: 'c1,c2' or " +
+                  "'zorder(c1,c2)'")
+            }
+            case other => throw new IllegalArgumentException(
+              s"unknown rewrite strategy '$other': binpack | sort")
+          }
+        }
       }),
     Spec("rewrite_position_delete_files",
       Array(p("table", StringType)),

@@ -1,0 +1,344 @@
+package graft.sources.replication
+
+import scala.util.Try
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Literal => VLiteral, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.{IcebergMetadata, PartitionTransforms}
+import graft.sinks.IcebergMetadata.DataFileStat
+
+/** Aggregate pushdown answered ENTIRELY from manifest statistics —
+  * the `SupportsPushDownAggregates` planner half of the DSv2 batch
+  * face.
+  *
+  * `SELECT count(*) / count(col) / min(col) / max(col) FROM tbl` on a
+  * clean (delete-free) snapshot never opens a data file: record
+  * counts, value/null counts and column bounds already ride every
+  * manifest entry (the same stats file pruning plans from), so the
+  * answer is a driver-side fold over O(manifest entries) metadata —
+  * at 100 TB that is the difference between a full-table scan and a
+  * sub-second metadata read. This is the shape of Iceberg's own
+  * Spark-connector aggregate pushdown.
+  *
+  * Refusals are the correctness story — `plan` returns None (and the
+  * query falls back to a normal distributed scan) when:
+  *  - the snapshot has LIVE DELETE FILES: merge-on-read changes every
+  *    aggregate, and delete rows are not subtractable per-column;
+  *  - there is any GROUP BY (per-group answers need the rows);
+  *  - an aggregate is anything but COUNT(*) / COUNT(col) /
+  *    MIN(col) / MAX(col) on a top-level column — SUM has no manifest
+  *    stat, DISTINCT needs the rows;
+  *  - MIN/MAX targets a non-numeric/temporal column: the Iceberg spec
+  *    allows writers to TRUNCATE string bounds, so a string bound is
+  *    an upper estimate, not a value (our writer keeps exact footer
+  *    bounds, but a registered external table may not);
+  *  - any live data file lacks the stat (absent stats mean "cannot
+  *    answer", never "guess") — e.g. an all-null file has no bounds;
+  *  - a float/double bound decodes to NaN (footer stats around NaN
+  *    are writer-dependent; refuse rather than order NaN).
+  */
+object ManifestAgg {
+
+  /** (result schema, single result row values) when every aggregate in
+    * `agg` is answerable from manifest stats alone. */
+  def plan(tableDir: String, tableSchema: StructType, ref: Option[String],
+           asOfSnapshot: Option[Long], agg: Aggregation)
+      : Option[(StructType, Array[Any])] = try {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
+    val committed = IcebergMetadata.currentMetadata(tableDir).isDefined
+    val asOf = resolveAsOf(tableDir, ref, asOfSnapshot)
+    val stats =
+      if (committed) IcebergMetadata.dataFileStats(tableDir, asOf) else Nil
+    if (stats.exists(_.content != 0)) return None
+    val data = stats
+    val fids =
+      if (committed) IcebergMetadata.currentFieldIds(tableDir)
+      else Map.empty[String, Int]
+
+    val answered = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          data.map(_.recordCount).sum: Any))
+      case c: Count if !c.isDistinct =>
+        for {
+          col <- colOf(c.column)
+          fid <- fids.get(col)
+          if data.forall(f => f.stats.valueCounts.contains(fid) &&
+            f.stats.nullCounts.contains(fid))
+        } yield (StructField(s"count($col)", LongType, nullable = false),
+          data.map(f =>
+            f.stats.valueCounts(fid) - f.stats.nullCounts(fid)).sum: Any)
+      case m: Min => minMax(m.column, tableSchema, fids, data, isMin = true)
+      case m: Max => minMax(m.column, tableSchema, fids, data, isMin = false)
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) None
+    else Some((StructType(answered.map(_.get._1)),
+      answered.map(_.get._2).toArray))
+  } catch { case NonFatal(_) => None }
+
+  /** Resolve a branch ref / explicit snapshot to the snapshot id the
+    * batch scan would read (None = current head). */
+  private[replication] def resolveAsOf(tableDir: String, ref: Option[String],
+                                       asOfSnapshot: Option[Long])
+      : Option[Long] =
+    asOfSnapshot.orElse(ref.map { r =>
+      val meta = IcebergMetadata.currentMetadata(tableDir)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed version at $tableDir"))._2
+      Option(meta.path("refs").get(r))
+        .map(_.get("snapshot-id").asLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"ref '$r' does not exist at $tableDir"))
+    })
+
+  private def colOf(e: VExpression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def minMax(column: VExpression, tableSchema: StructType,
+                     fids: Map[String, Int], data: Seq[DataFileStat],
+                     isMin: Boolean)
+      : Option[(StructField, Any)] =
+    for {
+      col <- colOf(column)
+      field <- tableSchema.fields.find(_.name == col)
+        .orElse(tableSchema.fields.find(_.name.equalsIgnoreCase(col)))
+      if boundOrdering.isDefinedAt(field.dataType)
+      fid <- fids.get(field.name)
+      if data.forall(f => f.stats.lower.contains(fid) &&
+        f.stats.upper.contains(fid))
+      decoded = data.map { f =>
+        decodeBound(
+          if (isMin) f.stats.lower(fid) else f.stats.upper(fid),
+          field.dataType)
+      }
+      if decoded.forall(_.isDefined)
+    } yield {
+      val name = s"${if (isMin) "min" else "max"}($col)"
+      val v: Any =
+        if (decoded.isEmpty) null
+        else {
+          val ord = boundOrdering(field.dataType)
+          val vs = decoded.map(_.get)
+          if (isMin) vs.min(ord) else vs.max(ord)
+        }
+      (StructField(name, field.dataType, nullable = true), v)
+    }
+
+  /** Iceberg single-value deserialization per Spark type; None on a
+    * non-orderable decode (NaN) or size mismatch. Results are raw
+    * catalyst values (dates Int days, timestamps Long micros). */
+  private def decodeBound(b: Array[Byte], dt: DataType): Option[Any] = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType if b.length == 4 => Some(buf.getInt)
+      case LongType | TimestampType | TimestampNTZType if b.length == 8 =>
+        Some(buf.getLong)
+      case FloatType if b.length == 4 =>
+        val f = buf.getFloat
+        if (f.isNaN) None else Some(f)
+      case DoubleType if b.length == 8 =>
+        val d = buf.getDouble
+        if (d.isNaN) None else Some(d)
+      case BooleanType if b.length == 1 => Some(b(0) != 0)
+      case _ => None
+    }
+  }
+
+  private val boundOrdering: PartialFunction[DataType, Ordering[Any]] = {
+    case IntegerType | DateType =>
+      Ordering.Int.on[Any](_.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case FloatType => Ordering.Float.TotalOrdering.on[Any](
+      _.asInstanceOf[Float])
+    case DoubleType => Ordering.Double.TotalOrdering.on[Any](
+      _.asInstanceOf[Double])
+    case BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
+  }
+}
+
+/** The scan a fully-pushed aggregate builds: the answer was computed
+  * at plan time on the driver from manifest metadata, so the "scan"
+  * is one partition serving one precomputed row — zero data-file IO,
+  * zero shuffle, whatever the table size. */
+class IcebergAggScan(aggSchema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IcebergAggResultPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    AggResultReaderFactory
+  override def description(): String =
+    s"IcebergAggScan(manifest-stats, ${aggSchema.fieldNames.mkString(", ")})"
+}
+
+/** The single result partition: plain JVM values (Long/Int/Double/
+  * Float/Boolean/null only — the planner never pushes string
+  * aggregates), safe to ship in the task binary. */
+case class IcebergAggResultPartition(values: Array[Any])
+    extends InputPartition
+
+object AggResultReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val vals = p.asInstanceOf[IcebergAggResultPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Runtime (join-driven) file pruning — the `SupportsRuntimeV2
+  * Filtering` planner half. Spark collects the build side of a
+  * selective join, translates the distinct keys into an `IN`
+  * predicate, and hands it here AFTER initial planning; the scan
+  * re-plans its file partitions against it. This is dynamic partition
+  * pruning for engine tables: a fact-dim join at 100 TB reads only
+  * the fact files whose partition tuple or column bounds can hold the
+  * dim's keys.
+  *
+  * Two independent prunes, both conservative (missing info keeps the
+  * file):
+  *  - **bounds**: the file's manifest lower/upper for the column must
+  *    admit at least one of the IN values (numeric/temporal only);
+  *  - **partition tuple**: for a spec field over the column with an
+  *    `identity` or `bucket[n]` transform, the file's tuple value
+  *    must equal `transform(v)` for some IN value. Time transforms
+  *    need no tuple math — a day-partitioned file's ts bounds span
+  *    that day, so the bounds prune already excludes it.
+  */
+object RuntimePrune {
+
+  /** Per-column IN value sets from the runtime predicates (catalyst
+    * values: Int days, Long micros, UTF8String). Unparseable
+    * predicates drop out — pruning is best-effort, correctness rides
+    * on Spark re-applying the join itself. */
+  def parse(preds: Array[VPredicate]): Seq[(String, Seq[Any])] =
+    preds.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.length >= 2 =>
+          for { c <- refName(kids(0)); vs <- lits(kids.drop(1)) }
+            yield (c, vs)
+        case "=" if kids.length == 2 =>
+          (for { c <- refName(kids(0)); vs <- lits(kids.drop(1)) }
+            yield (c, vs))
+            .orElse(for { c <- refName(kids(1)); vs <- lits(kids.take(1)) }
+              yield (c, vs))
+        case _ => None
+      }
+    }
+
+  private def refName(e: VExpression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def lits(es: Array[VExpression]): Option[Seq[Any]] = {
+    val vs = es.toSeq.map {
+      case l: VLiteral[_] => Option(l.value())
+      case _ => None
+    }
+    if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+  }
+
+  private def num(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  private val argRe = """bucket\[(\d+)\]""".r
+
+  /** Can this data file hold a row matching every runtime IN set? */
+  def keep(st: DataFileStat, colVals: Seq[(String, Seq[Any])],
+           fids: Map[String, Int],
+           specs: Map[Int, Seq[IcebergMetadata.PartSpecField]]): Boolean =
+    colVals.forall { case (col, vals) =>
+      val fid = fids.get(col)
+      val boundsKeep = fid.forall { id =>
+        (st.stats.lower.get(id), st.stats.upper.get(id)) match {
+          case (Some(l), Some(u)) =>
+            val (lo, hi) =
+              (IcebergMetadata.boundLong(l), IcebergMetadata.boundLong(u))
+            val nums = vals.map(num)
+            // any non-numeric value → bounds can't adjudicate
+            nums.exists(_.isEmpty) ||
+              nums.flatten.exists(v => lo <= v && v <= hi)
+          case _ => true
+        }
+      }
+      val tupleKeep = fid.forall { id =>
+        specs.get(st.specId).forall { fields =>
+          fields.zipWithIndex
+            .filter { case (pf, _) => pf.sourceId == id }
+            .forall { case (pf, idx) =>
+              if (idx >= st.partition.length) true
+              else {
+                val tuple = st.partition(idx)
+                pf.transform match {
+                  case "identity" => vals.exists(v => identityEq(tuple, v))
+                  case argRe(n) =>
+                    val buckets = vals.flatMap(bucketOf(_, n.toInt))
+                    // any unbucketable value → keep
+                    buckets.length < vals.length ||
+                      buckets.exists(b => num(tuple).contains(b.toLong))
+                  case _ => true
+                }
+              }
+            }
+        }
+      }
+      boundsKeep && tupleKeep
+    }
+
+  /** A null tuple under identity means every row's value is null —
+    * and null never satisfies IN — so null prunes. */
+  private def identityEq(tuple: Any, v: Any): Boolean = (tuple, v) match {
+    case (null, _) => false
+    case (t: String, u: UTF8String) => t == u.toString
+    case (t: UTF8String, u: UTF8String) => t == u
+    case _ =>
+      (num(tuple), num(v)) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => true // incomparable → keep
+      }
+  }
+
+  /** Iceberg bucket of a runtime IN value: timestamps hash their
+    * micros (the catalyst Long), ints widen to long — exactly the
+    * write-side `withPartitionColumns` dispatch. */
+  private def bucketOf(v: Any, n: Int): Option[Int] = v match {
+    case s: UTF8String => Some(PartitionTransforms.bucketString(s.toString, n))
+    case s: String => Some(PartitionTransforms.bucketString(s, n))
+    case other => num(other).map(PartitionTransforms.bucketLong(_, n))
+  }
+
+  /** Partition-spec source column names of the table's default spec —
+    * what `filterAttributes` advertises (the columns a runtime filter
+    * can actually prune files by). */
+  def filterColumns(tableDir: String): Seq[String] =
+    Try(IcebergMetadata.defaultSpecView(tableDir).map(_._1.column).distinct)
+      .getOrElse(Nil)
+}

@@ -282,10 +282,20 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
                                mode: String = "append")
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var pruned: StructType = tableSchema
   private var prunable: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+  private var limit: Int = 0
+
+  /** LIMIT n plans only enough FILES to cover n rows (manifest record
+    * counts; clean snapshots only — the batch side re-checks): a
+    * `LIMIT 10` over a million-file table plans one partition. Always
+    * partial — Spark keeps its own row-level Limit on top. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
   override def pushFilters(
@@ -296,9 +306,41 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
   }
   override def pushedFilters()
       : Array[org.apache.spark.sql.sources.Filter] = prunable
-  override def build(): Scan = new IcebergStreamScan(tableDir, pruned,
-    skipOverwrites, startSnapshot, ref, maxFilesPerTrigger, prunable,
-    asOfSnapshot, mode)
+
+  // COUNT/MIN/MAX answered from manifest stats ([[ManifestAgg]]):
+  // Spark asks supportCompletePushDown then pushAggregation with the
+  // same Aggregation — memoize the (driver-side, metadata-only) plan
+  // so the manifests are folded once. Pushed filters block aggregate
+  // pushdown upstream (every filter stays residual here, so Spark
+  // keeps the Filter node and never offers the aggregate).
+  private var aggMemo
+      : Option[(String, Option[(StructType, Array[Any])])] = None
+  private def planAgg(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[(StructType, Array[Any])] = {
+    if (mode == "changelog") return None
+    val key = agg.toString
+    aggMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = ManifestAgg.plan(tableDir, tableSchema, ref,
+          asOfSnapshot, agg)
+        aggMemo = Some((key, r))
+        r
+    }
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = planAgg(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = planAgg(agg).isDefined
+
+  override def build(): Scan = aggMemo.flatMap(_._2) match {
+    case Some((sch, vals)) => new IcebergAggScan(sch, vals)
+    case None => new IcebergStreamScan(tableDir, pruned,
+      skipOverwrites, startSnapshot, ref, maxFilesPerTrigger, prunable,
+      asOfSnapshot, mode, limit)
+  }
 }
 
 class IcebergStreamScan(tableDir: String, tableSchema: StructType,
@@ -307,12 +349,73 @@ class IcebergStreamScan(tableDir: String, tableSchema: StructType,
                         filters: Array[org.apache.spark.sql.sources.Filter]
                           = Array.empty,
                         asOfSnapshot: Option[Long] = None,
-                        mode: String = "append")
-    extends Scan {
+                        mode: String = "append",
+                        limit: Int = 0)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = tableSchema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new IcebergSnapshotStream(tableDir, tableSchema, skipOverwrites,
       startSnapshot, ref, maxFilesPerTrigger, filters, mode)
+
+  /** Runtime (join-driven) predicates, delivered by Spark AFTER
+    * initial planning; `toBatch` is re-invoked afterwards, so the
+    * fresh batch re-plans its file partitions against them. */
+  private var runtimePreds
+      : Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate] = Array.empty
+
+  /** Advertise the partition-spec SOURCE columns: the columns whose
+    * IN sets actually prune files (tuple match and/or tight per-file
+    * bounds). A selective join on one of these becomes dynamic file
+    * pruning — the 100 TB fact-dim join reads the dim-matched files
+    * only. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (mode == "changelog") Array.empty
+    else RuntimePrune.filterColumns(tableDir)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit =
+    runtimePreds = predicates
+
+  /** The no-runtime-filter batch, shared between `estimateStatistics`
+    * (logical planning) and `toBatch` (physical planning) so one
+    * query costs one manifest read, not two. A runtime-filtered
+    * re-plan builds fresh — the predicates arrived after this batch
+    * planned. */
+  private lazy val cleanBatch =
+    new IcebergBatchScan(tableDir, tableSchema, ref, filters, asOfSnapshot,
+      limit = limit)
+
+  private def batchFor(): IcebergBatchScan =
+    if (runtimePreds.isEmpty) cleanBatch
+    else new IcebergBatchScan(tableDir, tableSchema, ref, filters,
+      asOfSnapshot, runtimePreds, limit)
+
+  /** Manifest-derived size/rows of the (filter-pruned) scan — what
+    * Spark's join planning consumes: a small engine table reports a
+    * small sizeInBytes and gets BROADCAST, with zero file IO spent
+    * finding that out. Rows net out the live delete-file records (an
+    * estimate; the optimizer needs magnitude, not exactness). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val est =
+      try batchFor().estimate()
+      catch { case scala.util.control.NonFatal(_) => None }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        est.map(e => java.util.OptionalLong.of(e._1))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        est.map(e => java.util.OptionalLong.of(e._2))
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 
   /** BATCH face of the same table: the live data files of one
     * snapshot (current, `asOfSnapshot` time travel, or a `ref` head),
@@ -333,7 +436,7 @@ class IcebergStreamScan(tableDir: String, tableSchema: StructType,
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     require(mode != "changelog",
       "mode=changelog is a streaming read: use spark.readStream")
-    new IcebergBatchScan(tableDir, tableSchema, ref, filters, asOfSnapshot)
+    batchFor()
   }
 }
 
@@ -343,7 +446,10 @@ class IcebergStreamScan(tableDir: String, tableSchema: StructType,
 class IcebergBatchScan(tableDir: String, tableSchema: StructType,
                        ref: Option[String],
                        filters: Array[org.apache.spark.sql.sources.Filter],
-                       asOfSnapshot: Option[Long])
+                       asOfSnapshot: Option[Long],
+                       runtime: Array[org.apache.spark.sql.connector
+                         .expressions.filter.Predicate] = Array.empty,
+                       limit: Int = 0)
     extends org.apache.spark.sql.connector.read.Batch {
 
   private lazy val asOf: Option[Long] = asOfSnapshot.orElse(ref.map { r =>
@@ -384,13 +490,23 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
       (Some(spec), pos)
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (!committed) return Array.empty
-    val (morSpec, posState) = morState
+  /** The data files the scan will read: manifest entries surviving
+    * BOTH the plan-time filter bounds prune and the runtime
+    * (join-driven) prune — shared by partition planning and the
+    * statistics estimate. */
+  private lazy val prunedDataStats: Seq[IcebergMetadata.DataFileStat] =
+    if (!committed) Nil
+    else {
     val dataStats = stats.filter(_.content == 0)
+    val runtimeVals = RuntimePrune.parse(runtime)
     val fidByName =
-      if (filters.isEmpty) Map.empty[String, Int]
+      if (filters.isEmpty && runtimeVals.isEmpty) Map.empty[String, Int]
       else IcebergMetadata.currentFieldIds(tableDir)
+    val specs =
+      if (runtimeVals.isEmpty)
+        Map.empty[Int, Seq[IcebergMetadata.PartSpecField]]
+      else scala.util.Try(IcebergMetadata.specsById(tableDir))
+        .getOrElse(Map.empty)
     // stats-pruning data files stays CORRECT under MoR: deletes only
     // remove rows, so a file whose bounds cannot match the predicate
     // still cannot contribute rows after the merge
@@ -404,8 +520,44 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
             case _ => None
           }
         }
-      filters.forall(f => StatsPrune.mightMatch(f, bounds))
-    }.map { st =>
+      filters.forall(f => StatsPrune.mightMatch(f, bounds)) &&
+        (runtimeVals.isEmpty ||
+          RuntimePrune.keep(st, runtimeVals, fidByName, specs))
+    }
+    }
+
+  /** (sizeBytes, rows) of the pruned scan for the optimizer — rows
+    * net out live delete-file records as an estimate. */
+  def estimate(): Option[(Long, Long)] = {
+    if (!committed) return Some((0L, 0L))
+    val delRows = stats.filter(_.content != 0).map(_.recordCount).sum
+    Some((prunedDataStats.map(_.sizeBytes).sum,
+      math.max(0L, prunedDataStats.map(_.recordCount).sum - delRows)))
+  }
+
+  /** LIMIT file truncation: enough files to cover `limit` rows by
+    * manifest record counts. ONLY on a clean unfiltered scan — a
+    * delete file could kill rows (undercounting), and a residual
+    * filter means Spark kept a Filter node (it would not have pushed
+    * the limit past one anyway, but re-check — correctness must not
+    * depend on the optimizer's rule order). */
+  private def limited(sts: Seq[IcebergMetadata.DataFileStat])
+      : Seq[IcebergMetadata.DataFileStat] =
+    if (limit <= 0 || hasDeletes || filters.nonEmpty || runtime.nonEmpty)
+      sts
+    else {
+      var acc = 0L
+      sts.takeWhile { st =>
+        val needMore = acc < limit
+        acc += st.recordCount
+        needMore
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (!committed) return Array.empty
+    val (morSpec, posState) = morState
+    limited(prunedDataStats).map { st =>
       IcebergFilePartition(st.path, seq = st.seq,
         sizeBytes = st.sizeBytes,
         deadPos = posState.getOrElse(MorPlan.norm(st.path), Array.empty),

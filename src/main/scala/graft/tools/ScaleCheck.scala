@@ -255,6 +255,104 @@ object ScaleCheck {
       spark.stop(); return
     }
 
+    // ---- Optimizer faces at file count (`ScaleCheck optfaces`): the
+    // three r17 scan faces on a 200-file, 6M-row table. (a) COUNT(*)
+    // via manifest-stats aggregate pushdown must run in metadata time
+    // (≤0.2× the full scan — in truth it's milliseconds, the bound
+    // absorbs JIT noise); (b) LIMIT 5 must plan ONE file partition of
+    // 200; (c) a 4-key runtime IN over range-clustered files must
+    // keep ≲4 files and plan in sub-second driver time; (d) the
+    // manifest-reported statistics must make a small engine table the
+    // BROADCAST side against a 6M-row fact. ----
+    if (args.headOption.contains("optfaces")) {
+      import graft.sinks.IcebergMetadata
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      replicate("lineitem", Seq("l_orderkey"))
+      val li = spark.read.parquet(s"$big/lineitem.parquet")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("scopt").toString
+      val ice = s"$tmp/lake/li_ranged"
+      // range-clustered staging: each of the 200 files holds a
+      // contiguous l_orderkey slice (what a sorted/zordered production
+      // table looks like), so bounds actually adjudicate
+      li.repartitionByRange(200, col("l_orderkey"))
+        .write.parquet(s"$tmp/stage")
+      IcebergMetadata.commit(spark, ice, s"$tmp/stage"): Unit
+      spark.conf.set("spark.sql.catalog.gso",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gso.warehouse", tmp)
+      def t2[A](label: String)(f: => A): (Double, A) = {
+        f // warm
+        val t0 = System.nanoTime(); val r = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"optfaces $label: $s%.3f s"); (s, r)
+      }
+      // the honest comparison: a real column aggregate (plain
+      // `count()` on parquet is itself footer-served by Spark)
+      val (tScan, rScan) = t2("full-scan count+min+max (raw parquet)") {
+        spark.read.parquet(s"$tmp/stage")
+          .agg(count(lit(1)), min("l_orderkey"), max("l_orderkey"))
+          .collect()(0) }
+      val (tPush, rPush) = t2("aggpush count+min+max via SQL") {
+        spark.sql("SELECT count(*), min(l_orderkey), max(l_orderkey) " +
+          "FROM gso.lake.li_ranged").collect()(0) }
+      require(rPush.getLong(0) == rScan.getLong(0) &&
+          rPush.getLong(1) == rScan.getLong(1) &&
+          rPush.getLong(2) == rScan.getLong(2),
+        s"aggpush answers $rPush != scan $rScan")
+      // metadata-time: well under the scan, with an absolute floor for
+      // SQL-overhead noise at small scale
+      require(tPush <= math.max(0.15, tScan * 0.5),
+        f"aggregate pushdown not metadata-time: $tPush%.3f vs scan " +
+          f"$tScan%.3f")
+
+      val lim = spark.read.format("graft-iceberg").load(ice).limit(5)
+      require(lim.count() == 5L)
+      val limParts = lim.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.map(_.inputPartitions.length).sum
+      println(s"optfaces LIMIT 5 planned $limParts of 200 files")
+      require(limParts == 1, s"LIMIT planned $limParts files, want 1")
+
+      locally {
+        import org.apache.spark.sql.connector.expressions.{Expressions => VE, Expression => VExpr}
+        import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+        val scan = new graft.sources.replication.IcebergStreamScanBuilder(
+          ice, IcebergMetadata.currentSparkSchema(ice),
+          skipOverwrites = false, startSnapshot = "earliest", ref = None,
+          maxFilesPerTrigger = 0).build()
+          .asInstanceOf[graft.sources.replication.IcebergStreamScan]
+        val total = scan.toBatch.planInputPartitions().length
+        val keys = Seq(1L, 1000001L, 2000001L, 3000001L)
+        scan.filter(Array(new VPredicate("IN",
+          (VE.column("l_orderkey"): VExpr) +:
+            keys.toArray.map(k => VE.literal(k): VExpr))))
+        val t0 = System.nanoTime()
+        val kept = scan.toBatch.planInputPartitions().length
+        val planS = (System.nanoTime() - t0) / 1e9
+        println(f"optfaces runtime IN(4 keys): kept $kept of $total " +
+          f"files, planned in $planS%.3f s")
+        require(kept <= keys.length && kept >= 1,
+          s"runtime prune kept $kept of $total for 4 range-local keys")
+        require(planS < 1.0, f"runtime re-plan took $planS%.3f s")
+      }
+
+      locally {
+        val natI = s"$tmp/lake/nation_dim"
+        Tables.load(spark, base, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+          .coalesce(1).write.parquet(s"$tmp/natstage")
+        IcebergMetadata.commit(spark, natI, s"$tmp/natstage"): Unit
+        val joined = li.join(
+          spark.read.format("graft-iceberg").load(natI),
+          li("l_suppkey") % 25 === col("n_nationkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          "25-row engine table did not broadcast against 6M-row fact")
+        println("optfaces stats-driven broadcast: OK")
+      }
+      spark.stop(); return
+    }
+
     // ---- Equality-delete compaction cost (`ScaleCheck eqrewrite`):
     // rewrite wall vs number of hot-key delete batches, with the DATA
     // size held constant — the claim is cost ∝ eq-delete rows (data

@@ -1,0 +1,250 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+
+import graft.sinks.{IcebergMetadata, PartitionTransforms}
+import graft.sources.replication.{IcebergAggScan, IcebergStreamScan, IcebergStreamScanBuilder}
+
+/** The DSv2 scan's optimizer faces: manifest-stats aggregate pushdown
+  * (COUNT/MIN/MAX with zero data-file IO), runtime (join-driven) file
+  * pruning, and manifest-derived statistics reporting (broadcast
+  * decisions for free). */
+class IcebergScanPushSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Commit `n` rows (id 0..n-1, v = id*10, nv null every 5th) as one
+    * snapshot per `chunks` slice; returns the snapshot ids. */
+  private def publish(dir: String, n: Int, chunks: Int): Seq[Long] = {
+    import spark.implicits._
+    val per = n / chunks
+    (0 until chunks).map { c =>
+      val stage = tmp("push_stage")
+      (c * per until math.min(n, (c + 1) * per))
+        .map(i => (i.toLong, i * 10.0,
+          if (i % 5 == 0) None else Some(i.toLong)))
+        .toDF("id", "v", "nv")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      if (c == 0) IcebergMetadata.commit(spark, dir, stage).snapshotId
+      else IcebergMetadata.appendCommit(spark, dir, stage).snapshotId
+    }
+  }
+
+  private def batchScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[BatchScanExec] =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+
+  private def mkScan(dir: String): IcebergStreamScan =
+    new IcebergStreamScanBuilder(dir,
+      IcebergMetadata.currentSparkSchema(dir),
+      skipOverwrites = false, startSnapshot = "earliest", ref = None,
+      maxFilesPerTrigger = 0).build().asInstanceOf[IcebergStreamScan]
+
+  private def inPred(colName: String, vs: Long*): VPredicate =
+    new VPredicate("IN",
+      (Expressions.column(colName): VExpr) +:
+        vs.toArray.map(v => Expressions.literal(v): VExpr))
+
+  test("count/min/max answered from manifests: no aggregate node, " +
+    "exact values incl. null-aware count(col)") {
+    val dir = tmp("push_agg")
+    publish(dir, 100, chunks = 4)
+    val df = spark.read.format("graft-iceberg").load(dir)
+      .agg(count(lit(1)).as("n"), count(col("nv")).as("n_nv"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 100L)
+    assert(row.getLong(1) == 80L) // every 5th nv is null
+    assert(row.getLong(2) == 0L && row.getLong(3) == 99L)
+    assert(row.getDouble(4) == 0.0 && row.getDouble(5) == 990.0)
+    val scans = batchScans(df)
+    assert(scans.nonEmpty && scans.forall(_.scan.isInstanceOf[IcebergAggScan]),
+      "aggregate was not served by the manifest-stats scan")
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "complete pushdown still planned an aggregate node")
+  }
+
+  test("pushdown refuses when it cannot be exact: live deletes, " +
+    "residual filters, SUM — falls back to a correct scan plan") {
+    val wh = tmp("push_refuse_wh")
+    val dir = s"$wh/lake/aggdel"
+    publish(dir, 100, chunks = 2)
+    val cat = "pushspec_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"DELETE FROM $cat.lake.aggdel WHERE id >= 90")
+
+    // MoR table: counts/bounds in manifests no longer equal the data
+    val agg = spark.read.format("graft-iceberg").load(dir)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("max_id"))
+    val row = agg.collect()(0)
+    assert(row.getLong(0) == 90L && row.getLong(1) == 89L)
+    assert(batchScans(agg).forall(!_.scan.isInstanceOf[IcebergAggScan]),
+      "aggregate pushdown served a deleted-from table")
+
+    // a WHERE stays residual → Spark keeps the Filter and the
+    // aggregate never reaches the source
+    val dir2 = tmp("push_agg_filter")
+    publish(dir2, 100, chunks = 2)
+    val filtered = spark.read.format("graft-iceberg").load(dir2)
+      .where(col("id") < 50).agg(count(lit(1)).as("n"))
+    assert(filtered.collect()(0).getLong(0) == 50L)
+    assert(batchScans(filtered).forall(!_.scan.isInstanceOf[IcebergAggScan]))
+
+    // SUM has no manifest stat
+    val summed = spark.read.format("graft-iceberg").load(dir2)
+      .agg(sum(col("v")).as("s"))
+    assert(summed.collect()(0).getDouble(0) == (0 until 100).map(_ * 10.0).sum)
+    assert(batchScans(summed).forall(!_.scan.isInstanceOf[IcebergAggScan]))
+  }
+
+  test("agg pushdown over time travel answers from that snapshot's " +
+    "manifests") {
+    val dir = tmp("push_agg_tt")
+    val snaps = publish(dir, 40, chunks = 2) // 20 rows, then 40
+    val df = spark.read.format("graft-iceberg")
+      .option("asOfSnapshot", snaps.head.toString).load(dir)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("m"))
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 20L && row.getLong(1) == 19L)
+    assert(batchScans(df).forall(_.scan.isInstanceOf[IcebergAggScan]))
+  }
+
+  test("runtime IN filter prunes file partitions by bounds on an " +
+    "unpartitioned multi-file table") {
+    val dir = tmp("push_rtf")
+    publish(dir, 100, chunks = 4) // 4 files, id ranges [0,25) [25,50)…
+    val scan = mkScan(dir)
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before == 4)
+    scan.filter(Array(inPred("id", 3L, 7L)))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after == 1, s"runtime IN should keep 1 of 4 files, kept $after")
+  }
+
+  test("runtime filter prunes by partition tuple: identity and bucket " +
+    "transforms, through the SQL-written partitioned layout") {
+    val wh = tmp("push_rtf_part")
+    val cat = "pushspec_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import spark.implicits._
+    spark.sql(s"""CREATE TABLE $cat.lake.t_ident (k BIGINT, v DOUBLE)
+                 PARTITIONED BY (k)""")
+    (0L until 80L).map(i => (i % 8, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("rtf_src")
+    spark.sql(s"INSERT INTO $cat.lake.t_ident SELECT k, v FROM rtf_src")
+    val identDir = s"$wh/lake/t_ident"
+    val scan = mkScan(identDir)
+    assert(scan.filterAttributes().map(_.fieldNames()(0)).toSeq == Seq("k"),
+      "identity partition source not advertised for runtime filtering")
+    val total = scan.toBatch.planInputPartitions().length
+    assert(total >= 8)
+    scan.filter(Array(inPred("k", 2L)))
+    val kept = scan.toBatch.planInputPartitions().length
+    assert(kept < total && kept >= 1,
+      s"identity tuple prune kept $kept of $total")
+
+    spark.sql(s"""CREATE TABLE $cat.lake.t_bucket (k BIGINT, v DOUBLE)
+                 PARTITIONED BY (bucket(4, k))""")
+    spark.sql(s"INSERT INTO $cat.lake.t_bucket SELECT k, v FROM rtf_src")
+    val bDir = s"$wh/lake/t_bucket"
+    val bStats = IcebergMetadata.dataFileStats(bDir).filter(_.content == 0)
+    val liveBuckets = bStats.map(_.partition.head).distinct
+    assert(liveBuckets.length > 1,
+      s"test premise: 8 keys should span >1 of 4 buckets, got $liveBuckets")
+    val want = PartitionTransforms.bucketLong(1L, 4)
+    val expectKept = bStats.count(st =>
+      st.partition.head.asInstanceOf[Number].longValue == want.toLong)
+    val bScan = mkScan(bDir)
+    val bTotal = bScan.toBatch.planInputPartitions().length
+    bScan.filter(Array(inPred("k", 1L)))
+    val bKept = bScan.toBatch.planInputPartitions().length
+    assert(bKept == expectKept && bKept < bTotal,
+      s"bucket tuple prune kept $bKept of $bTotal (expected $expectKept)")
+    // the prune never drops a matching file: k=1 reads complete
+    val seen = spark.sql(s"SELECT v FROM $cat.lake.t_bucket WHERE k = 1")
+      .collect().map(_.getDouble(0)).toSet
+    assert(seen == (0L until 80L).filter(_ % 8 == 1).map(_ * 1.0).toSet)
+  }
+
+  test("LIMIT plans only enough files to cover it; refuses under " +
+    "deletes") {
+    val wh = tmp("push_limit_wh")
+    val dir = s"$wh/lake/limtbl"
+    publish(dir, 100, chunks = 4) // 4 files × 25 rows
+    val df = spark.read.format("graft-iceberg").load(dir).limit(10)
+    assert(df.count() == 10L)
+    val planned = batchScans(df).map(_.inputPartitions.length).sum
+    assert(planned == 1,
+      s"LIMIT 10 over 4×25-row files should plan 1 file, planned $planned")
+    // spanning limit: 30 rows needs 2 files
+    val df2 = spark.read.format("graft-iceberg").load(dir).limit(30)
+    assert(df2.count() == 30L)
+    assert(batchScans(df2).map(_.inputPartitions.length).sum == 2)
+
+    // MoR table: record counts overcount (deletes kill rows) — the
+    // limit must not drop files
+    val cat = "pushspec_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"DELETE FROM $cat.lake.limtbl WHERE id < 24")
+    val df3 = spark.read.format("graft-iceberg").load(dir).limit(5)
+    assert(df3.count() == 5L)
+    assert(batchScans(df3).map(_.inputPartitions.length).sum == 4,
+      "limit file-truncation ran on a MoR snapshot")
+  }
+
+  test("estimateStatistics reports manifest size/rows and a small " +
+    "engine table broadcasts in a join") {
+    val dir = tmp("push_stats")
+    publish(dir, 100, chunks = 2)
+    val scan = mkScan(dir)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 100L)
+    val expectedBytes = IcebergMetadata.dataFileStats(dir)
+      .filter(_.content == 0).map(_.sizeBytes).sum
+    assert(st.sizeInBytes().getAsLong == expectedBytes && expectedBytes > 0)
+
+    val big = spark.range(0, 10000).select(col("id").as("id"),
+      (col("id") * 2).as("w"))
+    val eng = spark.read.format("graft-iceberg").load(dir)
+    val joined = big.join(eng, "id")
+    assert(joined.count() == 100L)
+    assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "small engine table did not broadcast — statistics not consumed")
+
+    // pushed filters shrink the estimate (file-level bounds prune)
+    val fb = new IcebergStreamScanBuilder(dir,
+      IcebergMetadata.currentSparkSchema(dir),
+      skipOverwrites = false, startSnapshot = "earliest", ref = None,
+      maxFilesPerTrigger = 0)
+    fb.pushFilters(Array(org.apache.spark.sql.sources.LessThan("id", 10L)))
+    val st2 = fb.build().asInstanceOf[IcebergStreamScan]
+      .estimateStatistics()
+    assert(st2.sizeInBytes().getAsLong < expectedBytes,
+      "filter-pruned estimate did not shrink")
+  }
+}

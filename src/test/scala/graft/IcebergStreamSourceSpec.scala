@@ -1244,6 +1244,66 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SHOW PROCEDURES: $listed")
   }
 
+  test("CALL rewrite_data_files strategy 'sort' / 'zorder(...)' " +
+    "recluster through SQL; bad strategies refuse") {
+    val wh = Files.createTempDirectory("graft_sqlsort").toString
+    val ice = s"$wh/t"
+    import spark.implicits._
+    // two columns, hash-spread across 4 files → no bounds locality
+    (0L until 40000L).map(i => ((i * 2654435761L) % 1000, i % 1000))
+      .toDF("a", "b").repartition(4)
+      .write.parquet(s"$wh/d0")
+    IcebergMetadata.commit(spark, ice, s"$wh/d0"): Unit
+    val cat = "gs_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val before = spark.sql(s"SELECT * FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val res = spark.sql(s"CALL $cat.system.rewrite_data_files(" +
+      "table => 't', target_bytes => 65536, strategy => 'sort', " +
+      "sort_order => 'zorder(a,b)')").collect()
+    assert(res.head.getLong(1) != res.head.getLong(0),
+      "zorder rewrite committed no snapshot")
+    val after = spark.sql(s"SELECT * FROM $cat.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after.toSeq == before.toSeq, "zorder rewrite changed the data")
+    // clustering narrowed per-file bounds: the hash-spread originals
+    // each covered ~the full (a × b) domain, so their average bounds
+    // AREA was ~1.0 of it; z-clustered files cover contiguous Morton
+    // runs whose average area is ~1/files (a straddling run can still
+    // span one axis — the average is the guarantee, not each file)
+    val fidA = IcebergMetadata.currentFieldId(ice, "a")
+    val fidB = IcebergMetadata.currentFieldId(ice, "b")
+    val areas = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map { st =>
+        def span(fid: Int): Double =
+          (IcebergMetadata.boundLong(st.stats.upper(fid)) -
+            IcebergMetadata.boundLong(st.stats.lower(fid))).toDouble
+        span(fidA) * span(fidB) / (1000.0 * 1000.0)
+      }
+    assert(areas.size > 1 &&
+        areas.sum / areas.size < 0.5,
+      s"zorder produced un-clustered bounds, area fractions: $areas")
+    // plain sort strategy works too, and bad inputs refuse loudly
+    spark.sql(s"CALL $cat.system.rewrite_data_files(table => 't', " +
+      "strategy => 'sort', sort_order => 'a')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+      .collect().head.getLong(0) == 40000L)
+    val bad = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.rewrite_data_files(table => 't', " +
+        "strategy => 'shuffle')").collect()
+    }
+    assert(bad.getMessage.contains("binpack") ||
+      Option(bad.getCause).exists(_.getMessage.contains("binpack")))
+    val bad2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.rewrite_data_files(table => 't', " +
+        "strategy => 'sort')").collect()
+    }
+    assert(bad2.getMessage.contains("sort_order") ||
+      Option(bad2.getCause).exists(_.getMessage.contains("sort_order")))
+  }
+
   test("fanout writer under adversarial row order: LRU eviction past " +
     "MaxOpenWriters costs extra files, never correctness") {
     val wh = Files.createTempDirectory("graft_fanout").toString
