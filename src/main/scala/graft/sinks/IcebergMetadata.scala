@@ -964,6 +964,20 @@ object IcebergMetadata {
         root.put("default-sort-order-id", oid): Unit
     }
     val props = root.putObject("properties")
+    // user properties carry FORWARD across commits (SET TBLPROPERTIES
+    // / CREATE TBLPROPERTIES — spec: `properties` rides every
+    // metadata.json); the first version adopts the CREATE marker's
+    // declared map. Engine MoR modes are pinned after, never lost.
+    prev.foreach { case (_, pm) =>
+      Option(pm.get("properties")).foreach(_.fields().asScala.foreach(
+        e => props.put(e.getKey, e.getValue.asText()): Unit))
+    }
+    if (prev.isEmpty) {
+      val marker = md.child("created.properties.json")
+      if (marker.exists)
+        mapper.readTree(marker.readString).fields().asScala
+          .foreach(e => props.put(e.getKey, e.getValue.asText()): Unit)
+    }
     props.put("write.delete.mode", "merge-on-read")
     props.put("write.update.mode", "merge-on-read")
     props.put("write.merge.mode", "merge-on-read")
@@ -2832,6 +2846,46 @@ object IcebergMetadata {
     root.put("last-updated-ms", System.currentTimeMillis())
     writeVersionFiles(md, root, version + 1): Unit
     newId
+  }
+
+  /** The table's properties: the committed metadata's `properties`
+    * map, or (created-but-never-written) the CREATE marker's declared
+    * map. What SHOW TBLPROPERTIES surfaces and the write faces read
+    * `write.sort-order` / `write.distribution-mode` from. */
+  def tableProperties(tableDir: String): Map[String, String] =
+    currentMetadata(tableDir) match {
+      case Some((_, meta)) =>
+        Option(meta.get("properties")).map(_.fields().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+      case None =>
+        val marker = metaDir(tableDir).child("created.properties.json")
+        if (marker.exists)
+          mapper.readTree(marker.readString).fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        else Map.empty
+    }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: a METADATA-ONLY version
+    * bump (no snapshot, files untouched) through the same commit
+    * retry the schema evolution uses — [[writeMetadataJson]] then
+    * carries the map forward on every subsequent commit. */
+  def setTableProperties(tableDir: String, set: Map[String, String],
+                         unset: Seq[String] = Nil): Unit =
+      withCommitRetry(tableDir) {
+    val md = metaDir(tableDir)
+    val (version, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val root = meta.deepCopy[ObjectNode]()
+    val props =
+      if (root.has("properties"))
+        root.get("properties").asInstanceOf[ObjectNode]
+      else root.putObject("properties")
+    set.foreach { case (k, v) => props.put(k, v): Unit }
+    unset.foreach(k => props.remove(k): Unit)
+    appendMetadataLog(root, md, version, meta.get("last-updated-ms").asLong)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    writeVersionFiles(md, root, version + 1): Unit
   }
 
   def publishPartitioned(spark: SparkSession, tableDir: String,

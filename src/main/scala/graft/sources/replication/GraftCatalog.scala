@@ -2,6 +2,8 @@ package graft.sources.replication
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Literal, Transform}
 import org.apache.spark.sql.types.StructType
@@ -175,6 +177,15 @@ class GraftCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     if (regex.nonEmpty) partitionMarker(dir).writeAtomic(regex)
+    // user TBLPROPERTIES (write.sort-order etc.) persist in a CREATE
+    // marker; the FIRST commit adopts them into metadata.json's
+    // `properties` and they carry forward from there. Spark's own
+    // bookkeeping keys are not table properties.
+    val userProps = properties.asScala.toMap.view
+      .filterKeys(k => !GraftCatalog.ReservedProps(k)).toMap
+    if (userProps.nonEmpty)
+      TableIO(dir).child("metadata").child("created.properties.json")
+        .writeAtomic(GraftCatalog.propsJson(userProps))
     new IcebergStreamTable(dir, schema,
       skipOverwrites = false, startSnapshot = "earliest", ref = None,
       maxFilesPerTrigger = 0)
@@ -188,7 +199,7 @@ class GraftCatalog extends TableCatalog
     * snapshot, files untouched; everything else refuses loudly. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
-    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, UpdateColumnType}
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, RemoveProperty, SetProperty, UpdateColumnType}
     val dir = dirOf(ident)
     def top(names: Array[String]): String = {
       require(names.length == 1,
@@ -213,23 +224,45 @@ class GraftCatalog extends TableCatalog
     val widens = changes.collect { case u: UpdateColumnType =>
       (top(u.fieldNames()), icebergText(u.newDataType()))
     }
-    require(adds.size + widens.size == changes.size,
-      "only ADD COLUMN and type-widening ALTERs are supported — " +
+    val setProps = changes.collect { case s: SetProperty =>
+      s.property -> s.value }
+    val unsetProps = changes.collect { case r: RemoveProperty =>
+      r.property }
+    require(adds.size + widens.size + setProps.size + unsetProps.size ==
+        changes.size,
+      "only ADD COLUMN, type-widening, and SET/UNSET TBLPROPERTIES " +
+        "ALTERs are supported — " +
         s"got ${changes.map(_.getClass.getSimpleName).mkString(", ")}")
-    if (IcebergMetadata.currentMetadata(dir).isDefined)
-      IcebergMetadata.evolveTableSchema(dir, adds, widens): Unit
-    else if (schemaMarker(dir).exists) {
-      // created-but-never-written: evolve the declared marker schema
-      require(widens.isEmpty,
-        "type widening needs a committed schema")
-      val cur = org.apache.spark.sql.types.DataType
-        .fromJson(schemaMarker(dir).readString)
-        .asInstanceOf[StructType]
-      schemaMarker(dir).writeAtomic(
-        StructType(cur.fields ++ adds).json)
-    } else
+    val committed = IcebergMetadata.currentMetadata(dir).isDefined
+    if (!committed && !schemaMarker(dir).exists)
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
+    if (adds.nonEmpty || widens.nonEmpty) {
+      if (committed)
+        IcebergMetadata.evolveTableSchema(dir, adds, widens): Unit
+      else {
+        // created-but-never-written: evolve the declared marker schema
+        require(widens.isEmpty,
+          "type widening needs a committed schema")
+        val cur = org.apache.spark.sql.types.DataType
+          .fromJson(schemaMarker(dir).readString)
+          .asInstanceOf[StructType]
+        schemaMarker(dir).writeAtomic(
+          StructType(cur.fields ++ adds).json)
+      }
+    }
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      if (committed)
+        IcebergMetadata.setTableProperties(dir, setProps.toMap,
+          unsetProps.toSeq)
+      else {
+        // pre-first-write: the CREATE marker IS the property store
+        val merged = IcebergMetadata.tableProperties(dir) ++
+          setProps.toMap -- unsetProps
+        TableIO(dir).child("metadata").child("created.properties.json")
+          .writeAtomic(GraftCatalog.propsJson(merged))
+      }
+    }
     loadTable(ident)
   }
 
@@ -344,6 +377,20 @@ class GraftCatalog extends TableCatalog
 }
 
 object GraftCatalog {
+
+  /** Spark's own CREATE-statement bookkeeping keys — never table
+    * properties. */
+  private[replication] val ReservedProps: Set[String] =
+    Set("provider", "location", "owner", "comment", "external",
+      "path", "transient_lastDdlTime")
+
+  /** Render a property map as the CREATE marker's JSON object. */
+  private[replication] def propsJson(m: Map[String, String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val o = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v): Unit }
+    o.toString
+  }
 
   private def colOf(t: Transform): String = {
     val refs = t.references()

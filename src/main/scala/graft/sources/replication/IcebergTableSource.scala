@@ -213,6 +213,10 @@ class IcebergStreamTable(tableDir: String, tableSchema: StructType,
     m.put("provider", "graft-iceberg")
     m.put("format", "iceberg/parquet")
     m.put("location", tableDir)
+    // persisted table properties (metadata.json `properties` / the
+    // CREATE marker) — what SHOW TBLPROPERTIES surfaces
+    IcebergMetadata.tableProperties(tableDir)
+      .foreach { case (k, v) => m.put(k, v) }
     IcebergMetadata.currentMetadata(tableDir).foreach { case (v, meta) =>
       m.put("format-version", meta.get("format-version").asText)
       m.put("metadata-version", v.toString)

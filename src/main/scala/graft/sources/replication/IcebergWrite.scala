@@ -78,6 +78,32 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
     private val plan = PartitionedWritePlan.resolve(tableDir,
       info.schema())
 
+    /** `write.sort-order` table property → the declared clustering:
+      * comma-separated columns, each optionally `DESC`. Validated
+      * against the write schema at plan time (driver, one metadata
+      * read) — a stale property must refuse, not silently unsort. */
+    private val sortOrderCols: Seq[(String, Boolean)] = {
+      val props = IcebergMetadata.tableProperties(tableDir)
+      props.get("write.sort-order").map(_.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { tok =>
+          val parts = tok.split("\\s+")
+          val desc = parts.length > 1 &&
+            parts(1).equalsIgnoreCase("desc")
+          require(parts.length <= 2 &&
+            (parts.length == 1 || desc ||
+              parts(1).equalsIgnoreCase("asc")),
+            s"write.sort-order token '$tok': <col> [asc|desc]")
+          val c = parts(0)
+          require(info.schema().fieldNames.contains(c),
+            s"write.sort-order column '$c' is not in the write schema " +
+              s"(${info.schema().fieldNames.mkString(", ")})")
+          (c, desc)
+        }).getOrElse(Nil)
+    }
+    private val distributionMode: String =
+      IcebergMetadata.tableProperties(tableDir)
+        .getOrElse("write.distribution-mode", "none")
+
     /** Identity-partitioned writes ask Spark to CLUSTER input rows by
       * the partition source columns: each partition value then lands
       * in exactly ONE task, so the fanout writer produces one file
@@ -92,6 +118,12 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
         : org.apache.spark.sql.connector.distributions.Distribution = {
       import org.apache.spark.sql.connector.distributions.Distributions
       import org.apache.spark.sql.connector.expressions.Expressions
+      // write.distribution-mode=range + a sort order → RANGE exchange
+      // on the sort key: globally sorted output, NON-OVERLAPPING
+      // per-file bounds (the best skip quality a layout can buy —
+      // Iceberg's ordered-distribution write)
+      if (distributionMode == "range" && sortOrderCols.nonEmpty)
+        return Distributions.ordered(sortOrders)
       plan match {
         case Some(p) if p.fields.nonEmpty &&
             p.fields.forall(_.transform == "identity") =>
@@ -103,9 +135,32 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
       }
     }
     override def distributionStrictlyRequired(): Boolean = false
+
+    private def sortOrders
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      sortOrderCols.map { case (c, desc) =>
+        Expressions.sort(Expressions.column(c),
+          if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING)
+      }.toArray
+    }
+
+    /** `write.sort-order` → every task writes its rows key-sorted
+      * (SortExec ahead of the writer), so each staged file's manifest
+      * bounds are tight; with range distribution the files are
+      * globally disjoint. Partitioned tables sort by (partition
+      * sources ++ declared order) so the fanout writer still sees
+      * partition-contiguous rows. */
     override def requiredOrdering()
-        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      if (sortOrderCols.isEmpty) return Array.empty
+      val partCols = plan.toSeq.flatMap(_.fields).map(f =>
+        info.schema().fields(f.ordinal).name)
+        .filterNot(c => sortOrderCols.exists(_._1 == c))
+      (partCols.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)) ++ sortOrders).toArray
+    }
 
     override def toBatch: BatchWrite =
       new IcebergBatchWrite(tableDir, info.schema(), info.queryId(),

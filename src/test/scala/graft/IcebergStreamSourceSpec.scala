@@ -1260,8 +1260,10 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val before = spark.sql(s"SELECT * FROM $cat.t").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // small target → enough z-bins that the average-area guarantee
+    // has margin (2 bins would just halve one axis: area ~0.5 each)
     val res = spark.sql(s"CALL $cat.system.rewrite_data_files(" +
-      "table => 't', target_bytes => 65536, strategy => 'sort', " +
+      "table => 't', target_bytes => 16384, strategy => 'sort', " +
       "sort_order => 'zorder(a,b)')").collect()
     assert(res.head.getLong(1) != res.head.getLong(0),
       "zorder rewrite committed no snapshot")
@@ -1302,6 +1304,71 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(bad2.getMessage.contains("sort_order") ||
       Option(bad2.getCause).exists(_.getMessage.contains("sort_order")))
+  }
+
+  test("write.sort-order + range distribution: SQL writes stage " +
+    "key-clustered files with disjoint bounds; TBLPROPERTIES " +
+    "round-trip through CREATE / ALTER / SHOW") {
+    val wh = Files.createTempDirectory("graft_sortprop").toString
+    val cat = "gw_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"""CREATE TABLE $cat.lake.sorted_t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES('write.sort-order'='k',
+                    'write.distribution-mode'='range')""")
+    // declared properties surface BEFORE the first write (the marker)
+    def shown(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $cat.lake.sorted_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown().get("write.sort-order").contains("k"))
+    import spark.implicits._
+    (0L until 20000L).map(i => ((i * 2654435761L) % 100000, i * 1.0))
+      .toDF("k", "v").repartition(4).createOrReplaceTempView("sort_src")
+    // AQE would coalesce this small input to one partition and make
+    // the disjointness assertion vacuous — pin the exchange shape
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try spark.sql(
+      s"INSERT INTO $cat.lake.sorted_t SELECT k, v FROM sort_src")
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val ice = s"$wh/lake/sorted_t"
+    // the property survived the first commit into metadata.json
+    assert(IcebergMetadata.tableProperties(ice)
+      .get("write.sort-order").contains("k"))
+    // range-distributed + sorted: per-file k bounds are DISJOINT
+    val fid = IcebergMetadata.currentFieldId(ice, "k")
+    val bounds = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0)
+      .map(st => (IcebergMetadata.boundLong(st.stats.lower(fid)),
+        IcebergMetadata.boundLong(st.stats.upper(fid))))
+      .sortBy(_._1)
+    assert(bounds.size > 1, s"expected several files, got $bounds")
+    bounds.sliding(2).foreach {
+      case Seq(a, b) => assert(b._1 > a._2,
+        s"overlapping file bounds under range write: $bounds")
+      case _ => ()
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.sorted_t")
+      .collect().head.getLong(0) == 20000L)
+    // ALTER SET/UNSET round-trips on the committed table
+    spark.sql(s"ALTER TABLE $cat.lake.sorted_t " +
+      "UNSET TBLPROPERTIES('write.distribution-mode')")
+    spark.sql(s"ALTER TABLE $cat.lake.sorted_t " +
+      "SET TBLPROPERTIES('write.sort-order'='v')")
+    val p2 = shown()
+    assert(p2.get("write.sort-order").contains("v") &&
+      !p2.contains("write.distribution-mode"), s"props: $p2")
+    // a sort-order naming a missing column refuses the write loudly
+    spark.sql(s"ALTER TABLE $cat.lake.sorted_t " +
+      "SET TBLPROPERTIES('write.sort-order'='nope')")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO $cat.lake.sorted_t SELECT k, v FROM sort_src")
+    }
+    assert(e.getMessage.contains("write.sort-order") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("write.sort-order")))
   }
 
   test("fanout writer under adversarial row order: LRU eviction past " +
