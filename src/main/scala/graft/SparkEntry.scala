@@ -3055,6 +3055,35 @@ object SparkEntry {
         .changelogUpdates(log, Seq("n_nationkey"))
     }),
 
+    // ---- K2 NET CHANGES over a changelog window (Iceberg's
+    //      `create_changelog_view(net_changes => true)`): only the
+    //      window's NET effect per row value survives — verbatim
+    //      carryovers vanish, a rewritten row shows one transition,
+    //      stamped with the last ordinal that touched it. Same
+    //      three-commit history as the update-pairing gate. ----
+    "q_iceberg_changelog_net" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_chnet_gate").toString
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$tmp/d0")
+      val c0 = IcebergMetadata.commit(s, tmp, s"$tmp/d0")
+      n.where(col("n_nationkey") % 7 =!= 3)
+        .withColumn("n_name",
+          when(col("n_nationkey") % 5 === 0,
+            concat(col("n_name"), lit("_V2")))
+            .otherwise(col("n_name")))
+        .write.parquet(s"$tmp/d1")
+      IcebergMetadata.commit(s, tmp, s"$tmp/d1",
+        operation = "overwrite"): Unit
+      n.withColumn("n_nationkey", col("n_nationkey") + 200)
+        .write.parquet(s"$tmp/d2")
+      IcebergMetadata.appendCommit(s, tmp, s"$tmp/d2"): Unit
+      val log = IcebergMetadata.changelogScan(s, tmp, c0.snapshotId)
+        .drop("commit_snapshot_id")
+      graft.streaming.IcebergTail.changelogNet(log)
+    }),
+
     // ---- K1+K2 STREAMING TABLE TAIL (Iceberg's streaming read): a
     //      downstream consumer polls the table with a checkpoint —
     //      batch 0 backfills the current state, each later poll
@@ -8708,6 +8737,21 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |UNION ALL
         |SELECT n_nationkey, n_name || '_V2', n_regionkey,
         |  'update_after', 1
+        |FROM n WHERE n_nationkey % 5 = 0 AND n_nationkey % 7 <> 3
+        |UNION ALL
+        |SELECT n_nationkey + 200, n_name, n_regionkey, 'insert', 2
+        |FROM n""".stripMargin,
+
+    // net changes across the same window: the overwrite's carryovers
+    // vanish; %7=3 rows net to deletes, %5=0 survivors net to one
+    // delete+insert value transition, the append nets to inserts
+    "q_iceberg_changelog_net" ->
+      """WITH n AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  'delete' AS change_type, CAST(1 AS INTEGER) AS change_ordinal
+        |FROM n WHERE n_nationkey % 7 = 3 OR n_nationkey % 5 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name || '_V2', n_regionkey, 'insert', 1
         |FROM n WHERE n_nationkey % 5 = 0 AND n_nationkey % 7 <> 3
         |UNION ALL
         |SELECT n_nationkey + 200, n_name, n_regionkey, 'insert', 2

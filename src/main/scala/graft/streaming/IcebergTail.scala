@@ -189,6 +189,34 @@ object IcebergTail {
     tagged.select(out: _*)
   }
 
+  /** NET CHANGES over a changelog window — the analog of Iceberg's
+    * `create_changelog_view(net_changes => true)`: only the WINDOW'S
+    * net effect per row value survives. A row inserted then deleted
+    * inside the window vanishes; a row rewritten N times shows one
+    * transition; untouched carryovers net away. Bag semantics over
+    * the full row values (no keys needed — Iceberg's shape): net
+    * multiplicity = inserts − deletes per value across ALL ordinals;
+    * positive → that many `insert` rows, negative → `delete` rows,
+    * stamped with the LAST ordinal that touched the value. One keyed
+    * aggregation — commit-window-sized, the poll/batch path's
+    * shuffle budget. */
+  def changelogNet(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val metaCols = Set("change_type", "change_ordinal")
+    val dataCols = changes.columns.filterNot(metaCols.contains).toSeq
+    changes
+      .groupBy(dataCols.map(col): _*)
+      .agg(
+        sum(when(col("change_type") === "insert", 1).otherwise(-1))
+          .as("__net"),
+        max("change_ordinal").as("change_ordinal"))
+      .where(col("__net") =!= 0)
+      .select(dataCols.map(col) :+ explode(array_repeat(
+        when(col("__net") > 0, "insert").otherwise("delete"),
+        abs(col("__net")).cast("int"))).as("change_type") :+
+        col("change_ordinal"): _*)
+  }
+
   /** The CDC variant: each poll delivers the row-level CHANGELOG
     * (insert AND delete rows, `change_type` column) since the
     * checkpoint via [[IcebergMetadata.changelogScan]] — the consumer

@@ -1141,6 +1141,33 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"got $got")
   }
 
+  test("changelogNet nets the whole window bag-wise: insert-then-" +
+    "delete vanishes, delete-then-reinsert vanishes, multiplicities " +
+    "and last-ordinal stamps are exact") {
+    import graft.streaming.IcebergTail
+    import spark.implicits._
+    val log = Seq(
+      // appeared then disappeared inside the window → no net change
+      (1L, "a", "insert", 1), (1L, "a", "delete", 2),
+      // present before, deleted, re-inserted verbatim → no net change
+      (2L, "b", "delete", 1), (2L, "b", "insert", 3),
+      // a value transition at one ordinal
+      (3L, "c", "delete", 2), (3L, "c2", "insert", 2),
+      // duplicate inserts net to multiplicity 2, stamped ordinal 3
+      (4L, "d", "insert", 1), (4L, "d", "insert", 3),
+      // duplicate deletes net to multiplicity 2, stamped ordinal 2
+      (5L, "e", "delete", 1), (5L, "e", "delete", 2))
+      .toDF("id", "v", "change_type", "change_ordinal")
+    val got = IcebergTail.changelogNet(log).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSeq.sorted
+    val expect = Seq(
+      (3L, "c", "delete", 2), (3L, "c2", "insert", 2),
+      (4L, "d", "insert", 3), (4L, "d", "insert", 3),
+      (5L, "e", "delete", 2), (5L, "e", "delete", 2)).sorted
+    assert(got == expect, s"got $got")
+  }
+
   test("DELETE FROM by the declared identifier key commits ONE " +
     "equality-delete file with zero scan") {
     val ice = publishMorFixture()
