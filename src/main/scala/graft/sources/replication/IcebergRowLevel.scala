@@ -97,6 +97,56 @@ object IcebergRowLevel {
             deleteContent = 2, equalityIds = Seq(keyFid)): Unit
           return
         }
+      // COMPOSITE identifier key: `k1 = v1 AND k2 = v2 AND …` naming
+      // every key column exactly once commits ONE composite
+      // equality-delete ROW — same zero-scan shape (Spark hands a
+      // top-level conjunction as one EqualTo per filter)
+      case ids if ids.size >= 2 =>
+        import org.apache.spark.sql.sources.EqualTo
+        val eqs = filters.toSeq.map {
+          case EqualTo(c, v) => Some(c -> v)
+          case _ => None
+        }
+        if (eqs.forall(_.isDefined)) {
+          val m = eqs.flatten.toMap
+          val supported = m.values.forall {
+            case _: String | _: java.lang.Long | _: java.lang.Integer =>
+              true
+            case _ => false
+          }
+          if (eqs.flatten.size == m.size &&
+              m.keySet == ids.map(_._1).toSet && supported) {
+            val fields = ids.map { case (c, _) =>
+              m(c) match {
+                case _: String => StructField(c, StringType)
+                case _ => StructField(c, LongType)
+              }
+            }
+            val vals: Seq[Any] = ids.map { case (c, _) =>
+              m(c) match {
+                case s: String => s
+                case n: Number => n.longValue()
+              }
+            }
+            val staged = TableIO(tableDir).child("data")
+              .child(s"sqldelete-eq-${UUID.randomUUID()}")
+            spark.createDataFrame(
+              java.util.Collections.singletonList(
+                org.apache.spark.sql.Row(vals: _*)),
+              StructType(fields))
+              .coalesce(1).write.parquet(staged.abs)
+            val files = staged.list.filter(_.name.endsWith(".parquet"))
+            IcebergMetadata.rowDeltaCommitStaged(spark, tableDir,
+              stagedDataRoot = None, onlyData = None,
+              deleteDir = Some(staged.abs),
+              onlyDeletes = Some(files.map(_.canonical).toSet),
+              summary = Map("graft-sql-op" -> "delete-by-key"),
+              operation = "delete",
+              deleteContent = 2,
+              equalityIds = ids.map(_._2)): Unit
+            return
+          }
+        }
       case _ => ()
     }
     val stats = IcebergMetadata.dataFileStats(tableDir)

@@ -54,6 +54,16 @@ object ManifestAgg {
       : Option[(StructType, Array[Any])] = try {
     if (agg.groupByExpressions.nonEmpty) return None
     if (agg.aggregateExpressions.isEmpty) return None
+    // refuse on SHAPE before touching any metadata — a SUM or DISTINCT
+    // query must not pay an O(manifests) driver read just to fall back
+    val shapeOk = agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && colOf(c.column).isDefined
+      case m: Min => colOf(m.column).isDefined
+      case m: Max => colOf(m.column).isDefined
+      case _ => false
+    }
+    if (!shapeOk) return None
     val committed = IcebergMetadata.currentMetadata(tableDir).isDefined
     val asOf = resolveAsOf(tableDir, ref, asOfSnapshot)
     val stats =

@@ -456,15 +456,8 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
                        limit: Int = 0)
     extends org.apache.spark.sql.connector.read.Batch {
 
-  private lazy val asOf: Option[Long] = asOfSnapshot.orElse(ref.map { r =>
-    val meta = IcebergMetadata.currentMetadata(tableDir)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed version at $tableDir"))._2
-    Option(meta.path("refs").get(r))
-      .map(_.get("snapshot-id").asLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"ref '$r' does not exist at $tableDir"))
-  })
+  private lazy val asOf: Option[Long] =
+    ManifestAgg.resolveAsOf(tableDir, ref, asOfSnapshot)
 
   // a CREATEd-but-never-written table (CTAS / DDL marker shape) has
   // no committed version: it scans as empty and its factory must not

@@ -1168,6 +1168,62 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"got $got")
   }
 
+  test("DELETE FROM by a COMPOSITE identifier key commits one " +
+    "zero-scan equality-delete row; the MoR read honors the " +
+    "multi-column key") {
+    // a composite-identifier table is the externally-registered shape
+    // (the engine's own sync synthesizes a single string key):
+    // publish, then declare identifier-field-ids the way an external
+    // writer's metadata would carry them
+    val tmp = Files.createTempDirectory("graft_compkey").toString
+    val ice = s"$tmp/lake/ck"
+    spark.range(0, 20).select(
+        (col("id") % 5).as("k1"),
+        concat(lit("g"), col("id") % 4).as("k2"),
+        (col("id") * 10).as("v"))
+      .coalesce(1).write.parquet(s"$tmp/d0")
+    IcebergMetadata.commit(spark, ice, s"$tmp/d0"): Unit
+    locally {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mdFile = new java.io.File(s"$ice/metadata/v1.metadata.json")
+      val root = mapper.readTree(mdFile)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val schema = root.withArray("schemas").get(0)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val byName = {
+        import scala.jdk.CollectionConverters._
+        schema.withArray("fields").elements().asScala
+          .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+      }
+      val ids = schema.putArray("identifier-field-ids")
+      ids.add(byName("k1")); ids.add(byName("k2"))
+      java.nio.file.Files.writeString(mdFile.toPath, root.toString)
+    }
+    assert(IcebergMetadata.identifierColumns(ice)
+      .map(_._1) == Seq("k1", "k2"))
+    val cat = "gck_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    val dataBefore = IcebergMetadata.dataFileStats(ice)
+      .filter(_.content == 0).map(_.path).toSet
+    // ids 3, 8, 13, 18 have (k1=3); k2 cycles g3,g0,g1,g2 → exactly
+    // id=3 matches (3, 'g3')
+    spark.sql(s"DELETE FROM $cat.lake.ck WHERE k1 = 3 AND k2 = 'g3'")
+    val stats = IcebergMetadata.dataFileStats(ice)
+    assert(stats.filter(_.content == 0).map(_.path).toSet == dataBefore,
+      "composite-key DELETE rewrote data files")
+    val eqs = stats.filter(_.content == 2)
+    assert(eqs.size == 1 && eqs.head.recordCount == 1L,
+      s"expected one 1-row equality delete, got $eqs")
+    assert(eqs.head.equalityIds.size == 2,
+      s"equality ids: ${eqs.head.equalityIds}")
+    val left = spark.sql(s"SELECT v FROM $cat.lake.ck")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 20L).filter(_ != 3L).map(_ * 10).toSet,
+      s"MoR read after composite delete: $left")
+  }
+
   test("DELETE FROM by the declared identifier key commits ONE " +
     "equality-delete file with zero scan") {
     val ice = publishMorFixture()
