@@ -189,17 +189,27 @@ object IcebergTail {
     tagged.select(out: _*)
   }
 
-  /** NET CHANGES over a changelog window — the analog of Iceberg's
-    * `create_changelog_view(net_changes => true)`: only the WINDOW'S
-    * net effect per row value survives. A row inserted then deleted
-    * inside the window vanishes; a row rewritten N times shows one
-    * transition; untouched carryovers net away. Bag semantics over
-    * the full row values (no keys needed — Iceberg's shape): net
-    * multiplicity = inserts − deletes per value across ALL ordinals;
-    * positive → that many `insert` rows, negative → `delete` rows,
-    * stamped with the LAST ordinal that touched the value. One keyed
-    * aggregation — commit-window-sized, the poll/batch path's
-    * shuffle budget. */
+  /** NET CHANGES over a DELIVERED changelog frame — the analog of
+    * Iceberg's `ChangelogIterator.removeNetCarryovers` (the row-level
+    * half of `create_changelog_view(net_changes => true)`): only the
+    * window's net effect per row value survives. A row inserted then
+    * deleted inside the window vanishes; a row rewritten N times
+    * shows one transition; untouched carryovers net away.
+    *
+    * Complement, not duplicate, of
+    * [[IcebergMetadata.changelogScan]]`(netChanges = true)`: that one
+    * nets at PLAN time (two endpoint state reads, no per-commit rows
+    * — the cheapest path when you hold the TABLE). This one nets rows
+    * you already HAVE — a poll batch, a collected DSv2 changelog
+    * microbatch — where re-planning the table is not an option. The
+    * two agree on the surviving row values (spec-pinned).
+    *
+    * Bag semantics over the full row values (no keys needed —
+    * Iceberg's shape): net multiplicity = inserts − deletes per value
+    * across ALL ordinals; positive → that many `insert` rows,
+    * negative → `delete` rows, stamped with the LAST ordinal that
+    * touched the value. One keyed aggregation —
+    * commit-window-sized, the poll/batch path's shuffle budget. */
   def changelogNet(changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val metaCols = Set("change_type", "change_ordinal")

@@ -1168,6 +1168,35 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"got $got")
   }
 
+  test("changelogNet over the raw changelog agrees with " +
+    "changelogScan(netChanges = true) on the surviving row values") {
+    import graft.streaming.IcebergTail
+    val tmp = Files.createTempDirectory("graft_chnet_agree").toString
+    rows(0 until 10).coalesce(1).write.parquet(s"$tmp/d0")
+    val c0 = IcebergMetadata.commit(spark, tmp, s"$tmp/d0")
+    rows(0 until 10).where(col("id") =!= 3)
+      .withColumn("v", when(col("id").isin(0, 5), col("v") + 1)
+        .otherwise(col("v")))
+      .coalesce(1).write.parquet(s"$tmp/d1")
+    IcebergMetadata.commit(spark, tmp, s"$tmp/d1",
+      operation = "overwrite"): Unit
+    rows(20 until 23).coalesce(1).write.parquet(s"$tmp/d2")
+    IcebergMetadata.appendCommit(spark, tmp, s"$tmp/d2"): Unit
+    def collectSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "v", "change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sorted
+    val viaFrame = collectSet(IcebergTail.changelogNet(
+      IcebergMetadata.changelogScan(spark, tmp, c0.snapshotId)
+        .drop("commit_snapshot_id")))
+    val viaPlan = collectSet(
+      IcebergMetadata.changelogScan(spark, tmp, c0.snapshotId,
+        netChanges = true))
+    assert(viaFrame == viaPlan,
+      s"frame-netting != plan-netting:\n$viaFrame\n$viaPlan")
+    assert(viaFrame.nonEmpty)
+  }
+
   test("DELETE FROM by a COMPOSITE identifier key commits one " +
     "zero-scan equality-delete row; the MoR read honors the " +
     "multi-column key") {
