@@ -352,3 +352,97 @@ object RuntimePrune {
     Try(IcebergMetadata.defaultSpecView(tableDir).map(_._1.column).distinct)
       .getOrElse(Nil)
 }
+
+/** TOP-N file pruning — the `SupportsPushDownTopN` planner half:
+  * `ORDER BY c [DESC] LIMIT n` needs only the files that can hold the
+  * n first-ordered rows. From the manifests alone (record counts,
+  * null counts, bounds) the planner picks a value cutoff U such that
+  * the kept files certainly hold ≥ n rows ordered at-or-before U,
+  * then keeps every file whose range reaches U — a provable SUPERSET
+  * of the true top-N (always partial pushdown: Spark's own TopN runs
+  * on top). On a time-ordered 100 TB table, `ORDER BY ts LIMIT 100`
+  * plans a handful of files instead of millions.
+  *
+  * Pruning keys on the FIRST sort column only — safe for multi-column
+  * orders: every true top-N row is at-or-before the n-th row's first-
+  * column value, which is ≤ U by construction. Only integral/temporal
+  * columns participate (bounds decode by the spec's LE serialization;
+  * float NaN and string truncation have no safe order). Null
+  * bookkeeping is exact: NULLS FIRST covers n from null counts before
+  * values; NULLS LAST needs nulls only when non-null rows run out.
+  * Any missing stat refuses (keeps every file). */
+object TopNPrune {
+
+  /** The prune plan over the first sort column. */
+  case class Spec(col: String, desc: Boolean, nullsFirst: Boolean,
+                  n: Int)
+
+  import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
+
+  /** Accept single-column-reference leading sort keys on orderable-
+    * by-boundLong types; anything else declines the pushdown. */
+  def parse(orders: Array[SortOrder], n: Int,
+            tableSchema: StructType): Option[Spec] = {
+    if (orders.isEmpty || n <= 0) return None
+    val head = orders.head
+    val col = head.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return None
+    }
+    val orderable = tableSchema.fields.find(_.name == col).exists(f =>
+      f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType)
+    if (!orderable) return None
+    Some(Spec(col, head.direction() == SortDirection.DESCENDING,
+      head.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+  }
+
+  /** Keep a provable superset of the files holding the top-n rows;
+    * returns `sts` unchanged whenever a needed stat is missing. */
+  def prune(sts: Seq[DataFileStat], spec: Spec, fid: Int)
+      : Seq[DataFileStat] = {
+    // exact per-file (rows, nulls, ordered lo/hi) — refuse on any gap
+    case class F(st: DataFileStat, nulls: Long, nonNull: Long,
+                 lo: Long, hi: Long)
+    val fs = sts.map { st =>
+      val nulls = st.stats.nullCounts.get(fid).getOrElse(return sts)
+      val nonNull = st.recordCount - nulls
+      if (nonNull > 0) {
+        val (l, u) = (st.stats.lower.get(fid), st.stats.upper.get(fid))
+          match {
+          case (Some(a), Some(b)) =>
+            (IcebergMetadata.boundLong(a), IcebergMetadata.boundLong(b))
+          case _ => return sts
+        }
+        // DESC mirrors into the canonical ascending walk
+        if (spec.desc) F(st, nulls, nonNull, -u, -l)
+        else F(st, nulls, nonNull, l, u)
+      } else F(st, nulls, 0L, Long.MaxValue, Long.MinValue)
+    }
+    val totalNulls = fs.map(_.nulls).sum
+    var needed = spec.n.toLong
+    val keepNull = scala.collection.mutable.Set.empty[String]
+    if (spec.nullsFirst && needed > 0 && totalNulls > 0) {
+      var covered = 0L
+      fs.filter(_.nulls > 0).sortBy(-_.nulls).foreach { f =>
+        if (covered < needed) { keepNull += f.st.path; covered += f.nulls }
+      }
+      needed = math.max(0L, needed - totalNulls)
+    }
+    val keepVal = scala.collection.mutable.Set.empty[String]
+    if (needed > 0) {
+      val vals = fs.filter(_.nonNull > 0).sortBy(_.hi)
+      var covered = 0L
+      var cutoff = Long.MinValue
+      vals.foreach { f =>
+        if (covered < needed) { covered += f.nonNull; cutoff = f.hi }
+      }
+      if (covered < needed) return sts // not enough rows: keep all
+      vals.foreach(f => if (f.lo <= cutoff) keepVal += f.st.path)
+    }
+    sts.filter(st => keepNull.contains(st.path) ||
+      keepVal.contains(st.path))
+  }
+}

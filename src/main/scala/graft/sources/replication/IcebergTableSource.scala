@@ -288,17 +288,27 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var pruned: StructType = tableSchema
   private var prunable: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   private var limit: Int = 0
+  private var topN: Option[TopNPrune.Spec] = None
 
   /** LIMIT n plans only enough FILES to cover n rows (manifest record
     * counts; clean snapshots only — the batch side re-checks): a
     * `LIMIT 10` over a million-file table plans one partition. Always
     * partial — Spark keeps its own row-level Limit on top. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+  /** ORDER BY … LIMIT n plans only files that can hold the top-n rows
+    * ([[TopNPrune]]); always partial (Spark's TopN runs on top). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    topN = TopNPrune.parse(orders, n, tableSchema)
+    topN.isDefined
+  }
   override def isPartiallyPushed(): Boolean = true
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
@@ -343,7 +353,7 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
     case Some((sch, vals)) => new IcebergAggScan(sch, vals)
     case None => new IcebergStreamScan(tableDir, pruned,
       skipOverwrites, startSnapshot, ref, maxFilesPerTrigger, prunable,
-      asOfSnapshot, mode, limit)
+      asOfSnapshot, mode, limit, topN)
   }
 }
 
@@ -354,7 +364,8 @@ class IcebergStreamScan(tableDir: String, tableSchema: StructType,
                           = Array.empty,
                         asOfSnapshot: Option[Long] = None,
                         mode: String = "append",
-                        limit: Int = 0)
+                        limit: Int = 0,
+                        topN: Option[TopNPrune.Spec] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -394,12 +405,12 @@ class IcebergStreamScan(tableDir: String, tableSchema: StructType,
     * planned. */
   private lazy val cleanBatch =
     new IcebergBatchScan(tableDir, tableSchema, ref, filters, asOfSnapshot,
-      limit = limit)
+      limit = limit, topN = topN)
 
   private def batchFor(): IcebergBatchScan =
     if (runtimePreds.isEmpty) cleanBatch
     else new IcebergBatchScan(tableDir, tableSchema, ref, filters,
-      asOfSnapshot, runtimePreds, limit)
+      asOfSnapshot, runtimePreds, limit, topN)
 
   /** Manifest-derived size/rows of the (filter-pruned) scan — what
     * Spark's join planning consumes: a small engine table reports a
@@ -453,7 +464,8 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
                        asOfSnapshot: Option[Long],
                        runtime: Array[org.apache.spark.sql.connector
                          .expressions.filter.Predicate] = Array.empty,
-                       limit: Int = 0)
+                       limit: Int = 0,
+                       topN: Option[TopNPrune.Spec] = None)
     extends org.apache.spark.sql.connector.read.Batch {
 
   private lazy val asOf: Option[Long] =
@@ -540,15 +552,22 @@ class IcebergBatchScan(tableDir: String, tableSchema: StructType,
     * depend on the optimizer's rule order). */
   private def limited(sts: Seq[IcebergMetadata.DataFileStat])
       : Seq[IcebergMetadata.DataFileStat] =
-    if (limit <= 0 || hasDeletes || filters.nonEmpty || runtime.nonEmpty)
-      sts
-    else {
-      var acc = 0L
-      sts.takeWhile { st =>
-        val needMore = acc < limit
-        acc += st.recordCount
-        needMore
-      }
+    if (hasDeletes || filters.nonEmpty || runtime.nonEmpty) sts
+    else topN match {
+      // ORDER BY … LIMIT: bounds-driven top-n superset ([[TopNPrune]])
+      case Some(spec) =>
+        IcebergMetadata.currentFieldIds(tableDir).get(spec.col) match {
+          case Some(fid) => TopNPrune.prune(sts, spec, fid)
+          case None => sts
+        }
+      case None if limit > 0 =>
+        var acc = 0L
+        sts.takeWhile { st =>
+          val needMore = acc < limit
+          acc += st.recordCount
+          needMore
+        }
+      case None => sts
     }
 
   override def planInputPartitions(): Array[InputPartition] = {

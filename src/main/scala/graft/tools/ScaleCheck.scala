@@ -313,6 +313,17 @@ object ScaleCheck {
       println(s"optfaces LIMIT 5 planned $limParts of 200 files")
       require(limParts == 1, s"LIMIT planned $limParts files, want 1")
 
+      // ORDER BY … LIMIT over the range-clustered layout: the top-10
+      // largest keys live in the last file — bounds pick it alone
+      val top = spark.read.format("graft-iceberg").load(ice)
+        .orderBy(col("l_orderkey").desc).limit(10)
+      top.collect(): Unit
+      val topParts = top.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.map(_.inputPartitions.length).sum
+      println(s"optfaces ORDER BY DESC LIMIT 10 planned $topParts " +
+        "of 200 files")
+      require(topParts <= 2, s"top-n planned $topParts files")
+
       locally {
         import org.apache.spark.sql.connector.expressions.{Expressions => VE, Expression => VExpr}
         import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}

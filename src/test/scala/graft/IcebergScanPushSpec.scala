@@ -216,6 +216,47 @@ class IcebergScanPushSpec extends AnyFunSuite with BeforeAndAfterAll {
       "limit file-truncation ran on a MoR snapshot")
   }
 
+  test("ORDER BY + LIMIT plans only the files that can hold the " +
+    "top-n rows: asc from low files, desc from high files, correct " +
+    "values either way") {
+    val dir = tmp("push_topn")
+    publish(dir, 100, chunks = 4) // id ranges [0,25) [25,50) [50,75) [75,100)
+    val base = spark.read.format("graft-iceberg").load(dir)
+
+    val asc = base.orderBy(col("id")).limit(10)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 10L))
+    assert(batchScans(asc).map(_.inputPartitions.length).sum == 1,
+      "asc top-10 should plan only the lowest file")
+
+    val desc = base.orderBy(col("id").desc).limit(30)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (99L to 70L by -1L))
+    assert(batchScans(desc).map(_.inputPartitions.length).sum == 2,
+      "desc top-30 needs the two highest files")
+
+    // nulls-first ordering on a column with nulls: the null counts
+    // cover the budget before any value file is needed
+    val nf = base.orderBy(col("nv").asc_nulls_first).limit(5)
+    assert(nf.collect().forall(_.isNullAt(2)))
+    val nfParts = batchScans(nf).map(_.inputPartitions.length).sum
+    assert(nfParts >= 1 && nfParts < 4,
+      s"nulls-first top-5 planned $nfParts of 4 files")
+
+    // under deletes the counts overcount: every file stays
+    val wh = new java.io.File(dir).getParent
+    val cat = "pushspec_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val name = new java.io.File(dir).getName
+    spark.sql(s"DELETE FROM $cat.`$name` WHERE id < 5")
+    val morTop = spark.read.format("graft-iceberg").load(dir)
+      .orderBy(col("id")).limit(3)
+    assert(morTop.collect().map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L))
+    assert(batchScans(morTop).map(_.inputPartitions.length).sum == 4,
+      "top-n file pruning ran on a MoR snapshot")
+  }
+
   test("estimateStatistics reports manifest size/rows and a small " +
     "engine table broadcasts in a join") {
     val dir = tmp("push_stats")
