@@ -1882,7 +1882,9 @@ object IcebergMetadata {
     * current schema (field ids must not fork on a branch). */
   def commitToBranch(spark: SparkSession, tableDir: String,
                      dataDir: String, branch: String,
-                     summary: Map[String, String] = Map.empty): Commit = withCommitRetry(tableDir) {
+                     summary: Map[String, String] = Map.empty,
+                     onlyFiles: Option[Set[String]] = None,
+                     carryForward: Boolean = false): Commit = withCommitRetry(tableDir) {
     require(branch != "main", "main moves via commit/fastForward")
     val md = metaDir(tableDir)
     val (version, meta) = currentMetadata(tableDir).getOrElse(
@@ -1893,24 +1895,34 @@ object IcebergMetadata {
     val seq = meta.get("last-sequence-number").asLong + 1
     val snapshotId = java.util.UUID.randomUUID().getMostSignificantBits.abs
     val entries = entriesFor(spark, dataDir, seq,
-      fieldIds = topLevelFieldIds(schemaStr))
+      fieldIds = topLevelFieldIds(schemaStr), onlyFiles = onlyFiles)
     require(entries.nonEmpty, s"no parquet data files under $dataDir")
+    // successive stages CHAIN on the branch: parent = the branch's own
+    // head when the ref exists (a multi-commit audit is one lineage a
+    // branch tail can walk), main's head only for the FIRST stage
+    val parentId = Option(meta.path("refs").get(branch))
+      .map(_.get("snapshot-id").asLong)
+      .getOrElse(meta.get("current-snapshot-id").asLong)
     val manifest = writeManifest(md, entries, snapshotId, schemaStr,
       "data", 0)
+    // `carryForward` makes the branch snapshot a FAST-APPEND on its
+    // parent (Iceberg's wap.branch INSERT shape: branch state = parent
+    // state + new files); default false keeps the auditor's
+    // stage-only (replace-style) lists
+    val carried =
+      if (!carryForward) Nil
+      else meta.withArray[ArrayNode]("snapshots").asScala
+        .find(_.get("snapshot-id").asLong == parentId)
+        .map(s => readAvro(TableIO(s.get("manifest-list").asText)))
+        .getOrElse(Nil)
     val list = writeManifestList(md, snapshotId,
-      Seq(ManifestOut(manifest, 0, entries)))
+      Seq(ManifestOut(manifest, 0, entries)), carryForward = carried)
     val nowMs = System.currentTimeMillis()
     val root = meta.deepCopy[ObjectNode]()
     root.put("last-sequence-number", seq)
     val snap = root.withArray[ArrayNode]("snapshots").addObject()
     snap.put("snapshot-id", snapshotId)
-    // successive stages CHAIN on the branch: parent = the branch's own
-    // head when the ref exists (a multi-commit audit is one lineage a
-    // branch tail can walk), main's head only for the FIRST stage
-    snap.put("parent-snapshot-id",
-      Option(meta.path("refs").get(branch))
-        .map(_.get("snapshot-id").asLong)
-        .getOrElse(meta.get("current-snapshot-id").asLong))
+    snap.put("parent-snapshot-id", parentId)
     snap.put("timestamp-ms", nowMs)
     snap.put("sequence-number", seq)
     snap.put("schema-id", curSchemaId)

@@ -350,6 +350,13 @@ class IcebergStreamingWrite(tableDir: String, schema: StructType,
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
+    // the epoch fence lives in MAIN's snapshot summaries — a branch-
+    // staged epoch would break exactly-once on resume; refuse rather
+    // than silently land on main under an active WAP session
+    require(Option(SparkSession.active.conf
+        .get("spark.wap.branch", null)).forall(_.trim.isEmpty),
+      "spark.wap.branch is not supported for streaming writes — " +
+        "unset it, or stage through batch INSERTs")
     val dir = stagedDir(epochId)
     if (lastEpoch().exists(_ >= epochId)) {
       // replayed epoch: already committed — drop only the re-staged
@@ -436,6 +443,31 @@ class IcebergBatchWrite(tableDir: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val winners = StagedFiles.winners(messages)
     val spark = SparkSession.active
+    // WRITE-AUDIT-PUBLISH: `SET spark.wap.branch = <audit>` stages
+    // this INSERT on the branch instead of main (Iceberg's session
+    // shape) — main readers see nothing until `CALL fast_forward`
+    // publishes, a bad audit is `drop_ref`. Appends on committed
+    // unpartitioned tables only; everything else refuses LOUDLY
+    // rather than silently landing on main.
+    val wapBranch = Option(spark.conf.get("spark.wap.branch", null))
+      .map(_.trim).filter(_.nonEmpty)
+    wapBranch.foreach { b =>
+      require(!overwriteAll,
+        "spark.wap.branch stages appends; INSERT OVERWRITE/truncate " +
+          "cannot target an audit branch — unset spark.wap.branch")
+      require(partPlan.isEmpty,
+        "spark.wap.branch writes are unpartitioned-table only (branch " +
+          "staging commits carry no partition tuples yet) — unset " +
+          "spark.wap.branch or write to main")
+      require(IcebergMetadata.currentMetadata(tableDir).isDefined,
+        s"spark.wap.branch='$b' needs a committed table to branch from")
+      if (winners.isEmpty) { TableIO(stagedDir).deleteRecursive(); return }
+      IcebergMetadata.commitToBranch(spark, tableDir, stagedDir, b,
+        onlyFiles =
+          Some(winners.map(m => TableIO(m.path).canonical).toSet),
+        carryForward = true): Unit
+      return
+    }
     if (winners.isEmpty) {
       // nothing written: INSERT OVERWRITE from an empty source
       // TRUNCATES (the Iceberg/Spark semantics — one metadata-only

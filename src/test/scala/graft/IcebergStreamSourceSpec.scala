@@ -1168,6 +1168,39 @@ class IcebergStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"got $got")
   }
 
+  test("spark.wap.branch stages SQL INSERTs on the audit branch: " +
+    "main unchanged until fast_forward; overwrite under WAP refuses") {
+    val wh = Files.createTempDirectory("graft_wap").toString
+    val ice = s"$wh/t"
+    rows(0 until 10).coalesce(1).write.parquet(s"$wh/d0")
+    IcebergMetadata.commit(spark, ice, s"$wh/d0"): Unit
+    val cat = "gwap_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql(s"INSERT INTO $cat.t VALUES (100, 1000), (101, 1010)")
+      // main readers see nothing; the audit branch holds the stage
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+        .collect().head.getLong(0) == 10L,
+        "WAP INSERT leaked onto main")
+      assert(spark.sql(
+          s"SELECT count(*) FROM $cat.t VERSION AS OF 'audit'")
+        .collect().head.getLong(0) == 12L)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $cat.t VALUES (1, 1)")
+      }
+      assert(e.getMessage.contains("spark.wap.branch") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("spark.wap.branch")))
+    } finally spark.conf.unset("spark.wap.branch")
+    // publish: fast_forward moves main to the audited stage
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+      .collect().head.getLong(0) == 12L)
+  }
+
   test("changelogNet over the raw changelog agrees with " +
     "changelogScan(netChanges = true) on the surviving row values") {
     import graft.streaming.IcebergTail
