@@ -4028,6 +4028,83 @@ object SparkEntry {
                  ON o.o_custkey = d.o_custkey""")
     }),
 
+    // ---- K2+K5 WRITE-ORDERED TABLE: declared `write.sort-order` +
+    //      range distribution → the INSERT's staged files carry
+    //      key-clustered (disjoint when multi-file) manifest bounds —
+    //      the layout that makes every later range scan prune. ----
+    "q_iceberg_sorted_write" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sortedw").toString
+      val cat = "graft_sw_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.lake.ord_sorted
+               (o_orderkey BIGINT, o_totalprice DOUBLE)
+               TBLPROPERTIES('write.sort-order'='o_orderkey',
+                             'write.distribution-mode'='range')""")
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("ord_sorted_src")
+      s.sql(s"""INSERT INTO $cat.lake.ord_sorted
+               SELECT o_orderkey, o_totalprice FROM ord_sorted_src""")
+      val ice = s"$wh/lake/ord_sorted"
+      // the property survived into metadata.json and the staged files
+      // carry ordered, pairwise-DISJOINT o_orderkey bounds
+      require(IcebergMetadata.tableProperties(ice)
+          .get("write.sort-order").contains("o_orderkey"),
+        "write.sort-order lost on first commit")
+      val fid = IcebergMetadata.currentFieldId(ice, "o_orderkey")
+      val bounds = IcebergMetadata.dataFileStats(ice)
+        .filter(_.content == 0)
+        .map(st => (IcebergMetadata.boundLong(st.stats.lower(fid)),
+          IcebergMetadata.boundLong(st.stats.upper(fid))))
+        .sortBy(_._1)
+      require(bounds.nonEmpty, "no bounds on the sorted write")
+      bounds.sliding(2).foreach {
+        case Seq(a, b) => require(b._1 > a._2,
+          s"range-distributed write produced overlapping bounds: $bounds")
+        case _ => ()
+      }
+      s.sql(s"SELECT o_orderkey, o_totalprice FROM $cat.lake.ord_sorted")
+    }),
+
+    // ---- K2+K6 WRITE-AUDIT-PUBLISH session: `spark.wap.branch`
+    //      stages the INSERT on the audit branch (main untouched),
+    //      `CALL fast_forward` publishes atomically. ----
+    "q_iceberg_wap" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_wapgate").toString
+      val ice = s"$wh/lake/nation_w"
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      n.write.parquet(s"$wh/stage0")
+      IcebergMetadata.commit(s, ice, s"$wh/stage0"): Unit
+      val cat = "graft_wp_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      n.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .createOrReplaceTempView("wap_stage_src")
+      s.conf.set("spark.wap.branch", "audit")
+      try {
+        s.sql(s"""INSERT INTO $cat.lake.nation_w
+                 SELECT n_nationkey, n_name, n_regionkey
+                 FROM wap_stage_src""")
+        require(s.sql(s"SELECT count(*) FROM $cat.lake.nation_w")
+            .collect().head.getLong(0) == 25L,
+          "WAP INSERT leaked onto main")
+        require(s.sql(s"SELECT count(*) FROM $cat.lake.nation_w " +
+            "VERSION AS OF 'audit'").collect().head.getLong(0) == 50L,
+          "audit branch missing the staged rows")
+      } finally s.conf.unset("spark.wap.branch")
+      require(s.sql(s"CALL $cat.system.fast_forward(" +
+          "'lake.nation_w', 'audit')").collect().nonEmpty)
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey " +
+        s"FROM $cat.lake.nation_w")
+    }),
+
     // ---- K2 SQL METADATA TABLES through the catalog (Iceberg's
     //      `SELECT * FROM db.tbl.snapshots` surface): the inspection
     //      tables an operator queries for health checks — served as a
@@ -8923,6 +9000,18 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |WHERE o_custkey IN
         |  (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey <= 20)
         |""".stripMargin,
+
+    // write-ordered table: clustering changes the LAYOUT, never the
+    // rows
+    "q_iceberg_sorted_write" ->
+      """SELECT o_orderkey, o_totalprice FROM orders""",
+
+    // WAP session: after fast_forward, main = base + the audited stage
+    "q_iceberg_wap" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation"""
+        .stripMargin,
 
     // streaming sink: A's history (base + the +100 append) shifted
     // +1000 by the pipeline
