@@ -228,6 +228,11 @@ class GraftCatalog extends TableCatalog
       s.property -> s.value }
     val unsetProps = changes.collect { case r: RemoveProperty =>
       r.property }
+    // a reserved key would shadow the table's real surface (location,
+    // provider …) in SHOW TBLPROPERTIES — refuse, don't silently drop
+    (setProps.map(_._1) ++ unsetProps).find(GraftCatalog.ReservedProps)
+      .foreach(k => throw new IllegalArgumentException(
+        s"'$k' is a reserved table attribute, not a settable property"))
     require(adds.size + widens.size + setProps.size + unsetProps.size ==
         changes.size,
       "only ADD COLUMN, type-widening, and SET/UNSET TBLPROPERTIES " +

@@ -132,6 +132,11 @@ object GraftProcedures {
         around(dir) {
           strategy match {
             case "binpack" =>
+              // a sort_order with the default strategy is a mistake
+              // to surface, not a knob to silently drop
+              require(order.isEmpty,
+                s"sort_order '$order' given but strategy is 'binpack' " +
+                  "— pass strategy => 'sort'")
               IcebergMetadata.binpackRewrite(SparkSession.active, dir,
                 in.getLong(1)): Unit
             case "sort" => order match {

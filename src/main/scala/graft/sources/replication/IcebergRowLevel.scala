@@ -50,10 +50,20 @@ object IcebergRowLevel {
     * predicate → one sorted positional-delete file → one `delete`
     * snapshot. No matching rows → no new snapshot (Iceberg's DELETE
     * semantics). An empty/always-true filter set truncates. */
+  /** Row-level operations commit to MAIN — under an active
+    * write-audit-publish session that would bypass the audit, so they
+    * refuse loudly (branch-staged row deltas are not supported). */
+  private[replication] def requireNoWap(op: String): Unit =
+    require(Option(SparkSession.active.conf
+        .get("spark.wap.branch", null)).forall(_.trim.isEmpty),
+      s"spark.wap.branch is active: $op commits to MAIN and cannot " +
+        "be audit-staged — unset spark.wap.branch first")
+
   def deleteWhere(tableDir: String, tableSchema: StructType,
                   filters: Array[org.apache.spark.sql.sources.Filter])
       : Unit = {
     val spark = SparkSession.active
+    requireNoWap("DELETE FROM")
     if (filters.isEmpty ||
         filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
       IcebergMetadata.truncateCommit(spark, tableDir,
@@ -271,6 +281,7 @@ class IcebergDeltaWrite(tableDir: String, rowSchema: StructType,
         fsConf, partPlan)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      IcebergRowLevel.requireNoWap(opName.toUpperCase)
       val msgs = messages.collect { case m: DeltaFilesMessage => m }
       val data = msgs.flatMap(_.data).filter(_.rows > 0)
       val dels = msgs.flatMap(_.deletes).filter(_.rows > 0)

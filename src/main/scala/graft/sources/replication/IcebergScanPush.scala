@@ -288,14 +288,18 @@ object RuntimePrune {
     colVals.forall { case (col, vals) =>
       val fid = fids.get(col)
       val boundsKeep = fid.forall { id =>
-        (st.stats.lower.get(id), st.stats.upper.get(id)) match {
-          case (Some(l), Some(u)) =>
+        val nums = vals.map(num)
+        // any non-numeric value (a string partition source) → bounds
+        // can't adjudicate; check BEFORE decoding — string bounds are
+        // raw UTF-8 bytes, not a 4/8-byte integer
+        if (nums.exists(_.isEmpty)) true
+        else (st.stats.lower.get(id), st.stats.upper.get(id)) match {
+          case (Some(l), Some(u))
+              if (l.length == 4 || l.length == 8) &&
+                (u.length == 4 || u.length == 8) =>
             val (lo, hi) =
               (IcebergMetadata.boundLong(l), IcebergMetadata.boundLong(u))
-            val nums = vals.map(num)
-            // any non-numeric value → bounds can't adjudicate
-            nums.exists(_.isEmpty) ||
-              nums.flatten.exists(v => lo <= v && v <= hi)
+            nums.flatten.exists(v => lo <= v && v <= hi)
           case _ => true
         }
       }
@@ -373,9 +377,11 @@ object RuntimePrune {
   * Any missing stat refuses (keeps every file). */
 object TopNPrune {
 
-  /** The prune plan over the first sort column. */
+  /** The prune plan over the first sort column. `soleKey` = the
+    * order has no further columns, so ties (incl. among null rows)
+    * are arbitrary and any covering subset is a valid prune. */
   case class Spec(col: String, desc: Boolean, nullsFirst: Boolean,
-                  n: Int)
+                  n: Int, soleKey: Boolean)
 
   import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 
@@ -396,7 +402,8 @@ object TopNPrune {
         f.dataType == TimestampNTZType)
     if (!orderable) return None
     Some(Spec(col, head.direction() == SortDirection.DESCENDING,
-      head.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+      head.nullOrdering() == NullOrdering.NULLS_FIRST, n,
+      soleKey = orders.length == 1))
   }
 
   /** Keep a provable superset of the files holding the top-n rows;
@@ -425,10 +432,16 @@ object TopNPrune {
     var needed = spec.n.toLong
     val keepNull = scala.collection.mutable.Set.empty[String]
     if (spec.nullsFirst && needed > 0 && totalNulls > 0) {
-      var covered = 0L
-      fs.filter(_.nulls > 0).sortBy(-_.nulls).foreach { f =>
-        if (covered < needed) { keepNull += f.st.path; covered += f.nulls }
-      }
+      // a SOLE sort key makes ties among null rows arbitrary — any
+      // covering subset of null files is a valid answer; with later
+      // sort columns, WHICH null rows are top-n is decided by them,
+      // so EVERY null-bearing file must stay
+      if (spec.soleKey) {
+        var covered = 0L
+        fs.filter(_.nulls > 0).sortBy(-_.nulls).foreach { f =>
+          if (covered < needed) { keepNull += f.st.path; covered += f.nulls }
+        }
+      } else fs.filter(_.nulls > 0).foreach(f => keepNull += f.st.path)
       needed = math.max(0L, needed - totalNulls)
     }
     val keepVal = scala.collection.mutable.Set.empty[String]

@@ -82,8 +82,11 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
       * comma-separated columns, each optionally `DESC`. Validated
       * against the write schema at plan time (driver, one metadata
       * read) — a stale property must refuse, not silently unsort. */
+    // one metadata read serves both write knobs
+    private val writeProps = IcebergMetadata.tableProperties(tableDir)
+
     private val sortOrderCols: Seq[(String, Boolean)] = {
-      val props = IcebergMetadata.tableProperties(tableDir)
+      val props = writeProps
       props.get("write.sort-order").map(_.split(",").toSeq
         .map(_.trim).filter(_.nonEmpty).map { tok =>
           val parts = tok.split("\\s+")
@@ -101,8 +104,7 @@ class IcebergWriteBuilder(tableDir: String, info: LogicalWriteInfo)
         }).getOrElse(Nil)
     }
     private val distributionMode: String =
-      IcebergMetadata.tableProperties(tableDir)
-        .getOrElse("write.distribution-mode", "none")
+      writeProps.getOrElse("write.distribution-mode", "none")
 
     /** Identity-partitioned writes ask Spark to CLUSTER input rows by
       * the partition source columns: each partition value then lands

@@ -138,12 +138,16 @@ object IcebergTail {
                        keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // commit_snapshot_id (a changelogScan frame's extra column) is
+    // bookkeeping, not row identity: grouping by it would stop
+    // carryovers from netting across commits — drop it up front
+    val changes0 = changes.drop("commit_snapshot_id")
     val metaCols = Set("change_type", "change_ordinal")
-    val dataCols = changes.columns.filterNot(c => metaCols.contains(c))
+    val dataCols = changes0.columns.filterNot(c => metaCols.contains(c))
       .toSeq
     require(keyCols.forall(dataCols.contains), s"keys $keyCols missing")
     // 1. bag-wise carryover netting per (values, ordinal)
-    val counted = changes
+    val counted = changes0
       .groupBy((dataCols :+ "change_ordinal").map(col): _*)
       .agg(
         sum(when(col("change_type") === "delete", 1).otherwise(0))
@@ -212,9 +216,12 @@ object IcebergTail {
     * commit-window-sized, the poll/batch path's shuffle budget. */
   def changelogNet(changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // commit_snapshot_id is bookkeeping, not row identity — grouping
+    // by it would defeat the cross-commit netting this exists for
+    val changes0 = changes.drop("commit_snapshot_id")
     val metaCols = Set("change_type", "change_ordinal")
-    val dataCols = changes.columns.filterNot(metaCols.contains).toSeq
-    changes
+    val dataCols = changes0.columns.filterNot(metaCols.contains).toSeq
+    changes0
       .groupBy(dataCols.map(col): _*)
       .agg(
         sum(when(col("change_type") === "insert", 1).otherwise(-1))
