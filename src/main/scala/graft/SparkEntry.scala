@@ -4028,6 +4028,47 @@ object SparkEntry {
                  ON o.o_custkey = d.o_custkey""")
     }),
 
+    // ---- K2 GROUP-BY AGGREGATE PUSHDOWN over identity partitions:
+    //      each file's partition tuple IS its group key, so
+    //      `SELECT k, count(*), min/max … GROUP BY k` answers from
+    //      the manifests with one row per live partition — zero data
+    //      files, no aggregate node (beyond Iceberg's own connector,
+    //      which only pushes global aggregates). ----
+    "q_iceberg_agg_group" -> ((s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_agggrp").toString
+      val cat = "graft_ag_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.replication.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""CREATE TABLE $cat.lake.nation_g
+               (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+               PARTITIONED BY (n_regionkey)""")
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .createOrReplaceTempView("nation_g_src")
+      s.sql(s"""INSERT INTO $cat.lake.nation_g
+               SELECT n_nationkey, n_name, n_regionkey
+               FROM nation_g_src""")
+      val df = s.sql(
+        s"""SELECT n_regionkey, count(*) AS n,
+            min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+            FROM $cat.lake.nation_g GROUP BY n_regionkey""")
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }
+      require(scans.nonEmpty && scans.forall(_.scan
+          .isInstanceOf[graft.sources.replication.IcebergAggScan]),
+        "group-by aggregate not served from manifest statistics")
+      require(!df.queryExecution.executedPlan.toString
+          .contains("HashAggregate"),
+        "complete group-by pushdown still planned HashAggregate")
+      df
+    }),
+
     // ---- K2+K5 WRITE-ORDERED TABLE: declared `write.sort-order` +
     //      range distribution → the INSERT's staged files carry
     //      key-clustered (disjoint when multi-file) manifest bounds —
@@ -9000,6 +9041,14 @@ FROM e LEFT JOIN base b ON b.dialect = e.dialect AND b.t = e.t"""
         |WHERE o_custkey IN
         |  (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey <= 20)
         |""".stripMargin,
+
+    // group-by pushdown: per-partition metadata answers must equal
+    // the data
+    "q_iceberg_agg_group" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  count(*) AS n, min(CAST(n_nationkey AS BIGINT)) AS min_key,
+        |  max(CAST(n_nationkey AS BIGINT)) AS max_key
+        |FROM nation GROUP BY 1""".stripMargin,
 
     // write-ordered table: clustering changes the LAYOUT, never the
     // rows

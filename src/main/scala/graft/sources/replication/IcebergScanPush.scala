@@ -47,15 +47,27 @@ import graft.sinks.IcebergMetadata.DataFileStat
   */
 object ManifestAgg {
 
-  /** (result schema, single result row values) when every aggregate in
-    * `agg` is answerable from manifest stats alone. */
+  /** (result schema, result rows — one for a global aggregate, one
+    * per group for an identity-partition GROUP BY) when every
+    * aggregate in `agg` is answerable from manifest stats alone.
+    *
+    * GROUP BY pushes down ONLY over identity-partition source
+    * columns: each file's partition tuple IS its group key (every
+    * row in the file shares it), so per-group counts/bounds are the
+    * per-file stats folded within each tuple value — `SELECT k,
+    * count(*) FROM t GROUP BY k` on a 100 TB identity-partitioned
+    * table is a metadata fold with one row per live partition. */
   def plan(tableDir: String, tableSchema: StructType, ref: Option[String],
            asOfSnapshot: Option[Long], agg: Aggregation)
-      : Option[(StructType, Array[Any])] = try {
-    if (agg.groupByExpressions.nonEmpty) return None
+      : Option[(StructType, Seq[Array[Any]])] = try {
     if (agg.aggregateExpressions.isEmpty) return None
     // refuse on SHAPE before touching any metadata — a SUM or DISTINCT
     // query must not pay an O(manifests) driver read just to fall back
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return None
+    }
     val shapeOk = agg.aggregateExpressions.forall {
       case _: CountStar => true
       case c: Count => !c.isDistinct && colOf(c.column).isDefined
@@ -74,27 +86,75 @@ object ManifestAgg {
       if (committed) IcebergMetadata.currentFieldIds(tableDir)
       else Map.empty[String, Int]
 
-    val answered = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          data.map(_.recordCount).sum: Any))
-      case c: Count if !c.isDistinct =>
-        for {
-          col <- colOf(c.column)
-          fid <- fids.get(col)
-          if data.forall(f => f.stats.valueCounts.contains(fid) &&
-            f.stats.nullCounts.contains(fid))
-        } yield (StructField(s"count($col)", LongType, nullable = false),
-          data.map(f =>
-            f.stats.valueCounts(fid) - f.stats.nullCounts(fid)).sum: Any)
-      case m: Min => minMax(m.column, tableSchema, fids, data, isMin = true)
-      case m: Max => minMax(m.column, tableSchema, fids, data, isMin = false)
-      case _ => None
+    def answeredFor(subset: Seq[DataFileStat])
+        : Option[(Seq[StructField], Seq[Any])] = {
+      val answered = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            subset.map(_.recordCount).sum: Any))
+        case c: Count if !c.isDistinct =>
+          for {
+            col <- colOf(c.column)
+            fid <- fids.get(col)
+            if subset.forall(f => f.stats.valueCounts.contains(fid) &&
+              f.stats.nullCounts.contains(fid))
+          } yield (StructField(s"count($col)", LongType, nullable = false),
+            subset.map(f =>
+              f.stats.valueCounts(fid) - f.stats.nullCounts(fid)).sum: Any)
+        case m: Min =>
+          minMax(m.column, tableSchema, fids, subset, isMin = true)
+        case m: Max =>
+          minMax(m.column, tableSchema, fids, subset, isMin = false)
+        case _ => None
+      }
+      if (answered.exists(_.isEmpty)) None
+      else Some((answered.map(_.get._1), answered.map(_.get._2)))
     }
-    if (answered.exists(_.isEmpty)) None
-    else Some((StructType(answered.map(_.get._1)),
-      answered.map(_.get._2).toArray))
+
+    if (groupCols.isEmpty)
+      answeredFor(data).map { case (fields, vals) =>
+        (StructType(fields), Seq(vals.toArray)) }
+    else {
+      val gFieldDefs = groupCols.map { c =>
+        val f = tableSchema.fields.find(_.name == c)
+          .getOrElse(return None)
+        StructField(f.name, f.dataType, nullable = true)
+      }
+      val specs = IcebergMetadata.specsById(tableDir)
+      val gFids = groupCols.map(c => fids.getOrElse(c, return None))
+      // every file must be identity-partitioned on every group column
+      // under ITS OWN spec — then its tuple is its group key
+      val keyed: Seq[(Seq[Any], DataFileStat)] = data.map { st =>
+        val fields = specs.getOrElse(st.specId, return None)
+        val key = gFids.map { fid =>
+          val idx = fields.indexWhere(f =>
+            f.sourceId == fid && f.transform == "identity")
+          if (idx < 0 || idx >= st.partition.length) return None
+          st.partition(idx)
+        }
+        (key, st)
+      }
+      // one agg row per live tuple; the schema derives once globally
+      val aggFields = answeredFor(data).getOrElse(return None)._1
+      val rows = keyed.groupBy(_._1).toSeq.map { case (key, files) =>
+        val aggVals = answeredFor(files.map(_._2))
+          .getOrElse(return None)._2
+        (key.zip(gFieldDefs).map { case (v, fd) =>
+          groupKey(v, fd.dataType).getOrElse(return None) } ++
+          aggVals).toArray
+      }
+      Some((StructType(gFieldDefs ++ aggFields), rows))
+    }
   } catch { case NonFatal(_) => None }
+
+  /** Partition-tuple value → catalyst group-key value. */
+  private def groupKey(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (null, _) => Some(null)
+    case (s: String, StringType) => Some(UTF8String.fromString(s))
+    case (n: Number, LongType) => Some(n.longValue())
+    case (n: Number, IntegerType) => Some(n.intValue())
+    case _ => None
+  }
 
   /** Resolve a branch ref / explicit snapshot to the snapshot id the
     * batch scan would read (None = current head). */
@@ -183,34 +243,38 @@ object ManifestAgg {
 
 /** The scan a fully-pushed aggregate builds: the answer was computed
   * at plan time on the driver from manifest metadata, so the "scan"
-  * is one partition serving one precomputed row — zero data-file IO,
-  * zero shuffle, whatever the table size. */
-class IcebergAggScan(aggSchema: StructType, values: Array[Any])
+  * is one partition serving the precomputed rows (one for a global
+  * aggregate, one per group for a partition-column GROUP BY) — zero
+  * data-file IO, zero shuffle, whatever the table size. */
+class IcebergAggScan(aggSchema: StructType, rows: Seq[Array[Any]])
     extends Scan with Batch {
+  def this(aggSchema: StructType, values: Array[Any]) =
+    this(aggSchema, Seq(values))
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(IcebergAggResultPartition(values))
+    Array(IcebergAggResultPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     AggResultReaderFactory
   override def description(): String =
     s"IcebergAggScan(manifest-stats, ${aggSchema.fieldNames.mkString(", ")})"
 }
 
-/** The single result partition: plain JVM values (Long/Int/Double/
-  * Float/Boolean/null only — the planner never pushes string
-  * aggregates), safe to ship in the task binary. */
-case class IcebergAggResultPartition(values: Array[Any])
+/** The result partition: plain JVM values (Long/Int/Double/Float/
+  * Boolean/UTF8String group keys/null only), group-count-bounded,
+  * safe to ship in the task binary. */
+case class IcebergAggResultPartition(rows: Seq[Array[Any]])
     extends InputPartition
 
 object AggResultReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val vals = p.asInstanceOf[IcebergAggResultPartition].values
+    val rows = p.asInstanceOf[IcebergAggResultPartition].rows
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = !done && { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(vals)
+      private val it = rows.iterator
+      private var cur: Array[Any] = _
+      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+      override def get(): InternalRow = new GenericInternalRow(cur)
       override def close(): Unit = ()
     }
   }

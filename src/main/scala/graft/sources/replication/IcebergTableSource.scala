@@ -328,9 +328,9 @@ class IcebergStreamScanBuilder(tableDir: String, tableSchema: StructType,
   // pushdown upstream (every filter stays residual here, so Spark
   // keeps the Filter node and never offers the aggregate).
   private var aggMemo
-      : Option[(String, Option[(StructType, Array[Any])])] = None
+      : Option[(String, Option[(StructType, Seq[Array[Any]])])] = None
   private def planAgg(agg: org.apache.spark.sql.connector.expressions
-      .aggregate.Aggregation): Option[(StructType, Array[Any])] = {
+      .aggregate.Aggregation): Option[(StructType, Seq[Array[Any]])] = {
     if (mode == "changelog") return None
     val key = agg.toString
     aggMemo match {

@@ -257,6 +257,96 @@ class IcebergScanPushSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-n file pruning ran on a MoR snapshot")
   }
 
+  test("GROUP BY identity-partition columns pushes down: one metadata " +
+    "row per live partition, string keys included; bucket partitions " +
+    "refuse and fall back correctly") {
+    val wh = tmp("push_grp_wh")
+    val cat = "pushspec_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import spark.implicits._
+    spark.sql(s"""CREATE TABLE $cat.lake.g (k STRING, v BIGINT)
+                 PARTITIONED BY (k)""")
+    (0L until 60L).map(i => (s"g${i % 3}", i)).toDF("k", "v")
+      .createOrReplaceTempView("grp_src")
+    spark.sql(s"INSERT INTO $cat.lake.g SELECT k, v FROM grp_src")
+    val df = spark.sql(s"SELECT k, count(*) AS n, min(v) AS mn, " +
+      s"max(v) AS mx FROM $cat.lake.g GROUP BY k")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("g0", 20L, 0L, 57L), ("g1", 20L, 1L, 58L),
+      ("g2", 20L, 2L, 59L)), s"got $got")
+    assert(batchScans(df).forall(_.scan.isInstanceOf[IcebergAggScan]),
+      "group-by aggregate not metadata-served")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+
+    // bucket partitioning: tuples are NOT the group key — refuse and
+    // run the real aggregate
+    spark.sql(s"""CREATE TABLE $cat.lake.gb (k STRING, v BIGINT)
+                 PARTITIONED BY (bucket(4, k))""")
+    spark.sql(s"INSERT INTO $cat.lake.gb SELECT k, v FROM grp_src")
+    val df2 = spark.sql(
+      s"SELECT k, count(*) AS n FROM $cat.lake.gb GROUP BY k")
+    assert(df2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("g0", 20L), ("g1", 20L), ("g2", 20L)))
+    assert(batchScans(df2).forall(!_.scan.isInstanceOf[IcebergAggScan]),
+      "bucket tuples served as group keys")
+  }
+
+  test("regression: multi-column NULLS FIRST top-n keeps every " +
+    "null-bearing file (later sort columns decide which null rows " +
+    "win)") {
+    import spark.implicits._
+    val wh = tmp("push_topn_nf")
+    val dir = s"$wh/t"
+    // two files, both all-null in a, disjoint b ranges: the true
+    // top-5 by (a, b) live in the SECOND file (b = 0..4)
+    Seq.tabulate(10)(i => (None: Option[Long], 100L + i))
+      .toDF("a", "b").coalesce(1).write.parquet(s"$wh/d0")
+    IcebergMetadata.commit(spark, dir, s"$wh/d0"): Unit
+    Seq.tabulate(5)(i => (None: Option[Long], i.toLong))
+      .toDF("a", "b").coalesce(1).write.parquet(s"$wh/d1")
+    IcebergMetadata.appendCommit(spark, dir, s"$wh/d1"): Unit
+    val df = spark.read.format("graft-iceberg").load(dir)
+      .orderBy(col("a").asc_nulls_first, col("b")).limit(5)
+    assert(df.collect().map(_.getLong(1)).toSeq == (0L until 5L),
+      "multi-column null top-n returned the wrong rows")
+    assert(batchScans(df).map(_.inputPartitions.length).sum == 2,
+      "a null-covering subset was pruned under a secondary sort key")
+  }
+
+  test("regression: runtime IN over a STRING partition source prunes " +
+    "by tuple without touching the (non-numeric) bounds") {
+    val wh = tmp("push_rtf_str")
+    val cat = "pushspec_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.replication.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import spark.implicits._
+    spark.sql(s"""CREATE TABLE $cat.lake.s (k STRING, v BIGINT)
+                 PARTITIONED BY (k)""")
+    (0L until 40L).map(i => (s"name${i % 4}", i)).toDF("k", "v")
+      .createOrReplaceTempView("rtf_str_src")
+    spark.sql(s"INSERT INTO $cat.lake.s SELECT k, v FROM rtf_str_src")
+    val ice = s"$wh/lake/s"
+    val scan = mkScan(ice)
+    val total = scan.toBatch.planInputPartitions().length
+    scan.filter(Array(new VPredicate("IN",
+      Array[VExpr](Expressions.column("k"),
+        Expressions.literal(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString("name2"))))))
+    val kept = scan.toBatch.planInputPartitions().length
+    assert(kept < total && kept >= 1,
+      s"string tuple prune kept $kept of $total")
+    val seen = spark.sql(s"SELECT v FROM $cat.lake.s WHERE k = 'name2'")
+      .collect().map(_.getLong(0)).toSet
+    assert(seen == (0L until 40L).filter(_ % 4 == 2).toSet)
+  }
+
   test("estimateStatistics reports manifest size/rows and a small " +
     "engine table broadcasts in a join") {
     val dir = tmp("push_stats")
