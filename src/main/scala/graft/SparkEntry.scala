@@ -4178,6 +4178,20 @@ object SparkEntry {
       require(s.sql(s"SELECT count(*) FROM $cat.lake.nation_m.manifests")
         .collect().head.getLong(0) >= 1L,
         "manifests metadata table empty")
+      // refs: the implicit main branch at the current head; history:
+      // both current-state changes, all current ancestors
+      val refRows = s.sql(
+        s"SELECT name, type, snapshot_id FROM $cat.lake.nation_m.refs")
+        .collect()
+      require(refRows.exists(r => r.getString(0) == "main" &&
+          r.getString(1) == "branch" &&
+          r.getLong(2) == IcebergMetadata.currentMetadata(ice)
+            .get._2.get("current-snapshot-id").asLong),
+        s"refs table wrong: ${refRows.toSeq}")
+      val hist = s.sql(s"SELECT snapshot_id, is_current_ancestor " +
+          s"FROM $cat.lake.nation_m.history").collect()
+      require(hist.length == 2 && hist.forall(_.getBoolean(1)),
+        s"history table wrong: ${hist.toSeq}")
       s.sql(s"""SELECT sequence_number, operation, added_records
                 FROM $cat.lake.nation_m.snapshots""")
     }),

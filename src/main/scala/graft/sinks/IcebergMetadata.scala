@@ -4695,6 +4695,50 @@ object IcebergMetadata {
       "operation", "added_records")
   }
 
+  /** Iceberg's `refs` metadata table: every named ref plus the
+    * implicit `main` branch at the current snapshot. */
+  def refsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    val named = Option(meta.get("refs")).toSeq.flatMap { refs =>
+      refs.properties().asScala.map { e =>
+        (e.getKey, e.getValue.get("type").asText,
+          e.getValue.get("snapshot-id").asLong)
+      }
+    }.filterNot(_._1 == "main")
+    (("main", "branch", meta.get("current-snapshot-id").asLong) +: named)
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  /** Iceberg's `history` metadata table: the snapshot-log (every
+    * current-state change, in order) with the is-current-ancestor
+    * flag a rollback consumer filters on. */
+  def historyTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, meta) = currentMetadata(tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $tableDir"))
+    // ancestry = the parent chain from the current head (a rolled-back
+    // commit stays in the log but is no longer an ancestor)
+    val byId = meta.withArray[ArrayNode]("snapshots").asScala
+      .map(s => s.get("snapshot-id").asLong -> s).toMap
+    val ancestors = Iterator
+      .iterate(Option(meta.get("current-snapshot-id").asLong)) { cur =>
+        cur.flatMap(id => byId.get(id))
+          .flatMap(s => Option(s.get("parent-snapshot-id"))
+            .filterNot(_.isNull).map(_.asLong))
+      }
+      .takeWhile(_.isDefined).flatten.toSet
+    meta.withArray[ArrayNode]("snapshot-log").asScala.toSeq.map { e =>
+      val id = e.get("snapshot-id").asLong
+      (e.get("timestamp-ms").asLong, id,
+        byId.get(id).flatMap(s => Option(s.get("parent-snapshot-id")))
+          .filterNot(_.isNull).map(_.asLong),
+        ancestors.contains(id))
+    }.toDF("made_current_at", "snapshot_id", "parent_id",
+      "is_current_ancestor")
+  }
+
   def manifestsTable(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val (_, meta) = currentMetadata(tableDir).getOrElse(

@@ -86,7 +86,8 @@ class GraftCatalog extends TableCatalog
         // namespace = [ns, tbl], name = snapshots — serve the
         // inspection surface (zero data-file IO, manifests only)
         // when the namespace's tail names a committed table
-        val kinds = Set("snapshots", "files", "partitions", "manifests")
+        val kinds = Set("snapshots", "files", "partitions",
+          "manifests", "refs", "history")
         if (ident.namespace().nonEmpty && kinds.contains(ident.name())) {
           val parent = (warehouse +: ident.namespace().toSeq)
             .mkString("/")
@@ -437,7 +438,7 @@ object GraftCatalog {
 
 /** Iceberg-style metadata table served through the SQL catalog —
   * `graft.ns.tbl.snapshots` / `.files` / `.partitions` /
-  * `.manifests`. Rows come from the engine's inspection surface
+  * `.manifests` / `.refs` / `.history`. Rows come from the engine's inspection surface
   * ([[IcebergMetadata.snapshotsTable]] family): the same
   * manifest/metadata walk the planner runs, ZERO data-file IO, always
   * metadata-small — served as a [[org.apache.spark.sql.connector.read.LocalScan]]
@@ -456,6 +457,8 @@ class IcebergMetaTable(tableDir: String, kind: String)
       case "files" => IcebergMetadata.filesTable(s, tableDir)
       case "partitions" => IcebergMetadata.partitionsTable(s, tableDir)
       case "manifests" => IcebergMetadata.manifestsTable(s, tableDir)
+      case "refs" => IcebergMetadata.refsTable(s, tableDir)
+      case "history" => IcebergMetadata.historyTable(s, tableDir)
     }
   }
 
