@@ -361,6 +361,33 @@ object ScaleCheck {
           "25-row engine table did not broadcast against 6M-row fact")
         println("optfaces stats-driven broadcast: OK")
       }
+
+      // GROUP BY over an identity-partitioned 6M-row table: one
+      // metadata row per partition, no aggregate node, metadata time
+      locally {
+        import org.apache.spark.sql.types.LongType
+        spark.sql("""CREATE TABLE gso.lake.li_grp
+          (l_orderkey BIGINT, l_quantity DOUBLE, grp BIGINT)
+          PARTITIONED BY (grp)""")
+        li.select(col("l_orderkey"),
+            col("l_quantity").cast("double").as("l_quantity"),
+            (col("l_orderkey") % 16).cast(LongType).as("grp"))
+          .createOrReplaceTempView("li_grp_src")
+        spark.sql("""INSERT INTO gso.lake.li_grp
+          SELECT l_orderkey, l_quantity, grp FROM li_grp_src""")
+        val (tGrp, nGrp) = t2("group-by aggpush via SQL") {
+          spark.sql("SELECT grp, count(*), min(l_orderkey), " +
+            "max(l_orderkey) FROM gso.lake.li_grp GROUP BY grp")
+            .collect().length }
+        require(nGrp == 16, s"expected 16 groups, got $nGrp")
+        require(tGrp <= math.max(0.15, tScan * 0.5),
+          f"group-by pushdown not metadata-time: $tGrp%.3f s")
+        val gPlan = spark.sql("SELECT grp, count(*) FROM " +
+            "gso.lake.li_grp GROUP BY grp")
+          .queryExecution.executedPlan.toString
+        require(!gPlan.contains("HashAggregate"),
+          "partition group-by planned a real aggregate")
+      }
       spark.stop(); return
     }
 
