@@ -89,7 +89,7 @@ object Dedup {
     * are O(duplicates), never O(corpus). The returned frame reads
     * lazily, so deletion is deferred to the JVM-exit hook (or an
     * explicit `Scratch.cleanupNow`), never eager. */
-  private def materializeOffCache(df: DataFrame): DataFrame = {
+  private[llm] def materializeOffCache(df: DataFrame): DataFrame = {
     val path = Scratch.next(df)
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)

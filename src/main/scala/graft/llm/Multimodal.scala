@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to disk-backed stream caches: every read/write —
+  // even over in-memory byte arrays — creates and deletes a temp FILE.
+  // At one encode + one decode per row that is two file syscalls per
+  // image; memory-backed caches produce byte-identical PNGs. Set once
+  // per JVM (the object initializer runs on each executor when the
+  // decode closures first load).
+  ImageIO.setUseCache(false)
+
   case class MediaRecord(doc_id: Long, media_type: String,
                          payload: Array[Byte], width: Int, height: Int)
 
@@ -51,12 +59,9 @@ object Multimodal {
   private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    val px = new Array[Int](w * h)
+    java.util.Arrays.fill(px, rgb)
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -96,16 +101,18 @@ object Multimodal {
         it.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val c = ((id + 3L * x + 5L * y) % 256).toInt
-              img.setRGB(x, y, (c << 16) | (c << 8) | c)
+              px(y * w + x) = (c << 16) | (c << 8) | c
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val bos = new ByteArrayOutputStream()
           ImageIO.write(img, "png", bos)
           MediaRecord(id, "image", bos.toByteArray, w, h)
@@ -181,14 +188,18 @@ object Multimodal {
     * the 4-band published shape. */
   def imageNearDup(spark: SparkSession, media: DataFrame,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = aHash64(spark, media)
+    // materialize the fingerprints once: the self-join below reads its
+    // build AND probe side from this ~16-bytes-per-image table instead
+    // of running the decode+hash pipeline twice (the §8 "decide with
+    // small rows" shape — payload bytes are read exactly once)
+    val hashed = Dedup.materializeOffCache(aHash64(spark, media)
       .where(col("ahash_bits").isNotNull)
       .select(col("doc_id").as("id"),
         col("ahash_bits"),
         conv(substring(col("ahash_bits"), 1, 32), 2, 10)
           .cast("long").as("hi"),
         conv(substring(col("ahash_bits"), 33, 32), 2, 10)
-          .cast("long").as("lo"))
+          .cast("long").as("lo")))
     val bands = hashed.withColumn("band",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("b"),
@@ -199,8 +210,12 @@ object Multimodal {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
           bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).as("hamming"))
-      .distinct()
+      // hamming ≤ maxHamming BEFORE the dedup exchange: hamming is a
+      // function of the pair, so filter∘distinct ≡ distinct∘filter —
+      // but only far-pair candidates (the vast majority on gradient-like
+      // corpora) are dropped before they are shuffled
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Decode features per payload, one pass, no shuffle.
@@ -226,17 +241,16 @@ object Multimodal {
           catch { case _: Exception => null }
         if (img != null) {
           val w = img.getWidth; val h = img.getHeight
+          // one bulk getRGB per image: identical sRGB values to the
+          // per-pixel calls without a color-model lookup per pixel
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            i += 1
           }
           val n = w.toLong * h
           val means = Array((sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
@@ -286,15 +300,19 @@ object Multimodal {
           val (ow, oh) = fit(w, h)
           val out = new java.awt.image.BufferedImage(
             ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val src = img.getRGB(0, 0, w, h, null, 0, w)
+          val dst = new Array[Int](ow * oh)
           var y = 0
           while (y < oh) {
+            val sy = y * h / oh
             var x = 0
             while (x < ow) {
-              out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+              dst(y * ow + x) = src(sy * w + x * w / ow)
               x += 1
             }
             y += 1
           }
+          out.setRGB(0, 0, ow, oh, dst, 0, ow)
           val bos = new ByteArrayOutputStream()
           ImageIO.write(out, "png", bos)
           MediaRecord(r.doc_id, r.media_type, bos.toByteArray, ow, oh)

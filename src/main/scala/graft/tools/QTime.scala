@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time named gate queries in isolation (same action as the
+  * bench: `.count()` after a warm-up pass), printing per-run seconds —
+  * for isolating one optimization without a full bench sweep. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("QTIME_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = graft.SparkEntry.queries
+    // session warm-up (parquet footers, codegen baseline)
+    try { queries("q_project")(spark, dir).count(): Unit }
+    catch { case _: Throwable => () }
+    names.foreach { n =>
+      spark.sparkContext.setJobDescription(n)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        queries(n)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-28s ${runs.map(r => f"$r%.2f").mkString(" ")}  min=${runs.min}%.2f")
+    }
+    spark.stop()
+  }
+}
