@@ -557,20 +557,32 @@ object ChangeLogFixture {
   def wal2jsonLog(events: DataFrame): DataFrame = {
     val names = """["event_id","user_id","event_type","value"]"""
     val types = """["bigint","bigint","text","double precision"]"""
-    val vals = format_string("""[%d,%d,"%s",%s]""",
-      col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val insertOrUpdate = format_string(
-      s"""{"kind":"%s","schema":"public","table":"events","columnnames":$names,"columntypes":$types,"columnvalues":%s}""",
-      when(col("event_type") === "purchase", "update").otherwise("insert"), vals)
-    val delete = format_string(
-      s"""{"kind":"delete","schema":"public","table":"events","oldkeys":{"keynames":["event_id"],"keytypes":["bigint"],"keyvalues":[%d]}}""",
-      col("event_id"))
+    // concat(...) instead of format_string(...): java.util.Formatter
+    // re-parses its pattern and allocates per CALL per ROW (4 nested
+    // calls here), and because this literal-building projection gets
+    // collapsed into the consumer's interpreted from_json projection it
+    // never reaches codegen. `%d`/`%s` on long/string/double render
+    // exactly as the corresponding cast-to-string, so the payload is
+    // byte-identical.
+    val vals = concat(lit("["), col("event_id").cast("string"), lit(","),
+      col("user_id").cast("string"), lit(",\""), col("event_type"),
+      lit("\","), col("value").cast("string"), lit("]"))
+    val insertOrUpdate = concat(
+      lit("""{"kind":""""),
+      when(col("event_type") === "purchase", "update").otherwise("insert"),
+      lit(s"""","schema":"public","table":"events","columnnames":$names,"columntypes":$types,"columnvalues":"""),
+      vals, lit("}"))
+    val delete = concat(
+      lit("""{"kind":"delete","schema":"public","table":"events","oldkeys":{"keynames":["event_id"],"keytypes":["bigint"],"keyvalues":["""),
+      col("event_id").cast("string"), lit("]}}"))
     val change = when(col("event_type") === "error", delete)
       .otherwise(insertOrUpdate)
-    events.select(format_string(
-      """{"change":[%s],"nextlsn":"0/%s","timestamp":"%s"}""",
-      change, upper(conv(col("event_id"), 10, 16)),
-      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("payload"))
+    events.select(concat(
+      lit("""{"change":["""), change,
+      lit("""],"nextlsn":"0/"""), upper(conv(col("event_id"), 10, 16)),
+      lit("""","timestamp":""""),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      lit("\"}")).as("payload"))
   }
 
   /** events → a cdc.fn_cdc_get_all_changes-shaped frame: op codes

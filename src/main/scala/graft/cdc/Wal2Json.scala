@@ -54,10 +54,22 @@ object Wal2Json {
     */
   def decode(df: DataFrame, jsonCol: String): DataFrame = {
     val parsed = df.select(from_json(col(jsonCol), schema).as("w"))
+    // explode_outer + isNotNull instead of explode: the optimizer's
+    // InferFiltersFromGenerate turns a plain explode into a
+    // `size(<generator child>) > 0` filter, and after projection
+    // collapse that child is the ENTIRE from_json(...) chain — whose
+    // hoisted common-subexpression the generated predicate then
+    // evaluates for every SCANNED row, ahead of the cheap pushed
+    // filters (measured: ~12 µs × the full scan, dwarfing the decode
+    // itself). The rule skips outer generates; the isNotNull on the
+    // generated attribute drops exactly the rows explode would have
+    // (wal2json change arrays never carry null entries), so results
+    // are identical and from_json runs once per selected row.
     parsed
       .select(col("w.nextlsn").as("next_lsn"),
         to_timestamp(col("w.timestamp")).as("_cdc_timestamp"),
-        explode(col("w.change")).as("c"))
+        explode_outer(col("w.change")).as("c"))
+      .where(col("c").isNotNull)
       .select(
         col("c.kind").as("kind"),
         col("c.schema").as("schema"),

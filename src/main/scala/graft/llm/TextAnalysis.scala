@@ -407,10 +407,17 @@ object TextAnalysis {
           concat(element_at(syms, i), sepL, element_at(syms, i + 1))))
         .otherwise(array().cast("array<string>"))
     }
-    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
-        .as("s"), col("freq"))
+    // materialize the word-frequency vocab ONCE: every round's argmax
+    // collect is an action, and without this each of the `rounds`
+    // actions re-ran the corpus tokenize + groupBy from scratch — the
+    // corpus is scanned once, the per-round jobs touch only the
+    // (distinct-word, freq) table (bounded by vocabulary size, tiny vs
+    // the corpus at any scale)
+    var vocab = Dedup.materializeOffCache(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
+          .as("s"), col("freq")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       val best = vocab
@@ -436,10 +443,13 @@ object TextAnalysis {
     val sep = "\u0001"
     val table = bpeTrain(df, textCol, rounds).collect()
       .map(r => (r.getString(1), r.getString(2)))
-    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
-        .as("s"), col("freq"))
+    // same single-materialization as bpeTrain: the merge-apply layers
+    // stack on the (distinct-word, freq) table, not on corpus lineage
+    var vocab = Dedup.materializeOffCache(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
+          .as("s"), col("freq")))
     for ((a, b) <- table)
       vocab = vocab.select(
         replace(col("s"), lit(a + sep + b), lit(a + b)).as("s"),
