@@ -40,22 +40,6 @@ object Classifier {
       (acc, tk) => acc + element_at(wl, bucket(tk, w.size) + 1))
   }
 
-  /** One batch-perceptron epoch: fold the misclassified docs' y·x into
-    * the weights. `labelCol` must be ±1. */
-  private def epoch(df: DataFrame, textCol: String, labelCol: String,
-                    w: Array[Long]): Array[Long] = {
-    val mis = df.where(col(labelCol) * score(col(textCol), w.toSeq) <= 0)
-    val upd = mis
-      .select(col(labelCol).cast("long").as("_y"),
-        explode(Dedup.tokens(col(textCol))).as("_tok"))
-      .groupBy(bucket(col("_tok"), w.length).as("b"))
-      .agg(sum(col("_y")).as("u"))
-      .collect()                        // ≤ dim rows — planner metadata
-    val next = w.clone()
-    upd.foreach(r => next(r.getInt(0)) += r.getLong(1))
-    next
-  }
-
   /** Train `epochs` batch-perceptron epochs from zero weights and
     * return the AVERAGED model — the sum of the per-epoch weight
     * vectors (Freund & Schapire 1999's averaged perceptron, scaled by
@@ -69,9 +53,33 @@ object Classifier {
     * oracle replays it epoch by epoch. */
   def perceptronFit(df: DataFrame, textCol: String, labelCol: String,
                     dim: Int, epochs: Int): Array[Long] = {
+    // tokenize + md5-bucket ONCE: each epoch needs only (label, bucket
+    // array) — inline, every epoch re-ran the tokenize and one md5 per
+    // token instance in BOTH the score filter and the update explode
+    // (2 × epochs md5 passes → 1). Bucket ids are deterministic, so
+    // epochs over the materialized arrays produce identical weights.
+    val mat = Dedup.materializeOffCache(df.select(
+      col(labelCol).cast("long").as("_y"),
+      transform(Dedup.tokens(col(textCol)), t => bucket(t, dim)).as("_b")))
     val perEpoch = (1 to epochs).scanLeft(Array.fill(dim)(0L))((w, _) =>
-      epoch(df, textCol, labelCol, w)).drop(1)
+      epochOverBuckets(mat, w)).drop(1)
     perEpoch.transpose.map(_.sum).toArray
+  }
+
+  /** One batch-perceptron epoch over pre-bucketed docs (`_y`, `_b`). */
+  private def epochOverBuckets(mat: DataFrame,
+                               w: Array[Long]): Array[Long] = {
+    val wl = typedLit(w.toSeq)
+    val sc = aggregate(col("_b"), lit(0L),
+      (acc, b) => acc + element_at(wl, b + 1))
+    val upd = mat.where(col("_y") * sc <= 0)
+      .select(col("_y"), explode(col("_b")).as("_bk"))
+      .groupBy(col("_bk").as("b"))
+      .agg(sum(col("_y")).as("u"))
+      .collect()                        // ≤ dim rows — planner metadata
+    val next = w.clone()
+    upd.foreach(r => next(r.getInt(0)) += r.getLong(1))
+    next
   }
 
   /** Fitted weights as a frame for the gate: all `dim` buckets, zeros

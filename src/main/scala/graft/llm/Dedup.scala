@@ -30,7 +30,13 @@ object Dedup {
 
   /** Normalized token array: lowercase, split on whitespace. */
   def tokens(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    // one regex pass instead of two: trim the exact Java \s set
+    // ([ \t\n\f\r]) from both ends, then split on \s+ — equal to
+    // the previous collapse(\s+→" ")→trim→split(" ") on every input
+    // (incl. empty/all-whitespace → [""], interior runs, VT edges;
+    // property-checked over the fixtures and adversarial strings) but
+    // without the regexp_replace rewrite allocation per row
+    split(trim(lower(text), " \t\n\f\r"), "\\s+")
 
   /** Session-scoped scratch space for off-cache materialization.
     *
@@ -185,12 +191,16 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                          threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    // materialize the exploded token table once: dfreq, the per-doc
+    // rollup, and the prefix join all read it — inline, each consumer
+    // re-ran the corpus tokenize+explode (3 passes → 1). Likewise the
+    // per-doc rollup feeds the verify join twice (ta/tb sides).
+    val toks = materializeOffCache(df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok")))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val full = toks.groupBy("id").agg(
+    val full = materializeOffCache(toks.groupBy("id").agg(
       sort_array(collect_list(col("tok"))).as("all_toks"),
-      count(lit(1)).as("n"))
+      count(lit(1)).as("n")))
     // per-doc prefix: rarest (n - ceil(t*n) + 1) tokens by global dfreq
     val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
     val prefix = toks.join(dfreq, "tok")
@@ -313,8 +323,13 @@ object Dedup {
     // CacheManager cannot see; snapshot what was pinned before the call
     // so everything this call adds can be swept on the way out
     val pinnedBefore = sc.getPersistentRDDs.keySet
+    // hash-partition the edge cache on the per-round join key: every
+    // round joins edges on y, so caching them already-partitioned lets
+    // each round reuse the cached layout instead of re-exchanging the
+    // edge side N times (one up-front shuffle, paid once)
     val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
       .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+      .repartition(col("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("x")).distinct()
       .select(col("x"), col("x").cast("long").as("lbl"))
