@@ -191,16 +191,12 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                          threshold: Double): DataFrame = {
-    // materialize the exploded token table once: dfreq, the per-doc
-    // rollup, and the prefix join all read it — inline, each consumer
-    // re-ran the corpus tokenize+explode (3 passes → 1). Likewise the
-    // per-doc rollup feeds the verify join twice (ta/tb sides).
-    val toks = materializeOffCache(df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok")))
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val full = materializeOffCache(toks.groupBy("id").agg(
+    val full = toks.groupBy("id").agg(
       sort_array(collect_list(col("tok"))).as("all_toks"),
-      count(lit(1)).as("n")))
+      count(lit(1)).as("n"))
     // per-doc prefix: rarest (n - ceil(t*n) + 1) tokens by global dfreq
     val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
     val prefix = toks.join(dfreq, "tok")

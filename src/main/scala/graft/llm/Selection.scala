@@ -50,13 +50,7 @@ object Selection {
       .withColumn("b", bucket(col("t")))
     val tgtTok = target.select(explode(Dedup.tokens(col(textCol))).as("t"))
       .withColumn("b", bucket(col("t")))
-    // ONE corpus tokenize pass: pre-aggregate to (doc, bucket, count) —
-    // ≤256 rows per doc — and derive BOTH the global histogram and the
-    // per-doc weighted sum from it; without this the raw corpus was
-    // tokenized twice (histogram pass + scoring pass)
-    val docBuckets = Dedup.materializeOffCache(
-      rawTok.groupBy("id", "b").agg(count(lit(1)).as("c")))
-    val rawHist = docBuckets.groupBy("b").agg(sum("c").as("rc"))
+    val rawHist = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgtHist = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
     // ≤256-row histograms: totals are driver-side scalars by
     // construction, not a data-dependent collect
@@ -69,10 +63,9 @@ object Selection {
       call_function("div",
         coalesce(col("tc"), lit(0L)) * lit(rawTotal) * lit(scale),
         col("rc") * lit(tgtTotal)).as("w"))
-    docBuckets.join(broadcast(weights), "b")
+    rawTok.join(broadcast(weights), "b")
       .groupBy(col("id"))
-      .agg(sum(col("c")).as("n_tok"),
-        sum(col("w") * col("c")).as("dsir_score"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("dsir_score"))
   }
 
   /** TOKEN-BUDGET selection: keep the best documents — ordered by
