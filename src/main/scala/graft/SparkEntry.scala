@@ -5124,8 +5124,13 @@ object SparkEntry {
       IcebergMetadata.publishPartitioned(s, ice, ev, "/{ts,day}",
         groupSize = 6)
       // fragment each day (floor 1, tiny target), then merge per
-      // partition with the default rewrite-worthiness floor
-      IcebergMetadata.binpackRewrite(s, ice, targetBytes = 2L << 10,
+      // partition with the default rewrite-worthiness floor. 1 KiB
+      // target, not 2 KiB: at sf0.001 every per-day file is 1-2 KiB
+      // (footer-dominated), so a 2 KiB target produced ONE fragment per
+      // day and the merge pass had nothing with ≥2 inputs — the gate
+      // then failed its own nonEmpty require at that SF (latent since
+      // r13; surfaced by this round's full small-SF sweep)
+      IcebergMetadata.binpackRewrite(s, ice, targetBytes = 1L << 10,
         minFileBytes = 1L << 30, minInputFiles = 1): Unit
       val merged = IcebergMetadata.binpackRewrite(s, ice,
         targetBytes = 512L << 20)
