@@ -31,12 +31,14 @@ object Dedup {
   /** Normalized token array: lowercase, split on whitespace. */
   def tokens(text: Column): Column =
     // one regex pass instead of two: trim the exact Java \s set
-    // ([ \t\n\f\r]) from both ends, then split on \s+ — equal to
+    // ([ \t\n\x0B\f\r]) from both ends, then split on \s+ — equal to
     // the previous collapse(\s+→" ")→trim→split(" ") on every input
-    // (incl. empty/all-whitespace → [""], interior runs, VT edges;
-    // property-checked over the fixtures and adversarial strings) but
-    // without the regexp_replace rewrite allocation per row
-    split(trim(lower(text), " \t\n\f\r"), "\\s+")
+    // (incl. empty/all-whitespace → [""], interior runs, VT/FF/CR
+    // edges; TokensSpec property-checks new ≡ old on fixtures and
+    // adversarial strings) but without the regexp_replace rewrite
+    // allocation per row. The VT is written as an escape — a raw
+    // 0x0B byte here is invisible in diffs and was misread as absent.
+    split(trim(lower(text), " \t\n\u000B\f\r"), "\\s+")
 
   /** Session-scoped scratch space for off-cache materialization.
     *

@@ -947,4 +947,54 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(executed.contains("ColumnarToRow"),
       s"clean DSv2 batch scan is not columnar:\n$executed")
   }
+
+  // ---- r17 optimization-shape pins: the plan properties behind the
+  // ---- measured wins, asserted so a refactor or Spark upgrade cannot
+  // ---- silently revert them.
+
+  test("wal2json decode: no from_json in any Filter — the " +
+       "InferFiltersFromGenerate dodge holds (r17: 6.95x)") {
+    // a plain explode lets the optimizer synthesize a
+    // size(from_json(<whole payload chain>)) > 0 scan-side predicate
+    // that re-parses every scanned row; decode() uses explode_outer +
+    // isNotNull precisely to keep from_json out of every Filter
+    val p = plan(q("q_cdc_wal2json"))
+    val bad = p.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("from_json"))
+      .toList
+    assert(bad.isEmpty,
+      s"from_json re-appeared in a Filter:\n${bad.mkString("\n")}")
+  }
+
+  test("imageNearDup join job: zero object boundaries, both sides read " +
+       "the materialized fingerprint parquet (r17: 1.87x)") {
+    val p = plan(q("q_image_neardup"))
+    // the decode+hash pipeline must NOT run inside the join job — both
+    // join sides read the ~16-byte/image fingerprint table
+    for (node <- Seq("MapPartitions", "SerializeFromObject",
+                     "DeserializeToObject"))
+      assert(!p.contains(node),
+        s"object boundary '$node' re-appeared in the join job:\n$p")
+    assert(p.contains("graft-dedup"),
+      s"join job does not scan the materialized fingerprint table:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size >= 2,
+      s"expected both join sides to scan parquet fingerprints:\n$p")
+  }
+
+  test("imageNearDup: the hamming<=3 predicate sits BELOW the distinct " +
+       "exchange — far pairs never shuffle (r17 filter-before-distinct)") {
+    val lines = plan(q("q_image_neardup")).linesIterator.toVector
+    // tree prints top-down: the dedup Exchange line must come BEFORE
+    // (i.e. above) the line carrying the bit_count hamming predicate
+    val exchangeIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning"))
+    val hammingIdx = lines.indexWhere(l =>
+      l.contains("bit_count") && l.contains("<= 3"))
+    assert(exchangeIdx >= 0, s"no distinct exchange:\n${lines.mkString("\n")}")
+    assert(hammingIdx >= 0,
+      s"no hamming predicate:\n${lines.mkString("\n")}")
+    assert(exchangeIdx < hammingIdx,
+      "hamming filter evaluates above the distinct exchange — far " +
+        s"pairs shuffle again:\n${lines.mkString("\n")}")
+  }
 }

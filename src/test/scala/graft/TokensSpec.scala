@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+/** Equivalence pin for the single-pass tokenizer (Dedup.tokens).
+  *
+  * r17 replaced `split(trim(regexp_replace(lower, "\s+", " ")), " ")`
+  * with `split(trim(lower, " \t\n\u000B\f\r"), "\s+")`. The two are
+  * equal iff the trim charset is EXACTLY Java's \s set
+  * ([ \t\n\x0B\f\r]); dropping any one char (the VT is the easy one to
+  * lose — invisible in diffs when written as a raw byte) silently
+  * changes token arrays for documents with that char at a string edge,
+  * which shifts minhash/jaccard/simhash signatures and every downstream
+  * token-path result. The oracle fixtures carry no edge-VT text, so
+  * only this spec guards it. */
+class TokensSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The pre-r17 reference form. */
+  private def tokensRef(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  private def assertEquivalent(df: DataFrame, col: Column): Unit = {
+    val mismatches = df
+      .select(col.alias("t"))
+      .select(
+        column("t"),
+        Dedup.tokens(column("t")).alias("now"),
+        tokensRef(column("t")).alias("ref"))
+      .where(not(column("now") <=> column("ref")))
+      .limit(5)
+      .collect()
+    assert(
+      mismatches.isEmpty,
+      s"tokens() diverges from the reference form on: " +
+        mismatches.map(r => s"[${r.getString(0).flatMap(c =>
+          if (c < 0x21) f"\\u${c.toInt}%04X" else c.toString)}] -> " +
+          s"now=${r.getSeq[String](1)} ref=${r.getSeq[String](2)}")
+          .mkString("; "))
+  }
+
+  test("tokens() == reference on adversarial whitespace edges " +
+       "(VT/FF/CR/TAB/LF at edges and interior, NBSP, empty, " +
+       "all-whitespace)") {
+    import spark.implicits._
+    val ws = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val edges = for {
+      c <- ws
+      s <- Seq(s"${c}foo", s"foo$c", s"${c}foo$c", s"$c", s"$c$c",
+               s"a${c}b", s"a$c${c}b", s"$c a $c b $c")
+    } yield s
+    val extras = Seq(
+      "", " ", "  ", "foo", "Foo Bar", "a\u00A0b", "\u00A0",
+      "\u00A0foo\u00A0",            // NBSP is NOT \s: both keep it
+      "\u000B\u000B", "\u000Bfoo",  // the r17-verdict claim
+      "x\r\ny", "\r\n", "\t\u000B\f mixed \f\u000B\t",
+      "ünïcödé \u000B TEXT", "a  b\tc\nd\u000Be\ff\rg")
+    assertEquivalent((edges ++ extras).toDF("t"), col("t"))
+  }
+
+  test("tokens() == reference on 2000 seeded random strings over a " +
+       "whitespace-heavy alphabet") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab \t\n\u000B\f\rZ.\u00A0"
+    val strs = Seq.fill(2000) {
+      val n = rnd.nextInt(12)
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    assertEquivalent(strs.toDF("t"), col("t"))
+  }
+
+  test("tokens() == reference over the documents fixture corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    assertEquivalent(docs, col("text"))
+  }
+}
