@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays as one codegen'd Catalyst
+  * expression — the hot kernel of every embedding-similarity path
+  * (cosine near-dup, SemDeDup, semantic decontamination, brute/LSH/IVF
+  * ANN, kNN voting).
+  *
+  * Bit-for-bit equivalent to the HOF reference form
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  * 0.0, (acc, v) => acc + v)` — pinned by `DotProductSpec` — including
+  * IEEE accumulation order (left-to-right, double precision) and null
+  * algebra: a null input array nulls the result; `zip_with` pads a
+  * shorter array with nulls and `acc + null` is null, so ANY null
+  * element or a length mismatch also nulls the result; two empty arrays
+  * fold to the 0.0 seed. The HOF tree costs O(dims) interpreted lambda
+  * evaluations per call with boxed doubles — and, sitting inside
+  * non-equi join conditions, drags the whole predicate off codegen
+  * (HOFs are CodegenFallback); this kernel is a static tight loop the
+  * generated predicate calls directly.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> inputs, got " +
+        s"${left.dataType} / ${right.dataType}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+
+  // null even for non-null inputs: null elements / length mismatch
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_dot"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.DotProduct.compute(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  /** Static row kernel (also called from generated code). Returns null
+    * exactly when the HOF form does: length mismatch or any null
+    * element. */
+  def compute(a: ArrayData, b: ArrayData,
+              aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    // zip_with pads the shorter side with nulls; acc + null = null
+    if (la != lb) return null
+    var acc = 0.0
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}

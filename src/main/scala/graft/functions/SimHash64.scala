@@ -107,6 +107,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RandomProjectCodes(children.head, intArg(1))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[SqL2].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => SqL2(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_wkb_wkt"),
       new ExpressionInfo(classOf[WkbToWkt].getName, "graft_wkb_wkt"),
       (children: Seq[Expression]) => WkbToWkt(children.head)))

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native squared-L2 distance over two numeric arrays — the argmin
+  * kernel of k-means assignment, IVF cell ranking and PQ encoding.
+  *
+  * Bit-for-bit equivalent to the HOF reference form
+  * `aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), 0.0,
+  * (acc, v) => acc + v)` — pinned by `DotProductSpec` — including IEEE
+  * accumulation order and null algebra (null input → null; any null
+  * element or length mismatch → null via zip_with's null padding; empty
+  * × empty → 0.0). Subtraction and squaring happen in DOUBLE: callers
+  * pass double arrays (the reference forms cast or carry literals), and
+  * float inputs widen per element exactly like `x.cast("double")`.
+  */
+case class SqL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> inputs, got " +
+        s"${left.dataType} / ${right.dataType}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_l2sq"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    SqL2.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.SqL2.compute(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqL2 {
+
+  /** Static row kernel (also called from generated code). Returns null
+    * exactly when the HOF form does: length mismatch or any null
+    * element. */
+  def compute(a: ArrayData, b: ArrayData,
+              aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    if (la != lb) return null
+    var acc = 0.0
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}

@@ -21,10 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) with double accumulation, left-to-right (deterministic). */
+  /** dot(a,b) with double accumulation, left-to-right (deterministic).
+    *
+    * Runs as the codegen'd `graft_dot` kernel
+    * ([[graft.functions.DotProduct]]; requires GraftExtensions, the
+    * session contract every entry point already sets) — bit-identical
+    * to the HOF reference form below, which survives in scaladoc and in
+    * `DotProductSpec`'s equivalence pin:
+    * {{{
+    * aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    *   lit(0.0), (acc, v) => acc + v)
+    * }}}
+    * The HOF form pays O(dims) interpreted lambda evaluations per call
+    * and, inside a non-equi join condition, drags the whole predicate
+    * off codegen (HOFs are CodegenFallback) — the dominant cost of the
+    * embedding family at every scale, since the dot sits per candidate
+    * PAIR where codes/norms are per row. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -249,10 +263,10 @@ object Similarity {
     // shuffle of N·nlist rows; ties break on cell id deterministically.
     val centroidLit = typedLit(centers.map(_.toSeq).toSeq)
     def nearestCells(vec: Column, n: Int): Column = {
+      // native graft_l2sq per centroid: widens float elements exactly
+      // like the HOF form's cast("array<double>") (DotProductSpec pin)
       val scored = transform(centroidLit, (c, i) => struct(
-        aggregate(zip_with(vec.cast("array<double>"), c,
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-          .as("d2"),
+        call_function("graft_l2sq", vec, c).as("d2"),
         i.as("cell")))
       transform(slice(array_sort(scored), 1, n), s => s.getField("cell"))
     }
@@ -639,11 +653,9 @@ object Similarity {
     * break to the lowest centroid id via struct ordering. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    centroids: Seq[(Long, Array[Double])]): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
     val cands = array(centroids.map { case (cid, c) =>
       struct(
-        aggregate(zip_with(v, lit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("d2"),
+        call_function("graft_l2sq", col(vecCol), lit(c)).as("d2"),
         lit(cid).as("cid"))
     }: _*)
     df.select(col(idCol), element_at(array_sort(cands), 1)
@@ -669,11 +681,9 @@ object Similarity {
                      centroids: Seq[(Long, Array[Double])],
                      dropPerCluster: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = transform(col(vecCol), x => x.cast("double"))
     val cands = array(centroids.map { case (cid, c) =>
       struct(
-        aggregate(zip_with(v, lit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("d2"),
+        call_function("graft_l2sq", col(vecCol), lit(c)).as("d2"),
         lit(cid).as("cid"))
     }: _*)
     val best = element_at(array_sort(cands), 1)
@@ -747,10 +757,12 @@ object Similarity {
   }
 
   /** Squared L2 between two double arrays, left-to-right accumulation
-    * (the deterministic ordering every distance gate pins). */
+    * (the deterministic ordering every distance gate pins). Native
+    * `graft_l2sq` kernel, bit-identical to the HOF form
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)`
+    * (DotProductSpec). */
   private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_l2sq", a, b)
 
   /** PQ codes for one vector: per subspace, the argmin-d2 centroid id
     * (ties → lowest id via struct ordering). Map-only codegen'd column

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Equivalence pin for the native dot-product kernel (`graft_dot`,
+  * [[graft.functions.DotProduct]]) against the interpreted HOF
+  * reference it replaced in `Similarity.dot`:
+  * `aggregate(zip_with(a, b, (x,y) => x.castD * y.castD), 0.0, _+_)`.
+  *
+  * The two must agree BIT-FOR-BIT (same IEEE accumulation order) and
+  * share the HOF's null algebra: null input → null, any null element →
+  * null, length mismatch → null (zip_with pads with nulls), empty ×
+  * empty → 0.0. Every embedding-similarity oracle gate leans on this
+  * equivalence. */
+class DotProductSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def assertEquivalent(df: DataFrame, a: Column, b: Column): Unit = {
+    val bad = df.select(
+        call_function("graft_dot", a, b).alias("nat"),
+        hofDot(a, b).alias("ref"))
+      // <=> handles nulls and treats NaN = NaN; the string render
+      // additionally distinguishes -0.0 from 0.0
+      .where(not(col("nat") <=> col("ref")) ||
+        not(col("nat").cast("string") <=> col("ref").cast("string")))
+      .limit(5).collect()
+    assert(bad.isEmpty, s"graft_dot diverges from the HOF reference: " +
+      bad.map(_.toString).mkString("; "))
+  }
+
+  test("graft_dot == HOF reference on the embeddings fixture " +
+       "(float arrays), self and cross pairs") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    assertEquivalent(e, col("embedding"), col("embedding"))
+    val pairs = e.as("a").join(
+      e.withColumnRenamed("embedding", "e2").as("b"),
+      col("a.vec_id") % 17 === col("b.vec_id") % 17)
+    assertEquivalent(pairs, col("embedding"), col("e2"))
+  }
+
+  test("graft_dot == HOF reference on adversarial inputs: nulls, null " +
+       "elements, length mismatch, empty, NaN/Inf, double arrays") {
+    import spark.implicits._
+    val rows: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (null, Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0), null),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]),
+      (Seq.empty[java.lang.Double], Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](Double.NaN, 1.0),
+        Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](Double.PositiveInfinity, 1.0),
+        Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](Double.PositiveInfinity, 1.0),
+        Seq[java.lang.Double](0.0, 2.0)),
+      (Seq[java.lang.Double](-0.0, 0.0), Seq[java.lang.Double](0.0, -0.0)),
+      (Seq[java.lang.Double](1e308, 1e308), Seq[java.lang.Double](10.0, -10.0)),
+      (Seq[java.lang.Double](0.1, 0.2, 0.3), Seq[java.lang.Double](0.3, 0.2, 0.1)))
+    assertEquivalent(rows.toDF("a", "b"), col("a"), col("b"))
+  }
+
+  test("graft_dot == HOF reference on 500 seeded random float vectors " +
+       "of varying dims") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500) {
+      val d = 1 + rnd.nextInt(96)
+      (Seq.fill(d)(rnd.nextFloat() * 2 - 1f),
+        Seq.fill(d)(rnd.nextFloat() * 2 - 1f))
+    }
+    assertEquivalent(rows.toDF("a", "b"), col("a"), col("b"))
+  }
+
+  test("mixed float/double sides agree with the HOF form") {
+    import spark.implicits._
+    val rows = Seq.fill(50) {
+      (Seq.fill(16)(scala.util.Random.nextFloat()),
+        Seq.fill(16)(scala.util.Random.nextDouble()))
+    }
+    assertEquivalent(rows.toDF("a", "b"), col("a"), col("b"))
+  }
+
+  // ---- graft_l2sq: same contract for the squared-L2 kernel ----
+
+  private def hofL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def assertL2Equivalent(df: DataFrame, a: Column,
+                                 b: Column): Unit = {
+    val bad = df.select(
+        call_function("graft_l2sq", a.cast("array<double>"),
+          b.cast("array<double>")).alias("nat"),
+        hofL2(a.cast("array<double>"), b.cast("array<double>"))
+          .alias("ref"),
+        // float inputs widened per element inside the kernel must
+        // equal the casted form too
+        call_function("graft_l2sq", a, b).alias("natRaw"))
+      .where(not(col("nat") <=> col("ref")) ||
+        not(col("natRaw") <=> col("ref")) ||
+        not(col("nat").cast("string") <=> col("ref").cast("string")))
+      .limit(5).collect()
+    assert(bad.isEmpty, s"graft_l2sq diverges from the HOF reference: " +
+      bad.map(_.toString).mkString("; "))
+  }
+
+  test("graft_l2sq == HOF reference on the embeddings fixture and " +
+       "centroid literals") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = e.limit(1).select(
+      transform(col("embedding"), _.cast("double")).as("c"))
+      .collect().head.getSeq[Double](0)
+    assertL2Equivalent(
+      e.select(col("embedding"), typedLit(cent).as("c")),
+      col("embedding"), col("c"))
+  }
+
+  test("graft_l2sq == HOF reference on adversarial inputs " +
+       "(nulls, mismatch, empty, NaN/Inf) and seeded random vectors") {
+    import spark.implicits._
+    val adversarial: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] =
+      Seq(
+        (null, Seq[java.lang.Double](1.0)),
+        (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+        (Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0)),
+        (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]),
+        (Seq[java.lang.Double](Double.PositiveInfinity),
+          Seq[java.lang.Double](Double.PositiveInfinity)),
+        (Seq[java.lang.Double](Double.NaN), Seq[java.lang.Double](1.0)),
+        (Seq[java.lang.Double](-0.0), Seq[java.lang.Double](0.0)))
+    val rnd = new scala.util.Random(11)
+    val rows = adversarial ++ Seq.fill(300) {
+      val d = 1 + rnd.nextInt(64)
+      (Seq.fill(d)(java.lang.Double.valueOf(rnd.nextDouble() * 4 - 2)),
+        Seq.fill(d)(java.lang.Double.valueOf(rnd.nextDouble() * 4 - 2)))
+    }
+    assertL2Equivalent(rows.toDF("a", "b"), col("a"), col("b"))
+  }
+}

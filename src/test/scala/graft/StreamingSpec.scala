@@ -20,6 +20,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // the session contract of every entry point: native kernels
+    // (graft_dot in the cosine micro-batch path) resolve via extensions
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
