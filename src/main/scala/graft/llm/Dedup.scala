@@ -433,8 +433,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           b => b)) / lit(k.toDouble)).as("est_jaccard"))
-      .distinct()
+      // filter BEFORE the dedup exchange (est is a function of the
+      // pair, filter∘distinct ≡ distinct∘filter): sub-threshold
+      // candidates never shuffle (§2.3)
       .where(col("est_jaccard") >= estThreshold)
+      .distinct()
     // the O(corpus × bands) signature cache lives only for this call:
     // the (small) pair result is materialized off-cache, then released
     val out = materializeOffCache(pairs)
@@ -447,9 +450,17 @@ object Dedup {
     * straight to the exact check, so estimating Jaccard from the
     * signatures per collision (up to `bands`× per pair) would be pure
     * waste. Join stays band-keyed; output is deduped ids. */
+  /** Returns (lazy candidate pairs, the persisted band-row frame the
+    * pair join reads on both legs). The CALLER unpersists the band
+    * frame after its consuming action — candidate generation fuses into
+    * the caller's verify job instead of paying a separate
+    * persist+count barrier (the r17 shape spent one extra job per
+    * query releasing the band cache a stage early; the band rows are
+    * (id, band-hash) — bounded per doc — so holding them through the
+    * verify write is spill-safe at any scale). */
   private def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                                 shingleN: Int, k: Int, bands: Int,
-                                native: Boolean): DataFrame = {
+                                native: Boolean): (DataFrame, DataFrame) = {
     val sigExpr =
       if (native) call_function("graft_minhash", col(textCol),
         lit(shingleN), lit(k), lit(bands))
@@ -457,17 +468,11 @@ object Dedup {
     val bandRows = df
       .select(col(idCol).as("id"), explode(sigExpr.getField("bands")).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (much smaller) candidate set eagerly so the band
-    // index cache — O(corpus × bands) — can be released right here
-    // instead of leaking past the verify step
     val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand.count()
-    bandRows.unpersist()
-    cand
+    (cand, bandRows)
   }
 
   /** Band-index rows (id, band): the per-corpus state an INCREMENTAL
@@ -683,8 +688,8 @@ object Dedup {
                            shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                            threshold: Double = 0.5,
                            native: Boolean = false): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, shingleN, k, bands,
-      native)
+    val (cand, bandRows) = minhashCandidates(df, textCol, idCol, shingleN,
+      k, bands, native)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
     val verified = cand
@@ -695,10 +700,11 @@ object Dedup {
         (size(col("sa")) + size(col("sb")) - col("common")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // release the candidate cache once the verified pairs exist
-    // off-cache — nothing stays pinned past the tier's return
+    // candidate generation + verify fuse into the single off-cache
+    // write; the band cache releases after it — nothing stays pinned
+    // past the tier's return
     val out = materializeOffCache(verified)
-    cand.unpersist()
+    bandRows.unpersist()
     out
   }
 
@@ -730,22 +736,21 @@ object Dedup {
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     import graft.llm.Similarity.{dot, norm}
-    // persisted like the LSH tier's coded frame: both self-join legs
-    // read the normed rows instead of re-scanning + re-norming per leg
+    // one lazy plan, no persist/materialize barriers: the self-join
+    // recomputes the normed side per leg, but that is two linear
+    // scan+norm passes against the O(n²) pair work this exact tier
+    // exists to pay — the r17 persist + off-cache write spent two jobs
+    // (cache populate + parquet write) to save a cost that does not
+    // register at any scale where this oracle tier is runnable at all.
     val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = side.as("a"); val b = side.as("b")
-    val pairs = a.join(b, col("a.id") < col("b.id"))
+    a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
           .as("cos"))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b")
-    // release the normed-side cache once the pairs exist off-cache
-    val out = materializeOffCache(pairs)
-    side.unpersist()
-    out
   }
 
   /** Embedding-cosine near-dup, LSH-bucketed (the scale path):
@@ -778,16 +783,19 @@ object Dedup {
         array(masks.map(m => struct(tc.getField("t").as("t"),
           tc.getField("code").bitwiseXOR(lit(m)).as("code"))): _*))))
         .as("probe"))
-    // materialize the (much smaller) deduped candidate set eagerly so
-    // the coded frame — O(corpus × tables × probes) once exploded — is
-    // released here instead of leaking past the verify step (same
-    // shape as minhashCandidates)
+    // candidate generation and exact verify FUSE into the single
+    // off-cache write job: `cand` appears once in the verified plan, so
+    // no persist/count barrier is needed to avoid recompute — the r17
+    // two-barrier shape (cand.persist + count, then verify) paid one
+    // extra job per query purely to release codes0 a stage earlier.
+    // codes0 stays cached through the write instead: it is (id,
+    // tables×int) — ~32 B/vector, MEMORY_AND_DISK — so holding it to
+    // the end of the job is bounded and spill-safe at any scale, and
+    // the cache-release invariant (getPersistentRDDs empty on return)
+    // still holds.
     val cand = probed.as("a").join(coded.as("b"),
         col("a.probe") === col("b.tc") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand.count()
-    codes0.unpersist()
     val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     val verified = cand
@@ -797,10 +805,8 @@ object Dedup {
         col("nrm").as("nb")), "id_b")
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
-    // release the candidate cache once the verified pairs exist
-    // off-cache (codes0 was already released above)
     val out = materializeOffCache(verified)
-    cand.unpersist()
+    codes0.unpersist()
     out
   }
 
@@ -1039,8 +1045,12 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // hamming ≤ maxHamming BEFORE the dedup exchange: hamming is a
+      // function of the pair, so filter∘distinct ≡ distinct∘filter —
+      // far-pair candidates never shuffle (the r17 imageNearDup move,
+      // §2.3 shuffle fewer bytes)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SEMANTIC DEDUP (the SemDeDup family, Abbas et al. 2023): drop an
@@ -1197,22 +1207,26 @@ object Dedup {
     import graft.llm.Similarity.{dot, norm}
     val assigned = graft.llm.Similarity.kmeansAssign(df, idCol, vecCol,
       centroids)
+    // one lazy plan, no persist/materialize barriers: each self-join
+    // leg recomputes scan + assign + norm — map-only linear passes
+    // (assignment is codegen'd graft_l2sq against literal centroids)
+    // against the per-PAIR dot work of the cluster-keyed join. The r17
+    // persist cached corpus-sized (vec, nrm) rows and paid a cache
+    // populate + an off-cache write job to release it; re-scanning the
+    // column-pruned parquet is cheaper at fixture scale and no worse
+    // at 100 TB.
     val side = df.join(assigned, idCol)
       .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drops = side.as("a").join(side.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .where(dot(col("a.vec"), col("b.vec")) /
         (col("a.nrm") * col("b.nrm")) >= threshold)
       .select(col("b.id").as("__drop")).distinct()
-    val out = materializeOffCache(
-      df.join(drops, col(idCol) === col("__drop"), "left")
-        .join(assigned, idCol)
-        .select(col(idCol), col("cluster"),
-          col("__drop").isNull.as("keep")))
-    side.unpersist()
-    out
+    df.join(drops, col(idCol) === col("__drop"), "left")
+      .join(assigned, idCol)
+      .select(col(idCol), col("cluster"),
+        col("__drop").isNull.as("keep"))
   }
 
   /** WITHIN-document segment dedup — the per-doc half of the C4-style
