@@ -1543,6 +1543,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bs == bs.sorted && bs.distinct.size == bs.size)
   }
 
+  test("native minhash ≡ the HOF form over the FULL documents corpus " +
+       "(the proof the sampled q_minhash_native gate leans on)") {
+    import spark.implicits._
+    val docs = sf("documents").select(col("text"))
+      .union(Seq("", " ", "one", "a b c d e f",
+        "\t\nweird  spacing\r").toDF("text"))
+    val native = call_function("graft_minhash", col("text"),
+      lit(3), lit(64), lit(16))
+    val hof = Dedup.sigWithBands(Dedup.shingles(col("text"), 3), 64, 16)
+    assert(docs.where(not(native === hof)).count() == 0)
+  }
+
+  test("native simhash64 ≡ the HOF form over the FULL documents corpus " +
+       "(the proof the sampled q_simhash_native gate leans on)") {
+    import spark.implicits._
+    val docs = sf("documents").select(col("text"))
+      .union(Seq("", " ", "one", "a b c d e f",
+        "\t\nweird  spacing\r").toDF("text"))
+    assert(docs.where(not(call_function("graft_simhash64", col("text")) ===
+      Dedup.simhash64(col("text")))).count() == 0)
+  }
+
   test("native hyperplane codes ≡ the HOF form (incl. empty vector)") {
     import spark.implicits._
     val emb = sf("embeddings").where(col("vec_id") < 100)
