@@ -103,6 +103,10 @@ object Dedup {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Dev-tool access to [[materializeOffCache]] (probe experiments). */
+  private[graft] def materializeOffCacheDev(df: DataFrame): DataFrame =
+    materializeOffCache(df)
+
   /** Exact dedup: keep the lowest id per content digest. One shuffle. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
@@ -193,12 +197,29 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                          threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    // Scale-adaptive materialization (r17-verdict item 5): the exploded
+    // token table is consumed 3× (dfreq, per-doc rollup, prefix join)
+    // and the rollup 3× (prefix length filter + both verify legs).
+    // Below the doc threshold those recomputes pipeline inside one job
+    // and win (r17 A/B: 1.95 s recompute vs 2.34 s materialized at
+    // 1000 docs); above it the recomputation explodes with the corpus
+    // (measured at 5×: 36.3 s recompute vs 7.7 s materialized — the
+    // JpProbe numbers in OPTIMIZATION_r18.md), so both frames are
+    // materialized off-cache once. The crossover costs one cheap
+    // column-pruned count; `spark.graft.jaccardPrefix.materializeRows`
+    // overrides the default for cluster tuning.
+    val matThreshold = df.sparkSession.conf
+      .getOption("spark.graft.jaccardPrefix.materializeRows")
+      .map(_.toLong).getOrElse(2000L)
+    val materialize = df.count() > matThreshold
+    val toks0 = df.select(col(idCol).as("id"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val toks = if (materialize) materializeOffCache(toks0) else toks0
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val full = toks.groupBy("id").agg(
+    val full0 = toks.groupBy("id").agg(
       sort_array(collect_list(col("tok"))).as("all_toks"),
       count(lit(1)).as("n"))
+    val full = if (materialize) materializeOffCache(full0) else full0
     // per-doc prefix: rarest (n - ceil(t*n) + 1) tokens by global dfreq
     val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
     val prefix = toks.join(dfreq, "tok")

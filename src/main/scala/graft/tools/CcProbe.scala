@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: dump the per-round join plan of the connected-components
+  * propagation (q_dedup_canonical) — does the hash-partitioned edge
+  * cache actually skip its per-round Exchange? */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .where(col("doc_id") < 1000)
+    val pairs = graft.llm.Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+    val edges = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+      .repartition(col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("x")).distinct()
+      .select(col("x"), col("x").cast("long").as("lbl"))
+    // round 1 exactly as propagateMinLabels builds it
+    val viaNeighbor = edges
+      .join(labels.select(col("x").as("y"), col("lbl")), "y")
+      .select(col("x"), col("lbl"))
+    val hop = labels.unionAll(viaNeighbor)
+      .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
+      .localCheckpoint(false)
+    println("==== ROUND 1 hop plan (executed) ====")
+    println(hop.queryExecution.executedPlan.toString)
+    // round 2: labels now a localCheckpoint RDD
+    labels = hop.select(col("x"), col("lbl"))
+    val via2 = edges
+      .join(labels.select(col("x").as("y"), col("lbl")), "y")
+      .select(col("x"), col("lbl"))
+    val hop2 = labels.unionAll(via2)
+      .groupBy("x").agg(min("lbl").as("lbl"), max("lbl").as("maxLbl"))
+    hop2.write.format("noop").mode("overwrite").save()
+    println("==== ROUND 2 hop plan (executed, post-AQE) ====")
+    println(hop2.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

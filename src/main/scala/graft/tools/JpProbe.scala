@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: A/B the jaccardPairsPrefix crossover — pipelined recompute
+  * vs materialize-the-exploded-frames — at 1x (the gate corpus) and 5x
+  * (full sf0.1 documents), driving the REAL code path through the
+  * `spark.graft.jaccardPrefix.materializeRows` knob. Decides the
+  * r17-verdict item 5 question with numbers, and checks both paths
+  * return identical pair counts. */
+object JpProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(tag: String)(f: => Long): Long = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$tag%-26s ${runs.map(r => f"${r._1}%.2f").mkString(" ")}  " +
+        f"min=${runs.map(_._1).min}%.2f n=${runs.head._2}")
+      runs.head._2
+    }
+    def withThreshold(rows: Long)(f: => Long): Long = {
+      spark.conf.set("spark.graft.jaccardPrefix.materializeRows",
+        rows.toString)
+      try f finally
+        spark.conf.unset("spark.graft.jaccardPrefix.materializeRows")
+    }
+
+    val docs1x = graft.Tables.load(spark, dir, "documents")
+      .where(col("doc_id") < 1000)
+    val docs5x = graft.Tables.load(spark, dir, "documents")
+    graft.SparkEntry.queries("q_project")(spark, dir).count(): Unit
+    val a = time("recompute 1x") { withThreshold(Long.MaxValue) {
+      graft.llm.Dedup.jaccardPairsPrefix(docs1x, "text", "doc_id", 0.9).count() } }
+    val b = time("materialized 1x") { withThreshold(0L) {
+      graft.llm.Dedup.jaccardPairsPrefix(docs1x, "text", "doc_id", 0.9).count() } }
+    val c = time("recompute 5x") { withThreshold(Long.MaxValue) {
+      graft.llm.Dedup.jaccardPairsPrefix(docs5x, "text", "doc_id", 0.9).count() } }
+    val d = time("materialized 5x") { withThreshold(0L) {
+      graft.llm.Dedup.jaccardPairsPrefix(docs5x, "text", "doc_id", 0.9).count() } }
+    require(a == b && c == d, s"path outputs diverge: $a/$b $c/$d")
+    println("paths agree; default threshold keeps 1x on recompute, " +
+      "5x on materialized")
+    spark.stop()
+  }
+}
