@@ -437,6 +437,20 @@ object Discover {
       16, 10).cast("long") % w).cast("int")
   }
 
+  /** Bucket for the heavy-hitter PREFILTER sketch: xxhash64 — codegen,
+    * no per-row hex-string allocation. The md5 form ([[cmsBucket]]) is
+    * pinned cell-for-cell by the q_profile_cms oracle and stays; the
+    * top-k answer is provably independent of the prefilter hash (ANY
+    * CMS only over-counts, so the filter passes a superset of true
+    * heavy hitters and the exact re-count decides), so the internal
+    * sketch is free to use the cheap hash — both passes just must
+    * agree, which sharing this one bucket function guarantees. */
+  private def cmsBucketFast(c: org.apache.spark.sql.Column, r: Int,
+                            w: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(xxhash64(lit(r), c.cast("string")), lit(w)).cast("int")
+  }
+
   /** Heavy hitters of `c`: every value occurring ≥ count(*)/fracDen
     * times, exact counts, top-k by (cnt desc, value). Two passes: the
     * sketch (bounded exchange), then a scan filtered BY the broadcast
@@ -445,13 +459,19 @@ object Discover {
   def heavyHitters(df: DataFrame, c: String, k: Int, fracDen: Long,
                    d: Int = 4, w: Int = 1024): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cells = cmsSketch(df, c, d, w).collect()
+    val rows = (0 until d).map(r => struct(lit(r).as("r"),
+      cmsBucketFast(col(c), r, w).as("bucket")))
+    val cells = df.where(col(c).isNotNull)
+      .select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.r").as("r"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
     val dense = Array.fill(d)(Array.fill(w)(0L))
     cells.foreach(r => dense(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     val n = dense(0).sum                 // every row counts each value once
     val thr = math.max(1L, n / fracDen)
     val est = (0 until d).map(r =>
-        element_at(typedLit(dense(r).toSeq), cmsBucket(col(c), r, w) + 1))
+        element_at(typedLit(dense(r).toSeq), cmsBucketFast(col(c), r, w) + 1))
       .reduce(least(_, _))
     df.where(col(c).isNotNull && est >= thr)
       .groupBy(col(c).cast("string").as("value"))
