@@ -49,6 +49,20 @@ object Multimodal {
       (length(col(textCol)) % 640).cast("int").as("width"),
       (length(col(textCol)) % 480).cast("int").as("height"))
 
+  /** Spread a SMALL projected frame across the cores before per-row
+    * encode work. A fixture corpus arrives as one parquet split, so
+    * every downstream mapPartitions (PNG encode + decode) would run as
+    * ONE task; the generator's input here is a handful of ints per row,
+    * so one round-robin exchange of those tiny rows buys full
+    * parallelism for the heavy per-row work. Scale-adaptive: inputs
+    * already split at least `defaultParallelism` ways pass through
+    * untouched (a real media table at scale is many splits, and
+    * re-shuffling it would be pure overhead). */
+  private def spreadSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Deterministic solid color for a doc id (one byte per channel). */
   private def fillColor(id: Long): Int = {
     val r = (id % 256).toInt; val g = (id * 7 % 256).toInt
@@ -75,9 +89,10 @@ object Multimodal {
     * payload itself is a genuine PNG produced by `javax.imageio`. */
   def asPngMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"),
+    spreadSmallInput(
+      df.select(col(idCol).cast("long").as("doc_id"),
         (length(col(textCol)) % 64 + 1).cast("int").as("w"),
-        (length(col(textCol)) % 48 + 1).cast("int").as("h"))
+        (length(col(textCol)) % 48 + 1).cast("int").as("h")))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
         it.map { case (id, w, h) =>
@@ -93,9 +108,10 @@ object Multimodal {
   def asPatternPngMedia(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"),
+    spreadSmallInput(
+      df.select(col(idCol).cast("long").as("doc_id"),
         (length(col(textCol)) % 64 + 1).cast("int").as("w"),
-        (length(col(textCol)) % 48 + 1).cast("int").as("h"))
+        (length(col(textCol)) % 48 + 1).cast("int").as("h")))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
         it.map { case (id, w, h) =>

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: is the image encode/decode path single-task? A/B
+  * aHash64 over asPatternPngMedia with and without spreading the tiny
+  * (id, w, h) generator rows across the cores first. */
+object ImgProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    println("scan partitions: " + docs.rdd.getNumPartitions)
+    def time(tag: String)(f: => Long): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$tag%-22s ${runs.map(r => f"${r._1}%.2f").mkString(" ")}  " +
+        f"min=${runs.map(_._1).min}%.2f n=${runs.head._2}")
+    }
+    time("ahash as-is") {
+      graft.llm.Multimodal.aHash64(spark,
+        graft.llm.Multimodal.asPatternPngMedia(docs, "doc_id", "text"))
+        .where(col("ahash_bits").isNotNull).count() }
+    time("ahash spread") {
+      graft.llm.Multimodal.aHash64(spark,
+        graft.llm.Multimodal.asPatternPngMedia(
+          docs.repartition(spark.sparkContext.defaultParallelism),
+          "doc_id", "text"))
+        .where(col("ahash_bits").isNotNull).count() }
+    spark.stop()
+  }
+}
