@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only (r17-verdict item 6): do the four 8↔32-core scaling-flat
+  * suspects parallelize once compute dominates the job floor? Times
+  * them on a 10× replica of the sf0.1 corpus under
+  * `local[$SPARK_GRAFT_CPUS]`; run twice (CPUS=32, CPUS=8) and compare
+  * wall ratios. At sf0.1 every one of these is sub-2 s, of which
+  * ~0.1-0.15 s is fixed session/job floor — the 10× corpus makes
+  * compute dominate so the ratio means something. Results → SCALING.md. */
+object CoreScale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val copies = sys.env.getOrElse("CORESCALE_COPIES", "10").toInt
+    val big = s"/tmp/graft_corescale_$copies"
+    def replicate(name: String, idCol: String): Unit = {
+      val out = s"$big/$name.parquet"
+      if (!new java.io.File(out).exists) {
+        val src = graft.Tables.load(spark, base, name)
+        (0 until copies).map(i =>
+            src.withColumn(idCol, col(idCol) + lit(i * 100000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    replicate("documents", "doc_id")
+    replicate("embeddings", "vec_id")
+    val docs = spark.read.parquet(s"$big/documents.parquet")
+    val emb = spark.read.parquet(s"$big/embeddings.parquet")
+    def time(tag: String)(f: => Unit): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"corescale[$cpus] $tag%-18s " +
+        f"${runs.map(r => f"$r%.2f").mkString(" ")}  min=${runs.min}%.2f")
+    }
+    // warm-up: session + codegen floor
+    docs.agg(count(lit(1))).collect(): Unit
+    time("bpe_train") {
+      graft.llm.TextAnalysis.bpeTrain(docs, "text", rounds = 8)
+        .count(): Unit }
+    time("perceptron_fit") {
+      graft.llm.Classifier.perceptronFitFrame(
+        docs.withColumn("y",
+          when(col("lang") === "en", 1).otherwise(-1)),
+        "text", "y", dim = 1024, epochs = 2).count(): Unit }
+    time("ann_ivf") {
+      val q10 = emb.where(col("vec_id") < 10)
+      graft.llm.Similarity.ivfTopK(emb, q10, k = 5, nlist = 16,
+        nprobe = 12).count(): Unit }
+    time("simhash_native") {
+      docs.agg(
+        count(call_function("graft_simhash64", col("text"))).as("n_sig"),
+        count(when(col("doc_id") % 10 === 0 &&
+            call_function("graft_simhash64", col("text")) ===
+              graft.llm.Dedup.simhash64(col("text")), lit(1)))
+          .as("n_match")).collect(): Unit }
+    spark.stop()
+  }
+}
