@@ -52,18 +52,35 @@ object Selection {
       .withColumn("b", bucket(col("t")))
     val rawHist = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgtHist = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
-    // ≤256-row histograms: totals are driver-side scalars by
-    // construction, not a data-dependent collect
-    val rawTotal = rawHist.agg(sum("rc")).head.getLong(0)
-    val tgtTotal = tgtHist.agg(sum("tc")).head.getLong(0)
+    // ≤256-row histograms: collect BOTH in one job (side-tagged union)
+    // and fold the weight table driver-side — the r17 shape re-ran the
+    // raw-corpus histogram twice (once for its total, once inside the
+    // weight build) and paid a broadcast join per scored token; the
+    // weights are planner metadata by construction, so scoring becomes
+    // a pure projection (O(1) literal-array lookup per token) + the one
+    // keyed groupBy(doc) shuffle. Corpus passes: 3 → 2.
+    val cells = rawHist.withColumn("side", lit("r"))
+      .unionByName(tgtHist.withColumnRenamed("tc", "rc")
+        .withColumn("side", lit("t")))
+      .collect().map(r => (r.getString(2), r.getString(0), r.getLong(1)))
+    val rawCells = cells.collect { case ("r", b, c) => b -> c }.toMap
+    val tgtCells = cells.collect { case ("t", b, c) => b -> c }.toMap
+    val rawTotal = rawCells.values.sum
+    val tgtTotal = tgtCells.values.sum
     require(tgtTotal > 0, "target corpus has no tokens")
-    // `div` = Spark's IntegralDivide — exact long division, matching
-    // DuckDB's `//` on the non-negative operands here
-    val weights = rawHist.join(tgtHist, Seq("b"), "left").select(col("b"),
-      call_function("div",
-        coalesce(col("tc"), lit(0L)) * lit(rawTotal) * lit(scale),
-        col("rc") * lit(tgtTotal)).as("w"))
-    rawTok.join(broadcast(weights), "b")
+    // long `/` on the non-negative operands here == Spark's
+    // IntegralDivide == DuckDB's `//` — the exact division the oracle
+    // replays. Buckets with rc == 0 never occur in rawTok rows, so
+    // their array slots are inert.
+    val wArr: Seq[Long] = (0 until 256).map { i =>
+      val hex = f"$i%02x"
+      val rc = rawCells.getOrElse(hex, 0L)
+      if (rc == 0L) 0L
+      else tgtCells.getOrElse(hex, 0L) * rawTotal * scale / (rc * tgtTotal)
+    }
+    rawTok
+      .withColumn("w", element_at(typedLit(wArr),
+        conv(col("b"), 16, 10).cast("int") + 1))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("dsir_score"))
   }
