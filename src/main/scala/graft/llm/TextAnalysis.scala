@@ -418,21 +418,79 @@ object TextAnalysis {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
           .as("s"), col("freq")))
+    // Scale-adaptive rounds: the vocab is bounded by vocabulary size —
+    // when it fits the driver (threshold conf-overridable via
+    // spark.graft.bpe.localVocabRows), the `rounds` argmax actions run
+    // as one local loop over the collected (spelling, freq) rows
+    // instead of `rounds` scheduler round-trips (the IVF-fit precedent:
+    // codebook-class driver state). The local trainer replays the
+    // distributed algebra EXACTLY — per-occurrence pair counts, argmax
+    // by (cnt desc, pair asc in UTF-8 binary order — Spark's default
+    // string ordering), left-to-right non-overlapping literal replace —
+    // and the q_bpe_train/q_bpe_pairs oracles pin the equality. Above
+    // the threshold the per-round jobs still touch only the vocab
+    // table, never the corpus.
+    val localThreshold = df.sparkSession.conf
+      .getOption("spark.graft.bpe.localVocabRows")
+      .map(_.toLong).getOrElse(100000L)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val best = vocab
-        .select(col("freq"), explode(pairsOf(col("s"))).as("pair"))
-        .groupBy("pair").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .collect()(0)                    // one row — planner metadata
-      val Array(a, b) = best.getString(0).split(sep)
-      merges += ((r, a, b, best.getLong(1)))
-      vocab = vocab.select(
-        replace(col("s"), lit(a + sep + b), lit(a + b)).as("s"),
-        col("freq"))
+    if (vocab.count() <= localThreshold) {
+      var rows = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      for (r <- 1 to rounds) {
+        val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((s, f) <- rows) {
+          val syms = s.split(sep, -1)
+          var i = 0
+          while (i < syms.length - 1) {
+            val p = syms(i) + sep + syms(i + 1)
+            cnt.update(p, cnt.getOrElse(p, 0L) + f)
+            i += 1
+          }
+        }
+        require(cnt.nonEmpty, s"no pairs left to merge at round $r")
+        var bestPair: String = null
+        var bestCnt = Long.MinValue
+        for ((p, c) <- cnt)
+          if (c > bestCnt || (c == bestCnt && utf8Less(p, bestPair)))
+            { bestPair = p; bestCnt = c }
+        val Array(a, b) = bestPair.split(sep)
+        merges += ((r, a, b, bestCnt))
+        val from = a + sep + b; val to = a + b
+        rows = rows.map { case (s, f) => (s.replace(from, to), f) }
+      }
+    } else {
+      for (r <- 1 to rounds) {
+        val best = vocab
+          .select(col("freq"), explode(pairsOf(col("s"))).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()(0)                  // one row — planner metadata
+        val Array(a, b) = best.getString(0).split(sep)
+        merges += ((r, a, b, best.getLong(1)))
+        vocab = vocab.select(
+          replace(col("s"), lit(a + sep + b), lit(a + b)).as("s"),
+          col("freq"))
+      }
     }
     import df.sparkSession.implicits._
     merges.result().toDF("round", "a", "b", "cnt")
+  }
+
+  /** Unsigned UTF-8 byte-order comparison — Spark's default
+    * (UTF8_BINARY) string ordering, which the local BPE argmax
+    * tie-break must replay exactly (Java String order diverges for
+    * supplementary characters). */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
   }
 
   /** The trained vocabulary after `rounds` merges: each word's final

@@ -1543,6 +1543,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bs == bs.sorted && bs.distinct.size == bs.size)
   }
 
+  test("BPE driver-local trainer ≡ the distributed round loop " +
+       "(merges, counts, and tie-breaks)") {
+    val docs = sf("documents")
+    def train(): Seq[(Int, String, String, Long)] =
+      graft.llm.TextAnalysis.bpeTrain(docs, "text", rounds = 6)
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val local = train()                  // default threshold: local path
+    spark.conf.set("spark.graft.bpe.localVocabRows", "0")
+    try {
+      val dist = train()                 // forced distributed rounds
+      assert(local == dist, s"local=$local dist=$dist")
+    } finally spark.conf.unset("spark.graft.bpe.localVocabRows")
+  }
+
   test("native minhash ≡ the HOF form over the FULL documents corpus " +
        "(the proof the sampled q_minhash_native gate leans on)") {
     import spark.implicits._
