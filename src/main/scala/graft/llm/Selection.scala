@@ -172,12 +172,16 @@ object Selection {
     val w = Window.partitionBy(col("__band"))
       .orderBy(col("__score").desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base.withColumn("__band", band)
-      .withColumn("__cum_local", sum(col("__tok")).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-band totals: ≤ shards rows — planner metadata, same class as
-    // chunk boundaries
-    val totals = local.groupBy("__band").agg(sum(col("__tok")).as("t"))
+    // chunk boundaries. They never needed the running-sum window, so
+    // they aggregate straight off the banded scan — the r17 shape
+    // persisted the windowed frame (cache populate + the window
+    // shuffle) just to sum a column the window does not touch, then
+    // paid an off-cache parquet round-trip to release the cache. The
+    // window now runs exactly once, inside the consumer's own action,
+    // with nothing persisted.
+    val totals = base.withColumn("__band", band)
+      .groupBy("__band").agg(sum(col("__tok")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bandsDesc = totals.keys.toSeq.sorted.reverse
     val offsets = bandsDesc.zip(
@@ -185,14 +189,11 @@ object Selection {
     val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
       when(col("__band") === b, off).otherwise(acc)
     }
-    val out = local
+    base.withColumn("__band", band)
+      .withColumn("__cum_local", sum(col("__tok")).over(w))
       .withColumn("cum_tokens", col("__cum_local") + offExpr)
       .where(col("cum_tokens") <= budget)
       .drop("__score", "__tok", "__band", "__cum_local")
-    val path = Dedup.Scratch.next(out)
-    out.write.mode("overwrite").parquet(path)
-    local.unpersist()
-    df.sparkSession.read.parquet(path)
   }
 
   /** MIXTURE ASSEMBLY: per-group token-budget selection — the step
