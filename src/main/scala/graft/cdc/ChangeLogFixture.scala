@@ -563,7 +563,11 @@ object ChangeLogFixture {
     // collapsed into the consumer's interpreted from_json projection it
     // never reaches codegen. `%d`/`%s` on long/string/double render
     // exactly as the corresponding cast-to-string, so the payload is
-    // byte-identical.
+    // byte-identical. ASSUMES non-null inputs (the events fixture
+    // generator emits none): format_string rendered a null argument as
+    // the literal "null" while concat nulls the whole payload — if the
+    // fixture schema ever grows nullable columns, wrap each value in
+    // coalesce(cast, lit("null")) to preserve the old rendering.
     val vals = concat(lit("["), col("event_id").cast("string"), lit(","),
       col("user_id").cast("string"), lit(",\""), col("event_type"),
       lit("\","), col("value").cast("string"), lit("]"))

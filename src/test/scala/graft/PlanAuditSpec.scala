@@ -690,15 +690,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("udf"), p)
   }
 
-  test("DSIR scoring: 256-row weight table broadcasts; the exploded corpus is never shuffled before the join") {
+  test("DSIR scoring: weights ride as a literal array (no join at " +
+       "all); the exploded corpus meets exactly one exchange — the " +
+       "per-doc rollup's") {
+    // r18 tightened the r17 shape: the <=256-bucket weight table folds
+    // driver-side and scoring is a pure projection (O(1) literal-array
+    // lookup per token), so the former broadcast join is gone and the
+    // only exchange left is the groupBy(doc) aggregation's
     val p = plan(q("q_dsir_score"))
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"), s"scoring re-grew a join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    // the streamed (corpus) side of the weight join reaches it without
-    // an exchange of its own — same contract as decontamination
-    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
-      p.indexOf("BroadcastExchange"))
-    assert(!streamed.contains("Exchange"), s"corpus side shuffled:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly the rollup exchange:\n$p")
     assert(!p.toLowerCase.contains("udf"), p)
   }
 
